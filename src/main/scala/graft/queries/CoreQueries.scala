@@ -1,0 +1,609 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core engine capabilities from SURVEY.md §2, each expressed as an
+  * idiomatic DataFrame pipeline with a DuckDB oracle.
+  *
+  * The `events` table plays the change-log: `user_id` is the replicated
+  * primary key, the event time (micros) is the record version (the raw
+  * table's `_peerdb_timestamp`), and `event_type` maps onto the reference's
+  * record types (signup→insert 0, error→delete 2, else update 1) — the same
+  * 0/1/2 encoding as `_peerdb_record_type`
+  * (/root/reference/flow/connectors/clickhouse/cdc.go:58-104).
+  *
+  * Output-type policy (drives the driver's cross-engine hash compare):
+  *   - money/measure columns are exact integer cents (`*_c` BIGINT) computed
+  *     through a DECIMAL(12,2) intermediate — no raw double aggregates;
+  *   - nullable computed values are VARCHAR with '' for NULL, so null
+  *     encoding never depends on engine/pandas dtype quirks;
+  *   - every query ends in a total ORDER BY on non-null keys.
+  *
+  * Scale notes: every groupBy/window keys on high-cardinality columns
+  * (user_id, pk, bucket), so the shuffles hash-partition evenly at 100 TB;
+  * dimension joins are explicitly broadcast; filters/projections sit
+  * directly on the parquet scan so pushdown + pruning apply.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** double → exact integer cents via a decimal(12,2) intermediate. */
+  private def cents(c: Column): Column =
+    (c.cast("decimal(12,2)") * 100).cast("bigint")
+  private def centsSql(e: String): String =
+    s"CAST(CAST($e AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** nullable decimal-cents → string with '' for NULL. */
+  private def centsStr(c: Column): Column =
+    coalesce(cents(c).cast("string"), lit(""))
+
+  /** events with CDC framing columns. `ts` arrives as Long nanos
+    * (parquet NANOS read via nanosAsLong); version = micros. */
+  private def changeLog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("version", expr("ts div 1000"))
+      .withColumn("rtype",
+        when(col("event_type") === "signup", 0)
+          .when(col("event_type") === "error", 2)
+          .otherwise(1))
+
+  private val changeLogSql =
+    """SELECT *, epoch_ns(ts) // 1000 AS version,
+      |  CASE WHEN event_type='signup' THEN 0
+      |       WHEN event_type='error' THEN 2 ELSE 1 END AS rtype
+      |FROM events""".stripMargin
+
+  /** latest row per key by (version, event_id) — the normalize dedup. */
+  private def latestPerKey(df: DataFrame): DataFrame = df
+    .withColumn("rn", row_number().over(
+      Window.partitionBy("user_id")
+        .orderBy(col("version").desc, col("event_id").desc)))
+    .filter(col("rn") === 1)
+
+  // ---------------------------------------------------------------- sources
+
+  /** Projection/exclusion/rename/cast at the scan — TableMapping.exclude +
+    * per-column overrides (cdc.go:335-386, normalize_query.go:146-160).
+    * Catalyst prunes the parquet scan to exactly these columns. */
+  val projectionExclude = GraftQuery(
+    "q_projection_exclude",
+    "column exclusion + rename + type override at pull",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_quantity")).as("qty_c"),
+        col("l_returnflag").as("flag"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+            |  ${centsSql("l_quantity")} AS qty_c,
+            |  l_returnflag AS flag
+            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** QRep watermark pull: rows strictly after the stored offset
+    * (qrep_source.go:157-236). Predicate reaches the parquet scan. */
+  val filterWatermark = GraftQuery(
+    "q_filter_watermark",
+    "watermark-column incremental pull (> lastRangeEnd)",
+    (s, dir) => changeLog(s, dir)
+      .filter(col("version") > lit(1705708800000000L)) // 2024-01-20 UTC
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("version"))
+      .orderBy("event_id"),
+    Some(s"""SELECT event_id, user_id, event_type, version
+            |FROM ($changeLogSql)
+            |WHERE version > 1705708800000000
+            |ORDER BY event_id""".stripMargin))
+
+  /** NTILE equal-row-count range partitioning (qrep_partition.go:38-79):
+    * bucket → [min,max] watermark range + row count. The window runs over a
+    * single narrow key column — same planning-time cost shape as the
+    * reference's SQL. */
+  val partitionNtile = GraftQuery(
+    "q_partition_ntile",
+    "NTILE(8) equal-count partition ranges over the watermark column",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"))
+      .withColumn("bucket", ntile(8).over(Window.orderBy("o_orderkey")))
+      .groupBy("bucket")
+      .agg(min("o_orderkey").as("range_start"),
+        max("o_orderkey").as("range_end"),
+        count(lit(1)).as("cnt"))
+      .orderBy("bucket"),
+    Some("""SELECT bucket, min(o_orderkey) AS range_start,
+           |  max(o_orderkey) AS range_end, count(*) AS cnt
+           |FROM (SELECT o_orderkey,
+           |        NTILE(8) OVER (ORDER BY o_orderkey) AS bucket
+           |      FROM orders)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Min/max uniform range partitioning (qrep_partition.go:85-117,
+    * utils/partition.go:339-358): arithmetic split of [min,max]. The 1-row
+    * bounds frame is broadcast; integer arithmetic only. */
+  val partitionMinMax = GraftQuery(
+    "q_partition_minmax",
+    "min/max uniform range partitioning (ComputeRanges)",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"))
+      val bounds = o.agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("CAST((o_orderkey - mn) * 8 DIV (mx - mn + 1) AS INT)"))
+        .groupBy("bucket")
+        .agg(min("o_orderkey").as("range_start"),
+          max("o_orderkey").as("range_end"),
+          count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+           |           FROM orders)
+           |SELECT CAST(((o_orderkey - mn) * 8) // (mx - mn + 1) AS INT)
+           |    AS bucket,
+           |  min(o_orderkey) AS range_start, max(o_orderkey) AS range_end,
+           |  count(*) AS cnt
+           |FROM orders, b
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Fixed rows-per-partition chunking (num_rows_per_partition,
+    * nexus/analyzer/src/qrep.rs:75-80): ceil(row_number/N) chunk ids. */
+  val partitionRowChunk = GraftQuery(
+    "q_partition_rowchunk",
+    "rows-per-partition chunking of an ordered snapshot read",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"))
+      .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
+      .withColumn("chunk", expr("CAST((rn - 1) DIV 2000 AS INT)"))
+      .groupBy("chunk")
+      .agg(min("o_orderkey").as("range_start"),
+        max("o_orderkey").as("range_end"),
+        count(lit(1)).as("cnt"))
+      .orderBy("chunk"),
+    Some("""SELECT chunk, min(o_orderkey) AS range_start,
+           |  max(o_orderkey) AS range_end, count(*) AS cnt
+           |FROM (SELECT o_orderkey,
+           |        CAST((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 2000
+           |          AS INT) AS chunk
+           |      FROM orders)
+           |GROUP BY chunk ORDER BY chunk""".stripMargin))
+
+  // ------------------------------------------------------------- normalize
+
+  /** THE core analytic op of the engine: latest record per key by version —
+    * BigQuery RANK dedup (merge_stmt_generator.go:115-128), ClickHouse
+    * ReplacingMergeTree(version) semantics. Hash-shuffles on the PK: even at
+    * 100 TB the window partitions by high-cardinality key. */
+  val dedupLatest = GraftQuery(
+    "q_dedup_latest",
+    "latest-version-per-primary-key dedup window",
+    (s, dir) => latestPerKey(changeLog(s, dir))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        cents(col("value")).as("value_c"))
+      .orderBy("user_id"),
+    Some(s"""SELECT user_id, event_id, event_type,
+            |  ${centsSql("value")} AS value_c
+            |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            |        ORDER BY version DESC, event_id DESC) AS rn
+            |      FROM ($changeLogSql))
+            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** Normalize with soft delete: latest row per key keeps
+    * `_peerdb_is_deleted` + `_peerdb_version` (normalize_query.go:327-332). */
+  val normalizeSoftDelete = GraftQuery(
+    "q_normalize_softdelete",
+    "normalize raw→final with soft-delete + version columns",
+    (s, dir) => latestPerKey(changeLog(s, dir))
+      .select(col("user_id"),
+        cents(col("value")).as("value_c"),
+        (col("rtype") === 2).as("_peerdb_is_deleted"),
+        col("version").as("_peerdb_version"))
+      .orderBy("user_id"),
+    Some(s"""SELECT user_id, ${centsSql("value")} AS value_c,
+            |  (rtype = 2) AS _peerdb_is_deleted,
+            |  version AS _peerdb_version
+            |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            |        ORDER BY version DESC, event_id DESC) AS rn
+            |      FROM ($changeLogSql))
+            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** Hard-delete view of the same normalize (deleted keys filtered out) —
+    * what a `SELECT` on the destination table sees. */
+  val normalizeFinal = GraftQuery(
+    "q_cdc_normalize",
+    "full CDC normalize: final table state after replaying the change log",
+    (s, dir) => latestPerKey(changeLog(s, dir))
+      .filter(col("rtype") =!= 2)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        cents(col("value")).as("value_c"),
+        col("version").as("_peerdb_version"))
+      .orderBy("user_id"),
+    Some(s"""SELECT user_id, event_id, event_type,
+            |  ${centsSql("value")} AS value_c,
+            |  version AS _peerdb_version
+            |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            |        ORDER BY version DESC, event_id DESC) AS rn
+            |      FROM ($changeLogSql))
+            |WHERE rn = 1 AND rtype <> 2 ORDER BY user_id""".stripMargin))
+
+  /** TOAST backfill: a column absent from an update (here: click events
+    * carry no value) takes the last present value for the key, in commit
+    * order — within-batch backfill via `last(ignoreNulls)` over the
+    * tx-ordered window (record_items.go:60-70, cdc.go:1139-1215). */
+  val toastBackfill = GraftQuery(
+    "q_toast_backfill",
+    "unchanged-TOAST column backfill (last non-absent value per key)",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("version"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      changeLog(s, dir)
+        .withColumn("v",
+          when(col("event_type") === "click", lit(null))
+            .otherwise(cents(col("value"))))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("v").cast("string"), lit("")).as("v_s"),
+          coalesce(col("filled").cast("string"), lit("")).as("filled_s"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""SELECT user_id, event_id,
+            |  coalesce(CAST(v AS VARCHAR), '') AS v_s,
+            |  coalesce(CAST(last_value(v IGNORE NULLS) OVER (
+            |    PARTITION BY user_id ORDER BY version, event_id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |    AS VARCHAR), '') AS filled_s
+            |FROM (SELECT *, CASE WHEN event_type='click' THEN NULL
+            |        ELSE ${centsSql("value")} END AS v
+            |      FROM ($changeLogSql))
+            |ORDER BY user_id, event_id""".stripMargin))
+
+  /** PK-changing update: normalize synthesizes a delete of the OLD key at
+    * version−1 and unions it in (normalize_query.go:339-357). */
+  val pkUpdateUnion = GraftQuery(
+    "q_pk_update_union",
+    "primary-key-update path: synthesized old-key delete at version-1",
+    (s, dir) => {
+      val cl = changeLog(s, dir)
+      val base = cl.select(col("user_id").as("pk"), col("version"),
+        col("rtype"), lit("main").as("src"))
+      val oldKeyDeletes = cl.filter(col("event_type") === "purchase")
+        .select((col("user_id") + 1000000L).as("pk"),
+          (col("version") - 1).as("version"),
+          lit(2).as("rtype"), lit("pkchange").as("src"))
+      base.unionByName(oldKeyDeletes)
+        .orderBy("pk", "version", "rtype", "src")
+    },
+    Some(s"""WITH cl AS ($changeLogSql)
+            |SELECT user_id AS pk, version, rtype, 'main' AS src FROM cl
+            |UNION ALL
+            |SELECT user_id + 1000000 AS pk, version - 1 AS version,
+            |  2 AS rtype, 'pkchange' AS src
+            |FROM cl WHERE event_type = 'purchase'
+            |ORDER BY pk, version, rtype, src""".stripMargin))
+
+  /** The raw staging table itself (SURVEY §2.4): uid, micros version,
+    * destination table, JSON payload, record type, batch id. JSON is built
+    * with explicit concat so the bytes are engine-independent. */
+  val rawChangefeed = GraftQuery(
+    "q_raw_changefeed",
+    "raw change-feed rows: _peerdb_* staging schema incl. JSON payload",
+    (s, dir) => changeLog(s, dir)
+      .select(
+        md5(col("event_id").cast("string")).as("_peerdb_uid"),
+        col("version").as("_peerdb_timestamp"),
+        lit("public.events").as("_peerdb_destination_table_name"),
+        concat(lit("{\"user_id\":"), col("user_id").cast("string"),
+          lit(",\"event_type\":\""), col("event_type"),
+          lit("\",\"value\":"),
+          col("value").cast("decimal(12,2)").cast("string"),
+          lit("}")).as("_peerdb_data"),
+        col("rtype").as("_peerdb_record_type"),
+        expr("event_id DIV 1000").as("_peerdb_batch_id"))
+      .orderBy("_peerdb_timestamp", "_peerdb_uid"),
+    Some(s"""SELECT md5(CAST(event_id AS VARCHAR)) AS _peerdb_uid,
+            |  version AS _peerdb_timestamp,
+            |  'public.events' AS _peerdb_destination_table_name,
+            |  '{"user_id":' || user_id || ',"event_type":"' || event_type ||
+            |    '","value":' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+            |    || '}' AS _peerdb_data,
+            |  rtype AS _peerdb_record_type,
+            |  event_id // 1000 AS _peerdb_batch_id
+            |FROM ($changeLogSql)
+            |ORDER BY _peerdb_timestamp, _peerdb_uid""".stripMargin))
+
+  /** Idempotent MERGE/upsert of an incoming batch into existing state
+    * (normalize_stmt_generator.go:148-278): matched+delete → tombstone,
+    * matched → update, not-matched → insert. */
+  val mergeUpsert = GraftQuery(
+    "q_merge_upsert",
+    "MERGE semantics: upsert incoming batch over existing keys + deletes",
+    (s, dir) => {
+      val cl = changeLog(s, dir)
+      val cutoff = 1706140800000000L // 2024-01-25 UTC
+      val existing = latestPerKey(cl.filter(col("version") <= cutoff))
+        .select(col("user_id"), cents(col("value")).as("ex_v"))
+      val incoming = latestPerKey(cl.filter(col("version") > cutoff))
+        .select(col("user_id"), cents(col("value")).as("in_v"),
+          col("rtype").as("in_rtype"))
+      existing.join(incoming, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(
+            when(col("in_rtype") === 2, lit(null))
+              .otherwise(coalesce(col("in_v"), col("ex_v")))
+              .cast("string"),
+            lit("")).as("value_s"),
+          coalesce(col("in_rtype") === 2, lit(false)).as("deleted"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH cl AS ($changeLogSql),
+            |ex AS (SELECT user_id, ${centsSql("value")} AS ex_v
+            |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            |               ORDER BY version DESC, event_id DESC) AS rn
+            |             FROM cl WHERE version <= 1706140800000000)
+            |       WHERE rn = 1),
+            |inc AS (SELECT user_id, ${centsSql("value")} AS in_v,
+            |          rtype AS in_rtype
+            |        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            |                ORDER BY version DESC, event_id DESC) AS rn
+            |              FROM cl WHERE version > 1706140800000000)
+            |        WHERE rn = 1)
+            |SELECT coalesce(ex.user_id, inc.user_id) AS user_id,
+            |  coalesce(CAST(CASE WHEN inc.in_rtype = 2 THEN NULL
+            |    ELSE coalesce(inc.in_v, ex.ex_v) END AS VARCHAR), '')
+            |    AS value_s,
+            |  coalesce(inc.in_rtype = 2, false) AS deleted
+            |FROM ex FULL JOIN inc ON ex.user_id = inc.user_id
+            |ORDER BY user_id""".stripMargin))
+
+  /** Schema evolution: rows from before an ADD COLUMN delta carry NULL for
+    * the new column; unionByName(allowMissingColumns) widens the stream
+    * (applySchemaDeltas, flowable_core.go:65-119). */
+  val schemaEvolution = GraftQuery(
+    "q_schema_evolution",
+    "add-column schema delta: old-schema rows widen with NULLs",
+    (s, dir) => {
+      val cl = changeLog(s, dir)
+      val cutoff = 1705276800000000L // 2024-01-15 UTC
+      val v1 = cl.filter(col("version") <= cutoff)
+        .select(col("event_id"), col("user_id")) // schema version 1: no value
+      val v2 = cl.filter(col("version") > cutoff)
+        .select(col("event_id"), col("user_id"),
+          cents(col("value")).as("value_c"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .withColumn("schema_ver",
+          when(col("value_c").isNull, 1).otherwise(2))
+        .groupBy("schema_ver")
+        .agg(count(lit(1)).as("cnt"),
+          sum(coalesce(col("value_c"), lit(0L))).as("total_c"))
+        .orderBy("schema_ver")
+    },
+    Some(s"""WITH cl AS ($changeLogSql),
+            |widened AS (
+            |  SELECT event_id, user_id, CAST(NULL AS BIGINT) AS value_c
+            |  FROM cl WHERE version <= 1705276800000000
+            |  UNION ALL
+            |  SELECT event_id, user_id, ${centsSql("value")} AS value_c
+            |  FROM cl WHERE version > 1705276800000000)
+            |SELECT CASE WHEN value_c IS NULL THEN 1 ELSE 2 END AS schema_ver,
+            |  count(*) AS cnt, sum(coalesce(value_c, 0)) AS total_c
+            |FROM widened GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ----------------------------------------------------- type-system policy
+
+  /** JSON payload field extraction (the `_peerdb_data` access path;
+    * record_items.go MarshalJSON ↔ get_json_object). */
+  val jsonExtract = GraftQuery(
+    "q_json_extract",
+    "JSON payload field extraction from the props column",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Numeric truncation/validation (numeric_truncator.go): values whose
+    * integral part exceeds the destination precision become NULL. */
+  val numericClamp = GraftQuery(
+    "q_numeric_clamp",
+    "destination-precision numeric clamping (overflow → NULL + flag)",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(
+          when(abs(col("l_extendedprice")) >= 10000, lit(null))
+            .otherwise(cents(col("l_extendedprice"))).cast("string"),
+          lit("")).as("price_clamped_s"),
+        (abs(col("l_extendedprice")) >= 10000).as("was_clamped"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+            |  coalesce(CAST(CASE WHEN abs(l_extendedprice) >= 10000
+            |    THEN NULL ELSE ${centsSql("l_extendedprice")} END
+            |    AS VARCHAR), '') AS price_clamped_s,
+            |  abs(l_extendedprice) >= 10000 AS was_clamped
+            |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Date/timestamp clamping to [1900, 9999] (avro_converter.go:384-427,
+    * ClickHouse bounds normalize_query.go:81-110) — exercised by shifting
+    * years with pure integer arithmetic. */
+  val dateClamp = GraftQuery(
+    "q_date_clamp",
+    "year clamping to the destination-supported [1900,9999] range",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (year(col("o_orderdate")) - (col("o_orderkey") % 40) * lit(10))
+          .cast("int").as("y"))
+      .withColumn("y_clamped", least(greatest(col("y"), lit(1900)), lit(9999)))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, y,
+           |  least(greatest(y, 1900), 9999) AS y_clamped
+           |FROM (SELECT o_orderkey,
+           |        CAST(year(o_orderdate) - (o_orderkey % 40) * 10 AS INT)
+           |          AS y
+           |      FROM orders)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** NaN/±Inf → NULL at serialization (record_items.go:174-207). The NULL
+    * happens BEFORE any decimal cast (a vectorized engine would otherwise
+    * fault casting NaN). */
+  val nanInfNull = GraftQuery(
+    "q_nan_inf_null",
+    "NaN/Infinity floats null out before the sink",
+    (s, dir) => t(s, dir, "events")
+      .withColumn("v_raw",
+        when(col("event_type") === "error", lit(Double.NaN))
+          .when(col("event_type") === "click",
+            lit(Double.PositiveInfinity))
+          .otherwise(col("value")))
+      .withColumn("v_null",
+        when(isnan(col("v_raw")) || col("v_raw") === Double.PositiveInfinity
+            || col("v_raw") === Double.NegativeInfinity, lit(null))
+          .otherwise(col("v_raw")))
+      .select(col("event_id"),
+        coalesce(cents(col("v_null")).cast("string"), lit(""))
+          .as("v_clean_s"))
+      .orderBy("event_id"),
+    Some(s"""SELECT event_id,
+            |  coalesce(CAST(${centsSql("v_null")} AS VARCHAR), '')
+            |    AS v_clean_s
+            |FROM (SELECT event_id,
+            |        CASE WHEN isnan(v_raw) OR v_raw = 'Infinity'::DOUBLE
+            |               OR v_raw = '-Infinity'::DOUBLE THEN NULL
+            |             ELSE v_raw END AS v_null
+            |      FROM (SELECT event_id,
+            |              CASE WHEN event_type='error' THEN 'NaN'::DOUBLE
+            |                   WHEN event_type='click'
+            |                     THEN 'Infinity'::DOUBLE
+            |                   ELSE value END AS v_raw
+            |            FROM events))
+            |ORDER BY event_id""".stripMargin))
+
+  /** Oversize value truncation (record_items.go:36,44: >15 MiB strings →
+    * ""), threshold scaled down to the fixture sizes. */
+  val oversizeTruncate = GraftQuery(
+    "q_oversize_truncate",
+    "oversize string/JSON truncation at serialization",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(length(col("text")) > 300, lit("")).otherwise(col("text"))
+          .as("text_capped"),
+        length(col("text")).as("n"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CASE WHEN length(text) > 300 THEN '' ELSE text END
+           |    AS text_capped,
+           |  length(text) AS n
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------- interactive-query passthrough
+  // (nexus proxies user SQL to the peer — Spark SQL provides the surface;
+  //  these prove the classic relational path at scale.)
+
+  /** TPC-H Q1-shaped pricing summary: partial (map-side) aggregation then a
+    * 6-group shuffle; integer-cents sums for exactness. The discounted
+    * price is rounded to 4 decimals at the row level (basis-point ints). */
+  val q1Agg = GraftQuery(
+    "q1_agg",
+    "grouped aggregation with exact integer sums (TPC-H Q1 shape)",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1999-01-01 00:00:00"))
+      .withColumn("qty_c", cents(col("l_quantity")))
+      .withColumn("price_c", cents(col("l_extendedprice")))
+      .withColumn("disc_price_bp",
+        ((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(14,4)") * 10000).cast("bigint"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("qty_c").as("sum_qty_c"),
+        sum("price_c").as("sum_price_c"),
+        sum("disc_price_bp").as("sum_disc_price_bp"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+           |    AS sum_qty_c,
+           |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |    AS BIGINT)) AS sum_price_c,
+           |  sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+           |    AS DECIMAL(14,4)) * 10000 AS BIGINT)) AS sum_disc_price_bp,
+           |  count(*) AS cnt
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Fact-to-dim join with explicit broadcast of both dims — no shuffle of
+    * the orders fact for the dimension side at any scale. */
+  val joinAggNation = GraftQuery(
+    "q_join_agg_nation",
+    "broadcast dim join + grouped rollup (orders⋈customer⋈nation)",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      orders
+        .join(broadcast(customer),
+          orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation),
+          customer("c_nationkey") === nation("n_nationkey"))
+        .withColumn("price_c", cents(col("o_totalprice")))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("price_c").as("total_price_c"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, count(*) AS n_orders,
+            |  sum(${centsSql("o_totalprice")}) AS total_price_c
+            |FROM orders
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Top-K per group window (per-customer top orders). */
+  val topkPerCustomer = GraftQuery(
+    "q_topk_per_customer",
+    "top-3-per-key window ranking",
+    (s, dir) => t(s, dir, "orders")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .orderBy("o_custkey", "rk"),
+    Some(s"""SELECT o_custkey, rk, o_orderkey,
+            |  ${centsSql("o_totalprice")} AS price_c
+            |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            |        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            |      FROM orders)
+            |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin))
+
+  /** Tumbling-window event-time aggregation — the batch statement of the
+    * Structured Streaming windowed agg this engine uses for stream rollups. */
+  val windowHourly = GraftQuery(
+    "q_window_hourly",
+    "tumbling 1-hour event-time window aggregation",
+    (s, dir) => t(s, dir, "events")
+      .withColumn("hour_s",
+        date_format(timestamp_micros(expr("ts div 1000")),
+          "yyyy-MM-dd HH:00:00"))
+      .withColumn("value_c", cents(col("value")))
+      .groupBy("hour_s", "event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value_c").as("total_c"))
+      .orderBy("hour_s", "event_type"),
+    Some(s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+            |    '%Y-%m-%d %H:00:00') AS hour_s,
+            |  event_type, count(*) AS cnt,
+            |  sum(${centsSql("value")}) AS total_c
+            |FROM events
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    projectionExclude, filterWatermark, partitionNtile, partitionMinMax,
+    partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
+    toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
+    jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
+    q1Agg, joinAggNation, topkPerCustomer, windowHourly)
+}
