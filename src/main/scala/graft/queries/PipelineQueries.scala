@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Similarity, TextFunctions => TF}
+
+/** Training-data-pipeline operators over `documents` and `embeddings` —
+  * the beyond-the-reference surface (dedup, similarity search, text
+  * analysis, multimodal plumbing), designed for 100 TB corpora:
+  *
+  *   - per-document ops are codegen'd column expressions (no shuffle);
+  *   - near-dup candidate generation goes through LSH band/bucket JOIN KEYS
+  *     (linear + equi-join) — never an all-pairs cross join;
+  *   - the exact n-gram Jaccard is computed only over candidate pairs from
+  *     an inverted shingle index (the classic verify step after LSH).
+  *
+  * Hash-based ops (minhash/simhash/LSH) are not DuckDB-expressible with
+  * identical hashes → declared without oracle (rows-only check).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** DuckDB 3-word shingle list for a `ws` VARCHAR[] column (1-based). */
+  private val duckShingles =
+    "list_transform(generate_series(1, len(ws) - 2), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])"
+
+  // -------------------------------------------------------------- dedup
+
+  /** Exact dedup: content-hash groupBy keeping the lowest doc id — the
+    * hash-shuffle dedup that scales to any corpus size. */
+  val dedupExact = GraftQuery(
+    "q_dedup_exact",
+    "exact duplicate grouping by content hash (keep lowest doc_id)",
+    (s, dir) => docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .orderBy("h"),
+    Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id,
+           |  count(*) AS copies
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Exact n-gram Jaccard near-dup detection via an inverted shingle
+    * index: explode distinct 3-gram shingles, self-join on the shingle
+    * (candidate pairs only — at scale this is the post-LSH verify), count
+    * intersections, keep pairs with Jaccard ≥ 0.3. Integer-only output
+    * (inter, uni): 10*inter >= 3*uni ⇔ J ≥ 0.3, no FP anywhere. */
+  val dedupNgramJaccard = GraftQuery(
+    "q_dedup_ngram_jaccard",
+    "n-gram Jaccard near-dup pairs over an inverted shingle index",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(TF.wordShingles(col("ws"), 3))).as("sh"))
+      val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = base.as("a")
+        .join(base.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          (col("ca.n") + col("cb.n") - col("inter")).as("uni"))
+        .filter(col("inter") * 10 >= col("uni") * 3)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |           FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, s
+            |       FROM (SELECT doc_id, unnest($duckShingles) AS s
+            |             FROM w WHERE len(ws) >= 3)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            |            count(*) AS inter
+            |          FROM sh a JOIN sh b
+            |            ON a.s = b.s AND a.doc_id < b.doc_id
+            |          GROUP BY 1, 2)
+            |SELECT d1, d2, inter, ca.n + cb.n - inter AS uni
+            |FROM pairs
+            |JOIN cnt ca ON ca.doc_id = d1
+            |JOIN cnt cb ON cb.doc_id = d2
+            |WHERE inter * 10 >= (ca.n + cb.n - inter) * 3
+            |ORDER BY d1, d2""".stripMargin))
+
+  /** MinHash + LSH banding: 32-hash signature, 8 bands × 4 rows; docs
+    * sharing a band key become candidate pairs through an equi-join on
+    * (band, key) — the linear-time near-dup path for 100 TB corpora.
+    * Hash values are engine-specific → rows-only check. */
+  val dedupMinhashLsh = GraftQuery(
+    "q_dedup_minhash_lsh",
+    "MinHash(32) + LSH(8×4) near-dup candidate pairs",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .withColumn("sh", array_distinct(TF.wordShingles(col("ws"), 3)))
+        .withColumn("sig", TF.minhashSignature("sh", 32))
+        .withColumn("bands", TF.minhashBands("sig", 8, 4))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      sig.as("a")
+        .join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    },
+    None)
+
+  /** SimHash near-dup: 64-bit majority-vote signature; candidates bucket by
+    * the 16-bit prefix, verified by Hamming distance ≤ 12 (bit_count of
+    * XOR). Engine-specific hashes → rows-only check. */
+  val dedupSimhash = GraftQuery(
+    "q_dedup_simhash",
+    "SimHash(64) near-dup pairs (prefix bucket + Hamming verify)",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .withColumn("sig", TF.simhash("ws"))
+        .withColumn("bucket", expr("shiftrightunsigned(sig, 48)"))
+        .select("doc_id", "sig", "bucket")
+      sig.as("a")
+        .join(sig.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)"))
+        .filter(col("hamming") <= 12)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("hamming"))
+        .orderBy("d1", "d2")
+    },
+    None)
+
+  // ------------------------------------------------------- text analysis
+
+  /** Marker-word language ID heuristic with a deterministic argmax
+    * (precedence en > de > es > fr > zh on ties). */
+  val textLangId = GraftQuery(
+    "q_text_langid",
+    "n-gram/stopword language-ID heuristic",
+    (s, dir) => {
+      val ws = TF.words(col("text"))
+      docs(s, dir)
+        .withColumn("c_en", TF.markerCount(ws, "the"))
+        .withColumn("c_de", TF.markerCount(ws, "der"))
+        .withColumn("c_es", TF.markerCount(ws, "el"))
+        .withColumn("c_fr", TF.markerCount(ws, "le"))
+        .withColumn("c_zh", TF.markerCount(ws, "的"))
+        .withColumn("pred_lang",
+          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+            col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+              col("c_de") >= col("c_zh"), "de")
+            .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_zh"),
+              "es")
+            .when(col("c_fr") >= col("c_zh"), "fr")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("lang"), col("c_en"), col("c_de"),
+          col("c_es"), col("c_fr"), col("c_zh"), col("pred_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
+           |  CASE
+           |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+           |      AND c_en >= c_zh THEN 'en'
+           |    WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh
+           |      THEN 'de'
+           |    WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+           |    WHEN c_fr >= c_zh THEN 'fr'
+           |    ELSE 'zh' END AS pred_lang
+           |FROM (SELECT doc_id, lang,
+           |        len(list_filter(string_split(text, ' '),
+           |          w -> w = 'the')) AS c_en,
+           |        len(list_filter(string_split(text, ' '),
+           |          w -> w = 'der')) AS c_de,
+           |        len(list_filter(string_split(text, ' '),
+           |          w -> w = 'el')) AS c_es,
+           |        len(list_filter(string_split(text, ' '),
+           |          w -> w = 'le')) AS c_fr,
+           |        len(list_filter(string_split(text, ' '),
+           |          w -> w = '的')) AS c_zh
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Document quality score: integer-only blend of length, stopword count
+    * and average word length (the length/punct/stopword-ratio family). */
+  val textQuality = GraftQuery(
+    "q_text_quality",
+    "document quality scoring (length/stopword/word-length blend)",
+    (s, dir) => {
+      val ws = TF.words(col("text"))
+      docs(s, dir)
+        .withColumn("n_words", size(ws))
+        .withColumn("stop_cnt",
+          TF.markerCount(ws, "the") + TF.markerCount(ws, "a"))
+        .withColumn("avg_wlen_x100",
+          expr("((length(text) - (n_words - 1)) * 100) DIV n_words"))
+        .withColumn("score",
+          expr("least(n_words, 100) * 50 DIV 100 + " +
+            "least(stop_cnt, 20) * 30 DIV 20 + " +
+            "least(avg_wlen_x100, 800) * 20 DIV 800"))
+        .select(col("doc_id"), col("n_words"), col("stop_cnt"),
+          col("avg_wlen_x100"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_words, stop_cnt, avg_wlen_x100,
+           |  least(n_words, 100) * 50 // 100 +
+           |    least(stop_cnt, 20) * 30 // 20 +
+           |    least(avg_wlen_x100, 800) * 20 // 800 AS score
+           |FROM (SELECT doc_id, n_words, stop_cnt,
+           |        ((length(text) - (n_words - 1)) * 100) // n_words
+           |          AS avg_wlen_x100
+           |      FROM (SELECT doc_id, text,
+           |              len(string_split(text, ' ')) AS n_words,
+           |              len(list_filter(string_split(text, ' '),
+           |                w -> w = 'the')) +
+           |              len(list_filter(string_split(text, ' '),
+           |                w -> w = 'a')) AS stop_cnt
+           |            FROM documents))
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Token counting: whitespace tokens + regex letter-run tokens. */
+  val textTokens = GraftQuery(
+    "q_text_tokens",
+    "token counting (whitespace + regex pre-tokenizer)",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        size(TF.words(col("text"))).as("ws_tokens"),
+        TF.regexTokenCount(col("text")).cast("bigint").as("re_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+           |    AS re_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Position-weighted rolling-hash document fingerprint (mod 1e9+7). */
+  val textFingerprint = GraftQuery(
+    "q_text_fingerprint",
+    "rolling-hash document fingerprinting",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        TF.fingerprint(TF.words(col("text"))).as("fp"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+            |  ${TF.fingerprintDuckSql("string_split(text, ' ')")} AS fp
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k: rank all vectors against a fixed query
+    * vector (vec_id 0). Output is the RANKING only (integer columns) —
+    * cross-engine FP equality of the similarity itself is not required,
+    * rank order is stable because cosine gaps ≫ FP noise. */
+  val annCosineTopk = GraftQuery(
+    "q_ann_cosine_topk",
+    "brute-force cosine top-10 ANN against query vector 0",
+    (s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", Similarity.cosine(col("embedding"), col("q_emb")))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"), col("label"))
+        .orderBy("rank")
+    },
+    Some("""SELECT rank, vec_id, label
+           |FROM (SELECT ROW_NUMBER() OVER (
+           |        ORDER BY list_cosine_similarity(e.embedding, q.q_emb)
+           |          DESC, e.vec_id) AS rank,
+           |        e.vec_id, e.label
+           |      FROM embeddings e,
+           |        (SELECT embedding AS q_emb FROM embeddings
+           |         WHERE vec_id = 0) q
+           |      WHERE e.vec_id <> 0)
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
+  /** Scale path for ANN: 6-bit random-hyperplane LSH buckets — search
+    * only within a bucket (equi-join key) instead of the full corpus.
+    * Engine-specific hashing → rows-only check. */
+  val annLshBuckets = GraftQuery(
+    "q_ann_lsh_buckets",
+    "random-hyperplane LSH bucketing of the embedding space",
+    (s, dir) => embs(s, dir)
+      .withColumn("bucket", Similarity.hyperplaneBucket("embedding", 6))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+      .orderBy("bucket"),
+    None)
+
+  // ------------------------------------------------------- multimodal
+
+  /** Multimodal column plumbing: opaque binary payload + typed metadata —
+    * byte length, content digest, modality tag, fake frame count. The
+    * decode itself is stubbed (no media libs in-container); the schema,
+    * partition-independence and batch shape are the real, tested parts. */
+  val multimodalMeta = GraftQuery(
+    "q_multimodal_meta",
+    "binary multimodal payload metadata extraction",
+    (s, dir) => docs(s, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("digest"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        (octet_length(col("payload")).cast("bigint") / lit(1024))
+          .cast("bigint").as("frames"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  octet_length(encode(text)) AS byte_len,
+           |  sha256(text) AS digest,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |       WHEN doc_id % 3 = 1 THEN 'audio'
+           |       ELSE 'video' END AS modality,
+           |  CAST(octet_length(encode(text)) // 1024 AS BIGINT) AS frames
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    textLangId, textQuality, textTokens, textFingerprint,
+    annCosineTopk, annLshBuckets, multimodalMeta)
+}
