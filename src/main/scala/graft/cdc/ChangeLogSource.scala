@@ -1,0 +1,233 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.ChangeRecord
+
+/** A change-log WAL on disk: the CDC source simulator's storage. One record
+  * per line, unit-separator (0x1F) delimited fields:
+  *
+  *   checkpointId ␟ txId ␟ commitTimeMicros ␟ recordType ␟ sourceTable ␟
+  *   destinationTable ␟ data ␟ matchData ␟ unchangedToastColumns(csv)
+  *
+  * Plays the role of the replication slot / binlog the reference pulls from
+  * (flow/connectors/postgres/cdc.go:524-967): checkpointIds are strictly
+  * increasing, records of one transaction are contiguous and share a txId.
+  */
+object ChangeLogWal {
+  val Sep = '\u001F'
+
+  def append(dir: String, records: Seq[ChangeRecord]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val n = Files.list(d).count()
+    val lines = records.map { r =>
+      require(r.data == null || !r.data.contains('\n'),
+        "WAL payloads must be single-line")
+      Seq(r.checkpointId, r.transactionId, r.commitTimeMicros, r.recordType,
+        r.sourceTable, r.destinationTable,
+        Option(r.data).getOrElse(""), Option(r.matchData).getOrElse(""),
+        r.unchangedToastColumns.mkString(",")).mkString(Sep.toString)
+    }
+    Files.write(d.resolve(f"$n%06d.wal"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** All records with checkpointId in (afterCp, untilCp], WAL order. */
+  def read(dir: String, afterCp: Long, untilCp: Long): Seq[Array[String]] =
+    listLines(dir).map(_.split(Sep.toString, -1))
+      .filter(f => f(0).toLong > afterCp && f(0).toLong <= untilCp)
+
+  def listLines(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Nil
+    Files.list(d)
+      .sorted(Comparator.comparing[Path, String](
+        (p: Path) => p.getFileName.toString))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".wal"))
+      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
+      .filter(_.nonEmpty)
+      .toSeq
+  }
+}
+
+/** Streaming CDC source (DataSource v2 `MicroBatchStream`) over a
+  * [[ChangeLogWal]] directory.
+  *
+  * The part of the reference Spark genuinely lacks (SURVEY §4 "custom
+  * Catalyst work actually required"): offset management with
+  * TRANSACTION-ATOMIC batch cuts. `latestOffset` admits up to
+  * `maxBatchSize` records per micro-batch but always extends the cut to the
+  * enclosing commit boundary — a batch never splits a source transaction
+  * (the `commitLock` behavior, cdc.go:701-753), so downstream equality
+  * oracles can never observe a torn transaction.
+  *
+  * The scan is a single ordered partition per micro-batch — WAL order IS
+  * the versioning contract, exactly like the reference's single-slot
+  * reader; parallelism begins at the shuffle into normalize, not at the
+  * log. Offsets are plain checkpointIds, restart-safe via the standard
+  * checkpointLocation mechanism.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.cdc.ChangeLogSourceProvider")
+  *     .option("path", walDir).option("maxBatchSize", "250000").load()
+  * }}}
+  */
+class ChangeLogSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeLogSourceProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ChangeLogTable(properties.get("path"),
+      Option(properties.get("maxBatchSize")).map(_.toInt).getOrElse(250000))
+}
+
+object ChangeLogSourceProvider {
+  /** Typed change-event schema (ChangeRecord flattened; SURVEY §1.1). */
+  val schema: StructType = StructType(Seq(
+    StructField("checkpointId", LongType, nullable = false),
+    StructField("transactionId", LongType, nullable = false),
+    StructField("commitTimeMicros", LongType, nullable = false),
+    StructField("recordType", IntegerType, nullable = false),
+    StructField("sourceTable", StringType, nullable = false),
+    StructField("destinationTable", StringType, nullable = false),
+    StructField("data", StringType, nullable = true),
+    StructField("matchData", StringType, nullable = true),
+    StructField("unchangedToastColumns", StringType, nullable = true)))
+}
+
+private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_cdc($path)"
+  override def schema(): StructType = ChangeLogSourceProvider.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ChangeLogSourceProvider.schema
+        override def toMicroBatchStream(loc: String): MicroBatchStream =
+          new ChangeLogMicroBatchStream(path, maxBatchSize)
+      }
+    }
+}
+
+private[cdc] case class CpOffset(cp: Long) extends Offset {
+  override def json(): String = cp.toString
+}
+
+private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: pin the end of the WAL at query start; batches
+  // drain up to the pin (in maxBatchSize steps), later appends wait for
+  // the next run — same contract as the built-in file source.
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = ChangeLogWal.listLines(path).lastOption
+      .map(l => l.substring(0, l.indexOf(ChangeLogWal.Sep)).toLong)
+      .getOrElse(-1L)
+  }
+
+  override def initialOffset(): Offset = CpOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset =
+    CpOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxBatchSize)
+
+  /** Admit up to maxBatchSize records, then extend to the enclosing
+    * transaction boundary — never cut mid-transaction. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val after = start.asInstanceOf[CpOffset].cp
+    val pending = ChangeLogWal.listLines(path).iterator
+      .map { l =>
+        val i = l.indexOf(ChangeLogWal.Sep)
+        val j = l.indexOf(ChangeLogWal.Sep, i + 1)
+        (l.substring(0, i).toLong, l.substring(i + 1, j).toLong) // (cp, tx)
+      }
+      .filter(t => t._1 > after && t._1 <= availableNowCap)
+      .toSeq
+    if (pending.isEmpty) return CpOffset(after)
+    var cut = -1L
+    var admitted = 0
+    var idx = 0
+    while (idx < pending.length) {
+      val (cp, tx) = pending(idx)
+      admitted += 1
+      val txEnds = idx + 1 >= pending.length || pending(idx + 1)._2 != tx
+      if (txEnds) {
+        cut = cp
+        if (admitted >= maxBatchSize) return CpOffset(cut)
+      }
+      idx += 1
+    }
+    CpOffset(if (cut >= 0) cut else after)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    Array(ChangeLogInputPartition(path,
+      start.asInstanceOf[CpOffset].cp, end.asInstanceOf[CpOffset].cp))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeLogReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[cdc] case class ChangeLogInputPartition(
+    path: String, afterCp: Long, untilCp: Long) extends InputPartition
+
+private[cdc] class ChangeLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ChangeLogPartitionReader(p.asInstanceOf[ChangeLogInputPartition])
+}
+
+private[cdc] class ChangeLogPartitionReader(p: ChangeLogInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = ChangeLogWal.read(p.path, p.afterCp, p.untilCp).iterator
+  private var current: Array[String] = _
+
+  override def next(): Boolean = {
+    if (it.hasNext) { current = it.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    def s(v: String): UTF8String =
+      if (v == null || v.isEmpty) null else UTF8String.fromString(v)
+    new GenericInternalRow(Array[Any](
+      current(0).toLong, current(1).toLong, current(2).toLong,
+      current(3).toInt,
+      UTF8String.fromString(current(4)), UTF8String.fromString(current(5)),
+      s(current(6)), s(current(7)), s(current(8))))
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,177 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.RawTable
+
+/** Parquet-backed MERGE INTO with hash-bucketed partition pruning.
+  *
+  * The destination table lives as parquet partitioned by
+  * `_g_bucket = pmod(hash(pk...), numBuckets)`. Merging a (deduped) change
+  * set touches ONLY the buckets that contain changed keys:
+  *
+  *   1. compute the affected bucket set from the incoming batch (driver-side
+  *      small list);
+  *   2. read existing rows for those buckets only (partition pruning — the
+  *      scan never touches clean buckets);
+  *   3. latest-version-wins anti/union combine, with TOAST-absent columns
+  *      resolved by coalescing to the destination value
+  *      (the `coalesce`-by-presence strategy replacing the reference's
+  *      per-combination UPDATE branches, snowflake merge_stmt_generator
+  *      .go:29-225);
+  *   4. overwrite only the affected bucket partitions (dynamic partition
+  *      overwrite).
+  *
+  * At 100 TB with N buckets, a batch touching k distinct keys rewrites at
+  * most min(k, N) buckets — work proportional to the change volume, not the
+  * table size. Re-applying the same batch is idempotent: version comparison
+  * keeps the newest row, ties break toward the incoming row which is
+  * byte-identical on replay (at-least-once safety, core.go:204-206).
+  *
+  * Why not a real lakehouse MERGE: zero-dependency constraint (no Delta on
+  * the classpath); this reproduces the same pruning + rewrite shape with
+  * plain parquet.
+  */
+final class MergeWriter(
+    spark: SparkSession,
+    tablePath: String,
+    pkColumns: Seq[String],
+    numBuckets: Int = 64) {
+
+  private val BucketCol = "_g_bucket"
+
+  private def bucketOf(df: DataFrame) =
+    pmod(hash(pkColumns.map(col): _*), lit(numBuckets))
+
+  private def bucketDirs: Seq[String] = {
+    val d = new java.io.File(tablePath)
+    if (!d.isDirectory) Nil
+    else d.listFiles().toSeq.filter(f =>
+      f.isDirectory && f.getName.startsWith(s"$BucketCol=")).map(_.getName)
+  }
+
+  def exists: Boolean = bucketDirs.nonEmpty
+
+  private val schemaFile = s"$tablePath/_graft_schema.json"
+
+  private def rememberSchema(df: DataFrame): Unit = {
+    val p = java.nio.file.Paths.get(schemaFile)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, df.drop(BucketCol).schema.json)
+  }
+
+  /** Current table state (all buckets); typed-empty after a full hard
+    * delete (schema persisted alongside the data). */
+  def read(): DataFrame =
+    if (exists)
+      spark.read.option("basePath", tablePath).parquet(tablePath)
+        .drop(BucketCol)
+    else {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(schemaFile)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Merge one normalized change set (one row per key, with
+    * `_peerdb_version`, `_peerdb_is_deleted`, `_absent_cols`).
+    * `hardDelete=true` drops deleted keys; otherwise they persist as
+    * soft-delete tombstones. */
+  def merge(changes: DataFrame, hardDelete: Boolean = false): Unit = {
+    // Inside foreachBatch the batch DataFrame belongs to a CLONED session
+    // with isolated conf — set the overwrite mode (and do the reads) on
+    // THAT session or the dynamic-overwrite flag never reaches the write.
+    val sess = changes.sparkSession
+    val dataCols = changes.columns.toSeq
+      .filterNot(Seq(Normalizer.AbsentCols).contains)
+    val incoming = changes.withColumn(BucketCol, bucketOf(changes))
+
+    if (!exists) {
+      val resolved = finishRow(incoming, hardDelete)
+      resolved.write
+        .partitionBy(BucketCol)
+        .mode(SaveMode.Overwrite)
+        .parquet(tablePath)
+      rememberSchema(resolved)
+      return
+    }
+
+    val affected = incoming.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted // driver-side: ≤ numBuckets ints
+    // Partition-pruned scan: the isin filter on the partition column means
+    // only the affected bucket dirs are listed/read.
+    val existing = sess.read.option("basePath", tablePath)
+      .parquet(tablePath)
+      .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
+
+    val valueCols = dataCols
+      .filterNot(pkColumns.contains)
+      .filterNot(Seq(RawTable.Version, RawTable.IsDeleted).contains)
+
+    // Latest version wins; on equality the incoming row wins (idempotent
+    // replay). TOAST-absent incoming columns take the destination value.
+    val joined = incoming.as("src").join(
+      existing.as("dst"), pkColumns, "full_outer")
+    val srcWins = col(s"src.${RawTable.Version}").isNotNull &&
+      (col(s"dst.${RawTable.Version}").isNull ||
+        col(s"src.${RawTable.Version}") >= col(s"dst.${RawTable.Version}"))
+
+    val merged = joined.select(
+      pkColumns.map(col) ++ valueCols.map { c =>
+        when(srcWins,
+          when(array_contains(
+              coalesce(col(s"src.${Normalizer.AbsentCols}"),
+                array().cast("array<string>")), c),
+            col(s"dst.$c")).otherwise(col(s"src.$c")))
+          .otherwise(col(s"dst.$c")).as(c)
+      } ++ Seq(
+        when(srcWins, col(s"src.${RawTable.Version}"))
+          .otherwise(col(s"dst.${RawTable.Version}")).as(RawTable.Version),
+        when(srcWins, col(s"src.${RawTable.IsDeleted}"))
+          .otherwise(col(s"dst.${RawTable.IsDeleted}"))
+          .as(RawTable.IsDeleted)): _*)
+
+    val resolved = finishRow(
+      merged.withColumn(BucketCol,
+        pmod(hash(pkColumns.map(col): _*), lit(numBuckets))),
+      hardDelete)
+
+    // Dynamic overwrite: only the affected bucket partitions are replaced.
+    val prev = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try resolved.write
+      .partitionBy(BucketCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(tablePath)
+    finally prev match {
+      case Some(v) =>
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    rememberSchema(resolved)
+
+    // Dynamic overwrite only replaces partitions PRESENT in the output: a
+    // bucket whose every key was hard-deleted writes no rows and would keep
+    // its stale file — clear those partition dirs explicitly.
+    if (hardDelete) {
+      val survived = resolved.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(survived).foreach { b =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$tablePath/$BucketCol=$b"), true)
+      }
+    }
+  }
+
+  private def finishRow(df: DataFrame, hardDelete: Boolean): DataFrame = {
+    val noAbsent = df.drop(Normalizer.AbsentCols)
+    if (hardDelete) noAbsent.filter(!col(RawTable.IsDeleted)) else noAbsent
+  }
+}

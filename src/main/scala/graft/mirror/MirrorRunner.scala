@@ -1,0 +1,109 @@
+package graft.mirror
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.{MergeWriter, NormalizeConfig, Normalizer}
+import graft.model.RawTable
+
+/** One CDC mirror: WAL source → raw staging table → normalized table.
+  *
+  * The Spark restatement of the reference's steady-state loop
+  * (pullAndSyncCore, flow/activities/flowable_core.go:121-437 and the
+  * normalize loop :791): pull goroutine ⇒ micro-batch source; sync
+  * goroutine ⇒ raw append inside foreachBatch; normalize goroutine ⇒
+  * Normalizer + MergeWriter in the same batch hook. Temporal's role
+  * (restart, offsets) is played by the streaming checkpointLocation.
+  *
+  * Delivery: the source is at-least-once after recovery; the raw append is
+  * guarded by a batch-id high-water mark and the merge is idempotent
+  * (latest-version-wins), mirroring the reference's idempotent-sink
+  * contract (core.go:130,204-206).
+  */
+final case class MirrorConfig(
+    walDir: String,
+    rawDir: String,
+    destDir: String,
+    checkpointDir: String,
+    pkColumns: Seq[String],
+    payloadSchema: StructType,
+    destinationTable: String = "dest",
+    maxBatchSize: Int = 250000,
+    softDelete: Boolean = true)
+
+class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
+
+  private val merge =
+    new MergeWriter(spark, cfg.destDir, cfg.pkColumns)
+  private val hwmPath = Paths.get(cfg.checkpointDir, "graft-raw-hwm")
+
+  /** Run until the WAL is drained (Trigger.AvailableNow), blocking. */
+  def runAvailableNow(): Unit = {
+    val q = start(Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  def start(trigger: Trigger): StreamingQuery =
+    spark.readStream
+      .format("graft.cdc.ChangeLogSourceProvider")
+      .option("path", cfg.walDir)
+      .option("maxBatchSize", cfg.maxBatchSize.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        syncAndNormalize(batch, batchId)
+      }
+      .start()
+
+  /** The per-micro-batch sync + normalize. Visible for batch-mode reuse. */
+  def syncAndNormalize(batch: DataFrame, batchId: Long): Unit = {
+    val raw = toRaw(batch, batchId)
+
+    // Raw append is NOT idempotent by itself → high-water-mark guard; the
+    // merge below is version-idempotent and safe to replay.
+    if (rawHighWaterMark.forall(batchId > _)) {
+      raw.write.mode(SaveMode.Append)
+        .partitionBy(RawTable.BatchId)
+        .parquet(cfg.rawDir)
+      Files.createDirectories(hwmPath.getParent)
+      Files.write(hwmPath,
+        batchId.toString.getBytes(StandardCharsets.UTF_8))
+    }
+
+    val normalized = Normalizer.normalize(
+      raw, NormalizeConfig(cfg.pkColumns, cfg.payloadSchema,
+        softDelete = cfg.softDelete))
+    merge.merge(normalized)
+  }
+
+  /** Change-event rows → the raw staging schema (SURVEY §2.4). */
+  private def toRaw(batch: DataFrame, batchId: Long): DataFrame =
+    batch.select(
+      md5(col("checkpointId").cast("string")).as(RawTable.Uid),
+      col("commitTimeMicros").as(RawTable.Timestamp),
+      col("destinationTable").as(RawTable.DestinationTable),
+      col("data").as(RawTable.Data),
+      col("recordType").as(RawTable.RecordType),
+      col("matchData").as(RawTable.MatchData),
+      lit(batchId).as(RawTable.BatchId),
+      col("unchangedToastColumns").as(RawTable.UnchangedToastColumns))
+
+  private def rawHighWaterMark: Option[Long] =
+    if (Files.exists(hwmPath))
+      Some(new String(Files.readAllBytes(hwmPath),
+        StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  /** The normalized destination table (soft deletes filtered). */
+  def destination(): DataFrame = {
+    val d = merge.read()
+    if (cfg.softDelete) d.filter(!col(RawTable.IsDeleted)) else d
+  }
+}

@@ -1,0 +1,78 @@
+package graft.cdc
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.model.ChangeRecord
+
+class ChangeLogSourceSpec extends SparkSpec {
+
+  private def rec(cp: Long, tx: Long, rt: Int, data: String): ChangeRecord =
+    ChangeRecord(rt, cp, cp.toString, cp * 1000, tx, "src.t", "dest.t",
+      data, null, Nil)
+
+  test("micro-batches cut only at transaction boundaries") {
+    val wal = tmpDir("wal")
+    val ckpt = tmpDir("ckpt")
+    // tx1: 2 records, tx2: 3 records, tx3: 1 record; maxBatchSize=3.
+    // Expected cuts: tx2 straddles the cap → batch extends to cp5;
+    // batch2 = cp6 alone. A naive cap would tear tx2.
+    ChangeLogWal.append(wal, Seq(
+      rec(1, 100, 0, """{"id":1}"""), rec(2, 100, 0, """{"id":2}"""),
+      rec(3, 200, 0, """{"id":3}"""), rec(4, 200, 0, """{"id":4}"""),
+      rec(5, 200, 0, """{"id":5}"""),
+      rec(6, 300, 0, """{"id":6}""")))
+
+    val batches = new ConcurrentHashMap[Long, Seq[Long]]()
+    val q = spark.readStream
+      .format("graft.cdc.ChangeLogSourceProvider")
+      .option("path", wal)
+      .option("maxBatchSize", "3")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batches.put(id,
+          df.select("checkpointId").collect().map(_.getLong(0)).toSeq.sorted)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    val sizes = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes == Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(6L)))
+  }
+
+  test("restart resumes from checkpointed offset, no reread") {
+    val wal = tmpDir("wal2")
+    val ckpt = tmpDir("ckpt2")
+    ChangeLogWal.append(wal, Seq(rec(1, 1, 0, """{"id":1}""")))
+
+    def drain(): Seq[Long] = {
+      val seen = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      val q = spark.readStream
+        .format("graft.cdc.ChangeLogSourceProvider")
+        .option("path", wal).option("maxBatchSize", "10").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("checkpointId").collect()
+            .foreach(r => seen.add(r.getLong(0)))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      seen.asScala.toSeq
+    }
+
+    assert(drain() == Seq(1L))
+    ChangeLogWal.append(wal, Seq(rec(2, 2, 1, """{"id":1,"v":2}""")))
+    assert(drain() == Seq(2L)) // only the new record, offset persisted
+  }
+}

@@ -1,0 +1,83 @@
+package graft.mirror
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.ChangeLogWal
+import graft.model.ChangeRecord
+
+/** The reference's primary oracle restated (EnvWaitForEqualTablesWithNames,
+  * flow/e2e/test_utils.go:177-205): replay a change log through the full
+  * mirror pipeline (stream source → raw sync → normalize → merge) and
+  * require the destination to equal the source-of-truth row set — across
+  * multiple runs, restarts and out-of-order key updates. */
+class MirrorEqualitySpec extends SparkSpec {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("v", LongType)))
+
+  private def rec(cp: Long, tx: Long, rt: Int, data: String,
+      matchData: String = null, toast: Seq[String] = Nil): ChangeRecord =
+    ChangeRecord(rt, cp, cp.toString, cp * 1000, tx, "public.t", "dest.t",
+      data, matchData, toast)
+
+  test("mirror equality across two runs with inserts/updates/deletes") {
+    val wal = tmpDir("wal")
+    val base = tmpDir("mirror")
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = payloadSchema, maxBatchSize = 4)
+
+    // Run 1: 100 keys inserted, some updated, some deleted, one TOAST
+    // update, in several transactions.
+    val inserts = (1L to 100L).map(i =>
+      rec(i, 1 + i / 10, ChangeRecord.TypeInsert,
+        s"""{"id":$i,"name":"n$i","v":${i * 10}}"""))
+    val updates = (1L to 30L).map(i =>
+      rec(100 + i, 20 + i / 5, ChangeRecord.TypeUpdate,
+        s"""{"id":$i,"name":"u$i","v":${i * 100}}""", s"""{"id":$i}"""))
+    val toastUpd = Seq(rec(131, 40, ChangeRecord.TypeUpdate,
+      """{"id":40,"v":4444}""", """{"id":40}""", Seq("name")))
+    val deletes = (61L to 70L).map(i =>
+      rec(131 + i - 60, 41, ChangeRecord.TypeDelete, null, s"""{"id":$i}"""))
+    ChangeLogWal.append(wal, inserts ++ updates ++ toastUpd ++ deletes)
+
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+
+    def expectRow(id: Long, name: String, v: Long): Unit = {
+      val rows = runner.destination()
+        .filter(org.apache.spark.sql.functions.col("id") === id).collect()
+      assert(rows.length == 1, s"id=$id")
+      assert(rows.head.getAs[String]("name") == name, s"id=$id name")
+      assert(rows.head.getAs[Long]("v") == v, s"id=$id v")
+    }
+
+    assert(runner.destination().count() == 90) // 100 − 10 deleted
+    expectRow(5L, "u5", 500L)     // updated
+    expectRow(40L, "n40", 4444L)  // TOAST: name kept, v updated
+    expectRow(95L, "n95", 950L)   // untouched insert
+    assert(runner.destination()
+      .filter(org.apache.spark.sql.functions.col("id") === 65L).isEmpty)
+
+    // Run 2 (restart from checkpoint): more changes incl. delete-then-
+    // reinsert and an update of a previously deleted key's neighbor.
+    ChangeLogWal.append(wal, Seq(
+      rec(200, 50, ChangeRecord.TypeDelete, null, """{"id":1}"""),
+      rec(201, 51, ChangeRecord.TypeInsert,
+        """{"id":1,"name":"reborn","v":1}"""),
+      rec(202, 52, ChangeRecord.TypeUpdate,
+        """{"id":62,"name":"back","v":62}""", null)))
+    new MirrorRunner(spark, cfg).runAvailableNow()
+
+    assert(runner.destination().count() == 91)
+    expectRow(1L, "reborn", 1L)
+    expectRow(62L, "back", 62L)
+
+    // Raw staging table holds every change exactly once.
+    val raw = spark.read.parquet(s"$base/raw")
+    assert(raw.count() == (inserts ++ updates ++ toastUpd ++ deletes).size + 3)
+  }
+}
