@@ -49,30 +49,80 @@ object TextFunctions {
     s"CAST(list_sum(list_transform($wsExpr, (x, i) -> " +
       s"i * (length(x) * 7 + ascii(substr(x, 1, 1))))) % 1000000007 AS BIGINT)"
 
-  /** 64-bit SimHash over word hashes (xxhash64): majority vote per bit.
-    * One pass, no shuffle; near-dup candidates then bucket by prefix. */
+  /** 64-bit SimHash over word hashes: majority vote per bit. Each word is
+    * hashed ONCE; the per-bit vote accumulates into a 64-slot array in a
+    * single fold (hash count O(words), not O(64·words) — same
+    * codegen-fallback reasoning as [[minhashSignature]]). One pass, no
+    * shuffle; near-dup candidates then bucket by signature prefix. */
   def simhash(wsCol: String): Column = expr(
     s"""aggregate(
-       |  transform(sequence(0, 63), b ->
-       |    CASE WHEN aggregate($wsCol, 0L, (acc, w) ->
-       |      acc + CASE WHEN pmod(shiftrightunsigned(xxhash64(w), b), 2) = 1
-       |            THEN 1L ELSE -1L END) >= 0L
-       |    THEN shiftleft(1L, b) ELSE 0L END),
-       |  0L, (a, x) -> a + x)""".stripMargin)
+       |  transform($wsCol, w -> xxhash64(w)),
+       |  array_repeat(0L, 64),
+       |  (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->
+       |    a + CASE WHEN pmod(shiftrightunsigned(h, b), 2) = 1
+       |        THEN 1L ELSE -1L END),
+       |  acc -> aggregate(
+       |    zip_with(acc, sequence(0, 63), (a, b) ->
+       |      CASE WHEN a >= 0L THEN shiftleft(1L, b) ELSE 0L END),
+       |    0L, (x, y) -> x + y))""".stripMargin)
 
-  /** MinHash signature: the expensive string hash runs ONCE per shingle
-    * (`xxhash64(s)`); the k independent views are affine permutations of
-    * that base hash (odd multiplier + golden-ratio offset, wrap-around
-    * 64-bit arithmetic) — the standard a·h+b permutation family. This keeps
-    * the per-document cost at O(shingles + k·shingles integer mul-adds)
-    * instead of O(k·shingles string hashes), which matters because
-    * higher-order array lambdas evaluate outside whole-stage codegen. */
-  def minhashSignature(shinglesCol: String, k: Int): Column = expr(
-    s"""transform(sequence(0, ${k - 1}), i ->
-       |  array_min(transform(transform($shinglesCol, s -> xxhash64(s)),
-       |    h -> h * CAST(2 * i + 1 AS BIGINT)
-       |         + CAST(i AS BIGINT) * -7046029254386353131L)))"""
-      .stripMargin)
+  /** Distributed SimHash: the DataFrame-level formulation for large
+    * corpora. Instead of a per-row 64-slot lambda fold (which evaluates
+    * outside codegen), the votes become ROWS: explode words → count terms
+    * per doc (term-frequency weights) → explode the 64 bits → two fully
+    * codegen'd hash aggregations. Scales with cluster width; the Column
+    * variant [[simhash]] remains for small/streaming batches.
+    *
+    * Returns (idCol, simhash) one row per input row. */
+  def simhashSignatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val terms = df
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = terms
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(0, 63), b -> " +
+          "tf * (CAST(pmod(shiftrightunsigned(h, b), 2) AS BIGINT) * 2 - 1))"))
+        .as(Seq("bit", "vote")))
+      .groupBy(idCol, "bit").agg(sum("vote").as("vote"))
+    votes.groupBy(idCol)
+      .agg(sum(when(col("vote") >= 0,
+        expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Permutation i of a base hash: rotl(h, i+1) XOR (i · golden32).
+    * Bijective and built from bit ops only — `h * c` / `h + c` would raise
+    * under ANSI mode (Spark 4 default) on the inevitable 64-bit wrap. With
+    * a literal `i` the shifts constant-fold and the whole expression stays
+    * inside whole-stage codegen. */
+  private def permHashSql(h: String, i: Int): String =
+    s"(shiftleft($h, ${i + 1}) | shiftrightunsigned($h, ${63 - i}))" +
+      s" ^ ${i.toLong * 2654435769L}L"
+
+  /** Distributed MinHash signatures — the scalable formulation. A lambda
+    * version (`transform(perms, i -> array_min(transform(shingles, ...)))`)
+    * is a trap twice over: higher-order lambdas run interpreted outside
+    * codegen, AND Catalyst does not hoist the loop-invariant inner
+    * hash-transform, so every permutation re-hashes every shingle. Here the
+    * shingle set explodes to rows once, `xxhash64` runs once per shingle
+    * inside codegen, and the k signature slots are k `min` aggregates of
+    * cheap constant-folded bit permutations — one hash-aggregate shuffle,
+    * arbitrarily wide corpus.
+    *
+    * Returns (idCol, sig: array<bigint>[k]). */
+  def minhashSignaturesDf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      shingles: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(array_distinct(shingles)).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val mins = (0 until k).map(i =>
+      min(expr(permHashSql("h", i))).as(s"m$i"))
+    sh.groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys over a MinHash signature: `bands` keys, each an
     * arithmetic fold (×31 rolling) of `rowsPerBand` consecutive signature
@@ -80,8 +130,10 @@ object TextFunctions {
     * near-dup candidates — the equi-join key that replaces the quadratic
     * all-pairs comparison at scale. */
   def minhashBands(sigCol: String, bands: Int, rowsPerBand: Int): Column =
-    expr(
+    expr( // rotate-xor fold: overflow-free under ANSI mode
       s"""transform(sequence(0, ${bands - 1}), bi ->
          |  aggregate(slice($sigCol, bi * $rowsPerBand + 1, $rowsPerBand),
-         |    CAST(bi AS BIGINT), (acc, x) -> acc * 31L + x))""".stripMargin)
+         |    CAST(bi AS BIGINT),
+         |    (acc, x) -> (shiftleft(acc, 5) | shiftrightunsigned(acc, 59))
+         |                ^ x))""".stripMargin)
 }

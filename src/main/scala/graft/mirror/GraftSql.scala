@@ -1,0 +1,168 @@
+package graft.mirror
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** The `CREATE PEER / CREATE MIRROR` DDL surface — the engine-specific
+  * statements the reference's Rust proxy intercepts ahead of plain SQL
+  * (nexus/parser/src/lib.rs:25-61, grammar parser_peerdb.rs) — here
+  * injected into Spark's own SQL entry point via `SparkSessionExtensions`:
+  * graft statements parse to a `LeafRunnableCommand`; everything else
+  * falls through to the stock parser (the PeerQuery passthrough route,
+  * nexus/query-router/src/lib.rs:24-40).
+  *
+  * Grammar (case-insensitive):
+  * {{{
+  *   CREATE PEER name TYPE kind OPTIONS (k 'v', ...)
+  *   DROP PEER name
+  *   SHOW PEERS
+  *   CREATE MIRROR name WITH (wal_dir '...', dest_dir '...',
+  *     checkpoint_dir '...', pk 'id', schema 'id BIGINT, v BIGINT', ...)
+  *   EXECUTE MIRROR name          -- drain the WAL once (AvailableNow)
+  *   DROP MIRROR name
+  *   SHOW MIRRORS
+  * }}}
+  *
+  * Session wiring:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.mirror.GraftExtensions")
+  * }}}
+  */
+object GraftSql {
+
+  sealed trait Statement
+  final case class CreatePeer(name: String, kind: String,
+      options: Map[String, String]) extends Statement
+  final case class DropPeer(name: String) extends Statement
+  case object ShowPeers extends Statement
+  final case class CreateMirror(name: String, options: Map[String, String])
+      extends Statement
+  final case class ExecuteMirror(name: String) extends Statement
+  final case class DropMirror(name: String) extends Statement
+  case object ShowMirrors extends Statement
+
+  private val createPeer: Regex =
+    """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
+  private val dropPeer: Regex = """(?is)\s*DROP\s+PEER\s+(\w+)\s*""".r
+  private val showPeers: Regex = """(?is)\s*SHOW\s+PEERS\s*""".r
+  private val createMirror: Regex =
+    """(?is)\s*CREATE\s+MIRROR\s+(\w+)\s+WITH\s*\((.*)\)\s*""".r
+  private val execMirror: Regex =
+    """(?is)\s*EXECUTE\s+MIRROR\s+(\w+)\s*""".r
+  private val dropMirror: Regex = """(?is)\s*DROP\s+MIRROR\s+(\w+)\s*""".r
+  private val showMirrors: Regex = """(?is)\s*SHOW\s+MIRRORS\s*""".r
+  private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
+
+  private def parseOptions(s: String): Map[String, String] =
+    optionPair.findAllMatchIn(s)
+      .map(m => m.group(1).toLowerCase -> m.group(2).replace("''", "'"))
+      .toMap
+
+  /** None ⇒ not a graft statement (fall through to Spark SQL). */
+  def parse(sql: String): Option[Statement] = sql match {
+    case createPeer(n, k, opts) => Some(CreatePeer(n, k, parseOptions(opts)))
+    case dropPeer(n) => Some(DropPeer(n))
+    case showPeers() => Some(ShowPeers)
+    case createMirror(n, opts) => Some(CreateMirror(n, parseOptions(opts)))
+    case execMirror(n) => Some(ExecuteMirror(n))
+    case dropMirror(n) => Some(DropMirror(n))
+    case showMirrors() => Some(ShowMirrors)
+    case _ => None
+  }
+
+  // ----------------------------------------------------------- execution
+
+  val peers = new PeerCatalog
+  private val mirrors =
+    scala.collection.concurrent.TrieMap.empty[String, MirrorConfig]
+
+  def execute(spark: SparkSession, st: Statement): Seq[Row] = st match {
+    case CreatePeer(n, k, o) => peers.create(Peer(n, k, o)); Nil
+    case DropPeer(n) => peers.drop(n); Nil
+    case ShowPeers => peers.list.map(p => Row(p.name, p.kind))
+    case CreateMirror(n, o) =>
+      def req(k: String) = o.getOrElse(k,
+        throw new IllegalArgumentException(s"CREATE MIRROR: missing '$k'"))
+      val cfg = MirrorConfig(
+        walDir = req("wal_dir"),
+        rawDir = o.getOrElse("raw_dir", req("dest_dir") + "_raw"),
+        destDir = req("dest_dir"),
+        checkpointDir = req("checkpoint_dir"),
+        pkColumns = req("pk").split(",").map(_.trim).toSeq,
+        payloadSchema = StructType.fromDDL(req("schema")),
+        maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),
+        softDelete = o.get("soft_delete").forall(_.toBoolean))
+      require(mirrors.putIfAbsent(n, cfg).isEmpty, s"mirror $n exists")
+      Nil
+    case ExecuteMirror(n) =>
+      val cfg = mirrors.getOrElse(n,
+        throw new NoSuchElementException(s"mirror $n"))
+      new MirrorRunner(spark, cfg).runAvailableNow()
+      Nil
+    case DropMirror(n) => mirrors.remove(n); Nil
+    case ShowMirrors =>
+      mirrors.toSeq.sortBy(_._1).map { case (n, c) =>
+        Row(n, c.walDir, c.destDir)
+      }
+  }
+
+  def outputAttributes(st: Statement): Seq[Attribute] = st match {
+    case ShowPeers => Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("kind", StringType)())
+    case ShowMirrors => Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("wal_dir", StringType)(),
+      AttributeReference("dest_dir", StringType)())
+    case _ => Nil
+  }
+}
+
+/** The graft DDL as a Catalyst command node. */
+final case class GraftCommand(st: GraftSql.Statement)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSql.outputAttributes(st)
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSql.execute(spark, st)
+}
+
+/** Delegating parser: graft DDL first, stock Spark SQL otherwise. */
+final class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.parse(sqlText).map(GraftCommand(_))
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `spark.sql.extensions` entry point. */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+}

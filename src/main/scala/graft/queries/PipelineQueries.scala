@@ -100,18 +100,24 @@ object PipelineQueries {
     "q_dedup_minhash_lsh",
     "MinHash(32) + LSH(8×4) near-dup candidate pairs",
     (s, dir) => {
-      val sig = docs(s, dir)
+      val base = docs(s, dir)
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
-        .withColumn("sh", array_distinct(TF.wordShingles(col("ws"), 3)))
-        .withColumn("sig", TF.minhashSignature("sh", 32))
+      val sig = TF.minhashSignaturesDf(
+        base, "doc_id", TF.wordShingles(col("ws"), 3), 32)
+      val bands = sig
         .withColumn("bands", TF.minhashBands("sig", 8, 4))
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
-      sig.as("a")
-        .join(sig.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // Bucket members pair up inside their (band, key) group — no
+      // self-join re-computation, no cross product beyond the bucket.
+      bands.groupBy("band", "key")
+        .agg(sort_array(collect_list("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |    y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
+        .select(col("p.d1"), col("p.d2"))
         .distinct()
         .orderBy("d1", "d2")
     },
@@ -124,9 +130,8 @@ object PipelineQueries {
     "q_dedup_simhash",
     "SimHash(64) near-dup pairs (prefix bucket + Hamming verify)",
     (s, dir) => {
-      val sig = docs(s, dir)
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-        .withColumn("sig", TF.simhash("ws"))
+      val sig = TF.simhashSignatures(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("simhash", "sig")
         .withColumn("bucket", expr("shiftrightunsigned(sig, 48)"))
         .select("doc_id", "sig", "bucket")
       sig.as("a")

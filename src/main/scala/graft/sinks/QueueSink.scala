@@ -1,0 +1,37 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Queue-destination record shaping — the Kafka/PubSub/EventHubs sink path
+  * (flow/connectors/kafka/kafka.go:295-420, lvalueToKafkaRecord:173-224).
+  *
+  * The reference runs a Lua script per record to pick topic/key/payload;
+  * here the routing is a column-expression hook (codegen'd, no per-record
+  * interpreter). The output frame has exactly the schema
+  * `writeStream.format("kafka")` consumes: (topic, key, value, headers);
+  * publishing is `.writeStream.format("kafka")` in a deployment with the
+  * connector on the classpath — the shaping below is the engine-owned part.
+  */
+object QueueSink {
+
+  /** Default routing (script absent, kafka.go:301-312): topic = destination
+    * table, key = uid, value = the change row as JSON. */
+  def defaultRecords(raw: DataFrame): DataFrame =
+    records(raw,
+      topic = col(graft.model.RawTable.DestinationTable),
+      key = col(graft.model.RawTable.Uid),
+      value = to_json(struct(raw.columns.map(col): _*)))
+
+  /** Custom routing hook (the Lua-script parity point). */
+  def records(df: DataFrame, topic: Column, key: Column, value: Column,
+      headers: Map[String, Column] = Map.empty): DataFrame = {
+    val headerCol =
+      if (headers.isEmpty) lit(null).cast("array<struct<key:string,value:binary>>")
+      else array(headers.toSeq.sortBy(_._1).map { case (k, v) =>
+        struct(lit(k).as("key"), v.cast("binary").as("value"))
+      }: _*)
+    df.select(topic.cast("string").as("topic"), key.cast("string").as("key"),
+      value.cast("string").as("value"), headerCol.as("headers"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.model.RawTable
+import graft.types.QKind
+
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private val v1 = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+
+  test("diff detects added columns only (drops retained)") {
+    val observed = StructType(Seq(
+      StructField("id", LongType), StructField("extra", StringType)))
+    val delta = SchemaEvolution.diff("s.t", "d.t", v1, observed).get
+    assert(delta.addedColumns == Seq(AddedColumn("extra", QKind.QString)))
+    assert(SchemaEvolution.diff("s.t", "d.t", v1, v1).isEmpty)
+  }
+
+  test("widened schema: old rows normalize with NULL for the new column") {
+    import scala.jdk.CollectionConverters._
+    val delta = TableSchemaDelta("s.t", "d.t",
+      Seq(AddedColumn("extra", QKind.QString)))
+    val widened = SchemaEvolution.apply(v1, delta)
+
+    val raw = spark.createDataFrame(List(
+      org.apache.spark.sql.Row("u1", 1L, "d", """{"id":1,"v":10}""",
+        0, null, 0L, ""),
+      org.apache.spark.sql.Row("u2", 2L, "d",
+        """{"id":2,"v":20,"extra":"x"}""", 0, null, 0L, "")).asJava,
+      RawTable.schema)
+    val out = Normalizer.normalize(raw, NormalizeConfig(Seq("id"), widened))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("extra"))
+      .toMap
+    assert(out == Map(1L -> null, 2L -> "x"))
+  }
+
+  test("ALTER DDL and frame alignment") {
+    val delta = TableSchemaDelta("s.t", "pub.dst",
+      Seq(AddedColumn("extra", QKind.QNumeric(20, 4))))
+    assert(SchemaEvolution.alterTableSql(delta) == Seq(
+      """ALTER TABLE pub.dst ADD COLUMN IF NOT EXISTS "extra" DECIMAL(20,4)"""))
+
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "v")
+    val aligned = SchemaEvolution.alignFrame(df,
+      StructType(v1.fields :+ StructField("extra", StringType)))
+    assert(aligned.columns.toSeq == Seq("id", "v", "extra"))
+    assert(aligned.collect().head.isNullAt(2))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.mirror
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.ChangeLogWal
+import graft.model.ChangeRecord
+
+class GraftSqlSpec extends SparkSpec {
+
+  test("DDL grammar parses; non-graft SQL falls through") {
+    import GraftSql._
+    assert(parse("CREATE PEER src TYPE parquet OPTIONS (path '/x')") ==
+      Some(CreatePeer("src", "parquet", Map("path" -> "/x"))))
+    assert(parse("create mirror m1 with (pk 'id', schema 'id BIGINT')") ==
+      Some(CreateMirror("m1", Map("pk" -> "id", "schema" -> "id BIGINT"))))
+    assert(parse("EXECUTE MIRROR m1") == Some(ExecuteMirror("m1")))
+    assert(parse("SHOW MIRRORS") == Some(ShowMirrors))
+    assert(parse("SELECT 1").isEmpty)
+    assert(parse("CREATE TABLE t (id INT)").isEmpty)
+  }
+
+  test("spark.sql end-to-end: create + execute mirror through the parser") {
+    // A session with graft extensions on the shared context.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val wal = tmpDir("sqlwal")
+      val base = tmpDir("sqlmirror")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"v":10}""", null, Nil),
+        ChangeRecord(0, 2, "2", 2000, 2, "t", "d",
+          """{"id":2,"v":20}""", null, Nil),
+        ChangeRecord(2, 3, "3", 3000, 3, "t", "d", null,
+          """{"id":1}""", Nil)))
+
+      s.sql("CREATE PEER files TYPE parquet OPTIONS (compression 'snappy')")
+      assert(s.sql("SHOW PEERS").collect().map(_.getString(0))
+        .contains("files"))
+
+      s.sql(s"""CREATE MIRROR m_test WITH (
+               |  wal_dir '$wal', dest_dir '$base/dest',
+               |  checkpoint_dir '$base/ckpt', pk 'id',
+               |  schema 'id BIGINT, v BIGINT', max_batch_size '10')"""
+        .stripMargin)
+      assert(s.sql("SHOW MIRRORS").collect().map(_.getString(0))
+        .contains("m_test"))
+
+      s.sql("EXECUTE MIRROR m_test")
+      val dest = s.read.parquet(s"$base/dest")
+        .filter("NOT _peerdb_is_deleted")
+      assert(dest.count() == 1)
+      assert(dest.select("id").head().getLong(0) == 2L)
+
+      // passthrough still works on the extended session
+      assert(s.sql("SELECT 1 + 1").head().getInt(0) == 2)
+
+      s.sql("DROP MIRROR m_test")
+      s.sql("DROP PEER files")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
