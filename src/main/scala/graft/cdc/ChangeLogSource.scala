@@ -96,7 +96,9 @@ class ChangeLogSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new ChangeLogTable(properties.get("path"),
-      Option(properties.get("maxBatchSize")).map(_.toInt).getOrElse(250000))
+      Option(properties.get("maxBatchSize")).map(_.toInt).getOrElse(250000),
+      Option(properties.get("startingCheckpoint")).map(_.toLong)
+        .getOrElse(-1L))
 }
 
 object ChangeLogSourceProvider {
@@ -113,8 +115,8 @@ object ChangeLogSourceProvider {
     StructField("unchangedToastColumns", StringType, nullable = true)))
 }
 
-private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int)
-    extends Table with SupportsRead {
+private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int,
+    startingCheckpoint: Long) extends Table with SupportsRead {
   override def name(): String = s"graft_cdc($path)"
   override def schema(): StructType = ChangeLogSourceProvider.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -125,7 +127,8 @@ private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ChangeLogSourceProvider.schema
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new ChangeLogMicroBatchStream(path, maxBatchSize)
+          new ChangeLogMicroBatchStream(path, maxBatchSize,
+            startingCheckpoint)
       }
     }
 }
@@ -134,7 +137,8 @@ private[cdc] case class CpOffset(cp: Long) extends Offset {
   override def json(): String = cp.toString
 }
 
-private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int)
+private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
+    startingCheckpoint: Long = -1L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -149,7 +153,12 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int)
       .getOrElse(-1L)
   }
 
-  override def initialOffset(): Offset = CpOffset(-1L)
+  /** Snapshot→CDC handoff (snapshot_flow.go slot-export consistency): a
+    * mirror bootstrapped from a snapshot taken at checkpoint C starts the
+    * stream at C, skipping changes the snapshot already contains. Only
+    * consulted on the FIRST run — afterwards the checkpointed offset
+    * governs. */
+  override def initialOffset(): Offset = CpOffset(startingCheckpoint)
 
   override def deserializeOffset(json: String): Offset =
     CpOffset(json.trim.toLong)

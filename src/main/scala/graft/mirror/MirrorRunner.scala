@@ -34,7 +34,10 @@ final case class MirrorConfig(
     payloadSchema: StructType,
     destinationTable: String = "dest",
     maxBatchSize: Int = 250000,
-    softDelete: Boolean = true)
+    softDelete: Boolean = true,
+    /** Snapshot→CDC handoff: checkpoint the initial snapshot was taken at;
+      * the stream starts strictly after it (snapshot_flow.go). */
+    snapshotCheckpoint: Long = -1L)
 
 class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
@@ -53,6 +56,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .format("graft.cdc.ChangeLogSourceProvider")
       .option("path", cfg.walDir)
       .option("maxBatchSize", cfg.maxBatchSize.toString)
+      .option("startingCheckpoint", cfg.snapshotCheckpoint.toString)
       .load()
       .writeStream
       .option("checkpointLocation", cfg.checkpointDir)
@@ -100,6 +104,21 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       Some(new String(Files.readAllBytes(hwmPath),
         StandardCharsets.UTF_8).trim.toLong)
     else None
+
+  /** Initial full load (the parallel snapshot phase, snapshot_flow.go:
+    * 103-293): merge the source rows as inserts versioned at
+    * `cfg.snapshotCheckpoint`, so any change the stream replays afterwards
+    * (strictly newer version) wins, and replaying the snapshot itself is
+    * idempotent. Partition-parallel: `snapshot` arrives already split by
+    * the QRep partitioner when pulled from a live source. */
+  def bootstrapSnapshot(snapshot: DataFrame): Unit = {
+    val changes = snapshot
+      .withColumn(RawTable.Version, lit(cfg.snapshotCheckpoint))
+      .withColumn(RawTable.IsDeleted, lit(false))
+      .withColumn(graft.cdc.Normalizer.AbsentCols,
+        array().cast("array<string>"))
+    merge.merge(changes)
+  }
 
   /** The normalized destination table (soft deletes filtered). */
   def destination(): DataFrame = {

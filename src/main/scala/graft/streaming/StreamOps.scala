@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analytic operators over a change/event stream —
+  * the extension surface of the engine (the reference itself has no
+  * event-time windows, SURVEY §2.6; these are the streaming rollups a
+  * replication target feeds).
+  *
+  * Both operators are the standard scale shapes: windowed aggregation
+  * keys on (window, key) — state store partitions by hash; sessionization
+  * holds ONE small state object per key with event-time timeout, so state
+  * size is O(active keys), evicted by watermark.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window rollup: the streaming statement of
+    * CoreQueries.windowHourly. `eventTimeCol` must be a timestamp. */
+  def windowedRollup(stream: DataFrame, eventTimeCol: String,
+      keyCol: String, windowLength: String, lateness: String): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(s"window.start").as("window_start"), col(keyCol),
+        col("cnt"))
+
+  final case class SessionEvent(key: Long, tsMicros: Long)
+  final case class SessionState(start: Long, end: Long, events: Int)
+  final case class Session(key: Long, startMicros: Long, endMicros: Long,
+      events: Int)
+
+  implicit val evEnc: Encoder[SessionEvent] = Encoders.product[SessionEvent]
+  implicit val stEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit val seEnc: Encoder[Session] = Encoders.product[Session]
+
+  /** Gap-based sessionization via flatMapGroupsWithState: one state entry
+    * per key; a session closes when the watermark passes its end + gap
+    * (EventTimeTimeout — state evicted, no unbounded growth). */
+  def sessionize(events: Dataset[SessionEvent], gapMicros: Long,
+      lateness: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", lateness)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, s.start, s.end, s.events))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { ts =>
+              cur = cur match {
+                case Some(s) if ts - s.end <= gapMicros =>
+                  Some(SessionState(s.start, math.max(s.end, ts),
+                    s.events + 1))
+                case Some(s) =>
+                  closed ::= Session(key, s.start, s.end, s.events)
+                  Some(SessionState(ts, ts, 1))
+                case None => Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapMicros) / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

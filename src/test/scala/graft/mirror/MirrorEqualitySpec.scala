@@ -80,4 +80,41 @@ class MirrorEqualitySpec extends SparkSpec {
     val raw = spark.read.parquet(s"$base/raw")
     assert(raw.count() == (inserts ++ updates ++ toastUpd ++ deletes).size + 3)
   }
+
+  test("snapshot -> CDC handoff: stream starts after the snapshot point") {
+    import spark.implicits._
+    val wal = tmpDir("walsnap")
+    val base = tmpDir("mirrorsnap")
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = payloadSchema, snapshotCheckpoint = 50L)
+
+    // WAL contains history BEFORE the snapshot point (must be skipped —
+    // the snapshot already reflects it) and changes after.
+    ChangeLogWal.append(wal, Seq(
+      rec(10, 1, ChangeRecord.TypeInsert,
+        """{"id":1,"name":"stale","v":0}"""),
+      rec(60, 2, ChangeRecord.TypeUpdate,
+        """{"id":1,"name":"post","v":2}""", """{"id":1}"""),
+      rec(61, 3, ChangeRecord.TypeInsert,
+        """{"id":3,"name":"new","v":3}""")))
+
+    val runner = new MirrorRunner(spark, cfg)
+    runner.bootstrapSnapshot(
+      Seq((1L, "snap1", 1L), (2L, "snap2", 2L)).toDF("id", "name", "v"))
+    assert(runner.destination().count() == 2)
+
+    runner.runAvailableNow()
+    val st = runner.destination().collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("name"), r.getAs[Long]("v"))).toMap
+    assert(st == Map(
+      1L -> ("post", 2L),  // post-snapshot update applied
+      2L -> ("snap2", 2L), // untouched snapshot row
+      3L -> ("new", 3L)))  // post-snapshot insert
+    // cp 10 (pre-snapshot) was never replayed:
+    assert(spark.read.parquet(s"$base/raw")
+      .filter($"_peerdb_timestamp" === 10000L).isEmpty)
+  }
 }
