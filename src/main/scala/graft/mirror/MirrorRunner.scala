@@ -68,6 +68,16 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
   /** The per-micro-batch sync + normalize. Visible for batch-mode reuse. */
   def syncAndNormalize(batch: DataFrame, batchId: Long): Unit = {
+    // The batch feeds three actions (raw append, merge planning, merge
+    // join) — pin it so the source scans once per micro-batch, not once
+    // per action (visible as 3-5× numInputRows in the metrics otherwise).
+    batch.persist()
+    try syncAndNormalizePinned(batch, batchId)
+    finally batch.unpersist()
+  }
+
+  private def syncAndNormalizePinned(batch: DataFrame, batchId: Long)
+      : Unit = {
     val raw = toRaw(batch, batchId)
 
     // Raw append is NOT idempotent by itself → high-water-mark guard; the

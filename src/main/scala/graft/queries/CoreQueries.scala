@@ -83,12 +83,15 @@ object CoreQueries {
             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
   /** QRep watermark pull: rows strictly after the stored offset
-    * (qrep_source.go:157-236). Predicate reaches the parquet scan. */
+    * (qrep_source.go:157-236). The filter targets the RAW `ts` column with
+    * the integer-equivalent bound (`version > V ⇔ ts ≥ (V+1)·1000` for the
+    * nanos carrier) — a predicate on the derived `version` would not reach
+    * the parquet scan; this one pushes down (asserted in PlanSpec). */
   val filterWatermark = GraftQuery(
     "q_filter_watermark",
     "watermark-column incremental pull (> lastRangeEnd)",
     (s, dir) => changeLog(s, dir)
-      .filter(col("version") > lit(1705708800000000L)) // 2024-01-20 UTC
+      .filter(col("ts") >= lit(1705708800000001000L)) // > 2024-01-20 UTC
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("version"))
       .orderBy("event_id"),

@@ -75,4 +75,30 @@ class ChangeLogSourceSpec extends SparkSpec {
     ChangeLogWal.append(wal, Seq(rec(2, 2, 1, """{"id":1,"v":2}""")))
     assert(drain() == Seq(2L)) // only the new record, offset persisted
   }
+
+  test("metrics listener captures per-batch progress") {
+    val wal = tmpDir("wal3")
+    val ckpt = tmpDir("ckpt3")
+    ChangeLogWal.append(wal, (1L to 6L).map(i =>
+      rec(i, i, 0, s"""{"id":$i}""")))
+    val metrics = new graft.mirror.MirrorMetricsListener().register(spark)
+    try {
+      val q = spark.readStream
+        .format("graft.cdc.ChangeLogSourceProvider")
+        .option("path", wal).option("maxBatchSize", "2").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) => df.count(); () }
+        .start()
+      q.awaitTermination()
+      // listener events are async; poll briefly
+      var waited = 0
+      while (metrics.recent.map(_.numInputRows).sum < 6 && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(metrics.recent.map(_.numInputRows).sum == 6L)
+      assert(metrics.recent.size >= 3) // maxBatchSize=2 → ≥3 batches
+      assert(metrics.lastThroughput.isDefined)
+    } finally metrics.unregister(spark)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the properties that make these pipelines
+  * survive a 100× scale-up are checked as regressions, not hoped for —
+  * filter pushdown to the parquet scan, column pruning, broadcast joins
+  * for dims, map-side partial aggregation. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: GraftQuery): String =
+    q.run(spark, dir).queryExecution.executedPlan.toString
+
+  test("projection/exclusion prunes the parquet scan to selected columns") {
+    val plan = planOf(CoreQueries.projectionExclude)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(readSchema.contains("l_quantity"))
+    // excluded wide columns never leave the scan
+    assert(!readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate"))
+  }
+
+  test("watermark filter pushes down to the parquet scan") {
+    val plan = planOf(CoreQueries.filterWatermark)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), " +
+      "GreaterThanOrEqual(ts,1705708800000001000)"), plan.take(2000))
+  }
+
+  test("dimension joins broadcast (no fact shuffle for the dim side)") {
+    val plan = planOf(CoreQueries.joinAggNation)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("grouped aggregation is partial (map-side combine) then final") {
+    val plan = planOf(CoreQueries.q1Agg)
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("normalize dedup: one key shuffle + map-side top-1 per key") {
+    val plan = planOf(CoreQueries.dedupLatest)
+    // one hash exchange for the window, one range exchange for the final
+    // ORDER BY — nothing else
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 2, s"unexpected extra shuffles:\n$plan")
+    // rank-limit pushdown: rows drop to ≤1 per key BEFORE the shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("merge-style full-outer join keys on the pk hash partitioning") {
+    val plan = planOf(CoreQueries.mergeUpsert)
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"))
+  }
+}
