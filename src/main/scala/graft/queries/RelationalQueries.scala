@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Classic relational surface breadth — the interactive-SQL passthrough
+  * capabilities (nexus routes user SQL to the peer, SURVEY §2.5/§3.2;
+  * Spark SQL provides the operators, these prove the semantics + plans):
+  * semi/anti joins, distinct aggregates, HAVING, conditional pivots, and
+  * batch sessionization (the offline twin of StreamOps.sessionize).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** EXISTS → left-semi join (no fact duplication, dim broadcast). */
+  val existsSemi = GraftQuery(
+    "q_exists_semi",
+    "EXISTS semantics via left-semi join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |              WHERE o_custkey = c_custkey
+           |                AND o_totalprice > 400000.0)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** NOT EXISTS → left-anti join. */
+  val notExistsAnti = GraftQuery(
+    "q_not_exists_anti",
+    "NOT EXISTS semantics via left-anti join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** COUNT(DISTINCT) + plain aggregates per group. */
+  val distinctAgg = GraftQuery(
+    "q_distinct_agg",
+    "distinct aggregate per group (expand + two-phase agg)",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct("l_partkey").as("n_part"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+           |  count(DISTINCT l_partkey) AS n_part, count(*) AS cnt
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** HAVING: aggregate-level filter after grouping. */
+  val havingFilter = GraftQuery(
+    "q_having",
+    "HAVING clause (post-aggregation filter)",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast("decimal(12,2)")) * 100)
+          .cast("bigint").as("total_c"))
+      .filter(col("n_orders") >= 20)
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           |    AS total_c
+           |FROM orders GROUP BY 1 HAVING count(*) >= 20
+           |ORDER BY 1""".stripMargin))
+
+  /** Conditional pivot: one row per group, one column per category. */
+  val conditionalPivot = GraftQuery(
+    "q_conditional_pivot",
+    "pivot via conditional aggregation",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Batch sessionization: gap > 30 min starts a new session — lag +
+    * cumulative-sum windows, the offline statement of
+    * StreamOps.sessionize (identical session boundaries). */
+  val sessionizeBatch = GraftQuery(
+    "q_sessionize_batch",
+    "gap-based sessionization via lag + cumulative windows",
+    (s, dir) => {
+      val gap = 30L * 60 * 1000000 // 30 min in micros
+      val byUser = Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev", lag("ts_us", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev").isNull ||
+            col("ts_us") - col("prev") > gap, 1).otherwise(0))
+        .withColumn("session_idx", sum("new_session").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts_us").as("session_start"),
+          max("ts_us").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""SELECT user_id, session_idx, min(ts_us) AS session_start,
+           |  max(ts_us) AS session_end, count(*) AS n_events
+           |FROM (
+           |  SELECT user_id, event_id, ts_us,
+           |    sum(new_session) OVER (PARTITION BY user_id
+           |      ORDER BY ts_us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS session_idx
+           |  FROM (
+           |    SELECT user_id, event_id, ts_us,
+           |      CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+           |           THEN 1 ELSE 0 END AS new_session
+           |    FROM (SELECT user_id, event_id,
+           |            epoch_ns(ts) // 1000 AS ts_us,
+           |            lag(epoch_ns(ts) // 1000, 1) OVER (
+           |              PARTITION BY user_id
+           |              ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+           |          FROM events)))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
+    sessionizeBatch)
+}
