@@ -55,11 +55,15 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard",
     "n-gram Jaccard near-dup pairs over an inverted shingle index",
     (s, dir) => {
+      // The inverted index feeds three consumers (per-doc counts + both
+      // self-join sides); materialize it once — Spark does not reuse the
+      // exchange across a self-join.
       val base = docs(s, dir)
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
           explode(array_distinct(TF.wordShingles(col("ws"), 3))).as("sh"))
+        .localCheckpoint(true)
       val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = base.as("a")
         .join(base.as("b"),
@@ -130,10 +134,19 @@ object PipelineQueries {
     "q_dedup_simhash",
     "SimHash(64) near-dup pairs (prefix bucket + Hamming verify)",
     (s, dir) => {
+      // Bucketed self-join (not per-bucket array pairing): with skewed
+      // buckets the join distributes the K² pair work across tasks, while
+      // an in-row pair expansion serializes each bucket into one
+      // interpreted expression — measured slower.
+      // localCheckpoint: the signature frame is tiny (one row per doc) but
+      // its 3-shuffle pipeline would otherwise execute once PER JOIN SIDE
+      // (no ReusedExchange across the self-join) — at scale you persist
+      // the signature table anyway before candidate generation.
       val sig = TF.simhashSignatures(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("simhash", "sig")
         .withColumn("bucket", expr("shiftrightunsigned(sig, 48)"))
         .select("doc_id", "sig", "bucket")
+        .localCheckpoint(true)
       sig.as("a")
         .join(sig.as("b"),
           col("a.bucket") === col("b.bucket") &&
