@@ -21,9 +21,19 @@ object Similarity {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision: the higher-order-function
+    * formulation (allocates a zipped array, interpreted per element) —
+    * kept as the reference implementation [[cosineFast]] is tested
+    * against. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** Codegen'd cosine over `array<float>`: single fused loop, no
+    * allocation ([[CosineSimilarityExpr]]) — the hot path for
+    * million-vector ANN scans. Identical accumulation order to [[cosine]]
+    * ⇒ bit-identical doubles. */
+  def cosineFast(a: Column, b: Column): Column =
+    CosineSimilarityExpr.cosineSim(a, b)
 
   /** Random-hyperplane LSH bucket: `nBits` sign bits of projections onto
     * deterministic ±1 hyperplanes (components derived from xxhash64 of

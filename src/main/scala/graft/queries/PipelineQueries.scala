@@ -289,7 +289,8 @@ object PipelineQueries {
         .select(col("embedding").as("q_emb"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("sim", Similarity.cosine(col("embedding"), col("q_emb")))
+        .withColumn("sim",
+          Similarity.cosineFast(col("embedding"), col("q_emb")))
         .withColumn("rank", row_number().over(
           Window.orderBy(col("sim").desc, col("vec_id"))))
         .filter(col("rank") <= 10)

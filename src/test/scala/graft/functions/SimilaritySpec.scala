@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embDf = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("codegen cosine == HOF cosine bit-for-bit on real embeddings") {
+    val q = embDf.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val both = embDf.crossJoin(broadcast(q))
+      .select(
+        Similarity.cosineFast(col("embedding"), col("q_emb")).as("fast"),
+        Similarity.cosine(col("embedding"), col("q_emb")).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null semantics: null array, length mismatch, zero norm -> NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Seq(1f, 2f)), Some(Seq(1f, 2f))),
+      (2, None, Some(Seq(1f, 2f))),
+      (3, Some(Seq(1f, 2f, 3f)), Some(Seq(1f, 2f))),
+      (4, Some(Seq(0f, 0f)), Some(Seq(1f, 2f))))
+      .toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>"),
+        col("b").cast("array<float>"))
+    val out = df.select(col("id"),
+      Similarity.cosineFast(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1 -> false, 2 -> true, 3 -> true, 4 -> true))
+  }
+
+  test("SQL registration: cosine_sim callable from spark.sql") {
+    CosineSimilarityExpr.register(spark)
+    embDf.createOrReplaceTempView("emb_sql")
+    val n = spark.sql(
+      """SELECT count(*) FROM emb_sql a JOIN emb_sql b ON a.vec_id = 0
+        |WHERE cosine_sim(a.embedding, b.embedding) > 0.99""".stripMargin)
+      .head().getLong(0)
+    assert(n >= 1) // at least the self-pair
+  }
+}
