@@ -321,6 +321,59 @@ object PipelineQueries {
       .orderBy("bucket"),
     None)
 
+  /** Embedding-cosine near-dup: LSH buckets generate candidates, the
+    * codegen'd cosine verifies ≥ τ (0.25 for this synthetic corpus - random
+    * 64-dim vectors top out near 0.33) — completing the dedup family with
+    * the same candidates→verify shape as MinHash/SimHash. Rows-only
+    * (float threshold on engine-specific buckets). */
+  val dedupEmbedding = GraftQuery(
+    "q_dedup_embedding",
+    "embedding-cosine near-duplicate pairs (LSH candidates + verify)",
+    (s, dir) => {
+      val e = embs(s, dir)
+        .withColumn("bucket", Similarity.hyperplaneBucket("embedding", 6))
+        .select("vec_id", "embedding", "bucket")
+        .localCheckpoint(true)
+      e.as("a")
+        .join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim", graft.functions.Similarity.cosineFast(
+          col("a.embedding"), col("b.embedding")))
+        .filter(col("sim") >= 0.25)
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+        .orderBy("d1", "d2")
+    },
+    None)
+
+  /** IVF ANN: k-means-lite index (16 centroids, 3 Lloyd rounds), search
+    * only the 4 probe clusters nearest the query — the index-side prune
+    * that makes billion-vector search tractable. Rows-only (centroid
+    * means are float-order sensitive). */
+  val annIvf = GraftQuery(
+    "q_ann_ivf",
+    "IVF (inverted-file) ANN: centroid index + probed search",
+    (s, dir) => {
+      import graft.functions.Ivf
+      val e = embs(s, dir).localCheckpoint(true)
+      val centroids = Ivf.train(e, "vec_id", "embedding", k = 16)
+      val query = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq
+      val probes = Ivf.probeOrder(query, centroids).take(4)
+      val assigned = Ivf.assign(e, "embedding", centroids)
+      assigned
+        .filter(col("ivf_cluster").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .withColumn("sim", Similarity.cosineFast(col("embedding"),
+          typedLit(query).cast("array<float>")))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("vec_id"), col("ivf_cluster"))
+        .orderBy("rank")
+    },
+    None)
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal column plumbing: opaque binary payload + typed metadata —
@@ -352,6 +405,6 @@ object PipelineQueries {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    textLangId, textQuality, textTokens, textFingerprint,
-    annCosineTopk, annLshBuckets, multimodalMeta)
+    dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
+    annCosineTopk, annLshBuckets, annIvf, multimodalMeta)
 }
