@@ -1,0 +1,71 @@
+package graft.mirror
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.RawTable
+
+/** Mirror lifecycle maintenance: resync and raw-table compaction.
+  *
+  * Resync mirrors the reference's flow (flow/workflows/cdc_flow.go:489-974,
+  * design doc §6): rebuild the destination from a fresh snapshot into a
+  * `_resync` location while the old table keeps serving, then atomically
+  * swap. Compaction addresses the streaming-append reality that the raw
+  * staging table accretes one small file per micro-batch — a periodic
+  * rewrite keeps scan planning O(batches/target) instead of O(batches).
+  */
+object Maintenance {
+
+  /** Rebuild-and-swap resync. `rebuild` receives the `_resync` path and
+    * fully materializes the new table there (typically
+    * `bootstrapSnapshot` + a drain on a fresh checkpoint); the swap is
+    * two renames with the old table parked at `_pre_resync` for rollback. */
+  def resync(spark: SparkSession, destDir: String)(
+      rebuild: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(destDir)
+    val fresh = new Path(destDir + "_resync")
+    val parked = new Path(destDir + "_pre_resync")
+    fs.delete(fresh, true)
+    rebuild(fresh.toString)
+    require(fs.exists(fresh), s"rebuild produced nothing at $fresh")
+    fs.delete(parked, true)
+    if (fs.exists(dest)) require(fs.rename(dest, parked), s"park failed")
+    require(fs.rename(fresh, dest), "swap failed")
+  }
+
+  /** Compact a raw staging table: rewrite each `_peerdb_batch_id`
+    * partition that holds more than `maxFilesPerPartition` files down to
+    * sized outputs. Returns the partitions rewritten. */
+  def compactRaw(spark: SparkSession, rawDir: String,
+      maxFilesPerPartition: Int = 4,
+      targetRowsPerFile: Long = 1000000): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(rawDir)
+    if (!fs.exists(root)) return Nil
+    val partitions = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"${RawTable.BatchId}="))
+    val crowded = partitions.filter { p =>
+      fs.listStatus(p.getPath).count(f =>
+        f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition
+    }
+    crowded.map { p =>
+      val batchId = p.getPath.getName.stripPrefix(s"${RawTable.BatchId}=")
+        .toLong
+      val df = spark.read.parquet(p.getPath.toString)
+      val rows = df.count()
+      val files = math.max(1, math.ceil(
+        rows.toDouble / targetRowsPerFile).toInt)
+      val tmp = new Path(p.getPath.toString + "_compacting")
+      df.repartition(files).write.mode(SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      fs.delete(p.getPath, true)
+      require(fs.rename(tmp, p.getPath), s"compaction swap failed for $p")
+      batchId
+    }
+  }
+}
