@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for every left row, the most recent right row with
+  * `rightTime <= leftTime` within the same key — the temporal lookup every
+  * event/feature pipeline needs (price as of trade time, feature as of
+  * label time) and one Spark has no native operator for.
+  *
+  * Composed from existing operators (the preferred extension path —
+  * SURVEY §7.3): union the two sides tagged, then one pass of
+  * `last(_, ignoreNulls)` over a (key, time, side) ordered window carries
+  * the latest right payload forward into each left row. Cost: ONE shuffle
+  * of |L|+|R| rows hash-partitioned by key + a per-key sort — the same
+  * shape as a sort-merge join, with no range-explosion. Right rows at the
+  * exact left timestamp match (ASOF <=), mirroring DuckDB/kdb semantics.
+  *
+  * Ties: multiple right rows sharing one (key, rightTime) resolve to an
+  * arbitrary one of them (no further ordering is defined) — disambiguate
+  * upstream with a dedup or a composite time if that matters.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      reference side (its `valueCols` are appended)
+    * @param keys       equality keys
+    * @param leftTime   event-time column on `left` (orderable)
+    * @param rightTime  event-time column on `right`
+    * @param valueCols  right columns to carry (renamed as-is onto left)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String])
+      : DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1)) // left sorts AFTER right at equal time
+      .withColumn("_payload",
+        lit(null).cast(structType(right, valueCols)))
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_payload", struct(valueCols.map(col): _*))
+      .select((keys ++ Seq("_t", "_side", "_payload")).map(col): _*)
+
+    val unioned = l.select(
+      (keys ++ Seq("_t", "_side", "_payload")).map(col) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          col(c).as(s"_l_$c")): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    carried.select(
+      keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+        valueCols.map(c => col(s"_match.$c").as(c)): _*)
+  }
+
+  private def structType(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c)))
+}

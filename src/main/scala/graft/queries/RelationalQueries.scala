@@ -143,7 +143,48 @@ object RelationalQueries {
            |          FROM events)))
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** As-of join (temporal lookup): each view event picks up the most
+    * recent purchase at-or-before it for the same user — the single-
+    * shuffle union+window composition (graft.operators.AsOfJoin) against
+    * DuckDB's native ASOF JOIN as the oracle. */
+  val asofJoin = GraftQuery(
+    "q_asof_join",
+    "as-of join: latest right row at-or-before each left row per key",
+    (s, dir) => {
+      val cl = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val views = cl.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = cl.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("r_ts_us"),
+          (col("value").cast("decimal(12,2)") * 100).cast("bigint")
+            .as("r_value_c"))
+      graft.operators.AsOfJoin.asOf(
+        views, purchases, keys = Seq("user_id"),
+        leftTime = "ts_us", rightTime = "r_ts_us",
+        valueCols = Seq("r_ts_us", "r_value_c"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("r_ts_us").cast("string"), lit("")).as("r_ts_s"),
+          coalesce(col("r_value_c").cast("string"), lit(""))
+            .as("r_value_s"))
+        .orderBy("event_id")
+    },
+    Some("""WITH cl AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us
+           |            FROM events),
+           |v AS (SELECT event_id, user_id, ts_us FROM cl
+           |      WHERE event_type = 'view'),
+           |p AS (SELECT user_id, ts_us AS r_ts_us,
+           |        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |          AS r_value_c
+           |      FROM cl WHERE event_type = 'purchase')
+           |SELECT v.event_id, v.user_id, v.ts_us,
+           |  coalesce(CAST(p.r_ts_us AS VARCHAR), '') AS r_ts_s,
+           |  coalesce(CAST(p.r_value_c AS VARCHAR), '') AS r_value_s
+           |FROM v ASOF LEFT JOIN p
+           |  ON v.user_id = p.user_id AND v.ts_us >= p.r_ts_us
+           |ORDER BY event_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
-    sessionizeBatch)
+    sessionizeBatch, asofJoin)
 }
