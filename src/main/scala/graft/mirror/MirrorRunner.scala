@@ -11,7 +11,14 @@ import org.apache.spark.sql.types.StructType
 import graft.cdc.{MergeWriter, NormalizeConfig, Normalizer}
 import graft.model.RawTable
 
-/** One CDC mirror: WAL source → raw staging table → normalized table.
+/** Per-destination-table replication settings (the TableMapping entry,
+  * protos/flow.proto TableMapping): replica-identity columns + typed
+  * payload schema. */
+final case class TableConfig(
+    pkColumns: Seq[String],
+    payloadSchema: StructType)
+
+/** One CDC mirror: WAL source → raw staging table → normalized table(s).
   *
   * The Spark restatement of the reference's steady-state loop
   * (pullAndSyncCore, flow/activities/flowable_core.go:121-437 and the
@@ -37,12 +44,34 @@ final case class MirrorConfig(
     softDelete: Boolean = true,
     /** Snapshot→CDC handoff: checkpoint the initial snapshot was taken at;
       * the stream starts strictly after it (snapshot_flow.go). */
-    snapshotCheckpoint: Long = -1L)
+    snapshotCheckpoint: Long = -1L,
+    /** Additional destination tables (one mirror replicates a table SET,
+      * the reference's TableMapping list). Keyed by the WAL records'
+      * `destinationTable`; records for the primary `destinationTable`
+      * use `pkColumns`/`payloadSchema` above. Tables not listed are
+      * ignored (exclusion by omission). */
+    extraTables: Map[String, TableConfig] = Map.empty) {
+
+  /** destinationTable → (config, dest subdirectory). */
+  def tableSet: Map[String, (TableConfig, String)] = {
+    val primary = destinationTable ->
+      (TableConfig(pkColumns, payloadSchema), destDir)
+    // Sibling of destDir — NOT nested inside it (the primary table's
+    // overwrite would destroy nested extras).
+    val extras = extraTables.map { case (name, tc) =>
+      name -> (tc, s"${destDir}_tables/$name")
+    }
+    extras + primary
+  }
+}
 
 class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
-  private val merge =
-    new MergeWriter(spark, cfg.destDir, cfg.pkColumns)
+  private val writers: Map[String, (TableConfig, MergeWriter)] =
+    cfg.tableSet.map { case (name, (tc, dir)) =>
+      name -> (tc, new MergeWriter(spark, dir, tc.pkColumns))
+    }
+  private def merge = writers(cfg.destinationTable)._2
   private val hwmPath = Paths.get(cfg.checkpointDir, "graft-raw-hwm")
 
   /** Run until the WAL is drained (Trigger.AvailableNow), blocking. */
@@ -81,7 +110,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val raw = toRaw(batch, batchId)
 
     // Raw append is NOT idempotent by itself → high-water-mark guard; the
-    // merge below is version-idempotent and safe to replay.
+    // merges below are version-idempotent and safe to replay.
     if (rawHighWaterMark.forall(batchId > _)) {
       raw.write.mode(SaveMode.Append)
         .partitionBy(RawTable.BatchId)
@@ -91,10 +120,18 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         batchId.toString.getBytes(StandardCharsets.UTF_8))
     }
 
-    val normalized = Normalizer.normalize(
-      raw, NormalizeConfig(cfg.pkColumns, cfg.payloadSchema,
-        softDelete = cfg.softDelete))
-    merge.merge(normalized)
+    // Fan out per destination table (the normalize loop walks the mirror's
+    // table set, flowable_core.go:791+). Single-table mirrors skip the
+    // per-table filter.
+    writers.foreach { case (table, (tc, writer)) =>
+      val slice =
+        if (writers.size == 1) raw
+        else raw.filter(col(RawTable.DestinationTable) === table)
+      val normalized = Normalizer.normalize(
+        slice, NormalizeConfig(tc.pkColumns, tc.payloadSchema,
+          softDelete = cfg.softDelete))
+      if (writers.size == 1 || !normalized.isEmpty) writer.merge(normalized)
+    }
   }
 
   /** Change-event rows → the raw staging schema (SURVEY §2.4). */
@@ -131,8 +168,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
   }
 
   /** The normalized destination table (soft deletes filtered). */
-  def destination(): DataFrame = {
-    val d = merge.read()
+  def destination(): DataFrame = destination(cfg.destinationTable)
+
+  /** A specific destination table from the mirror's table set. */
+  def destination(table: String): DataFrame = {
+    val d = writers(table)._2.read()
     if (cfg.softDelete) d.filter(!col(RawTable.IsDeleted)) else d
   }
 }

@@ -81,6 +81,40 @@ class MirrorEqualitySpec extends SparkSpec {
     assert(raw.count() == (inserts ++ updates ++ toastUpd ++ deletes).size + 3)
   }
 
+  test("multi-table mirror fans out by destination table") {
+    val wal = tmpDir("walmulti")
+    val base = tmpDir("mirrormulti")
+    val ordersSchema = StructType(Seq(
+      StructField("oid", LongType), StructField("amt", LongType)))
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = payloadSchema, destinationTable = "dest.t",
+      extraTables = Map("dest.orders" -> TableConfig(Seq("oid"),
+        ordersSchema)))
+
+    def rec2(cp: Long, rt: Int, table: String, data: String,
+        m: String = null): ChangeRecord =
+      ChangeRecord(rt, cp, cp.toString, cp * 1000, cp, "src", table,
+        data, m, Nil)
+    ChangeLogWal.append(wal, Seq(
+      rec2(1, 0, "dest.t", """{"id":1,"name":"a","v":1}"""),
+      rec2(2, 0, "dest.orders", """{"oid":100,"amt":5}"""),
+      rec2(3, 0, "dest.orders", """{"oid":101,"amt":6}"""),
+      rec2(4, 1, "dest.orders", """{"oid":100,"amt":50}""",
+        """{"oid":100}"""),
+      rec2(5, 0, "dest.ignored", """{"x":1}"""), // not in the table set
+      rec2(6, 2, "dest.t", null, """{"id":1}""")))
+
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+
+    assert(runner.destination("dest.t").count() == 0) // deleted
+    val orders = runner.destination("dest.orders").collect()
+      .map(r => r.getAs[Long]("oid") -> r.getAs[Long]("amt")).toMap
+    assert(orders == Map(100L -> 50L, 101L -> 6L))
+  }
+
   test("snapshot -> CDC handoff: stream starts after the snapshot point") {
     import spark.implicits._
     val wal = tmpDir("walsnap")
