@@ -48,6 +48,7 @@ object GraftSql {
   final case class CreateMirror(name: String, options: Map[String, String])
       extends Statement
   final case class ExecuteMirror(name: String) extends Statement
+  final case class ResyncMirror(name: String) extends Statement
   final case class DropMirror(name: String) extends Statement
   case object ShowMirrors extends Statement
 
@@ -59,6 +60,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+MIRROR\s+(\w+)\s+WITH\s*\((.*)\)\s*""".r
   private val execMirror: Regex =
     """(?is)\s*EXECUTE\s+MIRROR\s+(\w+)\s*""".r
+  private val resyncMirror: Regex =
+    """(?is)\s*RESYNC\s+MIRROR\s+(\w+)\s*""".r
   private val dropMirror: Regex = """(?is)\s*DROP\s+MIRROR\s+(\w+)\s*""".r
   private val showMirrors: Regex = """(?is)\s*SHOW\s+MIRRORS\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
@@ -75,6 +78,7 @@ object GraftSql {
     case showPeers() => Some(ShowPeers)
     case createMirror(n, opts) => Some(CreateMirror(n, parseOptions(opts)))
     case execMirror(n) => Some(ExecuteMirror(n))
+    case resyncMirror(n) => Some(ResyncMirror(n))
     case dropMirror(n) => Some(DropMirror(n))
     case showMirrors() => Some(ShowMirrors)
     case _ => None
@@ -108,6 +112,22 @@ object GraftSql {
       val cfg = mirrors.getOrElse(n,
         throw new NoSuchElementException(s"mirror $n"))
       new MirrorRunner(spark, cfg).runAvailableNow()
+      Nil
+    case ResyncMirror(n) =>
+      // Full rebuild + atomic swap (ResyncMirror, cdc_flow.go resync
+      // path): re-drain the WAL from scratch into _resync with a fresh
+      // checkpoint; the serving table swaps only on success. The original
+      // raw staging dir is the historical log and is left untouched
+      // (the rebuild stages into a throwaway raw).
+      val cfg = mirrors.getOrElse(n,
+        throw new NoSuchElementException(s"mirror $n"))
+      Maintenance.resync(spark, cfg.destDir) { fresh =>
+        val scratch = java.nio.file.Files
+          .createTempDirectory(s"graft_resync_$n").toString
+        val rcfg = cfg.copy(destDir = fresh,
+          rawDir = s"$scratch/raw", checkpointDir = s"$scratch/ckpt")
+        new MirrorRunner(spark, rcfg).runAvailableNow()
+      }
       Nil
     case DropMirror(n) => mirrors.remove(n); Nil
     case ShowMirrors =>

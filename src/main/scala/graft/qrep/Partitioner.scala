@@ -107,4 +107,11 @@ object Partitioner {
   def partitionedPull(df: DataFrame, wmarkCol: String,
       ranges: Seq[PartitionRange]): Seq[DataFrame] =
     ranges.map(r => df.filter(r.predicate(col(wmarkCol))))
+
+  /** NULL-watermark rows can't belong to any range — they get a dedicated
+    * partition (qrep_partition.go:75-77,110-114) pulled exactly once, on
+    * the FIRST run (they never advance, so later incremental runs must
+    * not re-pull them). */
+  def nullPartition(df: DataFrame, wmarkCol: String): DataFrame =
+    df.filter(col(wmarkCol).isNull)
 }

@@ -63,9 +63,17 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     val last = store.read()
     val ranges = Partitioner.minMaxRanges(
       source, cfg.wmarkColumn, cfg.numPartitions, after = last)
-    if (ranges.isEmpty) return 0L
+    // Dedicated NULL-watermark partition, first run only (those rows
+    // never advance the watermark and must not be re-pulled).
+    val nullPart =
+      if (last.isEmpty)
+        Some(Partitioner.nullPartition(source, cfg.wmarkColumn))
+      else None
+    if (ranges.isEmpty && nullPart.forall(_.isEmpty)) return 0L
 
-    val parts = Partitioner.partitionedPull(source, cfg.wmarkColumn, ranges)
+    val parts =
+      Partitioner.partitionedPull(source, cfg.wmarkColumn, ranges) ++
+        nullPart
     val increment = parts.reduce(_ unionByName _)
 
     val moved = cfg.mode match {
@@ -86,7 +94,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         writer.merge(changes)
         increment.count()
     }
-    store.write(ranges.map(_.hi).max)
+    if (ranges.nonEmpty) store.write(ranges.map(_.hi).max)
     moved
   }
 }

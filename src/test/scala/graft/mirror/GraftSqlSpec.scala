@@ -16,6 +16,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(parse("create mirror m1 with (pk 'id', schema 'id BIGINT')") ==
       Some(CreateMirror("m1", Map("pk" -> "id", "schema" -> "id BIGINT"))))
     assert(parse("EXECUTE MIRROR m1") == Some(ExecuteMirror("m1")))
+    assert(parse("RESYNC MIRROR m1") == Some(ResyncMirror("m1")))
     assert(parse("SHOW MIRRORS") == Some(ShowMirrors))
     assert(parse("SELECT 1").isEmpty)
     assert(parse("CREATE TABLE t (id INT)").isEmpty)
@@ -61,6 +62,17 @@ class GraftSqlSpec extends SparkSpec {
 
       // passthrough still works on the extended session
       assert(s.sql("SELECT 1 + 1").head().getInt(0) == 2)
+
+      // RESYNC: append more WAL (not yet executed), resync re-drains the
+      // full log and atomically swaps the rebuilt table in
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 4, "4", 4000, 4, "t", "d",
+          """{"id":7,"v":70}""", null, Nil)))
+      s.sql("RESYNC MIRROR m_test")
+      val resynced = s.read.parquet(s"$base/dest")
+        .filter("NOT _peerdb_is_deleted")
+      assert(resynced.count() == 2) // id=2 (live) + id=7 (post-execute)
+      assert(resynced.filter("id = 7").count() == 1)
 
       s.sql("DROP MIRROR m_test")
       s.sql("DROP PEER files")

@@ -1,0 +1,55 @@
+package graft.qrep
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QRepRunnerSpec extends SparkSpec {
+
+  test("incremental append: watermark advances, no re-pull") {
+    import spark.implicits._
+    val base = tmpDir("qrep")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/dest", s"$base/wm", WriteMode.Append, 4))
+    val src1 = spark.range(1, 101).selectExpr("id AS k", "id * 2 AS v")
+    assert(runner.runOnce(src1) == 100)
+    assert(runner.runOnce(src1) == 0)
+    val src2 = spark.range(1, 151).selectExpr("id AS k", "id * 2 AS v")
+    assert(runner.runOnce(src2) == 50)
+    assert(spark.read.parquet(s"$base/dest").count() == 150)
+  }
+
+  test("NULL-watermark rows: dedicated partition, first run only") {
+    import spark.implicits._
+    val base = tmpDir("qrepnull")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/dest", s"$base/wm", WriteMode.Append, 4))
+    val withNulls = spark.range(1, 51)
+      .selectExpr("id AS k", "id AS v")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], 999L),
+        (null.asInstanceOf[java.lang.Long], 998L)).toDF("k", "v"))
+    assert(runner.runOnce(withNulls) == 52) // 50 ranged + 2 null-partition
+    // second run: null rows must NOT be re-pulled
+    assert(runner.runOnce(withNulls) == 0)
+    val dest = spark.read.parquet(s"$base/dest")
+    assert(dest.count() == 52)
+    assert(dest.filter(col("k").isNull).count() == 2)
+  }
+
+  test("upsert mode dedups by watermark version") {
+    import spark.implicits._
+    val base = tmpDir("qrepup")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "w", s"$base/dest", s"$base/wm",
+      WriteMode.Upsert(Seq("id")), 2))
+    val v1 = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "w", "name")
+    runner.runOnce(v1)
+    // same keys reappear with a later watermark → update, not duplicate
+    val v2 = Seq((1L, 30L, "a2"), (3L, 31L, "c")).toDF("id", "w", "name")
+    runner.runOnce(v2)
+    val st = spark.read.parquet(s"$base/dest")
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+}
