@@ -80,6 +80,22 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     q.awaitTermination()
   }
 
+  /** Pause/resume signal surface (the Temporal signal state machine,
+    * cdc_flow.go:489-974, restated): pause stops the streaming query —
+    * offsets stay in the checkpoint — and resume starts a new query from
+    * them. The handle survives across pause/resume cycles. */
+  final class Handle private[MirrorRunner] (trigger: Trigger) {
+    @volatile private var query: Option[StreamingQuery] = None
+    def resume(): Unit = synchronized {
+      require(query.forall(!_.isActive), "already running")
+      query = Some(start(trigger))
+    }
+    def pause(): Unit = synchronized { query.foreach(_.stop()) }
+    def isActive: Boolean = query.exists(_.isActive)
+  }
+
+  def handle(trigger: Trigger): Handle = new Handle(trigger)
+
   def start(trigger: Trigger): StreamingQuery =
     spark.readStream
       .format("graft.cdc.ChangeLogSourceProvider")
