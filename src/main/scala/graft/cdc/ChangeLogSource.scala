@@ -66,6 +66,28 @@ object ChangeLogWal {
   }
 }
 
+/** Batch view of a WAL slice — the catch-up path when a table joins an
+  * existing mirror (table-addition signal): the new table replays history
+  * as a plain DataFrame while the stream keeps running for the others.
+  * Driver-side line read: catch-up volume is one table's history, not the
+  * firehose; a live deployment would swap in a distributed reader behind
+  * the same schema. */
+object ChangeLogBatch {
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+      afterCp: Long = -1L, untilCp: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = ChangeLogWal.read(dir, afterCp, untilCp).map { f =>
+      org.apache.spark.sql.Row(
+        f(0).toLong, f(1).toLong, f(2).toLong, f(3).toInt, f(4), f(5),
+        if (f(6).isEmpty) null else f(6),
+        if (f(7).isEmpty) null else f(7),
+        if (f(8).isEmpty) null else f(8))
+    }
+    spark.createDataFrame(rows.asJava, ChangeLogSourceProvider.schema)
+  }
+}
+
 /** Streaming CDC source (DataSource v2 `MicroBatchStream`) over a
   * [[ChangeLogWal]] directory.
   *

@@ -102,6 +102,7 @@ object GraftSql {
         rawDir = o.getOrElse("raw_dir", req("dest_dir") + "_raw"),
         destDir = req("dest_dir"),
         checkpointDir = req("checkpoint_dir"),
+        destinationTable = o.getOrElse("table", "dest"),
         pkColumns = req("pk").split(",").map(_.trim).toSeq,
         payloadSchema = StructType.fromDDL(req("schema")),
         maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),

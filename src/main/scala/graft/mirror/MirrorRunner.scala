@@ -137,16 +137,15 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     }
 
     // Fan out per destination table (the normalize loop walks the mirror's
-    // table set, flowable_core.go:791+). Single-table mirrors skip the
-    // per-table filter.
+    // table set, flowable_core.go:791+). Records for tables outside the
+    // set are ignored — TableMapping semantics, uniform for single- and
+    // multi-table mirrors.
     writers.foreach { case (table, (tc, writer)) =>
-      val slice =
-        if (writers.size == 1) raw
-        else raw.filter(col(RawTable.DestinationTable) === table)
+      val slice = raw.filter(col(RawTable.DestinationTable) === table)
       val normalized = Normalizer.normalize(
         slice, NormalizeConfig(tc.pkColumns, tc.payloadSchema,
           softDelete = cfg.softDelete))
-      if (writers.size == 1 || !normalized.isEmpty) writer.merge(normalized)
+      if (!normalized.isEmpty) writer.merge(normalized)
     }
   }
 
@@ -167,6 +166,25 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       Some(new String(Files.readAllBytes(hwmPath),
         StandardCharsets.UTF_8).trim.toLong)
     else None
+
+  /** Table addition to a live mirror (the add-tables signal,
+    * cdc_flow.go table-addition path): replay the new table's WAL history
+    * as a batch and merge it, then restart the mirror with the table in
+    * `extraTables`. The restarted stream may re-deliver records between
+    * the catch-up point and its checkpoint — the version-idempotent merge
+    * absorbs the overlap. */
+  def catchUpTable(table: String, tc: TableConfig): Unit = {
+    val slice = graft.cdc.ChangeLogBatch.read(spark, cfg.walDir)
+      .filter(col("destinationTable") === table)
+    val raw = toRaw(slice, batchId = -1L)
+    val normalized = Normalizer.normalize(
+      raw, NormalizeConfig(tc.pkColumns, tc.payloadSchema,
+        softDelete = cfg.softDelete))
+    val writer = new MergeWriter(spark,
+      cfg.copy(extraTables = cfg.extraTables + (table -> tc))
+        .tableSet(table)._2, tc.pkColumns)
+    if (!normalized.isEmpty) writer.merge(normalized)
+  }
 
   /** Initial full load (the parallel snapshot phase, snapshot_flow.go:
     * 103-293): merge the source rows as inserts versioned at

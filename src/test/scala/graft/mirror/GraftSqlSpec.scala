@@ -48,7 +48,7 @@ class GraftSqlSpec extends SparkSpec {
 
       s.sql(s"""CREATE MIRROR m_test WITH (
                |  wal_dir '$wal', dest_dir '$base/dest',
-               |  checkpoint_dir '$base/ckpt', pk 'id',
+               |  checkpoint_dir '$base/ckpt', pk 'id', table 'd',
                |  schema 'id BIGINT, v BIGINT', max_batch_size '10')"""
         .stripMargin)
       assert(s.sql("SHOW MIRRORS").collect().map(_.getString(0))

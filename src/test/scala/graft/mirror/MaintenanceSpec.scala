@@ -42,7 +42,7 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.resync(spark, dest) { fresh =>
       val cfg = MirrorConfig(wal, s"$base/raw", fresh,
         s"$base/ckpt_resync", Seq("id"), payloadSchema,
-        snapshotCheckpoint = 50L)
+        destinationTable = "d", snapshotCheckpoint = 50L)
       val r = new MirrorRunner(spark, cfg)
       r.bootstrapSnapshot(Seq((1L, 100L)).toDF("id", "v"))
       r.runAvailableNow()

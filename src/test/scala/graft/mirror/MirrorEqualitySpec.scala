@@ -28,7 +28,8 @@ class MirrorEqualitySpec extends SparkSpec {
     val cfg = MirrorConfig(
       walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
       checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
-      payloadSchema = payloadSchema, maxBatchSize = 4)
+      payloadSchema = payloadSchema, destinationTable = "dest.t",
+      maxBatchSize = 4)
 
     // Run 1: 100 keys inserted, some updated, some deleted, one TOAST
     // update, in several transactions.
@@ -115,6 +116,41 @@ class MirrorEqualitySpec extends SparkSpec {
     assert(orders == Map(100L -> 50L, 101L -> 6L))
   }
 
+  test("table addition mid-stream: catch up history, continue extended") {
+    val wal = tmpDir("waladd")
+    val base = tmpDir("mirroradd")
+    val t2Schema = StructType(Seq(
+      StructField("oid", LongType), StructField("amt", LongType)))
+    val cfg = MirrorConfig(wal, s"$base/raw", s"$base/dest",
+      s"$base/ckpt", Seq("id"), payloadSchema,
+      destinationTable = "t1")
+    def rec2(cp: Long, rt: Int, tbl: String, d: String, m: String = null) =
+      ChangeRecord(rt, cp, cp.toString, cp * 1000, cp, "s", tbl, d, m, Nil)
+
+    // Phase 1: mirror knows only t1; t2 records flow past, ignored.
+    ChangeLogWal.append(wal, Seq(
+      rec2(1, 0, "t1", """{"id":1,"name":"a","v":1}"""),
+      rec2(2, 0, "t2", """{"oid":7,"amt":70}"""),
+      rec2(3, 1, "t2", """{"oid":7,"amt":77}""", """{"oid":7}""")))
+    new MirrorRunner(spark, cfg).runAvailableNow()
+
+    // Phase 2: add t2 — catch up its history, then continue extended.
+    val t2 = TableConfig(Seq("oid"), t2Schema)
+    new MirrorRunner(spark, cfg).catchUpTable("t2", t2)
+    val extended = cfg.copy(extraTables = Map("t2" -> t2))
+    ChangeLogWal.append(wal, Seq(
+      rec2(4, 0, "t2", """{"oid":8,"amt":80}"""),
+      rec2(5, 1, "t1", """{"id":1,"name":"a2","v":2}""", """{"id":1}""")))
+    val runner = new MirrorRunner(spark, extended)
+    runner.runAvailableNow()
+
+    val t2rows = runner.destination("t2").collect()
+      .map(r => r.getAs[Long]("oid") -> r.getAs[Long]("amt")).toMap
+    assert(t2rows == Map(7L -> 77L, 8L -> 80L)) // history + live
+    assert(runner.destination("t1").collect()
+      .map(_.getAs[String]("name")).toSeq == Seq("a2"))
+  }
+
   test("snapshot -> CDC handoff: stream starts after the snapshot point") {
     import spark.implicits._
     val wal = tmpDir("walsnap")
@@ -122,7 +158,8 @@ class MirrorEqualitySpec extends SparkSpec {
     val cfg = MirrorConfig(
       walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
       checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
-      payloadSchema = payloadSchema, snapshotCheckpoint = 50L)
+      payloadSchema = payloadSchema, destinationTable = "dest.t",
+      snapshotCheckpoint = 50L)
 
     // WAL contains history BEFORE the snapshot point (must be skipped —
     // the snapshot already reflects it) and changes after.

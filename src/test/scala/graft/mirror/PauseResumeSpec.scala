@@ -14,7 +14,8 @@ class PauseResumeSpec extends SparkSpec {
     val base = tmpDir("prmir")
     val cfg = MirrorConfig(wal, s"$base/raw", s"$base/dest", s"$base/ckpt",
       Seq("id"), StructType(Seq(
-        StructField("id", LongType), StructField("v", LongType))))
+        StructField("id", LongType), StructField("v", LongType))),
+      destinationTable = "d")
     def rec(cp: Long, d: String) =
       ChangeRecord(0, cp, cp.toString, cp * 1000, cp, "t", "d", d, null, Nil)
 
