@@ -98,3 +98,34 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     moved
   }
 }
+
+/** The QRep steady-state loop: replicate, wait `refreshIntervalMs`, pull
+  * again — the waitForNewRows + continue-as-new cycle
+  * (qrep_flow.go:330-363,452-497; `refresh_interval` WITH option, min 10 s
+  * in the reference, nexus/analyzer/src/qrep.rs:69-74). `source` is
+  * re-evaluated every round so growing tables are re-planned (fresh file
+  * listing / fresh JDBC query). Runs on a daemon thread; `stop()` is
+  * cooperative and `awaitStopped` joins it. */
+final class QRepScheduler(runner: QRepRunner, source: () => DataFrame,
+    refreshIntervalMs: Long) {
+
+  @volatile private var stopped = false
+  @volatile private var rounds = 0L
+  @volatile private var rowsMoved = 0L
+
+  private val thread = new Thread(() => {
+    while (!stopped) {
+      rowsMoved += runner.runOnce(source())
+      rounds += 1
+      val deadline = System.currentTimeMillis() + refreshIntervalMs
+      while (!stopped && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+    }
+  }, "graft-qrep-scheduler")
+  thread.setDaemon(true)
+
+  def start(): this.type = { thread.start(); this }
+  def stop(): Unit = { stopped = true }
+  def awaitStopped(timeoutMs: Long = 30000): Unit = thread.join(timeoutMs)
+  def progress: (Long, Long) = (rounds, rowsMoved)
+}

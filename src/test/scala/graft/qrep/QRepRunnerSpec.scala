@@ -36,6 +36,43 @@ class QRepRunnerSpec extends SparkSpec {
     assert(dest.filter(col("k").isNull).count() == 2)
   }
 
+  test("scheduler: repeated rounds pick up source growth, stop is clean") {
+    val base = tmpDir("qrepsched")
+    val srcDir = s"$base/src"
+    spark.range(1, 51).selectExpr("id AS k", "id AS v")
+      .write.parquet(srcDir)
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/dest", s"$base/wm", WriteMode.Append, 2))
+    val sched = new QRepScheduler(runner,
+      () => spark.read.parquet(srcDir), refreshIntervalMs = 200).start()
+    try {
+      eventually(spark.read.parquet(s"$base/dest").count() == 50,
+        "initial load")
+      // grow the source; a later round must pick up exactly the delta
+      spark.range(51, 81).selectExpr("id AS k", "id AS v")
+        .write.mode("append").parquet(srcDir)
+      eventually(spark.read.parquet(s"$base/dest").count() == 80,
+        "incremental delta")
+    } finally {
+      sched.stop()
+      sched.awaitStopped()
+    }
+    val (rounds, moved) = sched.progress
+    assert(rounds >= 2)
+    assert(moved == 80)
+  }
+
+  private def eventually(cond: => Boolean, what: String,
+      timeoutMs: Long = 30000): Unit = {
+    val t0 = System.currentTimeMillis()
+    def ok = scala.util.Try(cond).getOrElse(false)
+    while (!ok) {
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        fail(s"timed out: $what")
+      Thread.sleep(200)
+    }
+  }
+
   test("upsert mode dedups by watermark version") {
     import spark.implicits._
     val base = tmpDir("qrepup")
