@@ -389,7 +389,8 @@ object CoreQueries {
             |  SELECT event_id, user_id, ${centsSql("value")} AS value_c
             |  FROM cl WHERE version > 1705276800000000)
             |SELECT CASE WHEN value_c IS NULL THEN 1 ELSE 2 END AS schema_ver,
-            |  count(*) AS cnt, sum(coalesce(value_c, 0)) AS total_c
+            |  count(*) AS cnt,
+            |  CAST(sum(coalesce(value_c, 0)) AS BIGINT) AS total_c
             |FROM widened GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // ----------------------------------------------------- type-system policy
@@ -522,13 +523,18 @@ object CoreQueries {
         sum("disc_price_bp").as("sum_disc_price_bp"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus"),
+    // CAST(sum(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which
+    // pandas reads as float64 — the driver's value hash then differs from
+    // Spark's int64 even when values match (root cause of the r01
+    // hash_match failures on every SUM-bearing query).
     Some("""SELECT l_returnflag, l_linestatus,
-           |  sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
-           |    AS sum_qty_c,
-           |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
-           |    AS BIGINT)) AS sum_price_c,
-           |  sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
-           |    AS DECIMAL(14,4)) * 10000 AS BIGINT)) AS sum_disc_price_bp,
+           |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+           |    AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |    AS BIGINT)) AS BIGINT) AS sum_price_c,
+           |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+           |    AS DECIMAL(14,4)) * 10000 AS BIGINT)) AS BIGINT)
+           |    AS sum_disc_price_bp,
            |  count(*) AS cnt
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
@@ -558,7 +564,8 @@ object CoreQueries {
         .orderBy("n_name")
     },
     Some(s"""SELECT n_name, count(*) AS n_orders,
-            |  sum(${centsSql("o_totalprice")}) AS total_price_c
+            |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT)
+            |    AS total_price_c
             |FROM orders
             |JOIN customer ON o_custkey = c_custkey
             |JOIN nation ON c_nationkey = n_nationkey
@@ -599,7 +606,7 @@ object CoreQueries {
     Some(s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
             |    '%Y-%m-%d %H:00:00') AS hour_s,
             |  event_type, count(*) AS cnt,
-            |  sum(${centsSql("value")}) AS total_c
+            |  CAST(sum(${centsSql("value")}) AS BIGINT) AS total_c
             |FROM events
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 

@@ -93,9 +93,12 @@ object RelationalQueries {
         sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
       .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
-           |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_f,
+           |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_o,
+           |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_p
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Batch sessionization: gap > 30 min starts a new session — lag +
@@ -123,7 +126,8 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy("user_id", "session_idx")
     },
-    Some("""SELECT user_id, session_idx, min(ts_us) AS session_start,
+    Some("""SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           |  min(ts_us) AS session_start,
            |  max(ts_us) AS session_end, count(*) AS n_events
            |FROM (
            |  SELECT user_id, event_id, ts_us,

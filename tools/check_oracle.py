@@ -70,6 +70,17 @@ def main():
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             fail += 1
             continue
+        # Driver hashes VALUES: an int64 vs float64 column (e.g. DuckDB
+        # sum(BIGINT)→HUGEINT→float64) hash-mismatches even when values are
+        # equal, so dtype KIND must match too (int vs float vs object).
+        kinds_a = [a[c].dtype.kind for c in a.columns]
+        kinds_b = [b[c].dtype.kind for c in b.columns]
+        if kinds_a != kinds_b:
+            print(f"FAIL {name}: dtype kinds "
+                  f"{dict(zip(a.columns, kinds_a))} vs "
+                  f"{dict(zip(b.columns, kinds_b))}")
+            fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                           check_exact=True)
