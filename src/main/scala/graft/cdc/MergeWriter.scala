@@ -103,9 +103,18 @@ final class MergeWriter(
       .collect().map(_.getInt(0)).sorted // driver-side: ≤ numBuckets ints
     // Partition-pruned scan: the isin filter on the partition column means
     // only the affected bucket dirs are listed/read.
-    val existing = sess.read.option("basePath", tablePath)
+    val existingStored = sess.read.option("basePath", tablePath)
       .parquet(tablePath)
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
+    // Schema evolution: a TableSchemaDelta-widened batch carries columns
+    // the stored parquet predates — null-fill them (alignFrame) so the
+    // dst side of the merge resolves instead of throwing. Columns only
+    // the destination has (dropped upstream) are retained, per the
+    // reference's additive-only replication semantics.
+    val existing = SchemaEvolution.alignFrame(
+      existingStored, changes.drop(Normalizer.AbsentCols).schema)
+    val retainedCols = existingStored.columns.toSeq
+      .filterNot(changes.columns.contains).filterNot(_ == BucketCol)
 
     val valueCols = dataCols
       .filterNot(pkColumns.contains)
@@ -127,7 +136,10 @@ final class MergeWriter(
                 array().cast("array<string>")), c),
             col(s"dst.$c")).otherwise(col(s"src.$c")))
           .otherwise(col(s"dst.$c")).as(c)
-      } ++ Seq(
+      } ++
+      // Destination-only columns behave as TOAST-absent on every incoming
+      // row: the stored value survives (null for brand-new keys).
+      retainedCols.map(c => col(s"dst.$c").as(c)) ++ Seq(
         when(srcWins, col(s"src.${RawTable.Version}"))
           .otherwise(col(s"dst.${RawTable.Version}")).as(RawTable.Version),
         when(srcWins, col(s"src.${RawTable.IsDeleted}"))

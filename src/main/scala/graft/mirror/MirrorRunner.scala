@@ -125,12 +125,27 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       : Unit = {
     val raw = toRaw(batch, batchId)
 
-    // Raw append is NOT idempotent by itself → high-water-mark guard; the
-    // merges below are version-idempotent and safe to replay.
+    // Raw sync replaces exactly this batch's `_peerdb_batch_id` partition
+    // (dynamic partition overwrite), so a foreachBatch replay — including
+    // a failure between the write and the HWM update — lands byte-identical
+    // rows instead of appending duplicates. The HWM remains as a cheap
+    // skip of already-landed batches on full-history replay.
     if (rawHighWaterMark.forall(batchId > _)) {
-      raw.write.mode(SaveMode.Append)
+      // foreachBatch frames belong to a CLONED session with isolated conf —
+      // the overwrite mode must be set on THAT session (see NOTES.md).
+      val sess = batch.sparkSession
+      val prev =
+        sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try raw.write.mode(SaveMode.Overwrite)
         .partitionBy(RawTable.BatchId)
         .parquet(cfg.rawDir)
+      finally prev match {
+        case Some(v) =>
+          sess.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
       Files.createDirectories(hwmPath.getParent)
       Files.write(hwmPath,
         batchId.toString.getBytes(StandardCharsets.UTF_8))
@@ -149,10 +164,19 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     }
   }
 
-  /** Change-event rows → the raw staging schema (SURVEY §2.4). */
+  /** Change-event rows → the raw staging schema (SURVEY §2.4).
+    *
+    * The uid is the zero-padded checkpointId (LSN), NOT a random/hashed
+    * id: the normalizer breaks commit-timestamp ties on uid, and records
+    * of one transaction share a commit time — a uid that doesn't sort in
+    * WAL order would let the wrong change win the dedup. The reference
+    * guarantees the same property with a strictly increasing per-record
+    * ingest timestamp (flow/connectors/utils/stream.go time.Now()
+    * .UnixNano()); here the LSN itself carries the order. %019d covers
+    * the full non-negative Long range so lexicographic = numeric order. */
   private def toRaw(batch: DataFrame, batchId: Long): DataFrame =
     batch.select(
-      md5(col("checkpointId").cast("string")).as(RawTable.Uid),
+      format_string("%019d", col("checkpointId")).as(RawTable.Uid),
       col("commitTimeMicros").as(RawTable.Timestamp),
       col("destinationTable").as(RawTable.DestinationTable),
       col("data").as(RawTable.Data),

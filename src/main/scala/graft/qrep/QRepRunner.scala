@@ -86,8 +86,11 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       case WriteMode.Upsert(keys) =>
         val writer = new MergeWriter(spark, cfg.destDir, keys)
         val changes = increment
+          // NULL-watermark rows get version 0, not NULL: a NULL version
+          // would lose every srcWins comparison and merge as all-null
+          // rows over an existing destination.
           .withColumn(RawTable.Version,
-            col(cfg.wmarkColumn).cast("long"))
+            coalesce(col(cfg.wmarkColumn).cast("long"), lit(0L)))
           .withColumn(RawTable.IsDeleted, lit(false))
           .withColumn(graft.cdc.Normalizer.AbsentCols,
             array().cast("array<string>"))
@@ -95,6 +98,10 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         increment.count()
     }
     if (ranges.nonEmpty) store.write(ranges.map(_.hi).max)
+    // Null-only first round: persist a sentinel so the NULL partition is
+    // pulled exactly once — an unwritten store would leave last.isEmpty
+    // true and re-pull (duplicate, in Append mode) every round.
+    else store.write(Long.MinValue)
     moved
   }
 }

@@ -1,7 +1,10 @@
 package graft.sinks
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+import graft.cdc.Normalizer
 import graft.model.RawTable
 import graft.types.QKind
 
@@ -11,14 +14,19 @@ import graft.types.QKind
   * generators (postgres/normalize_stmt_generator.go:74-327,
   * snowflake/merge_stmt_generator.go:29-225).
   *
-  * Differences by design (Spark-first restatement):
-  *   - the staged batch is already deduped + TOAST-backfilled by
-  *     [[graft.cdc.Normalizer]], so the MERGE needs no RANK() CTE and no
-  *     per-TOAST-combination UPDATE branches — unchanged columns arrive as
-  *     `COALESCE(src.c, dst.c)` (the coalesce-by-presence strategy);
-  *   - one ANSI dialect: peers that can't run MERGE use the
-  *     UPSERT+DELETE fallback (the PG<15 path,
-  *     normalize_stmt_generator.go:89-146).
+  * The staged batch is already deduped + TOAST-backfilled by
+  * [[graft.cdc.Normalizer]], so the MERGE needs no RANK() CTE — but
+  * TOAST-absent columns (present-in-schema, absent-from-record) still need
+  * the reference's per-unchanged-combination UPDATE branches
+  * (snowflake merge_stmt_generator.go:166-225): a `COALESCE(src.c, dst.c)`
+  * would conflate a legitimate NULL update with an absent column and
+  * silently retain the old value. The batch's `_absent_cols` array is
+  * staged as a CSV text column ([[stageFrame]]); each distinct combination
+  * ([[absentCombosOf]]) gets an UPDATE branch that simply does not SET the
+  * absent columns.
+  *
+  * One ANSI dialect: peers that can't run MERGE use the UPSERT+DELETE
+  * fallback (the PG<15 path, normalize_stmt_generator.go:89-146).
   */
 final case class MergeTarget(
     table: String,
@@ -53,14 +61,35 @@ object MergeSqlGenerator {
        |)""".stripMargin
   }
 
+  /** Staged form of a Normalizer batch for a JDBC destination: the
+    * `_absent_cols` array travels as a CSV text column (the raw table's
+    * `_peerdb_unchanged_toast_columns` encoding, SURVEY §2.4). */
+  def stageFrame(normalized: DataFrame): DataFrame =
+    normalized.withColumn(Normalizer.AbsentCols,
+      array_join(col(Normalizer.AbsentCols), ","))
+
+  /** Distinct absent-column combinations present in a staged batch — the
+    * per-batch combination set the reference derives the UPDATE branches
+    * from (merge_stmt_generator.go:166-225). Driver-side: bounded by the
+    * value-column powerset but in practice a handful. */
+  def absentCombosOf(staged: DataFrame): Seq[String] =
+    staged.select(coalesce(col(Normalizer.AbsentCols), lit("")))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
   /** ANSI MERGE: matched+delete → soft-delete UPDATE or DELETE; matched →
-    * version-guarded UPDATE with absent-column coalesce; not matched →
-    * INSERT (skipping tombstones on hard-delete targets). */
-  def merge(t: MergeTarget): String = {
+    * one version-guarded UPDATE branch per absent-column combination (the
+    * branch does not SET absent columns, so the destination value survives
+    * while a present NULL still overwrites); not matched → INSERT
+    * (skipping tombstones on hard-delete targets).
+    *
+    * @param absentCombos distinct `_absent_cols` CSV values in the staged
+    *                     batch ([[absentCombosOf]]); default: none absent.
+    */
+  def merge(t: MergeTarget, absentCombos: Seq[String] = Seq("")): String = {
     val pkOn = t.pkColumns.map(c => s"dst.${q(c)} = src.${q(c)}")
       .mkString(" AND ")
-    val setCols = valueColumns(t)
-      .map(c => s"${q(c)} = COALESCE(src.${q(c)}, dst.${q(c)})")
     val setMeta = Seq(
       s"${q(RawTable.Version)} = src.${q(RawTable.Version)}",
       s"${q(RawTable.SyncedAt)} = CURRENT_TIMESTAMP")
@@ -70,6 +99,8 @@ object MergeSqlGenerator {
       Seq(s"src.${q(RawTable.Version)}",
         s"src.${q(RawTable.IsDeleted)}", "CURRENT_TIMESTAMP")
     val newer = s"src.${q(RawTable.Version)} >= dst.${q(RawTable.Version)}"
+    val absentIs = (combo: String) =>
+      s"COALESCE(src.${q(Normalizer.AbsentCols)}, '') = ${sqlStr(combo)}"
     val whenDelete =
       if (t.softDelete)
         s"""WHEN MATCHED AND src.${q(RawTable.IsDeleted)} AND $newer THEN
@@ -78,40 +109,54 @@ object MergeSqlGenerator {
       else
         s"WHEN MATCHED AND src.${q(RawTable.IsDeleted)} AND $newer THEN" +
           " DELETE"
+    val updateBranches = absentCombos.distinct.sorted.map { combo =>
+      val absent = combo.split(",").filter(_.nonEmpty).toSet
+      val setCols = valueColumns(t).filterNot(absent.contains)
+        .map(c => s"${q(c)} = src.${q(c)}")
+      s"""WHEN MATCHED AND NOT src.${q(RawTable.IsDeleted)} AND $newer
+         |  AND ${absentIs(combo)} THEN
+         |  UPDATE SET ${(setCols ++ setMeta :+
+        s"${q(RawTable.IsDeleted)} = FALSE").mkString(", ")}""".stripMargin
+    }
     val insertGuard =
       if (t.softDelete) "" else s" AND NOT src.${q(RawTable.IsDeleted)}"
     s"""MERGE INTO ${t.table} dst
        |USING ${t.stagingTable} src
        |ON $pkOn
        |$whenDelete
-       |WHEN MATCHED AND NOT src.${q(RawTable.IsDeleted)} AND $newer THEN
-       |  UPDATE SET ${(setCols ++ setMeta :+
-      s"${q(RawTable.IsDeleted)} = FALSE").mkString(", ")}
+       |${updateBranches.mkString("\n")}
        |WHEN NOT MATCHED$insertGuard THEN
        |  INSERT (${insCols.mkString(", ")})
        |  VALUES (${insVals.mkString(", ")})""".stripMargin
   }
 
   /** UPSERT + DELETE fallback for peers without MERGE (PG<15 path,
-    * normalize_stmt_generator.go:89-146). */
-  def upsertFallback(t: MergeTarget): Seq[String] = {
+    * normalize_stmt_generator.go:89-146): one ON CONFLICT statement per
+    * absent-column combination — EXCLUDED can only see inserted columns,
+    * so the absent set must be static per statement. */
+  def upsertFallback(t: MergeTarget,
+      absentCombos: Seq[String] = Seq("")): Seq[String] = {
     val cols = (dataColumns(t) ++
       Seq(RawTable.Version, RawTable.IsDeleted)).map(q)
-    val conflictSets = (valueColumns(t).map(c =>
-      s"${q(c)} = COALESCE(EXCLUDED.${q(c)}, ${t.table}.${q(c)})") ++ Seq(
-      s"${q(RawTable.Version)} = EXCLUDED.${q(RawTable.Version)}",
-      s"${q(RawTable.IsDeleted)} = EXCLUDED.${q(RawTable.IsDeleted)}"))
-      .mkString(", ")
-    val upsert =
+    val upserts = absentCombos.distinct.sorted.map { combo =>
+      val absent = combo.split(",").filter(_.nonEmpty).toSet
+      val conflictSets = (valueColumns(t).filterNot(absent.contains)
+        .map(c => s"${q(c)} = EXCLUDED.${q(c)}") ++ Seq(
+        s"${q(RawTable.Version)} = EXCLUDED.${q(RawTable.Version)}",
+        s"${q(RawTable.IsDeleted)} = EXCLUDED.${q(RawTable.IsDeleted)}"))
+        .mkString(", ")
       s"""INSERT INTO ${t.table} (${cols.mkString(", ")})
          |SELECT ${cols.map(c => s"src.$c").mkString(", ")}
          |FROM ${t.stagingTable} src
+         |WHERE COALESCE(src.${q(Normalizer.AbsentCols)}, '')
+         |  = ${sqlStr(combo)}
          |ON CONFLICT (${t.pkColumns.map(q).mkString(", ")}) DO UPDATE SET
          |  $conflictSets
          |WHERE ${t.table}.${q(RawTable.Version)} <=
          |  EXCLUDED.${q(RawTable.Version)}""".stripMargin
-    if (t.softDelete) Seq(upsert)
-    else Seq(upsert,
-      s"DELETE FROM ${t.table} WHERE ${q(RawTable.IsDeleted)}")
+    }
+    if (t.softDelete) upserts
+    else upserts :+
+      s"DELETE FROM ${t.table} WHERE ${q(RawTable.IsDeleted)}"
   }
 }

@@ -37,6 +37,43 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(out == Map(1L -> null, 2L -> "x"))
   }
 
+  test("live mirror survives an ADD COLUMN between merges") {
+    import spark.implicits._
+    val dest = tmpDir("evolvedest")
+    // Batch 1 lands with schema v1 …
+    val w = new MergeWriter(spark, dest, Seq("id"))
+    w.merge(Seq((1L, 10L, 100L, false))
+      .toDF("id", "v", RawTable.Version, RawTable.IsDeleted)
+      .withColumn(Normalizer.AbsentCols,
+        org.apache.spark.sql.functions.array()
+          .cast("array<string>")))
+
+    // … an ALTER widens the payload, and batch 2 carries the new column.
+    // Before alignFrame was wired in, this threw (dst.extra unresolved).
+    w.merge(Seq((2L, 20L, "x", 200L, false))
+      .toDF("id", "v", "extra", RawTable.Version, RawTable.IsDeleted)
+      .withColumn(Normalizer.AbsentCols,
+        org.apache.spark.sql.functions.array()
+          .cast("array<string>")))
+
+    val out = w.read().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("extra")).toMap
+    assert(out == Map(1L -> null, 2L -> "x")) // old row null-backfilled
+
+    // Batch 3 arrives from a NARROWER writer (column dropped upstream):
+    // the destination retains `extra` instead of dropping or nulling id=2.
+    w.merge(Seq((3L, 30L, 300L, false), (2L, 22L, 300L, false))
+      .toDF("id", "v", RawTable.Version, RawTable.IsDeleted)
+      .withColumn(Normalizer.AbsentCols,
+        org.apache.spark.sql.functions.array()
+          .cast("array<string>")))
+    val out3 = w.read().collect()
+      .map(r => (r.getAs[Long]("id"),
+        (r.getAs[Long]("v"), r.getAs[String]("extra")))).toMap
+    assert(out3 == Map(
+      1L -> ((10L, null)), 2L -> ((22L, "x")), 3L -> ((30L, null))))
+  }
+
   test("ALTER DDL and frame alignment") {
     val delta = TableSchemaDelta("s.t", "pub.dst",
       Seq(AddedColumn("extra", QKind.QNumeric(20, 4))))

@@ -151,6 +151,72 @@ class MirrorEqualitySpec extends SparkSpec {
       .map(_.getAs[String]("name")).toSeq == Seq("a2"))
   }
 
+  test("raw sync replay is idempotent (batch partition overwrite)") {
+    import scala.jdk.CollectionConverters._
+    val base = tmpDir("mirrorreplay")
+    val cfg = MirrorConfig(
+      walDir = tmpDir("walreplay"), rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"), payloadSchema = payloadSchema,
+      destinationTable = "dest.t")
+    val runner = new MirrorRunner(spark, cfg)
+
+    val batch = spark.createDataFrame(List(
+      org.apache.spark.sql.Row(1L, 1L, 1000L, 0, "public.t", "dest.t",
+        """{"id":1,"name":"a","v":1}""", null, null),
+      org.apache.spark.sql.Row(2L, 1L, 1000L, 0, "public.t", "dest.t",
+        """{"id":2,"name":"b","v":2}""", null, null)).asJava,
+      graft.cdc.ChangeLogSourceProvider.schema)
+
+    runner.syncAndNormalize(batch, batchId = 7L)
+    // Simulate a crash between the raw write and the HWM update: the HWM
+    // still points before batch 7, so the retry re-runs the sync. The
+    // batch partition is overwritten, not appended — no duplicate rows.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/ckpt", "graft-raw-hwm"))
+    runner.syncAndNormalize(batch, batchId = 7L)
+
+    assert(spark.read.parquet(s"$base/raw").count() == 2)
+    assert(runner.destination().count() == 2)
+  }
+
+  test("same-commit-time changes to one key apply in WAL order") {
+    val wal = tmpDir("waltie")
+    val base = tmpDir("mirrortie")
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = payloadSchema, destinationTable = "dest.t")
+
+    // One transaction: insert + two updates of the same key, all sharing
+    // the commit timestamp (the reference's BaseRecord carries the tx
+    // commit time, record.go:21-28). Only the WAL position (checkpointId)
+    // distinguishes them — the LAST one must win the normalize dedup.
+    val commitTs = 7777000L
+    def txRec(cp: Long, rt: Int, data: String, m: String = null) =
+      ChangeRecord(rt, cp, cp.toString, commitTs, 9L, "public.t", "dest.t",
+        data, m, Nil)
+    ChangeLogWal.append(wal, Seq(
+      txRec(100, ChangeRecord.TypeInsert, """{"id":1,"name":"a","v":1}"""),
+      txRec(101, ChangeRecord.TypeUpdate,
+        """{"id":1,"name":"b","v":2}""", """{"id":1}"""),
+      txRec(102, ChangeRecord.TypeUpdate,
+        """{"id":1,"name":"c","v":3}""", """{"id":1}"""),
+      // Second key: delete after insert at the same commit time — the
+      // tombstone must survive, not the resurrected insert.
+      txRec(103, ChangeRecord.TypeInsert, """{"id":2,"name":"x","v":9}"""),
+      txRec(104, ChangeRecord.TypeDelete, null, """{"id":2}""")))
+
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+
+    val rows = runner.destination().collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("id") == 1L)
+    assert(rows.head.getAs[String]("name") == "c")
+    assert(rows.head.getAs[Long]("v") == 3L)
+  }
+
   test("snapshot -> CDC handoff: stream starts after the snapshot point") {
     import spark.implicits._
     val wal = tmpDir("walsnap")

@@ -36,6 +36,52 @@ class QRepRunnerSpec extends SparkSpec {
     assert(dest.filter(col("k").isNull).count() == 2)
   }
 
+  test("null-only first round: sentinel watermark, pulled exactly once") {
+    import spark.implicits._
+    val base = tmpDir("qrepnullonly")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/dest", s"$base/wm", WriteMode.Append, 4))
+    val nullOnly = Seq(
+      (null.asInstanceOf[java.lang.Long], 1L),
+      (null.asInstanceOf[java.lang.Long], 2L)).toDF("k", "v")
+    assert(runner.runOnce(nullOnly) == 2)
+    // Without the sentinel the store stays empty and every round re-pulls
+    // the NULL partition — duplicates in Append mode.
+    assert(runner.runOnce(nullOnly) == 0)
+    assert(runner.runOnce(nullOnly) == 0)
+    assert(spark.read.parquet(s"$base/dest").count() == 2)
+    // Non-null rows arriving later are still picked up past the sentinel.
+    val grown = nullOnly.unionByName(Seq((5L, 50L)).toDF("k", "v"))
+    assert(runner.runOnce(grown) == 1)
+    assert(spark.read.parquet(s"$base/dest").count() == 3)
+  }
+
+  test("upsert: NULL-watermark rows get version 0, not all-null merges") {
+    import spark.implicits._
+    val base = tmpDir("qrepupnull")
+    // Round 1 populates the destination …
+    new QRepRunner(spark, QRepConfig(
+      "w", s"$base/dest", s"$base/wm1",
+      WriteMode.Upsert(Seq("id")), 2))
+      .runOnce(Seq((1L, java.lang.Long.valueOf(10L), "a"))
+        .toDF("id", "w", "name"))
+    // … then a watermark-store reset (resync) re-pulls over the EXISTING
+    // destination, this time including a NULL-watermark row. A NULL
+    // version would fail every srcWins comparison and merge all-null rows;
+    // it must land as version 0 instead.
+    val withNull = Seq(
+      (1L, java.lang.Long.valueOf(10L), "a"),
+      (2L, null.asInstanceOf[java.lang.Long], "n"))
+      .toDF("id", "w", "name")
+    new QRepRunner(spark, QRepConfig(
+      "w", s"$base/dest", s"$base/wm2",
+      WriteMode.Upsert(Seq("id")), 2)).runOnce(withNull)
+    val st = spark.read.parquet(s"$base/dest")
+      .select("id", "name", graft.model.RawTable.Version).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(st == Map(1L -> (("a", 10L)), 2L -> (("n", 0L))))
+  }
+
   test("scheduler: repeated rounds pick up source growth, stop is clean") {
     val base = tmpDir("qrepsched")
     val srcDir = s"$base/src"

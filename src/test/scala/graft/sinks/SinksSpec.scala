@@ -23,10 +23,12 @@ class SinksSpec extends SparkSpec {
     assert(ddl.contains("""PRIMARY KEY ("id")"""))
   }
 
-  test("MERGE: version guard, absent-column coalesce, soft delete branch") {
+  test("MERGE: version guard, plain SET (NULL overwrites), delete branch") {
     val m = MergeSqlGenerator.merge(target)
     assert(m.contains("""ON dst."id" = src."id""""))
-    assert(m.contains(""""name" = COALESCE(src."name", dst."name")"""))
+    // A present NULL must overwrite — no COALESCE on value columns.
+    assert(m.contains(""""name" = src."name""""))
+    assert(!m.contains("COALESCE(src.\"name\""))
     assert(m.contains(
       s"""src."${RawTable.Version}" >= dst."${RawTable.Version}""""))
     assert(m.contains(s""""${RawTable.IsDeleted}" = TRUE"""))
@@ -36,14 +38,55 @@ class SinksSpec extends SparkSpec {
     assert(hard.contains(s"""AND NOT src."${RawTable.IsDeleted}" THEN"""))
   }
 
-  test("UPSERT fallback uses ON CONFLICT with version guard") {
+  test("MERGE: one UPDATE branch per absent-column combination") {
+    val m = MergeSqlGenerator.merge(target,
+      absentCombos = Seq("", "name", "name,v"))
+    // Combination '' sets every value column; 'name' omits name;
+    // 'name,v' omits both (metadata-only update).
+    assert(m.contains("""= '' THEN"""))
+    assert(m.contains("""= 'name' THEN"""))
+    assert(m.contains("""= 'name,v' THEN"""))
+    val branches = m.split("WHEN MATCHED AND NOT").toSeq.drop(1)
+    assert(branches.size == 3)
+    val full = branches.find(_.contains("= ''")).get
+    assert(full.contains(""""name" = src."name""""))
+    assert(full.contains(""""v" = src."v""""))
+    val noName = branches.find(_.contains("= 'name' ")).get
+    assert(!noName.contains(""""name" = src."name""""))
+    assert(noName.contains(""""v" = src."v""""))
+    val metaOnly = branches.find(_.contains("= 'name,v'")).get
+    assert(!metaOnly.contains(""""name" = src."name""""))
+    assert(!metaOnly.contains(""""v" = src."v""""))
+    assert(metaOnly.contains(s""""${RawTable.Version}" = src."""))
+  }
+
+  test("UPSERT fallback: ON CONFLICT per combination with version guard") {
     val stmts = MergeSqlGenerator.upsertFallback(
-      target.copy(softDelete = false))
-    assert(stmts.size == 2)
+      target.copy(softDelete = false), absentCombos = Seq("", "v"))
+    assert(stmts.size == 3) // two combos + trailing DELETE
     assert(stmts.head.contains("""ON CONFLICT ("id") DO UPDATE SET"""))
     assert(stmts.head.contains(
       s"""pub.dst."${RawTable.Version}" <=\n  EXCLUDED."${RawTable.Version}""""))
-    assert(stmts(1).startsWith("DELETE FROM pub.dst"))
+    // Combination-filtered source and no SET of the absent column.
+    val comboV = stmts.find(_.contains("= 'v'")).get
+    assert(comboV.contains("""WHERE COALESCE(src."_absent_cols", '')"""))
+    assert(!comboV.contains(""""v" = EXCLUDED."v""""))
+    assert(comboV.contains(""""name" = EXCLUDED."name""""))
+    assert(stmts.last.startsWith("DELETE FROM pub.dst"))
+  }
+
+  test("stageFrame encodes the absent array as CSV; combos collected") {
+    import spark.implicits._
+    val normalized = Seq(
+      (1L, "a", Seq.empty[String]),
+      (2L, "b", Seq("name")),
+      (3L, "c", Seq("name", "v")))
+      .toDF("id", "name", graft.cdc.Normalizer.AbsentCols)
+    val staged = MergeSqlGenerator.stageFrame(normalized)
+    assert(staged.schema(graft.cdc.Normalizer.AbsentCols).dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(MergeSqlGenerator.absentCombosOf(staged) ==
+      Seq("", "name", "name,v"))
   }
 
   test("queue records take the kafka sink shape with routing hook") {
