@@ -58,13 +58,16 @@ object Partitioner {
 
   /** Equal-row-count ranges via NTILE over the watermark column
     * (qrep_partition.go:38-79). More balanced than min/max under skew:
-    * every partition gets the same row count regardless of key gaps. */
+    * every partition gets the same row count regardless of key gaps.
+    * Uses the distributed GlobalRank NTILE — `ntile().over(Window
+    * .orderBy(...))` would single-partition the key frame, which at
+    * 100 TB is the one pass this module cannot afford. */
   def ntileRanges(df: DataFrame, wmarkCol: String, numPartitions: Int,
       after: Option[Long] = None): Seq[PartitionRange] = {
     val filtered = after.fold(df)(a => df.filter(col(wmarkCol) > a))
-    val rows = filtered
-      .select(col(wmarkCol).cast("long").as("w"))
-      .withColumn("bucket", ntile(numPartitions).over(Window.orderBy("w")))
+    val rows = graft.operators.GlobalRank.withNtile(
+        filtered.select(col(wmarkCol).cast("long").as("w")),
+        Seq(col("w")), numPartitions)
       .groupBy("bucket")
       .agg(min("w").as("lo"), max("w").as("hi"))
       .orderBy("bucket")

@@ -101,15 +101,16 @@ object CoreQueries {
             |ORDER BY event_id""".stripMargin))
 
   /** NTILE equal-row-count range partitioning (qrep_partition.go:38-79):
-    * bucket → [min,max] watermark range + row count. The window runs over a
-    * single narrow key column — same planning-time cost shape as the
-    * reference's SQL. */
+    * bucket → [min,max] watermark range + row count. Distributed global
+    * ranking (GlobalRank: range exchange + zipWithIndex) instead of
+    * `ntile().over(Window.orderBy(...))`, which would move every row to a
+    * single partition. */
   val partitionNtile = GraftQuery(
     "q_partition_ntile",
     "NTILE(8) equal-count partition ranges over the watermark column",
-    (s, dir) => t(s, dir, "orders")
-      .select(col("o_orderkey"))
-      .withColumn("bucket", ntile(8).over(Window.orderBy("o_orderkey")))
+    (s, dir) => graft.operators.GlobalRank.withNtile(
+        t(s, dir, "orders").select(col("o_orderkey")),
+        Seq(col("o_orderkey")), buckets = 8)
       .groupBy("bucket")
       .agg(min("o_orderkey").as("range_start"),
         max("o_orderkey").as("range_end"),
@@ -150,13 +151,14 @@ object CoreQueries {
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Fixed rows-per-partition chunking (num_rows_per_partition,
-    * nexus/analyzer/src/qrep.rs:75-80): ceil(row_number/N) chunk ids. */
+    * nexus/analyzer/src/qrep.rs:75-80): ceil(row_number/N) chunk ids,
+    * ranked via the distributed GlobalRank (no single-partition window). */
   val partitionRowChunk = GraftQuery(
     "q_partition_rowchunk",
     "rows-per-partition chunking of an ordered snapshot read",
-    (s, dir) => t(s, dir, "orders")
-      .select(col("o_orderkey"))
-      .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
+    (s, dir) => graft.operators.GlobalRank.withRowNumber(
+        t(s, dir, "orders").select(col("o_orderkey")),
+        Seq(col("o_orderkey")), rnCol = "rn")
       .withColumn("chunk", expr("CAST((rn - 1) DIV 2000 AS INT)"))
       .groupBy("chunk")
       .agg(min("o_orderkey").as("range_start"),

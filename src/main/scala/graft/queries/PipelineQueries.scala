@@ -287,13 +287,18 @@ object PipelineQueries {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
-      e.filter(col("vec_id") =!= 0)
+      // Global top-k via orderBy+limit (TakeOrderedAndProject: each
+      // partition keeps its local top 10, the driver merges k·parts rows)
+      // — NOT a row_number window, which would single-partition the corpus.
+      val top = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("sim",
           Similarity.cosineFast(col("embedding"), col("q_emb")))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("sim").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
         .select(col("rank"), col("vec_id"), col("label"))
         .orderBy("rank")
     },
@@ -361,14 +366,16 @@ object PipelineQueries {
         .select(col("embedding")).head().getSeq[Float](0).toSeq
       val probes = Ivf.probeOrder(query, centroids).take(4)
       val assigned = Ivf.assign(e, "embedding", centroids)
-      assigned
+      val top = assigned
         .filter(col("ivf_cluster").isin(probes.map(Integer.valueOf): _*) &&
           col("vec_id") =!= 0)
         .withColumn("sim", Similarity.cosineFast(col("embedding"),
           typedLit(query).cast("array<float>")))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
+        .orderBy(col("sim").desc, col("vec_id")) // TakeOrderedAndProject
+        .limit(10)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("sim").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
         .select(col("rank"), col("vec_id"), col("ivf_cluster"))
         .orderBy("rank")
     },
