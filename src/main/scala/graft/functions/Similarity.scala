@@ -35,18 +35,67 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column =
     CosineSimilarityExpr.cosineSim(a, b)
 
-  /** Random-hyperplane LSH bucket: `nBits` sign bits of projections onto
-    * deterministic ±1 hyperplanes (components derived from xxhash64 of
-    * (plane, dim) — reproducible across runs and engines, no stored model).
+  // ---------------------------------------------- engine-portable (integer)
+  //
+  // The LSH/near-dup paths below work on QUANTIZED embeddings
+  // (floor(x·1024) — exact: scaling a float by a power of two is lossless
+  // in double, and floor is engine-uniform), so every projection, dot
+  // product and threshold is EXACT INTEGER arithmetic: bit-identical in
+  // Spark and the DuckDB oracle, and immune to summation-order FP drift.
+  // Quantized LSH/dedup is also simply what one ships at 10^9 vectors.
+
+  /** ±1 hyperplane component for (plane h, dimension j): a small
+    * xorshift-multiply avalanche over integers < 2^36 — identical
+    * arithmetic in both engines, no overflow anywhere. Yields the SQL
+    * text of ±1 as a BIGINT expression given 0-based h and j exprs. */
+  private def signSql(h: String, j: String, idiv: String): String = {
+    val m = s"(($h) * 2654435761L + ($j) * 40503L)"
+    val v = s"((($m) ^ (($m) $idiv 8192)) & 65535)"
+    s"(((($v) * 40503) $idiv 2048) & 1) * 2 - 1"
+  }
+
+  /** Random-hyperplane LSH bucket over the quantized embedding: `nBits`
+    * sign bits of integer projections onto deterministic ±1 hyperplanes.
     * Vectors in the same bucket are ANN candidates; the bucket id is a
     * shuffle-friendly integer join key. */
   def hyperplaneBucket(embCol: String, nBits: Int): Column = expr(
-    s"""aggregate(transform(sequence(0, ${nBits - 1}), h ->
+    s"""CAST(aggregate(transform(sequence(0, ${nBits - 1}), h ->
        |  CASE WHEN aggregate(
        |    transform($embCol, (x, j) ->
-       |      CAST(x AS DOUBLE) *
-       |        (CAST(pmod(xxhash64(h, j), 2) AS DOUBLE) * 2.0 - 1.0)),
-       |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0.0
-       |  THEN shiftleft(1, h) ELSE 0 END), 0, (a, x) -> a + x)"""
-      .stripMargin)
+       |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) *
+       |        (${signSql("h", "j", "DIV")})),
+       |    0L, (acc, v) -> acc + v) >= 0L
+       |  THEN shiftleft(CAST(1 AS BIGINT), h) ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)""".stripMargin)
+
+  /** DuckDB replica of [[hyperplaneBucket]] (DuckDB lambdas index from 1,
+    * hence the j−1). */
+  def hyperplaneBucketDuckSql(embExpr: String, nBits: Int): String = {
+    val m = "(h * 2654435761 + (j - 1) * 40503)"
+    val v = s"((xor($m, $m // 8192)) & 65535)"
+    val sign = s"((($v * 40503) // 2048) & 1) * 2 - 1"
+    s"""CAST(list_sum(list_transform(generate_series(0, ${nBits - 1}), h ->
+       |  CASE WHEN list_sum(list_transform($embExpr, (x, j) ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) * ($sign)))
+       |    >= 0
+       |  THEN (1::BIGINT << h) ELSE 0 END)) AS BIGINT)""".stripMargin
+  }
+
+  /** Quantized embedding: `array<bigint>` of floor(x·1024). */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1024).cast("bigint"))
+
+  /** Integer near-duplicate test on quantized embeddings:
+    * cos(a,b) ≥ τ  ⇔  dot ≥ 0 ∧ dot²·denom ≥ num·|a|²·|b|²  for
+    * τ² = num/denom — exact integer comparison, engine-portable. */
+  def quantizedCosineAtLeast(qa: Column, qb: Column,
+      num: Long, denom: Long): Column = {
+    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val na = aggregate(transform(qa, x => x * x), lit(0L),
+      (acc, v) => acc + v)
+    val nb = aggregate(transform(qb, x => x * x), lit(0L),
+      (acc, v) => acc + v)
+    dot >= 0 && dot * dot * denom >= na * nb * num
+  }
 }

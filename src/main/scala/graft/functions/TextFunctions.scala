@@ -49,27 +49,66 @@ object TextFunctions {
     s"CAST(list_sum(list_transform($wsExpr, (x, i) -> " +
       s"i * (length(x) * 7 + ascii(substr(x, 1, 1))))) % 1000000007 AS BIGINT)"
 
-  /** 64-bit SimHash over word hashes: majority vote per bit. Each word is
-    * hashed ONCE; the per-bit vote accumulates into a 64-slot array in a
-    * single fold (hash count O(words), not O(64·words) — same
-    * codegen-fallback reasoning as [[minhashSignature]]). One pass, no
-    * shuffle; near-dup candidates then bucket by signature prefix. */
+  // ------------------------------------------------- portable 60-bit hashing
+  //
+  // All near-dup hashing lives in a NON-NEGATIVE 60-bit domain so that
+  // every step is expressible IDENTICALLY in Spark SQL and DuckDB (the
+  // correctness oracle): md5 is the shared base hash (xxhash64 has no
+  // DuckDB twin), rotations are mask-then-shift (DuckDB's `<<` raises on
+  // 64-bit overflow; values stay < 2^60 so nothing ever overflows or goes
+  // negative in either engine), and right shifts of non-negative values
+  // are plain integer division.
+
+  /** First 15 hex chars of md5 → a 60-bit non-negative hash.
+    * Engine-portable: both Spark's `conv` parse and DuckDB's
+    * `CAST('0x'||… AS BIGINT)` yield the same integer. */
+  def hash60Sql(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB text of [[hash60Sql]]. */
+  def hash60DuckSql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Rotate-left by `s` within 60 bits, as mask+multiply+divide (all
+    * overflow-free): low 60−s bits move up, high s bits wrap to the
+    * bottom. Same text works in both engines except integer division
+    * (`DIV` vs `//`), abstracted by `idiv`. */
+  private def rotl60(v: String, s: Int, idiv: String): String =
+    s"((($v) & ${(1L << (60 - s)) - 1}L) * ${1L << s}L + " +
+      s"(($v) $idiv ${1L << (60 - s)}L))"
+
+  private def rotl60Duck(v: String, s: Int): String =
+    s"((($v) & ${(1L << (60 - s)) - 1}) * ${1L << s} + " +
+      s"(($v) // ${1L << (60 - s)}))"
+
+  /** Permutation i of a 60-bit hash: rotl60(h, i+1) XOR (i · golden32).
+    * Bijective on the 60-bit domain; the XOR constant stays < 2^60 for
+    * any realistic k, so results remain portable non-negative 60-bit. */
+  private def permHashSql(h: String, i: Int): String =
+    s"(${rotl60(h, i + 1, "DIV")} ^ ${i.toLong * 2654435769L}L)"
+
+  private def permHashDuckSql(h: String, i: Int): String =
+    s"xor(${rotl60Duck(h, i + 1)}, ${i.toLong * 2654435769L})"
+
+  /** 60-bit SimHash over word hashes: majority vote per bit (tf-weighted).
+    * Column-expression variant for small/streaming batches; the
+    * distributed formulation is [[simhashSignatures]]. */
   def simhash(wsCol: String): Column = expr(
     s"""aggregate(
-       |  transform($wsCol, w -> xxhash64(w)),
-       |  array_repeat(0L, 64),
-       |  (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->
+       |  transform($wsCol, w -> ${hash60Sql("w")}),
+       |  array_repeat(0L, 60),
+       |  (acc, h) -> zip_with(acc, sequence(0, 59), (a, b) ->
        |    a + CASE WHEN pmod(shiftrightunsigned(h, b), 2) = 1
        |        THEN 1L ELSE -1L END),
        |  acc -> aggregate(
-       |    zip_with(acc, sequence(0, 63), (a, b) ->
+       |    zip_with(acc, sequence(0, 59), (a, b) ->
        |      CASE WHEN a >= 0L THEN shiftleft(1L, b) ELSE 0L END),
        |    0L, (x, y) -> x + y))""".stripMargin)
 
   /** Distributed SimHash: the DataFrame-level formulation for large
-    * corpora. Instead of a per-row 64-slot lambda fold (which evaluates
+    * corpora. Instead of a per-row 60-slot lambda fold (which evaluates
     * outside codegen), the votes become ROWS: explode words → count terms
-    * per doc (term-frequency weights) → explode the 64 bits → two fully
+    * per doc (term-frequency weights) → explode the 60 bits → two fully
     * codegen'd hash aggregations. Scales with cluster width; the Column
     * variant [[simhash]] remains for small/streaming batches.
     *
@@ -79,10 +118,10 @@ object TextFunctions {
     val terms = df
       .select(col(idCol), explode(words(col(textCol))).as("w"))
       .groupBy(idCol, "w").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", expr(hash60Sql("w")))
     val votes = terms
       .select(col(idCol), posexplode(expr(
-        "transform(sequence(0, 63), b -> " +
+        "transform(sequence(0, 59), b -> " +
           "tf * (CAST(pmod(shiftrightunsigned(h, b), 2) AS BIGINT) * 2 - 1))"))
         .as(Seq("bit", "vote")))
       .groupBy(idCol, "bit").agg(sum("vote").as("vote"))
@@ -91,14 +130,26 @@ object TextFunctions {
         expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
   }
 
-  /** Permutation i of a base hash: rotl(h, i+1) XOR (i · golden32).
-    * Bijective and built from bit ops only — `h * c` / `h + c` would raise
-    * under ANSI mode (Spark 4 default) on the inevitable 64-bit wrap. With
-    * a literal `i` the shifts constant-fold and the whole expression stays
-    * inside whole-stage codegen. */
-  private def permHashSql(h: String, i: Int): String =
-    s"(shiftleft($h, ${i + 1}) | shiftrightunsigned($h, ${63 - i}))" +
-      s" ^ ${i.toLong * 2654435769L}L"
+  /** DuckDB replica of [[simhashSignatures]] as a CTE body: one signature
+    * row per doc — `SELECT doc_id, sig FROM (…)`. */
+  def simhashDuckSql(idCol: String, textCol: String, table: String)
+      : String =
+    s"""SELECT $idCol, CAST(sum(CASE WHEN vote >= 0
+       |    THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
+       |FROM (
+       |  SELECT $idCol, bit, CAST(sum(tf * (CASE WHEN
+       |      ((h // (1::BIGINT << bit)) & 1) = 1 THEN 1 ELSE -1 END))
+       |      AS BIGINT) AS vote
+       |  FROM (
+       |    SELECT $idCol, ${hash60DuckSql("w")} AS h, tf
+       |    FROM (SELECT $idCol, w, count(*) AS tf
+       |          FROM (SELECT $idCol,
+       |                  unnest(string_split($textCol, ' ')) AS w
+       |                FROM $table)
+       |          GROUP BY 1, 2)),
+       |    (SELECT unnest(generate_series(0, 59)) AS bit)
+       |  GROUP BY 1, 2)
+       |GROUP BY 1""".stripMargin
 
   /** Distributed MinHash signatures — the scalable formulation. A lambda
     * version (`transform(perms, i -> array_min(transform(shingles, ...)))`)
@@ -115,7 +166,7 @@ object TextFunctions {
       shingles: Column, k: Int): org.apache.spark.sql.DataFrame = {
     val sh = df
       .select(col(idCol), explode(array_distinct(shingles)).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+      .withColumn("h", expr(hash60Sql("s")))
     val mins = (0 until k).map(i =>
       min(expr(permHashSql("h", i))).as(s"m$i"))
     sh.groupBy(idCol)
@@ -124,16 +175,41 @@ object TextFunctions {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH band keys over a MinHash signature: `bands` keys, each an
-    * arithmetic fold (×31 rolling) of `rowsPerBand` consecutive signature
-    * slots seeded with the band index. Docs sharing any (band, key) become
-    * near-dup candidates — the equi-join key that replaces the quadratic
-    * all-pairs comparison at scale. */
+  /** LSH band keys over a MinHash signature: `bands` keys, each a
+    * rotate-xor fold of `rowsPerBand` consecutive signature slots seeded
+    * with the band index. Docs sharing any (band, key) become near-dup
+    * candidates — the equi-join key that replaces the quadratic all-pairs
+    * comparison at scale. Portable 60-bit domain throughout. */
   def minhashBands(sigCol: String, bands: Int, rowsPerBand: Int): Column =
-    expr( // rotate-xor fold: overflow-free under ANSI mode
+    expr(
       s"""transform(sequence(0, ${bands - 1}), bi ->
          |  aggregate(slice($sigCol, bi * $rowsPerBand + 1, $rowsPerBand),
          |    CAST(bi AS BIGINT),
-         |    (acc, x) -> (shiftleft(acc, 5) | shiftrightunsigned(acc, 59))
-         |                ^ x))""".stripMargin)
+         |    (acc, x) -> ${rotl60("acc", 5, "DIV")} ^ x))""".stripMargin)
+
+  /** DuckDB replica of [[minhashSignaturesDf]] + [[minhashBands]] as a
+    * CTE body yielding `(idCol, band, key)` rows. `shinglesExpr` must be a
+    * DuckDB VARCHAR[] expression over `table`'s columns. */
+  def minhashBandsDuckSql(idCol: String, shinglesExpr: String,
+      table: String, where: String, k: Int, bands: Int, rowsPerBand: Int)
+      : String = {
+    val mins = (0 until k)
+      .map(i => s"min(${permHashDuckSql("h", i)}) AS m$i").mkString(",\n    ")
+    // Unrolled rotate-xor fold per band over its rowsPerBand slots.
+    val bandRows = (0 until bands).map { bi =>
+      val key = (0 until rowsPerBand).foldLeft(s"CAST($bi AS BIGINT)") {
+        (acc, r) => s"xor(${rotl60Duck(acc, 5)}, m${bi * rowsPerBand + r})"
+      }
+      s"SELECT $idCol, $bi AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT $idCol, s
+       |  FROM (SELECT $idCol, unnest($shinglesExpr) AS s
+       |        FROM $table $where)),
+       |hx AS (SELECT $idCol, ${hash60DuckSql("s")} AS h FROM sh),
+       |sig AS (SELECT $idCol,
+       |    $mins
+       |  FROM hx GROUP BY 1)
+       |  $bandRows""".stripMargin
+  }
 }

@@ -16,8 +16,10 @@ import graft.functions.{Similarity, TextFunctions => TF}
   *   - the exact n-gram Jaccard is computed only over candidate pairs from
   *     an inverted shingle index (the classic verify step after LSH).
   *
-  * Hash-based ops (minhash/simhash/LSH) are not DuckDB-expressible with
-  * identical hashes → declared without oracle (rows-only check).
+  * Hash-based ops (minhash/simhash/LSH) run in a portable 60-bit integer
+  * hash domain (md5-derived, TextFunctions/Similarity) precisely so the
+  * DuckDB oracle can replay them bit-for-bit; only IVF k-means training
+  * (float mean accumulation) remains rows-only.
   */
 object PipelineQueries {
 
@@ -99,7 +101,7 @@ object PipelineQueries {
   /** MinHash + LSH banding: 32-hash signature, 8 bands × 4 rows; docs
     * sharing a band key become candidate pairs through an equi-join on
     * (band, key) — the linear-time near-dup path for 100 TB corpora.
-    * Hash values are engine-specific → rows-only check. */
+    * Portable 60-bit hashes → full DuckDB oracle. */
   val dedupMinhashLsh = GraftQuery(
     "q_dedup_minhash_lsh",
     "MinHash(32) + LSH(8×4) near-dup candidate pairs",
@@ -125,14 +127,24 @@ object PipelineQueries {
         .distinct()
         .orderBy("d1", "d2")
     },
-    None)
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |           FROM documents),
+            |bandkeys AS (
+            |  ${TF.minhashBandsDuckSql("doc_id", duckShingles, "w",
+               "WHERE len(ws) >= 3", k = 32, bands = 8, rowsPerBand = 4)}
+            |)
+            |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |FROM bandkeys a JOIN bandkeys b
+            |  ON a.band = b.band AND a.key = b.key
+            |    AND a.doc_id < b.doc_id
+            |ORDER BY d1, d2""".stripMargin))
 
-  /** SimHash near-dup: 64-bit majority-vote signature; candidates bucket by
+  /** SimHash near-dup: 60-bit majority-vote signature; candidates bucket by
     * the 16-bit prefix, verified by Hamming distance ≤ 12 (bit_count of
-    * XOR). Engine-specific hashes → rows-only check. */
+    * XOR). Portable hashes → full DuckDB oracle. */
   val dedupSimhash = GraftQuery(
     "q_dedup_simhash",
-    "SimHash(64) near-dup pairs (prefix bucket + Hamming verify)",
+    "SimHash(60) near-dup pairs (prefix bucket + Hamming verify)",
     (s, dir) => {
       // Bucketed self-join (not per-bucket array pairing): with skewed
       // buckets the join distributes the K² pair work across tasks, while
@@ -144,7 +156,7 @@ object PipelineQueries {
       // the signature table anyway before candidate generation.
       val sig = TF.simhashSignatures(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("simhash", "sig")
-        .withColumn("bucket", expr("shiftrightunsigned(sig, 48)"))
+        .withColumn("bucket", expr("shiftrightunsigned(sig, 44)"))
         .select("doc_id", "sig", "bucket")
         .localCheckpoint(true)
       sig.as("a")
@@ -157,7 +169,16 @@ object PipelineQueries {
           col("hamming"))
         .orderBy("d1", "d2")
     },
-    None)
+    Some(s"""WITH sig AS (
+            |  ${TF.simhashDuckSql("doc_id", "text", "documents")}
+            |)
+            |SELECT a.doc_id AS d1, b.doc_id AS d2,
+            |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            |FROM sig a JOIN sig b
+            |  ON (a.sig // ${1L << 44}) = (b.sig // ${1L << 44})
+            |    AND a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.sig, b.sig)) <= 12
+            |ORDER BY d1, d2""".stripMargin))
 
   // ------------------------------------------------------- text analysis
 
@@ -315,7 +336,7 @@ object PipelineQueries {
 
   /** Scale path for ANN: 6-bit random-hyperplane LSH buckets — search
     * only within a bucket (equi-join key) instead of the full corpus.
-    * Engine-specific hashing → rows-only check. */
+    * Quantized integer projections → full DuckDB oracle. */
   val annLshBuckets = GraftQuery(
     "q_ann_lsh_buckets",
     "random-hyperplane LSH bucketing of the embedding space",
@@ -324,32 +345,52 @@ object PipelineQueries {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
       .orderBy("bucket"),
-    None)
+    Some(s"""SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+            |FROM (SELECT vec_id,
+            |  ${Similarity.hyperplaneBucketDuckSql("embedding", 6)}
+            |  AS bucket FROM embeddings)
+            |GROUP BY bucket ORDER BY bucket""".stripMargin))
 
-  /** Embedding-cosine near-dup: LSH buckets generate candidates, the
-    * codegen'd cosine verifies ≥ τ (0.25 for this synthetic corpus - random
-    * 64-dim vectors top out near 0.33) — completing the dedup family with
-    * the same candidates→verify shape as MinHash/SimHash. Rows-only
-    * (float threshold on engine-specific buckets). */
+  /** Embedding-cosine near-dup: LSH buckets generate candidates, verified
+    * at cosine ≥ 0.25 on the QUANTIZED vectors (integer dot/norm compare —
+    * exact in both engines; random 64-dim vectors top out near 0.33) —
+    * completing the dedup family with the same candidates→verify shape as
+    * MinHash/SimHash. */
   val dedupEmbedding = GraftQuery(
     "q_dedup_embedding",
     "embedding-cosine near-duplicate pairs (LSH candidates + verify)",
     (s, dir) => {
       val e = embs(s, dir)
         .withColumn("bucket", Similarity.hyperplaneBucket("embedding", 6))
-        .select("vec_id", "embedding", "bucket")
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe", "bucket")
         .localCheckpoint(true)
       e.as("a")
         .join(e.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim", graft.functions.Similarity.cosineFast(
-          col("a.embedding"), col("b.embedding")))
-        .filter(col("sim") >= 0.25)
+        // τ = 0.25 ⇒ τ² = 1/16: dot ≥ 0 ∧ 16·dot² ≥ |a|²·|b|²
+        .filter(Similarity.quantizedCosineAtLeast(
+          col("a.qe"), col("b.qe"), num = 1L, denom = 16L))
         .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
         .orderBy("d1", "d2")
     },
-    None)
+    Some(s"""WITH q AS (SELECT vec_id,
+            |    list_transform(embedding, x ->
+            |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe,
+            |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6)}
+            |    AS bucket
+            |  FROM embeddings)
+            |SELECT d1, d2 FROM (
+            |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+            |    list_sum(list_transform(generate_series(1, len(a.qe)),
+            |      i -> a.qe[i] * b.qe[i])) AS dot,
+            |    list_sum(list_transform(a.qe, x -> x * x)) AS na,
+            |    list_sum(list_transform(b.qe, x -> x * x)) AS nb
+            |  FROM q a JOIN q b
+            |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            |WHERE dot >= 0 AND dot * dot * 16 >= na * nb
+            |ORDER BY d1, d2""".stripMargin))
 
   /** IVF ANN: k-means-lite index (16 centroids, 3 Lloyd rounds), search
     * only the 4 probe clusters nearest the query — the index-side prune
