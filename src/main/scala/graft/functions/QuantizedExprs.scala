@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd hot paths for the quantized (engine-portable, integer)
+  * similarity family. The SQL higher-order formulations in [[Similarity]]
+  * define the semantics and feed the DuckDB oracle; these expressions are
+  * the same arithmetic as a single fused JIT'd loop — no intermediate
+  * array allocation, no interpreted lambda per element — for the
+  * million-vector candidate-verify joins. Equality with the HOF
+  * formulations is asserted in SimilaritySpec.
+  */
+
+/** `cos(a,b) ≥ √(num/denom)` on quantized `array<bigint>` vectors as an
+  * exact integer comparison: dot ≥ 0 ∧ dot²·denom ≥ |a|²·|b|²·num.
+  * NULL on null/mismatched arrays (never a candidate pair). */
+case class QuantizedCosineGeExpr(left: Expression, right: Expression,
+    num: Long, denom: Long) extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"quantized_cosine_ge expects (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L; var nx = 0L; var ny = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getLong(i); val yv = y.getLong(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    java.lang.Boolean.valueOf(dot >= 0 && dot * dot * denom >= nx * ny * num)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  long $dot = 0L, $nx = 0L, $ny = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    final long $xv = $x.getLong($i);
+         |    final long $yv = $y.getLong($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot >= 0L &&
+         |      $dot * $dot * ${denom}L >= $nx * $ny * ${num}L;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): QuantizedCosineGeExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "quantized_cosine_ge"
+}
+
+/** Random-hyperplane LSH bucket of a float embedding: `nBits` sign bits
+  * of integer projections of the quantized vector (floor(x·1024)) onto
+  * deterministic ±1 hyperplanes — the fused-loop twin of
+  * [[Similarity.hyperplaneBucket]]'s arithmetic (sign hash inlined,
+  * identical constants). NULL input array or null element → NULL. */
+case class HyperplaneBucketExpr(child: Expression, nBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bucket expects array<float>, got ${other.simpleString}")
+    }
+
+  /** ±1 for (plane h, dim j) — the portable xorshift avalanche
+    * (Similarity.signSql), integer-exact. */
+  @inline private def sign(h: Int, j: Int): Long = {
+    val m = h.toLong * 2654435761L + j.toLong * 40503L
+    val v = (m ^ (m / 8192L)) & 65535L
+    (((v * 40503L) / 2048L) & 1L) * 2L - 1L
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val proj = new Array[Long](nBits)
+    var j = 0
+    while (j < n) {
+      if (x.isNullAt(j)) return null
+      val q = math.floor(x.getFloat(j).toDouble * 1024.0).toLong
+      var h = 0
+      while (h < nBits) { proj(h) += q * sign(h, j); h += 1 }
+      j += 1
+    }
+    var bucket = 0L
+    var h = 0
+    while (h < nBits) {
+      if (proj(h) >= 0) bucket |= (1L << h)
+      h += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val q = ctx.freshName("q")
+      val m = ctx.freshName("m"); val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      val proj = ctx.freshName("proj"); val bkt = ctx.freshName("bkt")
+      s"""
+         |final int $n = $x.numElements();
+         |final long[] $proj = new long[$nBits];
+         |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+         |  if ($x.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  final long $q = (long) java.lang.Math.floor(
+         |    ((double) $x.getFloat($j)) * 1024.0);
+         |  for (int $h = 0; $h < $nBits; $h++) {
+         |    final long $m = ((long) $h) * 2654435761L + ((long) $j) * 40503L;
+         |    final long $v = ($m ^ ($m / 8192L)) & 65535L;
+         |    final long $s = ((($v * 40503L) / 2048L) & 1L) * 2L - 1L;
+         |    $proj[$h] += $q * $s;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $bkt = 0L;
+         |  for (int $h = 0; $h < $nBits; $h++) {
+         |    if ($proj[$h] >= 0L) $bkt |= (1L << $h);
+         |  }
+         |  ${ev.value} = $bkt;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HyperplaneBucketExpr = copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bucket"
+}
+
+object QuantizedExprs {
+  def quantizedCosineGe(a: Column, b: Column, num: Long, denom: Long)
+      : Column =
+    GraftShims.column(QuantizedCosineGeExpr(
+      GraftShims.expression(a), GraftShims.expression(b), num, denom))
+
+  def hyperplaneBucket(emb: Column, nBits: Int): Column =
+    GraftShims.column(HyperplaneBucketExpr(GraftShims.expression(emb), nBits))
+}

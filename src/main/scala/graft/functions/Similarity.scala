@@ -57,8 +57,16 @@ object Similarity {
   /** Random-hyperplane LSH bucket over the quantized embedding: `nBits`
     * sign bits of integer projections onto deterministic ±1 hyperplanes.
     * Vectors in the same bucket are ANN candidates; the bucket id is a
-    * shuffle-friendly integer join key. */
-  def hyperplaneBucket(embCol: String, nBits: Int): Column = expr(
+    * shuffle-friendly integer join key. Codegen'd fused loop
+    * ([[HyperplaneBucketExpr]]); [[hyperplaneBucketHof]] is the
+    * same arithmetic as a higher-order SQL expression (the semantic
+    * reference the spec compares against). */
+  def hyperplaneBucket(embCol: String, nBits: Int): Column =
+    QuantizedExprs.hyperplaneBucket(col(embCol), nBits)
+
+  /** Higher-order-function formulation of [[hyperplaneBucket]] —
+    * interpreted per element; kept as the executable spec. */
+  def hyperplaneBucketHof(embCol: String, nBits: Int): Column = expr(
     s"""CAST(aggregate(transform(sequence(0, ${nBits - 1}), h ->
        |  CASE WHEN aggregate(
        |    transform($embCol, (x, j) ->
@@ -87,8 +95,15 @@ object Similarity {
 
   /** Integer near-duplicate test on quantized embeddings:
     * cos(a,b) ≥ τ  ⇔  dot ≥ 0 ∧ dot²·denom ≥ num·|a|²·|b|²  for
-    * τ² = num/denom — exact integer comparison, engine-portable. */
+    * τ² = num/denom — exact integer comparison, engine-portable.
+    * Codegen'd fused loop ([[QuantizedCosineGeExpr]]). */
   def quantizedCosineAtLeast(qa: Column, qb: Column,
+      num: Long, denom: Long): Column =
+    QuantizedExprs.quantizedCosineGe(qa, qb, num, denom)
+
+  /** Higher-order-function formulation of [[quantizedCosineAtLeast]] —
+    * the executable spec the codegen'd expression is tested against. */
+  def quantizedCosineAtLeastHof(qa: Column, qb: Column,
       num: Long, denom: Long): Column = {
     val dot = aggregate(zip_with(qa, qb, (x, y) => x * y),
       lit(0L), (acc, v) => acc + v)

@@ -106,28 +106,27 @@ object TextFunctions {
        |    0L, (x, y) -> x + y))""".stripMargin)
 
   /** Distributed SimHash: the DataFrame-level formulation for large
-    * corpora. Instead of a per-row 60-slot lambda fold (which evaluates
-    * outside codegen), the votes become ROWS: explode words → count terms
-    * per doc (term-frequency weights) → explode the 60 bits → two fully
-    * codegen'd hash aggregations. Scales with cluster width; the Column
-    * variant [[simhash]] remains for small/streaming batches.
+    * corpora. Explode words → hash each occurrence once (codegen'd) →
+    * ONE hash aggregate with 60 per-bit vote sums (occurrence-summed
+    * votes ≡ tf-weighted votes, so no separate term-frequency pass) →
+    * assemble the signature from the vote columns. One shuffle total, no
+    * 60×-row bit explosion. Scales with cluster width; the Column variant
+    * [[simhash]] remains for small/streaming batches.
     *
     * Returns (idCol, simhash) one row per input row. */
   def simhashSignatures(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val terms = df
+    val occ = df
       .select(col(idCol), explode(words(col(textCol))).as("w"))
-      .groupBy(idCol, "w").agg(count(lit(1)).as("tf"))
       .withColumn("h", expr(hash60Sql("w")))
-    val votes = terms
-      .select(col(idCol), posexplode(expr(
-        "transform(sequence(0, 59), b -> " +
-          "tf * (CAST(pmod(shiftrightunsigned(h, b), 2) AS BIGINT) * 2 - 1))"))
-        .as(Seq("bit", "vote")))
-      .groupBy(idCol, "bit").agg(sum("vote").as("vote"))
-    votes.groupBy(idCol)
-      .agg(sum(when(col("vote") >= 0,
-        expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+    val votes = (0 until 60).map(b => sum(expr(
+      s"CAST(((h DIV ${1L << b}L) & 1) AS BIGINT) * 2 - 1")).as(s"v$b"))
+    occ.groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(b =>
+          when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** DuckDB replica of [[simhashSignatures]] as a CTE body: one signature

@@ -40,6 +40,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(1 -> false, 2 -> true, 3 -> true, 4 -> true))
   }
 
+  test("codegen hyperplane bucket == HOF bucket on real embeddings") {
+    val both = embDf.select(
+      Similarity.hyperplaneBucket("embedding", 6).as("fast"),
+      Similarity.hyperplaneBucketHof("embedding", 6).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("codegen quantized cosine-threshold == HOF on candidate pairs") {
+    val q = embDf
+      .withColumn("qe", Similarity.quantize(col("embedding")))
+      .select("vec_id", "qe")
+    val both = q.as("a")
+      .join(q.as("b"), col("a.vec_id") < col("b.vec_id") &&
+        col("b.vec_id") <= 40)
+      .select(
+        Similarity.quantizedCosineAtLeast(
+          col("a.qe"), col("b.qe"), 1L, 16L).as("fast"),
+        Similarity.quantizedCosineAtLeastHof(
+          col("a.qe"), col("b.qe"), 1L, 16L).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.exists(_.getBoolean(0)) || both.exists(!_.getBoolean(0)))
+    both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
   test("SQL registration: cosine_sim callable from spark.sql") {
     CosineSimilarityExpr.register(spark)
     embDf.createOrReplaceTempView("emb_sql")
