@@ -67,24 +67,40 @@ object ChangeLogWal {
 }
 
 /** Batch view of a WAL slice — the catch-up path when a table joins an
-  * existing mirror (table-addition signal): the new table replays history
-  * as a plain DataFrame while the stream keeps running for the others.
-  * Driver-side line read: catch-up volume is one table's history, not the
-  * firehose; a live deployment would swap in a distributed reader behind
-  * the same schema. */
+  * existing mirror (table-addition signal) and the input to full-history
+  * replays (resync). DISTRIBUTED: `spark.read.text` scans the segment
+  * files across executors and the field split/casts are codegen'd column
+  * ops, so replaying a 100 TB history parallelizes like any other scan —
+  * no driver-side line materialization. Record order is irrelevant here:
+  * every consumer (Normalizer) orders by (commit timestamp, uid=LSN)
+  * itself. */
 object ChangeLogBatch {
   def read(spark: org.apache.spark.sql.SparkSession, dir: String,
       afterCp: Long = -1L, untilCp: Long = Long.MaxValue)
       : org.apache.spark.sql.DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val rows = ChangeLogWal.read(dir, afterCp, untilCp).map { f =>
-      org.apache.spark.sql.Row(
-        f(0).toLong, f(1).toLong, f(2).toLong, f(3).toInt, f(4), f(5),
-        if (f(6).isEmpty) null else f(6),
-        if (f(7).isEmpty) null else f(7),
-        if (f(8).isEmpty) null else f(8))
-    }
-    spark.createDataFrame(rows.asJava, ChangeLogSourceProvider.schema)
+    import org.apache.spark.sql.functions._
+    val schema = ChangeLogSourceProvider.schema
+    if (!Files.isDirectory(Paths.get(dir)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val f = split(col("value"), ChangeLogWal.Sep.toString, -1)
+    spark.read.text(s"$dir/*.wal")
+      .filter(length(col("value")) > 0)
+      .select(
+        f.getItem(0).cast("long").as("checkpointId"),
+        f.getItem(1).cast("long").as("transactionId"),
+        f.getItem(2).cast("long").as("commitTimeMicros"),
+        f.getItem(3).cast("int").as("recordType"),
+        f.getItem(4).as("sourceTable"),
+        f.getItem(5).as("destinationTable"),
+        when(f.getItem(6) === "", lit(null)).otherwise(f.getItem(6))
+          .as("data"),
+        when(f.getItem(7) === "", lit(null)).otherwise(f.getItem(7))
+          .as("matchData"),
+        when(f.getItem(8) === "", lit(null)).otherwise(f.getItem(8))
+          .as("unchangedToastColumns"))
+      .filter(col("checkpointId") > afterCp &&
+        col("checkpointId") <= untilCp)
   }
 }
 

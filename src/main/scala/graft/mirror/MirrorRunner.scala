@@ -210,6 +210,28 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     if (!normalized.isEmpty) writer.merge(normalized)
   }
 
+  /** Table removal from a live mirror (the remove-tables signal,
+    * cdc_flow.go table state machine): pause, then restart with the
+    * returned config — the table's records are ignored from then on
+    * (exclusion by omission, same TableMapping semantics as before the
+    * table was ever added). Set `dropDestination` to also delete the
+    * replicated data; the default parks it read-only in place. The
+    * primary `destinationTable` cannot be removed — drop the mirror
+    * instead. */
+  def removeTable(table: String, dropDestination: Boolean = false)
+      : MirrorConfig = {
+    require(table != cfg.destinationTable,
+      "cannot remove the primary table; drop the mirror")
+    require(cfg.extraTables.contains(table), s"unknown table $table")
+    if (dropDestination) {
+      val dir = cfg.tableSet(table)._2
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    cfg.copy(extraTables = cfg.extraTables - table)
+  }
+
   /** Initial full load (the parallel snapshot phase, snapshot_flow.go:
     * 103-293): merge the source rows as inserts versioned at
     * `cfg.snapshotCheckpoint`, so any change the stream replays afterwards
