@@ -80,14 +80,27 @@ object ChangeLogBatch {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = ChangeLogSourceProvider.schema
-    if (!Files.isDirectory(Paths.get(dir)))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def typedEmpty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return typedEmpty
+    // A glob matching no files is an AnalysisException, not an empty scan —
+    // an existing-but-empty WAL dir (slot created, nothing flowed yet) must
+    // read as zero records like the driver-side reader did.
+    val hasSegments = Files.list(d).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".wal"))
+    if (!hasSegments) return typedEmpty
     val f = split(col("value"), ChangeLogWal.Sep.toString, -1)
+    // Under ANSI (default) a malformed checkpointId already throws at the
+    // cast; the raise_error keeps corruption loud even with ANSI off
+    // instead of nulling + silently dropping at the range filter.
+    val cp = f.getItem(0).cast("long")
     spark.read.text(s"$dir/*.wal")
       .filter(length(col("value")) > 0)
       .select(
-        f.getItem(0).cast("long").as("checkpointId"),
+        when(cp.isNull, raise_error(concat(
+          lit("malformed WAL line: "), col("value")))).otherwise(cp)
+          .as("checkpointId"),
         f.getItem(1).cast("long").as("transactionId"),
         f.getItem(2).cast("long").as("commitTimeMicros"),
         f.getItem(3).cast("int").as("recordType"),

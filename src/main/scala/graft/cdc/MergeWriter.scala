@@ -61,17 +61,40 @@ final class MergeWriter(
     java.nio.file.Files.writeString(p, df.drop(BucketCol).schema.json)
   }
 
+  private def storedSchema: Option[org.apache.spark.sql.types.StructType] = {
+    val p = java.nio.file.Paths.get(schemaFile)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(java.nio.file.Files.readString(p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Scan of the stored table that never trusts single-footer inference.
+    * After an ADD COLUMN, buckets untouched since the widening still hold
+    * narrow files; plain inference picks ONE arbitrary footer and can make
+    * the widened column invisible (dropping its values on the next merge).
+    * The persisted `_graft_schema.json` is the widest schema as of the last
+    * write — use it outright (also skips the footer-read job entirely);
+    * tables predating the schema file fall back to a distributed
+    * mergeSchema footer union. */
+  private def tableScan(sess: SparkSession): DataFrame = {
+    val reader = sess.read.option("basePath", tablePath)
+    storedSchema match {
+      case Some(s) =>
+        reader.schema(s.add(BucketCol,
+          org.apache.spark.sql.types.IntegerType)).parquet(tablePath)
+      case None =>
+        reader.option("mergeSchema", "true").parquet(tablePath)
+    }
+  }
+
   /** Current table state (all buckets); typed-empty after a full hard
     * delete (schema persisted alongside the data). */
   def read(): DataFrame =
-    if (exists)
-      spark.read.option("basePath", tablePath).parquet(tablePath)
-        .drop(BucketCol)
+    if (exists) tableScan(spark).drop(BucketCol)
     else {
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(schemaFile)))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val schema = storedSchema.getOrElse(throw new IllegalStateException(
+        s"no data and no $schemaFile — table never written"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -103,8 +126,7 @@ final class MergeWriter(
       .collect().map(_.getInt(0)).sorted // driver-side: ≤ numBuckets ints
     // Partition-pruned scan: the isin filter on the partition column means
     // only the affected bucket dirs are listed/read.
-    val existingStored = sess.read.option("basePath", tablePath)
-      .parquet(tablePath)
+    val existingStored = tableScan(sess)
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
     // Schema evolution: a TableSchemaDelta-widened batch carries columns
     // the stored parquet predates — null-fill them (alignFrame) so the

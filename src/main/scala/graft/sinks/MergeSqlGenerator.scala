@@ -78,6 +78,12 @@ object MergeSqlGenerator {
 
   private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
 
+  /** MERGE statement for a staged batch, with the UPDATE-branch combo set
+    * derived from the batch itself — the only way to guarantee every
+    * staged row has a matching WHEN MATCHED branch. */
+  def merge(t: MergeTarget, staged: DataFrame): String =
+    merge(t, absentCombosOf(staged))
+
   /** ANSI MERGE: matched+delete → soft-delete UPDATE or DELETE; matched →
     * one version-guarded UPDATE branch per absent-column combination (the
     * branch does not SET absent columns, so the destination value survives
@@ -85,9 +91,14 @@ object MergeSqlGenerator {
     * (skipping tombstones on hard-delete targets).
     *
     * @param absentCombos distinct `_absent_cols` CSV values in the staged
-    *                     batch ([[absentCombosOf]]); default: none absent.
+    *                     batch — MUST be [[absentCombosOf]] of the same
+    *                     batch (prefer the DataFrame overload). Required
+    *                     because a staged row whose combination has no
+    *                     branch silently matches NO WHEN MATCHED clause and
+    *                     its update is skipped entirely (a stale combo list
+    *                     is data loss, not degradation).
     */
-  def merge(t: MergeTarget, absentCombos: Seq[String] = Seq("")): String = {
+  def merge(t: MergeTarget, absentCombos: Seq[String]): String = {
     val pkOn = t.pkColumns.map(c => s"dst.${q(c)} = src.${q(c)}")
       .mkString(" AND ")
     val setMeta = Seq(
@@ -130,12 +141,17 @@ object MergeSqlGenerator {
        |  VALUES (${insVals.mkString(", ")})""".stripMargin
   }
 
+  /** [[upsertFallback]] with the combo set derived from the staged batch. */
+  def upsertFallback(t: MergeTarget, staged: DataFrame): Seq[String] =
+    upsertFallback(t, absentCombosOf(staged))
+
   /** UPSERT + DELETE fallback for peers without MERGE (PG<15 path,
     * normalize_stmt_generator.go:89-146): one ON CONFLICT statement per
     * absent-column combination — EXCLUDED can only see inserted columns,
-    * so the absent set must be static per statement. */
+    * so the absent set must be static per statement. `absentCombos` MUST be
+    * [[absentCombosOf]] of the same batch (see [[merge]]). */
   def upsertFallback(t: MergeTarget,
-      absentCombos: Seq[String] = Seq("")): Seq[String] = {
+      absentCombos: Seq[String]): Seq[String] = {
     val cols = (dataColumns(t) ++
       Seq(RawTable.Version, RawTable.IsDeleted)).map(q)
     val upserts = absentCombos.distinct.sorted.map { combo =>

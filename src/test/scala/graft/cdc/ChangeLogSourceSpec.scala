@@ -16,6 +16,28 @@ class ChangeLogSourceSpec extends SparkSpec {
     ChangeRecord(rt, cp, cp.toString, cp * 1000, tx, "src.t", "dest.t",
       data, null, Nil)
 
+  test("batch read of empty-but-existing WAL dir is typed-empty") {
+    val dir = tmpDir("emptywal")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val df = ChangeLogBatch.read(spark, dir)
+    assert(df.schema == ChangeLogSourceProvider.schema)
+    assert(df.count() == 0)
+  }
+
+  test("batch read fails loudly on a corrupt WAL line") {
+    val dir = tmpDir("corruptwal")
+    ChangeLogWal.append(dir, Seq(rec(1, 1, 0, """{"id":1}""")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "999999.wal"), "garbage line\n")
+    val e = intercept[Exception] {
+      ChangeLogBatch.read(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("malformed WAL line") || m.contains("CAST_INVALID_INPUT")))
+  }
+
   test("micro-batches cut only at transaction boundaries") {
     val wal = tmpDir("wal")
     val ckpt = tmpDir("ckpt")

@@ -74,6 +74,39 @@ class SchemaEvolutionSpec extends SparkSpec {
       1L -> ((10L, null)), 2L -> ((22L, "x")), 3L -> ((30L, null))))
   }
 
+  test("widened column survives merges that only touch narrow buckets") {
+    import org.apache.spark.sql.functions.{array, col, hash, pmod, lit}
+    import spark.implicits._
+    val dest = tmpDir("narrowbucket")
+    val w = new MergeWriter(spark, dest, Seq("id"), numBuckets = 2)
+    def noAbsent(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn(Normalizer.AbsentCols, array().cast("array<string>"))
+
+    // Pick ids landing in DIFFERENT buckets so the widening batch leaves a
+    // narrow-era parquet file behind in the other bucket.
+    val buckets = spark.range(1, 40)
+      .select(col("id"), pmod(hash(col("id")), lit(2)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val id1 = buckets.collectFirst { case (i, 0) => i }.get
+    val id2 = buckets.collectFirst { case (i, 1) => i }.get
+
+    w.merge(noAbsent(Seq((id1, 10L, 100L, false), (id2, 20L, 100L, false))
+      .toDF("id", "v", RawTable.Version, RawTable.IsDeleted)))
+    // ADD COLUMN batch touches ONLY id2's bucket: id1's bucket keeps its
+    // narrow footer. Schema inference from that footer alone would hide
+    // `extra` from every later merge.
+    w.merge(noAbsent(Seq((id2, 21L, "x", 200L, false))
+      .toDF("id", "v", "extra", RawTable.Version, RawTable.IsDeleted)))
+    // A narrow batch rewriting BOTH buckets must retain id2's `extra`.
+    w.merge(noAbsent(Seq((id1, 11L, 300L, false), (id2, 22L, 300L, false))
+      .toDF("id", "v", RawTable.Version, RawTable.IsDeleted)))
+
+    val out = w.read().collect()
+      .map(r => (r.getAs[Long]("id"),
+        (r.getAs[Long]("v"), r.getAs[String]("extra")))).toMap
+    assert(out == Map(id1 -> ((11L, null)), id2 -> ((22L, "x"))))
+  }
+
   test("ALTER DDL and frame alignment") {
     val delta = TableSchemaDelta("s.t", "pub.dst",
       Seq(AddedColumn("extra", QKind.QNumeric(20, 4))))

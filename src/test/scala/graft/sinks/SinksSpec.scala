@@ -24,7 +24,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("MERGE: version guard, plain SET (NULL overwrites), delete branch") {
-    val m = MergeSqlGenerator.merge(target)
+    val m = MergeSqlGenerator.merge(target, Seq(""))
     assert(m.contains("""ON dst."id" = src."id""""))
     // A present NULL must overwrite — no COALESCE on value columns.
     assert(m.contains(""""name" = src."name""""))
@@ -33,7 +33,8 @@ class SinksSpec extends SparkSpec {
       s"""src."${RawTable.Version}" >= dst."${RawTable.Version}""""))
     assert(m.contains(s""""${RawTable.IsDeleted}" = TRUE"""))
     assert(!m.contains("THEN DELETE"))
-    val hard = MergeSqlGenerator.merge(target.copy(softDelete = false))
+    val hard = MergeSqlGenerator.merge(target.copy(softDelete = false),
+      Seq(""))
     assert(hard.contains("THEN DELETE"))
     assert(hard.contains(s"""AND NOT src."${RawTable.IsDeleted}" THEN"""))
   }
@@ -87,6 +88,12 @@ class SinksSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
     assert(MergeSqlGenerator.absentCombosOf(staged) ==
       Seq("", "name", "name,v"))
+    // The DataFrame overload derives its branch set from the batch itself:
+    // every staged combination gets a WHEN MATCHED branch (none skipped).
+    val m = MergeSqlGenerator.merge(target, staged)
+    assert(m.contains("= '' THEN") && m.contains("= 'name' THEN") &&
+      m.contains("= 'name,v' THEN"))
+    assert(MergeSqlGenerator.upsertFallback(target, staged).size == 3)
   }
 
   test("queue records take the kafka sink shape with routing hook") {
