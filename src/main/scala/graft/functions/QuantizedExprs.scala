@@ -17,11 +17,50 @@ import org.apache.spark.sql.types._
   * formulations is asserted in SimilaritySpec.
   */
 
+/** Exact comparison of triple products of non-negative longs in 192-bit
+  * limb arithmetic (`Math.multiplyHigh`). Raw `long` triple products wrap
+  * silently on the JVM while the DuckDB oracle's `list_sum` comparisons
+  * promote to HUGEINT — for high-dimension / large-magnitude quantized
+  * vectors the two engines would diverge. Called from both the interpreted
+  * eval and the generated code of [[QuantizedCosineGeExpr]] (top-level
+  * object → guaranteed static forwarder, Janino-callable). */
+object Int192 {
+  /** Sign of `(a·b·c) - (d·e·f)`; all six inputs must be ≥ 0. */
+  def cmpProd3(a: Long, b: Long, c: Long, d: Long, e: Long, f: Long): Int = {
+    val l = mul3(a, b, c)
+    val r = mul3(d, e, f)
+    var cmp = java.lang.Long.compareUnsigned(l(0), r(0))
+    if (cmp == 0) cmp = java.lang.Long.compareUnsigned(l(1), r(1))
+    if (cmp == 0) cmp = java.lang.Long.compareUnsigned(l(2), r(2))
+    cmp
+  }
+
+  /** a·b·c (a,b,c ≥ 0) as three 64-bit limbs, most significant first. */
+  private def mul3(a: Long, b: Long, c: Long): Array[Long] = {
+    val pl = a * b                      // low limb of a·b (unsigned)
+    val ph = Math.multiplyHigh(a, b)    // exact for non-negative operands
+    val lo = pl * c
+    // unsigned high of pl·c: signed multiplyHigh corrected for pl's sign bit
+    val m1 = Math.multiplyHigh(pl, c) + (if (pl < 0) c else 0L)
+    val l2 = ph * c
+    val h2 = Math.multiplyHigh(ph, c)
+    val mid = m1 + l2
+    val carry = if (java.lang.Long.compareUnsigned(mid, m1) < 0) 1L else 0L
+    Array(h2 + carry, mid, lo)
+  }
+}
+
 /** `cos(a,b) ≥ √(num/denom)` on quantized `array<bigint>` vectors as an
-  * exact integer comparison: dot ≥ 0 ∧ dot²·denom ≥ |a|²·|b|²·num.
+  * exact integer comparison: dot ≥ 0 ∧ dot²·denom ≥ |a|²·|b|²·num, the
+  * triple products compared in 192-bit arithmetic ([[Int192]]) so no
+  * dims·scale combination can wrap. The element accumulations themselves
+  * stay in `long`: exact for |q| ≤ 2^21 up to 2^20 dims (the floor(x·1024)
+  * quantization of unit-norm floats is orders of magnitude below that).
   * NULL on null/mismatched arrays (never a candidate pair). */
 case class QuantizedCosineGeExpr(left: Expression, right: Expression,
     num: Long, denom: Long) extends BinaryExpression {
+  require(num >= 0 && denom > 0,
+    s"threshold fraction must be non-negative: $num/$denom")
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
@@ -48,7 +87,8 @@ case class QuantizedCosineGeExpr(left: Expression, right: Expression,
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    java.lang.Boolean.valueOf(dot >= 0 && dot * dot * denom >= nx * ny * num)
+    java.lang.Boolean.valueOf(dot >= 0 &&
+      Int192.cmpProd3(dot, dot, denom, nx, ny, num) >= 0)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
@@ -72,8 +112,8 @@ case class QuantizedCosineGeExpr(left: Expression, right: Expression,
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot >= 0L &&
-         |      $dot * $dot * ${denom}L >= $nx * $ny * ${num}L;
+         |    ${ev.value} = $dot >= 0L && graft.functions.Int192.cmpProd3(
+         |      $dot, $dot, ${denom}L, $nx, $ny, ${num}L) >= 0;
          |  }
          |}
        """.stripMargin

@@ -67,6 +67,41 @@ class SimilaritySpec extends SparkSpec {
     both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
   }
 
+  test("Int192.cmpProd3 matches BigInteger on boundary-heavy inputs") {
+    import java.math.BigInteger
+    val rnd = new scala.util.Random(42)
+    val interesting = Seq(0L, 1L, 2L, 3L, Int.MaxValue.toLong,
+      (1L << 31) - 1, 1L << 31, (1L << 32) - 1, 1L << 32,
+      3000000000L, Long.MaxValue / 3, Long.MaxValue - 1, Long.MaxValue)
+    def pick(): Long =
+      if (rnd.nextBoolean()) interesting(rnd.nextInt(interesting.size))
+      else rnd.nextLong() & Long.MaxValue
+    (0 until 20000).foreach { _ =>
+      val v = Array.fill(6)(pick())
+      val exact = BigInteger.valueOf(v(0)).multiply(BigInteger.valueOf(v(1)))
+        .multiply(BigInteger.valueOf(v(2)))
+        .compareTo(BigInteger.valueOf(v(3))
+          .multiply(BigInteger.valueOf(v(4)))
+          .multiply(BigInteger.valueOf(v(5))))
+      val got = Int192.cmpProd3(v(0), v(1), v(2), v(3), v(4), v(5))
+      assert(Integer.signum(got) == Integer.signum(exact),
+        v.mkString("cmpProd3(", ",", ")"))
+    }
+  }
+
+  test("quantized threshold exact where raw long products wrap") {
+    import spark.implicits._
+    // dot ≈ 2^32 per the ADVICE bound: dims=8 of magnitude ~2^30/8 each
+    // puts dot²·denom far past 2^64 — raw long arithmetic wraps, the
+    // 192-bit compare must still see the pair as identical (cos = 1).
+    val big = Seq.fill(8)(1500000000L / 8)
+    val df = Seq((big, big)).toDF("a", "b")
+    val r = df.select(
+      Similarity.quantizedCosineAtLeast(col("a"), col("b"), 99L, 100L)
+        .as("ge")).collect().head
+    assert(r.getBoolean(0)) // identical vectors pass any threshold < 1
+  }
+
   test("SQL registration: cosine_sim callable from spark.sql") {
     CosineSimilarityExpr.register(spark)
     embDf.createOrReplaceTempView("emb_sql")
