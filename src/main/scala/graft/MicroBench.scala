@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc micro-benchmark harness for comparing alternative formulations
@@ -42,6 +42,105 @@ object MicroBench {
           time(s"explode-bit run $i")(simhashExplodeBits(docs).count())
         }
         TF.simhashSignatures(docs, "doc_id", "text").explain("formatted")
+      case "jaccard" =>
+        import graft.queries.PipelineQueries
+        time("warm full")(PipelineQueries.dedupNgramJaccard
+          .run(spark, sfDir).count())
+        (1 to 2).foreach(i => time(s"full run $i")(
+          PipelineQueries.dedupNgramJaccard.run(spark, sfDir).count()))
+        val base = docs
+          .select(col("doc_id"), TF.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(TF.wordShingles(col("ws"), 3)))
+              .as("sh"))
+        (1 to 2).foreach(i => time(s"base only $i")(base.count()))
+        val ck = time("base checkpoint")(base.localCheckpoint(true))
+        (1 to 2).foreach { i =>
+          time(s"join+agg $i")(ck.as("a")
+            .join(ck.as("b"), col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .agg(count(lit(1)).as("inter")).count())
+        }
+        val ckh = time("hashed checkpoint")(
+          base.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+            .localCheckpoint(true))
+        (1 to 2).foreach { i =>
+          time(s"hashed join+agg $i")(ckh.as("a")
+            .join(ckh.as("b"), col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .agg(count(lit(1)).as("inter")).count())
+        }
+      case "jachints" =>
+        val ck = docs
+          .select(col("doc_id"), TF.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(TF.wordShingles(col("ws"), 3)))
+              .as("sh"))
+          .localCheckpoint(true)
+        def agg(j: DataFrame): Long = j
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter")).count()
+        val cond = (a: DataFrame, b: DataFrame) =>
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
+        time("warm default")(agg(ck.as("a").join(ck.as("b"),
+          cond(ck, ck))))
+        (1 to 2).foreach(i => time(s"default $i")(
+          agg(ck.as("a").join(ck.as("b"), cond(ck, ck)))))
+        (1 to 4).foreach(i => time(s"broadcast $i")(
+          agg(ck.as("a").join(broadcast(ck.as("b")), cond(ck, ck)))))
+        (1 to 4).foreach(i => time(s"shuffle_hash $i")(
+          agg(ck.as("a").join(ck.as("b").hint("shuffle_hash"),
+            cond(ck, ck)))))
+        val ckh = ck.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+          .localCheckpoint(true)
+        (1 to 4).foreach(i => time(s"hash+shuffle_hash $i")(
+          agg(ckh.as("a").join(ckh.as("b").hint("shuffle_hash"),
+            cond(ckh, ckh)))))
+        ck.as("a").join(ck.as("b"), cond(ck, ck)).explain()
+      case "jacbucket" =>
+        val base = docs
+          .select(col("doc_id"), TF.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(TF.wordShingles(col("ws"), 3)))
+              .as("sh"))
+        def bucketPairs(in: DataFrame, key: Column): DataFrame =
+          in.groupBy(key.as("k"))
+            .agg(sort_array(collect_list("doc_id")).as("ids"))
+            .filter(size(col("ids")) > 1)
+            .select(explode(expr(
+              """flatten(transform(ids, (x, i) ->
+                |  transform(slice(ids, i + 2, size(ids) - i - 1),
+                |    y -> struct(x AS d1, y AS d2))))""".stripMargin))
+              .as("p"))
+            .groupBy(col("p.d1"), col("p.d2"))
+            .agg(count(lit(1)).as("inter"))
+        time("warm bucket-str")(bucketPairs(base, col("sh")).count())
+        (1 to 2).foreach(i =>
+          time(s"bucket-str $i")(bucketPairs(base, col("sh")).count()))
+        (1 to 2).foreach(i => time(s"bucket-hash $i")(
+          bucketPairs(base, xxhash64(col("sh"))).count()))
+      case "minhash" =>
+        import graft.queries.PipelineQueries
+        time("warm full")(PipelineQueries.dedupMinhashLsh
+          .run(spark, sfDir).count())
+        (1 to 2).foreach(i => time(s"full run $i")(
+          PipelineQueries.dedupMinhashLsh.run(spark, sfDir).count()))
+        val base = docs
+          .select(col("doc_id"), TF.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+        (1 to 2).foreach(i => time(s"signatures $i")(
+          TF.minhashSignaturesDf(
+            base, "doc_id", TF.wordShingles(col("ws"), 3), 32).count()))
+      case "ivf" =>
+        import graft.queries.PipelineQueries
+        time("warm full")(PipelineQueries.annIvf.run(spark, sfDir).count())
+        (1 to 2).foreach(i => time(s"full run $i")(
+          PipelineQueries.annIvf.run(spark, sfDir).count()))
       case other => sys.error(s"unknown micro-bench: $other")
     }
   }

@@ -67,8 +67,12 @@ object PipelineQueries {
           explode(array_distinct(TF.wordShingles(col("ws"), 3))).as("sh"))
         .localCheckpoint(true)
       val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // shuffle_hash, not the planner default: broadcast would build one
+      // full posting map per task and sort-merge pays two string sorts —
+      // partition-wise hash maps measured 3× faster (MicroBench jachints),
+      // and shingle frequencies are bounded (no skewed build partitions).
       val pairs = base.as("a")
-        .join(base.as("b"),
+        .join(base.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
@@ -160,7 +164,7 @@ object PipelineQueries {
         .select("doc_id", "sig", "bucket")
         .localCheckpoint(true)
       sig.as("a")
-        .join(sig.as("b"),
+        .join(sig.as("b").hint("shuffle_hash"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)"))
@@ -392,26 +396,35 @@ object PipelineQueries {
             |WHERE dot >= 0 AND dot * dot * 16 >= na * nb
             |ORDER BY d1, d2""".stripMargin))
 
-  /** IVF ANN: k-means-lite index (16 centroids, 3 Lloyd rounds), search
-    * only the 4 probe clusters nearest the query — the index-side prune
-    * that makes billion-vector search tractable. Rows-only (centroid
-    * means are float-order sensitive). */
+  /** IVF ANN: integer k-means index (16 centroids, 3 Lloyd rounds over
+    * QUANTIZED vectors — exact in any summation order, so the index is
+    * reproducible across partitionings, retries and engines), search only
+    * the 4 probe clusters nearest the query. Training is a shuffle-free
+    * treeAggregate; per-row assignment is the codegen'd
+    * NearestCentroidExpr; final ranking is float cosine within the probed
+    * clusters (rank-only output, like q_ann_cosine_topk). Full DuckDB
+    * oracle replays the same Lloyd rounds. */
   val annIvf = GraftQuery(
     "q_ann_ivf",
     "IVF (inverted-file) ANN: centroid index + probed search",
     (s, dir) => {
       import graft.functions.Ivf
-      val e = embs(s, dir).localCheckpoint(true)
-      val centroids = Ivf.train(e, "vec_id", "embedding", k = 16)
-      val query = e.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toSeq
-      val probes = Ivf.probeOrder(query, centroids).take(4)
-      val assigned = Ivf.assign(e, "embedding", centroids)
-      val top = assigned
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .localCheckpoint(true)
+      val centroids = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+      val qrow = e.filter(col("vec_id") === 0)
+        .select(col("embedding"), col("qe")).head()
+      val qEmb = qrow.getSeq[Float](0).toSeq
+      val qQe = qrow.getSeq[Long](1).toArray
+      val probes = Ivf.probeOrderQuantized(qQe, centroids).take(4)
+      val top = e
+        .withColumn("ivf_cluster",
+          Ivf.assignQuantized(col("qe"), centroids))
         .filter(col("ivf_cluster").isin(probes.map(Integer.valueOf): _*) &&
           col("vec_id") =!= 0)
         .withColumn("sim", Similarity.cosineFast(col("embedding"),
-          typedLit(query).cast("array<float>")))
+          typedLit(qEmb).cast("array<float>")))
         .orderBy(col("sim").desc, col("vec_id")) // TakeOrderedAndProject
         .limit(10)
       graft.operators.GlobalRank.withRowNumber(
@@ -420,7 +433,9 @@ object PipelineQueries {
         .select(col("rank"), col("vec_id"), col("ivf_cluster"))
         .orderBy("rank")
     },
-    None)
+    Some(graft.functions.Ivf.ivfDuckSql("embeddings", "vec_id",
+      "embedding", k = 16, iters = 3, nProbe = 4, topK = 10,
+      queryId = 0L)))
 
   // ------------------------------------------------------- multimodal
 
