@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global ranking without the single-partition window.
   *
@@ -15,15 +14,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   1. `repartitionByRange` on the sort key (range exchange: each
   *      partition holds a contiguous, disjoint key range);
   *   2. sort within partitions (no further data movement);
-  *   3. `zipWithIndex`: a lightweight count-per-partition job, then
-  *      offset assignment — global contiguous ranks with NO extra
-  *      shuffle and no partition ever holding more than ~N/parts rows.
+  *   3. `zipWithIndex` over the plan's INTERNAL row RDD: a lightweight
+  *      count-per-partition job, then offset assignment — global
+  *      contiguous ranks with NO extra shuffle and no partition ever
+  *      holding more than ~N/parts rows.
+  *
+  * Operating on `queryExecution.toRdd` does two things at once: it pins
+  * the sampled range-exchange bounds (the plan executes exactly once — a
+  * recomputation could re-sample different bounds and mis-align the
+  * offsets), and it skips the Row decode/re-encode a `df.rdd` round-trip
+  * would pay on every row: the rank rides along as a `JoinedRow` over the
+  * operator's own UnsafeRows.
   *
   * Ranks are 1-based and match `row_number` exactly when the sort key is
   * a total order (ties may land in either partition at a range boundary,
   * exactly as nondeterministic as `row_number` over ties).
   */
 object GlobalRank {
+
+  private val MidLocalMask = (1L << 33) - 1 // monotonic id: pid<<33 | local
 
   /** `df` + a global 1-based rank column, ordered by `sortCols`. */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column],
@@ -33,12 +42,26 @@ object GlobalRank {
       else spark.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val schema = StructType(parted.schema.fields :+
-      StructField(rnCol, LongType, nullable = false))
-    val ranked = parted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(ranked, schema)
+    if (n == 1)
+      // Single partition (top-k tails): the monotonic id's low 33 bits are
+      // the 0-based row position — pure codegen, no extra job at all.
+      return parted.withColumn(rnCol,
+        monotonically_increasing_id().bitwiseAND(lit(MidLocalMask)) + 1L)
+    val schema = org.apache.spark.sql.types.StructType(
+      parted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rnCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = parted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        it.map { case (row, i) =>
+          rankRow.update(0, i + 1L)
+          joined(row, rankRow)
+            : org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    org.apache.spark.sql.GraftShims.internalDf(spark, ranked, schema)
   }
 
   /** Exact NTILE(buckets) bucket id from a 1-based rank column and total

@@ -12,4 +12,15 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-Catalyst-formatted RDD — the zero-copy
+    * rehydration path (`internalCreateDataFrame` is `private[sql]`).
+    * Used by operators that must pin a physical plan's partitioning
+    * (execute once) and re-enter SQL without a Row encode/decode. */
+  def internalDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
