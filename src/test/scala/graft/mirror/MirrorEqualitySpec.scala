@@ -151,6 +151,53 @@ class MirrorEqualitySpec extends SparkSpec {
       .map(_.getAs[String]("name")).toSeq == Seq("a2"))
   }
 
+  test("table removal mid-stream: parked by default, dropped on request") {
+    val wal = tmpDir("walrm")
+    val base = tmpDir("mirrorrm")
+    val t2Schema = StructType(Seq(
+      StructField("oid", LongType), StructField("amt", LongType)))
+    val t2 = TableConfig(Seq("oid"), t2Schema)
+    val cfg = MirrorConfig(wal, s"$base/raw", s"$base/dest",
+      s"$base/ckpt", Seq("id"), payloadSchema, destinationTable = "t1",
+      extraTables = Map("t2" -> t2))
+    def rec2(cp: Long, rt: Int, tbl: String, d: String, m: String = null) =
+      ChangeRecord(rt, cp, cp.toString, cp * 1000, cp, "s", tbl, d, m, Nil)
+
+    // Phase 1: both tables replicate.
+    ChangeLogWal.append(wal, Seq(
+      rec2(1, 0, "t1", """{"id":1,"name":"a","v":1}"""),
+      rec2(2, 0, "t2", """{"oid":7,"amt":70}""")))
+    new MirrorRunner(spark, cfg).runAvailableNow()
+
+    // Phase 2: remove t2 (keep its data parked), continue the stream —
+    // later t2 changes must NOT reach the parked table.
+    val shrunk = new MirrorRunner(spark, cfg).removeTable("t2")
+    assert(shrunk.extraTables.isEmpty)
+    ChangeLogWal.append(wal, Seq(
+      rec2(3, 1, "t2", """{"oid":7,"amt":700}""", """{"oid":7}"""),
+      rec2(4, 1, "t1", """{"id":1,"name":"a2","v":2}""", """{"id":1}""")))
+    val runner = new MirrorRunner(spark, shrunk)
+    runner.runAvailableNow()
+
+    assert(runner.destination("t1").collect()
+      .map(_.getAs[String]("name")).toSeq == Seq("a2"))
+    // Parked table still readable through the ORIGINAL (pre-removal)
+    // config, frozen at its value from before the removal.
+    val parked = new MirrorRunner(spark, cfg).destination("t2").collect()
+      .map(r => r.getAs[Long]("oid") -> r.getAs[Long]("amt")).toMap
+    assert(parked == Map(7L -> 70L))
+
+    // dropDestination deletes the replicated data directory.
+    val dropped = new MirrorRunner(spark, cfg)
+      .removeTable("t2", dropDestination = true)
+    assert(dropped.extraTables.isEmpty)
+    assert(!new java.io.File(cfg.tableSet("t2")._2).exists())
+
+    intercept[IllegalArgumentException] {
+      new MirrorRunner(spark, shrunk).removeTable("t1")
+    }
+  }
+
   test("raw sync replay is idempotent (batch partition overwrite)") {
     import scala.jdk.CollectionConverters._
     val base = tmpDir("mirrorreplay")
