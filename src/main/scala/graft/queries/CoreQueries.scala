@@ -612,10 +612,76 @@ object CoreQueries {
             |FROM events
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Queue-sink record shaping (kafka.go:295-420): the engine-owned half
+    * of the Kafka/PubSub path — topic/key/value routing as codegen'd
+    * column expressions (the Lua-script parity hook). Payload built by
+    * explicit concat, not to_json, so the oracle is byte-identical. */
+  val queuePayload = GraftQuery(
+    "q_queue_payload",
+    "queue-sink record shaping: topic/key/value routing hook",
+    (s, dir) => graft.sinks.QueueSink.records(
+        changeLog(s, dir),
+        topic = concat(lit("cdc.events."), col("event_type")),
+        key = col("user_id"),
+        value = concat(lit("{\"event_id\":"),
+          col("event_id").cast("string"),
+          lit(",\"version\":"), col("version").cast("string"), lit("}")))
+      .drop("headers")
+      .orderBy("topic", "key", "value"),
+    Some(s"""SELECT 'cdc.events.' || event_type AS topic,
+            |  CAST(user_id AS VARCHAR) AS key,
+            |  '{"event_id":' || event_id || ',"version":' || version
+            |    || '}' AS value
+            |FROM ($changeLogSql)
+            |ORDER BY topic, key, value""".stripMargin))
+
+  /** Per-record user transform (the Lua `script` stage,
+    * flow/pua/stream_adapter.go:41-85) as a typed Scala closure over
+    * `Dataset[ChangeRecord]`: drop deletes, reroute each record to a
+    * shard table — whole-record logic that runs where the Lua pool sat.
+    * The oracle replays the same logic relationally. */
+  val rowTransform = GraftQuery(
+    "q_row_transform",
+    "Lua-parity row transform: mutate/drop/route a typed change stream",
+    (s, dir) => {
+      import graft.model.ChangeRecord
+      import graft.transform.RowTransform
+      import RowTransform.changeRecordEncoder
+      val ds = changeLog(s, dir).select(
+        col("rtype").as("recordType"),
+        col("event_id").as("checkpointId"),
+        col("event_id").cast("string").as("checkpointText"),
+        col("version").as("commitTimeMicros"),
+        expr("event_id DIV 100").as("transactionId"),
+        lit("public.events").as("sourceTable"),
+        lit("events").as("destinationTable"),
+        concat(lit("{\"user_id\":"), col("user_id").cast("string"),
+          lit("}")).as("data"),
+        lit(null).cast("string").as("matchData"),
+        array().cast("array<string>").as("unchangedToastColumns"))
+        .as[ChangeRecord](changeRecordEncoder)
+      RowTransform(ds) { r =>
+        if (r.recordType == ChangeRecord.TypeDelete) None
+        else Some(r.copy(
+          destinationTable = s"events_shard_${r.checkpointId % 4}"))
+      }.toDF()
+        .select(col("checkpointId").as("checkpoint_id"),
+          col("destinationTable").as("dest_table"),
+          col("recordType").as("record_type"))
+        .orderBy("checkpoint_id")
+    },
+    Some(s"""SELECT event_id AS checkpoint_id,
+            |  'events_shard_' || (event_id % 4) AS dest_table,
+            |  rtype AS record_type
+            |FROM ($changeLogSql)
+            |WHERE rtype <> 2
+            |ORDER BY checkpoint_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     projectionExclude, filterWatermark, partitionNtile, partitionMinMax,
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
-    q1Agg, joinAggNation, topkPerCustomer, windowHourly)
+    q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
+    rowTransform)
 }

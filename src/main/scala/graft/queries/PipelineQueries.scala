@@ -466,8 +466,35 @@ object PipelineQueries {
            |  CAST(octet_length(encode(text)) // 1024 AS BIGINT) AS frames
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic stratified sampling — the training-mix op: per-language
+    * keep rates gated by a portable content-independent hash of the doc id
+    * (en 30%, de 60%, tail 10%). Pure codegen'd filter on the scan: no
+    * shuffle, no RNG state, reproducible at any parallelism — rerunning
+    * the pipeline (or any engine) selects the identical sample. */
+  val sampleStratified = GraftQuery(
+    "q_sample_stratified",
+    "hash-gated stratified sampling by language (no shuffle, no RNG)",
+    (s, dir) => docs(s, dir)
+      .withColumn("gate",
+        expr(s"${TF.hash60Sql("CAST(doc_id AS STRING)")} % 100"))
+      .filter(
+        when(col("lang") === "en", col("gate") < 30)
+          .when(col("lang") === "de", col("gate") < 60)
+          .otherwise(col("gate") < 10))
+      .select("doc_id", "lang", "gate")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, gate FROM (
+            |  SELECT doc_id, lang,
+            |    ${TF.hash60DuckSql("CAST(doc_id AS VARCHAR)")} % 100
+            |      AS gate
+            |  FROM documents)
+            |WHERE (lang = 'en' AND gate < 30)
+            |   OR (lang = 'de' AND gate < 60)
+            |   OR (lang NOT IN ('en', 'de') AND gate < 10)
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
-    annCosineTopk, annLshBuckets, annIvf, multimodalMeta)
+    annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified)
 }
