@@ -173,6 +173,52 @@ object CoreQueries {
            |      FROM orders)
            |GROUP BY chunk ORDER BY chunk""".stripMargin))
 
+  /** CTID physical-block partitioning (qrep_partition.go:122-290): fixed
+    * heap-page ranges instead of value or rank splits. The page id is a
+    * pure scan-side expression (key DIV rows-per-page as the stand-in for
+    * the tuple's physical block) — no global pass at all, unlike NTILE;
+    * the emitted (block, range, cnt) rows are exactly the TID-range
+    * predicates the snapshot readers fan out on. */
+  val partitionCtid = GraftQuery(
+    "q_partition_ctid",
+    "CTID-style physical block-range partitioning",
+    (s, dir) => t(s, dir, "orders").select(col("o_orderkey"))
+      .withColumn("block", expr("CAST(o_orderkey DIV 4096 AS INT)"))
+      .groupBy("block")
+      .agg(min("o_orderkey").as("range_start"),
+        max("o_orderkey").as("range_end"),
+        count(lit(1)).as("cnt"))
+      .orderBy("block"),
+    Some("""SELECT CAST(o_orderkey // 4096 AS INT) AS block,
+           |  min(o_orderkey) AS range_start, max(o_orderkey) AS range_end,
+           |  count(*) AS cnt
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** XMIN incremental scan (qrep_source.go:541-627, xmin_flow.go): pull
+    * rows whose 32-bit transaction id is AFTER the stored cursor in
+    * MODULAR order — the wraparound-safe comparison (`age(xmin)`
+    * semantics): newer ⇔ 0 < (xmin − cursor) mod 2³² ≤ 2³¹. The cursor
+    * sits just below the wrap point so the window spans it. */
+  val xminScan = GraftQuery(
+    "q_xmin_scan",
+    "XMIN wraparound-safe incremental scan (age(xmin) cursor)",
+    (s, dir) => {
+      val cursor = 4294900000L // near 2^32: the modular window wraps
+      changeLog(s, dir)
+        .withColumn("xmin", expr("version % 4294967296"))
+        .withColumn("age", expr(s"pmod(xmin - $cursor, 4294967296)"))
+        .filter(col("age") > 0 && col("age") <= 2147483648L)
+        .select(col("event_id"), col("xmin"))
+        .orderBy("event_id")
+    },
+    Some(s"""SELECT event_id, xmin FROM (
+            |  SELECT event_id, version % 4294967296 AS xmin,
+            |    ((version % 4294967296) - 4294900000 + 4294967296)
+            |      % 4294967296 AS age
+            |  FROM ($changeLogSql))
+            |WHERE age > 0 AND age <= 2147483648
+            |ORDER BY event_id""".stripMargin))
+
   // ------------------------------------------------------------- normalize
 
   /** THE core analytic op of the engine: latest record per key by version —
@@ -683,5 +729,5 @@ object CoreQueries {
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
-    rowTransform)
+    rowTransform, partitionCtid, xminScan)
 }
