@@ -44,29 +44,46 @@ final class MergeWriter(
   private def bucketOf(df: DataFrame) =
     pmod(hash(pkColumns.map(col): _*), lit(numBuckets))
 
+  // All table metadata I/O goes through the Hadoop FileSystem API: the
+  // destination at scale is HDFS/object storage, not the driver's disk.
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def bucketDirs: Seq[String] = {
-    val d = new java.io.File(tablePath)
-    if (!d.isDirectory) Nil
-    else d.listFiles().toSeq.filter(f =>
-      f.isDirectory && f.getName.startsWith(s"$BucketCol=")).map(_.getName)
+    val d = new org.apache.hadoop.fs.Path(tablePath)
+    val f = fs
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$BucketCol="))
+      .map(_.getPath.getName)
   }
 
   def exists: Boolean = bucketDirs.nonEmpty
 
-  private val schemaFile = s"$tablePath/_graft_schema.json"
+  private def schemaFile =
+    new org.apache.hadoop.fs.Path(tablePath, "_graft_schema.json")
 
   private def rememberSchema(df: DataFrame): Unit = {
-    val p = java.nio.file.Paths.get(schemaFile)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, df.drop(BucketCol).schema.json)
+    val out = fs.create(schemaFile, true)
+    try out.write(df.drop(BucketCol).schema.json
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def storedSchema: Option[org.apache.spark.sql.types.StructType] = {
-    val p = java.nio.file.Paths.get(schemaFile)
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(org.apache.spark.sql.types.DataType
-      .fromJson(java.nio.file.Files.readString(p))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val f = fs
+    if (!f.exists(schemaFile)) None
+    else {
+      val in = f.open(schemaFile)
+      val json =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
   }
 
   /** Scan of the stored table that never trusts single-footer inference.
@@ -195,10 +212,9 @@ final class MergeWriter(
     if (hardDelete) {
       val survived = resolved.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
+      val f = fs
       affected.filterNot(survived).foreach { b =>
-        fs.delete(
+        f.delete(
           new org.apache.hadoop.fs.Path(s"$tablePath/$BucketCol=$b"), true)
       }
     }

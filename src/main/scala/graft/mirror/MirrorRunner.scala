@@ -1,7 +1,7 @@
 package graft.mirror
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+
+
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -72,7 +72,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       name -> (tc, new MergeWriter(spark, dir, tc.pkColumns))
     }
   private def merge = writers(cfg.destinationTable)._2
-  private val hwmPath = Paths.get(cfg.checkpointDir, "graft-raw-hwm")
+  private val hwmPath = s"${cfg.checkpointDir}/graft-raw-hwm"
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
   /** Run until the WAL is drained (Trigger.AvailableNow), blocking. */
   def runAvailableNow(): Unit = {
@@ -146,9 +147,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         case None =>
           sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      Files.createDirectories(hwmPath.getParent)
-      Files.write(hwmPath,
-        batchId.toString.getBytes(StandardCharsets.UTF_8))
+      graft.util.FsText.write(hwmPath, batchId.toString, hadoopConf)
     }
 
     // Fan out per destination table (the normalize loop walks the mirror's
@@ -186,10 +185,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       col("unchangedToastColumns").as(RawTable.UnchangedToastColumns))
 
   private def rawHighWaterMark: Option[Long] =
-    if (Files.exists(hwmPath))
-      Some(new String(Files.readAllBytes(hwmPath),
-        StandardCharsets.UTF_8).trim.toLong)
-    else None
+    graft.util.FsText.read(hwmPath, hadoopConf).map(_.trim.toLong)
 
   /** Table addition to a live mirror (the add-tables signal,
     * cdc_flow.go table-addition path): replay the new table's WAL history

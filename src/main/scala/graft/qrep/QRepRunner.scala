@@ -1,7 +1,7 @@
 package graft.qrep
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+
+
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,18 +18,15 @@ object WriteMode {
 }
 
 /** Durable watermark offset (the `lastRangeEnd` resume point,
-  * qrep_flow.go:330-363). */
-final class WatermarkStore(path: String) {
-  private val p = Paths.get(path)
+  * qrep_flow.go:330-363), stored via the Hadoop FS API so the resume
+  * point survives driver replacement. */
+final class WatermarkStore(path: String,
+    conf: org.apache.hadoop.conf.Configuration =
+      new org.apache.hadoop.conf.Configuration()) {
   def read(): Option[Long] =
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .trim.toLong)
-    else None
-  def write(v: Long): Unit = {
-    Files.createDirectories(p.getParent)
-    Files.write(p, v.toString.getBytes(StandardCharsets.UTF_8))
-  }
+    graft.util.FsText.read(path, conf).map(_.trim.toLong)
+  def write(v: Long): Unit =
+    graft.util.FsText.write(path, v.toString, conf)
 }
 
 /** Watermark-driven incremental batch replication — the QRep mirror
