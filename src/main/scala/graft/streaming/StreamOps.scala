@@ -27,6 +27,18 @@ object StreamOps {
       .select(col(s"window.start").as("window_start"), col(keyCol),
         col("cnt"))
 
+  /** Streaming exact dedup — the streaming twin of q_dedup_exact and of
+    * the sink-side latest-per-key guard: at-least-once upstream delivery
+    * collapses to exactly-once rows downstream. State is bounded by the
+    * watermark delay (`dropDuplicatesWithinWatermark`): a key's entry is
+    * evicted once the watermark passes its event time + delay, so state
+    * size is O(keys per delay window), not O(all keys ever). */
+  def dedupWithinWatermark(stream: DataFrame, eventTimeCol: String,
+      delay: String, keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class SessionEvent(key: Long, tsMicros: Long)
   final case class SessionState(start: Long, end: Long, events: Int)
   final case class Session(key: Long, startMicros: Long, endMicros: Long,

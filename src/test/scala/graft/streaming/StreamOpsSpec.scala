@@ -78,4 +78,38 @@ class StreamOpsSpec extends SparkSpec {
       assert(out.contains(("b", 1L)))
     } finally q.stop()
   }
+
+  test("streaming dedup: duplicates within the watermark collapse") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("ts", "id", "v"), "ts", "10 minutes", Seq("id"))
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      // id=1 delivered three times (at-least-once replay), id=2 once.
+      input.addData((ts(1), 1L, "a"), (ts(2), 1L, "a-dup"),
+        (ts(3), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts(4), 1L, "a-dup2"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT id, v FROM dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSet == Set((1L, "a"), (2L, "b"))) // first wins
+      // After the watermark passes id=1's entry, a re-delivery is a NEW
+      // row (state evicted — the documented watermark-bounded contract).
+      input.addData((ts(60), 9L, "advance"))
+      q.processAllAvailable()
+      input.addData((ts(61), 1L, "late-replay"))
+      q.processAllAvailable()
+      val out2 = spark.sql("SELECT v FROM dedup_out").collect()
+        .map(_.getString(0)).toSet
+      assert(out2.contains("late-replay"))
+    } finally q.stop()
+  }
 }
