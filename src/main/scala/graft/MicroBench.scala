@@ -128,7 +128,7 @@ object MicroBench {
         import graft.queries.PipelineQueries
         time("warm full")(PipelineQueries.dedupMinhashLsh
           .run(spark, sfDir).count())
-        (1 to 2).foreach(i => time(s"full run $i")(
+        (1 to 3).foreach(i => time(s"full run $i")(
           PipelineQueries.dedupMinhashLsh.run(spark, sfDir).count()))
         val base = docs
           .select(col("doc_id"), TF.words(col("text")).as("ws"))
@@ -136,6 +136,34 @@ object MicroBench {
         (1 to 2).foreach(i => time(s"signatures $i")(
           TF.minhashSignaturesDf(
             base, "doc_id", TF.wordShingles(col("ws"), 3), 32).count()))
+        val bands = TF.minhashSignaturesDf(
+            base, "doc_id", TF.wordShingles(col("ws"), 3), 32)
+          .withColumn("bands", TF.minhashBands("sig", 8, 4))
+          .select(col("doc_id"),
+            posexplode(col("bands")).as(Seq("band", "key")))
+          .localCheckpoint(true)
+        (1 to 3).foreach { i =>
+          time(s"pairs via join $i")(bands.as("a")
+            .join(bands.as("b").hint("shuffle_hash"),
+              col("a.band") === col("b.band") &&
+                col("a.key") === col("b.key") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .distinct().count())
+        }
+        (1 to 3).foreach { i =>
+          time(s"pairs via bucket $i")(bands
+            .groupBy("band", "key")
+            .agg(sort_array(collect_list("doc_id")).as("ids"))
+            .filter(size(col("ids")) > 1)
+            .select(explode(expr(
+              """flatten(transform(ids, (x, i) ->
+                |  transform(slice(ids, i + 2, size(ids) - i - 1),
+                |    y -> struct(x AS d1, y AS d2))))""".stripMargin))
+              .as("p"))
+            .select(col("p.d1"), col("p.d2"))
+            .distinct().count())
+        }
       case "ivf" =>
         import graft.queries.PipelineQueries
         time("warm full")(PipelineQueries.annIvf.run(spark, sfDir).count())

@@ -102,7 +102,11 @@ object Similarity {
     QuantizedExprs.quantizedCosineGe(qa, qb, num, denom)
 
   /** Higher-order-function formulation of [[quantizedCosineAtLeast]] —
-    * the executable spec the codegen'd expression is tested against. */
+    * the executable spec the codegen'd expression is tested against.
+    * Spec-only caveat: the raw `dot·dot·denom` products run in SQL long
+    * arithmetic, which under ANSI mode (default) THROWS on overflow where
+    * the expression's 192-bit compare ([[Int192]]) stays exact — fine for
+    * a test oracle on real-magnitude embeddings, not for the hot path. */
   def quantizedCosineAtLeastHof(qa: Column, qb: Column,
       num: Long, denom: Long): Column = {
     val dot = aggregate(zip_with(qa, qb, (x, y) => x * y),

