@@ -723,11 +723,54 @@ object CoreQueries {
             |WHERE rtype <> 2
             |ORDER BY checkpoint_id""".stripMargin))
 
+  /** Elasticsearch `_bulk` shaping (flow/connectors/elasticsearch/):
+    * latest-per-key batch dedup, then one action line per record with
+    * `_id` = PK (natural upsert) — deletes as delete actions with empty
+    * source. The engine-owned half of the ES sink as a verifiable
+    * relation. */
+  val esBulk = GraftQuery(
+    "q_es_bulk",
+    "Elasticsearch bulk-action shaping (_id from PK, delete actions)",
+    (s, dir) => {
+      val latest = latestPerKey(changeLog(s, dir))
+      graft.sinks.EsSink.bulkRecords(
+          latest.withColumn("src_json",
+            concat(lit("{\"user_id\":"), col("user_id").cast("string"),
+              lit(",\"event_type\":\""), col("event_type"),
+              lit("\",\"value_c\":"),
+              cents(col("value")).cast("string"), lit("}"))),
+          index = "events",
+          id = col("user_id"),
+          source = col("src_json"),
+          deleted = col("rtype") === 2)
+        .withColumn("es_id",
+          expr("CAST(get_json_object(action, '$.index._id') AS BIGINT)"))
+        .withColumn("es_id", coalesce(col("es_id"), expr(
+          "CAST(get_json_object(action, '$.delete._id') AS BIGINT)")))
+        .select("es_id", "action", "source")
+        .orderBy("es_id")
+    },
+    Some(s"""SELECT es_id, CASE WHEN rtype = 2
+            |    THEN '{"delete":{"_index":"events","_id":"' || es_id
+            |      || '"}}'
+            |    ELSE '{"index":{"_index":"events","_id":"' || es_id
+            |      || '"}}' END AS action,
+            |  CASE WHEN rtype = 2 THEN ''
+            |    ELSE '{"user_id":' || es_id || ',"event_type":"'
+            |      || event_type || '","value_c":'
+            |      || ${centsSql("value")} || '}' END AS source
+            |FROM (SELECT user_id AS es_id, event_type, value, rtype,
+            |        ROW_NUMBER() OVER (PARTITION BY user_id
+            |          ORDER BY version DESC, event_id DESC) AS rn
+            |      FROM ($changeLogSql))
+            |WHERE rn = 1
+            |ORDER BY es_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     projectionExclude, filterWatermark, partitionNtile, partitionMinMax,
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
-    rowTransform, partitionCtid, xminScan)
+    rowTransform, partitionCtid, xminScan, esBulk)
 }

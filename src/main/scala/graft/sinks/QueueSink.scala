@@ -35,3 +35,29 @@ object QueueSink {
       value.cast("string").as("value"), headerCol.as("headers"))
   }
 }
+
+/** Elasticsearch-destination record shaping — the engine-owned half of
+  * the ES sink (flow/connectors/elasticsearch/): each change row becomes
+  * a `_bulk` action line with `_id` = primary key (the natural-upsert
+  * property: re-indexing the same id is idempotent) plus a source line;
+  * deletes become delete actions with an empty source. Publishing the
+  * NDJSON pairs is the connector's job; the shaping below is what the
+  * engine owes it. Input should be the per-batch latest-per-key frame
+  * (the reference dedups the batch before bulk dispatch). */
+object EsSink {
+  private def esc(c: Column): Column =
+    regexp_replace(regexp_replace(c.cast("string"),
+      lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\""))
+
+  def bulkRecords(df: DataFrame, index: String, id: Column, source: Column,
+      deleted: Column): DataFrame = {
+    val action = (verb: String) => concat(
+      lit(s"""{"$verb":{"_index":"$index","_id":""""), esc(id),
+      lit("\"}}"))
+    df.select(
+      when(deleted, action("delete")).otherwise(action("index"))
+        .as("action"),
+      when(deleted, lit("")).otherwise(source.cast("string"))
+        .as("source"))
+  }
+}
