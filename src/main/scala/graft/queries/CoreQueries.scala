@@ -723,6 +723,27 @@ object CoreQueries {
             |WHERE rtype <> 2
             |ORDER BY checkpoint_id""".stripMargin))
 
+  /** Skew mitigation: two-phase salted aggregation over LOW-cardinality
+    * keys (3 return flags across all of lineitem — the shape where a
+    * plain groupBy sends a third of 100 TB through three reducers).
+    * Partial sums per (key, salt) spread the reduce 16-way; the final
+    * combine touches keys×salt rows. Result provably equals the plain
+    * GROUP BY — which is exactly what the oracle runs. */
+  val skewAgg = GraftQuery(
+    "q_skew_agg",
+    "salted two-phase aggregation over skewed low-cardinality keys",
+    (s, dir) => graft.operators.Skew.saltedAggregate(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_c")),
+        keys = Seq("l_returnflag"),
+        aggs = Map("sum_qty_c" -> col("qty_c"), "cnt" -> lit(1)),
+        saltBuckets = 16)
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag,
+            |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+            |  count(*) AS cnt
+            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Elasticsearch `_bulk` shaping (flow/connectors/elasticsearch/):
     * latest-per-key batch dedup, then one action line per record with
     * `_id` = PK (natural upsert) — deletes as delete actions with empty
@@ -772,5 +793,5 @@ object CoreQueries {
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
-    rowTransform, partitionCtid, xminScan, esBulk)
+    rowTransform, partitionCtid, xminScan, esBulk, skewAgg)
 }
