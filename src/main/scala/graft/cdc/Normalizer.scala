@@ -17,7 +17,14 @@ import graft.model.{ChangeRecord, RawTable}
 final case class NormalizeConfig(
     pkColumns: Seq[String],
     payloadSchema: StructType,
-    softDelete: Boolean = true)
+    softDelete: Boolean = true,
+    /** Source→destination column renames applied at normalize (the
+      * per-column rename/override map, normalize_query.go:146-160;
+      * TableMapping column settings). Keys are source payload names —
+      * `pkColumns` stay source names; downstream writers see the
+      * destination names. Type overrides are already expressed by
+      * `payloadSchema` (from_json casts to it). */
+    columnRenames: Map[String, String] = Map.empty)
 
 /** Raw change rows → one typed upsert/delete decision per primary key.
   *
@@ -117,16 +124,18 @@ object Normalizer {
       .filter(col("_rn") === 1)
 
     // Columns never seen in this batch stay absent → merge-time coalesce.
-    val absent = array_compact(array(valueCols.map(c =>
-      when(col(s"_val_$c").isNull, lit(c))): _*))
-
+    def outName(c: String) = cfg.columnRenames.getOrElse(c, c)
     val out = ranked.select(
-      cfg.pkColumns.map(k => col(s"_pk_$k").as(k)) ++
-        valueCols.map(c => col(s"_val_$c.v").as(c)) ++ Seq(
+      cfg.pkColumns.map(k => col(s"_pk_$k").as(outName(k))) ++
+        valueCols.map(c => col(s"_val_$c.v").as(outName(c))) ++ Seq(
           col(RawTable.Timestamp).as(RawTable.Version),
           (col(RawTable.RecordType) === ChangeRecord.TypeDelete)
             .as(RawTable.IsDeleted),
-          absent.as(AbsentCols)): _*)
+          // Absent-column names travel under their DESTINATION name: the
+          // merge writer resolves them against destination columns.
+          array_compact(array(valueCols.map(c =>
+            when(col(s"_val_$c").isNull, lit(outName(c)))): _*))
+            .as(AbsentCols)): _*)
 
     if (cfg.softDelete) out else out.filter(!col(RawTable.IsDeleted))
   }
