@@ -188,7 +188,34 @@ object RelationalQueries {
            |  ON v.user_id = p.user_id AND v.ts_us >= p.r_ts_us
            |ORDER BY event_id""".stripMargin))
 
+  /** Set operators (INTERSECT / EXCEPT): customers active in BOTH 1995
+    * and 1996 vs 1995-only. Both rewrite to aggregate/join shapes that
+    * hash-partition on the key — no row ever concentrates. */
+  val setOps = GraftQuery(
+    "q_set_ops",
+    "INTERSECT / EXCEPT over yearly customer activity",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def yr(y: Int) = o.filter(expr(s"year(o_orderdate) = $y"))
+        .select("o_custkey")
+      yr(1995).intersect(yr(1996)).withColumn("tag", lit("both"))
+        .unionByName(
+          yr(1995).except(yr(1996)).withColumn("tag", lit("only_1995")))
+        .orderBy("o_custkey", "tag")
+    },
+    Some("""SELECT o_custkey, tag FROM (
+           |  SELECT o_custkey, 'both' AS tag FROM (
+           |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           |    INTERSECT
+           |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+           |  UNION ALL
+           |  SELECT o_custkey, 'only_1995' AS tag FROM (
+           |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           |    EXCEPT
+           |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
+           |ORDER BY o_custkey, tag""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
-    sessionizeBatch, asofJoin)
+    sessionizeBatch, asofJoin, setOps)
 }
