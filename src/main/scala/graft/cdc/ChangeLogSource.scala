@@ -55,14 +55,32 @@ object ChangeLogWal {
   def listLines(dir: String): Seq[String] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Nil
-    Files.list(d)
+    segmentFiles(d)
+      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
+      .filter(_.nonEmpty)
+  }
+
+  /** Ordered segment files of a WAL dir. */
+  def segmentFiles(d: Path): Seq[Path] =
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d)
       .sorted(Comparator.comparing[Path, String](
         (p: Path) => p.getFileName.toString))
       .iterator().asScala
       .filter(_.getFileName.toString.endsWith(".wal"))
-      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
-      .filter(_.nonEmpty)
       .toSeq
+
+  /** First checkpointId in a segment file, reading ONLY the first line —
+    * the segment-skip key: checkpointIds increase across the WAL, so a
+    * segment whose successor STARTS at cp ≤ after holds nothing new. */
+  def firstCp(p: Path): Long = {
+    val in = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+    try {
+      var line = in.readLine()
+      while (line != null && line.isEmpty) line = in.readLine()
+      if (line == null) -1L
+      else line.substring(0, line.indexOf(Sep)).toLong
+    } finally in.close()
   }
 }
 
@@ -218,30 +236,47 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
     ReadLimit.maxRows(maxBatchSize)
 
   /** Admit up to maxBatchSize records, then extend to the enclosing
-    * transaction boundary — never cut mid-transaction. */
+    * transaction boundary — never cut mid-transaction.
+    *
+    * Scale shape: this runs on the DRIVER once per micro-batch, so it must
+    * NOT be O(full WAL history). Segments are consumed in order and
+    * checkpointIds only grow, so (a) every segment whose SUCCESSOR starts
+    * at cp ≤ `after` is skipped on the first line alone, and (b) line
+    * parsing stops at the batch cut instead of draining to the log's end —
+    * per-batch driver work is O(segments + batch), the same contract as
+    * the reference's slot read (cdc.go:701-753). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val after = start.asInstanceOf[CpOffset].cp
-    val pending = ChangeLogWal.listLines(path).iterator
+    val files = ChangeLogWal.segmentFiles(Paths.get(path))
+    if (files.isEmpty) return CpOffset(after)
+    // Drop every file whose successor's first cp is ≤ after: all its cps
+    // are ≤ after too. (One first-line read per file; no content reads.)
+    val firstCps = files.map(ChangeLogWal.firstCp)
+    val live = files.indices
+      .filter(i => i + 1 >= files.length || firstCps(i + 1) > after)
+      .map(files)
+    // Lazy at FILE granularity (whole-file reads, nothing left open on
+    // the early return): files past the batch cut are never touched.
+    val lines = live.iterator
+      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
+      .filter(_.nonEmpty)
       .map { l =>
         val i = l.indexOf(ChangeLogWal.Sep)
         val j = l.indexOf(ChangeLogWal.Sep, i + 1)
         (l.substring(0, i).toLong, l.substring(i + 1, j).toLong) // (cp, tx)
       }
       .filter(t => t._1 > after && t._1 <= availableNowCap)
-      .toSeq
-    if (pending.isEmpty) return CpOffset(after)
+      .buffered
     var cut = -1L
     var admitted = 0
-    var idx = 0
-    while (idx < pending.length) {
-      val (cp, tx) = pending(idx)
+    while (lines.hasNext) {
+      val (cp, tx) = lines.next()
       admitted += 1
-      val txEnds = idx + 1 >= pending.length || pending(idx + 1)._2 != tx
+      val txEnds = !lines.hasNext || lines.head._2 != tx
       if (txEnds) {
         cut = cp
         if (admitted >= maxBatchSize) return CpOffset(cut)
       }
-      idx += 1
     }
     CpOffset(if (cut >= 0) cut else after)
   }
