@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *     checkpoint_dir '...', pk 'id', schema 'id BIGINT, v BIGINT', ...)
   *   EXECUTE MIRROR name          -- drain the WAL once (AvailableNow)
   *   DROP MIRROR name
+  *   PAUSE MIRROR name / RESUME MIRROR name
   *   SHOW MIRRORS
   * }}}
   *
@@ -50,6 +51,12 @@ object GraftSql {
   final case class ExecuteMirror(name: String) extends Statement
   final case class ResyncMirror(name: String) extends Statement
   final case class DropMirror(name: String) extends Statement
+  /** PAUSE/RESUME MIRROR (PeerDBStatement::PauseMirror/ResumeMirror,
+    * nexus/parser/src/lib.rs:25-60; signal path cdc_flow.go:489-974):
+    * pause stops the continuous stream (offsets stay checkpointed),
+    * resume restarts it from the checkpoint. */
+  final case class PauseMirror(name: String) extends Statement
+  final case class ResumeMirror(name: String) extends Statement
   case object ShowMirrors extends Statement
 
   private val createPeer: Regex =
@@ -63,6 +70,10 @@ object GraftSql {
   private val resyncMirror: Regex =
     """(?is)\s*RESYNC\s+MIRROR\s+(\w+)\s*""".r
   private val dropMirror: Regex = """(?is)\s*DROP\s+MIRROR\s+(\w+)\s*""".r
+  private val pauseMirror: Regex =
+    """(?is)\s*PAUSE\s+MIRROR\s+(\w+)\s*""".r
+  private val resumeMirror: Regex =
+    """(?is)\s*RESUME\s+MIRROR\s+(\w+)\s*""".r
   private val showMirrors: Regex = """(?is)\s*SHOW\s+MIRRORS\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
 
@@ -80,6 +91,8 @@ object GraftSql {
     case execMirror(n) => Some(ExecuteMirror(n))
     case resyncMirror(n) => Some(ResyncMirror(n))
     case dropMirror(n) => Some(DropMirror(n))
+    case pauseMirror(n) => Some(PauseMirror(n))
+    case resumeMirror(n) => Some(ResumeMirror(n))
     case showMirrors() => Some(ShowMirrors)
     case _ => None
   }
@@ -89,6 +102,11 @@ object GraftSql {
   val peers = new PeerCatalog
   private val mirrors =
     scala.collection.concurrent.TrieMap.empty[String, MirrorConfig]
+  /** Live continuous-run handles (state machine of the pause/resume
+    * signals). Created on first RESUME; offsets live in the mirror's
+    * checkpoint dir, so pause/resume cycles are loss-free. */
+  private val handles =
+    scala.collection.concurrent.TrieMap.empty[String, MirrorRunner#Handle]
 
   def execute(spark: SparkSession, st: Statement): Seq[Row] = st match {
     case CreatePeer(n, k, o) => peers.create(Peer(n, k, o)); Nil
@@ -130,7 +148,22 @@ object GraftSql {
         new MirrorRunner(spark, rcfg).runAvailableNow()
       }
       Nil
-    case DropMirror(n) => mirrors.remove(n); Nil
+    case PauseMirror(n) =>
+      handles.getOrElse(n,
+        throw new NoSuchElementException(s"mirror $n not running")).pause()
+      Nil
+    case ResumeMirror(n) =>
+      val cfg = mirrors.getOrElse(n,
+        throw new NoSuchElementException(s"mirror $n"))
+      val h = handles.getOrElseUpdate(n,
+        new MirrorRunner(spark, cfg).handle(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)))
+      h.resume()
+      Nil
+    case DropMirror(n) =>
+      handles.remove(n).foreach(_.pause())
+      mirrors.remove(n)
+      Nil
     case ShowMirrors =>
       mirrors.toSeq.sortBy(_._1).map { case (n, c) =>
         Row(n, c.walDir, c.destDir)
