@@ -504,8 +504,45 @@ object PipelineQueries {
             |   OR (lang NOT IN ('en', 'de') AND gate < 10)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Corpus-level n-gram statistics: top-25 bigrams by frequency. The
+    * scale shape is explode → hash aggregate (map-side partials bound the
+    * shuffle at distinct-bigrams per partition) → TakeOrdered top-k; ties
+    * broken on the bigram text so the cut is deterministic. */
+  val ngramTopk = GraftQuery(
+    "q_ngram_topk",
+    "top-25 corpus bigrams (explode + partial-agg + top-k)",
+    (s, dir) => docs(s, dir)
+      .select(explode(TF.wordShingles(TF.words(col("text")), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bg"))
+      .limit(25),
+    Some("""SELECT bg, freq FROM (
+           |  SELECT bg, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(
+           |        generate_series(1, len(ws) - 1),
+           |        i -> ws[i] || ' ' || ws[i+1])) AS bg
+           |    FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+           |  GROUP BY bg)
+           |ORDER BY freq DESC, bg LIMIT 25""".stripMargin))
+
+  /** Document length histogram in fixed 200-char bins — the corpus-shape
+    * profile a mix designer reads before setting packing/truncation
+    * budgets. Pure scan-side bucketing + tiny aggregate. */
+  val docLenHist = GraftQuery(
+    "q_doc_len_hist",
+    "document length histogram (fixed 200-char bins)",
+    (s, dir) => docs(s, dir)
+      .select(expr("CAST(length(text) DIV 200 AS INT)").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("bin"),
+    Some("""SELECT CAST(length(text) // 200 AS INT) AS bin,
+           |  count(*) AS docs
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
-    annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified)
+    annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
+    ngramTopk, docLenHist)
 }
