@@ -58,4 +58,32 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(CoreQueries.mergeUpsert)
     assert(plan.contains("FullOuter") || plan.contains("full_outer"))
   }
+
+  test("stratified sampling never reads the text column") {
+    val plan = planOf(PipelineQueries.sampleStratified)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"))
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("salted aggregation: no exchange before the salt-partial stage") {
+    val plan = planOf(CoreQueries.skewAgg)
+    // Three HashAggregates (salt-partial, salt-final+key-partial fused or
+    // separate, key-final) and the FIRST exchange only after a partial.
+    val lines = plan.linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    // plan prints top-down: the final agg appears first; the SCAN-side
+    // partial must appear BELOW the last exchange (map-side combine).
+    val lastExchange = lines.lastIndexWhere(_.contains("Exchange"))
+    assert(lines.drop(lastExchange + 1).exists(
+      _.contains("HashAggregate")), plan.take(3000))
+  }
+
+  test("inverted-index self-join is a shuffled hash join, not SMJ") {
+    val plan = planOf(PipelineQueries.dedupNgramJaccard)
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
 }
