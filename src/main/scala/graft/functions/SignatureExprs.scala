@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM twin of the portable 60-bit hash domain (TextFunctions.hash60Sql):
+  * first 15 hex chars of md5 == first 60 bits of the digest, extracted
+  * numerically. Top-level object → guaranteed static forwarder, callable
+  * from Janino-generated code. */
+object TextHash {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** `CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT)`, bit-for-bit. */
+  def hash60(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // 15 hex chars = bytes 0..6 (56 bits) + the high nibble of byte 7.
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** rotl60(h, i+1) ^ (i · golden32) — TextFunctions.permHashSql twin. */
+  def permHash(h: Long, i: Int): Long = {
+    val s = i + 1
+    (((h & ((1L << (60 - s)) - 1)) << s) + (h >>> (60 - s))) ^
+      (i.toLong * 2654435769L)
+  }
+}
+
+/** MinHash(k) signature of a shingle array as ONE fused codegen'd loop:
+  * hash each shingle once, update all k permutation minima in place. The
+  * shuffle-free replacement for the explode + k-min-aggregates
+  * formulation (TextFunctions.minhashSignaturesDf) — same values (min
+  * over a set is explode-order free), zero data movement: the signature
+  * is born in the scan stage. NULL array or element → NULL (no
+  * signature). Callers pass the DISTINCT shingle set; duplicates would
+  * not change the minima anyway. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return null
+      val h = TextHash.hash60(arr.getUTF8String(j))
+      var i = 0
+      while (i < k) {
+        val p = TextHash.permHash(h, i)
+        if (p < mins(i)) mins(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val p = ctx.freshName("p"); val mins = ctx.freshName("mins")
+      s"""
+         |final int $n = $x.numElements();
+         |final long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+         |  if ($x.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  final long $h = graft.functions.TextHash.hash60(
+         |    $x.getUTF8String($j));
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    final long $p = graft.functions.TextHash.permHash($h, $i);
+         |    if ($p < $mins[$i]) $mins[$i] = $p;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 60-bit tf-weighted SimHash of a word array as one fused loop: hash
+  * each occurrence once, accumulate the 60 bit votes, assemble the
+  * signature — the shuffle-free replacement for the explode + 60-sum
+  * aggregate (TextFunctions.simhashSignatures); identical values
+  * (occurrence-summed votes are order-free). NULL array/element → NULL. */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash60 expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](60)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return null
+      val h = TextHash.hash60(arr.getUTF8String(j))
+      var b = 0
+      while (b < 60) {
+        votes(b) += (((h >>> b) & 1L) * 2L) - 1L
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes"); val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $x.numElements();
+         |final long[] $votes = new long[60];
+         |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+         |  if ($x.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  final long $h = graft.functions.TextHash.hash60(
+         |    $x.getUTF8String($j));
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) * 2L) - 1L;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if ($votes[$b] >= 0L) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash60Expr = copy(child = newChild)
+
+  override def prettyName: String = "simhash60"
+}
+
+object SignatureExprs {
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftShims.column(MinHashSigExpr(GraftShims.expression(shingles), k))
+
+  def simhash60(words: Column): Column =
+    GraftShims.column(SimHash60Expr(GraftShims.expression(words)))
+}

@@ -118,11 +118,21 @@ object PipelineQueries {
     "q_dedup_minhash_lsh",
     "MinHash(32) + LSH(8×4) near-dup candidate pairs",
     (s, dir) => {
-      val base = docs(s, dir)
+      // Fused-loop signature expression: each doc's 32-slot signature is
+      // computed in the scan stage (hash each shingle once, update the
+      // minima in place) — NO shuffle before candidate banding, unlike
+      // the explode + 32-min-aggregate formulation it bit-for-bit equals
+      // (SignatureExprsSpec).
+      // localCheckpoint: the banding HOF references `sig` once per band
+      // and Catalyst does NOT hoist the common subexpression — without a
+      // materialization the whole signature (md5 of every shingle!) would
+      // recompute 8×, measured 17× slower end-to-end.
+      val sig = docs(s, dir)
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
-      val sig = TF.minhashSignaturesDf(
-        base, "doc_id", TF.wordShingles(col("ws"), 3), 32)
+        .select(col("doc_id"), graft.functions.SignatureExprs.minhashSig(
+          array_distinct(TF.wordShingles(col("ws"), 3)), 32).as("sig"))
+        .localCheckpoint(true)
       // Candidate pairs via a shuffle-hash self-join on (band, key) —
       // the same choice as the simhash bucket join: distributes a hot
       // bucket's K² pair work across tasks instead of serializing it in
@@ -169,8 +179,12 @@ object PipelineQueries {
       // its 3-shuffle pipeline would otherwise execute once PER JOIN SIDE
       // (no ReusedExchange across the self-join) — at scale you persist
       // the signature table anyway before candidate generation.
-      val sig = TF.simhashSignatures(docs(s, dir), "doc_id", "text")
-        .withColumnRenamed("simhash", "sig")
+      // Fused-loop signature (SimHash60Expr): votes accumulate per doc in
+      // the scan stage — no explode, no 60-sum aggregate shuffle; equals
+      // TF.simhashSignatures bit-for-bit (SignatureExprsSpec).
+      val sig = docs(s, dir)
+        .select(col("doc_id"), graft.functions.SignatureExprs
+          .simhash60(TF.words(col("text"))).as("sig"))
         .withColumn("bucket", expr("shiftrightunsigned(sig, 44)"))
         .select("doc_id", "sig", "bucket")
         .localCheckpoint(true)

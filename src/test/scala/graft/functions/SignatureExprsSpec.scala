@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+
+/** The fused signature expressions must equal the aggregate formulations
+  * bit-for-bit — they feed the same DuckDB oracles. */
+class SignatureExprsSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("hash60 JVM twin equals the SQL formulation") {
+    val rows = docs
+      .select(explode(TF.words(col("text"))).as("w")).limit(500)
+      .select(col("w"), expr(TF.hash60Sql("w")).as("sql_h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(TextHash.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0))) == r.getLong(1), r.getString(0))
+    }
+  }
+
+  test("fused minhash signature equals explode+min-aggregate signature") {
+    val base = docs
+      .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val agg = TF.minhashSignaturesDf(
+        base, "doc_id", TF.wordShingles(col("ws"), 3), 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fused = base
+      .select(col("doc_id"), SignatureExprs.minhashSig(
+        array_distinct(TF.wordShingles(col("ws"), 3)), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fused.nonEmpty && fused == agg)
+  }
+
+  test("fused simhash equals explode+vote-aggregate simhash") {
+    val agg = TF.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = docs
+      .select(col("doc_id"),
+        SignatureExprs.simhash60(TF.words(col("text"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.nonEmpty && fused == agg)
+  }
+
+  test("null semantics: null array -> null signature") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq("a b c"))), (2L, None))
+      .toDF("id", "shs")
+    val out = df.select(col("id"),
+      SignatureExprs.minhashSig(col("shs"), 4).as("sig"),
+      SignatureExprs.simhash60(col("shs")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2)))
+      .toMap
+    assert(out(1L) == ((false, false)))
+    assert(out(2L) == ((true, true)))
+  }
+}
