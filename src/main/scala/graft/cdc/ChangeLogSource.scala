@@ -70,6 +70,15 @@ object ChangeLogWal {
       .filter(_.getFileName.toString.endsWith(".wal"))
       .toSeq
 
+  /** Checkpoint id at the WAL head (latest record), from the LAST segment
+    * only — the "current WAL insert position" of slot-lag monitoring. */
+  def headCp(dir: String): Long =
+    segmentFiles(Paths.get(dir)).lastOption.map { p =>
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).lastOption
+        .map(l => l.substring(0, l.indexOf(Sep)).toLong).getOrElse(-1L)
+    }.getOrElse(-1L)
+
   /** First checkpointId in a segment file, reading ONLY the first line —
     * the segment-skip key: checkpointIds increase across the WAL, so a
     * segment whose successor STARTS at cp ≤ after holds nothing new. */

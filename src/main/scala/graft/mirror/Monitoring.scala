@@ -56,3 +56,37 @@ final class MirrorMetricsListener(keep: Int = 256)
   def unregister(spark: SparkSession): Unit =
     spark.streams.removeListener(this)
 }
+
+/** Slot lag — the reference's headline replication gauge
+  * (PeerDBSlotLagGBs, monitoring.go; here in RECORDS, the WAL simulator's
+  * native unit): distance between the WAL head and the stream's committed
+  * offset. Reads the head from the last WAL segment only and the
+  * committed checkpoint from the newest offsets file — O(1) in history
+  * size, safe to poll. */
+object SlotLag {
+
+  /** Committed source offset from a Structured Streaming checkpoint
+    * (offsets/<maxBatch>; the last line is the source's Offset JSON —
+    * a bare checkpointId for the graft WAL source). None before the
+    * first batch commits. */
+  def committedCp(checkpointDir: String): Option[Long] = {
+    val dir = java.nio.file.Paths.get(checkpointDir, "offsets")
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    import scala.jdk.CollectionConverters._
+    val latest = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxByOption(_.getFileName.toString.toLong)
+    latest.flatMap { p =>
+      java.nio.file.Files.readAllLines(p).asScala
+        .filter(_.nonEmpty).lastOption
+        .flatMap(l => l.toLongOption)
+    }
+  }
+
+  /** Records the mirror is behind the WAL head; 0 when fully caught up. */
+  def records(walDir: String, checkpointDir: String): Long = {
+    val head = graft.cdc.ChangeLogWal.headCp(walDir)
+    val committed = committedCp(checkpointDir).getOrElse(-1L)
+    math.max(0L, head - committed)
+  }
+}

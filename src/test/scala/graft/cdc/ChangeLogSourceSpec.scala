@@ -121,6 +121,21 @@ class ChangeLogSourceSpec extends SparkSpec {
       assert(metrics.recent.map(_.numInputRows).sum == 6L)
       assert(metrics.recent.size >= 3) // maxBatchSize=2 → ≥3 batches
       assert(metrics.lastThroughput.isDefined)
+
+      // Slot lag: drained → 0; three fresh WAL records → 3; drained → 0.
+      assert(graft.mirror.SlotLag.records(wal, ckpt) == 0L)
+      ChangeLogWal.append(wal, (7L to 9L).map(i =>
+        rec(i, i, 0, s"""{"id":$i}""")))
+      assert(graft.mirror.SlotLag.records(wal, ckpt) == 3L)
+      val q2 = spark.readStream
+        .format("graft.cdc.ChangeLogSourceProvider")
+        .option("path", wal).option("maxBatchSize", "10").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) => df.count(); () }
+        .start()
+      q2.awaitTermination()
+      assert(graft.mirror.SlotLag.records(wal, ckpt) == 0L)
     } finally metrics.unregister(spark)
   }
 }
