@@ -105,6 +105,12 @@ final class MergeWriter(
     }
   }
 
+  /** The persisted widest schema of the stored table (payload + engine
+    * meta columns), if it has ever been written — lets a restarted mirror
+    * recover post-ADD-COLUMN payload schemas its static config predates. */
+  def currentSchema: Option[org.apache.spark.sql.types.StructType] =
+    storedSchema
+
   /** Current table state (all buckets); typed-empty after a full hard
     * delete (schema persisted alongside the data). */
   def read(): DataFrame =

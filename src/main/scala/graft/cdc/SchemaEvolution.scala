@@ -46,6 +46,35 @@ object SchemaEvolution {
     StructType(schema.fields ++ delta.addedColumns.map(c =>
       StructField(c.name, c.kind.toSpark, nullable = true)))
 
+  /** Wire codec for the delta — RelationRecords carry it as the `data`
+    * payload of a recordType-3 change (ChangeRecord.TypeRelation), the
+    * analog of the RelationMessage travelling inside the stream. */
+  private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(
+      com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  def deltaToJson(d: TableSchemaDelta): String = {
+    val cols = d.addedColumns.map(c =>
+      java.util.Map.of("name", c.name, "kind", c.kind.name))
+    mapper.writeValueAsString(java.util.Map.of(
+      "srcTable", d.srcTable, "dstTable", d.dstTable,
+      "addedColumns", cols.toArray))
+  }
+
+  def deltaFromJson(json: String): TableSchemaDelta = {
+    val n = mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    TableSchemaDelta(
+      n.get("srcTable").asText(),
+      n.get("dstTable").asText(),
+      n.get("addedColumns").elements().asScala.map(c =>
+        AddedColumn(c.get("name").asText(),
+          QKind.fromName(c.get("kind").asText()))).toSeq)
+  }
+
   /** Warehouse-sink DDL for the delta (the replayAddedColumns step,
     * clickhouse/cdc.go:228-330). */
   def alterTableSql(delta: TableSchemaDelta): Seq[String] =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.cdc.{MergeWriter, NormalizeConfig, Normalizer}
+import graft.cdc.{MergeWriter, NormalizeConfig, Normalizer, SchemaEvolution}
 import graft.model.RawTable
 
 /** Per-destination-table replication settings (the TableMapping entry,
@@ -71,6 +71,26 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     cfg.tableSet.map { case (name, (tc, dir)) =>
       name -> (tc, new MergeWriter(spark, dir, tc.pkColumns))
     }
+  /** Live payload schemas: start from config, re-widened from the
+    * destination's persisted schema (a restarted mirror must not parse
+    * with a pre-ADD-COLUMN config and silently drop the new column), then
+    * evolve further as RelationRecords arrive (applySchemaDeltas,
+    * flowable_core.go:65-119). */
+  private val liveSchemas =
+    scala.collection.concurrent.TrieMap.empty[String,
+      org.apache.spark.sql.types.StructType] ++
+      writers.map { case (name, (tc, writer)) =>
+        val meta = Set(RawTable.Version, RawTable.IsDeleted)
+        val recovered = writer.currentSchema match {
+          case Some(stored) =>
+            val known = tc.payloadSchema.fieldNames.toSet
+            org.apache.spark.sql.types.StructType(
+              tc.payloadSchema.fields ++ stored.fields.filter(f =>
+                !known.contains(f.name) && !meta.contains(f.name)))
+          case None => tc.payloadSchema
+        }
+        name -> recovered
+      }
   private def merge = writers(cfg.destinationTable)._2
   private val hwmPath = s"${cfg.checkpointDir}/graft-raw-hwm"
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -150,14 +170,31 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       graft.util.FsText.write(hwmPath, batchId.toString, hadoopConf)
     }
 
+    // RelationRecords (schema-change deltas riding the stream, recordType
+    // 3) widen the live payload schema BEFORE this batch normalizes:
+    // records after the delta in the same batch already carry the new
+    // column; earlier ones parse to NULL — the reference's backfill-as-
+    // null semantics. Driver-side collect is fine: deltas are rare and
+    // tiny.
+    import graft.model.ChangeRecord
+    raw.filter(col(RawTable.RecordType) === ChangeRecord.TypeRelation)
+      .select(RawTable.DestinationTable, RawTable.Data)
+      .collect().foreach { r =>
+        val table = r.getString(0)
+        val delta = SchemaEvolution.deltaFromJson(r.getString(1))
+        liveSchemas.updateWith(table)(_.map(SchemaEvolution.apply(_, delta)))
+      }
+
     // Fan out per destination table (the normalize loop walks the mirror's
     // table set, flowable_core.go:791+). Records for tables outside the
     // set are ignored — TableMapping semantics, uniform for single- and
-    // multi-table mirrors.
+    // multi-table mirrors. Relation/message records (type ≥ 3) stay in
+    // the raw changefeed but never reach normalize.
     writers.foreach { case (table, (tc, writer)) =>
-      val slice = raw.filter(col(RawTable.DestinationTable) === table)
+      val slice = raw.filter(col(RawTable.DestinationTable) === table &&
+        col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
       val normalized = Normalizer.normalize(
-        slice, NormalizeConfig(tc.pkColumns, tc.payloadSchema,
+        slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
           softDelete = cfg.softDelete))
       if (!normalized.isEmpty) writer.merge(normalized)
     }
@@ -195,7 +232,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * absorbs the overlap. */
   def catchUpTable(table: String, tc: TableConfig): Unit = {
     val slice = graft.cdc.ChangeLogBatch.read(spark, cfg.walDir)
-      .filter(col("destinationTable") === table)
+      .filter(col("destinationTable") === table &&
+        col("recordType") <= graft.model.ChangeRecord.TypeDelete)
     val raw = toRaw(slice, batchId = -1L)
     val normalized = Normalizer.normalize(
       raw, NormalizeConfig(tc.pkColumns, tc.payloadSchema,

@@ -198,6 +198,41 @@ class MirrorEqualitySpec extends SparkSpec {
     }
   }
 
+  test("relation record widens the live schema; restart recovers it") {
+    import graft.cdc.{SchemaEvolution, AddedColumn, TableSchemaDelta}
+    import graft.types.QKind
+    val wal = tmpDir("walrel")
+    val base = tmpDir("mirrorrel")
+    val cfg = MirrorConfig(wal, s"$base/raw", s"$base/dest",
+      s"$base/ckpt", Seq("id"), payloadSchema, destinationTable = "dest.t")
+    val deltaJson = SchemaEvolution.deltaToJson(TableSchemaDelta(
+      "public.t", "dest.t", Seq(AddedColumn("extra", QKind.QString))))
+
+    // insert → ADD COLUMN (relation record) → insert carrying the column.
+    ChangeLogWal.append(wal, Seq(
+      rec(1, 1, 0, """{"id":1,"name":"a","v":1}"""),
+      ChangeRecord(ChangeRecord.TypeRelation, 2, "2", 2000, 2,
+        "public.t", "dest.t", deltaJson, null, Nil),
+      rec(3, 3, 0, """{"id":2,"name":"b","v":2,"extra":"x"}""")))
+    val r1 = new MirrorRunner(spark, cfg)
+    r1.runAvailableNow()
+    val out = r1.destination().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("extra")).toMap
+    assert(out == Map(1L -> null, 2L -> "x"))
+
+    // A RESTARTED runner still has the STATIC (narrow) config — it must
+    // recover the widened schema from the destination, or this update's
+    // `extra` value would be silently dropped at from_json.
+    ChangeLogWal.append(wal, Seq(
+      rec(4, 4, 1, """{"id":1,"name":"a","v":1,"extra":"y"}""",
+        """{"id":1}""")))
+    val r2 = new MirrorRunner(spark, cfg)
+    r2.runAvailableNow()
+    val out2 = r2.destination().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("extra")).toMap
+    assert(out2 == Map(1L -> "y", 2L -> "x"))
+  }
+
   test("raw sync replay is idempotent (batch partition overwrite)") {
     import scala.jdk.CollectionConverters._
     val base = tmpDir("mirrorreplay")
