@@ -68,6 +68,34 @@ object Multimodal {
       }
     }
 
+  /** Uniform frame sampling: `n` deterministic frame indices over a
+    * `framesCol`-long clip (stride = frames/n, integer arithmetic — the
+    * "which frames to decode" plan computed WITHOUT touching payload
+    * bytes; the decoder then seeks exactly these). Fewer frames than
+    * requested → every frame once. `framesCol` is a column NAME. */
+  def frameSampleIndices(framesCol: String, n: Int)
+      : org.apache.spark.sql.Column =
+    expr(s"""transform(
+            |  sequence(0, CAST(least($n, $framesCol) AS INT) - 1),
+            |  i -> CAST((CAST(i AS BIGINT) * $framesCol)
+            |         DIV least($n, $framesCol) AS INT))"""
+      .stripMargin.replace("\n", " "))
+
+  /** Fit-within-box resize plan (aspect preserved, integer-only: scale
+    * by the limiting axis via cross multiplication — no FP, so every
+    * engine computes identical target dims). Returns struct(fit_w, fit_h);
+    * never upscales. `wCol`/`hCol` are column NAMES. */
+  def resizePlan(wCol: String, hCol: String, maxW: Int, maxH: Int)
+      : org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN $wCol * $maxH <= $hCol * $maxW
+            |  THEN struct(CAST(($wCol * least($maxH, $hCol)) DIV $hCol
+            |         AS INT) AS fit_w,
+            |       CAST(least($maxH, $hCol) AS INT) AS fit_h)
+            |  ELSE struct(CAST(least($maxW, $wCol) AS INT) AS fit_w,
+            |       CAST(($hCol * least($maxW, $wCol)) DIV $wCol AS INT)
+            |         AS fit_h)
+            |END""".stripMargin.replace("\n", " "))
+
   /** Columnar entry: binary payload column → features frame. */
   def extractFeaturesDf(df: DataFrame, idCol: String, modalityCol: String,
       payloadCol: String): DataFrame = {

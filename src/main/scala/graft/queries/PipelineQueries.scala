@@ -554,9 +554,51 @@ object PipelineQueries {
            |  count(*) AS docs
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Multimodal processing PLAN: resize targets and frame-sample indices
+    * computed from metadata alone (no payload decode) — the pruning step
+    * a 100 TB media pipeline runs before paying for any decoder time.
+    * Integer-only arithmetic → exact oracle. */
+  val multimodalPlan = GraftQuery(
+    "q_multimodal_plan",
+    "multimodal resize + frame-sample planning from metadata",
+    (s, dir) => {
+      import graft.functions.Multimodal
+      docs(s, dir)
+        .withColumn("byte_len", length(col("text")).cast("bigint"))
+        .withColumn("w", expr("64 + byte_len % 1920"))
+        .withColumn("h", expr("64 + (byte_len DIV 7) % 1080"))
+        .withColumn("frames", expr("1 + byte_len % 600"))
+        .withColumn("fit", Multimodal.resizePlan("w", "h", 336, 336))
+        .withColumn("idx", Multimodal.frameSampleIndices("frames", 8))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("fit.fit_w"), col("fit.fit_h"),
+          size(col("idx")).cast("bigint").as("n_sampled"),
+          expr("CAST(aggregate(idx, 0L, (a, x) -> a + x) AS BIGINT)")
+            .as("idx_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, w, h,
+           |  CASE WHEN w * 336 <= h * 336
+           |    THEN CAST((w * least(336, h)) // h AS INT)
+           |    ELSE CAST(least(336, w) AS INT) END AS fit_w,
+           |  CASE WHEN w * 336 <= h * 336
+           |    THEN CAST(least(336, h) AS INT)
+           |    ELSE CAST((h * least(336, w)) // w AS INT) END AS fit_h,
+           |  CAST(least(8, frames) AS BIGINT) AS n_sampled,
+           |  CAST(list_sum(list_transform(
+           |      generate_series(0, CAST(least(8, frames) AS INT) - 1),
+           |      i -> (CAST(i AS BIGINT) * frames)
+           |             // least(8, frames))) AS BIGINT) AS idx_sum
+           |FROM (SELECT doc_id,
+           |        64 + length(text) % 1920 AS w,
+           |        64 + (length(text) // 7) % 1080 AS h,
+           |        1 + length(text) % 600 AS frames
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
-    ngramTopk, docLenHist)
+    ngramTopk, docLenHist, multimodalPlan)
 }
