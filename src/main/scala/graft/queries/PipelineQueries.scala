@@ -68,7 +68,8 @@ object PipelineQueries {
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
-          explode(array_distinct(TF.wordShingles(col("ws"), 3))).as("sh"))
+          explode(array_distinct(graft.functions.SignatureExprs
+            .wordShingles(col("ws"), 3))).as("sh"))
         .localCheckpoint(true)
       val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // shuffle_hash, not the planner default: broadcast would build one
@@ -131,7 +132,8 @@ object PipelineQueries {
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), graft.functions.SignatureExprs.minhashSig(
-          array_distinct(TF.wordShingles(col("ws"), 3)), 32).as("sig"))
+          array_distinct(graft.functions.SignatureExprs
+            .wordShingles(col("ws"), 3)), 32).as("sig"))
         .localCheckpoint(true)
       // Candidate pairs via a shuffle-hash self-join on (band, key) —
       // the same choice as the simhash bucket join: distributes a hot
@@ -526,7 +528,8 @@ object PipelineQueries {
     "q_ngram_topk",
     "top-25 corpus bigrams (explode + partial-agg + top-k)",
     (s, dir) => docs(s, dir)
-      .select(explode(TF.wordShingles(TF.words(col("text")), 2)).as("bg"))
+      .select(explode(graft.functions.SignatureExprs.wordShingles(
+        TF.words(col("text")), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("bg"))
       .limit(25),

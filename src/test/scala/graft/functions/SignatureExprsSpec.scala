@@ -50,6 +50,26 @@ class SignatureExprsSpec extends SparkSpec {
     assert(fused.nonEmpty && fused == agg)
   }
 
+  test("fused word shingles equal the HOF formulation, order included") {
+    val rows = docs.limit(200)
+      .select(
+        TF.wordShingles(TF.words(col("text")), 3).as("hof"),
+        SignatureExprs.wordShingles(TF.words(col("text")), 3).as("fused"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // Degenerate widths: fewer words than n -> empty, n=1 -> identity.
+    import spark.implicits._
+    val tiny = Seq(Seq("a", "b")).toDF("ws")
+      .select(SignatureExprs.wordShingles(col("ws"), 3).as("s3"),
+        SignatureExprs.wordShingles(col("ws"), 1).as("s1"))
+      .collect().head
+    assert(tiny.getSeq[String](0).isEmpty)
+    assert(tiny.getSeq[String](1) == Seq("a", "b"))
+  }
+
   test("null semantics: null array -> null signature") {
     import spark.implicits._
     val df = Seq((1L, Some(Seq("a b c"))), (2L, None))
