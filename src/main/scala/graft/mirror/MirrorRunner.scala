@@ -281,6 +281,26 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     merge.merge(changes)
   }
 
+  /** Point-in-time reconstruction of the primary table from the raw
+    * changefeed: one-shot normalize of every batch ≤ `maxBatchId`. The
+    * incremental merge chain and this recompute MUST agree (asserted in
+    * MirrorEqualitySpec) — the engine's core CDC invariant, and the raw
+    * table's reason to exist (§2.4: normalize reads a batch-id range).
+    * Soft deletes are filtered like [[destination]]. */
+  def destinationAsOf(maxBatchId: Long): DataFrame = {
+    import graft.model.ChangeRecord
+    val raw = spark.read.parquet(cfg.rawDir)
+      .filter(col(RawTable.BatchId) <= maxBatchId &&
+        col(RawTable.DestinationTable) === cfg.destinationTable &&
+        col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
+    val normalized = Normalizer.normalize(
+      raw, NormalizeConfig(cfg.pkColumns,
+        liveSchemas(cfg.destinationTable), softDelete = cfg.softDelete))
+      .drop(Normalizer.AbsentCols)
+    if (cfg.softDelete) normalized.filter(!col(RawTable.IsDeleted))
+    else normalized
+  }
+
   /** The normalized destination table (soft deletes filtered). */
   def destination(): DataFrame = destination(cfg.destinationTable)
 

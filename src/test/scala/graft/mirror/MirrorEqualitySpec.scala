@@ -80,6 +80,19 @@ class MirrorEqualitySpec extends SparkSpec {
     // Raw staging table holds every change exactly once.
     val raw = spark.read.parquet(s"$base/raw")
     assert(raw.count() == (inserts ++ updates ++ toastUpd ++ deletes).size + 3)
+
+    // THE CDC invariant: the incremental merge chain equals a one-shot
+    // re-normalize of the full raw history (destinationAsOf at the max
+    // batch id) — including TOAST backfill and delete/reinsert cycles.
+    val maxBatch = raw.agg(org.apache.spark.sql.functions
+      .max(graft.model.RawTable.BatchId)).head()
+      .getAs[Number](0).longValue() // partition col reads back as int
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "name", "v").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("name"), r.getAs[Long]("v")))).toMap
+    assert(keyed(runner.destinationAsOf(maxBatch)) ==
+      keyed(runner.destination()))
   }
 
   test("multi-table mirror fans out by destination table") {
