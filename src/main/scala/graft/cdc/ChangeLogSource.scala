@@ -47,17 +47,31 @@ object ChangeLogWal {
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
-  /** All records with checkpointId in (afterCp, untilCp], WAL order. */
-  def read(dir: String, afterCp: Long, untilCp: Long): Seq[Array[String]] =
-    listLines(dir).map(_.split(Sep.toString, -1))
-      .filter(f => f(0).toLong > afterCp && f(0).toLong <= untilCp)
-
-  def listLines(dir: String): Seq[String] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Nil
-    segmentFiles(d)
+  /** All records with checkpointId in (afterCp, untilCp], WAL order.
+    * Segment-skipping on both ends (cps grow across segment files): files
+    * entirely ≤ afterCp are skipped via one first-line read, and parsing
+    * stops at the first record past untilCp — the executor-side read is
+    * O(batch), not O(history). */
+  def read(dir: String, afterCp: Long, untilCp: Long)
+      : Seq[Array[String]] = {
+    val files = segmentFiles(Paths.get(dir))
+    val firstCps = files.map(firstCp)
+    val live = files.indices
+      .filter(i => (i + 1 >= files.length || firstCps(i + 1) > afterCp) &&
+        firstCps(i) <= untilCp)
+      .map(files)
+    val out = Seq.newBuilder[Array[String]]
+    val it = live.iterator
       .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
       .filter(_.nonEmpty)
+    var done = false
+    while (!done && it.hasNext) {
+      val f = it.next().split(Sep.toString, -1)
+      val cp = f(0).toLong
+      if (cp > untilCp) done = true
+      else if (cp > afterCp) out += f
+    }
+    out.result()
   }
 
   /** Ordered segment files of a WAL dir. */
@@ -226,9 +240,7 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
   @volatile private var availableNowCap: Long = Long.MaxValue
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowCap = ChangeLogWal.listLines(path).lastOption
-      .map(l => l.substring(0, l.indexOf(ChangeLogWal.Sep)).toLong)
-      .getOrElse(-1L)
+    availableNowCap = ChangeLogWal.headCp(path) // last segment tail only
   }
 
   /** Snapshot→CDC handoff (snapshot_flow.go slot-export consistency): a
