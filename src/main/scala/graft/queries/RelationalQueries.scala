@@ -215,7 +215,52 @@ object RelationalQueries {
            |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
            |ORDER BY o_custkey, tag""".stripMargin))
 
+  /** Running total per customer (frame-bounded window): the cumulative
+    * order-value ledger. Partitions by the high-cardinality customer key —
+    * the window never concentrates rows. Integer cents only. */
+  val runningTotal = GraftQuery(
+    "q_running_total",
+    "per-customer running order total (cumulative window frame)",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"))
+      .withColumn("running_c", sum("price_c").over(
+        Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("o_custkey", "o_orderkey"),
+    Some("""SELECT o_custkey, o_orderkey,
+           |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |    AS price_c,
+           |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT)) OVER (PARTITION BY o_custkey
+           |      ORDER BY o_orderkey
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS running_c
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** ROLLUP grouping sets: order counts by (year, priority) with
+    * per-year and grand totals. Group keys sentinel-coalesced to keep
+    * the output non-null (cross-engine NULL-order safety). */
+  val rollupAgg = GraftQuery(
+    "q_rollup",
+    "ROLLUP grouping sets over order year x priority",
+    (s, dir) => t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("prio"))
+      .rollup("yr", "prio")
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+        coalesce(col("prio"), lit("ALL")).as("prio"), col("cnt"))
+      .orderBy("yr", "prio"),
+    Some("""SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+           |  coalesce(prio, 'ALL') AS prio, cnt
+           |FROM (SELECT year(o_orderdate) AS yr,
+           |        o_orderpriority AS prio, count(*) AS cnt
+           |      FROM orders GROUP BY ROLLUP (yr, prio))
+           |ORDER BY yr, prio""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
-    sessionizeBatch, asofJoin, setOps)
+    sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg)
 }
