@@ -599,9 +599,33 @@ object PipelineQueries {
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Benchmark decontamination: drop training docs whose content
+    * fingerprint appears in a benchmark suite — the left-ANTI join every
+    * training pipeline runs before a data release. The benchmark set is
+    * tiny → broadcast: at 100 TB the corpus streams map-side against the
+    * fingerprint set, no shuffle of the corpus at all. (Benchmark stands
+    * in as every 97th doc's fingerprint — deterministic, engine-equal.) */
+  val decontaminate = GraftQuery(
+    "q_decontaminate",
+    "benchmark-overlap removal (broadcast anti-join on fingerprints)",
+    (s, dir) => {
+      val fp = docs(s, dir).select(col("doc_id"),
+        TF.fingerprint(TF.words(col("text"))).as("fp"))
+      val benchmark = fp.filter(col("doc_id") % 97 === 0).select("fp")
+      fp.join(broadcast(benchmark), Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH fp AS (SELECT doc_id,
+            |    ${TF.fingerprintDuckSql("string_split(text, ' ')")} AS fp
+            |  FROM documents)
+            |SELECT doc_id, fp FROM fp
+            |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 97 = 0)
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
-    ngramTopk, docLenHist, multimodalPlan)
+    ngramTopk, docLenHist, multimodalPlan, decontaminate)
 }
