@@ -623,9 +623,41 @@ object PipelineQueries {
             |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 97 = 0)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Sequence packing plan: assign docs to fixed token-budget packs by
+    * cumulative offset within a shard (pack = start-offset DIV budget) —
+    * the document-granular packing layout computed relationally. Packing
+    * is per-shard (doc_id mod 8) exactly as it is per-worker in a real
+    * pipeline, so the running-sum window partitions by a scalable key
+    * instead of one global order. */
+  val packSequences = GraftQuery(
+    "q_pack_sequences",
+    "token-budget sequence packing plan (per-shard running offsets)",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), expr("doc_id % 8").as("shard"),
+        size(TF.words(col("text"))).cast("bigint").as("tokens"))
+      .withColumn("cum", sum("tokens").over(
+        Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pack", expr("(cum - tokens) DIV 2048"))
+      .groupBy("shard", "pack")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("pack_tokens"))
+      .orderBy("shard", "pack"),
+    Some("""SELECT shard, pack, count(*) AS n_docs,
+           |  CAST(sum(tokens) AS BIGINT) AS pack_tokens
+           |FROM (SELECT shard, (cum - tokens) // 2048 AS pack, tokens
+           |  FROM (SELECT doc_id % 8 AS shard,
+           |          CAST(len(string_split(text, ' ')) AS BIGINT)
+           |            AS tokens,
+           |          CAST(sum(len(string_split(text, ' ')))
+           |              OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |                  CURRENT ROW) AS BIGINT) AS cum
+           |        FROM documents))
+           |GROUP BY shard, pack ORDER BY shard, pack""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
-    ngramTopk, docLenHist, multimodalPlan, decontaminate)
+    ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences)
 }
