@@ -260,7 +260,28 @@ object RelationalQueries {
            |      FROM orders GROUP BY ROLLUP (yr, prio))
            |ORDER BY yr, prio""".stripMargin))
 
+  /** Exact median (interpolated percentile) per group, doubled into
+    * integer half-cents: for integer inputs the interpolation midpoint is
+    * (a+b)/2, so 2·median is an exact integer in every engine — no FP in
+    * the compared output. */
+  val medianAgg = GraftQuery(
+    "q_median",
+    "exact per-group median (integer half-cent encoding)",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"))
+      .groupBy("prio")
+      .agg(expr("CAST(percentile(price_c, 0.5) * 2 AS BIGINT)")
+        .as("median_x2"), count(lit(1)).as("cnt"))
+      .orderBy("prio"),
+    Some("""SELECT o_orderpriority AS prio,
+           |  CAST(median(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |    AS BIGINT)) * 2 AS BIGINT) AS median_x2,
+           |  count(*) AS cnt
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
-    sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg)
+    sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg)
 }
