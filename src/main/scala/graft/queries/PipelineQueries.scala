@@ -655,9 +655,32 @@ object PipelineQueries {
            |        FROM documents))
            |GROUP BY shard, pack ORDER BY shard, pack""".stripMargin))
 
+  /** Embedding-space profile: histogram of quantized squared norms —
+    * the vector-quality scan (zero/degenerate/outlier vectors) a pipeline
+    * runs before indexing. Integer arithmetic end-to-end. */
+  val embStats = GraftQuery(
+    "q_emb_stats",
+    "embedding norm profile (quantized squared-norm histogram)",
+    (s, dir) => embs(s, dir)
+      .select(Similarity.quantize(col("embedding")).as("qe"))
+      .select(expr(
+        "aggregate(qe, 0L, (acc, x) -> acc + x * x)").as("norm2"))
+      .select(expr("CAST(norm2 DIV 1000 AS INT)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("vecs"))
+      .orderBy("bin"),
+    Some("""SELECT CAST(norm2 // 1000 AS INT) AS bin,
+           |  count(*) AS vecs
+           |FROM (SELECT CAST(list_sum(list_transform(embedding, x ->
+           |    CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) *
+           |    CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)))
+           |    AS BIGINT) AS norm2
+           |  FROM embeddings)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
-    ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences)
+    ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
+    embStats)
 }
