@@ -49,30 +49,27 @@ object ChangeLogWal {
 
   /** All records with checkpointId in (afterCp, untilCp], WAL order.
     * Segment-skipping on both ends (cps grow across segment files): files
-    * entirely ≤ afterCp are skipped via one first-line read, and parsing
-    * stops at the first record past untilCp — the executor-side read is
-    * O(batch), not O(history). */
-  def read(dir: String, afterCp: Long, untilCp: Long)
-      : Seq[Array[String]] = {
+    * entirely ≤ afterCp are skipped via one first-line read, parsing
+    * stops at the first record past untilCp, and segments stream one at
+    * a time — the executor-side read is O(batch) work and O(segment)
+    * memory, not O(history) of either. */
+  def readIter(dir: String, afterCp: Long, untilCp: Long)
+      : Iterator[Array[String]] = {
     val files = segmentFiles(Paths.get(dir))
     val firstCps = files.map(firstCp)
-    val live = files.indices
+    files.indices.iterator
       .filter(i => (i + 1 >= files.length || firstCps(i + 1) > afterCp) &&
         firstCps(i) <= untilCp)
       .map(files)
-    val out = Seq.newBuilder[Array[String]]
-    val it = live.iterator
       .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
       .filter(_.nonEmpty)
-    var done = false
-    while (!done && it.hasNext) {
-      val f = it.next().split(Sep.toString, -1)
-      val cp = f(0).toLong
-      if (cp > untilCp) done = true
-      else if (cp > afterCp) out += f
-    }
-    out.result()
+      .map(_.split(Sep.toString, -1))
+      .takeWhile(_(0).toLong <= untilCp)
+      .filter(_(0).toLong > afterCp)
   }
+
+  def read(dir: String, afterCp: Long, untilCp: Long): Seq[Array[String]] =
+    readIter(dir, afterCp, untilCp).toSeq
 
   /** Ordered segment files of a WAL dir. */
   def segmentFiles(d: Path): Seq[Path] =
@@ -328,7 +325,7 @@ private[cdc] class ChangeLogReaderFactory extends PartitionReaderFactory {
 
 private[cdc] class ChangeLogPartitionReader(p: ChangeLogInputPartition)
     extends PartitionReader[InternalRow] {
-  private val it = ChangeLogWal.read(p.path, p.afterCp, p.untilCp).iterator
+  private val it = ChangeLogWal.readIter(p.path, p.afterCp, p.untilCp)
   private var current: Array[String] = _
 
   override def next(): Boolean = {
