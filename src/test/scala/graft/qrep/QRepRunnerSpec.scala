@@ -19,6 +19,21 @@ class QRepRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/dest").count() == 150)
   }
 
+  test("overwrite mode replaces the destination wholesale") {
+    val base = tmpDir("qrepow")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/dest", s"$base/wm", WriteMode.Overwrite, 4))
+    val v1 = spark.range(1, 4).selectExpr("id AS k", "id * 2 AS v")
+    assert(runner.runOnce(v1) == 3)
+    assert(spark.read.parquet(s"$base/dest").count() == 3)
+    // New snapshot with fewer, different rows: truncate+insert semantics.
+    val v2 = spark.range(10, 12).selectExpr("id AS k", "id * 3 AS v")
+    assert(runner.runOnce(v2) == 2)
+    val rows = spark.read.parquet(s"$base/dest").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(rows == Map(10L -> 30L, 11L -> 33L))
+  }
+
   test("NULL-watermark rows: dedicated partition, first run only") {
     import spark.implicits._
     val base = tmpDir("qrepnull")
