@@ -50,6 +50,19 @@ class SignatureExprsSpec extends SparkSpec {
     assert(fused.nonEmpty && fused == agg)
   }
 
+  test("hash60 edge inputs: empty string, unicode, long tokens") {
+    import spark.implicits._
+    val inputs = Seq("", "的", "naïve", "🎉🎊", "a" * 10000, " ", "\t")
+    val rows = inputs.toDF("w")
+      .select(col("w"), expr(TF.hash60Sql("w")).as("sql_h")).collect()
+    rows.foreach { r =>
+      assert(TextHash.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getString(0))) == r.getLong(1),
+        s"input=${r.getString(0).take(20)}")
+    }
+  }
+
   test("fused word shingles equal the HOF formulation, order included") {
     val rows = docs.limit(200)
       .select(
