@@ -655,6 +655,58 @@ object PipelineQueries {
            |        FROM documents))
            |GROUP BY shard, pack ORDER BY shard, pack""".stripMargin))
 
+  /** Multi-probe hyperplane-LSH search: candidates come from the query's
+    * bucket plus its 6 one-bit-flip neighbors (the standard multi-probe
+    * recall lever — a vector near a hyperplane lands one sign-bit away),
+    * then float-cosine top-10 within candidates. Bucket membership is an
+    * integer equi-semi-join against 7 literal bucket ids: the corpus
+    * never shuffles, the probe set is driver-side. Rank-only output. */
+  val annLshSearch = GraftQuery(
+    "q_ann_lsh_search",
+    "multi-probe LSH ANN search (bucket + 1-bit neighbors, cosine top-10)",
+    (s, dir) => {
+      val e = embs(s, dir)
+        .withColumn("bucket", Similarity.hyperplaneBucket("embedding", 6))
+        .localCheckpoint(true)
+      val qrow = e.filter(col("vec_id") === 0)
+        .select(col("embedding"), col("bucket")).head()
+      val qEmb = qrow.getSeq[Float](0).toSeq
+      val qBucket = qrow.getLong(1)
+      val probes = qBucket +: (0 until 6).map(b => qBucket ^ (1L << b))
+      val top = e
+        .filter(col("bucket").isin(probes.map(java.lang.Long.valueOf): _*)
+          && col("vec_id") =!= 0)
+        .withColumn("sim", Similarity.cosineFast(col("embedding"),
+          typedLit(qEmb).cast("array<float>")))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("sim").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("vec_id"), col("bucket"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding,
+            |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6)}
+            |    AS bucket
+            |  FROM embeddings),
+            |q AS (SELECT embedding AS qemb, bucket AS qb FROM b
+            |      WHERE vec_id = 0),
+            |probes AS (
+            |  SELECT qb AS p FROM q
+            |  UNION ALL
+            |  SELECT xor(qb, 1 << h) FROM q,
+            |    (SELECT unnest(generate_series(0, 5)) AS h))
+            |SELECT rank, vec_id, bucket FROM (
+            |  SELECT ROW_NUMBER() OVER (
+            |      ORDER BY list_cosine_similarity(b.embedding, q.qemb)
+            |        DESC, b.vec_id) AS rank,
+            |    b.vec_id, b.bucket
+            |  FROM b, q
+            |  WHERE b.bucket IN (SELECT p FROM probes)
+            |    AND b.vec_id <> 0)
+            |WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
   /** Embedding-space profile: histogram of quantized squared norms —
     * the vector-quality scan (zero/degenerate/outlier vectors) a pipeline
     * runs before indexing. Integer arithmetic end-to-end. */
@@ -682,5 +734,5 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
-    embStats)
+    embStats, annLshSearch)
 }
