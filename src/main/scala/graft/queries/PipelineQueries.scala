@@ -707,6 +707,30 @@ object PipelineQueries {
             |    AND b.vec_id <> 0)
             |WHERE rank <= 10 ORDER BY rank""".stripMargin))
 
+  /** Text normalization pass (the cleaning stage ahead of tokenization):
+    * punctuation strip, whitespace collapse, lowercase, trim. Patterns
+    * are literal character classes only — the subset where Java regex
+    * (Spark) and RE2-ish (DuckDB) semantics provably agree. Output is
+    * the cleaned text's digest + length (row-size-stable compare). */
+  val textClean = GraftQuery(
+    "q_text_clean",
+    "text cleaning: punct strip + whitespace collapse + lowercase",
+    (s, dir) => docs(s, dir)
+      .withColumn("cleaned", trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[.,!?;:'\"]", ""), " +", " ")))
+      .select(col("doc_id"),
+        length(col("cleaned")).cast("bigint").as("clean_len"),
+        md5(col("cleaned")).as("clean_md5"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(length(cleaned) AS BIGINT) AS clean_len,
+           |  md5(cleaned) AS clean_md5
+           |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(
+           |    lower(text), '[.,!?;:''"]', '', 'g'), ' +', ' ', 'g'))
+           |    AS cleaned
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Embedding-space profile: histogram of quantized squared norms —
     * the vector-quality scan (zero/degenerate/outlier vectors) a pipeline
     * runs before indexing. Integer arithmetic end-to-end. */
@@ -734,5 +758,5 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
-    embStats, annLshSearch)
+    embStats, annLshSearch, textClean)
 }
