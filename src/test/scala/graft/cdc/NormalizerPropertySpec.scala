@@ -38,6 +38,52 @@ class NormalizerPropertySpec extends SparkSpec {
     }
   }
 
+  test("pk-changing updates: random streams match the fold with old-key deletes") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(777L)
+    // (version, oldId, newId, b): an update that may move the row to a
+    // new key; oldId == newId means a plain update.
+    val recs = (1 to 200).map { i =>
+      val oldId = 1L + rnd.nextInt(12)
+      val newId = if (rnd.nextInt(4) == 0) 1L + rnd.nextInt(12) else oldId
+      (i.toLong, oldId, newId, i.toLong * 3)
+    }
+    // Reference fold: each record upserts newId and, when the key moved,
+    // tombstones oldId at version−1 (unless something newer claimed it).
+    val lastWrite = scala.collection.mutable.Map.empty[Long, (Long, Boolean, Long)]
+    // key -> (version, deleted, b)
+    recs.foreach { case (ver, oldId, newId, b) =>
+      if (oldId != newId) {
+        val tombVer = ver - 1
+        if (lastWrite.get(oldId).forall(_._1 <= tombVer))
+          lastWrite(oldId) = (tombVer, true, 0L)
+      }
+      if (lastWrite.get(newId).forall(_._1 <= ver))
+        lastWrite(newId) = (ver, false, b)
+    }
+    val want = lastWrite.toMap
+
+    val rows = recs.map { case (ver, oldId, newId, b) =>
+      org.apache.spark.sql.Row(
+        f"u$ver%09d", ver, "dest", s"""{"id":$newId,"b":$b}""",
+        graft.model.ChangeRecord.TypeUpdate, s"""{"id":$oldId}""", 0L, "")
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("b", LongType)))
+    val got = Normalizer.normalize(
+      spark.createDataFrame(rows.asJava, RawTable.schema).repartition(5),
+      NormalizeConfig(Seq("id"), schema))
+      .collect().map { r =>
+        r.getAs[Long]("id") -> ((r.getAs[Long](RawTable.Version),
+          r.getAs[Boolean](RawTable.IsDeleted)))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (ver, deleted, b)) =>
+      val (gv, gd) = got(id)
+      assert(gv == ver && gd == deleted, s"id=$id got=($gv,$gd)")
+    }
+  }
+
   test("normalize equals the sequential fold on random streams") {
     import scala.jdk.CollectionConverters._
     val rnd = new scala.util.Random(20260812L)
