@@ -79,6 +79,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals the batch sessionizer on real events") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val Gap = 30L * 60 * 1000000 // the q_sessionize_batch gap
+
+    // Batch truth from the verified query (user_id, start, end, n).
+    val batch = graft.queries.RelationalQueries.sessionizeBatch
+      .run(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+      .toSet
+
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id AS key", "ts div 1000 AS tsMicros")
+      .as[SessionEvent].collect().toSeq
+    val maxTs = events.map(_.tsMicros).max
+
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionize(input.toDS(), Gap, "1 minute")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // Sentinel far past every session end advances the watermark so
+      // every open session times out and emits (needs a SECOND batch for
+      // the new watermark to take effect on timeouts).
+      input.addData(SessionEvent(-1L, maxTs + 10L * Gap))
+      q.processAllAvailable()
+      input.addData(SessionEvent(-1L, maxTs + 11L * Gap))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT key, startMicros, endMicros, events FROM sess_parity")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3).toLong))
+        .filter(_._1 >= 0) // drop the sentinel key
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within the watermark collapse") {
     val spark0 = spark
     import spark0.implicits._
