@@ -36,6 +36,28 @@ object QueueSink {
   }
 }
 
+/** File-output sizing — the small-files control for object-store sinks
+  * (the S3/file destination path, flow/connectors/s3/qrep.go writes one
+  * Avro object per partition): bound BOTH the number of writer tasks and
+  * the rows per file, so a 100 TB write neither produces millions of tiny
+  * objects nor single-task giants. */
+object ParquetSink {
+  /** Write `df` with ≈`rowsPerFile` rows per output file: repartition to
+    * ceil(n/rowsPerFile) writer tasks (round-robin — even sizes without a
+    * key) and cap rows per file for safety on skewed task inputs. Returns
+    * the row count (one extra job; callers with a known count can pass
+    * it via `knownCount`). */
+  def writeSized(df: DataFrame, path: String, rowsPerFile: Long,
+      knownCount: Long = -1L): Long = {
+    val n = if (knownCount >= 0) knownCount else df.count()
+    val parts = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    df.repartition(parts)
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .mode("overwrite").parquet(path)
+    n
+  }
+}
+
 /** Elasticsearch-destination record shaping — the engine-owned half of
   * the ES sink (flow/connectors/elasticsearch/): each change row becomes
   * a `_bulk` action line with `_id` = primary key (the natural-upsert

@@ -96,6 +96,21 @@ class SinksSpec extends SparkSpec {
     assert(MergeSqlGenerator.upsertFallback(target, staged).size == 3)
   }
 
+  test("sized writes bound files and rows per file") {
+    val dir = tmpDir("sizedout")
+    val n = ParquetSink.writeSized(
+      spark.range(0, 10000).toDF("id"), dir, rowsPerFile = 2500)
+    assert(n == 10000L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, files.length.toString)
+    // Re-read intact and no file exceeds the cap.
+    assert(spark.read.parquet(dir).count() == 10000L)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 2500L)
+    }
+  }
+
   test("queue records take the kafka sink shape with routing hook") {
     import spark.implicits._
     val raw = Seq(("u1", 1L, "pub.t", """{"id":1}""", 0))
