@@ -169,47 +169,102 @@ object PipelineQueries {
   /** SimHash near-dup: 60-bit majority-vote signature; candidates bucket by
     * the 16-bit prefix, verified by Hamming distance ≤ 12 (bit_count of
     * XOR). Portable hashes → full DuckDB oracle. */
+  /** SimHash near-dup pairs (shared by q_dedup_simhash and
+    * q_dedup_cluster): (d1, d2, hamming) with Hamming ≤ 12.
+    *
+    * Bucketed self-join (not per-bucket array pairing): with skewed
+    * buckets the join distributes the K² pair work across tasks, while
+    * an in-row pair expansion serializes each bucket into one
+    * interpreted expression — measured slower.
+    * localCheckpoint: the signature frame is tiny (one row per doc) but
+    * its 3-shuffle pipeline would otherwise execute once PER JOIN SIDE
+    * (no ReusedExchange across the self-join) — at scale you persist
+    * the signature table anyway before candidate generation.
+    * Fused-loop signature (SimHash60Expr): votes accumulate per doc in
+    * the scan stage — no explode, no 60-sum aggregate shuffle; equals
+    * TF.simhashSignatures bit-for-bit (SignatureExprsSpec). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = docs(s, dir)
+      .select(col("doc_id"), graft.functions.SignatureExprs
+        .simhash60(TF.words(col("text"))).as("sig"))
+      .withColumn("bucket", expr("shiftrightunsigned(sig, 44)"))
+      .select("doc_id", "sig", "bucket")
+      .localCheckpoint(true)
+    sig.as("a")
+      .join(sig.as("b").hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)"))
+      .filter(col("hamming") <= 12)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("hamming"))
+  }
+
+  /** DuckDB CTE list producing the same (d1, d2) pair set as
+    * [[simhashPairs]]; compose after a `WITH [RECURSIVE]`. */
+  private val duckSimhashPairs =
+    s"""sig AS (
+       |  ${TF.simhashDuckSql("doc_id", "text", "documents")}
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM sig a JOIN sig b
+       |    ON (a.sig // ${1L << 44}) = (b.sig // ${1L << 44})
+       |      AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 12
+       |)""".stripMargin
+
   val dedupSimhash = GraftQuery(
     "q_dedup_simhash",
     "SimHash(60) near-dup pairs (prefix bucket + Hamming verify)",
-    (s, dir) => {
-      // Bucketed self-join (not per-bucket array pairing): with skewed
-      // buckets the join distributes the K² pair work across tasks, while
-      // an in-row pair expansion serializes each bucket into one
-      // interpreted expression — measured slower.
-      // localCheckpoint: the signature frame is tiny (one row per doc) but
-      // its 3-shuffle pipeline would otherwise execute once PER JOIN SIDE
-      // (no ReusedExchange across the self-join) — at scale you persist
-      // the signature table anyway before candidate generation.
-      // Fused-loop signature (SimHash60Expr): votes accumulate per doc in
-      // the scan stage — no explode, no 60-sum aggregate shuffle; equals
-      // TF.simhashSignatures bit-for-bit (SignatureExprsSpec).
-      val sig = docs(s, dir)
-        .select(col("doc_id"), graft.functions.SignatureExprs
-          .simhash60(TF.words(col("text"))).as("sig"))
-        .withColumn("bucket", expr("shiftrightunsigned(sig, 44)"))
-        .select("doc_id", "sig", "bucket")
-        .localCheckpoint(true)
-      sig.as("a")
-        .join(sig.as("b").hint("shuffle_hash"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)"))
-        .filter(col("hamming") <= 12)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("hamming"))
-        .orderBy("d1", "d2")
-    },
-    Some(s"""WITH sig AS (
-            |  ${TF.simhashDuckSql("doc_id", "text", "documents")}
-            |)
-            |SELECT a.doc_id AS d1, b.doc_id AS d2,
-            |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-            |FROM sig a JOIN sig b
-            |  ON (a.sig // ${1L << 44}) = (b.sig // ${1L << 44})
-            |    AND a.doc_id < b.doc_id
-            |WHERE bit_count(xor(a.sig, b.sig)) <= 12
+    (s, dir) => simhashPairs(s, dir).orderBy("d1", "d2"),
+    Some(s"""WITH $duckSimhashPairs
+            |SELECT d1, d2, hamming FROM pairs
             |ORDER BY d1, d2""".stripMargin))
+
+  /** Near-dup CLUSTERING — the step after pair detection: connected
+    * components over the simhash pair graph assign every near-duplicate
+    * doc a canonical cluster id (the min doc_id of its component), plus
+    * the cluster size. This is what a real corpus-dedup job keys its
+    * "keep one representative per group" filter on; pairs alone can't do
+    * it (A~B, B~C ⇒ {A,B,C} must collapse together even when A≁C).
+    *
+    * Spark side: iterative min-label propagation
+    * ([[graft.operators.ConnectedComponents]]) — one shuffle join + one
+    * min-aggregate per round, converges in ~diameter rounds (near-dup
+    * components are near-cliques, 2–3 rounds). Oracle: DuckDB recursive
+    * CTE propagating labels downhill (lbl < node prunes the closure to
+    * O(component²) rows — near-dup components are small). */
+  val dedupCluster = GraftQuery(
+    "q_dedup_cluster",
+    "near-dup clusters: connected components over simhash pairs",
+    (s, dir) => {
+      val lab = graft.operators.ConnectedComponents
+        .minLabel(simhashPairs(s, dir), "d1", "d2")
+      val sz = lab.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      // sz is one short row per cluster but plan-rooted at the documents
+      // scan — the planner's size estimate overshoots; broadcast it.
+      lab.join(broadcast(sz), "cluster_id")
+        .select(col("node").as("doc_id"), col("cluster_id"), col("csize"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $duckSimhashPairs,
+            |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |      UNION ALL SELECT d2, d1 FROM pairs),
+            |cc(node, lbl) AS (
+            |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            |  UNION
+            |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.node
+            |  WHERE cc.lbl < e.b
+            |),
+            |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            |        FROM cc GROUP BY 1),
+            |sz AS (SELECT cluster_id, count(*) AS csize
+            |       FROM lab GROUP BY 1)
+            |SELECT l.doc_id, l.cluster_id, s.csize
+            |FROM lab l JOIN sz s USING (cluster_id)
+            |ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------- text analysis
 
@@ -758,5 +813,5 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
-    embStats, annLshSearch, textClean)
+    embStats, annLshSearch, textClean, dedupCluster)
 }
