@@ -54,28 +54,36 @@ object ConnectedComponents {
       .select(col("node"), col("node").as("cluster_id"))
       .localCheckpoint(true)
 
+    // Convergence witness: sum(cluster_id) is non-increasing across rounds
+    // and strictly decreases whenever ANY label improves — a one-number
+    // aggregate on the already-checkpointed frame, much cheaper than a
+    // changed-rows join-back. Decimal(38,0): an ANSI-mode BIGINT sum could
+    // overflow on wide-id corpora.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
-      // Smallest label reaching each node over one hop. shuffle_hash: both
-      // sides are mid-cardinality keyed frames — broadcast would rebuild
-      // the full label map per task, SMJ pays two sorts (same measurement
-      // as the shingle/band self-joins, MicroBench jachints).
-      val hop = e.join(labels.hint("shuffle_hash"),
+      // One hop: each node takes the min label among itself and its
+      // neighbors — a single shuffle join plus a single (partial-then-
+      // final) min-aggregate per round. shuffle_hash: both sides are
+      // mid-cardinality keyed frames — broadcast would rebuild the full
+      // label map per task, SMJ pays two sorts (same measurement as the
+      // shingle/band self-joins, MicroBench jachints).
+      val next = e.join(labels.hint("shuffle_hash"),
           e("cc_a") === labels("node"))
-        .groupBy(col("cc_b").as("node"))
-        .agg(min("cluster_id").as("hop_min"))
-      val next = labels
-        .join(hop.withColumnRenamed("node", "hop_node"),
-          col("node") === col("hop_node"), "left")
-        .select(col("node"),
-          least(col("cluster_id"),
-            coalesce(col("hop_min"), col("cluster_id"))).as("cluster_id"),
-          (col("hop_min") < col("cluster_id")).as("cc_changed"))
+        .select(col("cc_b").as("node"), col("cluster_id"))
+        .union(labels)
+        .groupBy("node")
+        .agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
-      converged =
-        next.filter(col("cc_changed")).limit(1).isEmpty
-      labels = next.select("node", "cluster_id")
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       round += 1
     }
     labels

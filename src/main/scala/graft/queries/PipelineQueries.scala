@@ -486,38 +486,93 @@ object PipelineQueries {
     * NearestCentroidExpr; final ranking is float cosine within the probed
     * clusters (rank-only output, like q_ann_cosine_topk). Full DuckDB
     * oracle replays the same Lloyd rounds. */
+  /** Probed IVF top-10 for query vec 0 — (rank, vec_id, ivf_cluster);
+    * shared by q_ann_ivf and q_ann_recall. */
+  private def ivfTop10(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Ivf
+    val e = embs(s, dir)
+      .withColumn("qe", Similarity.quantize(col("embedding")))
+      .localCheckpoint(true)
+    val centroids = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+    val qrow = e.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("qe")).head()
+    val qEmb = qrow.getSeq[Float](0).toSeq
+    val qQe = qrow.getSeq[Long](1).toArray
+    val probes = Ivf.probeOrderQuantized(qQe, centroids).take(4)
+    val top = e
+      .withColumn("ivf_cluster",
+        Ivf.assignQuantized(col("qe"), centroids))
+      .filter(col("ivf_cluster").isin(probes.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= 0)
+      .withColumn("sim", Similarity.cosineFast(col("embedding"),
+        typedLit(qEmb).cast("array<float>")))
+      .orderBy(col("sim").desc, col("vec_id")) // TakeOrderedAndProject
+      .limit(10)
+    graft.operators.GlobalRank.withRowNumber(
+        top, Seq(col("sim").desc, col("vec_id")), rnCol = "rank",
+        numPartitions = 1)
+      .select(col("rank"), col("vec_id"), col("ivf_cluster"))
+  }
+
   val annIvf = GraftQuery(
     "q_ann_ivf",
     "IVF (inverted-file) ANN: centroid index + probed search",
-    (s, dir) => {
-      import graft.functions.Ivf
-      val e = embs(s, dir)
-        .withColumn("qe", Similarity.quantize(col("embedding")))
-        .localCheckpoint(true)
-      val centroids = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
-      val qrow = e.filter(col("vec_id") === 0)
-        .select(col("embedding"), col("qe")).head()
-      val qEmb = qrow.getSeq[Float](0).toSeq
-      val qQe = qrow.getSeq[Long](1).toArray
-      val probes = Ivf.probeOrderQuantized(qQe, centroids).take(4)
-      val top = e
-        .withColumn("ivf_cluster",
-          Ivf.assignQuantized(col("qe"), centroids))
-        .filter(col("ivf_cluster").isin(probes.map(Integer.valueOf): _*) &&
-          col("vec_id") =!= 0)
-        .withColumn("sim", Similarity.cosineFast(col("embedding"),
-          typedLit(qEmb).cast("array<float>")))
-        .orderBy(col("sim").desc, col("vec_id")) // TakeOrderedAndProject
-        .limit(10)
-      graft.operators.GlobalRank.withRowNumber(
-          top, Seq(col("sim").desc, col("vec_id")), rnCol = "rank",
-          numPartitions = 1)
-        .select(col("rank"), col("vec_id"), col("ivf_cluster"))
-        .orderBy("rank")
-    },
+    (s, dir) => ivfTop10(s, dir).orderBy("rank"),
     Some(graft.functions.Ivf.ivfDuckSql("embeddings", "vec_id",
       "embedding", k = 16, iters = 3, nProbe = 4, topK = 10,
       queryId = 0L)))
+
+  /** ANN QUALITY measurement: which of the exact (brute-force) cosine
+    * top-10 does the probed IVF search recover? One row per exact-top-10
+    * rank with found ∈ {0,1}; sum(found)/10 is recall@10. At 100 TB this
+    * is the query you run on a sampled query set before trusting an ANN
+    * index — both sides are already verified queries, this one verifies
+    * their RELATIONSHIP (and pins the recall floor; IvfSpec asserts ≥ 8
+    * of 10 in-process). */
+  val annRecall = GraftQuery(
+    "q_ann_recall",
+    "IVF recall@10 vs the brute-force cosine top-10",
+    (s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val bf = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim",
+          Similarity.cosineFast(col("embedding"), col("q_emb")))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+          bf, Seq(col("sim").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("vec_id"))
+      val ivf = ivfTop10(s, dir).select(col("vec_id").as("ivf_vec_id"))
+      ranked.join(broadcast(ivf), col("vec_id") === col("ivf_vec_id"),
+          "left")
+        .select(col("rank"), col("vec_id"),
+          when(col("ivf_vec_id").isNull, 0).otherwise(1).as("found"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH bf AS (
+            |  SELECT rank, vec_id FROM (
+            |    SELECT ROW_NUMBER() OVER (
+            |        ORDER BY list_cosine_similarity(e.embedding, q.q_emb)
+            |          DESC, e.vec_id) AS rank, e.vec_id
+            |    FROM embeddings e,
+            |      (SELECT embedding AS q_emb FROM embeddings
+            |       WHERE vec_id = 0) q
+            |    WHERE e.vec_id <> 0)
+            |  WHERE rank <= 10),
+            |ivf AS (
+            |  SELECT vec_id FROM (
+            |    ${graft.functions.Ivf.ivfDuckSql("embeddings", "vec_id",
+                   "embedding", k = 16, iters = 3, nProbe = 4, topK = 10,
+                   queryId = 0L)}))
+            |SELECT bf.rank, bf.vec_id,
+            |  CAST(CASE WHEN ivf.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+            |    AS found
+            |FROM bf LEFT JOIN ivf USING (vec_id)
+            |ORDER BY rank""".stripMargin))
 
   // ------------------------------------------------------- multimodal
 
@@ -813,5 +868,5 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
-    embStats, annLshSearch, textClean, dedupCluster)
+    embStats, annLshSearch, textClean, dedupCluster, annRecall)
 }
