@@ -25,9 +25,13 @@ object MicroBench {
     spark.sparkContext.setLogLevel("WARN")
     import graft.functions.{TextFunctions => TF}
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
-    docs.localCheckpoint(true).count()
+    // lazy: the cdc case reuses args(1) as its batch size, not an sfDir
+    lazy val docs = {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      d.localCheckpoint(true).count()
+      d
+    }
 
     args.headOption.getOrElse("simhash") match {
       case "simhash" =>
@@ -169,11 +173,74 @@ object MicroBench {
         time("warm full")(PipelineQueries.annIvf.run(spark, sfDir).count())
         (1 to 2).foreach(i => time(s"full run $i")(
           PipelineQueries.annIvf.run(spark, sfDir).count()))
+      case "cdc" =>
+        // End-to-end mirror throughput: WAL decode → raw staging append →
+        // normalize (latest-version dedup, TOAST backfill, soft delete) →
+        // hash-bucketed MERGE into the destination. The reference claims
+        // "10k+ tps sustained" for this path (BASELINE.md) — measure ours
+        // at the reference's default batch size (250k records/batch).
+        cdcThroughput(spark, records = 1000000,
+          maxBatch = args.lift(1).map(_.toInt).getOrElse(250000))
       case other => sys.error(s"unknown micro-bench: $other")
     }
   }
 
   /** Alternative simhash shape: explode (id, bit) like Ivf's mean. */
+  /** Full-pipeline CDC throughput: insert/update/delete mix through
+    * WAL → DSv2 stream → raw append → normalize → bucketed MERGE. */
+  private def cdcThroughput(spark: SparkSession, records: Int,
+      maxBatch: Int): Unit = {
+    import graft.cdc.ChangeLogWal
+    import graft.mirror.{MirrorConfig, MirrorRunner}
+    import graft.model.ChangeRecord
+    import org.apache.spark.sql.types._
+
+    val base = java.nio.file.Files
+      .createTempDirectory("cdcbench").toString
+    val wal = s"$base/wal"
+    val keys = records / 2 // every key inserted; half updated or deleted
+    def rec(cp: Long, rt: Int, id: Long, v: Long): ChangeRecord =
+      ChangeRecord(rt, cp, cp.toString, cp * 1000, cp / 100,
+        "public.t", "dest.t",
+        if (rt == ChangeRecord.TypeDelete) null
+        else s"""{"id":$id,"name":"name_$id","v":$v}""",
+        if (rt == ChangeRecord.TypeInsert) null else s"""{"id":$id}""",
+        Nil)
+    time("wal generate") {
+      var cp = 0L
+      // inserts for all keys, then an update/delete tail — segments of
+      // 100k lines (the WAL reader streams segment-at-a-time).
+      (0 until keys).grouped(100000).foreach { chunk =>
+        ChangeLogWal.append(wal, chunk.map { i =>
+          cp += 1; rec(cp, ChangeRecord.TypeInsert, i, i)
+        })
+      }
+      (0 until (records - keys)).grouped(100000).foreach { chunk =>
+        ChangeLogWal.append(wal, chunk.map { i =>
+          cp += 1
+          val id = i % keys
+          if (i % 10 == 9) rec(cp, ChangeRecord.TypeDelete, id, 0)
+          else rec(cp, ChangeRecord.TypeUpdate, id, i)
+        })
+      }
+    }
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("v", LongType))),
+      destinationTable = "dest.t",
+      maxBatchSize = maxBatch) // 250000 = the reference's default
+    val t0 = System.nanoTime()
+    new MirrorRunner(spark, cfg).runAvailableNow()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val destRows = new MirrorRunner(spark, cfg).destination().count()
+    println(f"cdc mirror: $records%d records in $secs%.1f s = " +
+      f"${records / secs}%.0f records/s (dest rows: $destRows%d; " +
+      "reference claim: 10k+ tps)")
+  }
+
   private def simhashExplodeBits(df: DataFrame): DataFrame = {
     import graft.functions.{TextFunctions => TF}
     val occ = df

@@ -61,12 +61,19 @@ object ChangeLogWal {
       .filter(i => (i + 1 >= files.length || firstCps(i + 1) > afterCp) &&
         firstCps(i) <= untilCp)
       .map(files)
-      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
+      .flatMap(p => parseSegment(p, afterCp, untilCp))
+  }
+
+  /** Parsed records of ONE segment file with checkpointId in
+    * (afterCp, untilCp] — the executor-side unit of the streaming scan
+    * (one input partition per segment; segments parse in parallel). */
+  def parseSegment(p: Path, afterCp: Long, untilCp: Long)
+      : Iterator[Array[String]] =
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator
       .filter(_.nonEmpty)
       .map(_.split(Sep.toString, -1))
       .takeWhile(_(0).toLong <= untilCp)
       .filter(_(0).toLong > afterCp)
-  }
 
   def read(dir: String, afterCp: Long, untilCp: Long): Seq[Array[String]] =
     readIter(dir, afterCp, untilCp).toSeq
@@ -166,11 +173,13 @@ object ChangeLogBatch {
   * (the `commitLock` behavior, cdc.go:701-753), so downstream equality
   * oracles can never observe a torn transaction.
   *
-  * The scan is a single ordered partition per micro-batch — WAL order IS
-  * the versioning contract, exactly like the reference's single-slot
-  * reader; parallelism begins at the shuffle into normalize, not at the
-  * log. Offsets are plain checkpointIds, restart-safe via the standard
-  * checkpointLocation mechanism.
+  * The scan plans one input partition per WAL segment — segments parse in
+  * parallel across executors. WAL order is carried by the checkpointId
+  * COLUMN, not by row position (every consumer — Normalizer's
+  * latest-version window, the raw table — keys on it), so the reference's
+  * single-slot serial pull (a Postgres protocol constraint) does not bind
+  * the scan. Offsets are plain checkpointIds, restart-safe via the
+  * standard checkpointLocation mechanism.
   *
   * Usage:
   * {{{
@@ -303,10 +312,27 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
+  /** One input partition PER WAL SEGMENT overlapping the batch range —
+    * segments parse in parallel across executors (the reference's
+    * single-slot pull is a source-protocol constraint Postgres imposes;
+    * a persisted log has no such limit). Order is NOT preserved across
+    * partitions and doesn't need to be: every consumer keys on
+    * checkpointId/version (Normalizer's latest-version window, the raw
+    * table's checkpoint column) — WAL order is data here, not row order.
+    * Tx-atomicity lives in the OFFSET choice (latestOffset), untouched. */
   override def planInputPartitions(start: Offset, end: Offset)
-      : Array[InputPartition] =
-    Array(ChangeLogInputPartition(path,
-      start.asInstanceOf[CpOffset].cp, end.asInstanceOf[CpOffset].cp))
+      : Array[InputPartition] = {
+    val after = start.asInstanceOf[CpOffset].cp
+    val until = end.asInstanceOf[CpOffset].cp
+    val files = ChangeLogWal.segmentFiles(Paths.get(path))
+    val firstCps = files.map(ChangeLogWal.firstCp)
+    files.indices
+      .filter(i => (i + 1 >= files.length || firstCps(i + 1) > after) &&
+        firstCps(i) <= until)
+      .map(i => ChangeLogInputPartition(
+        files(i).toString, after, until): InputPartition)
+      .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeLogReaderFactory
@@ -315,8 +341,9 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
   override def stop(): Unit = ()
 }
 
+/** One WAL segment file restricted to the batch's (afterCp, untilCp]. */
 private[cdc] case class ChangeLogInputPartition(
-    path: String, afterCp: Long, untilCp: Long) extends InputPartition
+    segmentFile: String, afterCp: Long, untilCp: Long) extends InputPartition
 
 private[cdc] class ChangeLogReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -325,7 +352,8 @@ private[cdc] class ChangeLogReaderFactory extends PartitionReaderFactory {
 
 private[cdc] class ChangeLogPartitionReader(p: ChangeLogInputPartition)
     extends PartitionReader[InternalRow] {
-  private val it = ChangeLogWal.readIter(p.path, p.afterCp, p.untilCp)
+  private val it = ChangeLogWal.parseSegment(
+    Paths.get(p.segmentFile), p.afterCp, p.untilCp)
   private var current: Array[String] = _
 
   override def next(): Boolean = {
