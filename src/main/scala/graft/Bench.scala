@@ -29,6 +29,12 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
+        // Free blocks the query pinned (localCheckpoint / persist): left
+        // alone they accumulate across the 64-query session and the
+        // resulting memory pressure bleeds GC time into every later query.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -45,14 +45,28 @@ object ConnectedComponents {
     */
   def minLabel(edges: DataFrame, src: String, dst: String,
                maxIters: Int = 25): DataFrame = {
-    val dir = edges.select(col(src).as("cc_a"), col(dst).as("cc_b"))
-    val e = dir
-      .union(dir.select(col("cc_b").as("cc_a"), col("cc_a").as("cc_b")))
-      .localCheckpoint(true)
+    val sc = edges.sparkSession.sparkContext
 
-    var labels = e.select(col("cc_a").as("node")).distinct()
-      .select(col("node"), col("node").as("cluster_id"))
-      .localCheckpoint(true)
+    // Dataset.unpersist does NOT free localCheckpoint blocks (they are
+    // plain persisted RDDs, not CacheManager entries), so track the RDD
+    // ids each checkpoint registers and free them by id when the round's
+    // frame goes dead — an N-round run must not pin N label frames.
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.view.filterKeys(ids).values
+        .foreach(_.unpersist(blocking = false))
+
+    val dir = edges.select(col(src).as("cc_a"), col(dst).as("cc_b"))
+    val (e, eIds) = ckpt(
+      dir.union(dir.select(col("cc_b").as("cc_a"), col("cc_a").as("cc_b"))))
+
+    var (labels, labelIds) = ckpt(
+      e.select(col("cc_a").as("node")).distinct()
+        .select(col("node"), col("node").as("cluster_id")))
 
     // Convergence witness: sum(cluster_id) is non-increasing across rounds
     // and strictly decreases whenever ANY label improves — a one-number
@@ -73,19 +87,24 @@ object ConnectedComponents {
       // mid-cardinality keyed frames — broadcast would rebuild the full
       // label map per task, SMJ pays two sorts (same measurement as the
       // shingle/band self-joins, MicroBench jachints).
-      val next = e.join(labels.hint("shuffle_hash"),
-          e("cc_a") === labels("node"))
-        .select(col("cc_b").as("node"), col("cluster_id"))
-        .union(labels)
-        .groupBy("node")
-        .agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+      val (next, nextIds) = ckpt(
+        e.join(labels.hint("shuffle_hash"), e("cc_a") === labels("node"))
+          .select(col("cc_b").as("node"), col("cluster_id"))
+          .union(labels)
+          .groupBy("node")
+          .agg(min("cluster_id").as("cluster_id")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // The previous round's blocks are dead once `next` is materialized.
+      free(labelIds)
       labels = next
+      labelIds = nextIds
       round += 1
     }
+    // `labels` is checkpointed (lineage cut), so the edge frame is no
+    // longer reachable from the result — free it too.
+    free(eIds)
     labels
   }
 }
