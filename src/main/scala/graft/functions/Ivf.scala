@@ -126,15 +126,40 @@ object Ivf {
     * cross-engine stability argument as q_ann_cosine_topk). */
   def ivfDuckSql(table: String, idCol: String, embCol: String, k: Int,
       iters: Int, nProbe: Int, topK: Int, queryId: Long): String = {
-    val l2 = (a: String, b: String) =>
-      s"""list_sum(list_transform(generate_series(1, len($a)),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+    s"""WITH ${trainAssignCtes(table, idCol, embCol, k, iters)},
+       |q AS (SELECT qe AS qqe, emb AS qemb FROM e WHERE $idCol = $queryId),
+       |probes AS (
+       |  SELECT cid FROM c$iters, q
+       |  ORDER BY ${l2Sql("c", "qqe")}, cid LIMIT $nProbe)
+       |SELECT rank, $idCol, ivf_cluster FROM (
+       |  SELECT ROW_NUMBER() OVER (
+       |      ORDER BY list_cosine_similarity(e.emb, q.qemb) DESC,
+       |        e.$idCol) AS rank,
+       |    e.$idCol, CAST(f.cid AS INT) AS ivf_cluster
+       |  FROM e JOIN fin f USING ($idCol), q
+       |  WHERE f.cid IN (SELECT cid FROM probes) AND e.$idCol <> $queryId)
+       |WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Integer squared-L2 between two DuckDB list columns (1-based). */
+  def l2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+
+  /** Shared DuckDB CTE block replaying [[trainQuantized]] +
+    * [[assignQuantized]]: `e` (id, emb, qe), `c0..c$iters` (centroids per
+    * Lloyd round), `fin` (per-vector cluster assignment with the same
+    * dist-then-cid tiebreak as [[NearestCentroidExpr]]). Callers embed it
+    * as `WITH <ctes>, ...` — used by the q_ann_ivf and q_semdedup
+    * oracles. */
+  def trainAssignCtes(table: String, idCol: String, embCol: String,
+      k: Int, iters: Int): String = {
     val rounds = (0 until iters).map { r =>
       s"""a$r AS (
          |  SELECT $idCol, qe, cid FROM (
          |    SELECT e.$idCol, e.qe, c.cid, ROW_NUMBER() OVER (
          |        PARTITION BY e.$idCol
-         |        ORDER BY ${l2("e.qe", "c.c")}, c.cid) AS rn
+         |        ORDER BY ${l2Sql("e.qe", "c.c")}, c.cid) AS rn
          |    FROM e, c$r c) WHERE rn = 1),
          |m$r AS (
          |  SELECT cid, list(s ORDER BY dim) AS c FROM (
@@ -147,7 +172,7 @@ object Ivf {
          |  SELECT c$r.cid, COALESCE(m$r.c, c$r.c) AS c
          |  FROM c$r LEFT JOIN m$r ON c$r.cid = m$r.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT $idCol, $embCol AS emb,
        |    list_transform($embCol, x ->
        |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
@@ -156,24 +181,12 @@ object Ivf {
        |  SELECT (ROW_NUMBER() OVER (ORDER BY $idCol)) - 1 AS cid, qe AS c
        |  FROM (SELECT $idCol, qe FROM e ORDER BY $idCol LIMIT $k)),
        |$rounds,
-       |q AS (SELECT qe AS qqe, emb AS qemb FROM e WHERE $idCol = $queryId),
-       |probes AS (
-       |  SELECT cid FROM c$iters, q
-       |  ORDER BY ${l2("c", "qqe")}, cid LIMIT $nProbe),
        |fin AS (
        |  SELECT $idCol, cid FROM (
        |    SELECT e.$idCol, c.cid, ROW_NUMBER() OVER (
        |        PARTITION BY e.$idCol
-       |        ORDER BY ${l2("e.qe", "c.c")}, c.cid) AS rn
-       |    FROM e, c$iters c) WHERE rn = 1)
-       |SELECT rank, $idCol, ivf_cluster FROM (
-       |  SELECT ROW_NUMBER() OVER (
-       |      ORDER BY list_cosine_similarity(e.emb, q.qemb) DESC,
-       |        e.$idCol) AS rank,
-       |    e.$idCol, CAST(f.cid AS INT) AS ivf_cluster
-       |  FROM e JOIN fin f USING ($idCol), q
-       |  WHERE f.cid IN (SELECT cid FROM probes) AND e.$idCol <> $queryId)
-       |WHERE rank <= $topK ORDER BY rank""".stripMargin
+       |        ORDER BY ${l2Sql("e.qe", "c.c")}, c.cid) AS rn
+       |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
   }
 }
 

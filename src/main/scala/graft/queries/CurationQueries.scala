@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Ivf, Similarity, SignatureExprs, TextFunctions => TF}
+
+/** Corpus-curation operators — the quality-filter / redaction / span-dedup
+  * / semantic-dedup / retrieval surface of a training-data pipeline
+  * (beyond-the-reference extension next to PipelineQueries):
+  *
+  *   - repetition gating (Gopher-style repeated-token signals, Rae et al.
+  *     2021 §A1.1) and cross-document span removal (C4, Raffel et al.
+  *     2020 §2.2) — the two classic text-quality passes;
+  *   - PII scrubbing (regex + denylist redaction);
+  *   - SemDeDup (Abbas et al. 2023): k-means cluster then prune
+  *     near-identical embeddings within each cluster;
+  *   - df-weighted ranked keyword retrieval and training-mix planning.
+  *
+  * Same portability discipline as PipelineQueries: integer-only outputs
+  * (per-mille fractions via truncating division — identical in Spark DIV
+  * and DuckDB `//`), total ORDER BY, quantized integer vector arithmetic
+  * so every query has a bit-exact DuckDB oracle.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** DuckDB n-gram shingle list over a `ws` VARCHAR[] column (1-based). */
+  private def duckShingles(n: Int): String = {
+    val join = (0 until n).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len(ws) - ${n - 1}), i -> $join)"
+  }
+
+  // ------------------------------------------------------ quality gates
+
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1): fraction
+    * of the document taken by its single most frequent word and fraction
+    * of duplicate word-bigrams, both in exact per-mille; docs above
+    * either threshold are flagged for removal. Shape: explode → partial
+    * (map-side) count per (doc, token) → per-doc max/sum — two shuffles
+    * keyed on doc_id, no window functions, scales linearly in corpus
+    * size. Thresholds sit near the corpus p90 so the gate separates. */
+  val repetitionFilter = GraftQuery(
+    "q_repetition_filter",
+    "repetition gate: top-word + duplicate-bigram per-mille (Gopher A1.1)",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      val wordStats = base
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
+      val bigramStats = base.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(SignatureExprs.wordShingles(col("ws"), 2)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("nb"), count(lit(1)).as("ndb"))
+      wordStats.join(bigramStats, "doc_id")
+        .select(col("doc_id"),
+          expr("top * 1000 DIV n").as("top_word_pm"),
+          expr("(nb - ndb) * 1000 DIV nb").as("dup_bigram_pm"))
+        .withColumn("flagged",
+          when(col("top_word_pm") > 140 || col("dup_bigram_pm") > 65, 1)
+            .otherwise(0))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |           FROM documents),
+           |wc AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS n
+           |       FROM (SELECT doc_id, s, count(*) AS c
+           |             FROM (SELECT doc_id, unnest(ws) AS s FROM w)
+           |             GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |bg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+           |         count(*) AS ndb
+           |       FROM (SELECT doc_id, b, count(*) AS c
+           |             FROM (SELECT doc_id,
+           |                     unnest(list_transform(
+           |                       generate_series(1, len(ws) - 1),
+           |                       i -> ws[i] || ' ' || ws[i+1])) AS b
+           |                   FROM w WHERE len(ws) >= 2)
+           |             GROUP BY 1, 2)
+           |       GROUP BY 1)
+           |SELECT doc_id, top * 1000 // n AS top_word_pm,
+           |  (nb - ndb) * 1000 // nb AS dup_bigram_pm,
+           |  CASE WHEN top * 1000 // n > 140
+           |         OR (nb - ndb) * 1000 // nb > 65
+           |       THEN 1 ELSE 0 END AS flagged
+           |FROM wc JOIN bg USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** PII scrubbing: regex redaction (email pattern — a conservative
+    * subset valid in both Java regex and RE2) plus denylist-substring
+    * redaction, with redaction counts and a content hash of the scrubbed
+    * text. Pure per-row codegen'd column ops — no shuffle, the shape that
+    * streams through 100 TB at scan speed. The denylist term stands in
+    * for a name-gazetteer lookup; counts are substring occurrences
+    * (length delta / term length), exactly what replace() redacts. */
+  val piiScrub = GraftQuery(
+    "q_pii_scrub",
+    "PII scrub: regex + denylist redaction with counts and content hash",
+    (s, dir) => {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      docs(s, dir)
+        .withColumn("step1",
+          expr("replace(text, 'customer', '[NAME]')"))
+        .withColumn("redacted",
+          regexp_replace(col("step1"), email, "[EMAIL]"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .as("n_email"),
+          expr("CAST((length(text) - " +
+            "length(replace(text, 'customer', ''))) DIV 8 AS BIGINT)")
+            .as("n_name"),
+          length(col("redacted")).cast("long").as("red_len"),
+          md5(col("redacted")).as("red_h"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+           |    AS INT) AS n_email,
+           |  CAST((length(text) -
+           |    length(replace(text, 'customer', ''))) // 8 AS BIGINT)
+           |    AS n_name,
+           |  CAST(length(regexp_replace(
+           |    replace(text, 'customer', '[NAME]'),
+           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+           |    '[EMAIL]', 'g')) AS BIGINT) AS red_len,
+           |  md5(regexp_replace(replace(text, 'customer', '[NAME]'),
+           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+           |    '[EMAIL]', 'g')) AS red_h
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** C4-style cross-document span dedup (Raffel et al. 2020 §2.2: drop
+    * any span occurring verbatim in more than one document — word
+    * 5-grams here standing in for three-sentence spans). Same inverted-
+    * index shape as q_dedup_ngram_jaccard: the span index is built once
+    * (checkpointed — it feeds both the span-frequency aggregate and the
+    * join back), span frequency is one hash aggregate, and the verdict
+    * join is shuffle_hash on the span key (broadcast would rebuild the
+    * full span→count map per task; SMJ pays two string sorts). Output:
+    * per-doc span counts and the per-mille of spans kept. */
+  val spanDedup = GraftQuery(
+    "q_span_dedup",
+    "cross-doc repeated 5-gram span removal stats (C4 §2.2)",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            SignatureExprs.wordShingles(col("ws"), 5))).as("sp"))
+        .localCheckpoint(true)
+      val freq = base.groupBy("sp").agg(count(lit(1)).as("nd"))
+      base.join(freq.hint("shuffle_hash"), "sp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          expr("(n_spans - n_shared) * 1000 DIV n_spans").as("keep_pm"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |           FROM documents),
+            |sp AS (SELECT DISTINCT doc_id, s
+            |       FROM (SELECT doc_id, unnest(${duckShingles(5)}) AS s
+            |             FROM w WHERE len(ws) >= 5)),
+            |freq AS (SELECT s, count(*) AS nd FROM sp GROUP BY 1),
+            |agg AS (SELECT doc_id, count(*) AS n_spans,
+            |          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+            |            AS BIGINT) AS n_shared
+            |        FROM sp JOIN freq USING (s) GROUP BY 1)
+            |SELECT doc_id, n_spans, n_shared,
+            |  (n_spans - n_shared) * 1000 // n_spans AS keep_pm
+            |FROM agg ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space
+    * (the integer IVF index, reused — training is the shuffle-free
+    * treeAggregate), then within each cluster drop every vector that has
+    * a lower-id neighbor above the cosine threshold. The cluster key
+    * turns the quadratic all-pairs check into per-cluster joins — the
+    * approximation that makes semantic dedup tractable at corpus scale.
+    * τ = 0.25 on QUANTIZED vectors (integer compare — exact in both
+    * engines, same test as q_dedup_embedding). */
+  val semDedup = GraftQuery(
+    "q_semdedup",
+    "SemDeDup: IVF-cluster then prune near-identical embeddings",
+    (s, dir) => {
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe")
+        .localCheckpoint(true)
+      val centroids = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+      val assigned = e
+        .withColumn("c", Ivf.assignQuantized(col("qe"), centroids))
+        .localCheckpoint(true)
+      val dropped = assigned.as("x")
+        .join(assigned.as("y"),
+          col("x.c") === col("y.c") &&
+            col("y.vec_id") < col("x.vec_id") &&
+            Similarity.quantizedCosineAtLeast(
+              col("x.qe"), col("y.qe"), num = 1L, denom = 16L),
+          "left_semi")
+        .select(col("vec_id").as("dropped_id"))
+      assigned.join(dropped, col("vec_id") === col("dropped_id"), "left")
+        .select(col("vec_id"), col("c").cast("int").as("ivf_cluster"),
+          when(col("dropped_id").isNull, 1).otherwise(0).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ${Ivf.trainAssignCtes("embeddings", "vec_id",
+              "embedding", k = 16, iters = 3)},
+            |v AS (SELECT e.vec_id, e.qe, f.cid
+            |      FROM e JOIN fin f USING (vec_id)),
+            |dropped AS (
+            |  SELECT DISTINCT x.vec_id FROM (
+            |    SELECT x.vec_id,
+            |      list_sum(list_transform(generate_series(1, len(x.qe)),
+            |        i -> x.qe[i] * y.qe[i])) AS dot,
+            |      list_sum(list_transform(x.qe, t -> t * t)) AS nx,
+            |      list_sum(list_transform(y.qe, t -> t * t)) AS ny
+            |    FROM v x JOIN v y
+            |      ON x.cid = y.cid AND y.vec_id < x.vec_id) x
+            |  WHERE dot >= 0 AND dot * dot * 16 >= nx * ny)
+            |SELECT v.vec_id, CAST(v.cid AS INT) AS ivf_cluster,
+            |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+            |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+            |ORDER BY v.vec_id""".stripMargin))
+
+  // -------------------------------------------------- retrieval / mix
+
+  /** Ranked keyword retrieval: per-term tf from one explode+filter pass,
+    * document-frequency weights (1e6 / df, truncating) from the same
+    * frame, score = Σ tf·weight — integer tf-idf without the log. The df
+    * frame is rows-per-term tiny → explicit broadcast; global top-20 via
+    * orderBy+limit (TakeOrderedAndProject — each partition keeps a local
+    * top-20; never a single-partition window). */
+  val keywordSearch = GraftQuery(
+    "q_keyword_search",
+    "df-weighted ranked keyword search (integer tf-idf, top 20)",
+    (s, dir) => {
+      val terms = Seq("spark", "query", "window")
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "w")
+        .withColumn("contrib", expr("tf * (1000000 DIV df)"))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("score").desc, col("doc_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy("rank")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, s AS w, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+           |        FROM documents)
+           |  WHERE s IN ('spark', 'query', 'window')
+           |  GROUP BY 1, 2),
+           |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score
+           |  FROM tf JOIN df USING (w) GROUP BY 1)
+           |SELECT rank, doc_id, score FROM (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+           |    AS rank, doc_id, score
+           |  FROM scored)
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+
+  /** Training-mix planner: per-language token counts vs a target mix →
+    * per-language per-mille sampling rate to fill a fixed token budget
+    * (capped at keep-everything). One tiny aggregate + a literal-frame
+    * broadcast join; all integer arithmetic. This is the sampling-rate
+    * table a weighted stratified sampler (q_sample_stratified) consumes. */
+  val mixPlan = GraftQuery(
+    "q_mix_plan",
+    "training-mix plan: per-language sampling rates for a token budget",
+    (s, dir) => {
+      import s.implicits._
+      val targets = Seq(
+        ("de", 175L), ("en", 300L), ("es", 175L), ("fr", 175L),
+        ("zh", 175L)).toDF("t_lang", "target_pm")
+      docs(s, dir)
+        .select(col("lang"), size(TF.words(col("text"))).as("nw"))
+        .groupBy("lang").agg(sum("nw").as("tokens"))
+        .join(broadcast(targets), col("lang") === col("t_lang"))
+        .select(col("lang"), col("tokens"), col("target_pm"),
+          least(lit(1000L),
+            expr("(20000 * target_pm DIV 1000) * 1000 DIV tokens"))
+            .as("rate_pm"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (
+           |  SELECT lang,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+           |  FROM documents GROUP BY 1),
+           |t(t_lang, target_pm) AS (VALUES
+           |  ('de', CAST(175 AS BIGINT)), ('en', 300), ('es', 175),
+           |  ('fr', 175), ('zh', 175))
+           |SELECT lang, tokens, target_pm,
+           |  least(1000, (20000 * target_pm // 1000) * 1000 // tokens)
+           |    AS rate_pm
+           |FROM tok JOIN t ON lang = t_lang
+           |ORDER BY lang""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
+    mixPlan)
+}
