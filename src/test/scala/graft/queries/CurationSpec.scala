@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Semantics of the corpus-curation operators on handcrafted fixtures
+  * (known repetition / shared spans / duplicate vectors), plus the plan
+  * properties that carry them to corpus scale. */
+class CurationSpec extends SparkSpec {
+
+  /** Write a handcrafted documents table and return its dir. */
+  private def docTable(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("curation")
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def embTable(rows: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = tmpDir("curemb")
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("repetition gate: exact per-mille fractions and flag") {
+    // 10 words, 6× "spam": top_word_pm = 600; bigrams: 9 total,
+    // "spam spam" ×5 → 5 distinct bigrams → dup = (9-5)*1000 DIV 9 = 444
+    val dir = docTable(Seq(
+      (1L, "spam spam spam spam spam spam a b c d"),
+      (2L, "a b c d e f g h i j")))
+    val rows = CurationQueries.repetitionFilter.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(rows(0) == ((1L, 600L, 444L, 1)))
+    assert(rows(1) == ((2L, 100L, 0L, 0))) // all unique: top = 1/10
+  }
+
+  test("pii scrub: email + denylist redaction counts and content") {
+    val dir = docTable(Seq(
+      (1L, "mail bob@example.com and customer customerx end"),
+      (2L, "clean text only")))
+    val out = CurationQueries.piiScrub.run(spark, dir).collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) == 1)   // one email
+    assert(r1.getLong(2) == 2L) // 'customer' substring twice (customerx)
+    // redaction really happened: scrubbed text hash differs from raw md5
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .where($"doc_id" === 1L)
+      .select(org.apache.spark.sql.functions.md5($"text"))
+    assert(r1.getString(4) != raw.collect()(0).getString(0))
+    // doc 2 untouched: scrubbed length == raw length
+    assert(out(1).getLong(3) == "clean text only".length.toLong)
+  }
+
+  test("span dedup: spans shared across docs are counted, within-doc not") {
+    // docs 1 and 2 share the span "v w x y z"; doc 3 is disjoint.
+    val dir = docTable(Seq(
+      (1L, "v w x y z a b c d e"),
+      (2L, "p q r s t v w x y z"),
+      (3L, "k l m n o k2 l2 m2 n2 o2")))
+    val rows = CurationQueries.spanDedup.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 6 distinct 5-gram spans per 10-word doc; exactly one shared each
+    assert(rows(0) == ((1L, 6L, 1L)))
+    assert(rows(1) == ((2L, 6L, 1L)))
+    assert(rows(2) == ((3L, 6L, 0L)))
+  }
+
+  test("semdedup: identical vectors collapse to the lowest id") {
+    // 20 spread-out base vectors + two exact duplicates of vec 0.
+    val base = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        (math.sin(i * 31 + d * 7) * (if (d % 2 == 0) 1 else -1)).toFloat))
+    }
+    val dups = Seq((100L, base(0)._2), (101L, base(0)._2))
+    val out = CurationQueries.semDedup.run(spark, embTable(base ++ dups))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(out(0L) == 1)   // lowest id of the duplicate group survives
+    assert(out(100L) == 0) // exact duplicates dropped
+    assert(out(101L) == 0)
+  }
+
+  test("keyword search ranks by df-weighted tf, ties by doc_id") {
+    val dir = docTable(Seq(
+      (1L, "spark spark spark x"),   // rare term, tf 3
+      (2L, "query query query query x"), // common term, tf 4
+      (3L, "query x y z"),
+      (4L, "query spark x y")))
+    val rows = CurationQueries.keywordSearch.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (rank, doc_id, score); df(spark)=2 → w=500000; df(query)=3 → w=333333
+    assert(rows.head == ((1L, 1L, 1500000L)))      // 3×500000
+    assert(rows(1) == ((2L, 2L, 4 * 333333L)))     // 4×333333
+    assert(rows(2) == ((3L, 4L, 500000L + 333333L)))
+  }
+
+  test("mix plan: rates fill the budget and cap at keep-everything") {
+    val rows = CurationQueries.mixPlan.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("de", "en", "es", "fr", "zh"))
+    rows.foreach { case (_, tokens, targetPm, ratePm) =>
+      val want = 20000L * targetPm / 1000L
+      val expected = math.min(1000L, want * 1000L / tokens)
+      assert(ratePm == expected)
+    }
+  }
+
+  // ------------------------------------------------------ plan shape
+
+  test("pii scrub is pure per-row compute: no exchange except the sort") {
+    val plan = CurationQueries.piiScrub
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 0, plan.take(2000))
+  }
+
+  test("keyword search: global top-k is TakeOrdered, never a window") {
+    val df = CurationQueries.keywordSearch
+      .run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("repetition filter prunes the scan to doc_id + text") {
+    val plan = CurationQueries.repetitionFilter
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      readSchema)
+  }
+}
