@@ -64,9 +64,14 @@ object ConnectedComponents {
     val (e, eIds) = ckpt(
       dir.union(dir.select(col("cc_b").as("cc_a"), col("cc_a").as("cc_b"))))
 
+    // Init fuses the FIRST propagation round: label(v) = min(v, min
+    // neighbor) is one aggregation over the edge list — no join — and on
+    // near-clique components it already lands most nodes on their
+    // component min, typically saving one full join round.
     var (labels, labelIds) = ckpt(
-      e.select(col("cc_a").as("node")).distinct()
-        .select(col("node"), col("node").as("cluster_id")))
+      e.groupBy("cc_a")
+        .agg(least(min(col("cc_b")), col("cc_a")).as("cluster_id"))
+        .select(col("cc_a").as("node"), col("cluster_id")))
 
     // Convergence witness: sum(cluster_id) is non-increasing across rounds
     // and strictly decreases whenever ANY label improves — a one-number

@@ -574,6 +574,75 @@ object PipelineQueries {
             |FROM bf LEFT JOIN ivf USING (vec_id)
             |ORDER BY rank""".stripMargin))
 
+  /** Scalar-quantization quality measurement: int8 retrieval (floor(x·64)
+    * — 4× less memory than the float corpus, 16× less than f32 at the
+    * dims that matter; the compression that lets a 100 TB embedding
+    * corpus fit a cluster's RAM) vs the 11-bit integer reference
+    * retrieval (floor(x·1024), [[Similarity.quantize]]). BOTH orderings
+    * are exact integer dot products with a vec_id tiebreak — zero FP
+    * anywhere, so the oracle replays bit-for-bit. Per reference-top-10
+    * rank: found ∈ {0,1} if int8 retrieval recovers it; Σfound/10 is the
+    * quantization recall. Unit-norm corpus, |x| ≤ 1 ⇒ |dot8| ≤ 64·dims·64
+    * — no overflow. */
+  val annSqRecall = GraftQuery(
+    "q_ann_sq_recall",
+    "int8 scalar-quantization recall@10 vs 11-bit integer retrieval",
+    (s, dir) => {
+      def qcol(scale: Int) = transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast("long"))
+      def idot(a: Column, b: Column) = aggregate(
+        zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(qcol(1024).as("q11"), qcol(64).as("q8"))
+      def topBy(qe: Column, qq: Column) =
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("dot", idot(qe, qq))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10)
+      val ref = graft.operators.GlobalRank.withRowNumber(
+          topBy(qcol(1024), col("q11")),
+          Seq(col("dot").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("vec_id"))
+      val sq = topBy(qcol(64), col("q8"))
+        .select(col("vec_id").as("sq_vec_id"))
+      ref.join(broadcast(sq), col("vec_id") === col("sq_vec_id"), "left")
+        .select(col("rank"), col("vec_id"),
+          when(col("sq_vec_id").isNull, 0).otherwise(1).as("found"))
+        .orderBy("rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q11,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS q8
+           |  FROM embeddings),
+           |q AS (SELECT q11 AS qq11, q8 AS qq8 FROM e WHERE vec_id = 0),
+           |ref AS (
+           |  SELECT rank, vec_id FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY
+           |        list_sum(list_transform(generate_series(1, len(e.q11)),
+           |          i -> e.q11[i] * q.qq11[i])) DESC, e.vec_id) AS rank,
+           |      e.vec_id
+           |    FROM e, q WHERE e.vec_id <> 0)
+           |  WHERE rank <= 10),
+           |sq AS (
+           |  SELECT vec_id FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY
+           |        list_sum(list_transform(generate_series(1, len(e.q8)),
+           |          i -> e.q8[i] * q.qq8[i])) DESC, e.vec_id) AS rank,
+           |      e.vec_id
+           |    FROM e, q WHERE e.vec_id <> 0)
+           |  WHERE rank <= 10)
+           |SELECT ref.rank, ref.vec_id,
+           |  CAST(CASE WHEN sq.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+           |    AS found
+           |FROM ref LEFT JOIN sq USING (vec_id)
+           |ORDER BY rank""".stripMargin))
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal column plumbing: opaque binary payload + typed metadata —
@@ -868,5 +937,6 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
-    embStats, annLshSearch, textClean, dedupCluster, annRecall)
+    embStats, annLshSearch, textClean, dedupCluster, annRecall,
+    annSqRecall)
 }
