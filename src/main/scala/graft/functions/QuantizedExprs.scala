@@ -211,6 +211,71 @@ case class HyperplaneBucketExpr(child: Expression, nBits: Int)
   override def prettyName: String = "hyperplane_bucket"
 }
 
+/** Integer dot product of two quantized `array<bigint>` vectors as one
+  * fused codegen'd loop — the retrieval scorer for scalar-quantized ANN
+  * (q_ann_sq_recall). Exact for |q| ≤ 2^21 up to 2^20 dims (no wrap);
+  * the HOF twin (`aggregate(zip_with(a,b,*), 0L, +)`) is the oracle
+  * semantics but runs interpreted with an intermediate array per row.
+  * NULL on null input, null element, or length mismatch. */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int_dot expects (array<bigint>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $dot += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDotExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "int_dot"
+}
+
 object QuantizedExprs {
   def quantizedCosineGe(a: Column, b: Column, num: Long, denom: Long)
       : Column =
@@ -219,4 +284,8 @@ object QuantizedExprs {
 
   def hyperplaneBucket(emb: Column, nBits: Int): Column =
     GraftShims.column(HyperplaneBucketExpr(GraftShims.expression(emb), nBits))
+
+  def intDot(a: Column, b: Column): Column =
+    GraftShims.column(IntDotExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -246,10 +246,14 @@ object CurationQueries {
     "df-weighted ranked keyword search (integer tf-idf, top 20)",
     (s, dir) => {
       val terms = Seq("spark", "query", "window")
+      // tf feeds both the df aggregate and the scoring join — materialize
+      // it once (no subplan reuse across the two consumers otherwise; at
+      // corpus scale that would be two full text scans).
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
         .filter(col("w").isin(terms: _*))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(df), "w")
         .withColumn("contrib", expr("tf * (1000000 DIV df)"))

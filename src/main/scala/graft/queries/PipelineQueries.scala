@@ -590,8 +590,9 @@ object PipelineQueries {
     (s, dir) => {
       def qcol(scale: Int) = transform(col("embedding"),
         x => floor(x.cast("double") * scale).cast("long"))
-      def idot(a: Column, b: Column) = aggregate(
-        zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      // codegen'd fused loop; the HOF twin defines the oracle semantics
+      def idot(a: Column, b: Column) =
+        graft.functions.QuantizedExprs.intDot(a, b)
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") === 0)
         .select(qcol(1024).as("q11"), qcol(64).as("q8"))

@@ -67,6 +67,31 @@ class SimilaritySpec extends SparkSpec {
     both.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
   }
 
+  test("codegen int_dot == HOF integer dot, and null semantics") {
+    val q = embDf
+      .withColumn("qe", Similarity.quantize(col("embedding")))
+      .select("vec_id", "qe")
+    val probe = q.filter(col("vec_id") === 0)
+      .select(col("qe").as("q_qe"))
+    val both = q.crossJoin(broadcast(probe))
+      .select(
+        QuantizedExprs.intDot(col("qe"), col("q_qe")).as("fast"),
+        aggregate(zip_with(col("qe"), col("q_qe"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    import spark.implicits._
+    val edge = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(3L))),   // length mismatch
+      (None, Some(Seq(1L))))                // null input
+      .toDF("a", "b")
+      .select(QuantizedExprs.intDot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("Int192.cmpProd3 matches BigInteger on boundary-heavy inputs") {
     import java.math.BigInteger
     val rnd = new scala.util.Random(42)
