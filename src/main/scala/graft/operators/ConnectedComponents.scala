@@ -51,9 +51,9 @@ object ConnectedComponents {
     // plain persisted RDDs, not CacheManager entries), so track the RDD
     // ids each checkpoint registers and free them by id when the round's
     // frame goes dead — an N-round run must not pin N label frames.
-    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+    def ckpt(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
+      val out = df.localCheckpoint(eager)
       (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     def free(ids: Set[Int]): Unit =
@@ -68,22 +68,29 @@ object ConnectedComponents {
     // neighbor) is one aggregation over the edge list — no join — and on
     // near-clique components it already lands most nodes on their
     // component min, typically saving one full join round.
+    //
+    // Every round LAZY-localCheckpoints: the plan is cut to a LogicalRDD
+    // immediately (without the cut, each round's plan embeds the previous
+    // one TWICE — join side + union side — i.e. exponential growth), and
+    // the convergence aggregate below doubles as the action that
+    // materializes the checkpoint — one job per round, not two.
     var (labels, labelIds) = ckpt(
       e.groupBy("cc_a")
         .agg(least(min(col("cc_b")), col("cc_a")).as("cluster_id"))
-        .select(col("cc_a").as("node"), col("cluster_id")))
+        .select(col("cc_a").as("node"), col("cluster_id")),
+      eager = false)
 
     // Convergence witness: sum(cluster_id) is non-increasing across rounds
     // and strictly decreases whenever ANY label improves — a one-number
-    // aggregate on the already-checkpointed frame, much cheaper than a
-    // changed-rows join-back. Decimal(38,0): an ANSI-mode BIGINT sum could
-    // overflow on wide-id corpora.
+    // aggregate, much cheaper than a changed-rows join-back.
+    // Decimal(38,0): an ANSI-mode BIGINT sum could overflow on wide-id
+    // corpora. Null sum ⇔ empty graph.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .head().getDecimal(0)
 
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum == null // empty edge list: nothing to iterate
     var round = 0
     while (!converged && round < maxIters) {
       // One hop: each node takes the min label among itself and its
@@ -97,8 +104,9 @@ object ConnectedComponents {
           .select(col("cc_b").as("node"), col("cluster_id"))
           .union(labels)
           .groupBy("node")
-          .agg(min("cluster_id").as("cluster_id")))
-      val s = labelSum(next)
+          .agg(min("cluster_id").as("cluster_id")),
+        eager = false)
+      val s = labelSum(next) // materializes next's checkpoint
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       // The previous round's blocks are dead once `next` is materialized.
