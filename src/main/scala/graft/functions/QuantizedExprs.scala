@@ -288,4 +288,10 @@ object QuantizedExprs {
   def intDot(a: Column, b: Column): Column =
     GraftShims.column(IntDotExpr(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** SQL registration: `SELECT int_dot(q1, q2)` (pairs with cosine_sim's
+    * [[CosineSimilarityExpr.register]]). */
+  def registerIntDot(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot", exprs => IntDotExpr(exprs(0), exprs(1)), "built-in")
 }

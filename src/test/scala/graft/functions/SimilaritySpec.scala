@@ -90,6 +90,12 @@ class SimilaritySpec extends SparkSpec {
       .select(QuantizedExprs.intDot(col("a"), col("b")).as("d"))
       .collect()
     assert(edge.forall(_.isNullAt(0)))
+
+    QuantizedExprs.registerIntDot(spark)
+    val viaSql = spark.sql(
+      "SELECT int_dot(array(1L, 2L, 3L), array(4L, 5L, 6L))")
+      .head().getLong(0)
+    assert(viaSql == 32L)
   }
 
   test("Int192.cmpProd3 matches BigInteger on boundary-heavy inputs") {
