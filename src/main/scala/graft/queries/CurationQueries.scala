@@ -233,6 +233,77 @@ object CurationQueries {
             |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
             |ORDER BY v.vec_id""".stripMargin))
 
+  /** INCREMENTAL dedup — the formulation that matters at 100 TB: a new
+    * crawl increment (sources src18/src19 here) is deduped against the
+    * existing corpus WITHOUT re-pairing the corpus with itself. New docs
+    * band-join against all band keys, but only (new × corpus) and
+    * (new × earlier-new) pairs survive the predicate — corpus×corpus
+    * never materializes. In production the corpus side is the persisted
+    * signature store from previous runs (one scan of the increment + one
+    * join against stored keys per run); greedy keep-lowest-id within the
+    * increment mirrors q_semdedup's tiebreak. */
+  val dedupIncremental = GraftQuery(
+    "q_dedup_incremental",
+    "incremental LSH dedup: new increment vs existing corpus signatures",
+    (s, dir) => {
+      import graft.functions.SignatureExprs
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          col("source").isin("src18", "src19").as("is_new"),
+          TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("is_new"),
+          SignatureExprs.minhashSig(
+            array_distinct(SignatureExprs.wordShingles(col("ws"), 3)),
+            32).as("sig"))
+        .localCheckpoint(true)
+      val bands = base
+        .withColumn("bands", TF.minhashBands("sig", 8, 4))
+        .select(col("doc_id"), col("is_new"),
+          posexplode(col("bands")).as(Seq("band", "key")))
+        .localCheckpoint(true)
+      val matches = bands.filter(col("is_new")).as("n")
+        .join(bands.as("p").hint("shuffle_hash"),
+          col("n.band") === col("p.band") &&
+            col("n.key") === col("p.key") &&
+            (!col("p.is_new") || col("p.doc_id") < col("n.doc_id")))
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(countDistinct(col("p.doc_id")).as("n_matches"))
+      base.filter(col("is_new")).select(col("doc_id"))
+        .join(matches.withColumnRenamed("doc_id", "m_doc_id"),
+          col("doc_id") === col("m_doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          when(col("m_doc_id").isNull, 1).otherwise(0).as("kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |           FROM documents),
+            |flags AS (SELECT doc_id,
+            |    source IN ('src18', 'src19') AS is_new FROM documents),
+            |bandkeys AS (
+            |  ${TF.minhashBandsDuckSql("doc_id",
+                 "list_transform(generate_series(1, len(ws) - 2), " +
+                   "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])",
+                 "w", "WHERE len(ws) >= 3", k = 32, bands = 8,
+                 rowsPerBand = 4)}
+            |),
+            |bk AS (SELECT b.doc_id, f.is_new, b.band, b.key
+            |       FROM bandkeys b JOIN flags f USING (doc_id)),
+            |matches AS (
+            |  SELECT n.doc_id, count(DISTINCT p.doc_id) AS n_matches
+            |  FROM bk n JOIN bk p
+            |    ON n.band = p.band AND n.key = p.key
+            |    AND (NOT p.is_new OR p.doc_id < n.doc_id)
+            |  WHERE n.is_new
+            |  GROUP BY 1),
+            |newdocs AS (SELECT DISTINCT doc_id FROM bk WHERE is_new)
+            |SELECT d.doc_id,
+            |  COALESCE(m.n_matches, 0) AS n_matches,
+            |  CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+            |FROM newdocs d LEFT JOIN matches m USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
   // -------------------------------------------------- retrieval / mix
 
   /** Ranked keyword retrieval: per-term tf from one explode+filter pass,
@@ -320,5 +391,5 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
-    mixPlan)
+    mixPlan, dedupIncremental)
 }

@@ -140,6 +140,28 @@ class CurationSpec extends SparkSpec {
       readSchema)
   }
 
+  test("incremental dedup: new-vs-corpus duplicates drop, unique keep") {
+    import spark.implicits._
+    val dir = tmpDir("curinc")
+    val corpusText = "a b c d e f g h i j k l"
+    Seq(
+      (1L, corpusText, "src0"),                       // existing corpus
+      (2L, "z y x w v u t s r q p o", "src0"),
+      (100L, corpusText, "src18"),                    // dup of corpus doc 1
+      (101L, "completely different words here now one two three", "src19"),
+      (102L, corpusText, "src19"))                    // dup of 1 AND 100
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.dedupIncremental.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 102L)) // only the increment
+    assert(out(100L)._2 == 0) // matches corpus doc 1
+    assert(out(101L)._2 == 1) // unique: kept
+    assert(out(102L) == ((2L, 0))) // matches corpus doc 1 + earlier new 100
+  }
+
   test("int8 scalar quantization keeps a useful recall floor") {
     val found = PipelineQueries.annSqRecall
       .run(spark, "/root/testdata/sf0.001")
