@@ -304,6 +304,52 @@ object CurationQueries {
             |FROM newdocs d LEFT JOIN matches m USING (doc_id)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Metadata-FILTERED vector search — the production retrieval pattern:
+    * candidates are pruned by a document-metadata predicate (language +
+    * length gate here) BEFORE any similarity scoring. The eligible-id
+    * set is a semi-join into the embedding scan (broadcast: the filter
+    * output is ids only, tiny relative to the vector corpus), so vectors
+    * failing the filter are never scored — at 100 TB that is the
+    * difference between scoring the corpus and scoring a slice. Scoring
+    * and ranking mirror q_ann_cosine_topk (rank-only output,
+    * TakeOrderedAndProject). */
+  val annFiltered = GraftQuery(
+    "q_ann_filtered",
+    "metadata-filtered cosine top-10 (predicate prunes before scoring)",
+    (s, dir) => {
+      val eligible = docs(s, dir)
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id"))
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val top = e.filter(col("vec_id") =!= 0)
+        .join(broadcast(eligible), col("vec_id") === col("doc_id"),
+          "left_semi")
+        .crossJoin(broadcast(q))
+        .withColumn("sim",
+          Similarity.cosineFast(col("embedding"), col("q_emb")))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("sim").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("vec_id"), col("label"))
+        .orderBy("rank")
+    },
+    Some("""SELECT rank, vec_id, label
+           |FROM (SELECT ROW_NUMBER() OVER (
+           |        ORDER BY list_cosine_similarity(e.embedding, q.q_emb)
+           |          DESC, e.vec_id) AS rank,
+           |        e.vec_id, e.label
+           |      FROM embeddings e,
+           |        (SELECT embedding AS q_emb FROM embeddings
+           |         WHERE vec_id = 0) q
+           |      WHERE e.vec_id <> 0
+           |        AND e.vec_id IN (SELECT doc_id FROM documents
+           |                         WHERE lang = 'en' AND n_chars >= 200))
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
   // -------------------------------------------------- retrieval / mix
 
   /** Ranked keyword retrieval: per-term tf from one explode+filter pass,
@@ -391,5 +437,5 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
-    mixPlan, dedupIncremental)
+    mixPlan, dedupIncremental, annFiltered)
 }

@@ -162,6 +162,20 @@ class CurationSpec extends SparkSpec {
     assert(out(102L) == ((2L, 0))) // matches corpus doc 1 + earlier new 100
   }
 
+  test("filtered ANN: semi-join prunes candidates before scoring") {
+    val plan = CurationQueries.annFiltered
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    // the filter side reads ids+predicate columns only, never text
+    val readSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("text"), readSchemas)
+    // scoring happens above the semi-join: TakeOrdered sits over the
+    // joined (pruned) frame
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("int8 scalar quantization keeps a useful recall floor") {
     val found = PipelineQueries.annSqRecall
       .run(spark, "/root/testdata/sf0.001")
