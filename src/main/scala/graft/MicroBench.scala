@@ -173,6 +173,37 @@ object MicroBench {
         time("warm full")(PipelineQueries.annIvf.run(spark, sfDir).count())
         (1 to 2).foreach(i => time(s"full run $i")(
           PipelineQueries.annIvf.run(spark, sfDir).count()))
+      case "spanhints" =>
+        // span_dedup's verdict join: default planner choice vs the
+        // shuffle_hash hint used in the query (same question as jachints
+        // answered for the jaccard posting join).
+        import graft.functions.SignatureExprs
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), TF.words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 5)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              SignatureExprs.wordShingles(col("ws"), 5))).as("sp"))
+          .localCheckpoint(true)
+        def run(hinted: Boolean): Long = {
+          val freq = base.groupBy("sp").agg(count(lit(1)).as("nd"))
+          val f = if (hinted) freq.hint("shuffle_hash") else freq
+          base.join(f, "sp").groupBy("doc_id")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("s"))
+            .count()
+        }
+        time("warm")(run(true))
+        (1 to 3).foreach(i => time(s"shuffle_hash run $i")(run(true)))
+        (1 to 3).foreach(i => time(s"planner-default run $i")(run(false)))
+      case "ccrounds" =>
+        // Connected-components round count + per-round cost on the real
+        // simhash pair graph (q_dedup_cluster's input).
+        import graft.queries.PipelineQueries
+        time("warm cluster")(PipelineQueries.dedupCluster
+          .run(spark, sfDir).count())
+        (1 to 3).foreach(i => time(s"cluster run $i")(
+          PipelineQueries.dedupCluster.run(spark, sfDir).count()))
       case "cdc" =>
         // End-to-end mirror throughput: WAL decode → raw staging append →
         // normalize (latest-version dedup, TOAST backfill, soft delete) →
