@@ -180,6 +180,50 @@ object CurationQueries {
             |  (n_spans - n_shared) * 1000 // n_spans AS keep_pm
             |FROM agg ORDER BY doc_id""".stripMargin))
 
+  /** Unigram-rarity document scoring — the integer-exact stand-in for
+    * LM-perplexity corpus filtering (CCNet-style): score each document
+    * by the average corpus-level rarity of its tokens (rarity(w) =
+    * total_tokens / count(w), truncating), flagging the tails (boilerplate
+    * scores low — its tokens are everywhere; garbage scores high). Shape:
+    * one explode → (word) count aggregate for the stats table, then a
+    * shuffle join of occurrences against it keyed on the word and a
+    * per-doc sum — at corpus scale the word-stats table is Zipf-compact
+    * but NOT broadcastable in general, so the join stays shuffle-keyed
+    * with map-side partial aggregation on both ends. */
+  val rarityScore = GraftQuery(
+    "q_rarity_score",
+    "unigram-rarity doc scoring (integer perplexity proxy)",
+    (s, dir) => {
+      val occ = docs(s, dir)
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .localCheckpoint(true) // feeds stats + the scoring join
+      val stats = occ.groupBy("w").agg(count(lit(1)).as("wc"))
+      val total = occ.count() // one scalar, exact
+      occ
+        // pre-aggregate per (doc, word) BEFORE the stats join: ships one
+        // row per distinct word per doc through the join, not one per
+        // occurrence
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .join(stats.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_words"),
+          sum(col("tf") * expr(s"$total DIV wc")).as("rarity_sum"))
+        .select(col("doc_id"), col("n_words"),
+          expr("rarity_sum DIV n_words").as("rarity_avg"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH occ AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |stats AS (SELECT w, count(*) AS wc FROM occ GROUP BY 1),
+           |total AS (SELECT count(*) AS t FROM occ),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM occ GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+           |  CAST(sum(tf * (t // wc)) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+           |    AS rarity_avg
+           |FROM tf JOIN stats USING (w), total
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------- semantic dedup
 
   /** SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space
@@ -438,5 +482,5 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
-    mixPlan, dedupIncremental, annFiltered)
+    mixPlan, dedupIncremental, annFiltered, rarityScore)
 }
