@@ -644,6 +644,93 @@ object PipelineQueries {
            |FROM ref LEFT JOIN sq USING (vec_id)
            |ORDER BY rank""".stripMargin))
 
+  /** Product-quantization retrieval with exact re-ranking (the IVFADC+R
+    * architecture, Jégou et al. 2011): train an 8-subspace × 16-centroid
+    * PQ codebook (integer Lloyd rounds per subspace — 64-dim vectors
+    * compress 64× to 4 bytes of codes), score the corpus with the
+    * query's precomputed ADC table (8 codegen'd nearest-centroid
+    * assignments + 8 literal-array lookups per row, no full-vector
+    * arithmetic), shortlist the ADC top-50, then re-rank the shortlist
+    * EXACTLY — at 100 TB the ADC pass is the only full scan and touches
+    * 4-byte codes instead of 256-byte vectors; exact arithmetic runs on
+    * 50 rows. Recall@10 vs the 11-bit integer-dot reference. Every step
+    * — codebooks, codes, ADC sums, both orderings — is integer with
+    * deterministic tiebreaks, so the DuckDB oracle replays the whole
+    * pipeline bit-for-bit. (Plain ADC top-10 with no re-rank measured
+    * 2/10 here: random unit vectors are PQ-adversarial, which is exactly
+    * why the production shape re-ranks a shortlist.) */
+  val annPqRecall = GraftQuery(
+    "q_ann_pq_recall",
+    "PQ (8×16, ADC top-50 + exact re-rank) recall@10",
+    (s, dir) => {
+      import graft.functions.{Pq, QuantizedExprs}
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe")
+        .localCheckpoint(true)
+      val books = Pq.trainSubspaces(e, "vec_id", "qe", m = 8, dsub = 8,
+        k = 16)
+      val qArr = e.filter(col("vec_id") === 0)
+        .select("qe").head().getSeq[Long](0).toArray
+      val adc = Pq.adcTables(qArr, books, dsub = 8)
+      val q = e.filter(col("vec_id") === 0).select(col("qe").as("q_qe"))
+      val shortlist = e.filter(col("vec_id") =!= 0)
+        .withColumn("d", Pq.adcDistance(col("qe"), books, adc, dsub = 8))
+        .orderBy(col("d").asc, col("vec_id")) // TakeOrderedAndProject
+        .limit(50)
+      val pq = shortlist
+        .crossJoin(broadcast(q))
+        .withColumn("rdot", QuantizedExprs.intDot(col("qe"), col("q_qe")))
+        .orderBy(col("rdot").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id").as("pq_vec_id"))
+      val ref0 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("dot", QuantizedExprs.intDot(col("qe"), col("q_qe")))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(10)
+      val ref = graft.operators.GlobalRank.withRowNumber(
+          ref0, Seq(col("dot").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("vec_id"))
+      ref.join(broadcast(pq), col("vec_id") === col("pq_vec_id"), "left")
+        .select(col("rank"), col("vec_id"),
+          when(col("pq_vec_id").isNull, 0).otherwise(1).as("found"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH eo AS (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x ->
+            |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+            |  FROM embeddings),
+            |qv AS (SELECT qe AS q_qe FROM eo WHERE vec_id = 0),
+            |ref AS (
+            |  SELECT rank, vec_id FROM (
+            |    SELECT ROW_NUMBER() OVER (ORDER BY
+            |        list_sum(list_transform(generate_series(1, len(e.qe)),
+            |          i -> e.qe[i] * q.q_qe[i])) DESC, e.vec_id) AS rank,
+            |      e.vec_id
+            |    FROM eo e, qv q WHERE e.vec_id <> 0)
+            |  WHERE rank <= 10),
+            |shortlist AS (
+            |  ${graft.functions.Pq.pqDuckSql("embeddings", "vec_id",
+                 "embedding", m = 8, dsub = 8, k = 16, iters = 3,
+                 topK = 50, queryId = 0L)}
+            |),
+            |pq AS (
+            |  SELECT vec_id FROM (
+            |    SELECT ROW_NUMBER() OVER (ORDER BY
+            |        list_sum(list_transform(generate_series(1, len(e.qe)),
+            |          i -> e.qe[i] * q.q_qe[i])) DESC, e.vec_id) AS rank,
+            |      e.vec_id
+            |    FROM eo e JOIN shortlist USING (vec_id), qv q)
+            |  WHERE rank <= 10)
+            |SELECT ref.rank, ref.vec_id,
+            |  CAST(CASE WHEN pq.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+            |    AS found
+            |FROM ref LEFT JOIN pq USING (vec_id)
+            |ORDER BY rank""".stripMargin))
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal column plumbing: opaque binary payload + typed metadata —
@@ -939,5 +1026,5 @@ object PipelineQueries {
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
-    annSqRecall)
+    annSqRecall, annPqRecall)
 }
