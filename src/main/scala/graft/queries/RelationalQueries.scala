@@ -188,6 +188,58 @@ object RelationalQueries {
            |  ON v.user_id = p.user_id AND v.ts_us >= p.r_ts_us
            |ORDER BY event_id""".stripMargin))
 
+  /** BINNED interval join — the scale formulation of a range/interval
+    * join: Spark plans a plain `t1.ts BETWEEN t2.ts - Δ AND t2.ts`
+    * predicate as a nested-loop (or at best broadcast) join, O(n·m) per
+    * key. Bucketizing both sides to Δ-sized bins turns it into an
+    * EQUI-join on (key, bin) — each probe row expands to its bin and the
+    * next (a window crosses at most one bin boundary), the exact range
+    * predicate filters the 2× candidates after the hash join. Linear,
+    * shuffle-partitioned, skew-safe. Semantics here: for every error
+    * event, how many events the same user produced in the strictly-
+    * preceding 7 days. */
+  val intervalJoinBinned = GraftQuery(
+    "q_interval_join",
+    "binned interval join: same-user events in the 7 days before an error",
+    (s, dir) => {
+      val binNs = 604800000000000L // 7 days in nanos
+      val ev = t(s, dir, "events")
+      // integer DIV, not `/`: ts is epoch NANOS (~2^60) — double division
+      // loses precision above 2^53 and would misbin
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_uid"),
+          col("ts").as("err_ts"),
+          expr(s"ts DIV $binNs").as("err_bin"))
+      val probes = ev
+        .select(col("user_id"), col("ts"),
+          expr(s"ts DIV $binNs").as("bin"))
+        .withColumn("jbin",
+          explode(array(col("bin"), col("bin") + 1)))
+      val counts = probes
+        .join(errors.hint("shuffle_hash"),
+          col("jbin") === col("err_bin") &&
+            col("user_id") === col("err_uid") &&
+            col("ts") > col("err_ts") - binNs &&
+            col("ts") < col("err_ts"))
+        .groupBy("err_id").agg(count(lit(1)).as("n_prior"))
+      errors.select("err_id")
+        .join(counts, Seq("err_id"), "left")
+        .select(col("err_id"),
+          coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+        .orderBy("err_id")
+    },
+    Some("""WITH e AS (SELECT event_id AS err_id, user_id,
+           |             epoch_ns(ts) AS tns
+           |           FROM events WHERE event_type = 'error'),
+           |p AS (SELECT user_id, epoch_ns(ts) AS tns FROM events)
+           |SELECT e.err_id,
+           |  CAST(count(p.user_id) AS BIGINT) AS n_prior
+           |FROM e LEFT JOIN p
+           |  ON p.user_id = e.user_id
+           |  AND p.tns > e.tns - 604800000000000
+           |  AND p.tns < e.tns
+           |GROUP BY e.err_id ORDER BY e.err_id""".stripMargin))
+
   /** Set operators (INTERSECT / EXCEPT): customers active in BOTH 1995
     * and 1996 vs 1995-only. Both rewrite to aggregate/join shapes that
     * hash-partition on the key — no row ever concentrates. */
@@ -283,5 +335,6 @@ object RelationalQueries {
 
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
-    sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg)
+    sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg,
+    intervalJoinBinned)
 }
