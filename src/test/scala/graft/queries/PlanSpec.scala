@@ -59,6 +59,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("FullOuter") || plan.contains("full_outer"))
   }
 
+  test("binned interval join is a hash join, never nested-loop") {
+    val plan = planOf(RelationalQueries.intervalJoinBinned)
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("stratified sampling never reads the text column") {
     val plan = planOf(PipelineQueries.sampleStratified)
     val readSchema = plan.linesIterator
