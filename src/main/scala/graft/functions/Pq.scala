@@ -21,18 +21,85 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Train `m` per-subspace codebooks (k centroids each, [[Ivf]] Lloyd
-    * rounds) over a quantized `array<bigint>` column of `m`·`dsub` dims.
-    * Input should be materialized (checkpoint) — each subspace trains on
-    * its own slice projection of the frame. */
+  /** Train `m` per-subspace codebooks (k centroids each) over a
+    * quantized `array<bigint>` column of `m`·`dsub` dims — all `m`
+    * k-means FUSED into one treeAggregate per Lloyd round (subspace
+    * assignments are independent, so one corpus pass updates every
+    * codebook: 3 jobs + 1 persist instead of m·iters jobs over m slice
+    * projections; measured 8× fewer jobs at m=8). Seeds, truncated-mean
+    * updates, empty-cluster retention and dist-then-lowest-cid tiebreaks
+    * are exactly [[Ivf.trainQuantized]]'s, applied per slice — the
+    * result is bit-identical to training each subspace separately, which
+    * is what the DuckDB oracle replays. */
   def trainSubspaces(df: DataFrame, idCol: String, qeCol: String, m: Int,
-      dsub: Int, k: Int, iters: Int = 3): Seq[Array[Array[Long]]] =
-    (0 until m).map { mi =>
-      Ivf.trainQuantized(
-        df.select(col(idCol),
-          slice(col(qeCol), mi * dsub + 1, dsub).as("sub")),
-        idCol, "sub", k, iters)
-    }
+      dsub: Int, k: Int, iters: Int = 3): Seq[Array[Array[Long]]] = {
+    val seeds = df.orderBy(col(idCol)).limit(k).select(qeCol)
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.length == k, s"corpus smaller than k=$k")
+    require(seeds(0).length == m * dsub,
+      s"dims ${seeds(0).length} != m*dsub ${m * dsub}")
+    var books: Array[Array[Array[Long]]] = Array.tabulate(m)(mi =>
+      seeds.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
+
+    val rdd = df.select(qeCol).rdd.map(_.getSeq[Long](0).toArray)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        val bc = rdd.sparkContext.broadcast(books)
+        val sums = rdd.treeAggregate(
+          Array.fill(m, k)(new Array[Long](dsub + 1)))(
+          seqOp = (acc, v) => {
+            var mi = 0
+            while (mi < m) {
+              val cbs = bc.value(mi)
+              val off = mi * dsub
+              var best = 0
+              var bestD = Long.MaxValue
+              var c = 0
+              while (c < k) {
+                val cent = cbs(c)
+                var d = 0L
+                var i = 0
+                while (i < dsub) {
+                  val t = v(off + i) - cent(i); d += t * t; i += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              val row = acc(mi)(best)
+              var i = 0
+              while (i < dsub) { row(i) += v(off + i); i += 1 }
+              row(dsub) += 1
+              mi += 1
+            }
+            acc
+          },
+          combOp = (a, b) => {
+            var mi = 0
+            while (mi < m) {
+              var c = 0
+              while (c < k) {
+                val ra = a(mi)(c); val rb = b(mi)(c)
+                var i = 0
+                while (i <= dsub) { ra(i) += rb(i); i += 1 }
+                c += 1
+              }
+              mi += 1
+            }
+            a
+          })
+        books = Array.tabulate(m) { mi =>
+          books(mi).zipWithIndex.map { case (old, ci) =>
+            val row = sums(mi)(ci)
+            val n = row(dsub)
+            if (n == 0L) old else Array.tabulate(dsub)(d => row(d) / n)
+          }
+        }
+        bc.destroy()
+      }
+    } finally rdd.unpersist(blocking = false)
+    books.toSeq
+  }
 
   /** Integer squared L2 between two quantized sub-vectors. */
   private def l2(a: Array[Long], b: Array[Long]): Long = {
