@@ -194,16 +194,17 @@ object CurationQueries {
     "q_rarity_score",
     "unigram-rarity doc scoring (integer perplexity proxy)",
     (s, dir) => {
-      val occ = docs(s, dir)
+      // One explode pass → per-(doc, word) counts, checkpointed ONCE:
+      // word stats, the corpus total, and the scoring join all derive
+      // from this compact frame (one row per distinct word per doc),
+      // never re-reading the raw occurrence explosion.
+      val tfFrame = docs(s, dir)
         .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
-        .localCheckpoint(true) // feeds stats + the scoring join
-      val stats = occ.groupBy("w").agg(count(lit(1)).as("wc"))
-      val total = occ.count() // one scalar, exact
-      occ
-        // pre-aggregate per (doc, word) BEFORE the stats join: ships one
-        // row per distinct word per doc through the join, not one per
-        // occurrence
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val stats = tfFrame.groupBy("w").agg(sum("tf").as("wc"))
+      val total = tfFrame.agg(sum("tf")).head().getLong(0)
+      tfFrame
         .join(stats.hint("shuffle_hash"), "w")
         .groupBy("doc_id")
         .agg(sum(col("tf")).as("n_words"),
