@@ -112,6 +112,51 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("differential: repetition + span stats vs plain-Scala on random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docsGen = (0L until 40L).map { id =>
+      val n = 6 + rnd.nextInt(20)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dir = docTable(docsGen)
+
+    // plain-Scala reference for the repetition gate
+    val expectedRep = docsGen.map { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      val top = ws.groupBy(identity).values.map(_.size).max.toLong
+      val n = ws.size.toLong
+      val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val nb = bgs.size.toLong
+      val ndb = bgs.distinct.size.toLong
+      val topPm = top * 1000 / n
+      val dupPm = (nb - ndb) * 1000 / nb
+      id -> ((topPm, dupPm, if (topPm > 140 || dupPm > 65) 1 else 0))
+    }.toMap
+    val gotRep = CurationQueries.repetitionFilter.run(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(gotRep == expectedRep)
+
+    // plain-Scala reference for cross-doc 5-gram span sharing
+    val spansByDoc = docsGen.map { case (id, text) =>
+      id -> text.split(" ").toSeq.sliding(5).filter(_.size == 5)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val allCounts = spansByDoc.values.flatten
+      .groupBy(identity).map { case (sp, occ) => sp -> occ.size }
+    val expectedSpan = spansByDoc.collect {
+      case (id, sps) if sps.nonEmpty =>
+        val shared = sps.count(sp => allCounts(sp) >= 2).toLong
+        id -> ((sps.size.toLong, shared))
+    }
+    val gotSpan = CurationQueries.spanDedup.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(gotSpan == expectedSpan)
+  }
+
   // ------------------------------------------------------ plan shape
 
   test("pii scrub is pure per-row compute: no exchange except the sort") {
