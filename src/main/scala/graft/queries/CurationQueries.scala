@@ -481,7 +481,139 @@ object CurationQueries {
            |FROM tok JOIN t ON lang = t_lang
            |ORDER BY lang""".stripMargin))
 
+  // ------------------------------------------- split / bloom / chunk ops
+
+  /** Deterministic train/val/test split: a portable 60-bit md5 hash of
+    * the document id, mod 10 → 80/10/10 buckets. Pure map-side labeling
+    * (no shuffle until the per-(lang, split) audit aggregate) and stable
+    * under reruns/backfills — the property a 100 TB pipeline needs so a
+    * document never migrates between splits when the corpus grows. */
+  val trainSplit = GraftQuery(
+    "q_train_split",
+    "deterministic hash 80/10/10 train split, per-(lang, split) audit",
+    (s, dir) => docs(s, dir)
+      .select(col("lang"),
+        expr(s"${TF.hash60Sql("CAST(doc_id AS STRING)")} % 10").as("b"),
+        size(TF.words(col("text"))).as("nw"))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+      .orderBy("lang", "split"),
+    Some(s"""SELECT lang, split, count(*) AS n_docs,
+            |  CAST(sum(nw) AS BIGINT) AS tokens
+            |FROM (
+            |  SELECT lang,
+            |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+            |         ELSE 'test' END AS split,
+            |    len(string_split(text, ' ')) AS nw
+            |  FROM (SELECT lang, text,
+            |          ${TF.hash60DuckSql("CAST(doc_id AS VARCHAR)")} % 10
+            |            AS b
+            |        FROM documents))
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Bloom-prefiltered incremental span contamination: which documents of
+    * a new increment (src18/19) contain a 5-gram span already present in
+    * the existing corpus. The corpus span hashes build a Bloom filter
+    * (`DataFrameStatFunctions.bloomFilter` — a treeAggregate, no
+    * shuffle) that prefilters the increment's spans BEFORE the exact
+    * verify join, so at 100 TB the join's probe side is only the
+    * filter's survivors (true matches + ~1% false positives), not the
+    * increment's full span set; false positives are then eliminated by
+    * joining on the span text itself, keeping the output exact. */
+  val dedupBloom = GraftQuery(
+    "q_dedup_bloom",
+    "bloom-prefiltered incremental 5-gram span contamination check",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 5)
+      def spans(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(array_distinct(
+          SignatureExprs.wordShingles(col("ws"), 5))).as("sp"))
+      val isNew = col("source").isin("src18", "src19")
+      val corpusSp = spans(base.filter(!isNew)).select(col("sp"))
+      val corpusH = corpusSp.select(expr(TF.hash60Sql("sp")).as("h"))
+      val bf = corpusH.stat.bloomFilter("h",
+        math.max(corpusH.count(), 1L), 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val might = udf((h: java.lang.Long) =>
+        h != null && bc.value.mightContainLong(h))
+      spans(base.filter(isNew))
+        .withColumn("h", expr(TF.hash60Sql("sp")))
+        .filter(might(col("h")))
+        .join(corpusSp, "sp") // exact verify on the span text
+        .groupBy("doc_id")
+        .agg(countDistinct("sp").as("n_dup_spans"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source, string_split(text, ' ') AS ws
+           |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+           |sp AS (
+           |  SELECT doc_id, source,
+           |    unnest(list_distinct(list_transform(
+           |      generate_series(1, len(ws) - 4),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+           |           ws[i+3] || ' ' || ws[i+4]))) AS sp
+           |  FROM d)
+           |SELECT n.doc_id, count(DISTINCT n.sp) AS n_dup_spans
+           |FROM (SELECT doc_id, sp FROM sp
+           |      WHERE source IN ('src18', 'src19')) n
+           |JOIN (SELECT sp FROM sp
+           |      WHERE source NOT IN ('src18', 'src19')) c USING (sp)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Chunk-level dedup (the fixed-boundary paragraph analog of
+    * [[spanDedup]]'s sliding spans, RefinedWeb-style): split each
+    * document into aligned 20-word chunks, hash each chunk, and mark a
+    * chunk duplicated when an earlier document (lower doc_id) contains
+    * the identical chunk — keep-first semantics. One shuffle groups
+    * chunk hashes, the join back is co-partitioned on the same key, and
+    * the final per-document rollup shuffles only (doc_id, flag) pairs.
+    * Intra-document repeats are not counted (min doc == self). */
+  val dedupChunk = GraftQuery(
+    "q_dedup_chunk",
+    "aligned 20-word chunk dedup stats, keep-first-document semantics",
+    (s, dir) => {
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, (size(ws) - 1) div 20),
+            |  i -> array_join(slice(ws, i * 20 + 1, 20), ' '))"""
+            .stripMargin)).as("chunk"))
+        .select(col("doc_id"), expr(TF.hash60Sql("chunk")).as("ch"))
+      val mins = chunks.groupBy("ch").agg(min("doc_id").as("min_doc"))
+      chunks.join(mins, "ch")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("min_doc") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_dup_chunks"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ws
+            |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+            |ch AS (
+            |  SELECT doc_id, unnest(list_transform(
+            |      generate_series(0, (len(ws) - 1) // 20),
+            |      i -> array_to_string(ws[(i*20+1):(i*20+20)], ' ')))
+            |    AS chunk
+            |  FROM d),
+            |h AS (SELECT doc_id, ${TF.hash60DuckSql("chunk")} AS ch
+            |      FROM ch),
+            |m AS (SELECT ch, min(doc_id) AS min_doc FROM h GROUP BY 1)
+            |SELECT h.doc_id, count(*) AS n_chunks,
+            |  CAST(sum(CASE WHEN min_doc < doc_id THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_dup_chunks
+            |FROM h JOIN m USING (ch)
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
-    mixPlan, dedupIncremental, annFiltered, rarityScore)
+    mixPlan, dedupIncremental, annFiltered, rarityScore, trainSplit,
+    dedupBloom, dedupChunk)
 }

@@ -333,8 +333,72 @@ object RelationalQueries {
            |  count(*) AS cnt
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** CUBE grouping sets (all four (status, year) subsets — the other
+    * grouping-set flavor next to q_rollup). Spark plans one Expand +
+    * one hash aggregate: rows are replicated 4× map-side and partial-
+    * aggregated before the shuffle, so the exchange carries group
+    * results, not the 4× row stream. Keys sentinel-coalesced (no NULL
+    * sort-order divergence). */
+  val cubeAgg = GraftQuery(
+    "q_cube_agg",
+    "CUBE grouping sets over order status x year with revenue cents",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"))
+      .cube("status", "yr")
+      .agg(count(lit(1)).as("cnt"), sum("price_c").as("revenue_c"))
+      .select(coalesce(col("status"), lit("ALL")).as("status"),
+        coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+        col("cnt"), col("revenue_c"))
+      .orderBy("status", "yr"),
+    Some("""SELECT coalesce(status, 'ALL') AS status,
+           |  coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr, cnt, revenue_c
+           |FROM (SELECT o_orderstatus AS status,
+           |        year(o_orderdate) AS yr, count(*) AS cnt,
+           |        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |          AS BIGINT)) AS BIGINT) AS revenue_c
+           |      FROM orders GROUP BY CUBE (status, yr))
+           |ORDER BY status, yr""".stripMargin))
+
+  /** Event-type transition matrix via lag windows: for each user's
+    * time-ordered event stream, count (from_type -> to_type) pairs and
+    * their inter-event gap stats. Both lags ride ONE window (one shuffle
+    * on the high-cardinality user key, no row concentration); the
+    * transition aggregate then reduces to |types|^2 rows. */
+  val eventTransitions = GraftQuery(
+    "q_event_transitions",
+    "per-user event-type transition counts + gap stats (lag windows)",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("from_type", lag("event_type", 1).over(w))
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .select(col("from_type"), col("event_type").as("to_type"),
+          (col("ts_us") - col("prev_ts")).as("gap_us"))
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("cnt"), sum("gap_us").as("sum_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""SELECT from_type, to_type, count(*) AS cnt,
+           |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           |  max(gap_us) AS max_gap_us
+           |FROM (
+           |  SELECT lag(event_type, 1) OVER w AS from_type,
+           |    event_type AS to_type,
+           |    ts_us - lag(ts_us, 1) OVER w AS gap_us
+           |  FROM (SELECT user_id, event_id, event_type,
+           |          epoch_ns(ts) // 1000 AS ts_us FROM events)
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+           |WHERE from_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
     sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg,
-    intervalJoinBinned)
+    intervalJoinBinned, cubeAgg, eventTransitions)
 }

@@ -238,4 +238,69 @@ class CurationSpec extends SparkSpec {
     // assert a conservative floor on the re-ranked output
     assert(found >= 4, s"PQ re-ranked recall@10 = $found/10")
   }
+
+  /** Documents table with per-row source (the split the bloom and
+    * incremental ops key on). */
+  private def docTableSrc(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("cursrc")
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("train split: buckets follow md5(doc_id) and are rerun-stable") {
+    val dir = docTable((0L until 30L).map(i => (i, s"w$i x y")))
+    def run() = CurationQueries.trainSplit.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val rows = run()
+    assert(rows.map(_._3).sum == 30L)      // every doc labeled once
+    assert(rows.map(_._4).sum == 30L * 3)  // 3 tokens per doc
+    // same buckets the portable hash defines (first 15 md5 hex digits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val expect = (0L until 30L).groupBy { i =>
+      val b = bucket(i)
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }.view.mapValues(_.size.toLong).toMap
+    val got = rows.groupBy(_._2)
+      .view.mapValues(_.map(_._3).sum).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(run().toSeq == rows.toSeq) // deterministic under rerun
+  }
+
+  test("bloom span dedup: only verified cross-increment spans survive") {
+    // corpus doc 1 shares the span "v w x y z" with new doc 10; new doc
+    // 11 has no corpus span — the bloom may or may not pass its spans,
+    // the verify join must drop them either way.
+    val dir = docTableSrc(Seq(
+      (1L, "v w x y z a b c d e", "src0"),
+      (2L, "p q r s t u aa bb cc dd", "src1"),
+      (10L, "m n v w x y z k l o", "src18"),
+      (11L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "src19")))
+    val out = CurationQueries.dedupBloom.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 1L)), out.mkString(","))
+  }
+
+  test("chunk dedup: aligned 20-word chunks, keep-first semantics") {
+    val w20a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val w20b = (1 to 20).map(i => s"b$i").mkString(" ")
+    // doc 1: chunk a + 5-word tail; doc 2: SAME chunk a + different
+    // tail (dup against doc 1); doc 3: all-new single short chunk.
+    val dir = docTable(Seq(
+      (1L, w20a + " t1 t2 t3 t4 t5"),
+      (2L, w20a + " u1 u2 u3 u4 u5"),
+      (3L, "c1 c2 c3")))
+    val out = CurationQueries.dedupChunk.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 1L, 0L)),
+      out.mkString(","))
+  }
 }
