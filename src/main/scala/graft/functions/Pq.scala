@@ -133,9 +133,13 @@ object Pq {
     * (same seed/assign/update/tiebreak rules as [[Ivf.trainAssignCtes]]),
     * per-vector ADC distance as the sum of per-subspace L2s to the
     * assigned sub-centroids, top-`topK` by (dist, id). The `found` join
-    * against an integer-dot reference ranking happens in the caller. */
+    * against an integer-dot reference ranking happens in the caller.
+    * `restrict` optionally names an outer CTE with an `idCol` column:
+    * the shortlist ranking then runs over its semi-join with the ADC
+    * distances (the IVF-probed candidate set in q_ann_ivf_pq). */
   def pqDuckSql(table: String, idCol: String, embCol: String, m: Int,
-      dsub: Int, k: Int, iters: Int, topK: Int, queryId: Long): String = {
+      dsub: Int, k: Int, iters: Int, topK: Int, queryId: Long,
+      restrict: Option[String] = None): String = {
     def sub(mi: Int) = s"qe[${mi * dsub + 1}:${mi * dsub + dsub}]"
     val perSub = (0 until m).map { mi =>
       val rounds = (0 until iters).map { r =>
@@ -180,6 +184,8 @@ object Pq {
     val dJoin = (1 until m)
       .map(mi => s"JOIN d$mi USING ($idCol)").mkString(" ")
     val dSum = (0 until m).map(mi => s"d$mi.d").mkString(" + ")
+    val restrictJoin = restrict.map(r => s" JOIN $r USING ($idCol)")
+      .getOrElse("")
     s"""WITH e AS (
        |  SELECT $idCol,
        |    list_transform($embCol, x ->
@@ -192,7 +198,7 @@ object Pq {
        |  WHERE d0.$idCol <> $queryId)
        |SELECT $idCol FROM (
        |  SELECT ROW_NUMBER() OVER (ORDER BY d, $idCol) AS rank, $idCol
-       |  FROM dist)
+       |  FROM dist$restrictJoin)
        |WHERE rank <= $topK""".stripMargin
   }
 }

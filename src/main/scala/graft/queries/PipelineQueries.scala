@@ -731,6 +731,83 @@ object PipelineQueries {
             |FROM ref LEFT JOIN pq USING (vec_id)
             |ORDER BY rank""".stripMargin))
 
+  /** IVF+PQ (the FAISS IVFPQ composite, Jégou et al. 2011): a coarse
+    * IVF quantizer prunes the search to the probed clusters, PQ ADC
+    * scores ONLY those candidates (m table lookups per row, never the
+    * full vector), and the exact integer-dot re-rank runs over the
+    * 50-row shortlist. At 100 TB this is the production ANN shape: the
+    * coarse filter cuts the scan to nProbe/k of the corpus, the scan
+    * reads only (id, cluster, 8 PQ codes) — not the embedding — and
+    * full vectors are touched for 50 rows. Trained structures are
+    * driver-side arrays riding the codegen'd [[NearestCentroidExpr]];
+    * the oracle replays both trainings CTE-for-CTE and applies the same
+    * probe restriction via [[Pq.pqDuckSql]]'s `restrict` hook. */
+  val annIvfPq = GraftQuery(
+    "q_ann_ivf_pq",
+    "IVF coarse probe + PQ ADC shortlist + exact re-rank top-10",
+    (s, dir) => {
+      import graft.functions.{Ivf, Pq, QuantizedExprs}
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe")
+        .localCheckpoint(true)
+      val coarse = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+      val books = Pq.trainSubspaces(e, "vec_id", "qe", m = 8, dsub = 8,
+        k = 16)
+      val qQe = e.filter(col("vec_id") === 0)
+        .select("qe").head().getSeq[Long](0).toArray
+      val probes = Ivf.probeOrderQuantized(qQe, coarse).take(4)
+      val adc = Pq.adcTables(qQe, books, dsub = 8)
+      val q = e.filter(col("vec_id") === 0).select(col("qe").as("q_qe"))
+      val shortlist = e.filter(col("vec_id") =!= 0)
+        .withColumn("ivf_cluster",
+          Ivf.assignQuantized(col("qe"), coarse))
+        .filter(col("ivf_cluster")
+          .isin(probes.map(Integer.valueOf): _*))
+        .withColumn("d", Pq.adcDistance(col("qe"), books, adc, dsub = 8))
+        .orderBy(col("d").asc, col("vec_id")) // TakeOrderedAndProject
+        .limit(50)
+      val top = shortlist
+        .crossJoin(broadcast(q))
+        .withColumn("rdot", QuantizedExprs.intDot(col("qe"), col("q_qe")))
+        .orderBy(col("rdot").desc, col("vec_id"))
+        .limit(10)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("rdot").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("vec_id"), col("ivf_cluster"))
+    },
+    Some(s"""WITH eo AS (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x ->
+            |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+            |  FROM embeddings),
+            |qv AS (SELECT qe AS q_qe FROM eo WHERE vec_id = 0),
+            |coarse AS (
+            |  WITH ${graft.functions.Ivf.trainAssignCtes("embeddings",
+                 "vec_id", "embedding", k = 16, iters = 3)},
+            |  q AS (SELECT qe AS qqe FROM e WHERE vec_id = 0),
+            |  probes AS (
+            |    SELECT cid FROM c3, q
+            |    ORDER BY ${graft.functions.Ivf.l2Sql("c", "qqe")}, cid
+            |    LIMIT 4)
+            |  SELECT f.vec_id, CAST(f.cid AS INT) AS ivf_cluster
+            |  FROM fin f
+            |  WHERE f.cid IN (SELECT cid FROM probes) AND f.vec_id <> 0),
+            |shortlist AS (
+            |  ${graft.functions.Pq.pqDuckSql("embeddings", "vec_id",
+                 "embedding", m = 8, dsub = 8, k = 16, iters = 3,
+                 topK = 50, queryId = 0L, restrict = Some("coarse"))}
+            |)
+            |SELECT rank, vec_id, ivf_cluster FROM (
+            |  SELECT ROW_NUMBER() OVER (ORDER BY
+            |      list_sum(list_transform(generate_series(1, len(e.qe)),
+            |        i -> e.qe[i] * q.q_qe[i])) DESC, e.vec_id) AS rank,
+            |    e.vec_id, c.ivf_cluster
+            |  FROM eo e JOIN shortlist USING (vec_id)
+            |    JOIN coarse c USING (vec_id), qv q)
+            |WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
   // ------------------------------------------------------- multimodal
 
   /** Multimodal column plumbing: opaque binary payload + typed metadata —
@@ -1026,5 +1103,5 @@ object PipelineQueries {
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
-    annSqRecall, annPqRecall)
+    annSqRecall, annPqRecall, annIvfPq)
 }

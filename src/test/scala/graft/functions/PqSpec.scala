@@ -56,4 +56,19 @@ class PqSpec extends SparkSpec {
       assert(r.getLong(2) == expected)
     }
   }
+
+  test("IVF+PQ composite: probed clusters only, useful recall floor") {
+    val out = graft.queries.PipelineQueries.annIvfPq
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 10)
+    // every result sits in one of the 4 probed coarse clusters
+    assert(out.map(_.getAs[Int]("ivf_cluster")).distinct.length <= 4)
+    // recall vs the exact integer-dot top-10 (probe + ADC + re-rank
+    // loses some, but the composite must stay useful)
+    val exact = graft.queries.PipelineQueries.annSqRecall
+      .run(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(1)).toSet // exact ref top-10 vec_ids
+    val hits = out.map(_.getLong(1)).count(exact.contains)
+    assert(hits >= 4, s"IVF+PQ recall@10 = $hits/10")
+  }
 }
