@@ -1097,11 +1097,118 @@ object PipelineQueries {
            |  FROM embeddings)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** K-means as a first-class audit query: cluster sizes + EXACT integer
+    * inertia (Σ ||v − c||² over quantized vectors). The per-row distance
+    * uses the dot-product identity ||v−c||² = v·v − 2 v·c + c·c with
+    * every term a codegen'd [[graft.functions.IntDotExpr]] — the
+    * 16-branch CASE over centroid literals keeps the whole row pipeline
+    * inside whole-stage codegen (no interpreted array lambda per row).
+    * At 100 TB: training is a treeAggregate (no shuffle), the audit scan
+    * is one map + one 16-group aggregate. */
+  val topicCluster = GraftQuery(
+    "q_topic_cluster",
+    "k-means topic clusters: sizes + exact integer inertia per cluster",
+    (s, dir) => {
+      import graft.functions.{Ivf, QuantizedExprs}
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe")
+        .localCheckpoint(true)
+      val cents = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+      val cSelf = cents.map(c => c.map(x => x * x).sum)
+      val dotToC = (0 until 16).map { cid =>
+        when(col("cid") === cid,
+          QuantizedExprs.intDot(col("qe"),
+            typedLit(cents(cid).toSeq)) * -2L + lit(cSelf(cid)))
+      }.reduceRight(_.otherwise(_)) // right-nest: one otherwise per CASE
+      e.withColumn("cid", Ivf.assignQuantized(col("qe"), cents))
+        .withColumn("term",
+          QuantizedExprs.intDot(col("qe"), col("qe")) + dotToC)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"), sum("term").as("inertia"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH ${graft.functions.Ivf.trainAssignCtes("embeddings",
+               "vec_id", "embedding", k = 16, iters = 3)}
+            |SELECT CAST(f.cid AS INT) AS cid, count(*) AS n_vectors,
+            |  CAST(sum(${graft.functions.Ivf.l2Sql("e.qe", "c.c")})
+            |    AS BIGINT) AS inertia
+            |FROM e JOIN fin f USING (vec_id)
+            |JOIN c3 c ON f.cid = c.cid
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Batch ANN retrieval — the production shape: a TABLE of queries
+    * (not one driver-side vector) joined against the IVF index. Each
+    * query probes its 2 nearest coarse centroids (tiny query×16 cross
+    * join), candidates attach by cluster-id equi-join (the probe set
+    * broadcasts; the corpus never reshuffles), scoring is the codegen'd
+    * integer dot, and per-query top-3 is a window over the
+    * high-cardinality query key — no row concentration anywhere. */
+  val annBatch = GraftQuery(
+    "q_ann_batch",
+    "batch ANN: query table x IVF index join, per-query top-3",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{Ivf, QuantizedExprs}
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe")
+        .localCheckpoint(true)
+      val cents = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+      val centDf = cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "c")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qe").as("q_qe"))
+      val pw = Window.partitionBy("q_id")
+        .orderBy(col("d").asc, col("cid").asc)
+      val probes = queries.crossJoin(broadcast(centDf))
+        .withColumn("d",
+          QuantizedExprs.intDot(col("q_qe"), col("q_qe"))
+            - QuantizedExprs.intDot(col("q_qe"), col("c")) * 2L
+            + QuantizedExprs.intDot(col("c"), col("c")))
+        .withColumn("rn", row_number().over(pw))
+        .filter(col("rn") <= 2)
+        .select("q_id", "q_qe", "cid")
+      val cand = e.filter(col("vec_id") >= 5)
+        .withColumn("cid", Ivf.assignQuantized(col("qe"), cents))
+      val tw = Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      cand.join(broadcast(probes), "cid")
+        .withColumn("dot",
+          QuantizedExprs.intDot(col("qe"), col("q_qe")))
+        .withColumn("rank", row_number().over(tw))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"))
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH ${graft.functions.Ivf.trainAssignCtes("embeddings",
+               "vec_id", "embedding", k = 16, iters = 3)},
+            |qs AS (SELECT vec_id AS q_id, qe AS q_qe FROM e
+            |       WHERE vec_id < 5),
+            |probes AS (
+            |  SELECT q_id, q_qe, cid FROM (
+            |    SELECT q.q_id, q.q_qe, c.cid, ROW_NUMBER() OVER (
+            |        PARTITION BY q.q_id
+            |        ORDER BY ${graft.functions.Ivf.l2Sql("q.q_qe", "c.c")},
+            |          c.cid) AS rn
+            |    FROM qs q, c3 c) WHERE rn <= 2),
+            |cand AS (
+            |  SELECT e.vec_id, e.qe, f.cid FROM e
+            |  JOIN fin f USING (vec_id) WHERE e.vec_id >= 5)
+            |SELECT q_id, rank, vec_id FROM (
+            |  SELECT p.q_id, cand.vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY p.q_id ORDER BY
+            |        list_sum(list_transform(generate_series(1,
+            |          len(cand.qe)), i -> cand.qe[i] * p.q_qe[i])) DESC,
+            |        cand.vec_id) AS rank
+            |  FROM cand JOIN probes p USING (cid))
+            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
-    annSqRecall, annPqRecall, annIvfPq)
+    annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch)
 }

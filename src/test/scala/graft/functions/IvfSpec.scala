@@ -89,4 +89,48 @@ class IvfSpec extends SparkSpec {
     c.foreach(arr => assert(arr.length == 2))
     assert(c(1).toSeq == Seq(1000L, 1000L)) // isolated point stays put
   }
+
+  test("topic cluster: codegen'd inertia identity == explicit L2 sum") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.PipelineQueries.topicCluster.run(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("qe", Similarity.quantize(col("embedding")))
+      .select("vec_id", "qe").localCheckpoint(true)
+    assert(out.map(_._2).sum == e.count()) // every vector assigned once
+    // recompute inertia per cluster via the interpreted zip_with lambda
+    val cents = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+    val centDf = {
+      import spark.implicits._
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid2", "c")
+    }
+    val explicit = e
+      .withColumn("cid2", Ivf.assignQuantized(col("qe"), cents))
+      .join(broadcast(centDf), "cid2")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qe, c, (a, b) -> (a - b) * (a - b)), 0L," +
+          " (x, y) -> x + y)"))
+      .groupBy("cid2").agg(sum("d2").as("inertia2"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.foreach { case (cid, _, inertia) =>
+      assert(explicit(cid) == inertia, s"cluster $cid inertia diverged")
+    }
+  }
+
+  test("batch ANN: per-query top-3 stays within the probed clusters") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.PipelineQueries.annBatch.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.groupBy(_._1).values.forall(_.length == 3))
+    // per query: ranks are 1..3 and results are distinct candidates
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+      assert(rs.map(_._3).distinct.length == 3)
+      assert(rs.forall(_._3 >= 5L)) // never returns a query vector
+    }
+  }
 }
