@@ -397,8 +397,68 @@ object RelationalQueries {
            |WHERE from_type IS NOT NULL
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** TPC-H Q5-shape six-table join (local-supplier revenue): the classic
+    * optimizer stress test of the interactive-SQL surface. The plan the
+    * declarative statement earns from Catalyst is exactly the one you'd
+    * hand-build at 100 TB: region/nation filters collapse to broadcast
+    * semijoin-like dims, customer and supplier broadcast, the only
+    * shuffle is lineitem⋈orders on the orderkey (both sides big), and
+    * the year predicate pushes into the orders parquet scan. Revenue is
+    * exact integer hundredth-of-cent: price_cents × (10000 − discount
+    * basis points), both factors via the deterministic double→decimal
+    * cast. */
+  val localSupplierRevenue = GraftQuery(
+    "q_revenue_local_supplier",
+    "TPC-H Q5 shape: ASIA local-supplier revenue per nation, 1995",
+    (s, dir) => {
+      val rev = expr(
+        """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+          |(10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
+          |  AS BIGINT))""".stripMargin)
+      val region = t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")
+      val nation = t(s, dir, "nation")
+        .join(broadcast(region),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val orders = t(s, dir, "orders")
+        .filter(expr("year(o_orderdate) = 1995"))
+        .select("o_orderkey", "o_custkey")
+      val customer = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val supplier = t(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev_c4"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), sum("rev_c4").as("revenue_c4"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_items,
+           |  CAST(sum(
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT) *
+           |    (10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
+           |      AS BIGINT))) AS BIGINT) AS revenue_c4
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |  AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE year(o_orderdate) = 1995 AND r_name = 'ASIA'
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
     sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg,
-    intervalJoinBinned, cubeAgg, eventTransitions)
+    intervalJoinBinned, cubeAgg, eventTransitions, localSupplierRevenue)
 }

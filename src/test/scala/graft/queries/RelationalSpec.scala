@@ -48,4 +48,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getLong(4) >= 0L)) // max_gap_us
     assert(rows.forall(_.getLong(3) >= 0L)) // sum_gap_us
   }
+
+  test("Q5 shape: one fact shuffle join, dims broadcast, year pushed") {
+    val df = RelationalQueries.localSupplierRevenue.run(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // at most one shuffled join (lineitem x orders; at sf0.001 even
+    // orders broadcasts) and never a nested-loop/cartesian fallback
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(smj + shj <= 1, s"want <=1 shuffled join, smj=$smj shj=$shj")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    // customer/supplier/nation/region all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      plan.take(3000))
+    // the year predicate reaches the orders scan as a pushed filter
+    assert(plan.contains("o_orderdate"), plan.take(3000))
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(scans.contains("o_orderdate") || plan.contains("year"),
+      scans)
+  }
 }
