@@ -91,4 +91,25 @@ object StreamOps {
           }
       }
   }
+
+  /** Stream-stream interval join (the streaming twin of the batch
+    * q_interval_join / as-of enrichment): each left event pairs with
+    * right events of the SAME key whose event time falls in
+    * [leftTime, leftTime + window]. Both sides carry watermarks and the
+    * join condition bounds the time range in BOTH directions, so Spark
+    * can evict buffered rows once the watermark passes their time +
+    * window — state is O(rate × (window + lateness)) per side, never
+    * unbounded. Inner join: matches emit as soon as both rows arrive
+    * (no watermark wait), the watermark only drives state cleanup and
+    * late-row dropping. */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      lateness: String, window: String): DataFrame = {
+    val l = left.withWatermark(leftTime, lateness).alias("sij_l")
+    val r = right.withWatermark(rightTime, lateness).alias("sij_r")
+    l.join(r, expr(
+      s"sij_l.$leftKey = sij_r.$rightKey AND " +
+        s"sij_r.$rightTime >= sij_l.$leftTime AND " +
+        s"sij_r.$rightTime <= sij_l.$leftTime + interval $window"))
+  }
 }

@@ -158,4 +158,40 @@ class StreamOpsSpec extends SparkSpec {
       assert(out2.contains("late-replay"))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: same-key matches within the window") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(36000000L + min * 60000)
+
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user", "clickTime"), "user", "clickTime",
+      buys.toDF().toDF("buyer", "buyTime"), "buyer", "buyTime",
+      lateness = "1 minute", window = "10 minutes")
+      .selectExpr("user", "clickTime", "buyTime")
+
+    val q = joined.writeStream
+      .format("memory").queryName("sij_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // user 1 clicks at t=10; buys at t=15 (in window) and t=25 (out).
+      // user 2 clicks at t=10; user 3 buys with no click.
+      clicks.addData((1L, ts(10)), (2L, ts(10)))
+      buys.addData((1L, ts(15)), (1L, ts(25)), (3L, ts(16)))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user, buyTime FROM sij_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)))
+      assert(out.toSet == Set((1L, ts(15))), out.mkString(","))
+      // a buy BEFORE the click never matches (window is one-directional)
+      buys.addData((2L, ts(9)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM sij_out").head.getLong(0)
+        == 1L)
+    } finally q.stop()
+  }
 }
