@@ -536,8 +536,13 @@ object CurationQueries {
       val isNew = col("source").isin("src18", "src19")
       val corpusSp = spans(base.filter(!isNew)).select(col("sp"))
       val corpusH = corpusSp.select(expr(TF.hash60Sql("sp")).as("h"))
+      // Size the filter from an UPPER BOUND (doc count × max spans/doc
+      // — in production, catalog row stats), not a count() over the
+      // exploded span set: over-sizing costs a few bits per item,
+      // counting costs a full extra scan+explode pass.
+      val nDocs = base.filter(!isNew).count()
       val bf = corpusH.stat.bloomFilter("h",
-        math.max(corpusH.count(), 1L), 0.01)
+        math.max(nDocs * 64L, 1024L), 0.01)
       val bc = s.sparkContext.broadcast(bf)
       val might = udf((h: java.lang.Long) =>
         h != null && bc.value.mightContainLong(h))
@@ -612,8 +617,80 @@ object CurationQueries {
             |FROM h JOIN m USING (ch)
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Quality-gate funnel: the composed curation pipeline as ONE query —
+    * per source, how many documents survive the length gate, then the
+    * Gopher repetition gate on top. The per-row gate is map-side; the
+    * repetition stats reuse [[repetitionFilter]]'s two doc-keyed
+    * aggregations; the final rollup shuffles only (source, flag) pairs.
+    * This is the audit table a 100 TB curation run publishes per
+    * increment — the funnel view of where documents die. */
+  val qualityFunnel = GraftQuery(
+    "q_quality_funnel",
+    "per-source survival funnel: length gate then repetition gate",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"), TF.words(col("text")).as("ws"))
+      val wordStats = base
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
+      val bigramStats = base.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(SignatureExprs.wordShingles(col("ws"), 2)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("nb"), count(lit(1)).as("ndb"))
+      val rep = wordStats.join(bigramStats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("top * 1000 DIV n").as("twpm"),
+          coalesce(expr("(nb - ndb) * 1000 DIV nb"), lit(0L)).as("dbpm"))
+      base.select(col("doc_id"), col("source"), size(col("ws")).as("nw"))
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("source"),
+          col("nw").between(20, 1000).as("pass_len"),
+          (coalesce(col("twpm"), lit(0L)) <= 140 &&
+            coalesce(col("dbpm"), lit(0L)) <= 65).as("pass_rep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass_len"), 1L).otherwise(0L)).as("n_pass_len"),
+          sum(when(col("pass_len") && col("pass_rep"), 1L).otherwise(0L))
+            .as("n_pass_all"))
+        .orderBy("source")
+    },
+    Some("""WITH w AS (SELECT doc_id, source,
+           |            string_split(text, ' ') AS ws FROM documents),
+           |wc AS (SELECT doc_id, max(c) AS top,
+           |         CAST(sum(c) AS BIGINT) AS n
+           |       FROM (SELECT doc_id, s, count(*) AS c
+           |             FROM (SELECT doc_id, unnest(ws) AS s FROM w)
+           |             GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |bg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+           |         count(*) AS ndb
+           |       FROM (SELECT doc_id, b, count(*) AS c
+           |             FROM (SELECT doc_id,
+           |                     unnest(list_transform(
+           |                       generate_series(1, len(ws) - 1),
+           |                       i -> ws[i] || ' ' || ws[i+1])) AS b
+           |                   FROM w WHERE len(ws) >= 2)
+           |             GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |fl AS (
+           |  SELECT w.source,
+           |    len(w.ws) BETWEEN 20 AND 1000 AS pass_len,
+           |    coalesce(wc.top * 1000 // wc.n, 0) <= 140 AND
+           |      coalesce((bg.nb - bg.ndb) * 1000 // bg.nb, 0) <= 65
+           |      AS pass_rep
+           |  FROM w LEFT JOIN wc USING (doc_id)
+           |    LEFT JOIN bg USING (doc_id))
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_pass_len,
+           |  CAST(sum(CASE WHEN pass_len AND pass_rep THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_pass_all
+           |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
     mixPlan, dedupIncremental, annFiltered, rarityScore, trainSplit,
-    dedupBloom, dedupChunk)
+    dedupBloom, dedupChunk, qualityFunnel)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -457,8 +457,40 @@ object RelationalQueries {
            |WHERE year(o_orderdate) = 1995 AND r_name = 'ASIA'
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
+  /** Explicit GROUPING SETS — the margins-only set ((status),(yr),())
+    * neither ROLLUP nor CUBE expresses: both one-dimension margins plus
+    * the grand total, WITHOUT the (status, yr) leaf. Same Expand +
+    * partial-aggregate plan as q_cube_agg but replicating each row 3×
+    * instead of 4×. */
+  val groupingSetsAgg = GraftQuery(
+    "q_grouping_sets",
+    "explicit GROUPING SETS: both margins + grand total, no leaf",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"))
+      .groupingSets(
+        Seq(Seq(col("status")), Seq(col("yr")), Seq.empty[Column]),
+        col("status"), col("yr"))
+      .agg(count(lit(1)).as("cnt"), sum("price_c").as("revenue_c"))
+      .select(coalesce(col("status"), lit("ALL")).as("status"),
+        coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+        col("cnt"), col("revenue_c"))
+      .orderBy("status", "yr"),
+    Some("""SELECT coalesce(status, 'ALL') AS status,
+           |  coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr, cnt, revenue_c
+           |FROM (SELECT o_orderstatus AS status,
+           |        year(o_orderdate) AS yr, count(*) AS cnt,
+           |        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |          AS BIGINT)) AS BIGINT) AS revenue_c
+           |      FROM orders
+           |      GROUP BY GROUPING SETS ((status), (yr), ()))
+           |ORDER BY status, yr""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
     sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg,
-    intervalJoinBinned, cubeAgg, eventTransitions, localSupplierRevenue)
+    intervalJoinBinned, cubeAgg, eventTransitions, localSupplierRevenue,
+    groupingSetsAgg)
 }
