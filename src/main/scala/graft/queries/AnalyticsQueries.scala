@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{QuantizedExprs, Similarity, TextFunctions => TF}
+
+/** Warehouse-analytics breadth: the remaining classic TPC-H query shapes
+  * on the interactive-SQL passthrough surface (SURVEY §2.5 — the
+  * reference routes user SQL to the peer; Spark SQL supplies the
+  * operators, these prove plans + semantics at scale), plus two retrieval
+  * extensions (BM25 ranking, LSH-blocked k-NN graph).
+  *
+  * Same portability discipline as the other query files: integer-exact
+  * outputs (money in cents / hundredth-of-cent, fractions via truncating
+  * DIV — identical in Spark `DIV` and DuckDB `//`), deterministic
+  * tiebreaks, total ORDER BY.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** Exact per-item revenue in hundredth-of-cent: cents × (10000 − bp). */
+  private val revC4 = expr(
+    """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+      |(10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
+      |  AS BIGINT))""".stripMargin)
+
+  /** TPC-H Q3 shape (shipping priority): revenue of BUILDING-segment
+    * orders placed in 1996 whose items shipped in 1997, top 10. The
+    * plan: customer dim broadcasts into orders, the only shuffle is
+    * lineitem⋈orders on the orderkey, and the top-10 runs as
+    * TakeOrderedAndProject (per-partition local top-k, driver merge) —
+    * never a global sort of the aggregate. */
+  val shippingPriority = GraftQuery(
+    "q_shipping_priority",
+    "TPC-H Q3 shape: top-10 1996 BUILDING orders by shipped-1997 revenue",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val orders = t(s, dir, "orders")
+        .filter(expr("year(o_orderdate) = 1996"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority").as("prio"))
+      t(s, dir, "lineitem")
+        .filter(expr("year(l_shipdate) = 1997"))
+        .select(col("l_orderkey"), revC4.as("rev_c4"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "odate", "prio")
+        .agg(sum("rev_c4").as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           |  o_orderpriority AS prio,
+           |  CAST(sum(
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT) *
+           |    (10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
+           |      AS BIGINT))) AS BIGINT) AS revenue_c4
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND year(o_orderdate) = 1996 AND year(l_shipdate) = 1997
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q4 shape (order-priority checking): 1996 orders having at
+    * least one item shipped more than 90 days after the order date —
+    * a correlated EXISTS whose predicate spans both tables, planned as a
+    * left-semi hash join on the orderkey (the non-equi part filters
+    * inside the join, no nested loop). */
+  val orderPriority = GraftQuery(
+    "q_order_priority",
+    "TPC-H Q4 shape: 1996 order counts by priority, late-ship EXISTS",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(expr("year(o_orderdate) = 1996"))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("prio")
+    },
+    Some("""SELECT o_orderpriority AS prio, count(*) AS n_orders
+           |FROM orders
+           |WHERE year(o_orderdate) = 1996
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q6 shape (forecast revenue change): pure filter-aggregate —
+    * every predicate pushes into the parquet scan, the aggregate is one
+    * map-side partial + a single-row final. Discount revenue in
+    * hundredth-of-cent: cents × basis points. */
+  val discountRevenue = GraftQuery(
+    "q_discount_revenue",
+    "TPC-H Q6 shape: 1996 discount revenue, filter-aggregate only",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(expr("year(l_shipdate) = 1996") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr(
+          """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+            |CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT)"""
+            .stripMargin)).as("disc_rev_c4")),
+    Some("""SELECT count(*) AS n_items,
+           |  CAST(sum(
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT) *
+           |    CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT))
+           |    AS BIGINT) AS disc_rev_c4
+           |FROM lineitem
+           |WHERE year(l_shipdate) = 1996
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin))
+
+  /** TPC-H Q10 shape (returned items): top 20 customers by revenue lost
+    * to returns in 1996, with their nation. lineitem⋈orders is the one
+    * big shuffle; customer and nation broadcast onto the aggregate. */
+  val returnedItems = GraftQuery(
+    "q_returned_items",
+    "TPC-H Q10 shape: top-20 customers by 1996 returned-item revenue",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(expr("year(o_orderdate) = 1996"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revC4.as("rev_c4"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("rev_c4").as("lost_c4"), count(lit(1)).as("n_items"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("lost_c4"), col("n_items"))
+        .orderBy(col("lost_c4").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+           |  CAST(sum(
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT) *
+           |    (10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
+           |      AS BIGINT))) AS BIGINT) AS lost_c4,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+           |GROUP BY 1, 2, 3
+           |ORDER BY lost_c4 DESC, c_custkey LIMIT 20""".stripMargin))
+
+  /** TPC-H Q14 shape (promo revenue): promo share of 1997 shipped
+    * revenue in basis points. Part is the broadcast dim; per-item revenue
+    * truncates to whole cents BEFORE summing (identical truncating DIV in
+    * both engines) so the 10000× share numerator stays far inside long
+    * range at any corpus scale. */
+  val promoRevenue = GraftQuery(
+    "q_promo_revenue",
+    "TPC-H Q14 shape: promo revenue share of 1997 shipments, basis points",
+    (s, dir) => {
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      t(s, dir, "lineitem")
+        .filter(expr("year(l_shipdate) = 1997"))
+        .select(col("l_partkey"), (revC4 / lit(10000)).cast("bigint")
+          .as("rev_c"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+            .as("promo_rev_c"),
+          sum("rev_c").as("total_rev_c"))
+        .select(col("promo_rev_c"), col("total_rev_c"),
+          expr("promo_rev_c * 10000 DIV total_rev_c").as("promo_share_bp"))
+    },
+    Some("""WITH r AS (
+           |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc
+           |                       ELSE 0 END) AS BIGINT) AS promo_rev_c,
+           |    CAST(sum(rc) AS BIGINT) AS total_rev_c
+           |  FROM (
+           |    SELECT p_type,
+           |      (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |         AS BIGINT) *
+           |       (10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
+           |         AS BIGINT))) // 10000 AS rc
+           |    FROM lineitem JOIN part ON l_partkey = p_partkey
+           |    WHERE year(l_shipdate) = 1997))
+           |SELECT promo_rev_c, total_rev_c,
+           |  promo_rev_c * 10000 // total_rev_c AS promo_share_bp
+           |FROM r""".stripMargin))
+
+  /** TPC-H Q15 shape (top supplier): suppliers achieving the maximum
+    * 1996-Q1 shipped revenue. The scalar max broadcasts back onto the
+    * per-supplier aggregate (no second scan, no window over a single
+    * partition); ties all surface, ordered by supplier key. */
+  val topSupplier = GraftQuery(
+    "q_top_supplier",
+    "TPC-H Q15 shape: max-revenue suppliers of 1996-Q1 shipments",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(expr(
+          "year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1"))
+        .select(col("l_suppkey"), (revC4 / lit(10000)).cast("bigint")
+          .as("rev_c"))
+        .groupBy("l_suppkey").agg(sum("rev_c").as("total_rev_c"))
+      val top = rev.agg(max("total_rev_c").as("max_rev_c"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(top),
+          col("total_rev_c") === col("max_rev_c"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_suppkey, CAST(sum(rc) AS BIGINT) AS total_rev_c
+           |  FROM (
+           |    SELECT l_suppkey,
+           |      (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |         AS BIGINT) *
+           |       (10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
+           |         AS BIGINT))) // 10000 AS rc
+           |    FROM lineitem
+           |    WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1)
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, total_rev_c
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** Quartile profile per order priority — interpolated percentiles made
+    * integer-exact: for integer cents the interpolation fraction is a
+    * multiple of 1/4, so 4×quantile is an exact integer in double
+    * arithmetic (values ≤ 2.4e8 ≪ 2^53) in both engines. */
+  val quartiles = GraftQuery(
+    "q_quartiles",
+    "per-priority order-value quartiles (exact ×4 integer encoding)",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"))
+      .groupBy("prio")
+      .agg(
+        expr("CAST(percentile(price_c, 0.25D) * 4 AS BIGINT)").as("p25_x4"),
+        expr("CAST(percentile(price_c, 0.5D) * 4 AS BIGINT)").as("p50_x4"),
+        expr("CAST(percentile(price_c, 0.75D) * 4 AS BIGINT)").as("p75_x4"),
+        count(lit(1)).as("cnt"))
+      .orderBy("prio"),
+    Some("""SELECT o_orderpriority AS prio,
+           |  CAST(quantile_cont(pc, 0.25) * 4 AS BIGINT) AS p25_x4,
+           |  CAST(quantile_cont(pc, 0.5) * 4 AS BIGINT) AS p50_x4,
+           |  CAST(quantile_cont(pc, 0.75) * 4 AS BIGINT) AS p75_x4,
+           |  count(*) AS cnt
+           |FROM (SELECT o_orderpriority,
+           |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |          AS BIGINT) AS pc
+           |      FROM orders)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Argmax WITHOUT a window: each customer's most expensive order via a
+    * composite-integer max — price packs above the key (price_c·10^7 +
+    * orderkey; price_c < 10^8 cents and orderkey < 10^7 keep the packed
+    * value under 2^63 — validated range of these tables; wider keys
+    * would switch to max_by/struct-max). One hash aggregate, no sort, no
+    * row_number: the cheapest latest/largest-per-key shape there is, and
+    * the deterministic tiebreak (higher orderkey wins equal prices) is
+    * explicit in the encoding. */
+  val argmaxOrder = GraftQuery(
+    "q_argmax_order",
+    "per-customer argmax order via composite-integer max (no window)",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("""CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               | * 10000000 + o_orderkey""".stripMargin).as("packed"))
+      .groupBy("o_custkey")
+      .agg(max("packed").as("best"), count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        expr("best DIV 10000000").as("best_price_c"),
+        expr("best % 10000000").as("best_orderkey"),
+        col("n_orders"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, best // 10000000 AS best_price_c,
+           |  best % 10000000 AS best_orderkey, n_orders
+           |FROM (
+           |  SELECT o_custkey,
+           |    max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |          AS BIGINT) * 10000000 + o_orderkey) AS best,
+           |    count(*) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |ORDER BY o_custkey""".stripMargin))
+
+  /** BM25-ranked keyword retrieval (Robertson-Spärck Jones, k1=1.2,
+    * b=0.75) — the length-normalized upgrade of q_keyword_search, in
+    * fixed-point milli arithmetic so both engines score bit-identically
+    * (the idf keeps BM25's (N−df+1/2)/(df+1/2) odds WITHOUT the log —
+    * monotone-equivalent ranking, integer-exact). One explode pass feeds
+    * tf; doc length rides the groupBy key (functionally dependent on
+    * doc_id — no extra shuffle volume); df and the corpus stats broadcast
+    * back; top-20 via TakeOrderedAndProject. */
+  val bm25Search = GraftQuery(
+    "q_bm25",
+    "BM25-ranked keyword search (fixed-point milli, top 20)",
+    (s, dir) => {
+      val terms = Seq("spark", "query", "window")
+      val base = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      val tf = base
+        .select(col("doc_id"), size(col("ws")).as("dl"),
+          explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val stats = base.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws"))).as("total_w"))
+      val scored = tf
+        .join(broadcast(df), "w")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", expr("total_w DIV n_docs"))
+        .withColumn("idf_milli",
+          expr("((n_docs - df) * 1000 + 500) * 1000 DIV (df * 1000 + 500)"))
+        .withColumn("norm_milli", expr("250 + (750 * dl) DIV avgdl"))
+        .withColumn("tfc_milli", expr(
+          "(tf * 2200000) DIV (tf * 1000 + (1200 * norm_milli) DIV 1000)"))
+        .withColumn("contrib", expr("(idf_milli * tfc_milli) DIV 1000"))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("score").desc, col("doc_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy("rank")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |tf AS (
+           |  SELECT doc_id, dl, w, count(*) AS tf
+           |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w
+           |        FROM base)
+           |  WHERE w IN ('spark', 'query', 'window')
+           |  GROUP BY 1, 2, 3),
+           |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+           |stats AS (SELECT count(*) AS n_docs,
+           |            CAST(sum(len(ws)) AS BIGINT) AS total_w
+           |          FROM base),
+           |scored AS (
+           |  SELECT doc_id, CAST(sum(
+           |      (((n_docs - df) * 1000 + 500) * 1000 // (df * 1000 + 500)
+           |       * ((tf * 2200000) //
+           |          (tf * 1000 +
+           |           (1200 * (250 + (750 * dl) // (total_w // n_docs)))
+           |             // 1000)))
+           |      // 1000) AS BIGINT) AS score
+           |  FROM tf JOIN df USING (w) CROSS JOIN stats
+           |  GROUP BY 1)
+           |SELECT rank, doc_id, score FROM (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+           |    AS rank, doc_id, score
+           |  FROM scored)
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+
+  /** Approximate k-NN graph (the index behind graph-ANN and NN-descent
+    * seeding): neighbors ranked by integer inner product WITHIN each
+    * 6-bit random-hyperplane LSH bucket — the blocked self-join that
+    * keeps graph construction linear-ish (Σ bucket²) instead of corpus²;
+    * at 100 TB the buckets are the shuffle keys and no pair crosses
+    * partitions. Quantized vectors + codegen'd int_dot make both the
+    * scores and the per-vector top-3 ranking bit-exact in the oracle.
+    * Vectors alone in their bucket simply emit no edges. */
+  val knnGraph = GraftQuery(
+    "q_knn_graph",
+    "LSH-blocked k-NN graph: top-3 inner-product neighbors per vector",
+    (s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id"),
+          Similarity.hyperplaneBucket("embedding", 6).as("bucket"),
+          Similarity.quantize(col("embedding")).as("qe"))
+        .localCheckpoint(true)
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("dot").desc, col("nb_id"))
+      e.as("a")
+        .join(e.as("b").hint("shuffle_hash"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb_id"),
+          QuantizedExprs.intDot(col("a.qe"), col("b.qe")).as("dot"))
+        .withColumn("rank", row_number().over(byVec))
+        .filter(col("rank") <= 3)
+        .select("vec_id", "rank", "nb_id", "dot")
+        .orderBy("vec_id", "rank")
+    },
+    Some(s"""WITH q AS (
+            |  SELECT vec_id,
+            |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6)}
+            |      AS bucket,
+            |    list_transform(embedding, x ->
+            |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+            |  FROM embeddings),
+            |p AS (
+            |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+            |    CAST(list_sum(list_transform(
+            |      generate_series(1, len(a.qe)),
+            |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot
+            |  FROM q a JOIN q b
+            |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+            |SELECT vec_id, rank, nb_id, dot FROM (
+            |  SELECT vec_id, nb_id, dot,
+            |    ROW_NUMBER() OVER (PARTITION BY vec_id
+            |      ORDER BY dot DESC, nb_id) AS rank
+            |  FROM p)
+            |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(
+    shippingPriority, orderPriority, discountRevenue, returnedItems,
+    promoRevenue, topSupplier, quartiles, argmaxOrder, bm25Search,
+    knnGraph)
+}
