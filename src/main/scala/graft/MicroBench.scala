@@ -204,6 +204,17 @@ object MicroBench {
           .run(spark, sfDir).count())
         (1 to 3).foreach(i => time(s"cluster run $i")(
           PipelineQueries.dedupCluster.run(spark, sfDir).count()))
+      case "q" =>
+        // Generic per-query timing: 3 runs of any registry query with the
+        // same block cleanup Bench uses.
+        val name = args.lift(2).getOrElse("q_bm25")
+        val fn = SparkEntry.queries(name)
+        (1 to 3).foreach { i =>
+          time(s"$name #$i")(fn(spark, sfDir).count())
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       case "cdc" =>
         // End-to-end mirror throughput: WAL decode → raw staging append →
         // normalize (latest-version dedup, TOAST backfill, soft delete) →

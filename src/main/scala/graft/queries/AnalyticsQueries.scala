@@ -318,17 +318,27 @@ object AnalyticsQueries {
     "BM25-ranked keyword search (fixed-point milli, top 20)",
     (s, dir) => {
       val terms = Seq("spark", "query", "window")
+      // ONE split + ONE explode over the text: the per-doc aggregate
+      // computes doc length (count) and each term's tf (conditional
+      // sums — the wide-but-cheap aggregate shape, all map-side
+      // combined, so the shuffle carries one row per doc). The
+      // checkpointed frame feeds both the corpus stats and tf — two
+      // consumers; without it the plan re-splits all text twice.
       val base = docs(s, dir)
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-      val tf = base
-        .select(col("doc_id"), size(col("ws")).as("dl"),
-          explode(col("ws")).as("w"))
-        .filter(col("w").isin(terms: _*))
-        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dl"),
+          terms.map(t =>
+            sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
         .localCheckpoint(true)
+      val stack = terms.map(t => s"'$t', tf_$t").mkString(", ")
+      val tf = base
+        .selectExpr("doc_id", "dl",
+          s"stack(${terms.size}, $stack) AS (w, tf)")
+        .filter(col("tf") > 0)
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val stats = base.agg(count(lit(1)).as("n_docs"),
-        sum(size(col("ws"))).as("total_w"))
+        sum("dl").as("total_w"))
       val scored = tf
         .join(broadcast(df), "w")
         .crossJoin(broadcast(stats))

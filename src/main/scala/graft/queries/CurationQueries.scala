@@ -534,7 +534,11 @@ object CurationQueries {
         explode(array_distinct(
           SignatureExprs.wordShingles(col("ws"), 5))).as("sp"))
       val isNew = col("source").isin("src18", "src19")
+      // The corpus span set feeds TWO actions (the Bloom treeAggregate
+      // and the exact verify join) — materialize it once or each pays a
+      // full split+shingle+explode pass over the corpus text.
       val corpusSp = spans(base.filter(!isNew)).select(col("sp"))
+        .localCheckpoint(true)
       val corpusH = corpusSp.select(expr(TF.hash60Sql("sp")).as("h"))
       // Size the filter from an UPPER BOUND (doc count × max spans/doc
       // — in production, catalog row stats), not a count() over the
