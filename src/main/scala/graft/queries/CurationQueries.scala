@@ -693,8 +693,148 @@ object CurationQueries {
            |    AS BIGINT) AS n_pass_all
            |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Linear quality classifier (the fastText-classifier shape distilled
+    * to a fixed integer-weight linear model): stopword density, average
+    * word length, digit density and a capped length feature combine into
+    * one score; θ=2500 sits at the corpus median so the gate separates.
+    * Pure per-row column ops — classification runs at scan speed, the
+    * rollup is the only (tiny) shuffle. */
+  val qualityClassifier = GraftQuery(
+    "q_quality_classifier",
+    "integer linear quality classifier: per-doc score + keep/drop label",
+    (s, dir) => {
+      val ws = TF.words(col("text"))
+      val stops = Seq("the", "a", "of", "and", "is")
+      docs(s, dir)
+        .withColumn("nw", size(ws).cast("long"))
+        .withColumn("stop_cnt",
+          stops.map(w => TF.markerCount(ws, w).cast("long"))
+            .reduce(_ + _))
+        .select(col("doc_id"), col("nw"),
+          expr("(length(text) - nw + 1) * 1000 DIV nw").as("awl_milli"),
+          expr("stop_cnt * 1000 DIV nw").as("stop_pm"),
+          expr("""(length(text) - length(regexp_replace(text,
+                 |  '[0-9]', ''))) * 1000 DIV length(text)""".stripMargin)
+            .as("digit_pm"))
+        .withColumn("score", expr(
+          "stop_pm * 3 + awl_milli DIV 2 - digit_pm * 2 + least(nw, 500)"))
+        .withColumn("label",
+          when(col("score") >= 2500, "keep").otherwise("drop"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, nw, awl_milli, stop_pm, digit_pm,
+           |  stop_pm * 3 + awl_milli // 2 - digit_pm * 2 +
+           |    least(nw, 500) AS score,
+           |  CASE WHEN stop_pm * 3 + awl_milli // 2 - digit_pm * 2 +
+           |    least(nw, 500) >= 2500 THEN 'keep' ELSE 'drop' END
+           |    AS label
+           |FROM (
+           |  SELECT doc_id, nw,
+           |    (length(text) - nw + 1) * 1000 // nw AS awl_milli,
+           |    len(list_filter(string_split(text, ' '),
+           |      w -> w IN ('the', 'a', 'of', 'and', 'is'))) * 1000 // nw
+           |      AS stop_pm,
+           |    (length(text) - length(regexp_replace(text, '[0-9]', '',
+           |      'g'))) * 1000 // length(text) AS digit_pm
+           |  FROM (SELECT doc_id, text,
+           |          CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+           |        FROM documents))
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Adaptive per-source length gate: discrete 5th/95th percentiles of
+    * n_chars per source (percentile_disc — an ACTUAL corpus value, no
+    * interpolation, so the threshold is integer-exact in both engines),
+    * broadcast back as bounds. The aggregate sees one row per source;
+    * the gate itself is map-side. This is how a curation run adapts its
+    * length filter to each crawl source instead of one global cut. */
+  val lengthGate = GraftQuery(
+    "q_length_gate",
+    "per-source adaptive length gate from discrete p5/p95 bounds",
+    (s, dir) => {
+      val bounds = docs(s, dir)
+        .groupBy("source")
+        .agg(
+          // percentile_disc returns DOUBLE in Spark even over BIGINT
+          // input; the value is an actual corpus element → exact cast
+          expr("CAST(percentile_disc(0.05) WITHIN GROUP " +
+            "(ORDER BY n_chars) AS BIGINT)").as("lo"),
+          expr("CAST(percentile_disc(0.95) WITHIN GROUP " +
+            "(ORDER BY n_chars) AS BIGINT)").as("hi"))
+      docs(s, dir).select("source", "n_chars")
+        .join(broadcast(bounds), "source")
+        .groupBy("source")
+        .agg(max("lo").as("lo"), max("hi").as("hi"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH b AS (
+           |  SELECT source, quantile_disc(n_chars, 0.05) AS lo,
+           |    quantile_disc(n_chars, 0.95) AS hi
+           |  FROM documents GROUP BY 1)
+           |SELECT source, max(lo) AS lo, max(hi) AS hi,
+           |  count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN n_chars BETWEEN lo AND hi
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents JOIN b USING (source)
+           |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Language-ID confusion matrix: the audit table for q_text_langid —
+    * declared vs predicted language counts. The prediction is the same
+    * per-row marker-count CASE; the matrix aggregate shuffles only
+    * |langs|² rows. */
+  val langConfusion = GraftQuery(
+    "q_lang_confusion",
+    "declared-vs-predicted language confusion matrix",
+    (s, dir) => {
+      val ws = TF.words(col("text"))
+      docs(s, dir)
+        .withColumn("c_en", TF.markerCount(ws, "the"))
+        .withColumn("c_de", TF.markerCount(ws, "der"))
+        .withColumn("c_es", TF.markerCount(ws, "el"))
+        .withColumn("c_fr", TF.markerCount(ws, "le"))
+        .withColumn("c_zh", TF.markerCount(ws, "的"))
+        .withColumn("pred_lang",
+          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+            col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+              col("c_de") >= col("c_zh"), "de")
+            .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_zh"),
+              "es")
+            .when(col("c_fr") >= col("c_zh"), "fr")
+            .otherwise("zh"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some("""SELECT lang, pred_lang, count(*) AS n_docs
+           |FROM (SELECT lang,
+           |  CASE
+           |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+           |      AND c_en >= c_zh THEN 'en'
+           |    WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh
+           |      THEN 'de'
+           |    WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+           |    WHEN c_fr >= c_zh THEN 'fr'
+           |    ELSE 'zh' END AS pred_lang
+           |  FROM (SELECT lang,
+           |          len(list_filter(string_split(text, ' '),
+           |            w -> w = 'the')) AS c_en,
+           |          len(list_filter(string_split(text, ' '),
+           |            w -> w = 'der')) AS c_de,
+           |          len(list_filter(string_split(text, ' '),
+           |            w -> w = 'el')) AS c_es,
+           |          len(list_filter(string_split(text, ' '),
+           |            w -> w = 'le')) AS c_fr,
+           |          len(list_filter(string_split(text, ' '),
+           |            w -> w = '的')) AS c_zh
+           |        FROM documents))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
     mixPlan, dedupIncremental, annFiltered, rarityScore, trainSplit,
-    dedupBloom, dedupChunk, qualityFunnel)
+    dedupBloom, dedupChunk, qualityFunnel, qualityClassifier, lengthGate,
+    langConfusion)
 }

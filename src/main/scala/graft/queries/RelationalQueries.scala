@@ -488,9 +488,134 @@ object RelationalQueries {
            |      GROUP BY GROUPING SETS ((status), (yr), ()))
            |ORDER BY status, yr""".stripMargin))
 
+  /** RANGE-framed moving window (the value-based frame ROWS can't
+    * express: a 7-DAY trailing sum, not a 7-row one — days with no
+    * orders shrink the frame). The window input is the pre-aggregated
+    * one-row-per-day frame, so the single-partition window stays tiny at
+    * any corpus scale (rows = calendar days, not orders); the heavy
+    * reduction is the map-side-combined daily aggregate before it. */
+  val movingRevenue = GraftQuery(
+    "q_moving_revenue",
+    "trailing 7-day revenue via RANGE window frame over daily aggregate",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .select(
+          expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')")
+            .cast("long").as("day"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("price_c"))
+        .groupBy("day")
+        .agg(sum("price_c").as("rev_c"), count(lit(1)).as("n_orders"))
+      val w7 = Window.orderBy("day").rangeBetween(-6, 0)
+      daily
+        .withColumn("rev7_c", sum("rev_c").over(w7))
+        .withColumn("n7", sum("n_orders").over(w7))
+        .orderBy("day")
+    },
+    Some("""SELECT day, rev_c, n_orders,
+           |  CAST(sum(rev_c) OVER w AS BIGINT) AS rev7_c,
+           |  CAST(sum(n_orders) OVER w AS BIGINT) AS n7
+           |FROM (
+           |  SELECT date_diff('day', DATE '1970-01-01',
+           |           CAST(o_orderdate AS DATE)) AS day,
+           |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS rev_c,
+           |    count(*) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |WINDOW w AS (ORDER BY day
+           |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY day""".stripMargin))
+
+  /** percent_rank restated in exact integer ppm from rank() + count()
+    * windows — the built-in returns a double (engine-rounding hazard);
+    * (rank−1)·10^6 DIV (n−1) is bit-identical everywhere. Partitioned by
+    * nation (bounded key set, rows spread by customer) — the window input
+    * is the per-customer aggregate, not the fact table. */
+  val percentRank = GraftQuery(
+    "q_percent_rank",
+    "integer percent-rank of customer spend within nation (ppm)",
+    (s, dir) => {
+      val spend = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("price_c"))
+        .groupBy("o_custkey").agg(sum("price_c").as("spend_c"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val byNation = Window.partitionBy("c_nationkey")
+      val rw = byNation.orderBy(col("spend_c").desc, col("o_custkey"))
+      spend.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", rank().over(rw))
+        .withColumn("n", count(lit(1)).over(byNation))
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          col("o_custkey").as("custkey"), col("spend_c"),
+          when(col("n") > 1,
+            expr("(rnk - 1) * 1000000 DIV (n - 1)")).otherwise(0L)
+            .as("pr_ppm"))
+        .orderBy("nationkey", "custkey")
+    },
+    Some("""SELECT nationkey, custkey, spend_c,
+           |  CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+           |       ELSE 0 END AS pr_ppm
+           |FROM (
+           |  SELECT CAST(c_nationkey AS INT) AS nationkey,
+           |    o_custkey AS custkey, spend_c,
+           |    rank() OVER (PARTITION BY c_nationkey
+           |      ORDER BY spend_c DESC, o_custkey) AS rnk,
+           |    count(*) OVER (PARTITION BY c_nationkey) AS n
+           |  FROM (SELECT o_custkey,
+           |          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+           |            * 100 AS BIGINT)) AS BIGINT) AS spend_c
+           |        FROM orders GROUP BY 1)
+           |  JOIN customer ON o_custkey = c_custkey)
+           |ORDER BY nationkey, custkey""".stripMargin))
+
+  /** first_value / last_value with the explicit full-partition frame
+    * (the default frame stops at CURRENT ROW and silently breaks
+    * last_value — the classic trap): each customer's first and latest
+    * order in one window pass, reduced to one row per customer. */
+  val firstLastOrder = GraftQuery(
+    "q_first_last",
+    "per-customer first and latest order via full-frame window",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("price_c"))
+        .withColumn("first_ok", first("o_orderkey").over(full))
+        .withColumn("first_prio", first("o_orderpriority").over(full))
+        .withColumn("last_ok", last("o_orderkey").over(full))
+        .withColumn("last_price_c", last("price_c").over(full))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("first_ok"), col("first_prio"),
+          col("last_ok"), col("last_price_c"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, first_ok, first_prio, last_ok, last_price_c
+           |FROM (
+           |  SELECT o_custkey,
+           |    first_value(o_orderkey) OVER wf AS first_ok,
+           |    first_value(o_orderpriority) OVER wf AS first_prio,
+           |    last_value(o_orderkey) OVER wf AS last_ok,
+           |    last_value(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT)) OVER wf AS last_price_c,
+           |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_orderdate, o_orderkey) AS rn
+           |  FROM orders
+           |  WINDOW wf AS (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND UNBOUNDED FOLLOWING))
+           |WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
     sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg,
     intervalJoinBinned, cubeAgg, eventTransitions, localSupplierRevenue,
-    groupingSetsAgg)
+    groupingSetsAgg, movingRevenue, percentRank, firstLastOrder)
 }
