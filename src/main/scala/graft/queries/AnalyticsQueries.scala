@@ -436,8 +436,81 @@ object AnalyticsQueries {
             |  FROM p)
             |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin))
 
+  /** Ordered funnel (signup → first view AFTER it → first purchase AFTER
+    * that): three chained min-aggregates on the user key, each stage's
+    * threshold joined back — the strict-sequence semantics a naive
+    * per-type min gets wrong (a purchase BEFORE the first view must not
+    * count). Every shuffle keys on the high-cardinality user id. */
+  val eventFunnel = GraftQuery(
+    "q_event_funnel",
+    "strict-order signup→view→purchase funnel (chained min-aggregates)",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, "user_id")
+        .filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count("t1").as("n_signup"),
+          count("t2").as("n_view_after"),
+          count("t3").as("n_purchase_after"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+           |              epoch_ns(ts) // 1000 AS ts_us FROM events),
+           |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+           |       WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT ev.user_id, min(ts_us) AS t2
+           |       FROM ev JOIN s1 USING (user_id)
+           |       WHERE event_type = 'view' AND ts_us > t1 GROUP BY 1),
+           |s3 AS (SELECT ev.user_id, min(ts_us) AS t3
+           |       FROM ev JOIN s2 USING (user_id)
+           |       WHERE event_type = 'purchase' AND ts_us > t2
+           |       GROUP BY 1)
+           |SELECT count(t1) AS n_signup, count(t2) AS n_view_after,
+           |  count(t3) AS n_purchase_after
+           |FROM s1 LEFT JOIN s2 USING (user_id)
+           |  LEFT JOIN s3 USING (user_id)""".stripMargin))
+
+  /** Cohort retention matrix: users grouped by first-activity week,
+    * counted per week-offset they return in. distinct(user, week)
+    * collapses the event stream FIRST (map-side combine on the
+    * user-keyed shuffle), the cohort join is user-keyed, and the final
+    * matrix is |weeks|² rows. */
+  val retentionCohorts = GraftQuery(
+    "q_retention",
+    "weekly cohort retention matrix over the events stream",
+    (s, dir) => {
+      val wkNs = 604800000000000L
+      val f = t(s, dir, "events")
+        .select(col("user_id"), expr(s"ts DIV $wkNs").as("wk"))
+      val cohort = f.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      f.distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+          .as("wk_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_wk", "wk_offset")
+    },
+    Some("""WITH f AS (SELECT DISTINCT user_id,
+           |             epoch_ns(ts) // 604800000000000 AS wk
+           |           FROM events),
+           |c AS (SELECT user_id, min(wk) AS cohort_wk FROM f GROUP BY 1)
+           |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+           |  count(DISTINCT user_id) AS n_users
+           |FROM f JOIN c USING (user_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     shippingPriority, orderPriority, discountRevenue, returnedItems,
     promoRevenue, topSupplier, quartiles, argmaxOrder, bm25Search,
-    knnGraph)
+    knnGraph, eventFunnel, retentionCohorts)
 }
