@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -218,8 +218,14 @@ private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int,
   override def name(): String = s"graft_cdc($path)"
   override def schema(): StructType = ChangeLogSourceProvider.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
+  /** One Table, two read modes: `readStream` gets the tx-atomic
+    * micro-batch stream; `read` gets a distributed batch scan of the
+    * full history above `startingCheckpoint` (resync/catch-up replay) —
+    * same one-partition-per-segment parallelism, no driver
+    * materialization. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -227,6 +233,20 @@ private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int,
         override def toMicroBatchStream(loc: String): MicroBatchStream =
           new ChangeLogMicroBatchStream(path, maxBatchSize,
             startingCheckpoint)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val files = ChangeLogWal.segmentFiles(Paths.get(path))
+            val firstCps = files.map(ChangeLogWal.firstCp)
+            files.indices
+              .filter(i => i + 1 >= files.length ||
+                firstCps(i + 1) > startingCheckpoint)
+              .map(i => ChangeLogInputPartition(files(i).toString,
+                startingCheckpoint, Long.MaxValue): InputPartition)
+              .toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new ChangeLogReaderFactory
+        }
       }
     }
 }

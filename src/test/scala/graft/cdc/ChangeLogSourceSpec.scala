@@ -138,4 +138,29 @@ class ChangeLogSourceSpec extends SparkSpec {
       assert(graft.mirror.SlotLag.records(wal, ckpt) == 0L)
     } finally metrics.unregister(spark)
   }
+
+  test("DSv2 batch read: same table, full-history distributed scan") {
+    val wal = tmpDir("batchwal")
+    ChangeLogWal.append(wal, Seq(
+      rec(1, 100, 0, """{"id":1}"""), rec(2, 100, 0, """{"id":2}""")))
+    ChangeLogWal.append(wal, Seq(
+      rec(3, 200, 1, """{"id":1}"""), rec(4, 300, 2, null)))
+    val df = spark.read
+      .format("graft.cdc.ChangeLogSourceProvider")
+      .option("path", wal)
+      .load()
+    assert(df.schema == ChangeLogSourceProvider.schema)
+    assert(df.count() == 4)
+    // one input partition per segment file
+    assert(df.rdd.getNumPartitions == 2)
+    // startingCheckpoint skips already-snapshotted history at SEGMENT
+    // granularity on the plan side, record granularity on the read side
+    val resumed = spark.read
+      .format("graft.cdc.ChangeLogSourceProvider")
+      .option("path", wal)
+      .option("startingCheckpoint", "2")
+      .load()
+    assert(resumed.select("checkpointId").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(3L, 4L))
+  }
 }
