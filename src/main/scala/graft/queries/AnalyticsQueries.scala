@@ -396,45 +396,12 @@ object AnalyticsQueries {
   val knnGraph = GraftQuery(
     "q_knn_graph",
     "LSH-blocked k-NN graph: top-3 inner-product neighbors per vector",
-    (s, dir) => {
-      val e = embs(s, dir)
-        .select(col("vec_id"),
-          Similarity.hyperplaneBucket("embedding", 6).as("bucket"),
-          Similarity.quantize(col("embedding")).as("qe"))
-        .localCheckpoint(true)
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("dot").desc, col("nb_id"))
-      e.as("a")
-        .join(e.as("b").hint("shuffle_hash"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb_id"),
-          QuantizedExprs.intDot(col("a.qe"), col("b.qe")).as("dot"))
-        .withColumn("rank", row_number().over(byVec))
-        .filter(col("rank") <= 3)
-        .select("vec_id", "rank", "nb_id", "dot")
-        .orderBy("vec_id", "rank")
-    },
-    Some(s"""WITH q AS (
-            |  SELECT vec_id,
-            |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6)}
-            |      AS bucket,
-            |    list_transform(embedding, x ->
-            |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
-            |  FROM embeddings),
-            |p AS (
-            |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
-            |    CAST(list_sum(list_transform(
-            |      generate_series(1, len(a.qe)),
-            |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot
-            |  FROM q a JOIN q b
-            |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-            |SELECT vec_id, rank, nb_id, dot FROM (
-            |  SELECT vec_id, nb_id, dot,
-            |    ROW_NUMBER() OVER (PARTITION BY vec_id
-            |      ORDER BY dot DESC, nb_id) AS rank
-            |  FROM p)
-            |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin))
+    (s, dir) => knnEdges(s, dir)
+      .select("vec_id", "rank", "nb_id", "dot")
+      .orderBy("vec_id", "rank"),
+    Some(s"""WITH $knnEdgesDuckCtes
+            |SELECT vec_id, rank, nb_id, dot FROM e3
+            |ORDER BY vec_id, rank""".stripMargin))
 
   /** Ordered funnel (signup → first view AFTER it → first purchase AFTER
     * that): three chained min-aggregates on the user key, each stage's
@@ -509,8 +476,163 @@ object AnalyticsQueries {
            |FROM f JOIN c USING (user_id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Sketch aggregates: HyperLogLog distinct counts next to their exact
+    * values. Sketches are engine-specific (Spark HLL++ vs DuckDB's HLL
+    * — raw estimates can NEVER hash-match), so the portable contract is
+    * the ERROR BOUND: each engine checks its own estimate against the
+    * exact count, and the boolean verdict is the compared output. At
+    * 100 TB the sketch is the only way a dashboard counts distincts —
+    * one pass, fixed memory, mergeable across partitions. */
+  val approxDistinct = GraftQuery(
+    "q_approx_distinct",
+    "HLL distinct estimates validated against exact counts (±15%)",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("nd_supp"),
+        countDistinct("l_partkey").as("nd_part"),
+        approx_count_distinct("l_suppkey", 0.05).as("a_supp"),
+        approx_count_distinct("l_partkey", 0.05).as("a_part"))
+      .select(col("l_returnflag"), col("nd_supp"), col("nd_part"),
+        when(abs(col("a_supp") - col("nd_supp")) * 100
+          <= col("nd_supp") * 15, 1).otherwise(0).as("supp_ok"),
+        when(abs(col("a_part") - col("nd_part")) * 100
+          <= col("nd_part") * 15, 1).otherwise(0).as("part_ok"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  count(DISTINCT l_suppkey) AS nd_supp,
+           |  count(DISTINCT l_partkey) AS nd_part,
+           |  CASE WHEN abs(approx_count_distinct(l_suppkey) -
+           |    count(DISTINCT l_suppkey)) * 100 <=
+           |    count(DISTINCT l_suppkey) * 15 THEN 1 ELSE 0 END
+           |    AS supp_ok,
+           |  CASE WHEN abs(approx_count_distinct(l_partkey) -
+           |    count(DISTINCT l_partkey)) * 100 <=
+           |    count(DISTINCT l_partkey) * 15 THEN 1 ELSE 0 END
+           |    AS part_ok
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Shared k-NN edge builder (the [[knnGraph]] query body minus the
+    * final projection) — also the input graph of [[pageRank]]. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+      .select(col("vec_id"),
+        Similarity.hyperplaneBucket("embedding", 6).as("bucket"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      .localCheckpoint(true)
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("dot").desc, col("nb_id"))
+    e.as("a")
+      .join(e.as("b").hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nb_id"),
+        QuantizedExprs.intDot(col("a.qe"), col("b.qe")).as("dot"))
+      .withColumn("rank", row_number().over(byVec))
+      .filter(col("rank") <= 3)
+  }
+
+  /** DuckDB CTEs producing the same ranked edge list (`e3`). */
+  private def knnEdgesDuckCtes: String =
+    s"""q AS (
+       |  SELECT vec_id,
+       |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6)}
+       |      AS bucket,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |    CAST(list_sum(list_transform(
+       |      generate_series(1, len(a.qe)),
+       |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot
+       |  FROM q a JOIN q b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e3 AS (
+       |  SELECT vec_id, nb_id, dot, rank FROM (
+       |    SELECT vec_id, nb_id, dot,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY dot DESC, nb_id) AS rank
+       |    FROM p)
+       |  WHERE rank <= 3)""".stripMargin
+
+  /** PageRank over the k-NN graph — the iterative distributed graph
+    * algorithm expressed relationally: each round is one edge⋈rank join
+    * + one destination aggregate, both hash-partitioned on vector ids
+    * (the GraphX/Pregel shape without leaving DataFrames). Fixed-point
+    * integer arithmetic (pr in milli, truncating DIV) makes every round
+    * bit-exact in both engines, so the oracle replays the unrolled
+    * rounds. Fixed 3 rounds — at corpus scale rounds are checkpointed
+    * like ConnectedComponents (here the lineage is 3 joins deep, well
+    * under the exponential-growth threshold). Dangling nodes (singleton
+    * LSH buckets → no out-edges) simply leak their mass — the classic
+    * simplified formulation. */
+  val pageRank = GraftQuery(
+    "q_pagerank",
+    "3-round integer PageRank over the LSH k-NN graph, top 20",
+    (s, dir) => {
+      val edges = knnEdges(s, dir)
+        .select("vec_id", "nb_id").localCheckpoint(true)
+      val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("outdeg"))
+      val withDeg = edges.join(deg, "vec_id")
+        .select(col("vec_id").as("src"), col("nb_id").as("dst"),
+          col("outdeg"))
+        .localCheckpoint(true)
+      val nodes = embs(s, dir).select(col("vec_id")).localCheckpoint(true)
+      var pr = nodes.withColumn("pr", lit(1000L))
+      for (_ <- 1 to 3) {
+        val contrib = withDeg
+          .join(pr, withDeg("src") === pr("vec_id"))
+          .select(col("dst"), expr("pr DIV outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_milli"))
+        pr = nodes
+          .join(contrib, nodes("vec_id") === contrib("dst"), "left")
+          .select(nodes("vec_id"),
+            (lit(150L) + expr("850 * coalesce(in_milli, 0L) DIV 1000"))
+              .as("pr"))
+          .localCheckpoint(eager = false)
+      }
+      val top = pr.orderBy(col("pr").desc, col("vec_id")).limit(20)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("pr").desc, col("vec_id")), rnCol = "rnk",
+          numPartitions = 1)
+        .select(col("rnk"), col("vec_id"), col("pr"))
+        .orderBy("rnk")
+    },
+    Some(s"""WITH $knnEdgesDuckCtes,
+            |ed AS (SELECT vec_id AS src, nb_id AS dst FROM e3),
+            |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+            |wd AS (SELECT src, dst, outdeg FROM ed JOIN deg USING (src)),
+            |pr0 AS (SELECT vec_id, CAST(1000 AS BIGINT) AS pr
+            |        FROM embeddings),
+            |pr1 AS (
+            |  SELECT n.vec_id,
+            |    150 + 850 * coalesce(c.in_milli, 0) // 1000 AS pr
+            |  FROM (SELECT vec_id FROM embeddings) n LEFT JOIN (
+            |    SELECT dst, CAST(sum(pr // outdeg) AS BIGINT) AS in_milli
+            |    FROM wd JOIN pr0 ON wd.src = pr0.vec_id GROUP BY 1) c
+            |    ON n.vec_id = c.dst),
+            |pr2 AS (
+            |  SELECT n.vec_id,
+            |    150 + 850 * coalesce(c.in_milli, 0) // 1000 AS pr
+            |  FROM (SELECT vec_id FROM embeddings) n LEFT JOIN (
+            |    SELECT dst, CAST(sum(pr // outdeg) AS BIGINT) AS in_milli
+            |    FROM wd JOIN pr1 ON wd.src = pr1.vec_id GROUP BY 1) c
+            |    ON n.vec_id = c.dst),
+            |pr3 AS (
+            |  SELECT n.vec_id,
+            |    150 + 850 * coalesce(c.in_milli, 0) // 1000 AS pr
+            |  FROM (SELECT vec_id FROM embeddings) n LEFT JOIN (
+            |    SELECT dst, CAST(sum(pr // outdeg) AS BIGINT) AS in_milli
+            |    FROM wd JOIN pr2 ON wd.src = pr2.vec_id GROUP BY 1) c
+            |    ON n.vec_id = c.dst)
+            |SELECT rnk, vec_id, pr FROM (
+            |  SELECT ROW_NUMBER() OVER (ORDER BY pr DESC, vec_id)
+            |    AS rnk, vec_id, pr
+            |  FROM pr3)
+            |WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     shippingPriority, orderPriority, discountRevenue, returnedItems,
     promoRevenue, topSupplier, quartiles, argmaxOrder, bm25Search,
-    knnGraph, eventFunnel, retentionCohorts)
+    knnGraph, eventFunnel, retentionCohorts, approxDistinct, pageRank)
 }
