@@ -570,14 +570,20 @@ object AnalyticsQueries {
     "q_pagerank",
     "3-round integer PageRank over the LSH k-NN graph, top 20",
     (s, dir) => {
-      val edges = knnEdges(s, dir)
-        .select("vec_id", "nb_id").localCheckpoint(true)
-      val deg = edges.groupBy("vec_id").agg(count(lit(1)).as("outdeg"))
-      val withDeg = edges.join(deg, "vec_id")
-        .select(col("vec_id").as("src"), col("nb_id").as("dst"),
+      // The edge list (with out-degrees) is consumed once per round —
+      // ONE eager checkpoint; the rank frames themselves stay lazy: the
+      // 3-round lineage is linear (each round embeds the previous rank
+      // exactly once), so Catalyst plans the whole fixed-round recursion
+      // as one job. Unbounded-round algorithms need the per-round cut
+      // (ConnectedComponents) — fixed shallow rounds do not.
+      val deg = knnEdges(s, dir).select("vec_id", "nb_id")
+        .groupBy("vec_id").agg(count(lit(1)).as("outdeg"),
+          collect_list("nb_id").as("dsts"))
+      val withDeg = deg
+        .select(col("vec_id").as("src"), explode(col("dsts")).as("dst"),
           col("outdeg"))
         .localCheckpoint(true)
-      val nodes = embs(s, dir).select(col("vec_id")).localCheckpoint(true)
+      val nodes = embs(s, dir).select(col("vec_id"))
       var pr = nodes.withColumn("pr", lit(1000L))
       for (_ <- 1 to 3) {
         val contrib = withDeg
@@ -589,7 +595,6 @@ object AnalyticsQueries {
           .select(nodes("vec_id"),
             (lit(150L) + expr("850 * coalesce(in_milli, 0L) DIV 1000"))
               .as("pr"))
-          .localCheckpoint(eager = false)
       }
       val top = pr.orderBy(col("pr").desc, col("vec_id")).limit(20)
       graft.operators.GlobalRank.withRowNumber(
