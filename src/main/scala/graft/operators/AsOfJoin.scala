@@ -64,6 +64,48 @@ object AsOfJoin {
         valueCols.map(c => col(s"_match.$c").as(c)): _*)
   }
 
+  /** Forward as-of join: the EARLIEST right row with `rightTime >=
+    * leftTime` per key (next quote after an order, next heartbeat after
+    * a failure). Same single-shuffle union+window composition with the
+    * scan direction flipped: right rows sort AFTER left rows at equal
+    * time (ASOF >= matches the exact timestamp) and the window runs
+    * time-DESCENDING carrying the latest-seen right payload — which, in
+    * descending order, is the next-at-or-after one. Numeric time columns
+    * only (the ordering flip is a sort-direction change, no negation). */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String])
+      : DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0)) // left sorts AFTER right (desc order)
+      .withColumn("_payload",
+        lit(null).cast(structType(right, valueCols)))
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_payload", struct(valueCols.map(col): _*))
+      .select((keys ++ Seq("_t", "_side", "_payload")).map(col): _*)
+
+    val unioned = l.select(
+      (keys ++ Seq("_t", "_side", "_payload")).map(col) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          col(c).as(s"_l_$c")): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+
+    carried.select(
+      keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+        valueCols.map(c => col(s"_match.$c").as(c)): _*)
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       cols.map(c => df.schema(c)))

@@ -613,9 +613,105 @@ object RelationalQueries {
            |      AND UNBOUNDED FOLLOWING))
            |WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
 
+  /** Forward as-of join (graft.operators.AsOfJoin.asOfForward): each
+    * error event picks up the NEXT click at-or-after it for the same
+    * user — time-to-recovery lookups. Same one-shuffle union+window
+    * composition as the backward as-of, scan direction flipped. */
+  val asofForward = GraftQuery(
+    "q_asof_forward",
+    "forward as-of join: earliest right row at-or-after each left row",
+    (s, dir) => {
+      val cl = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val errors = cl.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = cl.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts_us"))
+      graft.operators.AsOfJoin.asOfForward(
+        errors, clicks, keys = Seq("user_id"),
+        leftTime = "ts_us", rightTime = "c_ts_us",
+        valueCols = Seq("c_ts_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("c_ts_us").cast("string"), lit(""))
+            .as("next_click_s"))
+        .orderBy("event_id")
+    },
+    Some("""WITH cl AS (SELECT *, epoch_ns(ts) // 1000 AS ts_us
+           |            FROM events),
+           |e AS (SELECT event_id, user_id, ts_us FROM cl
+           |      WHERE event_type = 'error'),
+           |c AS (SELECT user_id, ts_us AS c_ts_us FROM cl
+           |      WHERE event_type = 'click')
+           |SELECT e.event_id, e.user_id, e.ts_us,
+           |  coalesce(CAST(min(c.c_ts_us) AS VARCHAR), '')
+           |    AS next_click_s
+           |FROM e LEFT JOIN c
+           |  ON c.user_id = e.user_id AND c.c_ts_us >= e.ts_us
+           |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin))
+
+  /** TPC-H Q1 in full (the pricing-summary report): seven aggregates
+    * per (returnflag, linestatus) in one partial+final hash aggregate —
+    * the multi-measure scan-reduce every warehouse runs hourly. All
+    * integer: charge applies discount then tax with per-item truncating
+    * DIV (deterministic in both engines), averages are ×1000 DIV
+    * fractions of exact sums. */
+  val pricingSummary = GraftQuery(
+    "q_pricing_summary",
+    "TPC-H Q1 full: seven-measure pricing summary per flag x status",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"),
+        expr("CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT)")
+          .as("disc_bp"),
+        expr("CAST(CAST(l_tax AS DECIMAL(12,4)) * 10000 AS BIGINT)")
+          .as("tax_bp"))
+      .withColumn("disc_price_c",
+        expr("price_c * (10000 - disc_bp) DIV 10000"))
+      .withColumn("charge_c",
+        expr("(price_c * (10000 - disc_bp) DIV 10000) * " +
+          "(10000 + tax_bp) DIV 10000"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("qty").as("sum_qty"),
+        sum("price_c").as("sum_base_c"),
+        sum("disc_price_c").as("sum_disc_c"),
+        sum("charge_c").as("sum_charge_c"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_c"), col("sum_disc_c"), col("sum_charge_c"),
+        expr("sum_qty * 1000 DIV n_items").as("avg_qty_milli"),
+        expr("sum_base_c DIV n_items").as("avg_price_c"),
+        col("n_items"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+           |  CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+           |  CAST(sum(price_c * (10000 - disc_bp) // 10000) AS BIGINT)
+           |    AS sum_disc_c,
+           |  CAST(sum((price_c * (10000 - disc_bp) // 10000) *
+           |    (10000 + tax_bp) // 10000) AS BIGINT) AS sum_charge_c,
+           |  CAST(sum(qty) AS BIGINT) * 1000 // count(*) AS avg_qty_milli,
+           |  CAST(sum(price_c) AS BIGINT) // count(*) AS avg_price_c,
+           |  count(*) AS n_items
+           |FROM (
+           |  SELECT l_returnflag, l_linestatus,
+           |    CAST(l_quantity AS BIGINT) AS qty,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT) AS price_c,
+           |    CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT)
+           |      AS disc_bp,
+           |    CAST(CAST(l_tax AS DECIMAL(12,4)) * 10000 AS BIGINT)
+           |      AS tax_bp
+           |  FROM lineitem
+           |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     existsSemi, notExistsAnti, distinctAgg, havingFilter, conditionalPivot,
     sessionizeBatch, asofJoin, setOps, runningTotal, rollupAgg, medianAgg,
     intervalJoinBinned, cubeAgg, eventTransitions, localSupplierRevenue,
-    groupingSetsAgg, movingRevenue, percentRank, firstLastOrder)
+    groupingSetsAgg, movingRevenue, percentRank, firstLastOrder,
+    asofForward, pricingSummary)
 }
