@@ -18,7 +18,19 @@ final case class GraftQuery(
     oracle: Option[String])
 
 object Tables {
+  // Every spark.read.parquet re-lists the directory and re-reads a footer
+  // for schema inference; across a 100+-query session that's hundreds of
+  // redundant driver-side round trips. The test tables are immutable, so
+  // the (session, path) → DataFrame plan is cached — a DataFrame is an
+  // immutable logical plan, safe to share across queries. Keyed on the
+  // session too: test suites and Verify/Bench each get their own entries
+  // (a plan is bound to the session that built it).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
   /** All engine inputs come from the driver-generated parquet tables. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 }
