@@ -539,19 +539,22 @@ object CurationQueries {
       // full split+shingle+explode pass over the corpus text.
       val corpusSp = spans(base.filter(!isNew)).select(col("sp"))
         .localCheckpoint(true)
-      val corpusH = corpusSp.select(expr(TF.hash60Sql("sp")).as("h"))
-      // Size the filter from an UPPER BOUND (doc count × max spans/doc
-      // — in production, catalog row stats), not a count() over the
-      // exploded span set: over-sizing costs a few bits per item,
-      // counting costs a full extra scan+explode pass.
-      val nDocs = base.filter(!isNew).count()
+      // The Bloom hash needs NO oracle parity (the verify join below is
+      // exact on the span text) — use codegen'd xxhash64, not the
+      // md5-derived portable hash60 (~2× cheaper over the span stream).
+      val corpusH = corpusSp.select(xxhash64(col("sp")).as("h"))
+      // Size the filter from an UPPER BOUND (total doc count × max
+      // spans/doc; the unfiltered count is parquet-metadata-only), not a
+      // count() over the exploded span set: over-sizing costs a few bits
+      // per item, counting costs a full extra scan+explode pass.
+      val nDocs = docs(s, dir).count()
       val bf = corpusH.stat.bloomFilter("h",
         math.max(nDocs * 64L, 1024L), 0.01)
       val bc = s.sparkContext.broadcast(bf)
       val might = udf((h: java.lang.Long) =>
         h != null && bc.value.mightContainLong(h))
       spans(base.filter(isNew))
-        .withColumn("h", expr(TF.hash60Sql("sp")))
+        .withColumn("h", xxhash64(col("sp")))
         .filter(might(col("h")))
         .join(corpusSp, "sp") // exact verify on the span text
         .groupBy("doc_id")
