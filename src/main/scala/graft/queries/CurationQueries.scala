@@ -835,9 +835,59 @@ object CurationQueries {
            |        FROM documents))
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** BPE merge application (the tokenizer-apply shape): words split to
+    * space-joined characters, then a fixed priority-ordered merge table
+    * applied as chained replaces — exactly how a trained BPE vocab
+    * tokenizes (left-to-right non-overlapping replace is identical in
+    * Java and DuckDB). Per-doc token counts + compression vs raw
+    * characters in per-mille. One explode + chained codegen'd string
+    * ops + one doc-keyed aggregate — tokenization runs at scan speed,
+    * which is what lets a 100 TB pipeline count tokens per document for
+    * mix planning without a UDF. Merge table is a literal here; in
+    * production it broadcasts. */
+  val bpeTokens = GraftQuery(
+    "q_bpe_tokens",
+    "BPE merge-table tokenization: per-doc token counts + compression",
+    (s, dir) => {
+      val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+        "e r" -> "er", "a n" -> "an", "o n" -> "on", "r e" -> "re",
+        "e n" -> "en")
+      val mergedSql = merges.foldLeft("concat_ws(' ', split(w, ''))") {
+        case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
+      }
+      docs(s, dir)
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .select(col("doc_id"), length(col("w")).cast("long").as("nc"),
+          size(split(expr(mergedSql), " ")).cast("long").as("nt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+          sum("nt").as("bpe_tokens"))
+        .withColumn("compression_pm",
+          expr("bpe_tokens * 1000 DIV n_chars"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+        "e r" -> "er", "a n" -> "an", "o n" -> "on", "r e" -> "re",
+        "e n" -> "en")
+      val mergedSql = merges.foldLeft(
+        "array_to_string(string_split(w, ''), ' ')") {
+        case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
+      }
+      s"""SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(string_split($mergedSql, ' '))) AS BIGINT)
+         |    AS bpe_tokens,
+         |  CAST(sum(len(string_split($mergedSql, ' '))) AS BIGINT)
+         |    * 1000 // CAST(sum(length(w)) AS BIGINT) AS compression_pm
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
     mixPlan, dedupIncremental, annFiltered, rarityScore, trainSplit,
     dedupBloom, dedupChunk, qualityFunnel, qualityClassifier, lengthGate,
-    langConfusion)
+    langConfusion, bpeTokens)
 }

@@ -303,4 +303,15 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 1L, 0L)),
       out.mkString(","))
   }
+
+  test("bpe apply: priority-ordered merges tokenize like the merge table") {
+    // "the" -> t h e -> (t h)->th -> (th e)->the : 1 token
+    // "thin" -> t h i n -> th i n -> (i n)->in : "th in" = 2 tokens
+    // "zq" -> z q : no merge applies : 2 tokens
+    val dir = docTable(Seq((1L, "the thin zq")))
+    val r = CurationQueries.bpeTokens.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("n_chars") == 9L)   // 3 + 4 + 2
+    assert(r.getAs[Long]("bpe_tokens") == 5L) // 1 + 2 + 2
+  }
 }
