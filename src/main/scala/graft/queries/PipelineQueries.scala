@@ -1204,11 +1204,53 @@ object PipelineQueries {
             |  FROM cand JOIN probes p USING (cid))
             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
 
+  /** Semantic mix audit: IVF cluster × language document counts with
+    * per-cluster language shares — the cross-modal join (embedding id =
+    * document id) a mix planner reads to see whether a semantic topic is
+    * dominated by one language. The k-means index is the SAME integer
+    * training as q_ann_ivf (one treeAggregate per round), assignment is
+    * the codegen'd nearest-centroid expression, and the share join
+    * broadcasts |k| cluster totals. */
+  val semanticMix = GraftQuery(
+    "q_semantic_mix",
+    "IVF-cluster x language mix matrix with per-cluster shares",
+    (s, dir) => {
+      import graft.functions.Ivf
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe")
+        .localCheckpoint(true)
+      val cents = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+      val assigned = e
+        .withColumn("cid", Ivf.assignQuantized(col("qe"), cents))
+        .select("vec_id", "cid")
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val ct = assigned
+        .join(d, assigned("vec_id") === d("doc_id"))
+        .groupBy("cid", "lang").agg(count(lit(1)).as("n_docs"))
+      val tot = ct.groupBy("cid").agg(sum("n_docs").as("t"))
+      ct.join(broadcast(tot), "cid")
+        .select(col("cid"), col("lang"), col("n_docs"),
+          expr("n_docs * 1000 DIV t").as("share_pm"))
+        .orderBy("cid", "lang")
+    },
+    Some(s"""WITH ${graft.functions.Ivf.trainAssignCtes("embeddings",
+               "vec_id", "embedding", k = 16, iters = 3)},
+            |j AS (SELECT f.cid, d.lang
+            |      FROM fin f JOIN documents d ON f.vec_id = d.doc_id),
+            |ct AS (SELECT cid, lang, count(*) AS n_docs
+            |       FROM j GROUP BY 1, 2),
+            |tot AS (SELECT cid, CAST(sum(n_docs) AS BIGINT) AS t
+            |        FROM ct GROUP BY 1)
+            |SELECT cid, lang, n_docs, n_docs * 1000 // t AS share_pm
+            |FROM ct JOIN tot USING (cid)
+            |ORDER BY cid, lang""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
-    annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch)
+    annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch, semanticMix)
 }
