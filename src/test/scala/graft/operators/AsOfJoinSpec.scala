@@ -45,4 +45,47 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(
       "l1" -> "r10", "l2" -> "r15", "l3" -> "NONE", "l4" -> "NONE"))
   }
+
+  test("differential: both directions match brute force on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, 1000L + i))
+    val lDf = left.toDF("k", "t", "lid")
+    val rDf = right.toDF("k", "rt", "rid")
+
+    // brute force: per left row, scan all right rows
+    def expectBackward(k: Long, t: Long): Option[Long] = {
+      val c = right.filter(r => r._1 == k && r._2 <= t)
+      if (c.isEmpty) None
+      else Some(c.maxBy(r => (r._2, r._3))._3) // latest time; ties → any
+    }
+    def expectForward(k: Long, t: Long): Option[Long] = {
+      val c = right.filter(r => r._1 == k && r._2 >= t)
+      if (c.isEmpty) None else Some(c.minBy(r => (r._2, -r._3))._3)
+    }
+
+    val back = AsOfJoin.asOf(lDf, rDf, Seq("k"), "t", "rt",
+      Seq("rt", "rid")).collect()
+      .map(r => r.getAs[Long]("lid") ->
+        (Option(r.getAs[Any]("rt")), Option(r.getAs[Any]("rid")))).toMap
+    val fwd = AsOfJoin.asOfForward(lDf, rDf, Seq("k"), "t", "rt",
+      Seq("rt", "rid")).collect()
+      .map(r => r.getAs[Long]("lid") ->
+        (Option(r.getAs[Any]("rt")), Option(r.getAs[Any]("rid")))).toMap
+
+    left.foreach { case (k, t, lid) =>
+      // compare on matched TIME (tie rows share it; rid is arbitrary)
+      val wantB = expectBackward(k, t).map(rid =>
+        right.find(_._3 == rid).get._2)
+      val gotB = back(lid)._1.map(_.asInstanceOf[Long])
+      assert(gotB == wantB, s"backward lid=$lid k=$k t=$t")
+      val wantF = expectForward(k, t).map(rid =>
+        right.find(_._3 == rid).get._2)
+      val gotF = fwd(lid)._1.map(_.asInstanceOf[Long])
+      assert(gotF == wantF, s"forward lid=$lid k=$k t=$t")
+    }
+  }
 }
