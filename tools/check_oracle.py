@@ -11,6 +11,11 @@ import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# --only q_a,q_b : verify + compare just those queries
+ONLY = None
+for i, a in enumerate(sys.argv):
+    if a == "--only" and i + 1 < len(sys.argv):
+        ONLY = set(sys.argv[i + 1].split(","))
 SKIP_VERIFY = "--no-verify" not in sys.argv and False
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -18,8 +23,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_verify():
+    cmd = f"runMain graft.Verify {SF_DIR} {OUT}"
+    if ONLY:
+        cmd += " " + ",".join(sorted(ONLY))
     r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        ["sbt", cmd],
         capture_output=True, text=True, cwd="/root/repo")
     if r.returncode != 0:
         print(r.stdout[-4000:])
@@ -49,6 +57,8 @@ def main():
         oracles = json.load(f)
     ok = fail = 0
     for name, sql in sorted(oracles.items()):
+        if ONLY and name not in ONLY:
+            continue
         try:
             spark_df = pd.read_parquet(f"{OUT}/{name}")
         except Exception as e:
