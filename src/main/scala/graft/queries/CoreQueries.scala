@@ -787,11 +787,95 @@ object CoreQueries {
             |WHERE rn = 1
             |ORDER BY es_id""".stripMargin))
 
+  /** Data-quality constraint audit (the deequ/dbt-test shape): PK
+    * uniqueness, referential integrity both directions, temporal sanity
+    * and null-rate checks computed as one unioned violations table —
+    * the per-increment audit a 100 TB replication publishes next to the
+    * data. Each check is a filter-aggregate or an anti-join keyed on the
+    * join column; the union is |checks| rows. */
+  val dataQuality = GraftQuery(
+    "q_data_quality",
+    "constraint audit: PK/FK/temporal/null checks as a violations table",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val e = t(s, dir, "events")
+      val d = t(s, dir, "documents")
+      def row(name: String, violations: DataFrame, total: DataFrame) =
+        violations.crossJoin(total)
+          .select(lit(name).as("check_name"), col("violations"),
+            col("total"))
+      val checks = Seq(
+        row("fk_lineitem_has_order",
+          l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("violations")),
+          l.agg(count(lit(1)).as("total"))),
+        row("null_event_props",
+          e.filter(col("props").isNull || col("props") === "")
+            .agg(count(lit(1)).as("violations")),
+          e.agg(count(lit(1)).as("total"))),
+        row("orders_without_items",
+          o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("violations")),
+          o.agg(count(lit(1)).as("total"))),
+        row("pk_unique_orders",
+          o.agg((count(lit(1)) - countDistinct("o_orderkey"))
+            .as("violations")),
+          o.agg(count(lit(1)).as("total"))),
+        row("ship_before_order",
+          l.join(o, l("l_orderkey") === o("o_orderkey"))
+            .filter(col("l_shipdate") < col("o_orderdate"))
+            .agg(count(lit(1)).as("violations")),
+          l.agg(count(lit(1)).as("total"))),
+        row("unique_doc_text",
+          d.agg((count(lit(1)) - countDistinct("text")).as("violations")),
+          d.agg(count(lit(1)).as("total"))))
+      checks.reduce(_ unionByName _)
+        .withColumn("rate_pm",
+          expr("violations * 1000 DIV total"))
+        .orderBy("check_name")
+    },
+    Some("""WITH c AS (
+           |  SELECT 'fk_lineitem_has_order' AS check_name,
+           |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+           |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+           |      AS violations,
+           |    (SELECT count(*) FROM lineitem) AS total
+           |  UNION ALL
+           |  SELECT 'null_event_props',
+           |    (SELECT count(*) FROM events
+           |     WHERE props IS NULL OR props = ''),
+           |    (SELECT count(*) FROM events)
+           |  UNION ALL
+           |  SELECT 'orders_without_items',
+           |    (SELECT count(*) FROM orders WHERE NOT EXISTS
+           |      (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)),
+           |    (SELECT count(*) FROM orders)
+           |  UNION ALL
+           |  SELECT 'pk_unique_orders',
+           |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+           |    (SELECT count(*) FROM orders)
+           |  UNION ALL
+           |  SELECT 'ship_before_order',
+           |    (SELECT count(*) FROM lineitem JOIN orders
+           |       ON l_orderkey = o_orderkey
+           |     WHERE l_shipdate < o_orderdate),
+           |    (SELECT count(*) FROM lineitem)
+           |  UNION ALL
+           |  SELECT 'unique_doc_text',
+           |    (SELECT count(*) - count(DISTINCT text) FROM documents),
+           |    (SELECT count(*) FROM documents))
+           |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           |  CAST(total AS BIGINT) AS total,
+           |  CAST(violations AS BIGINT) * 1000 // CAST(total AS BIGINT)
+           |    AS rate_pm
+           |FROM c ORDER BY check_name""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     projectionExclude, filterWatermark, partitionNtile, partitionMinMax,
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
-    rowTransform, partitionCtid, xminScan, esBulk, skewAgg)
+    rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality)
 }
