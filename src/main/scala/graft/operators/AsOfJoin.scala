@@ -29,24 +29,29 @@ object AsOfJoin {
     * @param leftTime   event-time column on `left` (orderable)
     * @param rightTime  event-time column on `right`
     * @param valueCols  right columns to carry (renamed as-is onto left)
+    * @param tolerance  max allowed `leftTime − rightTime` (units of the
+    *                   numeric time columns): matches staler than this
+    *                   null out — pandas merge_asof's `tolerance`.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, valueCols: Seq[String])
-      : DataFrame = {
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1)) // left sorts AFTER right at equal time
       .withColumn("_payload",
         lit(null).cast(structType(right, valueCols)))
+      .withColumn("_mt", lit(null).cast("long"))
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .withColumn("_payload", struct(valueCols.map(col): _*))
-      .select((keys ++ Seq("_t", "_side", "_payload")).map(col): _*)
+      .withColumn("_mt", col(rightTime).cast("long"))
+      .select((keys ++ Seq("_t", "_side", "_payload", "_mt")).map(col): _*)
 
     val unioned = l.select(
-      (keys ++ Seq("_t", "_side", "_payload")).map(col) ++
+      (keys ++ Seq("_t", "_side", "_payload", "_mt")).map(col) ++
         leftCols.filterNot(keys.contains).map(c =>
           col(c).as(s"_l_$c")): _*)
       .unionByName(r, allowMissingColumns = true)
@@ -56,9 +61,17 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("_matchT", last(col("_mt"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+    val fresh = tolerance match {
+      case Some(tol) =>
+        carried.withColumn("_match",
+          when(col("_matchT") >= col("_t").cast("long") - tol,
+            col("_match")))
+      case None => carried
+    }
 
-    carried.select(
+    fresh.select(
       keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
         valueCols.map(c => col(s"_match.$c").as(c)): _*)

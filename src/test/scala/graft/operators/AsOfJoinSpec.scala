@@ -25,6 +25,18 @@ class AsOfJoinSpec extends SparkSpec {
       "l1" -> "r10", "l2" -> "r5", "l3" -> "NONE", "l4" -> "NONE"))
   }
 
+  test("asof tolerance: stale matches null out, fresh ones survive") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 50L, "l2")).toDF("k", "t", "tag")
+    val right = Seq((1L, 8L, "r8")).toDF("k", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt",
+      Seq("rv"), tolerance = Some(5L))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[String]("rv")).getOrElse("NONE")).toMap
+    // l1@10: gap 2 ≤ 5 → match; l2@50: gap 42 > 5 → nulled
+    assert(out == Map("l1" -> "r8", "l2" -> "NONE"))
+  }
+
   test("forward asof: >=, earliest wins, no-match null, key isolation") {
     import spark.implicits._
     val left = Seq(
