@@ -47,6 +47,21 @@ object ChangeLogWal {
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Indices of segment files that may hold records in (afterCp,
+    * untilCp] — THE segment-skip rule, single-sourced (checkpointIds
+    * grow across the WAL): a file whose SUCCESSOR starts at cp ≤ afterCp
+    * holds nothing new, and a file starting past untilCp is beyond the
+    * range. One first-line read per file; over-inclusion at the
+    * boundaries is fine — `parseSegment` filters at record granularity.
+    * `untilCp` defaults to unbounded. */
+  def liveIndices(files: Seq[Path], afterCp: Long,
+      untilCp: Long = Long.MaxValue): Seq[Int] = {
+    val firstCps = files.map(firstCp)
+    files.indices
+      .filter(i => (i + 1 >= files.length || firstCps(i + 1) > afterCp) &&
+        firstCps(i) <= untilCp)
+  }
+
   /** All records with checkpointId in (afterCp, untilCp], WAL order.
     * Segment-skipping on both ends (cps grow across segment files): files
     * entirely ≤ afterCp are skipped via one first-line read, parsing
@@ -56,10 +71,7 @@ object ChangeLogWal {
   def readIter(dir: String, afterCp: Long, untilCp: Long)
       : Iterator[Array[String]] = {
     val files = segmentFiles(Paths.get(dir))
-    val firstCps = files.map(firstCp)
-    files.indices.iterator
-      .filter(i => (i + 1 >= files.length || firstCps(i + 1) > afterCp) &&
-        firstCps(i) <= untilCp)
+    liveIndices(files, afterCp, untilCp).iterator
       .map(files)
       .flatMap(p => parseSegment(p, afterCp, untilCp))
   }
@@ -236,10 +248,7 @@ private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int,
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             val files = ChangeLogWal.segmentFiles(Paths.get(path))
-            val firstCps = files.map(ChangeLogWal.firstCp)
-            files.indices
-              .filter(i => i + 1 >= files.length ||
-                firstCps(i + 1) > startingCheckpoint)
+            ChangeLogWal.liveIndices(files, startingCheckpoint)
               .map(i => ChangeLogInputPartition(files(i).toString,
                 startingCheckpoint, Long.MaxValue): InputPartition)
               .toArray
@@ -298,10 +307,7 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
     if (files.isEmpty) return CpOffset(after)
     // Drop every file whose successor's first cp is ≤ after: all its cps
     // are ≤ after too. (One first-line read per file; no content reads.)
-    val firstCps = files.map(ChangeLogWal.firstCp)
-    val live = files.indices
-      .filter(i => i + 1 >= files.length || firstCps(i + 1) > after)
-      .map(files)
+    val live = ChangeLogWal.liveIndices(files, after).map(files)
     // Lazy at FILE granularity (whole-file reads, nothing left open on
     // the early return): files past the batch cut are never touched.
     val lines = live.iterator
@@ -345,10 +351,7 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
     val after = start.asInstanceOf[CpOffset].cp
     val until = end.asInstanceOf[CpOffset].cp
     val files = ChangeLogWal.segmentFiles(Paths.get(path))
-    val firstCps = files.map(ChangeLogWal.firstCp)
-    files.indices
-      .filter(i => (i + 1 >= files.length || firstCps(i + 1) > after) &&
-        firstCps(i) <= until)
+    ChangeLogWal.liveIndices(files, after, until)
       .map(i => ChangeLogInputPartition(
         files(i).toString, after, until): InputPartition)
       .toArray

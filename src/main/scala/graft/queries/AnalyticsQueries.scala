@@ -460,11 +460,13 @@ object AnalyticsQueries {
       val f = t(s, dir, "events")
         .select(col("user_id"), expr(s"ts DIV $wkNs").as("wk"))
       val cohort = f.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      // rows are distinct per (user, wk) already, and a user hits one
+      // wk_offset per group — plain count, no second distinct pass
       f.distinct()
         .join(cohort, "user_id")
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
           .as("wk_offset"))
-        .agg(countDistinct("user_id").as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "wk_offset")
     },
     Some("""WITH f AS (SELECT DISTINCT user_id,
@@ -472,7 +474,7 @@ object AnalyticsQueries {
            |           FROM events),
            |c AS (SELECT user_id, min(wk) AS cohort_wk FROM f GROUP BY 1)
            |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
-           |  count(DISTINCT user_id) AS n_users
+           |  count(*) AS n_users
            |FROM f JOIN c USING (user_id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 

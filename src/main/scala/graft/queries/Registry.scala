@@ -25,12 +25,20 @@ object Tables {
   // immutable logical plan, safe to share across queries. Keyed on the
   // session too: test suites and Verify/Bench each get their own entries
   // (a plan is bound to the session that built it).
+  // INVARIANT: cached paths must be immutable snapshots (true for the
+  // driver testdata and the per-test tmp fixtures) — a rewritten path
+  // would serve the stale file listing. Bounded: the cache clears itself
+  // past `MaxEntries` so long-lived JVMs (sbt test reuse, services)
+  // don't accumulate fixture dirs and stopped sessions forever.
+  private val MaxEntries = 256
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
   /** All engine inputs come from the driver-generated parquet tables. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (cache.size > MaxEntries) cache.clear()
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 }

@@ -9,14 +9,18 @@ import sys
 import duckdb
 import pandas as pd
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# positional args = [SF_DIR, OUT]; flags (--only X, --no-verify) are
+# filtered out first so a flag is never mistaken for a directory
+_pos = [a for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--")
+        and not (i >= 2 and sys.argv[i - 1] == "--only")]
+SF_DIR = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.001"
+OUT = _pos[1] if len(_pos) > 1 else "/tmp/graft_verify"
 # --only q_a,q_b : verify + compare just those queries
 ONLY = None
 for i, a in enumerate(sys.argv):
     if a == "--only" and i + 1 < len(sys.argv):
         ONLY = set(sys.argv[i + 1].split(","))
-SKIP_VERIFY = "--no-verify" not in sys.argv and False
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
