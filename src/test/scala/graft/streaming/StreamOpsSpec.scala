@@ -194,4 +194,51 @@ class StreamOpsSpec extends SparkSpec {
         == 1L)
     } finally q.stop()
   }
+
+  test("streaming windowed rollup equals the batch hourly query") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // Batch truth: q_window_hourly's (hour, type) counts.
+    val batch = graft.queries.CoreQueries.windowHourly
+      .run(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("hour_s"), r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt")))
+      .toSet
+
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("ts div 1000 AS ts_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val maxTs = rows.map(_._1).max
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("ts_us", "event_type")
+      .withColumn("ets", timestamp_micros(col("ts_us")))
+    val out = StreamOps.windowedRollup(
+      stream, "ets", "event_type", "1 hour", "1 minute")
+    val q = out.writeStream.format("memory").queryName("rollup_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      // push the watermark far past the last window so every window closes
+      input.addData((maxTs + 10L * 3600000000L, "_sentinel"))
+      q.processAllAvailable()
+      input.addData((maxTs + 11L * 3600000000L, "_sentinel"))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        """SELECT date_format(window_start, 'yyyy-MM-dd HH:00:00'),
+          |  event_type, cnt FROM rollup_parity""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .filterNot(_._2 == "_sentinel")
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
