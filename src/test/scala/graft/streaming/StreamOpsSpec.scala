@@ -241,4 +241,53 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch join on real events") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val ev = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type",
+        "timestamp_micros(ts div 1000) AS ets")
+    val errors = ev.filter(col("event_type") === "error")
+      .selectExpr("event_id AS err_id", "user_id AS err_uid",
+        "ets AS err_t")
+    val clicks = ev.filter(col("event_type") === "click")
+      .selectExpr("event_id AS clk_id", "user_id AS clk_uid",
+        "ets AS clk_t")
+
+    // batch truth with the SAME predicate the streaming join plans
+    val batch = errors.join(clicks, expr(
+      "err_uid = clk_uid AND clk_t >= err_t AND " +
+        "clk_t <= err_t + interval 1 day"))
+      .select("err_id", "clk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val errRows = errors.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val clkRows = clicks.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+
+    val errIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clkIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      errIn.toDF().toDF("err_id", "err_uid", "err_t"), "err_uid", "err_t",
+      clkIn.toDF().toDF("clk_id", "clk_uid", "clk_t"), "clk_uid", "clk_t",
+      lateness = "1 minute", window = "1 day")
+      .selectExpr("err_id", "clk_id")
+    val q = joined.writeStream.format("memory").queryName("sij_parity")
+      .outputMode("append").start()
+    try {
+      errIn.addData(errRows)
+      clkIn.addData(clkRows)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT err_id, clk_id FROM sij_parity")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
