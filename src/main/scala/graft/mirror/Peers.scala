@@ -19,15 +19,52 @@ final case class Peer(name: String, kind: String,
     read(spark).load(path)
 }
 
-final class PeerCatalog {
+/** Peer registry. With `persistPath` set, the catalog is durable: every
+  * create/drop rewrites one text file through the Hadoop FileSystem API
+  * (same [[graft.util.FsText]] store as offsets/watermarks — lives next
+  * to the data on HDFS/object storage), and a new catalog instance
+  * reloads it — peers survive driver restarts like the reference's
+  * catalog rows (flow catalog `peers` table). Single-writer semantics.
+  * Line format: URL-encoded `name TAB kind TAB k=v&k=v`. */
+final class PeerCatalog(persistPath: Option[String] = None,
+    hadoopConf: org.apache.hadoop.conf.Configuration =
+      new org.apache.hadoop.conf.Configuration()) {
   private val peers =
     scala.collection.concurrent.TrieMap.empty[String, Peer]
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  persistPath.foreach { path =>
+    graft.util.FsText.read(path, hadoopConf).foreach { text =>
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val Array(n, k, opts) = line.split("\t", -1)
+        val o = opts.split("&").filter(_.nonEmpty).map { kv =>
+          val Array(ok, ov) = kv.split("=", 2)
+          dec(ok) -> dec(ov)
+        }.toMap
+        peers.put(dec(n), Peer(dec(n), dec(k), o))
+      }
+    }
+  }
+
+  private def save(): Unit = persistPath.foreach { path =>
+    val text = list.map { p =>
+      val opts = p.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      s"${enc(p.name)}\t${enc(p.kind)}\t$opts"
+    }.mkString("\n")
+    graft.util.FsText.write(path, text, hadoopConf)
+  }
 
   def create(p: Peer): Unit = {
     require(!peers.contains(p.name), s"peer ${p.name} exists")
     peers.put(p.name, p)
+    save()
   }
-  def drop(name: String): Unit = peers.remove(name)
+  def drop(name: String): Unit = { peers.remove(name); save() }
   def get(name: String): Peer =
     peers.getOrElse(name, throw new NoSuchElementException(s"peer $name"))
   def list: Seq[Peer] = peers.values.toSeq.sortBy(_.name)

@@ -117,4 +117,21 @@ class GraftSqlSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("peer catalog persists across instances (restart survival)") {
+    val path = tmpDir("peercat") + "/peers.txt"
+    val c1 = new PeerCatalog(Some(path))
+    c1.create(Peer("warehouse", "parquet",
+      Map("path" -> "/data/x", "weird key" -> "a=b&c\td")))
+    c1.create(Peer("queue", "kafka",
+      Map("bootstrap.servers" -> "h1:9092,h2:9092")))
+    c1.drop("queue")
+
+    val c2 = new PeerCatalog(Some(path)) // fresh instance, reloads file
+    assert(c2.list.map(_.name) == Seq("warehouse"))
+    val w = c2.get("warehouse")
+    assert(w.kind == "parquet")
+    assert(w.options == Map("path" -> "/data/x",
+      "weird key" -> "a=b&c\td")) // delimiter chars round-trip encoded
+  }
 }
