@@ -99,7 +99,22 @@ object GraftSql {
 
   // ----------------------------------------------------------- execution
 
-  val peers = new PeerCatalog
+  /** Peer catalog for the SQL path. Durable when the session sets
+    * `spark.graft.catalog.dir` (peers file lives there, reloaded on the
+    * first DDL after a restart); in-memory otherwise. One catalog per
+    * configured dir — sessions sharing the dir share the catalog. */
+  private val catalogs =
+    scala.collection.concurrent.TrieMap.empty[String, PeerCatalog]
+  private val memoryCatalog = new PeerCatalog
+  def peersFor(spark: SparkSession): PeerCatalog =
+    spark.conf.getOption("spark.graft.catalog.dir") match {
+      case Some(dir) => catalogs.getOrElseUpdate(dir,
+        new PeerCatalog(Some(s"$dir/peers.txt"),
+          spark.sparkContext.hadoopConfiguration))
+      case None => memoryCatalog
+    }
+  /** The in-memory default (kept for programmatic use/tests). */
+  val peers: PeerCatalog = memoryCatalog
   private val mirrors =
     scala.collection.concurrent.TrieMap.empty[String, MirrorConfig]
   /** Live continuous-run handles (state machine of the pause/resume
@@ -109,9 +124,9 @@ object GraftSql {
     scala.collection.concurrent.TrieMap.empty[String, MirrorRunner#Handle]
 
   def execute(spark: SparkSession, st: Statement): Seq[Row] = st match {
-    case CreatePeer(n, k, o) => peers.create(Peer(n, k, o)); Nil
-    case DropPeer(n) => peers.drop(n); Nil
-    case ShowPeers => peers.list.map(p => Row(p.name, p.kind))
+    case CreatePeer(n, k, o) => peersFor(spark).create(Peer(n, k, o)); Nil
+    case DropPeer(n) => peersFor(spark).drop(n); Nil
+    case ShowPeers => peersFor(spark).list.map(p => Row(p.name, p.kind))
     case CreateMirror(n, o) =>
       def req(k: String) = o.getOrElse(k,
         throw new IllegalArgumentException(s"CREATE MIRROR: missing '$k'"))

@@ -134,4 +134,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(w.options == Map("path" -> "/data/x",
       "weird key" -> "a=b&c\td")) // delimiter chars round-trip encoded
   }
+
+  test("SQL CREATE PEER is durable when spark.graft.catalog.dir is set") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val dir = tmpDir("sqlcat")
+    s.conf.set("spark.graft.catalog.dir", dir)
+    try {
+      s.sql("CREATE PEER wh TYPE parquet OPTIONS (path '/data/w')")
+      // a FRESH catalog instance over the same file sees the peer
+      val reloaded = new PeerCatalog(Some(s"$dir/peers.txt"),
+        s.sparkContext.hadoopConfiguration)
+      assert(reloaded.get("wh").options == Map("path" -> "/data/w"))
+      assert(s.sql("SHOW PEERS").collect().map(_.getString(0))
+        .contains("wh"))
+    } finally s.conf.unset("spark.graft.catalog.dir")
+  }
 }
