@@ -115,8 +115,50 @@ object GraftSql {
     }
   /** The in-memory default (kept for programmatic use/tests). */
   val peers: PeerCatalog = memoryCatalog
-  private val mirrors =
-    scala.collection.concurrent.TrieMap.empty[String, MirrorConfig]
+
+  /** Mirror definitions ride the same durable store (a [[PeerCatalog]]
+    * whose entries carry the original CREATE MIRROR options): with
+    * `spark.graft.catalog.dir` set, mirror DDL survives a driver restart
+    * — the next EXECUTE/RESUME rebuilds the config from the persisted
+    * options and the stream resumes from its checkpointed offsets. */
+  private val mirrorCats =
+    scala.collection.concurrent.TrieMap.empty[String, PeerCatalog]
+  private val memoryMirrors = new PeerCatalog
+  private def mirrorsFor(spark: SparkSession): PeerCatalog =
+    spark.conf.getOption("spark.graft.catalog.dir") match {
+      case Some(dir) => mirrorCats.getOrElseUpdate(dir,
+        new PeerCatalog(Some(s"$dir/mirrors.txt"),
+          spark.sparkContext.hadoopConfiguration))
+      case None => memoryMirrors
+    }
+
+  /** Test/ops hook: drop cached catalog instances so the next DDL
+    * re-reads the persisted files — simulates a driver restart. */
+  def invalidateCatalogCaches(): Unit = {
+    catalogs.clear(); mirrorCats.clear()
+  }
+
+  /** Build the runnable config from CREATE MIRROR options. */
+  private def mirrorConfig(o: Map[String, String]): MirrorConfig = {
+    def req(k: String) = o.getOrElse(k,
+      throw new IllegalArgumentException(s"CREATE MIRROR: missing '$k'"))
+    MirrorConfig(
+      walDir = req("wal_dir"),
+      rawDir = o.getOrElse("raw_dir", req("dest_dir") + "_raw"),
+      destDir = req("dest_dir"),
+      checkpointDir = req("checkpoint_dir"),
+      destinationTable = o.getOrElse("table", "dest"),
+      pkColumns = req("pk").split(",").map(_.trim).toSeq,
+      payloadSchema = StructType.fromDDL(req("schema")),
+      maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),
+      softDelete = o.get("soft_delete").forall(_.toBoolean))
+  }
+  private def mirrorCfg(spark: SparkSession, n: String): MirrorConfig =
+    mirrorConfig(
+      try mirrorsFor(spark).get(n).options
+      catch { case _: NoSuchElementException =>
+        throw new NoSuchElementException(s"mirror $n")
+      })
   /** Live continuous-run handles (state machine of the pause/resume
     * signals). Created on first RESUME; offsets live in the mirror's
     * checkpoint dir, so pause/resume cycles are loss-free. */
@@ -128,24 +170,11 @@ object GraftSql {
     case DropPeer(n) => peersFor(spark).drop(n); Nil
     case ShowPeers => peersFor(spark).list.map(p => Row(p.name, p.kind))
     case CreateMirror(n, o) =>
-      def req(k: String) = o.getOrElse(k,
-        throw new IllegalArgumentException(s"CREATE MIRROR: missing '$k'"))
-      val cfg = MirrorConfig(
-        walDir = req("wal_dir"),
-        rawDir = o.getOrElse("raw_dir", req("dest_dir") + "_raw"),
-        destDir = req("dest_dir"),
-        checkpointDir = req("checkpoint_dir"),
-        destinationTable = o.getOrElse("table", "dest"),
-        pkColumns = req("pk").split(",").map(_.trim).toSeq,
-        payloadSchema = StructType.fromDDL(req("schema")),
-        maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),
-        softDelete = o.get("soft_delete").forall(_.toBoolean))
-      require(mirrors.putIfAbsent(n, cfg).isEmpty, s"mirror $n exists")
+      mirrorConfig(o) // validate options before persisting
+      mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
     case ExecuteMirror(n) =>
-      val cfg = mirrors.getOrElse(n,
-        throw new NoSuchElementException(s"mirror $n"))
-      new MirrorRunner(spark, cfg).runAvailableNow()
+      new MirrorRunner(spark, mirrorCfg(spark, n)).runAvailableNow()
       Nil
     case ResyncMirror(n) =>
       // Full rebuild + atomic swap (ResyncMirror, cdc_flow.go resync
@@ -153,8 +182,7 @@ object GraftSql {
       // checkpoint; the serving table swaps only on success. The original
       // raw staging dir is the historical log and is left untouched
       // (the rebuild stages into a throwaway raw).
-      val cfg = mirrors.getOrElse(n,
-        throw new NoSuchElementException(s"mirror $n"))
+      val cfg = mirrorCfg(spark, n)
       Maintenance.resync(spark, cfg.destDir) { fresh =>
         val scratch = java.nio.file.Files
           .createTempDirectory(s"graft_resync_$n").toString
@@ -168,8 +196,7 @@ object GraftSql {
         throw new NoSuchElementException(s"mirror $n not running")).pause()
       Nil
     case ResumeMirror(n) =>
-      val cfg = mirrors.getOrElse(n,
-        throw new NoSuchElementException(s"mirror $n"))
+      val cfg = mirrorCfg(spark, n)
       val h = handles.getOrElseUpdate(n,
         new MirrorRunner(spark, cfg).handle(
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)))
@@ -177,11 +204,12 @@ object GraftSql {
       Nil
     case DropMirror(n) =>
       handles.remove(n).foreach(_.pause())
-      mirrors.remove(n)
+      mirrorsFor(spark).drop(n)
       Nil
     case ShowMirrors =>
-      mirrors.toSeq.sortBy(_._1).map { case (n, c) =>
-        Row(n, c.walDir, c.destDir)
+      mirrorsFor(spark).list.map { p =>
+        val c = mirrorConfig(p.options)
+        Row(p.name, c.walDir, c.destDir)
       }
   }
 

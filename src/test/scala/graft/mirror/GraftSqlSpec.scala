@@ -155,4 +155,34 @@ class GraftSqlSpec extends SparkSpec {
         .contains("wh"))
     } finally s.conf.unset("spark.graft.catalog.dir")
   }
+
+  test("mirror DDL survives a 'restart' (fresh catalog over the same dir)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val cat = tmpDir("mircat")
+    val wal = tmpDir("mirwal")
+    val base = tmpDir("mirdest")
+    s.conf.set("spark.graft.catalog.dir", cat)
+    try {
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"v":10}""", null, Nil)))
+      s.sql(s"""CREATE MIRROR mdur WITH (wal_dir '$wal',
+               |  dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+               |  pk 'id', table 'd',
+               |  schema 'id BIGINT, v BIGINT')""".stripMargin)
+      // "restart": a fresh catalog instance over the same dir must see
+      // the mirror and EXECUTE must run it to completion
+      GraftSql.invalidateCatalogCaches()
+      assert(s.sql("SHOW MIRRORS").collect().map(_.getString(0))
+        .contains("mdur"))
+      s.sql("EXECUTE MIRROR mdur")
+      assert(s.read.parquet(s"$base/dest").count() == 1)
+    } finally s.conf.unset("spark.graft.catalog.dir")
+  }
 }
