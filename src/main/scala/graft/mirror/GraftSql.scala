@@ -209,7 +209,12 @@ object GraftSql {
     case ShowMirrors =>
       mirrorsFor(spark).list.map { p =>
         val c = mirrorConfig(p.options)
-        Row(p.name, c.walDir, c.destDir)
+        val status = handles.get(p.name) match {
+          case Some(h) if h.isActive => "running"
+          case Some(_) => "paused"
+          case None => "idle"
+        }
+        Row(p.name, c.walDir, c.destDir, status)
       }
   }
 
@@ -220,7 +225,8 @@ object GraftSql {
     case ShowMirrors => Seq(
       AttributeReference("name", StringType)(),
       AttributeReference("wal_dir", StringType)(),
-      AttributeReference("dest_dir", StringType)())
+      AttributeReference("dest_dir", StringType)(),
+      AttributeReference("status", StringType)())
     case _ => Nil
   }
 }

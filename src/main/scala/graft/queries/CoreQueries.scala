@@ -787,6 +787,43 @@ object CoreQueries {
             |WHERE rn = 1
             |ORDER BY es_id""".stripMargin))
 
+  /** Column profiling (the ANALYZE TABLE / stats-collection shape next
+    * to [[dataQuality]]'s constraint checks): one scan computes per-
+    * column null counts, distinct counts and integer min/max — the
+    * statistics a catalog publishes for CBO and that a replication
+    * engine compares source-vs-dest after a full sync. All columns
+    * profile in ONE pass (a single wide aggregate, map-side partial). */
+  val profileTable = GraftQuery(
+    "q_profile_table",
+    "one-pass column profile of orders: nulls, distincts, min/max",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("price_c",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val prof = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_cust"),
+        countDistinct("o_custkey").as("nd_cust"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        countDistinct("o_orderstatus").as("nd_status"),
+        countDistinct("o_orderpriority").as("nd_prio"),
+        min("price_c").as("min_price_c"), max("price_c").as("max_price_c"))
+      prof.selectExpr("n_rows", "nn_cust", "nd_cust", "min_cust",
+        "max_cust", "nd_status", "nd_prio", "min_price_c", "max_price_c")
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS nn_cust,
+           |  count(DISTINCT o_custkey) AS nd_cust,
+           |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           |  count(DISTINCT o_orderstatus) AS nd_status,
+           |  count(DISTINCT o_orderpriority) AS nd_prio,
+           |  min(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |    AS BIGINT)) AS min_price_c,
+           |  max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |    AS BIGINT)) AS max_price_c
+           |FROM orders""".stripMargin))
+
   /** Data-quality constraint audit (the deequ/dbt-test shape): PK
     * uniqueness, referential integrity both directions, temporal sanity
     * and null-rate checks computed as one unioned violations table —
@@ -877,5 +914,6 @@ object CoreQueries {
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
-    rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality)
+    rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
+    profileTable)
 }
