@@ -44,7 +44,8 @@ object ConnectedComponents {
     *         (node, cluster_id = min node id of its component)
     */
   def minLabel(edges: DataFrame, src: String, dst: String,
-               maxIters: Int = 25): DataFrame = {
+               maxIters: Int = 25,
+               localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val sc = edges.sparkSession.sparkContext
 
     // Dataset.unpersist does NOT free localCheckpoint blocks (they are
@@ -63,6 +64,50 @@ object ConnectedComponents {
     val dir = edges.select(col(src).as("cc_a"), col(dst).as("cc_b"))
     val (e, eIds) = ckpt(
       dir.union(dir.select(col("cc_b").as("cc_a"), col("cc_a").as("cc_b"))))
+
+    // ADAPTIVE small-graph path (the same runtime-adaptivity argument AQE
+    // makes): a near-dup verdict graph is tiny BY CONSTRUCTION — dup rate
+    // is a bounded fraction of the corpus, so the pair set fits on the
+    // driver at any corpus scale where dedup is sane. Below the
+    // threshold, a driver-side union-find replaces 2–4 distributed
+    // join+aggregate rounds (each ~0.2–0.3 s of pure job latency on a
+    // tiny frame). Identical output: component min as the label. The
+    // distributed rounds below remain the general-case path.
+    val eCount = e.count() // cheap: e is the eager checkpoint
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val nodeType = edges.schema(src).dataType
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(nodeType)
+    if (eCount > 0 && eCount <= localEdgeThreshold && integral) {
+      val pairs = e.selectExpr("CAST(cc_a AS BIGINT)", "CAST(cc_b AS BIGINT)")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root = the min-label contract
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a))
+        parent.getOrElseUpdate(b, find(b))
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val out = edges.sparkSession
+        .createDataFrame(nodes.toSeq.map(n => (n, find(n))))
+        .toDF("node", "cluster_id")
+        .select(col("node").cast(nodeType).as("node"),
+          col("cluster_id").cast(nodeType).as("cluster_id"))
+      free(eIds)
+      return out
+    }
 
     // Init fuses the FIRST propagation round: label(v) = min(v, min
     // neighbor) is one aggregation over the edge list — no join — and on

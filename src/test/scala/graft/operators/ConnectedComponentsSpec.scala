@@ -9,6 +9,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.minLabel(edges.toDF("s", "d"), "s", "d")
       .as[(Long, Long)].collect().toMap
 
+  /** Force the distributed propagation rounds (threshold 0 disables the
+    * adaptive driver-side union-find). */
+  private def ccDist(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.minLabel(edges.toDF("s", "d"), "s", "d",
+      localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+
   /** Driver-side union-find ground truth. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -43,6 +50,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong,
       rnd.nextInt(120).toLong)).filter(e => e._1 != e._2)
     assert(cc(edges) === unionFind(edges))
+  }
+
+  test("distributed rounds match the local path and union-find") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(250)((rnd.nextInt(90).toLong,
+      rnd.nextInt(90).toLong)).filter(e => e._1 != e._2)
+    val want = unionFind(edges)
+    assert(ccDist(edges) === want)
+    assert(cc(edges) === want)
+    // the long-path worst case through the distributed rounds too
+    val path = (0L until 12L).map(i => (i + 1, i))
+    assert(ccDist(path).values.toSet === Set(0L))
   }
 
   test("self-contained cliques converge (near-dup shape)") {
