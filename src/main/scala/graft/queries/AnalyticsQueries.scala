@@ -638,8 +638,72 @@ object AnalyticsQueries {
             |  FROM pr3)
             |WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
 
+  /** Per-group mode (most frequent value) with a deterministic tiebreak
+    * — the two-level aggregate shape: count per (group, value), then
+    * keep the max count per group with ties resolved to the
+    * lexicographically smallest value via a min over the tied set. No
+    * window: two hash aggregates plus a broadcast join on the tiny
+    * per-group maxima. Here: each language's most frequent word. */
+  val modePerGroup = GraftQuery(
+    "q_mode_word",
+    "per-language mode word (two-level aggregate, deterministic ties)",
+    (s, dir) => {
+      val wc = docs(s, dir)
+        .select(col("lang"), explode(TF.words(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val mx = wc.groupBy("lang").agg(max("c").as("mc"))
+      wc.join(broadcast(mx), "lang")
+        .filter(col("c") === col("mc"))
+        .groupBy("lang")
+        .agg(min("w").as("mode_word"), max("mc").as("n_occurrences"))
+        .orderBy("lang")
+    },
+    Some("""WITH wc AS (
+           |  SELECT lang, w, count(*) AS c
+           |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |mx AS (SELECT lang, max(c) AS mc FROM wc GROUP BY 1)
+           |SELECT lang, min(w) AS mode_word,
+           |  CAST(max(mc) AS BIGINT) AS n_occurrences
+           |FROM wc JOIN mx USING (lang)
+           |WHERE c = mc
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Equi-width histogram with explicit integer bin math (the
+    * width_bucket shape): order values binned into fixed 50k-cent-wide
+    * buckets — integer DIV bins identically in both engines, bins with
+    * no rows simply absent (a dashboard joins against a bin spine).
+    * One map-side-combined aggregate; the output is |bins| rows. */
+  val priceHistogram = GraftQuery(
+    "q_price_histogram",
+    "equi-width order-value histogram (integer bin arithmetic)",
+    (s, dir) => {
+      val binW = 5000000L // 50k dollars in cents
+      t(s, dir, "orders")
+        .select(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("price_c"))
+        .groupBy(expr(s"price_c DIV $binW").as("bin"))
+        .agg(count(lit(1)).as("cnt"), min("price_c").as("min_c"),
+          max("price_c").as("max_c"))
+        .withColumn("bin_lo_c", expr(s"bin * $binW"))
+        .select("bin", "bin_lo_c", "cnt", "min_c", "max_c")
+        .orderBy("bin")
+    },
+    Some("""SELECT bin, bin * 5000000 AS bin_lo_c, cnt, min_c, max_c
+           |FROM (
+           |  SELECT pc // 5000000 AS bin, count(*) AS cnt,
+           |    min(pc) AS min_c, max(pc) AS max_c
+           |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           |          AS BIGINT) AS pc FROM orders)
+           |  GROUP BY 1)
+           |ORDER BY bin""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     shippingPriority, orderPriority, discountRevenue, returnedItems,
     promoRevenue, topSupplier, quartiles, argmaxOrder, bm25Search,
-    knnGraph, eventFunnel, retentionCohorts, approxDistinct, pageRank)
+    knnGraph, eventFunnel, retentionCohorts, approxDistinct, pageRank,
+    modePerGroup, priceHistogram)
 }
