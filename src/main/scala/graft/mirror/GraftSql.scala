@@ -32,6 +32,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   SHOW MIRRORS
   * }}}
   *
+  * Durability contract: with `spark.graft.catalog.dir` set, peer/mirror
+  * DDL persists via atomic file replace — crash-safe for readers — but the
+  * catalog is SINGLE-WRITER per dir: run all DDL for one catalog dir from
+  * one driver. Two drivers sharing a dir can lose each other's
+  * creates/drops (last full rewrite wins).
+  *
   * Session wiring:
   * {{{
   *   SparkSession.builder()
@@ -161,9 +167,14 @@ object GraftSql {
       })
   /** Live continuous-run handles (state machine of the pause/resume
     * signals). Created on first RESUME; offsets live in the mirror's
-    * checkpoint dir, so pause/resume cycles are loss-free. */
+    * checkpoint dir, so pause/resume cycles are loss-free. Keyed by
+    * (catalog dir, name): mirror DEFINITIONS are per catalog dir, so two
+    * same-named mirrors in different catalogs must not share a runner. */
   private val handles =
-    scala.collection.concurrent.TrieMap.empty[String, MirrorRunner#Handle]
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      MirrorRunner#Handle]
+  private def handleKey(spark: SparkSession, n: String): (String, String) =
+    (spark.conf.getOption("spark.graft.catalog.dir").getOrElse(""), n)
 
   def execute(spark: SparkSession, st: Statement): Seq[Row] = st match {
     case CreatePeer(n, k, o) => peersFor(spark).create(Peer(n, k, o)); Nil
@@ -192,29 +203,36 @@ object GraftSql {
       }
       Nil
     case PauseMirror(n) =>
-      handles.getOrElse(n,
+      handles.getOrElse(handleKey(spark, n),
         throw new NoSuchElementException(s"mirror $n not running")).pause()
       Nil
     case ResumeMirror(n) =>
       val cfg = mirrorCfg(spark, n)
-      val h = handles.getOrElseUpdate(n,
+      val h = handles.getOrElseUpdate(handleKey(spark, n),
         new MirrorRunner(spark, cfg).handle(
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)))
       h.resume()
       Nil
     case DropMirror(n) =>
-      handles.remove(n).foreach(_.pause())
+      handles.remove(handleKey(spark, n)).foreach(_.pause())
       mirrorsFor(spark).drop(n)
       Nil
     case ShowMirrors =>
+      // Tolerant per entry: one hand-edited/stale-format definition must
+      // not take down the whole listing — it shows as 'invalid' instead.
       mirrorsFor(spark).list.map { p =>
-        val c = mirrorConfig(p.options)
-        val status = handles.get(p.name) match {
+        val status = handles.get(handleKey(spark, p.name)) match {
           case Some(h) if h.isActive => "running"
           case Some(_) => "paused"
           case None => "idle"
         }
-        Row(p.name, c.walDir, c.destDir, status)
+        try {
+          val c = mirrorConfig(p.options)
+          Row(p.name, c.walDir, c.destDir, status)
+        } catch {
+          case e: IllegalArgumentException =>
+            Row(p.name, "", "", s"invalid: ${e.getMessage}")
+        }
       }
   }
 

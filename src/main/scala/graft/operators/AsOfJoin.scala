@@ -27,7 +27,9 @@ object AsOfJoin {
     * @param right      reference side (its `valueCols` are appended)
     * @param keys       equality keys
     * @param leftTime   event-time column on `left` (orderable)
-    * @param rightTime  event-time column on `right`
+    * @param rightTime  event-time column on `right`; rows with a NULL
+    *                   right time are dropped (a null timestamp cannot
+    *                   participate in an as-of ordering)
     * @param valueCols  right columns to carry (renamed as-is onto left)
     * @param tolerance  max allowed `leftTime − rightTime` (units of the
     *                   numeric time columns): matches staler than this
@@ -37,21 +39,27 @@ object AsOfJoin {
       leftTime: String, rightTime: String, valueCols: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The match TIMESTAMP travels INSIDE the payload struct, so one
+    // last(ignoreNulls) carries payload and time atomically — two
+    // independent last() windows could desync them (a right row whose
+    // payload wins but whose time column was null would pair the newest
+    // payload with an older row's timestamp at the tolerance check).
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1)) // left sorts AFTER right at equal time
       .withColumn("_payload",
-        lit(null).cast(structType(right, valueCols)))
-      .withColumn("_mt", lit(null).cast("long"))
+        lit(null).cast(payloadType(right, valueCols)))
     val r = right
+      .filter(col(rightTime).isNotNull)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .withColumn("_payload", struct(valueCols.map(col): _*))
-      .withColumn("_mt", col(rightTime).cast("long"))
-      .select((keys ++ Seq("_t", "_side", "_payload", "_mt")).map(col): _*)
+      .withColumn("_payload", struct(
+        col(rightTime).cast("long").as("_asof_mt") +:
+          valueCols.map(col): _*))
+      .select((keys ++ Seq("_t", "_side", "_payload")).map(col): _*)
 
     val unioned = l.select(
-      (keys ++ Seq("_t", "_side", "_payload", "_mt")).map(col) ++
+      (keys ++ Seq("_t", "_side", "_payload")).map(col) ++
         leftCols.filterNot(keys.contains).map(c =>
           col(c).as(s"_l_$c")): _*)
       .unionByName(r, allowMissingColumns = true)
@@ -61,12 +69,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
-      .withColumn("_matchT", last(col("_mt"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
     val fresh = tolerance match {
       case Some(tol) =>
         carried.withColumn("_match",
-          when(col("_matchT") >= col("_t").cast("long") - tol,
+          when(col("_match._asof_mt") >= col("_t").cast("long") - tol,
             col("_match")))
       case None => carried
     }
@@ -95,6 +102,7 @@ object AsOfJoin {
       .withColumn("_payload",
         lit(null).cast(structType(right, valueCols)))
     val r = right
+      .filter(col(rightTime).isNotNull) // null time: can't order, drop
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(1))
       .withColumn("_payload", struct(valueCols.map(col): _*))
@@ -122,4 +130,11 @@ object AsOfJoin {
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       cols.map(c => df.schema(c)))
+
+  /** Payload struct WITH the leading match-timestamp field (backward
+    * as-of only; the forward variant has no tolerance and no `_asof_mt`). */
+  private def payloadType(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_asof_mt",
+        org.apache.spark.sql.types.LongType) +: cols.map(c => df.schema(c)))
 }

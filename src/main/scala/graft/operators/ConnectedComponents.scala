@@ -66,19 +66,27 @@ object ConnectedComponents {
       dir.union(dir.select(col("cc_b").as("cc_a"), col("cc_a").as("cc_b"))))
 
     // ADAPTIVE small-graph path (the same runtime-adaptivity argument AQE
-    // makes): a near-dup verdict graph is tiny BY CONSTRUCTION — dup rate
-    // is a bounded fraction of the corpus, so the pair set fits on the
-    // driver at any corpus scale where dedup is sane. Below the
-    // threshold, a driver-side union-find replaces 2–4 distributed
-    // join+aggregate rounds (each ~0.2–0.3 s of pure job latency on a
-    // tiny frame). Identical output: component min as the label. The
-    // distributed rounds below remain the general-case path.
+    // makes): below the threshold a driver-side union-find replaces 2–4
+    // distributed join+aggregate rounds (each ~0.2–0.3 s of pure job
+    // latency on a tiny frame). Identical output: component min as the
+    // label. This is an OPTIMIZATION for small verdict graphs only — a
+    // 100 TB crawl with a ~1% dup rate emits billions of pairs, far past
+    // any driver; those runs take the distributed rounds below. The
+    // threshold is additionally capped by a byte budget (16 B per
+    // collected (Long, Long) pair plus row overhead) against a small
+    // fraction of driver heap, so an oversized caller-supplied threshold
+    // cannot OOM the driver.
     val eCount = e.count() // cheap: e is the eager checkpoint
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val nodeType = edges.schema(src).dataType
+    val byteCap = Runtime.getRuntime.maxMemory() / 64 / 48 // ≈1.5% of heap
+    val cap = math.min(localEdgeThreshold, byteCap)
+    // Node type from the COERCED bidirectional frame (union widens mixed
+    // INT/BIGINT endpoints): casting results back to the src column's
+    // narrower type would silently truncate 64-bit dst ids.
+    val nodeType = e.schema("cc_a").dataType
     val integral = Seq(ByteType, ShortType, IntegerType, LongType)
       .contains(nodeType)
-    if (eCount > 0 && eCount <= localEdgeThreshold && integral) {
+    if (eCount > 0 && eCount <= cap && integral) {
       val pairs = e.selectExpr("CAST(cc_a AS BIGINT)", "CAST(cc_b AS BIGINT)")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

@@ -41,4 +41,12 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
   }
+
+  /** Invalidation hook for the rare caller that rewrites a table path in
+    * place (e.g. a mirror dest later read back through Tables): drops every
+    * cached plan under `path` for all sessions so the next read re-lists
+    * the files. No-arg overload empties the cache. */
+  def invalidate(path: String): Unit =
+    cache.keySet.removeIf(_._2.startsWith(path))
+  def invalidate(): Unit = cache.clear()
 }

@@ -24,10 +24,33 @@ object FsText {
     }
   }
 
+  /** Atomic replace: write a temp sibling, then rename over the target
+    * (FileContext rename-with-OVERWRITE is atomic on HDFS/posix-like
+    * stores), so a reader — or a crashed writer — never observes a
+    * half-written value. Concurrent WRITERS are still the caller's
+    * problem: the store is single-writer (one mirror/catalog owns its
+    * file); two catalogs over one dir can lose updates to each other
+    * even with atomic replace. */
   def write(path: String, value: String, conf: Configuration): Unit = {
     val p = new Path(path)
-    val out = p.getFileSystem(conf).create(p, true)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp.${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
     try out.write(value.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException
+          if fs.exists(tmp) =>
+        // Stores without FileContext rename: non-atomic fallback.
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"atomic replace of $path failed")
+        }
+    }
   }
 }
