@@ -363,6 +363,86 @@ object CoreQueries {
             |FROM ($changeLogSql)
             |ORDER BY _peerdb_timestamp, _peerdb_uid""".stripMargin))
 
+  /** pgoutput BINARY wire decode — the reference's actual CDC core
+    * (processMessage dispatch + processTuple + decodeColumnData,
+    * cdc.go:999-1443) exercised end-to-end and DISTRIBUTED: each
+    * partition of `events` is re-framed as a pgoutput byte stream
+    * (Relation, then per event Begin → Insert/Update/Delete → Commit,
+    * via [[graft.cdc.PgOutput.encode]]) and decoded back by a
+    * per-partition [[graft.cdc.PgOutputDecoder]] — no shuffle until the
+    * final ORDER BY; the oracle reproduces the decoded relation
+    * relationally. Exercises: tuple text decode, key images ('K'),
+    * replident-full old images ('O'), unchanged-TOAST ('u') absence,
+    * PG-epoch commit timestamps, xid/commit bookkeeping. */
+  val pgoutputDecode = GraftQuery(
+    "q_pgoutput_decode",
+    "pgoutput binary wire decode: per-partition encode→decode round trip",
+    (s, dir) => {
+      import s.implicits._
+      val src = changeLog(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(12,2)").cast("string").as("value_s"),
+        col("version"))
+        .as[(Long, Long, String, String, Long)]
+      val decoded = src.mapPartitions { it =>
+        import graft.cdc.PgOutput._
+        val relId = 50000
+        val rel = Relation(relId, "public", "events", 'd'.toInt, Seq(
+          RelationColumn(1, "user_id", Oid.Int8, -1),
+          RelationColumn(0, "event_type", Oid.Text, -1),
+          RelationColumn(0, "value", Oid.Numeric, -1)))
+        val dec = new graft.cdc.PgOutputDecoder(_ => true, _ => "events")
+        val stream: Iterator[(Long, Array[Byte])] =
+          Iterator(0L -> encode(rel)) ++
+            it.flatMap { case (eid, uid, etype, vs, ver) =>
+              val key = TupleData(Seq(
+                text(uid.toString), NullColumn, NullColumn))
+              val full = TupleData(Seq(
+                text(uid.toString), text(etype), text(vs)))
+              val dml: Message = etype match {
+                case "signup" => Insert(relId, full)
+                case "error" => Delete(relId, 'K', key)
+                case "click" => Update(relId, Some('K'), Some(key),
+                  TupleData(Seq(text(uid.toString), text(etype),
+                    ToastColumn)))
+                case _ => Update(relId, Some('O'), Some(full), full)
+              }
+              Iterator(
+                eid -> encode(Begin(eid, ver, eid.toInt)),
+                eid -> encode(dml),
+                eid -> encode(Commit(0, eid, eid + 1, ver)))
+            }
+        stream.flatMap { case (lsn, bytes) => dec.feed(lsn, bytes) }
+          .map(r => (r.checkpointId, r.recordType, r.sourceTable,
+            r.destinationTable, r.transactionId, r.commitTimeMicros,
+            Option(r.data).getOrElse(""), Option(r.matchData).getOrElse(""),
+            r.unchangedToastColumns.mkString(",")))
+      }
+      decoded.toDF("checkpoint_id", "record_type", "source_table",
+        "dest_table", "tx_id", "commit_micros", "data_json", "match_json",
+        "utc").orderBy("checkpoint_id")
+    },
+    Some(s"""SELECT event_id AS checkpoint_id, rtype AS record_type,
+            |  'public.events' AS source_table, 'events' AS dest_table,
+            |  event_id AS tx_id, version AS commit_micros,
+            |  CASE WHEN event_type = 'error' THEN ''
+            |    WHEN event_type = 'click' THEN '{"user_id":' || user_id
+            |      || ',"event_type":"click"}'
+            |    ELSE '{"user_id":' || user_id || ',"event_type":"'
+            |      || event_type || '","value":'
+            |      || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '}'
+            |    END AS data_json,
+            |  CASE WHEN event_type = 'signup' THEN ''
+            |    WHEN event_type IN ('error','click')
+            |      THEN '{"user_id":' || user_id || '}'
+            |    ELSE '{"user_id":' || user_id || ',"event_type":"'
+            |      || event_type || '","value":'
+            |      || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '}'
+            |    END AS match_json,
+            |  CASE WHEN event_type = 'click' THEN 'value' ELSE '' END AS utc
+            |FROM ($changeLogSql)
+            |ORDER BY checkpoint_id""".stripMargin))
+
   /** Idempotent MERGE/upsert of an incoming batch into existing state
     * (normalize_stmt_generator.go:148-278): matched+delete → tombstone,
     * matched → update, not-matched → insert. */
@@ -912,7 +992,8 @@ object CoreQueries {
     projectionExclude, filterWatermark, partitionNtile, partitionMinMax,
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
-    jsonExtract, numericClamp, dateClamp, nanInfNull, oversizeTruncate,
+    pgoutputDecode, jsonExtract, numericClamp, dateClamp, nanInfNull,
+    oversizeTruncate,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
     profileTable)
