@@ -23,6 +23,13 @@ import graft.model.ChangeRecord
   *
   *   checkpointId ␟ txId ␟ commitTimeMicros ␟ recordType ␟ sourceTable ␟
   *   destinationTable ␟ data ␟ matchData ␟ unchangedToastColumns(csv)
+  *   [␟ checkpointText]
+  *
+  * The optional trailing field carries the TEXT checkpoint of sources
+  * whose resume position is not an integer — MySQL GTID sets, Mongo
+  * resume tokens — mirroring CdcCheckpoint's (ID int64, Text string) pair
+  * (flow/model/cdc_stream.go:33-36); readers of older 9-field WALs see
+  * null.
   *
   * Plays the role of the replication slot / binlog the reference pulls from
   * (flow/connectors/postgres/cdc.go:524-967): checkpointIds are strictly
@@ -38,13 +45,81 @@ object ChangeLogWal {
     val lines = records.map { r =>
       require(r.data == null || !r.data.contains('\n'),
         "WAL payloads must be single-line")
+      require(r.checkpointText == null ||
+        !r.checkpointText.exists(c => c == '\n' || c == Sep),
+        "checkpointText must be single-line and separator-free")
       Seq(r.checkpointId, r.transactionId, r.commitTimeMicros, r.recordType,
         r.sourceTable, r.destinationTable,
         Option(r.data).getOrElse(""), Option(r.matchData).getOrElse(""),
-        r.unchangedToastColumns.mkString(",")).mkString(Sep.toString)
+        r.unchangedToastColumns.mkString(","),
+        Option(r.checkpointText).getOrElse("")).mkString(Sep.toString)
     }
     Files.write(d.resolve(f"$n%06d.wal"),
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Transaction-atomic batch cut with BOUNDED reading — the driver-side
+    * hot path of `latestOffset`. Scans records with cp in (after, cap]
+    * through a streamed line reader, admits up to `max` records, extends
+    * the cut to the enclosing tx boundary, and STOPS READING there:
+    * per-trigger driver work is O(batch) parsed lines (+ one lookahead
+    * record), never O(live segment), and no segment file is materialized
+    * whole. Returns (cutCp, checkpointText at the cut, linesParsed);
+    * cut == `after` ⇔ no complete transaction is newly available. */
+  def boundedCut(dir: String, after: Long, cap: Long, max: Int)
+      : (Long, Option[String], Long) = {
+    val files = segmentFiles(Paths.get(dir))
+    var parsed = 0L
+    var admitted = 0
+    // pending = last in-range record; its tx closes when the NEXT record
+    // carries a different txId, or the in-range stream ends.
+    var pCp = -1L; var pTx = 0L; var pText: String = null
+    var pending = false
+    var cut = -1L; var cutText: String = null
+    var stop = false        // stop reading (cap passed or batch full)
+    var batchFull = false   // stopped at a boundary with admitted >= max
+    // Second-level skip: a live-by-successor file whose LAST record is
+    // already consumed (the common idle-trigger shape — one live segment,
+    // fully drained) drops on a single tail read, so an idle trigger is
+    // O(segments) metadata reads, not O(segment) line parses.
+    val live = liveIndices(files, after).map(files)
+      .filter(p => lastCp(p) > after)
+    var fi = 0
+    while (fi < live.length && !stop) {
+      val in = Files.newBufferedReader(live(fi), StandardCharsets.UTF_8)
+      try {
+        var line = in.readLine()
+        while (line != null && !stop) {
+          if (line.nonEmpty) {
+            parsed += 1
+            val f = line.split(Sep.toString, -1)
+            val cp = f(0).toLong
+            if (cp > cap) stop = true // cps grow: nothing more in range
+            else if (cp > after) {
+              val tx = f(1).toLong
+              if (pending && tx != pTx) {
+                cut = pCp; cutText = pText
+                if (admitted >= max) { stop = true; batchFull = true }
+              }
+              if (!batchFull) {
+                pCp = cp; pTx = tx
+                pText = if (f.length > 9 && f(9).nonEmpty) f(9) else null
+                pending = true
+                admitted += 1
+              }
+            }
+          }
+          if (!stop) line = in.readLine()
+        }
+      } finally in.close()
+      fi += 1
+    }
+    // End of the in-range stream closes the pending record's transaction
+    // (unless we already stopped on a full batch — then the pending
+    // record belongs to the NEXT batch).
+    if (pending && !batchFull) { cut = pCp; cutText = pText }
+    if (cut >= 0) (cut, Option(cutText), parsed)
+    else (after, None, parsed)
   }
 
   /** Indices of segment files that may hold records in (afterCp,
@@ -100,14 +175,48 @@ object ChangeLogWal {
       .filter(_.getFileName.toString.endsWith(".wal"))
       .toSeq
 
-  /** Checkpoint id at the WAL head (latest record), from the LAST segment
-    * only — the "current WAL insert position" of slot-lag monitoring. */
+  /** Checkpoint id at the WAL head (latest record) — one tail read of the
+    * last segment, the "current WAL insert position" of slot-lag
+    * monitoring. */
   def headCp(dir: String): Long =
-    segmentFiles(Paths.get(dir)).lastOption.map { p =>
-      Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty).lastOption
-        .map(l => l.substring(0, l.indexOf(Sep)).toLong).getOrElse(-1L)
-    }.getOrElse(-1L)
+    segmentFiles(Paths.get(dir)).lastOption.map(lastCp).getOrElse(-1L)
+
+  /** Checkpoint id of a segment's LAST record via a tail read (no full
+    * scan): read a chunk from the end, widening until it contains one
+    * complete line — payloads can be huge (multi-MB JSON), so a fixed
+    * window could land mid-record. */
+  def lastCp(p: Path): Long = {
+    val size = Files.size(p)
+    if (size == 0) return -1L
+    var n = 64L * 1024
+    while (true) {
+      val off = math.max(0L, size - n)
+      val ch = java.nio.channels.FileChannel.open(p)
+      val buf =
+        try {
+          val b = java.nio.ByteBuffer.allocate((size - off).toInt)
+          var pos = off
+          while (b.hasRemaining) {
+            val r = ch.read(b, pos)
+            if (r < 0) throw new java.io.EOFException(p.toString)
+            pos += r
+          }
+          b
+        } finally ch.close()
+      val s = new String(buf.array(), StandardCharsets.UTF_8)
+      // Complete region: everything after the first newline (the chunk
+      // may start mid-line) — or the whole chunk when it starts at 0.
+      val complete = if (off == 0) s
+        else if (s.indexOf('\n') >= 0) s.substring(s.indexOf('\n') + 1)
+        else ""
+      val lines = complete.split("\n").filter(_.nonEmpty)
+      if (lines.nonEmpty)
+        return lines.last.substring(0, lines.last.indexOf(Sep)).toLong
+      if (off == 0) return -1L // file holds no complete non-empty line
+      n *= 8
+    }
+    -1L // unreachable
+  }
 
   /** First checkpointId in a segment file, reading ONLY the first line —
     * the segment-skip key: checkpointIds increase across the WAL, so a
@@ -168,7 +277,10 @@ object ChangeLogBatch {
         when(f.getItem(7) === "", lit(null)).otherwise(f.getItem(7))
           .as("matchData"),
         when(f.getItem(8) === "", lit(null)).otherwise(f.getItem(8))
-          .as("unchangedToastColumns"))
+          .as("unchangedToastColumns"),
+        // 9-field (pre-text-offset) WAL lines read as null here.
+        when(f.getItem(9).isNull || f.getItem(9) === "", lit(null))
+          .otherwise(f.getItem(9)).as("checkpointText"))
       .filter(col("checkpointId") > afterCp &&
         col("checkpointId") <= untilCp)
   }
@@ -222,7 +334,10 @@ object ChangeLogSourceProvider {
     StructField("destinationTable", StringType, nullable = false),
     StructField("data", StringType, nullable = true),
     StructField("matchData", StringType, nullable = true),
-    StructField("unchangedToastColumns", StringType, nullable = true)))
+    StructField("unchangedToastColumns", StringType, nullable = true),
+    /** text checkpoint ride-along (GTID set / resume token) — null for
+      * integer-offset sources and pre-text WAL segments. */
+    StructField("checkpointText", StringType, nullable = true)))
 }
 
 private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int,
@@ -260,8 +375,36 @@ private[cdc] class ChangeLogTable(path: String, maxBatchSize: Int,
     }
 }
 
-private[cdc] case class CpOffset(cp: Long) extends Offset {
-  override def json(): String = cp.toString
+/** Stream offset: the integer checkpoint plus an optional opaque TEXT
+  * checkpoint riding along — CdcCheckpoint's (ID, Text) pair
+  * (flow/model/cdc_stream.go:33-36). Sources whose native resume position
+  * is textual (MySQL GTID sets, Mongo resume tokens) carry it here and
+  * get it back verbatim after a restart; ordering/admission always uses
+  * the engine-assigned monotonic `cp` (the reference does the same: Text
+  * is passed through, comparisons use the int64). JSON form stays a plain
+  * long when no text is present — old checkpoint files keep working. */
+private[graft] case class CpOffset(cp: Long, text: Option[String] = None)
+    extends Offset {
+  override def json(): String = text match {
+    case None => cp.toString
+    case Some(t) =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("cp", cp); node.put("text", t)
+      m.writeValueAsString(node)
+  }
+}
+
+private[graft] object CpOffset {
+  def fromJson(s: String): CpOffset = {
+    val t = s.trim
+    if (!t.startsWith("{")) CpOffset(t.toLong)
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      CpOffset(n.get("cp").asLong(),
+        Option(n.get("text")).filterNot(_.isNull).map(_.asText()))
+    }
+  }
 }
 
 private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
@@ -286,7 +429,7 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
   override def initialOffset(): Offset = CpOffset(startingCheckpoint)
 
   override def deserializeOffset(json: String): Offset =
-    CpOffset(json.trim.toLong)
+    CpOffset.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(maxBatchSize)
@@ -297,41 +440,18 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
     * Scale shape: this runs on the DRIVER once per micro-batch, so it must
     * NOT be O(full WAL history). Segments are consumed in order and
     * checkpointIds only grow, so (a) every segment whose SUCCESSOR starts
-    * at cp ≤ `after` is skipped on the first line alone, and (b) line
-    * parsing stops at the batch cut instead of draining to the log's end —
-    * per-batch driver work is O(segments + batch), the same contract as
-    * the reference's slot read (cdc.go:701-753). */
+    * at cp ≤ `after` is skipped on the first line alone, and (b) the
+    * STREAMED line reader ([[ChangeLogWal.boundedCut]]) stops at the batch
+    * cut instead of draining (or materializing) segments — per-batch
+    * driver work is O(segments + batch) lines and O(1) memory, the same
+    * contract as the reference's slot read (cdc.go:701-753). The text
+    * checkpoint of the cut record (GTID set / resume token) rides the
+    * offset into the streaming checkpoint. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val after = start.asInstanceOf[CpOffset].cp
-    val files = ChangeLogWal.segmentFiles(Paths.get(path))
-    if (files.isEmpty) return CpOffset(after)
-    // Drop every file whose successor's first cp is ≤ after: all its cps
-    // are ≤ after too. (One first-line read per file; no content reads.)
-    val live = ChangeLogWal.liveIndices(files, after).map(files)
-    // Lazy at FILE granularity (whole-file reads, nothing left open on
-    // the early return): files past the batch cut are never touched.
-    val lines = live.iterator
-      .flatMap(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala)
-      .filter(_.nonEmpty)
-      .map { l =>
-        val i = l.indexOf(ChangeLogWal.Sep)
-        val j = l.indexOf(ChangeLogWal.Sep, i + 1)
-        (l.substring(0, i).toLong, l.substring(i + 1, j).toLong) // (cp, tx)
-      }
-      .filter(t => t._1 > after && t._1 <= availableNowCap)
-      .buffered
-    var cut = -1L
-    var admitted = 0
-    while (lines.hasNext) {
-      val (cp, tx) = lines.next()
-      admitted += 1
-      val txEnds = !lines.hasNext || lines.head._2 != tx
-      if (txEnds) {
-        cut = cp
-        if (admitted >= maxBatchSize) return CpOffset(cut)
-      }
-    }
-    CpOffset(if (cut >= 0) cut else after)
+    val prev = start.asInstanceOf[CpOffset]
+    val (cut, text, _) = ChangeLogWal.boundedCut(
+      path, prev.cp, availableNowCap, maxBatchSize)
+    if (cut == prev.cp) prev else CpOffset(cut, text)
   }
 
   override def latestOffset(): Offset =
@@ -390,7 +510,8 @@ private[cdc] class ChangeLogPartitionReader(p: ChangeLogInputPartition)
       current(0).toLong, current(1).toLong, current(2).toLong,
       current(3).toInt,
       UTF8String.fromString(current(4)), UTF8String.fromString(current(5)),
-      s(current(6)), s(current(7)), s(current(8))))
+      s(current(6)), s(current(7)), s(current(8)),
+      if (current.length > 9) s(current(9)) else null))
   }
 
   override def close(): Unit = ()

@@ -1,0 +1,112 @@
+package graft.cdc
+
+/** Text-checkpoint semantics for sources whose resume position is not an
+  * integer — the comparison/merge rules behind `CdcCheckpoint.Text`
+  * (flow/model/cdc_stream.go:33-36):
+  *
+  *   - MySQL: a GTID SET ("uuid:1-5:7,uuid2:1-3"). Progress is a partial
+  *     order by set containment — a checkpoint is newer iff it contains
+  *     every transaction of the other (public MySQL replication
+  *     semantics; the reference resumes by handing the set back to the
+  *     server).
+  *   - MongoDB: an opaque resume token, hex-encoded and designed to be
+  *     byte-comparable — a total order by lexicographic compare.
+  *
+  * The streaming source itself orders batches by the engine-assigned
+  * monotonic `cp`; these rules exist for RESUME VALIDATION (is the stored
+  * text checkpoint behind the source's current position?) and for merging
+  * checkpoints of parallel shards.
+  */
+object TextCheckpoint {
+
+  /** A MySQL GTID set: source-uuid → disjoint, sorted, inclusive
+    * transaction-id intervals. */
+  final case class GtidSet(intervals: Map[String, List[(Long, Long)]]) {
+
+    /** Canonical text form: uuids sorted, intervals merged+sorted,
+      * single-id intervals render bare ("uuid:5", not "uuid:5-5"). */
+    def render: String =
+      intervals.toSeq.sortBy(_._1).map { case (uuid, ivs) =>
+        uuid + ":" + ivs.map { case (a, b) =>
+          if (a == b) a.toString else s"$a-$b"
+        }.mkString(":")
+      }.mkString(",")
+
+    def containsTx(uuid: String, tx: Long): Boolean =
+      intervals.getOrElse(uuid.toLowerCase, Nil)
+        .exists { case (a, b) => a <= tx && tx <= b }
+
+    /** Set containment: every interval of `o` is covered here — "this is
+      * at least as far along as o". */
+    def contains(o: GtidSet): Boolean =
+      o.intervals.forall { case (uuid, ivs) =>
+        val mine = intervals.getOrElse(uuid, Nil)
+        ivs.forall { case (a, b) =>
+          mine.exists { case (ma, mb) => ma <= a && b <= mb }
+        }
+      }
+
+    def isNewerThan(o: GtidSet): Boolean = contains(o) && this != o
+
+    /** Union — merging checkpoints of parallel shards / reconnects. */
+    def merge(o: GtidSet): GtidSet = GtidSet(
+      (intervals.keySet ++ o.intervals.keySet).map { uuid =>
+        uuid -> GtidSet.normalize(
+          intervals.getOrElse(uuid, Nil) ++ o.intervals.getOrElse(uuid, Nil))
+      }.toMap)
+
+    /** Comparable (total) only when one side contains the other; GTID
+      * progress is genuinely partial — divergent sets return None. */
+    def tryCompare(o: GtidSet): Option[Int] =
+      if (this == o) Some(0)
+      else if (contains(o)) Some(1)
+      else if (o.contains(this)) Some(-1)
+      else None
+  }
+
+  object GtidSet {
+    val empty: GtidSet = GtidSet(Map.empty)
+
+    /** Merge overlapping/adjacent inclusive intervals. */
+    private[TextCheckpoint] def normalize(ivs: List[(Long, Long)])
+        : List[(Long, Long)] =
+      ivs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+        case ((a, b) :: rest, (c, d)) if c <= b + 1 =>
+          (a, math.max(b, d)) :: rest
+        case (acc, iv) => iv :: acc
+      }.reverse
+
+    /** Parse "uuid:1-5:7,uuid2:3". Tolerates whitespace; uuids fold to
+      * lower case; intervals normalize (so parse∘render is stable). */
+    def parse(s: String): GtidSet =
+      if (s == null || s.trim.isEmpty) empty
+      else GtidSet(s.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+        val pieces = part.split(":")
+        require(pieces.length >= 2, s"malformed GTID '$part'")
+        val uuid = pieces(0).trim.toLowerCase
+        val ivs = pieces.drop(1).map { r =>
+          r.split("-") match {
+            case Array(a) => (a.trim.toLong, a.trim.toLong)
+            case Array(a, b) => (a.trim.toLong, b.trim.toLong)
+            case _ => throw new IllegalArgumentException(
+              s"malformed GTID interval '$r'")
+          }
+        }.toList
+        uuid -> normalize(ivs)
+      }.groupBy(_._1).view.mapValues(g =>
+        normalize(g.flatMap(_._2).toList)).toMap)
+  }
+
+  /** Mongo-style opaque resume token: totally ordered by byte-lexicographic
+    * compare of its hex form (the public contract of resume-token
+    * ordering within one stream). */
+  def compareResumeTokens(a: String, b: String): Int = {
+    // Same-length hex strings compare lexicographically as bytes; a
+    // shorter token sorts before a longer one with the same prefix.
+    val c = a.compareTo(b)
+    if (a.length == b.length) Integer.signum(c)
+    else if (a.startsWith(b)) 1
+    else if (b.startsWith(a)) -1
+    else Integer.signum(c)
+  }
+}

@@ -79,7 +79,9 @@ object SlotLag {
     latest.flatMap { p =>
       java.nio.file.Files.readAllLines(p).asScala
         .filter(_.nonEmpty).lastOption
-        .flatMap(l => l.toLongOption)
+        // plain long OR {"cp":N,"text":...} (text-checkpoint sources)
+        .flatMap(l =>
+          scala.util.Try(graft.cdc.CpOffset.fromJson(l).cp).toOption)
     }
   }
 

@@ -46,19 +46,61 @@ object MergeSqlGenerator {
     dataColumns(t).filterNot(t.pkColumns.contains)
 
   /** CREATE TABLE with engine metadata columns (the SetupNormalizedTables
-    * step, flow/connectors/core.go:216-224). */
-  def createTable(t: MergeTarget): String = {
-    val cols = t.schema.fields.map(f =>
-      s"${q(f.name)} ${QKind.toAnsiDdl(QKind.fromSpark(f.dataType))}" +
-        (if (t.pkColumns.contains(f.name)) " NOT NULL" else ""))
-    val meta = Seq(
-      s"${q(RawTable.Version)} BIGINT NOT NULL",
-      s"${q(RawTable.IsDeleted)} BOOLEAN NOT NULL DEFAULT FALSE",
-      s"${q(RawTable.SyncedAt)} TIMESTAMP")
-    val pk = s"PRIMARY KEY (${t.pkColumns.map(q).mkString(", ")})"
-    s"""CREATE TABLE IF NOT EXISTS ${t.table} (
-       |  ${(cols ++ meta :+ pk).mkString(",\n  ")}
-       |)""".stripMargin
+    * step, flow/connectors/core.go:216-224), in the destination's DDL
+    * dialect: ANSI/Snowflake keep the PRIMARY KEY constraint shape,
+    * ClickHouse builds the ReplacingMergeTree(version) table the
+    * normalize path relies on (clickhouse/normalize.go:97-243), BigQuery
+    * emits backtick-quoted columns with CLUSTER BY the ordering keys (no
+    * enforced PK exists there). Column types come from
+    * [[QKind.toDdl]]'s per-dialect maps. */
+  def createTable(t: MergeTarget,
+      dialect: QKind.Dialect = QKind.Dialect.Ansi): String = {
+    import QKind.Dialect._
+    def kindOf(f: org.apache.spark.sql.types.StructField) =
+      QKind.fromSpark(f.dataType)
+    dialect match {
+      case Ansi | Snowflake =>
+        val cols = t.schema.fields.map(f =>
+          s"${q(f.name)} ${QKind.toDdl(kindOf(f), dialect,
+            nullable = !t.pkColumns.contains(f.name))}")
+        val (verT, boolT, tsT) = dialect match {
+          case Snowflake => ("INTEGER", "BOOLEAN", "TIMESTAMP_NTZ")
+          case _ => ("BIGINT", "BOOLEAN", "TIMESTAMP")
+        }
+        val meta = Seq(
+          s"${q(RawTable.Version)} $verT NOT NULL",
+          s"${q(RawTable.IsDeleted)} $boolT NOT NULL DEFAULT FALSE",
+          s"${q(RawTable.SyncedAt)} $tsT")
+        val pk = s"PRIMARY KEY (${t.pkColumns.map(q).mkString(", ")})"
+        s"""CREATE TABLE IF NOT EXISTS ${t.table} (
+           |  ${(cols ++ meta :+ pk).mkString(",\n  ")}
+           |)""".stripMargin
+      case ClickHouse =>
+        def bq(id: String) = "`" + id.replace("`", "``") + "`"
+        val cols = t.schema.fields.map(f =>
+          s"${bq(f.name)} ${QKind.toDdl(kindOf(f), ClickHouse,
+            nullable = !t.pkColumns.contains(f.name))}")
+        val meta = Seq(
+          s"${bq(RawTable.Version)} Int64",
+          s"${bq(RawTable.IsDeleted)} Bool",
+          s"${bq(RawTable.SyncedAt)} DateTime64(9) DEFAULT now64()")
+        s"""CREATE TABLE IF NOT EXISTS ${t.table} (
+           |  ${(cols ++ meta).mkString(",\n  ")}
+           |) ENGINE = ReplacingMergeTree(${bq(RawTable.Version)})
+           |ORDER BY (${t.pkColumns.map(bq).mkString(", ")})""".stripMargin
+      case BigQuery =>
+        def bq(id: String) = "`" + id.replace("`", "``") + "`"
+        val cols = t.schema.fields.map(f =>
+          s"${bq(f.name)} ${QKind.toDdl(kindOf(f), BigQuery,
+            nullable = !t.pkColumns.contains(f.name))}")
+        val meta = Seq(
+          s"${bq(RawTable.Version)} INT64 NOT NULL",
+          s"${bq(RawTable.IsDeleted)} BOOL NOT NULL",
+          s"${bq(RawTable.SyncedAt)} TIMESTAMP")
+        s"""CREATE TABLE IF NOT EXISTS ${t.table} (
+           |  ${(cols ++ meta).mkString(",\n  ")}
+           |) CLUSTER BY ${t.pkColumns.map(bq).mkString(", ")}""".stripMargin
+    }
   }
 
   /** Staged form of a Normalizer batch for a JDBC destination: the

@@ -42,11 +42,23 @@ object QKind {
   case object QUInt256 extends QKind { val toSpark = BinaryType; val name = "uint256" }
   case object QFloat32 extends QKind { val toSpark = FloatType; val name = "float32" }
   case object QFloat64 extends QKind { val toSpark = DoubleType; val name = "float64" }
-  /** numeric with typmod; unbounded → (38,18) mirroring
-    * GetNumericDestinationType (flow/model/qvalue/kind.go:23-40). */
-  final case class QNumeric(precision: Int = 38, scale: Int = 18) extends QKind {
-    val toSpark = DecimalType(precision min DecimalType.MAX_PRECISION, scale)
-    val name = s"numeric($precision,$scale)"
+  /** numeric with typmod; (0,0) = UNBOUNDED (typmod absent, the
+    * reference's typmod == -1) — carried internally as (38,18) mirroring
+    * GetNumericDestinationType (flow/model/qvalue/kind.go:23-40), but
+    * remembered as unbounded for dialect DDL (ClickHouse maps it to
+    * String when `numeric_as_string`). */
+  final case class QNumeric(precision: Int = 0, scale: Int = 0) extends QKind {
+    def isUnbounded: Boolean = precision == 0 && scale == 0
+    // Lazy + clamped: PG permits scale > precision (and both beyond 38),
+    // which Spark's DecimalType cannot carry — the DECLARED values still
+    // drive dialect DDL, only the Catalyst carrier clamps.
+    lazy val toSpark =
+      if (isUnbounded) DecimalType(38, 18)
+      else {
+        val p = precision min DecimalType.MAX_PRECISION
+        DecimalType(p, scale min p)
+      }
+    val name = if (isUnbounded) "numeric" else s"numeric($precision,$scale)"
   }
   case object QString extends QKind { val toSpark = StringType; val name = "string" }
   case object QQChar extends QKind { val toSpark = StringType; val name = "qchar" }
@@ -117,6 +129,154 @@ object QKind {
     case BinaryType => QBytes
     case ArrayType(e, _) => QArray(fromSpark(e))
     case other => throw new IllegalArgumentException(s"unmapped: $other")
+  }
+
+  // ------------------------------------------------- per-warehouse DDL maps
+
+  /** Destination dialects of ToDWHColumnType
+    * (flow/model/qvalue/kind.go:55-114). */
+  sealed trait Dialect
+  object Dialect {
+    case object Ansi extends Dialect
+    case object Snowflake extends Dialect
+    case object ClickHouse extends Dialect
+    case object BigQuery extends Dialect
+    val all: Seq[Dialect] = Seq(Ansi, Snowflake, ClickHouse, BigQuery)
+    def fromName(n: String): Dialect = n.toLowerCase match {
+      case "ansi" | "postgres" => Ansi
+      case "snowflake" => Snowflake
+      case "clickhouse" => ClickHouse
+      case "bigquery" => BigQuery
+      case other =>
+        throw new IllegalArgumentException(s"unknown dialect: $other")
+    }
+  }
+
+  /** Warehouse numeric compatibility (flow/shared/datatypes/numeric.go):
+    * precision/scale clamp to the destination's limits; out-of-range
+    * falls back to the destination default. */
+  private final case class NumCompat(maxP: Int, maxS: Int, defP: Int,
+      defS: Int) {
+    def resolve(p: Int, s: Int): (Int, Int) = {
+      if (p == 0 && s == 0) return (defP, defS) // unbounded
+      val cp = if (p > maxP) maxP else p
+      if (s > maxS) (defP, defS) else (cp, s)
+    }
+  }
+  private val SnowflakeNum = NumCompat(38, 37, 38, 20)
+  private val BigQueryNum = NumCompat(38, 20, 38, 20)
+  private val ClickHouseNum = NumCompat(76, 76, 76, 38)
+
+  /** Dialect-correct sink column DDL — the port of
+    * QValueKindToSnowflakeTypeMap / QValueKindToClickHouseTypeMap
+    * (flow/shared/types/kind.go:73-170), qValueKindToBigQueryType
+    * (flow/connectors/bigquery/qvalue_convert.go:13-90) and the numeric
+    * warehouse rules (GetNumericDestinationType,
+    * flow/model/qvalue/kind.go:18-53; datatypes/numeric.go).
+    *
+    * @param nullable           ClickHouse wraps `Nullable(...)` (arrays
+    *                           excepted); Snowflake/BigQuery/ANSI append
+    *                           `NOT NULL` when false.
+    * @param chNumericAsString  the `unboundedNumericAsString` env rule:
+    *                           unbounded numerics land as CH String
+    *                           (precision > 76 always does).
+    */
+  def toDdl(k: QKind, dialect: Dialect, nullable: Boolean = true,
+      chNumericAsString: Boolean = false): String = dialect match {
+    case Dialect.Ansi =>
+      toAnsiDdl(k) + (if (nullable) "" else " NOT NULL")
+    case Dialect.Snowflake =>
+      val t = k match {
+        case QNumeric(p, s) =>
+          val (rp, rs) = SnowflakeNum.resolve(p, s)
+          s"NUMERIC($rp,$rs)"
+        case QBool => "BOOLEAN"
+        case QInt8 | QInt16 | QInt32 | QInt64 | QUInt8 | QUInt16 |
+            QUInt32 | QUInt64 => "INTEGER"
+        case QFloat32 | QFloat64 => "FLOAT"
+        case QQChar => "CHAR"
+        case QJson | QJsonb | QHstore | QInterval => "VARIANT"
+        case QTimestamp => "TIMESTAMP_NTZ"
+        case QTimestampTZ => "TIMESTAMP_TZ"
+        case QTime | QTimeTZ => "TIME"
+        case QDate => "DATE"
+        case QBytes => "BINARY"
+        case QGeography => "GEOGRAPHY"
+        case QGeometry | QPoint => "GEOMETRY"
+        case QArray(_) => "VARIANT"
+        case _ => "STRING" // string/enum/uuid/net kinds and the catch-all
+      }
+      t + (if (nullable) "" else " NOT NULL")
+    case Dialect.ClickHouse =>
+      def scalar(s: QKind): String = s match {
+        case QNumeric(p, _) if p > 76 => "String"
+        case n @ QNumeric(_, _) if n.isUnbounded && chNumericAsString =>
+          "String"
+        case QNumeric(p, s2) =>
+          val (rp, rs) = ClickHouseNum.resolve(p, s2)
+          s"Decimal($rp, $rs)"
+        case QBool => "Bool"
+        case QInt8 => "Int8"
+        case QInt16 => "Int16"
+        case QInt32 => "Int32"
+        case QInt64 => "Int64"
+        case QInt256 => "Int256"
+        case QUInt8 => "UInt8"
+        case QUInt16 => "UInt16"
+        case QUInt32 => "UInt32"
+        case QUInt64 => "UInt64"
+        case QUInt256 => "UInt256"
+        case QFloat32 => "Float32"
+        case QFloat64 => "Float64"
+        case QQChar => "FixedString(1)"
+        case QEnum => "LowCardinality(String)"
+        case QTimestamp | QTimestampTZ | QTime | QTimeTZ => "DateTime64(6)"
+        case QDate => "Date32"
+        case QUuid => "UUID"
+        case _ => "String" // string/json/bytes/hstore/geo/net + catch-all
+      }
+      val t = k match {
+        // array exceptions (kind.go:160-170): json arrays flatten to one
+        // String; interval arrays are string arrays; Date arrays use Date
+        case QArray(QJson) | QArray(QJsonb) => "String"
+        case QArray(QInterval) => "Array(String)"
+        case QArray(QDate) => "Array(Date)"
+        case QArray(e) => s"Array(${scalar(e)})"
+        case s => scalar(s)
+      }
+      k match {
+        case QArray(_) => t // Nullable never wraps CH arrays
+        case _ if nullable && t == "LowCardinality(String)" =>
+          "LowCardinality(Nullable(String))"
+        case _ if nullable => s"Nullable($t)"
+        case _ => t
+      }
+    case Dialect.BigQuery =>
+      def scalar(s: QKind): String = s match {
+        case QNumeric(p, s2) =>
+          val (rp, rs) = BigQueryNum.resolve(p, s2)
+          s"BIGNUMERIC($rp,$rs)"
+        case QBool => "BOOL"
+        case QInt8 | QInt16 | QInt32 | QInt64 | QUInt8 | QUInt16 |
+            QUInt32 | QUInt64 => "INT64"
+        case QFloat32 | QFloat64 => "FLOAT64"
+        case QJson | QJsonb | QHstore => "JSON"
+        case QTimestamp | QTimestampTZ => "TIMESTAMP"
+        case QDate => "DATE"
+        case QTime | QTimeTZ => "TIME"
+        case QBytes => "BYTES"
+        case QGeography | QGeometry | QPoint => "GEOGRAPHY"
+        case QInterval => "STRING"
+        case _ => "STRING" // string/enum/uuid/net + catch-all
+      }
+      val t = k match {
+        // repeated fields; interval arrays are string arrays, uuid
+        // arrays string arrays (qvalue_convert.go:58-84)
+        case QArray(e) => s"ARRAY<${scalar(e)}>"
+        case s => scalar(s)
+      }
+      // BigQuery DDL: ARRAY columns can't be NOT NULL (repeated already)
+      t + (if (nullable || k.isInstanceOf[QArray]) "" else " NOT NULL")
   }
 
   /** Sink DDL type for a generic ANSI warehouse target (the shape of

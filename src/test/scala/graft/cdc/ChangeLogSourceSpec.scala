@@ -139,6 +139,92 @@ class ChangeLogSourceSpec extends SparkSpec {
     } finally metrics.unregister(spark)
   }
 
+  test("text checkpoint (GTID-style) round-trips offset + restart") {
+    val wal = tmpDir("gtidwal")
+    val ckpt = tmpDir("gtidckpt")
+    def grec(cp: Long, gtid: String): ChangeRecord =
+      ChangeRecord(0, cp, gtid, cp * 1000, cp, "src.t", "dest.t",
+        s"""{"id":$cp}""", null, Nil)
+    val u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    ChangeLogWal.append(wal, Seq(
+      grec(1, s"$u:1"), grec(2, s"$u:1-2")))
+
+    val texts = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.cdc.ChangeLogSourceProvider")
+        .option("path", wal).option("maxBatchSize", "10").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("checkpointText").collect()
+            .foreach(r => texts.add(r.getString(0)))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // The records expose their text checkpoints as a column...
+    assert(texts.asScala.toSet == Set(s"$u:1", s"$u:1-2"))
+    // ...and the COMMITTED OFFSET carries the cut record's text — the
+    // opaque resume position a GTID/resume-token source needs back.
+    val off = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ckpt, "offsets", "0"))
+    assert(off.contains(s"$u:1-2"))
+    // Restart: deserializes the text offset and resumes past it.
+    ChangeLogWal.append(wal, Seq(grec(3, s"$u:1-3")))
+    texts.clear()
+    drain()
+    assert(texts.asScala.toSeq == Seq(s"$u:1-3"))
+    val off1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(ckpt, "offsets", "1"))
+    assert(off1.contains(s"$u:1-3"))
+  }
+
+  test("boundedCut streams: batch-size lines parsed, not the segment") {
+    val wal = tmpDir("bigwal")
+    // ONE live segment of 50k single-record transactions.
+    ChangeLogWal.append(wal, (1L to 50000L).map(i =>
+      rec(i, i, 0, s"""{"id":$i}""")))
+    val (cut, text, parsed) =
+      ChangeLogWal.boundedCut(wal, -1L, Long.MaxValue, 10)
+    assert(cut == 10L)
+    assert(text == Some("10")) // rec() writes cp.toString as the text
+    // 10 admitted + 1 lookahead — NOT 50k.
+    assert(parsed <= 12L, s"parsed $parsed lines for a 10-record batch")
+
+    // Multi-record transactions extend past the cap to the boundary.
+    val (cut2, _, parsed2) =
+      ChangeLogWal.boundedCut(wal, 10L, Long.MaxValue, 5)
+    assert(cut2 == 15L && parsed2 <= 50L)
+
+    // Idle trigger over the fully-consumed segment: tail-read skip, zero
+    // lines parsed.
+    val (cut3, _, parsed3) =
+      ChangeLogWal.boundedCut(wal, 50000L, Long.MaxValue, 10)
+    assert(cut3 == 50000L)
+    assert(parsed3 == 0L, s"idle trigger parsed $parsed3 lines")
+  }
+
+  test("boundedCut never tears a transaction and respects the cap") {
+    val wal = tmpDir("txwal")
+    ChangeLogWal.append(wal, Seq(
+      rec(1, 100, 0, "a"), rec(2, 100, 0, "b"),
+      rec(3, 200, 0, "c"), rec(4, 200, 0, "d"), rec(5, 200, 0, "e"),
+      rec(6, 300, 0, "f")))
+    // max=3 lands mid-tx200 → extends to cp5.
+    val (cut, _, _) = ChangeLogWal.boundedCut(wal, -1L, Long.MaxValue, 3)
+    assert(cut == 5L)
+    // cap=4 hides cp5-6; the visible stream ends at cp4 (same contract as
+    // the pinned AvailableNow head).
+    val (cut2, _, _) = ChangeLogWal.boundedCut(wal, -1L, 4L, 100)
+    assert(cut2 == 4L)
+    // nothing new → cut == after.
+    val (cut3, _, _) = ChangeLogWal.boundedCut(wal, 6L, Long.MaxValue, 100)
+    assert(cut3 == 6L)
+  }
+
   test("DSv2 batch read: same table, full-history distributed scan") {
     val wal = tmpDir("batchwal")
     ChangeLogWal.append(wal, Seq(

@@ -258,9 +258,9 @@ class MirrorEqualitySpec extends SparkSpec {
 
     val batch = spark.createDataFrame(List(
       org.apache.spark.sql.Row(1L, 1L, 1000L, 0, "public.t", "dest.t",
-        """{"id":1,"name":"a","v":1}""", null, null),
+        """{"id":1,"name":"a","v":1}""", null, null, null),
       org.apache.spark.sql.Row(2L, 1L, 1000L, 0, "public.t", "dest.t",
-        """{"id":2,"name":"b","v":2}""", null, null)).asJava,
+        """{"id":2,"name":"b","v":2}""", null, null, null)).asJava,
       graft.cdc.ChangeLogSourceProvider.schema)
 
     runner.syncAndNormalize(batch, batchId = 7L)

@@ -23,6 +23,52 @@ class SinksSpec extends SparkSpec {
     assert(ddl.contains("""PRIMARY KEY ("id")"""))
   }
 
+  test("CREATE TABLE in each warehouse dialect (wide fixture)") {
+    import graft.types.QKind.Dialect
+    // Owners-style wide fixture: one column per interesting type family.
+    val wide = target.copy(schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("flag", BooleanType),
+      StructField("price", DecimalType(20, 4)),
+      StructField("ratio", DoubleType),
+      StructField("name", StringType),
+      StructField("born", DateType),
+      StructField("seen", TimestampType),
+      StructField("blob", BinaryType),
+      StructField("tags", ArrayType(StringType, containsNull = true)))))
+
+    val sf = MergeSqlGenerator.createTable(wide, Dialect.Snowflake)
+    assert(sf.contains(""""id" INTEGER NOT NULL"""))
+    assert(sf.contains(""""price" NUMERIC(20,4)"""))
+    assert(sf.contains(""""ratio" FLOAT"""))
+    assert(sf.contains(""""seen" TIMESTAMP_TZ"""))
+    assert(sf.contains(""""blob" BINARY"""))
+    assert(sf.contains(""""tags" VARIANT"""))
+    assert(sf.contains(s""""${RawTable.SyncedAt}" TIMESTAMP_NTZ"""))
+    assert(sf.contains("""PRIMARY KEY ("id")"""))
+
+    val ch = MergeSqlGenerator.createTable(wide, Dialect.ClickHouse)
+    assert(ch.contains("`id` Int64,")) // PK: bare, not Nullable
+    assert(ch.contains("`flag` Nullable(Bool)"))
+    assert(ch.contains("`price` Nullable(Decimal(20, 4))"))
+    assert(ch.contains("`name` Nullable(String)"))
+    assert(ch.contains("`born` Nullable(Date32)"))
+    assert(ch.contains("`tags` Array(String)")) // arrays never Nullable
+    assert(ch.contains(
+      s"ENGINE = ReplacingMergeTree(`${RawTable.Version}`)"))
+    assert(ch.contains("ORDER BY (`id`)"))
+
+    val bq = MergeSqlGenerator.createTable(wide, Dialect.BigQuery)
+    assert(bq.contains("`id` INT64 NOT NULL"))
+    assert(bq.contains("`price` BIGNUMERIC(20,4)"))
+    assert(bq.contains("`ratio` FLOAT64"))
+    assert(bq.contains("`seen` TIMESTAMP"))
+    assert(bq.contains("`blob` BYTES"))
+    assert(bq.contains("`tags` ARRAY<STRING>"))
+    assert(bq.contains("CLUSTER BY `id`"))
+    assert(!bq.contains("PRIMARY KEY"))
+  }
+
   test("MERGE: version guard, plain SET (NULL overwrites), delete branch") {
     val m = MergeSqlGenerator.merge(target, Seq(""))
     assert(m.contains("""ON dst."id" = src."id""""))
