@@ -79,7 +79,146 @@ object PgText {
     out.append("}").toString
   }
 
-  /** Register `hstore_to_json` for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  // ------------------------------------------------------ range decoding
+  // PG ranges/multiranges replicate as their TEXT rendering (QString) —
+  // convertToString's typed-range re-encode path
+  // (flow/connectors/postgres/qvalue_convert.go:256-331). The parser and
+  // the discrete-range canonicalization below are the engine-owned half:
+  // bytes/text in, canonical PG text form out.
+
+  /** One parsed PG range. `None` bounds are infinite. */
+  final case class PgRange(empty: Boolean, lo: Option[String],
+      hi: Option[String], loInc: Boolean, hiInc: Boolean)
+
+  /** Parse PG range text: `empty` | `[lo,hi)` etc., bounds optionally
+    * double-quoted with `\"`/`""` escapes, absent = infinite. */
+  def parseRange(s: String): PgRange = {
+    val t = s.trim
+    if (t.equalsIgnoreCase("empty"))
+      return PgRange(empty = true, None, None, loInc = false,
+        hiInc = false)
+    require(t.length >= 3 && (t.head == '[' || t.head == '(') &&
+      (t.last == ']' || t.last == ')'), s"malformed range: $s")
+    val body = t.substring(1, t.length - 1)
+    // split on the ONE top-level comma (bounds may be quoted)
+    var i = 0; var inQ = false; var commaAt = -1
+    while (i < body.length && commaAt < 0) {
+      body.charAt(i) match {
+        case '"' => inQ = !inQ
+        case '\\' if inQ => i += 1
+        case ',' if !inQ => commaAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(commaAt >= 0, s"malformed range (no comma): $s")
+    def bound(raw: String): Option[String] = {
+      val b = raw.trim
+      if (b.isEmpty) None
+      else if (b.head == '"') {
+        val sb = new StringBuilder
+        var j = 1
+        while (j < b.length - 1) {
+          b.charAt(j) match {
+            case '\\' => j += 1; sb.append(b.charAt(j))
+            case '"' if j + 1 < b.length - 1 && b.charAt(j + 1) == '"' =>
+              j += 1; sb.append('"')
+            case c => sb.append(c)
+          }
+          j += 1
+        }
+        Some(sb.toString)
+      } else Some(b)
+    }
+    PgRange(empty = false,
+      bound(body.substring(0, commaAt)), bound(body.substring(commaAt + 1)),
+      loInc = t.head == '[', hiInc = t.last == ']')
+  }
+
+  /** Canonical text form of a DISCRETE (integer/date-day) range — PG's own
+    * normalization: always `[lo,hi)`; `(a` → `[a+1`, `b]` → `[,b+1)`;
+    * degenerate (lo ≥ hi) → `empty`. Bounds parse as Long (covers
+    * int4range/int8range; date ranges canonicalize the same way on their
+    * epoch-day numbers). */
+  def canonicalIntRange(s: String): String = {
+    val r = parseRange(s)
+    if (r.empty) return "empty"
+    val lo = r.lo.map(v => v.toLong + (if (r.loInc) 0 else 1))
+    val hi = r.hi.map(v => v.toLong + (if (r.hiInc) 1 else 0))
+    (lo, hi) match {
+      case (Some(a), Some(b)) if a >= b => "empty"
+      case _ =>
+        s"[${lo.map(_.toString).getOrElse("")}," +
+          s"${hi.map(_.toString).getOrElse("")})"
+    }
+  }
+
+  /** Canonical multirange text: parse `{r1,r2,...}`, canonicalize each
+    * element, drop empties, sort, merge overlapping/ADJACENT ranges (PG
+    * multirange semantics: `{[1,3),[3,5)}` → `{[1,5)}`). */
+  def canonicalIntMultirange(s: String): String = {
+    val t = s.trim
+    require(t.length >= 2 && t.head == '{' && t.last == '}',
+      s"malformed multirange: $s")
+    val body = t.substring(1, t.length - 1).trim
+    if (body.isEmpty) return "{}"
+    // split elements: each starts at [ or ( and ends at the matching ) or ]
+    val parts = Seq.newBuilder[String]
+    var i = 0
+    while (i < body.length) {
+      while (i < body.length && (body.charAt(i) == ',' ||
+        body.charAt(i).isWhitespace)) i += 1
+      if (i < body.length) {
+        var j = i; var inQ = false; var end = -1
+        while (j < body.length && end < 0) {
+          body.charAt(j) match {
+            case '"' => inQ = !inQ
+            case '\\' if inQ => j += 1
+            case ')' | ']' if !inQ => end = j
+            case _ =>
+          }
+          j += 1
+        }
+        require(end >= 0, s"malformed multirange: $s")
+        parts += body.substring(i, end + 1)
+        i = end + 1
+      }
+    }
+    // canonical elements as (lo, hi), None = infinite
+    val canon = parts.result().map(canonicalIntRange)
+      .filter(_ != "empty")
+      .map { c =>
+        val r = parseRange(c)
+        (r.lo.map(_.toLong), r.hi.map(_.toLong))
+      }
+    if (canon.isEmpty) return "{}"
+    val sorted = canon.sortBy { case (lo, _) =>
+      lo.getOrElse(Long.MinValue)
+    }
+    val merged = sorted.tail.foldLeft(List(sorted.head)) {
+      case ((a, b) :: rest, (c, d)) =>
+        val bV = b.getOrElse(Long.MaxValue)
+        val cV = c.getOrElse(Long.MinValue)
+        if (cV <= bV) { // overlap or adjacency ([1,3) + [3,5) merges)
+          val hi = (b, d) match {
+            case (Some(x), Some(y)) => Some(x max y)
+            case _ => None
+          }
+          (a, hi) :: rest
+        } else (c, d) :: (a, b) :: rest
+      case (Nil, r) => List(r)
+    }.reverse
+    merged.map { case (lo, hi) =>
+      s"[${lo.map(_.toString).getOrElse("")}," +
+        s"${hi.map(_.toString).getOrElse("")})"
+    }.mkString("{", ",", "}")
+  }
+
+  /** Register the boundary-decode helpers for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("hstore_to_json", hstoreToJson _)
+    spark.udf.register("pg_canonical_int_range", canonicalIntRange _)
+    spark.udf.register("pg_canonical_int_multirange",
+      canonicalIntMultirange _)
+  }
 }

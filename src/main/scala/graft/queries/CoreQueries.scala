@@ -611,6 +611,69 @@ object CoreQueries {
             |            FROM events))
             |ORDER BY event_id""".stripMargin))
 
+  /** PG range/multirange decode breadth (qvalue_convert.go:256-331:
+    * ranges replicate as canonical TEXT): synthesize every
+    * inclusivity style of int range text from order keys, push them
+    * through the engine's parser + discrete-range canonicalization
+    * ([[graft.functions.PgText.canonicalIntRange]] — `(a,b]` → `[a+1,b+1)`,
+    * degenerate → `empty`) and PG multirange normalization (sort + merge
+    * overlapping/adjacent). The oracle reproduces the canonical forms with
+    * pure integer arithmetic. */
+  val pgRanges = GraftQuery(
+    "q_pg_ranges",
+    "PG range/multirange text decode + discrete canonicalization",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.udf
+      val canonR = udf(graft.functions.PgText.canonicalIntRange _)
+      val canonM = udf(graft.functions.PgText.canonicalIntMultirange _)
+      val o = t(s, dir, "orders")
+        .withColumn("lo", col("o_orderkey") % 97)
+        .withColumn("w", col("o_orderkey") % 9 - 2)
+        .withColumn("hi", col("lo") + col("w"))
+        .withColumn("style", col("o_orderkey") % 4)
+        .withColumn("range_raw", concat(
+          when(col("style") === 0 || col("style") === 2, "[").otherwise("("),
+          col("lo").cast("string"), lit(","), col("hi").cast("string"),
+          when(col("style") === 0 || col("style") === 1, "]").otherwise(")")))
+        .withColumn("g", col("o_orderkey") % 6)
+        .withColumn("mr_raw", concat(lit("{"), col("range_raw"), lit(",["),
+          (col("lo") + col("g")).cast("string"), lit(","),
+          (col("lo") + col("g") + 3).cast("string"), lit(")}")))
+      o.select(col("o_orderkey"), col("range_raw"),
+          canonR(col("range_raw")).as("range_canon"),
+          canonM(col("mr_raw")).as("mr_canon"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH r AS (
+           |  SELECT o_orderkey, lo, w, lo + w AS hi, style,
+           |    lo + g AS a2, lo + g + 3 AS b2,
+           |    lo + CASE WHEN style IN (1,3) THEN 1 ELSE 0 END AS a,
+           |    lo + w + CASE WHEN style IN (0,1) THEN 1 ELSE 0 END AS b,
+           |    CASE WHEN style IN (0,2) THEN '[' ELSE '(' END
+           |      || lo || ',' || (lo + w) ||
+           |      CASE WHEN style IN (0,1) THEN ']' ELSE ')' END AS range_raw
+           |  FROM (SELECT o_orderkey, o_orderkey % 97 AS lo,
+           |          o_orderkey % 9 - 2 AS w, o_orderkey % 4 AS style,
+           |          o_orderkey % 6 AS g
+           |        FROM orders)),
+           |m AS (
+           |  SELECT *,
+           |    CASE WHEN a >= b THEN 'empty'
+           |         ELSE '[' || a || ',' || b || ')' END AS range_canon,
+           |    CASE WHEN a <= a2 THEN a ELSE a2 END AS fa,
+           |    CASE WHEN a <= a2 THEN b ELSE b2 END AS fb,
+           |    CASE WHEN a <= a2 THEN a2 ELSE a END AS sa,
+           |    CASE WHEN a <= a2 THEN b2 ELSE b END AS sb
+           |  FROM r)
+           |SELECT o_orderkey, range_raw, range_canon,
+           |  CASE WHEN range_canon = 'empty'
+           |    THEN '{[' || a2 || ',' || b2 || ')}'
+           |    WHEN sa <= fb
+           |    THEN '{[' || fa || ',' || greatest(fb, sb) || ')}'
+           |    ELSE '{[' || fa || ',' || fb || '),[' || sa || ',' || sb
+           |      || ')}' END AS mr_canon
+           |FROM m ORDER BY o_orderkey""".stripMargin))
+
   /** Oversize value truncation (record_items.go:36,44: >15 MiB strings →
     * ""), threshold scaled down to the fixture sizes. */
   val oversizeTruncate = GraftQuery(
@@ -993,7 +1056,7 @@ object CoreQueries {
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     pgoutputDecode, jsonExtract, numericClamp, dateClamp, nanInfNull,
-    oversizeTruncate,
+    oversizeTruncate, pgRanges,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
     profileTable)

@@ -32,4 +32,41 @@ class PgTextSpec extends SparkSpec {
       .head().getString(0)
     assert(j == """{"m":"1"}""")
   }
+
+  test("range parse: inclusivity, infinite + quoted bounds, empty") {
+    import PgText._
+    assert(parseRange("[1,10)") ==
+      PgRange(empty = false, Some("1"), Some("10"), loInc = true,
+        hiInc = false))
+    assert(parseRange("(,5]") ==
+      PgRange(empty = false, None, Some("5"), loInc = false, hiInc = true))
+    assert(parseRange("empty").empty)
+    // quoted bound with an embedded comma and escaped quote
+    val q = parseRange("""["a,\"b",c]""")
+    assert(q.lo == Some("""a,"b""") && q.hi == Some("c"))
+  }
+
+  test("discrete range canonicalization matches PG normalization") {
+    import PgText._
+    assert(canonicalIntRange("[1,10)") == "[1,10)")
+    assert(canonicalIntRange("[1,10]") == "[1,11)")
+    assert(canonicalIntRange("(1,10]") == "[2,11)")
+    assert(canonicalIntRange("(1,10)") == "[2,10)")
+    assert(canonicalIntRange("(1,2)") == "empty") // degenerate
+    assert(canonicalIntRange("[5,5)") == "empty")
+    assert(canonicalIntRange("empty") == "empty")
+    assert(canonicalIntRange("[,5)") == "[,5)") // infinite lower survives
+    assert(canonicalIntRange("(3,]") == "[4,)")
+  }
+
+  test("multirange canonicalization: sort, merge overlap + adjacency") {
+    import PgText._
+    assert(canonicalIntMultirange("{[5,7),[1,3)}") == "{[1,3),[5,7)}")
+    assert(canonicalIntMultirange("{[1,3),[2,6)}") == "{[1,6)}")
+    assert(canonicalIntMultirange("{[1,3),[3,5)}") == "{[1,5)}") // adjacent
+    assert(canonicalIntMultirange("{(0,3],[5,5)}") == "{[1,4)}") // empty drops
+    assert(canonicalIntMultirange("{}") == "{}")
+    assert(canonicalIntMultirange("{[1,2),[1,2)}") == "{[1,2)}")
+    assert(canonicalIntMultirange("{[,3),[2,5)}") == "{[,5)}")
+  }
 }
