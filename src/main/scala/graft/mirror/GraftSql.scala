@@ -30,6 +30,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   DROP MIRROR name
   *   PAUSE MIRROR name / RESUME MIRROR name
   *   SHOW MIRRORS
+  *   DECLARE name CURSOR FOR query
+  *   FETCH n|ALL FROM name
+  *   CLOSE name
   * }}}
   *
   * Durability contract: with `spark.graft.catalog.dir` set, peer/mirror
@@ -64,6 +67,15 @@ object GraftSql {
   final case class PauseMirror(name: String) extends Statement
   final case class ResumeMirror(name: String) extends Statement
   case object ShowMirrors extends Statement
+  /** Server-side cursors (the stateful DECLARE/FETCH/CLOSE handling of
+    * the reference's proxy, nexus/server/src/main.rs:593-650): DECLARE
+    * binds a query to a named incremental iterator, FETCH pages rows out,
+    * CLOSE releases it. */
+  final case class DeclareCursor(name: String, query: String)
+      extends Statement
+  final case class FetchCursor(name: String, count: Option[Int])
+      extends Statement
+  final case class CloseCursor(name: String) extends Statement
 
   private val createPeer: Regex =
     """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
@@ -81,6 +93,11 @@ object GraftSql {
   private val resumeMirror: Regex =
     """(?is)\s*RESUME\s+MIRROR\s+(\w+)\s*""".r
   private val showMirrors: Regex = """(?is)\s*SHOW\s+MIRRORS\s*""".r
+  private val declareCursor: Regex =
+    """(?is)\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.+?)\s*""".r
+  private val fetchCursor: Regex =
+    """(?is)\s*FETCH\s+(\d+|ALL)\s+FROM\s+(\w+)\s*""".r
+  private val closeCursor: Regex = """(?is)\s*CLOSE\s+(\w+)\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
 
   private def parseOptions(s: String): Map[String, String] =
@@ -100,6 +117,10 @@ object GraftSql {
     case pauseMirror(n) => Some(PauseMirror(n))
     case resumeMirror(n) => Some(ResumeMirror(n))
     case showMirrors() => Some(ShowMirrors)
+    case declareCursor(n, q) => Some(DeclareCursor(n, q))
+    case fetchCursor(cnt, n) => Some(FetchCursor(n,
+      if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
+    case closeCursor(n) => Some(CloseCursor(n))
     case _ => None
   }
 
@@ -176,7 +197,31 @@ object GraftSql {
   private def handleKey(spark: SparkSession, n: String): (String, String) =
     (spark.conf.getOption("spark.graft.catalog.dir").getOrElse(""), n)
 
+  /** Open cursors: name → (schema, paging iterator). `toLocalIterator`
+    * is the bounded page buffer — the driver holds at most one partition
+    * of the result at a time (the proxy's incremental FETCH contract,
+    * main.rs:593-650), never the full result. Cursor names are global to
+    * the JVM like the reference proxy's per-connection map is to its
+    * connection; DECLARE over an existing name replaces it. */
+  private val cursors = scala.collection.concurrent.TrieMap
+    .empty[String, (StructType, java.util.Iterator[Row])]
+
   def execute(spark: SparkSession, st: Statement): Seq[Row] = st match {
+    case DeclareCursor(n, q) =>
+      val df = spark.sql(q) // non-graft SQL: delegates to the stock parser
+      cursors.put(n, (df.schema, df.toLocalIterator()))
+      Nil
+    case FetchCursor(n, count) =>
+      val (_, it) = cursors.getOrElse(n,
+        throw new NoSuchElementException(s"cursor $n"))
+      val out = Seq.newBuilder[Row]
+      var left = count.getOrElse(Int.MaxValue)
+      while (left > 0 && it.hasNext) { out += it.next(); left -= 1 }
+      out.result()
+    case CloseCursor(n) =>
+      cursors.remove(n).getOrElse(
+        throw new NoSuchElementException(s"cursor $n"))
+      Nil
     case CreatePeer(n, k, o) => peersFor(spark).create(Peer(n, k, o)); Nil
     case DropPeer(n) => peersFor(spark).drop(n); Nil
     case ShowPeers => peersFor(spark).list.map(p => Row(p.name, p.kind))
@@ -237,6 +282,14 @@ object GraftSql {
   }
 
   def outputAttributes(st: Statement): Seq[Attribute] = st match {
+    case FetchCursor(n, _) =>
+      // FETCH's schema is the declared query's — DECLARE has already run
+      // (cursor statements are sequential by nature), so plan time can
+      // resolve it from the registry.
+      val (schema, _) = cursors.getOrElse(n,
+        throw new NoSuchElementException(s"cursor $n"))
+      schema.fields.toSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
     case ShowPeers => Seq(
       AttributeReference("name", StringType)(),
       AttributeReference("kind", StringType)())

@@ -20,8 +20,39 @@ class GraftSqlSpec extends SparkSpec {
     assert(parse("PAUSE MIRROR m1") == Some(PauseMirror("m1")))
     assert(parse("resume mirror m1") == Some(ResumeMirror("m1")))
     assert(parse("SHOW MIRRORS") == Some(ShowMirrors))
+    assert(parse("DECLARE c1 CURSOR FOR SELECT * FROM t ORDER BY id") ==
+      Some(DeclareCursor("c1", "SELECT * FROM t ORDER BY id")))
+    assert(parse("FETCH 500 FROM c1") == Some(FetchCursor("c1", Some(500))))
+    assert(parse("fetch all from c1") == Some(FetchCursor("c1", None)))
+    assert(parse("CLOSE c1") == Some(CloseCursor("c1")))
     assert(parse("SELECT 1").isEmpty)
     assert(parse("CREATE TABLE t (id INT)").isEmpty)
+  }
+
+  test("cursor pages a 10k-row result incrementally (DECLARE/FETCH/CLOSE)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      s.sql("DECLARE big CURSOR FOR " +
+        "SELECT id, id * 2 AS dbl FROM range(10000) ORDER BY id")
+      val p1 = s.sql("FETCH 4000 FROM big").collect()
+      assert(p1.length == 4000)
+      assert(p1.head.getLong(0) == 0L && p1.last.getLong(0) == 3999L)
+      assert(p1.last.getLong(1) == 7998L) // schema carries both columns
+      val p2 = s.sql("FETCH 4000 FROM big").collect()
+      assert(p2.head.getLong(0) == 4000L && p2.length == 4000)
+      val p3 = s.sql("FETCH ALL FROM big").collect()
+      assert(p3.length == 2000 && p3.last.getLong(0) == 9999L)
+      assert(s.sql("FETCH 10 FROM big").collect().isEmpty) // drained
+      s.sql("CLOSE big")
+      intercept[Exception](s.sql("FETCH 1 FROM big"))
+      intercept[Exception](s.sql("CLOSE big")) // already closed
+    } finally s.stop()
   }
 
   test("spark.sql end-to-end: create + execute mirror through the parser") {
