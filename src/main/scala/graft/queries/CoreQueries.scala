@@ -443,6 +443,61 @@ object CoreQueries {
             |FROM ($changeLogSql)
             |ORDER BY checkpoint_id""".stripMargin))
 
+  /** Mongo BSON decode breadth (mongo/qvalue_convert.go `rawDocToJSON` /
+    * `QValueStringFromId`): each partition re-frames its events rows as
+    * binary BSON documents ([[graft.cdc.Bson]] encoder), then decodes
+    * them back through the engine's direct BSON→JSON converter —
+    * ObjectId hex `_id`s, int64s, strings, RFC3339 datetimes with
+    * trimmed fractions, arrays, bools, nulls. Distributed, shuffle-free
+    * until the final ORDER BY; the oracle builds the expected JSON
+    * relationally. */
+  val bsonNormalize = GraftQuery(
+    "q_bson_normalize",
+    "BSON binary decode: per-partition encode→JSON-normalize round trip",
+    (s, dir) => {
+      import s.implicits._
+      val src = changeLog(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_c"), col("version"), col("rtype"))
+        .as[(Long, Long, String, Long, Long, Int)]
+      val decoded = src.mapPartitions { it =>
+        import graft.cdc.Bson._
+        it.map { case (eid, uid, etype, vc, ver, rtype) =>
+          val oid = java.nio.ByteBuffer.allocate(12)
+            .putInt(0).putLong(eid).array()
+          val doc = encode(
+            "_id" -> BObjectId(oid),
+            "user_id" -> BInt64(uid),
+            "event_type" -> BString(etype),
+            "value_c" -> BInt64(vc),
+            "ts" -> BDateTime(ver / 1000),
+            "tags" -> BArray(Seq(BString(etype), BInt64(uid))),
+            "deleted" -> BBool(rtype == 2),
+            "nul" -> BNull)
+          (eid, idToString(0x07, oid), documentToJson(doc))
+        }
+      }
+      decoded.toDF("doc_id", "id_str", "bson_json").orderBy("doc_id")
+    },
+    Some(s"""SELECT event_id AS doc_id,
+            |  lpad(lower(to_hex(event_id)), 24, '0') AS id_str,
+            |  '{"_id":"' || lpad(lower(to_hex(event_id)), 24, '0')
+            |    || '","user_id":' || user_id
+            |    || ',"event_type":"' || event_type
+            |    || '","value_c":' || ${centsSql("value")}
+            |    || ',"ts":"'
+            |    || strftime(make_timestamp((version // 1000000) * 1000000),
+            |         '%Y-%m-%dT%H:%M:%S')
+            |    || CASE WHEN (version // 1000) % 1000 = 0 THEN ''
+            |         ELSE '.' || rtrim(lpad(
+            |           CAST((version // 1000) % 1000 AS VARCHAR), 3, '0'),
+            |           '0') END
+            |    || 'Z","tags":["' || event_type || '",' || user_id
+            |    || '],"deleted":' || CAST(rtype = 2 AS VARCHAR)
+            |    || ',"nul":null}' AS bson_json
+            |FROM ($changeLogSql)
+            |ORDER BY doc_id""".stripMargin))
+
   /** Idempotent MERGE/upsert of an incoming batch into existing state
     * (normalize_stmt_generator.go:148-278): matched+delete → tombstone,
     * matched → update, not-matched → insert. */
@@ -1056,7 +1111,7 @@ object CoreQueries {
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     pgoutputDecode, jsonExtract, numericClamp, dateClamp, nanInfNull,
-    oversizeTruncate, pgRanges,
+    oversizeTruncate, pgRanges, bsonNormalize,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
     profileTable)
