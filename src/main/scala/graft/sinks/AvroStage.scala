@@ -1,0 +1,326 @@
+package graft.sinks
+
+import java.io.{ByteArrayOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Avro staged-write path — the reference's S3/GCS Avro staging
+  * (flow/connectors/utils/avro/, snowflake/clickhouse staging:
+  * records → Avro OCF files → bulk load). The container environment has
+  * no spark-avro jar, so the format is implemented directly against the
+  * PUBLIC Avro 1.11 specification (avro.apache.org/docs/current/spec):
+  *
+  *   - binary encoding: zigzag-varint ints/longs, length-prefixed
+  *     strings/bytes, little-endian IEEE doubles/floats, union = varint
+  *     branch index + value, array = counted blocks + 0 terminator;
+  *   - Object Container File: magic `Obj\x01`, metadata map
+  *     (`avro.schema`, `avro.codec`=null), 16-byte sync marker, then
+  *     (count, byteSize, records, sync) blocks;
+  *   - logical types per the reference's converter
+  *     (flow/model/conversion_avro.go, avro_converter.go): DATE =
+  *     int/`date` (epoch days), TIMESTAMP = long/`timestamp-micros`,
+  *     DECIMAL = bytes/`decimal(p,s)` holding the big-endian
+  *     two's-complement unscaled value.
+  *
+  * Files written here are standard `.avro` — any Avro reader (and every
+  * warehouse bulk loader) consumes them. A symmetric reader below makes
+  * the round trip testable offline.
+  */
+object AvroStage {
+
+  // ------------------------------------------------------------ schema JSON
+
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Avro schema JSON for one Spark field type (non-null branch). */
+  private def typeJson(dt: DataType): String = dt match {
+    case BooleanType => "\"boolean\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case StringType => "\"string\""
+    case BinaryType => "\"bytes\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case TimestampType | TimestampNTZType =>
+      """{"type":"long","logicalType":"timestamp-micros"}"""
+    case d: DecimalType =>
+      s"""{"type":"bytes","logicalType":"decimal","precision":${
+        d.precision},"scale":${d.scale}}"""
+    case ArrayType(e, _) =>
+      s"""{"type":"array","items":${unionJson(e, nullable = true)}}"""
+    case other => throw new IllegalArgumentException(
+      s"no avro mapping for ${other.simpleString}")
+  }
+
+  private def unionJson(dt: DataType, nullable: Boolean): String =
+    if (nullable) s"""["null",${typeJson(dt)}]""" else typeJson(dt)
+
+  /** Record schema for a DataFrame schema (nullable fields as
+    * `["null", T]` unions — the reference stages every value column
+    * nullable). */
+  def schemaJson(schema: StructType, name: String = "graft_staged")
+      : String = {
+    val fields = schema.fields.map { f =>
+      s"""{"name":${jstr(f.name)},"type":${
+        unionJson(f.dataType, f.nullable)}}"""
+    }
+    s"""{"type":"record","name":${jstr(name)},"fields":[${
+      fields.mkString(",")}]}"""
+  }
+
+  // -------------------------------------------------------- binary encoding
+
+  /** zigzag varint — Avro's int/long encoding. */
+  private[sinks] def writeLong(o: OutputStream, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63)
+    while ((z & ~0x7FL) != 0) {
+      o.write(((z & 0x7F) | 0x80).toInt)
+      z >>>= 7
+    }
+    o.write(z.toInt)
+  }
+
+  private def writeBytes(o: OutputStream, b: Array[Byte]): Unit = {
+    writeLong(o, b.length); o.write(b, 0, b.length)
+  }
+
+  private def writeString(o: OutputStream, s: String): Unit =
+    writeBytes(o, s.getBytes(StandardCharsets.UTF_8))
+
+  private def writeFixedLE(o: OutputStream, bits: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { o.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+  }
+
+  /** One value of `dt` (non-null). */
+  private def writeValue(o: OutputStream, dt: DataType, v: Any): Unit =
+    dt match {
+      case BooleanType => o.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case IntegerType => writeLong(o, v.asInstanceOf[Int].toLong)
+      case ShortType => writeLong(o, v.asInstanceOf[Short].toLong)
+      case ByteType => writeLong(o, v.asInstanceOf[Byte].toLong)
+      case LongType => writeLong(o, v.asInstanceOf[Long])
+      case FloatType => writeFixedLE(o,
+        java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong
+          & 0xFFFFFFFFL, 4)
+      case DoubleType => writeFixedLE(o,
+        java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+      case StringType => writeString(o, v.asInstanceOf[String])
+      case BinaryType => writeBytes(o, v.asInstanceOf[Array[Byte]])
+      case DateType => writeLong(o, // epoch days (`date` logical type)
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
+      case TimestampType => writeLong(o, // micros
+        java.time.Duration.between(java.time.Instant.EPOCH,
+          v.asInstanceOf[java.sql.Timestamp].toInstant).toNanos / 1000)
+      case TimestampNTZType =>
+        val i = v.asInstanceOf[java.time.LocalDateTime]
+          .toInstant(java.time.ZoneOffset.UTC)
+        writeLong(o, i.getEpochSecond * 1000000L + i.getNano / 1000)
+      case d: DecimalType =>
+        val unscaled = v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale).unscaledValue()
+        writeBytes(o, unscaled.toByteArray) // big-endian two's complement
+      case ArrayType(e, _) =>
+        val items = v match {
+          case s: scala.collection.Seq[_] => s
+          case a: Array[_] => a.toSeq
+        }
+        if (items.nonEmpty) {
+          writeLong(o, items.size.toLong)
+          items.foreach(it => writeUnion(o, e, nullable = true, it))
+        }
+        writeLong(o, 0L) // block terminator
+      case other => throw new IllegalArgumentException(
+        s"no avro encoder for ${other.simpleString}")
+    }
+
+  private def writeUnion(o: OutputStream, dt: DataType, nullable: Boolean,
+      v: Any): Unit =
+    if (!nullable) writeValue(o, dt, v)
+    else if (v == null) writeLong(o, 0L) // branch 0 = null
+    else { writeLong(o, 1L); writeValue(o, dt, v) }
+
+  /** One Row → Avro binary record bytes. */
+  def encodeRow(schema: StructType, row: Row): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      writeUnion(o, f.dataType, f.nullable,
+        if (row.isNullAt(i)) null else row.get(i))
+    }
+    o.toByteArray
+  }
+
+  // ------------------------------------------------- object container file
+
+  private val Magic = Array[Byte]('O', 'b', 'j', 1)
+
+  /** Write a standard Avro OCF (null codec) to `out`. */
+  def writeContainer(out: OutputStream, schemaJson: String,
+      records: Iterator[Array[Byte]], recordsPerBlock: Int = 4096,
+      sync: Array[Byte] = null): Unit = {
+    val marker = if (sync != null) sync else {
+      // deterministic per-content marker is unnecessary; random is the
+      // spec's own suggestion
+      val b = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(b)
+      b
+    }
+    require(marker.length == 16, "sync marker is 16 bytes")
+    out.write(Magic)
+    // file metadata map: one block of 2 entries, then 0
+    writeLong(out, 2L)
+    writeString(out, "avro.schema"); writeBytes(out,
+      schemaJson.getBytes(StandardCharsets.UTF_8))
+    writeString(out, "avro.codec"); writeBytes(out,
+      "null".getBytes(StandardCharsets.UTF_8))
+    writeLong(out, 0L)
+    out.write(marker)
+    val buf = new ByteArrayOutputStream()
+    var n = 0
+    def flush(): Unit = if (n > 0) {
+      writeLong(out, n.toLong)
+      writeLong(out, buf.size().toLong)
+      buf.writeTo(out)
+      out.write(marker)
+      buf.reset(); n = 0
+    }
+    records.foreach { r =>
+      buf.write(r, 0, r.length); n += 1
+      if (n >= recordsPerBlock) flush()
+    }
+    flush()
+  }
+
+  /** Stage a DataFrame as one `.avro` OCF per partition under `dir`
+    * (through the Hadoop FS API — at scale the stage dir is object
+    * storage). Returns the written file paths. The per-partition
+    * imperative write is exactly the mapPartitions-as-last-resort case:
+    * a foreign file format Spark's builtins can't emit in this
+    * environment. */
+  def write(df: DataFrame, dir: String): Seq[String] = {
+    val schema = df.schema
+    val json = schemaJson(schema)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val path = new org.apache.hadoop.fs.Path(
+          dir, f"part-$i%05d.avro")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        try writeContainer(out, json, rows.map(encodeRow(schema, _)))
+        finally out.close()
+        Iterator(path.toString)
+      }
+    }.collect().toSeq
+  }
+
+  // ----------------------------------------------------------------- reader
+  // The symmetric decode half — loads staged files back without any avro
+  // jar (also the offline round-trip oracle for the writer).
+
+  private final class In(val b: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
+    def readLong(): Long = {
+      var shift = 0; var acc = 0L; var byte = u8()
+      while ((byte & 0x80) != 0) {
+        acc |= (byte & 0x7FL) << shift; shift += 7; byte = u8()
+      }
+      acc |= (byte & 0x7FL) << shift
+      (acc >>> 1) ^ -(acc & 1) // un-zigzag
+    }
+    def readBytes(): Array[Byte] = {
+      val n = readLong().toInt
+      val a = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n; a
+    }
+    def readString(): String =
+      new String(readBytes(), StandardCharsets.UTF_8)
+    def readFixed(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (u8().toLong << (8 * i)); i += 1 }
+      v
+    }
+  }
+
+  private def readValue(in: In, dt: DataType): Any = dt match {
+    case BooleanType => in.u8() != 0
+    case IntegerType => in.readLong().toInt
+    case ShortType => in.readLong().toShort
+    case ByteType => in.readLong().toByte
+    case LongType => in.readLong()
+    case FloatType =>
+      java.lang.Float.intBitsToFloat(in.readFixed(4).toInt)
+    case DoubleType => java.lang.Double.longBitsToDouble(in.readFixed(8))
+    case StringType => in.readString()
+    case BinaryType => in.readBytes()
+    case DateType => java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(in.readLong()))
+    case TimestampType =>
+      val micros = in.readLong()
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000))
+    case TimestampNTZType =>
+      val micros = in.readLong()
+      java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000), java.time.ZoneOffset.UTC)
+    case d: DecimalType =>
+      new java.math.BigDecimal(
+        new java.math.BigInteger(in.readBytes()), d.scale)
+    case ArrayType(e, _) =>
+      val out = Seq.newBuilder[Any]
+      var n = in.readLong()
+      while (n != 0) {
+        if (n < 0) { in.readLong(); n = -n } // block with byte size
+        var i = 0L
+        while (i < n) {
+          out += (if (in.readLong() == 0L) null else readValue(in, e))
+          i += 1
+        }
+        n = in.readLong()
+      }
+      out.result()
+    case other => throw new IllegalArgumentException(
+      s"no avro decoder for ${other.simpleString}")
+  }
+
+  /** Read one OCF's records back as Rows of `schema` (the writer's own
+    * files; schema evolution is out of scope for the stage dir). */
+  def readContainer(bytes: Array[Byte], schema: StructType): Seq[Row] = {
+    val in = new In(bytes)
+    require(bytes.take(4).sameElements(Magic), "not an Avro OCF")
+    in.pos = 4
+    var n = in.readLong() // metadata map blocks
+    while (n != 0) {
+      if (n < 0) { in.readLong(); n = -n }
+      var i = 0L
+      while (i < n) { in.readString(); in.readBytes(); i += 1 }
+      n = in.readLong()
+    }
+    in.pos += 16 // header sync marker
+    val rows = Seq.newBuilder[Row]
+    while (in.pos < bytes.length) {
+      val count = in.readLong()
+      in.readLong() // block byte size
+      var i = 0L
+      while (i < count) {
+        val values = schema.fields.map { f =>
+          if (f.nullable && in.readLong() == 0L) null
+          else readValue(in, f.dataType)
+        }
+        rows += Row.fromSeq(values.toSeq)
+        i += 1
+      }
+      in.pos += 16 // block sync marker
+    }
+    rows.result()
+  }
+}
