@@ -52,7 +52,13 @@ class GraftSqlSpec extends SparkSpec {
       s.sql("CLOSE big")
       intercept[Exception](s.sql("FETCH 1 FROM big"))
       intercept[Exception](s.sql("CLOSE big")) // already closed
-    } finally s.stop()
+    } finally {
+      // the session shares the suite-wide SparkContext — do NOT stop it
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
   }
 
   test("spark.sql end-to-end: create + execute mirror through the parser") {
