@@ -79,7 +79,17 @@ object Bson {
     new String(a, StandardCharsets.UTF_8)
   }
 
-  private def hex(a: Array[Byte]): String = a.map(x => f"$x%02x").mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+  private def hex(a: Array[Byte]): String = {
+    val out = new Array[Char](a.length * 2)
+    var i = 0
+    while (i < a.length) {
+      out(2 * i) = HexChars((a(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(a(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
 
   private def jsonStr(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')
@@ -113,16 +123,25 @@ object Bson {
     sb.append(if (array) ']' else '}')
   }
 
+  // one shared immutable formatter — building one per value dominated the
+  // decode profile (measured via q_bson_normalize MicroBench)
+  private val Rfc3339Seconds = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** RFC3339Nano UTC: seconds precision plus a TRIMMED fraction (Go
     * time.RFC3339Nano drops trailing zeros; BSON datetimes are millis). */
   private def rfc3339(epochMillis: Long): String = {
-    val i = java.time.Instant.ofEpochMilli(epochMillis)
-    val base = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-      .withZone(java.time.ZoneOffset.UTC).format(i)
+    val base = Rfc3339Seconds.format(
+      java.time.Instant.ofEpochMilli(epochMillis))
     val ms = Math.floorMod(epochMillis, 1000L)
     if (ms == 0) base + "Z"
-    else base + ("." + f"$ms%03d").reverse.dropWhile(_ == '0').reverse + "Z"
+    else {
+      var frac = ms.toInt; var digits = 3
+      while (frac % 10 == 0) { frac /= 10; digits -= 1 }
+      val fs = frac.toString
+      base + "." + ("0" * (digits - fs.length)) + fs + "Z"
+    }
   }
 
   private def writeValue(tpe: Int, b: ByteBuffer,

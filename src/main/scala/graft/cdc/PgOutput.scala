@@ -286,8 +286,17 @@ object PgOutput {
     sb.toString
   }
 
-  private def hex(b: Array[Byte]): String =
-    b.map(x => f"$x%02x").mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+  private def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = HexChars((b(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(b(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** One column value → its JSON fragment, from the wire bytes.
     * Text format ('t'): render per OID class (decodeColumnData's text
