@@ -214,11 +214,63 @@ object PgText {
     }.mkString("{", ",", "}")
   }
 
+  /** Parse a 1-D PG array literal (`{a,"b,c",NULL,"d\"e"}`) into its
+    * elements — the text half of convertToStringArray
+    * (flow/connectors/postgres/qvalue_convert.go:334+): unquoted `NULL`
+    * → null element, double-quoted elements unescape `\x` and `""`.
+    * The engine's array kinds are 1-D (kind.go:51-66); nested braces are
+    * rejected. */
+  def parseArrayLiteral(s: String): Seq[String] = {
+    val t = s.trim
+    require(t.length >= 2 && t.head == '{' && t.last == '}',
+      s"malformed array literal: $s")
+    val body = t.substring(1, t.length - 1)
+    if (body.trim.isEmpty) return Nil
+    val out = Seq.newBuilder[String]
+    var i = 0
+    var done = false
+    while (!done) {
+      while (i < body.length && body.charAt(i).isWhitespace) i += 1
+      if (i < body.length && body.charAt(i) == '{')
+        throw new IllegalArgumentException(
+          s"nested (multi-dimensional) array literal: $s")
+      if (i < body.length && body.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (!closed) {
+          body.charAt(i) match {
+            case '\\' => sb.append(body.charAt(i + 1)); i += 2
+            case '"' if i + 1 < body.length && body.charAt(i + 1) == '"' =>
+              sb.append('"'); i += 2
+            case '"' => closed = true; i += 1
+            case c => sb.append(c); i += 1
+          }
+        }
+        out += sb.toString
+      } else {
+        val end0 = body.indexOf(',', i)
+        val end = if (end0 < 0) body.length else end0
+        val bare = body.substring(i, end).trim
+        out += (if (bare.equalsIgnoreCase("NULL")) null else bare)
+        i = end
+      }
+      while (i < body.length && body.charAt(i).isWhitespace) i += 1
+      if (i >= body.length) done = true
+      else {
+        require(body.charAt(i) == ',', s"malformed array literal: $s")
+        i += 1
+      }
+    }
+    out.result()
+  }
+
   /** Register the boundary-decode helpers for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("hstore_to_json", hstoreToJson _)
     spark.udf.register("pg_canonical_int_range", canonicalIntRange _)
     spark.udf.register("pg_canonical_int_multirange",
       canonicalIntMultirange _)
+    spark.udf.register("pg_parse_array", parseArrayLiteral _)
   }
 }

@@ -729,6 +729,43 @@ object CoreQueries {
            |      || ')}' END AS mr_canon
            |FROM m ORDER BY o_orderkey""".stripMargin))
 
+  /** PG array-literal decode (convertToStringArray's text half,
+    * qvalue_convert.go:334+): synthesize `{bare,"quoted",NULL,"with,comma"}`
+    * literals from order columns, parse with
+    * [[graft.functions.PgText.parseArrayLiteral]], and project the
+    * elements back out — quoting, embedded commas and NULL elements all
+    * round-trip. */
+  val pgArrayDecode = GraftQuery(
+    "q_pg_array_decode",
+    "PG array literal text decode (quoted/comma/NULL elements)",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.udf
+      val parse = udf(graft.functions.PgText.parseArrayLiteral _)
+      t(s, dir, "orders")
+        .withColumn("arr_raw", concat(
+          lit("{"), col("o_orderstatus"),
+          lit(",\"p-"), col("o_orderpriority"),
+          lit("\",NULL,\"q,"), (col("o_orderkey") % 5).cast("string"),
+          lit("\"}")))
+        .withColumn("arr", parse(col("arr_raw")))
+        .select(col("o_orderkey"), col("arr_raw"),
+          size(col("arr")).as("n"),
+          element_at(col("arr"), 1).as("e1"),
+          element_at(col("arr"), 2).as("e2"),
+          coalesce(element_at(col("arr"), 3), lit("")).as("e3_s"),
+          element_at(col("arr"), 4).as("e4"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  '{' || o_orderstatus || ',"p-' || o_orderpriority
+           |    || '",NULL,"q,' || (o_orderkey % 5) || '"}' AS arr_raw,
+           |  4 AS n,
+           |  o_orderstatus AS e1,
+           |  'p-' || o_orderpriority AS e2,
+           |  '' AS e3_s,
+           |  'q,' || (o_orderkey % 5) AS e4
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** Oversize value truncation (record_items.go:36,44: >15 MiB strings →
     * ""), threshold scaled down to the fixture sizes. */
   val oversizeTruncate = GraftQuery(
@@ -1111,7 +1148,7 @@ object CoreQueries {
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     pgoutputDecode, jsonExtract, numericClamp, dateClamp, nanInfNull,
-    oversizeTruncate, pgRanges, bsonNormalize,
+    oversizeTruncate, pgRanges, pgArrayDecode, bsonNormalize,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
     profileTable)

@@ -59,6 +59,19 @@ class PgTextSpec extends SparkSpec {
     assert(canonicalIntRange("(3,]") == "[4,)")
   }
 
+  test("array literal parse: bare, quoted, escapes, NULL, empty") {
+    import PgText._
+    assert(parseArrayLiteral("{a,b,c}") == Seq("a", "b", "c"))
+    assert(parseArrayLiteral("{1, 2 ,3}") == Seq("1", "2", "3"))
+    assert(parseArrayLiteral("""{a,"b,c",NULL}""") == Seq("a", "b,c", null))
+    assert(parseArrayLiteral("""{"d\"e","f\\g"}""") ==
+      Seq("d\"e", "f\\g"))
+    assert(parseArrayLiteral("""{"NULL",NULL}""") == Seq("NULL", null))
+    assert(parseArrayLiteral("{}") == Nil)
+    intercept[IllegalArgumentException](parseArrayLiteral("{{1},{2}}"))
+    intercept[IllegalArgumentException](parseArrayLiteral("1,2"))
+  }
+
   test("multirange canonicalization: sort, merge overlap + adjacency") {
     import PgText._
     assert(canonicalIntMultirange("{[5,7),[1,3)}") == "{[1,3),[5,7)}")
