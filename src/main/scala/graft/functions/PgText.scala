@@ -265,6 +265,34 @@ object PgText {
     out.result()
   }
 
+  /** PG interval (micros, days, months) → the engine's interval JSON —
+    * `intervalToString`'s PeerDBInterval shape
+    * (flow/connectors/postgres/qvalue_convert.go:195-215,
+    * flow/shared/datatypes/interval.go): hours/minutes/seconds split out
+    * of the micros component, years/months out of the months component,
+    * zero fields OMITTED (Go's `omitempty`), `valid` always present.
+    * Integral seconds render bare (Go float marshalling). */
+  def intervalToJson(micros: Long, days: Int, months: Int): String = {
+    val sb = new StringBuilder("{")
+    def field(name: String, v: Long): Unit =
+      if (v != 0) sb.append('"').append(name).append("\":").append(v)
+        .append(',')
+    field("hours", micros / 3600000000L)
+    field("minutes", (micros % 3600000000L) / 60000000L)
+    val secMicros = micros % 60000000L
+    if (secMicros != 0) {
+      sb.append("\"seconds\":")
+      if (secMicros % 1000000L == 0) sb.append(secMicros / 1000000L)
+      else sb.append(secMicros.toDouble / 1000000.0)
+      sb.append(',')
+    }
+    field("days", days.toLong)
+    field("months", (months % 12).toLong)
+    field("years", (months / 12).toLong)
+    sb.append("\"valid\":true}")
+    sb.toString
+  }
+
   /** Register the boundary-decode helpers for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("hstore_to_json", hstoreToJson _)
@@ -272,5 +300,6 @@ object PgText {
     spark.udf.register("pg_canonical_int_multirange",
       canonicalIntMultirange _)
     spark.udf.register("pg_parse_array", parseArrayLiteral _)
+    spark.udf.register("pg_interval_json", intervalToJson _)
   }
 }

@@ -766,6 +766,82 @@ object CoreQueries {
            |  'q,' || (o_orderkey % 5) AS e4
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** PostGIS decode (GeoValidate, flow/shared/datatypes/geo.go:10-45:
+    * WKB hex → WKT): synthesize point + linestring WKB (little-endian,
+    * one EWKB-SRID variant whose SRID strips) from order keys and decode
+    * through [[graft.functions.Wkb]]; the oracle builds the expected WKT
+    * text directly. */
+  val wkbWkt = GraftQuery(
+    "q_wkb_wkt",
+    "WKB/EWKB hex to WKT geometry decode",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.udf
+      import graft.functions.Wkb
+      val pointHex = udf((x: Long, y: Long, srid: Int) =>
+        Wkb.toHex(Wkb.pointWkb(x.toDouble, y.toDouble, srid)))
+      val lineHex = udf((x: Long, y: Long) =>
+        Wkb.toHex(Wkb.lineWkb(Seq((x.toDouble, y.toDouble),
+          (x.toDouble + 10, y.toDouble - 3)))))
+      val toWkt = udf(Wkb.hexToWkt _)
+      t(s, dir, "orders")
+        .withColumn("x", col("o_orderkey") % 360 - 180)
+        .withColumn("y", col("o_orderkey") % 170 - 85)
+        // alternate plain WKB and EWKB+SRID — both decode identically
+        .withColumn("srid",
+          when(col("o_orderkey") % 2 === 0, 4326).otherwise(0))
+        .select(col("o_orderkey"),
+          toWkt(pointHex(col("x"), col("y"), col("srid"))).as("wkt_point"),
+          toWkt(lineHex(col("x"), col("y"))).as("wkt_line"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  'POINT (' || x || ' ' || y || ')' AS wkt_point,
+           |  'LINESTRING (' || x || ' ' || y || ', ' || (x + 10) || ' '
+           |    || (y - 3) || ')' AS wkt_line
+           |FROM (SELECT o_orderkey, o_orderkey % 360 - 180 AS x,
+           |        o_orderkey % 170 - 85 AS y
+           |      FROM orders)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** PG interval decode (intervalToString,
+    * postgres/qvalue_convert.go:195-215): the (micros, days, months)
+    * triple renders as the PeerDBInterval JSON with zero fields omitted
+    * and integral seconds bare — reproduced relationally by the oracle. */
+  val intervalJson = GraftQuery(
+    "q_interval_json",
+    "PG interval (micros,days,months) to PeerDBInterval JSON",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.udf
+      val ij = udf(graft.functions.PgText.intervalToJson _)
+      t(s, dir, "orders")
+        .withColumn("micros", (col("o_orderkey") % 90000L) * 1000000L)
+        .withColumn("days", (col("o_orderkey") % 40).cast("int"))
+        .withColumn("months", (col("o_orderkey") % 30).cast("int"))
+        .select(col("o_orderkey"),
+          ij(col("micros"), col("days"), col("months"))
+            .as("interval_json"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, '{'
+           |  || CASE WHEN h <> 0 THEN '"hours":' || h || ',' ELSE '' END
+           |  || CASE WHEN m <> 0 THEN '"minutes":' || m || ',' ELSE '' END
+           |  || CASE WHEN sec <> 0 THEN '"seconds":' || sec || ','
+           |       ELSE '' END
+           |  || CASE WHEN d <> 0 THEN '"days":' || d || ',' ELSE '' END
+           |  || CASE WHEN mo % 12 <> 0
+           |       THEN '"months":' || (mo % 12) || ',' ELSE '' END
+           |  || CASE WHEN mo // 12 <> 0
+           |       THEN '"years":' || (mo // 12) || ',' ELSE '' END
+           |  || '"valid":true}' AS interval_json
+           |FROM (SELECT o_orderkey,
+           |        (o_orderkey % 90000) // 3600 AS h,
+           |        ((o_orderkey % 90000) % 3600) // 60 AS m,
+           |        (o_orderkey % 90000) % 60 AS sec,
+           |        o_orderkey % 40 AS d,
+           |        o_orderkey % 30 AS mo
+           |      FROM orders)
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** Oversize value truncation (record_items.go:36,44: >15 MiB strings →
     * ""), threshold scaled down to the fixture sizes. */
   val oversizeTruncate = GraftQuery(
@@ -1148,7 +1224,8 @@ object CoreQueries {
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     pgoutputDecode, jsonExtract, numericClamp, dateClamp, nanInfNull,
-    oversizeTruncate, pgRanges, pgArrayDecode, bsonNormalize,
+    oversizeTruncate, pgRanges, pgArrayDecode, bsonNormalize, wkbWkt,
+    intervalJson,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
     profileTable)
