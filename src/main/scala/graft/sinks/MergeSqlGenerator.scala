@@ -110,6 +110,14 @@ object MergeSqlGenerator {
     normalized.withColumn(Normalizer.AbsentCols,
       array_join(col(Normalizer.AbsentCols), ","))
 
+  /** Stage a normalized batch as Avro OCF files for a warehouse bulk
+    * load (the reference's S3/GCS staging step ahead of COPY INTO /
+    * PUT+COPY, snowflake avro_sync path): the [[stageFrame]] encoding
+    * written per-partition as standard `.avro` files via
+    * [[AvroStage]]. Returns the staged file paths (the COPY file list). */
+  def stageAvro(normalized: DataFrame, dir: String): Seq[String] =
+    AvroStage.write(stageFrame(normalized), dir)
+
   /** Distinct absent-column combinations present in a staged batch — the
     * per-batch combination set the reference derives the UPDATE branches
     * from (merge_stmt_generator.go:166-225). Driver-side: bounded by the

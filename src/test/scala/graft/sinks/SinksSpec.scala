@@ -142,6 +142,27 @@ class SinksSpec extends SparkSpec {
     assert(MergeSqlGenerator.upsertFallback(target, staged).size == 3)
   }
 
+  test("stageAvro writes loadable OCF files of the staged encoding") {
+    import spark.implicits._
+    val normalized = Seq(
+      (1L, "a", Seq.empty[String]),
+      (2L, null.asInstanceOf[String], Seq("name")))
+      .toDF("id", "name", graft.cdc.Normalizer.AbsentCols)
+    val dir = tmpDir("avro_merge_stage")
+    val files = MergeSqlGenerator.stageAvro(normalized, dir)
+    assert(files.nonEmpty)
+    val schema = MergeSqlGenerator.stageFrame(normalized).schema
+    val rows = files.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val in = path.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).open(path)
+      val bytes = try in.readAllBytes() finally in.close()
+      AvroStage.readContainer(bytes, schema)
+    }.sortBy(_.getLong(0))
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      == Seq((1L, "a", ""), (2L, null, "name")))
+  }
+
   test("sized writes bound files and rows per file") {
     val dir = tmpDir("sizedout")
     val n = ParquetSink.writeSized(
