@@ -84,9 +84,14 @@ object MergeSqlGenerator {
           s"${bq(RawTable.Version)} Int64",
           s"${bq(RawTable.IsDeleted)} Bool",
           s"${bq(RawTable.SyncedAt)} DateTime64(9) DEFAULT now64()")
+        // soft delete ⇒ the is_deleted column joins the engine args
+        // (ReplacingMergeTree(ver, is_deleted) drops tombstones on merge;
+        // normalize.go:108-126 isDeletedColumnPart)
+        val engineArgs = bq(RawTable.Version) +
+          (if (t.softDelete) s", ${bq(RawTable.IsDeleted)}" else "")
         s"""CREATE TABLE IF NOT EXISTS ${t.table} (
            |  ${(cols ++ meta).mkString(",\n  ")}
-           |) ENGINE = ReplacingMergeTree(${bq(RawTable.Version)})
+           |) ENGINE = ReplacingMergeTree($engineArgs)
            |ORDER BY (${t.pkColumns.map(bq).mkString(", ")})""".stripMargin
       case BigQuery =>
         def bq(id: String) = "`" + id.replace("`", "``") + "`"

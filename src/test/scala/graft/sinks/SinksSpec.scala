@@ -54,9 +54,14 @@ class SinksSpec extends SparkSpec {
     assert(ch.contains("`name` Nullable(String)"))
     assert(ch.contains("`born` Nullable(Date32)"))
     assert(ch.contains("`tags` Array(String)")) // arrays never Nullable
-    assert(ch.contains(
-      s"ENGINE = ReplacingMergeTree(`${RawTable.Version}`)"))
+    assert(ch.contains(s"ENGINE = ReplacingMergeTree(" +
+      s"`${RawTable.Version}`, `${RawTable.IsDeleted}`)"))
     assert(ch.contains("ORDER BY (`id`)"))
+    // hard-delete targets: version-only engine args
+    val chHard = MergeSqlGenerator.createTable(
+      wide.copy(softDelete = false), Dialect.ClickHouse)
+    assert(chHard.contains(
+      s"ENGINE = ReplacingMergeTree(`${RawTable.Version}`)"))
 
     val bq = MergeSqlGenerator.createTable(wide, Dialect.BigQuery)
     assert(bq.contains("`id` INT64 NOT NULL"))
