@@ -86,6 +86,17 @@ object Graft {
   def lshBucket(embCol: String, nBits: Int): Column =
     functions.Similarity.hyperplaneBucket(embCol, nBits)
 
+  /** Register every graft SQL function on a session in one call:
+    * `cosine_sim`, `int_dot`, the PG text-decode family
+    * (`hstore_to_json`, `pg_canonical_int_range`/`_multirange`,
+    * `pg_parse_array`, `pg_interval_json`) and `wkb_to_wkt`. */
+  def registerSql(spark: SparkSession): Unit = {
+    functions.CosineSimilarityExpr.register(spark)
+    functions.QuantizedExprs.registerIntDot(spark)
+    functions.PgText.register(spark)
+    functions.Wkb.register(spark)
+  }
+
   /** All declared queries: name → runner ((spark, sfDir) → DataFrame). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries
