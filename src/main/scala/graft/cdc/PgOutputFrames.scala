@@ -1,0 +1,140 @@
+package graft.cdc
+
+import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Path, Paths}
+
+/** Framed capture files for raw pgoutput byte streams — the on-disk
+  * contract that turns [[PgOutputDecoder]] into an operational source
+  * adapter: a capture process (the stand-in for the replication
+  * connection, e.g. a `pg_recvlogical`-style client writing binary
+  * XLogData payloads) appends frames; [[ingest]] replays them through the
+  * decoder into a [[ChangeLogWal]], from where the standard mirror path
+  * (stream source → raw → normalize → MERGE) takes over.
+  *
+  * Frame layout (big-endian, mirroring the wire's XLogData envelope):
+  * `walStart i64, length i32, payload bytes`. Files ingest in name order;
+  * the decoder's commit-lock state carries across files (a transaction
+  * may span a file boundary).
+  */
+object PgOutputFrames {
+
+  def writeFrame(out: OutputStream, walStart: Long,
+      payload: Array[Byte]): Unit = {
+    val h = ByteBuffer.allocate(12)
+    h.putLong(walStart).putInt(payload.length)
+    out.write(h.array())
+    out.write(payload)
+  }
+
+  def appendFrames(file: Path, frames: Seq[(Long, Array[Byte])]): Unit = {
+    Files.createDirectories(file.getParent)
+    val out = Files.newOutputStream(file,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    try frames.foreach { case (lsn, p) => writeFrame(out, lsn, p) }
+    finally out.close()
+  }
+
+  /** Streaming frame iterator over one capture file. */
+  def readFrames(in: InputStream): Iterator[(Long, Array[Byte])] =
+    new Iterator[(Long, Array[Byte])] {
+      private val s = new BufferedInputStream(in)
+      private var nextFrame: (Long, Array[Byte]) = _
+      private var done = false
+
+      private def readFully(n: Int): Array[Byte] = {
+        val a = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = s.read(a, off, n - off)
+          if (r < 0) throw new EOFException(s"truncated frame at $off/$n")
+          off += r
+        }
+        a
+      }
+
+      private def advance(): Unit = {
+        val first = s.read()
+        if (first < 0) { done = true; return }
+        val header = new Array[Byte](12)
+        header(0) = first.toByte
+        var off = 1
+        while (off < 12) {
+          val r = s.read(header, off, 12 - off)
+          if (r < 0) throw new EOFException("truncated frame header")
+          off += r
+        }
+        val b = ByteBuffer.wrap(header)
+        val lsn = b.getLong()
+        nextFrame = (lsn, readFully(b.getInt()))
+      }
+
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): (Long, Array[Byte]) = {
+        val f = nextFrame; advance(); f
+      }
+    }
+
+  /** Replay every `.pgout` capture file under `framesDir` (name order)
+    * through a fresh decoder and append the decoded records to the WAL at
+    * `walDir`, cut at TRANSACTION boundaries: records of an uncommitted
+    * trailing transaction are held back — nothing past the last Commit is
+    * acknowledged, the slot-read contract. Committed records land in WAL
+    * segments of up to `segmentRecords` (not one per tiny commit).
+    *
+    * Resumable: pass the previous run's returned checkpoint as `afterCp`
+    * — the full capture re-decodes (state rebuild, like a restarted slot
+    * consumer re-reading from restart_lsn) but only records PAST the
+    * checkpoint append, so a crash between runs never duplicates.
+    *
+    * Returns (records appended, last committed checkpoint — persist it).
+    * Single-writer like the capture stream itself; driver-side by design:
+    * decode is O(stream), and the heavy lifting (raw sync, normalize,
+    * merge) stays distributed downstream of the WAL. */
+  def ingest(framesDir: String, walDir: String,
+      afterCp: Long = -1L,
+      tableFilter: String => Boolean = _ => true,
+      destinationFor: String => String = identity,
+      segmentRecords: Int = 100000): (Long, Long) = {
+    val dir = Paths.get(framesDir)
+    if (!Files.isDirectory(dir)) return (0L, afterCp)
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".pgout"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val decoder = new PgOutputDecoder(tableFilter, destinationFor)
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[graft.model.ChangeRecord] // current (uncommitted) tx
+    val ready = scala.collection.mutable.ArrayBuffer
+      .empty[graft.model.ChangeRecord] // committed, not yet flushed
+    var appended = 0L
+    def flush(force: Boolean): Unit =
+      if (ready.nonEmpty && (force || ready.size >= segmentRecords)) {
+        ChangeLogWal.append(walDir, ready.toSeq)
+        appended += ready.size
+        ready.clear()
+      }
+    files.foreach { f =>
+      val in = Files.newInputStream(f)
+      try readFrames(in).foreach { case (lsn, payload) =>
+        val before = decoder.latestCheckpoint
+        decoder.feed(lsn, payload)
+          .filter(_.checkpointId > afterCp)
+          .foreach(pending += _)
+        // a Commit (or non-transactional message) advanced the
+        // checkpoint: everything pending is durable
+        if (decoder.latestCheckpoint != before) {
+          ready ++= pending
+          pending.clear()
+          flush(force = false)
+        }
+      } finally in.close()
+    }
+    flush(force = true)
+    // `pending` still holds the uncommitted trailing tx: dropped — its
+    // Commit has not arrived; the next run re-decodes it.
+    (appended, decoder.latestCheckpoint)
+  }
+}
