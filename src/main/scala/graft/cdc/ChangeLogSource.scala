@@ -38,6 +38,12 @@ import graft.model.ChangeRecord
 object ChangeLogWal {
   val Sep = '\u001F'
 
+  /** WRITER INVARIANT: one `append` call must contain only WHOLE
+    * transactions (never the leading half of one) — the tx-boundary cut
+    * treats end-of-log as a commit boundary, so a tx written across two
+    * appends could be torn if a trigger fires between them. Both writers
+    * (the simulator and [[PgOutputFrames.ingest]], which holds back
+    * uncommitted tails) honor this. */
   def append(dir: String, records: Seq[ChangeRecord]): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
@@ -451,7 +457,9 @@ private[cdc] class ChangeLogMicroBatchStream(path: String, maxBatchSize: Int,
     val prev = start.asInstanceOf[CpOffset]
     val (cut, text, _) = ChangeLogWal.boundedCut(
       path, prev.cp, availableNowCap, maxBatchSize)
-    if (cut == prev.cp) prev else CpOffset(cut, text)
+    // Text-less cut records (9-field segments, commit-only tokens) must
+    // not REGRESS the stored resume token — carry the previous forward.
+    if (cut == prev.cp) prev else CpOffset(cut, text.orElse(prev.text))
   }
 
   override def latestOffset(): Offset =

@@ -311,7 +311,13 @@ object PgOutput {
         col.typeOid match {
           case Oid.Bool => Some(if (s == "t") "true" else "false")
           case Oid.Json | Oid.Jsonb => Some(s) // already JSON
-          case oid if jsonBare(oid) => Some(s)
+          case oid if jsonBare(oid) =>
+            // JSON has no NaN/±Infinity tokens — null them like the
+            // engine's serialization policy (record_items.go:174-207,
+            // q_nan_inf_null)
+            if (s == "NaN" || s == "Infinity" || s == "-Infinity")
+              Some("null")
+            else Some(s)
           case _ => Some("\"" + jsonEscape(s) + "\"")
         }
       case BinaryColumn(b) =>

@@ -79,27 +79,38 @@ object PgOutputFrames {
 
   /** Replay every `.pgout` capture file under `framesDir` (name order)
     * through a fresh decoder and append the decoded records to the WAL at
-    * `walDir`, cut at TRANSACTION boundaries: records of an uncommitted
-    * trailing transaction are held back — nothing past the last Commit is
-    * acknowledged, the slot-read contract. Committed records land in WAL
-    * segments of up to `segmentRecords` (not one per tiny commit).
+    * `walDir`, cut at TRANSACTION boundaries: only a Commit message makes
+    * its transaction's records durable — an uncommitted trailing tx is
+    * held back (the slot-read contract: nothing past the last Commit is
+    * acknowledged), and a non-transactional logical message is durable by
+    * itself without promoting the open transaction.
     *
-    * Resumable: pass the previous run's returned checkpoint as `afterCp`
-    * — the full capture re-decodes (state rebuild, like a restarted slot
-    * consumer re-reading from restart_lsn) but only records PAST the
-    * checkpoint append, so a crash between runs never duplicates.
+    * Two id spaces, deliberately distinct (the reference's batch-id vs
+    * LSN split): appended records are RE-STAMPED with dense, WAL-native
+    * checkpoint ids continuing from the WAL head — walStarts of
+    * interleaved source transactions are NOT monotone in commit order,
+    * and the WAL's segment-skip/batch-cut machinery requires monotone
+    * cps. The SOURCE resume position (last commit LSN seen) is returned
+    * separately; commit order (= replay order) is preserved exactly.
     *
-    * Returns (records appended, last committed checkpoint — persist it).
-    * Single-writer like the capture stream itself; driver-side by design:
-    * decode is O(stream), and the heavy lifting (raw sync, normalize,
-    * merge) stays distributed downstream of the WAL. */
+    * Resumable: pass the previous run's returned LSN as `afterCommitLsn`
+    * — the capture re-decodes from the start (state rebuild, like a
+    * restarted slot consumer re-reading from restart_lsn) and skipping
+    * happens PER TRANSACTION at its Commit, so interleaved transactions
+    * whose records sit below an already-acknowledged commit LSN are never
+    * lost, and replayed ones never duplicate.
+    *
+    * Returns (records appended, last commit LSN — persist it for the next
+    * run). Single-writer like the capture stream itself; driver-side by
+    * design: decode is O(stream), and the heavy lifting (raw sync,
+    * normalize, merge) stays distributed downstream of the WAL. */
   def ingest(framesDir: String, walDir: String,
-      afterCp: Long = -1L,
+      afterCommitLsn: Long = -1L,
       tableFilter: String => Boolean = _ => true,
       destinationFor: String => String = identity,
       segmentRecords: Int = 100000): (Long, Long) = {
     val dir = Paths.get(framesDir)
-    if (!Files.isDirectory(dir)) return (0L, afterCp)
+    if (!Files.isDirectory(dir)) return (0L, afterCommitLsn)
     import scala.jdk.CollectionConverters._
     val files = Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".pgout"))
@@ -108,8 +119,13 @@ object PgOutputFrames {
     val pending = scala.collection.mutable.ArrayBuffer
       .empty[graft.model.ChangeRecord] // current (uncommitted) tx
     val ready = scala.collection.mutable.ArrayBuffer
-      .empty[graft.model.ChangeRecord] // committed, not yet flushed
+      .empty[graft.model.ChangeRecord] // durable, not yet flushed
+    var nextCp = math.max(ChangeLogWal.headCp(walDir), 0L) + 1
+    var lastCommit = afterCommitLsn
     var appended = 0L
+    def stamp(r: graft.model.ChangeRecord): graft.model.ChangeRecord = {
+      val c = nextCp; nextCp += 1; r.copy(checkpointId = c)
+    }
     def flush(force: Boolean): Unit =
       if (ready.nonEmpty && (force || ready.size >= segmentRecords)) {
         ChangeLogWal.append(walDir, ready.toSeq)
@@ -119,22 +135,30 @@ object PgOutputFrames {
     files.foreach { f =>
       val in = Files.newInputStream(f)
       try readFrames(in).foreach { case (lsn, payload) =>
+        val isCommit = payload.nonEmpty && payload(0) == 'C'
         val before = decoder.latestCheckpoint
-        decoder.feed(lsn, payload)
-          .filter(_.checkpointId > afterCp)
-          .foreach(pending += _)
-        // a Commit (or non-transactional message) advanced the
-        // checkpoint: everything pending is durable
-        if (decoder.latestCheckpoint != before) {
-          ready ++= pending
+        val rec = decoder.feed(lsn, payload)
+        if (isCommit) {
+          val commitLsn = decoder.latestCheckpoint
+          if (commitLsn > afterCommitLsn) ready ++= pending.map(stamp)
+          lastCommit = math.max(lastCommit, commitLsn)
           pending.clear()
           flush(force = false)
+        } else rec.foreach { r =>
+          val nonTxMessage =
+            r.recordType == graft.model.ChangeRecord.TypeMessage &&
+              decoder.latestCheckpoint != before
+          if (nonTxMessage) { // self-durable, open tx untouched
+            if (r.checkpointId > afterCommitLsn) ready += stamp(r)
+            lastCommit = math.max(lastCommit, decoder.latestCheckpoint)
+            flush(force = false)
+          } else pending += r
         }
       } finally in.close()
     }
     flush(force = true)
     // `pending` still holds the uncommitted trailing tx: dropped — its
     // Commit has not arrived; the next run re-decodes it.
-    (appended, decoder.latestCheckpoint)
+    (appended, lastCommit)
   }
 }

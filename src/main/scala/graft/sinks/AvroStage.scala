@@ -113,9 +113,10 @@ object AvroStage {
       case BinaryType => writeBytes(o, v.asInstanceOf[Array[Byte]])
       case DateType => writeLong(o, // epoch days (`date` logical type)
         v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
-      case TimestampType => writeLong(o, // micros
-        java.time.Duration.between(java.time.Instant.EPOCH,
-          v.asInstanceOf[java.sql.Timestamp].toInstant).toNanos / 1000)
+      case TimestampType => // micros, overflow-free (year 9999 sentinels
+        // exceed Long nanos — the dateClamp values must stage cleanly)
+        val inst = v.asInstanceOf[java.sql.Timestamp].toInstant
+        writeLong(o, inst.getEpochSecond * 1000000L + inst.getNano / 1000)
       case TimestampNTZType =>
         val i = v.asInstanceOf[java.time.LocalDateTime]
           .toInstant(java.time.ZoneOffset.UTC)

@@ -76,7 +76,7 @@ object MergeSqlGenerator {
            |  ${(cols ++ meta :+ pk).mkString(",\n  ")}
            |)""".stripMargin
       case ClickHouse =>
-        def bq(id: String) = "`" + id.replace("`", "``") + "`"
+        def bq(id: String) = "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`" // backslash escapes (BQ/CH lexers)
         val cols = t.schema.fields.map(f =>
           s"${bq(f.name)} ${QKind.toDdl(kindOf(f), ClickHouse,
             nullable = !t.pkColumns.contains(f.name))}")
@@ -94,7 +94,7 @@ object MergeSqlGenerator {
            |) ENGINE = ReplacingMergeTree($engineArgs)
            |ORDER BY (${t.pkColumns.map(bq).mkString(", ")})""".stripMargin
       case BigQuery =>
-        def bq(id: String) = "`" + id.replace("`", "``") + "`"
+        def bq(id: String) = "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`" // backslash escapes (BQ/CH lexers)
         val cols = t.schema.fields.map(f =>
           s"${bq(f.name)} ${QKind.toDdl(kindOf(f), BigQuery,
             nullable = !t.pkColumns.contains(f.name))}")

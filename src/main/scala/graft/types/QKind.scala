@@ -160,7 +160,10 @@ object QKind {
     def resolve(p: Int, s: Int): (Int, Int) = {
       if (p == 0 && s == 0) return (defP, defS) // unbounded
       val cp = if (p > maxP) maxP else p
-      if (s > maxS) (defP, defS) else (cp, s)
+      if (s > maxS) (defP, defS)
+      // PG permits scale > precision (numeric(5,10)); warehouses reject
+      // it — clamp like the Catalyst carrier does.
+      else (cp, s min cp)
     }
   }
   private val SnowflakeNum = NumCompat(38, 37, 38, 20)
@@ -287,7 +290,8 @@ object QKind {
     case QInt32 | QUInt8 | QUInt16 => "INTEGER"
     case QInt64 | QUInt32 => "BIGINT"
     case QUInt64 => "DECIMAL(20,0)"
-    case QNumeric(p, s) => s"DECIMAL($p,$s)"
+    case n @ QNumeric(_, _) if n.isUnbounded => "DECIMAL(38,18)"
+    case QNumeric(p, s) => s"DECIMAL($p,${s min p})"
     case QFloat32 => "REAL"
     case QFloat64 => "DOUBLE PRECISION"
     case QTimestamp => "TIMESTAMP"

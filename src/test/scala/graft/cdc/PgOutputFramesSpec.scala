@@ -51,21 +51,71 @@ class PgOutputFramesSpec extends AnyFunSuite {
       21L -> encode(Begin(99L, PgEpochMicros + 9, 3)),
       22L -> encode(ins(5, 50)))) // uncommitted
 
-    val (n, cp) = PgOutputFrames.ingest(frames, wal)
+    val (n, lsn) = PgOutputFrames.ingest(frames, wal)
     assert(n == 4L) // ids 1-4; id 5's tx has no Commit
-    assert(cp == 19L)
-    val cps = ChangeLogWal.read(wal, -1L, Long.MaxValue).map(_(0).toLong)
-    assert(cps == Seq(3L, 4L, 12L, 13L))
+    assert(lsn == 19L)
+    // WAL cps are re-stamped dense in commit order
+    val rows = ChangeLogWal.read(wal, -1L, Long.MaxValue)
+    assert(rows.map(_(0).toLong) == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(r => r(6)).forall(_.startsWith("""{"id":""")))
 
-    // Resume after the commit arrives: re-decode, append only past cp.
+    // Resume after the commit arrives: re-decode, append only NEW txs.
     PgOutputFrames.appendFrames(Paths.get(frames, "000002.pgout"), Seq(
       29L -> encode(Commit(0, 29L, 30L, PgEpochMicros + 9))))
-    val (n2, cp2) = PgOutputFrames.ingest(frames, wal, afterCp = cp)
-    assert(n2 == 1L && cp2 == 29L)
+    val (n2, lsn2) = PgOutputFrames.ingest(frames, wal,
+      afterCommitLsn = lsn)
+    assert(n2 == 1L && lsn2 == 29L)
     val cps2 = ChangeLogWal.read(wal, -1L, Long.MaxValue).map(_(0).toLong)
-    assert(cps2 == Seq(3L, 4L, 12L, 13L, 22L)) // no duplicates
+    assert(cps2 == Seq(1L, 2L, 3L, 4L, 5L)) // no duplicates, still dense
 
     // Small commits batch into few segments, not one per commit.
     assert(ChangeLogWal.segmentFiles(Paths.get(wal)).size == 2)
+  }
+
+  test("interleaved tx with walStarts below an acked commit still lands") {
+    // tx A (xid 1) commits at LSN 50; tx B (xid 2) wrote EARLIER walStart
+    // positions (10-12) but commits LATER at LSN 60 — pgoutput delivers
+    // in commit order. Resume from A's commit must not drop B.
+    val frames = tmp("cap_inter")
+    val wal = tmp("capwal_inter")
+    PgOutputFrames.appendFrames(Paths.get(frames, "000001.pgout"), Seq(
+      1L -> encode(rel),
+      20L -> encode(Begin(50L, PgEpochMicros, 1)),
+      21L -> encode(ins(1, 10)),
+      50L -> encode(Commit(0, 50L, 51L, PgEpochMicros))))
+    val (n1, lsn1) = PgOutputFrames.ingest(frames, wal)
+    assert(n1 == 1L && lsn1 == 50L)
+    PgOutputFrames.appendFrames(Paths.get(frames, "000002.pgout"), Seq(
+      10L -> encode(Begin(60L, PgEpochMicros + 1, 2)),
+      11L -> encode(ins(2, 20)), 12L -> encode(ins(3, 30)),
+      60L -> encode(Commit(0, 60L, 61L, PgEpochMicros + 1))))
+    val (n2, lsn2) = PgOutputFrames.ingest(frames, wal,
+      afterCommitLsn = lsn1)
+    assert(n2 == 2L, "interleaved tx below the acked LSN was dropped")
+    assert(lsn2 == 60L)
+    assert(ChangeLogWal.read(wal, -1L, Long.MaxValue).size == 3)
+  }
+
+  test("non-transactional message mid-tx does not flush the open tx") {
+    val frames = tmp("cap_msg")
+    val wal = tmp("capwal_msg")
+    PgOutputFrames.appendFrames(Paths.get(frames, "000001.pgout"), Seq(
+      1L -> encode(rel),
+      2L -> encode(Begin(9L, PgEpochMicros, 1)),
+      3L -> encode(ins(1, 10)),
+      4L -> encode(LogicalMessage(transactional = false, 5L,
+        "heartbeat", "ping".getBytes))))
+    // capture ends BEFORE the tx commits
+    val (n, lsn) = PgOutputFrames.ingest(frames, wal)
+    assert(n == 1L, "uncommitted insert was flushed by the heartbeat")
+    assert(lsn == 5L)
+    val rows = ChangeLogWal.read(wal, -1L, Long.MaxValue)
+    assert(rows.size == 1 && rows.head(4) == "heartbeat")
+    // the commit arrives: the held-back insert lands exactly once
+    PgOutputFrames.appendFrames(Paths.get(frames, "000001.pgout"), Seq(
+      9L -> encode(Commit(0, 9L, 10L, PgEpochMicros))))
+    val (n2, _) = PgOutputFrames.ingest(frames, wal, afterCommitLsn = lsn)
+    assert(n2 == 1L)
+    assert(ChangeLogWal.read(wal, -1L, Long.MaxValue).size == 2)
   }
 }

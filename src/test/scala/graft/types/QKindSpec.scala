@@ -78,6 +78,13 @@ class QKindSpec extends AnyFunSuite {
     assert(QKind.toDdl(QNumeric(50, 4), Snowflake) == "NUMERIC(38,4)")
     assert(QKind.toDdl(QNumeric(20, 38), Snowflake) == "NUMERIC(38,20)")
     assert(QKind.toDdl(QNumeric(), Snowflake) == "NUMERIC(38,20)")
+    // PG allows scale > precision; warehouse DDL must clamp (both reject)
+    assert(QKind.toDdl(QNumeric(5, 10), Snowflake) == "NUMERIC(5,5)")
+    assert(QKind.toDdl(QNumeric(5, 10), Dialect.ClickHouse,
+      nullable = false) == "Decimal(5, 5)")
+    // ANSI: unbounded renders the (38,18) carrier, never DECIMAL(0,0)
+    assert(QKind.toDdl(QNumeric(), Dialect.Ansi) == "DECIMAL(38,18)")
+    assert(QKind.toAnsiDdl(QNumeric(5, 10)) == "DECIMAL(5,5)")
   }
 
   test("ClickHouse map matches QValueKindToClickHouseTypeMap (kind.go:128)") {
