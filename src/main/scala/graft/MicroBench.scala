@@ -223,8 +223,52 @@ object MicroBench {
         // at the reference's default batch size (250k records/batch).
         cdcThroughput(spark, records = 1000000,
           maxBatch = args.lift(1).map(_.toInt).getOrElse(250000))
+      case "pgout" =>
+        // Decoder throughput: binary pgoutput frames (the reference's
+        // actual ingest format) → ChangeRecords → WAL, single-threaded
+        // like the slot read itself.
+        pgoutThroughput(args.lift(1).map(_.toInt).getOrElse(1000000))
       case other => sys.error(s"unknown micro-bench: $other")
     }
+  }
+
+  /** pgoutput decode throughput: encode `records` single-row txs into
+    * framed capture files, then ingest (decode + WAL append). */
+  private def pgoutThroughput(records: Int): Unit = {
+    import graft.cdc.PgOutput._
+    import graft.cdc.PgOutputFrames
+    val base = java.nio.file.Files
+      .createTempDirectory("pgoutbench").toString
+    val frames = s"$base/frames"
+    val wal = s"$base/wal"
+    val rel = Relation(10, "public", "t", 'd'.toInt, Seq(
+      RelationColumn(1, "id", Oid.Int8, -1),
+      RelationColumn(0, "name", Oid.Text, -1),
+      RelationColumn(0, "v", Oid.Int8, -1)))
+    time("capture generate") {
+      var lsn = 1L
+      (0 until records).grouped(200000).zipWithIndex.foreach {
+        case (chunk, fi) =>
+          val buf = Seq.newBuilder[(Long, Array[Byte])]
+          if (fi == 0) { buf += (lsn -> encode(rel)); lsn += 1 }
+          chunk.foreach { i =>
+            buf += (lsn -> encode(Begin(lsn + 2, 946684800000000L + i, i)))
+            buf += ((lsn + 1) -> encode(Insert(10, TupleData(Seq(
+              text(i.toString), text(s"name_$i"), text((i * 10).toString))))))
+            buf += ((lsn + 2) -> encode(Commit(0, lsn + 2, lsn + 3,
+              946684800000000L + i)))
+            lsn += 3
+          }
+          PgOutputFrames.appendFrames(
+            java.nio.file.Paths.get(frames, f"$fi%06d.pgout"),
+            buf.result())
+      }
+    }
+    val t0 = System.nanoTime()
+    val (n, _) = PgOutputFrames.ingest(frames, wal)
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"pgout ingest: $n records in $dt%.1f s = ${n / dt}%.0f" +
+      " records/s (decode + tx-cut + WAL append)")
   }
 
   /** Alternative simhash shape: explode (id, bit) like Ivf's mean. */
