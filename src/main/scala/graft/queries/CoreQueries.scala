@@ -498,6 +498,54 @@ object CoreQueries {
             |FROM ($changeLogSql)
             |ORDER BY doc_id""".stripMargin))
 
+  /** GTID-set checkpoint algebra (the MySQL text-offset rule,
+    * flow/model/cdc_stream.go:33-36): per user, two shard checkpoints
+    * built from event-id aggregates parse, MERGE (union with
+    * overlap/adjacency coalescing) and render canonically through
+    * [[graft.cdc.TextCheckpoint.GtidSet]]; `user_id % 3` steers each
+    * group into the overlap / adjacent / disjoint branch, all of which
+    * the oracle reproduces arithmetically. */
+  val gtidMerge = GraftQuery(
+    "q_gtid_merge",
+    "GTID-set parse + shard-checkpoint merge + canonical render",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.udf
+      val mergeUdf = udf((a: String, b: String) =>
+        graft.cdc.TextCheckpoint.GtidSet.parse(a)
+          .merge(graft.cdc.TextCheckpoint.GtidSet.parse(b)).render)
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min("event_id").as("a1"), max("event_id").as("b2"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 6) // interval arithmetic needs room
+        .withColumn("b1", col("a1") + expr("cnt DIV 2"))
+        .withColumn("a2c", least(
+          col("a1") + expr("cnt DIV 2") + col("user_id") % 3, col("b2")))
+        .withColumn("g1", concat(lit("u1:"), col("a1"), lit("-"),
+          col("b1")))
+        .withColumn("g2", concat(lit("u1:"), col("a2c"), lit("-"),
+          col("b2"), lit(",u2:"), col("cnt")))
+        .select(col("user_id"),
+          mergeUdf(col("g1"), col("g2")).as("gtid_merged"))
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT user_id, min(event_id) AS a1, max(event_id) AS b2,
+           |    count(*) AS cnt
+           |  FROM events GROUP BY user_id HAVING count(*) >= 6),
+           |p AS (
+           |  SELECT user_id, a1, b2, cnt, a1 + cnt // 2 AS b1,
+           |    least(a1 + cnt // 2 + user_id % 3, b2) AS a2c
+           |  FROM g)
+           |SELECT user_id,
+           |  CASE WHEN a2c <= b1 + 1
+           |    THEN 'u1:' || a1 || '-' || greatest(b1, b2)
+           |    ELSE 'u1:' || a1 || '-' || b1 || ':' ||
+           |      CASE WHEN a2c = b2 THEN CAST(a2c AS VARCHAR)
+           |           ELSE a2c || '-' || b2 END
+           |    END || ',u2:' || cnt AS gtid_merged
+           |FROM p ORDER BY user_id""".stripMargin))
+
   /** Idempotent MERGE/upsert of an incoming batch into existing state
     * (normalize_stmt_generator.go:148-278): matched+delete → tombstone,
     * matched → update, not-matched → insert. */
@@ -1225,7 +1273,7 @@ object CoreQueries {
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
     pgoutputDecode, jsonExtract, numericClamp, dateClamp, nanInfNull,
     oversizeTruncate, pgRanges, pgArrayDecode, bsonNormalize, wkbWkt,
-    intervalJson,
+    intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
     profileTable)
