@@ -73,6 +73,9 @@ object Bson {
 
   private def lstr(b: ByteBuffer): String = {
     val len = b.getInt()
+    // untrusted length: bound before allocating
+    require(len >= 1 && len <= b.remaining(),
+      s"declared string length $len exceeds remaining ${b.remaining()}")
     val a = new Array[Byte](len - 1)
     b.get(a)
     require(b.get() == 0, "string not NUL-terminated")
@@ -158,6 +161,8 @@ object Bson {
     case TBinary =>
       val len = b.getInt()
       val subtype = b.get() & 0xFF
+      require(len >= 0 && len <= b.remaining(),
+        s"declared binary length $len exceeds remaining ${b.remaining()}")
       val data = new Array[Byte](len); b.get(data)
       sb.append("{\"Subtype\":").append(subtype).append(",\"Data\":\"")
         .append(java.util.Base64.getEncoder.encodeToString(data))

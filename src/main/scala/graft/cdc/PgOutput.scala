@@ -92,6 +92,10 @@ object PgOutput {
   }
 
   private def bytesOf(b: ByteBuffer, n: Int): Array[Byte] = {
+    // length is untrusted input: bound BEFORE allocating, or a corrupt
+    // frame forces a multi-GB allocation ahead of the underflow error
+    require(n >= 0 && n <= b.remaining(),
+      s"declared length $n exceeds remaining ${b.remaining()} bytes")
     val a = new Array[Byte](n); b.get(a); a
   }
 

@@ -19,6 +19,9 @@ import java.nio.file.{Files, Path, Paths}
   */
 object PgOutputFrames {
 
+  /** Upper bound on one frame's payload (corruption guard). */
+  val MaxFrameBytes: Int = 256 << 20
+
   def writeFrame(out: OutputStream, walStart: Long,
       payload: Array[Byte]): Unit = {
     val h = ByteBuffer.allocate(12)
@@ -44,6 +47,11 @@ object PgOutputFrames {
       private var done = false
 
       private def readFully(n: Int): Array[Byte] = {
+        // frame lengths are untrusted (a corrupt capture must error, not
+        // allocate unboundedly); pgoutput payloads are bounded by PG's
+        // 1 GB field limit — anything near it is corruption here.
+        require(n >= 0 && n <= MaxFrameBytes,
+          s"frame length $n out of bounds")
         val a = new Array[Byte](n)
         var off = 0
         while (off < n) {

@@ -517,7 +517,9 @@ object CoreQueries {
         .groupBy("user_id")
         .agg(min("event_id").as("a1"), max("event_id").as("b2"),
           count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 6) // interval arithmetic needs room
+        // interval arithmetic needs room; GTID tx-ids are non-negative by
+        // spec, so negative source ids are excluded on BOTH sides
+        .filter(col("cnt") >= 6 && col("a1") >= 0)
         .withColumn("b1", col("a1") + expr("cnt DIV 2"))
         .withColumn("a2c", least(
           col("a1") + expr("cnt DIV 2") + col("user_id") % 3, col("b2")))
@@ -532,7 +534,8 @@ object CoreQueries {
     Some("""WITH g AS (
            |  SELECT user_id, min(event_id) AS a1, max(event_id) AS b2,
            |    count(*) AS cnt
-           |  FROM events GROUP BY user_id HAVING count(*) >= 6),
+           |  FROM events GROUP BY user_id
+           |  HAVING count(*) >= 6 AND min(event_id) >= 0),
            |p AS (
            |  SELECT user_id, a1, b2, cnt, a1 + cnt // 2 AS b1,
            |    least(a1 + cnt // 2 + user_id % 3, b2) AS a2c

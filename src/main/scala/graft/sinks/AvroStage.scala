@@ -238,6 +238,8 @@ object AvroStage {
     }
     def readBytes(): Array[Byte] = {
       val n = readLong().toInt
+      require(n >= 0 && pos + n <= b.length, // untrusted length guard
+        s"declared byte length $n exceeds remaining ${b.length - pos}")
       val a = java.util.Arrays.copyOfRange(b, pos, pos + n)
       pos += n; a
     }

@@ -14,8 +14,9 @@ import graft.cdc.TextCheckpoint._
   * scalatestplus bridge in the container, so sampling is explicit). */
 class CodecPropertySpec extends AnyFunSuite {
 
-  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] = {
-    var seed = org.scalacheck.rng.Seed(42L)
+  private def samples[A](g: Gen[A], seed0: Long = 42L,
+      n: Int = 200): Seq[A] = {
+    var seed = org.scalacheck.rng.Seed(seed0)
     (1 to n).flatMap { _ =>
       val v = g.apply(Gen.Parameters.default, seed)
       seed = seed.next
@@ -26,9 +27,10 @@ class CodecPropertySpec extends AnyFunSuite {
   private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
     samples(g).foreach(body)
 
+  // pair inputs drawn from two INDEPENDENT seed streams
   private def forAll[A, B](g1: Gen[A], g2: Gen[B])
       (body: (A, B) => Unit): Unit =
-    samples(g1).zip(samples(g2).reverse).foreach(body.tupled)
+    samples(g1).zip(samples(g2, seed0 = 1337L)).foreach(body.tupled)
 
   // ----------------------------------------------------- pgoutput messages
 
