@@ -701,9 +701,57 @@ object AnalyticsQueries {
            |  GROUP BY 1)
            |ORDER BY bin""".stripMargin))
 
+  /** Approximate-quantile sketches validated the same way as
+    * [[approxDistinct]]: sketch values differ per engine (Spark's
+    * KLL-style percentile_approx vs DuckDB's t-digest), so the oracle
+    * compares each engine's OWN sketch against the exact discrete
+    * percentile (portable cross-engine, see q_length_gate) and hashes
+    * the integer verdicts + exact values. ±2% at p50, ±5% at p90 — far
+    * looser than either sketch's real error at this scale. The sketch is
+    * the 100 TB path: one pass, bounded memory, map-side mergeable,
+    * where the exact percentile pays a per-group sort. */
+  val approxQuantile = GraftQuery(
+    "q_approx_quantile",
+    "approx-percentile sketches validated against exact percentiles",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"), expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("price_c"))
+      .groupBy("status")
+      .agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY price_c)" +
+          " AS BIGINT)").as("exact_p50"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY price_c)" +
+          " AS BIGINT)").as("exact_p90"),
+        expr("percentile_approx(price_c, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(price_c, 0.9, 10000)").as("a90"))
+      .select(col("status"), col("exact_p50"), col("exact_p90"),
+        when(abs(col("a50") - col("exact_p50")) * 100
+          <= col("exact_p50") * 2, 1L).otherwise(0L).as("p50_ok"),
+        when(abs(col("a90") - col("exact_p90")) * 100
+          <= col("exact_p90") * 5, 1L).otherwise(0L).as("p90_ok"))
+      .orderBy("status"),
+    Some("""WITH p AS (SELECT o_orderstatus AS status,
+           |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |    AS price_c FROM orders)
+           |SELECT status,
+           |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY price_c)
+           |    AS BIGINT) AS exact_p50,
+           |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY price_c)
+           |    AS BIGINT) AS exact_p90,
+           |  CASE WHEN abs(CAST(approx_quantile(price_c, 0.5) AS BIGINT)
+           |    - percentile_disc(0.5) WITHIN GROUP (ORDER BY price_c))
+           |    * 100 <= percentile_disc(0.5) WITHIN GROUP
+           |    (ORDER BY price_c) * 2 THEN 1 ELSE 0 END AS p50_ok,
+           |  CASE WHEN abs(CAST(approx_quantile(price_c, 0.9) AS BIGINT)
+           |    - percentile_disc(0.9) WITHIN GROUP (ORDER BY price_c))
+           |    * 100 <= percentile_disc(0.9) WITHIN GROUP
+           |    (ORDER BY price_c) * 5 THEN 1 ELSE 0 END AS p90_ok
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     shippingPriority, orderPriority, discountRevenue, returnedItems,
     promoRevenue, topSupplier, quartiles, argmaxOrder, bm25Search,
     knnGraph, eventFunnel, retentionCohorts, approxDistinct, pageRank,
-    modePerGroup, priceHistogram)
+    modePerGroup, priceHistogram, approxQuantile)
 }

@@ -1246,11 +1246,75 @@ object PipelineQueries {
             |FROM ct JOIN tot USING (cid)
             |ORDER BY cid, lang""".stripMargin))
 
+  /** Containment (asymmetric Jaccard) near-dup detection: pairs where the
+    * SMALLER document's shingle set is ≥80% inside the other's —
+    * |A∩B| / min(|A|,|B|) ≥ 0.8. This is the snippet-embedded-in-page /
+    * quote-inside-article case symmetric Jaccard misses (a 50-shingle doc
+    * fully contained in a 5000-shingle doc has J ≈ 0.01 but containment
+    * 1.0). Same scale shape as [[dedupNgramJaccard]]: checkpointed
+    * inverted shingle index, shuffle_hash candidate self-join (candidates
+    * are co-occurring pairs, linear-ish in the corpus, never all-pairs),
+    * broadcast per-doc counts onto the small pair aggregate. Integer-only
+    * verdict: inter×10 ≥ 8×min(n1,n2). The `direction` column names the
+    * contained side — that's the document a dedup pass would drop. */
+  val dedupContainment = GraftQuery(
+    "q_dedup_containment",
+    "containment (asymmetric-Jaccard) near-dup pairs, contained side named",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.SignatureExprs
+            .wordShingles(col("ws"), 3))).as("sh"))
+        .localCheckpoint(true)
+      val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = base.as("a")
+        .join(base.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
+        .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          col("ca.n").as("n1"), col("cb.n").as("n2"))
+        .filter(col("inter") * 10 >= least(col("n1"), col("n2")) * 8)
+        .withColumn("direction",
+          when(col("inter") * 10 >= col("n1") * 8 &&
+            col("inter") * 10 >= col("n2") * 8, "both")
+            .when(col("inter") * 10 >= col("n1") * 8, "d1_in_d2")
+            .otherwise("d2_in_d1"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |           FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, s
+            |       FROM (SELECT doc_id, unnest($duckShingles) AS s
+            |             FROM w WHERE len(ws) >= 3)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            |            count(*) AS inter
+            |          FROM sh a JOIN sh b
+            |            ON a.s = b.s AND a.doc_id < b.doc_id
+            |          GROUP BY 1, 2)
+            |SELECT d1, d2, inter, ca.n AS n1, cb.n AS n2,
+            |  CASE WHEN inter * 10 >= ca.n * 8 AND inter * 10 >= cb.n * 8
+            |       THEN 'both'
+            |       WHEN inter * 10 >= ca.n * 8 THEN 'd1_in_d2'
+            |       ELSE 'd2_in_d1' END AS direction
+            |FROM pairs
+            |JOIN cnt ca ON ca.doc_id = d1
+            |JOIN cnt cb ON cb.doc_id = d2
+            |WHERE inter * 10 >= least(ca.n, cb.n) * 8
+            |ORDER BY d1, d2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
-    annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch, semanticMix)
+    annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch, semanticMix,
+    dedupContainment)
 }
