@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming analytic operators over a change/event stream —
   * the extension surface of the engine (the reference itself has no
@@ -111,5 +111,79 @@ object StreamOps {
       s"sij_l.$leftKey = sij_r.$rightKey AND " +
         s"sij_r.$rightTime >= sij_l.$leftTime AND " +
         s"sij_r.$rightTime <= sij_l.$leftTime + interval $window"))
+  }
+
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but a
+    * left event with NO matching right event still emits (null-padded) —
+    * the enrichment-with-absence shape (click with no purchase, error
+    * with no recovery). The outer row can only emit once the watermark
+    * proves no match can still arrive, so unmatched results trail the
+    * inner ones by watermark delay + window — the price of a correct
+    * negative. State bounds are the same as the inner join's. */
+  def intervalJoinLeftOuter(left: DataFrame, leftKey: String,
+      leftTime: String, right: DataFrame, rightKey: String,
+      rightTime: String, lateness: String, window: String): DataFrame = {
+    val l = left.withWatermark(leftTime, lateness).alias("sij_l")
+    val r = right.withWatermark(rightTime, lateness).alias("sij_r")
+    l.join(r, expr(
+      s"sij_l.$leftKey = sij_r.$rightKey AND " +
+        s"sij_r.$rightTime >= sij_l.$leftTime AND " +
+        s"sij_r.$rightTime <= sij_l.$leftTime + interval $window"),
+      "left_outer")
+  }
+
+  // ------------------- transformWithState (Spark 4 arbitrary state API)
+
+  final case class VersionedChange(key: Long, version: Long,
+      payload: String)
+
+  implicit val vcEnc: Encoder[VersionedChange] =
+    Encoders.product[VersionedChange]
+
+  /** Per-key latest-version gate on the new `transformWithState` API
+    * (requires the RocksDB state store provider): a change record passes
+    * only when its version is strictly newer than the key's stored
+    * high-water mark — the streaming twin of the sink-side
+    * latest-per-key normalize dedup, stated as an explicit state machine
+    * instead of a window. TTL evicts a key's mark after `ttl` of
+    * inactivity, so state is O(recently-active keys): the right contract
+    * for a CDC firehose where version monotonicity only needs enforcing
+    * within the redelivery horizon (a replay older than the TTL was
+    * already normalized downstream). Within one batch, rows arriving in
+    * version order all pass; regressions and replays drop. */
+  class LatestVersionProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, VersionedChange, VersionedChange] {
+    @transient private var hwm: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hwm = getHandle.getValueState[Long]("hwm", Encoders.scalaLong,
+        TTLConfig(ttl))
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[VersionedChange],
+        timerValues: TimerValues): Iterator[VersionedChange] = {
+      var cur = if (hwm.exists()) hwm.get() else Long.MinValue
+      val out = Vector.newBuilder[VersionedChange]
+      rows.foreach { r =>
+        if (r.version > cur) { cur = r.version; out += r }
+      }
+      val passed = out.result()
+      if (passed.nonEmpty) hwm.update(cur)
+      passed.iterator
+    }
+  }
+
+  /** See [[LatestVersionProcessor]]. The session must run the RocksDB
+    * state store provider (`spark.sql.streaming.stateStore.providerClass`)
+    * — transformWithState does not support the default HDFS-backed one. */
+  def latestVersionDedup(changes: Dataset[VersionedChange],
+      ttl: java.time.Duration): Dataset[VersionedChange] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      // ProcessingTime mode: TTL clocks are processing-time-based (the
+      // API rejects TTL under TimeMode.None)
+      .transformWithState(new LatestVersionProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

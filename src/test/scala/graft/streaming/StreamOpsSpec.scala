@@ -242,6 +242,111 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched lefts emit null-padded " +
+    "after the watermark closes their window") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(36000000L + min * 60000)
+
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoinLeftOuter(
+      clicks.toDF().toDF("user", "clickTime"), "user", "clickTime",
+      buys.toDF().toDF("buyer", "buyTime"), "buyer", "buyTime",
+      lateness = "1 minute", window = "10 minutes")
+      .selectExpr("user", "buyTime")
+
+    val q = joined.writeStream.format("memory").queryName("sijo_out")
+      .outputMode("append").start()
+    try {
+      // user 1 clicks and buys in-window; user 2 clicks, never buys.
+      clicks.addData((1L, ts(10)), (2L, ts(10)))
+      buys.addData((1L, ts(15)))
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched left must WAIT
+      // until the watermark proves no buy can arrive for user 2
+      val early = spark.sql("SELECT user, buyTime FROM sijo_out")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+      assert(early.toSet == Set((1L, Some(ts(15)))))
+      // push both watermarks far past click+window+lateness
+      clicks.addData((9L, ts(100)))
+      buys.addData((9L, ts(100)))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(101)))
+      buys.addData((9L, ts(101)))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user, buyTime FROM sijo_out")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+        .toSet
+      assert(out.contains((2L, None)), out.mkString(","))
+    } finally q.stop()
+  }
+
+  test("transformWithState latest-version gate: regressions and replays " +
+    "drop; TTL is per-key state with RocksDB") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.VersionedChange
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    // Trigger.Once + an explicit checkpoint, ONE bounded microbatch per
+    // phase: under any open-ended trigger (including AvailableNow) the
+    // processing-time TTL schedules housekeeping batches back-to-back and
+    // the query never drains (observed: 1300+ empty batches). The restart
+    // between phases doubles as a state-durability check — phase 2's gate
+    // decisions depend on phase 1's RocksDB state.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("lvd_ckpt").toString
+    val input = MemoryStream[VersionedChange]
+    // foreachBatch sink: the memory sink refuses checkpoint recovery,
+    // and recovery is exactly what phase 2 exercises
+    val collected = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, String)]()
+    def runPhase(): Unit = {
+      val q = StreamOps.latestVersionDedup(input.toDS(),
+          java.time.Duration.ofHours(1))
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[VersionedChange], _: Long) =>
+            ds.collect().foreach(r =>
+              collected.add((r.key, r.version, r.payload)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.Once())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    try {
+      // phase 1: ascending versions pass, in-batch regression drops
+      input.addData(
+        VersionedChange(1, 10, "v10"), VersionedChange(1, 12, "v12"),
+        VersionedChange(1, 11, "late-replay"),
+        VersionedChange(2, 5, "v5"))
+      runPhase()
+      // phase 2 (new query, same checkpoint): cross-run replay of an old
+      // version drops against the RECOVERED high-water mark; newer passes
+      input.addData(
+        VersionedChange(1, 12, "dup-redelivery"),
+        VersionedChange(1, 13, "v13"), VersionedChange(2, 4, "old"))
+      runPhase()
+      import scala.jdk.CollectionConverters._
+      assert(collected.asScala.toSet == Set(
+        (1L, 10L, "v10"), (1L, 12L, "v12"), (1L, 13L, "v13"),
+        (2L, 5L, "v5")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch join on real events") {
     val spark0 = spark
     import spark0.implicits._
