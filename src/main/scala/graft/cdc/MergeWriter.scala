@@ -122,6 +122,26 @@ final class MergeWriter(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Affected-rows read: the stored rows whose primary key appears in
+    * `keys`, with the same bucket-level partition pruning the merge path
+    * uses — only the buckets containing a requested key are listed and
+    * scanned, so the cost tracks the key set, not the table size. The
+    * incremental-view maintenance path ([[graft.mirror.IncrementalAgg]])
+    * reads before/after images through this. */
+  def readForKeys(keys: DataFrame): DataFrame = {
+    if (!exists) read()
+    else {
+      val sess = keys.sparkSession
+      val k = keys.select(pkColumns.map(col): _*).distinct()
+      val buckets = k.select(bucketOf(k).as(BucketCol)).distinct()
+        .collect().map(_.getInt(0)) // driver-side: ≤ numBuckets ints
+      tableScan(sess)
+        .filter(col(BucketCol).isin(buckets.map(Integer.valueOf): _*))
+        .drop(BucketCol)
+        .join(k, pkColumns, "left_semi")
+    }
+  }
+
   /** Merge one normalized change set (one row per key, with
     * `_peerdb_version`, `_peerdb_is_deleted`, `_absent_cols`).
     * `hardDelete=true` drops deleted keys; otherwise they persist as

@@ -1,0 +1,104 @@
+package graft.mirror
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.{MergeWriter, Normalizer}
+import graft.model.RawTable
+
+/** Differential proof of the incremental view: after every applyBatch the
+  * maintained (group → cnt, sum) state equals the full recompute over the
+  * destination — under inserts, value updates, GROUP-MOVING updates, soft
+  * deletes, TOAST-absent value columns, idempotent replays, and a seeded
+  * random interleaving of all of the above. */
+class IncrementalAggSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("grp", StringType),
+    StructField("v", LongType),
+    StructField(RawTable.Version, LongType),
+    StructField(RawTable.IsDeleted, BooleanType),
+    StructField(Normalizer.AbsentCols, ArrayType(StringType))))
+
+  private def changes(rows: (Long, String, Any, Long, Boolean, Seq[String])*)
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.map { case (id, g, v, ver, del, abs) =>
+      org.apache.spark.sql.Row(id, g, v, ver, del, abs)
+    }.asJava, schema)
+  }
+
+  private def viewOf(df: DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => Option(r.getAs[String]("grp")).orNull ->
+      (r.getAs[Long]("cnt"), r.getAs[Long]("sum_v"))).toMap
+
+  private def assertSynced(agg: IncrementalAgg, w: MergeWriter): Unit =
+    assert(viewOf(agg.read()) == viewOf(agg.recompute(w)))
+
+  test("insert/update/group-move/soft-delete/toast/replay stay synced") {
+    val path = tmpDir("iagg")
+    val w = new MergeWriter(spark, s"$path/t", Seq("id"), numBuckets = 8)
+    val agg = new IncrementalAgg(spark, s"$path/agg", "grp", "v", Seq("id"))
+
+    agg.applyBatch(w, changes(
+      (1L, "a", 10L, 100L, false, Nil),
+      (2L, "a", 20L, 100L, false, Nil),
+      (3L, "b", 5L, 100L, false, Nil)))
+    assertSynced(agg, w)
+    assert(viewOf(agg.read()) == Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+
+    // value update, group-moving update, soft delete, new key
+    val b2 = changes(
+      (1L, "a", 11L, 200L, false, Nil),  // value 10 → 11
+      (2L, "b", 20L, 200L, false, Nil),  // a → b group move
+      (3L, null, null, 200L, true, Nil), // soft delete
+      (4L, "c", 7L, 200L, false, Nil))
+    agg.applyBatch(w, b2)
+    assertSynced(agg, w)
+    assert(viewOf(agg.read()) ==
+      Map("a" -> (1L, 11L), "b" -> (1L, 20L), "c" -> (1L, 7L)))
+
+    // idempotent replay: before == after ⇒ zero delta
+    agg.applyBatch(w, b2)
+    assertSynced(agg, w)
+    assert(viewOf(agg.read()) ==
+      Map("a" -> (1L, 11L), "b" -> (1L, 20L), "c" -> (1L, 7L)))
+
+    // TOAST-absent value column: the stored v must keep counting
+    agg.applyBatch(w, changes(
+      (4L, "c", null, 300L, false, Seq("v"))))
+    assertSynced(agg, w)
+    assert(viewOf(agg.read())("c") == (1L, 7L))
+  }
+
+  test("random interleaving stays synced after every batch") {
+    val path = tmpDir("iagg-rand")
+    val w = new MergeWriter(spark, s"$path/t", Seq("id"), numBuckets = 8)
+    val agg = new IncrementalAgg(spark, s"$path/agg2", "grp", "v", Seq("id"))
+    val rnd = new scala.util.Random(4242)
+    val groups = Vector("g0", "g1", "g2", "g3")
+    val live = scala.collection.mutable.Set.empty[Long]
+    var version = 1000L
+
+    (1 to 5).foreach { _ =>
+      version += 1
+      val keys = rnd.shuffle((1L to 30L).toList).take(12)
+      val rows = keys.map { k =>
+        val op = rnd.nextInt(10)
+        if (op < 2 && live(k)) { // soft delete
+          live -= k
+          (k, null: String, null: Any, version, true, Seq.empty[String])
+        } else if (op < 4 && live(k)) { // TOAST-absent value update
+          (k, groups(rnd.nextInt(4)), null: Any, version, false, Seq("v"))
+        } else { // insert or full update (possibly group-moving)
+          live += k
+          (k, groups(rnd.nextInt(4)), rnd.nextInt(100).toLong: Any,
+            version, false, Seq.empty[String])
+        }
+      }
+      agg.applyBatch(w, changes(rows: _*))
+      assertSynced(agg, w)
+    }
+  }
+}
