@@ -98,11 +98,15 @@ final class IncrementalAgg(
   }
 
   /** The recompute this view must always equal — used by the differential
-    * spec and available as a resync escape hatch. */
+    * spec and available as a resync escape hatch. `coalesce(sum, 0)`
+    * matches the maintained state's convention: a group whose live rows
+    * all carry a null value reports sum_v = 0 (SQL SUM would say NULL;
+    * the 0 convention is what ± delta arithmetic naturally produces, so
+    * it is the one the view keeps — documented, and identical here). */
   def recompute(writer: MergeWriter): DataFrame =
     writer.read()
       .filter(!col(RawTable.IsDeleted))
       .groupBy(col(groupCol).cast(StringType).as(groupCol))
       .agg(count(lit(1)).as("cnt"),
-        sum(col(valueCol).cast(LongType)).as("sum_v"))
+        coalesce(sum(col(valueCol).cast(LongType)), lit(0L)).as("sum_v"))
 }

@@ -26,11 +26,8 @@ object AnalyticsQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Exact per-item revenue in hundredth-of-cent: cents × (10000 − bp). */
-  private val revC4 = expr(
-    """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
-      |(10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
-      |  AS BIGINT))""".stripMargin)
+  /** Exact per-item revenue in hundredth-of-cent — see [[Money]]. */
+  private val revC4 = Money.revC4
 
   /** TPC-H Q3 shape (shipping priority): revenue of BUILDING-segment
     * orders placed in 1996 whose items shipped in 1997, top 10. The
@@ -739,14 +736,18 @@ object AnalyticsQueries {
            |    AS BIGINT) AS exact_p50,
            |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY price_c)
            |    AS BIGINT) AS exact_p90,
-           |  CASE WHEN abs(CAST(approx_quantile(price_c, 0.5) AS BIGINT)
+           |  CAST(CASE WHEN abs(CAST(approx_quantile(price_c, 0.5)
+           |    AS BIGINT)
            |    - percentile_disc(0.5) WITHIN GROUP (ORDER BY price_c))
            |    * 100 <= percentile_disc(0.5) WITHIN GROUP
-           |    (ORDER BY price_c) * 2 THEN 1 ELSE 0 END AS p50_ok,
-           |  CASE WHEN abs(CAST(approx_quantile(price_c, 0.9) AS BIGINT)
+           |    (ORDER BY price_c) * 2 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS p50_ok,
+           |  CAST(CASE WHEN abs(CAST(approx_quantile(price_c, 0.9)
+           |    AS BIGINT)
            |    - percentile_disc(0.9) WITHIN GROUP (ORDER BY price_c))
            |    * 100 <= percentile_disc(0.9) WITHIN GROUP
-           |    (ORDER BY price_c) * 5 THEN 1 ELSE 0 END AS p90_ok
+           |    (ORDER BY price_c) * 5 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS p90_ok
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(

@@ -411,10 +411,7 @@ object RelationalQueries {
     "q_revenue_local_supplier",
     "TPC-H Q5 shape: ASIA local-supplier revenue per nation, 1995",
     (s, dir) => {
-      val rev = expr(
-        """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
-          |(10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
-          |  AS BIGINT))""".stripMargin)
+      val rev = Money.revC4
       val region = t(s, dir, "region")
         .filter(col("r_name") === "ASIA").select("r_regionkey")
       val nation = t(s, dir, "nation")

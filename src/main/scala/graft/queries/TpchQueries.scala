@@ -29,26 +29,11 @@ object TpchQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Exact per-item revenue in hundredth-of-cent: cents × (10000 − bp). */
-  private val revC4 = expr(
-    """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
-      |(10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
-      |  AS BIGINT))""".stripMargin)
-  private val revC4Sql =
-    """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
-      |    (10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
-      |      AS BIGINT))""".stripMargin
-
-  /** Per-item revenue truncated back to whole cents — for ratio queries
-    * whose numerator×10^6 must stay inside BIGINT at bench scale. */
-  private val revC = expr(
-    """(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
-      |(10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
-      |  AS BIGINT))) DIV 10000""".stripMargin)
-  private val revCSql =
-    """(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
-      |    (10000 - CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000
-      |      AS BIGINT))) // 10000""".stripMargin
+  // Shared precision-critical money forms — see [[Money]]
+  private val revC4 = Money.revC4
+  private val revC4Sql = Money.revC4Sql
+  private val revC = Money.revC
+  private val revCSql = Money.revCSql
 
   /** TPC-H Q2 shape (minimum-cost supplier): for each STANDARD small part,
     * the EUROPE supplier(s) quoting the minimum unit price, unit price

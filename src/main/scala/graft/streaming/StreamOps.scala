@@ -162,14 +162,21 @@ object StreamOps {
     override def handleInputRows(key: Long,
         rows: Iterator[VersionedChange],
         timerValues: TimerValues): Iterator[VersionedChange] = {
-      var cur = if (hwm.exists()) hwm.get() else Long.MinValue
+      val existed = hwm.exists()
+      var cur = if (existed) hwm.get() else Long.MinValue
       val out = Vector.newBuilder[VersionedChange]
+      var sawRows = false
       rows.foreach { r =>
+        sawRows = true
         if (r.version > cur) { cur = r.version; out += r }
       }
-      val passed = out.result()
-      if (passed.nonEmpty) hwm.update(cur)
-      passed.iterator
+      // Refresh the mark on EVERY batch that touched the key, not only
+      // when something passed: the TTL clock resets on writes, and a key
+      // under pure replay traffic (all rows gated) must keep its mark
+      // alive for as long as replays keep arriving — otherwise the mark
+      // expires mid-replay-storm and a stale version slips through.
+      if (sawRows && cur != Long.MinValue) hwm.update(cur)
+      out.result().iterator
     }
   }
 

@@ -29,9 +29,13 @@ class IncrementalAggSpec extends SparkSpec {
     }.asJava, schema)
   }
 
-  private def viewOf(df: DataFrame): Map[String, (Long, Long)] =
+  // sum_v read boxed: getAs[Long] would unbox NULL to 0 and hide a
+  // 0-vs-NULL divergence between view and recompute
+  private def viewOf(df: DataFrame): Map[String, (Long, Option[Long])] =
     df.collect().map(r => Option(r.getAs[String]("grp")).orNull ->
-      (r.getAs[Long]("cnt"), r.getAs[Long]("sum_v"))).toMap
+      (r.getAs[Long]("cnt"),
+        Option(r.get(r.fieldIndex("sum_v")))
+          .map(_.asInstanceOf[Long]))).toMap
 
   private def assertSynced(agg: IncrementalAgg, w: MergeWriter): Unit =
     assert(viewOf(agg.read()) == viewOf(agg.recompute(w)))
@@ -46,7 +50,8 @@ class IncrementalAggSpec extends SparkSpec {
       (2L, "a", 20L, 100L, false, Nil),
       (3L, "b", 5L, 100L, false, Nil)))
     assertSynced(agg, w)
-    assert(viewOf(agg.read()) == Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+    assert(viewOf(agg.read()) ==
+      Map("a" -> (2L, Some(30L)), "b" -> (1L, Some(5L))))
 
     // value update, group-moving update, soft delete, new key
     val b2 = changes(
@@ -56,20 +61,28 @@ class IncrementalAggSpec extends SparkSpec {
       (4L, "c", 7L, 200L, false, Nil))
     agg.applyBatch(w, b2)
     assertSynced(agg, w)
-    assert(viewOf(agg.read()) ==
-      Map("a" -> (1L, 11L), "b" -> (1L, 20L), "c" -> (1L, 7L)))
+    assert(viewOf(agg.read()) == Map("a" -> (1L, Some(11L)),
+      "b" -> (1L, Some(20L)), "c" -> (1L, Some(7L))))
 
     // idempotent replay: before == after ⇒ zero delta
     agg.applyBatch(w, b2)
     assertSynced(agg, w)
-    assert(viewOf(agg.read()) ==
-      Map("a" -> (1L, 11L), "b" -> (1L, 20L), "c" -> (1L, 7L)))
+    assert(viewOf(agg.read()) == Map("a" -> (1L, Some(11L)),
+      "b" -> (1L, Some(20L)), "c" -> (1L, Some(7L))))
 
     // TOAST-absent value column: the stored v must keep counting
     agg.applyBatch(w, changes(
       (4L, "c", null, 300L, false, Seq("v"))))
     assertSynced(agg, w)
-    assert(viewOf(agg.read())("c") == (1L, 7L))
+    assert(viewOf(agg.read())("c") == (1L, Some(7L)))
+
+    // genuinely-null value (NOT toast-absent): counts a row, adds 0 to
+    // the sum — and a group of ONLY null-valued rows reports sum_v = 0
+    // in view AND recompute (the documented convention)
+    agg.applyBatch(w, changes(
+      (5L, "d", null, 400L, false, Nil)))
+    assertSynced(agg, w)
+    assert(viewOf(agg.read())("d") == (1L, Some(0L)))
   }
 
   test("random interleaving stays synced after every batch") {
@@ -91,10 +104,12 @@ class IncrementalAggSpec extends SparkSpec {
           (k, null: String, null: Any, version, true, Seq.empty[String])
         } else if (op < 4 && live(k)) { // TOAST-absent value update
           (k, groups(rnd.nextInt(4)), null: Any, version, false, Seq("v"))
-        } else { // insert or full update (possibly group-moving)
+        } else { // insert or full update (group-moving, sometimes null v)
           live += k
-          (k, groups(rnd.nextInt(4)), rnd.nextInt(100).toLong: Any,
-            version, false, Seq.empty[String])
+          val v: Any =
+            if (rnd.nextInt(10) == 0) null else rnd.nextInt(100).toLong
+          (k, groups(rnd.nextInt(4)), v, version, false,
+            Seq.empty[String])
         }
       }
       agg.applyBatch(w, changes(rows: _*))
