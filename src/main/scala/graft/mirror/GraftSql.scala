@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** The `CREATE PEER / CREATE MIRROR` DDL surface — the engine-specific
   * statements the reference's Rust proxy intercepts ahead of plain SQL
@@ -26,7 +26,13 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *   SHOW PEERS
   *   CREATE MIRROR name WITH (wal_dir '...', dest_dir '...',
   *     checkpoint_dir '...', pk 'id', schema 'id BIGINT, v BIGINT', ...)
-  *   EXECUTE MIRROR name          -- drain the WAL once (AvailableNow)
+  *   CREATE MIRROR name FROM src_peer TO dst_peer FOR
+  *     $$ SELECT ... FROM t WHERE wm BETWEEN {{.start}} AND {{.end}} $$
+  *     WITH (watermark_column 'wm', source_table 't', dest_dir '...',
+  *       mode 'append'|'overwrite'|'upsert', unique_key 'id', ...)
+  *                                -- the QRep form (SURVEY §3.3)
+  *   EXECUTE MIRROR name          -- drain the WAL once (AvailableNow),
+  *                                -- or one QRep round for a QRep mirror
   *   DROP MIRROR name
   *   PAUSE MIRROR name / RESUME MIRROR name
   *   SHOW MIRRORS
@@ -57,6 +63,15 @@ object GraftSql {
   case object ShowPeers extends Statement
   final case class CreateMirror(name: String, options: Map[String, String])
       extends Statement
+  /** The QRep DDL form (`... FROM src TO dst FOR $$ query $$ WITH (...)`,
+    * nexus/analyzer/src/qrep.rs + PeerDBStatement::CreateMirror): the
+    * query body carries the reference's `{{.start}}`/`{{.end}}` watermark
+    * template, bound per run to (stored watermark, +inf) — pushdown
+    * travels INTO the user query exactly as the reference substitutes
+    * per-partition bounds. */
+  final case class CreateQRepMirror(name: String, sourcePeer: String,
+      destPeer: String, query: String, options: Map[String, String])
+      extends Statement
   final case class ExecuteMirror(name: String) extends Statement
   final case class ResyncMirror(name: String) extends Statement
   final case class DropMirror(name: String) extends Statement
@@ -83,6 +98,9 @@ object GraftSql {
   private val showPeers: Regex = """(?is)\s*SHOW\s+PEERS\s*""".r
   private val createMirror: Regex =
     """(?is)\s*CREATE\s+MIRROR\s+(\w+)\s+WITH\s*\((.*)\)\s*""".r
+  private val createQRepMirror: Regex =
+    ("""(?is)\s*CREATE\s+MIRROR\s+(\w+)\s+FROM\s+(\w+)\s+TO\s+(\w+)""" +
+      """\s+FOR\s+\$\$(.+?)\$\$\s+WITH\s*\((.*)\)\s*""").r
   private val execMirror: Regex =
     """(?is)\s*EXECUTE\s+MIRROR\s+(\w+)\s*""".r
   private val resyncMirror: Regex =
@@ -110,6 +128,8 @@ object GraftSql {
     case createPeer(n, k, opts) => Some(CreatePeer(n, k, parseOptions(opts)))
     case dropPeer(n) => Some(DropPeer(n))
     case showPeers() => Some(ShowPeers)
+    case createQRepMirror(n, src, dst, q, opts) =>
+      Some(CreateQRepMirror(n, src, dst, q.trim, parseOptions(opts)))
     case createMirror(n, opts) => Some(CreateMirror(n, parseOptions(opts)))
     case execMirror(n) => Some(ExecuteMirror(n))
     case resyncMirror(n) => Some(ResyncMirror(n))
@@ -180,12 +200,77 @@ object GraftSql {
       maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),
       softDelete = o.get("soft_delete").forall(_.toBoolean))
   }
+  private def mirrorEntry(spark: SparkSession, n: String): Peer =
+    try mirrorsFor(spark).get(n)
+    catch { case _: NoSuchElementException =>
+      throw new NoSuchElementException(s"mirror $n")
+    }
   private def mirrorCfg(spark: SparkSession, n: String): MirrorConfig =
-    mirrorConfig(
-      try mirrorsFor(spark).get(n).options
-      catch { case _: NoSuchElementException =>
-        throw new NoSuchElementException(s"mirror $n")
-      })
+    mirrorConfig(mirrorEntry(spark, n).options)
+
+  /** QRep option validation at DDL time (the analyzer's role,
+    * nexus/analyzer/src/qrep.rs:20-90): required keys present, the
+    * watermark template actually in the query, upsert has its key. */
+  private def validateQRep(q: String, o: Map[String, String]): Unit = {
+    Seq("watermark_column", "source_table", "dest_dir").foreach { k =>
+      if (!o.contains(k)) throw new IllegalArgumentException(
+        s"CREATE MIRROR (QRep): missing '$k'")
+    }
+    if (!q.contains("{{.start}}") || !q.contains("{{.end}}"))
+      throw new IllegalArgumentException(
+        "CREATE MIRROR (QRep): query must carry the {{.start}}/{{.end}} " +
+          "watermark template")
+    if (o.getOrElse("mode", "append") == "upsert" && !o.contains("unique_key"))
+      throw new IllegalArgumentException(
+        "CREATE MIRROR (QRep): mode 'upsert' requires 'unique_key'")
+  }
+
+  /** One QRep round (EXECUTE MIRROR on a qrep entry): bind the watermark
+    * template to (stored watermark, +inf] — the predicate travels INTO
+    * the user query, so a real JDBC/warehouse source would receive it
+    * pushed down — then hand the bound frame to [[graft.qrep.QRepRunner]]
+    * for range chunking, the NULL-watermark partition, the write
+    * disposition, and the watermark advance. Source tables resolve
+    * through the FROM peer's `dir` as parquet (the environment's stand-in
+    * for a live connection; the binding/offset logic is source-agnostic).
+    * Returns one row: rows moved. */
+  private def executeQRep(spark: SparkSession, p: Peer): Seq[Row] = {
+    val o = p.options
+    val srcPeer = peersFor(spark).get(o("__source_peer"))
+    val srcDir = srcPeer.options.getOrElse("dir",
+      throw new IllegalArgumentException(
+        s"peer ${srcPeer.name}: missing 'dir' option"))
+    val table = o("source_table")
+    spark.read.parquet(s"$srcDir/$table.parquet")
+      .createOrReplaceTempView(table)
+    val destDir = o("dest_dir")
+    val storePath = s"$destDir/_graft_wmark"
+    val last = new graft.qrep.WatermarkStore(storePath).read()
+    // First run binds start to MinValue+1: -9223372036854775808 is not a
+    // parseable SQL long literal (the positive half overflows first).
+    val bound = o("__query")
+      .replace("{{.start}}",
+        last.map(v => (v + 1).toString)
+          .getOrElse((Long.MinValue + 1).toString))
+      .replace("{{.end}}", Long.MaxValue.toString)
+    val mode = o.getOrElse("mode", "append") match {
+      case "append" => graft.qrep.WriteMode.Append
+      case "overwrite" => graft.qrep.WriteMode.Overwrite
+      case "upsert" => graft.qrep.WriteMode.Upsert(
+        o("unique_key").split(",").map(_.trim).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"CREATE MIRROR (QRep): unknown mode '$other'")
+    }
+    val cfg = graft.qrep.QRepConfig(
+      wmarkColumn = o("watermark_column"),
+      destDir = destDir,
+      wmarkStorePath = storePath,
+      mode = mode,
+      numPartitions = o.get("num_partitions").map(_.toInt).getOrElse(8))
+    val moved = new graft.qrep.QRepRunner(spark, cfg)
+      .runOnce(spark.sql(bound))
+    Seq(Row(moved))
+  }
   /** Live continuous-run handles (state machine of the pause/resume
     * signals). Created on first RESUME; offsets live in the mirror's
     * checkpoint dir, so pause/resume cycles are loss-free. Keyed by
@@ -229,22 +314,44 @@ object GraftSql {
       mirrorConfig(o) // validate options before persisting
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
-    case ExecuteMirror(n) =>
-      new MirrorRunner(spark, mirrorCfg(spark, n)).runAvailableNow()
+    case CreateQRepMirror(n, src, dst, q, o) =>
+      validateQRep(q, o) // fail the DDL, not the first EXECUTE
+      peersFor(spark).get(src) // source peer must exist
+      mirrorsFor(spark).create(Peer(n, "qrep", o ++ Map(
+        "__query" -> q, "__source_peer" -> src, "__dest_peer" -> dst)))
       Nil
+    case ExecuteMirror(n) =>
+      val entry = mirrorEntry(spark, n)
+      if (entry.kind == "qrep") executeQRep(spark, entry)
+      else {
+        new MirrorRunner(spark, mirrorConfig(entry.options))
+          .runAvailableNow()
+        Seq(Row(-1L)) // CDC drain reports no row count (stream metrics do)
+      }
     case ResyncMirror(n) =>
       // Full rebuild + atomic swap (ResyncMirror, cdc_flow.go resync
       // path): re-drain the WAL from scratch into _resync with a fresh
       // checkpoint; the serving table swaps only on success. The original
       // raw staging dir is the historical log and is left untouched
       // (the rebuild stages into a throwaway raw).
-      val cfg = mirrorCfg(spark, n)
-      Maintenance.resync(spark, cfg.destDir) { fresh =>
-        val scratch = java.nio.file.Files
-          .createTempDirectory(s"graft_resync_$n").toString
-        val rcfg = cfg.copy(destDir = fresh,
-          rawDir = s"$scratch/raw", checkpointDir = s"$scratch/ckpt")
-        new MirrorRunner(spark, rcfg).runAvailableNow()
+      val entry = mirrorEntry(spark, n)
+      if (entry.kind == "qrep") {
+        // QRep resync: full re-pull into a fresh dir (fresh watermark
+        // lives INSIDE it, so the swap carries data + offset together).
+        val o = entry.options
+        Maintenance.resync(spark, o("dest_dir")) { fresh =>
+          executeQRep(spark,
+            entry.copy(options = o + ("dest_dir" -> fresh)))
+        }
+      } else {
+        val cfg = mirrorConfig(entry.options)
+        Maintenance.resync(spark, cfg.destDir) { fresh =>
+          val scratch = java.nio.file.Files
+            .createTempDirectory(s"graft_resync_$n").toString
+          val rcfg = cfg.copy(destDir = fresh,
+            rawDir = s"$scratch/raw", checkpointDir = s"$scratch/ckpt")
+          new MirrorRunner(spark, rcfg).runAvailableNow()
+        }
       }
       Nil
     case PauseMirror(n) =>
@@ -272,10 +379,15 @@ object GraftSql {
           case None => "idle"
         }
         try {
-          val c = mirrorConfig(p.options)
-          Row(p.name, c.walDir, c.destDir, status)
+          if (p.kind == "qrep")
+            Row(p.name, s"qrep:${p.options("__source_peer")}",
+              p.options("dest_dir"), status)
+          else {
+            val c = mirrorConfig(p.options)
+            Row(p.name, c.walDir, c.destDir, status)
+          }
         } catch {
-          case e: IllegalArgumentException =>
+          case e: Exception =>
             Row(p.name, "", "", s"invalid: ${e.getMessage}")
         }
       }
@@ -293,6 +405,8 @@ object GraftSql {
     case ShowPeers => Seq(
       AttributeReference("name", StringType)(),
       AttributeReference("kind", StringType)())
+    case ExecuteMirror(_) => Seq(
+      AttributeReference("rows_moved", LongType)())
     case ShowMirrors => Seq(
       AttributeReference("name", StringType)(),
       AttributeReference("wal_dir", StringType)(),

@@ -222,4 +222,62 @@ class GraftSqlSpec extends SparkSpec {
       assert(s.read.parquet(s"$base/dest").count() == 1)
     } finally s.conf.unset("spark.graft.catalog.dir")
   }
+
+  test("QRep mirror DDL: template binds, increments pull, resync rebuilds") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val base = tmpDir("qrepsql")
+      (1L to 100L).map(i => (i, i * 10)).toDF("id", "v")
+        .write.parquet(s"$base/src/items.parquet")
+
+      s.sql(s"CREATE PEER srcp TYPE parquet OPTIONS (dir '$base/src')")
+      // analyzer-time validation: template and required options
+      intercept[Exception](s.sql(
+        "CREATE MIRROR qbad FROM srcp TO dstp FOR " +
+          "$$ SELECT id, v FROM items $$ WITH (watermark_column 'id', " +
+          s"source_table 'items', dest_dir '$base/destbad')"))
+      s.sql(
+        "CREATE MIRROR qm FROM srcp TO dstp FOR " +
+          "$$ SELECT id, v FROM items " +
+          "WHERE id BETWEEN {{.start}} AND {{.end}} $$ " +
+          "WITH (watermark_column 'id', source_table 'items', " +
+          s"dest_dir '$base/dest', num_partitions '4')")
+
+      // first round pulls everything; the bound query's predicate is the
+      // substituted template, not a post-filter
+      assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 100L)
+      assert(s.read.parquet(s"$base/dest").count() == 100)
+      // steady state: nothing new ⇒ zero moved, no duplicate append
+      assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 0L)
+      assert(s.read.parquet(s"$base/dest").count() == 100)
+
+      // increment lands in the source; only it is pulled
+      (101L to 120L).map(i => (i, i * 10)).toDF("id", "v")
+        .write.mode("append").parquet(s"$base/src/items.parquet")
+      assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 20L)
+      assert(s.read.parquet(s"$base/dest").count() == 120)
+
+      val row = s.sql("SHOW MIRRORS").collect()
+        .find(_.getString(0) == "qm").get
+      assert(row.getString(1) == "qrep:srcp")
+
+      // resync: full rebuild into a fresh dir + atomic swap (watermark
+      // travels inside the dir, so post-resync EXECUTE stays incremental)
+      s.sql("RESYNC MIRROR qm")
+      assert(s.read.parquet(s"$base/dest").count() == 120)
+      assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 0L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
