@@ -279,6 +279,11 @@ object GraftSql {
   private val handles =
     scala.collection.concurrent.TrieMap.empty[(String, String),
       MirrorRunner#Handle]
+  /** Continuous-QRep loop handles (the steady-state refresh schedule,
+    * qrep_flow.go:330-363). PAUSE stops + removes the loop — the
+    * watermark is durable, so RESUME recreates it loss-free. */
+  private val qrepHandles =
+    scala.collection.concurrent.TrieMap.empty[(String, String), QRepLoop]
   private def handleKey(spark: SparkSession, n: String): (String, String) =
     (spark.conf.getOption("spark.graft.catalog.dir").getOrElse(""), n)
 
@@ -355,29 +360,49 @@ object GraftSql {
       }
       Nil
     case PauseMirror(n) =>
-      handles.getOrElse(handleKey(spark, n),
+      if (mirrorEntry(spark, n).kind == "qrep")
+        qrepHandles.remove(handleKey(spark, n)).getOrElse(
+          throw new NoSuchElementException(s"mirror $n not running"))
+          .stop()
+      else handles.getOrElse(handleKey(spark, n),
         throw new NoSuchElementException(s"mirror $n not running")).pause()
       Nil
     case ResumeMirror(n) =>
-      val cfg = mirrorCfg(spark, n)
-      val h = handles.getOrElseUpdate(handleKey(spark, n),
-        new MirrorRunner(spark, cfg).handle(
-          org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)))
-      h.resume()
+      val entry = mirrorEntry(spark, n)
+      if (entry.kind == "qrep") {
+        // Continuous QRep: the waitForNewRows loop (qrep_flow.go:330-363)
+        // — re-pull every refresh_interval_ms; PAUSE stops the loop with
+        // the watermark durable, RESUME restarts it from the store.
+        val interval = entry.options
+          .get("refresh_interval_ms").map(_.toLong).getOrElse(10000L)
+        qrepHandles.getOrElseUpdate(handleKey(spark, n),
+          new QRepLoop(() => executeQRep(spark, entry), interval).start())
+      } else {
+        val cfg = mirrorConfig(entry.options)
+        val h = handles.getOrElseUpdate(handleKey(spark, n),
+          new MirrorRunner(spark, cfg).handle(
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)))
+        h.resume()
+      }
       Nil
     case DropMirror(n) =>
       handles.remove(handleKey(spark, n)).foreach(_.pause())
+      qrepHandles.remove(handleKey(spark, n)).foreach(_.stop())
       mirrorsFor(spark).drop(n)
       Nil
     case ShowMirrors =>
       // Tolerant per entry: one hand-edited/stale-format definition must
       // not take down the whole listing — it shows as 'invalid' instead.
       mirrorsFor(spark).list.map { p =>
-        val status = handles.get(handleKey(spark, p.name)) match {
-          case Some(h) if h.isActive => "running"
-          case Some(_) => "paused"
-          case None => "idle"
-        }
+        val status =
+          if (p.kind == "qrep")
+            if (qrepHandles.contains(handleKey(spark, p.name))) "running"
+            else "idle"
+          else handles.get(handleKey(spark, p.name)) match {
+            case Some(h) if h.isActive => "running"
+            case Some(_) => "paused"
+            case None => "idle"
+          }
         try {
           if (p.kind == "qrep")
             Row(p.name, s"qrep:${p.options("__source_peer")}",
@@ -414,6 +439,24 @@ object GraftSql {
       AttributeReference("status", StringType)())
     case _ => Nil
   }
+}
+
+/** Minimal stoppable repeat loop for continuous QRep (the reference's
+  * refresh-interval wait cycle): each tick is one full EXECUTE round,
+  * on a daemon thread; `stop()` is cooperative (25 ms poll). */
+private[mirror] final class QRepLoop(body: () => Unit, intervalMs: Long) {
+  @volatile private var stopped = false
+  private val thread = new Thread(() => {
+    while (!stopped) {
+      body()
+      val deadline = System.currentTimeMillis() + intervalMs
+      while (!stopped && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+    }
+  }, "graft-qrep-loop")
+  thread.setDaemon(true)
+  def start(): this.type = { thread.start(); this }
+  def stop(): Unit = { stopped = true; thread.join(30000) }
 }
 
 /** The graft DDL as a Catalyst command node. */

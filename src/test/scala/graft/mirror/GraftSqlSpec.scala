@@ -248,7 +248,8 @@ class GraftSqlSpec extends SparkSpec {
           "$$ SELECT id, v FROM items " +
           "WHERE id BETWEEN {{.start}} AND {{.end}} $$ " +
           "WITH (watermark_column 'id', source_table 'items', " +
-          s"dest_dir '$base/dest', num_partitions '4')")
+          s"dest_dir '$base/dest', num_partitions '4', " +
+          "refresh_interval_ms '300')")
 
       // first round pulls everything; the bound query's predicate is the
       // substituted template, not a post-filter
@@ -273,6 +274,27 @@ class GraftSqlSpec extends SparkSpec {
       s.sql("RESYNC MIRROR qm")
       assert(s.read.parquet(s"$base/dest").count() == 120)
       assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 0L)
+
+      // continuous mode: RESUME starts the refresh loop — an increment
+      // appears in the dest WITHOUT an EXECUTE; PAUSE stops the loop
+      s.sql("RESUME MIRROR qm") // refresh_interval_ms defaults handled
+      assert(s.sql("SHOW MIRRORS").collect()
+        .find(_.getString(0) == "qm").get.getString(3) == "running")
+      (121L to 130L).map(i => (i, i * 10)).toDF("id", "v")
+        .write.mode("append").parquet(s"$base/src/items.parquet")
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        s.read.parquet(s"$base/dest").count() < 130) Thread.sleep(250)
+      assert(s.read.parquet(s"$base/dest").count() == 130)
+      s.sql("PAUSE MIRROR qm")
+      assert(s.sql("SHOW MIRRORS").collect()
+        .find(_.getString(0) == "qm").get.getString(3) == "idle")
+      // loop is gone: a further increment stays unpulled until EXECUTE
+      (131L to 132L).map(i => (i, i * 10)).toDF("id", "v")
+        .write.mode("append").parquet(s"$base/src/items.parquet")
+      Thread.sleep(1500)
+      assert(s.read.parquet(s"$base/dest").count() == 130)
+      assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 2L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
