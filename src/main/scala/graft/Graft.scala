@@ -10,7 +10,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *  - [[mirror.GraftExtensions]] — register via
   *    `.config("spark.sql.extensions", "graft.mirror.GraftExtensions")`,
   *    then `spark.sql("CREATE MIRROR m WITH (...)")` /
-  *    `EXECUTE|PAUSE|RESUME|RESYNC|DROP MIRROR` / `CREATE PEER`.
+  *    `EXECUTE|PAUSE|RESUME|RESYNC|DROP MIRROR` / `CREATE PEER`, plus
+  *    the QRep form `CREATE MIRROR m FROM src TO dst FOR $$ SELECT ...
+  *    WHERE wm BETWEEN {{.start}} AND {{.end}} $$ WITH (...)` (RESUME =
+  *    continuous refresh loop).
+  *  - [[mirror.IncrementalAgg]] — delta-maintained (group → count, sum)
+  *    views over a mirror destination; never rescans the table.
   *  - [[mirror.MirrorRunner]] + [[mirror.MirrorConfig]] — programmatic
   *    CDC mirrors (tx-atomic stream → raw staging → normalize → MERGE).
   *  - [[qrep.QRepRunner]] + [[qrep.Partitioner]] — watermark/partitioned

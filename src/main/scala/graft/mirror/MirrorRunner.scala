@@ -18,6 +18,14 @@ final case class TableConfig(
     pkColumns: Seq[String],
     payloadSchema: StructType)
 
+/** One delta-maintained aggregate view over a mirrored table:
+  * `GROUP BY groupCol → (count, sum(valueCol))` persisted at `dir`,
+  * kept exactly in sync by [[IncrementalAgg]] on every merged batch. */
+final case class AggViewConfig(
+    groupCol: String,
+    valueCol: String,
+    dir: String)
+
 /** One CDC mirror: WAL source → raw staging table → normalized table(s).
   *
   * The Spark restatement of the reference's steady-state loop
@@ -50,7 +58,12 @@ final case class MirrorConfig(
       * `destinationTable`; records for the primary `destinationTable`
       * use `pkColumns`/`payloadSchema` above. Tables not listed are
       * ignored (exclusion by omission). */
-    extraTables: Map[String, TableConfig] = Map.empty) {
+    extraTables: Map[String, TableConfig] = Map.empty,
+    /** Delta-maintained aggregate views, keyed by destination table:
+      * every merged batch also folds its group deltas into the view
+      * ([[IncrementalAgg]]) — the view is exactly in sync with the
+      * destination after each batch, without ever rescanning it. */
+    aggViews: Map[String, AggViewConfig] = Map.empty) {
 
   /** destinationTable → (config, dest subdirectory). */
   def tableSet: Map[String, (TableConfig, String)] = {
@@ -70,6 +83,23 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
   private val writers: Map[String, (TableConfig, MergeWriter)] =
     cfg.tableSet.map { case (name, (tc, dir)) =>
       name -> (tc, new MergeWriter(spark, dir, tc.pkColumns))
+    }
+  private val aggs: Map[String, IncrementalAgg] =
+    cfg.aggViews.map { case (table, av) =>
+      val tc = cfg.tableSet(table)._1
+      table -> new IncrementalAgg(spark, av.dir, av.groupCol, av.valueCol,
+        tc.pkColumns)
+    }
+
+  /** Every normalized batch lands through here: tables with a configured
+    * aggregate view merge via [[IncrementalAgg.applyBatch]] (which wraps
+    * the same MergeWriter merge between the before/after images); the
+    * rest merge directly. */
+  private def applyChanges(table: String, writer: MergeWriter,
+      normalized: org.apache.spark.sql.DataFrame): Unit =
+    aggs.get(table) match {
+      case Some(agg) => agg.applyBatch(writer, normalized)
+      case None => writer.merge(normalized)
     }
   /** Live payload schemas: start from config, re-widened from the
     * destination's persisted schema (a restarted mirror must not parse
@@ -196,7 +226,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       val normalized = Normalizer.normalize(
         slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
           softDelete = cfg.softDelete))
-      if (!normalized.isEmpty) writer.merge(normalized)
+      if (!normalized.isEmpty) applyChanges(table, writer, normalized)
     }
   }
 
@@ -241,7 +271,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val writer = new MergeWriter(spark,
       cfg.copy(extraTables = cfg.extraTables + (table -> tc))
         .tableSet(table)._2, tc.pkColumns)
-    if (!normalized.isEmpty) writer.merge(normalized)
+    if (!normalized.isEmpty) applyChanges(table, writer, normalized)
   }
 
   /** Table removal from a live mirror (the remove-tables signal,
@@ -278,7 +308,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .withColumn(RawTable.IsDeleted, lit(false))
       .withColumn(graft.cdc.Normalizer.AbsentCols,
         array().cast("array<string>"))
-    merge.merge(changes)
+    applyChanges(cfg.destinationTable, merge, changes)
   }
 
   /** Point-in-time reconstruction of the primary table from the raw

@@ -85,6 +85,50 @@ class IncrementalAggSpec extends SparkSpec {
     assert(viewOf(agg.read())("d") == (1L, Some(0L)))
   }
 
+  test("mirror-integrated view stays synced across stream batches") {
+    import graft.cdc.ChangeLogWal
+    import graft.model.ChangeRecord
+    val base = tmpDir("iagg-mirror")
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("grp", StringType),
+        StructField("v", LongType))),
+      maxBatchSize = 2, // force multiple micro-batches per drain
+      aggViews = Map("dest" -> AggViewConfig("grp", "v", s"$base/agg")))
+
+    ChangeLogWal.append(s"$base/wal", Seq(
+      ChangeRecord(0, 1, "1", 1000, 1, "t", "dest",
+        """{"id":1,"grp":"a","v":10}""", null, Nil),
+      ChangeRecord(0, 2, "2", 2000, 2, "t", "dest",
+        """{"id":2,"grp":"a","v":20}""", null, Nil),
+      ChangeRecord(0, 3, "3", 3000, 3, "t", "dest",
+        """{"id":3,"grp":"b","v":5}""", null, Nil),
+      ChangeRecord(1, 4, "4", 4000, 4, "t", "dest",
+        """{"id":2,"grp":"b","v":21}""", null, Nil))) // group move
+    new MirrorRunner(spark, cfg).runAvailableNow()
+
+    val w = new graft.cdc.MergeWriter(spark, s"$base/dest", Seq("id"))
+    val agg = new IncrementalAgg(spark, s"$base/agg", "grp", "v",
+      Seq("id"))
+    assertSynced(agg, w)
+    assert(viewOf(agg.read()) ==
+      Map("a" -> (1L, Some(10L)), "b" -> (2L, Some(26L))))
+
+    // second drain: delete + insert land through the stream as well
+    ChangeLogWal.append(s"$base/wal", Seq(
+      ChangeRecord(2, 5, "5", 5000, 5, "t", "dest", null,
+        """{"id":1}""", Nil),
+      ChangeRecord(0, 6, "6", 6000, 6, "t", "dest",
+        """{"id":4,"grp":"c","v":7}""", null, Nil)))
+    new MirrorRunner(spark, cfg).runAvailableNow()
+    assertSynced(agg, w)
+    assert(viewOf(agg.read()) ==
+      Map("b" -> (2L, Some(26L)), "c" -> (1L, Some(7L))))
+  }
+
   test("random interleaving stays synced after every batch") {
     val path = tmpDir("iagg-rand")
     val w = new MergeWriter(spark, s"$path/t", Seq("id"), numBuckets = 8)
