@@ -229,30 +229,37 @@ object GraftSql {
     * template to (stored watermark, +inf] — the predicate travels INTO
     * the user query, so a real JDBC/warehouse source would receive it
     * pushed down — then hand the bound frame to [[graft.qrep.QRepRunner]]
-    * for range chunking, the NULL-watermark partition, the write
-    * disposition, and the watermark advance. Source tables resolve
-    * through the FROM peer's `dir` as parquet (the environment's stand-in
-    * for a live connection; the binding/offset logic is source-agnostic).
+    * for range chunking, the write disposition, and the watermark
+    * advance. Source tables resolve through the FROM peer's `dir` as
+    * parquet (the environment's stand-in for a live connection; the
+    * binding/offset logic is source-agnostic).
+    *
+    * NOTE on NULL watermarks: the mandatory BETWEEN template means rows
+    * with a NULL watermark never satisfy the bound query — this DDL path
+    * replicates non-NULL-watermark rows only. The programmatic
+    * [[graft.qrep.QRepRunner]] (whose source frame is unfiltered) is the
+    * path with the dedicated first-run NULL partition.
+    *
+    * Serialized per mirror (EXECUTE vs a RESUME loop tick vs RESYNC):
+    * two concurrent rounds would read the same watermark and double-pull.
+    * Runs on an isolated session (`newSession`: same context, private
+    * temp-view catalog) so registering the source view can never clobber
+    * another mirror's or the user's view of the same name.
     * Returns one row: rows moved. */
-  private def executeQRep(spark: SparkSession, p: Peer): Seq[Row] = {
+  private def executeQRep(spark: SparkSession, p: Peer): Seq[Row] =
+    qrepLock((spark.conf.getOption("spark.graft.catalog.dir")
+      .getOrElse(""), p.name)).synchronized {
     val o = p.options
+    val sess = spark.newSession()
     val srcPeer = peersFor(spark).get(o("__source_peer"))
     val srcDir = srcPeer.options.getOrElse("dir",
       throw new IllegalArgumentException(
         s"peer ${srcPeer.name}: missing 'dir' option"))
     val table = o("source_table")
-    spark.read.parquet(s"$srcDir/$table.parquet")
+    sess.read.parquet(s"$srcDir/$table.parquet")
       .createOrReplaceTempView(table)
     val destDir = o("dest_dir")
     val storePath = s"$destDir/_graft_wmark"
-    val last = new graft.qrep.WatermarkStore(storePath).read()
-    // First run binds start to MinValue+1: -9223372036854775808 is not a
-    // parseable SQL long literal (the positive half overflows first).
-    val bound = o("__query")
-      .replace("{{.start}}",
-        last.map(v => (v + 1).toString)
-          .getOrElse((Long.MinValue + 1).toString))
-      .replace("{{.end}}", Long.MaxValue.toString)
     val mode = o.getOrElse("mode", "append") match {
       case "append" => graft.qrep.WriteMode.Append
       case "overwrite" => graft.qrep.WriteMode.Overwrite
@@ -261,14 +268,27 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"CREATE MIRROR (QRep): unknown mode '$other'")
     }
+    // Overwrite is FULL-REFRESH: bind the template to the whole range
+    // every round (an incremental binding would overwrite history with
+    // just the increment — data loss). Append/upsert bind incrementally.
+    // First run binds start to MinValue+1: -9223372036854775808 is not a
+    // parseable SQL long literal (the positive half overflows first).
+    val last =
+      if (mode == graft.qrep.WriteMode.Overwrite) None
+      else new graft.qrep.WatermarkStore(storePath).read()
+    val bound = o("__query")
+      .replace("{{.start}}",
+        last.map(v => (v + 1).toString)
+          .getOrElse((Long.MinValue + 1).toString))
+      .replace("{{.end}}", Long.MaxValue.toString)
     val cfg = graft.qrep.QRepConfig(
       wmarkColumn = o("watermark_column"),
       destDir = destDir,
       wmarkStorePath = storePath,
       mode = mode,
       numPartitions = o.get("num_partitions").map(_.toInt).getOrElse(8))
-    val moved = new graft.qrep.QRepRunner(spark, cfg)
-      .runOnce(spark.sql(bound))
+    val moved = new graft.qrep.QRepRunner(sess, cfg)
+      .runOnce(sess.sql(bound))
     Seq(Row(moved))
   }
   /** Live continuous-run handles (state machine of the pause/resume
@@ -281,9 +301,18 @@ object GraftSql {
       MirrorRunner#Handle]
   /** Continuous-QRep loop handles (the steady-state refresh schedule,
     * qrep_flow.go:330-363). PAUSE stops + removes the loop — the
-    * watermark is durable, so RESUME recreates it loss-free. */
-  private val qrepHandles =
-    scala.collection.concurrent.TrieMap.empty[(String, String), QRepLoop]
+    * watermark is durable, so RESUME recreates it loss-free. A loop
+    * whose round THREW stays in the map dead, with `lastError` set, so
+    * SHOW MIRRORS can report the failure instead of lying 'running'. */
+  private val qrepHandles = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.qrep.QRepScheduler]
+  /** One EXECUTE/RESYNC/loop-tick at a time per qrep mirror: concurrent
+    * rounds would read the same watermark and double-pull (intrinsic
+    * locks are reentrant, so RESYNC's nested EXECUTE is fine). */
+  private val qrepLocks = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Object]
+  private def qrepLock(key: (String, String)): Object =
+    qrepLocks.getOrElseUpdate(key, new Object)
   private def handleKey(spark: SparkSession, n: String): (String, String) =
     (spark.conf.getOption("spark.graft.catalog.dir").getOrElse(""), n)
 
@@ -321,7 +350,8 @@ object GraftSql {
       Nil
     case CreateQRepMirror(n, src, dst, q, o) =>
       validateQRep(q, o) // fail the DDL, not the first EXECUTE
-      peersFor(spark).get(src) // source peer must exist
+      peersFor(spark).get(src) // both peers must exist
+      peersFor(spark).get(dst)
       mirrorsFor(spark).create(Peer(n, "qrep", o ++ Map(
         "__query" -> q, "__source_peer" -> src, "__dest_peer" -> dst)))
       Nil
@@ -343,10 +373,15 @@ object GraftSql {
       if (entry.kind == "qrep") {
         // QRep resync: full re-pull into a fresh dir (fresh watermark
         // lives INSIDE it, so the swap carries data + offset together).
+        // Holds the mirror's round lock across build AND swap so a
+        // concurrent RESUME-loop tick can't append into a dir mid-swap
+        // (the lock is reentrant — the nested EXECUTE re-enters fine).
         val o = entry.options
-        Maintenance.resync(spark, o("dest_dir")) { fresh =>
-          executeQRep(spark,
-            entry.copy(options = o + ("dest_dir" -> fresh)))
+        qrepLock(handleKey(spark, n)).synchronized {
+          Maintenance.resync(spark, o("dest_dir")) { fresh =>
+            executeQRep(spark,
+              entry.copy(options = o + ("dest_dir" -> fresh)))
+          }
         }
       } else {
         val cfg = mirrorConfig(entry.options)
@@ -372,11 +407,17 @@ object GraftSql {
       if (entry.kind == "qrep") {
         // Continuous QRep: the waitForNewRows loop (qrep_flow.go:330-363)
         // — re-pull every refresh_interval_ms; PAUSE stops the loop with
-        // the watermark durable, RESUME restarts it from the store.
+        // the watermark durable, RESUME restarts it from the store. A
+        // dead (errored) loop is replaced so RESUME doubles as retry.
         val interval = entry.options
           .get("refresh_interval_ms").map(_.toLong).getOrElse(10000L)
-        qrepHandles.getOrElseUpdate(handleKey(spark, n),
-          new QRepLoop(() => executeQRep(spark, entry), interval).start())
+        val key = handleKey(spark, n)
+        qrepHandles.get(key).filterNot(_.isAlive)
+          .foreach(_ => qrepHandles.remove(key))
+        qrepHandles.getOrElseUpdate(key,
+          new graft.qrep.QRepScheduler(
+            () => executeQRep(spark, entry).head.getLong(0),
+            interval).start())
       } else {
         val cfg = mirrorConfig(entry.options)
         val h = handles.getOrElseUpdate(handleKey(spark, n),
@@ -396,8 +437,12 @@ object GraftSql {
       mirrorsFor(spark).list.map { p =>
         val status =
           if (p.kind == "qrep")
-            if (qrepHandles.contains(handleKey(spark, p.name))) "running"
-            else "idle"
+            qrepHandles.get(handleKey(spark, p.name)) match {
+              case Some(s) if s.isAlive => "running"
+              case Some(s) => "error: " + s.lastError
+                .map(_.toString).getOrElse("loop stopped")
+              case None => "idle"
+            }
           else handles.get(handleKey(spark, p.name)) match {
             case Some(h) if h.isActive => "running"
             case Some(_) => "paused"
@@ -439,24 +484,6 @@ object GraftSql {
       AttributeReference("status", StringType)())
     case _ => Nil
   }
-}
-
-/** Minimal stoppable repeat loop for continuous QRep (the reference's
-  * refresh-interval wait cycle): each tick is one full EXECUTE round,
-  * on a daemon thread; `stop()` is cooperative (25 ms poll). */
-private[mirror] final class QRepLoop(body: () => Unit, intervalMs: Long) {
-  @volatile private var stopped = false
-  private val thread = new Thread(() => {
-    while (!stopped) {
-      body()
-      val deadline = System.currentTimeMillis() + intervalMs
-      while (!stopped && System.currentTimeMillis() < deadline)
-        Thread.sleep(25)
-    }
-  }, "graft-qrep-loop")
-  thread.setDaemon(true)
-  def start(): this.type = { thread.start(); this }
-  def stop(): Unit = { stopped = true; thread.join(30000) }
 }
 
 /** The graft DDL as a Catalyst command node. */

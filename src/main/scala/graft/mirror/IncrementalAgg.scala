@@ -23,12 +23,34 @@ import graft.model.RawTable
   * deleted extremum forces a per-group rescan — so they are deliberately
   * out of scope.)
   *
-  * Exactness contract (spec'd differentially in `IncrementalAggSpec`):
-  * after any sequence of applyBatch calls, `read()` equals the recompute
-  * `dest.filter(live).groupBy(groupCol).agg(count, sum)` — including
-  * soft-delete tombstones (excluded), TOAST-absent columns (resolved by
-  * the merge before the after-image is read), PK updates, and idempotent
-  * batch replays (replay ⇒ before == after ⇒ zero delta).
+  * ==Crash safety (the batchId path)==
+  * The merge and the view fold are two non-atomic writes; a crash between
+  * them followed by a foreachBatch REPLAY would observe before == after
+  * (the merge already landed) and fold a zero delta — silently losing the
+  * batch from the view. With `batchId` supplied (the streaming mirror
+  * passes its micro-batch id), the fold is exactly-once across replays:
+  *
+  *   1. the negated before-image aggregate is STAGED to disk before the
+  *      merge runs (write-ahead: a replay after the merge reads the true
+  *      pre-merge image from the stage, not from the mutated table);
+  *   2. the view state is VERSIONED — each fold writes a fresh `v<n>`
+  *      directory and commits by atomically replacing a one-line pointer
+  *      file (`_current` = "version TAB appliedBatchId"); readers always
+  *      resolve through the pointer, so a torn state write is invisible;
+  *   3. a replay with batchId ≤ the pointer's appliedBatchId skips the
+  *      fold entirely (the merge itself is version-idempotent) — a crash
+  *      after the pointer flip cannot double-fold.
+  *
+  * Without `batchId` (ad-hoc programmatic use) the fold is applied
+  * unconditionally; the before-image is pinned in memory instead of
+  * staged.
+  *
+  * Null convention: a group whose live rows all carry a null value
+  * reports sum_v = 0 (what ± delta arithmetic naturally produces);
+  * `recompute` applies the same coalesce so the exactness contract
+  * read() == recompute() holds verbatim (spec'd differentially in
+  * `IncrementalAggSpec`, including through real stream batches and a
+  * simulated crash-replay).
   */
 final class IncrementalAgg(
     spark: SparkSession,
@@ -42,18 +64,31 @@ final class IncrementalAgg(
     StructField("cnt", LongType, nullable = false),
     StructField("sum_v", LongType, nullable = true)))
 
+  private def hconf = spark.sparkContext.hadoopConfiguration
   private def fs: org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(aggPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new org.apache.hadoop.fs.Path(aggPath).getFileSystem(hconf)
 
-  private def stateExists: Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(aggPath))
+  private def pointerPath = s"$aggPath/_current"
 
-  /** Current view state: one row per group with (cnt, sum_v). */
-  def read(): DataFrame =
-    if (stateExists) spark.read.schema(stateSchema).parquet(aggPath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], stateSchema)
+  /** (state version, applied batch id); (0, MinValue) before any fold. */
+  private def pointer: (Long, Long) =
+    graft.util.FsText.read(pointerPath, hconf) match {
+      case Some(text) =>
+        val Array(v, b) = text.trim.split("\t")
+        (v.toLong, b.toLong)
+      case None => (0L, Long.MinValue)
+    }
+
+  private def emptyState: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], stateSchema)
+
+  /** Current view state: one row per group with (cnt, sum_v). Resolves
+    * through the pointer — a torn/in-progress state write is invisible. */
+  def read(): DataFrame = {
+    val (ver, _) = pointer
+    if (ver == 0L) emptyState
+    else spark.read.schema(stateSchema).parquet(s"$aggPath/v$ver")
+  }
 
   /** Live (non-tombstone) affected rows as (group, value) — the shape both
     * the before and after images reduce to. Before the first merge the
@@ -73,36 +108,72 @@ final class IncrementalAgg(
       .agg((count(lit(1)) * sign).as("cnt"),
         (coalesce(sum("v"), lit(0L)) * sign).as("sum_v"))
 
+  private def stagePath(batchId: Long) = s"$aggPath/before_$batchId"
+
+  /** Write-ahead stage of the NEGATED before-image for `batchId` — MUST
+    * complete before the merge mutates the table (package-visible so the
+    * crash-replay spec can reproduce the partial-execution states). */
+  private[mirror] def stageBeforeImage(writer: MergeWriter,
+      changes: DataFrame, batchId: Long): Unit = {
+    val keys = changes.select(pkColumns.map(col): _*).distinct()
+    sums(image(writer, keys), -1)
+      .write.mode(SaveMode.Overwrite).parquet(stagePath(batchId))
+  }
+
   /** Apply one normalized change batch to the destination (delegating the
     * actual merge to `writer`) and fold the induced group deltas into the
-    * view. The before-image aggregate is MATERIALIZED (localCheckpoint)
-    * before the merge runs: it reads the same parquet files the merge is
-    * about to overwrite, and a lazy plan would silently read post-merge
-    * state — the one ordering hazard of read-around-write maintenance. */
+    * view. See the class doc for the crash-safety protocol `batchId`
+    * buys; without it the before-image is pinned in memory
+    * (localCheckpoint) before the merge overwrites the files it read. */
   def applyBatch(writer: MergeWriter, changes: DataFrame,
-      hardDelete: Boolean = false): Unit = {
+      hardDelete: Boolean = false, batchId: Option[Long] = None): Unit = {
+    val (curVer, appliedId) = pointer
+    if (batchId.exists(_ <= appliedId)) {
+      // Replay of an already-folded batch: the view is committed; only
+      // the (idempotent) merge needs re-running for the destination.
+      writer.merge(changes, hardDelete)
+      return
+    }
+
     val keys = changes.select(pkColumns.map(col): _*).distinct()
       .localCheckpoint(true)
-    val before = sums(image(writer, keys), -1).localCheckpoint(true)
-    writer.merge(changes, hardDelete)
-    val after = sums(image(writer, keys), 1)
-    val delta = after.unionByName(before)
+    val before = batchId match {
+      case Some(id) =>
+        val p = new org.apache.hadoop.fs.Path(stagePath(id))
+        if (!fs.exists(new org.apache.hadoop.fs.Path(
+            s"${stagePath(id)}/_SUCCESS")))
+          stageBeforeImage(writer, changes, id)
+        // read back from the stage: on a crash-replay AFTER the merge,
+        // this is the only surviving pre-merge image
+        spark.read.parquet(p.toString)
+      case None =>
+        sums(image(writer, keys), -1).localCheckpoint(true)
+    }
 
-    val next = read().unionByName(delta)
+    writer.merge(changes, hardDelete)
+
+    val after = sums(image(writer, keys), 1)
+    val next = read().unionByName(after).unionByName(before)
       .groupBy(groupCol)
       .agg(sum("cnt").as("cnt"), sum("sum_v").as("sum_v"))
       .filter(col("cnt") =!= 0)
-      .localCheckpoint(true) // pins the result: the write below replaces
-                             // the very files read() scanned
-    next.write.mode(SaveMode.Overwrite).parquet(aggPath)
+    // versioned write: never overwrites the directory read() resolves to
+    val newVer = curVer + 1
+    next.write.mode(SaveMode.Overwrite).parquet(s"$aggPath/v$newVer")
+    // commit point: atomic pointer replace
+    graft.util.FsText.write(pointerPath,
+      s"$newVer\t${batchId.getOrElse(appliedId)}", hconf)
+    // best-effort cleanup (crash here is harmless; redone next batch)
+    val f = fs
+    if (curVer > 0)
+      f.delete(new org.apache.hadoop.fs.Path(s"$aggPath/v$curVer"), true)
+    batchId.foreach(id =>
+      f.delete(new org.apache.hadoop.fs.Path(stagePath(id)), true))
   }
 
   /** The recompute this view must always equal — used by the differential
     * spec and available as a resync escape hatch. `coalesce(sum, 0)`
-    * matches the maintained state's convention: a group whose live rows
-    * all carry a null value reports sum_v = 0 (SQL SUM would say NULL;
-    * the 0 convention is what ± delta arithmetic naturally produces, so
-    * it is the one the view keeps — documented, and identical here). */
+    * matches the maintained state's null convention (class doc). */
   def recompute(writer: MergeWriter): DataFrame =
     writer.read()
       .filter(!col(RawTable.IsDeleted))

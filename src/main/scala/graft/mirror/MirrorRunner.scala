@@ -84,21 +84,23 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     cfg.tableSet.map { case (name, (tc, dir)) =>
       name -> (tc, new MergeWriter(spark, dir, tc.pkColumns))
     }
-  private val aggs: Map[String, IncrementalAgg] =
-    cfg.aggViews.map { case (table, av) =>
-      val tc = cfg.tableSet(table)._1
-      table -> new IncrementalAgg(spark, av.dir, av.groupCol, av.valueCol,
-        tc.pkColumns)
-    }
-
   /** Every normalized batch lands through here: tables with a configured
     * aggregate view merge via [[IncrementalAgg.applyBatch]] (which wraps
     * the same MergeWriter merge between the before/after images); the
-    * rest merge directly. */
+    * rest merge directly. The view wrapper is built per call from the
+    * caller's table config — a view configured for a table that joins
+    * the mirror later (catchUpTable) works without a tableSet entry at
+    * construction time. */
   private def applyChanges(table: String, writer: MergeWriter,
-      normalized: org.apache.spark.sql.DataFrame): Unit =
-    aggs.get(table) match {
-      case Some(agg) => agg.applyBatch(writer, normalized)
+      pkColumns: Seq[String], normalized: org.apache.spark.sql.DataFrame,
+      batchId: Option[Long] = None): Unit =
+    cfg.aggViews.get(table) match {
+      case Some(av) =>
+        // batchId makes the view fold exactly-once across foreachBatch
+        // replays (write-ahead before-image + pointer commit — see
+        // IncrementalAgg's crash-safety protocol)
+        new IncrementalAgg(spark, av.dir, av.groupCol, av.valueCol,
+          pkColumns).applyBatch(writer, normalized, batchId = batchId)
       case None => writer.merge(normalized)
     }
   /** Live payload schemas: start from config, re-widened from the
@@ -226,7 +228,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       val normalized = Normalizer.normalize(
         slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
           softDelete = cfg.softDelete))
-      if (!normalized.isEmpty) applyChanges(table, writer, normalized)
+      if (!normalized.isEmpty)
+        applyChanges(table, writer, tc.pkColumns, normalized,
+          batchId = Some(batchId))
     }
   }
 
@@ -271,7 +275,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val writer = new MergeWriter(spark,
       cfg.copy(extraTables = cfg.extraTables + (table -> tc))
         .tableSet(table)._2, tc.pkColumns)
-    if (!normalized.isEmpty) applyChanges(table, writer, normalized)
+    if (!normalized.isEmpty)
+      applyChanges(table, writer, tc.pkColumns, normalized)
   }
 
   /** Table removal from a live mirror (the remove-tables signal,
@@ -308,7 +313,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .withColumn(RawTable.IsDeleted, lit(false))
       .withColumn(graft.cdc.Normalizer.AbsentCols,
         array().cast("array<string>"))
-    applyChanges(cfg.destinationTable, merge, changes)
+    applyChanges(cfg.destinationTable, merge, cfg.pkColumns, changes)
   }
 
   /** Point-in-time reconstruction of the primary table from the raw

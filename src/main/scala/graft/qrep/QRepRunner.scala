@@ -106,20 +106,31 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 /** The QRep steady-state loop: replicate, wait `refreshIntervalMs`, pull
   * again — the waitForNewRows + continue-as-new cycle
   * (qrep_flow.go:330-363,452-497; `refresh_interval` WITH option, min 10 s
-  * in the reference, nexus/analyzer/src/qrep.rs:69-74). `source` is
-  * re-evaluated every round so growing tables are re-planned (fresh file
-  * listing / fresh JDBC query). Runs on a daemon thread; `stop()` is
-  * cooperative and `awaitStopped` joins it. */
-final class QRepScheduler(runner: QRepRunner, source: () => DataFrame,
-    refreshIntervalMs: Long) {
+  * in the reference, nexus/analyzer/src/qrep.rs:69-74). The primary form
+  * takes an arbitrary round body (rows moved per round) — the SQL façade's
+  * continuous mirrors schedule their EXECUTE rounds through it; the
+  * (runner, source) form re-evaluates `source` every round so growing
+  * tables are re-planned (fresh file listing / fresh JDBC query).
+  *
+  * Runs on a daemon thread; `stop()` is cooperative and `awaitStopped`
+  * joins it. A round that THROWS stops the loop and is surfaced via
+  * `lastError` — replication silently dying with no signal is worse than
+  * stopping (callers render the error in status listings). */
+final class QRepScheduler(body: () => Long, refreshIntervalMs: Long) {
+
+  def this(runner: QRepRunner, source: () => DataFrame,
+      refreshIntervalMs: Long) =
+    this(() => runner.runOnce(source()), refreshIntervalMs)
 
   @volatile private var stopped = false
   @volatile private var rounds = 0L
   @volatile private var rowsMoved = 0L
+  @volatile private var failure: Option[Throwable] = None
 
   private val thread = new Thread(() => {
     while (!stopped) {
-      rowsMoved += runner.runOnce(source())
+      try rowsMoved += body()
+      catch { case e: Throwable => failure = Some(e); stopped = true }
       rounds += 1
       val deadline = System.currentTimeMillis() + refreshIntervalMs
       while (!stopped && System.currentTimeMillis() < deadline)
@@ -132,4 +143,6 @@ final class QRepScheduler(runner: QRepRunner, source: () => DataFrame,
   def stop(): Unit = { stopped = true }
   def awaitStopped(timeoutMs: Long = 30000): Unit = thread.join(timeoutMs)
   def progress: (Long, Long) = (rounds, rowsMoved)
+  def lastError: Option[Throwable] = failure
+  def isAlive: Boolean = thread.isAlive
 }

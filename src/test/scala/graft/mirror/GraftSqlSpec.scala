@@ -238,6 +238,14 @@ class GraftSqlSpec extends SparkSpec {
         .write.parquet(s"$base/src/items.parquet")
 
       s.sql(s"CREATE PEER srcp TYPE parquet OPTIONS (dir '$base/src')")
+      s.sql(s"CREATE PEER dstp TYPE parquet OPTIONS (dir '$base/dst')")
+      // analyzer-time validation: both peers must exist
+      intercept[Exception](s.sql(
+        "CREATE MIRROR qnope FROM srcp TO missing_peer FOR " +
+          "$$ SELECT id, v FROM items " +
+          "WHERE id BETWEEN {{.start}} AND {{.end}} $$ " +
+          "WITH (watermark_column 'id', source_table 'items', " +
+          s"dest_dir '$base/destnope')"))
       // analyzer-time validation: template and required options
       intercept[Exception](s.sql(
         "CREATE MIRROR qbad FROM srcp TO dstp FOR " +

@@ -85,6 +85,40 @@ class IncrementalAggSpec extends SparkSpec {
     assert(viewOf(agg.read())("d") == (1L, Some(0L)))
   }
 
+  test("crash between merge and fold cannot lose or double-fold a batch") {
+    val path = tmpDir("iagg-crash")
+    val w = new MergeWriter(spark, s"$path/t", Seq("id"), numBuckets = 4)
+    val agg = new IncrementalAgg(spark, s"$path/agg", "grp", "v", Seq("id"))
+
+    agg.applyBatch(w, changes(
+      (1L, "a", 10L, 100L, false, Nil),
+      (2L, "b", 5L, 100L, false, Nil)), batchId = Some(1L))
+    assertSynced(agg, w)
+
+    // Simulate the crash window: batch 2's before-image was staged and
+    // its MERGE committed, but the driver died before the view folded.
+    val b2 = changes(
+      (1L, "a", 99L, 200L, false, Nil),  // update 10 → 99
+      (3L, "b", 7L, 200L, false, Nil))   // new key
+    agg.stageBeforeImage(w, b2, 2L)
+    w.merge(b2)
+    // view is now BEHIND the destination — the exact state a replay sees
+    assert(viewOf(agg.read()) != viewOf(agg.recompute(w)))
+
+    // foreachBatch replay: the fold reads the STAGED pre-merge image (a
+    // live read would see before == after and fold a zero delta)
+    agg.applyBatch(w, b2, batchId = Some(2L))
+    assertSynced(agg, w)
+    assert(viewOf(agg.read()) ==
+      Map("a" -> (1L, Some(99L)), "b" -> (2L, Some(12L))))
+
+    // replay AFTER the pointer commit: fold skipped, nothing double-counts
+    agg.applyBatch(w, b2, batchId = Some(2L))
+    assertSynced(agg, w)
+    assert(viewOf(agg.read()) ==
+      Map("a" -> (1L, Some(99L)), "b" -> (2L, Some(12L))))
+  }
+
   test("mirror-integrated view stays synced across stream batches") {
     import graft.cdc.ChangeLogWal
     import graft.model.ChangeRecord
