@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   DROP PEER name
   *   SHOW PEERS
   *   CREATE MIRROR name WITH (wal_dir '...', dest_dir '...',
-  *     checkpoint_dir '...', pk 'id', schema 'id BIGINT, v BIGINT', ...)
+  *     checkpoint_dir '...', pk 'id', schema 'id BIGINT, v BIGINT',
+  *     agg_view 'group_col:value_col:dir', ...)
   *   CREATE MIRROR name FROM src_peer TO dst_peer FOR
   *     $$ SELECT ... FROM t WHERE wm BETWEEN {{.start}} AND {{.end}} $$
   *     WITH (watermark_column 'wm', source_table 't', dest_dir '...',
@@ -198,7 +199,17 @@ object GraftSql {
       pkColumns = req("pk").split(",").map(_.trim).toSeq,
       payloadSchema = StructType.fromDDL(req("schema")),
       maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),
-      softDelete = o.get("soft_delete").forall(_.toBoolean))
+      softDelete = o.get("soft_delete").forall(_.toBoolean),
+      // agg_view 'group_col:value_col:dir' — a delta-maintained
+      // (group → count, sum) view on the primary table (IncrementalAgg)
+      aggViews = o.get("agg_view").map { spec =>
+        spec.split(":", 3) match {
+          case Array(g, v, dir) =>
+            Map(o.getOrElse("table", "dest") -> AggViewConfig(g, v, dir))
+          case _ => throw new IllegalArgumentException(
+            "CREATE MIRROR: agg_view must be 'group_col:value_col:dir'")
+        }
+      }.getOrElse(Map.empty))
   }
   private def mirrorEntry(spark: SparkSession, n: String): Peer =
     try mirrorsFor(spark).get(n)
@@ -386,6 +397,16 @@ object GraftSql {
       } else {
         val cfg = mirrorConfig(entry.options)
         Maintenance.resync(spark, cfg.destDir) { fresh =>
+          // The rebuild replays batch ids from zero — reset any delta
+          // views first, or the views' applied-batch watermarks would
+          // skip every replayed fold and leave them permanently stale.
+          // (The view rebuilds in place alongside the fresh table and
+          // converges with it by swap time.)
+          cfg.aggViews.values.foreach { av =>
+            val p = new org.apache.hadoop.fs.Path(av.dir)
+            val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (f.exists(p)) f.delete(p, true)
+          }
           val scratch = java.nio.file.Files
             .createTempDirectory(s"graft_resync_$n").toString
           val rcfg = cfg.copy(destDir = fresh,

@@ -88,7 +88,8 @@ class GraftSqlSpec extends SparkSpec {
       s.sql(s"""CREATE MIRROR m_test WITH (
                |  wal_dir '$wal', dest_dir '$base/dest',
                |  checkpoint_dir '$base/ckpt', pk 'id', table 'd',
-               |  schema 'id BIGINT, v BIGINT', max_batch_size '10')"""
+               |  schema 'id BIGINT, v BIGINT', max_batch_size '10',
+               |  agg_view 'id:v:$base/agg')"""
         .stripMargin)
       assert(s.sql("SHOW MIRRORS").collect().map(_.getString(0))
         .contains("m_test"))
@@ -98,6 +99,12 @@ class GraftSqlSpec extends SparkSpec {
         .filter("NOT _peerdb_is_deleted")
       assert(dest.count() == 1)
       assert(dest.select("id").head().getLong(0) == 2L)
+      // the SQL-declared delta view tracked the drain (id=1 deleted)
+      def view(): Map[String, Long] =
+        new IncrementalAgg(s, s"$base/agg", "id", "v", Seq("id"))
+          .read().collect()
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(view() == Map("2" -> 20L))
 
       // passthrough still works on the extended session
       assert(s.sql("SELECT 1 + 1").head().getInt(0) == 2)
@@ -112,6 +119,9 @@ class GraftSqlSpec extends SparkSpec {
         .filter("NOT _peerdb_is_deleted")
       assert(resynced.count() == 2) // id=2 (live) + id=7 (post-execute)
       assert(resynced.filter("id = 7").count() == 1)
+      // resync reset + rebuilt the view (stale applied-batch watermark
+      // would otherwise have skipped every replayed fold)
+      assert(view() == Map("2" -> 20L, "7" -> 70L))
 
       // PAUSE/RESUME signal surface: resume starts the continuous run
       // from the checkpoint (picks up the resync-era append), pause stops
