@@ -313,6 +313,27 @@ class GraftSqlSpec extends SparkSpec {
       Thread.sleep(1500)
       assert(s.read.parquet(s"$base/dest").count() == 130)
       assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 2L)
+
+      // a round that throws stops the loop AND surfaces in status —
+      // silent death reporting 'running' would hide dead replication
+      val srcDir = new java.io.File(s"$base/src/items.parquet")
+      val parked = new java.io.File(s"$base/src/items.parked")
+      assert(srcDir.renameTo(parked)) // source vanishes → rounds fail
+      s.sql("RESUME MIRROR qm")
+      val errDeadline = System.currentTimeMillis() + 30000
+      def qmStatus(): String = s.sql("SHOW MIRRORS").collect()
+        .find(_.getString(0) == "qm").get.getString(3)
+      while (System.currentTimeMillis() < errDeadline &&
+        !qmStatus().startsWith("error")) Thread.sleep(200)
+      assert(qmStatus().startsWith("error"), qmStatus())
+      // restore the source: RESUME doubles as retry (dead loop replaced)
+      assert(parked.renameTo(srcDir))
+      s.sql("RESUME MIRROR qm")
+      val okDeadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < okDeadline &&
+        qmStatus() != "running") Thread.sleep(200)
+      assert(qmStatus() == "running")
+      s.sql("PAUSE MIRROR qm")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
