@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, GraftQuery, PipelineQueries, RelationalQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, GraftQuery, LayoutQueries, PipelineQueries, RelationalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
   /** Everything the engine declares, with docs + oracles. */
   def registry: Seq[GraftQuery] =
     CoreQueries.all ++ PipelineQueries.all ++ RelationalQueries.all ++
-      CurationQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all
+      CurationQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all ++
+      LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full CDC normalize: replay the change log, latest-version dedup,

@@ -183,7 +183,8 @@ object PipelineQueries {
     * Fused-loop signature (SimHash60Expr): votes accumulate per doc in
     * the scan stage — no explode, no 60-sum aggregate shuffle; equals
     * TF.simhashSignatures bit-for-bit (SignatureExprsSpec). */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def simhashPairs(s: SparkSession, dir: String)
+      : DataFrame = {
     val sig = docs(s, dir)
       .select(col("doc_id"), graft.functions.SignatureExprs
         .simhash60(TF.words(col("text"))).as("sig"))
@@ -202,7 +203,7 @@ object PipelineQueries {
 
   /** DuckDB CTE list producing the same (d1, d2) pair set as
     * [[simhashPairs]]; compose after a `WITH [RECURSIVE]`. */
-  private val duckSimhashPairs =
+  private[queries] val duckSimhashPairs =
     s"""sig AS (
        |  ${TF.simhashDuckSql("doc_id", "text", "documents")}
        |),
