@@ -94,12 +94,14 @@ object Graft {
   /** Register every graft SQL function on a session in one call:
     * `cosine_sim`, `int_dot`, the PG text-decode family
     * (`hstore_to_json`, `pg_canonical_int_range`/`_multirange`,
-    * `pg_parse_array`, `pg_interval_json`) and `wkb_to_wkt`. */
+    * `pg_parse_array`, `pg_interval_json`), `wkb_to_wkt`, and `zvalue`
+    * (Morton interleave for multi-column layout clustering). */
   def registerSql(spark: SparkSession): Unit = {
     functions.CosineSimilarityExpr.register(spark)
     functions.QuantizedExprs.registerIntDot(spark)
     functions.PgText.register(spark)
     functions.Wkb.register(spark)
+    functions.ZOrder.register(spark)
   }
 
   /** All declared queries: name → runner ((spark, sfDir) → DataFrame). */

@@ -44,6 +44,11 @@ object ZOrder {
   /** Column form: `zvalue(x, y)` over two BIGINT columns. */
   def zvalue(x: Column, y: Column): Column = GraftShims.column(
     ZValueExpr(GraftShims.expression(x), GraftShims.expression(y)))
+
+  /** SQL registration: `SELECT zvalue(x, y)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zvalue", exprs => ZValueExpr(exprs(0), exprs(1)), "built-in")
 }
 
 /** Codegen'd 2-D Morton interleave of the low 16 bits of two longs. */

@@ -73,6 +73,70 @@ object LayoutQueries {
            |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The data-skipping payoff of [[zorderLayout]], quantified: for a
+    * predicate on the SECOND dimension only (a ~10% suppkey band), count
+    * how many of 64 files hold matching rows under (a) z-order layout
+    * vs (b) the classic single-column (partkey) sort. The partkey sort
+    * must touch every file for a suppkey predicate; the z-order layout
+    * confines the band to the files sharing its interleaved suppkey
+    * prefix bits — the measured difference IS the scan cost a 100 TB
+    * reader avoids. Single aggregate pass over the filtered frame (both
+    * distinct-file counts in one shuffle). */
+  val zorderPrune = GraftQuery(
+    "q_zorder_prune",
+    "files touched for a 2nd-dim predicate: z-order vs single-col sort",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val stats = li.agg(
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val withZ = li.crossJoin(broadcast(stats))
+        .withColumn("qx", expr(
+          "(l_partkey - pmin) * 65535 DIV greatest(pmax - pmin, 1)"))
+        .withColumn("qy", expr(
+          "(l_suppkey - smin) * 65535 DIV greatest(smax - smin, 1)"))
+        .withColumn("file_z", shiftright(
+          ZOrder.zvalue(col("qx"), col("qy")), 26).cast("int"))
+      val ranked = GlobalRank.withNtile(withZ,
+        Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")),
+        64, "file_p")
+      ranked
+        .filter(col("l_suppkey") >=
+            expr("smin + (smax - smin) * 45 DIV 100") &&
+          col("l_suppkey") <= expr("smin + (smax - smin) * 55 DIV 100"))
+        .agg(countDistinct("file_z").as("files_zorder"),
+          countDistinct("file_p").as("files_partkey_sort"),
+          count(lit(1)).as("rows_matched"))
+        .orderBy("files_zorder")
+    },
+    Some("""WITH s AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+           |             min(l_suppkey) AS smin, max(l_suppkey) AS smax
+           |           FROM lineitem),
+           |q AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |        smin, smax,
+           |        (l_partkey - pmin) * 65535 // greatest(pmax - pmin, 1)
+           |          AS qx,
+           |        (l_suppkey - smin) * 65535 // greatest(smax - smin, 1)
+           |          AS qy
+           |      FROM lineitem CROSS JOIN s),
+           |z AS (SELECT *,
+           |        CAST((SELECT SUM((((qx >> i) & 1) << (2*i)) +
+           |                         (((qy >> i) & 1) << (2*i+1)))
+           |              FROM generate_series(0, 15) t(i)) AS BIGINT)
+           |          AS zv
+           |      FROM q),
+           |r AS (SELECT *, CAST(zv >> 26 AS INT) AS file_z,
+           |        ntile(64) OVER (ORDER BY l_partkey, l_orderkey,
+           |          l_linenumber) AS file_p
+           |      FROM z)
+           |SELECT count(DISTINCT file_z) AS files_zorder,
+           |  count(DISTINCT file_p) AS files_partkey_sort,
+           |  count(*) AS rows_matched
+           |FROM r
+           |WHERE l_suppkey >= smin + (smax - smin) * 45 // 100
+           |  AND l_suppkey <= smin + (smax - smin) * 55 // 100
+           |ORDER BY files_zorder""".stripMargin))
+
   // ------------------------------------------------------- shard export
 
   /** Deterministic seeded shuffle + shard manifest — the training-export
@@ -211,5 +275,6 @@ object LayoutQueries {
            |ORDER BY d.doc_id""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(
-    zorderLayout, shardExport, dedupKeepBest, importanceWeight)
+    zorderLayout, zorderPrune, shardExport, dedupKeepBest,
+    importanceWeight)
 }

@@ -49,6 +49,13 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.interleave16(0x2345L, 0L))
   }
 
+  test("SQL registration: zvalue callable from spark.sql") {
+    graft.Graft.registerSql(spark)
+    val z = spark.sql("SELECT zvalue(CAST(3 AS BIGINT), CAST(5 AS BIGINT))")
+      .collect().head.getLong(0)
+    assert(z == ZOrder.interleave16(3L, 5L))
+  }
+
   test("keep-best invariant: exactly one keeper per cluster") {
     val out = graft.queries.LayoutQueries.dedupKeepBest
       .run(spark, "/root/testdata/sf0.001")
