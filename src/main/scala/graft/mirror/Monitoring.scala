@@ -91,4 +91,16 @@ object SlotLag {
     val committed = committedCp(checkpointDir).getOrElse(-1L)
     math.max(0L, head - committed)
   }
+
+  /** Poll the lag gauge and feed it through the [[Alerting.Alerter]] —
+    * the reference's slot-monitoring loop ending in
+    * `Alerter.AlertIfSlotLag` (flow/alerting/alerting.go:124). The gauge
+    * unit here is RECORDS (the WAL simulator's native unit, vs the
+    * reference's MB) — configure sender/default thresholds in the same
+    * unit. Returns whatever fired so callers can route/log alerts. */
+  def alertCheck(alerter: Alerting.Alerter, flowName: String,
+      peerName: String, walDir: String, checkpointDir: String)
+      : Seq[Alerting.Alert] =
+    alerter.alertIfSlotLag(flowName, peerName, s"graft_wal:$walDir",
+      records(walDir, checkpointDir))
 }

@@ -885,9 +885,164 @@ object CurationQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
+  /** TRAINED linear classifier over token counts — the fastText /
+    * log-count-ratio family every production curation stack runs (quality
+    * and language filters in CCNet, RefinedWeb, DCLM are exactly this
+    * shape: train a cheap linear model on in-corpus labels, score every
+    * document with it). Complements [[qualityClassifier]], whose weights
+    * are hand-set: here the weights are LEARNED from the corpus's own
+    * `lang` labels — a binary is-English Naive-Bayes-style model.
+    *
+    * Training = one token-count aggregation: per-word positive/negative
+    * occurrence counts plus class totals. The per-word weight is the
+    * Laplace-smoothed class likelihood ratio, kept in EXACT integer
+    * per-mille form (the monotone quantity under the NB log; the repo's
+    * standard integer restatement so the oracle is bit-exact):
+    *
+    *   r(w) = ((pos+1) * (Nneg+V) * 1000) DIV ((neg+1) * (Npos+V))
+    *
+    * Scoring = mean ratio over the document's tokens; predict `en` when
+    * the mean ≥ 1000 (ratio ≥ 1). At scale: train is one hash-agg
+    * shuffle over (doc,word) counts; class totals are a 1-row broadcast
+    * (no driver collect); scoring is one shuffle_hash join of the count
+    * frame against the weight table — the same measured shape as
+    * [[rarityScore]]. Reported per doc with the true label so the result
+    * doubles as the model's confusion surface. */
+  val nbClassifier = GraftQuery(
+    "q_nb_classifier",
+    "trained log-count-ratio language classifier (integer NB weights)",
+    (s, dir) => {
+      // One explode pass → (doc, lang, word) counts, checkpointed once:
+      // the weight table, the class totals, and the scoring join all
+      // derive from this compact frame (one row per distinct word/doc).
+      val tf = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TF.words(col("text"))).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val stats = tf.groupBy("w").agg(
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(col("tf"))).as("neg"))
+      val tot = tf.agg(
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("npos"),
+        sum(when(col("lang") === "en", 0L).otherwise(col("tf"))).as("nneg"),
+        countDistinct("w").as("v"))
+      val weights = stats.crossJoin(broadcast(tot))
+        .select(col("w"), expr(
+          "(pos + 1) * (nneg + v) * 1000 DIV ((neg + 1) * (npos + v))")
+          .as("r"))
+      tf.join(weights.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"),
+          sum(col("tf") * col("r")).as("rsum"),
+          max("lang").as("lang1"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("rsum DIV n_tokens").as("score_milli"),
+          expr("CASE WHEN rsum DIV n_tokens >= 1000 " +
+            "THEN 'en' ELSE 'other' END").as("pred"),
+          expr("CASE WHEN lang1 = 'en' THEN 'en' ELSE 'other' END")
+            .as("actual"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH occ AS (SELECT doc_id, lang,
+           |         unnest(string_split(text, ' ')) AS w FROM documents),
+           |tf AS (SELECT doc_id, lang, w, count(*) AS tf
+           |       FROM occ GROUP BY 1, 2, 3),
+           |st AS (SELECT w,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END)
+           |      AS BIGINT) AS pos,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE tf END)
+           |      AS BIGINT) AS neg
+           |  FROM tf GROUP BY 1),
+           |tot AS (SELECT
+           |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END)
+           |      AS BIGINT) AS npos,
+           |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE tf END)
+           |      AS BIGINT) AS nneg,
+           |    CAST(count(DISTINCT w) AS BIGINT) AS v
+           |  FROM tf),
+           |w8 AS (SELECT w,
+           |    (pos + 1) * (nneg + v) * 1000 // ((neg + 1) * (npos + v))
+           |      AS r
+           |  FROM st CROSS JOIN tot)
+           |SELECT t.doc_id,
+           |  CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           |  CAST(sum(t.tf * r) AS BIGINT) // CAST(sum(t.tf) AS BIGINT)
+           |    AS score_milli,
+           |  CASE WHEN CAST(sum(t.tf * r) AS BIGINT)
+           |         // CAST(sum(t.tf) AS BIGINT) >= 1000
+           |       THEN 'en' ELSE 'other' END AS pred,
+           |  CASE WHEN max(t.lang) = 'en' THEN 'en' ELSE 'other' END
+           |    AS actual
+           |FROM tf t JOIN w8 USING (w)
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
+  /** Bigram language-model scoring — the CCNet-style perplexity filter
+    * (Wenzek et al. 2020: score each document under an n-gram LM trained
+    * on the corpus, gate on the score). The LM here is the corpus's own
+    * bigram model; the per-bigram cost is the INVERSE conditional
+    * probability in exact integer per-mille form,
+    *
+    *   cost(prev,w) = c(prev) * 1000 DIV c(prev,w)
+    *
+    * (the monotone integer stand-in for −log P(w|prev); c(prev) counts
+    * occurrences as a bigram CONTEXT so Σ_w P(w|prev) = 1 exactly), and
+    * the document score is the mean cost over its bigrams — a true
+    * integer perplexity proxy, CONDITIONAL where [[rarityScore]] is
+    * marginal: a document of individually common words in improbable
+    * order scores high here and low there.
+    *
+    * At scale: bigram extraction is a per-row array transform (zero
+    * shuffle), model "training" is one hash-agg over (prev,w), scoring
+    * is two shuffle_hash joins against count tables keyed by the same
+    * prev — Catalyst reuses the exchange. Documents with fewer than two
+    * words have no bigrams and drop out (documented; they carry no LM
+    * evidence). */
+  val bigramLm = GraftQuery(
+    "q_bigram_lm",
+    "bigram-LM perplexity-proxy scoring (integer conditional costs)",
+    (s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), " +
+            "(x, i) -> struct(x AS prev, ws[i + 1] AS w))")).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+      val tf = bg.groupBy("doc_id", "prev", "w")
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val c2 = tf.groupBy("prev", "w").agg(sum("tf").as("c2"))
+      val c1 = tf.groupBy("prev").agg(sum("tf").as("c1"))
+      tf.join(c2.hint("shuffle_hash"), Seq("prev", "w"))
+        .join(c1.hint("shuffle_hash"), Seq("prev"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"),
+          sum(col("tf") * expr("c1 * 1000 DIV c2")).as("cost_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("cost_sum DIV n_bigrams").as("ppl_milli"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+           |           FROM documents),
+           |idx AS (SELECT doc_id, l,
+           |          unnest(generate_series(1, len(l) - 1)) AS i FROM d),
+           |bg AS (SELECT doc_id, l[i] AS prev, l[i + 1] AS w FROM idx),
+           |tf AS (SELECT doc_id, prev, w, count(*) AS tf
+           |       FROM bg GROUP BY 1, 2, 3),
+           |c2 AS (SELECT prev, w, CAST(sum(tf) AS BIGINT) AS c2
+           |       FROM tf GROUP BY 1, 2),
+           |c1 AS (SELECT prev, CAST(sum(tf) AS BIGINT) AS c1
+           |       FROM tf GROUP BY 1)
+           |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(t.tf * (c1 * 1000 // c2)) AS BIGINT)
+           |    // CAST(sum(t.tf) AS BIGINT) AS ppl_milli
+           |FROM tf t JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
     mixPlan, dedupIncremental, annFiltered, rarityScore, trainSplit,
     dedupBloom, dedupChunk, qualityFunnel, qualityClassifier, lengthGate,
-    langConfusion, bpeTokens)
+    langConfusion, bpeTokens, nbClassifier, bigramLm)
 }

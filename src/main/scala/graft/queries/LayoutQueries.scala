@@ -274,7 +274,127 @@ object LayoutQueries {
            |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  // ------------------------------------------------- bloom file skipping
+
+  /** Split-block Bloom file-skipping index — the data-skipping tool for
+    * POINT lookups on a column the file layout is NOT sorted by (parquet
+    * column indexes and lakehouse bloom indexes are this exact
+    * structure). Files are laid out by insertion order (orderkey
+    * ranges), so per-file min/max on partkey prunes nothing for a
+    * partkey lookup; a tiny per-file Bloom filter does. Per file: a
+    * 4032-bit filter as 64×63-bit words (63-bit words keep every mask
+    * positive — no sign-bit cases in either engine), built by one
+    * bit_or hash-aggregation; k=2 multiply-mod hashes, all arithmetic
+    * in BIGINT range at any SF.
+    *
+    * The query measures the payoff for a deterministic batch of point
+    * keys (p_partkey ≡ 5 mod 211): per key, the files actually holding
+    * it, the files a Bloom-index scan must touch (no false negatives —
+    * files_bloom ≥ files_true always), and the files a min/max-only
+    * scan touches (≈ all of them, the point of the comparison).
+    *
+    * At scale the index is tiny (64 words × 8 B per file per column =
+    * 0.5 KB regardless of file size) and builds map-side: bit_or is
+    * partial-aggregatable, so the shuffle carries ≤ 4096 rows per
+    * file however many rows the file has. Lookups never touch data:
+    * key×index joins are broadcasts of the word-indexed mask table. */
+  val bloomPrune = GraftQuery(
+    "q_bloom_prune",
+    "per-file split-block Bloom index: files touched vs min/max scan",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val mx = li.agg(max("l_orderkey").as("mok"))
+      val rows = li.crossJoin(broadcast(mx))
+        .select(expr("CAST((l_orderkey * 64) DIV (mok + 1) AS INT)")
+          .as("file_id"), col("l_partkey").as("pk"))
+      val bloom = rows
+        .withColumn("h1", expr("(pk * 2654435761 + 97) % 4032"))
+        .withColumn("h2", expr("(pk * 1540483477 + 311) % 4032"))
+        .select(col("file_id"), explode(array(col("h1"), col("h2")))
+          .as("h"))
+        .groupBy(col("file_id"), expr("h DIV 63").as("word_idx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(h % 63 AS INT)))").as("mask"))
+      val keys = Tables(s, dir, "part")
+        .filter("p_partkey % 211 = 5")
+        .select(col("p_partkey").as("k"))
+        .withColumn("h1", expr("(k * 2654435761 + 97) % 4032"))
+        .withColumn("h2", expr("(k * 1540483477 + 311) % 4032"))
+      val m1 = keys.join(broadcast(bloom),
+          col("word_idx") === expr("h1 DIV 63"))
+        .where(expr("(shiftright(mask, CAST(h1 % 63 AS INT)) & 1) = 1"))
+        .select("k", "file_id")
+      val m2 = keys.join(broadcast(bloom),
+          col("word_idx") === expr("h2 DIV 63"))
+        .where(expr("(shiftright(mask, CAST(h2 % 63 AS INT)) & 1) = 1"))
+        .select("k", "file_id")
+      val bloomCnt = m1.join(m2, Seq("k", "file_id"))
+        .groupBy("k").agg(count(lit(1)).as("files_bloom"))
+      val trueCnt = rows.join(broadcast(keys.select("k")),
+          col("pk") === col("k"))
+        .groupBy("k").agg(countDistinct("file_id").as("files_true"))
+      val st = rows.groupBy("file_id")
+        .agg(min("pk").as("mn"), max("pk").as("mxp"))
+      val mmCnt = keys.select("k").join(broadcast(st),
+          col("k") >= col("mn") && col("k") <= col("mxp"))
+        .groupBy("k").agg(count(lit(1)).as("files_minmax"))
+      val tot = rows.agg(countDistinct("file_id").as("total_files"))
+      keys.select("k")
+        .join(trueCnt, Seq("k"), "left")
+        .join(bloomCnt, Seq("k"), "left")
+        .join(mmCnt, Seq("k"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("k").as("partkey"),
+          coalesce(col("files_true"), lit(0L)).as("files_true"),
+          coalesce(col("files_bloom"), lit(0L)).as("files_bloom"),
+          coalesce(col("files_minmax"), lit(0L)).as("files_minmax"),
+          col("total_files"))
+        .orderBy("partkey")
+    },
+    Some("""WITH mx AS (SELECT max(l_orderkey) AS mok FROM lineitem),
+           |rows_ AS (SELECT CAST((l_orderkey * 64) // (mok + 1) AS INT)
+           |            AS file_id, l_partkey AS pk
+           |          FROM lineitem CROSS JOIN mx),
+           |hs AS (SELECT file_id, pk,
+           |         (pk * 2654435761 + 97) % 4032 AS h1,
+           |         (pk * 1540483477 + 311) % 4032 AS h2 FROM rows_),
+           |bloom AS (
+           |  SELECT file_id, h // 63 AS word_idx,
+           |    CAST(bit_or(1::BIGINT << CAST(h % 63 AS INT)) AS BIGINT)
+           |      AS mask
+           |  FROM (SELECT file_id, h1 AS h FROM hs
+           |        UNION ALL SELECT file_id, h2 FROM hs)
+           |  GROUP BY 1, 2),
+           |keys AS (SELECT p_partkey AS k,
+           |           (p_partkey * 2654435761 + 97) % 4032 AS h1,
+           |           (p_partkey * 1540483477 + 311) % 4032 AS h2
+           |         FROM part WHERE p_partkey % 211 = 5),
+           |m1 AS (SELECT k, file_id FROM keys JOIN bloom
+           |         ON word_idx = h1 // 63
+           |       WHERE ((mask >> CAST(h1 % 63 AS INT)) & 1) = 1),
+           |m2 AS (SELECT k, file_id FROM keys JOIN bloom
+           |         ON word_idx = h2 // 63
+           |       WHERE ((mask >> CAST(h2 % 63 AS INT)) & 1) = 1),
+           |bl AS (SELECT k, count(*) AS files_bloom
+           |       FROM m1 JOIN m2 USING (k, file_id) GROUP BY 1),
+           |tru AS (SELECT k, count(DISTINCT file_id) AS files_true
+           |        FROM keys JOIN rows_ ON pk = k GROUP BY 1),
+           |st AS (SELECT file_id, min(pk) AS mn, max(pk) AS mxp
+           |       FROM rows_ GROUP BY 1),
+           |mm AS (SELECT k, count(*) AS files_minmax
+           |       FROM keys JOIN st ON k >= mn AND k <= mxp GROUP BY 1),
+           |tot AS (SELECT count(DISTINCT file_id) AS total_files
+           |        FROM rows_)
+           |SELECT k AS partkey,
+           |  COALESCE(files_true, 0) AS files_true,
+           |  COALESCE(files_bloom, 0) AS files_bloom,
+           |  COALESCE(files_minmax, 0) AS files_minmax,
+           |  total_files
+           |FROM keys LEFT JOIN tru USING (k) LEFT JOIN bl USING (k)
+           |  LEFT JOIN mm USING (k) CROSS JOIN tot
+           |ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     zorderLayout, zorderPrune, shardExport, dedupKeepBest,
-    importanceWeight)
+    importanceWeight, bloomPrune)
 }
