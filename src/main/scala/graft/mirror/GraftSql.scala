@@ -200,6 +200,10 @@ object GraftSql {
       payloadSchema = StructType.fromDDL(req("schema")),
       maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),
       softDelete = o.get("soft_delete").forall(_.toBoolean),
+      // transform 'sql_expr' — the reference's `script` flow option
+      // (Lua transformRow) as a SQL expression over the record frame;
+      // see MirrorConfig.transformSql.
+      transformSql = o.get("transform"),
       // agg_view 'group_col:value_col:dir' — a delta-maintained
       // (group → count, sum) view on the primary table (IncrementalAgg)
       aggViews = o.get("agg_view").map { spec =>
@@ -357,6 +361,11 @@ object GraftSql {
     case ShowPeers => peersFor(spark).list.map(p => Row(p.name, p.kind))
     case CreateMirror(n, o) =>
       mirrorConfig(o) // validate options before persisting
+      // Parse the transform script at DDL time (fail the CREATE, not
+      // the first EXECUTE — the analyzer's job, like validateQRep;
+      // functions.expr is LAZY in Spark 4, so parse explicitly).
+      o.get("transform").foreach(
+        spark.sessionState.sqlParser.parseExpression(_))
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
     case CreateQRepMirror(n, src, dst, q, o) =>

@@ -53,6 +53,13 @@ final case class MirrorConfig(
     /** Snapshot→CDC handoff: checkpoint the initial snapshot was taken at;
       * the stream starts strictly after it (snapshot_flow.go). */
     snapshotCheckpoint: Long = -1L,
+    /** Per-record transform "script" — the reference's Lua `script` flow
+      * option as one declarative Spark SQL expression over the record
+      * frame (row-image JSON bound to `data`), applied between pull and
+      * raw staging to BOTH images ([[graft.transform.RowTransform
+      * .sqlTransform]]; flowable.go:485-512 attaches the Lua adapter at
+      * the same point). None = passthrough. */
+    transformSql: Option[String] = None,
     /** Additional destination tables (one mirror replicates a table SET,
       * the reference's TableMapping list). Keyed by the WAL records'
       * `destinationTable`; records for the primary `destinationTable`
@@ -174,8 +181,15 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     finally batch.unpersist()
   }
 
-  private def syncAndNormalizePinned(batch: DataFrame, batchId: Long)
+  private def syncAndNormalizePinned(batch0: DataFrame, batchId: Long)
       : Unit = {
+    // The transform script runs between pull and staging (the reference's
+    // adaptStream seam): the raw table — the durable changefeed — already
+    // holds transformed images, so normalize, replays and catch-up all
+    // see one consistent stream.
+    val batch = cfg.transformSql
+      .map(graft.transform.RowTransform.sqlTransform(batch0, _))
+      .getOrElse(batch0)
     val raw = toRaw(batch, batchId)
 
     // Raw sync replaces exactly this batch's `_peerdb_batch_id` partition
@@ -265,9 +279,15 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * the catch-up point and its checkpoint — the version-idempotent merge
     * absorbs the overlap. */
   def catchUpTable(table: String, tc: TableConfig): Unit = {
-    val slice = graft.cdc.ChangeLogBatch.read(spark, cfg.walDir)
+    val slice0 = graft.cdc.ChangeLogBatch.read(spark, cfg.walDir)
       .filter(col("destinationTable") === table &&
         col("recordType") <= graft.model.ChangeRecord.TypeDelete)
+    // Catch-up replays the WAL from before the table joined — the same
+    // transform must apply or the late table would diverge from tables
+    // that streamed through it.
+    val slice = cfg.transformSql
+      .map(graft.transform.RowTransform.sqlTransform(slice0, _))
+      .getOrElse(slice0)
     val raw = toRaw(slice, batchId = -1L)
     val normalized = Normalizer.normalize(
       raw, NormalizeConfig(tc.pkColumns, tc.payloadSchema,

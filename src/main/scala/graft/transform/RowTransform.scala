@@ -30,4 +30,33 @@ object RowTransform {
   def flat(ds: Dataset[ChangeRecord])(
       f: ChangeRecord => Seq[ChangeRecord]): Dataset[ChangeRecord] =
     ds.flatMap(r => f(r))
+
+  /** STRING-configured per-record transform — the declarative face of the
+    * Lua `script` option (a CREATE MIRROR can carry it as DDL text, like
+    * the reference's `script` flow option): one Spark SQL expression,
+    * evaluated once per record with the row-image JSON bound to `data`,
+    * whose result replaces the image.
+    *
+    * Matching the reference's `transformRow` semantics exactly
+    * (flow/activities/flowable.go:498-509: the SAME user fn runs over
+    * the OLD and NEW row images), the expression is applied twice — to
+    * `data` (new image) and, when present, to `matchData` (old image,
+    * rebound under the `data` name so one expression serves both).
+    * Codegen'd Catalyst all the way: unlike the reference's per-record
+    * Lua pool, the "script" here fuses into the scan stage.
+    *
+    * Columns other than `data`/`matchData` are visible to the expression
+    * read-only (e.g. `destinationTable` for table-conditional redaction)
+    * and pass through unchanged. */
+  def sqlTransform(frame: org.apache.spark.sql.DataFrame, exprStr: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    frame // nil images skip the fn, as in the Lua adapter's nil check
+      .withColumn("_t_new", when(col("data").isNotNull, expr(exprStr)))
+      .withColumn("data", col("matchData")) // rebind: old image as `data`
+      .withColumn("_t_old", when(col("data").isNotNull, expr(exprStr)))
+      .withColumn("data", col("_t_new"))
+      .withColumn("matchData", col("_t_old"))
+      .select(frame.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -203,6 +203,44 @@ class GraftSqlSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.catalog.dir")
   }
 
+  test("transform option: DDL-time parse check, script applied on " +
+    "EXECUTE") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val wal = tmpDir("twal")
+      val base = tmpDir("tmirror")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"name":"alice"}""", null, Nil)))
+      // Bad script: the CREATE itself must fail (analyzer-time check).
+      intercept[Exception](s.sql(
+        s"""CREATE MIRROR tbad WITH (wal_dir '$wal',
+           |  dest_dir '$base/bad', checkpoint_dir '$base/badckpt',
+           |  pk 'id', table 'd', schema 'id BIGINT, name STRING',
+           |  transform 'not a ) valid ( expr')""".stripMargin))
+      s.sql(
+        s"""CREATE MIRROR tmir WITH (wal_dir '$wal',
+           |  dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+           |  pk 'id', table 'd', schema 'id BIGINT, name STRING',
+           |  transform 'to_json(named_struct(
+           |    ''id'', CAST(get_json_object(data, ''$$.id'') AS BIGINT),
+           |    ''name'', upper(get_json_object(data, ''$$.name''))))')"""
+          .stripMargin)
+      s.sql("EXECUTE MIRROR tmir")
+      val rows = s.read.parquet(s"$base/dest").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("name") == "ALICE")
+    } finally {
+      GraftSql.execute(s, GraftSql.parse("DROP MIRROR tmir").get)
+    }
+  }
+
   test("mirror DDL survives a 'restart' (fresh catalog over the same dir)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

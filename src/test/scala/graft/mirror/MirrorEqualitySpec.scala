@@ -349,4 +349,46 @@ class MirrorEqualitySpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/raw")
       .filter($"_peerdb_timestamp" === 10000L).isEmpty)
   }
+
+  test("transform script redacts both images before staging (the Lua " +
+    "transformRow seam)") {
+    import org.apache.spark.sql.functions.col
+    val wal = tmpDir("walt")
+    val base = tmpDir("mirrort")
+    // Uppercase the `name` field in the row-image JSON — a pure SQL
+    // "script" over `data`, exercised on insert, update AND the update's
+    // old image; delete's null new-image must pass through untouched.
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = payloadSchema, destinationTable = "dest.t",
+      transformSql = Some(
+        """to_json(named_struct(
+          |  'id', CAST(get_json_object(data, '$.id') AS BIGINT),
+          |  'name', upper(get_json_object(data, '$.name')),
+          |  'v', CAST(get_json_object(data, '$.v') AS BIGINT)))"""
+          .stripMargin))
+    ChangeLogWal.append(wal, Seq(
+      rec(1, 1, ChangeRecord.TypeInsert,
+        """{"id":1,"name":"alice","v":1}"""),
+      rec(2, 1, ChangeRecord.TypeInsert,
+        """{"id":2,"name":"bob","v":2}"""),
+      rec(3, 2, ChangeRecord.TypeUpdate,
+        """{"id":1,"name":"carol","v":9}""",
+        """{"id":1,"name":"alice","v":1}"""),
+      rec(4, 3, ChangeRecord.TypeDelete, null, """{"id":2}""")))
+
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+    val rows = runner.destination().collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(rows == Map(1L -> "CAROL")) // id 2 deleted; name uppercased
+    // The raw changefeed (the durable stream) holds transformed images —
+    // old image included, and the delete's null data stayed null.
+    val raw = spark.read.parquet(s"$base/raw")
+    assert(raw.filter(col("_peerdb_data").contains("ALICE")).count() == 1)
+    assert(raw.filter(col("_peerdb_match_data").contains("ALICE"))
+      .count() == 1)
+    assert(raw.filter(col("_peerdb_data").isNull).count() == 1)
+  }
 }
