@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
@@ -517,6 +517,58 @@ object GraftSql {
 }
 
 /** The graft DDL as a Catalyst command node. */
+object PeerQueryRouter {
+
+  /** SURVEY §3.2 — the nexus query-router path for plain SQL against a
+    * peer: `PeerExistanceAnalyzer` resolves which peer each relation
+    * belongs to (nexus/query-router/src/lib.rs:65-79) and the dialect
+    * layer strips the peer-name qualifier before shipping
+    * (nexus/peer-postgres/src/ast.rs:11-57). Spark restatement:
+    * substitute every 2-part `peer.table` UnresolvedRelation with the
+    * peer's storage relation AT PARSE TIME — Catalyst then analyzes and
+    * optimizes it like any local scan, so filter pushdown and column
+    * pruning reach the peer's files (`PushedFilters` in the physical
+    * plan) where the reference forwards opaque SQL text. Peer names
+    * shadow same-named databases for 2-part identifiers, exactly the
+    * proxy's precedence. Relations that reference no known peer pass
+    * through untouched, as does every other plan shape. */
+  def route(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val cat = GraftSql.peersFor(spark)
+    lazy val names = cat.list.map(_.name).toSet
+    plan.transformUp {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+          names.contains(r.multipartIdentifier.head) =>
+        val table = r.multipartIdentifier(1)
+        SubqueryAlias(table,
+          relation(spark, cat.get(r.multipartIdentifier.head), table))
+    }
+  }
+
+  /** A peer table's logical plan. Parquet peers (`path` option) are the
+    * storage kind this engine executes natively; other kinds name
+    * warehouses we only generate DDL/MERGE text for (no drivers in the
+    * environment) and are rejected here with the reason. */
+  private def relation(spark: SparkSession, p: Peer, table: String)
+      : LogicalPlan = p.kind.toLowerCase match {
+    case "parquet" =>
+      val root = p.options.getOrElse("path",
+        throw new IllegalArgumentException(
+          s"peer ${p.name}: no 'path' option — not queryable"))
+      spark.read.parquet(s"$root/$table.parquet")
+        .queryExecution.logical
+    case k => throw new IllegalArgumentException(
+      s"peer ${p.name} (kind $k) is not locally queryable")
+  }
+
+  /** Programmatic entry: parse + route + re-enter as a DataFrame (for
+    * sessions without the extensions installed; with them, plain
+    * `spark.sql` routes already). */
+  def query(spark: SparkSession, sql: String)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftShims.ofRows(spark,
+      route(spark, spark.sessionState.sqlParser.parsePlan(sql)))
+}
+
 final case class GraftCommand(st: GraftSql.Statement)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.outputAttributes(st)
@@ -525,11 +577,12 @@ final case class GraftCommand(st: GraftSql.Statement)
 }
 
 /** Delegating parser: graft DDL first, stock Spark SQL otherwise. */
-final class GraftSqlParser(delegate: ParserInterface)
-    extends ParserInterface {
+final class GraftSqlParser(session: SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSql.parse(sqlText).map(GraftCommand(_))
-      .getOrElse(delegate.parsePlan(sqlText))
+      .getOrElse( // plain SQL: route peer-qualified relations (§3.2)
+        PeerQueryRouter.route(session, delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -552,5 +605,5 @@ final class GraftSqlParser(delegate: ParserInterface)
 /** `spark.sql.extensions` entry point. */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
 }

@@ -13,6 +13,14 @@ object GraftShims {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over an arbitrary logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — the re-entry point for plans assembled outside
+    * the parser (peer-qualified relation routing). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** DataFrame over an already-Catalyst-formatted RDD — the zero-copy
     * rehydration path (`internalCreateDataFrame` is `private[sql]`).
     * Used by operators that must pin a physical plan's partitioning

@@ -203,6 +203,48 @@ class GraftSqlSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.catalog.dir")
   }
 
+  test("peer-qualified SELECT routes to the peer's storage (§3.2 " +
+    "query-router path) with pushdown into the peer scan") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      s.sql("CREATE PEER tpch TYPE parquet OPTIONS " +
+        "(path '/root/testdata/sf0.001')")
+      // Plain SELECT with the peer-qualified name through spark.sql:
+      assert(s.sql("SELECT count(*) AS c FROM tpch.region")
+        .head().getLong(0) == 5L)
+      // Cross-peer/local join + filter: predicate must reach the scan.
+      val df = s.sql("""SELECT n.n_name FROM tpch.nation n
+                       |JOIN tpch.region r ON n.n_regionkey = r.r_regionkey
+                       |WHERE r.r_name = 'ASIA'""".stripMargin)
+      assert(df.collect().length == 5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("EqualTo(r_name,ASIA)"),
+        s"filter not pushed into the peer scan:\n$plan")
+      // Programmatic entry without extensions behaves identically.
+      val df2 = PeerQueryRouter.query(s,
+        "SELECT count(*) AS c FROM tpch.lineitem WHERE l_orderkey = 1")
+      assert(df2.head().getLong(0) >= 0L)
+      // Unknown table under a known peer: analysis fails with the path.
+      intercept[Exception](
+        s.sql("SELECT * FROM tpch.nope").collect())
+      // A peer without a path option is not queryable and says so.
+      s.sql("CREATE PEER sfonly TYPE snowflake OPTIONS (account 'x')")
+      val e = intercept[Exception](
+        s.sql("SELECT * FROM sfonly.t").collect())
+      assert(e.getMessage.contains("not locally queryable"))
+    } finally {
+      Seq("DROP PEER tpch", "DROP PEER sfonly").foreach(d =>
+        GraftSql.execute(s, GraftSql.parse(d).get))
+    }
+  }
+
   test("transform option: DDL-time parse check, script applied on " +
     "EXECUTE") {
     SparkSession.clearActiveSession()
