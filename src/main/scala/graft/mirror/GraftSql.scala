@@ -83,6 +83,9 @@ object GraftSql {
   final case class PauseMirror(name: String) extends Statement
   final case class ResumeMirror(name: String) extends Statement
   case object ShowMirrors extends Statement
+  /** The dynamic-settings introspection surface ([[Settings]];
+    * dynamicconf.go's catalog listing). */
+  case object ShowSettings extends Statement
   /** Server-side cursors (the stateful DECLARE/FETCH/CLOSE handling of
     * the reference's proxy, nexus/server/src/main.rs:593-650): DECLARE
     * binds a query to a named incremental iterator, FETCH pages rows out,
@@ -112,6 +115,7 @@ object GraftSql {
   private val resumeMirror: Regex =
     """(?is)\s*RESUME\s+MIRROR\s+(\w+)\s*""".r
   private val showMirrors: Regex = """(?is)\s*SHOW\s+MIRRORS\s*""".r
+  private val showSettings: Regex = """(?is)\s*SHOW\s+SETTINGS\s*""".r
   private val declareCursor: Regex =
     """(?is)\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.+?)\s*""".r
   private val fetchCursor: Regex =
@@ -138,6 +142,7 @@ object GraftSql {
     case pauseMirror(n) => Some(PauseMirror(n))
     case resumeMirror(n) => Some(ResumeMirror(n))
     case showMirrors() => Some(ShowMirrors)
+    case showSettings() => Some(ShowSettings)
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
     case fetchCursor(cnt, n) => Some(FetchCursor(n,
       if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
@@ -187,7 +192,8 @@ object GraftSql {
   }
 
   /** Build the runnable config from CREATE MIRROR options. */
-  private def mirrorConfig(o: Map[String, String]): MirrorConfig = {
+  private def mirrorConfig(spark: SparkSession,
+      o: Map[String, String]): MirrorConfig = {
     def req(k: String) = o.getOrElse(k,
       throw new IllegalArgumentException(s"CREATE MIRROR: missing '$k'"))
     MirrorConfig(
@@ -198,7 +204,10 @@ object GraftSql {
       destinationTable = o.getOrElse("table", "dest"),
       pkColumns = req("pk").split(",").map(_.trim).toSeq,
       payloadSchema = StructType.fromDDL(req("schema")),
-      maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(250000),
+      // Omitted in the DDL -> the deployment-wide dynamic setting
+      // (PEERDB_CDC_MAX_BATCH_SIZE shape; Settings.scala).
+      maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(
+        Settings.getLong(spark, "mirror.max_batch_size").toInt),
       softDelete = o.get("soft_delete").forall(_.toBoolean),
       // transform 'sql_expr' — the reference's `script` flow option
       // (Lua transformRow) as a SQL expression over the record frame;
@@ -221,7 +230,7 @@ object GraftSql {
       throw new NoSuchElementException(s"mirror $n")
     }
   private def mirrorCfg(spark: SparkSession, n: String): MirrorConfig =
-    mirrorConfig(mirrorEntry(spark, n).options)
+    mirrorConfig(spark, mirrorEntry(spark, n).options)
 
   /** QRep option validation at DDL time (the analyzer's role,
     * nexus/analyzer/src/qrep.rs:20-90): required keys present, the
@@ -360,7 +369,7 @@ object GraftSql {
     case DropPeer(n) => peersFor(spark).drop(n); Nil
     case ShowPeers => peersFor(spark).list.map(p => Row(p.name, p.kind))
     case CreateMirror(n, o) =>
-      mirrorConfig(o) // validate options before persisting
+      mirrorConfig(spark, o) // validate options before persisting
       // Parse the transform script at DDL time (fail the CREATE, not
       // the first EXECUTE — the analyzer's job, like validateQRep;
       // functions.expr is LAZY in Spark 4, so parse explicitly).
@@ -379,7 +388,7 @@ object GraftSql {
       val entry = mirrorEntry(spark, n)
       if (entry.kind == "qrep") executeQRep(spark, entry)
       else {
-        new MirrorRunner(spark, mirrorConfig(entry.options))
+        new MirrorRunner(spark, mirrorConfig(spark, entry.options))
           .runAvailableNow()
         Seq(Row(-1L)) // CDC drain reports no row count (stream metrics do)
       }
@@ -404,7 +413,7 @@ object GraftSql {
           }
         }
       } else {
-        val cfg = mirrorConfig(entry.options)
+        val cfg = mirrorConfig(spark, entry.options)
         Maintenance.resync(spark, cfg.destDir) { fresh =>
           // The rebuild replays batch ids from zero — reset any delta
           // views first, or the views' applied-batch watermarks would
@@ -449,7 +458,7 @@ object GraftSql {
             () => executeQRep(spark, entry).head.getLong(0),
             interval).start())
       } else {
-        val cfg = mirrorConfig(entry.options)
+        val cfg = mirrorConfig(spark, entry.options)
         val h = handles.getOrElseUpdate(handleKey(spark, n),
           new MirrorRunner(spark, cfg).handle(
             org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)))
@@ -483,7 +492,7 @@ object GraftSql {
             Row(p.name, s"qrep:${p.options("__source_peer")}",
               p.options("dest_dir"), status)
           else {
-            val c = mirrorConfig(p.options)
+            val c = mirrorConfig(spark, p.options)
             Row(p.name, c.walDir, c.destDir, status)
           }
         } catch {
@@ -491,6 +500,10 @@ object GraftSql {
             Row(p.name, "", "", s"invalid: ${e.getMessage}")
         }
       }
+    case ShowSettings =>
+      Settings.all.map(s => Row(s.name,
+        Settings.get(spark, s.name).getOrElse(""),
+        s.default.getOrElse(""), s.description))
   }
 
   def outputAttributes(st: Statement): Seq[Attribute] = st match {
@@ -512,11 +525,15 @@ object GraftSql {
       AttributeReference("wal_dir", StringType)(),
       AttributeReference("dest_dir", StringType)(),
       AttributeReference("status", StringType)())
+    case ShowSettings => Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("value", StringType)(),
+      AttributeReference("default", StringType)(),
+      AttributeReference("description", StringType)())
     case _ => Nil
   }
 }
 
-/** The graft DDL as a Catalyst command node. */
 object PeerQueryRouter {
 
   /** SURVEY §3.2 — the nexus query-router path for plain SQL against a
@@ -569,6 +586,7 @@ object PeerQueryRouter {
       route(spark, spark.sessionState.sqlParser.parsePlan(sql)))
 }
 
+/** The graft DDL as a Catalyst command node. */
 final case class GraftCommand(st: GraftSql.Statement)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSql.outputAttributes(st)

@@ -1,0 +1,72 @@
+package graft.mirror
+
+import org.apache.spark.sql.SparkSession
+
+/** Deployment-wide dynamic settings — the reference's dynamic-config
+  * catalog (`flow/internal/dynamicconf.go`: a table of named settings
+  * with defaults, value types and descriptions, overridable per
+  * deployment and read at decision points). Spark restatement: the
+  * catalog is this object's `all` table; overrides live in the session
+  * conf under `spark.graft.<name>` (settable at runtime with plain
+  * `SET spark.graft.… = …`, Spark's own dynamic-config channel), and
+  * every getter resolves override-else-default exactly like
+  * `dynLookup`. `SHOW SETTINGS` on the SQL facade lists the catalog
+  * with current values, the `peerdb_internal` introspection surface.
+  *
+  * Only settings this engine actually reads are declared — no
+  * aspirational rows. Defaults mirror dynamicconf.go where the setting
+  * restates a reference one (lines cited per entry).
+  */
+object Settings {
+
+  final case class Setting(
+      name: String, default: Option[String], valueType: String,
+      description: String)
+
+  /** The catalog. Names are suffixes under `spark.graft.`. */
+  val all: Seq[Setting] = Seq(
+    Setting("catalog.dir", None, "string",
+      "Durable peer/mirror catalog directory; unset = in-memory DDL"),
+    Setting("mirror.max_batch_size", Some("250000"), "uint",
+      "Default CDC micro-batch record cap when CREATE MIRROR omits " +
+        "max_batch_size (PEERDB_CDC_MAX_BATCH_SIZE semantics)"),
+    Setting("alerting.gap_minutes", Some("15"), "uint",
+      "Minimum minutes between repeats of one alert key per sender; " +
+        "0 disables alerting (PEERDB_ALERTING_GAP_MINUTES, " +
+        "dynamicconf.go:244)"),
+    Setting("alerting.slot_lag_threshold", Some("5000"), "uint",
+      "Slot-lag alert threshold (PEERDB_SLOT_LAG_MB_ALERT_THRESHOLD, " +
+        "dynamicconf.go:252; unit = records for the WAL gauge here)"),
+    Setting("alerting.open_connections_threshold", Some("5"), "uint",
+      "Open-connections alert threshold " +
+        "(PEERDB_PGPEER_OPEN_CONNECTIONS_ALERT_THRESHOLD, " +
+        "dynamicconf.go:260)"))
+
+  private val byName = all.map(s => s.name -> s).toMap
+
+  /** Override-else-default resolution (`dynLookup`). Throws on names
+    * outside the catalog — a typo'd setting should fail loudly, not
+    * silently fall back. */
+  def get(spark: SparkSession, name: String): Option[String] = {
+    val s = byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown setting $name"))
+    spark.conf.getOption(s"spark.graft.$name").orElse(s.default)
+  }
+
+  def getLong(spark: SparkSession, name: String): Long =
+    get(spark, name).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(s"setting $name has no value"))
+
+  /** An [[Alerting.Alerter]] wired from the deployment settings — the
+    * reference's construction path (thresholds and gap read from
+    * dynamic config at check time, alerting.go:136/202/297). */
+  def alerter(spark: SparkSession, senders: Seq[Alerting.Sender],
+      clock: () => Long = () => System.currentTimeMillis())
+      : Alerting.Alerter =
+    new Alerting.Alerter(senders,
+      defaultSlotLagMb = getLong(spark, "alerting.slot_lag_threshold"),
+      defaultOpenConnections =
+        getLong(spark, "alerting.open_connections_threshold"),
+      gapMinutes = getLong(spark, "alerting.gap_minutes"),
+      clock = clock)
+}

@@ -203,6 +203,39 @@ class GraftSqlSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.catalog.dir")
   }
 
+  test("SHOW SETTINGS lists the dynamic-config catalog; conf overrides " +
+    "flow into defaults (dynamicconf semantics)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val rows = s.sql("SHOW SETTINGS").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+        .toMap
+      assert(rows.contains("alerting.gap_minutes"))
+      assert(rows("mirror.max_batch_size") == ("250000", "250000"))
+      // Spark's own SET is the override channel (dynLookup shape).
+      s.sql("SET spark.graft.mirror.max_batch_size=7")
+      assert(s.sql("SHOW SETTINGS").collect()
+        .find(_.getString(0) == "mirror.max_batch_size").get
+        .getString(1) == "7")
+      // Typo'd names fail loudly rather than silently defaulting.
+      intercept[IllegalArgumentException](
+        Settings.get(s, "mirror.max_batchsize"))
+      // Settings-wired alerter: gap 0 from conf disables alerting.
+      s.conf.set("spark.graft.alerting.gap_minutes", "0")
+      val a = Settings.alerter(s, Seq(Alerting.Sender(1)))
+      assert(a.alertIfSlotLag("m", "p", "sl", 999999L).isEmpty)
+    } finally {
+      s.conf.unset("spark.graft.mirror.max_batch_size")
+      s.conf.unset("spark.graft.alerting.gap_minutes")
+    }
+  }
+
   test("peer-qualified SELECT routes to the peer's storage (§3.2 " +
     "query-router path) with pushdown into the peer scan") {
     SparkSession.clearActiveSession()
