@@ -68,4 +68,28 @@ object Maintenance {
       batchId
     }
   }
+
+  /** Raw-staging retention — PEERDB_POSTGRES_RAW_BATCH_CLEANUP_THRESHOLD
+    * (dynamicconf.go:531-539): after normalize, raw batches older than
+    * `normalizedBatchId − threshold` are deleted; 0 disables. The raw
+    * table partitions by `_peerdb_batch_id`, so the reference's DELETE
+    * is a directory unlink here — O(retired batches), no data scan.
+    * Returns the batch ids removed. */
+  def cleanupRaw(spark: SparkSession, rawDir: String,
+      normalizedBatchId: Long, threshold: Long): Seq[Long] = {
+    if (threshold <= 0) return Nil
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(rawDir)
+    if (!fs.exists(root)) return Nil
+    val cut = normalizedBatchId - threshold
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"${RawTable.BatchId}="))
+      .flatMap { p =>
+        val id = p.getPath.getName
+          .stripPrefix(s"${RawTable.BatchId}=").toLong
+        if (id < cut && fs.delete(p.getPath, true)) Some(id) else None
+      }.sorted
+  }
 }

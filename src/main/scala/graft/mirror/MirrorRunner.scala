@@ -246,6 +246,12 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         applyChanges(table, writer, tc.pkColumns, normalized,
           batchId = Some(batchId))
     }
+
+    // Raw retention after normalize (the reference deletes raw rows past
+    // the cleanup threshold at exactly this point; setting 0 = keep all).
+    val keep = Settings.getLong(spark,
+      "mirror.raw_batch_cleanup_threshold")
+    if (keep > 0) Maintenance.cleanupRaw(spark, cfg.rawDir, batchId, keep)
   }
 
   /** Change-event rows → the raw staging schema (SURVEY §2.4).

@@ -30,6 +30,12 @@ object Settings {
     Setting("mirror.max_batch_size", Some("250000"), "uint",
       "Default CDC micro-batch record cap when CREATE MIRROR omits " +
         "max_batch_size (PEERDB_CDC_MAX_BATCH_SIZE semantics)"),
+    Setting("mirror.raw_batch_cleanup_threshold", Some("0"), "int",
+      "Normalized batches to retain in the raw staging table; after " +
+        "normalize, batch partitions older than batch_id minus this " +
+        "are deleted, 0 disables " +
+        "(PEERDB_POSTGRES_RAW_BATCH_CLEANUP_THRESHOLD, " +
+        "dynamicconf.go:531)"),
     Setting("alerting.gap_minutes", Some("15"), "uint",
       "Minimum minutes between repeats of one alert key per sender; " +
         "0 disables alerting (PEERDB_ALERTING_GAP_MINUTES, " +

@@ -80,4 +80,33 @@ class MaintenanceSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 1, s"expected 1 compacted file, got $files")
   }
+
+  test("raw retention: batches past the cleanup threshold are dropped " +
+    "after normalize, destination unaffected") {
+    val wal = tmpDir("retwal")
+    val base = tmpDir("retmir")
+    // 12 single-record transactions at maxBatchSize 3 → 4 micro-batches
+    // (ids 0..3).
+    ChangeLogWal.append(wal, (1L to 12L).map(i =>
+      ChangeRecord(0, i, i.toString, i * 1000, i, "t", "d",
+        s"""{"id":$i,"v":${i * 10}}""", null, Nil)))
+    val cfg = MirrorConfig(wal, s"$base/raw", s"$base/dest",
+      s"$base/ckpt", Seq("id"), payloadSchema,
+      destinationTable = "d", maxBatchSize = 3)
+    spark.conf.set("spark.graft.mirror.raw_batch_cleanup_threshold", "2")
+    try new MirrorRunner(spark, cfg).runAvailableNow()
+    finally spark.conf
+      .unset("spark.graft.mirror.raw_batch_cleanup_threshold")
+    // Last normalized batch id = 3, threshold 2 → ids < 1 deleted.
+    val kept = new java.io.File(s"$base/raw").listFiles()
+      .filter(_.getName.startsWith("_peerdb_batch_id=")).map(_.getName)
+      .sorted.toSeq
+    assert(kept == Seq("_peerdb_batch_id=1", "_peerdb_batch_id=2",
+      "_peerdb_batch_id=3"), kept.toString)
+    // Destination still holds every record.
+    assert(spark.read.parquet(s"$base/dest")
+      .filter(!col("_peerdb_is_deleted")).count() == 12)
+    // Threshold 0 (the default) keeps everything: explicit call no-ops.
+    assert(Maintenance.cleanupRaw(spark, s"$base/raw", 3, 0).isEmpty)
+  }
 }
