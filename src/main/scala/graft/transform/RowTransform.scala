@@ -51,10 +51,19 @@ object RowTransform {
   def sqlTransform(frame: org.apache.spark.sql.DataFrame, exprStr: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    frame // nil images skip the fn, as in the Lua adapter's nil check
-      .withColumn("_t_new", when(col("data").isNotNull, expr(exprStr)))
+    // Row records only: relation/message records (recordType ≥ 3) carry
+    // schema deltas / signals in `data`, not row images — the Lua
+    // adapter never sees them either (they are not Insert/Update/Delete
+    // records). Nil images skip the fn, as in the adapter's nil check.
+    val isRow = col("recordType") <= lit(ChangeRecord.TypeDelete)
+    frame
+      .withColumn("_t_new",
+        when(isRow && col("data").isNotNull, expr(exprStr))
+          .otherwise(col("data")))
       .withColumn("data", col("matchData")) // rebind: old image as `data`
-      .withColumn("_t_old", when(col("data").isNotNull, expr(exprStr)))
+      .withColumn("_t_old",
+        when(isRow && col("data").isNotNull, expr(exprStr))
+          .otherwise(col("data")))
       .withColumn("data", col("_t_new"))
       .withColumn("matchData", col("_t_old"))
       .select(frame.columns.map(col).toIndexedSeq: _*)

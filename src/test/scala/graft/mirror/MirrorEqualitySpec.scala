@@ -376,7 +376,13 @@ class MirrorEqualitySpec extends SparkSpec {
       rec(3, 2, ChangeRecord.TypeUpdate,
         """{"id":1,"name":"carol","v":9}""",
         """{"id":1,"name":"alice","v":1}"""),
-      rec(4, 3, ChangeRecord.TypeDelete, null, """{"id":2}""")))
+      rec(4, 3, ChangeRecord.TypeDelete, null, """{"id":2}"""),
+      // Relation record: schema-delta JSON rides `data` but is NOT a
+      // row image — the transform must not touch it (the batch would
+      // fail to parse the delta if it did).
+      rec(5, 4, ChangeRecord.TypeRelation,
+        """{"srcTable":"public.t","dstTable":"dest.t",
+          |"addedColumns":[]}""".stripMargin.replace("\n", ""))))
 
     val runner = new MirrorRunner(spark, cfg)
     runner.runAvailableNow()
@@ -390,5 +396,8 @@ class MirrorEqualitySpec extends SparkSpec {
     assert(raw.filter(col("_peerdb_match_data").contains("ALICE"))
       .count() == 1)
     assert(raw.filter(col("_peerdb_data").isNull).count() == 1)
+    // The relation record's delta JSON passed through untransformed.
+    assert(raw.filter(col("_peerdb_record_type") === 3).head()
+      .getAs[String]("_peerdb_data").contains("addedColumns"))
   }
 }
