@@ -222,7 +222,11 @@ object GraftSql {
           case _ => throw new IllegalArgumentException(
             "CREATE MIRROR: agg_view must be 'group_col:value_col:dir'")
         }
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // stats 'dir' — durable peerdb_stats catalog for this mirror;
+      // flow_name overrides the stats flow key (default: the table name)
+      statsDir = o.get("stats"),
+      flowName = o.getOrElse("flow_name", ""))
   }
   private def mirrorEntry(spark: SparkSession, n: String): Peer =
     try mirrorsFor(spark).get(n)
@@ -468,6 +472,22 @@ object GraftSql {
     case DropMirror(n) =>
       handles.remove(handleKey(spark, n)).foreach(_.pause())
       qrepHandles.remove(handleKey(spark, n)).foreach(_.stop())
+      // DeleteMirrorStats (monitoring.go:478-507): the dropped flow's
+      // rows leave the stats catalog with the mirror.
+      val entry = try Some(mirrorEntry(spark, n)) catch {
+        case _: NoSuchElementException => None
+      }
+      entry.foreach { p =>
+        p.options.get("stats").foreach { d =>
+          val cfg = try mirrorConfig(spark, p.options) catch {
+            case _: Exception => null
+          }
+          val flow = Option(cfg).map(_.flow)
+            .getOrElse(p.options.getOrElse("table", "dest"))
+          new StatsCatalog(d, spark.sparkContext.hadoopConfiguration)
+            .deleteMirrorStats(flow)
+        }
+      }
       mirrorsFor(spark).drop(n)
       Nil
     case ShowMirrors =>

@@ -70,7 +70,14 @@ final case class MirrorConfig(
       * every merged batch also folds its group deltas into the view
       * ([[IncrementalAgg]]) — the view is exactly in sync with the
       * destination after each batch, without ever rescanning it. */
-    aggViews: Map[String, AggViewConfig] = Map.empty) {
+    aggViews: Map[String, AggViewConfig] = Map.empty,
+    /** Durable replication-stats catalog directory ([[StatsCatalog]], the
+      * peerdb_stats schema). None = stats disabled (zero extra jobs). */
+    statsDir: Option[String] = None,
+    /** Flow name for stats rows; defaults to `destinationTable`. */
+    flowName: String = "") {
+
+  def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
   /** destinationTable → (config, dest subdirectory). */
   def tableSet: Map[String, (TableConfig, String)] = {
@@ -133,6 +140,16 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
   private def merge = writers(cfg.destinationTable)._2
   private val hwmPath = s"${cfg.checkpointDir}/graft-raw-hwm"
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  /** Replication-stats catalog (the per-flow peerdb_stats writes woven
+    * through pullAndSyncCore / the normalize loop in the reference). The
+    * flow row is initialized eagerly (first-write-wins fold op, so
+    * restarts are no-ops); per-batch events buffer and land as one
+    * segment per micro-batch via the flush() at the end of
+    * [[syncAndNormalizePinned]]. */
+  val stats: Option[StatsCatalog] =
+    cfg.statsDir.map(d => new StatsCatalog(d, hadoopConf))
+  stats.foreach(_.initializeCdcFlow(cfg.flow))
 
   /** Run until the WAL is drained (Trigger.AvailableNow), blocking. */
   def runAvailableNow(): Unit = {
@@ -216,6 +233,29 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       graft.util.FsText.write(hwmPath, batchId.toString, hadoopConf)
     }
 
+    // Stats: batch bookkeeping after the raw rows land (sync_time marks
+    // staged-but-unnormalized — the normalize-lag probe keys on it), end
+    // events after the merge below. Aggregates run on the pinned batch;
+    // the per-table collect is bounded by the mirror's table set.
+    val statEndLsn: Option[Long] = stats.flatMap { st =>
+      st.addCdcBatch(cfg.flow, batchId)
+      val info = batch.agg(count(lit(1)), max(col("checkpointId")),
+        min(col("commitTimeMicros"))).head
+      if (info.getLong(0) == 0L) None
+      else {
+        val (rows, endLsn) = (info.getLong(0), info.getLong(1))
+        st.updateCdcBatch(cfg.flow, batchId, rows, endLsn,
+          firstRowCommitMicros = Some(info.getLong(2)))
+        st.updateLatestLsnAtSource(cfg.flow, endLsn)
+        st.addBatchTables(cfg.flow, batchId,
+          StatsCatalog.tableCountsFrame(raw, RawTable.DestinationTable,
+            RawTable.RecordType).collect().toSeq.map(r =>
+            StatsCatalog.TableOps(r.getString(0), r.getLong(1),
+              r.getLong(2), r.getLong(3))))
+        Some(endLsn)
+      }
+    }
+
     // RelationRecords (schema-change deltas riding the stream, recordType
     // 3) widen the live payload schema BEFORE this batch normalizes:
     // records after the delta in the same batch already carry the new
@@ -245,6 +285,15 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       if (!normalized.isEmpty)
         applyChanges(table, writer, tc.pkColumns, normalized,
           batchId = Some(batchId))
+    }
+
+    // Normalize done: target LSN catches up to source, the batch closes
+    // (UpdateEndTimeForCDCBatch), and the whole batch's events land as
+    // one durable segment.
+    stats.foreach { st =>
+      statEndLsn.foreach(st.updateLatestLsnAtTarget(cfg.flow, _))
+      st.endCdcBatches(cfg.flow, batchId)
+      st.flush()
     }
 
     // Raw retention after normalize (the reference deletes raw rows past

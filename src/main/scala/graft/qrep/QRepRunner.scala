@@ -49,11 +49,18 @@ final case class QRepConfig(
     destDir: String,
     wmarkStorePath: String,
     mode: WriteMode = WriteMode.Append,
-    numPartitions: Int = 8)
+    numPartitions: Int = 8,
+    /** Durable replication-stats catalog dir ([[graft.mirror.StatsCatalog]],
+      * the qrep_runs / qrep_partitions tables). None = stats disabled. */
+    statsDir: Option[String] = None,
+    flowName: String = "qrep",
+    sourceTable: String = "source")
 
 final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 
   private val store = new WatermarkStore(cfg.wmarkStorePath)
+  private val stats = cfg.statsDir.map(d => new graft.mirror.StatsCatalog(
+    d, spark.sparkContext.hadoopConfiguration))
 
   /** One replication round over `source`; returns rows moved. */
   def runOnce(source: DataFrame): Long = {
@@ -72,6 +79,37 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       Partitioner.partitionedPull(source, cfg.wmarkColumn, ranges) ++
         nullPart
     val increment = parts.reduce(_ unionByName _)
+
+    // Run + partition lifecycle into the stats catalog (InitializeQRepRun
+    // → addPartitionToQRepRun → pull/sync/end per partition,
+    // monitoring.go:272-499). Per-partition row counts come from ONE
+    // tagged aggregation pass over the increment, not a job per range.
+    val runId = java.util.UUID.randomUUID().toString
+    stats.foreach { st =>
+      st.initQRepRun(cfg.flowName, runId, cfg.sourceTable, cfg.destDir,
+        cfg.flowName)
+      st.startQRepRun(cfg.flowName, runId)
+      val bounds = ranges.map(r =>
+        (Some(r.lo.toString), Some(r.hi.toString))) ++
+        nullPart.map(_ => (None, None))
+      val partIds = bounds.indices.map(i => f"$runId-p$i%04d")
+      bounds.zip(partIds).foreach { case ((lo, hi), pid) =>
+        st.addQRepPartition(cfg.flowName, runId, pid, lo, hi,
+          cfg.flowName)
+        st.startQRepPartition(runId, pid)
+      }
+      val counts = parts.zipWithIndex
+        .map { case (df, i) => df.select(lit(i).as("__p")) }
+        .reduce(_ unionByName _)
+        .groupBy("__p").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      partIds.zipWithIndex.foreach { case (pid, i) =>
+        val n = counts.getOrElse(i, 0L)
+        st.pullEndQRepPartition(runId, pid, n)
+        st.rowsSyncedQRepPartition(runId, pid, n)
+        st.endQRepPartition(runId, pid)
+      }
+    }
 
     val moved = cfg.mode match {
       case WriteMode.Append =>
@@ -99,6 +137,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     // pulled exactly once — an unwritten store would leave last.isEmpty
     // true and re-pull (duplicate, in Append mode) every round.
     else store.write(Long.MinValue)
+    stats.foreach { st => st.endQRepRun(cfg.flowName, runId); st.flush() }
     moved
   }
 }

@@ -1270,6 +1270,52 @@ object CoreQueries {
            |    AS rate_pm
            |FROM c ORDER BY check_name""".stripMargin))
 
+  /** peerdb_stats per-destination-table operation counts — the exact
+    * aggregate [[graft.mirror.StatsCatalog.tableCountsFrame]] that the
+    * mirror collects into `cdc_table_aggregate_counts` each batch
+    * (AddCDCBatchTablesForFlow, monitoring.go:170-243). The change log is
+    * fanned out over a synthetic 4-table TableMapping so the per-table
+    * grouping is exercised; one map-side-combined hash aggregate. */
+  val statsTableCounts = GraftQuery(
+    "q_stats_tablecounts",
+    "peerdb_stats table aggregate counts: per-table insert/update/delete",
+    (s, dir) => graft.mirror.StatsCatalog.tableCountsFrame(
+      changeLog(s, dir).withColumn("dest_table",
+        concat(lit("public.t"), (col("user_id") % 4).cast("string"))),
+      "dest_table", "rtype")
+      .orderBy("destination_table_name"),
+    Some(s"""SELECT 'public.t' || CAST(user_id % 4 AS VARCHAR)
+            |    AS destination_table_name,
+            |  CAST(sum(CASE WHEN rtype = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS inserts_count,
+            |  CAST(sum(CASE WHEN rtype = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS updates_count,
+            |  CAST(sum(CASE WHEN rtype = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS deletes_count,
+            |  count(*) AS total_count
+            |FROM ($changeLogSql) WHERE rtype <= 2
+            |GROUP BY 1 ORDER BY destination_table_name""".stripMargin))
+
+  /** peerdb_stats per-batch bookkeeping — the aggregate
+    * [[graft.mirror.StatsCatalog.batchInfoFrame]] behind
+    * UpdateNumRowsAndEndLSNForCDCBatch (monitoring.go:83-103), run over
+    * the whole changefeed as batch-history backfill: rows per batch, end
+    * LSN, first commit time. Groups on the batch id, so the shuffle is as
+    * wide as the batch count — trivially scale-safe. */
+  val statsBatchInfo = GraftQuery(
+    "q_stats_batchinfo",
+    "peerdb_stats batch bookkeeping: rows / end-LSN / first-commit per batch",
+    (s, dir) => graft.mirror.StatsCatalog.batchInfoFrame(
+      changeLog(s, dir).withColumn("batch", expr("event_id DIV 1000")),
+      "batch", "event_id", "version")
+      .orderBy("batch_id"),
+    Some(s"""SELECT event_id // 1000 AS batch_id,
+            |  count(*) AS rows_in_batch,
+            |  max(event_id) AS batch_end_lsn,
+            |  min(version) AS first_row_commit_time
+            |FROM ($changeLogSql)
+            |GROUP BY 1 ORDER BY batch_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     projectionExclude, filterWatermark, partitionNtile, partitionMinMax,
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
@@ -1279,5 +1325,5 @@ object CoreQueries {
     intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
-    profileTable)
+    profileTable, statsTableCounts, statsBatchInfo)
 }
