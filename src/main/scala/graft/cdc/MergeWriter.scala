@@ -37,9 +37,39 @@ final class MergeWriter(
     spark: SparkSession,
     tablePath: String,
     pkColumns: Seq[String],
-    numBuckets: Int = 64) {
+    numBuckets: Int = 64,
+    /** Physical destination name of the soft-delete flag — the
+      * SoftDeleteColName table option (flow/model/model.go:167; default
+      * `_PEERDB_IS_DELETED` shape). Internally the engine always speaks
+      * [[RawTable.IsDeleted]]; the rename happens at the storage boundary
+      * (write + scan), so only the parquet files carry the custom name. */
+    softDeleteCol: String = RawTable.IsDeleted,
+    /** When set, every row WRITTEN by a merge is stamped with the merge
+      * wall-clock (epoch micros) under this column — SyncedAtColName
+      * (model.go:168), the `SYNCED_AT = CURRENT_TIMESTAMP` branch of the
+      * warehouse MERGE generators. Rows that merely survive in a
+      * rewritten bucket keep their previous stamp. */
+    syncedAtCol: Option[String] = None,
+    nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
 
   private val BucketCol = "_g_bucket"
+
+  /** Internal → physical column names, applied just before a write. */
+  private def toPhysical(df: DataFrame): DataFrame =
+    if (softDeleteCol == RawTable.IsDeleted) df
+    else df.withColumnRenamed(RawTable.IsDeleted, softDeleteCol)
+
+  /** Physical → internal, applied right after a scan. */
+  private def toLogical(df: DataFrame): DataFrame =
+    if (softDeleteCol == RawTable.IsDeleted) df
+    else df.withColumnRenamed(softDeleteCol, RawTable.IsDeleted)
+
+  private def logicalSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (softDeleteCol == RawTable.IsDeleted) s
+    else org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      if (f.name == softDeleteCol) f.copy(name = RawTable.IsDeleted)
+      else f))
 
   private def bucketOf(df: DataFrame) =
     pmod(hash(pkColumns.map(col): _*), lit(numBuckets))
@@ -96,20 +126,21 @@ final class MergeWriter(
     * mergeSchema footer union. */
   private def tableScan(sess: SparkSession): DataFrame = {
     val reader = sess.read.option("basePath", tablePath)
-    storedSchema match {
+    toLogical(storedSchema match {
       case Some(s) =>
         reader.schema(s.add(BucketCol,
           org.apache.spark.sql.types.IntegerType)).parquet(tablePath)
       case None =>
         reader.option("mergeSchema", "true").parquet(tablePath)
-    }
+    })
   }
 
   /** The persisted widest schema of the stored table (payload + engine
-    * meta columns), if it has ever been written — lets a restarted mirror
-    * recover post-ADD-COLUMN payload schemas its static config predates. */
+    * meta columns, INTERNAL names), if it has ever been written — lets a
+    * restarted mirror recover post-ADD-COLUMN payload schemas its static
+    * config predates. */
   def currentSchema: Option[org.apache.spark.sql.types.StructType] =
-    storedSchema
+    storedSchema.map(logicalSchema)
 
   /** Current table state (all buckets); typed-empty after a full hard
     * delete (schema persisted alongside the data). */
@@ -119,7 +150,8 @@ final class MergeWriter(
       val schema = storedSchema.getOrElse(throw new IllegalStateException(
         s"no data and no $schemaFile — table never written"))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        logicalSchema(schema))
     }
 
   /** Affected-rows read: the stored rows whose primary key appears in
@@ -156,7 +188,7 @@ final class MergeWriter(
     val incoming = changes.withColumn(BucketCol, bucketOf(changes))
 
     if (!exists) {
-      val resolved = finishRow(incoming, hardDelete)
+      val resolved = toPhysical(stampSynced(finishRow(incoming, hardDelete)))
       resolved.write
         .partitionBy(BucketCol)
         .mode(SaveMode.Overwrite)
@@ -180,6 +212,7 @@ final class MergeWriter(
       existingStored, changes.drop(Normalizer.AbsentCols).schema)
     val retainedCols = existingStored.columns.toSeq
       .filterNot(changes.columns.contains).filterNot(_ == BucketCol)
+      .filterNot(syncedAtCol.contains) // handled row-accurately below
 
     val valueCols = dataCols
       .filterNot(pkColumns.contains)
@@ -204,17 +237,24 @@ final class MergeWriter(
       } ++
       // Destination-only columns behave as TOAST-absent on every incoming
       // row: the stored value survives (null for brand-new keys).
-      retainedCols.map(c => col(s"dst.$c").as(c)) ++ Seq(
+      retainedCols.map(c => col(s"dst.$c").as(c)) ++
+      // Synced-at: rows the merge writes (srcWins) take the fresh stamp;
+      // surviving rows keep the one from the merge that last wrote them.
+      syncedAtCol.toSeq.map { c =>
+        val prev = if (existing.columns.contains(c)) col(s"dst.$c")
+          else lit(null).cast("long")
+        when(srcWins, lit(nowMicros())).otherwise(prev).as(c)
+      } ++ Seq(
         when(srcWins, col(s"src.${RawTable.Version}"))
           .otherwise(col(s"dst.${RawTable.Version}")).as(RawTable.Version),
         when(srcWins, col(s"src.${RawTable.IsDeleted}"))
           .otherwise(col(s"dst.${RawTable.IsDeleted}"))
           .as(RawTable.IsDeleted)): _*)
 
-    val resolved = finishRow(
+    val resolved = toPhysical(finishRow(
       merged.withColumn(BucketCol,
         pmod(hash(pkColumns.map(col): _*), lit(numBuckets))),
-      hardDelete)
+      hardDelete))
 
     // Dynamic overwrite: only the affected bucket partitions are replaced.
     val prev = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -250,4 +290,8 @@ final class MergeWriter(
     val noAbsent = df.drop(Normalizer.AbsentCols)
     if (hardDelete) noAbsent.filter(!col(RawTable.IsDeleted)) else noAbsent
   }
+
+  /** First write of the table: every row is being written now. */
+  private def stampSynced(df: DataFrame): DataFrame =
+    syncedAtCol.fold(df)(c => df.withColumn(c, lit(nowMicros())))
 }

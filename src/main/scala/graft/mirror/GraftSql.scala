@@ -226,7 +226,16 @@ object GraftSql {
       // stats 'dir' — durable peerdb_stats catalog for this mirror;
       // flow_name overrides the stats flow key (default: the table name)
       statsDir = o.get("stats"),
-      flowName = o.getOrElse("flow_name", ""))
+      flowName = o.getOrElse("flow_name", ""),
+      // exclude 'a,b' — TableMapping.exclude for the primary table
+      excludeColumns = o.get("exclude")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty),
+      // soft_delete_col / synced_at_col — the SoftDeleteColName /
+      // SyncedAtColName table options (model.go:167-168)
+      softDeleteColName = o.getOrElse("soft_delete_col",
+        graft.model.RawTable.IsDeleted),
+      syncedAtColName = o.get("synced_at_col"))
   }
   private def mirrorEntry(spark: SparkSession, n: String): Peer =
     try mirrorsFor(spark).get(n)

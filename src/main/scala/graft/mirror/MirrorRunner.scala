@@ -13,10 +13,30 @@ import graft.model.RawTable
 
 /** Per-destination-table replication settings (the TableMapping entry,
   * protos/flow.proto TableMapping): replica-identity columns + typed
-  * payload schema. */
+  * payload schema + excluded columns. */
 final case class TableConfig(
     pkColumns: Seq[String],
-    payloadSchema: StructType)
+    payloadSchema: StructType,
+    /** TableMapping.exclude (model.NameAndExclude): columns never
+      * replicated — dropped at pull (cdc.go:364) and, crucially, ignored
+      * when a RelationRecord later re-announces them
+      * (isAddedColumnAndNotExcluded, cdc.go:1327-1334). Here the pull
+      * half falls out of parsing with [[effectiveSchema]] (from_json
+      * ignores fields it isn't asked for); the delta half is enforced in
+      * [[MirrorRunner]]'s schema-delta application. */
+    excludeColumns: Set[String] = Set.empty) {
+
+  require(!pkColumns.exists(excludeColumns),
+    s"cannot exclude replica-identity columns: " +
+      pkColumns.filter(excludeColumns).mkString(","))
+
+  /** The payload schema actually parsed/replicated: config minus
+    * exclusions. */
+  def effectiveSchema: StructType =
+    if (excludeColumns.isEmpty) payloadSchema
+    else StructType(payloadSchema.fields.filterNot(f =>
+      excludeColumns.contains(f.name)))
+}
 
 /** One delta-maintained aggregate view over a mirrored table:
   * `GROUP BY groupCol → (count, sum(valueCol))` persisted at `dir`,
@@ -75,14 +95,23 @@ final case class MirrorConfig(
       * peerdb_stats schema). None = stats disabled (zero extra jobs). */
     statsDir: Option[String] = None,
     /** Flow name for stats rows; defaults to `destinationTable`. */
-    flowName: String = "") {
+    flowName: String = "",
+    /** Excluded columns of the PRIMARY table (extras carry their own set
+      * in [[TableConfig]]). */
+    excludeColumns: Set[String] = Set.empty,
+    /** Physical soft-delete column name at the destination —
+      * SoftDeleteColName (flow/model/model.go:167). */
+    softDeleteColName: String = graft.model.RawTable.IsDeleted,
+    /** When set, merge-written rows are stamped (epoch micros) under this
+      * column — SyncedAtColName (model.go:168). */
+    syncedAtColName: Option[String] = None) {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
   /** destinationTable → (config, dest subdirectory). */
   def tableSet: Map[String, (TableConfig, String)] = {
     val primary = destinationTable ->
-      (TableConfig(pkColumns, payloadSchema), destDir)
+      (TableConfig(pkColumns, payloadSchema, excludeColumns), destDir)
     // Sibling of destDir — NOT nested inside it (the primary table's
     // overwrite would destroy nested extras).
     val extras = extraTables.map { case (name, tc) =>
@@ -96,7 +125,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
   private val writers: Map[String, (TableConfig, MergeWriter)] =
     cfg.tableSet.map { case (name, (tc, dir)) =>
-      name -> (tc, new MergeWriter(spark, dir, tc.pkColumns))
+      name -> (tc, new MergeWriter(spark, dir, tc.pkColumns,
+        softDeleteCol = cfg.softDeleteColName,
+        syncedAtCol = cfg.syncedAtColName))
     }
   /** Every normalized batch lands through here: tables with a configured
     * aggregate view merge via [[IncrementalAgg.applyBatch]] (which wraps
@@ -126,14 +157,17 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     scala.collection.concurrent.TrieMap.empty[String,
       org.apache.spark.sql.types.StructType] ++
       writers.map { case (name, (tc, writer)) =>
-        val meta = Set(RawTable.Version, RawTable.IsDeleted)
+        val meta = Set(RawTable.Version, RawTable.IsDeleted) ++
+          cfg.syncedAtColName
+        val base = tc.effectiveSchema
         val recovered = writer.currentSchema match {
           case Some(stored) =>
-            val known = tc.payloadSchema.fieldNames.toSet
+            val known = base.fieldNames.toSet
             org.apache.spark.sql.types.StructType(
-              tc.payloadSchema.fields ++ stored.fields.filter(f =>
-                !known.contains(f.name) && !meta.contains(f.name)))
-          case None => tc.payloadSchema
+              base.fields ++ stored.fields.filter(f =>
+                !known.contains(f.name) && !meta.contains(f.name) &&
+                  !tc.excludeColumns.contains(f.name)))
+          case None => base
         }
         name -> recovered
       }
@@ -267,8 +301,16 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .select(RawTable.DestinationTable, RawTable.Data)
       .collect().foreach { r =>
         val table = r.getString(0)
-        val delta = SchemaEvolution.deltaFromJson(r.getString(1))
-        liveSchemas.updateWith(table)(_.map(SchemaEvolution.apply(_, delta)))
+        val delta0 = SchemaEvolution.deltaFromJson(r.getString(1))
+        // Excluded columns re-announced by a RelationRecord stay excluded
+        // (isAddedColumnAndNotExcluded, cdc.go:1327-1334).
+        val exclude = writers.get(table)
+          .map(_._1.excludeColumns).getOrElse(Set.empty)
+        val delta = delta0.copy(addedColumns =
+          delta0.addedColumns.filterNot(c => exclude.contains(c.name)))
+        if (delta.addedColumns.nonEmpty)
+          liveSchemas.updateWith(table)(
+            _.map(SchemaEvolution.apply(_, delta)))
       }
 
     // Fan out per destination table (the normalize loop walks the mirror's
@@ -345,11 +387,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .getOrElse(slice0)
     val raw = toRaw(slice, batchId = -1L)
     val normalized = Normalizer.normalize(
-      raw, NormalizeConfig(tc.pkColumns, tc.payloadSchema,
+      raw, NormalizeConfig(tc.pkColumns, tc.effectiveSchema,
         softDelete = cfg.softDelete))
     val writer = new MergeWriter(spark,
       cfg.copy(extraTables = cfg.extraTables + (table -> tc))
-        .tableSet(table)._2, tc.pkColumns)
+        .tableSet(table)._2, tc.pkColumns,
+      softDeleteCol = cfg.softDeleteColName,
+      syncedAtCol = cfg.syncedAtColName)
     if (!normalized.isEmpty)
       applyChanges(table, writer, tc.pkColumns, normalized)
   }
