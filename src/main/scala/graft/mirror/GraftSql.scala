@@ -40,6 +40,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   DECLARE name CURSOR FOR query
   *   FETCH n|ALL FROM name
   *   CLOSE name
+  *   CREATE [OR REPLACE] SCRIPT name [LANG sql] AS $$ expr $$
+  *   DROP SCRIPT name / SHOW SCRIPTS
+  *   SHOW STATS FOR MIRROR name   -- registers stats_* views (peerdb_stats)
   * }}}
   *
   * Durability contract: with `spark.graft.catalog.dir` set, peer/mirror
@@ -95,6 +98,20 @@ object GraftSql {
   final case class FetchCursor(name: String, count: Option[Int])
       extends Statement
   final case class CloseCursor(name: String) extends Statement
+  /** Scripts catalog (the reference's `scripts` table,
+    * nexus/catalog/migrations/V23__scripts.sql + flow/cmd/scripts.go
+    * CRUD): named, durable transform sources referenced from CREATE
+    * MIRROR by `script 'name'`. The reference's lang enum is ('lua');
+    * this engine's transform language is a Spark SQL expression, so the
+    * one supported lang is 'sql'. */
+  final case class CreateScript(name: String, lang: String,
+      source: String, orReplace: Boolean) extends Statement
+  final case class DropScript(name: String) extends Statement
+  case object ShowScripts extends Statement
+  /** Replication-stats introspection for one mirror: registers the
+    * `stats_*` temp views over its [[StatsCatalog]] (the peerdb_stats
+    * query surface) and lists them with row counts. */
+  final case class ShowStats(mirror: String) extends Statement
 
   private val createPeer: Regex =
     """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
@@ -121,6 +138,13 @@ object GraftSql {
   private val fetchCursor: Regex =
     """(?is)\s*FETCH\s+(\d+|ALL)\s+FROM\s+(\w+)\s*""".r
   private val closeCursor: Regex = """(?is)\s*CLOSE\s+(\w+)\s*""".r
+  private val createScript: Regex =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?SCRIPT\s+(\w+)""" +
+      """(?:\s+LANG\s+(\w+))?\s+AS\s+\$\$(.+?)\$\$\s*""").r
+  private val dropScript: Regex = """(?is)\s*DROP\s+SCRIPT\s+(\w+)\s*""".r
+  private val showScripts: Regex = """(?is)\s*SHOW\s+SCRIPTS\s*""".r
+  private val showStats: Regex =
+    """(?is)\s*SHOW\s+STATS\s+FOR\s+MIRROR\s+(\w+)\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
 
   private def parseOptions(s: String): Map[String, String] =
@@ -143,6 +167,12 @@ object GraftSql {
     case resumeMirror(n) => Some(ResumeMirror(n))
     case showMirrors() => Some(ShowMirrors)
     case showSettings() => Some(ShowSettings)
+    case createScript(rep, n, lang, src) => Some(CreateScript(n,
+      Option(lang).map(_.toLowerCase).getOrElse("sql"), src.trim,
+      orReplace = rep != null))
+    case dropScript(n) => Some(DropScript(n))
+    case showScripts() => Some(ShowScripts)
+    case showStats(n) => Some(ShowStats(n))
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
     case fetchCursor(cnt, n) => Some(FetchCursor(n,
       if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
@@ -185,10 +215,38 @@ object GraftSql {
       case None => memoryMirrors
     }
 
+  /** Scripts ride the same durable store: one [[PeerCatalog]] whose
+    * entries are (name, lang, source). */
+  private val scriptCats =
+    scala.collection.concurrent.TrieMap.empty[String, PeerCatalog]
+  private val memoryScripts = new PeerCatalog
+  private def scriptsFor(spark: SparkSession): PeerCatalog =
+    spark.conf.getOption("spark.graft.catalog.dir") match {
+      case Some(dir) => scriptCats.getOrElseUpdate(dir,
+        new PeerCatalog(Some(s"$dir/scripts.txt"),
+          spark.sparkContext.hadoopConfiguration))
+      case None => memoryScripts
+    }
+
+  /** The mirror's transform source: inline `transform 'expr'` wins, else
+    * `script 'name'` resolves through the scripts catalog (the reference
+    * resolves the Lua script name against the catalog when the flow
+    * starts; here resolution happens at config-build time, so a dropped
+    * script fails the EXECUTE with a clear error). */
+  private def resolvedTransform(spark: SparkSession,
+      o: Map[String, String]): Option[String] =
+    o.get("transform").orElse(o.get("script").map { sn =>
+      val p = try scriptsFor(spark).get(sn) catch {
+        case _: NoSuchElementException => throw new NoSuchElementException(
+          s"script $sn (referenced by the mirror) does not exist")
+      }
+      p.options("source")
+    })
+
   /** Test/ops hook: drop cached catalog instances so the next DDL
     * re-reads the persisted files — simulates a driver restart. */
   def invalidateCatalogCaches(): Unit = {
-    catalogs.clear(); mirrorCats.clear()
+    catalogs.clear(); mirrorCats.clear(); scriptCats.clear()
   }
 
   /** Build the runnable config from CREATE MIRROR options. */
@@ -210,9 +268,10 @@ object GraftSql {
         Settings.getLong(spark, "mirror.max_batch_size").toInt),
       softDelete = o.get("soft_delete").forall(_.toBoolean),
       // transform 'sql_expr' — the reference's `script` flow option
-      // (Lua transformRow) as a SQL expression over the record frame;
-      // see MirrorConfig.transformSql.
-      transformSql = o.get("transform"),
+      // (Lua transformRow) as a SQL expression over the record frame
+      // (see MirrorConfig.transformSql) — or `script 'name'` resolving a
+      // catalog script by name.
+      transformSql = resolvedTransform(spark, o),
       // agg_view 'group_col:value_col:dir' — a delta-maintained
       // (group → count, sum) view on the primary table (IncrementalAgg)
       aggViews = o.get("agg_view").map { spec =>
@@ -385,11 +444,33 @@ object GraftSql {
       mirrorConfig(spark, o) // validate options before persisting
       // Parse the transform script at DDL time (fail the CREATE, not
       // the first EXECUTE — the analyzer's job, like validateQRep;
-      // functions.expr is LAZY in Spark 4, so parse explicitly).
-      o.get("transform").foreach(
+      // functions.expr is LAZY in Spark 4, so parse explicitly). A
+      // `script 'name'` reference resolves + parses here too, so a
+      // missing or unparsable catalog script fails the CREATE.
+      resolvedTransform(spark, o).foreach(
         spark.sessionState.sqlParser.parseExpression(_))
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
+    case CreateScript(n, lang, src, orReplace) =>
+      // lang enum check, the script_lang analog (V23__scripts.sql); the
+      // source must parse as one SQL expression — DDL-time validation.
+      require(lang == "sql", s"unsupported script lang '$lang' ('sql')")
+      spark.sessionState.sqlParser.parseExpression(src)
+      val cat = scriptsFor(spark)
+      if (orReplace) cat.drop(n)
+      cat.create(Peer(n, lang, Map("source" -> src)))
+      Nil
+    case DropScript(n) => scriptsFor(spark).drop(n); Nil
+    case ShowScripts => scriptsFor(spark).list.map(p =>
+      Row(p.name, p.kind, p.options.getOrElse("source", "")))
+    case ShowStats(n) =>
+      val cfg = mirrorCfg(spark, n)
+      val dir = cfg.statsDir.getOrElse(throw new IllegalArgumentException(
+        s"mirror $n has no stats catalog — CREATE it with stats 'dir'"))
+      val st = new StatsCatalog(dir, spark.sparkContext.hadoopConfiguration)
+      st.registerViews(spark)
+      StatsCatalog.schemas.keys.toSeq.sorted.map(t =>
+        Row(s"stats_$t", st.table(spark, t).count()))
     case CreateQRepMirror(n, src, dst, q, o) =>
       validateQRep(q, o) // fail the DDL, not the first EXECUTE
       peersFor(spark).get(src) // both peers must exist
@@ -559,6 +640,13 @@ object GraftSql {
       AttributeReference("value", StringType)(),
       AttributeReference("default", StringType)(),
       AttributeReference("description", StringType)())
+    case ShowScripts => Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("lang", StringType)(),
+      AttributeReference("source", StringType)())
+    case ShowStats(_) => Seq(
+      AttributeReference("view", StringType)(),
+      AttributeReference("rows", LongType)())
     case _ => Nil
   }
 }

@@ -454,4 +454,111 @@ class GraftSqlSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("scripts catalog: CRUD, durable restart, mirror by script name") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val cat = tmpDir("scriptcat")
+    s.conf.set("spark.graft.catalog.dir", cat)
+    try {
+      // lang enum: only 'sql' (the script_lang ('lua') analog); bad
+      // source fails the CREATE (DDL-time parse, like the transform opt)
+      intercept[Exception](
+        s.sql("CREATE SCRIPT s1 LANG lua AS $$ data $$"))
+      intercept[Exception](
+        s.sql("CREATE SCRIPT s1 AS $$ not a ) valid ( expr $$"))
+      s.sql("CREATE SCRIPT s1 AS $$ upper(data) $$")
+      // name is UNIQUE (scripts.name): plain re-create fails, OR REPLACE
+      // updates — PostScript's insert-vs-update split
+      intercept[Exception](s.sql("CREATE SCRIPT s1 AS $$ data $$"))
+      s.sql("""CREATE OR REPLACE SCRIPT s1 AS $$ to_json(named_struct(
+              |  'id', CAST(get_json_object(data, '$.id') AS BIGINT),
+              |  'name', upper(get_json_object(data, '$.name')))) $$"""
+        .stripMargin)
+      val listed = s.sql("SHOW SCRIPTS").collect()
+      assert(listed.map(_.getString(0)).toSeq == Seq("s1"))
+      assert(listed.head.getString(1) == "sql")
+      assert(listed.head.getString(2).contains("upper"))
+
+      // a mirror referencing a MISSING script fails at CREATE
+      val wal = tmpDir("swal")
+      val base = tmpDir("smirror")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"name":"bob"}""", null, Nil)))
+      intercept[Exception](s.sql(
+        s"""CREATE MIRROR smbad WITH (wal_dir '$wal',
+           |  dest_dir '$base/bad', checkpoint_dir '$base/badckpt',
+           |  pk 'id', table 'd', schema 'id BIGINT, name STRING',
+           |  script 'nosuch')""".stripMargin))
+
+      // "restart": a fresh catalog over the same dir still has the
+      // script, and the mirror transform resolves through it
+      GraftSql.invalidateCatalogCaches()
+      s.sql(
+        s"""CREATE MIRROR smir WITH (wal_dir '$wal',
+           |  dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+           |  pk 'id', table 'd', schema 'id BIGINT, name STRING',
+           |  script 's1')""".stripMargin)
+      s.sql("EXECUTE MIRROR smir")
+      val rows = s.read.parquet(s"$base/dest").collect()
+      assert(rows.length == 1 &&
+        rows.head.getAs[String]("name") == "BOB")
+
+      s.sql("DROP SCRIPT s1")
+      assert(s.sql("SHOW SCRIPTS").collect().isEmpty)
+      s.sql("DROP MIRROR smir")
+    } finally {
+      s.conf.unset("spark.graft.catalog.dir")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("SHOW STATS FOR MIRROR registers the peerdb_stats views") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val wal = tmpDir("stwal")
+      val base = tmpDir("stmirror")
+      ChangeLogWal.append(wal, (1L to 5L).map(i =>
+        ChangeRecord(0, i, i.toString, i * 1000, 1, "t", "d",
+          s"""{"id":$i,"v":$i}""", null, Nil)))
+      // a mirror WITHOUT stats: SHOW STATS errors with guidance
+      s.sql(s"""CREATE MIRROR stm WITH (wal_dir '$wal',
+               |  dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+               |  pk 'id', table 'd', schema 'id BIGINT, v BIGINT',
+               |  stats '$base/stats')""".stripMargin)
+      s.sql("EXECUTE MIRROR stm")
+      val views = s.sql("SHOW STATS FOR MIRROR stm").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(views("stats_cdc_flows") == 1L)
+      assert(views("stats_cdc_batches") >= 1L)
+      // and the views are queryable SQL surfaces
+      assert(s.sql(
+        "SELECT sum(rows_in_batch) FROM stats_cdc_batches").collect()
+        .head.getLong(0) == 5L)
+      assert(s.sql("SELECT inserts_count FROM " +
+        "stats_cdc_table_aggregate_counts").collect()
+        .head.getLong(0) == 5L)
+      s.sql("DROP MIRROR stm")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
