@@ -1012,13 +1012,19 @@ object CurationQueries {
       val tf = bg.groupBy("doc_id", "prev", "w")
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
+      // Corpus counts roll up from tf (c2) and from c2 (c1 = Σ_w c2), and
+      // the conditional cost is resolved at the TYPE level first — the
+      // big doc×type frame then shuffles once (its (prev,w) join) instead
+      // of twice, and the c1 pass reads |types| rows, not |doc×type|.
       val c2 = tf.groupBy("prev", "w").agg(sum("tf").as("c2"))
-      val c1 = tf.groupBy("prev").agg(sum("tf").as("c1"))
-      tf.join(c2.hint("shuffle_hash"), Seq("prev", "w"))
-        .join(c1.hint("shuffle_hash"), Seq("prev"))
+      val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
+      val typeCost = c2.join(c1.hint("shuffle_hash"), Seq("prev"))
+        .select(col("prev"), col("w"),
+          expr("c1 * 1000 DIV c2").as("cost"))
+      tf.join(typeCost.hint("shuffle_hash"), Seq("prev", "w"))
         .groupBy("doc_id")
         .agg(sum("tf").as("n_bigrams"),
-          sum(col("tf") * expr("c1 * 1000 DIV c2")).as("cost_sum"))
+          sum(col("tf") * col("cost")).as("cost_sum"))
         .select(col("doc_id"), col("n_bigrams"),
           expr("cost_sum DIV n_bigrams").as("ppl_milli"))
         .orderBy("doc_id")

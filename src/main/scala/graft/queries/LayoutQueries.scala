@@ -90,16 +90,24 @@ object LayoutQueries {
       val stats = li.agg(
         min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
         min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
-      val withZ = li.crossJoin(broadcast(stats))
+      val withZ = li
+        // Project to the 7 live columns BEFORE the range exchange: the
+        // ntile shuffle otherwise moves every lineitem column.
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_suppkey")
+        .crossJoin(broadcast(stats))
         .withColumn("qx", expr(
           "(l_partkey - pmin) * 65535 DIV greatest(pmax - pmin, 1)"))
         .withColumn("qy", expr(
           "(l_suppkey - smin) * 65535 DIV greatest(smax - smin, 1)"))
         .withColumn("file_z", shiftright(
           ZOrder.zvalue(col("qx"), col("qy")), 26).cast("int"))
+        .drop("pmin", "pmax", "qx", "qy")
       val ranked = GlobalRank.withNtile(withZ,
         Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")),
-        64, "file_p")
+        64, "file_p",
+        // Known total: a zero-column count over the base scan, instead of
+        // counting the derived cross-join frame.
+        total = li.count())
       ranked
         .filter(col("l_suppkey") >=
             expr("smin + (smax - smin) * 45 DIV 100") &&
