@@ -547,10 +547,22 @@ object GraftSql {
         val key = handleKey(spark, n)
         qrepHandles.get(key).filterNot(_.isAlive)
           .foreach(_ => qrepHandles.remove(key))
+        // A failing round leaves a durable flow_errors row (LogFlowError)
+        // when the mirror carries a stats catalog, then still stops the
+        // loop + surfaces in SHOW MIRRORS.
+        val round: () => Long = entry.options.get("stats") match {
+          case Some(d) =>
+            () => try executeQRep(spark, entry).head.getLong(0) catch {
+              case e: Throwable =>
+                new StatsCatalog(d,
+                  spark.sparkContext.hadoopConfiguration)
+                  .logFlowError(n, s"qrep round: ${e.getMessage}")
+                throw e
+            }
+          case None => () => executeQRep(spark, entry).head.getLong(0)
+        }
         qrepHandles.getOrElseUpdate(key,
-          new graft.qrep.QRepScheduler(
-            () => executeQRep(spark, entry).head.getLong(0),
-            interval).start())
+          new graft.qrep.QRepScheduler(round, interval).start())
       } else {
         val cfg = mirrorConfig(spark, entry.options)
         val h = handles.getOrElseUpdate(handleKey(spark, n),

@@ -229,6 +229,15 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // per action (visible as 3-5× numInputRows in the metrics otherwise).
     batch.persist()
     try syncAndNormalizePinned(batch, batchId)
+    catch {
+      case e: Throwable =>
+        // LogFlowError (alerting.go:359-412): a failed batch leaves a
+        // durable flow_errors row before the stream dies — the row, not
+        // the dead process, is what ops sees.
+        stats.foreach(_.logFlowError(cfg.flow,
+          s"batch $batchId: ${e.getMessage}"))
+        throw e
+    }
     finally batch.unpersist()
   }
 

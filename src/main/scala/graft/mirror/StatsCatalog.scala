@@ -193,6 +193,26 @@ final class StatsCatalog(dir: String,
     Map("flow_job_name" -> flow, "batch_id" -> batchId,
       "delta_info" -> deltaJson, "created_at" -> nowMs())))
 
+  /** InsertFlowLog (alerting.go:414-433) into the `flow_errors` table
+    * (V17__mirror_errors.sql — "historically only stored errors, hence
+    * the name"): error/warn/info rows per flow, ack'd later by ops. */
+  def logFlowEvent(flow: String, message: String,
+      errorType: String): Unit = {
+    append(Event("flow_errors", "ins", Nil,
+      Map("flow_name" -> flow, "error_message" -> message,
+        "error_type" -> errorType, "error_timestamp" -> nowMs(),
+        "ack" -> false)))
+    // Errors must survive the crash that caused them — land immediately
+    // rather than waiting for a batch-end flush that may never come.
+    flush()
+  }
+  def logFlowError(flow: String, message: String): Unit =
+    logFlowEvent(flow, message, "error")
+  def logFlowWarning(flow: String, message: String): Unit =
+    logFlowEvent(flow, message, "warn")
+  def logFlowInfo(flow: String, message: String): Unit =
+    logFlowEvent(flow, message, "info")
+
   /** DeleteMirrorStats (monitoring.go:478-507): drops the flow's rows
     * from every table (qrep tables match on parent_mirror_name too,
     * like the reference's DELETE set). */
@@ -472,7 +492,13 @@ object StatsCatalog {
       StructField("flow_job_name", StringType),
       StructField("batch_id", LongType),
       StructField("delta_info", StringType),
-      StructField("created_at", LongType))))
+      StructField("created_at", LongType))),
+    "flow_errors" -> StructType(Seq(
+      StructField("flow_name", StringType),
+      StructField("error_message", StringType),
+      StructField("error_type", StringType),
+      StructField("error_timestamp", LongType),
+      StructField("ack", BooleanType))))
 
   // ------------------------------------------------- shared aggregates
   // The distributed halves of the stats writes — also the bodies of the

@@ -206,4 +206,39 @@ class StatsCatalogSpec extends SparkSpec {
     assert(runner.runOnce(src) == 0)
     assert(st.table(spark, "qrep_runs").count() == 1)
   }
+
+  test("flow_errors: failed batch leaves a durable error row") {
+    val dir = tmpDir("stats")
+    val st = catalog(dir)
+    // logFlowEvent lands immediately (no explicit flush needed): the
+    // error must survive the crash that caused it
+    st.logFlowWarning("f", "slot lag high")
+    val st2 = catalog(dir)
+    val w = st2.table(spark, "flow_errors").collect()
+    assert(w.length == 1 && w.head.getAs[String]("error_type") == "warn")
+    assert(!w.head.getAs[Boolean]("ack"))
+
+    // a mirror whose batch fails (unresolvable transform) logs an
+    // error-typed row before the stream dies
+    val wal = tmpDir("wal")
+    val base = tmpDir("mirror")
+    ChangeLogWal.append(wal, Seq(
+      rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":1}""")))
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = payloadSchema, destinationTable = "dest.t",
+      transformSql = Some("no_such_function(data)"),
+      statsDir = Some(dir), flowName = "failing")
+    intercept[Exception](new MirrorRunner(spark, cfg).runAvailableNow())
+    val errs = catalog(dir).table(spark, "flow_errors")
+      .filter(col("error_type") === "error").collect()
+    assert(errs.nonEmpty)
+    assert(errs.head.getAs[String]("flow_name") == "failing")
+
+    // DeleteMirrorStats scrubs the flow's error rows too
+    catalog(dir).deleteMirrorStats("failing")
+    assert(catalog(dir).table(spark, "flow_errors").collect()
+      .map(_.getAs[String]("flow_name")).toSeq == Seq("f"))
+  }
 }
