@@ -43,6 +43,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   CREATE [OR REPLACE] SCRIPT name [LANG sql] AS $$ expr $$
   *   DROP SCRIPT name / SHOW SCRIPTS
   *   SHOW STATS FOR MIRROR name   -- registers stats_* views (peerdb_stats)
+  *   VALIDATE PEER name           -- connectivity probe (validate_peer.go)
   * }}}
   *
   * Durability contract: with `spark.graft.catalog.dir` set, peer/mirror
@@ -112,6 +113,13 @@ object GraftSql {
     * `stats_*` temp views over its [[StatsCatalog]] (the peerdb_stats
     * query surface) and lists them with row counts. */
   final case class ShowStats(mirror: String) extends Statement
+  /** Connectivity/permissions probe for a peer — ValidatePeer
+    * (flow/cmd/validate_peer.go:13-80: GetConnector → ValidateCheck →
+    * ConnectionActive), restated for storage peers: the configured
+    * path/dir must exist and list, and a parquet peer's footers must
+    * yield a schema. Returns (name, status, message), never throws —
+    * the reference returns INVALID + message rather than erroring. */
+  final case class ValidatePeerStmt(name: String) extends Statement
 
   private val createPeer: Regex =
     """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
@@ -145,6 +153,8 @@ object GraftSql {
   private val showScripts: Regex = """(?is)\s*SHOW\s+SCRIPTS\s*""".r
   private val showStats: Regex =
     """(?is)\s*SHOW\s+STATS\s+FOR\s+MIRROR\s+(\w+)\s*""".r
+  private val validatePeerRe: Regex =
+    """(?is)\s*VALIDATE\s+PEER\s+(\w+)\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
 
   private def parseOptions(s: String): Map[String, String] =
@@ -173,6 +183,7 @@ object GraftSql {
     case dropScript(n) => Some(DropScript(n))
     case showScripts() => Some(ShowScripts)
     case showStats(n) => Some(ShowStats(n))
+    case validatePeerRe(n) => Some(ValidatePeerStmt(n))
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
     case fetchCursor(cnt, n) => Some(FetchCursor(n,
       if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
@@ -471,6 +482,36 @@ object GraftSql {
       st.registerViews(spark)
       StatsCatalog.schemas.keys.toSeq.sorted.map(t =>
         Row(s"stats_$t", st.table(spark, t).count()))
+    case ValidatePeerStmt(n) =>
+      // Probe, never throw (ValidatePeerStatus_INVALID + message).
+      val result =
+        try {
+          val p = peersFor(spark).get(n)
+          p.options.get("path").orElse(p.options.get("dir")) match {
+            case None =>
+              "invalid" -> (s"peer $n has no path/dir option — " +
+                "not addressable as a storage peer")
+            case Some(loc) =>
+              val hp = new org.apache.hadoop.fs.Path(loc)
+              val fs = hp.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (!fs.exists(hp))
+                "invalid" -> s"location $loc does not exist"
+              else {
+                fs.listStatus(hp) // permission probe (ValidateCheck)
+                if (p.kind == "parquet") {
+                  // footers must yield a schema (ConnectionActive analog)
+                  val fields =
+                    spark.read.parquet(loc).schema.fields.length
+                  "valid" -> s"parquet schema with $fields column(s)"
+                } else "valid" -> s"location $loc listable"
+              }
+          }
+        } catch {
+          case e: Exception =>
+            "invalid" -> s"peer $n was invalidated: ${e.getMessage}"
+        }
+      Seq(Row(n, result._1, result._2))
     case CreateQRepMirror(n, src, dst, q, o) =>
       validateQRep(q, o) // fail the DDL, not the first EXECUTE
       peersFor(spark).get(src) // both peers must exist
@@ -659,6 +700,10 @@ object GraftSql {
     case ShowStats(_) => Seq(
       AttributeReference("view", StringType)(),
       AttributeReference("rows", LongType)())
+    case ValidatePeerStmt(_) => Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("status", StringType)(),
+      AttributeReference("message", StringType)())
     case _ => Nil
   }
 }

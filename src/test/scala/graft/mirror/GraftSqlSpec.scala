@@ -522,6 +522,39 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("VALIDATE PEER probes storage reachability without throwing") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val good = tmpDir("vpeer")
+      spark.range(3).toDF("id").write.mode("overwrite")
+        .parquet(s"$good/t.parquet")
+      s.sql(s"CREATE PEER vgood TYPE parquet OPTIONS (path '$good/t.parquet')")
+      s.sql("CREATE PEER vmissing TYPE parquet OPTIONS (path '/no/such/dir')")
+      s.sql("CREATE PEER vnopath TYPE parquet OPTIONS (compression 'zstd')")
+
+      def validate(n: String) = s.sql(s"VALIDATE PEER $n").collect().head
+      val ok = validate("vgood")
+      assert(ok.getString(1) == "valid" && ok.getString(2).contains("1 column"))
+      assert(validate("vmissing").getString(1) == "invalid")
+      assert(validate("vnopath").getString(1) == "invalid")
+      // unknown peer: invalid + message, not an exception
+      assert(validate("vnever").getString(1) == "invalid")
+      Seq("vgood", "vmissing", "vnopath").foreach(p =>
+        s.sql(s"DROP PEER $p"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SHOW STATS FOR MIRROR registers the peerdb_stats views") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
