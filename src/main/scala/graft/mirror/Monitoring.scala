@@ -103,4 +103,23 @@ object SlotLag {
       : Seq[Alerting.Alert] =
     alerter.alertIfSlotLag(flowName, peerName, s"graft_wal:$walDir",
       records(walDir, checkpointDir))
+
+  /** The full slot-monitoring tick with a stats catalog attached: gauge
+    * history into `peer_slot_size` (AppendSlotSizeInfo,
+    * monitoring.go:327-350), threshold check, and each fired alert also
+    * logged as a `flow_errors` warn row (the catalog insert step of
+    * Alerter.AlertIfSlotLag, alerting.go:163-176 + the InsertFlowLog at
+    * :370). */
+  def recordCheck(stats: StatsCatalog, alerter: Alerting.Alerter,
+      flowName: String, peerName: String, walDir: String,
+      checkpointDir: String): Seq[Alerting.Alert] = {
+    val slot = s"graft_wal:$walDir"
+    val lag = records(walDir, checkpointDir)
+    stats.appendSlotSize(peerName, slot,
+      committedCp(checkpointDir).getOrElse(-1L), lag)
+    stats.flush()
+    val fired = alerter.alertIfSlotLag(flowName, peerName, slot, lag)
+    fired.foreach(a => stats.logFlowWarning(flowName, a.message))
+    fired
+  }
 }

@@ -1,15 +1,14 @@
 package graft.mirror
 
-import org.scalatest.funsuite.AnyFunSuite
-
+import graft.SparkSpec
 import graft.mirror.Alerting._
 
 /** Threshold + repeat-gap semantics of [[Alerting.Alerter]], matching the
   * reference behavior in flow/alerting/alerting.go (two-level threshold
   * check, lowest-threshold recording, per-(sender,key) gap, mirror
   * scoping, gap-0 disable). Clock is injected: tests are deterministic.
-  */
-class AlertingSpec extends AnyFunSuite {
+  * (SparkSpec only for the stats-catalog readback in recordCheck.) */
+class AlertingSpec extends SparkSpec {
 
   test("fires above threshold, silent below") {
     val a = new Alerter(Seq(Sender(1)), clock = () => 0L)
@@ -92,6 +91,38 @@ class AlertingSpec extends AnyFunSuite {
       clock = () => 0L)
     assert(SlotLag.alertCheck(quiet, "m1", "pg", wal,
       s"$wal/no_ckpt").isEmpty)
+  }
+
+  test("recordCheck: gauge history + fired alert land in the stats " +
+    "catalog (peer_slot_size + flow_errors warn)") {
+    import graft.cdc.ChangeLogWal
+    import graft.model.ChangeRecord
+    val wal = java.nio.file.Files.createTempDirectory("alertwal2").toString
+    ChangeLogWal.append(wal, (1L to 60L).map(cp =>
+      ChangeRecord(0, cp, cp.toString, cp * 1000, cp, "s.t", "d.t",
+        s"""{"id":$cp}""", null, Nil)))
+    val statsDir = java.nio.file.Files
+      .createTempDirectory("alertstats").toString
+    val st = new StatsCatalog(statsDir)
+    val a = new Alerter(Seq(Sender(1, slotLagMbThreshold = 10)),
+      clock = () => 0L)
+    val fired = SlotLag.recordCheck(st, a, "m1", "pg", wal,
+      s"$wal/no_ckpt")
+    assert(fired.size == 1)
+    val slots = st.table(spark, "peer_slot_size").collect()
+    assert(slots.length == 1 &&
+      slots.head.getAs[Long]("slot_size") == 61L)
+    val warns = st.table(spark, "flow_errors").collect()
+    assert(warns.length == 1 &&
+      warns.head.getAs[String]("error_type") == "warn" &&
+      warns.head.getAs[String]("flow_name") == "m1")
+    // below-threshold tick: history row appended, no new warn
+    val quiet = new Alerter(Seq(Sender(1, slotLagMbThreshold = 200)),
+      clock = () => 0L)
+    assert(SlotLag.recordCheck(st, quiet, "m1", "pg", wal,
+      s"$wal/no_ckpt").isEmpty)
+    assert(st.table(spark, "peer_slot_size").count() == 2)
+    assert(st.table(spark, "flow_errors").count() == 1)
   }
 
   test("open-connections check uses its own default (5) and keys " +
