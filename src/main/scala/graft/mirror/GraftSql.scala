@@ -265,6 +265,19 @@ object GraftSql {
       o: Map[String, String]): MirrorConfig = {
     def req(k: String) = o.getOrElse(k,
       throw new IllegalArgumentException(s"CREATE MIRROR: missing '$k'"))
+    // env 'k=v,k2=v2' — per-flow dynamic-setting overrides
+    // (FlowConnectionConfigs.env, field 24); validated at DDL time so a
+    // typo'd setting name fails the CREATE, not the first batch.
+    val flowEnv: Map[String, String] = o.get("env").map { spec =>
+      spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"CREATE MIRROR: env entry '$kv' must be name=value")
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+    Settings.validateEnv(flowEnv)
     MirrorConfig(
       walDir = req("wal_dir"),
       rawDir = o.getOrElse("raw_dir", req("dest_dir") + "_raw"),
@@ -276,7 +289,7 @@ object GraftSql {
       // Omitted in the DDL -> the deployment-wide dynamic setting
       // (PEERDB_CDC_MAX_BATCH_SIZE shape; Settings.scala).
       maxBatchSize = o.get("max_batch_size").map(_.toInt).getOrElse(
-        Settings.getLong(spark, "mirror.max_batch_size").toInt),
+        Settings.getLong(spark, "mirror.max_batch_size", flowEnv).toInt),
       softDelete = o.get("soft_delete").forall(_.toBoolean),
       // transform 'sql_expr' — the reference's `script` flow option
       // (Lua transformRow) as a SQL expression over the record frame
@@ -305,8 +318,67 @@ object GraftSql {
       // SyncedAtColName table options (model.go:167-168)
       softDeleteColName = o.getOrElse("soft_delete_col",
         graft.model.RawTable.IsDeleted),
-      syncedAtColName = o.get("synced_at_col"))
+      syncedAtColName = o.get("synced_at_col"),
+      env = flowEnv)
   }
+  /** Initial-load phase — do_initial_snapshot / initial_snapshot_only
+    * (FlowConnectionConfigs fields 10/16) with the snapshot partitioning
+    * knobs (snapshot_num_rows_per_partition, field 11;
+    * snapshot_num_partitions_override, field 26). Restates
+    * snapshot_flow.go: read the source table as of the current WAL
+    * position, load it partition-parallel, then hand the stream off
+    * strictly after that position ([[MirrorConfig.snapshotCheckpoint]]).
+    *
+    * `snapshot_source` is the source table's storage dir (the
+    * environment's stand-in for the exported PG snapshot; against a live
+    * source the read would go through [[graft.qrep.Partitioner]]'s range
+    * predicates — the same partition logic the reference's snapshot
+    * phase uses). The snapshot respects the mirror's column exclusions
+    * (exclusion applies to initial load AND CDC, cdc.go:364).
+    *
+    * Runs at most once per checkpoint dir: the WAL position it loaded at
+    * persists as a durable marker, and later EXECUTE/RESUME calls reuse
+    * it so the stream keeps starting after the snapshot point. RESYNC
+    * rebuilds into a scratch checkpoint dir, so it naturally re-snapshots.
+    *
+    * Returns (config with the snapshot handoff point, rows loaded now). */
+  private def snapshotPhase(spark: SparkSession,
+      o: Map[String, String], cfg: MirrorConfig): (MirrorConfig, Long) = {
+    val want = o.get("do_initial_snapshot").exists(_.toBoolean) ||
+      o.get("initial_snapshot_only").exists(_.toBoolean)
+    if (!want) return (cfg, -1L)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val marker = s"${cfg.checkpointDir}/graft-snapshot-cp"
+    graft.util.FsText.read(marker, hc) match {
+      case Some(cp) => (cfg.copy(snapshotCheckpoint = cp.toLong), 0L)
+      case None =>
+        val srcDir = o.getOrElse("snapshot_source",
+          throw new IllegalArgumentException("CREATE MIRROR: " +
+            "do_initial_snapshot requires 'snapshot_source'"))
+        // Snapshot position = current WAL head (the slot's confirmed
+        // LSN at snapshot time): rows load versioned AT it, the stream
+        // starts strictly AFTER it, and any WAL change the snapshot
+        // already reflects replays idempotently (strictly newer wins).
+        val cp = graft.cdc.ChangeLogWal.headCp(cfg.walDir)
+        val cfg2 = cfg.copy(snapshotCheckpoint = cp)
+        val cols = TableConfig(cfg.pkColumns, cfg.payloadSchema,
+          cfg.excludeColumns).effectiveSchema.fieldNames
+        val src0 = spark.read.parquet(srcDir).select(
+          cols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        val rows = src0.count() // metadata-only over parquet footers
+        // Partition sizing: an explicit override wins, else rows ÷
+        // rows-per-partition; unset = the scan's own file splits.
+        val src = o.get("snapshot_num_partitions_override").map(_.toInt)
+          .orElse(o.get("snapshot_num_rows_per_partition").map { r =>
+            math.max(1L, (rows + r.toLong - 1) / r.toLong).toInt
+          })
+          .map(src0.repartition(_)).getOrElse(src0)
+        new MirrorRunner(spark, cfg2).bootstrapSnapshot(src)
+        graft.util.FsText.write(marker, cp.toString, hc)
+        (cfg2, rows)
+    }
+  }
+
   private def mirrorEntry(spark: SparkSession, n: String): Peer =
     try mirrorsFor(spark).get(n)
     catch { case _: NoSuchElementException =>
@@ -460,6 +532,13 @@ object GraftSql {
       // missing or unparsable catalog script fails the CREATE.
       resolvedTransform(spark, o).foreach(
         spark.sessionState.sqlParser.parseExpression(_))
+      // Snapshot options cohere at DDL time: a snapshot needs a source,
+      // and snapshot-only without a snapshot is an empty mirror.
+      if ((o.get("do_initial_snapshot").exists(_.toBoolean) ||
+            o.get("initial_snapshot_only").exists(_.toBoolean)) &&
+          !o.contains("snapshot_source"))
+        throw new IllegalArgumentException(
+          "CREATE MIRROR: do_initial_snapshot requires 'snapshot_source'")
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
     case CreateScript(n, lang, src, orReplace) =>
@@ -523,9 +602,14 @@ object GraftSql {
       val entry = mirrorEntry(spark, n)
       if (entry.kind == "qrep") executeQRep(spark, entry)
       else {
-        new MirrorRunner(spark, mirrorConfig(spark, entry.options))
-          .runAvailableNow()
-        Seq(Row(-1L)) // CDC drain reports no row count (stream metrics do)
+        val (cfg, snapRows) = snapshotPhase(spark, entry.options,
+          mirrorConfig(spark, entry.options))
+        if (entry.options.get("initial_snapshot_only").exists(_.toBoolean))
+          Seq(Row(snapRows)) // one-shot full load, no stream (field 16)
+        else {
+          new MirrorRunner(spark, cfg).runAvailableNow()
+          Seq(Row(-1L)) // CDC drain reports no row count (stream metrics do)
+        }
       }
     case ResyncMirror(n) =>
       // Full rebuild + atomic swap (ResyncMirror, cdc_flow.go resync
@@ -564,7 +648,11 @@ object GraftSql {
             .createTempDirectory(s"graft_resync_$n").toString
           val rcfg = cfg.copy(destDir = fresh,
             rawDir = s"$scratch/raw", checkpointDir = s"$scratch/ckpt")
-          new MirrorRunner(spark, rcfg).runAvailableNow()
+          // A snapshot mirror re-snapshots on resync (the scratch
+          // checkpoint dir has no marker, so the phase runs fresh against
+          // the CURRENT source state — resync's whole point).
+          val (rcfg2, _) = snapshotPhase(spark, entry.options, rcfg)
+          new MirrorRunner(spark, rcfg2).runAvailableNow()
         }
       }
       Nil
@@ -605,10 +693,21 @@ object GraftSql {
         qrepHandles.getOrElseUpdate(key,
           new graft.qrep.QRepScheduler(round, interval).start())
       } else {
-        val cfg = mirrorConfig(spark, entry.options)
+        require(!entry.options.get("initial_snapshot_only")
+          .exists(_.toBoolean),
+          s"mirror $n is initial_snapshot_only — it has no stream")
+        val (cfg, _) = snapshotPhase(spark, entry.options,
+          mirrorConfig(spark, entry.options))
+        // idle_timeout_seconds (field 6): how long the puller waits for
+        // a batch to fill before syncing what it has — in micro-batch
+        // terms, the trigger cadence (each trigger cuts whatever the WAL
+        // holds, up to max_batch_size).
+        val intervalMs = entry.options.get("idle_timeout_seconds")
+          .map(_.toLong * 1000).getOrElse(100L)
         val h = handles.getOrElseUpdate(handleKey(spark, n),
           new MirrorRunner(spark, cfg).handle(
-            org.apache.spark.sql.streaming.Trigger.ProcessingTime(100)))
+            org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime(intervalMs)))
         h.resume()
       }
       Nil

@@ -104,7 +104,13 @@ final case class MirrorConfig(
     softDeleteColName: String = graft.model.RawTable.IsDeleted,
     /** When set, merge-written rows are stamped (epoch micros) under this
       * column — SyncedAtColName (model.go:168). */
-    syncedAtColName: Option[String] = None) {
+    syncedAtColName: Option[String] = None,
+    /** Per-flow dynamic-setting overrides — FlowConnectionConfigs.env
+      * (proto field 24): keys are [[Settings]] names, resolved env-first
+      * at every read point (dynLookup, dynamicconf.go:558). Lets one
+      * mirror raise its raw-retention or alert thresholds without
+      * touching the deployment-wide settings. */
+    env: Map[String, String] = Map.empty) {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
@@ -350,7 +356,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // Raw retention after normalize (the reference deletes raw rows past
     // the cleanup threshold at exactly this point; setting 0 = keep all).
     val keep = Settings.getLong(spark,
-      "mirror.raw_batch_cleanup_threshold")
+      "mirror.raw_batch_cleanup_threshold", cfg.env)
     if (keep > 0) Maintenance.cleanupRaw(spark, cfg.rawDir, batchId, keep)
   }
 

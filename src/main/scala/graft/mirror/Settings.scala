@@ -50,29 +50,56 @@ object Settings {
 
   private val byName = all.map(s => s.name -> s).toMap
 
-  /** Override-else-default resolution (`dynLookup`). Throws on names
-    * outside the catalog — a typo'd setting should fail loudly, not
-    * silently fall back. */
-  def get(spark: SparkSession, name: String): Option[String] = {
+  /** Env-first, then override, then default resolution — exactly
+    * `dynLookup` (dynamicconf.go:558: the flow's env map wins over the
+    * catalog row, which wins over the compiled default). `env` is a
+    * per-flow override map (FlowConnectionConfigs.env, proto field 24),
+    * keyed by the same setting names. Throws on names outside the
+    * catalog — a typo'd setting should fail loudly, not silently fall
+    * back. */
+  def get(spark: SparkSession, name: String,
+      env: Map[String, String] = Map.empty): Option[String] = {
     val s = byName.getOrElse(name,
       throw new IllegalArgumentException(s"unknown setting $name"))
-    spark.conf.getOption(s"spark.graft.$name").orElse(s.default)
+    env.get(name)
+      .orElse(spark.conf.getOption(s"spark.graft.$name"))
+      .orElse(s.default)
   }
 
-  def getLong(spark: SparkSession, name: String): Long =
-    get(spark, name).map(_.toLong).getOrElse(
+  def getLong(spark: SparkSession, name: String,
+      env: Map[String, String] = Map.empty): Long =
+    get(spark, name, env).map(_.toLong).getOrElse(
       throw new IllegalArgumentException(s"setting $name has no value"))
+
+  /** Validate a per-flow env map at DDL time: every key must name a
+    * catalog setting and every value must parse for its type. */
+  def validateEnv(env: Map[String, String]): Unit =
+    env.foreach { case (k, v) =>
+      val s = byName.getOrElse(k,
+        throw new IllegalArgumentException(s"env: unknown setting $k"))
+      if (s.valueType == "uint" || s.valueType == "int") {
+        val n = try v.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"env: $k must be ${s.valueType}, got '$v'")
+        }
+        if (s.valueType == "uint" && n < 0)
+          throw new IllegalArgumentException(s"env: $k must be >= 0")
+      }
+    }
 
   /** An [[Alerting.Alerter]] wired from the deployment settings — the
     * reference's construction path (thresholds and gap read from
-    * dynamic config at check time, alerting.go:136/202/297). */
+    * dynamic config at check time, alerting.go:136/202/297, each taking
+    * the flow's env map first). */
   def alerter(spark: SparkSession, senders: Seq[Alerting.Sender],
-      clock: () => Long = () => System.currentTimeMillis())
+      clock: () => Long = () => System.currentTimeMillis(),
+      env: Map[String, String] = Map.empty)
       : Alerting.Alerter =
     new Alerting.Alerter(senders,
-      defaultSlotLagMb = getLong(spark, "alerting.slot_lag_threshold"),
+      defaultSlotLagMb = getLong(spark, "alerting.slot_lag_threshold", env),
       defaultOpenConnections =
-        getLong(spark, "alerting.open_connections_threshold"),
-      gapMinutes = getLong(spark, "alerting.gap_minutes"),
+        getLong(spark, "alerting.open_connections_threshold", env),
+      gapMinutes = getLong(spark, "alerting.gap_minutes", env),
       clock = clock)
 }

@@ -594,4 +594,144 @@ class GraftSqlSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("do_initial_snapshot: load at WAL head, stream strictly after, " +
+    "marker makes re-EXECUTE skip, resync re-snapshots") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val wal = tmpDir("snapwal")
+      val base = tmpDir("snapmirror")
+      // Source table the snapshot reads (stand-in for the PG export);
+      // column x is excluded, so it must not reach the destination.
+      (1L to 4L).map(i => (i, i * 10, i * 7)).toDF("id", "v", "x")
+        .write.parquet(s"$base/src")
+      // WAL change BEFORE the snapshot point: already reflected in the
+      // source state above, must NOT re-apply (v stays 10, not 999).
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(1, 2, "2", 2000, 1, "t", "d",
+          """{"id":1,"v":999}""", null, Nil)))
+
+      s.sql(s"""CREATE MIRROR snap_m WITH (
+               |  wal_dir '$wal', dest_dir '$base/dest',
+               |  checkpoint_dir '$base/ckpt', pk 'id', table 'd',
+               |  schema 'id BIGINT, v BIGINT, x BIGINT', exclude 'x',
+               |  do_initial_snapshot 'true',
+               |  snapshot_source '$base/src',
+               |  snapshot_num_rows_per_partition '2')""".stripMargin)
+      s.sql("EXECUTE MIRROR snap_m")
+      val dest = s.read.parquet(s"$base/dest")
+        .filter("NOT _peerdb_is_deleted")
+      assert(dest.count() == 4)
+      assert(!dest.columns.contains("x")) // exclusion covers the snapshot
+      assert(dest.filter("id = 1").select("v").head().getLong(0) == 10L)
+
+      // Changes past the snapshot point apply; the marker stops a second
+      // snapshot load (id=1 would otherwise reset to 10).
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(1, 5, "5", 5000, 2, "t", "d",
+          """{"id":1,"v":111}""", null, Nil),
+        ChangeRecord(0, 6, "6", 6000, 3, "t", "d",
+          """{"id":9,"v":90}""", null, Nil)))
+      s.sql("EXECUTE MIRROR snap_m")
+      val d2 = s.read.parquet(s"$base/dest").filter("NOT _peerdb_is_deleted")
+      assert(d2.count() == 5)
+      assert(d2.filter("id = 1").select("v").head().getLong(0) == 111L)
+
+      // RESYNC re-snapshots from the CURRENT source state (a live source
+      // already reflects every applied change — simulate by rewriting the
+      // export) and hands the stream off at the rebuilt WAL head.
+      Seq((1L, 111L, 7L), (2L, 20L, 14L), (3L, 30L, 21L), (4L, 40L, 28L),
+        (9L, 90L, 63L)).toDF("id", "v", "x")
+        .write.mode("overwrite").parquet(s"$base/src")
+      s.sql("RESYNC MIRROR snap_m")
+      val d3 = s.read.parquet(s"$base/dest").filter("NOT _peerdb_is_deleted")
+      assert(d3.count() == 5)
+      assert(d3.filter("id = 1").select("v").head().getLong(0) == 111L)
+      assert(d3.filter("id = 9").count() == 1)
+      s.sql("DROP MIRROR snap_m")
+
+      // initial_snapshot_only: one-shot load, rows reported, no stream.
+      s.sql(s"""CREATE MIRROR snap_only WITH (
+               |  wal_dir '$wal', dest_dir '$base/dest2',
+               |  checkpoint_dir '$base/ckpt2', pk 'id', table 'd',
+               |  schema 'id BIGINT, v BIGINT, x BIGINT', exclude 'x',
+               |  initial_snapshot_only 'true',
+               |  snapshot_source '$base/src')""".stripMargin)
+      assert(s.sql("EXECUTE MIRROR snap_only").head().getLong(0) == 5L)
+      assert(s.read.parquet(s"$base/dest2")
+        .filter("NOT _peerdb_is_deleted").count() == 5)
+      val ex = intercept[Exception](s.sql("RESUME MIRROR snap_only"))
+      assert(ex.getMessage.contains("initial_snapshot_only"))
+      s.sql("DROP MIRROR snap_only")
+
+      // Snapshot without a source fails at DDL time, not first EXECUTE.
+      val noSrc = intercept[Exception](s.sql(
+        s"""CREATE MIRROR snap_bad WITH (wal_dir '$wal',
+           |  dest_dir '$base/d3', checkpoint_dir '$base/c3', pk 'id',
+           |  table 'd', schema 'id BIGINT',
+           |  do_initial_snapshot 'true')""".stripMargin))
+      assert(noSrc.getMessage.contains("snapshot_source"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("per-mirror env overrides resolve env-first (dynLookup order) " +
+    "and validate at DDL time") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val wal = tmpDir("envwal")
+      val base = tmpDir("envmirror")
+      ChangeLogWal.append(wal, (1L to 3L).map(i =>
+        ChangeRecord(0, i, i.toString, i * 1000, i, "t", "d",
+          s"""{"id":$i,"v":$i}""", null, Nil)))
+      // env overrides the deployment default max batch size (250k) for
+      // THIS mirror only: 3 records drain as ceil(3/2) = 2 micro-batches.
+      s.sql(s"""CREATE MIRROR env_m WITH (
+               |  wal_dir '$wal', dest_dir '$base/dest',
+               |  checkpoint_dir '$base/ckpt', pk 'id', table 'd',
+               |  schema 'id BIGINT, v BIGINT',
+               |  env 'mirror.max_batch_size=2')""".stripMargin)
+      s.sql("EXECUTE MIRROR env_m")
+      val rawBatches = s.read.parquet(s"$base/dest_raw")
+        .select("_peerdb_batch_id").distinct().count()
+      assert(rawBatches == 2L)
+      s.sql("DROP MIRROR env_m")
+
+      // Unknown setting name and non-numeric value fail the CREATE.
+      val badName = intercept[Exception](s.sql(
+        s"""CREATE MIRROR env_bad WITH (wal_dir '$wal',
+           |  dest_dir '$base/d2', checkpoint_dir '$base/c2', pk 'id',
+           |  table 'd', schema 'id BIGINT',
+           |  env 'no.such.setting=1')""".stripMargin))
+      assert(badName.getMessage.contains("unknown setting"))
+      val badVal = intercept[Exception](s.sql(
+        s"""CREATE MIRROR env_bad2 WITH (wal_dir '$wal',
+           |  dest_dir '$base/d2', checkpoint_dir '$base/c2', pk 'id',
+           |  table 'd', schema 'id BIGINT',
+           |  env 'mirror.max_batch_size=lots')""".stripMargin))
+      assert(badVal.getMessage.contains("must be uint"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
