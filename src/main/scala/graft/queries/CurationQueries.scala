@@ -1046,9 +1046,63 @@ object CurationQueries {
            |FROM tf t JOIN c2 USING (prev, w) JOIN c1 USING (prev)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split
+    * each LANGUAGE's documents into head/middle/tail terciles of an LM
+    * score — the selection signal CCNet feeds downstream ("train on
+    * head+middle, drop tail"). The score is the integer unigram-rarity
+    * perplexity proxy ([[rarityScore]]'s formulation); the tercile
+    * assignment is ntile(3) over a PER-LANGUAGE window (partitioned —
+    * never a global sort) with a total tie-break so both engines agree.
+    * At 100 TB the cutpoints would come from per-language approximate
+    * quantile sketches (two values per language, q_approx_quantile's
+    * machinery) instead of ranking every row; the exact ntile here keeps
+    * the oracle bit-exact while the aggregate output (bucket stats, not
+    * per-doc rows) is what the pipeline actually persists. */
+  val perplexityBucket = GraftQuery(
+    "q_perplexity_bucket",
+    "CCNet head/middle/tail terciles per language on the LM-score proxy",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tfFrame = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TF.words(col("text"))).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val stats = tfFrame.groupBy("w").agg(sum("tf").as("wc"))
+      val total = tfFrame.agg(sum("tf")).head().getLong(0)
+      val scored = tfFrame
+        .join(stats.hint("shuffle_hash"), "w")
+        .groupBy("doc_id", "lang")
+        .agg(expr(s"sum(tf * ($total DIV wc)) DIV sum(tf)").as("score"))
+      scored
+        .withColumn("bucket", ntile(3).over(Window.partitionBy("lang")
+          .orderBy(col("score").asc, col("doc_id").asc)))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH occ AS (
+           |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |stats AS (SELECT w, count(*) AS wc FROM occ GROUP BY 1),
+           |total AS (SELECT count(*) AS t FROM occ),
+           |tf AS (SELECT doc_id, lang, w, count(*) AS tf
+           |       FROM occ GROUP BY 1, 2, 3),
+           |scored AS (
+           |  SELECT doc_id, lang,
+           |    CAST(sum(tf * (t // wc)) AS BIGINT)
+           |      // CAST(sum(tf) AS BIGINT) AS score
+           |  FROM tf JOIN stats USING (w), total GROUP BY 1, 2),
+           |b AS (SELECT lang, score, ntile(3) OVER (PARTITION BY lang
+           |        ORDER BY score, doc_id) AS bucket
+           |      FROM scored)
+           |SELECT lang, bucket, count(*) AS n_docs,
+           |  CAST(sum(score) AS BIGINT) AS sum_score
+           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
     mixPlan, dedupIncremental, annFiltered, rarityScore, trainSplit,
     dedupBloom, dedupChunk, qualityFunnel, qualityClassifier, lengthGate,
-    langConfusion, bpeTokens, nbClassifier, bigramLm)
+    langConfusion, bpeTokens, nbClassifier, bigramLm, perplexityBucket)
 }

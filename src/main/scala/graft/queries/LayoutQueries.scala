@@ -402,7 +402,34 @@ object LayoutQueries {
            |  LEFT JOIN mm USING (k) CROSS JOIN tot
            |ORDER BY 1""".stripMargin))
 
+  /** Per-SOURCE contribution caps — the anti-flood curation rule every
+    * crawl pipeline applies (a single domain/dump must not dominate the
+    * mix): keep the best K documents per source (longest as the quality
+    * proxy, ties to the lowest id), drop the rest. The rank-≤-K filter
+    * compiles to WindowGroupLimit: each map task forwards at most K rows
+    * per source BEFORE the window shuffle, so the exchange carries
+    * O(sources·K) rows per task, not the corpus — the property that
+    * makes a per-domain cap feasible over 100 TB (plan asserted in
+    * PlanSpec). */
+  val sourceCap = GraftQuery(
+    "q_source_cap",
+    "per-source quota: keep the best 5 docs per source",
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir).select("doc_id", "source", "n_chars")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("source", "rnk")
+    },
+    Some("""SELECT doc_id, source, n_chars, rnk FROM (
+           |  SELECT doc_id, source, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id) AS rnk
+           |  FROM documents)
+           |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     zorderLayout, zorderPrune, shardExport, dedupKeepBest,
-    importanceWeight, bloomPrune)
+    importanceWeight, bloomPrune, sourceCap)
 }

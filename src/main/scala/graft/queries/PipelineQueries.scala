@@ -1310,6 +1310,96 @@ object PipelineQueries {
             |WHERE inter * 10 >= least(ca.n, cb.n) * 8
             |ORDER BY d1, d2""".stripMargin))
 
+  /** Two-corpus FUZZY JOIN (record linkage / entity resolution): match
+    * every document of an incoming increment (src18/src19) to its BEST
+    * near-duplicate in the existing corpus by n-gram Jaccard. The join
+    * differs from [[dedupIncremental]] (which only counts band
+    * collisions): candidates come from the inverted shingle index
+    * restricted to increment×corpus — corpus×corpus and
+    * increment×increment pairs never form — then exact Jaccard verifies,
+    * and ONE partitioned window picks the winner per increment doc (max
+    * score, ties to the lowest corpus id). Left-join contract: every
+    * increment doc appears, unmatched as match_id -1 — what a linkage
+    * pipeline consumes downstream. Integer score (parts-per-million,
+    * truncating) and integer threshold test (J ≥ 0.2 as inter·5 ≥ uni),
+    * so both engines agree bit-for-bit. */
+  val fuzzyJoin = GraftQuery(
+    "q_fuzzy_join",
+    "fuzzy join: best corpus match per increment doc (Jaccard >= 0.2)",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          col("source").isin("src18", "src19").as("is_new"),
+          TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("is_new"),
+          explode(array_distinct(graft.functions.SignatureExprs
+            .wordShingles(col("ws"), 3))).as("sh"))
+        .localCheckpoint(true)
+      val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Increment side joins the corpus side only — the pair space is
+      // |new|×|corpus-sharing-a-shingle|, linear in the increment.
+      // shuffle_hash for the same measured reason as dedupNgramJaccard.
+      val inter = base.filter(col("is_new")).as("a")
+        .join(base.filter(!col("is_new")).as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh"))
+        .groupBy(col("a.doc_id").as("nid"), col("b.doc_id").as("mid"))
+        .agg(count(lit(1)).as("inter"))
+      val scored = inter
+        // broadcast: cnt is one short row per doc (see dedupNgramJaccard
+        // on why the planner's estimate can't be trusted here)
+        .join(broadcast(cnt.as("ca")), col("nid") === col("ca.doc_id"))
+        .join(broadcast(cnt.as("cb")), col("mid") === col("cb.doc_id"))
+        .select(col("nid"), col("mid"), col("inter"),
+          (col("ca.n") + col("cb.n") - col("inter")).as("uni"))
+        .filter(col("inter") * 5 >= col("uni"))
+        .select(col("nid"), col("mid"),
+          expr("inter * 1000000 DIV uni").as("score_ppm"))
+      val best = scored
+        .withColumn("rn", row_number().over(Window.partitionBy("nid")
+          .orderBy(col("score_ppm").desc, col("mid").asc)))
+        .filter(col("rn") === 1).drop("rn")
+        .withColumnRenamed("nid", "doc_id")
+      docs(s, dir).filter(col("source").isin("src18", "src19"))
+        .select("doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("mid"), lit(-1L)).as("match_id"),
+          coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |           FROM documents),
+            |flags AS (SELECT doc_id,
+            |    source IN ('src18', 'src19') AS is_new FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, s
+            |       FROM (SELECT doc_id, unnest($duckShingles) AS s
+            |             FROM w WHERE len(ws) >= 3)),
+            |shf AS (SELECT sh.doc_id, f.is_new, s
+            |        FROM sh JOIN flags f USING (doc_id)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+            |pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS mid,
+            |            count(*) AS inter
+            |          FROM shf a JOIN shf b
+            |            ON a.s = b.s AND a.is_new AND NOT b.is_new
+            |          GROUP BY 1, 2),
+            |scored AS (
+            |  SELECT p.doc_id, p.mid,
+            |    CAST(p.inter * 1000000
+            |      // (ca.n + cb.n - p.inter) AS BIGINT) AS score_ppm
+            |  FROM pairs p
+            |  JOIN cnt ca ON ca.doc_id = p.doc_id
+            |  JOIN cnt cb ON cb.doc_id = p.mid
+            |  WHERE p.inter * 5 >= ca.n + cb.n - p.inter),
+            |best AS (SELECT doc_id, mid, score_ppm FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY doc_id
+            |      ORDER BY score_ppm DESC, mid) AS rn
+            |    FROM scored) WHERE rn = 1)
+            |SELECT f.doc_id, COALESCE(b.mid, -1) AS match_id,
+            |  COALESCE(b.score_ppm, 0) AS score_ppm
+            |FROM flags f LEFT JOIN best b USING (doc_id)
+            |WHERE f.is_new ORDER BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
@@ -1317,5 +1407,5 @@ object PipelineQueries {
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
     annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch, semanticMix,
-    dedupContainment)
+    dedupContainment, fuzzyJoin)
 }

@@ -93,4 +93,12 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(PipelineQueries.dedupNgramJaccard)
     assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
   }
+
+  test("per-source cap: rank filter limits groups BEFORE the shuffle " +
+    "and the scan never reads the text column") {
+    val plan = planOf(LayoutQueries.sourceCap)
+    // map tasks forward ≤K rows per source ahead of the window exchange
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("text"), "text column must be pruned")
+  }
 }
