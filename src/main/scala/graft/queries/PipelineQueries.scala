@@ -1322,36 +1322,39 @@ object PipelineQueries {
     * increment doc appears, unmatched as match_id -1 — what a linkage
     * pipeline consumes downstream. Integer score (parts-per-million,
     * truncating) and integer threshold test (J ≥ 0.2 as inter·5 ≥ uni),
-    * so both engines agree bit-for-bit. */
+    * so both engines agree bit-for-bit.
+    *
+    * Shuffle shape: the INCREMENT's inverted shingle index broadcasts
+    * (an increment is small relative to the corpus by definition — the
+    * asymmetry fuzzy joins exist to exploit), so the corpus streams
+    * map-side through one broadcast hash join and the only exchange
+    * carries candidate PAIRS (tiny). Per-doc shingle counts are computed
+    * in the scan (`size(array_distinct(...))` — no counting aggregate
+    * over the corpus). When the increment itself is too big to
+    * broadcast, flip to [[dedupIncremental]]'s shuffle_hash posting-list
+    * join — same semantics, both sides exchanged. */
   val fuzzyJoin = GraftQuery(
     "q_fuzzy_join",
     "fuzzy join: best corpus match per increment doc (Jaccard >= 0.2)",
     (s, dir) => {
-      val base = docs(s, dir)
+      val shaped = docs(s, dir)
         .select(col("doc_id"),
           col("source").isin("src18", "src19").as("is_new"),
-          TF.words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), col("is_new"),
-          explode(array_distinct(graft.functions.SignatureExprs
-            .wordShingles(col("ws"), 3))).as("sh"))
-        .localCheckpoint(true)
-      val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Increment side joins the corpus side only — the pair space is
-      // |new|×|corpus-sharing-a-shingle|, linear in the increment.
-      // shuffle_hash for the same measured reason as dedupNgramJaccard.
-      val inter = base.filter(col("is_new")).as("a")
-        .join(base.filter(!col("is_new")).as("b").hint("shuffle_hash"),
-          col("a.sh") === col("b.sh"))
-        .groupBy(col("a.doc_id").as("nid"), col("b.doc_id").as("mid"))
+          array_distinct(graft.functions.SignatureExprs.wordShingles(
+            TF.words(col("text")), 3)).as("shs"))
+        .filter(size(col("shs")) >= 1)
+        .withColumn("n", size(col("shs")).cast("long"))
+      val newSide = shaped.filter(col("is_new"))
+        .select(col("doc_id").as("nid"), col("n").as("na"),
+          explode(col("shs")).as("sh"))
+      val inter = shaped.filter(!col("is_new"))
+        .select(col("doc_id").as("mid"), col("n").as("nb"),
+          explode(col("shs")).as("sh"))
+        .join(broadcast(newSide), "sh")
+        .groupBy(col("nid"), col("mid"), col("na"), col("nb"))
         .agg(count(lit(1)).as("inter"))
       val scored = inter
-        // broadcast: cnt is one short row per doc (see dedupNgramJaccard
-        // on why the planner's estimate can't be trusted here)
-        .join(broadcast(cnt.as("ca")), col("nid") === col("ca.doc_id"))
-        .join(broadcast(cnt.as("cb")), col("mid") === col("cb.doc_id"))
-        .select(col("nid"), col("mid"), col("inter"),
-          (col("ca.n") + col("cb.n") - col("inter")).as("uni"))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
         .filter(col("inter") * 5 >= col("uni"))
         .select(col("nid"), col("mid"),
           expr("inter * 1000000 DIV uni").as("score_ppm"))
