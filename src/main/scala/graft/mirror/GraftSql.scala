@@ -44,6 +44,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   DROP SCRIPT name / SHOW SCRIPTS
   *   SHOW STATS FOR MIRROR name   -- registers stats_* views (peerdb_stats)
   *   VALIDATE PEER name           -- connectivity probe (validate_peer.go)
+  *   VALIDATE MIRROR name         -- pre-flight checks (validate_mirror.go)
+  *   SHOW TABLES IN PEER name     -- storage tables (GetAllTables)
+  *   DESCRIBE PEER name.table     -- parquet schema (GetColumns)
+  *   ALTER MIRROR name SET TAGS (k 'v', ...)  -- replace-all flow tags
+  *   SHOW TAGS FOR MIRROR name    -- (tags_handler.go)
   * }}}
   *
   * Durability contract: with `spark.graft.catalog.dir` set, peer/mirror
@@ -120,6 +125,26 @@ object GraftSql {
     * yield a schema. Returns (name, status, message), never throws —
     * the reference returns INVALID + message rather than erroring. */
   final case class ValidatePeerStmt(name: String) extends Statement
+  /** Peer-schema introspection — the GetSchemaConnector API surface the
+    * UI's table picker runs on (flow/cmd/peer_data.go:176-202
+    * GetAllTables/GetColumns): SHOW TABLES IN PEER lists the storage
+    * tables under the peer's dir; DESCRIBE PEER p.t returns the table's
+    * schema as (column, type, nullable) rows from the parquet footers. */
+  final case class ShowPeerTables(peer: String) extends Statement
+  final case class DescribePeerTable(peer: String, table: String)
+      extends Statement
+  /** Mirror-config validation — ValidateCDCMirror
+    * (flow/cmd/validate_mirror.go:37-140), restated as per-check result
+    * rows (check, status, message) that never throw: config parse, pk ⊆
+    * schema, exclusions vs replica identity, WAL reachability, snapshot
+    * source schema coverage. */
+  final case class ValidateMirrorStmt(name: String) extends Statement
+  /** Flow tags — CreateOrReplaceFlowTags / GetFlowTags
+    * (flow/cmd/tags_handler.go:23-51): replace-all key=value labels on a
+    * mirror, introspected with SHOW TAGS. */
+  final case class SetMirrorTags(name: String,
+      tags: Map[String, String]) extends Statement
+  final case class ShowTags(name: String) extends Statement
 
   private val createPeer: Regex =
     """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
@@ -155,6 +180,16 @@ object GraftSql {
     """(?is)\s*SHOW\s+STATS\s+FOR\s+MIRROR\s+(\w+)\s*""".r
   private val validatePeerRe: Regex =
     """(?is)\s*VALIDATE\s+PEER\s+(\w+)\s*""".r
+  private val validateMirrorRe: Regex =
+    """(?is)\s*VALIDATE\s+MIRROR\s+(\w+)\s*""".r
+  private val showPeerTablesRe: Regex =
+    """(?is)\s*SHOW\s+TABLES\s+IN\s+PEER\s+(\w+)\s*""".r
+  private val describePeerRe: Regex =
+    """(?is)\s*DESCRIBE\s+PEER\s+(\w+)\.(\w+)\s*""".r
+  private val setTagsRe: Regex =
+    """(?is)\s*ALTER\s+MIRROR\s+(\w+)\s+SET\s+TAGS\s*\((.*)\)\s*""".r
+  private val showTagsRe: Regex =
+    """(?is)\s*SHOW\s+TAGS\s+FOR\s+MIRROR\s+(\w+)\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
 
   private def parseOptions(s: String): Map[String, String] =
@@ -184,6 +219,11 @@ object GraftSql {
     case showScripts() => Some(ShowScripts)
     case showStats(n) => Some(ShowStats(n))
     case validatePeerRe(n) => Some(ValidatePeerStmt(n))
+    case validateMirrorRe(n) => Some(ValidateMirrorStmt(n))
+    case showPeerTablesRe(n) => Some(ShowPeerTables(n))
+    case describePeerRe(p, t) => Some(DescribePeerTable(p, t))
+    case setTagsRe(n, opts) => Some(SetMirrorTags(n, parseOptions(opts)))
+    case showTagsRe(n) => Some(ShowTags(n))
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
     case fetchCursor(cnt, n) => Some(FetchCursor(n,
       if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
@@ -377,6 +417,82 @@ object GraftSql {
         graft.util.FsText.write(marker, cp.toString, hc)
         (cfg2, rows)
     }
+  }
+
+  /** A storage peer's location option (path/dir) — the addressing every
+    * introspection statement shares. */
+  private def peerLocation(spark: SparkSession, n: String): String = {
+    val p = peersFor(spark).get(n)
+    p.options.get("path").orElse(p.options.get("dir")).getOrElse(
+      throw new IllegalArgumentException(
+        s"peer $n has no path/dir option — not addressable as storage"))
+  }
+
+  /** ValidateCDCMirror (flow/cmd/validate_mirror.go:37-140) restated:
+    * the pre-flight checks a mirror can fail are probed one by one and
+    * reported as (check, status, message) rows — the API returns a
+    * verdict, it does not throw. Config parse = the custom-column /
+    * option-coherence checks; pk ⊆ schema = the replica-identity
+    * presence check; WAL reachability = the source-connection check;
+    * snapshot-source schema coverage = the source-table existence check
+    * (SourceTablesMissingError). QRep mirrors re-run the analyzer's
+    * validation (validateQRep) plus peer existence. */
+  private def validateMirror(spark: SparkSession, n: String): Seq[Row] = {
+    val entry = try mirrorEntry(spark, n) catch {
+      case e: NoSuchElementException =>
+        return Seq(Row("exists", "invalid", e.getMessage))
+    }
+    val checks = Seq.newBuilder[Row]
+    def check(name: String)(body: => String): Unit =
+      checks += (try Row(name, "valid", body)
+        catch { case e: Exception =>
+          Row(name, "invalid", Option(e.getMessage).getOrElse(e.toString))
+        })
+    if (entry.kind == "qrep") {
+      val o = entry.options
+      check("qrep_config") { validateQRep(o("__query"), o); "" }
+      check("peers") {
+        peersFor(spark).get(o("__source_peer"))
+        peersFor(spark).get(o("__dest_peer"))
+        ""
+      }
+    } else {
+      val cfgOpt =
+        try { val c = mirrorConfig(spark, entry.options)
+          checks += Row("config", "valid", ""); Some(c) }
+        catch { case e: Exception =>
+          checks += Row("config", "invalid", e.getMessage); None }
+      cfgOpt.foreach { cfg =>
+        check("pk_in_schema") {
+          val missing = cfg.pkColumns
+            .filterNot(cfg.payloadSchema.fieldNames.contains)
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"pk columns missing from schema: ${missing.mkString(",")}")
+          ""
+        }
+        check("wal_dir") {
+          val wp = new org.apache.hadoop.fs.Path(cfg.walDir)
+          if (!wp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(wp)) throw new IllegalArgumentException(
+            s"${cfg.walDir} unreachable (no WAL written yet?)")
+          ""
+        }
+        val o = entry.options
+        if (o.get("do_initial_snapshot").exists(_.toBoolean) ||
+            o.get("initial_snapshot_only").exists(_.toBoolean))
+          check("snapshot_source") {
+            val src = o("snapshot_source")
+            val have = spark.read.parquet(src).schema.fieldNames.toSet
+            val need = TableConfig(cfg.pkColumns, cfg.payloadSchema,
+              cfg.excludeColumns).effectiveSchema.fieldNames
+            val missing = need.filterNot(have.contains)
+            if (missing.nonEmpty) throw new IllegalArgumentException(
+              s"$src lacks column(s): ${missing.mkString(",")}")
+            ""
+          }
+      }
+    }
+    checks.result()
   }
 
   private def mirrorEntry(spark: SparkSession, n: String): Peer =
@@ -591,6 +707,35 @@ object GraftSql {
             "invalid" -> s"peer $n was invalidated: ${e.getMessage}"
         }
       Seq(Row(n, result._1, result._2))
+    case ValidateMirrorStmt(n) => validateMirror(spark, n)
+    case ShowPeerTables(n) =>
+      val loc = peerLocation(spark, n)
+      val hp = new org.apache.hadoop.fs.Path(loc)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(t => Row(t.stripSuffix(".parquet")))
+        .sortBy(_.getString(0))
+    case DescribePeerTable(pn, t) =>
+      val loc = peerLocation(spark, pn)
+      spark.read.parquet(s"$loc/$t.parquet").schema.fields.toSeq.map(f =>
+        Row(f.name, f.dataType.sql, f.nullable.toString))
+    case SetMirrorTags(n, tags) =>
+      // Replace-all semantics (CreateOrReplaceFlowTags deletes the
+      // flow's tags then inserts the new set, tags_handler.go:23-49).
+      val entry = mirrorEntry(spark, n)
+      val tagStr = tags.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(",")
+      mirrorsFor(spark).update(
+        entry.copy(options = entry.options + ("tags" -> tagStr)))
+      Nil
+    case ShowTags(n) =>
+      mirrorEntry(spark, n).options.get("tags").toSeq
+        .flatMap(_.split(",").filter(_.nonEmpty)).map { kv =>
+          val parts = kv.split("=", 2)
+          Row(parts(0), if (parts.length > 1) parts(1) else "")
+        }
     case CreateQRepMirror(n, src, dst, q, o) =>
       validateQRep(q, o) // fail the DDL, not the first EXECUTE
       peersFor(spark).get(src) // both peers must exist
@@ -803,6 +948,19 @@ object GraftSql {
       AttributeReference("name", StringType)(),
       AttributeReference("status", StringType)(),
       AttributeReference("message", StringType)())
+    case ValidateMirrorStmt(_) => Seq(
+      AttributeReference("check", StringType)(),
+      AttributeReference("status", StringType)(),
+      AttributeReference("message", StringType)())
+    case ShowPeerTables(_) => Seq(
+      AttributeReference("table", StringType)())
+    case DescribePeerTable(_, _) => Seq(
+      AttributeReference("column", StringType)(),
+      AttributeReference("type", StringType)(),
+      AttributeReference("nullable", StringType)())
+    case ShowTags(_) => Seq(
+      AttributeReference("key", StringType)(),
+      AttributeReference("value", StringType)())
     case _ => Nil
   }
 }

@@ -65,6 +65,13 @@ final class PeerCatalog(persistPath: Option[String] = None,
     save()
   }
   def drop(name: String): Unit = { peers.remove(name); save() }
+  /** In-place option update of an existing entry (tags, option edits);
+    * the entry must exist. */
+  def update(p: Peer): Unit = {
+    require(peers.contains(p.name), s"peer ${p.name} does not exist")
+    peers.put(p.name, p)
+    save()
+  }
   def get(name: String): Peer =
     peers.getOrElse(name, throw new NoSuchElementException(s"peer $name"))
   def list: Seq[Peer] = peers.values.toSeq.sortBy(_.name)

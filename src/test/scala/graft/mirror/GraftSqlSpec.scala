@@ -686,6 +686,86 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("introspection + validation statements: SHOW TABLES IN PEER, " +
+    "DESCRIBE PEER, VALIDATE MIRROR, flow tags") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val base = tmpDir("intro")
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+        .write.parquet(s"$base/store/users.parquet")
+      Seq((1L, 5L)).toDF("id", "v")
+        .write.parquet(s"$base/store/scores.parquet")
+
+      s.sql(s"CREATE PEER store TYPE parquet OPTIONS (dir '$base/store')")
+      // GetAllTables: the storage tables under the peer's dir
+      assert(s.sql("SHOW TABLES IN PEER store").collect()
+        .map(_.getString(0)).toSeq == Seq("scores", "users"))
+      // GetColumns: parquet schema as (column, type, nullable)
+      val cols = s.sql("DESCRIBE PEER store.users").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(cols == Map("id" -> "BIGINT", "name" -> "STRING"))
+
+      // VALIDATE MIRROR: per-check rows, never throws
+      val wal = tmpDir("valwal")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"v":10}""", null, Nil)))
+      s.sql(s"""CREATE MIRROR val_m WITH (wal_dir '$wal',
+               |  dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+               |  pk 'id', table 'd', schema 'id BIGINT, v BIGINT')"""
+        .stripMargin)
+      val v1 = s.sql("VALIDATE MIRROR val_m").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(v1 == Map("config" -> "valid", "pk_in_schema" -> "valid",
+        "wal_dir" -> "valid"))
+      // a mirror whose pk is not in the schema reports the failing check
+      s.sql(s"""CREATE MIRROR val_bad WITH (wal_dir '$base/no_wal',
+               |  dest_dir '$base/dest2', checkpoint_dir '$base/ckpt2',
+               |  pk 'nope', table 'd', schema 'id BIGINT')""".stripMargin)
+      val v2 = s.sql("VALIDATE MIRROR val_bad").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(v2("pk_in_schema") == "invalid")
+      assert(v2("wal_dir") == "invalid")
+      assert(s.sql("VALIDATE MIRROR no_such_mirror").collect()
+        .head.getString(1) == "invalid") // never throws
+      // snapshot source coverage: a source missing a schema column fails
+      s.sql(s"""CREATE MIRROR val_snap WITH (wal_dir '$wal',
+               |  dest_dir '$base/dest3', checkpoint_dir '$base/ckpt3',
+               |  pk 'id', table 'd', schema 'id BIGINT, missing BIGINT',
+               |  do_initial_snapshot 'true',
+               |  snapshot_source '$base/store/users.parquet')"""
+        .stripMargin)
+      val v3 = s.sql("VALIDATE MIRROR val_snap").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(v3("snapshot_source") == "invalid")
+
+      // Flow tags: replace-all + introspection
+      s.sql("ALTER MIRROR val_m SET TAGS (team 'data', env 'prod')")
+      assert(s.sql("SHOW TAGS FOR MIRROR val_m").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap ==
+        Map("team" -> "data", "env" -> "prod"))
+      s.sql("ALTER MIRROR val_m SET TAGS (owner 'ops')")
+      assert(s.sql("SHOW TAGS FOR MIRROR val_m").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap ==
+        Map("owner" -> "ops")) // replace-all, not merge
+
+      s.sql("DROP MIRROR val_m"); s.sql("DROP MIRROR val_bad")
+      s.sql("DROP MIRROR val_snap"); s.sql("DROP PEER store")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("per-mirror env overrides resolve env-first (dynLookup order) " +
     "and validate at DDL time") {
     SparkSession.clearActiveSession()
