@@ -620,7 +620,31 @@ object GraftSql {
   private val cursors = scala.collection.concurrent.TrieMap
     .empty[String, (StructType, java.util.Iterator[Row])]
 
-  def execute(spark: SparkSession, st: Statement): Seq[Row] = st match {
+  /** Maintenance gate (ErrUnderMaintenance, flow/cmd/handler.go:429-435):
+    * state-changing mirror statements are refused while
+    * `maintenance.mode` is on; introspection and cursors still work. */
+  private def denyUnderMaintenance(spark: SparkSession,
+      st: Statement): Unit = {
+    val mutating = st match {
+      case _: CreateMirror | _: CreateQRepMirror | _: ExecuteMirror |
+        _: ResyncMirror | _: PauseMirror | _: ResumeMirror |
+        _: DropMirror => true
+      case _ => false
+    }
+    if (mutating &&
+      Settings.get(spark, "maintenance.mode").exists(_.toBoolean))
+      throw new IllegalStateException(
+        "under maintenance: mirror state changes are disabled " +
+          "(SET spark.graft.maintenance.mode = false to re-enable)")
+  }
+
+  def execute(spark: SparkSession, st: Statement): Seq[Row] = {
+    denyUnderMaintenance(spark, st)
+    executeStatement(spark, st)
+  }
+
+  private def executeStatement(spark: SparkSession,
+      st: Statement): Seq[Row] = st match {
     case DeclareCursor(n, q) =>
       val df = spark.sql(q) // non-graft SQL: delegates to the stock parser
       cursors.put(n, (df.schema, df.toLocalIterator()))

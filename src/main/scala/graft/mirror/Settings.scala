@@ -46,7 +46,14 @@ object Settings {
     Setting("alerting.open_connections_threshold", Some("5"), "uint",
       "Open-connections alert threshold " +
         "(PEERDB_PGPEER_OPEN_CONNECTIONS_ALERT_THRESHOLD, " +
-        "dynamicconf.go:260)"))
+        "dynamicconf.go:260)"),
+    Setting("maintenance.mode", Some("false"), "bool",
+      "Deployment maintenance mode: while true, state-changing mirror " +
+        "statements (CREATE/EXECUTE/RESYNC/PAUSE/RESUME/DROP MIRROR) " +
+        "are refused; introspection still works " +
+        "(PEERDB_MAINTENANCE_MODE_ENABLED, dynamicconf.go:868; " +
+        "handlers deny with ErrUnderMaintenance, " +
+        "flow/cmd/handler.go:429-435)"))
 
   private val byName = all.map(s => s.name -> s).toMap
 

@@ -766,6 +766,43 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("maintenance mode refuses state changes but keeps introspection") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val wal = tmpDir("mntwal")
+      val base = tmpDir("mntmirror")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"v":10}""", null, Nil)))
+      s.sql(s"""CREATE MIRROR mnt_m WITH (wal_dir '$wal',
+               |  dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+               |  pk 'id', table 'd', schema 'id BIGINT, v BIGINT')"""
+        .stripMargin)
+      s.sql("SET spark.graft.maintenance.mode = true")
+      val ex = intercept[Exception](s.sql("EXECUTE MIRROR mnt_m"))
+      assert(ex.getMessage.contains("maintenance"))
+      intercept[Exception](s.sql("DROP MIRROR mnt_m"))
+      // introspection still works under maintenance
+      assert(s.sql("SHOW MIRRORS").collect().nonEmpty)
+      assert(s.sql("VALIDATE MIRROR mnt_m").collect().nonEmpty)
+      s.sql("SET spark.graft.maintenance.mode = false")
+      s.sql("EXECUTE MIRROR mnt_m") // re-enabled
+      assert(s.read.parquet(s"$base/dest").count() == 1)
+      s.sql("DROP MIRROR mnt_m")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("per-mirror env overrides resolve env-first (dynLookup order) " +
     "and validate at DDL time") {
     SparkSession.clearActiveSession()
