@@ -49,6 +49,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   DESCRIBE PEER name.table     -- parquet schema (GetColumns)
   *   ALTER MIRROR name SET TAGS (k 'v', ...)  -- replace-all flow tags
   *   SHOW TAGS FOR MIRROR name    -- (tags_handler.go)
+  *   PREPARE name AS query        -- statement cache ($1..$n params)
+  *   EXECUTE name ('v1', 2, ...)  -- substitute + re-parse (main.rs:861)
+  *   DEALLOCATE [PREPARE] name
   * }}}
   *
   * Durability contract: with `spark.graft.catalog.dir` set, peer/mirror
@@ -145,6 +148,16 @@ object GraftSql {
   final case class SetMirrorTags(name: String,
       tags: Map[String, String]) extends Statement
   final case class ShowTags(name: String) extends Statement
+  /** Prepared statements — the proxy's extended-query-protocol statement
+    * cache (nexus/server/src/main.rs:845-870: Parse caches the text,
+    * Bind/Execute substitutes `$n` with the parameter's literal text and
+    * re-parses through the NORMAL query path — graft DDL and plain SQL
+    * both work as prepared bodies here for the same reason). PREPARE
+    * overwrites an existing name (the portal store's replace semantics);
+    * DEALLOCATE releases it. */
+  final case class PrepareStmt(name: String, query: String)
+      extends Statement
+  final case class DeallocateStmt(name: String) extends Statement
 
   private val createPeer: Regex =
     """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
@@ -190,6 +203,12 @@ object GraftSql {
     """(?is)\s*ALTER\s+MIRROR\s+(\w+)\s+SET\s+TAGS\s*\((.*)\)\s*""".r
   private val showTagsRe: Regex =
     """(?is)\s*SHOW\s+TAGS\s+FOR\s+MIRROR\s+(\w+)\s*""".r
+  private val prepareRe: Regex =
+    """(?is)\s*PREPARE\s+(\w+)\s+AS\s+(.+?)\s*""".r
+  private val deallocateRe: Regex =
+    """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
+  private val executePreparedRe: Regex =
+    """(?is)\s*EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
 
   private def parseOptions(s: String): Map[String, String] =
@@ -224,6 +243,8 @@ object GraftSql {
     case describePeerRe(p, t) => Some(DescribePeerTable(p, t))
     case setTagsRe(n, opts) => Some(SetMirrorTags(n, parseOptions(opts)))
     case showTagsRe(n) => Some(ShowTags(n))
+    case prepareRe(n, q) => Some(PrepareStmt(n, q.trim))
+    case deallocateRe(n) => Some(DeallocateStmt(n))
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
     case fetchCursor(cnt, n) => Some(FetchCursor(n,
       if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
@@ -620,6 +641,47 @@ object GraftSql {
   private val cursors = scala.collection.concurrent.TrieMap
     .empty[String, (StructType, java.util.Iterator[Row])]
 
+  /** Prepared-statement text cache (see [[PrepareStmt]]). JVM-global the
+    * way the proxy's store is per-connection — one driver, one store. */
+  private val prepared =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** `EXECUTE name [(v1, v2, ...)]` → the cached text with `$n`
+    * substituted by each parameter's literal SQL text, highest index
+    * first so `$12` never half-matches through `$1` (the proxy's exact
+    * mechanism, main.rs:861-866). Returns None when the statement isn't
+    * an EXECUTE of a prepared name (EXECUTE MIRROR and Spark's own
+    * EXECUTE IMMEDIATE pass through). The caller re-parses the result
+    * through the normal path, so a prepared body can be graft DDL or
+    * plain SQL alike. */
+  def substitutePrepared(sql: String): Option[String] = sql match {
+    case executePreparedRe(n, args)
+        if !n.equalsIgnoreCase("mirror") &&
+          !n.equalsIgnoreCase("immediate") && prepared.contains(n) =>
+      val text = prepared(n)
+      val vals = Option(args).map(splitArgs).getOrElse(Nil)
+      Some(vals.zipWithIndex.sortBy(-_._2).foldLeft(text) {
+        case (t, (v, i)) => t.replace("$" + (i + 1), v)
+      })
+    case _ => None
+  }
+
+  /** Top-level comma split of an EXECUTE argument list, respecting
+    * single-quoted literals (doubled '' quotes toggle twice — net
+    * correct). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
   /** Maintenance gate (ErrUnderMaintenance, flow/cmd/handler.go:429-435):
     * state-changing mirror statements are refused while
     * `maintenance.mode` is on; introspection and cursors still work. */
@@ -659,6 +721,11 @@ object GraftSql {
     case CloseCursor(n) =>
       cursors.remove(n).getOrElse(
         throw new NoSuchElementException(s"cursor $n"))
+      Nil
+    case PrepareStmt(n, q) => prepared.put(n, q); Nil
+    case DeallocateStmt(n) =>
+      prepared.remove(n).getOrElse(
+        throw new NoSuchElementException(s"prepared statement $n"))
       Nil
     case CreatePeer(n, k, o) => peersFor(spark).create(Peer(n, k, o)); Nil
     case DropPeer(n) => peersFor(spark).drop(n); Nil
@@ -1053,9 +1120,15 @@ final case class GraftCommand(st: GraftSql.Statement)
 final class GraftSqlParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.parse(sqlText).map(GraftCommand(_))
-      .getOrElse( // plain SQL: route peer-qualified relations (§3.2)
-        PeerQueryRouter.route(session, delegate.parsePlan(sqlText)))
+    // EXECUTE of a prepared name substitutes + re-enters the full parse
+    // (the proxy re-parses the substituted text the same way)
+    GraftSql.substitutePrepared(sqlText) match {
+      case Some(substituted) => parsePlan(substituted)
+      case None =>
+        GraftSql.parse(sqlText).map(GraftCommand(_))
+          .getOrElse( // plain SQL: route peer-qualified relations (§3.2)
+            PeerQueryRouter.route(session, delegate.parsePlan(sqlText)))
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

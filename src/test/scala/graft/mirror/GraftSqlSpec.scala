@@ -766,6 +766,47 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("prepared statements: PREPARE caches, EXECUTE substitutes $n " +
+    "literally and re-parses, DEALLOCATE releases") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      s.sql("PREPARE padd AS SELECT $1 + $2 AS total")
+      assert(s.sql("EXECUTE padd (40, 2)").head().getInt(0) == 42)
+      // string params carry their quotes (literal text substitution);
+      // repeated and double-digit params substitute correctly
+      s.sql("PREPARE pcat AS SELECT concat($1, $1, $2) AS c")
+      assert(s.sql("EXECUTE pcat ('ab', 'c,d')").head().getString(0)
+        == "ababc,d")
+      // PREPARE overwrites (portal-store replace semantics)
+      s.sql("PREPARE padd AS SELECT $1 * 2 AS total")
+      assert(s.sql("EXECUTE padd (21)").head().getInt(0) == 42)
+      // a prepared body can be a graft statement (re-parse goes through
+      // the full path, like the proxy's handle_query)
+      s.sql("PREPARE mk AS CREATE PEER $1 TYPE parquet OPTIONS (x 'y')")
+      s.sql("EXECUTE mk (prep_peer)")
+      assert(s.sql("SHOW PEERS").collect().map(_.getString(0))
+        .contains("prep_peer"))
+      s.sql("DROP PEER prep_peer")
+      s.sql("DEALLOCATE padd")
+      // after DEALLOCATE the name no longer resolves as prepared
+      intercept[Exception](s.sql("EXECUTE padd (1)").collect())
+      // Spark's own EXECUTE IMMEDIATE still passes through untouched
+      assert(s.sql("EXECUTE IMMEDIATE 'SELECT 7'").head().getInt(0) == 7)
+      s.sql("DEALLOCATE pcat"); s.sql("DEALLOCATE mk")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("maintenance mode refuses state changes but keeps introspection") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
