@@ -41,15 +41,18 @@ object CoreQueries {
   private def centsStr(c: Column): Column =
     coalesce(cents(c).cast("string"), lit(""))
 
-  /** events with CDC framing columns. `ts` arrives as Long nanos
-    * (parquet NANOS read via nanosAsLong); version = micros. */
-  private def changeLog(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  /** events with CDC framing columns. `ts` is canonical Long nanos
+    * (storage-type normalized by Tables/EventsTs); version = micros. */
+  private def changeLogFrame(events: DataFrame): DataFrame =
+    events
       .withColumn("version", expr("ts div 1000"))
       .withColumn("rtype",
         when(col("event_type") === "signup", 0)
           .when(col("event_type") === "error", 2)
           .otherwise(1))
+
+  private def changeLog(s: SparkSession, dir: String): DataFrame =
+    changeLogFrame(t(s, dir, "events"))
 
   private val changeLogSql =
     """SELECT *, epoch_ns(ts) // 1000 AS version,
@@ -90,8 +93,11 @@ object CoreQueries {
   val filterWatermark = GraftQuery(
     "q_filter_watermark",
     "watermark-column incremental pull (> lastRangeEnd)",
-    (s, dir) => changeLog(s, dir)
-      .filter(col("ts") >= lit(1705708800000001000L)) // > 2024-01-20 UTC
+    // Filter on the RAW scan so the watermark predicate pushes into
+    // parquet (row-group skip at scale), then normalize ts and frame.
+    (s, dir) => changeLogFrame(EventsTs.toNanos(
+        EventsTs.atLeastNanos(Tables.raw(s, dir, "events"),
+          1705708800000001000L))) // > 2024-01-20 UTC
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("version"))
       .orderBy("event_id"),

@@ -445,6 +445,106 @@ object CurationQueries {
            |  FROM scored)
            |WHERE rank <= 20 ORDER BY rank""".stripMargin))
 
+  /** Hybrid retrieval: the production RAG pattern of fusing a KEYWORD
+    * rank list (integer tf-idf, the [[keywordSearch]] scorer) with a
+    * VECTOR rank list (brute cosine against query vector 0) via
+    * Reciprocal Rank Fusion — score = Σ 1/(k + rank), k = 60 (Cormack &
+    * Clarke 2009), held integer-exact as 1000000 DIV (60 + rank) so the
+    * fusion replays bit-for-bit in the oracle. Each side is a top-20
+    * `TakeOrderedAndProject` (never a global sort); the fusion join is
+    * 20×20 rows — driver-trivial at any corpus scale, because RRF only
+    * ever sees the rank lists, not the corpus. Missing from one list
+    * contributes 0 (rank reported as 0). */
+  val hybridRrf = GraftQuery(
+    "q_hybrid_rrf",
+    "hybrid keyword+vector retrieval fused by reciprocal rank (RRF k=60)",
+    (s, dir) => {
+      val terms = Seq("spark", "query", "window")
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val kwScored = tf.join(broadcast(df), "w")
+        .withColumn("contrib", expr("tf * (1000000 DIV df)"))
+        .groupBy("doc_id").agg(sum("contrib").as("score"))
+      val kwTop = kwScored.orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+      val kw = graft.operators.GlobalRank.withRowNumber(
+          kwTop, Seq(col("score").desc, col("doc_id")), rnCol = "kw_rank",
+          numPartitions = 1)
+        .select(col("doc_id"), col("kw_rank"))
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val vecTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim",
+          Similarity.cosineFast(col("embedding"), col("q_emb")))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+      val vec = graft.operators.GlobalRank.withRowNumber(
+          vecTop, Seq(col("sim").desc, col("vec_id")), rnCol = "vec_rank",
+          numPartitions = 1)
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      val fused = kw.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),
+          coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+        .withColumn("rrf", expr(
+          "CASE WHEN kw_rank > 0 THEN 1000000 DIV (60 + kw_rank) " +
+            "ELSE 0L END + " +
+          "CASE WHEN vec_rank > 0 THEN 1000000 DIV (60 + vec_rank) " +
+            "ELSE 0L END"))
+      val top = fused.orderBy(col("rrf").desc, col("doc_id")).limit(15)
+      graft.operators.GlobalRank.withRowNumber(
+          top, Seq(col("rrf").desc, col("doc_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("doc_id"), col("kw_rank"),
+          col("vec_rank"), col("rrf"))
+        .orderBy("rank")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, s AS w, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s
+           |        FROM documents)
+           |  WHERE s IN ('spark', 'query', 'window')
+           |  GROUP BY 1, 2),
+           |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score
+           |  FROM tf JOIN df USING (w) GROUP BY 1),
+           |kw AS (SELECT doc_id, rank AS kw_rank FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+           |      AS rank, doc_id FROM scored)
+           |  WHERE rank <= 20),
+           |vec AS (SELECT vec_id AS doc_id, rank AS vec_rank FROM (
+           |    SELECT ROW_NUMBER() OVER (
+           |        ORDER BY list_cosine_similarity(e.embedding, q.q_emb)
+           |          DESC, e.vec_id) AS rank, e.vec_id
+           |    FROM embeddings e,
+           |      (SELECT embedding AS q_emb FROM embeddings
+           |       WHERE vec_id = 0) q
+           |    WHERE e.vec_id <> 0)
+           |  WHERE rank <= 20),
+           |fused AS (SELECT doc_id,
+           |    COALESCE(kw_rank, 0) AS kw_rank,
+           |    COALESCE(vec_rank, 0) AS vec_rank
+           |  FROM kw FULL JOIN vec USING (doc_id)),
+           |rrfed AS (SELECT doc_id, kw_rank, vec_rank,
+           |    CAST(CASE WHEN kw_rank > 0
+           |          THEN 1000000 // (60 + kw_rank) ELSE 0 END +
+           |        CASE WHEN vec_rank > 0
+           |          THEN 1000000 // (60 + vec_rank) ELSE 0 END
+           |      AS BIGINT) AS rrf
+           |  FROM fused)
+           |SELECT rank, doc_id, kw_rank, vec_rank, rrf FROM (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+           |    AS rank, doc_id, kw_rank, vec_rank, rrf FROM rrfed)
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin))
+
   /** Training-mix planner: per-language token counts vs a target mix →
     * per-language per-mille sampling rate to fill a fixed token budget
     * (capped at keep-everything). One tiny aggregate + a literal-frame
@@ -1102,7 +1202,8 @@ object CurationQueries {
 
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
-    mixPlan, dedupIncremental, annFiltered, rarityScore, trainSplit,
+    hybridRrf, mixPlan, dedupIncremental, annFiltered, rarityScore,
+    trainSplit,
     dedupBloom, dedupChunk, qualityFunnel, qualityClassifier, lengthGate,
     langConfusion, bpeTokens, nbClassifier, bigramLm, perplexityBucket)
 }

@@ -968,6 +968,58 @@ object PipelineQueries {
             |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 97 = 0)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Sliding n-gram contamination audit (the GPT-3/PaLM 13-gram standard):
+    * a training doc is contaminated if ANY of its 13-word windows appears
+    * verbatim in the benchmark suite — catches partial-quote leakage the
+    * whole-document fingerprint of [[decontaminate]] misses. Benchmark
+    * grams hash into a 60-bit portable domain and form a tiny distinct
+    * set → broadcast semi-join: the corpus explodes its windows map-side
+    * and only hit rows reach the one doc-keyed aggregate. At 100 TB the
+    * window explosion is linear in corpus tokens (the same cost every
+    * n-gram op here pays) and the benchmark set stays driver-small by
+    * construction. Output is per-doc hit counts + per-mille rate —
+    * all-integer. (Benchmark = every 97th doc, deterministic.) */
+  val contaminationNgram = GraftQuery(
+    "q_contamination_ngram",
+    "13-gram sliding-window benchmark contamination audit",
+    (s, dir) => {
+      val n = 13
+      val grams = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.SignatureExprs
+            .wordShingles(col("ws"), n))).as("g"))
+        .select(col("doc_id"), expr(TF.hash60Sql("g")).as("h"))
+        .localCheckpoint(true)
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("h").distinct()
+      val train = grams.filter(col("doc_id") % 97 =!= 0)
+      val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hit = train.join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hit, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          expr("n_hit * 1000 DIV n_grams").as("hit_pm"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+            |           FROM documents),
+            |g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            |         generate_series(1, len(w) - 12),
+            |         i -> array_to_string(w[i:i+12], ' ')))) AS g
+            |       FROM ws WHERE len(w) >= 13),
+            |g AS (SELECT doc_id, ${TF.hash60DuckSql("g")} AS h FROM g0),
+            |b AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+            |t AS (SELECT doc_id, h FROM g WHERE doc_id % 97 <> 0),
+            |tot AS (SELECT doc_id, count(*) AS n_grams FROM t GROUP BY 1),
+            |hit AS (SELECT doc_id, count(*) AS n_hit FROM t
+            |        WHERE h IN (SELECT h FROM b) GROUP BY 1)
+            |SELECT doc_id, n_grams, n_hit,
+            |  n_hit * 1000 // n_grams AS hit_pm
+            |FROM tot JOIN hit USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
   /** Sequence packing plan: assign docs to fixed token-budget packs by
     * cumulative offset within a shard (pack = start-offset DIV budget) —
     * the document-granular packing layout computed relationally. Packing
@@ -1408,6 +1460,7 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
+    contaminationNgram,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
     annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch, semanticMix,
     dedupContainment, fuzzyJoin)

@@ -35,11 +35,28 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
 
-  /** All engine inputs come from the driver-generated parquet tables. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** All engine inputs come from the driver-generated parquet tables.
+    * `events.ts` is normalized to the engine's canonical epoch-nanos Long
+    * ([[EventsTs.toNanos]]) whatever the parquet storage type — query code
+    * is written against that one convention. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    get(spark, dir, name, normalize = true)
+
+  /** The raw scan, storage types untouched — for callers that need a
+    * pushdown-able predicate on the physical `ts` column (filter first,
+    * then [[EventsTs.toNanos]]). */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    get(spark, dir, name, normalize = false)
+
+  private def get(spark: SparkSession, dir: String, name: String,
+      normalize: Boolean): DataFrame = {
     if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+    val path = s"$dir/$name.parquet"
+    val key = (spark, if (normalize) path else s"$path#raw")
+    cache.computeIfAbsent(key, { case (s, _) =>
+      val df = s.read.parquet(path)
+      if (normalize && name == "events") EventsTs.toNanos(df) else df
+    })
   }
 
   /** Invalidation hook for the rare caller that rewrites a table path in
@@ -49,4 +66,54 @@ object Tables {
   def invalidate(path: String): Unit =
     cache.keySet.removeIf(_._2.startsWith(path))
   def invalidate(): Unit = cache.clear()
+}
+
+/** Storage-type adapter for the events `ts` column.
+  *
+  * The engine's convention (every query, oracle, and spec) is `ts` =
+  * epoch NANOS as a BIGINT — the shape parquet TIMESTAMP(NANOS) takes
+  * under `spark.sql.legacy.parquet.nanosAsLong`. Driver-generated data
+  * has also shipped as TIMESTAMP(MICROS) (read back as TIMESTAMP_NTZ),
+  * so the adapter maps any of the three storage types onto the one
+  * convention instead of scattering per-type arithmetic through 30+
+  * queries. The DuckDB oracles are already storage-agnostic —
+  * `epoch_ns(ts)` is exact for both micro and nano storage.
+  */
+object EventsTs {
+  import org.apache.spark.sql.functions.{col, expr, lit}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  private def tsType(df: DataFrame) =
+    df.schema.find(_.name == "ts").map(_.dataType)
+
+  /** `ts` → epoch-nanos Long, whatever the parquet storage type. The
+    * micros→nanos multiply is exact and overflow-free (epoch micros
+    * ×1000 stays far under Long.Max until year ~2262). */
+  def toNanos(df: DataFrame): DataFrame = tsType(df) match {
+    case Some(TimestampNTZType) => df.withColumn("ts", expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+        " * 1000"))
+    case Some(TimestampType) =>
+      df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    case _ => df // already BIGINT nanos
+  }
+
+  /** `ts >= boundNanos` as a predicate on the RAW column, so it pushes
+    * into the parquet scan (an inequality on the post-conversion
+    * expression cannot). For timestamp storage the bound rounds UP to
+    * the next representable micro — equivalent for micro-grained data. */
+  def atLeastNanos(df: DataFrame, boundNanos: Long): DataFrame = {
+    val micros = boundNanos / 1000 + (if (boundNanos % 1000 > 0) 1 else 0)
+    tsType(df) match {
+      case Some(TimestampNTZType) =>
+        df.filter(col("ts") >= lit(java.time.LocalDateTime.ofEpochSecond(
+          micros / 1000000, ((micros % 1000000) * 1000).toInt,
+          java.time.ZoneOffset.UTC)))
+      case Some(TimestampType) =>
+        df.filter(col("ts") >=
+          lit(java.time.Instant.ofEpochSecond(
+            micros / 1000000, (micros % 1000000) * 1000)))
+      case _ => df.filter(col("ts") >= lit(boundNanos))
+    }
+  }
 }

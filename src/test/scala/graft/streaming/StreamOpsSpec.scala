@@ -93,8 +93,8 @@ class StreamOpsSpec extends SparkSpec {
         r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
       .toSet
 
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val events = graft.queries.EventsTs.toNanos(spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet"))
       .selectExpr("user_id AS key", "ts div 1000 AS tsMicros")
       .as[SessionEvent].collect().toSeq
     val maxTs = events.map(_.tsMicros).max
@@ -209,8 +209,8 @@ class StreamOpsSpec extends SparkSpec {
         r.getAs[Long]("cnt")))
       .toSet
 
-    val rows = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val rows = graft.queries.EventsTs.toNanos(spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet"))
       .selectExpr("ts div 1000 AS ts_us", "event_type")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val maxTs = rows.map(_._1).max
@@ -353,8 +353,8 @@ class StreamOpsSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions._
 
-    val ev = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.queries.EventsTs.toNanos(spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet"))
       .selectExpr("event_id", "user_id", "event_type",
         "timestamp_micros(ts div 1000) AS ets")
     val errors = ev.filter(col("event_type") === "error")
