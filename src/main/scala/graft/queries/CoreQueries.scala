@@ -449,6 +449,90 @@ object CoreQueries {
             |FROM ($changeLogSql)
             |ORDER BY checkpoint_id""".stripMargin))
 
+  /** MySQL binlog (ROW format) wire decode, distributed: each partition
+    * re-frames its events rows as binary binlog events — FormatDescription
+    * + TABLE_MAP (column names/signedness in optional metadata) + per-tx
+    * BEGIN / ROWS / XID — via [[graft.cdc.MysqlBinlog]]'s inverse codec,
+    * then decodes them back through a per-partition
+    * [[graft.cdc.MysqlBinlogDecoder]]. Exercises: little-endian framing,
+    * lenenc metadata, packed-decimal decode, MINIMAL row images (absent →
+    * unchanged-toast), key-only old/delete images, header-seconds commit
+    * times. No shuffle until the final ORDER BY; the oracle reproduces
+    * the decoded relation relationally. */
+  val binlogDecode = GraftQuery(
+    "q_binlog_decode",
+    "MySQL binlog binary wire decode: per-partition encode→decode round trip",
+    (s, dir) => {
+      import s.implicits._
+      val src = changeLog(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(12,2)").cast("string").as("value_s"),
+        col("version"))
+        .as[(Long, Long, String, String, Long)]
+      val decoded = src.mapPartitions { it =>
+        import graft.cdc.MysqlBinlog._
+        val tm = TableMap(7L, "app", "events",
+          Array(ColType.LongLong, ColType.Varchar, ColType.NewDecimal),
+          Array(0, 255, (12 << 8) | 2),
+          Array(false, true, true),
+          Seq("user_id", "event_type", "value"),
+          Seq(true, true, true))
+        val dec = new graft.cdc.MysqlBinlogDecoder(_ => true, _ => "events")
+        val stream: Iterator[Array[Byte]] =
+          Iterator(encodeFormatDescription(0L, 0L),
+            encodeTableMap(0L, 0L, tm)) ++
+            it.flatMap { case (eid, uid, etype, vs, ver) =>
+              val tsec = ver / 1000000L
+              val full = Seq(Some(Some(fLong(uid))),
+                Some(Some(fVarchar(etype, 255))),
+                Some(Some(fDecimal(vs, 12, 2))))
+              val key = Seq(Some(Some(fLong(uid))), None, None)
+              val dml = etype match {
+                case "signup" =>
+                  encodeRows(tsec, eid, Ev.WriteRowsV2, tm, Seq(full))
+                case "error" =>
+                  encodeRows(tsec, eid, Ev.DeleteRowsV2, tm, Seq(key))
+                case "click" => // MINIMAL image: value unchanged/absent
+                  encodeRows(tsec, eid, Ev.UpdateRowsV2, tm, Seq(key,
+                    Seq(Some(Some(fLong(uid))),
+                      Some(Some(fVarchar(etype, 255))), None)))
+                case _ =>
+                  encodeRows(tsec, eid, Ev.UpdateRowsV2, tm,
+                    Seq(full, full))
+              }
+              Iterator(encodeQuery(tsec, eid, "app", "BEGIN"), dml,
+                encodeXid(tsec, eid, eid))
+            }
+        stream.flatMap(dec.feed).map(r => (r.checkpointId, r.recordType,
+          r.sourceTable, r.destinationTable, r.commitTimeMicros,
+          Option(r.data).getOrElse(""), Option(r.matchData).getOrElse(""),
+          r.unchangedToastColumns.mkString(",")))
+      }
+      decoded.toDF("checkpoint_id", "record_type", "source_table",
+        "dest_table", "commit_micros", "data_json", "match_json", "utc")
+        .orderBy("checkpoint_id")
+    },
+    Some(s"""SELECT event_id AS checkpoint_id, rtype AS record_type,
+            |  'app.events' AS source_table, 'events' AS dest_table,
+            |  (version // 1000000) * 1000000 AS commit_micros,
+            |  CASE WHEN event_type = 'error' THEN ''
+            |    WHEN event_type = 'click' THEN '{"user_id":' || user_id
+            |      || ',"event_type":"click"}'
+            |    ELSE '{"user_id":' || user_id || ',"event_type":"'
+            |      || event_type || '","value":'
+            |      || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '}'
+            |    END AS data_json,
+            |  CASE WHEN event_type = 'signup' THEN ''
+            |    WHEN event_type IN ('error','click')
+            |      THEN '{"user_id":' || user_id || '}'
+            |    ELSE '{"user_id":' || user_id || ',"event_type":"'
+            |      || event_type || '","value":'
+            |      || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '}'
+            |    END AS match_json,
+            |  CASE WHEN event_type = 'click' THEN 'value' ELSE '' END AS utc
+            |FROM ($changeLogSql)
+            |ORDER BY checkpoint_id""".stripMargin))
+
   /** Mongo BSON decode breadth (mongo/qvalue_convert.go `rawDocToJSON` /
     * `QValueStringFromId`): each partition re-frames its events rows as
     * binary BSON documents ([[graft.cdc.Bson]] encoder), then decodes
@@ -1326,7 +1410,8 @@ object CoreQueries {
     projectionExclude, filterWatermark, partitionNtile, partitionMinMax,
     partitionRowChunk, dedupLatest, normalizeSoftDelete, normalizeFinal,
     toastBackfill, pkUpdateUnion, rawChangefeed, mergeUpsert, schemaEvolution,
-    pgoutputDecode, jsonExtract, numericClamp, dateClamp, nanInfNull,
+    pgoutputDecode, binlogDecode, jsonExtract, numericClamp, dateClamp,
+    nanInfNull,
     oversizeTruncate, pgRanges, pgArrayDecode, bsonNormalize, wkbWkt,
     intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,

@@ -1,0 +1,216 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.ChangeRecord
+
+/** Golden-fixture coverage of the MySQL binlog codec + session decoder:
+  * events are hand-assembled with the inverse encoder (the same
+  * byte-level layouts a server emits — little-endian header/ints,
+  * big-endian temporal/decimal groups, lenenc metadata), then decoded
+  * and checked record-for-record, mirroring the scenarios of the
+  * reference's mysql/cdc.go coverage (row images, MINIMAL-image skipped
+  * columns, tx-boundary checkpoints, GTID vs file:pos, rotate, DDL). */
+class MysqlBinlogSpec extends AnyFunSuite {
+
+  import MysqlBinlog._
+
+  private val tm = TableMap(
+    tableId = 7L, schema = "shop", table = "items",
+    columnTypes = Array(ColType.LongLong, ColType.Varchar,
+      ColType.NewDecimal),
+    columnMeta = Array(0, 255, (12 << 8) | 2),
+    nullable = Array(false, true, true),
+    columnNames = Seq("id", "name", "price"),
+    signedness = Seq(true, true, true))
+
+  private def freshDecoder() = new MysqlBinlogDecoder()
+
+  private def fde = encodeFormatDescription(100L, 120L)
+  private def tmEv = encodeTableMap(100L, 200L, tm)
+
+  test("table map round-trips: types, metadata, names, signedness") {
+    val d = freshDecoder()
+    d.feed(fde)
+    d.feed(tmEv)
+    val (_, parsed) = parse(tmEv, _ => None)
+    val m = parsed.asInstanceOf[TableMap]
+    assert(m.qualifiedName == "shop.items")
+    assert(m.columnTypes.toSeq == Seq(ColType.LongLong, ColType.Varchar,
+      ColType.NewDecimal))
+    assert(m.columnMeta.toSeq == Seq(0, 255, (12 << 8) | 2))
+    assert(m.columnNames == Seq("id", "name", "price"))
+    assert(m.signedness == Seq(true, true, true))
+    assert(m.nullable.toSeq == Seq(false, true, true))
+  }
+
+  test("insert: full row image decodes to JSON, null bitmap honored") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    d.feed(encodeQuery(100L, 250L, "shop", "BEGIN"))
+    val rows = encodeRows(100L, 300L, Ev.WriteRowsV2, tm, Seq(
+      Seq(Some(Some(fLong(42L))), Some(Some(fVarchar("ab\"c", 255))),
+        Some(Some(fDecimal("19.99", 12, 2)))),
+      Seq(Some(Some(fLong(43L))), Some(None), Some(None))))
+    val out = d.feed(rows)
+    assert(out.map(_.data) == Seq(
+      """{"id":42,"name":"ab\"c","price":19.99}""",
+      """{"id":43,"name":null,"price":null}"""))
+    assert(out.forall(_.recordType == ChangeRecord.TypeInsert))
+    assert(out.forall(_.sourceTable == "shop.items"))
+    assert(out.forall(_.commitTimeMicros == 100L * 1000000L))
+  }
+
+  test("update with MINIMAL row image: absent columns become " +
+      "unchanged-toast, key-only old image") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    // old image: PK only; new image: PK + name (price unchanged/absent)
+    val rows = encodeRows(100L, 300L, Ev.UpdateRowsV2, tm, Seq(
+      Seq(Some(Some(fLong(42L))), None, None),
+      Seq(Some(Some(fLong(42L))), Some(Some(fVarchar("new", 255))), None)))
+    val out = d.feed(rows)
+    assert(out.size == 1)
+    val r = out.head
+    assert(r.recordType == ChangeRecord.TypeUpdate)
+    assert(r.data == """{"id":42,"name":"new"}""")
+    assert(r.matchData == """{"id":42}""")
+    assert(r.unchangedToastColumns == Seq("price"))
+  }
+
+  test("delete: key-only image lands in matchData") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    val rows = encodeRows(100L, 300L, Ev.DeleteRowsV2, tm, Seq(
+      Seq(Some(Some(fLong(7L))), None, None)))
+    val out = d.feed(rows)
+    assert(out.head.recordType == ChangeRecord.TypeDelete)
+    assert(out.head.data == null)
+    assert(out.head.matchData == """{"id":7}""")
+  }
+
+  test("checkpoint advances ONLY at transaction boundaries (XID)") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    assert(d.latestCheckpoint == 0L)
+    d.feed(encodeQuery(100L, 250L, "shop", "BEGIN"))
+    d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, tm, Seq(
+      Seq(Some(Some(fLong(1L))), Some(None), Some(None)))))
+    assert(d.latestCheckpoint == 0L) // mid-transaction: no cut
+    d.feed(encodeXid(100L, 350L, 9L))
+    assert(d.latestCheckpoint == 350L)
+    assert(d.latestCheckpointText == "binlog.000001:350")
+  }
+
+  test("COMMIT query event is a boundary for non-transactional engines") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    d.feed(encodeQuery(100L, 400L, "shop", "COMMIT"))
+    assert(d.latestCheckpoint == 400L)
+  }
+
+  test("GTID events switch the checkpoint text to a merged GTID set") {
+    val d = freshDecoder()
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    d.feed(fde); d.feed(tmEv)
+    d.feed(encodeGtid(100L, 260L, uuid, 1L))
+    d.feed(encodeXid(100L, 300L, 1L))
+    d.feed(encodeGtid(100L, 360L, uuid, 2L))
+    d.feed(encodeXid(100L, 400L, 2L))
+    assert(d.latestCheckpointText == s"$uuid:1-2")
+    // ordering rule: the merged set is newer than its prefix
+    assert(TextCheckpoint.GtidSet.parse(d.latestCheckpointText)
+      .isNewerThan(TextCheckpoint.GtidSet.parse(s"$uuid:1")))
+  }
+
+  test("rotate switches the binlog file for file:pos checkpoints") {
+    val d = freshDecoder()
+    d.feed(fde)
+    d.feed(encodeRotate(100L, 500L, 4L, "binlog.000002"))
+    d.feed(tmEv)
+    d.feed(encodeXid(100L, 800L, 3L))
+    assert(d.latestCheckpointText == "binlog.000002:800")
+  }
+
+  test("unsigned columns decode via the SIGNEDNESS metadata") {
+    val utm = tm.copy(tableId = 8L,
+      columnTypes = Array(ColType.Tiny, ColType.Long, ColType.LongLong),
+      columnMeta = Array(0, 0, 0),
+      nullable = Array(false, false, false),
+      columnNames = Seq("a", "b", "c"),
+      signedness = Seq(false, false, false))
+    val d = freshDecoder()
+    d.feed(fde)
+    d.feed(encodeTableMap(100L, 200L, utm))
+    val out = d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, utm, Seq(
+      Seq(Some(Some(fTiny(0xFF))), Some(Some(fInt(-1))),
+        Some(Some(fLong(-1L)))))))
+    assert(out.head.data ==
+      """{"a":255,"b":4294967295,"c":18446744073709551615}""")
+  }
+
+  test("decimal decode: sign, scale padding, cross-group digits") {
+    def roundTrip(s: String, p: Int, sc: Int): String = {
+      val bytes = fDecimal(s, p, sc)
+      decodeDecimal(java.nio.ByteBuffer.wrap(bytes), p, sc)
+    }
+    assert(roundTrip("5.00", 12, 2) == "5.00")
+    assert(roundTrip("-42.50", 12, 2) == "-42.50")
+    assert(roundTrip("1234567890.12", 12, 2) == "1234567890.12")
+    assert(roundTrip("0.00", 12, 2) == "0.00")
+    assert(roundTrip("-0.01", 12, 2) == "-0.01")
+    assert(roundTrip("123456789012345.123456789012", 27, 12) ==
+      "123456789012345.123456789012")
+    assert(roundTrip("42", 10, 0) == "42")
+  }
+
+  test("temporal decode: DATE, DATETIME2 (fsp 0 and 6)") {
+    val ttm = tm.copy(tableId = 9L,
+      columnTypes = Array(ColType.Date, ColType.DateTime2,
+        ColType.DateTime2),
+      columnMeta = Array(0, 0, 6),
+      nullable = Array(false, false, false),
+      columnNames = Seq("d", "dt0", "dt6"),
+      signedness = Nil)
+    val d = freshDecoder()
+    d.feed(fde)
+    d.feed(encodeTableMap(100L, 200L, ttm))
+    val dt = java.time.LocalDateTime.of(2024, 1, 20, 12, 34, 56, 789012000)
+    val out = d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, ttm, Seq(
+      Seq(Some(Some(fDate(2024, 1, 20))),
+        Some(Some(fDateTime2(dt.withNano(0), 0))),
+        Some(Some(fDateTime2(dt, 6)))))))
+    assert(out.head.data == """{"d":"2024-01-20",""" +
+      """"dt0":"2024-01-20 12:34:56",""" +
+      """"dt6":"2024-01-20 12:34:56.789012"}""")
+  }
+
+  test("ALTER TABLE ADD COLUMN emits a TypeRelation schema delta") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    val out = d.feed(encodeQuery(100L, 900L, "shop",
+      "ALTER TABLE items ADD COLUMN note varchar(80)"))
+    assert(out.size == 1)
+    assert(out.head.recordType == ChangeRecord.TypeRelation)
+    assert(out.head.sourceTable == "shop.items")
+    assert(out.head.data.contains("note"))
+  }
+
+  test("table filter drops rows of out-of-pipe tables") {
+    val d = new MysqlBinlogDecoder(tableFilter = _ == "shop.other")
+    d.feed(fde); d.feed(tmEv)
+    val out = d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, tm, Seq(
+      Seq(Some(Some(fLong(1L))), Some(None), Some(None)))))
+    assert(out.isEmpty)
+  }
+
+  test("multi-row events emit one record per row in order") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    val out = d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, tm,
+      (1 to 5).map(i => Seq(Some(Some(fLong(i.toLong))), Some(None),
+        Some(None)))))
+    assert(out.map(_.data) ==
+      (1 to 5).map(i => s"""{"id":$i,"name":null,"price":null}"""))
+  }
+}
