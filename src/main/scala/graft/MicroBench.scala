@@ -228,6 +228,10 @@ object MicroBench {
         // actual ingest format) → ChangeRecords → WAL, single-threaded
         // like the slot read itself.
         pgoutThroughput(args.lift(1).map(_.toInt).getOrElse(1000000))
+      case "binlog" =>
+        // MySQL wire-decode throughput: binary binlog events →
+        // ChangeRecords, single-threaded like the syncer read.
+        binlogThroughput(args.lift(1).map(_.toInt).getOrElse(1000000))
       case other => sys.error(s"unknown micro-bench: $other")
     }
   }
@@ -269,6 +273,40 @@ object MicroBench {
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"pgout ingest: $n records in $dt%.1f s = ${n / dt}%.0f" +
       " records/s (decode + tx-cut + WAL append)")
+  }
+
+  /** MySQL binlog decode throughput: encode single-row txs (BEGIN +
+    * WRITE_ROWS + XID) as binary events, then decode the full stream. */
+  private def binlogThroughput(records: Int): Unit = {
+    import graft.cdc.MysqlBinlog._
+    import graft.cdc.MysqlBinlogDecoder
+    val tm = TableMap(10L, "app", "t",
+      Array(ColType.LongLong, ColType.Varchar, ColType.LongLong),
+      Array(0, 255, 0), Array(false, true, true),
+      Seq("id", "name", "v"), Seq(true, true, true))
+    val events = Seq.newBuilder[Array[Byte]]
+    events += encodeFormatDescription(1L, 4L)
+    events += encodeTableMap(1L, 10L, tm)
+    time("binlog generate") {
+      var pos = 20L
+      (0 until records).foreach { i =>
+        events += encodeQuery(i.toLong, pos, "app", "BEGIN")
+        events += encodeRows(i.toLong, pos + 1, Ev.WriteRowsV2, tm, Seq(
+          Seq(Some(Some(fLong(i.toLong))),
+            Some(Some(fVarchar(s"name_$i", 255))),
+            Some(Some(fLong(i * 10L))))))
+        events += encodeXid(i.toLong, pos + 2, i.toLong)
+        pos += 3
+      }
+    }
+    val all = events.result()
+    val dec = new MysqlBinlogDecoder()
+    val t0 = System.nanoTime()
+    var n = 0L
+    all.foreach(e => n += dec.feed(e).size)
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"binlog decode: $n records in $dt%.1f s = ${n / dt}%.0f" +
+      " records/s (frame parse + row decode + checkpoint bookkeeping)")
   }
 
   /** Alternative simhash shape: explode (id, bit) like Ivf's mean. */
