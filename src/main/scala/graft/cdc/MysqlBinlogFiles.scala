@@ -1,0 +1,162 @@
+package graft.cdc
+
+import java.io.InputStream
+import java.nio.file.{Files, Path, Paths}
+
+import graft.model.ChangeRecord
+
+/** Raw binlog FILE replay into the engine's WAL — the MySQL twin of
+  * [[PgOutputFrames.ingest]]. Binlog files are natively framed (4-byte
+  * magic then events whose common header carries `event_size`), so no
+  * side framing is needed; this module reads the native layout, feeds a
+  * [[MysqlBinlogDecoder]], and appends decoded records to
+  * [[ChangeLogWal]] cut at TRANSACTION boundaries: only an XID (or a
+  * COMMIT query event) makes its transaction's records durable — an
+  * uncommitted trailing transaction is held back, exactly the syncer
+  * contract the reference acknowledges offsets under
+  * (mysql/cdc.go `advanceCheckpoint`: between transactions only).
+  *
+  * Resume carries the decoder's TEXT checkpoint (GTID set when GTID
+  * events flow, else `file:pos` — [[TextCheckpoint]] semantics): the
+  * capture is re-decoded from the start (state rebuild, like a
+  * restarted syncer) and skipping happens PER TRANSACTION at its
+  * commit, so replayed transactions never duplicate. Schema-delta
+  * records (ALTER TABLE) are self-durable and at-least-once across
+  * resumes — additive deltas are idempotent downstream
+  * ([[SchemaEvolution]] re-announcement is a no-op).
+  *
+  * Appended records are RE-STAMPED with dense WAL-native checkpoint ids
+  * continuing from the WAL head (the reference's batch-id vs offset
+  * split); the source resume TEXT is returned separately. Driver-side
+  * by design — decode is O(stream); the heavy lifting stays distributed
+  * downstream of the WAL.
+  */
+object MysqlBinlogFiles {
+
+  val Magic: Array[Byte] = Array(0xFE.toByte, 'b'.toByte, 'i'.toByte,
+    'n'.toByte)
+
+  /** Max event size accepted (corruption guard, same role as
+    * PgOutputFrames.MaxFrame). */
+  val MaxEvent: Int = 64 << 20
+
+  /** Fixture/capture writer: magic + raw events, appending to an
+    * existing file keeps the single leading magic. */
+  def writeFile(path: Path, events: Seq[Array[Byte]]): Unit = {
+    Files.createDirectories(path.getParent)
+    val fresh = !Files.exists(path)
+    val out = Files.newOutputStream(path,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    try {
+      if (fresh) out.write(Magic)
+      events.foreach(out.write)
+    } finally out.close()
+  }
+
+  /** Streaming event iterator over one binlog file (after the magic). */
+  def readEvents(in: InputStream): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private val magic = in.readNBytes(4)
+      require(magic.sameElements(Magic),
+        "not a binlog file (bad magic)")
+      private var nextEvent: Array[Byte] = _
+      private var done = false
+
+      private def advance(): Unit = {
+        val header = in.readNBytes(MysqlBinlog.HeaderLen)
+        if (header.length == 0) { done = true; return }
+        require(header.length == MysqlBinlog.HeaderLen,
+          s"truncated event header (${header.length} bytes)")
+        val size = MysqlBinlog.parseHeader(header).eventSize
+        require(size >= MysqlBinlog.HeaderLen && size <= MaxEvent,
+          s"implausible event size $size")
+        val body = in.readNBytes(size - MysqlBinlog.HeaderLen)
+        require(body.length == size - MysqlBinlog.HeaderLen,
+          s"truncated event body (${body.length} of " +
+            s"${size - MysqlBinlog.HeaderLen} bytes)")
+        nextEvent = header ++ body
+      }
+
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): Array[Byte] = {
+        val e = nextEvent; advance(); e
+      }
+    }
+
+  /** Has the transaction ending at `commitText` already been acked by
+    * `after`? GTID mode: set containment (a replayed tx's gtids are
+    * inside the acked set). file:pos mode: (file, pos) order. */
+  private def acked(commitText: String, after: String): Boolean = {
+    if (after.isEmpty) return false
+    val gtidish = after.contains(":") && after.split(":")(0).length == 36
+    if (gtidish) {
+      if (!commitText.contains(":")) return false
+      TextCheckpoint.GtidSet.parse(after)
+        .contains(TextCheckpoint.GtidSet.parse(commitText))
+    } else {
+      val Array(af, ap) = after.split(":", 2)
+      val Array(cf, cp) = commitText.split(":", 2)
+      val fileCmp = cf.compareTo(af)
+      fileCmp < 0 || (fileCmp == 0 && cp.toLong <= ap.toLong)
+    }
+  }
+
+  /** Replay every `.binlog` file under `captureDir` (name order — binlog
+    * names sort chronologically by construction) into the WAL. Returns
+    * (records appended, resume text — persist it for the next run). */
+  def ingest(captureDir: String, walDir: String,
+      afterCheckpoint: String = "",
+      tableFilter: String => Boolean = _ => true,
+      destinationFor: String => String = identity,
+      segmentRecords: Int = 100000): (Long, String) = {
+    val dir = Paths.get(captureDir)
+    if (!Files.isDirectory(dir)) return (0L, afterCheckpoint)
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".binlog"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val decoder = new MysqlBinlogDecoder(tableFilter, destinationFor)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
+    val ready = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
+    var nextCp = math.max(ChangeLogWal.headCp(walDir), 0L) + 1
+    var appended = 0L
+    def stamp(r: ChangeRecord): ChangeRecord = {
+      val c = nextCp; nextCp += 1; r.copy(checkpointId = c)
+    }
+    def flush(force: Boolean): Unit =
+      if (ready.nonEmpty && (force || ready.size >= segmentRecords)) {
+        ChangeLogWal.append(walDir, ready.toSeq)
+        appended += ready.size
+        ready.clear()
+      }
+    files.foreach { f =>
+      val in = Files.newInputStream(f)
+      try readEvents(in).foreach { event =>
+        val before = decoder.latestCheckpoint
+        val beforeFile = decoder.latestCheckpointText
+        val recs = decoder.feed(event)
+        val committed = decoder.latestCheckpoint != before ||
+          decoder.latestCheckpointText != beforeFile
+        recs.foreach { r =>
+          if (r.recordType == ChangeRecord.TypeRelation) {
+            // DDL is self-durable (arrives between row transactions);
+            // at-least-once across resumes, idempotent downstream.
+            ready += stamp(r)
+          } else pending += r
+        }
+        if (committed) {
+          if (!acked(decoder.latestCheckpointText, afterCheckpoint))
+            ready ++= pending.map(stamp)
+          pending.clear()
+          flush(force = false)
+        }
+      } finally in.close()
+    }
+    flush(force = true)
+    // `pending` still holds the uncommitted trailing tx: dropped — its
+    // XID has not arrived; the next run re-decodes it.
+    (appended, decoder.latestCheckpointText)
+  }
+}
