@@ -434,6 +434,17 @@ object MysqlBinlog {
         else base + "." + f"$micros%06d".take(meta))
     case ColType.NewDecimal =>
       decodeDecimal(b, (meta >> 8) & 0xFF, meta & 0xFF)
+    case ColType.Json =>
+      // blob-style length prefix (meta = length-byte width), then the
+      // binary JSON document — rendered to compact text, which is
+      // already a valid JSON fragment
+      val len = (meta match {
+        case 1 => b.get() & 0xFFL
+        case 2 => b.getShort() & 0xFFFFL
+        case 3 => u24(b).toLong
+        case _ => b.getInt() & 0xFFFFFFFFL
+      }).toInt
+      MysqlBinaryJson.render(bytesOf(b, len))
     case ColType.Null => "null"
     case other => throw new IllegalArgumentException(
       s"no row decode for MySQL column type $other")
@@ -896,5 +907,244 @@ final class MysqlBinlogDecoder(
           .getOrElse(Nil)
       case Unsupported(_) => Nil
     }
+  }
+}
+
+/** MySQL binary JSON (the in-binlog storage format of JSON columns) →
+  * compact JSON text, implemented from the public format description
+  * (json_binary.h): small/large objects and arrays with offset tables,
+  * inlined small scalars in value entries, varint strings, opaque
+  * decimals. The reference receives this decode from its replication
+  * library and only compacts the text (mysql/qvalue_convert.go:33-35,
+  * `compactMySQLJSON`); here the binary walk itself is restated. The
+  * inverse encoder (small format) exists for golden fixtures. */
+object MysqlBinaryJson {
+
+  import java.nio.{ByteBuffer, ByteOrder}
+  import java.nio.charset.StandardCharsets
+
+  private object T {
+    val SmallObject = 0x00; val LargeObject = 0x01
+    val SmallArray = 0x02; val LargeArray = 0x03
+    val Literal = 0x04; val Int16 = 0x05; val Uint16 = 0x06
+    val Int32 = 0x07; val Uint32 = 0x08; val Int64 = 0x09
+    val Uint64 = 0x0A; val Double = 0x0B; val Str = 0x0C
+    val Opaque = 0x0F
+  }
+
+  private def varint(b: ByteBuffer): Int = {
+    var len = 0; var shift = 0; var more = true
+    while (more) {
+      val x = b.get() & 0xFF
+      len |= (x & 0x7F) << shift
+      shift += 7
+      more = (x & 0x80) != 0
+    }
+    len
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Render a full binary JSON value: [type byte][payload]. */
+  def render(bytes: Array[Byte]): String = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val t = b.get() & 0xFF
+    renderValue(t, b.slice().order(ByteOrder.LITTLE_ENDIAN))
+  }
+
+  /** `payload` is positioned at the start of the type-specific data;
+    * container offsets are relative to that start. */
+  private def renderValue(t: Int, payload: ByteBuffer): String = t match {
+    case T.Literal => (payload.get() & 0xFF) match {
+      case 0x00 => "null"
+      case 0x01 => "true"
+      case 0x02 => "false"
+      case other => throw new IllegalArgumentException(
+        s"bad JSON literal $other")
+    }
+    case T.Int16 => payload.getShort().toString
+    case T.Uint16 => (payload.getShort() & 0xFFFF).toString
+    case T.Int32 => payload.getInt().toString
+    case T.Uint32 => (payload.getInt() & 0xFFFFFFFFL).toString
+    case T.Int64 => payload.getLong().toString
+    case T.Uint64 =>
+      java.lang.Long.toUnsignedString(payload.getLong())
+    case T.Double =>
+      val d = payload.getDouble()
+      if (d.isNaN || d.isInfinite) "null"
+      else if (d == d.toLong.toDouble) d.toLong.toString + ".0"
+      else d.toString
+    case T.Str =>
+      val len = varint(payload)
+      val a = new Array[Byte](len); payload.get(a)
+      "\"" + jsonEscape(new String(a, StandardCharsets.UTF_8)) + "\""
+    case T.Opaque =>
+      val fieldType = payload.get() & 0xFF
+      val len = varint(payload)
+      val a = new Array[Byte](len); payload.get(a)
+      if (fieldType == MysqlBinlog.ColType.NewDecimal && len >= 2) {
+        // precision u8 + scale u8 + packed decimal
+        val p = a(0) & 0xFF; val s = a(1) & 0xFF
+        MysqlBinlog.decodeDecimal(
+          ByteBuffer.wrap(a, 2, a.length - 2), p, s)
+      } else throw new IllegalArgumentException(
+        s"unsupported opaque JSON field type $fieldType")
+    case T.SmallObject | T.LargeObject =>
+      renderContainer(payload, obj = true, large = t == T.LargeObject)
+    case T.SmallArray | T.LargeArray =>
+      renderContainer(payload, obj = false, large = t == T.LargeArray)
+    case other => throw new IllegalArgumentException(
+      s"unsupported binary JSON type $other")
+  }
+
+  private def renderContainer(b: ByteBuffer, obj: Boolean,
+      large: Boolean): String = {
+    val base = b.position() // container offsets are relative to here
+    def off(): Int = if (large) b.getInt() else b.getShort() & 0xFFFF
+    val count = off()
+    off() // total binary size (unused for the walk)
+    val keyRefs = if (obj) (0 until count).map { _ =>
+      val o = off(); val l = b.getShort() & 0xFFFF; (o, l)
+    } else Nil
+    val valueRefs = (0 until count).map { _ =>
+      val t = b.get() & 0xFF
+      // literal/int16/uint16 (+int32/uint32 when large) inline in the
+      // offset slot instead of pointing at trailing data
+      val inlineable = t == T.Literal || t == T.Int16 || t == T.Uint16 ||
+        (large && (t == T.Int32 || t == T.Uint32))
+      if (inlineable) {
+        val raw = new Array[Byte](if (large) 4 else 2)
+        b.get(raw); (t, -1, raw)
+      } else (t, off(), null)
+    }
+    def at(offset: Int): ByteBuffer = {
+      val d = b.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      d.position(base + offset)
+      d
+    }
+    val keys = keyRefs.map { case (o, l) =>
+      val d = at(o); val a = new Array[Byte](l); d.get(a)
+      new String(a, StandardCharsets.UTF_8)
+    }
+    val values = valueRefs.map {
+      case (t, -1, raw) =>
+        renderValue(t,
+          ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN))
+      case (t, o, _) => renderValue(t, at(o))
+    }
+    if (obj)
+      keys.zip(values).map { case (k, v) =>
+        "\"" + jsonEscape(k) + "\":" + v
+      }.mkString("{", ",", "}")
+    else values.mkString("[", ",", "]")
+  }
+
+  // ------------------------------------------------------------ encoding
+  // Small-format fixture encoder: Map → object, Seq → array, String,
+  // Long/Int, Boolean, Double, null. MySQL stores object keys sorted by
+  // (length, bytes); the encoder follows that so fixtures match server
+  // output ordering.
+
+  def encode(v: Any): Array[Byte] = {
+    val (t, payload) = encodeValue(v)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(t); out.write(payload)
+    out.toByteArray
+  }
+
+  private def u16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def varintBytes(len: Int): Array[Byte] = {
+    var v = len
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    while (v > 0x7F) { out += ((v & 0x7F) | 0x80).toByte; v >>= 7 }
+    out += v.toByte
+    out.toArray
+  }
+
+  /** (type byte, payload). Inlining decisions happen in the container. */
+  private def encodeValue(v: Any): (Int, Array[Byte]) = v match {
+    case null => (T.Literal, Array(0x00.toByte))
+    case true => (T.Literal, Array(0x01.toByte))
+    case false => (T.Literal, Array(0x02.toByte))
+    case i: Int => encodeValue(i.toLong)
+    case l: Long =>
+      if (l >= Short.MinValue && l <= Short.MaxValue)
+        (T.Int16, u16(l.toInt & 0xFFFF))
+      else if (l >= Int.MinValue && l <= Int.MaxValue)
+        (T.Int32, Array.tabulate(4)(i => ((l >> (8 * i)) & 0xFF).toByte))
+      else
+        (T.Int64, Array.tabulate(8)(i => ((l >> (8 * i)) & 0xFF).toByte))
+    case d: Double =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (T.Double,
+        Array.tabulate(8)(i => ((bits >> (8 * i)) & 0xFF).toByte))
+    case s: String =>
+      val sb = s.getBytes(StandardCharsets.UTF_8)
+      (T.Str, varintBytes(sb.length) ++ sb)
+    case m: Map[_, _] =>
+      val entries = m.toSeq.map { case (k, vv) =>
+        (k.toString, encodeValue(vv))
+      }.sortBy { case (k, _) =>
+        (k.getBytes(StandardCharsets.UTF_8).length, k)
+      }
+      (T.SmallObject, container(entries.map(_._1), entries.map(_._2)))
+    case s: Seq[_] =>
+      (T.SmallArray, container(Nil, s.map(encodeValue)))
+    case other => throw new IllegalArgumentException(
+      s"cannot encode ${other.getClass} as binary JSON")
+  }
+
+  private def container(keys: Seq[String],
+      values: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val obj = keys.nonEmpty || values.isEmpty && keys.isEmpty && false
+    val isObj = keys.nonEmpty
+    val count = values.size
+    val keyBytes = keys.map(_.getBytes(StandardCharsets.UTF_8))
+    val headerSize = 4 + (if (isObj) count * 4 else 0) + count * 3
+    var dataOff = headerSize + keyBytes.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(u16(count))
+    // total size patched at the end
+    val sizePos = out.size()
+    out.write(u16(0))
+    var keyOff = headerSize
+    keyBytes.foreach { kb =>
+      out.write(u16(keyOff)); out.write(u16(kb.length))
+      keyOff += kb.length
+    }
+    val trailing = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    values.foreach { case (t, payload) =>
+      out.write(t)
+      val inline = t == T.Literal || t == T.Int16 || t == T.Uint16
+      if (inline) {
+        // literal payload is 1 byte: pad to the 2-byte offset slot
+        out.write(payload.padTo(2, 0.toByte), 0, 2)
+      } else {
+        out.write(u16(dataOff))
+        trailing += payload
+        dataOff += payload.length
+      }
+    }
+    keyBytes.foreach(out.write)
+    trailing.foreach(out.write)
+    val bytes = out.toByteArray
+    val total = bytes.length
+    bytes(sizePos) = (total & 0xFF).toByte
+    bytes(sizePos + 1) = ((total >> 8) & 0xFF).toByte
+    bytes
   }
 }

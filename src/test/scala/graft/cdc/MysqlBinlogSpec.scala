@@ -213,4 +213,44 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(out.map(_.data) ==
       (1 to 5).map(i => s"""{"id":$i,"name":null,"price":null}"""))
   }
+
+  test("binary JSON: scalars, strings, nested containers, inlining") {
+    import MysqlBinaryJson._
+    assert(render(encode(null)) == "null")
+    assert(render(encode(true)) == "true")
+    assert(render(encode(false)) == "false")
+    assert(render(encode(42L)) == "42")
+    assert(render(encode(-7L)) == "-7")
+    assert(render(encode(100000L)) == "100000")
+    assert(render(encode(5000000000L)) == "5000000000")
+    assert(render(encode(2.5)) == "2.5")
+    assert(render(encode("hi \"there\"")) == "\"hi \\\"there\\\"\"")
+    assert(render(encode(Seq(1L, "a", null, true))) ==
+      """[1,"a",null,true]""")
+    // MySQL orders object keys by (length, bytes)
+    assert(render(encode(Map("bb" -> 1L, "a" -> 2L, "ccc" -> 3L))) ==
+      """{"a":2,"bb":1,"ccc":3}""")
+    assert(render(encode(Map("k" -> Seq(Map("x" -> 1L), 2L)))) ==
+      """{"k":[{"x":1},2]}""")
+  }
+
+  test("JSON column rides the row image as compact text") {
+    val jtm = tm.copy(tableId = 12L,
+      columnTypes = Array(ColType.LongLong, ColType.Json),
+      columnMeta = Array(0, 4),
+      nullable = Array(false, true),
+      columnNames = Seq("id", "doc"),
+      signedness = Seq(true))
+    val d = freshDecoder()
+    d.feed(fde)
+    d.feed(encodeTableMap(100L, 200L, jtm))
+    val doc = MysqlBinaryJson.encode(
+      Map("tags" -> Seq("a", "b"), "n" -> 3L))
+    val w = new W
+    w.u32(doc.length.toLong).raw(doc)
+    val out = d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, jtm, Seq(
+      Seq(Some(Some(fLong(1L))), Some(Some(w.bytes))))))
+    assert(out.head.data ==
+      """{"id":1,"doc":{"n":3,"tags":["a","b"]}}""")
+  }
 }
