@@ -727,7 +727,9 @@ object MysqlBinlog {
       case Array(i, f) => (i, f)
     }
     val intg = precision - scale
-    val ip = ip0.reverse.padTo(intg, '0').reverse
+    // exactly intg digits (pad AND truncate): intg = 0 must emit zero
+    // integer bytes, not a spurious "0" group
+    val ip = ip0.reverse.padTo(intg, '0').reverse.takeRight(intg)
     val fp = fp0.padTo(scale, '0').take(scale)
     val w = new W
     val lead = intg % 9
