@@ -1,0 +1,104 @@
+package graft.cdc
+
+/** Mongo change-stream session setup — the engine-owned half of the
+  * reference's Mongo CDC pull restated as pure functions:
+  *
+  *   - [[pipeline]] builds the aggregation pipeline the watch session
+  *     installs (`createPipeline`,
+  *     /root/reference/flow/connectors/mongo/cdc.go:580-639): a `$match`
+  *     keeping only in-pipe (db, collection) pairs, an optional `$match`
+  *     excluding operation types, and the recommended `$project` down to
+  *     the six change-event fields the decoder consumes.
+  *   - [[timestampFromResumeToken]] decodes the cluster timestamp out of
+  *     a resume token's `_data` KeyString (resume_token.go:16-64) — the
+  *     `StartAtOperationTime` FALLBACK used when a stored token refers
+  *     to a collection that has since been filtered out of the pipeline
+  *     (pause + edit-mirror), where `ResumeAfter` would fail.
+  *
+  * Output is canonical JSON text (sorted dbs, stable field order) so the
+  * pipeline is directly comparable in specs and durable in mirror
+  * configs; the live `client.Watch` call itself is environment-blocked
+  * (no Mongo driver jar in the container) — exactly the split the JDBC
+  * snapshot source documents. Token ORDERING lives in
+  * [[TextCheckpoint.compareResumeTokens]]; this module only opens them.
+  */
+object MongoStream {
+
+  /** KeyString type tag for a timestamp (mongo key_string.cpp:91). */
+  val KTimestamp = 130
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The watch pipeline for a set of `db.collection` names and excluded
+    * operation types, as canonical JSON. Tables must be db-qualified
+    * (`db.coll`) — the same validation as the reference. */
+  def pipeline(tables: Seq[String],
+      excludedOps: Seq[String] = Nil): String = {
+    val stages = Seq.newBuilder[String]
+    if (tables.nonEmpty) {
+      val byDb = tables.map { t =>
+        val i = t.indexOf('.')
+        require(i > 0 && i < t.length - 1,
+          s"invalid table name '$t' — need db.collection")
+        (t.substring(0, i), t.substring(i + 1))
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+      val ors = byDb.map { case (db, pairs) =>
+        val colls = pairs.map(_._2).map(jsonStr).mkString(",")
+        s"""{"$$and":[{"ns.db":${jsonStr(db)}},""" +
+          s"""{"ns.coll":{"$$in":[$colls]}}]}"""
+      }
+      stages += s"""{"$$match":{"$$or":[${ors.mkString(",")}]}}"""
+    }
+    if (excludedOps.nonEmpty) {
+      val ops = excludedOps.map(jsonStr).mkString(",")
+      stages +=
+        s"""{"$$match":{"operationType":{"$$nin":[$ops]}}}"""
+    }
+    stages += """{"$project":{"operationType":1,"clusterTime":1,""" +
+      """"wallTime":1,"documentKey":1,"fullDocument":1,"ns":1}}"""
+    stages.result().mkString("[", ",", "]")
+  }
+
+  /** Cluster timestamp (seconds, increment) from a resume token's
+    * `_data` hex KeyString: one type byte (130 = timestamp) then the
+    * 64-bit value big-endian — high 32 bits epoch seconds, low 32 the
+    * ordinal within the second. This is what seeds
+    * `StartAtOperationTime` when `ResumeAfter` is no longer valid. */
+  def timestampFromResumeToken(dataHex: String): (Long, Long) = {
+    require(dataHex.length >= 18 && dataHex.length % 2 == 0,
+      s"KeyString data too short for timestamp: ${dataHex.length} chars")
+    val bytes =
+      try dataHex.take(18).grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"invalid hex string in _data field")
+      }
+    require((bytes(0) & 0xFF) == KTimestamp,
+      s"invalid type expecting $KTimestamp, got ${bytes(0) & 0xFF}")
+    var v = 0L
+    (1 to 8).foreach(i => v = (v << 8) | (bytes(i) & 0xFFL))
+    (v >>> 32, v & 0xFFFFFFFFL)
+  }
+
+  /** Resume decision (`ResumeAfter` vs the operation-time fallback):
+    * when the stored token's collection may have been filtered out of a
+    * RESHAPED pipeline (tables added/removed since the token was
+    * stored), resuming by token throws server-side — fall back to the
+    * token's cluster time. Returns the option name and its value text. */
+  def resumeOption(tokenDataHex: Option[String],
+      pipelineChanged: Boolean): Option[(String, String)] =
+    tokenDataHex.map { hex =>
+      if (!pipelineChanged) ("resumeAfter", hex)
+      else {
+        val (secs, inc) = timestampFromResumeToken(hex)
+        ("startAtOperationTime", s"Timestamp($secs, $inc)")
+      }
+    }
+}
