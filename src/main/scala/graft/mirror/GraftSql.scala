@@ -380,7 +380,18 @@ object GraftSql {
       softDeleteColName = o.getOrElse("soft_delete_col",
         graft.model.RawTable.IsDeleted),
       syncedAtColName = o.get("synced_at_col"),
-      env = flowEnv)
+      env = flowEnv,
+      // capture_dir 'path' [capture_format 'pgoutput'|'binlog'] — wire
+      // a raw capture directory as the mirror's upstream: each
+      // EXECUTE/RESUME drains new committed transactions through the
+      // matching binary decoder into the WAL before the stream runs.
+      captureDir = o.get("capture_dir"),
+      captureFormat = o.get("capture_format") match {
+        case None => "pgoutput"
+        case Some(f @ ("pgoutput" | "binlog")) => f
+        case Some(other) => throw new IllegalArgumentException(
+          s"CREATE MIRROR: capture_format '$other' (pgoutput|binlog)")
+      })
   }
   /** Initial-load phase — do_initial_snapshot / initial_snapshot_only
     * (FlowConnectionConfigs fields 10/16) with the snapshot partitioning

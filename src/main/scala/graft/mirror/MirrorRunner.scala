@@ -110,7 +110,17 @@ final case class MirrorConfig(
       * at every read point (dynLookup, dynamicconf.go:558). Lets one
       * mirror raise its raw-retention or alert thresholds without
       * touching the deployment-wide settings. */
-    env: Map[String, String] = Map.empty) {
+    env: Map[String, String] = Map.empty,
+    /** Optional upstream CAPTURE: a directory of raw wire-protocol
+      * files decoded into the WAL before each run/resume — the "slot
+      * read" half of the pipeline in file form. `captureFormat` selects
+      * the decoder: "pgoutput" ([[graft.cdc.PgOutputFrames]] framed
+      * captures) or "binlog" ([[graft.cdc.MysqlBinlogFiles]] native
+      * binlog files). The source resume offset (commit LSN / GTID set /
+      * file:pos) is durable under the checkpoint dir, so pause/resume
+      * and restarts never re-append acked transactions. */
+    captureDir: Option[String] = None,
+    captureFormat: String = "pgoutput") {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
@@ -191,8 +201,39 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     cfg.statsDir.map(d => new StatsCatalog(d, hadoopConf))
   stats.foreach(_.initializeCdcFlow(cfg.flow))
 
-  /** Run until the WAL is drained (Trigger.AvailableNow), blocking. */
+  /** Drain the configured capture directory into the WAL (transaction-
+    * boundary durable) and persist the source resume offset. No-op
+    * without `captureDir`. Returns records appended this pass. */
+  def ingestCapture(): Long = cfg.captureDir match {
+    case None => 0L
+    case Some(dir) =>
+      val offsetPath = s"${cfg.checkpointDir}/_capture_offset"
+      cfg.captureFormat match {
+        case "pgoutput" =>
+          val after = graft.util.FsText.read(offsetPath, hadoopConf)
+            .map(_.toLong).getOrElse(-1L)
+          val (n, last) = graft.cdc.PgOutputFrames.ingest(dir, cfg.walDir,
+            afterCommitLsn = after)
+          if (last != after)
+            graft.util.FsText.write(offsetPath, last.toString, hadoopConf)
+          n
+        case "binlog" =>
+          val after = graft.util.FsText.read(offsetPath, hadoopConf)
+            .getOrElse("")
+          val (n, last) = graft.cdc.MysqlBinlogFiles.ingest(dir,
+            cfg.walDir, afterCheckpoint = after)
+          if (last != after)
+            graft.util.FsText.write(offsetPath, last, hadoopConf)
+          n
+        case other => throw new IllegalArgumentException(
+          s"unknown capture format '$other' (pgoutput|binlog)")
+      }
+  }
+
+  /** Run until the WAL is drained (Trigger.AvailableNow), blocking.
+    * A configured capture is drained into the WAL first. */
   def runAvailableNow(): Unit = {
+    ingestCapture()
     val q = start(Trigger.AvailableNow())
     q.awaitTermination()
   }
@@ -205,6 +246,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     @volatile private var query: Option[StreamingQuery] = None
     def resume(): Unit = synchronized {
       require(query.forall(!_.isActive), "already running")
+      ingestCapture() // catch up the capture before the stream resumes
       query = Some(start(trigger))
     }
     def pause(): Unit = synchronized { query.foreach(_.stop()) }
