@@ -103,4 +103,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
     assert(!plan.contains("text"), "text column must be pruned")
   }
+
+  test("contamination audit: benchmark gram set broadcasts into a " +
+    "semi-join (the corpus never shuffles for the probe)") {
+    val plan = planOf(PipelineQueries.contaminationNgram)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("hybrid RRF: both rank lists are TakeOrderedAndProject top-k, " +
+    "never a global sort of the corpus") {
+    val plan = planOf(CurationQueries.hybridRrf)
+    val topk = plan.linesIterator
+      .count(_.contains("TakeOrderedAndProject"))
+    assert(topk >= 2, s"expected top-k on both sides:\n${plan.take(3000)}")
+    assert(!plan.contains("GlobalSort"), plan.take(2000))
+  }
 }
