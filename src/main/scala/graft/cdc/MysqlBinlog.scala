@@ -41,6 +41,8 @@ object MysqlBinlog {
     val WriteRowsV1 = 23; val UpdateRowsV1 = 24; val DeleteRowsV1 = 25
     val WriteRowsV2 = 30; val UpdateRowsV2 = 31; val DeleteRowsV2 = 32
     val Gtid = 33
+    /** MariaDB's GTID event (its binlog numbering space, 162). */
+    val MariadbGtid = 162
   }
 
   // ----------------------------------------------------- column type codes
@@ -66,6 +68,10 @@ object MysqlBinlog {
   final case class Xid(xid: Long) extends Event
   /** GTID for the FOLLOWING transaction: uuid text + sequence number. */
   final case class Gtid(uuid: String, gno: Long) extends Event
+  /** MariaDB GTID for the following transaction: domain-server-seq
+    * (server id rides the event header). */
+  final case class MariadbGtid(domain: Long, serverId: Long, seq: Long)
+      extends Event
   final case class TableMap(tableId: Long, schema: String, table: String,
       columnTypes: Array[Int], columnMeta: Array[Int],
       nullable: Array[Boolean], columnNames: Seq[String],
@@ -166,6 +172,12 @@ object MysqlBinlog {
         Gtid(Seq(hex.substring(0, 8), hex.substring(8, 12),
           hex.substring(12, 16), hex.substring(16, 20), hex.substring(20))
           .mkString("-"), gno)
+      case Ev.MariadbGtid =>
+        // u64 seq, u32 domain, u8 flags2 (+ optional commit id) — the
+        // originating server id is the header's server_id
+        val seq = b.getLong()
+        val domain = b.getInt() & 0xFFFFFFFFL
+        MariadbGtid(domain, h.serverId, seq)
       case Ev.Query =>
         b.getInt() // slave_proxy_id
         b.getInt() // execution time
@@ -600,6 +612,15 @@ object MysqlBinlog {
       new W().u8(0).raw(sid).u64(gno).bytes)
   }
 
+  def encodeMariadbGtid(timestampSec: Long, logPos: Long, serverId: Long,
+      domain: Long, seq: Long): Array[Byte] = {
+    val w = new W
+    w.u32(timestampSec).u8(Ev.MariadbGtid).u32(serverId)
+      .u32(HeaderLen + 13L).u32(logPos).u16(0)
+    w.u64(seq).u32(domain).u8(0)
+    w.bytes
+  }
+
   def encodeTableMap(timestampSec: Long, logPos: Long,
       tm: TableMap): Array[Byte] = {
     val w = new W
@@ -786,15 +807,23 @@ final class MysqlBinlogDecoder(
   private var committedPos: Long = 0L
   private var pendingPos: Long = 0L
   private var gtidSet: TextCheckpoint.GtidSet = TextCheckpoint.GtidSet.empty
+  private var mariaSet: TextCheckpoint.MariadbGtidSet =
+    TextCheckpoint.MariadbGtidSet.empty
   private var pendingGtid: Option[Gtid] = None
+  private var pendingMaria: Option[MariadbGtid] = None
   private var useGtid = false
+  private var useMaria = false
 
   /** Latest SAFE checkpoint: advanced only at commit boundaries.
     * Numeric half = byte position in the current file (the DSv2
-    * source's monotonic cp), text half = GTID set or file:pos. */
+    * source's monotonic cp), text half = GTID set (MySQL uuid:ranges or
+    * MariaDB domain-server-seq, whichever flavor the stream speaks) or
+    * file:pos. */
   def latestCheckpoint: Long = committedPos
   def latestCheckpointText: String =
-    if (useGtid) gtidSet.render else s"$file:$committedPos"
+    if (useMaria) mariaSet.render
+    else if (useGtid) gtidSet.render
+    else s"$file:$committedPos"
 
   private def commitBoundary(logPos: Long): Unit = {
     pendingGtid.foreach { g =>
@@ -802,6 +831,12 @@ final class MysqlBinlogDecoder(
         s"${g.uuid}:${g.gno}"))
       useGtid = true
       pendingGtid = None
+    }
+    pendingMaria.foreach { g =>
+      mariaSet = mariaSet.merge(TextCheckpoint.MariadbGtidSet.parse(
+        s"${g.domain}-${g.serverId}-${g.seq}"))
+      useMaria = true
+      pendingMaria = None
     }
     committedPos = logPos
   }
@@ -889,6 +924,7 @@ final class MysqlBinlogDecoder(
         }
         Nil
       case g: Gtid => pendingGtid = Some(g); Nil
+      case g: MariadbGtid => pendingMaria = Some(g); Nil
       case Xid(_) => commitBoundary(h.logPos); Nil
       case tm: TableMap => tableMaps(tm.tableId) = tm; Nil
       case q: Query =>

@@ -90,6 +90,10 @@ object MysqlBinlogFiles {
     * inside the acked set). file:pos mode: (file, pos) order. */
   private def acked(commitText: String, after: String): Boolean = {
     if (after.isEmpty) return false
+    if (TextCheckpoint.MariadbGtidSet.looksLike(after))
+      return TextCheckpoint.MariadbGtidSet.looksLike(commitText) &&
+        TextCheckpoint.MariadbGtidSet.parse(after)
+          .contains(TextCheckpoint.MariadbGtidSet.parse(commitText))
     val gtidish = after.contains(":") && after.split(":")(0).length == 36
     if (gtidish) {
       if (!commitText.contains(":")) return false

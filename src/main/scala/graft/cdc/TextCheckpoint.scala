@@ -97,6 +97,62 @@ object TextCheckpoint {
         normalize(g.flatMap(_._2).toList)).toMap)
   }
 
+  /** A MariaDB GTID position set: replication domain → (serverId, seq),
+    * text form "0-1-42,1-2-10" (at most one position per domain — the
+    * public MariaDB gtid_slave_pos contract; the reference carries this
+    * flavor through go-mysql's MariadbGTIDSet). Progress ordering is
+    * per-domain sequence dominance: a position is at-least-as-far iff
+    * every domain of the other is present with seq ≥ — serverId is
+    * provenance, not order. */
+  final case class MariadbGtidSet(positions: Map[Long, (Long, Long)]) {
+
+    def render: String = positions.toSeq.sortBy(_._1)
+      .map { case (d, (s, q)) => s"$d-$s-$q" }.mkString(",")
+
+    def contains(o: MariadbGtidSet): Boolean =
+      o.positions.forall { case (d, (_, q)) =>
+        positions.get(d).exists(_._2 >= q)
+      }
+
+    def isNewerThan(o: MariadbGtidSet): Boolean =
+      contains(o) && seqView != o.seqView
+
+    /** Per-domain max-seq union (reconnect / shard merge). */
+    def merge(o: MariadbGtidSet): MariadbGtidSet = MariadbGtidSet(
+      (positions.keySet ++ o.positions.keySet).map { d =>
+        d -> (positions.get(d).toSeq ++ o.positions.get(d).toSeq)
+          .maxBy(_._2)
+      }.toMap)
+
+    def tryCompare(o: MariadbGtidSet): Option[Int] =
+      if (seqView == o.seqView) Some(0)
+      else if (contains(o)) Some(1)
+      else if (o.contains(this)) Some(-1)
+      else None
+
+    private def seqView: Map[Long, Long] =
+      positions.view.mapValues(_._2).toMap
+  }
+
+  object MariadbGtidSet {
+    val empty: MariadbGtidSet = MariadbGtidSet(Map.empty)
+
+    /** Looks like "domain-server-seq[,...]"? (vs a uuid-keyed MySQL set) */
+    def looksLike(s: String): Boolean =
+      s.nonEmpty && s.split(",").forall(
+        _.trim.matches("""\d+-\d+-\d+"""))
+
+    def parse(s: String): MariadbGtidSet =
+      if (s.trim.isEmpty) empty
+      else MariadbGtidSet(s.split(",").map { part =>
+        part.trim.split("-") match {
+          case Array(d, sv, q) => d.toLong -> (sv.toLong, q.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"malformed MariaDB GTID '$part' — need domain-server-seq")
+        }
+      }.toMap)
+  }
+
   /** Mongo-style opaque resume token: totally ordered by byte-lexicographic
     * compare of its hex form (the public contract of resume-token
     * ordering within one stream). */

@@ -120,4 +120,21 @@ class MysqlBinlogFilesSpec extends AnyFunSuite {
     assert(recs.last(3).toInt == ChangeRecord.TypeRelation)
     assert(recs.last(6).contains("note"))
   }
+
+  test("MariaDB GTID resume skips by per-domain seq dominance") {
+    val capture = tmpDir("blf_cap5")
+    val wal = tmpDir("blf_wal5")
+    MysqlBinlogFiles.writeFile(
+      Paths.get(capture, "binlog.000001.binlog"),
+      Seq(encodeFormatDescription(1L, 4L),
+        encodeTableMap(1L, 10L, tm),
+        encodeMariadbGtid(1L, 15L, 3L, 0L, 1L)) ++ tx(1L, 20L, 1L, "a") ++
+        Seq(encodeMariadbGtid(2L, 25L, 3L, 0L, 2L)) ++
+        tx(2L, 30L, 2L, "b"))
+    val (n1, resume1) = MysqlBinlogFiles.ingest(capture, wal)
+    assert(n1 == 2)
+    assert(resume1 == "0-3-2")
+    val (n2, _) = MysqlBinlogFiles.ingest(capture, wal, resume1)
+    assert(n2 == 0) // full replay, both txs at-or-below the acked seq
+  }
 }

@@ -253,4 +253,26 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(out.head.data ==
       """{"id":1,"doc":{"n":3,"tags":["a","b"]}}""")
   }
+
+  test("MariaDB GTID events render domain-server-seq checkpoint text") {
+    val d = freshDecoder()
+    d.feed(fde); d.feed(tmEv)
+    d.feed(encodeMariadbGtid(100L, 260L, serverId = 3L, domain = 0L,
+      seq = 42L))
+    d.feed(encodeXid(100L, 300L, 1L))
+    d.feed(encodeMariadbGtid(100L, 360L, serverId = 3L, domain = 1L,
+      seq = 7L))
+    d.feed(encodeXid(100L, 400L, 2L))
+    assert(d.latestCheckpointText == "0-3-42,1-3-7")
+    // later seq in a domain replaces, never regresses
+    d.feed(encodeMariadbGtid(100L, 460L, serverId = 4L, domain = 0L,
+      seq = 43L))
+    d.feed(encodeXid(100L, 500L, 3L))
+    assert(d.latestCheckpointText == "0-4-43,1-3-7")
+    val cur = TextCheckpoint.MariadbGtidSet.parse(d.latestCheckpointText)
+    assert(cur.isNewerThan(
+      TextCheckpoint.MariadbGtidSet.parse("0-3-42,1-3-7")))
+    assert(cur.tryCompare(
+      TextCheckpoint.MariadbGtidSet.parse("0-9-43,1-9-7")).contains(0))
+  }
 }
