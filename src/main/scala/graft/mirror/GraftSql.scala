@@ -954,7 +954,11 @@ object GraftSql {
         val h = handles.getOrElseUpdate(handleKey(spark, n),
           new MirrorRunner(spark, cfg).handle(
             org.apache.spark.sql.streaming.Trigger
-              .ProcessingTime(intervalMs)))
+              .ProcessingTime(intervalMs),
+            // capture-backed continuous mirrors keep pulling: the pump
+            // drains new capture files at the trigger cadence
+            capturePumpIntervalMs =
+              if (cfg.captureDir.isDefined) intervalMs else 0L))
         h.resume()
       }
       Nil

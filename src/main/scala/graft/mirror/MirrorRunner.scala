@@ -201,10 +201,18 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     cfg.statsDir.map(d => new StatsCatalog(d, hadoopConf))
   stats.foreach(_.initializeCdcFlow(cfg.flow))
 
+  private val captureLock = new Object
+
   /** Drain the configured capture directory into the WAL (transaction-
     * boundary durable) and persist the source resume offset. No-op
-    * without `captureDir`. Returns records appended this pass. */
-  def ingestCapture(): Long = cfg.captureDir match {
+    * without `captureDir`. Returns records appended this pass.
+    * Serialized: the WAL writer contract is single-writer, and the
+    * continuous pump may race a manual EXECUTE. */
+  def ingestCapture(): Long = captureLock.synchronized {
+    ingestCaptureUnlocked()
+  }
+
+  private def ingestCaptureUnlocked(): Long = cfg.captureDir match {
     case None => 0L
     case Some(dir) =>
       val offsetPath = s"${cfg.checkpointDir}/_capture_offset"
@@ -242,18 +250,48 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * cdc_flow.go:489-974, restated): pause stops the streaming query —
     * offsets stay in the checkpoint — and resume starts a new query from
     * them. The handle survives across pause/resume cycles. */
-  final class Handle private[MirrorRunner] (trigger: Trigger) {
+  final class Handle private[MirrorRunner] (trigger: Trigger,
+      capturePumpIntervalMs: Long) {
     @volatile private var query: Option[StreamingQuery] = None
+    @volatile private var pump: Option[Thread] = None
     def resume(): Unit = synchronized {
       require(query.forall(!_.isActive), "already running")
       ingestCapture() // catch up the capture before the stream resumes
       query = Some(start(trigger))
+      // Continuous mirrors keep PULLING while running: a daemon pump
+      // drains newly captured transactions into the WAL on an interval
+      // (the steady-state slot-read loop); the stream's own trigger
+      // picks them up. Single-writer stays intact — the pump is the
+      // only WAL appender while the handle runs, and pause() joins it
+      // before returning so a later resume/EXECUTE never overlaps.
+      if (cfg.captureDir.isDefined && capturePumpIntervalMs > 0) {
+        val t = new Thread(() => {
+          try {
+            while (!Thread.interrupted() && isActive) {
+              ingestCapture()
+              Thread.sleep(capturePumpIntervalMs)
+            }
+          } catch { case _: InterruptedException => }
+        }, s"graft-capture-pump-${cfg.flow}")
+        t.setDaemon(true)
+        t.start()
+        pump = Some(t)
+      }
     }
-    def pause(): Unit = synchronized { query.foreach(_.stop()) }
+    def pause(): Unit = synchronized {
+      query.foreach(_.stop())
+      pump.foreach { t => t.interrupt(); t.join(10000) }
+      pump = None
+    }
     def isActive: Boolean = query.exists(_.isActive)
   }
 
-  def handle(trigger: Trigger): Handle = new Handle(trigger)
+  def handle(trigger: Trigger): Handle = handle(trigger, 0L)
+
+  /** `capturePumpIntervalMs` > 0 keeps draining the capture while the
+    * stream runs (continuous mirrors); 0 drains only at resume. */
+  def handle(trigger: Trigger, capturePumpIntervalMs: Long): Handle =
+    new Handle(trigger, capturePumpIntervalMs)
 
   def start(trigger: Trigger): StreamingQuery =
     spark.readStream

@@ -100,6 +100,41 @@ class CaptureMirrorSpec extends SparkSpec {
     }
   }
 
+  test("continuous mirror: the capture pump drains NEW files while " +
+      "the stream runs") {
+    val capture = tmpDir("capmir_pump")
+    val base = tmpDir("capmir_pump_m")
+    MysqlBinlogFiles.writeFile(
+      Paths.get(capture, "binlog.000001.binlog"),
+      Seq(encodeFormatDescription(1L, 4L),
+        encodeTableMap(1L, 10L, tm)) ++ binlogTx(1L, 20L, 1L, "a"))
+    val runner = new MirrorRunner(spark, config(base, capture, "binlog"))
+    val h = runner.handle(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L),
+      capturePumpIntervalMs = 200L)
+    h.resume()
+    try {
+      // a transaction captured AFTER the stream started must flow
+      // through without any manual EXECUTE
+      MysqlBinlogFiles.writeFile(
+        Paths.get(capture, "binlog.000001.binlog"),
+        binlogTx(2L, 30L, 2L, "b"))
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = try runner.destination().count() catch { case _: Exception => 0L }
+      }
+      assert(n == 2, s"pump never delivered the late transaction (n=$n)")
+    } finally h.pause()
+    // paused: the pump is joined; a late capture stays un-ingested
+    MysqlBinlogFiles.writeFile(
+      Paths.get(capture, "binlog.000001.binlog"),
+      binlogTx(3L, 40L, 3L, "c"))
+    Thread.sleep(500)
+    assert(runner.destination().count() == 2)
+  }
+
   test("pgoutput capture format drives the same path") {
     import PgOutput._
     val capture = tmpDir("capmir_pg")
