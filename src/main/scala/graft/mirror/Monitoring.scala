@@ -123,3 +123,37 @@ object SlotLag {
     fired
   }
 }
+
+/** Capture lag — how much captured wire data a capture-backed mirror has
+  * not yet acked into its WAL. Byte-exact for binlog `file:pos` offsets
+  * (sum of later files + the remainder of the acked file — O(#files)
+  * metadata, safe to poll); GTID-set offsets have no byte mapping
+  * without a decode pass and return None, as does an absent offset. */
+object CaptureLag {
+
+  def bytes(captureDir: String, checkpointDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val offset = graft.util.FsText
+      .read(s"$checkpointDir/_capture_offset", conf)
+      .getOrElse(return None)
+    if (graft.cdc.TextCheckpoint.MariadbGtidSet.looksLike(offset) ||
+        !offset.contains(":") || offset.split(":")(0).length == 36)
+      return None // GTID flavors: no byte mapping
+    val Array(ackedFile, ackedPosS) = offset.split(":", 2)
+    val ackedPos = ackedPosS.toLong
+    val dir = java.nio.file.Paths.get(captureDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return Some(0L)
+    import scala.jdk.CollectionConverters._
+    var lag = 0L
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".binlog"))
+      .foreach { p =>
+        val stem = p.getFileName.toString.stripSuffix(".binlog")
+        val size = java.nio.file.Files.size(p)
+        val cmp = stem.compareTo(ackedFile)
+        if (cmp > 0) lag += size
+        else if (cmp == 0) lag += math.max(0L, size - ackedPos)
+      }
+    Some(lag)
+  }
+}

@@ -156,4 +156,40 @@ class CaptureMirrorSpec extends SparkSpec {
     runner.runAvailableNow() // no new commits: no duplicates
     assert(runner.destination().count() == 1)
   }
+
+  test("capture lag gauge: byte-exact for file:pos, None for GTID") {
+    val capture = tmpDir("capmir_lag")
+    val base = tmpDir("capmir_lag_m")
+    MysqlBinlogFiles.writeFile(
+      Paths.get(capture, "binlog.000001.binlog"),
+      Seq(encodeFormatDescription(1L, 4L),
+        encodeTableMap(1L, 10L, tm)) ++ binlogTx(1L, 20L, 1L, "a"))
+    val cfg = config(base, capture, "binlog")
+    val runner = new MirrorRunner(spark, cfg)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // before any run: no offset -> None
+    assert(CaptureLag.bytes(capture, cfg.checkpointDir, conf).isEmpty)
+    runner.runAvailableNow()
+    // fully acked: the acked pos is the last XID logPos; events after
+    // it in the file (none) -> remaining bytes of the file past the
+    // acked offset
+    val lag0 = CaptureLag.bytes(capture, cfg.checkpointDir, conf)
+    assert(lag0.isDefined)
+    val fileSize = java.nio.file.Files.size(
+      Paths.get(capture, "binlog.000001.binlog"))
+    // acked pos 22 is a LOG position, not a byte offset of this capture
+    // file; the gauge measures bytes past it — nonzero here, bounded by
+    // the file size, and it SHRINKS to reflect catch-up after new data
+    assert(lag0.get <= fileSize)
+    MysqlBinlogFiles.writeFile(
+      Paths.get(capture, "binlog.000002.binlog"),
+      Seq(encodeFormatDescription(2L, 4L),
+        encodeRotate(2L, 10L, 4L, "binlog.000002"),
+        encodeTableMap(2L, 15L, tm)) ++ binlogTx(2L, 20L, 2L, "b"))
+    val lagBehind = CaptureLag.bytes(capture, cfg.checkpointDir, conf).get
+    assert(lagBehind > lag0.get) // a new un-acked file adds lag
+    runner.runAvailableNow()
+    val lagAfter = CaptureLag.bytes(capture, cfg.checkpointDir, conf).get
+    assert(lagAfter < lagBehind)
+  }
 }
