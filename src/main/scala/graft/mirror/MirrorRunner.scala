@@ -271,7 +271,17 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
               ingestCapture()
               Thread.sleep(capturePumpIntervalMs)
             }
-          } catch { case _: InterruptedException => }
+          } catch {
+            case _: InterruptedException =>
+            case e: Exception =>
+              // a corrupt capture file must not fail SILENTLY: land the
+              // error durably (InsertFlowLog contract) — the stream
+              // keeps draining what the WAL already holds, SHOW MIRRORS
+              // stays 'running', and the flow_errors row tells the
+              // operator why the capture stopped advancing
+              stats.foreach(_.logFlowError(cfg.flow,
+                s"capture pump stopped: ${e.getMessage}"))
+          }
         }, s"graft-capture-pump-${cfg.flow}")
         t.setDaemon(true)
         t.start()

@@ -192,4 +192,39 @@ class CaptureMirrorSpec extends SparkSpec {
     val lagAfter = CaptureLag.bytes(capture, cfg.checkpointDir, conf).get
     assert(lagAfter < lagBehind)
   }
+
+  test("a corrupt capture file lands a durable flow_errors row, not a " +
+      "silent pump death") {
+    val capture = tmpDir("capmir_err")
+    val base = tmpDir("capmir_err_m")
+    MysqlBinlogFiles.writeFile(
+      Paths.get(capture, "binlog.000001.binlog"),
+      Seq(encodeFormatDescription(1L, 4L),
+        encodeTableMap(1L, 10L, tm)) ++ binlogTx(1L, 20L, 1L, "a"))
+    val cfg = config(base, capture, "binlog")
+      .copy(statsDir = Some(s"$base/stats"), flowName = "capflow")
+    val runner = new MirrorRunner(spark, cfg)
+    val h = runner.handle(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L),
+      capturePumpIntervalMs = 100L)
+    h.resume()
+    try {
+      // corrupt garbage appended as a new capture file
+      java.nio.file.Files.write(
+        Paths.get(capture, "binlog.000002.binlog"),
+        Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+      val stats = new StatsCatalog(s"$base/stats",
+        spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 20000
+      var errs = Array.empty[String]
+      while (errs.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        errs = stats.table(spark, "flow_errors")
+          .filter(col("flow_name") === "capflow")
+          .select("error_message").collect().map(_.getString(0))
+          .filter(_.contains("capture pump stopped"))
+      }
+      assert(errs.nonEmpty, "pump death left no flow_errors row")
+    } finally h.pause()
+  }
 }
