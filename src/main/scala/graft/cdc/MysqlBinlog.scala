@@ -446,6 +446,10 @@ object MysqlBinlog {
         else base + "." + f"$micros%06d".take(meta))
     case ColType.NewDecimal =>
       decodeDecimal(b, (meta >> 8) & 0xFF, meta & 0xFF)
+    // modern servers carry ENUM/SET as STRING(254) with the real type in
+    // the metadata high byte (handled above); bare 247/248 column types
+    // appear in older TABLE_MAPs — same ordinal/mask payload
+    case ColType.Enum | ColType.Set => beLeUint(b, meta & 0xFF).toString
     case ColType.Json =>
       // blob-style length prefix (meta = length-byte width), then the
       // binary JSON document — rendered to compact text, which is
@@ -727,6 +731,59 @@ object MysqlBinlog {
   }
   def fDate(y: Int, m: Int, d: Int): Array[Byte] =
     new W().u24v(d | (m << 5) | (y << 9)).bytes
+  def fInt24(v: Int): Array[Byte] = new W().u24v(v & 0xFFFFFF).bytes
+  def fFloat(v: Float): Array[Byte] =
+    new W().u32(java.lang.Float.floatToIntBits(v) & 0xFFFFFFFFL).bytes
+  def fDouble(v: Double): Array[Byte] =
+    new W().u64(java.lang.Double.doubleToLongBits(v)).bytes
+  def fYear(y: Int): Array[Byte] =
+    new W().u8(if (y == 0) 0 else y - 1900).bytes
+  def fTime2(h: Int, m: Int, s: Int, micros: Long, fsp: Int)
+      : Array[Byte] = {
+    val packed = 0x800000L + ((h.toLong << 12) | (m.toLong << 6) | s)
+    val w = new W().be(packed, 3)
+    val n = (fsp + 1) / 2
+    if (n > 0) w.be(micros / math.pow(100, 3 - n).toLong, n)
+    w.bytes
+  }
+  def fTimestamp2(epochSecs: Long, micros: Long, fsp: Int): Array[Byte] = {
+    val w = new W().be(epochSecs, 4)
+    val n = (fsp + 1) / 2
+    if (n > 0) w.be(micros / math.pow(100, 3 - n).toLong, n)
+    w.bytes
+  }
+  def fBit(v: Long, bits: Int): Array[Byte] =
+    new W().be(v, (bits + 7) / 8).bytes
+  def fEnum(ordinal: Int, width: Int): Array[Byte] = {
+    val w = new W
+    if (width == 1) w.u8(ordinal) else w.u16(ordinal)
+    w.bytes
+  }
+  def fSet(mask: Long, width: Int): Array[Byte] = {
+    val w = new W
+    (0 until width).foreach(i => w.u8(((mask >> (8 * i)) & 0xFF).toInt))
+    w.bytes
+  }
+  def fBlob(data: Array[Byte], lenBytes: Int): Array[Byte] = {
+    val w = new W
+    lenBytes match {
+      case 1 => w.u8(data.length)
+      case 2 => w.u16(data.length)
+      case 3 => w.u24v(data.length)
+      case _ => w.u32(data.length.toLong)
+    }
+    w.raw(data).bytes
+  }
+  def fChar(s: String, meta: Int): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    val w = new W
+    val m1 = (meta >> 8) & 0xFF
+    val m2 = meta & 0xFF
+    val maxLen =
+      if ((m1 & 0x30) != 0x30) (((m1 & 0x30) ^ 0x30) << 4) | m2 else m2
+    if (maxLen > 255) w.u16(b.length) else w.u8(b.length)
+    w.raw(b).bytes
+  }
   def fDateTime2(dt: java.time.LocalDateTime, fsp: Int): Array[Byte] = {
     val ym = dt.getYear * 13 + dt.getMonthValue
     val packed = (1L << 39) | (ym.toLong << 22) |

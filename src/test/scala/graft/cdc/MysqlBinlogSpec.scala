@@ -275,4 +275,45 @@ class MysqlBinlogSpec extends AnyFunSuite {
     assert(cur.tryCompare(
       TextCheckpoint.MariadbGtidSet.parse("0-9-43,1-9-7")).contains(0))
   }
+
+  test("wide-type row decode: every supported column type in one image") {
+    // CHAR(10) packs real_type STRING in meta high byte
+    val charMeta = (ColType.StringT << 8) | 10
+    val enumMeta = (ColType.Enum << 8) | 1   // 1-byte ordinal
+    val setMeta = (ColType.Set << 8) | 1     // 1-byte mask
+    val wtm = TableMap(13L, "app", "wide",
+      Array(ColType.Tiny, ColType.Short, ColType.Int24, ColType.Long,
+        ColType.Float, ColType.Double, ColType.Year, ColType.Time2,
+        ColType.Timestamp2, ColType.Bit, ColType.StringT,
+        ColType.StringT, ColType.StringT, ColType.Blob),
+      Array(0, 0, 0, 0, 4, 8, 0, 3, 0, (0 << 8) | 12, charMeta,
+        enumMeta, setMeta, 2),
+      Array.fill(14)(false),
+      Seq("t1", "s2", "i3", "l4", "f5", "d6", "y7", "tm8", "ts9",
+        "b10", "c11", "e12", "st13", "bl14"),
+      Seq(true, true, true, true, true, true))
+    val d = freshDecoder()
+    d.feed(fde)
+    d.feed(encodeTableMap(100L, 200L, wtm))
+    val out = d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, wtm, Seq(Seq(
+      Some(Some(fTiny(-5 & 0xFF))),
+      Some(Some(fShort(-300 & 0xFFFF))),
+      Some(Some(fInt24(123456))),
+      Some(Some(fInt(-70000))),
+      Some(Some(fFloat(1.5f))),
+      Some(Some(fDouble(-2.25))),
+      Some(Some(fYear(2024))),
+      Some(Some(fTime2(13, 5, 9, 120000L, 3))),
+      Some(Some(fTimestamp2(1700000000L, 0L, 0))),
+      Some(Some(fBit(0xABCL, 12))),
+      Some(Some(fChar("chr", charMeta))),
+      Some(Some(fEnum(2, 1))),
+      Some(Some(fSet(5L, 1))),
+      Some(Some(fBlob(Array[Byte](0x01, 0x7F.toByte), 2)))))))
+    assert(out.head.data ==
+      """{"t1":-5,"s2":-300,"i3":123456,"l4":-70000,""" +
+      """"f5":1.5,"d6":-2.25,"y7":2024,"tm8":"13:05:09.120",""" +
+      """"ts9":"2023-11-14 22:13:20","b10":2748,"c11":"chr",""" +
+      """"e12":2,"st13":5,"bl14":"\\x017f"}""")
+  }
 }
