@@ -23,18 +23,31 @@ object Bench {
       case (name, fn) =>
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch {
+          // Materialize the FULL physical plan, not a count-rewrite:
+          // df.count() becomes Aggregate(count(1)) and Catalyst prunes any
+          // projection the count doesn't need (md5() scrubs, JSON assembly),
+          // so expensive final expressions would be optimized out of the
+          // measurement while DuckDB executes the complete SQL. toRdd runs
+          // the plan exactly as written; counting the resulting UnsafeRows
+          // forces every column of every row through codegen.
+          try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
           (System.nanoTime() - t0) / 1e9
         }
         // Free blocks the query pinned (localCheckpoint / persist): left
-        // alone they accumulate across the 64-query session and the
+        // alone they accumulate across the 150+-query session and the
         // resulting memory pressure bleeds GC time into every later query.
+        // The shared TokenStats stage is exempt — it is the one
+        // deliberately cross-query materialization (a compact frame, the
+        // local[] stand-in for a persisted corpus-stats table).
         spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        val keep = graft.queries.TokenStats.retainedIds
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!keep.contains(id)) rdd.unpersist(blocking = false)
+          }
         name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

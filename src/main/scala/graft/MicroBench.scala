@@ -210,10 +210,15 @@ object MicroBench {
         val name = args.lift(2).getOrElse("q_bm25")
         val fn = SparkEntry.queries(name)
         (1 to 3).foreach { i =>
-          time(s"$name #$i")(fn(spark, sfDir).count())
+          // toRdd.count() like Bench: full-plan materialization, no
+          // count-rewrite projection pruning.
+          time(s"$name #$i")(fn(spark, sfDir).queryExecution.toRdd.count())
           spark.sharedState.cacheManager.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          val keep = graft.queries.TokenStats.retainedIds
+          spark.sparkContext.getPersistentRDDs
+            .foreach { case (id, rdd) =>
+              if (!keep.contains(id)) rdd.unpersist(blocking = false)
+            }
         }
       case "cdc" =>
         // End-to-end mirror throughput: WAL decode → raw staging append →

@@ -30,10 +30,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Free blocks the query pinned (localCheckpoint / persist) so the
-      // 60+-query session doesn't accumulate dead block-manager memory.
+      // 150+-query session doesn't accumulate dead block-manager memory.
+      // The shared TokenStats stage survives the sweep (see Bench).
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      val keep = graft.queries.TokenStats.retainedIds
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!keep.contains(id)) rdd.unpersist(blocking = false)
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -168,7 +168,7 @@ object MysqlBinlog {
         b.get() // flags
         val sid = bytesOf(b, 16)
         val gno = b.getLong()
-        val hex = sid.map(x => f"$x%02x").mkString
+        val hex = graft.functions.Wkb.toHex(sid) // table-driven, not format
         Gtid(Seq(hex.substring(0, 8), hex.substring(8, 12),
           hex.substring(12, 16), hex.substring(16, 20), hex.substring(20))
           .mkString("-"), gno)

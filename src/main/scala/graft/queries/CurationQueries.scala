@@ -48,17 +48,14 @@ object CurationQueries {
     "q_repetition_filter",
     "repetition gate: top-word + duplicate-bigram per-mille (Gopher A1.1)",
     (s, dir) => {
-      val base = docs(s, dir)
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-      val wordStats = base
-        .select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
-      val bigramStats = base.filter(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(SignatureExprs.wordShingles(col("ws"), 2)).as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").as("nb"), count(lit(1)).as("ndb"))
+      // Both signals roll up from the shared [[TokenStats]] frames: the
+      // per-(doc, word) counts (top = max tf, n = Σ tf) and the
+      // per-(doc, bigram) counts (nb = Σ tf, ndb = distinct bigrams) —
+      // no explode happens inside this query at all.
+      val wordStats = TokenStats.unigrams(s, dir).tf
+        .groupBy("doc_id").agg(max("tf").as("top"), sum("tf").as("n"))
+      val bigramStats = TokenStats.bigrams(s, dir)
+        .groupBy("doc_id").agg(sum("tf").as("nb"), count(lit(1)).as("ndb"))
       wordStats.join(bigramStats, "doc_id")
         .select(col("doc_id"),
           expr("top * 1000 DIV n").as("top_word_pm"),
@@ -194,16 +191,12 @@ object CurationQueries {
     "q_rarity_score",
     "unigram-rarity doc scoring (integer perplexity proxy)",
     (s, dir) => {
-      // One explode pass → per-(doc, word) counts, checkpointed ONCE:
-      // word stats, the corpus total, and the scoring join all derive
-      // from this compact frame (one row per distinct word per doc),
-      // never re-reading the raw occurrence explosion.
-      val tfFrame = docs(s, dir)
-        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val stats = tfFrame.groupBy("w").agg(sum("tf").as("wc"))
-      val total = tfFrame.agg(sum("tf")).head().getLong(0)
+      // Shared token-stats stage ([[TokenStats]]): the per-(doc, word)
+      // counts, word-stats table and corpus total are built once per
+      // session and reused by q_perplexity_bucket / q_repetition_filter —
+      // this query adds only the scoring join and the per-doc rollup.
+      val TokenStats.Unigrams(tfFrame, stats, total) =
+        TokenStats.unigrams(s, dir)
       tfFrame
         .join(stats.hint("shuffle_hash"), "w")
         .groupBy("doc_id")
@@ -1102,16 +1095,9 @@ object CurationQueries {
     "q_bigram_lm",
     "bigram-LM perplexity-proxy scoring (integer conditional costs)",
     (s, dir) => {
-      val bg = docs(s, dir)
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-        .where(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(ws, 1, size(ws) - 1), " +
-            "(x, i) -> struct(x AS prev, ws[i + 1] AS w))")).as("b"))
-        .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
-      val tf = bg.groupBy("doc_id", "prev", "w")
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+      // Per-(doc, bigram) counts come from the shared [[TokenStats]]
+      // stage (also feeds q_repetition_filter's duplicate-bigram signal).
+      val tf = TokenStats.bigrams(s, dir)
       // Corpus counts roll up from tf (c2) and from c2 (c1 = Σ_w c2), and
       // the conditional cost is resolved at the TYPE level first — the
       // big doc×type frame then shuffles once (its (prev,w) join) instead
@@ -1163,13 +1149,10 @@ object CurationQueries {
     "CCNet head/middle/tail terciles per language on the LM-score proxy",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tfFrame = docs(s, dir)
-        .select(col("doc_id"), col("lang"),
-          explode(TF.words(col("text"))).as("w"))
-        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
-      val stats = tfFrame.groupBy("w").agg(sum("tf").as("wc"))
-      val total = tfFrame.agg(sum("tf")).head().getLong(0)
+      // Same shared stage as q_rarity_score — the scoring formulation is
+      // identical; only the tercile window on top differs.
+      val TokenStats.Unigrams(tfFrame, stats, total) =
+        TokenStats.unigrams(s, dir)
       val scored = tfFrame
         .join(stats.hint("shuffle_hash"), "w")
         .groupBy("doc_id", "lang")
