@@ -433,15 +433,36 @@ object MysqlBinlog {
       quoted(renderDateTime(java.time.LocalDateTime.of(year, month, day,
         hour, minute, second, micros.toInt * 1000), meta))
     case ColType.Time2 =>
-      val packed = beUint(b, 3)
-      val micros = fracMicros(b, meta)
-      // stored as value + 0x800000; bit 23 set = non-negative
-      val v = packed - 0x800000L
-      require(v >= 0, "negative TIME2 values not supported by this decoder")
+      // TIMEF binary (my_time.c my_time_binary_to_packed): a SIGNED
+      // packed longlong, offset-stored. fsp 0-4 split int3 intpart +
+      // frac bytes — for negative values the stored intpart is the
+      // FLOOR (nr >> 24) while the frac byte is truncated-toward-zero,
+      // so a nonzero negative fraction needs the +1/-0x100 rebalance;
+      // fsp 5-6 store the whole offset longlong in 6 bytes. Negative
+      // times (legal range -838:59:59) decode to '-HH:MM:SS[.ffffff]'
+      // exactly as the server renders them.
+      val packed: Long = meta match {
+        case 0 => (beUint(b, 3) - 0x800000L) << 24
+        case 1 | 2 =>
+          var ip = beUint(b, 3) - 0x800000L
+          var fr = b.get() & 0xFFL
+          if (ip < 0 && fr > 0) { ip += 1; fr -= 0x100 }
+          (ip << 24) + fr * 10000L
+        case 3 | 4 =>
+          var ip = beUint(b, 3) - 0x800000L
+          var fr = beUint(b, 2)
+          if (ip < 0 && fr > 0) { ip += 1; fr -= 0x10000 }
+          (ip << 24) + fr * 100L
+        case _ => beUint(b, 6) - 0x800000000000L
+      }
+      val abs = math.abs(packed)
+      val micros = abs & 0xFFFFFFL
+      val v = abs >> 24
       val hour = ((v >> 12) & 0x3FF).toInt
       val minute = ((v >> 6) & 0x3F).toInt
       val second = (v & 0x3F).toInt
-      val base = f"$hour%02d:$minute%02d:$second%02d"
+      val sign = if (packed < 0) "-" else ""
+      val base = f"$sign$hour%02d:$minute%02d:$second%02d"
       quoted(if (meta == 0) base
         else base + "." + f"$micros%06d".take(meta))
     case ColType.NewDecimal =>
@@ -738,12 +759,28 @@ object MysqlBinlog {
     new W().u64(java.lang.Double.doubleToLongBits(v)).bytes
   def fYear(y: Int): Array[Byte] =
     new W().u8(if (y == 0) 0 else y - 1900).bytes
+  /** TIMEF encode, the exact my_time_packed_to_binary layout — pass a
+    * negative `h` for negative times (m/s/micros stay non-negative
+    * magnitudes). */
   def fTime2(h: Int, m: Int, s: Int, micros: Long, fsp: Int)
       : Array[Byte] = {
-    val packed = 0x800000L + ((h.toLong << 12) | (m.toLong << 6) | s)
-    val w = new W().be(packed, 3)
+    val neg = h < 0
+    val hms = (math.abs(h).toLong << 12) | (m.toLong << 6) | s
     val n = (fsp + 1) / 2
-    if (n > 0) w.be(micros / math.pow(100, 3 - n).toLong, n)
+    val fracAbs = if (n == 0) 0L else micros / math.pow(100, 3 - n).toLong
+    val w = new W
+    if (n == 3) {
+      val nr = (hms << 24) + micros
+      w.be((if (neg) -nr else nr) + 0x800000000000L, 6)
+    } else {
+      val carry = neg && fracAbs > 0
+      val ip = (if (neg) -hms else hms) - (if (carry) 1L else 0L)
+      w.be(0x800000L + ip, 3)
+      if (n > 0) {
+        val span = if (n == 1) 0x100L else 0x10000L
+        w.be(if (carry) span - fracAbs else fracAbs, n)
+      }
+    }
     w.bytes
   }
   def fTimestamp2(epochSecs: Long, micros: Long, fsp: Int): Array[Byte] = {
@@ -881,6 +918,35 @@ final class MysqlBinlogDecoder(
     if (useMaria) mariaSet.render
     else if (useGtid) gtidSet.render
     else s"$file:$committedPos"
+
+  /** Seed the file cursor when a capture file opens. The capture
+    * contract — enforced HERE, relied on by resume skipping and the
+    * capture-lag gauge — is that a capture file's stem IS the binlog
+    * file name it holds. A no-op when the previous file's trailing
+    * Rotate already moved the cursor there; otherwise the switch resets
+    * the position the way the missing Rotate would have (byte positions
+    * restart in every binlog file, after the 4-byte magic). */
+  def seedFile(name: String): Unit =
+    if (name != file) { file = name; committedPos = 4L }
+
+  /** Seed ack/GTID state from a persisted checkpoint text (resuming
+    * past capture files skipped as fully acked): a GTID render IS the
+    * full ack state (the whole set), a file:pos text is the cursor.
+    * Unknown/empty text seeds nothing. */
+  def seedCheckpointText(text: String): Unit =
+    if (text.nonEmpty) TextCheckpoint.flavor(text) match {
+      case TextCheckpoint.MariaGtid =>
+        mariaSet = mariaSet.merge(TextCheckpoint.MariadbGtidSet.parse(text))
+        useMaria = true
+      case TextCheckpoint.MysqlGtid =>
+        gtidSet = gtidSet.merge(TextCheckpoint.GtidSet.parse(text))
+        useGtid = true
+      case TextCheckpoint.FilePos => text.split(":", 2) match {
+        case Array(f, p) if p.forall(_.isDigit) && p.nonEmpty =>
+          file = f; committedPos = p.toLong
+        case _ => ()
+      }
+    }
 
   private def commitBoundary(logPos: Long): Unit = {
     pendingGtid.foreach { g =>

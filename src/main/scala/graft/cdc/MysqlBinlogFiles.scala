@@ -87,40 +87,98 @@ object MysqlBinlogFiles {
 
   /** Has the transaction ending at `commitText` already been acked by
     * `after`? GTID mode: set containment (a replayed tx's gtids are
-    * inside the acked set). file:pos mode: (file, pos) order. */
-  private def acked(commitText: String, after: String): Boolean = {
-    if (after.isEmpty) return false
-    if (TextCheckpoint.MariadbGtidSet.looksLike(after))
-      return TextCheckpoint.MariadbGtidSet.looksLike(commitText) &&
+    * inside the acked set). file:pos mode: (file, pos) order — capture
+    * file stems ARE the binlog file names (enforced by the seedFile
+    * call in [[ingest]]), so names sort chronologically.
+    *
+    * Flavors are detected INDEPENDENTLY on both sides: a stream that
+    * gained GTID events after a file:pos checkpoint was stored (or vice
+    * versa) is not comparable — return false rather than misparse.
+    * Re-appending is at-least-once-safe: rows are gated per transaction
+    * and the normalize path dedups by (key, version). Malformed texts
+    * likewise compare as un-acked instead of throwing, so a bad stored
+    * offset can never kill the capture pump. */
+  private[cdc] def acked(commitText: String, after: String): Boolean = {
+    if (after.isEmpty || commitText.isEmpty) return false
+    val fa = TextCheckpoint.flavor(after)
+    if (fa != TextCheckpoint.flavor(commitText)) return false
+    fa match {
+      case TextCheckpoint.MariaGtid =>
         TextCheckpoint.MariadbGtidSet.parse(after)
           .contains(TextCheckpoint.MariadbGtidSet.parse(commitText))
-    val gtidish = after.contains(":") && after.split(":")(0).length == 36
-    if (gtidish) {
-      if (!commitText.contains(":")) return false
-      TextCheckpoint.GtidSet.parse(after)
-        .contains(TextCheckpoint.GtidSet.parse(commitText))
-    } else {
-      val Array(af, ap) = after.split(":", 2)
-      val Array(cf, cp) = commitText.split(":", 2)
-      val fileCmp = cf.compareTo(af)
-      fileCmp < 0 || (fileCmp == 0 && cp.toLong <= ap.toLong)
+      case TextCheckpoint.MysqlGtid =>
+        TextCheckpoint.GtidSet.parse(after)
+          .contains(TextCheckpoint.GtidSet.parse(commitText))
+      case TextCheckpoint.FilePos =>
+        (after.split(":", 2), commitText.split(":", 2)) match {
+          case (Array(af, ap), Array(cf, cp))
+              if ap.nonEmpty && ap.forall(_.isDigit) &&
+                cp.nonEmpty && cp.forall(_.isDigit) =>
+            val fileCmp = cf.compareTo(af)
+            fileCmp < 0 || (fileCmp == 0 && cp.toLong <= ap.toLong)
+          case _ => false
+        }
     }
+  }
+
+  private val StateSep = '\u001F'
+
+  /** Sidecar skip-state (one line per fully-read capture file:
+    * `name SEP sizeAtRead SEP endCheckpointText`) — lets steady-state
+    * pump passes touch only NEW bytes instead of re-decoding the whole
+    * capture history every tick (O(new) per pass, not O(total)). */
+  private def readState(p: Path): Map[String, (Long, String)] =
+    if (!Files.isRegularFile(p)) Map.empty
+    else new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.flatMap { line =>
+        line.split(StateSep.toString, 3) match {
+          case Array(n, sz, end) if sz.forall(_.isDigit) && sz.nonEmpty =>
+            Some(n -> (sz.toLong, end))
+          case _ => None
+        }
+      }.toMap
+
+  private def writeState(p: Path, m: Map[String, (Long, String)]): Unit = {
+    Files.createDirectories(p.getParent)
+    val body = m.toSeq.sortBy(_._1).map { case (n, (sz, end)) =>
+      s"$n$StateSep$sz$StateSep$end"
+    }.mkString("", "\n", "\n")
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Replay every `.binlog` file under `captureDir` (name order — binlog
     * names sort chronologically by construction) into the WAL. Returns
-    * (records appended, resume text — persist it for the next run). */
+    * (records appended, resume text — persist it for the next run).
+    *
+    * With a `stateDir`, per-file skip-state makes repeat passes
+    * incremental: a capture file whose size is unchanged AND whose
+    * recorded end checkpoint is already acked is skipped whole —
+    * safe because binlog files are self-contained (FormatDescription
+    * opens every file, TABLE_MAP precedes every row-event group,
+    * transactions never span files) and the skipped file's GTID/cursor
+    * state reseeds the decoder from the recorded text. */
   def ingest(captureDir: String, walDir: String,
       afterCheckpoint: String = "",
       tableFilter: String => Boolean = _ => true,
       destinationFor: String => String = identity,
-      segmentRecords: Int = 100000): (Long, String) = {
+      segmentRecords: Int = 100000,
+      stateDir: String = ""): (Long, String) = {
     val dir = Paths.get(captureDir)
     if (!Files.isDirectory(dir)) return (0L, afterCheckpoint)
     import scala.jdk.CollectionConverters._
     val files = Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".binlog"))
       .toSeq.sortBy(_.getFileName.toString)
+    val statePath =
+      if (stateDir.isEmpty) None
+      else Some(Paths.get(stateDir).resolve("_capture_filestate"))
+    val state = statePath.map(readState).getOrElse(Map.empty)
+    val newState = scala.collection.mutable.Map.empty[String, (Long, String)]
     val decoder = new MysqlBinlogDecoder(tableFilter, destinationFor)
     val pending = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
     val ready = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
@@ -136,29 +194,51 @@ object MysqlBinlogFiles {
         ready.clear()
       }
     files.foreach { f =>
-      val in = Files.newInputStream(f)
-      try readEvents(in).foreach { event =>
-        val before = decoder.latestCheckpoint
-        val beforeFile = decoder.latestCheckpointText
-        val recs = decoder.feed(event)
-        val committed = decoder.latestCheckpoint != before ||
-          decoder.latestCheckpointText != beforeFile
-        recs.foreach { r =>
-          if (r.recordType == ChangeRecord.TypeRelation) {
-            // DDL is self-durable (arrives between row transactions);
-            // at-least-once across resumes, idempotent downstream.
-            ready += stamp(r)
-          } else pending += r
-        }
-        if (committed) {
-          if (!acked(decoder.latestCheckpointText, afterCheckpoint))
-            ready ++= pending.map(stamp)
-          pending.clear()
-          flush(force = false)
-        }
-      } finally in.close()
+      val name = f.getFileName.toString
+      val stem = name.stripSuffix(".binlog")
+      val sizeAtOpen = Files.size(f)
+      val skip = state.get(name).exists { case (sz, end) =>
+        sz == sizeAtOpen && acked(end, afterCheckpoint)
+      }
+      if (skip) {
+        // fully-acked, unchanged file: reseed the decoder's ack state
+        // from the recorded end text instead of re-decoding its bytes
+        val end = state(name)._2
+        decoder.seedCheckpointText(end)
+        decoder.seedFile(stem)
+        newState(name) = (sizeAtOpen, end)
+      } else {
+        // capture contract, enforced here (the one place): a capture
+        // file's stem is the binlog file name it holds — a capture
+        // without trailing Rotate events still gets its checkpoints
+        // attributed to the right file, with per-file positions.
+        decoder.seedFile(stem)
+        val in = Files.newInputStream(f)
+        try readEvents(in).foreach { event =>
+          val before = decoder.latestCheckpoint
+          val beforeFile = decoder.latestCheckpointText
+          val recs = decoder.feed(event)
+          val committed = decoder.latestCheckpoint != before ||
+            decoder.latestCheckpointText != beforeFile
+          recs.foreach { r =>
+            if (r.recordType == ChangeRecord.TypeRelation) {
+              // DDL is self-durable (arrives between row transactions);
+              // at-least-once across resumes, idempotent downstream.
+              ready += stamp(r)
+            } else pending += r
+          }
+          if (committed) {
+            if (!acked(decoder.latestCheckpointText, afterCheckpoint))
+              ready ++= pending.map(stamp)
+            pending.clear()
+            flush(force = false)
+          }
+        } finally in.close()
+        newState(name) = (sizeAtOpen, decoder.latestCheckpointText)
+      }
     }
     flush(force = true)
+    statePath.foreach(p => writeState(p, newState.toMap))
     // `pending` still holds the uncommitted trailing tx: dropped — its
     // XID has not arrived; the next run re-decodes it.
     (appended, decoder.latestCheckpointText)

@@ -153,6 +153,24 @@ object TextCheckpoint {
       }.toMap)
   }
 
+  /** MySQL checkpoint-text flavors. ONE detector shared by resume
+    * skipping, decoder seeding, and the capture-lag gauge so their
+    * interpretations can never diverge: a stored file:pos offset meeting
+    * a GTID commit (the stream gained GTID events between runs) must be
+    * treated as a flavor mismatch everywhere, not parsed as the wrong
+    * kind in one place. */
+  sealed trait Flavor
+  case object FilePos extends Flavor
+  case object MysqlGtid extends Flavor
+  case object MariaGtid extends Flavor
+
+  def flavor(s: String): Flavor =
+    if (MariadbGtidSet.looksLike(s)) MariaGtid
+    // a MySQL GTID set leads with a 36-char server uuid before ':'
+    else if (s.contains(":") && s.takeWhile(_ != ':').length == 36)
+      MysqlGtid
+    else FilePos
+
   /** Mongo-style opaque resume token: totally ordered by byte-lexicographic
     * compare of its hex form (the public contract of resume-token
     * ordering within one stream). */

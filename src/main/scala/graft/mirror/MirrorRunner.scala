@@ -229,7 +229,10 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           val after = graft.util.FsText.read(offsetPath, hadoopConf)
             .getOrElse("")
           val (n, last) = graft.cdc.MysqlBinlogFiles.ingest(dir,
-            cfg.walDir, afterCheckpoint = after)
+            cfg.walDir, afterCheckpoint = after,
+            // per-file skip-state beside the offset: steady-state pump
+            // passes touch only new capture bytes, not the whole history
+            stateDir = cfg.checkpointDir)
           if (last != after)
             graft.util.FsText.write(offsetPath, last, hadoopConf)
           n

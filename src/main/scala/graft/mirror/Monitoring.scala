@@ -128,7 +128,15 @@ object SlotLag {
   * not yet acked into its WAL. Byte-exact for binlog `file:pos` offsets
   * (sum of later files + the remainder of the acked file — O(#files)
   * metadata, safe to poll); GTID-set offsets have no byte mapping
-  * without a decode pass and return None, as does an absent offset. */
+  * without a decode pass and return None, as does an absent offset.
+  *
+  * Relies on the capture contract that [[graft.cdc.MysqlBinlogFiles]]
+  * ENFORCES at ingest (decoder.seedFile per capture file): a capture
+  * file's stem is the binlog file name it holds, so the stored offset's
+  * file component always names an actual capture stem and stem order is
+  * checkpoint order. Flavor detection shares
+  * [[graft.cdc.TextCheckpoint.flavor]] with the resume logic so the
+  * gauge and ingest can never read the same offset differently. */
 object CaptureLag {
 
   def bytes(captureDir: String, checkpointDir: String,
@@ -136,11 +144,14 @@ object CaptureLag {
     val offset = graft.util.FsText
       .read(s"$checkpointDir/_capture_offset", conf)
       .getOrElse(return None)
-    if (graft.cdc.TextCheckpoint.MariadbGtidSet.looksLike(offset) ||
-        !offset.contains(":") || offset.split(":")(0).length == 36)
+    if (graft.cdc.TextCheckpoint.flavor(offset) !=
+        graft.cdc.TextCheckpoint.FilePos)
       return None // GTID flavors: no byte mapping
-    val Array(ackedFile, ackedPosS) = offset.split(":", 2)
-    val ackedPos = ackedPosS.toLong
+    val (ackedFile, ackedPos) = offset.split(":", 2) match {
+      case Array(f, p) if p.nonEmpty && p.forall(_.isDigit) =>
+        (f, p.toLong)
+      case _ => return None // malformed offset: no gauge, not a crash
+    }
     val dir = java.nio.file.Paths.get(captureDir)
     if (!java.nio.file.Files.isDirectory(dir)) return Some(0L)
     import scala.jdk.CollectionConverters._

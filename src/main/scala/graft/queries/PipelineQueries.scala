@@ -998,9 +998,14 @@ object PipelineQueries {
       val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val hit = train.join(broadcast(bench), Seq("h"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      tot.join(hit, "doc_id")
-        .select(col("doc_id"), col("n_grams"), col("n_hit"),
-          expr("n_hit * 1000 DIV n_grams").as("hit_pm"))
+      // LEFT join, not inner: every train doc emits a row (n_hit = 0 when
+      // clean), so a clean corpus yields a full-size result — a broken
+      // pipeline that returns an empty frame can no longer masquerade as
+      // "no contamination found". Self-validating output.
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0L) * 1000 DIV n_grams").as("hit_pm"))
         .orderBy("doc_id")
     },
     Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -1015,9 +1020,10 @@ object PipelineQueries {
             |tot AS (SELECT doc_id, count(*) AS n_grams FROM t GROUP BY 1),
             |hit AS (SELECT doc_id, count(*) AS n_hit FROM t
             |        WHERE h IN (SELECT h FROM b) GROUP BY 1)
-            |SELECT doc_id, n_grams, n_hit,
-            |  n_hit * 1000 // n_grams AS hit_pm
-            |FROM tot JOIN hit USING (doc_id)
+            |SELECT doc_id, n_grams,
+            |  coalesce(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+            |  coalesce(n_hit, CAST(0 AS BIGINT)) * 1000 // n_grams AS hit_pm
+            |FROM tot LEFT JOIN hit USING (doc_id)
             |ORDER BY doc_id""".stripMargin))
 
   /** Sequence packing plan: assign docs to fixed token-budget packs by

@@ -316,4 +316,26 @@ class MysqlBinlogSpec extends AnyFunSuite {
       """"ts9":"2023-11-14 22:13:20","b10":2748,"c11":"chr",""" +
       """"e12":2,"st13":5,"bl14":"\\x017f"}""")
   }
+
+  test("negative TIME2 decodes at every fsp width as the server renders") {
+    // legal MySQL TIME range is -838:59:59 .. 838:59:59; the TIMEF
+    // binary splits intpart (floor) from frac (trunc) for fsp 0-4 and
+    // stores the whole offset longlong for fsp 5-6 — each width has its
+    // own negative-rebalance rule
+    val ttm = TableMap(14L, "app", "times",
+      Array(ColType.Time2, ColType.Time2, ColType.Time2, ColType.Time2),
+      Array(0, 2, 3, 6), Array.fill(4)(false),
+      Seq("a", "b", "c", "d"), Seq(true, true, true, true))
+    val d = freshDecoder()
+    d.feed(fde)
+    d.feed(encodeTableMap(100L, 200L, ttm))
+    val out = d.feed(encodeRows(100L, 300L, Ev.WriteRowsV2, ttm, Seq(Seq(
+      Some(Some(fTime2(-838, 59, 59, 0L, 0))),
+      Some(Some(fTime2(-1, 30, 0, 500000L, 2))),
+      Some(Some(fTime2(-2, 15, 30, 123000L, 3))),
+      Some(Some(fTime2(-5, 0, 0, 123456L, 6)))))))
+    assert(out.head.data ==
+      """{"a":"-838:59:59","b":"-01:30:00.50",""" +
+      """"c":"-02:15:30.123","d":"-05:00:00.123456"}""")
+  }
 }

@@ -314,4 +314,26 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("n_chars") == 9L)   // 3 + 4 + 2
     assert(r.getAs[Long]("bpe_tokens") == 5L) // 1 + 2 + 2
   }
+
+  test("13-gram contamination audit: planted overlap is counted and " +
+    "clean docs still emit a zero-hit row") {
+    // doc 0 (0 % 97 == 0) is the benchmark: exactly one 13-gram.
+    // doc 1 embeds that 13-gram verbatim at the start of 18 words →
+    // 6 distinct windows, exactly 1 of them contaminated.
+    // doc 2 is 13 clean words → 1 window, 0 hits — the left join must
+    // still produce its row (the r6 inner join dropped it, letting an
+    // empty result pass as "clean").
+    val bench13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val dir = docTable(Seq(
+      (0L, bench13),
+      (1L, bench13 + " x1 x2 x3 x4 x5"),
+      (2L, (1 to 13).map(i => s"c$i").mkString(" "))))
+    val out = PipelineQueries.contaminationNgram.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_hit"), r.getAs[Long]("hit_pm")))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 1L, 1000L / 6),
+      (2L, 1L, 0L, 0L)), out.mkString(","))
+  }
 }
