@@ -256,6 +256,16 @@ final class MergeWriter(
         pmod(hash(pkColumns.map(col): _*), lit(numBuckets))),
       hardDelete))
 
+    // Surviving buckets must be computed BEFORE the write: `resolved`
+    // reads the stored table lazily, and the overwrite below replaces
+    // those files — a post-write re-execution of the plan would resolve
+    // the old file listing and die with FILE_NOT_EXIST.
+    val survived: Set[Int] =
+      if (hardDelete)
+        resolved.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet
+      else Set.empty
+
     // Dynamic overwrite: only the affected bucket partitions are replaced.
     val prev = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -276,14 +286,18 @@ final class MergeWriter(
     // bucket whose every key was hard-deleted writes no rows and would keep
     // its stale file — clear those partition dirs explicitly.
     if (hardDelete) {
-      val survived = resolved.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSet
       val f = fs
       affected.filterNot(survived).foreach { b =>
         f.delete(
           new org.apache.hadoop.fs.Path(s"$tablePath/$BucketCol=$b"), true)
       }
     }
+
+    // The overwrite (and the hard-delete dir removal) replaces files a
+    // prior scan of this path may have cached in the session's shared
+    // file-listing cache; without an explicit refresh a later read can
+    // resolve the replaced files and fail with FILE_NOT_EXIST.
+    sess.catalog.refreshByPath(tablePath)
   }
 
   private def finishRow(df: DataFrame, hardDelete: Boolean): DataFrame = {

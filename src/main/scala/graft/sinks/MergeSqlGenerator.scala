@@ -123,6 +123,49 @@ object MergeSqlGenerator {
   def stageAvro(normalized: DataFrame, dir: String): Seq[String] =
     AvroStage.write(stageFrame(normalized), dir)
 
+  /** Staging-table DDL for one batch: the staged frame's own schema
+    * (data + meta + `_absent_cols` CSV), transient by construction —
+    * created before the load, dropped after the merge (the reference's
+    * temp-stage step, snowflake/qrep_avro_consolidate.go). */
+  def createStaging(t: MergeTarget, stagedSchema: StructType,
+      dialect: QKind.Dialect = QKind.Dialect.Ansi): String = {
+    import QKind.Dialect._
+    val quote: String => String =
+      if (dialect == ClickHouse || dialect == BigQuery)
+        id => "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`"
+      else q
+    val cols = stagedSchema.fields.map(f =>
+      s"${quote(f.name)} ${QKind.toDdl(QKind.fromSpark(f.dataType),
+        dialect, nullable = true)}")
+    val tail = dialect match {
+      case ClickHouse => "\n) ENGINE = MergeTree ORDER BY tuple()"
+      case _ => "\n)"
+    }
+    s"""CREATE TABLE IF NOT EXISTS ${t.stagingTable} (
+       |  ${cols.mkString(",\n  ")}$tail""".stripMargin
+  }
+
+  /** ClickHouse normalize INSERT — the RMT path runs no MERGE: each
+    * batch INSERT SELECTs the staged rows into the ReplacingMergeTree
+    * table and the ENGINE collapses versions at merge/FINAL time
+    * (clickhouse/normalize.go INSERT INTO SELECT shape; avro_sync.go
+    * loads the stage first). `_absent_cols` stays behind in staging —
+    * RMT replaces whole rows, so TOAST backfill must happen upstream
+    * (the Normalizer already coalesces within batch; cross-batch absent
+    * columns need the destination read-back path, as in the
+    * reference). */
+  def clickhouseInsert(t: MergeTarget): String = {
+    def bq(id: String) =
+      "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`"
+    val cols = (dataColumns(t) ++
+      Seq(RawTable.Version, RawTable.IsDeleted, RawTable.SyncedAt)).map(bq)
+    val sel = (dataColumns(t) ++
+      Seq(RawTable.Version, RawTable.IsDeleted)).map(bq) :+ "now64()"
+    s"""INSERT INTO ${t.table} (${cols.mkString(", ")})
+       |SELECT ${sel.mkString(", ")}
+       |FROM ${t.stagingTable}""".stripMargin
+  }
+
   /** Distinct absent-column combinations present in a staged batch — the
     * per-batch combination set the reference derives the UPDATE branches
     * from (merge_stmt_generator.go:166-225). Driver-side: bounded by the

@@ -1,0 +1,420 @@
+package graft.sinks
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.QKind
+
+/** In-process warehouse: a [[SqlExecutor]] that REPLAYS the generated
+  * statement text against session-local tables — the executable half of
+  * the [[WarehouseLoader]] seam when no live destination exists
+  * (reference loop: clickhouse/avro_sync.go:57-423,
+  * snowflake/qrep_avro_consolidate.go). A JDBC executor binds the same
+  * trait in production.
+  *
+  * The point is semantic validation of the generated SQL, not a SQL
+  * engine: the statement SHAPES are the ones [[MergeSqlGenerator]]
+  * emits (CREATE TABLE / MERGE / INSERT..ON CONFLICT / INSERT..SELECT /
+  * DELETE / DROP), but every condition, assignment and select item in
+  * them is evaluated by Catalyst as a real SQL expression
+  * (`functions.expr`), so a wrong branch predicate or a missing combo
+  * branch produces wrong DATA here exactly as it would on a warehouse
+  * — which is what the WarehouseLoaderSpec asserts against the native
+  * [[graft.cdc.MergeWriter]] result.
+  *
+  * Dialect notes: double-quoted (ANSI/Snowflake) and backtick (CH/BQ)
+  * identifiers both map onto Spark backticks; `CURRENT_TIMESTAMP` /
+  * `now64()` map onto `current_timestamp()`; a ClickHouse
+  * `ENGINE = ReplacingMergeTree(ver[, is_deleted]) ORDER BY (k...)`
+  * table collapses at READ time like `SELECT ... FINAL` — latest
+  * version per ordering key, tombstones dropped when the engine args
+  * carry is_deleted. (Equal-version ties are unspecified, as on CH.)
+  */
+final class StubWarehouse(spark: SparkSession,
+    dialect: QKind.Dialect = QKind.Dialect.Ansi) extends SqlExecutor {
+
+  private final case class Rmt(orderBy: Seq[String], version: String,
+      isDeleted: Option[String])
+
+  private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val schemas = mutable.Map.empty[String, StructType]
+  private val rmt = mutable.Map.empty[String, Rmt]
+
+  /** Every statement text this executor ran, in order (spec probe). */
+  val statements = mutable.ArrayBuffer.empty[String]
+
+  /** Logical table content: ReplacingMergeTree tables collapse as FINAL
+    * would; everything else reads back as stored. */
+  def table(name: String): DataFrame = rmt.get(name) match {
+    case Some(Rmt(keys, ver, isDel)) =>
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(ver).desc)
+      val collapsed = tables(name)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      isDel.fold(collapsed)(d => collapsed.filter(!col(d)))
+    case None => tables(name)
+  }
+
+  def exists(name: String): Boolean = tables.contains(name)
+
+  // -------------------------------------------------------------- load
+
+  override def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows: Seq[Row] = files.flatMap { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      AvroStage.readContainer(buf, schema)
+    }
+    import scala.jdk.CollectionConverters._
+    val incoming = spark.createDataFrame(rows.asJava, schema)
+    val declared = schemas.getOrElse(stagingTable, schema)
+    val castIn = incoming.select(declared.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    // COPY INTO appends to whatever the staging table holds
+    tables(stagingTable) = tables.get(stagingTable)
+      .map(_.unionByName(castIn)).getOrElse(castIn)
+  }
+
+  // ---------------------------------------------------------- dispatch
+
+  override def execute(sql: String): Unit = {
+    statements += sql
+    val flat = sql.replaceAll("\\s+", " ").trim
+    val up = flat.toUpperCase
+    if (up.startsWith("CREATE TABLE")) runCreate(flat)
+    else if (up.startsWith("DROP TABLE")) runDrop(flat)
+    else if (up.startsWith("MERGE INTO")) runMerge(flat)
+    else if (up.startsWith("INSERT INTO") && up.contains(" ON CONFLICT "))
+      runUpsert(flat)
+    else if (up.startsWith("INSERT INTO")) runInsertSelect(flat)
+    else if (up.startsWith("DELETE FROM")) runDelete(flat)
+    else throw new IllegalArgumentException(
+      s"stub warehouse: unsupported statement: ${flat.take(80)}…")
+  }
+
+  // --------------------------------------------------------- utilities
+
+  /** Generated-dialect expression → Spark SQL: identifier quotes to
+    * backticks, destination time functions to Spark's. Single-quoted
+    * string literals pass through untouched (they never contain `"`
+    * in generated statements — column names are the restricted
+    * identifier set). */
+  private def tr(s: String): String = s
+    .replaceAll("\"([^\"]+)\"", "`$1`")
+    .replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", "current_timestamp()")
+    .replaceAll("(?i)\\bnow64\\(\\)", "current_timestamp()")
+
+  private def unquote(id: String): String =
+    id.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("`").stripSuffix("`")
+
+  /** Split at top level (outside parens and string literals). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { ch =>
+      if (ch == '\'') { inStr = !inStr; cur += ch }
+      else if (inStr) cur += ch
+      else if (ch == '(') { depth += 1; cur += ch }
+      else if (ch == ')') { depth -= 1; cur += ch }
+      else if (ch == sep && depth == 0) {
+        out += cur.toString; cur.clear()
+      } else cur += ch
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def castTo(df: DataFrame, declared: StructType): DataFrame =
+    df.select(declared.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  // -------------------------------------------------- DDL: CREATE/DROP
+
+  /** DDL column type → Spark carrier, inverting [[QKind.toDdl]] for the
+    * forms the generator emits in each dialect. */
+  private def sparkTypeOf(raw0: String): DataType = {
+    val raw = raw0.trim
+      .replaceAll("(?i)\\s+NOT NULL.*$", "")
+      .replaceAll("(?i)\\s+DEFAULT\\s+.*$", "")
+      .trim
+    val up = raw.toUpperCase
+    def inner(prefixLen: Int) = raw.substring(prefixLen, raw.length - 1)
+    if (up.startsWith("NULLABLE(")) return sparkTypeOf(inner(9))
+    if (up.startsWith("LOWCARDINALITY(")) return sparkTypeOf(inner(15))
+    if (up.startsWith("ARRAY(")) return ArrayType(sparkTypeOf(inner(6)))
+    if (up.endsWith(" ARRAY"))
+      return ArrayType(sparkTypeOf(raw.dropRight(6)))
+    val Dec = """(?:DECIMAL|NUMERIC|NUMBER)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    up match {
+      case Dec(p, s) => DecimalType(p.toInt, s.toInt)
+      case "BOOLEAN" | "BOOL" => BooleanType
+      case "SMALLINT" | "INT16" => ShortType
+      case "INT8" =>
+        if (dialect == QKind.Dialect.ClickHouse) ByteType else LongType
+      case "INTEGER" =>
+        // Snowflake INTEGER is NUMBER(38,0): carry as long
+        if (dialect == QKind.Dialect.Snowflake) LongType else IntegerType
+      case "INT" | "INT32" | "UINT8" | "UINT16" => IntegerType
+      case "BIGINT" | "INT64" | "UINT32" => LongType
+      case "REAL" | "FLOAT32" => FloatType
+      case "DOUBLE PRECISION" | "FLOAT64" | "FLOAT" => DoubleType
+      case "TIMESTAMP" | "TIMESTAMP_NTZ" | "DATETIME" => TimestampNTZType
+      case "TIMESTAMP WITH TIME ZONE" | "TIMESTAMP_TZ" => TimestampType
+      case t if t.startsWith("DATETIME64") => TimestampNTZType
+      case "DATE" | "DATE32" => DateType
+      case "VARBINARY" | "BINARY" | "BYTES" => BinaryType
+      case _ => StringType // VARCHAR/STRING/VARIANT/UUID/geo/FixedString…
+    }
+  }
+
+  private def runCreate(flat: String): Unit = {
+    val open = flat.indexOf('(')
+    require(open > 0, s"malformed CREATE: $flat")
+    // matching close paren of the column list
+    var depth = 0; var i = open; var close = -1
+    while (i < flat.length && close < 0) {
+      flat.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ => ()
+      }
+      i += 1
+    }
+    val name = flat.substring(0, open).trim
+      .replaceAll("(?i)^CREATE TABLE (IF NOT EXISTS )?", "").trim
+    if (tables.contains(name) &&
+        flat.toUpperCase.contains("IF NOT EXISTS")) return
+    val body = flat.substring(open + 1, close)
+    val fields = splitTop(body, ',').flatMap { item =>
+      if (item.toUpperCase.startsWith("PRIMARY KEY")) None
+      else {
+        // leading quoted identifier, rest is the type text
+        val (nm, rest) =
+          if (item.startsWith("\"") || item.startsWith("`")) {
+            val quote = item.charAt(0)
+            val end = item.indexOf(
+              if (quote == '`') '`' else '"', 1)
+            (item.substring(1, end), item.substring(end + 1))
+          } else {
+            val sp = item.indexOf(' ')
+            (item.substring(0, sp), item.substring(sp + 1))
+          }
+        Some(StructField(nm, sparkTypeOf(rest), nullable = true))
+      }
+    }
+    val schema = StructType(fields)
+    tables(name) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    schemas(name) = schema
+    // ClickHouse engine clause → RMT read semantics
+    val tail = flat.substring(close + 1)
+    val RmtRe =
+      """(?i).*ENGINE\s*=\s*ReplacingMergeTree\((.*?)\).*ORDER BY \((.*?)\).*""".r
+    tail match {
+      case RmtRe(args, keys) =>
+        val a = splitTop(args, ',').map(unquote)
+        rmt(name) = Rmt(splitTop(keys, ',').map(unquote),
+          a.head, a.lift(1))
+      case _ => ()
+    }
+  }
+
+  private def runDrop(flat: String): Unit = {
+    val name = flat
+      .replaceAll("(?i)^DROP TABLE (IF EXISTS )?", "").trim
+    tables.remove(name); schemas.remove(name); rmt.remove(name)
+  }
+
+  // ------------------------------------------------------------- MERGE
+
+  private sealed trait Clause
+  private final case class MatchedUpdate(cond: String,
+      sets: Seq[(String, String)]) extends Clause
+  private final case class MatchedDelete(cond: String) extends Clause
+  private final case class NotMatchedInsert(cond: Option[String],
+      cols: Seq[String], vals: Seq[String]) extends Clause
+
+  private def parseSets(s: String): Seq[(String, String)] =
+    splitTop(s, ',').map { item =>
+      val eq = item.indexOf('=')
+      (unquote(item.substring(0, eq)), item.substring(eq + 1).trim)
+    }
+
+  private def runMerge(flat: String): Unit = {
+    val Head = """(?i)MERGE INTO (\S+) dst USING (\S+) src ON (.*?) (WHEN .*)""".r
+    val (tgt, stg, on, rest) = flat match {
+      case Head(t, s, o, r) => (t, s, o, r)
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable MERGE: ${flat.take(120)}…")
+    }
+    val clauseTexts = rest.split("(?i)(?=WHEN )").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val MDel = """(?i)WHEN MATCHED AND (.*?) THEN DELETE\s*""".r
+    val MUpd = """(?i)WHEN MATCHED AND (.*?) THEN UPDATE SET (.*)""".r
+    val NIns =
+      """(?i)WHEN NOT MATCHED( AND .*?)? THEN INSERT \((.*?)\) VALUES \((.*)\)\s*""".r
+    val clauses: Seq[Clause] = clauseTexts.map {
+      case MDel(c) => MatchedDelete(c)
+      case MUpd(c, sets) => MatchedUpdate(c, parseSets(sets))
+      case NIns(c, cols, vals) => NotMatchedInsert(
+        Option(c).map(_.trim.stripPrefix("AND ").trim),
+        splitTop(cols, ',').map(unquote), splitTop(vals, ','))
+      case other => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable MERGE clause: ${other.take(80)}…")
+    }
+    val declared = schemas(tgt)
+    val dst = tables(tgt).withColumn("__dex", lit(1)).alias("dst")
+    val src = tables(stg).withColumn("__sex", lit(1)).alias("src")
+    val j = dst.join(src, expr(tr(on)), "full_outer")
+    val isM = col("dst.__dex").isNotNull && col("src.__sex").isNotNull
+
+    // first matching WHEN MATCHED clause wins, in statement order
+    val matchedClauses = clauses.filter {
+      case _: NotMatchedInsert => false; case _ => true
+    }
+    val branch = matchedClauses.zipWithIndex.reverse
+      .foldLeft(lit(-1): Column) { case (els, (cl, i)) =>
+        val cond = cl match {
+          case MatchedUpdate(c, _) => c
+          case MatchedDelete(c) => c
+          case _ => "FALSE"
+        }
+        when(isM && expr(tr(cond)), lit(i)).otherwise(els)
+      }
+    val deleteIdx = matchedClauses.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => i
+    }
+    val dstRows0 = j.filter(col("dst.__dex").isNotNull)
+      .withColumn("__b", branch)
+    val dstRows =
+      if (deleteIdx.isEmpty) dstRows0
+      else dstRows0.filter(
+        !col("__b").isin(deleteIdx.map(Integer.valueOf): _*))
+    val outCols = declared.fields.toSeq.map { f =>
+      val kept = matchedClauses.zipWithIndex.reverse
+        .foldLeft(col(s"dst.`${f.name}`")) {
+          case (els, (MatchedUpdate(_, sets), i)) =>
+            sets.collectFirst { case (n, v) if n == f.name => v }
+              .map(v => when(col("__b") === i, expr(tr(v))).otherwise(els))
+              .getOrElse(els)
+          case (els, _) => els
+        }
+      kept.cast(f.dataType).as(f.name)
+    }
+    val updatedPart = dstRows.select(outCols: _*)
+    val insertPart = clauses.collectFirst {
+      case c: NotMatchedInsert => c
+    }.map { c =>
+      val base = j.filter(
+        col("dst.__dex").isNull && col("src.__sex").isNotNull)
+      val rows = c.cond.fold(base)(x => base.filter(expr(tr(x))))
+      val colVal = c.cols.zip(c.vals).toMap
+      rows.select(declared.fields.toSeq.map { f =>
+        colVal.get(f.name).map(v => expr(tr(v)))
+          .getOrElse(lit(null)).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    tables(tgt) =
+      pin(insertPart.fold(updatedPart)(updatedPart.unionByName))
+  }
+
+  // ------------------------------------- INSERT … ON CONFLICT (upsert)
+
+  private def runUpsert(flat: String): Unit = {
+    val Re =
+      """(?i)INSERT INTO (\S+) \((.*?)\) SELECT (.*?) FROM (\S+) src WHERE (.*?) ON CONFLICT \((.*?)\) DO UPDATE SET (.*?) WHERE (.*)""".r
+    val (tgt, cols, sel, stg, where, pk, sets, guard) = flat match {
+      case Re(t, c, s, f, w, p, u, g) => (t, c, s, f, w, p, u, g)
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable upsert: ${flat.take(120)}…")
+    }
+    val declared = schemas(tgt)
+    val insCols = splitTop(cols, ',').map(unquote)
+    val incoming = tables(stg).alias("src")
+      .filter(expr(tr(where)))
+      .select(splitTop(sel, ',').map(e => expr(tr(e))): _*)
+      .toDF(insCols: _*)
+    val pkCols = splitTop(pk, ',').map(unquote)
+    val dst = tables(tgt).withColumn("__dex", lit(1)).alias("dst")
+    val src = incoming.withColumn("__sex", lit(1)).alias("src")
+    val on = pkCols.map(k => col(s"dst.`$k`") === col(s"src.`$k`"))
+      .reduce(_ && _)
+    val j = dst.join(src, on, "full_outer")
+    // EXCLUDED = the incoming row; the guard references the target by
+    // its table name — both map onto the join aliases
+    def trU(s: String) = tr(s)
+      .replace("EXCLUDED.", "src.")
+      .replace(s"$tgt.", "dst.")
+    val guardC = expr(trU(guard))
+    val setMap = parseSets(sets).map { case (n, v) => n -> trU(v) }.toMap
+    val matched = col("dst.__dex").isNotNull && col("src.__sex").isNotNull
+    val dstRows = j.filter(col("dst.__dex").isNotNull).select(
+      declared.fields.toSeq.map { f =>
+        val v = setMap.get(f.name) match {
+          case Some(e) =>
+            when(matched && guardC, expr(e))
+              .otherwise(col(s"dst.`${f.name}`"))
+          case None => col(s"dst.`${f.name}`")
+        }
+        v.cast(f.dataType).as(f.name)
+      }: _*)
+    val insRows = j.filter(
+      col("dst.__dex").isNull && col("src.__sex").isNotNull)
+      .select(declared.fields.toSeq.map { f =>
+        (if (insCols.contains(f.name)) col(s"src.`${f.name}`")
+         else lit(null)).cast(f.dataType).as(f.name)
+      }: _*)
+    tables(tgt) = pin(dstRows.unionByName(insRows))
+  }
+
+  // ------------------------------------ INSERT … SELECT (ClickHouse)
+
+  private def runInsertSelect(flat: String): Unit = {
+    val Re = """(?i)INSERT INTO (\S+) \((.*?)\) SELECT (.*?) FROM (\S+)\s*""".r
+    val (tgt, cols, sel, stg) = flat match {
+      case Re(t, c, s, f) => (t, c, s, f)
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable INSERT: ${flat.take(120)}…")
+    }
+    val declared = schemas(tgt)
+    val insCols = splitTop(cols, ',').map(unquote)
+    val newRows = tables(stg)
+      .select(splitTop(sel, ',').map(e => expr(tr(e))): _*)
+      .toDF(insCols: _*)
+    val aligned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], declared)
+      .unionByName(
+        castTo(newRows, StructType(declared.fields
+          .filter(f => insCols.contains(f.name)))),
+        allowMissingColumns = true)
+    tables(tgt) = pin(tables(tgt).unionByName(aligned))
+  }
+
+  // ------------------------------------------------------------ DELETE
+
+  private def runDelete(flat: String): Unit = {
+    val Re = """(?i)DELETE FROM (\S+) WHERE (.*)""".r
+    val (tgt, cond) = flat match {
+      case Re(t, c) => (t, c)
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable DELETE: ${flat.take(120)}…")
+    }
+    tables(tgt) = pin(tables(tgt).filter(!expr(tr(cond))))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+import graft.model.RawTable
+import graft.types.QKind
+
+/** Destination-side SQL execution — the seam between the engine (which
+  * stages files and GENERATES statements) and a warehouse (which RUNS
+  * them). Production binds a JDBC connection per destination; tests and
+  * offline validation bind [[StubWarehouse]], which replays the same
+  * statement text against in-process tables. */
+trait SqlExecutor {
+
+  /** Run one statement on the destination. */
+  def execute(sql: String): Unit
+
+  /** Bulk-load staged Avro files into `stagingTable` (the COPY INTO /
+    * PUT+COPY / S3-engine-read step — the one operation warehouses
+    * expose as a native bulk command rather than portable SQL).
+    * `schema` is the staged frame's schema (what [[AvroStage]] wrote). */
+  def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit
+}
+
+/** The staging→load→merge loop of a warehouse destination, executable
+  * end to end — the counterpart of the reference's per-warehouse sync
+  * loops (clickhouse/avro_sync.go:57-423 SyncQRepRecords/pushS3ToCH,
+  * snowflake/qrep_avro_consolidate.go stage→temp→MERGE):
+  *
+  *   1. stage the normalized batch as Avro OCF files ([[AvroStage]]);
+  *   2. bulk-load them into the staging table;
+  *   3. run the generated normalize statements — ANSI MERGE (Snowflake/
+  *      BigQuery/PG≥15 family), the UPSERT+DELETE fallback (PG<15), or
+  *      the ClickHouse INSERT SELECT into a ReplacingMergeTree;
+  *   4. drop the staging table.
+  *
+  * The loader owns sequencing and statement generation only; every
+  * destination-specific behavior lives behind [[SqlExecutor]], so a
+  * socket/JDBC driver drops in without touching this loop.
+  */
+final class WarehouseLoader(
+    target: MergeTarget,
+    exec: SqlExecutor,
+    dialect: QKind.Dialect = QKind.Dialect.Ansi,
+    /** MERGE vs the ON CONFLICT fallback (ignored for ClickHouse, which
+      * always INSERT SELECTs). */
+    useMerge: Boolean = true) {
+
+  private def isClickhouse = dialect == QKind.Dialect.ClickHouse
+
+  /** SetupNormalizedTables: create the destination table in-dialect. */
+  def setup(): Unit =
+    exec.execute(MergeSqlGenerator.createTable(target, dialect))
+
+  /** Sync one normalized batch ([[graft.cdc.Normalizer]] output shape:
+    * one row per key + version/is_deleted/_absent_cols). Returns the
+    * staged file paths. */
+  def loadBatch(normalized: DataFrame, stageDir: String): Seq[String] = {
+    val staged = MergeSqlGenerator.stageFrame(normalized)
+    // combos BEFORE staging: the branch set must describe exactly this
+    // batch (a stale set silently skips updates — see merge() scaladoc)
+    val combos = MergeSqlGenerator.absentCombosOf(staged)
+    val files = AvroStage.write(staged, stageDir)
+    exec.execute(MergeSqlGenerator.createStaging(target, staged.schema,
+      dialect))
+    exec.loadAvro(target.stagingTable, files, staged.schema)
+    if (isClickhouse)
+      exec.execute(MergeSqlGenerator.clickhouseInsert(target))
+    else if (useMerge)
+      exec.execute(MergeSqlGenerator.merge(target, combos))
+    else
+      MergeSqlGenerator.upsertFallback(target, combos).foreach(exec.execute)
+    exec.execute(s"DROP TABLE IF EXISTS ${target.stagingTable}")
+    files
+  }
+}
