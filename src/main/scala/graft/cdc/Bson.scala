@@ -46,6 +46,67 @@ object Bson {
     sb.toString
   }
 
+  /** Top-level elements of a BSON document as (name, type tag, value
+    * bytes) — the walk a change-stream consumer needs to pick
+    * operationType / ns / documentKey / fullDocument / clusterTime out
+    * of a change event WITHOUT rendering the whole document
+    * (mongo/cdc.go change-event field access). Value bytes are the raw
+    * element payload, suitable for [[idToString]] / [[documentToJson]]
+    * (doc-typed values) / re-walking with [[elements]]. */
+  def elements(bytes: Array[Byte]): Seq[(String, Int, Array[Byte])] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val end = b.position() + b.getInt()
+    require(end <= bytes.length, "document length exceeds buffer")
+    val out = Seq.newBuilder[(String, Int, Array[Byte])]
+    while (b.position() < end - 1) {
+      val tpe = b.get() & 0xFF
+      val key = cstr(b)
+      val start = b.position()
+      skipValue(tpe, b)
+      out += ((key, tpe,
+        java.util.Arrays.copyOfRange(bytes, start, b.position())))
+    }
+    out.result()
+  }
+
+  private def skipValue(tpe: Int, b: ByteBuffer): Unit = tpe match {
+    case TDouble | TDateTime | TTimestamp | TInt64 =>
+      b.position(b.position() + 8)
+    case TString | TJavaScript | TSymbol =>
+      val len = b.getInt()
+      require(len >= 1 && len <= b.remaining(), s"bad string length $len")
+      b.position(b.position() + len)
+    case TDoc | TArray =>
+      val len = b.getInt()
+      require(len >= 5 && len - 4 <= b.remaining(), s"bad doc length $len")
+      b.position(b.position() + len - 4)
+    case TBinary =>
+      val len = b.getInt()
+      require(len >= 0 && len + 1 <= b.remaining(), s"bad binary length")
+      b.position(b.position() + len + 1)
+    case TObjectId => b.position(b.position() + 12)
+    case TBool => b.position(b.position() + 1)
+    case TUndefined | TNull | TMinKey | TMaxKey => ()
+    case TRegex => cstr(b); cstr(b); ()
+    case TInt32 => b.position(b.position() + 4)
+    case TDecimal128 => b.position(b.position() + 16)
+    case other =>
+      throw new IllegalArgumentException(f"unknown BSON type 0x$other%02x")
+  }
+
+  /** Element value → plain string for the walk above (string-typed
+    * values unquoted; everything else JSON form). */
+  def elementString(tpe: Int, value: Array[Byte]): String =
+    idToString(tpe, value)
+
+  /** (T seconds, I ordinal) of a timestamp-typed element value. */
+  def timestampOf(value: Array[Byte]): (Long, Long) = {
+    val b = ByteBuffer.wrap(value).order(ByteOrder.LITTLE_ENDIAN)
+    val i = b.getInt().toLong & 0xFFFFFFFFL
+    val t = b.getInt().toLong & 0xFFFFFFFFL
+    (t, i)
+  }
+
   /** The `_id` → ordering-key string rule (QValueStringFromId,
     * qvalue_convert.go:51-66): ObjectIds and strings render WITHOUT JSON
     * quoting; any other type keeps its JSON form. Input: one BSON element

@@ -101,4 +101,86 @@ object MongoStream {
         ("startAtOperationTime", s"Timestamp($secs, $inc)")
       }
     }
+
+  /** Change-stream → WAL ingest through a [[Wire.MongoSource]] — the
+    * engine half of the reference's Mongo pull loop (mongo/cdc.go
+    * PullRecords): build the watch pipeline, make the
+    * ResumeAfter-vs-StartAtOperationTime decision, pull change events,
+    * decode them into [[graft.model.ChangeRecord]]s and append them to
+    * the WAL. Each change event is its own transaction — change
+    * streams deliver post-commit majority-read events, so durability
+    * cuts fall between events, and replayed events (the operation-time
+    * fallback REPLAYS the event carrying the stored token) are skipped
+    * by token order ([[TextCheckpoint.compareResumeTokens]]).
+    *
+    * Records are re-stamped with dense WAL-native checkpoint ids (the
+    * batch-id vs offset split, as in the PG/MySQL ingests); the token
+    * travels in checkpointText. Returns (records appended, last token
+    * hex — persist it for the next run). */
+  def ingest(source: Wire.MongoSource, walDir: String,
+      tables: Seq[String],
+      afterTokenHex: Option[String] = None,
+      pipelineChanged: Boolean = false,
+      excludedOps: Seq[String] = Nil,
+      destinationFor: String => String = identity,
+      segmentRecords: Int = 100000): (Long, String) = {
+    import graft.model.ChangeRecord
+    val pipe = pipeline(tables, excludedOps)
+    val resume = resumeOption(afterTokenHex, pipelineChanged)
+    val inPipe = tables.toSet
+    val ready = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
+    var nextCp = math.max(ChangeLogWal.headCp(walDir), 0L) + 1
+    var appended = 0L
+    var lastToken = afterTokenHex.getOrElse("")
+    def flush(force: Boolean): Unit =
+      if (ready.nonEmpty && (force || ready.size >= segmentRecords)) {
+        ChangeLogWal.append(walDir, ready.toSeq)
+        appended += ready.size
+        ready.clear()
+      }
+    try source.changes(pipe, resume).foreach { case (token, bson) =>
+      val fresh = afterTokenHex.forall(a =>
+        TextCheckpoint.compareResumeTokens(token, a) > 0)
+      if (fresh) {
+        val els = Bson.elements(bson)
+          .map(e => e._1 -> (e._2, e._3)).toMap
+        val op = els.get("operationType")
+          .map { case (t, v) => Bson.elementString(t, v) }.getOrElse("")
+        val recType = op match {
+          case "insert" => ChangeRecord.TypeInsert
+          case "update" | "replace" => ChangeRecord.TypeUpdate
+          case "delete" => ChangeRecord.TypeDelete
+          case _ => -1 // ddl/invalidate events: no row to stage
+        }
+        if (recType >= 0) {
+          val ns = els.get("ns").map { case (_, v) =>
+            Bson.elements(v).map(e => e._1 ->
+              Bson.elementString(e._2, e._3)).toMap
+          }.getOrElse(Map.empty)
+          val src = ns.getOrElse("db", "") + "." + ns.getOrElse("coll", "")
+          // the pipeline already $matches in-pipe tables server-side;
+          // re-filter here so a transport that ignores the pipeline
+          // (or a stale one) cannot leak foreign collections
+          if (inPipe.contains(src)) {
+            val ctMicros = els.get("clusterTime")
+              .map { case (_, v) => Bson.timestampOf(v)._1 * 1000000L }
+              .getOrElse(0L)
+            val dataJson = els.get("fullDocument")
+              .map { case (_, v) => Bson.documentToJson(v) }
+            val keyJson = els.get("documentKey")
+              .map { case (_, v) => Bson.documentToJson(v) }
+            val cp = nextCp; nextCp += 1
+            ready += ChangeRecord(recType, cp, token, ctMicros, 0L,
+              src, destinationFor(src), dataJson.orNull, keyJson.orNull,
+              Nil)
+            flush(force = false)
+          }
+        }
+      }
+      lastToken = token
+    } finally source.close()
+    flush(force = true)
+    source.ack(lastToken)
+    (appended, lastToken)
+  }
 }

@@ -167,18 +167,84 @@ object MysqlBinlogFiles {
       tableFilter: String => Boolean = _ => true,
       destinationFor: String => String = identity,
       segmentRecords: Int = 100000,
-      stateDir: String = ""): (Long, String) = {
-    val dir = Paths.get(captureDir)
-    if (!Files.isDirectory(dir)) return (0L, afterCheckpoint)
-    import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".binlog"))
-      .toSeq.sortBy(_.getFileName.toString)
-    val statePath =
+      stateDir: String = ""): (Long, String) =
+    ingestFrom(fileSource(captureDir, stateDir), walDir, afterCheckpoint,
+      tableFilter, destinationFor, segmentRecords)
+
+  /** The capture-directory transport: walks `.binlog` files in name
+    * order, tagging events with the file they belong to (the capture
+    * contract: a file's stem IS the binlog file name it holds — a
+    * capture without trailing Rotate events still gets checkpoints
+    * attributed to the right file, with per-file positions). Skip-state
+    * ([[readState]]) turns an unchanged fully-acked file into a
+    * [[Wire.MysqlSkip]]; `progress` accumulates the next state and
+    * `ack` persists it. */
+  def fileSource(captureDir: String, stateDir: String = "")
+      : Wire.MysqlSource = new Wire.MysqlSource {
+    private val statePath =
       if (stateDir.isEmpty) None
       else Some(Paths.get(stateDir).resolve("_capture_filestate"))
-    val state = statePath.map(readState).getOrElse(Map.empty)
-    val newState = scala.collection.mutable.Map.empty[String, (Long, String)]
+    private val newState =
+      scala.collection.mutable.Map.empty[String, (Long, String)]
+    private var open: Option[InputStream] = None
+
+    override def items(afterCheckpoint: String)
+        : Iterator[Wire.MysqlItem] = {
+      val dir = Paths.get(captureDir)
+      if (!Files.isDirectory(dir)) return Iterator.empty
+      import scala.jdk.CollectionConverters._
+      val files = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".binlog"))
+        .toSeq.sortBy(_.getFileName.toString)
+      val state = statePath.map(readState).getOrElse(Map.empty)
+      files.iterator.flatMap { f =>
+        val stem = f.getFileName.toString.stripSuffix(".binlog")
+        val sizeAtOpen = Files.size(f)
+        val skip = state.get(stem).exists { case (sz, end) =>
+          sz == sizeAtOpen && acked(end, afterCheckpoint)
+        }
+        if (skip)
+          Iterator.single(
+            Wire.MysqlSkip(stem, sizeAtOpen, state(stem)._2))
+        else {
+          val in = Files.newInputStream(f)
+          open = Some(in)
+          val it = readEvents(in)
+          Iterator.single(Wire.MysqlFile(stem, sizeAtOpen)) ++
+            new Iterator[Wire.MysqlItem] {
+              private var closed = false
+              override def hasNext: Boolean = {
+                val h = !closed && it.hasNext
+                if (!h && !closed) {
+                  in.close(); closed = true; open = None
+                }
+                h
+              }
+              override def next(): Wire.MysqlItem =
+                Wire.MysqlEvent(it.next())
+            }
+        }
+      }
+    }
+
+    override def progress(file: String, bytes: Long,
+        checkpointText: String): Unit =
+      newState(file) = (bytes, checkpointText)
+
+    override def ack(checkpointText: String): Unit =
+      statePath.foreach(p => writeState(p, newState.toMap))
+
+    override def close(): Unit = { open.foreach(_.close()); open = None }
+  }
+
+  /** [[ingest]] against an abstract transport — the loop a
+    * COM_BINLOG_DUMP socket client reuses unchanged (a socket never
+    * emits Skip items; it starts past the acked position instead). */
+  def ingestFrom(source: Wire.MysqlSource, walDir: String,
+      afterCheckpoint: String = "",
+      tableFilter: String => Boolean = _ => true,
+      destinationFor: String => String = identity,
+      segmentRecords: Int = 100000): (Long, String) = {
     val decoder = new MysqlBinlogDecoder(tableFilter, destinationFor)
     val pending = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
     val ready = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
@@ -193,54 +259,49 @@ object MysqlBinlogFiles {
         appended += ready.size
         ready.clear()
       }
-    files.foreach { f =>
-      val name = f.getFileName.toString
-      val stem = name.stripSuffix(".binlog")
-      val sizeAtOpen = Files.size(f)
-      val skip = state.get(name).exists { case (sz, end) =>
-        sz == sizeAtOpen && acked(end, afterCheckpoint)
-      }
-      if (skip) {
-        // fully-acked, unchanged file: reseed the decoder's ack state
-        // from the recorded end text instead of re-decoding its bytes
-        val end = state(name)._2
-        decoder.seedCheckpointText(end)
-        decoder.seedFile(stem)
-        newState(name) = (sizeAtOpen, end)
-      } else {
-        // capture contract, enforced here (the one place): a capture
-        // file's stem is the binlog file name it holds — a capture
-        // without trailing Rotate events still gets its checkpoints
-        // attributed to the right file, with per-file positions.
-        decoder.seedFile(stem)
-        val in = Files.newInputStream(f)
-        try readEvents(in).foreach { event =>
-          val before = decoder.latestCheckpoint
-          val beforeFile = decoder.latestCheckpointText
-          val recs = decoder.feed(event)
-          val committed = decoder.latestCheckpoint != before ||
-            decoder.latestCheckpointText != beforeFile
-          recs.foreach { r =>
-            if (r.recordType == ChangeRecord.TypeRelation) {
-              // DDL is self-durable (arrives between row transactions);
-              // at-least-once across resumes, idempotent downstream.
-              ready += stamp(r)
-            } else pending += r
-          }
-          if (committed) {
-            if (!acked(decoder.latestCheckpointText, afterCheckpoint))
-              ready ++= pending.map(stamp)
-            pending.clear()
-            flush(force = false)
-          }
-        } finally in.close()
-        newState(name) = (sizeAtOpen, decoder.latestCheckpointText)
-      }
+    var current: Option[(String, Long)] = None
+    def finishFile(): Unit = current.foreach { case (name, bytes) =>
+      source.progress(name, bytes, decoder.latestCheckpointText)
+      current = None
     }
+    try source.items(afterCheckpoint).foreach {
+      case Wire.MysqlFile(name, bytes) =>
+        finishFile()
+        decoder.seedFile(name)
+        current = Some((name, bytes))
+      case Wire.MysqlSkip(name, bytes, end) =>
+        // fully-acked span: reseed the decoder's ack state from the
+        // recorded end text instead of re-decoding its bytes
+        finishFile()
+        decoder.seedCheckpointText(end)
+        decoder.seedFile(name)
+        source.progress(name, bytes, end)
+      case Wire.MysqlEvent(event) =>
+        val before = decoder.latestCheckpoint
+        val beforeFile = decoder.latestCheckpointText
+        val recs = decoder.feed(event)
+        val committed = decoder.latestCheckpoint != before ||
+          decoder.latestCheckpointText != beforeFile
+        recs.foreach { r =>
+          if (r.recordType == ChangeRecord.TypeRelation) {
+            // DDL is self-durable (arrives between row transactions);
+            // at-least-once across resumes, idempotent downstream.
+            ready += stamp(r)
+          } else pending += r
+        }
+        if (committed) {
+          if (!acked(decoder.latestCheckpointText, afterCheckpoint))
+            ready ++= pending.map(stamp)
+          pending.clear()
+          flush(force = false)
+        }
+    } finally source.close()
+    finishFile()
     flush(force = true)
-    statePath.foreach(p => writeState(p, newState.toMap))
+    source.ack(decoder.latestCheckpointText)
     // `pending` still holds the uncommitted trailing tx: dropped — its
-    // XID has not arrived; the next run re-decodes it.
+    // XID has not arrived; the next run re-decodes it (file transport)
+    // or the server resends past the acked position (socket).
     (appended, decoder.latestCheckpointText)
   }
 }

@@ -116,13 +116,48 @@ object PgOutputFrames {
       afterCommitLsn: Long = -1L,
       tableFilter: String => Boolean = _ => true,
       destinationFor: String => String = identity,
+      segmentRecords: Int = 100000): (Long, Long) =
+    ingestFrom(fileSource(framesDir), walDir, afterCommitLsn,
+      tableFilter, destinationFor, segmentRecords)
+
+  /** The capture-directory transport: streams every `.pgout` file's
+    * frames in name order. Frame files persist, so `ack` is a no-op —
+    * resume skipping stays per-transaction by commit LSN. */
+  def fileSource(framesDir: String): Wire.PgSource = new Wire.PgSource {
+    private var open: Option[InputStream] = None
+    override def frames(): Iterator[(Long, Array[Byte])] = {
+      val dir = Paths.get(framesDir)
+      if (!Files.isDirectory(dir)) return Iterator.empty
+      import scala.jdk.CollectionConverters._
+      val files = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".pgout"))
+        .toSeq.sortBy(_.getFileName.toString)
+      files.iterator.flatMap { f =>
+        val in = Files.newInputStream(f)
+        open = Some(in)
+        val it = readFrames(in)
+        new Iterator[(Long, Array[Byte])] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = !closed && it.hasNext
+            if (!h && !closed) { in.close(); closed = true; open = None }
+            h
+          }
+          override def next(): (Long, Array[Byte]) = it.next()
+        }
+      }
+    }
+    override def close(): Unit = { open.foreach(_.close()); open = None }
+  }
+
+  /** [[ingest]] against an abstract transport — the loop a socket
+    * client reuses unchanged (it only supplies frames and receives the
+    * standby-status ack). */
+  def ingestFrom(source: Wire.PgSource, walDir: String,
+      afterCommitLsn: Long = -1L,
+      tableFilter: String => Boolean = _ => true,
+      destinationFor: String => String = identity,
       segmentRecords: Int = 100000): (Long, Long) = {
-    val dir = Paths.get(framesDir)
-    if (!Files.isDirectory(dir)) return (0L, afterCommitLsn)
-    import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".pgout"))
-      .toSeq.sortBy(_.getFileName.toString)
     val decoder = new PgOutputDecoder(tableFilter, destinationFor)
     val pending = scala.collection.mutable.ArrayBuffer
       .empty[graft.model.ChangeRecord] // current (uncommitted) tx
@@ -140,33 +175,32 @@ object PgOutputFrames {
         appended += ready.size
         ready.clear()
       }
-    files.foreach { f =>
-      val in = Files.newInputStream(f)
-      try readFrames(in).foreach { case (lsn, payload) =>
-        val isCommit = payload.nonEmpty && payload(0) == 'C'
-        val before = decoder.latestCheckpoint
-        val rec = decoder.feed(lsn, payload)
-        if (isCommit) {
-          val commitLsn = decoder.latestCheckpoint
-          if (commitLsn > afterCommitLsn) ready ++= pending.map(stamp)
-          lastCommit = math.max(lastCommit, commitLsn)
-          pending.clear()
+    try source.frames().foreach { case (lsn, payload) =>
+      val isCommit = payload.nonEmpty && payload(0) == 'C'
+      val before = decoder.latestCheckpoint
+      val rec = decoder.feed(lsn, payload)
+      if (isCommit) {
+        val commitLsn = decoder.latestCheckpoint
+        if (commitLsn > afterCommitLsn) ready ++= pending.map(stamp)
+        lastCommit = math.max(lastCommit, commitLsn)
+        pending.clear()
+        flush(force = false)
+      } else rec.foreach { r =>
+        val nonTxMessage =
+          r.recordType == graft.model.ChangeRecord.TypeMessage &&
+            decoder.latestCheckpoint != before
+        if (nonTxMessage) { // self-durable, open tx untouched
+          if (r.checkpointId > afterCommitLsn) ready += stamp(r)
+          lastCommit = math.max(lastCommit, decoder.latestCheckpoint)
           flush(force = false)
-        } else rec.foreach { r =>
-          val nonTxMessage =
-            r.recordType == graft.model.ChangeRecord.TypeMessage &&
-              decoder.latestCheckpoint != before
-          if (nonTxMessage) { // self-durable, open tx untouched
-            if (r.checkpointId > afterCommitLsn) ready += stamp(r)
-            lastCommit = math.max(lastCommit, decoder.latestCheckpoint)
-            flush(force = false)
-          } else pending += r
-        }
-      } finally in.close()
-    }
+        } else pending += r
+      }
+    } finally source.close()
     flush(force = true)
+    source.ack(lastCommit)
     // `pending` still holds the uncommitted trailing tx: dropped — its
-    // Commit has not arrived; the next run re-decodes it.
+    // Commit has not arrived; the next run re-decodes it (file
+    // transport) or the server resends past the acked LSN (socket).
     (appended, lastCommit)
   }
 }
