@@ -1133,6 +1133,72 @@ object CoreQueries {
             |FROM ($changeLogSql)
             |ORDER BY topic, key, value""".stripMargin))
 
+  /** EventHubs-flavored routing (eventhub.go:270-299): each record's hub
+    * PARTITION is fnv1a32(partition column value) % partitionCount, and
+    * events pack into per-(namespace, hub, partition) EventDataBatches
+    * of at most maxPerBatch (hub_batches.go) — the oracle replays the
+    * identical FNV fold with DuckDB's list_reduce. One window shuffle
+    * on the scope key; the hash itself is a codegen'd aggregate fold. */
+  val queueEventHubs = GraftQuery(
+    "q_queue_eventhubs",
+    "EventHubs routing: FNV-1a partition keys + per-partition batching",
+    (s, dir) => graft.sinks.QueueSink.eventHubsRecords(
+        changeLog(s, dir),
+        namespace = lit("ns1"),
+        hub = concat(lit("hub_"), col("event_type")),
+        partitionValue = col("user_id"),
+        value = concat(lit("{\"event_id\":"),
+          col("event_id").cast("string"), lit("}")),
+        partitionCount = 8, maxPerBatch = 100,
+        order = col("event_id"))
+      .orderBy("namespace", "hub", "partition_key", "batch_seq", "value"),
+    Some(s"""WITH src AS ($changeLogSql),
+            |r AS (SELECT 'ns1' AS namespace,
+            |  'hub_' || event_type AS hub,
+            |  CAST(user_id AS VARCHAR) AS pstr,
+            |  '{"event_id":' || event_id || '}' AS value,
+            |  event_id FROM src),
+            |h AS (SELECT namespace, hub, value, event_id,
+            |  CAST(list_reduce(
+            |    list_prepend(CAST(2166136261 AS BIGINT),
+            |      list_transform(range(1, len(pstr) + 1),
+            |        i -> CAST(ord(pstr[i]) AS BIGINT))),
+            |    (acc, c) -> (xor(acc, c) * 16777619) % 4294967296) % 8
+            |    AS VARCHAR) AS partition_key FROM r)
+            |SELECT namespace, hub, partition_key,
+            |  CAST((row_number() OVER (
+            |    PARTITION BY namespace, hub, partition_key
+            |    ORDER BY event_id) - 1) // 100 AS BIGINT) AS batch_seq,
+            |  value
+            |FROM h
+            |ORDER BY namespace, hub, partition_key, batch_seq, value"""
+      .stripMargin))
+
+  /** PubSub-flavored routing (pubsub.go:110-200): ordering keys travel
+    * per message and the `ordered` flag mirrors the publisher's
+    * EnableMessageOrdering switch — enabled exactly for non-empty keys
+    * (deletes here publish unordered, like records whose Lua script
+    * returns no key). Pure codegen'd column work, zero shuffles. */
+  val queuePubSub = GraftQuery(
+    "q_queue_pubsub",
+    "PubSub routing: ordering keys + per-message ordering flag",
+    (s, dir) => graft.sinks.QueueSink.pubSubRecords(
+        changeLog(s, dir),
+        topic = concat(lit("cdc."), col("event_type")),
+        orderingKey = when(col("rtype") === 2, lit(null))
+          .otherwise(col("user_id")),
+        value = concat(lit("{\"event_id\":"),
+          col("event_id").cast("string"), lit("}")))
+      .orderBy("topic", "ordering_key", "value"),
+    Some(s"""SELECT 'cdc.' || event_type AS topic,
+            |  CASE WHEN rtype = 2 THEN ''
+            |       ELSE CAST(user_id AS VARCHAR) END AS ordering_key,
+            |  '{"event_id":' || event_id || '}' AS value,
+            |  (CASE WHEN rtype = 2 THEN '' ELSE CAST(user_id AS VARCHAR)
+            |   END) <> '' AS ordered
+            |FROM ($changeLogSql)
+            |ORDER BY topic, ordering_key, value""".stripMargin))
+
   /** Per-record user transform (the Lua `script` stage,
     * flow/pua/stream_adapter.go:41-85) as a typed Scala closure over
     * `Dataset[ChangeRecord]`: drop deletes, reroute each record to a
@@ -1415,6 +1481,7 @@ object CoreQueries {
     oversizeTruncate, pgRanges, pgArrayDecode, bsonNormalize, wkbWkt,
     intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
+    queueEventHubs, queuePubSub,
     rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
     profileTable, statsTableCounts, statsBatchInfo)
 }

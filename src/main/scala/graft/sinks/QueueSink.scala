@@ -34,6 +34,64 @@ object QueueSink {
     df.select(topic.cast("string").as("topic"), key.cast("string").as("key"),
       value.cast("string").as("value"), headerCol.as("headers"))
   }
+
+  /** FNV-1a 32-bit of a string — the EventHubs partition hash
+    * (flow/connectors/eventhub/partition_hash.go:16) as a pure
+    * built-in-function fold: `aggregate` over the character array, so
+    * it stays inside whole-stage codegen (no UDF, no custom
+    * expression). Folds CODE POINTS, which equal the UTF-8 bytes for
+    * the ASCII values partition-key columns carry in practice (numeric
+    * ids, short enums); NULL hashes like the empty string, exactly the
+    * `partitionValue == nil` branch (eventhub.go:283-289). */
+  def fnv1a32(s: Column): Column = aggregate(
+    filter(split(coalesce(s.cast("string"), lit("")), ""),
+      c => length(c) > 0),
+    lit(2166136261L),
+    (h, c) => pmod(
+      h.bitwiseXOR(ascii(c).cast("long")) * lit(16777619L),
+      lit(4294967296L)))
+
+  /** EventHubs routing (flow/connectors/eventhub/eventhub.go:270-299,
+    * scoped_eventhub.go): a destination `namespace.hub.partition_column`
+    * sends each record to hub partition
+    * `fnv1a32(string(column value)) % partitionCount` rendered as a
+    * decimal string, and events batch per (namespace, hub, partition)
+    * with at most `maxPerBatch` events per EventDataBatch
+    * (hub_batches.go flush bound) — `batch_seq` numbers those batches
+    * in `order` within each scope. One window shuffle on the scope key,
+    * everything else codegen'd column work. */
+  def eventHubsRecords(df: DataFrame, namespace: Column, hub: Column,
+      partitionValue: Column, value: Column,
+      partitionCount: Int, maxPerBatch: Int, order: Column): DataFrame = {
+    require(partitionCount > 0 && maxPerBatch > 0,
+      "partitionCount and maxPerBatch must be positive")
+    val pk = pmod(fnv1a32(partitionValue), lit(partitionCount.toLong))
+      .cast("string")
+    df.select(namespace.cast("string").as("namespace"),
+        hub.cast("string").as("hub"), pk.as("partition_key"),
+        value.cast("string").as("value"), order.as("__ord"))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("namespace", "hub", "partition_key")
+            .orderBy("__ord")))
+      .withColumn("batch_seq",
+        expr(s"CAST((__rn - 1) DIV $maxPerBatch AS BIGINT)"))
+      .select("namespace", "hub", "partition_key", "batch_seq", "value")
+  }
+
+  /** PubSub routing (flow/connectors/pubsub/pubsub.go:110-200):
+    * (topic, ordering_key, value), with `ordered` = the per-message
+    * flag that flips the publisher's EnableMessageOrdering exactly when
+    * the reference does (a non-empty ordering key, pubsub.go:197-199);
+    * a NULL key publishes unordered like an absent Lua key. */
+  def pubSubRecords(df: DataFrame, topic: Column, orderingKey: Column,
+      value: Column): DataFrame =
+    df.select(topic.cast("string").as("topic"),
+        coalesce(orderingKey.cast("string"), lit(""))
+          .as("ordering_key"),
+        value.cast("string").as("value"))
+      .withColumn("ordered", col("ordering_key") =!= "")
 }
 
 /** File-output sizing — the small-files control for object-store sinks

@@ -206,4 +206,46 @@ class SinksSpec extends SparkSpec {
     assert(rr.getAs[String]("topic") == "cdc.pub.t")
     assert(rr.getAs[String]("value") == """{"id":1}""")
   }
+
+  test("fnv1a32 column fold matches the reference FNV-1a algorithm") {
+    import spark.implicits._
+    // JVM reference: the exact partition_hash.go algorithm
+    def fnvRef(s: String): Long = {
+      var h = 2166136261L
+      s.getBytes("UTF-8").foreach { b =>
+        h = ((h ^ (b & 0xFFL)) * 16777619L) % 4294967296L
+      }
+      h
+    }
+    val inputs = Seq("", "0", "123", "4521", "hub_click", "a-b-c")
+    val got = inputs.toDF("s")
+      .select(graft.sinks.QueueSink.fnv1a32($"s").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == inputs.map(fnvRef), got.mkString(","))
+    // the empty-string value is the documented FNV offset basis
+    assert(got.head == 2166136261L)
+    // NULL hashes like the empty string (eventhub.go nil-value branch)
+    val nullGot = Seq[Option[String]](None).toDF("s")
+      .select(graft.sinks.QueueSink.fnv1a32($"s").as("h"))
+      .collect().head.getLong(0)
+    assert(nullGot == 2166136261L)
+  }
+
+  test("eventHubsRecords: per-(hub, partition) batch packing bounds " +
+    "batch size and numbers batches in order") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, "u1")).toDF("id", "k")
+    val out = QueueSink.eventHubsRecords(df,
+      namespace = org.apache.spark.sql.functions.lit("ns"),
+      hub = org.apache.spark.sql.functions.lit("h"),
+      partitionValue = $"k",
+      value = $"id".cast("string"),
+      partitionCount = 4, maxPerBatch = 3, order = $"id")
+      .collect()
+    // one key → one partition; 10 events at ≤3 per batch → seqs 0,0,0,1…
+    assert(out.map(_.getAs[String]("partition_key")).distinct.length == 1)
+    val seqs = out.sortBy(_.getAs[String]("value").toLong)
+      .map(_.getAs[Long]("batch_seq")).toSeq
+    assert(seqs == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L, 3L))
+  }
 }
