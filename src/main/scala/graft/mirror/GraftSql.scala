@@ -107,6 +107,11 @@ object GraftSql {
   final case class FetchCursor(name: String, count: Option[Int])
       extends Statement
   final case class CloseCursor(name: String) extends Statement
+  /** `CLOSE ALL` — drop every open cursor and report their names (the
+    * analyzer's CursorEvent::CloseAll with the manager's
+    * close_all_cursors semantics, peer-cursor/src/manager.rs:92-103;
+    * the reference server routes it but left the handler `todo!`). */
+  case object CloseAllCursors extends Statement
   /** Scripts catalog (the reference's `scripts` table,
     * nexus/catalog/migrations/V23__scripts.sql + flow/cmd/scripts.go
     * CRUD): named, durable transform sources referenced from CREATE
@@ -248,7 +253,10 @@ object GraftSql {
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
     case fetchCursor(cnt, n) => Some(FetchCursor(n,
       if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
-    case closeCursor(n) => Some(CloseCursor(n))
+    case closeCursor(n) =>
+      // CLOSE ALL is the bulk form, not a cursor named "all"
+      if (n.equalsIgnoreCase("ALL")) Some(CloseAllCursors)
+      else Some(CloseCursor(n))
     case _ => None
   }
 
@@ -733,6 +741,12 @@ object GraftSql {
       cursors.remove(n).getOrElse(
         throw new NoSuchElementException(s"cursor $n"))
       Nil
+    case CloseAllCursors =>
+      // close_all_cursors: drop everything, report the closed names
+      // (idempotent — an empty cursor store closes zero, no error)
+      val names = cursors.keySet.toSeq.sorted
+      names.foreach(cursors.remove)
+      names.map(Row(_))
     case PrepareStmt(n, q) => prepared.put(n, q); Nil
     case DeallocateStmt(n) =>
       prepared.remove(n).getOrElse(
@@ -1028,6 +1042,8 @@ object GraftSql {
         throw new NoSuchElementException(s"cursor $n"))
       schema.fields.toSeq.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)())
+    case CloseAllCursors => Seq(
+      AttributeReference("closed", StringType)())
     case ShowPeers => Seq(
       AttributeReference("name", StringType)(),
       AttributeReference("kind", StringType)())

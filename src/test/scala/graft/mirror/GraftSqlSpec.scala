@@ -807,6 +807,43 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("cursor/prepare edge cases: FETCH 0 is empty and non-advancing, " +
+    "CLOSE ALL drops every cursor, DEALLOCATE variants") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      s.sql("DECLARE ca CURSOR FOR SELECT id FROM range(5) ORDER BY id")
+      s.sql("DECLARE cb CURSOR FOR SELECT id FROM range(3) ORDER BY id")
+      // FETCH 0: empty result, NOT an error, and the position does not
+      // move (manager.rs:47-75 — the fetch loop admits < count rows)
+      assert(s.sql("FETCH 0 FROM ca").collect().isEmpty)
+      assert(s.sql("FETCH 2 FROM ca").collect()
+        .map(_.getLong(0)).toSeq == Seq(0L, 1L))
+      // CLOSE ALL is the bulk form (never a cursor named "all"): every
+      // open cursor drops and the closed names report back
+      val closed = s.sql("CLOSE ALL").collect().map(_.getString(0)).toSeq
+      assert(closed == Seq("ca", "cb"))
+      intercept[Exception](s.sql("FETCH 1 FROM ca"))
+      // idempotent on an empty store — zero closed, no error
+      assert(s.sql("CLOSE ALL").collect().isEmpty)
+      // DEALLOCATE PREPARE long form; unknown names error (PG parity)
+      s.sql("PREPARE pe AS SELECT $1 AS v")
+      s.sql("DEALLOCATE PREPARE pe")
+      intercept[Exception](s.sql("DEALLOCATE pe").collect())
+      intercept[Exception](s.sql("DEALLOCATE never_prepared").collect())
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("maintenance mode refuses state changes but keeps introspection") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
