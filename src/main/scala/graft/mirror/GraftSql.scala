@@ -396,10 +396,15 @@ object GraftSql {
       captureDir = o.get("capture_dir"),
       captureFormat = o.get("capture_format") match {
         case None => "pgoutput"
-        case Some(f @ ("pgoutput" | "binlog")) => f
+        case Some(f @ ("pgoutput" | "binlog" | "mongo")) => f
         case Some(other) => throw new IllegalArgumentException(
-          s"CREATE MIRROR: capture_format '$other' (pgoutput|binlog)")
-      })
+          s"CREATE MIRROR: capture_format '$other' " +
+            "(pgoutput|binlog|mongo)")
+      },
+      // capture_tables 'db.c1,db.c2' — the Mongo watch scope
+      captureTables = o.get("capture_tables")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
   }
   /** Initial-load phase — do_initial_snapshot / initial_snapshot_only
     * (FlowConnectionConfigs fields 10/16) with the snapshot partitioning

@@ -120,7 +120,12 @@ final case class MirrorConfig(
       * file:pos) is durable under the checkpoint dir, so pause/resume
       * and restarts never re-append acked transactions. */
     captureDir: Option[String] = None,
-    captureFormat: String = "pgoutput") {
+    captureFormat: String = "pgoutput",
+    /** Mongo capture only: the watch scope as db-qualified `db.coll`
+      * names (the TableMapping source set feeding
+      * [[graft.cdc.MongoStream.pipeline]]). Empty = the mirror's
+      * destination-table names, which must then be db-qualified. */
+    captureTables: Seq[String] = Nil) {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
@@ -236,8 +241,31 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           if (last != after)
             graft.util.FsText.write(offsetPath, last, hadoopConf)
           n
+        case "mongo" =>
+          val after = graft.util.FsText.read(offsetPath, hadoopConf)
+            .getOrElse("")
+          val tables =
+            if (cfg.captureTables.nonEmpty) cfg.captureTables
+            else cfg.tableSet.keys.toSeq.sorted
+          // the operational ResumeAfter-vs-operation-time decision: the
+          // stored pipeline text is the watch scope the token was taken
+          // under — any reshape (tables added/removed) flips the resume
+          // to the token's cluster time (MongoStream.resumeOption)
+          val pipePath = s"${cfg.checkpointDir}/_capture_pipeline"
+          val pipe = graft.cdc.MongoStream.pipeline(tables)
+          val changed = graft.util.FsText.read(pipePath, hadoopConf)
+            .exists(_ != pipe)
+          val (n, last) = graft.cdc.MongoStream.ingest(
+            graft.cdc.MongoChangeFiles.fileSource(dir), cfg.walDir,
+            tables,
+            afterTokenHex = Option(after).filter(_.nonEmpty),
+            pipelineChanged = changed)
+          graft.util.FsText.write(pipePath, pipe, hadoopConf)
+          if (last != after && last.nonEmpty)
+            graft.util.FsText.write(offsetPath, last, hadoopConf)
+          n
         case other => throw new IllegalArgumentException(
-          s"unknown capture format '$other' (pgoutput|binlog)")
+          s"unknown capture format '$other' (pgoutput|binlog|mongo)")
       }
   }
 

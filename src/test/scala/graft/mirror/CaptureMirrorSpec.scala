@@ -227,4 +227,56 @@ class CaptureMirrorSpec extends SparkSpec {
       assert(errs.nonEmpty, "pump death left no flow_errors row")
     } finally h.pause()
   }
+
+  test("mongo capture drives the mirror; token resume appends only " +
+    "new change events") {
+    import graft.cdc.Bson._
+    import graft.cdc.MongoChangeFiles
+    def tok(secs: Long, ord: Long): String = f"82$secs%08x$ord%08x"
+    def ev(op: String, id: Long, name: String, ct: Long): Array[Byte] =
+      graft.cdc.Bson.encode(Seq(
+        "operationType" -> BString(op),
+        "clusterTime" -> BTimestamp(ct, 1L),
+        "ns" -> BDoc(Seq("db" -> BString("app"), "coll" -> BString("t"))),
+        "documentKey" -> BDoc(Seq("_id" -> BInt64(id)))) ++
+        (if (op == "delete") Nil
+         else Seq("fullDocument" -> BDoc(Seq(
+           "_id" -> BInt64(id), "name" -> BString(name))))): _*)
+
+    val capture = tmpDir("capmir_mg")
+    val base = tmpDir("capmir_mg_m")
+    MongoChangeFiles.appendEvents(Paths.get(capture, "000001.mongo"), Seq(
+      tok(100, 1) -> ev("insert", 1L, "a", 100L),
+      tok(100, 2) -> ev("insert", 2L, "b", 100L)))
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("_id"),
+      payloadSchema = StructType(Seq(
+        StructField("_id", LongType), StructField("name", StringType))),
+      destinationTable = "app.t",
+      captureDir = Some(capture), captureFormat = "mongo")
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+    assert(runner.destination().count() == 2)
+
+    // a new capture file: an update, a delete — only these apply
+    MongoChangeFiles.appendEvents(Paths.get(capture, "000002.mongo"), Seq(
+      tok(101, 1) -> ev("update", 1L, "a2", 101L),
+      tok(101, 2) -> ev("delete", 2L, "", 101L)))
+    runner.runAvailableNow()
+    // destination() filters tombstones: only the updated _id 1 is live
+    val dest = runner.destination()
+    assert(dest.count() == 1)
+    assert(dest.filter(col("_id") === 1L)
+      .select("name").head().getString(0) == "a2")
+    // the tombstone persists physically (soft delete)
+    assert(spark.read.parquet(s"$base/dest")
+      .filter(col("_id") === 2L)
+      .select(graft.model.RawTable.IsDeleted).head().getBoolean(0))
+
+    // steady state: full capture replay, token skip — no duplicates
+    runner.runAvailableNow()
+    assert(runner.destination().count() == 1)
+  }
 }
