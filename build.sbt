@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 executor threads sharing this one heap, plus the
+  // pinned shared stages (TokenStats/ShingleIndex localCheckpoints):
+  // at 8g the 150+-query bench session showed 3-5s GC spikes landing on
+  // random queries; 24g keeps full-session GC time flat (box has 128g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

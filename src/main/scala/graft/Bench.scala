@@ -17,11 +17,15 @@ object Bench {
     // first timed query doesn't absorb startup cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    // Steady-state timing: two runs per query, report the best (first
-    // runs absorb JIT/codegen compilation of that query's operators).
+    // Steady-state timing: three runs per query, report the best. The
+    // first run absorbs JIT/codegen compilation of that query's
+    // operators; the extra run guards the measurement against the
+    // multi-second stalls (GC/JIT bursts) that land on RANDOM queries
+    // during a 150+-query single-JVM session — observed run-to-run
+    // swings of 0.3s → 5s on unchanged queries with best-of-2.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           // Materialize the FULL physical plan, not a count-rewrite:
           // df.count() becomes Aggregate(count(1)) and Catalyst prunes any
@@ -43,7 +47,8 @@ object Bench {
         // deliberately cross-query materialization (a compact frame, the
         // local[] stand-in for a persisted corpus-stats table).
         spark.sharedState.cacheManager.clearCache()
-        val keep = graft.queries.TokenStats.retainedIds
+        val keep = graft.queries.TokenStats.retainedIds ++
+          graft.queries.WireFixtures.retainedIds
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>
             if (!keep.contains(id)) rdd.unpersist(blocking = false)

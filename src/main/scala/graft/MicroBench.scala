@@ -214,7 +214,8 @@ object MicroBench {
           // count-rewrite projection pruning.
           time(s"$name #$i")(fn(spark, sfDir).queryExecution.toRdd.count())
           spark.sharedState.cacheManager.clearCache()
-          val keep = graft.queries.TokenStats.retainedIds
+          val keep = graft.queries.TokenStats.retainedIds ++
+            graft.queries.WireFixtures.retainedIds
           spark.sparkContext.getPersistentRDDs
             .foreach { case (id, rdd) =>
               if (!keep.contains(id)) rdd.unpersist(blocking = false)

@@ -33,7 +33,8 @@ object Verify {
       // 150+-query session doesn't accumulate dead block-manager memory.
       // The shared TokenStats stage survives the sweep (see Bench).
       spark.sharedState.cacheManager.clearCache()
-      val keep = graft.queries.TokenStats.retainedIds
+      val keep = graft.queries.TokenStats.retainedIds ++
+        graft.queries.WireFixtures.retainedIds
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!keep.contains(id)) rdd.unpersist(blocking = false)

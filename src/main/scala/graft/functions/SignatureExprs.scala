@@ -111,6 +111,58 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** FNV-1a 32-bit over a string's UTF-8 bytes — the EventHubs partition
+  * hash (flow/connectors/eventhub/partition_hash.go:16), byte-for-byte,
+  * as a codegen'd loop (the `aggregate`-over-`split` formulation runs
+  * INTERPRETED — higher-order functions have no codegen — and was the
+  * q_queue_eventhubs hot spot). The DuckDB oracle's list_reduce folds
+  * CODE POINTS, which equals this on the ASCII values partition-key
+  * columns carry. NULL in → NULL out (callers coalesce for the
+  * nil-partition-value branch). */
+case class Fnv1a32Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"fnv1a32 expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val b = a.asInstanceOf[UTF8String].getBytes
+    var h = 2166136261L
+    var i = 0
+    while (i < b.length) {
+      h = ((h ^ (b(i) & 0xFFL)) * 16777619L) & 0xFFFFFFFFL
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = nullSafeCodeGen(ctx, ev, x => {
+    val b = ctx.freshName("b")
+    val h = ctx.freshName("h")
+    val i = ctx.freshName("i")
+    s"""
+       |final byte[] $b = $x.getBytes();
+       |long $h = 2166136261L;
+       |for (int $i = 0; $i < $b.length; $i++) {
+       |  $h = (($h ^ ($b[$i] & 0xFFL)) * 16777619L) & 0xFFFFFFFFL;
+       |}
+       |${ev.value} = $h;
+       |""".stripMargin
+  })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Fnv1a32Expr = copy(child = newChild)
+
+  override def prettyName: String = "fnv1a32"
+}
+
 /** 60-bit tf-weighted SimHash of a word array as one fused loop: hash
   * each occurrence once, accumulate the 60 bit votes, assemble the
   * signature — the shuffle-free replacement for the explode + 60-sum
@@ -269,6 +321,9 @@ case class WordShinglesExpr(child: Expression, n: Int)
 }
 
 object SignatureExprs {
+  def fnv1a32(s: Column): Column =
+    GraftShims.column(Fnv1a32Expr(GraftShims.expression(s)))
+
   def minhashSig(shingles: Column, k: Int): Column =
     GraftShims.column(MinHashSigExpr(GraftShims.expression(shingles), k))
 

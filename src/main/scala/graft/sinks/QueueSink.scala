@@ -36,20 +36,15 @@ object QueueSink {
   }
 
   /** FNV-1a 32-bit of a string — the EventHubs partition hash
-    * (flow/connectors/eventhub/partition_hash.go:16) as a pure
-    * built-in-function fold: `aggregate` over the character array, so
-    * it stays inside whole-stage codegen (no UDF, no custom
-    * expression). Folds CODE POINTS, which equal the UTF-8 bytes for
-    * the ASCII values partition-key columns carry in practice (numeric
-    * ids, short enums); NULL hashes like the empty string, exactly the
-    * `partitionValue == nil` branch (eventhub.go:283-289). */
-  def fnv1a32(s: Column): Column = aggregate(
-    filter(split(coalesce(s.cast("string"), lit("")), ""),
-      c => length(c) > 0),
-    lit(2166136261L),
-    (h, c) => pmod(
-      h.bitwiseXOR(ascii(c).cast("long")) * lit(16777619L),
-      lit(4294967296L)))
+    * (flow/connectors/eventhub/partition_hash.go:16) over the string's
+    * UTF-8 bytes via the codegen'd [[graft.functions.Fnv1a32Expr]]
+    * (a built-in `aggregate` fold would run interpreted — higher-order
+    * functions have no codegen). NULL hashes like the empty string,
+    * exactly the `partitionValue == nil` branch
+    * (eventhub.go:283-289). */
+  def fnv1a32(s: Column): Column =
+    graft.functions.SignatureExprs.fnv1a32(
+      coalesce(s.cast("string"), lit("")))
 
   /** EventHubs routing (flow/connectors/eventhub/eventhub.go:270-299,
     * scoped_eventhub.go): a destination `namespace.hub.partition_column`

@@ -92,7 +92,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("inverted-index self-join is a shuffled hash join, not SMJ") {
-    val plan = planOf(PipelineQueries.dedupNgramJaccard)
+    // the self-join lives in the SHARED shingle stage now (the gates
+    // consume its checkpointed pair table) — assert on the stage's
+    // un-pinned plan, which is what actually executes on first build
+    val ix = TokenStats.shingleIndex3(spark, dir)
+    val plan = TokenStats.shinglePairsPlan(ix.sh)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
   }
 
