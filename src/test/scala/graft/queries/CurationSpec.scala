@@ -315,6 +315,30 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("bpe_tokens") == 5L) // 1 + 2 + 2
   }
 
+  test("exact substring dedup: planted shared span merges into one " +
+    "island; clean and short docs emit zero-dup rows") {
+    // docs 1 and 2 share a 30-token run; at W=25 that yields 6
+    // duplicated stride-1 windows in each doc which must merge into ONE
+    // island spanning exactly the 30 shared tokens. doc 3 has one
+    // unique window (clean), doc 4 is too short for any window — both
+    // still emit rows (self-validating output).
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    val dir = docTable(Seq(
+      (1L, shared + " " + (1 to 5).map(i => s"x$i").mkString(" ")),
+      (2L, "y1 y2 " + shared),
+      (3L, (1 to 25).map(i => s"c$i").mkString(" ")),
+      (4L, "t1 t2 t3 t4 t5")))
+    val out = PipelineQueries.dedupSubstring.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Long]("dup_pm")))
+    assert(out.toSeq == Seq(
+      (1L, 35L, 30L, 30L * 1000 / 35),
+      (2L, 32L, 30L, 30L * 1000 / 32),
+      (3L, 25L, 0L, 0L),
+      (4L, 5L, 0L, 0L)), out.mkString(","))
+  }
+
   test("13-gram contamination audit: planted overlap is counted and " +
     "clean docs still emit a zero-hit row") {
     // doc 0 (0 % 97 == 0) is the benchmark: exactly one 13-gram.
