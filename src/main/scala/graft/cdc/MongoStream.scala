@@ -138,7 +138,8 @@ object MongoStream {
         appended += ready.size
         ready.clear()
       }
-    try source.changes(pipe, resume).foreach { case (token, bson) =>
+    try {
+      source.changes(pipe, resume).foreach { case (token, bson) =>
       val fresh = afterTokenHex.forall(a =>
         TextCheckpoint.compareResumeTokens(token, a) > 0)
       if (fresh) {
@@ -177,10 +178,12 @@ object MongoStream {
           }
         }
       }
-      lastToken = token
+        lastToken = token
+      }
+      flush(force = true)
+      // ack BEFORE close (socket transports ack on the live connection)
+      source.ack(lastToken)
     } finally source.close()
-    flush(force = true)
-    source.ack(lastToken)
     (appended, lastToken)
   }
 }

@@ -264,41 +264,44 @@ object MysqlBinlogFiles {
       source.progress(name, bytes, decoder.latestCheckpointText)
       current = None
     }
-    try source.items(afterCheckpoint).foreach {
-      case Wire.MysqlFile(name, bytes) =>
-        finishFile()
-        decoder.seedFile(name)
-        current = Some((name, bytes))
-      case Wire.MysqlSkip(name, bytes, end) =>
-        // fully-acked span: reseed the decoder's ack state from the
-        // recorded end text instead of re-decoding its bytes
-        finishFile()
-        decoder.seedCheckpointText(end)
-        decoder.seedFile(name)
-        source.progress(name, bytes, end)
-      case Wire.MysqlEvent(event) =>
-        val before = decoder.latestCheckpoint
-        val beforeFile = decoder.latestCheckpointText
-        val recs = decoder.feed(event)
-        val committed = decoder.latestCheckpoint != before ||
-          decoder.latestCheckpointText != beforeFile
-        recs.foreach { r =>
-          if (r.recordType == ChangeRecord.TypeRelation) {
-            // DDL is self-durable (arrives between row transactions);
-            // at-least-once across resumes, idempotent downstream.
-            ready += stamp(r)
-          } else pending += r
-        }
-        if (committed) {
-          if (!acked(decoder.latestCheckpointText, afterCheckpoint))
-            ready ++= pending.map(stamp)
-          pending.clear()
-          flush(force = false)
-        }
+    try {
+      source.items(afterCheckpoint).foreach {
+        case Wire.MysqlFile(name, bytes) =>
+          finishFile()
+          decoder.seedFile(name)
+          current = Some((name, bytes))
+        case Wire.MysqlSkip(name, bytes, end) =>
+          // fully-acked span: reseed the decoder's ack state from the
+          // recorded end text instead of re-decoding its bytes
+          finishFile()
+          decoder.seedCheckpointText(end)
+          decoder.seedFile(name)
+          source.progress(name, bytes, end)
+        case Wire.MysqlEvent(event) =>
+          val before = decoder.latestCheckpoint
+          val beforeFile = decoder.latestCheckpointText
+          val recs = decoder.feed(event)
+          val committed = decoder.latestCheckpoint != before ||
+            decoder.latestCheckpointText != beforeFile
+          recs.foreach { r =>
+            if (r.recordType == ChangeRecord.TypeRelation) {
+              // DDL is self-durable (arrives between row transactions);
+              // at-least-once across resumes, idempotent downstream.
+              ready += stamp(r)
+            } else pending += r
+          }
+          if (committed) {
+            if (!acked(decoder.latestCheckpointText, afterCheckpoint))
+              ready ++= pending.map(stamp)
+            pending.clear()
+            flush(force = false)
+          }
+      }
+      finishFile()
+      flush(force = true)
+      // ack BEFORE close (socket transports ack on the live connection)
+      source.ack(decoder.latestCheckpointText)
     } finally source.close()
-    finishFile()
-    flush(force = true)
-    source.ack(decoder.latestCheckpointText)
     // `pending` still holds the uncommitted trailing tx: dropped — its
     // XID has not arrived; the next run re-decodes it (file transport)
     // or the server resends past the acked position (socket).

@@ -175,29 +175,33 @@ object PgOutputFrames {
         appended += ready.size
         ready.clear()
       }
-    try source.frames().foreach { case (lsn, payload) =>
-      val isCommit = payload.nonEmpty && payload(0) == 'C'
-      val before = decoder.latestCheckpoint
-      val rec = decoder.feed(lsn, payload)
-      if (isCommit) {
-        val commitLsn = decoder.latestCheckpoint
-        if (commitLsn > afterCommitLsn) ready ++= pending.map(stamp)
-        lastCommit = math.max(lastCommit, commitLsn)
-        pending.clear()
-        flush(force = false)
-      } else rec.foreach { r =>
-        val nonTxMessage =
-          r.recordType == graft.model.ChangeRecord.TypeMessage &&
-            decoder.latestCheckpoint != before
-        if (nonTxMessage) { // self-durable, open tx untouched
-          if (r.checkpointId > afterCommitLsn) ready += stamp(r)
-          lastCommit = math.max(lastCommit, decoder.latestCheckpoint)
+    try {
+      source.frames().foreach { case (lsn, payload) =>
+        val isCommit = payload.nonEmpty && payload(0) == 'C'
+        val before = decoder.latestCheckpoint
+        val rec = decoder.feed(lsn, payload)
+        if (isCommit) {
+          val commitLsn = decoder.latestCheckpoint
+          if (commitLsn > afterCommitLsn) ready ++= pending.map(stamp)
+          lastCommit = math.max(lastCommit, commitLsn)
+          pending.clear()
           flush(force = false)
-        } else pending += r
+        } else rec.foreach { r =>
+          val nonTxMessage =
+            r.recordType == graft.model.ChangeRecord.TypeMessage &&
+              decoder.latestCheckpoint != before
+          if (nonTxMessage) { // self-durable, open tx untouched
+            if (r.checkpointId > afterCommitLsn) ready += stamp(r)
+            lastCommit = math.max(lastCommit, decoder.latestCheckpoint)
+            flush(force = false)
+          } else pending += r
+        }
       }
+      flush(force = true)
+      // ack BEFORE close: on a socket transport the standby status
+      // update travels the same connection the frames came in on
+      source.ack(lastCommit)
     } finally source.close()
-    flush(force = true)
-    source.ack(lastCommit)
     // `pending` still holds the uncommitted trailing tx: dropped — its
     // Commit has not arrived; the next run re-decodes it (file
     // transport) or the server resends past the acked LSN (socket).

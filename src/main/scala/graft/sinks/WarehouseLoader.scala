@@ -48,6 +48,26 @@ final class WarehouseLoader(
       * always INSERT SELECTs). */
     useMerge: Boolean = true) {
 
+  /** Peer-flavor presets, the per-connector loop selections of the
+    * reference collapsed onto (dialect, useMerge):
+    *   - postgres ≥15 / snowflake / bigquery → MERGE;
+    *   - postgres <15 and COCKROACHDB (the PG-family alias,
+    *     flow/connectors/cockroachdb/ — same wire protocol, same SQL,
+    *     no MERGE) → the ON CONFLICT upsert loop;
+    *   - clickhouse → INSERT SELECT into ReplacingMergeTree. */
+  def this(target: MergeTarget, exec: SqlExecutor, flavor: String) =
+    this(target, exec,
+      flavor match {
+        case "snowflake" => QKind.Dialect.Snowflake
+        case "bigquery" => QKind.Dialect.BigQuery
+        case "clickhouse" => QKind.Dialect.ClickHouse
+        case _ => QKind.Dialect.Ansi // postgres family incl. cockroachdb
+      },
+      useMerge = flavor match {
+        case "cockroachdb" | "postgres14" => false
+        case _ => true
+      })
+
   private def isClickhouse = dialect == QKind.Dialect.ClickHouse
 
   /** SetupNormalizedTables: create the destination table in-dialect. */

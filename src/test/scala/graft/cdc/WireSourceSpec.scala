@@ -53,6 +53,55 @@ class WireSourceSpec extends AnyFunSuite {
       Seq("""{"id":1,"v":10}""", """{"id":2,"v":20}"""))
   }
 
+  test("PG over a real TCP socket: the same ingest loop drains a " +
+    "network stream and the ack flows back as a standby status update") {
+    import PgOutput._
+    val rel = Relation(11, "public", "t", 'd'.toInt, Seq(
+      RelationColumn(1, "id", Oid.Int8, -1)))
+    def ins(id: Long) = Insert(11, TupleData(Seq(text(id.toString))))
+    val frames = Seq(
+      1L -> encode(rel),
+      2L -> encode(Begin(9L, PgEpochMicros, 1)),
+      3L -> encode(ins(1)),
+      9L -> encode(Commit(0, 9L, 10L, PgEpochMicros)))
+
+    val server = new java.net.ServerSocket(0)
+    @volatile var ackedAtServer = -1L
+    val t = new Thread(() => {
+      val c = server.accept()
+      val out = c.getOutputStream
+      frames.foreach { case (lsn, p) =>
+        PgOutputFrames.writeFrame(out, lsn, p)
+      }
+      out.flush()
+      c.shutdownOutput() // end of this pull; keep reading for the ack
+      val in = c.getInputStream
+      if (in.read() == 'r') {
+        val b = new Array[Byte](8)
+        var off = 0
+        while (off < 8) {
+          val r = in.read(b, off, 8 - off)
+          if (r < 0) off = 8 else off += r
+        }
+        ackedAtServer = java.nio.ByteBuffer.wrap(b).getLong
+      }
+      c.close()
+    })
+    t.start()
+    try {
+      val wal = tmp("wire_sockwal")
+      val src = new PgSocketSource("127.0.0.1", server.getLocalPort)
+      val (n, lsn) = PgOutputFrames.ingestFrom(src, wal)
+      assert(n == 1 && lsn == 9L)
+      t.join(5000)
+      assert(ackedAtServer == 9L)
+      assert(ChangeLogWal.read(wal, -1L, Long.MaxValue).map(_(6)) ==
+        Seq("""{"id":1}"""))
+    } finally {
+      server.close()
+    }
+  }
+
   // --------------------------------------------------------------- MySQL
 
   test("MySQL loopback: file-tagged events ingest with per-file " +

@@ -110,6 +110,19 @@ class WarehouseLoaderSpec extends SparkSpec {
     assert(wh.statements.exists(_.contains("ON CONFLICT")))
   }
 
+  test("cockroachdb flavor preset: PG-family alias routes to the " +
+    "ON CONFLICT loop and matches the native merge") {
+    val t = MergeTarget("crdb_dst", "crdb_stg", Seq("id"), payload)
+    val wh = new StubWarehouse(spark)
+    val loader = new WarehouseLoader(t, wh, "cockroachdb")
+    loader.setup()
+    loader.loadBatch(b1(), tmpDir("wl_cr1"))
+    loader.loadBatch(b2(), tmpDir("wl_cr2"))
+    assert(snap(wh.table("crdb_dst")) == nativeResult(hardDelete = false))
+    assert(wh.statements.exists(_.contains("ON CONFLICT")))
+    assert(!wh.statements.exists(_.startsWith("MERGE INTO")))
+  }
+
   test("ClickHouse INSERT SELECT into ReplacingMergeTree: FINAL-collapsed " +
     "read equals the native hard-delete merge") {
     // no TOAST combos on the CH path: RMT replaces whole rows, so absent
