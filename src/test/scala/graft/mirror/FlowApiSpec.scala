@@ -1,0 +1,86 @@
+package graft.mirror
+
+import graft.SparkSpec
+import graft.model.ChangeRecord
+
+/** The typed route-API facade drives the full lifecycle the gRPC
+  * surface owns: peers, CDC flows, state changes, stats, scripts,
+  * settings, tags, maintenance — over the same executor as the SQL
+  * façade (so the two can never diverge). */
+class FlowApiSpec extends SparkSpec {
+
+  test("route-API facade: peer + mirror lifecycle, sync, stats, " +
+    "scripts, settings, tags, maintenance") {
+    val api = new FlowApi(spark)
+    val base = tmpDir("flowapi")
+
+    // peers (CreatePeer/ListPeers/GetPeerType/ValidatePeer)
+    api.createPeer("fa_peer", "parquet",
+      Map("path" -> "/root/testdata/sf0.001/lineitem.parquet"))
+    assert(api.listPeers().exists(_.name == "fa_peer"))
+    assert(api.getPeerType("fa_peer") == "parquet")
+    val v = api.validatePeer("fa_peer")
+    assert(v.status == "valid", v)
+    assert(api.validatePeer("fa_peer").name == "fa_peer")
+
+    // CDC flow (CreateCDCFlow) + validation + manual sync (CustomSync)
+    val name = api.createCdcFlow("fa_m", Map(
+      "wal_dir" -> s"$base/wal", "dest_dir" -> s"$base/dest",
+      "checkpoint_dir" -> s"$base/ckpt", "pk" -> "id",
+      "table" -> "t", "schema" -> "id BIGINT, v STRING",
+      "stats" -> s"$base/stats"))
+    assert(name == "fa_m")
+    assert(api.listMirrorNames().contains("fa_m"))
+    // pre-WAL: only the WAL-reachability check flags (never throws)
+    assert(api.validateCdcMirror("fa_m")
+      .filter(_.status != "valid").map(_.name) == Seq("wal_dir"))
+    graft.cdc.ChangeLogWal.append(s"$base/wal", Seq(
+      ChangeRecord(0, 1L, "1", 1000000L, 1L, "t", "t",
+        """{"id":1,"v":"a"}""", null, Nil)))
+    assert(api.validateCdcMirror("fa_m").forall(_.status == "valid"),
+      api.validateCdcMirror("fa_m").mkString(","))
+    // CDC drains report -1 (counts live in the stats catalog)
+    assert(api.customSync("fa_m") == -1L)
+
+    // stats (CDCBatches / TotalRowsSynced / RowCounts / MirrorLogs)
+    assert(api.totalRowsSynced("fa_m") == 1L)
+    assert(api.cdcBatches("fa_m").count() == 1L)
+    assert(api.mirrorRowCounts("fa_m").count() >= 1L)
+    assert(api.listMirrorLogs("fa_m").count() == 0L)
+
+    // status + state machine (MirrorStatus / FlowStateChange)
+    assert(api.mirrorStatus("fa_m").status == "idle")
+    api.flowStateChange("fa_m", "STATUS_RUNNING")
+    assert(api.mirrorStatus("fa_m").status == "running")
+    api.flowStateChange("fa_m", "PAUSED")
+    assert(api.mirrorStatus("fa_m").status != "running")
+    intercept[IllegalArgumentException](
+      api.flowStateChange("fa_m", "SIDEWAYS"))
+
+    // tags (CreateOrReplaceFlowTags/GetFlowTags)
+    api.setFlowTags("fa_m", Map("env" -> "prod", "team" -> "data"))
+    assert(api.getFlowTags("fa_m") ==
+      Map("env" -> "prod", "team" -> "data"))
+
+    // scripts (PostScript/GetScripts/DeleteScript)
+    api.postScript("fa_s", "sql", "named_struct('data', data)")
+    assert(api.getScripts().exists(_.name == "fa_s"))
+    api.deleteScript("fa_s")
+    assert(!api.getScripts().exists(_.name == "fa_s"))
+
+    // settings + maintenance gate
+    assert(api.getDynamicSettings().nonEmpty)
+    api.maintenance(true)
+    assert(api.getMaintenanceStatus())
+    intercept[IllegalStateException](api.customSync("fa_m"))
+    api.maintenance(false)
+    assert(!api.getMaintenanceStatus())
+
+    // terminate (FlowStateChange TERMINATED) + cleanup
+    api.flowStateChange("fa_m", "TERMINATED")
+    assert(!api.listMirrorNames().contains("fa_m"))
+    api.dropPeer("fa_peer")
+    assert(!api.listPeers().exists(_.name == "fa_peer"))
+    assert(api.getVersion().nonEmpty)
+  }
+}
