@@ -1,0 +1,313 @@
+package graft.cdc
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException,
+  InputStream, OutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+/** The PostgreSQL frontend/backend wire protocol (v3) — enough of it to
+  * run a live logical-replication session: message framing, the startup/
+  * auth preamble, and the `START_REPLICATION ... LOGICAL` COPY-both loop
+  * (XLogData in, standby status updates out). This is the session
+  * plumbing the reference's replication connection performs before its
+  * decode loop (`flow/connectors/postgres/cdc.go:524` opens the slot
+  * stream and pumps XLogData/keepalive messages; `nexus` speaks the same
+  * framing server-side, `nexus/server/src/main.rs:593-650`), implemented
+  * against the PUBLIC protocol spec (PostgreSQL docs, protocol §55):
+  *
+  *  - regular messages: `type:byte, length:int32 (includes itself),
+  *    body`; the startup message alone omits the type byte.
+  *  - auth: `R` carries an int32 code — 0 ok, 3 cleartext, 5 md5+salt.
+  *    MD5 answer = "md5" + hex(md5(hex(md5(password‖user)) ‖ salt)).
+  *  - replication stream: `CopyBothResponse` then `CopyData('d')`
+  *    envelopes holding `'w'` XLogData (walStart, walEnd, ts, payload)
+  *    or `'k'` keepalive (walEnd, ts, replyRequested); the client
+  *    answers with `'r'` standby status updates (written/flushed/
+  *    applied LSNs + ts + reply flag) inside CopyData.
+  *
+  * Everything downstream of the envelope — pgoutput decode, tx cuts,
+  * WAL append — is [[PgOutputFrames.ingestFrom]], untouched: the client
+  * below is just a [[Wire.PgSource]].
+  */
+object PgWire {
+
+  /** Protocol version 3.0. */
+  val Protocol3: Int = 196608
+  /** SSLRequest pseudo-version (1234.5679). */
+  val SslRequestCode: Int = 80877103
+  /** Microseconds between the Unix and PostgreSQL (2000-01-01) epochs. */
+  val PgEpochOffsetMicros: Long = 946684800000000L
+
+  /** Upper bound on one message body (corruption guard — matches the
+    * capture-file guard; PG's own limit is 1 GB). */
+  val MaxMessageBytes: Int = 256 << 20
+
+  // --------------------------------------------------------- framing
+
+  def cstring(s: String): Array[Byte] = {
+    val b = s.getBytes(UTF_8)
+    val out = new Array[Byte](b.length + 1)
+    System.arraycopy(b, 0, out, 0, b.length)
+    out
+  }
+
+  /** Write one typed message: type byte + int32 length (self-inclusive)
+    * + body. */
+  def writeMessage(out: OutputStream, msgType: Char,
+      body: Array[Byte]): Unit = {
+    val h = ByteBuffer.allocate(5)
+    h.put(msgType.toByte).putInt(body.length + 4)
+    out.write(h.array())
+    out.write(body)
+  }
+
+  /** Write the (untyped) startup message: int32 length, int32 protocol,
+    * then NUL-terminated key/value pairs, final NUL. */
+  def writeStartup(out: OutputStream, params: Seq[(String, String)]): Unit = {
+    val body = params.flatMap { case (k, v) =>
+      cstring(k).toSeq ++ cstring(v).toSeq
+    }.toArray :+ 0.toByte
+    val h = ByteBuffer.allocate(8)
+    h.putInt(body.length + 8).putInt(Protocol3)
+    out.write(h.array())
+    out.write(body)
+    out.flush()
+  }
+
+  /** Read one typed message; EOF before the type byte yields None, EOF
+    * mid-message throws (a half message is corruption, not end). */
+  def readMessage(in: DataInputStream): Option[(Char, Array[Byte])] = {
+    val t = in.read()
+    if (t < 0) return None
+    val len = in.readInt()
+    require(len >= 4 && len - 4 <= MaxMessageBytes,
+      s"message length $len out of bounds")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    Some((t.toChar, body))
+  }
+
+  /** Read the untyped startup message: (protocolOrCode, params). */
+  def readStartup(in: DataInputStream): (Int, Map[String, String]) = {
+    val len = in.readInt()
+    require(len >= 8 && len - 8 <= MaxMessageBytes,
+      s"startup length $len out of bounds")
+    val proto = in.readInt()
+    val body = new Array[Byte](len - 8)
+    in.readFully(body)
+    if (proto == SslRequestCode) return (proto, Map.empty)
+    var i = 0
+    def str(): String = {
+      val s = i
+      while (i < body.length && body(i) != 0) i += 1
+      val v = new String(body, s, i - s, UTF_8)
+      i += 1 // NUL
+      v
+    }
+    val params = Iterator.continually(())
+      .takeWhile(_ => i < body.length && body(i) != 0)
+      .map(_ => str() -> str()).toMap
+    (proto, params)
+  }
+
+  /** ErrorResponse body → the human 'M' field (severity-prefixed). */
+  def errorMessage(body: Array[Byte]): String = {
+    var i = 0
+    var sev = ""; var msg = ""
+    while (i < body.length && body(i) != 0) {
+      val code = body(i).toChar; i += 1
+      val s = i
+      while (i < body.length && body(i) != 0) i += 1
+      val v = new String(body, s, i - s, UTF_8); i += 1
+      if (code == 'S') sev = v
+      if (code == 'M') msg = v
+    }
+    s"$sev: $msg"
+  }
+
+  // ------------------------------------------------------------ auth
+
+  private def md5hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** The MD5 password answer: "md5" + md5(md5(password‖user) ‖ salt),
+    * both inner digests hex-encoded (PG docs, AuthenticationMD5Password). */
+  def md5Password(user: String, password: String,
+      salt: Array[Byte]): String = {
+    val inner = md5hex((password + user).getBytes(UTF_8))
+    "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
+  }
+
+  /** LSN in the wire's text form `hi/lo` (hex halves). */
+  def lsnText(lsn: Long): String =
+    f"${(lsn >>> 32) & 0xffffffffL}%X/${lsn & 0xffffffffL}%X"
+
+  /** Current time in PG epoch microseconds (status-update field). */
+  def nowPgMicros(): Long =
+    System.currentTimeMillis() * 1000L - PgEpochOffsetMicros
+
+  /** Standby-status-update CopyData payload: 'r' + written/flushed/
+    * applied LSNs + clientTime + replyRequested. Reported LSNs follow
+    * the protocol's "+1 = everything before this is durable". */
+  def statusUpdate(ackLsn: Long, replyRequested: Boolean = false)
+      : Array[Byte] = {
+    val b = ByteBuffer.allocate(34)
+    b.put('r'.toByte)
+    val p = ackLsn + 1
+    b.putLong(p).putLong(p).putLong(p)
+    b.putLong(nowPgMicros())
+    b.put(if (replyRequested) 1.toByte else 0.toByte)
+    b.array()
+  }
+}
+
+/** A live `START_REPLICATION` client as a [[Wire.PgSource]] — the full
+  * pgwire session preamble (startup with `replication=database`,
+  * cleartext/MD5 auth, ReadyForQuery, the replication command,
+  * CopyBothResponse) in front of the XLogData byte loop. Drops into
+  * [[PgOutputFrames.ingestFrom]] exactly where the capture-file and
+  * framed-TCP transports sit; keepalives with `replyRequested` are
+  * answered inline with the latest durable position so the server's WAL
+  * retention can advance mid-pull (postgres/cdc.go:524-967 runs the
+  * same reply discipline).
+  *
+  * One pull per `frames()` call (the AvailableNow drain shape): the
+  * stream ends at CopyDone / ErrorResponse / EOF; the final
+  * [[ack]] travels the still-open socket before [[close]].
+  */
+final class PgReplicationSource(
+    host: String, port: Int,
+    user: String = "postgres",
+    database: String = "postgres",
+    password: String = "",
+    slot: String = "graft_slot",
+    publication: String = "graft_pub",
+    startLsn: Long = 0L) extends Wire.PgSource {
+
+  import PgWire._
+
+  private var sock: Option[Socket] = None
+  private var out: OutputStream = _
+  @volatile private var lastAck: Long = -1L
+
+  private def fail(body: Array[Byte]): Nothing =
+    throw new java.io.IOException(
+      s"pgwire error from $host:$port: ${errorMessage(body)}")
+
+  override def frames(): Iterator[(Long, Array[Byte])] = {
+    val s = new Socket(host, port)
+    sock = Some(s)
+    out = s.getOutputStream
+    val in = new DataInputStream(
+      new BufferedInputStream(s.getInputStream))
+
+    // ---- startup + auth, until ReadyForQuery
+    writeStartup(out, Seq(
+      "user" -> user, "database" -> database,
+      "replication" -> "database",
+      "application_name" -> "graft"))
+    var ready = false
+    while (!ready) {
+      readMessage(in) match {
+        case None => throw new EOFException("pgwire: EOF during startup")
+        case Some(('R', body)) =>
+          val b = ByteBuffer.wrap(body)
+          b.getInt() match {
+            case 0 => () // AuthenticationOk
+            case 3 => // cleartext
+              writeMessage(out, 'p', cstring(password)); out.flush()
+            case 5 => // md5 + 4-byte salt
+              val salt = new Array[Byte](4); b.get(salt)
+              writeMessage(out, 'p',
+                cstring(md5Password(user, password, salt)))
+              out.flush()
+            case other => throw new java.io.IOException(
+              s"pgwire: unsupported auth method $other " +
+                "(supported: trust, password, md5)")
+          }
+        case Some(('S', _)) | Some(('K', _)) | Some(('N', _)) => ()
+        case Some(('Z', _)) => ready = true
+        case Some(('E', body)) => fail(body)
+        case Some((t, _)) => throw new java.io.IOException(
+          s"pgwire: unexpected message '$t' during startup")
+      }
+    }
+
+    // ---- the replication command; answer must be CopyBothResponse
+    writeMessage(out, 'Q', cstring(
+      s"START_REPLICATION SLOT $slot LOGICAL ${lsnText(startLsn)} " +
+        s"(proto_version '1', publication_names '$publication')"))
+    out.flush()
+    var copyBoth = false
+    while (!copyBoth) {
+      readMessage(in) match {
+        case Some(('W', _)) => copyBoth = true
+        case Some(('N', _)) => () // notice
+        case Some(('E', body)) => fail(body)
+        case None => throw new EOFException(
+          "pgwire: EOF before CopyBothResponse")
+        case Some((t, _)) => throw new java.io.IOException(
+          s"pgwire: unexpected message '$t' awaiting CopyBothResponse")
+      }
+    }
+
+    // ---- the COPY-both stream: XLogData out, status updates back
+    new Iterator[(Long, Array[Byte])] {
+      private var nextFrame: (Long, Array[Byte]) = _
+      private var done = false
+
+      @annotation.tailrec
+      private def advance(): Unit = readMessage(in) match {
+        case None => done = true
+        case Some(('d', body)) if body.nonEmpty && body(0) == 'w' =>
+          // XLogData: walStart i64, walEnd i64, serverTime i64, payload
+          val b = ByteBuffer.wrap(body, 1, body.length - 1)
+          val walStart = b.getLong()
+          b.getLong(); b.getLong() // walEnd, serverTime: unused here
+          val payload = new Array[Byte](b.remaining())
+          b.get(payload)
+          nextFrame = (walStart, payload)
+        case Some(('d', body)) if body.nonEmpty && body(0) == 'k' =>
+          // keepalive: walEnd i64, serverTime i64, replyRequested u8
+          if (body.length >= 18 && body(17) == 1)
+            writeStatus(lastAck, replyRequested = false)
+          advance()
+        case Some(('c', _)) => done = true // CopyDone
+        case Some(('E', body)) => fail(body)
+        case Some(_) => advance() // notices etc.
+      }
+
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): (Long, Array[Byte]) = {
+        val f = nextFrame; advance(); f
+      }
+    }
+  }
+
+  private def writeStatus(lsn: Long, replyRequested: Boolean): Unit =
+    if (out != null) {
+      writeMessage(out, 'd', statusUpdate(lsn, replyRequested))
+      out.flush()
+    }
+
+  /** Standby status update with the durably-ingested commit LSN — sent
+    * on the live connection (the server releases WAL up to it). */
+  override def ack(commitLsn: Long): Unit = {
+    lastAck = commitLsn
+    writeStatus(commitLsn, replyRequested = false)
+  }
+
+  override def close(): Unit = {
+    sock.foreach { s =>
+      // polite shutdown: Terminate, then close
+      try { writeMessage(out, 'X', Array.emptyByteArray); out.flush() }
+      catch { case _: java.io.IOException => () }
+      s.close()
+    }
+    sock = None
+  }
+}
