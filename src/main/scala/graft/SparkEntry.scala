@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, GraftQuery, LayoutQueries, PipelineQueries, RelationalQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, GraftQuery, LayoutQueries, PipelineQueries, RelationalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     CoreQueries.all ++ PipelineQueries.all ++ RelationalQueries.all ++
       CurationQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all ++
-      LayoutQueries.all
+      LayoutQueries.all ++ CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full CDC normalize: replay the change log, latest-version dedup,

@@ -54,19 +54,27 @@ object TokenStats {
   final case class ShingleIndex(sh: DataFrame, cnt: DataFrame,
       pairs: DataFrame)
 
+  /** Winnowing stage: the trigram position/hash frame
+    * `(doc_id, pos, h)` and the per-window minima `(doc_id, p, mn)`
+    * restricted to full windows (`p >= 4`) — the shared upstream of the
+    * fingerprint-density and winnow-pair queries. */
+  final case class Winnow(grams: DataFrame, wf: DataFrame)
+
   private final case class Entry[A](session: SparkSession, dir: String,
       pinnedIds: Set[Int], value: A)
 
   @volatile private var uni: Option[Entry[Unigrams]] = None
   @volatile private var bi: Option[Entry[DataFrame]] = None
   @volatile private var sh3: Option[Entry[ShingleIndex]] = None
+  @volatile private var win: Option[Entry[Winnow]] = None
 
   /** Persisted-RDD ids the memo depends on — Bench's between-query block
     * cleanup skips these (and only these). */
   def retainedIds: Set[Int] =
     uni.map(_.pinnedIds).getOrElse(Set.empty) ++
       bi.map(_.pinnedIds).getOrElse(Set.empty) ++
-      sh3.map(_.pinnedIds).getOrElse(Set.empty)
+      sh3.map(_.pinnedIds).getOrElse(Set.empty) ++
+      win.map(_.pinnedIds).getOrElse(Set.empty)
 
   private def live[A](e: Option[Entry[A]], s: SparkSession,
       dir: String): Option[A] =
@@ -159,8 +167,39 @@ object TokenStats {
       }
     }
 
+  /** Winnowing upstream (Schleimer et al. 2003, "Winnowing: Local
+    * Algorithms for Document Fingerprinting"): word-trigram hashes with
+    * 1-based positions, and the minimum hash of each 4-gram window over
+    * them. Hashes are the engine-portable 60-bit md5 domain
+    * ([[TF.hash60Sql]]) so the DuckDB oracle replays bit-identically.
+    * Per-doc windows: one partitioned window function, never a global
+    * sort; at 100 TB the stage is one shuffle on doc_id. */
+  def winnow(s: SparkSession, dir: String): Winnow = synchronized {
+    live(win, s, dir).getOrElse {
+      import org.apache.spark.sql.expressions.Window
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          TF.wordShingles(TF.words(col("text")), 3)).as(Seq("p0", "sh")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          expr(TF.hash60Sql("sh")).as("h"))
+        .localCheckpoint(true)
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-3, 0)
+      val wf = grams
+        .select(col("doc_id"), col("pos").as("p"),
+          min("h").over(byDoc).as("mn"))
+        .filter(col("p") >= 4) // full windows only
+        .localCheckpoint(true)
+      val ids = s.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      val v = Winnow(grams, wf)
+      win = Some(Entry(s, dir, ids, v))
+      v
+    }
+  }
+
   /** Drop the memo (tests that stop their session; defensive hygiene). */
   def invalidate(): Unit = synchronized {
-    uni = None; bi = None; sh3 = None
+    uni = None; bi = None; sh3 = None; win = None
   }
 }
