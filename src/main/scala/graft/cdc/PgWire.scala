@@ -141,6 +141,91 @@ object PgWire {
     "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
   }
 
+  /** SCRAM-SHA-256 (RFC 5802/7677 as PostgreSQL applies it — the
+    * server's default auth since v10). Both halves of the exchange live
+    * here so the spec's in-process server verifies a real proof rather
+    * than pattern-matching bytes. Channel binding is not offered
+    * (`n,,` gs2 header), matching a non-SSL session. */
+  object Scram {
+    import javax.crypto.Mac
+    import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+    val Mechanism = "SCRAM-SHA-256"
+    /** base64("n,,") — the channel-binding echo in client-final. */
+    val Gs2Base64 = "biws"
+
+    def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(msg)
+    }
+    def sha256(b: Array[Byte]): Array[Byte] =
+      MessageDigest.getInstance("SHA-256").digest(b)
+
+    /** Hi(password, salt, i) = PBKDF2-HMAC-SHA256, 32 bytes. */
+    def saltedPassword(password: String, salt: Array[Byte],
+        iterations: Int): Array[Byte] =
+      javax.crypto.SecretKeyFactory
+        .getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(new PBEKeySpec(
+          password.toCharArray, salt, iterations, 256)).getEncoded
+
+    def b64(b: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(b)
+    def unb64(s: String): Array[Byte] =
+      java.util.Base64.getDecoder.decode(s)
+
+    /** Attribute list "k=v,k=v" → map (values may contain '='). */
+    def attrs(s: String): Map[Char, String] =
+      s.split(",").filter(_.length >= 2)
+        .map(a => a.charAt(0) -> a.substring(2)).toMap
+
+    /** (ClientKey, StoredKey, ServerKey) from the salted password. */
+    def keys(salted: Array[Byte])
+        : (Array[Byte], Array[Byte], Array[Byte]) = {
+      val ck = hmac(salted, "Client Key".getBytes(UTF_8))
+      (ck, sha256(ck), hmac(salted, "Server Key".getBytes(UTF_8)))
+    }
+
+    def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      a.indices.map(i => (a(i) ^ b(i)).toByte).toArray
+
+    /** One client exchange. `clientFirstBare` = "n=,r=<nonce>";
+      * auth-message = bare ‖ "," ‖ server-first ‖ "," ‖
+      * client-final-without-proof. */
+    final class Client(password: String, nonce: String) {
+      val clientFirstBare = s"n=,r=$nonce"
+      val clientFirst: String = s"n,,$clientFirstBare"
+      private var serverSig: Array[Byte] = _
+
+      /** server-first → client-final (proof included). */
+      def clientFinal(serverFirst: String): String = {
+        val a = attrs(serverFirst)
+        val combined = a('r')
+        require(combined.startsWith(nonce),
+          "SCRAM: server nonce does not extend the client nonce")
+        val salted = saltedPassword(password, unb64(a('s')),
+          a('i').toInt)
+        val (ck, sk, srvKey) = keys(salted)
+        val withoutProof = s"c=$Gs2Base64,r=$combined"
+        val authMsg = (clientFirstBare + "," + serverFirst + "," +
+          withoutProof).getBytes(UTF_8)
+        serverSig = hmac(srvKey, authMsg)
+        val proof = xor(ck, hmac(sk, authMsg))
+        s"$withoutProof,p=${b64(proof)}"
+      }
+
+      /** server-final "v=…" must carry the expected signature (mutual
+        * authentication: a MITM without the verifier cannot forge it). */
+      def verifyServerFinal(serverFinal: String): Unit = {
+        val v = attrs(serverFinal).getOrElse('v',
+          throw new java.io.IOException("SCRAM: server-final without v"))
+        require(java.util.Arrays.equals(unb64(v), serverSig),
+          "SCRAM: server signature mismatch")
+      }
+    }
+  }
+
   /** LSN in the wire's text form `hi/lo` (hex halves). */
   def lsnText(lsn: Long): String =
     f"${(lsn >>> 32) & 0xffffffffL}%X/${lsn & 0xffffffffL}%X"
@@ -210,6 +295,7 @@ final class PgReplicationSource(
       "replication" -> "database",
       "application_name" -> "graft"))
     var ready = false
+    var scram: Option[Scram.Client] = None
     while (!ready) {
       readMessage(in) match {
         case None => throw new EOFException("pgwire: EOF during startup")
@@ -224,9 +310,38 @@ final class PgReplicationSource(
               writeMessage(out, 'p',
                 cstring(md5Password(user, password, salt)))
               out.flush()
+            case 10 => // AuthenticationSASL: NUL-separated mechanisms
+              val mechs = new String(body, 4, body.length - 4, UTF_8)
+                .split("\u0000").filter(_.nonEmpty).toSeq
+              require(mechs.contains(Scram.Mechanism),
+                s"pgwire: no common SASL mechanism in $mechs " +
+                  s"(client speaks ${Scram.Mechanism})")
+              val nonce = new Array[Byte](18)
+              new java.security.SecureRandom().nextBytes(nonce)
+              val c = new Scram.Client(password, Scram.b64(nonce))
+              scram = Some(c)
+              val first = c.clientFirst.getBytes(UTF_8)
+              writeMessage(out, 'p',
+                cstring(Scram.Mechanism) ++
+                  ByteBuffer.allocate(4).putInt(first.length).array() ++
+                  first)
+              out.flush()
+            case 11 => // AuthenticationSASLContinue: server-first
+              val c = scram.getOrElse(throw new java.io.IOException(
+                "pgwire: SASLContinue without SASL start"))
+              val serverFirst =
+                new String(body, 4, body.length - 4, UTF_8)
+              writeMessage(out, 'p',
+                c.clientFinal(serverFirst).getBytes(UTF_8))
+              out.flush()
+            case 12 => // AuthenticationSASLFinal: server signature
+              val c = scram.getOrElse(throw new java.io.IOException(
+                "pgwire: SASLFinal without SASL start"))
+              c.verifyServerFinal(
+                new String(body, 4, body.length - 4, UTF_8))
             case other => throw new java.io.IOException(
               s"pgwire: unsupported auth method $other " +
-                "(supported: trust, password, md5)")
+                "(supported: trust, password, md5, scram-sha-256)")
           }
         case Some(('S', _)) | Some(('K', _)) | Some(('N', _)) => ()
         case Some(('Z', _)) => ready = true

@@ -219,6 +219,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
   private def ingestCaptureUnlocked(): Long = cfg.captureDir match {
     case None => 0L
+    case Some(url) if graft.cdc.CaptureEndpoint.isUrl(url) =>
+      ingestSocket(url, s"${cfg.checkpointDir}/_capture_offset")
     case Some(dir) =>
       val offsetPath = s"${cfg.checkpointDir}/_capture_offset"
       cfg.captureFormat match {
@@ -267,6 +269,75 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         case other => throw new IllegalArgumentException(
           s"unknown capture format '$other' (pgoutput|binlog|mongo)")
       }
+  }
+
+  /** Live socket capture: one pull per pass through the matching wire
+    * client — a `START_REPLICATION` session for `pgwire://`, a
+    * `COM_BINLOG_DUMP` session for `mysql://` — with the SAME resume
+    * offsets and ingest loops the capture-file path uses (the offset
+    * file is the pull-connector's durable position; the pg client also
+    * acks it back on the socket as a standby status update so the
+    * server's WAL retention advances). The continuous pump turns this
+    * into the long-lived replication loop: one session per tick, each
+    * starting past the durable position. */
+  private def ingestSocket(url: String, offsetPath: String): Long = {
+    val ep = graft.cdc.CaptureEndpoint.parse(url)
+    ep.scheme match {
+      case "pgwire" =>
+        val after = graft.util.FsText.read(offsetPath, hadoopConf)
+          .map(_.toLong).getOrElse(-1L)
+        val src = new graft.cdc.PgReplicationSource(ep.host, ep.port,
+          user = if (ep.user.isEmpty) "postgres" else ep.user,
+          database = if (ep.database.isEmpty) "postgres" else ep.database,
+          password = ep.password,
+          slot = ep.param("slot", "graft_slot"),
+          publication = ep.param("publication", "graft_pub"),
+          startLsn = math.max(after, 0L))
+        val (n, last) = graft.cdc.PgOutputFrames.ingestFrom(src,
+          cfg.walDir, afterCommitLsn = after)
+        if (last != after)
+          graft.util.FsText.write(offsetPath, last.toString, hadoopConf)
+        n
+      case "mysql" =>
+        val after = graft.util.FsText.read(offsetPath, hadoopConf)
+          .getOrElse("")
+        val src = new graft.cdc.MysqlSocketSource(ep.host, ep.port,
+          user = if (ep.user.isEmpty) "root" else ep.user,
+          password = ep.password,
+          serverId = ep.param("server_id", "1000").toLong,
+          startFile = ep.param("start_file", "binlog.000001"))
+        val (n, last) = graft.cdc.MysqlBinlogFiles.ingestFrom(src,
+          cfg.walDir, afterCheckpoint = after)
+        if (last != after && last.nonEmpty)
+          graft.util.FsText.write(offsetPath, last, hadoopConf)
+        n
+      case "mongo" =>
+        val after = graft.util.FsText.read(offsetPath, hadoopConf)
+          .getOrElse("")
+        val tables =
+          if (cfg.captureTables.nonEmpty) cfg.captureTables
+          else cfg.tableSet.keys.toSeq.sorted
+        // same ResumeAfter-vs-operation-time decision as the
+        // change-file path: a reshaped watch scope invalidates the
+        // stored token server-side, so resume flips to its timestamp
+        val pipePath = s"${cfg.checkpointDir}/_capture_pipeline"
+        val pipe = graft.cdc.MongoStream.pipeline(tables)
+        val changed = graft.util.FsText.read(pipePath, hadoopConf)
+          .exists(_ != pipe)
+        val src = new graft.cdc.MongoSocketSource(ep.host, ep.port,
+          database =
+            if (ep.database.isEmpty) "admin" else ep.database)
+        val (n, last) = graft.cdc.MongoStream.ingest(src, cfg.walDir,
+          tables,
+          afterTokenHex = Option(after).filter(_.nonEmpty),
+          pipelineChanged = changed)
+        graft.util.FsText.write(pipePath, pipe, hadoopConf)
+        if (last != after && last.nonEmpty)
+          graft.util.FsText.write(offsetPath, last, hadoopConf)
+        n
+      case other => throw new IllegalArgumentException(
+        s"unknown capture endpoint scheme '$other' (pgwire|mysql|mongo)")
+    }
   }
 
   /** Run until the WAL is drained (Trigger.AvailableNow), blocking.

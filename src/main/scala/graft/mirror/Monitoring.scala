@@ -141,6 +141,8 @@ object CaptureLag {
 
   def bytes(captureDir: String, checkpointDir: String,
       conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    // live socket endpoints have no local byte inventory to diff against
+    if (graft.cdc.CaptureEndpoint.isUrl(captureDir)) return None
     val offset = graft.util.FsText
       .read(s"$checkpointDir/_capture_offset", conf)
       .getOrElse(return None)

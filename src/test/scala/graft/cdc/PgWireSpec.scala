@@ -1,135 +1,24 @@
 package graft.cdc
 
-import java.io.{BufferedInputStream, DataInputStream}
 import java.net.ServerSocket
-import java.nio.ByteBuffer
 import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Live pgwire replication sessions against an in-process server that
-  * speaks the documented v3 protocol: startup with
-  * `replication=database`, MD5 auth challenge, `START_REPLICATION` →
-  * CopyBothResponse, XLogData/keepalive CopyData envelopes, standby
-  * status updates back. The SAME [[PgOutputFrames.ingestFrom]] loop
-  * that drains capture files drains the session — the client is just a
-  * [[Wire.PgSource]] — and the switchboard proxy relays the whole
-  * conversation untouched while logging it. */
+/** Live pgwire replication sessions against the in-process server
+  * fixture ([[WireServers.servePg]]) speaking the documented v3
+  * protocol: startup with `replication=database`, MD5 auth challenge,
+  * `START_REPLICATION` → CopyBothResponse, XLogData/keepalive CopyData
+  * envelopes, standby status updates back. The SAME
+  * [[PgOutputFrames.ingestFrom]] loop that drains capture files drains
+  * the session — the client is just a [[Wire.PgSource]] — and the
+  * switchboard proxy relays the whole conversation untouched while
+  * logging it. */
 class PgWireSpec extends AnyFunSuite {
 
   import PgWire._
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString
-
-  /** What one fixture-server session observed. */
-  final class ServerSession {
-    @volatile var startupParams: Map[String, String] = Map.empty
-    @volatile var replicationQuery: String = ""
-    @volatile var keepaliveReplied = false
-    @volatile var ackedLsn: Long = -1L
-    @volatile var authFailed = false
-  }
-
-  private val Salt = Array[Byte](1, 2, 3, 4)
-
-  /** Minimal in-process replication server: one session per call.
-    * Streams `frames` as XLogData, demands a keepalive reply
-    * mid-stream, ends with CopyDone, then keeps reading standby
-    * status updates until the client terminates. */
-  private def serveReplication(server: ServerSocket,
-      user: String, password: String,
-      frames: Seq[(Long, Array[Byte])]): ServerSession = {
-    val sess = new ServerSession
-    val t = new Thread(() => {
-      val c = server.accept()
-      try {
-        val in = new DataInputStream(
-          new BufferedInputStream(c.getInputStream))
-        val out = c.getOutputStream
-        val (proto, params) = readStartup(in)
-        assert(proto == Protocol3)
-        sess.startupParams = params
-
-        // MD5 challenge
-        writeMessage(out, 'R',
-          ByteBuffer.allocate(8).putInt(5).put(Salt).array())
-        out.flush()
-        val pw = readMessage(in) match {
-          case Some(('p', body)) => body
-          case other => fail(s"expected PasswordMessage, got $other")
-        }
-        val answer = new String(pw, 0, pw.length - 1, "UTF-8")
-        def serveAuthed(): Unit = {
-        writeMessage(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
-        writeMessage(out, 'S',
-          cstring("server_version") ++ cstring("16.2"))
-        writeMessage(out, 'K',
-          ByteBuffer.allocate(8).putInt(7).putInt(42).array())
-        writeMessage(out, 'Z', Array('I'.toByte))
-        out.flush()
-
-        val q = readMessage(in) match {
-          case Some(('Q', body)) => body
-          case other => fail(s"expected Query, got $other")
-        }
-        sess.replicationQuery = new String(q, 0, q.length - 1, "UTF-8")
-        // CopyBothResponse: overall format 0, zero columns
-        writeMessage(out, 'W',
-          ByteBuffer.allocate(3).put(0.toByte).putShort(0).array())
-        out.flush()
-
-        def xlog(walStart: Long, payload: Array[Byte]): Unit = {
-          val b = ByteBuffer.allocate(25 + payload.length)
-          b.put('w'.toByte).putLong(walStart)
-            .putLong(walStart + payload.length)
-            .putLong(nowPgMicros()).put(payload)
-          writeMessage(out, 'd', b.array())
-        }
-        val (head, tail) = frames.splitAt(frames.length / 2)
-        head.foreach { case (l, p) => xlog(l, p) }
-        out.flush()
-        // demand a reply mid-stream
-        writeMessage(out, 'd', ByteBuffer.allocate(18)
-          .put('k'.toByte).putLong(head.lastOption.map(_._1)
-            .getOrElse(0L)).putLong(nowPgMicros())
-          .put(1.toByte).array())
-        out.flush()
-        var sawReply = false
-        while (!sawReply) readMessage(in) match {
-          case Some(('d', body)) if body.nonEmpty && body(0) == 'r' =>
-            sess.keepaliveReplied = true; sawReply = true
-          case Some(_) => ()
-          case None => sawReply = true
-        }
-        tail.foreach { case (l, p) => xlog(l, p) }
-        writeMessage(out, 'c', Array.emptyByteArray) // CopyDone
-        out.flush()
-        // drain standby status updates until Terminate/EOF
-        var open = true
-        while (open) readMessage(in) match {
-          case Some(('d', body)) if body.nonEmpty && body(0) == 'r' =>
-            // written LSN is reported as "durable + 1"
-            sess.ackedLsn =
-              ByteBuffer.wrap(body, 1, 8).getLong - 1
-          case Some(('X', _)) => open = false
-          case Some(_) => ()
-          case None => open = false
-        }
-        } // serveAuthed
-
-        if (answer != md5Password(user, password, Salt)) {
-          sess.authFailed = true
-          writeMessage(out, 'E',
-            cstring("SFATAL") ++ Array('M'.toByte) ++
-              cstring("password authentication failed") :+ 0.toByte)
-          out.flush()
-        } else serveAuthed()
-      } finally c.close()
-    })
-    t.setDaemon(true)
-    t.start()
-    sess
-  }
 
   import PgOutput._
   private val rel = Relation(12, "public", "t", 'd'.toInt, Seq(
@@ -150,7 +39,8 @@ class PgWireSpec extends AnyFunSuite {
     "preamble, XLogData drain, keepalive reply, final standby ack") {
     val server = new ServerSocket(0)
     try {
-      val sess = serveReplication(server, "rep", "sekret", sessionFrames)
+      val sess = WireServers.servePg(server, "rep", "sekret",
+        Seq(sessionFrames))
       val src = new PgReplicationSource("127.0.0.1",
         server.getLocalPort, user = "rep", password = "sekret",
         slot = "s1", publication = "pub1", startLsn = 0L)
@@ -178,7 +68,7 @@ class PgWireSpec extends AnyFunSuite {
     "and already-acked transactions are skipped by the ingest guard") {
     val server = new ServerSocket(0)
     try {
-      serveReplication(server, "rep", "sekret", sessionFrames)
+      WireServers.servePg(server, "rep", "sekret", Seq(sessionFrames))
       val src = new PgReplicationSource("127.0.0.1",
         server.getLocalPort, user = "rep", password = "sekret",
         startLsn = 9L)
@@ -196,7 +86,7 @@ class PgWireSpec extends AnyFunSuite {
     "descriptive failure, not a hang") {
     val server = new ServerSocket(0)
     try {
-      val sess = serveReplication(server, "rep", "sekret", Nil)
+      val sess = WireServers.servePg(server, "rep", "sekret", Seq(Nil))
       val src = new PgReplicationSource("127.0.0.1",
         server.getLocalPort, user = "rep", password = "wrong")
       val e = intercept[java.io.IOException] {
@@ -205,6 +95,57 @@ class PgWireSpec extends AnyFunSuite {
       assert(e.getMessage.contains("authentication failed"))
       assert(sess.authFailed)
     } finally server.close()
+  }
+
+  test("SCRAM-SHA-256 session: SASL mechanism negotiation, salted " +
+    "proof, and mutual server-signature verification") {
+    val server = new ServerSocket(0)
+    try {
+      val sess = WireServers.servePg(server, "rep", "sekret",
+        Seq(sessionFrames), scram = true)
+      val src = new PgReplicationSource("127.0.0.1",
+        server.getLocalPort, user = "rep", password = "sekret")
+      val wal = tmp("pgwire_scramwal")
+      val (n, lsn) = PgOutputFrames.ingestFrom(src, wal)
+      assert(n == 2 && lsn == 19L)
+      assert(!sess.authFailed)
+      assert(ChangeLogWal.read(wal, -1L, Long.MaxValue).map(_(6)) ==
+        Seq("""{"id":1,"v":10}""", """{"id":2,"v":20}"""))
+    } finally server.close()
+  }
+
+  test("SCRAM wrong password: the proof fails verification " +
+    "server-side and the error surfaces") {
+    val server = new ServerSocket(0)
+    try {
+      val sess = WireServers.servePg(server, "rep", "sekret",
+        Seq(Nil), scram = true)
+      val src = new PgReplicationSource("127.0.0.1",
+        server.getLocalPort, user = "rep", password = "wrong")
+      val e = intercept[java.io.IOException] {
+        PgOutputFrames.ingestFrom(src, tmp("pgwire_scramwal2"))
+      }
+      assert(e.getMessage.contains("authentication failed"))
+      assert(sess.authFailed)
+    } finally server.close()
+  }
+
+  test("SCRAM primitives reproduce the RFC 7677 test vector") {
+    import Scram._
+    val clientBare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    val serverFirst = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)" +
+      "hNlF$k0,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val withoutProof = "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCA" +
+      "fuxFIlj)hNlF$k0"
+    val a = attrs(serverFirst)
+    val salted = saltedPassword("pencil", unb64(a('s')), a('i').toInt)
+    val (ck, sk, srvKey) = keys(salted)
+    val authMsg = (clientBare + "," + serverFirst + "," +
+      withoutProof).getBytes("UTF-8")
+    val proof = xor(ck, hmac(sk, authMsg))
+    assert(b64(proof) == "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    assert(b64(hmac(srvKey, authMsg)) ==
+      "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
   }
 
   test("lsnText renders the documented hi/lo hex form") {
@@ -218,7 +159,8 @@ class PgWireSpec extends AnyFunSuite {
     val server = new ServerSocket(0)
     val proxy = new Switchboard("127.0.0.1", server.getLocalPort).start()
     try {
-      val sess = serveReplication(server, "rep", "sekret", sessionFrames)
+      val sess = WireServers.servePg(server, "rep", "sekret",
+        Seq(sessionFrames))
       val src = new PgReplicationSource("127.0.0.1", proxy.port,
         user = "rep", password = "sekret")
       val wal = tmp("pgwire_proxywal")

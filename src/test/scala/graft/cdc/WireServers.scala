@@ -1,0 +1,347 @@
+package graft.cdc
+
+import java.io.{BufferedInputStream, DataInputStream}
+import java.net.ServerSocket
+import java.nio.ByteBuffer
+
+/** In-process wire-protocol servers for the socket-client specs: a
+  * pgwire replication server (startup/MD5 auth/START_REPLICATION/
+  * XLogData/standby-status), a MySQL server (handshake v10 /
+  * native-password / COM_BINLOG_DUMP / OK-prefixed events), and a
+  * MongoDB OP_MSG server (hello / aggregate-with-$changeStream /
+  * getMore cursor loop). Each `serve*` call handles
+  * `sessions.length` sequential connections, session i streaming
+  * `sessions(i)` — so resume tests can run multiple pulls against one
+  * listener. */
+object WireServers {
+
+  // ------------------------------------------------------------------ PG
+
+  val PgSalt: Array[Byte] = Array[Byte](1, 2, 3, 4)
+
+  final class PgSession {
+    @volatile var startupParams: Map[String, String] = Map.empty
+    @volatile var replicationQuery: String = ""
+    @volatile var keepaliveReplied = false
+    @volatile var ackedLsn: Long = -1L
+    @volatile var authFailed = false
+  }
+
+  /** Serve `sessions.length` sequential pgwire replication sessions.
+    * Returns the (shared) observation object — per-field last-writer
+    * wins, which the specs account for. `scram = true` runs the full
+    * SCRAM-SHA-256 exchange (real proof verification, both
+    * directions) instead of the MD5 challenge. */
+  def servePg(server: ServerSocket, user: String, password: String,
+      sessions: Seq[Seq[(Long, Array[Byte])]],
+      scram: Boolean = false): PgSession = {
+    import PgWire._
+    val sess = new PgSession
+    val t = new Thread(() => sessions.foreach { frames =>
+      val c = server.accept()
+      try {
+        val in = new DataInputStream(
+          new BufferedInputStream(c.getInputStream))
+        val out = c.getOutputStream
+        val (proto, params) = readStartup(in)
+        assert(proto == Protocol3)
+        sess.startupParams = params
+
+        /** (authenticated?, error already sent?) */
+        def authenticate(): Boolean =
+          if (scram) scramExchange() else md5Exchange()
+
+        def md5Exchange(): Boolean = {
+          writeMessage(out, 'R',
+            ByteBuffer.allocate(8).putInt(5).put(PgSalt).array())
+          out.flush()
+          val pw = readMessage(in) match {
+            case Some(('p', body)) => body
+            case other =>
+              sys.error(s"expected PasswordMessage, got $other")
+          }
+          val answer = new String(pw, 0, pw.length - 1, "UTF-8")
+          answer == md5Password(user, password, PgSalt)
+        }
+
+        def scramExchange(): Boolean = {
+          // AuthenticationSASL: advertise the mechanism list
+          writeMessage(out, 'R',
+            ByteBuffer.allocate(4).putInt(10).array() ++
+              cstring(Scram.Mechanism) :+ 0.toByte)
+          out.flush()
+          // SASLInitialResponse: mechanism cstring + i32 + client-first
+          val init = readMessage(in) match {
+            case Some(('p', body)) => body
+            case other =>
+              sys.error(s"expected SASLInitialResponse, got $other")
+          }
+          val mechEnd = init.indexOf(0.toByte)
+          assert(new String(init, 0, mechEnd, "UTF-8") ==
+            Scram.Mechanism)
+          val fl = ByteBuffer.wrap(init, mechEnd + 1, 4).getInt
+          val clientFirst = new String(init, mechEnd + 5, fl, "UTF-8")
+          assert(clientFirst.startsWith("n,,"))
+          val clientBare = clientFirst.substring(3)
+          val clientNonce = Scram.attrs(clientBare)('r')
+
+          val salt = "pepper-salt".getBytes("UTF-8")
+          val iterations = 4096
+          val combined = clientNonce + "SrVn0nce"
+          val serverFirst =
+            s"r=$combined,s=${Scram.b64(salt)},i=$iterations"
+          writeMessage(out, 'R',
+            ByteBuffer.allocate(4).putInt(11).array() ++
+              serverFirst.getBytes("UTF-8"))
+          out.flush()
+
+          val fin = readMessage(in) match {
+            case Some(('p', body)) => new String(body, "UTF-8")
+            case other => sys.error(s"expected SASLResponse, got $other")
+          }
+          val a = Scram.attrs(fin)
+          assert(a('c') == Scram.Gs2Base64 && a('r') == combined)
+          val withoutProof = fin.substring(0, fin.lastIndexOf(",p="))
+          val authMsg = (clientBare + "," + serverFirst + "," +
+            withoutProof).getBytes("UTF-8")
+          val salted =
+            Scram.saltedPassword(password, salt, iterations)
+          val (ck, sk, srvKey) = Scram.keys(salted)
+          val expectedProof = Scram.xor(ck, Scram.hmac(sk, authMsg))
+          val ok = java.util.Arrays.equals(
+            Scram.unb64(a('p')), expectedProof)
+          if (ok) {
+            // AuthenticationSASLFinal: mutual-auth server signature
+            writeMessage(out, 'R',
+              ByteBuffer.allocate(4).putInt(12).array() ++
+                s"v=${Scram.b64(Scram.hmac(srvKey, authMsg))}"
+                  .getBytes("UTF-8"))
+            out.flush()
+          }
+          ok
+        }
+
+        def serveAuthed(): Unit = {
+          writeMessage(out, 'R',
+            ByteBuffer.allocate(4).putInt(0).array())
+          writeMessage(out, 'S',
+            cstring("server_version") ++ cstring("16.2"))
+          writeMessage(out, 'K',
+            ByteBuffer.allocate(8).putInt(7).putInt(42).array())
+          writeMessage(out, 'Z', Array('I'.toByte))
+          out.flush()
+
+          val q = readMessage(in) match {
+            case Some(('Q', body)) => body
+            case other => sys.error(s"expected Query, got $other")
+          }
+          sess.replicationQuery =
+            new String(q, 0, q.length - 1, "UTF-8")
+          writeMessage(out, 'W',
+            ByteBuffer.allocate(3).put(0.toByte).putShort(0).array())
+          out.flush()
+
+          def xlog(walStart: Long, payload: Array[Byte]): Unit = {
+            val b = ByteBuffer.allocate(25 + payload.length)
+            b.put('w'.toByte).putLong(walStart)
+              .putLong(walStart + payload.length)
+              .putLong(nowPgMicros()).put(payload)
+            writeMessage(out, 'd', b.array())
+          }
+          val (head, tail) = frames.splitAt(frames.length / 2)
+          head.foreach { case (l, p) => xlog(l, p) }
+          out.flush()
+          writeMessage(out, 'd', ByteBuffer.allocate(18)
+            .put('k'.toByte).putLong(head.lastOption.map(_._1)
+              .getOrElse(0L)).putLong(nowPgMicros())
+            .put(1.toByte).array())
+          out.flush()
+          var sawReply = false
+          while (!sawReply) readMessage(in) match {
+            case Some(('d', body)) if body.nonEmpty && body(0) == 'r' =>
+              sess.keepaliveReplied = true; sawReply = true
+            case Some(_) => ()
+            case None => sawReply = true
+          }
+          tail.foreach { case (l, p) => xlog(l, p) }
+          writeMessage(out, 'c', Array.emptyByteArray)
+          out.flush()
+          var open = true
+          while (open) readMessage(in) match {
+            case Some(('d', body)) if body.nonEmpty && body(0) == 'r' =>
+              sess.ackedLsn =
+                ByteBuffer.wrap(body, 1, 8).getLong - 1
+            case Some(('X', _)) => open = false
+            case Some(_) => ()
+            case None => open = false
+          }
+        }
+
+        if (!authenticate()) {
+          sess.authFailed = true
+          writeMessage(out, 'E',
+            cstring("SFATAL") ++ Array('M'.toByte) ++
+              cstring("password authentication failed") :+ 0.toByte)
+          out.flush()
+        } else serveAuthed()
+      } finally c.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    sess
+  }
+
+  // --------------------------------------------------------------- MySQL
+
+  val MysqlScramble: Array[Byte] =
+    Array.tabulate(20)(i => (i * 7 + 3).toByte)
+
+  final class MysqlSession {
+    @volatile var username = ""
+    @volatile var authOk = false
+    @volatile var registered = false
+    @volatile var dumpFile = ""
+    @volatile var dumpPos = -1L
+    @volatile var dumpFlags = -1
+    @volatile var dumpServerId = -1L
+  }
+
+  /** Serve `sessions.length` sequential MySQL dump sessions. */
+  def serveMysql(server: ServerSocket, password: String,
+      sessions: Seq[Seq[Array[Byte]]]): MysqlSession = {
+    import MysqlWire._
+    val sess = new MysqlSession
+    val t = new Thread(() => sessions.foreach { events =>
+      val c = server.accept()
+      try {
+        val in = new DataInputStream(
+          new BufferedInputStream(c.getInputStream))
+        val out = c.getOutputStream
+        val caps = (ClientLongPassword | ClientProtocol41 |
+          ClientSecureConnection | ClientPluginAuth).toLong
+
+        writePacket(out, 0, new Wtr()
+          .u8(10).cstr("8.0.36-fixture").u32(7L)
+          .raw(MysqlScramble.take(8)).u8(0)
+          .u16((caps & 0xFFFF).toInt).u8(45).u16(2)
+          .u16(((caps >> 16) & 0xFFFF).toInt)
+          .u8(21).zeros(10)
+          .raw(MysqlScramble.drop(8)).u8(0)
+          .cstr(NativePassword).bytes)
+
+        val (_, resp) = readPacket(in).get
+        val r = new R(resp)
+        r.u32(); r.u32(); r.u8(); r.bytes(23)
+        sess.username = r.cstring()
+        val token = r.bytes(r.u8())
+        val expected = scramble411(password, MysqlScramble)
+        if (!java.util.Arrays.equals(token, expected)) {
+          writePacket(out, 2, new Wtr()
+            .u8(0xFF).u16(1045).u8('#').str("28000")
+            .str("Access denied for user").bytes)
+        } else {
+          sess.authOk = true
+          writePacket(out, 2, new Wtr()
+            .u8(0x00).u8(0).u8(0).u16(2).u16(0).bytes)
+          var open = true
+          while (open) readPacket(in) match {
+            case None => open = false
+            case Some((_, p)) if p.isEmpty => ()
+            case Some((_, p)) => (p(0) & 0xFF) match {
+              case 0x15 =>
+                sess.registered = true
+                writePacket(out, 1, new Wtr()
+                  .u8(0x00).u8(0).u8(0).u16(2).u16(0).bytes)
+              case 0x12 =>
+                val d = new R(p); d.u8()
+                sess.dumpPos = d.u32()
+                sess.dumpFlags = d.u16()
+                sess.dumpServerId = d.u32()
+                sess.dumpFile = new String(d.rest(), "UTF-8")
+                var seq = 1
+                events.foreach { ev =>
+                  writePacket(out, seq, Array(0x00.toByte) ++ ev)
+                  seq += 1
+                }
+                writePacket(out, seq, new Wtr()
+                  .u8(0xFE).u16(0).u16(2).bytes)
+              case 0x01 => open = false
+              case _ => ()
+            }
+          }
+        }
+      } finally c.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    sess
+  }
+
+  // --------------------------------------------------------------- Mongo
+
+  final class MongoSession {
+    @volatile var helloSeen = false
+    @volatile var commandJson = ""
+    @volatile var getMores = 0
+  }
+
+  /** Serve `sessions.length` sequential OP_MSG change-stream sessions;
+    * session i streams the change documents `sessions(i)` — half in
+    * the aggregate's firstBatch, the rest via one getMore. Set
+    * `failAggregate` to answer the aggregate with an error reply. */
+  def serveMongo(server: ServerSocket,
+      sessions: Seq[Seq[Bson.BDoc]],
+      failAggregate: Boolean = false): MongoSession = {
+    import Bson.{BArray, BDoc, BDouble, BInt32, BInt64, BString}
+    import MongoWire._
+    val sess = new MongoSession
+    val t = new Thread(() => sessions.foreach { events =>
+      val c = server.accept()
+      try {
+        val in = new DataInputStream(
+          new BufferedInputStream(c.getInputStream))
+        val out = c.getOutputStream
+        val (head, tail) = events.splitAt((events.length + 1) / 2)
+        var open = true
+        while (open) readMsg(in) match {
+          case None => open = false
+          case Some((reqId, _, doc)) =>
+            val cmd = Bson.elements(doc).headOption.map(_._1)
+              .getOrElse("")
+            def reply(d: Array[Byte]): Unit =
+              writeMsg(out, reqId + 1000, reqId, d)
+            cmd match {
+              case "hello" =>
+                sess.helloSeen = true
+                reply(Bson.encode("maxWireVersion" -> BInt32(17),
+                  "ok" -> BDouble(1.0)))
+              case "aggregate" if failAggregate =>
+                sess.commandJson = Bson.documentToJson(doc)
+                reply(Bson.encode("ok" -> BDouble(0.0),
+                  "errmsg" -> BString(
+                    "resume of change stream was not possible")))
+              case "aggregate" =>
+                sess.commandJson = Bson.documentToJson(doc)
+                reply(Bson.encode(
+                  "cursor" -> BDoc(Seq(
+                    "id" -> BInt64(if (tail.nonEmpty) 77L else 0L),
+                    "firstBatch" -> BArray(head))),
+                  "ok" -> BDouble(1.0)))
+              case "getMore" =>
+                sess.getMores += 1
+                reply(Bson.encode(
+                  "cursor" -> BDoc(Seq(
+                    "id" -> BInt64(0L),
+                    "nextBatch" -> BArray(tail))),
+                  "ok" -> BDouble(1.0)))
+              case _ =>
+                reply(Bson.encode("ok" -> BDouble(1.0)))
+            }
+        }
+      } finally c.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    sess
+  }
+}
