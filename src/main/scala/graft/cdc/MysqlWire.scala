@@ -43,6 +43,7 @@ object MysqlWire {
   val ClientPluginAuth = 0x00080000
 
   val NativePassword = "mysql_native_password"
+  val CachingSha2 = "caching_sha2_password"
 
   /** Upper bound on one packet payload (the protocol's own split point
     * is 0xFFFFFF; a replication event never legitimately reaches it
@@ -98,6 +99,21 @@ object MysqlWire {
     else {
       val h1 = sha1(password.getBytes(UTF_8))
       val h2 = sha1(seed ++ sha1(h1))
+      h1.indices.map(i => (h1(i) ^ h2(i)).toByte).toArray
+    }
+
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(b)
+
+  /** The `caching_sha2_password` fast-path token (MySQL 8's default
+    * plugin): `SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) ‖ seed)` —
+    * answered by the server with the 0x01 0x03 "fast auth success"
+    * status when the account's verifier is cached. */
+  def scrambleSha2(password: String, seed: Array[Byte]): Array[Byte] =
+    if (password.isEmpty) Array.emptyByteArray
+    else {
+      val h1 = sha256(password.getBytes(UTF_8))
+      val h2 = sha256(sha256(h1) ++ seed)
       h1.indices.map(i => (h1(i) ^ h2(i)).toByte).toArray
     }
 
@@ -221,9 +237,15 @@ final class MysqlSocketSource(
       throw new EOFException("mysql: EOF before greeting"))
     if (greet.nonEmpty && (greet(0) & 0xFF) == 0xFF) fail(greet)
     val g = parseGreeting(greet)
-    require(g.authPlugin == NativePassword,
-      s"unsupported auth plugin ${g.authPlugin}")
-    val token = scramble411(password, g.scramble)
+    def tokenFor(plugin: String, seed: Array[Byte]): Array[Byte] =
+      plugin match {
+        case NativePassword => scramble411(password, seed)
+        case CachingSha2 => scrambleSha2(password, seed)
+        case other => throw new java.io.IOException(
+          s"mysql: unsupported auth plugin $other " +
+            s"(supported: $NativePassword, $CachingSha2)")
+      }
+    val token = tokenFor(g.authPlugin, g.scramble)
     val resp = new Wtr()
       .u32(ClientLongPassword | ClientProtocol41 |
         ClientSecureConnection | ClientPluginAuth)
@@ -232,25 +254,40 @@ final class MysqlSocketSource(
       .zeros(23)
       .cstr(user)
       .u8(token.length).raw(token)
-      .cstr(NativePassword)
+      .cstr(g.authPlugin)
     writePacket(out, greetSeq + 1, resp.bytes)
-    readPacket(in) match {
+
+    /** Auth answers until OK: ERR fails; 0xFE switches plugin; a
+      * caching_sha2 0x01-status packet reports fast-auth success
+      * (0x03, OK follows) or demands full auth (0x04 — needs the
+      * TLS/RSA channel, out of scope for a replication sandbox). */
+    @annotation.tailrec
+    def authLoop(nextSeq: Int): Unit = readPacket(in) match {
       case Some((_, p)) if p.nonEmpty && p(0) == 0x00 => ()
-      case Some((_, p)) if p.nonEmpty && (p(0) & 0xFF) == 0xFE =>
+      case Some((seq, p)) if p.nonEmpty && (p(0) & 0xFF) == 0xFE =>
         // AuthSwitchRequest: plugin name + fresh seed; answer in a
         // bare packet (same exchange, new scramble)
         val r = new R(p); r.u8()
         val plugin = r.cstring()
-        require(plugin == NativePassword,
-          s"unsupported auth switch to $plugin")
         val seed = r.rest()
-        writePacket(out, greetSeq + 3,
-          scramble411(password, seed.take(20)))
-        expectOk(in, "auth switch")
+        writePacket(out, seq + 1, tokenFor(plugin, seed.take(20)))
+        authLoop(seq + 2)
+      case Some((_, p)) if p.length == 2 && p(0) == 0x01 =>
+        (p(1) & 0xFF) match {
+          case 0x03 => authLoop(nextSeq) // fast auth success; OK next
+          case 0x04 => throw new java.io.IOException(
+            "mysql: caching_sha2_password demands full " +
+              "authentication (verifier not cached) — requires the " +
+              "TLS or RSA channel; prime the cache or use " +
+              "mysql_native_password for the replication account")
+          case other => throw new java.io.IOException(
+            f"mysql: unknown fast-auth status 0x$other%02x")
+        }
       case Some((_, p)) if p.nonEmpty && (p(0) & 0xFF) == 0xFF => fail(p)
       case other => throw new java.io.IOException(
         s"mysql: unexpected auth answer $other")
     }
+    authLoop(greetSeq + 2)
 
     // ---- resume position: file:pos dumps from the offset; GTID
     // flavors re-dump and rely on the ingest's tx-skip guard

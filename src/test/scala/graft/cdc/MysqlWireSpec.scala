@@ -110,6 +110,49 @@ class MysqlWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("caching_sha2_password fast path: the SHA256 token passes and " +
+    "the 0x01 0x03 status precedes the OK") {
+    val server = new ServerSocket(0)
+    try {
+      val sess = WireServers.serveMysql(server, "sekret",
+        Seq(streamEvents(1L, "a")), plugin = CachingSha2)
+      val src = new MysqlSocketSource("127.0.0.1",
+        server.getLocalPort, user = "repl", password = "sekret")
+      val wal = tmp("mywire_sha2")
+      val (n, cp) = MysqlBinlogFiles.ingestFrom(src, wal)
+      assert(n == 1 && cp == "binlog.000002:22")
+      assert(sess.authOk)
+    } finally server.close()
+  }
+
+  test("caching_sha2_password full-auth demand surfaces as a " +
+    "descriptive failure (TLS/RSA channel out of scope)") {
+    val server = new ServerSocket(0)
+    try {
+      WireServers.serveMysql(server, "sekret", Seq(Nil),
+        plugin = CachingSha2, fullAuthDemand = true)
+      val src = new MysqlSocketSource("127.0.0.1",
+        server.getLocalPort, password = "sekret")
+      val e = intercept[java.io.IOException] {
+        MysqlBinlogFiles.ingestFrom(src, tmp("mywire_sha2full"))
+      }
+      assert(e.getMessage.contains("full authentication"))
+    } finally server.close()
+  }
+
+  test("scrambleSha2 xors back to SHA256(pw) under the documented " +
+    "construction") {
+    val seed = Array.tabulate(20)(_.toByte)
+    val tok = scrambleSha2("pw", seed)
+    assert(tok.length == 32)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h1 = md.digest("pw".getBytes("UTF-8"))
+    md.reset(); val h11 = md.digest(h1)
+    md.reset(); val h2 = md.digest(h11 ++ seed)
+    val recovered = tok.indices.map(i => (tok(i) ^ h2(i)).toByte)
+    assert(recovered == h1.toSeq)
+  }
+
   test("scramble411 follows the documented double-SHA1 construction " +
     "and empty passwords send an empty token") {
     val seed = Array.tabulate(20)(_.toByte)

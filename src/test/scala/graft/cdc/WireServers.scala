@@ -206,9 +206,15 @@ object WireServers {
     @volatile var dumpServerId = -1L
   }
 
-  /** Serve `sessions.length` sequential MySQL dump sessions. */
+  /** Serve `sessions.length` sequential MySQL dump sessions.
+    * `plugin` picks the advertised auth plugin; `fullAuthDemand`
+    * makes a caching_sha2 server answer a correct token with the
+    * 0x01 0x04 "perform full authentication" status instead of the
+    * fast-path success. */
   def serveMysql(server: ServerSocket, password: String,
-      sessions: Seq[Seq[Array[Byte]]]): MysqlSession = {
+      sessions: Seq[Seq[Array[Byte]]],
+      plugin: String = MysqlWire.NativePassword,
+      fullAuthDemand: Boolean = false): MysqlSession = {
     import MysqlWire._
     val sess = new MysqlSession
     val t = new Thread(() => sessions.foreach { events =>
@@ -227,21 +233,31 @@ object WireServers {
           .u16(((caps >> 16) & 0xFFFF).toInt)
           .u8(21).zeros(10)
           .raw(MysqlScramble.drop(8)).u8(0)
-          .cstr(NativePassword).bytes)
+          .cstr(plugin).bytes)
 
         val (_, resp) = readPacket(in).get
         val r = new R(resp)
         r.u32(); r.u32(); r.u8(); r.bytes(23)
         sess.username = r.cstring()
         val token = r.bytes(r.u8())
-        val expected = scramble411(password, MysqlScramble)
+        val expected =
+          if (plugin == CachingSha2) scrambleSha2(password, MysqlScramble)
+          else scramble411(password, MysqlScramble)
         if (!java.util.Arrays.equals(token, expected)) {
           writePacket(out, 2, new Wtr()
             .u8(0xFF).u16(1045).u8('#').str("28000")
             .str("Access denied for user").bytes)
+        } else if (plugin == CachingSha2 && fullAuthDemand) {
+          writePacket(out, 2, new Wtr().u8(0x01).u8(0x04).bytes)
         } else {
           sess.authOk = true
-          writePacket(out, 2, new Wtr()
+          var seqNo = 2
+          if (plugin == CachingSha2) {
+            // fast auth success status precedes the OK
+            writePacket(out, seqNo, new Wtr().u8(0x01).u8(0x03).bytes)
+            seqNo += 1
+          }
+          writePacket(out, seqNo, new Wtr()
             .u8(0x00).u8(0).u8(0).u16(2).u16(0).bytes)
           var open = true
           while (open) readPacket(in) match {

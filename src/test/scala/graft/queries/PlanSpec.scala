@@ -124,4 +124,28 @@ class PlanSpec extends SparkSpec {
     assert(topk >= 2, s"expected top-k on both sides:\n${plan.take(3000)}")
     assert(!plan.contains("GlobalSort"), plan.take(2000))
   }
+
+  test("winnow-pair matching: fingerprint self-join is a hash join on " +
+    "the posting key — no cartesian, no nested loop") {
+    val plan = planOf(CorpusQueries.dedupWinnowing)
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("winnowing argmin-recovery join is equi-keyed (doc, hash) — " +
+    "the range condition is a residual filter, not the join") {
+    val plan = planOf(CorpusQueries.winnowing)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("rag chunking is shuffle-free before the presentation sort " +
+    "(pure per-row explode + slice)") {
+    val plan = planOf(CorpusQueries.ragChunks)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"chunking must not hash-shuffle:\n${plan.take(3000)}")
+  }
 }
