@@ -244,7 +244,9 @@ object MongoWire {
   * auth connect directly; a SCRAM handshake would precede `hello`
   * and change nothing below it. */
 final class MongoSocketSource(host: String, port: Int,
-    database: String = "app") extends Wire.MongoSource {
+    database: String = "app",
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends Wire.MongoSource {
 
   import MongoWire._
 
@@ -254,7 +256,12 @@ final class MongoSocketSource(host: String, port: Int,
   override def changes(pipelineJson: String,
       resume: Option[(String, String)])
       : Iterator[(String, Array[Byte])] = {
-    val s = new Socket(host, port)
+    val s = new Socket()
+    // a wedged server must never hang the capture pump (each getMore
+    // answers promptly; the drain shape never tails an idle cursor)
+    s.connect(new java.net.InetSocketAddress(host, port),
+      connectTimeoutMs)
+    s.setSoTimeout(readTimeoutMs)
     sock = Some(s)
     val in = new DataInputStream(
       new BufferedInputStream(s.getInputStream))

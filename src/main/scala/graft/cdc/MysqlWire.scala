@@ -206,7 +206,9 @@ final class MysqlSocketSource(
     password: String = "",
     serverId: Long = 1000L,
     startFile: String = "binlog.000001",
-    startPos: Long = 4L) extends Wire.MysqlSource {
+    startPos: Long = 4L,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends Wire.MysqlSource {
 
   import MysqlWire._
 
@@ -226,7 +228,12 @@ final class MysqlSocketSource(
 
   override def items(afterCheckpoint: String)
       : Iterator[Wire.MysqlItem] = {
-    val s = new Socket(host, port)
+    val s = new Socket()
+    // a wedged server must never hang the capture pump (non-blocking
+    // dump ends with EOF when caught up, so silence means death)
+    s.connect(new java.net.InetSocketAddress(host, port),
+      connectTimeoutMs)
+    s.setSoTimeout(readTimeoutMs)
     sock = Some(s)
     val in = new DataInputStream(
       new BufferedInputStream(s.getInputStream))

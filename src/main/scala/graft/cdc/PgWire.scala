@@ -270,7 +270,9 @@ final class PgReplicationSource(
     password: String = "",
     slot: String = "graft_slot",
     publication: String = "graft_pub",
-    startLsn: Long = 0L) extends Wire.PgSource {
+    startLsn: Long = 0L,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends Wire.PgSource {
 
   import PgWire._
 
@@ -283,7 +285,13 @@ final class PgReplicationSource(
       s"pgwire error from $host:$port: ${errorMessage(body)}")
 
   override def frames(): Iterator[(Long, Array[Byte])] = {
-    val s = new Socket(host, port)
+    val s = new Socket()
+    // a wedged server must never hang the capture pump: the pg server
+    // keepalives well inside wal_sender_timeout, so a silent minute
+    // means the connection is dead, not idle
+    s.connect(new java.net.InetSocketAddress(host, port),
+      connectTimeoutMs)
+    s.setSoTimeout(readTimeoutMs)
     sock = Some(s)
     out = s.getOutputStream
     val in = new DataInputStream(

@@ -282,6 +282,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * starting past the durable position. */
   private def ingestSocket(url: String, offsetPath: String): Long = {
     val ep = graft.cdc.CaptureEndpoint.parse(url)
+    val connectMs = ep.param("connect_timeout_ms", "10000").toInt
+    val readMs = ep.param("read_timeout_ms", "60000").toInt
     ep.scheme match {
       case "pgwire" =>
         val after = graft.util.FsText.read(offsetPath, hadoopConf)
@@ -292,7 +294,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           password = ep.password,
           slot = ep.param("slot", "graft_slot"),
           publication = ep.param("publication", "graft_pub"),
-          startLsn = math.max(after, 0L))
+          startLsn = math.max(after, 0L),
+          connectTimeoutMs = connectMs, readTimeoutMs = readMs)
         val (n, last) = graft.cdc.PgOutputFrames.ingestFrom(src,
           cfg.walDir, afterCommitLsn = after)
         if (last != after)
@@ -305,7 +308,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           user = if (ep.user.isEmpty) "root" else ep.user,
           password = ep.password,
           serverId = ep.param("server_id", "1000").toLong,
-          startFile = ep.param("start_file", "binlog.000001"))
+          startFile = ep.param("start_file", "binlog.000001"),
+          connectTimeoutMs = connectMs, readTimeoutMs = readMs)
         val (n, last) = graft.cdc.MysqlBinlogFiles.ingestFrom(src,
           cfg.walDir, afterCheckpoint = after)
         if (last != after && last.nonEmpty)
@@ -326,7 +330,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           .exists(_ != pipe)
         val src = new graft.cdc.MongoSocketSource(ep.host, ep.port,
           database =
-            if (ep.database.isEmpty) "admin" else ep.database)
+            if (ep.database.isEmpty) "admin" else ep.database,
+          connectTimeoutMs = connectMs, readTimeoutMs = readMs)
         val (n, last) = graft.cdc.MongoStream.ingest(src, cfg.walDir,
           tables,
           afterTokenHex = Option(after).filter(_.nonEmpty),

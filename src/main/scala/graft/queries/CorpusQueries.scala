@@ -258,6 +258,53 @@ object CorpusQueries {
            |      GROUP BY 1)
            |ORDER BY wc DESC, w""".stripMargin))
 
+  /** Per-document keyword extraction — top-3 terms by an integer-exact
+    * TF-IDF: term weight = dense rank of the vocabulary by DESCENDING
+    * corpus frequency (rarer term, larger weight; ties share a rank so
+    * the blend is deterministic), score = tf × weight. The vocabulary
+    * rank is a window over the corpus word-stats table — the compact
+    * (Zipf) side, shared with the rarity/perplexity queries through
+    * [[TokenStats]]; the per-doc top-3 is a rank-limited window
+    * (WindowGroupLimit ships ≤3 rows per doc before the shuffle). At
+    * 100 TB the vocab rank would go through the range-partitioned
+    * [[graft.operators.GlobalRank]] instead of a single-partition
+    * window; the doc side is unchanged. */
+  val tfidfTerms = GraftQuery(
+    "q_tfidf_terms",
+    "top-3 TF-IDF keywords per document (integer-exact rank weights)",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = TokenStats.unigrams(s, dir)
+      val weights = u.stats.withColumn("weight",
+        dense_rank().over(Window.orderBy(col("wc").desc)))
+      val byDoc = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("w"))
+      u.tf.join(weights, "w")
+        .select(col("doc_id"), col("w"), col("tf"),
+          (col("tf") * col("weight")).as("score"))
+        .withColumn("rk", row_number().over(byDoc))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("tf"),
+          col("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tf AS (SELECT doc_id, w, count(*) AS tf
+           |            FROM (SELECT doc_id,
+           |                    unnest(string_split(text, ' ')) AS w
+           |                  FROM documents)
+           |            GROUP BY 1, 2),
+           |st AS (SELECT w, sum(tf) AS wc FROM tf GROUP BY 1),
+           |wt AS (SELECT w,
+           |         dense_rank() OVER (ORDER BY wc DESC) AS weight
+           |       FROM st),
+           |sc AS (SELECT tf.doc_id, tf.w, tf.tf,
+           |         tf.tf * wt.weight AS score,
+           |         row_number() OVER (PARTITION BY tf.doc_id
+           |           ORDER BY tf.tf * wt.weight DESC, tf.w) AS rk
+           |       FROM tf JOIN wt ON tf.w = wt.w)
+           |SELECT doc_id, rk, w, tf, score FROM sc
+           |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
-    winnowing, dedupWinnowing, ragChunks, heavyHitters)
+    winnowing, dedupWinnowing, ragChunks, heavyHitters, tfidfTerms)
 }
