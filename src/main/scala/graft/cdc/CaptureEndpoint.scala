@@ -30,18 +30,25 @@ object CaptureEndpoint {
     val u = new java.net.URI(s)
     require(u.getScheme != null && u.getHost != null && u.getPort > 0,
       s"capture endpoint needs scheme://host:port, got '$s'")
-    val (user, pass) = Option(u.getUserInfo) match {
+    // percent-decode credentials and params: a password containing
+    // '@'/':' MUST be written percent-encoded to parse as a URI at
+    // all, and what reaches the wire client is the decoded value.
+    // getRawUserInfo/getRawQuery keep '+' literal (URI semantics, not
+    // form encoding), so only %XX escapes decode.
+    def dec(v: String): String =
+      java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
+    val (user, pass) = Option(u.getRawUserInfo) match {
       case Some(ui) => ui.split(":", 2) match {
-        case Array(usr, pw) => (usr, pw)
-        case Array(usr) => (usr, "")
+        case Array(usr, pw) => (dec(usr), dec(pw))
+        case Array(usr) => (dec(usr), "")
       }
       case None => ("", "")
     }
-    val params = Option(u.getQuery).getOrElse("")
+    val params = Option(u.getRawQuery).getOrElse("")
       .split("&").filter(_.nonEmpty)
       .map(_.split("=", 2) match {
-        case Array(k, v) => k -> v
-        case Array(k) => k -> ""
+        case Array(k, v) => dec(k) -> dec(v)
+        case Array(k) => dec(k) -> ""
       }).toMap
     CaptureEndpoint(u.getScheme, u.getHost, u.getPort, user, pass,
       Option(u.getPath).getOrElse("").stripPrefix("/"), params)

@@ -326,8 +326,20 @@ final class MongoSocketSource(host: String, port: Int,
               "$db" -> BString(database)))
             val (nid, ndocs) = batch(reply, "nextBatch")
             cursorId = nid
-            if (ndocs.isEmpty) done = true // drained (one-pull shape)
-            else queue = ndocs.iterator
+            if (ndocs.isEmpty) {
+              done = true // drained (one-pull shape)
+              // the change-stream cursor is still live server-side:
+              // release it now rather than leak one per pump tick
+              // until the server's cursor reaper catches up
+              if (cursorId != 0L) {
+                try call(Bson.encode(
+                  "killCursors" -> BString("$cmd.aggregate"),
+                  "cursors" -> BArray(Seq(BInt64(cursorId))),
+                  "$db" -> BString(database)))
+                catch { case _: java.io.IOException => () }
+                cursorId = 0L
+              }
+            } else queue = ndocs.iterator
           }
         }
 

@@ -52,7 +52,9 @@ object MysqlWire {
 
   // --------------------------------------------------------- framing
 
-  /** Read one packet: (sequenceId, payload). None at clean EOF. */
+  /** Read one wire packet: (sequenceId, payload). None at clean EOF.
+    * A 0xFFFFFF-length payload is a CONTINUED packet — callers that
+    * can legally receive >16 MB payloads use [[readFullPacket]]. */
   def readPacket(in: DataInputStream): Option[(Int, Array[Byte])] = {
     val b0 = in.read()
     if (b0 < 0) return None
@@ -64,6 +66,27 @@ object MysqlWire {
     in.readFully(payload)
     Some((seq, payload))
   }
+
+  /** Read one LOGICAL packet, reassembling the protocol's 16 MB split:
+    * every 0xFFFFFF-byte fragment is followed by a continuation (the
+    * last one possibly empty) — a large binlog row event arrives this
+    * way and must not be fed to the decoder truncated. */
+  def readFullPacket(in: DataInputStream): Option[(Int, Array[Byte])] =
+    readPacket(in) match {
+      case Some((seq, first)) if first.length == MaxPacketBytes =>
+        val buf = new java.io.ByteArrayOutputStream(first.length * 2)
+        buf.write(first)
+        var more = true
+        while (more) readPacket(in) match {
+          case Some((_, frag)) =>
+            buf.write(frag)
+            more = frag.length == MaxPacketBytes
+          case None =>
+            throw new EOFException("mysql: EOF inside a split packet")
+        }
+        Some((seq, buf.toByteArray))
+      case other => other
+    }
 
   def writePacket(out: OutputStream, seq: Int,
       payload: Array[Byte]): Unit = {
@@ -324,12 +347,13 @@ final class MysqlSocketSource(
       .bytes)
 
     // ---- the event stream: 0x00-prefixed events until EOF/ERR
+    // (readFullPacket: a large row event spans 16 MB packet splits)
     new Iterator[Wire.MysqlItem] {
       private var nextEvent: Array[Byte] = _
       private var done = false
 
       @annotation.tailrec
-      private def advance(): Unit = readPacket(in) match {
+      private def advance(): Unit = readFullPacket(in) match {
         case None => done = true
         case Some((_, p)) if p.isEmpty => advance()
         case Some((_, p)) => (p(0) & 0xFF) match {

@@ -377,10 +377,21 @@ final class PgReplicationSource(
       }
     }
 
-    // ---- the COPY-both stream: XLogData out, status updates back
+    // ---- the COPY-both stream: XLogData out, status updates back.
+    // One-pull termination against a REAL server (logical replication
+    // never sends CopyDone on catch-up — it keepalives forever): the
+    // walEnd fields report the server's FLUSH HEAD, which equals the
+    // delivered maximum even mid-backlog, so position comparison
+    // cannot distinguish "caught up" from "streaming". The robust
+    // drain signal is a keepalive with NO XLogData since the previous
+    // keepalive — the stream went a full keepalive interval idle. A
+    // long-lived tailable consumer would keep reading instead; the
+    // continuous pump gets that by re-pulling every tick.
     new Iterator[(Long, Array[Byte])] {
       private var nextFrame: (Long, Array[Byte]) = _
       private var done = false
+      private var seenKeepalive = false
+      private var dataSinceKeepalive = false
 
       @annotation.tailrec
       private def advance(): Unit = readMessage(in) match {
@@ -392,12 +403,19 @@ final class PgReplicationSource(
           b.getLong(); b.getLong() // walEnd, serverTime: unused here
           val payload = new Array[Byte](b.remaining())
           b.get(payload)
+          dataSinceKeepalive = true
           nextFrame = (walStart, payload)
         case Some(('d', body)) if body.nonEmpty && body(0) == 'k' =>
           // keepalive: walEnd i64, serverTime i64, replyRequested u8
           if (body.length >= 18 && body(17) == 1)
             writeStatus(lastAck, replyRequested = false)
-          advance()
+          if (seenKeepalive && !dataSinceKeepalive)
+            done = true // idle for a whole keepalive interval: drained
+          else {
+            seenKeepalive = true
+            dataSinceKeepalive = false
+            advance()
+          }
         case Some(('c', _)) => done = true // CopyDone
         case Some(('E', body)) => fail(body)
         case Some(_) => advance() // notices etc.

@@ -24,9 +24,11 @@ import java.util.concurrent.atomic.AtomicLong
   * the server), so the proxy handles that prologue synchronously
   * before handing both directions to typed relay threads.
   *
-  * Accept loop and relays are daemon threads; [[stop]] closes the
-  * listener and every open conduit. One proxy serves many sequential
-  * or concurrent client connections.
+  * The accept loop, one thread per session, and the two per-session
+  * relay pumps are all daemon threads; a malformed or stalled session
+  * closes its own sockets without touching the listener or other
+  * sessions. [[stop]] closes the listener and every open conduit. One
+  * proxy serves many sequential or concurrent client connections.
   */
 object Switchboard {
   /** One relayed message: direction ("c2s"/"s2c"), the pgwire type
@@ -55,12 +57,24 @@ final class Switchboard(upstreamHost: String, upstreamPort: Int) {
         try {
           val client = server.accept()
           conns.add(client)
-          val up = new Socket(upstreamHost, upstreamPort)
-          conns.add(up)
-          relaySession(client, up)
+          // one thread per session: a stalled or malformed client must
+          // neither block other sessions nor kill the accept loop
+          val st = new Thread(() => {
+            try {
+              val up = new Socket(upstreamHost, upstreamPort)
+              conns.add(up)
+              relaySession(client, up)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                try client.close()
+                catch { case _: java.io.IOException => () }
+            }
+          }, "switchboard-session")
+          st.setDaemon(true)
+          st.start()
         } catch {
           case _: SocketException => () // listener closed
-          case _: java.io.IOException => ()
+          case scala.util.control.NonFatal(_) => ()
         }
       }
     }, "switchboard-accept")

@@ -309,6 +309,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           password = ep.password,
           serverId = ep.param("server_id", "1000").toLong,
           startFile = ep.param("start_file", "binlog.000001"),
+          startPos = ep.param("start_pos", "4").toLong,
           connectTimeoutMs = connectMs, readTimeoutMs = readMs)
         val (n, last) = graft.cdc.MysqlBinlogFiles.ingestFrom(src,
           cfg.walDir, afterCheckpoint = after)

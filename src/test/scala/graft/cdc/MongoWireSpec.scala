@@ -99,6 +99,24 @@ class MongoWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("abandoning a live cursor sends killCursors (no server-side " +
+    "cursor leak per pump tick)") {
+    val server = new ServerSocket(0)
+    try {
+      val sess = WireServers.serveMongo(server, Seq(streamDocs),
+        keepCursorOpen = true)
+      val src = new MongoSocketSource("127.0.0.1",
+        server.getLocalPort, database = "app")
+      val (n, _) = MongoStream.ingest(src, tmp("mgwire_kill"),
+        Seq("app.t"))
+      assert(n == 3)
+      val deadline = System.nanoTime + 5000000000L
+      while (sess.kills == 0 && System.nanoTime < deadline)
+        Thread.sleep(10)
+      assert(sess.kills == 1 && sess.getMores == 2)
+    } finally server.close()
+  }
+
   test("server error reply surfaces as a descriptive failure") {
     val server = new ServerSocket(0)
     try {

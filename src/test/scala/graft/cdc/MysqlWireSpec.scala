@@ -153,6 +153,33 @@ class MysqlWireSpec extends AnyFunSuite {
     assert(recovered == h1.toSeq)
   }
 
+  test("split packets reassemble: a 16MB+ logical payload arrives as " +
+    "0xFFFFFF fragments plus a remainder") {
+    val big = new Array[Byte](MaxPacketBytes + 5)
+    java.util.Arrays.fill(big, 0x61.toByte)
+    big(MaxPacketBytes + 4) = 0x7A
+    val bos = new java.io.ByteArrayOutputStream()
+    writePacket(bos, 0, java.util.Arrays.copyOf(big, MaxPacketBytes))
+    writePacket(bos, 1,
+      java.util.Arrays.copyOfRange(big, MaxPacketBytes, big.length))
+    // a small packet follows; reassembly must not consume it
+    writePacket(bos, 2, Array(0x0E.toByte))
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val Some((seq, whole)) = readFullPacket(in)
+    assert(seq == 0 && whole.length == big.length)
+    assert(whole(whole.length - 1) == 0x7A)
+    assert(readFullPacket(in).exists(_._2.sameElements(
+      Array(0x0E.toByte))))
+    // an exactly-16MB-1 payload is NOT continued
+    val bos2 = new java.io.ByteArrayOutputStream()
+    writePacket(bos2, 0, new Array[Byte](MaxPacketBytes - 1))
+    val in2 = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos2.toByteArray))
+    assert(readFullPacket(in2).exists(_._2.length ==
+      MaxPacketBytes - 1))
+  }
+
   test("scramble411 follows the documented double-SHA1 construction " +
     "and empty passwords send an empty token") {
     val seed = Array.tabulate(20)(_.toByte)

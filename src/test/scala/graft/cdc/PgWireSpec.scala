@@ -148,6 +148,31 @@ class PgWireSpec extends AnyFunSuite {
       "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
   }
 
+  test("caught-up drain: a real server never sends CopyDone — the " +
+    "pull ends on the keepalive whose walEnd is already delivered") {
+    val server = new ServerSocket(0)
+    try {
+      WireServers.servePg(server, "rep", "sekret", Seq(sessionFrames),
+        endWithKeepalive = true)
+      val src = new PgReplicationSource("127.0.0.1",
+        server.getLocalPort, user = "rep", password = "sekret",
+        readTimeoutMs = 5000)
+      val wal = tmp("pgwire_drainwal")
+      // must terminate (not hang to the read timeout) with all rows
+      val (n, lsn) = PgOutputFrames.ingestFrom(src, wal)
+      assert(n == 2 && lsn == 19L)
+    } finally server.close()
+  }
+
+  test("endpoint URLs percent-decode credentials and params") {
+    val ep = CaptureEndpoint.parse(
+      "pgwire://rep:p%40ss%3A1@h:5432/db?publication=a%26b")
+    assert(ep.user == "rep" && ep.password == "p@ss:1")
+    assert(ep.param("publication", "") == "a&b")
+    // '+' stays literal (URI percent-encoding, not form encoding)
+    assert(CaptureEndpoint.parse("mysql://u:a+b@h:1").password == "a+b")
+  }
+
   test("lsnText renders the documented hi/lo hex form") {
     assert(lsnText(0L) == "0/0")
     assert(lsnText(0x1A2B3C4DL) == "0/1A2B3C4D")

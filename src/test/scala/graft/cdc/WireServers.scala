@@ -34,7 +34,8 @@ object WireServers {
     * directions) instead of the MD5 challenge. */
   def servePg(server: ServerSocket, user: String, password: String,
       sessions: Seq[Seq[(Long, Array[Byte])]],
-      scram: Boolean = false): PgSession = {
+      scram: Boolean = false,
+      endWithKeepalive: Boolean = false): PgSession = {
     import PgWire._
     val sess = new PgSession
     val t = new Thread(() => sessions.foreach { frames =>
@@ -149,11 +150,17 @@ object WireServers {
             writeMessage(out, 'd', b.array())
           }
           val (head, tail) = frames.splitAt(frames.length / 2)
+          // the keepalive's walEnd is the server's FLUSH HEAD — more
+          // WAL is pending behind it, so a correct drain keeps reading
+          // (a walEnd at-or-below the delivered max means caught up)
+          val flushHead = frames
+            .map { case (l, p) => l + p.length }
+            .foldLeft(1L)(math.max)
           head.foreach { case (l, p) => xlog(l, p) }
           out.flush()
           writeMessage(out, 'd', ByteBuffer.allocate(18)
-            .put('k'.toByte).putLong(head.lastOption.map(_._1)
-              .getOrElse(0L)).putLong(nowPgMicros())
+            .put('k'.toByte).putLong(flushHead)
+            .putLong(nowPgMicros())
             .put(1.toByte).array())
           out.flush()
           var sawReply = false
@@ -164,7 +171,18 @@ object WireServers {
             case None => sawReply = true
           }
           tail.foreach { case (l, p) => xlog(l, p) }
-          writeMessage(out, 'c', Array.emptyByteArray)
+          if (endWithKeepalive) {
+            // a REAL caught-up server never sends CopyDone — it just
+            // keeps keepaliving; the client's drain rule ends the
+            // pull on the first keepalive with no data since the
+            // previous one (the second here)
+            (1 to 2).foreach { _ =>
+              writeMessage(out, 'd', ByteBuffer.allocate(18)
+                .put('k'.toByte).putLong(flushHead)
+                .putLong(nowPgMicros()).put(0.toByte).array())
+            }
+          } else
+            writeMessage(out, 'c', Array.emptyByteArray)
           out.flush()
           var open = true
           while (open) readMessage(in) match {
@@ -299,6 +317,7 @@ object WireServers {
     @volatile var helloSeen = false
     @volatile var commandJson = ""
     @volatile var getMores = 0
+    @volatile var kills = 0
   }
 
   /** Serve `sessions.length` sequential OP_MSG change-stream sessions;
@@ -307,7 +326,8 @@ object WireServers {
     * `failAggregate` to answer the aggregate with an error reply. */
   def serveMongo(server: ServerSocket,
       sessions: Seq[Seq[Bson.BDoc]],
-      failAggregate: Boolean = false): MongoSession = {
+      failAggregate: Boolean = false,
+      keepCursorOpen: Boolean = false): MongoSession = {
     import Bson.{BArray, BDoc, BDouble, BInt32, BInt64, BString}
     import MongoWire._
     val sess = new MongoSession
@@ -318,6 +338,7 @@ object WireServers {
           new BufferedInputStream(c.getInputStream))
         val out = c.getOutputStream
         val (head, tail) = events.splitAt((events.length + 1) / 2)
+        var gm = 0 // per-connection getMore count (sessions replay)
         var open = true
         while (open) readMsg(in) match {
           case None => open = false
@@ -345,11 +366,20 @@ object WireServers {
                   "ok" -> BDouble(1.0)))
               case "getMore" =>
                 sess.getMores += 1
+                gm += 1
+                // keepCursorOpen models a live tailable cursor: the
+                // batch drains but the cursor id stays valid, so the
+                // client must killCursors on abandoning the pull
+                val cid = if (keepCursorOpen) 77L else 0L
+                val nb = if (gm > 1) Nil else tail
                 reply(Bson.encode(
                   "cursor" -> BDoc(Seq(
-                    "id" -> BInt64(0L),
-                    "nextBatch" -> BArray(tail))),
+                    "id" -> BInt64(cid),
+                    "nextBatch" -> BArray(nb))),
                   "ok" -> BDouble(1.0)))
+              case "killCursors" =>
+                sess.kills += 1
+                reply(Bson.encode("ok" -> BDouble(1.0)))
               case _ =>
                 reply(Bson.encode("ok" -> BDouble(1.0)))
             }
