@@ -104,6 +104,29 @@ object Graft {
     functions.ZOrder.register(spark)
   }
 
+  /** Live replication clients — the socket transports behind
+    * `capture_dir` URLs, usable directly against the matching wire
+    * ingest loops ([[cdc.PgOutputFrames.ingestFrom]] /
+    * [[cdc.MysqlBinlogFiles.ingestFrom]] / [[cdc.MongoStream.ingest]]).
+    * A mirror normally reaches them via
+    * `CREATE MIRROR … capture_dir 'pgwire://…'` instead. */
+  def pgReplication(host: String, port: Int, user: String,
+      database: String, password: String, slot: String,
+      publication: String, startLsn: Long = 0L): cdc.Wire.PgSource =
+    new cdc.PgReplicationSource(host, port, user, database, password,
+      slot, publication, startLsn)
+
+  def mysqlReplication(host: String, port: Int, user: String,
+      password: String, serverId: Long = 1000L,
+      startFile: String = "binlog.000001",
+      startPos: Long = 4L): cdc.Wire.MysqlSource =
+    new cdc.MysqlSocketSource(host, port, user, password, serverId,
+      startFile, startPos)
+
+  def mongoChangeStream(host: String, port: Int,
+      database: String): cdc.Wire.MongoSource =
+    new cdc.MongoSocketSource(host, port, database)
+
   /** All declared queries: name → runner ((spark, sfDir) → DataFrame). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries
