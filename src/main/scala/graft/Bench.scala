@@ -46,13 +46,7 @@ object Bench {
         // The shared TokenStats stage is exempt — it is the one
         // deliberately cross-query materialization (a compact frame, the
         // local[] stand-in for a persisted corpus-stats table).
-        spark.sharedState.cacheManager.clearCache()
-        val keep = graft.queries.TokenStats.retainedIds ++
-          graft.queries.WireFixtures.retainedIds
-        spark.sparkContext.getPersistentRDDs
-          .foreach { case (id, rdd) =>
-            if (!keep.contains(id)) rdd.unpersist(blocking = false)
-          }
+        graft.queries.SharedStages.sweep(spark)
         name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

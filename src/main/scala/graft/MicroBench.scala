@@ -213,13 +213,7 @@ object MicroBench {
           // toRdd.count() like Bench: full-plan materialization, no
           // count-rewrite projection pruning.
           time(s"$name #$i")(fn(spark, sfDir).queryExecution.toRdd.count())
-          spark.sharedState.cacheManager.clearCache()
-          val keep = graft.queries.TokenStats.retainedIds ++
-            graft.queries.WireFixtures.retainedIds
-          spark.sparkContext.getPersistentRDDs
-            .foreach { case (id, rdd) =>
-              if (!keep.contains(id)) rdd.unpersist(blocking = false)
-            }
+          graft.queries.SharedStages.sweep(spark)
         }
       case "cdc" =>
         // End-to-end mirror throughput: WAL decode → raw staging append →

@@ -32,13 +32,7 @@ object Verify {
       // Free blocks the query pinned (localCheckpoint / persist) so the
       // 150+-query session doesn't accumulate dead block-manager memory.
       // The shared TokenStats stage survives the sweep (see Bench).
-      spark.sharedState.cacheManager.clearCache()
-      val keep = graft.queries.TokenStats.retainedIds ++
-        graft.queries.WireFixtures.retainedIds
-      spark.sparkContext.getPersistentRDDs
-        .foreach { case (id, rdd) =>
-          if (!keep.contains(id)) rdd.unpersist(blocking = false)
-        }
+      graft.queries.SharedStages.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

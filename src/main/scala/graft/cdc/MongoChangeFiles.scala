@@ -87,6 +87,7 @@ object MongoChangeFiles {
       advance()
       override def hasNext: Boolean = !done
       override def next(): (String, Array[Byte]) = {
+        if (done) throw new NoSuchElementException("event stream done")
         val e = nextEvent; advance(); e
       }
     }
@@ -102,25 +103,12 @@ object MongoChangeFiles {
       override def changes(pipelineJson: String,
           resume: Option[(String, String)])
           : Iterator[(String, Array[Byte])] = {
-        val dir = Paths.get(captureDir)
-        if (!Files.isDirectory(dir)) return Iterator.empty
-        import scala.jdk.CollectionConverters._
-        val files = Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".mongo"))
-          .toSeq.sortBy(_.getFileName.toString)
+        val files = Wire.listFiles(Paths.get(captureDir), ".mongo")
         files.iterator.flatMap { f =>
           val in = Files.newInputStream(f)
           open = Some(in)
-          val it = readEvents(in)
-          new Iterator[(String, Array[Byte])] {
-            private var closed = false
-            override def hasNext: Boolean = {
-              val h = !closed && it.hasNext
-              if (!h && !closed) { in.close(); closed = true; open = None }
-              h
-            }
-            override def next(): (String, Array[Byte]) = it.next()
-          }
+          Wire.closeOnExhaust(readEvents(in),
+            () => { in.close(); open = None })
         }
       }
       override def close(): Unit = { open.foreach(_.close()); open = None }

@@ -123,11 +123,26 @@ object MongoStream {
       pipelineChanged: Boolean = false,
       excludedOps: Seq[String] = Nil,
       destinationFor: String => String = identity,
-      segmentRecords: Int = 100000): (Long, String) = {
+      segmentRecords: Int = 100000,
+      previousTables: Option[Seq[String]] = None): (Long, String) = {
     import graft.model.ChangeRecord
     val pipe = pipeline(tables, excludedOps)
     val resume = resumeOption(afterTokenHex, pipelineChanged)
     val inPipe = tables.toSet
+    // The token-order guard dedups events REPLAYED by the
+    // operation-time fallback — but a collection newly ADDED to the
+    // scope has boundary-second events with tokens below the stored
+    // one that were never ingested (they were out of the old scope):
+    // those are exempt from the guard when the caller can say what the
+    // old scope was. Without that knowledge the guard stays global
+    // (conservative: dedup-safe, may lose the new collection's
+    // boundary second — the pre-reshape behavior).
+    val replayExempt: String => Boolean = previousTables match {
+      case Some(prev) if pipelineChanged =>
+        val prevSet = prev.toSet
+        src => !prevSet.contains(src)
+      case _ => _ => false
+    }
     val ready = scala.collection.mutable.ArrayBuffer.empty[ChangeRecord]
     var nextCp = math.max(ChangeLogWal.headCp(walDir), 0L) + 1
     var appended = 0L
@@ -140,9 +155,9 @@ object MongoStream {
       }
     try {
       source.changes(pipe, resume).foreach { case (token, bson) =>
-      val fresh = afterTokenHex.forall(a =>
+      val inOrder = afterTokenHex.forall(a =>
         TextCheckpoint.compareResumeTokens(token, a) > 0)
-      if (fresh) {
+      if (inOrder || pipelineChanged) {
         val els = Bson.elements(bson)
           .map(e => e._1 -> (e._2, e._3)).toMap
         val op = els.get("operationType")
@@ -162,7 +177,8 @@ object MongoStream {
           // the pipeline already $matches in-pipe tables server-side;
           // re-filter here so a transport that ignores the pipeline
           // (or a stale one) cannot leak foreign collections
-          if (inPipe.contains(src)) {
+          if (inPipe.contains(src) &&
+              (inOrder || replayExempt(src))) {
             val ctMicros = els.get("clusterTime")
               .map { case (_, v) => Bson.timestampOf(v)._1 * 1000000L }
               .getOrElse(0L)

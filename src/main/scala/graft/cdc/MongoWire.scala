@@ -256,6 +256,7 @@ final class MongoSocketSource(host: String, port: Int,
   override def changes(pipelineJson: String,
       resume: Option[(String, String)])
       : Iterator[(String, Array[Byte])] = {
+    close() // looping pulls must not leak the previous connection
     val s = new Socket()
     // a wedged server must never hang the capture pump (each getMore
     // answers promptly; the drain shape never tails an idle cursor)

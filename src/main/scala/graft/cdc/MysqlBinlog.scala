@@ -762,9 +762,11 @@ object MysqlBinlog {
   /** TIMEF encode, the exact my_time_packed_to_binary layout — pass a
     * negative `h` for negative times (m/s/micros stay non-negative
     * magnitudes). */
-  def fTime2(h: Int, m: Int, s: Int, micros: Long, fsp: Int)
-      : Array[Byte] = {
-    val neg = h < 0
+  /** `negative` covers the hour-zero range ('-00:30:00' is MySQL-legal
+    * but `h = 0` cannot carry the sign); `h < 0` implies it. */
+  def fTime2(h: Int, m: Int, s: Int, micros: Long, fsp: Int,
+      negative: Boolean = false): Array[Byte] = {
+    val neg = h < 0 || negative
     val hms = (math.abs(h).toLong << 12) | (m.toLong << 6) | s
     val n = (fsp + 1) / 2
     val fracAbs = if (n == 0) 0L else micros / math.pow(100, 3 - n).toLong

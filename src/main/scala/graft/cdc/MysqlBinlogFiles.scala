@@ -190,12 +190,7 @@ object MysqlBinlogFiles {
 
     override def items(afterCheckpoint: String)
         : Iterator[Wire.MysqlItem] = {
-      val dir = Paths.get(captureDir)
-      if (!Files.isDirectory(dir)) return Iterator.empty
-      import scala.jdk.CollectionConverters._
-      val files = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".binlog"))
-        .toSeq.sortBy(_.getFileName.toString)
+      val files = Wire.listFiles(Paths.get(captureDir), ".binlog")
       val state = statePath.map(readState).getOrElse(Map.empty)
       files.iterator.flatMap { f =>
         val stem = f.getFileName.toString.stripSuffix(".binlog")
@@ -209,20 +204,10 @@ object MysqlBinlogFiles {
         else {
           val in = Files.newInputStream(f)
           open = Some(in)
-          val it = readEvents(in)
           Iterator.single(Wire.MysqlFile(stem, sizeAtOpen)) ++
-            new Iterator[Wire.MysqlItem] {
-              private var closed = false
-              override def hasNext: Boolean = {
-                val h = !closed && it.hasNext
-                if (!h && !closed) {
-                  in.close(); closed = true; open = None
-                }
-                h
-              }
-              override def next(): Wire.MysqlItem =
-                Wire.MysqlEvent(it.next())
-            }
+            Wire.closeOnExhaust(
+              readEvents(in).map(Wire.MysqlEvent),
+              () => { in.close(); open = None })
         }
       }
     }
@@ -232,7 +217,13 @@ object MysqlBinlogFiles {
       newState(file) = (bytes, checkpointText)
 
     override def ack(checkpointText: String): Unit =
-      statePath.foreach(p => writeState(p, newState.toMap))
+      statePath.foreach { p =>
+        // MERGE over the stored state, never replace: a pass that saw
+        // no files (transient mount flap, empty dir) must not wipe the
+        // accumulated skip entries — that silently reverts the pump to
+        // O(total-capture-bytes) per tick until every file re-registers
+        if (newState.nonEmpty) writeState(p, readState(p) ++ newState)
+      }
 
     override def close(): Unit = { open.foreach(_.close()); open = None }
   }

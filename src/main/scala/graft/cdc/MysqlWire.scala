@@ -251,6 +251,7 @@ final class MysqlSocketSource(
 
   override def items(afterCheckpoint: String)
       : Iterator[Wire.MysqlItem] = {
+    close() // looping pulls must not leak the previous connection
     val s = new Socket()
     // a wedged server must never hang the capture pump (non-blocking
     // dump ends with EOF when caught up, so silence means death)

@@ -126,25 +126,12 @@ object PgOutputFrames {
   def fileSource(framesDir: String): Wire.PgSource = new Wire.PgSource {
     private var open: Option[InputStream] = None
     override def frames(): Iterator[(Long, Array[Byte])] = {
-      val dir = Paths.get(framesDir)
-      if (!Files.isDirectory(dir)) return Iterator.empty
-      import scala.jdk.CollectionConverters._
-      val files = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".pgout"))
-        .toSeq.sortBy(_.getFileName.toString)
+      val files = Wire.listFiles(Paths.get(framesDir), ".pgout")
       files.iterator.flatMap { f =>
         val in = Files.newInputStream(f)
         open = Some(in)
-        val it = readFrames(in)
-        new Iterator[(Long, Array[Byte])] {
-          private var closed = false
-          override def hasNext: Boolean = {
-            val h = !closed && it.hasNext
-            if (!h && !closed) { in.close(); closed = true; open = None }
-            h
-          }
-          override def next(): (Long, Array[Byte]) = it.next()
-        }
+        Wire.closeOnExhaust(readFrames(in),
+          () => { in.close(); open = None })
       }
     }
     override def close(): Unit = { open.foreach(_.close()); open = None }

@@ -28,6 +28,7 @@ final class PgSocketSource(host: String, port: Int) extends Wire.PgSource {
   private var sock: Option[Socket] = None
 
   override def frames(): Iterator[(Long, Array[Byte])] = {
+    close() // looping pulls must not leak the previous connection
     val s = new Socket(host, port)
     sock = Some(s)
     PgOutputFrames.readFrames(s.getInputStream)

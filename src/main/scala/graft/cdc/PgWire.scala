@@ -285,6 +285,7 @@ final class PgReplicationSource(
       s"pgwire error from $host:$port: ${errorMessage(body)}")
 
   override def frames(): Iterator[(Long, Array[Byte])] = {
+    close() // looping pulls must not leak the previous connection
     val s = new Socket()
     // a wedged server must never hang the capture pump: the pg server
     // keepalives well inside wal_sender_timeout, so a silent minute

@@ -18,6 +18,41 @@ import scala.collection.mutable
   */
 object Wire {
 
+  /** Name-sorted capture files under `dir` with `suffix`, with the
+    * directory stream CLOSED eagerly — `Files.list` holds an open
+    * directory fd until closed (full traversal does not release it),
+    * and a steady-state pump pass per tick would leak one each time.
+    * Shared by all three capture-file transports. */
+  def listFiles(dir: java.nio.file.Path, suffix: String)
+      : Seq[java.nio.file.Path] = {
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val stream = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(suffix))
+        .toSeq.sortBy(_.getFileName.toString)
+    } finally stream.close()
+  }
+
+  /** Wrap `it` so `onDone` runs exactly once when the iterator
+    * exhausts — the close-the-underlying-stream discipline all three
+    * capture-file transports share. (Early abandonment is covered by
+    * the transports' `close()`, which closes the tracked stream.) */
+  def closeOnExhaust[A](it: Iterator[A], onDone: () => Unit)
+      : Iterator[A] = new Iterator[A] {
+    private var closed = false
+    override def hasNext: Boolean = {
+      val h = !closed && it.hasNext
+      if (!h && !closed) { closed = true; onDone() }
+      h
+    }
+    override def next(): A = {
+      if (closed) throw new NoSuchElementException("stream done")
+      it.next()
+    }
+  }
+
   // ------------------------------------------------------------------- PG
 
   /** PG logical-replication transport: XLogData frames. */

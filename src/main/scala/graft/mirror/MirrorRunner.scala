@@ -246,26 +246,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         case "mongo" =>
           val after = graft.util.FsText.read(offsetPath, hadoopConf)
             .getOrElse("")
-          val tables =
-            if (cfg.captureTables.nonEmpty) cfg.captureTables
-            else cfg.tableSet.keys.toSeq.sorted
-          // the operational ResumeAfter-vs-operation-time decision: the
-          // stored pipeline text is the watch scope the token was taken
-          // under — any reshape (tables added/removed) flips the resume
-          // to the token's cluster time (MongoStream.resumeOption)
-          val pipePath = s"${cfg.checkpointDir}/_capture_pipeline"
-          val pipe = graft.cdc.MongoStream.pipeline(tables)
-          val changed = graft.util.FsText.read(pipePath, hadoopConf)
-            .exists(_ != pipe)
-          val (n, last) = graft.cdc.MongoStream.ingest(
-            graft.cdc.MongoChangeFiles.fileSource(dir), cfg.walDir,
-            tables,
-            afterTokenHex = Option(after).filter(_.nonEmpty),
-            pipelineChanged = changed)
-          graft.util.FsText.write(pipePath, pipe, hadoopConf)
-          if (last != after && last.nonEmpty)
-            graft.util.FsText.write(offsetPath, last, hadoopConf)
-          n
+          ingestMongo(graft.cdc.MongoChangeFiles.fileSource(dir),
+            after, offsetPath)
         case other => throw new IllegalArgumentException(
           s"unknown capture format '$other' (pgoutput|binlog|mongo)")
       }
@@ -319,31 +301,52 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       case "mongo" =>
         val after = graft.util.FsText.read(offsetPath, hadoopConf)
           .getOrElse("")
-        val tables =
-          if (cfg.captureTables.nonEmpty) cfg.captureTables
-          else cfg.tableSet.keys.toSeq.sorted
-        // same ResumeAfter-vs-operation-time decision as the
-        // change-file path: a reshaped watch scope invalidates the
-        // stored token server-side, so resume flips to its timestamp
-        val pipePath = s"${cfg.checkpointDir}/_capture_pipeline"
-        val pipe = graft.cdc.MongoStream.pipeline(tables)
-        val changed = graft.util.FsText.read(pipePath, hadoopConf)
-          .exists(_ != pipe)
         val src = new graft.cdc.MongoSocketSource(ep.host, ep.port,
           database =
             if (ep.database.isEmpty) "admin" else ep.database,
           connectTimeoutMs = connectMs, readTimeoutMs = readMs)
-        val (n, last) = graft.cdc.MongoStream.ingest(src, cfg.walDir,
-          tables,
-          afterTokenHex = Option(after).filter(_.nonEmpty),
-          pipelineChanged = changed)
-        graft.util.FsText.write(pipePath, pipe, hadoopConf)
-        if (last != after && last.nonEmpty)
-          graft.util.FsText.write(offsetPath, last, hadoopConf)
-        n
+        ingestMongo(src, after, offsetPath)
       case other => throw new IllegalArgumentException(
         s"unknown capture endpoint scheme '$other' (pgwire|mysql|mongo)")
     }
+  }
+
+  /** Shared Mongo capture pass (files or socket): the
+    * ResumeAfter-vs-operation-time decision from the PERSISTED watch
+    * scope, the new-collection replay exemption, and the offset+scope
+    * persisted TOGETHER only when the token advances — the stored
+    * scope must remain the one the stored token was taken under (a
+    * scope written eagerly after a no-progress pass would silently
+    * disarm the reshape fallback forever). Legacy checkpoints stored
+    * the pipeline JSON; they are honored read-only (conservative
+    * global replay guard) and upgraded on the next advance. */
+  private def ingestMongo(source: graft.cdc.Wire.MongoSource,
+      after: String, offsetPath: String): Long = {
+    val tables =
+      if (cfg.captureTables.nonEmpty) cfg.captureTables
+      else cfg.tableSet.keys.toSeq.sorted
+    val pipePath = s"${cfg.checkpointDir}/_capture_pipeline"
+    val pipe = graft.cdc.MongoStream.pipeline(tables)
+    val (changed, prevTables) =
+      graft.util.FsText.read(pipePath, hadoopConf) match {
+        case None => (false, None)
+        case Some(txt) if txt.startsWith("[") => // legacy pipeline JSON
+          (txt != pipe, None)
+        case Some(txt) =>
+          val prev = txt.split("\n").filter(_.nonEmpty).toSeq
+          (prev != tables, Some(prev))
+      }
+    val (n, last) = graft.cdc.MongoStream.ingest(source, cfg.walDir,
+      tables,
+      afterTokenHex = Option(after).filter(_.nonEmpty),
+      pipelineChanged = changed,
+      previousTables = prevTables)
+    if (last != after && last.nonEmpty) {
+      graft.util.FsText.write(offsetPath, last, hadoopConf)
+      graft.util.FsText.write(pipePath, tables.mkString("\n"),
+        hadoopConf)
+    }
+    n
   }
 
   /** Run until the WAL is drained (Trigger.AvailableNow), blocking.

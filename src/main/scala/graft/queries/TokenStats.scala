@@ -203,3 +203,19 @@ object TokenStats {
     uni = None; bi = None; sh3 = None; win = None
   }
 }
+
+/** The between-queries block sweep shared by Bench / MicroBench /
+  * Verify: free every persisted block EXCEPT the deliberately shared
+  * stages ([[TokenStats]] memos + [[WireFixtures]] capture bytes).
+  * One definition, so adding a new shared stage cannot silently be
+  * forgotten in one of the three harnesses (a missed keep-set entry
+  * evicts the stage mid-session and it silently rebuilds per query). */
+object SharedStages {
+  def sweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    val keep = TokenStats.retainedIds ++ WireFixtures.retainedIds
+    spark.sparkContext.getPersistentRDDs.foreach { case (_id, rdd) =>
+      if (!keep.contains(_id)) rdd.unpersist(blocking = false)
+    }
+  }
+}

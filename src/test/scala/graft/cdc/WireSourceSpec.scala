@@ -186,6 +186,39 @@ class WireSourceSpec extends AnyFunSuite {
     assert(rows.map(_(9)) == Seq(tok(100, 1), tok(100, 2), tok(101, 1)))
   }
 
+  test("reshape fallback keeps the boundary-second events of a NEWLY " +
+    "added collection while deduping replays of the old scope") {
+    val log = Seq(
+      (tok(100, 1), 100L,
+        changeEvent("insert", "app", "t", 1L,
+          Seq("name" -> BString("a")), 100L)),
+      // the new collection's event sits BELOW the stored token — it
+      // was never ingested (out of the old scope) and must survive
+      (tok(100, 2), 100L,
+        changeEvent("insert", "app", "u", 7L,
+          Seq("name" -> BString("n")), 100L)),
+      (tok(100, 3), 100L, // the stored-token event (old scope replay)
+        changeEvent("update", "app", "t", 1L,
+          Seq("name" -> BString("a2")), 100L)),
+      (tok(101, 1), 101L,
+        changeEvent("insert", "app", "t", 2L,
+          Seq("name" -> BString("b")), 101L)))
+    // scope reshaped app.t -> app.t + app.u; fallback replays ct >= 100
+    val src = new Wire.MongoLoopback(log)
+    val (n, last) = MongoStream.ingest(src, tmp("wire_mg_new"),
+      Seq("app.t", "app.u"), afterTokenHex = Some(tok(100, 3)),
+      pipelineChanged = true,
+      previousTables = Some(Seq("app.t")))
+    assert(n == 2 && last == tok(101, 1)) // app.u boundary + fresh app.t
+    // without old-scope knowledge the guard stays global (dedup-safe,
+    // pre-reshape behavior): the app.u boundary event is dropped
+    val src2 = new Wire.MongoLoopback(log)
+    val (n2, _) = MongoStream.ingest(src2, tmp("wire_mg_new2"),
+      Seq("app.t", "app.u"), afterTokenHex = Some(tok(100, 3)),
+      pipelineChanged = true)
+    assert(n2 == 1)
+  }
+
   test("Mongo resume: resumeAfter delivers strictly after the token; " +
     "a reshaped pipeline falls back to operation time and the token " +
     "guard dedups the replayed boundary events") {
