@@ -505,6 +505,53 @@ object PipelineQueries {
       "embedding", k = 16, iters = 3, nProbe = 4, topK = 10,
       queryId = 0L)))
 
+  /** IVF index-health audit: per-cell population and load factor. A
+    * skewed IVF cell is the quiet production killer at 100 TB — the hot
+    * cell blows per-probe latency AND skews every cluster-keyed join
+    * downstream (SemDeDup's within-cluster pairs are quadratic in cell
+    * size, q_ann_batch's per-cluster fan-out follows the cell counts) —
+    * so the balance table is the gate an index rebuild must pass before
+    * it ships. load_pm is the cell's population × k normalized per
+    * mille: 1000 = perfectly balanced, k·1000 = everything in one cell.
+    * Training is the shared shuffle-free treeAggregate, assignment is
+    * the codegen'd map-side expression; the aggregate ships k rows and
+    * the load window runs over those k rows on one partition — the scan
+    * itself never shuffles. Empty cells report zero via a k-row
+    * generated spine (an invisible empty cell is exactly the imbalance
+    * signal's dual — both engines must show it). */
+  val ivfBalance = GraftQuery(
+    "q_ivf_balance",
+    "IVF cell-size balance audit: per-cell count + load per mille",
+    (s, dir) => {
+      import graft.functions.Ivf
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .select("vec_id", "qe")
+        .localCheckpoint(true)
+      val centroids = Ivf.trainQuantized(e, "vec_id", "qe", k = 16)
+      val counts = e
+        .withColumn("cid", Ivf.assignQuantized(col("qe"), centroids))
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      val spine = s.range(0, 16).select(col("id").cast("int").as("cid"))
+      spine.join(counts, Seq("cid"), "left")
+        .select(col("cid").as("ivf_cluster"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+        .withColumn("load_pm",
+          expr("n_vecs * 16000 DIV sum(n_vecs) OVER ()"))
+        .orderBy("ivf_cluster")
+    },
+    Some(s"""WITH ${graft.functions.Ivf.trainAssignCtes("embeddings",
+               "vec_id", "embedding", k = 16, iters = 3)},
+            |cnt AS (SELECT cid, count(*) AS n_vecs FROM fin GROUP BY 1)
+            |SELECT CAST(s.cid AS INT) AS ivf_cluster,
+            |  CAST(COALESCE(cnt.n_vecs, 0) AS BIGINT) AS n_vecs,
+            |  COALESCE(cnt.n_vecs, 0) * 16000 //
+            |    CAST(sum(COALESCE(cnt.n_vecs, 0)) OVER () AS BIGINT)
+            |    AS load_pm
+            |FROM generate_series(0, 15) AS s(cid)
+            |LEFT JOIN cnt ON cnt.cid = s.cid
+            |ORDER BY ivf_cluster""".stripMargin))
+
   /** ANN QUALITY measurement: which of the exact (brute-force) cosine
     * top-10 does the probed IVF search recover? One row per exact-top-10
     * rank with found ∈ {0,1}; sum(found)/10 is recall@10. At 100 TB this
@@ -625,6 +672,93 @@ object PipelineQueries {
            |  CAST(CASE WHEN sq.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
            |    AS found
            |FROM ref LEFT JOIN sq USING (vec_id)
+           |ORDER BY rank""".stripMargin))
+
+  /** Matryoshka truncated-dimension retrieval quality (MRL, Kusupati et
+    * al. 2022): nested-representation embeddings let a first-pass index
+    * score only the PREFIX of each vector — here the first 16 of 64
+    * dims, a 4× cut in scan bandwidth and index memory, which at 100 TB
+    * is the difference between an in-RAM and an on-disk index. This
+    * production shape is FUNNEL retrieval (retrieve-then-re-rank): the
+    * 16-dim pass shortlists 50 candidates, the full 64-dim dot re-ranks
+    * only the shortlist — full vectors are touched for 50 rows however
+    * big the corpus. (A plain truncated top-10 with no re-rank measures
+    * 2/10 here and the funnel 5/10: random unit vectors are
+    * truncation-adversarial — a prefix carries only 16/64 of the energy
+    * with nothing concentrated into it by Matryoshka training — so the
+    * audit's verdict on THIS corpus is correctly "unsafe", which is
+    * exactly what the query is for.)
+    * Per full-dimension top-10 rank: does the funnel recover it? Both
+    * orderings are exact integer dot products (11-bit quantized) with a
+    * vec_id tiebreak — zero FP, the oracle replays bit-for-bit. The
+    * truncation is a `slice` on the already-quantized column: no second
+    * quantization pass, and the sliced dot is the same fused codegen
+    * loop over a shorter array. */
+  val annMrlRecall = GraftQuery(
+    "q_ann_mrl",
+    "Matryoshka funnel (16-dim shortlist-50, 64-dim re-rank) recall@10",
+    (s, dir) => {
+      import graft.functions.QuantizedExprs
+      val e = embs(s, dir)
+        .withColumn("q11", Similarity.quantize(col("embedding")))
+        .withColumn("m16", slice(col("q11"), 1, 16))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("q11").as("qq11"), col("m16").as("qm16"))
+      def topBy(base: DataFrame, qe: Column, qq: Column, k: Int) =
+        base.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("dot", QuantizedExprs.intDot(qe, qq))
+          .orderBy(col("dot").desc, col("vec_id")) // TakeOrderedAndProject
+          .limit(k)
+      val ref = graft.operators.GlobalRank.withRowNumber(
+          topBy(e, col("q11"), col("qq11"), 10),
+          Seq(col("dot").desc, col("vec_id")), rnCol = "rank",
+          numPartitions = 1)
+        .select(col("rank"), col("vec_id"))
+      val shortlist = topBy(e, col("m16"), col("qm16"), 50)
+        .select("vec_id", "q11")
+      val mrl = topBy(shortlist, col("q11"), col("qq11"), 10)
+        .select(col("vec_id").as("mrl_vec_id"))
+      ref.join(broadcast(mrl), col("vec_id") === col("mrl_vec_id"),
+          "left")
+        .select(col("rank"), col("vec_id"),
+          when(col("mrl_vec_id").isNull, 0).otherwise(1).as("found"))
+        .orderBy("rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q11
+           |  FROM embeddings),
+           |q AS (SELECT q11 AS qq11 FROM e WHERE vec_id = 0),
+           |ref AS (
+           |  SELECT rank, vec_id FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY
+           |        list_sum(list_transform(generate_series(1, len(e.q11)),
+           |          i -> e.q11[i] * q.qq11[i])) DESC, e.vec_id) AS rank,
+           |      e.vec_id
+           |    FROM e, q WHERE e.vec_id <> 0)
+           |  WHERE rank <= 10),
+           |shortlist AS (
+           |  SELECT vec_id FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY
+           |        list_sum(list_transform(generate_series(1, 16),
+           |          i -> e.q11[i] * q.qq11[i])) DESC, e.vec_id) AS rank,
+           |      e.vec_id
+           |    FROM e, q WHERE e.vec_id <> 0)
+           |  WHERE rank <= 50),
+           |mrl AS (
+           |  SELECT vec_id FROM (
+           |    SELECT ROW_NUMBER() OVER (ORDER BY
+           |        list_sum(list_transform(generate_series(1, len(e.q11)),
+           |          i -> e.q11[i] * q.qq11[i])) DESC, e.vec_id) AS rank,
+           |      e.vec_id
+           |    FROM e JOIN shortlist USING (vec_id), q)
+           |  WHERE rank <= 10)
+           |SELECT ref.rank, ref.vec_id,
+           |  CAST(CASE WHEN mrl.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+           |    AS found
+           |FROM ref LEFT JOIN mrl USING (vec_id)
            |ORDER BY rank""".stripMargin))
 
   /** Product-quantization retrieval with exact re-ranking (the IVFADC+R
@@ -1007,6 +1141,84 @@ object PipelineQueries {
             |  coalesce(n_hit, CAST(0 AS BIGINT)) * 1000 // n_grams AS hit_pm
             |FROM tot LEFT JOIN hit USING (doc_id)
             |ORDER BY doc_id""".stripMargin))
+
+  /** Embedding-space decontamination — the SEMANTIC flavor of the
+    * benchmark-overlap audit (q_decontaminate is exact doc-hash,
+    * q_contamination_ngram is 13-gram surface overlap; paraphrased or
+    * reformatted eval leakage evades both, which is why modern decks
+    * audit in embedding space too). The benchmark set (vec_id % 50 = 0
+    * stands in for "the eval suite's embeddings") is SMALL BY
+    * CONSTRUCTION — benchmarks are thousands of rows, not billions — so
+    * it collects to the driver and rides a codegen'd
+    * [[NearestCentroidExpr]] as the "centroid" matrix: every corpus
+    * vector gets its L2-nearest benchmark vector assigned map-side at
+    * scan speed, ZERO shuffle over the corpus, and only a |eval|-row
+    * broadcast join recovers the matched benchmark's vector for the
+    * cosine gate. (A large eval set would use the IVF probe path of
+    * q_ann_ivf instead.) Semantics: nearest benchmark by integer L2
+    * over 11-bit quantized vectors (ties to the lowest eval_id — the
+    * matrix is eval_id-ordered and nearestIdx ties low), then flag
+    * contaminated when cosine ≥ 0.25 against THAT neighbor via the
+    * all-integer predicate dot ≥ 0 ∧ 16·dot² ≥ |a|²·|b|². Every train
+    * vector emits a row — self-validating on a clean corpus. */
+  val contaminationSemantic = GraftQuery(
+    "q_contamination_semantic",
+    "embedding-cosine decontamination vs a broadcast benchmark set",
+    (s, dir) => {
+      import graft.functions.{Ivf, QuantizedExprs}
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+      // bounded driver-side collect: the benchmark embedding set
+      val evals = e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "qe").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      val evalDf = {
+        import s.implicits._
+        evals.zipWithIndex
+          .map { case ((id, qe), i) => (i, id, qe.toSeq) }.toSeq
+          .toDF("best_idx", "best_eval", "eval_qe")
+      }
+      e.filter(col("vec_id") % 50 =!= 0)
+        .withColumn("best_idx",
+          Ivf.assignQuantized(col("qe"), evals.map(_._2)))
+        .join(broadcast(evalDf), "best_idx")
+        .withColumn("dot", QuantizedExprs.intDot(col("qe"), col("eval_qe")))
+        .withColumn("na", QuantizedExprs.intDot(col("qe"), col("qe")))
+        .withColumn("nb",
+          QuantizedExprs.intDot(col("eval_qe"), col("eval_qe")))
+        .select(col("vec_id"), col("best_eval"),
+          (col("na") + col("nb") - lit(2L) * col("dot")).as("d2"),
+          when(col("dot") >= 0 &&
+              lit(16L) * col("dot") * col("dot") >= col("na") * col("nb"),
+            1).otherwise(0).as("contaminated"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x ->
+            |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+            |  FROM embeddings),
+            |ev AS (SELECT vec_id AS eval_id, qe AS eqe FROM e
+            |       WHERE vec_id % 50 = 0),
+            |scored AS (
+            |  SELECT tr.vec_id, ev.eval_id,
+            |    ${graft.functions.Ivf.l2Sql("tr.qe", "ev.eqe")} AS d2,
+            |    list_sum(list_transform(generate_series(1, len(tr.qe)),
+            |      i -> tr.qe[i] * ev.eqe[i])) AS dot,
+            |    list_sum(list_transform(tr.qe, x -> x * x)) AS na,
+            |    list_sum(list_transform(ev.eqe, x -> x * x)) AS nb
+            |  FROM e tr, ev WHERE tr.vec_id % 50 <> 0),
+            |best AS (
+            |  SELECT * FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id
+            |      ORDER BY d2, eval_id) AS rn
+            |    FROM scored) WHERE rn = 1)
+            |SELECT vec_id, eval_id AS best_eval,
+            |  CAST(d2 AS BIGINT) AS d2,
+            |  CAST(CASE WHEN dot >= 0 AND 16 * dot * dot >= na * nb
+            |    THEN 1 ELSE 0 END AS INT) AS contaminated
+            |FROM best ORDER BY vec_id""".stripMargin))
 
   /** Exact duplicated-substring audit — the suffix-array dedup of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -1517,8 +1729,10 @@ object PipelineQueries {
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
-    contaminationNgram, dedupSubstring,
+    ivfBalance,
+    contaminationNgram, contaminationSemantic, dedupSubstring,
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
-    annSqRecall, annPqRecall, annIvfPq, topicCluster, annBatch, semanticMix,
+    annSqRecall, annMrlRecall, annPqRecall, annIvfPq, topicCluster,
+    annBatch, semanticMix,
     dedupContainment, fuzzyJoin)
 }
