@@ -244,21 +244,47 @@ object AnalyticsQueries {
   /** Quartile profile per order priority — interpolated percentiles made
     * integer-exact: for integer cents the interpolation fraction is a
     * multiple of 1/4, so 4×quantile is an exact integer in double
-    * arithmetic (values ≤ 2.4e8 ≪ 2^53) in both engines. */
+    * arithmetic (values ≤ 2.4e8 ≪ 2^53) in both engines.
+    *
+    * Computed as rank-position arithmetic over ONE per-group sort
+    * instead of Spark's `percentile` aggregate: percentile is a
+    * TypedImperativeAggregate — an ObjectHashAggregate holding a
+    * value→count map per group OUTSIDE whole-stage codegen (measured
+    * 0.89 s vs 0.02 s DuckDB at sf0.1) — while the window form is a
+    * plain shuffle+sort with codegen'd projections: for percentile p
+    * at group size n, pos4 = 4p·(n−1) splits into an anchor row
+    * lo = pos4 DIV 4 + 1 and fraction f4 = pos4 % 4, and
+    * 4·quantile = (4−f4)·v[lo] + f4·v[lo+1] — a two-row weighted sum
+    * the final aggregate picks out of the ranked frame. Same shape
+    * scales to any group count; a single global sort never happens. */
   val quartiles = GraftQuery(
     "q_quartiles",
     "per-priority order-value quartiles (exact ×4 integer encoding)",
-    (s, dir) => t(s, dir, "orders")
-      .select(col("o_orderpriority").as("prio"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
-          .as("price_c"))
-      .groupBy("prio")
-      .agg(
-        expr("CAST(percentile(price_c, 0.25D) * 4 AS BIGINT)").as("p25_x4"),
-        expr("CAST(percentile(price_c, 0.5D) * 4 AS BIGINT)").as("p50_x4"),
-        expr("CAST(percentile(price_c, 0.75D) * 4 AS BIGINT)").as("p75_x4"),
-        count(lit(1)).as("cnt"))
-      .orderBy("prio"),
+    (s, dir) => {
+      val w = Window.partitionBy("prio").orderBy("price_c")
+      val wn = Window.partitionBy("prio")
+      // (a broadcast count-join instead of the second window measured
+      // WORSE — the extra aggregate job outweighs a frame pass that
+      // rides the sort the ranking window already paid for)
+      val ranked = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("price_c"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      def qx4(p4: Int, as: String) = {
+        // pos4 = p4·(n−1); anchor = pos4 DIV 4 + 1; f4 = pos4 % 4
+        val lo = expr(s"((n - 1) * $p4) DIV 4 + 1")
+        val f4 = expr(s"((n - 1) * $p4) % 4")
+        sum(when(col("rn") === lo, (lit(4L) - f4) * col("price_c"))
+          .when(col("rn") === lo + 1, f4 * col("price_c"))
+          .otherwise(0L)).as(as)
+      }
+      ranked.groupBy("prio")
+        .agg(qx4(1, "p25_x4"), qx4(2, "p50_x4"), qx4(3, "p75_x4"),
+          count(lit(1)).as("cnt"))
+        .orderBy("prio")
+    },
     Some("""SELECT o_orderpriority AS prio,
            |  CAST(quantile_cont(pc, 0.25) * 4 AS BIGINT) AS p25_x4,
            |  CAST(quantile_cont(pc, 0.5) * 4 AS BIGINT) AS p50_x4,
@@ -485,18 +511,31 @@ object AnalyticsQueries {
   val approxDistinct = GraftQuery(
     "q_approx_distinct",
     "HLL distinct estimates validated against exact counts (±15%)",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(countDistinct("l_suppkey").as("nd_supp"),
-        countDistinct("l_partkey").as("nd_part"),
-        approx_count_distinct("l_suppkey", 0.05).as("a_supp"),
-        approx_count_distinct("l_partkey", 0.05).as("a_part"))
-      .select(col("l_returnflag"), col("nd_supp"), col("nd_part"),
-        when(abs(col("a_supp") - col("nd_supp")) * 100
-          <= col("nd_supp") * 15, 1).otherwise(0).as("supp_ok"),
-        when(abs(col("a_part") - col("nd_part")) * 100
-          <= col("nd_part") * 15, 1).otherwise(0).as("part_ok"))
-      .orderBy("l_returnflag"),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // Two exact distincts + two sketches in ONE groupBy would plan an
+      // Expand ×3 — every input row shipped three times through the
+      // aggregate. Split instead: each exact distinct is a (flag, key)
+      // pre-aggregate whose map-side partial dedup ships only the
+      // distinct pairs (|flags|×|keys|, not |rows|), the sketches keep
+      // their own single no-expand pass, and the three |flags|-row
+      // results broadcast-join back together.
+      val ap = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_suppkey", 0.05).as("a_supp"),
+          approx_count_distinct("l_partkey", 0.05).as("a_part"))
+      def nd(key: String, as: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      nd("l_suppkey", "nd_supp")
+        .join(nd("l_partkey", "nd_part"), "l_returnflag")
+        .join(ap, "l_returnflag")
+        .select(col("l_returnflag"), col("nd_supp"), col("nd_part"),
+          when(abs(col("a_supp") - col("nd_supp")) * 100
+            <= col("nd_supp") * 15, 1).otherwise(0).as("supp_ok"),
+          when(abs(col("a_part") - col("nd_part")) * 100
+            <= col("nd_part") * 15, 1).otherwise(0).as("part_ok"))
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
            |  count(DISTINCT l_suppkey) AS nd_supp,
            |  count(DISTINCT l_partkey) AS nd_part,

@@ -311,9 +311,14 @@ object LayoutQueries {
     "per-file split-block Bloom index: files touched vs min/max scan",
     (s, dir) => {
       val li = Tables(s, dir, "lineitem")
-      val mx = li.agg(max("l_orderkey").as("mok"))
-      val rows = li.crossJoin(broadcast(mx))
-        .select(expr("CAST((l_orderkey * 64) DIV (mok + 1) AS INT)")
+      // Bounded driver-side scalar (one max), NOT a crossJoin subquery:
+      // three consumers re-derive the row frame below, and each would
+      // re-run the max job. Re-scanning the 2-column pushed-down
+      // projection per consumer is the scalable choice (pinning the
+      // frame would hold O(corpus) blocks); re-running the max is not.
+      val mok = li.agg(max("l_orderkey")).head().getLong(0)
+      val rows = li
+        .select(expr(s"CAST((l_orderkey * 64) DIV (${mok} + 1) AS INT)")
           .as("file_id"), col("l_partkey").as("pk"))
       val bloom = rows
         .withColumn("h1", expr("(pk * 2654435761 + 97) % 4032"))
@@ -346,7 +351,9 @@ object LayoutQueries {
       val mmCnt = keys.select("k").join(broadcast(st),
           col("k") >= col("mn") && col("k") <= col("mxp"))
         .groupBy("k").agg(count(lit(1)).as("files_minmax"))
-      val tot = rows.agg(countDistinct("file_id").as("total_files"))
+      // distinct file_ids == the per-file stats rows — count those 64
+      // instead of a fourth distinct pass over the row frame
+      val tot = st.agg(count(lit(1)).as("total_files"))
       keys.select("k")
         .join(trueCnt, Seq("k"), "left")
         .join(bloomCnt, Seq("k"), "left")
