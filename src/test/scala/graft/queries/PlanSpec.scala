@@ -148,4 +148,38 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 0,
       s"chunking must not hash-shuffle:\n${plan.take(3000)}")
   }
+
+  test("quartiles run as codegen window+agg — the ObjectHashAggregate " +
+    "percentile map stays out of the plan") {
+    val plan = planOf(AnalyticsQueries.quartiles)
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("double-distinct sketch validation plans WITHOUT Expand " +
+    "(no 3x row replication through the aggregate)") {
+    val plan = planOf(AnalyticsQueries.approxDistinct)
+    assert(!plan.contains("Expand"), plan.take(3000))
+  }
+
+  test("semantic decontamination: corpus path never hash-shuffles — " +
+    "benchmark set broadcasts, assignment is map-side") {
+    val plan = planOf(PipelineQueries.contaminationSemantic)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"corpus must not hash-shuffle:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("MRL funnel: both retrieval passes are TakeOrderedAndProject " +
+    "top-k, never a single-partition global sort of the corpus") {
+    val plan = planOf(PipelineQueries.annMrlRecall)
+    val topk = plan.linesIterator.count(
+      _.contains("TakeOrderedAndProject"))
+    assert(topk >= 2, s"expected shortlist+ref top-k:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
