@@ -305,6 +305,72 @@ object CorpusQueries {
            |SELECT doc_id, rk, w, tf, score FROM sc
            |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
 
+  /** Tokenizer fertility audit per language — the table you read before
+    * committing a tokenizer to a multilingual corpus: how many
+    * subword-ish tokens the pre-tokenizer yields per whitespace word
+    * (fertility) and how many characters ride in each token, per
+    * declared language. High fertility on one language means its text
+    * costs disproportionate sequence length — the signal that drives
+    * per-language mixing and tokenizer retraining decisions. Pure
+    * map-side column math + a |langs|-row aggregate; integer per-mille
+    * ratios so both engines agree exactly. */
+  val tokenizerFertility = GraftQuery(
+    "q_tokenizer_fertility",
+    "per-language tokenizer fertility + chars-per-token audit",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("lang"),
+        size(TF.words(col("text"))).cast("long").as("ws"),
+        TF.regexTokenCount(col("text")).cast("long").as("re"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"), sum("re").as("re_tokens"),
+        sum("chars").as("n_chars"))
+      .withColumn("fert_pm",
+        expr("re_tokens * 1000 DIV ws_tokens"))
+      .withColumn("chars_per_tok_x100",
+        expr("n_chars * 100 DIV ws_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(re) AS BIGINT) AS re_tokens,
+           |  CAST(sum(chars) AS BIGINT) AS n_chars,
+           |  CAST(sum(re) AS BIGINT) * 1000 //
+           |    CAST(sum(ws) AS BIGINT) AS fert_pm,
+           |  CAST(sum(chars) AS BIGINT) * 100 //
+           |    CAST(sum(ws) AS BIGINT) AS chars_per_tok_x100
+           |FROM (SELECT lang,
+           |        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+           |        CAST(len(regexp_extract_all(text, '[a-z]+'))
+           |          AS BIGINT) AS re,
+           |        CAST(length(text) AS BIGINT) AS chars
+           |      FROM documents)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Duplicate-cluster size distribution — the one-line audit of how a
+    * corpus duplicates (RefinedWeb/FineWeb publish exactly this table):
+    * most clusters must be singletons; a fat tail of large clusters
+    * means boilerplate or a crawler loop. Two hash aggregates (content
+    * hash → copies, copies → cluster count), each with map-side
+    * partials; the second input is one row per DISTINCT document, so
+    * the histogram costs nothing at any scale. */
+  val dedupClusterSizes = GraftQuery(
+    "q_dedup_cluster_sizes",
+    "duplicate-cluster size histogram from exact content hashing",
+    (s, dir) => Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy("copies")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", expr("copies * n_clusters"))
+      .orderBy("copies"),
+    Some("""SELECT copies, count(*) AS n_clusters,
+           |  copies * count(*) AS n_docs
+           |FROM (SELECT md5(text) AS h, count(*) AS copies
+           |      FROM documents GROUP BY 1)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
-    winnowing, dedupWinnowing, ragChunks, heavyHitters, tfidfTerms)
+    winnowing, dedupWinnowing, ragChunks, heavyHitters, tfidfTerms,
+    tokenizerFertility, dedupClusterSizes)
 }
