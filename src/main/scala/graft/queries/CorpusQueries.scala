@@ -370,7 +370,55 @@ object CorpusQueries {
            |      FROM documents GROUP BY 1)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Corpus novelty curve — per ingestion batch (doc_id blocks standing
+    * in for crawl increments), what fraction of the batch's distinct
+    * 3-grams was never seen in any EARLIER batch? A fresh crawl runs
+    * near 1000‰ and decays as the corpus saturates; a collapsed novelty
+    * rate is the operational signal to stop paying for a source (the
+    * staleness audit next to the dedup rate). Relational formulation:
+    * first-occurrence batch per gram = one min-aggregate over the
+    * exploded distinct (gram, batch) pairs; novelty = grams whose first
+    * batch is this batch / grams present in this batch. One explode +
+    * two hash aggregates — the linear n-gram discipline every corpus op
+    * here follows, no window over history. */
+  val ngramNovelty = GraftQuery(
+    "q_ngram_novelty",
+    "per-batch distinct-3-gram novelty rate (corpus staleness audit)",
+    (s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .select(expr("doc_id DIV 100").as("batch"),
+          explode(graft.functions.SignatureExprs.wordShingles(
+            TF.words(col("text")), 3)).as("g"))
+        .groupBy("batch", "g").agg(count(lit(1)).as("_n"))
+      val first = grams.groupBy("g").agg(min("batch").as("first_batch"))
+      grams.join(first, "g")
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_batch") === col("batch"), 1L)
+            .otherwise(0L)).as("n_new"))
+        .withColumn("novelty_pm", expr("n_new * 1000 DIV n_grams"))
+        .orderBy("batch")
+    },
+    Some("""WITH grams AS (
+           |  SELECT doc_id // 100 AS batch, g, count(*) AS _n
+           |  FROM (SELECT doc_id, unnest(list_transform(
+           |          generate_series(1, len(ws) - 2),
+           |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+           |          AS g
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+           |              FROM documents))
+           |  GROUP BY 1, 2),
+           |fst AS (SELECT g, min(batch) AS first_batch
+           |        FROM grams GROUP BY 1)
+           |SELECT batch, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_new,
+           |  CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+           |    AS BIGINT) * 1000 // count(*) AS novelty_pm
+           |FROM grams JOIN fst USING (g)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     winnowing, dedupWinnowing, ragChunks, heavyHitters, tfidfTerms,
-    tokenizerFertility, dedupClusterSizes)
+    tokenizerFertility, dedupClusterSizes, ngramNovelty)
 }
