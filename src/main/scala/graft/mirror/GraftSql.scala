@@ -42,6 +42,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   CLOSE name
   *   CREATE [OR REPLACE] SCRIPT name [LANG sql] AS $$ expr $$
   *   DROP SCRIPT name / SHOW SCRIPTS
+  *   SHOW OPERATORS               -- the corpus-operator registry
+  *   RUN OPERATOR name USING 'dir' [LIMIT n]  -- execute one over tables
   *   SHOW STATS FOR MIRROR name   -- registers stats_* views (peerdb_stats)
   *   VALIDATE PEER name           -- connectivity probe (validate_peer.go)
   *   VALIDATE MIRROR name         -- pre-flight checks (validate_mirror.go)
@@ -163,6 +165,18 @@ object GraftSql {
   final case class PrepareStmt(name: String, query: String)
       extends Statement
   final case class DeallocateStmt(name: String) extends Statement
+  /** Engine-native extension (beyond the reference's statement list):
+    * the corpus-operator registry — every [[graft.queries.GraftQuery]]
+    * the engine declares — exposed through the SQL facade, so the
+    * dedup/ANN/curation surface is reachable from a pgwire client the
+    * same way mirrors are. `SHOW OPERATORS` lists (name, doc, oracle
+    * kind); `RUN OPERATOR name USING 'dir' [LIMIT n]` executes one over
+    * a table directory and returns its result (bounded — unbounded
+    * reads go through DECLARE/FETCH cursors) with the operator's own
+    * schema. */
+  case object ShowOperators extends Statement
+  final case class RunOperator(name: String, dir: String, limit: Int)
+      extends Statement
 
   private val createPeer: Regex =
     """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
@@ -194,6 +208,11 @@ object GraftSql {
       """(?:\s+LANG\s+(\w+))?\s+AS\s+\$\$(.+?)\$\$\s*""").r
   private val dropScript: Regex = """(?is)\s*DROP\s+SCRIPT\s+(\w+)\s*""".r
   private val showScripts: Regex = """(?is)\s*SHOW\s+SCRIPTS\s*""".r
+  private val showOperators: Regex =
+    """(?is)\s*SHOW\s+OPERATORS\s*""".r
+  private val runOperator: Regex =
+    ("""(?is)\s*RUN\s+OPERATOR\s+(\w+)\s+USING\s+'([^']+)'""" +
+      """(?:\s+LIMIT\s+(\d+))?\s*""").r
   private val showStats: Regex =
     """(?is)\s*SHOW\s+STATS\s+FOR\s+MIRROR\s+(\w+)\s*""".r
   private val validatePeerRe: Regex =
@@ -241,6 +260,9 @@ object GraftSql {
       orReplace = rep != null))
     case dropScript(n) => Some(DropScript(n))
     case showScripts() => Some(ShowScripts)
+    case showOperators() => Some(ShowOperators)
+    case runOperator(n, d, lim) => Some(RunOperator(n, d,
+      Option(lim).map(_.toInt).getOrElse(100)))
     case showStats(n) => Some(ShowStats(n))
     case validatePeerRe(n) => Some(ValidatePeerStmt(n))
     case validateMirrorRe(n) => Some(ValidateMirrorStmt(n))
@@ -794,6 +816,13 @@ object GraftSql {
     case DropScript(n) => scriptsFor(spark).drop(n); Nil
     case ShowScripts => scriptsFor(spark).list.map(p =>
       Row(p.name, p.kind, p.options.getOrElse("source", "")))
+    case ShowOperators =>
+      graft.SparkEntry.registry.sortBy(_.name).map(q =>
+        Row(q.name, q.doc,
+          if (q.oracle.isDefined) "sql" else "rows-only"))
+    case RunOperator(n, dir, limit) =>
+      runOperatorDf(spark, n, dir, evict = true)
+        .limit(limit).collect().toSeq
     case ShowStats(n) =>
       val cfg = mirrorCfg(spark, n)
       val dir = cfg.statsDir.getOrElse(throw new IllegalArgumentException(
@@ -1042,6 +1071,29 @@ object GraftSql {
         s.default.getOrElse(""), s.description))
   }
 
+  /** Statement-scoped plan memo for RUN OPERATOR: `outputAttributes`
+    * (parse time) and `execute` both need the operator's DataFrame —
+    * build it once per (session, name, dir), and EVICT on execute so a
+    * later RUN of the same operator re-derives the plan (an operator
+    * that snapshots a driver-side scalar at construction must see fresh
+    * data next run). An EXPLAIN'd-but-never-run statement leaves one
+    * bounded entry, reused by the next same-key RUN. */
+  private val runOpPlans = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
+  private def runOperatorDf(spark: SparkSession, name: String,
+      dir: String, evict: Boolean): org.apache.spark.sql.DataFrame = {
+    val key = (spark, name, dir)
+    val df = runOpPlans.getOrElseUpdate(key, {
+      val q = graft.SparkEntry.registry.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown operator '$name' — SHOW OPERATORS lists them"))
+      q.run(spark, dir)
+    })
+    if (evict) runOpPlans.remove(key)
+    df
+  }
+
   def outputAttributes(st: Statement): Seq[Attribute] = st match {
     case FetchCursor(n, _) =>
       // FETCH's schema is the declared query's — DECLARE has already run
@@ -1072,6 +1124,16 @@ object GraftSql {
       AttributeReference("name", StringType)(),
       AttributeReference("lang", StringType)(),
       AttributeReference("source", StringType)())
+    case ShowOperators => Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("doc", StringType)(),
+      AttributeReference("oracle", StringType)())
+    case RunOperator(n, dir, _) =>
+      // the operator's OWN schema: build (or reuse) its plan — lazy for
+      // nearly all operators; the few that collect a bounded scalar at
+      // construction do that work once thanks to the statement cache
+      runOperatorDf(org.apache.spark.sql.SparkSession.active, n, dir,
+        evict = false).queryExecution.analyzed.output
     case ShowStats(_) => Seq(
       AttributeReference("view", StringType)(),
       AttributeReference("rows", LongType)())

@@ -929,4 +929,35 @@ class GraftSqlSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("operator registry through the facade: SHOW OPERATORS lists the " +
+    "declared surface, RUN OPERATOR executes with the operator's schema") {
+    import GraftSql._
+    assert(parse("SHOW OPERATORS") == Some(ShowOperators))
+    assert(parse("RUN OPERATOR q_dedup_exact USING '/d' LIMIT 5") ==
+      Some(RunOperator("q_dedup_exact", "/d", 5)))
+    assert(parse("run operator q_x using '/d'") == // default bound
+      Some(RunOperator("q_x", "/d", 100)))
+
+    val listed = GraftSql.execute(spark, ShowOperators)
+    assert(listed.size >= 160, s"got ${listed.size}")
+    val byName = listed.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byName("q_dedup_exact") == "sql")
+    assert(listed.forall(_.getString(1).nonEmpty)) // every op documented
+
+    SparkSession.setActiveSession(spark)
+    val dir = "/root/testdata/sf0.001"
+    val stmt = RunOperator("q_dedup_exact", dir, 5)
+    // schema comes from the operator's own plan
+    val attrs = outputAttributes(stmt).map(_.name)
+    assert(attrs == Seq("h", "keep_id", "copies"), attrs)
+    val rows = GraftSql.execute(spark, stmt)
+    assert(rows.size == 5)
+    assert(rows.forall(_.getLong(2) >= 1L))
+
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, RunOperator("q_nope", dir, 1))
+    }
+    assert(err.getMessage.contains("SHOW OPERATORS"))
+  }
 }
