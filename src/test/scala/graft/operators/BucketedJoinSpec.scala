@@ -22,10 +22,11 @@ class BucketedJoinSpec extends SparkSpec {
       val sf = "/root/testdata/sf0.001"
       val li = spark.read.parquet(s"$sf/lineitem.parquet")
       val ord = spark.read.parquet(s"$sf/orders.parquet")
-      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("bktdb.lineitem_b")
-      ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("bktdb.orders_b")
+      // through the product helper: external bucketed+sorted tables
+      graft.sinks.Bucketing.writeBucketed(li, "bktdb.lineitem_b",
+        s"$dbDir/lineitem_b", "l_orderkey", 8)
+      graft.sinks.Bucketing.writeBucketed(ord, "bktdb.orders_b",
+        s"$dbDir/orders_b", "o_orderkey", 8)
 
       val joined = spark.table("bktdb.lineitem_b")
         .join(spark.table("bktdb.orders_b"),
