@@ -262,7 +262,10 @@ object GraftSql {
     case showScripts() => Some(ShowScripts)
     case showOperators() => Some(ShowOperators)
     case runOperator(n, d, lim) => Some(RunOperator(n, d,
-      Option(lim).map(_.toInt).getOrElse(100)))
+      Option(lim).map(s => s.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"RUN OPERATOR: LIMIT $s out of integer range")))
+        .getOrElse(100)))
     case showStats(n) => Some(ShowStats(n))
     case validatePeerRe(n) => Some(ValidatePeerStmt(n))
     case validateMirrorRe(n) => Some(ValidateMirrorStmt(n))
@@ -1073,24 +1076,42 @@ object GraftSql {
 
   /** Statement-scoped plan memo for RUN OPERATOR: `outputAttributes`
     * (parse time) and `execute` both need the operator's DataFrame —
-    * build it once per (session, name, dir), and EVICT on execute so a
-    * later RUN of the same operator re-derives the plan (an operator
-    * that snapshots a driver-side scalar at construction must see fresh
-    * data next run). An EXPLAIN'd-but-never-run statement leaves one
-    * bounded entry, reused by the next same-key RUN. */
+    * build it once per (name, dir) and EVICT on execute so a later RUN
+    * of the same operator re-derives the plan (an operator that
+    * snapshots a driver-side scalar at construction must see fresh data
+    * next run). The cached entry remembers WHICH session built it:
+    * execute under a different session (parse ran elsewhere — e.g.
+    * `GraftSql.query` on a non-active session) rebuilds rather than
+    * running a foreign session's plan, and still evicts, so nothing is
+    * retained past the run. EXPLAIN'd-but-never-run statements leave at
+    * most one entry per (name, dir), and the map self-clears past a
+    * small bound (the Tables-cache discipline) so describe-only traffic
+    * cannot pin plans — or their construction-time checkpoint blocks —
+    * indefinitely. */
+  private val RunOpMemoMax = 32
   private val runOpPlans = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), org.apache.spark.sql.DataFrame]
+    .empty[(String, String),
+      (SparkSession, org.apache.spark.sql.DataFrame)]
+
+  private def buildOperatorDf(spark: SparkSession, name: String,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val q = graft.SparkEntry.registry.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown operator '$name' — SHOW OPERATORS lists them"))
+    q.run(spark, dir)
+  }
 
   private def runOperatorDf(spark: SparkSession, name: String,
       dir: String, evict: Boolean): org.apache.spark.sql.DataFrame = {
-    val key = (spark, name, dir)
-    val df = runOpPlans.getOrElseUpdate(key, {
-      val q = graft.SparkEntry.registry.find(_.name == name)
-        .getOrElse(throw new IllegalArgumentException(
-          s"unknown operator '$name' — SHOW OPERATORS lists them"))
-      q.run(spark, dir)
-    })
-    if (evict) runOpPlans.remove(key)
+    val key = (name, dir)
+    if (runOpPlans.size > RunOpMemoMax) runOpPlans.clear()
+    val df =
+      if (evict) runOpPlans.remove(key) match {
+        case Some((s, cached)) if s eq spark => cached
+        case _ => buildOperatorDf(spark, name, dir)
+      }
+      else runOpPlans.getOrElseUpdate(key,
+        (spark, buildOperatorDf(spark, name, dir)))._2
     df
   }
 
@@ -1131,9 +1152,14 @@ object GraftSql {
     case RunOperator(n, dir, _) =>
       // the operator's OWN schema: build (or reuse) its plan — lazy for
       // nearly all operators; the few that collect a bounded scalar at
-      // construction do that work once thanks to the statement cache
-      runOperatorDf(org.apache.spark.sql.SparkSession.active, n, dir,
-        evict = false).queryExecution.analyzed.output
+      // construction do that work once thanks to the statement memo
+      val s = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          "RUN OPERATOR needs a session to resolve the operator's " +
+            "schema — none active on this thread"))
+      runOperatorDf(s, n, dir, evict = false)
+        .queryExecution.analyzed.output
     case ShowStats(_) => Seq(
       AttributeReference("view", StringType)(),
       AttributeReference("rows", LongType)())

@@ -270,6 +270,9 @@ object AnalyticsQueries {
         .select(col("o_orderpriority").as("prio"),
           expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
             .as("price_c"))
+        // percentile/quantile_cont ignore NULL inputs; a ranked NULL
+        // row would shift every anchor position
+        .filter(col("price_c").isNotNull)
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(wn))
       def qx4(p4: Int, as: String) = {
@@ -289,7 +292,7 @@ object AnalyticsQueries {
            |  CAST(quantile_cont(pc, 0.25) * 4 AS BIGINT) AS p25_x4,
            |  CAST(quantile_cont(pc, 0.5) * 4 AS BIGINT) AS p50_x4,
            |  CAST(quantile_cont(pc, 0.75) * 4 AS BIGINT) AS p75_x4,
-           |  count(*) AS cnt
+           |  count(pc) AS cnt
            |FROM (SELECT o_orderpriority,
            |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
            |          AS BIGINT) AS pc
@@ -524,7 +527,10 @@ object AnalyticsQueries {
         .agg(approx_count_distinct("l_suppkey", 0.05).as("a_supp"),
           approx_count_distinct("l_partkey", 0.05).as("a_part"))
       def nd(key: String, as: String) =
-        li.select(col("l_returnflag"), col(key)).distinct()
+        // NULL keys out BEFORE the distinct: count(DISTINCT x) ignores
+        // NULL, a (flag, NULL) distinct row would count it
+        li.select(col("l_returnflag"), col(key))
+          .filter(col(key).isNotNull).distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(as))
       nd("l_suppkey", "nd_supp")
         .join(nd("l_partkey", "nd_part"), "l_returnflag")

@@ -328,8 +328,10 @@ object CorpusQueries {
         sum("chars").as("n_chars"))
       .withColumn("fert_pm",
         expr("re_tokens * 1000 DIV ws_tokens"))
+      // per regex TOKEN, not per word (greatest-guard: a language whose
+      // script the [a-z]+ pre-tokenizer cannot segment yields 0 tokens)
       .withColumn("chars_per_tok_x100",
-        expr("n_chars * 100 DIV ws_tokens"))
+        expr("n_chars * 100 DIV greatest(re_tokens, 1)"))
       .orderBy("lang"),
     Some("""SELECT lang, count(*) AS n_docs,
            |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
@@ -338,7 +340,8 @@ object CorpusQueries {
            |  CAST(sum(re) AS BIGINT) * 1000 //
            |    CAST(sum(ws) AS BIGINT) AS fert_pm,
            |  CAST(sum(chars) AS BIGINT) * 100 //
-           |    CAST(sum(ws) AS BIGINT) AS chars_per_tok_x100
+           |    greatest(CAST(sum(re) AS BIGINT), 1)
+           |    AS chars_per_tok_x100
            |FROM (SELECT lang,
            |        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
            |        CAST(len(regexp_extract_all(text, '[a-z]+'))
@@ -389,7 +392,7 @@ object CorpusQueries {
         .select(expr("doc_id DIV 100").as("batch"),
           explode(graft.functions.SignatureExprs.wordShingles(
             TF.words(col("text")), 3)).as("g"))
-        .groupBy("batch", "g").agg(count(lit(1)).as("_n"))
+        .distinct()
       val first = grams.groupBy("g").agg(min("batch").as("first_batch"))
       grams.join(first, "g")
         .groupBy("batch")
@@ -400,14 +403,13 @@ object CorpusQueries {
         .orderBy("batch")
     },
     Some("""WITH grams AS (
-           |  SELECT doc_id // 100 AS batch, g, count(*) AS _n
+           |  SELECT DISTINCT doc_id // 100 AS batch, g
            |  FROM (SELECT doc_id, unnest(list_transform(
            |          generate_series(1, len(ws) - 2),
            |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
            |          AS g
            |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
-           |              FROM documents))
-           |  GROUP BY 1, 2),
+           |              FROM documents))),
            |fst AS (SELECT g, min(batch) AS first_batch
            |        FROM grams GROUP BY 1)
            |SELECT batch, count(*) AS n_grams,

@@ -316,7 +316,9 @@ object LayoutQueries {
       // re-run the max job. Re-scanning the 2-column pushed-down
       // projection per consumer is the scalable choice (pinning the
       // frame would hold O(corpus) blocks); re-running the max is not.
-      val mok = li.agg(max("l_orderkey")).head().getLong(0)
+      // (max over zero rows is NULL → 0, an empty table stays empty)
+      val mokRow = li.agg(max("l_orderkey")).head()
+      val mok = if (mokRow.isNullAt(0)) 0L else mokRow.getLong(0)
       val rows = li
         .select(expr(s"CAST((l_orderkey * 64) DIV (${mok} + 1) AS INT)")
           .as("file_id"), col("l_partkey").as("pk"))

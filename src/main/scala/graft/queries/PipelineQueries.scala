@@ -1175,9 +1175,13 @@ object PipelineQueries {
         .sortBy(_._1)
       val evalDf = {
         import s.implicits._
+        // |eval|² precomputed driver-side into the broadcast row — a
+        // per-corpus-row 64-mult loop re-deriving a benchmark constant
+        // is pure waste at scale
         evals.zipWithIndex
-          .map { case ((id, qe), i) => (i, id, qe.toSeq) }.toSeq
-          .toDF("best_idx", "best_eval", "eval_qe")
+          .map { case ((id, qe), i) =>
+            (i, id, qe.toSeq, qe.map(x => x * x).sum) }.toSeq
+          .toDF("best_idx", "best_eval", "eval_qe", "nb")
       }
       e.filter(col("vec_id") % 50 =!= 0)
         .withColumn("best_idx",
@@ -1185,8 +1189,6 @@ object PipelineQueries {
         .join(broadcast(evalDf), "best_idx")
         .withColumn("dot", QuantizedExprs.intDot(col("qe"), col("eval_qe")))
         .withColumn("na", QuantizedExprs.intDot(col("qe"), col("qe")))
-        .withColumn("nb",
-          QuantizedExprs.intDot(col("eval_qe"), col("eval_qe")))
         .select(col("vec_id"), col("best_eval"),
           (col("na") + col("nb") - lit(2L) * col("dot")).as("d2"),
           when(col("dot") >= 0 &&

@@ -34,10 +34,12 @@ import graft.functions.{SignatureExprs, TextFunctions => TF}
   * most `maxBucket` signatures — LSH buckets are small by construction
   * (that is the whole point of banding), so the cap only disarms the
   * degenerate bucket a pathological key collision would grow. A capped
-  * bucket stops ADMITTING new reference signatures but keeps comparing
-  * arrivals against the ones it has — and the doc's other 7 bands still
-  * carry it, so a true near-dup pair is only lost if ALL its bands
-  * landed in capped buckets.
+  * bucket goes INACTIVE for new arrivals — no admission and no
+  * comparison (matching without admitting would make a re-delivered
+  * rejected doc re-emit its matches, breaking the idempotence contract
+  * below) — and the doc's other 7 bands still carry it, so a true
+  * near-dup pair is only lost if ALL its bands landed in capped
+  * buckets.
   *
   * A pair sharing several bands emits once per shared band; consumers
   * wanting pair-level output dedup on (docId, matchId) — kept out of the
@@ -94,13 +96,15 @@ object NearDupStream {
       rows.foreach { r =>
         val known = prior.exists(_.docId == r.docId) ||
           admitted.exists(_.docId == r.docId)
-        if (!known) {
+        // a full bucket is inactive for unknown arrivals: compare-only
+        // would re-emit on every at-least-once re-delivery of a
+        // rejected doc (nothing stored to recognize it by)
+        if (!known && prior.size + admitted.size < maxBucket) {
           (prior.iterator ++ admitted.iterator).foreach { p =>
             val pm = samePm(r.sig, p.sig)
             if (pm >= minSamePm) out += Match(r.docId, p.docId, r.band, pm)
           }
-          if (prior.size + admitted.size < maxBucket)
-            admitted += StoredSig(r.docId, r.sig)
+          admitted += StoredSig(r.docId, r.sig)
         }
       }
       admitted.foreach(seen.appendValue)
