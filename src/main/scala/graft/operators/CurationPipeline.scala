@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SignatureExprs, TextFunctions => TF}
+
+/** The composed batch curation pipeline — the five standard stages a
+  * training-corpus run chains, as ONE call with a per-stage audit
+  * trail (the funnel table a 100 TB curation job publishes):
+  *
+  *   1. exact dedup       — keep the lowest doc_id per content hash
+  *   2. near-dup removal  — MinHash(32) 8×4 LSH candidates, exact
+  *                          3-gram Jaccard ≥ 0.5 verify, keep-first
+  *                          (the higher id of every verified pair
+  *                          drops)
+  *   3. length gate       — word count within [minWords, maxWords]
+  *   4. repetition gate   — top-word rate ≤ topWordPmMax per mille
+  *                          (Gopher A1.1's first rule)
+  *   5. decontamination   — any shared 13-gram with the benchmark set
+  *                          drops the document (GPT-3/PaLM standard)
+  *
+  * Each stage reuses the SAME expressions its standalone query runs
+  * (q_dedup_exact / q_dedup_minhash_lsh / q_length_gate /
+  * q_repetition_filter / q_contamination_ngram), so the composition
+  * adds no new semantics — only sequencing and the audit.
+  *
+  * Scale notes: every stage is the linear shape its query documents
+  * (hash shuffles and band equi-joins, benchmark grams broadcast); the
+  * inter-stage `localCheckpoint` stands in for the stage tables a real
+  * run writes to storage between increments — each stage's output is
+  * materialized once and read by exactly the next stage plus one
+  * count. Docs too short to carry a 3-shingle (stage 2) or a 13-gram
+  * (stage 5) pass those stages untouched — the gates that can judge
+  * them are 3 and 4. */
+object CurationPipeline {
+
+  final case class Config(
+      minWords: Int = 20,
+      maxWords: Int = 1000,
+      topWordPmMax: Long = 140,
+      contamGram: Int = 13)
+
+  /** One funnel row: documents entering and surviving the stage. */
+  final case class StageAudit(ord: Int, stage: String,
+      docsIn: Long, docsOut: Long)
+
+  /** Run the five stages over `corpus` (doc_id BIGINT, text STRING).
+    * `benchmark` (same shape) is the eval suite whose 13-grams poison;
+    * pass an empty frame to skip decontamination semantics (stage 5
+    * then drops nothing). Returns the surviving frame + the audit. */
+  def run(corpus: DataFrame, benchmark: DataFrame,
+      cfg: Config = Config()): (DataFrame, Seq[StageAudit]) = {
+    val audits = Seq.newBuilder[StageAudit]
+    var cur = corpus.select("doc_id", "text").localCheckpoint(true)
+    var curN = cur.count()
+    def stage(ord: Int, name: String)(f: DataFrame => DataFrame): Unit = {
+      val out = f(cur).localCheckpoint(true)
+      val outN = out.count()
+      audits += StageAudit(ord, name, curN, outN)
+      cur = out; curN = outN
+    }
+
+    stage(1, "exact_dedup") { d =>
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+    }
+
+    stage(2, "near_dedup") { d =>
+      val shaped = d
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          SignatureExprs.wordShingles(col("ws"), 3)).as("shs"))
+        .localCheckpoint(true)
+      val sig = shaped.select(col("doc_id"),
+        SignatureExprs.minhashSig(col("shs"), 32).as("sig"))
+      val bands = sig
+        .withColumn("bands", TF.minhashBands("sig", 8, 4))
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "key")))
+        .localCheckpoint(true)
+      val cand = bands.as("a")
+        .join(bands.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") &&
+            col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val sh = shaped.select(col("doc_id"), explode(col("shs")).as("s"))
+      val cnt = shaped.select(col("doc_id"),
+        size(col("shs")).cast("long").as("n"))
+      val inter = cand
+        .join(sh.toDF("d1", "s"), "d1")
+        .join(sh.toDF("d2", "s"), Seq("d2", "s"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val ver = inter
+        .join(cnt.toDF("d1", "na"), "d1")
+        .join(cnt.toDF("d2", "nb"), "d2")
+        // J ≥ 0.5 ⇔ 2·inter ≥ union, all-integer
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      d.join(ver.select(col("d2").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+
+    stage(3, "length_gate")(d => d.filter(
+      size(TF.words(col("text"))).between(cfg.minWords, cfg.maxWords)))
+
+    stage(4, "repetition_gate") { d =>
+      val ok = d
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
+        .filter(expr(s"top * 1000 DIV n <= ${cfg.topWordPmMax}"))
+        .select("doc_id")
+      d.join(ok, Seq("doc_id"))
+    }
+
+    stage(5, "decontaminate") { d =>
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= cfg.contamGram)
+        .select(col("doc_id"), explode(array_distinct(
+          SignatureExprs.wordShingles(col("ws"), cfg.contamGram)))
+          .as("g"))
+        .select(col("doc_id"), expr(TF.hash60Sql("g")).as("h"))
+      val bench = grams(benchmark.select("doc_id", "text"))
+        .select("h").distinct()
+      val hit = grams(d).join(broadcast(bench), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      d.join(hit, Seq("doc_id"), "left_anti")
+    }
+
+    (cur, audits.result())
+  }
+}
