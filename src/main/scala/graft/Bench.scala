@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // parallelismFirst stays at its TRUE default: the tuning guide's
+      // advice to set it false (coalesce to the 64 MB advisory size)
+      // was MEASURED here and regressed the suite 62→80 s — every
+      // post-shuffle stage at bench scale is far below the advisory
+      // size, so coalescing serialized them (q_skew_agg's salted
+      // two-phase alone +11 s on one partition). At real scale stages
+      // exceed the advisory size and the flag stops mattering.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
