@@ -960,4 +960,29 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("SHOW OPERATORS"))
   }
+
+  test("RUN OPERATOR end-to-end through spark.sql (parser + command + " +
+    "schema memo)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val rows = s.sql("RUN OPERATOR q_dedup_exact USING " +
+        "'/root/testdata/sf0.001' LIMIT 3").collect()
+      assert(rows.length == 3)
+      assert(rows.forall(_.schema.fieldNames.toSeq ==
+        Seq("h", "keep_id", "copies")))
+      val ops = s.sql("SHOW OPERATORS").collect()
+      assert(ops.map(_.getString(0)).contains("q_curation_pipeline"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
