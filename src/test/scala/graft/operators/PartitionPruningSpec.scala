@@ -52,4 +52,64 @@ class PartitionPruningSpec extends SparkSpec {
     assert(after.count() == total - n1996 + 1,
       "untouched partitions must survive a dynamic overwrite")
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact " +
+    "partitions through the join at runtime") {
+    val dir = tmpDir("dpp")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").mode("overwrite").parquet(s"$dir/facts")
+    val spark0 = spark
+    import spark0.implicits._
+    // the filter lives on a NON-join dim column, so only DPP — a
+    // runtime subquery feeding the fact's partition filter — can
+    // restrict the fact scan; a static planner cannot. The dim must be
+    // a real scan: an in-memory LocalRelation constant-folds its
+    // filter away and the pruning rule then sees no dim predicate.
+    Seq((1996, "keep"), (1997, "drop"), (1995, "drop"))
+      .toDF("yr", "flag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val j = spark.read.parquet(s"$dir/facts")
+      .join(dim.filter(col("flag") === "keep"), "yr")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic-pruning partition filter:\n" +
+        plan.take(3000))
+    val want = spark.read.parquet(s"$dir/facts")
+      .filter(col("yr") === 1996).count()
+    assert(j.count() == want)
+  }
+
+  test("parquet footer aggregate pushdown: global min/max/count served " +
+    "from statistics, no row scan") {
+    val dir = tmpDir("aggpd")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    // aggregate pushdown is a DSv2 scan capability — lift parquet out
+    // of the v1 fallback list for this probe, restore after
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val pdKey = "spark.sql.parquet.aggregatePushdown"
+    val prevV1 = spark.conf.getOption(v1Key)
+    val prevPd = spark.conf.getOption(pdKey)
+    spark.conf.set(v1Key, "")
+    spark.conf.set(pdKey, "true")
+    try {
+      val agg = spark.read.parquet(s"$dir/t")
+        .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"footer stats must answer the aggregate:\n${plan.take(3000)}")
+      val r = agg.head()
+      // equals the row-scan answer (computed with pushdown off)
+      spark.conf.set(pdKey, "false")
+      val want = spark.read.parquet(s"$dir/t")
+        .agg(min("o_orderkey"), max("o_orderkey"), count(lit(1))).head()
+      assert(r == want)
+    } finally {
+      prevV1.fold(spark.conf.unset(v1Key))(spark.conf.set(v1Key, _))
+      prevPd.fold(spark.conf.unset(pdKey))(spark.conf.set(pdKey, _))
+    }
+  }
 }
