@@ -119,16 +119,146 @@ object CurationPipeline {
     }
 
     stage(5, "decontaminate") { d =>
-      def grams(df: DataFrame) = df
+      val bench = grams13(benchmark, cfg).select("h").distinct()
+      val hit = grams13(d, cfg)
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      d.join(hit, Seq("doc_id"), "left_anti")
+    }
+
+    (cur, audits.result())
+  }
+
+  private def grams13(df: DataFrame, cfg: Config): DataFrame = df
+    .select(col("doc_id"), TF.words(col("text")).as("ws"))
+    .filter(size(col("ws")) >= cfg.contamGram)
+    .select(col("doc_id"), explode(array_distinct(
+      SignatureExprs.wordShingles(col("ws"), cfg.contamGram))).as("g"))
+    .select(col("doc_id"), expr(TF.hash60Sql("g")).as("h"))
+
+  /** The INCREMENTAL production loop: curate a new `increment` (a crawl
+    * dump) against an already-kept `corpus` — the shape a recurring
+    * 100 TB ingestion actually runs, where the corpus is orders of
+    * magnitude larger than each increment and must never re-process.
+    *
+    * Stages are [[run]]'s five with the dedup stages widened to the
+    * corpus boundary:
+    *   1. exact dedup — within the increment AND against corpus
+    *      content hashes (an anti-join on the hash: the corpus side
+    *      reduces to its distinct hashes, never its text);
+    *   2. near-dup — increment×increment pairs keep-first as in
+    *      [[run]], plus increment×corpus candidates through the SAME
+    *      band keys (corpus band keys are what a real run keeps
+    *      persisted as its LSH index; corpus docs always win);
+    *   3–5. gates and decontamination exactly as [[run]] —
+    *      increment-local by nature.
+    *
+    * The corpus frame is only ever reduced (hashes, band keys,
+    * shingles of CANDIDATE docs) — its text is never shuffled, and
+    * increment×increment work never touches corpus scale.
+    *
+    * CONTRACT: corpus and increment doc_ids share one global id space
+    * (no collisions) — the verify machinery keys shingle counts by
+    * doc_id across both sides. */
+  def runIncrement(corpus: DataFrame, increment: DataFrame,
+      benchmark: DataFrame, cfg: Config = Config())
+      : (DataFrame, Seq[StageAudit]) = {
+    val audits = Seq.newBuilder[StageAudit]
+    var cur = increment.select("doc_id", "text").localCheckpoint(true)
+    var curN = cur.count()
+    def stage(ord: Int, name: String)(f: DataFrame => DataFrame): Unit = {
+      val out = f(cur).localCheckpoint(true)
+      val outN = out.count()
+      audits += StageAudit(ord, name, curN, outN)
+      cur = out; curN = outN
+    }
+    val corpusDocs = corpus.select("doc_id", "text")
+
+    stage(1, "exact_dedup") { d =>
+      val inIncrement = d.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+      val corpusHashes = corpusDocs
+        .select(md5(col("text")).as("h")).distinct()
+      inIncrement.withColumn("h", md5(col("text")))
+        .join(corpusHashes, Seq("h"), "left_anti")
+        .drop("h")
+    }
+
+    stage(2, "near_dedup") { d =>
+      def shaped(df: DataFrame) = df
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= cfg.contamGram)
-        .select(col("doc_id"), explode(array_distinct(
-          SignatureExprs.wordShingles(col("ws"), cfg.contamGram)))
-          .as("g"))
-        .select(col("doc_id"), expr(TF.hash60Sql("g")).as("h"))
-      val bench = grams(benchmark.select("doc_id", "text"))
-        .select("h").distinct()
-      val hit = grams(d).join(broadcast(bench), Seq("h"), "left_semi")
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          SignatureExprs.wordShingles(col("ws"), 3)).as("shs"))
+      def bandsOf(sh: DataFrame) = sh
+        .select(col("doc_id"),
+          SignatureExprs.minhashSig(col("shs"), 32).as("sig"))
+        .withColumn("bands", TF.minhashBands("sig", 8, 4))
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "key")))
+      val incShaped = shaped(d).localCheckpoint(true)
+      val incBands = bandsOf(incShaped).localCheckpoint(true)
+      // increment×increment: keep-first exactly as in run()
+      val candII = incBands.as("a")
+        .join(incBands.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") &&
+            col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      // increment×corpus: the increment's band keys are the small side
+      // (the asymmetry the incremental loop exists to exploit); corpus
+      // docs always win, so the increment doc is always d2
+      val corpusShaped = shaped(corpusDocs)
+      val candIC = bandsOf(corpusShaped).as("c")
+        .join(broadcast(incBands.as("i")),
+          col("c.band") === col("i.band") && col("c.key") === col("i.key"))
+        .select(col("c.doc_id").as("d1"), col("i.doc_id").as("d2"))
+        .distinct()
+      // verify both candidate sets with one shingle machinery; corpus
+      // shingles enter ONLY for candidate docs (semi-join first)
+      val candCorpusIds = candIC.select(col("d1").as("doc_id")).distinct()
+      val verifySh = incShaped
+        .select(col("doc_id"), explode(col("shs")).as("s"))
+        .unionByName(corpusShaped
+          .join(candCorpusIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(col("shs")).as("s")))
+      val cnt = incShaped
+        .select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+        .unionByName(corpusShaped
+          .join(candCorpusIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), size(col("shs")).cast("long").as("n")))
+      val cand = candII.unionByName(candIC).distinct()
+      val inter = cand
+        .join(verifySh.toDF("d1", "s"), "d1")
+        .join(verifySh.toDF("d2", "s"), Seq("d2", "s"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val ver = inter
+        .join(cnt.toDF("d1", "na"), "d1")
+        .join(cnt.toDF("d2", "nb"), "d2")
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      d.join(ver.select(col("d2").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+
+    stage(3, "length_gate")(d => d.filter(
+      size(TF.words(col("text"))).between(cfg.minWords, cfg.maxWords)))
+
+    stage(4, "repetition_gate") { d =>
+      val ok = d
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
+        .filter(expr(s"top * 1000 DIV n <= ${cfg.topWordPmMax}"))
+        .select("doc_id")
+      d.join(ok, Seq("doc_id"))
+    }
+
+    stage(5, "decontaminate") { d =>
+      val bench = grams13(benchmark, cfg).select("h").distinct()
+      val hit = grams13(d, cfg)
+        .join(broadcast(bench), Seq("h"), "left_semi")
         .select("doc_id").distinct()
       d.join(hit, Seq("doc_id"), "left_anti")
     }

@@ -1289,11 +1289,139 @@ object CurationQueries {
             |    (SELECT count(*) FROM k4), (SELECT count(*) FROM k5))
             |ORDER BY ord""".stripMargin))
 
+  /** The INCREMENTAL loop ([[graft.operators.CurationPipeline
+    * .runIncrement]]) as an oracled query: the increment (src18) is
+    * curated against the existing corpus (every other non-benchmark
+    * source) — increment docs die against corpus content hashes and
+    * corpus near-dups, the corpus itself is never re-judged. Same
+    * audit-funnel-as-output contract as q_curation_pipeline. */
+  val curationIncrementAudit = GraftQuery(
+    "q_curation_increment",
+    "incremental curation funnel: src18 increment vs existing corpus",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(!col("source").isin("src18", "src19"))
+        .select("doc_id", "text")
+      val inc = d.filter(col("source") === "src18")
+        .select("doc_id", "text")
+      val bench = d.filter(col("source") === "src19")
+        .select("doc_id", "text")
+      val (_, audits) = graft.operators.CurationPipeline
+        .runIncrement(corpus, inc, bench)
+      import s.implicits._
+      audits.map(a => (a.ord, a.stage, a.docsIn, a.docsOut))
+        .toDF("ord", "stage", "docs_in", "docs_out")
+        .orderBy("ord")
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+            |  WHERE source NOT IN ('src18', 'src19')),
+            |inc AS (SELECT doc_id, text FROM documents
+            |        WHERE source = 'src18'),
+            |bench AS (SELECT doc_id, text FROM documents
+            |          WHERE source = 'src19'),
+            |i1 AS (SELECT doc_id, text FROM (
+            |    SELECT doc_id, text, row_number() OVER (
+            |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            |    FROM inc) WHERE rn = 1),
+            |k1 AS (SELECT * FROM i1 WHERE md5(text) NOT IN
+            |       (SELECT md5(text) FROM corpus)),
+            |wI AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |       FROM k1),
+            |wC AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |       FROM corpus),
+            |bkI AS (
+            |  ${TF.minhashBandsDuckSql("doc_id",
+                 "list_transform(generate_series(1, len(ws) - 2), " +
+                   "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])",
+                 "wI", "WHERE len(ws) >= 3", k = 32, bands = 8,
+                 rowsPerBand = 4)}
+            |),
+            |bkC AS (
+            |  ${TF.minhashBandsDuckSql("doc_id",
+                 "list_transform(generate_series(1, len(ws) - 2), " +
+                   "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])",
+                 "wC", "WHERE len(ws) >= 3", k = 32, bands = 8,
+                 rowsPerBand = 4)}
+            |),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM bkI a JOIN bkI b
+            |    ON a.band = b.band AND a.key = b.key
+            |      AND a.doc_id < b.doc_id
+            |  UNION
+            |  SELECT DISTINCT c.doc_id AS d1, i.doc_id AS d2
+            |  FROM bkC c JOIN bkI i
+            |    ON c.band = i.band AND c.key = i.key),
+            |sh3 AS (
+            |  SELECT DISTINCT doc_id, s FROM (
+            |    SELECT doc_id, unnest(list_transform(
+            |      generate_series(1, len(ws) - 2),
+            |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+            |    FROM (SELECT * FROM wI UNION ALL SELECT * FROM wC)
+            |    WHERE len(ws) >= 3)),
+            |c3 AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
+            |itr AS (SELECT c.d1, c.d2, count(*) AS inter
+            |        FROM cand c JOIN sh3 a ON a.doc_id = c.d1
+            |        JOIN sh3 b ON b.doc_id = c.d2 AND b.s = a.s
+            |        GROUP BY 1, 2),
+            |ver AS (SELECT i.d1, i.d2 FROM itr i
+            |        JOIN c3 ca ON ca.doc_id = i.d1
+            |        JOIN c3 cb ON cb.doc_id = i.d2
+            |        WHERE i.inter * 2 >= ca.n + cb.n - i.inter),
+            |k2 AS (SELECT * FROM k1
+            |       WHERE doc_id NOT IN (SELECT d2 FROM ver)),
+            |k3 AS (SELECT * FROM k2
+            |       WHERE len(string_split(text, ' '))
+            |         BETWEEN 20 AND 1000),
+            |wstat AS (SELECT doc_id, max(c) AS top,
+            |         CAST(sum(c) AS BIGINT) AS n
+            |       FROM (SELECT doc_id, s, count(*) AS c
+            |             FROM (SELECT doc_id,
+            |                     unnest(string_split(text, ' ')) AS s
+            |                   FROM k3) GROUP BY 1, 2) GROUP BY 1),
+            |k4 AS (SELECT k3.doc_id, k3.text FROM k3
+            |       JOIN wstat USING (doc_id)
+            |       WHERE top * 1000 // n <= 140),
+            |bg AS (SELECT DISTINCT ${TF.hash60DuckSql("g")} AS h
+            |       FROM (SELECT unnest(list_distinct(list_transform(
+            |               generate_series(1, len(ws) - 12),
+            |               i -> array_to_string(ws[i:i+12], ' '))))
+            |               AS g
+            |             FROM (SELECT string_split(text, ' ') AS ws
+            |                   FROM bench)
+            |             WHERE len(ws) >= 13)),
+            |tg AS (SELECT DISTINCT doc_id, ${TF.hash60DuckSql("g")} AS h
+            |       FROM (SELECT doc_id, unnest(list_distinct(
+            |               list_transform(
+            |               generate_series(1, len(ws) - 12),
+            |               i -> array_to_string(ws[i:i+12], ' '))))
+            |               AS g
+            |             FROM (SELECT doc_id,
+            |                     string_split(text, ' ') AS ws FROM k4)
+            |             WHERE len(ws) >= 13)),
+            |bad AS (SELECT DISTINCT doc_id FROM tg
+            |        WHERE h IN (SELECT h FROM bg)),
+            |k5 AS (SELECT * FROM k4
+            |       WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+            |SELECT * FROM (
+            |  SELECT 1 AS ord, 'exact_dedup' AS stage,
+            |    (SELECT count(*) FROM inc) AS docs_in,
+            |    (SELECT count(*) FROM k1) AS docs_out
+            |  UNION ALL SELECT 2, 'near_dedup',
+            |    (SELECT count(*) FROM k1), (SELECT count(*) FROM k2)
+            |  UNION ALL SELECT 3, 'length_gate',
+            |    (SELECT count(*) FROM k2), (SELECT count(*) FROM k3)
+            |  UNION ALL SELECT 4, 'repetition_gate',
+            |    (SELECT count(*) FROM k3), (SELECT count(*) FROM k4)
+            |  UNION ALL SELECT 5, 'decontaminate',
+            |    (SELECT count(*) FROM k4), (SELECT count(*) FROM k5))
+            |ORDER BY ord""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     repetitionFilter, piiScrub, spanDedup, semDedup, keywordSearch,
     hybridRrf, mixPlan, dedupIncremental, annFiltered, rarityScore,
     trainSplit,
     dedupBloom, dedupChunk, qualityFunnel, qualityClassifier, lengthGate,
     langConfusion, bpeTokens, nbClassifier, bigramLm, perplexityBucket,
-    curationPipelineAudit)
+    curationPipelineAudit, curationIncrementAudit)
 }

@@ -40,6 +40,36 @@ class CurationPipelineSpec extends SparkSpec {
       Set(1L, 7L))
   }
 
+  test("incremental run: increment docs die against the EXISTING corpus " +
+    "(exact hash and near-dup), never the reverse") {
+    val spark0 = spark
+    import spark0.implicits._
+    def t(words: Seq[String]) = words.mkString(" ")
+    val a = (0 until 40).map(i => s"a$i")
+    val corpus = Seq(
+      (1L, t(a)),                                    // existing doc
+      (2L, t((0 until 30).map(i => s"c$i")))).toDF("doc_id", "text")
+    val incA = t(a)                                  // exact copy of 1
+    val incB = t(a.dropRight(2) ++ Seq("nx", "ny"))  // near-dup of 1
+    val incC = t((0 until 30).map(i => s"n$i"))      // genuinely new
+    val incD = incC                                  // copy WITHIN inc
+    val increment = Seq(
+      (10L, incA), (11L, incB), (12L, incC), (13L, incD))
+      .toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+    val (kept, audits) =
+      CurationPipeline.runIncrement(corpus, increment, bench)
+    // s1: 13 dies within-increment (copy of 12), 10 dies vs corpus
+    assert(audits.head == CurationPipeline.StageAudit(
+      1, "exact_dedup", 4L, 2L), audits.mkString(", "))
+    // s2: 11 dies as near-dup of CORPUS doc 1
+    assert(audits(1) == CurationPipeline.StageAudit(
+      2, "near_dedup", 2L, 1L), audits.mkString(", "))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(12L))
+  }
+
   test("empty benchmark: decontamination drops nothing") {
     val spark0 = spark
     import spark0.implicits._
