@@ -446,7 +446,7 @@ object MicroBench {
     batches.foreach { b => input.addData(b); runPhase() }
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"neardup stream: $docs docs in $dt%.1f s = " +
-      f"${docs / dt}%.0f docs/s incl. 5 restarts, $matches " +
-      f"band-matches (~${docs / 10} planted near-dup docs)")
+      f"${docs / dt}%.0f docs/s incl. ${batches.size} restarts, " +
+      f"$matches band-matches (~${docs / 10} planted near-dup docs)")
   }
 }

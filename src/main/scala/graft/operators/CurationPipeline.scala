@@ -24,7 +24,9 @@ import graft.functions.{SignatureExprs, TextFunctions => TF}
   * Each stage reuses the SAME expressions its standalone query runs
   * (q_dedup_exact / q_dedup_minhash_lsh / q_length_gate /
   * q_repetition_filter / q_contamination_ngram), so the composition
-  * adds no new semantics — only sequencing and the audit.
+  * adds no new semantics — only sequencing and the audit. Stages 3-5
+  * and the audit scaffolding are ONE definition shared by [[run]] and
+  * [[runIncrement]] — the two funnels cannot drift.
   *
   * Scale notes: every stage is the linear shape its query documents
   * (hash shuffles and band equi-joins, benchmark grams broadcast); the
@@ -51,90 +53,18 @@ object CurationPipeline {
     * pass an empty frame to skip decontamination semantics (stage 5
     * then drops nothing). Returns the surviving frame + the audit. */
   def run(corpus: DataFrame, benchmark: DataFrame,
-      cfg: Config = Config()): (DataFrame, Seq[StageAudit]) = {
-    val audits = Seq.newBuilder[StageAudit]
-    var cur = corpus.select("doc_id", "text").localCheckpoint(true)
-    var curN = cur.count()
-    def stage(ord: Int, name: String)(f: DataFrame => DataFrame): Unit = {
-      val out = f(cur).localCheckpoint(true)
-      val outN = out.count()
-      audits += StageAudit(ord, name, curN, outN)
-      cur = out; curN = outN
-    }
-
-    stage(1, "exact_dedup") { d =>
-      d.withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .filter(col("rn") === 1).drop("rn")
-    }
-
-    stage(2, "near_dedup") { d =>
-      val shaped = d
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), array_distinct(
-          SignatureExprs.wordShingles(col("ws"), 3)).as("shs"))
-        .localCheckpoint(true)
-      val sig = shaped.select(col("doc_id"),
-        SignatureExprs.minhashSig(col("shs"), 32).as("sig"))
-      val bands = sig
-        .withColumn("bands", TF.minhashBands("sig", 8, 4))
-        .select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band", "key")))
-        .localCheckpoint(true)
-      val cand = bands.as("a")
-        .join(bands.as("b").hint("shuffle_hash"),
-          col("a.band") === col("b.band") &&
-            col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      val sh = shaped.select(col("doc_id"), explode(col("shs")).as("s"))
-      val cnt = shaped.select(col("doc_id"),
-        size(col("shs")).cast("long").as("n"))
-      val inter = cand
-        .join(sh.toDF("d1", "s"), "d1")
-        .join(sh.toDF("d2", "s"), Seq("d2", "s"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      val ver = inter
-        .join(cnt.toDF("d1", "na"), "d1")
-        .join(cnt.toDF("d2", "nb"), "d2")
-        // J ≥ 0.5 ⇔ 2·inter ≥ union, all-integer
-        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
-      d.join(ver.select(col("d2").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-    }
-
-    stage(3, "length_gate")(d => d.filter(
-      size(TF.words(col("text"))).between(cfg.minWords, cfg.maxWords)))
-
-    stage(4, "repetition_gate") { d =>
-      val ok = d
-        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
-        .filter(expr(s"top * 1000 DIV n <= ${cfg.topWordPmMax}"))
-        .select("doc_id")
-      d.join(ok, Seq("doc_id"))
-    }
-
-    stage(5, "decontaminate") { d =>
-      val bench = grams13(benchmark, cfg).select("h").distinct()
-      val hit = grams13(d, cfg)
-        .join(broadcast(bench), Seq("h"), "left_semi")
-        .select("doc_id").distinct()
-      d.join(hit, Seq("doc_id"), "left_anti")
-    }
-
-    (cur, audits.result())
-  }
-
-  private def grams13(df: DataFrame, cfg: Config): DataFrame = df
-    .select(col("doc_id"), TF.words(col("text")).as("ws"))
-    .filter(size(col("ws")) >= cfg.contamGram)
-    .select(col("doc_id"), explode(array_distinct(
-      SignatureExprs.wordShingles(col("ws"), cfg.contamGram))).as("g"))
-    .select(col("doc_id"), expr(TF.hash60Sql("g")).as("h"))
+      cfg: Config = Config()): (DataFrame, Seq[StageAudit]) =
+    audited(corpus, Seq[(String, DataFrame => DataFrame)](
+      "exact_dedup" -> (exactDedupWithin(_)),
+      "near_dedup" -> { d: DataFrame =>
+        val shaped = shapedOf(d).localCheckpoint(true)
+        val bands = bandsOf(shaped).localCheckpoint(true)
+        val cand = keepFirstCandidates(bands)
+        val sh = shaped.select(col("doc_id"), explode(col("shs")).as("s"))
+        val cnt = shaped.select(col("doc_id"),
+          size(col("shs")).cast("long").as("n"))
+        d.join(verifiedDrops(cand, sh, cnt), Seq("doc_id"), "left_anti")
+      }) ++ gateStages(benchmark, cfg))
 
   /** The INCREMENTAL production loop: curate a new `increment` (a crawl
     * dump) against an already-kept `corpus` — the shape a recurring
@@ -150,12 +80,15 @@ object CurationPipeline {
     *      [[run]], plus increment×corpus candidates through the SAME
     *      band keys (corpus band keys are what a real run keeps
     *      persisted as its LSH index; corpus docs always win);
-    *   3–5. gates and decontamination exactly as [[run]] —
-    *      increment-local by nature.
+    *   3–5. gates and decontamination exactly as [[run]] — the same
+    *      shared definitions, increment-local by nature.
     *
     * The corpus frame is only ever reduced (hashes, band keys,
     * shingles of CANDIDATE docs) — its text is never shuffled, and
-    * increment×increment work never touches corpus scale.
+    * increment×increment work never touches corpus scale. The corpus
+    * shingle frame is checkpointed once (the in-session stand-in for
+    * the persisted corpus LSH index a real recurring run keeps), so
+    * corpus-side signature work runs once, not per consumer.
     *
     * CONTRACT: corpus and increment doc_ids share one global id space
     * (no collisions) — the verify machinery keys shingle counts by
@@ -163,89 +96,78 @@ object CurationPipeline {
   def runIncrement(corpus: DataFrame, increment: DataFrame,
       benchmark: DataFrame, cfg: Config = Config())
       : (DataFrame, Seq[StageAudit]) = {
+    val corpusDocs = corpus.select("doc_id", "text")
+    audited(increment, Seq[(String, DataFrame => DataFrame)](
+      "exact_dedup" -> { d: DataFrame =>
+        val corpusHashes = corpusDocs
+          .select(md5(col("text")).as("h")).distinct()
+        exactDedupWithin(d).withColumn("h", md5(col("text")))
+          .join(corpusHashes, Seq("h"), "left_anti")
+          .drop("h")
+      },
+      "near_dedup" -> { d: DataFrame =>
+        val incShaped = shapedOf(d).localCheckpoint(true)
+        val incBands = bandsOf(incShaped).localCheckpoint(true)
+        // increment×increment: keep-first exactly as in run()
+        val candII = keepFirstCandidates(incBands)
+        // increment×corpus: the increment's band keys are the small
+        // side (the asymmetry the incremental loop exists to exploit);
+        // corpus docs always win, so the increment doc is always d2.
+        // The corpus shingle frame is the multi-consumer heavy side —
+        // pinned once (≈ the persisted corpus LSH index).
+        val corpusShaped = shapedOf(corpusDocs).localCheckpoint(true)
+        val candIC = bandsOf(corpusShaped).as("c")
+          .join(broadcast(incBands.as("i")),
+            col("c.band") === col("i.band") &&
+              col("c.key") === col("i.key"))
+          .select(col("c.doc_id").as("d1"), col("i.doc_id").as("d2"))
+          .distinct()
+          .localCheckpoint(true) // 3 consumers below
+        // verify both candidate sets with one shingle machinery;
+        // corpus shingles enter ONLY for candidate docs
+        val candCorpusIds = candIC.select(col("d1").as("doc_id"))
+          .distinct()
+        val corpusCandShaped = corpusShaped
+          .join(candCorpusIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true) // shingles + counts both read it
+        val sh = incShaped
+          .select(col("doc_id"), explode(col("shs")).as("s"))
+          .unionByName(corpusCandShaped
+            .select(col("doc_id"), explode(col("shs")).as("s")))
+        val cnt = incShaped
+          .select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+          .unionByName(corpusCandShaped
+            .select(col("doc_id"), size(col("shs")).cast("long").as("n")))
+        val cand = candII.unionByName(candIC).distinct()
+        d.join(verifiedDrops(cand, sh, cnt), Seq("doc_id"), "left_anti")
+      }) ++ gateStages(benchmark, cfg))
+  }
+
+  // ------------------------------------------------ shared stage defs
+
+  /** Audit scaffolding: run the named stages in order, checkpointing
+    * each output and recording the funnel row. */
+  private def audited(input: DataFrame,
+      stages: Seq[(String, DataFrame => DataFrame)])
+      : (DataFrame, Seq[StageAudit]) = {
     val audits = Seq.newBuilder[StageAudit]
-    var cur = increment.select("doc_id", "text").localCheckpoint(true)
+    var cur = input.select("doc_id", "text").localCheckpoint(true)
     var curN = cur.count()
-    def stage(ord: Int, name: String)(f: DataFrame => DataFrame): Unit = {
+    stages.zipWithIndex.foreach { case ((name, f), i) =>
       val out = f(cur).localCheckpoint(true)
       val outN = out.count()
-      audits += StageAudit(ord, name, curN, outN)
+      audits += StageAudit(i + 1, name, curN, outN)
       cur = out; curN = outN
     }
-    val corpusDocs = corpus.select("doc_id", "text")
+    (cur, audits.result())
+  }
 
-    stage(1, "exact_dedup") { d =>
-      val inIncrement = d.withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .filter(col("rn") === 1).drop("rn")
-      val corpusHashes = corpusDocs
-        .select(md5(col("text")).as("h")).distinct()
-      inIncrement.withColumn("h", md5(col("text")))
-        .join(corpusHashes, Seq("h"), "left_anti")
-        .drop("h")
-    }
-
-    stage(2, "near_dedup") { d =>
-      def shaped(df: DataFrame) = df
-        .select(col("doc_id"), TF.words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), array_distinct(
-          SignatureExprs.wordShingles(col("ws"), 3)).as("shs"))
-      def bandsOf(sh: DataFrame) = sh
-        .select(col("doc_id"),
-          SignatureExprs.minhashSig(col("shs"), 32).as("sig"))
-        .withColumn("bands", TF.minhashBands("sig", 8, 4))
-        .select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band", "key")))
-      val incShaped = shaped(d).localCheckpoint(true)
-      val incBands = bandsOf(incShaped).localCheckpoint(true)
-      // increment×increment: keep-first exactly as in run()
-      val candII = incBands.as("a")
-        .join(incBands.as("b").hint("shuffle_hash"),
-          col("a.band") === col("b.band") &&
-            col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      // increment×corpus: the increment's band keys are the small side
-      // (the asymmetry the incremental loop exists to exploit); corpus
-      // docs always win, so the increment doc is always d2
-      val corpusShaped = shaped(corpusDocs)
-      val candIC = bandsOf(corpusShaped).as("c")
-        .join(broadcast(incBands.as("i")),
-          col("c.band") === col("i.band") && col("c.key") === col("i.key"))
-        .select(col("c.doc_id").as("d1"), col("i.doc_id").as("d2"))
-        .distinct()
-      // verify both candidate sets with one shingle machinery; corpus
-      // shingles enter ONLY for candidate docs (semi-join first)
-      val candCorpusIds = candIC.select(col("d1").as("doc_id")).distinct()
-      val verifySh = incShaped
-        .select(col("doc_id"), explode(col("shs")).as("s"))
-        .unionByName(corpusShaped
-          .join(candCorpusIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), explode(col("shs")).as("s")))
-      val cnt = incShaped
-        .select(col("doc_id"), size(col("shs")).cast("long").as("n"))
-        .unionByName(corpusShaped
-          .join(candCorpusIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), size(col("shs")).cast("long").as("n")))
-      val cand = candII.unionByName(candIC).distinct()
-      val inter = cand
-        .join(verifySh.toDF("d1", "s"), "d1")
-        .join(verifySh.toDF("d2", "s"), Seq("d2", "s"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      val ver = inter
-        .join(cnt.toDF("d1", "na"), "d1")
-        .join(cnt.toDF("d2", "nb"), "d2")
-        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
-      d.join(ver.select(col("d2").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-    }
-
-    stage(3, "length_gate")(d => d.filter(
-      size(TF.words(col("text"))).between(cfg.minWords, cfg.maxWords)))
-
-    stage(4, "repetition_gate") { d =>
+  /** Stages 3-5 — identical in both entry points by construction. */
+  private def gateStages(benchmark: DataFrame, cfg: Config)
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
+    "length_gate" -> (d => d.filter(
+      size(TF.words(col("text"))).between(cfg.minWords, cfg.maxWords))),
+    "repetition_gate" -> { d: DataFrame =>
       val ok = d
         .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -253,16 +175,72 @@ object CurationPipeline {
         .filter(expr(s"top * 1000 DIV n <= ${cfg.topWordPmMax}"))
         .select("doc_id")
       d.join(ok, Seq("doc_id"))
-    }
-
-    stage(5, "decontaminate") { d =>
+    },
+    "decontaminate" -> { d: DataFrame =>
       val bench = grams13(benchmark, cfg).select("h").distinct()
       val hit = grams13(d, cfg)
         .join(broadcast(bench), Seq("h"), "left_semi")
         .select("doc_id").distinct()
       d.join(hit, Seq("doc_id"), "left_anti")
-    }
+    })
 
-    (cur, audits.result())
+  /** Keep the lowest doc_id per content hash (within one frame). */
+  private def exactDedupWithin(d: DataFrame): DataFrame =
+    d.withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** (doc_id, shs): distinct 3-shingles per doc with ≥ 3 words. */
+  private def shapedOf(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), TF.words(col("text")).as("ws"))
+    .filter(size(col("ws")) >= 3)
+    .select(col("doc_id"), array_distinct(
+      SignatureExprs.wordShingles(col("ws"), 3)).as("shs"))
+
+  /** (doc_id, band, key) LSH rows. The signature frame is pinned
+    * BEFORE banding — the banding HOF references `sig` once per band
+    * and Catalyst does not hoist the common subexpression, so an
+    * unmaterialized signature recomputes 8× (the measured 17× slowdown
+    * documented at q_dedup_minhash_lsh). */
+  private def bandsOf(shaped: DataFrame): DataFrame = {
+    val sig = shaped.select(col("doc_id"),
+        SignatureExprs.minhashSig(col("shs"), 32).as("sig"))
+      .localCheckpoint(true)
+    sig.withColumn("bands", TF.minhashBands("sig", 8, 4))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "key")))
   }
+
+  /** Self-join band rows into ordered candidate pairs (d1 < d2). */
+  private def keepFirstCandidates(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+  /** Exact-Jaccard verify over candidate pairs: returns the distinct
+    * d2 (loser) ids whose pair clears J ≥ 0.5, as a (doc_id) frame. */
+  private def verifiedDrops(cand: DataFrame, sh: DataFrame,
+      cnt: DataFrame): DataFrame = {
+    val inter = cand
+      .join(sh.toDF("d1", "s"), "d1")
+      .join(sh.toDF("d2", "s"), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.toDF("d1", "na"), "d1")
+      .join(cnt.toDF("d2", "nb"), "d2")
+      // J ≥ 0.5 ⇔ 2·inter ≥ union, all-integer
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("d2").as("doc_id")).distinct()
+  }
+
+  private def grams13(df: DataFrame, cfg: Config): DataFrame = df
+    .select(col("doc_id"), TF.words(col("text")).as("ws"))
+    .filter(size(col("ws")) >= cfg.contamGram)
+    .select(col("doc_id"), explode(array_distinct(
+      SignatureExprs.wordShingles(col("ws"), cfg.contamGram))).as("g"))
+    .select(col("doc_id"), expr(TF.hash60Sql("g")).as("h"))
 }
