@@ -149,6 +149,93 @@ object PipelineQueries {
             |    AND a.doc_id < b.doc_id
             |ORDER BY d1, d2""".stripMargin))
 
+  /** LSH banding-quality audit — the tuning table for the 8×4 MinHash
+    * config every near-dup query here relies on: against the exact
+    * J ≥ 0.3 truth (the inverted-index pairs of q_dedup_ngram_jaccard),
+    * how many LSH candidate pairs are real (precision) and how many
+    * real pairs the bands surface (recall)? This is the measurement
+    * that justifies a band configuration BEFORE a 100 TB run commits
+    * to it — recall bounds what dedup can ever remove, precision
+    * bounds the wasted verify work. One self-validating audit row; all
+    * counts integer, ratios per mille with zero-guards, so the oracle
+    * replays exactly. Truth and candidates both reuse machinery that
+    * is already independently oracled (the shared shingle index and
+    * the banding expressions) — this query pins their RELATIONSHIP,
+    * like q_ann_recall does for IVF vs brute force. */
+  val lshPrecision = GraftQuery(
+    "q_lsh_precision",
+    "LSH band-config audit: precision/recall vs exact Jaccard truth",
+    (s, dir) => {
+      val ix = TokenStats.shingleIndex3(s, dir)
+      val truth = ix.pairs
+        .join(broadcast(ix.cnt.as("ca")), col("d1") === col("ca.doc_id"))
+        .join(broadcast(ix.cnt.as("cb")), col("d2") === col("cb.doc_id"))
+        .filter(col("inter") * 10 >=
+          (col("ca.n") + col("cb.n") - col("inter")) * 3)
+        .select("d1", "d2")
+        .localCheckpoint(true) // two consumers: count + hits semi-join
+      val sig = docs(s, dir)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), graft.functions.SignatureExprs.minhashSig(
+          array_distinct(graft.functions.SignatureExprs
+            .wordShingles(col("ws"), 3)), 32).as("sig"))
+        .localCheckpoint(true)
+      val bands = sig
+        .withColumn("bands", TF.minhashBands("sig", 8, 4))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+        .localCheckpoint(true)
+      val cand = bands.as("a")
+        .join(bands.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .localCheckpoint(true)
+      val hits = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_cand"), col("n_true"), col("n_hits"),
+          expr("n_hits * 1000 DIV greatest(n_cand, 1)").as("precision_pm"),
+          expr("n_hits * 1000 DIV greatest(n_true, 1)").as("recall_pm"))
+        .orderBy("n_cand")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |           FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, s
+            |       FROM (SELECT doc_id, unnest($duckShingles) AS s
+            |             FROM w WHERE len(ws) >= 3)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            |            count(*) AS inter
+            |          FROM sh a JOIN sh b
+            |            ON a.s = b.s AND a.doc_id < b.doc_id
+            |          GROUP BY 1, 2),
+            |truth AS (SELECT d1, d2 FROM pairs
+            |          JOIN cnt ca ON ca.doc_id = d1
+            |          JOIN cnt cb ON cb.doc_id = d2
+            |          WHERE inter * 10 >= (ca.n + cb.n - inter) * 3),
+            |bandkeys AS (
+            |  ${TF.minhashBandsDuckSql("doc_id", duckShingles, "w",
+               "WHERE len(ws) >= 3", k = 32, bands = 8, rowsPerBand = 4)}
+            |),
+            |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |         FROM bandkeys a JOIN bandkeys b
+            |           ON a.band = b.band AND a.key = b.key
+            |             AND a.doc_id < b.doc_id),
+            |hits AS (SELECT c.d1, c.d2
+            |         FROM cand c JOIN truth t USING (d1, d2))
+            |SELECT (SELECT count(*) FROM cand) AS n_cand,
+            |  (SELECT count(*) FROM truth) AS n_true,
+            |  (SELECT count(*) FROM hits) AS n_hits,
+            |  (SELECT count(*) FROM hits) * 1000 //
+            |    greatest((SELECT count(*) FROM cand), 1)
+            |    AS precision_pm,
+            |  (SELECT count(*) FROM hits) * 1000 //
+            |    greatest((SELECT count(*) FROM truth), 1) AS recall_pm
+            |ORDER BY n_cand""".stripMargin))
+
   /** SimHash near-dup: 60-bit majority-vote signature; candidates bucket by
     * the 16-bit prefix, verified by Hamming distance ≤ 12 (bit_count of
     * XOR). Portable hashes → full DuckDB oracle. */
@@ -1727,7 +1814,8 @@ object PipelineQueries {
             |WHERE f.is_new ORDER BY doc_id""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(
-    dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    dedupExact, dedupNgramJaccard, dedupMinhashLsh, lshPrecision,
+    dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,
