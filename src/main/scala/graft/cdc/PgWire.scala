@@ -391,8 +391,9 @@ final class PgReplicationSource(
     new Iterator[(Long, Array[Byte])] {
       private var nextFrame: (Long, Array[Byte]) = _
       private var done = false
-      private var seenKeepalive = false
+      private var sawAnyData = false
       private var dataSinceKeepalive = false
+      private var idleKeepalives = 0
 
       @annotation.tailrec
       private def advance(): Unit = readMessage(in) match {
@@ -404,18 +405,29 @@ final class PgReplicationSource(
           b.getLong(); b.getLong() // walEnd, serverTime: unused here
           val payload = new Array[Byte](b.remaining())
           b.get(payload)
+          sawAnyData = true
           dataSinceKeepalive = true
           nextFrame = (walStart, payload)
         case Some(('d', body)) if body.nonEmpty && body(0) == 'k' =>
           // keepalive: walEnd i64, serverTime i64, replyRequested u8
           if (body.length >= 18 && body(17) == 1)
             writeStatus(lastAck, replyRequested = false)
-          if (seenKeepalive && !dataSinceKeepalive)
-            done = true // idle for a whole keepalive interval: drained
-          else {
-            seenKeepalive = true
+          if (dataSinceKeepalive) {
             dataSinceKeepalive = false
+            idleKeepalives = 0
             advance()
+          } else {
+            idleKeepalives += 1
+            // after data has flowed, one full idle keepalive interval
+            // means drained. BEFORE any data, be slower to give up:
+            // some servers emit a burst of keepalives while setting up
+            // backlog streaming — two immediate ones must not end the
+            // pull with the backlog unread, so pre-data we require
+            // three consecutive idle keepalives (an empty backlog
+            // still terminates: caught-up servers keepalive forever).
+            if (idleKeepalives >= (if (sawAnyData) 1 else 3))
+              done = true
+            else advance()
           }
         case Some(('c', _)) => done = true // CopyDone
         case Some(('E', body)) => fail(body)

@@ -155,6 +155,10 @@ final class Switchboard(upstreamHost: String, upstreamPort: Int) {
     def closeBoth(): Unit = {
       try client.close() catch { case _: java.io.IOException => () }
       try up.close() catch { case _: java.io.IOException => () }
+      // a long-lived proxy must not accumulate two dead sockets per
+      // finished session in the stop() cleanup queue
+      conns.remove(client)
+      conns.remove(up)
     }
     pump("c2s", cIn, uOut, closeBoth)
     pump("s2c", uIn, cOut, closeBoth)

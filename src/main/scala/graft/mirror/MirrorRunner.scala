@@ -301,9 +301,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       case "mongo" =>
         val after = graft.util.FsText.read(offsetPath, hadoopConf)
           .getOrElse("")
+        // fail fast rather than silently watching the wrong database:
+        // a pathless mongo:// URL would otherwise capture zero events
+        require(ep.database.nonEmpty,
+          "mongo:// capture endpoint requires a database path " +
+            "(mongo://host:port/dbname)")
         val src = new graft.cdc.MongoSocketSource(ep.host, ep.port,
-          database =
-            if (ep.database.isEmpty) "admin" else ep.database,
+          database = ep.database,
           connectTimeoutMs = connectMs, readTimeoutMs = readMs)
         ingestMongo(src, after, offsetPath)
       case other => throw new IllegalArgumentException(

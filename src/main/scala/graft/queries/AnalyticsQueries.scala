@@ -532,9 +532,16 @@ object AnalyticsQueries {
         li.select(col("l_returnflag"), col(key))
           .filter(col(key).isNotNull).distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(as))
-      nd("l_suppkey", "nd_supp")
-        .join(nd("l_partkey", "nd_part"), "l_returnflag")
-        .join(ap, "l_returnflag")
+      // left joins FROM the approx frame: ap keeps every returnflag
+      // group (approx_count_distinct of all-NULL is 0, the group
+      // survives), while an inner join on an nd frame would drop a
+      // group whose key column is entirely NULL — the oracle keeps it
+      // with a 0 count. Latent on TPC-H (NOT NULL columns) but
+      // reachable via RUN OPERATOR on arbitrary dirs.
+      ap.join(nd("l_suppkey", "nd_supp"), Seq("l_returnflag"), "left")
+        .join(nd("l_partkey", "nd_part"), Seq("l_returnflag"), "left")
+        .withColumn("nd_supp", coalesce(col("nd_supp"), lit(0L)))
+        .withColumn("nd_part", coalesce(col("nd_part"), lit(0L)))
         .select(col("l_returnflag"), col("nd_supp"), col("nd_part"),
           when(abs(col("a_supp") - col("nd_supp")) * 100
             <= col("nd_supp") * 15, 1).otherwise(0).as("supp_ok"),
