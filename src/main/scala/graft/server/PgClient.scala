@@ -1,0 +1,289 @@
+package graft.server
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException,
+  OutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.cdc.PgWire
+
+/** A minimal pgwire FRONTEND client for driving [[PgServer]] (and any
+  * real PostgreSQL) over a live socket — the query-session counterpart
+  * of the replication client in [[graft.cdc.PgWire]], sharing its
+  * framing and SCRAM primitives. Speaks the simple protocol
+  * ([[query]]) and the extended protocol ([[prepare]]/[[bind]]/
+  * [[execute]]/[[sync]]) with text-format results.
+  *
+  * Results come back as [[PgClient.Result]]: column names + rows of
+  * Option[String] (None = SQL NULL), plus the CommandComplete tag.
+  */
+object PgClient {
+  final case class Result(columns: Seq[String],
+      rows: Seq[Seq[Option[String]]], tag: String)
+
+  final class PgServerError(val sqlState: String, message: String)
+    extends RuntimeException(message)
+}
+
+final class PgClient(
+    host: String, port: Int,
+    user: String = "graft",
+    database: String = "graft",
+    password: String = "",
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000) extends AutoCloseable {
+
+  import PgClient._
+  import PgWire._
+
+  private var sock: Socket = _
+  private var in: DataInputStream = _
+  private var out: OutputStream = _
+
+  def connect(): PgClient = {
+    val s = new Socket()
+    s.connect(new java.net.InetSocketAddress(host, port),
+      connectTimeoutMs)
+    s.setSoTimeout(readTimeoutMs)
+    sock = s
+    out = s.getOutputStream
+    in = new DataInputStream(new BufferedInputStream(s.getInputStream))
+    ssl.foreach { ctx =>
+      // SSLRequest: int32 8, int32 code; single raw byte back
+      out.write(ByteBuffer.allocate(8).putInt(8)
+        .putInt(SslRequestCode).array())
+      out.flush()
+      val answer = in.read()
+      if (answer != 'S') throw new java.io.IOException(
+        s"server declined SSL (answer ${answer.toChar})")
+      val tls = ctx.getSocketFactory
+        .createSocket(sock, host, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      tls.setUseClientMode(true)
+      tls.startHandshake()
+      sock = tls
+      out = tls.getOutputStream
+      in = new DataInputStream(
+        new BufferedInputStream(tls.getInputStream))
+    }
+    writeStartup(out, Seq(
+      "user" -> user, "database" -> database,
+      "application_name" -> "graft-client"))
+    var ready = false
+    var scram: Option[Scram.Client] = None
+    while (!ready) readMessage(in) match {
+      case None => throw new EOFException("EOF during startup")
+      case Some(('R', body)) =>
+        val b = ByteBuffer.wrap(body)
+        b.getInt() match {
+          case 0 => ()
+          case 3 =>
+            writeMessage(out, 'p', cstring(password)); out.flush()
+          case 5 =>
+            val salt = new Array[Byte](4); b.get(salt)
+            writeMessage(out, 'p',
+              cstring(md5Password(user, password, salt)))
+            out.flush()
+          case 10 =>
+            val nonce = new Array[Byte](18)
+            new java.security.SecureRandom().nextBytes(nonce)
+            val c = new Scram.Client(password, Scram.b64(nonce))
+            scram = Some(c)
+            val first = c.clientFirst.getBytes(UTF_8)
+            writeMessage(out, 'p',
+              cstring(Scram.Mechanism) ++
+                ByteBuffer.allocate(4).putInt(first.length).array() ++
+                first)
+            out.flush()
+          case 11 =>
+            val c = scram.get
+            writeMessage(out, 'p', c.clientFinal(
+              new String(body, 4, body.length - 4, UTF_8))
+              .getBytes(UTF_8))
+            out.flush()
+          case 12 =>
+            scram.get.verifyServerFinal(
+              new String(body, 4, body.length - 4, UTF_8))
+          case other => throw new java.io.IOException(
+            s"unsupported auth method $other")
+        }
+      case Some(('S', _)) | Some(('K', _)) | Some(('N', _)) => ()
+      case Some(('Z', _)) => ready = true
+      case Some(('E', body)) => throw new PgServerError("",
+        errorMessage(body))
+      case Some((t, _)) => throw new java.io.IOException(
+        s"unexpected '$t' during startup")
+    }
+    this
+  }
+
+  private def parseRowDescription(body: Array[Byte]): Seq[String] = {
+    val b = ByteBuffer.wrap(body)
+    val n = b.getShort.toInt
+    (0 until n).map { _ =>
+      val s = new StringBuilder
+      var c = b.get()
+      while (c != 0) { s += c.toChar; c = b.get() }
+      b.getInt(); b.getShort(); b.getInt(); b.getShort(); b.getInt()
+      b.getShort()
+      s.toString
+    }
+  }
+
+  private def parseDataRow(body: Array[Byte]): Seq[Option[String]] = {
+    val b = ByteBuffer.wrap(body)
+    val n = b.getShort.toInt
+    (0 until n).map { _ =>
+      val len = b.getInt
+      if (len < 0) None
+      else {
+        val v = new Array[Byte](len)
+        b.get(v)
+        Some(new String(v, UTF_8))
+      }
+    }
+  }
+
+  /** Simple protocol: one Query message → the LAST result in the
+    * response (all are read; multi-statement callers use
+    * [[queryAll]]). */
+  def query(sql: String): Result = queryAll(sql).lastOption
+    .getOrElse(Result(Nil, Nil, ""))
+
+  /** Simple protocol, every per-statement result until ReadyForQuery.
+    * The first ErrorResponse raises after draining to RFQ. */
+  def queryAll(sql: String): Seq[Result] = {
+    writeMessage(out, 'Q', cstring(sql))
+    out.flush()
+    val results = Seq.newBuilder[Result]
+    var cols: Seq[String] = Nil
+    var rows = Seq.newBuilder[Seq[Option[String]]]
+    var err: Option[PgServerError] = None
+    var done = false
+    while (!done) readMessage(in) match {
+      case None => throw new EOFException("EOF mid-response")
+      case Some(('T', body)) =>
+        cols = parseRowDescription(body)
+        rows = Seq.newBuilder
+      case Some(('D', body)) => rows += parseDataRow(body)
+      case Some(('C', body)) =>
+        val tag = new String(body, 0, body.length - 1, UTF_8)
+        results += Result(cols, rows.result(), tag)
+        cols = Nil; rows = Seq.newBuilder
+      case Some(('I', _)) => results += Result(Nil, Nil, "")
+      case Some(('E', body)) =>
+        if (err.isEmpty) {
+          var i = 0; var code = ""; var msg = ""
+          while (i < body.length && body(i) != 0) {
+            val f = body(i).toChar; i += 1
+            val s = i
+            while (i < body.length && body(i) != 0) i += 1
+            val v = new String(body, s, i - s, UTF_8); i += 1
+            if (f == 'C') code = v
+            if (f == 'M') msg = v
+          }
+          err = Some(new PgServerError(code, msg))
+        }
+      case Some(('Z', _)) => done = true
+      case Some(('N', _)) | Some(('S', _)) => ()
+      case Some((t, _)) => throw new java.io.IOException(
+        s"unexpected '$t' in query response")
+    }
+    err.foreach(throw _)
+    results.result()
+  }
+
+  // ------------------------------------------------ extended protocol
+
+  def parse(name: String, sql: String): Unit = {
+    writeMessage(out, 'P',
+      cstring(name) ++ cstring(sql) ++
+        ByteBuffer.allocate(2).putShort(0).array())
+  }
+
+  /** Bind with text-format parameters (None = NULL). */
+  def bind(portal: String, statement: String,
+      params: Seq[Option[String]] = Nil): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(cstring(portal)); b.write(cstring(statement))
+    b.write(ByteBuffer.allocate(2).putShort(0).array()) // param fmts
+    b.write(ByteBuffer.allocate(2)
+      .putShort(params.length.toShort).array())
+    params.foreach {
+      case None =>
+        b.write(ByteBuffer.allocate(4).putInt(-1).array())
+      case Some(v) =>
+        val bytes = v.getBytes(UTF_8)
+        b.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
+        b.write(bytes)
+    }
+    b.write(ByteBuffer.allocate(2).putShort(0).array()) // result fmts
+    writeMessage(out, 'B', b.toByteArray)
+  }
+
+  def describePortal(portal: String): Unit =
+    writeMessage(out, 'D', Array('P'.toByte) ++ cstring(portal))
+
+  def describeStatement(name: String): Unit =
+    writeMessage(out, 'D', Array('S'.toByte) ++ cstring(name))
+
+  def execute(portal: String, maxRows: Int = 0): Unit =
+    writeMessage(out, 'E', cstring(portal) ++
+      ByteBuffer.allocate(4).putInt(maxRows).array())
+
+  def closePortal(portal: String): Unit =
+    writeMessage(out, 'C', Array('P'.toByte) ++ cstring(portal))
+
+  def closeStatement(name: String): Unit =
+    writeMessage(out, 'C', Array('S'.toByte) ++ cstring(name))
+
+  /** Sync, then drain the whole exchange's responses until
+    * ReadyForQuery. Returns (results, suspendedCount): each
+    * CommandComplete or PortalSuspended closes one result; suspended
+    * results carry tag "SUSPENDED". Raises the first error AFTER
+    * reaching RFQ. */
+  def sync(): Seq[Result] = {
+    writeMessage(out, 'S', Array.emptyByteArray)
+    out.flush()
+    val results = Seq.newBuilder[Result]
+    var cols: Seq[String] = Nil
+    var rows = Seq.newBuilder[Seq[Option[String]]]
+    var err: Option[PgServerError] = None
+    var done = false
+    while (!done) readMessage(in) match {
+      case None => throw new EOFException("EOF mid-exchange")
+      case Some(('1', _)) | Some(('2', _)) | Some(('3', _)) => ()
+      case Some(('t', _)) => ()
+      case Some(('n', _)) => ()
+      case Some(('T', body)) =>
+        cols = parseRowDescription(body)
+        rows = Seq.newBuilder
+      case Some(('D', body)) => rows += parseDataRow(body)
+      case Some(('C', body)) =>
+        results += Result(cols, rows.result(),
+          new String(body, 0, body.length - 1, UTF_8))
+        rows = Seq.newBuilder
+      case Some(('s', _)) =>
+        results += Result(cols, rows.result(), "SUSPENDED")
+        rows = Seq.newBuilder
+      case Some(('E', body)) =>
+        if (err.isEmpty)
+          err = Some(new PgServerError("XX000", errorMessage(body)))
+      case Some(('Z', _)) => done = true
+      case Some(('N', _)) | Some(('S', _)) => ()
+      case Some((t, _)) => throw new java.io.IOException(
+        s"unexpected '$t' in extended exchange")
+    }
+    err.foreach(throw _)
+    results.result()
+  }
+
+  override def close(): Unit = if (sock != null) {
+    try { writeMessage(out, 'X', Array.emptyByteArray); out.flush() }
+    catch { case _: java.io.IOException => () }
+    try sock.close() catch { case _: java.io.IOException => () }
+    sock = null
+  }
+}

@@ -1,0 +1,665 @@
+package graft.server
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException,
+  OutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.cdc.PgWire
+
+/** The user-facing pgwire front-end — the reference's core UX is `psql`
+  * into nexus (`nexus/server/src/main.rs`: a full pgwire server doing
+  * startup, simple + extended query protocol, and stateful cursors at
+  * `main.rs:593-650`). This is the Spark restatement: a TCP listener
+  * speaking protocol v3 whose statement surface IS the session parser —
+  * every query is handed to `spark.sql` on a session built with
+  * [[graft.mirror.GraftExtensions]], so graft DDL (CREATE PEER/MIRROR,
+  * DECLARE/FETCH, SHOW OPERATORS, RUN OPERATOR …) and plain Spark SQL
+  * (including peer-qualified relations) arrive through one door, exactly
+  * as they do in-process.
+  *
+  * Protocol surface (PostgreSQL docs, protocol §55; the same public
+  * spec [[graft.cdc.PgWire]] implements client-side):
+  *
+  *  - startup: SSLRequest answered ('S' + TLS handshake when an
+  *    [[javax.net.ssl.SSLContext]] is configured, 'N' otherwise),
+  *    CancelRequest acknowledged by closing, then the v3 startup
+  *    message.
+  *  - auth: trust when no users are registered; SCRAM-SHA-256
+  *    otherwise — the server VERIFIES the client proof against derived
+  *    keys (never stores or compares cleartext on the wire) and returns
+  *    the server signature, mutual-auth included.
+  *  - simple protocol: 'Q' with top-level `;` splitting,
+  *    EmptyQueryResponse, RowDescription/DataRow/CommandComplete per
+  *    statement, ErrorResponse + ReadyForQuery on failure.
+  *  - extended protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync
+  *    with named statements + portals; `$n` parameters substituted at
+  *    Bind as quoted literals (the proxy's exact mechanism for prepared
+  *    statements, `main.rs:861-866`); Execute honors `maxRows` with
+  *    PortalSuspended, and a kept portal resumes its row iterator on
+  *    the next Execute — the cursor statefulness of `main.rs:593-650`.
+  *
+  * Result rows stream through `Dataset.toLocalIterator` — one partition
+  * in driver memory at a time, never a full collect, so a cursor over a
+  * billion-row SELECT pages without materializing it.
+  *
+  * Threading matches [[graft.cdc.Switchboard]]: daemon accept loop, one
+  * daemon thread per session, finished sessions drop out of the cleanup
+  * queue. Statements within a session run sequentially; sessions share
+  * the SparkSession (Spark schedules concurrent actions safely).
+  */
+object PgServer {
+
+  /** CancelRequest pseudo-version (1234.5678). */
+  val CancelRequestCode: Int = 80877102
+
+  // ------------------------------------------------- type OID mapping
+
+  /** Spark type → PG type OID (pg_type.dat, public catalog numbers). */
+  def typeOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case ByteType | ShortType => 21 // int2
+    case IntegerType => 23 // int4
+    case LongType => 20 // int8
+    case FloatType => 700 // float4
+    case DoubleType => 701 // float8
+    case _: DecimalType => 1700 // numeric
+    case StringType => 25 // text
+    case BinaryType => 17 // bytea
+    case DateType => 1082 // date
+    case TimestampType => 1184 // Spark timestamps are tz-aware
+    case TimestampNTZType => 1114
+    case ArrayType(e, _) => e match {
+      case IntegerType => 1007 // _int4
+      case LongType => 1016 // _int8
+      case StringType => 1009 // _text
+      case FloatType => 1021 // _float4
+      case DoubleType => 1022 // _float8
+      case _ => 25
+    }
+    case _ => 25 // structs/maps render as text
+  }
+
+  /** PG text-format rendering of one value (null handled by caller). */
+  def textValue(v: Any): String = v match {
+    case b: Boolean => if (b) "t" else "f"
+    case bytes: Array[Byte] =>
+      "\\x" + bytes.map(x => f"${x & 0xff}%02x").mkString
+    case d: Double if d.isNaN => "NaN"
+    case d: Double if d.isPosInfinity => "Infinity"
+    case d: Double if d.isNegInfinity => "-Infinity"
+    case f: Float if f.isNaN => "NaN"
+    case f: Float if f.isPosInfinity => "Infinity"
+    case f: Float if f.isNegInfinity => "-Infinity"
+    case s: collection.Seq[_] =>
+      s.map(e => if (e == null) "NULL" else arrayElem(textValue(e)))
+        .mkString("{", ",", "}")
+    case a: Array[_] =>
+      a.map(e => if (e == null) "NULL" else arrayElem(textValue(e)))
+        .mkString("{", ",", "}")
+    case other => String.valueOf(other)
+  }
+
+  /** Array-literal element quoting: PG quotes elements containing
+    * delimiters/braces/quotes/whitespace. */
+  private def arrayElem(s: String): String =
+    if (s.isEmpty || s.exists(c => c == ',' || c == '{' || c == '}' ||
+      c == '"' || c == '\\' || c.isWhitespace))
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else s
+
+  /** SQL single-quoted literal for a text-format parameter value. */
+  def sqlLiteral(v: String): String =
+    "'" + v.replace("'", "''") + "'"
+
+  /** Top-level statement split on `;` outside quotes (simple protocol
+    * allows several statements per Query message). */
+  def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var sq = false; var dq = false
+    sql.foreach {
+      case '\'' if !dq => sq = !sq; cur += '\''
+      case '"' if !sq => dq = !dq; cur += '"'
+      case ';' if !sq && !dq => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** CommandComplete tag: "SELECT n" for row-producing results,
+    * leading keyword(s) for commands ("CREATE MIRROR", "FETCH n"…). */
+  def commandTag(sql: String, hasRows: Boolean, rows: Long): String = {
+    val words = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
+    words.headOption match {
+      case Some("SELECT") | Some("WITH") | Some("VALUES") |
+        Some("TABLE") => s"SELECT $rows"
+      case Some("FETCH") => s"FETCH $rows"
+      case Some(w1) if words.length > 1 &&
+        Set("CREATE", "DROP", "SHOW", "PAUSE", "RESUME", "RESYNC",
+          "EXECUTE", "VALIDATE", "DESCRIBE", "ALTER", "RUN")(w1) =>
+        s"$w1 ${words(1)}"
+      case Some(w1) => if (hasRows) s"SELECT $rows" else w1
+      case None => "OK"
+    }
+  }
+
+  /** Server half of SCRAM-SHA-256 (RFC 5802/7677) over the primitives
+    * in [[PgWire.Scram]] — verifies the client PROOF against keys
+    * derived from the registered password, and signs the exchange back
+    * (mutual authentication). One instance per connection attempt. */
+  final class ScramServer(user: String, password: String) {
+    import PgWire.Scram._
+    private val saltBytes = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(saltBytes)
+    private val iterations = 4096
+    private val serverNonce = {
+      val n = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(n)
+      b64(n)
+    }
+    private var clientFirstBare: String = _
+    private var serverFirst: String = _
+
+    /** client-first-message → server-first-message. */
+    def first(clientFirst: String): String = {
+      require(clientFirst.startsWith("n,,"),
+        "SCRAM: only the no-channel-binding gs2 header is accepted")
+      clientFirstBare = clientFirst.substring(3)
+      val cliNonce = attrs(clientFirstBare)('r')
+      serverFirst =
+        s"r=$cliNonce$serverNonce,s=${b64(saltBytes)},i=$iterations"
+      serverFirst
+    }
+
+    /** client-final-message → Some(server-final "v=…") when the proof
+      * verifies, None otherwise. */
+    def verifyFinal(clientFinal: String): Option[String] = {
+      val a = attrs(clientFinal)
+      val withoutProof =
+        clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+      if (a.getOrElse('c', "") != Gs2Base64) return None
+      if (!a('r').endsWith(serverNonce)) return None
+      val salted = saltedPassword(password, saltBytes, iterations)
+      val (_, storedKey, serverKey) = keys(salted)
+      val authMsg = (clientFirstBare + "," + serverFirst + "," +
+        withoutProof).getBytes(UTF_8)
+      val clientSig = hmac(storedKey, authMsg)
+      val clientKey = xor(unb64(a('p')), clientSig)
+      if (!java.util.Arrays.equals(sha256(clientKey), storedKey)) None
+      else Some(s"v=${b64(hmac(serverKey, authMsg))}")
+    }
+  }
+}
+
+final class PgServer(
+    spark: SparkSession,
+    bindPort: Int = 0,
+    users: Map[String, String] = Map.empty,
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    sslRequired: Boolean = false) {
+
+  import PgServer._
+  import PgWire.{cstring, readMessage, writeMessage}
+
+  private val server = new ServerSocket(bindPort)
+  @volatile private var running = false
+  private val conns = new ConcurrentLinkedQueue[Socket]()
+  private val pids = new AtomicInteger(1000)
+
+  def port: Int = server.getLocalPort
+
+  def start(): PgServer = {
+    running = true
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val client = server.accept()
+          conns.add(client)
+          val st = new Thread(() => {
+            try new Session(client).run()
+            catch { case scala.util.control.NonFatal(_) => () }
+            finally {
+              try client.close()
+              catch { case _: java.io.IOException => () }
+              conns.remove(client)
+            }
+          }, "pgserver-session")
+          st.setDaemon(true)
+          st.start()
+        } catch {
+          case _: SocketException => () // listener closed
+          case scala.util.control.NonFatal(_) => ()
+        }
+      }
+    }, "pgserver-accept")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: java.io.IOException => () }
+    conns.forEach(s => try s.close()
+      catch { case _: java.io.IOException => () })
+    conns.clear()
+  }
+
+  /** One connection: prologue (SSL/cancel/startup), auth, then the
+    * message loop. All per-session protocol state lives here. */
+  private final class Session(raw: Socket) {
+    private var sock: Socket = raw
+    private var in: DataInputStream = _
+    private var out: OutputStream = _
+
+    // extended-protocol state: named prepared statements and portals
+    private val statements = mutable.Map.empty[String, String]
+    private val portals = mutable.Map.empty[String, Portal]
+
+    private final class Portal(val sql: String, val df: DataFrame) {
+      val hasRows: Boolean = df.schema.nonEmpty
+      lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
+      var emitted: Long = 0L
+    }
+
+    private def streams(): Unit = {
+      in = new DataInputStream(
+        new BufferedInputStream(sock.getInputStream))
+      out = sock.getOutputStream
+    }
+
+    def run(): Unit = {
+      streams()
+      if (!prologue()) return
+      if (!authenticate()) return
+      sessionReady()
+      // the statement surface needs this session active on the thread
+      // (RUN OPERATOR schema resolution, peer catalogs)
+      SparkSession.setActiveSession(spark)
+      messageLoop()
+    }
+
+    /** SSLRequest / CancelRequest / startup. False = close quietly. */
+    @annotation.tailrec
+    private def prologue(): Boolean = {
+      val len =
+        try in.readInt()
+        catch { case _: EOFException => return false }
+      require(len >= 8 && len - 8 <= PgWire.MaxMessageBytes,
+        s"startup length $len out of bounds")
+      val code = in.readInt()
+      val body = new Array[Byte](len - 8)
+      in.readFully(body)
+      code match {
+        case PgWire.SslRequestCode =>
+          ssl match {
+            case Some(ctx) =>
+              out.write('S'); out.flush()
+              val f = ctx.getSocketFactory
+              val tls = f.createSocket(sock,
+                  sock.getInetAddress.getHostAddress, sock.getPort, true)
+                .asInstanceOf[javax.net.ssl.SSLSocket]
+              tls.setUseClientMode(false)
+              tls.startHandshake()
+              sock = tls
+              streams()
+            case None =>
+              out.write('N'); out.flush()
+          }
+          prologue()
+        case CancelRequestCode =>
+          false // acknowledge by closing; jobs are not interrupted
+        case PgWire.Protocol3 =>
+          var i = 0
+          val params = mutable.Map.empty[String, String]
+          while (i < body.length && body(i) != 0) {
+            val (k, i1) = cstrAt(body, i)
+            val (v, i2) = cstrAt(body, i1)
+            params(k) = v
+            i = i2
+          }
+          startupUser = params.get("user")
+          if (sslRequired && !sock.isInstanceOf[javax.net.ssl.SSLSocket]) {
+            sendError("28000", "server requires SSL connections")
+            false
+          } else true
+        case other =>
+          sendError("08P01", s"unsupported protocol version $other")
+          false
+      }
+    }
+
+    private def authenticate(): Boolean = {
+      if (users.isEmpty) {
+        writeMessage(out, 'R',
+          ByteBuffer.allocate(4).putInt(0).array()) // AuthenticationOk
+        return true
+      }
+      // AuthenticationSASL with the single supported mechanism
+      writeMessage(out, 'R',
+        ByteBuffer.allocate(4).putInt(10).array() ++
+          cstring(PgWire.Scram.Mechanism) :+ 0.toByte)
+      out.flush()
+      def deny(): Boolean = {
+        sendError("28P01", "SCRAM authentication failed")
+        false
+      }
+      readMessage(in) match {
+        case Some(('p', body)) =>
+          // SASLInitialResponse: mechanism cstring, int32 len, data
+          var i = 0
+          while (i < body.length && body(i) != 0) i += 1
+          val mech = new String(body, 0, i, UTF_8)
+          if (mech != PgWire.Scram.Mechanism) return deny()
+          val dataLen = ByteBuffer.wrap(body, i + 1, 4).getInt
+          val clientFirst =
+            new String(body, i + 5, math.max(dataLen, 0), UTF_8)
+          // the username arrives in startup params, but SCRAM proves
+          // knowledge of the password for whichever user we look up;
+          // PG itself ignores the SCRAM n= field and uses startup user
+          val user = startupUser.getOrElse("")
+          users.get(user) match {
+            case None => deny()
+            case Some(password) =>
+              val srv = new ScramServer(user, password)
+              val serverFirst = srv.first(clientFirst)
+              writeMessage(out, 'R',
+                ByteBuffer.allocate(4).putInt(11).array() ++
+                  serverFirst.getBytes(UTF_8))
+              out.flush()
+              readMessage(in) match {
+                case Some(('p', finalBody)) =>
+                  srv.verifyFinal(new String(finalBody, UTF_8)) match {
+                    case Some(serverFinal) =>
+                      writeMessage(out, 'R',
+                        ByteBuffer.allocate(4).putInt(12).array() ++
+                          serverFinal.getBytes(UTF_8))
+                      writeMessage(out, 'R',
+                        ByteBuffer.allocate(4).putInt(0).array())
+                      true
+                    case None => deny()
+                  }
+                case _ => deny()
+              }
+          }
+        case _ => deny()
+      }
+    }
+
+    private var startupUser: Option[String] = None
+
+    /** ParameterStatus set + BackendKeyData + first ReadyForQuery. */
+    private def sessionReady(): Unit = {
+      Seq(
+        "server_version" -> "16.0 (graft)",
+        "server_encoding" -> "UTF8",
+        "client_encoding" -> "UTF8",
+        "DateStyle" -> "ISO, MDY",
+        "integer_datetimes" -> "on",
+        "standard_conforming_strings" -> "on").foreach { case (k, v) =>
+        writeMessage(out, 'S', cstring(k) ++ cstring(v))
+      }
+      writeMessage(out, 'K', ByteBuffer.allocate(8)
+        .putInt(pids.getAndIncrement()).putInt(42).array())
+      readyForQuery()
+    }
+
+    private def readyForQuery(): Unit = {
+      writeMessage(out, 'Z', Array('I'.toByte))
+      out.flush()
+    }
+
+    private def sendError(sqlState: String, message: String): Unit = {
+      val body = Array('S'.toByte) ++ cstring("ERROR") ++
+        Array('V'.toByte) ++ cstring("ERROR") ++
+        Array('C'.toByte) ++ cstring(sqlState) ++
+        Array('M'.toByte) ++ cstring(message) :+ 0.toByte
+      writeMessage(out, 'E', body)
+      out.flush()
+    }
+
+    private def errText(e: Throwable): String = {
+      val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+      if (m.length > 4000) m.take(4000) + "…" else m
+    }
+
+    // -------------------------------------------------- result output
+
+    private def rowDescription(schema: StructType): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      val h = ByteBuffer.allocate(2).putShort(schema.length.toShort)
+      b.write(h.array())
+      schema.fields.foreach { f =>
+        b.write(cstring(f.name))
+        val fb = ByteBuffer.allocate(18)
+        fb.putInt(0) // table oid
+        fb.putShort(0) // attnum
+        fb.putInt(typeOid(f.dataType))
+        fb.putShort(-1) // typlen (varlena)
+        fb.putInt(-1) // typmod
+        fb.putShort(0) // text format
+        b.write(fb.array())
+      }
+      writeMessage(out, 'T', b.toByteArray)
+    }
+
+    private def dataRow(row: Row): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(ByteBuffer.allocate(2)
+        .putShort(row.length.toShort).array())
+      var i = 0
+      while (i < row.length) {
+        if (row.isNullAt(i))
+          b.write(ByteBuffer.allocate(4).putInt(-1).array())
+        else {
+          val bytes = textValue(row.get(i)).getBytes(UTF_8)
+          b.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
+          b.write(bytes)
+        }
+        i += 1
+      }
+      writeMessage(out, 'D', b.toByteArray)
+    }
+
+    private def commandComplete(tag: String): Unit =
+      writeMessage(out, 'C', cstring(tag))
+
+    // ------------------------------------------------ simple protocol
+
+    private def simpleQuery(sql: String): Unit = {
+      val stmts = splitStatements(sql)
+      if (stmts.isEmpty) {
+        writeMessage(out, 'I', Array.emptyByteArray) // EmptyQuery
+        readyForQuery()
+        return
+      }
+      var failed = false
+      stmts.foreach { stmt =>
+        if (!failed) {
+          try {
+            val df = spark.sql(stmt)
+            if (df.schema.nonEmpty) {
+              rowDescription(df.schema)
+              var n = 0L
+              val it = df.toLocalIterator()
+              while (it.hasNext) { dataRow(it.next()); n += 1 }
+              commandComplete(commandTag(stmt, hasRows = true, n))
+            } else
+              commandComplete(commandTag(stmt, hasRows = false, 0))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              sendError("XX000", errText(e))
+              failed = true // remaining statements are skipped, like PG
+          }
+        }
+      }
+      readyForQuery()
+    }
+
+    // ---------------------------------------------- extended protocol
+
+    /** True while discarding messages after an error, until Sync. */
+    private var errorSkip = false
+
+    private def cstrAt(body: Array[Byte], from: Int): (String, Int) = {
+      var i = from
+      while (i < body.length && body(i) != 0) i += 1
+      (new String(body, from, i - from, UTF_8), i + 1)
+    }
+
+    private def handleParse(body: Array[Byte]): Unit = {
+      val (name, i1) = cstrAt(body, 0)
+      val (query, _) = cstrAt(body, i1)
+      statements(name) = query
+      writeMessage(out, '1', Array.emptyByteArray) // ParseComplete
+    }
+
+    private def handleBind(body: Array[Byte]): Unit = {
+      val (portal, i1) = cstrAt(body, 0)
+      val (stmtName, i2) = cstrAt(body, i1)
+      val sql = statements.getOrElse(stmtName,
+        throw new NoSuchElementException(
+          s"prepared statement \"$stmtName\" does not exist"))
+      val bb = ByteBuffer.wrap(body, i2, body.length - i2)
+      val nFmt = bb.getShort
+      val fmts = Array.fill(nFmt)(bb.getShort)
+      val nParams = bb.getShort.toInt
+      val params = (0 until nParams).map { p =>
+        val len = bb.getInt
+        if (len < 0) null
+        else {
+          val v = new Array[Byte](len)
+          bb.get(v)
+          val fmt =
+            if (nFmt == 0) 0
+            else if (nFmt == 1) fmts(0)
+            else fmts(p)
+          require(fmt == 0,
+            "binary parameter format is not supported (text only)")
+          new String(v, UTF_8)
+        }
+      }
+      // substitute highest index first so $12 never half-matches $1
+      val substituted = params.zipWithIndex.sortBy(-_._2)
+        .foldLeft(sql) { case (t, (v, i)) =>
+          t.replace("$" + (i + 1),
+            if (v == null) "NULL" else sqlLiteral(v))
+        }
+      portals(portal) = new Portal(substituted, spark.sql(substituted))
+      writeMessage(out, '2', Array.emptyByteArray) // BindComplete
+    }
+
+    private def handleDescribe(body: Array[Byte]): Unit = {
+      val kind = body(0).toChar
+      val (name, _) = cstrAt(body, 1)
+      kind match {
+        case 'S' =>
+          val sql = statements.getOrElse(name,
+            throw new NoSuchElementException(
+              s"prepared statement \"$name\" does not exist"))
+          // ParameterDescription: count the distinct $n placeholders;
+          // types are unspecified (0) — the engine casts at use sites
+          val nParams = "\\$(\\d+)".r.findAllMatchIn(sql)
+            .map(_.group(1).toInt).maxOption.getOrElse(0)
+          val pb = ByteBuffer.allocate(2 + 4 * nParams)
+          pb.putShort(nParams.toShort)
+          (0 until nParams).foreach(_ => pb.putInt(0))
+          writeMessage(out, 't', pb.array())
+          // RowDescription needs a plan; $n → NULL is the best guess
+          // available pre-Bind. Unplannable (graft DDL with params) →
+          // NoData, the client learns the shape at Execute.
+          try {
+            val probe = sql.replaceAll("\\$\\d+", "NULL")
+            val schema = spark.sql(probe).schema
+            if (schema.nonEmpty) rowDescription(schema)
+            else writeMessage(out, 'n', Array.emptyByteArray)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              writeMessage(out, 'n', Array.emptyByteArray)
+          }
+        case 'P' =>
+          val p = portals.getOrElse(name,
+            throw new NoSuchElementException(
+              s"portal \"$name\" does not exist"))
+          if (p.hasRows) rowDescription(p.df.schema)
+          else writeMessage(out, 'n', Array.emptyByteArray)
+        case other =>
+          throw new IllegalArgumentException(s"Describe kind '$other'")
+      }
+    }
+
+    private def handleExecute(body: Array[Byte]): Unit = {
+      val (name, i1) = cstrAt(body, 0)
+      val maxRows = ByteBuffer.wrap(body, i1, 4).getInt
+      val p = portals.getOrElse(name,
+        throw new NoSuchElementException(
+          s"portal \"$name\" does not exist"))
+      if (!p.hasRows) {
+        commandComplete(commandTag(p.sql, hasRows = false, 0))
+        return
+      }
+      val it = p.rows
+      var n = 0L
+      while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
+        dataRow(it.next()); n += 1
+      }
+      p.emitted += n
+      if (it.hasNext && maxRows > 0)
+        writeMessage(out, 's', Array.emptyByteArray) // PortalSuspended
+      else
+        commandComplete(commandTag(p.sql, hasRows = true, p.emitted))
+    }
+
+    private def handleClose(body: Array[Byte]): Unit = {
+      val kind = body(0).toChar
+      val (name, _) = cstrAt(body, 1)
+      kind match {
+        case 'S' => statements.remove(name)
+        case 'P' => portals.remove(name)
+        case _ => ()
+      }
+      writeMessage(out, '3', Array.emptyByteArray) // CloseComplete
+    }
+
+    private def messageLoop(): Unit = {
+      var open = true
+      while (open) readMessage(in) match {
+        case None => open = false
+        case Some(('X', _)) => open = false
+        case Some(('S', _)) => // Sync: clear error state, RFQ
+          errorSkip = false
+          readyForQuery()
+        case Some((_, _)) if errorSkip => () // discard until Sync
+        case Some(('Q', body)) =>
+          val sql = new String(body, 0, math.max(body.length - 1, 0),
+            UTF_8)
+          simpleQuery(sql)
+        case Some(('H', _)) => out.flush()
+        case Some((t, body)) =>
+          try t match {
+            case 'P' => handleParse(body)
+            case 'B' => handleBind(body)
+            case 'D' => handleDescribe(body)
+            case 'E' => handleExecute(body)
+            case 'C' => handleClose(body)
+            case other => throw new IllegalArgumentException(
+              s"unsupported message '$other'")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              sendError("XX000", errText(e))
+              errorSkip = true
+          }
+      }
+    }
+  }
+}

@@ -1,0 +1,270 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+import graft.cdc.ChangeLogWal
+import graft.model.ChangeRecord
+
+/** The pgwire front-end end-to-end over REAL sockets: the repo's own
+  * [[PgClient]] (sharing [[graft.cdc.PgWire]]'s codecs) drives
+  * [[PgServer]] through startup/auth, the simple protocol (graft DDL,
+  * mirrors, cursors, operators), and the extended protocol (prepared
+  * statements, parameters, portal suspension) — the UX the reference
+  * ships as `psql` into nexus (`nexus/server/src/main.rs`). */
+class PgServerSpec extends SparkSpec {
+
+  private def withGraftSession[A](f: SparkSession => A): A = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.mirror.GraftExtensions)
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  private def withServer[A](users: Map[String, String] = Map.empty)(
+      f: (SparkSession, PgServer) => A): A = withGraftSession { s =>
+    val srv = new PgServer(s, users = users).start()
+    try f(s, srv)
+    finally srv.stop()
+  }
+
+  test("simple protocol: SELECT rows, multi-statement, empty query, " +
+    "NULL/bool/array text encoding") {
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        val r = c.query(
+          "SELECT id, id * 2 AS dbl FROM range(3) ORDER BY id")
+        assert(r.columns == Seq("id", "dbl"))
+        assert(r.rows == Seq(
+          Seq(Some("0"), Some("0")),
+          Seq(Some("1"), Some("2")),
+          Seq(Some("2"), Some("4"))))
+        assert(r.tag == "SELECT 3")
+
+        // several statements per Query message, one result each
+        val all = c.queryAll("SELECT 1 AS a; SELECT 2 AS b")
+        assert(all.map(_.rows.head.head.get) == Seq("1", "2"))
+
+        assert(c.queryAll("   ").map(_.tag) == Seq(""))
+
+        // PG text conventions: t/f booleans, {…} arrays, NULL as None
+        val enc = c.query("SELECT true AS t, false AS f, " +
+          "array(1, 2, 3) AS arr, CAST(NULL AS STRING) AS n, " +
+          "'a b' AS ws")
+        assert(enc.rows.head ==
+          Seq(Some("t"), Some("f"), Some("{1,2,3}"), None,
+            Some("a b")))
+      } finally c.close()
+    }
+  }
+
+  test("error recovery: a failing statement answers ErrorResponse, " +
+    "the session stays usable") {
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        val e = intercept[PgClient.PgServerError](
+          c.query("SELECT * FROM nonexistent_table_xyz"))
+        assert(e.getMessage.toLowerCase.contains("nonexistent") ||
+          e.getMessage.nonEmpty)
+        // ReadyForQuery was reached: the next statement succeeds
+        assert(c.query("SELECT 41 + 1 AS v").rows.head.head
+          .contains("42"))
+        // multi-statement: failure skips the remainder (like PG)
+        val e2 = intercept[PgClient.PgServerError](
+          c.queryAll("SELECT bad_col FROM range(1); SELECT 1"))
+        assert(e2.getMessage.nonEmpty)
+        assert(c.query("SELECT 7 AS v").rows.head.head.contains("7"))
+      } finally c.close()
+    }
+  }
+
+  test("graft DDL over the wire: CREATE PEER/MIRROR, EXECUTE MIRROR, " +
+    "SHOW MIRRORS/OPERATORS, RUN OPERATOR … LIMIT") {
+    withServer() { (s, srv) =>
+      val wal = tmpDir("pgsrvwal")
+      val base = tmpDir("pgsrvmirror")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"v":10}""", null, Nil),
+        ChangeRecord(0, 2, "2", 2000, 2, "t", "d",
+          """{"id":2,"v":20}""", null, Nil)))
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        assert(c.query(
+          "CREATE PEER wirepeer TYPE parquet OPTIONS (path '/x')")
+          .tag == "CREATE PEER")
+        assert(c.query("SHOW PEERS").rows
+          .exists(_.head.contains("wirepeer")))
+
+        c.query(s"""CREATE MIRROR m_wire WITH (
+                   |  wal_dir '$wal', dest_dir '$base/dest',
+                   |  checkpoint_dir '$base/ckpt', pk 'id', table 'd',
+                   |  schema 'id BIGINT, v BIGINT')""".stripMargin)
+        val moved = c.query("EXECUTE MIRROR m_wire")
+        assert(moved.columns == Seq("rows_moved"))
+        // CDC drains report -1 (stream metrics carry counts); the
+        // destination contents below are the real assertion
+        assert(moved.rows.head.head.contains("-1"))
+        assert(c.query("SHOW MIRRORS").rows
+          .exists(_.head.contains("m_wire")))
+        // the mirrored table is queryable in the same session
+        val dest = c.query(s"SELECT id, v FROM parquet.`$base/dest` " +
+          "WHERE NOT _peerdb_is_deleted ORDER BY id")
+        assert(dest.rows == Seq(
+          Seq(Some("1"), Some("10")), Seq(Some("2"), Some("20"))))
+
+        // the operator registry: an oracle query through the wire
+        val ops = c.query("SHOW OPERATORS")
+        assert(ops.rows.exists(_.head.contains("q1_agg")))
+        val q1 = c.query("RUN OPERATOR q1_agg USING " +
+          "'/root/testdata/sf0.001' LIMIT 5")
+        assert(q1.columns.contains("l_returnflag"))
+        assert(q1.rows.nonEmpty && q1.rows.size <= 5)
+      } finally c.close()
+    }
+  }
+
+  test("cursors over the wire: DECLARE / FETCH pages / CLOSE, and " +
+    "prepared EXECUTE substitution") {
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.query("DECLARE wcur CURSOR FOR " +
+          "SELECT id FROM range(100) ORDER BY id")
+        val p1 = c.query("FETCH 40 FROM wcur")
+        assert(p1.rows.size == 40 && p1.rows.head.head.contains("0"))
+        assert(p1.tag == "FETCH 40")
+        val p2 = c.query("FETCH 40 FROM wcur")
+        assert(p2.rows.head.head.contains("40"))
+        val rest = c.query("FETCH ALL FROM wcur")
+        assert(rest.rows.size == 20)
+        assert(c.query("FETCH 5 FROM wcur").rows.isEmpty) // drained
+        c.query("CLOSE wcur")
+        intercept[PgClient.PgServerError](c.query("FETCH 1 FROM wcur"))
+
+        // server-side PREPARE/EXECUTE (the proxy's text substitution)
+        c.query("PREPARE ptimes AS SELECT id * $1 AS v " +
+          "FROM range(3) ORDER BY id")
+        val ex = c.query("EXECUTE ptimes (3)")
+        assert(ex.rows.map(_.head.get) == Seq("0", "3", "6"))
+        c.query("DEALLOCATE PREPARE ptimes")
+      } finally c.close()
+    }
+  }
+
+  test("extended protocol: Parse/Bind parameters, Describe, Execute " +
+    "maxRows with PortalSuspended resume, Close") {
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.parse("st1",
+          "SELECT id FROM range(10) WHERE id >= $1 ORDER BY id")
+        c.describeStatement("st1")
+        c.bind("po1", "st1", Seq(Some("4")))
+        c.describePortal("po1")
+        c.execute("po1", maxRows = 4)
+        val first = c.sync()
+        // one suspended result carrying the first 4 matching rows
+        assert(first.last.tag == "SUSPENDED")
+        assert(first.last.rows.map(_.head.get) ==
+          Seq("4", "5", "6", "7"))
+        // resume the SAME portal — cursor statefulness across Syncs
+        c.execute("po1", maxRows = 4)
+        val second = c.sync()
+        assert(second.last.rows.map(_.head.get) == Seq("8", "9"))
+        assert(second.last.tag == "SELECT 6") // total emitted
+        c.closePortal("po1")
+        c.closeStatement("st1")
+        c.sync()
+
+        // NULL parameter and the unnamed statement/portal
+        c.parse("", "SELECT $1 AS v")
+        c.bind("", "", Seq(None))
+        c.execute("")
+        val r = c.sync()
+        assert(r.last.rows.head.head.isEmpty)
+
+        // graft DDL through the extended path (drivers prepare
+        // everything): a command with no rows completes with its tag
+        c.parse("", "SHOW MIRRORS")
+        c.bind("", "")
+        c.execute("")
+        assert(c.sync().last.tag == "SHOW MIRRORS")
+      } finally c.close()
+    }
+  }
+
+  test("extended protocol error skips to Sync, then recovers") {
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.parse("bad", "SELECT definitely_not_a_column")
+        c.bind("pbad", "bad")
+        c.execute("pbad")
+        intercept[PgClient.PgServerError](c.sync())
+        // post-Sync the session is clean
+        c.parse("ok", "SELECT 5 AS v")
+        c.bind("pok", "ok")
+        c.execute("pok")
+        assert(c.sync().last.rows.head.head.contains("5"))
+      } finally c.close()
+    }
+  }
+
+  test("SCRAM-SHA-256 auth: correct password in, wrong password and " +
+    "unknown user refused") {
+    withServer(users = Map("alice" -> "s3cret")) { (_, srv) =>
+      val good = new PgClient("127.0.0.1", srv.port,
+        user = "alice", password = "s3cret").connect()
+      try assert(good.query("SELECT 1 AS v").rows.head.head
+        .contains("1"))
+      finally good.close()
+
+      intercept[Exception] {
+        val bad = new PgClient("127.0.0.1", srv.port,
+          user = "alice", password = "wrong").connect()
+        bad.close()
+      }
+      intercept[Exception] {
+        val ghost = new PgClient("127.0.0.1", srv.port,
+          user = "mallory", password = "s3cret").connect()
+        ghost.close()
+      }
+    }
+  }
+
+  test("SSLRequest without a server context answers 'N' and the " +
+    "session continues in plaintext per the protocol") {
+    withServer() { (_, srv) =>
+      // PgClient with ssl demands 'S'; raw path: send SSLRequest, read
+      // 'N', then proceed with a normal startup on the same socket
+      val sock = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        val out = sock.getOutputStream
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        out.write(java.nio.ByteBuffer.allocate(8).putInt(8)
+          .putInt(graft.cdc.PgWire.SslRequestCode).array())
+        out.flush()
+        assert(in.read() == 'N')
+        graft.cdc.PgWire.writeStartup(out,
+          Seq("user" -> "u", "database" -> "d"))
+        // first response must be AuthenticationOk (trust)
+        val (t, body) = graft.cdc.PgWire.readMessage(in).get
+        assert(t == 'R' &&
+          java.nio.ByteBuffer.wrap(body).getInt == 0)
+      } finally sock.close()
+    }
+  }
+}
