@@ -246,7 +246,9 @@ object MongoWire {
 final class MongoSocketSource(host: String, port: Int,
     database: String = "app",
     connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 60000) extends Wire.MongoSource {
+    readTimeoutMs: Int = 60000,
+    ssl: Option[javax.net.ssl.SSLContext] = None)
+  extends Wire.MongoSource {
 
   import MongoWire._
 
@@ -263,10 +265,16 @@ final class MongoSocketSource(host: String, port: Int,
     s.connect(new java.net.InetSocketAddress(host, port),
       connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
-    sock = Some(s)
+    // MongoDB TLS wraps the whole connection from the first byte —
+    // there is no in-protocol upgrade negotiation
+    val active: java.net.Socket = ssl match {
+      case Some(ctx) => Tls.clientUpgrade(s, host, port, ctx)
+      case None => s
+    }
+    sock = Some(active)
     val in = new DataInputStream(
-      new BufferedInputStream(s.getInputStream))
-    val out = s.getOutputStream
+      new BufferedInputStream(active.getInputStream))
+    val out = active.getOutputStream
 
     def call(doc: Array[Byte]): Array[Byte] = {
       reqId += 1

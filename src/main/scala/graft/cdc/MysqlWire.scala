@@ -39,6 +39,7 @@ object MysqlWire {
   /** Capability bits this client speaks (MySQL Internals manual). */
   val ClientLongPassword = 0x00000001
   val ClientProtocol41 = 0x00000200
+  val ClientSsl = 0x00000800
   val ClientSecureConnection = 0x00008000
   val ClientPluginAuth = 0x00080000
 
@@ -231,7 +232,9 @@ final class MysqlSocketSource(
     startFile: String = "binlog.000001",
     startPos: Long = 4L,
     connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 60000) extends Wire.MysqlSource {
+    readTimeoutMs: Int = 60000,
+    ssl: Option[javax.net.ssl.SSLContext] = None)
+  extends Wire.MysqlSource {
 
   import MysqlWire._
 
@@ -258,16 +261,37 @@ final class MysqlSocketSource(
     s.connect(new java.net.InetSocketAddress(host, port),
       connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
-    sock = Some(s)
-    val in = new DataInputStream(
+    var in = new DataInputStream(
       new BufferedInputStream(s.getInputStream))
-    val out = s.getOutputStream
+    var out: OutputStream = s.getOutputStream
 
-    // ---- greeting + auth
+    // ---- greeting (always plaintext) + optional TLS upgrade + auth
     val (greetSeq, greet) = readPacket(in).getOrElse(
       throw new EOFException("mysql: EOF before greeting"))
     if (greet.nonEmpty && (greet(0) & 0xFF) == 0xFF) fail(greet)
     val g = parseGreeting(greet)
+    val baseCaps = ClientLongPassword | ClientProtocol41 |
+      ClientSecureConnection | ClientPluginAuth
+    var respSeq = greetSeq + 1
+    ssl.foreach { ctx =>
+      require((g.capabilities & ClientSsl) != 0,
+        "mysql: server does not advertise CLIENT_SSL")
+      // SSLRequest packet: the handshake response truncated before the
+      // username — capabilities (with CLIENT_SSL), max packet, charset,
+      // 23 reserved zeros; the TLS handshake follows immediately and
+      // the FULL response repeats over the encrypted channel
+      writePacket(out, respSeq, new Wtr()
+        .u32((baseCaps | ClientSsl).toLong)
+        .u32(MaxPacketBytes.toLong)
+        .u8(45).zeros(23).bytes)
+      val tls = Tls.clientUpgrade(s, host, port, ctx)
+      in = new DataInputStream(
+        new BufferedInputStream(tls.getInputStream))
+      out = tls.getOutputStream
+      sock = Some(tls)
+      respSeq += 1
+    }
+    if (sock.isEmpty) sock = Some(s)
     def tokenFor(plugin: String, seed: Array[Byte]): Array[Byte] =
       plugin match {
         case NativePassword => scramble411(password, seed)
@@ -278,15 +302,14 @@ final class MysqlSocketSource(
       }
     val token = tokenFor(g.authPlugin, g.scramble)
     val resp = new Wtr()
-      .u32(ClientLongPassword | ClientProtocol41 |
-        ClientSecureConnection | ClientPluginAuth)
+      .u32((baseCaps | (if (ssl.isDefined) ClientSsl else 0)).toLong)
       .u32(MaxPacketBytes.toLong)
       .u8(45) // utf8mb4
       .zeros(23)
       .cstr(user)
       .u8(token.length).raw(token)
       .cstr(g.authPlugin)
-    writePacket(out, greetSeq + 1, resp.bytes)
+    writePacket(out, respSeq, resp.bytes)
 
     /** Auth answers until OK: ERR fails; 0xFE switches plugin; a
       * caching_sha2 0x01-status packet reports fast-auth success
@@ -318,7 +341,7 @@ final class MysqlSocketSource(
       case other => throw new java.io.IOException(
         s"mysql: unexpected auth answer $other")
     }
-    authLoop(greetSeq + 2)
+    authLoop(respSeq + 1)
 
     // ---- resume position: file:pos dumps from the offset; GTID
     // flavors re-dump and rely on the ingest's tx-skip guard

@@ -272,7 +272,9 @@ final class PgReplicationSource(
     publication: String = "graft_pub",
     startLsn: Long = 0L,
     connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 60000) extends Wire.PgSource {
+    readTimeoutMs: Int = 60000,
+    ssl: Option[javax.net.ssl.SSLContext] = None)
+  extends Wire.PgSource {
 
   import PgWire._
 
@@ -293,10 +295,25 @@ final class PgReplicationSource(
     s.connect(new java.net.InetSocketAddress(host, port),
       connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
-    sock = Some(s)
-    out = s.getOutputStream
+    // SSLRequest → single-byte answer → TLS around the same socket,
+    // BEFORE startup (the protocol's negotiation order)
+    val active: Socket = ssl match {
+      case Some(ctx) =>
+        val o = s.getOutputStream
+        o.write(ByteBuffer.allocate(8).putInt(8)
+          .putInt(SslRequestCode).array())
+        o.flush()
+        val answer = s.getInputStream.read()
+        if (answer != 'S') throw new java.io.IOException(
+          s"pgwire: server declined SSL (answer " +
+            s"${if (answer < 0) "EOF" else answer.toChar.toString})")
+        Tls.clientUpgrade(s, host, port, ctx)
+      case None => s
+    }
+    sock = Some(active)
+    out = active.getOutputStream
     val in = new DataInputStream(
-      new BufferedInputStream(s.getInputStream))
+      new BufferedInputStream(active.getInputStream))
 
     // ---- startup + auth, until ReadyForQuery
     writeStartup(out, Seq(

@@ -266,6 +266,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val ep = graft.cdc.CaptureEndpoint.parse(url)
     val connectMs = ep.param("connect_timeout_ms", "10000").toInt
     val readMs = ep.param("read_timeout_ms", "60000").toInt
+    // `ssl=require` on the endpoint URL upgrades the transport
+    // (encrypt-only; a verifying context is the library-API path)
+    val sslCtx = graft.cdc.Tls.fromParam(ep.param("ssl", ""))
     ep.scheme match {
       case "pgwire" =>
         val after = graft.util.FsText.read(offsetPath, hadoopConf)
@@ -277,7 +280,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           slot = ep.param("slot", "graft_slot"),
           publication = ep.param("publication", "graft_pub"),
           startLsn = math.max(after, 0L),
-          connectTimeoutMs = connectMs, readTimeoutMs = readMs)
+          connectTimeoutMs = connectMs, readTimeoutMs = readMs,
+          ssl = sslCtx)
         val (n, last) = graft.cdc.PgOutputFrames.ingestFrom(src,
           cfg.walDir, afterCommitLsn = after)
         if (last != after)
@@ -292,7 +296,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           serverId = ep.param("server_id", "1000").toLong,
           startFile = ep.param("start_file", "binlog.000001"),
           startPos = ep.param("start_pos", "4").toLong,
-          connectTimeoutMs = connectMs, readTimeoutMs = readMs)
+          connectTimeoutMs = connectMs, readTimeoutMs = readMs,
+          ssl = sslCtx)
         val (n, last) = graft.cdc.MysqlBinlogFiles.ingestFrom(src,
           cfg.walDir, afterCheckpoint = after)
         if (last != after && last.nonEmpty)
@@ -308,7 +313,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
             "(mongo://host:port/dbname)")
         val src = new graft.cdc.MongoSocketSource(ep.host, ep.port,
           database = ep.database,
-          connectTimeoutMs = connectMs, readTimeoutMs = readMs)
+          connectTimeoutMs = connectMs, readTimeoutMs = readMs,
+          ssl = sslCtx)
         ingestMongo(src, after, offsetPath)
       case other => throw new IllegalArgumentException(
         s"unknown capture endpoint scheme '$other' (pgwire|mysql|mongo)")

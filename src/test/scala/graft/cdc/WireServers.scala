@@ -25,6 +25,7 @@ object WireServers {
     @volatile var keepaliveReplied = false
     @volatile var ackedLsn: Long = -1L
     @volatile var authFailed = false
+    @volatile var tlsEstablished = false
   }
 
   /** Serve `sessions.length` sequential pgwire replication sessions.
@@ -35,16 +36,32 @@ object WireServers {
   def servePg(server: ServerSocket, user: String, password: String,
       sessions: Seq[Seq[(Long, Array[Byte])]],
       scram: Boolean = false,
-      endWithKeepalive: Boolean = false): PgSession = {
+      endWithKeepalive: Boolean = false,
+      ssl: Option[javax.net.ssl.SSLContext] = None): PgSession = {
     import PgWire._
     val sess = new PgSession
     val t = new Thread(() => sessions.foreach { frames =>
-      val c = server.accept()
+      var c = server.accept()
       try {
-        val in = new DataInputStream(
+        var in = new DataInputStream(
           new BufferedInputStream(c.getInputStream))
-        val out = c.getOutputStream
-        val (proto, params) = readStartup(in)
+        var out: java.io.OutputStream = c.getOutputStream
+        var (proto, params) = readStartup(in)
+        if (proto == SslRequestCode) {
+          // SSLRequest before startup: answer per configuration, then
+          // (on 'S') run the TLS handshake around the same socket and
+          // read the real startup from the encrypted stream
+          out.write(if (ssl.isDefined) 'S' else 'N'); out.flush()
+          ssl.foreach { ctx =>
+            c = Tls.serverUpgrade(c, ctx)
+            in = new DataInputStream(
+              new BufferedInputStream(c.getInputStream))
+            out = c.getOutputStream
+            sess.tlsEstablished = true
+          }
+          val again = readStartup(in)
+          proto = again._1; params = again._2
+        }
         assert(proto == Protocol3)
         sess.startupParams = params
 
@@ -222,6 +239,7 @@ object WireServers {
     @volatile var dumpPos = -1L
     @volatile var dumpFlags = -1
     @volatile var dumpServerId = -1L
+    @volatile var tlsEstablished = false
   }
 
   /** Serve `sessions.length` sequential MySQL dump sessions.
@@ -232,17 +250,19 @@ object WireServers {
   def serveMysql(server: ServerSocket, password: String,
       sessions: Seq[Seq[Array[Byte]]],
       plugin: String = MysqlWire.NativePassword,
-      fullAuthDemand: Boolean = false): MysqlSession = {
+      fullAuthDemand: Boolean = false,
+      ssl: Option[javax.net.ssl.SSLContext] = None): MysqlSession = {
     import MysqlWire._
     val sess = new MysqlSession
     val t = new Thread(() => sessions.foreach { events =>
-      val c = server.accept()
+      var c = server.accept()
       try {
-        val in = new DataInputStream(
+        var in = new DataInputStream(
           new BufferedInputStream(c.getInputStream))
-        val out = c.getOutputStream
+        var out: java.io.OutputStream = c.getOutputStream
         val caps = (ClientLongPassword | ClientProtocol41 |
-          ClientSecureConnection | ClientPluginAuth).toLong
+          ClientSecureConnection | ClientPluginAuth).toLong |
+          (if (ssl.isDefined) ClientSsl.toLong else 0L)
 
         writePacket(out, 0, new Wtr()
           .u8(10).cstr("8.0.36-fixture").u32(7L)
@@ -253,7 +273,20 @@ object WireServers {
           .raw(MysqlScramble.drop(8)).u8(0)
           .cstr(plugin).bytes)
 
-        val (_, resp) = readPacket(in).get
+        var (_, resp) = readPacket(in).get
+        if (ssl.isDefined && resp.length <= 32) {
+          // SSLRequest packet (capabilities only, no username): run the
+          // TLS handshake, then the FULL handshake response repeats on
+          // the encrypted channel
+          val r0 = new R(resp)
+          assert((r0.u32() & ClientSsl.toLong) != 0L)
+          c = Tls.serverUpgrade(c, ssl.get)
+          in = new DataInputStream(
+            new BufferedInputStream(c.getInputStream))
+          out = c.getOutputStream
+          sess.tlsEstablished = true
+          resp = readPacket(in).get._2
+        }
         val r = new R(resp)
         r.u32(); r.u32(); r.u8(); r.bytes(23)
         sess.username = r.cstring()

@@ -245,6 +245,30 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("TLS front-end: SSLRequest → 'S' → the full session (auth, " +
+    "queries) over the encrypted channel; sslRequired rejects " +
+    "plaintext startups") {
+    withGraftSession { s =>
+      val srv = new PgServer(s, users = Map("alice" -> "pw"),
+        ssl = Some(graft.cdc.TlsTestKeys.serverCtx),
+        sslRequired = true).start()
+      try {
+        val c = new PgClient("127.0.0.1", srv.port, user = "alice",
+          password = "pw",
+          ssl = Some(graft.cdc.Tls.trustAllContext)).connect()
+        try assert(c.query("SELECT 6 * 7 AS v").rows.head.head
+          .contains("42"))
+        finally c.close()
+        // plaintext startup against the same server is refused
+        intercept[Exception] {
+          val plain = new PgClient("127.0.0.1", srv.port,
+            user = "alice", password = "pw").connect()
+          plain.close()
+        }
+      } finally srv.stop()
+    }
+  }
+
   test("SSLRequest without a server context answers 'N' and the " +
     "session continues in plaintext per the protocol") {
     withServer() { (_, srv) =>
