@@ -1740,9 +1740,14 @@ object PipelineQueries {
     * map-side through one broadcast hash join and the only exchange
     * carries candidate PAIRS (tiny). Per-doc shingle counts are computed
     * in the scan (`size(array_distinct(...))` — no counting aggregate
-    * over the corpus). When the increment itself is too big to
-    * broadcast, flip to [[dedupIncremental]]'s shuffle_hash posting-list
-    * join — same semantics, both sides exchanged. */
+    * over the corpus). The broadcast is GUARDED, not assumed: a cheap
+    * driver probe sums the increment's text length (pushdown-filtered
+    * column scan, no shingling) and flips to a shuffle_hash posting-list
+    * join — same semantics, both sides exchanged — when the increment
+    * exceeds `spark.graft.fuzzyJoin.maxBroadcastChars` (default 32M
+    * chars; the exploded posting relation runs ≈8× the text bytes, so
+    * the default caps the broadcast near 256 MB — well inside executor
+    * memory, far above any honest "increment"). */
   val fuzzyJoin = GraftQuery(
     "q_fuzzy_join",
     "fuzzy join: best corpus match per increment doc (Jaccard >= 0.2)",
@@ -1757,10 +1762,23 @@ object PipelineQueries {
       val newSide = shaped.filter(col("is_new"))
         .select(col("doc_id").as("nid"), col("n").as("na"),
           explode(col("shs")).as("sh"))
+      // size guard: one column-pruned, filter-pushed scan of the
+      // increment; no shingle work (the probe must stay cheaper than
+      // the plan decision it makes)
+      val incrementChars = docs(s, dir)
+        .filter(col("source").isin("src18", "src19"))
+        .agg(coalesce(sum(length(col("text"))), lit(0L)))
+        .head().getLong(0)
+      val maxBroadcastChars = s.conf
+        .get("spark.graft.fuzzyJoin.maxBroadcastChars", "33554432")
+        .toLong
+      val hinted =
+        if (incrementChars <= maxBroadcastChars) broadcast(newSide)
+        else newSide.hint("shuffle_hash")
       val inter = shaped.filter(!col("is_new"))
         .select(col("doc_id").as("mid"), col("n").as("nb"),
           explode(col("shs")).as("sh"))
-        .join(broadcast(newSide), "sh")
+        .join(hinted, "sh")
         .groupBy(col("nid"), col("mid"), col("na"), col("nb"))
         .agg(count(lit(1)).as("inter"))
       val scored = inter

@@ -182,4 +182,32 @@ class PlanSpec extends SparkSpec {
     assert(topk >= 2, s"expected shortlist+ref top-k:\n${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("fuzzy join: the INCREMENT side is the broadcast build side " +
+    "(corpus streams map-side); over the size guard the plan flips " +
+    "to shuffle_hash instead of a giant broadcast") {
+    val plan = planOf(PipelineQueries.fuzzyJoin)
+    // the shingle join broadcasts (the tiny final left join may SMJ
+    // pre-AQE — irrelevant, both sides are per-doc rows)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the broadcast exchange must hang under the increment's filter
+    // (isin src18/src19), not the corpus side
+    val bcastIdx = plan.indexOf("BroadcastExchange")
+    assert(bcastIdx >= 0, plan.take(3000))
+    assert(plan.substring(bcastIdx).contains("src18"),
+      "broadcast side is not the increment:\n" + plan.take(3000))
+
+    // force the guard: a 1-char budget must flip to shuffle_hash
+    val key = "spark.graft.fuzzyJoin.maxBroadcastChars"
+    spark.conf.set(key, "1")
+    try {
+      val guarded = planOf(PipelineQueries.fuzzyJoin)
+      assert(guarded.contains("ShuffledHashJoin"), guarded.take(3000))
+      assert(!guarded.contains("BroadcastHashJoin") ||
+        // corpus-side dims may still broadcast elsewhere; the shingle
+        // join itself must not
+        !guarded.substring(guarded.indexOf("ShuffledHashJoin"))
+          .contains("BroadcastHashJoin"))
+    } finally spark.conf.unset(key)
+  }
 }
