@@ -206,4 +206,169 @@ final class FlowApi(spark: SparkSession) {
 
   /** GetVersion (route.proto:788). */
   def getVersion(): String = "graft 0.1.0 (spark-native engine)"
+
+  // -------------------------------------------------- alert configs
+
+  final case class AlertConfig(id: Long, slotLagMbThreshold: Long,
+      openConnectionsThreshold: Long, alertForMirrors: Seq[String])
+
+  private def alertCat = GraftSql.alertsFor(spark)
+
+  /** GetAlertConfigs (route.proto:596). */
+  def getAlertConfigs(): Seq[AlertConfig] =
+    alertCat.list.map { p =>
+      AlertConfig(p.name.toLong,
+        p.options.getOrElse("slot_lag_mb_threshold", "0").toLong,
+        p.options.getOrElse("open_connections_threshold", "0").toLong,
+        p.options.get("alert_for_mirrors").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty))
+    }.sortBy(_.id)
+
+  /** PostAlertConfig (route.proto:602) — create-or-replace by id,
+    * like the handler's upsert into alerting_config. */
+  def postAlertConfig(id: Long, slotLagMbThreshold: Long = 0,
+      openConnectionsThreshold: Long = 0,
+      alertForMirrors: Seq[String] = Nil): Unit = {
+    val p = Peer(id.toString, "alert", Map(
+      "slot_lag_mb_threshold" -> slotLagMbThreshold.toString,
+      "open_connections_threshold" -> openConnectionsThreshold.toString,
+      "alert_for_mirrors" -> alertForMirrors.mkString(",")))
+    if (alertCat.list.exists(_.name == p.name)) alertCat.update(p)
+    else alertCat.create(p)
+  }
+
+  /** DeleteAlertConfig (route.proto:609). */
+  def deleteAlertConfig(id: Long): Unit = alertCat.drop(id.toString)
+
+  /** The consumption path: materialize the stored configs as an
+    * [[Alerting.Alerter]] — what the reference's alerting loop builds
+    * from its alerting_config rows on every tick. */
+  def alerter(): Alerting.Alerter = new Alerting.Alerter(
+    getAlertConfigs().map(c => Alerting.Sender(c.id,
+      c.slotLagMbThreshold, c.openConnectionsThreshold,
+      c.alertForMirrors)))
+
+  // ---------------------------------------- peer/slot introspection
+
+  /** GetPeerInfo (route.proto:771): the peer's stored options with
+    * credential-looking values REDACTED — the handler masks passwords
+    * before returning peer configs to the UI. */
+  def getPeerInfo(name: String): (String, Map[String, String]) = {
+    val p = GraftSql.peersFor(spark).get(name)
+    val redacted = p.options.map { case (k, v) =>
+      val lower = k.toLowerCase
+      if (lower.contains("password") || lower.contains("secret") ||
+        lower.contains("token") || lower.contains("key"))
+        k -> "********"
+      else k -> v
+    }
+    (p.kind, redacted)
+  }
+
+  /** GetSchemas (route.proto:654): distinct schema qualifiers of the
+    * peer's tables (unqualified tables report `public`, the proxy's
+    * default namespace). */
+  def getSchemas(peer: String): Seq[String] =
+    getAllTables(peer).map { t =>
+      val i = t.indexOf('.')
+      if (i > 0) t.substring(0, i) else "public"
+    }.distinct.sorted
+
+  /** GetTablesInSchema (route.proto:668). */
+  def getTablesInSchema(peer: String, schema: String): Seq[String] =
+    getAllTables(peer).filter { t =>
+      val i = t.indexOf('.')
+      val s = if (i > 0) t.substring(0, i) else "public"
+      s == schema
+    }.map { t =>
+      val i = t.indexOf('.')
+      if (i > 0) t.substring(i + 1) else t
+    }.sorted
+
+  /** GetPublications (route.proto:661): PG-server-side publication
+    * names. The engine's WAL/capture sources carry the publication in
+    * the endpoint URL rather than a queryable server catalog, so the
+    * listing is the configured one (empty when not capture-backed). */
+  def getPublications(peer: String): Seq[String] = Nil
+
+  /** GetColumnsTypeConversion (route.proto:687): which destination DDL
+    * type each engine kind maps to, per warehouse dialect — the
+    * information content of the handler's type-conversion matrix,
+    * answered from [[graft.types.QKind.toDdl]] (the mapping the sinks
+    * actually use, so the API can never drift from the writer). */
+  def getColumnsTypeConversion(): Map[String, Map[String, String]] = {
+    import graft.types.QKind
+    QKind.scalarKinds.map { k =>
+      k.name -> QKind.Dialect.all.map(d =>
+        d.toString -> QKind.toDdl(k, d)).toMap
+    }.toMap
+  }
+
+  /** GetSlotInfo (route.proto:693): the newest gauge row per slot from
+    * the mirror's peer_slot_size history. */
+  def getSlotInfo(name: String): DataFrame = {
+    exec(ShowStats(name))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    spark.table("stats_peer_slot_size")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("slot_name").orderBy(col("updated_at").desc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** GetSlotLagHistory (route.proto:698). */
+  def getSlotLagHistory(name: String, slotName: String): DataFrame = {
+    exec(ShowStats(name))
+    import org.apache.spark.sql.functions.col
+    spark.table("stats_peer_slot_size")
+      .filter(col("slot_name") === slotName)
+      .orderBy("updated_at")
+  }
+
+  /** GetStatInfo (route.proto:705): the reference lists server
+    * activity (pg_stat_activity); the engine's equivalent is the
+    * session's active streaming queries. */
+  final case class StatInfo(id: String, name: String, isActive: Boolean)
+  def getStatInfo(): Seq[StatInfo] =
+    spark.streams.active.toSeq.map(q =>
+      StatInfo(q.id.toString, Option(q.name).getOrElse(""), q.isActive))
+
+  // ------------------------------------------------- graphs & loads
+
+  /** CDCGraph (route.proto:757): rows synced per time bucket — the
+    * UI's throughput graph, aggregated from cdc_batches. */
+  def cdcGraph(name: String, bucketMinutes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ms = bucketMinutes * 60000L
+    cdcBatches(name)
+      .withColumn("bucket_start_ms",
+        (col("start_time") / ms).cast("long") * ms)
+      .groupBy("bucket_start_ms")
+      .agg(sum("rows_in_batch").as("rows"),
+        count(lit(1)).as("batches"))
+      .orderBy("bucket_start_ms")
+  }
+
+  /** InitialLoadSummary (route.proto:764): the snapshot/QRep runs of
+    * the flow with their partition counts. */
+  def initialLoadSummary(name: String): DataFrame = {
+    exec(ShowStats(name))
+    spark.table("stats_qrep_runs")
+  }
+
+  /** GetInstanceInfo (route.proto:794). */
+  final case class InstanceInfo(sparkVersion: String, master: String,
+      defaultParallelism: Int)
+  def getInstanceInfo(): InstanceInfo = InstanceInfo(
+    spark.version, spark.sparkContext.master,
+    spark.sparkContext.defaultParallelism)
+
+  // Documented as not-applicable rather than silently absent:
+  // SkipSnapshotWaitFlows (route.proto:813) waits on Temporal workflow
+  // signals — the engine has no workflow engine to signal; pause/
+  // resume cover the operational need. ResetMirrorSequences
+  // (route.proto:848) rewinds warehouse-side sequences — parquet
+  // destinations have none. CancelTableAddition (route.proto:841) is
+  // [[MirrorRunner.cancelTableAddition]] on the live runner (the
+  // mid-snapshot cancel path), not a catalog call.
 }

@@ -348,10 +348,27 @@ object GraftSql {
       p.options("source")
     })
 
+  /** Alert configurations ride the same durable store (the reference's
+    * alert-config CRUD RPCs, route.proto GetAlertConfigs/PostAlertConfig/
+    * DeleteAlertConfig, persist `peerdb_stats.alerting_config` rows):
+    * entries are (id, "alert", threshold options). [[FlowApi]] exposes
+    * the CRUD and materializes an [[Alerting.Alerter]] from them. */
+  private val alertCats =
+    scala.collection.concurrent.TrieMap.empty[String, PeerCatalog]
+  private val memoryAlerts = new PeerCatalog
+  def alertsFor(spark: SparkSession): PeerCatalog =
+    spark.conf.getOption("spark.graft.catalog.dir") match {
+      case Some(dir) => alertCats.getOrElseUpdate(dir,
+        new PeerCatalog(Some(s"$dir/alerts.txt"),
+          spark.sparkContext.hadoopConfiguration))
+      case None => memoryAlerts
+    }
+
   /** Test/ops hook: drop cached catalog instances so the next DDL
     * re-reads the persisted files — simulates a driver restart. */
   def invalidateCatalogCaches(): Unit = {
     catalogs.clear(); mirrorCats.clear(); scriptCats.clear()
+    alertCats.clear()
   }
 
   /** Build the runnable config from CREATE MIRROR options. */

@@ -601,6 +601,12 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * `extraTables`. The restarted stream may re-deliver records between
     * the catch-up point and its checkpoint — the version-idempotent merge
     * absorbs the overlap. */
+  /** In-flight table additions: table → (jobGroup, destination dir).
+    * The registry is what makes [[cancelTableAddition]] able to abort
+    * the snapshot mid-replay. */
+  private val addingTables =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   def catchUpTable(table: String, tc: TableConfig): Unit = {
     val slice0 = graft.cdc.ChangeLogBatch.read(spark, cfg.walDir)
       .filter(col("destinationTable") === table &&
@@ -615,13 +621,60 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val normalized = Normalizer.normalize(
       raw, NormalizeConfig(tc.pkColumns, tc.effectiveSchema,
         softDelete = cfg.softDelete))
-    val writer = new MergeWriter(spark,
-      cfg.copy(extraTables = cfg.extraTables + (table -> tc))
-        .tableSet(table)._2, tc.pkColumns,
+    val dir = cfg.copy(extraTables = cfg.extraTables + (table -> tc))
+      .tableSet(table)._2
+    val writer = new MergeWriter(spark, dir, tc.pkColumns,
       softDeleteCol = cfg.softDeleteColName,
       syncedAtCol = cfg.syncedAtColName)
-    if (!normalized.isEmpty)
-      applyChanges(table, writer, tc.pkColumns, normalized)
+    // the replay runs under a job group so a concurrent
+    // cancelTableAddition can abort it mid-snapshot
+    val group = s"graft-addtable-${cfg.flow}-$table"
+    addingTables.put(table, (group, dir))
+    spark.sparkContext.setJobGroup(group,
+      s"table addition catch-up: $table", interruptOnCancel = true)
+    try {
+      if (!normalized.isEmpty)
+        applyChanges(table, writer, tc.pkColumns, normalized)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      addingTables.remove(table)
+    }
+  }
+
+  /** CancelTableAddition (route.proto:841; the e2e scenario in
+    * flow/e2e/cancel_table_addition_test.go): abort an in-flight
+    * [[catchUpTable]] snapshot and remove its partial destination, so
+    * the mirror keeps replicating its PRE-addition table set and a
+    * later retry starts clean. Safe to call whether or not the replay
+    * is still running (idempotent, like the RPC's idempotency key):
+    * returns true when a live snapshot job was actually interrupted.
+    * The caller's catchUpTable thread sees the cancellation as the
+    * job's SparkException — expected, not a failure. */
+  def cancelTableAddition(table: String): Boolean = {
+    val interrupted = addingTables.get(table) match {
+      case Some((group, _)) =>
+        spark.sparkContext.cancelJobGroup(group)
+        true
+      case None => false
+    }
+    // partial destination cleanup — also covers the called-after-crash
+    // case where no job is live but half a table is on disk (non-primary
+    // tables always live under the _tables sibling, see tableSet)
+    val dir = s"${cfg.destDir}_tables/$table"
+    if (table != cfg.destinationTable) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      // retry once: the canceled job may still hold the dir open for
+      // a beat while its tasks unwind
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val deadline = System.nanoTime + 10000000000L
+      var deleted = !fs.exists(path) || fs.delete(path, true)
+      while (!deleted && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        deleted = !fs.exists(path) || fs.delete(path, true)
+      }
+    }
+    interrupted
   }
 
   /** Table removal from a live mirror (the remove-tables signal,

@@ -9,6 +9,76 @@ import graft.model.ChangeRecord
   * façade (so the two can never diverge). */
 class FlowApiSpec extends SparkSpec {
 
+  test("route-API gap-close RPCs: alert-config CRUD feeding a live " +
+    "Alerter, peer info redaction, schema/table introspection, type " +
+    "conversion matrix, slot info/history, CDC graph, instance info") {
+    val api = new FlowApi(spark)
+    val base = tmpDir("flowapi2")
+
+    // alert-config CRUD (GetAlertConfigs/PostAlertConfig/Delete…)
+    api.postAlertConfig(1, slotLagMbThreshold = 10)
+    api.postAlertConfig(2, slotLagMbThreshold = 99999,
+      alertForMirrors = Seq("only_this"))
+    assert(api.getAlertConfigs().map(_.id) == Seq(1L, 2L))
+    api.postAlertConfig(1, slotLagMbThreshold = 20) // upsert by id
+    assert(api.getAlertConfigs().find(_.id == 1)
+      .get.slotLagMbThreshold == 20L)
+    // the stored configs materialize as a working Alerter
+    val fired = api.alerter().alertIfSlotLag("f1", "p1", "s1", 500L)
+    assert(fired.map(_.senderId) == Seq(1L)) // 2's threshold too high
+    api.deleteAlertConfig(2)
+    assert(api.getAlertConfigs().map(_.id) == Seq(1L))
+
+    // GetPeerInfo redacts credential-looking options
+    api.createPeer("fa_red", "parquet", Map(
+      "path" -> "/x", "password" -> "hunter2", "api_key" -> "k"))
+    val (kind, opts) = api.getPeerInfo("fa_red")
+    assert(kind == "parquet" && opts("path") == "/x")
+    assert(opts("password") == "********" && opts("api_key") == "********")
+
+    // schemas/tables introspection over a directory peer
+    api.createPeer("fa_dir", "parquet",
+      Map("path" -> "/root/testdata/sf0.001"))
+    val schemas = api.getSchemas("fa_dir")
+    assert(schemas.contains("public"))
+    assert(api.getTablesInSchema("fa_dir", "public")
+      .contains("lineitem"))
+    assert(api.getPublications("fa_dir").isEmpty)
+
+    // the type-conversion matrix comes from the live toDdl mapping
+    val conv = api.getColumnsTypeConversion()
+    assert(conv("int64")("ClickHouse") == "Nullable(Int64)")
+    assert(conv("string")("Snowflake").nonEmpty)
+    assert(conv.contains("timestamptz"))
+
+    // slot info/history + cdc graph over a drained mirror
+    api.createCdcFlow("fa_g", Map(
+      "wal_dir" -> s"$base/wal", "dest_dir" -> s"$base/dest",
+      "checkpoint_dir" -> s"$base/ckpt", "pk" -> "id",
+      "table" -> "t", "schema" -> "id BIGINT, v STRING",
+      "stats" -> s"$base/stats"))
+    graft.cdc.ChangeLogWal.append(s"$base/wal", Seq(
+      ChangeRecord(0, 1L, "1", 1000000L, 1L, "t", "t",
+        """{"id":1,"v":"a"}""", null, Nil),
+      ChangeRecord(0, 2L, "2", 2000000L, 2L, "t", "t",
+        """{"id":2,"v":"b"}""", null, Nil)))
+    api.customSync("fa_g")
+    val graph = api.cdcGraph("fa_g", bucketMinutes = 5).collect()
+    assert(graph.length == 1 && graph.head.getAs[Long]("rows") == 2L)
+    // slot gauge history lands via the metrics path, then reads back
+    val st = new StatsCatalog(s"$base/stats",
+      spark.sparkContext.hadoopConfiguration)
+    st.appendSlotSize("p1", "slot_a", 2L, 0L); st.flush()
+    assert(api.getSlotInfo("fa_g").filter("slot_name = 'slot_a'")
+      .count() == 1L)
+    assert(api.getSlotLagHistory("fa_g", "slot_a").count() == 1L)
+    assert(api.initialLoadSummary("fa_g").count() == 0L) // no snapshot ran
+
+    // instance + stat info
+    assert(api.getInstanceInfo().sparkVersion == spark.version)
+    assert(api.getStatInfo().forall(_.id.nonEmpty))
+  }
+
   test("route-API facade: peer + mirror lifecycle, sync, stats, " +
     "scripts, settings, tags, maintenance") {
     val api = new FlowApi(spark)

@@ -1,0 +1,138 @@
+package graft.mirror
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.ChangeLogWal
+import graft.model.ChangeRecord
+
+/** Long-tail table-churn scenarios from the reference's e2e matrix:
+  * cancel-table-addition mid-snapshot
+  * (`flow/e2e/cancel_table_addition_test.go`) and mixed-case /
+  * quoted-identifier churn (the generic suite's identifier cases). */
+class TableChurnSpec extends SparkSpec {
+
+  private def rec(cp: Long, table: String, json: String,
+      tpe: Int = ChangeRecord.TypeInsert, matchJson: String = null)
+      : ChangeRecord =
+    ChangeRecord(tpe, cp, cp.toString, 1000L + cp, cp, "t", table,
+      json, matchJson, Nil)
+
+  test("cancel table addition mid-snapshot: the catch-up job is " +
+    "interrupted, the partial destination is removed, the original " +
+    "table keeps replicating") {
+    val base = tmpDir("cancel_add")
+    val wal = s"$base/wal"
+    // primary table rows + a LARGE backlog for the to-be-added table
+    // so its snapshot replay runs long enough to be interrupted
+    ChangeLogWal.append(wal, Seq(
+      rec(1, "d", """{"id":1,"v":10}"""),
+      rec(2, "d", """{"id":2,"v":20}""")))
+    val big = (10L until 120010L).map(i =>
+      rec(i, "t5", s"""{"id":$i,"v":${i % 97}}"""))
+    big.grouped(30000).foreach(g => ChangeLogWal.append(wal, g))
+
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      destinationTable = "d")
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+    assert(runner.destination().count() == 2)
+
+    val tc = TableConfig(Seq("id"), cfg.payloadSchema)
+    @volatile var caught: Option[Throwable] = None
+    val adder = new Thread(() => {
+      try runner.catchUpTable("t5", tc)
+      catch { case e: Throwable => caught = Some(e) }
+    }, "table-adder")
+    adder.start()
+    // cancel once the replay has live jobs in its group (canceling
+    // before any job is submitted would be a no-op)
+    val group = s"graft-addtable-d-t5"
+    val deadline = System.nanoTime + 30000000000L
+    while (spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group).isEmpty &&
+      adder.isAlive && System.nanoTime < deadline) Thread.sleep(5)
+    val interrupted = runner.cancelTableAddition("t5")
+    adder.join(30000)
+    assert(!adder.isAlive)
+    if (interrupted) {
+      // the normal path: the snapshot died mid-flight
+      assert(caught.isDefined, "catch-up should fail when canceled")
+    } // else the replay won the race — cleanup below must still hold
+
+    // partial destination removed either way (idempotent cancel)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$base/dest_tables/t5")))
+
+    // the mirror keeps replicating its pre-addition set
+    ChangeLogWal.append(wal, Seq(rec(200000, "d", """{"id":3,"v":30}""")))
+    runner.runAvailableNow()
+    val d = runner.destination().filter(!col(graft.model.RawTable.IsDeleted))
+    assert(d.count() == 3)
+    assert(d.filter(col("id") === 3).count() == 1)
+
+    // a retry after cancel starts clean and completes
+    ChangeLogWal.append(wal, Seq(rec(200001, "t6", """{"id":7,"v":70}""")))
+    runner.catchUpTable("t6", tc)
+    assert(spark.read.parquet(s"$base/dest_tables/t6")
+      .filter(col("id") === 7).count() == 1)
+  }
+
+  test("mixed-case identifiers: a quoted-style table name and " +
+    "camel-case columns survive the whole pipeline (normalize, " +
+    "pk merge, soft delete) without case folding") {
+    val base = tmpDir("mixed_case")
+    val wal = s"$base/wal"
+    val table = "Public.MixedCase"
+    ChangeLogWal.append(wal, Seq(
+      rec(1, table, """{"Id":1,"CamelVal":"a"}"""),
+      rec(2, table, """{"Id":2,"CamelVal":"b"}"""),
+      // update by mixed-case pk
+      rec(3, table, """{"Id":1,"CamelVal":"a2"}""",
+        tpe = ChangeRecord.TypeUpdate, matchJson = """{"Id":1}"""),
+      // delete by mixed-case pk
+      rec(4, table, null, tpe = ChangeRecord.TypeDelete,
+        matchJson = """{"Id":2}""")))
+
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("Id"),
+      payloadSchema = StructType(Seq(
+        StructField("Id", LongType), StructField("CamelVal", StringType))),
+      destinationTable = table)
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+
+    val dest = runner.destination()
+    // exact-case preservation end to end
+    assert(dest.schema.fieldNames.toSeq.containsSlice(
+      Seq("Id", "CamelVal")))
+    val live = dest.filter(!col(graft.model.RawTable.IsDeleted))
+    assert(live.count() == 1)
+    val r = live.select("Id", "CamelVal").head()
+    assert(r.getLong(0) == 1L && r.getString(1) == "a2")
+    // the delete matched Id=2 by its mixed-case pk: no live row (an
+    // in-batch insert+delete never materializes, so no tombstone either)
+    assert(dest.filter(col("Id") === 2).filter(
+      !col(graft.model.RawTable.IsDeleted)).count() == 0)
+
+    // a CROSS-batch delete must match the materialized mixed-case pk
+    // and leave a soft-delete tombstone
+    ChangeLogWal.append(wal, Seq(
+      rec(5, table, null, tpe = ChangeRecord.TypeDelete,
+        matchJson = """{"Id":1}""")))
+    runner.runAvailableNow()
+    // destination() hides tombstones; the storage keeps them
+    assert(runner.destination().count() == 0)
+    val stored = spark.read.parquet(s"$base/dest")
+    assert(stored.filter(col("Id") === 1 &&
+      col(graft.model.RawTable.IsDeleted)).count() == 1)
+  }
+}
