@@ -116,11 +116,18 @@ object CurationPipeline {
         // The corpus shingle frame is the multi-consumer heavy side —
         // pinned once (≈ the persisted corpus LSH index).
         val corpusShaped = shapedOf(corpusDocs).localCheckpoint(true)
+        // star again: per (increment doc, band) only the MINIMUM
+        // corpus doc in the shared bucket verifies — ≤8 candidates per
+        // increment doc regardless of corpus bucket sizes (an
+        // increment doc has exactly one key per band, so grouping by
+        // (d2, band) pins the bucket)
         val candIC = bandsOf(corpusShaped).as("c")
           .join(broadcast(incBands.as("i")),
             col("c.band") === col("i.band") &&
               col("c.key") === col("i.key"))
-          .select(col("c.doc_id").as("d1"), col("i.doc_id").as("d2"))
+          .groupBy(col("i.doc_id").as("d2"), col("c.band"))
+          .agg(min(col("c.doc_id")).as("d1"))
+          .select(col("d1"), col("d2"))
           .distinct()
           .localCheckpoint(true) // 3 consumers below
         // verify both candidate sets with one shingle machinery;
@@ -211,15 +218,27 @@ object CurationPipeline {
         posexplode(col("bands")).as(Seq("band", "key")))
   }
 
-  /** Self-join band rows into ordered candidate pairs (d1 < d2). */
-  private def keepFirstCandidates(bands: DataFrame): DataFrame =
-    bands.as("a")
-      .join(bands.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") &&
-          col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  /** Band rows → candidate pairs with STAR topology per (band, key)
+    * bucket: every member links to the bucket MINIMUM, Σ(bucket−1)
+    * edges. The clique formulation (all pairs, a.doc_id < b.doc_id)
+    * is Σ bucket²/2 — measured catastrophic on a 100×-scaled corpus
+    * whose duplicate clusters grow with the corpus (500k docs with
+    * ~100-member clusters filled 79 GB of shuffle in the verify join
+    * downstream; the star soaks the same corpus in seconds). Star is
+    * sufficient for KEEP-LOWEST dedup: the cluster minimum is its
+    * buckets' minimum, so every other member gets a verify edge to it
+    * in each of the 8 bands — 8 chances to be dropped, and the winner
+    * can never be a `d2` of a smaller doc it doesn't share a bucket
+    * with. Both aggregate and join key on (band, key): one shuffle,
+    * co-partitioned. */
+  private def keepFirstCandidates(bands: DataFrame): DataFrame = {
+    val mins = bands.groupBy("band", "key")
+      .agg(min("doc_id").as("d1"))
+    bands.join(mins, Seq("band", "key"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
       .distinct()
+  }
 
   /** Exact-Jaccard verify over candidate pairs: returns the distinct
     * d2 (loser) ids whose pair clears J ≥ 0.5, as a (doc_id) frame. */

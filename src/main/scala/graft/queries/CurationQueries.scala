@@ -1222,10 +1222,11 @@ object CurationQueries {
                  "w", "WHERE len(ws) >= 3", k = 32, bands = 8,
                  rowsPerBand = 4)}
             |),
-            |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            |         FROM bandkeys a JOIN bandkeys b
-            |           ON a.band = b.band AND a.key = b.key
-            |             AND a.doc_id < b.doc_id),
+            |mins AS (SELECT band, key, min(doc_id) AS d1
+            |         FROM bandkeys GROUP BY 1, 2),
+            |cand AS (SELECT DISTINCT m.d1, b.doc_id AS d2
+            |         FROM bandkeys b JOIN mins m USING (band, key)
+            |         WHERE b.doc_id > m.d1),
             |sh3 AS (SELECT DISTINCT doc_id, s
             |        FROM (SELECT doc_id, unnest(list_transform(
             |                generate_series(1, len(ws) - 2),
@@ -1343,15 +1344,18 @@ object CurationQueries {
                  "wC", "WHERE len(ws) >= 3", k = 32, bands = 8,
                  rowsPerBand = 4)}
             |),
+            |minsI AS (SELECT band, key, min(doc_id) AS d1
+            |          FROM bkI GROUP BY 1, 2),
             |cand AS (
-            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            |  FROM bkI a JOIN bkI b
-            |    ON a.band = b.band AND a.key = b.key
-            |      AND a.doc_id < b.doc_id
+            |  SELECT DISTINCT m.d1, b.doc_id AS d2
+            |  FROM bkI b JOIN minsI m USING (band, key)
+            |  WHERE b.doc_id > m.d1
             |  UNION
-            |  SELECT DISTINCT c.doc_id AS d1, i.doc_id AS d2
-            |  FROM bkC c JOIN bkI i
-            |    ON c.band = i.band AND c.key = i.key),
+            |  SELECT DISTINCT min_c AS d1, d2 FROM (
+            |    SELECT i.doc_id AS d2, i.band, min(c.doc_id) AS min_c
+            |    FROM bkC c JOIN bkI i
+            |      ON c.band = i.band AND c.key = i.key
+            |    GROUP BY 1, 2)),
             |sh3 AS (
             |  SELECT DISTINCT doc_id, s FROM (
             |    SELECT doc_id, unnest(list_transform(
