@@ -265,8 +265,10 @@ final class MongoSocketSource(host: String, port: Int,
     s.connect(new java.net.InetSocketAddress(host, port),
       connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
-    // MongoDB TLS wraps the whole connection from the first byte —
-    // there is no in-protocol upgrade negotiation
+    // track the raw socket first: a failed TLS handshake must still be
+    // closeable. MongoDB TLS wraps the whole connection from the first
+    // byte — there is no in-protocol upgrade negotiation.
+    sock = Some(s)
     val active: java.net.Socket = ssl match {
       case Some(ctx) => Tls.clientUpgrade(s, host, port, ctx)
       case None => s

@@ -261,6 +261,9 @@ final class MysqlSocketSource(
     s.connect(new java.net.InetSocketAddress(host, port),
       connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
+    // track the raw socket IMMEDIATELY so a failed TLS negotiation or
+    // greeting still gets closed (no fd leak across retries)
+    sock = Some(s)
     var in = new DataInputStream(
       new BufferedInputStream(s.getInputStream))
     var out: OutputStream = s.getOutputStream
@@ -291,7 +294,6 @@ final class MysqlSocketSource(
       sock = Some(tls)
       respSeq += 1
     }
-    if (sock.isEmpty) sock = Some(s)
     def tokenFor(plugin: String, seed: Array[Byte]): Array[Byte] =
       plugin match {
         case NativePassword => scramble411(password, seed)

@@ -295,6 +295,10 @@ final class PgReplicationSource(
     s.connect(new java.net.InetSocketAddress(host, port),
       connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
+    // track the raw socket IMMEDIATELY: a failed TLS negotiation must
+    // still be closeable (a retry loop against a misconfigured server
+    // would otherwise leak one fd per attempt)
+    sock = Some(s)
     // SSLRequest → single-byte answer → TLS around the same socket,
     // BEFORE startup (the protocol's negotiation order)
     val active: Socket = ssl match {
@@ -474,10 +478,15 @@ final class PgReplicationSource(
 
   override def close(): Unit = {
     sock.foreach { s =>
-      // polite shutdown: Terminate, then close
-      try { writeMessage(out, 'X', Array.emptyByteArray); out.flush() }
-      catch { case _: java.io.IOException => () }
-      s.close()
+      // polite shutdown: Terminate, then close — via the tracked
+      // socket's OWN stream (`out` may be unset or stale when closing
+      // a connection that failed during TLS negotiation or startup)
+      try {
+        val o = s.getOutputStream
+        writeMessage(o, 'X', Array.emptyByteArray)
+        o.flush()
+      } catch { case _: java.io.IOException => () }
+      try s.close() catch { case _: java.io.IOException => () }
     }
     sock = None
   }

@@ -103,8 +103,12 @@ final class JsonLinesMetrics(path: String) extends MetricsSink {
       attrs: Map[String, String]): Unit = synchronized {
     val a = attrs.toSeq.sortBy(_._1).map { case (k, v) =>
       s""""${k}":"${v.replace("\"", "\\\"")}"""" }.mkString(",")
+    // NaN/Infinity are not legal JSON — render as null so a tailing
+    // parser never chokes on one line
+    val v = if (java.lang.Double.isFinite(value)) value.toString
+      else "null"
     val line = s"""{"ts":${System.currentTimeMillis()},""" +
-      s""""name":"$name","value":$value,"counter":$counter,""" +
+      s""""name":"$name","value":$v,"counter":$counter,""" +
       s""""attrs":{$a}}""" + "\n"
     val out = new java.io.FileOutputStream(path, true)
     try out.write(line.getBytes(UTF_8))
@@ -136,7 +140,7 @@ final class MetricsListener(sink: MetricsSink)
     sink.record(RecordsSynced, p.numInputRows.toDouble, attrs)
     sink.incr(RecordsSyncedCounter, p.numInputRows.toDouble, attrs)
     sink.record(SyncBatchDurationMs, p.batchDuration.toDouble, attrs)
-    if (!p.processedRowsPerSecond.isNaN)
+    if (java.lang.Double.isFinite(p.processedRowsPerSecond))
       sink.record(RecordsPerSecond, p.processedRowsPerSecond, attrs)
   }
 

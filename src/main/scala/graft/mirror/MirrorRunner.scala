@@ -627,14 +627,31 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       softDeleteCol = cfg.softDeleteColName,
       syncedAtCol = cfg.syncedAtColName)
     // the replay runs under a job group so a concurrent
-    // cancelTableAddition can abort it mid-snapshot
+    // cancelTableAddition can abort it mid-snapshot; the flag closes
+    // the between-jobs window cancelJobGroup cannot cover
     val group = s"graft-addtable-${cfg.flow}-$table"
+    cancelRequested.remove(table)
     addingTables.put(table, (group, dir))
     spark.sparkContext.setJobGroup(group,
       s"table addition catch-up: $table", interruptOnCancel = true)
+    def checkCanceled(): Unit =
+      if (cancelRequested.contains(table))
+        throw new java.util.concurrent.CancellationException(
+          s"table addition canceled: $table")
     try {
-      if (!normalized.isEmpty)
-        applyChanges(table, writer, tc.pkColumns, normalized)
+      checkCanceled()
+      val empty = normalized.isEmpty // job 1
+      checkCanceled()
+      if (!empty)
+        applyChanges(table, writer, tc.pkColumns, normalized) // job 2+
+      checkCanceled()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // canceled (flag or job kill) or failed: never leave a partial
+        // destination behind — a cancel that already deleted it may
+        // have raced a still-running write job
+        if (cancelRequested.contains(table)) deletePartialAddition(table)
+        throw e
     } finally {
       spark.sparkContext.clearJobGroup()
       addingTables.remove(table)
@@ -648,33 +665,47 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * later retry starts clean. Safe to call whether or not the replay
     * is still running (idempotent, like the RPC's idempotency key):
     * returns true when a live snapshot job was actually interrupted.
-    * The caller's catchUpTable thread sees the cancellation as the
-    * job's SparkException — expected, not a failure. */
+    *
+    * Two protections a naive cancel lacks: (1) an ESTABLISHED table —
+    * one already in `cfg.extraTables` or the primary — is never
+    * deleted; cancel only reverts tables still being ADDED (calling
+    * cancel on a long-replicating table must not destroy it).
+    * (2) cancellation is flagged before the job-group cancel, and
+    * [[catchUpTable]] re-checks the flag between its jobs and
+    * re-cleans in its own error path — `cancelJobGroup` only kills
+    * ACTIVE jobs, so a cancel landing between the replay's jobs would
+    * otherwise let a later job resurrect the deleted directory. */
   def cancelTableAddition(table: String): Boolean = {
+    if (cfg.tableSet.contains(table)) return false // established
+    cancelRequested.put(table, true)
     val interrupted = addingTables.get(table) match {
       case Some((group, _)) =>
         spark.sparkContext.cancelJobGroup(group)
         true
       case None => false
     }
-    // partial destination cleanup — also covers the called-after-crash
-    // case where no job is live but half a table is on disk (non-primary
-    // tables always live under the _tables sibling, see tableSet)
-    val dir = s"${cfg.destDir}_tables/$table"
-    if (table != cfg.destinationTable) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      // retry once: the canceled job may still hold the dir open for
-      // a beat while its tasks unwind
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val deadline = System.nanoTime + 10000000000L
-      var deleted = !fs.exists(path) || fs.delete(path, true)
-      while (!deleted && System.nanoTime < deadline) {
-        Thread.sleep(100)
-        deleted = !fs.exists(path) || fs.delete(path, true)
-      }
-    }
+    deletePartialAddition(table)
     interrupted
+  }
+
+  private val cancelRequested =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def deletePartialAddition(table: String): Unit = {
+    // non-primary tables always live under the _tables sibling
+    val dir = s"${cfg.destDir}_tables/$table"
+    if (table == cfg.destinationTable) return
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // retry: a canceled job may still hold the dir open for a beat
+    // while its tasks unwind
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val deadline = System.nanoTime + 10000000000L
+    var deleted = !fs.exists(path) || fs.delete(path, true)
+    while (!deleted && System.nanoTime < deadline) {
+      Thread.sleep(100)
+      deleted = !fs.exists(path) || fs.delete(path, true)
+    }
   }
 
   /** Table removal from a live mirror (the remove-tables signal,

@@ -58,11 +58,7 @@ final class PgClient(
       val answer = in.read()
       if (answer != 'S') throw new java.io.IOException(
         s"server declined SSL (answer ${answer.toChar})")
-      val tls = ctx.getSocketFactory
-        .createSocket(sock, host, port, true)
-        .asInstanceOf[javax.net.ssl.SSLSocket]
-      tls.setUseClientMode(true)
-      tls.startHandshake()
+      val tls = graft.cdc.Tls.clientUpgrade(sock, host, port, ctx)
       sock = tls
       out = tls.getOutputStream
       in = new DataInputStream(

@@ -120,20 +120,70 @@ object PgServer {
   def sqlLiteral(v: String): String =
     "'" + v.replace("'", "''") + "'"
 
-  /** Top-level statement split on `;` outside quotes (simple protocol
-    * allows several statements per Query message). */
+  /** Top-level statement split on `;` (simple protocol allows several
+    * statements per Query message) — semicolons inside single/double
+    * quotes, `--` line comments, `/* */` block comments (nested, as PG
+    * lexes them) and `$tag$…$tag$` dollar quotes do NOT split.
+    * Comment-only fragments (a trailing `-- done`) are not
+    * statements. */
   def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
+    var i = 0
     var sq = false; var dq = false
-    sql.foreach {
-      case '\'' if !dq => sq = !sq; cur += '\''
-      case '"' if !sq => dq = !dq; cur += '"'
-      case ';' if !sq && !dq => out += cur.toString; cur.clear()
-      case c => cur += c
+    var lineC = false; var blockC = 0
+    var dollar: String = null
+    def nextIs(c: Char) = i + 1 < sql.length && sql.charAt(i + 1) == c
+    def dollarTagAt(j: Int): Option[String] = {
+      var k = j + 1
+      while (k < sql.length && (sql.charAt(k).isLetterOrDigit ||
+        sql.charAt(k) == '_')) k += 1
+      if (k < sql.length && sql.charAt(k) == '$')
+        Some(sql.substring(j, k + 1))
+      else None
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (lineC) {
+        if (c == '\n') lineC = false
+        cur += c; i += 1
+      } else if (blockC > 0) {
+        if (c == '*' && nextIs('/')) { blockC -= 1; cur ++= "*/"; i += 2 }
+        else if (c == '/' && nextIs('*')) { blockC += 1; cur ++= "/*"; i += 2 }
+        else { cur += c; i += 1 }
+      } else if (dollar != null) {
+        if (sql.startsWith(dollar, i)) {
+          cur ++= dollar; i += dollar.length; dollar = null
+        } else { cur += c; i += 1 }
+      } else if (sq) {
+        cur += c; if (c == '\'') sq = false; i += 1
+      } else if (dq) {
+        cur += c; if (c == '"') dq = false; i += 1
+      } else c match {
+        case '\'' => sq = true; cur += c; i += 1
+        case '"' => dq = true; cur += c; i += 1
+        case '-' if nextIs('-') => lineC = true; cur ++= "--"; i += 2
+        case '/' if nextIs('*') => blockC = 1; cur ++= "/*"; i += 2
+        case '$' => dollarTagAt(i) match {
+          case Some(tag) => dollar = tag; cur ++= tag; i += tag.length
+          case None => cur += c; i += 1
+        }
+        case ';' => out += cur.toString; cur.clear(); i += 1
+        case other => cur += other; i += 1
+      }
     }
     out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    out.result().map(_.trim)
+      .filter(s => s.nonEmpty && !commentOnly(s))
+  }
+
+  /** True when stripping comments leaves nothing — such a fragment is
+    * not a statement (the quote-blindness here only decides emptiness;
+    * any real statement survives the stripping non-empty). */
+  private def commentOnly(s: String): Boolean = {
+    val noBlock = "(?s)/\\*.*?\\*/".r.replaceAllIn(s, " ")
+    val noLine = "(?m)--.*$".r.replaceAllIn(noBlock, " ")
+    noLine.trim.isEmpty
   }
 
   /** CommandComplete tag: "SELECT n" for row-producing results,
@@ -169,11 +219,19 @@ object PgServer {
     }
     private var clientFirstBare: String = _
     private var serverFirst: String = _
+    private var gs2Header: String = _
 
-    /** client-first-message → server-first-message. */
+    /** client-first-message → server-first-message. Accepts both gs2
+      * headers a binding-less exchange can carry: "n,," (client does
+      * not support channel binding — the in-repo client) and "y,,"
+      * (client supports it but the server offered no -PLUS mechanism
+      * — what libpq sends over TLS, fe-auth-scram.c). "p=…" demands
+      * binding this server does not offer and is refused. */
     def first(clientFirst: String): String = {
-      require(clientFirst.startsWith("n,,"),
-        "SCRAM: only the no-channel-binding gs2 header is accepted")
+      require(clientFirst.startsWith("n,,") ||
+        clientFirst.startsWith("y,,"),
+        "SCRAM: channel binding is not supported (p= gs2 header)")
+      gs2Header = clientFirst.substring(0, 3)
       clientFirstBare = clientFirst.substring(3)
       val cliNonce = attrs(clientFirstBare)('r')
       serverFirst =
@@ -182,12 +240,14 @@ object PgServer {
     }
 
     /** client-final-message → Some(server-final "v=…") when the proof
-      * verifies, None otherwise. */
+      * verifies, None otherwise. The c= echo must match the ACTUAL
+      * gs2 header from client-first (base64), not a hardcoded "n,,". */
     def verifyFinal(clientFinal: String): Option[String] = {
       val a = attrs(clientFinal)
       val withoutProof =
         clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
-      if (a.getOrElse('c', "") != Gs2Base64) return None
+      if (a.getOrElse('c', "") != b64(gs2Header.getBytes(UTF_8)))
+        return None
       if (!a('r').endsWith(serverNonce)) return None
       val salted = saltedPassword(password, saltBytes, iterations)
       val (_, storedKey, serverKey) = keys(salted)
@@ -266,9 +326,33 @@ final class PgServer(
     private val statements = mutable.Map.empty[String, String]
     private val portals = mutable.Map.empty[String, Portal]
 
-    private final class Portal(val sql: String, val df: DataFrame) {
-      val hasRows: Boolean = df.schema.nonEmpty
-      lazy val rows: java.util.Iterator[Row] = df.toLocalIterator()
+    /** A bound portal. NOTHING executes before the first Execute
+      * message: commands (graft DDL, Spark DDL) declare their output
+      * attributes without running, and queries plan lazily — a client
+      * that Binds + Describes and never Executes (pgjdbc metadata
+      * probing) must cause no side effects. */
+    private final class Portal(val sql: String,
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
+      private val isCommand =
+        plan.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command]
+      /** Side-effect-free schema: commands answer from declared
+        * output; for queries the (lazy) analyzed plan is safe. */
+      lazy val schema: StructType =
+        if (isCommand) StructType(plan.output.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        else spark.sql(sql).schema
+      def hasRows: Boolean = schema.nonEmpty
+      private var it: java.util.Iterator[Row] = _
+      private var executed = false
+      /** First call executes the statement (Execute-message time). */
+      def rows: java.util.Iterator[Row] = {
+        if (it == null) { it = spark.sql(sql).toLocalIterator(); executed = true }
+        it
+      }
+      /** Row-less commands still execute exactly once. */
+      def runIfNeeded(): Unit =
+        if (!executed) { spark.sql(sql); executed = true }
       var emitted: Long = 0L
     }
 
@@ -305,13 +389,7 @@ final class PgServer(
           ssl match {
             case Some(ctx) =>
               out.write('S'); out.flush()
-              val f = ctx.getSocketFactory
-              val tls = f.createSocket(sock,
-                  sock.getInetAddress.getHostAddress, sock.getPort, true)
-                .asInstanceOf[javax.net.ssl.SSLSocket]
-              tls.setUseClientMode(false)
-              tls.startHandshake()
-              sock = tls
+              sock = graft.cdc.Tls.serverUpgrade(sock, ctx)
               streams()
             case None =>
               out.write('N'); out.flush()
@@ -549,13 +627,20 @@ final class PgServer(
           new String(v, UTF_8)
         }
       }
-      // substitute highest index first so $12 never half-matches $1
-      val substituted = params.zipWithIndex.sortBy(-_._2)
-        .foldLeft(sql) { case (t, (v, i)) =>
-          t.replace("$" + (i + 1),
-            if (v == null) "NULL" else sqlLiteral(v))
-        }
-      portals(portal) = new Portal(substituted, spark.sql(substituted))
+      // ONE regex pass over the original SQL: sequential replace would
+      // re-scan already-substituted values, so a parameter containing
+      // a "$n" of its own (or a crafted quote pair) could corrupt the
+      // statement or escape its literal
+      val substituted = "\\$(\\d+)".r.replaceAllIn(sql, m => {
+        val idx = m.group(1).toInt - 1
+        val rendered =
+          if (idx < 0 || idx >= params.length) m.matched // leave as-is
+          else if (params(idx) == null) "NULL"
+          else sqlLiteral(params(idx))
+        scala.util.matching.Regex.quoteReplacement(rendered)
+      })
+      portals(portal) = new Portal(substituted,
+        spark.sessionState.sqlParser.parsePlan(substituted))
       writeMessage(out, '2', Array.emptyByteArray) // BindComplete
     }
 
@@ -576,11 +661,18 @@ final class PgServer(
           (0 until nParams).foreach(_ => pb.putInt(0))
           writeMessage(out, 't', pb.array())
           // RowDescription needs a plan; $n → NULL is the best guess
-          // available pre-Bind. Unplannable (graft DDL with params) →
-          // NoData, the client learns the shape at Execute.
+          // available pre-Bind. Commands answer from declared output
+          // WITHOUT executing (Describe must be side-effect-free);
+          // unplannable text → NoData, the shape arrives at Execute.
           try {
             val probe = sql.replaceAll("\\$\\d+", "NULL")
-            val schema = spark.sql(probe).schema
+            val plan = spark.sessionState.sqlParser.parsePlan(probe)
+            val schema =
+              if (plan.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.Command])
+                StructType(plan.output.map(a =>
+                  StructField(a.name, a.dataType, a.nullable)))
+              else spark.sql(probe).schema
             if (schema.nonEmpty) rowDescription(schema)
             else writeMessage(out, 'n', Array.emptyByteArray)
           } catch {
@@ -591,7 +683,7 @@ final class PgServer(
           val p = portals.getOrElse(name,
             throw new NoSuchElementException(
               s"portal \"$name\" does not exist"))
-          if (p.hasRows) rowDescription(p.df.schema)
+          if (p.hasRows) rowDescription(p.schema)
           else writeMessage(out, 'n', Array.emptyByteArray)
         case other =>
           throw new IllegalArgumentException(s"Describe kind '$other'")
@@ -605,6 +697,7 @@ final class PgServer(
         throw new NoSuchElementException(
           s"portal \"$name\" does not exist"))
       if (!p.hasRows) {
+        p.runIfNeeded() // commands execute HERE, not at Bind/Describe
         commandComplete(commandTag(p.sql, hasRows = false, 0))
         return
       }

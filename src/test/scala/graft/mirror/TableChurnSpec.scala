@@ -85,6 +85,32 @@ class TableChurnSpec extends SparkSpec {
       .filter(col("id") === 7).count() == 1)
   }
 
+  test("cancel is refused for an ESTABLISHED table: a long-replicating " +
+    "extra table is never deleted by a stray/retried cancel") {
+    val base = tmpDir("cancel_established")
+    val wal = s"$base/wal"
+    ChangeLogWal.append(wal, Seq(
+      rec(1, "d", """{"id":1,"v":10}"""),
+      rec(2, "x2", """{"id":5,"v":50}""")))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = schema, destinationTable = "d",
+      extraTables = Map("x2" -> TableConfig(Seq("id"), schema)))
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+    assert(runner.destination("x2").count() == 1)
+    // the cancel RPC on an established table is a refused no-op
+    assert(!runner.cancelTableAddition("x2"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$base/dest_tables/x2")))
+    assert(runner.destination("x2").count() == 1)
+  }
+
   test("mixed-case identifiers: a quoted-style table name and " +
     "camel-case columns survive the whole pipeline (normalize, " +
     "pk merge, soft delete) without case folding") {

@@ -206,6 +206,90 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("statement splitting: semicolons inside quotes, line/block " +
+    "comments and dollar quotes do not split; comment-only " +
+    "fragments are not statements") {
+    import PgServer.splitStatements
+    assert(splitStatements("SELECT 1; SELECT 2") ==
+      Seq("SELECT 1", "SELECT 2"))
+    assert(splitStatements("SELECT 'a;b'") == Seq("SELECT 'a;b'"))
+    assert(splitStatements("SELECT 1; -- done") == Seq("SELECT 1"))
+    assert(splitStatements("SELECT /* ; */ 1") ==
+      Seq("SELECT /* ; */ 1"))
+    assert(splitStatements("SELECT 1 -- c ; c\n + 1") ==
+      Seq("SELECT 1 -- c ; c\n + 1"))
+    assert(splitStatements("SELECT $$a;b$$") == Seq("SELECT $$a;b$$"))
+    assert(splitStatements("SELECT $tag$x;y$tag$; SELECT 2") ==
+      Seq("SELECT $tag$x;y$tag$", "SELECT 2"))
+    assert(splitStatements("/* only */ ; SELECT 3") == Seq("SELECT 3"))
+  }
+
+  test("bind parameters containing $n or quotes substitute safely " +
+    "(one-pass, no re-scan of substituted values)") {
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.parse("", "SELECT $1 AS a, $2 AS b")
+        c.bind("", "", Seq(Some("x"), Some("cost $1 is 'high'")))
+        c.execute("")
+        val r = c.sync().last.rows.head
+        assert(r == Seq(Some("x"), Some("cost $1 is 'high'")))
+      } finally c.close()
+    }
+  }
+
+  test("Describe of a prepared command is side-effect-free; the " +
+    "command executes exactly once, at Execute") {
+    withServer() { (s, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.parse("mkpeer", "CREATE PEER describe_probe TYPE parquet " +
+          "OPTIONS (path '/x')")
+        c.describeStatement("mkpeer")
+        c.sync()
+        // Describe must NOT have created the peer
+        assert(!s.sql("SHOW PEERS").collect()
+          .exists(_.getString(0) == "describe_probe"))
+        c.bind("pp", "mkpeer")
+        c.describePortal("pp")
+        c.sync()
+        // Bind/Describe(portal) must not either
+        assert(!s.sql("SHOW PEERS").collect()
+          .exists(_.getString(0) == "describe_probe"))
+        c.execute("pp")
+        c.sync()
+        assert(s.sql("SHOW PEERS").collect()
+          .exists(_.getString(0) == "describe_probe"))
+      } finally c.close()
+    }
+  }
+
+  test("SCRAM server accepts libpq's 'y,,' gs2 header (TLS without " +
+    "channel binding) and still verifies the proof + c= echo") {
+    import graft.cdc.PgWire.Scram
+    val srv = new PgServer.ScramServer("u", "pw")
+    // a client-first with the y-variant header, proof computed with
+    // the matching auth message and c=base64("y,,")
+    val nonce = Scram.b64(Array.fill(18)(7.toByte))
+    val clientFirstBare = s"n=,r=$nonce"
+    val serverFirst = srv.first(s"y,,$clientFirstBare")
+    val a = Scram.attrs(serverFirst)
+    val salted = Scram.saltedPassword("pw", Scram.unb64(a('s')),
+      a('i').toInt)
+    val (ck, sk, _) = Scram.keys(salted)
+    val c64 = Scram.b64("y,,".getBytes("UTF-8"))
+    val withoutProof = s"c=$c64,r=${a('r')}"
+    val authMsg = (clientFirstBare + "," + serverFirst + "," +
+      withoutProof).getBytes("UTF-8")
+    val proof = Scram.xor(ck, Scram.hmac(sk, authMsg))
+    val fin = srv.verifyFinal(s"$withoutProof,p=${Scram.b64(proof)}")
+    assert(fin.exists(_.startsWith("v=")))
+    // and a p= header is refused outright
+    intercept[IllegalArgumentException](
+      new PgServer.ScramServer("u", "pw")
+        .first("p=tls-server-end-point,,n=,r=xyz"))
+  }
+
   test("extended protocol error skips to Sync, then recovers") {
     withServer() { (_, srv) =>
       val c = new PgClient("127.0.0.1", srv.port).connect()
