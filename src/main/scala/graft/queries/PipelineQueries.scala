@@ -1255,11 +1255,19 @@ object PipelineQueries {
       import graft.functions.{Ivf, QuantizedExprs}
       val e = embs(s, dir)
         .withColumn("qe", Similarity.quantize(col("embedding")))
-      // bounded driver-side collect: the benchmark embedding set
+      // driver-side collect of the benchmark embedding set — bounded
+      // LOUDLY, not by assumption: the fixture selects vec_id % 50, so
+      // the collected side scales with the corpus; real eval suites
+      // are fixed-size. The guard keeps the failure mode an explicit
+      // error with the scale path named, never a silent driver OOM.
       val evals = e.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "qe").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
+      require(evals.length <= 100000,
+        s"benchmark set (${evals.length} rows) too large for the " +
+          "broadcast-matrix path — route large eval suites through " +
+          "the IVF probe path (q_ann_ivf) instead")
       val evalDf = {
         import s.implicits._
         // |eval|² precomputed driver-side into the broadcast row — a

@@ -353,6 +353,36 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("stock psql interop: real libpq drives SELECT, cursors and " +
+    "PREPARE/EXECUTE end-to-end (canceled when psql is absent)") {
+    assume(new java.io.File("/usr/bin/psql").exists, "psql not installed")
+    withServer() { (_, srv) =>
+      def psql(cmds: String*): String = {
+        val cmd = Seq("/usr/bin/psql",
+          s"host=127.0.0.1 port=${srv.port} user=graft dbname=graft",
+          "-v", "ON_ERROR_STOP=1", "-At") ++
+          cmds.flatMap(c => Seq("-c", c))
+        val p = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true).start()
+        val outText = new String(p.getInputStream.readAllBytes())
+        assert(p.waitFor() == 0, s"psql failed:\n$outText")
+        outText
+      }
+      assert(psql("SELECT 6 * 7").trim == "42")
+      val cur = psql(
+        "DECLARE pc CURSOR FOR SELECT id FROM range(10) ORDER BY id",
+        "FETCH 3 FROM pc", "FETCH 2 FROM pc", "CLOSE pc")
+      assert(cur.linesIterator.toSeq
+        .filter(_.forall(_.isDigit)).take(5) ==
+        Seq("0", "1", "2", "3", "4"))
+      val prep = psql(
+        "PREPARE pt AS SELECT id * $1 AS v FROM range(3) ORDER BY id",
+        "EXECUTE pt (5)", "DEALLOCATE PREPARE pt")
+      assert(prep.linesIterator.toSeq
+        .filter(_.forall(_.isDigit)) == Seq("0", "5", "10"))
+    }
+  }
+
   test("SSLRequest without a server context answers 'N' and the " +
     "session continues in plaintext per the protocol") {
     withServer() { (_, srv) =>
