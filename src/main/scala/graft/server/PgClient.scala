@@ -41,6 +41,8 @@ final class PgClient(
   private var sock: Socket = _
   private var in: DataInputStream = _
   private var out: OutputStream = _
+  /** (pid, secret) from BackendKeyData — the cancel key. */
+  @volatile var backendKey: Option[(Int, Int)] = None
 
   def connect(): PgClient = {
     val s = new Socket()
@@ -105,7 +107,10 @@ final class PgClient(
           case other => throw new java.io.IOException(
             s"unsupported auth method $other")
         }
-      case Some(('S', _)) | Some(('K', _)) | Some(('N', _)) => ()
+      case Some(('K', body)) =>
+        val b = ByteBuffer.wrap(body)
+        backendKey = Some((b.getInt, b.getInt))
+      case Some(('S', _)) | Some(('N', _)) => ()
       case Some(('Z', _)) => ready = true
       case Some(('E', body)) => throw new PgServerError("",
         errorMessage(body))
@@ -113,6 +118,24 @@ final class PgClient(
         s"unexpected '$t' during startup")
     }
     this
+  }
+
+  /** libpq's PQcancel: a NEW connection carrying CancelRequest with
+    * this session's backend key — aborts the query currently running
+    * on the main connection (which answers ErrorResponse there). */
+  def cancel(): Unit = backendKey.foreach { case (pid, secret) =>
+    val s = new Socket()
+    try {
+      s.connect(new java.net.InetSocketAddress(host, port),
+        connectTimeoutMs)
+      val o = s.getOutputStream
+      o.write(ByteBuffer.allocate(16).putInt(16)
+        .putInt(PgServer.CancelRequestCode)
+        .putInt(pid).putInt(secret).array())
+      o.flush()
+    } finally {
+      try s.close() catch { case _: java.io.IOException => () }
+    }
   }
 
   private def parseRowDescription(body: Array[Byte]): Seq[String] = {

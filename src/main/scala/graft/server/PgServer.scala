@@ -275,6 +275,11 @@ final class PgServer(
   @volatile private var running = false
   private val conns = new ConcurrentLinkedQueue[Socket]()
   private val pids = new AtomicInteger(1000)
+  /** Cancel keys handed out in BackendKeyData: pid → secret. A
+    * CancelRequest carrying a matching pair aborts the session's
+    * Spark job group. */
+  private val cancelKeys =
+    scala.collection.concurrent.TrieMap.empty[Int, Int]
 
   def port: Int = server.getLocalPort
 
@@ -315,9 +320,12 @@ final class PgServer(
     conns.clear()
   }
 
+  private def jobGroup(pid: Int): String = s"pgserver-cancel-$pid"
+
   /** One connection: prologue (SSL/cancel/startup), auth, then the
     * message loop. All per-session protocol state lives here. */
   private final class Session(raw: Socket) {
+    private val pid = pids.getAndIncrement()
     private var sock: Socket = raw
     private var in: DataInputStream = _
     private var out: OutputStream = _
@@ -370,7 +378,15 @@ final class PgServer(
       // the statement surface needs this session active on the thread
       // (RUN OPERATOR schema resolution, peer catalogs)
       SparkSession.setActiveSession(spark)
-      messageLoop()
+      // every Spark action this session runs carries its cancel group
+      // so an out-of-band CancelRequest can kill it mid-flight
+      spark.sparkContext.setJobGroup(jobGroup(pid),
+        s"pgserver session $pid", interruptOnCancel = true)
+      try messageLoop()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        cancelKeys.remove(pid)
+      }
     }
 
     /** SSLRequest / CancelRequest / startup. False = close quietly. */
@@ -396,7 +412,17 @@ final class PgServer(
           }
           prologue()
         case CancelRequestCode =>
-          false // acknowledge by closing; jobs are not interrupted
+          // out-of-band cancel (psql Ctrl-C): a matching (pid, secret)
+          // pair cancels the session's job group — the victim session
+          // sees its running action fail and answers ErrorResponse on
+          // its own socket; this connection just closes, per protocol
+          if (body.length >= 8) {
+            val b = ByteBuffer.wrap(body)
+            val pid = b.getInt; val secret = b.getInt
+            if (cancelKeys.get(pid).contains(secret))
+              spark.sparkContext.cancelJobGroup(jobGroup(pid))
+          }
+          false
         case PgWire.Protocol3 =>
           var i = 0
           val params = mutable.Map.empty[String, String]
@@ -487,8 +513,10 @@ final class PgServer(
         "standard_conforming_strings" -> "on").foreach { case (k, v) =>
         writeMessage(out, 'S', cstring(k) ++ cstring(v))
       }
+      val secret = new java.security.SecureRandom().nextInt()
+      cancelKeys.put(pid, secret)
       writeMessage(out, 'K', ByteBuffer.allocate(8)
-        .putInt(pids.getAndIncrement()).putInt(42).array())
+        .putInt(pid).putInt(secret).array())
       readyForQuery()
     }
 

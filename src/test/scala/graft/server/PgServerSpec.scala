@@ -353,6 +353,50 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("CancelRequest with the session's backend key aborts the " +
+    "running query (ErrorResponse on the main connection), and the " +
+    "session survives for the next statement") {
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port,
+        readTimeoutMs = 120000).connect()
+      try {
+        assert(c.backendKey.isDefined)
+        @volatile var outcome: Option[Either[Throwable, Long]] = None
+        val runner = new Thread(() => {
+          outcome = Some(
+            try Right(c.query(
+              "SELECT sum(id * id) AS s FROM range(50000000000)")
+              .rows.head.head.get.toLong)
+            catch { case e: Throwable => Left(e) })
+        })
+        runner.start()
+        Thread.sleep(1500) // let the job start
+        c.cancel()
+        runner.join(60000)
+        assert(!runner.isAlive, "query did not end after cancel")
+        outcome.get match {
+          case Left(e) =>
+            assert(e.isInstanceOf[PgClient.PgServerError], e.toString)
+          case Right(_) =>
+            fail("the 50-billion-row aggregate finished before the " +
+              "cancel landed — enlarge the workload")
+        }
+        // same session keeps working (cancel kills the query, not it)
+        assert(c.query("SELECT 9 AS v").rows.head.head.contains("9"))
+        // a WRONG secret must be ignored
+        val sock2 = new java.net.Socket("127.0.0.1", srv.port)
+        try {
+          val (pid, _) = c.backendKey.get
+          sock2.getOutputStream.write(java.nio.ByteBuffer.allocate(16)
+            .putInt(16).putInt(PgServer.CancelRequestCode)
+            .putInt(pid).putInt(12345).array())
+          sock2.getOutputStream.flush()
+        } finally sock2.close()
+        assert(c.query("SELECT 10 AS v").rows.head.head.contains("10"))
+      } finally c.close()
+    }
+  }
+
   test("stock psql interop: real libpq drives SELECT, cursors and " +
     "PREPARE/EXECUTE end-to-end (canceled when psql is absent)") {
     assume(new java.io.File("/usr/bin/psql").exists, "psql not installed")
