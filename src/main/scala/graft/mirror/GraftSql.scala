@@ -450,7 +450,20 @@ object GraftSql {
       // capture_tables 'db.c1,db.c2' — the Mongo watch scope
       captureTables = o.get("capture_tables")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      // table_map 'src:dest,src2:dest2' — capture-decode routing
+      // (TableMapping source→destination pairs); the partitioned-table
+      // case maps each leaf partition to the root's destination
+      tableRoutes = o.get("table_map").map { spec =>
+        spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map {
+          kv => kv.split(":", 2) match {
+            case Array(src, dst) if dst.trim.nonEmpty =>
+              src.trim -> dst.trim
+            case _ => throw new IllegalArgumentException(
+              s"CREATE MIRROR: table_map entry '$kv' must be src:dest")
+          }
+        }.toMap
+      }.getOrElse(Map.empty))
   }
   /** Initial-load phase — do_initial_snapshot / initial_snapshot_only
     * (FlowConnectionConfigs fields 10/16) with the snapshot partitioning

@@ -125,7 +125,17 @@ final case class MirrorConfig(
       * names (the TableMapping source set feeding
       * [[graft.cdc.MongoStream.pipeline]]). Empty = the mirror's
       * destination-table names, which must then be db-qualified. */
-    captureTables: Seq[String] = Nil) {
+    captureTables: Seq[String] = Nil,
+    /** Source→destination table routing applied at capture decode —
+      * the reference's TableMapping source/destination identifier
+      * pairs. The partitioned-table case rides this: each LEAF
+      * partition routes to the ROOT's destination (what
+      * `publish_via_partition_root=false` publications emit — one
+      * relation per leaf), so partition churn (a new leaf announced
+      * mid-stream by its Relation message) lands in the same merged
+      * table with no config change. Unlisted sources keep their own
+      * name. */
+    tableRoutes: Map[String, String] = Map.empty) {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
@@ -217,6 +227,10 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     ingestCaptureUnlocked()
   }
 
+  /** Capture-decode rename: leaf/renamed sources → their destination. */
+  private def routeFor(source: String): String =
+    cfg.tableRoutes.getOrElse(source, source)
+
   private def ingestCaptureUnlocked(): Long = cfg.captureDir match {
     case None => 0L
     case Some(url) if graft.cdc.CaptureEndpoint.isUrl(url) =>
@@ -228,7 +242,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           val after = graft.util.FsText.read(offsetPath, hadoopConf)
             .map(_.toLong).getOrElse(-1L)
           val (n, last) = graft.cdc.PgOutputFrames.ingest(dir, cfg.walDir,
-            afterCommitLsn = after)
+            afterCommitLsn = after, destinationFor = routeFor)
           if (last != after)
             graft.util.FsText.write(offsetPath, last.toString, hadoopConf)
           n
@@ -237,6 +251,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
             .getOrElse("")
           val (n, last) = graft.cdc.MysqlBinlogFiles.ingest(dir,
             cfg.walDir, afterCheckpoint = after,
+            destinationFor = routeFor,
             // per-file skip-state beside the offset: steady-state pump
             // passes touch only new capture bytes, not the whole history
             stateDir = cfg.checkpointDir)
@@ -283,7 +298,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
           ssl = sslCtx)
         val (n, last) = graft.cdc.PgOutputFrames.ingestFrom(src,
-          cfg.walDir, afterCommitLsn = after)
+          cfg.walDir, afterCommitLsn = after,
+          destinationFor = routeFor)
         if (last != after)
           graft.util.FsText.write(offsetPath, last.toString, hadoopConf)
         n
@@ -299,7 +315,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
           ssl = sslCtx)
         val (n, last) = graft.cdc.MysqlBinlogFiles.ingestFrom(src,
-          cfg.walDir, afterCheckpoint = after)
+          cfg.walDir, afterCheckpoint = after,
+          destinationFor = routeFor)
         if (last != after && last.nonEmpty)
           graft.util.FsText.write(offsetPath, last, hadoopConf)
         n
@@ -350,6 +367,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       tables,
       afterTokenHex = Option(after).filter(_.nonEmpty),
       pipelineChanged = changed,
+      destinationFor = routeFor,
       previousTables = prevTables)
     if (last != after && last.nonEmpty) {
       graft.util.FsText.write(offsetPath, last, hadoopConf)

@@ -85,6 +85,74 @@ class TableChurnSpec extends SparkSpec {
       .filter(col("id") === 7).count() == 1)
   }
 
+  test("partitioned-table inheritance churn: leaf partitions route to " +
+    "one root destination via table_map; a NEW partition announced " +
+    "mid-stream lands in the same merged table on resume") {
+    import graft.cdc.PgOutput._
+    import java.nio.file.Paths
+    val base = tmpDir("part_churn")
+    val cap = s"$base/cap"
+    def leafRel(relId: Int, name: String) =
+      Relation(relId, "public", name, 'd'.toInt, Seq(
+        RelationColumn(1, "id", Oid.Int8, -1),
+        RelationColumn(0, "v", Oid.Int8, -1)))
+    def ins(relId: Int, id: Long, v: Long) = Insert(relId,
+      TupleData(Seq(text(id.toString), text(v.toString))))
+    def tx(base: Long, msgs: Seq[Message], txId: Int) =
+      Seq(base -> encode(Begin(base + 9, PgEpochMicros, txId))) ++
+        msgs.zipWithIndex.map { case (m, i) =>
+          (base + 1 + i) -> encode(m) } ++
+        Seq((base + 9) -> encode(
+          Commit(0, base + 9, base + 10, PgEpochMicros)))
+
+    // two leaf partitions of "measurements" publish as themselves
+    graft.cdc.PgOutputFrames.appendFrames(
+      Paths.get(cap, "000001.pgout"),
+      Seq(1L -> encode(leafRel(21, "measurements_2024")),
+        2L -> encode(leafRel(22, "measurements_2025"))) ++
+        tx(10, Seq(ins(21, 1, 100), ins(22, 2, 200)), 1))
+
+    val cfg = GraftSql.parse(
+      s"""CREATE MIRROR m_part WITH (
+         |  wal_dir '$base/wal', dest_dir '$base/dest',
+         |  checkpoint_dir '$base/ckpt', pk 'id',
+         |  table 'public.measurements',
+         |  schema 'id BIGINT, v BIGINT',
+         |  capture_dir '$cap',
+         |  table_map 'public.measurements_2024:public.measurements,
+         |    public.measurements_2025:public.measurements,
+         |    public.measurements_2026:public.measurements')""".stripMargin)
+    assert(cfg.isDefined) // the DDL surface carries the routing
+    val mc = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      destinationTable = "public.measurements",
+      captureDir = Some(cap),
+      tableRoutes = Map(
+        "public.measurements_2024" -> "public.measurements",
+        "public.measurements_2025" -> "public.measurements",
+        "public.measurements_2026" -> "public.measurements"))
+    val runner = new MirrorRunner(spark, mc)
+    runner.runAvailableNow()
+    val d1 = runner.destination().orderBy("id").collect()
+    assert(d1.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // churn: a NEW leaf appears mid-stream (its Relation message
+    // precedes its rows, like a freshly attached partition) plus more
+    // rows in an old leaf — all merge into the same root on resume
+    graft.cdc.PgOutputFrames.appendFrames(
+      Paths.get(cap, "000002.pgout"),
+      Seq(30L -> encode(leafRel(23, "measurements_2026"))) ++
+        tx(40, Seq(ins(23, 3, 300), ins(21, 4, 400)), 2))
+    runner.runAvailableNow()
+    val d2 = runner.destination().orderBy("id").collect()
+    assert(d2.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(d2.map(_.getLong(1)).toSeq == Seq(100L, 200L, 300L, 400L))
+  }
+
   test("cancel is refused for an ESTABLISHED table: a long-replicating " +
     "extra table is never deleted by a stray/retried cancel") {
     val base = tmpDir("cancel_established")
