@@ -227,6 +227,27 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     ingestCaptureUnlocked()
   }
 
+  /** Attached metrics export ([[MetricsBridge]]): when set, every
+    * synced batch and every capture-pump tick also emits the gauge set
+    * (slot lag, committed checkpoint, normalize lag) — the automatic
+    * flavor of the reference's monitoring loop. Gauge emission must
+    * never fail a batch: errors are swallowed (the gauges are
+    * observability, the batch is data). */
+  @volatile private var metricsBridge: Option[MetricsBridge] = None
+  def attachMetrics(sink: MetricsSink): MetricsBridge = {
+    val b = new MetricsBridge(sink)
+    metricsBridge = Some(b)
+    b
+  }
+  private def metricsTick(): Unit = metricsBridge.foreach { b =>
+    try {
+      b.slotLagTick(cfg.flow,
+        cfg.captureDir.getOrElse("graft_wal"), cfg.walDir,
+        cfg.checkpointDir)
+      stats.foreach(b.normalizeLagTick)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Capture-decode rename: leaf/renamed sources → their destination. */
   private def routeFor(source: String): String =
     cfg.tableRoutes.getOrElse(source, source)
@@ -408,6 +429,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           try {
             while (!Thread.interrupted() && isActive) {
               ingestCapture()
+              metricsTick() // lag gauges track the pump cadence
               Thread.sleep(capturePumpIntervalMs)
             }
           } catch {
@@ -587,6 +609,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val keep = Settings.getLong(spark,
       "mirror.raw_batch_cleanup_threshold", cfg.env)
     if (keep > 0) Maintenance.cleanupRaw(spark, cfg.rawDir, batchId, keep)
+
+    metricsTick() // attached gauges observe every batch boundary
   }
 
   /** Change-event rows → the raw staging schema (SURVEY §2.4).

@@ -97,6 +97,22 @@ class MetricsSpec extends SparkSpec {
     } finally listener.unregister(spark)
   }
 
+  test("attachMetrics: gauges emit AUTOMATICALLY at every batch " +
+    "boundary — no manual ticks") {
+    val base = tmpDir("metrics_auto")
+    val wal = s"$base/wal"
+    ChangeLogWal.append(wal, records(10))
+    val sink = new InMemoryMetrics()
+    val runner = new MirrorRunner(spark, config(base, wal))
+    runner.attachMetrics(sink)
+    runner.runAvailableNow()
+    // the batch-boundary tick observed a fully drained slot
+    assert(sink.gaugeWhere(Metrics.SlotLag,
+      Metrics.FlowNameKey -> "flow_m").contains(0.0))
+    assert(sink.gaugeWhere(Metrics.CommittedLsn,
+      Metrics.FlowNameKey -> "flow_m").contains(10.0))
+  }
+
   test("alertTick counts fired slot-lag alerts as errors_emitted; " +
     "quiet lag emits nothing") {
     val base = tmpDir("metrics_alert")
