@@ -64,6 +64,29 @@ object Similarity {
   def hyperplaneBucket(embCol: String, nBits: Int): Column =
     QuantizedExprs.hyperplaneBucket(col(embCol), nBits)
 
+  /** Corpus-adaptive hyperplane count targeting ~`targetBucket`
+    * vectors per LSH bucket. A FIXED bit count is a scale hazard: with
+    * 2^b buckets, bucket population grows linearly with the corpus and
+    * candidate self-join pairs QUADRATICALLY (the 100× soak measured
+    * 5.4 GB of spill on the kNN graph at 6 bits / 200k vectors).
+    * Floored at 6 so every oracle-tested regime (≤4096 vectors:
+    * log2(4096/64) = 6) keeps the exact fixture bucketing — the
+    * adaptive rule only engages on grown corpora, where near-identical
+    * vectors (tiny angle) still collide at higher bit counts.
+    *
+    * Tradeoff, stated plainly: more bits cut candidate waste but also
+    * recall for MODERATE-similarity pairs (sign-LSH collision
+    * probability is (1−θ/π)^bits). Near-duplicates (θ→0) keep
+    * colliding; a pair at cos≈0.3 increasingly does not. The measured
+    * flip at 100×/200k vectors: kNN graph 64.5 s + 5.4 GB spill → 3.1 s
+    * zero-spill, while the cos≥0.25 pair enumeration surfaced 8.5M of
+    * its former 28.4M pairs. Recall above the fixture regime is the
+    * multi-table lever (L independent hyperplane sets, union of
+    * candidates, ~L× cost) — compose this helper per table. */
+  def adaptiveHyperplanes(n: Long, targetBucket: Int = 64): Int =
+    math.max(6, math.ceil(math.log(
+      math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
+
   /** Higher-order-function formulation of [[hyperplaneBucket]] —
     * interpreted per element; kept as the executable spec. */
   def hyperplaneBucketHof(embCol: String, nBits: Int): Column = expr(

@@ -565,9 +565,14 @@ object AnalyticsQueries {
   /** Shared k-NN edge builder (the [[knnGraph]] query body minus the
     * final projection) — also the input graph of [[pageRank]]. */
   private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    // adaptive bucket count (floored at 6 = the oracle-pinned fixture
+    // regime): a fixed count lets bucket population — and the
+    // self-join's candidate pairs, quadratically — grow with the corpus
+    val bits = graft.functions.Similarity.adaptiveHyperplanes(
+      embs(s, dir).count())
     val e = embs(s, dir)
       .select(col("vec_id"),
-        Similarity.hyperplaneBucket("embedding", 6).as("bucket"),
+        Similarity.hyperplaneBucket("embedding", bits).as("bucket"),
         Similarity.quantize(col("embedding")).as("qe"))
       .localCheckpoint(true)
     val byVec = Window.partitionBy("vec_id")

@@ -516,8 +516,12 @@ object PipelineQueries {
     "q_dedup_embedding",
     "embedding-cosine near-duplicate pairs (LSH candidates + verify)",
     (s, dir) => {
+      // adaptive bucket count, floored at 6 (= the fixture regime the
+      // oracle pins, ≤4096 vectors); see Similarity.adaptiveHyperplanes
+      val bits = Similarity.adaptiveHyperplanes(embs(s, dir).count())
       val e = embs(s, dir)
-        .withColumn("bucket", Similarity.hyperplaneBucket("embedding", 6))
+        .withColumn("bucket",
+          Similarity.hyperplaneBucket("embedding", bits))
         .withColumn("qe", Similarity.quantize(col("embedding")))
         .select("vec_id", "qe", "bucket")
         .localCheckpoint(true)
