@@ -715,17 +715,43 @@ object GraftSql {
   private def handleKey(spark: SparkSession, n: String): (String, String) =
     (spark.conf.getOption("spark.graft.catalog.dir").getOrElse(""), n)
 
-  /** Open cursors: name → (schema, paging iterator). `toLocalIterator`
-    * is the bounded page buffer — the driver holds at most one partition
-    * of the result at a time (the proxy's incremental FETCH contract,
-    * main.rs:593-650), never the full result. Cursor names are global to
-    * the JVM like the reference proxy's per-connection map is to its
-    * connection; DECLARE over an existing name replaces it. */
+  /** Cursor/prepared-statement SCOPE for the executing thread — PG
+    * semantics make both per-connection, and the pgwire front-end
+    * serves many connections off one SparkSession, so names must not
+    * collide across sessions. The default "global" scope preserves the
+    * single-session in-process behavior; [[graft.server.PgServer]]
+    * sets a per-connection scope on its session thread (and clears it
+    * with [[closeScope]] at disconnect, which also drops the scope's
+    * cursors and statements the way PG discards them at session end). */
+  val sessionScope: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "global")
+  private def scoped(n: String): String =
+    sessionScope.get + "\u0000" + n
+  private def inScope(key: String): Boolean =
+    key.startsWith(sessionScope.get + "\u0000")
+  private def unscoped(key: String): String =
+    key.substring(key.indexOf('\u0000') + 1)
+
+  /** Drop every cursor and prepared statement of `scope` (pgwire
+    * session teardown). */
+  def closeScope(scope: String): Unit = {
+    val prefix = scope + "\u0000"
+    cursors.keySet.filter(_.startsWith(prefix))
+      .foreach(cursors.remove)
+    prepared.keySet.filter(_.startsWith(prefix))
+      .foreach(prepared.remove)
+  }
+
+  /** Open cursors: scoped name → (schema, paging iterator).
+    * `toLocalIterator` is the bounded page buffer — the driver holds at
+    * most one partition of the result at a time (the proxy's
+    * incremental FETCH contract, main.rs:593-650), never the full
+    * result. DECLARE over an existing name replaces it. */
   private val cursors = scala.collection.concurrent.TrieMap
     .empty[String, (StructType, java.util.Iterator[Row])]
 
-  /** Prepared-statement text cache (see [[PrepareStmt]]). JVM-global the
-    * way the proxy's store is per-connection — one driver, one store. */
+  /** Prepared-statement text cache (see [[PrepareStmt]]), scoped like
+    * [[cursors]]. */
   private val prepared =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -740,8 +766,9 @@ object GraftSql {
   def substitutePrepared(sql: String): Option[String] = sql match {
     case executePreparedRe(n, args)
         if !n.equalsIgnoreCase("mirror") &&
-          !n.equalsIgnoreCase("immediate") && prepared.contains(n) =>
-      val text = prepared(n)
+          !n.equalsIgnoreCase("immediate") &&
+          prepared.contains(scoped(n)) =>
+      val text = prepared(scoped(n))
       val vals = Option(args).map(splitArgs).getOrElse(Nil)
       Some(vals.zipWithIndex.sortBy(-_._2).foldLeft(text) {
         case (t, (v, i)) => t.replace("$" + (i + 1), v)
@@ -792,28 +819,28 @@ object GraftSql {
       st: Statement): Seq[Row] = st match {
     case DeclareCursor(n, q) =>
       val df = spark.sql(q) // non-graft SQL: delegates to the stock parser
-      cursors.put(n, (df.schema, df.toLocalIterator()))
+      cursors.put(scoped(n), (df.schema, df.toLocalIterator()))
       Nil
     case FetchCursor(n, count) =>
-      val (_, it) = cursors.getOrElse(n,
+      val (_, it) = cursors.getOrElse(scoped(n),
         throw new NoSuchElementException(s"cursor $n"))
       val out = Seq.newBuilder[Row]
       var left = count.getOrElse(Int.MaxValue)
       while (left > 0 && it.hasNext) { out += it.next(); left -= 1 }
       out.result()
     case CloseCursor(n) =>
-      cursors.remove(n).getOrElse(
+      cursors.remove(scoped(n)).getOrElse(
         throw new NoSuchElementException(s"cursor $n"))
       Nil
     case CloseAllCursors =>
-      // close_all_cursors: drop everything, report the closed names
-      // (idempotent — an empty cursor store closes zero, no error)
-      val names = cursors.keySet.toSeq.sorted
-      names.foreach(cursors.remove)
-      names.map(Row(_))
-    case PrepareStmt(n, q) => prepared.put(n, q); Nil
+      // close_all_cursors: drop THIS SCOPE's cursors, report the
+      // closed names (idempotent — zero open closes zero, no error)
+      val keys = cursors.keySet.filter(inScope).toSeq.sorted
+      keys.foreach(cursors.remove)
+      keys.map(k => Row(unscoped(k)))
+    case PrepareStmt(n, q) => prepared.put(scoped(n), q); Nil
     case DeallocateStmt(n) =>
-      prepared.remove(n).getOrElse(
+      prepared.remove(scoped(n)).getOrElse(
         throw new NoSuchElementException(s"prepared statement $n"))
       Nil
     case CreatePeer(n, k, o) => peersFor(spark).create(Peer(n, k, o)); Nil
@@ -1150,7 +1177,7 @@ object GraftSql {
       // FETCH's schema is the declared query's — DECLARE has already run
       // (cursor statements are sequential by nature), so plan time can
       // resolve it from the registry.
-      val (schema, _) = cursors.getOrElse(n,
+      val (schema, _) = cursors.getOrElse(scoped(n),
         throw new NoSuchElementException(s"cursor $n"))
       schema.fields.toSeq.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)())

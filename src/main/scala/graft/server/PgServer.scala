@@ -382,10 +382,16 @@ final class PgServer(
       // so an out-of-band CancelRequest can kill it mid-flight
       spark.sparkContext.setJobGroup(jobGroup(pid),
         s"pgserver session $pid", interruptOnCancel = true)
+      // per-connection cursor/prepared-statement namespace (PG scopes
+      // both to the session; concurrent clients must not collide)
+      val scope = s"pg-$pid"
+      graft.mirror.GraftSql.sessionScope.set(scope)
       try messageLoop()
       finally {
         spark.sparkContext.clearJobGroup()
         cancelKeys.remove(pid)
+        graft.mirror.GraftSql.closeScope(scope)
+        graft.mirror.GraftSql.sessionScope.remove()
       }
     }
 

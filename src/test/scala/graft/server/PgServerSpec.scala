@@ -353,6 +353,42 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("concurrent sessions: cursors and prepared statements are " +
+    "scoped per connection (same names, no collision), and a " +
+    "disconnect drops only its own") {
+    withServer() { (s, srv) =>
+      val c1 = new PgClient("127.0.0.1", srv.port).connect()
+      val c2 = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c1.query("DECLARE shared CURSOR FOR " +
+          "SELECT id FROM range(5) ORDER BY id")
+        c2.query("DECLARE shared CURSOR FOR " +
+          "SELECT id + 100 AS id FROM range(5) ORDER BY id")
+        // each connection pages ITS OWN cursor despite the shared name
+        assert(c1.query("FETCH 2 FROM shared").rows.map(_.head.get) ==
+          Seq("0", "1"))
+        assert(c2.query("FETCH 2 FROM shared").rows.map(_.head.get) ==
+          Seq("100", "101"))
+        assert(c1.query("FETCH 1 FROM shared").rows.map(_.head.get) ==
+          Seq("2")) // c2's FETCH did not advance c1's iterator
+        c1.query("PREPARE p1 AS SELECT 1 + $1 AS v")
+        c2.query("PREPARE p1 AS SELECT 100 + $1 AS v")
+        assert(c1.query("EXECUTE p1 (1)").rows.head.head.contains("2"))
+        assert(c2.query("EXECUTE p1 (1)").rows.head.head
+          .contains("101"))
+        // CLOSE ALL in c2 must not touch c1's cursors
+        c2.query("CLOSE ALL")
+        assert(c1.query("FETCH 1 FROM shared").rows.map(_.head.get) ==
+          Seq("3"))
+        // c2's disconnect drops only its own state; c1 keeps paging
+        c2.close()
+        Thread.sleep(300)
+        assert(c1.query("FETCH 1 FROM shared").rows.map(_.head.get) ==
+          Seq("4"))
+      } finally { c1.close(); c2.close() }
+    }
+  }
+
   test("CancelRequest with the session's backend key aborts the " +
     "running query (ErrorResponse on the main connection), and the " +
     "session survives for the next statement") {
