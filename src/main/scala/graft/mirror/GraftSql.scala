@@ -457,7 +457,8 @@ object GraftSql {
       tableRoutes = o.get("table_map").map { spec =>
         spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map {
           kv => kv.split(":", 2) match {
-            case Array(src, dst) if dst.trim.nonEmpty =>
+            case Array(src, dst)
+                if src.trim.nonEmpty && dst.trim.nonEmpty =>
               src.trim -> dst.trim
             case _ => throw new IllegalArgumentException(
               s"CREATE MIRROR: table_map entry '$kv' must be src:dest")

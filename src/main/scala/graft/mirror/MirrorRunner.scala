@@ -241,11 +241,21 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
   }
   private def metricsTick(): Unit = metricsBridge.foreach { b =>
     try {
-      b.slotLagTick(cfg.flow,
-        cfg.captureDir.getOrElse("graft_wal"), cfg.walDir,
+      b.slotLagTick(cfg.flow, metricsPeerName, cfg.walDir,
         cfg.checkpointDir)
       stats.foreach(b.normalizeLagTick)
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Logical peer label for gauge attributes — scheme://host:port for
+    * socket endpoints (NEVER the raw URL: it may carry credentials),
+    * "capture" for file captures, "wal" for WAL-direct mirrors. */
+  private def metricsPeerName: String = cfg.captureDir match {
+    case Some(u) if graft.cdc.CaptureEndpoint.isUrl(u) =>
+      val ep = graft.cdc.CaptureEndpoint.parse(u)
+      s"${ep.scheme}://${ep.host}:${ep.port}"
+    case Some(_) => "capture"
+    case None => "wal"
   }
 
   /** Capture-decode rename: leaf/renamed sources → their destination. */
@@ -426,6 +436,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       // before returning so a later resume/EXECUTE never overlaps.
       if (cfg.captureDir.isDefined && capturePumpIntervalMs > 0) {
         val t = new Thread(() => {
+          // shed inherited Spark local properties (job groups from a
+          // spawning pgwire session must not scope this pump)
+          spark.sparkContext.clearJobGroup()
           try {
             while (!Thread.interrupted() && isActive) {
               ingestCapture()

@@ -167,6 +167,14 @@ final class QRepScheduler(body: () => Long, refreshIntervalMs: Long) {
   @volatile private var failure: Option[Throwable] = None
 
   private val thread = new Thread(() => {
+    // this thread INHERITS the spawner's Spark local properties
+    // (InheritableThreadLocal) — including any job group a pgwire
+    // session set for its own cancel scope. Shed them: a client
+    // Ctrl-C must never cancel (and thereby permanently stop) a
+    // background replication loop it happens to have started.
+    org.apache.spark.sql.SparkSession.getDefaultSession
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+      .foreach(_.sparkContext.clearJobGroup())
     while (!stopped) {
       try rowsMoved += body()
       catch { case e: Throwable => failure = Some(e); stopped = true }

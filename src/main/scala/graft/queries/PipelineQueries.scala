@@ -512,6 +512,14 @@ object PipelineQueries {
     * exact in both engines; random 64-dim vectors top out near 0.33) —
     * completing the dedup family with the same candidates→verify shape as
     * MinHash/SimHash. */
+  /** ORACLE REGIME NOTE: the Spark side picks the hyperplane count
+    * adaptively ([[Similarity.adaptiveHyperplanes]], floor 6) while
+    * the static DuckDB SQL pins 6 bits — they agree exactly on every
+    * corpus ≤4096 vectors (all driver test scales) and DIVERGE above,
+    * where the static SQL stops being an oracle (the adaptive side
+    * trades moderate-similarity recall for tractable candidates; a
+    * static 6-bit side goes quadratic instead). Same note applies to
+    * q_knn_graph / q_pagerank via knnEdges. */
   val dedupEmbedding = GraftQuery(
     "q_dedup_embedding",
     "embedding-cosine near-duplicate pairs (LSH candidates + verify)",
@@ -1262,16 +1270,19 @@ object PipelineQueries {
       // driver-side collect of the benchmark embedding set — bounded
       // LOUDLY, not by assumption: the fixture selects vec_id % 50, so
       // the collected side scales with the corpus; real eval suites
-      // are fixed-size. The guard keeps the failure mode an explicit
-      // error with the scale path named, never a silent driver OOM.
-      val evals = e.filter(col("vec_id") % 50 === 0)
-        .select("vec_id", "qe").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
-      require(evals.length <= 100000,
-        s"benchmark set (${evals.length} rows) too large for the " +
+      // are fixed-size. The guard COUNTS BEFORE COLLECTING (a guard
+      // after collect would OOM inside the collect it exists to
+      // prevent), failing with the scale path named.
+      val evalFrame = e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "qe")
+      val evalCount = evalFrame.count()
+      require(evalCount <= 100000,
+        s"benchmark set ($evalCount rows) too large for the " +
           "broadcast-matrix path — route large eval suites through " +
           "the IVF probe path (q_ann_ivf) instead")
+      val evals = evalFrame.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
       val evalDf = {
         import s.implicits._
         // |eval|² precomputed driver-side into the broadcast row — a
