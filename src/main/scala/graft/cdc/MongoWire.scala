@@ -247,7 +247,8 @@ final class MongoSocketSource(host: String, port: Int,
     database: String = "app",
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
-    ssl: Option[javax.net.ssl.SSLContext] = None)
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    dial: Ssh.Dial = Ssh.tcpDial)
   extends Wire.MongoSource {
 
   import MongoWire._
@@ -259,11 +260,10 @@ final class MongoSocketSource(host: String, port: Int,
       resume: Option[(String, String)])
       : Iterator[(String, Array[Byte])] = {
     close() // looping pulls must not leak the previous connection
-    val s = new Socket()
-    // a wedged server must never hang the capture pump (each getMore
+    // dial through the transport seam (direct TCP or an SSH tunnel).
+    // A wedged server must never hang the capture pump (each getMore
     // answers promptly; the drain shape never tails an idle cursor)
-    s.connect(new java.net.InetSocketAddress(host, port),
-      connectTimeoutMs)
+    val s = dial(host, port, connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
     // track the raw socket first: a failed TLS handshake must still be
     // closeable. MongoDB TLS wraps the whole connection from the first

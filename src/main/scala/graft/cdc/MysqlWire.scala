@@ -233,7 +233,8 @@ final class MysqlSocketSource(
     startPos: Long = 4L,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
-    ssl: Option[javax.net.ssl.SSLContext] = None)
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    dial: Ssh.Dial = Ssh.tcpDial)
   extends Wire.MysqlSource {
 
   import MysqlWire._
@@ -255,11 +256,10 @@ final class MysqlSocketSource(
   override def items(afterCheckpoint: String)
       : Iterator[Wire.MysqlItem] = {
     close() // looping pulls must not leak the previous connection
-    val s = new Socket()
-    // a wedged server must never hang the capture pump (non-blocking
+    // dial through the transport seam (direct TCP or an SSH tunnel).
+    // A wedged server must never hang the capture pump (non-blocking
     // dump ends with EOF when caught up, so silence means death)
-    s.connect(new java.net.InetSocketAddress(host, port),
-      connectTimeoutMs)
+    val s = dial(host, port, connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
     // track the raw socket IMMEDIATELY so a failed TLS negotiation or
     // greeting still gets closed (no fd leak across retries)

@@ -273,7 +273,8 @@ final class PgReplicationSource(
     startLsn: Long = 0L,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
-    ssl: Option[javax.net.ssl.SSLContext] = None)
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    dial: Ssh.Dial = Ssh.tcpDial)
   extends Wire.PgSource {
 
   import PgWire._
@@ -288,12 +289,11 @@ final class PgReplicationSource(
 
   override def frames(): Iterator[(Long, Array[Byte])] = {
     close() // looping pulls must not leak the previous connection
-    val s = new Socket()
-    // a wedged server must never hang the capture pump: the pg server
+    // dial through the transport seam (direct TCP or an SSH tunnel).
+    // A wedged server must never hang the capture pump: the pg server
     // keepalives well inside wal_sender_timeout, so a silent minute
     // means the connection is dead, not idle
-    s.connect(new java.net.InetSocketAddress(host, port),
-      connectTimeoutMs)
+    val s = dial(host, port, connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
     // track the raw socket IMMEDIATELY: a failed TLS negotiation must
     // still be closeable (a retry loop against a misconfigured server

@@ -1,0 +1,964 @@
+package graft.cdc
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  EOFException, IOException, InputStream, OutputStream}
+import java.math.BigInteger
+import java.net.{InetAddress, InetSocketAddress, Socket,
+  SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.{KeyFactory, KeyPair, KeyPairGenerator, MessageDigest,
+  PrivateKey, PublicKey, SecureRandom, Signature}
+import java.security.interfaces.{EdECPublicKey, XECPublicKey}
+import java.security.spec.{EdECPoint, EdECPublicKeySpec, NamedParameterSpec,
+  XECPublicKeySpec}
+import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue, TimeUnit}
+import javax.crypto.{Cipher, KeyAgreement, Mac}
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** SSH2 tunnel transport for the live wire clients — the reference
+  * dials every peer connection through an optional SSH tunnel
+  * (`flow/connectors/utils/ssh.go`: `ssh.Dial` + per-destination
+  * `client.DialContext`, password or private-key auth, host key
+  * pinned or ignored; `flow/connectors/postgres/ssh_wrapped_conn.go`
+  * wraps the forwarded conn so read deadlines still work). This is
+  * that seam rebuilt on the public protocol itself — RFC 4253
+  * (transport), RFC 4252 (userauth), RFC 4254 (connection /
+  * `direct-tcpip`), RFC 8731 (curve25519-sha256), RFC 8709
+  * (ssh-ed25519) — on JDK primitives only (XDH, Ed25519, AES-CTR,
+  * HmacSHA256), because no SSH library jar exists in this build.
+  *
+  * Supported algorithm set (one interoperable choice per slot, the
+  * same ones OpenSSH enables by default): kex `curve25519-sha256`
+  * (+ the pre-RFC `@libssh.org` alias), host key `ssh-ed25519`,
+  * cipher `aes128-ctr`, MAC `hmac-sha2-256`, compression `none`.
+  * Interop is proven in-suite against stock OpenSSH (`SshWireSpec`
+  * drives the real `ssh -W` through [[graft.cdc]]'s test server,
+  * which shares this transport).
+  *
+  * Lifecycle mirrors the reference tunnel: one [[Ssh.Client]] per
+  * tunnel, `direct-tcpip` channels per destination dial. The capture
+  * pump opens one tunnel per pull tick (the same cadence it opens the
+  * DB socket), so mid-session rekeying — which OpenSSH initiates only
+  * after 1 GiB or 1 h on a channel — is out of scope and refused
+  * loudly rather than mis-handled.
+  *
+  * The returned channel [[Socket]] supports `setSoTimeout` (a silent
+  * read window means the tunnel is dead — the deadline discipline of
+  * `ssh_wrapped_conn.go`) and layers under [[Tls.clientUpgrade]], so
+  * `ssl=require` endpoints compose with `ssh=` tunneling the way
+  * TLS-in-SSH does in real deployments.
+  */
+object Ssh {
+
+  /** Transport dialer seam: (host, port, connectTimeoutMs) → connected
+    * socket. The wire clients take one of these; [[tcpDial]] is the
+    * direct path, [[tunnelDial]] the SSH path. */
+  type Dial = (String, Int, Int) => Socket
+
+  val tcpDial: Dial = (host, port, connectMs) => {
+    val s = new Socket()
+    s.connect(new InetSocketAddress(host, port), connectMs)
+    s
+  }
+
+  /** Dialer that opens a fresh SSH tunnel per dial (the pump's
+    * connection-per-tick shape) and routes the destination through a
+    * `direct-tcpip` channel. `spec` is `user:pass@host[:port]`
+    * (credentials percent-decoded upstream by [[CaptureEndpoint]]);
+    * closing the returned socket closes the whole tunnel. */
+  def tunnelDial(spec: String, readTimeoutMs: Int = 60000): Dial = {
+    val (user, pass, host, port) = parseSpec(spec)
+    (dstHost, dstPort, connectMs) => {
+      val c = new Client(host, port, user, password = pass,
+        connectTimeoutMs = connectMs, readTimeoutMs = readTimeoutMs)
+      try c.openTunnel(dstHost, dstPort, ownsClient = true)
+      catch { case t: Throwable => c.close(); throw t }
+    }
+  }
+
+  /** `user:pass@host[:port]` → components (port defaults to 22). */
+  def parseSpec(spec: String): (String, String, String, Int) = {
+    val at = spec.lastIndexOf('@')
+    require(at > 0, s"ssh spec needs user[:pass]@host[:port]")
+    val (cred, hp) = (spec.substring(0, at), spec.substring(at + 1))
+    val (user, pass) = cred.split(":", 2) match {
+      case Array(u, p) => (u, p)
+      case Array(u) => (u, "")
+    }
+    val (host, port) = hp.split(":", 2) match {
+      case Array(h, p) => (h, p.toInt)
+      case Array(h) => (h, 22)
+    }
+    require(user.nonEmpty && host.nonEmpty,
+      "ssh spec needs a user and a host")
+    (user, pass, host, port)
+  }
+
+  // ---------------------------------------------------------------- wire
+
+  private[cdc] object Msg {
+    val Disconnect = 1; val Ignore = 2; val Unimplemented = 3
+    val Debug = 4; val ServiceRequest = 5; val ServiceAccept = 6
+    val KexInit = 20; val NewKeys = 21
+    val KexEcdhInit = 30; val KexEcdhReply = 31
+    val UserauthRequest = 50; val UserauthFailure = 51
+    val UserauthSuccess = 52; val UserauthBanner = 53
+    val UserauthPkOk = 60
+    val GlobalRequest = 80; val RequestSuccess = 81; val RequestFailure = 82
+    val ChannelOpen = 90; val ChannelOpenConfirmation = 91
+    val ChannelOpenFailure = 92; val ChannelWindowAdjust = 93
+    val ChannelData = 94; val ChannelExtendedData = 95
+    val ChannelEof = 96; val ChannelClose = 97; val ChannelRequest = 98
+    val ChannelSuccess = 99; val ChannelFailure = 100
+  }
+
+  private[cdc] val KexAlgs =
+    Seq("curve25519-sha256", "curve25519-sha256@libssh.org")
+  private[cdc] val HostKeyAlgs = Seq("ssh-ed25519")
+  private[cdc] val CipherAlgs = Seq("aes128-ctr")
+  private[cdc] val MacAlgs = Seq("hmac-sha2-256")
+  private[cdc] val CompAlgs = Seq("none")
+
+  private[cdc] val MaxPacket = 256 * 1024
+  /** Our channels' receive window / max packet (RFC 4254 §5.2). */
+  private[cdc] val ChannelWindow = 1 << 21
+  private[cdc] val ChannelMaxPacket = 32768
+
+  /** SSH binary builder (RFC 4251 §5 types). */
+  private[cdc] final class Wtr {
+    private val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Wtr = { b.write(v & 0xFF); this }
+    def u32(v: Long): Wtr = {
+      b.write(((v >> 24) & 0xFF).toInt); b.write(((v >> 16) & 0xFF).toInt)
+      b.write(((v >> 8) & 0xFF).toInt); b.write((v & 0xFF).toInt); this
+    }
+    def bool(v: Boolean): Wtr = u8(if (v) 1 else 0)
+    def raw(a: Array[Byte]): Wtr = { b.write(a, 0, a.length); this }
+    def str(a: Array[Byte]): Wtr = { u32(a.length.toLong); raw(a) }
+    def str(s: String): Wtr = str(s.getBytes(UTF_8))
+    def name(l: Seq[String]): Wtr = str(l.mkString(","))
+    /** mpint from unsigned big-endian magnitude bytes. */
+    def mp(magnitude: Array[Byte]): Wtr = str(mpintBytes(magnitude))
+    def bytes: Array[Byte] = b.toByteArray
+  }
+
+  /** SSH binary reader. */
+  private[cdc] final class Rdr(a: Array[Byte]) {
+    private var off = 0
+    def remaining: Int = a.length - off
+    def u8(): Int = { val v = a(off) & 0xFF; off += 1; v }
+    def bool(): Boolean = u8() != 0
+    def u32(): Long = {
+      val v = ((a(off) & 0xFFL) << 24) | ((a(off + 1) & 0xFFL) << 16) |
+        ((a(off + 2) & 0xFFL) << 8) | (a(off + 3) & 0xFFL)
+      off += 4; v
+    }
+    def str(): Array[Byte] = {
+      val n = u32().toInt
+      require(n >= 0 && n <= remaining, s"ssh: bad string length $n")
+      val v = java.util.Arrays.copyOfRange(a, off, off + n); off += n; v
+    }
+    def strUtf8(): String = new String(str(), UTF_8)
+    def names(): Seq[String] =
+      strUtf8().split(",").filter(_.nonEmpty).toSeq
+  }
+
+  /** Strip leading zeros; prepend 0x00 if the high bit is set (the
+    * mpint rule for non-negative integers). */
+  private[cdc] def mpintBytes(magnitude: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < magnitude.length && magnitude(i) == 0) i += 1
+    val m = java.util.Arrays.copyOfRange(magnitude, i, magnitude.length)
+    if (m.isEmpty) m
+    else if ((m(0) & 0x80) != 0) Array[Byte](0) ++ m
+    else m
+  }
+
+  // ------------------------------------------------------------- crypto
+
+  private def bigToLittle32(v: BigInteger): Array[Byte] = {
+    val be = v.toByteArray.dropWhile(_ == 0) match {
+      case e if e.isEmpty => Array[Byte](0)
+      case e => e
+    }
+    require(be.length <= 32, "curve25519 coordinate exceeds 32 bytes")
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < be.length) { out(i) = be(be.length - 1 - i); i += 1 }
+    out
+  }
+
+  private[cdc] def x25519Pair(): (Array[Byte], KeyPair) = {
+    val kpg = KeyPairGenerator.getInstance("XDH")
+    kpg.initialize(new NamedParameterSpec("X25519"))
+    val kp = kpg.generateKeyPair()
+    (bigToLittle32(kp.getPublic.asInstanceOf[XECPublicKey].getU), kp)
+  }
+
+  /** Raw X25519: peer public is the 32-byte little-endian u coordinate
+    * (high bit masked per RFC 7748); the shared secret is the raw
+    * 32-byte output, all-zero rejected (contributory behavior, as
+    * OpenSSH's kexc25519 does). */
+  private[cdc] def x25519Shared(priv: PrivateKey,
+      peerRaw: Array[Byte]): Array[Byte] = {
+    require(peerRaw.length == 32, "ssh: X25519 public key must be 32 bytes")
+    val le = peerRaw.clone()
+    le(31) = (le(31) & 0x7F).toByte
+    val u = new BigInteger(1, le.reverse)
+    val spec = new XECPublicKeySpec(new NamedParameterSpec("X25519"), u)
+    val pub = KeyFactory.getInstance("XDH").generatePublic(spec)
+    val ka = KeyAgreement.getInstance("XDH")
+    ka.init(priv)
+    ka.doPhase(pub, true)
+    val k = ka.generateSecret()
+    if (k.forall(_ == 0))
+      throw new IOException("ssh: degenerate X25519 shared secret")
+    k
+  }
+
+  private[cdc] def ed25519Pair(): KeyPair =
+    KeyPairGenerator.getInstance("Ed25519").generateKeyPair()
+
+  /** RFC 8032 encoding: 32-byte little-endian y with the x-parity bit
+    * in the top bit of the last byte. */
+  private[cdc] def edPubRaw(pub: PublicKey): Array[Byte] = {
+    val ed = pub.asInstanceOf[EdECPublicKey]
+    val out = bigToLittle32(ed.getPoint.getY)
+    if (ed.getPoint.isXOdd) out(31) = (out(31) | 0x80).toByte
+    out
+  }
+
+  private[cdc] def edPubFromRaw(raw: Array[Byte]): PublicKey = {
+    require(raw.length == 32, "ssh: ed25519 public key must be 32 bytes")
+    val xOdd = (raw(31) & 0x80) != 0
+    val yB = raw.clone(); yB(31) = (yB(31) & 0x7F).toByte
+    val y = new BigInteger(1, yB.reverse)
+    KeyFactory.getInstance("Ed25519").generatePublic(
+      new EdECPublicKeySpec(NamedParameterSpec.ED25519,
+        new EdECPoint(xOdd, y)))
+  }
+
+  private[cdc] def edSign(priv: PrivateKey, data: Array[Byte]): Array[Byte] = {
+    val sig = Signature.getInstance("Ed25519")
+    sig.initSign(priv); sig.update(data); sig.sign()
+  }
+
+  private[cdc] def edVerify(pubRaw: Array[Byte], data: Array[Byte],
+      signature: Array[Byte]): Boolean = {
+    val sig = Signature.getInstance("Ed25519")
+    sig.initVerify(edPubFromRaw(pubRaw)); sig.update(data)
+    sig.verify(signature)
+  }
+
+  /** `ssh-ed25519` public key blob (the K_S / authorized-key wire
+    * form). */
+  private[cdc] def edKeyBlob(pubRaw: Array[Byte]): Array[Byte] =
+    new Wtr().str("ssh-ed25519").str(pubRaw).bytes
+
+  /** OpenSSH-style fingerprint of a key blob:
+    * `SHA256:` + unpadded base64. */
+  def fingerprint(keyBlob: Array[Byte]): String =
+    "SHA256:" + java.util.Base64.getEncoder.withoutPadding
+      .encodeToString(
+        MessageDigest.getInstance("SHA-256").digest(keyBlob))
+
+  private def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-256")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  // ---------------------------------------------------------- transport
+
+  private final case class RemoteKexInit(payload: Array[Byte],
+      kex: Seq[String], hostKeys: Seq[String],
+      cipherC2s: Seq[String], cipherS2c: Seq[String],
+      macC2s: Seq[String], macS2c: Seq[String],
+      compC2s: Seq[String], compS2c: Seq[String],
+      guessFollows: Boolean)
+
+  /** RFC 4253 binary packet transport, role-symmetric (the client and
+    * the in-suite test server share it — one codec, exercised from
+    * both sides plus stock OpenSSH). Not thread-safe for reads (one
+    * reader: the handshake caller, then the connection's reader
+    * thread); writes are internally synchronized. */
+  private[cdc] final class Transport(sock: Socket, isServer: Boolean) {
+    private val in = new DataInputStream(
+      new BufferedInputStream(sock.getInputStream))
+    private val rawOut = new BufferedOutputStream(sock.getOutputStream)
+    private val rand = new SecureRandom
+    private var sendSeq = 0L
+    private var recvSeq = 0L
+    private var sendCipher: Cipher = _
+    private var recvCipher: Cipher = _
+    private var sendMac: Mac = _
+    private var recvMac: Mac = _
+    private val writeLock = new Object
+
+    private val localVersion = "SSH-2.0-graft_1.0"
+    private var remoteVersion: String = _
+    var sessionId: Array[Byte] = _
+
+    /** Version string exchange. The server side may be preceded by
+      * banner lines (RFC 4253 §4.2) — the client skips until an
+      * `SSH-` line. */
+    def exchangeVersions(): Unit = {
+      rawOut.write((localVersion + "\r\n").getBytes(UTF_8))
+      rawOut.flush()
+      var line = readLine()
+      var guard = 0
+      while (!line.startsWith("SSH-") && guard < 64) {
+        guard += 1; line = readLine()
+      }
+      if (!line.startsWith("SSH-2.0-") && !line.startsWith("SSH-1.99-"))
+        throw new IOException(s"ssh: unsupported peer version '$line'")
+      remoteVersion = line
+    }
+
+    private def readLine(): String = {
+      val b = new java.io.ByteArrayOutputStream()
+      var c = in.read()
+      while (c != '\n') {
+        if (c < 0) throw new EOFException("ssh: EOF in version exchange")
+        if (c != '\r') b.write(c)
+        if (b.size > 8192)
+          throw new IOException("ssh: oversized version line")
+        c = in.read()
+      }
+      new String(b.toByteArray, UTF_8)
+    }
+
+    private def readFully(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); in.readFully(a); a
+    }
+
+    /** One raw packet payload (msg byte + body). */
+    def readPacket(): Array[Byte] = {
+      val packet: Array[Byte] =
+        if (recvCipher == null) {
+          val len = new Rdr(readFully(4)).u32().toInt
+          if (len < 5 || len > MaxPacket)
+            throw new IOException(s"ssh: bad packet length $len")
+          new Wtr().u32(len.toLong).raw(readFully(len)).bytes
+        } else {
+          val first = recvCipher.update(readFully(16))
+          val len = new Rdr(first).u32().toInt
+          if (len < 5 || len > MaxPacket)
+            throw new IOException(s"ssh: bad packet length $len")
+          // a 16-byte packet has no remainder; JCE update(empty)
+          // returns null, not an empty array
+          val restLen = len + 4 - 16
+          val rest =
+            if (restLen == 0) Array.emptyByteArray
+            else recvCipher.update(readFully(restLen))
+          val full = first ++ rest
+          val mac = readFully(32)
+          recvMac.update(seqBytes(recvSeq)); recvMac.update(full)
+          if (!MessageDigest.isEqual(recvMac.doFinal(), mac))
+            throw new IOException("ssh: MAC verification failed")
+          full
+        }
+      recvSeq = (recvSeq + 1) & 0xFFFFFFFFL
+      val r = new Rdr(packet)
+      val len = r.u32().toInt
+      val padLen = r.u8()
+      if (padLen < 4 || padLen >= len)
+        throw new IOException(s"ssh: bad padding length $padLen")
+      java.util.Arrays.copyOfRange(packet, 5, 5 + len - padLen - 1)
+    }
+
+    /** Skip IGNORE/DEBUG (and answer nothing), return the next real
+      * payload. */
+    def readMsg(): Array[Byte] = {
+      var p = readPacket()
+      while (p.nonEmpty &&
+          (p(0) == Msg.Ignore || p(0) == Msg.Debug ||
+            p(0) == Msg.Unimplemented)) p = readPacket()
+      if (p.isEmpty) throw new IOException("ssh: empty packet")
+      if (p(0) == Msg.Disconnect) {
+        val r = new Rdr(p); r.u8(); r.u32()
+        throw new IOException(s"ssh: peer disconnected: ${r.strUtf8()}")
+      }
+      p
+    }
+
+    private def seqBytes(seq: Long): Array[Byte] =
+      new Wtr().u32(seq).bytes
+
+    def writePacket(payload: Array[Byte]): Unit = writeLock.synchronized {
+      val bs = if (sendCipher == null) 8 else 16
+      var padLen = bs - ((4 + 1 + payload.length) % bs)
+      if (padLen < 4) padLen += bs
+      val pad = new Array[Byte](padLen)
+      rand.nextBytes(pad)
+      val full = new Wtr().u32((1 + payload.length + padLen).toLong)
+        .u8(padLen).raw(payload).raw(pad).bytes
+      if (sendCipher == null) rawOut.write(full)
+      else {
+        sendMac.update(seqBytes(sendSeq)); sendMac.update(full)
+        val tag = sendMac.doFinal()
+        rawOut.write(sendCipher.update(full))
+        rawOut.write(tag)
+      }
+      rawOut.flush()
+      sendSeq = (sendSeq + 1) & 0xFFFFFFFFL
+    }
+
+    def disconnect(code: Int, msg: String): Unit =
+      try writePacket(new Wtr().u8(Msg.Disconnect).u32(code.toLong)
+        .str(msg).str("").bytes)
+      catch { case _: IOException => () }
+
+    // ---- key exchange
+
+    private def kexInitPayload(): Array[Byte] = {
+      val cookie = new Array[Byte](16)
+      rand.nextBytes(cookie)
+      new Wtr().u8(Msg.KexInit).raw(cookie)
+        .name(KexAlgs).name(HostKeyAlgs)
+        .name(CipherAlgs).name(CipherAlgs)
+        .name(MacAlgs).name(MacAlgs)
+        .name(CompAlgs).name(CompAlgs)
+        .str("").str("")
+        .bool(false).u32(0L).bytes
+    }
+
+    private def parseKexInit(p: Array[Byte]): RemoteKexInit = {
+      val r = new Rdr(p)
+      require(r.u8() == Msg.KexInit, "ssh: expected KEXINIT")
+      (0 until 16).foreach(_ => r.u8()) // cookie
+      val kex = r.names(); val hk = r.names()
+      val cc = r.names(); val cs = r.names()
+      val mc = r.names(); val ms = r.names()
+      val pc = r.names(); val ps = r.names()
+      r.names(); r.names() // languages
+      val guess = r.bool()
+      RemoteKexInit(p, kex, hk, cc, cs, mc, ms, pc, ps, guess)
+    }
+
+    /** RFC 4253 §7.1: first algorithm on the CLIENT's list also
+      * supported by the server. */
+    private def pick(what: String, client: Seq[String],
+        server: Seq[String]): String =
+      client.find(server.contains).getOrElse(
+        throw new IOException(
+          s"ssh: no common $what algorithm (client: " +
+            s"${client.mkString(",")}; server: ${server.mkString(",")})"))
+
+    private def negotiate(remote: RemoteKexInit): Unit = {
+      val (cKex, sKex) =
+        if (isServer) (remote.kex, KexAlgs) else (KexAlgs, remote.kex)
+      val (cHk, sHk) =
+        if (isServer) (remote.hostKeys, HostKeyAlgs)
+        else (HostKeyAlgs, remote.hostKeys)
+      pick("kex", cKex, sKex)
+      pick("host key", cHk, sHk)
+      if (isServer) {
+        pick("cipher c2s", remote.cipherC2s, CipherAlgs)
+        pick("cipher s2c", remote.cipherS2c, CipherAlgs)
+        pick("mac c2s", remote.macC2s, MacAlgs)
+        pick("mac s2c", remote.macS2c, MacAlgs)
+        pick("compression c2s", remote.compC2s, CompAlgs)
+        pick("compression s2c", remote.compS2c, CompAlgs)
+      } else {
+        pick("cipher c2s", CipherAlgs, remote.cipherC2s)
+        pick("cipher s2c", CipherAlgs, remote.cipherS2c)
+        pick("mac c2s", MacAlgs, remote.macC2s)
+        pick("mac s2c", MacAlgs, remote.macS2c)
+        pick("compression c2s", CompAlgs, remote.compC2s)
+        pick("compression s2c", CompAlgs, remote.compS2c)
+      }
+      // a wrong-guessed first kex packet (RFC 4253 §7) is discarded;
+      // with curve25519 negotiated, a correct guess IS the ECDH_INIT
+      // we are about to read, so only a mismatched guess is dropped
+      if (remote.guessFollows && !isServer)
+        throw new IOException("ssh: server sent a guessed kex packet")
+      if (remote.guessFollows && isServer &&
+          remote.kex.headOption != Some("curve25519-sha256") &&
+          remote.kex.headOption != Some("curve25519-sha256@libssh.org"))
+        readPacket() // the mis-guessed packet, ignored
+    }
+
+    private def installKeys(k: Array[Byte], h: Array[Byte]): Unit = {
+      if (sessionId == null) sessionId = h
+      val kMp = new Wtr().mp(k).bytes
+      def derive(x: Char, len: Int): Array[Byte] = {
+        var out = sha256(kMp, h, Array(x.toByte), sessionId)
+        while (out.length < len) out = out ++ sha256(kMp, h, out)
+        out.take(len)
+      }
+      def cipher(mode: Int, key: Array[Byte], iv: Array[Byte]): Cipher = {
+        val c = Cipher.getInstance("AES/CTR/NoPadding")
+        c.init(mode, new SecretKeySpec(key, "AES"),
+          new IvParameterSpec(iv))
+        c
+      }
+      def mac(key: Array[Byte]): Mac = {
+        val m = Mac.getInstance("HmacSHA256")
+        m.init(new SecretKeySpec(key, "HmacSHA256"))
+        m
+      }
+      val (ivC2s, ivS2c) = (derive('A', 16), derive('B', 16))
+      val (keyC2s, keyS2c) = (derive('C', 16), derive('D', 16))
+      val (macC2s, macS2c) = (derive('E', 32), derive('F', 32))
+      if (isServer) {
+        recvCipher = cipher(Cipher.DECRYPT_MODE, keyC2s, ivC2s)
+        sendCipher = cipher(Cipher.ENCRYPT_MODE, keyS2c, ivS2c)
+        recvMac = mac(macC2s); sendMac = mac(macS2c)
+      } else {
+        sendCipher = cipher(Cipher.ENCRYPT_MODE, keyC2s, ivC2s)
+        recvCipher = cipher(Cipher.DECRYPT_MODE, keyS2c, ivS2c)
+        sendMac = mac(macC2s); recvMac = mac(macS2c)
+      }
+    }
+
+    private def exchangeHash(iC: Array[Byte], iS: Array[Byte],
+        kS: Array[Byte], qC: Array[Byte], qS: Array[Byte],
+        k: Array[Byte]): Array[Byte] = {
+      val (vC, vS) =
+        if (isServer) (remoteVersion, localVersion)
+        else (localVersion, remoteVersion)
+      sha256(new Wtr().str(vC).str(vS).str(iC).str(iS)
+        .str(kS).str(qC).str(qS).mp(k).bytes)
+    }
+
+    /** Client key exchange; returns the server host key blob (K_S)
+      * after verifying its signature over the exchange hash. */
+    def kexAsClient(hostKeyPin: Option[String]): Array[Byte] = {
+      val iC = kexInitPayload()
+      writePacket(iC)
+      val iS = readMsg()
+      val remote = parseKexInit(iS)
+      negotiate(remote)
+      val (qC, pair) = x25519Pair()
+      writePacket(new Wtr().u8(Msg.KexEcdhInit).str(qC).bytes)
+      val reply = readMsg()
+      val r = new Rdr(reply)
+      require(r.u8() == Msg.KexEcdhReply, "ssh: expected KEX_ECDH_REPLY")
+      val kS = r.str(); val qS = r.str(); val sigBlob = r.str()
+      val k = x25519Shared(pair.getPrivate, qS)
+      val h = exchangeHash(iC, iS, kS, qC, qS, k)
+      val kr = new Rdr(kS)
+      val alg = kr.strUtf8()
+      if (alg != "ssh-ed25519")
+        throw new IOException(s"ssh: unsupported host key type $alg")
+      val hostPub = kr.str()
+      val sr = new Rdr(sigBlob)
+      if (sr.strUtf8() != "ssh-ed25519")
+        throw new IOException("ssh: host key / signature type mismatch")
+      if (!edVerify(hostPub, h, sr.str()))
+        throw new IOException("ssh: host key signature verification failed")
+      // pin = FixedHostKey posture; absent = InsecureIgnoreHostKey,
+      // exactly the reference's two modes (ssh.go:58-68)
+      hostKeyPin.foreach { pin =>
+        val fp = fingerprint(kS)
+        if (fp != pin) throw new IOException(
+          s"ssh: host key mismatch: server offers $fp, pinned $pin")
+      }
+      writePacket(Array[Byte](Msg.NewKeys.toByte))
+      val nk = readMsg()
+      if (nk(0) != Msg.NewKeys)
+        throw new IOException("ssh: expected NEWKEYS")
+      installKeys(k, h)
+      kS
+    }
+
+    /** Server key exchange with an Ed25519 host key. */
+    def kexAsServer(hostKey: KeyPair): Unit = {
+      val iS = kexInitPayload()
+      writePacket(iS)
+      val iC = readMsg()
+      val remote = parseKexInit(iC)
+      negotiate(remote)
+      val init = readMsg()
+      val r = new Rdr(init)
+      require(r.u8() == Msg.KexEcdhInit, "ssh: expected KEX_ECDH_INIT")
+      val qC = r.str()
+      val (qS, pair) = x25519Pair()
+      val k = x25519Shared(pair.getPrivate, qC)
+      val kS = edKeyBlob(edPubRaw(hostKey.getPublic))
+      val h = exchangeHash(iC, iS, kS, qC, qS, k)
+      val sig = new Wtr().str("ssh-ed25519")
+        .str(edSign(hostKey.getPrivate, h)).bytes
+      writePacket(new Wtr().u8(Msg.KexEcdhReply)
+        .str(kS).str(qS).str(sig).bytes)
+      writePacket(Array[Byte](Msg.NewKeys.toByte))
+      val nk = readMsg()
+      if (nk(0) != Msg.NewKeys)
+        throw new IOException("ssh: expected NEWKEYS")
+      installKeys(k, h)
+    }
+
+    def close(): Unit =
+      try sock.close() catch { case _: IOException => () }
+  }
+
+  // ------------------------------------------------------------- client
+
+  private sealed trait Inbound
+  private final case class Data(bytes: Array[Byte]) extends Inbound
+  private case object Eof extends Inbound
+  private final case class Died(cause: IOException) extends Inbound
+
+  private final class Chan(val localId: Int) {
+    @volatile var remoteId: Int = -1
+    @volatile var remoteMaxPacket: Int = ChannelMaxPacket
+    var remoteWindow: Long = 0L // guarded by `this`
+    val inbound = new LinkedBlockingQueue[Inbound]()
+    val opened = new java.util.concurrent.CompletableFuture[Unit]()
+    @volatile var closeSent = false
+
+    def addWindow(n: Long): Unit = synchronized {
+      remoteWindow += n; notifyAll()
+    }
+    def takeWindow(want: Int, deadlineMs: Long): Int = synchronized {
+      val end = System.nanoTime() + deadlineMs * 1000000L
+      while (remoteWindow <= 0) {
+        val leftNs = end - System.nanoTime()
+        if (leftNs <= 0) throw new SocketTimeoutException(
+          "ssh: channel window exhausted (peer not reading)")
+        wait(math.max(1L, leftNs / 1000000L))
+      }
+      math.min(want.toLong, remoteWindow).toInt
+    }
+  }
+
+  /** One SSH connection: transport + auth + `direct-tcpip` channels.
+    * Auth: password, or an Ed25519 [[KeyPair]] (the reference's two
+    * `AuthMethod`s). `hostKeyPin` = optional `SHA256:…` fingerprint
+    * of the expected host key blob. */
+  final class Client(host: String, port: Int, user: String,
+      password: String = "",
+      privateKey: Option[KeyPair] = None,
+      hostKeyPin: Option[String] = None,
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 60000) extends AutoCloseable {
+
+    private val sock = tcpDial(host, port, connectTimeoutMs)
+    // silence for the read window means the tunnel is dead — the
+    // reference wraps forwarded conns for exactly this deadline
+    // discipline (ssh_wrapped_conn.go)
+    sock.setSoTimeout(readTimeoutMs)
+    private val t = new Transport(sock, isServer = false)
+    /** Server host key blob, verified against the exchange hash. */
+    val hostKeyBlob: Array[Byte] =
+      try {
+        t.exchangeVersions()
+        val blob = t.kexAsClient(hostKeyPin)
+        authenticate()
+        blob
+      } catch {
+        case e: Throwable => t.close(); throw e
+      }
+
+    private val chans = new ConcurrentHashMap[Int, Chan]()
+    private val nextChan = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var closed = false
+
+    private def authenticate(): Unit = {
+      t.writePacket(new Wtr().u8(Msg.ServiceRequest)
+        .str("ssh-userauth").bytes)
+      val acc = t.readMsg()
+      if (acc(0) != Msg.ServiceAccept)
+        throw new IOException("ssh: userauth service refused")
+      val req = privateKey match {
+        case Some(kp) =>
+          val blob = edKeyBlob(edPubRaw(kp.getPublic))
+          val prefix = new Wtr().u8(Msg.UserauthRequest).str(user)
+            .str("ssh-connection").str("publickey").bool(true)
+            .str("ssh-ed25519").str(blob).bytes
+          val signed = new Wtr().str(t.sessionId).raw(prefix).bytes
+          val sig = new Wtr().str("ssh-ed25519")
+            .str(edSign(kp.getPrivate, signed)).bytes
+          new Wtr().raw(prefix).str(sig).bytes
+        case None =>
+          new Wtr().u8(Msg.UserauthRequest).str(user)
+            .str("ssh-connection").str("password").bool(false)
+            .str(password).bytes
+      }
+      t.writePacket(req)
+      var done = false
+      while (!done) {
+        val p = t.readMsg()
+        p(0) match {
+          case m if m == Msg.UserauthSuccess => done = true
+          case m if m == Msg.UserauthBanner => () // skip
+          case m if m == Msg.UserauthFailure =>
+            val r = new Rdr(p); r.u8()
+            throw new IOException(
+              s"ssh: authentication failed for '$user' " +
+                s"(server accepts: ${r.names().mkString(",")})")
+          case other =>
+            throw new IOException(s"ssh: unexpected userauth reply $other")
+        }
+      }
+    }
+
+    private val reader = new Thread(() => readLoop(), "graft-ssh-reader")
+    reader.setDaemon(true)
+    reader.start()
+
+    private def readLoop(): Unit = {
+      try {
+        while (!closed) {
+          val p = t.readPacket()
+          if (p.nonEmpty) dispatch(p)
+        }
+      } catch {
+        case e: IOException => failAll(e)
+        case _: InterruptedException => ()
+      }
+    }
+
+    private def failAll(e: IOException): Unit = {
+      val dead =
+        if (closed) Eof // an intentional close is EOF, not an error
+        else Died(new IOException(s"ssh: connection lost: ${e.getMessage}", e))
+      chans.forEach { (_, c) =>
+        c.opened.completeExceptionally(e)
+        c.inbound.put(dead)
+      }
+      t.close()
+    }
+
+    private def dispatch(p: Array[Byte]): Unit = {
+      val r = new Rdr(p)
+      r.u8() match {
+        case m if m == Msg.Ignore || m == Msg.Debug ||
+            m == Msg.Unimplemented => ()
+        case m if m == Msg.Disconnect =>
+          r.u32()
+          throw new IOException(s"peer disconnected: ${r.strUtf8()}")
+        case m if m == Msg.GlobalRequest =>
+          val name = r.strUtf8()
+          if (r.bool()) t.writePacket(
+            new Wtr().u8(Msg.RequestFailure).bytes)
+          val _ = name
+        case m if m == Msg.ChannelOpenConfirmation =>
+          val c = chans.get(r.u32().toInt)
+          if (c != null) {
+            c.remoteId = r.u32().toInt
+            val win = r.u32()
+            c.remoteMaxPacket = math.min(r.u32(), 1L << 20).toInt
+            c.addWindow(win)
+            c.opened.complete(())
+          }
+        case m if m == Msg.ChannelOpenFailure =>
+          val c = chans.get(r.u32().toInt)
+          if (c != null) {
+            val code = r.u32()
+            val desc = r.strUtf8()
+            c.opened.completeExceptionally(new IOException(
+              s"ssh: channel open refused (code $code): $desc"))
+          }
+        case m if m == Msg.ChannelWindowAdjust =>
+          val c = chans.get(r.u32().toInt)
+          if (c != null) c.addWindow(r.u32())
+        case m if m == Msg.ChannelData =>
+          val c = chans.get(r.u32().toInt)
+          val d = r.str()
+          if (c != null && d.nonEmpty) c.inbound.put(Data(d))
+        case m if m == Msg.ChannelExtendedData =>
+          r.u32(); r.u32(); r.str() // direct-tcpip carries none; drop
+        case m if m == Msg.ChannelEof =>
+          val c = chans.get(r.u32().toInt)
+          if (c != null) c.inbound.put(Eof)
+        case m if m == Msg.ChannelClose =>
+          val id = r.u32().toInt
+          val c = chans.remove(id)
+          if (c != null) {
+            c.inbound.put(Eof)
+            sendClose(c)
+          }
+        case m if m == Msg.ChannelRequest =>
+          val id = r.u32().toInt
+          r.strUtf8()
+          if (r.bool()) {
+            val c = chans.get(id)
+            if (c != null && c.remoteId >= 0) t.writePacket(
+              new Wtr().u8(Msg.ChannelFailure).u32(c.remoteId.toLong).bytes)
+          }
+        case m if m == Msg.KexInit =>
+          // see the class doc: tunnels live one pull tick, far below
+          // any rekey threshold; refuse loudly instead of corrupting
+          throw new IOException("ssh: peer requested rekeying " +
+            "(unsupported; tunnels are per-pull, reconnect instead)")
+        case _ => () // unknown message: ignore (we sent no requests)
+      }
+    }
+
+    private def sendClose(c: Chan): Unit = {
+      val send = c.synchronized {
+        if (c.closeSent || c.remoteId < 0) false
+        else { c.closeSent = true; true }
+      }
+      if (send)
+        try t.writePacket(
+          new Wtr().u8(Msg.ChannelClose).u32(c.remoteId.toLong).bytes)
+        catch { case _: IOException => () }
+    }
+
+    /** Open a `direct-tcpip` channel to (dstHost, dstPort) and wrap it
+      * as a [[Socket]]. With `ownsClient`, closing the socket closes
+      * the whole tunnel (the per-dial lifecycle of [[tunnelDial]]). */
+    def openTunnel(dstHost: String, dstPort: Int,
+        ownsClient: Boolean = false): Socket = {
+      if (closed) throw new IOException("ssh: client is closed")
+      val c = new Chan(nextChan.getAndIncrement())
+      chans.put(c.localId, c)
+      t.writePacket(new Wtr().u8(Msg.ChannelOpen).str("direct-tcpip")
+        .u32(c.localId.toLong).u32(ChannelWindow.toLong)
+        .u32(ChannelMaxPacket.toLong)
+        .str(dstHost).u32(dstPort.toLong)
+        .str("127.0.0.1").u32(0L).bytes)
+      try c.opened.get(connectTimeoutMs + readTimeoutMs.toLong,
+        TimeUnit.MILLISECONDS)
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          chans.remove(c.localId)
+          throw new IOException(e.getCause.getMessage, e.getCause)
+        case e: java.util.concurrent.TimeoutException =>
+          chans.remove(c.localId)
+          throw new SocketTimeoutException("ssh: channel open timed out")
+      }
+      new ChannelSocket(this, c, dstHost, dstPort, ownsClient)
+    }
+
+    private[Ssh] def channelWrite(c: Chan, b: Array[Byte], off: Int,
+        len: Int, timeoutMs: Int): Unit = {
+      var o = off
+      var left = len
+      while (left > 0) {
+        val n = c.takeWindow(
+          math.min(left, c.remoteMaxPacket - 64),
+          if (timeoutMs <= 0) 3600000L else timeoutMs.toLong)
+        val chunk = java.util.Arrays.copyOfRange(b, o, o + n)
+        t.writePacket(new Wtr().u8(Msg.ChannelData)
+          .u32(c.remoteId.toLong).str(chunk).bytes)
+        c.synchronized { c.remoteWindow -= n }
+        o += n; left -= n
+      }
+    }
+
+    private[Ssh] def channelConsumed(c: Chan, n: Long): Unit =
+      if (c.remoteId >= 0 && !c.closeSent)
+        try t.writePacket(new Wtr().u8(Msg.ChannelWindowAdjust)
+          .u32(c.remoteId.toLong).u32(n).bytes)
+        catch { case _: IOException => () }
+
+    private[Ssh] def channelClose(c: Chan): Unit = {
+      val chan = chans.remove(c.localId)
+      try {
+        if (c.remoteId >= 0 && chan != null)
+          t.writePacket(
+            new Wtr().u8(Msg.ChannelEof).u32(c.remoteId.toLong).bytes)
+      } catch { case _: IOException => () }
+      sendClose(c)
+      c.inbound.put(Eof)
+    }
+
+    override def close(): Unit = {
+      if (!closed) {
+        closed = true
+        t.disconnect(11, "bye") // SSH_DISCONNECT_BY_APPLICATION
+        t.close()
+        chans.forEach { (_, c) => c.inbound.put(Eof) }
+        chans.clear()
+      }
+    }
+  }
+
+  /** A [[Socket]] facade over one SSH channel — what the wire clients
+    * (and [[Tls.clientUpgrade]] above them) consume. `setSoTimeout`
+    * bounds reads the way it does on a plain socket. */
+  private final class ChannelSocket(client: Client, c: Chan,
+      dstHost: String, dstPort: Int, ownsClient: Boolean)
+      extends Socket {
+    @volatile private var soTimeoutMs = 0
+    @volatile private var closedFlag = false
+
+    private val input: InputStream = new InputStream {
+      private var buf: Array[Byte] = Array.emptyByteArray
+      private var off = 0
+      private var eof = false
+      private var sinceAdjust = 0L
+
+      private def fill(): Boolean = {
+        if (eof) return false
+        val item =
+          if (soTimeoutMs <= 0) c.inbound.take()
+          else {
+            val v = c.inbound.poll(soTimeoutMs.toLong,
+              TimeUnit.MILLISECONDS)
+            if (v == null) throw new SocketTimeoutException(
+              s"ssh: read timed out after ${soTimeoutMs}ms")
+            v
+          }
+        item match {
+          case Data(b) =>
+            buf = b; off = 0
+            sinceAdjust += b.length
+            // replenish the peer's send window once half is consumed
+            // (RFC 4254 §5.2 flow control)
+            if (sinceAdjust >= ChannelWindow / 2) {
+              client.channelConsumed(c, sinceAdjust)
+              sinceAdjust = 0L
+            }
+            true
+          case Eof => eof = true; false
+          case Died(e) => throw e
+        }
+      }
+
+      override def read(): Int = {
+        val one = new Array[Byte](1)
+        val n = read(one, 0, 1)
+        if (n < 0) -1 else one(0) & 0xFF
+      }
+
+      override def read(b: Array[Byte], o: Int, l: Int): Int = {
+        if (l == 0) return 0
+        while (off >= buf.length) {
+          if (!fill()) return -1
+        }
+        val n = math.min(l, buf.length - off)
+        System.arraycopy(buf, off, b, o, n)
+        off += n
+        n
+      }
+
+      override def available(): Int = buf.length - off
+    }
+
+    private val output: OutputStream = new OutputStream {
+      override def write(v: Int): Unit =
+        write(Array((v & 0xFF).toByte), 0, 1)
+      override def write(b: Array[Byte], o: Int, l: Int): Unit = {
+        if (closedFlag) throw new IOException("ssh: socket closed")
+        client.channelWrite(c, b, o, l, soTimeoutMs)
+      }
+    }
+
+    override def getInputStream: InputStream = input
+    override def getOutputStream: OutputStream = output
+    override def setSoTimeout(ms: Int): Unit = soTimeoutMs = ms
+    override def getSoTimeout: Int = soTimeoutMs
+    override def isConnected: Boolean = !closedFlag
+    override def isClosed: Boolean = closedFlag
+    override def getInetAddress: InetAddress =
+      InetAddress.getLoopbackAddress
+    override def getPort: Int = dstPort
+    override def getRemoteSocketAddress: java.net.SocketAddress =
+      InetSocketAddress.createUnresolved(dstHost, dstPort)
+    override def setTcpNoDelay(on: Boolean): Unit = ()
+    override def setKeepAlive(on: Boolean): Unit = ()
+    override def shutdownOutput(): Unit = client.channelClose(c)
+    override def close(): Unit = {
+      if (!closedFlag) {
+        closedFlag = true
+        client.channelClose(c)
+        if (ownsClient) client.close()
+      }
+    }
+  }
+}

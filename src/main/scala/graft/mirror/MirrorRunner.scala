@@ -315,6 +315,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // `ssl=require` on the endpoint URL upgrades the transport
     // (encrypt-only; a verifying context is the library-API path)
     val sslCtx = graft.cdc.Tls.fromParam(ep.param("ssl", ""))
+    // `ssh=user:pass@host[:port]` dials the DB through an SSH tunnel
+    // (the reference's per-peer SSHConfig, utils/ssh.go); composes
+    // with ssl=require — TLS runs inside the tunneled channel
+    val dial: graft.cdc.Ssh.Dial = ep.params.get("ssh") match {
+      case Some(spec) => graft.cdc.Ssh.tunnelDial(spec, readMs)
+      case None => graft.cdc.Ssh.tcpDial
+    }
     ep.scheme match {
       case "pgwire" =>
         val after = graft.util.FsText.read(offsetPath, hadoopConf)
@@ -327,7 +334,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           publication = ep.param("publication", "graft_pub"),
           startLsn = math.max(after, 0L),
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
-          ssl = sslCtx)
+          ssl = sslCtx, dial = dial)
         val (n, last) = graft.cdc.PgOutputFrames.ingestFrom(src,
           cfg.walDir, afterCommitLsn = after,
           destinationFor = routeFor)
@@ -344,7 +351,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           startFile = ep.param("start_file", "binlog.000001"),
           startPos = ep.param("start_pos", "4").toLong,
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
-          ssl = sslCtx)
+          ssl = sslCtx, dial = dial)
         val (n, last) = graft.cdc.MysqlBinlogFiles.ingestFrom(src,
           cfg.walDir, afterCheckpoint = after,
           destinationFor = routeFor)
@@ -362,7 +369,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         val src = new graft.cdc.MongoSocketSource(ep.host, ep.port,
           database = ep.database,
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
-          ssl = sslCtx)
+          ssl = sslCtx, dial = dial)
         ingestMongo(src, after, offsetPath)
       case other => throw new IllegalArgumentException(
         s"unknown capture endpoint scheme '$other' (pgwire|mysql|mongo)")

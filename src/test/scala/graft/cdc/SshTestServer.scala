@@ -1,0 +1,296 @@
+package graft.cdc
+
+import java.io.IOException
+import java.net.{InetSocketAddress, ServerSocket, Socket,
+  SocketTimeoutException}
+import java.security.KeyPair
+
+import Ssh.{Msg, Rdr, Wtr}
+
+/** In-process SSH server for the tunnel specs — the same pattern as
+  * [[WireServers]]: a real socket speaking the real protocol so the
+  * client code under test exercises its full path. Shares
+  * [[Ssh.Transport]] with the client, and is ALSO driven by stock
+  * OpenSSH in `SshWireSpec` (publickey auth + `ssh -W`), which pins
+  * the shared codec against an independent implementation — a
+  * symmetric client/server bug cannot hide behind self-interop.
+  *
+  * Supports: password and Ed25519-publickey userauth (including the
+  * `none` probe and the unsigned publickey query OpenSSH sends
+  * first), multiple concurrent `direct-tcpip` channels per
+  * connection, RFC 4254 window flow control in both directions.
+  */
+object SshTestServer {
+
+  final case class Auth(user: String, password: Option[String],
+      authorizedKeyRaw: Option[Array[Byte]])
+
+  final class Handle(val server: ServerSocket, val hostKey: KeyPair,
+      thread: Thread) {
+    def port: Int = server.getLocalPort
+    def hostKeyFingerprint: String =
+      Ssh.fingerprint(Ssh.edKeyBlob(Ssh.edPubRaw(hostKey.getPublic)))
+    def stop(): Unit = {
+      try server.close() catch { case _: IOException => () }
+    }
+  }
+
+  /** Start serving on an ephemeral port until the server socket is
+    * closed. Each connection gets its own thread. */
+  def start(auth: Auth, hostKey: KeyPair = Ssh.ed25519Pair()): Handle = {
+    val server = new ServerSocket()
+    server.bind(new InetSocketAddress("127.0.0.1", 0))
+    val acceptor = new Thread(() => {
+      try {
+        while (true) {
+          val sock = server.accept()
+          val t = new Thread(() => serveConn(sock, auth, hostKey),
+            "ssh-test-conn")
+          t.setDaemon(true)
+          t.start()
+        }
+      } catch { case _: IOException => () } // server closed
+    }, "ssh-test-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    new Handle(server, hostKey, acceptor)
+  }
+
+  private final class SrvChan(val remoteId: Int, val localId: Int,
+      val target: Socket) {
+    var remoteWindow: Long = 0L // guarded by `this`
+    @volatile var closed = false
+    /** Half-close tracking: the channel fully closes (CHANNEL_CLOSE)
+      * once BOTH the client sent EOF and the target hit EOF. */
+    @volatile var clientEof = false
+    @volatile var targetEof = false
+    def addWindow(n: Long): Unit = synchronized {
+      remoteWindow += n; notifyAll()
+    }
+    def takeWindow(want: Int): Int = synchronized {
+      while (remoteWindow <= 0 && !closed) wait(10000L)
+      if (closed) 0 else math.min(want.toLong, remoteWindow).toInt
+    }
+  }
+
+  private def serveConn(sock: Socket, auth: Auth,
+      hostKey: KeyPair): Unit = {
+    val chans =
+      new java.util.concurrent.ConcurrentHashMap[Int, SrvChan]()
+    try {
+      sock.setSoTimeout(60000)
+      val t = new Ssh.Transport(sock, isServer = true)
+      t.exchangeVersions()
+      t.kexAsServer(hostKey)
+
+      // ---- service + userauth
+      val svc = new Rdr(t.readMsg())
+      require(svc.u8() == Msg.ServiceRequest &&
+        svc.strUtf8() == "ssh-userauth", "expected ssh-userauth request")
+      t.writePacket(new Wtr().u8(Msg.ServiceAccept)
+        .str("ssh-userauth").bytes)
+      var authed = false
+      while (!authed) {
+        val r = new Rdr(t.readMsg())
+        require(r.u8() == Msg.UserauthRequest, "expected userauth request")
+        val user = r.strUtf8()
+        r.strUtf8() // service, always ssh-connection
+        val methods = Seq(
+          auth.authorizedKeyRaw.map(_ => "publickey"),
+          auth.password.map(_ => "password")).flatten
+        def deny(): Unit = t.writePacket(new Wtr()
+          .u8(Msg.UserauthFailure).name(methods).bool(false).bytes)
+        r.strUtf8() match {
+          case "password" =>
+            r.bool()
+            val pw = r.strUtf8()
+            if (user == auth.user && auth.password.contains(pw)) {
+              t.writePacket(new Wtr().u8(Msg.UserauthSuccess).bytes)
+              authed = true
+            } else deny()
+          case "publickey" =>
+            val signed = r.bool()
+            val alg = r.strUtf8()
+            val blob = r.str()
+            val keyOk = alg == "ssh-ed25519" && user == auth.user &&
+              auth.authorizedKeyRaw.exists { want =>
+                java.util.Arrays.equals(Ssh.edKeyBlob(want), blob)
+              }
+            if (!keyOk) deny()
+            else if (!signed) {
+              // OpenSSH probes before signing (RFC 4252 §7)
+              t.writePacket(new Wtr().u8(Msg.UserauthPkOk)
+                .str(alg).str(blob).bytes)
+            } else {
+              val sig = new Rdr(r.str())
+              val sigAlg = sig.strUtf8()
+              val rawSig = sig.str()
+              // what was signed: session id + the request up to the
+              // signature field, reconstructed byte-for-byte
+              val data = new Wtr().str(t.sessionId)
+                .u8(Msg.UserauthRequest).str(user)
+                .str("ssh-connection").str("publickey").bool(true)
+                .str(alg).str(blob).bytes
+              val pubRaw = { val kr = new Rdr(blob); kr.strUtf8(); kr.str() }
+              if (sigAlg == "ssh-ed25519" &&
+                  Ssh.edVerify(pubRaw, data, rawSig)) {
+                t.writePacket(new Wtr().u8(Msg.UserauthSuccess).bytes)
+                authed = true
+              } else deny()
+            }
+          case _ => deny()
+        }
+      }
+
+      // ---- connection protocol
+      var nextLocal = 0
+      while (true) {
+        val p = t.readPacket()
+        if (p.nonEmpty) {
+          val r = new Rdr(p)
+          r.u8() match {
+            case m if m == Msg.Ignore || m == Msg.Debug ||
+                m == Msg.Unimplemented => ()
+            case m if m == Msg.Disconnect => return
+            case m if m == Msg.GlobalRequest =>
+              r.strUtf8()
+              if (r.bool()) t.writePacket(
+                new Wtr().u8(Msg.RequestFailure).bytes)
+            case m if m == Msg.ChannelOpen =>
+              val kind = r.strUtf8()
+              val remoteId = r.u32().toInt
+              val remoteWin = r.u32()
+              r.u32() // remote max packet; we send ≤32 KiB anyway
+              if (kind != "direct-tcpip") {
+                t.writePacket(new Wtr().u8(Msg.ChannelOpenFailure)
+                  .u32(remoteId.toLong).u32(3L)
+                  .str("unsupported channel type").str("").bytes)
+              } else {
+                val host = r.strUtf8()
+                val port = r.u32().toInt
+                try {
+                  val target = new Socket()
+                  target.connect(new InetSocketAddress(host, port), 5000)
+                  val localId = { nextLocal += 1; nextLocal }
+                  val ch = new SrvChan(remoteId, localId, target)
+                  ch.addWindow(remoteWin)
+                  chans.put(localId, ch)
+                  t.writePacket(new Wtr()
+                    .u8(Msg.ChannelOpenConfirmation)
+                    .u32(remoteId.toLong).u32(localId.toLong)
+                    .u32(Ssh.ChannelWindow.toLong)
+                    .u32(Ssh.ChannelMaxPacket.toLong).bytes)
+                  pumpTargetToClient(t, ch, chans)
+                } catch {
+                  case e: IOException =>
+                    t.writePacket(new Wtr().u8(Msg.ChannelOpenFailure)
+                      .u32(remoteId.toLong).u32(2L)
+                      .str(s"connect failed: ${e.getMessage}").str("")
+                      .bytes)
+                }
+              }
+            case m if m == Msg.ChannelData =>
+              val ch = chans.get(r.u32().toInt)
+              val d = r.str()
+              if (ch != null && !ch.closed)
+                try {
+                  ch.target.getOutputStream.write(d)
+                  ch.target.getOutputStream.flush()
+                  // immediate replenish: the test server never
+                  // backpressures the client
+                  t.writePacket(new Wtr().u8(Msg.ChannelWindowAdjust)
+                    .u32(ch.remoteId.toLong).u32(d.length.toLong).bytes)
+                } catch { case _: IOException => closeChan(t, ch, chans) }
+            case m if m == Msg.ChannelWindowAdjust =>
+              val ch = chans.get(r.u32().toInt)
+              if (ch != null) ch.addWindow(r.u32())
+            case m if m == Msg.ChannelEof =>
+              val ch = chans.get(r.u32().toInt)
+              if (ch != null) {
+                try ch.target.shutdownOutput()
+                catch { case _: IOException => () }
+                ch.clientEof = true
+                if (ch.targetEof) closeChan(t, ch, chans)
+              }
+            case m if m == Msg.ChannelClose =>
+              val ch = chans.get(r.u32().toInt)
+              if (ch != null) closeChan(t, ch, chans)
+            case m if m == Msg.ChannelRequest =>
+              val id = r.u32().toInt
+              r.strUtf8()
+              if (r.bool()) {
+                val ch = chans.get(id)
+                if (ch != null) t.writePacket(new Wtr()
+                  .u8(Msg.ChannelFailure).u32(ch.remoteId.toLong).bytes)
+              }
+            case _ => ()
+          }
+        }
+      }
+    } catch {
+      case _: IOException => ()
+      case _: IllegalArgumentException => ()
+    } finally {
+      chans.forEach { (_, ch) =>
+        ch.closed = true
+        try ch.target.close() catch { case _: IOException => () }
+      }
+      try sock.close() catch { case _: IOException => () }
+    }
+  }
+
+  private def closeChan(t: Ssh.Transport, ch: SrvChan,
+      chans: java.util.concurrent.ConcurrentHashMap[Int, SrvChan])
+      : Unit = {
+    if (!ch.closed) {
+      ch.closed = true
+      ch.addWindow(0) // wake any pump blocked on the window
+      try ch.target.close() catch { case _: IOException => () }
+      try t.writePacket(new Wtr().u8(Msg.ChannelClose)
+        .u32(ch.remoteId.toLong).bytes)
+      catch { case _: IOException => () }
+      chans.remove(ch.localId)
+    }
+  }
+
+  /** target → client pump, one thread per channel, honoring the
+    * client's receive window. */
+  private def pumpTargetToClient(t: Ssh.Transport, ch: SrvChan,
+      chans: java.util.concurrent.ConcurrentHashMap[Int, SrvChan])
+      : Unit = {
+    val th = new Thread(() => {
+      val buf = new Array[Byte](24 * 1024)
+      try {
+        var n = ch.target.getInputStream.read(buf)
+        while (n > 0 && !ch.closed) {
+          var off = 0
+          while (off < n && !ch.closed) {
+            val take = ch.takeWindow(n - off)
+            if (take > 0) {
+              t.writePacket(new Wtr().u8(Msg.ChannelData)
+                .u32(ch.remoteId.toLong)
+                .str(java.util.Arrays.copyOfRange(buf, off, off + take))
+                .bytes)
+              ch.synchronized { ch.remoteWindow -= take }
+              off += take
+            }
+          }
+          n = ch.target.getInputStream.read(buf)
+        }
+        if (!ch.closed) {
+          t.writePacket(new Wtr().u8(Msg.ChannelEof)
+            .u32(ch.remoteId.toLong).bytes)
+          ch.targetEof = true
+          // both directions drained → full close (the client is
+          // waiting for CHANNEL_CLOSE before tearing down)
+          if (ch.clientEof) closeChan(t, ch, chans)
+        }
+      } catch {
+        case _: IOException => ()
+        case _: SocketTimeoutException => ()
+      }
+    }, "ssh-test-pump")
+    th.setDaemon(true)
+    th.start()
+  }
+}
