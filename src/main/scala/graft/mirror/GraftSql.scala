@@ -897,7 +897,23 @@ object GraftSql {
       val result =
         try {
           val p = peersFor(spark).get(n)
-          p.options.get("path").orElse(p.options.get("dir")) match {
+          if (p.kind == "cockroachdb") {
+            // live wire validation (connectors/cockroachdb/validate.go):
+            // connect → version gate ≥22.1 → variant detection, with
+            // auth SQLSTATEs classified rather than retried
+            val checks = CrdbPeer.validate(
+              host = p.options.getOrElse("host", "127.0.0.1"),
+              port = p.options.getOrElse("port", "26257").toInt,
+              user = p.options.getOrElse("user", "root"),
+              database = p.options.getOrElse("database", "defaultdb"),
+              password = p.options.getOrElse("password", ""),
+              ssl = graft.cdc.Tls.fromParam(p.options.getOrElse("ssl", "")))
+            checks.find(_.status != "ok") match {
+              case Some(c) => "invalid" -> s"${c.check}: ${c.detail}"
+              case None => "valid" -> checks
+                .map(c => s"${c.check}: ${c.detail}").mkString("; ")
+            }
+          } else p.options.get("path").orElse(p.options.get("dir")) match {
             case None =>
               "invalid" -> (s"peer $n has no path/dir option — " +
                 "not addressable as a storage peer")

@@ -112,8 +112,7 @@ final class PgClient(
         backendKey = Some((b.getInt, b.getInt))
       case Some(('S', _)) | Some(('N', _)) => ()
       case Some(('Z', _)) => ready = true
-      case Some(('E', body)) => throw new PgServerError("",
-        errorMessage(body))
+      case Some(('E', body)) => throw parseError(body)
       case Some((t, _)) => throw new java.io.IOException(
         s"unexpected '$t' during startup")
     }
@@ -136,6 +135,22 @@ final class PgClient(
     } finally {
       try s.close() catch { case _: java.io.IOException => () }
     }
+  }
+
+  /** ErrorResponse fields → typed error: the SQLSTATE ('C') travels so
+    * callers can classify (auth rotation vs transient vs unknown
+    * setting — what the reference's pgconn.PgError carries). */
+  private def parseError(body: Array[Byte]): PgServerError = {
+    var i = 0; var code = ""; var msg = ""
+    while (i < body.length && body(i) != 0) {
+      val f = body(i).toChar; i += 1
+      val s = i
+      while (i < body.length && body(i) != 0) i += 1
+      val v = new String(body, s, i - s, UTF_8); i += 1
+      if (f == 'C') code = v
+      if (f == 'M') msg = v
+    }
+    new PgServerError(code, msg)
   }
 
   private def parseRowDescription(body: Array[Byte]): Seq[String] = {
@@ -193,18 +208,7 @@ final class PgClient(
         cols = Nil; rows = Seq.newBuilder
       case Some(('I', _)) => results += Result(Nil, Nil, "")
       case Some(('E', body)) =>
-        if (err.isEmpty) {
-          var i = 0; var code = ""; var msg = ""
-          while (i < body.length && body(i) != 0) {
-            val f = body(i).toChar; i += 1
-            val s = i
-            while (i < body.length && body(i) != 0) i += 1
-            val v = new String(body, s, i - s, UTF_8); i += 1
-            if (f == 'C') code = v
-            if (f == 'M') msg = v
-          }
-          err = Some(new PgServerError(code, msg))
-        }
+        if (err.isEmpty) err = Some(parseError(body))
       case Some(('Z', _)) => done = true
       case Some(('N', _)) | Some(('S', _)) => ()
       case Some((t, _)) => throw new java.io.IOException(
