@@ -632,7 +632,14 @@ object Ssh {
       privateKey: Option[KeyPair] = None,
       hostKeyPin: Option[String] = None,
       connectTimeoutMs: Int = 10000,
-      readTimeoutMs: Int = 60000) extends AutoCloseable {
+      readTimeoutMs: Int = 60000,
+      /** >0 enables periodic GLOBAL_REQUEST keepalives (the
+        * reference's SSHKeepaliveInterval, 15 s in utils/ssh.go:20).
+        * The reply traffic ALSO keeps an idle-but-alive long-lived
+        * tunnel inside the read-timeout window, so silence really
+        * does mean death; 0 (the [[tunnelDial]] default) suits
+        * per-pull tunnels that are never idle. */
+      keepaliveIntervalMs: Int = 0) extends AutoCloseable {
 
     private val sock = tcpDial(host, port, connectTimeoutMs)
     // silence for the read window means the tunnel is dead — the
@@ -698,6 +705,31 @@ object Ssh {
     reader.setDaemon(true)
     reader.start()
 
+    /** Set once the connection is known dead (keepalive or read
+      * failure) — the reference's badTunnel flag. */
+    @volatile private var bad = false
+    def isBad: Boolean = bad
+
+    if (keepaliveIntervalMs > 0) {
+      val ka = new Thread(() => {
+        try {
+          while (!closed && !bad) {
+            Thread.sleep(keepaliveIntervalMs.toLong)
+            if (!closed)
+              // want_reply=true: the peer's REQUEST_FAILURE/SUCCESS
+              // answer is the liveness signal feeding the read loop
+              t.writePacket(new Wtr().u8(Msg.GlobalRequest)
+                .str("keepalive@openssh.com").bool(true).bytes)
+          }
+        } catch {
+          case _: InterruptedException => ()
+          case _: IOException => bad = true
+        }
+      }, "graft-ssh-keepalive")
+      ka.setDaemon(true)
+      ka.start()
+    }
+
     private def readLoop(): Unit = {
       try {
         while (!closed) {
@@ -711,6 +743,7 @@ object Ssh {
     }
 
     private def failAll(e: IOException): Unit = {
+      if (!closed) bad = true
       val dead =
         if (closed) Eof // an intentional close is EOF, not an error
         else Died(new IOException(s"ssh: connection lost: ${e.getMessage}", e))

@@ -242,9 +242,13 @@ object SshTestServer {
   private def closeChan(t: Ssh.Transport, ch: SrvChan,
       chans: java.util.concurrent.ConcurrentHashMap[Int, SrvChan])
       : Unit = {
-    if (!ch.closed) {
-      ch.closed = true
-      ch.addWindow(0) // wake any pump blocked on the window
+    // atomic claim: the main loop and the target pump can race here
+    // (client EOF and target EOF landing together), and a duplicate
+    // CHANNEL_CLOSE would be a protocol violation against real clients
+    val first = ch.synchronized {
+      if (ch.closed) false else { ch.closed = true; ch.notifyAll(); true }
+    }
+    if (first) {
       try ch.target.close() catch { case _: IOException => () }
       try t.writePacket(new Wtr().u8(Msg.ChannelClose)
         .u32(ch.remoteId.toLong).bytes)

@@ -192,6 +192,37 @@ class SshWireSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("keepalives hold an idle long-lived tunnel inside the read " +
+    "deadline (SSHKeepaliveInterval); without them idle = death") {
+    val echo = echoServer()
+    val srv = SshTestServer.start(
+      SshTestServer.Auth("tunnel", Some("pw"), None))
+    try {
+      // no keepalive: a 800ms read window with 2s of idleness kills
+      // the connection (silence means death, by design)
+      val silent = new Ssh.Client("127.0.0.1", srv.port, "tunnel",
+        password = "pw", readTimeoutMs = 800)
+      Thread.sleep(2000)
+      assert(silent.isBad,
+        "idle connection without keepalive must be marked bad")
+      silent.close()
+      // keepalive on: the reply traffic keeps the same window fed
+      val kept = new Ssh.Client("127.0.0.1", srv.port, "tunnel",
+        password = "pw", readTimeoutMs = 800,
+        keepaliveIntervalMs = 200)
+      Thread.sleep(2000)
+      assert(!kept.isBad, "keepalive replies must keep the tunnel alive")
+      val sock = kept.openTunnel("127.0.0.1", echo.getLocalPort)
+      sock.setSoTimeout(5000)
+      sock.getOutputStream.write("live".getBytes)
+      sock.getOutputStream.flush()
+      val buf = new Array[Byte](4)
+      new DataInputStream(sock.getInputStream).readFully(buf)
+      assert(new String(buf) == "live")
+      kept.close()
+    } finally { srv.stop(); echo.close() }
+  }
+
   // ---- the wire clients through the tunnel
 
   import PgOutput._
