@@ -226,6 +226,19 @@ object PgWire {
     }
   }
 
+  /** SQL identifier for replication commands: plain lower-case
+    * identifiers pass through (keeps the common wire shape), anything
+    * else — digits first, upper case, punctuation — is double-quoted
+    * with `""` escaping, the repl_scanner rule. */
+  def quoteIdent(s: String): String =
+    if (s.matches("[a-z_][a-z0-9_$]*")) s
+    else "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** SQL string literal with `''` escaping (the reference's
+    * utils.QuoteLiteral for publication_names). */
+  def quoteLiteral(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
   /** LSN in the wire's text form `hi/lo` (hex halves). */
   def lsnText(lsn: Long): String =
     f"${(lsn >>> 32) & 0xffffffffL}%X/${lsn & 0xffffffffL}%X"
@@ -381,10 +394,15 @@ final class PgReplicationSource(
       }
     }
 
-    // ---- the replication command; answer must be CopyBothResponse
+    // ---- the replication command; answer must be CopyBothResponse.
+    // The slot travels as an identifier (quoted when not a plain
+    // lower-case identifier — slots like `112_custom_slot` are legal
+    // and need it, e2e/generic_test.go:1033), the publication as an
+    // escaped string literal (QuoteLiteral, postgres_source.go:240)
     writeMessage(out, 'Q', cstring(
-      s"START_REPLICATION SLOT $slot LOGICAL ${lsnText(startLsn)} " +
-        s"(proto_version '1', publication_names '$publication')"))
+      s"START_REPLICATION SLOT ${PgWire.quoteIdent(slot)} LOGICAL " +
+        s"${lsnText(startLsn)} (proto_version '1', " +
+        s"publication_names ${PgWire.quoteLiteral(publication)})"))
     out.flush()
     var copyBoth = false
     while (!copyBoth) {

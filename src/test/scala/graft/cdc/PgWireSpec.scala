@@ -64,6 +64,26 @@ class PgWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("slot names that are not plain identifiers are double-quoted " +
+    "on the wire (112_custom_slot, generic_test.go:1033); the " +
+    "publication travels as an escaped literal") {
+    val server = new ServerSocket(0)
+    try {
+      val sess = WireServers.servePg(server, "rep", "sekret",
+        Seq(sessionFrames))
+      val src = new PgReplicationSource("127.0.0.1",
+        server.getLocalPort, user = "rep", password = "sekret",
+        slot = "112_custom_slot", publication = "pub'weird",
+        startLsn = 0L)
+      val wal = tmp("pgwire_quoted_wal")
+      val (n, _) = PgOutputFrames.ingestFrom(src, wal)
+      assert(n == 2)
+      assert(sess.replicationQuery ==
+        "START_REPLICATION SLOT \"112_custom_slot\" LOGICAL 0/0 " +
+          "(proto_version '1', publication_names 'pub''weird')")
+    } finally server.close()
+  }
+
   test("resumed session: startLsn renders as the wire's hex LSN pair " +
     "and already-acked transactions are skipped by the ingest guard") {
     val server = new ServerSocket(0)
