@@ -248,7 +248,15 @@ final class MongoSocketSource(host: String, port: Int,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
     ssl: Option[javax.net.ssl.SSLContext] = None,
-    dial: Ssh.Dial = Ssh.tcpDial)
+    dial: Ssh.Dial = Ssh.tcpDial,
+    /** Non-empty user enables SCRAM-SHA-256 (`saslStart` /
+      * `saslContinue` against `authSource`, RFC 7677 over the same
+      * [[PgWire.Scram]] exchange the pg client uses — MongoDB's
+      * SHA-256 variant salts the PLAIN password, unlike SHA-1's md5
+      * digest, so the exchanges are identical). */
+    user: String = "",
+    password: String = "",
+    authSource: String = "admin")
   extends Wire.MongoSource {
 
   import MongoWire._
@@ -297,6 +305,56 @@ final class MongoSocketSource(host: String, port: Int,
     }
 
     call(Bson.encode("hello" -> BInt32(1), "$db" -> BString("admin")))
+
+    // SCRAM-SHA-256 conversation (the driver's auth step after the
+    // handshake): saslStart carries client-first, saslContinue the
+    // proof; a final empty saslContinue drains servers that defer
+    // done=true past the server-final payload
+    if (user.nonEmpty) {
+      val nonce = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(nonce)
+      val scram = new PgWire.Scram.Client(password,
+        PgWire.Scram.b64(nonce), user)
+      def payloadOf(reply: Array[Byte]): String =
+        field(reply, "payload") match {
+          case Some((t, v)) if t == 0x05 => // binary: i32 len, subtype
+            new String(v, 5, int32Of(v), UTF_8)
+          case _ => throw new java.io.IOException(
+            "mongo: sasl reply without payload")
+        }
+      def doneOf(reply: Array[Byte]): Boolean =
+        field(reply, "done").exists { case (t, v) =>
+          t == 0x08 && v.nonEmpty && v(0) == 1
+        }
+      def convOf(reply: Array[Byte]): Int =
+        field(reply, "conversationId") match {
+          case Some((t, v)) if t == 0x10 => int32Of(v)
+          case _ => 1
+        }
+      val first = call(Bson.encode(
+        "saslStart" -> BInt32(1),
+        "mechanism" -> BString(PgWire.Scram.Mechanism),
+        "payload" -> Bson.BBinary(0,
+          scram.clientFirst.getBytes(UTF_8)),
+        "$db" -> BString(authSource)))
+      val conv = convOf(first)
+      val cont = call(Bson.encode(
+        "saslContinue" -> BInt32(1),
+        "conversationId" -> BInt32(conv),
+        "payload" -> Bson.BBinary(0,
+          scram.clientFinal(payloadOf(first)).getBytes(UTF_8)),
+        "$db" -> BString(authSource)))
+      scram.verifyServerFinal(payloadOf(cont))
+      if (!doneOf(cont)) {
+        val fin = call(Bson.encode(
+          "saslContinue" -> BInt32(1),
+          "conversationId" -> BInt32(conv),
+          "payload" -> Bson.BBinary(0, Array.emptyByteArray),
+          "$db" -> BString(authSource)))
+        if (!doneOf(fin)) throw new java.io.IOException(
+          "mongo: sasl conversation did not complete")
+      }
+    }
 
     val stages = parseJson(pipelineJson) match {
       case BArray(items) => items

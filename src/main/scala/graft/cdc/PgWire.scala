@@ -190,11 +190,20 @@ object PgWire {
     def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
       a.indices.map(i => (a(i) ^ b(i)).toByte).toArray
 
-    /** One client exchange. `clientFirstBare` = "n=,r=<nonce>";
+    /** RFC 5802 §5.1 attribute-value escaping for the authzid/user
+      * fields ('=' first so the escapes themselves survive). */
+    def escapeName(s: String): String =
+      s.replace("=", "=3D").replace(",", "=2C")
+
+    /** One client exchange. `clientFirstBare` = "n=<user>,r=<nonce>" —
+      * PG ignores the SCRAM username (the startup packet carries it,
+      * so the default stays empty, keeping the vector-pinned wire
+      * shape), while MongoDB requires it in the SCRAM exchange itself;
       * auth-message = bare ‖ "," ‖ server-first ‖ "," ‖
       * client-final-without-proof. */
-    final class Client(password: String, nonce: String) {
-      val clientFirstBare = s"n=,r=$nonce"
+    final class Client(password: String, nonce: String,
+        user: String = "") {
+      val clientFirstBare = s"n=${escapeName(user)},r=$nonce"
       val clientFirst: String = s"n,,$clientFirstBare"
       private var serverSig: Array[Byte] = _
 

@@ -369,7 +369,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         val src = new graft.cdc.MongoSocketSource(ep.host, ep.port,
           database = ep.database,
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
-          ssl = sslCtx, dial = dial)
+          ssl = sslCtx, dial = dial,
+          // credentials on the URL enable SCRAM-SHA-256 against
+          // authSource (default admin), the driver posture
+          user = ep.user, password = ep.password,
+          authSource = ep.param("auth_source", "admin"))
         ingestMongo(src, after, offsetPath)
       case other => throw new IllegalArgumentException(
         s"unknown capture endpoint scheme '$other' (pgwire|mysql|mongo)")

@@ -67,6 +67,48 @@ class MongoWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("SCRAM-SHA-256 auth: saslStart/saslContinue precede the " +
+    "aggregate (driver posture), mutual server-signature verify; " +
+    "wrong password and missing credentials are refused") {
+    val server = new ServerSocket(0)
+    try {
+      val sess = WireServers.serveMongo(server, Seq(streamDocs),
+        scramAuth = Some(("cdc_user", "mongopw")))
+      val src = new MongoSocketSource("127.0.0.1",
+        server.getLocalPort, database = "app",
+        user = "cdc_user", password = "mongopw")
+      val wal = tmp("mgauth_wal")
+      val (n, _) = MongoStream.ingest(src, wal, Seq("app.t"))
+      assert(n == 3)
+      assert(sess.authedUser == "cdc_user")
+      assert(sess.authSourceSeen == "admin")
+    } finally server.close()
+
+    val bad = new ServerSocket(0)
+    try {
+      WireServers.serveMongo(bad, Seq(streamDocs),
+        scramAuth = Some(("cdc_user", "mongopw")))
+      val src = new MongoSocketSource("127.0.0.1", bad.getLocalPort,
+        database = "app", user = "cdc_user", password = "wrong")
+      val e = intercept[java.io.IOException] {
+        MongoStream.ingest(src, tmp("mgauth_bad"), Seq("app.t"))
+      }
+      assert(e.getMessage.contains("Authentication failed"))
+    } finally bad.close()
+
+    val anon = new ServerSocket(0)
+    try {
+      WireServers.serveMongo(anon, Seq(streamDocs),
+        scramAuth = Some(("cdc_user", "mongopw")))
+      val src = new MongoSocketSource("127.0.0.1", anon.getLocalPort,
+        database = "app") // no credentials
+      val e = intercept[java.io.IOException] {
+        MongoStream.ingest(src, tmp("mgauth_anon"), Seq("app.t"))
+      }
+      assert(e.getMessage.contains("requires authentication"))
+    } finally anon.close()
+  }
+
   test("resume: the stored token rides the wire as resumeAfter._data, " +
     "and a full server replay dedups via the token-order guard") {
     val server = new ServerSocket(0)

@@ -351,6 +351,8 @@ object WireServers {
     @volatile var commandJson = ""
     @volatile var getMores = 0
     @volatile var kills = 0
+    @volatile var authedUser = ""
+    @volatile var authSourceSeen = ""
   }
 
   /** Serve `sessions.length` sequential OP_MSG change-stream sessions;
@@ -360,8 +362,14 @@ object WireServers {
   def serveMongo(server: ServerSocket,
       sessions: Seq[Seq[Bson.BDoc]],
       failAggregate: Boolean = false,
-      keepCursorOpen: Boolean = false): MongoSession = {
-    import Bson.{BArray, BDoc, BDouble, BInt32, BInt64, BString}
+      keepCursorOpen: Boolean = false,
+      /** Some((user, password)) gates every command behind a
+        * SCRAM-SHA-256 saslStart/saslContinue conversation (the
+        * [[graft.server.PgServer.ScramServer]] verifier over BSON
+        * payloads). */
+      scramAuth: Option[(String, String)] = None): MongoSession = {
+    import Bson.{BArray, BBinary, BBool, BDoc, BDouble, BInt32, BInt64,
+      BString}
     import MongoWire._
     val sess = new MongoSession
     val t = new Thread(() => sessions.foreach { events =>
@@ -372,6 +380,8 @@ object WireServers {
         val out = c.getOutputStream
         val (head, tail) = events.splitAt((events.length + 1) / 2)
         var gm = 0 // per-connection getMore count (sessions replay)
+        var authed = scramAuth.isEmpty
+        var scramSrv: graft.server.PgServer.ScramServer = null
         var open = true
         while (open) readMsg(in) match {
           case None => open = false
@@ -380,11 +390,62 @@ object WireServers {
               .getOrElse("")
             def reply(d: Array[Byte]): Unit =
               writeMsg(out, reqId + 1000, reqId, d)
+            def binPayload(): String = {
+              val (t0, v) = MongoWire.field(doc, "payload").getOrElse(
+                throw new java.io.IOException("sasl without payload"))
+              require(t0 == 0x05)
+              new String(v, 5, MongoWire.int32Of(v),
+                java.nio.charset.StandardCharsets.UTF_8)
+            }
             cmd match {
               case "hello" =>
                 sess.helloSeen = true
                 reply(Bson.encode("maxWireVersion" -> BInt32(17),
                   "ok" -> BDouble(1.0)))
+              case "saslStart" =>
+                val (user, password) = scramAuth.getOrElse(("", ""))
+                sess.authSourceSeen = MongoWire.field(doc, "$db")
+                  .map { case (_, v) => MongoWire.stringOf(v) }
+                  .getOrElse("")
+                val clientFirst = binPayload()
+                // the SCRAM n= attribute IS the principal for mongo
+                val claimed = clientFirst.split(",")
+                  .find(_.startsWith("n=")).map(_.substring(2))
+                  .getOrElse("")
+                if (claimed != PgWire.Scram.escapeName(user))
+                  reply(Bson.encode("ok" -> BDouble(0.0),
+                    "errmsg" -> BString("Authentication failed.")))
+                else {
+                  scramSrv = new graft.server.PgServer.ScramServer(
+                    user, password)
+                  reply(Bson.encode(
+                    "conversationId" -> BInt32(1),
+                    "done" -> BBool(false),
+                    "payload" -> BBinary(0, scramSrv
+                      .first(clientFirst).getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8)),
+                    "ok" -> BDouble(1.0)))
+                }
+              case "saslContinue" if scramSrv != null && !authed =>
+                scramSrv.verifyFinal(binPayload()) match {
+                  case Some(serverFinal) =>
+                    authed = true
+                    sess.authedUser = scramAuth.map(_._1).getOrElse("")
+                    reply(Bson.encode(
+                      "conversationId" -> BInt32(1),
+                      "done" -> BBool(true),
+                      "payload" -> BBinary(0, serverFinal.getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8)),
+                      "ok" -> BDouble(1.0)))
+                  case None =>
+                    scramSrv = null
+                    reply(Bson.encode("ok" -> BDouble(0.0),
+                      "errmsg" -> BString("Authentication failed.")))
+                }
+              case other if !authed && other != "hello" =>
+                reply(Bson.encode("ok" -> BDouble(0.0),
+                  "errmsg" -> BString(
+                    s"command $other requires authentication")))
               case "aggregate" if failAggregate =>
                 sess.commandJson = Bson.documentToJson(doc)
                 reply(Bson.encode("ok" -> BDouble(0.0),
