@@ -131,7 +131,8 @@ case class QuantizedCosineGeExpr(left: Expression, right: Expression,
   * deterministic ±1 hyperplanes — the fused-loop twin of
   * [[Similarity.hyperplaneBucket]]'s arithmetic (sign hash inlined,
   * identical constants). NULL input array or null element → NULL. */
-case class HyperplaneBucketExpr(child: Expression, nBits: Int)
+case class HyperplaneBucketExpr(child: Expression, nBits: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -147,7 +148,7 @@ case class HyperplaneBucketExpr(child: Expression, nBits: Int)
   /** ±1 for (plane h, dim j) — the portable xorshift avalanche
     * (Similarity.signSql), integer-exact. */
   @inline private def sign(h: Int, j: Int): Long = {
-    val m = h.toLong * 2654435761L + j.toLong * 40503L
+    val m = (h.toLong + planeOffset) * 2654435761L + j.toLong * 40503L
     val v = (m ^ (m / 8192L)) & 65535L
     (((v * 40503L) / 2048L) & 1L) * 2L - 1L
   }
@@ -189,7 +190,8 @@ case class HyperplaneBucketExpr(child: Expression, nBits: Int)
          |  final long $q = (long) java.lang.Math.floor(
          |    ((double) $x.getFloat($j)) * 1024.0);
          |  for (int $h = 0; $h < $nBits; $h++) {
-         |    final long $m = ((long) $h) * 2654435761L + ((long) $j) * 40503L;
+         |    final long $m = ((long) $h + ${planeOffset}L) * 2654435761L
+         |      + ((long) $j) * 40503L;
          |    final long $v = ($m ^ ($m / 8192L)) & 65535L;
          |    final long $s = ((($v * 40503L) / 2048L) & 1L) * 2L - 1L;
          |    $proj[$h] += $q * $s;
@@ -282,8 +284,10 @@ object QuantizedExprs {
     GraftShims.column(QuantizedCosineGeExpr(
       GraftShims.expression(a), GraftShims.expression(b), num, denom))
 
-  def hyperplaneBucket(emb: Column, nBits: Int): Column =
-    GraftShims.column(HyperplaneBucketExpr(GraftShims.expression(emb), nBits))
+  def hyperplaneBucket(emb: Column, nBits: Int,
+      planeOffset: Int = 0): Column =
+    GraftShims.column(HyperplaneBucketExpr(
+      GraftShims.expression(emb), nBits, planeOffset))
 
   def intDot(a: Column, b: Column): Column =
     GraftShims.column(IntDotExpr(

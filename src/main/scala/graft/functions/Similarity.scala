@@ -64,6 +64,17 @@ object Similarity {
   def hyperplaneBucket(embCol: String, nBits: Int): Column =
     QuantizedExprs.hyperplaneBucket(col(embCol), nBits)
 
+  /** Table `t` of a MULTI-TABLE LSH family: the same bucketing over a
+    * DISJOINT plane range (planes t·nBits … (t+1)·nBits−1). L
+    * independent tables united raise sign-LSH recall from p to
+    * 1−(1−p)^L at ~L× candidate cost — the recall lever
+    * [[adaptiveHyperplanes]] documents for grown corpora. Table 0 is
+    * bit-identical to [[hyperplaneBucket]]. */
+  def hyperplaneBucketTable(embCol: String, nBits: Int,
+      table: Int): Column =
+    QuantizedExprs.hyperplaneBucket(col(embCol), nBits,
+      planeOffset = table * nBits)
+
   /** Corpus-adaptive hyperplane count targeting ~`targetBucket`
     * vectors per LSH bucket. A FIXED bit count is a scale hazard: with
     * 2^b buckets, bucket population grows linearly with the corpus and
@@ -101,8 +112,9 @@ object Similarity {
 
   /** DuckDB replica of [[hyperplaneBucket]] (DuckDB lambdas index from 1,
     * hence the j−1). */
-  def hyperplaneBucketDuckSql(embExpr: String, nBits: Int): String = {
-    val m = "(h * 2654435761 + (j - 1) * 40503)"
+  def hyperplaneBucketDuckSql(embExpr: String, nBits: Int,
+      planeOffset: Int = 0): String = {
+    val m = s"((h + $planeOffset) * 2654435761 + (j - 1) * 40503)"
     val v = s"((xor($m, $m // 8192)) & 65535)"
     val sign = s"((($v * 40503) // 2048) & 1) * 2 - 1"
     s"""CAST(list_sum(list_transform(generate_series(0, ${nBits - 1}), h ->

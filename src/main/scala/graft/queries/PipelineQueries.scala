@@ -236,6 +236,105 @@ object PipelineQueries {
             |    greatest((SELECT count(*) FROM truth), 1) AS recall_pm
             |ORDER BY n_cand""".stripMargin))
 
+  /** Multi-table hyperplane LSH audit — the RECALL LEVER
+    * [[graft.functions.Similarity.adaptiveHyperplanes]] documents for
+    * corpora grown past the fixture regime: L independent 6-bit
+    * hyperplane tables over DISJOINT plane ranges, candidates united
+    * (sign-LSH collision p per table → 1−(1−p)^L over L tables, at
+    * ~L× candidate cost). One audit row per cumulative table count
+    * L ∈ 1..3 against the exact quantized-cosine ≥ 0.25 truth, so the
+    * recall/cost tradeoff is MEASURED, not asserted — the number one
+    * reads before choosing L for a 100 TB dedup run. Every count is
+    * integer and both engines run identical plane arithmetic (table t
+    * = planes t·6 … t·6+5), so the oracle replays exactly. */
+  val lshMultitable = GraftQuery(
+    "q_lsh_multitable",
+    "multi-table LSH audit: recall/cost per cumulative table count",
+    (s, dir) => {
+      val bits = 6
+      val nTables = 3
+      val e = embs(s, dir)
+        .withColumn("qe", Similarity.quantize(col("embedding")))
+        .localCheckpoint(true)
+      val truth = e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(Similarity.quantizedCosineAtLeast(
+          col("a.qe"), col("b.qe"), num = 1L, denom = 16L))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+        .localCheckpoint(true)
+      val buckets = (0 until nTables).map { t =>
+        e.select(lit(t).as("t"), col("vec_id"),
+          Similarity.hyperplaneBucketTable("embedding", bits, t)
+            .as("bucket"))
+      }.reduce(_ unionAll _).localCheckpoint(true)
+      // one row per candidate pair, tagged with the FIRST table that
+      // surfaces it — cumulative-L counts are then a mt < L filter
+      val cand = buckets.as("a")
+        .join(buckets.as("b").hint("shuffle_hash"),
+          col("a.t") === col("b.t") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+        .agg(min(col("a.t")).as("mt"))
+        .localCheckpoint(true)
+      val hits = cand.join(truth, Seq("d1", "d2"), "left_semi")
+        .localCheckpoint(true)
+      val ls = s.range(1, nTables + 1).select(col("id").as("l"))
+      val nCand = ls.join(cand, col("mt") < col("l"), "left")
+        .groupBy("l").agg(count(col("mt")).as("n_cand"))
+      val nHits = ls.join(hits, col("mt") < col("l"), "left")
+        .groupBy("l").agg(count(col("mt")).as("n_hits"))
+      nCand.join(nHits, Seq("l"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(col("l"), col("n_cand"), col("n_true"), col("n_hits"),
+          expr("n_hits * 1000 DIV greatest(n_true, 1)").as("recall_pm"),
+          expr("n_hits * 1000 DIV greatest(n_cand, 1)")
+            .as("precision_pm"))
+        .orderBy("l")
+    },
+    Some(s"""WITH q AS (SELECT vec_id,
+            |    list_transform(embedding, x ->
+            |      CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+            |  FROM embeddings),
+            |truth AS (
+            |  SELECT d1, d2 FROM (
+            |    SELECT a.vec_id AS d1, b.vec_id AS d2,
+            |      list_sum(list_transform(generate_series(1, len(a.qe)),
+            |        i -> a.qe[i] * b.qe[i])) AS dot,
+            |      list_sum(list_transform(a.qe, x -> x * x)) AS na,
+            |      list_sum(list_transform(b.qe, x -> x * x)) AS nb
+            |    FROM q a JOIN q b ON a.vec_id < b.vec_id)
+            |  WHERE dot >= 0 AND dot * dot * 16 >= na * nb),
+            |buckets AS (
+            |  SELECT 0 AS t, vec_id,
+            |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6, 0)}
+            |    AS bucket FROM embeddings
+            |  UNION ALL SELECT 1, vec_id,
+            |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6, 6)}
+            |  FROM embeddings
+            |  UNION ALL SELECT 2, vec_id,
+            |    ${Similarity.hyperplaneBucketDuckSql("embedding", 6, 12)}
+            |  FROM embeddings),
+            |cand AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+            |    min(a.t) AS mt
+            |  FROM buckets a JOIN buckets b
+            |    ON a.t = b.t AND a.bucket = b.bucket
+            |      AND a.vec_id < b.vec_id
+            |  GROUP BY 1, 2),
+            |hits AS (SELECT c.mt FROM cand c JOIN truth USING (d1, d2)),
+            |ls AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT)
+            |         AS l)
+            |SELECT l,
+            |  (SELECT count(*) FROM cand WHERE mt < l) AS n_cand,
+            |  (SELECT count(*) FROM truth) AS n_true,
+            |  (SELECT count(*) FROM hits WHERE mt < l) AS n_hits,
+            |  (SELECT count(*) FROM hits WHERE mt < l) * 1000 //
+            |    greatest((SELECT count(*) FROM truth), 1) AS recall_pm,
+            |  (SELECT count(*) FROM hits WHERE mt < l) * 1000 //
+            |    greatest((SELECT count(*) FROM cand WHERE mt < l), 1)
+            |    AS precision_pm
+            |FROM ls ORDER BY l""".stripMargin))
+
   /** SimHash near-dup: 60-bit majority-vote signature; candidates bucket by
     * the 16-bit prefix, verified by Hamming distance ≤ 12 (bit_count of
     * XOR). Portable hashes → full DuckDB oracle. */
@@ -1856,7 +1955,7 @@ object PipelineQueries {
 
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, lshPrecision,
-    dedupSimhash,
+    lshMultitable, dedupSimhash,
     dedupEmbedding, textLangId, textQuality, textTokens, textFingerprint,
     annCosineTopk, annLshBuckets, annIvf, multimodalMeta, sampleStratified,
     ngramTopk, docLenHist, multimodalPlan, decontaminate, packSequences,

@@ -49,6 +49,23 @@ class SimilaritySpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("multi-table LSH: table 0 is bit-identical to the base bucket; " +
+    "higher tables use disjoint planes (independent bucketings)") {
+    val rows = embDf.select(
+      Similarity.hyperplaneBucket("embedding", 6).as("base"),
+      Similarity.hyperplaneBucketTable("embedding", 6, 0).as("t0"),
+      Similarity.hyperplaneBucketTable("embedding", 6, 1).as("t1"),
+      Similarity.hyperplaneBucketTable("embedding", 6, 2).as("t2"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // independence, not identity: across the corpus the plane families
+    // must disagree somewhere (identical bucketings would make extra
+    // tables pure cost with zero recall gain)
+    assert(rows.exists(r => r.getLong(1) != r.getLong(2)))
+    assert(rows.exists(r => r.getLong(2) != r.getLong(3)))
+  }
+
   test("codegen quantized cosine-threshold == HOF on candidate pairs") {
     val q = embDf
       .withColumn("qe", Similarity.quantize(col("embedding")))
