@@ -879,6 +879,15 @@ object Ssh {
           .u32(c.remoteId.toLong).u32(n).bytes)
         catch { case _: IOException => () }
 
+    /** Half-close: CHANNEL_EOF only — the peer can keep sending and
+      * queued inbound data stays readable (Socket.shutdownOutput
+      * semantics). */
+    private[Ssh] def channelEof(c: Chan): Unit =
+      if (c.remoteId >= 0 && !c.closeSent)
+        try t.writePacket(
+          new Wtr().u8(Msg.ChannelEof).u32(c.remoteId.toLong).bytes)
+        catch { case _: IOException => () }
+
     private[Ssh] def channelClose(c: Chan): Unit = {
       val chan = chans.remove(c.localId)
       try {
@@ -985,7 +994,7 @@ object Ssh {
       InetSocketAddress.createUnresolved(dstHost, dstPort)
     override def setTcpNoDelay(on: Boolean): Unit = ()
     override def setKeepAlive(on: Boolean): Unit = ()
-    override def shutdownOutput(): Unit = client.channelClose(c)
+    override def shutdownOutput(): Unit = client.channelEof(c)
     override def close(): Unit = {
       if (!closedFlag) {
         closedFlag = true

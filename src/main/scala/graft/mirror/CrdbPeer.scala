@@ -157,9 +157,14 @@ object CrdbPeer {
         case e: Exception => out += CheckResult("version", "error",
           String.valueOf(e.getMessage))
       }
-      detectVariant(host, probe) match {
+      // a connection drop mid-probe raises IOException (not
+      // PgServerError) — the never-throws contract still holds
+      try detectVariant(host, probe) match {
         case Right(v) => out += CheckResult("variant", "ok", v.name)
         case Left(msg) => out += CheckResult("variant", "error", msg)
+      } catch {
+        case e: Exception => out += CheckResult("variant", "error",
+          String.valueOf(e.getMessage))
       }
       out.result()
     } finally client.close()

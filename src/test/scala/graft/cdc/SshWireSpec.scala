@@ -192,6 +192,39 @@ class SshWireSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("shutdownOutput is a HALF-close: the target sees EOF but its " +
+    "response still flows back through the channel") {
+    // target: drain stdin to EOF, answer with the byte count, close
+    val target = new ServerSocket()
+    target.bind(new InetSocketAddress("127.0.0.1", 0))
+    val tt = new Thread(() => {
+      try {
+        val c = target.accept()
+        val n = c.getInputStream.readAllBytes().length
+        c.getOutputStream.write(n.toString.getBytes)
+        c.getOutputStream.flush()
+        c.close()
+      } catch { case _: IOException => () }
+    })
+    tt.setDaemon(true); tt.start()
+    val srv = SshTestServer.start(
+      SshTestServer.Auth("tunnel", Some("pw"), None))
+    try {
+      val client = new Ssh.Client("127.0.0.1", srv.port, "tunnel",
+        password = "pw")
+      val sock = client.openTunnel("127.0.0.1", target.getLocalPort)
+      sock.setSoTimeout(10000)
+      sock.getOutputStream.write("12345".getBytes)
+      sock.getOutputStream.flush()
+      sock.shutdownOutput() // CHANNEL_EOF only — reads must survive
+      val buf = new Array[Byte](1)
+      new DataInputStream(sock.getInputStream).readFully(buf)
+      assert(new String(buf) == "5")
+      sock.close()
+      client.close()
+    } finally { srv.stop(); target.close() }
+  }
+
   test("keepalives hold an idle long-lived tunnel inside the read " +
     "deadline (SSHKeepaliveInterval); without them idle = death") {
     val echo = echoServer()
