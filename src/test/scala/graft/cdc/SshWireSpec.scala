@@ -55,6 +55,54 @@ class SshWireSpec extends AnyFunSuite {
     ss
   }
 
+  test("transport packet round-trip across cipher block boundaries — " +
+    "payload 7 is the exactly-one-AES-block packet (the JCE " +
+    "update(empty)=null trap), plus sizes straddling every edge") {
+    val ss = new ServerSocket()
+    ss.bind(new InetSocketAddress("127.0.0.1", 0))
+    val hostKey = Ssh.ed25519Pair()
+    val srvErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val srv = new Thread(() => {
+      try {
+        val c = ss.accept()
+        c.setSoTimeout(20000)
+        val t = new Ssh.Transport(c, isServer = true)
+        t.exchangeVersions()
+        t.kexAsServer(hostKey)
+        var open = true
+        while (open) {
+          val p = t.readPacket()
+          if (p.length == 1 && p(0) == 0) open = false // stop marker
+          else t.writePacket(p) // echo
+        }
+        c.close()
+      } catch { case e: Throwable => srvErr.set(e) }
+    })
+    srv.setDaemon(true); srv.start()
+    try {
+      val sock = Ssh.tcpDial("127.0.0.1", ss.getLocalPort, 5000)
+      sock.setSoTimeout(20000)
+      val t = new Ssh.Transport(sock, isServer = false)
+      t.exchangeVersions()
+      t.kexAsClient(None)
+      val rnd = new java.util.Random(7)
+      val sizes = (1 to 40) ++ Seq(7, 23, 39, 255, 256, 257, 4095,
+        4096, 4097, 32768) ++ (1 to 20).map(_ => 1 + rnd.nextInt(40000))
+      sizes.foreach { n =>
+        val payload = new Array[Byte](n)
+        rnd.nextBytes(payload)
+        if (payload(0) == 0) payload(0) = 1 // keep off the stop marker
+        t.writePacket(payload)
+        assert(java.util.Arrays.equals(t.readPacket(), payload),
+          s"round-trip mismatch at size $n")
+      }
+      t.writePacket(Array[Byte](0))
+      sock.close()
+      assert(srvErr.get() == null, s"server failed: ${srvErr.get()}")
+    } finally ss.close()
+  }
+
   test("password auth + bulk echo through direct-tcpip: 8 MiB each " +
     "way crosses the channel window many times (flow control live)") {
     val echo = echoServer()
