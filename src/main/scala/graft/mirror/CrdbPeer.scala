@@ -114,14 +114,21 @@ object CrdbPeer {
       database: String, password: String,
       ssl: Option[javax.net.ssl.SSLContext] = None,
       connectTimeoutMs: Int = 10000,
-      readTimeoutMs: Int = 15000): Seq[CheckResult] = {
+      readTimeoutMs: Int = 15000,
+      /** `user:pass@bastion[:port]` dials through an SSH tunnel — the
+        * CockroachDBConfig.SshConfig posture (cockroachdb.go:59-63). */
+      ssh: Option[String] = None): Seq[CheckResult] = {
     val out = Seq.newBuilder[CheckResult]
     var client: PgClient = null
     try {
+      val dial = ssh match {
+        case Some(spec) => graft.cdc.Ssh.tunnelDial(spec, readTimeoutMs)
+        case None => graft.cdc.Ssh.tcpDial
+      }
       client = new PgClient(host, port, user = user,
         database = database, password = password, ssl = ssl,
         connectTimeoutMs = connectTimeoutMs,
-        readTimeoutMs = readTimeoutMs).connect()
+        readTimeoutMs = readTimeoutMs, dial = dial).connect()
       out += CheckResult("connect", "ok", s"connected to $host:$port")
     } catch {
       case e: PgServerError if isAuthSqlState(e.sqlState) =>

@@ -907,7 +907,8 @@ object GraftSql {
               user = p.options.getOrElse("user", "root"),
               database = p.options.getOrElse("database", "defaultdb"),
               password = p.options.getOrElse("password", ""),
-              ssl = graft.cdc.Tls.fromParam(p.options.getOrElse("ssl", "")))
+              ssl = graft.cdc.Tls.fromParam(p.options.getOrElse("ssl", "")),
+              ssh = p.options.get("ssh"))
             checks.find(_.status != "ok") match {
               case Some(c) => "invalid" -> s"${c.check}: ${c.detail}"
               case None => "valid" -> checks

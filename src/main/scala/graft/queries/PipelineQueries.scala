@@ -246,7 +246,13 @@ object PipelineQueries {
     * recall/cost tradeoff is MEASURED, not asserted — the number one
     * reads before choosing L for a 100 TB dedup run. Every count is
     * integer and both engines run identical plane arithmetic (table t
-    * = planes t·6 … t·6+5), so the oracle replays exactly. */
+    * = planes t·6 … t·6+5), so the oracle replays exactly.
+    *
+    * SCALE NOTE: the exact-truth side is an O(n²) self-join BY DESIGN
+    * — an audit runs on a sample (thousands of vectors), never the
+    * full corpus; only the candidate side (buckets + per-bucket
+    * joins) is the production shape. Same regime split as
+    * q_lsh_precision. */
   val lshMultitable = GraftQuery(
     "q_lsh_multitable",
     "multi-table LSH audit: recall/cost per cumulative table count",

@@ -33,7 +33,12 @@ final class PgClient(
     password: String = "",
     ssl: Option[javax.net.ssl.SSLContext] = None,
     connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 60000) extends AutoCloseable {
+    readTimeoutMs: Int = 60000,
+    /** Transport dialer — [[graft.cdc.Ssh.tunnelDial]] routes the
+      * connection through an SSH bastion (the reference attaches an
+      * SSHConfig to warehouse/CRDB peers too, cockroachdb.go:59-63). */
+    dial: graft.cdc.Ssh.Dial = graft.cdc.Ssh.tcpDial)
+  extends AutoCloseable {
 
   import PgClient._
   import PgWire._
@@ -45,9 +50,7 @@ final class PgClient(
   @volatile var backendKey: Option[(Int, Int)] = None
 
   def connect(): PgClient = {
-    val s = new Socket()
-    s.connect(new java.net.InetSocketAddress(host, port),
-      connectTimeoutMs)
+    val s = dial(host, port, connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
     sock = s
     out = s.getOutputStream

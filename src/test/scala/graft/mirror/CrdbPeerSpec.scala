@@ -215,6 +215,29 @@ class CrdbPeerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("validate dials through an SSH bastion when configured " +
+    "(CockroachDBConfig.SshConfig posture)") {
+    val srv = cannedServer(Map(
+      "SELECT version()" -> Right(v25),
+      "SHOW CLUSTER SETTING cluster.organization" -> Right(""),
+      "SHOW CLUSTER SETTING server.serverless.enabled" ->
+        Left(("XXUUU", "unknown setting"))))
+    val bastion = graft.cdc.SshTestServer.start(
+      graft.cdc.SshTestServer.Auth("hop", Some("hoppw"), None))
+    try {
+      val checks = validate("127.0.0.1", srv.getLocalPort,
+        "root", "defaultdb", "",
+        ssh = Some(s"hop:hoppw@127.0.0.1:${bastion.port}"))
+      assert(checks.map(_.status) == Seq("ok", "ok", "ok"))
+      // a wrong bastion password surfaces as a connect error, not a hang
+      val bad = validate("127.0.0.1", srv.getLocalPort,
+        "root", "defaultdb", "",
+        ssh = Some(s"hop:wrong@127.0.0.1:${bastion.port}"))
+      assert(bad == Seq(CheckResult("connect", "error",
+        bad.head.detail)) && bad.head.detail.contains("authentication"))
+    } finally { bastion.stop(); srv.close() }
+  }
+
   test("VALIDATE PEER routes cockroachdb peers to the live wire " +
     "checks (validate_peer.go sequence) end to end") {
     val spark = graft.SparkSpec.session
