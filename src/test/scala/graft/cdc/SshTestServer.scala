@@ -64,6 +64,19 @@ object SshTestServer {
       * once BOTH the client sent EOF and the target hit EOF. */
     @volatile var clientEof = false
     @volatile var targetEof = false
+    /** client→target stream, drained by a dedicated writer thread.
+      * Bounded IN BYTES by the advertised channel window (replenished
+      * only after delivery), so the transport loop never blocks on a
+      * slow target — blocking there starves WINDOW_ADJUST processing
+      * and deadlocks bidirectional bulk transfer (found by the 64 MiB
+      * throughput test). EOF and CLOSE ride the SAME queue so they
+      * cannot overtake queued data (a final client write must reach
+      * the target before its half/full close applies). */
+    val toTarget =
+      new java.util.concurrent.LinkedBlockingQueue[ToTarget]()
+    /** True while the writer holds a dequeued item it has not yet
+      * delivered (the drain-on-disconnect wait must cover it). */
+    @volatile var writing = false
     def addWindow(n: Long): Unit = synchronized {
       remoteWindow += n; notifyAll()
     }
@@ -72,6 +85,11 @@ object SshTestServer {
       if (closed) 0 else math.min(want.toLong, remoteWindow).toInt
     }
   }
+
+  private sealed trait ToTarget
+  private final case class DataChunk(bytes: Array[Byte]) extends ToTarget
+  private case object ClientEof extends ToTarget
+  private case object ClientClose extends ToTarget
 
   private def serveConn(sock: Socket, auth: Auth,
       hostKey: KeyPair): Unit = {
@@ -180,6 +198,7 @@ object SshTestServer {
                     .u32(remoteId.toLong).u32(localId.toLong)
                     .u32(Ssh.ChannelWindow.toLong)
                     .u32(Ssh.ChannelMaxPacket.toLong).bytes)
+                  pumpClientToTarget(t, ch, chans)
                   pumpTargetToClient(t, ch, chans)
                 } catch {
                   case e: IOException =>
@@ -192,29 +211,23 @@ object SshTestServer {
             case m if m == Msg.ChannelData =>
               val ch = chans.get(r.u32().toInt)
               val d = r.str()
-              if (ch != null && !ch.closed)
-                try {
-                  ch.target.getOutputStream.write(d)
-                  ch.target.getOutputStream.flush()
-                  // immediate replenish: the test server never
-                  // backpressures the client
-                  t.writePacket(new Wtr().u8(Msg.ChannelWindowAdjust)
-                    .u32(ch.remoteId.toLong).u32(d.length.toLong).bytes)
-                } catch { case _: IOException => closeChan(t, ch, chans) }
+              // never blocks: in-flight bytes are window-capped
+              if (ch != null && !ch.closed) ch.toTarget.put(DataChunk(d))
             case m if m == Msg.ChannelWindowAdjust =>
               val ch = chans.get(r.u32().toInt)
               if (ch != null) ch.addWindow(r.u32())
             case m if m == Msg.ChannelEof =>
               val ch = chans.get(r.u32().toInt)
-              if (ch != null) {
-                try ch.target.shutdownOutput()
-                catch { case _: IOException => () }
-                ch.clientEof = true
-                if (ch.targetEof) closeChan(t, ch, chans)
-              }
+              if (ch != null)
+                // ordered behind any queued data: the writer shuts
+                // the target's output down after delivering it all
+                ch.toTarget.put(ClientEof)
             case m if m == Msg.ChannelClose =>
               val ch = chans.get(r.u32().toInt)
-              if (ch != null) closeChan(t, ch, chans)
+              // via the queue: closing inline would let the close
+              // overtake queued data (dropping the client's final
+              // writes, e.g. a replication ack)
+              if (ch != null && !ch.closed) ch.toTarget.put(ClientClose)
             case m if m == Msg.ChannelRequest =>
               val id = r.u32().toInt
               r.strUtf8()
@@ -232,6 +245,13 @@ object SshTestServer {
       case _: IllegalArgumentException => ()
     } finally {
       chans.forEach { (_, ch) =>
+        // a DISCONNECT can arrive one read behind the client's final
+        // DATA (e.g. a replication ack followed immediately by
+        // close): let the writer drain queued deliveries before the
+        // target dies, bounded so a wedged target cannot hang cleanup
+        val deadline = System.nanoTime + 2000000000L
+        while ((!ch.toTarget.isEmpty || ch.writing) && !ch.closed &&
+            System.nanoTime < deadline) Thread.sleep(5)
         ch.closed = true
         try ch.target.close() catch { case _: IOException => () }
       }
@@ -259,6 +279,48 @@ object SshTestServer {
 
   /** target → client pump, one thread per channel, honoring the
     * client's receive window. */
+  /** client → target writer, one thread per channel: delivers queued
+    * DATA, replenishes the client's send window AFTER delivery (so
+    * in-flight bytes stay window-bounded), applies the deferred
+    * half-close marker in order. Keeping blocking target writes OFF
+    * the transport loop is what lets that loop keep processing
+    * WINDOW_ADJUST during bidirectional bulk transfer. */
+  private def pumpClientToTarget(t: Ssh.Transport, ch: SrvChan,
+      chans: java.util.concurrent.ConcurrentHashMap[Int, SrvChan])
+      : Unit = {
+    val th = new Thread(() => {
+      try {
+        while (!ch.closed) {
+          ch.toTarget.poll(250, java.util.concurrent.TimeUnit
+            .MILLISECONDS) match {
+            case null => () // periodic closed-flag re-check
+            case DataChunk(d) =>
+              ch.writing = true
+              try {
+                ch.target.getOutputStream.write(d)
+                ch.target.getOutputStream.flush()
+              } finally ch.writing = false
+              t.writePacket(new Wtr().u8(Msg.ChannelWindowAdjust)
+                .u32(ch.remoteId.toLong).u32(d.length.toLong).bytes)
+            case ClientEof =>
+              try ch.target.shutdownOutput()
+              catch { case _: IOException => () }
+              ch.clientEof = true
+              // stay alive: a CLOSE may still follow on the queue
+              if (ch.targetEof) closeChan(t, ch, chans)
+            case ClientClose =>
+              closeChan(t, ch, chans)
+          }
+        }
+      } catch {
+        case _: IOException => closeChan(t, ch, chans)
+        case _: InterruptedException => ()
+      }
+    }, "ssh-test-towriter")
+    th.setDaemon(true)
+    th.start()
+  }
+
   private def pumpTargetToClient(t: Ssh.Transport, ch: SrvChan,
       chans: java.util.concurrent.ConcurrentHashMap[Int, SrvChan])
       : Unit = {

@@ -366,6 +366,51 @@ class SshWireSpec extends AnyFunSuite {
     } finally { srv.stop(); pgServer.close() }
   }
 
+  test("tunnel throughput characterization: 64 MiB through the " +
+    "channel (aes128-ctr + hmac-sha2-256 both hops) sustains " +
+    "double-digit MB/s — transport overhead cannot bottleneck a " +
+    "capture pull") {
+    val echo = echoServer()
+    val srv = SshTestServer.start(
+      SshTestServer.Auth("tunnel", Some("pw"), None))
+    try {
+      val client = new Ssh.Client("127.0.0.1", srv.port, "tunnel",
+        password = "pw")
+      val sock = client.openTunnel("127.0.0.1", echo.getLocalPort)
+      sock.setSoTimeout(60000)
+      val total = 64 * 1024 * 1024
+      val chunk = new Array[Byte](256 * 1024)
+      new java.util.Random(1).nextBytes(chunk)
+      val t0 = System.nanoTime()
+      val reader = new Thread(() => {
+        val in = sock.getInputStream
+        val buf = new Array[Byte](256 * 1024)
+        var got = 0L
+        while (got < total) {
+          val n = in.read(buf)
+          require(n > 0)
+          got += n
+        }
+      })
+      reader.start()
+      var sent = 0
+      while (sent < total) {
+        sock.getOutputStream.write(chunk)
+        sent += chunk.length
+      }
+      sock.getOutputStream.flush()
+      reader.join(120000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mbps = total / 1048576.0 / secs
+      info(f"ssh tunnel round-trip: ${total / 1048576} MiB in " +
+        f"$secs%.2f s = $mbps%.0f MB/s (each byte crosses the " +
+        "encrypted channel twice)")
+      assert(mbps > 10.0, f"tunnel throughput $mbps%.1f MB/s " +
+        "is below the 10 MB/s floor")
+      sock.close(); client.close()
+    } finally { srv.stop(); echo.close() }
+  }
+
   // ---- stock OpenSSH interop
 
   private def haveSsh: Boolean =
