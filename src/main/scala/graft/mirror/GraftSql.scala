@@ -582,6 +582,33 @@ object GraftSql {
             s"${cfg.walDir} unreachable (no WAL written yet?)")
           ""
         }
+        // live capture endpoints get a pre-flight connectivity probe
+        // (CheckReplicationConnectivity, validate_mirror.go) through
+        // the SAME transport stack the pump will use — ssh tunnel and,
+        // for mongo (TLS from byte 0), the TLS handshake itself
+        cfg.captureDir.filter(graft.cdc.CaptureEndpoint.isUrl)
+          .foreach { url =>
+            check("capture_endpoint") {
+              val ep = graft.cdc.CaptureEndpoint.parse(url)
+              val connectMs =
+                ep.param("connect_timeout_ms", "5000").toInt
+              val dial = ep.params.get("ssh") match {
+                case Some(spec) =>
+                  graft.cdc.Ssh.tunnelDial(spec, connectMs)
+                case None => graft.cdc.Ssh.tcpDial
+              }
+              val sock = dial(ep.host, ep.port, connectMs)
+              try {
+                if (ep.scheme == "mongo")
+                  graft.cdc.Tls.fromParam(ep.param("ssl", ""))
+                    .foreach { ctx => graft.cdc.Tls.clientUpgrade(
+                      sock, ep.host, ep.port, ctx) }
+              } finally sock.close()
+              s"${ep.scheme}://${ep.host}:${ep.port} reachable" +
+                (if (ep.params.contains("ssh")) " via ssh tunnel"
+                 else "")
+            }
+          }
         val o = entry.options
         if (o.get("do_initial_snapshot").exists(_.toBoolean) ||
             o.get("initial_snapshot_only").exists(_.toBoolean))

@@ -242,6 +242,44 @@ class SocketMirrorSpec extends SparkSpec {
     } finally { bastion.stop(); server.close() }
   }
 
+  test("VALIDATE MIRROR probes live capture endpoints pre-flight " +
+    "(CheckReplicationConnectivity): reachable through the tunnel, " +
+    "and a dead port reports invalid instead of failing at EXECUTE") {
+    val server = new ServerSocket(0) // accepting but silent is enough
+    val bastion = graft.cdc.SshTestServer.start(
+      graft.cdc.SshTestServer.Auth("hop", Some("hoppw"), None))
+    try {
+      val base = tmpDir("valmir")
+      def run(sql: String) = GraftSql.execute(spark,
+        GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+      def mk(name: String, url: String) = run(
+        s"""CREATE MIRROR $name WITH (
+           |  wal_dir '$base/wal_$name', dest_dir '$base/dest_$name',
+           |  checkpoint_dir '$base/ckpt_$name', pk 'id', table 'd',
+           |  schema 'id BIGINT', capture_dir '$url')""".stripMargin)
+      graft.util.FsText.write(s"$base/wal_ok/changes-0.jsonl", "",
+        spark.sparkContext.hadoopConfiguration)
+      graft.util.FsText.write(s"$base/wal_dead/changes-0.jsonl", "",
+        spark.sparkContext.hadoopConfiguration)
+      mk("ok", s"pgwire://u:p@127.0.0.1:${server.getLocalPort}/db" +
+        s"?slot=s&publication=p&ssh=hop:hoppw@127.0.0.1:${bastion.port}")
+      val okRows = run("VALIDATE MIRROR ok")
+      val epOk = okRows.find(_.getString(0) == "capture_endpoint").get
+      assert(epOk.getString(1) == "valid", okRows.mkString(";"))
+      assert(epOk.getString(2).contains("via ssh tunnel"))
+
+      val probe = new ServerSocket(0)
+      val dead = probe.getLocalPort
+      probe.close()
+      mk("deadcap", s"pgwire://u:p@127.0.0.1:$dead/db?slot=s" +
+        "&publication=p&connect_timeout_ms=800")
+      val badRows = run("VALIDATE MIRROR deadcap")
+      val epBad = badRows.find(_.getString(0) == "capture_endpoint").get
+      assert(epBad.getString(1) == "invalid")
+      run("DROP MIRROR ok"); run("DROP MIRROR deadcap")
+    } finally { bastion.stop(); server.close() }
+  }
+
   test("capture endpoint parsing: credentials, database, and params") {
     val ep = graft.cdc.CaptureEndpoint.parse(
       "pgwire://u:pw@h.example:5432/db?slot=s&publication=p")
