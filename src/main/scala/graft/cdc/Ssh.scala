@@ -298,6 +298,15 @@ object Ssh {
     private val localVersion = "SSH-2.0-graft_1.0"
     private var remoteVersion: String = _
     var sessionId: Array[Byte] = _
+    /** Strict key exchange (the Terrapin countermeasure, negotiated
+      * via the `kex-strict-{c,s}-v00@openssh.com` marker in the kex
+      * name-list): no message may be skipped during kex, and BOTH
+      * sequence numbers reset to zero at NEWKEYS, so a prefix
+      * injected by a MITM desynchronizes the MACs instead of
+      * silently shifting the stream. Exercised for real by the
+      * stock-OpenSSH interop test (Debian 9.2p1-deb12uN carries the
+      * backport). */
+    private var strictKex = false
 
     /** Version string exchange. The server side may be preceded by
       * banner lines (RFC 4253 §4.2) — the client skips until an
@@ -367,6 +376,27 @@ object Ssh {
       java.util.Arrays.copyOfRange(packet, 5, 5 + len - padLen - 1)
     }
 
+    /** Kex-phase read: under strict kex NOTHING may be skipped —
+      * IGNORE/DEBUG/UNIMPLEMENTED during the exchange are exactly the
+      * injection vector strict kex exists to kill. */
+    private def readKexMsg(): Array[Byte] = {
+      if (!strictKex) readMsg()
+      else {
+        val p = readPacket()
+        if (p.isEmpty) throw new IOException("ssh: empty packet")
+        if (p(0) == Msg.Disconnect) {
+          val r = new Rdr(p); r.u8(); r.u32()
+          throw new IOException(
+            s"ssh: peer disconnected: ${r.strUtf8()}")
+        }
+        if (p(0) == Msg.Ignore || p(0) == Msg.Debug ||
+            p(0) == Msg.Unimplemented)
+          throw new IOException("ssh: unexpected message " +
+            s"${p(0)} during strict key exchange")
+        p
+      }
+    }
+
     /** Skip IGNORE/DEBUG (and answer nothing), return the next real
       * payload. */
     def readMsg(): Array[Byte] = {
@@ -414,8 +444,11 @@ object Ssh {
     private def kexInitPayload(): Array[Byte] = {
       val cookie = new Array[Byte](16)
       rand.nextBytes(cookie)
+      val marker =
+        if (isServer) "kex-strict-s-v00@openssh.com"
+        else "kex-strict-c-v00@openssh.com"
       new Wtr().u8(Msg.KexInit).raw(cookie)
-        .name(KexAlgs).name(HostKeyAlgs)
+        .name(KexAlgs :+ marker).name(HostKeyAlgs)
         .name(CipherAlgs).name(CipherAlgs)
         .name(MacAlgs).name(MacAlgs)
         .name(CompAlgs).name(CompAlgs)
@@ -446,6 +479,9 @@ object Ssh {
             s"${client.mkString(",")}; server: ${server.mkString(",")})"))
 
     private def negotiate(remote: RemoteKexInit): Unit = {
+      strictKex = remote.kex.contains(
+        if (isServer) "kex-strict-c-v00@openssh.com"
+        else "kex-strict-s-v00@openssh.com")
       val (cKex, sKex) =
         if (isServer) (remote.kex, KexAlgs) else (KexAlgs, remote.kex)
       val (cHk, sHk) =
@@ -530,9 +566,13 @@ object Ssh {
       val iS = readMsg()
       val remote = parseKexInit(iS)
       negotiate(remote)
+      // strict kex: KEXINIT must have been the FIRST packet received
+      if (strictKex && recvSeq != 1L)
+        throw new IOException(
+          "ssh: strict kex requires KEXINIT as the first packet")
       val (qC, pair) = x25519Pair()
       writePacket(new Wtr().u8(Msg.KexEcdhInit).str(qC).bytes)
-      val reply = readMsg()
+      val reply = readKexMsg()
       val r = new Rdr(reply)
       require(r.u8() == Msg.KexEcdhReply, "ssh: expected KEX_ECDH_REPLY")
       val kS = r.str(); val qS = r.str(); val sigBlob = r.str()
@@ -556,9 +596,11 @@ object Ssh {
           s"ssh: host key mismatch: server offers $fp, pinned $pin")
       }
       writePacket(Array[Byte](Msg.NewKeys.toByte))
-      val nk = readMsg()
+      if (strictKex) sendSeq = 0L // reset at our NEWKEYS (strict kex)
+      val nk = readKexMsg()
       if (nk(0) != Msg.NewKeys)
         throw new IOException("ssh: expected NEWKEYS")
+      if (strictKex) recvSeq = 0L // reset at peer NEWKEYS (strict kex)
       installKeys(k, h)
       kS
     }
@@ -570,7 +612,10 @@ object Ssh {
       val iC = readMsg()
       val remote = parseKexInit(iC)
       negotiate(remote)
-      val init = readMsg()
+      if (strictKex && recvSeq != 1L)
+        throw new IOException(
+          "ssh: strict kex requires KEXINIT as the first packet")
+      val init = readKexMsg()
       val r = new Rdr(init)
       require(r.u8() == Msg.KexEcdhInit, "ssh: expected KEX_ECDH_INIT")
       val qC = r.str()
@@ -583,9 +628,11 @@ object Ssh {
       writePacket(new Wtr().u8(Msg.KexEcdhReply)
         .str(kS).str(qS).str(sig).bytes)
       writePacket(Array[Byte](Msg.NewKeys.toByte))
-      val nk = readMsg()
+      if (strictKex) sendSeq = 0L // reset at our NEWKEYS (strict kex)
+      val nk = readKexMsg()
       if (nk(0) != Msg.NewKeys)
         throw new IOException("ssh: expected NEWKEYS")
+      if (strictKex) recvSeq = 0L // reset at peer NEWKEYS (strict kex)
       installKeys(k, h)
     }
 

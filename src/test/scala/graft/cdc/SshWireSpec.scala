@@ -443,7 +443,7 @@ class SshWireSpec extends AnyFunSuite {
     val srv = SshTestServer.start(
       SshTestServer.Auth("interop", None, Some(pubRaw)))
     try {
-      val proc = new ProcessBuilder("ssh",
+      val proc = new ProcessBuilder("ssh", "-vv",
         "-p", srv.port.toString,
         "-i", keyPath.toString,
         "-o", "StrictHostKeyChecking=no",
@@ -452,6 +452,14 @@ class SshWireSpec extends AnyFunSuite {
         "-o", "BatchMode=yes",
         "-W", s"127.0.0.1:${echo.getLocalPort}",
         "interop@127.0.0.1").start()
+      // drain stderr concurrently (-vv is chatty; a full pipe would
+      // deadlock the client) and keep it for the strict-kex probe
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val errPump = new Thread(() => {
+        try proc.getErrorStream.transferTo(errBuf)
+        catch { case _: IOException => () }
+      })
+      errPump.setDaemon(true); errPump.start()
       val msg = ("openssh says hello through graft's ssh server " * 20)
         .getBytes
       proc.getOutputStream.write(msg)
@@ -462,8 +470,15 @@ class SshWireSpec extends AnyFunSuite {
       proc.getOutputStream.close()
       assert(proc.waitFor(10, TimeUnit.SECONDS),
         "ssh did not exit after stdin close")
-      val err = new String(proc.getErrorStream.readAllBytes())
+      errPump.join(2000)
+      val err = new String(errBuf.toByteArray)
       assert(proc.exitValue() == 0, s"ssh exited nonzero: $err")
+      // OpenSSH with the Terrapin backport announces strict kex when
+      // the server offers kex-strict-s — surface what was negotiated
+      val strictLine = err.linesIterator
+        .find(_.toLowerCase.contains("strict")).getOrElse(
+          "(client debug output carries no strict-kex line)")
+      info(s"openssh: $strictLine")
     } finally { srv.stop(); echo.close() }
   }
 }
