@@ -116,7 +116,10 @@ object Ssh {
     Seq("curve25519-sha256", "curve25519-sha256@libssh.org")
   private[cdc] val HostKeyAlgs = Seq("ssh-ed25519")
   private[cdc] val CipherAlgs = Seq("aes128-ctr")
-  private[cdc] val MacAlgs = Seq("hmac-sha2-256")
+  /** ETM first (MAC over the ciphertext, length field in the clear —
+    * OpenSSH's preferred family), classic hmac-sha2-256 as fallback. */
+  private[cdc] val MacAlgs =
+    Seq("hmac-sha2-256-etm@openssh.com", "hmac-sha2-256")
   private[cdc] val CompAlgs = Seq("none")
 
   private[cdc] val MaxPacket = 256 * 1024
@@ -293,6 +296,13 @@ object Ssh {
     private var recvCipher: Cipher = _
     private var sendMac: Mac = _
     private var recvMac: Mac = _
+    /** Encrypt-then-MAC per direction (negotiated MAC name ends in
+      * `-etm@openssh.com`): length travels in the clear, the MAC
+      * covers seq ‖ length ‖ ciphertext. */
+    private var sendEtm = false
+    private var recvEtm = false
+    private var macC2sName = ""
+    private var macS2cName = ""
     private val writeLock = new Object
 
     private val localVersion = "SSH-2.0-graft_1.0"
@@ -349,6 +359,22 @@ object Ssh {
           if (len < 5 || len > MaxPacket)
             throw new IOException(s"ssh: bad packet length $len")
           new Wtr().u32(len.toLong).raw(readFully(len)).bytes
+        } else if (recvEtm) {
+          // ETM: plaintext length, MAC over seq ‖ length ‖ ciphertext,
+          // verified BEFORE decryption (the whole point of ETM)
+          val lenBytes = readFully(4)
+          val len = new Rdr(lenBytes).u32().toInt
+          if (len < 5 || len > MaxPacket)
+            throw new IOException(s"ssh: bad packet length $len")
+          val ct = readFully(len)
+          val tag = readFully(32)
+          recvMac.update(seqBytes(recvSeq))
+          recvMac.update(lenBytes)
+          recvMac.update(ct)
+          if (!MessageDigest.isEqual(recvMac.doFinal(), tag))
+            throw new IOException("ssh: MAC verification failed")
+          val pt = recvCipher.update(ct)
+          new Wtr().raw(lenBytes).raw(pt).bytes
         } else {
           val first = recvCipher.update(readFully(16))
           val len = new Rdr(first).u32().toInt
@@ -417,14 +443,32 @@ object Ssh {
 
     def writePacket(payload: Array[Byte]): Unit = writeLock.synchronized {
       val bs = if (sendCipher == null) 8 else 16
-      var padLen = bs - ((4 + 1 + payload.length) % bs)
+      // ETM leaves the 4-byte length outside the encrypted region, so
+      // padding aligns only padlen‖payload‖padding to the block size
+      val padBase =
+        if (sendCipher != null && sendEtm) 1 + payload.length
+        else 4 + 1 + payload.length
+      var padLen = bs - (padBase % bs)
       if (padLen < 4) padLen += bs
       val pad = new Array[Byte](padLen)
       rand.nextBytes(pad)
-      val full = new Wtr().u32((1 + payload.length + padLen).toLong)
-        .u8(padLen).raw(payload).raw(pad).bytes
-      if (sendCipher == null) rawOut.write(full)
-      else {
+      if (sendCipher == null) {
+        rawOut.write(new Wtr().u32((1 + payload.length + padLen).toLong)
+          .u8(padLen).raw(payload).raw(pad).bytes)
+      } else if (sendEtm) {
+        val lenBytes =
+          new Wtr().u32((1 + payload.length + padLen).toLong).bytes
+        val ct = sendCipher.update(
+          new Wtr().u8(padLen).raw(payload).raw(pad).bytes)
+        sendMac.update(seqBytes(sendSeq))
+        sendMac.update(lenBytes)
+        sendMac.update(ct)
+        rawOut.write(lenBytes)
+        rawOut.write(ct)
+        rawOut.write(sendMac.doFinal())
+      } else {
+        val full = new Wtr().u32((1 + payload.length + padLen).toLong)
+          .u8(padLen).raw(payload).raw(pad).bytes
         sendMac.update(seqBytes(sendSeq)); sendMac.update(full)
         val tag = sendMac.doFinal()
         rawOut.write(sendCipher.update(full))
@@ -492,15 +536,15 @@ object Ssh {
       if (isServer) {
         pick("cipher c2s", remote.cipherC2s, CipherAlgs)
         pick("cipher s2c", remote.cipherS2c, CipherAlgs)
-        pick("mac c2s", remote.macC2s, MacAlgs)
-        pick("mac s2c", remote.macS2c, MacAlgs)
+        macC2sName = pick("mac c2s", remote.macC2s, MacAlgs)
+        macS2cName = pick("mac s2c", remote.macS2c, MacAlgs)
         pick("compression c2s", remote.compC2s, CompAlgs)
         pick("compression s2c", remote.compS2c, CompAlgs)
       } else {
         pick("cipher c2s", CipherAlgs, remote.cipherC2s)
         pick("cipher s2c", CipherAlgs, remote.cipherS2c)
-        pick("mac c2s", MacAlgs, remote.macC2s)
-        pick("mac s2c", MacAlgs, remote.macS2c)
+        macC2sName = pick("mac c2s", MacAlgs, remote.macC2s)
+        macS2cName = pick("mac s2c", MacAlgs, remote.macS2c)
         pick("compression c2s", CompAlgs, remote.compC2s)
         pick("compression s2c", CompAlgs, remote.compS2c)
       }
@@ -537,14 +581,18 @@ object Ssh {
       val (ivC2s, ivS2c) = (derive('A', 16), derive('B', 16))
       val (keyC2s, keyS2c) = (derive('C', 16), derive('D', 16))
       val (macC2s, macS2c) = (derive('E', 32), derive('F', 32))
+      val etmC2s = macC2sName.endsWith("-etm@openssh.com")
+      val etmS2c = macS2cName.endsWith("-etm@openssh.com")
       if (isServer) {
         recvCipher = cipher(Cipher.DECRYPT_MODE, keyC2s, ivC2s)
         sendCipher = cipher(Cipher.ENCRYPT_MODE, keyS2c, ivS2c)
         recvMac = mac(macC2s); sendMac = mac(macS2c)
+        recvEtm = etmC2s; sendEtm = etmS2c
       } else {
         sendCipher = cipher(Cipher.ENCRYPT_MODE, keyC2s, ivC2s)
         recvCipher = cipher(Cipher.DECRYPT_MODE, keyS2c, ivS2c)
         sendMac = mac(macC2s); recvMac = mac(macS2c)
+        sendEtm = etmC2s; recvEtm = etmS2c
       }
     }
 

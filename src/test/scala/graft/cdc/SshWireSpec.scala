@@ -421,7 +421,17 @@ class SshWireSpec extends AnyFunSuite {
     } catch { case _: IOException => false }
 
   test("stock OpenSSH (`ssh -W`, ed25519 identity) tunnels through " +
-    "the shared transport — independent kex/cipher/MAC/auth interop") {
+    "the shared transport — independent kex/cipher/MAC/auth interop " +
+    "(negotiates ETM by default)") {
+    opensshInterop(Nil)
+  }
+
+  test("stock OpenSSH with MACs forced to classic hmac-sha2-256 " +
+    "exercises the non-ETM packet format") {
+    opensshInterop(Seq("-o", "MACs=hmac-sha2-256"))
+  }
+
+  private def opensshInterop(extraOpts: Seq[String]): Unit = {
     assume(haveSsh, "ssh binary not available")
     val dir = Files.createTempDirectory("ssh_id")
     val keyPath = dir.resolve("id_ed25519")
@@ -443,15 +453,16 @@ class SshWireSpec extends AnyFunSuite {
     val srv = SshTestServer.start(
       SshTestServer.Auth("interop", None, Some(pubRaw)))
     try {
-      val proc = new ProcessBuilder("ssh", "-vv",
+      val cmd = Seq("ssh", "-vv",
         "-p", srv.port.toString,
         "-i", keyPath.toString,
         "-o", "StrictHostKeyChecking=no",
         "-o", "UserKnownHostsFile=/dev/null",
         "-o", "IdentitiesOnly=yes",
-        "-o", "BatchMode=yes",
+        "-o", "BatchMode=yes") ++ extraOpts ++ Seq(
         "-W", s"127.0.0.1:${echo.getLocalPort}",
-        "interop@127.0.0.1").start()
+        "interop@127.0.0.1")
+      val proc = new ProcessBuilder(cmd: _*).start()
       // drain stderr concurrently (-vv is chatty; a full pipe would
       // deadlock the client) and keep it for the strict-kex probe
       val errBuf = new java.io.ByteArrayOutputStream()
@@ -479,6 +490,8 @@ class SshWireSpec extends AnyFunSuite {
         .find(_.toLowerCase.contains("strict")).getOrElse(
           "(client debug output carries no strict-kex line)")
       info(s"openssh: $strictLine")
+      err.linesIterator.find(_.contains("MAC:")).foreach(l =>
+        info(s"openssh: ${l.trim}"))
     } finally { srv.stop(); echo.close() }
   }
 }
