@@ -66,10 +66,18 @@ object Ssh {
     * `direct-tcpip` channel. `spec` is `user:pass@host[:port]`
     * (credentials percent-decoded upstream by [[CaptureEndpoint]]);
     * closing the returned socket closes the whole tunnel. */
-  def tunnelDial(spec: String, readTimeoutMs: Int = 60000): Dial = {
+  def tunnelDial(spec: String, readTimeoutMs: Int = 60000,
+      /** Path to an unencrypted OpenSSH ed25519 identity file —
+        * publickey auth instead of (or alongside-empty) password,
+        * the reference's SSHConfig.PrivateKey. */
+      keyFile: Option[String] = None): Dial = {
     val (user, pass, host, port) = parseSpec(spec)
+    val key = keyFile.map(p => parseOpenSshKey(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      UTF_8)))
     (dstHost, dstPort, connectMs) => {
       val c = new Client(host, port, user, password = pass,
+        privateKey = key,
         connectTimeoutMs = connectMs, readTimeoutMs = readTimeoutMs)
       try c.openTunnel(dstHost, dstPort, ownsClient = true)
       catch { case t: Throwable => c.close(); throw t }
@@ -251,6 +259,49 @@ object Ssh {
     val sig = Signature.getInstance("Ed25519")
     sig.initVerify(edPubFromRaw(pubRaw)); sig.update(data)
     sig.verify(signature)
+  }
+
+  /** Parse an UNENCRYPTED OpenSSH `openssh-key-v1` ed25519 private
+    * key (what `ssh-keygen -t ed25519 -N ''` writes; the form the
+    * reference's SSHConfig.PrivateKey carries through
+    * `ssh.ParsePrivateKey`, utils/ssh.go:39-51). Returns a JDK
+    * [[KeyPair]] for [[Client]]'s publickey auth. Encrypted keys
+    * (kdf bcrypt) are refused loudly — decrypt them out-of-band. */
+  def parseOpenSshKey(pem: String): KeyPair = {
+    val body = pem.linesIterator
+      .filterNot(_.startsWith("-----")).mkString
+    val blob = java.util.Base64.getDecoder.decode(body)
+    val magic = "openssh-key-v1 ".getBytes(UTF_8)
+    require(blob.take(magic.length).sameElements(magic),
+      "ssh: not an openssh-key-v1 private key")
+    val r = new Rdr(java.util.Arrays.copyOfRange(
+      blob, magic.length, blob.length))
+    val cipherName = r.strUtf8()
+    val kdfName = r.strUtf8()
+    r.str() // kdf options
+    if (cipherName != "none" || kdfName != "none")
+      throw new IllegalArgumentException(
+        s"ssh: encrypted private keys are not supported " +
+          s"(cipher=$cipherName kdf=$kdfName) — decrypt with " +
+          "`ssh-keygen -p -N ''` first")
+    val nKeys = r.u32().toInt
+    require(nKeys == 1, s"ssh: expected 1 key, found $nKeys")
+    r.str() // public key blob
+    val priv = new Rdr(r.str())
+    priv.u32(); priv.u32() // checkint pair (only meaningful encrypted)
+    val keyType = priv.strUtf8()
+    require(keyType == "ssh-ed25519",
+      s"ssh: unsupported private key type $keyType (need ssh-ed25519)")
+    val pubRaw = priv.str()
+    // the "private" field is seed ‖ public (64 bytes)
+    val seedAndPub = priv.str()
+    require(seedAndPub.length == 64, "ssh: malformed ed25519 key")
+    val seed = java.util.Arrays.copyOfRange(seedAndPub, 0, 32)
+    val kf = KeyFactory.getInstance("Ed25519")
+    val privKey = kf.generatePrivate(
+      new java.security.spec.EdECPrivateKeySpec(
+        NamedParameterSpec.ED25519, seed))
+    new KeyPair(edPubFromRaw(pubRaw), privKey)
   }
 
   /** `ssh-ed25519` public key blob (the K_S / authorized-key wire

@@ -318,8 +318,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // `ssh=user:pass@host[:port]` dials the DB through an SSH tunnel
     // (the reference's per-peer SSHConfig, utils/ssh.go); composes
     // with ssl=require — TLS runs inside the tunneled channel
+    // `ssh_key=/path/id_ed25519` switches the tunnel to publickey
+    // auth (unencrypted openssh-key-v1, the SSHConfig.PrivateKey form)
     val dial: graft.cdc.Ssh.Dial = ep.params.get("ssh") match {
-      case Some(spec) => graft.cdc.Ssh.tunnelDial(spec, readMs)
+      case Some(spec) => graft.cdc.Ssh.tunnelDial(spec, readMs,
+        keyFile = ep.params.get("ssh_key"))
       case None => graft.cdc.Ssh.tcpDial
     }
     ep.scheme match {

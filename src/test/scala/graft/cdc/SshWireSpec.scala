@@ -411,6 +411,42 @@ class SshWireSpec extends AnyFunSuite {
     } finally { srv.stop(); echo.close() }
   }
 
+  test("an ssh-keygen ed25519 identity file parses (openssh-key-v1) " +
+    "and authenticates the JVM client — the reference's " +
+    "SSHConfig.PrivateKey path") {
+    assume(haveSsh, "ssh-keygen not available")
+    val dir = Files.createTempDirectory("ssh_pem")
+    val keyPath = dir.resolve("id_ed25519")
+    val gen = new ProcessBuilder("ssh-keygen", "-t", "ed25519",
+      "-N", "", "-q", "-f", keyPath.toString)
+      .redirectErrorStream(true).start()
+    assert(gen.waitFor(10, TimeUnit.SECONDS) && gen.exitValue() == 0)
+    val kp = Ssh.parseOpenSshKey(
+      new String(Files.readAllBytes(keyPath)))
+    // the parsed public half must match the .pub ssh-keygen wrote
+    val pubLine = new String(
+      Files.readAllBytes(dir.resolve("id_ed25519.pub"))).trim
+    val blob = java.util.Base64.getDecoder.decode(
+      pubLine.split("\\s+")(1))
+    assert(java.util.Arrays.equals(
+      Ssh.edKeyBlob(Ssh.edPubRaw(kp.getPublic)), blob))
+    val echo = echoServer()
+    val srv = SshTestServer.start(SshTestServer.Auth("filekey", None,
+      Some(Ssh.edPubRaw(kp.getPublic))))
+    try {
+      val client = new Ssh.Client("127.0.0.1", srv.port, "filekey",
+        privateKey = Some(kp))
+      val sock = client.openTunnel("127.0.0.1", echo.getLocalPort)
+      sock.setSoTimeout(10000)
+      sock.getOutputStream.write("pem".getBytes)
+      sock.getOutputStream.flush()
+      val buf = new Array[Byte](3)
+      new DataInputStream(sock.getInputStream).readFully(buf)
+      assert(new String(buf) == "pem")
+      client.close()
+    } finally { srv.stop(); echo.close() }
+  }
+
   // ---- stock OpenSSH interop
 
   private def haveSsh: Boolean =
