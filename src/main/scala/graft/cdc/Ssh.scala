@@ -70,14 +70,18 @@ object Ssh {
       /** Path to an unencrypted OpenSSH ed25519 identity file —
         * publickey auth instead of (or alongside-empty) password,
         * the reference's SSHConfig.PrivateKey. */
-      keyFile: Option[String] = None): Dial = {
+      keyFile: Option[String] = None,
+      /** `SHA256:…` fingerprint of the expected host key blob — the
+        * FixedHostKey posture (SSHConfig.HostKey); absent =
+        * InsecureIgnoreHostKey, the reference's default. */
+      hostKeyPin: Option[String] = None): Dial = {
     val (user, pass, host, port) = parseSpec(spec)
     val key = keyFile.map(p => parseOpenSshKey(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
       UTF_8)))
     (dstHost, dstPort, connectMs) => {
       val c = new Client(host, port, user, password = pass,
-        privateKey = key,
+        privateKey = key, hostKeyPin = hostKeyPin,
         connectTimeoutMs = connectMs, readTimeoutMs = readTimeoutMs)
       try c.openTunnel(dstHost, dstPort, ownsClient = true)
       catch { case t: Throwable => c.close(); throw t }

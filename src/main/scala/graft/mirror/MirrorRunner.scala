@@ -319,10 +319,14 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // (the reference's per-peer SSHConfig, utils/ssh.go); composes
     // with ssl=require — TLS runs inside the tunneled channel
     // `ssh_key=/path/id_ed25519` switches the tunnel to publickey
-    // auth (unencrypted openssh-key-v1, the SSHConfig.PrivateKey form)
+    // auth (unencrypted openssh-key-v1, the SSHConfig.PrivateKey
+    // form); `ssh_host_key=SHA256:…` pins the bastion host key
+    // (FixedHostKey; absent = InsecureIgnoreHostKey, as the
+    // reference defaults)
     val dial: graft.cdc.Ssh.Dial = ep.params.get("ssh") match {
       case Some(spec) => graft.cdc.Ssh.tunnelDial(spec, readMs,
-        keyFile = ep.params.get("ssh_key"))
+        keyFile = ep.params.get("ssh_key"),
+        hostKeyPin = ep.params.get("ssh_host_key"))
       case None => graft.cdc.Ssh.tcpDial
     }
     ep.scheme match {
