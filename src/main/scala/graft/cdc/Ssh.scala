@@ -275,7 +275,7 @@ object Ssh {
     val body = pem.linesIterator
       .filterNot(_.startsWith("-----")).mkString
     val blob = java.util.Base64.getDecoder.decode(body)
-    val magic = "openssh-key-v1 ".getBytes(UTF_8)
+    val magic = "openssh-key-v1".getBytes(UTF_8) :+ 0.toByte
     require(blob.take(magic.length).sameElements(magic),
       "ssh: not an openssh-key-v1 private key")
     val r = new Rdr(java.util.Arrays.copyOfRange(
