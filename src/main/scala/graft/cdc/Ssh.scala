@@ -27,13 +27,17 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * (ssh-ed25519) — on JDK primitives only (XDH, Ed25519, AES-CTR,
   * HmacSHA256), because no SSH library jar exists in this build.
   *
-  * Supported algorithm set (one interoperable choice per slot, the
-  * same ones OpenSSH enables by default): kex `curve25519-sha256`
-  * (+ the pre-RFC `@libssh.org` alias), host key `ssh-ed25519`,
-  * cipher `aes128-ctr`, MAC `hmac-sha2-256`, compression `none`.
-  * Interop is proven in-suite against stock OpenSSH (`SshWireSpec`
-  * drives the real `ssh -W` through [[graft.cdc]]'s test server,
-  * which shares this transport).
+  * Supported algorithm set (interoperable choices OpenSSH enables by
+  * default): kex `curve25519-sha256` (+ the pre-RFC `@libssh.org`
+  * alias) with STRICT KEX (`kex-strict-{c,s}-v00@openssh.com`, the
+  * Terrapin countermeasure: KEXINIT first, nothing skippable
+  * mid-exchange, sequence reset at NEWKEYS), host key `ssh-ed25519`,
+  * cipher `aes128-ctr`, MACs `hmac-sha2-256-etm@openssh.com`
+  * (preferred; verify-before-decrypt) and classic `hmac-sha2-256`,
+  * compression `none`. Interop is proven in-suite against stock
+  * OpenSSH in BOTH MAC formats (`SshWireSpec` drives the real
+  * `ssh -W` through [[graft.cdc]]'s test server, which shares this
+  * transport).
   *
   * Lifecycle mirrors the reference tunnel: one [[Ssh.Client]] per
   * tunnel, `direct-tcpip` channels per destination dial. The capture
