@@ -3,6 +3,8 @@ package graft.qrep
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DateType, TimestampNTZType,
+  TimestampType}
 
 /** One watermark partition: pulls rows with `lo < wmark <= hi` (exclusive
   * start / inclusive end — the reference's adjusted-bounds contract,
@@ -25,14 +27,33 @@ final case class PartitionRange(index: Int, lo: Long, hi: Long) {
   */
 object Partitioner {
 
+  /** Exact Long image of the watermark column — ALL range math runs on
+    * Longs: timestamps → epoch MICROS (an `updated_at` watermark is
+    * the real-world norm, and truncating to seconds double-pulls or
+    * misses same-second rows), dates → epoch days, integrals →
+    * themselves. The reference keeps typed partition ranges
+    * (TimestampPartitionRange, utils/partition.go); one exact Long
+    * image is the Spark-side equivalent, and pushes down to scans
+    * just as well. */
+  def wmarkLong(df: DataFrame, wmarkCol: String): Column =
+    df.schema(wmarkCol).dataType match {
+      case TimestampType => unix_micros(col(wmarkCol))
+      case TimestampNTZType =>
+        unix_micros(col(wmarkCol).cast("timestamp"))
+      case DateType =>
+        datediff(col(wmarkCol), to_date(lit("1970-01-01"))).cast("long")
+      case _ => col(wmarkCol).cast("long")
+    }
+
   /** Uniform min/max split (qrep_partition.go:85-117 + ComputeRanges,
     * partition.go:339-358): arithmetic division of [min,max] into
     * `numPartitions` ranges, remainder spread over the leading ranges. */
   def minMaxRanges(df: DataFrame, wmarkCol: String, numPartitions: Int,
       after: Option[Long] = None): Seq[PartitionRange] = {
-    val filtered = after.fold(df)(a => df.filter(col(wmarkCol) > a))
+    val w = wmarkLong(df, wmarkCol)
+    val filtered = after.fold(df)(a => df.filter(w > a))
     val row = filtered
-      .agg(min(wmarkCol).cast("long"), max(wmarkCol).cast("long"))
+      .agg(min(w).cast("long"), max(w).cast("long"))
       .head()
     if (row.isNullAt(0)) return Nil
     computeRanges(row.getLong(0), row.getLong(1), numPartitions)
@@ -64,9 +85,10 @@ object Partitioner {
     * 100 TB is the one pass this module cannot afford. */
   def ntileRanges(df: DataFrame, wmarkCol: String, numPartitions: Int,
       after: Option[Long] = None): Seq[PartitionRange] = {
-    val filtered = after.fold(df)(a => df.filter(col(wmarkCol) > a))
+    val filtered = after.fold(df)(a =>
+      df.filter(wmarkLong(df, wmarkCol) > a))
     val rows = graft.operators.GlobalRank.withNtile(
-        filtered.select(col(wmarkCol).cast("long").as("w")),
+        filtered.select(wmarkLong(filtered, wmarkCol).as("w")),
         Seq(col("w")), numPartitions)
       .groupBy("bucket")
       .agg(min("w").as("lo"), max("w").as("hi"))
@@ -86,7 +108,8 @@ object Partitioner {
     * nexus/analyzer/src/qrep.rs:75-80). */
   def rowChunkRanges(df: DataFrame, wmarkCol: String, rowsPerPartition: Long,
       after: Option[Long] = None): Seq[PartitionRange] = {
-    val filtered = after.fold(df)(a => df.filter(col(wmarkCol) > a))
+    val filtered = after.fold(df)(a =>
+      df.filter(wmarkLong(df, wmarkCol) > a))
     val total = filtered.count()
     if (total == 0) return Nil
     val n = math.max(1, math.ceil(total.toDouble / rowsPerPartition).toInt)
@@ -109,7 +132,7 @@ object Partitioner {
     * range); on parquet Catalyst pushes each range predicate to the scan. */
   def partitionedPull(df: DataFrame, wmarkCol: String,
       ranges: Seq[PartitionRange]): Seq[DataFrame] =
-    ranges.map(r => df.filter(r.predicate(col(wmarkCol))))
+    ranges.map(r => df.filter(r.predicate(wmarkLong(df, wmarkCol))))
 
   /** NULL-watermark rows can't belong to any range — they get a dedicated
     * partition (qrep_partition.go:75-77,110-114) pulled exactly once, on

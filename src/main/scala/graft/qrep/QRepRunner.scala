@@ -125,7 +125,10 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
           // would lose every srcWins comparison and merge as all-null
           // rows over an existing destination.
           .withColumn(RawTable.Version,
-            coalesce(col(cfg.wmarkColumn).cast("long"), lit(0L)))
+            // the same exact Long image the range math uses — a
+            // timestamp watermark versions at MICROS, not seconds
+            coalesce(Partitioner.wmarkLong(increment, cfg.wmarkColumn),
+              lit(0L)))
           .withColumn(RawTable.IsDeleted, lit(false))
           .withColumn(graft.cdc.Normalizer.AbsentCols,
             array().cast("array<string>"))

@@ -19,6 +19,28 @@ class QRepRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/dest").count() == 150)
   }
 
+  test("TIMESTAMP watermark: sub-second precision survives the range " +
+    "math and incremental resume (updated_at is the real-world " +
+    "watermark; truncation to seconds double-pulls or misses rows)") {
+    val base = tmpDir("qrepts")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "updated_at", s"$base/dest", s"$base/wm", WriteMode.Append, 4))
+    // 100 rows spread across FEWER THAN 100 distinct seconds: several
+    // rows per second, microsecond-distinct
+    val src1 = spark.range(0, 100).selectExpr("id AS k",
+      "timestamp_micros(CAST(1700000000000000 + id * 250000 AS BIGINT))" +
+        " AS updated_at")
+    assert(runner.runOnce(src1) == 100)
+    assert(runner.runOnce(src1) == 0, "re-run must pull nothing")
+    // 40 new rows continuing at 250ms spacing, same-second overlap
+    // with the last pulled second
+    val src2 = spark.range(0, 140).selectExpr("id AS k",
+      "timestamp_micros(CAST(1700000000000000 + id * 250000 AS BIGINT))" +
+        " AS updated_at")
+    assert(runner.runOnce(src2) == 40, "exactly the delta, no re-pull")
+    assert(spark.read.parquet(s"$base/dest").count() == 140)
+  }
+
   test("overwrite mode replaces the destination wholesale") {
     val base = tmpDir("qrepow")
     val runner = new QRepRunner(spark, QRepConfig(
