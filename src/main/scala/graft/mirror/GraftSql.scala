@@ -643,10 +643,13 @@ object GraftSql {
       if (!o.contains(k)) throw new IllegalArgumentException(
         s"CREATE MIRROR (QRep): missing '$k'")
     }
-    if (!q.contains("{{.start}}") || !q.contains("{{.end}}"))
+    val hasLong = q.contains("{{.start}}") && q.contains("{{.end}}")
+    val hasTs = q.contains("{{.start_ts}}") && q.contains("{{.end_ts}}")
+    if (!hasLong && !hasTs)
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): query must carry the {{.start}}/{{.end}} " +
-          "watermark template")
+          "(or {{.start_ts}}/{{.end_ts}} for timestamp watermarks) " +
+          "template")
     if (o.getOrElse("mode", "append") == "upsert" && !o.contains("unique_key"))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): mode 'upsert' requires 'unique_key'")
@@ -703,7 +706,20 @@ object GraftSql {
     val last =
       if (mode == graft.qrep.WriteMode.Overwrite) None
       else new graft.qrep.WatermarkStore(storePath).read()
+    // Timestamp-watermark form: `{{.start_ts}}`/`{{.end_ts}}` render as
+    // timestamp_micros(N) so the user's SQL compares TIMESTAMP to
+    // TIMESTAMP (the reference renders typed bounds into the query the
+    // same way, qrep rendering in flow/workflows/qrep_flow.go). The
+    // stored watermark is the exact micros image
+    // ([[graft.qrep.Partitioner.wmarkLong]]); first-run sentinels clamp
+    // to the representable timestamp range instead of Long min/max.
+    val tsMin = -62135596800000000L // 0001-01-01T00:00:00Z in micros
+    val tsMax = 253402300799999999L // 9999-12-31T23:59:59.999999Z
     val bound = o("__query")
+      .replace("{{.start_ts}}",
+        s"timestamp_micros(${last.map(v => math.max(v + 1, tsMin))
+          .getOrElse(tsMin)}L)")
+      .replace("{{.end_ts}}", s"timestamp_micros(${tsMax}L)")
       .replace("{{.start}}",
         last.map(v => (v + 1).toString)
           .getOrElse((Long.MinValue + 1).toString))

@@ -182,6 +182,50 @@ class GraftSqlSpec extends SparkSpec {
       "weird key" -> "a=b&c\td")) // delimiter chars round-trip encoded
   }
 
+  test("QRep with a TIMESTAMP watermark: the {{.start_ts}}/{{.end_ts}} " +
+    "template binds micros-exact timestamp bounds into the user SQL " +
+    "and sub-second increments resume exactly") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val base = tmpDir("qrepts_sql")
+      s.range(0, 100).selectExpr("id AS k",
+        "timestamp_micros(CAST(1700000000000000 + id * 250000 " +
+          "AS BIGINT)) AS updated_at")
+        .write.parquet(s"$base/src/rows.parquet")
+      s.sql(s"CREATE PEER tsrc TYPE parquet OPTIONS (dir '$base/src')")
+      s.sql(s"CREATE PEER tdst TYPE parquet OPTIONS (dir '$base/dst')")
+      s.sql(
+        "CREATE MIRROR qts FROM tsrc TO tdst FOR " +
+          "$$ SELECT k, updated_at FROM rows WHERE updated_at " +
+          "BETWEEN {{.start_ts}} AND {{.end_ts}} $$ " +
+          "WITH (watermark_column 'updated_at', source_table 'rows', " +
+          s"dest_dir '$base/dest', num_partitions '4')")
+      assert(s.sql("EXECUTE MIRROR qts").head().getLong(0) == 100L)
+      assert(s.sql("EXECUTE MIRROR qts").head().getLong(0) == 0L)
+      // 40 new rows at 250 ms spacing — same-second overlap with the
+      // last pulled second; seconds truncation would re-pull or miss
+      s.range(100, 140).selectExpr("id AS k",
+        "timestamp_micros(CAST(1700000000000000 + id * 250000 " +
+          "AS BIGINT)) AS updated_at")
+        .write.mode("append").parquet(s"$base/src/rows.parquet")
+      assert(s.sql("EXECUTE MIRROR qts").head().getLong(0) == 40L)
+      assert(s.read.parquet(s"$base/dest").count() == 140)
+      s.sql("DROP MIRROR qts"); s.sql("DROP PEER tsrc")
+      s.sql("DROP PEER tdst")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SQL CREATE PEER is durable when spark.graft.catalog.dir is set") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
