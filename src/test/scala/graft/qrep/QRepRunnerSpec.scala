@@ -41,6 +41,20 @@ class QRepRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/dest").count() == 140)
   }
 
+  test("DATE watermark: epoch-day image partitions and resumes") {
+    val base = tmpDir("qrepdate")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "d", s"$base/dest", s"$base/wm", WriteMode.Append, 4))
+    val src1 = spark.range(0, 50).selectExpr("id AS k",
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d")
+    assert(runner.runOnce(src1) == 50)
+    assert(runner.runOnce(src1) == 0)
+    val src2 = spark.range(0, 60).selectExpr("id AS k",
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d")
+    assert(runner.runOnce(src2) == 10)
+    assert(spark.read.parquet(s"$base/dest").count() == 60)
+  }
+
   test("overwrite mode replaces the destination wholesale") {
     val base = tmpDir("qrepow")
     val runner = new QRepRunner(spark, QRepConfig(
