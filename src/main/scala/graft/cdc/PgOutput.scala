@@ -276,6 +276,31 @@ object PgOutput {
     case _ => false
   }
 
+  /** PG array type OID → element OID (pg_type's typelem for the
+    * array kinds the reference replicates — qvalue_convert.go's
+    * array cases). Text-format array literals must decode into JSON
+    * ARRAYS here: a carrier string `"{1,2,3}"` where the payload
+    * schema expects `array<bigint>` would silently from_json to
+    * NULL at normalize — array columns are common (the owners
+    * fixture alone has six). */
+  private[cdc] val arrayElemOid: Map[Int, Int] = Map(
+    1000 -> Oid.Bool, 1001 -> Oid.Bytea, 1005 -> Oid.Int2,
+    1007 -> Oid.Int4, 1016 -> Oid.Int8, 1021 -> Oid.Float4,
+    1022 -> Oid.Float8, 1009 -> Oid.Text, 1015 -> Oid.Varchar,
+    1182 -> Oid.Date, 1183 -> Oid.Time, 1115 -> Oid.Timestamp,
+    1185 -> Oid.TimestampTz, 1231 -> Oid.Numeric, 2951 -> Oid.Uuid,
+    199 -> Oid.Json, 3807 -> Oid.Jsonb)
+
+  private def elementJson(elemOid: Int, v: String): String =
+    elemOid match {
+      case Oid.Bool => if (v == "t") "true" else "false"
+      case Oid.Json | Oid.Jsonb => v // already JSON
+      case oid if jsonBare(oid) =>
+        if (v == "NaN" || v == "Infinity" || v == "-Infinity") "null"
+        else v
+      case _ => "\"" + jsonEscape(v) + "\""
+    }
+
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 2)
     s.foreach {
@@ -322,6 +347,12 @@ object PgOutput {
             if (s == "NaN" || s == "Infinity" || s == "-Infinity")
               Some("null")
             else Some(s)
+          case oid if arrayElemOid.contains(oid) =>
+            val elem = arrayElemOid(oid)
+            Some(graft.functions.PgText.parseArrayLiteral(s).map {
+              case null => "null"
+              case e => elementJson(elem, e)
+            }.mkString("[", ",", "]"))
           case _ => Some("\"" + jsonEscape(s) + "\"")
         }
       case BinaryColumn(b) =>
