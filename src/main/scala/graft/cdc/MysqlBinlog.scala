@@ -75,8 +75,19 @@ object MysqlBinlog {
   final case class TableMap(tableId: Long, schema: String, table: String,
       columnTypes: Array[Int], columnMeta: Array[Int],
       nullable: Array[Boolean], columnNames: Seq[String],
-      signedness: Seq[Boolean]) extends Event {
+      signedness: Seq[Boolean],
+      /** ENUM/SET member names per column index, from the
+        * binlog_row_metadata=FULL ENUM_STR_VALUE / SET_STR_VALUE TLVs
+        * — the reference's EnumStrValueMap/SetStrValueMap
+        * (mysql/cdc.go:853-859). Absent (non-FULL metadata) leaves
+        * ordinals/masks, as go-mysql does without the TLVs. */
+      enumSetValues: Map[Int, Seq[String]] = Map.empty) extends Event {
     def qualifiedName: String = s"$schema.$table"
+    /** The REAL column type: ENUM/SET ride STRING(254) with the real
+      * type in the metadata high byte on modern servers. */
+    def realType(i: Int): Int =
+      if (columnTypes(i) == ColType.StringT) (columnMeta(i) >> 8) & 0xFF
+      else columnTypes(i)
   }
   /** One decoded row image: for each table column, None = not present in
     * the image (MINIMAL row image — the unchanged/skipped case), Some
@@ -232,6 +243,7 @@ object MysqlBinlog {
     // SIGNEDNESS (1) and COLUMN_NAME (4), skip the rest.
     var names = Seq.empty[String]
     var signed = Seq.fill(nCols)(true)
+    val enumSet = scala.collection.mutable.Map.empty[Int, Seq[String]]
     while (b.remaining() > 0) {
       val tlvType = b.get() & 0xFF
       val tlvLen = lenc(b).toInt
@@ -254,10 +266,27 @@ object MysqlBinlog {
             out += new String(bytesOf(body, lenc(body).toInt),
               StandardCharsets.UTF_8)
           names = out.result()
-        case _ => // other TLVs (charsets, enum values, pk, ...) skipped
+        case 5 | 6 => // ENUM_STR_VALUE (5) / SET_STR_VALUE (6): for
+          // each enum (resp. set) column in order: lenc count, then
+          // count lenc-prefixed member names
+          val want = if (tlvType == 5) ColType.Enum else ColType.Set
+          def realType(i: Int): Int =
+            if (types(i) == ColType.StringT) (meta(i) >> 8) & 0xFF
+            else types(i)
+          val colIdx = types.indices.filter(realType(_) == want)
+          colIdx.foreach { i =>
+            if (body.remaining() > 0) {
+              val n = lenc(body).toInt
+              enumSet += i -> (0 until n).map(_ =>
+                new String(bytesOf(body, lenc(body).toInt),
+                  StandardCharsets.UTF_8))
+            }
+          }
+        case _ => // other TLVs (charsets, pk, ...) skipped
       }
     }
-    TableMap(tableId, schema, table, types, meta, nullable, names, signed)
+    TableMap(tableId, schema, table, types, meta, nullable, names,
+      signed, enumSet.toMap)
   }
 
   private def isNumeric(t: Int): Boolean = t match {
@@ -294,8 +323,9 @@ object MysqlBinlog {
         else {
           val isNull = nulls(k); k += 1
           if (isNull) Some(None)
-          else Some(Some(decodeValue(b, tm.columnTypes(i),
-            tm.columnMeta(i), tm.signedness.lift(i).getOrElse(true))))
+          else Some(Some(renderEnumSet(tm, i,
+            decodeValue(b, tm.columnTypes(i),
+              tm.columnMeta(i), tm.signedness.lift(i).getOrElse(true)))))
         }
       })
     }
@@ -361,6 +391,28 @@ object MysqlBinlog {
     while (i < n) { v = (v << 8) | (b.get() & 0xFFL); i += 1 }
     v
   }
+
+  /** Map a decoded ENUM ordinal / SET bitmask to its member names
+    * when FULL row metadata supplied them (QValueFromMysqlRowEvent's
+    * enum/set cases); without the TLVs the ordinal stays, matching
+    * go-mysql. ENUM ordinals are 1-based, 0 = the invalid-empty
+    * value; SET renders as the comma-joined member list. */
+  private def renderEnumSet(tm: TableMap, i: Int, raw: String): String =
+    tm.enumSetValues.get(i) match {
+      case None => raw
+      case Some(values) => tm.realType(i) match {
+        case ColType.Enum =>
+          val ord = raw.toLong.toInt
+          quoted(if (ord >= 1 && ord <= values.length) values(ord - 1)
+            else "")
+        case ColType.Set =>
+          val mask = raw.toLong
+          quoted(values.zipWithIndex.collect {
+            case (v, k) if (mask & (1L << k)) != 0 => v
+          }.mkString(","))
+        case _ => raw
+      }
+    }
 
   def decodeValue(b: ByteBuffer, colType: Int, meta: Int,
       signed: Boolean): String = colType match {
@@ -693,6 +745,26 @@ object MysqlBinlog {
       }
       val nb = nw.bytes
       w.u8(4).lenc(nb.length.toLong).raw(nb)
+    }
+    // ENUM_STR_VALUE (5) / SET_STR_VALUE (6), per column in order
+    Seq(ColType.Enum -> 5, ColType.Set -> 6).foreach {
+      case (want, tlv) =>
+        val cols = tm.columnTypes.indices
+          .filter(i => tm.realType(i) == want)
+          .filter(tm.enumSetValues.contains)
+        if (cols.nonEmpty) {
+          val vw = new W
+          cols.foreach { i =>
+            val vs = tm.enumSetValues(i)
+            vw.lenc(vs.length.toLong)
+            vs.foreach { v =>
+              val vb = v.getBytes(StandardCharsets.UTF_8)
+              vw.lenc(vb.length.toLong).raw(vb)
+            }
+          }
+          val vb = vw.bytes
+          w.u8(tlv).lenc(vb.length.toLong).raw(vb)
+        }
     }
     withHeader(timestampSec, Ev.TableMap, logPos, w.bytes)
   }

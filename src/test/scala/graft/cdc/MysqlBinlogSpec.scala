@@ -29,6 +29,50 @@ class MysqlBinlogSpec extends AnyFunSuite {
   private def fde = encodeFormatDescription(100L, 120L)
   private def tmEv = encodeTableMap(100L, 200L, tm)
 
+  test("ENUM/SET with FULL row metadata: ordinals and bitmasks decode " +
+    "to member names (ENUM_STR_VALUE/SET_STR_VALUE TLVs); without the " +
+    "TLVs the ordinal passes through, as go-mysql behaves") {
+    import MysqlBinlog._
+    // status ENUM('new','paid','void') rides STRING(254) with the real
+    // type in the metadata high byte; tags SET('a','b','c') likewise
+    val enumMeta = (ColType.Enum << 8) | 1
+    val setMeta = (ColType.Set << 8) | 1
+    val tmFull = TableMap(9L, "app", "o",
+      Array(ColType.LongLong, ColType.StringT, ColType.StringT),
+      Array(0, enumMeta, setMeta), Array(false, true, true),
+      Seq("id", "status", "tags"), Seq(true, true, true),
+      enumSetValues = Map(
+        1 -> Seq("new", "paid", "void"),
+        2 -> Seq("a", "b", "c")))
+    // TLVs round-trip through the binary TABLE_MAP encoding
+    val (_, parsedEv) = parse(encodeTableMap(1L, 10L, tmFull), _ => None)
+    val parsed = parsedEv.asInstanceOf[TableMap]
+    assert(parsed.enumSetValues == tmFull.enumSetValues)
+
+    val (_, rowsEv) = parse(encodeRows(1L, 20L, Ev.WriteRowsV2,
+      tmFull, Seq(Seq(
+        Some(Some(fLong(1L))),
+        Some(Some(fEnum(2, 1))), // ordinal 2 → 'paid'
+        Some(Some(fSet(0x5L, 1))) // bits 0+2 → 'a,c'
+      ))), _ => Some(parsed))
+    val img = rowsEv.asInstanceOf[WriteRows].rows.head.cols
+    assert(img(1) == Some(Some("\"paid\"")))
+    assert(img(2) == Some(Some("\"a,c\"")))
+
+    // no TLVs → ordinals stay (non-FULL metadata servers)
+    val tmBare = tmFull.copy(enumSetValues = Map.empty)
+    val (_, bareEv) = parse(encodeRows(1L, 30L, Ev.WriteRowsV2,
+      tmBare, Seq(Seq(
+        Some(Some(fLong(1L))),
+        Some(Some(fEnum(2, 1))),
+        Some(Some(fSet(0x5L, 1)))
+      ))), _ => Some(tmBare))
+    assert(bareEv.asInstanceOf[WriteRows].rows.head.cols(1)
+      == Some(Some("2")))
+    assert(bareEv.asInstanceOf[WriteRows].rows.head.cols(2)
+      == Some(Some("5")))
+  }
+
   test("table map round-trips: types, metadata, names, signedness") {
     val d = freshDecoder()
     d.feed(fde)
