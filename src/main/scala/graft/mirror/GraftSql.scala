@@ -582,6 +582,22 @@ object GraftSql {
             s"${cfg.walDir} unreachable (no WAL written yet?)")
           ""
         }
+        // destination compatibility (ValidateMirrorDestination,
+        // validate.go:276-376): missing dest = fine, snapshot into
+        // non-empty dest blocks, source columns must exist with
+        // compatible (superset) types, extra dest columns are fine
+        check("destination_compat") {
+          val wantSnapshot = entry.options
+            .get("do_initial_snapshot").exists(_.toBoolean) ||
+            entry.options
+              .get("initial_snapshot_only").exists(_.toBoolean)
+          val findings = DestValidation.validate(spark, cfg,
+            wantSnapshot)
+          if (findings.nonEmpty)
+            throw new IllegalArgumentException(
+              findings.mkString("; "))
+          ""
+        }
         // live capture endpoints get a pre-flight connectivity probe
         // (CheckReplicationConnectivity, validate_mirror.go) through
         // the SAME transport stack the pump will use — ssh tunnel and,

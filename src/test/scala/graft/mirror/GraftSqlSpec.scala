@@ -768,7 +768,7 @@ class GraftSqlSpec extends SparkSpec {
       val v1 = s.sql("VALIDATE MIRROR val_m").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(v1 == Map("config" -> "valid", "pk_in_schema" -> "valid",
-        "wal_dir" -> "valid"))
+        "wal_dir" -> "valid", "destination_compat" -> "valid"))
       // a mirror whose pk is not in the schema reports the failing check
       s.sql(s"""CREATE MIRROR val_bad WITH (wal_dir '$base/no_wal',
                |  dest_dir '$base/dest2', checkpoint_dir '$base/ckpt2',
