@@ -598,6 +598,29 @@ object GraftSql {
               findings.mkString("; "))
           ""
         }
+        // MySQL server_id collisions across mirrors sharing a source
+        // (api_test.go TestValidateCDCMirror_ServerIDPeerReuse): two
+        // replicas with one server_id fight — the server disconnects
+        // the earlier one, so the collision must fail validation, not
+        // flap at runtime
+        cfg.captureDir.filter(_.startsWith("mysql://")).foreach { url =>
+          check("server_id_unique") {
+            val ep = graft.cdc.CaptureEndpoint.parse(url)
+            val mine = ep.param("server_id", "1000")
+            val clash = mirrorsFor(spark).list
+              .filter(_.name != n)
+              .flatMap(_.options.get("capture_dir"))
+              .filter(_.startsWith("mysql://"))
+              .map(graft.cdc.CaptureEndpoint.parse)
+              .find(o => o.host == ep.host && o.port == ep.port &&
+                o.param("server_id", "1000") == mine)
+            if (clash.isDefined) throw new IllegalArgumentException(
+              s"server_id $mine already used by another mirror on " +
+                s"${ep.host}:${ep.port} — MySQL disconnects duplicate " +
+                "replica ids; pick a distinct server_id")
+            ""
+          }
+        }
         // live capture endpoints get a pre-flight connectivity probe
         // (CheckReplicationConnectivity, validate_mirror.go) through
         // the SAME transport stack the pump will use — ssh tunnel and,

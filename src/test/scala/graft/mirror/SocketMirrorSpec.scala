@@ -284,6 +284,34 @@ class SocketMirrorSpec extends SparkSpec {
     } finally { bastion.stop(); server.close() }
   }
 
+  test("VALIDATE MIRROR flags MySQL server_id reuse across mirrors " +
+    "on the same source (the server disconnects duplicate replicas)") {
+    val base = tmpDir("srvid")
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"no parse: $sql")))
+    def mk(name: String, sid: Int) = run(
+      s"""CREATE MIRROR $name WITH (
+         |  wal_dir '$base/wal_$name', dest_dir '$base/dest_$name',
+         |  checkpoint_dir '$base/ckpt_$name', pk 'id', table 'd',
+         |  schema 'id BIGINT',
+         |  capture_dir 'mysql://u:p@10.0.0.9:3306?server_id=$sid')"""
+        .stripMargin)
+    Seq("a", "b").foreach(n => graft.util.FsText.write(
+      s"$base/wal_$n/changes-0.jsonl", "",
+      spark.sparkContext.hadoopConfiguration))
+    mk("a", 777); mk("b", 777)
+    val rows = run("VALIDATE MIRROR b")
+    val sid = rows.find(_.getString(0) == "server_id_unique").get
+    assert(sid.getString(1) == "invalid")
+    assert(sid.getString(2).contains("777"))
+    // distinct ids validate clean
+    run("DROP MIRROR b"); mk("b2", 778)
+    val ok = run("VALIDATE MIRROR b2")
+      .find(_.getString(0) == "server_id_unique").get
+    assert(ok.getString(1) == "valid")
+    run("DROP MIRROR a"); run("DROP MIRROR b2")
+  }
+
   test("capture endpoint parsing: credentials, database, and params") {
     val ep = graft.cdc.CaptureEndpoint.parse(
       "pgwire://u:pw@h.example:5432/db?slot=s&publication=p")
