@@ -768,7 +768,9 @@ object GraftSql {
       destDir = destDir,
       wmarkStorePath = storePath,
       mode = mode,
-      numPartitions = o.get("num_partitions").map(_.toInt).getOrElse(8))
+      numPartitions = o.get("num_partitions").map(_.toInt).getOrElse(8),
+      rowsPerPartition =
+        o.get("num_rows_per_partition").map(_.toLong))
     val moved = new graft.qrep.QRepRunner(sess, cfg)
       .runOnce(sess.sql(bound))
     Seq(Row(moved))

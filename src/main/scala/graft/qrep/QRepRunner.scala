@@ -50,6 +50,11 @@ final case class QRepConfig(
     wmarkStorePath: String,
     mode: WriteMode = WriteMode.Append,
     numPartitions: Int = 8,
+    /** Rows-per-partition chunking instead of a fixed partition count
+      * — the analyzer's `num_rows_per_partition` QRep option
+      * (nexus/analyzer/src/qrep.rs); None keeps min/max division by
+      * [[numPartitions]]. */
+    rowsPerPartition: Option[Long] = None,
     /** Durable replication-stats catalog dir ([[graft.mirror.StatsCatalog]],
       * the qrep_runs / qrep_partitions tables). None = stats disabled. */
     statsDir: Option[String] = None,
@@ -65,8 +70,12 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
   /** One replication round over `source`; returns rows moved. */
   def runOnce(source: DataFrame): Long = {
     val last = store.read()
-    val ranges = Partitioner.minMaxRanges(
-      source, cfg.wmarkColumn, cfg.numPartitions, after = last)
+    val ranges = cfg.rowsPerPartition match {
+      case Some(rows) => Partitioner.rowChunkRanges(
+        source, cfg.wmarkColumn, rows, after = last)
+      case None => Partitioner.minMaxRanges(
+        source, cfg.wmarkColumn, cfg.numPartitions, after = last)
+    }
     // Dedicated NULL-watermark partition, first run only (those rows
     // never advance the watermark and must not be re-pulled).
     val nullPart =

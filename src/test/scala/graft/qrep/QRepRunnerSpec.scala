@@ -55,6 +55,24 @@ class QRepRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/dest").count() == 60)
   }
 
+  test("num_rows_per_partition chunks by row count (stats catalog " +
+    "records one partition per chunk)") {
+    val base = tmpDir("qrepchunk")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/dest", s"$base/wm", WriteMode.Append, 4,
+      rowsPerPartition = Some(30L),
+      statsDir = Some(s"$base/stats"), flowName = "chunked"))
+    val src = spark.range(1, 101).selectExpr("id AS k", "id * 2 AS v")
+    assert(runner.runOnce(src) == 100)
+    val st = new graft.mirror.StatsCatalog(s"$base/stats",
+      spark.sparkContext.hadoopConfiguration)
+    // 100 rows at 30/partition → 4 chunks, plus the first-run
+    // NULL-watermark partition the runner always schedules
+    assert(st.table(spark, "qrep_partitions").count() == 5)
+    assert(spark.read.parquet(s"$base/dest").count() == 100)
+    assert(runner.runOnce(src) == 0)
+  }
+
   test("overwrite mode replaces the destination wholesale") {
     val base = tmpDir("qrepow")
     val runner = new QRepRunner(spark, QRepConfig(
