@@ -729,6 +729,16 @@ object GraftSql {
       .createOrReplaceTempView(table)
     val destDir = o("dest_dir")
     val storePath = s"$destDir/_graft_wmark"
+    // initial_copy_only (the analyzer's QRep option): ONE full load,
+    // then the mirror is COMPLETE — later rounds are no-ops and RESUME
+    // never starts a refresh loop (qrep.rs / the reference's
+    // initial-copy-then-finish workflow shape)
+    val copyOnly = o.get("initial_copy_only").exists(_.toBoolean)
+    val doneMarker = s"$destDir/_graft_copy_complete"
+    val hc = spark.sparkContext.hadoopConfiguration
+    if (copyOnly &&
+        graft.util.FsText.read(doneMarker, hc).isDefined)
+      return Seq(Row(0L))
     val mode = o.getOrElse("mode", "append") match {
       case "append" => graft.qrep.WriteMode.Append
       case "overwrite" => graft.qrep.WriteMode.Overwrite
@@ -773,6 +783,8 @@ object GraftSql {
         o.get("num_rows_per_partition").map(_.toLong))
     val moved = new graft.qrep.QRepRunner(sess, cfg)
       .runOnce(sess.sql(bound))
+    if (copyOnly)
+      graft.util.FsText.write(doneMarker, "complete", hc)
     Seq(Row(moved))
   }
   /** Live continuous-run handles (state machine of the pause/resume
@@ -1151,7 +1163,10 @@ object GraftSql {
             }
           case None => () => executeQRep(spark, entry).head.getLong(0)
         }
-        qrepHandles.getOrElseUpdate(key,
+        if (entry.options.get("initial_copy_only").exists(_.toBoolean)) {
+          // no refresh loop to start: run the (idempotent) copy once
+          round()
+        } else qrepHandles.getOrElseUpdate(key,
           new graft.qrep.QRepScheduler(round, interval).start())
       } else {
         require(!entry.options.get("initial_snapshot_only")
@@ -1207,7 +1222,15 @@ object GraftSql {
               case Some(s) if s.isAlive => "running"
               case Some(s) => "error: " + s.lastError
                 .map(_.toString).getOrElse("loop stopped")
-              case None => "idle"
+              case None =>
+                // an initial-copy-only mirror that finished its one
+                // load is COMPLETED, not idle
+                val done = p.options.get("initial_copy_only")
+                  .exists(_.toBoolean) &&
+                  p.options.get("dest_dir").exists(d =>
+                    graft.util.FsText.read(s"$d/_graft_copy_complete",
+                      spark.sparkContext.hadoopConfiguration).isDefined)
+                if (done) "completed" else "idle"
             }
           else handles.get(handleKey(spark, p.name)) match {
             case Some(h) if h.isActive => "running"

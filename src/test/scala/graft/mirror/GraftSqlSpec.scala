@@ -226,6 +226,49 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("initial_copy_only QRep: one full load completes the mirror — " +
+    "later EXECUTEs are no-ops, RESUME starts no loop, SHOW MIRRORS " +
+    "says completed") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val base = tmpDir("qrep_ico")
+      (1L to 50L).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$base/src/items.parquet")
+      s.sql(s"CREATE PEER icos TYPE parquet OPTIONS (dir '$base/src')")
+      s.sql(s"CREATE PEER icod TYPE parquet OPTIONS (dir '$base/dst')")
+      s.sql(
+        "CREATE MIRROR ico FROM icos TO icod FOR " +
+          "$$ SELECT id, v FROM items " +
+          "WHERE id BETWEEN {{.start}} AND {{.end}} $$ " +
+          "WITH (watermark_column 'id', source_table 'items', " +
+          s"dest_dir '$base/dest', initial_copy_only 'true')")
+      assert(s.sql("EXECUTE MIRROR ico").head().getLong(0) == 50L)
+      // the copy is done: source growth must NOT replicate
+      (51L to 60L).map(i => (i, i)).toDF("id", "v")
+        .write.mode("append").parquet(s"$base/src/items.parquet")
+      assert(s.sql("EXECUTE MIRROR ico").head().getLong(0) == 0L)
+      assert(s.read.parquet(s"$base/dest").count() == 50)
+      s.sql("RESUME MIRROR ico") // must not start a refresh loop
+      val st = s.sql("SHOW MIRRORS").collect()
+        .find(_.getString(0) == "ico").get.getString(3)
+      assert(st == "completed", s"status was $st")
+      s.sql("DROP MIRROR ico")
+      s.sql("DROP PEER icos"); s.sql("DROP PEER icod")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SQL CREATE PEER is durable when spark.graft.catalog.dir is set") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
