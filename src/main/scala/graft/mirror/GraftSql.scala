@@ -455,15 +455,27 @@ object GraftSql {
       // (TableMapping source→destination pairs); the partitioned-table
       // case maps each leaf partition to the root's destination
       tableRoutes = o.get("table_map").map { spec =>
-        spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map {
-          kv => kv.split(":", 2) match {
-            case Array(src, dst)
-                if src.trim.nonEmpty && dst.trim.nonEmpty =>
-              src.trim -> dst.trim
-            case _ => throw new IllegalArgumentException(
-              s"CREATE MIRROR: table_map entry '$kv' must be src:dest")
-          }
-        }.toMap
+        val pairs = spec.split(",").iterator.map(_.trim)
+          .filter(_.nonEmpty).map { kv =>
+            kv.split(":", 2) match {
+              case Array(src, dst)
+                  if src.trim.nonEmpty && dst.trim.nonEmpty =>
+                src.trim -> dst.trim
+              case _ => throw new IllegalArgumentException(
+                s"CREATE MIRROR: table_map entry '$kv' must be src:dest")
+            }
+          }.toSeq
+        // a duplicated SOURCE would silently drop one route in the Map
+        // (TestMirrorValidation_InvalidTableMappings: duplicates are a
+        // config error, not a coin flip); many→one DESTINATIONS remain
+        // legal — that is exactly the partition-routing case
+        val dups = pairs.groupBy(_._1).collect {
+          case (src, rs) if rs.size > 1 => src
+        }
+        if (dups.nonEmpty) throw new IllegalArgumentException(
+          "CREATE MIRROR: table_map lists source(s) " +
+            s"${dups.mkString(", ")} more than once")
+        pairs.toMap
       }.getOrElse(Map.empty))
   }
   /** Initial-load phase — do_initial_snapshot / initial_snapshot_only

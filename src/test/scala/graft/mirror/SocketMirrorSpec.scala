@@ -312,6 +312,26 @@ class SocketMirrorSpec extends SparkSpec {
     run("DROP MIRROR a"); run("DROP MIRROR b2")
   }
 
+  test("table_map rejects duplicated sources at DDL time (a Map " +
+    "would silently drop one route); many-to-one destinations stay " +
+    "legal for partition routing") {
+    val base = tmpDir("tmdup")
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"no parse: $sql")))
+    def ddl(name: String, tm: String) =
+      s"""CREATE MIRROR $name WITH (
+         |  wal_dir '$base/wal', dest_dir '$base/dest_$name',
+         |  checkpoint_dir '$base/ckpt_$name', pk 'id', table 'd',
+         |  schema 'id BIGINT', table_map '$tm')""".stripMargin
+    val e = intercept[Exception](
+      run(ddl("dup", "public.a:x,public.a:y")))
+    assert(e.getMessage.contains("more than once"))
+    // leaves→root (duplicate DESTINATION) is the partition case — fine
+    run(ddl("fan", "public.p1:root,public.p2:root"))
+    GraftSql.execute(spark,
+      GraftSql.parse("DROP MIRROR fan").get)
+  }
+
   test("capture endpoint parsing: credentials, database, and params") {
     val ep = graft.cdc.CaptureEndpoint.parse(
       "pgwire://u:pw@h.example:5432/db?slot=s&publication=p")
