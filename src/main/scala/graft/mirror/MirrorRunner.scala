@@ -458,19 +458,36 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           // spawning pgwire session must not scope this pump)
           spark.sparkContext.clearJobGroup()
           try {
+            // Live endpoints FAIL TRANSIENTLY (connect refused during
+            // a restart, a dropped socket): one blip must not kill the
+            // pump — the reference's pull activity retries under
+            // Temporal. Failures are durable flow_errors rows as they
+            // happen; only a SUSTAINED outage (maxConsecutive straight
+            // failures, i.e. the endpoint is gone, or a corrupt
+            // capture file that fails every tick) stops the pump. The
+            // stream keeps draining what the WAL holds either way and
+            // SHOW MIRRORS stays 'running'.
+            val maxConsecutive = 20
+            var failures = 0
             while (!Thread.interrupted() && isActive) {
-              ingestCapture()
-              metricsTick() // lag gauges track the pump cadence
+              try {
+                ingestCapture()
+                failures = 0
+                metricsTick() // lag gauges track the pump cadence
+              } catch {
+                case e: InterruptedException => throw e
+                case e: Exception =>
+                  failures += 1
+                  stats.foreach(_.logFlowError(cfg.flow,
+                    s"capture pull failed " +
+                      s"($failures/$maxConsecutive): ${e.getMessage}"))
+                  if (failures >= maxConsecutive) throw e
+              }
               Thread.sleep(capturePumpIntervalMs)
             }
           } catch {
             case _: InterruptedException =>
             case e: Exception =>
-              // a corrupt capture file must not fail SILENTLY: land the
-              // error durably (InsertFlowLog contract) — the stream
-              // keeps draining what the WAL already holds, SHOW MIRRORS
-              // stays 'running', and the flow_errors row tells the
-              // operator why the capture stopped advancing
               stats.foreach(_.logFlowError(cfg.flow,
                 s"capture pump stopped: ${e.getMessage}"))
           }
