@@ -187,9 +187,25 @@ final class QRepScheduler(body: () => Long, refreshIntervalMs: Long) {
     org.apache.spark.sql.SparkSession.getDefaultSession
       .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
       .foreach(_.sparkContext.clearJobGroup())
+    // Transient round failures RETRY at the refresh cadence (the
+    // reference's Temporal retry posture; a snapshot source being
+    // briefly unreadable must not permanently stop the loop). Each
+    // failure is observable via lastError while the loop lives; only
+    // maxConsecutive straight failures stop it for SHOW MIRRORS to
+    // surface. A success clears both counters.
+    val maxConsecutive = 20
+    var consecutive = 0
     while (!stopped) {
-      try rowsMoved += body()
-      catch { case e: Throwable => failure = Some(e); stopped = true }
+      try {
+        rowsMoved += body()
+        consecutive = 0
+        failure = None
+      } catch {
+        case e: Throwable =>
+          failure = Some(e)
+          consecutive += 1
+          if (consecutive >= maxConsecutive) stopped = true
+      }
       rounds += 1
       val deadline = System.currentTimeMillis() + refreshIntervalMs
       while (!stopped && System.currentTimeMillis() < deadline)

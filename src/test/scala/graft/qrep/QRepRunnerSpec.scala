@@ -73,6 +73,35 @@ class QRepRunnerSpec extends SparkSpec {
     assert(runner.runOnce(src) == 0)
   }
 
+  test("scheduler retries transient round failures (alive with " +
+    "lastError visible, success clears it); a sustained failure " +
+    "streak stops the loop for SHOW MIRRORS to surface") {
+    // fails 3 rounds then succeeds forever
+    var calls = 0
+    val flaky = new QRepScheduler(() => {
+      calls += 1
+      if (calls <= 3) throw new RuntimeException(s"blip $calls")
+      1L
+    }, refreshIntervalMs = 10L).start()
+    val deadline = System.currentTimeMillis + 10000
+    while (flaky.progress._2 < 2 &&
+      System.currentTimeMillis < deadline) Thread.sleep(10)
+    assert(flaky.isAlive, "loop must survive transient failures")
+    assert(flaky.progress._2 >= 2, "rounds after recovery must count")
+    assert(flaky.lastError.isEmpty, "success clears lastError")
+    flaky.stop(); flaky.awaitStopped()
+
+    // permanent failure: stops after the consecutive cap, error kept
+    val dead = new QRepScheduler(
+      () => throw new RuntimeException("gone"),
+      refreshIntervalMs = 1L).start()
+    val d2 = System.currentTimeMillis + 15000
+    while (dead.isAlive && System.currentTimeMillis < d2)
+      Thread.sleep(10)
+    assert(!dead.isAlive, "sustained failure must stop the loop")
+    assert(dead.lastError.exists(_.getMessage == "gone"))
+  }
+
   test("overwrite mode replaces the destination wholesale") {
     val base = tmpDir("qrepow")
     val runner = new QRepRunner(spark, QRepConfig(
