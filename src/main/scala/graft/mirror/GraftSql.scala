@@ -1246,6 +1246,11 @@ object GraftSql {
             }
           else handles.get(handleKey(spark, p.name)) match {
             case Some(h) if h.isActive => "running"
+            case Some(h) if h.lastError.isDefined =>
+              // the stream DIED (e.g. a corrupt WAL record): lying
+              // "paused" hides an outage from the operator
+              "error: " + h.lastError.get.getMessage.linesIterator
+                .take(1).mkString
             case Some(_) => "paused"
             case None => "idle"
           }

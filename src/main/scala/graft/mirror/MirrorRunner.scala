@@ -503,6 +503,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       pump = None
     }
     def isActive: Boolean = query.exists(_.isActive)
+    /** The terminating exception, if the stream DIED rather than was
+      * paused — the difference between "paused" and "error" in
+      * SHOW MIRRORS (a crashed mirror must not report as paused). */
+    def lastError: Option[Throwable] =
+      query.flatMap(q => Option(q.exception.orNull))
   }
 
   def handle(trigger: Trigger): Handle = handle(trigger, 0L)

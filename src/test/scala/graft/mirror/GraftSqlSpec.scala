@@ -269,6 +269,50 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("a DEAD stream surfaces as error in SHOW MIRRORS, not " +
+    "'paused' (a corrupt WAL segment must be loud)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val wal = tmpDir("deadwal")
+      val base = tmpDir("deadmirror")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 1, "1", 1000, 1, "t", "d",
+          """{"id":1,"v":10}""", null, Nil)))
+      s.sql(s"""CREATE MIRROR deadm WITH (
+               |  wal_dir '$wal', dest_dir '$base/dest',
+               |  checkpoint_dir '$base/ckpt', pk 'id', table 'd',
+               |  schema 'id BIGINT, v BIGINT')""".stripMargin)
+      s.sql("RESUME MIRROR deadm")
+      def status(): String = s.sql("SHOW MIRRORS").collect()
+        .find(_.getString(0) == "deadm").get.getString(3)
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis + 30000
+        while (!cond && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(cond, s"$what (status=${status()})")
+      }
+      await(status() == "running", "stream must start")
+      // a torn/corrupt segment: not enough separator-joined fields
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(wal, "999999.wal"),
+        ("garbage not a wal line" + "\n").getBytes)
+      await(status().startsWith("error:"),
+        "dead stream must report error")
+      s.sql("DROP MIRROR deadm")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SQL CREATE PEER is durable when spark.graft.catalog.dir is set") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
