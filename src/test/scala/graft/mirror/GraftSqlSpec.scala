@@ -304,6 +304,20 @@ class GraftSqlSpec extends SparkSpec {
         ("garbage not a wal line" + "\n").getBytes)
       await(status().startsWith("error:"),
         "dead stream must report error")
+      // operator repairs the WAL and RESUMEs: the handle replaces the
+      // dead query and drains from the checkpoint
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(wal, "999999.wal"))
+      s.sql("RESUME MIRROR deadm")
+      await(status() == "running", "repaired mirror must resume")
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(0, 2, "2", 2000, 2, "t", "d",
+          """{"id":2,"v":20}""", null, Nil)))
+      await(try s.read.parquet(s"$base/dest")
+        .filter("NOT _peerdb_is_deleted").count() == 2
+      catch { case _: Exception => false },
+        "post-repair records must land")
+      s.sql("PAUSE MIRROR deadm")
       s.sql("DROP MIRROR deadm")
     } finally {
       SparkSession.clearActiveSession()
