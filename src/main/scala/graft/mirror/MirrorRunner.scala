@@ -483,7 +483,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
                       s"($failures/$maxConsecutive): ${e.getMessage}"))
                   if (failures >= maxConsecutive) throw e
               }
-              Thread.sleep(capturePumpIntervalMs)
+              // failures back off linearly (capped) so the cap spans
+              // MINUTES of outage regardless of a fast pump cadence —
+              // 20 ticks at a 100 ms interval would only tolerate 2 s
+              Thread.sleep(math.max(capturePumpIntervalMs,
+                math.min(1000L * failures, 10000L)))
             }
           } catch {
             case _: InterruptedException =>
