@@ -623,7 +623,10 @@ object GraftSql {
               .filter(_.name != n)
               .flatMap(_.options.get("capture_dir"))
               .filter(_.startsWith("mysql://"))
-              .map(graft.cdc.CaptureEndpoint.parse)
+              // another mirror's malformed URL is ITS problem — it
+              // must not fail THIS mirror's validation
+              .flatMap(u => scala.util.Try(
+                graft.cdc.CaptureEndpoint.parse(u)).toOption)
               .find(o => o.host == ep.host && o.port == ep.port &&
                 o.param("server_id", "1000") == mine)
             if (clash.isDefined) throw new IllegalArgumentException(
