@@ -259,6 +259,14 @@ class GraftSqlSpec extends SparkSpec {
       val st = s.sql("SHOW MIRRORS").collect()
         .find(_.getString(0) == "ico").get.getString(3)
       assert(st == "completed", s"status was $st")
+      // RESYNC re-runs the one copy against CURRENT source state (the
+      // dst_table_full_resync semantics): marker + watermark swap in
+      // with the fresh dir, so the mirror completes again
+      s.sql("RESYNC MIRROR ico")
+      assert(s.read.parquet(s"$base/dest").count() == 60)
+      assert(s.sql("EXECUTE MIRROR ico").head().getLong(0) == 0L)
+      assert(s.sql("SHOW MIRRORS").collect()
+        .find(_.getString(0) == "ico").get.getString(3) == "completed")
       s.sql("DROP MIRROR ico")
       s.sql("DROP PEER icos"); s.sql("DROP PEER icod")
     } finally {
