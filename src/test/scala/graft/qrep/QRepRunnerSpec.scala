@@ -41,6 +41,32 @@ class QRepRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/dest").count() == 140)
   }
 
+  test("TIMESTAMP watermark + upsert: updated rows past the high-water " +
+    "mark re-pull and their MICROS-stamped versions win the merge") {
+    val base = tmpDir("qreptsup")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "updated_at", s"$base/dest", s"$base/wm",
+      WriteMode.Upsert(Seq("k")), 4))
+    def src(v: String, extraMicros: Long) =
+      spark.range(0, 10).selectExpr("id AS k", s"'$v' AS payload",
+        "timestamp_micros(CAST(1700000000000000 + id * 250000 + " +
+          s"$extraMicros AS BIGINT)) AS updated_at")
+    assert(runner.runOnce(src("old", 0)) == 10)
+    // all rows updated past the watermark, sub-second apart — the
+    // upsert version must be the exact micros image (a cast-to-long
+    // timestamp is an ANALYSIS ERROR; a seconds image would still
+    // order these, but only micros matches the stored watermark and
+    // re-pulls exactly the delta)
+    assert(runner.runOnce(src("new", 3 * 1000000L)) == 10)
+    val out = spark.read.parquet(s"$base/dest")
+      .filter("NOT _peerdb_is_deleted")
+    assert(out.count() == 10)
+    assert(out.filter("payload = 'new'").count() == 10,
+      "re-pulled updates must win the merge")
+    // steady state: nothing re-pulls
+    assert(runner.runOnce(src("new", 3 * 1000000L)) == 0)
+  }
+
   test("DATE watermark: epoch-day image partitions and resumes") {
     val base = tmpDir("qrepdate")
     val runner = new QRepRunner(spark, QRepConfig(
