@@ -40,11 +40,14 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * transport).
   *
   * Lifecycle mirrors the reference tunnel: one [[Ssh.Client]] per
-  * tunnel, `direct-tcpip` channels per destination dial. The capture
-  * pump opens one tunnel per pull tick (the same cadence it opens the
-  * DB socket), so mid-session rekeying — which OpenSSH initiates only
-  * after 1 GiB or 1 h on a channel — is out of scope and refused
-  * loudly rather than mis-handled.
+  * tunnel, `direct-tcpip` channels per destination dial. Mid-session
+  * re-keying (RFC 4253 §9) is handled transparently in both roles —
+  * OpenSSH initiates it after ~1 GiB or 1 h on a connection, which a
+  * single large catch-up pull (the reference's "100s of GB" initial
+  * loads) crosses many times; the exchange runs on the reader thread
+  * while channel writers block on the transport write lock for one
+  * round trip, exactly the behavior `golang.org/x/crypto/ssh` gives
+  * the reference for free.
   *
   * The returned channel [[Socket]] supports `setSoTimeout` (a silent
   * read window means the tunnel is dead — the deadline discipline of
@@ -374,8 +377,15 @@ object Ssh {
       * injected by a MITM desynchronizes the MACs instead of
       * silently shifting the stream. Exercised for real by the
       * stock-OpenSSH interop test (Debian 9.2p1-deb12uN carries the
-      * backport). */
+      * backport). Negotiated ONLY by the initial KEXINIT (the marker
+      * is a no-op in re-key exchanges, per OpenSSH's PROTOCOL doc)
+      * and then applies to every NEWKEYS including re-keys. */
     private var strictKex = false
+    /** Rekey context, captured at the initial exchange: the client's
+      * host-key pin (re-checked on every re-key, as OpenSSH does) and
+      * the server's host key (re-offered on every re-key). */
+    private var clientPin: Option[String] = None
+    private var serverHostKey: KeyPair = _
 
     /** Version string exchange. The server side may be preceded by
       * banner lines (RFC 4253 §4.2) — the client skips until an
@@ -581,8 +591,9 @@ object Ssh {
           s"ssh: no common $what algorithm (client: " +
             s"${client.mkString(",")}; server: ${server.mkString(",")})"))
 
-    private def negotiate(remote: RemoteKexInit): Unit = {
-      strictKex = remote.kex.contains(
+    private def negotiate(remote: RemoteKexInit,
+        initial: Boolean = true): Unit = {
+      if (initial) strictKex = remote.kex.contains(
         if (isServer) "kex-strict-c-v00@openssh.com"
         else "kex-strict-s-v00@openssh.com")
       val (cKex, sKex) =
@@ -618,7 +629,13 @@ object Ssh {
         readPacket() // the mis-guessed packet, ignored
     }
 
-    private def installKeys(k: Array[Byte], h: Array[Byte]): Unit = {
+    /** One direction's cipher/MAC from the RFC 4253 §7.2 derivation
+      * (c2s = letters A/C/E, s2c = B/D/F). `h` is THIS exchange's
+      * hash; `sessionId` stays the FIRST exchange hash forever (§7.2
+      * — that is what makes re-keying derive fresh keys without
+      * changing the session's identity). */
+    private def dirKeys(k: Array[Byte], h: Array[Byte], c2s: Boolean,
+        encrypt: Boolean): (Cipher, Mac, Boolean) = {
       if (sessionId == null) sessionId = h
       val kMp = new Wtr().mp(k).bytes
       def derive(x: Char, len: Int): Array[Byte] = {
@@ -626,33 +643,34 @@ object Ssh {
         while (out.length < len) out = out ++ sha256(kMp, h, out)
         out.take(len)
       }
-      def cipher(mode: Int, key: Array[Byte], iv: Array[Byte]): Cipher = {
-        val c = Cipher.getInstance("AES/CTR/NoPadding")
-        c.init(mode, new SecretKeySpec(key, "AES"),
-          new IvParameterSpec(iv))
-        c
-      }
-      def mac(key: Array[Byte]): Mac = {
-        val m = Mac.getInstance("HmacSHA256")
-        m.init(new SecretKeySpec(key, "HmacSHA256"))
-        m
-      }
-      val (ivC2s, ivS2c) = (derive('A', 16), derive('B', 16))
-      val (keyC2s, keyS2c) = (derive('C', 16), derive('D', 16))
-      val (macC2s, macS2c) = (derive('E', 32), derive('F', 32))
-      val etmC2s = macC2sName.endsWith("-etm@openssh.com")
-      val etmS2c = macS2cName.endsWith("-etm@openssh.com")
-      if (isServer) {
-        recvCipher = cipher(Cipher.DECRYPT_MODE, keyC2s, ivC2s)
-        sendCipher = cipher(Cipher.ENCRYPT_MODE, keyS2c, ivS2c)
-        recvMac = mac(macC2s); sendMac = mac(macS2c)
-        recvEtm = etmC2s; sendEtm = etmS2c
-      } else {
-        sendCipher = cipher(Cipher.ENCRYPT_MODE, keyC2s, ivC2s)
-        recvCipher = cipher(Cipher.DECRYPT_MODE, keyS2c, ivS2c)
-        sendMac = mac(macC2s); recvMac = mac(macS2c)
-        sendEtm = etmC2s; recvEtm = etmS2c
-      }
+      val iv = derive(if (c2s) 'A' else 'B', 16)
+      val key = derive(if (c2s) 'C' else 'D', 16)
+      val macKey = derive(if (c2s) 'E' else 'F', 32)
+      val c = Cipher.getInstance("AES/CTR/NoPadding")
+      c.init(if (encrypt) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
+        new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+      val m = Mac.getInstance("HmacSHA256")
+      m.init(new SecretKeySpec(macKey, "HmacSHA256"))
+      val etm = (if (c2s) macC2sName else macS2cName)
+        .endsWith("-etm@openssh.com")
+      (c, m, etm)
+    }
+
+    /** Swap the SEND direction to this exchange's keys — called right
+      * after OUR NEWKEYS goes out (RFC 4253 §7.3: each direction
+      * switches at its own NEWKEYS, which is what lets a re-key
+      * interleave with live traffic). */
+    private def installSend(k: Array[Byte], h: Array[Byte]): Unit = {
+      val (c, m, e) = dirKeys(k, h, c2s = !isServer, encrypt = true)
+      sendCipher = c; sendMac = m; sendEtm = e
+      if (strictKex) sendSeq = 0L
+    }
+
+    /** Swap the RECV direction at the PEER's NEWKEYS. */
+    private def installRecv(k: Array[Byte], h: Array[Byte]): Unit = {
+      val (c, m, e) = dirKeys(k, h, c2s = isServer, encrypt = false)
+      recvCipher = c; recvMac = m; recvEtm = e
+      if (strictKex) recvSeq = 0L
     }
 
     private def exchangeHash(iC: Array[Byte], iS: Array[Byte],
@@ -665,9 +683,35 @@ object Ssh {
         .str(kS).str(qC).str(qS).mp(k).bytes)
     }
 
+    /** Verify the server's signature over the exchange hash and the
+      * optional fingerprint pin (FixedHostKey posture; absent =
+      * InsecureIgnoreHostKey, exactly the reference's two modes,
+      * ssh.go:58-68). Run on the INITIAL exchange and again on every
+      * re-key — a re-key offering a different, unpinned key is a
+      * hijack attempt, not a rotation. */
+    private def verifyHostKey(kS: Array[Byte], h: Array[Byte],
+        sigBlob: Array[Byte]): Unit = {
+      val kr = new Rdr(kS)
+      val alg = kr.strUtf8()
+      if (alg != "ssh-ed25519")
+        throw new IOException(s"ssh: unsupported host key type $alg")
+      val hostPub = kr.str()
+      val sr = new Rdr(sigBlob)
+      if (sr.strUtf8() != "ssh-ed25519")
+        throw new IOException("ssh: host key / signature type mismatch")
+      if (!edVerify(hostPub, h, sr.str()))
+        throw new IOException("ssh: host key signature verification failed")
+      clientPin.foreach { pin =>
+        val fp = fingerprint(kS)
+        if (fp != pin) throw new IOException(
+          s"ssh: host key mismatch: server offers $fp, pinned $pin")
+      }
+    }
+
     /** Client key exchange; returns the server host key blob (K_S)
       * after verifying its signature over the exchange hash. */
     def kexAsClient(hostKeyPin: Option[String]): Array[Byte] = {
+      clientPin = hostKeyPin
       val iC = kexInitPayload()
       writePacket(iC)
       val iS = readMsg()
@@ -685,35 +729,19 @@ object Ssh {
       val kS = r.str(); val qS = r.str(); val sigBlob = r.str()
       val k = x25519Shared(pair.getPrivate, qS)
       val h = exchangeHash(iC, iS, kS, qC, qS, k)
-      val kr = new Rdr(kS)
-      val alg = kr.strUtf8()
-      if (alg != "ssh-ed25519")
-        throw new IOException(s"ssh: unsupported host key type $alg")
-      val hostPub = kr.str()
-      val sr = new Rdr(sigBlob)
-      if (sr.strUtf8() != "ssh-ed25519")
-        throw new IOException("ssh: host key / signature type mismatch")
-      if (!edVerify(hostPub, h, sr.str()))
-        throw new IOException("ssh: host key signature verification failed")
-      // pin = FixedHostKey posture; absent = InsecureIgnoreHostKey,
-      // exactly the reference's two modes (ssh.go:58-68)
-      hostKeyPin.foreach { pin =>
-        val fp = fingerprint(kS)
-        if (fp != pin) throw new IOException(
-          s"ssh: host key mismatch: server offers $fp, pinned $pin")
-      }
+      verifyHostKey(kS, h, sigBlob)
       writePacket(Array[Byte](Msg.NewKeys.toByte))
-      if (strictKex) sendSeq = 0L // reset at our NEWKEYS (strict kex)
+      installSend(k, h) // + sendSeq reset at our NEWKEYS (strict kex)
       val nk = readKexMsg()
       if (nk(0) != Msg.NewKeys)
         throw new IOException("ssh: expected NEWKEYS")
-      if (strictKex) recvSeq = 0L // reset at peer NEWKEYS (strict kex)
-      installKeys(k, h)
+      installRecv(k, h) // + recvSeq reset at peer NEWKEYS (strict kex)
       kS
     }
 
     /** Server key exchange with an Ed25519 host key. */
     def kexAsServer(hostKey: KeyPair): Unit = {
+      serverHostKey = hostKey
       val iS = kexInitPayload()
       writePacket(iS)
       val iC = readMsg()
@@ -735,12 +763,103 @@ object Ssh {
       writePacket(new Wtr().u8(Msg.KexEcdhReply)
         .str(kS).str(qS).str(sig).bytes)
       writePacket(Array[Byte](Msg.NewKeys.toByte))
-      if (strictKex) sendSeq = 0L // reset at our NEWKEYS (strict kex)
+      installSend(k, h) // + sendSeq reset at our NEWKEYS (strict kex)
       val nk = readKexMsg()
       if (nk(0) != Msg.NewKeys)
         throw new IOException("ssh: expected NEWKEYS")
-      if (strictKex) recvSeq = 0L // reset at peer NEWKEYS (strict kex)
-      installKeys(k, h)
+      installRecv(k, h) // + recvSeq reset at peer NEWKEYS (strict kex)
+    }
+
+    // ---- mid-session re-keying (RFC 4253 §9)
+    //
+    // The reference gets this transparently from golang.org/x/crypto/
+    // ssh (flow/connectors/utils/ssh.go:45 — the library re-keys under
+    // the application); OpenSSH initiates after ~1 GiB or 1 h on a
+    // connection, so any large tunneled catch-up pull (the reference's
+    // headline "100s of GB" initial loads) crosses at least one
+    // boundary. Keys swap PER DIRECTION at the respective NEWKEYS, the
+    // session id stays the first exchange hash, and under strict kex
+    // both sequence numbers reset at their NEWKEYS — all of which the
+    // split installSend/installRecv above encode. Channel traffic from
+    // other threads simply blocks on the write lock for the exchange's
+    // single round trip.
+
+    /** Respond to a peer-initiated re-key: `peerKexInit` is the
+      * KEXINIT payload that announced it. TCP ordering guarantees
+      * nothing non-kex follows it until the peer's NEWKEYS (the peer
+      * may not send any — RFC 4253 §7.1), so the responder needs no
+      * packet hand-back. */
+    def rekey(peerKexInit: Array[Byte]): Unit = writeLock.synchronized {
+      val iOurs = kexInitPayload()
+      writePacket(iOurs)
+      finishRekey(iOurs, peerKexInit)
+    }
+
+    /** Initiate a re-key (we send KEXINIT first). Non-kex packets in
+      * flight before the peer's answering KEXINIT arrives are handed
+      * to `onPacket` in order — the caller passes its normal
+      * dispatcher (those packets were legally sent before the peer
+      * saw our KEXINIT). */
+    def rekeyInitiate(onPacket: Array[Byte] => Unit): Unit =
+      writeLock.synchronized {
+        val iOurs = kexInitPayload()
+        writePacket(iOurs)
+        var peerInit: Array[Byte] = null
+        while (peerInit == null) {
+          val p = readMsg()
+          if (p(0) == Msg.KexInit) peerInit = p
+          else onPacket(p)
+        }
+        finishRekey(iOurs, peerInit)
+      }
+
+    /** The exchange after both KEXINITs are on the wire. The CLIENT
+      * role always sends KEX_ECDH_INIT, whoever initiated. Reads skip
+      * IGNORE/DEBUG via readMsg (the strict-kex no-skip rule applies
+      * to the INITIAL exchange only, per OpenSSH's PROTOCOL doc). */
+    private def finishRekey(iOurs: Array[Byte],
+        iPeer: Array[Byte]): Unit = {
+      val remote = parseKexInit(iPeer)
+      negotiate(remote, initial = false)
+      val (iC, iS) = if (isServer) (iPeer, iOurs) else (iOurs, iPeer)
+      if (isServer) {
+        val init = readMsg()
+        val r = new Rdr(init)
+        if (r.u8() != Msg.KexEcdhInit)
+          throw new IOException("ssh: expected KEX_ECDH_INIT in re-key")
+        val qC = r.str()
+        val (qS, pair) = x25519Pair()
+        val k = x25519Shared(pair.getPrivate, qC)
+        val kS = edKeyBlob(edPubRaw(serverHostKey.getPublic))
+        val h = exchangeHash(iC, iS, kS, qC, qS, k)
+        val sig = new Wtr().str("ssh-ed25519")
+          .str(edSign(serverHostKey.getPrivate, h)).bytes
+        writePacket(new Wtr().u8(Msg.KexEcdhReply)
+          .str(kS).str(qS).str(sig).bytes)
+        writePacket(Array[Byte](Msg.NewKeys.toByte))
+        installSend(k, h)
+        val nk = readMsg()
+        if (nk(0) != Msg.NewKeys)
+          throw new IOException("ssh: expected NEWKEYS in re-key")
+        installRecv(k, h)
+      } else {
+        val (qC, pair) = x25519Pair()
+        writePacket(new Wtr().u8(Msg.KexEcdhInit).str(qC).bytes)
+        val reply = readMsg()
+        val r = new Rdr(reply)
+        if (r.u8() != Msg.KexEcdhReply)
+          throw new IOException("ssh: expected KEX_ECDH_REPLY in re-key")
+        val kS = r.str(); val qS = r.str(); val sigBlob = r.str()
+        val k = x25519Shared(pair.getPrivate, qS)
+        val h = exchangeHash(iC, iS, kS, qC, qS, k)
+        verifyHostKey(kS, h, sigBlob)
+        writePacket(Array[Byte](Msg.NewKeys.toByte))
+        installSend(k, h)
+        val nk = readMsg()
+        if (nk(0) != Msg.NewKeys)
+          throw new IOException("ssh: expected NEWKEYS in re-key")
+        installRecv(k, h)
+      }
     }
 
     def close(): Unit =
@@ -966,10 +1085,12 @@ object Ssh {
               new Wtr().u8(Msg.ChannelFailure).u32(c.remoteId.toLong).bytes)
           }
         case m if m == Msg.KexInit =>
-          // see the class doc: tunnels live one pull tick, far below
-          // any rekey threshold; refuse loudly instead of corrupting
-          throw new IOException("ssh: peer requested rekeying " +
-            "(unsupported; tunnels are per-pull, reconnect instead)")
+          // mid-session re-key (OpenSSH initiates after ~1 GiB / 1 h,
+          // which any large tunneled catch-up pull crosses): run the
+          // responder exchange right here on the reader thread;
+          // channel writers block on the transport write lock for the
+          // exchange's one round trip, then resume under the new keys
+          t.rekey(p)
         case _ => () // unknown message: ignore (we sent no requests)
       }
     }
@@ -1016,8 +1137,10 @@ object Ssh {
       var o = off
       var left = len
       while (left > 0) {
+        // floor of 1: a peer legally advertising a max packet ≤ 64
+        // (RFC 4254 allows any value) must not drive `want` to zero
         val n = c.takeWindow(
-          math.min(left, c.remoteMaxPacket - 64),
+          math.max(1, math.min(left, c.remoteMaxPacket - 64)),
           if (timeoutMs <= 0) 3600000L else timeoutMs.toLong)
         val chunk = java.util.Arrays.copyOfRange(b, o, o + n)
         t.writePacket(new Wtr().u8(Msg.ChannelData)

@@ -1,8 +1,7 @@
 package graft.cdc
 
 import java.io.IOException
-import java.net.{InetSocketAddress, ServerSocket, Socket,
-  SocketTimeoutException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.security.KeyPair
 
 import Ssh.{Msg, Rdr, Wtr}
@@ -36,15 +35,21 @@ object SshTestServer {
   }
 
   /** Start serving on an ephemeral port until the server socket is
-    * closed. Each connection gets its own thread. */
-  def start(auth: Auth, hostKey: KeyPair = Ssh.ed25519Pair()): Handle = {
+    * closed. Each connection gets its own thread. `rekeyAfterBytes`
+    * > 0 makes the server INITIATE a re-key every time that many
+    * target->client bytes have flowed since the last exchange -- the
+    * OpenSSH RekeyLimit posture, used to drive the JVM client's
+    * responder path under load. */
+  def start(auth: Auth, hostKey: KeyPair = Ssh.ed25519Pair(),
+      rekeyAfterBytes: Long = 0L): Handle = {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     val acceptor = new Thread(() => {
       try {
         while (true) {
           val sock = server.accept()
-          val t = new Thread(() => serveConn(sock, auth, hostKey),
+          val t = new Thread(
+            () => serveConn(sock, auth, hostKey, rekeyAfterBytes),
             "ssh-test-conn")
           t.setDaemon(true)
           t.start()
@@ -74,9 +79,18 @@ object SshTestServer {
       * the target before its half/full close applies). */
     val toTarget =
       new java.util.concurrent.LinkedBlockingQueue[ToTarget]()
-    /** True while the writer holds a dequeued item it has not yet
-      * delivered (the drain-on-disconnect wait must cover it). */
-    @volatile var writing = false
+    /** Queued-vs-delivered accounting: the drain-on-disconnect wait
+      * proceeds only once every enqueued item has been fully handled.
+      * (A boolean "writing" flag had a race: between the writer's
+      * dequeue and setting the flag, the queue is empty AND the flag
+      * is false, so the drain could close the target under the last
+      * item -- observed dropping a final standby ack when a re-key
+      * delayed the writer behind the transport write lock.) */
+    val enqueued = new java.util.concurrent.atomic.AtomicLong(0L)
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    def put(item: ToTarget): Unit = {
+      enqueued.incrementAndGet(); toTarget.put(item)
+    }
     def addWindow(n: Long): Unit = synchronized {
       remoteWindow += n; notifyAll()
     }
@@ -92,7 +106,8 @@ object SshTestServer {
   private case object ClientClose extends ToTarget
 
   private def serveConn(sock: Socket, auth: Auth,
-      hostKey: KeyPair): Unit = {
+      hostKey: KeyPair, rekeyAfterBytes: Long): Unit = {
+    val sentToClient = new java.util.concurrent.atomic.AtomicLong(0L)
     val chans =
       new java.util.concurrent.ConcurrentHashMap[Int, SrvChan]()
     try {
@@ -162,82 +177,96 @@ object SshTestServer {
 
       // ---- connection protocol
       var nextLocal = 0
-      while (true) {
+      var running = true
+      def handle(p: Array[Byte]): Unit = {
+        val r = new Rdr(p)
+        r.u8() match {
+          case m if m == Msg.Ignore || m == Msg.Debug ||
+              m == Msg.Unimplemented => ()
+          case m if m == Msg.Disconnect => running = false
+          case m if m == Msg.GlobalRequest =>
+            r.strUtf8()
+            if (r.bool()) t.writePacket(
+              new Wtr().u8(Msg.RequestFailure).bytes)
+          case m if m == Msg.ChannelOpen =>
+            val kind = r.strUtf8()
+            val remoteId = r.u32().toInt
+            val remoteWin = r.u32()
+            r.u32() // remote max packet; we send ≤32 KiB anyway
+            if (kind != "direct-tcpip") {
+              t.writePacket(new Wtr().u8(Msg.ChannelOpenFailure)
+                .u32(remoteId.toLong).u32(3L)
+                .str("unsupported channel type").str("").bytes)
+            } else {
+              val host = r.strUtf8()
+              val port = r.u32().toInt
+              try {
+                val target = new Socket()
+                target.connect(new InetSocketAddress(host, port), 5000)
+                val localId = { nextLocal += 1; nextLocal }
+                val ch = new SrvChan(remoteId, localId, target)
+                ch.addWindow(remoteWin)
+                chans.put(localId, ch)
+                t.writePacket(new Wtr()
+                  .u8(Msg.ChannelOpenConfirmation)
+                  .u32(remoteId.toLong).u32(localId.toLong)
+                  .u32(Ssh.ChannelWindow.toLong)
+                  .u32(Ssh.ChannelMaxPacket.toLong).bytes)
+                pumpClientToTarget(t, ch, chans)
+                pumpTargetToClient(t, ch, chans, sentToClient)
+              } catch {
+                case e: IOException =>
+                  t.writePacket(new Wtr().u8(Msg.ChannelOpenFailure)
+                    .u32(remoteId.toLong).u32(2L)
+                    .str(s"connect failed: ${e.getMessage}").str("")
+                    .bytes)
+              }
+            }
+          case m if m == Msg.ChannelData =>
+            val ch = chans.get(r.u32().toInt)
+            val d = r.str()
+            // never blocks: in-flight bytes are window-capped
+            if (ch != null && !ch.closed) ch.put(DataChunk(d))
+          case m if m == Msg.ChannelWindowAdjust =>
+            val ch = chans.get(r.u32().toInt)
+            if (ch != null) ch.addWindow(r.u32())
+          case m if m == Msg.ChannelEof =>
+            val ch = chans.get(r.u32().toInt)
+            if (ch != null)
+              // ordered behind any queued data: the writer shuts
+              // the target's output down after delivering it all
+              ch.put(ClientEof)
+          case m if m == Msg.ChannelClose =>
+            val ch = chans.get(r.u32().toInt)
+            // via the queue: closing inline would let the close
+            // overtake queued data (dropping the client's final
+            // writes, e.g. a replication ack)
+            if (ch != null && !ch.closed) ch.put(ClientClose)
+          case m if m == Msg.ChannelRequest =>
+            val id = r.u32().toInt
+            r.strUtf8()
+            if (r.bool()) {
+              val ch = chans.get(id)
+              if (ch != null) t.writePacket(new Wtr()
+                .u8(Msg.ChannelFailure).u32(ch.remoteId.toLong).bytes)
+            }
+          case _ => ()
+        }
+      }
+      while (running) {
+        // server-initiated re-key every rekeyAfterBytes of bulk flow
+        // (the OpenSSH RekeyLimit posture); checked between packets --
+        // a bulk pull wakes this loop constantly via WINDOW_ADJUST
+        if (rekeyAfterBytes > 0 && sentToClient.get >= rekeyAfterBytes) {
+          sentToClient.addAndGet(-rekeyAfterBytes) // re-arm
+          t.rekeyInitiate(handle)
+        }
         val p = t.readPacket()
         if (p.nonEmpty) {
-          val r = new Rdr(p)
-          r.u8() match {
-            case m if m == Msg.Ignore || m == Msg.Debug ||
-                m == Msg.Unimplemented => ()
-            case m if m == Msg.Disconnect => return
-            case m if m == Msg.GlobalRequest =>
-              r.strUtf8()
-              if (r.bool()) t.writePacket(
-                new Wtr().u8(Msg.RequestFailure).bytes)
-            case m if m == Msg.ChannelOpen =>
-              val kind = r.strUtf8()
-              val remoteId = r.u32().toInt
-              val remoteWin = r.u32()
-              r.u32() // remote max packet; we send ≤32 KiB anyway
-              if (kind != "direct-tcpip") {
-                t.writePacket(new Wtr().u8(Msg.ChannelOpenFailure)
-                  .u32(remoteId.toLong).u32(3L)
-                  .str("unsupported channel type").str("").bytes)
-              } else {
-                val host = r.strUtf8()
-                val port = r.u32().toInt
-                try {
-                  val target = new Socket()
-                  target.connect(new InetSocketAddress(host, port), 5000)
-                  val localId = { nextLocal += 1; nextLocal }
-                  val ch = new SrvChan(remoteId, localId, target)
-                  ch.addWindow(remoteWin)
-                  chans.put(localId, ch)
-                  t.writePacket(new Wtr()
-                    .u8(Msg.ChannelOpenConfirmation)
-                    .u32(remoteId.toLong).u32(localId.toLong)
-                    .u32(Ssh.ChannelWindow.toLong)
-                    .u32(Ssh.ChannelMaxPacket.toLong).bytes)
-                  pumpClientToTarget(t, ch, chans)
-                  pumpTargetToClient(t, ch, chans)
-                } catch {
-                  case e: IOException =>
-                    t.writePacket(new Wtr().u8(Msg.ChannelOpenFailure)
-                      .u32(remoteId.toLong).u32(2L)
-                      .str(s"connect failed: ${e.getMessage}").str("")
-                      .bytes)
-                }
-              }
-            case m if m == Msg.ChannelData =>
-              val ch = chans.get(r.u32().toInt)
-              val d = r.str()
-              // never blocks: in-flight bytes are window-capped
-              if (ch != null && !ch.closed) ch.toTarget.put(DataChunk(d))
-            case m if m == Msg.ChannelWindowAdjust =>
-              val ch = chans.get(r.u32().toInt)
-              if (ch != null) ch.addWindow(r.u32())
-            case m if m == Msg.ChannelEof =>
-              val ch = chans.get(r.u32().toInt)
-              if (ch != null)
-                // ordered behind any queued data: the writer shuts
-                // the target's output down after delivering it all
-                ch.toTarget.put(ClientEof)
-            case m if m == Msg.ChannelClose =>
-              val ch = chans.get(r.u32().toInt)
-              // via the queue: closing inline would let the close
-              // overtake queued data (dropping the client's final
-              // writes, e.g. a replication ack)
-              if (ch != null && !ch.closed) ch.toTarget.put(ClientClose)
-            case m if m == Msg.ChannelRequest =>
-              val id = r.u32().toInt
-              r.strUtf8()
-              if (r.bool()) {
-                val ch = chans.get(id)
-                if (ch != null) t.writePacket(new Wtr()
-                  .u8(Msg.ChannelFailure).u32(ch.remoteId.toLong).bytes)
-              }
-            case _ => ()
-          }
+          // stock OpenSSH (or the JVM client) may initiate its own
+          // re-key at any point; respond in place
+          if (p(0) == Msg.KexInit) t.rekey(p)
+          else handle(p)
         }
       }
     } catch {
@@ -250,7 +279,7 @@ object SshTestServer {
         // close): let the writer drain queued deliveries before the
         // target dies, bounded so a wedged target cannot hang cleanup
         val deadline = System.nanoTime + 2000000000L
-        while ((!ch.toTarget.isEmpty || ch.writing) && !ch.closed &&
+        while (ch.delivered.get < ch.enqueued.get && !ch.closed &&
             System.nanoTime < deadline) Thread.sleep(5)
         ch.closed = true
         try ch.target.close() catch { case _: IOException => () }
@@ -295,20 +324,28 @@ object SshTestServer {
             .MILLISECONDS) match {
             case null => () // periodic closed-flag re-check
             case DataChunk(d) =>
-              ch.writing = true
               try {
                 ch.target.getOutputStream.write(d)
                 ch.target.getOutputStream.flush()
-              } finally ch.writing = false
-              t.writePacket(new Wtr().u8(Msg.ChannelWindowAdjust)
+              } finally ch.delivered.incrementAndGet()
+              // window replenishment is BEST-EFFORT: a dead transport
+              // must not stop us draining already-received data to
+              // the target — a final ack can be queued behind a
+              // re-key the disconnecting client never answered, and
+              // the failed adjust would drop it (observed: fixture
+              // read a truncated pg message, EOF mid-body)
+              try t.writePacket(new Wtr().u8(Msg.ChannelWindowAdjust)
                 .u32(ch.remoteId.toLong).u32(d.length.toLong).bytes)
+              catch { case _: IOException => () }
             case ClientEof =>
+              ch.delivered.incrementAndGet()
               try ch.target.shutdownOutput()
               catch { case _: IOException => () }
               ch.clientEof = true
               // stay alive: a CLOSE may still follow on the queue
               if (ch.targetEof) closeChan(t, ch, chans)
             case ClientClose =>
+              ch.delivered.incrementAndGet()
               closeChan(t, ch, chans)
           }
         }
@@ -322,8 +359,8 @@ object SshTestServer {
   }
 
   private def pumpTargetToClient(t: Ssh.Transport, ch: SrvChan,
-      chans: java.util.concurrent.ConcurrentHashMap[Int, SrvChan])
-      : Unit = {
+      chans: java.util.concurrent.ConcurrentHashMap[Int, SrvChan],
+      sentToClient: java.util.concurrent.atomic.AtomicLong): Unit = {
     val th = new Thread(() => {
       val buf = new Array[Byte](24 * 1024)
       try {
@@ -338,6 +375,7 @@ object SshTestServer {
                 .str(java.util.Arrays.copyOfRange(buf, off, off + take))
                 .bytes)
               ch.synchronized { ch.remoteWindow -= take }
+              sentToClient.addAndGet(take.toLong)
               off += take
             }
           }
@@ -352,8 +390,7 @@ object SshTestServer {
           if (ch.clientEof) closeChan(t, ch, chans)
         }
       } catch {
-        case _: IOException => ()
-        case _: SocketTimeoutException => ()
+        case _: IOException => () // covers SocketTimeoutException
       }
     }, "ssh-test-pump")
     th.setDaemon(true)
