@@ -135,7 +135,15 @@ final case class MirrorConfig(
       * mid-stream by its Relation message) lands in the same merged
       * table with no config change. Unlisted sources keep their own
       * name. */
-    tableRoutes: Map[String, String] = Map.empty) {
+    tableRoutes: Map[String, String] = Map.empty,
+    /** Queue destination: `kafka://host:port[?acks=N]` publishes each
+      * batch's change records over the live Kafka wire protocol
+      * ([[graft.sinks.KafkaPublish]]) INSTEAD of normalizing — queue
+      * connectors are sync-only in the reference (kafka.go has
+      * SyncRecords and no normalize step). Topic = destination table,
+      * key = uid, value = row JSON (kafka.go:301-312 default
+      * routing). */
+    queueUrl: Option[String] = None) {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
@@ -641,7 +649,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // set are ignored — TableMapping semantics, uniform for single- and
     // multi-table mirrors. Relation/message records (type ≥ 3) stay in
     // the raw changefeed but never reach normalize.
-    writers.foreach { case (table, (tc, writer)) =>
+    //
+    // QUEUE destinations replace this whole step: the reference's Kafka/
+    // PubSub/EventHubs connectors are sync-only (kafka.go SyncRecords;
+    // no normalize), so each batch publishes its shaped records over the
+    // wire instead of merging.
+    if (cfg.queueUrl.isDefined) publishQueue(raw, batchId)
+    else writers.foreach { case (table, (tc, writer)) =>
       val slice = raw.filter(col(RawTable.DestinationTable) === table &&
         col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
       val normalized = Normalizer.normalize(
@@ -693,6 +707,38 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
   private def rawHighWaterMark: Option[Long] =
     graft.util.FsText.read(hwmPath, hadoopConf).map(_.trim.toLong)
+
+  private val queueHwmPath = s"${cfg.checkpointDir}/graft-queue-hwm"
+  private def queueHighWaterMark: Option[Long] =
+    graft.util.FsText.read(queueHwmPath, hadoopConf).map(_.trim.toLong)
+
+  /** Publish one batch's change records to the queue destination, then
+    * advance the durable queue high-water mark — SetLastOffset parity
+    * (kafka.go:330-338): a restarted mirror replaying its WAL never
+    * re-produces batches the broker already acked. A crash BETWEEN the
+    * broker ack and the HWM write re-publishes that one batch —
+    * at-least-once with key = uid, so a keyed/compacting consumer
+    * converges to the same state (the reference's posture: no
+    * idempotent-producer session, `kgo.Record` keys carry dedup). */
+  private def publishQueue(raw: DataFrame, batchId: Long): Unit = {
+    import graft.model.ChangeRecord
+    if (queueHighWaterMark.exists(batchId <= _)) return
+    val url = cfg.queueUrl.get
+    val m = "^kafka://([^:/?]+):(\\d+)(?:\\?acks=(-?\\d+))?$".r
+    val (host, port, acks) = url match {
+      case m(h, p, a) =>
+        (h, p.toInt, Option(a).map(_.toInt).getOrElse(-1))
+      case other => throw new IllegalArgumentException(
+        s"queue url must be kafka://host:port[?acks=N], got '$other'")
+    }
+    val changes = raw.filter(
+      col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
+    val n = graft.sinks.KafkaPublish.publish(
+      graft.sinks.QueueSink.defaultRecords(changes), host, port, acks)
+    stats.foreach(_.logFlowInfo(cfg.flow,
+      s"batch $batchId: published $n records to $host:$port"))
+    graft.util.FsText.write(queueHwmPath, batchId.toString, hadoopConf)
+  }
 
   /** Table addition to a live mirror (the add-tables signal,
     * cdc_flow.go table-addition path): replay the new table's WAL history

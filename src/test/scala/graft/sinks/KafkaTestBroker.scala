@@ -1,0 +1,203 @@
+package graft.sinks
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  EOFException, IOException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+
+import KafkaWire.{ApiKey, Rdr, Record, Wtr}
+
+/** In-process Kafka-protocol broker for the producer specs — the same
+  * pattern as [[graft.cdc.SshTestServer]]/WireServers: a real socket
+  * speaking the real protocol so [[KafkaClient]] exercises its full
+  * path (framing, header, ApiVersions/Metadata/Produce encodings,
+  * record-batch decode incl. CRC32C verification). Serves the classic
+  * versions the client speaks: ApiVersions v0, Metadata v1,
+  * Produce v3.
+  *
+  * Topics auto-create with `partitionsPerTopic` partitions (the
+  * dev-cluster default posture) unless `autoCreate` is false, in which
+  * case unknown topics answer UNKNOWN_TOPIC_OR_PARTITION — the error
+  * path a misrouted mirror must surface, not swallow.
+  */
+object KafkaTestBroker {
+
+  final case class Stored(offset: Long, record: Record)
+
+  final class Handle(server: ServerSocket, val partitionsPerTopic: Int) {
+    def port: Int = server.getLocalPort
+    private[KafkaTestBroker] val logs =
+      scala.collection.concurrent.TrieMap
+        .empty[(String, Int), Vector[Stored]]
+    private[KafkaTestBroker] val known =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val produceRequests = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def createTopic(name: String): Unit = known.add(name)
+    def topics: Set[String] = {
+      val it = known.iterator()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    def log(topic: String, partition: Int): Vector[Stored] =
+      logs.getOrElse((topic, partition), Vector.empty)
+    /** All partitions' records of one topic (offset order within each
+      * partition; no cross-partition order, as in Kafka itself). */
+    def topicRecords(topic: String): Seq[Stored] =
+      (0 until partitionsPerTopic).flatMap(p => log(topic, p))
+    def stop(): Unit =
+      try server.close() catch { case _: IOException => () }
+  }
+
+  def start(partitionsPerTopic: Int = 3,
+      autoCreate: Boolean = true): Handle = {
+    val server = new ServerSocket()
+    server.bind(new InetSocketAddress("127.0.0.1", 0))
+    val handle = new Handle(server, partitionsPerTopic)
+    val acceptor = new Thread(() => {
+      try {
+        while (true) {
+          val sock = server.accept()
+          val t = new Thread(
+            () => serveConn(sock, handle, autoCreate), "kafka-test-conn")
+          t.setDaemon(true)
+          t.start()
+        }
+      } catch { case _: IOException => () } // server closed
+    }, "kafka-test-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    handle
+  }
+
+  private def serveConn(sock: Socket, h: Handle,
+      autoCreate: Boolean): Unit = {
+    try {
+      sock.setSoTimeout(60000)
+      val in = new DataInputStream(
+        new BufferedInputStream(sock.getInputStream))
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      while (true) {
+        val lenB = new Array[Byte](4)
+        in.readFully(lenB)
+        val len = new Rdr(lenB).i32()
+        require(len > 0 && len <= 64 * 1024 * 1024,
+          s"kafka-broker: bad frame $len")
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        val r = new Rdr(frame)
+        val apiKey = r.i16()
+        val apiVersion = r.i16()
+        val corr = r.i32()
+        r.str() // client_id
+        val body: Option[Array[Byte]] = apiKey match {
+          case ApiKey.ApiVersions => Some(apiVersionsResp(apiVersion))
+          case ApiKey.Metadata => Some(metadataResp(r, h, autoCreate))
+          case ApiKey.Produce => produceResp(r, h, autoCreate)
+          case other =>
+            // UNSUPPORTED_VERSION-style refusal: error for the key
+            Some(new Wtr().i16(35).i32(0).out)
+        }
+        body.foreach { b =>
+          val payload = new Wtr().i32(corr).raw(b).out
+          out.write(new Wtr().i32(payload.length).out)
+          out.write(payload)
+          out.flush()
+        }
+      }
+    } catch {
+      case _: EOFException => ()
+      case _: IOException => ()
+      case _: IllegalArgumentException => ()
+    } finally {
+      try sock.close() catch { case _: IOException => () }
+    }
+  }
+
+  private def apiVersionsResp(version: Int): Array[Byte] = {
+    val w = new Wtr()
+    w.i16(0) // error_code
+    w.i32(3)
+    w.i16(ApiKey.Produce).i16(0).i16(8)
+    w.i16(ApiKey.Metadata).i16(0).i16(8)
+    w.i16(ApiKey.ApiVersions).i16(0).i16(0)
+    w.out
+  }
+
+  private def metadataResp(r: Rdr, h: Handle,
+      autoCreate: Boolean): Array[Byte] = {
+    val n = r.i32()
+    val topics = (0 until n).map(_ => r.str())
+    topics.foreach(t => if (autoCreate) h.createTopic(t))
+    val w = new Wtr()
+    w.i32(1) // brokers
+    w.i32(0).str("127.0.0.1").i32(h.port).str(null) // node 0, no rack
+    w.i32(0) // controller_id
+    w.i32(topics.size)
+    topics.foreach { t =>
+      if (h.topics.contains(t)) {
+        w.i16(0).str(t).bool(false)
+        w.i32(h.partitionsPerTopic)
+        (0 until h.partitionsPerTopic).foreach { p =>
+          w.i16(0).i32(p).i32(0) // leader node 0
+          w.i32(1).i32(0) // replicas [0]
+          w.i32(1).i32(0) // isr [0]
+        }
+      } else {
+        w.i16(KafkaWire.Err.UnknownTopicOrPartition).str(t).bool(false)
+        w.i32(0)
+      }
+    }
+    w.out
+  }
+
+  /** Produce v3: decode each record set (CRC-verified), append under
+    * the next offsets. Returns None for acks=0 (no response frame). */
+  private def produceResp(r: Rdr, h: Handle,
+      autoCreate: Boolean): Option[Array[Byte]] = {
+    h.produceRequests.incrementAndGet()
+    r.str() // transactional_id
+    val acks = r.i16()
+    r.i32() // timeout_ms
+    val nTopics = r.i32()
+    val results = (0 until nTopics).flatMap { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      (0 until nParts).map { _ =>
+        val partition = r.i32()
+        val recordSet = r.bytes()
+        val ok = (autoCreate || h.topics.contains(topic)) &&
+          partition >= 0 && partition < h.partitionsPerTopic
+        if (!ok) (topic, partition,
+          KafkaWire.Err.UnknownTopicOrPartition, -1L)
+        else {
+          if (autoCreate) h.createTopic(topic)
+          val (_, _, records) = KafkaWire.decodeBatch(recordSet)
+          val base = h.logs.synchronized {
+            val cur = h.logs.getOrElse((topic, partition), Vector.empty)
+            val base = cur.size.toLong
+            h.logs((topic, partition)) = cur ++ records.zipWithIndex
+              .map { case (rec, i) => Stored(base + i, rec) }
+            base
+          }
+          (topic, partition, 0, base)
+        }
+      }
+    }
+    if (acks == 0) None
+    else {
+      val w = new Wtr()
+      val byTopic = results.groupBy(_._1)
+      w.i32(byTopic.size)
+      byTopic.foreach { case (topic, parts) =>
+        w.str(topic)
+        w.i32(parts.size)
+        parts.foreach { case (_, p, err, off) =>
+          w.i32(p).i16(err).i64(off).i64(-1L) // log_append_time
+        }
+      }
+      w.i32(0) // throttle_time_ms
+      Some(w.out)
+    }
+  }
+}
