@@ -1,0 +1,197 @@
+package graft.mirror
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{InetSocketAddress, ServerSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import AlertSenders._
+
+/** Alert senders behind the [[Alerting]] seam: the Slack webhook POST
+  * carries the reference's exact block structure, the SMTP sender
+  * speaks real RFC 5321 against an in-process fixture, and a fired
+  * slot-lag alert travels the whole path decision → dispatch → wire. */
+class AlertSendersSpec extends AnyFunSuite {
+
+  // ----------------------------------------------------- slack fixture
+
+  private final class WebhookFixture {
+    @volatile var lastBody: String = _
+    @volatile var respondWith = 200
+    val posts = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val server =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/services/T0/B0/hook", (ex: HttpExchange) => {
+      lastBody = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      posts.incrementAndGet()
+      ex.sendResponseHeaders(respondWith, 0L)
+      ex.getResponseBody.close()
+    })
+    server.start()
+    def url: String =
+      s"http://127.0.0.1:${server.getAddress.getPort}/services/T0/B0/hook"
+    def stop(): Unit = server.stop(0)
+  }
+
+  // ------------------------------------------------------ smtp fixture
+
+  /** Minimal SMTP server: one session per connection, records the
+    * envelope (MAIL FROM/RCPT TO) and the DATA payload. */
+  private final class SmtpFixture {
+    @volatile var mailFrom: String = _
+    val rcptTo = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    @volatile var data: String = _
+    @volatile var sawQuit = false
+    private val server = new ServerSocket()
+    server.bind(new InetSocketAddress("127.0.0.1", 0))
+    private val t = new Thread(() => {
+      try while (true) {
+        val c = server.accept()
+        val ct = new Thread(() => {
+          try {
+            c.setSoTimeout(15000)
+            val in = new BufferedReader(
+              new InputStreamReader(c.getInputStream, UTF_8))
+            val out = c.getOutputStream
+            def reply(s: String): Unit = {
+              out.write((s + "\r\n").getBytes(UTF_8)); out.flush()
+            }
+            reply("220 smtp.fixture ESMTP")
+            var line = in.readLine()
+            while (line != null) {
+              val upper = line.toUpperCase
+              if (upper.startsWith("EHLO") || upper.startsWith("HELO")) {
+                reply("250-smtp.fixture greets you")
+                reply("250 8BITMIME") // multi-line reply exercised
+              } else if (upper.startsWith("MAIL FROM:")) {
+                mailFrom = line.drop(10).trim.stripPrefix("<")
+                  .stripSuffix(">")
+                reply("250 OK")
+              } else if (upper.startsWith("RCPT TO:")) {
+                rcptTo.add(line.drop(8).trim.stripPrefix("<")
+                  .stripSuffix(">"))
+                reply("250 OK")
+              } else if (upper.startsWith("DATA")) {
+                reply("354 End data with <CR><LF>.<CR><LF>")
+                val b = new StringBuilder
+                var dl = in.readLine()
+                while (dl != null && dl != ".") {
+                  b.append(dl).append("\r\n"); dl = in.readLine()
+                }
+                data = b.toString
+                reply("250 OK queued")
+              } else if (upper.startsWith("QUIT")) {
+                sawQuit = true
+                reply("221 bye")
+                c.close()
+              } else reply("250 OK")
+              line = if (c.isClosed) null else in.readLine()
+            }
+          } catch { case _: java.io.IOException => () }
+        })
+        ct.setDaemon(true); ct.start()
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    def port: Int = server.getLocalPort
+    def stop(): Unit =
+      try server.close() catch { case _: java.io.IOException => () }
+  }
+
+  // -------------------------------------------------------------- tests
+
+  test("slack webhook POST carries the reference's block structure: " +
+    "plain_text header with the rotating-light prefix, mrkdwn section " +
+    "with the message + cc line; members render as mentions") {
+    val hook = new WebhookFixture
+    try {
+      new SlackWebhookSender(hook.url).send("Slot Lag Exceeded",
+        "Slot `s1` on peer `pg` has exceeded 5000MB!")
+      val body = hook.lastBody
+      assert(body.contains(""""type":"header""""))
+      assert(body.contains(
+        ":rotating_light:Alert:rotating_light:: Slot Lag Exceeded"))
+      assert(body.contains(""""type":"mrkdwn""""))
+      assert(body.contains("cc: <!channel>"), "no members pings channel")
+      new SlackWebhookSender(hook.url, members = Seq("U1", "U2"))
+        .send("t", "m")
+      assert(hook.lastBody.contains("cc: <@U1> <@U2>"))
+      // JSON stays valid with quotes/newlines in the message
+      new SlackWebhookSender(hook.url).send("q\"t", "line1\nline2")
+      assert(hook.lastBody.contains("""q\"t"""))
+      assert(hook.lastBody.contains("""line1\nline2"""))
+      // a webhook error surfaces as an exception (dispatch counts it)
+      hook.respondWith = 500
+      intercept[java.io.IOException] {
+        new SlackWebhookSender(hook.url).send("t", "m")
+      }
+    } finally hook.stop()
+  }
+
+  test("smtp sender speaks RFC 5321: envelope, headers (encoded-word " +
+    "subject, Reply-To), dot-stuffed body, QUIT") {
+    val smtp = new SmtpFixture
+    try {
+      new SmtpEmailSender("127.0.0.1", smtp.port,
+        sourceEmail = "alerts@graft.dev",
+        emailAddresses = Seq("ops@example.com", "oncall@example.com"),
+        replyToAddresses = Seq("noreply@graft.dev"))
+        .send("Löt lag ⚠", "value over threshold\n.starts with dot")
+      assert(smtp.mailFrom == "alerts@graft.dev")
+      assert(smtp.rcptTo.toArray.toSeq ==
+        Seq("ops@example.com", "oncall@example.com"))
+      val d = smtp.data
+      assert(d.contains("From: alerts@graft.dev"))
+      assert(d.contains("To: ops@example.com, oncall@example.com"))
+      assert(d.contains("Reply-To: noreply@graft.dev"))
+      // UTF-8 subject as an encoded word that decodes back exactly
+      val subj = d.linesIterator.find(_.startsWith("Subject: ")).get
+        .drop("Subject: ".length)
+      assert(subj.startsWith("=?UTF-8?B?") && subj.endsWith("?="))
+      val decoded = new String(java.util.Base64.getDecoder.decode(
+        subj.stripPrefix("=?UTF-8?B?").stripSuffix("?=")), UTF_8)
+      assert(decoded == "Löt lag ⚠")
+      assert(d.contains("value over threshold"))
+      assert(d.contains("..starts with dot"), "dot-stuffing applied")
+      assert(smtp.sawQuit)
+    } finally smtp.stop()
+  }
+
+  test("a fired slot-lag alert travels decision → dispatch → both " +
+    "wires; transport failures are counted, never thrown") {
+    val hook = new WebhookFixture
+    val smtp = new SmtpFixture
+    try {
+      var now = 0L
+      val alerter = new Alerting.Alerter(
+        senders = Seq(
+          Alerting.Sender(id = 1), // slack
+          Alerting.Sender(id = 2)), // email
+        defaultSlotLagMb = 100, clock = () => now)
+      val transports = Map[Long, AlertTransport](
+        1L -> new SlackWebhookSender(hook.url),
+        2L -> new SmtpEmailSender("127.0.0.1", smtp.port,
+          "alerts@graft.dev", Seq("ops@example.com")))
+      val fired = alerter.alertIfSlotLag("flow1", "pg_prod", "s1",
+        lagMb = 900)
+      assert(fired.size == 2)
+      assert(dispatch(fired, transports) == 0)
+      assert(hook.posts.get == 1L)
+      assert(hook.lastBody.contains("Slot Lag Threshold Exceeded"))
+      assert(hook.lastBody.contains("currently at 900MB"))
+      assert(smtp.data != null && smtp.data.contains("currently at 900MB"))
+      // suppression window: an immediate re-check fires nothing
+      assert(alerter.alertIfSlotLag("flow1", "pg_prod", "s1", 900).isEmpty)
+      // a dead transport counts a failure but the other still delivers
+      now += 16 * 60000L
+      val fired2 = alerter.alertIfSlotLag("flow1", "pg_prod", "s1", 901)
+      assert(fired2.size == 2)
+      smtp.stop()
+      val failures = dispatch(fired2, transports)
+      assert(failures == 1)
+      assert(hook.posts.get == 2L, "slack must deliver despite smtp down")
+    } finally { hook.stop(); smtp.stop() }
+  }
+}
