@@ -204,6 +204,70 @@ final class FlowApi(spark: SparkSession) {
   def getMaintenanceStatus(): Boolean =
     Settings.get(spark, "maintenance.mode").exists(_.toBoolean)
 
+  /** SkipSnapshotWaitFlows (route.proto; cmd/handler.go:886-928): while
+    * maintenance is ON, name flows whose snapshot-wait the maintenance
+    * drain must skip. The reference signals the running
+    * StartMaintenance workflow; here the skip set is a durable dynamic
+    * setting the drain loop reads ([[skippedSnapshotWaitFlows]]) —
+    * same precondition (an error when maintenance is not running),
+    * same accumulate-on-repeat semantics. Returns
+    * (signalSent, message), the proto response pair. */
+  def skipSnapshotWaitFlows(flowNames: Seq[String]): (Boolean, String) = {
+    if (!getMaintenanceStatus())
+      return (false, "maintenance is not currently running")
+    val merged = (skippedSnapshotWaitFlows() ++ flowNames).distinct
+    postDynamicSetting("maintenance.skipped_snapshot_wait_flows",
+      merged.mkString(","))
+    (true, "Successfully sent skipped_snapshot_wait_flows signal " +
+      s"for ${flowNames.size} flows")
+  }
+
+  /** The flows whose snapshot-wait maintenance may skip — what the
+    * drain loop consults before blocking on an in-flight snapshot
+    * (the StartMaintenanceSignal payload, reset when maintenance
+    * turns off via [[maintenance]]'s fresh cycle). */
+  def skippedSnapshotWaitFlows(): Seq[String] =
+    Settings.get(spark, "maintenance.skipped_snapshot_wait_flows")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** ResetMirrorSequences (route.proto; cmd/reset_sequences.go): after
+    * an initial load, `setval` every destination-table-owned sequence
+    * to MAX(column) so destination inserts resume past the mirrored
+    * ids. The reference's preconditions restate exactly: only a
+    * PostgreSQL destination qualifies — `destination` binds the
+    * deployment's PG connection as (peerKind, executor); None (the
+    * engine's parquet destinations) or a non-postgres kind answers the
+    * FailedPrecondition message instead of running anything. The
+    * statement itself is ONE server-side DO block
+    * ([[graft.sinks.MergeSqlGenerator.resetSequencesSql]]), the
+    * reference's exact shape. Returns (ok, errorMessage) — the proto
+    * response pair. */
+  def resetMirrorSequences(name: String,
+      destination: Option[(String, graft.sinks.SqlExecutor)] = None)
+      : (Boolean, String) = {
+    val cfg = GraftSql.mirrorConfigByName(spark, name)
+    destination match {
+      case None | Some(("parquet", _)) =>
+        (false,
+          "reset sequences is only supported for PostgreSQL destinations")
+      case Some((kind, _)) if kind != "postgres" =>
+        (false,
+          "reset sequences is only supported for PostgreSQL destinations")
+      case Some((_, exec)) =>
+        val tables =
+          (cfg.destinationTable +: cfg.extraTables.keys.toSeq).distinct
+        try {
+          exec.execute(
+            graft.sinks.MergeSqlGenerator.resetSequencesSql(tables))
+          (true, "")
+        } catch {
+          case e: Exception =>
+            (false, s"failed to reset sequences: ${e.getMessage}")
+        }
+    }
+  }
+
   /** GetVersion (route.proto:788). */
   def getVersion(): String = "graft 0.1.0 (spark-native engine)"
 

@@ -654,7 +654,8 @@ object GraftSql {
               val sock = dial(ep.host, ep.port, connectMs)
               try {
                 if (ep.scheme == "mongo")
-                  graft.cdc.Tls.fromParam(ep.param("ssl", ""))
+                  graft.cdc.Tls.fromParam(ep.param("ssl", ""),
+                      Some(ep.param("ssl_ca", "")))
                     .foreach { ctx => graft.cdc.Tls.clientUpgrade(
                       sock, ep.host, ep.port, ctx) }
               } finally sock.close()
@@ -688,6 +689,11 @@ object GraftSql {
     }
   private def mirrorCfg(spark: SparkSession, n: String): MirrorConfig =
     mirrorConfig(spark, mirrorEntry(spark, n).options)
+
+  /** The parsed config of a cataloged mirror — for route-API calls
+    * that need the flow's table set (ResetMirrorSequences). */
+  private[mirror] def mirrorConfigByName(spark: SparkSession,
+      n: String): MirrorConfig = mirrorCfg(spark, n)
 
   /** QRep option validation at DDL time (the analyzer's role,
     * nexus/analyzer/src/qrep.rs:20-90): required keys present, the
@@ -1018,7 +1024,8 @@ object GraftSql {
               user = p.options.getOrElse("user", "root"),
               database = p.options.getOrElse("database", "defaultdb"),
               password = p.options.getOrElse("password", ""),
-              ssl = graft.cdc.Tls.fromParam(p.options.getOrElse("ssl", "")),
+              ssl = graft.cdc.Tls.fromParam(
+                p.options.getOrElse("ssl", ""), p.options.get("ssl_ca")),
               ssh = p.options.get("ssh"))
             checks.find(_.status != "ok") match {
               case Some(c) => "invalid" -> s"${c.check}: ${c.detail}"

@@ -53,7 +53,14 @@ object Settings {
         "are refused; introspection still works " +
         "(PEERDB_MAINTENANCE_MODE_ENABLED, dynamicconf.go:868; " +
         "handlers deny with ErrUnderMaintenance, " +
-        "flow/cmd/handler.go:429-435)"))
+        "flow/cmd/handler.go:429-435)"),
+    Setting("maintenance.skipped_snapshot_wait_flows", Some(""), "string",
+      "Comma-joined flow names whose in-flight snapshots the " +
+        "maintenance drain skips waiting for — the " +
+        "SkipSnapshotWaitFlows signal payload " +
+        "(StartMaintenanceSignal.skipped_snapshot_wait_flows, " +
+        "flow/cmd/handler.go:886-928); only meaningful while " +
+        "maintenance.mode is on"))
 
   private val byName = all.map(s => s.name -> s).toMap
 

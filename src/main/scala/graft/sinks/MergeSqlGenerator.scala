@@ -108,6 +108,45 @@ object MergeSqlGenerator {
     }
   }
 
+  /** Sequence reset after an initial load (ResetMirrorSequences,
+    * flow/cmd/reset_sequences.go:57-86): ONE server-side DO block that
+    * walks `pg_get_serial_sequence` over every destination table and
+    * `setval`s each owned sequence to MAX(column) — so inserts on the
+    * destination resume past the mirrored ids. PG-only by nature (the
+    * RPC's precondition); table names ''-escaped into the array
+    * literal exactly like the reference's quoting. */
+  def resetSequencesSql(destTables: Seq[String]): String = {
+    require(destTables.nonEmpty, "reset sequences: no destination tables")
+    val arrayLiteral = destTables
+      .map(t => "'" + t.replace("'", "''") + "'")
+      .mkString("ARRAY[", ",", "]::text[]")
+    s"""DO $$$$
+       |DECLARE
+       |v_table text;
+       |v_col text;
+       |v_seq text;
+       |v_max bigint;
+       |BEGIN
+       |FOREACH v_table IN ARRAY $arrayLiteral
+       |LOOP
+       |  FOR v_col, v_seq IN
+       |  SELECT a.attname, pg_get_serial_sequence(v_table, a.attname)
+       |  FROM pg_attribute a
+       |  WHERE a.attrelid = v_table::regclass
+       |    AND a.attnum > 0
+       |    AND NOT a.attisdropped
+       |    AND pg_get_serial_sequence(v_table, a.attname) IS NOT NULL
+       |  LOOP
+       |  EXECUTE format('SELECT COALESCE(MAX(%I), 0) FROM %s', v_col, v_table) INTO v_max;
+       |  IF v_max > 0 THEN
+       |    PERFORM setval(v_seq, v_max, true);
+       |  END IF;
+       |  END LOOP;
+       |END LOOP;
+       |END;
+       |$$$$""".stripMargin
+  }
+
   /** Staged form of a Normalizer batch for a JDBC destination: the
     * `_absent_cols` array travels as a CSV text column (the raw table's
     * `_peerdb_unchanged_toast_columns` encoding, SURVEY §2.4). */

@@ -153,4 +153,72 @@ class FlowApiSpec extends SparkSpec {
     assert(!api.listPeers().exists(_.name == "fa_peer"))
     assert(api.getVersion().nonEmpty)
   }
+
+  test("route-API tail: SkipSnapshotWaitFlows requires running " +
+    "maintenance and accumulates the durable skip set; " +
+    "ResetMirrorSequences enforces the PG-destination precondition " +
+    "and runs the reference's DO block through the executor seam") {
+    val api = new FlowApi(spark)
+    val base = tmpDir("flowapi_tail")
+
+    // SkipSnapshotWaitFlows: the reference refuses when the
+    // StartMaintenance workflow is not running (handler.go:900-905)
+    val (sent0, msg0) = api.skipSnapshotWaitFlows(Seq("f1"))
+    assert(!sent0 && msg0.contains("not currently running"))
+    api.maintenance(true)
+    val (sent1, msg1) = api.skipSnapshotWaitFlows(Seq("f1", "f2"))
+    assert(sent1 && msg1.contains("2 flows"))
+    assert(api.skippedSnapshotWaitFlows() == Seq("f1", "f2"))
+    // repeats accumulate without duplicating
+    assert(api.skipSnapshotWaitFlows(Seq("f2", "f3"))._1)
+    assert(api.skippedSnapshotWaitFlows() == Seq("f1", "f2", "f3"))
+    api.maintenance(false)
+
+    // ResetMirrorSequences over a cataloged mirror
+    api.createCdcFlow("fa_seq", Map(
+      "wal_dir" -> s"$base/wal", "dest_dir" -> s"$base/dest",
+      "checkpoint_dir" -> s"$base/ckpt", "pk" -> "id",
+      "table" -> "public.owners", "schema" -> "id BIGINT, v STRING"))
+    // parquet destinations (the engine default) fail the precondition,
+    // exactly the reference's FailedPrecondition branch
+    val (ok0, err0) = api.resetMirrorSequences("fa_seq")
+    assert(!ok0 && err0.contains("only supported for PostgreSQL"))
+    val (ok1, err1) = api.resetMirrorSequences("fa_seq",
+      Some(("clickhouse", new graft.sinks.SqlExecutor {
+        override def execute(sql: String): Unit = fail("must not run")
+        override def loadAvro(t: String, f: Seq[String],
+            s: org.apache.spark.sql.types.StructType): Unit = ()
+      })))
+    assert(!ok1 && err1.contains("only supported for PostgreSQL"))
+    // a postgres destination runs exactly one DO block naming the
+    // mirror's destination tables
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (ok2, err2) = api.resetMirrorSequences("fa_seq",
+      Some(("postgres", new graft.sinks.SqlExecutor {
+        override def execute(sql: String): Unit = ran += sql
+        override def loadAvro(t: String, f: Seq[String],
+            s: org.apache.spark.sql.types.StructType): Unit = ()
+      })))
+    assert(ok2 && err2.isEmpty)
+    assert(ran.size == 1)
+    val sql = ran.head
+    assert(sql.contains("ARRAY['public.owners']::text[]"))
+    assert(sql.contains("pg_get_serial_sequence"))
+    assert(sql.contains("setval(v_seq, v_max, true)"))
+    assert(sql.contains("NOT a.attisdropped"))
+    // executor failure surfaces as (false, message), never a throw
+    val (ok3, err3) = api.resetMirrorSequences("fa_seq",
+      Some(("postgres", new graft.sinks.SqlExecutor {
+        override def execute(sql: String): Unit =
+          throw new RuntimeException("connection refused")
+        override def loadAvro(t: String, f: Seq[String],
+            s: org.apache.spark.sql.types.StructType): Unit = ()
+      })))
+    assert(!ok3 && err3.contains("failed to reset sequences"))
+    // quoting: a table name with a quote is ''-escaped into the array
+    assert(graft.sinks.MergeSqlGenerator
+      .resetSequencesSql(Seq("sch.o'brien"))
+      .contains("ARRAY['sch.o''brien']::text[]"))
+    api.flowStateChange("fa_seq", "TERMINATED")
+  }
 }
