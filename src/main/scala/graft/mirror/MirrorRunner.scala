@@ -320,9 +320,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val ep = graft.cdc.CaptureEndpoint.parse(url)
     val connectMs = ep.param("connect_timeout_ms", "10000").toInt
     val readMs = ep.param("read_timeout_ms", "60000").toInt
-    // `ssl=require` on the endpoint URL upgrades the transport
-    // (encrypt-only; a verifying context is the library-API path)
-    val sslCtx = graft.cdc.Tls.fromParam(ep.param("ssl", ""))
+    // `ssl=require` upgrades the transport encrypt-only;
+    // `ssl=verify-ca|verify-full&ssl_ca=/path/ca.pem` adds chain (and
+    // hostname) verification — the libpq sslmode ladder on the URL
+    val sslCtx = graft.cdc.Tls.fromParam(ep.param("ssl", ""),
+      Some(ep.param("ssl_ca", "")))
     // `ssh=user:pass@host[:port]` dials the DB through an SSH tunnel
     // (the reference's per-peer SSHConfig, utils/ssh.go); composes
     // with ssl=require — TLS runs inside the tunneled channel

@@ -198,7 +198,7 @@ object CurationPipeline {
       .filter(col("rn") === 1).drop("rn")
 
   /** (doc_id, shs): distinct 3-shingles per doc with ≥ 3 words. */
-  private def shapedOf(df: DataFrame): DataFrame = df
+  private[operators] def shapedOf(df: DataFrame): DataFrame = df
     .select(col("doc_id"), TF.words(col("text")).as("ws"))
     .filter(size(col("ws")) >= 3)
     .select(col("doc_id"), array_distinct(
@@ -209,7 +209,7 @@ object CurationPipeline {
     * and Catalyst does not hoist the common subexpression, so an
     * unmaterialized signature recomputes 8× (the measured 17× slowdown
     * documented at q_dedup_minhash_lsh). */
-  private def bandsOf(shaped: DataFrame): DataFrame = {
+  private[operators] def bandsOf(shaped: DataFrame): DataFrame = {
     val sig = shaped.select(col("doc_id"),
         SignatureExprs.minhashSig(col("shs"), 32).as("sig"))
       .localCheckpoint(true)
@@ -225,13 +225,30 @@ object CurationPipeline {
     * whose duplicate clusters grow with the corpus (500k docs with
     * ~100-member clusters filled 79 GB of shuffle in the verify join
     * downstream; the star soaks the same corpus in seconds). Star is
-    * sufficient for KEEP-LOWEST dedup: the cluster minimum is its
-    * buckets' minimum, so every other member gets a verify edge to it
-    * in each of the 8 bands — 8 chances to be dropped, and the winner
-    * can never be a `d2` of a smaller doc it doesn't share a bucket
-    * with. Both aggregate and join key on (band, key): one shuffle,
+    * sufficient for KEEP-LOWEST dedup when each bucket's minimum
+    * belongs to the duplicate cluster: every other member then gets a
+    * verify edge to it in each of the 8 bands, and the winner can
+    * never be a `d2` of a smaller doc it doesn't share a bucket with.
+    *
+    * RECALL BOUND (documented, quantified in CurationPipelineSpec): a
+    * true pair (dA, dB) is missed only if EVERY band bucket the two
+    * share is "anchored" by a smaller FALSE-POSITIVE collider — a
+    * non-duplicate d0 < dA landing in that same (band, key). Then the
+    * star emits (d0,dA) and (d0,dB), both fail the Jaccard verify,
+    * and no (dA,dB) edge exists. The probability is bounded by the
+    * band false-positive rate to the power of the pair's shared-band
+    * count: one band's non-dup collision is P ≈ J^rows (J < 0.5 ⇒
+    * < 6.25% at rows = 4), and ALL shared bands must be anchored —
+    * with the additional constraint that the collider's minhash
+    * matches the bucket key exactly, which for J < 0.5 docs decays
+    * geometrically. Empirically zero misses vs the clique on the test
+    * corpus (spec asserts star ≡ clique drops there); an adversarial
+    * synthetic bucket layout demonstrating the miss is pinned in the
+    * same spec so the bound stays visible, not folklore.
+    *
+    * Both aggregate and join key on (band, key): one shuffle,
     * co-partitioned. */
-  private def keepFirstCandidates(bands: DataFrame): DataFrame = {
+  private[operators] def keepFirstCandidates(bands: DataFrame): DataFrame = {
     val mins = bands.groupBy("band", "key")
       .agg(min("doc_id").as("d1"))
     bands.join(mins, Seq("band", "key"))
@@ -242,7 +259,7 @@ object CurationPipeline {
 
   /** Exact-Jaccard verify over candidate pairs: returns the distinct
     * d2 (loser) ids whose pair clears J ≥ 0.5, as a (doc_id) frame. */
-  private def verifiedDrops(cand: DataFrame, sh: DataFrame,
+  private[operators] def verifiedDrops(cand: DataFrame, sh: DataFrame,
       cnt: DataFrame): DataFrame = {
     val inter = cand
       .join(sh.toDF("d1", "s"), "d1")

@@ -295,8 +295,9 @@ final class PgClient(
         results += Result(cols, rows.result(), "SUSPENDED")
         rows = Seq.newBuilder
       case Some(('E', body)) =>
-        if (err.isEmpty)
-          err = Some(new PgServerError("XX000", errorMessage(body)))
+        // parse the real 'C' SQLSTATE field: extended-protocol callers
+        // classify errors (auth vs unknown-setting) like queryAll does
+        if (err.isEmpty) err = Some(parseError(body))
       case Some(('Z', _)) => done = true
       case Some(('N', _)) | Some(('S', _)) => ()
       case Some((t, _)) => throw new java.io.IOException(

@@ -120,6 +120,83 @@ object PgServer {
   def sqlLiteral(v: String): String =
     "'" + v.replace("'", "''") + "'"
 
+  /** Lexer-aware `$n` parameter substitution: PG lexes `$n` as a
+    * parameter ONLY in top-level SQL code — occurrences inside
+    * single/double quotes, line or block comments, or dollar-quoted
+    * bodies are literal text (`SELECT 'costs $1'` carries no
+    * parameter). Same quote/comment/dollar state machine as
+    * [[splitStatements]]; one pass, so a substituted VALUE containing
+    * `$n` of its own is never re-scanned. `render(idx0)` returns the
+    * replacement for 0-based parameter idx0, or None to leave the
+    * token verbatim (out-of-range — PG errors at Bind; Describe's
+    * NULL-probe maps everything). Dollar-quote tags follow PG's
+    * identifier rule (no leading digit), so `$1$…$` is parameter 1
+    * followed by text, not a tag. */
+  def substituteParams(sql: String,
+      render: Int => Option[String]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var sq = false; var dq = false
+    var lineC = false; var blockC = 0
+    var dollar: String = null
+    def nextIs(c: Char) = i + 1 < sql.length && sql.charAt(i + 1) == c
+    def tagAt(j: Int): Option[String] = {
+      // $tag$: identifier-rule tag (possibly empty, as in $$), so a
+      // digit right after '$' means a parameter, never a tag
+      var k = j + 1
+      if (k < sql.length && sql.charAt(k).isDigit) return None
+      while (k < sql.length && (sql.charAt(k).isLetterOrDigit ||
+        sql.charAt(k) == '_')) k += 1
+      if (k < sql.length && sql.charAt(k) == '$')
+        Some(sql.substring(j, k + 1))
+      else None
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (lineC) {
+        if (c == '\n') lineC = false
+        out += c; i += 1
+      } else if (blockC > 0) {
+        if (c == '*' && nextIs('/')) { blockC -= 1; out ++= "*/"; i += 2 }
+        else if (c == '/' && nextIs('*')) { blockC += 1; out ++= "/*"; i += 2 }
+        else { out += c; i += 1 }
+      } else if (dollar != null) {
+        if (sql.startsWith(dollar, i)) {
+          out ++= dollar; i += dollar.length; dollar = null
+        } else { out += c; i += 1 }
+      } else if (sq) {
+        out += c; if (c == '\'') sq = false; i += 1
+      } else if (dq) {
+        out += c; if (c == '"') dq = false; i += 1
+      } else c match {
+        case '\'' => sq = true; out += c; i += 1
+        case '"' => dq = true; out += c; i += 1
+        case '-' if nextIs('-') => lineC = true; out ++= "--"; i += 2
+        case '/' if nextIs('*') => blockC = 1; out ++= "/*"; i += 2
+        case '$' if nextIs('$') || tagAt(i).isDefined =>
+          val tag = tagAt(i).getOrElse("$$")
+          dollar = tag; out ++= tag; i += tag.length
+        case '$' if i + 1 < sql.length && sql.charAt(i + 1).isDigit =>
+          var k = i + 1
+          while (k < sql.length && sql.charAt(k).isDigit) k += 1
+          val token = sql.substring(i, k)
+          out ++= render(token.drop(1).toInt - 1).getOrElse(token)
+          i = k
+        case other => out += other; i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** 0-based parameter indexes of the statement's REAL `$n` tokens
+    * (quote/comment-blind occurrences excluded), for Describe's
+    * ParameterDescription count. */
+  def paramIndexes(sql: String): Seq[Int] = {
+    val seen = Seq.newBuilder[Int]
+    substituteParams(sql, i => { seen += i; None })
+    seen.result()
+  }
+
   /** Top-level statement split on `;` (simple protocol allows several
     * statements per Query message) — semicolons inside single/double
     * quotes, `--` line comments, `/* */` block comments (nested, as PG
@@ -661,18 +738,15 @@ final class PgServer(
           new String(v, UTF_8)
         }
       }
-      // ONE regex pass over the original SQL: sequential replace would
-      // re-scan already-substituted values, so a parameter containing
-      // a "$n" of its own (or a crafted quote pair) could corrupt the
-      // statement or escape its literal
-      val substituted = "\\$(\\d+)".r.replaceAllIn(sql, m => {
-        val idx = m.group(1).toInt - 1
-        val rendered =
-          if (idx < 0 || idx >= params.length) m.matched // leave as-is
-          else if (params(idx) == null) "NULL"
-          else sqlLiteral(params(idx))
-        scala.util.matching.Regex.quoteReplacement(rendered)
-      })
+      // ONE lexer pass over the original SQL (substituteParams): a
+      // sequential replace would re-scan already-substituted values
+      // (a parameter containing "$n" could corrupt the statement),
+      // and a quote-blind regex would also rewrite $n inside string
+      // literals/comments where PG sees plain text
+      val substituted = substituteParams(sql, idx =>
+        if (idx < 0 || idx >= params.length) None // leave as-is
+        else if (params(idx) == null) Some("NULL")
+        else Some(sqlLiteral(params(idx))))
       portals(portal) = new Portal(substituted,
         spark.sessionState.sqlParser.parsePlan(substituted))
       writeMessage(out, '2', Array.emptyByteArray) // BindComplete
@@ -686,10 +760,12 @@ final class PgServer(
           val sql = statements.getOrElse(name,
             throw new NoSuchElementException(
               s"prepared statement \"$name\" does not exist"))
-          // ParameterDescription: count the distinct $n placeholders;
-          // types are unspecified (0) — the engine casts at use sites
-          val nParams = "\\$(\\d+)".r.findAllMatchIn(sql)
-            .map(_.group(1).toInt).maxOption.getOrElse(0)
+          // ParameterDescription: count the distinct $n placeholders
+          // (lexer-aware — $n inside literals/comments is text, not a
+          // parameter); types are unspecified (0) — the engine casts
+          // at use sites
+          val nParams = paramIndexes(sql).maxOption.map(_ + 1)
+            .getOrElse(0)
           val pb = ByteBuffer.allocate(2 + 4 * nParams)
           pb.putShort(nParams.toShort)
           (0 until nParams).foreach(_ => pb.putInt(0))
@@ -699,7 +775,7 @@ final class PgServer(
           // WITHOUT executing (Describe must be side-effect-free);
           // unplannable text → NoData, the shape arrives at Execute.
           try {
-            val probe = sql.replaceAll("\\$\\d+", "NULL")
+            val probe = substituteParams(sql, _ => Some("NULL"))
             val plan = spark.sessionState.sqlParser.parsePlan(probe)
             val schema =
               if (plan.isInstanceOf[

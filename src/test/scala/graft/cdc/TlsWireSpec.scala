@@ -171,11 +171,149 @@ class TlsWireSpec extends AnyFunSuite {
   }
 
   test("ssl URL parameter: disable/require map to contexts, junk is " +
-    "refused loudly") {
+    "refused loudly, verify modes demand a CA path") {
     assert(Tls.fromParam("").isEmpty)
     assert(Tls.fromParam("disable").isEmpty)
     assert(Tls.fromParam("require").isDefined)
     assert(Tls.fromParam("TRUE").isDefined)
-    intercept[IllegalArgumentException](Tls.fromParam("verify-full"))
+    // verify-ca/verify-full without ssl_ca is a config error
+    val e = intercept[IllegalArgumentException](
+      Tls.fromParam("verify-full"))
+    assert(e.getMessage.contains("ssl_ca"))
+    intercept[IllegalArgumentException](
+      Tls.fromParam("verify-ca", Some("")))
+    intercept[IllegalArgumentException](Tls.fromParam("junk"))
+  }
+
+  // -------------------------------------- verify-ca / verify-full
+
+  /** keytool keypair with SAN dns:localhost,ip:127.0.0.1 + its cert
+    * exported as PEM — the CA bundle a verifying client trusts. */
+  private lazy val sanKeys: (javax.net.ssl.SSLContext, String) = {
+    val dir = Files.createTempDirectory("tlsverify").toString
+    val ks = s"$dir/server.p12"
+    val keytool = s"${System.getProperty("java.home")}/bin/keytool"
+    def run(cmd: Seq[String]): Unit = {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val outText = new String(p.getInputStream.readAllBytes())
+      require(p.waitFor() == 0, s"keytool failed: $outText")
+    }
+    run(Seq(keytool, "-genkeypair", "-alias", "srv",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1",
+      "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", "changeit"))
+    run(Seq(keytool, "-exportcert", "-rfc", "-alias", "srv",
+      "-keystore", ks, "-storepass", "changeit",
+      "-file", s"$dir/ca.pem"))
+    (Tls.serverContext(ks, "changeit"), s"$dir/ca.pem")
+  }
+
+  /** One handshake attempt: serverCtx on the accept side, clientCtx
+    * dialing `host`; returns the client-side failure if any. */
+  private def handshake(serverCtx: javax.net.ssl.SSLContext,
+      clientCtx: javax.net.ssl.SSLContext,
+      host: String): Option[Throwable] = {
+    val server = new ServerSocket(0)
+    try {
+      val srvErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() => {
+        try {
+          val c = server.accept()
+          c.setSoTimeout(10000)
+          val tls = Tls.serverUpgrade(c, serverCtx)
+          tls.getInputStream.read() // wait for the client's byte/close
+          tls.close()
+        } catch { case e: Throwable => srvErr.set(e) }
+      })
+      t.setDaemon(true); t.start()
+      try {
+        val sock = Ssh.tcpDial(host, server.getLocalPort, 5000)
+        sock.setSoTimeout(10000)
+        val tls = Tls.clientUpgrade(sock, host, server.getLocalPort,
+          clientCtx)
+        tls.getOutputStream.write('x'); tls.getOutputStream.flush()
+        tls.close()
+        None
+      } catch { case e: Throwable => Some(e) }
+    } finally server.close()
+  }
+
+  test("verify-ca accepts the pinned CA and refuses a stranger's " +
+    "cert; verify-full additionally matches the dialed host against " +
+    "the SAN (dns + ip), refusing a cert without the name") {
+    val (sanCtx, caPem) = sanKeys
+    // verify-ca, right CA → handshake completes (dialed by IP: chain
+    // only, no hostname requirement)
+    assert(handshake(sanCtx,
+      Tls.fromParam("verify-ca", Some(caPem)).get, "127.0.0.1").isEmpty)
+    // verify-ca, STRANGER's server (the CN-only shared fixture key is
+    // not in the CA bundle) → refused
+    val strangerErr = handshake(TlsTestKeys.serverCtx,
+      Tls.fromParam("verify-ca", Some(caPem)).get, "127.0.0.1")
+    assert(strangerErr.isDefined, "unknown CA must fail verify-ca")
+    // verify-full by dns name and by IP SAN → both accepted
+    val full = Tls.fromParam("verify-full", Some(caPem)).get
+    assert(handshake(sanCtx, full, "localhost").isEmpty)
+    assert(handshake(sanCtx,
+      Tls.fromParam("verify-full", Some(caPem)).get, "127.0.0.1").isEmpty)
+    // trust-all still connects to anyone (the require posture)
+    assert(handshake(sanCtx, Tls.trustAllContext, "127.0.0.1").isEmpty)
+  }
+
+  test("verify-full hostname matching unit semantics: wildcards one " +
+    "label deep, case-insensitive, CN fallback only without SANs, IP " +
+    "equality") {
+    val (sanCtx, caPem) = sanKeys
+    val _ = (sanCtx, caPem)
+    // build a throwaway cert via the fixture CA to inspect matching
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = new java.io.FileInputStream(caPem)
+    val cert = try cf.generateCertificate(in)
+      .asInstanceOf[java.security.cert.X509Certificate]
+    finally in.close()
+    // SAN dns:localhost,ip:127.0.0.1 — positive and negative
+    Tls.matchHostname("localhost", cert)
+    Tls.matchHostname("LOCALHOST", cert)
+    Tls.matchHostname("127.0.0.1", cert)
+    intercept[java.security.cert.CertificateException](
+      Tls.matchHostname("evil.example.com", cert))
+    intercept[java.security.cert.CertificateException](
+      Tls.matchHostname("10.0.0.1", cert))
+    // the wrong-host path live: a verify-full client dialing an IP
+    // the cert does not carry must refuse mid-handshake — exercised
+    // against the CN-only fixture key whose cert IS the trusted CA
+    // (chain ok, hostname not): CN fallback matches 'localhost' only
+    val dirCa = {
+      val dir = Files.createTempDirectory("tlscn").toString
+      val ksPath = s"$dir/cn.p12"
+      val keytool = s"${System.getProperty("java.home")}/bin/keytool"
+      def run(cmd: Seq[String]): Unit = {
+        val p = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true).start()
+        val t = new String(p.getInputStream.readAllBytes())
+        require(p.waitFor() == 0, s"keytool failed: $t")
+      }
+      run(Seq(keytool, "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+        "-keysize", "2048", "-validity", "1", "-dname", "CN=localhost",
+        "-storetype", "PKCS12", "-keystore", ksPath,
+        "-storepass", "changeit"))
+      run(Seq(keytool, "-exportcert", "-rfc", "-alias", "srv",
+        "-keystore", ksPath, "-storepass", "changeit",
+        "-file", s"$dir/ca.pem"))
+      (Tls.serverContext(ksPath, "changeit"), s"$dir/ca.pem")
+    }
+    val (cnCtx, cnPem) = dirCa
+    val full = Tls.fromParam("verify-full", Some(cnPem)).get
+    // CN fallback: dns dial matches CN=localhost
+    assert(handshake(cnCtx, full, "localhost").isEmpty)
+    // an IP dial cannot match a CN-only cert → refused mid-handshake
+    assert(handshake(cnCtx,
+      Tls.fromParam("verify-full", Some(cnPem)).get, "127.0.0.1")
+      .isDefined)
+    // but verify-ca (no hostname requirement) still accepts it
+    assert(handshake(cnCtx,
+      Tls.fromParam("verify-ca", Some(cnPem)).get, "127.0.0.1").isEmpty)
   }
 }

@@ -82,4 +82,80 @@ class CurationPipelineSpec extends SparkSpec {
       5, "decontaminate", 1L, 1L))
     assert(kept.count() == 1L)
   }
+
+  test("star-topology recall bound, pinned: a smaller FALSE-POSITIVE " +
+    "collider anchoring every shared bucket hides a true pair (the " +
+    "documented miss); on a real corpus star ≡ clique verified drops") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+
+    // --- the adversarial layout, at the bands level: docs 1 and 2 are
+    // true duplicates; doc 0 is a non-duplicate that shares EVERY band
+    // bucket with them (the false-positive collider the scaladoc
+    // bound describes)
+    val bands = (0 until 8).flatMap(b =>
+      Seq((0L, b, 42L), (1L, b, 42L), (2L, b, 42L)))
+      .toDF("doc_id", "band", "key")
+    val starPairs = CurationPipeline.keepFirstCandidates(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star emits only collider edges — the (1,2) edge never forms
+    assert(starPairs == Set((0L, 1L), (0L, 2L)))
+    // with shingle sets where J(1,2)=1 but J(0,·)<0.5, verify drops
+    // NOTHING: doc 2 (the true duplicate) survives — the bounded miss
+    val sh = (Seq(0L -> "x1", 0L -> "x2", 0L -> "x3", 0L -> "x4") ++
+      Seq(1L -> "s1", 1L -> "s2", 2L -> "s1", 2L -> "s2"))
+      .toDF("doc_id", "s")
+    val cnt = Seq((0L, 4L), (1L, 2L), (2L, 2L)).toDF("doc_id", "n")
+    val missed = CurationPipeline.verifiedDrops(
+      starPairs.toSeq.toDF("d1", "d2"), sh, cnt)
+    assert(missed.count() == 0L,
+      "the adversarial layout must demonstrate the documented miss")
+    // the clique over the same buckets WOULD catch it — the cost of
+    // that guarantee (Σ bucket²/2 edges) is why star ships
+    val clique = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    assert(CurationPipeline.verifiedDrops(clique, sh, cnt)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+
+    // --- empirical miss rate on a REAL corpus with planted dup
+    // clusters + near-miss chaff: star and clique verify to the SAME
+    // drop set (false-positive anchors are rare by LSH design — a
+    // band collision of a J<0.5 doc needs all 4 minhash rows equal)
+    def t(words: Seq[String]) = words.mkString(" ")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map { i =>
+      val cluster = i % 60 // 60 clusters of 5: 4 dups + 1 distinct
+      val base = (0 until 30).map(j => s"w${cluster}_$j")
+      val text =
+        if (i % 5 == 4) t((0 until 30).map(j => s"u${i}_$j")) // distinct
+        else if (i % 5 == 3) // near-dup: 2 words swapped, J ≈ 0.87
+          t(base.dropRight(2) ++ Seq(s"n$i", s"m$i"))
+        else t(base) // exact-shingle dup of the cluster base
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val shaped = CurationPipeline.shapedOf(docs).localCheckpoint(true)
+    val bands2 = CurationPipeline.bandsOf(shaped).localCheckpoint(true)
+    val sh2 = shaped.select(col("doc_id"), explode(col("shs")).as("s"))
+    val cnt2 = shaped.select(col("doc_id"),
+      size(col("shs")).cast("long").as("n"))
+    val starDrops = CurationPipeline.verifiedDrops(
+      CurationPipeline.keepFirstCandidates(bands2), sh2, cnt2)
+      .collect().map(_.getLong(0)).toSet
+    val clique2 = bands2.as("a").join(bands2.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val cliqueDrops = CurationPipeline.verifiedDrops(clique2, sh2, cnt2)
+      .collect().map(_.getLong(0)).toSet
+    assert(starDrops == cliqueDrops,
+      s"star missed ${(cliqueDrops -- starDrops).toSeq.sorted} " +
+        s"of ${cliqueDrops.size} clique drops")
+    assert(cliqueDrops.nonEmpty, "the corpus must exercise real drops")
+    val _ = rnd
+  }
 }

@@ -238,6 +238,40 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("$n inside string literals and comments is TEXT, not a " +
+    "parameter (PG lexer semantics) — substitution, the Describe " +
+    "parameter count, and the NULL probe all agree") {
+    import PgServer.{paramIndexes, substituteParams}
+    // lexer blindness: literals, line/block comments, dollar quotes
+    val sql = "SELECT 'costs $1' AS lit, $1 AS p -- not $9\n" +
+      "/* nor $8 */ , $$body $7$$ AS dq, \"col$6\" FROM t"
+    assert(paramIndexes(sql) == Seq(0))
+    val sub = substituteParams(sql,
+      i => if (i == 0) Some("'X'") else None)
+    assert(sub.contains("'costs $1'"), "literal $1 must stay text")
+    assert(sub.contains("'X' AS p"), "the real $1 substitutes")
+    assert(sub.contains("not $9") && sub.contains("nor $8") &&
+      sub.contains("$$body $7$$") && sub.contains("\"col$6\""))
+    // $1 adjacent to a later $ is a parameter, never a dollar tag
+    // (tags follow the identifier rule: no leading digit)
+    assert(substituteParams("SELECT $1 + $2",
+      i => Some(s"<${i + 1}>")) == "SELECT <1> + <2>")
+    // out-of-range placeholders stay verbatim (PG errors at Bind)
+    assert(substituteParams("SELECT $5", _ => None) == "SELECT $5")
+    // end to end: a literal containing $1 must NOT consume the bind
+    // value while the real $1 does
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.parse("", "SELECT 'costs $1' AS lit, $1 AS p")
+        c.bind("", "", Seq(Some("bound")))
+        c.execute("")
+        val row = c.sync().last.rows.head
+        assert(row == Seq(Some("costs $1"), Some("bound")))
+      } finally c.close()
+    }
+  }
+
   test("Describe of a prepared command is side-effect-free; the " +
     "command executes exactly once, at Execute") {
     withServer() { (s, srv) =>
