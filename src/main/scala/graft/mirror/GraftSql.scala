@@ -451,6 +451,17 @@ object GraftSql {
       captureTables = o.get("capture_tables")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil),
+      // queue_url 'kafka://host:port[?acks=N]' — a QUEUE destination:
+      // batches publish over the live Kafka wire protocol instead of
+      // normalizing (sync-only, the reference's queue-connector
+      // shape). Validated at DDL time so a typo'd scheme fails the
+      // CREATE, not the first batch.
+      queueUrl = o.get("queue_url").map { u =>
+        require(u.matches("^kafka://[^:/?]+:\\d+(\\?acks=-?\\d+)?$"),
+          s"CREATE MIRROR: queue_url must be " +
+            s"kafka://host:port[?acks=N], got '$u'")
+        u
+      },
       // table_map 'src:dest,src2:dest2' — capture-decode routing
       // (TableMapping source→destination pairs); the partitioned-table
       // case maps each leaf partition to the root's destination

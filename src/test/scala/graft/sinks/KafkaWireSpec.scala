@@ -241,4 +241,31 @@ class KafkaMirrorSpec extends SparkSpec {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()
   }
+
+  test("queue_url rides the CREATE MIRROR DDL: EXECUTE publishes to " +
+    "the broker, and a malformed url fails the CREATE, not the batch") {
+    val broker = KafkaTestBroker.start(partitionsPerTopic = 2)
+    try {
+      val wal = tmpDir("kafka_ddl_wal")
+      val base = tmpDir("kafka_ddl")
+      ChangeLogWal.append(wal, Seq(
+        rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":10}""")))
+      def sql(s: String) = graft.mirror.GraftSql.execute(spark,
+        graft.mirror.GraftSql.parse(s).get)
+      sql(s"""CREATE MIRROR kq WITH (wal_dir '$wal',
+        dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+        pk 'id', table 'dest.t', schema 'id BIGINT, v BIGINT',
+        queue_url 'kafka://127.0.0.1:${broker.port}')""")
+      sql("EXECUTE MIRROR kq")
+      assert(broker.topicRecords("dest.t").size == 1)
+      val e = intercept[IllegalArgumentException] {
+        sql(s"""CREATE MIRROR kbad WITH (wal_dir '$wal',
+          dest_dir '$base/dest2', checkpoint_dir '$base/ckpt2',
+          pk 'id', table 'dest.t', schema 'id BIGINT, v BIGINT',
+          queue_url 'amqp://127.0.0.1:5672')""")
+      }
+      assert(e.getMessage.contains("queue_url"))
+      sql("DROP MIRROR kq")
+    } finally broker.stop()
+  }
 }
