@@ -386,6 +386,15 @@ object Ssh {
       * the server's host key (re-offered on every re-key). */
     private var clientPin: Option[String] = None
     private var serverHostKey: KeyPair = _
+    /** Bytes moved since the last key exchange (both directions) —
+      * the initiator-side re-key budget reads this; reset at every
+      * installRecv (the exchange's last step). Approximate (payload
+      * bytes, not padded wire bytes) — thresholds are GiB-scale. */
+    @volatile private var bytesSinceKexV = 0L
+    def bytesSinceKex: Long = bytesSinceKexV
+    /** Completed key exchanges (1 after connect; +1 per re-key). */
+    @volatile private var kexCountV = 0
+    def kexCount: Int = kexCountV
 
     /** Version string exchange. The server side may be preceded by
       * banner lines (RFC 4253 §4.2) — the client skips until an
@@ -463,6 +472,7 @@ object Ssh {
           full
         }
       recvSeq = (recvSeq + 1) & 0xFFFFFFFFL
+      bytesSinceKexV += packet.length
       val r = new Rdr(packet)
       val len = r.u32().toInt
       val padLen = r.u8()
@@ -545,6 +555,7 @@ object Ssh {
       }
       rawOut.flush()
       sendSeq = (sendSeq + 1) & 0xFFFFFFFFL
+      bytesSinceKexV += payload.length
     }
 
     def disconnect(code: Int, msg: String): Unit =
@@ -671,6 +682,8 @@ object Ssh {
       val (c, m, e) = dirKeys(k, h, c2s = isServer, encrypt = false)
       recvCipher = c; recvMac = m; recvEtm = e
       if (strictKex) recvSeq = 0L
+      bytesSinceKexV = 0L
+      kexCountV += 1
     }
 
     private def exchangeHash(iC: Array[Byte], iS: Array[Byte],
@@ -912,7 +925,13 @@ object Ssh {
         * tunnel inside the read-timeout window, so silence really
         * does mean death; 0 (the [[tunnelDial]] default) suits
         * per-pull tunnels that are never idle. */
-      keepaliveIntervalMs: Int = 0) extends AutoCloseable {
+      keepaliveIntervalMs: Int = 0,
+      /** Proactive re-key budget in bytes — the client initiates a
+        * key re-exchange once this much traffic has moved since the
+        * last one, whether or not the peer ever would (OpenSSH's
+        * RekeyLimit posture, defaulting to its ~1 GiB). ≤0 disables
+        * initiation; responder-side re-keys always work. */
+      rekeyAfterBytes: Long = 1L << 30) extends AutoCloseable {
 
     private val sock = tcpDial(host, port, connectTimeoutMs)
     // silence for the read window means the tunnel is dead — the
@@ -983,6 +1002,10 @@ object Ssh {
     @volatile private var bad = false
     def isBad: Boolean = bad
 
+    /** Completed key exchanges on this connection (1 = connect only;
+      * more = mid-session re-keys happened). */
+    def keyExchanges: Int = t.kexCount
+
     if (keepaliveIntervalMs > 0) {
       val ka = new Thread(() => {
         try {
@@ -1008,6 +1031,15 @@ object Ssh {
         while (!closed) {
           val p = t.readPacket()
           if (p.nonEmpty) dispatch(p)
+          // PROACTIVE re-key by byte budget (OpenSSH's own RekeyLimit
+          // default is ~1 GiB): initiated from the reader thread —
+          // the only thread that can complete the exchange — so a
+          // peer that never initiates (not every server is OpenSSH)
+          // still gets fresh keys on a long pull. In-flight non-kex
+          // packets hand back through the normal dispatcher.
+          if (rekeyAfterBytes > 0 && t.bytesSinceKex > rekeyAfterBytes
+              && !closed)
+            t.rekeyInitiate(dispatch)
         }
       } catch {
         case e: IOException => failAll(e)

@@ -706,6 +706,17 @@ object GraftSql {
   private[mirror] def mirrorConfigByName(spark: SparkSession,
       n: String): MirrorConfig = mirrorCfg(spark, n)
 
+  /** `metrics.otlp_endpoint` (env-first) → an attached OTLP exporter
+    * for this execution — the enabled path of otel_manager.go.
+    * Continuous mirrors flush on a daemon cadence; drain-style
+    * executions flush once at close. */
+  private def otlpFor(spark: SparkSession, env: Map[String, String],
+      continuous: Boolean): Option[OtlpHttpMetrics] =
+    Settings.get(spark, "metrics.otlp_endpoint", env)
+      .filter(_.nonEmpty)
+      .map(ep => new OtlpHttpMetrics(ep,
+        flushIntervalMs = if (continuous) 5000L else 0L))
+
   /** QRep option validation at DDL time (the analyzer's role,
     * nexus/analyzer/src/qrep.rs:20-90): required keys present, the
     * watermark template actually in the query, upsert has its key. */
@@ -1113,7 +1124,11 @@ object GraftSql {
         if (entry.options.get("initial_snapshot_only").exists(_.toBoolean))
           Seq(Row(snapRows)) // one-shot full load, no stream (field 16)
         else {
-          new MirrorRunner(spark, cfg).runAvailableNow()
+          val runner = new MirrorRunner(spark, cfg)
+          val otlp = otlpFor(spark, cfg.env, continuous = false)
+          otlp.foreach(runner.attachMetrics)
+          try runner.runAvailableNow()
+          finally otlp.foreach(_.close()) // close = final export flush
           Seq(Row(-1L)) // CDC drain reports no row count (stream metrics do)
         }
       }
@@ -1213,14 +1228,20 @@ object GraftSql {
         // holds, up to max_batch_size).
         val intervalMs = entry.options.get("idle_timeout_seconds")
           .map(_.toLong * 1000).getOrElse(100L)
-        val h = handles.getOrElseUpdate(handleKey(spark, n),
-          new MirrorRunner(spark, cfg).handle(
+        val h = handles.getOrElseUpdate(handleKey(spark, n), {
+          val runner = new MirrorRunner(spark, cfg)
+          // continuous mirrors export on a daemon cadence (the SDK
+          // reader's periodic shape); the sink lives with the handle
+          otlpFor(spark, cfg.env, continuous = true)
+            .foreach(runner.attachMetrics)
+          runner.handle(
             org.apache.spark.sql.streaming.Trigger
               .ProcessingTime(intervalMs),
             // capture-backed continuous mirrors keep pulling: the pump
             // drains new capture files at the trigger cadence
             capturePumpIntervalMs =
-              if (cfg.captureDir.isDefined) intervalMs else 0L))
+              if (cfg.captureDir.isDefined) intervalMs else 0L)
+        })
         h.resume()
       }
       Nil

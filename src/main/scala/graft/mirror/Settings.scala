@@ -54,6 +54,11 @@ object Settings {
         "(PEERDB_MAINTENANCE_MODE_ENABLED, dynamicconf.go:868; " +
         "handlers deny with ErrUnderMaintenance, " +
         "flow/cmd/handler.go:429-435)"),
+    Setting("metrics.otlp_endpoint", Some(""), "string",
+      "OTLP/HTTP collector base URL (e.g. http://otel:4318): when " +
+        "set, every EXECUTE/RESUME MIRROR attaches an OTLP exporter " +
+        "for its gauge set — the enabled path of otel_manager.go " +
+        "(OTEL_EXPORTER_OTLP_PROTOCOL http/protobuf); empty disables"),
     Setting("maintenance.skipped_snapshot_wait_flows", Some(""), "string",
       "Comma-joined flow names whose in-flight snapshots the " +
         "maintenance drain skips waiting for — the " +

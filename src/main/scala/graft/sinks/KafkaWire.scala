@@ -45,6 +45,10 @@ object KafkaWire {
   object Err {
     val None = 0
     val UnknownTopicOrPartition = 3
+    val LeaderNotAvailable = 5
+    val NotLeaderOrFollower = 6
+    val RequestTimedOut = 7
+    val NotEnoughReplicas = 19
     def name(code: Int): String = code match {
       case 0 => "NONE"
       case 1 => "OFFSET_OUT_OF_RANGE"
@@ -53,9 +57,25 @@ object KafkaWire {
       case 5 => "LEADER_NOT_AVAILABLE"
       case 6 => "NOT_LEADER_OR_FOLLOWER"
       case 7 => "REQUEST_TIMED_OUT"
+      case 19 => "NOT_ENOUGH_REPLICAS"
       case other => s"ERROR_$other"
     }
+    /** The transient family the client clients retry (franz-go's
+      * kerr.IsRetriable over the same codes): leadership churn,
+      * timeouts, replication catch-up. UNKNOWN_TOPIC is NOT here —
+      * a misrouted mirror must surface, not spin. */
+    def retriable(code: Int): Boolean = code match {
+      case 5 | 6 | 7 | 19 => true
+      case _ => false
+    }
   }
+
+  /** A produce refused by the broker with a protocol error code —
+    * carries the code so the publish loop can distinguish transient
+    * (retry with backoff) from permanent (fail the batch). */
+  final class ProduceException(val topic: String, val partition: Int,
+      val code: Int) extends IOException(
+    s"kafka: produce $topic/$partition failed: ${Err.name(code)}")
 
   final case class Header(key: String, value: Array[Byte])
   /** One record: NULL key/value are legal (tombstones have null
@@ -398,8 +418,7 @@ final class KafkaClient(host: String, port: Int,
       (0 until r.i32()).foreach { _ =>
         val p = r.i32(); val err = r.i16(); val off = r.i64()
         r.i64() // log_append_time
-        if (err != 0) throw new IOException(
-          s"kafka: produce $t/$p failed: ${Err.name(err)}")
+        if (err != 0) throw new ProduceException(t, p, err)
         if (t == topic && p == partition) baseOffset = off
       }
     }
@@ -449,9 +468,51 @@ object KafkaPublish {
       .foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
-          val client = new KafkaClient(host, port)
+          // RETRY posture (franz-go parity — its client retries
+          // retriable produce errors and redials dropped brokers
+          // under the caller): transient protocol errors
+          // (leadership churn, timeouts) and socket failures retry
+          // with linear backoff on a FRESH connection; permanent
+          // errors (unknown topic) throw immediately. At-least-once:
+          // a retry after an ack lost in transit may duplicate —
+          // uid keys carry dedup, as everywhere in this sink.
+          val maxAttempts = 4
+          var client: KafkaClient = null
+          def connected(): KafkaClient = {
+            if (client == null) {
+              client = new KafkaClient(host, port)
+              client.negotiate()
+            }
+            client
+          }
+          def dropConn(): Unit = {
+            if (client != null) client.close()
+            client = null
+          }
+          def produceRetry(topic: String, part: Int,
+              recs: Seq[KafkaWire.Record]): Unit = {
+            var attempt = 1
+            var done = false
+            while (!done) {
+              try {
+                connected().produce(topic, part, recs, acks = acks,
+                  baseTimestampMs = System.currentTimeMillis())
+                done = true
+              } catch {
+                case e: KafkaWire.ProduceException
+                    if KafkaWire.Err.retriable(e.code) &&
+                      attempt < maxAttempts =>
+                  attempt += 1
+                  Thread.sleep(100L * attempt)
+                case e: KafkaWire.ProduceException => throw e
+                case _: IOException if attempt < maxAttempts =>
+                  dropConn() // dead socket: redial before retrying
+                  attempt += 1
+                  Thread.sleep(100L * attempt)
+              }
+            }
+          }
           try {
-            client.negotiate()
             var rr = 0 // null-key round-robin cursor
             rows.map { row =>
               val key =
@@ -472,13 +533,11 @@ object KafkaPublish {
               ((topic, part), KafkaWire.Record(key, value, headers))
             }.grouped(recordsPerProduce).foreach { group =>
               group.groupBy(_._1).foreach { case ((topic, part), recs) =>
-                client.produce(topic, part, recs.map(_._2).toSeq,
-                  acks = acks,
-                  baseTimestampMs = System.currentTimeMillis())
+                produceRetry(topic, part, recs.map(_._2).toSeq)
                 counter.add(recs.size.toLong)
               }
             }
-          } finally client.close()
+          } finally dropConn()
         }
       }
     counter.value

@@ -508,6 +508,58 @@ class SshWireSpec extends AnyFunSuite {
     } finally { srv.stop(); echo.close() }
   }
 
+  test("CLIENT-initiated re-keys by byte budget: a 4 MiB RekeyLimit " +
+    "on a 16 MiB pull re-keys several times even though the server " +
+    "never initiates — fresh keys no longer depend on the peer") {
+    val echo = echoServer()
+    val srv = SshTestServer.start( // server never initiates here
+      SshTestServer.Auth("tunnel", Some("pw"), None))
+    try {
+      val client = new Ssh.Client("127.0.0.1", srv.port, "tunnel",
+        password = "pw", rekeyAfterBytes = 4L * 1024 * 1024)
+      val sock = client.openTunnel("127.0.0.1", echo.getLocalPort)
+      sock.setSoTimeout(60000)
+      val total = 16 * 1024 * 1024
+      val chunk = new Array[Byte](128 * 1024)
+      val sentDigest = java.security.MessageDigest.getInstance("SHA-256")
+      val gotDigest = java.security.MessageDigest.getInstance("SHA-256")
+      val readerErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val reader = new Thread(() => {
+        try {
+          val in = sock.getInputStream
+          val buf = new Array[Byte](128 * 1024)
+          var got = 0L
+          while (got < total) {
+            val n = in.read(buf)
+            require(n > 0, s"EOF at $got")
+            gotDigest.update(buf, 0, n)
+            got += n
+          }
+        } catch { case t: Throwable => readerErr.set(t) }
+      })
+      reader.start()
+      val rnd = new java.util.Random(123)
+      var sent = 0
+      while (sent < total) {
+        rnd.nextBytes(chunk)
+        sentDigest.update(chunk)
+        sock.getOutputStream.write(chunk)
+        sent += chunk.length
+      }
+      sock.getOutputStream.flush()
+      reader.join(120000)
+      assert(readerErr.get() == null, s"reader failed: ${readerErr.get()}")
+      assert(java.util.Arrays.equals(
+        sentDigest.digest(), gotDigest.digest()))
+      // 32 MiB total over a 4 MiB budget: several re-keys must have
+      // happened, all client-initiated (connect is exchange #1)
+      assert(client.keyExchanges >= 3,
+        s"expected client-initiated re-keys, saw ${client.keyExchanges}")
+      sock.close(); client.close()
+    } finally { srv.stop(); echo.close() }
+  }
+
   test("an ssh-keygen ed25519 identity file parses (openssh-key-v1) " +
     "and authenticates the JVM client — the reference's " +
     "SSHConfig.PrivateKey path") {

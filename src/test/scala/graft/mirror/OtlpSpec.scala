@@ -212,4 +212,36 @@ class OtlpSpec extends SparkSpec {
       collector.stop()
     }
   }
+
+  test("metrics.otlp_endpoint wires the exporter into EXECUTE MIRROR " +
+    "automatically: one DDL setting, and the drain's gauges land on " +
+    "the collector with a final flush at close") {
+    val collector = new Collector
+    val base = tmpDir("otlp_ddl")
+    val wal = s"$base/wal"
+    ChangeLogWal.append(wal, (0 until 5).map { i =>
+      ChangeRecord(0, i + 1L, (i + 1L).toString, 1000L + i, i + 1L,
+        "t", "d", s"""{"id":$i,"v":$i}""", null, Nil)
+    })
+    def sql(s: String) = GraftSql.execute(spark, GraftSql.parse(s).get)
+    spark.conf.set("spark.graft.metrics.otlp_endpoint",
+      collector.endpoint)
+    try {
+      sql(s"""CREATE MIRROR otlp_m WITH (wal_dir '$wal',
+        dest_dir '$base/dest', checkpoint_dir '$base/ckpt',
+        pk 'id', table 'd', schema 'id BIGINT, v BIGINT')""")
+      sql("EXECUTE MIRROR otlp_m")
+      assert(collector.requests.get >= 1,
+        "the drain must have exported at least its closing flush")
+      val metrics = new Fields(collector.lastBody)
+        .msg(1).msg(2).msgs(2).map(m => m.str(1) -> m).toMap
+      assert(metrics.contains(Metrics.SlotLag))
+      // drained: the batch-boundary tick saw lag 0 at the WAL head
+      assert(metrics(Metrics.SlotLag).msg(5).msg(1).dbl(4) == 0.0)
+      sql("DROP MIRROR otlp_m")
+    } finally {
+      spark.conf.unset("spark.graft.metrics.otlp_endpoint")
+      collector.stop()
+    }
+  }
 }

@@ -31,6 +31,14 @@ object KafkaTestBroker {
     private[KafkaTestBroker] val known =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val produceRequests = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Failure injection: while > 0, each Produce answers
+      * REQUEST_TIMED_OUT (appending nothing) and decrements — the
+      * transient-error path a retrying producer must absorb. */
+    val failProduces = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Failure injection: while > 0, each Produce KILLS the
+      * connection without answering and decrements — the
+      * dead-socket path (client must redial and retry). */
+    val dropProduces = new java.util.concurrent.atomic.AtomicInteger(0)
 
     def createTopic(name: String): Unit = known.add(name)
     def topics: Set[String] = {
@@ -93,6 +101,12 @@ object KafkaTestBroker {
         val body: Option[Array[Byte]] = apiKey match {
           case ApiKey.ApiVersions => Some(apiVersionsResp(apiVersion))
           case ApiKey.Metadata => Some(metadataResp(r, h, autoCreate))
+          case ApiKey.Produce
+              if h.dropProduces.getAndUpdate(n => math.max(0, n - 1))
+                > 0 =>
+            h.produceRequests.incrementAndGet()
+            sock.close() // injected dead socket: no answer at all
+            return
           case ApiKey.Produce => produceResp(r, h, autoCreate)
           case other =>
             // UNSUPPORTED_VERSION-style refusal: error for the key
@@ -159,6 +173,19 @@ object KafkaTestBroker {
     r.str() // transactional_id
     val acks = r.i16()
     r.i32() // timeout_ms
+    if (h.failProduces.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      // injected transient failure: answer REQUEST_TIMED_OUT for the
+      // one (topic, partition), append nothing
+      val topic = { r.i32(); r.str() }
+      val partition = { r.i32(); r.i32() }
+      if (acks == 0) return None
+      val w = new Wtr()
+      w.i32(1).str(topic).i32(1)
+        .i32(partition).i16(KafkaWire.Err.RequestTimedOut)
+        .i64(-1L).i64(-1L)
+      w.i32(0)
+      return Some(w.out)
+    }
     val nTopics = r.i32()
     val results = (0 until nTopics).flatMap { _ =>
       val topic = r.str()

@@ -158,6 +158,54 @@ class KafkaClientSpec extends AnyFunSuite {
   }
 }
 
+/** Publish-path resilience: transient produce errors and dead sockets
+  * retry (with redial) under the publish loop — franz-go's posture —
+  * while permanent errors fail fast. */
+class KafkaRetrySpec extends SparkSpec {
+  import KafkaWire._
+
+  private def shapedFrame(n: Int) = {
+    val spark0 = spark
+    import spark0.implicits._
+    (0 until n).map(i => ("events", s"k$i", s"v$i"))
+      .toDF("topic", "key", "value")
+      .withColumn("headers", org.apache.spark.sql.functions.lit(null)
+        .cast("array<struct<key:string,value:binary>>"))
+      .coalesce(1) // one publisher: injected failures hit IT
+  }
+
+  test("REQUEST_TIMED_OUT retries with backoff until the broker " +
+    "recovers; a killed connection redials and retries; exhausted " +
+    "retries and permanent errors fail the batch loudly") {
+    val broker = KafkaTestBroker.start(partitionsPerTopic = 2)
+    try {
+      // 2 transient refusals, then success: all records land
+      broker.failProduces.set(2)
+      assert(KafkaPublish.publish(shapedFrame(10), "127.0.0.1",
+        broker.port) == 10L)
+      assert(broker.topicRecords("events").size == 10)
+      assert(broker.produceRequests.get >= 3,
+        "the refused attempts must be visible broker-side")
+
+      // dead socket mid-produce: the loop redials and the records land
+      broker.dropProduces.set(1)
+      assert(KafkaPublish.publish(shapedFrame(5), "127.0.0.1",
+        broker.port) == 5L)
+      assert(broker.topicRecords("events").size == 15)
+
+      // more transient failures than attempts: the batch fails loudly
+      broker.failProduces.set(99)
+      val e = intercept[org.apache.spark.SparkException] {
+        KafkaPublish.publish(shapedFrame(3), "127.0.0.1", broker.port)
+      }
+      assert(e.getMessage.contains("REQUEST_TIMED_OUT") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("REQUEST_TIMED_OUT")))
+      broker.failProduces.set(0)
+    } finally broker.stop()
+  }
+}
+
 /** The mirror end to end with a `kafka://` destination: sync-only
   * (no normalize), durable queue offsets, and replay idempotence via
   * uid keys — the reference Kafka connector's contract
