@@ -726,17 +726,30 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     import graft.model.ChangeRecord
     if (queueHighWaterMark.exists(batchId <= _)) return
     val url = cfg.queueUrl.get
-    val m = "^kafka://([^:/?]+):(\\d+)(?:\\?acks=(-?\\d+))?$".r
-    val (host, port, acks) = url match {
-      case m(h, p, a) =>
-        (h, p.toInt, Option(a).map(_.toInt).getOrElse(-1))
+    val m = "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
+    val (host, port, params) = url match {
+      case m(h, p, q) =>
+        val kv = Option(q).getOrElse("").split("&").iterator
+          .map(_.trim).filter(_.nonEmpty).map { e =>
+            e.split("=", 2) match {
+              case Array(k, v) =>
+                k -> java.net.URLDecoder.decode(v, "UTF-8")
+              case Array(k) => k -> ""
+            }
+          }.toMap
+        (h, p.toInt, kv)
       case other => throw new IllegalArgumentException(
-        s"queue url must be kafka://host:port[?acks=N], got '$other'")
+        "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host]," +
+          s" got '$other'")
     }
+    val acks = params.get("acks").map(_.toInt).getOrElse(-1)
     val changes = raw.filter(
       col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
     val n = graft.sinks.KafkaPublish.publish(
-      graft.sinks.QueueSink.defaultRecords(changes), host, port, acks)
+      graft.sinks.QueueSink.defaultRecords(changes), host, port, acks,
+      // ssh=user:pass@bastion[:port] — the destination socket rides
+      // the same tunnel stack as the capture sources
+      sshSpec = params.get("ssh"))
     stats.foreach(_.logFlowInfo(cfg.flow,
       s"batch $batchId: published $n records to $host:$port"))
     graft.util.FsText.write(queueHwmPath, batchId.toString, hadoopConf)

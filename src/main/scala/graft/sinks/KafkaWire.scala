@@ -440,15 +440,25 @@ object KafkaPublish {
 
   /** Publish a shaped frame. `brokers` is `host:port`; partition counts
     * come from one Metadata call up front (broadcast by value into the
-    * closure). Returns the published record count. */
+    * closure). `sshSpec` tunnels every broker connection through an
+    * SSH `direct-tcpip` channel (`user:pass@host[:port]`) — the same
+    * transport stack the capture sources get, so a broker behind a
+    * bastion needs no new machinery (each Spark partition dials its
+    * own tunnel, the per-dial lifecycle of [[graft.cdc.Ssh
+    * .tunnelDial]]). Returns the published record count. */
   def publish(shaped: org.apache.spark.sql.DataFrame, host: String,
-      port: Int, acks: Int = -1, recordsPerProduce: Int = 500): Long = {
+      port: Int, acks: Int = -1, recordsPerProduce: Int = 500,
+      sshSpec: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
+    def dialer(): graft.cdc.Ssh.Dial = sshSpec match {
+      case Some(spec) => graft.cdc.Ssh.tunnelDial(spec)
+      case None => graft.cdc.Ssh.tcpDial
+    }
     val topics = shaped.select(col("topic")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (topics.isEmpty) return 0L
     val partCounts: Map[String, Int] = {
-      val c = new KafkaClient(host, port)
+      val c = new KafkaClient(host, port, dial = dialer())
       try {
         c.negotiate()
         val meta = c.metadata(topics)
@@ -480,7 +490,7 @@ object KafkaPublish {
           var client: KafkaClient = null
           def connected(): KafkaClient = {
             if (client == null) {
-              client = new KafkaClient(host, port)
+              client = new KafkaClient(host, port, dial = dialer())
               client.negotiate()
             }
             client

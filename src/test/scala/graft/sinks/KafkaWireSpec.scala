@@ -290,6 +290,31 @@ class KafkaMirrorSpec extends SparkSpec {
     f.delete()
   }
 
+  test("kafka:// destination through an SSH tunnel: queue_url's " +
+    "ssh= param routes every broker connection over a direct-tcpip " +
+    "channel — the destination socket gets the sources' transport " +
+    "stack") {
+    val broker = KafkaTestBroker.start(partitionsPerTopic = 2)
+    val bastion = graft.cdc.SshTestServer.start(
+      graft.cdc.SshTestServer.Auth("bast", Some("pw"), None))
+    try {
+      val wal = tmpDir("kafka_ssh_wal")
+      val base = tmpDir("kafka_ssh")
+      ChangeLogWal.append(wal, Seq(
+        rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":10}"""),
+        rec(2, ChangeRecord.TypeInsert, """{"id":2,"v":20}""")))
+      val c = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "dest.t",
+        queueUrl = Some(s"kafka://127.0.0.1:${broker.port}" +
+          s"?ssh=bast:pw@127.0.0.1:${bastion.port}"))
+      new MirrorRunner(spark, c).runAvailableNow()
+      assert(broker.topicRecords("dest.t").size == 2,
+        "records must land through the tunneled broker connection")
+    } finally { broker.stop(); bastion.stop() }
+  }
+
   test("queue_url rides the CREATE MIRROR DDL: EXECUTE publishes to " +
     "the broker, and a malformed url fails the CREATE, not the batch") {
     val broker = KafkaTestBroker.start(partitionsPerTopic = 2)
