@@ -223,10 +223,18 @@ final class PgClient(
 
   // ------------------------------------------------ extended protocol
 
-  def parse(name: String, sql: String): Unit = {
-    writeMessage(out, 'P',
-      cstring(name) ++ cstring(sql) ++
-        ByteBuffer.allocate(2).putShort(0).array())
+  def parse(name: String, sql: String): Unit = parse(name, sql, Nil)
+
+  /** Parse with declared parameter type OIDs — what a driver that
+    * intends BINARY-format Bind parameters sends. */
+  def parse(name: String, sql: String, paramOids: Seq[Int]): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(cstring(name)); b.write(cstring(sql))
+    b.write(ByteBuffer.allocate(2)
+      .putShort(paramOids.length.toShort).array())
+    paramOids.foreach(o =>
+      b.write(ByteBuffer.allocate(4).putInt(o).array()))
+    writeMessage(out, 'P', b.toByteArray)
   }
 
   /** Bind with text-format parameters (None = NULL). */
@@ -242,6 +250,27 @@ final class PgClient(
         b.write(ByteBuffer.allocate(4).putInt(-1).array())
       case Some(v) =>
         val bytes = v.getBytes(UTF_8)
+        b.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
+        b.write(bytes)
+    }
+    b.write(ByteBuffer.allocate(2).putShort(0).array()) // result fmts
+    writeMessage(out, 'B', b.toByteArray)
+  }
+
+  /** Bind with BINARY-format parameters (None = NULL) — the npgsql
+    * default posture; the statement must have declared its OIDs. */
+  def bindBinary(portal: String, statement: String,
+      params: Seq[Option[Array[Byte]]]): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(cstring(portal)); b.write(cstring(statement))
+    b.write(ByteBuffer.allocate(2).putShort(1).array()) // 1 fmt code…
+    b.write(ByteBuffer.allocate(2).putShort(1).array()) // …binary, all
+    b.write(ByteBuffer.allocate(2)
+      .putShort(params.length.toShort).array())
+    params.foreach {
+      case None =>
+        b.write(ByteBuffer.allocate(4).putInt(-1).array())
+      case Some(bytes) =>
         b.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
         b.write(bytes)
     }

@@ -120,6 +120,90 @@ object PgServer {
   def sqlLiteral(v: String): String =
     "'" + v.replace("'", "''") + "'"
 
+  /** A parsed prepared statement: the SQL plus the parameter type OIDs
+    * the driver declared at Parse (0 = unspecified). The OIDs are what
+    * make BINARY-format Bind parameters decodable — npgsql ships
+    * binary by default, pgJDBC for selected types. */
+  final case class Prepared(sql: String, paramOids: Seq[Int])
+
+  /** Binary-format parameter → the SQL fragment to substitute, by
+    * declared OID (PG wire binary encodings, protocol §55 send/recv
+    * formats): big-endian ints, IEEE floats, one-byte bool, raw UTF-8
+    * text, bytea, numeric from its base-10000 digit array. Numeric
+    * types render as BARE literals (the typed value — `$1 + $2` must
+    * analyze as arithmetic, which quoted strings fail under ANSI
+    * Spark), text as a quoted literal, bytea as `X'…'`. Types without
+    * a decoder refuse loudly — silently mis-decoding a driver's bytes
+    * would corrupt data. */
+  def binaryParamSql(oid: Int, v: Array[Byte]): String = {
+    val bb = ByteBuffer.wrap(v)
+    def float(s: String): String =
+      // NaN/Infinity are not bare literals in Spark SQL
+      if (s == "NaN" || s.endsWith("Infinity"))
+        s"CAST('${s}' AS DOUBLE)"
+      else s
+    oid match {
+      case 16 => // bool
+        require(v.length == 1, "bool binary must be 1 byte")
+        if (v(0) != 0) "true" else "false"
+      case 21 => require(v.length == 2, "int2 binary must be 2 bytes")
+        bb.getShort.toString
+      case 23 => require(v.length == 4, "int4 binary must be 4 bytes")
+        bb.getInt.toString
+      case 20 => require(v.length == 8, "int8 binary must be 8 bytes")
+        bb.getLong.toString + "L"
+      case 700 =>
+        require(v.length == 4, "float4 binary must be 4 bytes")
+        float(bb.getFloat.toString)
+      case 701 =>
+        require(v.length == 8, "float8 binary must be 8 bytes")
+        float(bb.getDouble.toString)
+      case 25 | 1043 | 114 | 3802 | 0 =>
+        // text/varchar/json(b); 0 = undeclared — drivers only send
+        // binary for types they declared, but be permissive: raw UTF-8
+        sqlLiteral(new String(v, UTF_8))
+      case 17 => // bytea → a true binary literal
+        "X'" + v.map(x => f"${x & 0xff}%02x").mkString + "'"
+      case 1700 =>
+        val t = numericBinaryText(bb)
+        if (t == "NaN") "CAST('NaN' AS DOUBLE)" else t
+      case other => throw new IllegalArgumentException(
+        s"binary parameter format not supported for type OID $other")
+    }
+  }
+
+  /** PG `numeric` binary → text: ndigits, weight, sign, dscale, then
+    * base-10000 digit words (numeric.c send format). */
+  private def numericBinaryText(bb: ByteBuffer): String = {
+    val ndigits = bb.getShort.toInt
+    val weight = bb.getShort.toInt
+    val sign = bb.getShort & 0xFFFF
+    val dscale = bb.getShort.toInt
+    if (sign == 0xC000) return "NaN"
+    val digits = (0 until ndigits).map(_ => bb.getShort.toInt)
+    val sb = new StringBuilder
+    if (sign == 0x4000) sb += '-'
+    // integer part: digit words with weight ≥ 0 (first word unpadded)
+    if (weight < 0) sb += '0'
+    else (0 to weight).foreach { i =>
+      val d = if (i < ndigits) digits(i) else 0
+      if (i == 0) sb.append(d.toString)
+      else sb.append(f"$d%04d")
+    }
+    if (dscale > 0) {
+      sb += '.'
+      val frac = new StringBuilder
+      var i = weight + 1
+      while (frac.length < dscale) {
+        val d = if (i >= 0 && i < ndigits) digits(i) else 0
+        frac.append(f"$d%04d")
+        i += 1
+      }
+      sb.append(frac.substring(0, dscale))
+    }
+    sb.toString
+  }
+
   /** Lexer-aware `$n` parameter substitution: PG lexes `$n` as a
     * parameter ONLY in top-level SQL code — occurrences inside
     * single/double quotes, line or block comments, or dollar-quoted
@@ -408,7 +492,7 @@ final class PgServer(
     private var out: OutputStream = _
 
     // extended-protocol state: named prepared statements and portals
-    private val statements = mutable.Map.empty[String, String]
+    private val statements = mutable.Map.empty[String, Prepared]
     private val portals = mutable.Map.empty[String, Portal]
 
     /** A bound portal. NOTHING executes before the first Execute
@@ -708,22 +792,32 @@ final class PgServer(
 
     private def handleParse(body: Array[Byte]): Unit = {
       val (name, i1) = cstrAt(body, 0)
-      val (query, _) = cstrAt(body, i1)
-      statements(name) = query
+      val (query, i2) = cstrAt(body, i1)
+      // declared parameter type OIDs (what drivers that send BINARY
+      // parameters rely on — npgsql declares and ships binary by
+      // default; 0 = unspecified, text assumed)
+      val bb = ByteBuffer.wrap(body, i2, body.length - i2)
+      val nTypes = bb.getShort.toInt
+      val oids = (0 until nTypes).map(_ => bb.getInt)
+      statements(name) = Prepared(query, oids)
       writeMessage(out, '1', Array.emptyByteArray) // ParseComplete
     }
 
     private def handleBind(body: Array[Byte]): Unit = {
       val (portal, i1) = cstrAt(body, 0)
       val (stmtName, i2) = cstrAt(body, i1)
-      val sql = statements.getOrElse(stmtName,
+      val prepared = statements.getOrElse(stmtName,
         throw new NoSuchElementException(
           s"prepared statement \"$stmtName\" does not exist"))
+      val sql = prepared.sql
       val bb = ByteBuffer.wrap(body, i2, body.length - i2)
       val nFmt = bb.getShort
       val fmts = Array.fill(nFmt)(bb.getShort)
       val nParams = bb.getShort.toInt
-      val params = (0 until nParams).map { p =>
+      // each parameter becomes its substitution-ready SQL fragment:
+      // text format → quoted literal, binary format → typed fragment
+      // (bare numerics, X'…' bytea) via the declared Parse OID
+      val params: IndexedSeq[String] = (0 until nParams).map { p =>
         val len = bb.getInt
         if (len < 0) null
         else {
@@ -733,9 +827,9 @@ final class PgServer(
             if (nFmt == 0) 0
             else if (nFmt == 1) fmts(0)
             else fmts(p)
-          require(fmt == 0,
-            "binary parameter format is not supported (text only)")
-          new String(v, UTF_8)
+          if (fmt == 0) sqlLiteral(new String(v, UTF_8))
+          else binaryParamSql(
+            prepared.paramOids.lift(p).getOrElse(0), v)
         }
       }
       // ONE lexer pass over the original SQL (substituteParams): a
@@ -746,7 +840,7 @@ final class PgServer(
       val substituted = substituteParams(sql, idx =>
         if (idx < 0 || idx >= params.length) None // leave as-is
         else if (params(idx) == null) Some("NULL")
-        else Some(sqlLiteral(params(idx))))
+        else Some(params(idx)))
       portals(portal) = new Portal(substituted,
         spark.sessionState.sqlParser.parsePlan(substituted))
       writeMessage(out, '2', Array.emptyByteArray) // BindComplete
@@ -759,7 +853,7 @@ final class PgServer(
         case 'S' =>
           val sql = statements.getOrElse(name,
             throw new NoSuchElementException(
-              s"prepared statement \"$name\" does not exist"))
+              s"prepared statement \"$name\" does not exist")).sql
           // ParameterDescription: count the distinct $n placeholders
           // (lexer-aware — $n inside literals/comments is text, not a
           // parameter); types are unspecified (0) — the engine casts

@@ -272,6 +272,63 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("BINARY-format bind parameters decode by their declared OIDs " +
+    "(int2/4/8, float4/8, bool, text, bytea, numeric) — the npgsql " +
+    "posture; an undecodable OID refuses loudly") {
+    import java.nio.ByteBuffer
+    // numeric binary: 12345.6789 = digits [1,2345,6789_?]… encode
+    // base-10000: 1|2345 . 6789 → ndigits=3, weight=1, dscale=4,
+    // digits = [1, 2345, 6789]
+    val numeric = ByteBuffer.allocate(2 * 4 + 2 * 3)
+      .putShort(3).putShort(1).putShort(0).putShort(4)
+      .putShort(1).putShort(2345).putShort(6789).array()
+    assert(PgServer.binaryParamSql(1700,
+      ByteBuffer.wrap(numeric).array()) == "12345.6789")
+    // fraction-only numeric: 0.05 → ndigits=1, weight=-1, dscale=2,
+    // digits=[500] (base-10000 word 0500)
+    val frac = ByteBuffer.allocate(10)
+      .putShort(1).putShort(-1).putShort(0).putShort(2)
+      .putShort(500).array()
+    assert(PgServer.binaryParamSql(1700, frac) == "0.05")
+    // typed fragments: bare numerics, quoted text, X'…' bytea
+    assert(PgServer.binaryParamSql(20,
+      ByteBuffer.allocate(8).putLong(-7L).array()) == "-7L")
+    assert(PgServer.binaryParamSql(25,
+      "o'hara".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      == "'o''hara'")
+    assert(PgServer.binaryParamSql(17,
+      Array[Byte](0x0a, 0x7f)) == "X'0a7f'")
+    assert(PgServer.binaryParamSql(701, ByteBuffer.allocate(8)
+      .putDouble(Double.NaN).array()) == "CAST('NaN' AS DOUBLE)")
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.parse("bp", "SELECT $1 + $2 AS s, $3 AS f, $4 AS b, $5 AS t",
+          paramOids = Seq(20, 23, 701, 16, 25))
+        c.bindBinary("", "bp", Seq(
+          Some(ByteBuffer.allocate(8).putLong(40L).array()),
+          Some(ByteBuffer.allocate(4).putInt(2).array()),
+          Some(ByteBuffer.allocate(8).putDouble(2.5).array()),
+          Some(Array[Byte](1)),
+          Some("héllo".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        c.execute("")
+        val row = c.sync().last.rows.head
+        assert(row == Seq(Some("42"), Some("2.5"), Some("t"),
+          Some("héllo")))
+        // NULL in binary format is the same -1 length
+        c.parse("bp2", "SELECT $1 AS v", paramOids = Seq(20))
+        c.bindBinary("", "bp2", Seq(None))
+        c.execute("")
+        assert(c.sync().last.rows.head.head.isEmpty)
+        // an OID with no binary decoder errors instead of corrupting
+        c.parse("bp3", "SELECT $1 AS v", paramOids = Seq(1082)) // date
+        c.bindBinary("", "bp3", Seq(Some(Array[Byte](0, 0, 0, 0))))
+        val e = intercept[PgClient.PgServerError] { c.sync() }
+        assert(e.getMessage.contains("binary parameter"))
+      } finally c.close()
+    }
+  }
+
   test("Describe of a prepared command is side-effect-free; the " +
     "command executes exactly once, at Execute") {
     withServer() { (s, srv) =>
