@@ -169,6 +169,25 @@ final class PgClient(
     }
   }
 
+  /** Raw (undecoded) cells of every DataRow seen by the last sync()
+    * exchange — what a binary-results assertion reads. */
+  @volatile var lastRawRows: Seq[Seq[Option[Array[Byte]]]] = Nil
+
+  private def parseDataRowRaw(body: Array[Byte])
+      : Seq[Option[Array[Byte]]] = {
+    val b = ByteBuffer.wrap(body)
+    val n = b.getShort.toInt
+    (0 until n).map { _ =>
+      val len = b.getInt
+      if (len < 0) None
+      else {
+        val v = new Array[Byte](len)
+        b.get(v)
+        Some(v)
+      }
+    }
+  }
+
   private def parseDataRow(body: Array[Byte]): Seq[Option[String]] = {
     val b = ByteBuffer.wrap(body)
     val n = b.getShort.toInt
@@ -195,6 +214,7 @@ final class PgClient(
     writeMessage(out, 'Q', cstring(sql))
     out.flush()
     val results = Seq.newBuilder[Result]
+    val rawBuf = Seq.newBuilder[Seq[Option[Array[Byte]]]]
     var cols: Seq[String] = Nil
     var rows = Seq.newBuilder[Seq[Option[String]]]
     var err: Option[PgServerError] = None
@@ -204,7 +224,9 @@ final class PgClient(
       case Some(('T', body)) =>
         cols = parseRowDescription(body)
         rows = Seq.newBuilder
-      case Some(('D', body)) => rows += parseDataRow(body)
+      case Some(('D', body)) =>
+        rows += parseDataRow(body)
+        rawBuf += parseDataRowRaw(body)
       case Some(('C', body)) =>
         val tag = new String(body, 0, body.length - 1, UTF_8)
         results += Result(cols, rows.result(), tag)
@@ -217,6 +239,7 @@ final class PgClient(
       case Some((t, _)) => throw new java.io.IOException(
         s"unexpected '$t' in query response")
     }
+    lastRawRows = rawBuf.result()
     err.foreach(throw _)
     results.result()
   }
@@ -254,6 +277,28 @@ final class PgClient(
         b.write(bytes)
     }
     b.write(ByteBuffer.allocate(2).putShort(0).array()) // result fmts
+    writeMessage(out, 'B', b.toByteArray)
+  }
+
+  /** Bind with TEXT parameters but BINARY result format for every
+    * column — the other half of the npgsql default posture. */
+  def bindBinaryResults(portal: String, statement: String,
+      params: Seq[Option[String]] = Nil): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(cstring(portal)); b.write(cstring(statement))
+    b.write(ByteBuffer.allocate(2).putShort(0).array()) // param fmts
+    b.write(ByteBuffer.allocate(2)
+      .putShort(params.length.toShort).array())
+    params.foreach {
+      case None =>
+        b.write(ByteBuffer.allocate(4).putInt(-1).array())
+      case Some(v) =>
+        val bytes = v.getBytes(UTF_8)
+        b.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
+        b.write(bytes)
+    }
+    b.write(ByteBuffer.allocate(2).putShort(1).array()) // 1 result fmt…
+    b.write(ByteBuffer.allocate(2).putShort(1).array()) // …binary, all
     writeMessage(out, 'B', b.toByteArray)
   }
 
@@ -300,6 +345,7 @@ final class PgClient(
     * results carry tag "SUSPENDED". Raises the first error AFTER
     * reaching RFQ. */
   def sync(): Seq[Result] = {
+    val rawBuf = Seq.newBuilder[Seq[Option[Array[Byte]]]]
     writeMessage(out, 'S', Array.emptyByteArray)
     out.flush()
     val results = Seq.newBuilder[Result]
@@ -315,7 +361,9 @@ final class PgClient(
       case Some(('T', body)) =>
         cols = parseRowDescription(body)
         rows = Seq.newBuilder
-      case Some(('D', body)) => rows += parseDataRow(body)
+      case Some(('D', body)) =>
+        rows += parseDataRow(body)
+        rawBuf += parseDataRowRaw(body)
       case Some(('C', body)) =>
         results += Result(cols, rows.result(),
           new String(body, 0, body.length - 1, UTF_8))
@@ -332,6 +380,7 @@ final class PgClient(
       case Some((t, _)) => throw new java.io.IOException(
         s"unexpected '$t' in extended exchange")
     }
+    lastRawRows = rawBuf.result()
     err.foreach(throw _)
     results.result()
   }

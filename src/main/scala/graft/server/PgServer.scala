@@ -172,6 +172,76 @@ object PgServer {
     }
   }
 
+  /** Binary RESULT encoding of one non-null value by Spark type (the
+    * inverse direction of [[binaryParamSql]]; what a driver asking for
+    * format 1 in Bind's result formats receives — npgsql's default).
+    * Scalars only; types without a binary send format here (dates,
+    * arrays, structs) refuse loudly — the driver should ask for text
+    * for those columns. */
+  def binaryValue(dt: DataType, v: Any): Array[Byte] = dt match {
+    case BooleanType =>
+      Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+    case ByteType =>
+      ByteBuffer.allocate(2).putShort(v.asInstanceOf[Byte].toShort)
+        .array()
+    case ShortType =>
+      ByteBuffer.allocate(2).putShort(v.asInstanceOf[Short]).array()
+    case IntegerType =>
+      ByteBuffer.allocate(4).putInt(v.asInstanceOf[Int]).array()
+    case LongType =>
+      ByteBuffer.allocate(8).putLong(v.asInstanceOf[Long]).array()
+    case FloatType =>
+      ByteBuffer.allocate(4).putFloat(v.asInstanceOf[Float]).array()
+    case DoubleType =>
+      ByteBuffer.allocate(8).putDouble(v.asInstanceOf[Double]).array()
+    case StringType => String.valueOf(v).getBytes(UTF_8)
+    case BinaryType => v.asInstanceOf[Array[Byte]]
+    case _: DecimalType =>
+      numericBinaryEncode(v match {
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+        case other => new java.math.BigDecimal(String.valueOf(other))
+      })
+    case other => throw new IllegalArgumentException(
+      s"binary result format not supported for ${other.simpleString}")
+  }
+
+  /** text/BigDecimal → PG `numeric` binary (numeric.c send format):
+    * base-10000 digit words with the weight of the first word.
+    * Inverse of [[numericBinaryText]] — the pair round-trips. */
+  private[server] def numericBinaryEncode(
+      bd0: java.math.BigDecimal): Array[Byte] = {
+    val neg = bd0.signum() < 0
+    val bd = bd0.abs()
+    val dscale = math.max(0, bd.scale())
+    val plain = bd.toPlainString
+    val (intStr0, fracStr0) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case i => (plain.substring(0, i), plain.substring(i + 1))
+    }
+    // pad the integer part LEFT and the fraction RIGHT to word size
+    val intStr = "0" * ((4 - intStr0.length % 4) % 4) + intStr0
+    val fracStr = fracStr0 + "0" * ((4 - fracStr0.length % 4) % 4)
+    val intWords = intStr.grouped(4).map(_.toInt).toVector
+    val fracWords = fracStr.grouped(4).map(_.toInt).toVector
+    var words = intWords ++ fracWords
+    var weight = intWords.length - 1
+    // strip leading zero words (each drops the weight by one) and
+    // trailing zero words (weight unchanged)
+    while (words.nonEmpty && words.head == 0) {
+      words = words.tail; weight -= 1
+    }
+    while (words.nonEmpty && words.last == 0) words = words.init
+    if (words.isEmpty) weight = 0
+    val bb = ByteBuffer.allocate(8 + 2 * words.length)
+    bb.putShort(words.length.toShort)
+    bb.putShort(weight.toShort)
+    bb.putShort(if (neg) 0x4000.toShort else 0.toShort)
+    bb.putShort(dscale.toShort)
+    words.foreach(w => bb.putShort(w.toShort))
+    bb.array()
+  }
+
   /** PG `numeric` binary → text: ndigits, weight, sign, dscale, then
     * base-10000 digit words (numeric.c send format). */
   private def numericBinaryText(bb: ByteBuffer): String = {
@@ -501,7 +571,14 @@ final class PgServer(
       * that Binds + Describes and never Executes (pgjdbc metadata
       * probing) must cause no side effects. */
     private final class Portal(val sql: String,
-        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        /** Bind's result-format codes: empty = all text, one entry =
+          * uniform, else per column (protocol 55.2.3). */
+        val resultFormats: IndexedSeq[Int] = IndexedSeq.empty) {
+      def fmtFor(col: Int): Int =
+        if (resultFormats.isEmpty) 0
+        else if (resultFormats.length == 1) resultFormats(0)
+        else resultFormats(col)
       private val isCommand =
         plan.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.Command]
@@ -708,11 +785,12 @@ final class PgServer(
 
     // -------------------------------------------------- result output
 
-    private def rowDescription(schema: StructType): Unit = {
+    private def rowDescription(schema: StructType,
+        fmtFor: Int => Int = _ => 0): Unit = {
       val b = new java.io.ByteArrayOutputStream()
       val h = ByteBuffer.allocate(2).putShort(schema.length.toShort)
       b.write(h.array())
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         b.write(cstring(f.name))
         val fb = ByteBuffer.allocate(18)
         fb.putInt(0) // table oid
@@ -720,13 +798,14 @@ final class PgServer(
         fb.putInt(typeOid(f.dataType))
         fb.putShort(-1) // typlen (varlena)
         fb.putInt(-1) // typmod
-        fb.putShort(0) // text format
+        fb.putShort(fmtFor(i).toShort) // format code
         b.write(fb.array())
       }
       writeMessage(out, 'T', b.toByteArray)
     }
 
-    private def dataRow(row: Row): Unit = {
+    private def dataRow(row: Row,
+        schema: StructType = null, fmtFor: Int => Int = _ => 0): Unit = {
       val b = new java.io.ByteArrayOutputStream()
       b.write(ByteBuffer.allocate(2)
         .putShort(row.length.toShort).array())
@@ -735,7 +814,9 @@ final class PgServer(
         if (row.isNullAt(i))
           b.write(ByteBuffer.allocate(4).putInt(-1).array())
         else {
-          val bytes = textValue(row.get(i)).getBytes(UTF_8)
+          val bytes =
+            if (fmtFor(i) == 0) textValue(row.get(i)).getBytes(UTF_8)
+            else binaryValue(schema.fields(i).dataType, row.get(i))
           b.write(ByteBuffer.allocate(4).putInt(bytes.length).array())
           b.write(bytes)
         }
@@ -841,8 +922,12 @@ final class PgServer(
         if (idx < 0 || idx >= params.length) None // leave as-is
         else if (params(idx) == null) Some("NULL")
         else Some(params(idx)))
+      // result-format codes: what drivers that want BINARY results
+      // (npgsql's default Describe-driven mode) declare here
+      val nRes = bb.getShort.toInt
+      val resFmts = IndexedSeq.fill(nRes)(bb.getShort.toInt)
       portals(portal) = new Portal(substituted,
-        spark.sessionState.sqlParser.parsePlan(substituted))
+        spark.sessionState.sqlParser.parsePlan(substituted), resFmts)
       writeMessage(out, '2', Array.emptyByteArray) // BindComplete
     }
 
@@ -887,7 +972,7 @@ final class PgServer(
           val p = portals.getOrElse(name,
             throw new NoSuchElementException(
               s"portal \"$name\" does not exist"))
-          if (p.hasRows) rowDescription(p.schema)
+          if (p.hasRows) rowDescription(p.schema, p.fmtFor)
           else writeMessage(out, 'n', Array.emptyByteArray)
         case other =>
           throw new IllegalArgumentException(s"Describe kind '$other'")
@@ -907,8 +992,9 @@ final class PgServer(
       }
       val it = p.rows
       var n = 0L
+      val schema = p.schema
       while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
-        dataRow(it.next()); n += 1
+        dataRow(it.next(), schema, p.fmtFor); n += 1
       }
       p.emitted += n
       if (it.hasNext && maxRows > 0)

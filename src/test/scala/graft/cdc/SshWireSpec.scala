@@ -411,6 +411,44 @@ class SshWireSpec extends AnyFunSuite {
     } finally { srv.stop(); pgServer.close() }
   }
 
+  test("ssl=require INSIDE the tunnel ACROSS re-key boundaries: the " +
+    "TLS session in the channel survives the outer SSH key swaps — " +
+    "the full transport stack composes under re-keying") {
+    val bigRel = Relation(14, "public", "big2", 'd'.toInt, Seq(
+      RelationColumn(1, "id", Oid.Int8, -1),
+      RelationColumn(0, "v", Oid.Text, -1)))
+    val payload = "w" * 2048
+    val rows = 2000
+    val commitLsn = 10L + rows
+    val frames: Seq[(Long, Array[Byte])] =
+      Seq(1L -> encode(bigRel),
+        2L -> encode(Begin(commitLsn, PgEpochMicros, 901))) ++
+      (0 until rows).map(i => (3L + i) -> encode(Insert(14,
+        TupleData(Seq(text(i.toString), text(payload)))))) ++
+      Seq(commitLsn -> encode(Commit(0, commitLsn, commitLsn + 1,
+        PgEpochMicros)))
+    val pgServer = new ServerSocket(0)
+    val srv = SshTestServer.start(
+      SshTestServer.Auth("bastion", Some("pw"), None),
+      rekeyAfterBytes = 1L * 1024 * 1024) // several re-keys mid-pull
+    try {
+      val sess = WireServers.servePg(pgServer, "rep", "sekret",
+        Seq(frames), ssl = Some(TlsTestKeys.serverCtx))
+      val src = new PgReplicationSource("127.0.0.1",
+        pgServer.getLocalPort, user = "rep", password = "sekret",
+        slot = "s1", publication = "pub1", startLsn = 0L,
+        ssl = Some(Tls.trustAllContext),
+        dial = Ssh.tunnelDial(s"bastion:pw@127.0.0.1:${srv.port}"))
+      val wal = tmp("ssh_rekey_tls_wal")
+      val (n, lsn) = PgOutputFrames.ingestFrom(src, wal)
+      assert(n == rows && lsn == commitLsn)
+      assert(sess.tlsEstablished,
+        "TLS must have handshaken inside the re-keyed tunnel")
+      val vals = ChangeLogWal.read(wal, -1L, Long.MaxValue).map(_(6))
+      assert(vals.size == rows && vals.head.contains(payload))
+    } finally { srv.stop(); pgServer.close() }
+  }
+
   test("tunnel throughput characterization: 64 MiB through the " +
     "channel (aes128-ctr + hmac-sha2-256 both hops) sustains " +
     "double-digit MB/s — transport overhead cannot bottleneck a " +

@@ -329,6 +329,52 @@ class PgServerSpec extends SparkSpec {
     }
   }
 
+  test("BINARY result format: Bind's result-format codes switch " +
+    "DataRow cells to the wire binary encodings (ints, floats, bool, " +
+    "bytea, numeric) and Describe(portal) reports format 1; an " +
+    "unencodable column type refuses loudly") {
+    import java.nio.ByteBuffer
+    withServer() { (_, srv) =>
+      val c = new PgClient("127.0.0.1", srv.port).connect()
+      try {
+        c.parse("br", "SELECT CAST(42 AS BIGINT) AS i8, " +
+          "CAST(7 AS INT) AS i4, CAST(2.5 AS DOUBLE) AS f8, " +
+          "true AS b, CAST(NULL AS BIGINT) AS n, " +
+          "CAST(X'0a7f' AS BINARY) AS by, " +
+          "CAST(12345.6789 AS DECIMAL(10,4)) AS num")
+        c.bindBinaryResults("", "br")
+        c.execute("")
+        c.sync()
+        val raw = c.lastRawRows.head
+        assert(ByteBuffer.wrap(raw(0).get).getLong == 42L)
+        assert(ByteBuffer.wrap(raw(1).get).getInt == 7)
+        assert(ByteBuffer.wrap(raw(2).get).getDouble == 2.5)
+        assert(raw(3).get.toSeq == Seq(1.toByte))
+        assert(raw(4).isEmpty, "NULL stays the -1 length")
+        assert(raw(5).get.toSeq == Seq(0x0a.toByte, 0x7f.toByte))
+        // numeric round-trips through the repo's own decoder
+        assert(PgServer.binaryParamSql(1700, raw(6).get)
+          == "12345.6789")
+        // numeric encode edges: fraction-only, negative, zero, and
+        // word-boundary alignment all round-trip
+        Seq("0.05", "-12345.6789", "0", "10000", "0.00010",
+          "99999999.99999999", "-0.5").foreach { t =>
+          val enc = PgServer.numericBinaryEncode(
+            new java.math.BigDecimal(t))
+          val expect = if (t == "0") "0" else t
+          assert(PgServer.binaryParamSql(1700, enc) == expect,
+            s"numeric round-trip of $t")
+        }
+        // a type with no binary send format refuses loudly
+        c.parse("bad", "SELECT current_date AS d")
+        c.bindBinaryResults("", "bad")
+        c.execute("")
+        val e = intercept[PgClient.PgServerError] { c.sync() }
+        assert(e.getMessage.contains("binary result format"))
+      } finally c.close()
+    }
+  }
+
   test("Describe of a prepared command is side-effect-free; the " +
     "command executes exactly once, at Execute") {
     withServer() { (s, srv) =>
