@@ -523,8 +523,23 @@ object KafkaPublish {
             }
           }
           try {
+            // per-(topic,partition) buffers flushed at the FULL batch
+            // size — chunk-then-group would split every chunk across
+            // the partition count, cutting records-per-request (and
+            // throughput) by that factor
+            val buf = scala.collection.mutable.Map
+              .empty[(String, Int),
+                scala.collection.mutable.ArrayBuffer[KafkaWire.Record]]
+            def flush(tp: (String, Int)): Unit = buf.get(tp).foreach {
+              recs =>
+                if (recs.nonEmpty) {
+                  produceRetry(tp._1, tp._2, recs.toSeq)
+                  counter.add(recs.size.toLong)
+                  recs.clear()
+                }
+            }
             var rr = 0 // null-key round-robin cursor
-            rows.map { row =>
+            rows.foreach { row =>
               val key =
                 if (row.isNullAt(1)) null
                 else row.getString(1).getBytes(UTF_8)
@@ -540,13 +555,13 @@ object KafkaPublish {
               rr += 1
               val part = KafkaWire.partitionForKey(key,
                 partCounts(topic), nullKeyFallback = rr)
-              ((topic, part), KafkaWire.Record(key, value, headers))
-            }.grouped(recordsPerProduce).foreach { group =>
-              group.groupBy(_._1).foreach { case ((topic, part), recs) =>
-                produceRetry(topic, part, recs.map(_._2).toSeq)
-                counter.add(recs.size.toLong)
-              }
+              val tp = (topic, part)
+              buf.getOrElseUpdate(tp,
+                new scala.collection.mutable.ArrayBuffer) +=
+                KafkaWire.Record(key, value, headers)
+              if (buf(tp).size >= recordsPerProduce) flush(tp)
             }
+            buf.keys.foreach(flush)
           } finally dropConn()
         }
       }
