@@ -457,9 +457,11 @@ object GraftSql {
       // shape). Validated at DDL time so a typo'd scheme fails the
       // CREATE, not the first batch.
       queueUrl = o.get("queue_url").map { u =>
-        require(u.matches("^kafka://[^:/?]+:\\d+(\\?.*)?$"),
+        require(u.matches("^kafka://[^:/?]+:\\d+(\\?.*)?$") ||
+          u.matches("^es://[^:/?]+:\\d+/?$"),
           s"CREATE MIRROR: queue_url must be " +
-            s"kafka://host:port[?acks=N][&ssh=user:pass@host], got '$u'")
+            "kafka://host:port[?acks=N][&ssh=user:pass@host] or " +
+            s"es://host:port, got '$u'")
         u
       },
       // table_map 'src:dest,src2:dest2' — capture-decode routing

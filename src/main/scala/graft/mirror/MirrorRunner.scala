@@ -136,13 +136,16 @@ final case class MirrorConfig(
       * table with no config change. Unlisted sources keep their own
       * name. */
     tableRoutes: Map[String, String] = Map.empty,
-    /** Queue destination: `kafka://host:port[?acks=N]` publishes each
-      * batch's change records over the live Kafka wire protocol
-      * ([[graft.sinks.KafkaPublish]]) INSTEAD of normalizing — queue
-      * connectors are sync-only in the reference (kafka.go has
+    /** Queue/live destination: `kafka://host:port[?acks=N][&ssh=…]`
+      * publishes each batch's change records over the live Kafka wire
+      * protocol ([[graft.sinks.KafkaPublish]]) INSTEAD of normalizing
+      * — queue connectors are sync-only in the reference (kafka.go has
       * SyncRecords and no normalize step). Topic = destination table,
-      * key = uid, value = row JSON (kafka.go:301-312 default
-      * routing). */
+      * key = uid, value = row JSON (kafka.go:301-312 default routing).
+      * `es://host:port` instead dedups each batch to latest-per-key
+      * and ships `_bulk` index/delete actions with `_id` = PK — the
+      * ES connector's natural-upsert contract over the public REST
+      * surface. */
     queueUrl: Option[String] = None) {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
@@ -726,10 +729,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     import graft.model.ChangeRecord
     if (queueHighWaterMark.exists(batchId <= _)) return
     val url = cfg.queueUrl.get
-    val m = "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
-    val (host, port, params) = url match {
-      case m(h, p, q) =>
-        val kv = Option(q).getOrElse("").split("&").iterator
+    val kafka = "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
+    val es = "^es://([^:/?]+):(\\d+)/?$".r
+    val changes = raw.filter(
+      col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
+    val n = url match {
+      case kafka(h, p, q) =>
+        val params = Option(q).getOrElse("").split("&").iterator
           .map(_.trim).filter(_.nonEmpty).map { e =>
             e.split("=", 2) match {
               case Array(k, v) =>
@@ -737,22 +743,48 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
               case Array(k) => k -> ""
             }
           }.toMap
-        (h, p.toInt, kv)
+        graft.sinks.KafkaPublish.publish(
+          graft.sinks.QueueSink.defaultRecords(changes), h, p.toInt,
+          acks = params.get("acks").map(_.toInt).getOrElse(-1),
+          // ssh=user:pass@bastion[:port] — the destination socket
+          // rides the same tunnel stack as the capture sources
+          sshSpec = params.get("ssh"))
+      case es(h, p) => publishEs(changes, s"http://$h:$p")
       case other => throw new IllegalArgumentException(
-        "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host]," +
-          s" got '$other'")
+        "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host] " +
+          s"or es://host:port, got '$other'")
     }
-    val acks = params.get("acks").map(_.toInt).getOrElse(-1)
-    val changes = raw.filter(
-      col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
-    val n = graft.sinks.KafkaPublish.publish(
-      graft.sinks.QueueSink.defaultRecords(changes), host, port, acks,
-      // ssh=user:pass@bastion[:port] — the destination socket rides
-      // the same tunnel stack as the capture sources
-      sshSpec = params.get("ssh"))
     stats.foreach(_.logFlowInfo(cfg.flow,
-      s"batch $batchId: published $n records to $host:$port"))
+      s"batch $batchId: published $n records to $url"))
     graft.util.FsText.write(queueHwmPath, batchId.toString, hadoopConf)
+  }
+
+  /** Elasticsearch destination for one batch: per table, the batch
+    * DEDUPS to latest-per-key first (the reference bulk-dispatches the
+    * deduped batch, flow/connectors/elasticsearch/) and each key
+    * becomes an `index` action with `_id` = '_'-joined PKs (natural
+    * upsert) or a `delete` action; the NDJSON ships via
+    * [[graft.sinks.EsSink.bulkPublish]], one HTTP connection per
+    * Spark partition. Returns actions shipped. */
+  private def publishEs(changes: DataFrame, baseUrl: String): Long = {
+    var total = 0L
+    writers.foreach { case (table, (tc, _)) =>
+      val slice = changes.filter(
+        col(RawTable.DestinationTable) === table)
+      val normalized = Normalizer.normalize(
+        slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
+          softDelete = true))
+      if (!normalized.isEmpty) {
+        val payloadCols = liveSchemas(table).fieldNames.toSeq
+        val shaped = graft.sinks.EsSink.bulkRecords(normalized,
+          index = table,
+          id = concat_ws("_", tc.pkColumns.map(col): _*),
+          source = to_json(struct(payloadCols.map(col): _*)),
+          deleted = col(RawTable.IsDeleted))
+        total += graft.sinks.EsSink.bulkPublish(shaped, baseUrl)
+      }
+    }
+    total
   }
 
   /** Table addition to a live mirror (the add-tables signal,

@@ -111,13 +111,16 @@ object ParquetSink {
   }
 }
 
-/** Elasticsearch-destination record shaping — the engine-owned half of
-  * the ES sink (flow/connectors/elasticsearch/): each change row becomes
-  * a `_bulk` action line with `_id` = primary key (the natural-upsert
-  * property: re-indexing the same id is idempotent) plus a source line;
-  * deletes become delete actions with an empty source. Publishing the
-  * NDJSON pairs is the connector's job; the shaping below is what the
-  * engine owes it. Input should be the per-batch latest-per-key frame
+/** Elasticsearch destination — shaping AND the live `_bulk` HTTP wire
+  * (flow/connectors/elasticsearch/ posts batches via the official
+  * client's BulkIndexer; the underlying API is plain HTTP POST of
+  * NDJSON to `/_bulk`, a public REST surface): each change row becomes
+  * an action line with `_id` = primary key (the natural-upsert
+  * property: re-indexing the same id is idempotent) plus a source
+  * line; deletes become delete actions with no source line.
+  * [[EsSink.bulkPublish]] ships the pairs with one HTTP connection per
+  * Spark partition — the same distributed fan-out as the Kafka
+  * destination. Input should be the per-batch latest-per-key frame
   * (the reference dedups the batch before bulk dispatch). */
 object EsSink {
   private def esc(c: Column): Column =
@@ -134,5 +137,66 @@ object EsSink {
         .as("action"),
       when(deleted, lit("")).otherwise(source.cast("string"))
         .as("source"))
+  }
+
+  /** POST a [[bulkRecords]] frame to a live cluster: NDJSON chunks of
+    * `actionsPerBulk` actions to `<baseUrl>/_bulk`, one connection per
+    * Spark partition. The response's top-level `"errors"` flag is the
+    * per-bulk failure signal (the REST contract) — a true value fails
+    * the batch loudly rather than dropping rows. Returns the action
+    * count shipped. */
+  def bulkPublish(shaped: DataFrame, baseUrl: String,
+      actionsPerBulk: Int = 500,
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 30000): Long = {
+    val counter =
+      shaped.sparkSession.sparkContext.longAccumulator("es_actions")
+    val url = baseUrl.stripSuffix("/")
+    shaped.select(col("action"), col("source")).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        def post(ndjson: String, n: Int): Unit = {
+          val conn = new java.net.URL(s"$url/_bulk").openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setConnectTimeout(connectTimeoutMs)
+          conn.setReadTimeout(readTimeoutMs)
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type",
+            "application/x-ndjson")
+          val bytes = ndjson.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)
+          conn.setFixedLengthStreamingMode(bytes.length)
+          val out = conn.getOutputStream
+          try { out.write(bytes); out.flush() } finally out.close()
+          val code = conn.getResponseCode
+          val in = if (code >= 400) conn.getErrorStream
+            else conn.getInputStream
+          val body = if (in == null) ""
+            else try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          if (code / 100 != 2)
+            throw new java.io.IOException(s"es: _bulk answered $code")
+          // the REST contract: per-item failures surface as
+          // "errors":true at the top level of the response
+          if (body.contains("\"errors\":true"))
+            throw new java.io.IOException(
+              "es: bulk response reports item errors")
+          counter.add(n.toLong)
+        }
+        val buf = new StringBuilder
+        var n = 0
+        rows.foreach { row =>
+          buf.append(row.getString(0)).append('\n')
+          val src = row.getString(1)
+          if (src != null && src.nonEmpty)
+            buf.append(src).append('\n')
+          n += 1
+          if (n >= actionsPerBulk) {
+            post(buf.toString, n); buf.clear(); n = 0
+          }
+        }
+        if (n > 0) post(buf.toString, n)
+    }
+    counter.value
   }
 }

@@ -1,0 +1,129 @@
+package graft.sinks
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.ChangeLogWal
+import graft.mirror.{MirrorConfig, MirrorRunner}
+import graft.model.ChangeRecord
+
+/** The Elasticsearch destination over the LIVE `_bulk` REST wire: a
+  * mirror with `queue_url es://host:port` dedups each batch to
+  * latest-per-key and ships index/delete action pairs as NDJSON —
+  * natural upsert via `_id` = PK, the reference's ES-connector
+  * contract (flow/connectors/elasticsearch/) on the public HTTP
+  * surface. */
+class EsWireSpec extends SparkSpec {
+
+  /** Captures every /_bulk POST's NDJSON lines; `failWithItemErrors`
+    * makes the next response report `"errors":true`. */
+  private final class EsFixture {
+    val bulks = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    @volatile var failWithItemErrors = false
+    private val server =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", (ex: HttpExchange) => {
+      bulks.add(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+      val resp = if (failWithItemErrors)
+        """{"took":1,"errors":true,"items":[{"index":{"status":429}}]}"""
+      else """{"took":1,"errors":false,"items":[]}"""
+      val b = resp.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b)
+      ex.getResponseBody.close()
+    })
+    server.start()
+    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+    def lines: Seq[String] =
+      bulks.toArray.map(_.toString).toSeq
+        .flatMap(_.split("\n").toSeq).filter(_.nonEmpty)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+
+  private def rec(cp: Long, rt: Int, data: String,
+      matchData: String = null): ChangeRecord =
+    ChangeRecord(rt, cp, cp.toString, cp * 1000, cp / 10, "public.t",
+      "docs", data, matchData, Nil)
+
+  test("es:// mirror: each batch dedups to latest-per-key and lands " +
+    "as index/delete bulk actions with _id = PK; a restart re-posts " +
+    "nothing; an errors:true bulk response fails the batch loudly") {
+    val es = new EsFixture
+    try {
+      val wal = tmpDir("es_wal")
+      val base = tmpDir("es_mirror")
+      ChangeLogWal.append(wal, Seq(
+        rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":10}"""),
+        rec(2, ChangeRecord.TypeInsert, """{"id":2,"v":20}"""),
+        rec(3, ChangeRecord.TypeUpdate, """{"id":1,"v":11}"""), // dedups
+        rec(4, ChangeRecord.TypeDelete, """{"id":2,"v":20}""",
+          matchData = """{"id":2}""")))
+      def cfg() = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "docs",
+        queueUrl = Some(s"es://127.0.0.1:${es.port}"))
+      new MirrorRunner(spark, cfg()).runAvailableNow()
+
+      val lines = es.lines
+      // latest-per-key: id 1 indexes ONCE with the updated value
+      val indexActions = lines.filter(_.contains(""""index":"""))
+      val deleteActions = lines.filter(_.contains(""""delete":"""))
+      assert(indexActions.size == 1 && deleteActions.size == 1,
+        s"expected 1 index + 1 delete, got:\n${lines.mkString("\n")}")
+      assert(indexActions.head.contains(""""_index":"docs""""))
+      assert(indexActions.head.contains(""""_id":"1""""))
+      // the source line follows its index action with the LATEST image
+      val srcIdx = lines.indexOf(indexActions.head) + 1
+      assert(lines(srcIdx).contains(""""v":11"""))
+      // delete actions carry no source line
+      assert(deleteActions.head.contains(""""_id":"2""""))
+
+      // restart with intact checkpoint: no new bulk posts
+      val posted = es.bulks.size()
+      new MirrorRunner(spark, cfg()).runAvailableNow()
+      assert(es.bulks.size() == posted,
+        "restart must not re-post acked batches")
+
+      // item errors fail the batch loudly (no silent drops)
+      ChangeLogWal.append(wal, Seq(
+        rec(11, ChangeRecord.TypeInsert, """{"id":3,"v":30}""")))
+      es.failWithItemErrors = true
+      val e = intercept[Exception] {
+        new MirrorRunner(spark, cfg()).runAvailableNow()
+      }
+      assert(e.getMessage.contains("item errors") ||
+        Option(e.getCause).exists(_.getMessage.contains("item errors")))
+      es.failWithItemErrors = false
+      // the failed batch was never HWM'd: a rerun delivers it
+      new MirrorRunner(spark, cfg()).runAvailableNow()
+      assert(es.lines.exists(l => l.contains(""""_id":"3"""")),
+        "the failed batch must re-deliver after recovery")
+    } finally es.stop()
+  }
+
+  test("bulkPublish chunks at actionsPerBulk and counts actions, not " +
+    "lines") {
+    val es = new EsFixture
+    try {
+      val spark0 = spark
+      import spark0.implicits._
+      val shaped = (0 until 25).map(i =>
+        (s"""{"index":{"_index":"t","_id":"$i"}}""", s"""{"v":$i}"""))
+        .toDF("action", "source").coalesce(1)
+      val n = EsSink.bulkPublish(shaped, es.url, actionsPerBulk = 10)
+      assert(n == 25L)
+      assert(es.bulks.size() == 3, "25 actions at 10/bulk = 3 posts")
+      assert(es.lines.size == 50, "action + source per record")
+    } finally es.stop()
+  }
+}
