@@ -1959,6 +1959,91 @@ object PipelineQueries {
             |FROM flags f LEFT JOIN best b USING (doc_id)
             |WHERE f.is_new ORDER BY doc_id""".stripMargin))
 
+  /** Split label for one doc id: hash-assigned 80/10/10 holdout. The
+    * assignment is a pure function of the id — stable across runs,
+    * parallelism, AND engines (the portable hash both sides compute),
+    * which is what makes a holdout split reproducible: re-ingesting
+    * the corpus or re-running the pipeline can never move a document
+    * between train and test. */
+  private def splitCol: Column = {
+    val bucket = expr(
+      s"${TF.hash60Sql("CAST(doc_id AS STRING)")} % 100")
+    when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+  }
+  private val splitDuckSql: String =
+    s"""CASE WHEN ${TF.hash60DuckSql("CAST(doc_id AS VARCHAR)")} % 100
+       |       < 80 THEN 'train'
+       |     WHEN ${TF.hash60DuckSql("CAST(doc_id AS VARCHAR)")} % 100
+       |       < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** Deterministic train/val/test holdout — the split step every
+    * training run needs before anything touches the corpus. One
+    * codegen'd projection on the scan (no shuffle, no RNG state);
+    * per-split counts + an id checksum pin the exact assignment. */
+  val splitHoldout = GraftQuery(
+    "q_split_holdout",
+    "hash-assigned 80/10/10 train/val/test split (stable, engine-portable)",
+    (s, dir) => docs(s, dir)
+      .withColumn("split", splitCol)
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("split"),
+    Some(s"""SELECT split, count(*) AS docs,
+            |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            |FROM (SELECT doc_id, $splitDuckSql AS split
+            |      FROM documents)
+            |GROUP BY split ORDER BY split""".stripMargin))
+
+  /** Split-leakage audit — eval hygiene: NEAR-DUPLICATE clusters (the
+    * q_dedup_cluster connected components over simhash pairs) must
+    * not straddle splits, or eval documents leak into training as
+    * their near-copies. A hash split assigns each member
+    * independently, so any multi-member cluster straddles with high
+    * probability — which is exactly why the split must run AFTER
+    * dedup (or per cluster id); this audit quantifies the damage of
+    * doing it per document. Cluster labels come from the same
+    * component machinery the dedup query pins; the audit itself is
+    * one small aggregate over them. */
+  val splitLeakage = GraftQuery(
+    "q_split_leakage",
+    "near-dup clusters straddling train/val/test (leaked eval docs)",
+    (s, dir) => {
+      val lab = graft.operators.ConnectedComponents
+        .minLabel(simhashPairs(s, dir), "d1", "d2")
+      lab.select(col("node").as("doc_id"), col("cluster_id"))
+        .withColumn("split", splitCol)
+        .groupBy("cluster_id")
+        .agg(countDistinct("split").as("splits"),
+          count(lit(1)).as("members"))
+        .filter(col("splits") > 1)
+        .select("cluster_id", "members", "splits")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $duckSimhashPairs,
+            |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |      UNION ALL SELECT d2, d1 FROM pairs),
+            |cc(node, lbl) AS (
+            |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            |  UNION
+            |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.node
+            |  WHERE cc.lbl < e.b
+            |),
+            |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            |        FROM cc GROUP BY 1)
+            |SELECT cluster_id,
+            |  CAST(count(*) AS BIGINT) AS members,
+            |  CAST(count(DISTINCT split) AS BIGINT) AS splits
+            |FROM (SELECT cluster_id, doc_id, $splitDuckSql AS split
+            |      FROM lab)
+            |GROUP BY cluster_id
+            |HAVING count(DISTINCT split) > 1
+            |ORDER BY cluster_id""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, lshPrecision,
     lshMultitable, dedupSimhash,
@@ -1970,5 +2055,5 @@ object PipelineQueries {
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
     annSqRecall, annMrlRecall, annPqRecall, annIvfPq, topicCluster,
     annBatch, semanticMix,
-    dedupContainment, fuzzyJoin)
+    dedupContainment, fuzzyJoin, splitHoldout, splitLeakage)
 }
