@@ -2044,6 +2044,76 @@ object PipelineQueries {
             |HAVING count(DISTINCT split) > 1
             |ORDER BY cluster_id""".stripMargin))
 
+  /** The remedy q_split_leakage motivates: split BY DEDUP UNIT — a
+    * whole near-dup cluster hashes to one split (singletons hash by
+    * their own id), so no near-copy can straddle train/test by
+    * construction. Output: per-split doc counts + id checksum, each
+    * row also carrying the global leaked-cluster count — which this
+    * assignment provably drives to ZERO (the value the oracle pins),
+    * against 17/28/371 leaked clusters under the per-document split
+    * at the three scales. Scale shape: the cluster labels are the
+    * same component output the dedup query pins; the assignment is
+    * one left join + codegen'd projection. */
+  val splitByCluster = GraftQuery(
+    "q_split_by_cluster",
+    "cluster-aware holdout: whole near-dup clusters per split, zero leakage",
+    (s, dir) => {
+      val lab = graft.operators.ConnectedComponents
+        .minLabel(simhashPairs(s, dir), "d1", "d2")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val assign = docs(s, dir).select("doc_id")
+        .join(broadcast(lab), Seq("doc_id"), "left")
+        .withColumn("unit",
+          coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("bucket",
+          expr(s"${TF.hash60Sql("CAST(unit AS STRING)")} % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .localCheckpoint(true) // split totals + leak audit both read it
+      val leaked = assign.filter(col("cluster_id").isNotNull)
+        .groupBy("cluster_id")
+        .agg(countDistinct("split").as("k"))
+        .filter(col("k") > 1)
+        .agg(count(lit(1)).as("leaked_clusters"))
+      assign.groupBy("split")
+        .agg(count(lit(1)).as("docs"),
+          sum("doc_id").as("id_checksum"))
+        .crossJoin(broadcast(leaked))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE $duckSimhashPairs,
+            |e AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |      UNION ALL SELECT d2, d1 FROM pairs),
+            |cc(node, lbl) AS (
+            |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            |  UNION
+            |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.node
+            |  WHERE cc.lbl < e.b
+            |),
+            |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            |        FROM cc GROUP BY 1),
+            |assign AS (
+            |  SELECT d.doc_id, l.cluster_id,
+            |    CASE WHEN ${TF.hash60DuckSql(
+                 "CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)")}
+            |           % 100 < 80 THEN 'train'
+            |         WHEN ${TF.hash60DuckSql(
+                 "CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)")}
+            |           % 100 < 90 THEN 'val'
+            |         ELSE 'test' END AS split
+            |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+            |leaked AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS leaked_clusters FROM (
+            |    SELECT cluster_id FROM assign
+            |    WHERE cluster_id IS NOT NULL
+            |    GROUP BY cluster_id
+            |    HAVING count(DISTINCT split) > 1))
+            |SELECT split, count(*) AS docs,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+            |  (SELECT leaked_clusters FROM leaked) AS leaked_clusters
+            |FROM assign GROUP BY split ORDER BY split""".stripMargin))
+
   val all: Seq[GraftQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhashLsh, lshPrecision,
     lshMultitable, dedupSimhash,
@@ -2055,5 +2125,6 @@ object PipelineQueries {
     embStats, annLshSearch, textClean, dedupCluster, annRecall,
     annSqRecall, annMrlRecall, annPqRecall, annIvfPq, topicCluster,
     annBatch, semanticMix,
-    dedupContainment, fuzzyJoin, splitHoldout, splitLeakage)
+    dedupContainment, fuzzyJoin, splitHoldout, splitLeakage,
+    splitByCluster)
 }
