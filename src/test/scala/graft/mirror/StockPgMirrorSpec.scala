@@ -1,0 +1,121 @@
+package graft.mirror
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.StockPostgres
+
+/** The full CDC mirror loop against a REAL stock PostgreSQL 15 source:
+  * `capture_dir = pgwire://…` makes [[graft.cdc.PgReplicationSource]]
+  * the upstream of the unchanged decode → WAL → raw → normalize →
+  * merge path, and every run here exercises the true server-side slot
+  * semantics (confirmed_flush resume, default replica identity,
+  * out-of-line TOAST) rather than the in-process fixture's replay.
+  * This is the reference's flagship PG-source mirror
+  * (flow/connectors/postgres/cdc.go) executed end to end with nothing
+  * stubbed on the source side.
+  */
+class StockPgMirrorSpec extends SparkSpec {
+
+  private var server: Option[StockPostgres.Server] = None
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = StockPostgres.start()
+  }
+  override def afterAll(): Unit = {
+    server.foreach(_.stop())
+    super.afterAll()
+  }
+  private def srv: StockPostgres.Server = {
+    assume(server.isDefined, "stock postgres unavailable in this env")
+    server.get
+  }
+
+  /** Source-of-truth rows from the live server, ordered by pk: the
+    * reference's own oracle shape (EnvWaitForEqualTablesWithNames). */
+  private def truthT1(): Seq[(Long, Option[Long], Option[String],
+      Option[String])] =
+    srv.psql("SELECT id, v, t, md5(big) FROM public.t1 ORDER BY id")
+      .split("\n").filter(_.nonEmpty).toSeq.map { l =>
+        val f = l.split("\\|", -1)
+        (f(0).toLong,
+          if (f(1).isEmpty) None else Some(f(1).toLong),
+          if (f(2).isEmpty) None else Some(f(2)),
+          if (f(3).isEmpty) None else Some(f(3)))
+      }
+
+  test("stock PG mirror: two-table pgwire:// capture across multiple " +
+    "runs — inserts, TOAST backfill through MERGE, update, delete — " +
+    "destination equals the live source table") {
+    val s = srv
+    s.psql("""CREATE TABLE public.t1 (
+      id bigint PRIMARY KEY, v bigint, t text, big text)""")
+    s.psql("CREATE TABLE public.t2 (k bigint PRIMARY KEY, s text)")
+    s.psql("CREATE PUBLICATION mir_pub FOR TABLE public.t1, public.t2")
+    s.psql("SELECT pg_create_logical_replication_slot(" +
+      "'mir_slot', 'pgoutput')")
+
+    s.psql("""INSERT INTO public.t1 VALUES
+      (1, 10, 'one', (SELECT string_agg(md5(g::text), '')
+                        FROM generate_series(1, 4000) g)),
+      (2, 20, 'two', NULL),
+      (3, 30, 'three', 'small')""")
+    s.psql("INSERT INTO public.t2 VALUES (7, 'seven'), (8, 'eight')")
+
+    val base = tmpDir("stockmir")
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=mir_slot&publication=mir_pub"
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType),
+        StructField("t", StringType), StructField("big", StringType))),
+      destinationTable = "public.t1",
+      captureDir = Some(url),
+      extraTables = Map("public.t2" -> TableConfig(Seq("k"),
+        StructType(Seq(StructField("k", LongType),
+          StructField("s", StringType))))))
+    val runner = new MirrorRunner(spark, cfg)
+
+    runner.runAvailableNow()
+    def destT1(): Seq[(Long, Option[Long], Option[String],
+        Option[String])] =
+      runner.destination().select(col("id"), col("v"), col("t"),
+        md5(col("big")).as("m"))
+        .orderBy("id").collect().toSeq.map(r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            Option(r.getString(2)), Option(r.getString(3))))
+    assert(destT1() == truthT1())
+    assert(runner.destination("public.t2").count() == 2)
+
+    // second wave: an update NOT touching the TOAST column (its md5
+    // must survive the MERGE — unchanged-toast backfill against the
+    // REAL server's 'u' columns), a delete, a fresh insert, and a
+    // cross-table update
+    s.psql("UPDATE public.t1 SET v = 11, t = 'one-b' WHERE id = 1")
+    s.psql("DELETE FROM public.t1 WHERE id = 2")
+    s.psql("INSERT INTO public.t1 VALUES (4, 40, 'four', NULL)")
+    s.psql("UPDATE public.t2 SET s = 'acht' WHERE k = 8")
+
+    runner.runAvailableNow()
+    val truth = truthT1()
+    assert(truth.map(_._1) == Seq(1L, 3L, 4L)) // sanity on the oracle
+    assert(destT1() == truth)
+    val t1row1 = truth.find(_._1 == 1L).get
+    assert(t1row1._4.nonEmpty, "TOAST md5 must still be present")
+    val t2 = runner.destination("public.t2")
+      .select("k", "s").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(t2 == Seq((7L, "seven"), (8L, "acht")))
+
+    // a third, idle run appends nothing and changes nothing
+    runner.runAvailableNow()
+    assert(destT1() == truth)
+
+    s.psql("SELECT pg_drop_replication_slot('mir_slot')")
+  }
+}
