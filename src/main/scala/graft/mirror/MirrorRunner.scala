@@ -146,7 +146,19 @@ final case class MirrorConfig(
       * and ships `_bulk` index/delete actions with `_id` = PK — the
       * ES connector's natural-upsert contract over the public REST
       * surface. */
-    queueUrl: Option[String] = None) {
+    queueUrl: Option[String] = None,
+    /** Live SQL destination: `pg://user:pass@host:port/db[?flavor=…]`
+      * routes every normalized batch through the staging→COPY→MERGE
+      * warehouse loop ([[graft.sinks.WarehouseLoader]] over a real
+      * pgwire session) INSTEAD of the native parquet MergeWriter — the
+      * reference's PostgreSQL-destination normalize loop
+      * (flow/connectors/postgres/) with nothing in-process. `flavor`
+      * picks the statement family: `postgres` (default, ANSI MERGE) or
+      * `postgres14`/`cockroachdb` (the ON CONFLICT fallback). The WAL/
+      * raw legs are unchanged, so resume, retention and stats behave
+      * identically; [[MirrorRunner.destination]] does not apply — read
+      * the destination tables on the server. */
+    warehouseUrl: Option[String] = None) {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
@@ -213,6 +225,46 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         }
         name -> recovered
       }
+  /** Live SQL destination behind [[MirrorConfig.warehouseUrl]]. One
+    * connection per batch (a mirror tick is one batch; the reference
+    * holds a pool for the same cadence), and an idempotent
+    * ADD COLUMN IF NOT EXISTS widen runs before each load so payload
+    * schemas widened mid-stream by RelationRecords reach the
+    * destination table before a MERGE references the new column (the
+    * reference's ReplayTableSchemaDeltas). */
+  private final class WarehouseDest(url: String) {
+    private val ep = graft.cdc.CaptureEndpoint.parse(url)
+    private val flavor = ep.param("flavor", "postgres")
+    private val created = scala.collection.mutable.Set.empty[String]
+    private def connect(): graft.server.PgClient =
+      new graft.server.PgClient(ep.host, ep.port,
+        user = if (ep.user.isEmpty) "postgres" else ep.user,
+        database = if (ep.database.isEmpty) "postgres" else ep.database,
+        password = ep.password).connect()
+    def load(table: String, tc: TableConfig,
+        normalized: org.apache.spark.sql.DataFrame,
+        batchId: Long): Unit = {
+      val c = connect()
+      try {
+        val target = graft.sinks.MergeTarget(table,
+          s"${table}_graft_stage", tc.pkColumns, liveSchemas(table),
+          softDelete = cfg.softDelete)
+        val loader = new graft.sinks.WarehouseLoader(target,
+          new graft.sinks.PgWarehouse(c), flavor)
+        if (!created(table)) { loader.setup(); created += table }
+        // a crash between COPY and DROP can leave a stale staging
+        // table with an older schema — every load starts clean
+        c.queryAll(s"DROP TABLE IF EXISTS ${target.stagingTable}")
+        c.queryAll(graft.sinks.MergeSqlGenerator.alterAddColumns(target))
+        loader.loadBatch(normalized,
+          s"${cfg.checkpointDir}/stage/${table.replace('.', '_')}" +
+            s"/$batchId")
+      } finally c.close()
+    }
+  }
+  private lazy val warehouseDest: Option[WarehouseDest] =
+    cfg.warehouseUrl.map(new WarehouseDest(_))
+
   private def merge = writers(cfg.destinationTable)._2
   private val hwmPath = s"${cfg.checkpointDir}/graft-raw-hwm"
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -666,9 +718,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       val normalized = Normalizer.normalize(
         slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
           softDelete = cfg.softDelete))
-      if (!normalized.isEmpty)
-        applyChanges(table, writer, tc.pkColumns, normalized,
-          batchId = Some(batchId))
+      if (!normalized.isEmpty) warehouseDest match {
+        case Some(w) => w.load(table, tc, normalized, batchId)
+        case None => applyChanges(table, writer, tc.pkColumns,
+          normalized, batchId = Some(batchId))
+      }
     }
 
     // Normalize done: target LSN catches up to source, the batch closes

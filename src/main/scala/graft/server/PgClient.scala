@@ -244,6 +244,61 @@ final class PgClient(
     results.result()
   }
 
+  /** Simple-protocol `COPY … FROM STDIN` (text format): send the COPY
+    * statement, stream `lines` (one COPY text line per element, no
+    * trailing newline) as CopyData in ~64 KiB chunks, CopyDone, and
+    * return the CommandComplete tag ("COPY n"). The protocol flow is
+    * CopyInResponse ('G') → 'd'× → 'c' → 'C' + 'Z'; an ErrorResponse
+    * at any point raises AFTER draining to ReadyForQuery so the
+    * session stays usable — the bulk-load discipline of the
+    * reference's pgx CopyFrom (postgres/cdc sync uses it for the raw
+    * table, flow/connectors/postgres/postgres.go). */
+  def copyIn(sql: String, lines: Iterator[String]): String = {
+    writeMessage(out, 'Q', cstring(sql))
+    out.flush()
+    var err: Option[PgServerError] = None
+    var inCopy = false
+    var rfq = false
+    while (!inCopy && !rfq) readMessage(in) match {
+      case None => throw new EOFException("EOF awaiting CopyInResponse")
+      case Some(('G', _)) => inCopy = true
+      case Some(('E', body)) => if (err.isEmpty) err = Some(parseError(body))
+      case Some(('Z', _)) => rfq = true
+      case Some(('N', _)) | Some(('S', _)) => ()
+      case Some((t, _)) => throw new java.io.IOException(
+        s"unexpected '$t' awaiting CopyInResponse")
+    }
+    if (!inCopy) throw err.getOrElse(
+      new java.io.IOException("statement did not start COPY IN"))
+    val buf = new java.io.ByteArrayOutputStream(1 << 16)
+    def flushBuf(): Unit = if (buf.size > 0) {
+      writeMessage(out, 'd', buf.toByteArray)
+      buf.reset()
+    }
+    lines.foreach { l =>
+      buf.write(l.getBytes(UTF_8))
+      buf.write('\n')
+      if (buf.size >= (1 << 16)) flushBuf()
+    }
+    flushBuf()
+    writeMessage(out, 'c', Array.emptyByteArray) // CopyDone
+    out.flush()
+    var tag = ""
+    var done = false
+    while (!done) readMessage(in) match {
+      case None => throw new EOFException("EOF completing COPY IN")
+      case Some(('C', body)) =>
+        tag = new String(body, 0, body.length - 1, UTF_8)
+      case Some(('E', body)) => if (err.isEmpty) err = Some(parseError(body))
+      case Some(('Z', _)) => done = true
+      case Some(('N', _)) | Some(('S', _)) => ()
+      case Some((t, _)) => throw new java.io.IOException(
+        s"unexpected '$t' completing COPY IN")
+    }
+    err.foreach(throw _)
+    tag
+  }
+
   // ------------------------------------------------ extended protocol
 
   def parse(name: String, sql: String): Unit = parse(name, sql, Nil)

@@ -184,6 +184,22 @@ object MergeSqlGenerator {
        |  ${cols.mkString(",\n  ")}$tail""".stripMargin
   }
 
+  /** Idempotent destination widen to the target's CURRENT schema (PG
+    * `ADD COLUMN IF NOT EXISTS`, one statement): run ahead of a MERGE
+    * so a payload schema widened mid-stream by RelationRecords reaches
+    * the destination before a statement references the new column —
+    * the reference's ReplayTableSchemaDeltas step
+    * (flow/connectors/postgres/client.go). Existing columns are left
+    * untouched (IF NOT EXISTS), so this never narrows or retypes. */
+  def alterAddColumns(t: MergeTarget): String = {
+    val adds = dataColumns(t).map { cn =>
+      val f = t.schema(cn)
+      s"ADD COLUMN IF NOT EXISTS ${q(cn)} " +
+        QKind.toDdl(QKind.fromSpark(f.dataType), QKind.Dialect.Ansi)
+    }
+    s"ALTER TABLE ${t.table} ${adds.mkString(", ")}"
+  }
+
   /** ClickHouse normalize INSERT — the RMT path runs no MERGE: each
     * batch INSERT SELECTs the staged rows into the ReplacingMergeTree
     * table and the ENGINE collapses versions at merge/FINAL time
