@@ -982,13 +982,26 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * (strictly newer version) wins, and replaying the snapshot itself is
     * idempotent. Partition-parallel: `snapshot` arrives already split by
     * the QRep partitioner when pulled from a live source. */
-  def bootstrapSnapshot(snapshot: DataFrame): Unit = {
+  def bootstrapSnapshot(snapshot: DataFrame): Unit =
+    bootstrapSnapshot(cfg.destinationTable, snapshot)
+
+  /** Per-table variant (a mirror replicates a table SET; the snapshot
+    * phase loads each routed table — snapshot_flow.go runs one clone
+    * per table mapping). Dispatches like the stream's batch path: a
+    * live `warehouseUrl` destination gets the snapshot through the
+    * same staging→COPY→MERGE loop the CDC batches use. */
+  def bootstrapSnapshot(table: String, snapshot: DataFrame): Unit = {
+    val (tc, writer) = writers(table)
     val changes = snapshot
       .withColumn(RawTable.Version, lit(cfg.snapshotCheckpoint))
       .withColumn(RawTable.IsDeleted, lit(false))
       .withColumn(graft.cdc.Normalizer.AbsentCols,
         array().cast("array<string>"))
-    applyChanges(cfg.destinationTable, merge, cfg.pkColumns, changes)
+    warehouseDest match {
+      case Some(w) => w.load(table, tc, changes,
+        batchId = cfg.snapshotCheckpoint)
+      case None => applyChanges(table, writer, tc.pkColumns, changes)
+    }
   }
 
   /** Point-in-time reconstruction of the primary table from the raw

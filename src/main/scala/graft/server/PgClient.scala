@@ -37,7 +37,13 @@ final class PgClient(
     /** Transport dialer — [[graft.cdc.Ssh.tunnelDial]] routes the
       * connection through an SSH bastion (the reference attaches an
       * SSHConfig to warehouse/CRDB peers too, cockroachdb.go:59-63). */
-    dial: graft.cdc.Ssh.Dial = graft.cdc.Ssh.tcpDial)
+    dial: graft.cdc.Ssh.Dial = graft.cdc.Ssh.tcpDial,
+    /** Extra startup parameters. `"replication" -> "database"` turns
+      * the session into a logical walsender that still accepts plain
+      * SQL — the connection CREATE_REPLICATION_SLOT ... EXPORT_SNAPSHOT
+      * runs on (the reference's pglogrepl.CreateReplicationSlot
+      * connection mode). */
+    startupParams: Seq[(String, String)] = Nil)
   extends AutoCloseable {
 
   import PgClient._
@@ -71,7 +77,7 @@ final class PgClient(
     }
     writeStartup(out, Seq(
       "user" -> user, "database" -> database,
-      "application_name" -> "graft-client"))
+      "application_name" -> "graft-client") ++ startupParams)
     var ready = false
     var scram: Option[Scram.Client] = None
     while (!ready) readMessage(in) match {
@@ -156,17 +162,26 @@ final class PgClient(
     new PgServerError(code, msg)
   }
 
+  /** Column type OIDs of the last RowDescription — what a text-format
+    * value needs to decode by type (the snapshot reader renders rows
+    * through the same OID-driven JSON path as pgoutput tuples). */
+  @volatile var lastTypeOids: Seq[Int] = Nil
+
   private def parseRowDescription(body: Array[Byte]): Seq[String] = {
     val b = ByteBuffer.wrap(body)
     val n = b.getShort.toInt
-    (0 until n).map { _ =>
+    val oids = Seq.newBuilder[Int]
+    val names = (0 until n).map { _ =>
       val s = new StringBuilder
       var c = b.get()
       while (c != 0) { s += c.toChar; c = b.get() }
-      b.getInt(); b.getShort(); b.getInt(); b.getShort(); b.getInt()
-      b.getShort()
+      b.getInt(); b.getShort() // table oid, attnum
+      oids += b.getInt() // type oid
+      b.getShort(); b.getInt(); b.getShort() // typlen, typmod, format
       s.toString
     }
+    lastTypeOids = oids.result()
+    names
   }
 
   /** Raw (undecoded) cells of every DataRow seen by the last sync()

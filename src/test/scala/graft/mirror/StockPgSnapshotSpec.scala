@@ -1,0 +1,221 @@
+package graft.mirror
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.StockPostgres
+
+/** The consistent snapshot→CDC handoff pinned against a REAL stock
+  * PostgreSQL 15 server — the reference's initial-load correctness
+  * story (snapshot_flow.go) executed live: CREATE_REPLICATION_SLOT on
+  * a replication connection exports a snapshot; parallel partitions
+  * read the tables AT it (CTID slices, SET TRANSACTION SNAPSHOT); the
+  * CDC stream then resumes from the slot's consistent point. The
+  * critical case is a write RACING the snapshot: committed after slot
+  * creation, it must be invisible to the snapshot read and arrive
+  * exactly once through the stream.
+  */
+class StockPgSnapshotSpec extends SparkSpec {
+
+  private var server: Option[StockPostgres.Server] = None
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = StockPostgres.start()
+  }
+  override def afterAll(): Unit = {
+    server.foreach(_.stop())
+    super.afterAll()
+  }
+  private def srv: StockPostgres.Server = {
+    assume(server.isDefined, "stock postgres unavailable in this env")
+    server.get
+  }
+
+  test("parseLsn round-trips the wire text form") {
+    assert(SnapshotFlow.parseLsn("0/16B3748") == 0x16B3748L)
+    assert(SnapshotFlow.parseLsn("A/0") == (0xAL << 32))
+    assert(SnapshotFlow.parseLsn("FFFFFFFF/FFFFFFFF") == -1L)
+  }
+
+  test("exported-snapshot read: CTID-partitioned parallel scan sees " +
+    "exactly the slot-creation state — concurrent writes invisible") {
+    val s = srv
+    s.psql("""CREATE TABLE public.snap1 (
+      id bigint PRIMARY KEY, v bigint, t text, big text)""")
+    // enough rows to span several 8 KiB blocks so the CTID slices are
+    // genuinely non-trivial; one TOAST row
+    s.psql("""INSERT INTO public.snap1
+      SELECT g, g * 10, 'row-' || g,
+             CASE WHEN g = 1 THEN (SELECT string_agg(md5(x::text), '')
+                                     FROM generate_series(1, 4000) x)
+                  WHEN g % 7 = 0 THEN repeat('pad', 40) END
+      FROM generate_series(1, 5000) g""")
+    s.psql("CREATE PUBLICATION snap_pub FOR TABLE public.snap1")
+
+    val truth0 = s.psql("SELECT count(*) || ':' || sum(v) || ':' || " +
+      "md5(string_agg(id || '|' || v || '|' || t || '|' || " +
+      "coalesce(md5(big), ''), E'\\n' ORDER BY id)) FROM public.snap1")
+
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=snap_slot&publication=snap_pub"
+    val session = SnapshotFlow.createExportedSlot(url)
+    try {
+      assert(session.exported.slot == "snap_slot")
+      assert(session.exported.consistentPoint > 0)
+      assert(session.exported.snapshotName.nonEmpty)
+
+      // writes racing the snapshot: committed AFTER the slot reached
+      // consistency, so they must NOT appear in the snapshot read
+      s.psql("UPDATE public.snap1 SET v = -1 WHERE id <= 100")
+      s.psql("DELETE FROM public.snap1 WHERE id > 4900")
+      s.psql("INSERT INTO public.snap1 VALUES (9001, 1, 'racer', NULL)")
+
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType),
+        StructField("t", StringType), StructField("big", StringType)))
+      val df = SnapshotFlow.readTable(spark, url,
+        session.exported.snapshotName, "public.snap1", schema,
+        numPartitions = 4)
+      def md5hex(x: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val rows = df.orderBy("id").collect()
+      assert(rows.length == 5000, "snapshot must see pre-race rows only")
+      val rendered = rows.map { r =>
+        val big = Option(r.getString(3)).map(md5hex).getOrElse("")
+        s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|$big"
+      }.mkString("\n")
+      val gotSum =
+        s"${rows.length}:${rows.map(_.getLong(1)).sum}:${md5hex(rendered)}"
+      assert(gotSum == truth0.trim,
+        "snapshot read != slot-creation state")
+    } finally session.close()
+    s.psql("SELECT pg_drop_replication_slot('snap_slot')")
+    s.psql("DROP PUBLICATION snap_pub")
+    s.psql("DROP TABLE public.snap1")
+  }
+
+  test("full handoff: initialLoad bootstraps at the consistent point " +
+    "and the CDC stream delivers racing writes exactly once") {
+    val s = srv
+    s.psql("""CREATE TABLE public.ho1 (
+      id bigint PRIMARY KEY, v bigint, t text)""")
+    s.psql("CREATE TABLE public.ho2 (k bigint PRIMARY KEY, s text)")
+    s.psql("""INSERT INTO public.ho1
+      SELECT g, g, 'r' || g FROM generate_series(1, 2000) g""")
+    s.psql("INSERT INTO public.ho2 VALUES (1, 'a'), (2, 'b')")
+    s.psql("CREATE PUBLICATION ho_pub FOR TABLE public.ho1, public.ho2")
+
+    val base = tmpDir("snaphandoff")
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=ho_slot&publication=ho_pub"
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType),
+        StructField("t", StringType))),
+      destinationTable = "public.ho1",
+      captureDir = Some(url),
+      extraTables = Map("public.ho2" -> TableConfig(Seq("k"),
+        StructType(Seq(StructField("k", LongType),
+          StructField("s", StringType))))))
+
+    // SnapshotFlow.initialLoad creates the slot itself; between slot
+    // creation and the snapshot reads there is no hook to inject
+    // racing writes, so race the OTHER direction here: writes landing
+    // while the snapshot phase's merges run, delivered by the first
+    // stream pull. (The snapshot-isolation direction is pinned by the
+    // previous test.)
+    val runner = SnapshotFlow.initialLoad(spark, cfg, numPartitions = 4)
+
+    def truth(table: String, cols: String, pk: String): String =
+      s.psql(s"SELECT count(*) || ':' || md5(string_agg($cols, E'\\n' " +
+        s"ORDER BY $pk)) FROM public.$table")
+    def dest(table: String, exprs: Seq[org.apache.spark.sql.Column],
+        pk: String): String = {
+      val rows = runner.destination(s"public.$table")
+        .orderBy(pk).select(exprs: _*).collect()
+      val body = rows.map(_.getString(0)).mkString("\n")
+      s"${rows.length}:" + java.security.MessageDigest
+        .getInstance("MD5").digest(body.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString + "\n"
+    }
+    def ho1Dest(): String = dest("ho1", Seq(concat_ws("|",
+      col("id"), col("v"), col("t")).as("l")), "id")
+    def ho1Truth(): String = truth("ho1", "id || '|' || v || '|' || t", "id")
+
+    // snapshot state replicated
+    assert(ho1Dest() == ho1Truth())
+    assert(runner.destination("public.ho2").count() == 2)
+
+    // racing writes: a mix of updates to snapshot rows, deletes,
+    // inserts — they arrived AFTER the consistent point, so the pull
+    // must deliver each exactly once on top of the snapshot
+    s.psql("UPDATE public.ho1 SET v = v + 1000000 WHERE id <= 50")
+    s.psql("DELETE FROM public.ho1 WHERE id BETWEEN 1990 AND 2000")
+    s.psql("INSERT INTO public.ho1 VALUES (5001, 1, 'post-snap')")
+    s.psql("UPDATE public.ho2 SET s = 'z' WHERE k = 2")
+    runner.runAvailableNow()
+    assert(ho1Dest() == ho1Truth(), "post-handoff drain diverged")
+    assert(runner.destination("public.ho2").filter(col("s") === "z")
+      .count() == 1)
+
+    // no duplicate pks anywhere (the exactly-once core claim)
+    val dups = runner.destination("public.ho1")
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+
+    // steady churn keeps converging
+    s.psql("UPDATE public.ho1 SET t = 'again' WHERE id % 97 = 0")
+    runner.runAvailableNow()
+    assert(ho1Dest() == ho1Truth())
+
+    s.psql("SELECT pg_drop_replication_slot('ho_slot')")
+  }
+
+  test("snapshot into a LIVE pg:// destination: the bootstrap rides " +
+    "the same staging→COPY→MERGE loop as CDC batches, then the stream " +
+    "keeps the live destination converged") {
+    val s = srv
+    s.psql("CREATE DATABASE snapdest")
+    s.psql("CREATE TABLE public.wh1 (id bigint PRIMARY KEY, v bigint, " +
+      "t text)")
+    s.psql("""INSERT INTO public.wh1
+      SELECT g, g * 2, 'w' || g FROM generate_series(1, 3000) g""")
+    s.psql("CREATE PUBLICATION wh_pub FOR TABLE public.wh1")
+
+    val base = tmpDir("snapwh")
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=wh_slot&publication=wh_pub"
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType),
+        StructField("t", StringType))),
+      destinationTable = "public.wh1",
+      captureDir = Some(url),
+      warehouseUrl = Some(s"pg://postgres@127.0.0.1:${s.port}/snapdest"))
+
+    val runner = SnapshotFlow.initialLoad(spark, cfg, numPartitions = 3)
+    def truth(): String = s.psql(
+      "SELECT count(*) || ':' || md5(string_agg(id || '|' || v || '|' " +
+        "|| t, E'\\n' ORDER BY id)) FROM public.wh1")
+    def dest(): String = s.psql(
+      "SELECT count(*) || ':' || md5(string_agg(id || '|' || v || '|' " +
+        "|| t, E'\\n' ORDER BY id)) FROM public.wh1 " +
+        "WHERE NOT _peerdb_is_deleted", db = "snapdest")
+    assert(dest() == truth(), "live-destination snapshot diverged")
+
+    s.psql("UPDATE public.wh1 SET v = 0 WHERE id % 11 = 0")
+    s.psql("DELETE FROM public.wh1 WHERE id > 2990")
+    runner.runAvailableNow()
+    assert(dest() == truth(), "post-snapshot drain diverged")
+
+    s.psql("SELECT pg_drop_replication_slot('wh_slot')")
+  }
+}
