@@ -152,4 +152,85 @@ class PgBenchSoakSpec extends SparkSpec {
 
     s.psql("SELECT pg_drop_replication_slot('bench_slot')")
   }
+
+  test("snapshot handoff UNDER LIVE FIRE: initialLoad runs while " +
+    "pgbench churn is actively committing — slot creation reaches " +
+    "consistency mid-traffic, the snapshot reads race thousands of " +
+    "updates, and the drain converges to the exact source state") {
+    val s = srv
+    // fresh pgbench corpus on its own database to isolate from the
+    // first test's tables
+    s.psql("CREATE DATABASE fire")
+    s.psql("CREATE DATABASE firedest")
+    val err = new StringBuilder
+    val init = Process(Seq("/usr/bin/pgbench", "-h", "127.0.0.1",
+      "-p", s.port.toString, "-U", "postgres", "-i", "-s", "1",
+      "--no-vacuum", "fire"))
+      .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+    require(init == 0, s"pgbench -i failed: $err")
+    s.psql("CREATE PUBLICATION fire_pub FOR TABLE " +
+      "public.pgbench_accounts, public.pgbench_branches, " +
+      "public.pgbench_tellers", db = "fire")
+
+    def tc(cols: (String, DataType)*) = TableConfig(
+      Seq(cols.head._1),
+      StructType(cols.map { case (n, t) => StructField(n, t) }))
+    val base = tmpDir("firesoak")
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("aid"),
+      payloadSchema = StructType(Seq(
+        StructField("aid", IntegerType), StructField("bid", IntegerType),
+        StructField("abalance", IntegerType),
+        StructField("filler", StringType))),
+      destinationTable = "public.pgbench_accounts",
+      captureDir = Some(s"pgwire://postgres@127.0.0.1:${s.port}" +
+        "/fire?slot=fire_slot&publication=fire_pub"),
+      warehouseUrl = Some(s"pg://postgres@127.0.0.1:${s.port}/firedest"),
+      extraTables = Map(
+        "public.pgbench_branches" -> tc("bid" -> IntegerType,
+          "bbalance" -> IntegerType, "filler" -> StringType),
+        "public.pgbench_tellers" -> tc("tid" -> IntegerType,
+          "bid" -> IntegerType, "tbalance" -> IntegerType,
+          "filler" -> StringType)))
+
+    // churn in the background for the whole snapshot phase: 4 clients
+    // for a fixed 30 s window, which outlasts slot creation + the
+    // CTID reads + the bootstrap MERGE (the info line below records
+    // that the overlap really happened)
+    val churn = Process(Seq("/usr/bin/pgbench", "-h", "127.0.0.1",
+      "-p", s.port.toString, "-U", "postgres", "-c", "4", "-T", "30",
+      "-n", "fire")).run(ProcessLogger(_ => (), _ => ()))
+    val runner = try {
+      Thread.sleep(500) // let the churn establish before the slot
+      val r = SnapshotFlow.initialLoad(spark, cfg, numPartitions = 4)
+      info(s"churn still live when snapshot phase finished: " +
+        s"${churn.isAlive()}")
+      r
+    } finally {
+      require(churn.exitValue() == 0, "pgbench churn failed")
+    }
+
+    runner.runAvailableNow()
+    // one extra drain in case the last commits landed after the
+    // previous pull's keepalive cut
+    runner.runAvailableNow()
+
+    val tables = Seq(
+      ("pgbench_accounts", Seq("aid", "bid", "abalance", "filler"), "aid"),
+      ("pgbench_branches", Seq("bid", "bbalance", "filler"), "bid"),
+      ("pgbench_tellers", Seq("tid", "bid", "tbalance", "filler"), "tid"))
+    tables.foreach { case (t, cols, pk) =>
+      val row = cols.map(c => s"coalesce(rtrim($c::text),'')")
+        .mkString(" || '|' || ")
+      val q = s"SELECT count(*) || ':' || coalesce(md5(string_agg(" +
+        s"$row, E'\\n' ORDER BY $pk)), '-') FROM public.$t"
+      val src = s.psql(q, db = "fire")
+      val dst = s.psql(q.replace(s"FROM public.$t",
+        s"FROM public.$t WHERE NOT _peerdb_is_deleted"), db = "firedest")
+      assert(dst == src, s"under-fire handoff diverged on $t")
+    }
+    s.psql("SELECT pg_drop_replication_slot('fire_slot')", db = "fire")
+  }
 }
