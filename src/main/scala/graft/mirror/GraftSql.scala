@@ -521,10 +521,30 @@ object GraftSql {
     val marker = s"${cfg.checkpointDir}/graft-snapshot-cp"
     graft.util.FsText.read(marker, hc) match {
       case Some(cp) => (cfg.copy(snapshotCheckpoint = cp.toLong), 0L)
+      case None if o.get("snapshot_source").isEmpty &&
+          cfg.captureDir.exists(u =>
+            graft.cdc.CaptureEndpoint.isUrl(u) &&
+              graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire") =>
+        // LIVE exported-snapshot handoff (SetupReplication +
+        // snapshot_flow.go): [[SnapshotFlow.initialLoad]] creates the
+        // slot itself with an exported snapshot, reads every routed
+        // table at it in CTID slices, and bootstraps at local version
+        // 0 — the slot's consistent point does the stream-side gating,
+        // so the slot must NOT pre-exist.
+        val nParts = o.get("snapshot_num_partitions_override")
+          .map(_.toInt).getOrElse(4)
+        val runner = SnapshotFlow.initialLoad(spark, cfg, nParts)
+        graft.util.FsText.write(marker, "0", hc)
+        val rows =
+          if (cfg.warehouseUrl.isEmpty) runner.destination().count()
+          else -1L // live SQL destination: no local frame to count
+        (cfg.copy(snapshotCheckpoint = 0L), rows)
       case None =>
         val srcDir = o.getOrElse("snapshot_source",
           throw new IllegalArgumentException("CREATE MIRROR: " +
-            "do_initial_snapshot requires 'snapshot_source'"))
+            "do_initial_snapshot requires 'snapshot_source' (or a " +
+            "pgwire:// capture_dir for the live exported-snapshot " +
+            "path)"))
         // Snapshot position = current WAL head (the slot's confirmed
         // LSN at snapshot time): rows load versioned AT it, the stream
         // starts strictly AFTER it, and any WAL change the snapshot
@@ -681,14 +701,26 @@ object GraftSql {
         if (o.get("do_initial_snapshot").exists(_.toBoolean) ||
             o.get("initial_snapshot_only").exists(_.toBoolean))
           check("snapshot_source") {
-            val src = o("snapshot_source")
-            val have = spark.read.parquet(src).schema.fieldNames.toSet
-            val need = TableConfig(cfg.pkColumns, cfg.payloadSchema,
-              cfg.excludeColumns).effectiveSchema.fieldNames
-            val missing = need.filterNot(have.contains)
-            if (missing.nonEmpty) throw new IllegalArgumentException(
-              s"$src lacks column(s): ${missing.mkString(",")}")
-            ""
+            o.get("snapshot_source") match {
+              case Some(src) =>
+                val have =
+                  spark.read.parquet(src).schema.fieldNames.toSet
+                val need = TableConfig(cfg.pkColumns, cfg.payloadSchema,
+                  cfg.excludeColumns).effectiveSchema.fieldNames
+                val missing = need.filterNot(have.contains)
+                if (missing.nonEmpty)
+                  throw new IllegalArgumentException(
+                    s"$src lacks column(s): ${missing.mkString(",")}")
+                ""
+              case None if cfg.captureDir.exists(u =>
+                  graft.cdc.CaptureEndpoint.isUrl(u) &&
+                    graft.cdc.CaptureEndpoint.parse(u).scheme ==
+                      "pgwire") =>
+                "live exported-snapshot via pgwire capture endpoint"
+              case None => throw new IllegalArgumentException(
+                "do_initial_snapshot requires 'snapshot_source' (or " +
+                  "a pgwire:// capture_dir)")
+            }
           }
       }
     }
@@ -997,13 +1029,19 @@ object GraftSql {
       // missing or unparsable catalog script fails the CREATE.
       resolvedTransform(spark, o).foreach(
         spark.sessionState.sqlParser.parseExpression(_))
-      // Snapshot options cohere at DDL time: a snapshot needs a source,
-      // and snapshot-only without a snapshot is an empty mirror.
+      // Snapshot options cohere at DDL time: a snapshot needs a source
+      // — a parquet dir, or a pgwire:// capture endpoint for the live
+      // exported-snapshot path — and snapshot-only without a snapshot
+      // is an empty mirror.
       if ((o.get("do_initial_snapshot").exists(_.toBoolean) ||
             o.get("initial_snapshot_only").exists(_.toBoolean)) &&
-          !o.contains("snapshot_source"))
+          !o.contains("snapshot_source") &&
+          !o.get("capture_dir").exists(u =>
+            graft.cdc.CaptureEndpoint.isUrl(u) &&
+              graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire"))
         throw new IllegalArgumentException(
-          "CREATE MIRROR: do_initial_snapshot requires 'snapshot_source'")
+          "CREATE MIRROR: do_initial_snapshot requires " +
+            "'snapshot_source' (or a pgwire:// capture_dir)")
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
     case CreateScript(n, lang, src, orReplace) =>

@@ -218,4 +218,54 @@ class StockPgSnapshotSpec extends SparkSpec {
 
     s.psql("SELECT pg_drop_replication_slot('wh_slot')")
   }
+
+  test("DDL surface: CREATE MIRROR with pgwire capture and " +
+    "do_initial_snapshot (no snapshot_source) takes the LIVE " +
+    "exported-snapshot path; EXECUTE snapshots then drains CDC; " +
+    "re-EXECUTE reuses the durable snapshot marker") {
+    val s = srv
+    s.psql("CREATE TABLE public.ddl1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("""INSERT INTO public.ddl1
+      SELECT g, g FROM generate_series(1, 500) g""")
+    s.psql("CREATE PUBLICATION ddl_pub FOR TABLE public.ddl1")
+
+    val base = tmpDir("snapddl")
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+    run(s"""CREATE MIRROR snapddl WITH (
+       |  wal_dir '$base/wal', dest_dir '$base/dest',
+       |  checkpoint_dir '$base/ckpt', pk 'id', table 'public.ddl1',
+       |  schema 'id BIGINT, v BIGINT',
+       |  capture_dir 'pgwire://postgres@127.0.0.1:${s.port}/postgres?slot=ddl_slot&publication=ddl_pub',
+       |  do_initial_snapshot 'true')""".stripMargin)
+
+    // validation names the live path instead of demanding a source dir
+    val v = run("VALIDATE MIRROR snapddl")
+    val snapCheck = v.find(_.getString(0) == "snapshot_source").get
+    assert(snapCheck.getString(1) == "valid", v.mkString(";"))
+    assert(snapCheck.getString(2).contains("live exported-snapshot"))
+
+    run("EXECUTE MIRROR snapddl")
+    val dest = s"$base/dest"
+    def destDf() = spark.read.parquet(dest)
+      .filter(!org.apache.spark.sql.functions.col("_peerdb_is_deleted"))
+    assert(destDf().count() == 500)
+
+    // churn after the snapshot: the stream (slot created by the
+    // snapshot phase at its consistent point) must deliver it
+    s.psql("UPDATE public.ddl1 SET v = -9 WHERE id <= 7")
+    s.psql("INSERT INTO public.ddl1 VALUES (901, 901)")
+    run("EXECUTE MIRROR snapddl")
+    assert(destDf().count() == 501)
+    assert(destDf().filter(
+      org.apache.spark.sql.functions.col("v") === -9).count() == 7)
+
+    // the marker prevents a re-snapshot (initialLoad would throw on
+    // the existing slot otherwise) and the stream stays converged
+    run("EXECUTE MIRROR snapddl")
+    assert(destDf().count() == 501)
+
+    run("DROP MIRROR snapddl")
+    s.psql("SELECT pg_drop_replication_slot('ddl_slot')")
+  }
 }
