@@ -798,12 +798,21 @@ object GraftSql {
     val o = p.options
     val sess = spark.newSession()
     val srcPeer = peersFor(spark).get(o("__source_peer"))
-    val srcDir = srcPeer.options.getOrElse("dir",
-      throw new IllegalArgumentException(
-        s"peer ${srcPeer.name}: missing 'dir' option"))
-    val table = o("source_table")
-    sess.read.parquet(s"$srcDir/$table.parquet")
-      .createOrReplaceTempView(table)
+    // Live PG peer (`url 'pg://…'`): the bound query executes ON the
+    // source server, partition-parallel, with the watermark predicate
+    // pushed inside the SQL ([[graft.qrep.LivePgPull]]). A storage
+    // peer (`dir`) registers the parquet stand-in as the view the
+    // bound query runs over locally.
+    val liveUrl = srcPeer.options.get("url")
+      .filter(u => u.startsWith("pg://") || u.startsWith("pgwire://"))
+    if (liveUrl.isEmpty) {
+      val srcDir = srcPeer.options.getOrElse("dir",
+        throw new IllegalArgumentException(
+          s"peer ${srcPeer.name}: missing 'dir' (or pg:// 'url') option"))
+      val table = o("source_table")
+      sess.read.parquet(s"$srcDir/$table.parquet")
+        .createOrReplaceTempView(table)
+    }
     val destDir = o("dest_dir")
     val storePath = s"$destDir/_graft_wmark"
     // initial_copy_only (the analyzer's QRep option): ONE full load,
@@ -858,8 +867,13 @@ object GraftSql {
       numPartitions = o.get("num_partitions").map(_.toInt).getOrElse(8),
       rowsPerPartition =
         o.get("num_rows_per_partition").map(_.toLong))
-    val moved = new graft.qrep.QRepRunner(sess, cfg)
-      .runOnce(sess.sql(bound))
+    val source = liveUrl match {
+      case Some(url) => graft.qrep.LivePgPull.pull(sess, url,
+        o("__query"), cfg.wmarkColumn, last,
+        numPartitions = cfg.numPartitions)
+      case None => sess.sql(bound)
+    }
+    val moved = new graft.qrep.QRepRunner(sess, cfg).runOnce(source)
     if (copyOnly)
       graft.util.FsText.write(doneMarker, "complete", hc)
     Seq(Row(moved))

@@ -3,7 +3,7 @@ package graft.mirror
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{col, from_json}
 
-import graft.cdc.{CaptureEndpoint, PgOutput, PgWire}
+import graft.cdc.{CaptureEndpoint, PgWire}
 import graft.server.PgClient
 
 /** Consistent snapshot→CDC handoff against a LIVE PostgreSQL source —
@@ -42,7 +42,7 @@ import graft.server.PgClient
   * re-enter the declarative plan as JSON → `from_json` with the
   * table's payload schema — the SAME decode path CDC records take, so
   * snapshot and stream cannot diverge on value rendering (both go
-  * through [[PgOutput.columnJson]]'s OID-driven JSON).
+  * through [[graft.cdc.PgRows]]'s OID-driven JSON).
   */
 object SnapshotFlow {
 
@@ -164,21 +164,9 @@ object SnapshotFlow {
               val r = c.query(
                 s"SELECT $colSql FROM $tableSql WHERE $where")
               val oids = c.lastTypeOids
-              val rcols = r.columns.zip(oids).map { case (n, oid) =>
-                PgOutput.RelationColumn(0, n, oid, -1)
-              }
               // materialize before close: Result is already in memory
-              r.rows.map { row =>
-                rcols.zip(row).flatMap { case (rc, v) =>
-                  val tv = v match {
-                    case None => PgOutput.NullColumn
-                    case Some(txt) => PgOutput.TextColumn(
-                      txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                  }
-                  PgOutput.columnJson(rc, tv)
-                    .map(j => "\"" + rc.name + "\":" + j)
-                }.mkString("{", ",", "}")
-              }.iterator
+              r.rows.map(graft.cdc.PgRows.json(r.columns, oids, _))
+                .iterator
             } finally c.close()
           }
         })(Encoders.STRING)
