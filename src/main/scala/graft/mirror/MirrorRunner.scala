@@ -237,10 +237,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     private val flavor = ep.param("flavor", "postgres")
     private val created = scala.collection.mutable.Set.empty[String]
     private def connect(): graft.server.PgClient =
-      new graft.server.PgClient(ep.host, ep.port,
-        user = if (ep.user.isEmpty) "postgres" else ep.user,
-        database = if (ep.database.isEmpty) "postgres" else ep.database,
-        password = ep.password).connect()
+      graft.server.PgClients.connect(ep, Nil) // honors ssl=/ssh= params
     def load(table: String, tc: TableConfig,
         normalized: org.apache.spark.sql.DataFrame,
         batchId: Long): Unit = {

@@ -68,11 +68,7 @@ object SnapshotFlow {
 
   private def clientFor(ep: CaptureEndpoint,
       startupParams: Seq[(String, String)] = Nil): PgClient =
-    new PgClient(ep.host, ep.port,
-      user = if (ep.user.isEmpty) "postgres" else ep.user,
-      database = if (ep.database.isEmpty) "postgres" else ep.database,
-      password = ep.password,
-      startupParams = startupParams).connect()
+    graft.server.PgClients.connect(ep, startupParams)
 
   /** Create the mirror's slot with an exported snapshot. The slot name
     * comes from the capture URL (`pgwire://…?slot=s`), so the CDC
@@ -144,16 +140,13 @@ object SnapshotFlow {
       }
     }
 
-    val (host, port, user, db, pass) = (ep.host, ep.port,
-      if (ep.user.isEmpty) "postgres" else ep.user,
-      if (ep.database.isEmpty) "postgres" else ep.database, ep.password)
     val snap = snapshotName
+    val urlSer = captureUrl // plain string into the closure
     val jsonRows = spark.createDataset(
       spark.sparkContext.parallelize(slices, slices.size)
         .mapPartitions { it =>
           it.flatMap { s =>
-            val c = new PgClient(host, port, user = user, database = db,
-              password = pass).connect()
+            val c = graft.server.PgClients.connect(urlSer)
             try {
               c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
               c.queryAll("SET TRANSACTION SNAPSHOT " +

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{col, from_json}
 
 import graft.cdc.{CaptureEndpoint, PgRows}
-import graft.server.PgClient
 
 /** LIVE QRep source: the watermark-range query template executes ON a
   * real PostgreSQL peer, partition-parallel — the reference's QRep
@@ -57,16 +56,25 @@ object LivePgPull {
     else
       (last.map(_ + 1).getOrElse(Long.MinValue + 1), Long.MaxValue)
 
-  private def clientFor(ep: CaptureEndpoint): PgClient =
-    new PgClient(ep.host, ep.port,
-      user = if (ep.user.isEmpty) "postgres" else ep.user,
-      database = if (ep.database.isEmpty) "postgres" else ep.database,
-      password = ep.password).connect()
+  /** Test seam: invoked after the shared snapshot is exported and the
+    * probes have run, before the partition reads — the window a
+    * concurrent write would tear a snapshotless round in. */
+  @volatile private[graft] var afterExportHook: () => Unit = () => ()
 
   /** One round's pull: everything past `last`, partitioned. The result
     * is `localCheckpoint`ed — downstream range-chunking re-filters the
     * frame per partition, and a lazy wire-backed plan would re-run the
-    * remote queries once per chunk. */
+    * remote queries once per chunk.
+    *
+    * The whole round reads ONE transaction snapshot: a holder
+    * connection exports `pg_export_snapshot()` (the reference's
+    * ExportTxSnapshot, postgres_source.go:715-760) and stays open in
+    * its REPEATABLE READ transaction until every partition has pulled;
+    * probes and partition reads all import it. Without this, the
+    * sub-range queries run at different instants and a row committed
+    * mid-round into an already-scanned range is missed by this round
+    * AND all later ones (the advanced watermark skips it) — the torn
+    * read the reference closes the same way (qrep_source.go:141). */
   def pull(spark: SparkSession, url: String, template: String,
       wmarkColumn: String, last: Option[Long],
       numPartitions: Int = 4): DataFrame = {
@@ -82,23 +90,35 @@ object LivePgPull {
         s"(extract(epoch from _graft_q.$wmIdent)*1000000)::bigint"
       else s"_graft_q.$wmIdent"
 
-    val (schema, lo, hi, n) = {
-      val c = clientFor(ep)
-      try {
-        val probe = c.query(
-          s"SELECT * FROM ($boundFull) _graft_q LIMIT 0")
-        val schema = PgRows.schemaOf(probe.columns, c.lastTypeOids)
-        val mm = c.query(s"SELECT min($wmLong), max($wmLong), " +
-          s"count(*) FROM ($boundFull) _graft_q").rows.head
-        (schema,
-          mm(0).map(_.toLong).getOrElse(0L),
-          mm(1).map(_.toLong).getOrElse(0L),
-          mm(2).map(_.toLong).getOrElse(0L))
-      } finally c.close()
-    }
-    if (n == 0)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val holder = graft.server.PgClients.connect(ep, Nil)
+    try {
+      holder.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      // the reference's session posture for a long-lived exporting tx
+      holder.queryAll("SET LOCAL idle_in_transaction_session_timeout=0")
+      val snap = holder.query("SELECT pg_export_snapshot()")
+        .rows.head.head.get
+      // probes inside the holder's own transaction = the same snapshot
+      val probe = holder.query(
+        s"SELECT * FROM ($boundFull) _graft_q LIMIT 0")
+      val schema = PgRows.schemaOf(probe.columns, holder.lastTypeOids)
+      val mm = holder.query(s"SELECT min($wmLong), max($wmLong), " +
+        s"count(*) FROM ($boundFull) _graft_q").rows.head
+      val (lo, hi, n) = (mm(0).map(_.toLong).getOrElse(0L),
+        mm(1).map(_.toLong).getOrElse(0L),
+        mm(2).map(_.toLong).getOrElse(0L))
+      afterExportHook()
+      if (n == 0)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      pullRanges(spark, url, template, schema, lo, hi, n, numPartitions,
+        snap)
+    } finally holder.close() // releases the exported snapshot
+  }
+
+  private def pullRanges(spark: SparkSession, url: String,
+      template: String, schema: org.apache.spark.sql.types.StructType,
+      lo: Long, hi: Long, n: Long, numPartitions: Int,
+      snapshotName: String): DataFrame = {
 
     // uniform inclusive sub-ranges over [lo, hi]
     val parts = math.max(1, math.min(numPartitions,
@@ -113,23 +133,26 @@ object LivePgPull {
       (rlo.toLong, rhi.toLong)
     }.filter { case (a, b) => a <= b }
 
-    val (host, port, user, db, pass) = (ep.host, ep.port,
-      if (ep.user.isEmpty) "postgres" else ep.user,
-      if (ep.database.isEmpty) "postgres" else ep.database, ep.password)
     val tmpl = template
+    val urlSer = url
+    val snapSer = snapshotName
     val jsonRows = spark.createDataset(
       spark.sparkContext.parallelize(ranges, ranges.size)
         .mapPartitions { it =>
           it.flatMap { case (rlo, rhi) =>
-            val c = new PgClient(host, port, user = user,
-              database = db, password = pass).connect()
+            val c = graft.server.PgClients.connect(urlSer)
             try {
+              c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
+              c.queryAll("SET TRANSACTION SNAPSHOT " +
+                graft.cdc.PgWire.quoteLiteral(snapSer))
               val r = c.query(bind(tmpl, rlo, rhi))
               val oids = c.lastTypeOids
               r.rows.map(PgRows.json(r.columns, oids, _)).iterator
             } finally c.close()
           }
         })(Encoders.STRING)
+    // localCheckpoint is EAGER: by the time pull() returns, every
+    // partition has read — the holder's snapshot may then be released
     jsonRows.select(from_json(col("value"), schema).as("r"))
       .select(schema.fieldNames.map(f => col(s"r.$f")).toSeq: _*)
       .localCheckpoint()

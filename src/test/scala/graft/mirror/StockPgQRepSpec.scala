@@ -112,4 +112,79 @@ class StockPgQRepSpec extends SparkSpec {
 
     run("DROP MIRROR lq2"); run("DROP PEER ltsrc"); run("DROP PEER ltdst")
   }
+
+  test("snapshot-consistent round: a write committed MID-ROUND (after " +
+    "the probes, before the partition reads) is invisible to every " +
+    "partition and arrives complete in the NEXT round — no torn read, " +
+    "no permanently-skipped row") {
+    val s = srv
+    s.psql("CREATE TABLE public.qr3 (id bigint PRIMARY KEY, wm bigint)")
+    s.psql("""INSERT INTO public.qr3
+      SELECT g, g FROM generate_series(1, 1000) g""")
+
+    val base = tmpDir("liveqrepsnap")
+    run(s"CREATE PEER scsrc TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+    run(s"CREATE PEER scdst TYPE parquet OPTIONS (dir '$base/dst')")
+    run("CREATE MIRROR lq3 FROM scsrc TO scdst FOR " +
+      "$$ SELECT id, wm FROM public.qr3 " +
+      "WHERE wm BETWEEN {{.start}} AND {{.end}} $$ " +
+      "WITH (watermark_column 'wm', source_table 'public.qr3', " +
+      s"dest_dir '$base/dest', num_partitions '4')")
+
+    // mid-round write: wm values INSIDE already-probed ranges (5 rows
+    // at wm 1..5 with fresh ids) plus beyond-max rows. Without the
+    // shared snapshot, which partitions see them is a timing accident;
+    // with it, NONE do — and the beyond-max rows arrive next round.
+    graft.qrep.LivePgPull.afterExportHook = () => {
+      s.psql("""INSERT INTO public.qr3 VALUES
+        (2001, 1), (2002, 2), (2003, 3), (2004, 4), (2005, 5),
+        (2006, 1001), (2007, 1002)""")
+    }
+    try {
+      assert(run("EXECUTE MIRROR lq3").head.getLong(0) == 1000L,
+        "mid-round writes leaked into the snapshot round")
+    } finally {
+      graft.qrep.LivePgPull.afterExportHook = () => ()
+    }
+    // next round: the beyond-max rows stream in; the low-wm rows are
+    // out of the watermark contract (wm must be monotone) and stay
+    // excluded — deterministically, not by race
+    assert(run("EXECUTE MIRROR lq3").head.getLong(0) == 2L)
+    val ids = spark.read.parquet(s"$base/dest")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(2006L) && ids.contains(2007L))
+    assert(!ids.contains(2001L))
+
+    run("DROP MIRROR lq3"); run("DROP PEER scsrc"); run("DROP PEER scdst")
+  }
+
+  test("live QRep through an SSH tunnel: the peer URL's ssh= param " +
+    "routes every round connection (holder + partition pulls) through " +
+    "the bastion — PgClients transport parity with the capture pump") {
+    val s = srv
+    val bastion = graft.cdc.SshTestServer.start(
+      graft.cdc.SshTestServer.Auth("hop", Some("hoppw"), None))
+    try {
+      s.psql("CREATE TABLE public.qr4 (id bigint PRIMARY KEY, wm bigint)")
+      s.psql("""INSERT INTO public.qr4
+        SELECT g, g FROM generate_series(1, 800) g""")
+      val base = tmpDir("liveqrepssh")
+      run(s"CREATE PEER tunsrc TYPE postgres OPTIONS (" +
+        s"url 'pg://postgres@127.0.0.1:${s.port}/postgres" +
+        s"?ssh=hop:hoppw@127.0.0.1:${bastion.port}')")
+      run(s"CREATE PEER tundst TYPE parquet OPTIONS (dir '$base/dst')")
+      run("CREATE MIRROR lq4 FROM tunsrc TO tundst FOR " +
+        "$$ SELECT id, wm FROM public.qr4 " +
+        "WHERE wm BETWEEN {{.start}} AND {{.end}} $$ " +
+        "WITH (watermark_column 'wm', source_table 'public.qr4', " +
+        s"dest_dir '$base/dest', num_partitions '3')")
+      assert(run("EXECUTE MIRROR lq4").head.getLong(0) == 800L)
+      s.psql("INSERT INTO public.qr4 VALUES (900, 900)")
+      assert(run("EXECUTE MIRROR lq4").head.getLong(0) == 1L)
+      assert(spark.read.parquet(s"$base/dest").count() == 801)
+      run("DROP MIRROR lq4"); run("DROP PEER tunsrc")
+      run("DROP PEER tundst")
+    } finally bastion.stop()
+  }
 }
