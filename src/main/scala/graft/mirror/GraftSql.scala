@@ -870,7 +870,8 @@ object GraftSql {
     val source = liveUrl match {
       case Some(url) => graft.qrep.LivePgPull.pull(sess, url,
         o("__query"), cfg.wmarkColumn, last,
-        numPartitions = cfg.numPartitions)
+        numPartitions = cfg.numPartitions,
+        rowsPerPartition = cfg.rowsPerPartition)
       case None => sess.sql(bound)
     }
     val moved = new graft.qrep.QRepRunner(sess, cfg).runOnce(source)

@@ -77,7 +77,14 @@ object LivePgPull {
     * read the reference closes the same way (qrep_source.go:141). */
   def pull(spark: SparkSession, url: String, template: String,
       wmarkColumn: String, last: Option[Long],
-      numPartitions: Int = 4): DataFrame = {
+      numPartitions: Int = 4,
+      /** `num_rows_per_partition`: when set, the partition count
+        * derives from the probed row count instead of the fixed
+        * `numPartitions` — the analyzer's QRep sizing knob
+        * (nexus/analyzer/src/qrep.rs), which is the one that scales:
+        * a fixed count under-splits a catch-up round and over-splits
+        * an idle one. */
+      rowsPerPartition: Option[Long] = None): DataFrame = {
     val ep = CaptureEndpoint.parse(url)
     val (openLo, openHi) = openRange(template, last)
     val boundFull = bind(template, openLo, openHi)
@@ -110,8 +117,12 @@ object LivePgPull {
       if (n == 0)
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      pullRanges(spark, url, template, schema, lo, hi, n, numPartitions,
-        snap)
+      val parts = rowsPerPartition match {
+        case Some(rpp) => math.min(
+          (n + rpp - 1) / math.max(1L, rpp), 4096L).toInt
+        case None => numPartitions
+      }
+      pullRanges(spark, url, template, schema, lo, hi, n, parts, snap)
     } finally holder.close() // releases the exported snapshot
   }
 
