@@ -866,7 +866,11 @@ object GraftSql {
       mode = mode,
       numPartitions = o.get("num_partitions").map(_.toInt).getOrElse(8),
       rowsPerPartition =
-        o.get("num_rows_per_partition").map(_.toLong))
+        o.get("num_rows_per_partition").map(_.toLong),
+      // `dest_url 'pg://…'` loads a live SQL destination instead of
+      // parquet; `dest_table` names the relation there
+      destUrl = o.get("dest_url"),
+      destTable = o.getOrElse("dest_table", "public.qrep_dest"))
     val source = liveUrl match {
       case Some(url) => graft.qrep.LivePgPull.pull(sess, url,
         o("__query"), cfg.wmarkColumn, last,

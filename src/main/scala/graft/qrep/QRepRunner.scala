@@ -59,7 +59,17 @@ final case class QRepConfig(
       * the qrep_runs / qrep_partitions tables). None = stats disabled. */
     statsDir: Option[String] = None,
     flowName: String = "qrep",
-    sourceTable: String = "source")
+    sourceTable: String = "source",
+    /** LIVE SQL destination (`pg://…`): rounds load [[destTable]] over
+      * the wire instead of writing parquet to [[destDir]] — Append and
+      * Overwrite stage Avro and COPY the plain query columns in;
+      * Upsert rides the same staging→COPY→MERGE loop CDC batches use
+      * ([[graft.sinks.WarehouseLoader]]). [[destDir]] then only hosts
+      * the Avro stage. Connection params (ssl/ssh/timeouts) ride the
+      * URL ([[graft.server.PgClients]]). */
+    destUrl: Option[String] = None,
+    /** Destination table name for [[destUrl]] loads. */
+    destTable: String = "public.qrep_dest")
 
 final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 
@@ -69,7 +79,13 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 
   /** One replication round over `source`; returns rows moved. */
   def runOnce(source: DataFrame): Long = {
-    val last = store.read()
+    // Overwrite is FULL-REFRESH: the stored watermark must not gate
+    // the ranges, or a round whose source only shrank/changed below
+    // the old high-water (deletes, updates in place) would return 0
+    // and leave the destination stale forever — truncate+insert means
+    // every round re-moves the whole bound query.
+    val last =
+      if (cfg.mode == WriteMode.Overwrite) None else store.read()
     val ranges = cfg.rowsPerPartition match {
       case Some(rows) => Partitioner.rowChunkRanges(
         source, cfg.wmarkColumn, rows, after = last)
@@ -121,14 +137,21 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     }
 
     val moved = cfg.mode match {
-      case WriteMode.Append =>
-        increment.write.mode(SaveMode.Append).parquet(cfg.destDir)
-        increment.count()
-      case WriteMode.Overwrite =>
-        source.write.mode(SaveMode.Overwrite).parquet(cfg.destDir)
-        source.count()
+      case WriteMode.Append => cfg.destUrl match {
+        case Some(url) =>
+          liveCopy(url, increment, truncateFirst = false, runId)
+        case None =>
+          increment.write.mode(SaveMode.Append).parquet(cfg.destDir)
+          increment.count()
+      }
+      case WriteMode.Overwrite => cfg.destUrl match {
+        case Some(url) =>
+          liveCopy(url, source, truncateFirst = true, runId)
+        case None =>
+          source.write.mode(SaveMode.Overwrite).parquet(cfg.destDir)
+          source.count()
+      }
       case WriteMode.Upsert(keys) =>
-        val writer = new MergeWriter(spark, cfg.destDir, keys)
         val changes = increment
           // NULL-watermark rows get version 0, not NULL: a NULL version
           // would lose every srcWins comparison and merge as all-null
@@ -141,8 +164,14 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
           .withColumn(RawTable.IsDeleted, lit(false))
           .withColumn(graft.cdc.Normalizer.AbsentCols,
             array().cast("array<string>"))
-        writer.merge(changes)
-        increment.count()
+        cfg.destUrl match {
+          case Some(url) =>
+            liveMerge(url, keys, increment.schema, changes, runId)
+            increment.count()
+          case None =>
+            new MergeWriter(spark, cfg.destDir, keys).merge(changes)
+            increment.count()
+        }
     }
     if (ranges.nonEmpty) store.write(ranges.map(_.hi).max)
     // Null-only first round: persist a sentinel so the NULL partition is
@@ -151,6 +180,54 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     else store.write(Long.MinValue)
     stats.foreach { st => st.endQRepRun(cfg.flowName, runId); st.flush() }
     moved
+  }
+
+  /** Append/Overwrite into a live SQL destination: plain query columns
+    * (no merge meta — QRep append is the reference's raw-shape load),
+    * staged as Avro and COPY'd in one pass. Overwrite TRUNCATEs first
+    * (full-refresh disposition). */
+  private def liveCopy(url: String, df: DataFrame,
+      truncateFirst: Boolean, runId: String): Long = {
+    val c = graft.server.PgClients.connect(url, Nil)
+    try {
+      def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+      val cols = df.schema.fields.map(f =>
+        s"${q(f.name)} ${graft.types.QKind.toDdl(
+          graft.types.QKind.fromSpark(f.dataType),
+          graft.types.QKind.Dialect.Ansi, nullable = true)}")
+      c.queryAll(s"CREATE TABLE IF NOT EXISTS ${cfg.destTable} " +
+        s"(${cols.mkString(", ")})")
+      if (truncateFirst)
+        c.queryAll(s"TRUNCATE TABLE ${cfg.destTable}")
+      val files = graft.sinks.AvroStage.write(df,
+        s"${cfg.destDir}/_stage/$runId")
+      new graft.sinks.PgWarehouse(c)
+        .loadAvro(cfg.destTable, files, df.schema)
+      df.count()
+    } finally c.close()
+  }
+
+  /** Upsert into a live SQL destination through the SAME
+    * staging→COPY→MERGE loop CDC batches ride
+    * ([[graft.sinks.WarehouseLoader]]); version = the watermark's
+    * exact Long image, so replays and stale rounds are no-ops. */
+  private def liveMerge(url: String, keys: Seq[String],
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      changes: DataFrame, runId: String): Unit = {
+    val c = graft.server.PgClients.connect(url, Nil)
+    try {
+      val flavor = graft.cdc.CaptureEndpoint.parse(url)
+        .param("flavor", "postgres")
+      val target = graft.sinks.MergeTarget(cfg.destTable,
+        s"${cfg.destTable}_graft_stage", keys, payloadSchema,
+        softDelete = false) // QRep rounds carry no deletes
+      val loader = new graft.sinks.WarehouseLoader(target,
+        new graft.sinks.PgWarehouse(c), flavor)
+      loader.setup() // CREATE TABLE IF NOT EXISTS — idempotent
+      // a crash between COPY and DROP can leave a stale staging table
+      c.queryAll(s"DROP TABLE IF EXISTS ${target.stagingTable}")
+      loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId")
+    } finally c.close()
   }
 }
 

@@ -187,4 +187,98 @@ class StockPgQRepSpec extends SparkSpec {
       run("DROP PEER tundst")
     } finally bastion.stop()
   }
+
+  test("fully-live PG→PG QRep, upsert mode: live source pull + live " +
+    "destination MERGE; watermark-advancing updates land by key, " +
+    "replayed rounds are no-ops") {
+    val s = srv
+    s.psql("CREATE DATABASE qrepdest")
+    s.psql("CREATE TABLE public.qu1 (id bigint PRIMARY KEY, " +
+      "wm bigint, v text)")
+    s.psql("""INSERT INTO public.qu1
+      SELECT g, g, 'v' || g FROM generate_series(1, 2000) g""")
+
+    val base = tmpDir("liveq2q")
+    run(s"CREATE PEER upsrc TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+    run(s"CREATE PEER updst TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/qrepdest')")
+    run("CREATE MIRROR lq5 FROM upsrc TO updst FOR " +
+      "$$ SELECT id, wm, v FROM public.qu1 " +
+      "WHERE wm BETWEEN {{.start}} AND {{.end}} $$ " +
+      "WITH (watermark_column 'wm', source_table 'public.qu1', " +
+      s"dest_dir '$base/dest', num_partitions '4', mode 'upsert', " +
+      "unique_key 'id', " +
+      s"dest_url 'pg://postgres@127.0.0.1:${s.port}/qrepdest', " +
+      "dest_table 'public.qu1_mirror')")
+
+    def truth(): String = s.psql("SELECT count(*) || ':' || " +
+      "md5(string_agg(id || '|' || wm || '|' || v, E'\\n' " +
+      "ORDER BY id)) FROM public.qu1")
+    def dest(): String = s.psql("SELECT count(*) || ':' || " +
+      "md5(string_agg(id || '|' || wm || '|' || v, E'\\n' " +
+      "ORDER BY id)) FROM public.qu1_mirror", db = "qrepdest")
+
+    assert(run("EXECUTE MIRROR lq5").head.getLong(0) == 2000L)
+    assert(dest() == truth(), "live upsert round diverged")
+
+    // watermark-advancing UPDATE (the QRep update contract) + inserts
+    s.psql("UPDATE public.qu1 SET wm = 3001, v = 'updated' WHERE id = 5")
+    s.psql("INSERT INTO public.qu1 VALUES (3000, 3000, 'fresh')")
+    assert(run("EXECUTE MIRROR lq5").head.getLong(0) == 2L)
+    assert(dest() == truth(), "incremental upsert diverged")
+    assert(s.psql("SELECT v FROM public.qu1_mirror WHERE id = 5",
+      db = "qrepdest").trim == "updated")
+
+    // idle replay: no-op
+    assert(run("EXECUTE MIRROR lq5").head.getLong(0) == 0L)
+    assert(dest() == truth())
+
+    run("DROP MIRROR lq5"); run("DROP PEER upsrc"); run("DROP PEER updst")
+  }
+
+  test("fully-live PG→PG QRep, append and overwrite dispositions: " +
+    "plain query columns COPY'd into the live destination; overwrite " +
+    "truncates first (full refresh)") {
+    val s = srv
+    s.psql("CREATE DATABASE qrepdest2")
+    s.psql("CREATE TABLE public.qa1 (id bigint PRIMARY KEY, wm bigint)")
+    s.psql("""INSERT INTO public.qa1
+      SELECT g, g FROM generate_series(1, 1500) g""")
+
+    val base = tmpDir("liveq2qa")
+    run(s"CREATE PEER apsrc TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+    run(s"CREATE PEER apdst TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/qrepdest2')")
+    run("CREATE MIRROR lq6 FROM apsrc TO apdst FOR " +
+      "$$ SELECT id, wm FROM public.qa1 " +
+      "WHERE wm BETWEEN {{.start}} AND {{.end}} $$ " +
+      "WITH (watermark_column 'wm', source_table 'public.qa1', " +
+      s"dest_dir '$base/dest', num_partitions '3', " +
+      s"dest_url 'pg://postgres@127.0.0.1:${s.port}/qrepdest2', " +
+      "dest_table 'public.qa1_app')")
+    assert(run("EXECUTE MIRROR lq6").head.getLong(0) == 1500L)
+    s.psql("INSERT INTO public.qa1 VALUES (2000, 2000)")
+    assert(run("EXECUTE MIRROR lq6").head.getLong(0) == 1L)
+    assert(s.psql("SELECT count(*) FROM public.qa1_app",
+      db = "qrepdest2").trim == "1501")
+
+    run("CREATE MIRROR lq7 FROM apsrc TO apdst FOR " +
+      "$$ SELECT id, wm FROM public.qa1 " +
+      "WHERE wm BETWEEN {{.start}} AND {{.end}} $$ " +
+      "WITH (watermark_column 'wm', source_table 'public.qa1', " +
+      s"dest_dir '$base/dest2', num_partitions '3', mode 'overwrite', " +
+      s"dest_url 'pg://postgres@127.0.0.1:${s.port}/qrepdest2', " +
+      "dest_table 'public.qa1_ovr')")
+    assert(run("EXECUTE MIRROR lq7").head.getLong(0) == 1501L)
+    s.psql("DELETE FROM public.qa1 WHERE id > 1400")
+    // full refresh: the overwrite round reflects deletes too
+    assert(run("EXECUTE MIRROR lq7").head.getLong(0) == 1400L)
+    assert(s.psql("SELECT count(*) FROM public.qa1_ovr",
+      db = "qrepdest2").trim == "1400")
+
+    run("DROP MIRROR lq6"); run("DROP MIRROR lq7")
+    run("DROP PEER apsrc"); run("DROP PEER apdst")
+  }
 }
