@@ -512,8 +512,17 @@ object GraftSql {
     * rebuilds into a scratch checkpoint dir, so it naturally re-snapshots.
     *
     * Returns (config with the snapshot handoff point, rows loaded now). */
+  /** Live exported-snapshot mode: pgwire capture, no parquet
+    * snapshot_source. */
+  private def liveSnapshotMode(o: Map[String, String],
+      captureDir: Option[String]): Boolean =
+    o.get("snapshot_source").isEmpty &&
+      captureDir.exists(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
+        graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
+
   private def snapshotPhase(spark: SparkSession,
-      o: Map[String, String], cfg: MirrorConfig): (MirrorConfig, Long) = {
+      o: Map[String, String], cfg: MirrorConfig,
+      recreateSlot: Boolean = false): (MirrorConfig, Long) = {
     val want = o.get("do_initial_snapshot").exists(_.toBoolean) ||
       o.get("initial_snapshot_only").exists(_.toBoolean)
     if (!want) return (cfg, -1L)
@@ -521,10 +530,7 @@ object GraftSql {
     val marker = s"${cfg.checkpointDir}/graft-snapshot-cp"
     graft.util.FsText.read(marker, hc) match {
       case Some(cp) => (cfg.copy(snapshotCheckpoint = cp.toLong), 0L)
-      case None if o.get("snapshot_source").isEmpty &&
-          cfg.captureDir.exists(u =>
-            graft.cdc.CaptureEndpoint.isUrl(u) &&
-              graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire") =>
+      case None if liveSnapshotMode(o, cfg.captureDir) =>
         // LIVE exported-snapshot handoff (SetupReplication +
         // snapshot_flow.go): [[SnapshotFlow.initialLoad]] creates the
         // slot itself with an exported snapshot, reads every routed
@@ -533,7 +539,8 @@ object GraftSql {
         // so the slot must NOT pre-exist.
         val nParts = o.get("snapshot_num_partitions_override")
           .map(_.toInt).getOrElse(4)
-        val runner = SnapshotFlow.initialLoad(spark, cfg, nParts)
+        val runner = SnapshotFlow.initialLoad(spark, cfg, nParts,
+          recreateSlot = recreateSlot)
         graft.util.FsText.write(marker, "0", hc)
         val rows =
           if (cfg.warehouseUrl.isEmpty) runner.destination().count()
@@ -1227,11 +1234,22 @@ object GraftSql {
           val scratch = java.nio.file.Files
             .createTempDirectory(s"graft_resync_$n").toString
           val rcfg = cfg.copy(destDir = fresh,
-            rawDir = s"$scratch/raw", checkpointDir = s"$scratch/ckpt")
+            rawDir = s"$scratch/raw", checkpointDir = s"$scratch/ckpt",
+            // live exported-snapshot resync gets a FRESH local WAL:
+            // replaying the retained WAL's pre-snapshot records (all
+            // versioned above the new snapshot's 0) over the fresh
+            // snapshot would let stale rows win the MERGE
+            walDir =
+              if (liveSnapshotMode(entry.options, cfg.captureDir))
+                s"$scratch/wal"
+              else cfg.walDir)
           // A snapshot mirror re-snapshots on resync (the scratch
           // checkpoint dir has no marker, so the phase runs fresh against
-          // the CURRENT source state — resync's whole point).
-          val (rcfg2, _) = snapshotPhase(spark, entry.options, rcfg)
+          // the CURRENT source state — resync's whole point); a live
+          // snapshot mirror also drops+recreates its slot for a fresh
+          // consistent point.
+          val (rcfg2, _) = snapshotPhase(spark, entry.options, rcfg,
+            recreateSlot = true)
           new MirrorRunner(spark, rcfg2).runAvailableNow()
         }
       }

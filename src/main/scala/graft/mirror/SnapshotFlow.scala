@@ -73,8 +73,13 @@ object SnapshotFlow {
   /** Create the mirror's slot with an exported snapshot. The slot name
     * comes from the capture URL (`pgwire://…?slot=s`), so the CDC
     * stream that follows picks up exactly this slot at its
-    * consistent point. */
-  def createExportedSlot(captureUrl: String): SlotSession = {
+    * consistent point. `recreate` is RESYNC's posture: an existing
+    * slot (42710 duplicate_object) is dropped and re-created, giving
+    * the rebuild a FRESH consistent point — the reference's resync
+    * drops the slot for the same reason (a retained slot would replay
+    * pre-snapshot history over the new snapshot). */
+  def createExportedSlot(captureUrl: String,
+      recreate: Boolean = false): SlotSession = {
     val ep = CaptureEndpoint.parse(captureUrl)
     require(ep.scheme == "pgwire",
       s"snapshot handoff needs a pgwire:// capture URL, got ${ep.scheme}")
@@ -87,8 +92,19 @@ object SnapshotFlow {
       // phase, and slot creation must not give up on lock waits
       c.queryAll("SET idle_in_transaction_session_timeout=0")
       c.queryAll("SET lock_timeout=0")
-      val r = c.query("CREATE_REPLICATION_SLOT " +
-        s"${PgWire.quoteIdent(slot)} LOGICAL pgoutput")
+      val createSql = "CREATE_REPLICATION_SLOT " +
+        s"${PgWire.quoteIdent(slot)} LOGICAL pgoutput"
+      val r =
+        try c.query(createSql)
+        catch {
+          case e: graft.server.PgClient.PgServerError
+              if recreate && e.sqlState == "42710" =>
+            // WAIT: an active holder (a paused stream mid-disconnect)
+            // blocks the drop briefly instead of failing the resync
+            c.queryAll("DROP_REPLICATION_SLOT " +
+              s"${PgWire.quoteIdent(slot)} WAIT")
+            c.query(createSql)
+        }
       val row = r.rows.headOption.getOrElse(
         throw new IllegalStateException("no CREATE_REPLICATION_SLOT row"))
       // columns: slot_name, consistent_point, snapshot_name, plugin
@@ -176,12 +192,13 @@ object SnapshotFlow {
     * `consistent_point` guarantees the stream carries exactly the
     * post-snapshot commits (restamped locally from checkpoint 1 up). */
   def initialLoad(spark: SparkSession, cfg: MirrorConfig,
-      numPartitions: Int = 4): MirrorRunner = {
+      numPartitions: Int = 4, recreateSlot: Boolean = false)
+      : MirrorRunner = {
     val url = cfg.captureDir.getOrElse(throw new IllegalArgumentException(
       "initialLoad needs captureDir = pgwire://…"))
     require(graft.cdc.ChangeLogWal.headCp(cfg.walDir) < 0,
       "initialLoad needs a fresh mirror: local WAL already has records")
-    val session = createExportedSlot(url)
+    val session = createExportedSlot(url, recreate = recreateSlot)
     try {
       val cfg2 = cfg.copy(snapshotCheckpoint = 0L)
       val runner = new MirrorRunner(spark, cfg2)
