@@ -223,6 +223,90 @@ final class PgClient(
   def query(sql: String): Result = queryAll(sql).lastOption
     .getOrElse(Result(Nil, Nil, ""))
 
+  /** Streaming simple-protocol query: one statement whose DataRow
+    * messages decode LAZILY, one row at a time — per-consumer memory
+    * is O(row), never O(result). This is the partition-read path for
+    * live snapshot/QRep pulls, where a slice of a 100s-of-GB table
+    * must not materialize as a boxed `Seq` on the executor heap (the
+    * reference streams the same reads through QRecordStream,
+    * flow/connectors/postgres/qrep_query_executor.go:282-520).
+    *
+    * `columns`/`typeOids` are available immediately (the constructor
+    * reads up to the first DataRow). The cursor must be exhausted —
+    * or [[RowCursor.close]]d, which drains to ReadyForQuery — before
+    * the session is used again. A server error raises from
+    * `hasNext`/`next` AFTER the drain reaches RFQ, like [[queryAll]].
+    */
+  def queryCursor(sql: String): RowCursor = {
+    writeMessage(out, 'Q', cstring(sql))
+    out.flush()
+    new RowCursor()
+  }
+
+  final class RowCursor private[PgClient] ()
+    extends Iterator[Seq[Option[String]]] with AutoCloseable {
+    private var cols: Seq[String] = Nil
+    private var oids: Seq[Int] = Nil
+    private var pending: Seq[Option[String]] = null
+    private var finished = false
+    private var err: Option[PgServerError] = None
+    private var tagStr = ""
+
+    /** Read protocol messages until one row is pending or the
+      * exchange reached ReadyForQuery; a server error raises only at
+      * RFQ so the session stays usable. */
+    private def advance(): Unit = {
+      while (pending == null && !finished) readMessage(in) match {
+        case None =>
+          finished = true
+          throw new EOFException("EOF mid-cursor")
+        case Some(('T', body)) =>
+          cols = parseRowDescription(body)
+          oids = lastTypeOids
+        case Some(('D', body)) =>
+          if (err.isEmpty) pending = parseDataRow(body)
+        case Some(('C', body)) =>
+          tagStr = new String(body, 0, body.length - 1, UTF_8)
+        case Some(('I', _)) => ()
+        case Some(('E', body)) =>
+          if (err.isEmpty) err = Some(parseError(body))
+        case Some(('Z', _)) => finished = true
+        case Some(('N', _)) | Some(('S', _)) => ()
+        case Some((t, _)) => throw new java.io.IOException(
+          s"unexpected '$t' in cursor response")
+      }
+      if (finished && pending == null) err.foreach(throw _)
+    }
+
+    advance() // capture RowDescription (and buffer the first row)
+
+    def columns: Seq[String] = cols
+    def typeOids: Seq[Int] = oids
+    /** CommandComplete tag — meaningful once exhausted. */
+    def tag: String = tagStr
+
+    override def hasNext: Boolean = {
+      if (pending == null && !finished) advance()
+      pending != null
+    }
+
+    override def next(): Seq[Option[String]] = {
+      if (!hasNext) throw new NoSuchElementException("cursor exhausted")
+      val r = pending
+      pending = null
+      r
+    }
+
+    /** Drain any unread tail so the session stays usable; transport
+      * errors during the drain are swallowed (the caller is bailing
+      * out, usually closing the whole client next). */
+    override def close(): Unit =
+      try while (!finished) { pending = null; advance() }
+      catch {
+        case _: PgServerError | _: java.io.IOException => ()
+      }
+  }
+
   /** Simple protocol, every per-statement result until ReadyForQuery.
     * The first ErrorResponse raises after draining to RFQ. */
   def queryAll(sql: String): Seq[Result] = {
