@@ -172,6 +172,8 @@ object MysqlWire {
     def bytes: Array[Byte] = out.toByteArray
   }
 
+  val ClientConnectWithDb = 0x00000008
+
   /** The server greeting, parsed (handshake v10). */
   final case class Greeting(serverVersion: String, connectionId: Long,
       scramble: Array[Byte], capabilities: Long, authPlugin: String)
@@ -201,6 +203,105 @@ object MysqlWire {
     // the 20-byte scramble: part1(8) + part2 minus its trailing NUL
     val scr = auth1 ++ auth2.take(math.max(0, auth2.length - 1))
     Greeting(version, connId, scr.take(20), caps, plugin)
+  }
+
+  /** Client-side session negotiation — greeting, optional TLS upgrade,
+    * HandshakeResponse41, auth loop (`mysql_native_password` +
+    * `caching_sha2_password` fast path, AuthSwitchRequest) — shared by
+    * the binlog-dump source ([[MysqlSocketSource]]) and the query
+    * client ([[graft.qrep.MysqlClient]]). Returns the (possibly
+    * TLS-wrapped) socket with fresh streams, positioned right after
+    * the auth OK. `onSocket` fires when TLS swaps the socket so the
+    * caller can track the live fd. `database` non-empty sends
+    * CLIENT_CONNECT_WITH_DB. Throws IOException on ERR / unsupported
+    * exchanges. */
+  def negotiate(s0: Socket, host: String, port: Int,
+      user: String, password: String,
+      database: String = "",
+      ssl: Option[javax.net.ssl.SSLContext] = None,
+      onSocket: Socket => Unit = _ => ())
+      : (Socket, DataInputStream, OutputStream) = {
+    var s = s0
+    var in = new DataInputStream(
+      new BufferedInputStream(s.getInputStream))
+    var out: OutputStream = s.getOutputStream
+
+    def fail(p: Array[Byte]): Nothing =
+      throw new java.io.IOException(s"mysql error: ${errorMessage(p)}")
+
+    val (greetSeq, greet) = readPacket(in).getOrElse(
+      throw new EOFException("mysql: EOF before greeting"))
+    if (greet.nonEmpty && (greet(0) & 0xFF) == 0xFF) fail(greet)
+    val g = parseGreeting(greet)
+    val withDb = database.nonEmpty
+    val baseCaps = ClientLongPassword | ClientProtocol41 |
+      ClientSecureConnection | ClientPluginAuth |
+      (if (withDb) ClientConnectWithDb else 0)
+    var respSeq = greetSeq + 1
+    ssl.foreach { ctx =>
+      require((g.capabilities & ClientSsl) != 0,
+        "mysql: server does not advertise CLIENT_SSL")
+      // SSLRequest: the handshake response truncated before the
+      // username; TLS follows, then the FULL response repeats
+      writePacket(out, respSeq, new Wtr()
+        .u32((baseCaps | ClientSsl).toLong)
+        .u32(MaxPacketBytes.toLong)
+        .u8(45).zeros(23).bytes)
+      val tls = Tls.clientUpgrade(s, host, port, ctx)
+      s = tls
+      in = new DataInputStream(
+        new BufferedInputStream(tls.getInputStream))
+      out = tls.getOutputStream
+      onSocket(tls)
+      respSeq += 1
+    }
+    def tokenFor(plugin: String, seed: Array[Byte]): Array[Byte] =
+      plugin match {
+        case NativePassword => scramble411(password, seed)
+        case CachingSha2 => scrambleSha2(password, seed)
+        case other => throw new java.io.IOException(
+          s"mysql: unsupported auth plugin $other " +
+            s"(supported: $NativePassword, $CachingSha2)")
+      }
+    val token = tokenFor(g.authPlugin, g.scramble)
+    val resp = new Wtr()
+      .u32((baseCaps | (if (ssl.isDefined) ClientSsl else 0)).toLong)
+      .u32(MaxPacketBytes.toLong)
+      .u8(45) // utf8mb4
+      .zeros(23)
+      .cstr(user)
+      .u8(token.length).raw(token)
+    if (withDb) resp.cstr(database)
+    resp.cstr(g.authPlugin)
+    writePacket(out, respSeq, resp.bytes)
+
+    @annotation.tailrec
+    def authLoop(nextSeq: Int): Unit = readPacket(in) match {
+      case Some((_, p)) if p.nonEmpty && p(0) == 0x00 => ()
+      case Some((seq, p)) if p.nonEmpty && (p(0) & 0xFF) == 0xFE =>
+        // AuthSwitchRequest: plugin name + fresh seed
+        val r = new R(p); r.u8()
+        val plugin = r.cstring()
+        val seed = r.rest()
+        writePacket(out, seq + 1, tokenFor(plugin, seed.take(20)))
+        authLoop(seq + 2)
+      case Some((_, p)) if p.length == 2 && p(0) == 0x01 =>
+        (p(1) & 0xFF) match {
+          case 0x03 => authLoop(nextSeq) // fast auth success; OK next
+          case 0x04 => throw new java.io.IOException(
+            "mysql: caching_sha2_password demands full " +
+              "authentication (verifier not cached) — requires the " +
+              "TLS or RSA channel; prime the cache or use " +
+              "mysql_native_password for the replication account")
+          case other => throw new java.io.IOException(
+            f"mysql: unknown fast-auth status 0x$other%02x")
+        }
+      case Some((_, p)) if p.nonEmpty && (p(0) & 0xFF) == 0xFF => fail(p)
+      case other => throw new java.io.IOException(
+        s"mysql: unexpected auth answer $other")
+    }
+    authLoop(respSeq + 1)
+    (s, in, out)
   }
 }
 
@@ -264,86 +365,11 @@ final class MysqlSocketSource(
     // track the raw socket IMMEDIATELY so a failed TLS negotiation or
     // greeting still gets closed (no fd leak across retries)
     sock = Some(s)
-    var in = new DataInputStream(
-      new BufferedInputStream(s.getInputStream))
-    var out: OutputStream = s.getOutputStream
-
-    // ---- greeting (always plaintext) + optional TLS upgrade + auth
-    val (greetSeq, greet) = readPacket(in).getOrElse(
-      throw new EOFException("mysql: EOF before greeting"))
-    if (greet.nonEmpty && (greet(0) & 0xFF) == 0xFF) fail(greet)
-    val g = parseGreeting(greet)
-    val baseCaps = ClientLongPassword | ClientProtocol41 |
-      ClientSecureConnection | ClientPluginAuth
-    var respSeq = greetSeq + 1
-    ssl.foreach { ctx =>
-      require((g.capabilities & ClientSsl) != 0,
-        "mysql: server does not advertise CLIENT_SSL")
-      // SSLRequest packet: the handshake response truncated before the
-      // username — capabilities (with CLIENT_SSL), max packet, charset,
-      // 23 reserved zeros; the TLS handshake follows immediately and
-      // the FULL response repeats over the encrypted channel
-      writePacket(out, respSeq, new Wtr()
-        .u32((baseCaps | ClientSsl).toLong)
-        .u32(MaxPacketBytes.toLong)
-        .u8(45).zeros(23).bytes)
-      val tls = Tls.clientUpgrade(s, host, port, ctx)
-      in = new DataInputStream(
-        new BufferedInputStream(tls.getInputStream))
-      out = tls.getOutputStream
-      sock = Some(tls)
-      respSeq += 1
-    }
-    def tokenFor(plugin: String, seed: Array[Byte]): Array[Byte] =
-      plugin match {
-        case NativePassword => scramble411(password, seed)
-        case CachingSha2 => scrambleSha2(password, seed)
-        case other => throw new java.io.IOException(
-          s"mysql: unsupported auth plugin $other " +
-            s"(supported: $NativePassword, $CachingSha2)")
-      }
-    val token = tokenFor(g.authPlugin, g.scramble)
-    val resp = new Wtr()
-      .u32((baseCaps | (if (ssl.isDefined) ClientSsl else 0)).toLong)
-      .u32(MaxPacketBytes.toLong)
-      .u8(45) // utf8mb4
-      .zeros(23)
-      .cstr(user)
-      .u8(token.length).raw(token)
-      .cstr(g.authPlugin)
-    writePacket(out, respSeq, resp.bytes)
-
-    /** Auth answers until OK: ERR fails; 0xFE switches plugin; a
-      * caching_sha2 0x01-status packet reports fast-auth success
-      * (0x03, OK follows) or demands full auth (0x04 — needs the
-      * TLS/RSA channel, out of scope for a replication sandbox). */
-    @annotation.tailrec
-    def authLoop(nextSeq: Int): Unit = readPacket(in) match {
-      case Some((_, p)) if p.nonEmpty && p(0) == 0x00 => ()
-      case Some((seq, p)) if p.nonEmpty && (p(0) & 0xFF) == 0xFE =>
-        // AuthSwitchRequest: plugin name + fresh seed; answer in a
-        // bare packet (same exchange, new scramble)
-        val r = new R(p); r.u8()
-        val plugin = r.cstring()
-        val seed = r.rest()
-        writePacket(out, seq + 1, tokenFor(plugin, seed.take(20)))
-        authLoop(seq + 2)
-      case Some((_, p)) if p.length == 2 && p(0) == 0x01 =>
-        (p(1) & 0xFF) match {
-          case 0x03 => authLoop(nextSeq) // fast auth success; OK next
-          case 0x04 => throw new java.io.IOException(
-            "mysql: caching_sha2_password demands full " +
-              "authentication (verifier not cached) — requires the " +
-              "TLS or RSA channel; prime the cache or use " +
-              "mysql_native_password for the replication account")
-          case other => throw new java.io.IOException(
-            f"mysql: unknown fast-auth status 0x$other%02x")
-        }
-      case Some((_, p)) if p.nonEmpty && (p(0) & 0xFF) == 0xFF => fail(p)
-      case other => throw new java.io.IOException(
-        s"mysql: unexpected auth answer $other")
-    }
-    authLoop(respSeq + 1)
+    // greeting (always plaintext) + optional TLS upgrade + auth —
+    // the shared client negotiation ([[MysqlWire.negotiate]], also
+    // the query client's front door)
+    val (_, in, out) = MysqlWire.negotiate(s, host, port, user,
+      password, ssl = ssl, onSocket = tls => sock = Some(tls))
 
     // ---- resume position: file:pos dumps from the offset; GTID
     // flavors re-dump and rely on the ingest's tx-skip guard

@@ -537,9 +537,14 @@ object GraftSql {
         // table at it in CTID slices, and bootstraps at local version
         // 0 — the slot's consistent point does the stream-side gating,
         // so the slot must NOT pre-exist.
+        // partition sizing mirrors the parquet branch below: explicit
+        // override wins, else the rows knob against the server's
+        // reltuples estimate, else relation-size-based auto slices
+        // (SnapshotFlow.sliceCount — never a fixed 4)
         val nParts = o.get("snapshot_num_partitions_override")
-          .map(_.toInt).getOrElse(4)
-        val runner = SnapshotFlow.initialLoad(spark, cfg, nParts,
+          .map(_.toInt).getOrElse(0)
+        val rpp = o.get("snapshot_num_rows_per_partition").map(_.toLong)
+        val runner = SnapshotFlow.initialLoad(spark, cfg, nParts, rpp,
           recreateSlot = recreateSlot)
         graft.util.FsText.write(marker, "0", hc)
         val rows =
@@ -805,17 +810,21 @@ object GraftSql {
     val o = p.options
     val sess = spark.newSession()
     val srcPeer = peersFor(spark).get(o("__source_peer"))
-    // Live PG peer (`url 'pg://…'`): the bound query executes ON the
-    // source server, partition-parallel, with the watermark predicate
-    // pushed inside the SQL ([[graft.qrep.LivePgPull]]). A storage
-    // peer (`dir`) registers the parquet stand-in as the view the
-    // bound query runs over locally.
+    // Live peer (`url 'pg://…'` or `url 'mysql://…'`): the bound
+    // query executes ON the source server, partition-parallel, with
+    // the watermark predicate pushed inside the SQL
+    // ([[graft.qrep.LivePgPull]] / [[graft.qrep.LiveMysqlPull]] — the
+    // reference registers both as QRep sources, core.go:739-741). A
+    // storage peer (`dir`) registers the parquet stand-in as the view
+    // the bound query runs over locally.
     val liveUrl = srcPeer.options.get("url")
-      .filter(u => u.startsWith("pg://") || u.startsWith("pgwire://"))
+      .filter(u => u.startsWith("pg://") || u.startsWith("pgwire://") ||
+        u.startsWith("mysql://"))
     if (liveUrl.isEmpty) {
       val srcDir = srcPeer.options.getOrElse("dir",
         throw new IllegalArgumentException(
-          s"peer ${srcPeer.name}: missing 'dir' (or pg:// 'url') option"))
+          s"peer ${srcPeer.name}: missing 'dir' (or pg:///mysql:// " +
+            "'url') option"))
       val table = o("source_table")
       sess.read.parquet(s"$srcDir/$table.parquet")
         .createOrReplaceTempView(table)
@@ -879,6 +888,11 @@ object GraftSql {
       destUrl = o.get("dest_url"),
       destTable = o.getOrElse("dest_table", "public.qrep_dest"))
     val source = liveUrl match {
+      case Some(url) if url.startsWith("mysql://") =>
+        graft.qrep.LiveMysqlPull.pull(sess, url,
+          o("__query"), cfg.wmarkColumn, last,
+          numPartitions = cfg.numPartitions,
+          rowsPerPartition = cfg.rowsPerPartition)
       case Some(url) => graft.qrep.LivePgPull.pull(sess, url,
         o("__query"), cfg.wmarkColumn, last,
         numPartitions = cfg.numPartitions,

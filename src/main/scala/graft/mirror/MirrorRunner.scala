@@ -827,9 +827,23 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           softDelete = true))
       if (!normalized.isEmpty) {
         val payloadCols = liveSchemas(table).fieldNames.toSeq
+        // `_id`: a single PK ships as its plain string value; a
+        // COMPOSITE key hashes (the reference's posture,
+        // elasticsearch.go:226-240: one column → fmt.Sprint, else a
+        // sha256-derived id). Values are length-prefixed before
+        // hashing so ("a_b","c") and ("a","b_c") can never produce
+        // the same document id — a separator-join would silently
+        // overwrite/delete across distinct rows.
+        val idExpr =
+          if (tc.pkColumns.sizeIs == 1)
+            col(tc.pkColumns.head).cast("string")
+          else sha2(concat(tc.pkColumns.flatMap { c =>
+            val s = coalesce(col(c).cast("string"), lit(""))
+            Seq(length(s).cast("string"), lit(":"), s, lit("|"))
+          }: _*), 256)
         val shaped = graft.sinks.EsSink.bulkRecords(normalized,
           index = table,
-          id = concat_ws("_", tc.pkColumns.map(col): _*),
+          id = idExpr,
           source = to_json(struct(payloadCols.map(col): _*)),
           deleted = col(RawTable.IsDeleted))
         total += graft.sinks.EsSink.bulkPublish(shaped, baseUrl)

@@ -79,7 +79,15 @@ object SnapshotFlow {
     * drops the slot for the same reason (a retained slot would replay
     * pre-snapshot history over the new snapshot). */
   def createExportedSlot(captureUrl: String,
-      recreate: Boolean = false): SlotSession = {
+      recreate: Boolean = false,
+      /** Crash auto-recovery (the caller vouches the mirror is fresh:
+        * no durable snapshot marker, empty local WAL): an EXISTING
+        * slot then means a previous attempt died between slot creation
+        * and the marker write — re-EXECUTE used to hit 42710 forever
+        * and demand a manual RESYNC. An INACTIVE same-named slot is
+        * dropped and re-created (fresh consistent point); an ACTIVE
+        * one belongs to a live consumer and still refuses. */
+      recoverInactive: Boolean = false): SlotSession = {
     val ep = CaptureEndpoint.parse(captureUrl)
     require(ep.scheme == "pgwire",
       s"snapshot handoff needs a pgwire:// capture URL, got ${ep.scheme}")
@@ -98,7 +106,21 @@ object SnapshotFlow {
         try c.query(createSql)
         catch {
           case e: graft.server.PgClient.PgServerError
-              if recreate && e.sqlState == "42710" =>
+              if (recreate || recoverInactive) &&
+                e.sqlState == "42710" =>
+            if (!recreate) {
+              // auto-recovery only reclaims an INACTIVE slot (a
+              // crashed attempt's leftover has no consumer); an
+              // active one is someone's live stream — never drop it
+              val active = c.query(
+                "SELECT active FROM pg_replication_slots " +
+                  s"WHERE slot_name = ${PgWire.quoteLiteral(slot)}")
+                .rows.headOption.flatMap(_.head).getOrElse("f")
+              require(active == "f" || active == "false",
+                s"slot '$slot' exists and is ACTIVE — a running " +
+                  "consumer owns it; refusing auto-recovery " +
+                  "(RESYNC to force)")
+            }
             // WAIT: an active holder (a paused stream mid-disconnect)
             // blocks the drop briefly instead of failing the resync
             c.queryAll("DROP_REPLICATION_SLOT " +
@@ -121,13 +143,51 @@ object SnapshotFlow {
     * invisible to the snapshot). */
   private final case class Slice(loBlock: Long, hiBlock: Option[Long])
 
+  /** Bytes one CTID slice targets when neither an explicit partition
+    * count nor a rows-per-partition knob is given: a slice must fit
+    * comfortably in executor memory and finish in minutes at wire
+    * speed. 256 MiB of heap table per task holds both at 100s-of-GB
+    * relations (a 500 GB table → ~2000 slices). */
+  val DefaultBytesPerSlice: Long = 256L << 20
+
+  /** Slice-count policy for a live snapshot read (pure, unit-tested):
+    * an explicit partition count wins; else `rowsPerPartition` over
+    * the planner's `reltuples` estimate (the reference's
+    * `snapshot_num_rows_per_partition`, default 250k in its UI); else
+    * relation bytes ÷ [[DefaultBytesPerSlice]]. A never-ANALYZEd
+    * table (reltuples = -1 → estRows 0) falls back to the byte
+    * policy. Clamped to [1, 4096] and to the block count (a slice
+    * spans ≥ 1 physical block). */
+  private[graft] def sliceCount(nBlocks: Long, bytes: Long,
+      estRows: Long, numPartitions: Int,
+      rowsPerPartition: Option[Long],
+      bytesPerSlice: Long = DefaultBytesPerSlice): Int = {
+    val want: Long =
+      if (numPartitions > 0) numPartitions.toLong
+      else rowsPerPartition match {
+        case Some(rpp) if estRows > 0 && rpp > 0 =>
+          (estRows + rpp - 1) / rpp
+        case _ =>
+          (bytes + bytesPerSlice - 1) / math.max(1L, bytesPerSlice)
+      }
+    math.max(1L, math.min(math.min(want, 4096L),
+      math.max(1L, nBlocks))).toInt
+  }
+
   /** Distributed read of `table` AT the exported snapshot. Column
     * pruning is pushed to the server (only `schema`'s fields travel);
-    * partition pruning is physical (CTID block ranges). */
+    * partition pruning is physical (CTID block ranges). Rows stream
+    * off each slice's socket one at a time ([[PgClient.queryCursor]],
+    * the reference's QRecordStream posture,
+    * flow/connectors/postgres/qrep_query_executor.go:282-520) — per-
+    * task memory is O(row), never O(slice). `numPartitions` ≤ 0 means
+    * auto-size from the relation's physical size / row estimate
+    * ([[sliceCount]]). */
   def readTable(spark: SparkSession, captureUrl: String,
       snapshotName: String, table: String,
       schema: org.apache.spark.sql.types.StructType,
-      numPartitions: Int = 4): DataFrame = {
+      numPartitions: Int = 0,
+      rowsPerPartition: Option[Long] = None): DataFrame = {
     val ep = CaptureEndpoint.parse(captureUrl)
     val cols = schema.fieldNames.toSeq
     val colSql = cols.map(PgWire.quoteIdent).mkString(", ")
@@ -136,20 +196,27 @@ object SnapshotFlow {
       case _ => PgWire.quoteIdent(table)
     }
 
-    // size probe: physical blocks now; under-counting is impossible for
-    // snapshot-visible tuples (they existed at slot creation), and the
-    // open-ended last slice absorbs any growth since the probe
-    val nBlocks = {
+    // size probe: physical bytes/blocks now plus the planner's row
+    // estimate; under-counting is impossible for snapshot-visible
+    // tuples (they existed at slot creation), and the open-ended last
+    // slice absorbs any growth since the probe
+    val (nBlocks, relBytes, estRows) = {
       val c = clientFor(ep)
-      try c.query("SELECT pg_relation_size(" +
-        PgWire.quoteLiteral(tableSql) + "::regclass) / " +
-        "current_setting('block_size')::bigint")
-        .rows.head.head.getOrElse("0").toLong
-      finally c.close()
+      try {
+        val lit = PgWire.quoteLiteral(tableSql)
+        val r = c.query(
+          s"SELECT pg_relation_size($lit::regclass) / " +
+            "current_setting('block_size')::bigint, " +
+            s"pg_relation_size($lit::regclass), " +
+            "(SELECT greatest(reltuples::bigint, 0) FROM pg_class " +
+            s"WHERE oid = $lit::regclass)").rows.head
+        (r(0).getOrElse("0").toLong, r(1).getOrElse("0").toLong,
+          r(2).getOrElse("0").toLong)
+      } finally c.close()
     }
     val slices: Seq[Slice] = {
-      val n = math.max(1, math.min(numPartitions,
-        math.max(1L, nBlocks).toInt))
+      val n = sliceCount(nBlocks, relBytes, estRows, numPartitions,
+        rowsPerPartition)
       val per = math.max(1L, (nBlocks + n - 1) / n)
       (0 until n).map { i =>
         Slice(i * per, if (i == n - 1) None else Some((i + 1) * per))
@@ -163,6 +230,12 @@ object SnapshotFlow {
         .mapPartitions { it =>
           it.flatMap { s =>
             val c = graft.server.PgClients.connect(urlSer)
+            // the task may die mid-stream (executor error, cancel):
+            // the completion listener guarantees the socket closes
+            // even when the row iterator is abandoned un-exhausted
+            val tc = org.apache.spark.TaskContext.get()
+            if (tc != null)
+              tc.addTaskCompletionListener[Unit](_ => c.close())
             try {
               c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
               c.queryAll("SET TRANSACTION SNAPSHOT " +
@@ -170,13 +243,16 @@ object SnapshotFlow {
               val where = s"ctid >= '(${s.loBlock},0)'::tid" +
                 s.hiBlock.map(h => s" AND ctid < '($h,0)'::tid")
                   .getOrElse("")
-              val r = c.query(
+              val cur = c.queryCursor(
                 s"SELECT $colSql FROM $tableSql WHERE $where")
-              val oids = c.lastTypeOids
-              // materialize before close: Result is already in memory
-              r.rows.map(graft.cdc.PgRows.json(r.columns, oids, _))
-                .iterator
-            } finally c.close()
+              val (names, oids) = (cur.columns, cur.typeOids)
+              // lazy decode straight off the socket; the trailing
+              // by-name ++ closes this slice's connection as soon as
+              // its rows are exhausted (not at task end)
+              cur.map(graft.cdc.PgRows.json(names, oids, _)) ++ {
+                c.close(); Iterator.empty
+              }
+            } catch { case e: Throwable => c.close(); throw e }
           }
         })(Encoders.STRING)
     jsonRows.select(from_json(col("value"), schema).as("r"))
@@ -192,13 +268,36 @@ object SnapshotFlow {
     * `consistent_point` guarantees the stream carries exactly the
     * post-snapshot commits (restamped locally from checkpoint 1 up). */
   def initialLoad(spark: SparkSession, cfg: MirrorConfig,
-      numPartitions: Int = 4, recreateSlot: Boolean = false)
+      numPartitions: Int = 0, rowsPerPartition: Option[Long] = None,
+      recreateSlot: Boolean = false)
       : MirrorRunner = {
     val url = cfg.captureDir.getOrElse(throw new IllegalArgumentException(
       "initialLoad needs captureDir = pgwire://…"))
     require(graft.cdc.ChangeLogWal.headCp(cfg.walDir) < 0,
       "initialLoad needs a fresh mirror: local WAL already has records")
-    val session = createExportedSlot(url, recreate = recreateSlot)
+    // tableRoutes maps SOURCE relation → destination table; the
+    // snapshot must read the SOURCE side of each route (a renaming
+    // map would otherwise snapshot a missing — or a wrong same-named
+    // — relation). Fan-in (two sources routing to one destination)
+    // has no single-relation snapshot; reject it BEFORE any slot is
+    // created so a bad config leaves no server-side state behind.
+    val sourceFor: Map[String, String] = {
+      val inv = cfg.tableRoutes.groupBy(_._2)
+        .map { case (dst, m) => dst -> m.keys.toSeq }
+      inv.collect { case (dst, srcs) if srcs.sizeIs > 1 =>
+        throw new IllegalArgumentException("initialLoad: table_map " +
+          s"fans ${srcs.mkString(", ")} into '$dst' — a fan-in " +
+          "destination cannot be snapshot from one source relation")
+      }
+      inv.map { case (dst, srcs) => dst -> srcs.head }
+    }
+    // the fresh-mirror requirement just proven IS the auto-recovery
+    // precondition (no marker → snapshotPhase routed here; no local
+    // ingest ever): an existing INACTIVE slot can only be a crashed
+    // prior attempt's leftover, so re-EXECUTE reclaims it instead of
+    // failing 42710 into a manual RESYNC
+    val session = createExportedSlot(url, recreate = recreateSlot,
+      recoverInactive = true)
     try {
       val cfg2 = cfg.copy(snapshotCheckpoint = 0L)
       val runner = new MirrorRunner(spark, cfg2)
@@ -206,9 +305,10 @@ object SnapshotFlow {
         TableConfig(cfg.pkColumns, cfg.payloadSchema)) +:
         cfg.extraTables.toSeq
       tables.foreach { case (table, tc) =>
+        val sourceRel = sourceFor.getOrElse(table, table)
         runner.bootstrapSnapshot(table, readTable(spark, url,
-          session.exported.snapshotName, table, tc.effectiveSchema,
-          numPartitions))
+          session.exported.snapshotName, sourceRel, tc.effectiveSchema,
+          numPartitions, rowsPerPartition))
       }
       runner
     } finally session.close()

@@ -1,0 +1,162 @@
+package graft.qrep
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.cdc.CaptureEndpoint
+
+/** LIVE QRep source for MySQL: the watermark-range query template
+  * executes ON a real MySQL peer, partition-parallel — the reference's
+  * MySQL Query Replication (flow/connectors/mysql/qrep.go: min/max
+  * range discovery + per-partition bound queries over the client
+  * library; registered as a QRep source at flow/connectors/core.go:740).
+  * The same shape as [[LivePgPull]] with the MySQL dialect:
+  *
+  *  - Schema discovery: a `LIMIT 0` probe; ColumnDefinition41 types
+  *    map to Spark types ([[MysqlClient.sparkTypeOf]]).
+  *  - Range discovery: one MIN/MAX/COUNT probe over the bound query
+  *    (as a subquery, so user filters are respected), split uniformly.
+  *  - Each Spark partition binds the template to its sub-range and
+  *    pulls over its own connection; text cells parse straight into
+  *    typed Rows ([[MysqlClient.parseValue]]).
+  *
+  *  Template dialects: `{{.start}}`/`{{.end}}` bind integer literals;
+  *  `{{.start_ts}}`/`{{.end_ts}}` bind
+  *  `TIMESTAMP'1970-01-01 00:00:00' + INTERVAL µs MICROSECOND` —
+  *  exact at microsecond granularity over the full DATETIME range
+  *  (`FROM_UNIXTIME` would NULL out past the TIMESTAMP type's 3001
+  *  ceiling, silently emptying the round). Watermark extraction uses
+  *  `UNIX_TIMESTAMP(col) * 1000000` (DECIMAL, exact); every session
+  *  pins `time_zone='+00:00'` so both sides agree — the same UTC
+  *  discipline as the PG path.
+  *
+  * CONSISTENCY: MySQL has no cross-connection exported snapshots, so
+  * a round's partitions read at independent instants — the
+  * reference's MySQL QRep has the same posture (its consistency
+  * argument is watermark monotonicity: a row committed mid-round with
+  * wm ≤ this round's max may be missed by this round AND skipped by
+  * the next; rows must only ever appear with watermarks above the
+  * current max, which is the QRep update contract). The PG path's
+  * stronger shared-snapshot guarantee is a PG-only capability.
+  */
+object LiveMysqlPull {
+
+  /** '1000-01-01 00:00:00' — MySQL's DATETIME floor — in epoch µs;
+    * the first-round lower bound clamps here (interval arithmetic
+    * below the floor returns NULL, which would empty the BETWEEN). */
+  private val MyTsMin = -30610224000000000L
+  /** '9999-12-31 23:59:59.999999' in epoch µs (DATETIME ceiling). */
+  private val MyTsMax = 253402300799999999L
+
+  private def isTs(template: String): Boolean =
+    template.contains("{{.start_ts}}")
+
+  private def tsLit(us: Long): String =
+    s"(TIMESTAMP'1970-01-01 00:00:00' + INTERVAL $us MICROSECOND)"
+
+  /** Bind the template to [lo, hi] (inclusive); micros in ts mode. */
+  def bind(template: String, lo: Long, hi: Long): String =
+    if (isTs(template))
+      template
+        .replace("{{.start_ts}}", tsLit(lo))
+        .replace("{{.end_ts}}", tsLit(hi))
+    else
+      template
+        .replace("{{.start}}", lo.toString)
+        .replace("{{.end}}", hi.toString)
+
+  /** The full-open range for a round that starts after `last`. */
+  def openRange(template: String, last: Option[Long]): (Long, Long) =
+    if (isTs(template))
+      (last.map(v => math.max(v + 1, MyTsMin)).getOrElse(MyTsMin),
+        MyTsMax)
+    else
+      (last.map(_ + 1).getOrElse(Long.MinValue + 1), Long.MaxValue)
+
+  /** One round's pull: everything past `last`, partitioned. The
+    * result is eagerly `localCheckpoint`ed — by the time pull()
+    * returns, every partition has read (downstream range re-chunking
+    * must not re-run the remote queries). */
+  def pull(spark: SparkSession, url: String, template: String,
+      wmarkColumn: String, last: Option[Long],
+      numPartitions: Int = 4,
+      rowsPerPartition: Option[Long] = None): DataFrame = {
+    val ep = CaptureEndpoint.parse(url)
+    val (openLo, openHi) = openRange(template, last)
+    val boundFull = bind(template, openLo, openHi)
+
+    // watermark-as-long over the bound query's OUTPUT column
+    val wmIdent = "`" + wmarkColumn.replace("`", "``") + "`"
+    val wmLong =
+      if (isTs(template))
+        // UNIX_TIMESTAMP over a DATETIME yields DECIMAL at the
+        // column's fsp (session tz pinned UTC) — ×1e6 is exact
+        s"CAST(ROUND(UNIX_TIMESTAMP(_graft_q.$wmIdent) * 1000000) " +
+          "AS SIGNED)"
+      else s"_graft_q.$wmIdent"
+
+    val probe = MysqlClients.connect(ep)
+    val (schema, lo, hi, n) =
+      try {
+        val cols = probe.query(
+          s"SELECT * FROM ($boundFull) _graft_q LIMIT 0").columns
+        val schema = MysqlClient.schemaOf(cols)
+        val mm = probe.query(s"SELECT MIN($wmLong), MAX($wmLong), " +
+          s"COUNT(*) FROM ($boundFull) _graft_q").rows.head
+        (schema, mm(0).map(_.toLong).getOrElse(0L),
+          mm(1).map(_.toLong).getOrElse(0L),
+          mm(2).map(_.toLong).getOrElse(0L))
+      } finally probe.close()
+    if (n == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    val parts = rowsPerPartition match {
+      case Some(rpp) => math.min(
+        (n + rpp - 1) / math.max(1L, rpp), 4096L).toInt
+      case None => numPartitions
+    }
+    pullRanges(spark, url, template, schema, lo, hi, n, parts)
+  }
+
+  private def pullRanges(spark: SparkSession, url: String,
+      template: String, schema: org.apache.spark.sql.types.StructType,
+      lo: Long, hi: Long, n: Long, numPartitions: Int): DataFrame = {
+
+    // uniform inclusive sub-ranges over [lo, hi] (same arithmetic as
+    // the PG side — overflow-safe via BigInt on the span)
+    val parts = math.max(1, math.min(numPartitions,
+      math.min(n, Int.MaxValue.toLong).toInt))
+    val step = math.max(1L,
+      ((BigInt(hi) - BigInt(lo) + 1 + parts - 1) / parts).toLong)
+    val ranges = (0 until parts).map { i =>
+      val rlo = BigInt(lo) + BigInt(step) * i
+      val rhi = if (i == parts - 1) BigInt(hi)
+        else (rlo + step - 1).min(BigInt(hi))
+      (rlo.toLong, rhi.toLong)
+    }.filter { case (a, b) => a <= b }
+
+    val tmpl = template
+    val urlSer = url
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rowRdd = spark.sparkContext.parallelize(ranges, ranges.size)
+      .mapPartitions { it =>
+        it.flatMap { case (rlo, rhi) =>
+          val c = MysqlClients.connect(urlSer)
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit](_ => c.close())
+          try {
+            // rows decode LAZILY off the socket (MysqlClient
+            // .queryCursor) — per-task memory is O(row)
+            val cur = c.queryCursor(bind(tmpl, rlo, rhi))
+            val rows = cur.map { cells =>
+              Row.fromSeq(cells.zipWithIndex.map { case (v, i) =>
+                v.map(MysqlClient.parseValue(fieldTypes(i), _)).orNull
+              })
+            }
+            rows ++ { c.close(); Iterator.empty }
+          } catch { case e: Throwable => c.close(); throw e }
+        }
+      }
+    spark.createDataFrame(rowRdd, schema).localCheckpoint()
+  }
+}

@@ -152,14 +152,24 @@ object LivePgPull {
         .mapPartitions { it =>
           it.flatMap { case (rlo, rhi) =>
             val c = graft.server.PgClients.connect(urlSer)
+            // guarantees socket close when the task dies mid-stream
+            val tc = org.apache.spark.TaskContext.get()
+            if (tc != null)
+              tc.addTaskCompletionListener[Unit](_ => c.close())
             try {
               c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
               c.queryAll("SET TRANSACTION SNAPSHOT " +
                 graft.cdc.PgWire.quoteLiteral(snapSer))
-              val r = c.query(bind(tmpl, rlo, rhi))
-              val oids = c.lastTypeOids
-              r.rows.map(PgRows.json(r.columns, oids, _)).iterator
-            } finally c.close()
+              // rows decode LAZILY off the socket (the reference's
+              // QRecordStream, qrep_query_executor.go:282-520): a
+              // catch-up round's partition never materializes as a
+              // boxed Seq on the executor heap
+              val cur = c.queryCursor(bind(tmpl, rlo, rhi))
+              val (names, oids) = (cur.columns, cur.typeOids)
+              cur.map(PgRows.json(names, oids, _)) ++ {
+                c.close(); Iterator.empty
+              }
+            } catch { case e: Throwable => c.close(); throw e }
           }
         })(Encoders.STRING)
     // localCheckpoint is EAGER: by the time pull() returns, every

@@ -197,12 +197,32 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
           graft.types.QKind.Dialect.Ansi, nullable = true)}")
       c.queryAll(s"CREATE TABLE IF NOT EXISTS ${cfg.destTable} " +
         s"(${cols.mkString(", ")})")
-      if (truncateFirst)
-        c.queryAll(s"TRUNCATE TABLE ${cfg.destTable}")
+      // stage BEFORE opening any transaction: the Spark job is the
+      // slow leg and must not hold server locks while it runs
       val files = graft.sinks.AvroStage.write(df,
         s"${cfg.destDir}/_stage/$runId")
-      new graft.sinks.PgWarehouse(c)
-        .loadAvro(cfg.destTable, files, df.schema)
+      if (truncateFirst) {
+        // full refresh is ATOMIC: TRUNCATE and COPY commit together,
+        // so a crash/failure mid-load rolls back to the PREVIOUS
+        // snapshot instead of leaving the destination empty/partial
+        // until the next round (truncate-then-copy in separate
+        // autocommit statements had exactly that window)
+        c.queryAll("BEGIN")
+        try {
+          c.queryAll(s"TRUNCATE TABLE ${cfg.destTable}")
+          new graft.sinks.PgWarehouse(c)
+            .loadAvro(cfg.destTable, files, df.schema)
+          c.queryAll("COMMIT")
+        } catch {
+          case e: Throwable =>
+            // best-effort; close() aborts the tx server-side anyway
+            try c.queryAll("ROLLBACK")
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
+      } else
+        new graft.sinks.PgWarehouse(c)
+          .loadAvro(cfg.destTable, files, df.schema)
       df.count()
     } finally c.close()
   }

@@ -2061,8 +2061,20 @@ object PipelineQueries {
       val lab = graft.operators.ConnectedComponents
         .minLabel(simhashPairs(s, dir), "d1", "d2")
         .select(col("node").as("doc_id"), col("cluster_id"))
+      // cluster labels cover EVERY doc in any near-dup pair — an
+      // unbounded fraction of the corpus, so broadcast is probed, not
+      // assumed (the fuzzyJoin guard pattern): minLabel returns a
+      // checkpointed frame, so the count is a cached-scan job, and
+      // past the cap (~4M labels ≈ 64 MB serialized) the join flips
+      // to shuffle_hash with identical semantics.
+      val maxBroadcastLabels = s.conf
+        .get("spark.graft.splitByCluster.maxBroadcastLabels", "4194304")
+        .toLong
+      val hintedLab =
+        if (lab.count() <= maxBroadcastLabels) broadcast(lab)
+        else lab.hint("shuffle_hash")
       val assign = docs(s, dir).select("doc_id")
-        .join(broadcast(lab), Seq("doc_id"), "left")
+        .join(hintedLab, Seq("doc_id"), "left")
         .withColumn("unit",
           coalesce(col("cluster_id"), col("doc_id")))
         .withColumn("bucket",

@@ -249,8 +249,17 @@ final class PgClient(
     private var oids: Seq[Int] = Nil
     private var pending: Seq[Option[String]] = null
     private var finished = false
-    private var err: Option[PgServerError] = None
+    private var err: Option[Exception] = None
     private var tagStr = ""
+    /** Per-statement results already closed ('C'/'I') — a second
+      * statement's RowDescription/DataRow after one means the caller
+      * sent multi-statement SQL, whose interleaved rows a
+      * typeOids-driven decoder would misread. Rejected (drained to
+      * RFQ, then raised) rather than silently merged. */
+    private var closedStatements = 0
+
+    private def fail(e: Exception): Unit =
+      if (err.isEmpty) err = Some(e)
 
     /** Read protocol messages until one row is pending or the
       * exchange reached ReadyForQuery; a server error raises only at
@@ -261,15 +270,32 @@ final class PgClient(
           finished = true
           throw new EOFException("EOF mid-cursor")
         case Some(('T', body)) =>
-          cols = parseRowDescription(body)
-          oids = lastTypeOids
+          if (closedStatements > 0) fail(new java.io.IOException(
+            "multi-statement SQL in queryCursor: second result set"))
+          else { cols = parseRowDescription(body); oids = lastTypeOids }
         case Some(('D', body)) =>
+          if (closedStatements > 0) fail(new java.io.IOException(
+            "multi-statement SQL in queryCursor: second result set"))
           if (err.isEmpty) pending = parseDataRow(body)
         case Some(('C', body)) =>
           tagStr = new String(body, 0, body.length - 1, UTF_8)
-        case Some(('I', _)) => ()
-        case Some(('E', body)) =>
-          if (err.isEmpty) err = Some(parseError(body))
+          closedStatements += 1
+        case Some(('I', _)) => closedStatements += 1
+        case Some(('E', body)) => fail(parseError(body))
+        // COPY sub-protocols cannot stream through a row cursor; keep
+        // the session synced: refuse CopyIn with CopyFail (server
+        // answers ErrorResponse + RFQ) and drain CopyOut/CopyBoth data
+        // ('d'/'c') through to the statement end.
+        case Some(('G', _)) =>
+          fail(new java.io.IOException(
+            "COPY FROM STDIN not supported in queryCursor"))
+          writeMessage(out, 'f',
+            cstring("COPY not supported in queryCursor"))
+          out.flush()
+        case Some(('H', _)) | Some(('W', _)) =>
+          fail(new java.io.IOException(
+            "COPY TO STDOUT not supported in queryCursor"))
+        case Some(('d', _)) | Some(('c', _)) => ()
         case Some(('Z', _)) => finished = true
         case Some(('N', _)) | Some(('S', _)) => ()
         case Some((t, _)) => throw new java.io.IOException(
@@ -297,14 +323,22 @@ final class PgClient(
       r
     }
 
-    /** Drain any unread tail so the session stays usable; transport
-      * errors during the drain are swallowed (the caller is bailing
-      * out, usually closing the whole client next). */
-    override def close(): Unit =
+    /** Drain any unread tail so the session stays usable. A
+      * partially-read cursor first fires PQcancel on a side
+      * connection — without it, abandoning a slice of a 100s-of-GB
+      * read would still download the entire remainder (the drain is
+      * O(result) otherwise; cancel makes the server cut the stream at
+      * the next row). Any error during cancel/drain is swallowed (the
+      * caller is bailing out, usually closing the whole client next)
+      * — including decode errors, so a try-with-resources never masks
+      * its original exception with one thrown from close(). */
+    override def close(): Unit = {
+      if (!finished)
+        try cancel()
+        catch { case scala.util.control.NonFatal(_) => () }
       try while (!finished) { pending = null; advance() }
-      catch {
-        case _: PgServerError | _: java.io.IOException => ()
-      }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Simple protocol, every per-statement result until ReadyForQuery.

@@ -37,6 +37,14 @@ object PgClients {
       ssl = ssl,
       connectTimeoutMs = connectMs, readTimeoutMs = readMs,
       dial = dial,
-      startupParams = extraStartup).connect()
+      // Session TimeZone is pinned to UTC on EVERY live connection:
+      // watermark arithmetic mixes `extract(epoch from ts)` (which
+      // reads a `timestamp without time zone` as session-local) with
+      // `to_timestamp(µs)` bounds (timestamptz, rendered through the
+      // session zone) — on a non-UTC server the round window would
+      // shift by the offset and rows near the boundary would be
+      // PERMANENTLY skipped (the advanced watermark never revisits
+      // them). With the session at UTC both sides agree exactly.
+      startupParams = ("TimeZone" -> "UTC") +: extraStartup).connect()
   }
 }

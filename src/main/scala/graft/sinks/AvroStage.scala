@@ -295,6 +295,82 @@ object AvroStage {
       s"no avro decoder for ${other.simpleString}")
   }
 
+  /** Stream one OCF's records off `input` BLOCK BY BLOCK — memory is
+    * O(block), never O(file). The live warehouse COPY leg decodes
+    * multi-GB staged batches through this (a whole-file readAllBytes
+    * + Seq[Row] would OOM the driver; the reference's bulk loaders
+    * stream their staged Avro the same way). One block (≤
+    * recordsPerBlock records) is buffered at a time and decoded with
+    * the same [[readValue]] path as [[readContainer]]. The caller
+    * closes `input` after exhausting the iterator. */
+  def streamContainer(input: java.io.InputStream, schema: StructType)
+      : Iterator[Row] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(input, 1 << 16))
+    def u8(): Int = {
+      val v = in.read()
+      require(v >= 0, "EOF inside OCF")
+      v
+    }
+    def readVarLong(first: Int = -1): Long = {
+      var shift = 0; var acc = 0L
+      var byte = if (first >= 0) first else u8()
+      while ((byte & 0x80) != 0) {
+        acc |= (byte & 0x7FL) << shift; shift += 7; byte = u8()
+      }
+      acc |= (byte & 0x7FL) << shift
+      (acc >>> 1) ^ -(acc & 1) // un-zigzag
+    }
+    def readFully(n: Int): Array[Byte] = {
+      require(n >= 0, s"negative length $n in OCF")
+      val a = new Array[Byte](n); in.readFully(a); a
+    }
+    require(readFully(4).sameElements(Magic), "not an Avro OCF")
+    var n = readVarLong() // metadata map blocks
+    while (n != 0) {
+      if (n < 0) { readVarLong(); n = -n }
+      var i = 0L
+      while (i < n) {
+        readFully(readVarLong().toInt) // key
+        readFully(readVarLong().toInt) // value
+        i += 1
+      }
+      n = readVarLong()
+    }
+    readFully(16) // header sync marker
+
+    new Iterator[Row] {
+      private var block: In = null
+      private var left = 0L
+      private var eof = false
+
+      private def nextBlock(): Unit = {
+        // EOF is only legal BETWEEN blocks: peek one byte of the
+        // next count varint
+        val first = in.read()
+        if (first < 0) { eof = true; return }
+        left = readVarLong(first)
+        val byteSize = readVarLong().toInt
+        block = new In(readFully(byteSize)) // the O(block) buffer
+        readFully(16) // trailing sync marker
+      }
+
+      override def hasNext: Boolean = {
+        while (!eof && left == 0) nextBlock()
+        !eof
+      }
+
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("OCF exhausted")
+        left -= 1
+        Row.fromSeq(schema.fields.toSeq.map { f =>
+          if (f.nullable && block.readLong() == 0L) null
+          else readValue(block, f.dataType)
+        })
+      }
+    }
+  }
+
   /** Read one OCF's records back as Rows of `schema` (the writer's own
     * files; schema evolution is out of scope for the stage dir). */
   def readContainer(bytes: Array[Byte], schema: StructType): Seq[Row] = {

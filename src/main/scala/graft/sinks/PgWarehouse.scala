@@ -37,11 +37,26 @@ final class PgWarehouse(client: PgClient) extends SqlExecutor {
 
   override def loadAvro(stagingTable: String, files: Seq[String],
       schema: StructType): Unit = {
-    val lines = files.iterator.flatMap { f =>
-      AvroStage.readContainer(Files.readAllBytes(Paths.get(f)), schema)
-        .iterator
-    }.map(r => PgWarehouse.copyLine(r, schema))
-    client.copyIn(s"COPY $stagingTable FROM STDIN", lines)
+    // block-streamed decode ([[AvroStage.streamContainer]]): a staged
+    // file flows disk → one Avro block → COPY chunk, so driver memory
+    // is O(block) even for a multi-GB stage (readAllBytes + Seq[Row]
+    // per file would materialize the whole batch)
+    val open = scala.collection.mutable.ArrayBuffer.empty[
+      java.io.InputStream]
+    try {
+      val lines = files.iterator.flatMap { f =>
+        val s = Files.newInputStream(Paths.get(f))
+        open += s
+        AvroStage.streamContainer(s, schema)
+          .map(r => PgWarehouse.copyLine(r, schema)) ++ {
+            s.close(); open -= s; Iterator.empty
+          }
+      }
+      client.copyIn(s"COPY $stagingTable FROM STDIN", lines)
+    } finally open.foreach { s =>
+      try s.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }
 

@@ -113,6 +113,69 @@ class StockPgQRepSpec extends SparkSpec {
     run("DROP MIRROR lq2"); run("DROP PEER ltsrc"); run("DROP PEER ltdst")
   }
 
+  test("timestamp watermark on a NON-UTC server: the session is " +
+    "pinned to TimeZone=UTC, so extract(epoch) over a `timestamp " +
+    "without time zone` and the to_timestamp(µs) bounds agree — no " +
+    "miss, no re-pull (on a tz-shifted session the window moves by " +
+    "the offset and rows are skipped forever)") {
+    // a dedicated server whose cluster default is 9h AHEAD of UTC —
+    // without the session pin, round 1's sub-range bounds shift +9h
+    // past every row and the pull silently drops nearly all of them
+    val tzServer = StockPostgres.start(
+      extraConf = Seq("timezone='Asia/Tokyo'"))
+    assume(tzServer.isDefined, "stock postgres unavailable in this env")
+    val s = tzServer.get
+    try {
+      assert(s.psql("SHOW timezone").trim == "Asia/Tokyo")
+      s.psql("""CREATE TABLE public.qtz (
+        k bigint PRIMARY KEY, updated_at timestamp)""")
+      // `timestamp` (NO time zone): the dangerous type — epoch
+      // extraction reads it as UTC, bound rendering reads the session
+      s.psql("""INSERT INTO public.qtz
+        SELECT g, timestamp '2024-03-01 00:00:00'
+                 + g * interval '250 milliseconds'
+        FROM generate_series(0, 99) g""")
+
+      val base = tmpDir("liveqreptz")
+      run(s"CREATE PEER tzsrc TYPE postgres OPTIONS (" +
+        s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+      run(s"CREATE PEER tzdst TYPE parquet OPTIONS (dir '$base/dst')")
+      run("CREATE MIRROR lqtz FROM tzsrc TO tzdst FOR " +
+        "$$ SELECT k, updated_at FROM public.qtz " +
+        "WHERE updated_at BETWEEN {{.start_ts}} AND {{.end_ts}} $$ " +
+        "WITH (watermark_column 'updated_at', " +
+        "source_table 'public.qtz', " +
+        s"dest_dir '$base/dest', num_partitions '3')")
+
+      assert(run("EXECUTE MIRROR lqtz").head.getLong(0) == 100L,
+        "full round dropped rows — session tz leaked into the window")
+      assert(run("EXECUTE MIRROR lqtz").head.getLong(0) == 0L,
+        "idle round re-pulled — bounds shifted backwards")
+
+      // rows landing just past the stored watermark: the exact window
+      // a tz-shifted lower bound (+9h) would skip permanently
+      s.psql("""INSERT INTO public.qtz
+        SELECT g, timestamp '2024-03-01 00:00:00'
+                 + g * interval '250 milliseconds'
+        FROM generate_series(100, 139) g""")
+      assert(run("EXECUTE MIRROR lqtz").head.getLong(0) == 40L,
+        "incremental rows missed — watermark advanced past them")
+      // `timestamp` (no tz) decodes as TIMESTAMP_NTZ; the session is
+      // UTC so the cast is identity on the wall clock
+      val got = spark.read.parquet(s"$base/dest")
+        .selectExpr("k",
+          "unix_micros(cast(updated_at AS timestamp)) AS us")
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 140)
+      // micros-exact: stored wall-clock == decoded UTC instant
+      assert(got.forall { case (k, us) =>
+        us == 1709251200000000L + k * 250000L })
+
+      run("DROP MIRROR lqtz"); run("DROP PEER tzsrc")
+      run("DROP PEER tzdst")
+    } finally s.stop()
+  }
+
   test("snapshot-consistent round: a write committed MID-ROUND (after " +
     "the probes, before the partition reads) is invisible to every " +
     "partition and arrives complete in the NEXT round — no torn read, " +
@@ -235,6 +298,48 @@ class StockPgQRepSpec extends SparkSpec {
     assert(dest() == truth())
 
     run("DROP MIRROR lq5"); run("DROP PEER upsrc"); run("DROP PEER updst")
+  }
+
+  test("overwrite is ATOMIC on a live destination: a round that dies " +
+    "mid-COPY rolls back and leaves the PREVIOUS snapshot intact " +
+    "(truncate+copy commit together)") {
+    val s = srv
+    s.psql("CREATE DATABASE qrepatomic")
+    // the destination table pre-exists with a CHECK the second round
+    // will violate mid-COPY — the injected "crash"
+    s.psql("CREATE TABLE public.qo_dest (id bigint, wm bigint " +
+      "CHECK (wm < 100000))", db = "qrepatomic")
+
+    val spark0 = spark
+    import spark0.implicits._
+    val base = tmpDir("liveqatomic")
+    val cfg = graft.qrep.QRepConfig(
+      wmarkColumn = "wm", destDir = s"$base/dest",
+      wmarkStorePath = s"$base/wm", mode = graft.qrep.WriteMode.Overwrite,
+      numPartitions = 2,
+      destUrl = Some(s"pg://postgres@127.0.0.1:${s.port}/qrepatomic"),
+      destTable = "public.qo_dest")
+    val runner = new graft.qrep.QRepRunner(spark, cfg)
+
+    val round1 = (1L to 500L).map(i => (i, i)).toDF("id", "wm")
+    assert(runner.runOnce(round1) == 500L)
+    assert(s.psql("SELECT count(*) FROM public.qo_dest",
+      db = "qrepatomic").trim == "500")
+
+    // round 2 carries a row the CHECK rejects: COPY fails after the
+    // TRUNCATE already ran — atomicity means the 500 rows survive
+    val round2 = ((1L to 300L) :+ 999999L).map(i => (i, i))
+      .toDF("id", "wm")
+    intercept[Exception] { runner.runOnce(round2) }
+    assert(s.psql("SELECT count(*) FROM public.qo_dest",
+      db = "qrepatomic").trim == "500",
+      "failed overwrite must leave the previous snapshot intact")
+
+    // the session/runner recovers: a clean retry round still lands
+    val round3 = (1L to 200L).map(i => (i, i)).toDF("id", "wm")
+    assert(runner.runOnce(round3) == 200L)
+    assert(s.psql("SELECT count(*) FROM public.qo_dest",
+      db = "qrepatomic").trim == "200")
   }
 
   test("fully-live PG→PG QRep, append and overwrite dispositions: " +

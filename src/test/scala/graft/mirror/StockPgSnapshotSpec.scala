@@ -38,6 +38,153 @@ class StockPgSnapshotSpec extends SparkSpec {
     assert(SnapshotFlow.parseLsn("FFFFFFFF/FFFFFFFF") == -1L)
   }
 
+  test("sliceCount policy: explicit count wins; rows knob over " +
+    "reltuples; size-based default; clamps to blocks and 4096") {
+    import SnapshotFlow.sliceCount
+    val gib = 1L << 30
+    // explicit partition count wins over everything
+    assert(sliceCount(100000, 10 * gib, 1000000, 7, Some(1000)) == 7)
+    // rows knob: ceil(estRows / rpp)
+    assert(sliceCount(100000, 10 * gib, 1000000, 0, Some(250000)) == 4)
+    assert(sliceCount(100000, 10 * gib, 1000001, 0, Some(250000)) == 5)
+    // never-ANALYZEd table (estRows 0) falls back to the byte policy
+    assert(sliceCount(100000, 10 * gib, 0, 0, Some(250000)) == 40)
+    // byte policy: ceil(bytes / 256 MiB) — a 500 GB table gets 2000
+    // slices, not 4
+    assert(sliceCount(64000000, 500 * gib, 0, 0, None) == 2000)
+    // tiny table: one slice, never zero
+    assert(sliceCount(3, 24576, 100, 0, None) == 1)
+    assert(sliceCount(0, 0, 0, 0, None) == 1)
+    // a slice spans at least one physical block
+    assert(sliceCount(5, 10 * gib, 1000000, 0, Some(1000)) == 5)
+    // runaway protection
+    assert(sliceCount(100000000, 800000 * gib, 0, 0, None) == 4096)
+  }
+
+  test("snapshot_num_rows_per_partition drives live slice count " +
+    "through the server's reltuples estimate") {
+    val s = srv
+    s.psql("CREATE TABLE public.sz1 (id bigint PRIMARY KEY, t text)")
+    s.psql("""INSERT INTO public.sz1
+      SELECT g, 'v' || g FROM generate_series(1, 5000) g""")
+    s.psql("ANALYZE public.sz1") // reltuples becomes exact
+    s.psql("CREATE PUBLICATION sz_pub FOR TABLE public.sz1")
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=sz_slot&publication=sz_pub"
+    val session = SnapshotFlow.createExportedSlot(url)
+    try {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("t", StringType)))
+      val df = SnapshotFlow.readTable(spark, url,
+        session.exported.snapshotName, "public.sz1", schema,
+        numPartitions = 0, rowsPerPartition = Some(1000L))
+      // ceil(5000 / 1000) = 5 CTID slices (table spans ≥ 5 blocks)
+      assert(df.rdd.getNumPartitions == 5)
+      assert(df.count() == 5000)
+      assert(df.agg(sum(col("id"))).head.getLong(0) ==
+        5000L * 5001 / 2)
+      // auto (no knobs): a tiny table collapses to one slice — and a
+      // big one would scale by bytes, not a fixed 4 (sliceCount test)
+      val auto = SnapshotFlow.readTable(spark, url,
+        session.exported.snapshotName, "public.sz1", schema)
+      assert(auto.rdd.getNumPartitions == 1)
+      assert(auto.count() == 5000)
+    } finally session.close()
+    s.psql("SELECT pg_drop_replication_slot('sz_slot')")
+    s.psql("DROP PUBLICATION sz_pub")
+    s.psql("DROP TABLE public.sz1")
+  }
+
+  test("crash auto-recovery: a leftover INACTIVE slot from an attempt " +
+    "that died before the durable marker is dropped and re-created; " +
+    "initialLoad completes on the retry") {
+    val s = srv
+    s.psql("CREATE TABLE public.cr1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("""INSERT INTO public.cr1
+      SELECT g, g FROM generate_series(1, 800) g""")
+    s.psql("CREATE PUBLICATION cr_pub FOR TABLE public.cr1")
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=cr_slot&publication=cr_pub"
+
+    // the "crash": slot created, session dies before any marker/read
+    SnapshotFlow.createExportedSlot(url).close()
+    assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
+      "WHERE slot_name = 'cr_slot'").trim == "1")
+
+    // a plain retry (no recovery) still refuses — 42710 surfaces
+    val e = intercept[graft.server.PgClient.PgServerError] {
+      SnapshotFlow.createExportedSlot(url)
+    }
+    assert(e.sqlState == "42710")
+
+    // initialLoad (fresh mirror ⇒ recovery precondition holds) drops
+    // the stale slot, re-creates it at a FRESH consistent point, and
+    // bootstraps — then the stream delivers post-snapshot churn
+    val base = tmpDir("snapcrash")
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      destinationTable = "public.cr1",
+      captureDir = Some(url))
+    val runner = SnapshotFlow.initialLoad(spark, cfg)
+    assert(runner.destination("public.cr1").count() == 800)
+    s.psql("INSERT INTO public.cr1 VALUES (901, -1)")
+    runner.runAvailableNow()
+    assert(runner.destination("public.cr1").count() == 801)
+
+    s.psql("SELECT pg_drop_replication_slot('cr_slot')")
+    s.psql("DROP PUBLICATION cr_pub")
+    s.psql("DROP TABLE public.cr1")
+  }
+
+  test("initialLoad snapshots the SOURCE side of a renaming " +
+    "table_map route and rejects fan-in") {
+    val s = srv
+    s.psql("CREATE TABLE public.srcr (id bigint PRIMARY KEY, v bigint)")
+    s.psql("""INSERT INTO public.srcr
+      SELECT g, g * 3 FROM generate_series(1, 600) g""")
+    s.psql("CREATE PUBLICATION rt_pub FOR TABLE public.srcr")
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=rt_slot&publication=rt_pub"
+    val base = tmpDir("snaproute")
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      // destination name 'public.dstr' does NOT exist on the source:
+      // a by-destination read would fail (or hit a wrong same-named
+      // relation); the route must resolve back to public.srcr
+      destinationTable = "public.dstr",
+      captureDir = Some(url),
+      tableRoutes = Map("public.srcr" -> "public.dstr"))
+    val runner = SnapshotFlow.initialLoad(spark, cfg)
+    assert(runner.destination("public.dstr").count() == 600)
+    // CDC continues through the same route
+    s.psql("UPDATE public.srcr SET v = 0 WHERE id <= 10")
+    runner.runAvailableNow()
+    assert(runner.destination("public.dstr")
+      .filter(col("v") === 0).count() == 10)
+    s.psql("SELECT pg_drop_replication_slot('rt_slot')")
+
+    // fan-in: two sources routed into one destination is rejected
+    val cfg2 = cfg.copy(
+      walDir = s"$base/wal2", rawDir = s"$base/raw2",
+      destDir = s"$base/dest2", checkpointDir = s"$base/ckpt2",
+      tableRoutes = Map("public.srcr" -> "public.dstr",
+        "public.other" -> "public.dstr"))
+    val fe = intercept[IllegalArgumentException] {
+      SnapshotFlow.initialLoad(spark, cfg2)
+    }
+    assert(fe.getMessage.contains("fan"))
+    s.psql("DROP PUBLICATION rt_pub")
+    s.psql("DROP TABLE public.srcr")
+  }
+
   test("exported-snapshot read: CTID-partitioned parallel scan sees " +
     "exactly the slot-creation state — concurrent writes invisible") {
     val s = srv

@@ -125,4 +125,40 @@ class AvroStageSpec extends SparkSpec {
     val r2 = back(1)
     assert(r2.getLong(0) == 2L && (1 to 10).forall(r2.isNullAt))
   }
+
+  test("streamContainer decodes block-at-a-time: identical rows to " +
+    "readContainer, and rows of an early block surface WITHOUT " +
+    "touching later file bytes (O(block) memory, not O(file))") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType)))
+    val out = new ByteArrayOutputStream()
+    AvroStage.writeContainer(out, AvroStage.schemaJson(schema),
+      (1L to 1000L).iterator.map(i =>
+        AvroStage.encodeRow(schema, Row(i, "v" + i))),
+      recordsPerBlock = 100) // 10 blocks
+    val bytes = out.toByteArray
+
+    // full-stream equality with the array reader
+    val streamed = AvroStage.streamContainer(
+      new java.io.ByteArrayInputStream(bytes), schema).toSeq
+    assert(streamed == AvroStage.readContainer(bytes, schema))
+
+    // laziness proof: a stream that DIES after ~3 blocks still yields
+    // the first blocks' rows — a whole-file buffering implementation
+    // would throw before the first row
+    val broken = new java.io.InputStream {
+      private var pos = 0
+      private val limit = bytes.length / 3
+      override def read(): Int = {
+        if (pos >= limit)
+          throw new java.io.IOException("tail unavailable")
+        val b = bytes(pos) & 0xFF; pos += 1; b
+      }
+    }
+    val it = AvroStage.streamContainer(broken, schema)
+    val first200 = it.take(200).toSeq
+    assert(first200.map(_.getLong(0)) == (1L to 200L))
+    intercept[java.io.IOException] { while (it.hasNext) it.next() }
+  }
 }

@@ -111,6 +111,51 @@ class EsWireSpec extends SparkSpec {
     } finally es.stop()
   }
 
+  test("composite PK: _id is a length-prefixed sha256 — " +
+    "(\"a_b\",\"c\") and (\"a\",\"b_c\") land as TWO documents, and " +
+    "a delete targets exactly its own doc") {
+    val es = new EsFixture
+    try {
+      val wal = tmpDir("es_wal2")
+      val base = tmpDir("es_mirror2")
+      val schema2 = StructType(Seq(
+        StructField("k1", StringType), StructField("k2", StringType),
+        StructField("v", LongType)))
+      ChangeLogWal.append(wal, Seq(
+        rec(1, ChangeRecord.TypeInsert,
+          """{"k1":"a_b","k2":"c","v":1}"""),
+        rec(2, ChangeRecord.TypeInsert,
+          """{"k1":"a","k2":"b_c","v":2}"""),
+        rec(3, ChangeRecord.TypeDelete,
+          """{"k1":"a","k2":"b_c","v":2}""",
+          matchData = """{"k1":"a","k2":"b_c"}""")))
+      val cfg = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = s"$base/ckpt", pkColumns = Seq("k1", "k2"),
+        payloadSchema = schema2, destinationTable = "docs",
+        queueUrl = Some(s"es://127.0.0.1:${es.port}"))
+      new MirrorRunner(spark, cfg).runAvailableNow()
+
+      def sha(parts: Seq[String]): String = {
+        val input = parts.map(p => s"${p.length}:$p|").mkString
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(input.getBytes(UTF_8)).map("%02x".format(_)).mkString
+      }
+      val idAB_c = sha(Seq("a_b", "c")) // survivor: index action
+      val idA_BC = sha(Seq("a", "b_c")) // deleted: delete action
+      assert(idAB_c != idA_BC)
+      val lines = es.lines
+      val indexActions = lines.filter(_.contains(""""index":"""))
+      val deleteActions = lines.filter(_.contains(""""delete":"""))
+      assert(indexActions.size == 1 && deleteActions.size == 1,
+        s"got:\n${lines.mkString("\n")}")
+      assert(indexActions.head.contains(s""""_id":"$idAB_c""""),
+        s"index action targeted the wrong doc: ${indexActions.head}")
+      assert(deleteActions.head.contains(s""""_id":"$idA_BC""""),
+        s"delete action targeted the wrong doc: ${deleteActions.head}")
+    } finally es.stop()
+  }
+
   test("bulkPublish chunks at actionsPerBulk and counts actions, not " +
     "lines") {
     val es = new EsFixture
