@@ -896,7 +896,10 @@ object GraftSql {
       case Some(url) => graft.qrep.LivePgPull.pull(sess, url,
         o("__query"), cfg.wmarkColumn, last,
         numPartitions = cfg.numPartitions,
-        rowsPerPartition = cfg.rowsPerPartition)
+        rowsPerPartition = cfg.rowsPerPartition,
+        // partition_strategy 'ntile': balanced ROW counts on a skewed
+        // watermark (the reference's NTILE bucket partitioner)
+        strategy = o.getOrElse("partition_strategy", "uniform"))
       case None => sess.sql(bound)
     }
     val moved = new graft.qrep.QRepRunner(sess, cfg).runOnce(source)

@@ -84,7 +84,18 @@ object LivePgPull {
         * (nexus/analyzer/src/qrep.rs), which is the one that scales:
         * a fixed count under-splits a catch-up round and over-splits
         * an idle one. */
-      rowsPerPartition: Option[Long] = None): DataFrame = {
+      rowsPerPartition: Option[Long] = None,
+      /** "uniform" (default) splits the [min, max] VALUE range evenly
+        * — one cheap min/max probe, but a skewed watermark
+        * concentrates a round's rows on one connection. "ntile" runs
+        * the reference's NTILE bucket probe
+        * (flow/connectors/postgres/qrep_partition.go:38-79) inside
+        * the round's snapshot: per-bucket min/max boundaries balance
+        * ROW counts regardless of value skew, at the cost of one
+        * window sort over the increment on the server. Boundaries
+        * are chained (+1) so rows whose watermark ties across a
+        * bucket edge pull exactly once. */
+      strategy: String = "uniform"): DataFrame = {
     val ep = CaptureEndpoint.parse(url)
     val (openLo, openHi) = openRange(template, last)
     val boundFull = bind(template, openLo, openHi)
@@ -113,36 +124,65 @@ object LivePgPull {
       val (lo, hi, n) = (mm(0).map(_.toLong).getOrElse(0L),
         mm(1).map(_.toLong).getOrElse(0L),
         mm(2).map(_.toLong).getOrElse(0L))
-      afterExportHook()
-      if (n == 0)
-        return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      val parts = rowsPerPartition match {
+      val parts = math.max(1, math.min(rowsPerPartition match {
         case Some(rpp) => math.min(
           (n + rpp - 1) / math.max(1L, rpp), 4096L).toInt
         case None => numPartitions
-      }
-      pullRanges(spark, url, template, schema, lo, hi, n, parts, snap)
+      }, math.min(math.max(n, 1L), Int.MaxValue.toLong).toInt))
+      val ranges: Seq[(Long, Long)] =
+        if (n == 0) Nil
+        else strategy match {
+          case "ntile" =>
+            // per-bucket [min, max] boundaries, computed inside the
+            // holder's snapshot — balanced by ROW COUNT
+            val buckets = holder.query(
+              s"SELECT min(_graft_w), max(_graft_w) FROM (" +
+                s"SELECT ntile($parts) OVER (ORDER BY $wmLong) " +
+                s"AS _graft_b, $wmLong AS _graft_w " +
+                s"FROM ($boundFull) _graft_q) _graft_t " +
+                "GROUP BY _graft_b ORDER BY 1").rows
+              .map(r => (r(0).get.toLong, r(1).get.toLong))
+            // chain starts past the previous end: NTILE splits ROWS,
+            // so a tied watermark can straddle two buckets — the +1
+            // keeps boundary ties pulling exactly once
+            var prev = 0L
+            var first = true
+            buckets.flatMap { case (s0, e) =>
+              val s1 = if (first) s0 else math.max(s0, prev + 1)
+              first = false
+              if (s1 > e && prev >= e) None
+              else { prev = e; Some((s1, e)) }
+            }
+          case "uniform" =>
+            uniformRanges(lo, hi, parts)
+          case other => throw new IllegalArgumentException(
+            s"unknown partition strategy '$other' (uniform|ntile)")
+        }
+      afterExportHook()
+      if (ranges.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      pullRanges(spark, url, template, schema, ranges, snap)
     } finally holder.close() // releases the exported snapshot
   }
 
-  private def pullRanges(spark: SparkSession, url: String,
-      template: String, schema: org.apache.spark.sql.types.StructType,
-      lo: Long, hi: Long, n: Long, numPartitions: Int,
-      snapshotName: String): DataFrame = {
-
-    // uniform inclusive sub-ranges over [lo, hi]
-    val parts = math.max(1, math.min(numPartitions,
-      math.min(n, Int.MaxValue.toLong).toInt))
+  /** Uniform inclusive sub-ranges over the [lo, hi] VALUE span —
+    * ceil-split without Long overflow. */
+  private[qrep] def uniformRanges(lo: Long, hi: Long,
+      parts: Int): Seq[(Long, Long)] = {
     val step = math.max(1L,
-      // ceil((hi - lo + 1) / parts) without Long overflow on the span
       ((BigInt(hi) - BigInt(lo) + 1 + parts - 1) / parts).toLong)
-    val ranges = (0 until parts).map { i =>
+    (0 until parts).map { i =>
       val rlo = BigInt(lo) + BigInt(step) * i
       val rhi = if (i == parts - 1) BigInt(hi)
         else (rlo + step - 1).min(BigInt(hi))
       (rlo.toLong, rhi.toLong)
     }.filter { case (a, b) => a <= b }
+  }
+
+  private def pullRanges(spark: SparkSession, url: String,
+      template: String, schema: org.apache.spark.sql.types.StructType,
+      ranges: Seq[(Long, Long)], snapshotName: String): DataFrame = {
 
     val tmpl = template
     val urlSer = url

@@ -344,6 +344,118 @@ object WireServers {
     sess
   }
 
+  // ------------------------------------------------- MySQL query server
+
+  final case class MysqlCol(name: String, colType: Int,
+      flags: Int = 0, decimals: Int = 0, length: Long = 20)
+  final case class MysqlAnswer(cols: Seq[MysqlCol],
+      rows: Seq[Seq[Option[String]]])
+  /** OK-packet answer (SET/DML). */
+  val MysqlOk: MysqlAnswer = MysqlAnswer(Nil, Nil)
+
+  /** Serve CONCURRENT MySQL query sessions (handshake v10 +
+    * native-password auth, then COM_QUERY → `handler`), protocol-41
+    * classic resultset framing (definitions, EOF, rows, EOF). Runs
+    * until the listener closes — live QRep opens one probe connection
+    * plus one per partition in parallel. */
+  def serveMysqlQuery(server: ServerSocket, password: String,
+      handler: String => MysqlAnswer): Unit = {
+    import MysqlWire._
+    def lencW(w: Wtr, v: Long): Wtr =
+      if (v < 251) w.u8(v.toInt)
+      else if (v < 65536) w.u8(0xFC).u16(v.toInt)
+      else w.u8(0xFD).u8(v.toInt).u8((v >> 8).toInt).u8((v >> 16).toInt)
+    def lencStrW(w: Wtr, s: String): Wtr = {
+      val b = s.getBytes("UTF-8")
+      lencW(w, b.length.toLong).raw(b)
+    }
+    def handle(c: java.net.Socket): Unit = {
+      val in = new DataInputStream(
+        new BufferedInputStream(c.getInputStream))
+      val out = c.getOutputStream
+      val caps = (ClientLongPassword | ClientProtocol41 |
+        ClientSecureConnection | ClientPluginAuth |
+        ClientConnectWithDb).toLong
+      writePacket(out, 0, new Wtr()
+        .u8(10).cstr("8.0.36-fixture").u32(7L)
+        .raw(MysqlScramble.take(8)).u8(0)
+        .u16((caps & 0xFFFF).toInt).u8(45).u16(2)
+        .u16(((caps >> 16) & 0xFFFF).toInt)
+        .u8(21).zeros(10)
+        .raw(MysqlScramble.drop(8)).u8(0)
+        .cstr(NativePassword).bytes)
+      val (_, resp) = readPacket(in).get
+      val r = new R(resp)
+      r.u32(); r.u32(); r.u8(); r.bytes(23)
+      r.cstring() // username
+      val token = r.bytes(r.u8())
+      if (!java.util.Arrays.equals(token,
+          scramble411(password, MysqlScramble))) {
+        writePacket(out, 2, new Wtr()
+          .u8(0xFF).u16(1045).u8('#').str("28000")
+          .str("Access denied").bytes)
+        return
+      }
+      writePacket(out, 2, new Wtr()
+        .u8(0x00).u8(0).u8(0).u16(2).u16(0).bytes)
+      var open = true
+      while (open) readPacket(in) match {
+        case None => open = false
+        case Some((_, p)) if p.isEmpty => ()
+        case Some((_, p)) => (p(0) & 0xFF) match {
+          case 0x03 =>
+            val sql = new String(p, 1, p.length - 1, "UTF-8")
+            val a = handler(sql)
+            var seq = 1
+            def send(b: Array[Byte]): Unit = {
+              writePacket(out, seq, b); seq += 1
+            }
+            if (a.cols.isEmpty)
+              send(new Wtr().u8(0x00).u8(0).u8(0).u16(2).u16(0).bytes)
+            else {
+              send(lencW(new Wtr(), a.cols.size.toLong).bytes)
+              a.cols.foreach { col =>
+                val w = new Wtr()
+                lencStrW(w, "def")
+                lencStrW(w, ""); lencStrW(w, "t"); lencStrW(w, "t")
+                lencStrW(w, col.name); lencStrW(w, col.name)
+                lencW(w, 0x0c)
+                w.u16(45).u32(col.length).u8(col.colType)
+                  .u16(col.flags).u8(col.decimals).u16(0)
+                send(w.bytes)
+              }
+              send(new Wtr().u8(0xFE).u16(0).u16(2).bytes) // EOF
+              a.rows.foreach { row =>
+                val w = new Wtr()
+                row.foreach {
+                  case None => w.u8(0xFB)
+                  case Some(v) => lencStrW(w, v)
+                }
+                send(w.bytes)
+              }
+              send(new Wtr().u8(0xFE).u16(0).u16(2).bytes) // EOF
+            }
+          case 0x01 => open = false
+          case _ => ()
+        }
+      }
+    }
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val c = server.accept()
+        val t = new Thread(() => {
+          try handle(c)
+          catch { case _: Throwable => () }
+          finally { try c.close() catch { case _: Throwable => () } }
+        })
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () } // listener closed: done
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+
   // --------------------------------------------------------------- Mongo
 
   final class MongoSession {

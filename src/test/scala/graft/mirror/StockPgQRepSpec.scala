@@ -300,6 +300,52 @@ class StockPgQRepSpec extends SparkSpec {
     run("DROP MIRROR lq5"); run("DROP PEER upsrc"); run("DROP PEER updst")
   }
 
+  test("NTILE partition strategy balances a SKEWED watermark: " +
+    "per-partition row counts within 2x (uniform split would put " +
+    "~everything on one connection), boundary ties pull exactly once") {
+    val s = srv
+    s.psql("CREATE TABLE public.qsk (id bigint PRIMARY KEY, wm bigint)")
+    // 900 rows crammed into wm [77,900] plus 100 rows out at [10M..]:
+    // a uniform 4-way split of the value span puts 900+0+0+100 on
+    // the connections; NTILE targets 250 rows each. 300 rows TIE on
+    // wm=77, so the first bucket boundary (row 250) lands INSIDE the
+    // tie run — the chained ranges must still pull each row once.
+    s.psql("""INSERT INTO public.qsk
+      SELECT g, CASE WHEN g <= 300 THEN 77 WHEN g <= 900 THEN g
+                     ELSE 10000000 + g END
+      FROM generate_series(1, 1000) g""")
+
+    val url = s"pg://postgres@127.0.0.1:${s.port}/postgres"
+    val df = graft.qrep.LivePgPull.pull(spark, url,
+      "SELECT id, wm FROM public.qsk " +
+        "WHERE wm BETWEEN {{.start}} AND {{.end}}",
+      "wm", last = None, numPartitions = 4, strategy = "ntile")
+    // exactly once, ties included
+    assert(df.count() == 1000)
+    assert(df.select("id").distinct().count() == 1000)
+    val sizes = df.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().map(_._2).filter(_ > 0)
+    assert(sizes.sum == 1000)
+    assert(sizes.max <= 2 * sizes.min,
+      s"ntile partitions unbalanced: ${sizes.mkString(",")}")
+
+    // uniform on the same data concentrates the round (the contrast
+    // that motivates the strategy)
+    val uni = graft.qrep.LivePgPull.pull(spark, url,
+      "SELECT id, wm FROM public.qsk " +
+        "WHERE wm BETWEEN {{.start}} AND {{.end}}",
+      "wm", last = None, numPartitions = 4, strategy = "uniform")
+    val uniSizes = uni.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().map(_._2)
+    assert(uniSizes.sum == 1000)
+    assert(uniSizes.max == 900, s"expected the dense block on one " +
+      s"uniform partition, got ${uniSizes.mkString(",")}")
+
+    s.psql("DROP TABLE public.qsk")
+  }
+
   test("overwrite is ATOMIC on a live destination: a round that dies " +
     "mid-COPY rolls back and leaves the PREVIOUS snapshot intact " +
     "(truncate+copy commit together)") {

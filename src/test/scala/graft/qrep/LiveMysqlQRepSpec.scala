@@ -1,0 +1,175 @@
+package graft.qrep
+
+import java.net.ServerSocket
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.cdc.WireServers
+import graft.cdc.WireServers.{MysqlAnswer, MysqlCol, MysqlOk}
+import graft.mirror.GraftSql
+
+/** LIVE MySQL QRep over the wire ([[LiveMysqlPull]] +
+  * [[MysqlClient]]) against a protocol-41 fixture server (no mysqld
+  * in this environment; the PG twin of this path is pinned against
+  * stock PostgreSQL, and the protocol codec here is exercised
+  * byte-for-byte: handshake, auth, COM_QUERY, classic resultset
+  * framing, length-encoded cells, 0xFB NULLs, 16 MB-split packets by
+  * construction of readFullPacket). Mirrors the reference's MySQL
+  * QRep (flow/connectors/mysql/qrep.go: min/max range discovery +
+  * per-partition bound pulls). */
+class LiveMysqlQRepSpec extends SparkSpec {
+
+  private def run(sql: String) = GraftSql.execute(spark,
+    GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+
+  private val Between = "BETWEEN (-?\\d+) AND (-?\\d+)".r
+  private val IntervalUs = "INTERVAL (-?\\d+) MICROSECOND".r
+
+  test("integer watermark through the DDL: full + idle + incremental " +
+    "rounds, each bound query running on the fixture server; " +
+    "destination checksum equals the source") {
+    val listener = new ServerSocket(0)
+    // the in-memory "table": (id, wm, v)
+    @volatile var table: Seq[(Long, Long, String)] =
+      (1L to 1000L).map(i => (i, i, s"p-$i"))
+    val cols = Seq(
+      MysqlCol("id", MysqlClient.TypeLongLong),
+      MysqlCol("wm", MysqlClient.TypeLongLong),
+      MysqlCol("v", 0xFD)) // VAR_STRING
+    def filtered(sql: String): Seq[(Long, Long, String)] =
+      Between.findFirstMatchIn(sql) match {
+        case Some(m) =>
+          val (lo, hi) = (m.group(1).toLong, m.group(2).toLong)
+          table.filter(r => r._2 >= lo && r._2 <= hi)
+        case None => table
+      }
+    WireServers.serveMysqlQuery(listener, "pw", { sql =>
+      if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      else if (sql.contains("MIN(")) {
+        val f = filtered(sql)
+        MysqlAnswer(
+          Seq(MysqlCol("mn", MysqlClient.TypeLongLong),
+            MysqlCol("mx", MysqlClient.TypeLongLong),
+            MysqlCol("n", MysqlClient.TypeLongLong)),
+          Seq(Seq(
+            if (f.isEmpty) None else Some(f.map(_._2).min.toString),
+            if (f.isEmpty) None else Some(f.map(_._2).max.toString),
+            Some(f.size.toString))))
+      } else MysqlAnswer(cols, filtered(sql).map(r =>
+        Seq(Some(r._1.toString), Some(r._2.toString), Some(r._3))))
+    })
+    try {
+      val base = tmpDir("livemysqlqrep")
+      run(s"CREATE PEER mqsrc TYPE mysql OPTIONS (" +
+        s"url 'mysql://root:pw@127.0.0.1:${listener.getLocalPort}/db')")
+      run(s"CREATE PEER mqdst TYPE parquet OPTIONS (dir '$base/dst')")
+      run("CREATE MIRROR mq1 FROM mqsrc TO mqdst FOR " +
+        "$$ SELECT id, wm, v FROM t WHERE wm BETWEEN {{.start}} AND " +
+        "{{.end}} $$ " +
+        "WITH (watermark_column 'wm', source_table 't', " +
+        s"dest_dir '$base/dest', num_partitions '3')")
+
+      assert(run("EXECUTE MIRROR mq1").head.getLong(0) == 1000L)
+      assert(run("EXECUTE MIRROR mq1").head.getLong(0) == 0L) // idle
+
+      table = table ++ (1001L to 1050L).map(i => (i, i, s"p-$i"))
+      assert(run("EXECUTE MIRROR mq1").head.getLong(0) == 50L)
+
+      val rows = spark.read.parquet(s"$base/dest")
+        .orderBy("id").collect()
+      assert(rows.length == 1050)
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq == table.sortBy(_._1))
+
+      run("DROP MIRROR mq1"); run("DROP PEER mqsrc")
+      run("DROP PEER mqdst")
+    } finally listener.close()
+  }
+
+  test("timestamp watermark: INTERVAL-MICROSECOND bounds are exact at " +
+    "sub-second spacing (no re-pull, no miss), DATETIME/DECIMAL/NULL " +
+    "cells decode typed, rows-per-partition drives the slice count") {
+    val listener = new ServerSocket(0)
+    val t0 = 1709251200000000L // 2024-03-01T00:00:00Z µs
+    // (k, micros, amt, v) — 250 ms spacing, one NULL v
+    @volatile var table: Seq[(Long, Long, String, Option[String])] =
+      (0L until 100L).map(k =>
+        (k, t0 + k * 250000L, s"${k}.25",
+          if (k == 7) None else Some(s"v$k")))
+    val cols = Seq(
+      MysqlCol("k", MysqlClient.TypeLongLong),
+      MysqlCol("updated_at", MysqlClient.TypeDatetime,
+        decimals = 6, length = 26),
+      MysqlCol("amt", MysqlClient.TypeNewDecimal,
+        decimals = 2, length = 12), // → DECIMAL(10,2)
+      MysqlCol("v", 0xFD))
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def tsText(us: Long): String = tsFmt.format(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000))
+    def filtered(sql: String): Seq[(Long, Long, String, Option[String])] =
+      IntervalUs.findAllMatchIn(sql).map(_.group(1).toLong).toSeq match {
+        case Seq(lo, hi) => table.filter(r => r._2 >= lo && r._2 <= hi)
+        case _ => table
+      }
+    WireServers.serveMysqlQuery(listener, "", { sql =>
+      if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      else if (sql.contains("MIN(")) {
+        val f = filtered(sql)
+        MysqlAnswer(
+          Seq(MysqlCol("mn", MysqlClient.TypeLongLong),
+            MysqlCol("mx", MysqlClient.TypeLongLong),
+            MysqlCol("n", MysqlClient.TypeLongLong)),
+          Seq(Seq(
+            if (f.isEmpty) None else Some(f.map(_._2).min.toString),
+            if (f.isEmpty) None else Some(f.map(_._2).max.toString),
+            Some(f.size.toString))))
+      } else MysqlAnswer(cols, filtered(sql).map(r =>
+        Seq(Some(r._1.toString), Some(tsText(r._2)), Some(r._3), r._4)))
+    })
+    try {
+      val url = s"mysql://root@127.0.0.1:${listener.getLocalPort}/db"
+      val template = "SELECT k, updated_at, amt, v FROM t2 WHERE " +
+        "updated_at BETWEEN {{.start_ts}} AND {{.end_ts}}"
+
+      val df = LiveMysqlPull.pull(spark, url, template, "updated_at",
+        last = None, numPartitions = 3)
+      assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+        Seq("k" -> "bigint", "updated_at" -> "timestamp",
+          "amt" -> "decimal(10,2)", "v" -> "string"))
+      assert(df.count() == 100)
+      val got = df.selectExpr("k", "unix_micros(updated_at) AS us",
+        "CAST(amt * 100 AS BIGINT) AS cents", "v")
+        .orderBy("k").collect()
+      assert(got.forall(r =>
+        r.getLong(1) == t0 + r.getLong(0) * 250000L))
+      assert(got.forall(r => r.getLong(2) == r.getLong(0) * 100 + 25))
+      assert(got(7).isNullAt(3) && got(8).getString(3) == "v8")
+
+      // incremental from the exact stored-watermark image: rows
+      // continuing INSIDE the last second arrive once, nothing re-pulls
+      val lastWm = Partitioner.wmarkLong(df, "updated_at")
+      val last = df.agg(org.apache.spark.sql.functions.max(lastWm))
+        .head.getLong(0)
+      assert(last == t0 + 99 * 250000L)
+      table = table ++ (100L until 140L).map(k =>
+        (k, t0 + k * 250000L, s"${k}.25", Some(s"v$k")))
+      val inc = LiveMysqlPull.pull(spark, url, template, "updated_at",
+        last = Some(last), numPartitions = 3)
+      assert(inc.count() == 40)
+      assert(inc.agg(org.apache.spark.sql.functions
+        .min(col("k"))).head.getLong(0) == 100L)
+
+      // rows-per-partition sizing: ceil(140 / 20) = 7 range slices
+      val sized = LiveMysqlPull.pull(spark, url, template,
+        "updated_at", last = None, rowsPerPartition = Some(20L))
+      assert(sized.count() == 140)
+      assert(sized.rdd.getNumPartitions == 7)
+    } finally listener.close()
+  }
+}
