@@ -243,66 +243,47 @@ object MongoWire {
   * catalog-persisted token. Authentication: deployments without
   * auth connect directly; a SCRAM handshake would precede `hello`
   * and change nothing below it. */
-final class MongoSocketSource(host: String, port: Int,
-    database: String = "app",
+/** One live OP_MSG session (dial/TLS, `hello`, optional
+  * SCRAM-SHA-256) with a request/reply [[call]] — the connection
+  * plumbing shared by the change-stream source
+  * ([[MongoSocketSource]]) and live QRep find pulls
+  * ([[graft.qrep.LiveMongoPull]]). Auth: saslStart/saslContinue
+  * against `authSource`, RFC 7677 over the same [[PgWire.Scram]]
+  * exchange the pg client uses — MongoDB's SHA-256 variant salts the
+  * PLAIN password, unlike SHA-1's md5 digest, so the exchanges are
+  * identical. */
+final class MongoSession(host: String, port: Int,
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
     ssl: Option[javax.net.ssl.SSLContext] = None,
     dial: Ssh.Dial = Ssh.tcpDial,
-    /** Non-empty user enables SCRAM-SHA-256 (`saslStart` /
-      * `saslContinue` against `authSource`, RFC 7677 over the same
-      * [[PgWire.Scram]] exchange the pg client uses — MongoDB's
-      * SHA-256 variant salts the PLAIN password, unlike SHA-1's md5
-      * digest, so the exchanges are identical). */
     user: String = "",
     password: String = "",
-    authSource: String = "admin")
-  extends Wire.MongoSource {
+    authSource: String = "admin") extends AutoCloseable {
 
   import MongoWire._
 
   private var sock: Option[Socket] = None
+  private var in: DataInputStream = _
+  private var out: java.io.OutputStream = _
   private var reqId = 0
 
-  override def changes(pipelineJson: String,
-      resume: Option[(String, String)])
-      : Iterator[(String, Array[Byte])] = {
-    close() // looping pulls must not leak the previous connection
+  def connect(): MongoSession = {
     // dial through the transport seam (direct TCP or an SSH tunnel).
-    // A wedged server must never hang the capture pump (each getMore
-    // answers promptly; the drain shape never tails an idle cursor)
     val s = dial(host, port, connectTimeoutMs)
     s.setSoTimeout(readTimeoutMs)
-    // track the raw socket first: a failed TLS handshake must still be
-    // closeable. MongoDB TLS wraps the whole connection from the first
-    // byte — there is no in-protocol upgrade negotiation.
+    // track the raw socket first: a failed TLS handshake must still
+    // be closeable. MongoDB TLS wraps the whole connection from the
+    // first byte — there is no in-protocol upgrade negotiation.
     sock = Some(s)
     val active: java.net.Socket = ssl match {
       case Some(ctx) => Tls.clientUpgrade(s, host, port, ctx)
       case None => s
     }
     sock = Some(active)
-    val in = new DataInputStream(
+    in = new DataInputStream(
       new BufferedInputStream(active.getInputStream))
-    val out = active.getOutputStream
-
-    def call(doc: Array[Byte]): Array[Byte] = {
-      reqId += 1
-      writeMsg(out, reqId, 0, doc)
-      val (_, _, reply) = readMsg(in).getOrElse(
-        throw new EOFException("mongo: EOF awaiting reply"))
-      field(reply, "ok") match {
-        case Some((t, v)) // 0x01 = BSON double tag
-            if t == 0x01 &&
-              java.lang.Double.longBitsToDouble(int64Of(v)) == 1.0 =>
-          reply
-        case _ =>
-          val err = field(reply, "errmsg")
-            .map { case (_, v) => stringOf(v) }.getOrElse("(no errmsg)")
-          throw new java.io.IOException(
-            s"mongo error from $host:$port: $err")
-      }
-    }
+    out = active.getOutputStream
 
     call(Bson.encode("hello" -> BInt32(1), "$db" -> BString("admin")))
 
@@ -355,6 +336,63 @@ final class MongoSocketSource(host: String, port: Int,
           "mongo: sasl conversation did not complete")
       }
     }
+    this
+  }
+
+  /** One command round trip; raises on `ok != 1` with the server's
+    * errmsg. */
+  def call(doc: Array[Byte]): Array[Byte] = {
+    reqId += 1
+    writeMsg(out, reqId, 0, doc)
+    val (_, _, reply) = readMsg(in).getOrElse(
+      throw new EOFException("mongo: EOF awaiting reply"))
+    field(reply, "ok") match {
+      case Some((t, v)) // 0x01 = BSON double tag
+          if t == 0x01 &&
+            java.lang.Double.longBitsToDouble(int64Of(v)) == 1.0 =>
+        reply
+      case _ =>
+        val err = field(reply, "errmsg")
+          .map { case (_, v) => stringOf(v) }.getOrElse("(no errmsg)")
+        throw new java.io.IOException(
+          s"mongo error from $host:$port: $err")
+    }
+  }
+
+  override def close(): Unit = {
+    sock.foreach(_.close())
+    sock = None
+  }
+}
+
+final class MongoSocketSource(host: String, port: Int,
+    database: String = "app",
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 60000,
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    dial: Ssh.Dial = Ssh.tcpDial,
+    /** Non-empty user enables SCRAM-SHA-256 against `authSource` —
+      * see [[MongoSession]]. */
+    user: String = "",
+    password: String = "",
+    authSource: String = "admin")
+  extends Wire.MongoSource {
+
+  import MongoWire._
+
+  private var session: Option[MongoSession] = None
+
+  override def changes(pipelineJson: String,
+      resume: Option[(String, String)])
+      : Iterator[(String, Array[Byte])] = {
+    close() // looping pulls must not leak the previous connection
+    // A wedged server must never hang the capture pump (each getMore
+    // answers promptly; the drain shape never tails an idle cursor)
+    val sess = new MongoSession(host, port, connectTimeoutMs,
+      readTimeoutMs, ssl, dial, user, password, authSource)
+    session = Some(sess)
+    sess.connect()
+    def call(doc: Array[Byte]): Array[Byte] = sess.call(doc)
 
     val stages = parseJson(pipelineJson) match {
       case BArray(items) => items
@@ -424,7 +462,7 @@ final class MongoSocketSource(host: String, port: Int,
   override def ack(resumeTokenHex: String): Unit = ()
 
   override def close(): Unit = {
-    sock.foreach(_.close())
-    sock = None
+    session.foreach(_.close())
+    session = None
   }
 }

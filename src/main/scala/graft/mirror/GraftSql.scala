@@ -518,7 +518,8 @@ object GraftSql {
       captureDir: Option[String]): Boolean =
     o.get("snapshot_source").isEmpty &&
       captureDir.exists(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
-        graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
+        Seq("pgwire", "mysql").contains(
+          graft.cdc.CaptureEndpoint.parse(u).scheme))
 
   private def snapshotPhase(spark: SparkSession,
       o: Map[String, String], cfg: MirrorConfig,
@@ -544,8 +545,15 @@ object GraftSql {
         val nParts = o.get("snapshot_num_partitions_override")
           .map(_.toInt).getOrElse(0)
         val rpp = o.get("snapshot_num_rows_per_partition").map(_.toLong)
-        val runner = SnapshotFlow.initialLoad(spark, cfg, nParts, rpp,
-          recreateSlot = recreateSlot)
+        val scheme = graft.cdc.CaptureEndpoint
+          .parse(cfg.captureDir.get).scheme
+        val runner =
+          if (scheme == "mysql")
+            // MySQL handoff: binlog position captured+persisted before
+            // the reads, stream replays the overlap idempotently
+            MysqlSnapshotFlow.initialLoad(spark, cfg, nParts, rpp)
+          else SnapshotFlow.initialLoad(spark, cfg, nParts, rpp,
+            recreateSlot = recreateSlot)
         graft.util.FsText.write(marker, "0", hc)
         val rows =
           if (cfg.warehouseUrl.isEmpty) runner.destination().count()
@@ -766,14 +774,19 @@ object GraftSql {
   /** QRep option validation at DDL time (the analyzer's role,
     * nexus/analyzer/src/qrep.rs:20-90): required keys present, the
     * watermark template actually in the query, upsert has its key. */
-  private def validateQRep(q: String, o: Map[String, String]): Unit = {
+  private def validateQRep(q: String, o: Map[String, String],
+      /** false for document-store sources (mongo://): the pull is a
+        * find() over `_id` ranges, not a bound SQL template — the
+        * reference likewise auto-generates the query for mongo
+        * peers. */
+      requireTemplate: Boolean = true): Unit = {
     Seq("watermark_column", "source_table", "dest_dir").foreach { k =>
       if (!o.contains(k)) throw new IllegalArgumentException(
         s"CREATE MIRROR (QRep): missing '$k'")
     }
     val hasLong = q.contains("{{.start}}") && q.contains("{{.end}}")
     val hasTs = q.contains("{{.start_ts}}") && q.contains("{{.end_ts}}")
-    if (!hasLong && !hasTs)
+    if (requireTemplate && !hasLong && !hasTs)
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): query must carry the {{.start}}/{{.end}} " +
           "(or {{.start_ts}}/{{.end_ts}} for timestamp watermarks) " +
@@ -819,7 +832,7 @@ object GraftSql {
     // the bound query runs over locally.
     val liveUrl = srcPeer.options.get("url")
       .filter(u => u.startsWith("pg://") || u.startsWith("pgwire://") ||
-        u.startsWith("mysql://"))
+        u.startsWith("mysql://") || u.startsWith("mongo://"))
     if (liveUrl.isEmpty) {
       val srcDir = srcPeer.options.getOrElse("dir",
         throw new IllegalArgumentException(
@@ -841,6 +854,30 @@ object GraftSql {
     if (copyOnly &&
         graft.util.FsText.read(doneMarker, hc).isDefined)
       return Seq(Row(0L))
+    // MongoDB source (`url 'mongo://…'`): QRep is FULL-LOAD shaped —
+    // the watermark is `_id`, resume-from-last is unsupported
+    // (flow/connectors/mongo/qrep.go:37), so each EXECUTE is a full
+    // refresh of `source_table` ("db.collection") into the parquet
+    // destination; `initial_copy_only` makes it one-shot. The FOR
+    // query is not SQL against a document store and is ignored, as
+    // the reference auto-generates it for mongo peers.
+    srcPeer.options.get("url")
+        .filter(_.startsWith("mongo://")) match {
+      case Some(mongoUrl) =>
+        val df = graft.qrep.LiveMongoPull.pull(sess, mongoUrl,
+          o("source_table"),
+          numPartitions =
+            o.get("num_partitions").map(_.toInt).getOrElse(4),
+          rowsPerPartition =
+            o.get("num_rows_per_partition").map(_.toLong))
+        val n = df.count()
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(destDir)
+        if (copyOnly)
+          graft.util.FsText.write(doneMarker, "complete", hc)
+        return Seq(Row(n))
+      case None => ()
+    }
     val mode = o.getOrElse("mode", "append") match {
       case "append" => graft.qrep.WriteMode.Append
       case "overwrite" => graft.qrep.WriteMode.Overwrite
@@ -1192,9 +1229,12 @@ object GraftSql {
           Row(parts(0), if (parts.length > 1) parts(1) else "")
         }
     case CreateQRepMirror(n, src, dst, q, o) =>
-      validateQRep(q, o) // fail the DDL, not the first EXECUTE
-      peersFor(spark).get(src) // both peers must exist
+      val srcPeerDef = peersFor(spark).get(src) // both peers must exist
       peersFor(spark).get(dst)
+      // fail the DDL, not the first EXECUTE; mongo sources have no
+      // SQL template to validate (find() over _id ranges)
+      validateQRep(q, o, requireTemplate = !srcPeerDef.options
+        .get("url").exists(_.startsWith("mongo://")))
       mirrorsFor(spark).create(Peer(n, "qrep", o ++ Map(
         "__query" -> q, "__source_peer" -> src, "__dest_peer" -> dst)))
       Nil

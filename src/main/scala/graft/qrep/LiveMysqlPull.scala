@@ -117,6 +117,44 @@ object LiveMysqlPull {
     pullRanges(spark, url, template, schema, lo, hi, n, parts)
   }
 
+  /** Executor-side: one bound query's rows, streamed off the socket
+    * and parsed to the given types — O(row) memory, connection closed
+    * at exhaustion (and at task end via the completion listener). */
+  private def rowsOf(url: String, sql: String,
+      fieldTypes: Array[org.apache.spark.sql.types.DataType])
+      : Iterator[Row] = {
+    val c = MysqlClients.connect(url)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null)
+      tc.addTaskCompletionListener[Unit](_ => c.close())
+    try {
+      val cur = c.queryCursor(sql)
+      val rows = cur.map { cells =>
+        Row.fromSeq(cells.zipWithIndex.map { case (v, i) =>
+          v.map(MysqlClient.parseValue(fieldTypes(i), _)).orNull
+        })
+      }
+      rows ++ { c.close(); Iterator.empty }
+    } catch { case e: Throwable => c.close(); throw e }
+  }
+
+  /** One UNPARTITIONED scan of `sql` — the fallback when no numeric
+    * partition key exists (the reference's FullTablePartition). The
+    * single executor task streams the cursor; schema from a LIMIT 0
+    * probe. */
+  def scan(spark: SparkSession, url: String, sql: String): DataFrame = {
+    val probe = MysqlClients.connect(CaptureEndpoint.parse(url))
+    val schema =
+      try MysqlClient.schemaOf(probe.query(
+        s"SELECT * FROM ($sql) _graft_q LIMIT 0").columns)
+      finally probe.close()
+    val urlSer = url
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rdd = spark.sparkContext.parallelize(Seq(sql), 1)
+      .mapPartitions(_.flatMap(q => rowsOf(urlSer, q, fieldTypes)))
+    spark.createDataFrame(rdd, schema).localCheckpoint()
+  }
+
   private def pullRanges(spark: SparkSession, url: String,
       template: String, schema: org.apache.spark.sql.types.StructType,
       lo: Long, hi: Long, n: Long, numPartitions: Int): DataFrame = {
@@ -138,25 +176,9 @@ object LiveMysqlPull {
     val urlSer = url
     val fieldTypes = schema.fields.map(_.dataType)
     val rowRdd = spark.sparkContext.parallelize(ranges, ranges.size)
-      .mapPartitions { it =>
-        it.flatMap { case (rlo, rhi) =>
-          val c = MysqlClients.connect(urlSer)
-          val tc = org.apache.spark.TaskContext.get()
-          if (tc != null)
-            tc.addTaskCompletionListener[Unit](_ => c.close())
-          try {
-            // rows decode LAZILY off the socket (MysqlClient
-            // .queryCursor) — per-task memory is O(row)
-            val cur = c.queryCursor(bind(tmpl, rlo, rhi))
-            val rows = cur.map { cells =>
-              Row.fromSeq(cells.zipWithIndex.map { case (v, i) =>
-                v.map(MysqlClient.parseValue(fieldTypes(i), _)).orNull
-              })
-            }
-            rows ++ { c.close(); Iterator.empty }
-          } catch { case e: Throwable => c.close(); throw e }
-        }
-      }
+      .mapPartitions(_.flatMap { case (rlo, rhi) =>
+        rowsOf(urlSer, bind(tmpl, rlo, rhi), fieldTypes)
+      })
     spark.createDataFrame(rowRdd, schema).localCheckpoint()
   }
 }

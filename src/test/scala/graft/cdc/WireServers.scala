@@ -359,7 +359,12 @@ object WireServers {
     * until the listener closes — live QRep opens one probe connection
     * plus one per partition in parallel. */
   def serveMysqlQuery(server: ServerSocket, password: String,
-      handler: String => MysqlAnswer): Unit = {
+      handler: String => MysqlAnswer,
+      /** When set, the fixture also answers COM_REGISTER_SLAVE /
+        * COM_BINLOG_DUMP — streaming these events then EOF — so ONE
+        * server can serve a full snapshot→CDC handoff (query reads +
+        * binlog stream on the same endpoint, like a real mysqld). */
+      dumpEvents: () => Seq[Array[Byte]] = () => Nil): Unit = {
     import MysqlWire._
     def lencW(w: Wtr, v: Long): Wtr =
       if (v < 251) w.u8(v.toInt)
@@ -435,6 +440,17 @@ object WireServers {
               }
               send(new Wtr().u8(0xFE).u16(0).u16(2).bytes) // EOF
             }
+          case 0x15 => // COM_REGISTER_SLAVE
+            writePacket(out, 1, new Wtr()
+              .u8(0x00).u8(0).u8(0).u16(2).u16(0).bytes)
+          case 0x12 => // COM_BINLOG_DUMP
+            var seq = 1
+            dumpEvents().foreach { ev =>
+              writePacket(out, seq, Array(0x00.toByte) ++ ev)
+              seq += 1
+            }
+            writePacket(out, seq, new Wtr()
+              .u8(0xFE).u16(0).u16(2).bytes)
           case 0x01 => open = false
           case _ => ()
         }
@@ -465,6 +481,45 @@ object WireServers {
     @volatile var kills = 0
     @volatile var authedUser = ""
     @volatile var authSourceSeen = ""
+  }
+
+  /** Serve CONCURRENT OP_MSG query sessions: every command doc goes
+    * through `handler` (first-element command name, full BSON bytes)
+    * → reply doc bytes. `hello` is answered by the fixture itself.
+    * Runs until the listener closes — live Mongo QRep opens one probe
+    * session plus one per `_id` range in parallel. */
+  def serveMongoQuery(server: ServerSocket,
+      handler: (String, Array[Byte]) => Array[Byte]): Unit = {
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val c = server.accept()
+        val t = new Thread(() => {
+          try {
+            val in = new DataInputStream(
+              new BufferedInputStream(c.getInputStream))
+            val out = c.getOutputStream
+            var open = true
+            while (open) MongoWire.readMsg(in) match {
+              case None => open = false
+              case Some((reqId, _, doc)) =>
+                val cmd = Bson.elements(doc).headOption
+                  .map(_._1).getOrElse("")
+                val reply =
+                  if (cmd == "hello") Bson.encode(
+                    "maxWireVersion" -> Bson.BInt32(17),
+                    "ok" -> Bson.BDouble(1.0))
+                  else handler(cmd, doc)
+                MongoWire.writeMsg(out, reqId + 1000, reqId, reply)
+            }
+          } catch { case _: Throwable => () }
+          finally { try c.close() catch { case _: Throwable => () } }
+        })
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => () } // listener closed: done
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
   }
 
   /** Serve `sessions.length` sequential OP_MSG change-stream sessions;

@@ -1,0 +1,153 @@
+package graft.mirror
+
+import java.net.ServerSocket
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.{MysqlBinlog, WireServers}
+import graft.cdc.WireServers.{MysqlAnswer, MysqlCol, MysqlOk}
+import graft.qrep.MysqlClient
+
+/** The MySQL snapshot→CDC handoff ([[MysqlSnapshotFlow]]) against ONE
+  * fixture server speaking both surfaces — COM_QUERY for the
+  * partitioned snapshot reads and COM_BINLOG_DUMP for the stream
+  * (like a real mysqld). Pins the reference's ordering argument
+  * (flow/connectors/mysql/cdc.go:340-382): binlog position captured
+  * and made durable BEFORE the reads, post-position churn replayed
+  * through the stream exactly once on top of the snapshot. */
+class MysqlSnapshotFlowSpec extends SparkSpec {
+
+  import MysqlBinlog._
+
+  private val Between = "BETWEEN (-?\\d+) AND (-?\\d+)".r
+
+  private val tm = TableMap(9L, "app", "t",
+    Array(ColType.LongLong, ColType.Varchar),
+    Array(0, 255), Array(false, true),
+    Seq("id", "name"), Seq(true, true))
+
+  /** The post-snapshot churn: one tx updating id=1 and inserting
+    * id=2001, committed past the captured position (4000). */
+  private def churnEvents(): Seq[Array[Byte]] = Seq(
+    encodeRotate(0L, 0L, 4L, "binlog.000002"),
+    encodeFormatDescription(1L, 4L),
+    encodeTableMap(1L, 4010L, tm),
+    encodeQuery(1L, 4020L, "app", "BEGIN"),
+    encodeRows(1L, 4030L, Ev.UpdateRowsV2, tm, Seq(
+      Seq(Some(Some(fLong(1L))), Some(Some(fVarchar("n1", 255)))),
+      Seq(Some(Some(fLong(1L))), Some(Some(fVarchar("updated", 255)))))),
+    encodeRows(1L, 4040L, Ev.WriteRowsV2, tm, Seq(
+      Seq(Some(Some(fLong(2001L))), Some(Some(fVarchar("fresh", 255)))))),
+    encodeXid(1L, 4100L, 77L))
+
+  private def queryHandler(
+      table: () => Seq[(Long, String)]): String => MysqlAnswer = {
+    val cols = Seq(
+      MysqlCol("id", MysqlClient.TypeLongLong),
+      MysqlCol("name", 0xFD))
+    sql =>
+      if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.startsWith("SHOW MASTER STATUS")) MysqlAnswer(
+        Seq(MysqlCol("File", 0xFD),
+          MysqlCol("Position", MysqlClient.TypeLongLong)),
+        Seq(Seq(Some("binlog.000002"), Some("4000"))))
+      else if (sql.contains("LIMIT 0") && !sql.contains("`name`"))
+        MysqlAnswer(cols.take(1), Nil) // numeric-pk probe
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      else if (sql.contains("MIN(")) {
+        val f = Between.findFirstMatchIn(sql) match {
+          case Some(m) => table().filter(r =>
+            r._1 >= m.group(1).toLong && r._1 <= m.group(2).toLong)
+          case None => table()
+        }
+        MysqlAnswer(
+          Seq(MysqlCol("mn", MysqlClient.TypeLongLong),
+            MysqlCol("mx", MysqlClient.TypeLongLong),
+            MysqlCol("n", MysqlClient.TypeLongLong)),
+          Seq(Seq(
+            if (f.isEmpty) None else Some(f.map(_._1).min.toString),
+            if (f.isEmpty) None else Some(f.map(_._1).max.toString),
+            Some(f.size.toString))))
+      } else {
+        val f = Between.findFirstMatchIn(sql) match {
+          case Some(m) => table().filter(r =>
+            r._1 >= m.group(1).toLong && r._1 <= m.group(2).toLong)
+          case None => table()
+        }
+        MysqlAnswer(cols, f.map(r =>
+          Seq(Some(r._1.toString), Some(r._2))))
+      }
+  }
+
+  test("full handoff: position captured before the reads, snapshot " +
+    "bootstraps at version 0, the stream replays post-position churn " +
+    "exactly once; replays are no-ops") {
+    val listener = new ServerSocket(0)
+    val rows = (1L to 1000L).map(i => (i, s"n$i"))
+    WireServers.serveMysqlQuery(listener, "pw",
+      queryHandler(() => rows), dumpEvents = () => churnEvents())
+    try {
+      val base = tmpDir("mysnap")
+      val cfg = MirrorConfig(
+        walDir = s"$base/wal", rawDir = s"$base/raw",
+        destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+        pkColumns = Seq("id"),
+        payloadSchema = StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType))),
+        destinationTable = "app.t",
+        captureDir = Some(
+          s"mysql://root:pw@127.0.0.1:${listener.getLocalPort}"))
+
+      val runner = MysqlSnapshotFlow.initialLoad(spark, cfg,
+        rowsPerPartition = Some(250L))
+      // the offset was durable BEFORE the reads
+      assert(graft.util.FsText.read(s"$base/ckpt/_capture_offset",
+        spark.sparkContext.hadoopConfiguration)
+        .contains("binlog.000002:4000"))
+      val snap = runner.destination("app.t")
+      assert(snap.count() == 1000)
+      assert(snap.filter(col("id") === 1L).head.getString(1) == "n1")
+
+      // the stream: churn committed past 4000 lands exactly once
+      runner.runAvailableNow()
+      val after = runner.destination("app.t")
+      assert(after.count() == 1001)
+      assert(after.filter(col("id") === 1L).head.getString(1) ==
+        "updated")
+      assert(after.filter(col("id") === 2001L).count() == 1)
+      // the same dump replays on the next pull: the skip guard holds
+      runner.runAvailableNow()
+      assert(runner.destination("app.t").count() == 1001)
+      val dups = runner.destination("app.t").groupBy("id").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0)
+    } finally listener.close()
+  }
+
+  test("non-numeric primary key falls back to one full-scan " +
+    "partition (the reference's FullTablePartition)") {
+    val listener = new ServerSocket(0)
+    val cols = Seq(
+      MysqlCol("code", 0xFD), MysqlCol("v", MysqlClient.TypeLongLong))
+    WireServers.serveMysqlQuery(listener, "", { sql =>
+      if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.contains("LIMIT 0") && !sql.contains("`v`"))
+        MysqlAnswer(cols.take(1), Nil) // pk-type probe: VARCHAR
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      else MysqlAnswer(cols, (1 to 50).map(i =>
+        Seq(Some(s"c$i"), Some(i.toString))))
+    })
+    try {
+      val url = s"mysql://root@127.0.0.1:${listener.getLocalPort}"
+      val df = MysqlSnapshotFlow.readTable(spark, url, "app.codes",
+        StructType(Seq(StructField("code", StringType),
+          StructField("v", LongType))), pkColumns = Seq("code"))
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.count() == 50)
+      assert(df.agg(org.apache.spark.sql.functions.sum("v"))
+        .head.getLong(0) == 50L * 51 / 2)
+    } finally listener.close()
+  }
+}
