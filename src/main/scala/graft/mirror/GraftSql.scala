@@ -563,7 +563,7 @@ object GraftSql {
         val srcDir = o.getOrElse("snapshot_source",
           throw new IllegalArgumentException("CREATE MIRROR: " +
             "do_initial_snapshot requires 'snapshot_source' (or a " +
-            "pgwire:// capture_dir for the live exported-snapshot " +
+            "pgwire:///mysql:// capture_dir for the live snapshot " +
             "path)"))
         // Snapshot position = current WAL head (the slot's confirmed
         // LSN at snapshot time): rows load versioned AT it, the stream
@@ -737,9 +737,15 @@ object GraftSql {
                     graft.cdc.CaptureEndpoint.parse(u).scheme ==
                       "pgwire") =>
                 "live exported-snapshot via pgwire capture endpoint"
+              case None if cfg.captureDir.exists(u =>
+                  graft.cdc.CaptureEndpoint.isUrl(u) &&
+                    graft.cdc.CaptureEndpoint.parse(u).scheme ==
+                      "mysql") =>
+                "live binlog-position snapshot via mysql capture " +
+                  "endpoint"
               case None => throw new IllegalArgumentException(
                 "do_initial_snapshot requires 'snapshot_source' (or " +
-                  "a pgwire:// capture_dir)")
+                  "a pgwire:///mysql:// capture_dir)")
             }
           }
       }
@@ -786,7 +792,10 @@ object GraftSql {
     }
     val hasLong = q.contains("{{.start}}") && q.contains("{{.end}}")
     val hasTs = q.contains("{{.start_ts}}") && q.contains("{{.end_ts}}")
-    if (requireTemplate && !hasLong && !hasTs)
+    // the xmin flavor has no template either: the engine appends the
+    // wraparound-safe age(xmin) filter itself (xmin_flow.go)
+    val isXmin = o.get("watermark_column").contains("xmin")
+    if (requireTemplate && !isXmin && !hasLong && !hasTs)
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): query must carry the {{.start}}/{{.end}} " +
           "(or {{.start_ts}}/{{.end_ts}} for timestamp watermarks) " +
@@ -877,6 +886,30 @@ object GraftSql {
           graft.util.FsText.write(doneMarker, "complete", hc)
         return Seq(Row(n))
       case None => ()
+    }
+    // XMIN flavor on a live PG peer (`watermark_column 'xmin'`): the
+    // system-column incremental scan (xmin_flow.go) — the engine
+    // appends the wraparound-safe age(xmin) filter and advances the
+    // offset to the round's snapshot xmin; delivery is at-least-once
+    // across rounds (the reference's posture — destinations dedup).
+    // The FOR query must expose `xmin` (e.g. `SELECT id, v, xmin
+    // FROM t`); the engine drops it from the written frame.
+    if (o("watermark_column") == "xmin" && srcPeer.options.get("url")
+        .exists(u => u.startsWith("pg://") ||
+          u.startsWith("pgwire://"))) {
+      val store = new graft.qrep.WatermarkStore(storePath)
+      val (df0, nextXmin) = graft.qrep.LivePgXmin.pull(sess,
+        srcPeer.options("url"), o("__query"), store.read())
+      val df = df0.drop("xmin")
+      val n = df.count()
+      if (n > 0) df.write.mode(
+        if (o.getOrElse("mode", "append") == "overwrite")
+          org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append).parquet(destDir)
+      store.write(nextXmin)
+      if (copyOnly)
+        graft.util.FsText.write(doneMarker, "complete", hc)
+      return Seq(Row(n))
     }
     val mode = o.getOrElse("mode", "append") match {
       case "append" => graft.qrep.WriteMode.Append
@@ -1110,18 +1143,20 @@ object GraftSql {
       resolvedTransform(spark, o).foreach(
         spark.sessionState.sqlParser.parseExpression(_))
       // Snapshot options cohere at DDL time: a snapshot needs a source
-      // — a parquet dir, or a pgwire:// capture endpoint for the live
-      // exported-snapshot path — and snapshot-only without a snapshot
-      // is an empty mirror.
+      // — a parquet dir, or a pgwire://(exported-snapshot) /
+      // mysql://(binlog-position) capture endpoint for the live
+      // paths — and snapshot-only without a snapshot is an empty
+      // mirror.
       if ((o.get("do_initial_snapshot").exists(_.toBoolean) ||
             o.get("initial_snapshot_only").exists(_.toBoolean)) &&
           !o.contains("snapshot_source") &&
           !o.get("capture_dir").exists(u =>
             graft.cdc.CaptureEndpoint.isUrl(u) &&
-              graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire"))
+              Seq("pgwire", "mysql").contains(
+                graft.cdc.CaptureEndpoint.parse(u).scheme)))
         throw new IllegalArgumentException(
           "CREATE MIRROR: do_initial_snapshot requires " +
-            "'snapshot_source' (or a pgwire:// capture_dir)")
+            "'snapshot_source' (or a pgwire:///mysql:// capture_dir)")
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
     case CreateScript(n, lang, src, orReplace) =>

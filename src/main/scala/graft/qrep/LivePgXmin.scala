@@ -1,0 +1,101 @@
+package graft.qrep
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
+
+import graft.cdc.PgRows
+
+/** LIVE XMIN incremental scan — the reference's xmin QRep flavor
+  * (flow/connectors/postgres/qrep_source.go:541-627 +
+  * xmin_flow.go): each round re-pulls every row whose system `xmin`
+  * says it was inserted/updated since the previous round's snapshot,
+  * with no user watermark column at all.
+  *
+  *  - The filter is the reference's wraparound-safe form appended to
+  *    the user query: `age(xmin) > 0 AND age(xmin) <= age('N'::xid)`
+  *    — `age()` measures transaction distance from the CURRENT xid,
+  *    so 32-bit xid wraparound cancels out.
+  *  - The next offset is `pg_snapshot_xmin(pg_current_snapshot())`,
+  *    captured INSIDE the same REPEATABLE READ transaction the round
+  *    reads through (the executor's
+  *    ExecuteQueryIntoSinkGettingCurrentSnapshotXmin).
+  *  - Delivery is AT-LEAST-ONCE across rounds: a commit landing
+  *    between the captured xmin and the read is visible to this round
+  *    AND not yet past the next round's filter — destinations dedup
+  *    (upsert) or tolerate (append with idempotent keys), exactly the
+  *    reference's posture.
+  *
+  * One streamed connection per round (the xmin predicate is not
+  * range-partitionable); rows decode lazily via
+  * [[graft.server.PgClient.queryCursor]].
+  */
+object LivePgXmin {
+
+  /** One round: (rows modified since `lastXmin`, next xmin offset). */
+  def pull(spark: SparkSession, url: String, query: String,
+      lastXmin: Option[Long]): (DataFrame, Long) = {
+    val probe = graft.server.PgClients.connect(url, Nil)
+    val (schema, nextXmin) =
+      try {
+        probe.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
+        val nx = probe.query(
+          "SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint")
+          .rows.head.head.get.toLong
+        val p = probe.query(s"SELECT * FROM ($query) _graft_q LIMIT 0")
+        (PgRows.schemaOf(p.columns, probe.lastTypeOids), nx)
+      } finally probe.close()
+
+    val bound = lastXmin match {
+      case Some(x) => s"SELECT * FROM ($query) _graft_q WHERE " +
+        s"age(_graft_q.xmin) > 0 AND age(_graft_q.xmin) <= " +
+        s"age('$x'::xid)"
+      case None => query
+    }
+    // xmin must travel in the frame for the WHERE to see it when the
+    // user query is a bare table; the reference appends the filter to
+    // a `SELECT *,xmin`-shaped query the analyzer generates. Here the
+    // subquery form requires the user query to EXPOSE xmin for
+    // incremental rounds — a bare `SELECT *, xmin::text::bigint AS
+    // _xmin FROM t` works; [[pullTable]] below builds that shape.
+    val urlSer = url
+    val jsonRows = spark.createDataset(
+      spark.sparkContext.parallelize(Seq(bound), 1)
+        .mapPartitions { it =>
+          it.flatMap { sql =>
+            val c = graft.server.PgClients.connect(urlSer)
+            val tc = org.apache.spark.TaskContext.get()
+            if (tc != null)
+              tc.addTaskCompletionListener[Unit](_ => c.close())
+            try {
+              c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
+              val cur = c.queryCursor(sql)
+              val (names, oids) = (cur.columns, cur.typeOids)
+              cur.map(PgRows.json(names, oids, _)) ++ {
+                c.close(); Iterator.empty
+              }
+            } catch { case e: Throwable => c.close(); throw e }
+          }
+        })(Encoders.STRING)
+    val df = jsonRows
+      .select(from_json(col("value"), schema).as("r"))
+      .select(schema.fieldNames.map(f => col(s"r.$f")).toSeq: _*)
+      .localCheckpoint()
+    (df, nextXmin)
+  }
+
+  /** Table-shaped round: pulls `cols` of `table` (xmin travels
+    * internally, not in the output). */
+  def pullTable(spark: SparkSession, url: String, table: String,
+      cols: Seq[String], lastXmin: Option[Long])
+      : (DataFrame, Long) = {
+    val q = graft.cdc.PgWire
+    val tableSql = table.split("\\.", 2) match {
+      case Array(ns, n) => s"${q.quoteIdent(ns)}.${q.quoteIdent(n)}"
+      case _ => q.quoteIdent(table)
+    }
+    val colSql = cols.map(q.quoteIdent).mkString(", ")
+    val (df, nx) = pull(spark, url,
+      s"SELECT $colSql, xmin FROM $tableSql", lastXmin)
+    (df.select(cols.map(col): _*), nx)
+  }
+}

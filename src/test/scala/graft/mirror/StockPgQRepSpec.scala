@@ -300,6 +300,44 @@ class StockPgQRepSpec extends SparkSpec {
     run("DROP MIRROR lq5"); run("DROP PEER upsrc"); run("DROP PEER updst")
   }
 
+  test("live XMIN flavor: watermark_column 'xmin' scans by the " +
+    "system column — full round, idle no-op, then exactly the " +
+    "updated+inserted rows (wraparound-safe age() filter); offset " +
+    "advances to the round's snapshot xmin") {
+    val s = srv
+    s.psql("CREATE TABLE public.xm1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("""INSERT INTO public.xm1
+      SELECT g, g FROM generate_series(1, 1000) g""")
+
+    val base = tmpDir("livexmin")
+    run(s"CREATE PEER xmsrc TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+    run(s"CREATE PEER xmdst TYPE parquet OPTIONS (dir '$base/dst')")
+    run("CREATE MIRROR lqx FROM xmsrc TO xmdst FOR " +
+      "$$ SELECT id, v, xmin FROM public.xm1 $$ " +
+      "WITH (watermark_column 'xmin', source_table 'public.xm1', " +
+      s"dest_dir '$base/dest')")
+
+    assert(run("EXECUTE MIRROR lqx").head.getLong(0) == 1000L)
+    assert(run("EXECUTE MIRROR lqx").head.getLong(0) == 0L) // idle
+
+    // churn: 5 updates + 2 inserts — exactly those xmins are newer
+    s.psql("UPDATE public.xm1 SET v = -v WHERE id <= 5")
+    s.psql("INSERT INTO public.xm1 VALUES (2001, 1), (2002, 2)")
+    assert(run("EXECUTE MIRROR lqx").head.getLong(0) == 7L)
+    assert(run("EXECUTE MIRROR lqx").head.getLong(0) == 0L)
+
+    // xmin never reaches the destination; updated images landed
+    val dest = spark.read.parquet(s"$base/dest")
+    assert(dest.columns.toSeq.sorted == Seq("id", "v"))
+    assert(dest.count() == 1007) // append disposition: 1000 + 7
+    assert(dest.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .select("v").collect().map(_.getLong(0)).toSet == Set(1L, -1L))
+
+    run("DROP MIRROR lqx"); run("DROP PEER xmsrc"); run("DROP PEER xmdst")
+    s.psql("DROP TABLE public.xm1")
+  }
+
   test("NTILE partition strategy balances a SKEWED watermark: " +
     "per-partition row counts within 2x (uniform split would put " +
     "~everything on one connection), boundary ties pull exactly once") {
