@@ -124,10 +124,20 @@ object MongoStream {
       excludedOps: Seq[String] = Nil,
       destinationFor: String => String = identity,
       segmentRecords: Int = 100000,
-      previousTables: Option[Seq[String]] = None): (Long, String) = {
+      previousTables: Option[Seq[String]] = None,
+      /** First-run seed when NO token exists yet: open the stream at
+        * this cluster time instead of "now" — the snapshot→CDC
+        * handoff's start point ([[graft.mirror.MongoSnapshotFlow]]
+        * captures it BEFORE the snapshot reads; the reference's
+        * startAtOperationTime initial-load posture). Ignored once a
+        * stored token takes over. */
+      startAtOpTime: Option[(Long, Long)] = None): (Long, String) = {
     import graft.model.ChangeRecord
     val pipe = pipeline(tables, excludedOps)
     val resume = resumeOption(afterTokenHex, pipelineChanged)
+      .orElse(startAtOpTime.map { case (s, i) =>
+        ("startAtOperationTime", s"Timestamp($s, $i)")
+      })
     val inPipe = tables.toSet
     // The token-order guard dedups events REPLAYED by the
     // operation-time fallback — but a collection newly ADDED to the

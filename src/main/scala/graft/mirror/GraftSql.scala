@@ -518,7 +518,7 @@ object GraftSql {
       captureDir: Option[String]): Boolean =
     o.get("snapshot_source").isEmpty &&
       captureDir.exists(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
-        Seq("pgwire", "mysql").contains(
+        Seq("pgwire", "mysql", "mongo").contains(
           graft.cdc.CaptureEndpoint.parse(u).scheme))
 
   private def snapshotPhase(spark: SparkSession,
@@ -547,13 +547,18 @@ object GraftSql {
         val rpp = o.get("snapshot_num_rows_per_partition").map(_.toLong)
         val scheme = graft.cdc.CaptureEndpoint
           .parse(cfg.captureDir.get).scheme
-        val runner =
-          if (scheme == "mysql")
+        val runner = scheme match {
+          case "mysql" =>
             // MySQL handoff: binlog position captured+persisted before
             // the reads, stream replays the overlap idempotently
             MysqlSnapshotFlow.initialLoad(spark, cfg, nParts, rpp)
-          else SnapshotFlow.initialLoad(spark, cfg, nParts, rpp,
+          case "mongo" =>
+            // Mongo handoff: cluster operationTime captured+persisted,
+            // change stream seeds startAtOperationTime from it
+            MongoSnapshotFlow.initialLoad(spark, cfg, nParts, rpp)
+          case _ => SnapshotFlow.initialLoad(spark, cfg, nParts, rpp,
             recreateSlot = recreateSlot)
+        }
         graft.util.FsText.write(marker, "0", hc)
         val rows =
           if (cfg.warehouseUrl.isEmpty) runner.destination().count()
@@ -743,9 +748,15 @@ object GraftSql {
                       "mysql") =>
                 "live binlog-position snapshot via mysql capture " +
                   "endpoint"
+              case None if cfg.captureDir.exists(u =>
+                  graft.cdc.CaptureEndpoint.isUrl(u) &&
+                    graft.cdc.CaptureEndpoint.parse(u).scheme ==
+                      "mongo") =>
+                "live operation-time snapshot via mongo capture " +
+                  "endpoint"
               case None => throw new IllegalArgumentException(
                 "do_initial_snapshot requires 'snapshot_source' (or " +
-                  "a pgwire:///mysql:// capture_dir)")
+                  "a pgwire:///mysql:///mongo:// capture_dir)")
             }
           }
       }
@@ -1152,11 +1163,12 @@ object GraftSql {
           !o.contains("snapshot_source") &&
           !o.get("capture_dir").exists(u =>
             graft.cdc.CaptureEndpoint.isUrl(u) &&
-              Seq("pgwire", "mysql").contains(
+              Seq("pgwire", "mysql", "mongo").contains(
                 graft.cdc.CaptureEndpoint.parse(u).scheme)))
         throw new IllegalArgumentException(
           "CREATE MIRROR: do_initial_snapshot requires " +
-            "'snapshot_source' (or a pgwire:///mysql:// capture_dir)")
+            "'snapshot_source' (or a pgwire:///mysql:///mongo:// " +
+            "capture_dir)")
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
     case CreateScript(n, lang, src, orReplace) =>

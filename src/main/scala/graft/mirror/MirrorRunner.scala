@@ -474,12 +474,21 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           val prev = txt.split("\n").filter(_.nonEmpty).toSeq
           (prev != tables, Some(prev))
       }
+    // "optime:<secs>:<inc>" is the snapshot handoff's seed sentinel
+    // (no token exists yet): open the stream AT the captured cluster
+    // time; the first advancing token overwrites it
+    val (tokenAfter, opSeed) =
+      if (after.startsWith("optime:")) {
+        val parts = after.split(":")
+        (None, Some((parts(1).toLong, parts(2).toLong)))
+      } else (Option(after).filter(_.nonEmpty), None)
     val (n, last) = graft.cdc.MongoStream.ingest(source, cfg.walDir,
       tables,
-      afterTokenHex = Option(after).filter(_.nonEmpty),
+      afterTokenHex = tokenAfter,
       pipelineChanged = changed,
       destinationFor = routeFor,
-      previousTables = prevTables)
+      previousTables = prevTables,
+      startAtOpTime = opSeed)
     if (last != after && last.nonEmpty) {
       graft.util.FsText.write(offsetPath, last, hadoopConf)
       graft.util.FsText.write(pipePath, tables.mkString("\n"),

@@ -115,16 +115,7 @@ object MysqlSnapshotFlow {
       "initialLoad needs a fresh mirror: local WAL already has records")
     // same route discipline as the PG handoff: snapshot the SOURCE
     // side of each rename; fan-in has no single-relation snapshot
-    val sourceFor: Map[String, String] = {
-      val inv = cfg.tableRoutes.groupBy(_._2)
-        .map { case (dst, m) => dst -> m.keys.toSeq }
-      inv.collect { case (dst, srcs) if srcs.sizeIs > 1 =>
-        throw new IllegalArgumentException("initialLoad: table_map " +
-          s"fans ${srcs.mkString(", ")} into '$dst' — a fan-in " +
-          "destination cannot be snapshot from one source relation")
-      }
-      inv.map { case (dst, srcs) => dst -> srcs.head }
-    }
+    val sourceFor = SnapshotFlow.invertRoutes(cfg)
     val pos = {
       val c = MysqlClients.connect(url)
       try masterPosition(c) finally c.close()

@@ -59,6 +59,25 @@ object SnapshotFlow {
     case _ => throw new IllegalArgumentException(s"bad LSN '$s'")
   }
 
+  /** destination table → SOURCE relation, from a mirror's
+    * `tableRoutes` (which maps source → destination): the snapshot
+    * must read the SOURCE side of each route — a renaming map would
+    * otherwise snapshot a missing, or a wrong same-named, relation.
+    * Fan-in (two sources routing to one destination) has no
+    * single-relation snapshot; rejected. Shared by all three live
+    * snapshot flows (PG / MySQL / Mongo). */
+  private[mirror] def invertRoutes(cfg: MirrorConfig)
+      : Map[String, String] = {
+    val inv = cfg.tableRoutes.groupBy(_._2)
+      .map { case (dst, m) => dst -> m.keys.toSeq }
+    inv.collect { case (dst, srcs) if srcs.sizeIs > 1 =>
+      throw new IllegalArgumentException("initialLoad: table_map " +
+        s"fans ${srcs.mkString(", ")} into '$dst' — a fan-in " +
+        "destination cannot be snapshot from one source relation")
+    }
+    inv.map { case (dst, srcs) => dst -> srcs.head }
+  }
+
   /** Keeps the slot-creating replication connection open — the
     * exported snapshot's lifetime. Close AFTER the snapshot reads. */
   final class SlotSession private[SnapshotFlow] (client: PgClient,
@@ -275,22 +294,9 @@ object SnapshotFlow {
       "initialLoad needs captureDir = pgwire://…"))
     require(graft.cdc.ChangeLogWal.headCp(cfg.walDir) < 0,
       "initialLoad needs a fresh mirror: local WAL already has records")
-    // tableRoutes maps SOURCE relation → destination table; the
-    // snapshot must read the SOURCE side of each route (a renaming
-    // map would otherwise snapshot a missing — or a wrong same-named
-    // — relation). Fan-in (two sources routing to one destination)
-    // has no single-relation snapshot; reject it BEFORE any slot is
-    // created so a bad config leaves no server-side state behind.
-    val sourceFor: Map[String, String] = {
-      val inv = cfg.tableRoutes.groupBy(_._2)
-        .map { case (dst, m) => dst -> m.keys.toSeq }
-      inv.collect { case (dst, srcs) if srcs.sizeIs > 1 =>
-        throw new IllegalArgumentException("initialLoad: table_map " +
-          s"fans ${srcs.mkString(", ")} into '$dst' — a fan-in " +
-          "destination cannot be snapshot from one source relation")
-      }
-      inv.map { case (dst, srcs) => dst -> srcs.head }
-    }
+    // reject bad routes BEFORE any slot is created so a bad config
+    // leaves no server-side state behind
+    val sourceFor = invertRoutes(cfg)
     // the fresh-mirror requirement just proven IS the auto-recovery
     // precondition (no marker → snapshotPhase routed here; no local
     // ingest ever): an existing INACTIVE slot can only be a crashed

@@ -29,7 +29,7 @@ object LiveMongoPull {
   import Bson._
   import MongoWire.{field, int32Of, int64Of}
 
-  private def sessionFor(ep: CaptureEndpoint): MongoSession = {
+  private[graft] def sessionFor(ep: CaptureEndpoint): MongoSession = {
     val connectMs = ep.param("connect_timeout_ms", "10000").toInt
     val readMs = ep.param("read_timeout_ms", "60000").toInt
     val ssl = graft.cdc.Tls.fromParam(ep.param("ssl", ""),

@@ -89,7 +89,12 @@ object LiveMysqlPull {
     val wmLong =
       if (isTs(template))
         // UNIX_TIMESTAMP over a DATETIME yields DECIMAL at the
-        // column's fsp (session tz pinned UTC) — ×1e6 is exact
+        // column's fsp (session tz pinned UTC) — ×1e6 is exact.
+        // LIMITATION: MySQL defines UNIX_TIMESTAMP() = 0 outside the
+        // TIMESTAMP range (pre-1970; pre-8.0.28 also post-2038), so a
+        // timestamp WATERMARK must live in that range — the sane
+        // contract for an updated_at-style column; data columns are
+        // unaffected (they decode from text, not epoch arithmetic)
         s"CAST(ROUND(UNIX_TIMESTAMP(_graft_q.$wmIdent) * 1000000) " +
           "AS SIGNED)"
       else s"_graft_q.$wmIdent"
