@@ -271,6 +271,22 @@ final class MongoSession(host: String, port: Int,
   def connect(): MongoSession = {
     // dial through the transport seam (direct TCP or an SSH tunnel).
     val s = dial(host, port, connectTimeoutMs)
+    try connectOn(s)
+    catch {
+      // a failed TLS/hello/SCRAM exchange must not leak the dialed
+      // fd — the thrown-from constructor-factory shape means the
+      // caller never receives a reference to close (and Spark task
+      // retries would leak one socket per attempt)
+      case e: Throwable =>
+        try s.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+        try close() // the TLS wrapper, if the upgrade got that far
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  private def connectOn(s: Socket): MongoSession = {
     s.setSoTimeout(readTimeoutMs)
     // track the raw socket first: a failed TLS handshake must still
     // be closeable. MongoDB TLS wraps the whole connection from the

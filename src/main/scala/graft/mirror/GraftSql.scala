@@ -795,8 +795,15 @@ object GraftSql {
       /** false for document-store sources (mongo://): the pull is a
         * find() over `_id` ranges, not a bound SQL template — the
         * reference likewise auto-generates the query for mongo
-        * peers. */
+        * peers. Mongo QRep is also FULL-LOAD shaped (no incremental
+        * resume upstream), so only the `overwrite` disposition — its
+        * implicit default — is accepted. */
       requireTemplate: Boolean = true): Unit = {
+    if (!requireTemplate && o.get("mode").exists(_ != "overwrite"))
+      throw new IllegalArgumentException(
+        "CREATE MIRROR (QRep): a mongo:// source is full-load shaped " +
+          "— mode must be 'overwrite' (the default); append/upsert " +
+          "have no incremental increment to feed them")
     Seq("watermark_column", "source_table", "dest_dir").foreach { k =>
       if (!o.contains(k)) throw new IllegalArgumentException(
         s"CREATE MIRROR (QRep): missing '$k'")
@@ -874,13 +881,23 @@ object GraftSql {
     if (copyOnly &&
         graft.util.FsText.read(doneMarker, hc).isDefined)
       return Seq(Row(0L))
+    val mode = o.getOrElse("mode", "append") match {
+      case "append" => graft.qrep.WriteMode.Append
+      case "overwrite" => graft.qrep.WriteMode.Overwrite
+      case "upsert" => graft.qrep.WriteMode.Upsert(
+        o("unique_key").split(",").map(_.trim).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"CREATE MIRROR (QRep): unknown mode '$other'")
+    }
     // MongoDB source (`url 'mongo://…'`): QRep is FULL-LOAD shaped —
     // the watermark is `_id`, resume-from-last is unsupported
     // (flow/connectors/mongo/qrep.go:37), so each EXECUTE is a full
-    // refresh of `source_table` ("db.collection") into the parquet
-    // destination; `initial_copy_only` makes it one-shot. The FOR
-    // query is not SQL against a document store and is ignored, as
-    // the reference auto-generates it for mongo peers.
+    // refresh of `source_table` ("db.collection") — always the
+    // Overwrite disposition (validateQRep rejects other modes), into
+    // parquet or, with `dest_url`, the live SQL destination;
+    // `initial_copy_only` makes it one-shot. The FOR query is not SQL
+    // against a document store and is ignored, as the reference
+    // auto-generates it for mongo peers.
     srcPeer.options.get("url")
         .filter(_.startsWith("mongo://")) match {
       case Some(mongoUrl) =>
@@ -890,9 +907,13 @@ object GraftSql {
             o.get("num_partitions").map(_.toInt).getOrElse(4),
           rowsPerPartition =
             o.get("num_rows_per_partition").map(_.toLong))
-        val n = df.count()
-        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(destDir)
+        val n = new graft.qrep.QRepRunner(sess, graft.qrep.QRepConfig(
+          wmarkColumn = "_id", destDir = destDir,
+          wmarkStorePath = storePath,
+          mode = graft.qrep.WriteMode.Overwrite,
+          destUrl = o.get("dest_url"),
+          destTable = o.getOrElse("dest_table", "public.qrep_dest")))
+          .writeDisposition(df)
         if (copyOnly)
           graft.util.FsText.write(doneMarker, "complete", hc)
         return Seq(Row(n))
@@ -902,33 +923,34 @@ object GraftSql {
     // system-column incremental scan (xmin_flow.go) — the engine
     // appends the wraparound-safe age(xmin) filter and advances the
     // offset to the round's snapshot xmin; delivery is at-least-once
-    // across rounds (the reference's posture — destinations dedup).
-    // The FOR query must expose `xmin` (e.g. `SELECT id, v, xmin
-    // FROM t`); the engine drops it from the written frame.
+    // across rounds. The FOR query must expose `xmin` (e.g. `SELECT
+    // id, v, xmin FROM t`); the engine drops it from the written
+    // frame. All three dispositions (and `dest_url`) apply: Overwrite
+    // re-pulls the FULL scan each round (an incremental overwrite
+    // would clobber history with just the increment); Upsert versions
+    // by the row's xmin, so the at-least-once redelivery merges
+    // idempotently and later transactions win.
     if (o("watermark_column") == "xmin" && srcPeer.options.get("url")
         .exists(u => u.startsWith("pg://") ||
           u.startsWith("pgwire://"))) {
       val store = new graft.qrep.WatermarkStore(storePath)
+      val lastOff =
+        if (mode == graft.qrep.WriteMode.Overwrite) None
+        else store.read()
       val (df0, nextXmin) = graft.qrep.LivePgXmin.pull(sess,
-        srcPeer.options("url"), o("__query"), store.read())
-      val df = df0.drop("xmin")
-      val n = df.count()
-      if (n > 0) df.write.mode(
-        if (o.getOrElse("mode", "append") == "overwrite")
-          org.apache.spark.sql.SaveMode.Overwrite
-        else org.apache.spark.sql.SaveMode.Append).parquet(destDir)
+        srcPeer.options("url"), o("__query"), lastOff)
+      val n = df0.count()
+      if (n > 0 || mode == graft.qrep.WriteMode.Overwrite)
+        new graft.qrep.QRepRunner(sess, graft.qrep.QRepConfig(
+          wmarkColumn = "xmin", destDir = destDir,
+          wmarkStorePath = storePath, mode = mode,
+          destUrl = o.get("dest_url"),
+          destTable = o.getOrElse("dest_table", "public.qrep_dest")))
+          .writeDisposition(df0, versionFrom = Some("xmin"))
       store.write(nextXmin)
       if (copyOnly)
         graft.util.FsText.write(doneMarker, "complete", hc)
       return Seq(Row(n))
-    }
-    val mode = o.getOrElse("mode", "append") match {
-      case "append" => graft.qrep.WriteMode.Append
-      case "overwrite" => graft.qrep.WriteMode.Overwrite
-      case "upsert" => graft.qrep.WriteMode.Upsert(
-        o("unique_key").split(",").map(_.trim).toSeq)
-      case other => throw new IllegalArgumentException(
-        s"CREATE MIRROR (QRep): unknown mode '$other'")
     }
     // Overwrite is FULL-REFRESH: bind the template to the whole range
     // every round (an incremental binding would overwrite history with

@@ -839,16 +839,19 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         // `_id`: a single PK ships as its plain string value; a
         // COMPOSITE key hashes (the reference's posture,
         // elasticsearch.go:226-240: one column → fmt.Sprint, else a
-        // sha256-derived id). Values are length-prefixed before
-        // hashing so ("a_b","c") and ("a","b_c") can never produce
-        // the same document id — a separator-join would silently
+        // sha256-derived id). Values are null-flagged AND
+        // length-prefixed before hashing, so neither ("a_b","c") vs
+        // ("a","b_c") nor (NULL,"x") vs ("","x") can produce the same
+        // document id — either collision would silently
         // overwrite/delete across distinct rows.
         val idExpr =
           if (tc.pkColumns.sizeIs == 1)
             col(tc.pkColumns.head).cast("string")
           else sha2(concat(tc.pkColumns.flatMap { c =>
-            val s = coalesce(col(c).cast("string"), lit(""))
-            Seq(length(s).cast("string"), lit(":"), s, lit("|"))
+            val raw = col(c).cast("string")
+            val s = coalesce(raw, lit(""))
+            Seq(when(raw.isNull, lit("n")).otherwise(lit("v")),
+              length(s).cast("string"), lit(":"), s, lit("|"))
           }: _*), 256)
         val shaped = graft.sinks.EsSink.bulkRecords(normalized,
           index = table,

@@ -297,13 +297,24 @@ object SnapshotFlow {
     // reject bad routes BEFORE any slot is created so a bad config
     // leaves no server-side state behind
     val sourceFor = invertRoutes(cfg)
-    // the fresh-mirror requirement just proven IS the auto-recovery
-    // precondition (no marker → snapshotPhase routed here; no local
-    // ingest ever): an existing INACTIVE slot can only be a crashed
-    // prior attempt's leftover, so re-EXECUTE reclaims it instead of
-    // failing 42710 into a manual RESYNC
+    // Crash auto-recovery is gated on OWNERSHIP, not just freshness:
+    // a durable intent marker ("this mirror creates slot X") is
+    // written BEFORE CREATE_REPLICATION_SLOT, so on re-EXECUTE an
+    // existing INACTIVE slot is reclaimed only when a prior attempt
+    // of THIS mirror provably created (or tried to create) it. The
+    // fresh-mirror precondition alone cannot prove that — a fresh
+    // mirror misconfigured with ANOTHER consumer's slot name would
+    // otherwise drop that consumer's slot while it was briefly
+    // offline, destroying its replication position. Without a prior
+    // intent, the 42710 surfaces and a human decides (RESYNC forces).
+    val slotName = CaptureEndpoint.parse(url).param("slot", "graft_slot")
+    val intentPath = s"${cfg.walDir}/_graft_slot_intent"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val priorIntent = graft.util.FsText.read(intentPath, hc)
+      .exists(_.trim == slotName)
+    graft.util.FsText.write(intentPath, slotName, hc)
     val session = createExportedSlot(url, recreate = recreateSlot,
-      recoverInactive = true)
+      recoverInactive = priorIntent)
     try {
       val cfg2 = cfg.copy(snapshotCheckpoint = 0L)
       val runner = new MirrorRunner(spark, cfg2)

@@ -25,9 +25,11 @@ import graft.cdc.CaptureEndpoint
   *  exact at microsecond granularity over the full DATETIME range
   *  (`FROM_UNIXTIME` would NULL out past the TIMESTAMP type's 3001
   *  ceiling, silently emptying the round). Watermark extraction uses
-  *  `UNIX_TIMESTAMP(col) * 1000000` (DECIMAL, exact); every session
-  *  pins `time_zone='+00:00'` so both sides agree — the same UTC
-  *  discipline as the PG path.
+  *  `TIMESTAMPDIFF(MICROSECOND, '1970-01-01', col)` — signed, exact,
+  *  valid over the full DATETIME range (`UNIX_TIMESTAMP` floors to 0
+  *  outside the TIMESTAMP range and would silently drop pre-1970
+  *  rows); every session pins `time_zone='+00:00'` so both sides
+  *  agree — the same UTC discipline as the PG path.
   *
   * CONSISTENCY: MySQL has no cross-connection exported snapshots, so
   * a round's partitions read at independent instants — the
@@ -88,15 +90,15 @@ object LiveMysqlPull {
     val wmIdent = "`" + wmarkColumn.replace("`", "``") + "`"
     val wmLong =
       if (isTs(template))
-        // UNIX_TIMESTAMP over a DATETIME yields DECIMAL at the
-        // column's fsp (session tz pinned UTC) — ×1e6 is exact.
-        // LIMITATION: MySQL defines UNIX_TIMESTAMP() = 0 outside the
-        // TIMESTAMP range (pre-1970; pre-8.0.28 also post-2038), so a
-        // timestamp WATERMARK must live in that range — the sane
-        // contract for an updated_at-style column; data columns are
-        // unaffected (they decode from text, not epoch arithmetic)
-        s"CAST(ROUND(UNIX_TIMESTAMP(_graft_q.$wmIdent) * 1000000) " +
-          "AS SIGNED)"
+        // Signed epoch-µs over the FULL DATETIME range ('1000-01-01'
+        // to '9999-12-31' ≈ ±2.8e17 µs, well inside BIGINT), fsp
+        // included. NOT UNIX_TIMESTAMP: MySQL defines that as 0
+        // outside the TIMESTAMP range (pre-1970; pre-8.0.28 also
+        // post-2038), so a pre-1970 watermark row would probe as 0,
+        // every sub-range bound would start at 1970, and the row
+        // would be skipped forever once the watermark advanced.
+        "TIMESTAMPDIFF(MICROSECOND, " +
+          s"TIMESTAMP'1970-01-01 00:00:00', _graft_q.$wmIdent)"
       else s"_graft_q.$wmIdent"
 
     val probe = MysqlClients.connect(ep)

@@ -23,8 +23,9 @@ import graft.cdc.{CaptureEndpoint, MysqlWire, Ssh}
   *  - each row = one length-encoded string per column, 0xFB = NULL;
   *  - every session pins `time_zone='+00:00'` at connect — the same
   *    UTC discipline the PG side enforces ([[graft.server.PgClients]]):
-  *    DATETIME/TIMESTAMP text then renders UTC and
-  *    `UNIX_TIMESTAMP()` arithmetic agrees with the rendered bounds.
+  *    DATETIME/TIMESTAMP text then renders UTC and the
+  *    `TIMESTAMPDIFF`-based epoch arithmetic agrees with the
+  *    rendered bounds.
   */
 object MysqlClient {
 
@@ -123,14 +124,25 @@ final class MysqlClient(
 
   def connect(): MysqlClient = {
     val s = dial(host, port, connectTimeoutMs)
-    s.setSoTimeout(readTimeoutMs)
-    sock = s
-    val (s2, i2, o2) = negotiate(s, host, port, user, password,
-      database = database, ssl = ssl, onSocket = tls => sock = tls)
-    in = i2; out = o2; sock = s2
-    // UTC session, always (the PG side's TimeZone=UTC discipline)
-    query("SET time_zone = '+00:00'")
-    this
+    try {
+      s.setSoTimeout(readTimeoutMs)
+      sock = s
+      val (s2, i2, o2) = negotiate(s, host, port, user, password,
+        database = database, ssl = ssl, onSocket = tls => sock = tls)
+      in = i2; out = o2; sock = s2
+      // UTC session, always (the PG side's TimeZone=UTC discipline)
+      query("SET time_zone = '+00:00'")
+      this
+    } catch {
+      // a failed handshake/auth/TLS must not leak the dialed fd: Spark
+      // retries failed partition tasks, so a misconfigured large pull
+      // would otherwise leak one socket per retry (`sock` tracks the
+      // innermost live socket — the TLS wrapper once onSocket fired)
+      case e: Throwable =>
+        try sock.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
   }
 
   private def fail(p: Array[Byte]): Nothing =

@@ -136,43 +136,12 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       }
     }
 
-    val moved = cfg.mode match {
-      case WriteMode.Append => cfg.destUrl match {
-        case Some(url) =>
-          liveCopy(url, increment, truncateFirst = false, runId)
-        case None =>
-          increment.write.mode(SaveMode.Append).parquet(cfg.destDir)
-          increment.count()
-      }
-      case WriteMode.Overwrite => cfg.destUrl match {
-        case Some(url) =>
-          liveCopy(url, source, truncateFirst = true, runId)
-        case None =>
-          source.write.mode(SaveMode.Overwrite).parquet(cfg.destDir)
-          source.count()
-      }
-      case WriteMode.Upsert(keys) =>
-        val changes = increment
-          // NULL-watermark rows get version 0, not NULL: a NULL version
-          // would lose every srcWins comparison and merge as all-null
-          // rows over an existing destination.
-          .withColumn(RawTable.Version,
-            // the same exact Long image the range math uses — a
-            // timestamp watermark versions at MICROS, not seconds
-            coalesce(Partitioner.wmarkLong(increment, cfg.wmarkColumn),
-              lit(0L)))
-          .withColumn(RawTable.IsDeleted, lit(false))
-          .withColumn(graft.cdc.Normalizer.AbsentCols,
-            array().cast("array<string>"))
-        cfg.destUrl match {
-          case Some(url) =>
-            liveMerge(url, keys, increment.schema, changes, runId)
-            increment.count()
-          case None =>
-            new MergeWriter(spark, cfg.destDir, keys).merge(changes)
-            increment.count()
-        }
-    }
+    val moved = writeOut(increment, source,
+      // the same exact Long image the range math uses — a timestamp
+      // watermark versions at MICROS, not seconds
+      upsertChanges(increment,
+        Partitioner.wmarkLong(increment, cfg.wmarkColumn)),
+      increment.schema, runId)
     if (ranges.nonEmpty) store.write(ranges.map(_.hi).max)
     // Null-only first round: persist a sentinel so the NULL partition is
     // pulled exactly once — an unwritten store would leave last.isEmpty
@@ -180,6 +149,75 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     else store.write(Long.MinValue)
     stats.foreach { st => st.endQRepRun(cfg.flowName, runId); st.flush() }
     moved
+  }
+
+  /** Write a pre-pulled frame with the configured disposition, WITHOUT
+    * the watermark-range machinery (and without touching the watermark
+    * store) — for pulls whose incremental gating happens at the SOURCE:
+    * the xmin system-column scan and document-store full loads. Honors
+    * `destUrl` exactly like [[runOnce]]: live Append/Overwrite COPY,
+    * live Upsert through the staging→COPY→MERGE loop.
+    *
+    * `versionFrom` names a column of `frame` supplying the upsert
+    * ordering (e.g. the row's `xmin` tx id — at-least-once redelivery
+    * merges idempotently, later transactions win); it is dropped from
+    * the written payload. Absent, upserts version at 0 (pure
+    * keep-latest-delivery). Returns rows moved. */
+  def writeDisposition(frame: DataFrame,
+      versionFrom: Option[String] = None): Long = {
+    val runId = java.util.UUID.randomUUID().toString
+    val payload = versionFrom.foldLeft(frame)(_ drop _)
+    writeOut(payload, payload,
+      versionFrom.foldLeft(
+        upsertChanges(frame, versionFrom
+          .map(c => col(c).cast("long")).getOrElse(lit(0L))))(_ drop _),
+      payload.schema, runId)
+  }
+
+  /** Merge-shape an upsert payload: version + tombstone + TOAST
+    * columns. NULL versions coalesce to 0, not NULL: a NULL version
+    * would lose every srcWins comparison and merge as all-null rows
+    * over an existing destination. */
+  private def upsertChanges(payload: DataFrame,
+      version: org.apache.spark.sql.Column): DataFrame =
+    payload
+      .withColumn(RawTable.Version, coalesce(version, lit(0L)))
+      .withColumn(RawTable.IsDeleted, lit(false))
+      .withColumn(graft.cdc.Normalizer.AbsentCols,
+        array().cast("array<string>"))
+
+  /** The disposition write itself: `increment` feeds Append,
+    * `full` feeds Overwrite (full-refresh), `changes` (lazy — only
+    * evaluated for Upsert) feeds the merge with `payloadSchema` as the
+    * destination shape. */
+  private def writeOut(increment: DataFrame, full: DataFrame,
+      changes: => DataFrame,
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      runId: String): Long = cfg.mode match {
+    case WriteMode.Append => cfg.destUrl match {
+      case Some(url) =>
+        liveCopy(url, increment, truncateFirst = false, runId)
+      case None =>
+        increment.write.mode(SaveMode.Append).parquet(cfg.destDir)
+        increment.count()
+    }
+    case WriteMode.Overwrite => cfg.destUrl match {
+      case Some(url) =>
+        liveCopy(url, full, truncateFirst = true, runId)
+      case None =>
+        full.write.mode(SaveMode.Overwrite).parquet(cfg.destDir)
+        full.count()
+    }
+    case WriteMode.Upsert(keys) =>
+      val ch = changes
+      cfg.destUrl match {
+        case Some(url) =>
+          liveMerge(url, keys, payloadSchema, ch, runId)
+          increment.count()
+        case None =>
+          new MergeWriter(spark, cfg.destDir, keys).merge(ch)
+          increment.count()
+      }
   }
 
   /** Append/Overwrite into a live SQL destination: plain query columns

@@ -57,6 +57,22 @@ final class PgClient(
 
   def connect(): PgClient = {
     val s = dial(host, port, connectTimeoutMs)
+    try connectOn(s)
+    catch {
+      // a failed SSL/auth/startup exchange must not leak the dialed
+      // fd — the caller never receives a reference to close, and
+      // Spark retries failed partition tasks (one leak per attempt)
+      case e: Throwable =>
+        try s.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+        if (sock ne null) // the TLS wrapper, if the upgrade happened
+          try sock.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  private def connectOn(s: Socket): PgClient = {
     s.setSoTimeout(readTimeoutMs)
     sock = s
     out = s.getOutputStream

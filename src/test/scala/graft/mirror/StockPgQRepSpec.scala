@@ -338,6 +338,46 @@ class StockPgQRepSpec extends SparkSpec {
     s.psql("DROP TABLE public.xm1")
   }
 
+  test("live XMIN flavor, upsert mode: at-least-once redelivery " +
+    "CONVERGES by key (version = the row's creating xmin) instead of " +
+    "accumulating duplicates; the destination tracks updates in place") {
+    val s = srv
+    s.psql("CREATE TABLE public.xm2 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("""INSERT INTO public.xm2
+      SELECT g, g FROM generate_series(1, 500) g""")
+
+    val base = tmpDir("livexminup")
+    run(s"CREATE PEER xusrc TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+    run(s"CREATE PEER xudst TYPE parquet OPTIONS (dir '$base/dst')")
+    run("CREATE MIRROR lqxu FROM xusrc TO xudst FOR " +
+      "$$ SELECT id, v, xmin FROM public.xm2 $$ " +
+      "WITH (watermark_column 'xmin', source_table 'public.xm2', " +
+      s"dest_dir '$base/dest', mode 'upsert', unique_key 'id')")
+
+    assert(run("EXECUTE MIRROR lqxu").head.getLong(0) == 500L)
+    assert(run("EXECUTE MIRROR lqxu").head.getLong(0) == 0L) // idle
+
+    // churn: every re-pulled UPDATE must land by key, not append —
+    // this was the silent append-degradation before the mode wired
+    s.psql("UPDATE public.xm2 SET v = -v WHERE id <= 5")
+    s.psql("INSERT INTO public.xm2 VALUES (9001, 1)")
+    assert(run("EXECUTE MIRROR lqxu").head.getLong(0) == 6L)
+
+    val dest = spark.read.parquet(s"$base/dest")
+    assert(dest.count() == 501, "upsert mode must converge, not append")
+    assert(dest.select("id").distinct().count() == 501)
+    val vOf = dest.select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(i => vOf(i) == -i), "updates did not win")
+    assert(vOf(9001L) == 1L)
+    // xmin is the VERSION, never a payload column
+    assert(!dest.columns.contains("xmin"))
+
+    run("DROP MIRROR lqxu"); run("DROP PEER xusrc"); run("DROP PEER xudst")
+    s.psql("DROP TABLE public.xm2")
+  }
+
   test("NTILE partition strategy balances a SKEWED watermark: " +
     "per-partition row counts within 2x (uniform split would put " +
     "~everything on one connection), boundary ties pull exactly once") {

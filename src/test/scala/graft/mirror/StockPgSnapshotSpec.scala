@@ -95,9 +95,9 @@ class StockPgSnapshotSpec extends SparkSpec {
     s.psql("DROP TABLE public.sz1")
   }
 
-  test("crash auto-recovery: a leftover INACTIVE slot from an attempt " +
-    "that died before the durable marker is dropped and re-created; " +
-    "initialLoad completes on the retry") {
+  test("crash auto-recovery: a leftover INACTIVE slot is reclaimed " +
+    "only when THIS mirror's durable intent marker proves a prior " +
+    "attempt created it; a foreign inactive slot still refuses (42710)") {
     val s = srv
     s.psql("CREATE TABLE public.cr1 (id bigint PRIMARY KEY, v bigint)")
     s.psql("""INSERT INTO public.cr1
@@ -106,7 +106,21 @@ class StockPgSnapshotSpec extends SparkSpec {
     val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
       "?slot=cr_slot&publication=cr_pub"
 
-    // the "crash": slot created, session dies before any marker/read
+    val base = tmpDir("snapcrash")
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      destinationTable = "public.cr1",
+      captureDir = Some(url))
+
+    // the "crash": a prior attempt of THIS mirror wrote its intent
+    // marker, created the slot, then died before any snapshot marker
+    // — exactly initialLoad's sequence up to the failure point
+    graft.util.FsText.write(s"${cfg.walDir}/_graft_slot_intent",
+      "cr_slot", spark.sparkContext.hadoopConfiguration)
     SnapshotFlow.createExportedSlot(url).close()
     assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
       "WHERE slot_name = 'cr_slot'").trim == "1")
@@ -117,18 +131,23 @@ class StockPgSnapshotSpec extends SparkSpec {
     }
     assert(e.sqlState == "42710")
 
-    // initialLoad (fresh mirror ⇒ recovery precondition holds) drops
+    // a DIFFERENT fresh mirror pointed at the same (existing,
+    // inactive, foreign-to-it) slot must NOT reclaim it: no intent
+    // marker of its own → the 42710 surfaces and the slot survives
+    val other = cfg.copy(walDir = s"$base/wal_other",
+      rawDir = s"$base/raw_other", destDir = s"$base/dest_other",
+      checkpointDir = s"$base/ckpt_other")
+    val fe = intercept[graft.server.PgClient.PgServerError] {
+      SnapshotFlow.initialLoad(spark, other)
+    }
+    assert(fe.sqlState == "42710")
+    assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
+      "WHERE slot_name = 'cr_slot'").trim == "1",
+      "a foreign mirror dropped someone else's slot")
+
+    // initialLoad on the ORIGINAL mirror (fresh + prior intent) drops
     // the stale slot, re-creates it at a FRESH consistent point, and
     // bootstraps — then the stream delivers post-snapshot churn
-    val base = tmpDir("snapcrash")
-    val cfg = MirrorConfig(
-      walDir = s"$base/wal", rawDir = s"$base/raw",
-      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
-      pkColumns = Seq("id"),
-      payloadSchema = StructType(Seq(
-        StructField("id", LongType), StructField("v", LongType))),
-      destinationTable = "public.cr1",
-      captureDir = Some(url))
     val runner = SnapshotFlow.initialLoad(spark, cfg)
     assert(runner.destination("public.cr1").count() == 800)
     s.psql("INSERT INTO public.cr1 VALUES (901, -1)")

@@ -197,4 +197,69 @@ class LiveMongoQRepSpec extends SparkSpec {
       run("DROP PEER mgdst")
     } finally listener.close()
   }
+
+  test("mongo QRep is full-load shaped: mode append/upsert is rejected " +
+    "at DDL time (the pull has no increment to feed them)") {
+    val dir = tmpDir("livemongomode")
+    run(s"CREATE PEER mmsrc TYPE mongo OPTIONS (" +
+      "url 'mongo://127.0.0.1:1/appdb')") // never dialed: DDL-time fail
+    run(s"CREATE PEER mmdst TYPE parquet OPTIONS (dir '$dir/dst')")
+    val e = intercept[IllegalArgumentException] {
+      run("CREATE MIRROR mgbad FROM mmsrc TO mmdst FOR $$ full $$ " +
+        "WITH (watermark_column '_id', source_table 'appdb.users', " +
+        s"dest_dir '$dir/dest', mode 'append')")
+    }
+    assert(e.getMessage.contains("full-load"))
+    intercept[IllegalArgumentException] {
+      run("CREATE MIRROR mgbad2 FROM mmsrc TO mmdst FOR $$ full $$ " +
+        "WITH (watermark_column '_id', source_table 'appdb.users', " +
+        s"dest_dir '$dir/dest', mode 'upsert', unique_key '_id')")
+    }
+    run("DROP PEER mmsrc"); run("DROP PEER mmdst")
+  }
+
+  test("dest_url on a mongo QRep mirror loads the LIVE SQL destination " +
+    "(atomic full refresh) instead of silently writing parquet only") {
+    val pg = graft.cdc.StockPostgres.start()
+    assume(pg.isDefined, "stock postgres unavailable in this env")
+    val s = pg.get
+    val base = BigInt("661000000000000000000000", 16)
+    @volatile var docs: Seq[BDoc] = (0 until 400).map { i =>
+      BDoc(Seq("_id" -> BObjectId(oid(base + i)),
+        "name" -> BString(s"user$i")))
+    }
+    val fx = new Fixture(() => docs,
+      d => BigInt(1, d.fields.head._2.asInstanceOf[BObjectId].bytes))
+    val listener = new ServerSocket(0)
+    WireServers.serveMongoQuery(listener, fx.handle)
+    try {
+      s.psql("CREATE DATABASE mongodest")
+      val dir = tmpDir("livemongodst")
+      run(s"CREATE PEER mdsrc TYPE mongo OPTIONS (" +
+        s"url 'mongo://127.0.0.1:${listener.getLocalPort}/appdb')")
+      run(s"CREATE PEER mddst TYPE postgres OPTIONS (" +
+        s"url 'pg://postgres@127.0.0.1:${s.port}/mongodest')")
+      run("CREATE MIRROR mgd FROM mdsrc TO mddst FOR $$ full $$ " +
+        "WITH (watermark_column '_id', source_table 'appdb.users', " +
+        s"dest_dir '$dir/dest', num_partitions '3', " +
+        s"dest_url 'pg://postgres@127.0.0.1:${s.port}/mongodest', " +
+        "dest_table 'public.users_mirror')")
+      assert(run("EXECUTE MIRROR mgd").head.getLong(0) == 400L)
+      assert(s.psql("SELECT count(*) FROM public.users_mirror",
+        db = "mongodest").trim == "400")
+      assert(s.psql("SELECT count(*) FROM public.users_mirror " +
+        "WHERE _full_document::jsonb->>'name' = 'user7'",
+        db = "mongodest").trim == "1")
+
+      // full-refresh semantics reach the live destination: a shrunken
+      // source replaces, not appends
+      docs = docs.take(250)
+      assert(run("EXECUTE MIRROR mgd").head.getLong(0) == 250L)
+      assert(s.psql("SELECT count(*) FROM public.users_mirror",
+        db = "mongodest").trim == "250")
+
+      run("DROP MIRROR mgd"); run("DROP PEER mdsrc")
+      run("DROP PEER mddst")
+    } finally { listener.close(); s.stop() }
+  }
 }

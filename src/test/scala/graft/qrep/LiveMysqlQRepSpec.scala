@@ -172,4 +172,74 @@ class LiveMysqlQRepSpec extends SparkSpec {
       assert(sized.rdd.getNumPartitions == 7)
     } finally listener.close()
   }
+
+  test("pre-1970 timestamp watermark rows survive the range probe: " +
+    "the probe is TIMESTAMPDIFF (signed, full DATETIME range) — a " +
+    "UNIX_TIMESTAMP probe floors them to 0 and drops them forever " +
+    "(the fixture emulates MySQL's out-of-range semantics for both)") {
+    val listener = new ServerSocket(0)
+    val t0 = 1709251200000000L // 2024-03-01T00:00:00Z µs
+    // one historic row a decade before the epoch, plus modern rows
+    val historicUs = -315619200000000L // 1960-01-01T00:00:00Z µs
+    @volatile var table: Seq[(Long, Long)] =
+      Seq((0L, historicUs)) ++ (1L to 50L).map(k => (k, t0 + k * 1000000L))
+    val cols = Seq(
+      MysqlCol("k", MysqlClient.TypeLongLong),
+      MysqlCol("updated_at", MysqlClient.TypeDatetime,
+        decimals = 6, length = 26))
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def tsText(us: Long): String = tsFmt.format(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000))
+    def filtered(sql: String): Seq[(Long, Long)] =
+      IntervalUs.findAllMatchIn(sql).map(_.group(1).toLong).toSeq match {
+        case Seq(lo, hi) => table.filter(r => r._2 >= lo && r._2 <= hi)
+        case _ => table
+      }
+    // FAITHFUL probe semantics: MySQL's UNIX_TIMESTAMP() is 0 outside
+    // the TIMESTAMP range, TIMESTAMPDIFF is signed-exact everywhere —
+    // the fixture reproduces both so the probe choice is observable.
+    def probeUs(sql: String, us: Long): Long =
+      if (sql.contains("UNIX_TIMESTAMP")) math.max(0L, us) else us
+    WireServers.serveMysqlQuery(listener, "", { sql =>
+      if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      else if (sql.contains("MIN(")) {
+        val f = filtered(sql)
+        MysqlAnswer(
+          Seq(MysqlCol("mn", MysqlClient.TypeLongLong),
+            MysqlCol("mx", MysqlClient.TypeLongLong),
+            MysqlCol("n", MysqlClient.TypeLongLong)),
+          Seq(Seq(
+            if (f.isEmpty) None
+            else Some(f.map(r => probeUs(sql, r._2)).min.toString),
+            if (f.isEmpty) None
+            else Some(f.map(r => probeUs(sql, r._2)).max.toString),
+            Some(f.size.toString))))
+      } else MysqlAnswer(cols, filtered(sql).map(r =>
+        Seq(Some(r._1.toString), Some(tsText(r._2)))))
+    })
+    try {
+      val url = s"mysql://root@127.0.0.1:${listener.getLocalPort}/db"
+      val template = "SELECT k, updated_at FROM t3 WHERE " +
+        "updated_at BETWEEN {{.start_ts}} AND {{.end_ts}}"
+
+      val df = LiveMysqlPull.pull(spark, url, template, "updated_at",
+        last = None, numPartitions = 3)
+      assert(df.count() == 51) // the 1960 row arrived
+      val ks = df.select("k").collect().map(_.getLong(0)).toSet
+      assert(ks.contains(0L))
+
+      // the stored watermark is the Spark-side max (signed micros);
+      // an idle incremental round pulls nothing and re-pulls nothing
+      val last = df.agg(org.apache.spark.sql.functions.max(
+        Partitioner.wmarkLong(df, "updated_at"))).head.getLong(0)
+      assert(last == t0 + 50L * 1000000L)
+      val idle = LiveMysqlPull.pull(spark, url, template, "updated_at",
+        last = Some(last), numPartitions = 3)
+      assert(idle.count() == 0)
+    } finally listener.close()
+  }
 }

@@ -111,9 +111,10 @@ class EsWireSpec extends SparkSpec {
     } finally es.stop()
   }
 
-  test("composite PK: _id is a length-prefixed sha256 — " +
-    "(\"a_b\",\"c\") and (\"a\",\"b_c\") land as TWO documents, and " +
-    "a delete targets exactly its own doc") {
+  test("composite PK: _id is a null-flagged, length-prefixed sha256 — " +
+    "(\"a_b\",\"c\") vs (\"a\",\"b_c\") land as TWO documents (and so " +
+    "do (NULL,\"x\") vs (\"\",\"x\")); a delete targets exactly its " +
+    "own doc") {
     val es = new EsFixture
     try {
       val wal = tmpDir("es_wal2")
@@ -128,7 +129,12 @@ class EsWireSpec extends SparkSpec {
           """{"k1":"a","k2":"b_c","v":2}"""),
         rec(3, ChangeRecord.TypeDelete,
           """{"k1":"a","k2":"b_c","v":2}""",
-          matchData = """{"k1":"a","k2":"b_c"}""")))
+          matchData = """{"k1":"a","k2":"b_c"}"""),
+        // null vs empty-string in a key component: distinct docs
+        rec(4, ChangeRecord.TypeInsert,
+          """{"k1":null,"k2":"x","v":3}"""),
+        rec(5, ChangeRecord.TypeInsert,
+          """{"k1":"","k2":"x","v":4}""")))
       val cfg = MirrorConfig(
         walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
         checkpointDir = s"$base/ckpt", pkColumns = Seq("k1", "k2"),
@@ -136,23 +142,33 @@ class EsWireSpec extends SparkSpec {
         queueUrl = Some(s"es://127.0.0.1:${es.port}"))
       new MirrorRunner(spark, cfg).runAvailableNow()
 
-      def sha(parts: Seq[String]): String = {
-        val input = parts.map(p => s"${p.length}:$p|").mkString
+      def sha(parts: Seq[Option[String]]): String = {
+        val input = parts.map {
+          case Some(p) => s"v${p.length}:$p|"
+          case None => "n0:|"
+        }.mkString
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(input.getBytes(UTF_8)).map("%02x".format(_)).mkString
       }
-      val idAB_c = sha(Seq("a_b", "c")) // survivor: index action
-      val idA_BC = sha(Seq("a", "b_c")) // deleted: delete action
+      val idAB_c = sha(Seq(Some("a_b"), Some("c"))) // survivor: index
+      val idA_BC = sha(Seq(Some("a"), Some("b_c"))) // deleted
+      val idNullX = sha(Seq(None, Some("x")))
+      val idEmptyX = sha(Seq(Some(""), Some("x")))
       assert(idAB_c != idA_BC)
+      assert(idNullX != idEmptyX)
       val lines = es.lines
       val indexActions = lines.filter(_.contains(""""index":"""))
       val deleteActions = lines.filter(_.contains(""""delete":"""))
-      assert(indexActions.size == 1 && deleteActions.size == 1,
+      assert(indexActions.size == 3 && deleteActions.size == 1,
         s"got:\n${lines.mkString("\n")}")
-      assert(indexActions.head.contains(s""""_id":"$idAB_c""""),
-        s"index action targeted the wrong doc: ${indexActions.head}")
+      assert(indexActions.exists(_.contains(s""""_id":"$idAB_c"""")),
+        s"missing the a_b|c doc:\n${indexActions.mkString("\n")}")
       assert(deleteActions.head.contains(s""""_id":"$idA_BC""""),
         s"delete action targeted the wrong doc: ${deleteActions.head}")
+      assert(indexActions.exists(_.contains(s""""_id":"$idNullX"""")) &&
+        indexActions.exists(_.contains(s""""_id":"$idEmptyX"""")),
+        "null-key and empty-key rows must land as TWO documents:\n" +
+          indexActions.mkString("\n"))
     } finally es.stop()
   }
 
