@@ -737,26 +737,26 @@ object GraftSql {
                   throw new IllegalArgumentException(
                     s"$src lacks column(s): ${missing.mkString(",")}")
                 ""
-              case None if cfg.captureDir.exists(u =>
-                  graft.cdc.CaptureEndpoint.isUrl(u) &&
-                    graft.cdc.CaptureEndpoint.parse(u).scheme ==
-                      "pgwire") =>
-                "live exported-snapshot via pgwire capture endpoint"
-              case None if cfg.captureDir.exists(u =>
-                  graft.cdc.CaptureEndpoint.isUrl(u) &&
-                    graft.cdc.CaptureEndpoint.parse(u).scheme ==
-                      "mysql") =>
-                "live binlog-position snapshot via mysql capture " +
-                  "endpoint"
-              case None if cfg.captureDir.exists(u =>
-                  graft.cdc.CaptureEndpoint.isUrl(u) &&
-                    graft.cdc.CaptureEndpoint.parse(u).scheme ==
-                      "mongo") =>
-                "live operation-time snapshot via mongo capture " +
-                  "endpoint"
-              case None => throw new IllegalArgumentException(
-                "do_initial_snapshot requires 'snapshot_source' (or " +
-                  "a pgwire:///mysql:///mongo:// capture_dir)")
+              case None =>
+                // one membership check, not a case arm per scheme —
+                // the consistent-point mechanism differs per source
+                val liveScheme = cfg.captureDir
+                  .filter(graft.cdc.CaptureEndpoint.isUrl)
+                  .map(graft.cdc.CaptureEndpoint.parse(_).scheme)
+                  .filter(Seq("pgwire", "mysql", "mongo").contains)
+                liveScheme match {
+                  case Some("pgwire") =>
+                    "live exported-snapshot via pgwire capture endpoint"
+                  case Some("mysql") =>
+                    "live binlog-position snapshot via mysql capture " +
+                      "endpoint"
+                  case Some("mongo") =>
+                    "live operation-time snapshot via mongo capture " +
+                      "endpoint"
+                  case _ => throw new IllegalArgumentException(
+                    "do_initial_snapshot requires 'snapshot_source' " +
+                      "(or a pgwire:///mysql:///mongo:// capture_dir)")
+                }
             }
           }
       }

@@ -1,7 +1,6 @@
 package graft.mirror
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{CaptureEndpoint, PgWire}
 import graft.server.PgClient
@@ -242,40 +241,17 @@ object SnapshotFlow {
       }
     }
 
-    val snap = snapshotName
-    val urlSer = captureUrl // plain string into the closure
-    val jsonRows = spark.createDataset(
-      spark.sparkContext.parallelize(slices, slices.size)
-        .mapPartitions { it =>
-          it.flatMap { s =>
-            val c = graft.server.PgClients.connect(urlSer)
-            // the task may die mid-stream (executor error, cancel):
-            // the completion listener guarantees the socket closes
-            // even when the row iterator is abandoned un-exhausted
-            val tc = org.apache.spark.TaskContext.get()
-            if (tc != null)
-              tc.addTaskCompletionListener[Unit](_ => c.close())
-            try {
-              c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
-              c.queryAll("SET TRANSACTION SNAPSHOT " +
-                PgWire.quoteLiteral(snap))
-              val where = s"ctid >= '(${s.loBlock},0)'::tid" +
-                s.hiBlock.map(h => s" AND ctid < '($h,0)'::tid")
-                  .getOrElse("")
-              val cur = c.queryCursor(
-                s"SELECT $colSql FROM $tableSql WHERE $where")
-              val (names, oids) = (cur.columns, cur.typeOids)
-              // lazy decode straight off the socket; the trailing
-              // by-name ++ closes this slice's connection as soon as
-              // its rows are exhausted (not at task end)
-              cur.map(graft.cdc.PgRows.json(names, oids, _)) ++ {
-                c.close(); Iterator.empty
-              }
-            } catch { case e: Throwable => c.close(); throw e }
-          }
-        })(Encoders.STRING)
-    jsonRows.select(from_json(col("value"), schema).as("r"))
-      .select(cols.map(n => col(s"r.$n")): _*)
+    val colSqlSer = colSql
+    val tableSqlSer = tableSql
+    graft.qrep.StreamedPgRead.frame(spark, captureUrl, slices,
+      setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ",
+        "SET TRANSACTION SNAPSHOT " + PgWire.quoteLiteral(snapshotName)),
+      sqlOf = (s: Slice) => {
+        val where = s"ctid >= '(${s.loBlock},0)'::tid" +
+          s.hiBlock.map(h => s" AND ctid < '($h,0)'::tid").getOrElse("")
+        s"SELECT $colSqlSer FROM $tableSqlSer WHERE $where"
+      },
+      schema = schema)
   }
 
   /** The whole initial-load phase: export the slot, snapshot every

@@ -1,7 +1,6 @@
 package graft.qrep
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.{CaptureEndpoint, PgRows}
 
@@ -183,39 +182,14 @@ object LivePgPull {
   private def pullRanges(spark: SparkSession, url: String,
       template: String, schema: org.apache.spark.sql.types.StructType,
       ranges: Seq[(Long, Long)], snapshotName: String): DataFrame = {
-
     val tmpl = template
-    val urlSer = url
-    val snapSer = snapshotName
-    val jsonRows = spark.createDataset(
-      spark.sparkContext.parallelize(ranges, ranges.size)
-        .mapPartitions { it =>
-          it.flatMap { case (rlo, rhi) =>
-            val c = graft.server.PgClients.connect(urlSer)
-            // guarantees socket close when the task dies mid-stream
-            val tc = org.apache.spark.TaskContext.get()
-            if (tc != null)
-              tc.addTaskCompletionListener[Unit](_ => c.close())
-            try {
-              c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
-              c.queryAll("SET TRANSACTION SNAPSHOT " +
-                graft.cdc.PgWire.quoteLiteral(snapSer))
-              // rows decode LAZILY off the socket (the reference's
-              // QRecordStream, qrep_query_executor.go:282-520): a
-              // catch-up round's partition never materializes as a
-              // boxed Seq on the executor heap
-              val cur = c.queryCursor(bind(tmpl, rlo, rhi))
-              val (names, oids) = (cur.columns, cur.typeOids)
-              cur.map(PgRows.json(names, oids, _)) ++ {
-                c.close(); Iterator.empty
-              }
-            } catch { case e: Throwable => c.close(); throw e }
-          }
-        })(Encoders.STRING)
     // localCheckpoint is EAGER: by the time pull() returns, every
     // partition has read — the holder's snapshot may then be released
-    jsonRows.select(from_json(col("value"), schema).as("r"))
-      .select(schema.fieldNames.map(f => col(s"r.$f")).toSeq: _*)
-      .localCheckpoint()
+    StreamedPgRead.frame(spark, url, ranges,
+      setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ",
+        "SET TRANSACTION SNAPSHOT " +
+          graft.cdc.PgWire.quoteLiteral(snapshotName)),
+      sqlOf = (r: (Long, Long)) => bind(tmpl, r._1, r._2),
+      schema = schema).localCheckpoint()
   }
 }

@@ -1,7 +1,7 @@
 package graft.qrep
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.cdc.PgRows
 
@@ -57,29 +57,10 @@ object LivePgXmin {
     // subquery form requires the user query to EXPOSE xmin for
     // incremental rounds — a bare `SELECT *, xmin::text::bigint AS
     // _xmin FROM t` works; [[pullTable]] below builds that shape.
-    val urlSer = url
-    val jsonRows = spark.createDataset(
-      spark.sparkContext.parallelize(Seq(bound), 1)
-        .mapPartitions { it =>
-          it.flatMap { sql =>
-            val c = graft.server.PgClients.connect(urlSer)
-            val tc = org.apache.spark.TaskContext.get()
-            if (tc != null)
-              tc.addTaskCompletionListener[Unit](_ => c.close())
-            try {
-              c.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
-              val cur = c.queryCursor(sql)
-              val (names, oids) = (cur.columns, cur.typeOids)
-              cur.map(PgRows.json(names, oids, _)) ++ {
-                c.close(); Iterator.empty
-              }
-            } catch { case e: Throwable => c.close(); throw e }
-          }
-        })(Encoders.STRING)
-    val df = jsonRows
-      .select(from_json(col("value"), schema).as("r"))
-      .select(schema.fieldNames.map(f => col(s"r.$f")).toSeq: _*)
-      .localCheckpoint()
+    val df = StreamedPgRead.frame(spark, url, Seq(bound),
+      setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ"),
+      sqlOf = (sql: String) => sql,
+      schema = schema).localCheckpoint()
     (df, nextXmin)
   }
 
