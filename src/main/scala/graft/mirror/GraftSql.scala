@@ -792,18 +792,20 @@ object GraftSql {
     * nexus/analyzer/src/qrep.rs:20-90): required keys present, the
     * watermark template actually in the query, upsert has its key. */
   private def validateQRep(q: String, o: Map[String, String],
-      /** false for document-store sources (mongo://): the pull is a
-        * find() over `_id` ranges, not a bound SQL template — the
-        * reference likewise auto-generates the query for mongo
-        * peers. Mongo QRep is also FULL-LOAD shaped (no incremental
-        * resume upstream), so only the `overwrite` disposition — its
-        * implicit default — is accepted. */
+      /** false for pulls with no bound SQL template: document-store
+        * sources (mongo:// — find() over `_id` ranges) and
+        * string-watermark MySQL pulls (`partition_strategy 'string'`
+        * — the engine generates the range queries). Both are
+        * FULL-LOAD shaped (the reference supports no incremental
+        * resume for either), so only the `overwrite` disposition —
+        * their implicit default — is accepted. */
       requireTemplate: Boolean = true): Unit = {
     if (!requireTemplate && o.get("mode").exists(_ != "overwrite"))
       throw new IllegalArgumentException(
-        "CREATE MIRROR (QRep): a mongo:// source is full-load shaped " +
+        "CREATE MIRROR (QRep): this source shape is full-load " +
+          "(mongo:// find, or mysql:// string-watermark partitions) " +
           "— mode must be 'overwrite' (the default); append/upsert " +
-          "have no incremental increment to feed them")
+          "have no increment to feed them")
     Seq("watermark_column", "source_table", "dest_dir").foreach { k =>
       if (!o.contains(k)) throw new IllegalArgumentException(
         s"CREATE MIRROR (QRep): missing '$k'")
@@ -918,6 +920,34 @@ object GraftSql {
           graft.util.FsText.write(doneMarker, "complete", hc)
         return Seq(Row(n))
       case None => ()
+    }
+    // STRING-watermark partitioning on a live MySQL peer
+    // (`partition_strategy 'string'`): uuid PKs / arbitrary VARCHAR
+    // keys have no numeric range image — partitions come from the
+    // reference's string partitioner (uuid-space split or adaptive
+    // EXPLAIN-guided bisection, flow/connectors/mysql/
+    // qrep_partition.go). Full-load shaped like mongo: the reference
+    // rejects resume by a string range, so every round is a full
+    // refresh (Overwrite; validateQRep rejects other modes).
+    if (o.get("partition_strategy").contains("string") &&
+        srcPeer.options.get("url").exists(_.startsWith("mysql://"))) {
+      val df = graft.qrep.LiveMysqlPull.pullStringKey(sess,
+        srcPeer.options("url"), o("source_table"),
+        o("watermark_column"),
+        numPartitions =
+          o.get("num_partitions").map(_.toInt).getOrElse(4),
+        rowsPerPartition =
+          o.get("num_rows_per_partition").map(_.toLong))
+      val n = new graft.qrep.QRepRunner(sess, graft.qrep.QRepConfig(
+        wmarkColumn = o("watermark_column"), destDir = destDir,
+        wmarkStorePath = storePath,
+        mode = graft.qrep.WriteMode.Overwrite,
+        destUrl = o.get("dest_url"),
+        destTable = o.getOrElse("dest_table", "public.qrep_dest")))
+        .writeDisposition(df)
+      if (copyOnly)
+        graft.util.FsText.write(doneMarker, "complete", hc)
+      return Seq(Row(n))
     }
     // XMIN flavor on a live PG peer (`watermark_column 'xmin'`): the
     // system-column incremental scan (xmin_flow.go) — the engine
@@ -1300,10 +1330,14 @@ object GraftSql {
     case CreateQRepMirror(n, src, dst, q, o) =>
       val srcPeerDef = peersFor(spark).get(src) // both peers must exist
       peersFor(spark).get(dst)
-      // fail the DDL, not the first EXECUTE; mongo sources have no
-      // SQL template to validate (find() over _id ranges)
-      validateQRep(q, o, requireTemplate = !srcPeerDef.options
-        .get("url").exists(_.startsWith("mongo://")))
+      // fail the DDL, not the first EXECUTE; mongo sources (find()
+      // over _id ranges) and mysql string-watermark pulls (generated
+      // range queries) have no SQL template to validate
+      validateQRep(q, o, requireTemplate =
+        !srcPeerDef.options.get("url").exists(_.startsWith("mongo://"))
+          && !(o.get("partition_strategy").contains("string") &&
+            srcPeerDef.options.get("url")
+              .exists(_.startsWith("mysql://"))))
       mirrorsFor(spark).create(Peer(n, "qrep", o ++ Map(
         "__query" -> q, "__source_peer" -> src, "__dest_peer" -> dst)))
       Nil

@@ -124,6 +124,111 @@ object LiveMysqlPull {
     pullRanges(spark, url, template, schema, lo, hi, n, parts)
   }
 
+  /** MySQL string literal under the DEFAULT sql_mode (backslash
+    * escapes active): double both the quote and the backslash. */
+  private def strLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  private def identSql(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  private def tableSqlOf(table: String): String =
+    table.split("\\.", 2) match {
+      case Array(ns, n) => s"${identSql(ns)}.${identSql(n)}"
+      case _ => identSql(table)
+    }
+
+  /** FULL LOAD of `table` partitioned on a STRING watermark column —
+    * the reference's string partitioner
+    * (flow/connectors/mysql/qrep_partition.go): UUID-shaped bounds
+    * split the 128-bit space uniformly; arbitrary strings split by
+    * adaptive midpoint bisection guided by `EXPLAIN` row estimates
+    * ([[MysqlStringPartitions]]). Full-load shaped — the reference
+    * rejects resuming by a string partition range, so every round
+    * re-pulls (Overwrite disposition at the caller). A dedicated
+    * final partition pulls `wm IS NULL` rows (MIN/MAX never see
+    * them). */
+  def pullStringKey(spark: SparkSession, url: String, table: String,
+      wmarkColumn: String, numPartitions: Int = 4,
+      rowsPerPartition: Option[Long] = None): DataFrame = {
+    import MysqlStringPartitions._
+    val ep = CaptureEndpoint.parse(url)
+    val tableSql = tableSqlOf(table)
+    val wmSql = identSql(wmarkColumn)
+    val probe = MysqlClients.connect(ep)
+    val (schema, parts) =
+      try {
+        val schema = MysqlClient.schemaOf(probe.query(
+          s"SELECT * FROM $tableSql LIMIT 0").columns)
+        val mm = probe.query(s"SELECT MIN($wmSql), MAX($wmSql), " +
+          s"COUNT(*) FROM $tableSql").rows.head
+        val n = mm(2).map(_.toLong).getOrElse(0L)
+        val target = math.max(1, math.min(rowsPerPartition match {
+          case Some(rpp) => math.min(
+            (n + rpp - 1) / math.max(1L, rpp), 4096L).toInt
+          case None => numPartitions
+        }, math.min(math.max(n, 1L), Int.MaxValue.toLong).toInt))
+        val parts: Seq[Part] = (mm(0), mm(1)) match {
+          case (Some(lo), Some(hi)) if lo == hi || target == 1 =>
+            Seq(Part(lo, hi, endInclusive = true))
+          case (Some(lo), Some(hi)) =>
+            detectUuidCasing(lo, hi) match {
+              case Some(upper) => uuidPartitions(lo, hi, upper, target)
+              case None =>
+                // server-backed prober: planner estimates + LIMIT 1
+                // real-key snapping, all inside (start, end)
+                val prober = new RangeProber {
+                  def estimateRows(start: String, end: String): Long = {
+                    val r = probe.query("EXPLAIN FORMAT=TRADITIONAL " +
+                      s"SELECT 1 FROM $tableSql WHERE " +
+                      s"$wmSql >= ${strLit(start)} AND " +
+                      s"$wmSql < ${strLit(end)}")
+                    val i = r.columns.indexWhere(_.name == "rows")
+                    if (i < 0) 0L
+                    else r.rows.headOption.flatMap(_(i))
+                      .map(_.toLong).getOrElse(0L)
+                  }
+                  def nextRealKey(mid: String, start: String,
+                      end: String): Option[String] =
+                    probe.query(s"SELECT $wmSql FROM $tableSql WHERE " +
+                      s"$wmSql >= ${strLit(mid)} AND " +
+                      s"$wmSql > ${strLit(start)} AND " +
+                      s"$wmSql < ${strLit(end)} " +
+                      s"ORDER BY $wmSql LIMIT 1")
+                      .rows.headOption.flatMap(_.head)
+                  def prevRealKey(mid: String, start: String,
+                      end: String): Option[String] =
+                    probe.query(s"SELECT $wmSql FROM $tableSql WHERE " +
+                      s"$wmSql < ${strLit(mid)} AND " +
+                      s"$wmSql > ${strLit(start)} AND " +
+                      s"$wmSql < ${strLit(end)} " +
+                      s"ORDER BY $wmSql DESC LIMIT 1")
+                      .rows.headOption.flatMap(_.head)
+                }
+                adaptivePartitions(prober, lo, hi, target)
+            }
+          case _ => Nil // empty or all-NULL watermark: null scan only
+        }
+        (schema, parts)
+      } finally probe.close()
+
+    val partSqls = parts.map { p =>
+      val where =
+        if (p.endInclusive)
+          s"$wmSql BETWEEN ${strLit(p.start)} AND ${strLit(p.end)}"
+        else
+          s"$wmSql >= ${strLit(p.start)} AND $wmSql < ${strLit(p.end)}"
+      s"SELECT * FROM $tableSql WHERE $where"
+    } :+ s"SELECT * FROM $tableSql WHERE $wmSql IS NULL"
+
+    val urlSer = url
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rdd = spark.sparkContext
+      .parallelize(partSqls, partSqls.size)
+      .mapPartitions(_.flatMap(q => rowsOf(urlSer, q, fieldTypes)))
+    spark.createDataFrame(rdd, schema).localCheckpoint()
+  }
+
   /** Executor-side: one bound query's rows, streamed off the socket
     * and parsed to the given types — O(row) memory, connection closed
     * at exhaustion (and at task end via the completion listener). */

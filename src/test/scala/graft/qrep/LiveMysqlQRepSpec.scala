@@ -242,4 +242,137 @@ class LiveMysqlQRepSpec extends SparkSpec {
       assert(idle.count() == 0)
     } finally listener.close()
   }
+
+  /** Fixture for the STRING-watermark tests: a (id, uid, v) table
+    * served over the protocol, answering the schema probe, MIN/MAX,
+    * EXPLAIN row estimates, the real-key LIMIT 1 probes, and the
+    * generated range/IS NULL pulls — the full surface
+    * [[LiveMysqlPull.pullStringKey]] drives. */
+  private def stringKeyHandler(
+      rows: () => Seq[(Long, Option[String], String)])
+      : String => MysqlAnswer = {
+    val cols = Seq(
+      MysqlCol("id", MysqlClient.TypeLongLong),
+      MysqlCol("uid", 0xFD), // VAR_STRING watermark
+      MysqlCol("v", 0xFD))
+    val Lit = "'([^']*)'".r
+    def lits(sql: String): Seq[String] =
+      Lit.findAllMatchIn(sql).map(_.group(1)).toSeq
+    def keyed = rows().collect { case (_, Some(k), _) => k }
+
+    { sql: String =>
+      if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      else if (sql.contains("SELECT MIN(")) {
+        val ks = keyed
+        MysqlAnswer(
+          Seq(MysqlCol("mn", 0xFD), MysqlCol("mx", 0xFD),
+            MysqlCol("n", MysqlClient.TypeLongLong)),
+          Seq(Seq(ks.minOption, ks.maxOption,
+            Some(rows().size.toString))))
+      } else if (sql.startsWith("EXPLAIN")) {
+        val Seq(s, e) = lits(sql)
+        MysqlAnswer(Seq(MysqlCol("rows", MysqlClient.TypeLongLong)),
+          Seq(Seq(Some(keyed.count(k => k >= s && k < e).toString))))
+      } else if (sql.contains("LIMIT 1")) {
+        val Seq(mid, s, e) = lits(sql)
+        val k =
+          if (sql.contains("DESC"))
+            keyed.filter(k => k < mid && k > s && k < e)
+              .sorted.lastOption
+          else keyed.filter(k => k >= mid && k > s && k < e)
+            .sorted.headOption
+        MysqlAnswer(Seq(MysqlCol("uid", 0xFD)),
+          k.toSeq.map(v => Seq(Some(v))))
+      } else if (sql.contains("IS NULL")) {
+        MysqlAnswer(cols, rows().filter(_._2.isEmpty).map(r =>
+          Seq(Some(r._1.toString), None, Some(r._3))))
+      } else {
+        val Seq(s, e) = lits(sql)
+        val sel: String => Boolean =
+          if (sql.contains("BETWEEN")) k => k >= s && k <= e
+          else k => k >= s && k < e
+        MysqlAnswer(cols, rows()
+          .filter(_._2.exists(sel))
+          .map(r => Seq(Some(r._1.toString), r._2, Some(r._3))))
+      }
+    }
+  }
+
+  test("STRING watermark, uuid-shaped keys: the 128-bit space splits " +
+    "uniformly, every row (including the NULL-watermark one) arrives " +
+    "exactly once across the range partitions + the IS NULL scan") {
+    val listener = new ServerSocket(0)
+    def uuidOf(i: Int): String = f"65f00000-0000-0000-0000-$i%012x"
+    val table: Seq[(Long, Option[String], String)] =
+      (0 until 1000).map(i => (i.toLong, Some(uuidOf(i)), s"u$i")) :+
+        ((9999L, None, "null-key"))
+    WireServers.serveMysqlQuery(listener, "",
+      stringKeyHandler(() => table))
+    try {
+      val url = s"mysql://root@127.0.0.1:${listener.getLocalPort}/db"
+      val df = LiveMysqlPull.pullStringKey(spark, url, "t4", "uid",
+        numPartitions = 4)
+      assert(df.count() == 1001)
+      assert(df.select("id").distinct().count() == 1001)
+      // 4 uuid ranges + the IS NULL partition
+      assert(df.rdd.getNumPartitions == 5)
+      val sizes = df.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+        .collect().map(_._2)
+      assert(sizes.sum == 1001)
+      // sequential uuids → near-uniform range populations
+      assert(sizes.count(_ >= 200) == 4, s"sizes: ${sizes.mkString(",")}")
+      assert(sizes.min == 1) // the null scan
+    } finally listener.close()
+  }
+
+  test("STRING watermark, skewed arbitrary keys: adaptive bisection " +
+    "(EXPLAIN-estimate-guided, real-key-snapped) caps the largest " +
+    "partition where a uniform value split would take ~90% on one " +
+    "connection; DDL surface runs it as a full-refresh mirror and " +
+    "rejects append mode") {
+    val listener = new ServerSocket(0)
+    @volatile var table: Seq[(Long, Option[String], String)] =
+      ((0 until 900).map(i => (i.toLong, Some(f"user-0$i%03d"), s"a$i")) ++
+        (0 until 100).map(i =>
+          (1000L + i, Some(f"zz-$i%03d"), s"z$i"))).sortBy(_._1)
+    WireServers.serveMysqlQuery(listener, "",
+      stringKeyHandler(() => table))
+    try {
+      val url = s"mysql://root@127.0.0.1:${listener.getLocalPort}/db"
+      val df = LiveMysqlPull.pullStringKey(spark, url, "t5", "uid",
+        numPartitions = 8)
+      assert(df.count() == 1000)
+      assert(df.select("id").distinct().count() == 1000)
+      val sizes = df.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+        .collect().map(_._2)
+      assert(sizes.sum == 1000)
+      assert(sizes.max <= 250,
+        s"largest partition uncapped: ${sizes.mkString(",")}")
+
+      // DDL: partition_strategy 'string' needs no template and is
+      // full-refresh shaped (overwrite); a shrunken source replaces
+      val base = tmpDir("livemysqlstr")
+      run(s"CREATE PEER strsrc TYPE mysql OPTIONS (url '$url')")
+      run(s"CREATE PEER strdst TYPE parquet OPTIONS (dir '$base/dst')")
+      intercept[IllegalArgumentException] {
+        run("CREATE MIRROR mstrbad FROM strsrc TO strdst FOR " +
+          "$$ full $$ WITH (watermark_column 'uid', " +
+          "source_table 't5', partition_strategy 'string', " +
+          s"dest_dir '$base/destbad', mode 'append')")
+      }
+      run("CREATE MIRROR mstr FROM strsrc TO strdst FOR " +
+        "$$ full $$ WITH (watermark_column 'uid', " +
+        "source_table 't5', partition_strategy 'string', " +
+        s"dest_dir '$base/dest', num_partitions '6')")
+      assert(run("EXECUTE MIRROR mstr").head.getLong(0) == 1000L)
+      table = table.take(700)
+      assert(run("EXECUTE MIRROR mstr").head.getLong(0) == 700L)
+      assert(spark.read.parquet(s"$base/dest").count() == 700)
+      run("DROP MIRROR mstr"); run("DROP PEER strsrc")
+      run("DROP PEER strdst")
+    } finally listener.close()
+  }
 }
