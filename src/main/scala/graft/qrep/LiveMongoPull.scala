@@ -21,8 +21,11 @@ import graft.cdc.{Bson, CaptureEndpoint, MongoSession, MongoWire}
   *
   * `_id` types: ObjectID (12-byte BigInt keyspace, split uniformly —
   * the leading 4 timestamp bytes make this an insertion-time
-  * partitioning), int32/int64 (numeric split). Mixed or other types
-  * fall back to one full-collection partition, like the reference.
+  * partitioning), int32/int64 (numeric split), string ($sample-based
+  * quantile boundaries — string keys are not uniform in the value
+  * space, so the reference samples and splits by document share,
+  * qrep_partition.go:151-232). Mixed or other types fall back to one
+  * full-collection partition, like the reference.
   */
 object LiveMongoPull {
 
@@ -68,6 +71,47 @@ object LiveMongoPull {
   private final case class NumBound(v: Long) extends Bound {
     def bval: BVal = BInt64(v)
   }
+  private final case class StrBound(s: String) extends Bound {
+    def bval: BVal = BString(s)
+  }
+
+  /** One `_id` range: `$gte lo` + (`$lte`|`$lt`) `hi`. ObjectID and
+    * numeric splits chain disjoint inclusive bounds by integer
+    * arithmetic; STRING quantile ranges chain half-open `[lo, hi)`
+    * with an inclusive tail (sampled boundaries are real keys — an
+    * inclusive end would pull them twice). (None, None) = full scan. */
+  private final case class IdRange(lo: Option[Bound], hi: Option[Bound],
+      hiInclusive: Boolean = true)
+
+  // $sample posture from the reference (qrep_partition.go:19-25):
+  // oversample so quantiles land well even with clustered keys; cap
+  // the sampling cost on very large collections
+  private val StringSampleOversample = 20
+  private val StringSampleMaxSize = 100000
+
+  /** Pre-sorted sample + real min/max → contiguous quantile ranges
+    * `[min,b0) [b0,b1) … [bk,max]` — the reference's
+    * computeStringBoundaries (qrep_partition.go:245-293), pure for
+    * unit-testing. Returns fewer ranges when the sample yields too
+    * few distinct interior boundaries. */
+  private[qrep] def stringBoundaries(minVal: String, maxVal: String,
+      samples: Seq[String], numPartitions: Int)
+      : Seq[(String, String, Boolean)] = {
+    val interior = samples.distinct
+      .filter(s => s != minVal && s != maxVal)
+    val desired = numPartitions - 1
+    val picked =
+      if (interior.size <= desired) interior
+      else (1 to desired).map { i =>
+        interior(math.min(interior.size - 1,
+          i * interior.size / numPartitions))
+      }.distinct
+    val starts = minVal +: picked
+    starts.zipWithIndex.map { case (s, i) =>
+      if (i + 1 < starts.size) (s, starts(i + 1), false)
+      else (s, maxVal, true)
+    }
+  }
 
   /** One round's full pull of `table` ("db.collection"), partitioned
     * by `_id` range. Eagerly localCheckpointed: by return, every
@@ -86,7 +130,7 @@ object LiveMongoPull {
     }
 
     val probe = sessionFor(ep)
-    val (bounds, n) =
+    val ranges: Seq[IdRange] =
       try {
         val n = {
           val r = probe.call(Bson.encode(
@@ -109,45 +153,98 @@ object LiveMongoPull {
           batchOf(r, "firstBatch")._2.headOption
             .flatMap(doc => field(doc, "_id"))
         }
-        ((boundary(1), boundary(-1)), n)
-      } finally probe.close()
+        val bounds = (boundary(1), boundary(-1))
 
-    val parts = math.max(1, math.min(rowsPerPartition match {
-      case Some(rpp) =>
-        math.min((n + rpp - 1) / math.max(1L, rpp), 4096L).toInt
-      case None => numPartitions
-    }, math.min(math.max(n, 1L), Int.MaxValue.toLong).toInt))
+        val parts = math.max(1, math.min(rowsPerPartition match {
+          case Some(rpp) =>
+            math.min((n + rpp - 1) / math.max(1L, rpp), 4096L).toInt
+          case None => numPartitions
+        }, math.min(math.max(n, 1L), Int.MaxValue.toLong).toInt))
 
-    // _id-typed range split; unsupported/mixed types → one full scan
-    val ranges: Seq[(Option[Bound], Option[Bound])] = bounds match {
-      case (Some((0x07, lo)), Some((0x07, hi))) if parts > 1 =>
-        // ObjectID keyspace as a positive BigInt over the 12 bytes
-        val (loI, hiI) = (BigInt(1, lo), BigInt(1, hi))
-        val step = (hiI - loI + parts) / parts // ceil, ≥ 1 when hi>lo
-        def toOid(v: BigInt): Array[Byte] = {
-          val raw = v.toByteArray.dropWhile(_ == 0)
-          require(raw.length <= 12, s"ObjectID overflow: $v")
-          new Array[Byte](12 - raw.length) ++ raw
+        // _id-typed range split; unsupported/mixed types → full scan
+        val ranges: Seq[IdRange] = bounds match {
+          case (Some((0x07, lo)), Some((0x07, hi))) if parts > 1 =>
+            // ObjectID keyspace as a positive BigInt over the 12 bytes
+            val (loI, hiI) = (BigInt(1, lo), BigInt(1, hi))
+            val step = (hiI - loI + parts) / parts // ceil, ≥1 if hi>lo
+            def toOid(v: BigInt): Array[Byte] = {
+              val raw = v.toByteArray.dropWhile(_ == 0)
+              require(raw.length <= 12, s"ObjectID overflow: $v")
+              new Array[Byte](12 - raw.length) ++ raw
+            }
+            if (hiI == loI)
+              Seq(IdRange(Some(OidBound(lo)), Some(OidBound(hi))))
+            else (0 until parts).map { i =>
+              val a = loI + step * i
+              val b = if (i == parts - 1) hiI else (a + step - 1).min(hiI)
+              IdRange(Some(OidBound(toOid(a))), Some(OidBound(toOid(b))))
+            }.filter(r =>
+              BigInt(1, r.lo.get.asInstanceOf[OidBound].bytes) <=
+                BigInt(1, r.hi.get.asInstanceOf[OidBound].bytes))
+          case (Some((tLo, lo)), Some((tHi, hi)))
+              if (tLo == 0x10 || tLo == 0x12) &&
+                (tHi == 0x10 || tHi == 0x12) && parts > 1 =>
+            def longOf(t: Int, v: Array[Byte]): Long =
+              if (t == 0x10) int32Of(v).toLong else int64Of(v)
+            LivePgPull.uniformRanges(longOf(tLo, lo), longOf(tHi, hi),
+              parts).map { case (a, b) =>
+                IdRange(Some(NumBound(a)), Some(NumBound(b)))
+              }
+          case (Some((0x02, lo)), Some((0x02, hi))) if parts > 1 =>
+            // STRING _id keyspace: package-name-style keys are NOT
+            // uniform, so the reference samples the collection and
+            // takes quantile boundaries (qrep_partition.go:151-232);
+            // $sample below ~5% of the collection rides WiredTiger's
+            // random cursor — cheap even on large collections
+            val (minS, maxS) = (MongoWire.stringOf(lo),
+              MongoWire.stringOf(hi))
+            if (minS >= maxS) Seq(IdRange(None, None))
+            else {
+              val size = math.min(
+                parts.toLong * StringSampleOversample,
+                StringSampleMaxSize.toLong).toInt
+              val first = probe.call(Bson.encode(
+                "aggregate" -> BString(coll),
+                "pipeline" -> BArray(Seq(
+                  BDoc(Seq("$sample" ->
+                    BDoc(Seq("size" -> BInt32(size))))),
+                  BDoc(Seq("$project" ->
+                    BDoc(Seq("_id" -> BInt32(1))))),
+                  BDoc(Seq("$sort" -> BDoc(Seq("_id" -> BInt32(1))))))),
+                "cursor" -> BDoc(Nil),
+                "$db" -> BString(db)))
+              val samples = scala.collection.mutable.Buffer.empty[String]
+              var (cid, docs) = batchOf(first, "firstBatch")
+              var draining = true
+              while (draining) {
+                docs.foreach { d =>
+                  field(d, "_id").foreach {
+                    case (0x02, v) => samples += MongoWire.stringOf(v)
+                    case _ => ()
+                  }
+                }
+                if (cid == 0L) draining = false
+                else {
+                  val r = probe.call(Bson.encode(
+                    "getMore" -> BInt64(cid),
+                    "collection" -> BString(coll),
+                    "$db" -> BString(db)))
+                  val (nid, nd) = batchOf(r, "nextBatch")
+                  cid = nid; docs = nd
+                  if (nd.isEmpty && cid == 0L) draining = false
+                }
+              }
+              val qs = stringBoundaries(minS, maxS, samples.toSeq, parts)
+              if (qs.size < 2) Seq(IdRange(None, None)) // too few
+              else qs.map { case (s, e, incl) =>
+                IdRange(Some(StrBound(s)), Some(StrBound(e)), incl)
+              }
+            }
+          case (Some(_), Some(_)) => Seq(IdRange(None, None))
+          case _ => Nil // empty collection
         }
-        if (hiI == loI) Seq((Some(OidBound(lo)), Some(OidBound(hi))))
-        else (0 until parts).map { i =>
-          val a = loI + step * i
-          val b = if (i == parts - 1) hiI else (a + step - 1).min(hiI)
-          (Some(OidBound(toOid(a))), Some(OidBound(toOid(b))))
-        }.filter { case (a, b) =>
-          BigInt(1, a.get.bytes) <= BigInt(1, b.get.bytes) }
-      case (Some((tLo, lo)), Some((tHi, hi)))
-          if (tLo == 0x10 || tLo == 0x12) &&
-            (tHi == 0x10 || tHi == 0x12) && parts > 1 =>
-        def longOf(t: Int, v: Array[Byte]): Long =
-          if (t == 0x10) int32Of(v).toLong else int64Of(v)
-        LivePgPull.uniformRanges(longOf(tLo, lo), longOf(tHi, hi),
-          parts).map { case (a, b) =>
-            (Some(NumBound(a)), Some(NumBound(b)))
-          }
-      case (Some(_), Some(_)) => Seq((None, None)) // full scan
-      case _ => Nil // empty collection
-    }
+        ranges
+      } finally probe.close()
 
     val spark0 = spark
     if (ranges.isEmpty)
@@ -160,15 +257,16 @@ object LiveMongoPull {
     val tuples = spark.createDataset(
       spark.sparkContext.parallelize(ranges, ranges.size)
         .mapPartitions { it =>
-          it.flatMap { case (loB, hiB) =>
+          it.flatMap { r =>
             val sess = sessionFor(CaptureEndpoint.parse(urlSer))
             val tc = org.apache.spark.TaskContext.get()
             if (tc != null)
               tc.addTaskCompletionListener[Unit](_ => sess.close())
             try {
-              val filter = (loB, hiB) match {
+              val filter = (r.lo, r.hi) match {
                 case (Some(a), Some(b)) => BDoc(Seq("_id" -> BDoc(Seq(
-                  "$gte" -> a.bval, "$lte" -> b.bval))))
+                  "$gte" -> a.bval,
+                  (if (r.hiInclusive) "$lte" else "$lt") -> b.bval))))
                 case _ => BDoc(Nil)
               }
               val first = sess.call(Bson.encode(

@@ -147,6 +147,107 @@ class LiveMongoQRepSpec extends SparkSpec {
     } finally listener.close()
   }
 
+  test("stringBoundaries: quantile ranges cover [min, max] exactly " +
+    "once — half-open chain, inclusive tail, dedup'd interior, " +
+    "boundary-equal samples dropped (zero-width partitions)") {
+    val bs = LiveMongoPull.stringBoundaries("aaa", "zzz",
+      Seq("aaa", "ddd", "ddd", "mmm", "qqq", "zzz"), 4)
+    assert(bs == Seq(("aaa", "ddd", false), ("ddd", "mmm", false),
+      ("mmm", "qqq", false), ("qqq", "zzz", true)))
+    // too few distinct interior samples → fewer ranges, still covering
+    val few = LiveMongoPull.stringBoundaries("aaa", "zzz",
+      Seq("mmm"), 8)
+    assert(few == Seq(("aaa", "mmm", false), ("mmm", "zzz", true)))
+    // oversampled: evenly spaced quantiles, chained ends
+    val many = LiveMongoPull.stringBoundaries("a", "z",
+      (1 to 80).map(i => f"k$i%02d"), 4)
+    assert(many.size == 4)
+    assert(many.head._1 == "a" && many.last._2 == "z" && many.last._3)
+    assert(many.sliding(2).forall {
+      case Seq(x, y) => x._2 == y._1
+      case _ => true
+    })
+  }
+
+  test("STRING _id keyspace: $sample quantile partitioning balances " +
+    "clustered keys where a uniform value split could not; every doc " +
+    "arrives exactly once across half-open ranges + inclusive tail") {
+    // clustered keys: 800 docs under 'pkg-a/...', 200 under 'zlib/...'
+    val ids = ((0 until 800).map(i => f"pkg-a/mod-$i%04d") ++
+      (0 until 200).map(i => f"zlib/v$i%03d")).sorted
+    val docs: Seq[BDoc] = ids.zipWithIndex.map { case (id, i) =>
+      BDoc(Seq("_id" -> BString(id), "k" -> BInt32(i)))
+    }
+    val listener = new ServerSocket(0)
+    // fixture: count / boundary find / $sample aggregate / range find
+    WireServers.serveMongoQuery(listener, { (cmd, doc) =>
+      import MongoWire.{field, int32Of}
+      def reply(batch: Seq[BDoc]): Array[Byte] = Bson.encode(
+        "cursor" -> BDoc(Seq("id" -> BInt64(0L),
+          "firstBatch" -> BArray(batch))),
+        "ok" -> BDouble(1.0))
+      cmd match {
+        case "count" => Bson.encode(
+          "n" -> BInt32(docs.size), "ok" -> BDouble(1.0))
+        case "aggregate" =>
+          // deterministic "sample": every 10th doc, pre-sorted (the
+          // server sorts via the $sort stage)
+          val size = 100
+          val sampled = ids.grouped(ids.size / size).map(_.head)
+            .toSeq.sorted.map(id => BDoc(Seq("_id" -> BString(id))))
+          reply(sampled)
+        case "find" =>
+          field(doc, "sort") match {
+            case Some((_, sortDoc)) =>
+              val dir = field(sortDoc, "_id")
+                .map { case (_, v) => int32Of(v) }.getOrElse(1)
+              reply(Seq(
+                if (dir >= 0) docs.head else docs.last))
+            case None =>
+              val sel = field(doc, "filter")
+                .flatMap { case (_, f) => field(f, "_id") } match {
+                case Some((_, idRange)) =>
+                  def s(k: String): Option[String] =
+                    field(idRange, k).map { case (_, v) =>
+                      MongoWire.stringOf(v) }
+                  def idStr(d: BDoc): String =
+                    d.fields.head._2.asInstanceOf[BString].v
+                  val lo = s("$gte").get
+                  (s("$lte"), s("$lt")) match {
+                    case (Some(hi), _) =>
+                      docs.filter(d =>
+                        idStr(d) >= lo && idStr(d) <= hi)
+                    case (_, Some(hi)) =>
+                      docs.filter(d =>
+                        idStr(d) >= lo && idStr(d) < hi)
+                    case _ => fail("range filter without upper bound")
+                  }
+                case None => docs
+              }
+              reply(sel)
+          }
+        case other => Bson.encode("ok" -> BDouble(0.0),
+          "errmsg" -> BString(s"unsupported fixture command $other"))
+      }
+    })
+    try {
+      val url = s"mongo://127.0.0.1:${listener.getLocalPort}/appdb"
+      val df = LiveMongoPull.pull(spark, url, "appdb.packages",
+        numPartitions = 5)
+      assert(df.count() == 1000)
+      assert(df.select("_id").distinct().count() == 1000)
+      assert(df.rdd.getNumPartitions == 5)
+      val sizes = df.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+        .collect().map(_._2)
+      assert(sizes.sum == 1000)
+      // quantile boundaries → roughly equal document shares (the
+      // uniform VALUE split would depend on the key text instead)
+      assert(sizes.max <= 2 * sizes.min,
+        s"quantile split unbalanced: ${sizes.mkString(",")}")
+    } finally listener.close()
+  }
+
   test("numeric _id keyspace splits through the int64 branch") {
     val docs: Seq[BDoc] = (0 until 300).map { i =>
       BDoc(Seq("_id" -> BInt64(1000L + i), "v" -> BString(s"n$i")))
