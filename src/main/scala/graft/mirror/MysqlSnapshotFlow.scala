@@ -29,9 +29,12 @@ import graft.qrep.{LiveMysqlPull, MysqlClient, MysqlClients}
   *
   * Partitioning: a single-column BIGINT-decoding primary key splits
   * the table into BETWEEN ranges over [[LiveMysqlPull]] (min/max
-  * probe, per-partition connections, streamed rows); any other key
-  * shape falls back to one full-scan partition (the reference's
-  * FullTablePartition).
+  * probe, per-partition connections, streamed rows); a STRING pk
+  * splits through the sampled/adaptive string partitioner
+  * ([[LiveMysqlPull.pullStringKey]] — uuid-space or EXPLAIN-guided
+  * bisection, the reference's GetDefaultPartitionKeyForTables
+  * posture); any other key shape falls back to one full-scan
+  * partition (the reference's FullTablePartition).
   */
 object MysqlSnapshotFlow {
 
@@ -73,20 +76,23 @@ object MysqlSnapshotFlow {
     val cols = schema.fieldNames.toSeq
     val colSql = cols.map(q).mkString(", ")
     val t = tableSql(table)
-    val numericPk = pkColumns match {
-      case Seq(one) if cols.contains(one) =>
-        val probe = MysqlClients.connect(url)
-        try {
-          val pc = probe.query(
-            s"SELECT ${q(one)} FROM $t LIMIT 0").columns
-          pc.headOption.exists(c =>
-            MysqlClient.sparkTypeOf(c) ==
-              org.apache.spark.sql.types.LongType)
-        } finally probe.close()
-      case _ => false
-    }
-    val raw =
-      if (numericPk) {
+    // pk-type-driven partition key, the reference's
+    // GetDefaultPartitionKeyForTables (mysql/qrep.go): a single-column
+    // pk partitions by numeric BETWEEN ranges (bigint image) or — for
+    // STRING pks (uuids, slugs) — by the sampled/adaptive string
+    // partitioner; anything else is one full-scan slice
+    val pkType: Option[org.apache.spark.sql.types.DataType] =
+      pkColumns match {
+        case Seq(one) if cols.contains(one) =>
+          val probe = MysqlClients.connect(url)
+          try {
+            probe.query(s"SELECT ${q(one)} FROM $t LIMIT 0")
+              .columns.headOption.map(MysqlClient.sparkTypeOf)
+          } finally probe.close()
+        case _ => None
+      }
+    val raw = pkType match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         val pk = pkColumns.head
         LiveMysqlPull.pull(spark, url,
           s"SELECT $colSql FROM $t WHERE ${q(pk)} BETWEEN " +
@@ -94,8 +100,15 @@ object MysqlSnapshotFlow {
           pk, last = None,
           numPartitions = if (numPartitions > 0) numPartitions else 4,
           rowsPerPartition = rowsPerPartition)
-      } else LiveMysqlPull.scan(spark, url,
+      case Some(org.apache.spark.sql.types.StringType) =>
+        LiveMysqlPull.pullStringKey(spark, url, table,
+          pkColumns.head,
+          numPartitions = if (numPartitions > 0) numPartitions else 4,
+          rowsPerPartition = rowsPerPartition,
+          columns = cols)
+      case _ => LiveMysqlPull.scan(spark, url,
         s"SELECT $colSql FROM $t")
+    }
     // the mirror's payload schema wins on types (server widths may
     // differ — e.g. INT vs the mirror's BIGINT)
     raw.select(schema.fields.toSeq.map(f =>

@@ -155,11 +155,48 @@ object SnapshotFlow {
     } catch { case e: Throwable => c.close(); throw e }
   }
 
-  /** One CTID block slice; `hiBlock` None = open-ended (the LAST slice
-    * scans to the physical end, so blocks appended between the size
-    * probe and the scan are still covered — their tuples are simply
-    * invisible to the snapshot). */
-  private final case class Slice(loBlock: Long, hiBlock: Option[Long])
+  /** One CTID block range of one physical relation; `hiBlock` None =
+    * open-ended (the range reaching a relation's probed end scans to
+    * the physical end, so blocks appended between the size probe and
+    * the scan are still covered — their tuples are simply invisible
+    * to the snapshot). A SLICE is a Seq of these: for a declaratively
+    * partitioned or inheritance table one Spark task may span several
+    * leaf relations (the reference's ChildTableRanges greedy packing,
+    * flow/connectors/postgres/qrep_partition.go:229-295). */
+  private final case class Range(tableSql: String, loBlock: Long,
+      hiBlock: Option[Long])
+
+  /** One probed leaf relation: quoted name + physical stats. */
+  private final case class Leaf(sql: String, blocks: Long,
+      bytes: Long, rows: Long)
+
+  /** Greedy block packing of leaves into slices of ~`perSlice` blocks
+    * (pure): walk leaves in order, filling each slice before starting
+    * the next — one slice may span relations, one relation may split
+    * across slices. The range reaching a leaf's probed end is
+    * open-ended. */
+  private[graft] def packSlices(leaves: Seq[(String, Long)],
+      perSlice: Long): Seq[Seq[(String, Long, Option[Long])]] = {
+    val out = Seq.newBuilder[Seq[(String, Long, Option[Long])]]
+    val cur = Seq.newBuilder[(String, Long, Option[Long])]
+    var curSize = 0L
+    leaves.foreach { case (t, blocks) =>
+      var off = 0L
+      while (off < blocks) {
+        val take = math.min(perSlice - curSize, blocks - off)
+        val hi = if (off + take >= blocks) None else Some(off + take)
+        cur += ((t, off, hi))
+        off += take
+        curSize += take
+        if (curSize >= perSlice) {
+          out += cur.result(); cur.clear(); curSize = 0L
+        }
+      }
+    }
+    val tail = cur.result()
+    if (tail.nonEmpty) out += tail
+    out.result()
+  }
 
   /** Bytes one CTID slice targets when neither an explicit partition
     * count nor a rows-per-partition knob is given: a slice must fit
@@ -214,43 +251,90 @@ object SnapshotFlow {
       case _ => PgWire.quoteIdent(table)
     }
 
-    // size probe: physical bytes/blocks now plus the planner's row
-    // estimate; under-counting is impossible for snapshot-visible
-    // tuples (they existed at slot creation), and the open-ended last
-    // slice absorbs any growth since the probe
-    val (nBlocks, relBytes, estRows) = {
+    // size probe: classification first — a declaratively partitioned
+    // parent has NO physical blocks of its own (pg_relation_size = 0,
+    // which used to degrade a TB-scale partitioned table to ONE
+    // full-scan slice), and an inheritance parent's children would be
+    // double-read without ONLY. Leaf relations enumerate recursively
+    // (multi-level partitioning) with their own block stats; plain
+    // tables stay a single self-leaf. Under-counting is impossible
+    // for snapshot-visible tuples (they existed at slot creation),
+    // and each leaf's final range is open-ended so growth since the
+    // probe is still covered.
+    val leaves: Seq[Leaf] = {
       val c = clientFor(ep)
       try {
         val lit = PgWire.quoteLiteral(tableSql)
-        val r = c.query(
-          s"SELECT pg_relation_size($lit::regclass) / " +
-            "current_setting('block_size')::bigint, " +
-            s"pg_relation_size($lit::regclass), " +
-            "(SELECT greatest(reltuples::bigint, 0) FROM pg_class " +
-            s"WHERE oid = $lit::regclass)").rows.head
-        (r(0).getOrElse("0").toLong, r(1).getOrElse("0").toLong,
-          r(2).getOrElse("0").toLong)
+        val cls = c.query(
+          "SELECT c.relkind::text, c.relhassubclass::text " +
+            s"FROM pg_class c WHERE c.oid = $lit::regclass").rows
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            s"snapshot: relation $tableSql not found"))
+        val relkind = cls(0).getOrElse("r")
+        val hasSub = cls(1).exists(v => v == "t" || v == "true")
+        def selfLeaf(): Leaf = {
+          val r = c.query(
+            s"SELECT pg_relation_size($lit::regclass) / " +
+              "current_setting('block_size')::bigint, " +
+              s"pg_relation_size($lit::regclass), " +
+              "(SELECT greatest(reltuples::bigint, 0) FROM pg_class " +
+              s"WHERE oid = $lit::regclass)").rows.head
+          Leaf(tableSql, r(0).getOrElse("0").toLong,
+            r(1).getOrElse("0").toLong, r(2).getOrElse("0").toLong)
+        }
+        if (relkind != "p" && !hasSub) Seq(selfLeaf())
+        else {
+          val kids = c.query(
+            "WITH RECURSIVE _graft_kids AS (" +
+              "SELECT inhrelid AS oid FROM pg_inherits " +
+              s"WHERE inhparent = $lit::regclass " +
+              "UNION ALL SELECT i.inhrelid FROM pg_inherits i " +
+              "JOIN _graft_kids k ON i.inhparent = k.oid) " +
+              "SELECT quote_ident(n.nspname) || '.' || " +
+              "quote_ident(c.relname), c.relkind::text, " +
+              "pg_relation_size(c.oid) / " +
+              "current_setting('block_size')::bigint, " +
+              "pg_relation_size(c.oid), " +
+              "greatest(c.reltuples::bigint, 0) " +
+              "FROM _graft_kids k JOIN pg_class c ON c.oid = k.oid " +
+              "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+              "ORDER BY 1").rows
+            .filter(r => !r(1).contains("p")) // leaves only
+            .map(r => Leaf(r(0).get, r(2).getOrElse("0").toLong,
+              r(3).getOrElse("0").toLong, r(4).getOrElse("0").toLong))
+          // an inheritance ROOT stores rows itself; a partitioned
+          // parent never does
+          if (relkind == "p") kids else selfLeaf() +: kids
+        }
       } finally c.close()
     }
-    val slices: Seq[Slice] = {
-      val n = sliceCount(nBlocks, relBytes, estRows, numPartitions,
-        rowsPerPartition)
-      val per = math.max(1L, (nBlocks + n - 1) / n)
-      (0 until n).map { i =>
-        Slice(i * per, if (i == n - 1) None else Some((i + 1) * per))
-      }
+
+    val totBlocks = leaves.map(_.blocks).sum
+    val n = sliceCount(totBlocks, leaves.map(_.bytes).sum,
+      leaves.map(_.rows).sum, numPartitions, rowsPerPartition)
+    val per = math.max(1L, (totBlocks + n - 1) / n)
+    val slices: Seq[Seq[(String, Long, Option[Long])]] = {
+      val packed = packSlices(leaves.map(l => (l.sql, l.blocks)), per)
+      // an all-empty relation set still gets one open-ended scan of
+      // the parent — matches the previous posture for plain tables
+      // (rows landing between probe and scan stay covered; a
+      // partitioned parent's scan is simply empty)
+      if (packed.nonEmpty) packed
+      else Seq(Seq((tableSql, 0L, None)))
     }
 
     val colSqlSer = colSql
-    val tableSqlSer = tableSql
     graft.qrep.StreamedPgRead.frame(spark, captureUrl, slices,
       setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ",
         "SET TRANSACTION SNAPSHOT " + PgWire.quoteLiteral(snapshotName)),
-      sqlOf = (s: Slice) => {
-        val where = s"ctid >= '(${s.loBlock},0)'::tid" +
-          s.hiBlock.map(h => s" AND ctid < '($h,0)'::tid").getOrElse("")
-        s"SELECT $colSqlSer FROM $tableSqlSer WHERE $where"
-      },
+      sqlOf = (s: Seq[(String, Long, Option[Long])]) =>
+        s.map { case (t, lo, hi) =>
+          // ONLY: an inheritance parent's own range must not re-read
+          // its children (each child has its own ranges)
+          s"SELECT $colSqlSer FROM ONLY $t WHERE " +
+            s"ctid >= '($lo,0)'::tid" +
+            hi.map(h => s" AND ctid < '($h,0)'::tid").getOrElse("")
+        }.mkString(" UNION ALL "),
       schema = schema)
   }
 

@@ -150,16 +150,21 @@ object LiveMysqlPull {
     * them). */
   def pullStringKey(spark: SparkSession, url: String, table: String,
       wmarkColumn: String, numPartitions: Int = 4,
-      rowsPerPartition: Option[Long] = None): DataFrame = {
+      rowsPerPartition: Option[Long] = None,
+      /** Server-side column pruning: the snapshot path passes the
+        * mirror schema's columns; empty = `SELECT *`. */
+      columns: Seq[String] = Nil): DataFrame = {
     import MysqlStringPartitions._
     val ep = CaptureEndpoint.parse(url)
     val tableSql = tableSqlOf(table)
     val wmSql = identSql(wmarkColumn)
+    val selectList =
+      if (columns.isEmpty) "*" else columns.map(identSql).mkString(", ")
     val probe = MysqlClients.connect(ep)
     val (schema, parts) =
       try {
         val schema = MysqlClient.schemaOf(probe.query(
-          s"SELECT * FROM $tableSql LIMIT 0").columns)
+          s"SELECT $selectList FROM $tableSql LIMIT 0").columns)
         val mm = probe.query(s"SELECT MIN($wmSql), MAX($wmSql), " +
           s"COUNT(*) FROM $tableSql").rows.head
         val n = mm(2).map(_.toLong).getOrElse(0L)
@@ -218,8 +223,8 @@ object LiveMysqlPull {
           s"$wmSql BETWEEN ${strLit(p.start)} AND ${strLit(p.end)}"
         else
           s"$wmSql >= ${strLit(p.start)} AND $wmSql < ${strLit(p.end)}"
-      s"SELECT * FROM $tableSql WHERE $where"
-    } :+ s"SELECT * FROM $tableSql WHERE $wmSql IS NULL"
+      s"SELECT $selectList FROM $tableSql WHERE $where"
+    } :+ s"SELECT $selectList FROM $tableSql WHERE $wmSql IS NULL"
 
     val urlSer = url
     val fieldTypes = schema.fields.map(_.dataType)

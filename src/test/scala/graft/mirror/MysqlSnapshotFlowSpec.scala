@@ -166,24 +166,81 @@ class MysqlSnapshotFlowSpec extends SparkSpec {
     } finally listener.close()
   }
 
-  test("non-numeric primary key falls back to one full-scan " +
-    "partition (the reference's FullTablePartition)") {
+  test("STRING primary key partitions the snapshot through the " +
+    "adaptive string partitioner (the reference's default-partition-" +
+    "key posture); rows arrive exactly once, column-pruned") {
     val listener = new ServerSocket(0)
     val cols = Seq(
       MysqlCol("code", 0xFD), MysqlCol("v", MysqlClient.TypeLongLong))
+    val keys = (1 to 400).map(i => f"c$i%04d")
+    val vOf = keys.zipWithIndex.toMap
+    val Lit = "'([^']*)'".r
+    def lits(sql: String) = Lit.findAllMatchIn(sql).map(_.group(1)).toSeq
     WireServers.serveMysqlQuery(listener, "", { sql =>
       if (sql.startsWith("SET ")) MysqlOk
       else if (sql.contains("LIMIT 0") && !sql.contains("`v`"))
         MysqlAnswer(cols.take(1), Nil) // pk-type probe: VARCHAR
       else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
-      else MysqlAnswer(cols, (1 to 50).map(i =>
-        Seq(Some(s"c$i"), Some(i.toString))))
+      else if (sql.contains("SELECT MIN(")) MysqlAnswer(
+        Seq(MysqlCol("mn", 0xFD), MysqlCol("mx", 0xFD),
+          MysqlCol("n", MysqlClient.TypeLongLong)),
+        Seq(Seq(Some(keys.head), Some(keys.last),
+          Some(keys.size.toString))))
+      else if (sql.startsWith("EXPLAIN")) {
+        val Seq(s, e) = lits(sql)
+        MysqlAnswer(Seq(MysqlCol("rows", MysqlClient.TypeLongLong)),
+          Seq(Seq(Some(keys.count(k => k >= s && k < e).toString))))
+      } else if (sql.contains("LIMIT 1")) {
+        val Seq(mid, s, e) = lits(sql)
+        val k =
+          if (sql.contains("DESC"))
+            keys.filter(k => k < mid && k > s && k < e).lastOption
+          else keys.find(k => k >= mid && k > s && k < e)
+        MysqlAnswer(Seq(MysqlCol("code", 0xFD)),
+          k.toSeq.map(v => Seq(Some(v))))
+      } else if (sql.contains("IS NULL")) MysqlAnswer(cols, Nil)
+      else {
+        val Seq(s, e) = lits(sql)
+        val sel: String => Boolean =
+          if (sql.contains("BETWEEN")) k => k >= s && k <= e
+          else k => k >= s && k < e
+        MysqlAnswer(cols, keys.filter(sel).map(k =>
+          Seq(Some(k), Some(vOf(k).toString))))
+      }
     })
     try {
       val url = s"mysql://root@127.0.0.1:${listener.getLocalPort}"
       val df = MysqlSnapshotFlow.readTable(spark, url, "app.codes",
         StructType(Seq(StructField("code", StringType),
-          StructField("v", LongType))), pkColumns = Seq("code"))
+          StructField("v", LongType))), pkColumns = Seq("code"),
+        numPartitions = 4)
+      // 4 string ranges + the IS NULL partition
+      assert(df.rdd.getNumPartitions == 5)
+      assert(df.count() == 400)
+      assert(df.select("code").distinct().count() == 400)
+      assert(df.agg(org.apache.spark.sql.functions.sum("v"))
+        .head.getLong(0) == 399L * 400 / 2)
+    } finally listener.close()
+  }
+
+  test("composite primary key falls back to one full-scan partition " +
+    "(the reference's FullTablePartition)") {
+    val listener = new ServerSocket(0)
+    val cols = Seq(
+      MysqlCol("a", 0xFD), MysqlCol("b", 0xFD),
+      MysqlCol("v", MysqlClient.TypeLongLong))
+    WireServers.serveMysqlQuery(listener, "", { sql =>
+      if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      else MysqlAnswer(cols, (1 to 50).map(i =>
+        Seq(Some(s"a$i"), Some(s"b$i"), Some(i.toString))))
+    })
+    try {
+      val url = s"mysql://root@127.0.0.1:${listener.getLocalPort}"
+      val df = MysqlSnapshotFlow.readTable(spark, url, "app.pairs",
+        StructType(Seq(StructField("a", StringType),
+          StructField("b", StringType), StructField("v", LongType))),
+        pkColumns = Seq("a", "b"))
       assert(df.rdd.getNumPartitions == 1)
       assert(df.count() == 50)
       assert(df.agg(org.apache.spark.sql.functions.sum("v"))
