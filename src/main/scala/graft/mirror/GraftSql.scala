@@ -891,6 +891,16 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"CREATE MIRROR (QRep): unknown mode '$other'")
     }
+    // the common disposition config of the source-gated branches
+    // below (mongo / mysql-string / xmin) — one place for the dest
+    // knobs so a new one cannot silently diverge across branches
+    def dispCfg(wmark: String, m: graft.qrep.WriteMode)
+        : graft.qrep.QRepConfig =
+      graft.qrep.QRepConfig(
+        wmarkColumn = wmark, destDir = destDir,
+        wmarkStorePath = storePath, mode = m,
+        destUrl = o.get("dest_url"),
+        destTable = o.getOrElse("dest_table", "public.qrep_dest"))
     // MongoDB source (`url 'mongo://…'`): QRep is FULL-LOAD shaped —
     // the watermark is `_id`, resume-from-last is unsupported
     // (flow/connectors/mongo/qrep.go:37), so each EXECUTE is a full
@@ -909,12 +919,8 @@ object GraftSql {
             o.get("num_partitions").map(_.toInt).getOrElse(4),
           rowsPerPartition =
             o.get("num_rows_per_partition").map(_.toLong))
-        val n = new graft.qrep.QRepRunner(sess, graft.qrep.QRepConfig(
-          wmarkColumn = "_id", destDir = destDir,
-          wmarkStorePath = storePath,
-          mode = graft.qrep.WriteMode.Overwrite,
-          destUrl = o.get("dest_url"),
-          destTable = o.getOrElse("dest_table", "public.qrep_dest")))
+        val n = new graft.qrep.QRepRunner(sess,
+          dispCfg("_id", graft.qrep.WriteMode.Overwrite))
           .writeDisposition(df)
         if (copyOnly)
           graft.util.FsText.write(doneMarker, "complete", hc)
@@ -938,12 +944,8 @@ object GraftSql {
           o.get("num_partitions").map(_.toInt).getOrElse(4),
         rowsPerPartition =
           o.get("num_rows_per_partition").map(_.toLong))
-      val n = new graft.qrep.QRepRunner(sess, graft.qrep.QRepConfig(
-        wmarkColumn = o("watermark_column"), destDir = destDir,
-        wmarkStorePath = storePath,
-        mode = graft.qrep.WriteMode.Overwrite,
-        destUrl = o.get("dest_url"),
-        destTable = o.getOrElse("dest_table", "public.qrep_dest")))
+      val n = new graft.qrep.QRepRunner(sess,
+        dispCfg(o("watermark_column"), graft.qrep.WriteMode.Overwrite))
         .writeDisposition(df)
       if (copyOnly)
         graft.util.FsText.write(doneMarker, "complete", hc)
@@ -969,14 +971,16 @@ object GraftSql {
         else store.read()
       val (df0, nextXmin) = graft.qrep.LivePgXmin.pull(sess,
         srcPeer.options("url"), o("__query"), lastOff)
-      val n = df0.count()
+      // EPOCH-EXTEND the 32-bit row xmin before it becomes the upsert
+      // version — raw xids wrap at 2^32 and a post-wraparound update
+      // would permanently lose the merge ([[LivePgXmin.epochExtended]])
+      val df = df0.withColumn("xmin", graft.qrep.LivePgXmin
+        .epochExtended(org.apache.spark.sql.functions.col("xmin"),
+          nextXmin))
+      val n = df.count()
       if (n > 0 || mode == graft.qrep.WriteMode.Overwrite)
-        new graft.qrep.QRepRunner(sess, graft.qrep.QRepConfig(
-          wmarkColumn = "xmin", destDir = destDir,
-          wmarkStorePath = storePath, mode = mode,
-          destUrl = o.get("dest_url"),
-          destTable = o.getOrElse("dest_table", "public.qrep_dest")))
-          .writeDisposition(df0, versionFrom = Some("xmin"))
+        new graft.qrep.QRepRunner(sess, dispCfg("xmin", mode))
+          .writeDisposition(df, versionFrom = Some("xmin"))
       store.write(nextXmin)
       if (copyOnly)
         graft.util.FsText.write(doneMarker, "complete", hc)

@@ -844,6 +844,10 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         // ("a","b_c") nor (NULL,"x") vs ("","x") can produce the same
         // document id — either collision would silently
         // overwrite/delete across distinct rows.
+        // MIGRATION: changing this derivation orphans documents
+        // written under an older scheme (updates/deletes target the
+        // NEW ids) — a composite-key ES mirror created before the
+        // null-flag encoding must RESYNC after upgrading.
         val idExpr =
           if (tc.pkColumns.sizeIs == 1)
             col(tc.pkColumns.head).cast("string")

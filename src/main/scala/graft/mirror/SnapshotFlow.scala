@@ -155,17 +155,6 @@ object SnapshotFlow {
     } catch { case e: Throwable => c.close(); throw e }
   }
 
-  /** One CTID block range of one physical relation; `hiBlock` None =
-    * open-ended (the range reaching a relation's probed end scans to
-    * the physical end, so blocks appended between the size probe and
-    * the scan are still covered — their tuples are simply invisible
-    * to the snapshot). A SLICE is a Seq of these: for a declaratively
-    * partitioned or inheritance table one Spark task may span several
-    * leaf relations (the reference's ChildTableRanges greedy packing,
-    * flow/connectors/postgres/qrep_partition.go:229-295). */
-  private final case class Range(tableSql: String, loBlock: Long,
-      hiBlock: Option[Long])
-
   /** One probed leaf relation: quoted name + physical stats. */
   private final case class Leaf(sql: String, blocks: Long,
       bytes: Long, rows: Long)
@@ -173,8 +162,12 @@ object SnapshotFlow {
   /** Greedy block packing of leaves into slices of ~`perSlice` blocks
     * (pure): walk leaves in order, filling each slice before starting
     * the next — one slice may span relations, one relation may split
-    * across slices. The range reaching a leaf's probed end is
-    * open-ended. */
+    * across slices (the reference's ChildTableRanges packing,
+    * flow/connectors/postgres/qrep_partition.go:229-295). Each element
+    * is (quotedTable, loBlock, hiBlock): hiBlock None = open-ended —
+    * the range reaching a relation's probed end scans to the physical
+    * end, so blocks appended between the size probe and the scan stay
+    * covered (their tuples are simply invisible to the snapshot). */
   private[graft] def packSlices(leaves: Seq[(String, Long)],
       perSlice: Long): Seq[Seq[(String, Long, Option[Long])]] = {
     val out = Seq.newBuilder[Seq[(String, Long, Option[Long])]]
@@ -299,7 +292,15 @@ object SnapshotFlow {
               "FROM _graft_kids k JOIN pg_class c ON c.oid = k.oid " +
               "JOIN pg_namespace n ON n.oid = c.relnamespace " +
               "ORDER BY 1").rows
-            .filter(r => !r(1).contains("p")) // leaves only
+            // HEAP leaves only ('r'): intermediate partitioned
+            // parents ('p') recurse, and FOREIGN partitions ('f') are
+            // deliberately excluded — they have no local storage or
+            // WAL, so logical replication can never stream their
+            // changes; snapshotting them once and never updating them
+            // would leave a silently-stale subset (the reference's
+            // blocks>0 filter drops them the same way,
+            // qrep_partition.go:389)
+            .filter(r => r(1).contains("r"))
             .map(r => Leaf(r(0).get, r(2).getOrElse("0").toLong,
               r(3).getOrElse("0").toLong, r(4).getOrElse("0").toLong))
           // an inheritance ROOT stores rows itself; a partitioned
@@ -373,8 +374,21 @@ object SnapshotFlow {
     val priorIntent = graft.util.FsText.read(intentPath, hc)
       .exists(_.trim == slotName)
     graft.util.FsText.write(intentPath, slotName, hc)
-    val session = createExportedSlot(url, recreate = recreateSlot,
-      recoverInactive = priorIntent)
+    val session =
+      try createExportedSlot(url, recreate = recreateSlot,
+        recoverInactive = priorIntent)
+      catch {
+        // a FIRST attempt refused by 42710 proves the slot existed
+        // before us (someone else's): the just-written intent must
+        // not survive, or a plain retry would read it as "our crashed
+        // attempt created this" and reclaim the foreign slot — the
+        // exact outcome the ownership gate exists to prevent
+        case e: graft.server.PgClient.PgServerError
+            if e.sqlState == "42710" && !priorIntent =>
+          try graft.util.FsText.delete(intentPath, hc)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
     try {
       val cfg2 = cfg.copy(snapshotCheckpoint = 0L)
       val runner = new MirrorRunner(spark, cfg2)

@@ -124,10 +124,11 @@ object LiveMysqlPull {
     pullRanges(spark, url, template, schema, lo, hi, n, parts)
   }
 
-  /** MySQL string literal under the DEFAULT sql_mode (backslash
-    * escapes active): double both the quote and the backslash. */
+  /** MySQL string literal under the session's pinned
+    * NO_BACKSLASH_ESCAPES mode ([[MysqlClient.connect]]): only the
+    * quote doubles — backslashes are plain characters. */
   private def strLit(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    "'" + s.replace("'", "''") + "'"
 
   private def identSql(name: String): String =
     "`" + name.replace("`", "``") + "`"

@@ -31,6 +31,26 @@ import graft.cdc.PgRows
   */
 object LivePgXmin {
 
+  /** Epoch-extend a raw 32-bit row xmin against the round's 64-bit
+    * snapshot xid (`pg_snapshot_xmin` returns xid8): raw xids wrap at
+    * 2^32, so versioning a merge by them would make a post-wraparound
+    * update carry a SMALLER version and permanently lose. A row's xid
+    * is never from a FUTURE epoch, so extension is backward-only: a
+    * raw xmin numerically far above the snapshot's low word belongs
+    * to the previous epoch. Ancient frozen rows keep their raw xmin
+    * and map into the current epoch — below any future update, which
+    * is the ordering that matters. */
+  def epochExtended(xmin32: org.apache.spark.sql.Column,
+      nextXmin: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val epochBase = (nextXmin >>> 32) << 32
+    val nextLow = nextXmin & 0xFFFFFFFFL
+    val x = xmin32.cast("long")
+    val cand = lit(epochBase) + x
+    when(x - lit(nextLow) > lit(1L << 31), cand - lit(1L << 32))
+      .otherwise(cand)
+  }
+
   /** One round: (rows modified since `lastXmin`, next xmin offset). */
   def pull(spark: SparkSession, url: String, query: String,
       lastXmin: Option[Long]): (DataFrame, Long) = {

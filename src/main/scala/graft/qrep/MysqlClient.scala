@@ -132,15 +132,27 @@ final class MysqlClient(
       in = i2; out = o2; sock = s2
       // UTC session, always (the PG side's TimeZone=UTC discipline)
       query("SET time_zone = '+00:00'")
+      // literal escaping must not depend on the SERVER's sql_mode: a
+      // NO_BACKSLASH_ESCAPES server reads a backslash-doubled literal
+      // as a different string (boundary keys would silently exclude
+      // rows). Pin the mode per session — the reference does the same
+      // (mysql.go setSessionSettings: 'ANSI,NO_BACKSLASH_ESCAPES');
+      // we append rather than replace so user templates keep the
+      // server's other flags.
+      query("SET sql_mode = CONCAT(@@sql_mode, ',NO_BACKSLASH_ESCAPES')")
       this
     } catch {
       // a failed handshake/auth/TLS must not leak the dialed fd: Spark
       // retries failed partition tasks, so a misconfigured large pull
-      // would otherwise leak one socket per retry (`sock` tracks the
-      // innermost live socket — the TLS wrapper once onSocket fired)
+      // would otherwise leak one socket per retry. Close the dialed
+      // socket DIRECTLY (a failure before `sock = s` would otherwise
+      // NPE past it) and the TLS wrapper if the upgrade got that far.
       case e: Throwable =>
-        try sock.close()
+        try s.close()
         catch { case scala.util.control.NonFatal(_) => () }
+        if ((sock ne null) && (sock ne s))
+          try sock.close()
+          catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
   }

@@ -53,4 +53,11 @@ object FsText {
         }
     }
   }
+
+  /** Remove a value file (no-op when absent). */
+  def delete(path: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
 }

@@ -144,6 +144,16 @@ class StockPgSnapshotSpec extends SparkSpec {
     assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
       "WHERE slot_name = 'cr_slot'").trim == "1",
       "a foreign mirror dropped someone else's slot")
+    // a PLAIN RETRY of the foreign mirror must refuse too: its failed
+    // attempt's intent marker was rolled back, so the retry cannot
+    // read it as "my crashed attempt created this slot" and reclaim
+    val fe2 = intercept[graft.server.PgClient.PgServerError] {
+      SnapshotFlow.initialLoad(spark, other)
+    }
+    assert(fe2.sqlState == "42710",
+      "the retry reclaimed a foreign slot via its own failed intent")
+    assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
+      "WHERE slot_name = 'cr_slot'").trim == "1")
 
     // initialLoad on the ORIGINAL mirror (fresh + prior intent) drops
     // the stale slot, re-creates it at a FRESH consistent point, and

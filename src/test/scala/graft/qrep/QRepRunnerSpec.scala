@@ -259,4 +259,24 @@ class QRepRunnerSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(st == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
+
+  test("LivePgXmin.epochExtended: xmin-derived versions stay monotone " +
+    "across 32-bit xid wraparound (backward-only epoch extension)") {
+    import spark.implicits._
+    val epoch5 = 5L << 32
+    val next = epoch5 + 600L // snapshot xid8: epoch 5, low word 600
+    val got = Seq(4294967000L, 500L, 100L, 650L).toDF("xmin")
+      .select(LivePgXmin.epochExtended(
+        org.apache.spark.sql.functions.col("xmin"), next).as("v"))
+      .collect().map(_.getLong(0))
+    // a late-epoch-4 xid maps BACK one epoch; everything near or
+    // below the snapshot's low word stays in the current epoch
+    // (ancient frozen xmins included — below any future update)
+    assert(got.toSeq == Seq((4L << 32) + 4294967000L, epoch5 + 500L,
+      epoch5 + 100L, epoch5 + 650L))
+    // the ordering that motivated this: an update committed AFTER the
+    // wrap must beat one committed just BEFORE it — raw 32-bit values
+    // would invert this comparison forever
+    assert(got(1) > got(0))
+  }
 }
