@@ -489,7 +489,17 @@ object GraftSql {
           "CREATE MIRROR: table_map lists source(s) " +
             s"${dups.mkString(", ")} more than once")
         pairs.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      // warehouse_url 'pg://…[?flavor=postgres|postgres14|cockroachdb]'
+      // — a LIVE SQL destination: normalized batches ride the
+      // staging→COPY→MERGE loop on the server instead of local
+      // parquet ([[MirrorConfig.warehouseUrl]]; previously
+      // library-only)
+      warehouseUrl = o.get("warehouse_url").map { u =>
+        require(u.startsWith("pg://"),
+          s"CREATE MIRROR: warehouse_url must be pg://…, got '$u'")
+        u
+      })
   }
   /** Initial-load phase — do_initial_snapshot / initial_snapshot_only
     * (FlowConnectionConfigs fields 10/16) with the snapshot partitioning
@@ -547,6 +557,21 @@ object GraftSql {
         val rpp = o.get("snapshot_num_rows_per_partition").map(_.toLong)
         val scheme = graft.cdc.CaptureEndpoint
           .parse(cfg.captureDir.get).scheme
+        // `schema_migration 'pgdump'` on a PG→PG mirror: stream a
+        // schema-only pg_dump into the live destination BEFORE the
+        // snapshot, so the destination carries the source's full
+        // schema (constraints/indexes/defaults) and the loader's
+        // CREATE TABLE IF NOT EXISTS no-ops — the reference's
+        // setup-flow pg_dump activity ([[PgDumpSchema]]). Skipped
+        // (false) for tunneled peers; the engine-created tables then
+        // apply as before.
+        if (o.get("schema_migration").contains("pgdump")) {
+          if (scheme != "pgwire" || cfg.warehouseUrl.isEmpty)
+            throw new IllegalArgumentException("CREATE MIRROR: " +
+              "schema_migration 'pgdump' needs a pgwire:// capture " +
+              "AND a pg:// warehouse_url destination")
+          PgDumpSchema.migrate(cfg.captureDir.get, cfg.warehouseUrl.get)
+        }
         val runner = scheme match {
           case "mysql" =>
             // MySQL handoff: binlog position captured+persisted before

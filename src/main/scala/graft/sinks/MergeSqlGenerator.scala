@@ -53,6 +53,25 @@ object MergeSqlGenerator {
     * emits backtick-quoted columns with CLUSTER BY the ordering keys (no
     * enforced PK exists there). Column types come from
     * [[QKind.toDdl]]'s per-dialect maps. */
+  /** Idempotent meta-column backfill for a PRE-EXISTING destination
+    * (a pg_dump-migrated schema, or a user-created table): the merge
+    * needs version/tombstone/synced-at columns that a plain source
+    * schema does not carry. PG-family dialects only (`ADD COLUMN IF
+    * NOT EXISTS`); the table is empty at migration time, so the
+    * NOT NULL defaults are free. */
+  def ensureMetaColumns(t: MergeTarget,
+      dialect: QKind.Dialect = QKind.Dialect.Ansi): Seq[String] =
+    dialect match {
+      case QKind.Dialect.Ansi => Seq(
+        s"ALTER TABLE ${t.table} ADD COLUMN IF NOT EXISTS " +
+          s"${q(RawTable.Version)} BIGINT NOT NULL DEFAULT 0",
+        s"ALTER TABLE ${t.table} ADD COLUMN IF NOT EXISTS " +
+          s"${q(RawTable.IsDeleted)} BOOLEAN NOT NULL DEFAULT FALSE",
+        s"ALTER TABLE ${t.table} ADD COLUMN IF NOT EXISTS " +
+          s"${q(RawTable.SyncedAt)} TIMESTAMP")
+      case _ => Nil
+    }
+
   def createTable(t: MergeTarget,
       dialect: QKind.Dialect = QKind.Dialect.Ansi): String = {
     import QKind.Dialect._

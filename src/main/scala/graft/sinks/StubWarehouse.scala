@@ -99,8 +99,36 @@ final class StubWarehouse(spark: SparkSession,
       runUpsert(flat)
     else if (up.startsWith("INSERT INTO")) runInsertSelect(flat)
     else if (up.startsWith("DELETE FROM")) runDelete(flat)
+    else if (up.startsWith("ALTER TABLE") &&
+        up.contains(" ADD COLUMN IF NOT EXISTS ")) runAddColumn(flat)
     else throw new IllegalArgumentException(
       s"stub warehouse: unsupported statement: ${flat.take(80)}…")
+  }
+
+  /** `ALTER TABLE t ADD COLUMN IF NOT EXISTS "c" TYPE [NOT NULL]
+    * [DEFAULT v]` — the meta-column backfill for pre-existing
+    * destinations ([[MergeSqlGenerator.ensureMetaColumns]]). */
+  private def runAddColumn(flat: String): Unit = {
+    val Re = ("""(?i)ALTER TABLE (\S+) ADD COLUMN IF NOT EXISTS """ +
+      """"([^"]+)" (\w+)( NOT NULL)?( DEFAULT (\S+))?""").r
+    flat match {
+      case Re(table, colName, typ, _, _, dflt) =>
+        if (!tables.contains(table)) throw new IllegalArgumentException(
+          s"stub warehouse: ALTER on missing table $table")
+        if (!tables(table).columns.contains(colName)) {
+          val t = sparkTypeOf(typ)
+          tables(table) = tables(table).withColumn(colName,
+            lit(Option(dflt).map {
+              case "FALSE" | "false" => false
+              case v => v
+            }.orNull).cast(t))
+          schemas.get(table).foreach(s =>
+            schemas(table) = StructType(s.fields :+
+              org.apache.spark.sql.types.StructField(colName, t)))
+        }
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparsed ALTER: ${flat.take(80)}…")
+    }
   }
 
   // --------------------------------------------------------- utilities

@@ -70,9 +70,14 @@ final class WarehouseLoader(
 
   private def isClickhouse = dialect == QKind.Dialect.ClickHouse
 
-  /** SetupNormalizedTables: create the destination table in-dialect. */
-  def setup(): Unit =
+  /** SetupNormalizedTables: create the destination table in-dialect;
+    * a PRE-EXISTING table (pg_dump schema migration, user-created)
+    * gains the merge meta columns idempotently. */
+  def setup(): Unit = {
     exec.execute(MergeSqlGenerator.createTable(target, dialect))
+    MergeSqlGenerator.ensureMetaColumns(target, dialect)
+      .foreach(exec.execute)
+  }
 
   /** Sync one normalized batch ([[graft.cdc.Normalizer]] output shape:
     * one row per key + version/is_deleted/_absent_cols). Returns the
