@@ -307,6 +307,34 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** WAL heartbeat (SendWALHeartbeat, flowable.go:907-945, scheduled
+    * every 10 min in the reference): an IDLE source accumulates WAL
+    * behind the slot's restart_lsn until some transaction lets the
+    * consumer ack forward — a tiny logical message per interval keeps
+    * idle-slot lag bounded. Config-gated, off by default; pgwire
+    * capture endpoints only (the message travels the slot and decodes
+    * as a pgoutput 'M' record, a no-op for the ingest). Returns true
+    * when a heartbeat was emitted (spec probe). */
+  @volatile private var lastHeartbeatMs = 0L
+  private[mirror] def walHeartbeatTick(): Boolean = {
+    val enabled = Settings.get(spark, "mirror.enable_wal_heartbeat",
+      cfg.env).exists(_.toBoolean)
+    val isPgwire = cfg.captureDir.exists(u =>
+      graft.cdc.CaptureEndpoint.isUrl(u) &&
+        graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
+    if (!enabled || !isPgwire) return false
+    val interval = Settings.getLong(spark,
+      "mirror.wal_heartbeat_interval_ms", cfg.env)
+    val now = System.currentTimeMillis()
+    if (now - lastHeartbeatMs < interval) return false
+    lastHeartbeatMs = now
+    val c = graft.server.PgClients.connect(cfg.captureDir.get, Nil)
+    try c.queryAll(Settings.get(spark, "mirror.wal_heartbeat_query",
+      cfg.env).get)
+    finally c.close()
+    true
+  }
+
   /** Logical peer label for gauge attributes — scheme://host:port for
     * socket endpoints (NEVER the raw URL: it may carry credentials),
     * "capture" for file captures, "wal" for WAL-direct mirrors. */
@@ -545,6 +573,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
                 ingestCapture()
                 failures = 0
                 metricsTick() // lag gauges track the pump cadence
+                walHeartbeatTick()
               } catch {
                 case e: InterruptedException => throw e
                 case e: Exception =>
@@ -881,6 +910,41 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   def catchUpTable(table: String, tc: TableConfig): Unit = {
+    // Live pgwire source: the stream only carries tables the
+    // PUBLICATION exposes — a table added to the mirror but absent
+    // from the publication would catch up once and then silently
+    // never receive changes. The reference VERIFIES membership for
+    // custom publications rather than altering them
+    // (AddTablesToPublication, postgres_source.go:1070-1096: missing
+    // tables are a loud TablesNotInPublicationError); the engine's
+    // publications are always user-named, so the same check-only
+    // posture applies.
+    cfg.captureDir
+      .filter(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
+        graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
+      .foreach { url =>
+        val ep = graft.cdc.CaptureEndpoint.parse(url)
+        val pub = ep.param("publication", "")
+        if (pub.nonEmpty) {
+          val c = graft.server.PgClients.connect(ep, Nil)
+          try {
+            val present = c.query(
+              "SELECT schemaname || '.' || tablename FROM " +
+                "pg_publication_tables WHERE pubname = " +
+                graft.cdc.PgWire.quoteLiteral(pub)).rows
+              .flatMap(_.headOption.flatten).toSet
+            val src = cfg.tableRoutes.collectFirst {
+              case (s, d) if d == table => s
+            }.getOrElse(table)
+            if (!present.contains(src))
+              throw new IllegalArgumentException(
+                s"table addition: source relation '$src' is not in " +
+                  s"publication '$pub' — ALTER PUBLICATION ADD TABLE " +
+                  "it on the source first (the stream would " +
+                  "otherwise silently never carry its changes)")
+          } finally c.close()
+        }
+      }
     val slice0 = graft.cdc.ChangeLogBatch.read(spark, cfg.walDir)
       .filter(col("destinationTable") === table &&
         col("recordType") <= graft.model.ChangeRecord.TypeDelete)

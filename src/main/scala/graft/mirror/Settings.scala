@@ -54,6 +54,21 @@ object Settings {
         "(PEERDB_MAINTENANCE_MODE_ENABLED, dynamicconf.go:868; " +
         "handlers deny with ErrUnderMaintenance, " +
         "flow/cmd/handler.go:429-435)"),
+    Setting("mirror.enable_wal_heartbeat", Some("false"), "bool",
+      "Emit a tiny logical message on the capture source every " +
+        "heartbeat interval while the pump runs: an IDLE source " +
+        "otherwise accumulates WAL behind the slot's restart_lsn " +
+        "until some unrelated transaction lets the consumer ack " +
+        "forward (PEERDB_ENABLE_WAL_HEARTBEAT, dynamicconf.go:99)"),
+    Setting("mirror.wal_heartbeat_query",
+      Some("SELECT pg_logical_emit_message(true,'peerdb_heartbeat','')"),
+      "string",
+      "The heartbeat statement (PEERDB_WAL_HEARTBEAT_QUERY, " +
+        "dynamicconf.go:105-110); the default logical message travels " +
+        "the slot and decodes as a no-op"),
+    Setting("mirror.wal_heartbeat_interval_ms", Some("600000"), "uint",
+      "Milliseconds between WAL heartbeats (the reference schedules " +
+        "SendWALHeartbeat every 10 minutes, flowable.go:971)"),
     Setting("metrics.otlp_endpoint", Some(""), "string",
       "OTLP/HTTP collector base URL (e.g. http://otel:4318): when " +
         "set, every EXECUTE/RESUME MIRROR attaches an OTLP exporter " +

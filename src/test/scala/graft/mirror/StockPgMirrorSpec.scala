@@ -176,4 +176,112 @@ class StockPgMirrorSpec extends SparkSpec {
 
     s.psql("SELECT pg_drop_replication_slot('p2p_slot')")
   }
+
+  test("table addition to a live mirror VERIFIES the publication: a " +
+    "source relation absent from it fails loudly (the stream would " +
+    "silently never carry its changes); after ALTER PUBLICATION ADD " +
+    "TABLE the addition proceeds and churn arrives") {
+    val s = srv
+    s.psql("CREATE TABLE public.pa1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("CREATE TABLE public.pa2 (id bigint PRIMARY KEY, v bigint)")
+    // the publication exposes ONLY pa1
+    s.psql("CREATE PUBLICATION pa_pub FOR TABLE public.pa1")
+    s.psql("SELECT pg_create_logical_replication_slot(" +
+      "'pa_slot', 'pgoutput')")
+    s.psql("INSERT INTO public.pa1 VALUES (1, 10)")
+    s.psql("INSERT INTO public.pa2 VALUES (5, 50)")
+
+    val base = tmpDir("pubadd")
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      destinationTable = "public.pa1",
+      captureDir = Some(s"pgwire://postgres@127.0.0.1:${s.port}" +
+        "/postgres?slot=pa_slot&publication=pa_pub"))
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+    assert(runner.destination("public.pa1").count() == 1)
+
+    // adding pa2 while the publication lacks it: loud refusal, not a
+    // table that bootstraps once and then never updates
+    val tc = TableConfig(Seq("id"), cfg.payloadSchema)
+    val e = intercept[IllegalArgumentException] {
+      runner.catchUpTable("public.pa2", tc)
+    }
+    assert(e.getMessage.contains("publication"), e.getMessage)
+
+    // fix the publication; the addition now proceeds and the RESTARTED
+    // mirror (extraTables) delivers pa2's post-addition churn through
+    // the stream (rows committed BEFORE the ALTER were filtered by the
+    // historic catalog and need a snapshot bootstrap, not a catch-up —
+    // the gate exists precisely so this distinction is explicit)
+    s.psql("ALTER PUBLICATION pa_pub ADD TABLE public.pa2")
+    runner.catchUpTable("public.pa2", tc)
+    s.psql("INSERT INTO public.pa2 VALUES (6, 60)")
+    val runner2 = new MirrorRunner(spark,
+      cfg.copy(extraTables = Map("public.pa2" -> tc)))
+    runner2.runAvailableNow()
+    assert(runner2.destination("public.pa2")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(6L))
+
+    s.psql("SELECT pg_drop_replication_slot('pa_slot')")
+    s.psql("DROP PUBLICATION pa_pub")
+    s.psql("DROP TABLE public.pa1"); s.psql("DROP TABLE public.pa2")
+  }
+
+  test("WAL heartbeat (opt-in): the logical message advances the " +
+    "source WAL so an idle slot can ack forward, travels the stream " +
+    "as a pgoutput 'M' record, and decodes as a no-op — convergence " +
+    "unaffected; disabled by default") {
+    val s = srv
+    s.psql("CREATE TABLE public.hb1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("CREATE PUBLICATION hb_pub FOR TABLE public.hb1")
+    s.psql("SELECT pg_create_logical_replication_slot(" +
+      "'hb_slot', 'pgoutput')")
+    s.psql("INSERT INTO public.hb1 VALUES (1, 10)")
+
+    val base = tmpDir("walhb")
+    val cfg = MirrorConfig(
+      walDir = s"$base/wal", rawDir = s"$base/raw",
+      destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+      pkColumns = Seq("id"),
+      payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))),
+      destinationTable = "public.hb1",
+      captureDir = Some(s"pgwire://postgres@127.0.0.1:${s.port}" +
+        "/postgres?slot=hb_slot&publication=hb_pub"),
+      env = Map("mirror.enable_wal_heartbeat" -> "true",
+        "mirror.wal_heartbeat_interval_ms" -> "0"))
+    val runner = new MirrorRunner(spark, cfg)
+    runner.runAvailableNow()
+    assert(runner.destination("public.hb1").count() == 1)
+
+    // enabled: the tick emits and the source WAL advances
+    val lsn0 = s.psql("SELECT pg_current_wal_lsn()").trim
+    assert(runner.walHeartbeatTick())
+    assert(runner.walHeartbeatTick()) // interval 0: every tick emits
+    val lsn1 = s.psql("SELECT pg_current_wal_lsn()").trim
+    assert(lsn1 != lsn0, "heartbeat did not generate WAL")
+
+    // the heartbeat messages sit in the slot ahead of real churn: the
+    // next pull must decode them as no-ops and stay converged
+    s.psql("UPDATE public.hb1 SET v = 11 WHERE id = 1")
+    s.psql("INSERT INTO public.hb1 VALUES (2, 20)")
+    runner.runAvailableNow()
+    val got = runner.destination("public.hb1")
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 11L, 2L -> 20L))
+
+    // default posture: disabled — no emission
+    val quiet = new MirrorRunner(spark, cfg.copy(env = Map.empty))
+    assert(!quiet.walHeartbeatTick())
+
+    s.psql("SELECT pg_drop_replication_slot('hb_slot')")
+    s.psql("DROP PUBLICATION hb_pub")
+    s.psql("DROP TABLE public.hb1")
+  }
 }
