@@ -1409,7 +1409,7 @@ object GraftSql {
         }
       } else {
         val cfg = mirrorConfig(spark, entry.options)
-        Maintenance.resync(spark, cfg.destDir) { fresh =>
+        def rebuild(fresh: String): Unit = {
           // The rebuild replays batch ids from zero — reset any delta
           // views first, or the views' applied-batch watermarks would
           // skip every replayed fold and leave them permanently stale.
@@ -1431,16 +1431,38 @@ object GraftSql {
             walDir =
               if (liveSnapshotMode(entry.options, cfg.captureDir))
                 s"$scratch/wal"
-              else cfg.walDir)
+              else cfg.walDir,
+            // a LIVE destination rebuilds into <table>_peerdb_resync
+            // while the originals keep serving; swapped below on
+            // success (the reference's RenameTables resync)
+            warehouseTableSuffix =
+              if (cfg.warehouseUrl.isDefined) "_peerdb_resync" else "")
           // A snapshot mirror re-snapshots on resync (the scratch
           // checkpoint dir has no marker, so the phase runs fresh against
           // the CURRENT source state — resync's whole point); a live
           // snapshot mirror also drops+recreates its slot for a fresh
-          // consistent point.
-          val (rcfg2, _) = snapshotPhase(spark, entry.options, rcfg,
+          // consistent point. schema_migration is dropped for the
+          // rebuild: the destination schema already exists and a
+          // second pg_dump replay would fail on it.
+          val (rcfg2, _) = snapshotPhase(spark,
+            entry.options - "schema_migration", rcfg,
             recreateSlot = true)
           new MirrorRunner(spark, rcfg2).runAvailableNow()
+          // atomic live swap: soft-delete carryover + drop + rename,
+          // one transaction — stale destination rows (deleted on the
+          // source since the original was built) tombstone instead of
+          // surviving the resync
+          if (cfg.warehouseUrl.isDefined)
+            Maintenance.swapLiveResync(rcfg2)
         }
+        if (cfg.warehouseUrl.isDefined) {
+          // LIVE destination: the swap happens SQL-side (rename, in
+          // rebuild); there is no local destination dir to park and
+          // swap — the local destDir only hosts Avro staging
+          val scratchDest = java.nio.file.Files
+            .createTempDirectory(s"graft_resync_dest_$n").toString
+          rebuild(scratchDest)
+        } else Maintenance.resync(spark, cfg.destDir)(rebuild)
       }
       Nil
     case PauseMirror(n) =>

@@ -36,6 +36,66 @@ object Maintenance {
     require(fs.rename(fresh, dest), "swap failed")
   }
 
+  /** Atomic resync swap on a LIVE SQL destination — the reference's
+    * RenameTables (flow/connectors/postgres/postgres_destination.go:
+    * 626-726): the rebuild wrote `<table>_peerdb_resync` tables while
+    * the originals kept serving; in ONE transaction, each original's
+    * soft-deleted survivors carry over (rows present in the original
+    * but absent from the resync are EXACTLY the rows deleted on the
+    * source since the original was built — they re-insert tombstoned,
+    * so downstream keeps seeing the delete), then the original drops
+    * and the resync table renames into its place. PG DDL is
+    * transactional, so readers see the old table or the complete new
+    * one — never an empty window. */
+  def swapLiveResync(cfg: MirrorConfig,
+      suffix: String = "_peerdb_resync"): Unit = {
+    val url = cfg.warehouseUrl.getOrElse(
+      throw new IllegalArgumentException(
+        "swapLiveResync needs a live warehouseUrl"))
+    def q(id: String) = graft.cdc.PgWire.quoteIdent(id)
+    val tables = (cfg.destinationTable ->
+      TableConfig(cfg.pkColumns, cfg.payloadSchema)) +:
+      cfg.extraTables.toSeq
+    val c = graft.server.PgClients.connect(url, Nil)
+    try {
+      c.queryAll("BEGIN")
+      try {
+        tables.foreach { case (table, tc) =>
+          val resync = table + suffix
+          def regclass(t: String): Boolean = c.query(
+            "SELECT to_regclass(" +
+              graft.cdc.PgWire.quoteLiteral(t) + ")::text").rows
+            .headOption.exists(_.head.isDefined)
+          if (regclass(resync)) {
+            if (regclass(table) && cfg.softDelete) {
+              val cols = tc.effectiveSchema.fieldNames.toSeq ++
+                Seq(RawTable.Version, RawTable.SyncedAt)
+              val colSql = cols.map(q).mkString(", ")
+              val pkMatch = tc.pkColumns.map(k =>
+                s"original_table.${q(k)} = resync_table.${q(k)}")
+                .mkString(" AND ")
+              c.queryAll(
+                s"INSERT INTO $resync ($colSql, " +
+                  s"${q(RawTable.IsDeleted)}) " +
+                  s"SELECT $colSql, true FROM $table original_table " +
+                  s"WHERE NOT EXISTS (SELECT 1 FROM $resync " +
+                  s"resync_table WHERE $pkMatch)")
+            }
+            c.queryAll(s"DROP TABLE IF EXISTS $table")
+            val bare = table.split("\\.", 2).last
+            c.queryAll(s"ALTER TABLE $resync RENAME TO ${q(bare)}")
+          }
+        }
+        c.queryAll("COMMIT")
+      } catch {
+        case e: Throwable =>
+          try c.queryAll("ROLLBACK")
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
+    } finally c.close()
+  }
+
   /** Compact a raw staging table: rewrite each `_peerdb_batch_id`
     * partition that holds more than `maxFilesPerPartition` files down to
     * sized outputs. Returns the partitions rewritten. */

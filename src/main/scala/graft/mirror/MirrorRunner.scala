@@ -158,7 +158,12 @@ final case class MirrorConfig(
       * raw legs are unchanged, so resume, retention and stats behave
       * identically; [[MirrorRunner.destination]] does not apply — read
       * the destination tables on the server. */
-    warehouseUrl: Option[String] = None) {
+    warehouseUrl: Option[String] = None,
+    /** Suffix appended to every live-destination table name — the
+      * RESYNC rebuild writes `<table>_peerdb_resync` and swaps on
+      * success ([[Maintenance.swapLiveResync]], the reference's
+      * RenameTables); empty for normal operation. */
+    warehouseTableSuffix: String = "") {
 
   def flow: String = if (flowName.nonEmpty) flowName else destinationTable
 
@@ -243,8 +248,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         batchId: Long): Unit = {
       val c = connect()
       try {
-        val target = graft.sinks.MergeTarget(table,
-          s"${table}_graft_stage", tc.pkColumns, liveSchemas(table),
+        val live = table + cfg.warehouseTableSuffix
+        val target = graft.sinks.MergeTarget(live,
+          s"${live}_graft_stage", tc.pkColumns, liveSchemas(table),
           softDelete = cfg.softDelete)
         val loader = new graft.sinks.WarehouseLoader(target,
           new graft.sinks.PgWarehouse(c), flavor)

@@ -284,4 +284,70 @@ class StockPgMirrorSpec extends SparkSpec {
     s.psql("DROP PUBLICATION hb_pub")
     s.psql("DROP TABLE public.hb1")
   }
+
+  test("RESYNC of a live-destination mirror: rebuild lands in " +
+    "_peerdb_resync while the original serves, then swaps atomically " +
+    "— destination drift corrects, source-deleted rows tombstone " +
+    "instead of surviving, and the stream keeps converging after") {
+    val s = srv
+    s.psql("CREATE DATABASE rsdst")
+    s.psql("CREATE TABLE public.rs1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("CREATE PUBLICATION rs_pub FOR TABLE public.rs1")
+    s.psql("""INSERT INTO public.rs1
+      SELECT g, g FROM generate_series(1, 200) g""")
+
+    val base = tmpDir("liveresync")
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+    run(s"""CREATE MIRROR rsmir WITH (
+       |  wal_dir '$base/wal', dest_dir '$base/dest',
+       |  checkpoint_dir '$base/ckpt', pk 'id', table 'public.rs1',
+       |  schema 'id BIGINT, v BIGINT',
+       |  capture_dir 'pgwire://postgres@127.0.0.1:${s.port}/postgres?slot=rs_slot&publication=rs_pub',
+       |  warehouse_url 'pg://postgres@127.0.0.1:${s.port}/rsdst',
+       |  do_initial_snapshot 'true')""".stripMargin)
+    run("EXECUTE MIRROR rsmir")
+    assert(s.psql("SELECT count(*) FROM public.rs1 " +
+      "WHERE NOT _peerdb_is_deleted", db = "rsdst").trim == "200")
+
+    // destination DRIFT (the situation resync exists for): a phantom
+    // row and a corrupted value land directly on the destination
+    s.psql("INSERT INTO public.rs1 (id, v, _peerdb_version) " +
+      "VALUES (999, 9, 0)", db = "rsdst")
+    s.psql("UPDATE public.rs1 SET v = -5 WHERE id = 7", db = "rsdst")
+    // plus a genuine source-side delete the stream has not seen yet
+    s.psql("DELETE FROM public.rs1 WHERE id = 200")
+
+    run("RESYNC MIRROR rsmir")
+
+    def truth(): String = s.psql("SELECT count(*) || ':' || " +
+      "md5(string_agg(id || '|' || v, E'\\n' ORDER BY id)) " +
+      "FROM public.rs1")
+    def dest(): String = s.psql("SELECT count(*) || ':' || " +
+      "md5(string_agg(id || '|' || v, E'\\n' ORDER BY id)) " +
+      "FROM public.rs1 WHERE NOT _peerdb_is_deleted", db = "rsdst")
+    assert(dest() == truth(),
+      "post-resync live destination != source")
+    // the phantom row carried over TOMBSTONED (soft-delete transfer),
+    // not silently vanished and not alive
+    assert(s.psql("SELECT _peerdb_is_deleted FROM public.rs1 " +
+      "WHERE id = 999", db = "rsdst").trim == "t")
+    // the corrupted value was replaced by the rebuild
+    assert(s.psql("SELECT v FROM public.rs1 WHERE id = 7",
+      db = "rsdst").trim == "7")
+    // no _peerdb_resync leftovers
+    assert(s.psql("SELECT count(*) FROM pg_tables WHERE tablename " +
+      "LIKE '%peerdb_resync%'", db = "rsdst").trim == "0")
+
+    // the stream keeps converging on the swapped table
+    s.psql("INSERT INTO public.rs1 VALUES (300, 300)")
+    s.psql("UPDATE public.rs1 SET v = 0 WHERE id = 3")
+    run("EXECUTE MIRROR rsmir")
+    assert(dest() == truth(), "post-resync stream diverged")
+
+    run("DROP MIRROR rsmir")
+    s.psql("SELECT pg_drop_replication_slot('rs_slot')")
+    s.psql("DROP PUBLICATION rs_pub")
+    s.psql("DROP TABLE public.rs1")
+  }
 }
