@@ -747,6 +747,51 @@ object GraftSql {
                  else "")
             }
           }
+        // Publication coverage on a live pgwire capture (the
+        // reference's CheckSourceTables publication branch,
+        // validate.go:84-110): the publication must EXIST and — unless
+        // it is FOR ALL TABLES — expose every mirror table's SOURCE
+        // relation; a table outside it would stream nothing, silently.
+        cfg.captureDir
+          .filter(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
+            graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
+          .map(graft.cdc.CaptureEndpoint.parse)
+          .filter(_.param("publication", "").nonEmpty)
+          .foreach { ep =>
+            check("publication_tables") {
+              val pub = ep.param("publication", "")
+              val c = graft.server.PgClients.connect(ep, Nil)
+              try {
+                val all = c.query(
+                  "SELECT puballtables FROM pg_publication WHERE " +
+                    s"pubname = ${graft.cdc.PgWire.quoteLiteral(pub)}")
+                  .rows.headOption.flatMap(_.head).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"publication '$pub' does not exist"))
+                if (all == "t" || all == "true")
+                  s"publication '$pub' is FOR ALL TABLES"
+                else {
+                  val present = c.query(
+                    "SELECT schemaname || '.' || tablename FROM " +
+                      "pg_publication_tables WHERE pubname = " +
+                      graft.cdc.PgWire.quoteLiteral(pub)).rows
+                    .flatMap(_.headOption.flatten).toSet
+                  val sourceFor = SnapshotFlow.invertRoutes(cfg)
+                  val wanted = (cfg.destinationTable +:
+                    cfg.extraTables.keys.toSeq)
+                    .map(t => sourceFor.getOrElse(t, t))
+                  val missing = wanted.filterNot(present.contains)
+                  if (missing.nonEmpty)
+                    throw new IllegalArgumentException(
+                      s"publication '$pub' lacks table(s) " +
+                        s"${missing.mkString(", ")} — their changes " +
+                        "would silently never stream")
+                  s"publication '$pub' covers all " +
+                    s"${wanted.size} table(s)"
+                }
+              } finally c.close()
+            }
+          }
         val o = entry.options
         if (o.get("do_initial_snapshot").exists(_.toBoolean) ||
             o.get("initial_snapshot_only").exists(_.toBoolean))

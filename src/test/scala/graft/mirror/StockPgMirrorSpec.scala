@@ -350,4 +350,51 @@ class StockPgMirrorSpec extends SparkSpec {
     s.psql("DROP PUBLICATION rs_pub")
     s.psql("DROP TABLE public.rs1")
   }
+
+  test("VALIDATE MIRROR checks publication coverage on a live pgwire " +
+    "capture: a table outside the publication and a missing " +
+    "publication report invalid; membership and FOR ALL TABLES pass") {
+    val s = srv
+    s.psql("CREATE TABLE public.pv1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("CREATE TABLE public.pv2 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("CREATE PUBLICATION pv_pub FOR TABLE public.pv1")
+    s.psql("CREATE PUBLICATION pv_all FOR ALL TABLES")
+
+    val base = tmpDir("pubval")
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+    def mirror(name: String, table: String, pub: String): Unit =
+      run(s"""CREATE MIRROR $name WITH (
+         |  wal_dir '$base/$name/wal', dest_dir '$base/$name/dest',
+         |  checkpoint_dir '$base/$name/ckpt', pk 'id', table '$table',
+         |  schema 'id BIGINT, v BIGINT',
+         |  capture_dir 'pgwire://postgres@127.0.0.1:${s.port}/postgres?slot=pv_slot&publication=$pub')"""
+        .stripMargin)
+    def checkRow(name: String): (String, String) = {
+      val v = run(s"VALIDATE MIRROR $name")
+      val r = v.find(_.getString(0) == "publication_tables").get
+      (r.getString(1), r.getString(2))
+    }
+
+    mirror("pvok", "public.pv1", "pv_pub")
+    assert(checkRow("pvok") ==
+      ("valid", "publication 'pv_pub' covers all 1 table(s)"))
+
+    mirror("pvbad", "public.pv2", "pv_pub")
+    val (st, msg) = checkRow("pvbad")
+    assert(st == "invalid" && msg.contains("public.pv2"), msg)
+
+    mirror("pvmiss", "public.pv1", "no_such_pub")
+    val (st2, msg2) = checkRow("pvmiss")
+    assert(st2 == "invalid" && msg2.contains("does not exist"), msg2)
+
+    mirror("pvall", "public.pv2", "pv_all")
+    assert(checkRow("pvall")._1 == "valid")
+    assert(checkRow("pvall")._2.contains("FOR ALL TABLES"))
+
+    Seq("pvok", "pvbad", "pvmiss", "pvall")
+      .foreach(n => run(s"DROP MIRROR $n"))
+    s.psql("DROP PUBLICATION pv_pub"); s.psql("DROP PUBLICATION pv_all")
+    s.psql("DROP TABLE public.pv1"); s.psql("DROP TABLE public.pv2")
+  }
 }
