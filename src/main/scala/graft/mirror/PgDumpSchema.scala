@@ -104,6 +104,11 @@ object PgDumpSchema {
         if (!incompatible(line)) { out.write(line); out.write("\n") }
         line = br.readLine()
       }
+    } catch {
+      // psql dying early breaks the pipe mid-write: swallow the EPIPE
+      // so the exit-code check below reports psql's actual stderr
+      // instead of a bare "Broken pipe"
+      case _: java.io.IOException => ()
     } finally {
       try out.close()
       catch { case scala.util.control.NonFatal(_) => () }
