@@ -389,7 +389,7 @@ object GraftSql {
       }.toMap
     }.getOrElse(Map.empty)
     Settings.validateEnv(flowEnv)
-    MirrorConfig(
+    val cfgResult = MirrorConfig(
       walDir = req("wal_dir"),
       rawDir = o.getOrElse("raw_dir", req("dest_dir") + "_raw"),
       destDir = req("dest_dir"),
@@ -500,6 +500,24 @@ object GraftSql {
           s"CREATE MIRROR: warehouse_url must be pg://…, got '$u'")
         u
       })
+    // schema_migration is validated HERE (DDL time) so a typo'd value
+    // or an inapplicable combination fails the CREATE loudly instead
+    // of silently leaving the destination with engine-minimal tables
+    o.get("schema_migration").foreach { v =>
+      if (v != "pgdump") throw new IllegalArgumentException(
+        s"CREATE MIRROR: schema_migration '$v' (only 'pgdump')")
+      val pgwireCapture = o.get("capture_dir").exists(u =>
+        graft.cdc.CaptureEndpoint.isUrl(u) &&
+          graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
+      if (!pgwireCapture || !o.contains("warehouse_url") ||
+          !(o.get("do_initial_snapshot").exists(_.toBoolean) ||
+            o.get("initial_snapshot_only").exists(_.toBoolean)))
+        throw new IllegalArgumentException(
+          "CREATE MIRROR: schema_migration 'pgdump' needs a " +
+            "pgwire:// capture_dir, a pg:// warehouse_url, and " +
+            "do_initial_snapshot (it runs before the snapshot)")
+    }
+    cfgResult
   }
   /** Initial-load phase — do_initial_snapshot / initial_snapshot_only
     * (FlowConnectionConfigs fields 10/16) with the snapshot partitioning
@@ -754,42 +772,16 @@ object GraftSql {
         // relation; a table outside it would stream nothing, silently.
         cfg.captureDir
           .filter(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
-            graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
-          .map(graft.cdc.CaptureEndpoint.parse)
-          .filter(_.param("publication", "").nonEmpty)
-          .foreach { ep =>
+            graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire" &&
+            graft.cdc.CaptureEndpoint.parse(u)
+              .param("publication", "").nonEmpty)
+          .foreach { url =>
             check("publication_tables") {
-              val pub = ep.param("publication", "")
-              val c = graft.server.PgClients.connect(ep, Nil)
-              try {
-                val all = c.query(
-                  "SELECT puballtables FROM pg_publication WHERE " +
-                    s"pubname = ${graft.cdc.PgWire.quoteLiteral(pub)}")
-                  .rows.headOption.flatMap(_.head).getOrElse(
-                    throw new IllegalArgumentException(
-                      s"publication '$pub' does not exist"))
-                if (all == "t" || all == "true")
-                  s"publication '$pub' is FOR ALL TABLES"
-                else {
-                  val present = c.query(
-                    "SELECT schemaname || '.' || tablename FROM " +
-                      "pg_publication_tables WHERE pubname = " +
-                      graft.cdc.PgWire.quoteLiteral(pub)).rows
-                    .flatMap(_.headOption.flatten).toSet
-                  val sourceFor = SnapshotFlow.invertRoutes(cfg)
-                  val wanted = (cfg.destinationTable +:
-                    cfg.extraTables.keys.toSeq)
-                    .map(t => sourceFor.getOrElse(t, t))
-                  val missing = wanted.filterNot(present.contains)
-                  if (missing.nonEmpty)
-                    throw new IllegalArgumentException(
-                      s"publication '$pub' lacks table(s) " +
-                        s"${missing.mkString(", ")} — their changes " +
-                        "would silently never stream")
-                  s"publication '$pub' covers all " +
-                    s"${wanted.size} table(s)"
-                }
-              } finally c.close()
+              PgPublication.coverage(cfg, url) match {
+                case Right(msg) => msg
+                case Left(err) =>
+                  throw new IllegalArgumentException(err)
+              }
             }
           }
         val o = entry.options
@@ -1499,14 +1491,33 @@ object GraftSql {
           // surviving the resync
           if (cfg.warehouseUrl.isDefined)
             Maintenance.swapLiveResync(rcfg2)
+          // the scratch raw/ckpt(/wal) dirs are rebuild-only state;
+          // repeated resyncs must not accumulate them in the temp dir
+          locally {
+            val p = new org.apache.hadoop.fs.Path(scratch)
+            val f = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (f.exists(p)) f.delete(p, true)
+          }
         }
         if (cfg.warehouseUrl.isDefined) {
           // LIVE destination: the swap happens SQL-side (rename, in
           // rebuild); there is no local destination dir to park and
-          // swap — the local destDir only hosts Avro staging
+          // swap — the local destDir only hosts Avro staging.
+          // prepareLiveResync first: drop a crashed attempt's stale
+          // _peerdb_resync tables (silent-resurrection hazard) and
+          // pre-create them LIKE the originals so a schema-migrated
+          // destination survives the swap with its constraints.
+          Maintenance.prepareLiveResync(cfg)
           val scratchDest = java.nio.file.Files
             .createTempDirectory(s"graft_resync_dest_$n").toString
-          rebuild(scratchDest)
+          try rebuild(scratchDest)
+          finally { // the rebuild's staging is scratch — never keep it
+            val p = new org.apache.hadoop.fs.Path(scratchDest)
+            val f = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (f.exists(p)) f.delete(p, true)
+          }
         } else Maintenance.resync(spark, cfg.destDir)(rebuild)
       }
       Nil

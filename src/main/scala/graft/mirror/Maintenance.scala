@@ -47,15 +47,46 @@ object Maintenance {
     * and the resync table renames into its place. PG DDL is
     * transactional, so readers see the old table or the complete new
     * one — never an empty window. */
+  private def liveTables(cfg: MirrorConfig)
+      : Seq[(String, TableConfig)] =
+    (cfg.destinationTable -> TableConfig(cfg.pkColumns,
+      cfg.payloadSchema, cfg.excludeColumns)) +: cfg.extraTables.toSeq
+
+  /** Pre-rebuild hygiene for a live resync: a CRASHED earlier attempt
+    * leaves stale `_peerdb_resync` tables that the loader's CREATE
+    * TABLE IF NOT EXISTS would silently reuse — rows deleted on the
+    * source since that attempt would then look "present in resync"
+    * and survive the swap ALIVE (resurrection). Drop leftovers, then
+    * pre-create each resync table `LIKE original INCLUDING ALL` so a
+    * schema-migrated destination's constraints/indexes/defaults
+    * survive the swap instead of degrading to the engine-minimal
+    * shape (generated index/constraint names change; the objects do
+    * not). */
+  def prepareLiveResync(cfg: MirrorConfig,
+      suffix: String = "_peerdb_resync"): Unit = {
+    val url = cfg.warehouseUrl.getOrElse(
+      throw new IllegalArgumentException(
+        "prepareLiveResync needs a live warehouseUrl"))
+    val c = graft.server.PgClients.connect(url, Nil)
+    try liveTables(cfg).foreach { case (table, _) =>
+      val resync = table + suffix
+      c.queryAll(s"DROP TABLE IF EXISTS $resync")
+      val origExists = c.query("SELECT to_regclass(" +
+        graft.cdc.PgWire.quoteLiteral(table) + ")::text").rows
+        .headOption.exists(_.head.isDefined)
+      if (origExists)
+        c.queryAll(s"CREATE TABLE $resync " +
+          s"(LIKE $table INCLUDING ALL)")
+    } finally c.close()
+  }
+
   def swapLiveResync(cfg: MirrorConfig,
       suffix: String = "_peerdb_resync"): Unit = {
     val url = cfg.warehouseUrl.getOrElse(
       throw new IllegalArgumentException(
         "swapLiveResync needs a live warehouseUrl"))
     def q(id: String) = graft.cdc.PgWire.quoteIdent(id)
-    val tables = (cfg.destinationTable ->
-      TableConfig(cfg.pkColumns, cfg.payloadSchema)) +:
-      cfg.extraTables.toSeq
+    val tables = liveTables(cfg)
     val c = graft.server.PgClients.connect(url, Nil)
     try {
       c.queryAll("BEGIN")

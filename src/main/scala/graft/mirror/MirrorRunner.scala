@@ -579,7 +579,15 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
                 ingestCapture()
                 failures = 0
                 metricsTick() // lag gauges track the pump cadence
-                walHeartbeatTick()
+                // heartbeat failures are OPTIONAL-housekeeping
+                // failures: logged, never counted against the pump —
+                // a bad heartbeat query must not stop replication
+                try walHeartbeatTick()
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    stats.foreach(_.logFlowError(cfg.flow,
+                      s"wal heartbeat failed: ${e.getMessage}"))
+                }
               } catch {
                 case e: InterruptedException => throw e
                 case e: Exception =>
@@ -928,29 +936,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     cfg.captureDir
       .filter(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
         graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
-      .foreach { url =>
-        val ep = graft.cdc.CaptureEndpoint.parse(url)
-        val pub = ep.param("publication", "")
-        if (pub.nonEmpty) {
-          val c = graft.server.PgClients.connect(ep, Nil)
-          try {
-            val present = c.query(
-              "SELECT schemaname || '.' || tablename FROM " +
-                "pg_publication_tables WHERE pubname = " +
-                graft.cdc.PgWire.quoteLiteral(pub)).rows
-              .flatMap(_.headOption.flatten).toSet
-            val src = cfg.tableRoutes.collectFirst {
-              case (s, d) if d == table => s
-            }.getOrElse(table)
-            if (!present.contains(src))
-              throw new IllegalArgumentException(
-                s"table addition: source relation '$src' is not in " +
-                  s"publication '$pub' — ALTER PUBLICATION ADD TABLE " +
-                  "it on the source first (the stream would " +
-                  "otherwise silently never carry its changes)")
-          } finally c.close()
-        }
-      }
+      .foreach(PgPublication.requireTablePublished(cfg, _, table))
     val slice0 = graft.cdc.ChangeLogBatch.read(spark, cfg.walDir)
       .filter(col("destinationTable") === table &&
         col("recordType") <= graft.model.ChangeRecord.TypeDelete)

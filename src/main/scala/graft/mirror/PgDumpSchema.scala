@@ -109,16 +109,25 @@ object PgDumpSchema {
       // so the exit-code check below reports psql's actual stderr
       // instead of a bare "Broken pipe"
       case _: java.io.IOException => ()
-    } finally {
-      try out.close()
-      catch { case scala.util.control.NonFatal(_) => () }
     }
 
+    // pg_dump's exit code decides BEFORE psql's stdin closes: a dump
+    // that died mid-stream looks like a clean EOF to psql, which
+    // would COMMIT the half schema under --single-transaction —
+    // killing psql instead aborts its transaction server-side, so a
+    // failed migration stays retryable (the docstring's contract)
     val srcCode = pSrc.waitFor()
+    if (srcCode != 0) {
+      pDst.destroyForcibly()
+      pDst.waitFor()
+      dumpErrT.join(5000)
+      throw new java.io.IOException(
+        s"pg_dump exited $srcCode: ${dumpErr.toString.trim}")
+    }
+    try out.close()
+    catch { case scala.util.control.NonFatal(_) => () }
     val dstCode = pDst.waitFor()
     dumpErrT.join(5000); psqlErrT.join(5000); psqlOutT.join(5000)
-    if (srcCode != 0) throw new java.io.IOException(
-      s"pg_dump exited $srcCode: ${dumpErr.toString.trim}")
     if (dstCode != 0) throw new java.io.IOException(
       s"psql (schema apply) exited $dstCode: ${psqlErr.toString.trim}")
     true
