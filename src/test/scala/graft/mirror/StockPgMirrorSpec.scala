@@ -397,4 +397,44 @@ class StockPgMirrorSpec extends SparkSpec {
     s.psql("DROP PUBLICATION pv_pub"); s.psql("DROP PUBLICATION pv_all")
     s.psql("DROP TABLE public.pv1"); s.psql("DROP TABLE public.pv2")
   }
+
+  test("VALIDATE MIRROR checks replica identity (EnsurePullability): " +
+    "a no-PK source table is pullable only under REPLICA IDENTITY " +
+    "FULL; a PK'd table passes as-is") {
+    val s = srv
+    s.psql("CREATE TABLE public.ri1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("CREATE TABLE public.ri2 (id bigint, v bigint)") // no PK
+    s.psql("CREATE PUBLICATION ri_pub FOR TABLE public.ri1, public.ri2")
+
+    val base = tmpDir("replident")
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+    def mirror(name: String, table: String): Unit =
+      run(s"""CREATE MIRROR $name WITH (
+         |  wal_dir '$base/$name/wal', dest_dir '$base/$name/dest',
+         |  checkpoint_dir '$base/$name/ckpt', pk 'id', table '$table',
+         |  schema 'id BIGINT, v BIGINT',
+         |  capture_dir 'pgwire://postgres@127.0.0.1:${s.port}/postgres?slot=ri_slot&publication=ri_pub')"""
+        .stripMargin)
+    def checkRow(name: String): (String, String) = {
+      val v = run(s"VALIDATE MIRROR $name")
+      val r = v.find(_.getString(0) == "replica_identity").get
+      (r.getString(1), r.getString(2))
+    }
+
+    mirror("riok", "public.ri1")
+    assert(checkRow("riok")._1 == "valid")
+
+    mirror("ribad", "public.ri2")
+    val (st, msg) = checkRow("ribad")
+    assert(st == "invalid" && msg.contains("public.ri2"), msg)
+
+    // REPLICA IDENTITY FULL makes the no-PK table pullable
+    s.psql("ALTER TABLE public.ri2 REPLICA IDENTITY FULL")
+    assert(checkRow("ribad")._1 == "valid")
+
+    Seq("riok", "ribad").foreach(n => run(s"DROP MIRROR $n"))
+    s.psql("DROP PUBLICATION ri_pub")
+    s.psql("DROP TABLE public.ri1"); s.psql("DROP TABLE public.ri2")
+  }
 }
