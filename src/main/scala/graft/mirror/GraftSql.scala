@@ -770,11 +770,14 @@ object GraftSql {
         // validate.go:84-110): the publication must EXIST and — unless
         // it is FOR ALL TABLES — expose every mirror table's SOURCE
         // relation; a table outside it would stream nothing, silently.
+        // Both checks run for ANY pgwire capture — a URL with no
+        // publication param still streams via the DEFAULT publication
+        // ('graft_pub'), which must equally exist and cover the
+        // tables; gating on the param would silently skip exactly the
+        // mirrors relying on the default.
         cfg.captureDir
           .filter(u => graft.cdc.CaptureEndpoint.isUrl(u) &&
-            graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire" &&
-            graft.cdc.CaptureEndpoint.parse(u)
-              .param("publication", "").nonEmpty)
+            graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
           .foreach { url =>
             check("publication_tables") {
               PgPublication.coverage(cfg, url) match {
@@ -783,41 +786,15 @@ object GraftSql {
                   throw new IllegalArgumentException(err)
               }
             }
-            // EnsurePullability's replica-identity rule
-            // (postgres_source.go:695-710): a source table with no
-            // primary key is pullable ONLY under REPLICA IDENTITY
-            // FULL — otherwise pgoutput carries no key image and
-            // updates/deletes cannot be applied by key (and the
-            // source itself errors UPDATE/DELETE under 'nothing').
+            // EnsurePullability (postgres_source.go:695-710): no-PK
+            // tables need REPLICA IDENTITY FULL or USING INDEX, or
+            // updates/deletes carry no key image to apply by
             check("replica_identity") {
-              val sourceFor = SnapshotFlow.invertRoutes(cfg)
-              val wanted = (cfg.destinationTable +:
-                cfg.extraTables.keys.toSeq)
-                .map(t => sourceFor.getOrElse(t, t)).distinct
-              val c = graft.server.PgClients.connect(url, Nil)
-              try {
-                val bad = wanted.filter { t =>
-                  val lit = graft.cdc.PgWire.quoteLiteral(t)
-                  c.query(
-                    "SELECT c.relreplident::text, EXISTS(SELECT 1 " +
-                      "FROM pg_index i WHERE i.indrelid = c.oid AND " +
-                      "i.indisprimary) FROM pg_class c WHERE c.oid " +
-                      s"= to_regclass($lit)").rows.headOption match {
-                    case Some(row) =>
-                      val replident = row(0).getOrElse("d")
-                      val hasPk = row(1).exists(v =>
-                        v == "t" || v == "true")
-                      !hasPk && replident != "f"
-                    case None => true // missing relation: also invalid
-                  }
-                }
-                if (bad.nonEmpty) throw new IllegalArgumentException(
-                  s"table(s) ${bad.mkString(", ")} have no primary " +
-                    "key and are not REPLICA IDENTITY FULL — " +
-                    "updates/deletes cannot replicate by key")
-                s"all ${wanted.size} table(s) pullable " +
-                  "(primary key or REPLICA IDENTITY FULL)"
-              } finally c.close()
+              PgPublication.pullability(cfg, url) match {
+                case Right(msg) => msg
+                case Left(err) =>
+                  throw new IllegalArgumentException(err)
+              }
             }
           }
         val o = entry.options

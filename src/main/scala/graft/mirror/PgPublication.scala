@@ -1,29 +1,62 @@
 package graft.mirror
 
-/** Publication-coverage checks for live pgwire captures — ONE home
-  * for the logic VALIDATE MIRROR and table addition both need (the
-  * reference's CheckSourceTables publication branch,
-  * flow/connectors/postgres/validate.go:84-123, and the
+/** Publication-coverage and pullability checks for live pgwire
+  * captures — ONE home for the logic VALIDATE MIRROR and table
+  * addition both need (the reference's CheckSourceTables publication
+  * branch, flow/connectors/postgres/validate.go:84-123; the
   * AddTablesToPublication membership check,
-  * postgres_source.go:1070-1096).
+  * postgres_source.go:1070-1096; and EnsurePullability's
+  * replica-identity rule, postgres_source.go:695-710).
   *
-  * Matching is by EXACT published name, like the reference: with
-  * `publish_via_partition_root=true` a partitioned ROOT is what
-  * `pg_publication_tables` lists (and what pgoutput announces); with
-  * the default, pgoutput emits LEAF relations and the mirror routes
-  * leaves through `table_map` — either way, the relation names the
-  * engine consumes must be exactly the published ones. */
+  * Publication matching is by EXACT published name, like the
+  * reference: with `publish_via_partition_root=true` a partitioned
+  * ROOT is what `pg_publication_tables` lists (and what pgoutput
+  * announces); with the default, pgoutput emits LEAF relations and the
+  * mirror routes leaves through `table_map` — either way, the relation
+  * names the engine consumes must be exactly the published ones. */
 private[mirror] object PgPublication {
 
+  /** The EFFECTIVE publication: the URL param or the stream's default
+    * ([[MirrorRunner]] starts replication with 'graft_pub' when the
+    * URL names none — validation must check what the stream will
+    * actually use, not skip). */
+  private def pubOf(ep: graft.cdc.CaptureEndpoint): String =
+    ep.param("publication", "graft_pub")
+
+  /** Every SOURCE relation this mirror consumes: all `table_map` keys
+    * routed to a mirror table (fan-in keeps EVERY leaf — this must
+    * not go through invertRoutes, which rejects fan-in because a
+    * SNAPSHOT needs one relation; the stream legitimately merges
+    * many leaves into one destination) plus unrouted mirror tables. */
+  private[mirror] def sourceRelations(cfg: MirrorConfig): Seq[String] = {
+    val dests = (cfg.destinationTable +:
+      cfg.extraTables.keys.toSeq).distinct
+    val destSet = dests.toSet
+    val routed = cfg.tableRoutes.collect {
+      case (s, d) if destSet(d) => s
+    }.toSeq
+    val routedDests = cfg.tableRoutes.values.toSet
+    (routed ++ dests.filterNot(routedDests.contains)).distinct
+  }
+
+  /** A validation connection must not hang a VALIDATE statement for
+    * the capture session's full 60 s read timeout (fixture/misbehaving
+    * endpoints): bound it unless the URL sets its own. */
+  private def connect(url: String): graft.server.PgClient = {
+    val ep = graft.cdc.CaptureEndpoint.parse(url)
+    graft.server.PgClients.connect(ep.copy(params = ep.params
+      .updated("read_timeout_ms", ep.param("read_timeout_ms", "5000"))),
+      Nil)
+  }
+
   /** The publication's coverage of this mirror's SOURCE relations.
-    * Returns Right(description) when covered (existence + FOR ALL
-    * TABLES or full membership), Left(message) when not. */
+    * Right(description) when covered (existence + FOR ALL TABLES or
+    * full membership), Left(message) when not. */
   def coverage(cfg: MirrorConfig, url: String): Either[String, String] = {
     val ep = graft.cdc.CaptureEndpoint.parse(url)
-    val pub = ep.param("publication", "")
-    if (pub.isEmpty) return Right("no publication named on the URL")
+    val pub = pubOf(ep)
     val lit = graft.cdc.PgWire.quoteLiteral(pub)
-    val c = graft.server.PgClients.connect(ep, Nil)
+    val c = connect(url)
     try {
       val all = c.query(
         s"SELECT puballtables FROM pg_publication WHERE pubname = $lit")
@@ -34,14 +67,8 @@ private[mirror] object PgPublication {
         case Some(v) if v == "t" || v == "true" =>
           Right(s"publication '$pub' is FOR ALL TABLES")
         case Some(_) =>
-          val present = c.query(
-            "SELECT schemaname || '.' || tablename FROM " +
-              s"pg_publication_tables WHERE pubname = $lit").rows
-            .flatMap(_.headOption.flatten).toSet
-          val sourceFor = SnapshotFlow.invertRoutes(cfg)
-          val wanted = (cfg.destinationTable +:
-            cfg.extraTables.keys.toSeq)
-            .map(t => sourceFor.getOrElse(t, t)).distinct
+          val present = publishedTables(c, lit)
+          val wanted = sourceRelations(cfg)
           val missing = wanted.filterNot(present.contains)
           if (missing.isEmpty)
             Right(s"publication '$pub' covers all " +
@@ -53,32 +80,79 @@ private[mirror] object PgPublication {
     } finally c.close()
   }
 
-  /** Membership of ONE source relation (table addition's gate). */
+  /** Membership of the source relation(s) behind ONE destination
+    * table (the table-addition gate; a fan-in destination checks
+    * every routed leaf). */
   def requireTablePublished(cfg: MirrorConfig, url: String,
       destTable: String): Unit = {
     val ep = graft.cdc.CaptureEndpoint.parse(url)
-    val pub = ep.param("publication", "")
-    if (pub.isEmpty) return
+    val pub = pubOf(ep)
     val lit = graft.cdc.PgWire.quoteLiteral(pub)
-    val c = graft.server.PgClients.connect(ep, Nil)
+    val c = connect(url)
     try {
       val all = c.query(
         s"SELECT puballtables FROM pg_publication WHERE pubname = $lit")
         .rows.headOption.flatMap(_.head)
       if (all.exists(v => v == "t" || v == "true")) return
-      val present = c.query(
-        "SELECT schemaname || '.' || tablename FROM " +
-          s"pg_publication_tables WHERE pubname = $lit").rows
-        .flatMap(_.headOption.flatten).toSet
-      val src = cfg.tableRoutes.collectFirst {
+      val present = publishedTables(c, lit)
+      val srcs = cfg.tableRoutes.collect {
         case (s, d) if d == destTable => s
-      }.getOrElse(destTable)
-      if (!present.contains(src))
+      }.toSeq match {
+        case Nil => Seq(destTable)
+        case routed => routed
+      }
+      val missing = srcs.filterNot(present.contains)
+      if (missing.nonEmpty)
         throw new IllegalArgumentException(
-          s"table addition: source relation '$src' is not in " +
-            s"publication '$pub' — ALTER PUBLICATION ADD TABLE it on " +
-            "the source first (the stream would otherwise silently " +
-            "never carry its changes)")
+          s"table addition: source relation(s) " +
+            s"${missing.mkString(", ")} not in publication '$pub' — " +
+            "ALTER PUBLICATION ADD TABLE them on the source first " +
+            "(the stream would otherwise silently never carry their " +
+            "changes)")
+    } finally c.close()
+  }
+
+  private def publishedTables(c: graft.server.PgClient,
+      pubLit: String): Set[String] =
+    c.query("SELECT schemaname || '.' || tablename FROM " +
+      s"pg_publication_tables WHERE pubname = $pubLit").rows
+      .flatMap(_.headOption.flatten).toSet
+
+  /** EnsurePullability (postgres_source.go:695-710): every source
+    * relation needs a primary key, REPLICA IDENTITY FULL, or REPLICA
+    * IDENTITY USING INDEX (the index columns are the key image — the
+    * reference accepts those too). Missing relations report as
+    * missing, not as a replica-identity problem. */
+  def pullability(cfg: MirrorConfig, url: String)
+      : Either[String, String] = {
+    val wanted = sourceRelations(cfg)
+    val c = connect(url)
+    try {
+      val probed = wanted.map { t =>
+        val lit = graft.cdc.PgWire.quoteLiteral(t)
+        t -> c.query(
+          "SELECT c.relreplident::text, EXISTS(SELECT 1 FROM " +
+            "pg_index i WHERE i.indrelid = c.oid AND i.indisprimary)" +
+            s" FROM pg_class c WHERE c.oid = to_regclass($lit)").rows
+          .headOption.map { row =>
+            (row(0).getOrElse("d"),
+              row(1).exists(v => v == "t" || v == "true"))
+          }
+      }
+      val absent = probed.collect { case (t, None) => t }
+      if (absent.nonEmpty)
+        return Left(s"relation(s) ${absent.mkString(", ")} do not " +
+          "exist on the source")
+      val bad = probed.collect {
+        case (t, Some((replident, hasPk)))
+            if !hasPk && replident != "f" && replident != "i" => t
+      }
+      if (bad.nonEmpty)
+        Left(s"table(s) ${bad.mkString(", ")} have no primary key " +
+          "and no REPLICA IDENTITY FULL/USING INDEX — " +
+          "updates/deletes cannot replicate by key")
+      else Right(s"all ${wanted.size} table(s) pullable " +
+        "(primary key or replica identity)")
     } finally c.close()
   }
 }

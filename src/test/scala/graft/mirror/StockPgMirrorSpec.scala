@@ -392,7 +392,33 @@ class StockPgMirrorSpec extends SparkSpec {
     assert(checkRow("pvall")._1 == "valid")
     assert(checkRow("pvall")._2.contains("FOR ALL TABLES"))
 
-    Seq("pvok", "pvbad", "pvmiss", "pvall")
+    // a URL with NO publication param still streams via the DEFAULT
+    // publication — validation must check it, not silently skip
+    run(s"""CREATE MIRROR pvdflt WITH (
+       |  wal_dir '$base/pvdflt/wal', dest_dir '$base/pvdflt/dest',
+       |  checkpoint_dir '$base/pvdflt/ckpt', pk 'id',
+       |  table 'public.pv1', schema 'id BIGINT, v BIGINT',
+       |  capture_dir 'pgwire://postgres@127.0.0.1:${s.port}/postgres?slot=pv_slot')"""
+      .stripMargin)
+    val (st3, msg3) = checkRow("pvdflt")
+    assert(st3 == "invalid" && msg3.contains("graft_pub"), msg3)
+
+    // FAN-IN routing (leaf partitions → one destination) checks EVERY
+    // leaf instead of rejecting the map as un-snapshot-able
+    run(s"""CREATE MIRROR pvfan WITH (
+       |  wal_dir '$base/pvfan/wal', dest_dir '$base/pvfan/dest',
+       |  checkpoint_dir '$base/pvfan/ckpt', pk 'id',
+       |  table 'public.pvroot', schema 'id BIGINT, v BIGINT',
+       |  table_map 'public.pv1:public.pvroot,public.pv2:public.pvroot',
+       |  capture_dir 'pgwire://postgres@127.0.0.1:${s.port}/postgres?slot=pv_slot&publication=pv_pub')"""
+      .stripMargin)
+    val (st4, msg4) = checkRow("pvfan")
+    // pv1 is published, pv2 is not: the missing LEAF is named (no
+    // fan-in rejection, no one-leaf-only check)
+    assert(st4 == "invalid" && msg4.contains("public.pv2") &&
+      !msg4.contains("fan"), msg4)
+
+    Seq("pvok", "pvbad", "pvmiss", "pvall", "pvdflt", "pvfan")
       .foreach(n => run(s"DROP MIRROR $n"))
     s.psql("DROP PUBLICATION pv_pub"); s.psql("DROP PUBLICATION pv_all")
     s.psql("DROP TABLE public.pv1"); s.psql("DROP TABLE public.pv2")
