@@ -797,6 +797,31 @@ object GraftSql {
               }
             }
           }
+        // ES `_id`-scheme migration gate: a composite-key es:// mirror
+        // that already published under an older build may hold
+        // documents with the retired '_'-joined ids — updates/deletes
+        // under the current sha256 derivation would orphan them. The
+        // runner stamps the scheme version with the first publish
+        // ([[EsIdScheme]]); anything but a current stamp on a mirror
+        // with publish history means RESYNC before resuming.
+        if (cfg.queueUrl.exists(_.startsWith("es://")) &&
+            cfg.tableSet.values.exists(_._1.pkColumns.sizeIs > 1))
+          check("es_id_scheme") {
+            val hc = spark.sparkContext.hadoopConfiguration
+            val stamped = graft.util.FsText.read(
+              EsIdScheme.markerPath(cfg.checkpointDir), hc).map(_.trim)
+            val published = graft.util.FsText.read(
+              s"${cfg.checkpointDir}/graft-queue-hwm", hc).isDefined
+            if (published && !stamped.contains(EsIdScheme.Current))
+              throw new IllegalArgumentException(
+                "composite-key documents were published under an " +
+                  s"older _id scheme (stamp: ${stamped.getOrElse(
+                    "none — pre-stamp build")}) — updates/deletes now " +
+                  "derive different ids and would orphan them; RESYNC " +
+                  "MIRROR to rewrite the index under the current scheme")
+            if (published) "documents on current _id scheme"
+            else "no publish history — current scheme applies"
+          }
         val o = entry.options
         if (o.get("do_initial_snapshot").exists(_.toBoolean) ||
             o.get("initial_snapshot_only").exists(_.toBoolean))
@@ -866,6 +891,27 @@ object GraftSql {
   /** QRep option validation at DDL time (the analyzer's role,
     * nexus/analyzer/src/qrep.rs:20-90): required keys present, the
     * watermark template actually in the query, upsert has its key. */
+  /** partition_strategy is peer-gated: PG supports uniform|ntile,
+    * MySQL uniform|string, Mongo partitions by `_id` automatically (no
+    * strategy knob). An unsupported value must FAIL, not silently run
+    * uniform — the PG pull already throws on unknown strategies, and a
+    * config no-op on one peer type while another enforces it is a
+    * silent-misconfiguration trap. */
+  private def requireSupportedStrategy(o: Map[String, String],
+      srcUrl: String): Unit =
+    o.get("partition_strategy").foreach { s =>
+      val allowed =
+        if (srcUrl.startsWith("mysql://")) Set("uniform", "string")
+        else if (srcUrl.startsWith("mongo://")) Set.empty[String]
+        else Set("uniform", "ntile")
+      if (!allowed(s))
+        throw new IllegalArgumentException(
+          s"CREATE MIRROR (QRep): partition_strategy '$s' is not " +
+            "supported for this peer" +
+            (if (allowed.isEmpty) " (mongo partitions by _id)"
+             else s" (allowed: ${allowed.toSeq.sorted.mkString(", ")})"))
+    }
+
   private def validateQRep(q: String, o: Map[String, String],
       /** false for pulls with no bound SQL template: document-store
         * sources (mongo:// — find() over `_id` ranges) and
@@ -966,6 +1012,10 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"CREATE MIRROR (QRep): unknown mode '$other'")
     }
+    // EXECUTE-time backstop for mirrors created before the DDL check
+    // existed (the catalog is durable; an old entry re-executed today
+    // must still fail loudly, not silently run uniform)
+    requireSupportedStrategy(o, srcPeer.options.getOrElse("url", ""))
     // the common disposition config of the source-gated branches
     // below (mongo / mysql-string / xmin) — one place for the dest
     // knobs so a new one cannot silently diverge across branches
@@ -1412,6 +1462,8 @@ object GraftSql {
       // fail the DDL, not the first EXECUTE; mongo sources (find()
       // over _id ranges) and mysql string-watermark pulls (generated
       // range queries) have no SQL template to validate
+      requireSupportedStrategy(o,
+        srcPeerDef.options.getOrElse("url", ""))
       validateQRep(q, o, requireTemplate =
         !srcPeerDef.options.get("url").exists(_.startsWith("mongo://"))
           && !(o.get("partition_strategy").contains("string") &&
@@ -1532,6 +1584,13 @@ object GraftSql {
             if (f.exists(p)) f.delete(p, true)
           }
         } else Maintenance.resync(spark, cfg.destDir)(rebuild)
+        // An ES queue mirror's resync republished every document under
+        // the CURRENT _id scheme — clear a Legacy stamp so VALIDATE
+        // stops demanding the resync that just ran.
+        if (cfg.queueUrl.exists(_.startsWith("es://")))
+          graft.util.FsText.write(
+            EsIdScheme.markerPath(cfg.checkpointDir),
+            EsIdScheme.Current, spark.sparkContext.hadoopConfiguration)
       }
       Nil
     case PauseMirror(n) =>

@@ -70,15 +70,27 @@ object Maintenance {
     val c = graft.server.PgClients.connect(url, Nil)
     try liveTables(cfg).foreach { case (table, _) =>
       val resync = table + suffix
-      c.queryAll(s"DROP TABLE IF EXISTS $resync")
-      val origExists = c.query("SELECT to_regclass(" +
-        graft.cdc.PgWire.quoteLiteral(table) + ")::text").rows
-        .headOption.exists(_.head.isDefined)
-      if (origExists)
-        c.queryAll(s"CREATE TABLE $resync " +
-          s"(LIKE $table INCLUDING ALL)")
+      c.queryAll(s"DROP TABLE IF EXISTS ${qq(resync)}")
+      if (regclass(c, table))
+        c.queryAll(s"CREATE TABLE ${qq(resync)} " +
+          s"(LIKE ${qq(table)} INCLUDING ALL)")
     } finally c.close()
   }
+
+  /** Dotted config name → quoted identifier chain ('.' is the schema
+    * separator by convention): user-supplied destination names must
+    * reach live SQL quoted — a mixed-case or reserved-word name would
+    * otherwise break mid-transaction (or worse, inject). */
+  private def qq(name: String): String =
+    name.split('.').map(graft.cdc.PgWire.quoteIdent).mkString(".")
+
+  /** Existence probe by the QUOTED name — to_regclass lowercases
+    * unquoted identifiers, so the literal must carry the same quoted
+    * chain the DDL above uses or a mixed-case table reports absent. */
+  private def regclass(c: graft.server.PgClient, t: String): Boolean =
+    c.query("SELECT to_regclass(" +
+      graft.cdc.PgWire.quoteLiteral(qq(t)) + ")::text").rows
+      .headOption.exists(_.head.isDefined)
 
   def swapLiveResync(cfg: MirrorConfig,
       suffix: String = "_peerdb_resync"): Unit = {
@@ -93,12 +105,8 @@ object Maintenance {
       try {
         tables.foreach { case (table, tc) =>
           val resync = table + suffix
-          def regclass(t: String): Boolean = c.query(
-            "SELECT to_regclass(" +
-              graft.cdc.PgWire.quoteLiteral(t) + ")::text").rows
-            .headOption.exists(_.head.isDefined)
-          if (regclass(resync)) {
-            if (regclass(table) && cfg.softDelete) {
+          if (regclass(c, resync)) {
+            if (regclass(c, table) && cfg.softDelete) {
               val cols = tc.effectiveSchema.fieldNames.toSeq ++
                 Seq(RawTable.Version, RawTable.SyncedAt)
               val colSql = cols.map(q).mkString(", ")
@@ -106,15 +114,17 @@ object Maintenance {
                 s"original_table.${q(k)} = resync_table.${q(k)}")
                 .mkString(" AND ")
               c.queryAll(
-                s"INSERT INTO $resync ($colSql, " +
+                s"INSERT INTO ${qq(resync)} ($colSql, " +
                   s"${q(RawTable.IsDeleted)}) " +
-                  s"SELECT $colSql, true FROM $table original_table " +
-                  s"WHERE NOT EXISTS (SELECT 1 FROM $resync " +
+                  s"SELECT $colSql, true FROM ${qq(table)} " +
+                  "original_table " +
+                  s"WHERE NOT EXISTS (SELECT 1 FROM ${qq(resync)} " +
                   s"resync_table WHERE $pkMatch)")
             }
-            c.queryAll(s"DROP TABLE IF EXISTS $table")
+            c.queryAll(s"DROP TABLE IF EXISTS ${qq(table)}")
             val bare = table.split("\\.", 2).last
-            c.queryAll(s"ALTER TABLE $resync RENAME TO ${q(bare)}")
+            c.queryAll(
+              s"ALTER TABLE ${qq(resync)} RENAME TO ${q(bare)}")
           }
         }
         c.queryAll("COMMIT")

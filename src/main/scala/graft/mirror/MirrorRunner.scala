@@ -180,6 +180,26 @@ final case class MirrorConfig(
   }
 }
 
+/** ES `_id`-derivation scheme version, persisted next to the queue
+  * high-water mark the first time a mirror publishes to an `es://`
+  * destination. v1 = '_'-joined PK values (collision-prone, retired);
+  * v2 = sha256 over null-flagged length-prefixed values (current,
+  * [[MirrorRunner.publishEs]]). VALIDATE MIRROR compares a mirror's
+  * stored version against [[Current]]: updates/deletes issued under a
+  * NEWER scheme target different document ids than the ones the old
+  * scheme wrote, silently orphaning those documents — the operational
+  * remedy is a RESYNC, and the check is what surfaces that need. */
+private[mirror] object EsIdScheme {
+  val Current = "2"
+  /** Stamped when a mirror that ALREADY published is first seen by a
+    * marker-aware build — its documents may carry v1 ids. Cleared by
+    * a RESYNC (which rewrites every document under the current
+    * scheme): delete the marker with the rebuild. */
+  val Legacy = "1"
+  def markerPath(checkpointDir: String): String =
+    s"$checkpointDir/graft-es-id-scheme"
+}
+
 class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
   private val writers: Map[String, (TableConfig, MergeWriter)] =
@@ -257,7 +277,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         if (!created(table)) { loader.setup(); created += table }
         // a crash between COPY and DROP can leave a stale staging
         // table with an older schema — every load starts clean
-        c.queryAll(s"DROP TABLE IF EXISTS ${target.stagingTable}")
+        c.queryAll("DROP TABLE IF EXISTS " + graft.sinks
+          .MergeSqlGenerator.qualified(target.stagingTable))
         c.queryAll(graft.sinks.MergeSqlGenerator.alterAddColumns(target))
         loader.loadBatch(normalized,
           s"${cfg.checkpointDir}/stage/${table.replace('.', '_')}" +
@@ -852,7 +873,20 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           // ssh=user:pass@bastion[:port] — the destination socket
           // rides the same tunnel stack as the capture sources
           sshSpec = params.get("ssh"))
-      case es(h, p) => publishEs(changes, s"http://$h:$p")
+      case es(h, p) =>
+        // Stamp the id-scheme marker BEFORE reading the prior HWM is
+        // overwritten below: a mirror publishing its FIRST batch today
+        // provably holds only current-scheme documents; one that
+        // already published under an older build (HWM present, marker
+        // absent) may hold legacy '_'-joined ids — record Legacy so
+        // VALIDATE MIRROR keeps demanding the RESYNC instead of the
+        // next publish silently laundering the mirror to 'current'.
+        val marker = EsIdScheme.markerPath(cfg.checkpointDir)
+        if (graft.util.FsText.read(marker, hadoopConf).isEmpty)
+          graft.util.FsText.write(marker,
+            if (queueHighWaterMark.isEmpty) EsIdScheme.Current
+            else EsIdScheme.Legacy, hadoopConf)
+        publishEs(changes, s"http://$h:$p")
       case other => throw new IllegalArgumentException(
         "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host] " +
           s"or es://host:port, got '$other'")

@@ -67,9 +67,10 @@ private[mirror] object PgPublication {
         case Some(v) if v == "t" || v == "true" =>
           Right(s"publication '$pub' is FOR ALL TABLES")
         case Some(_) =>
-          val present = publishedTables(c, lit)
+          val present = publishedOids(c, lit)
           val wanted = sourceRelations(cfg)
-          val missing = wanted.filterNot(present.contains)
+          val missing = wanted.filterNot(w =>
+            resolveOid(c, w).exists(present.contains))
           if (missing.isEmpty)
             Right(s"publication '$pub' covers all " +
               s"${wanted.size} table(s)")
@@ -94,14 +95,15 @@ private[mirror] object PgPublication {
         s"SELECT puballtables FROM pg_publication WHERE pubname = $lit")
         .rows.headOption.flatMap(_.head)
       if (all.exists(v => v == "t" || v == "true")) return
-      val present = publishedTables(c, lit)
+      val present = publishedOids(c, lit)
       val srcs = cfg.tableRoutes.collect {
         case (s, d) if d == destTable => s
       }.toSeq match {
         case Nil => Seq(destTable)
         case routed => routed
       }
-      val missing = srcs.filterNot(present.contains)
+      val missing = srcs.filterNot(s =>
+        resolveOid(c, s).exists(present.contains))
       if (missing.nonEmpty)
         throw new IllegalArgumentException(
           s"table addition: source relation(s) " +
@@ -112,11 +114,31 @@ private[mirror] object PgPublication {
     } finally c.close()
   }
 
-  private def publishedTables(c: graft.server.PgClient,
+  /** Published relations as OIDs. `pg_publication_tables` lists
+    * schema-qualified name pairs; comparing oids (with the config's
+    * names resolved through [[resolveOid]]) makes membership
+    * independent of how the mirror spells a name — an unqualified
+    * 'users' resolved via search_path must match 'public.users',
+    * and pullability (which already resolves via to_regclass) and
+    * coverage must agree on the same relation set. */
+  private def publishedOids(c: graft.server.PgClient,
       pubLit: String): Set[String] =
-    c.query("SELECT schemaname || '.' || tablename FROM " +
-      s"pg_publication_tables WHERE pubname = $pubLit").rows
+    c.query("SELECT c.oid::text FROM pg_publication_tables p " +
+      "JOIN pg_namespace n ON n.nspname = p.schemaname " +
+      "JOIN pg_class c ON c.relnamespace = n.oid " +
+      "AND c.relname = p.tablename " +
+      s"WHERE p.pubname = $pubLit").rows
       .flatMap(_.headOption.flatten).toSet
+
+  /** A config-spelled relation name → oid, via the same to_regclass
+    * resolution pullability uses (search_path-aware, quoting-aware).
+    * None when the relation does not exist — callers report that as
+    * not-covered, matching the reference's behavior. */
+  private def resolveOid(c: graft.server.PgClient,
+      name: String): Option[String] =
+    c.query("SELECT to_regclass(" +
+      graft.cdc.PgWire.quoteLiteral(name) + ")::oid::text").rows
+      .headOption.flatMap(_.head)
 
   /** EnsurePullability (postgres_source.go:695-710): every source
     * relation needs a primary key, REPLICA IDENTITY FULL, or REPLICA

@@ -186,10 +186,23 @@ object LiveMongoPull {
                 (tHi == 0x10 || tHi == 0x12) && parts > 1 =>
             def longOf(t: Int, v: Array[Byte]): Long =
               if (t == 0x10) int32Of(v).toLong else int64Of(v)
-            LivePgPull.uniformRanges(longOf(tLo, lo), longOf(tHi, hi),
-              parts).map { case (a, b) =>
+            // Half-open ranges [a, nextA) with only the final range
+            // end-inclusive at max: Mongo compares ALL numeric types by
+            // value, so a collection whose min/max decode as int32/int64
+            // can still hold fractional double/decimal _ids — inclusive
+            // integer chains [a,b] [b+1,…] would silently drop every _id
+            // in the open gap (b, b+1). The reference's numericPartitions
+            // emits [start, end) for exactly this reason
+            // (mongo/qrep_partition.go:128-131).
+            val rs = LivePgPull.uniformRanges(longOf(tLo, lo),
+              longOf(tHi, hi), parts)
+            rs.zipWithIndex.map { case ((a, b), i) =>
+              if (i == rs.size - 1)
                 IdRange(Some(NumBound(a)), Some(NumBound(b)))
-              }
+              else
+                IdRange(Some(NumBound(a)), Some(NumBound(rs(i + 1)._1)),
+                  hiInclusive = false)
+            }
           case (Some((0x02, lo)), Some((0x02, hi))) if parts > 1 =>
             // STRING _id keyspace: package-name-style keys are NOT
             // uniform, so the reference samples the collection and

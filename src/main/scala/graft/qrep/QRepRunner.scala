@@ -233,8 +233,9 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         s"${q(f.name)} ${graft.types.QKind.toDdl(
           graft.types.QKind.fromSpark(f.dataType),
           graft.types.QKind.Dialect.Ansi, nullable = true)}")
-      c.queryAll(s"CREATE TABLE IF NOT EXISTS ${cfg.destTable} " +
-        s"(${cols.mkString(", ")})")
+      c.queryAll("CREATE TABLE IF NOT EXISTS " +
+        graft.sinks.MergeSqlGenerator.qualified(cfg.destTable) +
+        s" (${cols.mkString(", ")})")
       // stage BEFORE opening any transaction: the Spark job is the
       // slow leg and must not hold server locks while it runs
       val files = graft.sinks.AvroStage.write(df,
@@ -247,7 +248,8 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         // autocommit statements had exactly that window)
         c.queryAll("BEGIN")
         try {
-          c.queryAll(s"TRUNCATE TABLE ${cfg.destTable}")
+          c.queryAll("TRUNCATE TABLE " +
+            graft.sinks.MergeSqlGenerator.qualified(cfg.destTable))
           new graft.sinks.PgWarehouse(c)
             .loadAvro(cfg.destTable, files, df.schema)
           c.queryAll("COMMIT")
@@ -283,7 +285,8 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         new graft.sinks.PgWarehouse(c), flavor)
       loader.setup() // CREATE TABLE IF NOT EXISTS — idempotent
       // a crash between COPY and DROP can leave a stale staging table
-      c.queryAll(s"DROP TABLE IF EXISTS ${target.stagingTable}")
+      c.queryAll("DROP TABLE IF EXISTS " +
+        graft.sinks.MergeSqlGenerator.qualified(target.stagingTable))
       loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId")
     } finally c.close()
   }

@@ -39,6 +39,24 @@ object MergeSqlGenerator {
 
   private def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
 
+  /** Dotted config name → quoted identifier chain: '.' is the schema
+    * separator by convention, each segment quoted in the dialect's
+    * style. User-supplied table names reach live SQL through here —
+    * a mixed-case or reserved-word destination name must neither
+    * break mid-transaction nor act as an injection seam (the
+    * reference's generators quote throughout,
+    * snowflake/merge_stmt_generator.go, postgres/
+    * normalize_stmt_generator.go). */
+  def qualified(name: String,
+      dialect: QKind.Dialect = QKind.Dialect.Ansi): String = {
+    val quote: String => String = dialect match {
+      case QKind.Dialect.ClickHouse | QKind.Dialect.BigQuery =>
+        id => "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`"
+      case _ => q
+    }
+    name.split('.').map(quote).mkString(".")
+  }
+
   def dataColumns(t: MergeTarget): Seq[String] =
     t.schema.fieldNames.toSeq
 
@@ -63,11 +81,11 @@ object MergeSqlGenerator {
       dialect: QKind.Dialect = QKind.Dialect.Ansi): Seq[String] =
     dialect match {
       case QKind.Dialect.Ansi => Seq(
-        s"ALTER TABLE ${t.table} ADD COLUMN IF NOT EXISTS " +
+        s"ALTER TABLE ${qualified(t.table)} ADD COLUMN IF NOT EXISTS " +
           s"${q(RawTable.Version)} BIGINT NOT NULL DEFAULT 0",
-        s"ALTER TABLE ${t.table} ADD COLUMN IF NOT EXISTS " +
+        s"ALTER TABLE ${qualified(t.table)} ADD COLUMN IF NOT EXISTS " +
           s"${q(RawTable.IsDeleted)} BOOLEAN NOT NULL DEFAULT FALSE",
-        s"ALTER TABLE ${t.table} ADD COLUMN IF NOT EXISTS " +
+        s"ALTER TABLE ${qualified(t.table)} ADD COLUMN IF NOT EXISTS " +
           s"${q(RawTable.SyncedAt)} TIMESTAMP")
       case _ => Nil
     }
@@ -91,7 +109,7 @@ object MergeSqlGenerator {
           s"${q(RawTable.IsDeleted)} $boolT NOT NULL DEFAULT FALSE",
           s"${q(RawTable.SyncedAt)} $tsT")
         val pk = s"PRIMARY KEY (${t.pkColumns.map(q).mkString(", ")})"
-        s"""CREATE TABLE IF NOT EXISTS ${t.table} (
+        s"""CREATE TABLE IF NOT EXISTS ${qualified(t.table, dialect)} (
            |  ${(cols ++ meta :+ pk).mkString(",\n  ")}
            |)""".stripMargin
       case ClickHouse =>
@@ -108,7 +126,7 @@ object MergeSqlGenerator {
         // normalize.go:108-126 isDeletedColumnPart)
         val engineArgs = bq(RawTable.Version) +
           (if (t.softDelete) s", ${bq(RawTable.IsDeleted)}" else "")
-        s"""CREATE TABLE IF NOT EXISTS ${t.table} (
+        s"""CREATE TABLE IF NOT EXISTS ${qualified(t.table, dialect)} (
            |  ${(cols ++ meta).mkString(",\n  ")}
            |) ENGINE = ReplacingMergeTree($engineArgs)
            |ORDER BY (${t.pkColumns.map(bq).mkString(", ")})""".stripMargin
@@ -121,7 +139,7 @@ object MergeSqlGenerator {
           s"${bq(RawTable.Version)} INT64 NOT NULL",
           s"${bq(RawTable.IsDeleted)} BOOL NOT NULL",
           s"${bq(RawTable.SyncedAt)} TIMESTAMP")
-        s"""CREATE TABLE IF NOT EXISTS ${t.table} (
+        s"""CREATE TABLE IF NOT EXISTS ${qualified(t.table, dialect)} (
            |  ${(cols ++ meta).mkString(",\n  ")}
            |) CLUSTER BY ${t.pkColumns.map(bq).mkString(", ")}""".stripMargin
     }
@@ -136,7 +154,11 @@ object MergeSqlGenerator {
     * literal exactly like the reference's quoting. */
   def resetSequencesSql(destTables: Seq[String]): String = {
     require(destTables.nonEmpty, "reset sequences: no destination tables")
+    // quoted form inside the literal: v_table round-trips through
+    // ::regclass / pg_get_serial_sequence, whose identifier parsing
+    // lowercases unquoted names — the quoted chain preserves case
     val arrayLiteral = destTables
+      .map(qualified(_))
       .map(t => "'" + t.replace("'", "''") + "'")
       .mkString("ARRAY[", ",", "]::text[]")
     s"""DO $$$$
@@ -199,7 +221,8 @@ object MergeSqlGenerator {
       case ClickHouse => "\n) ENGINE = MergeTree ORDER BY tuple()"
       case _ => "\n)"
     }
-    s"""CREATE TABLE IF NOT EXISTS ${t.stagingTable} (
+    s"""CREATE TABLE IF NOT EXISTS ${qualified(t.stagingTable,
+        dialect)} (
        |  ${cols.mkString(",\n  ")}$tail""".stripMargin
   }
 
@@ -216,7 +239,7 @@ object MergeSqlGenerator {
       s"ADD COLUMN IF NOT EXISTS ${q(cn)} " +
         QKind.toDdl(QKind.fromSpark(f.dataType), QKind.Dialect.Ansi)
     }
-    s"ALTER TABLE ${t.table} ${adds.mkString(", ")}"
+    s"ALTER TABLE ${qualified(t.table)} ${adds.mkString(", ")}"
   }
 
   /** ClickHouse normalize INSERT — the RMT path runs no MERGE: each
@@ -235,9 +258,10 @@ object MergeSqlGenerator {
       Seq(RawTable.Version, RawTable.IsDeleted, RawTable.SyncedAt)).map(bq)
     val sel = (dataColumns(t) ++
       Seq(RawTable.Version, RawTable.IsDeleted)).map(bq) :+ "now64()"
-    s"""INSERT INTO ${t.table} (${cols.mkString(", ")})
+    val ch = QKind.Dialect.ClickHouse
+    s"""INSERT INTO ${qualified(t.table, ch)} (${cols.mkString(", ")})
        |SELECT ${sel.mkString(", ")}
-       |FROM ${t.stagingTable}""".stripMargin
+       |FROM ${qualified(t.stagingTable, ch)}""".stripMargin
   }
 
   /** Distinct absent-column combinations present in a staged batch — the
@@ -303,8 +327,8 @@ object MergeSqlGenerator {
     }
     val insertGuard =
       if (t.softDelete) "" else s" AND NOT src.${q(RawTable.IsDeleted)}"
-    s"""MERGE INTO ${t.table} dst
-       |USING ${t.stagingTable} src
+    s"""MERGE INTO ${qualified(t.table)} dst
+       |USING ${qualified(t.stagingTable)} src
        |ON $pkOn
        |$whenDelete
        |${updateBranches.mkString("\n")}
@@ -333,18 +357,23 @@ object MergeSqlGenerator {
         s"${q(RawTable.Version)} = EXCLUDED.${q(RawTable.Version)}",
         s"${q(RawTable.IsDeleted)} = EXCLUDED.${q(RawTable.IsDeleted)}"))
         .mkString(", ")
-      s"""INSERT INTO ${t.table} (${cols.mkString(", ")})
+      // `AS dst`: the version guard must reference the existing row,
+      // and a quoted schema-qualified chain is not a valid column
+      // qualifier in ON CONFLICT's WHERE — the alias is (and both PG
+      // and CockroachDB accept INSERT INTO … AS alias)
+      s"""INSERT INTO ${qualified(t.table)} AS dst (${cols
+          .mkString(", ")})
          |SELECT ${cols.map(c => s"src.$c").mkString(", ")}
-         |FROM ${t.stagingTable} src
+         |FROM ${qualified(t.stagingTable)} src
          |WHERE COALESCE(src.${q(Normalizer.AbsentCols)}, '')
          |  = ${sqlStr(combo)}
          |ON CONFLICT (${t.pkColumns.map(q).mkString(", ")}) DO UPDATE SET
          |  $conflictSets
-         |WHERE ${t.table}.${q(RawTable.Version)} <=
+         |WHERE dst.${q(RawTable.Version)} <=
          |  EXCLUDED.${q(RawTable.Version)}""".stripMargin
     }
     if (t.softDelete) upserts
     else upserts :+
-      s"DELETE FROM ${t.table} WHERE ${q(RawTable.IsDeleted)}"
+      s"DELETE FROM ${qualified(t.table)} WHERE ${q(RawTable.IsDeleted)}"
   }
 }

@@ -52,7 +52,9 @@ final class PgWarehouse(client: PgClient) extends SqlExecutor {
             s.close(); open -= s; Iterator.empty
           }
       }
-      client.copyIn(s"COPY $stagingTable FROM STDIN", lines)
+      client.copyIn("COPY " +
+        MergeSqlGenerator.qualified(stagingTable) + " FROM STDIN",
+        lines)
     } finally open.foreach { s =>
       try s.close()
       catch { case scala.util.control.NonFatal(_) => () }

@@ -112,7 +112,8 @@ final class StubWarehouse(spark: SparkSession,
     val Re = ("""(?i)ALTER TABLE (\S+) ADD COLUMN IF NOT EXISTS """ +
       """"([^"]+)" (\w+)( NOT NULL)?( DEFAULT (\S+))?""").r
     flat match {
-      case Re(table, colName, typ, _, _, dflt) =>
+      case Re(table0, colName, typ, _, _, dflt) =>
+        val table = tableKey(table0)
         if (!tables.contains(table)) throw new IllegalArgumentException(
           s"stub warehouse: ALTER on missing table $table")
         if (!tables(table).columns.contains(colName)) {
@@ -146,6 +147,15 @@ final class StubWarehouse(spark: SparkSession,
   private def unquote(id: String): String =
     id.trim.stripPrefix("\"").stripSuffix("\"")
       .stripPrefix("`").stripSuffix("`")
+
+  /** Statement table token → canonical key: the generator emits quoted
+    * identifier chains ("a"."b" / `a`.`b`) — normalize back to the
+    * dotted config name so the tables index matches [[loadAvro]]'s raw
+    * names and the specs' lookups. (The regex statement parsing still
+    * requires space-free names; quoting edge cases proper are pinned
+    * by the live StockPg specs, not the stub.) */
+  private def tableKey(tok: String): String =
+    tok.split('.').map(unquote).mkString(".")
 
   /** Split at top level (outside parens and string literals). */
   private def splitTop(s: String, sep: Char): Seq[String] = {
@@ -224,8 +234,8 @@ final class StubWarehouse(spark: SparkSession,
       }
       i += 1
     }
-    val name = flat.substring(0, open).trim
-      .replaceAll("(?i)^CREATE TABLE (IF NOT EXISTS )?", "").trim
+    val name = tableKey(flat.substring(0, open).trim
+      .replaceAll("(?i)^CREATE TABLE (IF NOT EXISTS )?", "").trim)
     if (tables.contains(name) &&
         flat.toUpperCase.contains("IF NOT EXISTS")) return
     val body = flat.substring(open + 1, close)
@@ -264,8 +274,8 @@ final class StubWarehouse(spark: SparkSession,
   }
 
   private def runDrop(flat: String): Unit = {
-    val name = flat
-      .replaceAll("(?i)^DROP TABLE (IF EXISTS )?", "").trim
+    val name = tableKey(flat
+      .replaceAll("(?i)^DROP TABLE (IF EXISTS )?", "").trim)
     tables.remove(name); schemas.remove(name); rmt.remove(name)
   }
 
@@ -287,7 +297,7 @@ final class StubWarehouse(spark: SparkSession,
   private def runMerge(flat: String): Unit = {
     val Head = """(?i)MERGE INTO (\S+) dst USING (\S+) src ON (.*?) (WHEN .*)""".r
     val (tgt, stg, on, rest) = flat match {
-      case Head(t, s, o, r) => (t, s, o, r)
+      case Head(t, s, o, r) => (tableKey(t), tableKey(s), o, r)
       case _ => throw new IllegalArgumentException(
         s"stub warehouse: unparseable MERGE: ${flat.take(120)}…")
     }
@@ -366,9 +376,10 @@ final class StubWarehouse(spark: SparkSession,
 
   private def runUpsert(flat: String): Unit = {
     val Re =
-      """(?i)INSERT INTO (\S+) \((.*?)\) SELECT (.*?) FROM (\S+) src WHERE (.*?) ON CONFLICT \((.*?)\) DO UPDATE SET (.*?) WHERE (.*)""".r
+      """(?i)INSERT INTO (\S+) AS dst \((.*?)\) SELECT (.*?) FROM (\S+) src WHERE (.*?) ON CONFLICT \((.*?)\) DO UPDATE SET (.*?) WHERE (.*)""".r
     val (tgt, cols, sel, stg, where, pk, sets, guard) = flat match {
-      case Re(t, c, s, f, w, p, u, g) => (t, c, s, f, w, p, u, g)
+      case Re(t, c, s, f, w, p, u, g) =>
+        (tableKey(t), c, s, tableKey(f), w, p, u, g)
       case _ => throw new IllegalArgumentException(
         s"stub warehouse: unparseable upsert: ${flat.take(120)}…")
     }
@@ -385,10 +396,8 @@ final class StubWarehouse(spark: SparkSession,
       .reduce(_ && _)
     val j = dst.join(src, on, "full_outer")
     // EXCLUDED = the incoming row; the guard references the target by
-    // its table name — both map onto the join aliases
-    def trU(s: String) = tr(s)
-      .replace("EXCLUDED.", "src.")
-      .replace(s"$tgt.", "dst.")
+    // its `AS dst` alias — both map onto the join aliases
+    def trU(s: String) = tr(s).replace("EXCLUDED.", "src.")
     val guardC = expr(trU(guard))
     val setMap = parseSets(sets).map { case (n, v) => n -> trU(v) }.toMap
     val matched = col("dst.__dex").isNotNull && col("src.__sex").isNotNull
@@ -416,7 +425,7 @@ final class StubWarehouse(spark: SparkSession,
   private def runInsertSelect(flat: String): Unit = {
     val Re = """(?i)INSERT INTO (\S+) \((.*?)\) SELECT (.*?) FROM (\S+)\s*""".r
     val (tgt, cols, sel, stg) = flat match {
-      case Re(t, c, s, f) => (t, c, s, f)
+      case Re(t, c, s, f) => (tableKey(t), c, s, tableKey(f))
       case _ => throw new IllegalArgumentException(
         s"stub warehouse: unparseable INSERT: ${flat.take(120)}…")
     }
@@ -439,7 +448,7 @@ final class StubWarehouse(spark: SparkSession,
   private def runDelete(flat: String): Unit = {
     val Re = """(?i)DELETE FROM (\S+) WHERE (.*)""".r
     val (tgt, cond) = flat match {
-      case Re(t, c) => (t, c)
+      case Re(t, c) => (tableKey(t), c)
       case _ => throw new IllegalArgumentException(
         s"stub warehouse: unparseable DELETE: ${flat.take(120)}…")
     }

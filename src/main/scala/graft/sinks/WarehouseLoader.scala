@@ -97,7 +97,8 @@ final class WarehouseLoader(
       exec.execute(MergeSqlGenerator.merge(target, combos))
     else
       MergeSqlGenerator.upsertFallback(target, combos).foreach(exec.execute)
-    exec.execute(s"DROP TABLE IF EXISTS ${target.stagingTable}")
+    exec.execute("DROP TABLE IF EXISTS " +
+      MergeSqlGenerator.qualified(target.stagingTable, dialect))
     files
   }
 }

@@ -351,6 +351,67 @@ class StockPgMirrorSpec extends SparkSpec {
     s.psql("DROP TABLE public.rs1")
   }
 
+  test("live mirror into a \"MixedCase\".\"Dest Table\" destination: " +
+    "identifier quoting holds through snapshot, CDC MERGE and the " +
+    "RESYNC prepare/swap DDL (reserved-word/mixed-case names must " +
+    "not break mid-transaction)") {
+    val s = srv
+    s.psql("CREATE DATABASE mcdst")
+    s.psql("CREATE SCHEMA \"MixedCase\"", db = "mcdst")
+    s.psql("CREATE TABLE public.mc1 (id bigint PRIMARY KEY, v bigint)")
+    s.psql("CREATE PUBLICATION mc_pub FOR TABLE public.mc1")
+    s.psql("INSERT INTO public.mc1 " +
+      "SELECT g, g FROM generate_series(1, 50) g")
+
+    val base = tmpDir("mixedcase")
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+    run(s"""CREATE MIRROR mcmir WITH (
+       |  wal_dir '$base/wal', dest_dir '$base/dest',
+       |  checkpoint_dir '$base/ckpt', pk 'id',
+       |  table 'MixedCase.Dest Table',
+       |  table_map 'public.mc1:MixedCase.Dest Table',
+       |  schema 'id BIGINT, v BIGINT',
+       |  capture_dir 'pgwire://postgres@127.0.0.1:${s.port}/postgres?slot=mc_slot&publication=mc_pub',
+       |  warehouse_url 'pg://postgres@127.0.0.1:${s.port}/mcdst',
+       |  do_initial_snapshot 'true')""".stripMargin)
+    run("EXECUTE MIRROR mcmir")
+
+    def truth(): String = s.psql("SELECT count(*) || ':' || " +
+      "md5(string_agg(id || '|' || v, E'\\n' ORDER BY id)) " +
+      "FROM public.mc1")
+    def dest(): String = s.psql("SELECT count(*) || ':' || " +
+      "md5(string_agg(id || '|' || v, E'\\n' ORDER BY id)) " +
+      "FROM \"MixedCase\".\"Dest Table\" " +
+      "WHERE NOT _peerdb_is_deleted", db = "mcdst")
+    assert(dest() == truth(), "snapshot into quoted destination")
+
+    // CDC wave through the live MERGE (update / delete / insert)
+    s.psql("UPDATE public.mc1 SET v = -1 WHERE id = 5")
+    s.psql("DELETE FROM public.mc1 WHERE id = 50")
+    s.psql("INSERT INTO public.mc1 VALUES (60, 60)")
+    run("EXECUTE MIRROR mcmir")
+    assert(dest() == truth(), "CDC MERGE into quoted destination")
+
+    // RESYNC: prepare (DROP/CREATE LIKE), rebuild, swap (carryover
+    // INSERT, DROP, RENAME) — every statement carries the quoted name
+    s.psql("UPDATE \"MixedCase\".\"Dest Table\" SET v = -9 " +
+      "WHERE id = 7", db = "mcdst") // destination drift
+    s.psql("DELETE FROM public.mc1 WHERE id = 1")
+    run("RESYNC MIRROR mcmir")
+    assert(dest() == truth(), "post-resync quoted destination")
+    assert(s.psql("SELECT v FROM \"MixedCase\".\"Dest Table\" " +
+      "WHERE id = 7", db = "mcdst").trim == "7",
+      "drifted value must be rebuilt")
+    assert(s.psql("SELECT count(*) FROM pg_tables WHERE tablename " +
+      "LIKE '%peerdb_resync%'", db = "mcdst").trim == "0")
+
+    run("DROP MIRROR mcmir")
+    s.psql("SELECT pg_drop_replication_slot('mc_slot')")
+    s.psql("DROP PUBLICATION mc_pub")
+    s.psql("DROP TABLE public.mc1")
+  }
+
   test("VALIDATE MIRROR checks publication coverage on a live pgwire " +
     "capture: a table outside the publication and a missing " +
     "publication report invalid; membership and FOR ALL TABLES pass") {

@@ -36,6 +36,11 @@ class LiveMongoQRepSpec extends SparkSpec {
     val nextCid = new AtomicLong(1)
     @volatile var findCalls = 0
     @volatile var getMoreCalls = 0
+    /** Every range filter served: (hi operator, lo, hi) — the probe
+      * for asserting half-open vs inclusive range emission. */
+    val seenRanges =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, BigInt, BigInt)]()
 
     def handle(cmd: String, doc: Array[Byte]): Array[Byte] = {
       import MongoWire.{field, int32Of, int64Of}
@@ -72,10 +77,21 @@ class LiveMongoQRepSpec extends SparkSpec {
                         case (0x10, v) => BigInt(int32Of(v))
                         case other => fail(s"unexpected bound $other")
                       }
+                    // half-open ($lt) and inclusive ($lte) ends both
+                    // serve — mongo compares numerics by value, and
+                    // the engine emits [lo, nextLo) chains with an
+                    // inclusive final range
                     val lo = boundVal("$gte").get
-                    val hi = boundVal("$lte").get
-                    docs().filter(d =>
-                      idOf(d) >= lo && idOf(d) <= hi)
+                    val hiIncl = boundVal("$lte")
+                    val hiExcl = boundVal("$lt")
+                    seenRanges.add((
+                      if (hiExcl.isDefined) "$lt" else "$lte",
+                      lo, hiExcl.orElse(hiIncl).get))
+                    docs().filter { d =>
+                      val id = idOf(d)
+                      id >= lo && hiIncl.forall(id <= _) &&
+                        hiExcl.forall(id < _)
+                    }
                   case None => docs()
                 }
               val batchSize = field(doc, "batchSize")
@@ -263,6 +279,22 @@ class LiveMongoQRepSpec extends SparkSpec {
       assert(df.count() == 300)
       assert(df.select("_id").distinct().count() == 300)
       assert(df.rdd.getNumPartitions == 3)
+      // HALF-OPEN ranges (mongo/qrep_partition.go:128-131): mongo
+      // compares all numeric types by value, so a fractional double
+      // _id in the open gap (b, b+1) of inclusive integer chains
+      // would be dropped silently. Every non-final range must be
+      // [lo, nextLo) with the final range inclusive at max.
+      import scala.jdk.CollectionConverters._
+      val ranges = fx.seenRanges.asScala.toSeq.sortBy(_._2)
+      assert(ranges.size == 3)
+      ranges.init.zip(ranges.tail).foreach { case (a, b) =>
+        assert(a._1 == "$lt", s"non-final range must be half-open: $a")
+        assert(a._3 == b._2,
+          s"ranges must tile with no gap: $a then $b")
+      }
+      assert(ranges.last._1 == "$lte" &&
+        ranges.last._3 == BigInt(1299),
+        s"final range must be end-inclusive at max: ${ranges.last}")
     } finally listener.close()
   }
 

@@ -363,6 +363,18 @@ class LiveMysqlQRepSpec extends SparkSpec {
           "source_table 't5', partition_strategy 'string', " +
           s"dest_dir '$base/destbad', mode 'append')")
       }
+      // an UNSUPPORTED strategy on a mysql peer must fail the DDL,
+      // not silently run uniform (the PG path throws on unknown
+      // strategies; a per-peer silent no-op is a misconfig trap)
+      val eStrat = intercept[IllegalArgumentException] {
+        run("CREATE MIRROR mstrntile FROM strsrc TO strdst FOR " +
+          "$$ SELECT * FROM t5 WHERE uid > {{.start}} AND uid <= " +
+          "{{.end}} $$ WITH (watermark_column 'uid', " +
+          "source_table 't5', partition_strategy 'ntile', " +
+          s"dest_dir '$base/destntile')")
+      }
+      assert(eStrat.getMessage.contains("ntile") &&
+        eStrat.getMessage.contains("not supported"), eStrat.getMessage)
       run("CREATE MIRROR mstr FROM strsrc TO strdst FOR " +
         "$$ full $$ WITH (watermark_column 'uid', " +
         "source_table 't5', partition_strategy 'string', " +

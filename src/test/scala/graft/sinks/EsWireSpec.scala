@@ -172,6 +172,58 @@ class EsWireSpec extends SparkSpec {
     } finally es.stop()
   }
 
+  test("es _id-scheme migration gate: first publish stamps the current " +
+    "scheme; publish history without a stamp reads as legacy, VALIDATE " +
+    "MIRROR demands a RESYNC, and the next publish does NOT launder " +
+    "the mirror back to current") {
+    val es = new EsFixture
+    try {
+      val wal = tmpDir("es_wal3")
+      val base = tmpDir("es_mirror3")
+      def run(sql: String) = graft.mirror.GraftSql.execute(spark,
+        graft.mirror.GraftSql.parse(sql)
+          .getOrElse(fail(s"did not parse: $sql")))
+      run(s"""CREATE MIRROR esid WITH (
+         |  wal_dir '$wal', dest_dir '$base/dest',
+         |  checkpoint_dir '$base/ckpt', pk 'k1,k2',
+         |  table 'docs', schema 'k1 STRING, k2 STRING, v BIGINT',
+         |  queue_url 'es://127.0.0.1:${es.port}')""".stripMargin)
+      def check(): (String, String) = {
+        val v = run("VALIDATE MIRROR esid")
+        val r = v.find(_.getString(0) == "es_id_scheme").get
+        (r.getString(1), r.getString(2))
+      }
+      // fresh mirror: nothing published yet → nothing to migrate
+      assert(check()._1 == "valid", check().toString)
+      assert(check()._2.contains("no publish history"))
+
+      ChangeLogWal.append(wal, Seq(
+        rec(1, ChangeRecord.TypeInsert,
+          """{"k1":"a","k2":"b","v":1}""")))
+      run("EXECUTE MIRROR esid")
+      assert(check() == ("valid", "documents on current _id scheme"))
+
+      // a mirror that published under a PRE-STAMP build: history
+      // exists, marker does not — must read invalid with the remedy
+      val marker = java.nio.file.Paths.get(
+        s"$base/ckpt/graft-es-id-scheme")
+      java.nio.file.Files.delete(marker)
+      val (st, msg) = check()
+      assert(st == "invalid" && msg.contains("RESYNC"), msg)
+
+      // the NEXT publish must stamp Legacy, not silently launder the
+      // mirror to current — old v1 documents are still in the index
+      ChangeLogWal.append(wal, Seq(
+        rec(2, ChangeRecord.TypeInsert,
+          """{"k1":"c","k2":"d","v":2}""")))
+      run("EXECUTE MIRROR esid")
+      val (st2, msg2) = check()
+      assert(st2 == "invalid" && msg2.contains("stamp: 1"), msg2)
+
+      run("DROP MIRROR esid")
+    } finally es.stop()
+  }
+
   test("bulkPublish chunks at actionsPerBulk and counts actions, not " +
     "lines") {
     val es = new EsFixture

@@ -117,14 +117,17 @@ class SinksSpec extends SparkSpec {
       target.copy(softDelete = false), absentCombos = Seq("", "v"))
     assert(stmts.size == 3) // two combos + trailing DELETE
     assert(stmts.head.contains("""ON CONFLICT ("id") DO UPDATE SET"""))
+    // the guard references the target by its AS alias — a quoted
+    // schema-qualified chain is not a valid column qualifier there
+    assert(stmts.head.contains("""INSERT INTO "pub"."dst" AS dst"""))
     assert(stmts.head.contains(
-      s"""pub.dst."${RawTable.Version}" <=\n  EXCLUDED."${RawTable.Version}""""))
+      s"""dst."${RawTable.Version}" <=\n  EXCLUDED."${RawTable.Version}""""))
     // Combination-filtered source and no SET of the absent column.
     val comboV = stmts.find(_.contains("= 'v'")).get
     assert(comboV.contains("""WHERE COALESCE(src."_absent_cols", '')"""))
     assert(!comboV.contains(""""v" = EXCLUDED."v""""))
     assert(comboV.contains(""""name" = EXCLUDED."name""""))
-    assert(stmts.last.startsWith("DELETE FROM pub.dst"))
+    assert(stmts.last.startsWith("""DELETE FROM "pub"."dst""""))
   }
 
   test("stageFrame encodes the absent array as CSV; combos collected") {
