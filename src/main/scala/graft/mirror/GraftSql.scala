@@ -496,8 +496,9 @@ object GraftSql {
       // parquet ([[MirrorConfig.warehouseUrl]]; previously
       // library-only)
       warehouseUrl = o.get("warehouse_url").map { u =>
-        require(u.startsWith("pg://"),
-          s"CREATE MIRROR: warehouse_url must be pg://…, got '$u'")
+        require(u.startsWith("pg://") || u.startsWith("clickhouse://"),
+          "CREATE MIRROR: warehouse_url must be pg://… or " +
+            s"clickhouse://…, got '$u'")
         u
       })
     // schema_migration is validated HERE (DDL time) so a typo'd value
@@ -509,7 +510,8 @@ object GraftSql {
       val pgwireCapture = o.get("capture_dir").exists(u =>
         graft.cdc.CaptureEndpoint.isUrl(u) &&
           graft.cdc.CaptureEndpoint.parse(u).scheme == "pgwire")
-      if (!pgwireCapture || !o.contains("warehouse_url") ||
+      if (!pgwireCapture ||
+          !o.get("warehouse_url").exists(_.startsWith("pg://")) ||
           !(o.get("do_initial_snapshot").exists(_.toBoolean) ||
             o.get("initial_snapshot_only").exists(_.toBoolean)))
         throw new IllegalArgumentException(
@@ -1554,7 +1556,9 @@ object GraftSql {
           // one transaction — stale destination rows (deleted on the
           // source since the original was built) tombstone instead of
           // surviving the resync
-          if (cfg.warehouseUrl.isDefined)
+          if (cfg.warehouseUrl.exists(_.startsWith("clickhouse://")))
+            Maintenance.swapLiveResyncClickHouse(rcfg2)
+          else if (cfg.warehouseUrl.isDefined)
             Maintenance.swapLiveResync(rcfg2)
           // the scratch raw/ckpt(/wal) dirs are rebuild-only state;
           // repeated resyncs must not accumulate them in the temp dir
@@ -1573,7 +1577,9 @@ object GraftSql {
           // _peerdb_resync tables (silent-resurrection hazard) and
           // pre-create them LIKE the originals so a schema-migrated
           // destination survives the swap with its constraints.
-          Maintenance.prepareLiveResync(cfg)
+          if (cfg.warehouseUrl.exists(_.startsWith("clickhouse://")))
+            Maintenance.prepareLiveResyncClickHouse(cfg)
+          else Maintenance.prepareLiveResync(cfg)
           val scratchDest = java.nio.file.Files
             .createTempDirectory(s"graft_resync_dest_$n").toString
           try rebuild(scratchDest)

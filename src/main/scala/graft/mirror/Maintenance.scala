@@ -137,6 +137,51 @@ object Maintenance {
     } finally c.close()
   }
 
+  /** ClickHouse live-resync hygiene: drop a crashed earlier attempt's
+    * stale `_peerdb_resync` tables — the loader's CREATE TABLE IF NOT
+    * EXISTS would silently reuse them (the same resurrection hazard
+    * [[prepareLiveResync]] closes on PG). No CREATE LIKE leg: the CH
+    * destination DDL is fully engine-generated (ReplacingMergeTree +
+    * ORDER BY), nothing user-added to preserve. */
+  def prepareLiveResyncClickHouse(cfg: MirrorConfig,
+      suffix: String = "_peerdb_resync"): Unit = {
+    val http = new graft.sinks.ClickHouseHttp(cfg.warehouseUrl.getOrElse(
+      throw new IllegalArgumentException(
+        "prepareLiveResyncClickHouse needs a live warehouseUrl")))
+    liveTables(cfg).foreach { case (table, _) =>
+      http.exec("DROP TABLE IF EXISTS " + graft.sinks.MergeSqlGenerator
+        .qualified(table + suffix, graft.types.QKind.Dialect.ClickHouse))
+    }
+  }
+
+  /** ClickHouse resync swap — the reference's RenameTables
+    * (clickhouse/cdc.go:331-426): when the original exists, EXCHANGE
+    * TABLES (atomic on the Atomic database engine) then drop the
+    * displaced table; when it does not, a plain RENAME. No
+    * soft-delete carryover leg — the reference's CH resync replaces
+    * the table wholesale and deletes re-derive from the rebuild (the
+    * PG destination's carryover is that connector's specialty). */
+  def swapLiveResyncClickHouse(cfg: MirrorConfig,
+      suffix: String = "_peerdb_resync"): Unit = {
+    val http = new graft.sinks.ClickHouseHttp(cfg.warehouseUrl.getOrElse(
+      throw new IllegalArgumentException(
+        "swapLiveResyncClickHouse needs a live warehouseUrl")))
+    def bq(t: String) = graft.sinks.MergeSqlGenerator
+      .qualified(t, graft.types.QKind.Dialect.ClickHouse)
+    def exists(t: String): Boolean =
+      http.exec(s"EXISTS TABLE ${bq(t)}").trim == "1"
+    liveTables(cfg).foreach { case (table, _) =>
+      val resync = table + suffix
+      if (exists(resync)) {
+        if (exists(table)) {
+          http.exec(s"EXCHANGE TABLES ${bq(table)} AND ${bq(resync)}")
+          http.exec(s"DROP TABLE IF EXISTS ${bq(resync)}")
+        } else
+          http.exec(s"RENAME TABLE ${bq(resync)} TO ${bq(table)}")
+      }
+    }
+  }
+
   /** Compact a raw staging table: rewrite each `_peerdb_batch_id`
     * partition that holds more than `maxFilesPerPartition` files down to
     * sized outputs. Returns the partitions rewritten. */

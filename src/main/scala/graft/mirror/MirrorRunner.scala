@@ -287,7 +287,129 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     }
   }
   private lazy val warehouseDest: Option[WarehouseDest] =
-    cfg.warehouseUrl.map(new WarehouseDest(_))
+    cfg.warehouseUrl.filterNot(_.startsWith("clickhouse://"))
+      .map(new WarehouseDest(_))
+
+  /** Live ClickHouse destination (`warehouse_url 'clickhouse://…'`) —
+    * the reference's flagship sink, its own flow shape: raw records
+    * ship to a CH-side `_peerdb_raw_<flow>` table and normalize runs
+    * THERE as `INSERT INTO dest SELECT JSONExtract(…)` into a
+    * ReplacingMergeTree (flow/connectors/clickhouse/cdc.go:58-170,
+    * normalize.go:425-660, normalize_query.go:112-375). No MERGE, no
+    * staging table: the RMT engine is the merge. */
+  private final class ClickHouseDest(url: String) {
+    import graft.sinks.{ClickHouseHttp, ClickHouseSql, MergeTarget,
+      MergeSqlGenerator}
+    import graft.types.QKind
+
+    private val http = new ClickHouseHttp(url)
+    private val rawTable = ClickHouseSql.rawTableName(cfg.flow)
+    private val created = scala.collection.mutable.Set.empty[String]
+    private var rawReady = false
+    private def live(table: String) = table + cfg.warehouseTableSuffix
+    private val syncHwmPath = s"${cfg.checkpointDir}/graft-ch-sync-hwm"
+    private def normPath(table: String) =
+      s"${cfg.checkpointDir}/graft-ch-norm-" +
+        table.replaceAll("[^a-zA-Z0-9_]", "_")
+
+    private def ensureTables(): Unit = {
+      if (!rawReady) {
+        http.exec(ClickHouseSql.createRawTable(rawTable))
+        rawReady = true
+      }
+      cfg.tableSet.foreach { case (table, (tc, _)) =>
+        val t = live(table)
+        if (!created(t)) {
+          http.exec(MergeSqlGenerator.createTable(
+            MergeTarget(t, t + "_unused_stage", tc.pkColumns,
+              liveSchemas(table), softDelete = cfg.softDelete),
+            QKind.Dialect.ClickHouse))
+          created += t
+        }
+        // idempotent widen BEFORE normalize references a new column
+        // (ReplayTableSchemaDeltas, cdc.go:228-329)
+        ClickHouseSql.alterAddColumns(t, liveSchemas(table),
+          tc.pkColumns).foreach(http.exec)
+      }
+    }
+
+    /** Initial full load: snapshot rows land DIRECTLY in the
+      * destination table versioned at the snapshot checkpoint (the
+      * reference's avro initial load writes the dest table, not raw) —
+      * any change the stream replays afterwards is strictly newer and
+      * wins on the RMT version. */
+    def loadSnapshot(table: String, tc: TableConfig,
+        snapshot: org.apache.spark.sql.DataFrame,
+        version: Long): Unit = {
+      ensureTables()
+      val shaped = snapshot
+        .withColumn(RawTable.IsDeleted, lit(false))
+        .withColumn(RawTable.Version, lit(version))
+      graft.sinks.ClickHouseHttp.publishRaw(shaped, live(table), http)
+    }
+
+    /** One micro-batch: raw sync (skip on replay via the durable HWM;
+      * a crash between ship and HWM re-ships, and the RMT collapse
+      * absorbs byte-identical duplicates — the reference's
+      * at-least-once posture), then per-table normalize over the new
+      * batch-id range with per-table durable progress
+      * (SetLastNormalizedBatchIDForTable, normalize.go:545). */
+    def syncAndNormalize(raw: org.apache.spark.sql.DataFrame,
+        batchId: Long): Unit = {
+      import graft.model.ChangeRecord
+      ensureTables()
+      val synced = graft.util.FsText.read(syncHwmPath, hadoopConf)
+        .map(_.trim.toLong)
+      if (synced.forall(batchId > _)) {
+        cfg.tableSet.foreach { case (table, (tc, _)) =>
+          val slice0 = raw.filter(
+            col(RawTable.DestinationTable) === table &&
+              col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
+          // source-side TOAST backfill (the cdcRecordsStorage role,
+          // postgres/cdc.go:850-880): CH normalize replaces whole
+          // rows, so absent columns must fill BEFORE the ship
+          val slice =
+            if (!graft.sinks.ClickHouseHttp.hasAbsent(slice0)) slice0
+            else {
+              val history = spark.read.parquet(cfg.rawDir).filter(
+                col(RawTable.BatchId) < batchId &&
+                  col(RawTable.DestinationTable) === table &&
+                  col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
+              graft.sinks.ClickHouseHttp.backfillAbsent(slice0,
+                history, tc.pkColumns, liveSchemas(table))
+            }
+          // _peerdb_timestamp carries the checkpoint LSN (the uid's
+          // numeric image): the reference's strictly-increasing
+          // per-record stamp (utils/stream.go UnixNano) without a
+          // wall clock — RMT versions must never tie across images
+          val shaped = slice
+            .withColumn(RawTable.Timestamp,
+              col(RawTable.Uid).cast("long"))
+            .withColumn(RawTable.DestinationTable, lit(live(table)))
+            .withColumn(RawTable.MatchData,
+              coalesce(col(RawTable.MatchData), lit("")))
+            .withColumn(RawTable.UnchangedToastColumns,
+              coalesce(col(RawTable.UnchangedToastColumns), lit("")))
+          graft.sinks.ClickHouseHttp.publishRaw(shaped, rawTable, http)
+        }
+        graft.util.FsText.write(syncHwmPath, batchId.toString,
+          hadoopConf)
+      }
+      cfg.tableSet.foreach { case (table, (tc, _)) =>
+        val last = graft.util.FsText.read(normPath(table), hadoopConf)
+          .map(_.trim.toLong).getOrElse(-1L)
+        if (batchId > last) {
+          http.exec(ClickHouseSql.normalizeQuery(live(table),
+            liveSchemas(table), tc.pkColumns, rawTable, last, batchId))
+          graft.util.FsText.write(normPath(table), batchId.toString,
+            hadoopConf)
+        }
+      }
+    }
+  }
+  private lazy val chDest: Option[ClickHouseDest] =
+    cfg.warehouseUrl.filter(_.startsWith("clickhouse://"))
+      .map(new ClickHouseDest(_))
 
   private def merge = writers(cfg.destinationTable)._2
   private val hwmPath = s"${cfg.checkpointDir}/graft-raw-hwm"
@@ -782,6 +904,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // no normalize), so each batch publishes its shaped records over the
     // wire instead of merging.
     if (cfg.queueUrl.isDefined) publishQueue(raw, batchId)
+    // CLICKHOUSE destinations normalize SERVER-SIDE: the raw records
+    // ship to the CH raw table and one INSERT…SELECT per table runs
+    // there — the reference's CH flow, where no per-key MERGE exists
+    // (the ReplacingMergeTree engine is the merge).
+    else if (chDest.isDefined) chDest.get.syncAndNormalize(raw, batchId)
     else writers.foreach { case (table, (tc, writer)) =>
       val slice = raw.filter(col(RawTable.DestinationTable) === table &&
         col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
@@ -1114,10 +1241,16 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .withColumn(RawTable.IsDeleted, lit(false))
       .withColumn(graft.cdc.Normalizer.AbsentCols,
         array().cast("array<string>"))
-    warehouseDest match {
-      case Some(w) => w.load(table, tc, changes,
-        batchId = cfg.snapshotCheckpoint)
-      case None => applyChanges(table, writer, tc.pkColumns, changes)
+    chDest match {
+      case Some(ch) =>
+        ch.loadSnapshot(table, tc,
+          snapshot.select(tc.effectiveSchema.fieldNames.toSeq
+            .map(col): _*), cfg.snapshotCheckpoint)
+      case None => warehouseDest match {
+        case Some(w) => w.load(table, tc, changes,
+          batchId = cfg.snapshotCheckpoint)
+        case None => applyChanges(table, writer, tc.pkColumns, changes)
+      }
     }
   }
 

@@ -101,16 +101,74 @@ final class StubWarehouse(spark: SparkSession,
     else if (up.startsWith("DELETE FROM")) runDelete(flat)
     else if (up.startsWith("ALTER TABLE") &&
         up.contains(" ADD COLUMN IF NOT EXISTS ")) runAddColumn(flat)
+    else if (up.startsWith("EXCHANGE TABLES")) runExchange(flat)
+    else if (up.startsWith("RENAME TABLE")) runRename(flat)
     else throw new IllegalArgumentException(
       s"stub warehouse: unsupported statement: ${flat.take(80)}…")
+  }
+
+  /** NDJSON bulk leg (the CH `INSERT … FORMAT JSONEachRow` body): rows
+    * parse against the declared schema — a column absent from a line
+    * lands NULL (a live CH fills type defaults; the engine ships ''
+    * explicitly for the raw string columns, so the divergence never
+    * shows). Deliberately LAZY (no pin): an HTTP fixture calls this
+    * from its handler thread while the POSTing executors are still
+    * blocked on the response — an eager job here could starve for the
+    * very task slots those executors hold. The inserted table is
+    * never rewritten in place (raw is append-only), so the laziness
+    * is safe. */
+  def insertJson(table: String, ndjson: Seq[String]): Unit =
+    synchronized {
+      val declared = schemas.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"stub warehouse: JSONEachRow into missing table $table"))
+      import spark.implicits._
+      val incoming = spark.read.schema(declared)
+        .json(spark.createDataset(ndjson))
+      tables(table) = tables(table).unionByName(incoming)
+    }
+
+  /** `EXCHANGE TABLES a AND b` — the CH Atomic-engine swap the resync
+    * RenameTables rides (clickhouse/cdc.go:377-379). */
+  private def runExchange(flat: String): Unit = {
+    val Re = """(?i)EXCHANGE TABLES (\S+) AND (\S+)""".r
+    val (a, b) = flat match {
+      case Re(x, y) => (tableKey(x), tableKey(y))
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable EXCHANGE: ${flat.take(80)}…")
+    }
+    require(tables.contains(a) && tables.contains(b),
+      s"stub warehouse: EXCHANGE of missing table ($a, $b)")
+    def swap[V](m: mutable.Map[String, V]): Unit = {
+      val (va, vb) = (m.get(a), m.get(b))
+      va.fold(m.remove(b): Unit)(v => m(b) = v)
+      vb.fold(m.remove(a): Unit)(v => m(a) = v)
+    }
+    swap(tables); swap(schemas); swap(rmt)
+  }
+
+  private def runRename(flat: String): Unit = {
+    val Re = """(?i)RENAME TABLE (\S+) TO (\S+)""".r
+    val (a, b) = flat match {
+      case Re(x, y) => (tableKey(x), tableKey(y))
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable RENAME: ${flat.take(80)}…")
+    }
+    require(tables.contains(a),
+      s"stub warehouse: RENAME of missing table $a")
+    tables(b) = tables.remove(a).get
+    schemas.remove(a).foreach(schemas(b) = _)
+    rmt.remove(a).foreach(rmt(b) = _)
   }
 
   /** `ALTER TABLE t ADD COLUMN IF NOT EXISTS "c" TYPE [NOT NULL]
     * [DEFAULT v]` — the meta-column backfill for pre-existing
     * destinations ([[MergeSqlGenerator.ensureMetaColumns]]). */
   private def runAddColumn(flat: String): Unit = {
+    // both quote styles (ANSI " / CH `) and parenthesized CH types
+    // (Nullable(Int64)) — the widen runs on PG and CH destinations
     val Re = ("""(?i)ALTER TABLE (\S+) ADD COLUMN IF NOT EXISTS """ +
-      """"([^"]+)" (\w+)( NOT NULL)?( DEFAULT (\S+))?""").r
+      """["`]([^"`]+)["`] (.+?)( NOT NULL)?( DEFAULT (\S+))?""").r
     flat match {
       case Re(table0, colName, typ, _, _, dflt) =>
         val table = tableKey(table0)
@@ -135,14 +193,36 @@ final class StubWarehouse(spark: SparkSession,
   // --------------------------------------------------------- utilities
 
   /** Generated-dialect expression → Spark SQL: identifier quotes to
-    * backticks, destination time functions to Spark's. Single-quoted
-    * string literals pass through untouched (they never contain `"`
-    * in generated statements — column names are the restricted
-    * identifier set). */
-  private def tr(s: String): String = s
-    .replaceAll("\"([^\"]+)\"", "`$1`")
-    .replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", "current_timestamp()")
-    .replaceAll("(?i)\\bnow64\\(\\)", "current_timestamp()")
+    * backticks, destination time functions to Spark's, and the
+    * ClickHouse normalize-query functions
+    * ([[graft.sinks.ClickHouseSql.normalizeQuery]]'s exact emitted
+    * shapes — normalize_query.go:112-375) onto their Spark
+    * equivalents. Single-quoted string literals pass through
+    * untouched (they never contain `"` in generated statements —
+    * column names are the restricted identifier set). */
+  private val JsonExtractTyped =
+    """(?i)JSONExtract\((\w+), '([^']+)', '([^']+)'\)""".r
+  private def tr(s: String): String = {
+    val s1 = s
+      .replaceAll("\"([^\"]+)\"", "`$1`")
+      .replaceAll(
+        "(?i)parseDateTime64BestEffortOrNull\\(JSONExtractString\\(" +
+          "(\\w+), '([^']+)'\\),6,'UTC'\\)",
+        "to_timestamp(get_json_object($1, '\\$.$2'))")
+      .replaceAll("(?i)\\btoDate32\\(", "to_date(")
+      .replaceAll(
+        "(?i)base64Decode\\(JSONExtractString\\((\\w+), '([^']+)'\\)\\)",
+        "unbase64(get_json_object($1, '\\$.$2'))")
+      .replaceAll("(?i)JSONExtractString\\((\\w+), '([^']+)'\\)",
+        "get_json_object($1, '\\$.$2')")
+      .replaceAll("(?i)intDiv\\((\\w+), (\\d+)\\)", "($1 div $2)")
+      .replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", "current_timestamp()")
+      .replaceAll("(?i)\\bnow64\\(\\)", "current_timestamp()")
+    JsonExtractTyped.replaceAllIn(s1, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"CAST(get_json_object(${m.group(1)}, '$$.${m.group(2)}') AS " +
+          s"${sparkTypeOf(m.group(3)).sql})"))
+  }
 
   private def unquote(id: String): String =
     id.trim.stripPrefix("\"").stripSuffix("\"")
@@ -422,18 +502,31 @@ final class StubWarehouse(spark: SparkSession,
 
   // ------------------------------------ INSERT … SELECT (ClickHouse)
 
+  /** `INSERT INTO t (cols) SELECT … FROM src [WHERE …] [UNION ALL
+    * SELECT … FROM src WHERE …]*` — the loader's ClickHouse staging
+    * insert AND the CH normalize query's batch-range scan with its
+    * primary-update union branch (normalize_query.go:334-357). */
   private def runInsertSelect(flat: String): Unit = {
-    val Re = """(?i)INSERT INTO (\S+) \((.*?)\) SELECT (.*?) FROM (\S+)\s*""".r
-    val (tgt, cols, sel, stg) = flat match {
-      case Re(t, c, s, f) => (tableKey(t), c, s, tableKey(f))
+    val Head = """(?i)INSERT INTO (\S+) \((.*?)\) SELECT (.*)""".r
+    val (tgt, cols, rest) = flat match {
+      case Head(t, c, r) => (tableKey(t), c, r)
       case _ => throw new IllegalArgumentException(
         s"stub warehouse: unparseable INSERT: ${flat.take(120)}…")
     }
     val declared = schemas(tgt)
     val insCols = splitTop(cols, ',').map(unquote)
-    val newRows = tables(stg)
-      .select(splitTop(sel, ',').map(e => expr(tr(e))): _*)
-      .toDF(insCols: _*)
+    val Branch = """(?i)(.*?) FROM (\S+)(?: WHERE (.*))?""".r
+    val newRows = rest.split("(?i) UNION ALL SELECT ").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { b =>
+        val (sel, src, where) = b match {
+          case Branch(s, f, w) => (s, tableKey(f), Option(w))
+          case _ => throw new IllegalArgumentException(
+            s"stub warehouse: unparseable SELECT branch: ${b.take(120)}…")
+        }
+        where.foldLeft(tables(src))((df, w) => df.filter(expr(tr(w))))
+          .select(splitTop(sel, ',').map(e => expr(tr(e))): _*)
+          .toDF(insCols: _*)
+      }.reduce(_ unionByName _)
     val aligned = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], declared)
       .unionByName(

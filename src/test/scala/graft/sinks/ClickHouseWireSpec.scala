@@ -1,0 +1,262 @@
+package graft.sinks
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.cdc.ChangeLogWal
+import graft.mirror.{MirrorConfig, MirrorRunner}
+import graft.model.{ChangeRecord, RawTable}
+import graft.types.QKind
+
+/** The live ClickHouse destination over the public HTTP interface: a
+  * mirror with `warehouse_url 'clickhouse://…'` ships each batch's raw
+  * records as `INSERT … FORMAT JSONEachRow` and normalizes SERVER-side
+  * with the reference's `INSERT INTO dest SELECT JSONExtract(…)` into
+  * a ReplacingMergeTree (flow/connectors/clickhouse/cdc.go:58-170,
+  * normalize_query.go:112-375). The fixture is an in-process HTTP
+  * server delegating to [[StubWarehouse]] in CH dialect — the same
+  * statement-replay oracle the loader specs use, now reached over the
+  * real wire surface the engine speaks. */
+class ClickHouseWireSpec extends SparkSpec {
+
+  /** CH HTTP endpoint: query from `?query=` (bulk inserts) or the POST
+    * body (DDL / normalize); `EXISTS TABLE` answers 0/1 for the resync
+    * swap. Errors → HTTP 500 with the message (what a real CH does),
+    * so the engine's failure surfacing is exercised too. */
+  private final class ChFixture {
+    val stub = new StubWarehouse(spark, QKind.Dialect.ClickHouse)
+    private val server =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    private def key(tok: String): String = tok.split('.')
+      .map(_.stripPrefix("`").stripSuffix("`")).mkString(".")
+    private val InsertJson =
+      """(?is)INSERT INTO (\S+) FORMAT JSONEACHROW\s*""".r
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").toSeq.filter(_.nonEmpty).map { kv =>
+          val p = kv.split("=", 2)
+          URLDecoder.decode(p(0), "UTF-8") ->
+            (if (p.length > 1) URLDecoder.decode(p(1), "UTF-8") else "")
+        }.toMap
+      val query = params.getOrElse("query", body)
+      val result =
+        try {
+          val flat = query.replaceAll("\\s+", " ").trim
+          flat match {
+            case InsertJson(t) =>
+              stub.insertJson(key(t),
+                body.split("\n").toSeq.filter(_.nonEmpty))
+              Right("")
+            case f if f.toUpperCase.startsWith("EXISTS TABLE ") =>
+              Right(if (stub.exists(key(
+                f.substring("EXISTS TABLE ".length).trim))) "1\n"
+              else "0\n")
+            case _ => stub.execute(query); Right("")
+          }
+        } catch {
+          case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.toString))
+        }
+      val (code, text) = result match {
+        case Right(ok) => (200, ok)
+        case Left(err) => (500, s"Code: 62. DB::Exception: $err")
+      }
+      val b = text.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length.toLong)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    def port: Int = server.getAddress.getPort
+    def url: String = s"clickhouse://127.0.0.1:$port/db"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType),
+    StructField("t", StringType)))
+
+  private def rec(cp: Long, rt: Int, data: String,
+      matchData: String = null,
+      toast: Seq[String] = Nil): ChangeRecord =
+    ChangeRecord(rt, cp, cp.toString, cp * 1000, cp / 10, "public.t",
+      "docs", data, matchData, toast)
+
+  /** (id, v, t) rows of the CH destination, tombstones dropped by the
+    * RMT(version, is_deleted) read, ordered by id. */
+  private def chRows(ch: ChFixture,
+      table: String = "docs"): Seq[(Long, Long, String)] =
+    ch.stub.table(table).select("id", "v", "t").orderBy("id")
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2)))
+
+  test("clickhouse:// mirror e2e over HTTP: inserts land via raw ship " +
+    "+ JSONExtract normalize; cross-batch TOAST backfills; a delete " +
+    "tombstones; a PK update kills the old key at version-1; the " +
+    "final state equals the native MergeWriter on the same change set") {
+    val ch = new ChFixture
+    try {
+      val wal = tmpDir("ch_wal")
+      val base = tmpDir("ch_mirror")
+      val bigToast = "x" * 8192
+      def cfg(ck: String = s"$base/ckpt") = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = ck, pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "docs",
+        warehouseUrl = Some(ch.url))
+
+      ChangeLogWal.append(wal, Seq(
+        rec(10, ChangeRecord.TypeInsert,
+          s"""{"id":1,"v":10,"t":"$bigToast"}"""),
+        rec(11, ChangeRecord.TypeInsert, """{"id":2,"v":20,"t":"two"}"""),
+        rec(12, ChangeRecord.TypeInsert,
+          """{"id":3,"v":30,"t":"three"}""")))
+      new MirrorRunner(spark, cfg()).runAvailableNow()
+      assert(chRows(ch) == Seq((1L, 10L, bigToast), (2L, 20L, "two"),
+        (3L, 30L, "three")))
+      // the emitted statements are the reference's shapes
+      val stmts = ch.stub.statements.mkString("\n")
+      assert(stmts.contains("ENGINE = ReplacingMergeTree"))
+      assert(stmts.contains("intDiv(_peerdb_record_type, 2)"))
+      assert(stmts.contains("JSONExtract(_peerdb_data,"))
+      assert(stmts.contains("_peerdb_destination_table_name = 'docs'"))
+
+      // wave 2: TOAST update (t ABSENT — the value lives only in the
+      // PRIOR batch, so the source-side backfill must resolve it from
+      // raw history, cdc.go:850-880's cache role), a delete, and a
+      // PK-changing update 3→4
+      ChangeLogWal.append(wal, Seq(
+        rec(20, ChangeRecord.TypeUpdate, """{"id":1,"v":11}""",
+          toast = Seq("t")),
+        rec(21, ChangeRecord.TypeDelete, """{"id":2,"v":20,"t":"two"}""",
+          matchData = """{"id":2,"v":20,"t":"two"}"""),
+        rec(22, ChangeRecord.TypeUpdate,
+          """{"id":4,"v":30,"t":"three"}""",
+          matchData = """{"id":3,"v":30,"t":"three"}""")))
+      new MirrorRunner(spark, cfg()).runAvailableNow()
+      assert(chRows(ch) == Seq((1L, 11L, bigToast), (4L, 30L, "three")),
+        "TOAST backfill / delete / PK-update must all converge")
+
+      // equality oracle: the SAME WAL through the native MergeWriter
+      val local = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw2", destDir = s"$base/dest2",
+        checkpointDir = s"$base/ckpt2", pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "docs")
+      val lr = new MirrorRunner(spark, local)
+      lr.runAvailableNow()
+      val native = lr.destination().select("id", "v", "t").orderBy("id")
+        .collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(chRows(ch) == native,
+        "CH destination must equal the native MergeWriter state")
+
+      // replay convergence: a REBUILT mirror (fresh checkpoint) replays
+      // the full WAL — raw rows duplicate byte-identically and the RMT
+      // collapse converges to the same state (the reference's
+      // at-least-once posture)
+      new MirrorRunner(spark, cfg(s"$base/ckpt_replay"))
+        .runAvailableNow()
+      assert(chRows(ch) == native, "replayed batches must converge")
+
+      // schema evolution mid-stream: RelationRecord widens, the CH
+      // table gains the column (ADD COLUMN IF NOT EXISTS,
+      // cdc.go:228-329), and rows before/after the delta read back
+      // NULL / value
+      val deltaJson = graft.cdc.SchemaEvolution.deltaToJson(
+        graft.cdc.TableSchemaDelta("public.t", "docs",
+          Seq(graft.cdc.AddedColumn("extra", QKind.QString))))
+      ChangeLogWal.append(wal, Seq(
+        ChangeRecord(ChangeRecord.TypeRelation, 30, "30", 30000, 3,
+          "public.t", "docs", deltaJson, null, Nil),
+        rec(31, ChangeRecord.TypeInsert,
+          """{"id":5,"v":50,"t":"five","extra":"E"}""")))
+      new MirrorRunner(spark, cfg()).runAvailableNow()
+      val withExtra = ch.stub.table("docs")
+        .select("id", "extra").orderBy("id").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(withExtra == Seq((1L, null), (4L, null), (5L, "E")),
+        s"ADD COLUMN must widen the CH table: $withExtra")
+    } finally ch.stop()
+  }
+
+  test("clickhouse:// RESYNC: the rebuild lands in _peerdb_resync " +
+    "while the original serves, then EXCHANGE TABLES swaps atomically " +
+    "(RenameTables, cdc.go:331-426) — drift corrects and no resync " +
+    "leftovers remain") {
+    val ch = new ChFixture
+    try {
+      val base = tmpDir("ch_resync")
+      def run(sql: String) = graft.mirror.GraftSql.execute(spark,
+        graft.mirror.GraftSql.parse(sql)
+          .getOrElse(fail(s"did not parse: $sql")))
+      run(s"""CREATE MIRROR chmir WITH (
+         |  wal_dir '$base/wal', dest_dir '$base/dest',
+         |  checkpoint_dir '$base/ckpt', pk 'id',
+         |  table 'docs', schema 'id BIGINT, v BIGINT, t STRING',
+         |  warehouse_url '${ch.url}')""".stripMargin)
+      ChangeLogWal.append(s"$base/wal", Seq(
+        rec(10, ChangeRecord.TypeInsert, """{"id":1,"v":1,"t":"a"}"""),
+        rec(11, ChangeRecord.TypeInsert, """{"id":2,"v":2,"t":"b"}""")))
+      run("EXECUTE MIRROR chmir")
+      assert(chRows(ch) == Seq((1L, 1L, "a"), (2L, 2L, "b")))
+
+      // destination drift: corrupt a value directly on CH
+      ch.stub.execute("DELETE FROM `docs` WHERE `id` = 1")
+      assert(chRows(ch) == Seq((2L, 2L, "b")))
+
+      run("RESYNC MIRROR chmir")
+      assert(chRows(ch) == Seq((1L, 1L, "a"), (2L, 2L, "b")),
+        "resync must rebuild the drifted destination")
+      assert(!ch.stub.exists("docs_peerdb_resync"),
+        "no _peerdb_resync leftovers after the swap")
+
+      // the stream keeps converging on the swapped table
+      ChangeLogWal.append(s"$base/wal", Seq(
+        rec(20, ChangeRecord.TypeUpdate, """{"id":2,"v":22,"t":"b2"}""")))
+      run("EXECUTE MIRROR chmir")
+      assert(chRows(ch) == Seq((1L, 1L, "a"), (2L, 22L, "b2")))
+      run("DROP MIRROR chmir")
+    } finally ch.stop()
+  }
+
+  test("generated CH statements: raw DDL carries the cdc.go column " +
+    "set and ORDER BY; normalize emits the primary-update UNION " +
+    "branch at version-1; a failing statement surfaces as an HTTP " +
+    "error with the server text") {
+    val raw = ClickHouseSql.createRawTable(
+      ClickHouseSql.rawTableName("my flow!"))
+    assert(raw.contains("`_peerdb_raw_my_flow_`"))
+    Seq(RawTable.Uid, RawTable.Timestamp, RawTable.DestinationTable,
+      RawTable.Data, RawTable.RecordType, RawTable.MatchData,
+      RawTable.BatchId, RawTable.UnchangedToastColumns)
+      .foreach(c => assert(raw.contains(c), s"raw DDL must carry $c"))
+    assert(raw.contains(
+      "ORDER BY (_peerdb_batch_id, _peerdb_destination_table_name)"))
+
+    val q = ClickHouseSql.normalizeQuery("docs", schema, Seq("id"),
+      "_peerdb_raw_f", lastNormBatchId = 3, endBatchId = 7)
+    assert(q.contains("_peerdb_batch_id > 3 AND _peerdb_batch_id <= 7"))
+    assert(q.contains("UNION ALL"))
+    assert(q.contains("_peerdb_timestamp - 1 AS `_peerdb_version`"))
+    assert(q.contains("_peerdb_match_data != ''"))
+    assert(q.contains("_peerdb_record_type = 1"))
+    assert(q.contains("JSONExtract(_peerdb_data, 'v', 'Nullable(Int64)')"))
+    assert(q.contains("JSONExtract(_peerdb_data, 'id', 'Int64')"))
+
+    val ch = new ChFixture
+    try {
+      val http = new ClickHouseHttp(ch.url)
+      val e = intercept[java.io.IOException] {
+        http.exec("SELECT FROM nowhere") // unparseable → stub throws
+      }
+      assert(e.getMessage.contains("HTTP 500") &&
+        e.getMessage.contains("DB::Exception"), e.getMessage)
+    } finally ch.stop()
+  }
+}
