@@ -496,9 +496,10 @@ object GraftSql {
       // parquet ([[MirrorConfig.warehouseUrl]]; previously
       // library-only)
       warehouseUrl = o.get("warehouse_url").map { u =>
-        require(u.startsWith("pg://") || u.startsWith("clickhouse://"),
-          "CREATE MIRROR: warehouse_url must be pg://… or " +
-            s"clickhouse://…, got '$u'")
+        require(u.startsWith("pg://") || u.startsWith("clickhouse://") ||
+          u.startsWith("snowflake://"),
+          "CREATE MIRROR: warehouse_url must be pg://…, " +
+            s"clickhouse://… or snowflake://…, got '$u'")
         u
       })
     // schema_migration is validated HERE (DDL time) so a typo'd value
@@ -1577,7 +1578,15 @@ object GraftSql {
           // _peerdb_resync tables (silent-resurrection hazard) and
           // pre-create them LIKE the originals so a schema-migrated
           // destination survives the swap with its constraints.
-          if (cfg.warehouseUrl.exists(_.startsWith("clickhouse://")))
+          if (cfg.warehouseUrl.exists(_.startsWith("snowflake://")))
+            // the PG swap rides a single pgwire transaction and the CH
+            // swap rides EXCHANGE TABLES; neither exists on the SQL
+            // API surface yet — fail the RESYNC loudly instead of
+            // crashing into a pgwire connect on a REST endpoint
+            throw new UnsupportedOperationException(
+              "RESYNC MIRROR: snowflake:// destinations have no live " +
+                "swap yet — DROP and recreate the mirror instead")
+          else if (cfg.warehouseUrl.exists(_.startsWith("clickhouse://")))
             Maintenance.prepareLiveResyncClickHouse(cfg)
           else Maintenance.prepareLiveResync(cfg)
           val scratchDest = java.nio.file.Files

@@ -259,31 +259,45 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * reference's ReplayTableSchemaDeltas). */
   private final class WarehouseDest(url: String) {
     private val ep = graft.cdc.CaptureEndpoint.parse(url)
-    private val flavor = ep.param("flavor", "postgres")
+    private val isSnowflake = ep.scheme == "snowflake"
+    private val flavor =
+      if (isSnowflake) "snowflake" else ep.param("flavor", "postgres")
     private val created = scala.collection.mutable.Set.empty[String]
     private def connect(): graft.server.PgClient =
       graft.server.PgClients.connect(ep, Nil) // honors ssl=/ssh= params
     def load(table: String, tc: TableConfig,
         normalized: org.apache.spark.sql.DataFrame,
         batchId: Long): Unit = {
-      val c = connect()
+      // pg family holds one pgwire session per batch; snowflake://
+      // statements ride the stateless SQL API ([[SnowflakeSqlApi]])
+      val (exec, close): (graft.sinks.SqlExecutor, () => Unit) =
+        if (isSnowflake) (new graft.sinks.SnowflakeSqlApi(url), () => ())
+        else {
+          val c = connect()
+          (new graft.sinks.PgWarehouse(c), () => c.close())
+        }
       try {
         val live = table + cfg.warehouseTableSuffix
         val target = graft.sinks.MergeTarget(live,
           s"${live}_graft_stage", tc.pkColumns, liveSchemas(table),
           softDelete = cfg.softDelete)
-        val loader = new graft.sinks.WarehouseLoader(target,
-          new graft.sinks.PgWarehouse(c), flavor)
+        val loader = new graft.sinks.WarehouseLoader(target, exec,
+          flavor)
         if (!created(table)) { loader.setup(); created += table }
         // a crash between COPY and DROP can leave a stale staging
         // table with an older schema — every load starts clean
-        c.queryAll("DROP TABLE IF EXISTS " + graft.sinks
+        exec.execute("DROP TABLE IF EXISTS " + graft.sinks
           .MergeSqlGenerator.qualified(target.stagingTable))
-        c.queryAll(graft.sinks.MergeSqlGenerator.alterAddColumns(target))
+        if (isSnowflake)
+          graft.sinks.MergeSqlGenerator.alterAddColumnStatements(
+            target, graft.types.QKind.Dialect.Snowflake)
+            .foreach(exec.execute)
+        else exec.execute(
+          graft.sinks.MergeSqlGenerator.alterAddColumns(target))
         loader.loadBatch(normalized,
           s"${cfg.checkpointDir}/stage/${table.replace('.', '_')}" +
             s"/$batchId")
-      } finally c.close()
+      } finally close()
     }
   }
   private lazy val warehouseDest: Option[WarehouseDest] =

@@ -242,6 +242,18 @@ object MergeSqlGenerator {
     s"ALTER TABLE ${qualified(t.table)} ${adds.mkString(", ")}"
   }
 
+  /** Per-column variant of [[alterAddColumns]] in the destination's
+    * own type dialect — for destinations whose ALTER takes one ADD
+    * per statement (Snowflake's SQL API path). */
+  def alterAddColumnStatements(t: MergeTarget,
+      dialect: QKind.Dialect): Seq[String] =
+    dataColumns(t).map { cn =>
+      val f = t.schema(cn)
+      s"ALTER TABLE ${qualified(t.table, dialect)} " +
+        s"ADD COLUMN IF NOT EXISTS ${q(cn)} " +
+        QKind.toDdl(QKind.fromSpark(f.dataType), dialect)
+    }
+
   /** ClickHouse normalize INSERT — the RMT path runs no MERGE: each
     * batch INSERT SELECTs the staged rows into the ReplacingMergeTree
     * table and the ENGINE collapses versions at merge/FINAL time

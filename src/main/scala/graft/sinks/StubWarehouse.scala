@@ -97,6 +97,8 @@ final class StubWarehouse(spark: SparkSession,
     else if (up.startsWith("MERGE INTO")) runMerge(flat)
     else if (up.startsWith("INSERT INTO") && up.contains(" ON CONFLICT "))
       runUpsert(flat)
+    else if (up.startsWith("INSERT INTO") && up.contains(") VALUES (") &&
+        !up.contains(" SELECT ")) runInsertValues(flat)
     else if (up.startsWith("INSERT INTO")) runInsertSelect(flat)
     else if (up.startsWith("DELETE FROM")) runDelete(flat)
     else if (up.startsWith("ALTER TABLE") &&
@@ -216,6 +218,8 @@ final class StubWarehouse(spark: SparkSession,
       .replaceAll("(?i)JSONExtractString\\((\\w+), '([^']+)'\\)",
         "get_json_object($1, '\\$.$2')")
       .replaceAll("(?i)intDiv\\((\\w+), (\\d+)\\)", "($1 div $2)")
+      .replaceAll("(?i)TO_BINARY\\(('[0-9a-fA-F]*')\\s*,\\s*'HEX'\\)",
+        "unhex($1)")
       .replaceAll("(?i)\\bCURRENT_TIMESTAMP\\b", "current_timestamp()")
       .replaceAll("(?i)\\bnow64\\(\\)", "current_timestamp()")
     JsonExtractTyped.replaceAllIn(s1, m =>
@@ -501,6 +505,30 @@ final class StubWarehouse(spark: SparkSession,
   }
 
   // ------------------------------------ INSERT … SELECT (ClickHouse)
+
+  /** `INSERT INTO t (cols) VALUES (…),(…)` — the SQL-API bulk leg
+    * ([[SnowflakeSqlApi.loadAvro]]): literal tuples evaluate through
+    * Spark's own inline VALUES, then cast to the declared staging
+    * types exactly as the server would coerce them. */
+  private def runInsertValues(flat: String): Unit = {
+    val Re = """(?i)INSERT INTO (\S+) \((.*?)\) VALUES (.*)""".r
+    val (tgt, cols, rest) = flat match {
+      case Re(t, c, r) => (tableKey(t), c, r)
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable INSERT VALUES: ${flat.take(120)}…")
+    }
+    val declared = schemas(tgt)
+    val insCols = splitTop(cols, ',').map(unquote)
+    val newRows = spark.sql("SELECT * FROM VALUES " + tr(rest))
+      .toDF(insCols: _*)
+    val aligned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], declared)
+      .unionByName(
+        castTo(newRows, StructType(declared.fields
+          .filter(f => insCols.contains(f.name)))),
+        allowMissingColumns = true)
+    tables(tgt) = pin(tables(tgt).unionByName(aligned))
+  }
 
   /** `INSERT INTO t (cols) SELECT … FROM src [WHERE …] [UNION ALL
     * SELECT … FROM src WHERE …]*` — the loader's ClickHouse staging
