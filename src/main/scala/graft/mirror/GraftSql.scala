@@ -458,10 +458,14 @@ object GraftSql {
       // CREATE, not the first batch.
       queueUrl = o.get("queue_url").map { u =>
         require(u.matches("^kafka://[^:/?]+:\\d+(\\?.*)?$") ||
-          u.matches("^es://[^:/?]+:\\d+/?$"),
+          u.matches("^es://[^:/?]+:\\d+/?$") ||
+          u.matches("^pubsub://[^:/?]+:\\d+/[^/?]+(\\?.*)?$") ||
+          u.matches("^eventhubs://[^:/?]+:\\d+/[^/?]+(\\?.*)?$"),
           s"CREATE MIRROR: queue_url must be " +
-            "kafka://host:port[?acks=N][&ssh=user:pass@host] or " +
-            s"es://host:port, got '$u'")
+            "kafka://host:port[?acks=N][&ssh=user:pass@host], " +
+            "es://host:port, pubsub://host:port/project[?token=…] or " +
+            "eventhubs://host:port/namespace?key_name=…&key=…, " +
+            s"got '$u'")
         u
       },
       // table_map 'src:dest,src2:dest2' — capture-decode routing

@@ -1014,6 +1014,24 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           // ssh=user:pass@bastion[:port] — the destination socket
           // rides the same tunnel stack as the capture sources
           sshSpec = params.get("ssh"))
+      case u if u.startsWith("eventhubs://") =>
+        // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
+        // partition routing + per-(hub, partition) ordered batches
+        // over the public REST send API with SAS auth
+        val ep = graft.cdc.CaptureEndpoint.parse(u)
+        graft.sinks.EventHubsSink.publish(
+          graft.sinks.EventHubsSink.defaultRecords(changes,
+            namespace =
+              if (ep.database.nonEmpty) ep.database else "ns",
+            partitionCount = ep.param("partition_count", "4").toInt,
+            maxPerBatch = ep.param("max_per_batch", "500").toInt), u)
+      case u if u.startsWith("pubsub://") =>
+        // live Pub/Sub publish (pubsub.go SyncRecords): per-key
+        // ordered batches over the public REST API; the queue HWM
+        // below is the SetLastOffset role — a failed publish throws
+        // before it advances, so the batch redelivers
+        graft.sinks.PubSubSink.publish(
+          graft.sinks.PubSubSink.defaultRecords(changes), u)
       case es(h, p) =>
         // Stamp the id-scheme marker BEFORE reading the prior HWM is
         // overwritten below: a mirror publishing its FIRST batch today
@@ -1029,8 +1047,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
             else EsIdScheme.Legacy, hadoopConf)
         publishEs(changes, s"http://$h:$p")
       case other => throw new IllegalArgumentException(
-        "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host] " +
-          s"or es://host:port, got '$other'")
+        "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host], " +
+          "es://host:port, pubsub://host:port/project[?token=…] or " +
+          s"eventhubs://host:port/ns?key_name=…&key=…, got '$other'")
     }
     stats.foreach(_.logFlowInfo(cfg.flow,
       s"batch $batchId: published $n records to $url"))

@@ -89,6 +89,129 @@ object QueueSink {
       .withColumn("ordered", col("ordering_key") =!= "")
 }
 
+/** Live Google Pub/Sub destination over the public REST publish API
+  * (the documented HTTP surface of flow/connectors/pubsub/pubsub.go,
+  * which speaks the same service through the Go client):
+  * `POST /v1/projects/{project}/topics/{topic}:publish` with
+  * `{"messages":[{"data":"<base64>","orderingKey":"…"}]}` and a
+  * bearer token. Ordering contract (pubsub.go:197-199 +
+  * EnableMessageOrdering): messages sharing a non-empty ordering key
+  * must publish in order — rows hash-partition BY the ordering key
+  * and sort within each partition, so one key's messages ride one
+  * sequential connection while distinct keys publish in parallel
+  * across partitions (exactly the service's per-key guarantee, and
+  * the same fan-out shape as the Kafka/ES sinks). */
+object PubSubSink {
+
+  /** Default mirror routing — the no-script DefaultOnRecord shape the
+    * Kafka default shares (kafka.go:301-312): topic = destination
+    * table, ordering key = uid, payload = the change row as JSON. */
+  def defaultRecords(raw: DataFrame): DataFrame =
+    QueueSink.pubSubRecords(raw,
+      topic = col(graft.model.RawTable.DestinationTable),
+      orderingKey = col(graft.model.RawTable.Uid),
+      value = to_json(struct(raw.columns.map(col): _*)))
+      // the ordering key IS the zero-padded LSN: lexicographic = WAL
+      // order, so it doubles as the per-key publish order
+      .withColumn("__ord", col("ordering_key"))
+
+  /** Publish a shaped frame (topic, ordering_key, value, ordered,
+    * __ord). `url`: `pubsub://host:port/project[?token=…&tls=true&
+    * messages_per_publish=N]` — the real service is
+    * `pubsub.googleapis.com:443` with `tls=true`; fixtures bind
+    * plain HTTP. Returns messages published; any non-200 or a
+    * response acking fewer ids than sent fails the batch loudly. */
+  def publish(shaped: DataFrame, url: String): Long = {
+    val ep = graft.cdc.CaptureEndpoint.parse(url)
+    require(ep.scheme == "pubsub", s"pubsub:// url expected, got '$url'")
+    val project =
+      if (ep.database.nonEmpty) ep.database
+      else throw new IllegalArgumentException(
+        s"pubsub url must carry the project as its path: '$url'")
+    val scheme = if (ep.param("tls", "false") == "true") "https"
+      else "http"
+    val base = s"$scheme://${ep.host}:${ep.port}"
+    val token = ep.params.get("token")
+    val perPublish = ep.param("messages_per_publish", "100").toInt
+    val connectMs = ep.param("connect_timeout_ms", "5000").toInt
+    val readMs = ep.param("read_timeout_ms", "30000").toInt
+    val counter = shaped.sparkSession.sparkContext
+      .longAccumulator("pubsub_published")
+    // per-key ordering: same key → same partition, WAL order within
+    shaped.repartition(col("ordering_key"))
+      .sortWithinPartitions(col("ordering_key"), col("__ord"))
+      .select("topic", "ordering_key", "value", "ordered")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        def post(topic: String, messages: Seq[String]): Unit = {
+          val body = s"""{"messages":[${messages.mkString(",")}]}"""
+          val conn = new java.net.URL(
+            s"$base/v1/projects/$project/topics/$topic:publish")
+            .openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setConnectTimeout(connectMs)
+          conn.setReadTimeout(readMs)
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type", "application/json")
+          token.foreach(t =>
+            conn.setRequestProperty("Authorization", s"Bearer $t"))
+          val bytes = body.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)
+          conn.setFixedLengthStreamingMode(bytes.length)
+          val out = conn.getOutputStream
+          try out.write(bytes) finally out.close()
+          val code = conn.getResponseCode
+          val in = if (code >= 400) conn.getErrorStream
+            else conn.getInputStream
+          val resp = if (in == null) ""
+            else try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          if (code != 200)
+            throw new java.io.IOException(
+              s"pubsub: publish to $topic answered $code: " +
+                resp.take(300))
+          // the REST contract acks every message with an id — a
+          // short ack is a partial publish and must fail the batch
+          val ids = """"messageIds"\s*:\s*\[(.*?)\]""".r
+            .findFirstMatchIn(resp).map(_.group(1).trim).getOrElse("")
+          val acked = if (ids.isEmpty) 0 else ids.count(_ == ',') + 1
+          if (acked < messages.size)
+            throw new java.io.IOException(
+              s"pubsub: $topic acked $acked of ${messages.size}")
+          counter.add(messages.size.toLong)
+        }
+        def jsonMsg(r: org.apache.spark.sql.Row): String = {
+          val data = java.util.Base64.getEncoder.encodeToString(
+            r.getString(2).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          val key =
+            if (r.getBoolean(3))
+              s""","orderingKey":"${r.getString(1)
+                .replace("\\", "\\\\").replace("\"", "\\\"")}""""
+            else ""
+          s"""{"data":"$data"$key}"""
+        }
+        // batch consecutive same-topic messages; flush on topic
+        // change or the size cap — sequential posts keep per-key
+        // order inside the partition
+        var topic: String = null
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        def flush(): Unit =
+          if (buf.nonEmpty) { post(topic, buf.toSeq); buf.clear() }
+        rows.foreach { r =>
+          val t = r.getString(0)
+          if (topic != null && (t != topic || buf.size >= perPublish))
+            flush()
+          topic = t
+          buf += jsonMsg(r)
+        }
+        flush()
+      }
+    counter.value
+  }
+}
+
 /** File-output sizing — the small-files control for object-store sinks
   * (the S3/file destination path, flow/connectors/s3/qrep.go writes one
   * Avro object per partition): bound BOTH the number of writer tasks and
