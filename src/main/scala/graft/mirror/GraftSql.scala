@@ -117,9 +117,11 @@ object GraftSql {
   /** Scripts catalog (the reference's `scripts` table,
     * nexus/catalog/migrations/V23__scripts.sql + flow/cmd/scripts.go
     * CRUD): named, durable transform sources referenced from CREATE
-    * MIRROR by `script 'name'`. The reference's lang enum is ('lua');
-    * this engine's transform language is a Spark SQL expression, so the
-    * one supported lang is 'sql'. */
+    * MIRROR by `script 'name'`. Lang 'sql' is the Spark-first
+    * transform (one SQL expression over the record frame); lang 'lua'
+    * is the reference's own extensibility surface — an `onRecord`
+    * queue-routing script running on [[graft.transform.Lua]]
+    * (flow/pua/peerdb.go types, kafka.go:340-390 contract). */
   final case class CreateScript(name: String, lang: String,
       source: String, orReplace: Boolean) extends Statement
   final case class DropScript(name: String) extends Statement
@@ -338,15 +340,29 @@ object GraftSql {
     * resolves the Lua script name against the catalog when the flow
     * starts; here resolution happens at config-build time, so a dropped
     * script fails the EXECUTE with a clear error). */
+  private def scriptEntry(spark: SparkSession, sn: String): Peer =
+    try scriptsFor(spark).get(sn) catch {
+      case _: NoSuchElementException => throw new NoSuchElementException(
+        s"script $sn (referenced by the mirror) does not exist")
+    }
+
+  /** SQL transform only: a `script 'name'` reference resolves through
+    * the catalog and feeds transformSql when it is a 'sql' script; a
+    * 'lua' script is the queue-routing kind ([[resolvedLua]]) and
+    * must NOT parse as a SQL expression. */
   private def resolvedTransform(spark: SparkSession,
       o: Map[String, String]): Option[String] =
-    o.get("transform").orElse(o.get("script").map { sn =>
-      val p = try scriptsFor(spark).get(sn) catch {
-        case _: NoSuchElementException => throw new NoSuchElementException(
-          s"script $sn (referenced by the mirror) does not exist")
-      }
-      p.options("source")
-    })
+    o.get("transform").orElse(o.get("script")
+      .map(scriptEntry(spark, _)).filter(_.kind == "sql")
+      .map(_.options("source")))
+
+  /** The `onRecord` queue-routing script (`script_lang 'lua'`,
+    * flow/pua/peerdb.go + kafka.go:340-390): resolved when the
+    * mirror's `script 'name'` names a lua catalog entry. */
+  private def resolvedLua(spark: SparkSession,
+      o: Map[String, String]): Option[String] =
+    o.get("script").map(scriptEntry(spark, _))
+      .filter(_.kind == "lua").map(_.options("source"))
 
   /** Alert configurations ride the same durable store (the reference's
     * alert-config CRUD RPCs, route.proto GetAlertConfigs/PostAlertConfig/
@@ -407,6 +423,7 @@ object GraftSql {
       // (see MirrorConfig.transformSql) — or `script 'name'` resolving a
       // catalog script by name.
       transformSql = resolvedTransform(spark, o),
+      luaScript = resolvedLua(spark, o),
       // agg_view 'group_col:value_col:dir' — a delta-maintained
       // (group → count, sum) view on the primary table (IncrementalAgg)
       aggViews = o.get("agg_view").map { spec =>
@@ -1360,10 +1377,18 @@ object GraftSql {
       mirrorsFor(spark).create(Peer(n, "mirror", o))
       Nil
     case CreateScript(n, lang, src, orReplace) =>
-      // lang enum check, the script_lang analog (V23__scripts.sql); the
-      // source must parse as one SQL expression — DDL-time validation.
-      require(lang == "sql", s"unsupported script lang '$lang' ('sql')")
-      spark.sessionState.sqlParser.parseExpression(src)
+      // lang enum — the reference's script_lang ('lua'),
+      // V23__scripts.sql, plus the Spark-first 'sql' expression form.
+      // DDL-time validation either way: a 'sql' source must parse as
+      // one SQL expression; a 'lua' source must parse AND define a
+      // callable `onRecord` (the kafka.go:352-356 check, moved to
+      // CREATE time).
+      lang match {
+        case "sql" => spark.sessionState.sqlParser.parseExpression(src)
+        case "lua" => new graft.transform.LuaQueueScript(src).validate()
+        case other => throw new IllegalArgumentException(
+          s"unsupported script lang '$other' ('sql' or 'lua')")
+      }
       val cat = scriptsFor(spark)
       if (orReplace) cat.drop(n)
       cat.create(Peer(n, lang, Map("source" -> src)))

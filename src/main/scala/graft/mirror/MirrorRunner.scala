@@ -147,6 +147,12 @@ final case class MirrorConfig(
       * ES connector's natural-upsert contract over the public REST
       * surface. */
     queueUrl: Option[String] = None,
+    /** `onRecord` queue-routing script (lang 'lua' in the scripts
+      * catalog — the reference's ONLY user extensibility surface,
+      * flow/pua/peerdb.go): when set, queue destinations shape each
+      * change record by calling the script instead of the default
+      * routing ([[graft.transform.LuaQueue]]). */
+    luaScript: Option[String] = None,
     /** Live SQL destination: `pg://user:pass@host:port/db[?flavor=…]`
       * routes every normalized batch through the staging→COPY→MERGE
       * warehouse loop ([[graft.sinks.WarehouseLoader]] over a real
@@ -917,7 +923,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // PubSub/EventHubs connectors are sync-only (kafka.go SyncRecords;
     // no normalize), so each batch publishes its shaped records over the
     // wire instead of merging.
-    if (cfg.queueUrl.isDefined) publishQueue(raw, batchId)
+    if (cfg.queueUrl.isDefined) publishQueue(raw, batch, batchId)
     // CLICKHOUSE destinations normalize SERVER-SIDE: the raw records
     // ship to the CH raw table and one INSERT…SELECT per table runs
     // there — the reference's CH flow, where no per-key MERGE exists
@@ -990,7 +996,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * at-least-once with key = uid, so a keyed/compacting consumer
     * converges to the same state (the reference's posture: no
     * idempotent-producer session, `kgo.Record` keys carry dedup). */
-  private def publishQueue(raw: DataFrame, batchId: Long): Unit = {
+  private def publishQueue(raw: DataFrame, batch: DataFrame,
+      batchId: Long): Unit = {
     import graft.model.ChangeRecord
     if (queueHighWaterMark.exists(batchId <= _)) return
     val url = cfg.queueUrl.get
@@ -998,6 +1005,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val es = "^es://([^:/?]+):(\\d+)/?$".r
     val changes = raw.filter(
       col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
+    // `onRecord` routing (script_lang 'lua'): the script shapes each
+    // record off the FULL change image (`batch` — source table and
+    // transaction id included, which the reduced raw projection
+    // drops), exactly the reference's per-record Lua call
+    // (kafka.go:340-390)
+    def luaShaped: Option[DataFrame] =
+      cfg.luaScript.map(graft.transform.LuaQueue.records(batch, _))
     val n = url match {
       case kafka(h, p, q) =>
         val params = Option(q).getOrElse("").split("&").iterator
@@ -1009,7 +1023,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
             }
           }.toMap
         graft.sinks.KafkaPublish.publish(
-          graft.sinks.QueueSink.defaultRecords(changes), h, p.toInt,
+          luaShaped.map(_.select("topic", "key", "value", "headers"))
+            .getOrElse(graft.sinks.QueueSink.defaultRecords(changes)),
+          h, p.toInt,
           acks = params.get("acks").map(_.toInt).getOrElse(-1),
           // ssh=user:pass@bastion[:port] — the destination socket
           // rides the same tunnel stack as the capture sources
@@ -1029,9 +1045,17 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         // live Pub/Sub publish (pubsub.go SyncRecords): per-key
         // ordered batches over the public REST API; the queue HWM
         // below is the SetLastOffset role — a failed publish throws
-        // before it advances, so the batch redelivers
-        graft.sinks.PubSubSink.publish(
-          graft.sinks.PubSubSink.defaultRecords(changes), u)
+        // before it advances, so the batch redelivers. A lua script's
+        // `key` is the ordering key (lvalueToPubSubMessage,
+        // pubsub.go:110-125); an absent key publishes unordered.
+        val shaped = luaShaped.map(_.select(
+          col("topic"),
+          coalesce(col("key"), lit("")).as("ordering_key"),
+          col("value"),
+          (coalesce(col("key"), lit("")) =!= "").as("ordered"),
+          col("__ord")))
+          .getOrElse(graft.sinks.PubSubSink.defaultRecords(changes))
+        graft.sinks.PubSubSink.publish(shaped, u)
       case es(h, p) =>
         // Stamp the id-scheme marker BEFORE reading the prior HWM is
         // overwritten below: a mirror publishing its FIRST batch today

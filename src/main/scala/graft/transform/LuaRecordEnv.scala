@@ -1,0 +1,490 @@
+package graft.transform
+
+import scala.collection.mutable
+
+import graft.transform.Lua._
+
+/** The peerdb Lua environment — the record/row surface user scripts
+  * program against, restated from flow/pua/peerdb.go:
+  *
+  *   - `peerdb.*` helpers (RowTable, RowColumns, RowColumnKind, Now,
+  *     UUID, Time, type, tostring, unix_epoch — peerdb.go:110-123);
+  *   - record userdata with kind/row/old/new/checkpoint/commit_time/
+  *     transaction_id/target/source/unchanged_columns
+  *     (LuaRecordIndex, peerdb.go:476-540);
+  *   - row userdata indexing columns (LuaRowIndex:158) with `#row` =
+  *     column count;
+  *   - the `json` module (gluajson) with `encode`/`decode`, where a
+  *     record encodes as its LuaRecordJson table (peerdb.go:552-570)
+  *     and a row as its column map.
+  *
+  * Values come from the parsed change-row JSON, so numbers keep the
+  * glua64 integer exactness ([[Lua.VInt]]) and strings/booleans/nulls
+  * map directly; nested JSON appears as tables. */
+object LuaRecordEnv {
+
+  /** One change record as the script sees it — built from the WAL
+    * batch row (the full [[graft.model.ChangeRecord]] image, not the
+    * reduced raw-table projection, so source table and transaction id
+    * survive to the script). */
+  final case class Rec(
+      recordType: Int,
+      checkpointId: Long,
+      commitTimeMicros: Long,
+      transactionId: Long,
+      sourceTable: String,
+      destinationTable: String,
+      data: String,
+      matchData: String,
+      unchangedToast: Seq[String])
+
+  // ------------------------------------------------------ JSON bridge
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jsonToLua(n: com.fasterxml.jackson.databind.JsonNode): V =
+    if (n == null || n.isNull) VNil
+    else if (n.isTextual) VStr(n.asText())
+    else if (n.isIntegralNumber && n.canConvertToLong) VInt(n.asLong())
+    else if (n.isNumber) VNum(n.asDouble())
+    else if (n.isBoolean) VBool(n.asBoolean())
+    else if (n.isArray) {
+      val t = new VTable
+      var i = 0
+      val it = n.elements()
+      while (it.hasNext) { i += 1; t.set(VInt(i.toLong), jsonToLua(it.next())) }
+      t
+    } else {
+      val t = new VTable
+      val it = n.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        t.set(VStr(e.getKey), jsonToLua(e.getValue))
+      }
+      t
+    }
+
+  /** Ordered column map of a row-image JSON (null/absent → empty). */
+  private def parseRow(json: String): Option[Vector[(String, V)]] =
+    Option(json).filter(_.nonEmpty).flatMap { j =>
+      scala.util.Try {
+        val n = mapper.readTree(j)
+        val out = Vector.newBuilder[(String, V)]
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          out += (e.getKey -> jsonToLua(e.getValue))
+        }
+        out.result()
+      }.toOption
+    }
+
+  private def jsonStr(sb: StringBuilder, s: String): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  /** gluajson-shaped encode: tables with a pure 1..n integer key set
+    * are arrays (empty → []), everything else objects; rows encode as
+    * their column maps; records as the LuaRecordJson table
+    * (peerdb.go:552-570); times as RFC3339. */
+  def jsonEncode(v: V): String = {
+    val sb = new StringBuilder
+    enc(sb, v)
+    sb.toString
+  }
+
+  private def enc(sb: StringBuilder, v: V): Unit = v match {
+    case VNil => sb.append("null")
+    case VBool(b) => sb.append(b)
+    case VInt(i) => sb.append(i)
+    case VNum(d) =>
+      if (d.isNaN || d.isInfinity) sb.append("null")
+      else if (d.isWhole && d.abs < 1e15) sb.append(d.toLong)
+      else sb.append(d)
+    case VStr(s) => jsonStr(sb, s)
+    case t: VTable =>
+      val n = t.len
+      if (t.hash.size == n) { // array (incl. empty)
+        sb.append('[')
+        var i = 1L
+        while (i <= n) {
+          if (i > 1) sb.append(',')
+          enc(sb, t.get(VInt(i)))
+          i += 1
+        }
+        sb.append(']')
+      } else {
+        sb.append('{')
+        var first = true
+        t.hash.foreach { case (k, value) =>
+          if (!first) sb.append(',')
+          first = false
+          jsonStr(sb, tostr(k))
+          sb.append(':')
+          enc(sb, value)
+        }
+        sb.append('}')
+      }
+    case u: VUserData => u.payload match {
+      case cols: Vector[_] => // a row: ordered column map
+        sb.append('{')
+        cols.asInstanceOf[Vector[(String, V)]].zipWithIndex.foreach {
+          case ((k, value), i) =>
+            if (i > 0) sb.append(',')
+            jsonStr(sb, k); sb.append(':'); enc(sb, value)
+        }
+        sb.append('}')
+      case r: Rec => enc(sb, recordJsonTable(r))
+      case _ => jsonStr(sb, u.ts(u.payload))
+    }
+    case f => jsonStr(sb, tostr(f))
+  }
+
+  // ---------------------------------------------------- userdata types
+
+  private val Rfc3339 = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  def timeUD(instant: java.time.Instant): VUserData =
+    VUserData("peerdb_time", instant,
+      index = (p, k) => {
+        val t = p.asInstanceOf[java.time.Instant]
+        k match {
+          case "unix" => VNum(t.getEpochSecond.toDouble +
+            t.getNano / 1e9)
+          case "unix_milli" => VInt(t.toEpochMilli)
+          case "unix_micro" => VInt(t.getEpochSecond * 1000000L +
+            t.getNano / 1000L)
+          case "unix_nano" => VInt(t.getEpochSecond * 1000000000L +
+            t.getNano.toLong)
+          case _ => VNil
+        }
+      },
+      ts = p => Rfc3339.format(p.asInstanceOf[java.time.Instant]))
+
+  def rowUD(cols: Vector[(String, V)]): VUserData = {
+    val lookup = cols.toMap
+    VUserData("peerdb_row", cols,
+      index = (_, k) => lookup.getOrElse(k, VNil),
+      ts = _ => "peerdb_row")
+  }
+
+  /** Row images by record type (the LuaRecordIndex dispatch,
+    * peerdb.go:481-513): insert row/new = data; update row/new = data
+    * and old = match image; delete row/old = the old image riding
+    * `data`, new absent. */
+  private def images(r: Rec): (Option[Vector[(String, V)]],
+      Option[Vector[(String, V)]], Option[Vector[(String, V)]]) = {
+    import graft.model.ChangeRecord._
+    val dataRow = parseRow(r.data)
+    val matchRow = parseRow(r.matchData)
+    r.recordType match {
+      case TypeInsert => (dataRow, None, dataRow)
+      case TypeUpdate => (dataRow, matchRow, dataRow)
+      case TypeDelete => (dataRow, dataRow, None)
+      case _ => (None, None, None)
+    }
+  }
+
+  private def kindOf(rt: Int): String = {
+    import graft.model.ChangeRecord._
+    rt match {
+      case TypeInsert => "insert"
+      case TypeUpdate => "update"
+      case TypeDelete => "delete"
+      case TypeRelation => "relation"
+      case TypeMessage => "message"
+      case _ => "unknown"
+    }
+  }
+
+  def recordUD(r: Rec): VUserData =
+    VUserData("peerdb_record", r,
+      index = (p, k) => {
+        val rec = p.asInstanceOf[Rec]
+        val (row, old, nw) = images(rec)
+        k match {
+          case "kind" => VStr(kindOf(rec.recordType))
+          case "row" => row.map(rowUD).getOrElse(VNil)
+          case "old" => old.map(rowUD).getOrElse(VNil)
+          case "new" => nw.map(rowUD).getOrElse(VNil)
+          case "checkpoint" => VInt(rec.checkpointId)
+          case "commit_time" => timeUD(java.time.Instant.ofEpochSecond(
+            rec.commitTimeMicros / 1000000L,
+            (rec.commitTimeMicros % 1000000L) * 1000L))
+          case "transaction_id" => VInt(rec.transactionId)
+          case "target" => VStr(rec.destinationTable)
+          case "source" => VStr(rec.sourceTable)
+          case "unchanged_columns" =>
+            if (rec.recordType == graft.model.ChangeRecord.TypeUpdate) {
+              val t = new VTable
+              rec.unchangedToast.foreach(c =>
+                t.set(VStr(c), VBool(true)))
+              t
+            } else VNil
+          case _ => VNil
+        }
+      },
+      ts = _ => "peerdb_record")
+
+  /** The LuaRecordJson table (peerdb.go:552-570): the seven fields +
+    * unchanged_columns for updates. */
+  private def recordJsonTable(r: Rec): VTable = {
+    val ud = recordUD(r)
+    val t = new VTable
+    Seq("kind", "old", "new", "checkpoint", "commit_time",
+      "transaction_id", "source").foreach { k =>
+      t.set(VStr(k), ud.index(r, k))
+    }
+    if (r.recordType == graft.model.ChangeRecord.TypeUpdate &&
+        r.unchangedToast.nonEmpty) {
+      val u = new VTable
+      r.unchangedToast.zipWithIndex.foreach { case (c, i) =>
+        u.set(VInt(i + 1L), VStr(c))
+      }
+      t.set(VStr("unchanged_columns"), u)
+    }
+    t
+  }
+
+  // ----------------------------------------------------- environment
+
+  private def native(name: String)(f: Seq[V] => Seq[V]): VNative =
+    VNative(name, f)
+
+  private def jsonModule(interp: Lua.Interp): VTable = {
+    val t = new VTable
+    t.set(VStr("encode"), native("encode")(a =>
+      Seq(VStr(jsonEncode(a.headOption.getOrElse(VNil))))))
+    t.set(VStr("decode"), native("decode") { a =>
+      a.headOption match {
+        case Some(VStr(s)) =>
+          Seq(scala.util.Try(jsonToLua(mapper.readTree(s)))
+            .getOrElse(throw new Lua.LuaError("json.decode: bad input")))
+        case _ => throw new Lua.LuaError("json.decode needs a string")
+      }
+    })
+    t
+  }
+
+  private def peerdbTable(interp: Lua.Interp): VTable = {
+    val t = new VTable
+    def rowOf(a: Seq[V]): Vector[(String, V)] = a.headOption match {
+      case Some(u: VUserData) if u.tag == "peerdb_row" =>
+        u.payload.asInstanceOf[Vector[(String, V)]]
+      case _ => throw new Lua.LuaError("peerdb: row expected")
+    }
+    t.set(VStr("RowTable"), native("RowTable") { a =>
+      val out = new VTable
+      rowOf(a).foreach { case (k, v) => out.set(VStr(k), v) }
+      Seq(out)
+    })
+    t.set(VStr("RowColumns"), native("RowColumns") { a =>
+      val out = new VTable
+      rowOf(a).zipWithIndex.foreach { case ((k, _), i) =>
+        out.set(VInt(i + 1L), VStr(k))
+      }
+      Seq(out)
+    })
+    t.set(VStr("RowColumnKind"), native("RowColumnKind") { a =>
+      val col = a.lift(1) match {
+        case Some(VStr(s)) => s
+        case _ => throw new Lua.LuaError("RowColumnKind needs a column")
+      }
+      Seq(VStr(rowOf(a).toMap.getOrElse(col, VNil) match {
+        case _: VInt => "int64"
+        case _: VNum => "float64"
+        case _: VStr => "string"
+        case _: VBool => "bool"
+        case _: VTable => "json"
+        case _ => "invalid"
+      }))
+    })
+    t.set(VStr("Now"), native("Now")(_ =>
+      Seq(timeUD(java.time.Instant.now()))))
+    t.set(VStr("UUID"), native("UUID")(_ =>
+      Seq(VStr(java.util.UUID.randomUUID().toString))))
+    t.set(VStr("Time"), native("Time") { a =>
+      a.headOption match {
+        case Some(VInt(i)) =>
+          Seq(timeUD(java.time.Instant.ofEpochSecond(i)))
+        case Some(VNum(d)) =>
+          Seq(timeUD(java.time.Instant.ofEpochSecond(d.toLong,
+            ((d - d.toLong) * 1e9).toLong)))
+        case _ => throw new Lua.LuaError("peerdb.Time needs a number")
+      }
+    })
+    t.set(VStr("Decimal"), native("Decimal") { a =>
+      val s = a.headOption.map(tostr).getOrElse("0")
+      val bd = new java.math.BigDecimal(s)
+      Seq(VUserData("peerdb_decimal", bd,
+        index = (_, _) => VNil, ts = _.toString))
+    })
+    t.set(VStr("type"), native("type") { a =>
+      Seq(VStr(a.headOption.getOrElse(VNil) match {
+        case u: VUserData => u.tag
+        case other => other.typeName
+      }))
+    })
+    t.set(VStr("tostring"), native("tostring")(a =>
+      Seq(VStr(tostr(a.headOption.getOrElse(VNil))))))
+    t.set(VStr("unix_epoch"), timeUD(java.time.Instant.EPOCH))
+    t
+  }
+
+  /** Fresh sandboxed environment with the peerdb surface + the json
+    * module preloaded under `require`. */
+  def env(interp: Lua.Interp,
+      printSink: String => Unit = _ => ()): Lua.Env = {
+    val g = Lua.baseEnv(interp,
+      modules = Map("json" -> jsonModule(interp)),
+      printSink = printSink)
+    g.define("peerdb", peerdbTable(interp))
+    g
+  }
+}
+
+/** Distributed execution of a queue-routing script over a WAL batch:
+  * one interpreter per Spark partition (the reference's LuaPool keeps
+  * one LState per worker the same way, kafka.go:239-248 /
+  * utils/lua.go LuaPool), records flowing through `onRecord` without
+  * ever collecting to the driver. */
+object LuaQueue {
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.types._
+
+  private val shapedSchema = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("headers", ArrayType(StructType(Seq(
+      StructField("key", StringType),
+      StructField("value", BinaryType))))),
+    // the zero-padded checkpoint: per-key publish order for the
+    // ordered destinations (Pub/Sub)
+    StructField("__ord", StringType)))
+
+  /** WAL batch → shaped queue records via the script's `onRecord`.
+    * Output: (topic, key, value, headers, __ord). Only change records
+    * flow (type ≤ delete), like the reference's record channel. */
+  def records(batch: DataFrame, script: String): DataFrame = {
+    val compiled = new LuaQueueScript(script)
+    val cols = Seq("recordType", "checkpointId", "commitTimeMicros",
+      "transactionId", "sourceTable", "destinationTable", "data",
+      "matchData", "unchangedToastColumns")
+    val enc = org.apache.spark.sql.Encoders.row(shapedSchema)
+    batch
+      .filter(col("recordType") <= graft.model.ChangeRecord.TypeDelete)
+      .select(cols.map(col): _*)
+      .mapPartitions { it =>
+        val runner = new compiled.PartitionRunner
+        it.flatMap { r =>
+          val rec = LuaRecordEnv.Rec(
+            r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5), r.getString(6),
+            r.getString(7),
+            Option(r.getSeq[String](8)).getOrElse(Nil))
+          val ord = "%019d".format(rec.checkpointId)
+          runner.onRecord(rec).map { sh =>
+            Row(sh.topic, sh.key, sh.value,
+              if (sh.headers.isEmpty) null
+              else sh.headers.map { case (k, v) =>
+                Row(k, v.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+              },
+              ord)
+          }
+        }
+      }(enc)
+  }
+}
+
+/** A compiled queue-routing script: the reference's `onRecord`
+  * contract (kafka.go:340-390, pubsub.go:102-140) — the function is
+  * called once per change record and each returned value becomes a
+  * queue record: `nil` drops, a string is a value-only record, a
+  * table carries {key, value, topic, partition, headers}; an empty
+  * topic defaults to the record's destination table (kafka.go:
+  * 376-378). Serializable: executors re-interpret the SOURCE per
+  * partition (the reference's LuaPool builds one LState per worker
+  * the same way). */
+final class LuaQueueScript(val source: String) extends Serializable {
+
+  /** One shaped queue record. */
+  final case class Shaped(topic: String, key: String, value: String,
+      partition: Int, headers: Seq[(String, String)])
+
+  @transient private lazy val ast = Lua.parse(source)
+
+  /** Build a fresh interpreter + env and run the chunk (defines
+    * onRecord). Returns (interp, env, onRecord). */
+  private def boot(): (Lua.Interp, Lua.Env, Lua.V) = {
+    val interp = new Lua.Interp()
+    val g = LuaRecordEnv.env(interp)
+    interp.run(ast, g)
+    val fn = g.lookup("onRecord").getOrElse(Lua.VNil)
+    fn match {
+      case _: Lua.VFunc | _: Lua.VNative => ()
+      case other => throw new Lua.LuaError(
+        s"script should define `onRecord` as function, not " +
+          other.typeName)
+    }
+    (interp, g, fn)
+  }
+
+  /** DDL-time validation: parse AND run the chunk, requiring a
+    * callable global `onRecord` (kafka.go:352-356's check, moved to
+    * CREATE time like the SQL-script parse check). */
+  def validate(): Unit = { boot(); () }
+
+  /** Per-partition executor: call with each record, collect shaped
+    * outputs. */
+  final class PartitionRunner {
+    private val (interp, _, fn) = boot()
+    def onRecord(rec: LuaRecordEnv.Rec): Seq[Shaped] = {
+      val results = interp.call(fn,
+        Seq(LuaRecordEnv.recordUD(rec)))
+      results.flatMap {
+        case Lua.VNil => None
+        case Lua.VStr(s) =>
+          Some(Shaped(rec.destinationTable, null, s, 0, Nil))
+        case t: Lua.VTable =>
+          def strOf(k: String): String = t.get(Lua.VStr(k)) match {
+            case Lua.VNil => null
+            case v => Lua.tostr(v)
+          }
+          val topic = Option(strOf("topic"))
+            .filter(_.nonEmpty).getOrElse(rec.destinationTable)
+          val partition = t.get(Lua.VStr("partition")) match {
+            case Lua.VInt(i) => i.toInt
+            case Lua.VNum(d) => d.toInt
+            case _ => 0
+          }
+          val headers = t.get(Lua.VStr("headers")) match {
+            case h: Lua.VTable =>
+              h.hash.toSeq.map { case (k, v) =>
+                Lua.tostr(k) -> Lua.tostr(v)
+              }
+            case Lua.VNil => Nil
+            case other => throw new Lua.LuaError(
+              "invalid headers, must be nil or table: " +
+                other.typeName)
+          }
+          Some(Shaped(topic, strOf("key"), strOf("value"), partition,
+            headers))
+        case other => throw new Lua.LuaError(
+          s"script returned invalid value: ${other.typeName}")
+      }
+    }
+  }
+}

@@ -1,0 +1,317 @@
+package graft.transform
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.transform.Lua._
+
+/** The minimal Lua interpreter: language semantics (closures,
+  * multi-returns, metatables, stdlib) and the peerdb record
+  * environment (flow/pua/peerdb.go surface) — the substrate
+  * `script_lang 'lua'` queue routing runs on. */
+class LuaSpec extends AnyFunSuite {
+
+  private def run(src: String): Seq[V] = {
+    val interp = new Interp()
+    val env = LuaRecordEnv.env(interp)
+    interp.run(Lua.parse("return (function() " + src +
+      " end)()"), env)
+  }
+  private def evalStr(src: String): String =
+    run(s"return $src").headOption.map(tostr).getOrElse("nil")
+
+  test("literals, arithmetic, integer exactness, precedence") {
+    assert(evalStr("1 + 2 * 3") == "7")
+    assert(evalStr("(1 + 2) * 3") == "9")
+    assert(evalStr("7 // 2") == "3")
+    assert(evalStr("-7 // 2") == "-4") // floor division
+    assert(evalStr("7 % 3") == "1")
+    assert(evalStr("-1 % 3") == "2") // Lua modulo is floored
+    assert(evalStr("2^10") == "1024")
+    assert(evalStr("10 / 4") == "2.5")
+    assert(evalStr("9007199254740993 + 0") == "9007199254740993",
+      "int arithmetic must not round through double")
+    assert(evalStr("0x1F") == "31")
+    assert(evalStr("'a' .. 1 .. 'b'") == "a1b")
+    assert(evalStr("1 == 1 and 'y' or 'n'") == "y")
+    intercept[LuaError] { run("return 'a' .. true") } // like real Lua
+    assert(evalStr("1 == 1.0") == "true")
+    assert(evalStr("'10' + 5") == "15") // string→number coercion
+  }
+
+  test("strings: escapes, length, concat, stdlib") {
+    assert(evalStr("""#"héllo"""") == "6") // byte length, like Lua
+    assert(evalStr("""("Hello"):upper()""") == "HELLO")
+    assert(evalStr("""string.sub("hello", 2, 4)""") == "ell")
+    assert(evalStr("""("hello"):sub(-3)""") == "llo")
+    assert(evalStr("""string.rep("ab", 3)""") == "ababab")
+    assert(evalStr("""string.format("%s=%d/%x", "k", 42, 255)""") ==
+      "k=42/ff")
+    assert(evalStr("""string.format("%.2f", 1.5)""") == "1.50")
+    assert(evalStr("""("a,b,c"):find(",", 1)""") == "2")
+    assert(evalStr("""("a,b"):gsub(",", ";")""") == "a;b")
+    assert(evalStr(""""x\ty\n"""") == "x\ty\n")
+  }
+
+  test("tables: constructors, nesting, length, insert/concat, pairs") {
+    assert(evalStr("#({10, 20, 30})") == "3")
+    assert(evalStr("({a = 1, b = 2}).b") == "2")
+    assert(evalStr("({[2 + 2] = 'four'})[4]") == "four")
+    assert(run("""
+      local t = {}
+      for i = 1, 5 do table.insert(t, i * i) end
+      return table.concat(t, ",")
+    """).map(tostr) == Seq("1,4,9,16,25"))
+    assert(run("""
+      local sum = 0
+      for k, v in pairs({a = 1, b = 2, c = 3}) do sum = sum + v end
+      return sum
+    """).map(tostr) == Seq("6"))
+    assert(run("""
+      local out = {}
+      for i, v in ipairs({"x", "y"}) do out[#out + 1] = i .. v end
+      return table.concat(out, "|")
+    """).map(tostr) == Seq("1x|2y"))
+  }
+
+  test("control flow: if/elseif, while, repeat, numeric for, break") {
+    assert(run("""
+      local function classify(n)
+        if n < 0 then return "neg"
+        elseif n == 0 then return "zero"
+        else return "pos" end
+      end
+      return classify(-5), classify(0), classify(9)
+    """).map(tostr) == Seq("neg", "zero", "pos"))
+    assert(run("""
+      local n, i = 0, 0
+      while true do
+        i = i + 1
+        if i > 10 then break end
+        n = n + i
+      end
+      return n
+    """).map(tostr) == Seq("55"))
+    assert(run("""
+      local i = 0
+      repeat i = i + 3 until i > 10
+      return i
+    """).map(tostr) == Seq("12"))
+    assert(run("""
+      local s = ""
+      for i = 10, 1, -3 do s = s .. i .. " " end
+      return s
+    """).map(tostr) == Seq("10 7 4 1 "))
+  }
+
+  test("functions: closures, multiple returns, varargs, method sugar, " +
+    "recursion") {
+    assert(run("""
+      local function counter()
+        local n = 0
+        return function() n = n + 1 return n end
+      end
+      local c = counter()
+      c(); c()
+      return c()
+    """).map(tostr) == Seq("3"))
+    assert(run("""
+      local function mm(a, b) return b, a end
+      local x, y = mm(1, 2)
+      return x, y
+    """).map(tostr) == Seq("2", "1"))
+    assert(run("""
+      local function sum(...)
+        local t = {...}
+        local s = 0
+        for i = 1, #t do s = s + t[i] end
+        return s
+      end
+      return sum(1, 2, 3, 4)
+    """).map(tostr) == Seq("10"))
+    assert(run("""
+      local obj = {n = 41}
+      function obj:bump() self.n = self.n + 1 return self.n end
+      return obj:bump()
+    """).map(tostr) == Seq("42"))
+    assert(run("""
+      local function fib(n)
+        if n < 2 then return n end
+        return fib(n - 1) + fib(n - 2)
+      end
+      return fib(15)
+    """).map(tostr) == Seq("610"))
+  }
+
+  test("metatables: __index chain (table and function), __tostring, " +
+    "__call; pcall catches errors") {
+    assert(run("""
+      local base = {greet = function(self) return "hi " .. self.name end}
+      local obj = setmetatable({name = "bob"}, {__index = base})
+      return obj:greet()
+    """).map(tostr) == Seq("hi bob"))
+    assert(run("""
+      local t = setmetatable({}, {__index = function(t, k)
+        return k .. "!"
+      end})
+      return t.boom
+    """).map(tostr) == Seq("boom!"))
+    assert(run("""
+      local ok, err = pcall(function() error("kaput") end)
+      return ok, err
+    """).map(tostr) == Seq("false", "kaput"))
+    assert(run("""
+      local f = setmetatable({}, {__call = function(self, x)
+        return x * 2
+      end})
+      return f(21)
+    """).map(tostr) == Seq("42"))
+  }
+
+  test("sandbox: no io/os, unknown require fails, runaway loops cut " +
+    "off by the step budget") {
+    assert(evalStr("io") == "nil")
+    assert(evalStr("os") == "nil")
+    intercept[LuaError] { run("""return require("socket")""") }
+    val interp = new Interp(maxSteps = 10000)
+    val env = LuaRecordEnv.env(interp)
+    intercept[LuaError] {
+      interp.run(Lua.parse("while true do end"), env)
+    }
+  }
+
+  test("json module: encode arrays vs objects, nested values, decode " +
+    "round trip") {
+    assert(evalStr("""require("json").encode({1, 2, 3})""") == "[1,2,3]")
+    assert(evalStr("""require("json").encode({a = 1})""") ==
+      """{"a":1}""")
+    assert(evalStr("""require("json").encode({})""") == "[]")
+    assert(evalStr(
+      """require("json").encode({s = "q\"uote", n = 1.5, b = true,
+        |x = {1, {y = 2}}})""".stripMargin.replace("\n", " "))
+      .contains(""""s":"q\"uote""""))
+    assert(run("""
+      local json = require "json"
+      local v = json.decode('{"id": 7, "tags": ["a", "b"], "d": 1.25}')
+      return v.id, v.tags[2], v.d
+    """).map(tostr) == Seq("7", "b", "1.25"))
+  }
+
+  test("peerdb record surface: kind/row/old/new/target/source/" +
+    "checkpoint/commit_time/unchanged_columns (peerdb.go:476-540)") {
+    import LuaRecordEnv._
+    val upd = Rec(graft.model.ChangeRecord.TypeUpdate, 777L,
+      1700000000000000L, 9L, "public.src_t", "dest_t",
+      """{"id":1,"v":20,"big":null}""", """{"id":1,"v":10}""",
+      Seq("toasty"))
+    val interp = new Interp()
+    val env = LuaRecordEnv.env(interp)
+    env.define("r", recordUD(upd))
+    def ev(expr: String): String =
+      interp.run(Lua.parse(s"return $expr"), env)
+        .headOption.map(tostr).getOrElse("nil")
+    assert(ev("r.kind") == "update")
+    assert(ev("r.target") == "dest_t")
+    assert(ev("r.source") == "public.src_t")
+    assert(ev("r.checkpoint") == "777")
+    assert(ev("r.transaction_id") == "9")
+    assert(ev("r.row.v") == "20")
+    assert(ev("r.old.v") == "10")
+    assert(ev("r.new.v") == "20")
+    assert(ev("r.row.big") == "nil") // explicit null reads nil
+    assert(ev("r.unchanged_columns.toasty") == "true")
+    assert(ev("tostring(r.commit_time)") == "2023-11-14T22:13:20Z")
+    assert(ev("r.commit_time.unix_micro") == "1700000000000000")
+    assert(ev("peerdb.RowColumnKind(r.row, 'id')") == "int64")
+    assert(ev("#peerdb.RowColumns(r.row)") == "3")
+    assert(ev("peerdb.RowTable(r.row).id") == "1")
+    assert(ev("""require("json").encode(r.row)""") ==
+      """{"id":1,"v":20,"big":null}""")
+
+    val del = Rec(graft.model.ChangeRecord.TypeDelete, 778L,
+      1700000000000000L, 9L, "public.src_t", "dest_t",
+      """{"id":2,"v":5}""", """{"id":2}""", Nil)
+    env.define("d", recordUD(del))
+    assert(ev("d.kind") == "delete")
+    assert(ev("d.old.id") == "2")
+    assert(ev("d.new") == "nil")
+    assert(ev("d.unchanged_columns") == "nil")
+  }
+
+  test("onRecord contract: the reference's kafka routing script runs " +
+    "unmodified — table results map to (topic,key,value,headers), " +
+    "nil drops, a string is value-only, empty topic defaults to the " +
+    "destination (kafka.go:173-224,376-378)") {
+    // a PeerDB-docs-shaped routing script, as a user would write it
+    val script = new LuaQueueScript("""
+      local json = require "json"
+      function onRecord(r)
+        if r.kind == "delete" then
+          return nil -- drop deletes from the topic
+        end
+        if r.row.priority ~= nil and r.row.priority > 5 then
+          return {
+            topic = "hot." .. r.target,
+            key = tostring(r.row.id),
+            value = json.encode(r.row),
+            headers = {src = r.source},
+          }
+        end
+        return {
+          key = tostring(r.row.id),
+          value = json.encode(r.row),
+        }
+      end
+    """)
+    script.validate()
+    val runner = new script.PartitionRunner
+    import LuaRecordEnv.Rec
+    import graft.model.ChangeRecord._
+    def rec(rt: Int, data: String) =
+      Rec(rt, 1L, 0L, 0L, "public.t", "events", data,
+        if (rt == TypeDelete) data else null, Nil)
+
+    val hot = runner.onRecord(rec(TypeInsert,
+      """{"id":7,"priority":9,"msg":"now"}"""))
+    assert(hot == Seq(runner.onRecord(rec(TypeInsert,
+      """{"id":7,"priority":9,"msg":"now"}""")).head))
+    assert(hot.head.topic == "hot.events")
+    assert(hot.head.key == "7")
+    assert(hot.head.value == """{"id":7,"priority":9,"msg":"now"}""")
+    assert(hot.head.headers == Seq("src" -> "public.t"))
+
+    val cold = runner.onRecord(rec(TypeInsert,
+      """{"id":8,"priority":1}"""))
+    assert(cold.head.topic == "events", "empty topic → destination")
+    assert(runner.onRecord(rec(TypeDelete, """{"id":7}""")).isEmpty,
+      "nil return drops the record")
+
+    // string return = value-only record (kafka.go:176-178)
+    val s2 = new LuaQueueScript(
+      """function onRecord(r) return "plain:" .. r.target end""")
+    val r2 = (new s2.PartitionRunner).onRecord(
+      rec(TypeInsert, """{"id":1}"""))
+    assert(r2 == Seq(r2.head.copy(topic = "events", key = null,
+      value = "plain:events")))
+
+    // multiple return values → multiple records (ls.GetTop loop,
+    // kafka.go:367-383)
+    val s3 = new LuaQueueScript("""
+      function onRecord(r)
+        return {value = "a"}, {value = "b", topic = "other"}
+      end""")
+    val r3 = (new s3.PartitionRunner).onRecord(
+      rec(TypeInsert, """{"id":1}"""))
+    assert(r3.map(x => (x.topic, x.value)) ==
+      Seq(("events", "a"), ("other", "b")))
+
+    // a script without onRecord fails validation loudly
+    intercept[LuaError] {
+      new LuaQueueScript("local x = 1").validate()
+    }
+    // and a syntax error fails at parse
+    intercept[LuaError] {
+      new LuaQueueScript("function onRecord(r) return end end")
+        .validate()
+    }
+  }
+}
