@@ -518,9 +518,9 @@ object GraftSql {
       // library-only)
       warehouseUrl = o.get("warehouse_url").map { u =>
         require(u.startsWith("pg://") || u.startsWith("clickhouse://") ||
-          u.startsWith("snowflake://"),
+          u.startsWith("snowflake://") || u.startsWith("bigquery://"),
           "CREATE MIRROR: warehouse_url must be pg://…, " +
-            s"clickhouse://… or snowflake://…, got '$u'")
+            s"clickhouse://…, snowflake://… or bigquery://…, got '$u'")
         u
       })
     // schema_migration is validated HERE (DDL time) so a typo'd value
@@ -1358,6 +1358,17 @@ object GraftSql {
       // missing or unparsable catalog script fails the CREATE.
       resolvedTransform(spark, o).foreach(
         spark.sessionState.sqlParser.parseExpression(_))
+      // a lua script is queue routing (onRecord) — on a mirror whose
+      // destination never calls it, it would silently never run
+      // (kafka/pubsub honor scripts, like the reference's connectors;
+      // es:// has its own _id contract and no script hook)
+      if (resolvedLua(spark, o).isDefined &&
+          !o.get("queue_url").exists(u => u.startsWith("kafka://") ||
+            u.startsWith("pubsub://")))
+        throw new IllegalArgumentException(
+          "CREATE MIRROR: a lua script routes queue records " +
+            "(onRecord) — it needs a kafka:// or pubsub:// queue_url; " +
+            "for row transforms use a 'sql' script or transform 'expr'")
       // Snapshot options cohere at DDL time: a snapshot needs a source
       // — a parquet dir, or a pgwire://(exported-snapshot) /
       // mysql://(binlog-position) capture endpoint for the live
@@ -1607,14 +1618,16 @@ object GraftSql {
           // _peerdb_resync tables (silent-resurrection hazard) and
           // pre-create them LIKE the originals so a schema-migrated
           // destination survives the swap with its constraints.
-          if (cfg.warehouseUrl.exists(_.startsWith("snowflake://")))
+          if (cfg.warehouseUrl.exists(u =>
+              u.startsWith("snowflake://") ||
+                u.startsWith("bigquery://")))
             // the PG swap rides a single pgwire transaction and the CH
-            // swap rides EXCHANGE TABLES; neither exists on the SQL
-            // API surface yet — fail the RESYNC loudly instead of
-            // crashing into a pgwire connect on a REST endpoint
+            // swap rides EXCHANGE TABLES; neither exists on the REST
+            // SQL-API surfaces yet — fail the RESYNC loudly instead of
+            // crashing into a pgwire connect on an HTTP endpoint
             throw new UnsupportedOperationException(
-              "RESYNC MIRROR: snowflake:// destinations have no live " +
-                "swap yet — DROP and recreate the mirror instead")
+              "RESYNC MIRROR: snowflake:///bigquery:// destinations " +
+                "have no live swap yet — DROP and recreate the mirror")
           else if (cfg.warehouseUrl.exists(_.startsWith("clickhouse://")))
             Maintenance.prepareLiveResyncClickHouse(cfg)
           else Maintenance.prepareLiveResync(cfg)

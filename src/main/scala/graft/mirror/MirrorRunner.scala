@@ -265,22 +265,35 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * reference's ReplayTableSchemaDeltas). */
   private final class WarehouseDest(url: String) {
     private val ep = graft.cdc.CaptureEndpoint.parse(url)
-    private val isSnowflake = ep.scheme == "snowflake"
-    private val flavor =
-      if (isSnowflake) "snowflake" else ep.param("flavor", "postgres")
+    private val flavor = ep.scheme match {
+      case "snowflake" => "snowflake"
+      case "bigquery" => "bigquery"
+      case _ => ep.param("flavor", "postgres")
+    }
+    private val restApi = flavor == "snowflake" || flavor == "bigquery"
+    private val dialect = flavor match {
+      case "snowflake" => graft.types.QKind.Dialect.Snowflake
+      case "bigquery" => graft.types.QKind.Dialect.BigQuery
+      case _ => graft.types.QKind.Dialect.Ansi // pg family
+    }
     private val created = scala.collection.mutable.Set.empty[String]
     private def connect(): graft.server.PgClient =
       graft.server.PgClients.connect(ep, Nil) // honors ssl=/ssh= params
     def load(table: String, tc: TableConfig,
         normalized: org.apache.spark.sql.DataFrame,
         batchId: Long): Unit = {
-      // pg family holds one pgwire session per batch; snowflake://
-      // statements ride the stateless SQL API ([[SnowflakeSqlApi]])
+      // pg family holds one pgwire session per batch; snowflake:// and
+      // bigquery:// statements ride their stateless REST SQL APIs
+      // ([[SnowflakeSqlApi]] / [[BigQuerySqlApi]])
       val (exec, close): (graft.sinks.SqlExecutor, () => Unit) =
-        if (isSnowflake) (new graft.sinks.SnowflakeSqlApi(url), () => ())
-        else {
-          val c = connect()
-          (new graft.sinks.PgWarehouse(c), () => c.close())
+        flavor match {
+          case "snowflake" =>
+            (new graft.sinks.SnowflakeSqlApi(url), () => ())
+          case "bigquery" =>
+            (new graft.sinks.BigQuerySqlApi(url), () => ())
+          case _ =>
+            val c = connect()
+            (new graft.sinks.PgWarehouse(c), () => c.close())
         }
       try {
         val live = table + cfg.warehouseTableSuffix
@@ -293,11 +306,10 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         // a crash between COPY and DROP can leave a stale staging
         // table with an older schema — every load starts clean
         exec.execute("DROP TABLE IF EXISTS " + graft.sinks
-          .MergeSqlGenerator.qualified(target.stagingTable))
-        if (isSnowflake)
+          .MergeSqlGenerator.qualified(target.stagingTable, dialect))
+        if (restApi)
           graft.sinks.MergeSqlGenerator.alterAddColumnStatements(
-            target, graft.types.QKind.Dialect.Snowflake)
-            .foreach(exec.execute)
+            target, dialect).foreach(exec.execute)
         else exec.execute(
           graft.sinks.MergeSqlGenerator.alterAddColumns(target))
         loader.loadBatch(normalized,

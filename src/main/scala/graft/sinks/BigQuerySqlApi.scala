@@ -1,0 +1,171 @@
+package graft.sinks
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** [[SqlExecutor]] over BigQuery's public REST API — the third live
+  * binding of the [[WarehouseLoader]] seam. The reference drives
+  * BigQuery through the Go SDK (flow/connectors/bigquery/bigquery.go;
+  * merge generation in merge_stmt_generator.go:26-224 — the RANK-dedup
+  * the reference's CTE performs warehouse-side already ran Spark-side
+  * in [[graft.cdc.Normalizer]], so the statements here are the
+  * engine's deduped-batch MERGE in BigQuery's backtick dialect). Over
+  * REST:
+  *
+  *   - statements run via `POST /bigquery/v2/projects/{p}/queries`
+  *     (`useLegacySql:false`); an incomplete job polls
+  *     `GET /queries/{jobId}` until `jobComplete` (the documented
+  *     long-running contract); errors carry a JSON `message`;
+  *   - the bulk leg is the streaming-insert API
+  *     (`POST .../datasets/{d}/tables/{t}/insertAll`) with one typed
+  *     JSON object per staged Avro row — the SDK path stages Avro on
+  *     GCS and load-jobs it; insertAll is the REST-native equivalent
+  *     into the same transient staging table, and any `insertErrors`
+  *     in the response fail the batch loudly.
+  *
+  * URL: `bigquery://host:port/project?dataset=D&token=T[&tls=true]`
+  * (the real service is `bigquery.googleapis.com:443` + `tls=true`).
+  * Dotted table names quote as `dataset.table`; undotted ones live in
+  * the URL's dataset. */
+final class BigQuerySqlApi(url: String) extends SqlExecutor {
+
+  private val ep = graft.cdc.CaptureEndpoint.parse(url)
+  require(ep.scheme == "bigquery",
+    s"bigquery:// url expected, got '$url'")
+  private val project =
+    if (ep.database.nonEmpty) ep.database
+    else throw new IllegalArgumentException(
+      s"bigquery url must carry the project as its path: '$url'")
+  private val dataset = ep.param("dataset", "peerdb")
+  private val scheme = if (ep.param("tls", "false") == "true") "https"
+    else "http"
+  private val base = s"$scheme://${ep.host}:${ep.port}"
+  private val pollMs = ep.param("poll_ms", "250").toLong
+  private val maxPolls = ep.param("max_polls", "240").toInt
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def request(method: String, path: String,
+      body: Option[String]): (Int, String) = {
+    val c = new URL(base + path).openConnection()
+      .asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(ep.param("connect_timeout_ms", "5000").toInt)
+    c.setReadTimeout(ep.param("read_timeout_ms", "60000").toInt)
+    c.setRequestProperty("Content-Type", "application/json")
+    ep.params.get("token").foreach(t =>
+      c.setRequestProperty("Authorization", s"Bearer $t"))
+    body.foreach { b =>
+      c.setDoOutput(true)
+      val out = c.getOutputStream
+      try out.write(b.getBytes(UTF_8)) finally out.close()
+    }
+    try {
+      val code = c.getResponseCode
+      val stream = if (code >= 400) c.getErrorStream else c.getInputStream
+      val text =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(), UTF_8)
+        finally stream.close()
+      (code, text)
+    } finally c.disconnect()
+  }
+
+  private def fieldOf(json: String, name: String): Option[String] =
+    ("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  override def execute(sql: String): Unit = {
+    var (code, body) = request("POST",
+      s"/bigquery/v2/projects/$project/queries",
+      Some("{" +
+        s""""query":${jsonStr(sql)},"useLegacySql":false,""" +
+        // unqualified table names in the generated statements resolve
+        // through the request's default dataset (the documented knob)
+        s""""defaultDataset":{"projectId":${jsonStr(project)},""" +
+        s""""datasetId":${jsonStr(dataset)}},""" +
+        s""""timeoutMs":${ep.param("statement_timeout_ms", "60000")}""" +
+        "}"))
+    var polls = 0
+    // jobComplete:false = still running — poll the job id
+    while (code == 200 && body.contains("\"jobComplete\":false") &&
+        polls < maxPolls) {
+      val jobId = fieldOf(body, "jobId").getOrElse(
+        throw new java.io.IOException(
+          s"bigquery: incomplete job without jobId: ${body.take(300)}"))
+      Thread.sleep(pollMs)
+      val r = request("GET",
+        s"/bigquery/v2/projects/$project/queries/$jobId", None)
+      code = r._1; body = r._2
+      polls += 1
+    }
+    if (code != 200 || body.contains("\"errors\""))
+      throw new java.io.IOException("bigquery statement failed " +
+        s"(HTTP $code): ${fieldOf(body, "message").getOrElse(
+          body.take(300))}")
+  }
+
+  /** Typed JSON image of one staged value for insertAll: strings and
+    * temporals as JSON strings, numerics bare, binary base64 (the
+    * streaming-insert representation BigQuery documents per type). */
+  private def jsonVal(dt: DataType, v: Any): String =
+    if (v == null) "null"
+    else dt match {
+      case StringType | DateType | TimestampType | TimestampNTZType =>
+        jsonStr(v.toString)
+      case BinaryType => jsonStr(java.util.Base64.getEncoder
+        .encodeToString(v.asInstanceOf[Array[Byte]]))
+      case BooleanType => v.toString
+      case _: DecimalType => jsonStr(
+        v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case _ => v.toString
+    }
+
+  /** `dataset.table` split: a dotted name carries its own dataset,
+    * an undotted one lives in the URL's. */
+  private def datasetAndTable(name: String): (String, String) =
+    name.split('.') match {
+      case Array(d, t) => (d, t)
+      case Array(t) => (dataset, t)
+      case parts => (parts.init.mkString("."), parts.last)
+    }
+
+  override def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit = {
+    val (ds, table) = datasetAndTable(stagingTable)
+    val rowsPerInsert = ep.param("rows_per_insert", "500").toInt
+    def rowJson(r: Row): String =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        jsonStr(f.name) + ":" +
+          jsonVal(f.dataType, if (r.isNullAt(i)) null else r.get(i))
+      }.mkString("""{"json":{""", ",", "}}")
+    files.foreach { f =>
+      val in = Files.newInputStream(Paths.get(f))
+      try AvroStage.streamContainer(in, schema)
+        .grouped(rowsPerInsert).foreach { chunk =>
+          val (code, body) = request("POST",
+            s"/bigquery/v2/projects/$project/datasets/$ds/tables/" +
+              s"$table/insertAll",
+            Some(s"""{"rows":[${chunk.map(rowJson).mkString(",")}]}"""))
+          if (code != 200 || body.contains("\"insertErrors\""))
+            throw new java.io.IOException("bigquery insertAll " +
+              s"failed (HTTP $code): ${body.take(300)}")
+        }
+      finally in.close()
+    }
+  }
+}

@@ -47,15 +47,18 @@ object MergeSqlGenerator {
     * reference's generators quote throughout,
     * snowflake/merge_stmt_generator.go, postgres/
     * normalize_stmt_generator.go). */
-  def qualified(name: String,
-      dialect: QKind.Dialect = QKind.Dialect.Ansi): String = {
-    val quote: String => String = dialect match {
+  /** The dialect's identifier quote (backticks on the CH/BQ lexers,
+    * ANSI double quotes elsewhere). */
+  private def quoteFor(dialect: QKind.Dialect): String => String =
+    dialect match {
       case QKind.Dialect.ClickHouse | QKind.Dialect.BigQuery =>
         id => "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`"
       case _ => q
     }
-    name.split('.').map(quote).mkString(".")
-  }
+
+  def qualified(name: String,
+      dialect: QKind.Dialect = QKind.Dialect.Ansi): String =
+    name.split('.').map(quoteFor(dialect)).mkString(".")
 
   def dataColumns(t: MergeTarget): Seq[String] =
     t.schema.fieldNames.toSeq
@@ -250,7 +253,7 @@ object MergeSqlGenerator {
     dataColumns(t).map { cn =>
       val f = t.schema(cn)
       s"ALTER TABLE ${qualified(t.table, dialect)} " +
-        s"ADD COLUMN IF NOT EXISTS ${q(cn)} " +
+        s"ADD COLUMN IF NOT EXISTS ${quoteFor(dialect)(cn)} " +
         QKind.toDdl(QKind.fromSpark(f.dataType), dialect)
     }
 
@@ -306,41 +309,49 @@ object MergeSqlGenerator {
     *                     its update is skipped entirely (a stale combo list
     *                     is data loss, not degradation).
     */
-  def merge(t: MergeTarget, absentCombos: Seq[String]): String = {
-    val pkOn = t.pkColumns.map(c => s"dst.${q(c)} = src.${q(c)}")
+  def merge(t: MergeTarget, absentCombos: Seq[String],
+      dialect: QKind.Dialect = QKind.Dialect.Ansi): String = {
+    // the one dialect seam in the MERGE is the identifier quote:
+    // BigQuery's lexer takes backticks (merge_stmt_generator.go:26-224
+    // quotes `...` throughout), Snowflake/PG the ANSI double quote
+    val qi = quoteFor(dialect)
+    val pkOn = t.pkColumns.map(c => s"dst.${qi(c)} = src.${qi(c)}")
       .mkString(" AND ")
     val setMeta = Seq(
-      s"${q(RawTable.Version)} = src.${q(RawTable.Version)}",
-      s"${q(RawTable.SyncedAt)} = CURRENT_TIMESTAMP")
+      s"${qi(RawTable.Version)} = src.${qi(RawTable.Version)}",
+      s"${qi(RawTable.SyncedAt)} = CURRENT_TIMESTAMP")
     val insCols = (dataColumns(t) ++
-      Seq(RawTable.Version, RawTable.IsDeleted, RawTable.SyncedAt)).map(q)
-    val insVals = dataColumns(t).map(c => s"src.${q(c)}") ++
-      Seq(s"src.${q(RawTable.Version)}",
-        s"src.${q(RawTable.IsDeleted)}", "CURRENT_TIMESTAMP")
-    val newer = s"src.${q(RawTable.Version)} >= dst.${q(RawTable.Version)}"
+      Seq(RawTable.Version, RawTable.IsDeleted, RawTable.SyncedAt))
+      .map(qi)
+    val insVals = dataColumns(t).map(c => s"src.${qi(c)}") ++
+      Seq(s"src.${qi(RawTable.Version)}",
+        s"src.${qi(RawTable.IsDeleted)}", "CURRENT_TIMESTAMP")
+    val newer =
+      s"src.${qi(RawTable.Version)} >= dst.${qi(RawTable.Version)}"
     val absentIs = (combo: String) =>
-      s"COALESCE(src.${q(Normalizer.AbsentCols)}, '') = ${sqlStr(combo)}"
+      s"COALESCE(src.${qi(Normalizer.AbsentCols)}, '') = ${sqlStr(combo)}"
     val whenDelete =
       if (t.softDelete)
-        s"""WHEN MATCHED AND src.${q(RawTable.IsDeleted)} AND $newer THEN
-           |  UPDATE SET ${q(RawTable.IsDeleted)} = TRUE,
+        s"""WHEN MATCHED AND src.${qi(RawTable.IsDeleted)} AND $newer THEN
+           |  UPDATE SET ${qi(RawTable.IsDeleted)} = TRUE,
            |    ${(setMeta).mkString(", ")}""".stripMargin
       else
-        s"WHEN MATCHED AND src.${q(RawTable.IsDeleted)} AND $newer THEN" +
-          " DELETE"
+        s"WHEN MATCHED AND src.${qi(RawTable.IsDeleted)} AND $newer " +
+          "THEN DELETE"
     val updateBranches = absentCombos.distinct.sorted.map { combo =>
       val absent = combo.split(",").filter(_.nonEmpty).toSet
       val setCols = valueColumns(t).filterNot(absent.contains)
-        .map(c => s"${q(c)} = src.${q(c)}")
-      s"""WHEN MATCHED AND NOT src.${q(RawTable.IsDeleted)} AND $newer
+        .map(c => s"${qi(c)} = src.${qi(c)}")
+      s"""WHEN MATCHED AND NOT src.${qi(RawTable.IsDeleted)} AND $newer
          |  AND ${absentIs(combo)} THEN
          |  UPDATE SET ${(setCols ++ setMeta :+
-        s"${q(RawTable.IsDeleted)} = FALSE").mkString(", ")}""".stripMargin
+        s"${qi(RawTable.IsDeleted)} = FALSE").mkString(", ")}"""
+        .stripMargin
     }
     val insertGuard =
-      if (t.softDelete) "" else s" AND NOT src.${q(RawTable.IsDeleted)}"
-    s"""MERGE INTO ${qualified(t.table)} dst
-       |USING ${qualified(t.stagingTable)} src
+      if (t.softDelete) "" else s" AND NOT src.${qi(RawTable.IsDeleted)}"
+    s"""MERGE INTO ${qualified(t.table, dialect)} dst
+       |USING ${qualified(t.stagingTable, dialect)} src
        |ON $pkOn
        |$whenDelete
        |${updateBranches.mkString("\n")}

@@ -282,7 +282,8 @@ final class StubWarehouse(spark: SparkSession,
     if (up.startsWith("ARRAY(")) return ArrayType(sparkTypeOf(inner(6)))
     if (up.endsWith(" ARRAY"))
       return ArrayType(sparkTypeOf(raw.dropRight(6)))
-    val Dec = """(?:DECIMAL|NUMERIC|NUMBER)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    val Dec =
+      """(?:DECIMAL|NUMERIC|NUMBER|BIGNUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
     up match {
       case Dec(p, s) => DecimalType(p.toInt, s.toInt)
       case "BOOLEAN" | "BOOL" => BooleanType

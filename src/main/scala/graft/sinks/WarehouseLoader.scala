@@ -94,7 +94,7 @@ final class WarehouseLoader(
     if (isClickhouse)
       exec.execute(MergeSqlGenerator.clickhouseInsert(target))
     else if (useMerge)
-      exec.execute(MergeSqlGenerator.merge(target, combos))
+      exec.execute(MergeSqlGenerator.merge(target, combos, dialect))
     else
       MergeSqlGenerator.upsertFallback(target, combos).foreach(exec.execute)
     exec.execute("DROP TABLE IF EXISTS " +

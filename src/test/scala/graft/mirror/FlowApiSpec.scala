@@ -202,7 +202,9 @@ class FlowApiSpec extends SparkSpec {
     assert(ok2 && err2.isEmpty)
     assert(ran.size == 1)
     val sql = ran.head
-    assert(sql.contains("ARRAY['public.owners']::text[]"))
+    // the quoted chain preserves case through the DO block's
+    // ::regclass / pg_get_serial_sequence identifier parsing
+    assert(sql.contains("ARRAY['\"public\".\"owners\"']::text[]"), sql)
     assert(sql.contains("pg_get_serial_sequence"))
     assert(sql.contains("setval(v_seq, v_max, true)"))
     assert(sql.contains("NOT a.attisdropped"))
@@ -216,9 +218,10 @@ class FlowApiSpec extends SparkSpec {
       })))
     assert(!ok3 && err3.contains("failed to reset sequences"))
     // quoting: a table name with a quote is ''-escaped into the array
+    // (around the identifier-quoted chain)
     assert(graft.sinks.MergeSqlGenerator
       .resetSequencesSql(Seq("sch.o'brien"))
-      .contains("ARRAY['sch.o''brien']::text[]"))
+      .contains("ARRAY['\"sch\".\"o''brien\"']::text[]"))
     api.flowStateChange("fa_seq", "TERMINATED")
   }
 }

@@ -75,15 +75,21 @@ class MongoSnapshotFlowSpec extends SparkSpec {
               val selected = field(doc, "filter")
                 .flatMap { case (_, f) => field(f, "_id") } match {
                   case Some((_, r)) =>
-                    def b(k: String): Long = field(r, k).map {
+                    def b(k: String): Option[Long] = field(r, k).map {
                       case (0x12, v) => int64Of(v)
                       case (0x10, v) => int32Of(v).toLong
                       case other => fail(s"bad bound $other")
-                    }.get
-                    val (lo, hi) = (b("$gte"), b("$lte"))
+                    }
+                    // half-open ($lt) and inclusive ($lte) both serve
+                    // — numeric ranges chain [lo, nextLo) with an
+                    // inclusive final range
+                    val lo = b("$gte").get
+                    val hiIncl = b("$lte")
+                    val hiExcl = b("$lt")
                     docs.filter { d =>
                       val id = d.fields.head._2.asInstanceOf[BInt64].v
-                      id >= lo && id <= hi
+                      id >= lo && hiIncl.forall(id <= _) &&
+                        hiExcl.forall(id < _)
                     }
                   case None => docs
                 }

@@ -117,7 +117,19 @@ class LuaQueueSpec extends SparkSpec {
        |  checkpoint_dir '$base/ckpt', pk 'id',
        |  table 'dest.t', schema 'id BIGINT, v BIGINT',
        |  script 'ok',
-       |  queue_url 'es://127.0.0.1:9')""".stripMargin)
-    run("DROP MIRROR luaddl"); run("DROP SCRIPT ok")
+       |  queue_url 'kafka://127.0.0.1:9')""".stripMargin)
+    run("DROP MIRROR luaddl")
+    // a lua script on a destination that never calls onRecord is a
+    // silent no-op — the DDL rejects it (es:// has no script hook)
+    val e = intercept[IllegalArgumentException] {
+      run(s"""CREATE MIRROR luanohook WITH (
+         |  wal_dir '$base/wal2', dest_dir '$base/dest2',
+         |  checkpoint_dir '$base/ckpt2', pk 'id',
+         |  table 'dest.t', schema 'id BIGINT, v BIGINT',
+         |  script 'ok',
+         |  queue_url 'es://127.0.0.1:9')""".stripMargin)
+    }
+    assert(e.getMessage.contains("onRecord"), e.getMessage)
+    run("DROP SCRIPT ok")
   }
 }

@@ -223,6 +223,7 @@ class LuaSpec extends AnyFunSuite {
     assert(ev("r.commit_time.unix_micro") == "1700000000000000")
     assert(ev("peerdb.RowColumnKind(r.row, 'id')") == "int64")
     assert(ev("#peerdb.RowColumns(r.row)") == "3")
+    assert(ev("#r.row") == "3") // LuaRowLen (__len on row userdata)
     assert(ev("peerdb.RowTable(r.row).id") == "1")
     assert(ev("""require("json").encode(r.row)""") ==
       """{"id":1,"v":20,"big":null}""")
