@@ -220,51 +220,79 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       }
   }
 
+  /** Executor + dialect + flavor for a `dest_url` scheme. PG keeps a
+    * live pgwire session (the `close` leg); ClickHouse rides the HTTP
+    * interface; Snowflake/BigQuery their REST SQL APIs — the same
+    * per-scheme routing the CDC mirror's warehouse destination uses. */
+  private def liveExecutor(url: String): (graft.sinks.SqlExecutor,
+      graft.types.QKind.Dialect, String, () => Unit) = {
+    import graft.types.QKind.Dialect
+    graft.cdc.CaptureEndpoint.parse(url).scheme match {
+      case "clickhouse" =>
+        (new graft.sinks.ClickHouseExecutor(url), Dialect.ClickHouse,
+          "clickhouse", () => ())
+      case "snowflake" =>
+        (new graft.sinks.SnowflakeSqlApi(url), Dialect.Snowflake,
+          "snowflake", () => ())
+      case "bigquery" =>
+        (new graft.sinks.BigQuerySqlApi(url), Dialect.BigQuery,
+          "bigquery", () => ())
+      case _ =>
+        val c = graft.server.PgClients.connect(url, Nil)
+        val flavor = graft.cdc.CaptureEndpoint.parse(url)
+          .param("flavor", "postgres")
+        (new graft.sinks.PgWarehouse(c), Dialect.Ansi, flavor,
+          () => c.close())
+    }
+  }
+
   /** Append/Overwrite into a live SQL destination: plain query columns
     * (no merge meta — QRep append is the reference's raw-shape load),
-    * staged as Avro and COPY'd in one pass. Overwrite TRUNCATEs first
-    * (full-refresh disposition). */
+    * staged as Avro and bulk-loaded in one pass. Overwrite TRUNCATEs
+    * first (full-refresh disposition): on PG the TRUNCATE and COPY
+    * share one transaction (a mid-load crash rolls back to the
+    * previous snapshot); ClickHouse/Snowflake/BigQuery expose no
+    * multi-statement transaction on their public load surfaces, so
+    * the refresh there has the reference's own truncate-then-load
+    * window — a failed load leaves an empty table until the next
+    * round retries, never a half-merged one. */
   private def liveCopy(url: String, df: DataFrame,
       truncateFirst: Boolean, runId: String): Long = {
-    val c = graft.server.PgClients.connect(url, Nil)
+    val (exec, dialect, _, close) = liveExecutor(url)
     try {
-      def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
-      val cols = df.schema.fields.map(f =>
-        s"${q(f.name)} ${graft.types.QKind.toDdl(
-          graft.types.QKind.fromSpark(f.dataType),
-          graft.types.QKind.Dialect.Ansi, nullable = true)}")
-      c.queryAll("CREATE TABLE IF NOT EXISTS " +
-        graft.sinks.MergeSqlGenerator.qualified(cfg.destTable) +
-        s" (${cols.mkString(", ")})")
+      exec.execute(graft.sinks.MergeSqlGenerator.createPlainTable(
+        cfg.destTable, df.schema, dialect))
       // stage BEFORE opening any transaction: the Spark job is the
       // slow leg and must not hold server locks while it runs
       val files = graft.sinks.AvroStage.write(df,
         s"${cfg.destDir}/_stage/$runId")
-      if (truncateFirst) {
-        // full refresh is ATOMIC: TRUNCATE and COPY commit together,
-        // so a crash/failure mid-load rolls back to the PREVIOUS
-        // snapshot instead of leaving the destination empty/partial
-        // until the next round (truncate-then-copy in separate
-        // autocommit statements had exactly that window)
-        c.queryAll("BEGIN")
-        try {
-          c.queryAll("TRUNCATE TABLE " +
-            graft.sinks.MergeSqlGenerator.qualified(cfg.destTable))
-          new graft.sinks.PgWarehouse(c)
-            .loadAvro(cfg.destTable, files, df.schema)
-          c.queryAll("COMMIT")
-        } catch {
-          case e: Throwable =>
-            // best-effort; close() aborts the tx server-side anyway
-            try c.queryAll("ROLLBACK")
-            catch { case scala.util.control.NonFatal(_) => () }
-            throw e
-        }
-      } else
-        new graft.sinks.PgWarehouse(c)
-          .loadAvro(cfg.destTable, files, df.schema)
+      val qualified = graft.sinks.MergeSqlGenerator.qualified(
+        cfg.destTable, dialect)
+      (exec, truncateFirst) match {
+        case (pg: graft.sinks.PgWarehouse, true) =>
+          // full refresh is ATOMIC on PG: TRUNCATE and COPY commit
+          // together (truncate-then-copy in separate autocommit
+          // statements had a visible-empty window)
+          pg.execute("BEGIN")
+          try {
+            pg.execute(s"TRUNCATE TABLE $qualified")
+            pg.loadAvro(cfg.destTable, files, df.schema)
+            pg.execute("COMMIT")
+          } catch {
+            case e: Throwable =>
+              // best-effort; close() aborts the tx server-side anyway
+              try pg.execute("ROLLBACK")
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
+        case (_, true) =>
+          exec.execute(s"TRUNCATE TABLE $qualified")
+          exec.loadAvro(cfg.destTable, files, df.schema)
+        case (_, false) =>
+          exec.loadAvro(cfg.destTable, files, df.schema)
+      }
       df.count()
-    } finally c.close()
+    } finally close()
   }
 
   /** Upsert into a live SQL destination through the SAME
@@ -274,21 +302,19 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
   private def liveMerge(url: String, keys: Seq[String],
       payloadSchema: org.apache.spark.sql.types.StructType,
       changes: DataFrame, runId: String): Unit = {
-    val c = graft.server.PgClients.connect(url, Nil)
+    val (exec, dialect, flavor, close) = liveExecutor(url)
     try {
-      val flavor = graft.cdc.CaptureEndpoint.parse(url)
-        .param("flavor", "postgres")
       val target = graft.sinks.MergeTarget(cfg.destTable,
         s"${cfg.destTable}_graft_stage", keys, payloadSchema,
         softDelete = false) // QRep rounds carry no deletes
-      val loader = new graft.sinks.WarehouseLoader(target,
-        new graft.sinks.PgWarehouse(c), flavor)
+      val loader = new graft.sinks.WarehouseLoader(target, exec, flavor)
       loader.setup() // CREATE TABLE IF NOT EXISTS — idempotent
-      // a crash between COPY and DROP can leave a stale staging table
-      c.queryAll("DROP TABLE IF EXISTS " +
-        graft.sinks.MergeSqlGenerator.qualified(target.stagingTable))
+      // a crash between the load and DROP can leave a stale staging
+      // table with an older schema — every round starts clean
+      exec.execute("DROP TABLE IF EXISTS " + graft.sinks
+        .MergeSqlGenerator.qualified(target.stagingTable, dialect))
       loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId")
-    } finally c.close()
+    } finally close()
   }
 }
 

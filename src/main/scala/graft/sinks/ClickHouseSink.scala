@@ -3,7 +3,7 @@ package graft.sinks
 import java.net.{HttpURLConnection, URL, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -224,6 +224,111 @@ final class ClickHouseHttp(url: String) extends Serializable {
       finish(c, s"INSERT $table")
       n
     } finally c.disconnect()
+  }
+}
+
+/** [[SqlExecutor]] binding of the HTTP client — the ClickHouse leg of
+  * the generic [[WarehouseLoader]] seam (the CDC mirror's own CH path
+  * normalizes server-side instead, [[graft.mirror.MirrorRunner]]; this
+  * executor serves the QRep destination loop, where the reference
+  * likewise stages into the target table via avro_sync,
+  * clickhouse/qrep.go). `loadAvro` streams the staged OCF rows as one
+  * chunked JSONEachRow POST — driver memory stays O(block), the
+  * [[PgWarehouse]] posture. */
+final class ClickHouseExecutor(http: ClickHouseHttp)
+    extends SqlExecutor {
+  def this(url: String) = this(new ClickHouseHttp(url))
+
+  override def execute(sql: String): Unit = http.exec(sql)
+
+  override def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit = {
+    val open = scala.collection.mutable.ArrayBuffer.empty[
+      java.io.InputStream]
+    try {
+      val lines = files.iterator.flatMap { f =>
+        val s = java.nio.file.Files.newInputStream(
+          java.nio.file.Paths.get(f))
+        open += s
+        AvroStage.streamContainer(s, schema)
+          .map(r => ClickHouseExecutor.jsonLine(r, schema)) ++ {
+            s.close(); open -= s; Iterator.empty
+          }
+      }
+      http.insertJsonEachRow(stagingTable, lines)
+      ()
+    } finally open.foreach { s =>
+      try s.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+}
+
+object ClickHouseExecutor {
+
+  private def jsonStr(sb: StringBuilder, s: String): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  private def value(sb: StringBuilder,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+    import org.apache.spark.sql.types._
+    if (v == null) { sb.append("null"); return }
+    dt match {
+      case StringType => jsonStr(sb, v.toString)
+      case TimestampType => jsonStr(sb,
+        TsFmt.format(v.asInstanceOf[java.sql.Timestamp].toInstant))
+      case TimestampNTZType => jsonStr(sb,
+        TsFmt.format(v.asInstanceOf[java.time.LocalDateTime]
+          .toInstant(java.time.ZoneOffset.UTC)))
+      case DateType => jsonStr(sb, v.toString)
+      case BinaryType => jsonStr(sb, java.util.Base64.getEncoder
+        .encodeToString(v.asInstanceOf[Array[Byte]]))
+      case _: DecimalType => sb.append(
+        v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case BooleanType => sb.append(v.toString)
+      case ArrayType(e, _) =>
+        sb.append('[')
+        val items = v match {
+          case s: scala.collection.Seq[_] => s
+          case a: Array[_] => a.toSeq
+        }
+        items.zipWithIndex.foreach { case (x, i) =>
+          if (i > 0) sb.append(',')
+          value(sb, e, x)
+        }
+        sb.append(']')
+      case _ => sb.append(v.toString) // ints, floats
+    }
+  }
+
+  /** One Row → one JSONEachRow line. */
+  def jsonLine(r: Row,
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val sb = new StringBuilder
+    sb.append('{')
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (i > 0) sb.append(',')
+      jsonStr(sb, f.name)
+      sb.append(':')
+      value(sb, f.dataType, if (r.isNullAt(i)) null else r.get(i))
+    }
+    sb.append('}')
+    sb.toString
   }
 }
 

@@ -229,6 +229,13 @@ object MergeSqlGenerator {
        |  ${cols.mkString(",\n  ")}$tail""".stripMargin
   }
 
+  /** Plain table DDL of a frame's schema in-dialect — the QRep
+    * append/overwrite destination shape (no pk constraint, no merge
+    * meta columns; ClickHouse gets MergeTree ORDER BY tuple()). */
+  def createPlainTable(name: String, schema: StructType,
+      dialect: QKind.Dialect): String =
+    createStaging(MergeTarget(name, name, Nil, schema), schema, dialect)
+
   /** Idempotent destination widen to the target's CURRENT schema (PG
     * `ADD COLUMN IF NOT EXISTS`, one statement): run ahead of a MERGE
     * so a payload schema widened mid-stream by RelationRecords reaches

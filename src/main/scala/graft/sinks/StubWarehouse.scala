@@ -103,6 +103,7 @@ final class StubWarehouse(spark: SparkSession,
     else if (up.startsWith("DELETE FROM")) runDelete(flat)
     else if (up.startsWith("ALTER TABLE") &&
         up.contains(" ADD COLUMN IF NOT EXISTS ")) runAddColumn(flat)
+    else if (up.startsWith("TRUNCATE TABLE")) runTruncate(flat)
     else if (up.startsWith("EXCHANGE TABLES")) runExchange(flat)
     else if (up.startsWith("RENAME TABLE")) runRename(flat)
     else throw new IllegalArgumentException(
@@ -129,6 +130,16 @@ final class StubWarehouse(spark: SparkSession,
         .json(spark.createDataset(ndjson))
       tables(table) = tables(table).unionByName(incoming)
     }
+
+  private def runTruncate(flat: String): Unit = {
+    val name = tableKey(flat
+      .replaceAll("(?i)^TRUNCATE TABLE ", "").trim)
+    val declared = schemas.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"stub warehouse: TRUNCATE of missing table $name"))
+    tables(name) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], declared)
+  }
 
   /** `EXCHANGE TABLES a AND b` — the CH Atomic-engine swap the resync
     * RenameTables rides (clickhouse/cdc.go:377-379). */

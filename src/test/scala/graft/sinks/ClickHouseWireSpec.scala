@@ -225,6 +225,84 @@ class ClickHouseWireSpec extends SparkSpec {
     } finally ch.stop()
   }
 
+  test("QRep dest_url 'clickhouse://': append rounds bulk-load the " +
+    "destination over JSONEachRow; upsert rides the RMT INSERT SELECT " +
+    "loop (replays collapse by the watermark version); overwrite " +
+    "full-refreshes via TRUNCATE — the reference's CH QRep pairing " +
+    "(clickhouse/qrep.go) on the public HTTP surface") {
+    val ch = new ChFixture
+    try {
+      import spark.implicits._
+      val base = tmpDir("ch_qrep")
+      def writeSrc(rows: Seq[(Long, Long)]): Unit =
+        rows.toDF("id", "v").write
+          .mode("overwrite").parquet(s"$base/src/src_t.parquet")
+      writeSrc((1L to 50L).map(i => i -> (i * 10)))
+      def run(sql: String) = graft.mirror.GraftSql.execute(spark,
+        graft.mirror.GraftSql.parse(sql)
+          .getOrElse(fail(s"did not parse: $sql")))
+      run(s"CREATE PEER chsrc TYPE parquet OPTIONS (dir '$base/src')")
+      run(s"CREATE PEER chdst TYPE parquet OPTIONS (dir '$base/dst')")
+
+      // APPEND: incremental rounds land in the CH table
+      run(s"""CREATE MIRROR chq1 FROM chsrc TO chdst FOR
+         |$$$$ SELECT id, v FROM src_t
+         |WHERE id BETWEEN {{.start}} AND {{.end}} $$$$ WITH (
+         |  watermark_column 'id', source_table 'src_t',
+         |  dest_dir '$base/q1', mode 'append',
+         |  dest_url '${ch.url}', dest_table 'q1_dest')"""
+        .stripMargin)
+      assert(run("EXECUTE MIRROR chq1").head.getLong(0) == 50L)
+      assert(ch.stub.table("q1_dest").count() == 50)
+      writeSrc((1L to 70L).map(i => i -> (i * 10)))
+      assert(run("EXECUTE MIRROR chq1").head.getLong(0) == 20L,
+        "second round moves only the increment")
+      assert(ch.stub.table("q1_dest").count() == 70)
+      assert(ch.stub.table("q1_dest").agg(
+        org.apache.spark.sql.functions.sum("v")).head.getLong(0) ==
+        (1L to 70L).map(_ * 10).sum)
+
+      // UPSERT: version = watermark; a replayed round is a no-op on
+      // the RMT collapse
+      run(s"""CREATE MIRROR chq2 FROM chsrc TO chdst FOR
+         |$$$$ SELECT id, v FROM src_t
+         |WHERE id BETWEEN {{.start}} AND {{.end}} $$$$ WITH (
+         |  watermark_column 'id', source_table 'src_t',
+         |  dest_dir '$base/q2', mode 'upsert', unique_key 'id',
+         |  dest_url '${ch.url}', dest_table 'q2_dest')"""
+        .stripMargin)
+      run("EXECUTE MIRROR chq2")
+      assert(ch.stub.table("q2_dest").count() == 70)
+      // stale replay: wipe the watermark → full re-pull; same versions
+      // collapse to the same state
+      graft.util.FsText.write(s"$base/q2/_graft_wmark", "0",
+        spark.sparkContext.hadoopConfiguration)
+      run("EXECUTE MIRROR chq2")
+      assert(ch.stub.table("q2_dest").count() == 70,
+        "replayed rounds must collapse on the RMT version")
+
+      // OVERWRITE: a shrunken source replaces the destination
+      run(s"""CREATE MIRROR chq3 FROM chsrc TO chdst FOR
+         |$$$$ SELECT id, v FROM src_t
+         |WHERE id BETWEEN {{.start}} AND {{.end}} $$$$ WITH (
+         |  watermark_column 'id', source_table 'src_t',
+         |  dest_dir '$base/q3', mode 'overwrite',
+         |  dest_url '${ch.url}', dest_table 'q3_dest')"""
+        .stripMargin)
+      run("EXECUTE MIRROR chq3")
+      assert(ch.stub.table("q3_dest").count() == 70)
+      writeSrc((1L to 30L).map(i => i -> (i * 10)))
+      run("EXECUTE MIRROR chq3")
+      assert(ch.stub.table("q3_dest").count() == 30,
+        "overwrite must TRUNCATE before the reload")
+      assert(ch.stub.statements.exists(_.startsWith(
+        "TRUNCATE TABLE `q3_dest`")))
+
+      Seq("chq1", "chq2", "chq3").foreach(n => run(s"DROP MIRROR $n"))
+      run("DROP PEER chsrc"); run("DROP PEER chdst")
+    } finally ch.stop()
+  }
+
   test("generated CH statements: raw DDL carries the cdc.go column " +
     "set and ORDER BY; normalize emits the primary-update UNION " +
     "branch at version-1; a failing statement surfaces as an HTTP " +

@@ -215,6 +215,41 @@ class SnowflakeWireSpec extends SparkSpec {
     } finally sf.stop()
   }
 
+  test("QRep dest_url 'snowflake://': append rounds land via INSERT " +
+    "VALUES; overwrite full-refreshes via TRUNCATE over the SQL API") {
+    val sf = new SfFixture
+    try {
+      import spark.implicits._
+      val base = tmpDir("sf_qrep")
+      def writeSrc(rows: Seq[(Long, Long)]): Unit =
+        rows.toDF("id", "v").write
+          .mode("overwrite").parquet(s"$base/src/src_t.parquet")
+      writeSrc((1L to 40L).map(i => i -> i))
+      def run(sql: String) = graft.mirror.GraftSql.execute(spark,
+        graft.mirror.GraftSql.parse(sql)
+          .getOrElse(fail(s"did not parse: $sql")))
+      run(s"CREATE PEER sfsrc TYPE parquet OPTIONS (dir '$base/src')")
+      run(s"CREATE PEER sfdst TYPE parquet OPTIONS (dir '$base/dst')")
+      run(s"""CREATE MIRROR sfq FROM sfsrc TO sfdst FOR
+         |$$$$ SELECT id, v FROM src_t
+         |WHERE id BETWEEN {{.start}} AND {{.end}} $$$$ WITH (
+         |  watermark_column 'id', source_table 'src_t',
+         |  dest_dir '$base/q', mode 'overwrite',
+         |  dest_url '${sf.url}', dest_table 'sfq_dest')"""
+        .stripMargin)
+      run("EXECUTE MIRROR sfq")
+      assert(sf.stub.table("sfq_dest").count() == 40)
+      writeSrc((1L to 15L).map(i => i -> i))
+      run("EXECUTE MIRROR sfq")
+      assert(sf.stub.table("sfq_dest").count() == 15,
+        "overwrite must TRUNCATE before reload")
+      assert(sf.stub.statements.exists(_.startsWith(
+        """TRUNCATE TABLE "sfq_dest"""")))
+      run("DROP MIRROR sfq")
+      run("DROP PEER sfsrc"); run("DROP PEER sfdst")
+    } finally sf.stop()
+  }
+
   test("a failing statement surfaces the API's JSON message") {
     val sf = new SfFixture
     try {
