@@ -789,6 +789,23 @@ object GraftSql {
                  else "")
             }
           }
+        // Live WAREHOUSE destination gets the same pre-flight probe as
+        // capture endpoints (the reference validates the destination
+        // peer's connectivity too, validate_mirror.go's destination
+        // checks): socket-level reach of the pg/clickhouse/snowflake/
+        // bigquery endpoint — scheme-agnostic, no statement run, so a
+        // slow warehouse cannot hang the VALIDATE
+        cfg.warehouseUrl.foreach { url =>
+          check("warehouse_endpoint") {
+            val ep = graft.cdc.CaptureEndpoint.parse(url)
+            val s = new java.net.Socket()
+            try s.connect(new java.net.InetSocketAddress(
+              ep.host, ep.port),
+              ep.param("connect_timeout_ms", "5000").toInt)
+            finally s.close()
+            s"${ep.scheme}://${ep.host}:${ep.port} reachable"
+          }
+        }
         // Publication coverage on a live pgwire capture (the
         // reference's CheckSourceTables publication branch,
         // validate.go:84-110): the publication must EXIST and — unless

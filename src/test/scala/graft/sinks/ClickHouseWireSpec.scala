@@ -221,6 +221,23 @@ class ClickHouseWireSpec extends SparkSpec {
         rec(20, ChangeRecord.TypeUpdate, """{"id":2,"v":22,"t":"b2"}""")))
       run("EXECUTE MIRROR chmir")
       assert(chRows(ch) == Seq((1L, 1L, "a"), (2L, 22L, "b2")))
+
+      // VALIDATE probes the warehouse endpoint like capture endpoints
+      val v = run("VALIDATE MIRROR chmir")
+      val we = v.find(_.getString(0) == "warehouse_endpoint").get
+      assert(we.getString(1) == "valid" &&
+        we.getString(2).contains("clickhouse://"), we.toString)
+      // an unreachable warehouse reports invalid, never hangs
+      run(s"""CREATE MIRROR chdead WITH (
+         |  wal_dir '$base/wal', dest_dir '$base/dest2',
+         |  checkpoint_dir '$base/ckpt2', pk 'id',
+         |  table 'docs', schema 'id BIGINT, v BIGINT, t STRING',
+         |  warehouse_url 'clickhouse://127.0.0.1:1/db?connect_timeout_ms=300')"""
+        .stripMargin)
+      val vd = run("VALIDATE MIRROR chdead")
+        .find(_.getString(0) == "warehouse_endpoint").get
+      assert(vd.getString(1) == "invalid", vd.toString)
+      run("DROP MIRROR chdead")
       run("DROP MIRROR chmir")
     } finally ch.stop()
   }
