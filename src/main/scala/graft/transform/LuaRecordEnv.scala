@@ -341,12 +341,50 @@ object LuaRecordEnv {
     t
   }
 
+  /** bit32 (the reference preloads gluabit32, peerdb.go:42): 32-bit
+    * unsigned semantics — operands truncate mod 2^32, results are
+    * 0..2^32−1. */
+  private def bit32Module: VTable = {
+    val t = new VTable
+    def u32(v: V): Long = (v match {
+      case VInt(i) => i
+      case VNum(d) => d.toLong
+      case other => Lua.tonum(other) match {
+        case Some(VInt(i)) => i
+        case Some(VNum(d)) => d.toLong
+        case _ => throw new Lua.LuaError("bit32: number expected")
+      }
+    }) & 0xffffffffL
+    def fold(name: String, zero: Long, op: (Long, Long) => Long): Unit =
+      t.set(VStr(name), native(name)(a =>
+        Seq(VInt(a.map(u32).foldLeft(zero)(op) & 0xffffffffL))))
+    fold("band", 0xffffffffL, _ & _)
+    fold("bor", 0L, _ | _)
+    fold("bxor", 0L, _ ^ _)
+    t.set(VStr("bnot"), native("bnot")(a =>
+      Seq(VInt(~u32(a.headOption.getOrElse(VNil)) & 0xffffffffL))))
+    t.set(VStr("lshift"), native("lshift") { a =>
+      val n = u32(a.lift(1).getOrElse(VInt(0))).toInt
+      Seq(VInt(
+        if (n >= 32) 0L
+        else (u32(a.headOption.getOrElse(VNil)) << n) & 0xffffffffL))
+    })
+    t.set(VStr("rshift"), native("rshift") { a =>
+      val n = u32(a.lift(1).getOrElse(VInt(0))).toInt
+      Seq(VInt(
+        if (n >= 32) 0L
+        else u32(a.headOption.getOrElse(VNil)) >>> n))
+    })
+    t
+  }
+
   /** Fresh sandboxed environment with the peerdb surface + the json
-    * module preloaded under `require`. */
+    * and bit32 modules preloaded under `require`. */
   def env(interp: Lua.Interp,
       printSink: String => Unit = _ => ()): Lua.Env = {
     val g = Lua.baseEnv(interp,
-      modules = Map("json" -> jsonModule(interp)),
+      modules = Map("json" -> jsonModule(interp),
+        "bit32" -> bit32Module),
       printSink = printSink)
     g.define("peerdb", peerdbTable(interp))
     g

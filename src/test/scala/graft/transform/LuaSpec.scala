@@ -179,6 +179,30 @@ class LuaSpec extends AnyFunSuite {
     }
   }
 
+  test("bit32 module (gluabit32 parity): 32-bit unsigned semantics") {
+    assert(evalStr("""require("bit32").band(0xFF, 0x0F)""") == "15")
+    assert(evalStr("""require("bit32").bor(0xF0, 0x0F)""") == "255")
+    assert(evalStr("""require("bit32").bxor(0xFF, 0x0F)""") == "240")
+    assert(evalStr("""require("bit32").bnot(0)""") == "4294967295")
+    assert(evalStr("""require("bit32").lshift(1, 31)""") == "2147483648")
+    assert(evalStr("""require("bit32").rshift(0x80000000, 31)""") == "1")
+    assert(evalStr("""require("bit32").lshift(1, 32)""") == "0")
+  }
+
+  test("closures in loops capture the per-iteration variable; nested " +
+    "scoping shadows correctly") {
+    assert(run("""
+      local fns = {}
+      for i = 1, 3 do fns[i] = function() return i end end
+      return fns[1]() .. fns[2]() .. fns[3]()
+    """).map(tostr) == Seq("123"))
+    assert(run("""
+      local x = "outer"
+      do local x = "inner"; assert(x == "inner") end
+      return x
+    """).map(tostr) == Seq("outer"))
+  }
+
   test("json module: encode arrays vs objects, nested values, decode " +
     "round trip") {
     assert(evalStr("""require("json").encode({1, 2, 3})""") == "[1,2,3]")
