@@ -242,6 +242,48 @@ class ClickHouseWireSpec extends SparkSpec {
     } finally ch.stop()
   }
 
+  test("multi-table clickhouse:// mirror: one CH raw table fans out " +
+    "to per-table normalize ranges (the _peerdb_destination_table_name " +
+    "scoping); both destinations converge independently") {
+    val ch = new ChFixture
+    try {
+      val wal = tmpDir("ch_wal_mt")
+      val base = tmpDir("ch_mirror_mt")
+      def rec2(cp: Long, rt: Int, dest: String, data: String,
+          matchData: String = null): ChangeRecord =
+        ChangeRecord(rt, cp, cp.toString, cp * 1000, cp / 10,
+          s"public.$dest", dest, data, matchData, Nil)
+      ChangeLogWal.append(wal, Seq(
+        rec2(10, ChangeRecord.TypeInsert, "t_a",
+          """{"id":1,"v":10,"t":"a1"}"""),
+        rec2(11, ChangeRecord.TypeInsert, "t_b",
+          """{"k":7,"s":"seven"}"""),
+        rec2(12, ChangeRecord.TypeUpdate, "t_a",
+          """{"id":1,"v":11,"t":"a1"}"""),
+        rec2(13, ChangeRecord.TypeDelete, "t_b",
+          """{"k":7,"s":"seven"}""", matchData = """{"k":7}""")))
+      val cfg = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "t_a",
+        extraTables = Map("t_b" -> graft.mirror.TableConfig(Seq("k"),
+          StructType(Seq(StructField("k", LongType),
+            StructField("s", StringType))))),
+        warehouseUrl = Some(ch.url))
+      new MirrorRunner(spark, cfg).runAvailableNow()
+      assert(chRows(ch, "t_a") == Seq((1L, 11L, "a1")))
+      // t_b: the single key was deleted — RMT read drops the tombstone
+      assert(ch.stub.table("t_b").count() == 0,
+        "the deleted key must tombstone away")
+      // the raw table scopes rows per destination, both tables in one
+      // (flow name defaults to the primary table)
+      val raw = ch.stub.table("_peerdb_raw_t_a")
+      assert(raw.select("_peerdb_destination_table_name")
+        .distinct().collect().map(_.getString(0)).toSet ==
+        Set("t_a", "t_b"))
+    } finally ch.stop()
+  }
+
   test("QRep dest_url 'clickhouse://': append rounds bulk-load the " +
     "destination over JSONEachRow; upsert rides the RMT INSERT SELECT " +
     "loop (replays collapse by the watermark version); overwrite " +
