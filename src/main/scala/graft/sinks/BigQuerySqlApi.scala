@@ -119,13 +119,25 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
           body.take(300))}")
   }
 
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** Typed JSON image of one staged value for insertAll: strings and
     * temporals as JSON strings, numerics bare, binary base64 (the
-    * streaming-insert representation BigQuery documents per type). */
+    * streaming-insert representation BigQuery documents per type).
+    * Timestamps format through an explicit UTC formatter — a
+    * `Timestamp.toString` would render in the JVM's default zone and
+    * silently shift every value on a non-UTC host. */
   private def jsonVal(dt: DataType, v: Any): String =
     if (v == null) "null"
     else dt match {
-      case StringType | DateType | TimestampType | TimestampNTZType =>
+      case TimestampType => jsonStr(TsFmt.format(
+        v.asInstanceOf[java.sql.Timestamp].toInstant))
+      case TimestampNTZType => jsonStr(TsFmt.format(
+        v.asInstanceOf[java.time.LocalDateTime]
+          .toInstant(java.time.ZoneOffset.UTC)))
+      case StringType | DateType =>
         jsonStr(v.toString)
       case BinaryType => jsonStr(java.util.Base64.getEncoder
         .encodeToString(v.asInstanceOf[Array[Byte]]))

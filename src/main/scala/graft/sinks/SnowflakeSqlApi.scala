@@ -121,11 +121,19 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
           body.take(300))}")
   }
 
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** SQL literal image of one staged value (NULL-safe); strings and
-    * temporals quote-escape, binary travels as TO_BINARY hex. The
-    * server coerces literals to the staging DDL's types the same way
-    * COPY coerces Avro — [[StubWarehouse]] replays with the identical
-    * coercion, which the loader-parity spec pins. */
+    * temporals quote-escape, binary travels as TO_BINARY hex.
+    * Timestamps format through an explicit UTC formatter —
+    * `java.sql.Timestamp.toString` renders in the JVM's DEFAULT zone,
+    * which silently shifts every value on a non-UTC host (the same
+    * trap [[PgWarehouse.copyLine]] avoids). The server coerces
+    * literals to the staging DDL's types the same way COPY coerces
+    * Avro — [[StubWarehouse]] replays with the identical coercion,
+    * which the loader-parity spec pins. */
   private def sqlLit(dt: DataType, v: Any): String =
     if (v == null) "NULL"
     else dt match {
@@ -136,8 +144,12 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
       case BooleanType => v.toString.toUpperCase
       case _: DecimalType =>
         v.asInstanceOf[java.math.BigDecimal].toPlainString
-      case TimestampType | TimestampNTZType | DateType =>
-        "'" + v.toString + "'"
+      case TimestampType => "'" + TsFmt.format(
+        v.asInstanceOf[java.sql.Timestamp].toInstant) + "'"
+      case TimestampNTZType => "'" + TsFmt.format(
+        v.asInstanceOf[java.time.LocalDateTime]
+          .toInstant(java.time.ZoneOffset.UTC)) + "'"
+      case DateType => "'" + v.toString + "'"
       case _ => v.toString
     }
 
