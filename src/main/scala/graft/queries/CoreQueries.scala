@@ -1223,6 +1223,53 @@ object CoreQueries {
             |WHERE rtype <> 2
             |ORDER BY checkpoint_id""".stripMargin))
 
+  /** The embedded Lua interpreter under the SQL oracle: a user
+    * `onRecord` routing script (the reference's script surface,
+    * flow/pua/peerdb.go + kafka.go:340-390) runs per record through
+    * [[graft.transform.LuaQueue]] — json.encode over row userdata,
+    * kind dispatch, integer arithmetic, string concat — and the oracle
+    * replays the same routing relationally. One interpreter per Spark
+    * partition; the per-record work is the script itself. */
+  val luaRoute = GraftQuery(
+    "q_lua_route",
+    "lua onRecord routing: the embedded interpreter vs the SQL oracle",
+    (s, dir) => {
+      val batch = changeLog(s, dir).select(
+        col("rtype").cast("int").as("recordType"),
+        col("event_id").as("checkpointId"),
+        col("version").as("commitTimeMicros"),
+        expr("event_id DIV 100").as("transactionId"),
+        lit("public.events").as("sourceTable"),
+        col("event_type").as("destinationTable"),
+        concat(lit("{\"user_id\":"), col("user_id").cast("string"),
+          lit(",\"event_id\":"), col("event_id").cast("string"),
+          lit("}")).as("data"),
+        lit(null).cast("string").as("matchData"),
+        array().cast("array<string>").as("unchangedToastColumns"))
+      val script = """
+        local json = require "json"
+        function onRecord(r)
+          if r.kind == "delete" then return nil end
+          local key = tostring(r.row.user_id % 8)
+          if r.kind == "update" then
+            return { topic = "hot." .. r.target, key = key,
+                     value = json.encode(r.row) }
+          end
+          return { key = key, value = json.encode(r.row) }
+        end"""
+      graft.transform.LuaQueue.records(batch, script)
+        .select("topic", "key", "value")
+        .orderBy("topic", "key", "value")
+    },
+    Some(s"""SELECT CASE WHEN rtype = 1 THEN 'hot.' || event_type
+            |            ELSE event_type END AS topic,
+            |  CAST(user_id % 8 AS VARCHAR) AS key,
+            |  '{"user_id":' || user_id || ',"event_id":' || event_id
+            |    || '}' AS value
+            |FROM ($changeLogSql)
+            |WHERE rtype <> 2
+            |ORDER BY topic, key, value""".stripMargin))
+
   /** Skew mitigation: two-phase salted aggregation over LOW-cardinality
     * keys (3 return flags across all of lineitem — the shape where a
     * plain groupBy sends a third of 100 TB through three reducers).
@@ -1464,6 +1511,7 @@ object CoreQueries {
     intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     queueEventHubs, queuePubSub,
-    rowTransform, partitionCtid, xminScan, esBulk, skewAgg, dataQuality,
+    rowTransform, luaRoute, partitionCtid, xminScan, esBulk, skewAgg,
+    dataQuality,
     profileTable, statsTableCounts, statsBatchInfo)
 }

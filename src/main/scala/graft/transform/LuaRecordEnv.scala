@@ -207,16 +207,23 @@ object LuaRecordEnv {
     }
   }
 
-  def recordUD(r: Rec): VUserData =
+  def recordUD(r: Rec): VUserData = {
+    // the images parse (and their row userdata) memoize per record:
+    // a script touching r.row several times plus json.encode(r.row)
+    // must parse the JSON once, not once per access — this is the
+    // per-record hot path of the whole script stage
+    lazy val imgs = images(r)
+    lazy val rowV: V = imgs._1.map(rowUD).getOrElse(VNil)
+    lazy val oldV: V = imgs._2.map(rowUD).getOrElse(VNil)
+    lazy val newV: V = imgs._3.map(rowUD).getOrElse(VNil)
     VUserData("peerdb_record", r,
       index = (p, k) => {
         val rec = p.asInstanceOf[Rec]
-        val (row, old, nw) = images(rec)
         k match {
           case "kind" => VStr(kindOf(rec.recordType))
-          case "row" => row.map(rowUD).getOrElse(VNil)
-          case "old" => old.map(rowUD).getOrElse(VNil)
-          case "new" => nw.map(rowUD).getOrElse(VNil)
+          case "row" => rowV
+          case "old" => oldV
+          case "new" => newV
           case "checkpoint" => VInt(rec.checkpointId)
           case "commit_time" => timeUD(java.time.Instant.ofEpochSecond(
             rec.commitTimeMicros / 1000000L,
@@ -235,6 +242,7 @@ object LuaRecordEnv {
         }
       },
       ts = _ => "peerdb_record")
+  }
 
   /** The LuaRecordJson table (peerdb.go:552-570): the seven fields +
     * unchanged_columns for updates. */
