@@ -1616,6 +1616,14 @@ object GraftSql {
           // surviving the resync
           if (cfg.warehouseUrl.exists(_.startsWith("clickhouse://")))
             Maintenance.swapLiveResyncClickHouse(rcfg2)
+          else if (cfg.warehouseUrl.exists(_.startsWith("snowflake://")))
+            Maintenance.swapLiveResyncRest(rcfg2,
+              new graft.sinks.SnowflakeSqlApi(cfg.warehouseUrl.get),
+              graft.types.QKind.Dialect.Snowflake)
+          else if (cfg.warehouseUrl.exists(_.startsWith("bigquery://")))
+            Maintenance.swapLiveResyncRest(rcfg2,
+              new graft.sinks.BigQuerySqlApi(cfg.warehouseUrl.get),
+              graft.types.QKind.Dialect.BigQuery)
           else if (cfg.warehouseUrl.isDefined)
             Maintenance.swapLiveResync(rcfg2)
           // the scratch raw/ckpt(/wal) dirs are rebuild-only state;
@@ -1635,16 +1643,14 @@ object GraftSql {
           // _peerdb_resync tables (silent-resurrection hazard) and
           // pre-create them LIKE the originals so a schema-migrated
           // destination survives the swap with its constraints.
-          if (cfg.warehouseUrl.exists(u =>
-              u.startsWith("snowflake://") ||
-                u.startsWith("bigquery://")))
-            // the PG swap rides a single pgwire transaction and the CH
-            // swap rides EXCHANGE TABLES; neither exists on the REST
-            // SQL-API surfaces yet — fail the RESYNC loudly instead of
-            // crashing into a pgwire connect on an HTTP endpoint
-            throw new UnsupportedOperationException(
-              "RESYNC MIRROR: snowflake:///bigquery:// destinations " +
-                "have no live swap yet — DROP and recreate the mirror")
+          if (cfg.warehouseUrl.exists(_.startsWith("snowflake://")))
+            Maintenance.prepareLiveResyncRest(cfg,
+              new graft.sinks.SnowflakeSqlApi(cfg.warehouseUrl.get),
+              graft.types.QKind.Dialect.Snowflake)
+          else if (cfg.warehouseUrl.exists(_.startsWith("bigquery://")))
+            Maintenance.prepareLiveResyncRest(cfg,
+              new graft.sinks.BigQuerySqlApi(cfg.warehouseUrl.get),
+              graft.types.QKind.Dialect.BigQuery)
           else if (cfg.warehouseUrl.exists(_.startsWith("clickhouse://")))
             Maintenance.prepareLiveResyncClickHouse(cfg)
           else Maintenance.prepareLiveResync(cfg)

@@ -182,6 +182,58 @@ object Maintenance {
     }
   }
 
+  /** REST-warehouse live-resync hygiene (Snowflake/BigQuery): drop a
+    * crashed earlier attempt's stale `_peerdb_resync` tables — the
+    * same resurrection hazard [[prepareLiveResync]] closes on PG. */
+  def prepareLiveResyncRest(cfg: MirrorConfig,
+      exec: graft.sinks.SqlExecutor,
+      dialect: graft.types.QKind.Dialect,
+      suffix: String = "_peerdb_resync"): Unit =
+    liveTables(cfg).foreach { case (table, _) =>
+      exec.execute("DROP TABLE IF EXISTS " + graft.sinks
+        .MergeSqlGenerator.qualified(table + suffix, dialect))
+    }
+
+  /** Resync swap on the REST warehouses. Both swaps first ensure BOTH
+    * sides exist via the idempotent engine DDL (a mirror table that
+    * saw no records during the rebuild was never created; a missing
+    * original must not fail the rename), then:
+    *   - Snowflake: `ALTER TABLE resync SWAP WITH original` — the
+    *     documented ATOMIC exchange — and drop the displaced table;
+    *   - BigQuery: `DROP TABLE original` + `ALTER TABLE resync RENAME
+    *     TO original` (BigQuery exposes no swap; the two-statement
+    *     window is the platform's own posture and the rebuild retries
+    *     on failure).
+    * No soft-delete carryover leg, the CH posture: the rebuild
+    * replaces the table wholesale. */
+  def swapLiveResyncRest(cfg: MirrorConfig,
+      exec: graft.sinks.SqlExecutor,
+      dialect: graft.types.QKind.Dialect,
+      suffix: String = "_peerdb_resync"): Unit = {
+    import graft.sinks.{MergeSqlGenerator, MergeTarget}
+    def qual(t: String) = MergeSqlGenerator.qualified(t, dialect)
+    liveTables(cfg).foreach { case (table, tc) =>
+      val resync = table + suffix
+      // idempotent existence: IF NOT EXISTS DDL on both sides
+      Seq(table, resync).foreach { t =>
+        exec.execute(MergeSqlGenerator.createTable(
+          MergeTarget(t, t + "_unused", tc.pkColumns,
+            tc.effectiveSchema, softDelete = cfg.softDelete), dialect))
+      }
+      dialect match {
+        case graft.types.QKind.Dialect.Snowflake =>
+          exec.execute(
+            s"ALTER TABLE ${qual(resync)} SWAP WITH ${qual(table)}")
+          exec.execute(s"DROP TABLE IF EXISTS ${qual(resync)}")
+        case _ => // BigQuery family: drop + rename
+          exec.execute(s"DROP TABLE IF EXISTS ${qual(table)}")
+          val bare = table.split("\\.", 2).last
+          exec.execute(s"ALTER TABLE ${qual(resync)} RENAME TO " +
+            MergeSqlGenerator.qualified(bare, dialect))
+      }
+    }
+  }
+
   /** Compact a raw staging table: rewrite each `_peerdb_batch_id`
     * partition that holds more than `maxFilesPerPartition` files down to
     * sized outputs. Returns the partitions rewritten. */

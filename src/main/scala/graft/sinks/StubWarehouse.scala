@@ -103,6 +103,10 @@ final class StubWarehouse(spark: SparkSession,
     else if (up.startsWith("DELETE FROM")) runDelete(flat)
     else if (up.startsWith("ALTER TABLE") &&
         up.contains(" ADD COLUMN IF NOT EXISTS ")) runAddColumn(flat)
+    else if (up.startsWith("ALTER TABLE") && up.contains(" SWAP WITH "))
+      runSwapWith(flat)
+    else if (up.startsWith("ALTER TABLE") && up.contains(" RENAME TO "))
+      runAlterRename(flat)
     else if (up.startsWith("TRUNCATE TABLE")) runTruncate(flat)
     else if (up.startsWith("EXCHANGE TABLES")) runExchange(flat)
     else if (up.startsWith("RENAME TABLE")) runRename(flat)
@@ -158,6 +162,29 @@ final class StubWarehouse(spark: SparkSession,
       vb.fold(m.remove(a): Unit)(v => m(a) = v)
     }
     swap(tables); swap(schemas); swap(rmt)
+  }
+
+  /** `ALTER TABLE a SWAP WITH b` — Snowflake's documented ATOMIC
+    * exchange, the resync swap's vehicle there. */
+  private def runSwapWith(flat: String): Unit = {
+    val Re = """(?i)ALTER TABLE (\S+) SWAP WITH (\S+)""".r
+    flat match {
+      case Re(a, b) => runExchange(
+        s"EXCHANGE TABLES ${tableKey(a)} AND ${tableKey(b)}")
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable SWAP: ${flat.take(80)}…")
+    }
+  }
+
+  /** `ALTER TABLE a RENAME TO b` — the BigQuery rename shape. */
+  private def runAlterRename(flat: String): Unit = {
+    val Re = """(?i)ALTER TABLE (\S+) RENAME TO (\S+)""".r
+    flat match {
+      case Re(a, b) => runRename(
+        s"RENAME TABLE ${tableKey(a)} TO ${tableKey(b)}")
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable RENAME: ${flat.take(80)}…")
+    }
   }
 
   private def runRename(flat: String): Unit = {

@@ -231,6 +231,29 @@ class BigQueryWireSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("unsupported statement"),
         e.getMessage)
+
+      // RESYNC: DROP + ALTER TABLE ... RENAME TO (BigQuery exposes no
+      // swap) — drift corrects, no _peerdb_resync leftovers
+      def run(sql: String) = graft.mirror.GraftSql.execute(spark,
+        graft.mirror.GraftSql.parse(sql)
+          .getOrElse(fail(s"did not parse: $sql")))
+      run(s"""CREATE MIRROR bqmir WITH (
+         |  wal_dir '$wal', dest_dir '$base/dest3',
+         |  checkpoint_dir '$base/ckpt3', pk 'id',
+         |  table 'docs', schema 'id BIGINT, name STRING, v BIGINT',
+         |  warehouse_url '${bq.url}')""".stripMargin)
+      run("EXECUTE MIRROR bqmir")
+      bq.stub.execute("DELETE FROM `docs` WHERE `id` = 1") // drift
+      run("RESYNC MIRROR bqmir")
+      assert(rows(bq.stub.table("docs")
+        .filter(!org.apache.spark.sql.functions
+          .col(RawTable.IsDeleted))) == rows(lr.destination()),
+        "post-resync bigquery destination != native state")
+      assert(!bq.stub.exists("docs_peerdb_resync"))
+      assert(bq.stub.statements.exists(_.matches(
+        "(?s)ALTER TABLE `docs_peerdb_resync` RENAME TO `docs`.*")),
+        "the swap must ride ALTER TABLE ... RENAME TO")
+      run("DROP MIRROR bqmir")
     } finally bq.stop()
   }
 }

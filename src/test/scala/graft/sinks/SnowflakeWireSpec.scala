@@ -250,6 +250,59 @@ class SnowflakeWireSpec extends SparkSpec {
     } finally sf.stop()
   }
 
+  test("snowflake:// RESYNC: rebuild lands in _peerdb_resync while " +
+    "the original serves, then ALTER TABLE ... SWAP WITH swaps " +
+    "atomically — drift corrects, no leftovers, the stream continues") {
+    import graft.cdc.ChangeLogWal
+    import graft.model.ChangeRecord
+    val sf = new SfFixture
+    try {
+      val base = tmpDir("sf_resync")
+      def run(sql: String) = graft.mirror.GraftSql.execute(spark,
+        graft.mirror.GraftSql.parse(sql)
+          .getOrElse(fail(s"did not parse: $sql")))
+      def rec(cp: Long, rt: Int, data: String): ChangeRecord =
+        ChangeRecord(rt, cp, cp.toString, cp * 1000, cp / 10,
+          "public.t", "docs", data, null, Nil)
+      run(s"""CREATE MIRROR sfmir WITH (
+         |  wal_dir '$base/wal', dest_dir '$base/dest',
+         |  checkpoint_dir '$base/ckpt', pk 'id',
+         |  table 'docs', schema 'id BIGINT, name STRING, v BIGINT',
+         |  warehouse_url '${sf.url}')""".stripMargin)
+      ChangeLogWal.append(s"$base/wal", Seq(
+        rec(10, ChangeRecord.TypeInsert,
+          """{"id":1,"name":"a","v":1}"""),
+        rec(11, ChangeRecord.TypeInsert,
+          """{"id":2,"name":"b","v":2}""")))
+      run("EXECUTE MIRROR sfmir")
+      assert(sf.stub.table("docs").count() == 2)
+
+      // drift: a row vanishes on the destination
+      sf.stub.execute("""DELETE FROM "docs" WHERE "id" = 1""")
+      assert(sf.stub.table("docs").count() == 1)
+
+      run("RESYNC MIRROR sfmir")
+      assert(sf.stub.table("docs")
+        .filter(!org.apache.spark.sql.functions
+          .col(RawTable.IsDeleted)).count() == 2,
+        "resync must rebuild the drifted destination")
+      assert(!sf.stub.exists("docs_peerdb_resync"),
+        "no _peerdb_resync leftovers after the swap")
+      assert(sf.stub.statements.exists(_.contains(" SWAP WITH ")),
+        "the swap must ride Snowflake's atomic SWAP WITH")
+
+      ChangeLogWal.append(s"$base/wal", Seq(
+        rec(20, ChangeRecord.TypeInsert,
+          """{"id":3,"name":"c","v":3}""")))
+      run("EXECUTE MIRROR sfmir")
+      assert(sf.stub.table("docs")
+        .filter(!org.apache.spark.sql.functions
+          .col(RawTable.IsDeleted)).count() == 3,
+        "the stream must keep converging on the swapped table")
+      run("DROP MIRROR sfmir")
+    } finally sf.stop()
+  }
+
   test("a failing statement surfaces the API's JSON message") {
     val sf = new SfFixture
     try {
