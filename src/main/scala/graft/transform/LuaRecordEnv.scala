@@ -387,7 +387,14 @@ object LuaRecordEnv {
   }
 
   /** Fresh sandboxed environment with the peerdb surface + the json
-    * and bit32 modules preloaded under `require`. */
+    * and bit32 modules preloaded under `require`. The reference also
+    * preloads msgpack and utf8 (peerdb.go:43-45); msgpack is
+    * deliberately absent — its output is a BINARY byte string, and
+    * this interpreter's strings are JVM Strings (UTF-16), so bytes
+    * >0x7F could not round-trip to the queue value without a
+    * byte-backed string representation. A script needing msgpack
+    * values is the one known script shape that cannot port; json
+    * covers the rest. */
   def env(interp: Lua.Interp,
       printSink: String => Unit = _ => ()): Lua.Env = {
     val g = Lua.baseEnv(interp,
