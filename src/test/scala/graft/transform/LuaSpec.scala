@@ -179,6 +179,57 @@ class LuaSpec extends AnyFunSuite {
     }
   }
 
+  test("semantics torture battery: each snippet pinned to the value " +
+    "real Lua produces") {
+    val cases: Seq[(String, String)] = Seq(
+      "tostring(10 / 2)" -> "5",
+      "tostring(2 ^ 2)" -> "4",
+      """#("")""" -> "0",
+      """("abc"):byte(2)""" -> "98",
+      "string.char(104, 105)" -> "hi",
+      "table.remove({1, 2, 3})" -> "3",
+      """select("#", 1, nil, 3)""" -> "3",
+      """tonumber("0x10")""" -> "16",
+      """tostring(tonumber("abc"))""" -> "nil",
+      """("%d"):format(42)""" -> "42",
+      """string.format("%5d", 42)""" -> "   42",
+      "math.min(3, 1, 2)" -> "1",
+      "math.floor(-1.5)" -> "-2",
+      """tostring(nil == false)""" -> "false",
+      """-"5"""" -> "-5", // unary minus coerces strings
+      "tostring(1e3)" -> "1000",
+      """tostring("10" < "9")""" -> "true", // string compare
+      "tostring(10 < 9)" -> "false",
+      """tostring(#{10, 20} == 2)""" -> "true",
+      // rawget bypasses __index
+      """rawget(setmetatable({}, {__index = function() return 1 end}),
+        "k") == nil and "raw" or "meta"""" -> "raw",
+      // float keys normalize onto integer slots
+      "({[1.0] = 'x'})[1]" -> "x")
+    cases.foreach { case (src, want) =>
+      assert(evalStr(src.replace("\n", " ")) == want,
+        s"snippet: $src")
+    }
+    // parenthesized call truncates to ONE value
+    assert(run("""
+      local function two() return 1, 2 end
+      local a, b = (two())
+      return tostring(a), tostring(b)
+    """).map(tostr) == Seq("1", "nil"))
+    // a descending range with a positive step never runs
+    assert(run("""
+      local n = 0
+      for i = 3, 1 do n = n + 1 end
+      return n
+    """).map(tostr) == Seq("0"))
+    // multiple returns expand only in the TAIL position
+    assert(run("""
+      local function two() return 1, 2 end
+      local t = {two(), two()}
+      return #t
+    """).map(tostr) == Seq("3"))
+  }
+
   test("bit32 module (gluabit32 parity): 32-bit unsigned semantics") {
     assert(evalStr("""require("bit32").band(0xFF, 0x0F)""") == "15")
     assert(evalStr("""require("bit32").bor(0xF0, 0x0F)""") == "255")
