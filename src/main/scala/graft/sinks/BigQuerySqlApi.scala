@@ -66,6 +66,12 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
     c.setConnectTimeout(ep.param("connect_timeout_ms", "5000").toInt)
     c.setReadTimeout(ep.param("read_timeout_ms", "60000").toInt)
     c.setRequestProperty("Content-Type", "application/json")
+    // inside a Spark task (the per-partition bulk leg) every request
+    // carries its partition id — observability for the executor-parallel
+    // load, and what the wire spec asserts on
+    Option(org.apache.spark.TaskContext.get()).foreach(tc =>
+      c.setRequestProperty("X-Graft-Load-Partition",
+        tc.partitionId().toString))
     ep.params.get("token").foreach(t =>
       c.setRequestProperty("Authorization", s"Bearer $t"))
     body.foreach { b =>
@@ -113,7 +119,16 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       code = r._1; body = r._2
       polls += 1
     }
-    if (code != 200 || body.contains("\"errors\""))
+    // A still-incomplete job after the poll budget is NOT success: the
+    // MERGE may finish server-side after we'd have dropped its staging
+    // table and advanced the HWM — a silently lost batch. Fail loudly
+    // and let the flow retry.
+    if (code == 200 && body.contains("\"jobComplete\":false"))
+      throw new java.io.IOException("bigquery statement still running " +
+        s"after $polls polls (jobId ${fieldOf(body, "jobId")
+          .getOrElse("?")}): raise max_polls/poll_ms")
+    if (code != 200 || BigQuerySqlApi.ErrorsField.findFirstIn(body)
+        .isDefined)
       throw new java.io.IOException("bigquery statement failed " +
         s"(HTTP $code): ${fieldOf(body, "message").getOrElse(
           body.take(300))}")
@@ -125,7 +140,9 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
 
   /** Typed JSON image of one staged value for insertAll: strings and
     * temporals as JSON strings, numerics bare, binary base64 (the
-    * streaming-insert representation BigQuery documents per type).
+    * streaming-insert representation BigQuery documents per type);
+    * arrays recurse as JSON arrays (REPEATED fields), structs as
+    * nested objects (RECORD fields), string-keyed maps as objects.
     * Timestamps format through an explicit UTC formatter — a
     * `Timestamp.toString` would render in the JVM's default zone and
     * silently shift every value on a non-UTC host. */
@@ -144,6 +161,24 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       case BooleanType => v.toString
       case _: DecimalType => jsonStr(
         v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case ArrayType(e, _) =>
+        val items = v match {
+          case s: scala.collection.Seq[_] => s
+          case a: Array[_] => a.toSeq
+        }
+        items.map(jsonVal(e, _)).mkString("[", ",", "]")
+      case StructType(fields) =>
+        val r = v.asInstanceOf[Row]
+        fields.zipWithIndex.map { case (f, i) =>
+          jsonStr(f.name) + ":" +
+            jsonVal(f.dataType, if (r.isNullAt(i)) null else r.get(i))
+        }.mkString("{", ",", "}")
+      case MapType(StringType, ve, _) =>
+        v.asInstanceOf[scala.collection.Map[_, _]].map { case (k, x) =>
+          jsonStr(k.toString) + ":" + jsonVal(ve, x)
+        }.mkString("{", ",", "}")
+      case t: MapType => throw new IllegalArgumentException(
+        s"bigquery loader: non-string map key type $t is unsupported")
       case _ => v.toString
     }
 
@@ -156,8 +191,11 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       case parts => (parts.init.mkString("."), parts.last)
     }
 
-  override def loadAvro(stagingTable: String, files: Seq[String],
-      schema: StructType): Unit = {
+  /** Ship one staged Avro stream as chunked insertAll POSTs — the
+    * per-file body both the per-partition tasks and the no-session
+    * driver fallback run. */
+  private[sinks] def insertStaged(in: java.io.InputStream,
+      stagingTable: String, schema: StructType): Unit = {
     val (ds, table) = datasetAndTable(stagingTable)
     val rowsPerInsert = ep.param("rows_per_insert", "500").toInt
     def rowJson(r: Row): String =
@@ -165,19 +203,64 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
         jsonStr(f.name) + ":" +
           jsonVal(f.dataType, if (r.isNullAt(i)) null else r.get(i))
       }.mkString("""{"json":{""", ",", "}}")
-    files.foreach { f =>
-      val in = Files.newInputStream(Paths.get(f))
-      try AvroStage.streamContainer(in, schema)
-        .grouped(rowsPerInsert).foreach { chunk =>
-          val (code, body) = request("POST",
-            s"/bigquery/v2/projects/$project/datasets/$ds/tables/" +
-              s"$table/insertAll",
-            Some(s"""{"rows":[${chunk.map(rowJson).mkString(",")}]}"""))
-          if (code != 200 || body.contains("\"insertErrors\""))
-            throw new java.io.IOException("bigquery insertAll " +
-              s"failed (HTTP $code): ${body.take(300)}")
+    AvroStage.streamContainer(in, schema)
+      .grouped(rowsPerInsert).foreach { chunk =>
+        val (code, body) = request("POST",
+          s"/bigquery/v2/projects/$project/datasets/$ds/tables/" +
+            s"$table/insertAll",
+          Some(s"""{"rows":[${chunk.map(rowJson).mkString(",")}]}"""))
+        if (code != 200 || BigQuerySqlApi.InsertErrorsField
+            .findFirstIn(body).isDefined)
+          throw new java.io.IOException("bigquery insertAll " +
+            s"failed (HTTP $code): ${body.take(300)}")
+      }
+  }
+
+  override def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if files.nonEmpty =>
+        // staged files fan out over EXECUTOR tasks (the SDK path's
+        // GCS-staged load jobs are likewise per-file server-parallel),
+        // nothing funnels through the driver; each task reopens its
+        // stage files over the Hadoop FS — at scale the stage dir is
+        // object storage. Concurrency is CAPPED (`load_parallelism`):
+        // insertAll has per-table rate limits, and an uncapped fan-out
+        // would also pin every local task slot while blocked on REST
+        val u = url
+        val maxPar = math.max(1, math.min(files.size,
+          ep.param("load_parallelism", "8").toInt))
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        s.sparkContext.parallelize(files, maxPar).foreach { f =>
+          BigQuerySqlApi.shipStagedFile(u, f, hconf, stagingTable,
+            schema)
         }
-      finally in.close()
+      case _ => // bare-JVM caller (no session): driver-serial fallback
+        files.foreach { f =>
+          val in = Files.newInputStream(Paths.get(f))
+          try insertStaged(in, stagingTable, schema) finally in.close()
+        }
     }
+}
+
+object BigQuerySqlApi {
+
+  /** Non-empty `"errors":[` / `"insertErrors":[` fields — inside a
+    * JSON STRING value the quote would be escaped, so a bare match is
+    * a real top-level-ish field, not row data. */
+  private[sinks] val ErrorsField = """"errors"\s*:\s*\[""".r
+  private[sinks] val InsertErrorsField = """"insertErrors"\s*:\s*\[""".r
+
+  /** One staged file → one task: rebuild the API client from its URL
+    * (nothing stateful crosses the closure) and stream the file's rows
+    * as chunked insertAll POSTs. */
+  private[sinks] def shipStagedFile(url: String, file: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      stagingTable: String, schema: StructType): Unit = {
+    val api = new BigQuerySqlApi(url)
+    val p = new org.apache.hadoop.fs.Path(file)
+    val in = p.getFileSystem(conf.value).open(p)
+    try api.insertStaged(in, stagingTable, schema) finally in.close()
   }
 }

@@ -64,6 +64,12 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
     c.setReadTimeout(ep.param("read_timeout_ms", "60000").toInt)
     c.setRequestProperty("Content-Type", "application/json")
     c.setRequestProperty("Accept", "application/json")
+    // inside a Spark task (the per-partition bulk leg) every request
+    // carries its partition id — observability for the executor-parallel
+    // load, and what the wire spec asserts on
+    Option(org.apache.spark.TaskContext.get()).foreach(tc =>
+      c.setRequestProperty("X-Graft-Load-Partition",
+        tc.partitionId().toString))
     ep.params.get("token").foreach { t =>
       c.setRequestProperty("Authorization", s"Bearer $t")
       c.setRequestProperty("X-Snowflake-Authorization-Token-Type",
@@ -125,6 +131,64 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
     .withZone(java.time.ZoneOffset.UTC)
 
+  /** Compact JSON image of a semi-structured value — ARRAY/OBJECT
+    * columns travel as string literals through VALUES and materialize
+    * via `PARSE_JSON($n)` in the SELECT list, Snowflake's documented
+    * bulk form for the VARIANT family (its VALUES clause cannot carry
+    * ARRAY_CONSTRUCT/OBJECT expressions). */
+  private def jsonText(sb: StringBuilder, dt: DataType, v: Any): Unit = {
+    if (v == null) { sb.append("null"); return }
+    dt match {
+      case ArrayType(e, _) =>
+        sb.append('[')
+        val items = v match {
+          case s: scala.collection.Seq[_] => s
+          case a: Array[_] => a.toSeq
+        }
+        var i = 0
+        items.foreach { x =>
+          if (i > 0) sb.append(',')
+          i += 1
+          jsonText(sb, e, x)
+        }
+        sb.append(']')
+      case StructType(fields) =>
+        val r = v.asInstanceOf[Row]
+        sb.append('{')
+        fields.zipWithIndex.foreach { case (f, i) =>
+          if (i > 0) sb.append(',')
+          sb.append(jsonStr(f.name)).append(':')
+          jsonText(sb, f.dataType, if (r.isNullAt(i)) null else r.get(i))
+        }
+        sb.append('}')
+      case MapType(StringType, ve, _) =>
+        val m = v.asInstanceOf[scala.collection.Map[_, _]]
+        sb.append('{')
+        var i = 0
+        m.foreach { case (k, x) =>
+          if (i > 0) sb.append(',')
+          i += 1
+          sb.append(jsonStr(k.toString)).append(':')
+          jsonText(sb, ve, x)
+        }
+        sb.append('}')
+      case MapType(k, _, _) => throw new IllegalArgumentException(
+        s"snowflake loader: non-string map key type $k is unsupported")
+      case TimestampType => sb.append(jsonStr(TsFmt.format(
+        v.asInstanceOf[java.sql.Timestamp].toInstant)))
+      case TimestampNTZType => sb.append(jsonStr(TsFmt.format(
+        v.asInstanceOf[java.time.LocalDateTime]
+          .toInstant(java.time.ZoneOffset.UTC))))
+      case StringType | DateType => sb.append(jsonStr(v.toString))
+      case BinaryType => sb.append(jsonStr(java.util.Base64.getEncoder
+        .encodeToString(v.asInstanceOf[Array[Byte]])))
+      case _: DecimalType => sb.append(
+        v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case BooleanType => sb.append(v.toString)
+      case _ => sb.append(v.toString)
+    }
+  }
+
   /** SQL literal image of one staged value (NULL-safe); strings and
     * temporals quote-escape, binary travels as TO_BINARY hex.
     * Timestamps format through an explicit UTC formatter —
@@ -150,27 +214,96 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
         v.asInstanceOf[java.time.LocalDateTime]
           .toInstant(java.time.ZoneOffset.UTC)) + "'"
       case DateType => "'" + v.toString + "'"
+      case t @ (_: ArrayType | _: MapType | _: StructType) =>
+        // semi-structured values never reach the plain-literal path —
+        // insertStaged routes them through PARSE_JSON; anything else
+        // calling in with one is a bug, not a WrappedArray.toString
+        throw new IllegalArgumentException(
+          s"snowflake loader: $t cannot render as a plain SQL literal")
       case _ => v.toString
     }
 
-  override def loadAvro(stagingTable: String, files: Seq[String],
-      schema: StructType): Unit = {
+  /** Ship one staged Avro stream as chunked INSERTs — the per-file
+    * body both the per-partition tasks and the no-session driver
+    * fallback run. Schemas with semi-structured columns switch to the
+    * `INSERT … SELECT PARSE_JSON($n) FROM VALUES` form (see
+    * [[jsonText]]); flat schemas keep plain multi-row VALUES. */
+  private[sinks] def insertStaged(in: java.io.InputStream,
+      stagingTable: String, schema: StructType): Unit = {
     val cols = schema.fields.map(f =>
       "\"" + f.name.replace("\"", "\"\"") + "\"").mkString(", ")
     val target = MergeSqlGenerator.qualified(stagingTable)
     val rowsPerInsert = ep.param("rows_per_insert", "500").toInt
-    def tuple(r: Row): String =
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        sqlLit(f.dataType, if (r.isNullAt(i)) null else r.get(i))
-      }.mkString("(", ", ", ")")
-    files.foreach { f =>
-      val in = Files.newInputStream(Paths.get(f))
-      try AvroStage.streamContainer(in, schema)
-        .grouped(rowsPerInsert).foreach { chunk =>
-          execute(s"INSERT INTO $target ($cols) VALUES " +
-            chunk.map(tuple).mkString(", "))
-        }
-      finally in.close()
+    val semi = schema.fields.map(_.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    })
+    def lit(i: Int, r: Row): String = {
+      val v = if (r.isNullAt(i)) null else r.get(i)
+      if (!semi(i)) sqlLit(schema.fields(i).dataType, v)
+      else if (v == null) "NULL"
+      else {
+        val sb = new StringBuilder
+        jsonText(sb, schema.fields(i).dataType, v)
+        "'" + sb.toString.replace("\\", "\\\\").replace("'", "''") + "'"
+      }
     }
+    def tuple(r: Row): String =
+      schema.fields.indices.map(lit(_, r)).mkString("(", ", ", ")")
+    val stmt: String => String =
+      if (semi.contains(true)) {
+        val sel = schema.fields.indices.map(i =>
+          if (semi(i)) s"PARSE_JSON($$${i + 1})" else s"$$${i + 1}")
+          .mkString(", ")
+        vals => s"INSERT INTO $target ($cols) SELECT $sel FROM VALUES " +
+          vals
+      } else
+        vals => s"INSERT INTO $target ($cols) VALUES " + vals
+    AvroStage.streamContainer(in, schema).grouped(rowsPerInsert)
+      .foreach(chunk => execute(stmt(chunk.map(tuple).mkString(", "))))
+  }
+
+  override def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if files.nonEmpty =>
+        // staged files fan out over EXECUTOR tasks (the reference's
+        // per-file consolidate workers,
+        // snowflake/qrep_avro_consolidate.go:42-236), nothing funnels
+        // through the driver; each task reopens its stage files over
+        // the Hadoop FS — at scale the stage dir is object storage.
+        // Concurrency is CAPPED (`load_parallelism`): the SQL API has
+        // its own server-side statement-concurrency limits, and an
+        // uncapped fan-out would also pin every local task slot while
+        // blocked on REST I/O
+        val u = url
+        val maxPar = math.max(1, math.min(files.size,
+          ep.param("load_parallelism", "8").toInt))
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        s.sparkContext.parallelize(files, maxPar).foreach { f =>
+          SnowflakeSqlApi.shipStagedFile(u, f, hconf, stagingTable,
+            schema)
+        }
+      case _ => // bare-JVM caller (no session): driver-serial fallback
+        files.foreach { f =>
+          val in = Files.newInputStream(Paths.get(f))
+          try insertStaged(in, stagingTable, schema) finally in.close()
+        }
+    }
+}
+
+object SnowflakeSqlApi {
+
+  /** One staged file → one task: rebuild the API client from its URL
+    * (nothing stateful crosses the closure) and stream the file's rows
+    * as chunked INSERTs against the warehouse. */
+  private[sinks] def shipStagedFile(url: String, file: String,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      stagingTable: String, schema: StructType): Unit = {
+    val api = new SnowflakeSqlApi(url)
+    val p = new org.apache.hadoop.fs.Path(file)
+    val in = p.getFileSystem(conf.value).open(p)
+    try api.insertStaged(in, stagingTable, schema) finally in.close()
   }
 }

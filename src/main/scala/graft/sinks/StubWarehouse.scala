@@ -99,6 +99,8 @@ final class StubWarehouse(spark: SparkSession,
       runUpsert(flat)
     else if (up.startsWith("INSERT INTO") && up.contains(") VALUES (") &&
         !up.contains(" SELECT ")) runInsertValues(flat)
+    else if (up.startsWith("INSERT INTO") && up.contains(" FROM VALUES "))
+      runInsertSelectValues(flat)
     else if (up.startsWith("INSERT INTO")) runInsertSelect(flat)
     else if (up.startsWith("DELETE FROM")) runDelete(flat)
     else if (up.startsWith("ALTER TABLE") &&
@@ -266,6 +268,38 @@ final class StubWarehouse(spark: SparkSession,
           s"${sparkTypeOf(m.group(3)).sql})"))
   }
 
+  /** Apply `f` only to the spans OUTSIDE single-quoted string
+    * literals (honoring `''` doubling and backslash escapes) — [[tr]]'s
+    * regex rules must not rewrite literal CONTENT, e.g. the
+    * double-quoted JSON keys inside a PARSE_JSON payload. */
+  private def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var inLit = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inLit) {
+        if (c == '\'') {
+          out.append(f(seg.toString)); seg.clear()
+          out.append(c); inLit = true
+        } else seg.append(c)
+      } else {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) {
+          out.append(s.charAt(i + 1)); i += 1
+        } else if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inLit = false
+        }
+      }
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
   private def unquote(id: String): String =
     id.trim.stripPrefix("\"").stripSuffix("\"")
       .stripPrefix("`").stripSuffix("`")
@@ -318,6 +352,7 @@ final class StubWarehouse(spark: SparkSession,
     if (up.startsWith("NULLABLE(")) return sparkTypeOf(inner(9))
     if (up.startsWith("LOWCARDINALITY(")) return sparkTypeOf(inner(15))
     if (up.startsWith("ARRAY(")) return ArrayType(sparkTypeOf(inner(6)))
+    if (up.startsWith("ARRAY<")) return ArrayType(sparkTypeOf(inner(6)))
     if (up.endsWith(" ARRAY"))
       return ArrayType(sparkTypeOf(raw.dropRight(6)))
     val Dec =
@@ -558,8 +593,57 @@ final class StubWarehouse(spark: SparkSession,
     }
     val declared = schemas(tgt)
     val insCols = splitTop(cols, ',').map(unquote)
-    val newRows = spark.sql("SELECT * FROM VALUES " + tr(rest))
+    val newRows = spark.sql("SELECT * FROM VALUES " +
+      mapOutsideLiterals(rest)(tr))
       .toDF(insCols: _*)
+    val aligned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], declared)
+      .unionByName(
+        castTo(newRows, StructType(declared.fields
+          .filter(f => insCols.contains(f.name)))),
+        allowMissingColumns = true)
+    tables(tgt) = pin(tables(tgt).unionByName(aligned))
+  }
+
+  /** `INSERT INTO t (cols) SELECT $1, PARSE_JSON($2), … FROM VALUES
+    * (…),(…)` — the Snowflake bulk leg's semi-structured form
+    * ([[SnowflakeSqlApi.insertStaged]]): positional `$n` references
+    * resolve against the VALUES tuple, `PARSE_JSON($n)` materializes
+    * the JSON string literal as the declared column's complex type
+    * (what the server's VARIANT coercion does). */
+  private def runInsertSelectValues(flat: String): Unit = {
+    val Re =
+      """(?i)INSERT INTO (\S+) \((.*?)\) SELECT (.*) FROM VALUES (.*)""".r
+    val (tgt, cols, sel, vals) = flat match {
+      case Re(t, c, s, v) => (tableKey(t), c, s, v)
+      case _ => throw new IllegalArgumentException(
+        "stub warehouse: unparseable INSERT SELECT VALUES: " +
+          s"${flat.take(120)}…")
+    }
+    val declared = schemas(tgt)
+    val insCols = splitTop(cols, ',').map(unquote)
+    val raw = spark.sql("SELECT * FROM VALUES " +
+      mapOutsideLiterals(vals)(tr))
+    val rawCols = raw.columns
+    val Pj = """(?i)PARSE_JSON\(\$(\d+)\)""".r
+    val Pos = """\$(\d+)""".r
+    val exprs = splitTop(sel, ',').map(_.trim).zipWithIndex.map {
+      case (item, outIdx) => item match {
+        case Pj(n) =>
+          // a complex declared type materializes; a VARIANT column
+          // (StringType here — Snowflake's dynamic type carried as
+          // JSON text, see sparkTypeOf) keeps the raw JSON string
+          declared(declared.fieldIndex(insCols(outIdx))).dataType match {
+            case t @ (_: ArrayType | _: MapType | _: StructType) =>
+              org.apache.spark.sql.functions.from_json(
+                col(rawCols(n.toInt - 1)), t)
+            case _ => col(rawCols(n.toInt - 1))
+          }
+        case Pos(n) => col(rawCols(n.toInt - 1))
+        case other => expr(tr(other))
+      }
+    }
+    val newRows = raw.select(exprs: _*).toDF(insCols: _*)
     val aligned = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], declared)
       .unionByName(

@@ -27,7 +27,14 @@ class BigQueryWireSpec extends SparkSpec {
   private final class BqFixture {
     val stub = new StubWarehouse(spark, QKind.Dialect.BigQuery)
     @volatile var asyncRemaining = 0
+    /** Answer every jobs.query POST/poll with jobComplete:false —
+      * the poll-budget-exhaustion path. */
+    @volatile var neverComplete = false
     @volatile var sawBearer: Option[String] = None
+    /** Distinct `X-Graft-Load-Partition` header values seen — which
+      * Spark task each bulk-leg request came from. */
+    val loadPartitions: java.util.Set[String] =
+      ConcurrentHashMap.newKeySet[String]()
     private val pending =
       new ConcurrentHashMap[String, Either[String, Unit]]()
     private val nextJob = new AtomicLong(1)
@@ -60,7 +67,12 @@ class BigQueryWireSpec extends SparkSpec {
     server.createContext("/", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       sawBearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      Option(ex.getRequestHeaders.getFirst("X-Graft-Load-Partition"))
+        .foreach(loadPartitions.add)
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case _ if neverComplete =>
+          respond(ex, 200,
+            """{"jobComplete":false,"jobReference":{},"jobId":"stuck"}""")
         case ("POST", QueriesPath(_)) =>
           val sql = unescape(QueryRe.findFirstMatchIn(body)
             .map(_.group(1)).getOrElse(""))
@@ -101,9 +113,12 @@ class BigQueryWireSpec extends SparkSpec {
       }
     })
     server.start()
+    // load_parallelism 2: the fixture's stub replays need free task
+    // slots in the same local[4] session the loader tasks block in —
+    // a cycle a real warehouse doesn't have
     def url: String = "bigquery://127.0.0.1:" +
       s"${server.getAddress.getPort}/my-project" +
-      "?dataset=peerdb&token=bqtok&poll_ms=10"
+      "?dataset=peerdb&token=bqtok&poll_ms=10&load_parallelism=2"
     def stop(): Unit = server.stop(0)
   }
 
@@ -175,6 +190,60 @@ class BigQueryWireSpec extends SparkSpec {
       val once = snap(bq.stub.table("wh_dst"))
       loader.loadBatch(b2(), tmpDir("bq_stage3"))
       assert(snap(bq.stub.table("wh_dst")) == once)
+    } finally bq.stop()
+  }
+
+  test("the bulk leg runs EXECUTOR-side, one task per staged file: " +
+    "every insertAll request carries its Spark partition id and a " +
+    "REPEATED (array) column rides as a JSON array — not a " +
+    "WrappedArray.toString") {
+    val bq = new BqFixture
+    try {
+      val arrPayload = StructType(Seq(
+        StructField("id", LongType),
+        StructField("tags", ArrayType(StringType))))
+      val arrSchema = StructType(arrPayload.fields ++ Seq(
+        StructField(RawTable.Version, LongType),
+        StructField(RawTable.IsDeleted, BooleanType),
+        StructField(Normalizer.AbsentCols, ArrayType(StringType))))
+      import scala.jdk.CollectionConverters._
+      val batch = spark.createDataFrame(
+        (1L to 6L).map(i => org.apache.spark.sql.Row(
+          i, Seq(s"t$i", "plain"), 100L, false, Seq.empty[String]))
+          .toList.asJava, arrSchema)
+        .repartition(3) // ≥2 staged files → ≥2 load tasks
+
+      val t = MergeTarget("bq_arr_dst", "bq_arr_stg", Seq("id"),
+        arrPayload)
+      val loader = new WarehouseLoader(t,
+        new BigQuerySqlApi(bq.url), "bigquery")
+      loader.setup()
+      loader.loadBatch(batch, tmpDir("bq_arr_stage"))
+
+      assert(bq.loadPartitions.size >= 2,
+        s"expected >=2 load partitions, saw ${bq.loadPartitions}")
+      val got = bq.stub.table("bq_arr_dst")
+        .select("id", "tags").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got.size == 6 && got(4L) == Seq("t4", "plain"),
+        got.toString)
+    } finally bq.stop()
+  }
+
+  test("a job still incomplete after the poll budget FAILS the " +
+    "statement — the MERGE may finish server-side later, so silently " +
+    "returning success would drop staging and advance the HWM over a " +
+    "lost batch") {
+    val bq = new BqFixture
+    try {
+      bq.neverComplete = true
+      val api = new BigQuerySqlApi(bq.url + "&max_polls=3")
+      val e = intercept[java.io.IOException] {
+        api.execute("MERGE INTO `x` dst USING `y` src ON FALSE " +
+          "WHEN NOT MATCHED THEN INSERT ROW")
+      }
+      assert(e.getMessage.contains("still running") &&
+        e.getMessage.contains("3 polls"), e.getMessage)
     } finally bq.stop()
   }
 

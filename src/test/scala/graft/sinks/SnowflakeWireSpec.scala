@@ -33,6 +33,10 @@ class SnowflakeWireSpec extends SparkSpec {
     val stub = new StubWarehouse(spark, QKind.Dialect.Snowflake)
     @volatile var asyncRemaining = 0
     @volatile var sawBearer: Option[String] = None
+    /** Distinct `X-Graft-Load-Partition` header values seen — which
+      * Spark task each bulk-leg request came from. */
+    val loadPartitions: java.util.Set[String] =
+      ConcurrentHashMap.newKeySet[String]()
     private val pending = new ConcurrentHashMap[String, Either[String, Unit]]()
     private val nextHandle = new AtomicLong(1)
     private val server =
@@ -59,6 +63,8 @@ class SnowflakeWireSpec extends SparkSpec {
       val path = ex.getRequestURI.getPath
         .stripPrefix("/api/v2/statements")
       sawBearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      Option(ex.getRequestHeaders.getFirst("X-Graft-Load-Partition"))
+        .foreach(loadPartitions.add)
       if (ex.getRequestMethod == "POST" && (path.isEmpty || path == "/")) {
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val result =
@@ -89,9 +95,12 @@ class SnowflakeWireSpec extends SparkSpec {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n") + "\""
     server.start()
+    // load_parallelism 2: the fixture's stub replays need free task
+    // slots in the same local[4] session the loader tasks block in —
+    // a cycle a real warehouse doesn't have
     def url: String = "snowflake://127.0.0.1:" +
       s"${server.getAddress.getPort}/ANALYTICS?schema=PUBLIC&" +
-      "warehouse=WH&token=tok123&poll_ms=10"
+      "warehouse=WH&token=tok123&poll_ms=10&load_parallelism=2"
     def stop(): Unit = server.stop(0)
   }
 
@@ -300,6 +309,49 @@ class SnowflakeWireSpec extends SparkSpec {
           .col(RawTable.IsDeleted)).count() == 3,
         "the stream must keep converging on the swapped table")
       run("DROP MIRROR sfmir")
+    } finally sf.stop()
+  }
+
+  test("the bulk leg runs EXECUTOR-side, one task per staged file: " +
+    "every INSERT request carries its Spark partition id, and an " +
+    "array column rides the PARSE_JSON SELECT-FROM-VALUES form " +
+    "(Snowflake's VALUES clause cannot carry ARRAY expressions)") {
+    val sf = new SfFixture
+    try {
+      val arrPayload = StructType(Seq(
+        StructField("id", LongType),
+        StructField("tags", ArrayType(StringType))))
+      val arrSchema = StructType(arrPayload.fields ++ Seq(
+        StructField(RawTable.Version, LongType),
+        StructField(RawTable.IsDeleted, BooleanType),
+        StructField(Normalizer.AbsentCols, ArrayType(StringType))))
+      import scala.jdk.CollectionConverters._
+      val batch = spark.createDataFrame(
+        (1L to 6L).map(i => org.apache.spark.sql.Row(
+          i, Seq(s"t$i", "x'q"), 100L, false, Seq.empty[String]))
+          .toList.asJava, arrSchema)
+        .repartition(3) // ≥2 staged files → ≥2 load tasks
+
+      val t = MergeTarget("arr_dst", "arr_stg", Seq("id"), arrPayload)
+      val loader = new WarehouseLoader(t,
+        new SnowflakeSqlApi(sf.url), "snowflake")
+      loader.setup()
+      loader.loadBatch(batch, tmpDir("sf_arr_stage"))
+
+      // per-partition execution: distinct task partition ids observed
+      // on the wire (absent entirely before the executor-parallel leg)
+      assert(sf.loadPartitions.size >= 2,
+        s"expected >=2 load partitions, saw ${sf.loadPartitions}")
+      val ins = sf.stub.statements.filter(_.startsWith("INSERT INTO"))
+      assert(ins.nonEmpty && ins.forall(s =>
+        s.contains("PARSE_JSON($2)") && s.contains(" FROM VALUES ")),
+        ins.mkString("\n"))
+      // VARIANT carries as JSON text destination-side; values intact
+      val got = sf.stub.table("arr_dst")
+        .select("id", "tags").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 6 &&
+        got(3L) == """["t3","x'q"]""", got.toString)
     } finally sf.stop()
   }
 
