@@ -304,9 +304,114 @@ object AvroStage {
     * the same [[readValue]] path as [[readContainer]]. The caller
     * closes `input` after exhausting the iterator. */
   def streamContainer(input: java.io.InputStream, schema: StructType)
-      : Iterator[Row] = {
+      : Iterator[Row] =
+    streamBlocks(openContainer(input)._2, schema)
+
+  /** [[streamContainer]] without a caller-supplied schema: the WRITER
+    * schema embedded in the OCF header (`avro.schema`) drives the
+    * decode — the layout authority per the Avro spec (union-nullability
+    * is the writer's, never the destination DDL's). This is what a
+    * COPY-style bulk replay uses when all it has is a file list. */
+  def streamContainerAuto(input: java.io.InputStream)
+      : (StructType, Iterator[Row]) = {
+    val (meta, in) = openContainer(input)
+    val json = meta.getOrElse("avro.schema", throw new
+        IllegalArgumentException("OCF carries no avro.schema header"))
+    val schema = schemaOfJson(new String(json, StandardCharsets.UTF_8))
+    (schema, streamBlocks(in, schema))
+  }
+
+  /** Invert [[schemaJson]]: the embedded writer-schema JSON back to a
+    * Spark schema (names, carrier types, union-nullability). Only the
+    * vocabulary this stage emits is accepted — anything else is a
+    * foreign file and fails loudly. */
+  def schemaOfJson(json: String): StructType = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(json)
+    require(root.path("type").asText == "record",
+      s"avro.schema is not a record: ${json.take(120)}")
+    def typeOf(n: com.fasterxml.jackson.databind.JsonNode)
+        : (DataType, Boolean) =
+      if (n.isTextual) (n.asText match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "string" => StringType
+        case "bytes" => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"unsupported avro type '$other'")
+      }, false)
+      else if (n.isArray) { // ["null", T]
+        require(n.size == 2 && n.get(0).asText == "null",
+          s"unsupported avro union ${n.toString.take(80)}")
+        (typeOf(n.get(1))._1, true)
+      }
+      else n.path("logicalType").asText match {
+        case "date" => (DateType, false)
+        // both tz and ntz stage as timestamp-micros; the ntz carrier
+        // round-trips through the declared-type cast downstream
+        case "timestamp-micros" => (TimestampNTZType, false)
+        case "decimal" => (DecimalType(n.path("precision").asInt,
+          n.path("scale").asInt), false)
+        case _ if n.path("type").asText == "array" =>
+          (ArrayType(typeOf(n.path("items"))._1, containsNull = true),
+            false)
+        case other => throw new IllegalArgumentException(
+          s"unsupported avro logicalType '$other'")
+      }
+    import scala.jdk.CollectionConverters._
+    StructType(root.path("fields").elements().asScala.map { f =>
+      val (dt, nullable) = typeOf(f.path("type"))
+      StructField(f.path("name").asText, dt, nullable)
+    }.toSeq)
+  }
+
+  /** Consume the OCF magic + metadata map + header sync; return the
+    * metadata and the positioned stream (next byte = first block). */
+  private def openContainer(input: java.io.InputStream)
+      : (Map[String, Array[Byte]], java.io.DataInputStream) = {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(input, 1 << 16))
+    def u8(): Int = {
+      val v = in.read()
+      require(v >= 0, "EOF inside OCF")
+      v
+    }
+    def readVarLong(): Long = {
+      var shift = 0; var acc = 0L
+      var byte = u8()
+      while ((byte & 0x80) != 0) {
+        acc |= (byte & 0x7FL) << shift; shift += 7; byte = u8()
+      }
+      acc |= (byte & 0x7FL) << shift
+      (acc >>> 1) ^ -(acc & 1) // un-zigzag
+    }
+    def readFully(n: Int): Array[Byte] = {
+      require(n >= 0, s"negative length $n in OCF")
+      val a = new Array[Byte](n); in.readFully(a); a
+    }
+    require(readFully(4).sameElements(Magic), "not an Avro OCF")
+    val meta = Map.newBuilder[String, Array[Byte]]
+    var n = readVarLong() // metadata map blocks
+    while (n != 0) {
+      if (n < 0) { readVarLong(); n = -n }
+      var i = 0L
+      while (i < n) {
+        val key = new String(readFully(readVarLong().toInt),
+          StandardCharsets.UTF_8)
+        meta += key -> readFully(readVarLong().toInt)
+        i += 1
+      }
+      n = readVarLong()
+    }
+    readFully(16) // header sync marker
+    (meta.result(), in)
+  }
+
+  private def streamBlocks(in: java.io.DataInputStream,
+      schema: StructType): Iterator[Row] = {
     def u8(): Int = {
       val v = in.read()
       require(v >= 0, "EOF inside OCF")
@@ -325,19 +430,6 @@ object AvroStage {
       require(n >= 0, s"negative length $n in OCF")
       val a = new Array[Byte](n); in.readFully(a); a
     }
-    require(readFully(4).sameElements(Magic), "not an Avro OCF")
-    var n = readVarLong() // metadata map blocks
-    while (n != 0) {
-      if (n < 0) { readVarLong(); n = -n }
-      var i = 0L
-      while (i < n) {
-        readFully(readVarLong().toInt) // key
-        readFully(readVarLong().toInt) // value
-        i += 1
-      }
-      n = readVarLong()
-    }
-    readFully(16) // header sync marker
 
     new Iterator[Row] {
       private var block: In = null

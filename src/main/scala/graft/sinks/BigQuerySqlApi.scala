@@ -216,7 +216,69 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       }
   }
 
+  /** The TRUE bulk path — the reference's GCS-staged Avro load job
+    * (bigquery/qrep_avro_sync.go:409-440: `NewGCSReference` +
+    * `LoaderFrom`, `UseAvroLogicalTypes=true`, then job.Wait): one
+    * `POST /jobs` with a `configuration.load` body naming every staged
+    * URI; the warehouse pulls the files itself, server-parallel. The
+    * job id polls `GET /jobs/{id}` until `"state":"DONE"`, and an
+    * `errorResult` fails the batch loudly. Selected when the URL
+    * carries `load_uri_base` (the object-store location the engine's
+    * stage dir maps to) and `stage_base` (the engine-side prefix). */
+  private def loadJob(stagingTable: String, files: Seq[String],
+      uriBase: String): Unit = {
+    val (ds, table) = datasetAndTable(stagingTable)
+    val base = ep.param("stage_base", "")
+    def uri(f: String): String = {
+      val stripped = f.stripPrefix(base).dropWhile(_ == '/')
+      require(stripped != f || base.isEmpty,
+        s"staged file '$f' is not under stage_base '$base'")
+      uriBase.stripSuffix("/") + "/" + stripped
+    }
+    val body = "{" +
+      s""""configuration":{"load":{""" +
+      s""""sourceUris":[${files.map(f => jsonStr(uri(f)))
+        .mkString(",")}],""" +
+      s""""destinationTable":{"projectId":${jsonStr(project)},""" +
+      s""""datasetId":${jsonStr(ds)},"tableId":${jsonStr(table)}},""" +
+      """"sourceFormat":"AVRO","useAvroLogicalTypes":true,""" +
+      """"writeDisposition":"WRITE_APPEND"}}}"""
+    var (code, resp) = request("POST",
+      s"/bigquery/v2/projects/$project/jobs", Some(body))
+    if (code != 200)
+      throw new java.io.IOException("bigquery load job submit failed " +
+        s"(HTTP $code): ${fieldOf(resp, "message").getOrElse(
+          resp.take(300))}")
+    val jobId = fieldOf(resp, "jobId").getOrElse(
+      throw new java.io.IOException(
+        s"bigquery load job response without jobId: ${resp.take(300)}"))
+    var polls = 0
+    while (code == 200 && !resp.contains("\"state\":\"DONE\"") &&
+        polls < maxPolls) {
+      Thread.sleep(pollMs)
+      val r = request("GET", s"/bigquery/v2/projects/$project/jobs/$jobId",
+        None)
+      code = r._1; resp = r._2
+      polls += 1
+    }
+    if (code == 200 && !resp.contains("\"state\":\"DONE\""))
+      throw new java.io.IOException("bigquery load job still running " +
+        s"after $polls polls (jobId $jobId): raise max_polls/poll_ms")
+    if (code != 200 || resp.contains("\"errorResult\""))
+      throw new java.io.IOException("bigquery load job failed " +
+        s"(HTTP $code): ${fieldOf(resp, "message").getOrElse(
+          resp.take(300))}")
+  }
+
   override def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit =
+    if (files.isEmpty) ()
+    else ep.params.get("load_uri_base") match {
+      case Some(uriBase) => loadJob(stagingTable, files, uriBase)
+      case None => loadAvroInserts(stagingTable, files, schema)
+    }
+
+  private def loadAvroInserts(stagingTable: String, files: Seq[String],
       schema: StructType): Unit =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) if files.nonEmpty =>

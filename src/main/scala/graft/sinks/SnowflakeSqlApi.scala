@@ -263,7 +263,58 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
       .foreach(chunk => execute(stmt(chunk.map(tuple).mkString(", "))))
   }
 
+  /** The TRUE bulk path — the reference's external-stage COPY
+    * (snowflake/qrep.go:99-156 createStage/createExternalStage;
+    * qrep_avro_consolidate.go:139-150 getCopyTransformation): one
+    * `CREATE OR REPLACE STAGE … URL=… FILE_FORMAT=(TYPE=AVRO)` plus
+    * one `COPY INTO t(cols) FROM (SELECT $1:"c"::type …) FILES=(…)`
+    * statement; the warehouse pulls the staged files itself,
+    * server-parallel. Selected when the URL carries `stage_url` (the
+    * object-store location the engine's stage dir maps to) and
+    * `stage_base` (the engine-side path prefix `@stage` replaces). */
+  private def copyIntoStage(stagingTable: String, files: Seq[String],
+      schema: StructType, stageUrl: String): Unit = {
+    val stageName = ep.param("stage_name", "graft_stage")
+    val base = ep.param("stage_base", "")
+    def rel(f: String): String = {
+      val stripped = f.stripPrefix(base).dropWhile(_ == '/')
+      require(stripped != f || base.isEmpty,
+        s"staged file '$f' is not under stage_base '$base'")
+      stripped
+    }
+    execute(s"CREATE OR REPLACE STAGE $stageName URL = '$stageUrl' " +
+      "FILE_FORMAT = (TYPE = AVRO)")
+    val target = MergeSqlGenerator.qualified(stagingTable)
+    def qc(n: String) = "\"" + n.replace("\"", "\"\"") + "\""
+    // the reference's per-type transform list (getTransformSQL):
+    // VARIANT routes through PARSE_JSON, everything else casts
+    val items = schema.fields.map { f =>
+      val ddl = graft.types.QKind.toDdl(
+        graft.types.QKind.fromSpark(f.dataType),
+        graft.types.QKind.Dialect.Snowflake)
+      val src = s"""$$1:"${f.name}""""
+      val tx =
+        if (ddl == "VARIANT") s"PARSE_JSON($src)"
+        else s"($src)::$ddl"
+      (s"$tx AS ${qc(f.name)}", qc(f.name))
+    }
+    execute(s"COPY INTO $target(${items.map(_._2).mkString(",")}) " +
+      s"FROM (SELECT ${items.map(_._1).mkString(",")} " +
+      s"FROM @$stageName) " +
+      s"FILES = (${files.map(f => s"'${rel(f)}'").mkString(",")}) " +
+      "FILE_FORMAT = (TYPE = AVRO), PURGE = TRUE")
+  }
+
   override def loadAvro(stagingTable: String, files: Seq[String],
+      schema: StructType): Unit =
+    if (files.isEmpty) ()
+    else ep.params.get("stage_url") match {
+      case Some(stageUrl) =>
+        copyIntoStage(stagingTable, files, schema, stageUrl)
+      case None => loadAvroInserts(stagingTable, files, schema)
+    }
+
+  private def loadAvroInserts(stagingTable: String, files: Seq[String],
       schema: StructType): Unit =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) if files.nonEmpty =>

@@ -93,6 +93,9 @@ final class StubWarehouse(spark: SparkSession,
     val flat = sql.replaceAll("\\s+", " ").trim
     val up = flat.toUpperCase
     if (up.startsWith("CREATE TABLE")) runCreate(flat)
+    else if (up.startsWith("CREATE OR REPLACE STAGE") ||
+        up.startsWith("CREATE STAGE")) runCreateStage(flat)
+    else if (up.startsWith("COPY INTO")) runCopyInto(flat)
     else if (up.startsWith("DROP TABLE")) runDrop(flat)
     else if (up.startsWith("MERGE INTO")) runMerge(flat)
     else if (up.startsWith("INSERT INTO") && up.contains(" ON CONFLICT "))
@@ -126,6 +129,79 @@ final class StubWarehouse(spark: SparkSession,
     * very task slots those executors hold. The inserted table is
     * never rewritten in place (raw is append-only), so the laziness
     * is safe. */
+  /** Bulk-load staged Avro by FILE LIST ONLY — the COPY INTO / load-job
+    * replay shape, where the statement names files and nothing else.
+    * Each file decodes with its own EMBEDDED writer schema
+    * ([[AvroStage.streamContainerAuto]]) and casts to the declared
+    * table types, exactly the warehouse-side coercion. */
+  def loadAvroAuto(table: String, files: Seq[String]): Unit =
+    synchronized {
+      val declared = schemas.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"stub warehouse: bulk load into missing table $table"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rows = Seq.newBuilder[Row]
+      var readerSchema: StructType = null
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val in = p.getFileSystem(conf).open(p)
+        try {
+          val (s, it) = AvroStage.streamContainerAuto(in)
+          readerSchema = s
+          rows ++= it
+        } finally in.close()
+      }
+      import scala.jdk.CollectionConverters._
+      val incoming = spark.createDataFrame(
+        rows.result().asJava, readerSchema)
+      val castIn = incoming.select(declared.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      tables(table) = tables.get(table)
+        .map(_.unionByName(castIn)).getOrElse(castIn)
+    }
+
+  // -------------------------------------------- stages and COPY INTO
+
+  /** Registered stages: name → local dir its URL points at. */
+  private val stages = mutable.Map.empty[String, String]
+
+  /** `CREATE [OR REPLACE] STAGE name URL = 'file://…' …` — record the
+    * name→dir mapping (the fixture-world image of an external stage
+    * whose bucket is the engine's own stage dir). */
+  private def runCreateStage(flat: String): Unit = {
+    val Re =
+      """(?i)CREATE (?:OR REPLACE )?STAGE (\S+)(?: URL = '([^']*)')?.*""".r
+    flat match {
+      case Re(name, url) =>
+        stages(name) = Option(url).map(_.stripPrefix("file://"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"stub warehouse: internal stages (no URL) not replayable"))
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable CREATE STAGE: ${flat.take(120)}…")
+    }
+  }
+
+  /** `COPY INTO t(cols) FROM (SELECT … FROM @stage) FILES = ('a','b')
+    * FILE_FORMAT = (TYPE = AVRO)…` — resolve the stage-relative file
+    * list against the registered stage dir and bulk-load with each
+    * file's embedded writer schema. The SELECT transform list is the
+    * generator's own cast-to-declared-type per column, which
+    * [[loadAvroAuto]]'s declared-schema cast replays. */
+  private def runCopyInto(flat: String): Unit = {
+    val Re =
+      """(?i)COPY INTO (\S+)\(.*?\) FROM \(SELECT .* FROM @(\S+)\) FILES = \((.*?)\).*""".r
+    val (tgt, stage, fileList) = flat match {
+      case Re(t, s, fl) => (tableKey(t), s, fl)
+      case _ => throw new IllegalArgumentException(
+        s"stub warehouse: unparseable COPY INTO: ${flat.take(120)}…")
+    }
+    val dir = stages.getOrElse(stage, throw new IllegalArgumentException(
+      s"stub warehouse: COPY from unknown stage @$stage"))
+    val files = splitTop(fileList, ',').map(_.trim
+      .stripPrefix("'").stripSuffix("'")).map(rel => s"$dir/$rel")
+    loadAvroAuto(tgt, files)
+  }
+
   def insertJson(table: String, ndjson: Seq[String]): Unit =
     synchronized {
       val declared = schemas.getOrElse(table,

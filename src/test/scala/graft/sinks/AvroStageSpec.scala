@@ -161,4 +161,37 @@ class AvroStageSpec extends SparkSpec {
     assert(first200.map(_.getLong(0)) == (1L to 200L))
     intercept[java.io.IOException] { while (it.hasNext) it.next() }
   }
+
+  test("streamContainerAuto decodes with the EMBEDDED writer schema: " +
+    "mixed nullability (the union-byte layout) and logical types " +
+    "round-trip with no caller schema at all — the COPY-replay " +
+    "contract; a declared-DDL guess would misalign mid-block") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false), // no union byte
+      StructField("s", StringType), // union byte
+      StructField("d", DateType),
+      StructField("n", DecimalType(10, 2)),
+      StructField("tags", ArrayType(StringType))))
+    val rows = (1L to 500L).map(i => Row(
+      i, if (i % 7 == 0) null else "v" + i,
+      java.sql.Date.valueOf("2024-03-01"),
+      new java.math.BigDecimal("12345.67"),
+      Seq("a" + i, "b")))
+    val out = new ByteArrayOutputStream()
+    AvroStage.writeContainer(out, AvroStage.schemaJson(schema),
+      rows.iterator.map(AvroStage.encodeRow(schema, _)),
+      recordsPerBlock = 64) // multi-block: misalignment would surface
+    val (got, it) = AvroStage.streamContainerAuto(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    assert(got.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(!got("id").nullable && got("s").nullable)
+    assert(got("d").dataType == DateType &&
+      got("n").dataType == DecimalType(10, 2))
+    val back = it.toSeq
+    assert(back.size == 500)
+    assert(back(6).isNullAt(1) && back(0).getString(1) == "v1")
+    assert(back(41).getSeq[String](4) == Seq("a42", "b"))
+    assert(back(99).getDecimal(3).compareTo(
+      new java.math.BigDecimal("12345.67")) == 0)
+  }
 }

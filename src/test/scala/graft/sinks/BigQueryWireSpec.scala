@@ -50,7 +50,15 @@ class BigQueryWireSpec extends SparkSpec {
     private val QueriesPath = "^/bigquery/v2/projects/([^/]+)/queries$".r
     private val JobPath =
       "^/bigquery/v2/projects/([^/]+)/queries/([^/]+)$".r
+    private val JobsPath = "^/bigquery/v2/projects/([^/]+)/jobs$".r
+    private val JobStatusPath =
+      "^/bigquery/v2/projects/([^/]+)/jobs/([^/]+)$".r
     private val RowJson = """"json":(\{[^{}]*\})""".r
+    private val UrisRe = """"sourceUris"\s*:\s*\[(.*?)\]""".r
+    private val TableIdRe = """"tableId"\s*:\s*"([^"]+)"""".r
+    val loadJobs = new AtomicLong(0)
+    val loadJobPolls = new AtomicLong(0)
+    @volatile private var pendingLoad: Option[Either[String, Unit]] = None
 
     private def respond(ex: HttpExchange, code: Int,
         json: String): Unit = {
@@ -98,6 +106,33 @@ class BigQueryWireSpec extends SparkSpec {
             case Right(_) => respond(ex, 200, """{"jobComplete":true}""")
             case Left(err) => respond(ex, 400,
               s"""{"error":{"message":${jsonStr(err)}}}""")
+          }
+        case ("POST", JobsPath(_)) =>
+          // configuration.load: decode the staged URIs with their own
+          // embedded writer schemas, like the real load job does
+          loadJobs.incrementAndGet()
+          val files = UrisRe.findFirstMatchIn(body).map(_.group(1))
+            .getOrElse("").split(',').toSeq.map(_.trim
+              .stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("file://")).filter(_.nonEmpty)
+          val table = TableIdRe.findFirstMatchIn(body).map(_.group(1))
+            .getOrElse("?")
+          pendingLoad = Some(
+            try { stub.loadAvroAuto(table, files); Right(()) }
+            catch { case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.toString)) })
+          respond(ex, 200, """{"jobReference":{"jobId":"ld1"},""" +
+            """"status":{"state":"RUNNING"}}""")
+        case ("GET", JobStatusPath(_, _)) =>
+          loadJobPolls.incrementAndGet()
+          pendingLoad match {
+            case Some(Right(_)) => respond(ex, 200,
+              """{"status":{"state":"DONE"}}""")
+            case Some(Left(err)) => respond(ex, 200,
+              s"""{"status":{"state":"DONE","errorResult":""" +
+                s"""{"message":${jsonStr(err)}}}}""")
+            case None =>
+              respond(ex, 404, """{"error":{"message":"no load job"}}""")
           }
         case ("POST", InsertPath(_, _, table)) =>
           try {
@@ -227,6 +262,32 @@ class BigQueryWireSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
       assert(got.size == 6 && got(4L) == Seq("t4", "plain"),
         got.toString)
+    } finally bq.stop()
+  }
+
+  test("GCS-shaped load-job bulk path (load_uri_base): one POST /jobs " +
+    "per batch names every staged URI, polls the job to DONE, and the " +
+    "result equals the native MergeWriter — the SDK LoaderFrom path " +
+    "restated over REST") {
+    val bq = new BqFixture
+    try {
+      val base = tmpDir("bq_load_base")
+      val url = bq.url + s"&load_uri_base=file://$base&stage_base=$base"
+      val t = MergeTarget("ld_dst", "ld_stg", Seq("id"), payload)
+      val loader = new WarehouseLoader(t,
+        new BigQuerySqlApi(url), "bigquery")
+      loader.setup()
+      loader.loadBatch(b1(), s"$base/1")
+      loader.loadBatch(b2(), s"$base/2")
+
+      val native = new MergeWriter(spark, tmpDir("ld_native") + "/t",
+        Seq("id"), numBuckets = 4)
+      native.merge(b1()); native.merge(b2())
+      assert(snap(bq.stub.table("ld_dst")) == snap(native.read()),
+        snap(bq.stub.table("ld_dst")).mkString("\n"))
+      assert(bq.loadJobs.get() == 2, s"jobs: ${bq.loadJobs.get()}")
+      assert(bq.loadJobPolls.get() >= 2,
+        "the RUNNING→DONE poll leg must be exercised")
     } finally bq.stop()
   }
 

@@ -312,6 +312,44 @@ class SnowflakeWireSpec extends SparkSpec {
     } finally sf.stop()
   }
 
+  test("external-stage COPY INTO bulk path (stage_url): one CREATE OR " +
+    "REPLACE STAGE + one COPY INTO per batch — the reference's " +
+    "qrep_avro_consolidate shape, the warehouse pulls the files " +
+    "itself — and the result equals the native MergeWriter") {
+    val sf = new SfFixture
+    try {
+      val base = tmpDir("sf_copy_base")
+      val url = sf.url + s"&stage_url=file://$base&stage_base=$base"
+      val t = MergeTarget("cp_dst", "cp_stg", Seq("id"), payload)
+      val loader = new WarehouseLoader(t,
+        new SnowflakeSqlApi(url), "snowflake")
+      loader.setup()
+      loader.loadBatch(b1(), s"$base/1")
+      loader.loadBatch(b2(), s"$base/2")
+
+      val native = new MergeWriter(spark, tmpDir("cp_native") + "/t",
+        Seq("id"), numBuckets = 4)
+      native.merge(b1()); native.merge(b2())
+      assert(snap(sf.stub.table("cp_dst")) == snap(native.read()),
+        snap(sf.stub.table("cp_dst")).mkString("\n"))
+
+      val stmts = sf.stub.statements
+      assert(stmts.count(_.startsWith(
+        "CREATE OR REPLACE STAGE graft_stage URL = ")) == 2)
+      val copies = stmts.filter(_.startsWith("COPY INTO"))
+      assert(copies.size == 2 && copies.forall(s =>
+        s.contains("FROM (SELECT ") && s.contains("FROM @graft_stage)") &&
+        s.contains("FILES = ('") &&
+        s.contains("FILE_FORMAT = (TYPE = AVRO), PURGE = TRUE")),
+        copies.mkString("\n"))
+      assert(copies.head.contains("""($1:"id")::INTEGER AS "id""""),
+        "the per-column cast transform list must flow: " + copies.head)
+      assert(!stmts.exists(s => s.startsWith("INSERT INTO") &&
+        s.contains(") VALUES (")),
+        "no row-chunk INSERTs on the stage path")
+    } finally sf.stop()
+  }
+
   test("the bulk leg runs EXECUTOR-side, one task per staged file: " +
     "every INSERT request carries its Spark partition id, and an " +
     "array column rides the PARSE_JSON SELECT-FROM-VALUES form " +
