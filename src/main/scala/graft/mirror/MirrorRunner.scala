@@ -1034,14 +1034,25 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
               case Array(k) => k -> ""
             }
           }.toMap
+        // partitioner=manual (the reference's kgo.ManualPartitioner
+        // knob, kafka.go:106-107): a lua script's explicit `partition`
+        // field routes verbatim; any other partitioner keys decide
+        val manual = params.get("partitioner").exists(
+          _.equalsIgnoreCase("manual"))
+        if (manual && cfg.luaScript.isEmpty)
+          throw new IllegalArgumentException(
+            "kafka: partitioner=manual needs a script that assigns " +
+              "partitions (script_lang 'lua')")
         graft.sinks.KafkaPublish.publish(
-          luaShaped.map(_.select("topic", "key", "value", "headers"))
+          luaShaped.map(_.select("topic", "key", "value", "headers",
+              "partition"))
             .getOrElse(graft.sinks.QueueSink.defaultRecords(changes)),
           h, p.toInt,
           acks = params.get("acks").map(_.toInt).getOrElse(-1),
           // ssh=user:pass@bastion[:port] — the destination socket
           // rides the same tunnel stack as the capture sources
-          sshSpec = params.get("ssh"))
+          sshSpec = params.get("ssh"),
+          manualPartitions = manual)
       case u if u.startsWith("eventhubs://") =>
         // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
         // partition routing + per-(hub, partition) ordered batches

@@ -448,8 +448,15 @@ object KafkaPublish {
     * .tunnelDial]]). Returns the published record count. */
   def publish(shaped: org.apache.spark.sql.DataFrame, host: String,
       port: Int, acks: Int = -1, recordsPerProduce: Int = 500,
-      sshSpec: Option[String] = None): Long = {
+      sshSpec: Option[String] = None,
+      /** kgo.ManualPartitioner parity (kafka.go:106-107): honor the
+        * frame's `partition` column verbatim (a script's explicit
+        * assignment, kafka.go:192-197) instead of the key hash; an
+        * out-of-range partition fails the batch like the broker
+        * would. Ignored unless the frame carries the column. */
+      manualPartitions: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
+    val manual = manualPartitions && shaped.columns.contains("partition")
     def dialer(): graft.cdc.Ssh.Dial = sshSpec match {
       case Some(spec) => graft.cdc.Ssh.tunnelDial(spec)
       case None => graft.cdc.Ssh.tcpDial
@@ -474,7 +481,9 @@ object KafkaPublish {
     }
     val counter = shaped.sparkSession.sparkContext.longAccumulator(
       "kafka_published")
-    shaped.select(col("topic"), col("key"), col("value"), col("headers"))
+    shaped.select(Seq(col("topic"), col("key"), col("value"),
+        col("headers")) ++
+        (if (manual) Seq(col("partition")) else Nil): _*)
       .foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
@@ -553,8 +562,16 @@ object KafkaPublish {
                     h.getAs[Array[Byte]](1))).toSeq
               val topic = row.getString(0)
               rr += 1
-              val part = KafkaWire.partitionForKey(key,
-                partCounts(topic), nullKeyFallback = rr)
+              val part =
+                if (manual) {
+                  val p = if (row.isNullAt(4)) 0 else row.getInt(4)
+                  if (p < 0 || p >= partCounts(topic))
+                    throw new IOException(s"kafka: script partition " +
+                      s"$p out of range for $topic " +
+                      s"(${partCounts(topic)} partitions)")
+                  p
+                } else KafkaWire.partitionForKey(key,
+                  partCounts(topic), nullKeyFallback = rr)
               val tp = (topic, part)
               buf.getOrElseUpdate(tp,
                 new scala.collection.mutable.ArrayBuffer) +=

@@ -423,13 +423,18 @@ object LuaQueue {
     StructField("headers", ArrayType(StructType(Seq(
       StructField("key", StringType),
       StructField("value", BinaryType))))),
+    // the script's explicit partition assignment (kafka.go:192-197
+    // sets kgo.Record.Partition; absent reads as 0 like LVAsNumber
+    // on nil) — honored by the Kafka sink under partitioner=manual
+    StructField("partition", IntegerType, nullable = false),
     // the zero-padded checkpoint: per-key publish order for the
     // ordered destinations (Pub/Sub)
     StructField("__ord", StringType)))
 
   /** WAL batch → shaped queue records via the script's `onRecord`.
-    * Output: (topic, key, value, headers, __ord). Only change records
-    * flow (type ≤ delete), like the reference's record channel. */
+    * Output: (topic, key, value, headers, partition, __ord). Only
+    * change records flow (type ≤ delete), like the reference's record
+    * channel. */
   def records(batch: DataFrame, script: String): DataFrame = {
     val compiled = new LuaQueueScript(script)
     val cols = Seq("recordType", "checkpointId", "commitTimeMicros",
@@ -455,6 +460,7 @@ object LuaQueue {
                 Row(k, v.getBytes(
                   java.nio.charset.StandardCharsets.UTF_8))
               },
+              sh.partition,
               ord)
           }
         }

@@ -93,6 +93,110 @@ class LuaQueueSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("a script's explicit `partition` field routes VERBATIM under " +
+    "partitioner=manual (kgo.ManualPartitioner parity, " +
+    "kafka.go:106-107/192-197) — and is ignored under the default " +
+    "key partitioner") {
+    val broker = KafkaTestBroker.start(partitionsPerTopic = 4)
+    try {
+      val base = tmpDir("lua_part")
+      // all records share one key (keyed partitioning would co-locate
+      // them) but the script spreads them by id % 4 explicitly
+      run("""CREATE SCRIPT spread LANG lua AS $$
+        function onRecord(r)
+          return {
+            key = "same",
+            value = tostring(r.row.id),
+            partition = r.row.id % 4,
+          }
+        end
+      $$""")
+      ChangeLogWal.append(s"$base/wal", (1L to 8L).map(i =>
+        rec(i, ChangeRecord.TypeInsert, s"""{"id":$i,"v":$i}""")))
+      run(s"""CREATE MIRROR luapart WITH (
+         |  wal_dir '$base/wal', dest_dir '$base/dest',
+         |  checkpoint_dir '$base/ckpt', pk 'id',
+         |  table 'dest.t', schema 'id BIGINT, v BIGINT',
+         |  script 'spread',
+         |  queue_url 'kafka://127.0.0.1:${broker.port}?partitioner=manual')"""
+        .stripMargin)
+      run("EXECUTE MIRROR luapart")
+      val byPart = (0 until 4).map(p => p -> broker.log("dest.t", p)
+        .map(s => new String(s.record.value, UTF_8).toLong).toSet)
+        .toMap
+      assert(byPart.values.forall(_.nonEmpty),
+        s"manual spread must hit all 4 partitions: $byPart")
+      assert(byPart(1) == Set(1L, 5L) && byPart(3) == Set(3L, 7L),
+        byPart.toString)
+      run("DROP MIRROR luapart")
+
+      // same shape WITHOUT partitioner=manual: the shared key decides
+      // — everything lands on ONE partition (the default key-hash
+      // posture; the script's partition field is ignored)
+      run("""CREATE SCRIPT spread2 LANG lua AS $$
+        function onRecord(r)
+          return {
+            topic = "keyed.t",
+            key = "same",
+            value = tostring(r.row.id),
+            partition = r.row.id % 4,
+          }
+        end
+      $$""")
+      ChangeLogWal.append(s"$base/wal2", (1L to 8L).map(i =>
+        rec(i, ChangeRecord.TypeInsert, s"""{"id":$i,"v":$i}""")))
+      run(s"""CREATE MIRROR luakeyed WITH (
+         |  wal_dir '$base/wal2', dest_dir '$base/dest2',
+         |  checkpoint_dir '$base/ckpt2', pk 'id',
+         |  table 'dest.t', schema 'id BIGINT, v BIGINT',
+         |  script 'spread2',
+         |  queue_url 'kafka://127.0.0.1:${broker.port}')""".stripMargin)
+      run("EXECUTE MIRROR luakeyed")
+      assert(broker.topicRecords("keyed.t").size == 8)
+      assert((0 until 4).count(p =>
+        broker.log("keyed.t", p).nonEmpty) == 1,
+        "keyed: one partition for one key")
+      run("DROP MIRROR luakeyed"); run("DROP SCRIPT spread2")
+
+      // an out-of-range assignment fails the batch loudly
+      run("""CREATE SCRIPT oob LANG lua AS $$
+        function onRecord(r)
+          return {key = "k", value = "v", partition = 99}
+        end
+      $$""")
+      ChangeLogWal.append(s"$base/wal3", Seq(
+        rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":1}""")))
+      run(s"""CREATE MIRROR luaoob WITH (
+         |  wal_dir '$base/wal3', dest_dir '$base/dest3',
+         |  checkpoint_dir '$base/ckpt3', pk 'id',
+         |  table 'dest3.t', schema 'id BIGINT, v BIGINT',
+         |  script 'oob',
+         |  queue_url 'kafka://127.0.0.1:${broker.port}?partitioner=manual')"""
+        .stripMargin)
+      val e = intercept[Exception] { run("EXECUTE MIRROR luaoob") }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")) ++
+          Iterator("")).mkString(" | ")
+      assert(rootMsg(e).contains("out of range"), rootMsg(e))
+      run("DROP MIRROR luaoob")
+      run("DROP SCRIPT oob"); run("DROP SCRIPT spread")
+
+      // manual without a script is a config error, not a silent 0-route
+      val e2 = intercept[Exception] {
+        run(s"""CREATE MIRROR luanoman WITH (
+           |  wal_dir '$base/wal4', dest_dir '$base/dest4',
+           |  checkpoint_dir '$base/ckpt4', pk 'id',
+           |  table 'dest4.t', schema 'id BIGINT, v BIGINT',
+           |  queue_url 'kafka://127.0.0.1:${broker.port}?partitioner=manual')"""
+          .stripMargin)
+        run("EXECUTE MIRROR luanoman")
+      }
+      assert(rootMsg(e2).contains("partitioner=manual"), rootMsg(e2))
+      scala.util.Try(run("DROP MIRROR luanoman"))
+    } finally broker.stop()
+  }
+
   test("DDL validation: a lua script without onRecord or with a " +
     "syntax error fails CREATE SCRIPT; a mirror referencing a lua " +
     "script keeps transformSql empty (the SQL-parse check must not " +

@@ -390,4 +390,40 @@ class LuaSpec extends AnyFunSuite {
         .validate()
     }
   }
+
+  test("host-level leaks stay inside the script world: bad " +
+    "string.format number, unbounded recursion, and oversized hex " +
+    "literals surface as catchable script errors, never as raw JVM " +
+    "exceptions that kill a Spark task") {
+    // string.format("%f","abc"): NumberFormatException class — pcall
+    // must catch it as a plain script error
+    assert(evalStr("""(function()
+      local ok, err = pcall(function()
+        return string.format("%f", "abc")
+      end)
+      return tostring(ok) .. ":" .. tostring(err)
+    end)()""").startsWith("false:"))
+    // direct (un-pcalled) call: still a LuaError, not NFE
+    intercept[LuaError] { run("""return string.format("%f", "x")""") }
+
+    // unbounded recursion: the explicit depth bound fires BEFORE the
+    // JVM StackOverflowError, and pcall catches it
+    assert(evalStr("""(function()
+      local function boom(n) return boom(n + 1) end
+      local ok, err = pcall(boom, 1)
+      return tostring(ok) .. ":" .. tostring(err)
+    end)()""").contains("stack overflow"))
+    // legitimate deep-but-bounded recursion still works
+    assert(evalStr("""(function()
+      local function down(n) if n == 0 then return 0 end
+        return down(n - 1) end
+      return down(200)
+    end)()""") == "0")
+
+    // oversized hex literal: wraps modulo 2^64 like real Lua 5.3/5.4
+    // (previously a raw NumberFormatException out of parseLong)
+    assert(evalStr("0xFF") == "255")
+    assert(evalStr("0xFFFFFFFFFFFFFFFF") == "-1")
+    assert(evalStr("0xFFFFFFFFFFFFFFFFF1234") == "-60876")
+  }
 }
