@@ -386,11 +386,158 @@ object LuaRecordEnv {
     t
   }
 
-  /** Fresh sandboxed environment with the peerdb surface + the json
-    * and bit32 modules preloaded under `require`. The reference also
-    * preloads msgpack and utf8 (peerdb.go:43-45); msgpack is
-    * deliberately absent — its output is a BINARY byte string, and
-    * this interpreter's strings are JVM Strings (UTF-16), so bytes
+  /** utf8 (the reference preloads gluautf8, peerdb.go:45): the Lua
+    * 5.3 utf8 library, semantics per lutf8lib.c — positions are
+    * 1-based BYTE indices into the string's UTF-8 image, computed
+    * here by encoding the JVM string per call (every text string
+    * round-trips; a lone surrogate encodes as the JVM's '?'
+    * replacement, same as anywhere else it would leave the JVM). */
+  private def utf8Module(interp: Lua.Interp): VTable = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def fail(msg: String): Nothing = throw new Lua.LuaError(msg)
+    def bytesOf(a: Seq[V], i: Int): Array[Byte] = a.lift(i) match {
+      case Some(VStr(s)) => s.getBytes(UTF_8)
+      case other => fail("utf8: string expected, got " +
+        other.map(_.typeName).getOrElse("no value"))
+    }
+    def intArg(a: Seq[V], i: Int, dflt: Long): Long = a.lift(i) match {
+      case Some(VInt(n)) => n
+      case Some(VNum(d)) => d.toLong
+      case None | Some(VNil) => dflt
+      case other => fail("utf8: number expected, got " +
+        other.map(_.typeName).getOrElse("no value"))
+    }
+    /** string.sub-style relative position (u_posrelat). */
+    def relat(pos: Long, len: Int): Long =
+      if (pos >= 0) pos
+      else if (-pos > len) 0
+      else len + pos + 1
+    def isCont(b: Byte): Boolean = (b & 0xC0) == 0x80
+    /** Decode the char at 0-based `i`; (codepoint, width) or null. */
+    def decode(b: Array[Byte], i: Int): (Int, Int) = {
+      val b0 = b(i) & 0xFF
+      def cont(k: Int): Int = {
+        if (i + k >= b.length || !isCont(b(i + k)))
+          fail("invalid UTF-8 code")
+        b(i + k) & 0x3F
+      }
+      if (b0 < 0x80) (b0, 1)
+      else if ((b0 & 0xE0) == 0xC0) (((b0 & 0x1F) << 6) | cont(1), 2)
+      else if ((b0 & 0xF0) == 0xE0)
+        (((b0 & 0x0F) << 12) | (cont(1) << 6) | cont(2), 3)
+      else if ((b0 & 0xF8) == 0xF0)
+        (((b0 & 0x07) << 18) | (cont(1) << 12) | (cont(2) << 6) |
+          cont(3), 4)
+      else fail("invalid UTF-8 code")
+    }
+    val t = new VTable
+    // the 5.3 constant, byte-for-byte (each byte as one char here)
+    t.set(VStr("charpattern"), VStr(
+      "\u005b\u0000-\u007f\u00c2-\u00fd\u005d" +
+      "\u005b\u0080-\u00bf\u005d*"))
+    t.set(VStr("char"), native("char") { a =>
+      val sb = new StringBuilder
+      a.foreach {
+        case VInt(cp) => sb.appendAll(Character.toChars(cp.toInt))
+        case VNum(d) => sb.appendAll(Character.toChars(d.toInt))
+        case other => fail("utf8.char: number expected, got " +
+          other.typeName)
+      }
+      Seq(VStr(sb.toString))
+    })
+    t.set(VStr("len"), native("len") { a =>
+      val b = bytesOf(a, 0)
+      val i = relat(intArg(a, 1, 1), b.length)
+      val j = relat(intArg(a, 2, -1), b.length)
+      if (i < 1 || i - 1 > b.length) fail("utf8.len: initial " +
+        "position out of string")
+      if (j > b.length) fail("utf8.len: final position out of string")
+      var pos = (i - 1).toInt // 0-based
+      var n = 0L
+      var bad = -1 // invalid start position (continuation byte)
+      while (bad < 0 && pos < j) {
+        if (isCont(b(pos))) bad = pos + 1
+        else {
+          val (_, w) = decode(b, pos)
+          n += 1
+          pos += w
+        }
+      }
+      // real utf8.len: nil + the failing position on an invalid start
+      if (bad >= 0) Seq(Lua.VNil, VInt(bad.toLong)) else Seq(VInt(n))
+    })
+    t.set(VStr("codepoint"), native("codepoint") { a =>
+      val b = bytesOf(a, 0)
+      val i = relat(intArg(a, 1, 1), b.length)
+      val j = relat(intArg(a, 2, i), b.length)
+      if (i < 1) fail("utf8.codepoint: out of bounds")
+      if (j > b.length) fail("utf8.codepoint: out of bounds")
+      val out = Seq.newBuilder[V]
+      var pos = (i - 1).toInt
+      while (pos < j) {
+        val (cp, w) = decode(b, pos)
+        out += VInt(cp.toLong)
+        pos += w
+      }
+      out.result()
+    })
+    t.set(VStr("offset"), native("offset") { a =>
+      val b = bytesOf(a, 0)
+      var n = intArg(a, 1, 0)
+      val len = b.length
+      var posi = relat(intArg(a, 2, if (n >= 0) 1 else len + 1L),
+        len).toInt - 1 // 0-based
+      if (posi < 0 || posi > len) fail("utf8.offset: position out " +
+        "of range")
+      if (n == 0) {
+        while (posi > 0 && isCont(b(posi))) posi -= 1
+        Seq(VInt(posi + 1L))
+      } else {
+        if (posi < len && isCont(b(posi)))
+          fail("initial position is a continuation byte")
+        if (n < 0) {
+          while (n < 0 && posi > 0) {
+            posi -= 1
+            while (posi > 0 && isCont(b(posi))) posi -= 1
+            n += 1
+          }
+        } else {
+          n -= 1 // the 1st character is AT posi
+          while (n > 0 && posi < len) {
+            posi += 1
+            while (posi < len && isCont(b(posi))) posi += 1
+            n -= 1
+          }
+        }
+        if (n == 0) Seq(VInt(posi + 1L)) else Seq(Lua.VNil)
+      }
+    })
+    t.set(VStr("codes"), native("codes") { a =>
+      val b = bytesOf(a, 0)
+      val s = a.headOption.getOrElse(Lua.VNil)
+      val iter = native("codes_iter") { args =>
+        var pos = intArg(args, 1, 0).toInt // previous char position
+        if (pos > 0) { // advance past the previous char
+          pos += 1
+          while (pos <= b.length && isCont(b(pos - 1))) pos += 1
+        } else pos = 1
+        if (pos > b.length) Seq(Lua.VNil)
+        else {
+          if (isCont(b(pos - 1))) fail("invalid UTF-8 code")
+          val (cp, _) = decode(b, pos - 1)
+          Seq(VInt(pos.toLong), VInt(cp.toLong))
+        }
+      }
+      Seq(iter, s, VInt(0L))
+    })
+    t
+  }
+
+  /** Fresh sandboxed environment with the peerdb surface + the json,
+    * bit32 and utf8 modules preloaded under `require`. The reference
+    * also preloads msgpack (peerdb.go:44); msgpack is deliberately
+    * absent — its output is a BINARY byte string, and this
+    * interpreter's strings are JVM Strings (UTF-16), so bytes
     * >0x7F could not round-trip to the queue value without a
     * byte-backed string representation. A script needing msgpack
     * values is the one known script shape that cannot port; json
@@ -399,7 +546,8 @@ object LuaRecordEnv {
       printSink: String => Unit = _ => ()): Lua.Env = {
     val g = Lua.baseEnv(interp,
       modules = Map("json" -> jsonModule(interp),
-        "bit32" -> bit32Module),
+        "bit32" -> bit32Module,
+        "utf8" -> utf8Module(interp)),
       printSink = printSink)
     g.define("peerdb", peerdbTable(interp))
     g

@@ -426,4 +426,38 @@ class LuaSpec extends AnyFunSuite {
     assert(evalStr("0xFFFFFFFFFFFFFFFF") == "-1")
     assert(evalStr("0xFFFFFFFFFFFFFFFFF1234") == "-60876")
   }
+
+  test("utf8 module (gluautf8 parity, Lua 5.3 lutf8lib semantics): " +
+    "byte positions over the string's UTF-8 image — len/codepoint/" +
+    "offset/char/codes each pinned to the value real Lua produces") {
+    def u(src: String): String = evalStr(
+      """(function() local u = require "utf8" """ + src + " end)()")
+    // "héllo": h@1  é@2(2 bytes)  l@4  l@5  o@6 — 6 bytes, 5 chars
+    assert(u("""return u.len("héllo")""") == "5")
+    assert(u("""return u.len("héllo", 4)""") == "3")
+    // an initial continuation byte: nil + the failing position
+    assert(u("""local n, p = u.len("héllo", 3)
+      return tostring(n) .. ":" .. tostring(p)""") == "nil:3")
+    assert(u("""return u.codepoint("héllo", 2)""") == "233")
+    assert(u("""return table.concat({u.codepoint("héllo", 1, 4)},
+      ",")""") == "104,233,108")
+    assert(u("""return u.offset("héllo", 3)""") == "4")
+    assert(u("""return u.offset("héllo", 6)""") == "7") // one past end
+    assert(u("""return u.offset("héllo", 7)""") == "nil")
+    assert(u("""return u.offset("héllo", -1)""") == "6")
+    assert(u("""return u.offset("héllo", -5)""") == "1")
+    assert(u("""return u.offset("héllo", -6)""") == "nil")
+    assert(u("""return u.offset("héllo", 0, 3)""") == "2")
+    intercept[LuaError] { u("""return u.offset("héllo", 1, 3)""") }
+    assert(u("""return u.char(104, 233, 8364)""") == "hé€")
+    assert(u("""local out = {}
+      for p, c in u.codes("hé€") do out[#out + 1] = p .. ":" .. c end
+      return table.concat(out, " ")""") == "1:104 2:233 4:8364")
+    // 4-byte astral plane
+    assert(u("""return u.len("a" .. u.char(128512))""") == "2")
+    assert(u("""return u.codepoint("a" .. u.char(128512), 2)""") ==
+      "128512")
+    assert(u("""return #("a" .. u.char(128512))""") == "5")
+    assert(u("""return type(u.charpattern)""") == "string")
+  }
 }
