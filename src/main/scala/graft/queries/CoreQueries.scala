@@ -1258,7 +1258,10 @@ object CoreQueries {
           return { key = key, value = json.encode(r.row) }
         end"""
       graft.transform.LuaQueue.records(batch, script)
-        .select("topic", "key", "value")
+        // the shaped value is BYTES (msgpack payloads ship verbatim);
+        // this script emits JSON text, so decode for the SQL oracle
+        .select(col("topic"), col("key"),
+          col("value").cast("string").as("value"))
         .orderBy("topic", "key", "value")
     },
     Some(s"""SELECT CASE WHEN rtype = 1 THEN 'hot.' || event_type

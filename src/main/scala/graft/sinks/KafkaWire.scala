@@ -554,7 +554,10 @@ object KafkaPublish {
                 else row.getString(1).getBytes(UTF_8)
               val value =
                 if (row.isNullAt(2)) null
-                else row.getString(2).getBytes(UTF_8)
+                else row.get(2) match {
+                  case s: String => s.getBytes(UTF_8)
+                  case b: Array[Byte] => b // lua byte values verbatim
+                }
               val headers =
                 if (row.isNullAt(3)) Nil
                 else row.getSeq[org.apache.spark.sql.Row](3).map(h =>

@@ -188,8 +188,11 @@ object PubSubSink {
         }
         def jsonMsg(r: org.apache.spark.sql.Row): String = {
           val data = java.util.Base64.getEncoder.encodeToString(
-            r.getString(2).getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
+            r.get(2) match {
+              case s: String => s.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              case b: Array[Byte] => b // lua byte values verbatim
+            })
           val key =
             if (r.getBoolean(3))
               s""","orderingKey":"${r.getString(1)

@@ -51,7 +51,7 @@ object Lua {
       case VNil => "nil"
       case _: VBool => "boolean"
       case _: VInt | _: VNum => "number"
-      case _: VStr => "string"
+      case _: VStr | _: VBytes => "string" // byte strings ARE strings
       case _: VTable => "table"
       case _: VFunc | _: VNative => "function"
       case _: VUserData => "userdata"
@@ -62,6 +62,26 @@ object Lua {
   final case class VInt(i: Long) extends V
   final case class VNum(d: Double) extends V
   final case class VStr(s: String) extends V
+  /** A BYTE string — what msgpack.encode produces and the queue value
+    * leg ships verbatim (Lua strings are byte strings; a JVM String
+    * cannot carry arbitrary bytes >0x7F through a UTF-8 boundary).
+    * `type()` reports "string"; supports `#` (byte count), `==`
+    * (content), `..` (via the latin-1 text image), table keys, and
+    * the queue `value`/`key` fields; the TEXT stdlib (upper/format/…)
+    * stays VStr-only. */
+  final class VBytes(val b: Array[Byte]) extends V {
+    override def equals(o: Any): Boolean = o match {
+      case x: VBytes => java.util.Arrays.equals(b, x.b)
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Arrays.hashCode(b)
+    /** Lossless text image: one char per byte (latin-1). */
+    def latin1: String =
+      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+  object VBytes {
+    def apply(b: Array[Byte]): VBytes = new VBytes(b)
+  }
   final class VTable extends V {
     val hash = mutable.LinkedHashMap.empty[V, V]
     var meta: Option[VTable] = None
@@ -118,8 +138,17 @@ object Lua {
         case _ => "table: 0x" + Integer.toHexString(
           System.identityHashCode(t))
       }
+    case bs: VBytes => bs.latin1 // lossless: one char per byte
     case u: VUserData => u.ts(u.payload)
     case _: VFunc | _: VNative => "function: 0x0"
+  }
+
+  /** Raw byte image for byte-string concatenation: bytes stay bytes,
+    * text renders UTF-8. */
+  private def rawBytes(v: V): Array[Byte] = v match {
+    case bs: VBytes => bs.b
+    case other => tostr(other).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
   }
 
   def tonum(v: V): Option[V] = v match {
@@ -783,6 +812,7 @@ object Lua {
             case "#" => v match {
               case VStr(s) => VInt(s.getBytes(
                 java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+              case bs: VBytes => VInt(bs.b.length.toLong)
               case t: VTable => VInt(t.len)
               // `#row` = column count (LuaRowLen, peerdb.go's __len)
               case u: VUserData => u.payload match {
@@ -922,12 +952,26 @@ object Lua {
       case (VNum(a), VInt(b)) => a == b.toDouble
       case (a: VTable, b: VTable) => a eq b
       case (a: VUserData, b: VUserData) => a.payload == b.payload
+      // a byte string equals a text string whose UTF-8 image matches
+      // (one string type in real Lua)
+      case (a: VBytes, VStr(s)) => java.util.Arrays.equals(a.b,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (VStr(s), b: VBytes) => java.util.Arrays.equals(b.b,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case _ => l == r
     }
 
     private def binop(op: String, l: V, r: V): V = op match {
       case "+" | "-" | "*" | "/" | "%" | "^" | "//" => arith(op, l, r)
       case ".." => (l, r) match {
+        // byte-string concat stays bytes (text sides join via UTF-8)
+        case (a: VBytes, b) if b.isInstanceOf[VBytes] ||
+            b.isInstanceOf[VStr] || b.isInstanceOf[VInt] ||
+            b.isInstanceOf[VNum] =>
+          VBytes(a.b ++ rawBytes(b))
+        case (a, b: VBytes) if a.isInstanceOf[VStr] ||
+            a.isInstanceOf[VInt] || a.isInstanceOf[VNum] =>
+          VBytes(rawBytes(a) ++ b.b)
         case (a, b) if (a.isInstanceOf[VStr] || a.isInstanceOf[VInt] ||
             a.isInstanceOf[VNum] || a.isInstanceOf[VUserData]) &&
             (b.isInstanceOf[VStr] || b.isInstanceOf[VInt] ||

@@ -386,6 +386,166 @@ object LuaRecordEnv {
     t
   }
 
+  /** msgpack (the reference preloads gluamsgpack, peerdb.go:44):
+    * encode/decode against the PUBLIC msgpack specification
+    * (github.com/msgpack/msgpack/blob/master/spec.md), canonical
+    * smallest-form encodings. `encode` returns a BYTE string
+    * ([[Lua.VBytes]]) — the queue value leg ships it verbatim, so a
+    * script can put msgpack payloads on Kafka like the reference's
+    * (kafka.go value shaping). Tables with a pure 1..n integer key
+    * set encode as arrays, everything else as maps; text strings as
+    * str-family (UTF-8), byte strings as bin-family. */
+  private def msgpackModule(interp: Lua.Interp): VTable = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def fail(msg: String): Nothing = throw new Lua.LuaError(msg)
+
+    def encTo(o: java.io.ByteArrayOutputStream, v: V): Unit = {
+      def u8(x: Int): Unit = o.write(x & 0xFF)
+      def u16(x: Int): Unit = { u8(x >>> 8); u8(x) }
+      def u32(x: Long): Unit = { u16((x >>> 16).toInt); u16(x.toInt) }
+      def u64(x: Long): Unit = { u32(x >>> 32); u32(x) }
+      v match {
+        case VNil => u8(0xC0)
+        case VBool(false) => u8(0xC2)
+        case VBool(true) => u8(0xC3)
+        case VInt(i) =>
+          if (i >= 0) {
+            if (i < 0x80) u8(i.toInt) // positive fixint
+            else if (i <= 0xFF) { u8(0xCC); u8(i.toInt) }
+            else if (i <= 0xFFFF) { u8(0xCD); u16(i.toInt) }
+            else if (i <= 0xFFFFFFFFL) { u8(0xCE); u32(i) }
+            else { u8(0xCF); u64(i) }
+          } else {
+            if (i >= -32) u8(0xE0 | (i.toInt & 0x1F)) // negative fixint
+            else if (i >= -0x80) { u8(0xD0); u8(i.toInt) }
+            else if (i >= -0x8000) { u8(0xD1); u16(i.toInt) }
+            else if (i >= -0x80000000L) { u8(0xD2); u32(i & 0xFFFFFFFFL) }
+            else { u8(0xD3); u64(i) }
+          }
+        case VNum(d) =>
+          u8(0xCB); u64(java.lang.Double.doubleToLongBits(d))
+        case VStr(s) =>
+          val b = s.getBytes(UTF_8)
+          if (b.length < 32) u8(0xA0 | b.length) // fixstr
+          else if (b.length <= 0xFF) { u8(0xD9); u8(b.length) }
+          else if (b.length <= 0xFFFF) { u8(0xDA); u16(b.length) }
+          else { u8(0xDB); u32(b.length.toLong) }
+          o.write(b, 0, b.length)
+        case bs: Lua.VBytes =>
+          val b = bs.b
+          if (b.length <= 0xFF) { u8(0xC4); u8(b.length) }
+          else if (b.length <= 0xFFFF) { u8(0xC5); u16(b.length) }
+          else { u8(0xC6); u32(b.length.toLong) }
+          o.write(b, 0, b.length)
+        case t: VTable =>
+          val n = t.len
+          if (t.hash.size == n) { // pure 1..n array (incl. empty)
+            if (n < 16) u8(0x90 | n.toInt) // fixarray
+            else if (n <= 0xFFFF) { u8(0xDC); u16(n.toInt) }
+            else { u8(0xDD); u32(n) }
+            var i = 1L
+            while (i <= n) { encTo(o, t.get(VInt(i))); i += 1 }
+          } else {
+            val m = t.hash.size
+            if (m < 16) u8(0x80 | m) // fixmap
+            else if (m <= 0xFFFF) { u8(0xDE); u16(m) }
+            else { u8(0xDF); u32(m.toLong) }
+            t.hash.foreach { case (k, x) =>
+              encTo(o, k); encTo(o, x)
+            }
+          }
+        case u: VUserData => encTo(o, VStr(u.ts(u.payload)))
+        case other => fail(
+          s"msgpack.encode: cannot encode a ${other.typeName}")
+      }
+    }
+
+    def decode(b: Array[Byte]): V = {
+      var p = 0
+      def u8(): Int = {
+        if (p >= b.length) fail("msgpack.decode: truncated input")
+        val x = b(p) & 0xFF; p += 1; x
+      }
+      def u16(): Int = (u8() << 8) | u8()
+      def u32(): Long = (u16().toLong << 16) | u16().toLong
+      def u64(): Long = (u32() << 32) | u32()
+      def take(n: Int): Array[Byte] = {
+        if (n < 0 || p + n > b.length)
+          fail("msgpack.decode: truncated input")
+        val a = java.util.Arrays.copyOfRange(b, p, p + n); p += n; a
+      }
+      def str(n: Int): V = VStr(new String(take(n), UTF_8))
+      def arr(n: Int): V = {
+        val t = new VTable
+        var i = 1
+        while (i <= n) { t.set(VInt(i.toLong), one()); i += 1 }
+        t
+      }
+      def map(n: Int): V = {
+        val t = new VTable
+        var i = 0
+        while (i < n) { val k = one(); t.set(k, one()); i += 1 }
+        t
+      }
+      def one(): V = {
+        val h = u8()
+        if (h < 0x80) VInt(h.toLong)
+        else if (h >= 0xE0) VInt((h - 0x100).toLong) // negative fixint
+        else if ((h & 0xF0) == 0x90) arr(h & 0x0F)
+        else if ((h & 0xF0) == 0x80) map(h & 0x0F)
+        else if ((h & 0xE0) == 0xA0) str(h & 0x1F)
+        else h match {
+          case 0xC0 => VNil
+          case 0xC2 => VBool(false)
+          case 0xC3 => VBool(true)
+          case 0xC4 => Lua.VBytes(take(u8()))
+          case 0xC5 => Lua.VBytes(take(u16()))
+          case 0xC6 => Lua.VBytes(take(u32().toInt))
+          case 0xCA => VNum(java.lang.Float.intBitsToFloat(
+            u32().toInt).toDouble)
+          case 0xCB => VNum(java.lang.Double.longBitsToDouble(u64()))
+          case 0xCC => VInt(u8().toLong)
+          case 0xCD => VInt(u16().toLong)
+          case 0xCE => VInt(u32())
+          case 0xCF => VInt(u64()) // >2^63-1 wraps, like a Go uint cast
+          case 0xD0 => VInt(u8().toByte.toLong)
+          case 0xD1 => VInt(u16().toShort.toLong)
+          case 0xD2 => VInt(u32().toInt.toLong)
+          case 0xD3 => VInt(u64())
+          case 0xD9 => str(u8())
+          case 0xDA => str(u16())
+          case 0xDB => str(u32().toInt)
+          case 0xDC => arr(u16())
+          case 0xDD => arr(u32().toInt)
+          case 0xDE => map(u16())
+          case 0xDF => map(u32().toInt)
+          case other => fail(
+            f"msgpack.decode: unsupported format 0x$other%02x")
+        }
+      }
+      val out = one()
+      if (p != b.length) fail(
+        s"msgpack.decode: ${b.length - p} trailing bytes")
+      out
+    }
+
+    val t = new VTable
+    t.set(VStr("encode"), native("encode") { a =>
+      val o = new java.io.ByteArrayOutputStream()
+      encTo(o, a.headOption.getOrElse(VNil))
+      Seq(Lua.VBytes(o.toByteArray))
+    })
+    t.set(VStr("decode"), native("decode") { a =>
+      a.headOption match {
+        case Some(bs: Lua.VBytes) => Seq(decode(bs.b))
+        case Some(VStr(s)) => Seq(decode(s.getBytes(UTF_8)))
+        case other => fail("msgpack.decode: string expected, got " +
+          other.map(_.typeName).getOrElse("no value"))
+      }
+    })
+    t
+  }
+
   /** utf8 (the reference preloads gluautf8, peerdb.go:45): the Lua
     * 5.3 utf8 library, semantics per lutf8lib.c — positions are
     * 1-based BYTE indices into the string's UTF-8 image, computed
@@ -534,20 +694,17 @@ object LuaRecordEnv {
   }
 
   /** Fresh sandboxed environment with the peerdb surface + the json,
-    * bit32 and utf8 modules preloaded under `require`. The reference
-    * also preloads msgpack (peerdb.go:44); msgpack is deliberately
-    * absent — its output is a BINARY byte string, and this
-    * interpreter's strings are JVM Strings (UTF-16), so bytes
-    * >0x7F could not round-trip to the queue value without a
-    * byte-backed string representation. A script needing msgpack
-    * values is the one known script shape that cannot port; json
-    * covers the rest. */
+    * bit32, utf8 and msgpack modules preloaded under `require` — the
+    * reference's full preload set (peerdb.go:42-45). msgpack payloads
+    * ride [[Lua.VBytes]] byte strings, which the queue value leg
+    * ships verbatim. */
   def env(interp: Lua.Interp,
       printSink: String => Unit = _ => ()): Lua.Env = {
     val g = Lua.baseEnv(interp,
       modules = Map("json" -> jsonModule(interp),
         "bit32" -> bit32Module,
-        "utf8" -> utf8Module(interp)),
+        "utf8" -> utf8Module(interp),
+        "msgpack" -> msgpackModule(interp)),
       printSink = printSink)
     g.define("peerdb", peerdbTable(interp))
     g
@@ -567,7 +724,10 @@ object LuaQueue {
   private val shapedSchema = StructType(Seq(
     StructField("topic", StringType),
     StructField("key", StringType),
-    StructField("value", StringType),
+    // BYTES: a text value travels as its UTF-8 image, a msgpack
+    // (VBytes) payload verbatim — a StringType column would mangle
+    // bytes >0x7F at the UTF-8 boundary
+    StructField("value", BinaryType),
     StructField("headers", ArrayType(StructType(Seq(
       StructField("key", StringType),
       StructField("value", BinaryType))))),
@@ -627,9 +787,13 @@ object LuaQueue {
   * the same way). */
 final class LuaQueueScript(val source: String) extends Serializable {
 
-  /** One shaped queue record. */
-  final case class Shaped(topic: String, key: String, value: String,
-      partition: Int, headers: Seq[(String, String)])
+  /** One shaped queue record. `value` is BYTES — a text return ships
+    * its UTF-8 image, a [[Lua.VBytes]] (msgpack.encode output) ships
+    * verbatim, exactly the reference's LVAsReadOnlyBytes value leg
+    * (kafka.go:183-186). */
+  final case class Shaped(topic: String, key: String,
+      value: Array[Byte], partition: Int,
+      headers: Seq[(String, String)])
 
   @transient private lazy val ast = Lua.parse(source)
 
@@ -661,10 +825,19 @@ final class LuaQueueScript(val source: String) extends Serializable {
     def onRecord(rec: LuaRecordEnv.Rec): Seq[Shaped] = {
       val results = interp.call(fn,
         Seq(LuaRecordEnv.recordUD(rec)))
+      def valueBytes(v: Lua.V): Array[Byte] = v match {
+        case Lua.VNil => null
+        case bs: Lua.VBytes => bs.b // msgpack payloads verbatim
+        case other => Lua.tostr(other).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
       results.flatMap {
         case Lua.VNil => None
         case Lua.VStr(s) =>
-          Some(Shaped(rec.destinationTable, null, s, 0, Nil))
+          Some(Shaped(rec.destinationTable, null, valueBytes(Lua.VStr(s)),
+            0, Nil))
+        case bs: Lua.VBytes =>
+          Some(Shaped(rec.destinationTable, null, bs.b, 0, Nil))
         case t: Lua.VTable =>
           def strOf(k: String): String = t.get(Lua.VStr(k)) match {
             case Lua.VNil => null
@@ -687,8 +860,8 @@ final class LuaQueueScript(val source: String) extends Serializable {
               "invalid headers, must be nil or table: " +
                 other.typeName)
           }
-          Some(Shaped(topic, strOf("key"), strOf("value"), partition,
-            headers))
+          Some(Shaped(topic, strOf("key"),
+            valueBytes(t.get(Lua.VStr("value"))), partition, headers))
         case other => throw new Lua.LuaError(
           s"script returned invalid value: ${other.typeName}")
       }

@@ -197,6 +197,44 @@ class LuaQueueSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("msgpack queue values ride the wire VERBATIM: a script's " +
+    "msgpack.encode payload (bytes >0x7F included) lands on the " +
+    "broker byte-identical to the spec's golden encoding — the " +
+    "UTF-8-boundary mangling a string value column would cause") {
+    val broker = KafkaTestBroker.start(partitionsPerTopic = 1)
+    try {
+      val base = tmpDir("lua_mp")
+      run("""CREATE SCRIPT mp LANG lua AS $$
+        local msgpack = require "msgpack"
+        function onRecord(r)
+          return {
+            key = tostring(r.row.id),
+            value = msgpack.encode({id = r.row.id, v = r.row.v}),
+          }
+        end
+      $$""")
+      ChangeLogWal.append(s"$base/wal", Seq(
+        rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":200}""")))
+      run(s"""CREATE MIRROR luamp WITH (
+         |  wal_dir '$base/wal', dest_dir '$base/dest',
+         |  checkpoint_dir '$base/ckpt', pk 'id',
+         |  table 'dest.t', schema 'id BIGINT, v BIGINT',
+         |  script 'mp',
+         |  queue_url 'kafka://127.0.0.1:${broker.port}')""".stripMargin)
+      run("EXECUTE MIRROR luamp")
+      val stored = broker.topicRecords("dest.t")
+      assert(stored.size == 1)
+      // {id=1, v=200} → fixmap(2) "id" 1 "v" uint8(200): the 0xCC 0xC8
+      // tail proves bytes >0x7F crossed the whole pipeline unmangled
+      val want = Array(0x82, 0xA2, 'i', 'd', 0x01, 0xA1, 'v',
+        0xCC, 0xC8).map(_.toByte)
+      assert(java.util.Arrays.equals(stored.head.record.value, want),
+        stored.head.record.value.map(b => f"${b & 0xff}%02x")
+          .mkString)
+      run("DROP MIRROR luamp"); run("DROP SCRIPT mp")
+    } finally broker.stop()
+  }
+
   test("DDL validation: a lua script without onRecord or with a " +
     "syntax error fails CREATE SCRIPT; a mirror referencing a lua " +
     "script keeps transformSql empty (the SQL-parse check must not " +

@@ -348,11 +348,15 @@ class LuaSpec extends AnyFunSuite {
 
     val hot = runner.onRecord(rec(TypeInsert,
       """{"id":7,"priority":9,"msg":"now"}"""))
-    assert(hot == Seq(runner.onRecord(rec(TypeInsert,
-      """{"id":7,"priority":9,"msg":"now"}""")).head))
+    val hot2 = runner.onRecord(rec(TypeInsert,
+      """{"id":7,"priority":9,"msg":"now"}"""))
+    assert(hot.size == 1 && hot2.size == 1 &&
+      hot.head.topic == hot2.head.topic &&
+      java.util.Arrays.equals(hot.head.value, hot2.head.value))
     assert(hot.head.topic == "hot.events")
     assert(hot.head.key == "7")
-    assert(hot.head.value == """{"id":7,"priority":9,"msg":"now"}""")
+    assert(new String(hot.head.value, "UTF-8") ==
+      """{"id":7,"priority":9,"msg":"now"}""")
     assert(hot.head.headers == Seq("src" -> "public.t"))
 
     val cold = runner.onRecord(rec(TypeInsert,
@@ -366,8 +370,9 @@ class LuaSpec extends AnyFunSuite {
       """function onRecord(r) return "plain:" .. r.target end""")
     val r2 = (new s2.PartitionRunner).onRecord(
       rec(TypeInsert, """{"id":1}"""))
-    assert(r2 == Seq(r2.head.copy(topic = "events", key = null,
-      value = "plain:events")))
+    assert(r2.size == 1 && r2.head.topic == "events" &&
+      r2.head.key == null &&
+      new String(r2.head.value, "UTF-8") == "plain:events")
 
     // multiple return values → multiple records (ls.GetTop loop,
     // kafka.go:367-383)
@@ -377,7 +382,7 @@ class LuaSpec extends AnyFunSuite {
       end""")
     val r3 = (new s3.PartitionRunner).onRecord(
       rec(TypeInsert, """{"id":1}"""))
-    assert(r3.map(x => (x.topic, x.value)) ==
+    assert(r3.map(x => (x.topic, new String(x.value, "UTF-8"))) ==
       Seq(("events", "a"), ("other", "b")))
 
     // a script without onRecord fails validation loudly
@@ -459,5 +464,76 @@ class LuaSpec extends AnyFunSuite {
       "128512")
     assert(u("""return #("a" .. u.char(128512))""") == "5")
     assert(u("""return type(u.charpattern)""") == "string")
+  }
+
+  test("msgpack module (gluamsgpack parity): golden bytes straight " +
+    "from the msgpack spec, smallest-form canonical encodings, and a " +
+    "nested round trip — encode returns a BYTE string that carries " +
+    ">0x7F bytes losslessly") {
+    def hexOf(src: String): String =
+      run("""local msgpack = require "msgpack" """ + src) match {
+        case Seq(b: VBytes) =>
+          b.b.map(x => f"${x & 0xff}%02x").mkString
+        case other => fail(s"expected bytes, got $other")
+      }
+    // golden encodings from the public spec (msgpack/spec.md)
+    assert(hexOf("return msgpack.encode(nil)") == "c0")
+    assert(hexOf("return msgpack.encode(true)") == "c3")
+    assert(hexOf("return msgpack.encode(false)") == "c2")
+    assert(hexOf("return msgpack.encode(7)") == "07")
+    assert(hexOf("return msgpack.encode(127)") == "7f")
+    assert(hexOf("return msgpack.encode(128)") == "cc80")
+    assert(hexOf("return msgpack.encode(256)") == "cd0100")
+    assert(hexOf("return msgpack.encode(65536)") == "ce00010000")
+    assert(hexOf("return msgpack.encode(4294967296)") ==
+      "cf0000000100000000")
+    assert(hexOf("return msgpack.encode(-1)") == "ff")
+    assert(hexOf("return msgpack.encode(-32)") == "e0")
+    assert(hexOf("return msgpack.encode(-33)") == "d0df")
+    assert(hexOf("return msgpack.encode(-129)") == "d1ff7f")
+    assert(hexOf("return msgpack.encode(-40000)") == "d2ffff63c0")
+    assert(hexOf("return msgpack.encode(1.5)") == "cb3ff8000000000000")
+    assert(hexOf("""return msgpack.encode("abc")""") == "a3616263")
+    assert(hexOf("""return msgpack.encode("")""") == "a0")
+    assert(hexOf("""return msgpack.encode(("x"):rep(40))""") ==
+      "d928" + "78" * 40)
+    assert(hexOf("return msgpack.encode({1, 2, 3})") == "93010203")
+    assert(hexOf("return msgpack.encode({})") == "90")
+    assert(hexOf("""return msgpack.encode({a = 1})""") == "81a16101")
+    // bytes nest as bin-family (the encode-of-an-encode shape)
+    assert(hexOf("return msgpack.encode(msgpack.encode(200))") ==
+      "c402ccc8")
+    // multi-byte text as str-family UTF-8
+    assert(hexOf("""return msgpack.encode("é")""") == "a2c3a9")
+
+    // byte-string surface: type/length/equality/concat
+    assert(evalStr("""(function()
+      local msgpack = require "msgpack"
+      local b = msgpack.encode(200)
+      return type(b) .. ":" .. #b
+    end)()""") == "string:2")
+    assert(evalStr("""(function()
+      local msgpack = require "msgpack"
+      return tostring(msgpack.encode(7) == msgpack.encode(7))
+    end)()""") == "true")
+
+    // nested round trip, >0x7F payloads included
+    assert(evalStr("""(function()
+      local msgpack = require "msgpack"
+      local v = {id = 300, tags = {"a", "é"}, deep = {ok = true,
+        n = -129, f = 2.5}, blob = msgpack.encode(200)}
+      local d = msgpack.decode(msgpack.encode(v))
+      return d.id .. "|" .. d.tags[2] .. "|" .. tostring(d.deep.ok)
+        .. "|" .. d.deep.n .. "|" .. d.deep.f .. "|"
+        .. tostring(d.blob == msgpack.encode(200)) .. "|"
+        .. msgpack.decode(d.blob)
+    end)()""") == "300|é|true|-129|2.5|true|200")
+
+    // malformed input is a script error (catchable), not a host crash
+    assert(evalStr("""(function()
+      local msgpack = require "msgpack"
+      local ok = pcall(msgpack.decode, "zz")
+      return tostring(ok)
+    end)()""") == "false")
   }
 }
