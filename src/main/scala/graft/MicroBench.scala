@@ -223,6 +223,46 @@ object MicroBench {
         // at the reference's default batch size (250k records/batch).
         cdcThroughput(spark, records = 1000000,
           maxBatch = args.lift(1).map(_.toInt).getOrElse(250000))
+      case "lua" =>
+        // Interpreter-only throughput: N records through ONE
+        // PartitionRunner of the q_lua_route script, single-threaded
+        // (isolates the per-record script cost from the Spark plan).
+        val n = args.lift(1).map(_.toInt).getOrElse(200000)
+        val script = args.lift(2) match {
+          case Some("nil") => "function onRecord(r) return nil end"
+          case Some("kind") => "function onRecord(r) return r.kind end"
+          case Some("row") =>
+            """function onRecord(r) return tostring(r.row.user_id) end"""
+          case _ => """
+          local json = require "json"
+          function onRecord(r)
+            if r.kind == "delete" then return nil end
+            local key = tostring(r.row.user_id % 8)
+            if r.kind == "update" then
+              return { topic = "hot." .. r.target, key = key,
+                       value = json.encode(r.row) }
+            end
+            return { key = key, value = json.encode(r.row) }
+          end"""
+        }
+        val qs = new graft.transform.LuaQueueScript(script)
+        (1 to 3).foreach { round =>
+          val runner = new qs.PartitionRunner
+          var out = 0L
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < n) {
+            val rec = graft.transform.LuaRecordEnv.Rec(
+              i % 3, i.toLong, i.toLong * 1000, i.toLong / 100,
+              "public.events", "evt" + (i % 5),
+              s"""{"user_id":${i % 977},"event_id":$i}""", null, Nil)
+            out += runner.onRecord(rec).size
+            i += 1
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"lua #$round: $n records ${secs}%.3f s " +
+            f"(${(n / secs).toLong} rec/s, $out shaped)")
+        }
       case "pgout" =>
         // Decoder throughput: binary pgoutput frames (the reference's
         // actual ingest format) → ChangeRecords → WAL, single-threaded

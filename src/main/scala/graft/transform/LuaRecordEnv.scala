@@ -749,9 +749,20 @@ object LuaQueue {
       "transactionId", "sourceTable", "destinationTable", "data",
       "matchData", "unchangedToastColumns")
     val enc = org.apache.spark.sql.Encoders.row(shapedSchema)
-    batch
+    val selected = batch
       .filter(col("recordType") <= graft.model.ChangeRecord.TypeDelete)
       .select(cols.map(col): _*)
+    // per-record interpretation parallelizes per PARTITION (one
+    // interpreter each) — a batch that arrives as a single scan
+    // partition (one small WAL file; a 2 MB parquet at 128 MB
+    // maxPartitionBytes) would otherwise interpret single-threaded
+    // while every other core idles. Spread it first; multi-partition
+    // batches keep their layout (no extra shuffle on the hot path).
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (selected.rdd.getNumPartitions >= math.min(4, par)) selected
+      else selected.repartition(par)
+    spread
       .mapPartitions { it =>
         val runner = new compiled.PartitionRunner
         it.flatMap { r =>
