@@ -1273,6 +1273,56 @@ object CoreQueries {
             |WHERE rtype <> 2
             |ORDER BY topic, key, value""".stripMargin))
 
+  /** The Lua DECIMAL userdata under the oracle gate: a routing script
+    * doing exact NUMERIC arithmetic (peerdb.Decimal — shopspring
+    * semantics restated over java BigDecimal: scale-shift division,
+    * exact multiply/add, value-ordering comparisons, IntPart
+    * truncation) routes orders by a price threshold and emits a
+    * tax-adjusted integer-cents total; DuckDB replays the same math
+    * relationally. Everything stays exact on both sides — cents ride
+    * integers, the 5% uplift is *105 // 100 — so the hash compare
+    * pins the decimal semantics, not a float rendering. */
+  val luaDecimal = GraftQuery(
+    "q_lua_decimal",
+    "lua decimal userdata arithmetic: exact NUMERIC routing vs the SQL oracle",
+    (s, dir) => {
+      val batch = t(s, dir, "orders").select(
+        lit(graft.model.ChangeRecord.TypeInsert).as("recordType"),
+        col("o_orderkey").cast("long").as("checkpointId"),
+        (col("o_orderkey").cast("long") * 1000L).as("commitTimeMicros"),
+        expr("o_orderkey DIV 100").cast("long").as("transactionId"),
+        lit("public.orders").as("sourceTable"),
+        lit("orders").as("destinationTable"),
+        concat(lit("{\"okey\":"), col("o_orderkey").cast("string"),
+          lit(",\"cents\":"), cents(col("o_totalprice")).cast("string"),
+          lit("}")).as("data"),
+        lit(null).cast("string").as("matchData"),
+        array().cast("array<string>").as("unchangedToastColumns"))
+      val script = """
+        function onRecord(r)
+          local price = peerdb.Decimal(r.row.cents) / 100
+          local total = price * "1.05"
+          local topic = "orders.small"
+          if price >= peerdb.Decimal("150000") then
+            topic = "orders.big"
+          end
+          return { topic = topic, key = tostring(r.row.okey),
+                   value = tostring((total * 100).int64) }
+        end"""
+      graft.transform.LuaQueue.records(batch, script)
+        .select(col("topic"), col("key"),
+          col("value").cast("string").as("value"))
+        .orderBy("topic", "key", "value")
+    },
+    Some(s"""SELECT CASE WHEN ${centsSql("o_totalprice")} >= 15000000
+            |            THEN 'orders.big' ELSE 'orders.small'
+            |       END AS topic,
+            |  CAST(o_orderkey AS VARCHAR) AS key,
+            |  CAST((${centsSql("o_totalprice")} * 105) // 100
+            |    AS VARCHAR) AS value
+            |FROM orders
+            |ORDER BY topic, key, value""".stripMargin))
+
   /** Skew mitigation: two-phase salted aggregation over LOW-cardinality
     * keys (3 return flags across all of lineitem — the shape where a
     * plain groupBy sends a third of 100 TB through three reducers).
@@ -1514,7 +1564,8 @@ object CoreQueries {
     intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     queueEventHubs, queuePubSub,
-    rowTransform, luaRoute, partitionCtid, xminScan, esBulk, skewAgg,
+    rowTransform, luaRoute, luaDecimal, partitionCtid, xminScan, esBulk,
+    skewAgg,
     dataQuality,
     profileTable, statsTableCounts, statsBatchInfo)
 }

@@ -108,8 +108,8 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
         "}"))
     var polls = 0
     // jobComplete:false = still running — poll the job id
-    while (code == 200 && body.contains("\"jobComplete\":false") &&
-        polls < maxPolls) {
+    while (code == 200 && BigQuerySqlApi.JobIncomplete.findFirstIn(body)
+        .isDefined && polls < maxPolls) {
       val jobId = fieldOf(body, "jobId").getOrElse(
         throw new java.io.IOException(
           s"bigquery: incomplete job without jobId: ${body.take(300)}"))
@@ -123,7 +123,8 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
     // MERGE may finish server-side after we'd have dropped its staging
     // table and advanced the HWM — a silently lost batch. Fail loudly
     // and let the flow retry.
-    if (code == 200 && body.contains("\"jobComplete\":false"))
+    if (code == 200 && BigQuerySqlApi.JobIncomplete.findFirstIn(body)
+        .isDefined)
       throw new java.io.IOException("bigquery statement still running " +
         s"after $polls polls (jobId ${fieldOf(body, "jobId")
           .getOrElse("?")}): raise max_polls/poll_ms")
@@ -253,15 +254,16 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       throw new java.io.IOException(
         s"bigquery load job response without jobId: ${resp.take(300)}"))
     var polls = 0
-    while (code == 200 && !resp.contains("\"state\":\"DONE\"") &&
-        polls < maxPolls) {
+    while (code == 200 && BigQuerySqlApi.JobStateDone.findFirstIn(resp)
+        .isEmpty && polls < maxPolls) {
       Thread.sleep(pollMs)
       val r = request("GET", s"/bigquery/v2/projects/$project/jobs/$jobId",
         None)
       code = r._1; resp = r._2
       polls += 1
     }
-    if (code == 200 && !resp.contains("\"state\":\"DONE\""))
+    if (code == 200 && BigQuerySqlApi.JobStateDone.findFirstIn(resp)
+        .isEmpty)
       throw new java.io.IOException("bigquery load job still running " +
         s"after $polls polls (jobId $jobId): raise max_polls/poll_ms")
     if (code != 200 || resp.contains("\"errorResult\""))
@@ -312,6 +314,13 @@ object BigQuerySqlApi {
     * JSON STRING value the quote would be escaped, so a bare match is
     * a real top-level-ish field, not row data. */
   private[sinks] val ErrorsField = """"errors"\s*:\s*\[""".r
+
+  /** The REST API pretty-prints responses by default (`"jobComplete":
+    * false` with a space) — whitespace-tolerant field matches, never
+    * bare substrings: a missed `jobComplete:false` here would treat a
+    * still-running MERGE as success. */
+  private[sinks] val JobIncomplete = """"jobComplete"\s*:\s*false""".r
+  private[sinks] val JobStateDone = """"state"\s*:\s*"DONE"""".r
   private[sinks] val InsertErrorsField = """"insertErrors"\s*:\s*\[""".r
 
   /** One staged file → one task: rebuild the API client from its URL

@@ -106,10 +106,23 @@ object Lua {
       body: Seq[Stat], env: Env) extends V
   final case class VNative(name: String,
       fn: Seq[V] => Seq[V]) extends V
-  /** Host object: `index` serves field reads, `ts` renders tostring. */
+  /** Host object: `index` serves field reads, `ts` renders tostring.
+    * The optional hooks mirror the metamethods the reference installs
+    * on its userdata types (flow/pua/peerdb.go:52-113): `newindex`
+    * serves field WRITES (LuaRowNewIndex), `order` serves __eq/__lt/
+    * __le between two userdata of the SAME tag (LuaTimeLt,
+    * LuaDecimalLe, …), `arith` serves the arithmetic metamethods
+    * (decimalBinop's __add family plus "unm" for __unm) with the raw
+    * operand values so the hook owns coercion like LVAsDecimal does. */
   final case class VUserData(tag: String, payload: Any,
       index: (Any, String) => V,
-      ts: Any => String = _.toString) extends V
+      ts: Any => String = _.toString,
+      newindex: (Any, String, V) => Unit = null,
+      order: (Any, Any) => Int = null,
+      arith: (String, V, V) => V = null) extends V
+
+  /** Host payloads that answer the `#` operator (__len, LuaRowLen). */
+  trait HasLuaLen { def luaLen: Long }
 
   final class LuaError(msg: String) extends RuntimeException(msg)
   private def err(msg: String): Nothing = throw new LuaError(msg)
@@ -673,6 +686,15 @@ object Lua {
                         case _ => tbl.set(k, v)
                       }
                     else tbl.set(k, v)
+                  // userdata field writes (LuaRowNewIndex: a script
+                  // mutating a record row, peerdb.go:197-421)
+                  case u: VUserData if u.newindex != null =>
+                    evalOne(key, env) match {
+                      case VStr(k) => u.newindex(u.payload, k, v)
+                      case VInt(k) => u.newindex(u.payload, k.toString, v)
+                      case other => err("lua: invalid userdata key of " +
+                        s"type ${other.typeName}")
+                    }
                   case other => err("lua: attempt to index a " +
                     s"${other.typeName} value in assignment")
                 }
@@ -802,6 +824,8 @@ object Lua {
             case "-" => v match {
               case VInt(i) => VInt(-i)
               case VNum(d) => VNum(-d)
+              // __unm (LuaDecimalUnm / LuaBigIntUnm)
+              case u: VUserData if u.arith != null => u.arith("unm", u, u)
               case other => tonum(other) match {
                 case Some(VInt(i)) => VInt(-i)
                 case Some(VNum(d)) => VNum(-d)
@@ -816,6 +840,7 @@ object Lua {
               case t: VTable => VInt(t.len)
               // `#row` = column count (LuaRowLen, peerdb.go's __len)
               case u: VUserData => u.payload match {
+                case h: HasLuaLen => VInt(h.luaLen)
                 case cols: Vector[_] => VInt(cols.size.toLong)
                 case _ => err("lua: attempt to get length of a " +
                   "userdata value")
@@ -872,10 +897,18 @@ object Lua {
         }
       case u: VUserData => key match {
         case VStr(k) => u.index(u.payload, k)
+        // numeric indexing (LuaUuidIndex: uuid[0]..uuid[15] are the
+        // raw bytes) routes through the decimal image of the key
+        case VInt(k) => u.index(u.payload, k.toString)
         case _ => VNil
       }
       case VStr(s) => key match {
         // strings index into the string library (s:sub(...) sugar)
+        case VStr(m) => stringLib.get(m).getOrElse(VNil)
+        case _ => VNil
+      }
+      case _: VBytes => key match {
+        // byte strings ARE strings: b:byte(...) sugar works on them
         case VStr(m) => stringLib.get(m).getOrElse(VNil)
         case _ => VNil
       }
@@ -896,6 +929,16 @@ object Lua {
     }
 
     private def arith(op: String, l: V, r: V): V = {
+      // userdata arithmetic metamethods (first operand's, else the
+      // second's — Lua's binary-metamethod dispatch order)
+      val hook = l match {
+        case u: VUserData if u.arith != null => u.arith
+        case _ => r match {
+          case u: VUserData if u.arith != null => u.arith
+          case _ => null
+        }
+      }
+      if (hook != null) return hook(op, l, r)
       def asNum(v: V): Either[Long, Double] = v match {
         case VInt(i) => Left(i)
         case VNum(d) => Right(d)
@@ -943,6 +986,12 @@ object Lua {
       case (VNum(a), VInt(b)) => java.lang.Double.compare(a, b.toDouble)
       case (VNum(a), VNum(b)) => java.lang.Double.compare(a, b)
       case (VStr(a), VStr(b)) => a.compareTo(b)
+      // __lt/__le between two userdata of the same tag (LuaTimeLt,
+      // LuaDecimalLe, LuaBigIntLt — fires only when both operands
+      // share the handler, like the reference's metamethods)
+      case (a: VUserData, b: VUserData)
+          if a.tag == b.tag && a.order != null =>
+        a.order(a.payload, b.payload)
       case _ => err("lua: attempt to compare " +
         s"${l.typeName} with ${r.typeName}")
     }
@@ -951,6 +1000,11 @@ object Lua {
       case (VInt(a), VNum(b)) => a.toDouble == b
       case (VNum(a), VInt(b)) => a == b.toDouble
       case (a: VTable, b: VTable) => a eq b
+      // __eq is value equality through the order hook when present
+      // (LuaDecimalEq is Cmp==0 — scale-insensitive, so 1.5 == 1.50)
+      case (a: VUserData, b: VUserData)
+          if a.tag == b.tag && a.order != null =>
+        a.order(a.payload, b.payload) == 0
       case (a: VUserData, b: VUserData) => a.payload == b.payload
       // a byte string equals a text string whose UTF-8 image matches
       // (one string type in real Lua)
@@ -1106,6 +1160,9 @@ object Lua {
   private def str(args: Seq[V], i: Int): String =
     args.lift(i) match {
       case Some(VStr(s)) => s
+      // byte strings enter the text stdlib through their latin1 image
+      // (one char per byte, lossless — so b:byte(i) IS the raw byte)
+      case Some(bs: VBytes) => bs.latin1
       case Some(VInt(n)) => n.toString
       case Some(VNum(d)) => tostr(VNum(d))
       case other => err(s"lua: string expected, got " +

@@ -136,9 +136,9 @@ object LuaRecordEnv {
         sb.append('}')
       }
     case u: VUserData => u.payload match {
-      case cols: Vector[_] => // a row: ordered column map
+      case items: RowItems => // a row: ordered column map
         sb.append('{')
-        cols.asInstanceOf[Vector[(String, V)]].zipWithIndex.foreach {
+        items.cols.zipWithIndex.foreach {
           case ((k, value), i) =>
             if (i > 0) sb.append(',')
             jsonStr(sb, k); sb.append(':'); enc(sb, value)
@@ -158,35 +158,195 @@ object LuaRecordEnv {
     VUserData("peerdb_time", instant,
       index = (p, k) => {
         val t = p.asInstanceOf[java.time.Instant]
+        // the calendar accessors (LuaTimeIndex, peerdb.go:685-717)
+        // read in UTC — commit times are wall-clock-free instants
+        lazy val utc = t.atZone(java.time.ZoneOffset.UTC)
         k match {
           case "unix" => VNum(t.getEpochSecond.toDouble +
             t.getNano / 1e9)
+          case "unix_second" => VInt(t.getEpochSecond)
           case "unix_milli" => VInt(t.toEpochMilli)
           case "unix_micro" => VInt(t.getEpochSecond * 1000000L +
             t.getNano / 1000L)
           case "unix_nano" => VInt(t.getEpochSecond * 1000000000L +
             t.getNano.toLong)
+          case "year" => VInt(utc.getYear.toLong)
+          case "month" => VInt(utc.getMonthValue.toLong)
+          case "day" => VInt(utc.getDayOfMonth.toLong)
+          case "yearday" => VInt(utc.getDayOfYear.toLong)
+          case "hour" => VInt(utc.getHour.toLong)
+          case "minute" => VInt(utc.getMinute.toLong)
+          case "second" => VInt(utc.getSecond.toLong)
+          case "nanosecond" => VInt(t.getNano.toLong)
           case _ => VNil
         }
       },
-      ts = p => Rfc3339.format(p.asInstanceOf[java.time.Instant]))
+      ts = p => Rfc3339.format(p.asInstanceOf[java.time.Instant]),
+      order = (a, b) => a.asInstanceOf[java.time.Instant]
+        .compareTo(b.asInstanceOf[java.time.Instant]))
 
-  def rowUD(cols: Vector[(String, V)]): VUserData = {
-    val lookup = cols.toMap
-    VUserData("peerdb_row", cols,
-      index = (_, k) => lookup.getOrElse(k, VNil),
-      ts = _ => "peerdb_row")
+  /** One record image's columns — MUTABLE, because scripts may assign
+    * through the row (LuaRowNewIndex, peerdb.go:197-421): reads see
+    * the write, json.encode sees it, and `row`/`new` aliases of the
+    * same image share it (the reference's RecordItems is one map). A
+    * nil write keeps the column as an explicit NULL (QValueNull). */
+  final class RowItems(private var order: Vector[String],
+      private var lookup: Map[String, V]) extends Lua.HasLuaLen {
+    def cols: Vector[(String, V)] =
+      order.map(k => k -> lookup(k))
+    def get(k: String): V = lookup.getOrElse(k, VNil)
+    def set(k: String, v: V): Unit = {
+      if (!lookup.contains(k)) order = order :+ k
+      lookup = lookup.updated(k, v)
+    }
+    def luaLen: Long = order.size.toLong
+  }
+  object RowItems {
+    def apply(cols: Vector[(String, V)]): RowItems =
+      new RowItems(cols.map(_._1), cols.toMap)
+  }
+
+  def rowUD(items: RowItems): VUserData =
+    VUserData("peerdb_row", items,
+      index = (p, k) => p.asInstanceOf[RowItems].get(k),
+      ts = _ => "peerdb_row",
+      newindex = (p, k, v) => p.asInstanceOf[RowItems].set(k, v))
+
+  def rowUD(cols: Vector[(String, V)]): VUserData =
+    rowUD(RowItems(cols))
+
+  /** NUMERIC as an exact decimal (shared.LuaDecimal, shopspring
+    * semantics): value-equality/ordering via compareTo (1.5 == 1.50),
+    * the arithmetic metamethods with LVAsDecimal-style operand
+    * coercion (peerdb.go:632-659: number, string, int64/bigint or
+    * decimal userdata), division at shopspring's DivisionPrecision=16
+    * rounded half away from zero, `%` as the truncated-quotient
+    * remainder, `^` exact for whole exponents. */
+  def decimalUD(bd: java.math.BigDecimal): VUserData =
+    VUserData("peerdb_decimal", bd,
+      index = (p, k) => {
+        val d = p.asInstanceOf[java.math.BigDecimal]
+        k match { // LuaDecimalIndex, peerdb.go:796-814
+          case "coefficient" => bigIntUD(d.unscaledValue)
+          case "coefficient64" => VInt(d.unscaledValue.longValue)
+          case "exponent" => VInt(-d.scale.toLong)
+          case "bigint" => bigIntUD(d.toBigInteger)
+          case "int64" => VInt(d.toBigInteger.longValue)
+          case "float64" => VNum(d.doubleValue)
+          case _ => VNil
+        }
+      },
+      // shopspring String() trims trailing zeros ("1.50" → "1.5")
+      ts = p => p.asInstanceOf[java.math.BigDecimal]
+        .stripTrailingZeros.toPlainString,
+      order = (a, b) => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal]),
+      arith = (op, l, r) => {
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        def coerce(v: V): JBD = v match {
+          case VInt(i) => JBD.valueOf(i)
+          case VNum(d) => new JBD(d.toString) // minimal round-trip digits
+          case VStr(s) => try new JBD(s) catch {
+            case _: NumberFormatException =>
+              throw new Lua.LuaError(s"can't convert '$s' to decimal")
+          }
+          case u: VUserData if u.tag == "peerdb_decimal" =>
+            u.payload.asInstanceOf[JBD]
+          case u: VUserData if u.tag == "peerdb_bigint" =>
+            new JBD(u.payload.asInstanceOf[java.math.BigInteger])
+          case other => throw new Lua.LuaError(
+            s"cannot create decimal from ${other.typeName}")
+        }
+        val (a, b) = (coerce(l), coerce(r))
+        decimalUD(op match {
+          case "+" => a.add(b)
+          case "-" => a.subtract(b)
+          case "*" => a.multiply(b)
+          case "/" => a.divide(b, 16, RoundingMode.HALF_UP)
+            .stripTrailingZeros
+          case "%" => a.remainder(b)
+          case "^" =>
+            if (b.stripTrailingZeros.scale <= 0 &&
+                b.abs.compareTo(JBD.valueOf(100000L)) <= 0) {
+              val e = b.intValueExact
+              if (e >= 0) a.pow(e)
+              else JBD.ONE.divide(a.pow(-e), 16, RoundingMode.HALF_UP)
+                .stripTrailingZeros
+            } else new JBD(math.pow(a.doubleValue, b.doubleValue)
+              .toString)
+          case "unm" => a.negate
+          case other => throw new Lua.LuaError(
+            s"decimal: unsupported operator $other")
+        })
+      })
+
+  /** NUMERIC coefficients (shared.LuaBigInt): tostring/compare/negate
+    * only — the reference installs no binary arithmetic on big ints
+    * (peerdb.go:75-80). */
+  def bigIntUD(bi: java.math.BigInteger): VUserData =
+    VUserData("peerdb_bigint", bi,
+      index = (p, k) => {
+        val b = p.asInstanceOf[java.math.BigInteger]
+        k match { // LuaBigIntIndex, peerdb.go:746-760
+          case "sign" => VInt(b.signum.toLong)
+          // Go big.Int.Bytes(): ABSOLUTE value, big-endian, no
+          // leading zeros (zero → empty)
+          case "bytes" => Lua.VBytes(
+            b.abs.toByteArray.dropWhile(_ == 0))
+          case "int64" => VInt(b.longValue)
+          case "is64" => VBool(b.bitLength < 64)
+          case _ => VNil
+        }
+      },
+      ts = _.toString,
+      order = (a, b) => a.asInstanceOf[java.math.BigInteger]
+        .compareTo(b.asInstanceOf[java.math.BigInteger]),
+      arith = (op, l, _) => op match {
+        case "unm" => bigIntUD(l.asInstanceOf[VUserData].payload
+          .asInstanceOf[java.math.BigInteger].negate)
+        case other => throw new Lua.LuaError(
+          s"bigint: unsupported operator $other")
+      })
+
+  /** UUID userdata (shared.LuaUuid): tostring is the canonical form,
+    * uuid[0]..uuid[15] read the raw bytes (LuaUuidIndex), equality is
+    * byte equality, msgpack encodes as bin16 (LuaUuidMsgpack). */
+  def uuidUD(bytes: Array[Byte]): VUserData = {
+    require(bytes.length == 16, "uuid needs 16 bytes")
+    VUserData("peerdb_uuid", bytes,
+      index = (p, k) =>
+        if (k.nonEmpty && k.forall(_.isDigit) && k.length <= 2 &&
+            k.toInt < 16)
+          VInt((p.asInstanceOf[Array[Byte]](k.toInt) & 0xFF).toLong)
+        else VNil,
+      ts = p => {
+        val b = p.asInstanceOf[Array[Byte]]
+        val bb = java.nio.ByteBuffer.wrap(b)
+        new java.util.UUID(bb.getLong, bb.getLong).toString
+      },
+      order = (a, b) => java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]))
+  }
+
+  def uuidUD(u: java.util.UUID): VUserData = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits)
+    bb.putLong(u.getLeastSignificantBits)
+    uuidUD(bb.array)
   }
 
   /** Row images by record type (the LuaRecordIndex dispatch,
     * peerdb.go:481-513): insert row/new = data; update row/new = data
     * and old = match image; delete row/old = the old image riding
     * `data`, new absent. */
-  private def images(r: Rec): (Option[Vector[(String, V)]],
-      Option[Vector[(String, V)]], Option[Vector[(String, V)]]) = {
+  private def images(r: Rec): (Option[RowItems],
+      Option[RowItems], Option[RowItems]) = {
     import graft.model.ChangeRecord._
-    val dataRow = parseRow(r.data)
-    val matchRow = parseRow(r.matchData)
+    // ONE RowItems per distinct image: for an insert, `row` and `new`
+    // alias the same items (reference: both return GetItems()), so a
+    // write through one is visible through the other
+    val dataRow = parseRow(r.data).map(RowItems(_))
+    val matchRow = parseRow(r.matchData).map(RowItems(_))
     r.recordType match {
       case TypeInsert => (dataRow, None, dataRow)
       case TypeUpdate => (dataRow, matchRow, dataRow)
@@ -213,9 +373,9 @@ object LuaRecordEnv {
     // must parse the JSON once, not once per access — this is the
     // per-record hot path of the whole script stage
     lazy val imgs = images(r)
-    lazy val rowV: V = imgs._1.map(rowUD).getOrElse(VNil)
-    lazy val oldV: V = imgs._2.map(rowUD).getOrElse(VNil)
-    lazy val newV: V = imgs._3.map(rowUD).getOrElse(VNil)
+    lazy val rowV: V = imgs._1.map(i => rowUD(i)).getOrElse(VNil)
+    lazy val oldV: V = imgs._2.map(i => rowUD(i)).getOrElse(VNil)
+    lazy val newV: V = imgs._3.map(i => rowUD(i)).getOrElse(VNil)
     VUserData("peerdb_record", r,
       index = (p, k) => {
         val rec = p.asInstanceOf[Rec]
@@ -288,7 +448,7 @@ object LuaRecordEnv {
     val t = new VTable
     def rowOf(a: Seq[V]): Vector[(String, V)] = a.headOption match {
       case Some(u: VUserData) if u.tag == "peerdb_row" =>
-        u.payload.asInstanceOf[Vector[(String, V)]]
+        u.payload.asInstanceOf[RowItems].cols
       case _ => throw new Lua.LuaError("peerdb: row expected")
     }
     t.set(VStr("RowTable"), native("RowTable") { a =>
@@ -319,23 +479,55 @@ object LuaRecordEnv {
     })
     t.set(VStr("Now"), native("Now")(_ =>
       Seq(timeUD(java.time.Instant.now()))))
-    t.set(VStr("UUID"), native("UUID")(_ =>
-      Seq(VStr(java.util.UUID.randomUUID().toString))))
-    t.set(VStr("Time"), native("Time") { a =>
+    t.set(VStr("UUID"), native("UUID") { a =>
+      // LuaUUID (peerdb.go:610-620): no arg = random, string = parse
       a.headOption match {
+        case None | Some(VNil) =>
+          Seq(uuidUD(java.util.UUID.randomUUID()))
+        case Some(VStr(s)) =>
+          Seq(try uuidUD(java.util.UUID.fromString(s)) catch {
+            case _: IllegalArgumentException =>
+              throw new Lua.LuaError(s"invalid UUID '$s'")
+          })
+        case _ => throw new Lua.LuaError(
+          "uuid must be created from string")
+      }
+    })
+    t.set(VStr("Time"), native("Time") { a =>
+      // LuaTime (peerdb.go:623-630): no arg = the zero time, number =
+      // seconds(.fraction) since the epoch, time passes through
+      a.headOption match {
+        case None | Some(VNil) =>
+          Seq(timeUD(java.time.Instant.parse("0001-01-01T00:00:00Z")))
         case Some(VInt(i)) =>
           Seq(timeUD(java.time.Instant.ofEpochSecond(i)))
         case Some(VNum(d)) =>
           Seq(timeUD(java.time.Instant.ofEpochSecond(d.toLong,
             ((d - d.toLong) * 1e9).toLong)))
+        case Some(u: VUserData) if u.tag == "peerdb_time" => Seq(u)
         case _ => throw new Lua.LuaError("peerdb.Time needs a number")
       }
     })
     t.set(VStr("Decimal"), native("Decimal") { a =>
-      val s = a.headOption.map(tostr).getOrElse("0")
-      val bd = new java.math.BigDecimal(s)
-      Seq(VUserData("peerdb_decimal", bd,
-        index = (_, _) => VNil, ts = _.toString))
+      // LuaParseDecimal → LVAsDecimal (peerdb.go:632-664)
+      a.headOption match {
+        case Some(VInt(i)) => Seq(decimalUD(
+          java.math.BigDecimal.valueOf(i)))
+        case Some(VNum(d)) => Seq(decimalUD(
+          new java.math.BigDecimal(d.toString)))
+        case Some(VStr(s)) =>
+          Seq(try decimalUD(new java.math.BigDecimal(s)) catch {
+            case _: NumberFormatException => throw new Lua.LuaError(
+              s"can't convert '$s' to decimal")
+          })
+        case Some(u: VUserData) if u.tag == "peerdb_decimal" => Seq(u)
+        case Some(u: VUserData) if u.tag == "peerdb_bigint" =>
+          Seq(decimalUD(new java.math.BigDecimal(
+            u.payload.asInstanceOf[java.math.BigInteger])))
+        case other => throw new Lua.LuaError(
+          "cannot create decimal from " +
+            other.map(_.typeName).getOrElse("no value"))
+      }
     })
     t.set(VStr("type"), native("type") { a =>
       Seq(VStr(a.headOption.getOrElse(VNil) match {
@@ -454,6 +646,17 @@ object LuaRecordEnv {
               encTo(o, k); encTo(o, x)
             }
           }
+        case u: VUserData if u.tag == "peerdb_uuid" =>
+          // __msgpack = the raw bytes as bin16 (LuaUuidMsgpack,
+          // peerdb.go:597-605)
+          encTo(o, Lua.VBytes(u.payload.asInstanceOf[Array[Byte]]))
+        case u: VUserData if u.tag == "peerdb_row" ||
+            u.tag == "peerdb_record" =>
+          // the reference installs no __msgpack on rows/records —
+          // gluamsgpack rejects them; "peerdb_row" as a string would
+          // be silent nonsense on the wire
+          fail(s"msgpack.encode: cannot encode a ${u.tag} " +
+            "(encode peerdb.RowTable(row) instead)")
         case u: VUserData => encTo(o, VStr(u.ts(u.payload)))
         case other => fail(
           s"msgpack.encode: cannot encode a ${other.typeName}")
@@ -557,6 +760,7 @@ object LuaRecordEnv {
     def fail(msg: String): Nothing = throw new Lua.LuaError(msg)
     def bytesOf(a: Seq[V], i: Int): Array[Byte] = a.lift(i) match {
       case Some(VStr(s)) => s.getBytes(UTF_8)
+      case Some(bs: Lua.VBytes) => bs.b // byte strings ARE strings
       case other => fail("utf8: string expected, got " +
         other.map(_.typeName).getOrElse("no value"))
     }

@@ -536,4 +536,137 @@ class LuaSpec extends AnyFunSuite {
       return tostring(ok)
     end)()""") == "false")
   }
+
+  test("decimal userdata: shopspring-shaped arithmetic metamethods, " +
+    "value-equality compare, index fields (peerdb.go:82-113,632-664," +
+    "796-814)") {
+    assert(evalStr("""tostring(peerdb.Decimal("1.5") +
+      peerdb.Decimal("2.25"))""") == "3.75")
+    assert(evalStr("""tostring(peerdb.Decimal("1.5") * 4)""") == "6")
+    assert(evalStr("""tostring(peerdb.Decimal("10") - "2.5")""") ==
+      "7.5")
+    // division at DivisionPrecision=16, half away from zero
+    assert(evalStr("""tostring(peerdb.Decimal("1") / 3)""") ==
+      "0.3333333333333333")
+    assert(evalStr("""tostring(peerdb.Decimal("7") % 3)""") == "1")
+    assert(evalStr("""tostring(peerdb.Decimal("-7") % 3)""") == "-1",
+      "remainder keeps the dividend's sign (Go's Mod)")
+    assert(evalStr("""tostring(peerdb.Decimal("1.1") ^ 3)""") ==
+      "1.331")
+    assert(evalStr("""tostring(-peerdb.Decimal("2.5"))""") == "-2.5")
+    // number coerces on EITHER side (metamethod dispatch order)
+    assert(evalStr("""tostring(2 + peerdb.Decimal("0.5"))""") == "2.5")
+    // __eq is Cmp()==0: scale-insensitive value equality
+    assert(evalStr("""tostring(peerdb.Decimal("1.50") ==
+      peerdb.Decimal("1.5"))""") == "true")
+    assert(evalStr("""tostring(peerdb.Decimal("1.5") <
+      peerdb.Decimal("1.51"))""") == "true")
+    assert(evalStr("""tostring(peerdb.Decimal("3") <=
+      peerdb.Decimal("3"))""") == "true")
+    // LuaDecimalIndex fields
+    assert(evalStr("""peerdb.Decimal("12.34").exponent""") == "-2")
+    assert(evalStr("""peerdb.Decimal("12.34").coefficient64""") ==
+      "1234")
+    assert(evalStr("""peerdb.Decimal("12.9").int64""") == "12")
+    assert(evalStr("""peerdb.Decimal("2.5").float64 * 2""") == "5")
+    // bigint view: tostring/compare/negate/index, no binary arith
+    assert(evalStr("""tostring(peerdb.Decimal("12.34").coefficient)""")
+      == "1234")
+    assert(evalStr("""peerdb.Decimal("12.34").coefficient.sign""") ==
+      "1")
+    assert(evalStr("""peerdb.Decimal("-5").bigint.int64""") == "-5")
+    assert(evalStr("""tostring(peerdb.Decimal("9").bigint.is64)""") ==
+      "true")
+    assert(evalStr("""tostring(-peerdb.Decimal("5").bigint)""") == "-5")
+    intercept[LuaError] {
+      run("""return peerdb.Decimal("1").bigint +
+        peerdb.Decimal("1").bigint""")
+    } // reference installs no __add on big ints
+    // bad input is a script error
+    assert(evalStr("""tostring(pcall(function()
+      return peerdb.Decimal("abc") end))""") == "false")
+  }
+
+  test("time userdata: ordering metamethods and UTC calendar fields " +
+    "(peerdb.go:67-73,685-744)") {
+    assert(evalStr("""tostring(peerdb.Time(100) <
+      peerdb.Time(200))""") == "true")
+    assert(evalStr("""tostring(peerdb.Time(100) <=
+      peerdb.Time(100))""") == "true")
+    assert(evalStr("""tostring(peerdb.Time(100) ==
+      peerdb.Time(100))""") == "true")
+    assert(evalStr("""tostring(peerdb.unix_epoch <
+      peerdb.Now())""") == "true")
+    // calendar accessors, UTC: 2023-11-14T22:13:20Z
+    assert(evalStr("peerdb.Time(1700000000).year") == "2023")
+    assert(evalStr("peerdb.Time(1700000000).month") == "11")
+    assert(evalStr("peerdb.Time(1700000000).day") == "14")
+    assert(evalStr("peerdb.Time(1700000000).hour") == "22")
+    assert(evalStr("peerdb.Time(1700000000).minute") == "13")
+    assert(evalStr("peerdb.Time(1700000000).second") == "20")
+    assert(evalStr("peerdb.Time(1700000000).yearday") == "318")
+    assert(evalStr("peerdb.Time(1700000000).unix_second") ==
+      "1700000000")
+    assert(evalStr("peerdb.Time(1700000000.5).nanosecond") ==
+      "500000000")
+    // no-arg = the zero time (time.Time{}), not the epoch
+    assert(evalStr("tostring(peerdb.Time())") ==
+      "0001-01-01T00:00:00Z")
+    // a time argument passes through
+    assert(evalStr("tostring(peerdb.Time(peerdb.unix_epoch))") ==
+      "1970-01-01T00:00:00Z")
+  }
+
+  test("uuid userdata: parse/tostring round trip, byte indexing, " +
+    "equality, msgpack bin16 (peerdb.go:575-620)") {
+    val u = "12345678-9abc-def0-1234-56789abcdef0"
+    assert(evalStr(s"""tostring(peerdb.UUID("$u"))""") == u)
+    assert(evalStr(s"""peerdb.UUID("$u")[0]""") == "18") // 0x12
+    assert(evalStr(s"""peerdb.UUID("$u")[15]""") == "240") // 0xf0
+    assert(evalStr(s"""tostring(peerdb.UUID("$u")[16])""") == "nil")
+    assert(evalStr(s"""tostring(peerdb.UUID("$u") ==
+      peerdb.UUID("$u"))""") == "true")
+    assert(evalStr("""tostring(peerdb.UUID() == peerdb.UUID())""") ==
+      "false")
+    assert(evalStr("""#tostring(peerdb.UUID())""") == "36")
+    // __msgpack = bin16 of the raw bytes (LuaUuidMsgpack): C4 10 + 16
+    assert(evalStr(s"""(function()
+      local msgpack = require "msgpack"
+      local b = msgpack.encode(peerdb.UUID("$u"))
+      return #b .. "|" .. b:byte(1) .. "|" .. b:byte(2) .. "|"
+        .. b:byte(3)
+    end)()""") == "18|196|16|18")
+    assert(evalStr("""tostring(pcall(function()
+      return peerdb.UUID("nope") end))""") == "false")
+  }
+
+  test("row mutation through __newindex (LuaRowNewIndex, peerdb.go:" +
+    "197-424): writes visible to reads, json.encode, RowTable, #row; " +
+    "row/new alias one image, old stays distinct") {
+    import LuaRecordEnv._
+    val upd = Rec(graft.model.ChangeRecord.TypeUpdate, 1L,
+      1700000000000000L, 2L, "public.t", "t",
+      """{"id":1,"v":20,"secret":"xyz"}""", """{"id":1,"v":10}""", Nil)
+    val interp = new Interp()
+    val env = LuaRecordEnv.env(interp)
+    env.define("r", recordUD(upd))
+    def ev(expr: String): String =
+      interp.run(Lua.parse(s"return $expr"), env)
+        .headOption.map(tostr).getOrElse("nil")
+    def st(stmt: String): Unit =
+      interp.run(Lua.parse(stmt), env)
+    st("r.row.v = 99")
+    assert(ev("r.row.v") == "99")
+    assert(ev("r.new.v") == "99", "row and new alias one image")
+    assert(ev("r.old.v") == "10", "the old image is untouched")
+    st("r.row.secret = nil") // redaction: column pins to NULL
+    assert(ev("r.row.secret") == "nil")
+    assert(ev("""require("json").encode(r.row)""") ==
+      """{"id":1,"v":99,"secret":null}""")
+    st("r.row.added = 'x'") // a new column appends
+    assert(ev("#r.row") == "4")
+    assert(ev("peerdb.RowTable(r.row).added") == "x")
+    // non-row userdata still rejects writes
+    intercept[LuaError] { st("r.commit_time.year = 1999") }
+  }
 }
