@@ -987,6 +987,21 @@ object GraftSql {
         "CREATE MIRROR (QRep): mode 'upsert' requires 'unique_key'")
   }
 
+  /** The QRep leg of the lua script surface: flowable.go:756-771 reads
+    * ONLY `transformRow` on QRep flows — a script without it can never
+    * run here, so it fails the DDL instead of silently no-opping. Used
+    * at EXECUTE time too (the durable catalog may predate the check). */
+  private def qrepLua(spark: SparkSession,
+      o: Map[String, String]): Option[String] =
+    o.get("script").map(scriptEntry(spark, _))
+      .filter(_.kind == "lua").map(_.options("source")).map { src =>
+        if (!graft.transform.LuaAdapt.hooksOf(src)("transformRow"))
+          throw new IllegalArgumentException(
+            "CREATE MIRROR (QRep): a lua script on a QRep mirror " +
+              "must define `transformRow` (flowable.go:760)")
+        src
+      }
+
   /** One QRep round (EXECUTE MIRROR on a qrep entry): bind the watermark
     * template to (stored watermark, +inf] — the predicate travels INTO
     * the user query, so a real JDBC/warehouse source would receive it
@@ -1066,7 +1081,8 @@ object GraftSql {
         wmarkColumn = wmark, destDir = destDir,
         wmarkStorePath = storePath, mode = m,
         destUrl = o.get("dest_url"),
-        destTable = o.getOrElse("dest_table", "public.qrep_dest"))
+        destTable = o.getOrElse("dest_table", "public.qrep_dest"),
+        transformLua = qrepLua(sess, o))
     // MongoDB source (`url 'mongo://…'`): QRep is FULL-LOAD shaped —
     // the watermark is `_id`, resume-from-last is unsupported
     // (flow/connectors/mongo/qrep.go:37), so each EXECUTE is a full
@@ -1189,7 +1205,8 @@ object GraftSql {
       // `dest_url 'pg://…'` loads a live SQL destination instead of
       // parquet; `dest_table` names the relation there
       destUrl = o.get("dest_url"),
-      destTable = o.getOrElse("dest_table", "public.qrep_dest"))
+      destTable = o.getOrElse("dest_table", "public.qrep_dest"),
+      transformLua = qrepLua(sess, o))
     val source = liveUrl match {
       case Some(url) if url.startsWith("mysql://") =>
         graft.qrep.LiveMysqlPull.pull(sess, url,
@@ -1375,17 +1392,29 @@ object GraftSql {
       // missing or unparsable catalog script fails the CREATE.
       resolvedTransform(spark, o).foreach(
         spark.sessionState.sqlParser.parseExpression(_))
-      // a lua script is queue routing (onRecord) — on a mirror whose
-      // destination never calls it, it would silently never run
-      // (kafka/pubsub honor scripts, like the reference's connectors;
-      // es:// has its own _id contract and no script hook)
-      if (resolvedLua(spark, o).isDefined &&
-          !o.get("queue_url").exists(u => u.startsWith("kafka://") ||
-            u.startsWith("pubsub://")))
-        throw new IllegalArgumentException(
-          "CREATE MIRROR: a lua script routes queue records " +
-            "(onRecord) — it needs a kafka:// or pubsub:// queue_url; " +
-            "for row transforms use a 'sql' script or transform 'expr'")
+      // a lua script's hooks must be reachable on THIS mirror, else it
+      // would silently never run: `onRecord` routes queue records —
+      // only kafka/pubsub call it (the reference's connectors; es://
+      // has its own _id contract and no script hook) — while
+      // `transformRecord`/`transformRow` attach to the pulled CDC
+      // stream on ANY destination (flowable.go:485-512).
+      resolvedLua(spark, o).foreach { src =>
+        val hooks = graft.transform.LuaAdapt.hooksOf(src)
+        val queueDest = o.get("queue_url").exists(u =>
+          u.startsWith("kafka://") || u.startsWith("pubsub://"))
+        val transforms =
+          hooks("transformRecord") || hooks("transformRow")
+        if (hooks("onRecord") && !queueDest && !transforms)
+          throw new IllegalArgumentException(
+            "CREATE MIRROR: this lua script only routes queue records " +
+              "(onRecord) — it needs a kafka:// or pubsub:// " +
+              "queue_url; for row transforms define transformRecord/" +
+              "transformRow, or use a 'sql' script / transform 'expr'")
+        if (queueDest && !hooks("onRecord"))
+          throw new IllegalArgumentException(
+            "CREATE MIRROR: a lua script on a queue destination must " +
+              "define `onRecord` (kafka.go:352-356)")
+      }
       // Snapshot options cohere at DDL time: a snapshot needs a source
       // — a parquet dir, or a pgwire://(exported-snapshot) /
       // mysql://(binlog-position) capture endpoint for the live
@@ -1408,12 +1437,17 @@ object GraftSql {
       // lang enum — the reference's script_lang ('lua'),
       // V23__scripts.sql, plus the Spark-first 'sql' expression form.
       // DDL-time validation either way: a 'sql' source must parse as
-      // one SQL expression; a 'lua' source must parse AND define a
-      // callable `onRecord` (the kafka.go:352-356 check, moved to
-      // CREATE time).
+      // one SQL expression; a 'lua' source must parse AND define at
+      // least one callable hook — `onRecord` (queue routing,
+      // kafka.go:352-356) or `transformRecord`/`transformRow` (the
+      // CDC adapt stream, flowable.go:496-508) — moved to CREATE time.
       lang match {
         case "sql" => spark.sessionState.sqlParser.parseExpression(src)
-        case "lua" => new graft.transform.LuaQueueScript(src).validate()
+        case "lua" =>
+          if (graft.transform.LuaAdapt.hooksOf(src).isEmpty)
+            throw new IllegalArgumentException(
+              "CREATE SCRIPT: a lua script must define `onRecord`, " +
+                "`transformRecord` or `transformRow` as a function")
         case other => throw new IllegalArgumentException(
           s"unsupported script lang '$other' ('sql' or 'lua')")
       }
@@ -1529,6 +1563,7 @@ object GraftSql {
           && !(o.get("partition_strategy").contains("string") &&
             srcPeerDef.options.get("url")
               .exists(_.startsWith("mysql://"))))
+      qrepLua(spark, o) // transformRow reachability fails the DDL too
       mirrorsFor(spark).create(Peer(n, "qrep", o ++ Map(
         "__query" -> q, "__source_peer" -> src, "__dest_peer" -> dst)))
       Nil

@@ -844,15 +844,42 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     finally batch.unpersist()
   }
 
+  /** The lua script's transform hooks, when it defines any — the
+    * reference attaches its stream adapter only then (flowable.go:
+    * 496-511); a pure `onRecord` routing script leaves the pulled
+    * stream untouched. Probed ONCE per runner, on the driver. */
+  private lazy val luaAdaptScript: Option[String] =
+    cfg.luaScript.filter { s =>
+      val hooks = graft.transform.LuaAdapt.hooksOf(s)
+      hooks("transformRecord") || hooks("transformRow")
+    }
+
   private def syncAndNormalizePinned(batch0: DataFrame, batchId: Long)
       : Unit = {
     // The transform script runs between pull and staging (the reference's
-    // adaptStream seam): the raw table — the durable changefeed — already
-    // holds transformed images, so normalize, replays and catch-up all
-    // see one consistent stream.
-    val batch = cfg.transformSql
+    // adaptStream seam, flowable.go:485-512): the raw table — the durable
+    // changefeed — already holds transformed images, so normalize, replays
+    // and catch-up all see one consistent stream. SQL transform first,
+    // then the lua transformRecord/transformRow hooks ([[graft.transform
+    // .LuaAdapt]]) when the script defines them.
+    val sqlT = cfg.transformSql
       .map(graft.transform.RowTransform.sqlTransform(batch0, _))
       .getOrElse(batch0)
+    val batch = luaAdaptScript
+      .map(graft.transform.LuaAdapt.records(sqlT, _))
+      .getOrElse(sqlT)
+    // The lua stage is imperative per-record work feeding multiple
+    // actions below (raw write, stats agg, queue publish) — pin its
+    // output so a non-deterministic script (peerdb.Now/UUID) can never
+    // stage one image and publish another, and the interpretation cost
+    // is paid once.
+    if (luaAdaptScript.isDefined) batch.persist()
+    try syncAndNormalizeBatch(batch, batchId)
+    finally if (luaAdaptScript.isDefined) batch.unpersist()
+  }
+
+  private def syncAndNormalizeBatch(batch: DataFrame, batchId: Long)
+      : Unit = {
     val raw = toRaw(batch, batchId)
 
     // Raw sync replaces exactly this batch's `_peerdb_batch_id` partition

@@ -69,7 +69,12 @@ final case class QRepConfig(
       * URL ([[graft.server.PgClients]]). */
     destUrl: Option[String] = None,
     /** Destination table name for [[destUrl]] loads. */
-    destTable: String = "public.qrep_dest")
+    destTable: String = "public.qrep_dest",
+    /** `transformRow` lua script (flowable.go:756-771 +
+      * pua/stream_adapter.go AttachToStream): each pulled row passes
+      * through it before the write, schema unchanged
+      * ([[graft.transform.LuaRowTransform]]). None = passthrough. */
+    transformLua: Option[String] = None)
 
 final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 
@@ -103,7 +108,13 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     val parts =
       Partitioner.partitionedPull(source, cfg.wmarkColumn, ranges) ++
         nullPart
-    val increment = parts.reduce(_ unionByName _)
+    // the reference attaches transformRow to the pulled stream
+    // (AttachToStream) — every disposition downstream, including the
+    // upsert's change planning, sees transformed rows
+    val increment = cfg.transformLua
+      .map(graft.transform.LuaRowTransform.rows(
+        parts.reduce(_ unionByName _), _))
+      .getOrElse(parts.reduce(_ unionByName _))
 
     // Run + partition lifecycle into the stats catalog (InitializeQRepRun
     // → addPartitionToQRepRun → pull/sync/end per partition,
@@ -166,7 +177,10 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
   def writeDisposition(frame: DataFrame,
       versionFrom: Option[String] = None): Long = {
     val runId = java.util.UUID.randomUUID().toString
-    val payload = versionFrom.foldLeft(frame)(_ drop _)
+    val transformed = cfg.transformLua
+      .map(graft.transform.LuaRowTransform.rows(frame, _))
+      .getOrElse(frame)
+    val payload = versionFrom.foldLeft(transformed)(_ drop _)
     writeOut(payload, payload,
       versionFrom.foldLeft(
         upsertChanges(frame, versionFrom

@@ -603,6 +603,18 @@ object Lua {
 
   // --------------------------------------------------------- evaluator
 
+  /** The interpreter currently executing on this thread (executors run
+    * one interpreter per partition, single-threaded). */
+  private val activeInterp = new ThreadLocal[Interp]
+
+  /** Call a user function from stdlib code that has no Interp handle
+    * (string.gsub function replacements, gmatch iterators). */
+  private def callback(fn: V, args: Seq[V]): Seq[V] = {
+    val i = activeInterp.get
+    if (i == null) err("lua: no active interpreter for callback")
+    i.call(fn, args)
+  }
+
   final class Interp(maxSteps: Long = 10000000L,
       // gopher-lua's default CallStackSize (the reference's runtime)
       // — and ~14 JVM frames per interpreted call level means a much
@@ -620,11 +632,28 @@ object Lua {
         "(runaway loop?)")
     }
 
-    def run(body: Seq[Stat], env: Env): Seq[V] =
+    /** Track the interpreter executing on this thread so that
+      * interp-independent stdlib natives (string.gsub's function
+      * replacement, gmatch iterators inside user loops) can call back
+      * into user functions. Set once per outermost entry — re-entrant
+      * calls see `prev eq this` and skip the ThreadLocal writes. */
+    private def withActive[A](f: => A): A = {
+      val prev = activeInterp.get
+      if (prev eq this) f
+      else {
+        activeInterp.set(this)
+        try f finally activeInterp.set(prev)
+      }
+    }
+
+    def run(body: Seq[Stat], env: Env): Seq[V] = withActive {
       try { execBlock(body, env); Nil }
       catch { case r: ReturnSignal => r.vals }
+    }
 
-    def call(fn: V, args: Seq[V]): Seq[V] = fn match {
+    def call(fn: V, args: Seq[V]): Seq[V] = withActive { callIn(fn, args) }
+
+    private def callIn(fn: V, args: Seq[V]): Seq[V] = fn match {
       case VNative(_, f) => f(args)
       case VFunc(params, varargs, body, closure) =>
         depth += 1
@@ -1131,31 +1160,134 @@ object Lua {
       one(VStr(out.toString))
     },
     "find" -> native("find") { a =>
-      // plain find only (the 4th arg true form); pattern find is out
-      // of the supported subset
-      val s = str(a, 0); val needle = str(a, 1)
-      val from = math.max(1, int(a, 2, 1)).toInt
-      val idx = s.indexOf(needle, from - 1)
-      if (idx < 0) one(VNil)
-      else Seq(VInt(idx + 1L), VInt(idx.toLong + needle.length))
+      val s = str(a, 0); val pat = str(a, 1)
+      val init = findInit(int(a, 2, 1), s.length)
+      if (a.lift(3).exists(_.truthy)) {
+        // plain find: the 4th-arg-true form turns patterns off
+        val idx = s.indexOf(pat, init)
+        if (idx < 0) one(VNil)
+        else Seq(VInt(idx + 1L), VInt(idx.toLong + pat.length))
+      } else LuaPattern.matchFrom(s, pat, init) match {
+        case None => one(VNil)
+        case Some(m) =>
+          Seq(VInt(m.start + 1L), VInt(m.end.toLong)) ++
+            (if (m.caps.isEmpty) Nil
+             else m.captures(s).map(capV))
+      }
+    },
+    "match" -> native("match") { a =>
+      val s = str(a, 0); val pat = str(a, 1)
+      val init = findInit(int(a, 2, 1), s.length)
+      LuaPattern.matchFrom(s, pat, init) match {
+        case None => one(VNil)
+        case Some(m) => m.captures(s).map(capV)
+      }
+    },
+    "gmatch" -> native("gmatch") { a =>
+      val s = str(a, 0); val pat = str(a, 1)
+      var pos = 0
+      one(native("gmatch_iter") { _ =>
+        if (pos > s.length) one(VNil)
+        else LuaPattern.matchFrom(s, pat, pos,
+            caretLiteral = true) match {
+          case None => pos = s.length + 1; one(VNil)
+          case Some(m) =>
+            // an empty match must not stall the iteration
+            pos = if (m.end > m.start) m.end else m.end + 1
+            m.captures(s).map(capV)
+        }
+      })
     },
     "gsub" -> native("gsub") { a =>
-      // literal (plain-text) replacement of the subset
-      val s = str(a, 0); val pat = str(a, 1); val rep = str(a, 2)
-      var count = 0
+      val s = str(a, 0); val pat = str(a, 1)
+      val repl = a.lift(2).getOrElse(VNil)
+      val maxN = a.lift(3) match {
+        case None | Some(VNil) => Long.MaxValue
+        case _ => int(a, 3, Long.MaxValue)
+      }
+      val anchored = pat.nonEmpty && pat.charAt(0) == '^'
       val out = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        val idx = s.indexOf(pat, i)
-        if (idx < 0 || pat.isEmpty) { out.append(s.substring(i))
-          i = s.length }
-        else {
-          out.append(s.substring(i, idx)); out.append(rep)
-          i = idx + pat.length; count += 1
+      var pos = 0
+      var count = 0L
+      var going = true
+      while (going && count < maxN && pos <= s.length) {
+        LuaPattern.matchFrom(s, pat, pos) match {
+          case Some(m) =>
+            count += 1
+            out.append(s.substring(pos, m.start))
+            out.append(gsubValue(repl, s, m))
+            if (m.end > m.start) pos = m.end
+            else { // empty match: keep the char, step past it
+              if (m.start < s.length) out.append(s.charAt(m.start))
+              pos = m.start + 1
+            }
+            if (anchored) going = false
+          case None => going = false
         }
       }
-      Seq(VStr(out.toString), VInt(count.toLong))
+      out.append(s.substring(math.min(pos, s.length)))
+      Seq(VStr(out.toString), VInt(count))
     })
+
+  /** 1-based (possibly negative) init → clamped 0-based offset, the
+    * posrelat dance of lstrlib's str_find_aux. */
+  private def findInit(pos: Long, len: Int): Int = {
+    val rel = if (pos >= 0) pos else if (-pos > len) 0L else len + pos + 1
+    math.min(math.max(rel - 1, 0L), len.toLong).toInt
+  }
+
+  private def capV(c: Either[Long, String]): V = c match {
+    case Left(p) => VInt(p)
+    case Right(s) => VStr(s)
+  }
+
+  /** One gsub replacement (lstrlib add_value): string repl expands
+    * %0-%9, a table is indexed by the first capture, a function is
+    * called with all captures; nil/false keep the original match. */
+  private def gsubValue(repl: V, src: String, m: LuaPattern.M): String = {
+    lazy val whole = src.substring(m.start, m.end)
+    lazy val caps = m.captures(src).map(capV)
+    repl match {
+      case VStr(r) =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i < r.length) {
+          val c = r.charAt(i)
+          if (c == '%') {
+            if (i + 1 >= r.length)
+              err("lua: invalid use of '%' in replacement string")
+            val d = r.charAt(i + 1)
+            if (d == '%') sb.append('%')
+            else if (d == '0') sb.append(whole)
+            else if (d >= '1' && d <= '9') {
+              val k = d - '1'
+              if (k >= caps.length)
+                err(s"lua: invalid capture index %$d")
+              sb.append(tostr(caps(k)))
+            } else err("lua: invalid use of '%' in replacement string")
+            i += 2
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      case t: VTable => t.get(caps.head) match {
+        case VNil | VBool(false) => whole
+        case v @ (_: VStr | _: VInt | _: VNum) => tostr(v)
+        case other =>
+          err(s"lua: invalid replacement value (a ${other.typeName})")
+      }
+      case f @ (_: VFunc | _: VNative) =>
+        callback(f, caps).headOption.getOrElse(VNil) match {
+          case VNil | VBool(false) => whole
+          case v @ (_: VStr | _: VInt | _: VNum) => tostr(v)
+          case bs: VBytes => bs.latin1
+          case other =>
+            err(s"lua: invalid replacement value (a ${other.typeName})")
+        }
+      case other =>
+        err("lua: bad argument to gsub (string/table/function " +
+          s"expected, got ${other.typeName})")
+    }
+  }
 
   private def str(args: Seq[V], i: Int): String =
     args.lift(i) match {

@@ -192,10 +192,16 @@ object LuaRecordEnv {
     * nil write keeps the column as an explicit NULL (QValueNull). */
   final class RowItems(private var order: Vector[String],
       private var lookup: Map[String, V]) extends Lua.HasLuaLen {
+    /** Set by any script write — lets the adapt stage re-encode ONLY
+      * mutated images, so untouched records keep their original JSON
+      * bytes (no formatting drift, no re-encode cost). */
+    private var mutated = false
+    def isDirty: Boolean = mutated
     def cols: Vector[(String, V)] =
       order.map(k => k -> lookup(k))
     def get(k: String): V = lookup.getOrElse(k, VNil)
     def set(k: String, v: V): Unit = {
+      mutated = true
       if (!lookup.contains(k)) order = order :+ k
       lookup = lookup.updated(k, v)
     }
@@ -335,25 +341,32 @@ object LuaRecordEnv {
     uuidUD(bb.array)
   }
 
-  /** Row images by record type (the LuaRecordIndex dispatch,
-    * peerdb.go:481-513): insert row/new = data; update row/new = data
-    * and old = match image; delete row/old = the old image riding
-    * `data`, new absent. */
-  private def images(r: Rec): (Option[RowItems],
-      Option[RowItems], Option[RowItems]) = {
-    import graft.model.ChangeRecord._
-    // ONE RowItems per distinct image: for an insert, `row` and `new`
-    // alias the same items (reference: both return GetItems()), so a
-    // write through one is visible through the other
-    val dataRow = parseRow(r.data).map(RowItems(_))
-    val matchRow = parseRow(r.matchData).map(RowItems(_))
-    r.recordType match {
-      case TypeInsert => (dataRow, None, dataRow)
-      case TypeUpdate => (dataRow, matchRow, dataRow)
-      case TypeDelete => (dataRow, dataRow, None)
-      case _ => (None, None, None)
+  /** The two parsed wire images of one change record, each ONE shared
+    * RowItems (reference: RecordItems is one map — for an insert,
+    * `row` and `new` alias the same items, so a write through one is
+    * visible through the other). The adapt stage re-encodes these
+    * back into data/matchData after the script ran. */
+  private[transform] final case class RecImages(
+      dataRow: Option[RowItems], matchRow: Option[RowItems]) {
+    /** (row, old, new) views by record type (the LuaRecordIndex
+      * dispatch, peerdb.go:481-513): insert row/new = data; update
+      * row/new = data and old = match image; delete row/old = the old
+      * image riding `data`, new absent. */
+    def views(recordType: Int): (Option[RowItems],
+        Option[RowItems], Option[RowItems]) = {
+      import graft.model.ChangeRecord._
+      recordType match {
+        case TypeInsert => (dataRow, None, dataRow)
+        case TypeUpdate => (dataRow, matchRow, dataRow)
+        case TypeDelete => (dataRow, dataRow, None)
+        case _ => (None, None, None)
+      }
     }
   }
+
+  private[transform] def imagesOf(r: Rec): RecImages =
+    RecImages(parseRow(r.data).map(RowItems(_)),
+      parseRow(r.matchData).map(RowItems(_)))
 
   private def kindOf(rt: Int): String = {
     import graft.model.ChangeRecord._
@@ -367,12 +380,16 @@ object LuaRecordEnv {
     }
   }
 
-  def recordUD(r: Rec): VUserData = {
+  def recordUD(r: Rec): VUserData =
+    recordUD(r, () => imagesOf(r))
+
+  private[transform] def recordUD(r: Rec,
+      mkImages: () => RecImages): VUserData = {
     // the images parse (and their row userdata) memoize per record:
     // a script touching r.row several times plus json.encode(r.row)
     // must parse the JSON once, not once per access — this is the
     // per-record hot path of the whole script stage
-    lazy val imgs = images(r)
+    lazy val imgs = mkImages().views(r.recordType)
     lazy val rowV: V = imgs._1.map(i => rowUD(i)).getOrElse(VNil)
     lazy val oldV: V = imgs._2.map(i => rowUD(i)).getOrElse(VNil)
     lazy val newV: V = imgs._3.map(i => rowUD(i)).getOrElse(VNil)

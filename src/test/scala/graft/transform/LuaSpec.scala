@@ -669,4 +669,137 @@ class LuaSpec extends AnyFunSuite {
     // non-row userdata still rejects writes
     intercept[LuaError] { st("r.commit_time.year = 1999") }
   }
+
+  test("patterns: string.match — classes, sets, quantifiers, " +
+    "captures (values pinned to real Lua 5.1)") {
+    assert(evalStr("""string.match("hello world", "%a+")""") ==
+      "hello")
+    assert(evalStr("""string.match("abc123", "%d+")""") == "123")
+    assert(evalStr("""string.match("abc123", "%D+")""") == "abc")
+    assert(evalStr("""string.match("foo@bar.com", "[^@]+")""") ==
+      "foo")
+    assert(evalStr("""string.match("x  =  10", "(%w+)%s*=%s*(%w+)")""")
+      == "x", "first capture")
+    assert(run("""return string.match("x = 10", "(%w+)%s*=%s*(%w+)")
+      """).map(tostr) == Seq("x", "10"))
+    assert(run("""return string.match("2026-08-16",
+      "(%d+)-(%d+)-(%d+)")""").map(tostr) ==
+      Seq("2026", "08", "16"))
+    // greedy vs lazy
+    assert(evalStr("""string.match("<a><b>", "<(.*)>")""") == "a><b")
+    assert(evalStr("""string.match("<a><b>", "<(.-)>")""") == "a")
+    // optional
+    assert(evalStr("""string.match("color", "colou?r")""") == "color")
+    assert(evalStr("""string.match("colour", "colou?r")""") ==
+      "colour")
+    // anchors
+    assert(evalStr("""string.match("abc", "^a")""") == "a")
+    assert(evalStr("""string.match("abc", "^b")""") == "nil")
+    assert(evalStr("""string.match("abc", "c$")""") == "c")
+    assert(evalStr("""string.match("abc", "b$")""") == "nil")
+    // sets with ranges, escaped class in set
+    assert(evalStr("""string.match("a1b2", "[a-z%d]+")""") == "a1b2")
+    assert(evalStr("""string.match("[x]", "%[(%a)%]")""") == "x")
+    // position capture (1-based, like real Lua)
+    assert(evalStr("""string.match("abc", "b()")""") == "3")
+    // balanced match
+    assert(evalStr("""string.match("(foo(bar))baz", "%b()")""") ==
+      "(foo(bar))")
+    // back-reference
+    assert(evalStr("""string.match("abcabc", "(abc)%1")""") == "abc")
+    assert(evalStr("""string.match("abcabd", "(abc)%1")""") == "nil")
+    // init offset, negative init
+    assert(evalStr("""string.match("hello", "%a+", 3)""") == "llo")
+    assert(evalStr("""string.match("hello", "l", -2)""") == "l")
+    // %z and punctuation class
+    assert(evalStr("""string.match("a.b", "%p")""") == ".")
+    // hex class
+    assert(evalStr("""string.match("zzff00z", "%x+")""") == "ff00")
+  }
+
+  test("patterns: string.find — pattern form, captures, plain flag, " +
+    "init clamp") {
+    assert(run("""return string.find("abc def", "%s")""").map(tostr)
+      == Seq("4", "4"))
+    assert(run("""return string.find("key=val", "(%w+)=")""")
+      .map(tostr) == Seq("1", "4", "key"))
+    assert(evalStr("""string.find("abc", "%d")""") == "nil")
+    // plain form: magic chars are literal
+    assert(run("""return string.find("a.c", ".", 1, true)""")
+      .map(tostr) == Seq("2", "2"))
+    assert(run("""return string.find("abcdef", "cd", 1, true)""")
+      .map(tostr) == Seq("3", "4"))
+    // init beyond end → nil; negative init counts from the end
+    assert(evalStr("""string.find("abc", "a", 5)""") == "nil")
+    assert(run("""return string.find("aaa", "a", -1)""").map(tostr)
+      == Seq("3", "3"))
+    // empty pattern at end matches (len+1, len) like real Lua
+    assert(run("""return string.find("abc", "", 4)""").map(tostr)
+      == Seq("4", "3"))
+  }
+
+  test("patterns: string.gsub — string/table/function replacements, " +
+    "%n expansion, count, anchored, empty matches") {
+    assert(run("""return string.gsub("hello world", "o", "0")""")
+      .map(tostr) == Seq("hell0 w0rld", "2"))
+    assert(run("""return string.gsub("hello world", "(%w+)", "<%1>")
+      """).map(tostr) == Seq("<hello> <world>", "2"))
+    assert(run("""return string.gsub("hello world", "%w+", "%0!", 1)
+      """).map(tostr) == Seq("hello! world", "1"))
+    // %% literal percent
+    assert(evalStr("""string.gsub("abc", "b", "%%")""") == "a%c")
+    // empty-pattern interleave, exactly Lua's
+    assert(run("""return string.gsub("abc", "", "-")""").map(tostr)
+      == Seq("-a-b-c-", "4"))
+    // anchored gsub replaces at most once, at the start
+    assert(run("""return string.gsub("aaa", "^a", "b")""").map(tostr)
+      == Seq("baa", "1"))
+    assert(run("""return string.gsub("a@x.com", "^[^@]+", "***")""")
+      .map(tostr) == Seq("***@x.com", "1"))
+    // table replacement: missing key keeps the match
+    assert(run("""return string.gsub("a b c", "%a", {a="1", c="3"})
+      """).map(tostr) == Seq("1 b 3", "3"))
+    // function replacement; nil return keeps the original
+    assert(run("""return string.gsub("x = 10, y = 20", "%d+",
+      function(n) if n == "10" then return tostring(n * 2) end end)
+      """).map(tostr) == Seq("x = 20, y = 20", "2"))
+    // collapse duplicated words via back-reference
+    assert(run("""return string.gsub("hello hello world",
+      "(%w+) %1", "%1")""").map(tostr) == Seq("hello world", "1"))
+    // frontier: uppercase runs bounded by non-alpha
+    assert(run("""return string.gsub("THE (quick) fox", "%f[%a]%u+",
+      "X")""").map(tostr) == Seq("X (quick) fox", "1"))
+    // invalid replacement escape is a script error
+    intercept[LuaError] { run("""return string.gsub("a", "a", "%x")""") }
+  }
+
+  test("patterns: string.gmatch — iteration, multi-captures, empty " +
+    "matches, literal ^ (5.1: gmatch never anchors)") {
+    assert(evalStr("""(function()
+      local out = {}
+      for w in string.gmatch("one two three", "%a+") do
+        out[#out + 1] = w
+      end
+      return table.concat(out, "|")
+    end)()""") == "one|two|three")
+    assert(evalStr("""(function()
+      local out = {}
+      for k, v in string.gmatch("a=1,b=2", "(%w+)=(%w+)") do
+        out[#out + 1] = k .. ":" .. v
+      end
+      return table.concat(out, ",")
+    end)()""") == "a:1,b:2")
+    // empty matches advance (4 over "abc"), exactly real Lua
+    assert(evalStr("""(function()
+      local n = 0
+      for _ in string.gmatch("abc", "a*") do n = n + 1 end
+      return n
+    end)()""") == "4")
+    // 5.1 treats a leading ^ in gmatch as a literal caret
+    assert(evalStr("""(function()
+      local n = 0
+      for _ in string.gmatch("a^b^c", "%^") do n = n + 1 end
+      return n
+    end)()""") == "2")
+  }
 }
