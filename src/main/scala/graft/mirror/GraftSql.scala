@@ -364,6 +364,14 @@ object GraftSql {
     o.get("script").map(scriptEntry(spark, _))
       .filter(_.kind == "lua").map(_.options("source"))
 
+  /** Snapshot of every lua catalog script, name → source: the
+    * `require "name"` library set (the reference's LoadPeerdbScript
+    * loader reads the scripts table per require, peerdb.go:122-147;
+    * here the snapshot rides to executors with the compiled script). */
+  private def luaLibsOf(spark: SparkSession): Map[String, String] =
+    scriptsFor(spark).list.filter(_.kind == "lua")
+      .map(p => p.name -> p.options("source")).toMap
+
   /** Alert configurations ride the same durable store (the reference's
     * alert-config CRUD RPCs, route.proto GetAlertConfigs/PostAlertConfig/
     * DeleteAlertConfig, persist `peerdb_stats.alerting_config` rows):
@@ -424,6 +432,8 @@ object GraftSql {
       // catalog script by name.
       transformSql = resolvedTransform(spark, o),
       luaScript = resolvedLua(spark, o),
+      luaLibs = if (resolvedLua(spark, o).isDefined)
+        luaLibsOf(spark) else Map.empty,
       // agg_view 'group_col:value_col:dir' — a delta-maintained
       // (group → count, sum) view on the primary table (IncrementalAgg)
       aggViews = o.get("agg_view").map { spec =>
@@ -995,7 +1005,8 @@ object GraftSql {
       o: Map[String, String]): Option[String] =
     o.get("script").map(scriptEntry(spark, _))
       .filter(_.kind == "lua").map(_.options("source")).map { src =>
-        if (!graft.transform.LuaAdapt.hooksOf(src)("transformRow"))
+        if (!graft.transform.LuaAdapt.hooksOf(src,
+            luaLibsOf(spark))("transformRow"))
           throw new IllegalArgumentException(
             "CREATE MIRROR (QRep): a lua script on a QRep mirror " +
               "must define `transformRow` (flowable.go:760)")
@@ -1082,7 +1093,8 @@ object GraftSql {
         wmarkStorePath = storePath, mode = m,
         destUrl = o.get("dest_url"),
         destTable = o.getOrElse("dest_table", "public.qrep_dest"),
-        transformLua = qrepLua(sess, o))
+        transformLua = qrepLua(sess, o),
+        transformLuaLibs = luaLibsOf(sess))
     // MongoDB source (`url 'mongo://…'`): QRep is FULL-LOAD shaped —
     // the watermark is `_id`, resume-from-last is unsupported
     // (flow/connectors/mongo/qrep.go:37), so each EXECUTE is a full
@@ -1206,7 +1218,8 @@ object GraftSql {
       // parquet; `dest_table` names the relation there
       destUrl = o.get("dest_url"),
       destTable = o.getOrElse("dest_table", "public.qrep_dest"),
-      transformLua = qrepLua(sess, o))
+      transformLua = qrepLua(sess, o),
+      transformLuaLibs = luaLibsOf(sess))
     val source = liveUrl match {
       case Some(url) if url.startsWith("mysql://") =>
         graft.qrep.LiveMysqlPull.pull(sess, url,
@@ -1399,11 +1412,18 @@ object GraftSql {
       // `transformRecord`/`transformRow` attach to the pulled CDC
       // stream on ANY destination (flowable.go:485-512).
       resolvedLua(spark, o).foreach { src =>
-        val hooks = graft.transform.LuaAdapt.hooksOf(src)
+        val hooks = graft.transform.LuaAdapt.hooksOf(src,
+          luaLibsOf(spark))
         val queueDest = o.get("queue_url").exists(u =>
           u.startsWith("kafka://") || u.startsWith("pubsub://"))
         val transforms =
           hooks("transformRecord") || hooks("transformRow")
+        if (hooks.isEmpty)
+          throw new IllegalArgumentException(
+            "CREATE MIRROR: this lua script defines none of " +
+              "`onRecord`/`transformRecord`/`transformRow` — a " +
+              "library script can be require'd but not bound as a " +
+              "mirror's script")
         if (hooks("onRecord") && !queueDest && !transforms)
           throw new IllegalArgumentException(
             "CREATE MIRROR: this lua script only routes queue records " +
@@ -1444,10 +1464,18 @@ object GraftSql {
       lang match {
         case "sql" => spark.sessionState.sqlParser.parseExpression(src)
         case "lua" =>
-          if (graft.transform.LuaAdapt.hooksOf(src).isEmpty)
-            throw new IllegalArgumentException(
-              "CREATE SCRIPT: a lua script must define `onRecord`, " +
-                "`transformRecord` or `transformRow` as a function")
+          // must parse AND run top-level cleanly; hooks are NOT
+          // required here — a hook-less script is a require-able
+          // LIBRARY (the LoadPeerdbScript loader's whole point,
+          // peerdb.go:122-147) and reachability is checked where a
+          // mirror binds the script. A require of a script created
+          // LATER is tolerated (the reference resolves per require).
+          try graft.transform.LuaAdapt.hooksOf(src, luaLibsOf(spark))
+          catch {
+            case e: graft.transform.Lua.LuaError
+                if e.getMessage != null &&
+                  e.getMessage.contains("Could not find script") => ()
+          }
         case other => throw new IllegalArgumentException(
           s"unsupported script lang '$other' ('sql' or 'lua')")
       }

@@ -153,6 +153,9 @@ final case class MirrorConfig(
       * change record by calling the script instead of the default
       * routing ([[graft.transform.LuaQueue]]). */
     luaScript: Option[String] = None,
+    /** `require "name"` library set for [[luaScript]] — the lua
+      * scripts-catalog snapshot (LoadPeerdbScript, peerdb.go:122-147). */
+    luaLibs: Map[String, String] = Map.empty,
     /** Live SQL destination: `pg://user:pass@host:port/db[?flavor=…]`
       * routes every normalized batch through the staging→COPY→MERGE
       * warehouse loop ([[graft.sinks.WarehouseLoader]] over a real
@@ -850,7 +853,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * stream untouched. Probed ONCE per runner, on the driver. */
   private lazy val luaAdaptScript: Option[String] =
     cfg.luaScript.filter { s =>
-      val hooks = graft.transform.LuaAdapt.hooksOf(s)
+      val hooks = graft.transform.LuaAdapt.hooksOf(s, cfg.luaLibs)
       hooks("transformRecord") || hooks("transformRow")
     }
 
@@ -866,7 +869,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .map(graft.transform.RowTransform.sqlTransform(batch0, _))
       .getOrElse(batch0)
     val batch = luaAdaptScript
-      .map(graft.transform.LuaAdapt.records(sqlT, _))
+      .map(graft.transform.LuaAdapt.records(sqlT, _, cfg.luaLibs))
       .getOrElse(sqlT)
     // The lua stage is imperative per-record work feeding multiple
     // actions below (raw write, stats agg, queue publish) — pin its
@@ -1050,7 +1053,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // drops), exactly the reference's per-record Lua call
     // (kafka.go:340-390)
     def luaShaped: Option[DataFrame] =
-      cfg.luaScript.map(graft.transform.LuaQueue.records(batch, _))
+      cfg.luaScript.map(
+        graft.transform.LuaQueue.records(batch, _, cfg.luaLibs))
     val n = url match {
       case kafka(h, p, q) =>
         val params = Option(q).getOrElse("").split("&").iterator
@@ -1341,8 +1345,18 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * per table mapping). Dispatches like the stream's batch path: a
     * live `warehouseUrl` destination gets the snapshot through the
     * same staging→COPY→MERGE loop the CDC batches use. */
-  def bootstrapSnapshot(table: String, snapshot: DataFrame): Unit = {
+  def bootstrapSnapshot(table: String, snapshot0: DataFrame): Unit = {
     val (tc, writer) = writers(table)
+    // the snapshot clone inherits the mirror's script
+    // (snapshot_flow.go:220 propagates Script into the QRep config),
+    // and the qrep leg reads `transformRow` — typed rows, so the
+    // QRep bridge applies ([[graft.transform.LuaRowTransform]])
+    val snapshot = cfg.luaScript
+      .filter(s => graft.transform.LuaAdapt
+        .hooksOf(s, cfg.luaLibs)("transformRow"))
+      .map(graft.transform.LuaRowTransform.rows(snapshot0, _,
+        cfg.luaLibs))
+      .getOrElse(snapshot0)
     val changes = snapshot
       .withColumn(RawTable.Version, lit(cfg.snapshotCheckpoint))
       .withColumn(RawTable.IsDeleted, lit(false))

@@ -74,7 +74,10 @@ final case class QRepConfig(
       * pua/stream_adapter.go AttachToStream): each pulled row passes
       * through it before the write, schema unchanged
       * ([[graft.transform.LuaRowTransform]]). None = passthrough. */
-    transformLua: Option[String] = None)
+    transformLua: Option[String] = None,
+    /** `require "name"` library set for [[transformLua]] (the lua
+      * scripts-catalog snapshot, LoadPeerdbScript). */
+    transformLuaLibs: Map[String, String] = Map.empty)
 
 final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 
@@ -113,7 +116,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     // upsert's change planning, sees transformed rows
     val increment = cfg.transformLua
       .map(graft.transform.LuaRowTransform.rows(
-        parts.reduce(_ unionByName _), _))
+        parts.reduce(_ unionByName _), _, cfg.transformLuaLibs))
       .getOrElse(parts.reduce(_ unionByName _))
 
     // Run + partition lifecycle into the stats catalog (InitializeQRepRun
@@ -178,7 +181,8 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       versionFrom: Option[String] = None): Long = {
     val runId = java.util.UUID.randomUUID().toString
     val transformed = cfg.transformLua
-      .map(graft.transform.LuaRowTransform.rows(frame, _))
+      .map(graft.transform.LuaRowTransform.rows(frame, _,
+        cfg.transformLuaLibs))
       .getOrElse(frame)
     val payload = versionFrom.foldLeft(transformed)(_ drop _)
     writeOut(payload, payload,

@@ -1323,6 +1323,61 @@ object CoreQueries {
             |FROM orders
             |ORDER BY topic, key, value""".stripMargin))
 
+  /** The CDC adapt stream + Lua 5.1 patterns under the oracle gate: a
+    * `transformRecord` script (flowable.go:485-512) mutates each
+    * order's row image IN PLACE — splits the priority with
+    * string.match("(%d+)-(%a+)"), lowercases the word, applies an
+    * exact 10% decimal uplift to integer cents — and the query reads
+    * the TRANSFORMED images back out of the stream, exactly what raw
+    * staging would persist. DuckDB replays the same shaping
+    * relationally (regexp_extract + integer math), so the hash compare
+    * pins the pattern engine, the in-place row mutation, and the
+    * dirty-image re-encode in one pass. */
+  val luaTransform = GraftQuery(
+    "q_lua_transform",
+    "lua transformRecord adapt stage: pattern split + decimal uplift " +
+      "vs the SQL oracle",
+    (s, dir) => {
+      val batch = t(s, dir, "orders").select(
+        lit(graft.model.ChangeRecord.TypeInsert).as("recordType"),
+        col("o_orderkey").cast("long").as("checkpointId"),
+        (col("o_orderkey").cast("long") * 1000L).as("commitTimeMicros"),
+        expr("o_orderkey DIV 100").cast("long").as("transactionId"),
+        lit("public.orders").as("sourceTable"),
+        lit("orders").as("destinationTable"),
+        concat(lit("{\"okey\":"), col("o_orderkey").cast("string"),
+          lit(",\"prio\":\""), col("o_orderpriority"), lit("\""),
+          lit(",\"cents\":"), cents(col("o_totalprice")).cast("string"),
+          lit("}")).as("data"),
+        lit(null).cast("string").as("matchData"),
+        array().cast("array<string>").as("unchangedToastColumns"))
+      val script = """
+        function transformRecord(r)
+          local rank, word = string.match(r.row.prio, "(%d+)-(%a+)")
+          r.row.rank = tonumber(rank)
+          r.row.word = string.lower(word)
+          r.row.cents = (peerdb.Decimal(r.row.cents) * "1.1").int64
+        end"""
+      graft.transform.LuaAdapt.records(batch, script)
+        .select(
+          get_json_object(col("data"), "$.okey").cast("long")
+            .as("okey"),
+          get_json_object(col("data"), "$.rank").cast("long")
+            .as("rank"),
+          get_json_object(col("data"), "$.word").as("word"),
+          get_json_object(col("data"), "$.cents").cast("long")
+            .as("cents"))
+        .orderBy("okey")
+    },
+    Some(s"""SELECT o_orderkey AS okey,
+            |  CAST(regexp_extract(o_orderpriority,
+            |    '([0-9]+)-([A-Za-z]+)', 1) AS BIGINT) AS rank,
+            |  lower(regexp_extract(o_orderpriority,
+            |    '([0-9]+)-([A-Za-z]+)', 2)) AS word,
+            |  (${centsSql("o_totalprice")} * 11) // 10 AS cents
+            |FROM orders
+            |ORDER BY okey""".stripMargin))
+
   /** Skew mitigation: two-phase salted aggregation over LOW-cardinality
     * keys (3 return flags across all of lineitem — the shape where a
     * plain groupBy sends a third of 100 TB through three reducers).
@@ -1564,8 +1619,8 @@ object CoreQueries {
     intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     queueEventHubs, queuePubSub,
-    rowTransform, luaRoute, luaDecimal, partitionCtid, xminScan, esBulk,
-    skewAgg,
+    rowTransform, luaRoute, luaDecimal, luaTransform, partitionCtid,
+    xminScan, esBulk, skewAgg,
     dataQuality,
     profileTable, statsTableCounts, statsBatchInfo)
 }

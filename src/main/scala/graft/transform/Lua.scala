@@ -1329,9 +1329,14 @@ object Lua {
 
   /** The sandboxed base environment: stdlib subset + `require` over
     * the provided module map. `printSink` receives print() lines (the
-    * reference routes them to flow logs, LuaPrintFn). */
+    * reference routes them to flow logs, LuaPrintFn). `loader`
+    * resolves non-builtin module names to lua SOURCE — the reference's
+    * LoadPeerdbScript loader (peerdb.go:37-147: `require "name"` reads
+    * the scripts catalog); loaded chunks run once against the globals
+    * and cache their return value (package.loaded semantics). */
   def baseEnv(interp: Interp, modules: Map[String, VTable] = Map.empty,
-      printSink: String => Unit = _ => ()): Env = {
+      printSink: String => Unit = _ => (),
+      loader: String => Option[String] = _ => None): Env = {
     val g = new Env(None)
     def tbl(entries: (String, V)*): VTable = {
       val t = new VTable
@@ -1486,12 +1491,32 @@ object Lua {
         one(VNum(dbl(a, 0) % dbl(a, 1)))),
       "huge" -> VNum(Double.PositiveInfinity),
       "pi" -> VNum(math.Pi)))
+    val loadedModules = mutable.HashMap.empty[String, V]
+    val loading = mutable.HashSet.empty[String]
     g.define("require", native("require") { a =>
       val name = str(a, 0)
       modules.get(name) match {
         case Some(m) => one(m)
-        case None => err(s"lua: module '$name' not found " +
-          s"(available: ${modules.keys.toSeq.sorted.mkString(", ")})")
+        case None => loadedModules.get(name) match {
+          case Some(v) => one(v)
+          case None =>
+            if (!loading.add(name))
+              err(s"lua: loop in require('$name')")
+            try loader(name) match {
+              case Some(src) =>
+                // the chunk runs against the globals (the reference's
+                // ls.Load + call); its return value is the module —
+                // a return-less library chunk yields `true` like 5.1
+                val v = interp.run(parse(src), g)
+                  .headOption.getOrElse(VBool(true))
+                loadedModules(name) = v
+                one(v)
+              case None =>
+                // the reference's loader message, peerdb.go:134-136
+                err(s"lua: Could not find script $name (builtin: " +
+                  s"${modules.keys.toSeq.sorted.mkString(", ")})")
+            } finally loading.remove(name)
+        }
       }
     })
     g

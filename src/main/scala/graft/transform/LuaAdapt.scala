@@ -29,13 +29,14 @@ import org.apache.spark.sql.DataFrame
   * ([[LuaRecordEnv.RowItems.isDirty]]), so a `transformRecord` that
   * filters on `r.kind` costs nothing on the records it skips.
   */
-final class LuaAdaptScript(val source: String) extends Serializable {
+final class LuaAdaptScript(val source: String,
+    val libs: Map[String, String] = Map.empty) extends Serializable {
 
   @transient private lazy val ast = Lua.parse(source)
 
   private def boot(): (Lua.Interp, Option[Lua.V], Option[Lua.V]) = {
     val interp = new Lua.Interp()
-    val g = LuaRecordEnv.env(interp)
+    val g = LuaRecordEnv.env(interp, libs = libs)
     interp.run(ast, g)
     def fn(name: String): Option[Lua.V] = g.lookup(name).filter {
       case _: Lua.VFunc | _: Lua.VNative => true
@@ -91,9 +92,10 @@ object LuaAdapt {
     * DDL-time validation (a lua script whose hooks can never fire on
     * the mirror's destination is a CREATE error, not a silent no-op)
     * and the runner's decision to attach the adapt stage at all. */
-  def hooksOf(source: String): Set[String] = {
+  def hooksOf(source: String,
+      libs: Map[String, String] = Map.empty): Set[String] = {
     val interp = new Lua.Interp()
-    val g = LuaRecordEnv.env(interp)
+    val g = LuaRecordEnv.env(interp, libs = libs)
     interp.run(Lua.parse(source), g)
     Set("onRecord", "transformRecord", "transformRow").filter { n =>
       g.lookup(n).exists {
@@ -109,10 +111,11 @@ object LuaAdapt {
     * data/matchData images. Relation/message records flow through the
     * script too (their images are nil — kind-dispatch is the script's
     * job), and their payloads are never re-encoded. */
-  def records(batch: DataFrame, script: String): DataFrame = {
+  def records(batch: DataFrame, script: String,
+      libs: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.StringType
-    val compiled = new LuaAdaptScript(script)
+    val compiled = new LuaAdaptScript(script, libs)
     val schema = batch.schema
     val iType = schema.fieldIndex("recordType")
     val iCp = schema.fieldIndex("checkpointId")

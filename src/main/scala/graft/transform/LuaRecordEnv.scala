@@ -920,13 +920,19 @@ object LuaRecordEnv {
     * ride [[Lua.VBytes]] byte strings, which the queue value leg
     * ships verbatim. */
   def env(interp: Lua.Interp,
-      printSink: String => Unit = _ => ()): Lua.Env = {
+      printSink: String => Unit = _ => (),
+      /** `require "name"` beyond the builtins resolves lua SOURCE from
+        * here — the snapshot of the scripts catalog that rides to
+        * executors (the reference's LoadPeerdbScript reads the catalog
+        * per require, peerdb.go:122-147). */
+      libs: Map[String, String] = Map.empty): Lua.Env = {
     val g = Lua.baseEnv(interp,
       modules = Map("json" -> jsonModule(interp),
         "bit32" -> bit32Module,
         "utf8" -> utf8Module(interp),
         "msgpack" -> msgpackModule(interp)),
-      printSink = printSink)
+      printSink = printSink,
+      loader = libs.get)
     g.define("peerdb", peerdbTable(interp))
     g
   }
@@ -964,8 +970,9 @@ object LuaQueue {
     * Output: (topic, key, value, headers, partition, __ord). Only
     * change records flow (type ≤ delete), like the reference's record
     * channel. */
-  def records(batch: DataFrame, script: String): DataFrame = {
-    val compiled = new LuaQueueScript(script)
+  def records(batch: DataFrame, script: String,
+      libs: Map[String, String] = Map.empty): DataFrame = {
+    val compiled = new LuaQueueScript(script, libs)
     val cols = Seq("recordType", "checkpointId", "commitTimeMicros",
       "transactionId", "sourceTable", "destinationTable", "data",
       "matchData", "unchangedToastColumns")
@@ -1017,7 +1024,8 @@ object LuaQueue {
   * 376-378). Serializable: executors re-interpret the SOURCE per
   * partition (the reference's LuaPool builds one LState per worker
   * the same way). */
-final class LuaQueueScript(val source: String) extends Serializable {
+final class LuaQueueScript(val source: String,
+    val libs: Map[String, String] = Map.empty) extends Serializable {
 
   /** One shaped queue record. `value` is BYTES — a text return ships
     * its UTF-8 image, a [[Lua.VBytes]] (msgpack.encode output) ships
@@ -1033,7 +1041,7 @@ final class LuaQueueScript(val source: String) extends Serializable {
     * onRecord). Returns (interp, env, onRecord). */
   private def boot(): (Lua.Interp, Lua.Env, Lua.V) = {
     val interp = new Lua.Interp()
-    val g = LuaRecordEnv.env(interp)
+    val g = LuaRecordEnv.env(interp, libs = libs)
     interp.run(ast, g)
     val fn = g.lookup("onRecord").getOrElse(Lua.VNil)
     fn match {

@@ -157,8 +157,9 @@ object LuaRowTransform {
   /** Pulled increment → the SAME schema with each row passed through
     * the script's `transformRow`. Rows the script didn't write to are
     * returned as-is (zero conversion cost on the way back). */
-  def rows(df: DataFrame, script: String): DataFrame = {
-    val compiled = new LuaRowScript(script)
+  def rows(df: DataFrame, script: String,
+      libs: Map[String, String] = Map.empty): DataFrame = {
+    val compiled = new LuaRowScript(script, libs)
     val schema = df.schema
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spread =
@@ -174,13 +175,14 @@ object LuaRowTransform {
 /** A compiled `transformRow` script for typed QRep rows. Serializable
   * like [[LuaQueueScript]]: executors re-interpret the SOURCE per
   * partition. */
-final class LuaRowScript(val source: String) extends Serializable {
+final class LuaRowScript(val source: String,
+    val libs: Map[String, String] = Map.empty) extends Serializable {
 
   @transient private lazy val ast = Lua.parse(source)
 
   private def boot(): (Lua.Interp, Lua.V) = {
     val interp = new Lua.Interp()
-    val g = LuaRecordEnv.env(interp)
+    val g = LuaRecordEnv.env(interp, libs = libs)
     interp.run(ast, g)
     val fn = g.lookup("transformRow").getOrElse(Lua.VNil)
     fn match {

@@ -19,18 +19,65 @@ class LuaAdaptSpec extends SparkSpec {
   private def run(sql: String) = GraftSql.execute(spark,
     GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
 
-  test("hooksOf reports the script's callable hooks; CREATE SCRIPT " +
-    "rejects a lua source with none") {
+  test("hooksOf reports the script's callable hooks; a hook-less lua " +
+    "source is an accepted LIBRARY at CREATE SCRIPT but rejected " +
+    "when bound as a mirror's script") {
     assert(LuaAdapt.hooksOf("function onRecord(r) end") ==
       Set("onRecord"))
     assert(LuaAdapt.hooksOf(
       "function transformRow(row) end\nfunction onRecord(r) end") ==
       Set("onRecord", "transformRow"))
     assert(LuaAdapt.hooksOf("x = 1\ntransformRecord = 'nope'").isEmpty)
+    // a library (no hooks) is createable — it exists to be require'd
+    run("CREATE SCRIPT lib_ok LANG lua AS $$ local m = {} " +
+      "function m.f(x) return x end return m $$")
+    // ... but binding it as a mirror's script is a DDL error
+    val wal = tmpDir("lib_wal"); val base = tmpDir("lib_base")
     val e = intercept[IllegalArgumentException] {
-      run("CREATE SCRIPT bad LANG lua AS $$ x = 1 $$")
+      run(s"""CREATE MIRROR libm WITH (
+         |  wal_dir '$wal', dest_dir '$base/d',
+         |  checkpoint_dir '$base/c', pk 'id',
+         |  table 'dest.t', schema 'id BIGINT',
+         |  script 'lib_ok')""".stripMargin)
     }
-    assert(e.getMessage.contains("onRecord"))
+    assert(e.getMessage.contains("library"))
+    // a top-level run error still fails CREATE SCRIPT
+    intercept[Lua.LuaError] {
+      run("CREATE SCRIPT bad LANG lua AS $$ error('boom') $$")
+    }
+  }
+
+  test("require resolves OTHER catalog scripts (LoadPeerdbScript, " +
+    "peerdb.go:122-147): a transform script require's a shared " +
+    "library through the snapshot that rides to executors, loaded " +
+    "once per interpreter (package.loaded)") {
+    import spark.implicits._
+    val libSrc = """
+      local m = {}
+      function m.uplift(cents)
+        return (peerdb.Decimal(cents) * "1.07").int64
+      end
+      return m"""
+    run(s"CREATE OR REPLACE SCRIPT taxlib LANG lua AS $$$$$libSrc $$$$")
+    val libs = Map("taxlib" -> libSrc)
+    val batch = Seq(
+      rec(1, ChangeRecord.TypeInsert, """{"id":1,"cents":1000}"""),
+      rec(2, ChangeRecord.TypeInsert, """{"id":2,"cents":999}"""))
+      .toDS().toDF()
+    val out = LuaAdapt.records(batch, """
+      local tax = require "taxlib"
+      local tax2 = require "taxlib"  -- cached, not re-run
+      function transformRecord(r)
+        r.row.cents = tax.uplift(r.row.cents)
+      end""", libs).as[ChangeRecord].collect().sortBy(_.checkpointId)
+    assert(out(0).data == """{"id":1,"cents":1070}""")
+    assert(out(1).data == """{"id":2,"cents":1068}""") // 1068.93 → int64
+    // unresolvable require is a script error carrying the reference's
+    // loader message
+    val e = intercept[Lua.LuaError] {
+      LuaAdapt.hooksOf("""local x = require "missing" """)
+    }
+    assert(e.getMessage.contains("Could not find script missing"))
   }
 
   test("transformRecord mutates images in place: kind-dispatched " +

@@ -235,13 +235,14 @@ class LuaQueueSpec extends SparkSpec {
     } finally broker.stop()
   }
 
-  test("DDL validation: a lua script without onRecord or with a " +
-    "syntax error fails CREATE SCRIPT; a mirror referencing a lua " +
-    "script keeps transformSql empty (the SQL-parse check must not " +
-    "eat the lua source)") {
-    intercept[Exception] {
-      run("CREATE SCRIPT bad1 LANG lua AS $$ local x = 1 $$")
-    }
+  test("DDL validation: a lua script with a syntax error fails " +
+    "CREATE SCRIPT (a hook-less one is a require-able library); a " +
+    "mirror referencing a lua script keeps transformSql empty (the " +
+    "SQL-parse check must not eat the lua source)") {
+    // hook-less lua = library (LoadPeerdbScript semantics) — created
+    // fine; binding it to a mirror is what errors
+    run("CREATE SCRIPT bad1 LANG lua AS $$ local x = 1 $$")
+    run("DROP SCRIPT bad1")
     intercept[Exception] {
       run("CREATE SCRIPT bad2 LANG lua AS $$ function onRecord(r) $$")
     }
