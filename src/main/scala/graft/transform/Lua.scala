@@ -1116,7 +1116,14 @@ object Lua {
       else Nil
     },
     "char" -> native("char") { a =>
-      one(VStr(a.map(v => int(Seq(v), 0, 0).toChar).mkString))
+      // real Lua strings are BYTES: codes beyond ASCII must keep byte
+      // identity (string.char(0xc4) is the single byte 0xc4, not a
+      // two-byte UTF-8 'Ä'), so those return a byte string — pure
+      // ASCII stays text, where the two representations agree
+      val codes = a.map(v => int(Seq(v), 0, 0))
+      if (codes.exists(c => c > 127 || c < 0))
+        one(VBytes(codes.map(_.toByte).toArray))
+      else one(VStr(codes.map(_.toChar).mkString))
     },
     "format" -> native("format") { a =>
       val fmt = str(a, 0)

@@ -145,6 +145,10 @@ object LuaRecordEnv {
         }
         sb.append('}')
       case r: Rec => enc(sb, recordJsonTable(r))
+      // times serialize RFC3339 in JSON (the engine's timestamp canon)
+      // even though tostring prints Go's time.String() image
+      case t: java.time.Instant if u.tag == "peerdb_time" =>
+        jsonStr(sb, Rfc3339.format(t))
       case _ => jsonStr(sb, u.ts(u.payload))
     }
     case f => jsonStr(sb, tostr(f))
@@ -153,6 +157,20 @@ object LuaRecordEnv {
   // ---------------------------------------------------- userdata types
 
   private val Rfc3339 = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  /** Go's `time.Time.String()` image for a UTC instant — what
+    * gopher-lua's __tostring prints (LuaTimeString, peerdb.go:719-723;
+    * pinned by pua/peerdb_test.go: "1970-01-01 00:00:00 +0000 UTC").
+    * Fractional seconds trim trailing zeros and vanish at zero. */
+  private[transform] def goTimeString(t: java.time.Instant): String = {
+    val utc = t.atZone(java.time.ZoneOffset.UTC)
+    val frac =
+      if (t.getNano == 0) ""
+      else "." + f"${t.getNano}%09d".reverse.dropWhile(_ == '0').reverse
+    f"${utc.getYear}%04d-${utc.getMonthValue}%02d-" +
+      f"${utc.getDayOfMonth}%02d ${utc.getHour}%02d:" +
+      f"${utc.getMinute}%02d:${utc.getSecond}%02d$frac +0000 UTC"
+  }
 
   def timeUD(instant: java.time.Instant): VUserData =
     VUserData("peerdb_time", instant,
@@ -181,7 +199,7 @@ object LuaRecordEnv {
           case _ => VNil
         }
       },
-      ts = p => Rfc3339.format(p.asInstanceOf[java.time.Instant]),
+      ts = p => goTimeString(p.asInstanceOf[java.time.Instant]),
       order = (a, b) => a.asInstanceOf[java.time.Instant]
         .compareTo(b.asInstanceOf[java.time.Instant]))
 
@@ -547,13 +565,28 @@ object LuaRecordEnv {
       }
     })
     t.set(VStr("type"), native("type") { a =>
-      Seq(VStr(a.headOption.getOrElse(VNil) match {
-        case u: VUserData => u.tag
-        case other => other.typeName
-      }))
+      // LuaType (peerdb.go:666-673): the Go %T of a userdata payload;
+      // anything else returns NOTHING (reads as nil — the test pins
+      // `not peerdb.type(0)`)
+      a.headOption match {
+        case Some(u: VUserData) => Seq(VStr(u.tag match {
+          case "peerdb_uuid" => "uuid.UUID"
+          case "peerdb_time" => "time.Time"
+          case "peerdb_decimal" => "decimal.Decimal"
+          case "peerdb_bigint" => "*big.Int"
+          case other => other
+        }))
+        case _ => Nil
+      }
     })
-    t.set(VStr("tostring"), native("tostring")(a =>
-      Seq(VStr(tostr(a.headOption.getOrElse(VNil))))))
+    t.set(VStr("tostring"), native("tostring") { a =>
+      // LuaToString (peerdb.go:675-682): fmt.Sprint of a userdata
+      // payload; non-userdata returns NOTHING
+      a.headOption match {
+        case Some(u: VUserData) => Seq(VStr(u.ts(u.payload)))
+        case _ => Nil
+      }
+    })
     t.set(VStr("unix_epoch"), timeUD(java.time.Instant.EPOCH))
     t
   }
