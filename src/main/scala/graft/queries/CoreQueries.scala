@@ -1359,14 +1359,14 @@ object CoreQueries {
           r.row.cents = (peerdb.Decimal(r.row.cents) * "1.1").int64
         end"""
       graft.transform.LuaAdapt.records(batch, script)
-        .select(
-          get_json_object(col("data"), "$.okey").cast("long")
-            .as("okey"),
-          get_json_object(col("data"), "$.rank").cast("long")
-            .as("rank"),
-          get_json_object(col("data"), "$.word").as("word"),
-          get_json_object(col("data"), "$.cents").cast("long")
-            .as("cents"))
+        // ONE json parse per row (from_json), not one per projected
+        // field — 4× get_json_object would re-parse the image 4 times
+        .select(from_json(col("data"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "okey BIGINT, rank BIGINT, word STRING, cents BIGINT"))
+          .as("j"))
+        .select(col("j.okey").as("okey"), col("j.rank").as("rank"),
+          col("j.word").as("word"), col("j.cents").as("cents"))
         .orderBy("okey")
     },
     Some(s"""SELECT o_orderkey AS okey,
