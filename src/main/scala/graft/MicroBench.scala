@@ -263,6 +263,45 @@ object MicroBench {
           println(f"lua #$round: $n records ${secs}%.3f s " +
             f"(${(n / secs).toLong} rec/s, $out shaped)")
         }
+      case "adapt" =>
+        // transformRecord/transformRow throughput: the CDC adapt
+        // stage's per-record ceiling (parse → hook → dirty re-encode),
+        // single-threaded like one partition interpreter.
+        val n = args.lift(1).map(_.toInt).getOrElse(200000)
+        val script = args.lift(2) match {
+          case Some("noop") => "function transformRecord(r) end"
+          case Some("row") => """
+            function transformRow(row)
+              row.amount_cents = row.amount_cents + 1
+            end"""
+          case _ => """
+            function transformRecord(r)
+              if r.kind ~= "delete" then
+                r.row.user_id = r.row.user_id % 100
+                r.row.bucket = string.format("b%03d", r.row.user_id)
+              end
+            end"""
+        }
+        val as = new graft.transform.LuaAdaptScript(script)
+        (1 to 3).foreach { round =>
+          val runner = new as.PartitionRunner
+          var rebuilt = 0L
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < n) {
+            val rec = graft.transform.LuaRecordEnv.Rec(
+              i % 3, i.toLong, i.toLong * 1000, i.toLong / 100,
+              "public.events", "evt" + (i % 5),
+              s"""{"user_id":${i % 977},"amount_cents":$i}""", null,
+              Nil)
+            val (d, m) = runner.transformImages(rec)
+            if (!(d eq rec.data) || !(m eq rec.matchData)) rebuilt += 1
+            i += 1
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"adapt #$round: $n records ${secs}%.3f s " +
+            f"(${(n / secs).toLong} rec/s, $rebuilt re-encoded)")
+        }
       case "pgout" =>
         // Decoder throughput: binary pgoutput frames (the reference's
         // actual ingest format) → ChangeRecords → WAL, single-threaded
