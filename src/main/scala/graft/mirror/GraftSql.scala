@@ -1822,6 +1822,18 @@ object GraftSql {
           new StatsCatalog(d, spark.sparkContext.hadoopConfiguration)
             .deleteMirrorStats(flow)
         }
+        // DropFlowSource + DropFlowDestination (drop_flow.go:39-101):
+        // release the server-side source state (slot + publication,
+        // ownership-gated) and the staging state (local raw/ckpt/wal
+        // dirs, the CH raw table). Runs BEFORE the catalog drop — an
+        // unreachable source fails the DROP and the entry stays, like
+        // the reference's failed DropFlowWorkflow.
+        val hc = spark.sparkContext.hadoopConfiguration
+        p.options.get("capture_dir")
+          .filter(graft.cdc.CaptureEndpoint.isUrl)
+          .foreach(DropFlow.sourceCleanup(_,
+            p.options.get("wal_dir"), hc))
+        if (p.kind == "mirror") DropFlow.destinationCleanup(p.options, hc)
       }
       mirrorsFor(spark).drop(n)
       Nil

@@ -1,0 +1,103 @@
+package graft.mirror
+
+import graft.SparkSpec
+import graft.cdc.StockPostgres
+import graft.model.ChangeRecord
+
+/** DROP MIRROR's server-side cleanup legs (drop_flow.go:39-101)
+  * against a REAL stock PostgreSQL: slot + publication release is
+  * ownership-gated exactly like the reference (defaults and
+  * intent-proven slots drop; user-provided names survive), and the
+  * destination leg removes STAGING state only — the normalized
+  * destination data remains. */
+class DropFlowSpec extends SparkSpec {
+
+  private var server: Option[StockPostgres.Server] = None
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = StockPostgres.start()
+  }
+  override def afterAll(): Unit = {
+    server.foreach(_.stop())
+    super.afterAll()
+  }
+  private def srv: StockPostgres.Server = {
+    assume(server.isDefined, "stock postgres unavailable in this env")
+    server.get
+  }
+  private def hc = spark.sparkContext.hadoopConfiguration
+  private def url(params: String = "") =
+    s"pgwire://postgres@127.0.0.1:${srv.port}/postgres$params"
+
+  test("sourceCleanup drops the engine-default slot and publication " +
+    "(PullFlowCleanup, postgres_source.go:836-865); a second run is a " +
+    "clean no-op (absent objects are fine)") {
+    val s = srv
+    s.psql("SELECT pg_create_logical_replication_slot(" +
+      "'graft_slot', 'pgoutput')")
+    s.psql("CREATE PUBLICATION graft_pub FOR ALL TABLES")
+    val actions = DropFlow.sourceCleanup(url(), None, hc)
+    assert(actions.toSet ==
+      Set("slot:graft_slot", "publication:graft_pub"))
+    assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
+      "WHERE slot_name='graft_slot'").trim == "0")
+    assert(s.psql("SELECT count(*) FROM pg_publication " +
+      "WHERE pubname='graft_pub'").trim == "0")
+    // idempotent: nothing left to drop, no error
+    assert(DropFlow.sourceCleanup(url(), None, hc).isEmpty)
+  }
+
+  test("user-provided slot/publication names are user-owned and " +
+    "SURVIVE the drop — unless the mirror's intent marker proves it " +
+    "created the slot (initialLoad ownership)") {
+    val s = srv
+    s.psql("SELECT pg_create_logical_replication_slot(" +
+      "'user_slot', 'pgoutput')")
+    s.psql("CREATE PUBLICATION user_pub FOR ALL TABLES")
+    val u = url("?slot=user_slot&publication=user_pub")
+    // no intent marker: both survive
+    assert(DropFlow.sourceCleanup(u, None, hc).isEmpty)
+    assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
+      "WHERE slot_name='user_slot'").trim == "1")
+    // an intent marker recording THIS slot's creation flips slot
+    // ownership (the publication stays user-owned either way)
+    val wal = tmpDir("dropflow_wal")
+    graft.util.FsText.write(s"$wal/_graft_slot_intent", "user_slot", hc)
+    val actions = DropFlow.sourceCleanup(u, Some(wal), hc)
+    assert(actions == Seq("slot:user_slot"))
+    assert(s.psql("SELECT count(*) FROM pg_replication_slots " +
+      "WHERE slot_name='user_slot'").trim == "0")
+    assert(s.psql("SELECT count(*) FROM pg_publication " +
+      "WHERE pubname='user_pub'").trim == "1")
+    s.psql("DROP PUBLICATION user_pub")
+  }
+
+  test("DROP MIRROR through the DDL removes staging state (raw " +
+    "changefeed, checkpoints, wal) and keeps the normalized " +
+    "destination (SyncFlowCleanup semantics)") {
+    val wal = tmpDir("dropddl_wal")
+    val base = tmpDir("dropddl_base")
+    graft.cdc.ChangeLogWal.append(wal, Seq(
+      ChangeRecord(ChangeRecord.TypeInsert, 1L, "1", 1000L, 0L,
+        "public.t", "dest.t", """{"id":1,"v":10}""", null, Nil),
+      ChangeRecord(ChangeRecord.TypeInsert, 2L, "2", 2000L, 0L,
+        "public.t", "dest.t", """{"id":2,"v":20}""", null, Nil)))
+    def run(sql: String) = GraftSql.execute(spark,
+      GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+    run(s"""CREATE MIRROR dropddl WITH (
+       |  wal_dir '$wal', dest_dir '$base/dest',
+       |  checkpoint_dir '$base/ckpt', raw_dir '$base/raw', pk 'id',
+       |  table 'dest.t', schema 'id BIGINT, v BIGINT')""".stripMargin)
+    run("EXECUTE MIRROR dropddl")
+    assert(spark.read.parquet(s"$base/dest").count() == 2)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(hc)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/raw")))
+    run("DROP MIRROR dropddl")
+    // staging gone, destination intact, wal gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/raw")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/ckpt")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(wal)))
+    assert(spark.read.parquet(s"$base/dest").count() == 2)
+  }
+}

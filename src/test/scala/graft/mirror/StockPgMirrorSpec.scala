@@ -116,7 +116,8 @@ class StockPgMirrorSpec extends SparkSpec {
     runner.runAvailableNow()
     assert(destT1() == truth)
 
-    s.psql("SELECT pg_drop_replication_slot('mir_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='mir_slot'")
   }
 
   test("stock PG→PG: FULLY live mirror — pgwire:// replication source " +
@@ -174,7 +175,8 @@ class StockPgMirrorSpec extends SparkSpec {
     runner.runAvailableNow()
     assert(dest() == truth())
 
-    s.psql("SELECT pg_drop_replication_slot('p2p_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='p2p_slot'")
   }
 
   test("table addition to a live mirror VERIFIES the publication: a " +
@@ -227,7 +229,8 @@ class StockPgMirrorSpec extends SparkSpec {
     assert(runner2.destination("public.pa2")
       .select("id").collect().map(_.getLong(0)).toSet == Set(6L))
 
-    s.psql("SELECT pg_drop_replication_slot('pa_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='pa_slot'")
     s.psql("DROP PUBLICATION pa_pub")
     s.psql("DROP TABLE public.pa1"); s.psql("DROP TABLE public.pa2")
   }
@@ -280,7 +283,8 @@ class StockPgMirrorSpec extends SparkSpec {
     val quiet = new MirrorRunner(spark, cfg.copy(env = Map.empty))
     assert(!quiet.walHeartbeatTick())
 
-    s.psql("SELECT pg_drop_replication_slot('hb_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='hb_slot'")
     s.psql("DROP PUBLICATION hb_pub")
     s.psql("DROP TABLE public.hb1")
   }
@@ -346,7 +350,8 @@ class StockPgMirrorSpec extends SparkSpec {
     assert(dest() == truth(), "post-resync stream diverged")
 
     run("DROP MIRROR rsmir")
-    s.psql("SELECT pg_drop_replication_slot('rs_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='rs_slot'")
     s.psql("DROP PUBLICATION rs_pub")
     s.psql("DROP TABLE public.rs1")
   }
@@ -407,7 +412,8 @@ class StockPgMirrorSpec extends SparkSpec {
       "LIKE '%peerdb_resync%'", db = "mcdst").trim == "0")
 
     run("DROP MIRROR mcmir")
-    s.psql("SELECT pg_drop_replication_slot('mc_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='mc_slot'")
     s.psql("DROP PUBLICATION mc_pub")
     s.psql("DROP TABLE public.mc1")
   }
