@@ -1834,6 +1834,16 @@ object GraftSql {
           .foreach(DropFlow.sourceCleanup(_,
             p.options.get("wal_dir"), hc))
         if (p.kind == "mirror") DropFlow.destinationCleanup(p.options, hc)
+        // a qrep mirror's staging state is its watermark store (the
+        // lastRangeEnd resume point) + the one-shot marker — the
+        // destination data itself remains, like SyncFlowCleanup
+        if (p.kind == "qrep") p.options.get("dest_dir").foreach { d =>
+          Seq(s"$d/_graft_wmark", s"$d/_graft_copy_complete").foreach { f =>
+            val path = new org.apache.hadoop.fs.Path(f)
+            val fs = path.getFileSystem(hc)
+            if (fs.exists(path)) fs.delete(path, false)
+          }
+        }
       }
       mirrorsFor(spark).drop(n)
       Nil

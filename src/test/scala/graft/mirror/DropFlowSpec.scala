@@ -100,4 +100,44 @@ class DropFlowSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(wal)))
     assert(spark.read.parquet(s"$base/dest").count() == 2)
   }
+
+  test("DROP MIRROR on a qrep entry clears the watermark resume point " +
+    "(the lastRangeEnd store) but keeps the destination data — a " +
+    "recreated mirror starts over, append-duplicating like a fresh " +
+    "flow would") {
+    import org.apache.spark.sql.SparkSession
+    val s = spark.newSession()
+    SparkSession.setActiveSession(s)
+    try {
+      def run(sql: String) = GraftSql.execute(s,
+        GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+      val base = tmpDir("dropqrep")
+      s.range(0, 30).selectExpr("id AS k", "id * 2 AS v")
+        .write.parquet(s"$base/src/rows.parquet")
+      run(s"CREATE PEER dqsrc TYPE parquet OPTIONS (dir '$base/src')")
+      run(s"CREATE PEER dqdst TYPE parquet OPTIONS (dir '$base/dst')")
+      def create() = run(
+        "CREATE MIRROR dq FROM dqsrc TO dqdst FOR " +
+          "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+          "{{.end}} $$ WITH (watermark_column 'k', " +
+          s"source_table 'rows', dest_dir '$base/dest')")
+      create()
+      assert(run("EXECUTE MIRROR dq").head.getLong(0) == 30L)
+      assert(run("EXECUTE MIRROR dq").head.getLong(0) == 0L)
+      run("DROP MIRROR dq")
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hc)
+      assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$base/dest/_graft_wmark")))
+      assert(s.read.parquet(s"$base/dest").count() == 30,
+        "destination data remains after the drop")
+      // recreated = fresh flow: no resume point, the full range
+      // re-pulls (append disposition duplicates, as a new flow would)
+      create()
+      assert(run("EXECUTE MIRROR dq").head.getLong(0) == 30L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
