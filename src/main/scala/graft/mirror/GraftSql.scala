@@ -995,6 +995,15 @@ object GraftSql {
     if (o.getOrElse("mode", "append") == "upsert" && !o.contains("unique_key"))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): mode 'upsert' requires 'unique_key'")
+    // dst_table_full_resync is the build-aside-and-swap REFRESH
+    // (qrep_flow.go:365-400) — only the Overwrite disposition on a
+    // live destination has the aside table + swap to perform
+    if (o.get("dst_table_full_resync").exists(_.toBoolean) &&
+        (o.getOrElse("mode", "append") != "overwrite" ||
+          !o.contains("dest_url")))
+      throw new IllegalArgumentException(
+        "CREATE MIRROR (QRep): dst_table_full_resync needs mode " +
+          "'overwrite' and a live dest_url (build-aside + atomic swap)")
   }
 
   /** The QRep leg of the lua script surface: flowable.go:756-771 reads
@@ -1094,7 +1103,9 @@ object GraftSql {
         destUrl = o.get("dest_url"),
         destTable = o.getOrElse("dest_table", "public.qrep_dest"),
         transformLua = qrepLua(sess, o),
-        transformLuaLibs = luaLibsOf(sess))
+        transformLuaLibs = luaLibsOf(sess),
+        fullResync =
+          o.get("dst_table_full_resync").exists(_.toBoolean))
     // MongoDB source (`url 'mongo://…'`): QRep is FULL-LOAD shaped —
     // the watermark is `_id`, resume-from-last is unsupported
     // (flow/connectors/mongo/qrep.go:37), so each EXECUTE is a full
@@ -1219,7 +1230,9 @@ object GraftSql {
       destUrl = o.get("dest_url"),
       destTable = o.getOrElse("dest_table", "public.qrep_dest"),
       transformLua = qrepLua(sess, o),
-      transformLuaLibs = luaLibsOf(sess))
+      transformLuaLibs = luaLibsOf(sess),
+      fullResync =
+        o.get("dst_table_full_resync").exists(_.toBoolean))
     val source = liveUrl match {
       case Some(url) if url.startsWith("mysql://") =>
         graft.qrep.LiveMysqlPull.pull(sess, url,

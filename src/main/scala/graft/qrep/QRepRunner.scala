@@ -77,7 +77,14 @@ final case class QRepConfig(
     transformLua: Option[String] = None,
     /** `require "name"` library set for [[transformLua]] (the lua
       * scripts-catalog snapshot, LoadPeerdbScript). */
-    transformLuaLibs: Map[String, String] = Map.empty)
+    transformLuaLibs: Map[String, String] = Map.empty,
+    /** `dst_table_full_resync` (nexus/analyzer/src/qrep.rs:92,
+      * qrep_flow.go:365-400): the Overwrite refresh fills
+      * `<dest>_peerdb_resync` ASIDE while the original keeps serving,
+      * then swaps atomically per dialect — closing the visible-empty
+      * truncate-then-load window on the warehouses without
+      * multi-statement transactions. dest_url Overwrite only. */
+    fullResync: Boolean = false)
 
 final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 
@@ -287,6 +294,48 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       val qualified = graft.sinks.MergeSqlGenerator.qualified(
         cfg.destTable, dialect)
       (exec, truncateFirst) match {
+        case (_, true) if cfg.fullResync =>
+          // dst_table_full_resync (qrep_flow.go:365-400): fill
+          // <dest>_peerdb_resync aside, then swap — the original
+          // serves reads for the whole load, on EVERY dialect
+          import graft.types.QKind.Dialect
+          val resync = cfg.destTable + "_peerdb_resync"
+          val qResync = graft.sinks.MergeSqlGenerator.qualified(
+            resync, dialect)
+          exec.execute(graft.sinks.MergeSqlGenerator.createPlainTable(
+            resync, df.schema, dialect))
+          // a crashed prior attempt leaves stale rows in the aside
+          // table — refill from scratch, never merge into them
+          exec.execute(s"TRUNCATE TABLE $qResync")
+          exec.loadAvro(resync, files, df.schema)
+          val bareRename = graft.sinks.MergeSqlGenerator.qualified(
+            cfg.destTable.split("\\.", 2).last, dialect)
+          dialect match {
+            case Dialect.ClickHouse =>
+              exec.execute(s"EXCHANGE TABLES $qualified AND $qResync")
+              exec.execute(s"DROP TABLE IF EXISTS $qResync")
+            case Dialect.Snowflake =>
+              exec.execute(
+                s"ALTER TABLE $qResync SWAP WITH $qualified")
+              exec.execute(s"DROP TABLE IF EXISTS $qResync")
+            case Dialect.BigQuery => // no swap verb: drop + rename
+              exec.execute(s"DROP TABLE IF EXISTS $qualified")
+              exec.execute(
+                s"ALTER TABLE $qResync RENAME TO $bareRename")
+            case _ => // PG family: one transaction around drop+rename
+              exec.execute("BEGIN")
+              try {
+                exec.execute(s"DROP TABLE IF EXISTS $qualified")
+                exec.execute(
+                  s"ALTER TABLE $qResync RENAME TO $bareRename")
+                exec.execute("COMMIT")
+              } catch {
+                case e: Throwable =>
+                  try exec.execute("ROLLBACK")
+                  catch { case scala.util.control.NonFatal(_) => () }
+                  throw e
+              }
+          }
         case (pg: graft.sinks.PgWarehouse, true) =>
           // full refresh is ATOMIC on PG: TRUNCATE and COPY commit
           // together (truncate-then-copy in separate autocommit

@@ -510,4 +510,54 @@ class StockPgQRepSpec extends SparkSpec {
     run("DROP MIRROR lq6"); run("DROP MIRROR lq7")
     run("DROP PEER apsrc"); run("DROP PEER apdst")
   }
+
+  test("dst_table_full_resync: the overwrite refresh builds " +
+    "<dest>_peerdb_resync ASIDE and swaps in one transaction " +
+    "(qrep_flow.go:365-400) — repeated rounds converge, the aside " +
+    "table never lingers, and the DDL rejects the option off the " +
+    "overwrite+dest_url shape") {
+    val s = srv
+    s.psql("CREATE DATABASE qrepdest3")
+    s.psql("CREATE TABLE public.fr1 (id bigint PRIMARY KEY, wm bigint)")
+    s.psql("""INSERT INTO public.fr1
+      SELECT g, g FROM generate_series(1, 800) g""")
+
+    val base = tmpDir("liveqfr")
+    run(s"CREATE PEER frsrc TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+    run(s"CREATE PEER frdst TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/qrepdest3')")
+    run("CREATE MIRROR lqfr FROM frsrc TO frdst FOR " +
+      "$$ SELECT id, wm FROM public.fr1 " +
+      "WHERE wm BETWEEN {{.start}} AND {{.end}} $$ " +
+      "WITH (watermark_column 'wm', source_table 'public.fr1', " +
+      s"dest_dir '$base/dest', num_partitions '3', mode 'overwrite', " +
+      "dst_table_full_resync 'true', " +
+      s"dest_url 'pg://postgres@127.0.0.1:${s.port}/qrepdest3', " +
+      "dest_table 'public.fr1_ovr')")
+    assert(run("EXECUTE MIRROR lqfr").head.getLong(0) == 800L)
+    assert(s.psql("SELECT count(*) FROM public.fr1_ovr",
+      db = "qrepdest3").trim == "800")
+    // the aside table swapped away — it must not linger
+    assert(s.psql("SELECT count(*) FROM pg_class WHERE relname = " +
+      "'fr1_ovr_peerdb_resync'", db = "qrepdest3").trim == "0")
+    // refresh reflects deletes and repeats cleanly
+    s.psql("DELETE FROM public.fr1 WHERE id > 500")
+    assert(run("EXECUTE MIRROR lqfr").head.getLong(0) == 500L)
+    assert(s.psql("SELECT count(*) FROM public.fr1_ovr",
+      db = "qrepdest3").trim == "500")
+    assert(run("EXECUTE MIRROR lqfr").head.getLong(0) == 500L)
+    run("DROP MIRROR lqfr")
+
+    // DDL validation: the option needs overwrite + dest_url
+    val e = intercept[IllegalArgumentException] {
+      run("CREATE MIRROR lqfrbad FROM frsrc TO frdst FOR " +
+        "$$ SELECT id, wm FROM public.fr1 " +
+        "WHERE wm BETWEEN {{.start}} AND {{.end}} $$ " +
+        "WITH (watermark_column 'wm', source_table 'public.fr1', " +
+        s"dest_dir '$base/destb', dst_table_full_resync 'true')")
+    }
+    assert(e.getMessage.contains("dst_table_full_resync"))
+    run("DROP PEER frsrc"); run("DROP PEER frdst")
+  }
 }

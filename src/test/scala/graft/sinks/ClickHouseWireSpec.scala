@@ -357,7 +357,35 @@ class ClickHouseWireSpec extends SparkSpec {
       assert(ch.stub.statements.exists(_.startsWith(
         "TRUNCATE TABLE `q3_dest`")))
 
-      Seq("chq1", "chq2", "chq3").foreach(n => run(s"DROP MIRROR $n"))
+      // OVERWRITE + dst_table_full_resync: the refresh fills
+      // q4_dest_peerdb_resync aside and EXCHANGE TABLES swaps —
+      // q4_dest is never truncated mid-load (qrep_flow.go:365-400)
+      writeSrc((1L to 40L).map(i => i -> (i * 10)))
+      run(s"""CREATE MIRROR chq4 FROM chsrc TO chdst FOR
+         |$$$$ SELECT id, v FROM src_t
+         |WHERE id BETWEEN {{.start}} AND {{.end}} $$$$ WITH (
+         |  watermark_column 'id', source_table 'src_t',
+         |  dest_dir '$base/q4', mode 'overwrite',
+         |  dst_table_full_resync 'true',
+         |  dest_url '${ch.url}', dest_table 'q4_dest')"""
+        .stripMargin)
+      run("EXECUTE MIRROR chq4")
+      assert(ch.stub.table("q4_dest").count() == 40)
+      writeSrc((1L to 25L).map(i => i -> (i * 10)))
+      run("EXECUTE MIRROR chq4")
+      assert(ch.stub.table("q4_dest").count() == 25)
+      assert(ch.stub.statements.exists(_.startsWith(
+        "EXCHANGE TABLES `q4_dest` AND `q4_dest_peerdb_resync`")),
+        "the swap must be the EXCHANGE TABLES verb")
+      assert(!ch.stub.statements.exists(_.startsWith(
+        "TRUNCATE TABLE `q4_dest`")),
+        "the destination itself is never truncated")
+      assert(ch.stub.statements.exists(_.startsWith(
+        "DROP TABLE IF EXISTS `q4_dest_peerdb_resync`")),
+        "the aside table drops after the swap")
+
+      Seq("chq1", "chq2", "chq3", "chq4").foreach(n =>
+        run(s"DROP MIRROR $n"))
       run("DROP PEER chsrc"); run("DROP PEER chdst")
     } finally ch.stop()
   }
