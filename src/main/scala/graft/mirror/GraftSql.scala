@@ -1428,7 +1428,8 @@ object GraftSql {
         val hooks = graft.transform.LuaAdapt.hooksOf(src,
           luaLibsOf(spark))
         val queueDest = o.get("queue_url").exists(u =>
-          u.startsWith("kafka://") || u.startsWith("pubsub://"))
+          u.startsWith("kafka://") || u.startsWith("pubsub://") ||
+            u.startsWith("eventhubs://"))
         val transforms =
           hooks("transformRecord") || hooks("transformRow")
         if (hooks.isEmpty)
@@ -1440,7 +1441,8 @@ object GraftSql {
         if (hooks("onRecord") && !queueDest && !transforms)
           throw new IllegalArgumentException(
             "CREATE MIRROR: this lua script only routes queue records " +
-              "(onRecord) — it needs a kafka:// or pubsub:// " +
+              "(onRecord) — it needs a kafka://, pubsub:// or " +
+              "eventhubs:// " +
               "queue_url; for row transforms define transformRecord/" +
               "transformRow, or use a 'sql' script / transform 'expr'")
         if (queueDest && !hooks("onRecord"))

@@ -1087,14 +1087,26 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       case u if u.startsWith("eventhubs://") =>
         // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
         // partition routing + per-(hub, partition) ordered batches
-        // over the public REST send API with SAS auth
+        // over the public REST send API with SAS auth. A lua script's
+        // onRecord shapes events too (eventhub.go:191-296,
+        // lvalueToEventData): `topic` is the hub (empty = destination
+        // table), `key` the partition key (absent falls back to the
+        // checkpoint order key — stable routing), nil drops.
         val ep = graft.cdc.CaptureEndpoint.parse(u)
-        graft.sinks.EventHubsSink.publish(
-          graft.sinks.EventHubsSink.defaultRecords(changes,
-            namespace =
-              if (ep.database.nonEmpty) ep.database else "ns",
-            partitionCount = ep.param("partition_count", "4").toInt,
-            maxPerBatch = ep.param("max_per_batch", "500").toInt), u)
+        val ns = if (ep.database.nonEmpty) ep.database else "ns"
+        val pc = ep.param("partition_count", "4").toInt
+        val mpb = ep.param("max_per_batch", "500").toInt
+        val shaped = luaShaped.map(sh =>
+          graft.sinks.EventHubsSink.records(sh,
+            namespace = lit(ns),
+            hub = col("topic"),
+            partitionValue = coalesce(col("key"), col("__ord")),
+            value = col("value").cast("string"),
+            partitionCount = pc, maxPerBatch = mpb,
+            order = col("__ord")))
+          .getOrElse(graft.sinks.EventHubsSink.defaultRecords(changes,
+            namespace = ns, partitionCount = pc, maxPerBatch = mpb))
+        graft.sinks.EventHubsSink.publish(shaped, u)
       case u if u.startsWith("pubsub://") =>
         // live Pub/Sub publish (pubsub.go SyncRecords): per-key
         // ordered batches over the public REST API; the queue HWM

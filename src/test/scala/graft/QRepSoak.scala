@@ -105,7 +105,8 @@ object QRepSoak {
         println(f"ctid-snapshot read $n%8d rows in $took%6.1f s " +
           f"(${n / took}%8.0f rec/s)")
       } finally session.close()
-      s.psql("SELECT pg_drop_replication_slot('soak_slot')")
+      s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='soak_slot'")
     } finally server.stop()
   }
 }

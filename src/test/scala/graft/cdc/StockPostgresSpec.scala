@@ -231,7 +231,8 @@ class StockPostgresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = ChangeLogWal.read(wal, -1L, Long.MaxValue)
     assert(all.size == 5 && all.last(6).contains("\"t\":\"gamma\""))
 
-    s.psql("SELECT pg_drop_replication_slot('graft_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='graft_slot'")
     s.psql("DROP PUBLICATION graft_pub")
     s.psql("DROP TABLE public.items")
   }

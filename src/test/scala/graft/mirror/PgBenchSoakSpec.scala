@@ -150,7 +150,8 @@ class PgBenchSoakSpec extends SparkSpec {
     runner.runAvailableNow()
     assertEqual("after idle drain")
 
-    s.psql("SELECT pg_drop_replication_slot('bench_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='bench_slot'")
   }
 
   test("snapshot handoff UNDER LIVE FIRE: initialLoad runs while " +

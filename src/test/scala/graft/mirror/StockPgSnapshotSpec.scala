@@ -90,7 +90,8 @@ class StockPgSnapshotSpec extends SparkSpec {
       assert(auto.rdd.getNumPartitions == 1)
       assert(auto.count() == 5000)
     } finally session.close()
-    s.psql("SELECT pg_drop_replication_slot('sz_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='sz_slot'")
     s.psql("DROP PUBLICATION sz_pub")
     s.psql("DROP TABLE public.sz1")
   }
@@ -164,7 +165,8 @@ class StockPgSnapshotSpec extends SparkSpec {
     runner.runAvailableNow()
     assert(runner.destination("public.cr1").count() == 801)
 
-    s.psql("SELECT pg_drop_replication_slot('cr_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='cr_slot'")
     s.psql("DROP PUBLICATION cr_pub")
     s.psql("DROP TABLE public.cr1")
   }
@@ -198,7 +200,8 @@ class StockPgSnapshotSpec extends SparkSpec {
     runner.runAvailableNow()
     assert(runner.destination("public.dstr")
       .filter(col("v") === 0).count() == 10)
-    s.psql("SELECT pg_drop_replication_slot('rt_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='rt_slot'")
 
     // fan-in: two sources routed into one destination is rejected
     val cfg2 = cfg.copy(
@@ -275,7 +278,8 @@ class StockPgSnapshotSpec extends SparkSpec {
       assert(df.agg(sum(col("v"))).head.getLong(0) ==
         2L * 8000L * 8001L / 2)
     } finally session.close()
-    s.psql("SELECT pg_drop_replication_slot('pt_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='pt_slot'")
     s.psql("DROP TABLE public.pt")
   }
 
@@ -306,7 +310,8 @@ class StockPgSnapshotSpec extends SparkSpec {
       // rows from all three relations arrived
       assert(df.select("v").distinct().count() == 3)
     } finally session.close()
-    s.psql("SELECT pg_drop_replication_slot('inh_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='inh_slot'")
     s.psql("DROP TABLE public.inh CASCADE")
   }
 
@@ -363,7 +368,8 @@ class StockPgSnapshotSpec extends SparkSpec {
       assert(gotSum == truth0.trim,
         "snapshot read != slot-creation state")
     } finally session.close()
-    s.psql("SELECT pg_drop_replication_slot('snap_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='snap_slot'")
     s.psql("DROP PUBLICATION snap_pub")
     s.psql("DROP TABLE public.snap1")
   }
@@ -445,7 +451,8 @@ class StockPgSnapshotSpec extends SparkSpec {
     runner.runAvailableNow()
     assert(ho1Dest() == ho1Truth())
 
-    s.psql("SELECT pg_drop_replication_slot('ho_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='ho_slot'")
   }
 
   test("snapshot into a LIVE pg:// destination: the bootstrap rides " +
@@ -488,7 +495,8 @@ class StockPgSnapshotSpec extends SparkSpec {
     runner.runAvailableNow()
     assert(dest() == truth(), "post-snapshot drain diverged")
 
-    s.psql("SELECT pg_drop_replication_slot('wh_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='wh_slot'")
   }
 
   test("DDL surface: CREATE MIRROR with pgwire capture and " +
@@ -538,6 +546,7 @@ class StockPgSnapshotSpec extends SparkSpec {
     assert(destDf().count() == 501)
 
     run("DROP MIRROR snapddl")
-    s.psql("SELECT pg_drop_replication_slot('ddl_slot')")
+    s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+      "FROM pg_replication_slots WHERE slot_name='ddl_slot'")
   }
 }

@@ -156,6 +156,41 @@ class EventHubsWireSpec extends SparkSpec {
     } finally eh.stop()
   }
 
+  test("a lua onRecord script shapes eventhubs:// events " +
+    "(eventhub.go:191-296, lvalueToEventData): topic routes the hub, " +
+    "key drives stable partition routing, nil drops deletes") {
+    val eh = new EhFixture
+    try {
+      val wal = tmpDir("ehlua_wal")
+      val base = tmpDir("ehlua_mirror")
+      ChangeLogWal.append(wal, Seq(
+        rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":10}"""),
+        rec(2, ChangeRecord.TypeInsert, """{"id":2,"v":20}"""),
+        rec(3, ChangeRecord.TypeDelete, """{"id":1,"v":10}""")))
+      val script = """
+        function onRecord(r)
+          if r.kind == "delete" then return nil end
+          return { topic = "hub." .. tostring(r.row.id % 2),
+                   key = tostring(r.row.id),
+                   value = tostring(r.row.v) }
+        end"""
+      new MirrorRunner(spark, MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "docs",
+        queueUrl = Some(eh.url),
+        luaScript = Some(script))).runAvailableNow()
+      import scala.jdk.CollectionConverters._
+      val got = eh.batches.asScala.toSeq
+      val bodies = got.flatMap(_._3)
+      assert(bodies.size == 2, s"delete drops: $got")
+      assert(got.map(_._1).toSet == Set("hub.0", "hub.1"),
+        "the script's topic routes the hub")
+      assert(bodies.toSet == Set("10", "20"),
+        "the script's value is the event body")
+    } finally eh.stop()
+  }
+
   test("a tampered SAS key is rejected by the fixture's verifier — " +
     "the signature actually gates the send") {
     val eh = new EhFixture
