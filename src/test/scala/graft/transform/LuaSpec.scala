@@ -882,6 +882,13 @@ class LuaSpec extends AnyFunSuite {
       "X")""").map(tostr) == Seq("X (quick) fox", "1"))
     // invalid replacement escape is a script error
     intercept[LuaError] { run("""return string.gsub("a", "a", "%x")""") }
+    // frontier edges read as \0 (lstrlib): %f[%s] must NOT fire at
+    // position 0 — a space boundary would, NUL does not
+    assert(run("""return string.gsub("a b", "%f[%s]", "|")""")
+      .map(tostr) == Seq("a| b", "1"))
+    // ... while %f[%a] DOES fire at position 0 (NUL is not alpha)
+    assert(run("""return string.gsub("ab cd", "%f[%a]", "|")""")
+      .map(tostr) == Seq("|ab |cd", "2"))
   }
 
   test("patterns: string.gmatch — iteration, multi-captures, empty " +
