@@ -1378,6 +1378,45 @@ object CoreQueries {
             |FROM orders
             |ORDER BY okey""".stripMargin))
 
+  /** The QRep TYPED bridge under the oracle gate: `transformRow`
+    * (flowable.go:756-771) mutates real Spark types in place —
+    * DECIMAL(12,2) through the exact decimal userdata (multiply, then
+    * write-back at the column's scale, half-up), TIMESTAMP through the
+    * time userdata's epoch accessors, strings through the pattern
+    * engine — and DuckDB replays the same shaping relationally. The
+    * hash compare pins both directions of the
+    * [[graft.transform.LuaRowTransform]] type mapping. */
+  val luaTyped = GraftQuery(
+    "q_lua_typed",
+    "qrep transformRow typed bridge: decimal/timestamp/pattern " +
+      "round-trips vs the SQL oracle",
+    (s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_orderdate").as("ts"),
+        lit(0L).as("day"),
+        col("o_orderpriority").as("word"))
+      val script = """
+        function transformRow(row)
+          row.price = row.price * "1.05"
+          row.day = row.ts.unix_second // 86400
+          row.word = string.lower(string.match(row.word, "%a+"))
+        end"""
+      graft.transform.LuaRowTransform.rows(src, script)
+        .select(col("okey"),
+          (col("price") * 100).cast("long").as("cents"),
+          col("day"), col("word"))
+        .orderBy("okey")
+    },
+    Some(s"""SELECT o_orderkey AS okey,
+            |  (${centsSql("o_totalprice")} * 105 + 50) // 100 AS cents,
+            |  CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+            |  lower(regexp_extract(o_orderpriority, '[A-Za-z]+'))
+            |    AS word
+            |FROM orders
+            |ORDER BY okey""".stripMargin))
+
   /** Skew mitigation: two-phase salted aggregation over LOW-cardinality
     * keys (3 return flags across all of lineitem — the shape where a
     * plain groupBy sends a third of 100 TB through three reducers).
@@ -1619,8 +1658,8 @@ object CoreQueries {
     intervalJson, gtidMerge,
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     queueEventHubs, queuePubSub,
-    rowTransform, luaRoute, luaDecimal, luaTransform, partitionCtid,
-    xminScan, esBulk, skewAgg,
+    rowTransform, luaRoute, luaDecimal, luaTransform, luaTyped,
+    partitionCtid, xminScan, esBulk, skewAgg,
     dataQuality,
     profileTable, statsTableCounts, statsBatchInfo)
 }

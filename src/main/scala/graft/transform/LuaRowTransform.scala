@@ -40,6 +40,10 @@ object LuaRowTransform {
     case d: scala.math.BigDecimal => LuaRecordEnv.decimalUD(d.bigDecimal)
     case t: java.sql.Timestamp => LuaRecordEnv.timeUD(t.toInstant)
     case i: java.time.Instant => LuaRecordEnv.timeUD(i)
+    // TIMESTAMP_NTZ: wall-clock-free reading pins UTC, matching the
+    // engine's session-timezone posture
+    case l: java.time.LocalDateTime => LuaRecordEnv.timeUD(
+      l.toInstant(java.time.ZoneOffset.UTC))
     case d: java.sql.Date => LuaRecordEnv.timeUD(
       java.time.Instant.ofEpochSecond(d.toLocalDate.toEpochDay * 86400L))
     case d: java.time.LocalDate => LuaRecordEnv.timeUD(
@@ -130,6 +134,8 @@ object LuaRowTransform {
         val inst = u.payload.asInstanceOf[java.time.Instant]
         dt match {
           case TimestampType => java.sql.Timestamp.from(inst)
+          case TimestampNTZType => java.time.LocalDateTime
+            .ofInstant(inst, java.time.ZoneOffset.UTC)
           case DateType => java.sql.Date.valueOf(
             java.time.LocalDateTime
               .ofInstant(inst, java.time.ZoneOffset.UTC).toLocalDate)
