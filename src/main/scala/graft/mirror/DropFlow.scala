@@ -74,6 +74,15 @@ object DropFlow {
     } finally c.close()
   }
 
+  /** The mirror's flow name from its catalog options — MUST stay the
+    * same derivation as `MirrorConfig.flow` (flow_name option, falling
+    * back to the destination table): a mismatch here would IF-EXISTS
+    * no-op on a nonexistent raw table and orphan the real one. */
+  private[mirror] def flowOf(options: Map[String, String]): String =
+    options.get("flow_name").filter(_.nonEmpty)
+      .orElse(options.get("table"))
+      .getOrElse("dest")
+
   /** Destination leg. Returns the removed staging state. */
   def destinationCleanup(options: Map[String, String],
       hc: Configuration): Seq[String] = {
@@ -82,8 +91,7 @@ object DropFlow {
     // state so a connection failure leaves everything for a retry
     options.get("dest_url").filter(_.startsWith("clickhouse://"))
       .foreach { url =>
-        val flow = options.getOrElse("flow",
-          options.getOrElse("table", "dest"))
+        val flow = flowOf(options)
         val raw = graft.sinks.ClickHouseSql.rawTableName(flow)
         new graft.sinks.ClickHouseExecutor(url)
           .execute(s"DROP TABLE IF EXISTS `$raw`")

@@ -194,7 +194,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     val payload = versionFrom.foldLeft(transformed)(_ drop _)
     writeOut(payload, payload,
       versionFrom.foldLeft(
-        upsertChanges(frame, versionFrom
+        upsertChanges(transformed, versionFrom
           .map(c => col(c).cast("long")).getOrElse(lit(0L))))(_ drop _),
       payload.schema, runId)
   }

@@ -641,6 +641,11 @@ object Lua {
       val prev = activeInterp.get
       if (prev eq this) f
       else {
+        // outermost entry: the step budget bounds ONE top-level call
+        // (a runaway loop), not the interpreter's lifetime — partition
+        // runners reuse one Interp across every row of a partition and
+        // a cumulative budget would spuriously trip on big partitions
+        steps = 0L
         activeInterp.set(this)
         try f finally activeInterp.set(prev)
       }

@@ -29,6 +29,26 @@ class DropFlowSpec extends SparkSpec {
   private def url(params: String = "") =
     s"pgwire://postgres@127.0.0.1:${srv.port}/postgres$params"
 
+  test("destinationCleanup derives the ClickHouse raw-table flow the " +
+    "SAME way MirrorConfig.flow does: flow_name first (the key the " +
+    "catalog stores), then the table fallback — a 'flow' key is NOT " +
+    "consulted (a mirror created with flow_name would otherwise drop " +
+    "the wrong _peerdb_raw_* table and orphan the real one)") {
+    assert(DropFlow.flowOf(Map(
+      "flow_name" -> "named_flow", "table" -> "dest.t")) == "named_flow")
+    assert(DropFlow.flowOf(Map(
+      "flow_name" -> "", "table" -> "dest.t")) == "dest.t")
+    assert(DropFlow.flowOf(Map("table" -> "dest.t")) == "dest.t")
+    assert(DropFlow.flowOf(Map.empty) == "dest")
+    // and the raw-table image matches what the live mirror creates
+    assert(graft.sinks.ClickHouseSql.rawTableName("named_flow") ==
+      graft.sinks.ClickHouseSql.rawTableName(
+        graft.mirror.MirrorConfig("", "", "", "", Nil,
+          new org.apache.spark.sql.types.StructType(),
+          destinationTable = "dest.t",
+          flowName = "named_flow").flow))
+  }
+
   test("sourceCleanup drops the engine-default slot and publication " +
     "(PullFlowCleanup, postgres_source.go:836-865); a second run is a " +
     "clean no-op (absent objects are fine)") {

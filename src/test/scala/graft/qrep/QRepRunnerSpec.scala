@@ -180,6 +180,28 @@ class QRepRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/dest").count() == 3)
   }
 
+  test("writeDisposition upsert: transformRow applies to the MERGED " +
+    "changes, not only the append payload (a transform silently " +
+    "dropped on the xmin upsert path would merge untransformed rows)") {
+    import spark.implicits._
+    val base = tmpDir("qrepwdlua")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/dest", s"$base/wm",
+      WriteMode.Upsert(Seq("k")), 2,
+      transformLua = Some(
+        "function transformRow(row) row.v = row.v * 10 end")))
+    val frame = Seq((1L, 3L, 100L), (2L, 4L, 101L))
+      .toDF("k", "v", "xmin")
+    assert(runner.writeDisposition(frame, Some("xmin")) == 2)
+    val st = spark.read.parquet(s"$base/dest")
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st == Map(1L -> 30L, 2L -> 40L),
+      "the merged destination must hold TRANSFORMED values")
+    // and the versionFrom column never reaches the destination
+    assert(!spark.read.parquet(s"$base/dest").columns.contains("xmin"))
+  }
+
   test("upsert: NULL-watermark rows get version 0, not all-null merges") {
     import spark.implicits._
     val base = tmpDir("qrepupnull")

@@ -191,6 +191,46 @@ class EventHubsWireSpec extends SparkSpec {
     } finally eh.stop()
   }
 
+  test("a lua script returning msgpack BYTES to an eventhubs:// " +
+    "destination fails LOUDLY: the REST JSON transport cannot ship " +
+    "raw bytes, and a lossy UTF-8 cast would silently corrupt them " +
+    "to replacement chars (the kafka leg ships bytes verbatim)") {
+    val eh = new EhFixture
+    try {
+      val wal = tmpDir("ehbytes_wal")
+      val base = tmpDir("ehbytes_mirror")
+      ChangeLogWal.append(wal, Seq(
+        rec(1, ChangeRecord.TypeInsert, """{"id":1,"v":10}""")))
+      // msgpack.encode of an int map produces bytes >0x7F that are
+      // NOT valid UTF-8 (0x81 fixmap lead byte)
+      val script = """
+        local msgpack = require "msgpack"
+        function onRecord(r)
+          return msgpack.encode({ v = r.row.v })
+        end"""
+      val e = intercept[Exception] {
+        new MirrorRunner(spark, MirrorConfig(
+          walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+          checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+          payloadSchema = schema, destinationTable = "docs",
+          queueUrl = Some(eh.url),
+          luaScript = Some(script))).runAvailableNow()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      // Spark 4's decode is itself strict (MALFORMED_CHARACTER_CODING)
+      // under the default coding action; the engine's round-trip guard
+      // ("non-UTF-8") is the backstop when legacy lenient decode is on
+      assert(messages(e).exists(m => m.contains("non-UTF-8") ||
+          m.contains("MALFORMED_CHARACTER_CODING")),
+        s"want the strict-transport error, got: $e")
+      import scala.jdk.CollectionConverters._
+      assert(!eh.batches.asScala.exists(_._3.exists(_.contains("�"))),
+        "no replacement-char-corrupted body may reach the hub")
+    } finally eh.stop()
+  }
+
   test("a tampered SAS key is rejected by the fixture's verifier — " +
     "the signature actually gates the send") {
     val eh = new EhFixture

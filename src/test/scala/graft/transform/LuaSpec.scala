@@ -179,6 +179,26 @@ class LuaSpec extends AnyFunSuite {
     }
   }
 
+  test("step budget bounds ONE top-level call, not the interpreter's " +
+    "lifetime: a partition runner reusing one Interp over many rows " +
+    "must not spuriously trip on the cumulative count") {
+    val interp = new Interp(maxSteps = 5000)
+    val env = LuaRecordEnv.env(interp)
+    interp.run(Lua.parse(
+      "function f() local s = 0; for i = 1, 100 do s = s + i end; " +
+        "return s end"), env)
+    val fn = env.lookup("f").get
+    // each call burns a few hundred steps; 100 calls would blow a
+    // 5000-step LIFETIME budget many times over
+    (1 to 100).foreach { _ =>
+      assert(interp.call(fn, Nil).map(tostr) == Seq("5050"))
+    }
+    // the per-call bound still trips on an actual runaway call
+    intercept[LuaError] {
+      interp.run(Lua.parse("while true do end"), env)
+    }
+  }
+
   test("semantics torture battery: each snippet pinned to the value " +
     "real Lua produces") {
     val cases: Seq[(String, String)] = Seq(
