@@ -1000,27 +1000,50 @@ object GraftSql {
     // live destination has the aside table + swap to perform
     if (o.get("dst_table_full_resync").exists(_.toBoolean) &&
         (o.getOrElse("mode", "append") != "overwrite" ||
-          !o.contains("dest_url")))
+          !o.contains("dest_url") ||
+          o.get("dest_url").exists(graft.qrep.QRepRunner.isQueueUrl)))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): dst_table_full_resync needs mode " +
-          "'overwrite' and a live dest_url (build-aside + atomic swap)")
+          "'overwrite' and a live SQL dest_url (build-aside + atomic " +
+          "swap — a queue destination has no table to swap)")
   }
 
-  /** The QRep leg of the lua script surface: flowable.go:756-771 reads
-    * ONLY `transformRow` on QRep flows — a script without it can never
-    * run here, so it fails the DDL instead of silently no-opping. Used
-    * at EXECUTE time too (the durable catalog may predate the check). */
-  private def qrepLua(spark: SparkSession,
-      o: Map[String, String]): Option[String] =
+  /** The QRep legs of the lua script surface. flowable.go:756-771
+    * reads `transformRow` generically — it attaches to the pull
+    * stream for ANY destination; a QUEUE destination additionally
+    * hands the SAME script to the connector's `onRecord` pool
+    * (kafka/qrep.go:37, pubsub/qrep.go:41). Returns
+    * (transformRow script, onRecord script) — each present only when
+    * the script defines that hook. A script defining NEITHER
+    * reachable hook can never run on this flow, so it fails the DDL
+    * instead of silently no-opping. Used at EXECUTE time too (the
+    * durable catalog may predate the check). */
+  private def qrepLuaHooks(spark: SparkSession,
+      o: Map[String, String]): (Option[String], Option[String]) =
     o.get("script").map(scriptEntry(spark, _))
-      .filter(_.kind == "lua").map(_.options("source")).map { src =>
-        if (!graft.transform.LuaAdapt.hooksOf(src,
-            luaLibsOf(spark))("transformRow"))
+      .filter(_.kind == "lua").map(_.options("source")) match {
+      case None => (None, None)
+      case Some(src) =>
+        val hooks =
+          graft.transform.LuaAdapt.hooksOf(src, luaLibsOf(spark))
+        val queueDest = o.get("dest_url")
+          .exists(graft.qrep.QRepRunner.isQueueUrl)
+        val transform = Option(src).filter(_ => hooks("transformRow"))
+        val route =
+          Option(src).filter(_ => queueDest && hooks("onRecord"))
+        if (transform.isEmpty && route.isEmpty)
           throw new IllegalArgumentException(
-            "CREATE MIRROR (QRep): a lua script on a QRep mirror " +
-              "must define `transformRow` (flowable.go:760)")
-        src
-      }
+            if (queueDest)
+              "CREATE MIRROR (QRep): a lua script on a " +
+                "queue-destination QRep mirror must define " +
+                "`transformRow` and/or `onRecord` " +
+                "(flowable.go:760, kafka/qrep.go:70-75)"
+            else
+              "CREATE MIRROR (QRep): a lua script on a QRep mirror " +
+                "must define `transformRow` (flowable.go:760)")
+        (transform, route)
+    }
+
 
   /** One QRep round (EXECUTE MIRROR on a qrep entry): bind the watermark
     * template to (stored watermark, +inf] — the predicate travels INTO
@@ -1096,16 +1119,19 @@ object GraftSql {
     // below (mongo / mysql-string / xmin) — one place for the dest
     // knobs so a new one cannot silently diverge across branches
     def dispCfg(wmark: String, m: graft.qrep.WriteMode)
-        : graft.qrep.QRepConfig =
+        : graft.qrep.QRepConfig = {
+      val (transformSrc, routeSrc) = qrepLuaHooks(sess, o)
       graft.qrep.QRepConfig(
         wmarkColumn = wmark, destDir = destDir,
         wmarkStorePath = storePath, mode = m,
         destUrl = o.get("dest_url"),
         destTable = o.getOrElse("dest_table", "public.qrep_dest"),
-        transformLua = qrepLua(sess, o),
+        transformLua = transformSrc,
         transformLuaLibs = luaLibsOf(sess),
+        queueScript = routeSrc,
         fullResync =
           o.get("dst_table_full_resync").exists(_.toBoolean))
+    }
     // MongoDB source (`url 'mongo://…'`): QRep is FULL-LOAD shaped —
     // the watermark is `_id`, resume-from-last is unsupported
     // (flow/connectors/mongo/qrep.go:37), so each EXECUTE is a full
@@ -1217,6 +1243,7 @@ object GraftSql {
         last.map(v => (v + 1).toString)
           .getOrElse((Long.MinValue + 1).toString))
       .replace("{{.end}}", Long.MaxValue.toString)
+    val (transformSrc, routeSrc) = qrepLuaHooks(sess, o)
     val cfg = graft.qrep.QRepConfig(
       wmarkColumn = o("watermark_column"),
       destDir = destDir,
@@ -1226,11 +1253,15 @@ object GraftSql {
       rowsPerPartition =
         o.get("num_rows_per_partition").map(_.toLong),
       // `dest_url 'pg://…'` loads a live SQL destination instead of
-      // parquet; `dest_table` names the relation there
+      // parquet; a queue scheme (kafka/pubsub/eventhubs/es) publishes
+      // each pulled row instead; `dest_table` names the relation /
+      // default topic / ES index there
       destUrl = o.get("dest_url"),
       destTable = o.getOrElse("dest_table", "public.qrep_dest"),
-      transformLua = qrepLua(sess, o),
+      transformLua = transformSrc,
       transformLuaLibs = luaLibsOf(sess),
+      queueScript = routeSrc,
+      sourceTable = o.getOrElse("source_table", "source"),
       fullResync =
         o.get("dst_table_full_resync").exists(_.toBoolean))
     val source = liveUrl match {
@@ -1606,7 +1637,9 @@ object GraftSql {
           && !(o.get("partition_strategy").contains("string") &&
             srcPeerDef.options.get("url")
               .exists(_.startsWith("mysql://"))))
-      qrepLua(spark, o) // transformRow reachability fails the DDL too
+      // hook reachability (transformRow / queue onRecord) fails the
+      // DDL too, not the first EXECUTE
+      qrepLuaHooks(spark, o)
       mirrorsFor(spark).create(Peer(n, "qrep", o ++ Map(
         "__query" -> q, "__source_peer" -> src, "__dest_peer" -> dst)))
       Nil

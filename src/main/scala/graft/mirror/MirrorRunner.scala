@@ -1096,25 +1096,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         val ns = if (ep.database.nonEmpty) ep.database else "ns"
         val pc = ep.param("partition_count", "4").toInt
         val mpb = ep.param("max_per_batch", "500").toInt
-        // the REST JSON batch body cannot ship raw bytes: a plain
-        // cast would replace non-UTF-8 sequences (msgpack.encode
-        // output) with U+FFFD silently. Strict gate: decode→re-encode
-        // must round-trip byte-identically, else fail the batch loudly.
-        val utf8Strict = {
-          val s = decode(col("value"), "UTF-8")
-          when(col("value").isNull, lit(null).cast("string"))
-            .when(encode(s, "UTF-8") === col("value"), s)
-            .otherwise(raise_error(lit("eventhubs: lua script " +
-              "produced a non-UTF-8 byte value; the REST JSON " +
-              "transport cannot ship raw bytes — use kafka:// for " +
-              "binary payloads or encode them in the script")))
-        }
         val shaped = luaShaped.map(sh =>
           graft.sinks.EventHubsSink.records(sh,
             namespace = lit(ns),
             hub = col("topic"),
             partitionValue = coalesce(col("key"), col("__ord")),
-            value = utf8Strict,
+            value = graft.sinks.EventHubsSink
+              .utf8StrictValue(col("value")),
             partitionCount = pc, maxPerBatch = mpb,
             order = col("__ord")))
           .getOrElse(graft.sinks.EventHubsSink.defaultRecords(changes,

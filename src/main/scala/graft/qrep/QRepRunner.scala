@@ -78,6 +78,15 @@ final case class QRepConfig(
     /** `require "name"` library set for [[transformLua]] (the lua
       * scripts-catalog snapshot, LoadPeerdbScript). */
     transformLuaLibs: Map[String, String] = Map.empty,
+    /** `onRecord` lua script for QUEUE destinations (the same script
+      * slot the CDC mirror's queue leg reads — kafka/qrep.go:37 hands
+      * config.Script to the pool): each pulled row wraps as an
+      * InsertRecord and the script routes topic/key/value. None
+      * publishes the DefaultOnRecord JSON image (utils/lua.go:82).
+      * Only consulted when [[destUrl]] carries a queue scheme; both
+      * hooks may live in ONE script — transformRow shapes the pulled
+      * rows first (AttachToStream), then onRecord routes them. */
+    queueScript: Option[String] = None,
     /** `dst_table_full_resync` (nexus/analyzer/src/qrep.rs:92,
       * qrep_flow.go:365-400): the Overwrite refresh fills
       * `<dest>_peerdb_resync` ASIDE while the original keeps serving,
@@ -85,6 +94,20 @@ final case class QRepConfig(
       * truncate-then-load window on the warehouses without
       * multi-statement transactions. dest_url Overwrite only. */
     fullResync: Boolean = false)
+
+object QRepRunner {
+  private[qrep] val KafkaUrl =
+    "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
+  private[qrep] val EsUrl = "^es://([^:/?]+):(\\d+)/?$".r
+
+  /** Queue destination schemes the QRep disposition routes to a
+    * publish instead of a SQL load — the reference's QRep sync
+    * connectors beyond the warehouses (kafka/pubsub/eventhubs/
+    * elasticsearch qrep.go). */
+  def isQueueUrl(url: String): Boolean =
+    Seq("kafka://", "pubsub://", "eventhubs://", "es://")
+      .exists(url.startsWith)
+}
 
 final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
 
@@ -216,6 +239,91 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     * evaluated for Upsert) feeds the merge with `payloadSchema` as the
     * destination shape. */
   private def writeOut(increment: DataFrame, full: DataFrame,
+      changes: => DataFrame,
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      runId: String): Long = cfg.destUrl match {
+    // queue destination: every disposition PUBLISHES (a queue has no
+    // truncate/merge — Overwrite re-publishes the full bound query,
+    // matching the full-refresh reading; Upsert keys only shape the
+    // ES document id)
+    case Some(url) if QRepRunner.isQueueUrl(url) =>
+      publishQueue(url,
+        if (cfg.mode == WriteMode.Overwrite) full else increment)
+    case _ => writeSql(increment, full, changes, payloadSchema, runId)
+  }
+
+  /** QRep → queue destination (kafka/qrep.go:23-120, pubsub/qrep.go,
+    * elasticsearch/qrep.go): each pulled row publishes through the
+    * script's `onRecord` (default: the DefaultOnRecord JSON record
+    * image) on kafka/pubsub/eventhubs; ES bulk-indexes the row JSON
+    * with the upsert-key-derived document id. At-least-once: the
+    * watermark advances only after the publish returns, so a crashed
+    * round re-publishes exactly its increment (idempotent on ES ids,
+    * duplicate-delivery on the brokers — the reference's posture).
+    * Returns queue records published / ES actions shipped. */
+  private def publishQueue(url: String, payload: DataFrame): Long = {
+    import graft.qrep.QRepRunner.{KafkaUrl, EsUrl}
+    url match {
+      case EsUrl(h, p) =>
+        val keys = cfg.mode match {
+          case WriteMode.Upsert(ks) => ks
+          case _ => Nil
+        }
+        graft.sinks.EsSink.bulkPublish(
+          graft.sinks.EsSink.qrepRecords(payload,
+            index = cfg.destTable, keys = keys),
+          s"http://$h:$p")
+      case _ =>
+        val script = cfg.queueScript.getOrElse(
+          graft.transform.LuaQueue.DefaultOnRecordScript)
+        val shaped = graft.transform.LuaQueue.typedRecords(payload,
+          script, cfg.sourceTable, cfg.destTable, cfg.transformLuaLibs)
+        url match {
+          case KafkaUrl(h, p, q) =>
+            val params = Option(q).getOrElse("").split("&").iterator
+              .map(_.trim).filter(_.nonEmpty).map { e =>
+                e.split("=", 2) match {
+                  case Array(k, v) =>
+                    k -> java.net.URLDecoder.decode(v, "UTF-8")
+                  case Array(k) => k -> ""
+                }
+              }.toMap
+            graft.sinks.KafkaPublish.publish(
+              shaped.select("topic", "key", "value", "headers",
+                "partition"),
+              h, p.toInt,
+              acks = params.get("acks").map(_.toInt).getOrElse(-1),
+              sshSpec = params.get("ssh"),
+              manualPartitions = params.get("partitioner")
+                .exists(_.equalsIgnoreCase("manual")))
+          case u if u.startsWith("pubsub://") =>
+            graft.sinks.PubSubSink.publish(shaped.select(
+              col("topic"),
+              coalesce(col("key"), lit("")).as("ordering_key"),
+              col("value"),
+              (coalesce(col("key"), lit("")) =!= "").as("ordered"),
+              col("__ord")), u)
+          case u if u.startsWith("eventhubs://") =>
+            val ep = graft.cdc.CaptureEndpoint.parse(u)
+            val ns = if (ep.database.nonEmpty) ep.database else "ns"
+            graft.sinks.EventHubsSink.publish(
+              graft.sinks.EventHubsSink.records(shaped,
+                namespace = lit(ns),
+                hub = col("topic"),
+                partitionValue = coalesce(col("key"), col("__ord")),
+                value = graft.sinks.EventHubsSink
+                  .utf8StrictValue(col("value")),
+                partitionCount =
+                  ep.param("partition_count", "4").toInt,
+                maxPerBatch = ep.param("max_per_batch", "500").toInt,
+                order = col("__ord")), u)
+          case other => throw new IllegalArgumentException(
+            s"unsupported queue dest_url: $other")
+        }
+    }
+  }
+
+  private def writeSql(increment: DataFrame, full: DataFrame,
       changes: => DataFrame,
       payloadSchema: org.apache.spark.sql.types.StructType,
       runId: String): Long = cfg.mode match {

@@ -1417,6 +1417,45 @@ object CoreQueries {
             |FROM orders
             |ORDER BY okey""".stripMargin))
 
+  /** QRep → queue routing under the oracle gate (kafka/qrep.go:23-120):
+    * each pulled TYPED row wraps as an InsertRecord and the script's
+    * `onRecord` routes topic/key/value — nil drops, topic defaults by
+    * modulus here, the value concatenates typed fields. The relational
+    * image of [[graft.transform.LuaQueue.typedRecords]], which the
+    * wire specs ship to live kafka/pubsub/es fixtures. One
+    * mapPartitions stage (interpreter per partition), no shuffle
+    * before the presentation sort. */
+  val qrepQueue = GraftQuery(
+    "q_qrep_queue",
+    "QRep queue routing: typed rows through onRecord " +
+      "(topic/key/value, nil drops)",
+    (s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_orderpriority").as("prio"),
+        cents(col("o_totalprice")).as("cents"))
+      val script = """
+        function onRecord(r)
+          if r.row.okey % 10 == 0 then return nil end
+          return { topic = "t" .. tostring(r.row.okey % 4),
+                   key = tostring(r.row.okey),
+                   value = r.row.prio .. "|" .. tostring(r.row.cents) }
+        end"""
+      graft.transform.LuaQueue.typedRecords(src, script,
+          sourceTable = "orders", destTable = "orders")
+        .select(col("key").cast("long").as("okey"),
+          col("topic"),
+          col("value").cast("string").as("payload"))
+        .orderBy("okey")
+    },
+    Some(s"""SELECT o_orderkey AS okey,
+            |  't' || CAST(o_orderkey % 4 AS VARCHAR) AS topic,
+            |  o_orderpriority || '|' ||
+            |    CAST(${centsSql("o_totalprice")} AS VARCHAR) AS payload
+            |FROM orders
+            |WHERE o_orderkey % 10 <> 0
+            |ORDER BY okey""".stripMargin))
+
   /** Skew mitigation: two-phase salted aggregation over LOW-cardinality
     * keys (3 return flags across all of lineitem — the shape where a
     * plain groupBy sends a third of 100 TB through three reducers).
@@ -1659,6 +1698,7 @@ object CoreQueries {
     q1Agg, joinAggNation, topkPerCustomer, windowHourly, queuePayload,
     queueEventHubs, queuePubSub,
     rowTransform, luaRoute, luaDecimal, luaTransform, luaTyped,
+    qrepQueue,
     partitionCtid, xminScan, esBulk, skewAgg,
     dataQuality,
     profileTable, statsTableCounts, statsBatchInfo)

@@ -52,6 +52,22 @@ object EventHubsSink {
     s"SharedAccessSignature sr=$enc&sig=$sig&se=$expiryEpochS&skn=$keyName"
   }
 
+  /** Strict binary→string for a lua-shaped `value`: the REST JSON
+    * batch body cannot ship raw bytes, and a plain cast would replace
+    * non-UTF-8 sequences (msgpack.encode output) with U+FFFD
+    * silently. Spark 4's `decode` is itself strict under the default
+    * coding action; the round-trip comparison is the backstop when
+    * the legacy lenient decode is configured. Stays in codegen. */
+  def utf8StrictValue(value: Column): Column = {
+    val s = decode(value, "UTF-8")
+    when(value.isNull, lit(null).cast("string"))
+      .when(encode(s, "UTF-8") === value, s)
+      .otherwise(raise_error(lit("eventhubs: lua script produced a " +
+        "non-UTF-8 byte value; the REST JSON transport cannot ship " +
+        "raw bytes — use kafka:// for binary payloads or encode " +
+        "them in the script")))
+  }
+
   /** Default mirror routing: hub = destination table, partition value
     * = uid (the reference partitions by the scoped destination's
     * partition column; the uid default matches the Kafka default's

@@ -258,6 +258,40 @@ object EsSink {
     regexp_replace(regexp_replace(c.cast("string"),
       lit("\\\\"), lit("\\\\\\\\")), lit("\""), lit("\\\\\""))
 
+  /** QRep shaping (flow/connectors/elasticsearch/qrep.go:40-170):
+    * every pulled row becomes an `index` action with its JSON column
+    * map as the source. Document id per the reference's upsert-key
+    * arity (qrep.go:30-38,105-112): no keys → the cluster
+    * autogenerates; one key → its printed value; several → the
+    * base64-rawurl SHA-256 of the concatenated printed values. Keys
+    * missing from the schema are skipped like the reference's warned
+    * columns; NULL key values print as Go's "<nil>" so both sides
+    * derive the same id for the same row. */
+  def qrepRecords(df: DataFrame, index: String,
+      keys: Seq[String]): DataFrame = {
+    val source = to_json(struct(df.columns.map(col): _*))
+    val present = keys.filter(df.columns.contains)
+    val printed = (k: String) =>
+      coalesce(col(k).cast("string"), lit("<nil>"))
+    val id: Option[Column] = present match {
+      case Seq() => None
+      case Seq(k) => Some(printed(k))
+      case ks =>
+        // base64.RawURLEncoding of the raw sha256 bytes: hex → bytes
+        // → base64, '+/' → '-_', padding stripped
+        Some(regexp_replace(
+          translate(base64(unhex(sha2(concat(ks.map(printed): _*),
+            256))), "+/", "-_"), "=+$", ""))
+    }
+    val action = id match {
+      case Some(i) => concat(
+        lit(s"""{"index":{"_index":"$index","_id":""""), esc(i),
+        lit("\"}}"))
+      case None => lit(s"""{"index":{"_index":"$index"}}""")
+    }
+    df.select(action.as("action"), source.cast("string").as("source"))
+  }
+
   def bulkRecords(df: DataFrame, index: String, id: Column, source: Column,
       deleted: Column): DataFrame = {
     val action = (verb: String) => concat(

@@ -144,7 +144,7 @@ object LuaRecordEnv {
             jsonStr(sb, k); sb.append(':'); enc(sb, value)
         }
         sb.append('}')
-      case r: Rec => enc(sb, recordJsonTable(r))
+      case r: Rec => enc(sb, recordJsonTable(u, r))
       // times serialize RFC3339 in JSON (the engine's timestamp canon)
       // even though tostring prints Go's time.String() image
       case t: java.time.Instant if u.tag == "peerdb_time" =>
@@ -440,9 +440,11 @@ object LuaRecordEnv {
   }
 
   /** The LuaRecordJson table (peerdb.go:552-570): the seven fields +
-    * unchanged_columns for updates. */
-  private def recordJsonTable(r: Rec): VTable = {
-    val ud = recordUD(r)
+    * unchanged_columns for updates. Reads through the USERDATA's own
+    * index closure, not a rebuilt one — a typed QRep record's row
+    * images live in the closure (no JSON `data` to re-parse), and a
+    * rebuild would encode its old/new as null. */
+  private def recordJsonTable(ud: VUserData, r: Rec): VTable = {
     val t = new VTable
     Seq("kind", "old", "new", "checkpoint", "commit_time",
       "transaction_id", "source").foreach { k =>
@@ -1046,6 +1048,60 @@ object LuaQueue {
         }
       }(enc)
   }
+
+  /** The reference's no-script queue default (utils/lua.go:82
+    * DefaultOnRecord): every record publishes as json.encode(record)
+    * — kind/old/new/checkpoint/commit_time/transaction_id/source —
+    * to the destination-table topic, no key. */
+  val DefaultOnRecordScript: String =
+    """local json = require "json"
+      |function onRecord(r) return json.encode(r) end""".stripMargin
+
+  /** QRep increment → shaped queue records: each pulled TYPED row
+    * wraps as an InsertRecord and passes through the script's
+    * `onRecord` (kafka/qrep.go:57-99 — the same Lua pool the CDC
+    * mirror uses, fed from the pull stream). Output schema matches
+    * [[records]]; `__ord` is a per-partition sequence (QRep rows
+    * carry no checkpoint — ordering keys, when a script assigns
+    * them, get partition-stable publish order). Distribution: one
+    * interpreter per partition, no driver collect. */
+  def typedRecords(df: DataFrame, script: String,
+      sourceTable: String, destTable: String,
+      libs: Map[String, String] = Map.empty): DataFrame = {
+    val compiled = new LuaQueueScript(script, libs)
+    val enc = org.apache.spark.sql.Encoders.row(shapedSchema)
+    val fields = df.schema.fields
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions >= math.min(4, par)) df
+      else df.repartition(par)
+    spread.mapPartitions { it =>
+      val runner = new compiled.PartitionRunner
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var seq = 0L
+      it.flatMap { r =>
+        val cols = Vector.newBuilder[(String, Lua.V)]
+        var i = 0
+        while (i < fields.length) {
+          cols += (fields(i).name -> LuaRowTransform.luaOf(r.get(i)))
+          i += 1
+        }
+        seq += 1
+        val ord = f"$pid%05d-$seq%014d"
+        runner.onTypedRow(cols.result(), sourceTable, destTable)
+          .map { sh =>
+            Row(sh.topic, sh.key, sh.value,
+              if (sh.headers.isEmpty) null
+              else sh.headers.map { case (k, v) =>
+                Row(k, v.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+              },
+              sh.partition,
+              ord)
+          }
+      }
+    }(enc)
+  }
 }
 
 /** A compiled queue-routing script: the reference's `onRecord`
@@ -1095,9 +1151,28 @@ final class LuaQueueScript(val source: String,
     * outputs. */
   final class PartitionRunner {
     private val (interp, _, fn) = boot()
-    def onRecord(rec: LuaRecordEnv.Rec): Seq[Shaped] = {
-      val results = interp.call(fn,
-        Seq(LuaRecordEnv.recordUD(rec)))
+    def onRecord(rec: LuaRecordEnv.Rec): Seq[Shaped] =
+      shape(interp.call(fn, Seq(LuaRecordEnv.recordUD(rec))),
+        rec.destinationTable)
+
+    /** The QRep leg (kafka/qrep.go:57-99, pubsub/qrep.go:67-110):
+      * each pulled TYPED row wraps as an InsertRecord — checkpoint 0,
+      * zero commit time, source = the watermark table — and passes
+      * through the same `onRecord`. The row images ride the typed
+      * Lua bridge ([[LuaRowTransform.luaOf]]), not a JSON re-parse,
+      * so decimals/timestamps reach the script as real userdata. */
+    def onTypedRow(cols: Vector[(String, Lua.V)], sourceTable: String,
+        destinationTable: String): Seq[Shaped] = {
+      val rec = LuaRecordEnv.Rec(graft.model.ChangeRecord.TypeInsert,
+        0L, 0L, 0L, sourceTable, destinationTable, null, null, Nil)
+      val items = LuaRecordEnv.RowItems(cols)
+      val ud = LuaRecordEnv.recordUD(rec,
+        () => LuaRecordEnv.RecImages(Some(items), None))
+      shape(interp.call(fn, Seq(ud)), destinationTable)
+    }
+
+    private def shape(results: Seq[Lua.V],
+        destTable: String): Seq[Shaped] = {
       def valueBytes(v: Lua.V): Array[Byte] = v match {
         case Lua.VNil => null
         case bs: Lua.VBytes => bs.b // msgpack payloads verbatim
@@ -1107,17 +1182,17 @@ final class LuaQueueScript(val source: String,
       results.flatMap {
         case Lua.VNil => None
         case Lua.VStr(s) =>
-          Some(Shaped(rec.destinationTable, null, valueBytes(Lua.VStr(s)),
+          Some(Shaped(destTable, null, valueBytes(Lua.VStr(s)),
             0, Nil))
         case bs: Lua.VBytes =>
-          Some(Shaped(rec.destinationTable, null, bs.b, 0, Nil))
+          Some(Shaped(destTable, null, bs.b, 0, Nil))
         case t: Lua.VTable =>
           def strOf(k: String): String = t.get(Lua.VStr(k)) match {
             case Lua.VNil => null
             case v => Lua.tostr(v)
           }
           val topic = Option(strOf("topic"))
-            .filter(_.nonEmpty).getOrElse(rec.destinationTable)
+            .filter(_.nonEmpty).getOrElse(destTable)
           val partition = t.get(Lua.VStr("partition")) match {
             case Lua.VInt(i) => i.toInt
             case Lua.VNum(d) => d.toInt
