@@ -159,10 +159,49 @@ object AvroStage {
 
   private val Magic = Array[Byte]('O', 'b', 'j', 1)
 
-  /** Write a standard Avro OCF (null codec) to `out`. */
+  /** Supported `avro.codec` values (avro_writer.go:38,80: the
+    * reference stages Avro null- or deflate-coded). */
+  val Codecs: Set[String] = Set("null", "deflate")
+
+  /** One block's bytes through the RFC 1951 deflate algorithm —
+    * `nowrap` per the Avro OCF spec: the 'deflate' codec is raw
+    * DEFLATE data, NOT the RFC 1950 zlib wrapper, and carries no
+    * checksum (the sync markers delimit blocks). */
+  private def deflate(b: Array[Byte], len: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(b, 0, len); d.finish()
+      val out = new ByteArrayOutputStream(math.max(64, len / 4))
+      val chunk = new Array[Byte](8192)
+      while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private[sinks] def inflate(b: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b)
+      val out = new ByteArrayOutputStream(math.max(64, b.length * 3))
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        require(n > 0 || inf.finished(),
+          "deflate block truncated or not RFC 1951 data")
+        out.write(chunk, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Write a standard Avro OCF to `out`. `codec`: "null" or
+    * "deflate" (per-block RFC 1951, the OCF spec's deflate codec). */
   def writeContainer(out: OutputStream, schemaJson: String,
       records: Iterator[Array[Byte]], recordsPerBlock: Int = 4096,
-      sync: Array[Byte] = null): Unit = {
+      sync: Array[Byte] = null, codec: String = "null"): Unit = {
+    require(Codecs(codec), s"unsupported avro codec '$codec' " +
+      s"(supported: ${Codecs.toSeq.sorted.mkString(", ")})")
     val marker = if (sync != null) sync else {
       // deterministic per-content marker is unnecessary; random is the
       // spec's own suggestion
@@ -177,15 +216,21 @@ object AvroStage {
     writeString(out, "avro.schema"); writeBytes(out,
       schemaJson.getBytes(StandardCharsets.UTF_8))
     writeString(out, "avro.codec"); writeBytes(out,
-      "null".getBytes(StandardCharsets.UTF_8))
+      codec.getBytes(StandardCharsets.UTF_8))
     writeLong(out, 0L)
     out.write(marker)
     val buf = new ByteArrayOutputStream()
     var n = 0
     def flush(): Unit = if (n > 0) {
       writeLong(out, n.toLong)
-      writeLong(out, buf.size().toLong)
-      buf.writeTo(out)
+      if (codec == "deflate") {
+        val packed = deflate(buf.toByteArray, buf.size())
+        writeLong(out, packed.length.toLong)
+        out.write(packed)
+      } else {
+        writeLong(out, buf.size().toLong)
+        buf.writeTo(out)
+      }
       out.write(marker)
       buf.reset(); n = 0
     }
@@ -202,7 +247,9 @@ object AvroStage {
     * imperative write is exactly the mapPartitions-as-last-resort case:
     * a foreign file format Spark's builtins can't emit in this
     * environment. */
-  def write(df: DataFrame, dir: String): Seq[String] = {
+  def write(df: DataFrame, dir: String,
+      codec: String = "null"): Seq[String] = {
+    require(Codecs(codec), s"unsupported avro codec '$codec'")
     val schema = df.schema
     val json = schemaJson(schema)
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -214,7 +261,8 @@ object AvroStage {
           dir, f"part-$i%05d.avro")
         val fs = path.getFileSystem(conf.value)
         val out = fs.create(path, true)
-        try writeContainer(out, json, rows.map(encodeRow(schema, _)))
+        try writeContainer(out, json, rows.map(encodeRow(schema, _)),
+          codec = codec)
         finally out.close()
         Iterator(path.toString)
       }
@@ -304,8 +352,18 @@ object AvroStage {
     * the same [[readValue]] path as [[readContainer]]. The caller
     * closes `input` after exhausting the iterator. */
   def streamContainer(input: java.io.InputStream, schema: StructType)
-      : Iterator[Row] =
-    streamBlocks(openContainer(input)._2, schema)
+      : Iterator[Row] = {
+    val (meta, in) = openContainer(input)
+    streamBlocks(in, schema, codecOf(meta))
+  }
+
+  /** The file's `avro.codec` header ("null" when absent, per spec). */
+  private def codecOf(meta: Map[String, Array[Byte]]): String = {
+    val c = meta.get("avro.codec")
+      .map(new String(_, StandardCharsets.UTF_8)).getOrElse("null")
+    require(Codecs(c), s"unsupported avro codec '$c' in OCF header")
+    c
+  }
 
   /** [[streamContainer]] without a caller-supplied schema: the WRITER
     * schema embedded in the OCF header (`avro.schema`) drives the
@@ -318,7 +376,7 @@ object AvroStage {
     val json = meta.getOrElse("avro.schema", throw new
         IllegalArgumentException("OCF carries no avro.schema header"))
     val schema = schemaOfJson(new String(json, StandardCharsets.UTF_8))
-    (schema, streamBlocks(in, schema))
+    (schema, streamBlocks(in, schema, codecOf(meta)))
   }
 
   /** Invert [[schemaJson]]: the embedded writer-schema JSON back to a
@@ -411,7 +469,7 @@ object AvroStage {
   }
 
   private def streamBlocks(in: java.io.DataInputStream,
-      schema: StructType): Iterator[Row] = {
+      schema: StructType, codec: String = "null"): Iterator[Row] = {
     def u8(): Int = {
       val v = in.read()
       require(v >= 0, "EOF inside OCF")
@@ -443,7 +501,9 @@ object AvroStage {
         if (first < 0) { eof = true; return }
         left = readVarLong(first)
         val byteSize = readVarLong().toInt
-        block = new In(readFully(byteSize)) // the O(block) buffer
+        val raw = readFully(byteSize) // the O(block) buffer
+        block = new In(
+          if (codec == "deflate") inflate(raw) else raw)
         readFully(16) // trailing sync marker
       }
 
@@ -469,23 +529,36 @@ object AvroStage {
     val in = new In(bytes)
     require(bytes.take(4).sameElements(Magic), "not an Avro OCF")
     in.pos = 4
+    var codec = "null"
     var n = in.readLong() // metadata map blocks
     while (n != 0) {
       if (n < 0) { in.readLong(); n = -n }
       var i = 0L
-      while (i < n) { in.readString(); in.readBytes(); i += 1 }
+      while (i < n) {
+        val key = in.readString()
+        val value = in.readBytes()
+        if (key == "avro.codec")
+          codec = new String(value, StandardCharsets.UTF_8)
+        i += 1
+      }
       n = in.readLong()
     }
+    require(Codecs(codec), s"unsupported avro codec '$codec' in OCF")
     in.pos += 16 // header sync marker
     val rows = Seq.newBuilder[Row]
     while (in.pos < bytes.length) {
       val count = in.readLong()
-      in.readLong() // block byte size
+      val byteSize = in.readLong().toInt
+      val raw = java.util.Arrays.copyOfRange(bytes, in.pos,
+        in.pos + byteSize)
+      in.pos += byteSize
+      val block = new In(
+        if (codec == "deflate") inflate(raw) else raw)
       var i = 0L
       while (i < count) {
         val values = schema.fields.map { f =>
-          if (f.nullable && in.readLong() == 0L) null
-          else readValue(in, f.dataType)
+          if (f.nullable && block.readLong() == 0L) null
+          else readValue(block, f.dataType)
         }
         rows += Row.fromSeq(values.toSeq)
         i += 1

@@ -82,12 +82,17 @@ final class WarehouseLoader(
   /** Sync one normalized batch ([[graft.cdc.Normalizer]] output shape:
     * one row per key + version/is_deleted/_absent_cols). Returns the
     * staged file paths. */
-  def loadBatch(normalized: DataFrame, stageDir: String): Seq[String] = {
+  def loadBatch(normalized: DataFrame, stageDir: String,
+      /** `avro.codec` of the staged OCFs — "deflate" trades CPU for
+        * ~4-8× less stage-dir/object-storage traffic on the wide JSON
+        * batches (avro_writer.go:38,80); readers auto-detect from the
+        * file header, so the loaders need no flag. */
+      stageCodec: String = "null"): Seq[String] = {
     val staged = MergeSqlGenerator.stageFrame(normalized)
     // combos BEFORE staging: the branch set must describe exactly this
     // batch (a stale set silently skips updates — see merge() scaladoc)
     val combos = MergeSqlGenerator.absentCombosOf(staged)
-    val files = AvroStage.write(staged, stageDir)
+    val files = AvroStage.write(staged, stageDir, stageCodec)
     exec.execute(MergeSqlGenerator.createStaging(target, staged.schema,
       dialect))
     exec.loadAvro(target.stagingTable, files, staged.schema)

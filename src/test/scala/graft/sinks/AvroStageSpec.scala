@@ -194,4 +194,95 @@ class AvroStageSpec extends SparkSpec {
     assert(back(99).getDecimal(3).compareTo(
       new java.math.BigDecimal("12345.67")) == 0)
   }
+
+  test("deflate codec: independent golden bytes (raw RFC 1951 from " +
+    "zlib wbits=-15, level 6) inflate to the exact payload — the OCF " +
+    "spec's deflate is the RAW stream, no RFC 1950 wrapper/checksum") {
+    val golden = Array[Byte](
+      75, 47, 74, 76, 43, 81, 72, 44, 43, -54, 87, 72, 73, 77, -53,
+      73, 44, 73, 85, 72, -49, -49, 73, 73, -51, 83, 72, -54, -55,
+      79, -50, 86, 48, 48, 52, 50, 54, 49, 53, 51, -73, -80, 68, 98,
+      2, 0)
+    val want = "graft avro deflate golden block 0123456789 0123456789"
+    assert(new String(AvroStage.inflate(golden),
+      java.nio.charset.StandardCharsets.UTF_8) == want)
+    // a zlib-WRAPPED stream (RFC 1950: 0x78 header + adler) is a
+    // different format and must NOT decode as the OCF deflate codec
+    intercept[Exception] {
+      val zlibWrapped = {
+        val d = new java.util.zip.Deflater(6, false) // nowrap = false
+        d.setInput(want.getBytes); d.finish()
+        val buf = new Array[Byte](4096)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+      // raw-inflate of a wrapped stream throws or mis-decodes; both
+      // must surface as an exception, never silent wrong bytes
+      val got = AvroStage.inflate(zlibWrapped)
+      require(new String(got) == want, "mis-decode")
+    }
+  }
+
+  test("deflate codec round trip: write(codec=deflate) → all three " +
+    "readers (readContainer, streamContainer, streamContainerAuto) " +
+    "decode identically; the header says deflate; repetitive blocks " +
+    "actually shrink") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("amt", DecimalType(12, 2))))
+    val rows = (1L to 2000L).map(i => Row(
+      i, "repetitive-payload-" + (i % 3),
+      new java.math.BigDecimal("1234.56")))
+    val json = AvroStage.schemaJson(schema)
+    def container(codec: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      AvroStage.writeContainer(out, json,
+        rows.iterator.map(AvroStage.encodeRow(schema, _)),
+        recordsPerBlock = 256, codec = codec)
+      out.toByteArray
+    }
+    val plain = container("null")
+    val packed = container("deflate")
+    assert(packed.length < plain.length / 3,
+      s"deflate must shrink repetitive data: ${packed.length} vs " +
+        s"${plain.length}")
+    assert(new String(packed).contains("deflate"), "header codec")
+
+    val viaRead = AvroStage.readContainer(packed, schema)
+    val viaStream = AvroStage.streamContainer(
+      new java.io.ByteArrayInputStream(packed), schema).toSeq
+    val (autoSchema, autoIt) = AvroStage.streamContainerAuto(
+      new java.io.ByteArrayInputStream(packed))
+    val viaAuto = autoIt.toSeq
+    assert(autoSchema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    Seq(viaRead, viaStream, viaAuto).foreach { got =>
+      assert(got.size == 2000)
+      assert(got.head.getLong(0) == 1L)
+      assert(got(1999).getString(1) == "repetitive-payload-2")
+      assert(got(42).getDecimal(2).compareTo(
+        new java.math.BigDecimal("1234.56")) == 0)
+    }
+
+    // the distributed writer honors the codec too
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.take(100).asJava, schema)
+      .repartition(2)
+    val dir = tmpDir("avrodeflate")
+    val files = AvroStage.write(df, dir, codec = "deflate")
+    val back = files.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(path)
+      try AvroStage.readContainer(in.readAllBytes(), schema)
+      finally in.close()
+    }
+    assert(back.size == 100)
+    assert(back.map(_.getLong(0)).sorted == (1L to 100L))
+
+    // unknown codecs fail loudly on both sides
+    intercept[IllegalArgumentException] {
+      AvroStage.write(df, tmpDir("avrobad"), codec = "snappy")
+    }
+  }
 }

