@@ -448,6 +448,9 @@ object GraftSql {
       // flow_name overrides the stats flow key (default: the table name)
       statsDir = o.get("stats"),
       flowName = o.getOrElse("flow_name", ""),
+      // stage_codec 'deflate' — avro.codec of the warehouse staging
+      // OCFs (avro_writer.go:38,80); readers auto-detect
+      stageCodec = stageCodecOf(o),
       // exclude 'a,b' — TableMapping.exclude for the primary table
       excludeColumns = o.get("exclude")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -972,6 +975,7 @@ object GraftSql {
         * resume for either), so only the `overwrite` disposition —
         * their implicit default — is accepted. */
       requireTemplate: Boolean = true): Unit = {
+    stageCodecOf(o) // unknown codecs fail the CREATE
     if (!requireTemplate && o.get("mode").exists(_ != "overwrite"))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): this source shape is full-load " +
@@ -1001,11 +1005,25 @@ object GraftSql {
     if (o.get("dst_table_full_resync").exists(_.toBoolean) &&
         (o.getOrElse("mode", "append") != "overwrite" ||
           !o.contains("dest_url") ||
-          o.get("dest_url").exists(graft.qrep.QRepRunner.isQueueUrl)))
+          o.get("dest_url").exists(u =>
+            graft.qrep.QRepRunner.isQueueUrl(u) ||
+              u.startsWith("s3path://"))))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): dst_table_full_resync needs mode " +
           "'overwrite' and a live SQL dest_url (build-aside + atomic " +
-          "swap — a queue destination has no table to swap)")
+          "swap — a queue/file destination has no table to swap)")
+  }
+
+  /** `stage_codec` option → a validated avro.codec for the staging
+    * OCFs; rejects unknown codecs at DDL time, not first EXECUTE. */
+  private def stageCodecOf(o: Map[String, String]): String = {
+    val c = o.getOrElse("stage_codec", "null")
+    if (!graft.sinks.AvroStage.Codecs(c))
+      throw new IllegalArgumentException(
+        s"stage_codec '$c' unsupported (supported: " +
+          graft.sinks.AvroStage.Codecs.toSeq.sorted.mkString(", ") +
+          ")")
+    c
   }
 
   /** The QRep legs of the lua script surface. flowable.go:756-771
@@ -1129,6 +1147,11 @@ object GraftSql {
         transformLua = transformSrc,
         transformLuaLibs = luaLibsOf(sess),
         queueScript = routeSrc,
+        stageCodec = stageCodecOf(o),
+        // flow_name scopes the s3path:// round dirs and the stats
+        // key; the mirror name is the natural default
+        flowName = o.get("flow_name").filter(_.nonEmpty)
+          .getOrElse(p.name),
         fullResync =
           o.get("dst_table_full_resync").exists(_.toBoolean))
     }
@@ -1262,6 +1285,9 @@ object GraftSql {
       transformLuaLibs = luaLibsOf(sess),
       queueScript = routeSrc,
       sourceTable = o.getOrElse("source_table", "source"),
+      stageCodec = stageCodecOf(o),
+      flowName = o.get("flow_name").filter(_.nonEmpty)
+        .getOrElse(p.name),
       fullResync =
         o.get("dst_table_full_resync").exists(_.toBoolean))
     val source = liveUrl match {

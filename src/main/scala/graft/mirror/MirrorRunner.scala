@@ -73,6 +73,10 @@ final case class MirrorConfig(
     /** Snapshot→CDC handoff: checkpoint the initial snapshot was taken at;
       * the stream starts strictly after it (snapshot_flow.go). */
     snapshotCheckpoint: Long = -1L,
+    /** `avro.codec` of the OCFs staged for the warehouse bulk legs
+      * ("null" | "deflate" — avro_writer.go:38,80). Readers
+      * auto-detect from the file header. */
+    stageCodec: String = "null",
     /** Per-record transform "script" — the reference's Lua `script` flow
       * option as one declarative Spark SQL expression over the record
       * frame (row-image JSON bound to `data`), applied between pull and
@@ -317,7 +321,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           graft.sinks.MergeSqlGenerator.alterAddColumns(target))
         loader.loadBatch(normalized,
           s"${cfg.checkpointDir}/stage/${table.replace('.', '_')}" +
-            s"/$batchId")
+            s"/$batchId", cfg.stageCodec)
       } finally close()
     }
   }

@@ -87,6 +87,10 @@ final case class QRepConfig(
       * hooks may live in ONE script — transformRow shapes the pulled
       * rows first (AttachToStream), then onRecord routes them. */
     queueScript: Option[String] = None,
+    /** `avro.codec` of the staged OCFs on the live-destination bulk
+      * legs ("null" | "deflate" — avro_writer.go:38,80). Readers
+      * auto-detect from the file header. */
+    stageCodec: String = "null",
     /** `dst_table_full_resync` (nexus/analyzer/src/qrep.rs:92,
       * qrep_flow.go:365-400): the Overwrite refresh fills
       * `<dest>_peerdb_resync` ASIDE while the original keeps serving,
@@ -180,12 +184,20 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       }
     }
 
+    // stable round key for the file-Avro destination: derived from
+    // the watermark bounds, which only advance AFTER a successful
+    // write — a crashed round re-pulls the same increment and
+    // REWRITES the same round dir (the reference's same-key
+    // overwrite posture, s3/qrep.go:113)
+    val roundKey =
+      if (ranges.nonEmpty) s"${ranges.map(_.lo).min}-${ranges.map(_.hi).max}"
+      else "null-partition"
     val moved = writeOut(increment, source,
       // the same exact Long image the range math uses — a timestamp
       // watermark versions at MICROS, not seconds
       upsertChanges(increment,
         Partitioner.wmarkLong(increment, cfg.wmarkColumn)),
-      increment.schema, runId)
+      increment.schema, runId, roundKey)
     if (ranges.nonEmpty) store.write(ranges.map(_.hi).max)
     // Null-only first round: persist a sentinel so the NULL partition is
     // pulled exactly once — an unwritten store would leave last.isEmpty
@@ -219,7 +231,11 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       versionFrom.foldLeft(
         upsertChanges(transformed, versionFrom
           .map(c => col(c).cast("long")).getOrElse(lit(0L))))(_ drop _),
-      payload.schema, runId)
+      payload.schema, runId,
+      // source-gated pulls have no range bounds; the run id names the
+      // file-Avro round (fresh files per attempt, like the
+      // reference's uuid partition ids on full loads)
+      roundKey = runId)
   }
 
   /** Merge-shape an upsert payload: version + tombstone + TOAST
@@ -241,7 +257,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
   private def writeOut(increment: DataFrame, full: DataFrame,
       changes: => DataFrame,
       payloadSchema: org.apache.spark.sql.types.StructType,
-      runId: String): Long = cfg.destUrl match {
+      runId: String, roundKey: String): Long = cfg.destUrl match {
     // queue destination: every disposition PUBLISHES (a queue has no
     // truncate/merge — Overwrite re-publishes the full bound query,
     // matching the full-refresh reading; Upsert keys only shape the
@@ -249,7 +265,45 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     case Some(url) if QRepRunner.isQueueUrl(url) =>
       publishQueue(url,
         if (cfg.mode == WriteMode.Overwrite) full else increment)
+    // file/object-store Avro destination (s3/qrep.go): the round's
+    // rows land as OCF files + a manifest, no SQL side at all
+    case Some(url) if url.startsWith("s3path://") =>
+      writeAvroDest(url.stripPrefix("s3path://"),
+        if (cfg.mode == WriteMode.Overwrite) full else increment,
+        roundKey)
     case _ => writeSql(increment, full, changes, payloadSchema, runId)
+  }
+
+  /** QRep → file/object-store Avro destination (s3/qrep.go:18-105):
+    * `dest_url 's3path://<dir>'` writes the round as one OCF per
+    * Spark partition under `<dir>/<flowName>/<roundKey>/` — the
+    * reference's `<prefix>/<jobName>/<partitionID>.avro` layout —
+    * with [[QRepConfig.stageCodec]] as the `avro.codec` (the
+    * connector's configurable codec, s3.go). A `manifest.json`
+    * closes the round LAST: files listed there are complete by
+    * construction, so a reader that walks manifests never sees a
+    * half-written round. The round dir is wiped before writing —
+    * a crashed attempt's partial files are replaced, never merged
+    * (same-key overwrite, s3/qrep.go:113). Through the Hadoop FS
+    * API: at scale `<dir>` is s3a://bucket/prefix. */
+  private def writeAvroDest(dir: String, payload: DataFrame,
+      roundKey: String): Long = {
+    val roundDir = s"$dir/${cfg.flowName}/$roundKey"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(roundDir)
+    val fs = p.getFileSystem(hc)
+    if (fs.exists(p)) fs.delete(p, true)
+    val files = graft.sinks.AvroStage.write(payload, roundDir,
+      cfg.stageCodec)
+    val n = payload.count()
+    val fileList = files.map(f => "\"" +
+      f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    graft.util.FsText.write(s"$roundDir/manifest.json",
+      s"""{"flow":"${cfg.flowName}","round":"$roundKey",""" +
+        s""""codec":"${cfg.stageCodec}","records":$n,""" +
+        s""""files":$fileList}""", hc)
+    n
   }
 
   /** QRep → queue destination (kafka/qrep.go:23-120, pubsub/qrep.go,
@@ -398,7 +452,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       // stage BEFORE opening any transaction: the Spark job is the
       // slow leg and must not hold server locks while it runs
       val files = graft.sinks.AvroStage.write(df,
-        s"${cfg.destDir}/_stage/$runId")
+        s"${cfg.destDir}/_stage/$runId", cfg.stageCodec)
       val qualified = graft.sinks.MergeSqlGenerator.qualified(
         cfg.destTable, dialect)
       (exec, truncateFirst) match {
@@ -488,7 +542,8 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       // table with an older schema — every round starts clean
       exec.execute("DROP TABLE IF EXISTS " + graft.sinks
         .MergeSqlGenerator.qualified(target.stagingTable, dialect))
-      loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId")
+      loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId",
+        cfg.stageCodec)
     } finally close()
   }
 }

@@ -1,0 +1,168 @@
+package graft.qrep
+
+import graft.SparkSpec
+import graft.sinks.AvroStage
+
+/** QRep → file/object-store Avro destination (s3/qrep.go:18-105):
+  * `dest_url 's3path://dir'` writes one OCF per partition under
+  * `<dir>/<flow>/<roundKey>/` plus a manifest, codec-configurable.
+  * Append rounds must produce NON-OVERLAPPING file sets that a
+  * schema-free streamContainerAuto replay reads back equal. */
+class QRepAvroDestSpec extends SparkSpec {
+
+  private def hc = spark.sparkContext.hadoopConfiguration
+
+  private def replay(dir: String): Seq[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hc)
+    val it = fs.listFiles(p, true)
+    val rows = Seq.newBuilder[(Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".avro")) {
+        val in = fs.open(f.getPath)
+        try {
+          val (schema, rowsIt) = AvroStage.streamContainerAuto(in)
+          assert(schema.fieldNames.toSeq == Seq("k", "v"))
+          rowsIt.foreach(r => rows += ((r.getLong(0), r.getLong(1))))
+        } finally in.close()
+      }
+    }
+    rows.result()
+  }
+
+  private def manifests(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hc)
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName == "manifest.json") {
+        val in = fs.open(f.getPath)
+        try out += new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+    }
+    out.result()
+  }
+
+  test("append rounds write NON-OVERLAPPING round dirs; a " +
+    "streamContainerAuto replay of every staged file equals the " +
+    "union of the increments; each manifest closes its round with " +
+    "the file list and record count") {
+    val base = tmpDir("qrepavro")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/ignored", s"$base/wm", WriteMode.Append, 4,
+      destUrl = Some(s"s3path://$base/out"),
+      flowName = "avroflow", stageCodec = "deflate"))
+    def src(n: Long) =
+      spark.range(1, n + 1).selectExpr("id AS k", "id * 2 AS v")
+    assert(runner.runOnce(src(100)) == 100L)
+    assert(runner.runOnce(src(100)) == 0L, "no growth → no new round")
+    assert(runner.runOnce(src(150)) == 50L, "exactly the increment")
+
+    val rounds = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/out/avroflow")
+      val fs = p.getFileSystem(hc)
+      fs.listStatus(p).map(_.getPath.getName).toSeq.sorted
+    }
+    assert(rounds.size == 2, s"two rounds, got $rounds")
+    assert(rounds == Seq("0-100", "100-150"),
+      "round keys are the (exclusive-lo, hi] watermark bounds")
+
+    val all = replay(s"$base/out/avroflow")
+    assert(all.size == 150, "no overlap, no loss")
+    assert(all.toMap == (1L to 150L).map(k => k -> k * 2).toMap)
+
+    val ms = manifests(s"$base/out/avroflow").sorted
+    assert(ms.size == 2)
+    assert(ms.exists(m => m.contains("\"round\":\"0-100\"") &&
+      m.contains("\"records\":100") &&
+      m.contains("\"codec\":\"deflate\"") &&
+      m.contains(".avro")))
+    assert(ms.exists(m => m.contains("\"round\":\"100-150\"") &&
+      m.contains("\"records\":50")))
+  }
+
+  test("a crashed round REWRITES its round dir on retry (same-key " +
+    "overwrite, s3/qrep.go:113): stale partial files never merge " +
+    "into the retry's file set") {
+    val base = tmpDir("qrepavro_retry")
+    val cfg = QRepConfig(
+      "k", s"$base/ignored", s"$base/wm", WriteMode.Append, 4,
+      destUrl = Some(s"s3path://$base/out"), flowName = "f")
+    def src() =
+      spark.range(1, 11).selectExpr("id AS k", "id * 2 AS v")
+    // simulate a crashed attempt: partial garbage in the round dir
+    // the bounds (0, 10] will map to
+    val roundDir = s"$base/out/f/0-10"
+    graft.util.FsText.write(s"$roundDir/part-99999.avro",
+      "partial garbage from a dead executor", hc)
+    assert(new QRepRunner(spark, cfg).runOnce(src()) == 10L)
+    val names = {
+      val p = new org.apache.hadoop.fs.Path(roundDir)
+      val fs = p.getFileSystem(hc)
+      fs.listStatus(p).map(_.getPath.getName).toSeq
+    }
+    assert(!names.contains("part-99999.avro"),
+      "the stale partial file must be wiped, not merged")
+    assert(replay(roundDir).toMap ==
+      (1L to 10L).map(k => k -> k * 2).toMap)
+  }
+
+  test("transformRow shapes the rows before they land in the OCFs " +
+    "(AttachToStream applies to ANY destination, flowable.go:756)") {
+    val base = tmpDir("qrepavro_lua")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/ignored", s"$base/wm", WriteMode.Append, 2,
+      destUrl = Some(s"s3path://$base/out"), flowName = "f",
+      transformLua =
+        Some("function transformRow(row) row.v = row.v + 1000 end")))
+    assert(runner.runOnce(
+      spark.range(1, 4).selectExpr("id AS k", "id * 2 AS v")) == 3L)
+    assert(replay(s"$base/out/f").toMap ==
+      Map(1L -> 1002L, 2L -> 1004L, 3L -> 1006L))
+  }
+
+  test("DDL: dest_url 's3path://…' through CREATE/EXECUTE MIRROR; " +
+    "dst_table_full_resync against a file destination is rejected") {
+    import org.apache.spark.sql.SparkSession
+    val s = spark.newSession()
+    SparkSession.setActiveSession(s)
+    try {
+      def run(sql: String) = graft.mirror.GraftSql.execute(s,
+        graft.mirror.GraftSql.parse(sql)
+          .getOrElse(fail(s"did not parse: $sql")))
+      val base = tmpDir("qrepavroddl")
+      s.range(1, 31).selectExpr("id AS k", "id * 3 AS v")
+        .write.parquet(s"$base/src/rows.parquet")
+      run(s"CREATE PEER qasrc TYPE parquet OPTIONS (dir '$base/src')")
+      run(s"CREATE PEER qadst TYPE parquet OPTIONS (dir '$base/dst')")
+      run("CREATE MIRROR qa FROM qasrc TO qadst FOR " +
+        "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+        "{{.end}} $$ WITH (watermark_column 'k', " +
+        s"source_table 'rows', dest_dir '$base/dest', " +
+        s"dest_url 's3path://$base/files', flow_name 'ddlflow', " +
+        "stage_codec 'deflate')")
+      assert(run("EXECUTE MIRROR qa").head.getLong(0) == 30L)
+      assert(replay(s"$base/files/ddlflow").size == 30)
+      assert(run("EXECUTE MIRROR qa").head.getLong(0) == 0L)
+
+      val e = intercept[IllegalArgumentException] {
+        run("CREATE MIRROR qabad FROM qasrc TO qadst FOR " +
+          "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+          "{{.end}} $$ WITH (watermark_column 'k', " +
+          s"source_table 'rows', dest_dir '$base/dest2', " +
+          s"dest_url 's3path://$base/files2', mode 'overwrite', " +
+          "dst_table_full_resync 'true')")
+      }
+      assert(e.getMessage.contains("no table to swap"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}

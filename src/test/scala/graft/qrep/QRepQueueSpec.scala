@@ -290,7 +290,7 @@ class QRepQueueSpec extends SparkSpec {
           s"dest_url 'kafka://127.0.0.1:${broker.port}', " +
           "mode 'overwrite', dst_table_full_resync 'true')")
       }
-      assert(e.getMessage.contains("queue destination has no table"))
+      assert(e.getMessage.contains("no table to swap"))
     } finally {
       broker.stop()
       SparkSession.clearActiveSession()
