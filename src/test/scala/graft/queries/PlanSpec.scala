@@ -210,4 +210,27 @@ class PlanSpec extends SparkSpec {
           .contains("BroadcastHashJoin"))
     } finally spark.conf.unset(key)
   }
+
+  test("lua stages run as ONE MapPartitions each (per-partition " +
+    "interpreter, no shuffle before it, no driver collect): the CDC " +
+    "adapt stage, the QRep typed transformRow, and the QRep queue " +
+    "onRecord leg") {
+    Seq(CoreQueries.luaTransform, CoreQueries.luaTyped,
+      CoreQueries.qrepQueue).foreach { q =>
+      val plan = planOf(q)
+      val n = "MapPartitions".r.findAllIn(plan).length
+      assert(n == 1,
+        s"${q.name}: want exactly one MapPartitions, got $n:\n" +
+          plan.take(3000))
+      // below the interpreter stage only the deliberate small-batch
+      // SPREAD (round-robin repartition to defaultParallelism — a
+      // single-file scan would otherwise interpret single-threaded)
+      // may shuffle; key-based exchanges feeding it would mean the
+      // stage acquired a grouping it doesn't need
+      val below = plan.substring(plan.indexOf("MapPartitions"))
+      assert(!below.contains("hashpartitioning"),
+        s"${q.name}: key shuffle feeding the interpreter stage:\n" +
+          plan.take(3000))
+    }
+  }
 }
