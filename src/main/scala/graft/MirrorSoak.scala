@@ -59,14 +59,31 @@ object MirrorSoak {
       Nil)
   }
 
+  /** Optional 5th arg `lua`: attach a `transformRecord` adapt stage
+    * ([[graft.transform.LuaAdapt]]) to the mirror — per-record
+    * interpreter work (decimal-free: an integer double + a pattern
+    * `string.upper` over the 120-char pad) so the END-TO-END rec/s
+    * with the stage attached is pinned, not just the single-threaded
+    * MicroBench ceiling. The verify phase replays the doubled values,
+    * so a dropped or double-applied transform fails the checksum. */
+  private val AdaptScript = """
+    function transformRecord(r)
+      local row = r.row
+      if row then
+        row.v = row.v * 2
+        row.pad = string.upper(row.pad)
+      end
+    end"""
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: MirrorSoak <workDir> <catchupRecords> <churnRounds> " +
-        "<churnRecords>")
+        "<churnRecords> [lua]")
     val work = args(0)
     val catchup = args(1).toLong
     val churnRounds = args(2).toInt
     val churnRecords = args(3).toLong
+    val withLua = args.length > 4 && args(4) == "lua"
     val keys = math.max(1L, catchup / 2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -90,8 +107,10 @@ object MirrorSoak {
         "id BIGINT, v BIGINT, pad STRING"),
       destinationTable = "dest.t", flowName = "soak",
       statsDir = Some(s"$base/stats"),
+      luaScript = if (withLua) Some(AdaptScript) else None,
       // raw retention ON: the soak must show cleanup keeping pace
       env = Map("mirror.raw_batch_cleanup_threshold" -> "2"))
+    if (withLua) println("""{"phase":"config","lua":"transformRecord"}""")
 
     // ---- generate the catch-up WAL in whole-transaction chunks
     // scalastyle:off println
@@ -174,8 +193,11 @@ object MirrorSoak {
     }
 
     // ---- phase 3: exact verification against the driver-side replay
-    val (expLive, expSum) = expected(catchup, churnRounds,
+    // (the adapt stage doubles every v: the replay doubles too — a
+    // dropped or double-applied transform fails the checksum)
+    val (expLive, expSum0) = expected(catchup, churnRounds,
       churnRecords, keys)
+    val expSum = if (withLua) expSum0 * 2 else expSum0
     val dest = new MirrorRunner(spark, cfg).destination()
     val agg = dest.agg(
       count(lit(1)),
