@@ -159,6 +159,7 @@ class QRepAvroDestSpec extends SparkSpec {
           "dst_table_full_resync 'true')")
       }
       assert(e.getMessage.contains("no table to swap"))
+      run("DROP MIRROR qa") // shared catalog: leave nothing behind
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.setDefaultSession(spark)

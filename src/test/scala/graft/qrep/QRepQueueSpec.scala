@@ -268,14 +268,17 @@ class QRepQueueSpec extends SparkSpec {
         .write.parquet(s"$base/src/rows.parquet")
       run(s"CREATE PEER qqsrc TYPE parquet OPTIONS (dir '$base/src')")
       run(s"CREATE PEER qqdst TYPE parquet OPTIONS (dir '$base/dst')")
-      run("CREATE SCRIPT route LANG lua AS $$ " +
+      // unique catalog names + cleanup below: the scripts/mirror
+      // catalog is shared across suites in one JVM — a leaked 'route'
+      // here would collide with LuaQueueSpec's CREATE SCRIPT route
+      run("CREATE SCRIPT qq_route LANG lua AS $$ " +
         "function onRecord(r) return tostring(r.row.v) end $$")
       run("CREATE MIRROR qq FROM qqsrc TO qqdst FOR " +
         "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
         "{{.end}} $$ WITH (watermark_column 'k', " +
         s"source_table 'rows', dest_dir '$base/dest', " +
         s"dest_url 'kafka://127.0.0.1:${broker.port}', " +
-        "dest_table 'routed', script 'route')")
+        "dest_table 'routed', script 'qq_route')")
       assert(run("EXECUTE MIRROR qq").head.getLong(0) == 20L)
       assert(broker.topicRecords("routed").size == 20)
       // restart-no-repost through the DDL watermark loop too
@@ -291,6 +294,7 @@ class QRepQueueSpec extends SparkSpec {
           "mode 'overwrite', dst_table_full_resync 'true')")
       }
       assert(e.getMessage.contains("no table to swap"))
+      run("DROP MIRROR qq"); run("DROP SCRIPT qq_route")
     } finally {
       broker.stop()
       SparkSession.clearActiveSession()
