@@ -159,9 +159,13 @@ object AvroStage {
 
   private val Magic = Array[Byte]('O', 'b', 'j', 1)
 
-  /** Supported `avro.codec` values (avro_writer.go:38,80: the
-    * reference stages Avro null- or deflate-coded). */
-  val Codecs: Set[String] = Set("null", "deflate")
+  /** Supported `avro.codec` values — the reference's full OCF codec
+    * set (avro_writer.go:38,80 `ocf.WithCodec`; the per-destination
+    * switch over Null/Deflate/Snappy/ZStandard in s3/qrep.go:84-95;
+    * snappy + zstd ride the same public libraries Spark itself
+    * ships). */
+  val Codecs: Set[String] = Set("null", "deflate", "snappy",
+    "zstandard")
 
   /** One block's bytes through the RFC 1951 deflate algorithm —
     * `nowrap` per the Avro OCF spec: the 'deflate' codec is raw
@@ -195,6 +199,67 @@ object AvroStage {
     } finally inf.end()
   }
 
+  /** Snappy per the OCF spec: the compressed block is FOLLOWED by the
+    * 4-byte big-endian CRC32 of the UNCOMPRESSED data. */
+  private def snappyPack(raw: Array[Byte]): Array[Byte] = {
+    val packed = org.xerial.snappy.Snappy.compress(raw)
+    val crc = new java.util.zip.CRC32(); crc.update(raw)
+    val v = crc.getValue
+    val out = java.util.Arrays.copyOf(packed, packed.length + 4)
+    out(packed.length) = (v >>> 24).toByte
+    out(packed.length + 1) = (v >>> 16).toByte
+    out(packed.length + 2) = (v >>> 8).toByte
+    out(packed.length + 3) = v.toByte
+    out
+  }
+
+  private[sinks] def snappyUnpack(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 4, "snappy OCF block shorter than its CRC32")
+    val raw = org.xerial.snappy.Snappy.uncompress(
+      java.util.Arrays.copyOfRange(b, 0, b.length - 4))
+    val crc = new java.util.zip.CRC32(); crc.update(raw)
+    val want = ((b(b.length - 4) & 0xFFL) << 24) |
+      ((b(b.length - 3) & 0xFFL) << 16) |
+      ((b(b.length - 2) & 0xFFL) << 8) | (b(b.length - 1) & 0xFFL)
+    require(crc.getValue == want,
+      "snappy OCF block CRC32 mismatch (corrupt block)")
+    raw
+  }
+
+  /** zstandard per the OCF spec: one plain zstd frame per block.
+    * Decode streams (content-size-agnostic, checksum-verifying) so
+    * frames from any writer — including ones carrying the optional
+    * xxhash checksum — read back. */
+  private[sinks] def zstdUnpack(b: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** One block through `codec` (pack side). */
+  private def pack(codec: String, b: Array[Byte],
+      len: Int): Array[Byte] = codec match {
+    case "null" =>
+      if (len == b.length) b else java.util.Arrays.copyOf(b, len)
+    case "deflate" => deflate(b, len)
+    case "snappy" => snappyPack(java.util.Arrays.copyOf(b, len))
+    case "zstandard" => com.github.luben.zstd.Zstd.compress(
+      java.util.Arrays.copyOf(b, len), 3)
+    case other => throw new IllegalArgumentException(
+      s"unsupported avro codec '$other'")
+  }
+
+  /** One block through `codec` (unpack side). */
+  private def unpack(codec: String, b: Array[Byte]): Array[Byte] =
+    codec match {
+      case "null" => b
+      case "deflate" => inflate(b)
+      case "snappy" => snappyUnpack(b)
+      case "zstandard" => zstdUnpack(b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro codec '$other'")
+    }
+
   /** Write a standard Avro OCF to `out`. `codec`: "null" or
     * "deflate" (per-block RFC 1951, the OCF spec's deflate codec). */
   def writeContainer(out: OutputStream, schemaJson: String,
@@ -223,13 +288,13 @@ object AvroStage {
     var n = 0
     def flush(): Unit = if (n > 0) {
       writeLong(out, n.toLong)
-      if (codec == "deflate") {
-        val packed = deflate(buf.toByteArray, buf.size())
-        writeLong(out, packed.length.toLong)
-        out.write(packed)
-      } else {
+      if (codec == "null") {
         writeLong(out, buf.size().toLong)
         buf.writeTo(out)
+      } else {
+        val packed = pack(codec, buf.toByteArray, buf.size())
+        writeLong(out, packed.length.toLong)
+        out.write(packed)
       }
       out.write(marker)
       buf.reset(); n = 0
@@ -502,8 +567,7 @@ object AvroStage {
         left = readVarLong(first)
         val byteSize = readVarLong().toInt
         val raw = readFully(byteSize) // the O(block) buffer
-        block = new In(
-          if (codec == "deflate") inflate(raw) else raw)
+        block = new In(unpack(codec, raw))
         readFully(16) // trailing sync marker
       }
 
@@ -552,8 +616,7 @@ object AvroStage {
       val raw = java.util.Arrays.copyOfRange(bytes, in.pos,
         in.pos + byteSize)
       in.pos += byteSize
-      val block = new In(
-        if (codec == "deflate") inflate(raw) else raw)
+      val block = new In(unpack(codec, raw))
       var i = 0L
       while (i < count) {
         val values = schema.fields.map { f =>

@@ -282,7 +282,77 @@ class AvroStageSpec extends SparkSpec {
 
     // unknown codecs fail loudly on both sides
     intercept[IllegalArgumentException] {
-      AvroStage.write(df, tmpDir("avrobad"), codec = "snappy")
+      AvroStage.write(df, tmpDir("avrobad"), codec = "lz77")
+    }
+  }
+
+  test("snappy codec: a HAND-BUILT block straight from the public " +
+    "snappy format spec (varint length + one literal tag) + the OCF " +
+    "spec's trailing big-endian CRC32 of the uncompressed data " +
+    "decodes exactly; a corrupted CRC fails loudly") {
+    val payload = "graft snappy golden".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8) // 19 bytes
+    // snappy raw: preamble varint(19)=0x13; literal tag for len 19 =
+    // (19-1)<<2 = 0x48; then the bytes verbatim
+    val compressed = Array[Byte](0x13, 0x48) ++ payload
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    val v = crc.getValue
+    val block = compressed ++ Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    assert(AvroStage.snappyUnpack(block).toSeq == payload.toSeq)
+    val bad = block.clone(); bad(bad.length - 1) =
+      (bad(bad.length - 1) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      AvroStage.snappyUnpack(bad)
+    }
+    assert(e.getMessage.contains("CRC32"))
+  }
+
+  test("zstandard codec: an INDEPENDENT golden frame (the zstd CLI's " +
+    "own output, xxhash checksum included) decodes exactly — the " +
+    "reader must be content-size-agnostic and checksum-tolerant") {
+    val goldenHex =
+      "28b52ffd04582101006772616674207a73746420676f6c64656e2070" +
+        "61796c6f61642030313233343536373839c20b3da9"
+    val golden = goldenHex.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(new String(AvroStage.zstdUnpack(golden),
+      java.nio.charset.StandardCharsets.UTF_8) ==
+      "graft zstd golden payload 0123456789")
+  }
+
+  test("snappy + zstandard round trip through write() and all three " +
+    "readers, headers carry the codec, repetitive data shrinks") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType)))
+    val rows = (1L to 1000L).map(i => Row(i, "payload-" + (i % 5)))
+    val json = AvroStage.schemaJson(schema)
+    Seq("snappy", "zstandard").foreach { codec =>
+      val out = new ByteArrayOutputStream()
+      AvroStage.writeContainer(out, json,
+        rows.iterator.map(AvroStage.encodeRow(schema, _)),
+        recordsPerBlock = 128, codec = codec)
+      val packed = out.toByteArray
+      val plain = {
+        val o = new ByteArrayOutputStream()
+        AvroStage.writeContainer(o, json,
+          rows.iterator.map(AvroStage.encodeRow(schema, _)),
+          recordsPerBlock = 128)
+        o.toByteArray
+      }
+      assert(packed.length < plain.length, s"$codec must shrink")
+      assert(new String(packed,
+        java.nio.charset.StandardCharsets.ISO_8859_1).contains(codec))
+      val viaRead = AvroStage.readContainer(packed, schema)
+      val viaStream = AvroStage.streamContainer(
+        new java.io.ByteArrayInputStream(packed), schema).toSeq
+      val (_, autoIt) = AvroStage.streamContainerAuto(
+        new java.io.ByteArrayInputStream(packed))
+      Seq(viaRead, viaStream, autoIt.toSeq).foreach { got =>
+        assert(got.size == 1000, codec)
+        assert(got(999).getString(1) == "payload-0", codec)
+      }
     }
   }
 }
