@@ -976,6 +976,15 @@ object GraftSql {
         * their implicit default — is accepted. */
       requireTemplate: Boolean = true): Unit = {
     stageCodecOf(o) // unknown codecs fail the CREATE
+    // an es:// destination takes no path/query — the index comes from
+    // dest_table; accepting 'es://host:port/myindex' at CREATE and
+    // failing EXECUTE with a kafka-flavored error would mislead
+    o.get("dest_url").filter(_.startsWith("es://")).foreach { u =>
+      if (graft.qrep.QRepRunner.EsUrl.findFirstIn(u).isEmpty)
+        throw new IllegalArgumentException(
+          s"CREATE MIRROR (QRep): es dest_url must be " +
+            s"'es://host:port' (the index is dest_table), got '$u'")
+    }
     if (!requireTemplate && o.get("mode").exists(_ != "overwrite"))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): this source shape is full-load " +
@@ -1015,7 +1024,12 @@ object GraftSql {
   }
 
   /** `stage_codec` option → a validated avro.codec for the staging
-    * OCFs; rejects unknown codecs at DDL time, not first EXECUTE. */
+    * OCFs; rejects unknown codecs at DDL time, not first EXECUTE.
+    * Destination-aware: the engine's own readers auto-detect every
+    * codec, but Snowflake external-stage COPY and BigQuery load jobs
+    * parse the staged files SERVER-side and their documented Avro
+    * block-codec support is deflate + snappy only — zstandard there
+    * would stage fine and then fail every load. */
   private def stageCodecOf(o: Map[String, String]): String = {
     val c = o.getOrElse("stage_codec", "null")
     if (!graft.sinks.AvroStage.Codecs(c))
@@ -1023,6 +1037,13 @@ object GraftSql {
         s"stage_codec '$c' unsupported (supported: " +
           graft.sinks.AvroStage.Codecs.toSeq.sorted.mkString(", ") +
           ")")
+    val serverParsed = o.get("dest_url").exists(u =>
+      u.startsWith("snowflake://") || u.startsWith("bigquery://"))
+    if (c == "zstandard" && serverParsed)
+      throw new IllegalArgumentException(
+        "stage_codec 'zstandard': Snowflake/BigQuery parse staged " +
+          "Avro server-side and support only deflate/snappy block " +
+          "codecs — use one of those for this destination")
     c
   }
 
@@ -1147,6 +1168,10 @@ object GraftSql {
         transformLua = transformSrc,
         transformLuaLibs = luaLibsOf(sess),
         queueScript = routeSrc,
+        // queue records carry r.source = the watermark table
+        // (kafka/qrep.go: config.WatermarkTable) on EVERY source
+        // shape, not just the template-query path
+        sourceTable = o.getOrElse("source_table", "source"),
         stageCodec = stageCodecOf(o),
         // flow_name scopes the s3path:// round dirs and the stats
         // key; the mirror name is the natural default

@@ -74,8 +74,9 @@ final case class MirrorConfig(
       * the stream starts strictly after it (snapshot_flow.go). */
     snapshotCheckpoint: Long = -1L,
     /** `avro.codec` of the OCFs staged for the warehouse bulk legs
-      * ("null" | "deflate" — avro_writer.go:38,80). Readers
-      * auto-detect from the file header. */
+      * ([[graft.sinks.AvroStage.Codecs]] — avro_writer.go:38,80).
+      * The engine's readers auto-detect from the file header; the
+      * DDL gates zstandard off the server-parsed destinations. */
     stageCodec: String = "null",
     /** Per-record transform "script" — the reference's Lua `script` flow
       * option as one declarative Spark SQL expression over the record
@@ -1059,75 +1060,50 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     def luaShaped: Option[DataFrame] =
       cfg.luaScript.map(
         graft.transform.LuaQueue.records(batch, _, cfg.luaLibs))
-    val n = url match {
-      case kafka(h, p, q) =>
-        val params = Option(q).getOrElse("").split("&").iterator
-          .map(_.trim).filter(_.nonEmpty).map { e =>
-            e.split("=", 2) match {
-              case Array(k, v) =>
-                k -> java.net.URLDecoder.decode(v, "UTF-8")
-              case Array(k) => k -> ""
-            }
-          }.toMap
+    val n = (url, luaShaped) match {
+      // a lua script's shaped records ride the SHARED routing
+      // ([[graft.sinks.ShapedQueue]] — the same leg QRep dest_url
+      // publishes through); the branches below are the no-script
+      // defaults off the raw change frame
+      case (u, Some(sh)) if !u.startsWith("es://") =>
+        graft.sinks.ShapedQueue.publish(sh, u,
+          scriptAssignsPartitions = true)
+      case (kafka(h, p, q), None) =>
+        val params = graft.sinks.ShapedQueue.kafkaParams(q)
         // partitioner=manual (the reference's kgo.ManualPartitioner
-        // knob, kafka.go:106-107): a lua script's explicit `partition`
-        // field routes verbatim; any other partitioner keys decide
-        val manual = params.get("partitioner").exists(
-          _.equalsIgnoreCase("manual"))
-        if (manual && cfg.luaScript.isEmpty)
+        // knob, kafka.go:106-107) needs a script's explicit
+        // `partition` field — the default JSON records never assign
+        if (params.get("partitioner")
+            .exists(_.equalsIgnoreCase("manual")))
           throw new IllegalArgumentException(
             "kafka: partitioner=manual needs a script that assigns " +
               "partitions (script_lang 'lua')")
         graft.sinks.KafkaPublish.publish(
-          luaShaped.map(_.select("topic", "key", "value", "headers",
-              "partition"))
-            .getOrElse(graft.sinks.QueueSink.defaultRecords(changes)),
+          graft.sinks.QueueSink.defaultRecords(changes),
           h, p.toInt,
           acks = params.get("acks").map(_.toInt).getOrElse(-1),
           // ssh=user:pass@bastion[:port] — the destination socket
           // rides the same tunnel stack as the capture sources
-          sshSpec = params.get("ssh"),
-          manualPartitions = manual)
-      case u if u.startsWith("eventhubs://") =>
+          sshSpec = params.get("ssh"))
+      case (u, None) if u.startsWith("eventhubs://") =>
         // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
         // partition routing + per-(hub, partition) ordered batches
-        // over the public REST send API with SAS auth. A lua script's
-        // onRecord shapes events too (eventhub.go:191-296,
-        // lvalueToEventData): `topic` is the hub (empty = destination
-        // table), `key` the partition key (absent falls back to the
-        // checkpoint order key — stable routing), nil drops.
+        // over the public REST send API with SAS auth
         val ep = graft.cdc.CaptureEndpoint.parse(u)
         val ns = if (ep.database.nonEmpty) ep.database else "ns"
-        val pc = ep.param("partition_count", "4").toInt
-        val mpb = ep.param("max_per_batch", "500").toInt
-        val shaped = luaShaped.map(sh =>
-          graft.sinks.EventHubsSink.records(sh,
-            namespace = lit(ns),
-            hub = col("topic"),
-            partitionValue = coalesce(col("key"), col("__ord")),
-            value = graft.sinks.EventHubsSink
-              .utf8StrictValue(col("value")),
-            partitionCount = pc, maxPerBatch = mpb,
-            order = col("__ord")))
-          .getOrElse(graft.sinks.EventHubsSink.defaultRecords(changes,
-            namespace = ns, partitionCount = pc, maxPerBatch = mpb))
-        graft.sinks.EventHubsSink.publish(shaped, u)
-      case u if u.startsWith("pubsub://") =>
+        graft.sinks.EventHubsSink.publish(
+          graft.sinks.EventHubsSink.defaultRecords(changes,
+            namespace = ns,
+            partitionCount = ep.param("partition_count", "4").toInt,
+            maxPerBatch = ep.param("max_per_batch", "500").toInt), u)
+      case (u, None) if u.startsWith("pubsub://") =>
         // live Pub/Sub publish (pubsub.go SyncRecords): per-key
         // ordered batches over the public REST API; the queue HWM
         // below is the SetLastOffset role — a failed publish throws
-        // before it advances, so the batch redelivers. A lua script's
-        // `key` is the ordering key (lvalueToPubSubMessage,
-        // pubsub.go:110-125); an absent key publishes unordered.
-        val shaped = luaShaped.map(_.select(
-          col("topic"),
-          coalesce(col("key"), lit("")).as("ordering_key"),
-          col("value"),
-          (coalesce(col("key"), lit("")) =!= "").as("ordered"),
-          col("__ord")))
-          .getOrElse(graft.sinks.PubSubSink.defaultRecords(changes))
-        graft.sinks.PubSubSink.publish(shaped, u)
-      case es(h, p) =>
+        // before it advances, so the batch redelivers
+        graft.sinks.PubSubSink.publish(
+          graft.sinks.PubSubSink.defaultRecords(changes), u)
+      case (es(h, p), _) =>
         // Stamp the id-scheme marker BEFORE reading the prior HWM is
         // overwritten below: a mirror publishing its FIRST batch today
         // provably holds only current-scheme documents; one that
@@ -1141,7 +1117,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
             if (queueHighWaterMark.isEmpty) EsIdScheme.Current
             else EsIdScheme.Legacy, hadoopConf)
         publishEs(changes, s"http://$h:$p")
-      case other => throw new IllegalArgumentException(
+      case (other, _) => throw new IllegalArgumentException(
         "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host], " +
           "es://host:port, pubsub://host:port/project[?token=…] or " +
           s"eventhubs://host:port/ns?key_name=…&key=…, got '$other'")

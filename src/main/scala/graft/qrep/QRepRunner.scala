@@ -88,8 +88,10 @@ final case class QRepConfig(
       * rows first (AttachToStream), then onRecord routes them. */
     queueScript: Option[String] = None,
     /** `avro.codec` of the staged OCFs on the live-destination bulk
-      * legs ("null" | "deflate" — avro_writer.go:38,80). Readers
-      * auto-detect from the file header. */
+      * legs ([[graft.sinks.AvroStage.Codecs]] — avro_writer.go:38,80).
+      * The engine's readers auto-detect from the file header; the
+      * DDL gates zstandard off the server-parsed destinations
+      * (Snowflake external-stage COPY, BigQuery load jobs). */
     stageCodec: String = "null",
     /** `dst_table_full_resync` (nexus/analyzer/src/qrep.rs:92,
       * qrep_flow.go:365-400): the Overwrite refresh fills
@@ -100,9 +102,7 @@ final case class QRepConfig(
     fullResync: Boolean = false)
 
 object QRepRunner {
-  private[qrep] val KafkaUrl =
-    "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
-  private[qrep] val EsUrl = "^es://([^:/?]+):(\\d+)/?$".r
+  val EsUrl = "^es://([^:/?]+):(\\d+)/?$".r
 
   /** Queue destination schemes the QRep disposition routes to a
     * publish instead of a SQL load — the reference's QRep sync
@@ -288,14 +288,29 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     * API: at scale `<dir>` is s3a://bucket/prefix. */
   private def writeAvroDest(dir: String, payload: DataFrame,
       roundKey: String): Long = {
-    val roundDir = s"$dir/${cfg.flowName}/$roundKey"
+    val flowDir = s"$dir/${cfg.flowName}"
+    val roundDir = s"$flowDir/$roundKey"
     val hc = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(roundDir)
-    val fs = p.getFileSystem(hc)
-    if (fs.exists(p)) fs.delete(p, true)
+    // Overwrite is FULL-REFRESH: the destination equals exactly this
+    // round, so EVERY prior round dir goes (an accumulating file set
+    // would union stale snapshots — and resurrect deleted rows when
+    // the bound query shrank). Append wipes only its OWN round dir
+    // (a crashed attempt's partials), keeping the incremental set.
+    // Same truncate-then-load window as the warehouse Overwrite: a
+    // crash between wipe and manifest leaves the flow empty until
+    // the retry — never a half-doubled one.
+    val wipe = new org.apache.hadoop.fs.Path(
+      if (cfg.mode == WriteMode.Overwrite) flowDir else roundDir)
+    val fs = wipe.getFileSystem(hc)
+    if (fs.exists(wipe)) fs.delete(wipe, true)
+    // count from the ONE write job (a separate count() would
+    // re-execute the pull + transform and can disagree with the
+    // files against a live source)
+    val counter = spark.sparkContext.longAccumulator(
+      "graft_qrep_avro_rows")
     val files = graft.sinks.AvroStage.write(payload, roundDir,
-      cfg.stageCodec)
-    val n = payload.count()
+      cfg.stageCodec, counter)
+    val n = counter.value
     val fileList = files.map(f => "\"" +
       f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
@@ -316,7 +331,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     * duplicate-delivery on the brokers — the reference's posture).
     * Returns queue records published / ES actions shipped. */
   private def publishQueue(url: String, payload: DataFrame): Long = {
-    import graft.qrep.QRepRunner.{KafkaUrl, EsUrl}
+    import graft.qrep.QRepRunner.EsUrl
     url match {
       case EsUrl(h, p) =>
         val keys = cfg.mode match {
@@ -332,48 +347,12 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
           graft.transform.LuaQueue.DefaultOnRecordScript)
         val shaped = graft.transform.LuaQueue.typedRecords(payload,
           script, cfg.sourceTable, cfg.destTable, cfg.transformLuaLibs)
-        url match {
-          case KafkaUrl(h, p, q) =>
-            val params = Option(q).getOrElse("").split("&").iterator
-              .map(_.trim).filter(_.nonEmpty).map { e =>
-                e.split("=", 2) match {
-                  case Array(k, v) =>
-                    k -> java.net.URLDecoder.decode(v, "UTF-8")
-                  case Array(k) => k -> ""
-                }
-              }.toMap
-            graft.sinks.KafkaPublish.publish(
-              shaped.select("topic", "key", "value", "headers",
-                "partition"),
-              h, p.toInt,
-              acks = params.get("acks").map(_.toInt).getOrElse(-1),
-              sshSpec = params.get("ssh"),
-              manualPartitions = params.get("partitioner")
-                .exists(_.equalsIgnoreCase("manual")))
-          case u if u.startsWith("pubsub://") =>
-            graft.sinks.PubSubSink.publish(shaped.select(
-              col("topic"),
-              coalesce(col("key"), lit("")).as("ordering_key"),
-              col("value"),
-              (coalesce(col("key"), lit("")) =!= "").as("ordered"),
-              col("__ord")), u)
-          case u if u.startsWith("eventhubs://") =>
-            val ep = graft.cdc.CaptureEndpoint.parse(u)
-            val ns = if (ep.database.nonEmpty) ep.database else "ns"
-            graft.sinks.EventHubsSink.publish(
-              graft.sinks.EventHubsSink.records(shaped,
-                namespace = lit(ns),
-                hub = col("topic"),
-                partitionValue = coalesce(col("key"), col("__ord")),
-                value = graft.sinks.EventHubsSink
-                  .utf8StrictValue(col("value")),
-                partitionCount =
-                  ep.param("partition_count", "4").toInt,
-                maxPerBatch = ep.param("max_per_batch", "500").toInt,
-                order = col("__ord")), u)
-          case other => throw new IllegalArgumentException(
-            s"unsupported queue dest_url: $other")
-        }
+        // the SHARED shaped routing ([[graft.sinks.ShapedQueue]] —
+        // the same leg the CDC mirror's queue_url publishes through);
+        // only an explicit script can satisfy partitioner=manual (the
+        // DefaultOnRecord image never assigns partitions)
+        graft.sinks.ShapedQueue.publish(shaped, url,
+          scriptAssignsPartitions = cfg.queueScript.isDefined)
     }
   }
 

@@ -236,17 +236,22 @@ object AvroStage {
     try in.readAllBytes() finally in.close()
   }
 
-  /** One block through `codec` (pack side). */
+  /** One block through `codec` (pack side). The callers pass an
+    * exact-size array (buf.toByteArray), so the sized copy only
+    * happens when len differs — no per-block duplicate on the bulk
+    * staging hot loop. */
   private def pack(codec: String, b: Array[Byte],
-      len: Int): Array[Byte] = codec match {
-    case "null" =>
-      if (len == b.length) b else java.util.Arrays.copyOf(b, len)
-    case "deflate" => deflate(b, len)
-    case "snappy" => snappyPack(java.util.Arrays.copyOf(b, len))
-    case "zstandard" => com.github.luben.zstd.Zstd.compress(
-      java.util.Arrays.copyOf(b, len), 3)
-    case other => throw new IllegalArgumentException(
-      s"unsupported avro codec '$other'")
+      len: Int): Array[Byte] = {
+    def sized = if (len == b.length) b
+      else java.util.Arrays.copyOf(b, len)
+    codec match {
+      case "null" => sized
+      case "deflate" => deflate(b, len)
+      case "snappy" => snappyPack(sized)
+      case "zstandard" => com.github.luben.zstd.Zstd.compress(sized, 3)
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro codec '$other'")
+    }
   }
 
   /** One block through `codec` (unpack side). */
@@ -312,8 +317,15 @@ object AvroStage {
     * imperative write is exactly the mapPartitions-as-last-resort case:
     * a foreign file format Spark's builtins can't emit in this
     * environment. */
-  def write(df: DataFrame, dir: String,
-      codec: String = "null"): Seq[String] = {
+  def write(df: DataFrame, dir: String, codec: String = "null",
+      /** When non-null, accumulates the rows actually written — the
+        * one write job is the count's source of truth (a separate
+        * `df.count()` would re-execute the whole input, and against a
+        * live pull could disagree with the files). Accumulator
+        * updates inside an action apply exactly once per successful
+        * task. */
+      rowCounter: org.apache.spark.util.LongAccumulator = null)
+      : Seq[String] = {
     require(Codecs(codec), s"unsupported avro codec '$codec'")
     val schema = df.schema
     val json = schemaJson(schema)
@@ -326,9 +338,12 @@ object AvroStage {
           dir, f"part-$i%05d.avro")
         val fs = path.getFileSystem(conf.value)
         val out = fs.create(path, true)
-        try writeContainer(out, json, rows.map(encodeRow(schema, _)),
+        var n = 0L
+        try writeContainer(out, json,
+          rows.map { r => n += 1; encodeRow(schema, r) },
           codec = codec)
         finally out.close()
+        if (rowCounter != null) rowCounter.add(n)
         Iterator(path.toString)
       }
     }.collect().toSeq
@@ -613,6 +628,12 @@ object AvroStage {
     while (in.pos < bytes.length) {
       val count = in.readLong()
       val byteSize = in.readLong().toInt
+      // copyOfRange zero-pads past end-of-array: a truncated file
+      // (torn write, partial upload) must fail loudly, never decode
+      // fabricated zero rows
+      require(byteSize >= 0 && in.pos + byteSize <= bytes.length,
+        s"truncated OCF: block claims $byteSize bytes, " +
+          s"${bytes.length - in.pos} remain")
       val raw = java.util.Arrays.copyOfRange(bytes, in.pos,
         in.pos + byteSize)
       in.pos += byteSize

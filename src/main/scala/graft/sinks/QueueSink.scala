@@ -89,6 +89,78 @@ object QueueSink {
       .withColumn("ordered", col("ordering_key") =!= "")
 }
 
+/** The ONE routing for a lua-shaped queue frame — (topic, key, value,
+  * headers, partition, __ord), [[graft.transform.LuaQueue]]'s output —
+  * to a queue url. Shared by the CDC mirror's `queue_url` leg and the
+  * QRep `dest_url` leg so the kafka param parsing, the pubsub
+  * ordering-key projection, and the eventhubs shaping can never
+  * diverge between them. */
+object ShapedQueue {
+
+  val KafkaUrl = "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
+
+  def kafkaParams(q: String): Map[String, String] =
+    Option(q).getOrElse("").split("&").iterator
+      .map(_.trim).filter(_.nonEmpty).map { e =>
+        e.split("=", 2) match {
+          case Array(k, v) =>
+            k -> java.net.URLDecoder.decode(v, "UTF-8")
+          case Array(k) => k -> ""
+        }
+      }.toMap
+
+  /** Publish a shaped frame. `scriptAssignsPartitions` gates kafka's
+    * `partitioner=manual` (kgo.ManualPartitioner, kafka.go:106-107):
+    * only an explicit lua script can assign partitions — the
+    * DefaultOnRecord JSON image never does, so manual routing with it
+    * would silently send everything to partition 0. */
+  def publish(shaped: DataFrame, url: String,
+      scriptAssignsPartitions: Boolean): Long = url match {
+    case KafkaUrl(h, p, q) =>
+      val params = kafkaParams(q)
+      val manual = params.get("partitioner")
+        .exists(_.equalsIgnoreCase("manual"))
+      if (manual && !scriptAssignsPartitions)
+        throw new IllegalArgumentException(
+          "kafka: partitioner=manual needs a script that assigns " +
+            "partitions (script_lang 'lua')")
+      KafkaPublish.publish(
+        shaped.select("topic", "key", "value", "headers", "partition"),
+        h, p.toInt,
+        acks = params.get("acks").map(_.toInt).getOrElse(-1),
+        // ssh=user:pass@bastion[:port] — the destination socket
+        // rides the same tunnel stack as the capture sources
+        sshSpec = params.get("ssh"),
+        manualPartitions = manual)
+    case u if u.startsWith("pubsub://") =>
+      // per-key ordered publish (pubsub.go:110-125): a script `key`
+      // is the ordering key; absent publishes unordered
+      PubSubSink.publish(shaped.select(
+        col("topic"),
+        coalesce(col("key"), lit("")).as("ordering_key"),
+        col("value"),
+        (coalesce(col("key"), lit("")) =!= "").as("ordered"),
+        col("__ord")), u)
+    case u if u.startsWith("eventhubs://") =>
+      // eventhub.go:191-296 lvalueToEventData: `topic` is the hub,
+      // `key` the partition key (absent falls back to the order key —
+      // stable routing), strict UTF-8 on the REST JSON body
+      val ep = graft.cdc.CaptureEndpoint.parse(u)
+      val ns = if (ep.database.nonEmpty) ep.database else "ns"
+      EventHubsSink.publish(
+        EventHubsSink.records(shaped,
+          namespace = lit(ns),
+          hub = col("topic"),
+          partitionValue = coalesce(col("key"), col("__ord")),
+          value = EventHubsSink.utf8StrictValue(col("value")),
+          partitionCount = ep.param("partition_count", "4").toInt,
+          maxPerBatch = ep.param("max_per_batch", "500").toInt,
+          order = col("__ord")), u)
+    case other => throw new IllegalArgumentException(
+      s"unsupported queue url for a shaped publish: $other")
+  }
+}
+
 /** Live Google Pub/Sub destination over the public REST publish API
   * (the documented HTTP surface of flow/connectors/pubsub/pubsub.go,
   * which speaks the same service through the Go client):

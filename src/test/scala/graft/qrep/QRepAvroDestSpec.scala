@@ -112,6 +112,46 @@ class QRepAvroDestSpec extends SparkSpec {
       (1L to 10L).map(k => k -> k * 2).toMap)
   }
 
+  test("Overwrite (full-refresh) wipes EVERY prior round dir: the " +
+    "destination equals exactly this round — an accumulating file " +
+    "set would union stale snapshots and resurrect deleted rows") {
+    val base = tmpDir("qrepavro_ow")
+    def runner() = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/ignored", s"$base/wm", WriteMode.Overwrite, 2,
+      destUrl = Some(s"s3path://$base/out"), flowName = "f"))
+    def src(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .selectExpr("id AS k", "id * 2 AS v")
+    assert(runner().runOnce(src(1, 100)) == 100L)
+    // the source SHRANK (rows deleted) — full refresh must not keep
+    // the old 51-100 around
+    assert(runner().runOnce(src(1, 50)) == 50L)
+    assert(replay(s"$base/out/f").toMap ==
+      (1L to 50L).map(k => k -> k * 2).toMap,
+      "only the latest full snapshot survives")
+    assert(manifests(s"$base/out/f").size == 1)
+  }
+
+  test("manifest record count comes from the ONE write job (an " +
+    "accumulator), not a second execution of the pull: a " +
+    "non-deterministic source still gets records == rows in files") {
+    val base = tmpDir("qrepavro_count")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/ignored", s"$base/wm", WriteMode.Append, 2,
+      destUrl = Some(s"s3path://$base/out"), flowName = "f"))
+    // a source whose re-execution yields DIFFERENT rows: rand()-gated
+    // (seedless rand re-draws per job). The files and the manifest
+    // count must still agree because both come from the same job.
+    val src = spark.range(1, 2001)
+      .selectExpr("id AS k", "id * 2 AS v")
+      .filter("rand() < 0.5 OR k <= 1000") // ≥1000 rows, jittery tail
+    val moved = runner.runOnce(src)
+    val inFiles = replay(s"$base/out/f").size
+    assert(moved == inFiles,
+      s"manifest/count says $moved, files hold $inFiles")
+    val m = manifests(s"$base/out/f").head
+    assert(m.contains(s""""records":$inFiles"""), m)
+  }
+
   test("transformRow shapes the rows before they land in the OCFs " +
     "(AttachToStream applies to ANY destination, flowable.go:756)") {
     val base = tmpDir("qrepavro_lua")

@@ -249,6 +249,16 @@ class QRepQueueSpec extends SparkSpec {
     } finally es.stop()
   }
 
+  test("kafka partitioner=manual without a script is rejected on the " +
+    "QRep leg too: the DefaultOnRecord image never assigns " +
+    "partitions, so manual routing would silently send everything " +
+    "to partition 0") {
+    val base = tmpDir("qrepqmanual")
+    val r = runner(base, "kafka://127.0.0.1:1?partitioner=manual")
+    val e = intercept[IllegalArgumentException] { r.runOnce(src(1)) }
+    assert(e.getMessage.contains("partitioner=manual"))
+  }
+
   // ------------------------------------------------------------ DDL
 
   test("DDL: a queue dest_url QRep accepts an onRecord-only script " +
@@ -294,6 +304,32 @@ class QRepQueueSpec extends SparkSpec {
           "mode 'overwrite', dst_table_full_resync 'true')")
       }
       assert(e.getMessage.contains("no table to swap"))
+
+      // es:// takes no path (the index is dest_table) — accepting it
+      // at CREATE and failing EXECUTE with a kafka-flavored error
+      // would mislead
+      val e2 = intercept[IllegalArgumentException] {
+        run("CREATE MIRROR qqes FROM qqsrc TO qqdst FOR " +
+          "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+          "{{.end}} $$ WITH (watermark_column 'k', " +
+          s"source_table 'rows', dest_dir '$base/dest3', " +
+          "dest_url 'es://127.0.0.1:9200/myindex')")
+      }
+      assert(e2.getMessage.contains("the index is dest_table"), e2)
+
+      // zstandard stages fine but Snowflake/BigQuery parse the files
+      // SERVER-side and support only deflate/snappy Avro blocks —
+      // fail the CREATE, not every load
+      val e3 = intercept[IllegalArgumentException] {
+        run("CREATE MIRROR qqz FROM qqsrc TO qqdst FOR " +
+          "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+          "{{.end}} $$ WITH (watermark_column 'k', " +
+          s"source_table 'rows', dest_dir '$base/dest4', " +
+          "dest_url 'bigquery://h:1/p/d?token=t', " +
+          "stage_codec 'zstandard')")
+      }
+      assert(e3.getMessage.contains("deflate/snappy"), e3)
+
       run("DROP MIRROR qq"); run("DROP SCRIPT qq_route")
     } finally {
       broker.stop()

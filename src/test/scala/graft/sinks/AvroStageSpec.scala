@@ -286,6 +286,26 @@ class AvroStageSpec extends SparkSpec {
     }
   }
 
+  test("a TRUNCATED OCF (torn write, partial upload) fails loudly in " +
+    "readContainer — copyOfRange zero-padding must never decode " +
+    "fabricated zero rows") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType)))
+    val out = new ByteArrayOutputStream()
+    AvroStage.writeContainer(out, AvroStage.schemaJson(schema),
+      (1L to 100L).iterator.map(i =>
+        AvroStage.encodeRow(schema, Row(i, "v" + i))))
+    val whole = out.toByteArray
+    val torn = java.util.Arrays.copyOf(whole, whole.length - 40)
+    val e = intercept[Exception] {
+      AvroStage.readContainer(torn, schema)
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("truncated") ||
+        e.getMessage.contains("EOF")), e.toString)
+  }
+
   test("snappy codec: a HAND-BUILT block straight from the public " +
     "snappy format spec (varint length + one literal tag) + the OCF " +
     "spec's trailing big-endian CRC32 of the uncompressed data " +
