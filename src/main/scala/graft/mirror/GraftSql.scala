@@ -487,15 +487,7 @@ object GraftSql {
       // shape). Validated at DDL time so a typo'd scheme fails the
       // CREATE, not the first batch.
       queueUrl = o.get("queue_url").map { u =>
-        require(u.matches("^kafka://[^:/?]+:\\d+(\\?.*)?$") ||
-          u.matches("^es://[^:/?]+:\\d+/?$") ||
-          u.matches("^pubsub://[^:/?]+:\\d+/[^/?]+(\\?.*)?$") ||
-          u.matches("^eventhubs://[^:/?]+:\\d+/[^/?]+(\\?.*)?$"),
-          s"CREATE MIRROR: queue_url must be " +
-            "kafka://host:port[?acks=N][&ssh=user:pass@host], " +
-            "es://host:port, pubsub://host:port/project[?token=…] or " +
-            "eventhubs://host:port/namespace?key_name=…&key=…, " +
-            s"got '$u'")
+        requireQueueUrlShape(u, "queue_url")
         u
       },
       // table_map 'src:dest,src2:dest2' — capture-decode routing
@@ -976,15 +968,12 @@ object GraftSql {
         * their implicit default — is accepted. */
       requireTemplate: Boolean = true): Unit = {
     stageCodecOf(o) // unknown codecs fail the CREATE
-    // an es:// destination takes no path/query — the index comes from
-    // dest_table; accepting 'es://host:port/myindex' at CREATE and
-    // failing EXECUTE with a kafka-flavored error would mislead
-    o.get("dest_url").filter(_.startsWith("es://")).foreach { u =>
-      if (graft.qrep.QRepRunner.EsUrl.findFirstIn(u).isEmpty)
-        throw new IllegalArgumentException(
-          s"CREATE MIRROR (QRep): es dest_url must be " +
-            s"'es://host:port' (the index is dest_table), got '$u'")
-    }
+    // a queue-scheme dest_url gets the SAME shape validation the CDC
+    // queue_url slot has — accepting 'es://host:port/myindex' or a
+    // port-less kafka URL at CREATE and failing EXECUTE with a
+    // generic error would mislead
+    o.get("dest_url").filter(graft.qrep.QRepRunner.isQueueUrl)
+      .foreach(requireQueueUrlShape(_, "a queue dest_url"))
     if (!requireTemplate && o.get("mode").exists(_ != "overwrite"))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): this source shape is full-load " +
@@ -1023,13 +1012,45 @@ object GraftSql {
           "swap — a queue/file destination has no table to swap)")
   }
 
+  /** Queue URL shape check shared by the CDC `queue_url` and the QRep
+    * queue-scheme `dest_url` slots — a typo'd scheme/shape fails the
+    * CREATE, not the first batch/EXECUTE. */
+  private def requireQueueUrlShape(u: String, opt: String): Unit =
+    require(u.matches("^kafka://[^:/?]+:\\d+(\\?.*)?$") ||
+      u.matches("^es://[^:/?]+:\\d+/?$") ||
+      u.matches("^pubsub://[^:/?]+:\\d+/[^/?]+(\\?.*)?$") ||
+      u.matches("^eventhubs://[^:/?]+:\\d+/[^/?]+(\\?.*)?$"),
+      s"CREATE MIRROR: $opt must be " +
+        "kafka://host:port[?acks=N][&ssh=user:pass@host], " +
+        "es://host:port (no path — the index is dest_table on QRep), " +
+        "pubsub://host:port/project[?token=…] or " +
+        "eventhubs://host:port/namespace?key_name=…&key=…, " +
+        s"got '$u'")
+
+  /** True when this destination URL makes the WAREHOUSE parse the
+    * staged Avro files itself — Snowflake's external-stage COPY
+    * (`stage_url` param, SnowflakeSqlApi.scala:311) or BigQuery load
+    * jobs (`load_uri_base`, BigQuerySqlApi.scala:278). Without those
+    * params the same schemes take the insert legs, where the
+    * ENGINE's readers decode the files (every codec fine). */
+  private def serverParsesAvro(url: String): Boolean =
+    scala.util.Try {
+      val ep = graft.cdc.CaptureEndpoint.parse(url)
+      (url.startsWith("snowflake://") &&
+        ep.params.contains("stage_url")) ||
+      (url.startsWith("bigquery://") &&
+        ep.params.contains("load_uri_base"))
+    }.getOrElse(false)
+
   /** `stage_codec` option → a validated avro.codec for the staging
     * OCFs; rejects unknown codecs at DDL time, not first EXECUTE.
     * Destination-aware: the engine's own readers auto-detect every
-    * codec, but Snowflake external-stage COPY and BigQuery load jobs
-    * parse the staged files SERVER-side and their documented Avro
-    * block-codec support is deflate + snappy only — zstandard there
-    * would stage fine and then fail every load. */
+    * codec, but when the warehouse parses the staged files SERVER-
+    * side (Snowflake external-stage COPY, BigQuery load jobs) the
+    * documented Avro block-codec support is deflate + snappy only —
+    * zstandard there would stage fine and then fail every load.
+    * Checks BOTH url slots: QRep `dest_url` and the CDC mirror's
+    * `warehouse_url` ride the same staging legs. */
   private def stageCodecOf(o: Map[String, String]): String = {
     val c = o.getOrElse("stage_codec", "null")
     if (!graft.sinks.AvroStage.Codecs(c))
@@ -1037,13 +1058,13 @@ object GraftSql {
         s"stage_codec '$c' unsupported (supported: " +
           graft.sinks.AvroStage.Codecs.toSeq.sorted.mkString(", ") +
           ")")
-    val serverParsed = o.get("dest_url").exists(u =>
-      u.startsWith("snowflake://") || u.startsWith("bigquery://"))
+    val serverParsed = Seq("dest_url", "warehouse_url")
+      .flatMap(o.get).exists(serverParsesAvro)
     if (c == "zstandard" && serverParsed)
       throw new IllegalArgumentException(
-        "stage_codec 'zstandard': Snowflake/BigQuery parse staged " +
-          "Avro server-side and support only deflate/snappy block " +
-          "codecs — use one of those for this destination")
+        "stage_codec 'zstandard': this destination parses staged " +
+          "Avro server-side (stage_url / load_uri_base) and supports " +
+          "only deflate/snappy block codecs — use one of those")
     c
   }
 

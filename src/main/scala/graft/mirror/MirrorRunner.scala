@@ -1048,8 +1048,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     import graft.model.ChangeRecord
     if (queueHighWaterMark.exists(batchId <= _)) return
     val url = cfg.queueUrl.get
-    val kafka = "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
-    val es = "^es://([^:/?]+):(\\d+)/?$".r
+    val kafka = graft.sinks.ShapedQueue.KafkaUrl
+    val es = graft.sinks.ShapedQueue.EsUrl
     val changes = raw.filter(
       col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
     // `onRecord` routing (script_lang 'lua'): the script shapes each
@@ -1057,53 +1057,14 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // transaction id included, which the reduced raw projection
     // drops), exactly the reference's per-record Lua call
     // (kafka.go:340-390)
-    def luaShaped: Option[DataFrame] =
+    lazy val luaShaped: Option[DataFrame] =
       cfg.luaScript.map(
         graft.transform.LuaQueue.records(batch, _, cfg.luaLibs))
-    val n = (url, luaShaped) match {
-      // a lua script's shaped records ride the SHARED routing
-      // ([[graft.sinks.ShapedQueue]] — the same leg QRep dest_url
-      // publishes through); the branches below are the no-script
-      // defaults off the raw change frame
-      case (u, Some(sh)) if !u.startsWith("es://") =>
-        graft.sinks.ShapedQueue.publish(sh, u,
-          scriptAssignsPartitions = true)
-      case (kafka(h, p, q), None) =>
-        val params = graft.sinks.ShapedQueue.kafkaParams(q)
-        // partitioner=manual (the reference's kgo.ManualPartitioner
-        // knob, kafka.go:106-107) needs a script's explicit
-        // `partition` field — the default JSON records never assign
-        if (params.get("partitioner")
-            .exists(_.equalsIgnoreCase("manual")))
-          throw new IllegalArgumentException(
-            "kafka: partitioner=manual needs a script that assigns " +
-              "partitions (script_lang 'lua')")
-        graft.sinks.KafkaPublish.publish(
-          graft.sinks.QueueSink.defaultRecords(changes),
-          h, p.toInt,
-          acks = params.get("acks").map(_.toInt).getOrElse(-1),
-          // ssh=user:pass@bastion[:port] — the destination socket
-          // rides the same tunnel stack as the capture sources
-          sshSpec = params.get("ssh"))
-      case (u, None) if u.startsWith("eventhubs://") =>
-        // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
-        // partition routing + per-(hub, partition) ordered batches
-        // over the public REST send API with SAS auth
-        val ep = graft.cdc.CaptureEndpoint.parse(u)
-        val ns = if (ep.database.nonEmpty) ep.database else "ns"
-        graft.sinks.EventHubsSink.publish(
-          graft.sinks.EventHubsSink.defaultRecords(changes,
-            namespace = ns,
-            partitionCount = ep.param("partition_count", "4").toInt,
-            maxPerBatch = ep.param("max_per_batch", "500").toInt), u)
-      case (u, None) if u.startsWith("pubsub://") =>
-        // live Pub/Sub publish (pubsub.go SyncRecords): per-key
-        // ordered batches over the public REST API; the queue HWM
-        // below is the SetLastOffset role — a failed publish throws
-        // before it advances, so the batch redelivers
-        graft.sinks.PubSubSink.publish(
-          graft.sinks.PubSubSink.defaultRecords(changes), u)
-      case (es(h, p), _) =>
+    val n = url match {
+      // es:// never consults the script (GraftSql excludes es from
+      // queue-hook destinations — its _id contract has no hook), so
+      // the shaped frame must not even be PLANNED for it
+      case es(h, p) =>
         // Stamp the id-scheme marker BEFORE reading the prior HWM is
         // overwritten below: a mirror publishing its FIRST batch today
         // provably holds only current-scheme documents; one that
@@ -1117,7 +1078,44 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
             if (queueHighWaterMark.isEmpty) EsIdScheme.Current
             else EsIdScheme.Legacy, hadoopConf)
         publishEs(changes, s"http://$h:$p")
-      case (other, _) => throw new IllegalArgumentException(
+      // a lua script's shaped records ride the SHARED routing
+      // ([[graft.sinks.ShapedQueue]] — the same leg QRep dest_url
+      // publishes through)
+      case u if luaShaped.isDefined =>
+        graft.sinks.ShapedQueue.publish(luaShaped.get, u,
+          scriptAssignsPartitions = true)
+      // no-script defaults off the raw change frame
+      case kafka(h, p, q) =>
+        val params = graft.sinks.ShapedQueue.kafkaParams(q)
+        // the default JSON records never assign partitions
+        graft.sinks.ShapedQueue.requireManualHasScript(params,
+          scriptAssigns = false)
+        graft.sinks.KafkaPublish.publish(
+          graft.sinks.QueueSink.defaultRecords(changes),
+          h, p.toInt,
+          acks = params.get("acks").map(_.toInt).getOrElse(-1),
+          // ssh=user:pass@bastion[:port] — the destination socket
+          // rides the same tunnel stack as the capture sources
+          sshSpec = params.get("ssh"))
+      case u if u.startsWith("eventhubs://") =>
+        // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
+        // partition routing + per-(hub, partition) ordered batches
+        // over the public REST send API with SAS auth
+        val ep = graft.cdc.CaptureEndpoint.parse(u)
+        val ns = if (ep.database.nonEmpty) ep.database else "ns"
+        graft.sinks.EventHubsSink.publish(
+          graft.sinks.EventHubsSink.defaultRecords(changes,
+            namespace = ns,
+            partitionCount = ep.param("partition_count", "4").toInt,
+            maxPerBatch = ep.param("max_per_batch", "500").toInt), u)
+      case u if u.startsWith("pubsub://") =>
+        // live Pub/Sub publish (pubsub.go SyncRecords): per-key
+        // ordered batches over the public REST API; the queue HWM
+        // below is the SetLastOffset role — a failed publish throws
+        // before it advances, so the batch redelivers
+        graft.sinks.PubSubSink.publish(
+          graft.sinks.PubSubSink.defaultRecords(changes), url)
+      case other => throw new IllegalArgumentException(
         "queue url must be kafka://host:port[?acks=N][&ssh=u:p@host], " +
           "es://host:port, pubsub://host:port/project[?token=…] or " +
           s"eventhubs://host:port/ns?key_name=…&key=…, got '$other'")

@@ -102,7 +102,7 @@ final case class QRepConfig(
     fullResync: Boolean = false)
 
 object QRepRunner {
-  val EsUrl = "^es://([^:/?]+):(\\d+)/?$".r
+  val EsUrl = graft.sinks.ShapedQueue.EsUrl
 
   /** Queue destination schemes the QRep disposition routes to a
     * publish instead of a SQL load — the reference's QRep sync

@@ -265,8 +265,10 @@ object AvroStage {
         s"unsupported avro codec '$other'")
     }
 
-  /** Write a standard Avro OCF to `out`. `codec`: "null" or
-    * "deflate" (per-block RFC 1951, the OCF spec's deflate codec). */
+  /** Write a standard Avro OCF to `out`. `codec`: any of [[Codecs]]
+    * ("null", "deflate" = per-block RFC 1951, "snappy" = block +
+    * trailing CRC32 of the uncompressed data, "zstandard" = one zstd
+    * frame per block — the OCF spec's codec definitions). */
   def writeContainer(out: OutputStream, schemaJson: String,
       records: Iterator[Array[Byte]], recordsPerBlock: Int = 4096,
       sync: Array[Byte] = null, codec: String = "null"): Unit = {

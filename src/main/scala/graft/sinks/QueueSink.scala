@@ -98,6 +98,18 @@ object QueueSink {
 object ShapedQueue {
 
   val KafkaUrl = "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
+  val EsUrl = "^es://([^:/?]+):(\\d+)/?$".r
+
+  /** kgo.ManualPartitioner's precondition (kafka.go:106-107), shared
+    * by the shaped and default kafka legs: only an explicit script
+    * can assign partitions. */
+  def requireManualHasScript(params: Map[String, String],
+      scriptAssigns: Boolean): Unit =
+    if (params.get("partitioner").exists(_.equalsIgnoreCase("manual"))
+        && !scriptAssigns)
+      throw new IllegalArgumentException(
+        "kafka: partitioner=manual needs a script that assigns " +
+          "partitions (script_lang 'lua')")
 
   def kafkaParams(q: String): Map[String, String] =
     Option(q).getOrElse("").split("&").iterator
@@ -120,10 +132,7 @@ object ShapedQueue {
       val params = kafkaParams(q)
       val manual = params.get("partitioner")
         .exists(_.equalsIgnoreCase("manual"))
-      if (manual && !scriptAssignsPartitions)
-        throw new IllegalArgumentException(
-          "kafka: partitioner=manual needs a script that assigns " +
-            "partitions (script_lang 'lua')")
+      requireManualHasScript(params, scriptAssignsPartitions)
       KafkaPublish.publish(
         shaped.select("topic", "key", "value", "headers", "partition"),
         h, p.toInt,

@@ -317,18 +317,28 @@ class QRepQueueSpec extends SparkSpec {
       }
       assert(e2.getMessage.contains("the index is dest_table"), e2)
 
-      // zstandard stages fine but Snowflake/BigQuery parse the files
-      // SERVER-side and support only deflate/snappy Avro blocks —
-      // fail the CREATE, not every load
+      // zstandard stages fine but a destination that parses the files
+      // SERVER-side (BigQuery load jobs = load_uri_base, Snowflake
+      // external stage = stage_url) takes only deflate/snappy Avro
+      // blocks — fail the CREATE, not every load. WITHOUT those
+      // params the same schemes ride the engine-parsed insert legs,
+      // where every codec works — accepted.
       val e3 = intercept[IllegalArgumentException] {
         run("CREATE MIRROR qqz FROM qqsrc TO qqdst FOR " +
           "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
           "{{.end}} $$ WITH (watermark_column 'k', " +
           s"source_table 'rows', dest_dir '$base/dest4', " +
-          "dest_url 'bigquery://h:1/p/d?token=t', " +
+          "dest_url 'bigquery://h:1/p/d?token=t&load_uri_base=gs', " +
           "stage_codec 'zstandard')")
       }
       assert(e3.getMessage.contains("deflate/snappy"), e3)
+      run("CREATE MIRROR qqz2 FROM qqsrc TO qqdst FOR " +
+        "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+        "{{.end}} $$ WITH (watermark_column 'k', " +
+        s"source_table 'rows', dest_dir '$base/dest5', " +
+        "dest_url 'bigquery://h:1/p/d?token=t', " +
+        "stage_codec 'zstandard')") // engine-parsed insert leg: fine
+      run("DROP MIRROR qqz2")
 
       run("DROP MIRROR qq"); run("DROP SCRIPT qq_route")
     } finally {
