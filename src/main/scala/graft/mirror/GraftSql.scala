@@ -1015,17 +1015,22 @@ object GraftSql {
   /** Queue URL shape check shared by the CDC `queue_url` and the QRep
     * queue-scheme `dest_url` slots — a typo'd scheme/shape fails the
     * CREATE, not the first batch/EXECUTE. */
-  private def requireQueueUrlShape(u: String, opt: String): Unit =
-    require(u.matches("^kafka://[^:/?]+:\\d+(\\?.*)?$") ||
-      u.matches("^es://[^:/?]+:\\d+/?$") ||
-      u.matches("^pubsub://[^:/?]+:\\d+/[^/?]+(\\?.*)?$") ||
-      u.matches("^eventhubs://[^:/?]+:\\d+/[^/?]+(\\?.*)?$"),
+  private def requireQueueUrlShape(u: String, opt: String): Unit = {
+    // the SAME patterns the runtime routing matches on
+    // ([[graft.sinks.ShapedQueue]]) — validation and routing cannot
+    // drift apart
+    import graft.sinks.ShapedQueue._
+    require(KafkaUrl.findFirstIn(u).isDefined ||
+      EsUrl.findFirstIn(u).isDefined ||
+      PubSubUrl.findFirstIn(u).isDefined ||
+      EventHubsUrl.findFirstIn(u).isDefined,
       s"CREATE MIRROR: $opt must be " +
         "kafka://host:port[?acks=N][&ssh=user:pass@host], " +
         "es://host:port (no path — the index is dest_table on QRep), " +
         "pubsub://host:port/project[?token=…] or " +
         "eventhubs://host:port/namespace?key_name=…&key=…, " +
         s"got '$u'")
+  }
 
   /** True when this destination URL makes the WAREHOUSE parse the
     * staged Avro files itself — Snowflake's external-stage COPY
@@ -1034,13 +1039,19 @@ object GraftSql {
     * params the same schemes take the insert legs, where the
     * ENGINE's readers decode the files (every codec fine). */
   private def serverParsesAvro(url: String): Boolean =
-    scala.util.Try {
+    if (!url.startsWith("snowflake://") &&
+        !url.startsWith("bigquery://")) false
+    else {
+      // parse failures PROPAGATE: CaptureEndpoint.parse is the same
+      // parser EXECUTE uses, so an unparseable URL here is a broken
+      // destination that should fail the CREATE, not slip past the
+      // codec gate and die at the first batch
       val ep = graft.cdc.CaptureEndpoint.parse(url)
       (url.startsWith("snowflake://") &&
         ep.params.contains("stage_url")) ||
       (url.startsWith("bigquery://") &&
         ep.params.contains("load_uri_base"))
-    }.getOrElse(false)
+    }
 
   /** `stage_codec` option → a validated avro.codec for the staging
     * OCFs; rejects unknown codecs at DDL time, not first EXECUTE.

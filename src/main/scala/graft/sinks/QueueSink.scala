@@ -99,17 +99,25 @@ object ShapedQueue {
 
   val KafkaUrl = "^kafka://([^:/?]+):(\\d+)(?:\\?(.*))?$".r
   val EsUrl = "^es://([^:/?]+):(\\d+)/?$".r
+  // shape-only owners for the two path-carrying schemes (project /
+  // namespace ride the path) — DDL validation and runtime routing
+  // read the SAME patterns so they cannot drift
+  val PubSubUrl = "^pubsub://[^:/?]+:\\d+/[^/?]+(\\?.*)?$".r
+  val EventHubsUrl = "^eventhubs://[^:/?]+:\\d+/[^/?]+(\\?.*)?$".r
 
   /** kgo.ManualPartitioner's precondition (kafka.go:106-107), shared
     * by the shaped and default kafka legs: only an explicit script
-    * can assign partitions. */
+    * can assign partitions. Returns the manual flag. */
   def requireManualHasScript(params: Map[String, String],
-      scriptAssigns: Boolean): Unit =
-    if (params.get("partitioner").exists(_.equalsIgnoreCase("manual"))
-        && !scriptAssigns)
+      scriptAssigns: Boolean): Boolean = {
+    val manual = params.get("partitioner")
+      .exists(_.equalsIgnoreCase("manual"))
+    if (manual && !scriptAssigns)
       throw new IllegalArgumentException(
         "kafka: partitioner=manual needs a script that assigns " +
           "partitions (script_lang 'lua')")
+    manual
+  }
 
   def kafkaParams(q: String): Map[String, String] =
     Option(q).getOrElse("").split("&").iterator
@@ -130,9 +138,8 @@ object ShapedQueue {
       scriptAssignsPartitions: Boolean): Long = url match {
     case KafkaUrl(h, p, q) =>
       val params = kafkaParams(q)
-      val manual = params.get("partitioner")
-        .exists(_.equalsIgnoreCase("manual"))
-      requireManualHasScript(params, scriptAssignsPartitions)
+      val manual =
+        requireManualHasScript(params, scriptAssignsPartitions)
       KafkaPublish.publish(
         shaped.select("topic", "key", "value", "headers", "partition"),
         h, p.toInt,

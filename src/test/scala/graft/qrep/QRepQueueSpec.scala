@@ -340,6 +340,29 @@ class QRepQueueSpec extends SparkSpec {
         "stage_codec 'zstandard')") // engine-parsed insert leg: fine
       run("DROP MIRROR qqz2")
 
+      // the snowflake/stage_url branch of the same gate
+      val e4 = intercept[IllegalArgumentException] {
+        run("CREATE MIRROR qqz3 FROM qqsrc TO qqdst FOR " +
+          "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+          "{{.end}} $$ WITH (watermark_column 'k', " +
+          s"source_table 'rows', dest_dir '$base/dest6', " +
+          "dest_url 'snowflake://h:1/db/sch?token=t&stage_url=s3x', " +
+          "stage_codec 'zstandard')")
+      }
+      assert(e4.getMessage.contains("deflate/snappy"), e4)
+
+      // …and the CDC mirror's warehouse_url slot rides the SAME
+      // staging legs — the gate must cover it too
+      val e5 = intercept[IllegalArgumentException] {
+        run(s"""CREATE MIRROR qqcdc WITH (
+           |  wal_dir '$base/wal', dest_dir '$base/cdcdest',
+           |  checkpoint_dir '$base/cdcckpt', pk 'k',
+           |  table 'dest.t', schema 'k BIGINT, v BIGINT',
+           |  warehouse_url 'snowflake://h:1/db/sch?stage_url=s3x',
+           |  stage_codec 'zstandard')""".stripMargin)
+      }
+      assert(e5.getMessage.contains("deflate/snappy"), e5)
+
       run("DROP MIRROR qq"); run("DROP SCRIPT qq_route")
     } finally {
       broker.stop()
