@@ -968,6 +968,16 @@ object GraftSql {
         * their implicit default — is accepted. */
       requireTemplate: Boolean = true): Unit = {
     stageCodecOf(o) // unknown codecs fail the CREATE
+    // uuid-prefixed file destinations cannot refresh (fresh keys per
+    // round — nothing to replace), so Overwrite + s3_uuid_prefix is a
+    // CREATE-time contradiction
+    if (o.get("s3_uuid_prefix").exists(_.toBoolean) &&
+        o.getOrElse("mode", "append") == "overwrite" &&
+        o.get("dest_url").exists(_.startsWith("s3path://")))
+      throw new IllegalArgumentException(
+        "CREATE MIRROR (QRep): s3_uuid_prefix cannot refresh — " +
+          "Overwrite needs the same-key layout to replace prior " +
+          "rounds; use mode 'append' or drop the prefix")
     // a queue-scheme dest_url gets the SAME shape validation the CDC
     // queue_url slot has — accepting 'es://host:port/myindex' or a
     // port-less kafka URL at CREATE and failing EXECUTE with a
@@ -1011,6 +1021,15 @@ object GraftSql {
           "'overwrite' and a live SQL dest_url (build-aside + atomic " +
           "swap — a queue/file destination has no table to swap)")
   }
+
+  /** PEERDB_S3_UUID_PREFIX resolution: the per-mirror
+    * `s3_uuid_prefix` WITH option wins over the declared setting
+    * (`spark.graft.qrep.s3_uuid_prefix`), default false — dynLookup's
+    * flow-env-over-catalog-over-default order. */
+  private def s3UuidPrefixOf(spark: SparkSession,
+      o: Map[String, String]): Boolean =
+    o.get("s3_uuid_prefix").map(_.toBoolean).getOrElse(
+      Settings.get(spark, "qrep.s3_uuid_prefix").exists(_.toBoolean))
 
   /** Queue URL shape check shared by the CDC `queue_url` and the QRep
     * queue-scheme `dest_url` slots — a typo'd scheme/shape fails the
@@ -1209,6 +1228,7 @@ object GraftSql {
         // key; the mirror name is the natural default
         flowName = o.get("flow_name").filter(_.nonEmpty)
           .getOrElse(p.name),
+        s3UuidPrefix = s3UuidPrefixOf(sess, o),
         fullResync =
           o.get("dst_table_full_resync").exists(_.toBoolean))
     }
@@ -1345,6 +1365,7 @@ object GraftSql {
       stageCodec = stageCodecOf(o),
       flowName = o.get("flow_name").filter(_.nonEmpty)
         .getOrElse(p.name),
+      s3UuidPrefix = s3UuidPrefixOf(sess, o),
       fullResync =
         o.get("dst_table_full_resync").exists(_.toBoolean))
     val source = liveUrl match {

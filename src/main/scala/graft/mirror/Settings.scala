@@ -74,6 +74,13 @@ object Settings {
         "set, every EXECUTE/RESUME MIRROR attaches an OTLP exporter " +
         "for its gauge set — the enabled path of otel_manager.go " +
         "(OTEL_EXPORTER_OTLP_PROTOCOL http/protobuf); empty disables"),
+    Setting("qrep.s3_uuid_prefix", Some("false"), "bool",
+      "PEERDB_S3_UUID_PREFIX (dynamicconf.go:841): file-Avro QRep " +
+        "destinations (dest_url 's3path://…') write under a fresh " +
+        "uuid prefix per round — keys never collide across job " +
+        "re-creations, at the cost of retried rounds appending new " +
+        "files instead of rewriting; the per-mirror s3_uuid_prefix " +
+        "WITH option overrides"),
     Setting("maintenance.skipped_snapshot_wait_flows", Some(""), "string",
       "Comma-joined flow names whose in-flight snapshots the " +
         "maintenance drain skips waiting for — the " +

@@ -87,6 +87,15 @@ final case class QRepConfig(
       * hooks may live in ONE script — transformRow shapes the pulled
       * rows first (AttachToStream), then onRecord routes them. */
     queueScript: Option[String] = None,
+    /** PEERDB_S3_UUID_PREFIX (dynamicconf.go:841, s3/qrep.go:76-82):
+      * the s3path:// layout becomes `<dir>/<uuid>/<flow>/<round>/`
+      * with a FRESH uuid per round — keys never collide across job
+      * re-creations, at the reference's own cost: a retried round
+      * writes NEW files instead of overwriting (at-least-once
+      * duplicates; the manifest-last contract still marks only
+      * complete rounds). Incompatible with Overwrite, which needs the
+      * same-key layout to refresh. */
+    s3UuidPrefix: Boolean = false,
     /** `avro.codec` of the staged OCFs on the live-destination bulk
       * legs ([[graft.sinks.AvroStage.Codecs]] — avro_writer.go:38,80).
       * The engine's readers auto-detect from the file header; the
@@ -288,7 +297,16 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     * API: at scale `<dir>` is s3a://bucket/prefix. */
   private def writeAvroDest(dir: String, payload: DataFrame,
       roundKey: String): Long = {
-    val flowDir = s"$dir/${cfg.flowName}"
+    require(!(cfg.s3UuidPrefix && cfg.mode == WriteMode.Overwrite),
+      "s3_uuid_prefix cannot refresh: Overwrite needs the same-key " +
+        "layout to replace prior rounds")
+    // uuid-prefixed layout (PEERDB_S3_UUID_PREFIX,
+    // s3/qrep.go:76-82): <dir>/<uuid>/<flow>/… — fresh keys every
+    // round, retries append new files instead of rewriting
+    val flowDir =
+      if (cfg.s3UuidPrefix)
+        s"$dir/${java.util.UUID.randomUUID()}/${cfg.flowName}"
+      else s"$dir/${cfg.flowName}"
     val roundDir = s"$flowDir/$roundKey"
     val hc = spark.sparkContext.hadoopConfiguration
     // Overwrite is FULL-REFRESH: the destination equals exactly this

@@ -166,6 +166,37 @@ class QRepAvroDestSpec extends SparkSpec {
       Map(1L -> 1002L, 2L -> 1004L, 3L -> 1006L))
   }
 
+  test("s3_uuid_prefix (PEERDB_S3_UUID_PREFIX, dynamicconf.go:841): " +
+    "each round lands under a FRESH uuid level — keys never collide " +
+    "across job re-creations, and the whole file set still replays " +
+    "to the union of the increments; Overwrite + prefix is rejected " +
+    "(nothing to refresh against fresh keys)") {
+    val base = tmpDir("qrepavro_uuid")
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/ignored", s"$base/wm", WriteMode.Append, 2,
+      destUrl = Some(s"s3path://$base/out"), flowName = "f",
+      s3UuidPrefix = true))
+    def src(n: Long) =
+      spark.range(1, n + 1).selectExpr("id AS k", "id * 2 AS v")
+    assert(runner.runOnce(src(20)) == 20L)
+    assert(runner.runOnce(src(30)) == 10L)
+    val p = new org.apache.hadoop.fs.Path(s"$base/out")
+    val fs = p.getFileSystem(hc)
+    val uuidDirs = fs.listStatus(p).map(_.getPath.getName).toSeq
+    assert(uuidDirs.size == 2, s"one uuid level per round: $uuidDirs")
+    assert(uuidDirs.forall(_.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+    assert(replay(s"$base/out").toMap ==
+      (1L to 30L).map(k => k -> k * 2).toMap)
+
+    val ow = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/ignored2", s"$base/wm2", WriteMode.Overwrite, 2,
+      destUrl = Some(s"s3path://$base/out2"), flowName = "f",
+      s3UuidPrefix = true))
+    val e = intercept[IllegalArgumentException] { ow.runOnce(src(5)) }
+    assert(e.getMessage.contains("same-key layout"))
+  }
+
   test("DDL: dest_url 's3path://…' through CREATE/EXECUTE MIRROR; " +
     "dst_table_full_resync against a file destination is rejected") {
     import org.apache.spark.sql.SparkSession
