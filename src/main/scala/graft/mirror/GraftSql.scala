@@ -1031,6 +1031,18 @@ object GraftSql {
     o.get("s3_uuid_prefix").map(_.toBoolean).getOrElse(
       Settings.get(spark, "qrep.s3_uuid_prefix").exists(_.toBoolean))
 
+  /** PEERDB_S3_BYTES_PER_AVRO_FILE resolution (same override order);
+    * a negative bound is a CREATE error. */
+  private def stageBytesPerFileOf(spark: SparkSession,
+      o: Map[String, String]): Long = {
+    val v = o.get("stage_bytes_per_file").map(_.toLong).getOrElse(
+      Settings.getLong(spark, "qrep.bytes_per_avro_file"))
+    if (v < 0) throw new IllegalArgumentException(
+      s"stage_bytes_per_file must be >= 0 (0 = one file per " +
+        s"partition), got $v")
+    v
+  }
+
   /** Queue URL shape check shared by the CDC `queue_url` and the QRep
     * queue-scheme `dest_url` slots — a typo'd scheme/shape fails the
     * CREATE, not the first batch/EXECUTE. */
@@ -1229,6 +1241,7 @@ object GraftSql {
         flowName = o.get("flow_name").filter(_.nonEmpty)
           .getOrElse(p.name),
         s3UuidPrefix = s3UuidPrefixOf(sess, o),
+        stageBytesPerFile = stageBytesPerFileOf(sess, o),
         fullResync =
           o.get("dst_table_full_resync").exists(_.toBoolean))
     }
@@ -1366,6 +1379,7 @@ object GraftSql {
       flowName = o.get("flow_name").filter(_.nonEmpty)
         .getOrElse(p.name),
       s3UuidPrefix = s3UuidPrefixOf(sess, o),
+      stageBytesPerFile = stageBytesPerFileOf(sess, o),
       fullResync =
         o.get("dst_table_full_resync").exists(_.toBoolean))
     val source = liveUrl match {

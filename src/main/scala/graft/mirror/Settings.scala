@@ -74,6 +74,13 @@ object Settings {
         "set, every EXECUTE/RESUME MIRROR attaches an OTLP exporter " +
         "for its gauge set — the enabled path of otel_manager.go " +
         "(OTEL_EXPORTER_OTLP_PROTOCOL http/protobuf); empty disables"),
+    Setting("qrep.bytes_per_avro_file", Some("1000000000"), "uint",
+      "PEERDB_S3_BYTES_PER_AVRO_FILE (dynamicconf.go:228): staged/" +
+        "destination Avro files roll at this pre-compression byte " +
+        "bound — large unpartitioned initial loads otherwise " +
+        "produce single arbitrarily large files; 0 writes one file " +
+        "per partition; the per-mirror stage_bytes_per_file WITH " +
+        "option overrides"),
     Setting("qrep.s3_uuid_prefix", Some("false"), "bool",
       "PEERDB_S3_UUID_PREFIX (dynamicconf.go:841): file-Avro QRep " +
         "destinations (dest_url 's3path://…') write under a fresh " +

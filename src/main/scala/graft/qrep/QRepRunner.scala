@@ -87,6 +87,13 @@ final case class QRepConfig(
       * hooks may live in ONE script — transformRow shapes the pulled
       * rows first (AttachToStream), then onRecord routes them. */
     queueScript: Option[String] = None,
+    /** PEERDB_S3_BYTES_PER_AVRO_FILE (dynamicconf.go:228, clickhouse/
+      * avro_sync.go:159): staged/destination OCFs roll to a new file
+      * once their PRE-compression payload reaches this bound — large
+      * unpartitioned initial loads otherwise produce single
+      * arbitrarily large files, losing loader-side COPY parallelism
+      * and retry granularity. 0 = one file per partition. */
+    stageBytesPerFile: Long = 1000000000L,
     /** PEERDB_S3_UUID_PREFIX (dynamicconf.go:841, s3/qrep.go:76-82):
       * the s3path:// layout becomes `<dir>/<uuid>/<flow>/<round>/`
       * with a FRESH uuid per round — keys never collide across job
@@ -327,7 +334,8 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     val counter = spark.sparkContext.longAccumulator(
       "graft_qrep_avro_rows")
     val files = graft.sinks.AvroStage.write(payload, roundDir,
-      cfg.stageCodec, counter)
+      cfg.stageCodec, counter,
+      maxBytesPerFile = cfg.stageBytesPerFile)
     val n = counter.value
     val fileList = files.map(f => "\"" +
       f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
@@ -449,7 +457,8 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       // stage BEFORE opening any transaction: the Spark job is the
       // slow leg and must not hold server locks while it runs
       val files = graft.sinks.AvroStage.write(df,
-        s"${cfg.destDir}/_stage/$runId", cfg.stageCodec)
+        s"${cfg.destDir}/_stage/$runId", cfg.stageCodec,
+        maxBytesPerFile = cfg.stageBytesPerFile)
       val qualified = graft.sinks.MergeSqlGenerator.qualified(
         cfg.destTable, dialect)
       (exec, truncateFirst) match {
@@ -540,7 +549,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       exec.execute("DROP TABLE IF EXISTS " + graft.sinks
         .MergeSqlGenerator.qualified(target.stagingTable, dialect))
       loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId",
-        cfg.stageCodec)
+        cfg.stageCodec, cfg.stageBytesPerFile)
     } finally close()
   }
 }

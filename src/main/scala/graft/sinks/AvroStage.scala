@@ -269,19 +269,15 @@ object AvroStage {
     * ("null", "deflate" = per-block RFC 1951, "snappy" = block +
     * trailing CRC32 of the uncompressed data, "zstandard" = one zstd
     * frame per block — the OCF spec's codec definitions). */
-  def writeContainer(out: OutputStream, schemaJson: String,
-      records: Iterator[Array[Byte]], recordsPerBlock: Int = 4096,
-      sync: Array[Byte] = null, codec: String = "null"): Unit = {
-    require(Codecs(codec), s"unsupported avro codec '$codec' " +
-      s"(supported: ${Codecs.toSeq.sorted.mkString(", ")})")
-    val marker = if (sync != null) sync else {
-      // deterministic per-content marker is unnecessary; random is the
-      // spec's own suggestion
-      val b = new Array[Byte](16)
-      new java.security.SecureRandom().nextBytes(b)
-      b
-    }
-    require(marker.length == 16, "sync marker is 16 bytes")
+  /** Streaming OCF writer: header on construction, `append` records,
+    * block-buffered flushes. `recordBytes` counts the PRE-compression
+    * payload — the reference's chunk-size tracker does the same
+    * (PEERDB_S3_BYTES_PER_AVRO_FILE is "bytes before compression",
+    * dynamicconf.go:228-233), so a codec change never changes where
+    * files split. */
+  private final class ContainerWriter(out: OutputStream,
+      schemaJson: String, codec: String, recordsPerBlock: Int,
+      marker: Array[Byte]) {
     out.write(Magic)
     // file metadata map: one block of 2 entries, then 0
     writeLong(out, 2L)
@@ -291,8 +287,18 @@ object AvroStage {
       codec.getBytes(StandardCharsets.UTF_8))
     writeLong(out, 0L)
     out.write(marker)
-    val buf = new ByteArrayOutputStream()
-    var n = 0
+
+    var recordBytes = 0L
+    private val buf = new ByteArrayOutputStream()
+    private var n = 0
+
+    def append(r: Array[Byte]): Unit = {
+      buf.write(r, 0, r.length)
+      recordBytes += r.length
+      n += 1
+      if (n >= recordsPerBlock) flush()
+    }
+
     def flush(): Unit = if (n > 0) {
       writeLong(out, n.toLong)
       if (codec == "null") {
@@ -306,11 +312,29 @@ object AvroStage {
       out.write(marker)
       buf.reset(); n = 0
     }
-    records.foreach { r =>
-      buf.write(r, 0, r.length); n += 1
-      if (n >= recordsPerBlock) flush()
+  }
+
+  private def newMarker(sync: Array[Byte]): Array[Byte] = {
+    val marker = if (sync != null) sync else {
+      // deterministic per-content marker is unnecessary; random is the
+      // spec's own suggestion
+      val b = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(b)
+      b
     }
-    flush()
+    require(marker.length == 16, "sync marker is 16 bytes")
+    marker
+  }
+
+  def writeContainer(out: OutputStream, schemaJson: String,
+      records: Iterator[Array[Byte]], recordsPerBlock: Int = 4096,
+      sync: Array[Byte] = null, codec: String = "null"): Unit = {
+    require(Codecs(codec), s"unsupported avro codec '$codec' " +
+      s"(supported: ${Codecs.toSeq.sorted.mkString(", ")})")
+    val w = new ContainerWriter(out, schemaJson, codec,
+      recordsPerBlock, newMarker(sync))
+    records.foreach(w.append)
+    w.flush()
   }
 
   /** Stage a DataFrame as one `.avro` OCF per partition under `dir`
@@ -326,8 +350,15 @@ object AvroStage {
         * live pull could disagree with the files). Accumulator
         * updates inside an action apply exactly once per successful
         * task. */
-      rowCounter: org.apache.spark.util.LongAccumulator = null)
-      : Seq[String] = {
+      rowCounter: org.apache.spark.util.LongAccumulator = null,
+      /** Roll to a new file once a file's PRE-compression record
+        * payload reaches this bound — PEERDB_S3_BYTES_PER_AVRO_FILE
+        * (dynamicconf.go:228: "needed for large unpartitioned
+        * initial loads"; the reference defaults 1 GB). Bounded files
+        * keep the warehouse-side COPY/load parallelism and retry
+        * granularity independent of partition size. 0 = one file per
+        * partition (the historical layout and file names). */
+      maxBytesPerFile: Long = 0L): Seq[String] = {
     require(Codecs(codec), s"unsupported avro codec '$codec'")
     val schema = df.schema
     val json = schemaJson(schema)
@@ -336,17 +367,40 @@ object AvroStage {
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val path = new org.apache.hadoop.fs.Path(
-          dir, f"part-$i%05d.avro")
-        val fs = path.getFileSystem(conf.value)
-        val out = fs.create(path, true)
+        val files = Seq.newBuilder[String]
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(conf.value)
+        var seq = 0
+        var out: java.io.OutputStream = null
+        var w: ContainerWriter = null
+        def open(): Unit = {
+          val path = new org.apache.hadoop.fs.Path(dir,
+            if (maxBytesPerFile > 0) f"part-$i%05d-$seq%04d.avro"
+            else f"part-$i%05d.avro")
+          seq += 1
+          out = fs.create(path, true)
+          w = new ContainerWriter(out, json, codec, 4096,
+            newMarker(null))
+          files += path.toString
+        }
+        def close(): Unit = if (out != null) {
+          w.flush(); out.close(); out = null
+        }
         var n = 0L
-        try writeContainer(out, json,
-          rows.map { r => n += 1; encodeRow(schema, r) },
-          codec = codec)
-        finally out.close()
+        try {
+          // the NEXT record opens the next file (closing eagerly at
+          // the threshold would leave an empty header-only trailer
+          // when the bound lands exactly on the last record)
+          rows.foreach { r =>
+            if (out == null) open()
+            w.append(encodeRow(schema, r))
+            n += 1
+            if (maxBytesPerFile > 0 &&
+                w.recordBytes >= maxBytesPerFile) close()
+          }
+        } finally close()
         if (rowCounter != null) rowCounter.add(n)
-        Iterator(path.toString)
+        files.result().iterator
       }
     }.collect().toSeq
   }

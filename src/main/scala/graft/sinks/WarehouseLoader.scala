@@ -87,12 +87,16 @@ final class WarehouseLoader(
         * ~4-8× less stage-dir/object-storage traffic on the wide JSON
         * batches (avro_writer.go:38,80); readers auto-detect from the
         * file header, so the loaders need no flag. */
-      stageCodec: String = "null"): Seq[String] = {
+      stageCodec: String = "null",
+      /** PEERDB_S3_BYTES_PER_AVRO_FILE: roll staged files at this
+        * pre-compression bound (0 = one per partition). */
+      stageBytesPerFile: Long = 0L): Seq[String] = {
     val staged = MergeSqlGenerator.stageFrame(normalized)
     // combos BEFORE staging: the branch set must describe exactly this
     // batch (a stale set silently skips updates — see merge() scaladoc)
     val combos = MergeSqlGenerator.absentCombosOf(staged)
-    val files = AvroStage.write(staged, stageDir, stageCodec)
+    val files = AvroStage.write(staged, stageDir, stageCodec,
+      maxBytesPerFile = stageBytesPerFile)
     exec.execute(MergeSqlGenerator.createStaging(target, staged.schema,
       dialect))
     exec.loadAvro(target.stagingTable, files, staged.schema)

