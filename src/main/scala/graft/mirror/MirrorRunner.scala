@@ -1096,7 +1096,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           acks = params.get("acks").map(_.toInt).getOrElse(-1),
           // ssh=user:pass@bastion[:port] — the destination socket
           // rides the same tunnel stack as the capture sources
-          sshSpec = params.get("ssh"))
+          sshSpec = params.get("ssh"),
+          forceTopicCreation = graft.sinks.ShapedQueue
+            .forceTopicCreationOf(params, spark))
       case u if u.startsWith("eventhubs://") =>
         // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
         // partition routing + per-(hub, partition) ordered batches

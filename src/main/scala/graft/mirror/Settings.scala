@@ -74,6 +74,11 @@ object Settings {
         "set, every EXECUTE/RESUME MIRROR attaches an OTLP exporter " +
         "for its gauge set — the enabled path of otel_manager.go " +
         "(OTEL_EXPORTER_OTLP_PROTOCOL http/protobuf); empty disables"),
+    Setting("queue.force_topic_creation", Some("false"), "bool",
+      "PEERDB_QUEUE_FORCE_TOPIC_CREATION (dynamicconf.go:236): a " +
+        "kafka topic the broker doesn't know gets created (1 " +
+        "partition, replication 3) instead of failing the batch; " +
+        "the per-url force_topic_creation param overrides"),
     Setting("qrep.bytes_per_avro_file", Some("1000000000"), "uint",
       "PEERDB_S3_BYTES_PER_AVRO_FILE (dynamicconf.go:228): staged/" +
         "destination Avro files roll at this pre-compression byte " +

@@ -39,6 +39,7 @@ object KafkaWire {
     val Produce = 0
     val Metadata = 3
     val ApiVersions = 18
+    val CreateTopics = 19
   }
 
   /** Kafka protocol error codes surfaced by this client. */
@@ -49,6 +50,7 @@ object KafkaWire {
     val NotLeaderOrFollower = 6
     val RequestTimedOut = 7
     val NotEnoughReplicas = 19
+    val TopicAlreadyExists = 36
     def name(code: Int): String = code match {
       case 0 => "NONE"
       case 1 => "OFFSET_OUT_OF_RANGE"
@@ -58,6 +60,7 @@ object KafkaWire {
       case 6 => "NOT_LEADER_OR_FOLLOWER"
       case 7 => "REQUEST_TIMED_OUT"
       case 19 => "NOT_ENOUGH_REPLICAS"
+      case 36 => "TOPIC_ALREADY_EXISTS"
       case other => s"ERROR_$other"
     }
     /** The transient family the client clients retry (franz-go's
@@ -396,6 +399,29 @@ final class KafkaClient(host: String, port: Int,
     ClusterMeta(brokers, controller, tops)
   }
 
+  /** CreateTopics v0 — the force-topic-creation path
+    * (PEERDB_QUEUE_FORCE_TOPIC_CREATION: the reference calls
+    * kadm.CreateTopic with 1 partition / replication 3,
+    * kafka.go:263-274). TOPIC_ALREADY_EXISTS is success — a racing
+    * creator got there first. */
+  def createTopic(topic: String, numPartitions: Int = 1,
+      replicationFactor: Int = 3, timeoutMs: Int = 15000): Unit = {
+    val b = new Wtr().i32(1).str(topic).i32(numPartitions)
+      .i16(replicationFactor)
+      .i32(0) // replica assignments: broker-chosen
+      .i32(0) // config entries
+      .i32(timeoutMs)
+    val r = request(ApiKey.CreateTopics, 0, b.out)
+    val n = r.i32()
+    (0 until n).foreach { _ =>
+      val t = r.str()
+      val err = r.i16()
+      if (err != 0 && err != Err.TopicAlreadyExists)
+        throw new IOException(
+          s"kafka: CreateTopics $t: ${Err.name(err)}")
+    }
+  }
+
   /** Produce v3, one (topic, partition) batch per call. Returns the
     * assigned base offset; non-zero error codes throw with the
     * protocol error name. */
@@ -454,7 +480,14 @@ object KafkaPublish {
         * assignment, kafka.go:192-197) instead of the key hash; an
         * out-of-range partition fails the batch like the broker
         * would. Ignored unless the frame carries the column. */
-      manualPartitions: Boolean = false): Long = {
+      manualPartitions: Boolean = false,
+      /** PEERDB_QUEUE_FORCE_TOPIC_CREATION (dynamicconf.go:236,
+        * kafka.go:263-274): a topic the metadata doesn't know gets
+        * CREATED (1 partition, replication 3 — the reference's exact
+        * kadm call) instead of failing the batch; re-resolved after
+        * the reference's 1 s propagation throttle. Off = unknown
+        * topics fail loudly (a misrouted mirror must surface). */
+      forceTopicCreation: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val manual = manualPartitions && shaped.columns.contains("partition")
     def dialer(): graft.cdc.Ssh.Dial = sshSpec match {
@@ -470,7 +503,12 @@ object KafkaPublish {
         c.negotiate()
         val meta = c.metadata(topics)
         topics.map { t =>
-          val n = meta.partitionCount(t)
+          var n = meta.partitionCount(t)
+          if (n <= 0 && forceTopicCreation) {
+            c.createTopic(t)
+            Thread.sleep(1000L) // propagation throttle (kafka.go:279)
+            n = c.metadata(Seq(t)).partitionCount(t)
+          }
           if (n <= 0) throw new IOException(
             s"kafka: topic $t has no partitions (error ${
               meta.topics.find(_.topic == t).map(_.errorCode)

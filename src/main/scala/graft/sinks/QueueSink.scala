@@ -105,6 +105,15 @@ object ShapedQueue {
   val PubSubUrl = "^pubsub://[^:/?]+:\\d+/[^/?]+(\\?.*)?$".r
   val EventHubsUrl = "^eventhubs://[^:/?]+:\\d+/[^/?]+(\\?.*)?$".r
 
+  /** PEERDB_QUEUE_FORCE_TOPIC_CREATION resolution: the per-url
+    * `force_topic_creation` param wins over the declared setting
+    * (`spark.graft.queue.force_topic_creation`), default false. */
+  def forceTopicCreationOf(params: Map[String, String],
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    params.get("force_topic_creation").map(_.toBoolean).getOrElse(
+      graft.mirror.Settings.get(spark, "queue.force_topic_creation")
+        .exists(_.toBoolean))
+
   /** kgo.ManualPartitioner's precondition (kafka.go:106-107), shared
     * by the shaped and default kafka legs: only an explicit script
     * can assign partitions. Returns the manual flag. */
@@ -147,7 +156,9 @@ object ShapedQueue {
         // ssh=user:pass@bastion[:port] — the destination socket
         // rides the same tunnel stack as the capture sources
         sshSpec = params.get("ssh"),
-        manualPartitions = manual)
+        manualPartitions = manual,
+        forceTopicCreation =
+          forceTopicCreationOf(params, shaped.sparkSession))
     case u if u.startsWith("pubsub://") =>
       // per-key ordered publish (pubsub.go:110-125): a script `key`
       // is the ordering key; absent publishes unordered

@@ -249,6 +249,30 @@ class QRepQueueSpec extends SparkSpec {
     } finally es.stop()
   }
 
+  test("force_topic_creation through the publish leg: a broker " +
+    "WITHOUT auto-create rejects the batch by default; with the " +
+    "param the missing topic is created over CreateTopics and the " +
+    "round publishes (PEERDB_QUEUE_FORCE_TOPIC_CREATION)") {
+    val broker = KafkaTestBroker.start(autoCreate = false)
+    try {
+      val base = tmpDir("qrepqforce")
+      val e = intercept[Exception] {
+        runner(s"$base/no", s"kafka://127.0.0.1:${broker.port}")
+          .runOnce(src(3))
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("no partitions")), e.toString)
+
+      val r = runner(s"$base/yes", s"kafka://127.0.0.1:${broker.port}" +
+        "?force_topic_creation=true")
+      assert(r.runOnce(src(3)) == 3L)
+      assert(broker.topics.contains("orders"))
+      assert(broker.topicRecords("orders").size == 3)
+    } finally broker.stop()
+  }
+
   test("kafka partitioner=manual without a script is rejected on the " +
     "QRep leg too: the DefaultOnRecord image never assigns " +
     "partitions, so manual routing would silently send everything " +

@@ -108,6 +108,7 @@ object KafkaTestBroker {
             sock.close() // injected dead socket: no answer at all
             return
           case ApiKey.Produce => produceResp(r, h, autoCreate)
+          case ApiKey.CreateTopics => Some(createTopicsResp(r, h))
           case other =>
             // UNSUPPORTED_VERSION-style refusal: error for the key
             Some(new Wtr().i16(35).i32(0).out)
@@ -131,10 +132,34 @@ object KafkaTestBroker {
   private def apiVersionsResp(version: Int): Array[Byte] = {
     val w = new Wtr()
     w.i16(0) // error_code
-    w.i32(3)
+    w.i32(4)
     w.i16(ApiKey.Produce).i16(0).i16(8)
     w.i16(ApiKey.Metadata).i16(0).i16(8)
     w.i16(ApiKey.ApiVersions).i16(0).i16(0)
+    w.i16(ApiKey.CreateTopics).i16(0).i16(0)
+    w.out
+  }
+
+  /** CreateTopics v0: register each topic (TOPIC_ALREADY_EXISTS for
+    * a known one) — the force-topic-creation path's broker half. */
+  private def createTopicsResp(r: Rdr, h: Handle): Array[Byte] = {
+    val n = r.i32()
+    val results = (0 until n).map { _ =>
+      val t = r.str()
+      r.i32() // num_partitions (fixture keeps partitionsPerTopic)
+      r.i16() // replication_factor
+      val na = r.i32()
+      (0 until na).foreach { _ =>
+        r.i32(); val nr = r.i32(); (0 until nr).foreach(_ => r.i32())
+      }
+      val nc = r.i32()
+      (0 until nc).foreach { _ => r.str(); r.str() }
+      val existed = h.topics.contains(t)
+      h.createTopic(t)
+      t -> (if (existed) 36 else 0)
+    }
+    val w = new Wtr().i32(results.size)
+    results.foreach { case (t, e) => w.str(t).i16(e) }
     w.out
   }
 

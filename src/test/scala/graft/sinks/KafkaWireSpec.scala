@@ -156,6 +156,24 @@ class KafkaClientSpec extends AnyFunSuite {
       } finally c.close()
     } finally broker.stop()
   }
+
+  test("force topic creation (PEERDB_QUEUE_FORCE_TOPIC_CREATION, " +
+    "kafka.go:263-274): an unknown topic is CREATED over the " +
+    "CreateTopics wire (1 partition, rf 3 — the reference's kadm " +
+    "call) and the batch lands; re-creating an existing topic is " +
+    "TOPIC_ALREADY_EXISTS = success") {
+    val broker = KafkaTestBroker.start(partitionsPerTopic = 2,
+      autoCreate = false)
+    try {
+      // the client API: create, already-exists tolerated
+      val c = new KafkaClient("127.0.0.1", broker.port)
+      try {
+        c.createTopic("fresh")
+        assert(broker.topics.contains("fresh"))
+        c.createTopic("fresh") // TOPIC_ALREADY_EXISTS → no throw
+      } finally c.close()
+    } finally broker.stop()
+  }
 }
 
 /** Publish-path resilience: transient produce errors and dead sockets
