@@ -74,6 +74,12 @@ object Settings {
         "set, every EXECUTE/RESUME MIRROR attaches an OTLP exporter " +
         "for its gauge set — the enabled path of otel_manager.go " +
         "(OTEL_EXPORTER_OTLP_PROTOCOL http/protobuf); empty disables"),
+    Setting("queue.parallelism", Some("0"), "uint",
+      "PEERDB_QUEUE_PARALLELISM (dynamicconf.go:199): width of the " +
+        "per-partition Lua interpreter fan-out on the queue/adapt " +
+        "script stages — the reference's LuaPool size mapped onto " +
+        "the small-batch spread repartition; 0 uses the session's " +
+        "defaultParallelism"),
     Setting("queue.force_topic_creation", Some("false"), "bool",
       "PEERDB_QUEUE_FORCE_TOPIC_CREATION (dynamicconf.go:236): a " +
         "kafka topic the broker doesn't know gets created (1 " +

@@ -130,7 +130,7 @@ object LuaAdapt {
     // same single-partition spread as LuaQueue: per-record
     // interpretation parallelizes per PARTITION — a batch arriving as
     // one small scan partition would interpret single-threaded
-    val par = batch.sparkSession.sparkContext.defaultParallelism
+    val par = LuaParallelism.width(batch.sparkSession)
     val spread =
       if (batch.rdd.getNumPartitions >= math.min(4, par)) batch
       else batch.repartition(par)

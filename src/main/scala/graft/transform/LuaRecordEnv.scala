@@ -1021,7 +1021,7 @@ object LuaQueue {
     // maxPartitionBytes) would otherwise interpret single-threaded
     // while every other core idles. Spread it first; multi-partition
     // batches keep their layout (no extra shuffle on the hot path).
-    val par = batch.sparkSession.sparkContext.defaultParallelism
+    val par = LuaParallelism.width(batch.sparkSession)
     val spread =
       if (selected.rdd.getNumPartitions >= math.min(4, par)) selected
       else selected.repartition(par)
@@ -1071,7 +1071,7 @@ object LuaQueue {
     val compiled = new LuaQueueScript(script, libs)
     val enc = org.apache.spark.sql.Encoders.row(shapedSchema)
     val fields = df.schema.fields
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = LuaParallelism.width(df.sparkSession)
     val spread =
       if (df.rdd.getNumPartitions >= math.min(4, par)) df
       else df.repartition(par)

@@ -167,7 +167,7 @@ object LuaRowTransform {
       libs: Map[String, String] = Map.empty): DataFrame = {
     val compiled = new LuaRowScript(script, libs)
     val schema = df.schema
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = LuaParallelism.width(df.sparkSession)
     val spread =
       if (df.rdd.getNumPartitions >= math.min(4, par)) df
       else df.repartition(par)

@@ -235,6 +235,22 @@ class LuaQueueSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("queue.parallelism (PEERDB_QUEUE_PARALLELISM, the reference's " +
+    "LuaPool size) bounds the interpreter spread width; 0/unset " +
+    "spreads to defaultParallelism") {
+    val script = "function onRecord(r) return tostring(r.row.k) end"
+    def shapedParts(): Int = {
+      val df = spark.range(1, 100).selectExpr("id AS k").coalesce(1)
+      graft.transform.LuaQueue.typedRecords(df, script, "s", "d")
+        .rdd.getNumPartitions
+    }
+    assert(shapedParts() ==
+      spark.sparkContext.defaultParallelism, "default width")
+    spark.conf.set("spark.graft.queue.parallelism", "2")
+    try assert(shapedParts() == 2, "configured width")
+    finally spark.conf.unset("spark.graft.queue.parallelism")
+  }
+
   test("DDL validation: a lua script with a syntax error fails " +
     "CREATE SCRIPT (a hook-less one is a require-able library); a " +
     "mirror referencing a lua script keeps transformSql empty (the " +
