@@ -400,19 +400,7 @@ object GraftSql {
       o: Map[String, String]): MirrorConfig = {
     def req(k: String) = o.getOrElse(k,
       throw new IllegalArgumentException(s"CREATE MIRROR: missing '$k'"))
-    // env 'k=v,k2=v2' — per-flow dynamic-setting overrides
-    // (FlowConnectionConfigs.env, field 24); validated at DDL time so a
-    // typo'd setting name fails the CREATE, not the first batch.
-    val flowEnv: Map[String, String] = o.get("env").map { spec =>
-      spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => k.trim -> v.trim
-          case _ => throw new IllegalArgumentException(
-            s"CREATE MIRROR: env entry '$kv' must be name=value")
-        }
-      }.toMap
-    }.getOrElse(Map.empty)
-    Settings.validateEnv(flowEnv)
+    val flowEnv = flowEnvOf(o)
     val cfgResult = MirrorConfig(
       walDir = req("wal_dir"),
       rawDir = o.getOrElse("raw_dir", req("dest_dir") + "_raw"),
@@ -697,7 +685,7 @@ object GraftSql {
         })
     if (entry.kind == "qrep") {
       val o = entry.options
-      check("qrep_config") { validateQRep(o("__query"), o); "" }
+      check("qrep_config") { validateQRep(spark, o("__query"), o); "" }
       check("peers") {
         peersFor(spark).get(o("__source_peer"))
         peersFor(spark).get(o("__dest_peer"))
@@ -958,7 +946,8 @@ object GraftSql {
              else s" (allowed: ${allowed.toSeq.sorted.mkString(", ")})"))
     }
 
-  private def validateQRep(q: String, o: Map[String, String],
+  private def validateQRep(spark: SparkSession, q: String,
+      o: Map[String, String],
       /** false for pulls with no bound SQL template: document-store
         * sources (mongo:// — find() over `_id` ranges) and
         * string-watermark MySQL pulls (`partition_strategy 'string'`
@@ -968,11 +957,16 @@ object GraftSql {
         * their implicit default — is accepted. */
       requireTemplate: Boolean = true): Unit = {
     stageCodecOf(o) // unknown codecs fail the CREATE
+    stageBytesPerFileOf(spark, o) // negative/non-numeric bounds too
     // uuid-prefixed file destinations cannot refresh (fresh keys per
     // round — nothing to replace), so Overwrite + s3_uuid_prefix is a
-    // CREATE-time contradiction
-    if (o.get("s3_uuid_prefix").exists(_.toBoolean) &&
-        o.getOrElse("mode", "append") == "overwrite" &&
+    // CREATE-time contradiction — checked on the EFFECTIVE values:
+    // full-load source shapes (mongo / mysql-string) default to
+    // overwrite, and the prefix may come from the declared setting
+    if (s3UuidPrefixOf(spark, o) &&
+        o.getOrElse("mode",
+          if (requireTemplate) "append" else "overwrite")
+          == "overwrite" &&
         o.get("dest_url").exists(_.startsWith("s3path://")))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): s3_uuid_prefix cannot refresh — " +
@@ -1022,6 +1016,24 @@ object GraftSql {
           "swap — a queue/file destination has no table to swap)")
   }
 
+  /** `env 'k=v,k2=v2'` — per-flow dynamic-setting overrides
+    * (FlowConnectionConfigs.env, field 24); validated at DDL time so
+    * a typo'd setting name fails the CREATE, not the first batch.
+    * Shared by the CDC and QRep mirror forms. */
+  private def flowEnvOf(o: Map[String, String]): Map[String, String] = {
+    val env: Map[String, String] = o.get("env").map { spec =>
+      spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"CREATE MIRROR: env entry '$kv' must be name=value")
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+    Settings.validateEnv(env)
+    env
+  }
+
   /** PEERDB_S3_UUID_PREFIX resolution: the per-mirror
     * `s3_uuid_prefix` WITH option wins over the declared setting
     * (`spark.graft.qrep.s3_uuid_prefix`), default false — dynLookup's
@@ -1029,14 +1041,15 @@ object GraftSql {
   private def s3UuidPrefixOf(spark: SparkSession,
       o: Map[String, String]): Boolean =
     o.get("s3_uuid_prefix").map(_.toBoolean).getOrElse(
-      Settings.get(spark, "qrep.s3_uuid_prefix").exists(_.toBoolean))
+      Settings.get(spark, "qrep.s3_uuid_prefix", flowEnvOf(o))
+        .exists(_.toBoolean))
 
   /** PEERDB_S3_BYTES_PER_AVRO_FILE resolution (same override order);
     * a negative bound is a CREATE error. */
   private def stageBytesPerFileOf(spark: SparkSession,
       o: Map[String, String]): Long = {
     val v = o.get("stage_bytes_per_file").map(_.toLong).getOrElse(
-      Settings.getLong(spark, "qrep.bytes_per_avro_file"))
+      Settings.getLong(spark, "qrep.bytes_per_avro_file", flowEnvOf(o)))
     if (v < 0) throw new IllegalArgumentException(
       s"stage_bytes_per_file must be >= 0 (0 = one file per " +
         s"partition), got $v")
@@ -1242,6 +1255,7 @@ object GraftSql {
           .getOrElse(p.name),
         s3UuidPrefix = s3UuidPrefixOf(sess, o),
         stageBytesPerFile = stageBytesPerFileOf(sess, o),
+        env = flowEnvOf(o),
         fullResync =
           o.get("dst_table_full_resync").exists(_.toBoolean))
     }
@@ -1380,6 +1394,7 @@ object GraftSql {
         .getOrElse(p.name),
       s3UuidPrefix = s3UuidPrefixOf(sess, o),
       stageBytesPerFile = stageBytesPerFileOf(sess, o),
+      env = flowEnvOf(o),
       fullResync =
         o.get("dst_table_full_resync").exists(_.toBoolean))
     val source = liveUrl match {
@@ -1750,7 +1765,7 @@ object GraftSql {
       // range queries) have no SQL template to validate
       requireSupportedStrategy(o,
         srcPeerDef.options.getOrElse("url", ""))
-      validateQRep(q, o, requireTemplate =
+      validateQRep(spark, q, o, requireTemplate =
         !srcPeerDef.options.get("url").exists(_.startsWith("mongo://"))
           && !(o.get("partition_strategy").contains("string") &&
             srcPeerDef.options.get("url")

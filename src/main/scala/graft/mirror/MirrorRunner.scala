@@ -874,7 +874,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .map(graft.transform.RowTransform.sqlTransform(batch0, _))
       .getOrElse(batch0)
     val batch = luaAdaptScript
-      .map(graft.transform.LuaAdapt.records(sqlT, _, cfg.luaLibs))
+      .map(graft.transform.LuaAdapt.records(sqlT, _, cfg.luaLibs,
+        cfg.env))
       .getOrElse(sqlT)
     // The lua stage is imperative per-record work feeding multiple
     // actions below (raw write, stats agg, queue publish) — pin its
@@ -1059,7 +1060,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     // (kafka.go:340-390)
     lazy val luaShaped: Option[DataFrame] =
       cfg.luaScript.map(
-        graft.transform.LuaQueue.records(batch, _, cfg.luaLibs))
+        graft.transform.LuaQueue.records(batch, _, cfg.luaLibs,
+          cfg.env))
     val n = url match {
       // es:// never consults the script (GraftSql excludes es from
       // queue-hook destinations — its _id contract has no hook), so
@@ -1083,7 +1085,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       // publishes through)
       case u if luaShaped.isDefined =>
         graft.sinks.ShapedQueue.publish(luaShaped.get, u,
-          scriptAssignsPartitions = true)
+          scriptAssignsPartitions = true, env = cfg.env)
       // no-script defaults off the raw change frame
       case kafka(h, p, q) =>
         val params = graft.sinks.ShapedQueue.kafkaParams(q)
@@ -1098,7 +1100,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           // rides the same tunnel stack as the capture sources
           sshSpec = params.get("ssh"),
           forceTopicCreation = graft.sinks.ShapedQueue
-            .forceTopicCreationOf(params, spark))
+            .forceTopicCreationOf(params, spark, cfg.env))
       case u if u.startsWith("eventhubs://") =>
         // live Event Hubs send (eventhub/ SyncRecords): FNV-1a32
         // partition routing + per-(hub, partition) ordered batches
@@ -1348,7 +1350,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .filter(s => graft.transform.LuaAdapt
         .hooksOf(s, cfg.luaLibs)("transformRow"))
       .map(graft.transform.LuaRowTransform.rows(snapshot0, _,
-        cfg.luaLibs))
+        cfg.luaLibs, cfg.env))
       .getOrElse(snapshot0)
     val changes = snapshot
       .withColumn(RawTable.Version, lit(cfg.snapshotCheckpoint))

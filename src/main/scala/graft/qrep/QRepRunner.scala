@@ -78,6 +78,10 @@ final case class QRepConfig(
     /** `require "name"` library set for [[transformLua]] (the lua
       * scripts-catalog snapshot, LoadPeerdbScript). */
     transformLuaLibs: Map[String, String] = Map.empty,
+    /** Per-flow dynamic-setting overrides (FlowConnectionConfigs.env,
+      * proto field 24) — queue.parallelism / force_topic_creation /
+      * the qrep.* settings resolve env-first like dynLookup. */
+    env: Map[String, String] = Map.empty,
     /** `onRecord` lua script for QUEUE destinations (the same script
       * slot the CDC mirror's queue leg reads — kafka/qrep.go:37 hands
       * config.Script to the pool): each pulled row wraps as an
@@ -166,7 +170,8 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     // upsert's change planning, sees transformed rows
     val increment = cfg.transformLua
       .map(graft.transform.LuaRowTransform.rows(
-        parts.reduce(_ unionByName _), _, cfg.transformLuaLibs))
+        parts.reduce(_ unionByName _), _, cfg.transformLuaLibs,
+        cfg.env))
       .getOrElse(parts.reduce(_ unionByName _))
 
     // Run + partition lifecycle into the stats catalog (InitializeQRepRun
@@ -240,7 +245,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     val runId = java.util.UUID.randomUUID().toString
     val transformed = cfg.transformLua
       .map(graft.transform.LuaRowTransform.rows(frame, _,
-        cfg.transformLuaLibs))
+        cfg.transformLuaLibs, cfg.env))
       .getOrElse(frame)
     val payload = versionFrom.foldLeft(transformed)(_ drop _)
     writeOut(payload, payload,
@@ -337,6 +342,21 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       cfg.stageCodec, counter,
       maxBytesPerFile = cfg.stageBytesPerFile)
     val n = counter.value
+    // a FAILED/speculative task attempt may have left extra rolled
+    // files the successful attempt's name sequence doesn't cover
+    // (the roll count can differ between attempts) — remove anything
+    // the committed file list doesn't name, BEFORE the manifest
+    // closes the round, so directory-listing readers never
+    // double-count
+    val committed = files.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    val roundPath = new org.apache.hadoop.fs.Path(roundDir)
+    if (fs.exists(roundPath))
+      fs.listStatus(roundPath).foreach { st =>
+        val name = st.getPath.getName
+        if (name.endsWith(".avro") && !committed(name))
+          fs.delete(st.getPath, false)
+      }
     val fileList = files.map(f => "\"" +
       f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
@@ -372,13 +392,15 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         val script = cfg.queueScript.getOrElse(
           graft.transform.LuaQueue.DefaultOnRecordScript)
         val shaped = graft.transform.LuaQueue.typedRecords(payload,
-          script, cfg.sourceTable, cfg.destTable, cfg.transformLuaLibs)
+          script, cfg.sourceTable, cfg.destTable, cfg.transformLuaLibs,
+          cfg.env)
         // the SHARED shaped routing ([[graft.sinks.ShapedQueue]] —
         // the same leg the CDC mirror's queue_url publishes through);
         // only an explicit script can satisfy partitioner=manual (the
         // DefaultOnRecord image never assigns partitions)
         graft.sinks.ShapedQueue.publish(shaped, url,
-          scriptAssignsPartitions = cfg.queueScript.isDefined)
+          scriptAssignsPartitions = cfg.queueScript.isDefined,
+          env = cfg.env)
     }
   }
 

@@ -383,8 +383,11 @@ object AvroStage {
             newMarker(null))
           files += path.toString
         }
-        def close(): Unit = if (out != null) {
-          w.flush(); out.close(); out = null
+        def finish(): Unit = if (out != null) {
+          val o = out; out = null
+          // flush-then-close on SUCCESS only; the failure path below
+          // closes without committing buffered records
+          try w.flush() finally o.close()
         }
         var n = 0L
         try {
@@ -396,9 +399,17 @@ object AvroStage {
             w.append(encodeRow(schema, r))
             n += 1
             if (maxBytesPerFile > 0 &&
-                w.recordBytes >= maxBytesPerFile) close()
+                w.recordBytes >= maxBytesPerFile) finish()
           }
-        } finally close()
+          finish()
+        } finally if (out != null) {
+          // failure path: release the stream (an open lease/multipart
+          // upload otherwise) WITHOUT flushing — a partial block must
+          // not make an abandoned file look valid
+          val o = out; out = null
+          try o.close()
+          catch { case _: java.io.IOException => () }
+        }
         if (rowCounter != null) rowCounter.add(n)
         files.result().iterator
       }

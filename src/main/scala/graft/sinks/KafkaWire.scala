@@ -61,6 +61,7 @@ object KafkaWire {
       case 7 => "REQUEST_TIMED_OUT"
       case 19 => "NOT_ENOUGH_REPLICAS"
       case 36 => "TOPIC_ALREADY_EXISTS"
+      case 41 => "NOT_CONTROLLER"
       case other => s"ERROR_$other"
     }
     /** The transient family the client clients retry (franz-go's
@@ -406,6 +407,16 @@ final class KafkaClient(host: String, port: Int,
     * creator got there first. */
   def createTopic(topic: String, numPartitions: Int = 1,
       replicationFactor: Int = 3, timeoutMs: Int = 15000): Unit = {
+    // negotiate-grade version check with the clear error the other
+    // APIs get (KIP-896 brokers dropped CreateTopics v0) — instead of
+    // an opaque decode failure mid-batch
+    apiVersions().get(ApiKey.CreateTopics) match {
+      case Some((min, max)) if min <= 0 && 0 <= max => ()
+      case Some((min, max)) => throw new IOException(
+        s"kafka: broker CreateTopics range [$min,$max] excludes v0")
+      case None => throw new IOException(
+        "kafka: broker lacks CreateTopics")
+    }
     val b = new Wtr().i32(1).str(topic).i32(numPartitions)
       .i16(replicationFactor)
       .i32(0) // replica assignments: broker-chosen
@@ -505,7 +516,18 @@ object KafkaPublish {
         topics.map { t =>
           var n = meta.partitionCount(t)
           if (n <= 0 && forceTopicCreation) {
-            c.createTopic(t)
+            // CreateTopics must reach the CONTROLLER — a non-controller
+            // broker answers NOT_CONTROLLER on ZK-mode clusters (kadm
+            // routes there the same way)
+            val ctrl = meta.brokers.find(_.nodeId == meta.controllerId)
+            val admin = ctrl match {
+              case Some(b) if b.host != host || b.port != port =>
+                val a = new KafkaClient(b.host, b.port, dial = dialer())
+                Some(a)
+              case _ => None // bootstrap IS the controller (or unknown)
+            }
+            try (admin.getOrElse(c)).createTopic(t)
+            finally admin.foreach(_.close())
             Thread.sleep(1000L) // propagation throttle (kafka.go:279)
             n = c.metadata(Seq(t)).partitionCount(t)
           }

@@ -109,10 +109,11 @@ object ShapedQueue {
     * `force_topic_creation` param wins over the declared setting
     * (`spark.graft.queue.force_topic_creation`), default false. */
   def forceTopicCreationOf(params: Map[String, String],
-      spark: org.apache.spark.sql.SparkSession): Boolean =
+      spark: org.apache.spark.sql.SparkSession,
+      env: Map[String, String] = Map.empty): Boolean =
     params.get("force_topic_creation").map(_.toBoolean).getOrElse(
-      graft.mirror.Settings.get(spark, "queue.force_topic_creation")
-        .exists(_.toBoolean))
+      graft.mirror.Settings.get(spark, "queue.force_topic_creation",
+        env).exists(_.toBoolean))
 
   /** kgo.ManualPartitioner's precondition (kafka.go:106-107), shared
     * by the shaped and default kafka legs: only an explicit script
@@ -144,7 +145,9 @@ object ShapedQueue {
     * DefaultOnRecord JSON image never does, so manual routing with it
     * would silently send everything to partition 0. */
   def publish(shaped: DataFrame, url: String,
-      scriptAssignsPartitions: Boolean): Long = url match {
+      scriptAssignsPartitions: Boolean,
+      /** per-flow setting overrides (dynLookup env-first order) */
+      env: Map[String, String] = Map.empty): Long = url match {
     case KafkaUrl(h, p, q) =>
       val params = kafkaParams(q)
       val manual =
@@ -158,7 +161,7 @@ object ShapedQueue {
         sshSpec = params.get("ssh"),
         manualPartitions = manual,
         forceTopicCreation =
-          forceTopicCreationOf(params, shaped.sparkSession))
+          forceTopicCreationOf(params, shaped.sparkSession, env))
     case u if u.startsWith("pubsub://") =>
       // per-key ordered publish (pubsub.go:110-125): a script `key`
       // is the ordering key; absent publishes unordered

@@ -112,7 +112,8 @@ object LuaAdapt {
     * script too (their images are nil — kind-dispatch is the script's
     * job), and their payloads are never re-encoded. */
   def records(batch: DataFrame, script: String,
-      libs: Map[String, String] = Map.empty): DataFrame = {
+      libs: Map[String, String] = Map.empty,
+      env: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.StringType
     val compiled = new LuaAdaptScript(script, libs)
@@ -127,13 +128,10 @@ object LuaAdapt {
     val iMatch = schema.fieldIndex("matchData")
     val iToast = schema.fieldIndex("unchangedToastColumns")
     val toastIsCsv = schema(iToast).dataType == StringType
-    // same single-partition spread as LuaQueue: per-record
-    // interpretation parallelizes per PARTITION — a batch arriving as
-    // one small scan partition would interpret single-threaded
-    val par = LuaParallelism.width(batch.sparkSession)
-    val spread =
-      if (batch.rdd.getNumPartitions >= math.min(4, par)) batch
-      else batch.repartition(par)
+    // same spread policy as LuaQueue: per-record interpretation
+    // parallelizes per PARTITION — small batches spread, wide ones
+    // cap at queue.parallelism (the LuaPool size)
+    val spread = LuaParallelism.spread(batch, env)
     spread.mapPartitions { it =>
       val runner = new compiled.PartitionRunner
       it.map { r =>

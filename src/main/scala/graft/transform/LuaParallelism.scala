@@ -1,18 +1,37 @@
 package graft.transform
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 
-/** The Lua stages' fan-out width — PEERDB_QUEUE_PARALLELISM
-  * (dynamicconf.go:199, the reference's LuaPool size) mapped onto the
-  * small-batch spread repartition: a batch arriving as fewer
-  * partitions than this spreads out so per-record interpretation
-  * never runs single-threaded while cores idle. 0 (the default) uses
-  * the session's defaultParallelism. */
+/** The Lua stages' fan-out policy — PEERDB_QUEUE_PARALLELISM
+  * (dynamicconf.go:199, the reference's LuaPool SIZE: a concurrency
+  * bound, not just a floor) mapped onto partition count:
+  *
+  *   - configured > 0: the stage runs at EXACTLY that width — wide
+  *     inputs coalesce down (bounding concurrent interpreters, the
+  *     pool-size semantics an operator sets the knob for), narrow
+  *     inputs repartition up;
+  *   - unset/0: only the small-batch spread applies — a batch
+  *     arriving as fewer partitions than min(4, defaultParallelism)
+  *     spreads to defaultParallelism so per-record interpretation
+  *     never runs single-threaded while cores idle; multi-partition
+  *     batches keep their layout (no shuffle on the hot path).
+  *
+  * `env` is the mirror's per-flow override map
+  * (FlowConnectionConfigs.env — dynLookup's env-first order). */
 private[transform] object LuaParallelism {
-  def width(spark: SparkSession): Int = {
+  def spread(df: DataFrame,
+      env: Map[String, String] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
     val configured = graft.mirror.Settings
-      .get(spark, "queue.parallelism").map(_.toInt).getOrElse(0)
-    if (configured > 0) configured
-    else spark.sparkContext.defaultParallelism
+      .get(spark, "queue.parallelism", env).map(_.toInt).getOrElse(0)
+    val cur = df.rdd.getNumPartitions
+    if (configured > 0) {
+      if (cur == configured) df
+      else if (cur > configured) df.coalesce(configured)
+      else df.repartition(configured)
+    } else {
+      val par = spark.sparkContext.defaultParallelism
+      if (cur >= math.min(4, par)) df else df.repartition(par)
+    }
   }
 }

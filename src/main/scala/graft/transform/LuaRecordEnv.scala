@@ -1006,7 +1006,10 @@ object LuaQueue {
     * change records flow (type ≤ delete), like the reference's record
     * channel. */
   def records(batch: DataFrame, script: String,
-      libs: Map[String, String] = Map.empty): DataFrame = {
+      libs: Map[String, String] = Map.empty,
+      /** per-flow setting overrides (FlowConnectionConfigs.env) —
+        * queue.parallelism resolves env-first like dynLookup */
+      env: Map[String, String] = Map.empty): DataFrame = {
     val compiled = new LuaQueueScript(script, libs)
     val cols = Seq("recordType", "checkpointId", "commitTimeMicros",
       "transactionId", "sourceTable", "destinationTable", "data",
@@ -1019,12 +1022,9 @@ object LuaQueue {
     // interpreter each) — a batch that arrives as a single scan
     // partition (one small WAL file; a 2 MB parquet at 128 MB
     // maxPartitionBytes) would otherwise interpret single-threaded
-    // while every other core idles. Spread it first; multi-partition
-    // batches keep their layout (no extra shuffle on the hot path).
-    val par = LuaParallelism.width(batch.sparkSession)
-    val spread =
-      if (selected.rdd.getNumPartitions >= math.min(4, par)) selected
-      else selected.repartition(par)
+    // while every other core idles; queue.parallelism caps wide
+    // batches like the reference's LuaPool size
+    val spread = LuaParallelism.spread(selected, env)
     spread
       .mapPartitions { it =>
         val runner = new compiled.PartitionRunner
@@ -1067,14 +1067,12 @@ object LuaQueue {
     * interpreter per partition, no driver collect. */
   def typedRecords(df: DataFrame, script: String,
       sourceTable: String, destTable: String,
-      libs: Map[String, String] = Map.empty): DataFrame = {
+      libs: Map[String, String] = Map.empty,
+      env: Map[String, String] = Map.empty): DataFrame = {
     val compiled = new LuaQueueScript(script, libs)
     val enc = org.apache.spark.sql.Encoders.row(shapedSchema)
     val fields = df.schema.fields
-    val par = LuaParallelism.width(df.sparkSession)
-    val spread =
-      if (df.rdd.getNumPartitions >= math.min(4, par)) df
-      else df.repartition(par)
+    val spread = LuaParallelism.spread(df, env)
     spread.mapPartitions { it =>
       val runner = new compiled.PartitionRunner
       val pid = org.apache.spark.TaskContext.getPartitionId()

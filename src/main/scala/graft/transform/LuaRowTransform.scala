@@ -164,13 +164,11 @@ object LuaRowTransform {
     * the script's `transformRow`. Rows the script didn't write to are
     * returned as-is (zero conversion cost on the way back). */
   def rows(df: DataFrame, script: String,
-      libs: Map[String, String] = Map.empty): DataFrame = {
+      libs: Map[String, String] = Map.empty,
+      env: Map[String, String] = Map.empty): DataFrame = {
     val compiled = new LuaRowScript(script, libs)
     val schema = df.schema
-    val par = LuaParallelism.width(df.sparkSession)
-    val spread =
-      if (df.rdd.getNumPartitions >= math.min(4, par)) df
-      else df.repartition(par)
+    val spread = LuaParallelism.spread(df, env)
     spread.mapPartitions { it =>
       val runner = new compiled.PartitionRunner(schema)
       it.map(runner.transform)

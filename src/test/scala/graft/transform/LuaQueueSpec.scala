@@ -236,19 +236,25 @@ class LuaQueueSpec extends SparkSpec {
   }
 
   test("queue.parallelism (PEERDB_QUEUE_PARALLELISM, the reference's " +
-    "LuaPool size) bounds the interpreter spread width; 0/unset " +
-    "spreads to defaultParallelism") {
+    "LuaPool SIZE — a concurrency bound): wide inputs CAP to it, " +
+    "narrow inputs spread to it; 0/unset keeps the small-batch " +
+    "spread to defaultParallelism") {
     val script = "function onRecord(r) return tostring(r.row.k) end"
-    def shapedParts(): Int = {
-      val df = spark.range(1, 100).selectExpr("id AS k").coalesce(1)
+    def shapedParts(inputParts: Int): Int = {
+      val df = spark.range(1, 100).selectExpr("id AS k")
+        .repartition(inputParts)
       graft.transform.LuaQueue.typedRecords(df, script, "s", "d")
         .rdd.getNumPartitions
     }
-    assert(shapedParts() ==
-      spark.sparkContext.defaultParallelism, "default width")
+    assert(shapedParts(1) ==
+      spark.sparkContext.defaultParallelism, "default spread width")
     spark.conf.set("spark.graft.queue.parallelism", "2")
-    try assert(shapedParts() == 2, "configured width")
-    finally spark.conf.unset("spark.graft.queue.parallelism")
+    try {
+      assert(shapedParts(1) == 2, "narrow input spreads to the bound")
+      assert(shapedParts(16) == 2,
+        "wide input CAPS at the bound — the pool-size semantics an " +
+          "operator sets the knob for")
+    } finally spark.conf.unset("spark.graft.queue.parallelism")
   }
 
   test("DDL validation: a lua script with a syntax error fails " +
