@@ -213,7 +213,13 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     val roundKey =
       if (ranges.nonEmpty) s"${ranges.map(_.lo).min}-${ranges.map(_.hi).max}"
       else "null-partition"
-    val moved = writeOut(increment, source,
+    // Overwrite's full-refresh payload IS `increment`: with the
+    // watermark forced to None above, the ranges span the whole bound
+    // query — and unlike the raw `source`, `increment` has passed
+    // through transformRow (AttachToStream applies to EVERY
+    // disposition; handing `source` to the Overwrite legs silently
+    // shipped untransformed rows).
+    val moved = writeOut(increment,
       // the same exact Long image the range math uses — a timestamp
       // watermark versions at MICROS, not seconds
       upsertChanges(increment,
@@ -248,7 +254,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         cfg.transformLuaLibs, cfg.env))
       .getOrElse(frame)
     val payload = versionFrom.foldLeft(transformed)(_ drop _)
-    writeOut(payload, payload,
+    writeOut(payload,
       versionFrom.foldLeft(
         upsertChanges(transformed, versionFrom
           .map(c => col(c).cast("long")).getOrElse(lit(0L))))(_ drop _),
@@ -271,11 +277,13 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       .withColumn(graft.cdc.Normalizer.AbsentCols,
         array().cast("array<string>"))
 
-  /** The disposition write itself: `increment` feeds Append,
-    * `full` feeds Overwrite (full-refresh), `changes` (lazy — only
-    * evaluated for Upsert) feeds the merge with `payloadSchema` as the
-    * destination shape. */
-  private def writeOut(increment: DataFrame, full: DataFrame,
+  /** The disposition write itself. `payload` is the round's pulled —
+    * and transformRow-transformed — frame; under Overwrite the callers
+    * guarantee it spans the whole bound query (watermark gate off), so
+    * the SAME frame serves Append's increment and Overwrite's full
+    * refresh. `changes` (lazy — only evaluated for Upsert) feeds the
+    * merge with `payloadSchema` as the destination shape. */
+  private def writeOut(payload: DataFrame,
       changes: => DataFrame,
       payloadSchema: org.apache.spark.sql.types.StructType,
       runId: String, roundKey: String): Long = cfg.destUrl match {
@@ -284,15 +292,12 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     // matching the full-refresh reading; Upsert keys only shape the
     // ES document id)
     case Some(url) if QRepRunner.isQueueUrl(url) =>
-      publishQueue(url,
-        if (cfg.mode == WriteMode.Overwrite) full else increment)
+      publishQueue(url, payload)
     // file/object-store Avro destination (s3/qrep.go): the round's
     // rows land as OCF files + a manifest, no SQL side at all
     case Some(url) if url.startsWith("s3path://") =>
-      writeAvroDest(url.stripPrefix("s3path://"),
-        if (cfg.mode == WriteMode.Overwrite) full else increment,
-        roundKey)
-    case _ => writeSql(increment, full, changes, payloadSchema, runId)
+      writeAvroDest(url.stripPrefix("s3path://"), payload, roundKey)
+    case _ => writeSql(payload, changes, payloadSchema, runId)
   }
 
   /** QRep → file/object-store Avro destination (s3/qrep.go:18-105):
@@ -357,12 +362,15 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         if (name.endsWith(".avro") && !committed(name))
           fs.delete(st.getPath, false)
       }
-    val fileList = files.map(f => "\"" +
-      f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    // every interpolated string goes through ONE escape — a flow
+    // name (user-chosen) with a quote or backslash must not produce
+    // an invalid manifest for the readers that walk them
+    def jstr(s: String): String = "\"" +
+      s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fileList = files.map(jstr).mkString("[", ",", "]")
     graft.util.FsText.write(s"$roundDir/manifest.json",
-      s"""{"flow":"${cfg.flowName}","round":"$roundKey",""" +
-        s""""codec":"${cfg.stageCodec}","records":$n,""" +
+      s"""{"flow":${jstr(cfg.flowName)},"round":${jstr(roundKey)},""" +
+        s""""codec":${jstr(cfg.stageCodec)},"records":$n,""" +
         s""""files":$fileList}""", hc)
     n
   }
@@ -404,34 +412,49 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     }
   }
 
-  private def writeSql(increment: DataFrame, full: DataFrame,
+  /** Every leg reports rows moved FROM ITS OWN WRITE JOB — an
+    * `Observation` on the written frame for the parquet/merge legs,
+    * the staging job's accumulator for the live legs (the same
+    * one-job contract [[writeAvroDest]] pins) — never a post-write
+    * `.count()`: that re-executed the entire pull + transform (at a
+    * 100 TB initial load, a second full source scan) and against a
+    * live source could disagree with what was actually written. */
+  private def writeSql(payload: DataFrame,
       changes: => DataFrame,
       payloadSchema: org.apache.spark.sql.types.StructType,
       runId: String): Long = cfg.mode match {
     case WriteMode.Append => cfg.destUrl match {
       case Some(url) =>
-        liveCopy(url, increment, truncateFirst = false, runId)
-      case None =>
-        increment.write.mode(SaveMode.Append).parquet(cfg.destDir)
-        increment.count()
+        liveCopy(url, payload, truncateFirst = false, runId)
+      case None => parquetCounted(payload, SaveMode.Append)
     }
     case WriteMode.Overwrite => cfg.destUrl match {
       case Some(url) =>
-        liveCopy(url, full, truncateFirst = true, runId)
-      case None =>
-        full.write.mode(SaveMode.Overwrite).parquet(cfg.destDir)
-        full.count()
+        liveCopy(url, payload, truncateFirst = true, runId)
+      case None => parquetCounted(payload, SaveMode.Overwrite)
     }
     case WriteMode.Upsert(keys) =>
       val ch = changes
       cfg.destUrl match {
         case Some(url) =>
           liveMerge(url, keys, payloadSchema, ch, runId)
-          increment.count()
         case None =>
-          new MergeWriter(spark, cfg.destDir, keys).merge(ch)
-          increment.count()
+          val obs = new org.apache.spark.sql.Observation()
+          // the change set is one row per pulled row, so the count at
+          // this node IS rows moved; the CollectMetrics fires on the
+          // merge's first action over the frame
+          new MergeWriter(spark, cfg.destDir, keys)
+            .merge(ch.observe(obs, count(lit(1)).as("rows")))
+          obs.get("rows").asInstanceOf[Long]
       }
+  }
+
+  /** Parquet disposition write, rows counted in the write job. */
+  private def parquetCounted(df: DataFrame, mode: SaveMode): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(mode).parquet(cfg.destDir)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Executor + dialect + flavor for a `dest_url` scheme. PG keeps a
@@ -477,9 +500,12 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       exec.execute(graft.sinks.MergeSqlGenerator.createPlainTable(
         cfg.destTable, df.schema, dialect))
       // stage BEFORE opening any transaction: the Spark job is the
-      // slow leg and must not hold server locks while it runs
+      // slow leg and must not hold server locks while it runs; the
+      // accumulator makes the staging job double as the row count
+      val counter = spark.sparkContext.longAccumulator(
+        "graft_qrep_copy_rows")
       val files = graft.sinks.AvroStage.write(df,
-        s"${cfg.destDir}/_stage/$runId", cfg.stageCodec,
+        s"${cfg.destDir}/_stage/$runId", cfg.stageCodec, counter,
         maxBytesPerFile = cfg.stageBytesPerFile)
       val qualified = graft.sinks.MergeSqlGenerator.qualified(
         cfg.destTable, dialect)
@@ -548,7 +574,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
         case (_, false) =>
           exec.loadAvro(cfg.destTable, files, df.schema)
       }
-      df.count()
+      counter.value
     } finally close()
   }
 
@@ -558,7 +584,7 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     * exact Long image, so replays and stale rounds are no-ops. */
   private def liveMerge(url: String, keys: Seq[String],
       payloadSchema: org.apache.spark.sql.types.StructType,
-      changes: DataFrame, runId: String): Unit = {
+      changes: DataFrame, runId: String): Long = {
     val (exec, dialect, flavor, close) = liveExecutor(url)
     try {
       val target = graft.sinks.MergeTarget(cfg.destTable,
@@ -570,8 +596,13 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       // table with an older schema — every round starts clean
       exec.execute("DROP TABLE IF EXISTS " + graft.sinks
         .MergeSqlGenerator.qualified(target.stagingTable, dialect))
+      // one change row per pulled row, so the staging job's
+      // accumulator is the round's rows-moved — no re-executed count
+      val counter = spark.sparkContext.longAccumulator(
+        "graft_qrep_merge_rows")
       loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId",
-        cfg.stageCodec, cfg.stageBytesPerFile)
+        cfg.stageCodec, cfg.stageBytesPerFile, rowCounter = counter)
+      counter.value
     } finally close()
   }
 }

@@ -528,8 +528,25 @@ object KafkaPublish {
             }
             try (admin.getOrElse(c)).createTopic(t)
             finally admin.foreach(_.close())
-            Thread.sleep(1000L) // propagation throttle (kafka.go:279)
-            n = c.metadata(Seq(t)).partitionCount(t)
+            // metadata propagation is not bounded by the reference's
+            // 1 s throttle (kafka.go:279) — re-resolve with backoff
+            // instead of failing a batch whose create DID succeed;
+            // the final error reports the POST-create metadata code,
+            // not the stale pre-create one
+            var lastCode: Int = -1
+            var attempt = 0
+            while (n <= 0 && attempt < 5) {
+              Thread.sleep(1000L + 500L * attempt)
+              val m = c.metadata(Seq(t))
+              n = m.partitionCount(t)
+              lastCode = m.topics.find(_.topic == t)
+                .map(_.errorCode.toInt).getOrElse(-1)
+              attempt += 1
+            }
+            if (n <= 0) throw new IOException(
+              s"kafka: topic $t still has no partitions ${
+                attempt} metadata refreshes after CreateTopics " +
+                s"(error $lastCode)")
           }
           if (n <= 0) throw new IOException(
             s"kafka: topic $t has no partitions (error ${

@@ -90,13 +90,18 @@ final class WarehouseLoader(
       stageCodec: String = "null",
       /** PEERDB_S3_BYTES_PER_AVRO_FILE: roll staged files at this
         * pre-compression bound (0 = one per partition). */
-      stageBytesPerFile: Long = 0L): Seq[String] = {
+      stageBytesPerFile: Long = 0L,
+      /** When set, the staging write job adds each staged row — the
+        * caller's rows-moved count without a second execution of
+        * `normalized`. */
+      rowCounter: org.apache.spark.util.LongAccumulator = null)
+      : Seq[String] = {
     val staged = MergeSqlGenerator.stageFrame(normalized)
     // combos BEFORE staging: the branch set must describe exactly this
     // batch (a stale set silently skips updates — see merge() scaladoc)
     val combos = MergeSqlGenerator.absentCombosOf(staged)
     val files = AvroStage.write(staged, stageDir, stageCodec,
-      maxBytesPerFile = stageBytesPerFile)
+      rowCounter, maxBytesPerFile = stageBytesPerFile)
     exec.execute(MergeSqlGenerator.createStaging(target, staged.schema,
       dialect))
     exec.loadAvro(target.stagingTable, files, staged.schema)

@@ -26,8 +26,14 @@ private[transform] object LuaParallelism {
       .get(spark, "queue.parallelism", env).map(_.toInt).getOrElse(0)
     val cur = df.rdd.getNumPartitions
     if (configured > 0) {
+      // repartition in BOTH directions: coalesce(narrower) would fuse
+      // the bound into the upstream stage and run the PULL at the
+      // configured width too (a parallelism of 4 over a 200-partition
+      // scan collapses the whole stage to 4 tasks), where the
+      // reference's LuaPool bounds only interpreter concurrency and
+      // the pull stays wide. The shuffle is the price of the knob;
+      // unset leaves the hot path shuffle-free below.
       if (cur == configured) df
-      else if (cur > configured) df.coalesce(configured)
       else df.repartition(configured)
     } else {
       val par = spark.sparkContext.defaultParallelism

@@ -237,4 +237,30 @@ class QRepAvroDestSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("Overwrite + transformRow: the full-refresh payload is the " +
+    "TRANSFORMED stream (AttachToStream spans every disposition — " +
+    "handing the raw source to the refresh leg silently shipped " +
+    "untransformed rows); a flow name carrying a quote still " +
+    "produces a VALID-JSON manifest") {
+    val base = tmpDir("qrepavro_owlua")
+    val flow = "f\"low"
+    val runner = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/ignored", s"$base/wm", WriteMode.Overwrite, 2,
+      destUrl = Some(s"s3path://$base/out"), flowName = flow,
+      transformLua =
+        Some("function transformRow(row) row.v = row.v + 1000 end")))
+    assert(runner.runOnce(
+      spark.range(1, 4).selectExpr("id AS k", "id * 2 AS v")) == 3L)
+    assert(replay(s"$base/out").toMap ==
+      Map(1L -> 1002L, 2L -> 1004L, 3L -> 1006L))
+    val m = manifests(s"$base/out").head
+    val parsed = spark.read.json(spark.createDataset(Seq(m))(
+      org.apache.spark.sql.Encoders.STRING))
+    assert(!parsed.columns.contains("_corrupt_record"),
+      s"manifest is not valid JSON: $m")
+    val row = parsed.select("flow", "records").head
+    assert(row.getString(0) == flow, "flow name round-trips escaped")
+    assert(row.getLong(1) == 3L)
+  }
 }

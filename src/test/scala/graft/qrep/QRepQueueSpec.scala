@@ -399,4 +399,24 @@ class QRepQueueSpec extends SparkSpec {
   private implicit class GrepSeq(val xs: Seq[String]) {
     def grep(s: String): Seq[String] = xs.filter(_.contains(s))
   }
+
+  test("Overwrite + transformRow on a queue destination publishes " +
+    "the TRANSFORMED full refresh — AttachToStream spans every " +
+    "disposition, so the re-published bound query must not bypass " +
+    "the row shaping") {
+    val broker = KafkaTestBroker.start()
+    try {
+      val base = tmpDir("qrepqowlua")
+      val r = runner(base, s"kafka://127.0.0.1:${broker.port}",
+        mode = WriteMode.Overwrite,
+        transform = Some(
+          "function transformRow(row) row.v = row.v + 100 end"))
+      assert(r.runOnce(src(3)) == 3L)
+      val bodies = broker.topicRecords("orders")
+        .map(s => new String(s.record.value, UTF_8))
+      assert(bodies.size == 3)
+      assert(bodies.exists(_.contains("\"new\":{\"k\":1,\"v\":102}")),
+        s"transformRow must shape the Overwrite publish: $bodies")
+    } finally broker.stop()
+  }
 }

@@ -301,4 +301,37 @@ class QRepRunnerSpec extends SparkSpec {
     // would invert this comparison forever
     assert(got(1) > got(0))
   }
+
+  test("rows-moved is counted INSIDE the one write job: the pull " +
+    "executes exactly once per round on every parquet leg (a " +
+    "post-write .count() re-ran the entire pull — at a 100 TB " +
+    "initial load, a second full source scan per round)") {
+    val evals = spark.sparkContext.longAccumulator("pull_evals")
+    val tick = udf { (v: Long) => evals.add(1L); v }
+    // the ticking column is deterministic, so the watermark probes
+    // prune it away — only jobs that MOVE rows evaluate it
+    def src(n: Long) = spark.range(1, n + 1).selectExpr("id AS k")
+      .withColumn("v", tick(col("k") * 2))
+
+    val base = tmpDir("qreponce")
+    val app = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/a", s"$base/awm", WriteMode.Append, 4))
+    assert(app.runOnce(src(200)) == 200L)
+    assert(evals.value == 200L,
+      s"append leg evaluated the pull ${evals.value / 200.0}x")
+
+    evals.reset()
+    val ow = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/o", s"$base/owm", WriteMode.Overwrite, 4))
+    assert(ow.runOnce(src(200)) == 200L)
+    assert(evals.value == 200L,
+      s"overwrite leg evaluated the pull ${evals.value / 200.0}x")
+
+    evals.reset()
+    val up = new QRepRunner(spark, QRepConfig(
+      "k", s"$base/u", s"$base/uwm", WriteMode.Upsert(Seq("k")), 4))
+    assert(up.runOnce(src(200)) == 200L)
+    assert(evals.value == 200L,
+      s"upsert first-round evaluated the pull ${evals.value / 200.0}x")
+  }
 }
