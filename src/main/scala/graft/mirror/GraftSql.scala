@@ -2206,18 +2206,27 @@ object PeerQueryRouter {
     val cat = GraftSql.peersFor(spark)
     lazy val names = cat.list.map(_.name).toSet
     plan.transformUp {
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
-          names.contains(r.multipartIdentifier.head) =>
-        val table = r.multipartIdentifier(1)
-        SubqueryAlias(table,
+      // 2-part `peer.table` and 3-part `peer.schema.table` (the
+      // proxy's qualified form for schema-bearing peers)
+      case r: UnresolvedRelation
+          if (r.multipartIdentifier.length == 2 ||
+            r.multipartIdentifier.length == 3) &&
+            names.contains(r.multipartIdentifier.head) =>
+        val table = r.multipartIdentifier.tail.mkString(".")
+        SubqueryAlias(r.multipartIdentifier.last,
           relation(spark, cat.get(r.multipartIdentifier.head), table))
     }
   }
 
-  /** A peer table's logical plan. Parquet peers (`path` option) are the
-    * storage kind this engine executes natively; other kinds name
-    * warehouses we only generate DDL/MERGE text for (no drivers in the
-    * environment) and are rejected here with the reason. */
+  /** A peer table's logical plan. Parquet peers (`path` option) are
+    * the storage kind this engine executes natively; peers with a
+    * live `url` route through [[LivePeerScan]] — the nexus proxy's
+    * peer read path (query-router/src/lib.rs:118-164): pg:// tables
+    * pull CTID-partitioned over their own wire connections, mysql://
+    * streams one cursor, snowflake:///bigquery:// run the SELECT
+    * through their SQL APIs. All of them LAZY: the peer is touched
+    * only when an action runs, so EXPLAIN and cursor DECLARE cost
+    * nothing remote beyond the build-time schema probe. */
   private def relation(spark: SparkSession, p: Peer, table: String)
       : LogicalPlan = p.kind.toLowerCase match {
     case "parquet" =>
@@ -2226,8 +2235,25 @@ object PeerQueryRouter {
           s"peer ${p.name}: no 'path' option — not queryable"))
       spark.read.parquet(s"$root/$table.parquet")
         .queryExecution.logical
-    case k => throw new IllegalArgumentException(
-      s"peer ${p.name} (kind $k) is not locally queryable")
+    case _ => p.options.get("url") match {
+      case Some(u) if u.startsWith("pg://") ||
+          u.startsWith("pgwire://") =>
+        // `query_partitions` peer option pins the interactive slice
+        // count; default auto-sizes from the relation's block count
+        LivePeerScan.pgTable(spark, u, table,
+          p.options.get("query_partitions").map(_.toInt).getOrElse(0))
+          .queryExecution.logical
+      case Some(u) if u.startsWith("mysql://") =>
+        LivePeerScan.mysqlTable(spark, u, table).queryExecution.logical
+      case Some(u) if u.startsWith("snowflake://") ||
+          u.startsWith("bigquery://") =>
+        LivePeerScan.warehouseTable(spark, u, table)
+          .queryExecution.logical
+      case _ => throw new IllegalArgumentException(
+        s"peer ${p.name} (kind ${p.kind}) is not locally queryable — " +
+          "needs a 'path' option (parquet) or a live 'url' option " +
+          "(pg://, mysql://, snowflake://, bigquery://)")
+    }
   }
 
   /** Programmatic entry: parse + route + re-enter as a DataFrame (for

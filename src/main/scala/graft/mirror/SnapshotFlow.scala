@@ -239,11 +239,45 @@ object SnapshotFlow {
     val ep = CaptureEndpoint.parse(captureUrl)
     val cols = schema.fieldNames.toSeq
     val colSql = cols.map(PgWire.quoteIdent).mkString(", ")
-    val tableSql = table.split("\\.", 2) match {
+    val tableSql = quotedTable(table)
+    val slices = tableSlices(ep, tableSql, numPartitions,
+      rowsPerPartition)
+
+    val colSqlSer = colSql
+    graft.qrep.StreamedPgRead.frame(spark, captureUrl, slices,
+      setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ",
+        "SET TRANSACTION SNAPSHOT " + PgWire.quoteLiteral(snapshotName)),
+      sqlOf = sliceSql(colSqlSer),
+      schema = schema)
+  }
+
+  /** schema(.table) → its quoted SQL image. */
+  private[graft] def quotedTable(table: String): String =
+    table.split("\\.", 2) match {
       case Array(ns, n) => s"${PgWire.quoteIdent(ns)}.${PgWire.quoteIdent(n)}"
       case _ => PgWire.quoteIdent(table)
     }
 
+  /** One slice group → its UNION ALL of CTID block-range scans. */
+  private[graft] def sliceSql(colSql: String)
+      : Seq[(String, Long, Option[Long])] => String =
+    (s: Seq[(String, Long, Option[Long])]) =>
+      s.map { case (t, lo, hi) =>
+        // ONLY: an inheritance parent's own range must not re-read
+        // its children (each child has its own ranges)
+        s"SELECT $colSql FROM ONLY $t WHERE " +
+          s"ctid >= '($lo,0)'::tid" +
+          hi.map(h => s" AND ctid < '($h,0)'::tid").getOrElse("")
+      }.mkString(" UNION ALL ")
+
+  /** The CTID block-range work items for a distributed read of
+    * `tableSql` — the leaf probe + slice packing shared by the
+    * exported-snapshot read above and the interactive live-peer scan
+    * ([[LivePeerScan]]). Each inner Seq is one task's
+    * (leafSql, loBlock, hiBlock) ranges. */
+  private[graft] def tableSlices(ep: CaptureEndpoint, tableSql: String,
+      numPartitions: Int, rowsPerPartition: Option[Long])
+      : Seq[Seq[(String, Long, Option[Long])]] = {
     // size probe: classification first — a declaratively partitioned
     // parent has NO physical blocks of its own (pg_relation_size = 0,
     // which used to degrade a TB-scale partitioned table to ONE
@@ -314,29 +348,13 @@ object SnapshotFlow {
     val n = sliceCount(totBlocks, leaves.map(_.bytes).sum,
       leaves.map(_.rows).sum, numPartitions, rowsPerPartition)
     val per = math.max(1L, (totBlocks + n - 1) / n)
-    val slices: Seq[Seq[(String, Long, Option[Long])]] = {
-      val packed = packSlices(leaves.map(l => (l.sql, l.blocks)), per)
-      // an all-empty relation set still gets one open-ended scan of
-      // the parent — matches the previous posture for plain tables
-      // (rows landing between probe and scan stay covered; a
-      // partitioned parent's scan is simply empty)
-      if (packed.nonEmpty) packed
-      else Seq(Seq((tableSql, 0L, None)))
-    }
-
-    val colSqlSer = colSql
-    graft.qrep.StreamedPgRead.frame(spark, captureUrl, slices,
-      setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ",
-        "SET TRANSACTION SNAPSHOT " + PgWire.quoteLiteral(snapshotName)),
-      sqlOf = (s: Seq[(String, Long, Option[Long])]) =>
-        s.map { case (t, lo, hi) =>
-          // ONLY: an inheritance parent's own range must not re-read
-          // its children (each child has its own ranges)
-          s"SELECT $colSqlSer FROM ONLY $t WHERE " +
-            s"ctid >= '($lo,0)'::tid" +
-            hi.map(h => s" AND ctid < '($h,0)'::tid").getOrElse("")
-        }.mkString(" UNION ALL "),
-      schema = schema)
+    val packed = packSlices(leaves.map(l => (l.sql, l.blocks)), per)
+    // an all-empty relation set still gets one open-ended scan of
+    // the parent — matches the previous posture for plain tables
+    // (rows landing between probe and scan stay covered; a
+    // partitioned parent's scan is simply empty)
+    if (packed.nonEmpty) packed
+    else Seq(Seq((tableSql, 0L, None)))
   }
 
   /** The whole initial-load phase: export the slot, snapshot every

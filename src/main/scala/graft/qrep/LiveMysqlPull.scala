@@ -133,7 +133,7 @@ object LiveMysqlPull {
   private def identSql(name: String): String =
     "`" + name.replace("`", "``") + "`"
 
-  private def tableSqlOf(table: String): String =
+  private[graft] def tableSqlOf(table: String): String =
     table.split("\\.", 2) match {
       case Array(ns, n) => s"${identSql(ns)}.${identSql(n)}"
       case _ => identSql(table)
@@ -260,7 +260,16 @@ object LiveMysqlPull {
     * partition key exists (the reference's FullTablePartition). The
     * single executor task streams the cursor; schema from a LIMIT 0
     * probe. */
-  def scan(spark: SparkSession, url: String, sql: String): DataFrame = {
+  def scan(spark: SparkSession, url: String, sql: String): DataFrame =
+    scanLazy(spark, url, sql).localCheckpoint()
+
+  /** [[scan]] without the eager pin — the interactive router's leg
+    * ([[graft.mirror.LivePeerScan]]): the statement runs on the peer
+    * when (and each time) an action executes the plan, exactly the
+    * lazy-re-read contract of Spark's own JDBC relation. Only the
+    * LIMIT 0 schema probe runs at build time. */
+  def scanLazy(spark: SparkSession, url: String, sql: String)
+      : DataFrame = {
     val probe = MysqlClients.connect(CaptureEndpoint.parse(url))
     val schema =
       try MysqlClient.schemaOf(probe.query(
@@ -270,7 +279,7 @@ object LiveMysqlPull {
     val fieldTypes = schema.fields.map(_.dataType)
     val rdd = spark.sparkContext.parallelize(Seq(sql), 1)
       .mapPartitions(_.flatMap(q => rowsOf(urlSer, q, fieldTypes)))
-    spark.createDataFrame(rdd, schema).localCheckpoint()
+    spark.createDataFrame(rdd, schema)
   }
 
   private def pullRanges(spark: SparkSession, url: String,

@@ -95,7 +95,10 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       .findFirstMatchIn(json)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
 
-  override def execute(sql: String): Unit = {
+  override def execute(sql: String): Unit = { submit(sql); () }
+
+  /** POST jobs.query + incomplete-job poll; returns the final body. */
+  private def submit(sql: String): String = {
     var (code, body) = request("POST",
       s"/bigquery/v2/projects/$project/queries",
       Some("{" +
@@ -133,6 +136,62 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       throw new java.io.IOException("bigquery statement failed " +
         s"(HTTP $code): ${fieldOf(body, "message").getOrElse(
           body.take(300))}")
+    body
+  }
+
+  /** Interactive query — the peer-bigquery read path (the proxy
+    * executes the user's SQL through jobs.query and decodes the
+    * `schema.fields` + `rows[].f[].v` resultset, every value a JSON
+    * string in BigQuery's documented REST encodings: TIMESTAMP as
+    * fractional epoch seconds, DATE as `YYYY-MM-DD`, BYTES base64). */
+  def query(sql: String): (org.apache.spark.sql.types.StructType,
+      Seq[Row]) = {
+    val body = submit(sql)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body)
+    val fields = root.path("schema").path("fields")
+    require(fields.isArray,
+      s"bigquery: no schema.fields in ${body.take(300)}")
+    import scala.jdk.CollectionConverters._
+    val cols = fields.elements().asScala.toSeq.map { f =>
+      val dt: DataType = f.path("type").asText("").toUpperCase match {
+        case "INTEGER" | "INT64" => LongType
+        case "FLOAT" | "FLOAT64" => DoubleType
+        case "BOOLEAN" | "BOOL" => BooleanType
+        case "NUMERIC" | "BIGNUMERIC" => DecimalType(38, 9)
+        case "TIMESTAMP" => TimestampType
+        case "DATE" => DateType
+        case "BYTES" => BinaryType
+        case _ => StringType // STRING / JSON / GEOGRAPHY images
+      }
+      (f.path("name").asText(), dt)
+    }
+    val schema = org.apache.spark.sql.types.StructType(cols.map {
+      case (n, dt) => org.apache.spark.sql.types.StructField(n, dt)
+    })
+    def cell(dt: DataType, s: String): Any = dt match {
+      case LongType => java.lang.Long.parseLong(s)
+      case DoubleType => java.lang.Double.parseDouble(s)
+      case BooleanType => s.equalsIgnoreCase("true")
+      case _: DecimalType => new java.math.BigDecimal(s)
+      case DateType => java.sql.Date.valueOf(s)
+      case TimestampType =>
+        val sec = new java.math.BigDecimal(s)
+        val whole = sec.setScale(0, java.math.RoundingMode.FLOOR)
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          whole.longValueExact(),
+          sec.subtract(whole).movePointRight(9).longValueExact()))
+      case BinaryType => java.util.Base64.getDecoder.decode(s)
+      case _ => s
+    }
+    val rows = root.path("rows").elements().asScala.map { r =>
+      Row.fromSeq(r.path("f").elements().asScala.toSeq.zip(cols).map {
+        case (c, (_, dt)) =>
+          val v = c.path("v")
+          if (v.isNull || v.isMissingNode) null else cell(dt, v.asText())
+      })
+    }.toSeq
+    (schema, rows)
   }
 
   private val TsFmt = java.time.format.DateTimeFormatter

@@ -97,7 +97,10 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
     m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
   }
 
-  override def execute(sql: String): Unit = {
+  override def execute(sql: String): Unit = { submit(sql); () }
+
+  /** POST + 202-poll to resolution; returns the final 200 body. */
+  private def submit(sql: String): String = {
     val payload = "{" + Seq(
       Some("\"statement\":" + jsonStr(sql)),
       Option(ep.database).filter(_.nonEmpty)
@@ -125,6 +128,70 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
       throw new java.io.IOException("snowflake statement failed " +
         s"(HTTP $code): ${fieldOf(body, "message").getOrElse(
           body.take(300))}")
+    body
+  }
+
+  /** Interactive query — the peer-snowflake read path
+    * (nexus/peer-snowflake/src/lib.rs: the proxy executes the user's
+    * SQL through this same REST surface and streams the rowset back).
+    * Parses the SQL API v2 resultset: `resultSetMetaData.rowType`
+    * names + types the columns, `data` carries every value as a JSON
+    * string in Snowflake's documented per-type encodings (dates as
+    * epoch DAYS, timestamps as fractional epoch seconds, booleans as
+    * "true"/"false"). */
+  def query(sql: String): (org.apache.spark.sql.types.StructType,
+      Seq[Row]) = {
+    val body = submit(sql)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body)
+    val rowType = root.path("resultSetMetaData").path("rowType")
+    require(rowType.isArray,
+      s"snowflake: no resultSetMetaData.rowType in ${body.take(300)}")
+    import scala.jdk.CollectionConverters._
+    val cols = rowType.elements().asScala.toSeq.map { c =>
+      val scale = c.path("scale").asInt(0)
+      val dt: DataType = c.path("type").asText("").toLowerCase match {
+        case "fixed" =>
+          if (scale == 0) LongType else DecimalType(38, scale)
+        case "real" => DoubleType
+        case "boolean" => BooleanType
+        case "date" => DateType
+        case t if t.startsWith("timestamp") => TimestampType
+        case "binary" => BinaryType
+        case _ => StringType // text / variant / array / object images
+      }
+      (c.path("name").asText(), dt)
+    }
+    val schema = org.apache.spark.sql.types.StructType(cols.map {
+      case (n, dt) => org.apache.spark.sql.types.StructField(n, dt)
+    })
+    def cell(dt: DataType, s: String): Any = dt match {
+      case LongType => java.lang.Long.parseLong(s)
+      case _: DecimalType => new java.math.BigDecimal(s)
+      case DoubleType => java.lang.Double.parseDouble(s)
+      case BooleanType => s.equalsIgnoreCase("true") || s == "1"
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(s.toLong))
+      case TimestampType =>
+        // "seconds.nanos[ offsetMinutes]" — the instant is the first
+        // token; tz display offsets don't change it
+        val sec = new java.math.BigDecimal(s.split(" ")(0))
+        val whole = sec.setScale(0, java.math.RoundingMode.FLOOR)
+        val nanos = sec.subtract(whole)
+          .movePointRight(9).longValueExact()
+        java.sql.Timestamp.from(java.time.Instant
+          .ofEpochSecond(whole.longValueExact(), nanos))
+      case BinaryType =>
+        s.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+      case _ => s
+    }
+    val rows = root.path("data").elements().asScala.map { r =>
+      Row.fromSeq(r.elements().asScala.toSeq.zip(cols).map {
+        case (v, (_, dt)) =>
+          if (v.isNull) null else cell(dt, v.asText())
+      })
+    }.toSeq
+    (schema, rows)
   }
 
   private val TsFmt = java.time.format.DateTimeFormatter
