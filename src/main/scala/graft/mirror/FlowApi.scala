@@ -147,12 +147,26 @@ final class FlowApi(spark: SparkSession) {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
-  /** ListMirrorLogs (route.proto:711): the flow_errors rows. */
+  /** ListMirrorLogs (route.proto:711): the flow_errors rows, each
+    * classified into the reference's ErrorClass taxonomy
+    * (flow/alerting/classifier.go) — the triage buckets ops filters
+    * on (connectivity vs slot-invalid vs destination-modified …) plus
+    * the class's action (notify_user / ignore / notify_telemetry). */
   def listMirrorLogs(name: String): DataFrame = {
     exec(ShowStats(name))
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, udf}
+    val cls = udf { (msg: String) =>
+      val (c, i) = ErrorClassifier.classifyMessage(msg)
+      (c.name, c.action, i.source, i.code)
+    }
     spark.table("stats_flow_errors")
       .filter(col("flow_name") === name)
+      .withColumn("_cls", cls(col("error_message")))
+      .withColumn("error_class", col("_cls._1"))
+      .withColumn("error_action", col("_cls._2"))
+      .withColumn("error_source", col("_cls._3"))
+      .withColumn("error_code", col("_cls._4"))
+      .drop("_cls")
   }
 
   // ---------------------------------------------- settings & scripts

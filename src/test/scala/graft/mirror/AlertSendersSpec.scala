@@ -194,4 +194,167 @@ class AlertSendersSpec extends AnyFunSuite {
       assert(hook.posts.get == 2L, "slack must deliver despite smtp down")
     } finally { hook.stop(); smtp.stop() }
   }
+
+  // ------------------------------------------ error classifier cases
+
+  import ErrorClassifier._
+
+  test("PG SQLSTATE classification (classifier.go:588-832): auth and " +
+    "connection codes notify connectivity; message rules split " +
+    "undefined_object into publication-missing vs snapshot; slot " +
+    "invalidation, WAL removal, OOM and retryable codes map to the " +
+    "reference's classes") {
+    assert(classifyPg("28P01", "password authentication failed") ==
+      ((Connectivity, ErrorInfo("postgres", "28P01"))))
+    // CockroachDB shares the codes, keeps its own source attribution
+    assert(classifyPg("28000", "invalid auth", "cockroachdb") ==
+      ((Connectivity, ErrorInfo("cockroachdb", "28000"))))
+    assert(classifyPg("42704",
+      """publication "pub_x" does not exist""")._1 ==
+      PublicationMissing)
+    assert(classifyPg("42704",
+      """snapshot "00000003-0000" does not exist""")._1 ==
+      InvalidSnapshotIdentifier)
+    assert(classifyPg("42704", "type \"foo\" does not exist")._1 ==
+      Connectivity)
+    assert(classifyPg("55000",
+      "can no longer get changes from replication slot \"s1\"")._1 ==
+      SlotInvalid)
+    assert(classifyPg("55000",
+      "logical decoding on standby requires \"wal_level\" >= " +
+        "\"logical\" on the primary")._1 == ReplicationStandbySetup)
+    assert(classifyPg("55000",
+      "replication slots cannot be used on RO (Read Only) node")._1 ==
+      AuroraFailover)
+    assert(classifyPg("58P01",
+      "requested WAL segment 000000010000000000000001 has already " +
+        "been removed")._1 == WalSegmentRemoved)
+    assert(classifyPg("XX000",
+      "invalid memory alloc request size 1342177280")._1 ==
+      PostgresSlotMemalloc)
+    assert(classifyPg("XX000",
+      "could not read from reorderbuffer spill file: Stale file " +
+        "handle")._1 == RetryRecoverable)
+    assert(classifyPg("53200", "out of memory")._1 == OomSource)
+    assert(classifyPg("57P01", "terminating connection due to " +
+      "administrator command")._1 == Terminate)
+    assert(classifyPg("40P01", "deadlock detected")._1 ==
+      RetryRecoverable)
+    assert(classifyPg("22P02",
+      "invalid input value for enum pr_status: \"closed\"")._1 ==
+      InvalidEnumValue)
+    assert(classifyPg("23505", "duplicate key value violates unique " +
+      "constraint")._1 == ConstraintViolation)
+    assert(classifyPg("P0001", "user-defined")._1 == Other)
+  }
+
+  test("MySQL errno classification (classifier.go:834-904): access " +
+    "denied / unknown DB notify connectivity, binlog failures split " +
+    "on max_allowed_packet, missing table and Aurora ZDP retry") {
+    assert(classifyMysql(1045, "28000", "Access denied for user") ==
+      ((Connectivity, ErrorInfo("mysql", "1045"))))
+    assert(classifyMysql(1037, "HY001", "out of memory")._1 ==
+      OomSource)
+    assert(classifyMysql(1236, "HY000",
+      "log event entry exceeded max_allowed_packet")._1 ==
+      BinlogEventExceededMaxAllowedPacket)
+    assert(classifyMysql(1236, "HY000",
+      "could not find first log file name in binary log index")._1 ==
+      BinlogInvalid)
+    assert(classifyMysql(1146, "42S02", "Table 'db.t' doesn't exist")
+      ._1 == SourceTableMissing)
+    assert(classifyMysql(3159, "HY000", "require_secure_transport=ON")
+      ._1 == MySQLSecureTransportRequired)
+    assert(classifyMysql(1105, "HY000",
+      "The last transaction was aborted due to Zero Downtime Patch. " +
+        "Please retry.")._1 == RetryRecoverable)
+    assert(classifyMysql(1105, "HY000", "some unknown error")._1 ==
+      Other)
+    assert(classifyMysql(29, "HY000",
+      "File '/rdsdbdata/log/binlog/mysql-bin-changelog.123456' not " +
+        "found")._1 == BinlogInvalid)
+  }
+
+  test("Mongo classification (classifier.go:906-1010): history lost, " +
+    "auth, interruptions, resume-token loss") {
+    assert(classifyMongo(286, "ChangeStreamHistoryLost")._1 ==
+      ChangeStreamHistoryLost)
+    assert(classifyMongo(9,
+      "Invalid resume token: wrong type")._1 == ChangeStreamHistoryLost)
+    assert(classifyMongo(18, "Authentication failed")._1 ==
+      Connectivity)
+    assert(classifyMongo(11602,
+      "operation was interrupted")._1 == RetryRecoverable)
+    assert(classifyMongo(91, "shutdown in progress")._1 ==
+      IgnoreConnTemporary)
+    assert(classifyMongo(0, "(ShutdownInProgress) The server is in " +
+      "quiesce mode and will shut down")._1 == IgnoreConnTemporary)
+  }
+
+  test("ClickHouse code classification (classifier.go:1090-1260): " +
+    "dropped table/column = destination modified, memory limit = " +
+    "OOM, too-many-parts derives the table tag, access denied = " +
+    "permissions") {
+    assert(classifyClickHouse(60, "Table db.t does not exist")._1 ==
+      DestinationModified)
+    assert(classifyClickHouse(241,
+      "Memory limit (total) exceeded")._1 == Oom)
+    assert(classifyClickHouse(516, "Authentication failed")._1 ==
+      Connectivity)
+    assert(classifyClickHouse(497, "Not enough privileges")._1 ==
+      ClickHousePermissions)
+    val (tooMany, info) = classifyClickHouse(252,
+      "Too many parts (300). Merges are processing significantly " +
+        "slower than inserts in table 'db.orders'.")
+    assert(tooMany == TooManyParts)
+    assert(info.attributes(AttrTable) == "db.orders")
+    assert(classifyClickHouse(242, "Table is in readonly mode")._1 ==
+      RetryRecoverable)
+  }
+
+  test("live-exception classification walks the cause chain: typed " +
+    "PgServerError, JVM transport exceptions in place of the " +
+    "reference's syscall/net sentinels") {
+    assert(classify(new graft.server.PgClient.PgServerError(
+      "28P01", "password authentication failed"))._1 == Connectivity)
+    // wrapped one level deep still classifies
+    assert(classify(new RuntimeException("round failed",
+      new graft.server.PgClient.PgServerError("55000",
+        "can no longer get changes from replication slot \"s\"")))._1 ==
+      SlotInvalid)
+    assert(classify(new java.net.ConnectException(
+      "Connection refused")) ==
+      ((Connectivity, ErrorInfo("net", "ConnectException"))))
+    assert(classify(new java.io.EOFException()) ==
+      ((IgnoreEOF, ErrorInfo("net", "EOF"))))
+    assert(classify(new java.net.SocketException(
+      "Connection reset"))._1 == IgnoreConnTemporary)
+    assert(classify(new javax.net.ssl.SSLHandshakeException(
+      "PKIX path building failed"))._1 == Connectivity)
+    assert(classify(new java.net.UnknownHostException(
+      "no.such.host"))._1 == Connectivity)
+  }
+
+  test("text-rule classification for recorded flow_errors rows: the " +
+    "in-band MySQL ERR image, ClickHouse Code: NNN, REST HTTP " +
+    "statuses and the shared message regexes recover the class " +
+    "without an exception type") {
+    assert(classifyMessage("capture pull failed (3/20): 1045 28000: " +
+      "Access denied for user 'repl'")._1 == Connectivity)
+    assert(classifyMessage("batch 7: Code: 241. DB::Exception: " +
+      "Memory limit (total) exceeded: would use 9.31 GiB")._1 == Oom)
+    assert(classifyMessage("snowflake statement failed (HTTP 401): " +
+      "OAuth access token expired")._1 == Connectivity)
+    assert(classifyMessage("bigquery statement failed (HTTP 404): " +
+      "Not found: Dataset proj:ds")._1 == Connectivity)
+    assert(classifyMessage(
+      """publication "pub_cdc" does not exist""")._1 ==
+      PublicationMissing)
+    assert(classifyMessage("requested WAL segment " +
+      "000000010000000000000042 has already been removed")._1 ==
+      WalSegmentRemoved)
+    assert(classifyMessage("something nobody classified")._1 == Other)
+    assert(classifyMessage("something nobody classified")._2 ==
+      ErrorInfo("other", "UNKNOWN"))
+  }
 }

@@ -118,6 +118,19 @@ class FlowApiSpec extends SparkSpec {
     assert(api.mirrorRowCounts("fa_m").count() >= 1L)
     assert(api.listMirrorLogs("fa_m").count() == 0L)
 
+    // a recorded flow error lists back CLASSIFIED (the reference's
+    // ErrorClass taxonomy rides the log listing)
+    new StatsCatalog(s"$base/stats",
+      spark.sparkContext.hadoopConfiguration).logFlowError("fa_m",
+      "capture pull failed (3/20): 1045 28000: Access denied for " +
+        "user 'repl'@'10.0.0.7' (using password: YES)")
+    val logRow = api.listMirrorLogs("fa_m")
+      .select("error_class", "error_action", "error_source",
+        "error_code").head()
+    assert(logRow.getString(0) == "NOTIFY_CONNECTIVITY")
+    assert(logRow.getString(1) == "notify_user")
+    assert(logRow.getString(2) == "mysql" && logRow.getString(3) == "1045")
+
     // status + state machine (MirrorStatus / FlowStateChange)
     assert(api.mirrorStatus("fa_m").status == "idle")
     api.flowStateChange("fa_m", "STATUS_RUNNING")
