@@ -383,7 +383,20 @@ object ErrorClassifier {
       cur = if (cur.getCause ne cur) cur.getCause else null
       depth += 1
     }
-    classifyMessage(Option(e.getMessage).getOrElse(e.toString))
+    // Text fallback over the WHOLE cause chain (Go's err.Error()
+    // includes every wrapped message): first classified hit wins,
+    // outermost first — a wrapped "snowflake statement failed (HTTP
+    // 401)" must not degrade to OTHER behind a bland outer message.
+    var m: Throwable = e
+    var d = 0
+    var last = classifyMessage(Option(e.getMessage).getOrElse(e.toString))
+    while (m != null && d < 10 && last._1 == Other) {
+      val r = classifyMessage(Option(m.getMessage).getOrElse(""))
+      if (r._1 != Other) last = r
+      m = if (m.getCause ne m) m.getCause else null
+      d += 1
+    }
+    last
   }
 
   private val MysqlErrImage =
@@ -413,9 +426,11 @@ object ErrorClassifier {
     }
     HttpStatusImage.findFirstMatchIn(m) match {
       case Some(g) =>
+        // contains, not startsWith: recorded rows carry prefixes
+        // ("batch 7: snowflake statement failed (HTTP 401): …")
         val source =
-          if (m.startsWith("snowflake")) "snowflake"
-          else if (m.startsWith("bigquery")) "bigquery"
+          if (m.contains("snowflake statement failed")) "snowflake"
+          else if (m.contains("bigquery statement failed")) "bigquery"
           else "other"
         // the googleapi 401/403/404 mapping (classifier.go:1056-1069)
         return g.group(1).toInt match {

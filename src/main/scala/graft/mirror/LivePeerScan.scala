@@ -44,11 +44,12 @@ object LivePeerScan {
       numPartitions: Int = 0): DataFrame = {
     val ep = CaptureEndpoint.parse(url)
     val tableSql = SnapshotFlow.quotedTable(table)
+    // ONE probe session for schema + slices
     val c = graft.server.PgClients.connect(ep, Nil)
     val (schema, slices) = try {
       val probe = c.query(s"SELECT * FROM $tableSql LIMIT 0")
       (PgRows.schemaOf(probe.columns, c.lastTypeOids),
-        SnapshotFlow.tableSlices(ep, tableSql, numPartitions, None))
+        SnapshotFlow.tableSlicesOn(c, tableSql, numPartitions, None))
     } finally c.close()
     val colSql = schema.fieldNames.toSeq
       .map(PgWire.quoteIdent).mkString(", ")

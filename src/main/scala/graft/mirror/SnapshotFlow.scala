@@ -278,6 +278,17 @@ object SnapshotFlow {
   private[graft] def tableSlices(ep: CaptureEndpoint, tableSql: String,
       numPartitions: Int, rowsPerPartition: Option[Long])
       : Seq[Seq[(String, Long, Option[Long])]] = {
+    val c = clientFor(ep)
+    try tableSlicesOn(c, tableSql, numPartitions, rowsPerPartition)
+    finally c.close()
+  }
+
+  /** [[tableSlices]] on a caller-supplied open connection — the
+    * interactive router probes schema + slices over ONE session
+    * instead of paying two connection setups per routed relation. */
+  private[graft] def tableSlicesOn(c: PgClient, tableSql: String,
+      numPartitions: Int, rowsPerPartition: Option[Long])
+      : Seq[Seq[(String, Long, Option[Long])]] = {
     // size probe: classification first — a declaratively partitioned
     // parent has NO physical blocks of its own (pg_relation_size = 0,
     // which used to degrade a TB-scale partitioned table to ONE
@@ -289,8 +300,7 @@ object SnapshotFlow {
     // and each leaf's final range is open-ended so growth since the
     // probe is still covered.
     val leaves: Seq[Leaf] = {
-      val c = clientFor(ep)
-      try {
+      {
         val lit = PgWire.quoteLiteral(tableSql)
         val cls = c.query(
           "SELECT c.relkind::text, c.relhassubclass::text " +
@@ -341,7 +351,7 @@ object SnapshotFlow {
           // parent never does
           if (relkind == "p") kids else selfLeaf() +: kids
         }
-      } finally c.close()
+      }
     }
 
     val totBlocks = leaves.map(_.blocks).sum

@@ -154,16 +154,22 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       s"bigquery: no schema.fields in ${body.take(300)}")
     import scala.jdk.CollectionConverters._
     val cols = fields.elements().asScala.toSeq.map { f =>
-      val dt: DataType = f.path("type").asText("").toUpperCase match {
-        case "INTEGER" | "INT64" => LongType
-        case "FLOAT" | "FLOAT64" => DoubleType
-        case "BOOLEAN" | "BOOL" => BooleanType
-        case "NUMERIC" | "BIGNUMERIC" => DecimalType(38, 9)
-        case "TIMESTAMP" => TimestampType
-        case "DATE" => DateType
-        case "BYTES" => BinaryType
-        case _ => StringType // STRING / JSON / GEOGRAPHY images
-      }
+      val dt: DataType =
+        // REPEATED cells arrive as JSON arrays of {v}; RECORD cells as
+        // {f:[…]} — both keep their compact JSON image as a string
+        // (scalar decode on an array/object node would corrupt or
+        // crash)
+        if (f.path("mode").asText("") == "REPEATED") StringType
+        else f.path("type").asText("").toUpperCase match {
+          case "INTEGER" | "INT64" => LongType
+          case "FLOAT" | "FLOAT64" => DoubleType
+          case "BOOLEAN" | "BOOL" => BooleanType
+          case "NUMERIC" | "BIGNUMERIC" => DecimalType(38, 9)
+          case "TIMESTAMP" => TimestampType
+          case "DATE" => DateType
+          case "BYTES" => BinaryType
+          case _ => StringType // STRING / RECORD / JSON / GEOGRAPHY
+        }
       (f.path("name").asText(), dt)
     }
     val schema = org.apache.spark.sql.types.StructType(cols.map {
@@ -184,13 +190,39 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       case BinaryType => java.util.Base64.getDecoder.decode(s)
       case _ => s
     }
-    val rows = root.path("rows").elements().asScala.map { r =>
-      Row.fromSeq(r.path("f").elements().asScala.toSeq.zip(cols).map {
-        case (c, (_, dt)) =>
-          val v = c.path("v")
-          if (v.isNull || v.isMissingNode) null else cell(dt, v.asText())
-      })
-    }.toSeq
+    def decode(node: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[Row] =
+      node.elements().asScala.map { r =>
+        Row.fromSeq(r.path("f").elements().asScala.toSeq.zip(cols).map {
+          case (c, (_, dt)) =>
+            val v = c.path("v")
+            if (v.isNull || v.isMissingNode) null
+            // non-textual nodes (REPEATED arrays, RECORD objects):
+            // keep the compact JSON image — asText() on them is ""
+            else if (dt == StringType && !v.isValueNode) v.toString
+            else cell(dt, v.asText())
+        })
+      }.toSeq
+    var rows = decode(root.path("rows"))
+    // jobs.query pages large results: follow pageToken through
+    // GET /queries/{jobId} until exhausted — dropping later pages
+    // silently truncated the SELECT.
+    var pageToken = root.path("pageToken").asText("")
+    val jobId = root.path("jobReference").path("jobId")
+      .asText(fieldOf(body, "jobId").getOrElse(""))
+    while (pageToken.nonEmpty) {
+      require(jobId.nonEmpty, "bigquery: pageToken without jobId")
+      val (code, pbody) = request("GET",
+        s"/bigquery/v2/projects/$project/queries/$jobId?pageToken=" +
+          java.net.URLEncoder.encode(pageToken, "UTF-8"), None)
+      if (code != 200) throw new java.io.IOException(
+        s"bigquery: result page fetch failed (HTTP $code): " +
+          pbody.take(300))
+      val proot = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(pbody)
+      rows = rows ++ decode(proot.path("rows"))
+      pageToken = proot.path("pageToken").asText("")
+    }
     (schema, rows)
   }
 

@@ -150,9 +150,13 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
     import scala.jdk.CollectionConverters._
     val cols = rowType.elements().asScala.toSeq.map { c =>
       val scale = c.path("scale").asInt(0)
+      val precision = c.path("precision").asInt(18)
       val dt: DataType = c.path("type").asText("").toLowerCase match {
         case "fixed" =>
-          if (scale == 0) LongType else DecimalType(38, scale)
+          // NUMBER(38,0) is Snowflake's DEFAULT integer type — values
+          // can exceed Long, so only precision ≤ 18 narrows
+          if (scale == 0 && precision <= 18) LongType
+          else DecimalType(38, scale)
         case "real" => DoubleType
         case "boolean" => BooleanType
         case "date" => DateType
@@ -185,12 +189,40 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
         s.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
       case _ => s
     }
-    val rows = root.path("data").elements().asScala.map { r =>
-      Row.fromSeq(r.elements().asScala.toSeq.zip(cols).map {
-        case (v, (_, dt)) =>
-          if (v.isNull) null else cell(dt, v.asText())
-      })
-    }.toSeq
+    def decode(data: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[Row] =
+      data.elements().asScala.map { r =>
+        Row.fromSeq(r.elements().asScala.toSeq.zip(cols).map {
+          case (v, (_, dt)) =>
+            if (v.isNull) null else cell(dt, v.asText())
+        })
+      }.toSeq
+    val first = decode(root.path("data"))
+    // Multi-partition result sets (the SQL API chunks large results):
+    // resultSetMetaData.partitionInfo lists every partition; the body
+    // carries only partition 0 — the rest page in via
+    // GET /statements/{handle}?partition=n. Skipping them silently
+    // truncated big SELECTs.
+    val nParts = {
+      val pi = root.path("resultSetMetaData").path("partitionInfo")
+      if (pi.isArray) pi.size() else 1
+    }
+    val rows =
+      if (nParts <= 1) first
+      else {
+        val handle = root.path("statementHandle").asText("")
+        require(handle.nonEmpty, "snowflake: multi-partition result " +
+          "without statementHandle")
+        first ++ (1 until nParts).flatMap { p =>
+          val (code, pbody) = request("GET",
+            s"/api/v2/statements/$handle?partition=$p", None)
+          if (code != 200) throw new java.io.IOException(
+            s"snowflake: partition $p fetch failed (HTTP $code): " +
+              pbody.take(300))
+          decode(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(pbody).path("data"))
+        }
+      }
     (schema, rows)
   }
 

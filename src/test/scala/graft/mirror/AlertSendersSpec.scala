@@ -356,5 +356,13 @@ class AlertSendersSpec extends AnyFunSuite {
     assert(classifyMessage("something nobody classified")._1 == Other)
     assert(classifyMessage("something nobody classified")._2 ==
       ErrorInfo("other", "UNKNOWN"))
+    // prefixed rows keep their source attribution (contains, not
+    // startsWith)
+    assert(classifyMessage("batch 7: snowflake statement failed " +
+      "(HTTP 401): token expired")._2.source == "snowflake")
+    // a wrapped untyped cause still classifies through its message
+    assert(classify(new RuntimeException("qrep round failed",
+      new java.io.IOException("snowflake statement failed " +
+        "(HTTP 401): token expired")))._1 == Connectivity)
   }
 }

@@ -161,28 +161,43 @@ class LivePeerQuerySpec extends SparkSpec {
 
   test("snowflake:// peer: SELECT runs through the SQL API v2 and " +
     "decodes the documented rowset encodings (epoch-day dates, " +
-    "fractional-second timestamps, scaled fixed, booleans, NULLs)") {
+    "fractional-second timestamps, scaled fixed, booleans, NULLs); " +
+    "multi-partition results page in completely; NUMBER(38,0) " +
+    "beyond Long decodes as decimal") {
     val stmts = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val http = HttpServer.create(
       new InetSocketAddress("127.0.0.1", 0), 0)
-    val meta = """"resultSetMetaData":{"rowType":[
-      {"name":"id","type":"fixed","scale":0},
-      {"name":"amt","type":"fixed","scale":2},
+    val rowType = """"rowType":[
+      {"name":"id","type":"fixed","scale":0,"precision":18},
+      {"name":"big","type":"fixed","scale":0,"precision":38},
+      {"name":"amt","type":"fixed","scale":2,"precision":10},
       {"name":"x","type":"real"},
       {"name":"s","type":"text"},
       {"name":"b","type":"boolean"},
       {"name":"d","type":"date"},
-      {"name":"ts","type":"timestamp_ntz"}]}"""
+      {"name":"ts","type":"timestamp_ntz"}]"""
+    val meta = s""""resultSetMetaData":{$rowType,
+      "partitionInfo":[{"rowCount":2},{"rowCount":1}]}"""
+    val probeMeta = s""""resultSetMetaData":{$rowType}"""
     http.createContext("/api/v2/statements", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      stmts.add(body)
-      val data =
-        if (body.contains("LIMIT 0")) """"data":[]"""
-        else """"data":[
-          ["1","12.34","1.5","hi","true","19723",
-           "1700000000.123456000"],
-          ["2",null,null,null,"false",null,null]]"""
-      val resp = s"""{$meta,$data}""".getBytes(UTF_8)
+      stmts.add(ex.getRequestMethod + " " +
+        ex.getRequestURI.toString + " " + body)
+      // partition 1 fetch: GET /api/v2/statements/{handle}?partition=1
+      val resp = (if (ex.getRequestMethod == "GET" &&
+          ex.getRequestURI.getQuery == "partition=1")
+        """{"data":[
+          ["3","1","0.10","0.5","p1","true","19724","1.000000000"]]}"""
+      else if (body.contains("LIMIT 0"))
+        // a real probe response has a single (empty) partition
+        s"""{"statementHandle":"h-0",$probeMeta,"data":[]}"""
+      else {
+        val data = """"data":[
+            ["1","99999999999999999999","12.34","1.5","hi","true",
+             "19723","1700000000.123456000"],
+            ["2",null,null,null,null,"false",null,null]]"""
+        s"""{"statementHandle":"h-123",$meta,$data}"""
+      }).getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length.toLong)
       ex.getResponseBody.write(resp)
@@ -194,50 +209,81 @@ class LivePeerQuerySpec extends SparkSpec {
         s"'snowflake://127.0.0.1:${http.getAddress.getPort}/AN" +
         "?schema=PUBLIC&token=tok')")
       try {
-        val got = s.sql("SELECT id, amt, s, b, d, ts FROM swh.t " +
+        val got = s.sql("SELECT id, big, amt, s, b, d, ts FROM swh.t " +
           "ORDER BY id").collect()
-        assert(got.length == 2)
+        assert(got.length == 3, "partition 1 rows must page in")
         val r1 = got(0)
         assert(r1.getLong(0) == 1L)
+        // 20-digit NUMBER(38,0): LongType would have thrown
         assert(r1.getDecimal(1) ==
-          new java.math.BigDecimal("12.34"))
-        assert(r1.getString(2) == "hi" && r1.getBoolean(3))
-        assert(r1.getDate(4).toLocalDate ==
+          new java.math.BigDecimal("99999999999999999999"))
+        assert(r1.getDecimal(2).compareTo(
+          new java.math.BigDecimal("12.34")) == 0)
+        assert(r1.getString(3) == "hi" && r1.getBoolean(4))
+        assert(r1.getDate(5).toLocalDate ==
           java.time.LocalDate.of(2024, 1, 1))
-        assert(r1.getTimestamp(5).toInstant ==
+        assert(r1.getTimestamp(6).toInstant ==
           java.time.Instant.ofEpochSecond(1700000000L, 123456000L))
         val r2 = got(1)
         assert(r2.getLong(0) == 2L && r2.isNullAt(1) &&
-          r2.isNullAt(2) && !r2.getBoolean(3) && r2.isNullAt(4) &&
-          r2.isNullAt(5))
+          r2.isNullAt(2) && r2.isNullAt(3) && !r2.getBoolean(4) &&
+          r2.isNullAt(5) && r2.isNullAt(6))
+        assert(got(2).getLong(0) == 3L && got(2).getString(3) == "p1")
         // lazy: the action above ran the full SELECT exactly once,
         // after the build-time LIMIT 0 probe
         val sqls = stmts.toArray.map(_.toString).toSeq
-        assert(sqls.count(_.contains("LIMIT 0")) == 1)
+        // one build-time schema probe; the full SELECT may execute
+        // more than once (ORDER BY = range-partitioner sampling pass
+        // + sort — the lazy re-read contract), and EVERY execution
+        // must page partition 1 in
+        assert(sqls.count(_.contains("LIMIT 0")) == 1,
+          sqls.mkString("\n"))
+        val fulls = sqls.count(s => s.startsWith("POST") &&
+          !s.contains("LIMIT 0"))
+        assert(fulls >= 1 &&
+          sqls.count(_.contains("partition=1")) == fulls,
+          sqls.mkString("\n"))
       } finally run(s, "DROP PEER swh")
     } finally http.stop(0)
   }
 
   test("bigquery:// peer: SELECT runs through jobs.query and decodes " +
     "the f/v rowset (epoch-second timestamps, ISO dates, NULL vs " +
-    "value cells)") {
+    "value cells); pageToken pages follow to exhaustion; REPEATED " +
+    "and RECORD columns keep their JSON images") {
     val http = HttpServer.create(
       new InetSocketAddress("127.0.0.1", 0), 0)
     val schema = """"schema":{"fields":[
       {"name":"id","type":"INTEGER"},
       {"name":"s","type":"STRING"},
       {"name":"d","type":"DATE"},
-      {"name":"ts","type":"TIMESTAMP"}]}"""
+      {"name":"ts","type":"TIMESTAMP"},
+      {"name":"tags","type":"INTEGER","mode":"REPEATED"},
+      {"name":"rec","type":"RECORD"}]}"""
     http.createContext("/", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val rows =
-        if (body.contains("LIMIT 0")) """"rows":[]"""
-        else """"rows":[
-          {"f":[{"v":"7"},{"v":"bq"},{"v":"2024-01-01"},
-                {"v":"1.7000000001234E9"}]},
-          {"f":[{"v":"8"},{"v":null},{"v":null},{"v":null}]}]"""
-      val resp =
-        s"""{"jobComplete":true,$schema,$rows}""".getBytes(UTF_8)
+      val isPage2 = ex.getRequestMethod == "GET" &&
+        Option(ex.getRequestURI.getQuery).exists(_.contains(
+          "pageToken=tok2"))
+      val resp = (if (isPage2)
+        """{"jobComplete":true,"rows":[
+          {"f":[{"v":"9"},{"v":"page2"},{"v":null},{"v":null},
+                {"v":[]},{"v":null}]}]}"""
+      else {
+        val rows =
+          if (body.contains("LIMIT 0")) """"rows":[]"""
+          else """"rows":[
+            {"f":[{"v":"7"},{"v":"bq"},{"v":"2024-01-01"},
+                  {"v":"1.7000000001234E9"},
+                  {"v":[{"v":"1"},{"v":"2"}]},
+                  {"v":{"f":[{"v":"x"}]}}]},
+            {"f":[{"v":"8"},{"v":null},{"v":null},{"v":null},
+                  {"v":[]},{"v":null}]}],
+          "pageToken":"tok2" """.trim
+        s"""{"jobComplete":true,
+          "jobReference":{"projectId":"proj","jobId":"job-1"},
+          $schema,$rows}"""
+      }).getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length.toLong)
       ex.getResponseBody.write(resp)
@@ -249,16 +295,21 @@ class LivePeerQuerySpec extends SparkSpec {
         s"'bigquery://127.0.0.1:${http.getAddress.getPort}/proj" +
         "?dataset=ds&token=tok')")
       try {
-        val got = s.sql("SELECT id, s, d, ts FROM bwh.t ORDER BY id")
-          .collect()
-        assert(got.length == 2)
+        val got = s.sql("SELECT id, s, d, ts, tags, rec FROM bwh.t " +
+          "ORDER BY id").collect()
+        assert(got.length == 3, "the pageToken page must follow")
         assert(got(0).getLong(0) == 7L && got(0).getString(1) == "bq")
         assert(got(0).getDate(2).toLocalDate ==
           java.time.LocalDate.of(2024, 1, 1))
         assert(got(0).getTimestamp(3).toInstant.getEpochSecond ==
           1700000000L)
+        // REPEATED/RECORD cells: compact JSON image, not "" / crash
+        assert(got(0).getString(4) == """[{"v":"1"},{"v":"2"}]""")
+        assert(got(0).getString(5) == """{"f":[{"v":"x"}]}""")
         assert(got(1).getLong(0) == 8L && got(1).isNullAt(1) &&
           got(1).isNullAt(2) && got(1).isNullAt(3))
+        assert(got(2).getLong(0) == 9L && got(2).getString(1) ==
+          "page2")
       } finally run(s, "DROP PEER bwh")
     } finally http.stop(0)
   }
