@@ -330,6 +330,11 @@ object LayoutQueries {
         .groupBy(col("file_id"), expr("h DIV 63").as("word_idx"))
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
           "CAST(h % 63 AS INT)))").as("mask"))
+        // pin the INDEX, not the data: ≤ 64 words × |files| rows
+        // regardless of corpus size, and both hash probes (m1, m2)
+        // consume it — without the pin each broadcast re-built the
+        // index from its own full scan of the row frame
+        .localCheckpoint(true)
       val keys = Tables(s, dir, "part")
         .filter("p_partkey % 211 = 5")
         .select(col("p_partkey").as("k"))
@@ -350,6 +355,8 @@ object LayoutQueries {
         .groupBy("k").agg(countDistinct("file_id").as("files_true"))
       val st = rows.groupBy("file_id")
         .agg(min("pk").as("mn"), max("pk").as("mxp"))
+        // |files| rows, two consumers (min/max join + total count)
+        .localCheckpoint(true)
       val mmCnt = keys.select("k").join(broadcast(st),
           col("k") >= col("mn") && col("k") <= col("mxp"))
         .groupBy("k").agg(count(lit(1)).as("files_minmax"))
