@@ -38,10 +38,15 @@ object Metrics {
   val SyncBatchDurationMs = "sync_batch_duration_ms"
   val CommittedLsn = "committed_lsn"
   val ErrorsEmitted = "errors_emitted"
+  val WarningsEmitted = "warnings_emitted"
   // attribute keys (attributes.go)
   val FlowNameKey = "flowName"
   val PeerNameKey = "peerName"
   val SlotNameKey = "slotName"
+  val ErrorClassKey = "errorClass"
+  val ErrorActionKey = "errorAction"
+  val ErrorSourceKey = "errorSource"
+  val ErrorCodeKey = "errorCode"
 
   final case class Point(name: String, value: Double,
       attrs: Map[String, String], counter: Boolean)
@@ -179,6 +184,30 @@ final class MetricsBridge(sink: MetricsSink) {
         Map(FlowNameKey -> flow))
     }
     lags
+  }
+
+  /** The reference's recordFlowErrorInternal (alerting.go:340-397):
+    * classify the error, land the durable flow_errors row, and emit
+    * the classified error/warning counter with the taxonomy
+    * attributes (errorClass/errorAction/errorSource/errorCode plus
+    * any table/column tags) — the triage dimensions ops dashboards
+    * slice on. Returns the class so callers can branch on its
+    * action (e.g. suppress user alerts for ignore-class errors). */
+  def flowErrorTick(stats: StatsCatalog, flowName: String,
+      e: Throwable, warn: Boolean = false)
+      : ErrorClassifier.ErrorClass = {
+    val (cls, info) = ErrorClassifier.classify(e)
+    val msg = Option(e.getMessage).getOrElse(e.toString)
+    if (warn) stats.logFlowWarning(flowName, msg)
+    else stats.logFlowError(flowName, msg)
+    sink.incr(
+      if (warn) WarningsEmitted else ErrorsEmitted, 1.0,
+      Map(FlowNameKey -> flowName,
+        ErrorClassKey -> cls.name,
+        ErrorActionKey -> cls.action,
+        ErrorSourceKey -> info.source,
+        ErrorCodeKey -> info.code) ++ info.attributes)
+    cls
   }
 
   /** Run the slot-lag alert check and count fired alerts as

@@ -127,6 +127,14 @@ class LivePeerQuerySpec extends SparkSpec {
           assert(p2.rows.size == 60)
           assert(p2.rows.last.head.contains("99"))
           c.query("CLOSE lcur")
+          // prepared statements over the live route (the proxy's
+          // text substitution re-enters the router)
+          c.query("PREPARE plive AS SELECT count(*) AS n " +
+            "FROM lpc.lpc WHERE id < $1")
+          assert(c.query("EXECUTE plive (40)")
+            .rows.head.head.contains("40"))
+          assert(c.query("EXECUTE plive (100)")
+            .rows.head.head.contains("100"))
           c.query("DROP PEER lpc")
         } finally c.close()
       } finally front.stop()

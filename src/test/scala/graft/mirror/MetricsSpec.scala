@@ -136,6 +136,43 @@ class MetricsSpec extends SparkSpec {
     assert(sink.counter(Metrics.ErrorsEmitted, attrs) == 1.0) // unchanged
   }
 
+  test("flowErrorTick classifies, lands the durable flow_errors row, " +
+    "and emits the taxonomy-attributed counter " +
+    "(recordFlowErrorInternal, alerting.go:340-397)") {
+    val base = tmpDir("metrics_flowerr")
+    val sink = new InMemoryMetrics()
+    val bridge = new MetricsBridge(sink)
+    val stats = new StatsCatalog(s"$base/stats",
+      spark.sparkContext.hadoopConfiguration)
+    val cls = bridge.flowErrorTick(stats, "flow_e",
+      new graft.server.PgClient.PgServerError("28P01",
+        "password authentication failed for user \"repl\""))
+    assert(cls == ErrorClassifier.Connectivity)
+    assert(sink.counter(Metrics.ErrorsEmitted, Map(
+      Metrics.FlowNameKey -> "flow_e",
+      Metrics.ErrorClassKey -> "NOTIFY_CONNECTIVITY",
+      Metrics.ErrorActionKey -> "notify_user",
+      Metrics.ErrorSourceKey -> "postgres",
+      Metrics.ErrorCodeKey -> "28P01")) == 1.0)
+    // warn leg rides the warnings counter and the warn row type
+    val w = bridge.flowErrorTick(stats, "flow_e",
+      new java.io.EOFException(), warn = true)
+    assert(w == ErrorClassifier.IgnoreEOF && w.action == "ignore")
+    assert(sink.counter(Metrics.WarningsEmitted, Map(
+      Metrics.FlowNameKey -> "flow_e",
+      Metrics.ErrorClassKey -> "IGNORE_EOF",
+      Metrics.ErrorActionKey -> "ignore",
+      Metrics.ErrorSourceKey -> "net",
+      Metrics.ErrorCodeKey -> "EOF")) == 1.0)
+    stats.flush()
+    // the durable rows landed with their types
+    import org.apache.spark.sql.functions.col
+    val rows = stats.table(spark, "flow_errors")
+      .filter(col("flow_name") === "flow_e")
+      .select("error_type").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("error", "warn"))
+  }
+
   test("JsonLinesMetrics writes scrapeable lines (gauge + counter)") {
     val path = s"${tmpDir("metrics_json")}/m.jsonl"
     val sink = new JsonLinesMetrics(path)
