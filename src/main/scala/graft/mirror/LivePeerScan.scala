@@ -70,10 +70,18 @@ object LivePeerScan {
   def warehouseTable(spark: SparkSession, url: String, table: String)
       : DataFrame = {
     import graft.types.QKind.Dialect
-    val qtable = graft.sinks.MergeSqlGenerator.qualified(table,
-      if (CaptureEndpoint.parse(url).scheme == "snowflake")
-        Dialect.Snowflake
-      else Dialect.BigQuery)
+    // Plain identifier parts pass BARE so the server's own case
+    // folding applies (a quoted "orders" would MISS Snowflake's
+    // upper-folded ORDERS — the proxy ships the user's SQL unquoted
+    // too); anything else quotes in-dialect.
+    val plain = table.split("\\.", -1)
+      .forall(_.matches("[A-Za-z_][A-Za-z0-9_$]*"))
+    val qtable =
+      if (plain) table
+      else graft.sinks.MergeSqlGenerator.qualified(table,
+        if (CaptureEndpoint.parse(url).scheme == "snowflake")
+          Dialect.Snowflake
+        else Dialect.BigQuery)
     val sql = s"SELECT * FROM $qtable"
     val (schema, _) = runQuery(url, s"$sql LIMIT 0")
     val urlSer = url

@@ -107,6 +107,22 @@ object QRepSoak {
       } finally session.close()
       s.psql("SELECT pg_drop_replication_slot(slot_name) " +
       "FROM pg_replication_slots WHERE slot_name='soak_slot'")
+
+      // (e) interactive live-peer scan (the SQL router's pg:// leg:
+      // CTID slices without an exported snapshot, lazy build + one
+      // action) — the rec/s the LivePeerQuerySpec path sustains
+      {
+        val t = System.nanoTime()
+        val df = graft.mirror.LivePeerScan.pgTable(spark, url,
+          "public.soak", parts)
+        val built = (System.nanoTime() - t) / 1e9
+        val t2 = System.nanoTime()
+        val n = df.count()
+        val took = (System.nanoTime() - t2) / 1e9
+        println(f"live-peer scan $n%8d rows in $took%6.1f s " +
+          f"(${n / took}%8.0f rec/s; build probe $built%.2f s, " +
+          f"${df.rdd.getNumPartitions} slices)")
+      }
     } finally server.stop()
   }
 }
