@@ -366,13 +366,17 @@ object ErrorClassifier {
             ErrorInfo("net", "tls.CertificateVerificationError"))
         case s: java.net.SocketException =>
           // ECONNRESET / closed-socket → temporary (classifier.go:
-          // 505-520); anything else on a socket → connectivity
+          // 505-520); anything else on a socket → connectivity. The
+          // code is a STABLE token, never the free-text message — an
+          // unbounded code would mint a metric series per distinct
+          // message through flowErrorTick.
           val m = Option(s.getMessage).getOrElse("")
-          return if (m.contains("Connection reset") ||
-            m.contains("Socket closed") ||
+          return if (m.contains("Connection reset"))
+            (IgnoreConnTemporary, ErrorInfo("net", "ECONNRESET"))
+          else if (m.contains("Socket closed") ||
             m.contains("Broken pipe"))
-            (IgnoreConnTemporary, ErrorInfo("net", m))
-          else (Connectivity, ErrorInfo("net", m))
+            (IgnoreConnTemporary, ErrorInfo("net", "net.ErrClosed"))
+          else (Connectivity, ErrorInfo("net", "SocketException"))
         case _: java.nio.channels.ClosedChannelException =>
           return (IgnoreConnTemporary, ErrorInfo("net", "net.ErrClosed"))
         case _: InterruptedException =>
@@ -384,19 +388,28 @@ object ErrorClassifier {
       depth += 1
     }
     // Text fallback over the WHOLE cause chain (Go's err.Error()
-    // includes every wrapped message): first classified hit wins,
-    // outermost first — a wrapped "snowflake statement failed (HTTP
-    // 401)" must not degrade to OTHER behind a bland outer message.
-    var m: Throwable = e
+    // includes every wrapped message) — a wrapped "snowflake
+    // statement failed (HTTP 401)" must not degrade to OTHER behind
+    // a bland outer message.
+    classifyMessage(chainMessage(e))
+  }
+
+  /** Go `err.Error()` analogue: the outermost message with every
+    * cause's message appended (": "-joined, skipping causes the text
+    * already embeds). This is also the form [[graft.mirror
+    * .MetricsBridge.flowErrorTick]] persists, so a recorded row
+    * re-classifies to the SAME class the live metric carried. */
+  def chainMessage(e: Throwable): String = {
+    var out = Option(e.getMessage).getOrElse(e.toString)
+    var cur = if (e.getCause ne e) e.getCause else null
     var d = 0
-    var last = classifyMessage(Option(e.getMessage).getOrElse(e.toString))
-    while (m != null && d < 10 && last._1 == Other) {
-      val r = classifyMessage(Option(m.getMessage).getOrElse(""))
-      if (r._1 != Other) last = r
-      m = if (m.getCause ne m) m.getCause else null
+    while (cur != null && d < 10) {
+      val m = Option(cur.getMessage).getOrElse(cur.getClass.getName)
+      if (!out.contains(m)) out = s"$out: $m"
+      cur = if (cur.getCause ne cur) cur.getCause else null
       d += 1
     }
-    last
+    out
   }
 
   private val MysqlErrImage =
@@ -427,10 +440,13 @@ object ErrorClassifier {
     HttpStatusImage.findFirstMatchIn(m) match {
       case Some(g) =>
         // contains, not startsWith: recorded rows carry prefixes
-        // ("batch 7: snowflake statement failed (HTTP 401): …")
+        // ("batch 7: snowflake statement failed (HTTP 401): …");
+        // the paging legs' own failures attribute the same way
         val source =
-          if (m.contains("snowflake statement failed")) "snowflake"
-          else if (m.contains("bigquery statement failed")) "bigquery"
+          if (m.contains("snowflake statement failed") ||
+            m.contains("snowflake: partition")) "snowflake"
+          else if (m.contains("bigquery statement failed") ||
+            m.contains("bigquery: result page")) "bigquery"
           else "other"
         // the googleapi 401/403/404 mapping (classifier.go:1056-1069)
         return g.group(1).toInt match {

@@ -1946,7 +1946,8 @@ object GraftSql {
               case e: Throwable =>
                 new StatsCatalog(d,
                   spark.sparkContext.hadoopConfiguration)
-                  .logFlowError(n, s"qrep round: ${e.getMessage}")
+                  .logFlowError(n, "qrep round: " +
+                    ErrorClassifier.chainMessage(e))
                 throw e
             }
           case None => () => executeQRep(spark, entry).head.getLong(0)

@@ -70,18 +70,25 @@ object LivePeerScan {
   def warehouseTable(spark: SparkSession, url: String, table: String)
       : DataFrame = {
     import graft.types.QKind.Dialect
-    // Plain identifier parts pass BARE so the server's own case
-    // folding applies (a quoted "orders" would MISS Snowflake's
-    // upper-folded ORDERS — the proxy ships the user's SQL unquoted
-    // too); anything else quotes in-dialect.
-    val plain = table.split("\\.", -1)
-      .forall(_.matches("[A-Za-z_][A-Za-z0-9_$]*"))
     val qtable =
-      if (plain) table
-      else graft.sinks.MergeSqlGenerator.qualified(table,
-        if (CaptureEndpoint.parse(url).scheme == "snowflake")
-          Dialect.Snowflake
-        else Dialect.BigQuery)
+      if (CaptureEndpoint.parse(url).scheme == "snowflake")
+        // Snowflake folds UNQUOTED identifiers to UPPER, so quoting a
+        // plain name verbatim would miss the server's fold ("orders"
+        // ≠ ORDERS) while shipping it bare breaks on reserved words
+        // (FROM sch.order). Quoting the UPPER fold resolves the same
+        // object as the unquoted form AND always parses. A table
+        // deliberately created as quoted-lowercase needs a non-plain
+        // character in the typed name to bypass the fold.
+        table.split("\\.", -1).map { p =>
+          val cased =
+            if (p.matches("[A-Za-z_][A-Za-z0-9_$]*")) p.toUpperCase
+            else p
+          "\"" + cased.replace("\"", "\"\"") + "\""
+        }.mkString(".")
+      else
+        // BigQuery backticks preserve the exact name and never change
+        // resolution — always quote
+        graft.sinks.MergeSqlGenerator.qualified(table, Dialect.BigQuery)
     val sql = s"SELECT * FROM $qtable"
     val (schema, _) = runQuery(url, s"$sql LIMIT 0")
     val urlSer = url

@@ -194,10 +194,14 @@ final class MetricsBridge(sink: MetricsSink) {
     * slice on. Returns the class so callers can branch on its
     * action (e.g. suppress user alerts for ignore-class errors). */
   def flowErrorTick(stats: StatsCatalog, flowName: String,
-      e: Throwable, warn: Boolean = false)
+      e: Throwable, warn: Boolean = false, context: String = "")
       : ErrorClassifier.ErrorClass = {
     val (cls, info) = ErrorClassifier.classify(e)
-    val msg = Option(e.getMessage).getOrElse(e.toString)
+    // persist the WHOLE cause chain (Go's err.Error() form): the
+    // stored row must re-classify to the same class this metric
+    // carries, and the outer message alone can hide the wire error
+    val chain = ErrorClassifier.chainMessage(e)
+    val msg = if (context.isEmpty) chain else s"$context: $chain"
     if (warn) stats.logFlowWarning(flowName, msg)
     else stats.logFlowError(flowName, msg)
     sink.incr(

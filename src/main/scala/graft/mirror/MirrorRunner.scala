@@ -488,6 +488,25 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     metricsBridge = Some(b)
     b
   }
+
+  /** Classified flow-error recording (the reference's LogFlowError
+    * always classifies, alerting.go:340-399): with a metrics bridge
+    * attached, the error rides [[MetricsBridge.flowErrorTick]] —
+    * durable row + taxonomy-attributed counter; without one, the
+    * plain durable row with the same full-cause-chain message. */
+  private def recordFlowError(context: String, e: Throwable): Unit =
+    stats.foreach { st =>
+      metricsBridge match {
+        case Some(b) =>
+          try { b.flowErrorTick(st, cfg.flow, e, context = context); () }
+          catch { case scala.util.control.NonFatal(_) =>
+            st.logFlowError(cfg.flow,
+              s"$context: ${ErrorClassifier.chainMessage(e)}")
+          }
+        case None => st.logFlowError(cfg.flow,
+          s"$context: ${ErrorClassifier.chainMessage(e)}")
+      }
+    }
   private def metricsTick(): Unit = metricsBridge.foreach { b =>
     try {
       b.slotLagTick(cfg.flow, metricsPeerName, cfg.walDir,
@@ -768,16 +787,15 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
                 try walHeartbeatTick()
                 catch {
                   case scala.util.control.NonFatal(e) =>
-                    stats.foreach(_.logFlowError(cfg.flow,
-                      s"wal heartbeat failed: ${e.getMessage}"))
+                    recordFlowError("wal heartbeat failed", e)
                 }
               } catch {
                 case e: InterruptedException => throw e
                 case e: Exception =>
                   failures += 1
-                  stats.foreach(_.logFlowError(cfg.flow,
-                    s"capture pull failed " +
-                      s"($failures/$maxConsecutive): ${e.getMessage}"))
+                  recordFlowError(
+                    s"capture pull failed ($failures/$maxConsecutive)",
+                    e)
                   if (failures >= maxConsecutive) throw e
               }
               // failures back off linearly (capped) so the cap spans
@@ -789,8 +807,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           } catch {
             case _: InterruptedException =>
             case e: Exception =>
-              stats.foreach(_.logFlowError(cfg.flow,
-                s"capture pump stopped: ${e.getMessage}"))
+              recordFlowError("capture pump stopped", e)
           }
         }, s"graft-capture-pump-${cfg.flow}")
         t.setDaemon(true)
@@ -845,8 +862,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         // LogFlowError (alerting.go:359-412): a failed batch leaves a
         // durable flow_errors row before the stream dies — the row, not
         // the dead process, is what ops sees.
-        stats.foreach(_.logFlowError(cfg.flow,
-          s"batch $batchId: ${e.getMessage}"))
+        recordFlowError(s"batch $batchId", e)
         throw e
     }
     finally batch.unpersist()

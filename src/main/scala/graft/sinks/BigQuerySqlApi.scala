@@ -203,27 +203,45 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
             else cell(dt, v.asText())
         })
       }.toSeq
-    var rows = decode(root.path("rows"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    rows ++= decode(root.path("rows"))
     // jobs.query pages large results: follow pageToken through
     // GET /queries/{jobId} until exhausted — dropping later pages
-    // silently truncated the SELECT.
+    // silently truncated the SELECT. The location parameter is
+    // REQUIRED for jobs outside the US/EU multi-regions; bounded like
+    // the poll loop (a server echoing tokens forever must fail loud,
+    // not OOM).
     var pageToken = root.path("pageToken").asText("")
-    val jobId = root.path("jobReference").path("jobId")
+    val jobRef = root.path("jobReference")
+    val jobId = jobRef.path("jobId")
       .asText(fieldOf(body, "jobId").getOrElse(""))
+    val location = jobRef.path("location").asText("")
+    val maxPages = ep.param("max_result_pages", "100000").toInt
+    var pages = 0
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     while (pageToken.nonEmpty) {
       require(jobId.nonEmpty, "bigquery: pageToken without jobId")
+      pages += 1
+      if (pages > maxPages) throw new java.io.IOException(
+        s"bigquery: result exceeded $maxPages pages " +
+          "(raise max_result_pages)")
+      val loc = if (location.isEmpty) ""
+        else "&location=" +
+          java.net.URLEncoder.encode(location, "UTF-8")
       val (code, pbody) = request("GET",
         s"/bigquery/v2/projects/$project/queries/$jobId?pageToken=" +
-          java.net.URLEncoder.encode(pageToken, "UTF-8"), None)
+          java.net.URLEncoder.encode(pageToken, "UTF-8") + loc, None)
       if (code != 200) throw new java.io.IOException(
         s"bigquery: result page fetch failed (HTTP $code): " +
           pbody.take(300))
-      val proot = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(pbody)
-      rows = rows ++ decode(proot.path("rows"))
-      pageToken = proot.path("pageToken").asText("")
+      val proot = mapper.readTree(pbody)
+      rows ++= decode(proot.path("rows"))
+      val next = proot.path("pageToken").asText("")
+      if (next == pageToken) throw new java.io.IOException(
+        "bigquery: result page repeated its own pageToken")
+      pageToken = next
     }
-    (schema, rows)
+    (schema, rows.toSeq)
   }
 
   private val TsFmt = java.time.format.DateTimeFormatter

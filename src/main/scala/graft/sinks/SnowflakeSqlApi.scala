@@ -213,14 +213,14 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
         val handle = root.path("statementHandle").asText("")
         require(handle.nonEmpty, "snowflake: multi-partition result " +
           "without statementHandle")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         first ++ (1 until nParts).flatMap { p =>
           val (code, pbody) = request("GET",
             s"/api/v2/statements/$handle?partition=$p", None)
           if (code != 200) throw new java.io.IOException(
             s"snowflake: partition $p fetch failed (HTTP $code): " +
               pbody.take(300))
-          decode(new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(pbody).path("data"))
+          decode(mapper.readTree(pbody).path("data"))
         }
       }
     (schema, rows)

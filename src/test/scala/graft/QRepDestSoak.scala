@@ -64,12 +64,16 @@ object QRepDestSoak {
       val total = broker.topicRecords("soak_topic").size.toLong
       assert(total == rowsPerRound * rounds,
         s"broker holds $total, expected ${rowsPerRound * rounds}")
-      val firstHalf = times.take(rounds / 2).sum / (rounds / 2)
-      val lastHalf = times.drop(rounds / 2).sum / (rounds - rounds / 2)
-      println(f"kafka leg: first-half avg $firstHalf%.2f s, " +
-        f"last-half avg $lastHalf%.2f s (growth x${lastHalf / firstHalf}%.2f)")
-      assert(lastHalf < firstHalf * 1.8,
-        "per-round cost grows — the queue leg is re-reading history")
+      if (rounds >= 4) {
+        val firstHalf = times.take(rounds / 2).sum / (rounds / 2)
+        val lastHalf =
+          times.drop(rounds / 2).sum / (rounds - rounds / 2)
+        println(f"kafka leg: first-half avg $firstHalf%.2f s, " +
+          f"last-half avg $lastHalf%.2f s " +
+          f"(growth x${lastHalf / firstHalf}%.2f)")
+        assert(lastHalf < firstHalf * 1.8,
+          "per-round cost grows — the queue leg is re-reading history")
+      }
     } finally broker.stop()
 
     // --------------------------------------------------- s3path leg
@@ -114,12 +118,14 @@ object QRepDestSoak {
     println(f"s3path leg: $totalFiles files over $rounds rounds " +
       f"(rolling engaged), $totalRecords%,d records accounted")
     assert(totalRecords == rowsPerRound * rounds)
-    val f2 = times2.take(rounds / 2).sum / (rounds / 2)
-    val l2 = times2.drop(rounds / 2).sum / (rounds - rounds / 2)
-    println(f"s3path leg: first-half avg $f2%.2f s, last-half avg " +
-      f"$l2%.2f s (growth x${l2 / f2}%.2f)")
-    assert(l2 < f2 * 1.8,
-      "per-round cost grows — the avro leg is rewriting history")
+    if (rounds >= 4) {
+      val f2 = times2.take(rounds / 2).sum / (rounds / 2)
+      val l2 = times2.drop(rounds / 2).sum / (rounds - rounds / 2)
+      println(f"s3path leg: first-half avg $f2%.2f s, last-half avg " +
+        f"$l2%.2f s (growth x${l2 / f2}%.2f)")
+      assert(l2 < f2 * 1.8,
+        "per-round cost grows — the avro leg is rewriting history")
+    }
 
     spark.stop()
     println("QRepDestSoak PASS")
