@@ -244,6 +244,50 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
     (schema, rows.toSeq)
   }
 
+  /** The object-pull EXPORT leg (qrep_object_pull.go:381-437): build
+    * and run the EXPORT DATA statement with the casts Parquet needs —
+    * JSON → TO_JSON_STRING (Parquet has no JSON type), GEOGRAPHY →
+    * ST_AsText, DATETIME → CAST AS TIMESTAMP (the tz-unaware type's
+    * Parquet image is loader-hostile; the UTC timestamp preserves the
+    * value) — exactly the reference's column shaping. The staged
+    * `<uri>/<table>/` wildcard parquet files then enter the engine as
+    * a plain scan: Spark's size-balanced file splitting replaces the
+    * reference's GCS object-range partitioner
+    * (qrep_object_pull.go:154-275). Field types come from a LIMIT 0
+    * probe (the SDK's table-metadata read, REST-shaped). Returns the
+    * statement it executed. */
+  def exportToParquet(table: String, stagingUri: String): String = {
+    def bq(id: String): String = "`" + id.replace("`", "\\`") + "`"
+    val qualifiedTable = table.split("\\.", -1).map(bq).mkString(".")
+    val probe = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(submit(s"SELECT * FROM $qualifiedTable LIMIT 0"))
+    val fields = probe.path("schema").path("fields")
+    require(fields.isArray && fields.size() > 0,
+      s"bigquery: no schema for $table")
+    import scala.jdk.CollectionConverters._
+    val selects = fields.elements().asScala.map { f =>
+      val q = bq(f.path("name").asText())
+      f.path("type").asText("").toUpperCase match {
+        case "JSON" => s"TO_JSON_STRING($q) AS $q"
+        case "GEOGRAPHY" => s"ST_AsText($q) AS $q"
+        case "DATETIME" => s"CAST($q AS TIMESTAMP) AS $q"
+        case _ => q
+      }
+    }.mkString(", ")
+    val uri = s"$stagingUri/${
+      java.net.URLEncoder.encode(table, "UTF-8").replace("+", "%20")
+    }/*.parquet"
+    val sql = s"""EXPORT DATA OPTIONS(
+      |  uri='$uri',
+      |  format='PARQUET',
+      |  compression='GZIP',
+      |  overwrite=true
+      |) AS
+      |SELECT $selects FROM $qualifiedTable""".stripMargin
+    execute(sql)
+    sql
+  }
+
   private val TsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
     .withZone(java.time.ZoneOffset.UTC)

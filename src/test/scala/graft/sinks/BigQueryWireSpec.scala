@@ -386,4 +386,51 @@ class BigQueryWireSpec extends SparkSpec {
       run("DROP MIRROR bqmir")
     } finally bq.stop()
   }
+
+  test("object-pull EXPORT DATA shaping (qrep_object_pull.go:381-437):" +
+    " JSON columns cast through TO_JSON_STRING, GEOGRAPHY through " +
+    "ST_AsText, DATETIME through CAST AS TIMESTAMP; plain columns " +
+    "pass bare; the statement carries the PARQUET/GZIP/overwrite " +
+    "options and the table-scoped wildcard uri") {
+    val stmts = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val http = HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    http.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      stmts.add(body)
+      val resp = (if (body.contains("LIMIT 0"))
+        """{"jobComplete":true,"schema":{"fields":[
+          {"name":"id","type":"INTEGER"},
+          {"name":"payload","type":"JSON"},
+          {"name":"geo","type":"GEOGRAPHY"},
+          {"name":"created","type":"DATETIME"},
+          {"name":"name","type":"STRING"}]},"rows":[]}"""
+      else """{"jobComplete":true}""").getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length.toLong)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    http.start()
+    try {
+      val api = new BigQuerySqlApi("bigquery://127.0.0.1:" +
+        s"${http.getAddress.getPort}/proj?dataset=ds&token=t")
+      val sql = api.exportToParquet("ds.events",
+        "gs://stage/snapshots")
+      assert(sql.contains("uri='gs://stage/snapshots/ds.events/" +
+        "*.parquet'"))
+      assert(sql.contains("format='PARQUET'"))
+      assert(sql.contains("compression='GZIP'"))
+      assert(sql.contains("overwrite=true"))
+      assert(sql.contains("TO_JSON_STRING(`payload`) AS `payload`"))
+      assert(sql.contains("ST_AsText(`geo`) AS `geo`"))
+      assert(sql.contains("CAST(`created` AS TIMESTAMP) AS `created`"))
+      assert(sql.contains("`id`, ") && sql.contains(", `name`"),
+        s"plain columns pass bare: $sql")
+      assert(sql.contains("FROM `ds`.`events`"))
+      // the statement actually EXECUTED through jobs.query
+      assert(stmts.toArray.map(_.toString)
+        .count(_.contains("EXPORT DATA")) == 1)
+    } finally http.stop(0)
+  }
 }
