@@ -387,11 +387,22 @@ object ErrorClassifier {
       cur = if (cur.getCause ne cur) cur.getCause else null
       depth += 1
     }
-    // Text fallback over the WHOLE cause chain (Go's err.Error()
-    // includes every wrapped message) — a wrapped "snowflake
-    // statement failed (HTTP 401)" must not degrade to OTHER behind
-    // a bland outer message.
-    classifyMessage(chainMessage(e))
+    // Text fallback over the cause chain, one LEVEL at a time
+    // (outermost first, first classified hit wins): a wrapped
+    // "snowflake statement failed (HTTP 401)" must not degrade to
+    // OTHER behind a bland outer message, and per-level matching
+    // keeps the suffix-anchored rules intact (the Aurora ZDP
+    // "…Please retry." test would never match against a joined
+    // chain with a cause appended).
+    var m: Throwable = e
+    var d = 0
+    while (m != null && d < 10) {
+      val r = classifyMessage(Option(m.getMessage).getOrElse(""))
+      if (r._1 != Other) return r
+      m = if (m.getCause ne m) m.getCause else null
+      d += 1
+    }
+    classifyMessage(Option(e.getMessage).getOrElse(e.toString))
   }
 
   /** Go `err.Error()` analogue: the outermost message with every

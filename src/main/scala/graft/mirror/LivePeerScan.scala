@@ -81,7 +81,8 @@ object LivePeerScan {
         // character in the typed name to bypass the fold.
         table.split("\\.", -1).map { p =>
           val cased =
-            if (p.matches("[A-Za-z_][A-Za-z0-9_$]*")) p.toUpperCase
+            if (p.matches("[A-Za-z_][A-Za-z0-9_$]*"))
+              p.toUpperCase(java.util.Locale.ROOT) // tr-locale-proof
             else p
           "\"" + cased.replace("\"", "\"\"") + "\""
         }.mkString(".")

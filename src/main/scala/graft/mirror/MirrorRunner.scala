@@ -498,11 +498,11 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     stats.foreach { st =>
       metricsBridge match {
         case Some(b) =>
+          // flowErrorTick lands the durable row FIRST; a sink failure
+          // after that must not re-log (double rows skew ops counts)
+          // and must never fail the flow — swallow
           try { b.flowErrorTick(st, cfg.flow, e, context = context); () }
-          catch { case scala.util.control.NonFatal(_) =>
-            st.logFlowError(cfg.flow,
-              s"$context: ${ErrorClassifier.chainMessage(e)}")
-          }
+          catch { case scala.util.control.NonFatal(_) => () }
         case None => st.logFlowError(cfg.flow,
           s"$context: ${ErrorClassifier.chainMessage(e)}")
       }

@@ -116,9 +116,15 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
       val jobId = fieldOf(body, "jobId").getOrElse(
         throw new java.io.IOException(
           s"bigquery: incomplete job without jobId: ${body.take(300)}"))
+      // location is REQUIRED to address jobs outside the US/EU
+      // multi-regions — a regional job's poll 404s without it
+      val loc = fieldOf(body, "location")
+        .filter(_.nonEmpty)
+        .map(l => "?location=" +
+          java.net.URLEncoder.encode(l, "UTF-8")).getOrElse("")
       Thread.sleep(pollMs)
       val r = request("GET",
-        s"/bigquery/v2/projects/$project/queries/$jobId", None)
+        s"/bigquery/v2/projects/$project/queries/$jobId$loc", None)
       code = r._1; body = r._2
       polls += 1
     }
@@ -160,7 +166,8 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
         // (scalar decode on an array/object node would corrupt or
         // crash)
         if (f.path("mode").asText("") == "REPEATED") StringType
-        else f.path("type").asText("").toUpperCase match {
+        else f.path("type").asText("")
+          .toUpperCase(java.util.Locale.ROOT) match {
           case "INTEGER" | "INT64" => LongType
           case "FLOAT" | "FLOAT64" => DoubleType
           case "BOOLEAN" | "BOOL" => BooleanType
@@ -257,8 +264,12 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
     * probe (the SDK's table-metadata read, REST-shaped). Returns the
     * statement it executed. */
   def exportToParquet(table: String, stagingUri: String): String = {
-    def bq(id: String): String = "`" + id.replace("`", "\\`") + "`"
-    val qualifiedTable = table.split("\\.", -1).map(bq).mkString(".")
+    // the quoteFor(BigQuery) escape chain: backslash BEFORE backtick
+    // (a trailing backslash must not escape the closing quote)
+    def bq(id: String): String =
+      "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`"
+    val qualifiedTable = MergeSqlGenerator.qualified(table,
+      graft.types.QKind.Dialect.BigQuery)
     val probe = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(submit(s"SELECT * FROM $qualifiedTable LIMIT 0"))
     val fields = probe.path("schema").path("fields")
@@ -267,14 +278,23 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
     import scala.jdk.CollectionConverters._
     val selects = fields.elements().asScala.map { f =>
       val q = bq(f.path("name").asText())
-      f.path("type").asText("").toUpperCase match {
+      val repeated = f.path("mode")
+        .asText("").equalsIgnoreCase("REPEATED")
+      f.path("type").asText("")
+        .toUpperCase(java.util.Locale.ROOT) match {
+        // a REPEATED special-typed column passes bare: a scalar cast
+        // over an ARRAY is invalid SQL (the reference's switch also
+        // keys on the type alone)
+        case _ if repeated => q
         case "JSON" => s"TO_JSON_STRING($q) AS $q"
         case "GEOGRAPHY" => s"ST_AsText($q) AS $q"
         case "DATETIME" => s"CAST($q AS TIMESTAMP) AS $q"
         case _ => q
       }
     }.mkString(", ")
-    val uri = s"$stagingUri/${
+    // the uri lands inside a single-quoted option literal — escape it
+    val uriBase = stagingUri.replace("\\", "\\\\").replace("'", "\\'")
+    val uri = s"$uriBase/${
       java.net.URLEncoder.encode(table, "UTF-8").replace("+", "%20")
     }/*.parquet"
     val sql = s"""EXPORT DATA OPTIONS(
@@ -406,12 +426,15 @@ final class BigQuerySqlApi(url: String) extends SqlExecutor {
     val jobId = fieldOf(resp, "jobId").getOrElse(
       throw new java.io.IOException(
         s"bigquery load job response without jobId: ${resp.take(300)}"))
+    val loc = fieldOf(resp, "location").filter(_.nonEmpty)
+      .map(l => "?location=" +
+        java.net.URLEncoder.encode(l, "UTF-8")).getOrElse("")
     var polls = 0
     while (code == 200 && BigQuerySqlApi.JobStateDone.findFirstIn(resp)
         .isEmpty && polls < maxPolls) {
       Thread.sleep(pollMs)
-      val r = request("GET", s"/bigquery/v2/projects/$project/jobs/$jobId",
-        None)
+      val r = request("GET",
+        s"/bigquery/v2/projects/$project/jobs/$jobId$loc", None)
       code = r._1; resp = r._2
       polls += 1
     }

@@ -151,7 +151,8 @@ final class SnowflakeSqlApi(url: String) extends SqlExecutor {
     val cols = rowType.elements().asScala.toSeq.map { c =>
       val scale = c.path("scale").asInt(0)
       val precision = c.path("precision").asInt(18)
-      val dt: DataType = c.path("type").asText("").toLowerCase match {
+      val dt: DataType = c.path("type").asText("")
+        .toLowerCase(java.util.Locale.ROOT) match {
         case "fixed" =>
           // NUMBER(38,0) is Snowflake's DEFAULT integer type — values
           // can exceed Long, so only precision ≤ 18 narrows
