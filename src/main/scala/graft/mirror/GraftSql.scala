@@ -1730,17 +1730,57 @@ object GraftSql {
       Seq(Row(n, result._1, result._2))
     case ValidateMirrorStmt(n) => validateMirror(spark, n)
     case ShowPeerTables(n) =>
-      val loc = peerLocation(spark, n)
-      val hp = new org.apache.hadoop.fs.Path(loc)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(hp).toSeq
-        .map(_.getPath.getName)
-        .filter(_.endsWith(".parquet"))
-        .map(t => Row(t.stripSuffix(".parquet")))
-        .sortBy(_.getString(0))
+      // GetAllTables (route.proto:674): live peers list from the
+      // SERVER's catalog — the reference's per-connector
+      // GetAllTables; storage peers list their files
+      val peerDef = peersFor(spark).get(n)
+      peerDef.options.get("url") match {
+        case Some(u) if u.startsWith("pg://") ||
+            u.startsWith("pgwire://") =>
+          val c = graft.server.PgClients.connect(u, Nil)
+          try c.query(
+            "SELECT schemaname || '.' || tablename " +
+              "FROM pg_catalog.pg_tables WHERE schemaname NOT IN " +
+              "('pg_catalog', 'information_schema') ORDER BY 1").rows
+            .map(r => Row(r.head.getOrElse("")))
+          finally c.close()
+        case Some(u) if u.startsWith("mysql://") =>
+          val c = graft.qrep.MysqlClients.connect(u)
+          try c.query("SHOW TABLES").rows
+            .map(r => Row(r.head.getOrElse("")))
+            .sortBy(_.getString(0))
+          finally c.close()
+        case Some(u) => throw new IllegalArgumentException(
+          s"peer $n: table listing over ${u.takeWhile(_ != ':')}:// " +
+            "is not supported — SELECT from its information_schema " +
+            "through the peer instead")
+        case None =>
+          val loc = peerLocation(spark, n)
+          val hp = new org.apache.hadoop.fs.Path(loc)
+          val fs = hp.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(hp).toSeq
+            .map(_.getPath.getName)
+            .filter(_.endsWith(".parquet"))
+            .map(t => Row(t.stripSuffix(".parquet")))
+            .sortBy(_.getString(0))
+      }
     case DescribePeerTable(pn, t) =>
-      val loc = peerLocation(spark, pn)
-      spark.read.parquet(s"$loc/$t.parquet").schema.fields.toSeq.map(f =>
+      // GetColumns (route.proto:681): live peers answer from their
+      // schema probe (the LivePeerScan build-time LIMIT 0 — no rows
+      // move); storage peers from the parquet footer
+      val peerDef = peersFor(spark).get(pn)
+      val schema =
+        if (peerDef.options.contains("url") &&
+          !peerDef.options.contains("path") &&
+          !peerDef.options.contains("dir"))
+          org.apache.spark.sql.GraftShims.ofRows(spark,
+            PeerQueryRouter.relation(spark, peerDef, t)).schema
+        else {
+          val loc = peerLocation(spark, pn)
+          spark.read.parquet(s"$loc/$t.parquet").schema
+        }
+      schema.fields.toSeq.map(f =>
         Row(f.name, f.dataType.sql, f.nullable.toString))
     case SetMirrorTags(n, tags) =>
       // Replace-all semantics (CreateOrReplaceFlowTags deletes the
@@ -2228,8 +2268,8 @@ object PeerQueryRouter {
     * through their SQL APIs. All of them LAZY: the peer is touched
     * only when an action runs, so EXPLAIN and cursor DECLARE cost
     * nothing remote beyond the build-time schema probe. */
-  private def relation(spark: SparkSession, p: Peer, table: String)
-      : LogicalPlan = p.kind.toLowerCase match {
+  private[mirror] def relation(spark: SparkSession, p: Peer,
+      table: String): LogicalPlan = p.kind.toLowerCase match {
     case "parquet" =>
       val root = p.options.getOrElse("path",
         throw new IllegalArgumentException(

@@ -99,6 +99,16 @@ class LivePeerQuerySpec extends SparkSpec {
           s"expected a sliced live scan, got " +
             s"${df.rdd.getNumPartitions} partition(s)")
         assert(df.count() == 5001L)
+        // GetAllTables / GetColumns against the LIVE peer (the
+        // route-API listing answers from the server's catalog and
+        // the schema probe — no rows move)
+        val tables = run(s, "SHOW TABLES IN PEER lpg")
+          .map(_.getString(0))
+        assert(tables.contains("public.lp1"), s"got $tables")
+        val cols = run(s, "DESCRIBE PEER lpg.lp1")
+          .map(r => (r.getString(0), r.getString(1)))
+        assert(cols == Seq(("id", "BIGINT"), ("v", "STRING"),
+          ("wm", "BIGINT")), s"got $cols")
       } finally {
         run(s, "DROP PEER lpg"); run(s, "DROP PEER tp")
       }
