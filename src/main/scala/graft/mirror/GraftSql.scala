@@ -1682,6 +1682,28 @@ object GraftSql {
         Row(s"stats_$t", st.table(spark, t).count()))
     case ValidatePeerStmt(n) =>
       // Probe, never throw (ValidatePeerStatus_INVALID + message).
+      def validateStoragePeer(spark: SparkSession, n: String,
+          p: Peer): (String, String) =
+        p.options.get("path").orElse(p.options.get("dir")) match {
+          case None =>
+            "invalid" -> (s"peer $n has no path/dir option — " +
+              "not addressable as a storage peer")
+          case Some(loc) =>
+            val hp = new org.apache.hadoop.fs.Path(loc)
+            val fs = hp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(hp))
+              "invalid" -> s"location $loc does not exist"
+            else {
+              fs.listStatus(hp) // permission probe (ValidateCheck)
+              if (p.kind == "parquet") {
+                // footers must yield a schema (ConnectionActive analog)
+                val fields =
+                  spark.read.parquet(loc).schema.fields.length
+                "valid" -> s"parquet schema with $fields column(s)"
+              } else "valid" -> s"location $loc listable"
+            }
+        }
       val result =
         try {
           val p = peersFor(spark).get(n)
@@ -1703,25 +1725,36 @@ object GraftSql {
               case None => "valid" -> checks
                 .map(c => s"${c.check}: ${c.detail}").mkString("; ")
             }
-          } else p.options.get("path").orElse(p.options.get("dir")) match {
+          } else p.options.get("url") match {
+            // LIVE peers validate by connecting (the reference's
+            // ConnectionActive check per connector) — a statement
+            // round-trip on the SQL transports, a negotiate on kafka
+            case Some(u) if u.startsWith("pg://") ||
+                u.startsWith("pgwire://") =>
+              val c = graft.server.PgClients.connect(u, Nil)
+              try "valid" -> ("connected: " + c.query(
+                "SELECT version()").rows.head.head
+                .getOrElse("").take(60))
+              finally c.close()
+            case Some(u) if u.startsWith("mysql://") =>
+              val c = graft.qrep.MysqlClients.connect(u)
+              try "valid" -> ("connected: " + c.query(
+                "SELECT VERSION()").rows.head.head
+                .getOrElse("").take(60))
+              finally c.close()
+            case Some(u) if u.startsWith("snowflake://") =>
+              new graft.sinks.SnowflakeSqlApi(u).execute("SELECT 1")
+              "valid" -> "SQL API statement round-trip ok"
+            case Some(u) if u.startsWith("bigquery://") =>
+              new graft.sinks.BigQuerySqlApi(u).execute("SELECT 1")
+              "valid" -> "SQL API statement round-trip ok"
+            case Some(u) =>
+              // other live transports have their own handshake specs;
+              // don't claim a probe that didn't run
+              "valid" -> (s"url present (${u.takeWhile(_ != ':')}:// " +
+                "transport not probed by VALIDATE PEER)")
             case None =>
-              "invalid" -> (s"peer $n has no path/dir option — " +
-                "not addressable as a storage peer")
-            case Some(loc) =>
-              val hp = new org.apache.hadoop.fs.Path(loc)
-              val fs = hp.getFileSystem(
-                spark.sparkContext.hadoopConfiguration)
-              if (!fs.exists(hp))
-                "invalid" -> s"location $loc does not exist"
-              else {
-                fs.listStatus(hp) // permission probe (ValidateCheck)
-                if (p.kind == "parquet") {
-                  // footers must yield a schema (ConnectionActive analog)
-                  val fields =
-                    spark.read.parquet(loc).schema.fields.length
-                  "valid" -> s"parquet schema with $fields column(s)"
-                } else "valid" -> s"location $loc listable"
-              }
+              validateStoragePeer(spark, n, p)
           }
         } catch {
           case e: Exception =>

@@ -109,6 +109,18 @@ class LivePeerQuerySpec extends SparkSpec {
           .map(r => (r.getString(0), r.getString(1)))
         assert(cols == Seq(("id", "BIGINT"), ("v", "STRING"),
           ("wm", "BIGINT")), s"got $cols")
+        // ValidatePeer on a live peer = a real connect + statement
+        // round-trip (ConnectionActive); a dead endpoint reports
+        // invalid with the reason, never throws
+        val v = run(s, "VALIDATE PEER lpg").head
+        assert(v.getString(1) == "valid" &&
+          v.getString(2).contains("connected: PostgreSQL"), v.toString)
+        run(s, "CREATE PEER lpdead TYPE postgres OPTIONS (url " +
+          "'pg://postgres@127.0.0.1:1/postgres?connect_timeout_ms=300')")
+        try {
+          val dead = run(s, "VALIDATE PEER lpdead").head
+          assert(dead.getString(1) == "invalid", dead.toString)
+        } finally run(s, "DROP PEER lpdead")
       } finally {
         run(s, "DROP PEER lpg"); run(s, "DROP PEER tp")
       }
