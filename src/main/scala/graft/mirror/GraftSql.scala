@@ -34,8 +34,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *                                -- the QRep form (SURVEY §3.3)
   *   EXECUTE MIRROR name          -- drain the WAL once (AvailableNow),
   *                                -- or one QRep round for a QRep mirror
-  *   DROP MIRROR name
-  *   PAUSE MIRROR name / RESUME MIRROR name
+  *   DROP MIRROR [IF EXISTS] name     -- likewise DROP PEER, RESYNC /
+  *   PAUSE MIRROR name / RESUME MIRROR name  -- PAUSE / RESUME MIRROR:
+  *                                -- IF EXISTS makes a missing object
+  *                                -- a no-op instead of an error
   *   SHOW MIRRORS
   *   DECLARE name CURSOR FOR query
   *   FETCH n|ALL FROM name
@@ -53,6 +55,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   SHOW TAGS FOR MIRROR name    -- (tags_handler.go)
   *   PREPARE name AS query        -- statement cache ($1..$n params)
   *   EXECUTE name ('v1', 2, ...)  -- substitute + re-parse (main.rs:861)
+  *   EXECUTE peer $$query$$       -- raw statement ON the peer
+  *                                -- (ExecutePeer, main.rs:412-423);
+  *                                -- also EXECUTE peer ('query')
   *   DEALLOCATE [PREPARE] name
   * }}}
   *
@@ -74,7 +79,13 @@ object GraftSql {
   sealed trait Statement
   final case class CreatePeer(name: String, kind: String,
       options: Map[String, String]) extends Statement
-  final case class DropPeer(name: String) extends Statement
+  /** DROP/RESYNC/PAUSE/RESUME accept `IF EXISTS` (each reference
+    * grammar arm parses the keyword pair, parser_peerdb.rs:194-241):
+    * a missing object is a NO-OP under IF EXISTS (the server answers
+    * the NO SUCH PEER/MIRROR tag, main.rs:459,485-558) and an error
+    * without it. */
+  final case class DropPeer(name: String, ifExists: Boolean = false)
+      extends Statement
   case object ShowPeers extends Statement
   final case class CreateMirror(name: String, options: Map[String, String])
       extends Statement
@@ -88,14 +99,18 @@ object GraftSql {
       destPeer: String, query: String, options: Map[String, String])
       extends Statement
   final case class ExecuteMirror(name: String) extends Statement
-  final case class ResyncMirror(name: String) extends Statement
-  final case class DropMirror(name: String) extends Statement
+  final case class ResyncMirror(name: String, ifExists: Boolean = false)
+      extends Statement
+  final case class DropMirror(name: String, ifExists: Boolean = false)
+      extends Statement
   /** PAUSE/RESUME MIRROR (PeerDBStatement::PauseMirror/ResumeMirror,
     * nexus/parser/src/lib.rs:25-60; signal path cdc_flow.go:489-974):
     * pause stops the continuous stream (offsets stay checkpointed),
     * resume restarts it from the checkpoint. */
-  final case class PauseMirror(name: String) extends Statement
-  final case class ResumeMirror(name: String) extends Statement
+  final case class PauseMirror(name: String, ifExists: Boolean = false)
+      extends Statement
+  final case class ResumeMirror(name: String, ifExists: Boolean = false)
+      extends Statement
   case object ShowMirrors extends Statement
   /** The dynamic-settings introspection surface ([[Settings]];
     * dynamicconf.go's catalog listing). */
@@ -180,9 +195,20 @@ object GraftSql {
   final case class RunOperator(name: String, dir: String, limit: Int)
       extends Statement
 
+  /** `EXECUTE <peer> $$stmt$$` shipping a NON-rowset statement
+    * (DML/DDL) raw to a live peer — the nexus ExecutePeer command leg
+    * (server/src/main.rs:412-423 → `QueryExecutor::execute_raw`).
+    * Rowset-shaped statements (SELECT/WITH/VALUES/TABLE) never build
+    * this node: [[executePeerPlan]] routes them as a lazy DataFrame
+    * plan instead, so they stream, EXPLAIN, and compose with cursors
+    * like any other routed relation. */
+  final case class ExecutePeerRaw(peer: String, query: String)
+      extends Statement
+
   private val createPeer: Regex =
     """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
-  private val dropPeer: Regex = """(?is)\s*DROP\s+PEER\s+(\w+)\s*""".r
+  private val dropPeer: Regex =
+    """(?is)\s*DROP\s+PEER\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val showPeers: Regex = """(?is)\s*SHOW\s+PEERS\s*""".r
   private val createMirror: Regex =
     """(?is)\s*CREATE\s+MIRROR\s+(\w+)\s+WITH\s*\((.*)\)\s*""".r
@@ -192,12 +218,13 @@ object GraftSql {
   private val execMirror: Regex =
     """(?is)\s*EXECUTE\s+MIRROR\s+(\w+)\s*""".r
   private val resyncMirror: Regex =
-    """(?is)\s*RESYNC\s+MIRROR\s+(\w+)\s*""".r
-  private val dropMirror: Regex = """(?is)\s*DROP\s+MIRROR\s+(\w+)\s*""".r
+    """(?is)\s*RESYNC\s+MIRROR\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
+  private val dropMirror: Regex =
+    """(?is)\s*DROP\s+MIRROR\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val pauseMirror: Regex =
-    """(?is)\s*PAUSE\s+MIRROR\s+(\w+)\s*""".r
+    """(?is)\s*PAUSE\s+MIRROR\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val resumeMirror: Regex =
-    """(?is)\s*RESUME\s+MIRROR\s+(\w+)\s*""".r
+    """(?is)\s*RESUME\s+MIRROR\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val showMirrors: Regex = """(?is)\s*SHOW\s+MIRRORS\s*""".r
   private val showSettings: Regex = """(?is)\s*SHOW\s+SETTINGS\s*""".r
   private val declareCursor: Regex =
@@ -235,6 +262,14 @@ object GraftSql {
     """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
   private val executePreparedRe: Regex =
     """(?is)\s*EXECUTE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*""".r
+  // EXECUTE peer $$query$$ / EXECUTE peer ('query') — exactly ONE
+  // string-literal argument, parenthesized or bare (the syntactic
+  // check the proxy applies first, analyzer/src/lib.rs:510-541)
+  private val execPeerParenRe: Regex =
+    ("""(?is)\s*EXECUTE\s+(\w+)\s*\(\s*""" +
+      """(\$\$(?s:.*?)\$\$|'(?:[^']|'')*')\s*\)\s*""").r
+  private val execPeerBareRe: Regex =
+    """(?is)\s*EXECUTE\s+(\w+)\s+(\$\$(?s:.*?)\$\$|'(?:[^']|'')*')\s*""".r
   private val optionPair: Regex = """(?s)(\w+)\s+'((?:[^']|'')*)'""".r
 
   private def parseOptions(s: String): Map[String, String] =
@@ -245,16 +280,19 @@ object GraftSql {
   /** None ⇒ not a graft statement (fall through to Spark SQL). */
   def parse(sql: String): Option[Statement] = sql match {
     case createPeer(n, k, opts) => Some(CreatePeer(n, k, parseOptions(opts)))
-    case dropPeer(n) => Some(DropPeer(n))
+    case dropPeer(ife, n) => Some(DropPeer(n, ifExists = ife != null))
     case showPeers() => Some(ShowPeers)
     case createQRepMirror(n, src, dst, q, opts) =>
       Some(CreateQRepMirror(n, src, dst, q.trim, parseOptions(opts)))
     case createMirror(n, opts) => Some(CreateMirror(n, parseOptions(opts)))
     case execMirror(n) => Some(ExecuteMirror(n))
-    case resyncMirror(n) => Some(ResyncMirror(n))
-    case dropMirror(n) => Some(DropMirror(n))
-    case pauseMirror(n) => Some(PauseMirror(n))
-    case resumeMirror(n) => Some(ResumeMirror(n))
+    case resyncMirror(ife, n) =>
+      Some(ResyncMirror(n, ifExists = ife != null))
+    case dropMirror(ife, n) => Some(DropMirror(n, ifExists = ife != null))
+    case pauseMirror(ife, n) =>
+      Some(PauseMirror(n, ifExists = ife != null))
+    case resumeMirror(ife, n) =>
+      Some(ResumeMirror(n, ifExists = ife != null))
     case showMirrors() => Some(ShowMirrors)
     case showSettings() => Some(ShowSettings)
     case createScript(rep, n, lang, src) => Some(CreateScript(n,
@@ -1503,6 +1541,78 @@ object GraftSql {
     case _ => None
   }
 
+  /** Syntactic `EXECUTE <name> <one string literal>` match — the
+    * shape the proxy's `check_execute_peer` routes to a peer BEFORE
+    * any other analysis (nexus/analyzer/src/lib.rs:510-541,
+    * query-router/src/lib.rs:48-56): `EXECUTE peer $$query$$`,
+    * `EXECUTE peer ('query')`, dollar-quoted or single-quoted alike.
+    * `MIRROR`/`IMMEDIATE` are excluded (EXECUTE MIRROR is graft DDL;
+    * EXECUTE IMMEDIATE is Spark's own statement). */
+  def parseExecutePeer(sql: String): Option[(String, String)] = {
+    def unquote(lit: String): String =
+      if (lit.startsWith("$$")) lit.substring(2, lit.length - 2)
+      else lit.substring(1, lit.length - 1).replace("''", "'")
+    (sql match {
+      case execPeerParenRe(n, lit) => Some((n, unquote(lit)))
+      case execPeerBareRe(n, lit) => Some((n, unquote(lit)))
+      case _ => None
+    }).filterNot { case (n, _) =>
+      n.equalsIgnoreCase("mirror") || n.equalsIgnoreCase("immediate")
+    }
+  }
+
+  private val rowsetShapeRe =
+    """(?is)\s*(select|with|values|table)\b.*""".r
+
+  /** Route an `EXECUTE peer $$query$$` statement (ExecutePeer,
+    * nexus/server/src/main.rs:412-423). The reference checks this
+    * shape before everything else and ERRORS when the name is not a
+    * peer; here a non-peer name returns None and falls through to the
+    * prepared-statement EXECUTE instead (the reference keeps prepared
+    * statements in the pgwire extended protocol, where the two forms
+    * cannot collide — in this text-level restatement a registered
+    * peer wins, everything else still reaches PREPARE'd names).
+    *
+    *   - rowset-shaped queries (SELECT/WITH/VALUES/TABLE) become a
+    *     LAZY DataFrame plan: live peers ship the text raw in the
+    *     peer's own dialect ([[LivePeerScan.rawQuery]], streamed =
+    *     `execute_raw`'s cursor contract); parquet peers parse the
+    *     text HERE and bind unqualified relations to the peer's
+    *     tables (the executor-side namespace, like the proxy's
+    *     peer-local resolution after the qualifier strip).
+    *   - everything else (DML/DDL) becomes [[ExecutePeerRaw]] — runs
+    *     on the live peer at execution time, answers the peer's
+    *     command tag.
+    */
+  def executePeerPlan(spark: SparkSession,
+      parseQuery: String => LogicalPlan,
+      sql: String): Option[LogicalPlan] =
+    parseExecutePeer(sql).flatMap { case (name, query) =>
+      peersFor(spark).list.find(_.name == name).map { p =>
+        val rowset = rowsetShapeRe.pattern.matcher(query).matches()
+        if (p.kind.equalsIgnoreCase("parquet")) {
+          if (!rowset) throw new IllegalArgumentException(
+            s"EXECUTE ${p.name}: parquet peers are read-only — " +
+              "only SELECT/WITH/VALUES/TABLE statements execute")
+          parseQuery(query).transformUp {
+            case r: UnresolvedRelation
+                if r.multipartIdentifier.length == 1 =>
+              SubqueryAlias(r.multipartIdentifier.last,
+                PeerQueryRouter.relation(spark, p,
+                  r.multipartIdentifier.last))
+          }
+        } else {
+          val url = p.options.getOrElse("url",
+            throw new IllegalArgumentException(
+              s"EXECUTE ${p.name}: peer has no live 'url' option"))
+          if (rowset)
+            LivePeerScan.rawQuery(spark, url, query)
+              .queryExecution.logical
+          else GraftCommand(ExecutePeerRaw(p.name, query))
+        }
+      }
+    }
+
   /** Top-level comma split of an EXECUTE argument list, respecting
     * single-quoted literals (doubled '' quotes toggle twice — net
     * correct). */
@@ -1565,13 +1675,50 @@ object GraftSql {
       val keys = cursors.keySet.filter(inScope).toSeq.sorted
       keys.foreach(cursors.remove)
       keys.map(k => Row(unscoped(k)))
+    case ExecutePeerRaw(name, query) =>
+      // the command leg of ExecutePeer (execute_raw on a non-query):
+      // run on the live peer, answer its command tag — the reference
+      // returns the peer's CommandComplete through process_execution
+      val p = peersFor(spark).get(name)
+      val url = p.options.getOrElse("url",
+        throw new IllegalArgumentException(
+          s"EXECUTE $name: peer has no live 'url' option"))
+      graft.cdc.CaptureEndpoint.parse(url).scheme match {
+        case "pg" | "pgwire" =>
+          val c = graft.server.PgClients.connect(url)
+          val tag = try c.query(query).tag finally c.close()
+          Seq(Row(if (tag.isEmpty) "OK" else tag))
+        case "mysql" =>
+          val m = graft.qrep.MysqlClients.connect(url)
+          val n = try {
+            val cur = m.queryCursor(query)
+            cur.close() // drains an unexpected resultset tail
+            cur.affectedRows
+          } finally m.close()
+          Seq(Row(s"OK $n"))
+        case "snowflake" =>
+          new graft.sinks.SnowflakeSqlApi(url).execute(query)
+          Seq(Row("OK"))
+        case "bigquery" =>
+          new graft.sinks.BigQuerySqlApi(url).execute(query)
+          Seq(Row("OK"))
+        case other => throw new IllegalArgumentException(
+          s"EXECUTE $name: no command executor for '$other://' peers")
+      }
     case PrepareStmt(n, q) => prepared.put(scoped(n), q); Nil
     case DeallocateStmt(n) =>
       prepared.remove(scoped(n)).getOrElse(
         throw new NoSuchElementException(s"prepared statement $n"))
       Nil
     case CreatePeer(n, k, o) => peersFor(spark).create(Peer(n, k, o)); Nil
-    case DropPeer(n) => peersFor(spark).drop(n); Nil
+    case DropPeer(n, ifExists) =>
+      // reference: missing peer errors unless IF EXISTS, which
+      // answers NO SUCH PEER as a success (main.rs:424-462)
+      if (peersFor(spark).list.exists(_.name == n))
+        peersFor(spark).drop(n)
+      else if (!ifExists)
+        throw new NoSuchElementException(s"no such peer: $n")
+      Nil
     case ShowPeers => peersFor(spark).list.map(p => Row(p.name, p.kind))
     case CreateMirror(n, o) =>
       mirrorConfig(spark, o) // validate options before persisting
@@ -1866,7 +2013,10 @@ object GraftSql {
           Seq(Row(-1L)) // CDC drain reports no row count (stream metrics do)
         }
       }
-    case ResyncMirror(n) =>
+    case ResyncMirror(n, ifExists) if ifExists &&
+        !mirrorsFor(spark).list.exists(_.name == n) =>
+      Nil // NO SUCH MIRROR as a success (main.rs:483-487)
+    case ResyncMirror(n, _) =>
       // Full rebuild + atomic swap (ResyncMirror, cdc_flow.go resync
       // path): re-drain the WAL from scratch into _resync with a fresh
       // checkpoint; the serving table swaps only on success. The original
@@ -1990,7 +2140,10 @@ object GraftSql {
             EsIdScheme.Current, spark.sparkContext.hadoopConfiguration)
       }
       Nil
-    case PauseMirror(n) =>
+    case PauseMirror(n, ifExists) if ifExists &&
+        !mirrorsFor(spark).list.exists(_.name == n) =>
+      Nil // NO SUCH MIRROR as a success (main.rs:510-524)
+    case PauseMirror(n, _) =>
       if (mirrorEntry(spark, n).kind == "qrep")
         qrepHandles.remove(handleKey(spark, n)).getOrElse(
           throw new NoSuchElementException(s"mirror $n not running"))
@@ -1998,7 +2151,10 @@ object GraftSql {
       else handles.getOrElse(handleKey(spark, n),
         throw new NoSuchElementException(s"mirror $n not running")).pause()
       Nil
-    case ResumeMirror(n) =>
+    case ResumeMirror(n, ifExists) if ifExists &&
+        !mirrorsFor(spark).list.exists(_.name == n) =>
+      Nil // NO SUCH MIRROR as a success
+    case ResumeMirror(n, _) =>
       val entry = mirrorEntry(spark, n)
       if (entry.kind == "qrep") {
         // Continuous QRep: the waitForNewRows loop (qrep_flow.go:330-363)
@@ -2059,14 +2215,17 @@ object GraftSql {
         h.resume()
       }
       Nil
-    case DropMirror(n) =>
+    case DropMirror(n, ifExists) =>
+      // missing mirror: error without IF EXISTS, no-op with it
+      // (handle_drop_mirror, main.rs — NO SUCH MIRROR tag)
+      val entry = try Some(mirrorEntry(spark, n)) catch {
+        case e: NoSuchElementException =>
+          if (ifExists) None else throw e
+      }
       handles.remove(handleKey(spark, n)).foreach(_.pause())
       qrepHandles.remove(handleKey(spark, n)).foreach(_.stop())
       // DeleteMirrorStats (monitoring.go:478-507): the dropped flow's
       // rows leave the stats catalog with the mirror.
-      val entry = try Some(mirrorEntry(spark, n)) catch {
-        case _: NoSuchElementException => None
-      }
       entry.foreach { p =>
         p.options.get("stats").foreach { d =>
           val cfg = try mirrorConfig(spark, p.options) catch {
@@ -2257,6 +2416,8 @@ object GraftSql {
     case ShowTags(_) => Seq(
       AttributeReference("key", StringType)(),
       AttributeReference("value", StringType)())
+    case ExecutePeerRaw(_, _) => Seq(
+      AttributeReference("status", StringType)())
     case _ => Nil
   }
 }
@@ -2351,15 +2512,19 @@ final case class GraftCommand(st: GraftSql.Statement)
 final class GraftSqlParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    // EXECUTE of a prepared name substitutes + re-enters the full parse
-    // (the proxy re-parses the substituted text the same way)
-    GraftSql.substitutePrepared(sqlText) match {
-      case Some(substituted) => parsePlan(substituted)
-      case None =>
-        GraftSql.parse(sqlText).map(GraftCommand(_))
-          .getOrElse( // plain SQL: route peer-qualified relations (§3.2)
-            PeerQueryRouter.route(session, delegate.parsePlan(sqlText)))
-    }
+    // EXECUTE peer $$query$$ routes to the peer FIRST (the proxy's
+    // check_execute_peer precedence, query-router/src/lib.rs:48-56);
+    // then EXECUTE of a prepared name substitutes + re-enters the
+    // full parse (the proxy re-parses the substituted text the same
+    // way)
+    GraftSql.executePeerPlan(session, delegate.parsePlan, sqlText)
+      .getOrElse(GraftSql.substitutePrepared(sqlText) match {
+        case Some(substituted) => parsePlan(substituted)
+        case None =>
+          GraftSql.parse(sqlText).map(GraftCommand(_))
+            .getOrElse( // plain SQL: route peer-qualified relations (§3.2)
+              PeerQueryRouter.route(session, delegate.parsePlan(sqlText)))
+      })
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -64,6 +64,54 @@ object LivePeerScan {
     graft.qrep.LiveMysqlPull.scanLazy(spark, url,
       s"SELECT * FROM ${graft.qrep.LiveMysqlPull.tableSqlOf(table)}")
 
+  /** Lazy frame for an arbitrary rowset query shipped RAW to a live
+    * peer — the `EXECUTE peer $$query$$` surface (nexus ExecutePeer →
+    * `QueryExecutor::execute_raw`, nexus/server/src/main.rs:412-423).
+    * The query text reaches the peer untouched in the peer's OWN
+    * dialect; only a wrapped LIMIT 0 schema probe runs at build time
+    * (peer-postgres/src/lib.rs:57-70 fetches the schema first for the
+    * same reason), rows stream inside the task at action time. One
+    * statement = one connection = the server's own statement
+    * snapshot; slicing is undefined for opaque SQL. */
+  def rawQuery(spark: SparkSession, url: String, sql: String)
+      : DataFrame = {
+    val scheme = CaptureEndpoint.parse(url).scheme
+    scheme match {
+      case "pg" | "pgwire" => pgQuery(spark, url, sql)
+      case "mysql" =>
+        graft.qrep.LiveMysqlPull.scanLazy(spark, url, sql)
+      case "snowflake" | "bigquery" => warehouseQuery(spark, url, sql)
+      case other => throw new IllegalArgumentException(
+        s"EXECUTE peer: no query executor for '$other://' peers " +
+          "(pg://, mysql://, snowflake://, bigquery:// are routable " +
+          "— the nexus proxy has the same executor set)")
+    }
+  }
+
+  private def pgQuery(spark: SparkSession, url: String, sql: String)
+      : DataFrame = {
+    val c = graft.server.PgClients.connect(url)
+    val schema = try {
+      val probe = c.query(s"SELECT * FROM (\n$sql\n) _graft_q LIMIT 0")
+      PgRows.schemaOf(probe.columns, c.lastTypeOids)
+    } finally c.close()
+    graft.qrep.StreamedPgRead.frame(spark, url, Seq(sql),
+      setup = Nil, sqlOf = identity[String], schema = schema)
+  }
+
+  /** Warehouse raw query: schema from a wrapped LIMIT 0 probe at
+    * build time, the full SELECT inside the one task at action time
+    * (interactive result sets — QRep is the bulk path). */
+  private def warehouseQuery(spark: SparkSession, url: String,
+      sql: String): DataFrame = {
+    val (schema, _) =
+      runQuery(url, s"SELECT * FROM (\n$sql\n) _graft_q LIMIT 0")
+    val urlSer = url
+    val rdd = spark.sparkContext.parallelize(Seq(sql), 1)
+      .mapPartitions(_.flatMap(q => runQuery(urlSer, q)._2.iterator))
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Lazy scan of a warehouse table through its SQL API: schema from
     * a LIMIT 0 probe at build time, the full SELECT inside the one
     * task at action time. */

@@ -214,11 +214,18 @@ final class MysqlClient(
     private var done = false
     private var pending: Seq[Option[String]] = _
 
+    /** Affected-row count from a no-resultset OK response (DML/DDL);
+      * 0 for resultset statements. */
+    var affectedRows: Long = 0L
+
     val columns: Seq[Col] = {
       val (_, first) = readFullPacket(in).getOrElse(
         throw new EOFException("mysql: EOF awaiting query response"))
       if (first.nonEmpty && (first(0) & 0xFF) == 0xFF) fail(first)
       if (first.nonEmpty && first(0) == 0x00) { // OK: no resultset
+        // OK payload: 0x00, affected_rows lenc, last_insert_id lenc, …
+        val r = new R(first); r.u8()
+        affectedRows = lenc(r)
         done = true
         Nil
       } else {

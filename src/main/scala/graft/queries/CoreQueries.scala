@@ -1456,6 +1456,39 @@ object CoreQueries {
             |WHERE o_orderkey % 10 <> 0
             |ORDER BY okey""".stripMargin))
 
+  /** The nexus ExecutePeer surface under the oracle gate
+    * (analyzer/src/lib.rs:510-541 `check_execute_peer`,
+    * server/src/main.rs:412-423 → `QueryExecutor::execute_raw`):
+    * `EXECUTE peer $$query$$` ships the statement to the peer — here
+    * a parquet peer, so the text parses locally and every unqualified
+    * relation binds to the peer's OWN tables (the executor-side
+    * namespace after the proxy's qualifier strip). The oracle runs
+    * the identical text, so the routed plan must equal direct local
+    * execution. Live-peer legs (raw pg/mysql dialect, command tags,
+    * warehouse rowsets) are pinned by ExecutePeerSpec. */
+  val executePeer = GraftQuery(
+    "q_execute_peer",
+    "EXECUTE peer $$query$$: peer-namespace execution of a raw " +
+      "statement (ExecutePeer)",
+    (s, dir) => {
+      val cat = graft.mirror.GraftSql.peersFor(s)
+      cat.drop("qepeer")
+      cat.create(graft.mirror.Peer("qepeer", "parquet",
+        Map("path" -> dir)))
+      val stmt = "EXECUTE qepeer $$ SELECT r.r_name AS r_name, " +
+        "count(*) AS nations FROM nation n JOIN region r " +
+        "ON n.n_regionkey = r.r_regionkey " +
+        "GROUP BY r.r_name ORDER BY r.r_name $$"
+      val plan = graft.mirror.GraftSql.executePeerPlan(s,
+        s.sessionState.sqlParser.parsePlan, stmt).getOrElse(
+        throw new IllegalStateException("EXECUTE peer did not route"))
+      org.apache.spark.sql.GraftShims.ofRows(s, plan)
+    },
+    Some("""SELECT r.r_name AS r_name, count(*) AS nations
+           |FROM nation n JOIN region r
+           |  ON n.n_regionkey = r.r_regionkey
+           |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin))
+
   /** Skew mitigation: two-phase salted aggregation over LOW-cardinality
     * keys (3 return flags across all of lineitem — the shape where a
     * plain groupBy sends a third of 100 TB through three reducers).
@@ -1699,7 +1732,7 @@ object CoreQueries {
     queueEventHubs, queuePubSub,
     rowTransform, luaRoute, luaDecimal, luaTransform, luaTyped,
     qrepQueue,
-    partitionCtid, xminScan, esBulk, skewAgg,
+    partitionCtid, xminScan, esBulk, skewAgg, executePeer,
     dataQuality,
     profileTable, statsTableCounts, statsBatchInfo)
 }

@@ -349,7 +349,7 @@ object WireServers {
   final case class MysqlCol(name: String, colType: Int,
       flags: Int = 0, decimals: Int = 0, length: Long = 20)
   final case class MysqlAnswer(cols: Seq[MysqlCol],
-      rows: Seq[Seq[Option[String]]])
+      rows: Seq[Seq[Option[String]]], affected: Long = 0L)
   /** OK-packet answer (SET/DML). */
   val MysqlOk: MysqlAnswer = MysqlAnswer(Nil, Nil)
 
@@ -416,7 +416,9 @@ object WireServers {
               writePacket(out, seq, b); seq += 1
             }
             if (a.cols.isEmpty)
-              send(new Wtr().u8(0x00).u8(0).u8(0).u16(2).u16(0).bytes)
+              // OK: affected lenc, insert_id lenc, status, warnings
+              send(lencW(lencW(new Wtr().u8(0x00), a.affected), 0L)
+                .u16(2).u16(0).bytes)
             else {
               send(lencW(new Wtr(), a.cols.size.toLong).bytes)
               a.cols.foreach { col =>

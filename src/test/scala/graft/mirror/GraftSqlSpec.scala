@@ -19,6 +19,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(parse("RESYNC MIRROR m1") == Some(ResyncMirror("m1")))
     assert(parse("PAUSE MIRROR m1") == Some(PauseMirror("m1")))
     assert(parse("resume mirror m1") == Some(ResumeMirror("m1")))
+    // IF EXISTS on every drop/signal arm (parser_peerdb.rs:194-241)
+    assert(parse("DROP MIRROR IF EXISTS m1") ==
+      Some(DropMirror("m1", ifExists = true)))
+    assert(parse("drop peer if exists p1") ==
+      Some(DropPeer("p1", ifExists = true)))
+    assert(parse("RESYNC MIRROR IF EXISTS m1") ==
+      Some(ResyncMirror("m1", ifExists = true)))
+    assert(parse("PAUSE MIRROR IF EXISTS m1") ==
+      Some(PauseMirror("m1", ifExists = true)))
+    assert(parse("RESUME MIRROR IF EXISTS m1") ==
+      Some(ResumeMirror("m1", ifExists = true)))
     assert(parse("SHOW MIRRORS") == Some(ShowMirrors))
     assert(parse("DECLARE c1 CURSOR FOR SELECT * FROM t ORDER BY id") ==
       Some(DeclareCursor("c1", "SELECT * FROM t ORDER BY id")))
@@ -1137,5 +1148,24 @@ class GraftSqlSpec extends SparkSpec {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }
+  }
+
+  test("IF EXISTS: a missing peer/mirror errors without it and " +
+    "no-ops with it, on every drop/signal arm (the reference's " +
+    "NO SUCH PEER / NO SUCH MIRROR success path, main.rs:459-558)") {
+    import GraftSql.{DropMirror, DropPeer, PauseMirror, ResumeMirror,
+      ResyncMirror}
+    val s = spark
+    def exec(st: GraftSql.Statement) = GraftSql.execute(s, st)
+    intercept[NoSuchElementException](exec(DropPeer("gsqx")))
+    assert(exec(DropPeer("gsqx", ifExists = true)).isEmpty)
+    intercept[NoSuchElementException](exec(DropMirror("gsqx")))
+    assert(exec(DropMirror("gsqx", ifExists = true)).isEmpty)
+    intercept[NoSuchElementException](exec(PauseMirror("gsqx")))
+    assert(exec(PauseMirror("gsqx", ifExists = true)).isEmpty)
+    intercept[NoSuchElementException](exec(ResumeMirror("gsqx")))
+    assert(exec(ResumeMirror("gsqx", ifExists = true)).isEmpty)
+    intercept[NoSuchElementException](exec(ResyncMirror("gsqx")))
+    assert(exec(ResyncMirror("gsqx", ifExists = true)).isEmpty)
   }
 }
