@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *
   * Grammar (case-insensitive):
   * {{{
-  *   CREATE PEER name TYPE kind OPTIONS (k 'v', ...)
+  *   CREATE PEER [IF NOT EXISTS] name TYPE kind OPTIONS (k 'v', ...)
+  *                                -- likewise CREATE MIRROR (both
+  *                                -- forms): IF NOT EXISTS makes an
+  *                                -- existing object a no-op success
   *   DROP PEER name
   *   SHOW PEERS
   *   CREATE MIRROR name WITH (wal_dir '...', dest_dir '...',
@@ -77,8 +80,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 object GraftSql {
 
   sealed trait Statement
+  /** CREATE PEER/MIRROR accept `IF NOT EXISTS`
+    * (parser_peerdb.rs:115,130): an existing object is then a NO-OP
+    * success (the MIRROR ALREADY EXISTS tag,
+    * main.rs:169-183 `handle_mirror_existence`) instead of an
+    * error. */
   final case class CreatePeer(name: String, kind: String,
-      options: Map[String, String]) extends Statement
+      options: Map[String, String], ifNotExists: Boolean = false)
+      extends Statement
   /** DROP/RESYNC/PAUSE/RESUME accept `IF EXISTS` (each reference
     * grammar arm parses the keyword pair, parser_peerdb.rs:194-241):
     * a missing object is a NO-OP under IF EXISTS (the server answers
@@ -87,7 +96,8 @@ object GraftSql {
   final case class DropPeer(name: String, ifExists: Boolean = false)
       extends Statement
   case object ShowPeers extends Statement
-  final case class CreateMirror(name: String, options: Map[String, String])
+  final case class CreateMirror(name: String,
+      options: Map[String, String], ifNotExists: Boolean = false)
       extends Statement
   /** The QRep DDL form (`... FROM src TO dst FOR $$ query $$ WITH (...)`,
     * nexus/analyzer/src/qrep.rs + PeerDBStatement::CreateMirror): the
@@ -96,8 +106,8 @@ object GraftSql {
     * travels INTO the user query exactly as the reference substitutes
     * per-partition bounds. */
   final case class CreateQRepMirror(name: String, sourcePeer: String,
-      destPeer: String, query: String, options: Map[String, String])
-      extends Statement
+      destPeer: String, query: String, options: Map[String, String],
+      ifNotExists: Boolean = false) extends Statement
   final case class ExecuteMirror(name: String) extends Statement
   final case class ResyncMirror(name: String, ifExists: Boolean = false)
       extends Statement
@@ -206,14 +216,17 @@ object GraftSql {
       extends Statement
 
   private val createPeer: Regex =
-    """(?is)\s*CREATE\s+PEER\s+(\w+)\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""".r
+    ("""(?is)\s*CREATE\s+PEER\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """\s+TYPE\s+(\w+)\s+OPTIONS\s*\((.*)\)\s*""").r
   private val dropPeer: Regex =
     """(?is)\s*DROP\s+PEER\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val showPeers: Regex = """(?is)\s*SHOW\s+PEERS\s*""".r
   private val createMirror: Regex =
-    """(?is)\s*CREATE\s+MIRROR\s+(\w+)\s+WITH\s*\((.*)\)\s*""".r
+    ("""(?is)\s*CREATE\s+MIRROR\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """\s+WITH\s*\((.*)\)\s*""").r
   private val createQRepMirror: Regex =
-    ("""(?is)\s*CREATE\s+MIRROR\s+(\w+)\s+FROM\s+(\w+)\s+TO\s+(\w+)""" +
+    ("""(?is)\s*CREATE\s+MIRROR\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """\s+FROM\s+(\w+)\s+TO\s+(\w+)""" +
       """\s+FOR\s+\$\$(.+?)\$\$\s+WITH\s*\((.*)\)\s*""").r
   private val execMirror: Regex =
     """(?is)\s*EXECUTE\s+MIRROR\s+(\w+)\s*""".r
@@ -229,8 +242,14 @@ object GraftSql {
   private val showSettings: Regex = """(?is)\s*SHOW\s+SETTINGS\s*""".r
   private val declareCursor: Regex =
     """(?is)\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+(.+?)\s*""".r
+  // FETCH [NEXT | FORWARD | [FORWARD] n | [FORWARD] ALL] FROM|IN name
+  // — the direction set the proxy's cursor analyzer accepts
+  // (analyzer/src/lib.rs:559-585: Next/Forward = 1, ForwardAll/All =
+  // everything, Count/Forward-n = n); bare FETCH defaults to NEXT
+  // like PostgreSQL.
   private val fetchCursor: Regex =
-    """(?is)\s*FETCH\s+(\d+|ALL)\s+FROM\s+(\w+)\s*""".r
+    ("""(?is)\s*FETCH\s+(?:(?:FORWARD\s+)?(\d+|ALL)\s+|""" +
+      """(?:NEXT|FORWARD)\s+)?(?:FROM|IN)\s+(\w+)\s*""").r
   private val closeCursor: Regex = """(?is)\s*CLOSE\s+(\w+)\s*""".r
   private val createScript: Regex =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?SCRIPT\s+(\w+)""" +
@@ -279,12 +298,15 @@ object GraftSql {
 
   /** None ⇒ not a graft statement (fall through to Spark SQL). */
   def parse(sql: String): Option[Statement] = sql match {
-    case createPeer(n, k, opts) => Some(CreatePeer(n, k, parseOptions(opts)))
+    case createPeer(ine, n, k, opts) =>
+      Some(CreatePeer(n, k, parseOptions(opts), ifNotExists = ine != null))
     case dropPeer(ife, n) => Some(DropPeer(n, ifExists = ife != null))
     case showPeers() => Some(ShowPeers)
-    case createQRepMirror(n, src, dst, q, opts) =>
-      Some(CreateQRepMirror(n, src, dst, q.trim, parseOptions(opts)))
-    case createMirror(n, opts) => Some(CreateMirror(n, parseOptions(opts)))
+    case createQRepMirror(ine, n, src, dst, q, opts) =>
+      Some(CreateQRepMirror(n, src, dst, q.trim, parseOptions(opts),
+        ifNotExists = ine != null))
+    case createMirror(ine, n, opts) =>
+      Some(CreateMirror(n, parseOptions(opts), ifNotExists = ine != null))
     case execMirror(n) => Some(ExecuteMirror(n))
     case resyncMirror(ife, n) =>
       Some(ResyncMirror(n, ifExists = ife != null))
@@ -317,7 +339,11 @@ object GraftSql {
     case deallocateRe(n) => Some(DeallocateStmt(n))
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
     case fetchCursor(cnt, n) => Some(FetchCursor(n,
-      if (cnt.equalsIgnoreCase("ALL")) None else Some(cnt.toInt)))
+      Option(cnt) match {
+        case None => Some(1) // FETCH / FETCH NEXT / FETCH FORWARD
+        case Some(c) if c.equalsIgnoreCase("ALL") => None
+        case Some(c) => Some(c.toInt)
+      }))
     case closeCursor(n) =>
       // CLOSE ALL is the bulk form, not a cursor named "all"
       if (n.equalsIgnoreCase("ALL")) Some(CloseAllCursors)
@@ -934,6 +960,91 @@ object GraftSql {
       }
     }
     checks.result()
+  }
+
+  /** Connectivity probe shared by VALIDATE PEER and CREATE PEER
+    * (ValidatePeer, flow/cmd/validate_peer.go; CREATE runs it by
+    * default — CreatePeerRequest.disable_validation=false on the
+    * nexus path, main.rs:185-213 → handler.go:593-609). Live peers
+    * validate by connecting (the reference's ConnectionActive check
+    * per connector) — a statement round-trip on the SQL transports;
+    * storage peers check location existence + listability. Returns
+    * (status, message); exceptions surface as "invalid". */
+  private def peerProbe(spark: SparkSession, p: Peer)
+      : (String, String) = {
+    val n = p.name
+    def validateStoragePeer(): (String, String) =
+      p.options.get("path").orElse(p.options.get("dir")) match {
+        case None =>
+          "invalid" -> (s"peer $n has no path/dir option — " +
+            "not addressable as a storage peer")
+        case Some(loc) =>
+          val hp = new org.apache.hadoop.fs.Path(loc)
+          val fs = hp.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(hp))
+            "invalid" -> s"location $loc does not exist"
+          else {
+            fs.listStatus(hp) // permission probe (ValidateCheck)
+            if (p.kind == "parquet") {
+              // footers must yield a schema (ConnectionActive analog)
+              val fields =
+                spark.read.parquet(loc).schema.fields.length
+              "valid" -> s"parquet schema with $fields column(s)"
+            } else "valid" -> s"location $loc listable"
+          }
+      }
+    try {
+      if (p.kind == "cockroachdb") {
+        // live wire validation (connectors/cockroachdb/validate.go):
+        // connect → version gate ≥22.1 → variant detection, with
+        // auth SQLSTATEs classified rather than retried
+        val checks = CrdbPeer.validate(
+          host = p.options.getOrElse("host", "127.0.0.1"),
+          port = p.options.getOrElse("port", "26257").toInt,
+          user = p.options.getOrElse("user", "root"),
+          database = p.options.getOrElse("database", "defaultdb"),
+          password = p.options.getOrElse("password", ""),
+          ssl = graft.cdc.Tls.fromParam(
+            p.options.getOrElse("ssl", ""), p.options.get("ssl_ca")),
+          ssh = p.options.get("ssh"))
+        checks.find(_.status != "ok") match {
+          case Some(c) => "invalid" -> s"${c.check}: ${c.detail}"
+          case None => "valid" -> checks
+            .map(c => s"${c.check}: ${c.detail}").mkString("; ")
+        }
+      } else p.options.get("url") match {
+        case Some(u) if u.startsWith("pg://") ||
+            u.startsWith("pgwire://") =>
+          val c = graft.server.PgClients.connect(u, Nil)
+          try "valid" -> ("connected: " + c.query(
+            "SELECT version()").rows.head.head
+            .getOrElse("").take(60))
+          finally c.close()
+        case Some(u) if u.startsWith("mysql://") =>
+          val c = graft.qrep.MysqlClients.connect(u)
+          try "valid" -> ("connected: " + c.query(
+            "SELECT VERSION()").rows.head.head
+            .getOrElse("").take(60))
+          finally c.close()
+        case Some(u) if u.startsWith("snowflake://") =>
+          new graft.sinks.SnowflakeSqlApi(u).execute("SELECT 1")
+          "valid" -> "SQL API statement round-trip ok"
+        case Some(u) if u.startsWith("bigquery://") =>
+          new graft.sinks.BigQuerySqlApi(u).execute("SELECT 1")
+          "valid" -> "SQL API statement round-trip ok"
+        case Some(u) =>
+          // other live transports have their own handshake specs;
+          // don't claim a probe that didn't run
+          "valid" -> (s"url present (${u.takeWhile(_ != ':')}:// " +
+            "transport not probed by VALIDATE PEER)")
+        case None =>
+          validateStoragePeer()
+      }
+    } catch {
+      case e: Exception =>
+        "invalid" -> s"peer $n was invalidated: ${e.getMessage}"
+    }
   }
 
   private def mirrorEntry(spark: SparkSession, n: String): Peer =
@@ -1710,17 +1821,52 @@ object GraftSql {
       prepared.remove(scoped(n)).getOrElse(
         throw new NoSuchElementException(s"prepared statement $n"))
       Nil
-    case CreatePeer(n, k, o) => peersFor(spark).create(Peer(n, k, o)); Nil
+    case CreatePeer(n, k, o, ifNotExists) =>
+      if (peersFor(spark).list.exists(_.name == n)) {
+        if (!ifNotExists)
+          throw new IllegalArgumentException(s"peer $n exists")
+        // IF NOT EXISTS: existing peer is a success no-op
+      } else {
+        // CREATE validates LIVE peers first (the nexus path sends
+        // CreatePeerRequest with disable_validation=false,
+        // main.rs:185-213; handler.go:593-609 rejects when the probe
+        // is not VALID). `disable_validation 'true'` is the API's
+        // escape hatch, surfaced as a peer option. Storage peers
+        // skip the probe — their path is often a destination this
+        // engine creates on first write.
+        val skip = o.get("disable_validation")
+          .exists(_.equalsIgnoreCase("true"))
+        if (!skip && o.contains("url")) {
+          val (status, msg) = peerProbe(spark, Peer(n, k, o))
+          if (status != "valid") throw new IllegalArgumentException(
+            s"failed to create peer: $msg")
+        }
+        peersFor(spark).create(Peer(n, k, o))
+      }
+      Nil
     case DropPeer(n, ifExists) =>
       // reference: missing peer errors unless IF EXISTS, which
-      // answers NO SUCH PEER as a success (main.rs:424-462)
-      if (peersFor(spark).list.exists(_.name == n))
+      // answers NO SUCH PEER as a success (main.rs:424-462); a peer
+      // referenced by a cataloged mirror refuses the drop
+      // (handler.go:618-646 "currently involved in an ongoing
+      // mirror") — IF EXISTS does not waive that check
+      if (peersFor(spark).list.exists(_.name == n)) {
+        val inMirror = mirrorsFor(spark).list.filter(m =>
+          m.options.get("__source_peer").contains(n) ||
+            m.options.get("__dest_peer").contains(n))
+        if (inMirror.nonEmpty) throw new IllegalStateException(
+          s"peer $n is currently involved in an ongoing mirror " +
+            s"(${inMirror.map(_.name).mkString(", ")}) — " +
+            "DROP MIRROR first")
         peersFor(spark).drop(n)
-      else if (!ifExists)
+      } else if (!ifExists)
         throw new NoSuchElementException(s"no such peer: $n")
       Nil
     case ShowPeers => peersFor(spark).list.map(p => Row(p.name, p.kind))
-    case CreateMirror(n, o) =>
+    case CreateMirror(n, _, true)
+        if mirrorsFor(spark).list.exists(_.name == n) =>
+      Nil // MIRROR ALREADY EXISTS as a success (main.rs:169-183)
+    case CreateMirror(n, o, _) =>
       mirrorConfig(spark, o) // validate options before persisting
       // Parse the transform script at DDL time (fail the CREATE, not
       // the first EXECUTE — the analyzer's job, like validateQRep;
@@ -1829,84 +1975,10 @@ object GraftSql {
         Row(s"stats_$t", st.table(spark, t).count()))
     case ValidatePeerStmt(n) =>
       // Probe, never throw (ValidatePeerStatus_INVALID + message).
-      def validateStoragePeer(spark: SparkSession, n: String,
-          p: Peer): (String, String) =
-        p.options.get("path").orElse(p.options.get("dir")) match {
-          case None =>
-            "invalid" -> (s"peer $n has no path/dir option — " +
-              "not addressable as a storage peer")
-          case Some(loc) =>
-            val hp = new org.apache.hadoop.fs.Path(loc)
-            val fs = hp.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(hp))
-              "invalid" -> s"location $loc does not exist"
-            else {
-              fs.listStatus(hp) // permission probe (ValidateCheck)
-              if (p.kind == "parquet") {
-                // footers must yield a schema (ConnectionActive analog)
-                val fields =
-                  spark.read.parquet(loc).schema.fields.length
-                "valid" -> s"parquet schema with $fields column(s)"
-              } else "valid" -> s"location $loc listable"
-            }
-        }
-      val result =
-        try {
-          val p = peersFor(spark).get(n)
-          if (p.kind == "cockroachdb") {
-            // live wire validation (connectors/cockroachdb/validate.go):
-            // connect → version gate ≥22.1 → variant detection, with
-            // auth SQLSTATEs classified rather than retried
-            val checks = CrdbPeer.validate(
-              host = p.options.getOrElse("host", "127.0.0.1"),
-              port = p.options.getOrElse("port", "26257").toInt,
-              user = p.options.getOrElse("user", "root"),
-              database = p.options.getOrElse("database", "defaultdb"),
-              password = p.options.getOrElse("password", ""),
-              ssl = graft.cdc.Tls.fromParam(
-                p.options.getOrElse("ssl", ""), p.options.get("ssl_ca")),
-              ssh = p.options.get("ssh"))
-            checks.find(_.status != "ok") match {
-              case Some(c) => "invalid" -> s"${c.check}: ${c.detail}"
-              case None => "valid" -> checks
-                .map(c => s"${c.check}: ${c.detail}").mkString("; ")
-            }
-          } else p.options.get("url") match {
-            // LIVE peers validate by connecting (the reference's
-            // ConnectionActive check per connector) — a statement
-            // round-trip on the SQL transports, a negotiate on kafka
-            case Some(u) if u.startsWith("pg://") ||
-                u.startsWith("pgwire://") =>
-              val c = graft.server.PgClients.connect(u, Nil)
-              try "valid" -> ("connected: " + c.query(
-                "SELECT version()").rows.head.head
-                .getOrElse("").take(60))
-              finally c.close()
-            case Some(u) if u.startsWith("mysql://") =>
-              val c = graft.qrep.MysqlClients.connect(u)
-              try "valid" -> ("connected: " + c.query(
-                "SELECT VERSION()").rows.head.head
-                .getOrElse("").take(60))
-              finally c.close()
-            case Some(u) if u.startsWith("snowflake://") =>
-              new graft.sinks.SnowflakeSqlApi(u).execute("SELECT 1")
-              "valid" -> "SQL API statement round-trip ok"
-            case Some(u) if u.startsWith("bigquery://") =>
-              new graft.sinks.BigQuerySqlApi(u).execute("SELECT 1")
-              "valid" -> "SQL API statement round-trip ok"
-            case Some(u) =>
-              // other live transports have their own handshake specs;
-              // don't claim a probe that didn't run
-              "valid" -> (s"url present (${u.takeWhile(_ != ':')}:// " +
-                "transport not probed by VALIDATE PEER)")
-            case None =>
-              validateStoragePeer(spark, n, p)
-          }
-        } catch {
-          case e: Exception =>
-            "invalid" -> s"peer $n was invalidated: ${e.getMessage}"
-        }
+      val result = try peerProbe(spark, peersFor(spark).get(n)) catch {
+        case e: Exception =>
+          "invalid" -> s"peer $n was invalidated: ${e.getMessage}"
+      }
       Seq(Row(n, result._1, result._2))
     case ValidateMirrorStmt(n) => validateMirror(spark, n)
     case ShowPeerTables(n) =>
@@ -1977,7 +2049,10 @@ object GraftSql {
           val parts = kv.split("=", 2)
           Row(parts(0), if (parts.length > 1) parts(1) else "")
         }
-    case CreateQRepMirror(n, src, dst, q, o) =>
+    case CreateQRepMirror(n, _, _, _, _, true)
+        if mirrorsFor(spark).list.exists(_.name == n) =>
+      Nil // MIRROR ALREADY EXISTS as a success (main.rs:169-183)
+    case CreateQRepMirror(n, src, dst, q, o, _) =>
       val srcPeerDef = peersFor(spark).get(src) // both peers must exist
       peersFor(spark).get(dst)
       // fail the DDL, not the first EXECUTE; mongo sources (find()

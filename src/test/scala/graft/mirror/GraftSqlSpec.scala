@@ -19,6 +19,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(parse("RESYNC MIRROR m1") == Some(ResyncMirror("m1")))
     assert(parse("PAUSE MIRROR m1") == Some(PauseMirror("m1")))
     assert(parse("resume mirror m1") == Some(ResumeMirror("m1")))
+    // IF NOT EXISTS on the create arms (parser_peerdb.rs:115,130)
+    assert(parse("CREATE PEER IF NOT EXISTS p2 TYPE parquet " +
+      "OPTIONS (path '/x')") ==
+      Some(CreatePeer("p2", "parquet", Map("path" -> "/x"),
+        ifNotExists = true)))
+    assert(parse("CREATE MIRROR IF NOT EXISTS m2 WITH (pk 'id')") ==
+      Some(CreateMirror("m2", Map("pk" -> "id"), ifNotExists = true)))
+    assert(parse("CREATE MIRROR IF NOT EXISTS m3 FROM a TO b FOR " +
+      "$$ SELECT 1 $$ WITH (mode 'append')") ==
+      Some(CreateQRepMirror("m3", "a", "b", "SELECT 1",
+        Map("mode" -> "append"), ifNotExists = true)))
     // IF EXISTS on every drop/signal arm (parser_peerdb.rs:194-241)
     assert(parse("DROP MIRROR IF EXISTS m1") ==
       Some(DropMirror("m1", ifExists = true)))
@@ -35,6 +46,16 @@ class GraftSqlSpec extends SparkSpec {
       Some(DeclareCursor("c1", "SELECT * FROM t ORDER BY id")))
     assert(parse("FETCH 500 FROM c1") == Some(FetchCursor("c1", Some(500))))
     assert(parse("fetch all from c1") == Some(FetchCursor("c1", None)))
+    // the proxy's full direction set (analyzer/src/lib.rs:559-585)
+    assert(parse("FETCH NEXT FROM c1") == Some(FetchCursor("c1", Some(1))))
+    assert(parse("FETCH FORWARD FROM c1") ==
+      Some(FetchCursor("c1", Some(1))))
+    assert(parse("FETCH FORWARD 9 FROM c1") ==
+      Some(FetchCursor("c1", Some(9))))
+    assert(parse("FETCH FORWARD ALL FROM c1") ==
+      Some(FetchCursor("c1", None)))
+    assert(parse("FETCH FROM c1") == Some(FetchCursor("c1", Some(1))))
+    assert(parse("FETCH 3 IN c1") == Some(FetchCursor("c1", Some(3))))
     assert(parse("CLOSE c1") == Some(CloseCursor("c1")))
     assert(parse("SELECT 1").isEmpty)
     assert(parse("CREATE TABLE t (id INT)").isEmpty)
@@ -1167,5 +1188,67 @@ class GraftSqlSpec extends SparkSpec {
     assert(exec(ResumeMirror("gsqx", ifExists = true)).isEmpty)
     intercept[NoSuchElementException](exec(ResyncMirror("gsqx")))
     assert(exec(ResyncMirror("gsqx", ifExists = true)).isEmpty)
+    // IF NOT EXISTS: duplicate create errors without it, no-ops with
+    // it (MIRROR ALREADY EXISTS success, main.rs:169-183) — and the
+    // no-op does NOT overwrite the existing definition
+    import GraftSql.{CreatePeer, CreateMirror}
+    exec(CreatePeer("gsqp", "parquet", Map("path" -> "/a")))
+    try {
+      intercept[IllegalArgumentException](
+        exec(CreatePeer("gsqp", "parquet", Map("path" -> "/b"))))
+      assert(exec(CreatePeer("gsqp", "parquet", Map("path" -> "/b"),
+        ifNotExists = true)).isEmpty)
+      assert(GraftSql.peersFor(s).get("gsqp").options("path") == "/a")
+    } finally exec(DropPeer("gsqp"))
+    val walDir = tmpDir("inewal")
+    exec(CreateMirror("gsqm", Map("wal_dir" -> walDir,
+      "dest_dir" -> s"$walDir/d", "checkpoint_dir" -> s"$walDir/c",
+      "pk" -> "id", "schema" -> "id BIGINT")))
+    try {
+      intercept[Exception](exec(CreateMirror("gsqm",
+        Map("pk" -> "id"))))
+      assert(exec(CreateMirror("gsqm", Map("pk" -> "id"),
+        ifNotExists = true)).isEmpty)
+    } finally exec(DropMirror("gsqm"))
+  }
+
+  test("CREATE PEER validates live peers by default (an unreachable " +
+    "endpoint fails the CREATE with the probe's message, " +
+    "handler.go:593-609); disable_validation is the escape hatch; " +
+    "DROP PEER refuses while a mirror references the peer " +
+    "(handler.go:618-646)") {
+    import GraftSql.{CreatePeer, DropPeer}
+    val s = spark
+    def exec(st: GraftSql.Statement) = GraftSql.execute(s, st)
+    def run(sql: String) = GraftSql.execute(s,
+      GraftSql.parse(sql).getOrElse(fail(s"did not parse: $sql")))
+    val dead = Map("url" ->
+      "pg://postgres@127.0.0.1:1/postgres?connect_timeout_ms=300")
+    val e = intercept[IllegalArgumentException](
+      exec(CreatePeer("gsqv", "postgres", dead)))
+    assert(e.getMessage.startsWith("failed to create peer"),
+      e.getMessage)
+    assert(GraftSql.peersFor(s).list.forall(_.name != "gsqv"))
+    exec(CreatePeer("gsqv", "postgres",
+      dead + ("disable_validation" -> "true")))
+    exec(DropPeer("gsqv"))
+    // in-mirror guard: the qrep entry references its peers by name
+    val base = tmpDir("gsqguard")
+    s.range(1, 4).selectExpr("id AS k", "id AS v")
+      .write.parquet(s"$base/src/rows.parquet")
+    run(s"CREATE PEER gsqgs TYPE parquet OPTIONS (dir '$base/src')")
+    run(s"CREATE PEER gsqgd TYPE parquet OPTIONS (dir '$base/dst')")
+    run("CREATE MIRROR gsqgm FROM gsqgs TO gsqgd FOR " +
+      "$$ SELECT k, v FROM rows WHERE k BETWEEN {{.start}} AND " +
+      "{{.end}} $$ WITH (watermark_column 'k', " +
+      s"source_table 'rows', dest_dir '$base/dest')")
+    try {
+      val g = intercept[IllegalStateException](exec(DropPeer("gsqgs")))
+      assert(g.getMessage.contains("involved in an ongoing mirror"),
+        g.getMessage)
+      intercept[IllegalStateException](exec(DropPeer("gsqgd")))
+    } finally run("DROP MIRROR gsqgm")
+    exec(DropPeer("gsqgs"))
+    exec(DropPeer("gsqgd"))
   }
 }

@@ -115,8 +115,12 @@ class LivePeerQuerySpec extends SparkSpec {
         val v = run(s, "VALIDATE PEER lpg").head
         assert(v.getString(1) == "valid" &&
           v.getString(2).contains("connected: PostgreSQL"), v.toString)
+        // CREATE validates live peers by default — a dead endpoint
+        // only enters the catalog with disable_validation (the
+        // CreatePeerRequest escape hatch)
         run(s, "CREATE PEER lpdead TYPE postgres OPTIONS (url " +
-          "'pg://postgres@127.0.0.1:1/postgres?connect_timeout_ms=300')")
+          "'pg://postgres@127.0.0.1:1/postgres?connect_timeout_ms=300'" +
+          ", disable_validation 'true')")
         try {
           val dead = run(s, "VALIDATE PEER lpdead").head
           assert(dead.getString(1) == "invalid", dead.toString)
@@ -172,7 +176,10 @@ class LivePeerQuerySpec extends SparkSpec {
     val rows = (1L to 7L).map(i =>
       Seq(Some(i.toString), Some(s"n-$i")))
     WireServers.serveMysqlQuery(listener, "pw", { sql =>
-      if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
+      if (sql.contains("VERSION()")) // the CREATE-time validation probe
+        MysqlAnswer(Seq(MysqlCol("v", 0xFD)),
+          Seq(Seq(Some("8.0.36-fixture"))))
+      else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
       else if (sql.contains("FROM `items`")) MysqlAnswer(cols, rows)
       else WireServers.MysqlOk
     })
@@ -235,9 +242,11 @@ class LivePeerQuerySpec extends SparkSpec {
     })
     http.start()
     try withGraftSession { s =>
+      // disable_validation keeps the statement counting below exact
+      // (a validated CREATE adds its own SELECT 1 round-trip)
       run(s, "CREATE PEER swh TYPE snowflake OPTIONS (url " +
         s"'snowflake://127.0.0.1:${http.getAddress.getPort}/AN" +
-        "?schema=PUBLIC&token=tok')")
+        "?schema=PUBLIC&token=tok', disable_validation 'true')")
       try {
         val got = s.sql("SELECT id, big, amt, s, b, d, ts FROM swh.t " +
           "ORDER BY id").collect()
