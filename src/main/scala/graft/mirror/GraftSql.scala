@@ -296,25 +296,37 @@ object GraftSql {
       .map(m => m.group(1).toLowerCase -> m.group(2).replace("''", "'"))
       .toMap
 
+  /** Peer/mirror names fold to lowercase at parse time — the
+    * analyzer's convention on every name-bearing arm
+    * (`to_string().to_lowercase()`, analyzer/src/lib.rs:376-529), so
+    * `CREATE PEER Foo` and `SELECT … FROM foo.t` resolve the same
+    * object. Cursor/script/prepared names are engine-local and keep
+    * their typed case. */
+  private def fold(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
   /** None ⇒ not a graft statement (fall through to Spark SQL). */
   def parse(sql: String): Option[Statement] = sql match {
     case createPeer(ine, n, k, opts) =>
-      Some(CreatePeer(n, k, parseOptions(opts), ifNotExists = ine != null))
-    case dropPeer(ife, n) => Some(DropPeer(n, ifExists = ife != null))
+      Some(CreatePeer(fold(n), k, parseOptions(opts),
+        ifNotExists = ine != null))
+    case dropPeer(ife, n) => Some(DropPeer(fold(n), ifExists = ife != null))
     case showPeers() => Some(ShowPeers)
     case createQRepMirror(ine, n, src, dst, q, opts) =>
-      Some(CreateQRepMirror(n, src, dst, q.trim, parseOptions(opts),
-        ifNotExists = ine != null))
+      Some(CreateQRepMirror(fold(n), fold(src), fold(dst), q.trim,
+        parseOptions(opts), ifNotExists = ine != null))
     case createMirror(ine, n, opts) =>
-      Some(CreateMirror(n, parseOptions(opts), ifNotExists = ine != null))
-    case execMirror(n) => Some(ExecuteMirror(n))
+      Some(CreateMirror(fold(n), parseOptions(opts),
+        ifNotExists = ine != null))
+    case execMirror(n) => Some(ExecuteMirror(fold(n)))
     case resyncMirror(ife, n) =>
-      Some(ResyncMirror(n, ifExists = ife != null))
-    case dropMirror(ife, n) => Some(DropMirror(n, ifExists = ife != null))
+      Some(ResyncMirror(fold(n), ifExists = ife != null))
+    case dropMirror(ife, n) =>
+      Some(DropMirror(fold(n), ifExists = ife != null))
     case pauseMirror(ife, n) =>
-      Some(PauseMirror(n, ifExists = ife != null))
+      Some(PauseMirror(fold(n), ifExists = ife != null))
     case resumeMirror(ife, n) =>
-      Some(ResumeMirror(n, ifExists = ife != null))
+      Some(ResumeMirror(fold(n), ifExists = ife != null))
     case showMirrors() => Some(ShowMirrors)
     case showSettings() => Some(ShowSettings)
     case createScript(rep, n, lang, src) => Some(CreateScript(n,
@@ -328,13 +340,14 @@ object GraftSql {
         throw new IllegalArgumentException(
           s"RUN OPERATOR: LIMIT $s out of integer range")))
         .getOrElse(100)))
-    case showStats(n) => Some(ShowStats(n))
-    case validatePeerRe(n) => Some(ValidatePeerStmt(n))
-    case validateMirrorRe(n) => Some(ValidateMirrorStmt(n))
-    case showPeerTablesRe(n) => Some(ShowPeerTables(n))
-    case describePeerRe(p, t) => Some(DescribePeerTable(p, t))
-    case setTagsRe(n, opts) => Some(SetMirrorTags(n, parseOptions(opts)))
-    case showTagsRe(n) => Some(ShowTags(n))
+    case showStats(n) => Some(ShowStats(fold(n)))
+    case validatePeerRe(n) => Some(ValidatePeerStmt(fold(n)))
+    case validateMirrorRe(n) => Some(ValidateMirrorStmt(fold(n)))
+    case showPeerTablesRe(n) => Some(ShowPeerTables(fold(n)))
+    case describePeerRe(p, t) => Some(DescribePeerTable(fold(p), t))
+    case setTagsRe(n, opts) =>
+      Some(SetMirrorTags(fold(n), parseOptions(opts)))
+    case showTagsRe(n) => Some(ShowTags(fold(n)))
     case prepareRe(n, q) => Some(PrepareStmt(n, q.trim))
     case deallocateRe(n) => Some(DeallocateStmt(n))
     case declareCursor(n, q) => Some(DeclareCursor(n, q))
@@ -1699,7 +1712,8 @@ object GraftSql {
       parseQuery: String => LogicalPlan,
       sql: String): Option[LogicalPlan] =
     parseExecutePeer(sql).flatMap { case (name, query) =>
-      peersFor(spark).list.find(_.name == name).map { p =>
+      // the analyzer folds the peer name (lib.rs:529)
+      peersFor(spark).list.find(_.name == fold(name)).map { p =>
         val rowset = rowsetShapeRe.pattern.matcher(query).matches()
         if (p.kind.equalsIgnoreCase("parquet")) {
           if (!rowset) throw new IllegalArgumentException(
@@ -2515,16 +2529,22 @@ object PeerQueryRouter {
   def route(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
     val cat = GraftSql.peersFor(spark)
     lazy val names = cat.list.map(_.name).toSet
+    // peer names are stored lowercase (the analyzer's fold) — the
+    // relation head folds the same way before lookup, so `FROM
+    // Foo.t` resolves peer `foo` (PeerExistanceAnalyzer,
+    // analyzer/src/lib.rs:58-59)
+    def headOf(r: UnresolvedRelation): String =
+      r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)
     plan.transformUp {
       // 2-part `peer.table` and 3-part `peer.schema.table` (the
       // proxy's qualified form for schema-bearing peers)
       case r: UnresolvedRelation
           if (r.multipartIdentifier.length == 2 ||
             r.multipartIdentifier.length == 3) &&
-            names.contains(r.multipartIdentifier.head) =>
+            names.contains(headOf(r)) =>
         val table = r.multipartIdentifier.tail.mkString(".")
         SubqueryAlias(r.multipartIdentifier.last,
-          relation(spark, cat.get(r.multipartIdentifier.head), table))
+          relation(spark, cat.get(headOf(r)), table))
     }
   }
 

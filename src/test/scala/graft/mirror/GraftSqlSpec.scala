@@ -1212,6 +1212,27 @@ class GraftSqlSpec extends SparkSpec {
     } finally exec(DropMirror("gsqm"))
   }
 
+  test("peer/mirror names fold to lowercase at parse (the analyzer's " +
+    "to_lowercase on every name arm, lib.rs:376-529): mixed-case DDL " +
+    "and relation heads resolve one object") {
+    import GraftSql._
+    assert(parse("CREATE PEER MyPeer TYPE parquet OPTIONS (path '/x')")
+      == Some(CreatePeer("mypeer", "parquet", Map("path" -> "/x"))))
+    assert(parse("DROP MIRROR MyMirror") == Some(DropMirror("mymirror")))
+    assert(parse("PAUSE MIRROR IF EXISTS UpperCase") ==
+      Some(PauseMirror("uppercase", ifExists = true)))
+    val s = spark
+    GraftSql.execute(s, parse("CREATE PEER CasEpeer TYPE parquet " +
+      "OPTIONS (path '/root/testdata/sf0.001')").get)
+    try {
+      assert(GraftSql.peersFor(s).list.exists(_.name == "casepeer"))
+      // mixed-case relation head folds to the stored name
+      assert(PeerQueryRouter.query(s,
+        "SELECT count(*) AS c FROM CaSePeEr.region")
+        .head().getLong(0) == 5L)
+    } finally GraftSql.execute(s, parse("DROP PEER CASEPEER").get)
+  }
+
   test("CREATE PEER validates live peers by default (an unreachable " +
     "endpoint fails the CREATE with the probe's message, " +
     "handler.go:593-609); disable_validation is the escape hatch; " +
