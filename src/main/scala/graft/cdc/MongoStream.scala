@@ -65,6 +65,20 @@ object MongoStream {
     stages.result().mkString("[", ",", "]")
   }
 
+  /** Parse the `mongo.excluded_operation_types` setting value
+    * (PEERDB_MONGODB_EXCLUDED_OPERATION_TYPES, dynamicconf.go:522-529;
+    * applied once per repl setup, mongo/cdc.go:661-685): comma list of
+    * insert|update|replace|delete, case-folded, duplicates collapsed,
+    * invalid entries dropped (the reference logs-and-ignores them) —
+    * returned separately so callers can surface them. */
+  def parseExcludedOps(value: String): (Seq[String], Seq[String]) = {
+    val valid = Set("insert", "update", "replace", "delete")
+    val entries = value.split(",").iterator
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).toSeq.distinct
+    entries.partition(valid)
+  }
+
   /** Cluster timestamp (seconds, increment) from a resume token's
     * `_data` hex KeyString: one type byte (130 = timestamp) then the
     * 64-bit value big-endian — high 32 bits epoch seconds, low 32 the

@@ -296,7 +296,16 @@ final class PgReplicationSource(
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
     ssl: Option[javax.net.ssl.SSLContext] = None,
-    dial: Ssh.Dial = Ssh.tcpDial)
+    dial: Ssh.Dial = Ssh.tcpDial,
+    /** Session identity in pg_stat_activity — the flow name when
+      * PEERDB_APPLICATION_NAME_PER_MIRROR_NAME is on
+      * (postgres.go:87-97). */
+    appName: String = "graft",
+    /** Extra startup parameters, e.g. wal_sender_timeout
+      * (PEERDB_POSTGRES_WAL_SENDER_TIMEOUT applied as a runtime
+      * param on the replication connection,
+      * postgres_source.go:44-107). */
+    extraStartup: Seq[(String, String)] = Nil)
   extends Wire.PgSource {
 
   import PgWire._
@@ -345,7 +354,7 @@ final class PgReplicationSource(
     writeStartup(out, Seq(
       "user" -> user, "database" -> database,
       "replication" -> "database",
-      "application_name" -> "graft"))
+      "application_name" -> appName) ++ extraStartup)
     var ready = false
     var scram: Option[Scram.Client] = None
     while (!ready) {

@@ -631,6 +631,22 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       case "pgwire" =>
         val after = graft.util.FsText.read(offsetPath, hadoopConf)
           .map(_.toLong).getOrElse(-1L)
+        // PEERDB_APPLICATION_NAME_PER_MIRROR_NAME (postgres.go:87-97):
+        // the replication session identifies as the flow in
+        // pg_stat_activity when on. PEERDB_POSTGRES_WAL_SENDER_TIMEOUT
+        // (postgres_source.go:44-107): applied as a startup runtime
+        // param — a bare integer is milliseconds per the GUC's unit,
+        // 'NONE'/empty leaves the server default, and the server
+        // validates the text (a bad value fails the connect loudly).
+        val appName =
+          if (Settings.get(spark, "mirror.application_name_per_mirror",
+            cfg.env).exists(_.toBoolean)) cfg.flow
+          else "graft"
+        val wst = Settings.get(spark, "mirror.wal_sender_timeout",
+          cfg.env).getOrElse("").trim
+        val extraStartup =
+          if (wst.isEmpty || wst.equalsIgnoreCase("NONE")) Nil
+          else Seq("wal_sender_timeout" -> wst)
         val src = new graft.cdc.PgReplicationSource(ep.host, ep.port,
           user = if (ep.user.isEmpty) "postgres" else ep.user,
           database = if (ep.database.isEmpty) "postgres" else ep.database,
@@ -639,7 +655,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           publication = ep.param("publication", "graft_pub"),
           startLsn = math.max(after, 0L),
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
-          ssl = sslCtx, dial = dial)
+          ssl = sslCtx, dial = dial,
+          appName = appName, extraStartup = extraStartup)
         val (n, last) = graft.cdc.PgOutputFrames.ingestFrom(src,
           cfg.walDir, afterCommitLsn = after,
           destinationFor = routeFor)
@@ -718,10 +735,20 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         val parts = after.split(":")
         (None, Some((parts(1).toLong, parts(2).toLong)))
       } else (Option(after).filter(_.nonEmpty), None)
+    // PEERDB_MONGODB_EXCLUDED_OPERATION_TYPES (dynamicconf.go:522,
+    // mongo/cdc.go:661-685): excluded op types leave the change
+    // stream as a $match stage; invalid entries are dropped like the
+    // reference's warn-and-ignore. Resume tokens stay valid across a
+    // filter change (same collections), so the list does not enter
+    // the pipeline-reshape detection.
+    val (excludedOps, _) = graft.cdc.MongoStream.parseExcludedOps(
+      Settings.get(spark, "mongo.excluded_operation_types", cfg.env)
+        .getOrElse(""))
     val (n, last) = graft.cdc.MongoStream.ingest(source, cfg.walDir,
       tables,
       afterTokenHex = tokenAfter,
       pipelineChanged = changed,
+      excludedOps = excludedOps,
       destinationFor = routeFor,
       previousTables = prevTables,
       startAtOpTime = opSeed)

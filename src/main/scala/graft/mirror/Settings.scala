@@ -99,6 +99,27 @@ object Settings {
         "re-creations, at the cost of retried rounds appending new " +
         "files instead of rewriting; the per-mirror s3_uuid_prefix " +
         "WITH option overrides"),
+    Setting("mongo.excluded_operation_types", Some(""), "string",
+      "Comma-separated MongoDB change stream operation types to " +
+        "exclude from CDC (insert, update, replace, delete) — a " +
+        "$match stage on the stream; invalid entries are ignored " +
+        "(PEERDB_MONGODB_EXCLUDED_OPERATION_TYPES, " +
+        "dynamicconf.go:522)"),
+    Setting("mirror.wal_sender_timeout", Some(""), "string",
+      "wal_sender_timeout for the PostgreSQL replication session: a " +
+        "bare integer is milliseconds, any postgres duration works, " +
+        "'NONE' or empty leaves the server default " +
+        "(PEERDB_POSTGRES_WAL_SENDER_TIMEOUT, dynamicconf.go:456; " +
+        "applied as a startup parameter like " +
+        "postgres_source.go:44-80)"),
+    Setting("mirror.application_name_per_mirror", Some("false"), "bool",
+      "When true, the mirror's PostgreSQL REPLICATION session " +
+        "carries application_name = the flow name, so " +
+        "pg_stat_activity attributes it per mirror " +
+        "(PEERDB_APPLICATION_NAME_PER_MIRROR_NAME, " +
+        "dynamicconf.go:349; postgres.go:87-97). Query sessions name " +
+        "themselves with an application_name=<name> param on the " +
+        "peer URL"),
     Setting("maintenance.skipped_snapshot_wait_flows", Some(""), "string",
       "Comma-joined flow names whose in-flight snapshots the " +
         "maintenance drain skips waiting for — the " +

@@ -45,6 +45,12 @@ object PgClients {
       // shift by the offset and rows near the boundary would be
       // PERMANENTLY skipped (the advanced watermark never revisits
       // them). With the session at UTC both sides agree exactly.
-      startupParams = ("TimeZone" -> "UTC") +: extraStartup).connect()
+      // `application_name=<name>` on the endpoint URL names the
+      // session in pg_stat_activity (the query-session half of
+      // PEERDB_APPLICATION_NAME_PER_MIRROR_NAME; the replication
+      // session gets its name from the setting directly)
+      startupParams = ("TimeZone" -> "UTC") +:
+        (ep.params.get("application_name")
+          .map("application_name" -> _).toSeq ++ extraStartup)).connect()
   }
 }

@@ -26,6 +26,15 @@ class MongoStreamSpec extends AnyFunSuite {
       """{"$match":{"operationType":{"$nin":["delete","drop"]}}}"""))
   }
 
+  test("parseExcludedOps: case-folds, dedups, drops invalid entries " +
+    "(the reference's warn-and-ignore, mongo/cdc.go:661-685)") {
+    assert(MongoStream.parseExcludedOps("") == ((Nil, Nil)))
+    assert(MongoStream.parseExcludedOps("delete, Update,delete") ==
+      ((Seq("delete", "update"), Nil)))
+    assert(MongoStream.parseExcludedOps("insert,drop,  ,REPLACE") ==
+      ((Seq("insert", "replace"), Seq("drop"))))
+  }
+
   test("unqualified table names are rejected") {
     intercept[IllegalArgumentException] {
       MongoStream.pipeline(Seq("noqualifier"))
