@@ -24,7 +24,17 @@ final case class NormalizeConfig(
       * `pkColumns` stay source names; downstream writers see the
       * destination names. Type overrides are already expressed by
       * `payloadSchema` (from_json casts to it). */
-    columnRenames: Map[String, String] = Map.empty)
+    columnRenames: Map[String, String] = Map.empty,
+    /** PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN
+      * (dynamicconf.go:398-405): the destination gains a
+      * `_peerdb_source_schema` column carrying the source table's
+      * schema name — the disambiguator when MANY source tables route
+      * into ONE destination. The capture side embeds the name as a
+      * key inside the change JSON (cdc.go:189-202 items injection);
+      * normalize extracts it like the ClickHouse
+      * JSONExtractString(_peerdb_data, …) projection
+      * (normalize_query.go:130-134). */
+    sourceSchemaColumn: Boolean = false)
 
 /** Raw change rows → one typed upsert/delete decision per primary key.
   *
@@ -56,6 +66,9 @@ final case class NormalizeConfig(
 object Normalizer {
 
   val AbsentCols = "_absent_cols"
+  /** Destination column name for the source-schema disambiguator
+    * (clickhouse/normalize.go:34). */
+  val SourceSchemaCol = "_peerdb_source_schema"
 
   def normalize(raw: DataFrame, cfg: NormalizeConfig): DataFrame = {
     val dataCols = cfg.payloadSchema.fieldNames.toSeq
@@ -116,8 +129,17 @@ object Normalizer {
           last(col(s"_wrap_$c"), ignoreNulls = true).over(backfillFrame))
     }
 
+    // Source-schema disambiguator: extracted from the embedded JSON
+    // key (deletes carry it in the match image — their data is null).
+    val withSchema =
+      if (!cfg.sourceSchemaColumn) backfilled
+      else backfilled.withColumn("_src_schema",
+        coalesce(get_json_object(
+          coalesce(col(RawTable.Data), col(RawTable.MatchData)),
+          "$." + SourceSchemaCol), lit("")))
+
     // Latest record per key wins.
-    val ranked = backfilled
+    val ranked = withSchema
       .withColumn("_rn", row_number().over(
         Window.partitionBy(cfg.pkColumns.map(k => col(s"_pk_$k")): _*)
           .orderBy(col(RawTable.Timestamp).desc, col(RawTable.Uid).desc)))
@@ -125,9 +147,14 @@ object Normalizer {
 
     // Columns never seen in this batch stay absent → merge-time coalesce.
     def outName(c: String) = cfg.columnRenames.getOrElse(c, c)
+    val schemaOut =
+      if (cfg.sourceSchemaColumn)
+        Seq(col("_src_schema").as(SourceSchemaCol))
+      else Nil
     val out = ranked.select(
       cfg.pkColumns.map(k => col(s"_pk_$k").as(outName(k))) ++
-        valueCols.map(c => col(s"_val_$c.v").as(outName(c))) ++ Seq(
+        valueCols.map(c => col(s"_val_$c.v").as(outName(c))) ++
+        schemaOut ++ Seq(
           col(RawTable.Timestamp).as(RawTable.Version),
           (col(RawTable.RecordType) === ChangeRecord.TypeDelete)
             .as(RawTable.IsDeleted),

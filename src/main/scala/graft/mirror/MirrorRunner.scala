@@ -1025,7 +1025,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
       val normalized = Normalizer.normalize(
         slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
-          softDelete = cfg.softDelete))
+          softDelete = cfg.softDelete,
+          sourceSchemaColumn = srcSchemaCol))
       if (!normalized.isEmpty) warehouseDest match {
         case Some(w) => w.load(table, tc, normalized, batchId)
         case None => applyChanges(table, writer, tc.pkColumns,
@@ -1061,16 +1062,48 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * ingest timestamp (flow/connectors/utils/stream.go time.Now()
     * .UnixNano()); here the LSN itself carries the order. %019d covers
     * the full non-negative Long range so lexicographic = numeric order. */
-  private def toRaw(batch: DataFrame, batchId: Long): DataFrame =
+  /** PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN resolved against this
+    * mirror's env overrides. Read per batch like the other dynamic
+    * settings; the reference fixes it per mirror (APPLY_MODE_NEW_MIRROR,
+    * dynamicconf.go:403). */
+  private def srcSchemaCol: Boolean =
+    Settings.get(spark, "mirror.source_schema_as_destination_column",
+      cfg.env).exists(_.toBoolean)
+
+  private def toRaw(batch: DataFrame, batchId: Long): DataFrame = {
+    // When the source-schema column is on, the schema name embeds as a
+    // key INSIDE the change JSON — the reference's items injection at
+    // capture (postgres/cdc.go:189-202, the JSONExtract counterpart in
+    // clickhouse/normalize_query.go:130-134). One injection point
+    // covers every capture transport because the WAL records carry the
+    // qualified source name.
+    def embed(c: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      if (!srcSchemaCol) c
+      else {
+        val schemaName = when(instr(col("sourceTable"), ".") > 0,
+          substring_index(col("sourceTable"), ".", 1)).otherwise(lit(""))
+        val esc = regexp_replace(
+          regexp_replace(schemaName, "\\\\", "\\\\\\\\"),
+          "\"", "\\\\\"")
+        val prefix = concat(
+          lit("{\"" + Normalizer.SourceSchemaCol + "\":\""), esc,
+          lit("\""))
+        when(c.isNull, c).otherwise(
+          when(c === "{}", concat(prefix, lit("}")))
+            .otherwise(concat(prefix, lit(","),
+              substring(c, 2, Int.MaxValue))))
+      }
     batch.select(
       format_string("%019d", col("checkpointId")).as(RawTable.Uid),
       col("commitTimeMicros").as(RawTable.Timestamp),
       col("destinationTable").as(RawTable.DestinationTable),
-      col("data").as(RawTable.Data),
+      embed(col("data")).as(RawTable.Data),
       col("recordType").as(RawTable.RecordType),
-      col("matchData").as(RawTable.MatchData),
+      embed(col("matchData")).as(RawTable.MatchData),
       lit(batchId).as(RawTable.BatchId),
       col("unchangedToastColumns").as(RawTable.UnchangedToastColumns))
+  }
 
   private def rawHighWaterMark: Option[Long] =
     graft.util.FsText.read(hwmPath, hadoopConf).map(_.trim.toLong)
@@ -1186,7 +1219,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         col(RawTable.DestinationTable) === table)
       val normalized = Normalizer.normalize(
         slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
-          softDelete = true))
+          softDelete = true, sourceSchemaColumn = srcSchemaCol))
       if (!normalized.isEmpty) {
         val payloadCols = liveSchemas(table).fieldNames.toSeq
         // `_id`: a single PK ships as its plain string value; a
@@ -1259,7 +1292,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val raw = toRaw(slice, batchId = -1L)
     val normalized = Normalizer.normalize(
       raw, NormalizeConfig(tc.pkColumns, tc.effectiveSchema,
-        softDelete = cfg.softDelete))
+        softDelete = cfg.softDelete, sourceSchemaColumn = srcSchemaCol))
     val dir = cfg.copy(extraTables = cfg.extraTables + (table -> tc))
       .tableSet(table)._2
     val writer = new MergeWriter(spark, dir, tc.pkColumns,
@@ -1427,7 +1460,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
     val normalized = Normalizer.normalize(
       raw, NormalizeConfig(cfg.pkColumns,
-        liveSchemas(cfg.destinationTable), softDelete = cfg.softDelete))
+        liveSchemas(cfg.destinationTable), softDelete = cfg.softDelete,
+        sourceSchemaColumn = srcSchemaCol))
       .drop(Normalizer.AbsentCols)
     if (cfg.softDelete) normalized.filter(!col(RawTable.IsDeleted))
     else normalized

@@ -120,6 +120,15 @@ object Settings {
         "dynamicconf.go:349; postgres.go:87-97). Query sessions name " +
         "themselves with an application_name=<name> param on the " +
         "peer URL"),
+    Setting("mirror.source_schema_as_destination_column", Some("false"),
+      "bool",
+      "Ingest the source table's schema name as a " +
+        "_peerdb_source_schema destination column — the " +
+        "disambiguator when multiple source tables route into one " +
+        "destination table " +
+        "(PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN, " +
+        "dynamicconf.go:398; items injection postgres/cdc.go:189-202, " +
+        "extraction clickhouse/normalize_query.go:130-134)"),
     Setting("maintenance.skipped_snapshot_wait_flows", Some(""), "string",
       "Comma-joined flow names whose in-flight snapshots the " +
         "maintenance drain skips waiting for — the " +

@@ -107,4 +107,29 @@ class NormalizerSpec extends SparkSpec {
       cfg.copy(softDelete = false))
     assert(out.count() == 0)
   }
+
+  test("sourceSchemaColumn: _peerdb_source_schema extracts from the " +
+    "embedded JSON key — deletes take it from the match image, a " +
+    "record without the key reads '' (the many-to-one disambiguator, " +
+    "PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN)") {
+    val out = Normalizer.normalize(raw(
+      (1L, 0,
+        """{"_peerdb_source_schema":"sales","id":1,"name":"a","v":1}""",
+        null, ""),
+      (1L, 0,
+        """{"_peerdb_source_schema":"ops","id":2,"name":"b","v":2}""",
+        null, ""),
+      (2L, 2, null, """{"_peerdb_source_schema":"ops","id":2}""", ""),
+      (1L, 0, """{"id":3,"name":"c","v":3}""", null, "")),
+      cfg.copy(sourceSchemaColumn = true))
+    val m = byId(out)
+    assert(m(1L).getAs[String](Normalizer.SourceSchemaCol) == "sales")
+    assert(m(2L).getAs[String](Normalizer.SourceSchemaCol) == "ops")
+    assert(m(2L).getAs[Boolean](RawTable.IsDeleted))
+    assert(m(3L).getAs[String](Normalizer.SourceSchemaCol) == "")
+    // off (the default): no such column
+    val off = Normalizer.normalize(raw(
+      (1L, 0, """{"id":1,"name":"a","v":1}""", null, "")), cfg)
+    assert(!off.columns.contains(Normalizer.SourceSchemaCol))
+  }
 }

@@ -400,4 +400,45 @@ class MirrorEqualitySpec extends SparkSpec {
     assert(raw.filter(col("_peerdb_record_type") === 3).head()
       .getAs[String]("_peerdb_data").contains("addedColumns"))
   }
+
+  test("source_schema_as_destination_column: two source tables " +
+    "routing into ONE destination get a _peerdb_source_schema " +
+    "disambiguator (PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN; " +
+    "items injection + extraction); off = no extra column") {
+    def srcRec(cp: Long, src: String, data: String): ChangeRecord =
+      ChangeRecord(ChangeRecord.TypeInsert, cp, cp.toString, cp * 1000,
+        cp, src, "dest.m", data, null, Nil)
+    val wal = tmpDir("walsrcschema")
+    val base = tmpDir("mirrorsrcschema")
+    ChangeLogWal.append(wal, Seq(
+      srcRec(1, "sales.t", """{"id":1,"name":"a","v":1}"""),
+      srcRec(2, "ops.t", """{"id":2,"name":"b","v":2}"""),
+      // a delete from sales: the schema rides the match image
+      ChangeRecord(ChangeRecord.TypeDelete, 3, "3", 3000, 3,
+        "sales.t", "dest.m", null, """{"id":1}""", Nil)))
+    val cfg = MirrorConfig(
+      walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+      checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+      payloadSchema = payloadSchema, destinationTable = "dest.m")
+    spark.conf.set(
+      "spark.graft.mirror.source_schema_as_destination_column", "true")
+    try {
+      new MirrorRunner(spark, cfg).runAvailableNow()
+      val dest = spark.read.parquet(s"$base/dest")
+      val bySchema = dest.collect().map(r =>
+        r.getAs[Long]("id") ->
+          (r.getAs[String]("_peerdb_source_schema"),
+            r.getAs[Boolean]("_peerdb_is_deleted"))).toMap
+      assert(bySchema(1L) == (("sales", true)), bySchema.toString)
+      assert(bySchema(2L) == (("ops", false)), bySchema.toString)
+    } finally spark.conf.unset(
+      "spark.graft.mirror.source_schema_as_destination_column")
+    // default off: a fresh mirror has no such column
+    val base2 = tmpDir("mirrorsrcschema2")
+    val cfg2 = cfg.copy(rawDir = s"$base2/raw",
+      destDir = s"$base2/dest", checkpointDir = s"$base2/ckpt")
+    new MirrorRunner(spark, cfg2).runAvailableNow()
+    assert(!spark.read.parquet(s"$base2/dest").columns
+      .contains("_peerdb_source_schema"))
+  }
 }
