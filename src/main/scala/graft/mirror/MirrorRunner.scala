@@ -930,8 +930,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     finally if (luaAdaptScript.isDefined) batch.unpersist()
   }
 
-  private def syncAndNormalizeBatch(batch: DataFrame, batchId: Long)
+  private def syncAndNormalizeBatch(batch0: DataFrame, batchId: Long)
       : Unit = {
+    val batch = embedMetadata(batch0)
     val raw = toRaw(batch, batchId)
 
     // Raw sync replaces exactly this batch's `_peerdb_batch_id` partition
@@ -1070,40 +1071,67 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     Settings.get(spark, "mirror.source_schema_as_destination_column",
       cfg.env).exists(_.toBoolean)
 
-  private def toRaw(batch: DataFrame, batchId: Long): DataFrame = {
-    // When the source-schema column is on, the schema name embeds as a
-    // key INSIDE the change JSON — the reference's items injection at
-    // capture (postgres/cdc.go:189-202, the JSONExtract counterpart in
-    // clickhouse/normalize_query.go:130-134). One injection point
-    // covers every capture transport because the WAL records carry the
-    // qualified source name.
+  /** Metadata items injection on a change-record frame — the
+    * reference's processTuple additions (postgres/cdc.go:377-384):
+    * `_peerdb_source_schema` when
+    * mirror.source_schema_as_destination_column is on (the schema
+    * name from the record's qualified source table), and the
+    * `_peerdb_origin_transaction_id` / `_peerdb_origin_checkpoint_id`
+    * / `_peerdb_origin_commit_time_nano` triple when
+    * queue.origin_metadata_as_destination_column is on
+    * (record_items.go:72-76 UpdateWithBaseRecord;
+    * PEERDB_ORIGIN_METADATA_AS_DESTINATION_COLUMN targets queue
+    * flows). Keys embed INSIDE the data/match JSON images — items
+    * travel with the record — so the raw table, the normalize
+    * extraction, the queue payloads and the Lua record env all see
+    * them. One injection point covers every capture transport;
+    * non-change records (relation deltas, messages) pass untouched. */
+  private def embedMetadata(batch: DataFrame): DataFrame = {
+    val originMeta = Settings.get(spark,
+      "queue.origin_metadata_as_destination_column", cfg.env)
+      .exists(_.toBoolean)
+    if (!srcSchemaCol && !originMeta) return batch
+    val frags = Seq.newBuilder[org.apache.spark.sql.Column]
+    if (srcSchemaCol) {
+      val schemaName = when(instr(col("sourceTable"), ".") > 0,
+        substring_index(col("sourceTable"), ".", 1)).otherwise(lit(""))
+      val esc = regexp_replace(
+        regexp_replace(schemaName, "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\"")
+      frags += concat(
+        lit("\"" + Normalizer.SourceSchemaCol + "\":\""), esc, lit("\""))
+    }
+    if (originMeta) {
+      frags += concat(lit("\"_peerdb_origin_transaction_id\":"),
+        col("transactionId").cast("string"))
+      frags += concat(lit("\"_peerdb_origin_checkpoint_id\":"),
+        col("checkpointId").cast("string"))
+      frags += concat(lit("\"_peerdb_origin_commit_time_nano\":"),
+        (col("commitTimeMicros") * 1000L).cast("string"))
+    }
+    val inject = concat_ws(",", frags.result(): _*)
     def embed(c: org.apache.spark.sql.Column)
         : org.apache.spark.sql.Column =
-      if (!srcSchemaCol) c
-      else {
-        val schemaName = when(instr(col("sourceTable"), ".") > 0,
-          substring_index(col("sourceTable"), ".", 1)).otherwise(lit(""))
-        val esc = regexp_replace(
-          regexp_replace(schemaName, "\\\\", "\\\\\\\\"),
-          "\"", "\\\\\"")
-        val prefix = concat(
-          lit("{\"" + Normalizer.SourceSchemaCol + "\":\""), esc,
-          lit("\""))
-        when(c.isNull, c).otherwise(
-          when(c === "{}", concat(prefix, lit("}")))
-            .otherwise(concat(prefix, lit(","),
-              substring(c, 2, Int.MaxValue))))
-      }
+      when(col("recordType") >
+          graft.model.ChangeRecord.TypeDelete || c.isNull, c)
+        .otherwise(when(c === "{}",
+          concat(lit("{"), inject, lit("}")))
+          .otherwise(concat(lit("{"), inject, lit(","),
+            substring(c, 2, Int.MaxValue))))
+    batch.withColumn("data", embed(col("data")))
+      .withColumn("matchData", embed(col("matchData")))
+  }
+
+  private def toRaw(batch: DataFrame, batchId: Long): DataFrame =
     batch.select(
       format_string("%019d", col("checkpointId")).as(RawTable.Uid),
       col("commitTimeMicros").as(RawTable.Timestamp),
       col("destinationTable").as(RawTable.DestinationTable),
-      embed(col("data")).as(RawTable.Data),
+      col("data").as(RawTable.Data),
       col("recordType").as(RawTable.RecordType),
-      embed(col("matchData")).as(RawTable.MatchData),
+      col("matchData").as(RawTable.MatchData),
       lit(batchId).as(RawTable.BatchId),
       col("unchangedToastColumns").as(RawTable.UnchangedToastColumns))
-  }
 
   private def rawHighWaterMark: Option[Long] =
     graft.util.FsText.read(hwmPath, hadoopConf).map(_.trim.toLong)
@@ -1289,7 +1317,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     val slice = cfg.transformSql
       .map(graft.transform.RowTransform.sqlTransform(slice0, _))
       .getOrElse(slice0)
-    val raw = toRaw(slice, batchId = -1L)
+    val raw = toRaw(embedMetadata(slice), batchId = -1L)
     val normalized = Normalizer.normalize(
       raw, NormalizeConfig(tc.pkColumns, tc.effectiveSchema,
         softDelete = cfg.softDelete, sourceSchemaColumn = srcSchemaCol))

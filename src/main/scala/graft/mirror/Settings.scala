@@ -129,6 +129,14 @@ object Settings {
         "(PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN, " +
         "dynamicconf.go:398; items injection postgres/cdc.go:189-202, " +
         "extraction clickhouse/normalize_query.go:130-134)"),
+    Setting("queue.origin_metadata_as_destination_column", Some("false"),
+      "bool",
+      "Ingest origin metadata items — _peerdb_origin_transaction_id, " +
+        "_peerdb_origin_checkpoint_id, _peerdb_origin_commit_time_nano " +
+        "— into each change record's image, so queue payloads (and " +
+        "the Lua record env) carry provenance " +
+        "(PEERDB_ORIGIN_METADATA_AS_DESTINATION_COLUMN, " +
+        "dynamicconf.go:407; record_items.go:72-76)"),
     Setting("maintenance.skipped_snapshot_wait_flows", Some(""), "string",
       "Comma-joined flow names whose in-flight snapshots the " +
         "maintenance drain skips waiting for — the " +

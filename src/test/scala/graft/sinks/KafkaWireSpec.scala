@@ -308,6 +308,49 @@ class KafkaMirrorSpec extends SparkSpec {
     f.delete()
   }
 
+  test("origin metadata (PEERDB_ORIGIN_METADATA_AS_DESTINATION_COLUMN, " +
+    "record_items.go:72-76): when on, published change images carry " +
+    "the _peerdb_origin_* provenance triple — deletes in their match " +
+    "image; off by default") {
+    val broker = KafkaTestBroker.start()
+    try {
+      val wal = tmpDir("kafka_walom")
+      val base = tmpDir("kafka_mirrorom")
+      ChangeLogWal.append(wal, Seq(
+        rec(7, ChangeRecord.TypeInsert, """{"id":1,"v":10}"""),
+        rec(8, ChangeRecord.TypeDelete, null,
+          matchData = """{"id":1}""")))
+      spark.conf.set(
+        "spark.graft.queue.origin_metadata_as_destination_column",
+        "true")
+      try new MirrorRunner(spark, cfg(wal, base, broker.port))
+        .runAvailableNow()
+      finally spark.conf.unset(
+        "spark.graft.queue.origin_metadata_as_destination_column")
+      val vals = broker.topicRecords("dest.t")
+        .map(s => new String(s.record.value, UTF_8))
+      assert(vals.size == 2)
+      assert(vals.exists(v =>
+        v.contains("_peerdb_origin_checkpoint_id") &&
+          v.contains("7000000") && // commit_time_nano of cp 7
+          v.contains("_peerdb_origin_transaction_id")), vals.toString)
+      // the delete has no new image — provenance rides the match image
+      assert(vals.exists(v =>
+        v.contains("_peerdb_match_data") && v.contains("8000000")),
+        vals.toString)
+
+      // off by default: a fresh mirror publishes plain images
+      val base2 = tmpDir("kafka_mirrorom2")
+      new MirrorRunner(spark, cfg(wal, base2, broker.port)
+        .copy(destinationTable = "dest.t")).runAvailableNow()
+      // same topic — take the LATER half of records
+      val all = broker.topicRecords("dest.t")
+        .map(s => new String(s.record.value, UTF_8))
+      assert(all.size == 4)
+      assert(all.count(_.contains("_peerdb_origin_checkpoint_id")) == 2)
+    } finally broker.stop()
+  }
+
   test("kafka:// destination through an SSH tunnel: queue_url's " +
     "ssh= param routes every broker connection over a direct-tcpip " +
     "channel — the destination socket gets the sources' transport " +
