@@ -100,6 +100,25 @@ object Alerting {
         t => s"Slot `$slotName` on peer `$peerName` has exceeded " +
           s"threshold size of ${t}MB, currently at ${lagMb}MB!")
 
+    /** Normalize-staleness check (`AlertIfTooLongSinceLastNormalize`,
+      * alerting.go:243-279): fires when the minutes since the
+      * mirror's last completed normalize exceed `thresholdMinutes`
+      * (PEERDB_INTERVAL_SINCE_LAST_NORMALIZE_THRESHOLD_MINUTES);
+      * 0 disables this check entirely. One deployment-wide threshold
+      * — the reference has no per-sender override for this gauge,
+      * unlike slot lag; scoping and repeat-gap apply as usual. */
+    def alertIfTooLongSinceLastNormalize(flowName: String,
+        minutesSince: Long, thresholdMinutes: Long): Seq[Alert] =
+      if (thresholdMinutes <= 0) Nil
+      else check(flowName,
+        s"Too long since last data normalize for PeerDB mirror " +
+          flowName,
+        minutesSince, _ => thresholdMinutes, thresholdMinutes,
+        t => s"Data hasn't been synced to the target for mirror " +
+          s"`$flowName` in the last $minutesSince minutes " +
+          s"(threshold $t minutes) — this could indicate an issue " +
+          "with the pipeline; check the mirror's state and logs.")
+
     /** Open-connections gauge check (`AlertIfOpenConnections`,
       * alerting.go:185-240). */
     def alertIfOpenConnections(flowName: String, peerName: String,

@@ -122,6 +122,24 @@ object SlotLag {
     fired.foreach(a => stats.logFlowWarning(flowName, a.message))
     fired
   }
+
+  /** Normalize-staleness tick (the activity that feeds
+    * `AlertIfTooLongSinceLastNormalize`, alerting.go:243-279): read
+    * the time since the flow's last COMPLETED normalize from the
+    * stats catalog, alert past `thresholdMinutes`
+    * (alerting.interval_since_last_normalize_minutes; 0 disables),
+    * and log each firing as a flow_errors warn row like the slot
+    * check. A flow with no completed batch never fires — initial
+    * load is not staleness. */
+  def normalizeStaleCheck(stats: StatsCatalog,
+      alerter: Alerting.Alerter, flowName: String,
+      thresholdMinutes: Long): Seq[Alerting.Alert] =
+    stats.msSinceLastNormalize().get(flowName).toSeq.flatMap { ms =>
+      val fired = alerter.alertIfTooLongSinceLastNormalize(
+        flowName, ms / 60000L, thresholdMinutes)
+      fired.foreach(a => stats.logFlowWarning(flowName, a.message))
+      fired
+    }
 }
 
 /** Capture lag — how much captured wire data a capture-backed mirror has

@@ -47,6 +47,12 @@ object Settings {
       "Open-connections alert threshold " +
         "(PEERDB_PGPEER_OPEN_CONNECTIONS_ALERT_THRESHOLD, " +
         "dynamicconf.go:260)"),
+    Setting("alerting.interval_since_last_normalize_minutes",
+      Some("240"), "uint",
+      "Minutes since a mirror's last completed normalize before the " +
+        "staleness alert fires; 0 disables this check " +
+        "(PEERDB_INTERVAL_SINCE_LAST_NORMALIZE_THRESHOLD_MINUTES, " +
+        "dynamicconf.go:341; alerting.go:243-279)"),
     Setting("maintenance.mode", Some("false"), "bool",
       "Deployment maintenance mode: while true, state-changing mirror " +
         "statements (CREATE/EXECUTE/RESYNC/PAUSE/RESUME/DROP MIRROR) " +

@@ -264,6 +264,22 @@ final class StatsCatalog(dir: String,
       }
   }
 
+  /** Milliseconds since the last COMPLETED normalize per flow — the
+    * interval `AlertIfTooLongSinceLastNormalize` checks
+    * (alerting.go:243-279; the reference computes it off the last
+    * normalized batch). Flows with no completed batch are absent —
+    * a mirror that has never normalized is an initial-load concern,
+    * not a staleness one. */
+  def msSinceLastNormalize(): Map[String, Long] = {
+    val now = nowMs()
+    fold().rows("cdc_batches")
+      .filter(_.contains("end_time"))
+      .groupBy(_("flow_name").asInstanceOf[String])
+      .map { case (flow, ms) =>
+        flow -> (now - ms.map(_("end_time").asInstanceOf[Long]).max)
+      }
+  }
+
   /** Snapshot the folded state into a `.snap` segment and delete the
     * now-redundant older segments (fold-cost bound for long-lived
     * flows). Readers prefer the newest snapshot, so a crash between the

@@ -136,4 +136,21 @@ class AlertingSpec extends SparkSpec {
     assert(a.alertIfSlotLag("m", "pg", "s", 6000).size == 1)
     assert(a.history.size == 2)
   }
+
+  test("normalize staleness (AlertIfTooLongSinceLastNormalize, " +
+    "alerting.go:243-279): fires past the threshold, 0 disables, " +
+    "repeat-gap suppresses") {
+    var now = 0L
+    val a = new Alerter(Seq(Sender(1)), gapMinutes = 15,
+      clock = () => now)
+    assert(a.alertIfTooLongSinceLastNormalize("m", 239, 240).isEmpty)
+    assert(a.alertIfTooLongSinceLastNormalize("m", 500, 0).isEmpty)
+    val fired = a.alertIfTooLongSinceLastNormalize("m", 241, 240)
+    assert(fired.size == 1 &&
+      fired.head.message.contains("241 minutes"))
+    now = 14 * 60000L // inside the gap
+    assert(a.alertIfTooLongSinceLastNormalize("m", 255, 240).isEmpty)
+    now = 16 * 60000L // past it
+    assert(a.alertIfTooLongSinceLastNormalize("m", 257, 240).size == 1)
+  }
 }

@@ -62,6 +62,36 @@ class StatsCatalogSpec extends SparkSpec {
     assert(batches(3L).isEmpty) // id 3 > 2: stays open
   }
 
+  test("normalize-staleness probe + tick: msSinceLastNormalize keys " +
+    "on the LAST completed batch; normalizeStaleCheck alerts past " +
+    "the threshold and logs a flow_errors warn row " +
+    "(AlertIfTooLongSinceLastNormalize)") {
+    var now = 0L
+    val st = catalog(tmpDir("statsstale"), () => now)
+    st.initializeCdcFlow("f")
+    st.addCdcBatch("f", 1L)
+    st.updateCdcBatch("f", 1L, rows = 5, endLsn = 100)
+    // never normalized: absent from the probe, tick never fires
+    assert(st.msSinceLastNormalize().isEmpty)
+    val alerter = new Alerting.Alerter(Seq(Alerting.Sender(1)),
+      clock = () => now)
+    assert(SlotLag.normalizeStaleCheck(st, alerter, "f", 240).isEmpty)
+    now = 100000L
+    st.endCdcBatches("f", 1L)
+    st.flush()
+    now = 100000L + 239 * 60000L
+    assert(st.msSinceLastNormalize()("f") == 239L * 60000L)
+    assert(SlotLag.normalizeStaleCheck(st, alerter, "f", 240).isEmpty)
+    now = 100000L + 241 * 60000L
+    val fired = SlotLag.normalizeStaleCheck(st, alerter, "f", 240)
+    assert(fired.size == 1 && fired.head.message.contains("241"))
+    st.flush()
+    val errs = st.table(spark, "flow_errors")
+      .filter("error_type = 'warn'").collect()
+    assert(errs.exists(_.getAs[String]("error_message")
+      .contains("241 minutes")), errs.mkString(";"))
+  }
+
   test("compact snapshots the fold and deletes old segments") {
     val dir = tmpDir("stats")
     val st = catalog(dir)

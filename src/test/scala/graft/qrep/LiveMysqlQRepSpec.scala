@@ -262,6 +262,9 @@ class LiveMysqlQRepSpec extends SparkSpec {
 
     { sql: String =>
       if (sql.startsWith("SET ")) MysqlOk
+      else if (sql.contains("VERSION()")) // CREATE-time validation probe
+        MysqlAnswer(Seq(MysqlCol("v", 0xFD)),
+          Seq(Seq(Some("8.0.36-fixture"))))
       else if (sql.contains("LIMIT 0")) MysqlAnswer(cols, Nil)
       else if (sql.contains("SELECT MIN(")) {
         val ks = keyed
