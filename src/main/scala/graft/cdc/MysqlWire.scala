@@ -303,6 +303,15 @@ object MysqlWire {
     authLoop(respSeq + 1)
     (s, in, out)
   }
+
+  /** The typed stale-binlog error — the reference's
+    * MySQLStaleConnectionError (classified notify-connectivity /
+    * CONNECTION_STALE, alerting/classifier.go:1330-1336): the source
+    * stopped sending binlog bytes for longer than the staleness
+    * threshold, which on a stream that heartbeats when idle means a
+    * broken connection, not an idle source. */
+  final class StaleConnectionException(msg: String)
+    extends java.io.IOException(msg)
 }
 
 /** A live `COM_BINLOG_DUMP` client as a [[Wire.MysqlSource]] — the
@@ -335,7 +344,15 @@ final class MysqlSocketSource(
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 60000,
     ssl: Option[javax.net.ssl.SSLContext] = None,
-    dial: Ssh.Dial = Ssh.tcpDial)
+    dial: Ssh.Dial = Ssh.tcpDial,
+    /** PEERDB_MYSQL_BINLOG_STALENESS_SECONDS (dynamicconf.go:505;
+      * event-wait loop mysql/cdc.go:1063-1080): the EVENT-phase wait
+      * bound — a server that stops sending binlog bytes mid-dump for
+      * longer than this throws the typed stale-connection error
+      * (classified CONNECTION_STALE) instead of a generic socket
+      * timeout. The handshake keeps `readTimeoutMs`. 0 disables the
+      * distinct bound (plain read timeout applies). */
+    binlogStalenessMs: Int = 180000)
   extends Wire.MysqlSource {
 
   import MysqlWire._
@@ -399,13 +416,26 @@ final class MysqlSocketSource(
       .bytes)
 
     // ---- the event stream: 0x00-prefixed events until EOF/ERR
-    // (readFullPacket: a large row event spans 16 MB packet splits)
+    // (readFullPacket: a large row event spans 16 MB packet splits).
+    // From here the wait bound is the STALENESS threshold: the server
+    // answers a non-blocking dump promptly (EOF when caught up), so
+    // prolonged mid-stream silence is a broken connection, not idleness
+    // (the reference's worklog-342 reasoning, mysql/cdc.go:1063-1080)
+    if (binlogStalenessMs > 0) s.setSoTimeout(binlogStalenessMs)
     new Iterator[Wire.MysqlItem] {
       private var nextEvent: Array[Byte] = _
       private var done = false
 
       @annotation.tailrec
-      private def advance(): Unit = readFullPacket(in) match {
+      private def advance(): Unit = (try readFullPacket(in) catch {
+        case _: java.net.SocketTimeoutException
+            if binlogStalenessMs > 0 =>
+          throw new MysqlWire.StaleConnectionException(
+            s"mysql binlog stale: no events from $host:$port for " +
+              s"more than ${binlogStalenessMs / 1000}s — the " +
+              "connection to the source is broken rather than idle; " +
+              "reconnect (mysql.binlog_staleness_seconds)")
+      }) match {
         case None => done = true
         case Some((_, p)) if p.isEmpty => advance()
         case Some((_, p)) => (p(0) & 0xFF) match {

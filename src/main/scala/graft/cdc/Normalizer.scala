@@ -110,8 +110,27 @@ object Normalizer {
     val withSynth = keyed.unionByName(
       oldKeyDeletes.select(keyed.columns.toSeq.map(col): _*))
 
+    // Source-schema disambiguator: extracted from the embedded JSON
+    // key (deletes carry it in the match image — their data is null).
+    // Computed BEFORE the windows because the schema column is part of
+    // the effective key: the reference PREPENDS it to the
+    // ReplacingMergeTree ORDER BY (normalize.go:250), so two source
+    // schemas sharing a primary-key value stay DISTINCT rows — ranking
+    // by pk alone would collapse them (silent data loss in exactly the
+    // many-to-one scenario the setting exists for), and the TOAST
+    // backfill would leak values across schemas.
+    val withSchema =
+      if (!cfg.sourceSchemaColumn) withSynth
+      else withSynth.withColumn("_src_schema",
+        coalesce(get_json_object(
+          coalesce(col(RawTable.Data), col(RawTable.MatchData)),
+          "$." + SourceSchemaCol), lit("")))
+    val keyCols =
+      (if (cfg.sourceSchemaColumn) Seq(col("_src_schema")) else Nil) ++
+        cfg.pkColumns.map(k => col(s"_pk_$k"))
+
     val pkWindow = Window
-      .partitionBy(cfg.pkColumns.map(k => col(s"_pk_$k")): _*)
+      .partitionBy(keyCols: _*)
       .orderBy(col(RawTable.Timestamp), col(RawTable.Uid))
     val backfillFrame =
       pkWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -119,7 +138,7 @@ object Normalizer {
     // Within-batch TOAST backfill. `present` distinguishes absent from null:
     // wrap present values in a struct so last(ignoreNulls) keeps nulls that
     // were really present.
-    val backfilled = valueCols.foldLeft(withSynth) { (df, c) =>
+    val backfilled = valueCols.foldLeft(withSchema) { (df, c) =>
       val present =
         col(RawTable.RecordType) =!= ChangeRecord.TypeDelete &&
           !array_contains(col("_toast"), c)
@@ -129,19 +148,11 @@ object Normalizer {
           last(col(s"_wrap_$c"), ignoreNulls = true).over(backfillFrame))
     }
 
-    // Source-schema disambiguator: extracted from the embedded JSON
-    // key (deletes carry it in the match image — their data is null).
-    val withSchema =
-      if (!cfg.sourceSchemaColumn) backfilled
-      else backfilled.withColumn("_src_schema",
-        coalesce(get_json_object(
-          coalesce(col(RawTable.Data), col(RawTable.MatchData)),
-          "$." + SourceSchemaCol), lit("")))
-
-    // Latest record per key wins.
-    val ranked = withSchema
+    // Latest record per key wins — per (schema, pk) key when the
+    // disambiguator is on.
+    val ranked = backfilled
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(cfg.pkColumns.map(k => col(s"_pk_$k")): _*)
+        Window.partitionBy(keyCols: _*)
           .orderBy(col(RawTable.Timestamp).desc, col(RawTable.Uid).desc)))
       .filter(col("_rn") === 1)
 

@@ -305,7 +305,16 @@ final class PgReplicationSource(
       * (PEERDB_POSTGRES_WAL_SENDER_TIMEOUT applied as a runtime
       * param on the replication connection,
       * postgres_source.go:44-107). */
-    extraStartup: Seq[(String, String)] = Nil)
+    extraStartup: Seq[(String, String)] = Nil,
+    /** PEERDB_PKM_EMPTY_BATCH_THROTTLE_THRESHOLD_SECONDS
+      * (dynamicconf.go:365; cdc.go:674-692,816-818): reply to a
+      * primary keepalive even when NOT requested, at most once per
+      * this many seconds — an idle stream otherwise only advances
+      * the slot when the server happens to demand a reply. The timer
+      * starts at stream start (the reference's
+      * `lastEmptyBatchPkmSentTime := time.Now()`); -1 restores
+      * reply-only-when-requested. */
+    emptyBatchThrottleSeconds: Int = 60)
   extends Wire.PgSource {
 
   import PgWire._
@@ -451,6 +460,7 @@ final class PgReplicationSource(
       private var sawAnyData = false
       private var dataSinceKeepalive = false
       private var idleKeepalives = 0
+      private var lastEmptyStatusMs = System.currentTimeMillis
 
       @annotation.tailrec
       private def advance(): Unit = readMessage(in) match {
@@ -466,9 +476,18 @@ final class PgReplicationSource(
           dataSinceKeepalive = true
           nextFrame = (walStart, payload)
         case Some(('d', body)) if body.nonEmpty && body(0) == 'k' =>
-          // keepalive: walEnd i64, serverTime i64, replyRequested u8
-          if (body.length >= 18 && body(17) == 1)
+          // keepalive: walEnd i64, serverTime i64, replyRequested u8.
+          // Unrequested keepalives ALSO get a throttled reply (the
+          // PKM empty-batch rule, cdc.go:816-818) so an idle source's
+          // slot keeps advancing; -1 = only when requested.
+          val requested = body.length >= 18 && body(17) == 1
+          if (requested) writeStatus(lastAck, replyRequested = false)
+          else if (emptyBatchThrottleSeconds != -1 &&
+            System.currentTimeMillis - lastEmptyStatusMs >=
+              emptyBatchThrottleSeconds.toLong * 1000L) {
+            lastEmptyStatusMs = System.currentTimeMillis
             writeStatus(lastAck, replyRequested = false)
+          }
           if (dataSinceKeepalive) {
             dataSinceKeepalive = false
             idleKeepalives = 0

@@ -352,6 +352,12 @@ object ErrorClassifier {
       cur match {
         case p: graft.server.PgClient.PgServerError =>
           return classifyPg(p.sqlState, Option(p.getMessage).getOrElse(""))
+        case _: graft.cdc.MysqlWire.StaleConnectionException =>
+          // MySQLStaleConnectionError (classifier.go:1325-1336): the
+          // source heartbeats when idle, so prolonged silence is a
+          // broken connection — only the customer can act on the
+          // source or the network path
+          return (Connectivity, ErrorInfo("mysql", "CONNECTION_STALE"))
         case _: java.io.EOFException =>
           return (IgnoreEOF, ErrorInfo("net", "EOF"))
         case _: java.net.ConnectException |

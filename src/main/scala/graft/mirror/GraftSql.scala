@@ -677,13 +677,23 @@ object GraftSql {
         // setup-flow pg_dump activity ([[PgDumpSchema]]). Skipped
         // (false) for tunneled peers; the engine-created tables then
         // apply as before.
-        if (o.get("schema_migration").contains("pgdump")) {
-          if (scheme != "pgwire" || cfg.warehouseUrl.isEmpty)
-            throw new IllegalArgumentException("CREATE MIRROR: " +
-              "schema_migration 'pgdump' needs a pgwire:// capture " +
-              "AND a pg:// warehouse_url destination")
+        val dumpByOption = o.get("schema_migration").contains("pgdump")
+        if (dumpByOption && (scheme != "pgwire" || cfg.warehouseUrl.isEmpty))
+          throw new IllegalArgumentException("CREATE MIRROR: " +
+            "schema_migration 'pgdump' needs a pgwire:// capture " +
+            "AND a pg:// warehouse_url destination")
+        // PEERDB_PG_AUTOMATED_SCHEMA_DUMP (dynamicconf.go:488): the
+        // deployment-wide switch for the same behavior — applies
+        // EXACTLY to PG→PG mirrors (the reference's activity gates on
+        // both peer types) and silently skips elsewhere, unlike the
+        // explicit DDL option which validates loudly.
+        val dumpBySetting = !dumpByOption &&
+          Settings.get(spark, "pg.automated_schema_dump", flowEnvOf(o))
+            .exists(_.toBoolean) &&
+          scheme == "pgwire" &&
+          cfg.warehouseUrl.exists(_.startsWith("pg://"))
+        if (dumpByOption || dumpBySetting)
           PgDumpSchema.migrate(cfg.captureDir.get, cfg.warehouseUrl.get)
-        }
         val runner = scheme match {
           case "mysql" =>
             // MySQL handoff: binlog position captured+persisted before
@@ -1163,6 +1173,15 @@ object GraftSql {
     if (o.getOrElse("mode", "append") == "upsert" && !o.contains("unique_key"))
       throw new IllegalArgumentException(
         "CREATE MIRROR (QRep): mode 'upsert' requires 'unique_key'")
+    // ctid watermark = the block-partitioned initial-load flavor: a
+    // ctid is not a resumable watermark (vacuum reuses tids), so the
+    // only coherent disposition is a full refresh per round
+    if (o.get("watermark_column").contains("ctid") &&
+        o.get("mode").exists(_ != "overwrite"))
+      throw new IllegalArgumentException(
+        "CREATE MIRROR (QRep): watermark_column 'ctid' is full-load " +
+          "shaped (block-partitioned re-pull every round) — mode " +
+          "must be 'overwrite' (the default here)")
     // dst_table_full_resync is the build-aside-and-swap REFRESH
     // (qrep_flow.go:365-400) — only the Overwrite disposition on a
     // live destination has the aside table + swap to perform
@@ -1466,6 +1485,36 @@ object GraftSql {
           o.get("num_rows_per_partition").map(_.toLong))
       val n = new graft.qrep.QRepRunner(sess,
         dispCfg(o("watermark_column"), graft.qrep.WriteMode.Overwrite))
+        .writeDisposition(df)
+      if (copyOnly)
+        graft.util.FsText.write(doneMarker, "complete", hc)
+      return Seq(Row(n))
+    }
+    // CTID flavor on a live PG peer (`watermark_column 'ctid'`): the
+    // reference's initial-load partitioner — physical block ranges of
+    // the watermark table (CTIDBlockPartitioningFunc,
+    // qrep_partition.go:122-217), gated by
+    // PEERDB_POSTGRES_APPLY_CTID_BLOCK_PARTITIONING_OVERRIDE or an
+    // explicit num_partitions (qrep_source.go:214-224). Full-load
+    // shaped: ctids are not resumable watermarks (vacuum reuses
+    // them), so every round is a full refresh — validateQRep pins
+    // Overwrite.
+    if (o("watermark_column") == "ctid" && srcPeer.options.get("url")
+        .exists(u => u.startsWith("pg://") ||
+          u.startsWith("pgwire://"))) {
+      val useBlocks = Settings.get(sess, "mirror.ctid_partitioning",
+        flowEnvOf(o)).exists(_.toBoolean) ||
+        o.contains("num_partitions")
+      val df = graft.qrep.LivePgPull.pullCtid(sess,
+        srcPeer.options("url"), o("__query"),
+        table = o.getOrElse("watermark_table", o("source_table")),
+        numPartitions =
+          o.get("num_partitions").map(_.toInt).getOrElse(0),
+        rowsPerPartition =
+          o.get("num_rows_per_partition").map(_.toLong),
+        usePartitioning = useBlocks)
+      val n = new graft.qrep.QRepRunner(sess,
+        dispCfg("ctid", graft.qrep.WriteMode.Overwrite))
         .writeDisposition(df)
       if (copyOnly)
         graft.util.FsText.write(doneMarker, "complete", hc)
@@ -2074,6 +2123,15 @@ object GraftSql {
       // range queries) have no SQL template to validate
       requireSupportedStrategy(o,
         srcPeerDef.options.getOrElse("url", ""))
+      // the ctid flavor is a physical-block partitioner — only a live
+      // PG relation has blocks
+      if (o.get("watermark_column").contains("ctid") &&
+          !srcPeerDef.options.get("url").exists(u =>
+            u.startsWith("pg://") || u.startsWith("pgwire://")))
+        throw new IllegalArgumentException(
+          "CREATE MIRROR (QRep): watermark_column 'ctid' needs a " +
+            "live pg:// source peer (block partitioning probes " +
+            "pg_relation_size)")
       validateQRep(spark, q, o, requireTemplate =
         !srcPeerDef.options.get("url").exists(_.startsWith("mongo://"))
           && !(o.get("partition_strategy").contains("string") &&

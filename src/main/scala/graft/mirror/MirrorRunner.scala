@@ -216,9 +216,39 @@ private[mirror] object EsIdScheme {
 
 class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
 
+  /** PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN resolved against this
+    * mirror's env overrides, PINNED at runner construction
+    * (APPLY_MODE_NEW_MIRROR, dynamicconf.go:403: the reference fixes
+    * it per mirror — a key-shape setting cannot flip mid-stream, the
+    * destination's dedup key would change under existing rows). */
+  private val srcSchemaCol: Boolean =
+    Settings.get(spark, "mirror.source_schema_as_destination_column",
+      cfg.env).exists(_.toBoolean)
+
+  /** Effective merge/dedup key: the reference PREPENDS the source
+    * schema column to the ReplacingMergeTree ORDER BY
+    * (normalize.go:250) — with the disambiguator on, rows from two
+    * source schemas sharing a pk value are DISTINCT. */
+  private def keysOf(tc: TableConfig): Seq[String] =
+    if (srcSchemaCol) graft.cdc.Normalizer.SourceSchemaCol +: tc.pkColumns
+    else tc.pkColumns
+
+  /** Destination schema including the disambiguator column (String,
+    * part of the key so NOT NULL; normalize emits "" when the record
+    * carried no schema name). */
+  private def schemaWithMeta(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (!srcSchemaCol ||
+      schema.fieldNames.contains(graft.cdc.Normalizer.SourceSchemaCol))
+      schema
+    else org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        graft.cdc.Normalizer.SourceSchemaCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+
   private val writers: Map[String, (TableConfig, MergeWriter)] =
     cfg.tableSet.map { case (name, (tc, dir)) =>
-      name -> (tc, new MergeWriter(spark, dir, tc.pkColumns,
+      name -> (tc, new MergeWriter(spark, dir, keysOf(tc),
         softDeleteCol = cfg.softDeleteColName,
         syncedAtCol = cfg.syncedAtColName))
     }
@@ -306,7 +336,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       try {
         val live = table + cfg.warehouseTableSuffix
         val target = graft.sinks.MergeTarget(live,
-          s"${live}_graft_stage", tc.pkColumns, liveSchemas(table),
+          s"${live}_graft_stage", keysOf(tc),
+          schemaWithMeta(liveSchemas(table)),
           softDelete = cfg.softDelete)
         val loader = new graft.sinks.WarehouseLoader(target, exec,
           flavor)
@@ -361,8 +392,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         val t = live(table)
         if (!created(t)) {
           http.exec(MergeSqlGenerator.createTable(
-            MergeTarget(t, t + "_unused_stage", tc.pkColumns,
-              liveSchemas(table), softDelete = cfg.softDelete),
+            MergeTarget(t, t + "_unused_stage", keysOf(tc),
+              schemaWithMeta(liveSchemas(table)),
+              softDelete = cfg.softDelete),
             QKind.Dialect.ClickHouse))
           created += t
         }
@@ -416,16 +448,28 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
                   col(RawTable.DestinationTable) === table &&
                   col(RawTable.RecordType) <= ChangeRecord.TypeDelete)
               graft.sinks.ClickHouseHttp.backfillAbsent(slice0,
-                history, tc.pkColumns, liveSchemas(table))
+                history, tc.pkColumns, liveSchemas(table),
+                sourceSchemaColumn = srcSchemaCol)
             }
           // _peerdb_timestamp carries the checkpoint LSN (the uid's
           // numeric image): the reference's strictly-increasing
           // per-record stamp (utils/stream.go UnixNano) without a
-          // wall clock — RMT versions must never tie across images
+          // wall clock — RMT versions must never tie across images.
+          // Deletes from the CAPTURE transports carry the old image in
+          // matchData with data null (the pgoutput/binlog convention);
+          // CH normalize extracts every column — key included — from
+          // _peerdb_data (the reference stores DeleteRecord.Items in
+          // the data slot, connectors/clickhouse raw shape), so the
+          // image folds over: without this a capture-sourced delete
+          // extracts its key from '' and tombstones key 0/''.
           val shaped = slice
             .withColumn(RawTable.Timestamp,
               col(RawTable.Uid).cast("long"))
             .withColumn(RawTable.DestinationTable, lit(live(table)))
+            .withColumn(RawTable.Data,
+              when(col(RawTable.RecordType) === ChangeRecord.TypeDelete,
+                coalesce(col(RawTable.Data), col(RawTable.MatchData)))
+                .otherwise(col(RawTable.Data)))
             .withColumn(RawTable.MatchData,
               coalesce(col(RawTable.MatchData), lit("")))
             .withColumn(RawTable.UnchangedToastColumns,
@@ -435,15 +479,47 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         graft.util.FsText.write(syncHwmPath, batchId.toString,
           hadoopConf)
       }
-      cfg.tableSet.foreach { case (table, (tc, _)) =>
+      // PEERDB_CLICKHOUSE_PARALLEL_NORMALIZE (dynamicconf.go:301):
+      // N > 1 runs the per-table INSERT…SELECTs concurrently (load
+      // spreads across CH nodes); per-table durable progress keeps
+      // crash-replay semantics — each table re-normalizes only its
+      // own missed range. PEERDB_CLICKHOUSE_ENABLE_PRIMARY_UPDATE
+      // gates the old-key tombstone branch (see Settings scaladoc for
+      // the default divergence).
+      val primaryUpdate = Settings.get(spark,
+        "clickhouse.enable_primary_update", cfg.env)
+        .forall(_.toBoolean)
+      def normalizeOne(table: String, tc: TableConfig): Unit = {
         val last = graft.util.FsText.read(normPath(table), hadoopConf)
           .map(_.trim.toLong).getOrElse(-1L)
         if (batchId > last) {
           http.exec(ClickHouseSql.normalizeQuery(live(table),
-            liveSchemas(table), tc.pkColumns, rawTable, last, batchId))
+            liveSchemas(table), tc.pkColumns, rawTable, last, batchId,
+            enablePrimaryUpdate = primaryUpdate,
+            sourceSchemaColumn = srcSchemaCol))
           graft.util.FsText.write(normPath(table), batchId.toString,
             hadoopConf)
         }
+      }
+      val width = math.min(
+        Settings.getLong(spark, "clickhouse.parallel_normalize",
+          cfg.env).toInt, cfg.tableSet.size)
+      if (width <= 1) cfg.tableSet.foreach { case (t, (tc, _)) =>
+        normalizeOne(t, tc)
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+        try {
+          val futures = cfg.tableSet.toSeq.map { case (t, (tc, _)) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = normalizeOne(t, tc)
+            })
+          }
+          try futures.foreach(_.get()) // surface the FIRST failure
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        } finally pool.shutdownNow()
       }
     }
   }
@@ -656,7 +732,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           startLsn = math.max(after, 0L),
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
           ssl = sslCtx, dial = dial,
-          appName = appName, extraStartup = extraStartup)
+          appName = appName, extraStartup = extraStartup,
+          emptyBatchThrottleSeconds = Settings.getLong(spark,
+            "mirror.empty_batch_throttle_seconds", cfg.env).toInt)
         val (n, last) = graft.cdc.PgOutputFrames.ingestFrom(src,
           cfg.walDir, afterCommitLsn = after,
           destinationFor = routeFor)
@@ -664,8 +742,41 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           graft.util.FsText.write(offsetPath, last.toString, hadoopConf)
         n
       case "mysql" =>
-        val after = graft.util.FsText.read(offsetPath, hadoopConf)
+        val after0 = graft.util.FsText.read(offsetPath, hadoopConf)
           .getOrElse("")
+        // PEERDB_MYSQL_SKIP_GTID_SET (mysql/cdc.go:469-481): the
+        // configured set merges into the resume offset at stream
+        // start, so those transactions read as already-acked and skip
+        // — the purged-binlog recovery lever. GTID mechanisms only; a
+        // file:pos offset ignores it like the reference's filepos leg.
+        // A malformed set fails the pull loudly (the reference wraps
+        // the merge error the same way).
+        val after = {
+          val skip = Settings.get(spark, "mysql.skip_gtid_set",
+            cfg.env).getOrElse("").trim
+          if (skip.isEmpty) after0
+          else try {
+            import graft.cdc.TextCheckpoint
+            TextCheckpoint.flavor(
+              if (after0.nonEmpty) after0 else skip) match {
+              case TextCheckpoint.MysqlGtid =>
+                TextCheckpoint.GtidSet.parse(after0)
+                  .merge(TextCheckpoint.GtidSet.parse(skip)).render
+              case TextCheckpoint.MariaGtid =>
+                TextCheckpoint.MariadbGtidSet.parse(after0)
+                  .merge(TextCheckpoint.MariadbGtidSet.parse(skip))
+                  .render
+              case _ if after0.nonEmpty => after0 // filepos offset
+              case _ => throw new IllegalArgumentException(
+                "not a GTID set (uuid:ranges or domain-server-seq)")
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalArgumentException(
+                s"failed to merge mysql.skip_gtid_set '$skip' into " +
+                  s"offset: ${e.getMessage}", e)
+          }
+        }
         val src = new graft.cdc.MysqlSocketSource(ep.host, ep.port,
           user = if (ep.user.isEmpty) "root" else ep.user,
           password = ep.password,
@@ -673,7 +784,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           startFile = ep.param("start_file", "binlog.000001"),
           startPos = ep.param("start_pos", "4").toLong,
           connectTimeoutMs = connectMs, readTimeoutMs = readMs,
-          ssl = sslCtx, dial = dial)
+          ssl = sslCtx, dial = dial,
+          binlogStalenessMs = (Settings.getLong(spark,
+            "mysql.binlog_staleness_seconds", cfg.env) * 1000L).toInt)
         val (n, last) = graft.cdc.MysqlBinlogFiles.ingestFrom(src,
           cfg.walDir, afterCheckpoint = after,
           destinationFor = routeFor)
@@ -1030,7 +1143,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           sourceSchemaColumn = srcSchemaCol))
       if (!normalized.isEmpty) warehouseDest match {
         case Some(w) => w.load(table, tc, normalized, batchId)
-        case None => applyChanges(table, writer, tc.pkColumns,
+        case None => applyChanges(table, writer, keysOf(tc),
           normalized, batchId = Some(batchId))
       }
     }
@@ -1063,14 +1176,6 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * ingest timestamp (flow/connectors/utils/stream.go time.Now()
     * .UnixNano()); here the LSN itself carries the order. %019d covers
     * the full non-negative Long range so lexicographic = numeric order. */
-  /** PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN resolved against this
-    * mirror's env overrides. Read per batch like the other dynamic
-    * settings; the reference fixes it per mirror (APPLY_MODE_NEW_MIRROR,
-    * dynamicconf.go:403). */
-  private def srcSchemaCol: Boolean =
-    Settings.get(spark, "mirror.source_schema_as_destination_column",
-      cfg.env).exists(_.toBoolean)
-
   /** Metadata items injection on a change-record frame — the
     * reference's processTuple additions (postgres/cdc.go:377-384):
     * `_peerdb_source_schema` when
@@ -1249,7 +1354,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         slice, NormalizeConfig(tc.pkColumns, liveSchemas(table),
           softDelete = true, sourceSchemaColumn = srcSchemaCol))
       if (!normalized.isEmpty) {
-        val payloadCols = liveSchemas(table).fieldNames.toSeq
+        // With the disambiguator on, the schema name travels in the
+        // document BODY (the reference ships record items verbatim into
+        // the ES document); the `_id` stays pk-derived — matching the
+        // reference, which does not add the item to the key either.
+        val payloadCols = liveSchemas(table).fieldNames.toSeq ++
+          (if (srcSchemaCol) Seq(graft.cdc.Normalizer.SourceSchemaCol)
+           else Nil)
         // `_id`: a single PK ships as its plain string value; a
         // COMPOSITE key hashes (the reference's posture,
         // elasticsearch.go:226-240: one column → fmt.Sprint, else a
@@ -1323,7 +1434,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         softDelete = cfg.softDelete, sourceSchemaColumn = srcSchemaCol))
     val dir = cfg.copy(extraTables = cfg.extraTables + (table -> tc))
       .tableSet(table)._2
-    val writer = new MergeWriter(spark, dir, tc.pkColumns,
+    val writer = new MergeWriter(spark, dir, keysOf(tc),
       softDeleteCol = cfg.softDeleteColName,
       syncedAtCol = cfg.syncedAtColName)
     // the replay runs under a job group so a concurrent
@@ -1343,7 +1454,7 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       val empty = normalized.isEmpty // job 1
       checkCanceled()
       if (!empty)
-        applyChanges(table, writer, tc.pkColumns, normalized) // job 2+
+        applyChanges(table, writer, keysOf(tc), normalized) // job 2+
       checkCanceled()
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -1444,8 +1555,19 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     * per table mapping). Dispatches like the stream's batch path: a
     * live `warehouseUrl` destination gets the snapshot through the
     * same staging→COPY→MERGE loop the CDC batches use. */
-  def bootstrapSnapshot(table: String, snapshot0: DataFrame): Unit = {
+  def bootstrapSnapshot(table: String, snapshot0: DataFrame,
+      /** Qualified SOURCE relation this snapshot was read from — the
+        * schema-name source for the disambiguator column. Snapshot and
+        * stream MUST agree on the value per row (it is part of the key:
+        * a mismatch would leave the snapshot row beside the stream's
+        * instead of beneath it); the live flows pass their `sourceRel`.
+        * Null = fall back to the destination name's schema part. */
+      sourceTable: String = null): Unit = {
     val (tc, writer) = writers(table)
+    val srcSchemaName: String = {
+      val s = Option(sourceTable).getOrElse(table)
+      if (s.contains(".")) s.substring(0, s.indexOf('.')) else ""
+    }
     // the snapshot clone inherits the mirror's script
     // (snapshot_flow.go:220 propagates Script into the QRep config),
     // and the qrep leg reads `transformRow` — typed rows, so the
@@ -1456,20 +1578,28 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       .map(graft.transform.LuaRowTransform.rows(snapshot0, _,
         cfg.luaLibs, cfg.env))
       .getOrElse(snapshot0)
-    val changes = snapshot
+    val changes0 = snapshot
       .withColumn(RawTable.Version, lit(cfg.snapshotCheckpoint))
       .withColumn(RawTable.IsDeleted, lit(false))
       .withColumn(graft.cdc.Normalizer.AbsentCols,
         array().cast("array<string>"))
+    val changes =
+      if (!srcSchemaCol) changes0
+      else changes0.withColumn(graft.cdc.Normalizer.SourceSchemaCol,
+        lit(srcSchemaName))
     chDest match {
       case Some(ch) =>
+        val base = snapshot.select(tc.effectiveSchema.fieldNames.toSeq
+          .map(col): _*)
         ch.loadSnapshot(table, tc,
-          snapshot.select(tc.effectiveSchema.fieldNames.toSeq
-            .map(col): _*), cfg.snapshotCheckpoint)
+          if (!srcSchemaCol) base
+          else base.withColumn(graft.cdc.Normalizer.SourceSchemaCol,
+            lit(srcSchemaName)),
+          cfg.snapshotCheckpoint)
       case None => warehouseDest match {
         case Some(w) => w.load(table, tc, changes,
           batchId = cfg.snapshotCheckpoint)
-        case None => applyChanges(table, writer, tc.pkColumns, changes)
+        case None => applyChanges(table, writer, keysOf(tc), changes)
       }
     }
   }

@@ -93,7 +93,7 @@ object MongoSnapshotFlow {
       val typed = raw
         .select(from_json(col("_full_document"), schema).as("r"))
         .select(schema.fieldNames.map(n => col(s"r.$n")).toSeq: _*)
-      runner.bootstrapSnapshot(table, typed)
+      runner.bootstrapSnapshot(table, typed, sourceTable = sourceRel)
     }
     runner
   }

@@ -142,11 +142,19 @@ object MysqlSnapshotFlow {
     val tables = (cfg.destinationTable ->
       TableConfig(cfg.pkColumns, cfg.payloadSchema)) +:
       cfg.extraTables.toSeq
+    // PEERDB_MYSQL_DEFAULT_PARTITION_KEY_ENABLED (dynamicconf.go:472;
+    // snapshot_activity.go:185-215): off = no pk-derived partition
+    // key, every table clones as ONE full scan (the reference leaves
+    // PartitionKey empty); on (default) = readTable's pk-type-driven
+    // partitioning applies.
+    val autoKey = Settings.get(spark,
+      "mysql.default_partition_key_enabled", cfg.env)
+      .forall(_.toBoolean)
     tables.foreach { case (table, tc) =>
       val sourceRel = sourceFor.getOrElse(table, table)
       runner.bootstrapSnapshot(table, readTable(spark, url, sourceRel,
-        tc.effectiveSchema, tc.pkColumns, numPartitions,
-        rowsPerPartition))
+        tc.effectiveSchema, if (autoKey) tc.pkColumns else Nil,
+        numPartitions, rowsPerPartition), sourceTable = sourceRel)
     }
     runner
   }

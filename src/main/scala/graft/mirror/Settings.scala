@@ -143,6 +143,85 @@ object Settings {
         "the Lua record env) carry provenance " +
         "(PEERDB_ORIGIN_METADATA_AS_DESTINATION_COLUMN, " +
         "dynamicconf.go:407; record_items.go:72-76)"),
+    Setting("mirror.empty_batch_throttle_seconds", Some("60"), "int",
+      "Reply to an UNREQUESTED primary keepalive on the PG " +
+        "replication stream at most once per this many seconds, so " +
+        "an idle source's slot keeps advancing between demanded " +
+        "replies; -1 replies only when the server requests " +
+        "(PEERDB_PKM_EMPTY_BATCH_THROTTLE_THRESHOLD_SECONDS, " +
+        "dynamicconf.go:365; cdc.go:674-692,816-818)"),
+    Setting("clickhouse.enable_primary_update", Some("true"), "bool",
+      "Emit deletion records for updates on the ClickHouse normalize " +
+        "(the UNION branch tombstoning the OLD key at version-1) so " +
+        "a primary-key update kills the stale row " +
+        "(PEERDB_CLICKHOUSE_ENABLE_PRIMARY_UPDATE, dynamicconf.go:285" +
+        "; normalize_query.go:339-357). The reference defaults FALSE " +
+        "(stale-row risk documented there); this engine defaults " +
+        "true so the CH destination matches the local normalizer's " +
+        "PK-update semantics (q_pk_update_union) — set false for " +
+        "byte-parity with a default reference deployment"),
+    Setting("clickhouse.parallel_normalize", Some("0"), "uint",
+      "Divide a batch's per-table normalize INSERT…SELECTs across N " +
+        "concurrent statements — distributes load on a multi-node " +
+        "ClickHouse; 0/1 runs them sequentially " +
+        "(PEERDB_CLICKHOUSE_PARALLEL_NORMALIZE, dynamicconf.go:301)"),
+    Setting("pg.automated_schema_dump", Some("false"), "bool",
+      "For PG→PG mirrors, stream a schema-only pg_dump from the " +
+        "source into psql on the destination during setup so the " +
+        "destination's schema/tables/indexes match the source — the " +
+        "deployment-wide switch for the per-mirror schema_migration " +
+        "'pgdump' option; silently inapplicable to non-PG-to-PG " +
+        "mirrors like the reference's peer-type-gated activity " +
+        "(PEERDB_PG_AUTOMATED_SCHEMA_DUMP, dynamicconf.go:488)"),
+    Setting("mysql.default_partition_key_enabled", Some("true"), "bool",
+      "Auto-detect a partition key from the primary key for the " +
+        "MySQL initial load (numeric pk → BETWEEN ranges, string pk " +
+        "→ sampled/adaptive string partitioner); off clones every " +
+        "table as one full scan " +
+        "(PEERDB_MYSQL_DEFAULT_PARTITION_KEY_ENABLED, " +
+        "dynamicconf.go:472; snapshot_activity.go:185-215)"),
+    Setting("mysql.binlog_staleness_seconds", Some("180"), "uint",
+      "Maximum mid-stream wait for MySQL binlog bytes before the " +
+        "CDC connection is treated as STALE (typed error, classified " +
+        "CONNECTION_STALE — a source that heartbeats when idle going " +
+        "silent this long means a broken connection, not idleness); " +
+        "0 keeps the plain read timeout " +
+        "(PEERDB_MYSQL_BINLOG_STALENESS_SECONDS, dynamicconf.go:505; " +
+        "mysql/cdc.go:1063-1080)"),
+    Setting("mysql.skip_gtid_set", Some(""), "string",
+      "GTID set merged into the MySQL CDC resume offset at stream " +
+        "start — those transactions are treated as already applied " +
+        "and SKIPPED (possible data loss by design: set per mirror " +
+        "to recover from purged binlogs, using the missing set " +
+        "error 1236 reports) (PEERDB_MYSQL_SKIP_GTID_SET, " +
+        "dynamicconf.go:513; merge-at-start mysql/cdc.go:469-481). " +
+        "MySQL uuid:range sets and MariaDB domain-server-seq sets " +
+        "both merge; a file:pos offset has no GTID mechanism and " +
+        "ignores the setting like the reference's filepos leg"),
+    Setting("mirror.ctid_partitioning", Some("true"), "bool",
+      "Use CTID block partitioning for a QRep pull whose " +
+        "watermark_column is 'ctid' (the initial-load flavor): " +
+        "partitions are physical block ranges of the watermark " +
+        "table, each slice an inclusive '(b,0)'::tid..'(b,65535)' " +
+        "range. Off (and no explicit num_partitions) falls back to " +
+        "one full-scan partition " +
+        "(PEERDB_POSTGRES_APPLY_CTID_BLOCK_PARTITIONING_OVERRIDE, " +
+        "dynamicconf.go:464; the partitioner switch " +
+        "qrep_source.go:214-233)"),
+    Setting("mirror.skip_snapshot_export", Some("false"), "bool",
+      "Skip the exported-snapshot hold during the initial load: the " +
+        "slot is still created (the CDC consistent point stands) but " +
+        "the snapshot-holding session closes immediately and the " +
+        "parallel table reads run WITHOUT SET TRANSACTION SNAPSHOT — " +
+        "each slice sees current data. Avoids initial loads failing " +
+        "when the held session's connection drops, at a consistency " +
+        "risk the version-idempotent merge absorbs (rows changed " +
+        "between slot creation and the read arrive twice: once in " +
+        "the read, once replayed from the slot) " +
+        "(PEERDB_SKIP_SNAPSHOT_EXPORT, dynamicconf.go:390; " +
+        "postgres_source.go:651-658 closes the exporting conn and " +
+        "returns SnapshotName '', setTransactionSnapshot no-ops on " +
+        "empty, qrep_source.go:140-141)"),
     Setting("maintenance.skipped_snapshot_wait_flows", Some(""), "string",
       "Comma-joined flow names whose in-flight snapshots the " +
         "maintenance drain skips waiting for — the " +

@@ -244,9 +244,14 @@ object SnapshotFlow {
       rowsPerPartition)
 
     val colSqlSer = colSql
+    // An EMPTY snapshot name = the skip-snapshot-export posture: each
+    // slice reads current data in its own repeatable-read tx (the
+    // reference's setTransactionSnapshot no-ops on "", sink_pg.go:62)
     graft.qrep.StreamedPgRead.frame(spark, captureUrl, slices,
-      setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ",
-        "SET TRANSACTION SNAPSHOT " + PgWire.quoteLiteral(snapshotName)),
+      setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ") ++
+        (if (snapshotName.isEmpty) Nil
+         else Seq("SET TRANSACTION SNAPSHOT " +
+           PgWire.quoteLiteral(snapshotName))),
       sqlOf = sliceSql(colSqlSer),
       schema = schema)
   }
@@ -417,6 +422,19 @@ object SnapshotFlow {
           catch { case scala.util.control.NonFatal(_) => () }
           throw e
       }
+    // PEERDB_SKIP_SNAPSHOT_EXPORT (dynamicconf.go:390): the slot (and
+    // its consistent point) stands, but the snapshot-holding session
+    // closes NOW and the reads run without SET TRANSACTION SNAPSHOT —
+    // a dropped connection can no longer kill a long initial load.
+    // Rows changed between slot creation and a slice's read arrive
+    // twice (read + slot replay); the version-idempotent merge
+    // converges them, matching the reference's documented risk
+    // posture (postgres_source.go:651-658).
+    val skipExport = Settings.get(spark,
+      "mirror.skip_snapshot_export", cfg.env).exists(_.toBoolean)
+    val snapshotName =
+      if (skipExport) { session.close(); "" }
+      else session.exported.snapshotName
     try {
       val cfg2 = cfg.copy(snapshotCheckpoint = 0L)
       val runner = new MirrorRunner(spark, cfg2)
@@ -426,10 +444,10 @@ object SnapshotFlow {
       tables.foreach { case (table, tc) =>
         val sourceRel = sourceFor.getOrElse(table, table)
         runner.bootstrapSnapshot(table, readTable(spark, url,
-          session.exported.snapshotName, sourceRel, tc.effectiveSchema,
-          numPartitions, rowsPerPartition))
+          snapshotName, sourceRel, tc.effectiveSchema,
+          numPartitions, rowsPerPartition), sourceTable = sourceRel)
       }
       runner
-    } finally session.close()
+    } finally if (!skipExport) session.close()
   }
 }

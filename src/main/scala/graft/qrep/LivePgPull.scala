@@ -165,6 +165,95 @@ object LivePgPull {
     } finally holder.close() // releases the exported snapshot
   }
 
+  /** Bind the template to one inclusive TID range — start (block, 0)
+    * to end (block, 65535), the reference's partition image
+    * (qrep_partition.go:181-182: OffsetNumber 0 .. MaxUint16). */
+  private[qrep] def bindCtid(template: String, bStart: Long,
+      bEnd: Long): String =
+    template
+      .replace("{{.start}}", s"'($bStart,0)'::tid")
+      .replace("{{.end}}", s"'($bEnd,65535)'::tid")
+
+  /** Inclusive BLOCK ranges for `parts` partitions over `totalBlocks`
+    * physical blocks — the reference's tidRangeForPartition
+    * (qrep_partition.go:175-184): partition i spans blocks
+    * [i*total/parts, (i+1)*total/parts), empty slots skipped. */
+  private[qrep] def ctidBlockRanges(totalBlocks: Long, parts: Int)
+      : Seq[(Long, Long)] =
+    (0L until parts.toLong).flatMap { i =>
+      val start = i * totalBlocks / parts
+      val next = (i + 1) * totalBlocks / parts
+      if (next <= start) None else Some((start, next - 1))
+    }
+
+  /** CTID block-partitioned FULL pull — the reference's initial-load
+    * QRep flavor (`watermark_column 'ctid'`): partitions are physical
+    * block ranges of `table` (CTIDBlockPartitioningFunc,
+    * qrep_partition.go:122-217), each binding the template to an
+    * inclusive `'(b,0)'::tid .. '(b,65535)'::tid` range. Full-load
+    * shaped — a ctid is not a resumable watermark (vacuum reuses
+    * them), so every round re-pulls everything; DDL validation pins
+    * the Overwrite disposition. All reads run inside ONE exported
+    * snapshot like the value-range pull.
+    *
+    * `usePartitioning` = PEERDB_POSTGRES_APPLY_CTID_BLOCK_PARTITIONING
+    * _OVERRIDE or an explicit num_partitions (qrep_source.go:214-224);
+    * off with no override falls back to a single full-scan partition
+    * (the reference falls to the NTILE value partitioner there, which
+    * has no numeric image for tids in this engine — one scan is the
+    * honest equivalent and the setting's default keeps blocks on). */
+  def pullCtid(spark: SparkSession, url: String, template: String,
+      table: String, numPartitions: Int = 0,
+      rowsPerPartition: Option[Long] = None,
+      usePartitioning: Boolean = true): DataFrame = {
+    require(table.nonEmpty,
+      "ctid watermark needs watermark_table (or source_table) naming " +
+        "the physical relation to block-partition")
+    val ep = CaptureEndpoint.parse(url)
+    val holder = graft.server.PgClients.connect(ep, Nil)
+    try {
+      holder.queryAll("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      holder.queryAll("SET LOCAL idle_in_transaction_session_timeout=0")
+      val snap = holder.query("SELECT pg_export_snapshot()")
+        .rows.head.head.get
+      val lit = graft.cdc.PgWire.quoteLiteral(table)
+      val st = holder.query(
+        s"SELECT greatest(pg_relation_size($lit::regclass)/8192, 1), " +
+          "(SELECT greatest(reltuples::bigint, 0) FROM pg_class " +
+          s"WHERE oid = $lit::regclass)").rows.head
+      val blocks = st(0).map(_.toLong).getOrElse(1L)
+      val rowsEst = st(1).map(_.toLong).getOrElse(0L)
+      val parts =
+        if (!usePartitioning) 1
+        else math.max(1, math.min(rowsPerPartition match {
+          case Some(rpp) =>
+            math.min((math.max(rowsEst, 1L) + rpp - 1) /
+              math.max(1L, rpp), 4096L).toInt
+          case None => if (numPartitions > 0) numPartitions else 4
+        }, math.min(blocks, Int.MaxValue.toLong).toInt))
+      val ranges =
+        if (parts == 1) Seq((0L, 4294967295L)) // all blocks, one scan
+        else ctidBlockRanges(blocks, parts) match {
+          // physical blocks can GROW between the probe and the read —
+          // the last range opens to the max block number so late pages
+          // (of this snapshot) still scan
+          case init :+ ((s, _)) => init :+ ((s, 4294967295L))
+          case Nil => Seq((0L, 4294967295L))
+        }
+      val probe = holder.query(
+        s"SELECT * FROM (${bindCtid(template, 0, 0)}) _graft_q LIMIT 0")
+      val schema = PgRows.schemaOf(probe.columns, holder.lastTypeOids)
+      afterExportHook()
+      val tmpl = template
+      StreamedPgRead.frame(spark, url, ranges,
+        setup = Seq("BEGIN ISOLATION LEVEL REPEATABLE READ",
+          "SET TRANSACTION SNAPSHOT " +
+            graft.cdc.PgWire.quoteLiteral(snap)),
+        sqlOf = (r: (Long, Long)) => bindCtid(tmpl, r._1, r._2),
+        schema = schema).localCheckpoint()
+    } finally holder.close()
+  }
+
   /** Uniform inclusive sub-ranges over the [lo, hi] VALUE span —
     * ceil-split without Long overflow. */
   private[qrep] def uniformRanges(lo: Long, hi: Long,

@@ -114,7 +114,13 @@ object ClickHouseSql {
   def normalizeQuery(table: String, schema: StructType,
       pkColumns: Seq[String], rawTable: String,
       lastNormBatchId: Long, endBatchId: Long,
-      enablePrimaryUpdate: Boolean = true): String = {
+      enablePrimaryUpdate: Boolean = true,
+      /** PEERDB_SOURCE_SCHEMA_AS_DESTINATION_COLUMN: the projection
+        * gains `JSONExtractString(_peerdb_data,
+        * '_peerdb_source_schema')` (normalize_query.go:130-134,
+        * 321-323; same fragment on the primary-update branch,
+        * :340-342 — both images carry the embedded key). */
+      sourceSchemaColumn: Boolean = false): String = {
     def chType(f: StructField): String =
       QKind.toDdl(QKind.fromSpark(f.dataType), QKind.Dialect.ClickHouse,
         nullable = !pkColumns.contains(f.name))
@@ -133,10 +139,18 @@ object ClickHouseSql {
         s"JSONExtract($src, ${lit(f.name)}, ${lit(t)}) AS ${bq(f.name)}"
     }
     val cols = schema.fields.toSeq
-    val colSelector = (cols.map(f => bq(f.name)) ++
+    val schemaColName = graft.cdc.Normalizer.SourceSchemaCol
+    val schemaSelector =
+      if (sourceSchemaColumn) Seq(bq(schemaColName)) else Nil
+    def schemaProj(src: String) =
+      if (!sourceSchemaColumn) Nil
+      else Seq(s"JSONExtractString($src, ${lit(schemaColName)}) " +
+        s"AS ${bq(schemaColName)}")
+    val colSelector = (cols.map(f => bq(f.name)) ++ schemaSelector ++
       Seq(bq(RawTable.IsDeleted), bq(RawTable.Version)))
       .mkString("(", ",", ")")
-    val proj = cols.map(extract("_peerdb_data", _)) ++ Seq(
+    val proj = cols.map(extract("_peerdb_data", _)) ++
+      schemaProj("_peerdb_data") ++ Seq(
       s"intDiv(_peerdb_record_type, 2) AS ${bq(RawTable.IsDeleted)}",
       s"_peerdb_timestamp AS ${bq(RawTable.Version)}")
     val range = s"_peerdb_batch_id > $lastNormBatchId AND " +
@@ -146,7 +160,10 @@ object ClickHouseSql {
       s"SELECT ${proj.mkString(",")} FROM ${bq(rawTable)} WHERE $range"
     if (!enablePrimaryUpdate) base
     else {
-      val projUpd = cols.map(extract("_peerdb_match_data", _)) ++ Seq(
+      // the reference's update-branch fragment also reads _peerdb_data
+      // (normalize_query.go:340-342) — same record, same schema name
+      val projUpd = cols.map(extract("_peerdb_match_data", _)) ++
+        schemaProj("_peerdb_data") ++ Seq(
         s"1 AS ${bq(RawTable.IsDeleted)}",
         s"_peerdb_timestamp - 1 AS ${bq(RawTable.Version)}")
       base + s" UNION ALL SELECT ${projUpd.mkString(",")} " +
@@ -369,7 +386,15 @@ object ClickHouseHttp {
     * history (bounded by `mirror.raw_batch_cleanup_threshold` — the
     * reference's cache is likewise retention-bounded). */
   def backfillAbsent(slice: DataFrame, history: DataFrame,
-      pkColumns: Seq[String], schema: StructType): DataFrame = {
+      pkColumns: Seq[String], schema: StructType,
+      /** With the source-schema disambiguator on, the embedded
+        * `_peerdb_source_schema` key joins the fill key (two schemas
+        * sharing a pk must not leak TOAST values into each other) and
+        * the rebuilt data image preserves it (the rebuild re-serializes
+        * from the payload schema, which would drop the embedded key —
+        * and normalize would then extract '' for exactly the rows the
+        * backfill touched). */
+      sourceSchemaColumn: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.cdc.Normalizer
     import graft.model.ChangeRecord
@@ -387,13 +412,22 @@ object ClickHouseHttp {
       .withColumn("_payload", from_json(col(RawTable.Data), schema))
       .withColumn("_match", from_json(col(RawTable.MatchData), schema))
       .withColumn("_toast", toastArr)
-    val keyed = pkColumns.foldLeft(parsed) { (df, k) =>
+    val keyed0 = pkColumns.foldLeft(parsed) { (df, k) =>
       df.withColumn(s"_pk_$k",
         coalesce(col(s"_payload.$k"), col(s"_match.$k")))
     }
+    val keyed =
+      if (!sourceSchemaColumn) keyed0
+      else keyed0.withColumn("_src_schema",
+        coalesce(get_json_object(
+          coalesce(col(RawTable.Data), col(RawTable.MatchData)),
+          "$." + Normalizer.SourceSchemaCol), lit("")))
+    val keyCols =
+      (if (sourceSchemaColumn) Seq(col("_src_schema")) else Nil) ++
+        pkColumns.map(k => col(s"_pk_$k"))
     // the uid is the zero-padded LSN: lexicographic = WAL order
     val w = Window
-      .partitionBy(pkColumns.map(k => col(s"_pk_$k")): _*)
+      .partitionBy(keyCols: _*)
       .orderBy(col(RawTable.BatchId), col(RawTable.Uid))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(keyed) { (df, c) =>
@@ -413,7 +447,8 @@ object ClickHouseHttp {
     val dataCols = schema.fieldNames.toSeq.map { c =>
       if (pkColumns.contains(c)) col(s"_payload.$c").as(c)
       else col(s"_f_$c.v").as(c)
-    }
+    } ++ (if (sourceSchemaColumn)
+      Seq(col("_src_schema").as(Normalizer.SourceSchemaCol)) else Nil)
     val stillAbsent = concat_ws(",", array_compact(array(
       valueCols.map(c => when(array_contains(col("_toast"), c) &&
         col(s"_f_$c").isNull, lit(c))): _*)))

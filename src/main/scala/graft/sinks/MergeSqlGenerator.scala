@@ -118,7 +118,12 @@ object MergeSqlGenerator {
       case ClickHouse =>
         def bq(id: String) = "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`" // backslash escapes (BQ/CH lexers)
         val cols = t.schema.fields.map(f =>
-          s"${bq(f.name)} ${QKind.toDdl(kindOf(f), ClickHouse,
+          // the source-schema disambiguator gets the reference's
+          // LowCardinality type (normalize.go:35 sourceSchemaColType —
+          // few distinct schema names over many rows)
+          if (f.name == graft.cdc.Normalizer.SourceSchemaCol)
+            s"${bq(f.name)} LowCardinality(String)"
+          else s"${bq(f.name)} ${QKind.toDdl(kindOf(f), ClickHouse,
             nullable = !t.pkColumns.contains(f.name))}")
         val meta = Seq(
           s"${bq(RawTable.Version)} Int64",

@@ -132,4 +132,50 @@ class NormalizerSpec extends SparkSpec {
       (1L, 0, """{"id":1,"name":"a","v":1}""", null, "")), cfg)
     assert(!off.columns.contains(Normalizer.SourceSchemaCol))
   }
+
+  test("sourceSchemaColumn is part of the KEY: two schemas sharing a " +
+    "pk value stay distinct rows (the reference PREPENDS the column " +
+    "to the RMT ORDER BY, normalize.go:250 — ranking by pk alone " +
+    "would collapse exactly the many-to-one case), and a delete in " +
+    "one schema leaves the other's row standing") {
+    val out = Normalizer.normalize(raw(
+      (1L, 0,
+        """{"_peerdb_source_schema":"sales","id":1,"name":"a","v":1}""",
+        null, ""),
+      (2L, 0,
+        """{"_peerdb_source_schema":"ops","id":1,"name":"b","v":2}""",
+        null, ""),
+      (3L, 2, null, """{"_peerdb_source_schema":"sales","id":1}""", "")),
+      cfg.copy(sourceSchemaColumn = true))
+    val rows = out.collect().map(r =>
+      r.getAs[String](Normalizer.SourceSchemaCol) ->
+        (r.getAs[String]("name"), r.getAs[Boolean](RawTable.IsDeleted)))
+      .toMap
+    assert(rows.size == 2, out.collect().mkString(";"))
+    assert(rows("sales") == (("a", true)))
+    assert(rows("ops") == (("b", false)))
+  }
+
+  test("sourceSchemaColumn: TOAST backfill fills within ONE schema — " +
+    "an absent column never leaks the other schema's value for the " +
+    "same pk") {
+    val out = Normalizer.normalize(raw(
+      (1L, 0,
+        """{"_peerdb_source_schema":"sales","id":1,"name":"S","v":1}""",
+        null, ""),
+      (2L, 0,
+        """{"_peerdb_source_schema":"ops","id":1,"name":"O","v":2}""",
+        null, ""),
+      // update in ops with `name` unchanged-TOAST: must fill from the
+      // ops insert ("O"), not from the newer-by-nothing sales image
+      (3L, 1,
+        """{"_peerdb_source_schema":"ops","id":1,"v":3}""",
+        """{"_peerdb_source_schema":"ops","id":1}""", "name")),
+      cfg.copy(sourceSchemaColumn = true))
+    val rows = out.collect().map(r =>
+      r.getAs[String](Normalizer.SourceSchemaCol) ->
+        (r.getAs[String]("name"), r.getAs[Long]("v"))).toMap
+    assert(rows("ops") == (("O", 3L)), rows.toString)
+    assert(rows("sales") == (("S", 1L)), rows.toString)
+  }
 }

@@ -184,6 +184,32 @@ class PgWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("PKM empty-batch throttle: an UNREQUESTED keepalive gets a " +
+    "throttled standby reply (threshold 0 = every one) so an idle " +
+    "slot advances; -1 restores reply-only-when-requested " +
+    "(PEERDB_PKM_EMPTY_BATCH_THROTTLE_THRESHOLD_SECONDS, " +
+    "cdc.go:674-692,816-818)") {
+    def tailReplies(threshold: Int): Int = {
+      val server = new ServerSocket(0)
+      try {
+        val sess = WireServers.servePg(server, "rep", "sekret",
+          Seq(sessionFrames), endWithKeepalive = true)
+        val src = new PgReplicationSource("127.0.0.1",
+          server.getLocalPort, user = "rep", password = "sekret",
+          readTimeoutMs = 5000,
+          emptyBatchThrottleSeconds = threshold)
+        PgOutputFrames.ingestFrom(src, tmp(s"pgwire_pkm$threshold"))
+        Thread.sleep(150) // the fixture thread drains the tail acks
+        sess.tailStatusUpdates
+      } finally server.close()
+    }
+    // threshold 0: both unrequested keepalives reply, plus the final
+    // ack; -1: only the final ack
+    assert(tailReplies(0) >= 3, "throttle 0 must reply to every " +
+      "unrequested keepalive")
+    assert(tailReplies(-1) == 1, "-1 must reply only when requested")
+  }
+
   test("endpoint URLs percent-decode credentials and params") {
     val ep = CaptureEndpoint.parse(
       "pgwire://rep:p%40ss%3A1@h:5432/db?publication=a%26b")

@@ -24,6 +24,9 @@ object WireServers {
     @volatile var replicationQuery: String = ""
     @volatile var keepaliveReplied = false
     @volatile var ackedLsn: Long = -1L
+    /** Standby status updates received AFTER the tail frames (the
+      * unrequested-keepalive replies + the final ack). */
+    @volatile var tailStatusUpdates = 0
     @volatile var authFailed = false
     @volatile var tlsEstablished = false
   }
@@ -206,6 +209,7 @@ object WireServers {
             case Some(('d', body)) if body.nonEmpty && body(0) == 'r' =>
               sess.ackedLsn =
                 ByteBuffer.wrap(body, 1, 8).getLong - 1
+              sess.tailStatusUpdates += 1
             case Some(('X', _)) => open = false
             case Some(_) => ()
             case None => open = false
@@ -251,7 +255,10 @@ object WireServers {
       sessions: Seq[Seq[Array[Byte]]],
       plugin: String = MysqlWire.NativePassword,
       fullAuthDemand: Boolean = false,
-      ssl: Option[javax.net.ssl.SSLContext] = None): MysqlSession = {
+      ssl: Option[javax.net.ssl.SSLContext] = None,
+      /** ≥ 0: after sending that many events the fixture goes SILENT
+        * (no EOF, socket held open) — the staleness scenario. */
+      stallAfter: Int = -1): MysqlSession = {
     import MysqlWire._
     val sess = new MysqlSession
     val t = new Thread(() => sessions.foreach { events =>
@@ -326,11 +333,15 @@ object WireServers {
                 sess.dumpServerId = d.u32()
                 sess.dumpFile = new String(d.rest(), "UTF-8")
                 var seq = 1
-                events.foreach { ev =>
+                val send =
+                  if (stallAfter >= 0) events.take(stallAfter)
+                  else events
+                send.foreach { ev =>
                   writePacket(out, seq, Array(0x00.toByte) ++ ev)
                   seq += 1
                 }
-                writePacket(out, seq, new Wtr()
+                if (stallAfter >= 0) Thread.sleep(30000)
+                else writePacket(out, seq, new Wtr()
                   .u8(0xFE).u16(0).u16(2).bytes)
               case 0x01 => open = false
               case _ => ()

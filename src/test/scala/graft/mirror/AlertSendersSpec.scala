@@ -333,6 +333,11 @@ class AlertSendersSpec extends AnyFunSuite {
       "PKIX path building failed"))._1 == Connectivity)
     assert(classify(new java.net.UnknownHostException(
       "no.such.host"))._1 == Connectivity)
+    // the typed stale-binlog error (MySQLStaleConnectionError,
+    // classifier.go:1325-1336) — NOT the generic SocketTimeout arm
+    assert(classify(new graft.cdc.MysqlWire.StaleConnectionException(
+      "mysql binlog stale: no events for more than 180s")) ==
+      ((Connectivity, ErrorInfo("mysql", "CONNECTION_STALE"))))
   }
 
   test("text-rule classification for recorded flow_errors rows: the " +

@@ -413,8 +413,13 @@ class MirrorEqualitySpec extends SparkSpec {
     ChangeLogWal.append(wal, Seq(
       srcRec(1, "sales.t", """{"id":1,"name":"a","v":1}"""),
       srcRec(2, "ops.t", """{"id":2,"name":"b","v":2}"""),
+      // ops ALSO has id=1 — the column is part of the key (the
+      // reference prepends it to the RMT ORDER BY, normalize.go:250):
+      // sales.1 and ops.1 must both survive as distinct rows, and the
+      // sales delete below must not touch ops' row
+      srcRec(4, "ops.t", """{"id":1,"name":"o1","v":9}"""),
       // a delete from sales: the schema rides the match image
-      ChangeRecord(ChangeRecord.TypeDelete, 3, "3", 3000, 3,
+      ChangeRecord(ChangeRecord.TypeDelete, 5, "5", 5000, 5,
         "sales.t", "dest.m", null, """{"id":1}""", Nil)))
     val cfg = MirrorConfig(
       walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
@@ -425,12 +430,15 @@ class MirrorEqualitySpec extends SparkSpec {
     try {
       new MirrorRunner(spark, cfg).runAvailableNow()
       val dest = spark.read.parquet(s"$base/dest")
-      val bySchema = dest.collect().map(r =>
-        r.getAs[Long]("id") ->
-          (r.getAs[String]("_peerdb_source_schema"),
+      val byKey = dest.collect().map(r =>
+        (r.getAs[String]("_peerdb_source_schema"),
+          r.getAs[Long]("id")) ->
+          (r.getAs[String]("name"),
             r.getAs[Boolean]("_peerdb_is_deleted"))).toMap
-      assert(bySchema(1L) == (("sales", true)), bySchema.toString)
-      assert(bySchema(2L) == (("ops", false)), bySchema.toString)
+      assert(byKey.size == 3, byKey.toString)
+      assert(byKey(("sales", 1L)) == (("a", true)), byKey.toString)
+      assert(byKey(("ops", 1L)) == (("o1", false)), byKey.toString)
+      assert(byKey(("ops", 2L)) == (("b", false)), byKey.toString)
     } finally spark.conf.unset(
       "spark.graft.mirror.source_schema_as_destination_column")
     // default off: a fresh mirror has no such column

@@ -126,6 +126,44 @@ class MysqlSnapshotFlowSpec extends SparkSpec {
     } finally listener.close()
   }
 
+  test("mysql.default_partition_key_enabled 'false': no pk-derived " +
+    "partition key — the clone is ONE full scan, no BETWEEN ranges " +
+    "(PEERDB_MYSQL_DEFAULT_PARTITION_KEY_ENABLED, " +
+    "snapshot_activity.go:185-215)") {
+    val listener = new ServerSocket(0)
+    val rows = (1L to 500L).map(i => (i, s"n$i"))
+    val sawBetween = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val inner = queryHandler(() => rows)
+    WireServers.serveMysqlQuery(listener, "pw", sql => {
+      if (Between.findFirstMatchIn(sql).isDefined) sawBetween.set(true)
+      inner(sql)
+    }, dumpEvents = () => Seq(
+      encodeRotate(0L, 0L, 4L, "binlog.000002"),
+      encodeFormatDescription(1L, 4L)))
+    try {
+      val base = tmpDir("mysnap_nokey")
+      val cfg = MirrorConfig(
+        walDir = s"$base/wal", rawDir = s"$base/raw",
+        destDir = s"$base/dest", checkpointDir = s"$base/ckpt",
+        pkColumns = Seq("id"),
+        payloadSchema = StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType))),
+        destinationTable = "app.t",
+        captureDir = Some(
+          s"mysql://root:pw@127.0.0.1:${listener.getLocalPort}"))
+      spark.conf.set(
+        "spark.graft.mysql.default_partition_key_enabled", "false")
+      try {
+        val runner = MysqlSnapshotFlow.initialLoad(spark, cfg,
+          rowsPerPartition = Some(100L))
+        assert(runner.destination("app.t").count() == 500)
+        assert(!sawBetween.get,
+          "gate off must clone as one full scan (no BETWEEN ranges)")
+      } finally spark.conf.unset(
+        "spark.graft.mysql.default_partition_key_enabled")
+    } finally listener.close()
+  }
+
   test("DDL surface: CREATE MIRROR with a mysql:// capture_dir and " +
     "do_initial_snapshot takes the live binlog-position snapshot " +
     "path; EXECUTE snapshots then drains CDC; re-EXECUTE reuses the " +

@@ -560,4 +560,63 @@ class StockPgQRepSpec extends SparkSpec {
     assert(e.getMessage.contains("dst_table_full_resync"))
     run("DROP PEER frsrc"); run("DROP PEER frdst")
   }
+
+  test("ctid watermark: block-partitioned full pull (the reference's " +
+    "initial-load flavor, CTIDBlockPartitioningFunc) — every round a " +
+    "full refresh; non-overwrite modes and non-pg sources rejected " +
+    "at DDL; mirror.ctid_partitioning 'false' still pulls (one scan)") {
+    val s = srv
+    s.psql("""CREATE TABLE public.qrc (
+      id bigint PRIMARY KEY, v bigint, t text)""")
+    s.psql("""INSERT INTO public.qrc
+      SELECT g, g * 3, 'c-' || g FROM generate_series(1, 8000) g""")
+    val base = tmpDir("ctidqrep")
+    run(s"CREATE PEER qcsrc TYPE postgres OPTIONS (" +
+      s"url 'pg://postgres@127.0.0.1:${s.port}/postgres')")
+    run(s"CREATE PEER qcdst TYPE parquet OPTIONS (dir '$base/dst')")
+    run("CREATE MIRROR qc1 FROM qcsrc TO qcdst FOR " +
+      "$$ SELECT id, v, t FROM public.qrc " +
+      "WHERE ctid BETWEEN {{.start}} AND {{.end}} $$ " +
+      "WITH (watermark_column 'ctid', source_table 'public.qrc', " +
+      s"dest_dir '$base/dest', num_partitions '4')")
+    assert(run("EXECUTE MIRROR qc1").head.getLong(0) == 8000L)
+    // a second round is a FULL refresh (ctid never resumes) — and a
+    // source update must land (overwrite semantics)
+    s.psql("UPDATE public.qrc SET v = -5 WHERE id = 77")
+    s.psql("DELETE FROM public.qrc WHERE id > 7990")
+    assert(run("EXECUTE MIRROR qc1").head.getLong(0) == 7990L)
+    val dest = spark.read.parquet(s"$base/dest")
+    assert(dest.count() == 7990L)
+    assert(dest.filter(org.apache.spark.sql.functions.col("id") === 77)
+      .head().getAs[Long]("v") == -5L)
+
+    // gate off + no num_partitions → single-scan fallback, same rows
+    run("CREATE MIRROR qc2 FROM qcsrc TO qcdst FOR " +
+      "$$ SELECT id, v, t FROM public.qrc " +
+      "WHERE ctid BETWEEN {{.start}} AND {{.end}} $$ " +
+      "WITH (watermark_column 'ctid', source_table 'public.qrc', " +
+      s"dest_dir '$base/dest2', env 'mirror.ctid_partitioning=false')")
+    assert(run("EXECUTE MIRROR qc2").head.getLong(0) == 7990L)
+
+    // DDL gates: mode append; a parquet source peer
+    val e1 = intercept[IllegalArgumentException] {
+      run("CREATE MIRROR qcbad FROM qcsrc TO qcdst FOR " +
+        "$$ SELECT id FROM public.qrc " +
+        "WHERE ctid BETWEEN {{.start}} AND {{.end}} $$ " +
+        "WITH (watermark_column 'ctid', source_table 'public.qrc', " +
+        s"dest_dir '$base/destx', mode 'append')")
+    }
+    assert(e1.getMessage.contains("full-load"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      run("CREATE MIRROR qcbad2 FROM qcdst TO qcdst FOR " +
+        "$$ SELECT id FROM t WHERE ctid BETWEEN {{.start}} AND " +
+        "{{.end}} $$ WITH (watermark_column 'ctid', " +
+        s"source_table 't', dest_dir '$base/desty')")
+    }
+    assert(e2.getMessage.contains("live pg://"), e2.getMessage)
+
+    run("DROP MIRROR qc1"); run("DROP MIRROR qc2")
+    run("DROP PEER qcsrc"); run("DROP PEER qcdst")
+    s.psql("DROP TABLE public.qrc")
+  }
 }

@@ -374,6 +374,39 @@ class StockPgSnapshotSpec extends SparkSpec {
     s.psql("DROP TABLE public.snap1")
   }
 
+  test("mirror.skip_snapshot_export: the slot stands but the " +
+    "snapshot session closes and slices read CURRENT data (no SET " +
+    "TRANSACTION SNAPSHOT) — post-slot writes ARE visible, the " +
+    "documented consistency trade (PEERDB_SKIP_SNAPSHOT_EXPORT, " +
+    "postgres_source.go:651-658)") {
+    val s = srv
+    s.psql("""CREATE TABLE public.skipsnap (
+      id bigint PRIMARY KEY, v bigint)""")
+    s.psql("""INSERT INTO public.skipsnap
+      SELECT g, g FROM generate_series(1, 500) g""")
+    s.psql("CREATE PUBLICATION skipsnap_pub FOR TABLE public.skipsnap")
+    val url = s"pgwire://postgres@127.0.0.1:${s.port}/postgres" +
+      "?slot=skipsnap_slot&publication=skipsnap_pub"
+    val session = SnapshotFlow.createExportedSlot(url)
+    try {
+      // the skip posture: the holder closes, reads go snapshot-less
+      session.close()
+      s.psql("INSERT INTO public.skipsnap VALUES (9001, 1)")
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType)))
+      val df = SnapshotFlow.readTable(spark, url, snapshotName = "",
+        "public.skipsnap", schema, numPartitions = 2)
+      val ids = df.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids.size == 501 && ids.contains(9001L),
+        "snapshot-less read must see the post-slot row")
+    } finally {
+      s.psql("SELECT pg_drop_replication_slot(slot_name) " +
+        "FROM pg_replication_slots WHERE slot_name='skipsnap_slot'")
+      s.psql("DROP PUBLICATION skipsnap_pub")
+      s.psql("DROP TABLE public.skipsnap")
+    }
+  }
+
   test("full handoff: initialLoad bootstraps at the consistent point " +
     "and the CDC stream delivers racing writes exactly once") {
     val s = srv

@@ -270,7 +270,12 @@ class ClickHouseWireSpec extends SparkSpec {
           StructType(Seq(StructField("k", LongType),
             StructField("s", StringType))))),
         warehouseUrl = Some(ch.url))
-      new MirrorRunner(spark, cfg).runAvailableNow()
+      // PEERDB_CLICKHOUSE_PARALLEL_NORMALIZE: the two tables'
+      // INSERT…SELECTs run concurrently — results identical
+      spark.conf.set("spark.graft.clickhouse.parallel_normalize", "2")
+      try new MirrorRunner(spark, cfg).runAvailableNow()
+      finally spark.conf.unset(
+        "spark.graft.clickhouse.parallel_normalize")
       assert(chRows(ch, "t_a") == Seq((1L, 11L, "a1")))
       // t_b: the single key was deleted — RMT read drops the tombstone
       assert(ch.stub.table("t_b").count() == 0,
@@ -413,6 +418,12 @@ class ClickHouseWireSpec extends SparkSpec {
     assert(q.contains("_peerdb_record_type = 1"))
     assert(q.contains("JSONExtract(_peerdb_data, 'v', 'Nullable(Int64)')"))
     assert(q.contains("JSONExtract(_peerdb_data, 'id', 'Int64')"))
+    // PEERDB_CLICKHOUSE_ENABLE_PRIMARY_UPDATE off: no tombstone branch
+    val qOff = ClickHouseSql.normalizeQuery("docs", schema, Seq("id"),
+      "_peerdb_raw_f", lastNormBatchId = 3, endBatchId = 7,
+      enablePrimaryUpdate = false)
+    assert(!qOff.contains("UNION ALL"),
+      "primary-update off must not emit the old-key tombstone branch")
 
     val ch = new ChFixture
     try {
@@ -422,6 +433,80 @@ class ClickHouseWireSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("HTTP 500") &&
         e.getMessage.contains("DB::Exception"), e.getMessage)
+    } finally ch.stop()
+  }
+
+  test("capture-convention delete (data NULL, old image in matchData) " +
+    "tombstones the RIGHT key on clickhouse://: the ship folds the " +
+    "match image into _peerdb_data (the reference stores " +
+    "DeleteRecord.Items in the data slot) — without the fold the " +
+    "normalize extracts the key from '' and tombstones id 0") {
+    val ch = new ChFixture
+    try {
+      val wal = tmpDir("ch_wal_del")
+      val base = tmpDir("ch_mirror_del")
+      val cfg = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "docs",
+        warehouseUrl = Some(ch.url))
+      ChangeLogWal.append(wal, Seq(
+        rec(10, ChangeRecord.TypeInsert, """{"id":1,"v":10,"t":"a"}"""),
+        rec(11, ChangeRecord.TypeInsert, """{"id":2,"v":20,"t":"b"}"""),
+        // pgoutput/binlog delete shape: data null, key in matchData
+        rec(12, ChangeRecord.TypeDelete, null,
+          matchData = """{"id":2}""")))
+      new MirrorRunner(spark, cfg).runAvailableNow()
+      assert(chRows(ch) == Seq((1L, 10L, "a")),
+        "id 2 must tombstone away; id 1 must survive")
+    } finally ch.stop()
+  }
+
+  test("source_schema_as_destination_column on clickhouse://: the " +
+    "dest DDL gains LowCardinality(String) PREPENDED to ORDER BY " +
+    "(normalize.go:35,250), the normalize projection extracts the " +
+    "embedded key (normalize_query.go:130-134), and two source " +
+    "schemas sharing a pk stay distinct rows") {
+    val ch = new ChFixture
+    try {
+      val wal = tmpDir("ch_wal_ss")
+      val base = tmpDir("ch_mirror_ss")
+      def srcRec(cp: Long, src: String, rt: Int, data: String,
+          matchData: String = null): ChangeRecord =
+        ChangeRecord(rt, cp, cp.toString, cp * 1000, cp, src, "docs",
+          data, matchData, Nil)
+      val cfg = MirrorConfig(
+        walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+        checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+        payloadSchema = schema, destinationTable = "docs",
+        warehouseUrl = Some(ch.url))
+      ChangeLogWal.append(wal, Seq(
+        srcRec(10, "sales.t", ChangeRecord.TypeInsert,
+          """{"id":1,"v":1,"t":"S"}"""),
+        srcRec(11, "ops.t", ChangeRecord.TypeInsert,
+          """{"id":1,"v":2,"t":"O"}"""),
+        // delete in sales only — ops' id=1 must stand (key includes
+        // the schema column via the ORDER BY prepend)
+        srcRec(12, "sales.t", ChangeRecord.TypeDelete, null,
+          matchData = """{"id":1}""")))
+      spark.conf.set(
+        "spark.graft.mirror.source_schema_as_destination_column", "true")
+      try new MirrorRunner(spark, cfg).runAvailableNow()
+      finally spark.conf.unset(
+        "spark.graft.mirror.source_schema_as_destination_column")
+      val rows = ch.stub.table("docs")
+        .select("_peerdb_source_schema", "id", "v", "t")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getString(3)))
+      assert(rows == Seq(("ops", 1L, 2L, "O")), rows.toString)
+      val stmts = ch.stub.statements.mkString("\n")
+      assert(stmts.contains("`_peerdb_source_schema` " +
+        "LowCardinality(String)"), "dest DDL column type")
+      assert(stmts.contains("ORDER BY (`_peerdb_source_schema`, `id`)"),
+        "ORDER BY must PREPEND the schema column")
+      assert(stmts.contains(
+        "JSONExtractString(_peerdb_data, '_peerdb_source_schema') " +
+          "AS `_peerdb_source_schema`"), "normalize projection fragment")
     } finally ch.stop()
   }
 }
