@@ -49,7 +49,14 @@ object DestValidation {
   /** All blocking findings for one mirror config (empty = valid).
     * `wantSnapshot` = do_initial_snapshot / initial_snapshot_only. */
   def validate(spark: SparkSession, cfg: MirrorConfig,
-      wantSnapshot: Boolean): Seq[String] = {
+      wantSnapshot: Boolean,
+      /** Waive the snapshot-into-non-empty block — the reference's
+        * PEERDB_CLICKHOUSE_INITIAL_LOAD_ALLOW_NON_EMPTY_TABLES
+        * (dynamicconf.go:~295; clickhouse/validate.go:77-87), and
+        * the same waiver applies automatically when the
+        * source-schema disambiguator maps MANY sources into one
+        * destination (validate.go:70-83's skip). */
+      allowNonEmpty: Boolean = false): Seq[String] = {
     val hc = spark.sparkContext.hadoopConfiguration
     cfg.tableSet.toSeq.sortBy(_._1).flatMap { case (table, (tc, dir)) =>
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -58,7 +65,7 @@ object DestValidation {
         val dest = spark.read.parquet(dir)
         val byName = dest.schema.fields.map(f => f.name -> f).toMap
         val nonEmpty =
-          if (!wantSnapshot) Nil
+          if (!wantSnapshot || allowNonEmpty) Nil
           else if (!dest.isEmpty)
             Seq(s"destination table $table already has existing " +
               "rows — an initial snapshot would double-load " +

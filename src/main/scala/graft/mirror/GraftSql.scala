@@ -808,8 +808,17 @@ object GraftSql {
             .get("do_initial_snapshot").exists(_.toBoolean) ||
             entry.options
               .get("initial_snapshot_only").exists(_.toBoolean)
+          // the non-empty block waives under the allow setting or a
+          // many-to-one (source-schema-column) mirror, the reference's
+          // CheckIfTablesEmptyAndEngine gating (validate.go:70-87)
+          val allowNonEmpty = Settings.get(spark,
+            "clickhouse.initial_load_allow_non_empty_tables",
+            flowEnvOf(entry.options)).exists(_.toBoolean) ||
+            Settings.get(spark,
+              "mirror.source_schema_as_destination_column",
+              flowEnvOf(entry.options)).exists(_.toBoolean)
           val findings = DestValidation.validate(spark, cfg,
-            wantSnapshot)
+            wantSnapshot, allowNonEmpty = allowNonEmpty)
           if (findings.nonEmpty)
             throw new IllegalArgumentException(
               findings.mkString("; "))

@@ -225,6 +225,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     Settings.get(spark, "mirror.source_schema_as_destination_column",
       cfg.env).exists(_.toBoolean)
 
+  /** PEERDB_NULLABLE (dynamicconf.go:130), pinned at construction
+    * like the other schema-shape settings: destination DDL carries
+    * NOT NULL for source-non-nullable columns. */
+  private val nullableEnabled: Boolean =
+    Settings.get(spark, "mirror.nullable", cfg.env)
+      .exists(_.toBoolean)
+
   /** Effective merge/dedup key: the reference PREPENDS the source
     * schema column to the ReplacingMergeTree ORDER BY
     * (normalize.go:250) — with the disambiguator on, rows from two
@@ -338,7 +345,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         val target = graft.sinks.MergeTarget(live,
           s"${live}_graft_stage", keysOf(tc),
           schemaWithMeta(liveSchemas(table)),
-          softDelete = cfg.softDelete)
+          softDelete = cfg.softDelete,
+          nullableEnabled = nullableEnabled)
         val loader = new graft.sinks.WarehouseLoader(target, exec,
           flavor)
         if (!created(table)) { loader.setup(); created += table }
@@ -373,7 +381,14 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       MergeSqlGenerator}
     import graft.types.QKind
 
-    private val http = new ClickHouseHttp(url)
+    // PEERDB_CLICKHOUSE_MAX_INSERT_THREADS (clickhouse.go:222-226):
+    // rides every statement as a query-param setting; 0 = default
+    private val http = new ClickHouseHttp(url,
+      settings = Settings.getLong(spark,
+        "clickhouse.max_insert_threads", cfg.env) match {
+        case 0L => Nil
+        case n => Seq("max_insert_threads" -> n.toString)
+      })
     private val rawTable = ClickHouseSql.rawTableName(cfg.flow)
     private val created = scala.collection.mutable.Set.empty[String]
     private var rawReady = false
@@ -394,7 +409,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           http.exec(MergeSqlGenerator.createTable(
             MergeTarget(t, t + "_unused_stage", keysOf(tc),
               schemaWithMeta(liveSchemas(table)),
-              softDelete = cfg.softDelete),
+              softDelete = cfg.softDelete,
+              nullableEnabled = nullableEnabled),
             QKind.Dialect.ClickHouse))
           created += t
         }

@@ -150,6 +150,21 @@ object Settings {
         "replies; -1 replies only when the server requests " +
         "(PEERDB_PKM_EMPTY_BATCH_THROTTLE_THRESHOLD_SECONDS, " +
         "dynamicconf.go:365; cdc.go:674-692,816-818)"),
+    Setting("clickhouse.initial_load_allow_non_empty_tables",
+      Some("false"), "bool",
+      "Waive the VALIDATE MIRROR block on an initial snapshot into a " +
+        "destination table that already has rows (double-load risk — " +
+        "on by explicit choice only); a source_schema_as_destination_" +
+        "column mirror waives it automatically (many sources load ONE " +
+        "destination) " +
+        "(PEERDB_CLICKHOUSE_INITIAL_LOAD_ALLOW_NON_EMPTY_TABLES; " +
+        "clickhouse/validate.go:70-87)"),
+    Setting("clickhouse.max_insert_threads", Some("0"), "uint",
+      "ClickHouse max_insert_threads session setting on every " +
+        "statement the engine sends (normalize INSERT…SELECTs " +
+        "parallelize server-side); 0 leaves the server default " +
+        "(PEERDB_CLICKHOUSE_MAX_INSERT_THREADS, dynamicconf.go:293; " +
+        "clickhouse.go:222-226)"),
     Setting("clickhouse.enable_primary_update", Some("true"), "bool",
       "Emit deletion records for updates on the ClickHouse normalize " +
         "(the UNION branch tombstoning the OLD key at version-1) so " +
@@ -165,6 +180,12 @@ object Settings {
         "concurrent statements — distributes load on a multi-node " +
         "ClickHouse; 0/1 runs them sequentially " +
         "(PEERDB_CLICKHOUSE_PARALLEL_NORMALIZE, dynamicconf.go:301)"),
+    Setting("mirror.nullable", Some("false"), "bool",
+      "Propagate the source schema's nullability into destination " +
+        "DDL — a source-NOT-NULL column creates NOT NULL on the " +
+        "destination; off (the reference default) leaves every " +
+        "non-key column nullable (PEERDB_NULLABLE, dynamicconf.go:" +
+        "130; postgres client.go:713-716)"),
     Setting("pg.automated_schema_dump", Some("false"), "bool",
       "For PG→PG mirrors, stream a schema-only pg_dump from the " +
         "source into psql on the destination during setup so the " +

@@ -178,7 +178,11 @@ object ClickHouseSql {
   * JSONEachRow` with an NDJSON body (the documented public interface).
   * Credentials travel as the X-ClickHouse-User/-Key headers.
   * Serializable so executors can POST their own partitions. */
-final class ClickHouseHttp(url: String) extends Serializable {
+final class ClickHouseHttp(url: String,
+    /** Per-statement ClickHouse settings shipped as URL query params
+      * on every request — the reference's connection `settings` map
+      * (clickhouse.go:217-226, e.g. max_insert_threads). */
+    settings: Seq[(String, String)] = Nil) extends Serializable {
 
   private val ep = graft.cdc.CaptureEndpoint.parse(url)
   require(ep.scheme == "clickhouse",
@@ -187,7 +191,8 @@ final class ClickHouseHttp(url: String) extends Serializable {
     if (ep.database.nonEmpty) ep.database else "default"
 
   private def open(query: Option[String]): HttpURLConnection = {
-    val qs = (Seq("database" -> database) ++ query.map("query" -> _))
+    val qs = (Seq("database" -> database) ++ settings ++
+      query.map("query" -> _))
       .map { case (k, v) =>
         URLEncoder.encode(k, "UTF-8") + "=" + URLEncoder.encode(v, "UTF-8")
       }.mkString("&")

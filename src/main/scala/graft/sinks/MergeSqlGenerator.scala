@@ -33,7 +33,18 @@ final case class MergeTarget(
     stagingTable: String,
     pkColumns: Seq[String],
     schema: StructType,
-    softDelete: Boolean = true)
+    softDelete: Boolean = true,
+    /** PEERDB_NULLABLE (dynamicconf.go:130): propagate the SOURCE
+      * schema's nullability into the destination DDL — a
+      * source-NOT-NULL column creates NOT NULL (postgres
+      * client.go:713-716's `tableSchema.NullableEnabled` gate). Off
+      * (the reference default) leaves every non-key column nullable. */
+    nullableEnabled: Boolean = false) {
+  /** Column nullability in destination DDL: keys always NOT NULL;
+    * value columns follow the source only under nullableEnabled. */
+  def ddlNullable(f: org.apache.spark.sql.types.StructField): Boolean =
+    !pkColumns.contains(f.name) && (!nullableEnabled || f.nullable)
+}
 
 object MergeSqlGenerator {
 
@@ -102,7 +113,7 @@ object MergeSqlGenerator {
       case Ansi | Snowflake =>
         val cols = t.schema.fields.map(f =>
           s"${q(f.name)} ${QKind.toDdl(kindOf(f), dialect,
-            nullable = !t.pkColumns.contains(f.name))}")
+            nullable = t.ddlNullable(f))}")
         val (verT, boolT, tsT) = dialect match {
           case Snowflake => ("INTEGER", "BOOLEAN", "TIMESTAMP_NTZ")
           case _ => ("BIGINT", "BOOLEAN", "TIMESTAMP")
@@ -124,7 +135,7 @@ object MergeSqlGenerator {
           if (f.name == graft.cdc.Normalizer.SourceSchemaCol)
             s"${bq(f.name)} LowCardinality(String)"
           else s"${bq(f.name)} ${QKind.toDdl(kindOf(f), ClickHouse,
-            nullable = !t.pkColumns.contains(f.name))}")
+            nullable = t.ddlNullable(f))}")
         val meta = Seq(
           s"${bq(RawTable.Version)} Int64",
           s"${bq(RawTable.IsDeleted)} Bool",
@@ -142,7 +153,7 @@ object MergeSqlGenerator {
         def bq(id: String) = "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`" // backslash escapes (BQ/CH lexers)
         val cols = t.schema.fields.map(f =>
           s"${bq(f.name)} ${QKind.toDdl(kindOf(f), BigQuery,
-            nullable = !t.pkColumns.contains(f.name))}")
+            nullable = t.ddlNullable(f))}")
         val meta = Seq(
           s"${bq(RawTable.Version)} INT64 NOT NULL",
           s"${bq(RawTable.IsDeleted)} BOOL NOT NULL",

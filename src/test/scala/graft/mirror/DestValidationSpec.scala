@@ -73,6 +73,12 @@ class DestValidationSpec extends SparkSpec {
     assert(validate(spark, cfg(b4, schema), wantSnapshot = true)
       .exists(_.contains("existing rows")))
     assert(validate(spark, cfg(b4, schema), wantSnapshot = false).isEmpty)
+    // the allow waiver (PEERDB_CLICKHOUSE_INITIAL_LOAD_ALLOW_NON_
+    // EMPTY_TABLES / the source-schema-column many-to-one skip,
+    // clickhouse/validate.go:70-87): the non-empty block lifts,
+    // column checks still run
+    assert(validate(spark, cfg(b4, schema), wantSnapshot = true,
+      allowNonEmpty = true).isEmpty)
 
     // excluded columns are not required at the destination
     val b5 = tmpDir("dv_excl")

@@ -30,6 +30,8 @@ class ClickHouseWireSpec extends SparkSpec {
     * so the engine's failure surfacing is exercised too. */
   private final class ChFixture {
     val stub = new StubWarehouse(spark, QKind.Dialect.ClickHouse)
+    /** Query params of the last request (settings ride here). */
+    @volatile var lastParams: Map[String, String] = Map.empty
     private val server =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     private def key(tok: String): String = tok.split('.')
@@ -44,6 +46,7 @@ class ClickHouseWireSpec extends SparkSpec {
           URLDecoder.decode(p(0), "UTF-8") ->
             (if (p.length > 1) URLDecoder.decode(p(1), "UTF-8") else "")
         }.toMap
+      lastParams = params
       val query = params.getOrElse("query", body)
       val result =
         try {
@@ -456,7 +459,14 @@ class ClickHouseWireSpec extends SparkSpec {
         // pgoutput/binlog delete shape: data null, key in matchData
         rec(12, ChangeRecord.TypeDelete, null,
           matchData = """{"id":2}""")))
-      new MirrorRunner(spark, cfg).runAvailableNow()
+      // PEERDB_CLICKHOUSE_MAX_INSERT_THREADS rides every statement
+      // as a query-param setting (clickhouse.go:222-226)
+      spark.conf.set("spark.graft.clickhouse.max_insert_threads", "3")
+      try new MirrorRunner(spark, cfg).runAvailableNow()
+      finally spark.conf.unset(
+        "spark.graft.clickhouse.max_insert_threads")
+      assert(ch.lastParams.get("max_insert_threads").contains("3"),
+        ch.lastParams.toString)
       assert(chRows(ch) == Seq((1L, 10L, "a")),
         "id 2 must tombstone away; id 1 must survive")
     } finally ch.stop()

@@ -23,6 +23,30 @@ class SinksSpec extends SparkSpec {
     assert(ddl.contains("""PRIMARY KEY ("id")"""))
   }
 
+  test("mirror.nullable propagation (PEERDB_NULLABLE, postgres " +
+    "client.go:713-716): with nullableEnabled a source-NOT-NULL " +
+    "value column creates NOT NULL; off (reference default) leaves " +
+    "every non-key column nullable; keys are NOT NULL either way") {
+    val t = target.copy(schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("req", StringType, nullable = false),
+      StructField("opt", StringType, nullable = true))))
+    val off = MergeSqlGenerator.createTable(t)
+    assert(off.contains(""""id" BIGINT NOT NULL"""))
+    assert(!off.contains(""""req" VARCHAR NOT NULL"""), off)
+    val on = MergeSqlGenerator.createTable(
+      t.copy(nullableEnabled = true))
+    assert(on.contains(""""req" VARCHAR NOT NULL"""), on)
+    assert(!on.contains(""""opt" VARCHAR NOT NULL"""), on)
+    // CH: NOT NULL is the UNWRAPPED type (no Nullable(...))
+    val ch = MergeSqlGenerator.createTable(
+      t.copy(nullableEnabled = true),
+      graft.types.QKind.Dialect.ClickHouse)
+    assert(ch.contains("`req` String"), ch)
+    assert(!ch.contains("`req` Nullable(String)"), ch)
+    assert(ch.contains("`opt` Nullable(String)"), ch)
+  }
+
   test("CREATE TABLE in each warehouse dialect (wide fixture)") {
     import graft.types.QKind.Dialect
     // Owners-style wide fixture: one column per interesting type family.
