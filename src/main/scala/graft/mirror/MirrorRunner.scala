@@ -225,6 +225,13 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
     Settings.get(spark, "mirror.source_schema_as_destination_column",
       cfg.env).exists(_.toBoolean)
 
+  /** PEERDB_CLICKHOUSE_BINARY_FORMAT (dynamicconf.go:549-560): one
+    * representation for BYTES columns across every CH write path
+    * (normalize, staged copy, snapshot copy). */
+  private val chBinaryFormat: String =
+    Settings.get(spark, "clickhouse.binary_format", cfg.env)
+      .getOrElse("raw")
+
   /** PEERDB_NULLABLE (dynamicconf.go:130), pinned at construction
     * like the other schema-shape settings: destination DDL carries
     * NOT NULL for source-non-nullable columns. */
@@ -361,7 +368,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           graft.sinks.MergeSqlGenerator.alterAddColumns(target))
         loader.loadBatch(normalized,
           s"${cfg.checkpointDir}/stage/${table.replace('.', '_')}" +
-            s"/$batchId", cfg.stageCodec)
+            s"/$batchId", cfg.stageCodec,
+          chBinaryFormat = chBinaryFormat)
       } finally close()
     }
   }
@@ -433,7 +441,32 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
       val shaped = snapshot
         .withColumn(RawTable.IsDeleted, lit(false))
         .withColumn(RawTable.Version, lit(version))
-      graft.sinks.ClickHouseHttp.publishRaw(shaped, live(table), http)
+      val hasBinary = snapshot.schema.fields
+        .exists(_.dataType == org.apache.spark.sql.types.BinaryType)
+      if (!hasBinary)
+        graft.sinks.ClickHouseHttp.publishRaw(shaped, live(table), http)
+      else {
+        // BYTES columns serialize as base64 TEXT in JSONEachRow, but
+        // the CDC normalize lands DECODED bytes (binExpr) — a direct
+        // snapshot insert would store base64 text beside the stream's
+        // raw bytes in ONE column. Route through a staging table +
+        // the same decoding copy the QRep loader uses, so snapshot
+        // and stream agree byte-for-byte.
+        val t = live(table)
+        val stage = t + "_graft_snap_stage"
+        val target = graft.sinks.MergeTarget(t, stage, keysOf(tc),
+          org.apache.spark.sql.types.StructType(
+            snapshot.schema.fields), softDelete = cfg.softDelete)
+        val chQ = (s: String) => graft.sinks.MergeSqlGenerator
+          .qualified(s, QKind.Dialect.ClickHouse)
+        http.exec(s"DROP TABLE IF EXISTS ${chQ(stage)}")
+        http.exec(graft.sinks.MergeSqlGenerator.createStaging(
+          target, shaped.schema, QKind.Dialect.ClickHouse))
+        graft.sinks.ClickHouseHttp.publishRaw(shaped, stage, http)
+        http.exec(graft.sinks.MergeSqlGenerator.clickhouseInsert(
+          target, binaryFormat = chBinaryFormat))
+        http.exec(s"DROP TABLE IF EXISTS ${chQ(stage)}")
+      }
     }
 
     /** One micro-batch: raw sync (skip on replay via the durable HWM;
@@ -512,7 +545,8 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           http.exec(ClickHouseSql.normalizeQuery(live(table),
             liveSchemas(table), tc.pkColumns, rawTable, last, batchId,
             enablePrimaryUpdate = primaryUpdate,
-            sourceSchemaColumn = srcSchemaCol))
+            sourceSchemaColumn = srcSchemaCol,
+            binaryFormat = chBinaryFormat))
           graft.util.FsText.write(normPath(table), batchId.toString,
             hadoopConf)
         }

@@ -159,6 +159,15 @@ object Settings {
         "destination) " +
         "(PEERDB_CLICKHOUSE_INITIAL_LOAD_ALLOW_NON_EMPTY_TABLES; " +
         "clickhouse/validate.go:70-87)"),
+    Setting("clickhouse.binary_format", Some("raw"), "string",
+      "How BYTES columns land on ClickHouse destinations: 'raw' " +
+        "(decoded bytes in the String column, the default), 'hex' " +
+        "(hex text), 'base64' (base64 text). Applied uniformly on " +
+        "every CH write path — normalize, QRep staging copy, " +
+        "snapshot copy — so one column never mixes representations; " +
+        "unknown values fail loudly " +
+        "(PEERDB_CLICKHOUSE_BINARY_FORMAT, dynamicconf.go:549-560, " +
+        "768-783; normalize_query.go:263-296)"),
     Setting("clickhouse.max_insert_threads", Some("0"), "uint",
       "ClickHouse max_insert_threads session setting on every " +
         "statement the engine sends (normalize INSERT…SELECTs " +

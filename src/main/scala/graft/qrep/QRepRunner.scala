@@ -601,7 +601,9 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
       val counter = spark.sparkContext.longAccumulator(
         "graft_qrep_merge_rows")
       loader.loadBatch(changes, s"${cfg.destDir}/_stage/$runId",
-        cfg.stageCodec, cfg.stageBytesPerFile, rowCounter = counter)
+        cfg.stageCodec, cfg.stageBytesPerFile, rowCounter = counter,
+        chBinaryFormat = graft.mirror.Settings.get(spark,
+          "clickhouse.binary_format", cfg.env).getOrElse("raw"))
       counter.value
     } finally close()
   }

@@ -120,7 +120,14 @@ object ClickHouseSql {
         * '_peerdb_source_schema')` (normalize_query.go:130-134,
         * 321-323; same fragment on the primary-update branch,
         * :340-342 — both images carry the embedded key). */
-      sourceSchemaColumn: Boolean = false): String = {
+      sourceSchemaColumn: Boolean = false,
+      /** PEERDB_CLICKHOUSE_BINARY_FORMAT (dynamicconf.go:549-560;
+        * normalize_query.go:263-296): how BYTES columns land — 'raw'
+        * (base64Decode, actual bytes in the String column), 'hex'
+        * (hex(base64Decode(…)) text), 'base64' (the staged base64
+        * text verbatim). Unknown values fail loudly like the
+        * reference's PeerDBBinaryFormat switch. */
+      binaryFormat: String = "raw"): String = {
     def chType(f: StructField): String =
       QKind.toDdl(QKind.fromSpark(f.dataType), QKind.Dialect.ClickHouse,
         nullable = !pkColumns.contains(f.name))
@@ -133,8 +140,9 @@ object ClickHouseSql {
         "toDate32(parseDateTime64BestEffortOrNull(JSONExtractString(" +
           s"$src, ${lit(f.name)}),6,'UTC')) AS ${bq(f.name)}"
       else if (f.dataType == BinaryType)
-        s"base64Decode(JSONExtractString($src, ${lit(f.name)})) " +
-          s"AS ${bq(f.name)}"
+        ClickHouseSql.binExpr(binaryFormat,
+          s"JSONExtractString($src, ${lit(f.name)})") +
+          s" AS ${bq(f.name)}"
       else
         s"JSONExtract($src, ${lit(f.name)}, ${lit(t)}) AS ${bq(f.name)}"
     }
@@ -171,6 +179,24 @@ object ClickHouseSql {
         s"$range AND _peerdb_record_type = 1"
     }
   }
+
+  /** BYTES landing expression over a base64-text input — the
+    * PEERDB_CLICKHOUSE_BINARY_FORMAT switch (dynamicconf.go:768-783:
+    * raw | hex | base64, anything else is a loud error). Shared by
+    * the normalize projection AND every staged-copy leg so the THREE
+    * write paths into one destination column (CDC normalize, QRep
+    * staging copy, snapshot copy) produce ONE representation —
+    * mixed-path mirrors would otherwise store raw bytes beside
+    * base64 text in the same column. */
+  def binExpr(format: String, base64Text: String): String =
+    format.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "raw" => s"base64Decode($base64Text)"
+      case "hex" => s"hex(base64Decode($base64Text))"
+      case "base64" => base64Text
+      case other => throw new IllegalArgumentException(
+        s"unknown binary format '$other' " +
+          "(clickhouse.binary_format: raw|hex|base64)")
+    }
 }
 
 /** Minimal ClickHouse HTTP client: `POST /?database=…` with the

@@ -289,13 +289,25 @@ object MergeSqlGenerator {
     * (the Normalizer already coalesces within batch; cross-batch absent
     * columns need the destination read-back path, as in the
     * reference). */
-  def clickhouseInsert(t: MergeTarget): String = {
+  def clickhouseInsert(t: MergeTarget,
+      /** Staged BYTES columns hold base64 TEXT (the Avro/JSON stage
+        * encodings); the copy decodes them per
+        * PEERDB_CLICKHOUSE_BINARY_FORMAT so the destination carries
+        * the SAME representation the CDC normalize writes — without
+        * the decode a mixed snapshot+stream (or QRep+CDC) mirror
+        * stores raw bytes beside base64 text in one column. */
+      binaryFormat: String = "raw"): String = {
     def bq(id: String) =
       "`" + id.replace("\\", "\\\\").replace("`", "\\`") + "`"
+    val binary = t.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.BinaryType)
+      .map(_.name).toSet
     val cols = (dataColumns(t) ++
       Seq(RawTable.Version, RawTable.IsDeleted, RawTable.SyncedAt)).map(bq)
-    val sel = (dataColumns(t) ++
-      Seq(RawTable.Version, RawTable.IsDeleted)).map(bq) :+ "now64()"
+    val sel = (dataColumns(t).map(c =>
+      if (binary(c)) ClickHouseSql.binExpr(binaryFormat, bq(c))
+      else bq(c)) ++
+      Seq(RawTable.Version, RawTable.IsDeleted).map(bq)) :+ "now64()"
     val ch = QKind.Dialect.ClickHouse
     s"""INSERT INTO ${qualified(t.table, ch)} (${cols.mkString(", ")})
        |SELECT ${sel.mkString(", ")}

@@ -331,6 +331,11 @@ final class StubWarehouse(spark: SparkSession,
       .replaceAll(
         "(?i)base64Decode\\(JSONExtractString\\((\\w+), '([^']+)'\\)\\)",
         "unbase64(get_json_object($1, '\\$.$2'))")
+      // bare-identifier form (the staged-copy binExpr): the stub's
+      // columns are typed, so unbase64 CASTs back to STRING for the
+      // String-typed stub column — byte-fidelity within UTF-8 fixtures
+      .replaceAll("(?i)base64Decode\\((`[^`]+`)\\)",
+        "CAST(unbase64($1) AS STRING)")
       .replaceAll("(?i)JSONExtractString\\((\\w+), '([^']+)'\\)",
         "get_json_object($1, '\\$.$2')")
       .replaceAll("(?i)intDiv\\((\\w+), (\\d+)\\)", "($1 div $2)")

@@ -94,7 +94,11 @@ final class WarehouseLoader(
       /** When set, the staging write job adds each staged row — the
         * caller's rows-moved count without a second execution of
         * `normalized`. */
-      rowCounter: org.apache.spark.util.LongAccumulator = null)
+      rowCounter: org.apache.spark.util.LongAccumulator = null,
+      /** PEERDB_CLICKHOUSE_BINARY_FORMAT for the CH copy step (staged
+        * bytes are base64 text; the INSERT…SELECT decodes per
+        * format). Non-CH dialects ignore it. */
+      chBinaryFormat: String = "raw")
       : Seq[String] = {
     val staged = MergeSqlGenerator.stageFrame(normalized)
     // combos BEFORE staging: the branch set must describe exactly this
@@ -106,7 +110,8 @@ final class WarehouseLoader(
       dialect))
     exec.loadAvro(target.stagingTable, files, staged.schema)
     if (isClickhouse)
-      exec.execute(MergeSqlGenerator.clickhouseInsert(target))
+      exec.execute(MergeSqlGenerator.clickhouseInsert(target,
+        binaryFormat = chBinaryFormat))
     else if (useMerge)
       exec.execute(MergeSqlGenerator.merge(target, combos, dialect))
     else

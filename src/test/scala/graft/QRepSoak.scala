@@ -108,6 +108,22 @@ object QRepSoak {
       s.psql("SELECT pg_drop_replication_slot(slot_name) " +
       "FROM pg_replication_slots WHERE slot_name='soak_slot'")
 
+      // (f) ctid-watermark QRep pull (the block-partitioned
+      // initial-load flavor): one exported snapshot + block ranges,
+      // full refresh — the path `watermark_column 'ctid'` mirrors run
+      {
+        val t = System.nanoTime()
+        val df = LivePgPull.pullCtid(spark, url,
+          "SELECT id, wm, v, payload FROM public.soak " +
+            "WHERE ctid BETWEEN {{.start}} AND {{.end}}",
+          "public.soak", numPartitions = parts)
+        val n = df.count()
+        val took = (System.nanoTime() - t) / 1e9
+        println(f"ctid-qrep pull $n%8d rows in $took%6.1f s " +
+          f"(${n / took}%8.0f rec/s, " +
+          f"${df.rdd.getNumPartitions} block ranges)")
+      }
+
       // (e) interactive live-peer scan (the SQL router's pg:// leg:
       // CTID slices without an exported snapshot, lazy build + one
       // action) — the rec/s the LivePeerQuerySpec path sustains

@@ -472,6 +472,60 @@ class ClickHouseWireSpec extends SparkSpec {
     } finally ch.stop()
   }
 
+  test("BYTES on clickhouse://: snapshot and stream land ONE " +
+    "representation — the snapshot routes through a staging copy " +
+    "with the same base64Decode the normalize applies (a direct " +
+    "JSONEachRow insert would store base64 TEXT beside the stream's " +
+    "raw bytes); clickhouse.binary_format 'hex'/'base64' switch " +
+    "both paths together (PEERDB_CLICKHOUSE_BINARY_FORMAT)") {
+    val binSchema = StructType(Seq(
+      StructField("id", LongType), StructField("b", BinaryType)))
+    def runCase(fmt: Option[String],
+        expect: String => String): Unit = {
+      val ch = new ChFixture
+      try {
+        val wal = tmpDir(s"ch_wal_bin${fmt.getOrElse("raw")}")
+        val base = tmpDir(s"ch_mirror_bin${fmt.getOrElse("raw")}")
+        val cfg = MirrorConfig(
+          walDir = wal, rawDir = s"$base/raw", destDir = s"$base/dest",
+          checkpointDir = s"$base/ckpt", pkColumns = Seq("id"),
+          payloadSchema = binSchema, destinationTable = "docs",
+          warehouseUrl = Some(ch.url))
+        fmt.foreach(f => spark.conf.set(
+          "spark.graft.clickhouse.binary_format", f))
+        try {
+          val runner = new MirrorRunner(spark, cfg)
+          // snapshot row: bytes arrive typed
+          import spark.implicits._
+          runner.bootstrapSnapshot(Seq(
+            (1L, "snapbytes".getBytes("UTF-8"))).toDF("id", "b"))
+          // stream row: bytes ride the change JSON as base64
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString("streambytes".getBytes("UTF-8"))
+          ChangeLogWal.append(wal, Seq(rec(20, ChangeRecord.TypeInsert,
+            s"""{"id":2,"b":"$b64"}""")))
+          runner.runAvailableNow()
+        } finally fmt.foreach(_ => spark.conf.unset(
+          "spark.graft.clickhouse.binary_format"))
+        val rows = ch.stub.table("docs").select("id", "b").orderBy("id")
+          .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+        assert(rows == Seq(
+          1L -> expect("snapbytes"), 2L -> expect("streambytes")),
+          s"fmt=$fmt got $rows")
+      } finally ch.stop()
+    }
+    runCase(None, identity) // raw: decoded bytes both paths
+    runCase(Some("hex"), s => s.getBytes("UTF-8")
+      .map("%02X".format(_)).mkString)
+    runCase(Some("base64"), s => java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8")))
+    // unknown format: loud
+    val e = intercept[IllegalArgumentException] {
+      ClickHouseSql.binExpr("bogus", "x")
+    }
+    assert(e.getMessage.contains("binary_format"), e.getMessage)
+  }
+
   test("source_schema_as_destination_column on clickhouse://: the " +
     "dest DDL gains LowCardinality(String) PREPENDED to ORDER BY " +
     "(normalize.go:35,250), the normalize projection extracts the " +
