@@ -109,7 +109,14 @@ object GraftSql {
       destPeer: String, query: String, options: Map[String, String],
       ifNotExists: Boolean = false) extends Statement
   final case class ExecuteMirror(name: String) extends Statement
-  final case class ResyncMirror(name: String, ifExists: Boolean = false)
+  /** RESYNC accepts WITH options (parser_peerdb.rs ResyncMirror
+    * with_options; the analyzer extracts `query_string`,
+    * analyzer/src/lib.rs:465-490): a QRep mirror resyncs under a NEW
+    * query — the full rebuild + swap picks up reshaped SQL in one
+    * atomic step. CDC mirrors have no query; the option errors
+    * there. */
+  final case class ResyncMirror(name: String, ifExists: Boolean = false,
+      options: Map[String, String] = Map.empty)
       extends Statement
   final case class DropMirror(name: String, ifExists: Boolean = false)
       extends Statement
@@ -231,7 +238,8 @@ object GraftSql {
   private val execMirror: Regex =
     """(?is)\s*EXECUTE\s+MIRROR\s+(\w+)\s*""".r
   private val resyncMirror: Regex =
-    """(?is)\s*RESYNC\s+MIRROR\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
+    ("""(?is)\s*RESYNC\s+MIRROR\s+(?:(IF\s+EXISTS)\s+)?(\w+)""" +
+      """\s*(?:WITH\s*\((.*)\)\s*)?\s*""").r
   private val dropMirror: Regex =
     """(?is)\s*DROP\s+MIRROR\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val pauseMirror: Regex =
@@ -319,8 +327,10 @@ object GraftSql {
       Some(CreateMirror(fold(n), parseOptions(opts),
         ifNotExists = ine != null))
     case execMirror(n) => Some(ExecuteMirror(fold(n)))
-    case resyncMirror(ife, n) =>
-      Some(ResyncMirror(fold(n), ifExists = ife != null))
+    case resyncMirror(ife, n, opts) =>
+      Some(ResyncMirror(fold(n), ifExists = ife != null,
+        options =
+          if (opts == null) Map.empty else parseOptions(opts)))
     case dropMirror(ife, n) =>
       Some(DropMirror(fold(n), ifExists = ife != null))
     case pauseMirror(ife, n) =>
@@ -2169,16 +2179,41 @@ object GraftSql {
           Seq(Row(-1L)) // CDC drain reports no row count (stream metrics do)
         }
       }
-    case ResyncMirror(n, ifExists) if ifExists &&
+    case ResyncMirror(n, ifExists, _) if ifExists &&
         !mirrorsFor(spark).list.exists(_.name == n) =>
       Nil // NO SUCH MIRROR as a success (main.rs:483-487)
-    case ResyncMirror(n, _) =>
+    case ResyncMirror(n, _, resyncOpts) =>
       // Full rebuild + atomic swap (ResyncMirror, cdc_flow.go resync
       // path): re-drain the WAL from scratch into _resync with a fresh
       // checkpoint; the serving table swaps only on success. The original
       // raw staging dir is the historical log and is left untouched
       // (the rebuild stages into a throwaway raw).
-      val entry = mirrorEntry(spark, n)
+      val entry0 = mirrorEntry(spark, n)
+      // WITH (query_string '…') — the analyzer's resync option
+      // (analyzer/src/lib.rs:476-483): a QRep mirror rebuilds under a
+      // NEW query, persisted so later rounds keep it. Unknown options
+      // and query_string on a CDC mirror fail loudly.
+      resyncOpts.keys.find(_ != "query_string").foreach { k =>
+        throw new IllegalArgumentException(
+          s"RESYNC MIRROR: unknown option '$k' (only query_string)")
+      }
+      val entry = resyncOpts.get("query_string") match {
+        case None => entry0
+        case Some(_) if entry0.kind != "qrep" =>
+          throw new IllegalArgumentException(
+            "RESYNC MIRROR: query_string applies to QRep mirrors " +
+              "only (a CDC mirror has no query)")
+        case Some(q2) =>
+          // the replacement query must satisfy the same template
+          // rules the CREATE enforced
+          validateQRep(spark, q2.trim, entry0.options,
+            requireTemplate = entry0.options.get("__query").exists(q =>
+              q.contains("{{.start}}") || q.contains("{{.start_ts}}")))
+          val updated = entry0.copy(
+            options = entry0.options + ("__query" -> q2.trim))
+          mirrorsFor(spark).update(updated)
+          updated
+      }
       if (entry.kind == "qrep") {
         // QRep resync: full re-pull into a fresh dir (fresh watermark
         // lives INSIDE it, so the swap carries data + offset together).

@@ -37,6 +37,9 @@ class GraftSqlSpec extends SparkSpec {
       Some(DropPeer("p1", ifExists = true)))
     assert(parse("RESYNC MIRROR IF EXISTS m1") ==
       Some(ResyncMirror("m1", ifExists = true)))
+    assert(parse("RESYNC MIRROR m1 WITH (query_string 'SELECT 1')") ==
+      Some(ResyncMirror("m1",
+        options = Map("query_string" -> "SELECT 1"))))
     assert(parse("PAUSE MIRROR IF EXISTS m1") ==
       Some(PauseMirror("m1", ifExists = true)))
     assert(parse("RESUME MIRROR IF EXISTS m1") ==
@@ -590,6 +593,38 @@ class GraftSqlSpec extends SparkSpec {
       s.sql("RESYNC MIRROR qm")
       assert(s.read.parquet(s"$base/dest").count() == 120)
       assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 0L)
+
+      // RESYNC WITH (query_string '…') — the analyzer's resync option
+      // (analyzer/src/lib.rs:465-490): the rebuild runs under the NEW
+      // query, persisted for later rounds. Here the replacement adds
+      // a filter, so the resynced destination shrinks.
+      s.sql("RESYNC MIRROR qm WITH (query_string " +
+        "' SELECT id, v FROM items WHERE id <= 50 " +
+        "AND id BETWEEN {{.start}} AND {{.end}} ')")
+      assert(s.read.parquet(s"$base/dest").count() == 50,
+        "resync must rebuild under the replacement query")
+      // the new query PERSISTS: the next round's bound query covers
+      // ids 51-120 (above the fresh watermark) but the replacement
+      // filter excludes them — 0 moved proves the filter stuck
+      assert(s.sql("EXECUTE MIRROR qm").head().getLong(0) == 0L,
+        "post-resync rounds keep the replacement query's filter")
+      // bad replacement: template missing → loud, mirror unchanged
+      val eq = intercept[IllegalArgumentException] {
+        s.sql("RESYNC MIRROR qm WITH (query_string " +
+          "'SELECT id, v FROM items')")
+      }
+      assert(eq.getMessage.contains("{{.start}}"), eq.getMessage)
+      val eu = intercept[IllegalArgumentException] {
+        s.sql("RESYNC MIRROR qm WITH (bogus 'x')")
+      }
+      assert(eu.getMessage.contains("unknown option"), eu.getMessage)
+      // restore the original query the same way (the option is just
+      // a durable query swap) — the rebuild brings all 120 back and
+      // the continuous-mode section below continues from there
+      s.sql("RESYNC MIRROR qm WITH (query_string " +
+        "' SELECT id, v FROM items " +
+        "WHERE id BETWEEN {{.start}} AND {{.end}} ')")
+      assert(s.read.parquet(s"$base/dest").count() == 120)
 
       // continuous mode: RESUME starts the refresh loop — an increment
       // appears in the dest WITHOUT an EXECUTE; PAUSE stops the loop
