@@ -353,7 +353,10 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
           s"${live}_graft_stage", keysOf(tc),
           schemaWithMeta(liveSchemas(table)),
           softDelete = cfg.softDelete,
-          nullableEnabled = nullableEnabled)
+          nullableEnabled = nullableEnabled,
+          bqSyncedAtPartitioning = flavor == "bigquery" &&
+            Settings.get(spark, "bigquery.synced_at_partitioning",
+              cfg.env).exists(_.toBoolean))
         val loader = new graft.sinks.WarehouseLoader(target, exec,
           flavor)
         if (!created(table)) { loader.setup(); created += table }
@@ -396,7 +399,9 @@ class MirrorRunner(spark: SparkSession, cfg: MirrorConfig) {
         "clickhouse.max_insert_threads", cfg.env) match {
         case 0L => Nil
         case n => Seq("max_insert_threads" -> n.toString)
-      })
+      },
+      clientName = Settings.get(spark, "clickhouse.client_name",
+        cfg.env).getOrElse("peerdb"))
     private val rawTable = ClickHouseSql.rawTableName(cfg.flow)
     private val created = scala.collection.mutable.Set.empty[String]
     private var rawReady = false

@@ -159,6 +159,17 @@ object Settings {
         "destination) " +
         "(PEERDB_CLICKHOUSE_INITIAL_LOAD_ALLOW_NON_EMPTY_TABLES; " +
         "clickhouse/validate.go:70-87)"),
+    Setting("bigquery.synced_at_partitioning", Some("false"), "bool",
+      "Create BigQuery target tables PARTITION BY " +
+        "DATE(_peerdb_synced_at) — day partitioning by load time for " +
+        "retention and pruning on append-heavy destinations " +
+        "(PEERDB_BIGQUERY_ENABLE_SYNCED_AT_PARTITIONING_BY_DAYS, " +
+        "dynamicconf.go:268; bigquery.go:742-752)"),
+    Setting("clickhouse.client_name", Some("peerdb"), "string",
+      "Client name the engine reports to ClickHouse — over the HTTP " +
+        "interface it rides the User-Agent header (the server's " +
+        "http_user_agent) (PEERDB_CLICKHOUSE_CLIENT_NAME, " +
+        "dynamicconf.go:325; clickhouse.go:230-236)"),
     Setting("clickhouse.binary_format", Some("raw"), "string",
       "How BYTES columns land on ClickHouse destinations: 'raw' " +
         "(decoded bytes in the String column, the default), 'hex' " +

@@ -466,8 +466,17 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     import graft.types.QKind.Dialect
     graft.cdc.CaptureEndpoint.parse(url).scheme match {
       case "clickhouse" =>
-        (new graft.sinks.ClickHouseExecutor(url), Dialect.ClickHouse,
-          "clickhouse", () => ())
+        // the reference's CH connection settings + client name ride
+        // every QRep statement too (clickhouse.go:217-232)
+        val chSettings = graft.mirror.Settings.getLong(spark,
+          "clickhouse.max_insert_threads", cfg.env) match {
+          case 0L => Nil
+          case n => Seq("max_insert_threads" -> n.toString)
+        }
+        val chName = graft.mirror.Settings.get(spark,
+          "clickhouse.client_name", cfg.env).getOrElse("peerdb")
+        (new graft.sinks.ClickHouseExecutor(url, chSettings, chName),
+          Dialect.ClickHouse, "clickhouse", () => ())
       case "snowflake" =>
         (new graft.sinks.SnowflakeSqlApi(url), Dialect.Snowflake,
           "snowflake", () => ())
@@ -589,7 +598,11 @@ final class QRepRunner(spark: SparkSession, cfg: QRepConfig) {
     try {
       val target = graft.sinks.MergeTarget(cfg.destTable,
         s"${cfg.destTable}_graft_stage", keys, payloadSchema,
-        softDelete = false) // QRep rounds carry no deletes
+        softDelete = false, // QRep rounds carry no deletes
+        bqSyncedAtPartitioning = flavor == "bigquery" &&
+          graft.mirror.Settings.get(spark,
+            "bigquery.synced_at_partitioning", cfg.env)
+            .exists(_.toBoolean))
       val loader = new graft.sinks.WarehouseLoader(target, exec, flavor)
       loader.setup() // CREATE TABLE IF NOT EXISTS — idempotent
       // a crash between the load and DROP can leave a stale staging

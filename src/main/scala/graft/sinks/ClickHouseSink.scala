@@ -208,7 +208,12 @@ final class ClickHouseHttp(url: String,
     /** Per-statement ClickHouse settings shipped as URL query params
       * on every request — the reference's connection `settings` map
       * (clickhouse.go:217-226, e.g. max_insert_threads). */
-    settings: Seq[(String, String)] = Nil) extends Serializable {
+    settings: Seq[(String, String)] = Nil,
+    /** PEERDB_CLICKHOUSE_CLIENT_NAME (dynamicconf.go:325, default
+      * 'peerdb'): the native protocol's ClientInfo name; over HTTP
+      * the server records the User-Agent as http_user_agent, so the
+      * name rides that header. */
+    clientName: String = "peerdb") extends Serializable {
 
   private val ep = graft.cdc.CaptureEndpoint.parse(url)
   require(ep.scheme == "clickhouse",
@@ -228,6 +233,7 @@ final class ClickHouseHttp(url: String,
     c.setDoOutput(true)
     c.setConnectTimeout(ep.param("connect_timeout_ms", "5000").toInt)
     c.setReadTimeout(ep.param("read_timeout_ms", "60000").toInt)
+    c.setRequestProperty("User-Agent", clientName)
     if (ep.user.nonEmpty) c.setRequestProperty("X-ClickHouse-User", ep.user)
     if (ep.password.nonEmpty)
       c.setRequestProperty("X-ClickHouse-Key", ep.password)
@@ -286,6 +292,9 @@ final class ClickHouseHttp(url: String,
 final class ClickHouseExecutor(http: ClickHouseHttp)
     extends SqlExecutor {
   def this(url: String) = this(new ClickHouseHttp(url))
+  def this(url: String, settings: Seq[(String, String)],
+      clientName: String) =
+    this(new ClickHouseHttp(url, settings, clientName))
 
   override def execute(sql: String): Unit = http.exec(sql)
 

@@ -39,7 +39,12 @@ final case class MergeTarget(
       * source-NOT-NULL column creates NOT NULL (postgres
       * client.go:713-716's `tableSchema.NullableEnabled` gate). Off
       * (the reference default) leaves every non-key column nullable. */
-    nullableEnabled: Boolean = false) {
+    nullableEnabled: Boolean = false,
+    /** PEERDB_BIGQUERY_ENABLE_SYNCED_AT_PARTITIONING_BY_DAYS
+      * (dynamicconf.go:268; bigquery.go:742-752): BigQuery target
+      * tables partition by DAY on the synced-at column — retention
+      * and pruning by load day on an append-heavy destination. */
+    bqSyncedAtPartitioning: Boolean = false) {
   /** Column nullability in destination DDL: keys always NOT NULL;
     * value columns follow the source only under nullableEnabled. */
   def ddlNullable(f: org.apache.spark.sql.types.StructField): Boolean =
@@ -158,9 +163,15 @@ object MergeSqlGenerator {
           s"${bq(RawTable.Version)} INT64 NOT NULL",
           s"${bq(RawTable.IsDeleted)} BOOL NOT NULL",
           s"${bq(RawTable.SyncedAt)} TIMESTAMP")
+        // BQ DDL clause order: PARTITION BY before CLUSTER BY
+        val partition =
+          if (t.bqSyncedAtPartitioning)
+            s" PARTITION BY DATE(${bq(RawTable.SyncedAt)})"
+          else ""
         s"""CREATE TABLE IF NOT EXISTS ${qualified(t.table, dialect)} (
            |  ${(cols ++ meta).mkString(",\n  ")}
-           |) CLUSTER BY ${t.pkColumns.map(bq).mkString(", ")}""".stripMargin
+           |)$partition CLUSTER BY ${t.pkColumns.map(bq).mkString(", ")}"""
+          .stripMargin
     }
   }
 

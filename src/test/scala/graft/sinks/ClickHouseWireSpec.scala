@@ -32,6 +32,8 @@ class ClickHouseWireSpec extends SparkSpec {
     val stub = new StubWarehouse(spark, QKind.Dialect.ClickHouse)
     /** Query params of the last request (settings ride here). */
     @volatile var lastParams: Map[String, String] = Map.empty
+    /** User-Agent of the last request (the client-name channel). */
+    @volatile var lastUserAgent: String = ""
     private val server =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     private def key(tok: String): String = tok.split('.')
@@ -47,6 +49,8 @@ class ClickHouseWireSpec extends SparkSpec {
             (if (p.length > 1) URLDecoder.decode(p(1), "UTF-8") else "")
         }.toMap
       lastParams = params
+      lastUserAgent =
+        Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse("")
       val query = params.getOrElse("query", body)
       val result =
         try {
@@ -460,13 +464,18 @@ class ClickHouseWireSpec extends SparkSpec {
         rec(12, ChangeRecord.TypeDelete, null,
           matchData = """{"id":2}""")))
       // PEERDB_CLICKHOUSE_MAX_INSERT_THREADS rides every statement
-      // as a query-param setting (clickhouse.go:222-226)
+      // as a query-param setting (clickhouse.go:222-226);
+      // PEERDB_CLICKHOUSE_CLIENT_NAME rides the User-Agent
       spark.conf.set("spark.graft.clickhouse.max_insert_threads", "3")
+      spark.conf.set("spark.graft.clickhouse.client_name", "graft-ua")
       try new MirrorRunner(spark, cfg).runAvailableNow()
-      finally spark.conf.unset(
-        "spark.graft.clickhouse.max_insert_threads")
+      finally {
+        spark.conf.unset("spark.graft.clickhouse.max_insert_threads")
+        spark.conf.unset("spark.graft.clickhouse.client_name")
+      }
       assert(ch.lastParams.get("max_insert_threads").contains("3"),
         ch.lastParams.toString)
+      assert(ch.lastUserAgent == "graft-ua", ch.lastUserAgent)
       assert(chRows(ch) == Seq((1L, 10L, "a")),
         "id 2 must tombstone away; id 1 must survive")
     } finally ch.stop()

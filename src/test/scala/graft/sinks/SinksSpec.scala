@@ -88,6 +88,15 @@ class SinksSpec extends SparkSpec {
       s"ENGINE = ReplacingMergeTree(`${RawTable.Version}`)"))
 
     val bq = MergeSqlGenerator.createTable(wide, Dialect.BigQuery)
+    assert(!bq.contains("PARTITION BY"), "off by default")
+    // PEERDB_BIGQUERY_ENABLE_SYNCED_AT_PARTITIONING_BY_DAYS
+    // (bigquery.go:742-752): day partitioning on the synced-at column,
+    // PARTITION BY before CLUSTER BY (the BQ DDL clause order)
+    val bqPart = MergeSqlGenerator.createTable(
+      wide.copy(bqSyncedAtPartitioning = true), Dialect.BigQuery)
+    assert(bqPart.contains(
+      s") PARTITION BY DATE(`${RawTable.SyncedAt}`) CLUSTER BY `id`"),
+      bqPart)
     assert(bq.contains("`id` INT64 NOT NULL"))
     assert(bq.contains("`price` BIGNUMERIC(20,4)"))
     assert(bq.contains("`ratio` FLOAT64"))
