@@ -215,6 +215,59 @@ object MicroBench {
           time(s"$name #$i")(fn(spark, sfDir).queryExecution.toRdd.count())
           graft.queries.SharedStages.sweep(spark)
         }
+      case "prof" =>
+        // Per-JOB wall-time profile of one registry query (guide §1):
+        // a listener logs every job's duration + first-stage callsite so
+        // multi-job queries (checkpointed pipelines) show where the
+        // seconds go. Run 3×; read the LAST run's rows (warm).
+        val name = args.lift(2).getOrElse("q_curation_increment")
+        val fn = SparkEntry.queries(name)
+        val jobs = new java.util.concurrent.ConcurrentHashMap[
+          Int, (String, Long)]()
+        val done = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, String, Double)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart)
+                : Unit = {
+              val site = js.stageInfos.sortBy(_.stageId).lastOption
+                .map(_.details.linesIterator.take(1).mkString)
+                .getOrElse("?")
+              jobs.put(js.jobId, (site, js.time))
+            }
+            override def onJobEnd(
+                je: org.apache.spark.scheduler.SparkListenerJobEnd)
+                : Unit = {
+              Option(jobs.remove(je.jobId)).foreach { case (site, t0) =>
+                done.add((je.jobId, site, (je.time - t0) / 1e3))
+              }
+            }
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler
+                  .SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val secs = (for {
+                t1 <- si.completionTime; t0 <- si.submissionTime
+              } yield (t1 - t0) / 1e3).getOrElse(-1.0)
+              if (secs > 0.05)
+                println(f"    stage ${si.stageId}%4d $secs%7.3f s " +
+                  f"tasks=${si.numTasks}%-4d ${si.name.take(90)}")
+            }
+          })
+        (1 to 3).foreach { i =>
+          done.clear()
+          time(s"$name #$i")(fn(spark, sfDir).queryExecution.toRdd.count())
+          graft.queries.SharedStages.sweep(spark)
+          Thread.sleep(200) // let listener events drain
+          val rows = done.toArray(Array.empty[(Int, String, Double)])
+            .sortBy(_._1)
+          rows.foreach { case (id, site, secs) =>
+            println(f"  job $id%4d $secs%7.3f s  $site")
+          }
+          println(f"  [prof] jobs=${rows.length} " +
+            f"sum=${rows.map(_._3).sum}%.3f s")
+        }
       case "cdc" =>
         // End-to-end mirror throughput: WAL decode → raw staging append →
         // normalize (latest-version dedup, TOAST backfill, soft delete) →

@@ -320,9 +320,71 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Max occurrence count of any element in a string array, as one
+  * codegen'd hash-count loop — the zero-shuffle twin of
+  * `explode → groupBy(id, w).count → groupBy(id).max(count)` (two
+  * exchanges of |words| rows), which is exactly the Gopher top-word
+  * rate's numerator. NULL array → NULL; NULL elements count as one
+  * shared key (split() never produces them). Empty array → 0. */
+case class TopWordCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_word_count expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TopWordCountExpr.topCount(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = " +
+        s"graft.functions.TopWordCountExpr.topCount($x);\n")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TopWordCountExpr = copy(child = newChild)
+
+  override def prettyName: String = "top_word_count"
+}
+
+object TopWordCountExpr {
+  /** One pass, one open-addressed count per distinct element. Static
+    * forwarder so Janino-generated code can call it. */
+  def topCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val m = new java.util.HashMap[UTF8String, Array[Long]](
+      Math.max(16, n * 2))
+    var best = 0L
+    var nulls = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        nulls += 1
+        if (nulls > best) best = nulls
+      } else {
+        var c = m.get(arr.getUTF8String(i))
+        if (c == null) { c = new Array[Long](1); m.put(arr.getUTF8String(i), c) }
+        c(0) += 1
+        if (c(0) > best) best = c(0)
+      }
+      i += 1
+    }
+    best
+  }
+}
+
 object SignatureExprs {
   def fnv1a32(s: Column): Column =
     GraftShims.column(Fnv1a32Expr(GraftShims.expression(s)))
+
+  def topWordCount(ws: Column): Column =
+    GraftShims.column(TopWordCountExpr(GraftShims.expression(ws)))
 
   def minhashSig(shingles: Column, k: Int): Column =
     GraftShims.column(MinHashSigExpr(GraftShims.expression(shingles), k))

@@ -29,13 +29,15 @@ import graft.functions.{SignatureExprs, TextFunctions => TF}
   * [[runIncrement]] — the two funnels cannot drift.
   *
   * Scale notes: every stage is the linear shape its query documents
-  * (hash shuffles and band equi-joins, benchmark grams broadcast); the
-  * inter-stage `localCheckpoint` stands in for the stage tables a real
-  * run writes to storage between increments — each stage's output is
-  * materialized once and read by exactly the next stage plus one
-  * count. Docs too short to carry a 3-shingle (stage 2) or a 13-gram
-  * (stage 5) pass those stages untouched — the gates that can judge
-  * them are 3 and 4. */
+  * (hash shuffles and band equi-joins, benchmark grams broadcast).
+  * Only the two frames later work genuinely re-reads materialize
+  * (`localCheckpoint`): the exact-dedup survivors and the near-dup
+  * drop ids — the in-session stand-ins for the stage tables a real
+  * run persists between increments; the stage-3-5 funnel resolves in
+  * one aggregation over per-doc flags (see [[flagsFunnel]]). Docs too
+  * short to carry a 3-shingle (stage 2) or a 13-gram (stage 5) pass
+  * those stages untouched — the gates that can judge them are 3
+  * and 4. */
 object CurationPipeline {
 
   final case class Config(
@@ -51,20 +53,45 @@ object CurationPipeline {
   /** Run the five stages over `corpus` (doc_id BIGINT, text STRING).
     * `benchmark` (same shape) is the eval suite whose 13-grams poison;
     * pass an empty frame to skip decontamination semantics (stage 5
-    * then drops nothing). Returns the surviving frame + the audit. */
+    * then drops nothing). Returns the surviving frame + the audit.
+    *
+    * Execution shape (optimization r15, guide §1/§2): the heavy stages
+    * materialize exactly twice — the exact-dedup survivors (`s1`,
+    * every later stage's base) and the near-dup drop set (`drops2`, a
+    * tiny id frame) — and the five-stage funnel then resolves in ONE
+    * aggregation over a per-doc flag frame instead of a checkpoint +
+    * count action pair per stage. Gates 3-5 are pointwise per-doc
+    * predicates, so cumulative conditional sums over one pass produce
+    * the exact sequential funnel counts; the old shape paid ~10 driver
+    * actions of pure fixed cost at every scale. */
   def run(corpus: DataFrame, benchmark: DataFrame,
-      cfg: Config = Config()): (DataFrame, Seq[StageAudit]) =
-    audited(corpus, Seq[(String, DataFrame => DataFrame)](
-      "exact_dedup" -> (exactDedupWithin(_)),
-      "near_dedup" -> { d: DataFrame =>
-        val shaped = shapedOf(d).localCheckpoint(true)
-        val bands = bandsOf(shaped).localCheckpoint(true)
-        val cand = keepFirstCandidates(bands)
-        val sh = shaped.select(col("doc_id"), explode(col("shs")).as("s"))
-        val cnt = shaped.select(col("doc_id"),
-          size(col("shs")).cast("long").as("n"))
-        d.join(verifiedDrops(cand, sh, cnt), Seq("doc_id"), "left_anti")
-      }) ++ gateStages(benchmark, cfg))
+      cfg: Config = Config()): (DataFrame, Seq[StageAudit]) = {
+    val input = corpus.select("doc_id", "text")
+    // count-pruned scan of the source — cheaper than checkpointing the
+    // full text column just to count it
+    val n0 = input.count()
+    // tokenize ONCE at the s1 materialization: every later stage
+    // (3-shingles, length, top-word rate, 13-grams) reads `ws` instead
+    // of re-splitting the text it already carries — at 100 TB that is
+    // one tokenization pass instead of four
+    val s1 = exactDedupWithin(input)
+      .withColumn("ws", TF.words(col("text")))
+      .localCheckpoint(true)
+    // drops2 stays LAZY: its single execution is inside the funnel
+    // aggregation job, off the checkpointed `shaped` frame
+    val drops2 = {
+      val shaped = shapedOfWs(s1).localCheckpoint(true)
+      // bands stay LAZY: both consumers in keepFirstCandidates
+      // re-derive the cheap posexplode from the sig frame bandsOf
+      // pins — cheaper than a third materialization
+      val cand = keepFirstCandidates(bandsOf(shaped))
+      val sh = shaped.select(col("doc_id"), explode(col("shs")).as("s"))
+      val cnt = shaped.select(col("doc_id"),
+        size(col("shs")).cast("long").as("n"))
+      verifiedDrops(cand, sh, cnt)
+    }
+    flagsFunnel(s1, n0, drops2, benchmark, cfg)
+  }
 
   /** The INCREMENTAL production loop: curate a new `increment` (a crawl
     * dump) against an already-kept `corpus` — the shape a recurring
@@ -97,17 +124,22 @@ object CurationPipeline {
       benchmark: DataFrame, cfg: Config = Config())
       : (DataFrame, Seq[StageAudit]) = {
     val corpusDocs = corpus.select("doc_id", "text")
-    audited(increment, Seq[(String, DataFrame => DataFrame)](
-      "exact_dedup" -> { d: DataFrame =>
-        val corpusHashes = corpusDocs
-          .select(md5(col("text")).as("h")).distinct()
-        exactDedupWithin(d).withColumn("h", md5(col("text")))
-          .join(corpusHashes, Seq("h"), "left_anti")
-          .drop("h")
-      },
-      "near_dedup" -> { d: DataFrame =>
-        val incShaped = shapedOf(d).localCheckpoint(true)
-        val incBands = bandsOf(incShaped).localCheckpoint(true)
+    val input = increment.select("doc_id", "text")
+    // count-pruned scan of the source — cheaper than a checkpoint
+    val n0 = input.count()
+    val s1 = {
+      val corpusHashes = corpusDocs
+        .select(md5(col("text")).as("h")).distinct()
+      exactDedupWithin(input).withColumn("h", md5(col("text")))
+        .join(corpusHashes, Seq("h"), "left_anti")
+        .drop("h")
+    }.withColumn("ws", TF.words(col("text"))) // tokenize once — see run()
+      .localCheckpoint(true)
+    val drops2 = {
+        val incShaped = shapedOfWs(s1).localCheckpoint(true)
+        // lazy: both consumers re-derive the cheap posexplode from the
+        // sig frame bandsOf pins (saves one materialization per round)
+        val incBands = bandsOf(incShaped)
         // increment×increment: keep-first exactly as in run()
         val candII = keepFirstCandidates(incBands)
         // increment×corpus: the increment's band keys are the small
@@ -146,50 +178,75 @@ object CurationPipeline {
           .unionByName(corpusCandShaped
             .select(col("doc_id"), size(col("shs")).cast("long").as("n")))
         val cand = candII.unionByName(candIC).distinct()
-        d.join(verifiedDrops(cand, sh, cnt), Seq("doc_id"), "left_anti")
-      }) ++ gateStages(benchmark, cfg))
+        verifiedDrops(cand, sh, cnt)
+    } // lazy — single execution inside the funnel aggregation job
+    flagsFunnel(s1, n0, drops2, benchmark, cfg)
   }
 
   // ------------------------------------------------ shared stage defs
 
-  /** Audit scaffolding: run the named stages in order, checkpointing
-    * each output and recording the funnel row. */
-  private def audited(input: DataFrame,
-      stages: Seq[(String, DataFrame => DataFrame)])
-      : (DataFrame, Seq[StageAudit]) = {
-    val audits = Seq.newBuilder[StageAudit]
-    var cur = input.select("doc_id", "text").localCheckpoint(true)
-    var curN = cur.count()
-    stages.zipWithIndex.foreach { case ((name, f), i) =>
-      val out = f(cur).localCheckpoint(true)
-      val outN = out.count()
-      audits += StageAudit(i + 1, name, curN, outN)
-      cur = out; curN = outN
+  /** Stages 3-5 + the audit — identical in both entry points by
+    * construction: ONE per-doc flags frame over the stage-1 survivors
+    * and ONE aggregation for the whole funnel. The gate predicates are
+    * the exact expressions the standalone queries run (q_length_gate /
+    * q_repetition_filter / q_contamination_ngram); each is a pointwise
+    * per-doc predicate, so conditional sums with cumulative ANDs
+    * reproduce the sequential stage counts exactly. The rep/contam
+    * subtrees only read docs passing the (pointwise, cheap) length
+    * gate — a doc failing it never needs either flag, and at scale
+    * this keeps the word/13-gram explodes off the short/long tail. */
+  private def flagsFunnel(s1: DataFrame, n0: Long, drops2: DataFrame,
+      benchmark: DataFrame, cfg: Config): (DataFrame, Seq[StageAudit]) = {
+    val lenOk = size(col("ws")).between(cfg.minWords, cfg.maxWords)
+    // top-word rate as ONE codegen'd expression over `ws` — the
+    // explode → groupBy(doc, w) → groupBy(doc) formulation shuffles
+    // |words| rows twice for a per-doc scalar; `top * 1000 DIV n` is
+    // the exact integer arithmetic the standalone gate runs (DIV by
+    // zero → NULL → coalesce(false), matching the inner join that
+    // dropped wordless docs)
+    val repOk = coalesce(
+      expr(s"top_w * 1000 DIV n_w <= ${cfg.topWordPmMax}"), lit(false))
+    val bench = grams13(benchmark, cfg).select("h").distinct()
+    val contam = grams13Ws(s1.filter(lenOk), cfg)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+      .select(col("doc_id"), lit(true).as("contam"))
+    val flags = s1.select(col("doc_id"), lenOk.as("len_ok"),
+        SignatureExprs.topWordCount(col("ws")).as("top_w"),
+        size(col("ws")).cast("long").as("n_w"))
+      .withColumn("rep_ok", repOk)
+      .join(drops2.select(col("doc_id"), lit(true).as("drop2")),
+        Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("drop2"), lit(false)).as("drop2"),
+        col("len_ok"),
+        col("rep_ok"),
+        coalesce(col("contam"), lit(false)).as("contam"))
+    val keepCond = !col("drop2") && col("len_ok") && col("rep_ok") &&
+      !col("contam")
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val r = flags.agg(
+      count(lit(1)).as("n1"),
+      n(!col("drop2")).as("n2"),
+      n(!col("drop2") && col("len_ok")).as("n3"),
+      n(!col("drop2") && col("len_ok") && col("rep_ok")).as("n4"),
+      n(keepCond).as("n5")).head()
+    val counts = (0 until 5).map(r.getLong)
+    val stageNames = Seq("exact_dedup", "near_dedup", "length_gate",
+      "repetition_gate", "decontaminate")
+    val audits = stageNames.zipWithIndex.map { case (name, i) =>
+      StageAudit(i + 1, name, if (i == 0) n0 else counts(i - 1), counts(i))
     }
-    (cur, audits.result())
+    // kept stays LAZY: the funnel's audit consumers never execute it,
+    // and callers that do (spec / downstream writes) recompute only
+    // the cheap flag joins from the checkpointed s1.
+    val kept = s1.select("doc_id", "text")
+      .join(flags.filter(keepCond).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    (kept, audits)
   }
-
-  /** Stages 3-5 — identical in both entry points by construction. */
-  private def gateStages(benchmark: DataFrame, cfg: Config)
-      : Seq[(String, DataFrame => DataFrame)] = Seq(
-    "length_gate" -> (d => d.filter(
-      size(TF.words(col("text"))).between(cfg.minWords, cfg.maxWords))),
-    "repetition_gate" -> { d: DataFrame =>
-      val ok = d
-        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
-        .filter(expr(s"top * 1000 DIV n <= ${cfg.topWordPmMax}"))
-        .select("doc_id")
-      d.join(ok, Seq("doc_id"))
-    },
-    "decontaminate" -> { d: DataFrame =>
-      val bench = grams13(benchmark, cfg).select("h").distinct()
-      val hit = grams13(d, cfg)
-        .join(broadcast(bench), Seq("h"), "left_semi")
-        .select("doc_id").distinct()
-      d.join(hit, Seq("doc_id"), "left_anti")
-    })
 
   /** Keep the lowest doc_id per content hash (within one frame). */
   private def exactDedupWithin(d: DataFrame): DataFrame =
@@ -198,8 +255,11 @@ object CurationPipeline {
       .filter(col("rn") === 1).drop("rn")
 
   /** (doc_id, shs): distinct 3-shingles per doc with ≥ 3 words. */
-  private[operators] def shapedOf(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), TF.words(col("text")).as("ws"))
+  private[operators] def shapedOf(df: DataFrame): DataFrame =
+    shapedOfWs(df.select(col("doc_id"), TF.words(col("text")).as("ws")))
+
+  /** [[shapedOf]] over an already-tokenized frame (doc_id, …, ws). */
+  private[operators] def shapedOfWs(df: DataFrame): DataFrame = df
     .filter(size(col("ws")) >= 3)
     .select(col("doc_id"), array_distinct(
       SignatureExprs.wordShingles(col("ws"), 3)).as("shs"))
@@ -248,14 +308,14 @@ object CurationPipeline {
     *
     * Both aggregate and join key on (band, key): one shuffle,
     * co-partitioned. */
-  private[operators] def keepFirstCandidates(bands: DataFrame): DataFrame = {
-    val mins = bands.groupBy("band", "key")
-      .agg(min("doc_id").as("d1"))
-    bands.join(mins, Seq("band", "key"))
+  private[operators] def keepFirstCandidates(bands: DataFrame): DataFrame =
+    // bucket minimum as a window over (band, key): ONE exchange, where
+    // the groupBy-min + self-join pays the same exchange plus a join
+    bands.withColumn("d1",
+        min("doc_id").over(Window.partitionBy("band", "key")))
       .filter(col("doc_id") > col("d1"))
       .select(col("d1"), col("doc_id").as("d2"))
       .distinct()
-  }
 
   /** Exact-Jaccard verify over candidate pairs: returns the distinct
     * d2 (loser) ids whose pair clears J ≥ 0.5, as a (doc_id) frame. */
@@ -273,8 +333,12 @@ object CurationPipeline {
       .select(col("d2").as("doc_id")).distinct()
   }
 
-  private def grams13(df: DataFrame, cfg: Config): DataFrame = df
-    .select(col("doc_id"), TF.words(col("text")).as("ws"))
+  private def grams13(df: DataFrame, cfg: Config): DataFrame =
+    grams13Ws(df.select(col("doc_id"),
+      TF.words(col("text")).as("ws")), cfg)
+
+  /** [[grams13]] over an already-tokenized frame (doc_id, …, ws). */
+  private def grams13Ws(df: DataFrame, cfg: Config): DataFrame = df
     .filter(size(col("ws")) >= cfg.contamGram)
     .select(col("doc_id"), explode(array_distinct(
       SignatureExprs.wordShingles(col("ws"), cfg.contamGram))).as("g"))
