@@ -31,6 +31,19 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Spread a small-file scan across the session's cores BEFORE the
+    * per-row assembly/interpretation that follows: a one-file source
+    * arrives as one partition, so everything narrow downstream (JSON
+    * image assembly, Lua interpretation) would run single-task while
+    * the other cores idle. The exchange moves the RAW columns (always
+    * narrower than the assembled images), and the Lua stages'
+    * LuaParallelism then sees a wide batch and adds no second shuffle.
+    * Width tracks defaultParallelism — scale-adaptive, not a constant:
+    * at real scale the scan is already many partitions and the bench's
+    * lower-core runs shrink with the session. */
+  private def spreadScan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** double → exact integer cents via a decimal(12,2) intermediate. */
   private def cents(c: Column): Column =
     (c.cast("decimal(12,2)") * 100).cast("bigint")
@@ -1234,7 +1247,7 @@ object CoreQueries {
     "q_lua_route",
     "lua onRecord routing: the embedded interpreter vs the SQL oracle",
     (s, dir) => {
-      val batch = changeLog(s, dir).select(
+      val batch = spreadScan(changeLog(s, dir)).select(
         col("rtype").cast("int").as("recordType"),
         col("event_id").as("checkpointId"),
         col("version").as("commitTimeMicros"),
@@ -1286,7 +1299,7 @@ object CoreQueries {
     "q_lua_decimal",
     "lua decimal userdata arithmetic: exact NUMERIC routing vs the SQL oracle",
     (s, dir) => {
-      val batch = t(s, dir, "orders").select(
+      val batch = spreadScan(t(s, dir, "orders")).select(
         lit(graft.model.ChangeRecord.TypeInsert).as("recordType"),
         col("o_orderkey").cast("long").as("checkpointId"),
         (col("o_orderkey").cast("long") * 1000L).as("commitTimeMicros"),
@@ -1338,7 +1351,7 @@ object CoreQueries {
     "lua transformRecord adapt stage: pattern split + decimal uplift " +
       "vs the SQL oracle",
     (s, dir) => {
-      val batch = t(s, dir, "orders").select(
+      val batch = spreadScan(t(s, dir, "orders")).select(
         lit(graft.model.ChangeRecord.TypeInsert).as("recordType"),
         col("o_orderkey").cast("long").as("checkpointId"),
         (col("o_orderkey").cast("long") * 1000L).as("commitTimeMicros"),
@@ -1391,7 +1404,7 @@ object CoreQueries {
     "qrep transformRow typed bridge: decimal/timestamp/pattern " +
       "round-trips vs the SQL oracle",
     (s, dir) => {
-      val src = t(s, dir, "orders").select(
+      val src = spreadScan(t(s, dir, "orders")).select(
         col("o_orderkey").cast("long").as("okey"),
         col("o_totalprice").cast("decimal(12,2)").as("price"),
         col("o_orderdate").as("ts"),
@@ -1430,7 +1443,7 @@ object CoreQueries {
     "QRep queue routing: typed rows through onRecord " +
       "(topic/key/value, nil drops)",
     (s, dir) => {
-      val src = t(s, dir, "orders").select(
+      val src = spreadScan(t(s, dir, "orders")).select(
         col("o_orderkey").cast("long").as("okey"),
         col("o_orderpriority").as("prio"),
         cents(col("o_totalprice")).as("cents"))

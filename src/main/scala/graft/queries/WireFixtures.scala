@@ -38,7 +38,12 @@ object WireFixtures {
             s.sparkContext.getPersistentRDDs.keySet.toSet))
         .map(_.df).getOrElse {
           val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-          val df = build.localCheckpoint(true)
+          // spread the fixture across the session's cores: the events
+          // scan is one file → one partition, which would serialize
+          // every decode pass reading the pinned blocks (the decoders
+          // are per-partition by design, so width is free)
+          val df = build.repartition(s.sparkContext.defaultParallelism)
+            .localCheckpoint(true)
           val ids = s.sparkContext.getPersistentRDDs.keySet.toSet -- before
           set(Some(Entry(s, dir, ids, df)))
           df
