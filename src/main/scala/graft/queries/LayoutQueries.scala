@@ -340,15 +340,18 @@ object LayoutQueries {
         .select(col("p_partkey").as("k"))
         .withColumn("h1", expr("(k * 2654435761 + 97) % 4032"))
         .withColumn("h2", expr("(k * 1540483477 + 311) % 4032"))
-      val m1 = keys.join(broadcast(bloom),
-          col("word_idx") === expr("h1 DIV 63"))
-        .where(expr("(shiftright(mask, CAST(h1 % 63 AS INT)) & 1) = 1"))
-        .select("k", "file_id")
-      val m2 = keys.join(broadcast(bloom),
-          col("word_idx") === expr("h2 DIV 63"))
-        .where(expr("(shiftright(mask, CAST(h2 % 63 AS INT)) & 1) = 1"))
-        .select("k", "file_id")
-      val bloomCnt = m1.join(m2, Seq("k", "file_id"))
+      // both probes through ONE broadcast join: a (key, file) pair is a
+      // bloom hit iff BOTH probe bits are set — each exploded probe row
+      // matches exactly one word per file (word_idx is unique per
+      // file), so count == 2 ⇔ the old m1 ⋈ m2 inner join (one
+      // broadcast build + one aggregation instead of two builds + a
+      // pair join)
+      val bloomCnt = keys
+        .select(col("k"), explode(array(col("h1"), col("h2"))).as("h"))
+        .join(broadcast(bloom), col("word_idx") === expr("h DIV 63"))
+        .where(expr("(shiftright(mask, CAST(h % 63 AS INT)) & 1) = 1"))
+        .groupBy("k", "file_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 2)
         .groupBy("k").agg(count(lit(1)).as("files_bloom"))
       val trueCnt = rows.join(broadcast(keys.select("k")),
           col("pk") === col("k"))

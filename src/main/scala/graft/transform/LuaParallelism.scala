@@ -19,12 +19,35 @@ import org.apache.spark.sql.DataFrame
   * `env` is the mirror's per-flow override map
   * (FlowConnectionConfigs.env — dynLookup's env-first order). */
 private[transform] object LuaParallelism {
+
+  /** Input width read from the LOGICAL plan when an explicit
+    * repartition sits on top (behind projections/filters): probing
+    * `df.rdd` instead would FINALIZE the AdaptiveSparkPlan and run
+    * the exchange once for the probe and once again for the real
+    * action (a new QueryExecution cannot reuse the probe's shuffle) —
+    * measured as a full duplicate shuffle per Lua stage. Plans with
+    * no explicit repartition fall back to the rdd probe, which is
+    * free there (narrow chain over a scan). */
+  private def staticWidth(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project => staticWidth(p.child)
+      case f: Filter => staticWidth(f.child)
+      case r: Repartition => Some(r.numPartitions)
+      case r: RepartitionByExpression => r.optNumPartitions
+      case _ => None
+    }
+  }
+
   def spread(df: DataFrame,
       env: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val configured = graft.mirror.Settings
       .get(spark, "queue.parallelism", env).map(_.toInt).getOrElse(0)
-    val cur = df.rdd.getNumPartitions
+    val cur = staticWidth(df.queryExecution.analyzed)
+      .getOrElse(df.rdd.getNumPartitions)
     if (configured > 0) {
       // repartition in BOTH directions: coalesce(narrower) would fuse
       // the bound into the upstream stage and run the PULL at the
