@@ -147,7 +147,10 @@ object CurationPipeline {
         // corpus docs always win, so the increment doc is always d2.
         // The corpus shingle frame is the multi-consumer heavy side —
         // pinned once (≈ the persisted corpus LSH index).
-        val corpusShaped = shapedOf(corpusDocs).localCheckpoint(true)
+        // Spread the (possibly one-file) corpus scan before the
+        // shingle pass — no-op when it is already wide
+        val corpusShaped = shapedOf(graft.util.Spread(corpusDocs))
+          .localCheckpoint(true)
         // star again: per (increment doc, band) only the MINIMUM
         // corpus doc in the shared bucket verifies — ≤8 candidates per
         // increment doc regardless of corpus bucket sizes (an

@@ -32,17 +32,13 @@ object CoreQueries {
     Tables(s, dir, name)
 
   /** Spread a small-file scan across the session's cores BEFORE the
-    * per-row assembly/interpretation that follows: a one-file source
-    * arrives as one partition, so everything narrow downstream (JSON
-    * image assembly, Lua interpretation) would run single-task while
-    * the other cores idle. The exchange moves the RAW columns (always
-    * narrower than the assembled images), and the Lua stages'
-    * LuaParallelism then sees a wide batch and adds no second shuffle.
-    * Width tracks defaultParallelism — scale-adaptive, not a constant:
-    * at real scale the scan is already many partitions and the bench's
-    * lower-core runs shrink with the session. */
-  private def spreadScan(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * per-row assembly/interpretation that follows — [[Tables.spread]]
+    * (conditional: a no-op on already-wide scans, so at real scale
+    * nothing is shuffled or coalesced). The exchange moves the RAW
+    * columns (always narrower than the assembled images), and the Lua
+    * stages' LuaParallelism then sees a wide batch and adds no second
+    * shuffle. */
+  private def spreadScan(df: DataFrame): DataFrame = Tables.spread(df)
 
   /** double → exact integer cents via a decimal(12,2) intermediate. */
   private def cents(c: Column): Column =

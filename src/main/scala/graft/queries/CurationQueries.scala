@@ -147,7 +147,10 @@ object CurationQueries {
     "q_span_dedup",
     "cross-doc repeated 5-gram span removal stats (C4 §2.2)",
     (s, dir) => {
-      val base = docs(s, dir)
+      // spread the one-file scan before the shingle explode — the
+      // explode + checkpoint otherwise run single-task (Tables.spread
+      // is a no-op on already-wide scans)
+      val base = Tables.spread(docs(s, dir).select("doc_id", "text"))
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 5)
         .select(col("doc_id"),
@@ -625,8 +628,9 @@ object CurationQueries {
         // spread the one-file scan across the session's cores BEFORE
         // tokenize+explode: unspread, the span explode, its checkpoint
         // and the Bloom treeAggregate all ran as one task; the exchange
-        // carries raw text (narrower than the ws arrays)
-        .repartition(s.sparkContext.defaultParallelism)
+        // carries raw text (narrower than the ws arrays), and
+        // Tables.spread is a no-op on already-wide scans
+        .transform(Tables.spread)
         .select(col("doc_id"), col("source"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 5)
       def spans(df: DataFrame): DataFrame = df.select(col("doc_id"),
@@ -734,27 +738,28 @@ object CurationQueries {
     "q_quality_funnel",
     "per-source survival funnel: length gate then repetition gate",
     (s, dir) => {
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("source"), TF.words(col("text")).as("ws"))
-      val wordStats = base
-        .select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("n"))
-      val bigramStats = base.filter(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(SignatureExprs.wordShingles(col("ws"), 2)).as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").as("nb"), count(lit(1)).as("ndb"))
-      val rep = wordStats.join(bigramStats, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          expr("top * 1000 DIV n").as("twpm"),
-          coalesce(expr("(nb - ndb) * 1000 DIV nb"), lit(0L)).as("dbpm"))
-      base.select(col("doc_id"), col("source"), size(col("ws")).as("nw"))
-        .join(rep, Seq("doc_id"), "left")
+      // Every per-doc signal is a pointwise expression over the token
+      // array, so the whole funnel is ONE map pass + the (source)
+      // rollup — zero doc-keyed shuffles. top = the codegen'd
+      // TopWordCountExpr (== max word count); n = size(ws) (== Σ of
+      // per-word counts); nb = size(ws) - 1 (== total bigrams); ndb =
+      // distinct-bigram count. The old explode → groupBy(doc, token) →
+      // groupBy(doc) → join chain shuffled |tokens| rows twice per
+      // signal for per-doc scalars; DIV-by-zero → NULL reproduces the
+      // old left-join-miss → coalesce(0) on word-less docs exactly.
+      docs(s, dir)
+        .select(col("source"), TF.words(col("text")).as("ws"))
+        .select(col("source"),
+          size(col("ws")).cast("long").as("nw"),
+          SignatureExprs.topWordCount(col("ws")).as("top"),
+          size(array_distinct(SignatureExprs.wordShingles(col("ws"), 2)))
+            .cast("long").as("ndb"))
         .select(col("source"),
           col("nw").between(20, 1000).as("pass_len"),
-          (coalesce(col("twpm"), lit(0L)) <= 140 &&
-            coalesce(col("dbpm"), lit(0L)) <= 65).as("pass_rep"))
+          (coalesce(expr("top * 1000 DIV nw"), lit(0L)) <= 140 &&
+            coalesce(expr(
+              "CASE WHEN nw >= 2 THEN (nw - 1 - ndb) * 1000 DIV (nw - 1) END"),
+              lit(0L)) <= 65).as("pass_rep"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pass_len"), 1L).otherwise(0L)).as("n_pass_len"),

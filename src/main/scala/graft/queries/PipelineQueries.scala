@@ -263,8 +263,9 @@ object PipelineQueries {
         .withColumn("qe", Similarity.quantize(col("embedding")))
         // spread the single-file scan across the session's cores: the
         // O(n²) truth join below streams THIS side, and unspread it
-        // runs as one task (measured 0.8-1.0 s serial at sf0.1)
-        .repartition(s.sparkContext.defaultParallelism)
+        // runs as one task (measured 0.8-1.0 s serial at sf0.1);
+        // Tables.spread is a no-op on already-wide scans
+        .transform(Tables.spread)
         .localCheckpoint(true)
       val truth = e.as("a")
         .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -1308,7 +1309,10 @@ object PipelineQueries {
     "13-gram sliding-window benchmark contamination audit",
     (s, dir) => {
       val n = 13
-      val grams = docs(s, dir)
+      // spread the one-file scan first: the 13-gram explode + md5 per
+      // window below dominates and would run single-task (no-op on
+      // already-wide scans)
+      val grams = Tables.spread(docs(s, dir).select("doc_id", "text"))
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= n)
         .select(col("doc_id"),
@@ -1459,7 +1463,11 @@ object PipelineQueries {
     "exact duplicated-substring spans (suffix-array dedup, relational)",
     (s, dir) => {
       val W = 25
-      val ws = docs(s, dir)
+      // spread the one-file scan first: the stride-1 window explode
+      // below computes an md5 per token position (the dominant cost)
+      // and would otherwise run as a single task (Tables.spread is a
+      // no-op on already-wide scans)
+      val ws = Tables.spread(docs(s, dir).select("doc_id", "text"))
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
       val base = ws.select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"))

@@ -59,6 +59,19 @@ object Tables {
     })
   }
 
+  /** Widen a NARROW scan to the session's cores before per-row-heavy
+    * work (wire decode, row-image assembly, shingle explode + hash):
+    * a one-file source arrives as one partition and everything narrow
+    * downstream runs single-task while the other cores idle. NO-OP
+    * when the input is already parallel — at real scale a corpus scan
+    * has far more partitions than cores, and repartitioning it would
+    * both full-shuffle the data AND coalesce its parallelism away
+    * (strictly harmful); min(4, cores) is the same "already wide
+    * enough" floor LuaParallelism uses. The rdd probe is free here:
+    * callers pass narrow chains over a scan (no exchange for AQE to
+    * finalize). */
+  def spread(df: DataFrame): DataFrame = graft.util.Spread(df)
+
   /** Invalidation hook for the rare caller that rewrites a table path in
     * place (e.g. a mirror dest later read back through Tables): drops every
     * cached plan under `path` for all sessions so the next read re-lists

@@ -90,7 +90,11 @@ object TokenStats {
   def unigrams(s: SparkSession, dir: String): Unigrams = synchronized {
     live(uni, s, dir).getOrElse {
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val tf = Tables(s, dir, "documents")
+      // Tables.spread: the one-file scan would otherwise run the
+      // explode + map-side partial aggregation as a single task
+      // (no-op when the scan is already wide)
+      val tf = Tables.spread(Tables(s, dir, "documents")
+          .select("doc_id", "lang", "text"))
         .select(col("doc_id"), col("lang"),
           explode(TF.words(col("text"))).as("w"))
         .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
@@ -113,7 +117,8 @@ object TokenStats {
   def bigrams(s: SparkSession, dir: String): DataFrame = synchronized {
     live(bi, s, dir).getOrElse {
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val tf = Tables(s, dir, "documents")
+      val tf = Tables.spread(Tables(s, dir, "documents")
+          .select("doc_id", "text")) // spread before explode, see unigrams
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .where(size(col("ws")) >= 2)
         .select(col("doc_id"), explode(expr(
@@ -150,7 +155,8 @@ object TokenStats {
     synchronized {
       live(sh3, s, dir).getOrElse {
         val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-        val sh = Tables(s, dir, "documents")
+        val sh = Tables.spread(Tables(s, dir, "documents")
+            .select("doc_id", "text")) // spread before explode
           .select(col("doc_id"), TF.words(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
@@ -178,7 +184,8 @@ object TokenStats {
     live(win, s, dir).getOrElse {
       import org.apache.spark.sql.expressions.Window
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val grams = Tables(s, dir, "documents")
+      val grams = Tables.spread(Tables(s, dir, "documents")
+          .select("doc_id", "text")) // spread before explode + md5
         .select(col("doc_id"), posexplode(
           TF.wordShingles(TF.words(col("text")), 3)).as(Seq("p0", "sh")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"),

@@ -41,9 +41,9 @@ object WireFixtures {
           // spread the fixture across the session's cores: the events
           // scan is one file → one partition, which would serialize
           // every decode pass reading the pinned blocks (the decoders
-          // are per-partition by design, so width is free)
-          val df = build.repartition(s.sparkContext.defaultParallelism)
-            .localCheckpoint(true)
+          // are per-partition by design, so width is free); no-op on
+          // already-wide inputs (Tables.spread)
+          val df = Tables.spread(build).localCheckpoint(true)
           val ids = s.sparkContext.getPersistentRDDs.keySet.toSet -- before
           set(Some(Entry(s, dir, ids, df)))
           df
