@@ -147,10 +147,12 @@ object CurationQueries {
     "q_span_dedup",
     "cross-doc repeated 5-gram span removal stats (C4 §2.2)",
     (s, dir) => {
-      // spread the one-file scan before the shingle explode — the
-      // explode + checkpoint otherwise run single-task (Tables.spread
-      // is a no-op on already-wide scans)
-      val base = Tables.spread(docs(s, dir).select("doc_id", "text"))
+      // NOT spread (unlike the md5-per-window queries): the span
+      // explode emits raw shingle strings — no per-row hashing — so a
+      // widening exchange costs more than the map side it would
+      // parallelize; the heavy work (freq aggregate + shuffle_hash
+      // join) shuffles and spreads on its own (A-B-A measured: no win)
+      val base = docs(s, dir)
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 5)
         .select(col("doc_id"),
