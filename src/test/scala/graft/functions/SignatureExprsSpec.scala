@@ -95,4 +95,41 @@ class SignatureExprsSpec extends SparkSpec {
     assert(out(1L) == ((false, false)))
     assert(out(2L) == ((true, true)))
   }
+
+  test("topWordCount equals the explode -> groupBy max formulation " +
+    "(the repetition gate's zero-shuffle twin)") {
+    val viaExpr = docs
+      .select(col("doc_id"),
+        SignatureExprs.topWordCount(TF.words(col("text"))).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExplode = docs
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("top"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExplode.nonEmpty)
+    // every doc the explode formulation sees (>= 1 word) must agree
+    viaExplode.foreach { case (id, top) =>
+      assert(viaExpr(id) == top, s"doc $id: $top != ${viaExpr(id)}")
+    }
+  }
+
+  test("topWordCount edge cases: empty -> 0, null -> null, ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq.empty[String])),
+      (2L, None),
+      (3L, Some(Seq("a", "b", "a", "b"))),
+      (4L, Some(Seq("x"))))
+      .toDF("id", "ws")
+    val out = df.select(col("id"),
+        SignatureExprs.topWordCount(col("ws")).as("top"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).contains(0L))
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains(2L))
+    assert(out(4L).contains(1L))
+  }
 }
