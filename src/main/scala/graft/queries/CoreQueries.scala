@@ -1243,7 +1243,11 @@ object CoreQueries {
     "q_lua_route",
     "lua onRecord routing: the embedded interpreter vs the SQL oracle",
     (s, dir) => {
-      val batch = spreadScan(changeLog(s, dir)).select(
+      // NOT pre-spread (unlike the decimal/pattern-heavy lua queries):
+      // this script's assembly and routing are light, and the measured
+      // final pair put the pre-assembly exchange at a net loss here —
+      // LuaParallelism's own post-assembly spread is the cheaper shape
+      val batch = changeLog(s, dir).select(
         col("rtype").cast("int").as("recordType"),
         col("event_id").as("checkpointId"),
         col("version").as("commitTimeMicros"),
@@ -1439,7 +1443,9 @@ object CoreQueries {
     "QRep queue routing: typed rows through onRecord " +
       "(topic/key/value, nil drops)",
     (s, dir) => {
-      val src = spreadScan(t(s, dir, "orders")).select(
+      // NOT pre-spread — same measured verdict as q_lua_route (light
+      // per-row work; the operator's own spread is the cheaper shape)
+      val src = t(s, dir, "orders").select(
         col("o_orderkey").cast("long").as("okey"),
         col("o_orderpriority").as("prio"),
         cents(col("o_totalprice")).as("cents"))

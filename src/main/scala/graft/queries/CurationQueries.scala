@@ -626,13 +626,6 @@ object CurationQueries {
     "bloom-prefiltered incremental 5-gram span contamination check",
     (s, dir) => {
       val base = docs(s, dir)
-        .select("doc_id", "source", "text")
-        // spread the one-file scan across the session's cores BEFORE
-        // tokenize+explode: unspread, the span explode, its checkpoint
-        // and the Bloom treeAggregate all ran as one task; the exchange
-        // carries raw text (narrower than the ws arrays), and
-        // Tables.spread is a no-op on already-wide scans
-        .transform(Tables.spread)
         .select(col("doc_id"), col("source"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 5)
       def spans(df: DataFrame): DataFrame = df.select(col("doc_id"),

@@ -1309,10 +1309,11 @@ object PipelineQueries {
     "13-gram sliding-window benchmark contamination audit",
     (s, dir) => {
       val n = 13
-      // spread the one-file scan first: the 13-gram explode + md5 per
-      // window below dominates and would run single-task (no-op on
-      // already-wide scans)
-      val grams = Tables.spread(docs(s, dir).select("doc_id", "text"))
+      // NOT spread: same measured verdict as q_dedup_substring — the
+      // widening exchange regressed this query 1.6x vs ~1.1x window
+      // controls; the explode's md5 pass is cheaper than the extra
+      // exchange + wide-checkpoint reads
+      val grams = docs(s, dir)
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
         .filter(size(col("ws")) >= n)
         .select(col("doc_id"),
@@ -1463,11 +1464,12 @@ object PipelineQueries {
     "exact duplicated-substring spans (suffix-array dedup, relational)",
     (s, dir) => {
       val W = 25
-      // spread the one-file scan first: the stride-1 window explode
-      // below computes an md5 per token position (the dominant cost)
-      // and would otherwise run as a single task (Tables.spread is a
-      // no-op on already-wide scans)
-      val ws = Tables.spread(docs(s, dir).select("doc_id", "text"))
+      // NOT spread: measured (r15 final pair vs ~1.1x window controls)
+      // — widening the scan before the window explode regressed 1.9x;
+      // the exchange + 32-block checkpoint + wider consumer scans cost
+      // more than the single-task md5 pass they replace at this scale,
+      // and at real scale the scan is already wide
+      val ws = docs(s, dir)
         .select(col("doc_id"), TF.words(col("text")).as("ws"))
       val base = ws.select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"))

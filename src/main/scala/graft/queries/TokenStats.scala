@@ -155,8 +155,7 @@ object TokenStats {
     synchronized {
       live(sh3, s, dir).getOrElse {
         val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-        val sh = Tables.spread(Tables(s, dir, "documents")
-            .select("doc_id", "text")) // spread before explode
+        val sh = Tables(s, dir, "documents")
           .select(col("doc_id"), TF.words(col("text")).as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"),
@@ -184,8 +183,7 @@ object TokenStats {
     live(win, s, dir).getOrElse {
       import org.apache.spark.sql.expressions.Window
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val grams = Tables.spread(Tables(s, dir, "documents")
-          .select("doc_id", "text")) // spread before explode + md5
+      val grams = Tables(s, dir, "documents")
         .select(col("doc_id"), posexplode(
           TF.wordShingles(TF.words(col("text")), 3)).as(Seq("p0", "sh")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"),
