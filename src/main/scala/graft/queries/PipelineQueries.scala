@@ -288,19 +288,29 @@ object PipelineQueries {
         .groupBy(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
         .agg(min(col("a.t")).as("mt"))
         .localCheckpoint(true)
-      // lazy: hits has exactly one consumer (nHits)
+      // lazy: hits has exactly one consumer (its histogram below)
       val hits = cand.join(truth, Seq("d1", "d2"), "left_semi")
-      val ls = s.range(1, nTables + 1).select(col("id").as("l"))
-      val nCand = ls.join(cand, col("mt") < col("l"), "left")
-        .groupBy("l").agg(count(col("mt")).as("n_cand"))
-      val nHits = ls.join(hits, col("mt") < col("l"), "left")
-        .groupBy("l").agg(count(col("mt")).as("n_hits"))
-      nCand.join(nHits, Seq("l"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
-        .select(col("l"), col("n_cand"), col("n_true"), col("n_hits"),
-          expr("n_hits * 1000 DIV greatest(n_true, 1)").as("recall_pm"),
-          expr("n_hits * 1000 DIV greatest(n_cand, 1)")
-            .as("precision_pm"))
+      // per-mt histograms are ≤ nTables rows BY CONSTRUCTION (mt ∈
+      // 0..L-1) — the bounded-collect pattern the audits use for range
+      // bounds; the previous ls-theta formulation paid two
+      // broadcast-nested-loop joins, a pair join and a crossJoin of
+      // 3-row frames (~10 fixed-cost jobs) for the same cumulative
+      // counts. Integer math identical: Long / Long is the same
+      // truncating division as SQL DIV on these non-negative counts.
+      def histo(df: DataFrame): Map[Int, Long] = df.groupBy("mt")
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val candH = histo(cand)
+      val hitsH = histo(hits)
+      val nTrue = truth.count()
+      import s.implicits._
+      (1 to nTables).map { l =>
+        val nc = (0 until l).map(candH.getOrElse(_, 0L)).sum
+        val nh = (0 until l).map(hitsH.getOrElse(_, 0L)).sum
+        (l.toLong, nc, nTrue, nh,
+          nh * 1000L / math.max(nTrue, 1L), nh * 1000L / math.max(nc, 1L))
+      }.toDF("l", "n_cand", "n_true", "n_hits", "recall_pm",
+          "precision_pm")
         .orderBy("l")
     },
     Some(s"""WITH q AS (SELECT vec_id,
