@@ -66,10 +66,27 @@ object Bench {
     // through sbt's `[info] ` prefixer, so any consumer doing json.load
     // on captured stdout fails. When SPARK_GRAFT_BENCH_OUT names a file,
     // write the bare JSON line there too.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    //
+    // MEASUREMENT-VISIBILITY FIX (r16, VERDICT r15 #1): the full line for
+    // 180 queries is ~6-10 KB, and a consumer keeping only a bounded tail
+    // of stdout cuts off its head and cannot parse it (observed since
+    // r08: every PERF_rNN.per_query empty). Two additions, no timing or
+    // methodology change:
+    //  - ALWAYS write the bare full line to BENCH_out.json in the working
+    //    directory (repo root under `sbt runMain`), so the committed repo
+    //    carries the machine-readable result even when stdout is cut;
+    //  - print a compact summary line LAST, small enough to survive any
+    //    tail truncation, so a stdout-only consumer still gets the total.
+    val outs = Seq("BENCH_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outs.foreach { out =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] cannot write $out: ${e.getMessage}")
+      }
     }
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
+      s""""n":${results.size},"sf":"$sfDir","full_line":"BENCH_out.json"}""")
     spark.stop()
   }
 }

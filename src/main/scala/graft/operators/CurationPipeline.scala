@@ -55,6 +55,16 @@ object CurationPipeline {
     * pass an empty frame to skip decontamination semantics (stage 5
     * then drops nothing). Returns the surviving frame + the audit.
     *
+    * CALLER CONTRACT (ADVICE r15): the source frames must be STABLE
+    * across the run's actions — `docsIn` of stage 1 is counted in a
+    * separate job from the survivor checkpoint, so a source that
+    * changes between the two actions (or a non-deterministic input)
+    * can make the audit row disagree with the checkpointed survivors.
+    * And the returned kept frame is LAZY: every caller action on it
+    * re-executes the flag joins, the near-dup verify join and the
+    * contamination semi-join — checkpoint/persist it yourself if you
+    * consume it more than once.
+    *
     * Execution shape (optimization r15, guide §1/§2): the heavy stages
     * materialize exactly twice — the exact-dedup survivors (`s1`,
     * every later stage's base) and the near-dup drop set (`drops2`, a
@@ -119,7 +129,10 @@ object CurationPipeline {
     *
     * CONTRACT: corpus and increment doc_ids share one global id space
     * (no collisions) — the verify machinery keys shingle counts by
-    * doc_id across both sides. */
+    * doc_id across both sides. The stability and laziness caveats on
+    * [[run]] apply here identically (stable sources across actions;
+    * the returned kept frame is lazy — checkpoint it if consumed more
+    * than once). */
   def runIncrement(corpus: DataFrame, increment: DataFrame,
       benchmark: DataFrame, cfg: Config = Config())
       : (DataFrame, Seq[StageAudit]) = {

@@ -35,7 +35,13 @@ private[transform] object LuaParallelism {
     plan match {
       case p: Project => staticWidth(p.child)
       case f: Filter => staticWidth(f.child)
-      case r: Repartition => Some(r.numPartitions)
+      // shuffling repartitions only: coalesce(n) also compiles to
+      // Repartition but with shuffle=false, and it only CAPS the width
+      // — a narrowScan.coalesce(8) would report 8, skip the spread and
+      // run the stage serially on its single real partition (ADVICE
+      // r15). Coalesce chains fall through to the rdd probe, which is
+      // free there (narrow chain, no exchange).
+      case r: Repartition if r.shuffle => Some(r.numPartitions)
       case r: RepartitionByExpression => r.optNumPartitions
       case _ => None
     }

@@ -30,6 +30,16 @@ class LuaParallelismSpec extends SparkSpec {
       "exactly the caller's repartition, no second one")
   }
 
+  test("coalesce(n) is NOT a static width claim: a capped-but-narrow " +
+    "batch still spreads (coalesce only bounds partitions)") {
+    import spark.implicits._
+    val df = Seq.tabulate(50)(i => (i.toLong, s"r$i")).toDF("k", "v")
+      .coalesce(8) // Repartition(shuffle=false): caps at 8, real width 1
+    val out = LuaParallelism.spread(df)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("a narrow batch (no explicit repartition) still spreads via " +
     "the rdd probe") {
     import spark.implicits._

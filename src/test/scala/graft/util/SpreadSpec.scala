@@ -23,4 +23,35 @@ class SpreadSpec extends SparkSpec {
       .selectExpr("id", "CAST(id AS STRING) AS text")
     assert(Spread(df) eq df)
   }
+
+  test("shuffled input (aggregate on top) passes through with NO job " +
+    "launched by the probe — the AQE double-shuffle trap") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong % 7, i.toLong))
+      .toDF("k", "v").groupBy("k").sum("v")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = Spread(df)
+      Thread.sleep(300) // let any (unexpected) job-start event arrive
+      assert(out eq df,
+        "exchange-topped frame must pass through untouched")
+      assert(jobs.get() == 0,
+        s"probing a shuffled input must launch no job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("coalesce(n) does not claim static width — the capped-but-" +
+    "narrow chain still probes and widens (ADVICE r15)") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .coalesce(8) // caps at 8, but the local relation has 1 partition
+    assert(Spread(df).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
 }
