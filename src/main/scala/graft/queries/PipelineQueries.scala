@@ -273,11 +273,18 @@ object PipelineQueries {
           col("a.qe"), col("b.qe"), num = 1L, denom = 16L))
         .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
         .localCheckpoint(true)
-      val buckets = (0 until nTables).map { t =>
-        e.select(lit(t).as("t"), col("vec_id"),
-          Similarity.hyperplaneBucketTable("embedding", bits, t)
-            .as("bucket"))
-      }.reduce(_ unionAll _).localCheckpoint(true)
+      // all L bucket keys in ONE pass over the pinned frame — a
+      // posexplode of the per-table key array replaces the r15 L-leg
+      // unionAll, whose 3×32 tiny partitions made every downstream
+      // stage a 96-task schedule (measured 0.865 s for the candidate
+      // join's map stage at sf0.1); at scale this is one scan of the
+      // embeddings instead of L. No pin: both self-join sides plan the
+      // identical exchange and Catalyst reuses it (ReusedExchange —
+      // verified in plans/r16/q_lsh_multitable_jobs_after.txt).
+      val buckets = e.select(col("vec_id"),
+        posexplode(array((0 until nTables).map(t =>
+          Similarity.hyperplaneBucketTable("embedding", bits, t)): _*))
+          .as(Seq("t", "bucket")))
       // one row per candidate pair, tagged with the FIRST table that
       // surfaces it — cumulative-L counts are then a mt < L filter
       val cand = buckets.as("a")
@@ -287,21 +294,23 @@ object PipelineQueries {
             col("a.vec_id") < col("b.vec_id"))
         .groupBy(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
         .agg(min(col("a.t")).as("mt"))
-        .localCheckpoint(true)
-      // lazy: hits has exactly one consumer (its histogram below)
-      val hits = cand.join(truth, Seq("d1", "d2"), "left_semi")
-      // per-mt histograms are ≤ nTables rows BY CONSTRUCTION (mt ∈
-      // 0..L-1) — the bounded-collect pattern the audits use for range
-      // bounds; the previous ls-theta formulation paid two
-      // broadcast-nested-loop joins, a pair join and a crossJoin of
-      // 3-row frames (~10 fixed-cost jobs) for the same cumulative
-      // counts. Integer math identical: Long / Long is the same
-      // truncating division as SQL DIV on these non-negative counts.
-      def histo(df: DataFrame): Map[Int, Long] = df.groupBy("mt")
-        .agg(count(lit(1)).as("c")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val candH = histo(cand)
-      val hitsH = histo(hits)
+      // BOTH per-mt histograms (all candidates, truth-verified
+      // candidates) from ONE aggregation/collect: truth pairs are
+      // unique by construction (a BNL over vec_id < vec_id emits each
+      // pair once), so a left join + conditional count equals the r15
+      // semi-join exactly while halving the tail jobs (two collects →
+      // one; measured 0.43+0.44 s of AQE stages for the second).
+      // Histograms are ≤ nTables rows BY CONSTRUCTION (mt ∈ 0..L-1) —
+      // the bounded-collect pattern the audits use. Integer math
+      // identical: Long / Long is the same truncating division as SQL
+      // DIV on these non-negative counts.
+      val h = cand
+        .join(truth.withColumn("tr", lit(true)), Seq("d1", "d2"), "left")
+        .groupBy("mt")
+        .agg(count(lit(1)).as("c"), count(col("tr")).as("hc"))
+        .collect()
+      val candH = h.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val hitsH = h.map(r => r.getInt(0) -> r.getLong(2)).toMap
       val nTrue = truth.count()
       import s.implicits._
       (1 to nTables).map { l =>
